@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.exact._
+
+/** Relational operator family — SURVEY.md §2.5 (R1-R4) plus the general
+  * aggregate / join / union / distinct / window surface a complete engine
+  * needs. Every query here is declarative DataFrame code: Catalyst handles
+  * pushdown, pruning, join selection; we add explicit `broadcast()` where a
+  * dimension table is known-small (region/nation/supplier never grow with
+  * fact data — the same reasoning as the reference's SS⋈SI join where SI is
+  * ~1.5k stations, `/root/reference/dags/lib/index_to_elastic_with_spark.py`
+  * consumers at :115-123).
+  */
+object Relational {
+
+  /** q1_pricing_summary — hash-aggregate workhorse (TPC-H Q1 shape).
+    * Per-row arithmetic stays in doubles (deterministic), sums go through
+    * [[graft.functions.exact]] so the result is partitioning-independent.
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        decSum($"l_quantity", 2).as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+          .as("sum_disc_price"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+          (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** r1_join_broadcast — equi inner join fact⋈dim⋈dim with explicit
+    * broadcast of the small sides (SURVEY §2.5 R1: SS ⋈ SI on station_id).
+    * nation (25 rows) and region (5 rows) are broadcast: zero shuffle of the
+    * customer side, and at 100 TB the plan is a single scan + two
+    * BroadcastHashJoins feeding one hash aggregate.
+    */
+  def r1JoinBroadcast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("total_acctbal"))
+  }
+
+  val r1Oracle: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** r2_harmonize — projection/harmonization to a unified provider schema
+    * (SURVEY §2.5 R2: `enriched_lime` maps free bikes to the 7-col contract
+    * with literal provider, unit count 1, NULL slot count). Same shape here:
+    * customers as a "provider" feed.
+    */
+  def r2Harmonize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select(
+      lit("customer").as("provider"),
+      $"c_custkey".cast("string").as("id"),
+      $"c_name".as("name"),
+      $"c_acctbal".as("balance"),
+      lit(1).as("num_units"),
+      lit(null).cast("int").as("num_slots"))
+  }
+
+  val r2Oracle: String =
+    """SELECT 'customer' AS provider, CAST(c_custkey AS VARCHAR) AS id,
+      |  c_name AS name, c_acctbal AS balance, 1 AS num_units,
+      |  CAST(NULL AS INTEGER) AS num_slots
+      |FROM customer""".stripMargin
+
+  /** r3_union_all — `unionByName` of two harmonized feeds (SURVEY §2.5 R3:
+    * `enriched_join_velib_lime` = velib ∪ lime on the shared schema).
+    * UNION ALL is shuffle-free: partitions of both children are simply
+    * concatenated, so this costs nothing extra at scale.
+    */
+  def r3UnionAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val suppliers = Tables.supplier(s, d).select(
+      lit("supplier").as("provider"),
+      $"s_suppkey".cast("string").as("id"),
+      $"s_name".as("name"),
+      $"s_acctbal".as("balance"),
+      lit(1).as("num_units"),
+      lit(0).as("num_slots"))
+    r2Harmonize(s, d).unionByName(
+      suppliers.withColumn("num_slots", $"num_slots".cast("int")))
+  }
+
+  val r3Oracle: String =
+    """SELECT 'customer' AS provider, CAST(c_custkey AS VARCHAR) AS id,
+      |  c_name AS name, c_acctbal AS balance, 1 AS num_units,
+      |  CAST(NULL AS INTEGER) AS num_slots
+      |FROM customer
+      |UNION ALL
+      |SELECT 'supplier', CAST(s_suppkey AS VARCHAR), s_name, s_acctbal, 1,
+      |  CAST(0 AS INTEGER)
+      |FROM supplier""".stripMargin
+
+  /** r4_quality_checks — data-quality aggregations (SURVEY §2.5 R4: dbt
+    * generic tests compile to violation-count queries; the pipeline gates on
+    * zero violations before serving). Four check shapes: not_null, unique,
+    * referential integrity (anti join), accepted range. Each is a full-scan
+    * count — at 100 TB these run as map-side partial counts, no wide rows
+    * ever shuffle.
+    */
+  def r4QualityChecks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val lineitem = Tables.lineitem(s, d)
+
+    val notNull = orders.agg(
+      count(when($"o_custkey".isNull, 1)).as("violations"))
+      .select(lit("orders_custkey_not_null").as("check_name"), $"violations")
+    val unique = customer.groupBy($"c_custkey").count()
+      .filter($"count" > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("customer_custkey_unique").as("check_name"), $"violations")
+    val refInt = orders.join(broadcast(customer.select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_custkey_references_customer").as("check_name"),
+        $"violations")
+    val range = lineitem.agg(
+      count(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1))
+        .as("violations"))
+      .select(lit("lineitem_discount_in_range").as("check_name"), $"violations")
+
+    notNull.unionByName(unique).unionByName(refInt).unionByName(range)
+  }
+
+  val r4Oracle: String =
+    """SELECT 'orders_custkey_not_null' AS check_name,
+      |  count(*) FILTER (o_custkey IS NULL) AS violations FROM orders
+      |UNION ALL
+      |SELECT 'customer_custkey_unique',
+      |  CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_custkey_references_customer',
+      |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL
+      |SELECT 'lineitem_discount_in_range',
+      |  (SELECT count(*) FILTER (l_discount < 0.0 OR l_discount > 1.0) FROM lineitem)""".stripMargin
+
+  /** j1_semi_join — EXISTS as left-semi (no row multiplication, only the
+    * left columns survive — cheaper than inner+distinct at scale). */
+  def j1SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  val j1Oracle: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** j2_anti_join — NOT EXISTS as left-anti. */
+  def j2AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  val j2Oracle: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** j3_outer_join — left outer fact-extension with null-producing side. */
+  def j3OuterJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"),
+        moneySum($"o_totalprice").as("total_spent"))
+    Tables.customer(s, d)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"n_orders", lit(0L)).as("n_orders"), $"total_spent")
+  }
+
+  val j3Oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  COALESCE(n_orders, 0) AS n_orders, total_spent
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_spent
+      |  FROM orders GROUP BY o_custkey
+      |) ON c_custkey = o_custkey""".stripMargin
+
+  /** a1_distinct — DISTINCT = shuffle-dedup on the projected columns. */
+  def a1Distinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select($"l_returnflag", $"l_linestatus").distinct()
+  }
+
+  val a1Oracle: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** a2_count_distinct — exact + approximate distinct counts. HLL
+    * (`approx_count_distinct`) is the 100 TB path: mergeable sketch, no
+    * per-key shuffle; the exact count is the correctness anchor. The approx
+    * value is engine-specific, so only exact columns face the oracle; the
+    * HLL estimate is sanity-bounded in ScalaTest instead.
+    */
+  def a2CountDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"))
+  }
+
+  val a2Oracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** g1_rollup — hierarchical totals in one pass (GROUPING SETS family). */
+  def g1Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), decSum($"l_quantity", 2).as("sum_qty"))
+  }
+
+  val g1Oracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** g2_cube — full cross-tabulation totals. */
+  def g2Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val g2Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** o1_topk — global top-k: Spark's `orderBy.limit` plans a TakeOrdered
+    * (per-partition heap + driver merge of k rows), never a full sort of
+    * 100 TB. Tie-broken on the unique key for determinism.
+    */
+  def o1TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(10)
+  }
+
+  val o1Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** w1_window_rank — per-group top-n via row_number + running total.
+    * The running sum uses an exact decimal frame sum so the result does not
+    * depend on how the window operator associates additions.
+    */
+  def w1WindowRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        sum($"o_totalprice".cast(DecimalType(27, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate").as("odate_us"), $"rn", $"running_spend")
+  }
+
+  val w1Oracle: String =
+    """SELECT o_custkey, o_orderkey, odate_us, rn, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+      |    CAST(row_number() OVER w AS INT) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      AS running_spend
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |) WHERE rn <= 3""".stripMargin
+
+  /** w2_lag_lead — analytic offset functions over an ordered partition. */
+  def w2LagLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("gap_us", unix_micros($"ts") -
+        unix_micros(lag($"ts", 1).over(w)))
+      .select($"event_id", $"user_id", $"event_type", $"prev_type", $"gap_us")
+  }
+
+  val w2Oracle: String =
+    """SELECT event_id, user_id, event_type,
+      |  lag(event_type, 1) OVER w AS prev_type,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** i1_intersect — set intersection (distinct semantics). */
+  def i1Intersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select($"o_custkey".as("custkey")).intersect(
+      Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("custkey")))
+  }
+
+  val i1Oracle: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
+  /** i2_except — set difference (distinct semantics). */
+  def i2Except(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_custkey".as("custkey")).except(
+      Tables.orders(s, d).select($"o_custkey".as("custkey")))
+  }
+
+  val i2Oracle: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "r1_join_broadcast" -> (r1JoinBroadcast _),
+    "r2_harmonize" -> (r2Harmonize _),
+    "r3_union_all" -> (r3UnionAll _),
+    "r4_quality_checks" -> (r4QualityChecks _),
+    "j1_semi_join" -> (j1SemiJoin _),
+    "j2_anti_join" -> (j2AntiJoin _),
+    "j3_outer_join" -> (j3OuterJoin _),
+    "a1_distinct" -> (a1Distinct _),
+    "a2_count_distinct" -> (a2CountDistinct _),
+    "g1_rollup" -> (g1Rollup _),
+    "g2_cube" -> (g2Cube _),
+    "o1_topk" -> (o1TopK _),
+    "w1_window_rank" -> (w1WindowRank _),
+    "w2_lag_lead" -> (w2LagLead _),
+    "i1_intersect" -> (i1Intersect _),
+    "i2_except" -> (i2Except _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "r1_join_broadcast" -> r1Oracle,
+    "r2_harmonize" -> r2Oracle,
+    "r3_union_all" -> r3Oracle,
+    "r4_quality_checks" -> r4Oracle,
+    "j1_semi_join" -> j1Oracle,
+    "j2_anti_join" -> j2Oracle,
+    "j3_outer_join" -> j3Oracle,
+    "a1_distinct" -> a1Oracle,
+    "a2_count_distinct" -> a2Oracle,
+    "g1_rollup" -> g1Oracle,
+    "g2_cube" -> g2Oracle,
+    "o1_topk" -> o1Oracle,
+    "w1_window_rank" -> w1Oracle,
+    "w2_lag_lead" -> w2Oracle,
+    "i1_intersect" -> i1Oracle,
+    "i2_except" -> i2Oracle)
+}
