@@ -11,12 +11,23 @@ import org.apache.spark.sql.SparkSession
   * and document the divergence, SURVEY.md §7.4), AQE on, shuffle partitions
   * sized to the actual parallelism instead of the 200 default.
   *
+  * `spark.sql.legacy.parquet.nanosAsLong=true` is required for the driver
+  * test tables: `events.parquet` stores INT64 TIMESTAMP(NANOS), which Spark
+  * 4.x otherwise rejects with PARQUET_TYPE_ILLEGAL. With the flag on, the
+  * column surfaces as a nanosecond-epoch Long and [[Tables.events]] converts
+  * it to a proper TimestampType via integer division (micros).
+  *
   * At cluster scale the same builder is used minus `.master(local)` —
   * spark-submit supplies master/memory and `shuffle.partitions` should be
   * ~2-3× total executor cores (set via --conf).
   */
 object GraftSession {
-  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+  /** Number of local cores: SPARK_GRAFT_CPUS env, else all available. */
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def local(cores: Int = defaultCores,
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -24,6 +35,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

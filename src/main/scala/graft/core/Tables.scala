@@ -1,12 +1,20 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (`/root/repo/TESTDATA.md`).
   *
   * Each table is a single parquet file per scale factor. Reads are plain
   * `spark.read.parquet` — schema comes from the parquet footer, so Catalyst
   * gets exact column types for free and filter/projection pushdown applies.
+  *
+  * `events.ts` is stored as parquet INT64 TIMESTAMP(NANOS). With
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[GraftSession]]) it
+  * reads as a nanosecond-epoch Long; [[events]] converts it to TimestampType
+  * with `timestamp_micros(ts div 1000)`. Integer `div` is mandatory: ns
+  * epochs (~1.7e18) exceed double's 53-bit mantissa, so a float division
+  * would round half the values up by 1µs and break oracle parity.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -23,7 +31,9 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -145,7 +145,10 @@ object Relational {
       .filter($"count" > 1)
       .agg(count(lit(1)).as("violations"))
       .select(lit("customer_custkey_unique").as("check_name"), $"violations")
-    val refInt = orders.join(broadcast(customer.select($"c_custkey")),
+    // Referential integrity runs as a shuffled left-anti: customer is a
+    // fact-scale table, so broadcasting its keyset would OOM the driver at
+    // 100 TB. AQE may still pick a broadcast at small SF — that's its call.
+    val refInt = orders.join(customer.select($"c_custkey"),
         $"o_custkey" === $"c_custkey", "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("orders_custkey_references_customer").as("check_name"),
@@ -166,7 +169,8 @@ object Relational {
       |  CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)) AS BIGINT)
       |UNION ALL
       |SELECT 'orders_custkey_references_customer',
-      |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       |UNION ALL
       |SELECT 'lineitem_discount_in_range',
       |  (SELECT count(*) FILTER (l_discount < 0.0 OR l_discount > 1.0) FROM lineitem)""".stripMargin
@@ -300,8 +304,11 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
       .filter($"rn" <= 3)
+      // o_orderdate reads as TIMESTAMP_NTZ; unix_micros needs TimestampType.
+      // Session TZ is pinned UTC, so the NTZ→LTZ cast is lossless.
       .select($"o_custkey", $"o_orderkey",
-        unix_micros($"o_orderdate").as("odate_us"), $"rn", $"running_spend")
+        unix_micros($"o_orderdate".cast("timestamp")).as("odate_us"),
+        $"rn", $"running_spend")
   }
 
   val w1Oracle: String =
