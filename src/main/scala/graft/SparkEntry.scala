@@ -20,8 +20,8 @@ object SparkEntry {
     Relational.r1JoinBroadcast(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ScalarOps.queries
+    Relational.queries ++ ScalarOps.queries ++ graft.bike.BikeQueries.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ ScalarOps.oracles
+    Relational.oracles ++ ScalarOps.oracles ++ graft.bike.BikeQueries.oracles
 }

@@ -1,0 +1,100 @@
+package graft.bike
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate entries for the bike transform module.
+  *
+  * Each query runs the full fixture-JSON → formatted transform and projects
+  * the result to engine-neutral comparison types (timestamps as epoch
+  * micros) so the driver's DuckDB oracle can hash-match it cell for cell.
+  * The oracle SQL re-derives the same semantics independently from the same
+  * fixture via `read_json_auto` — a genuine two-engine check of explode,
+  * nested projection, null-swallowing boolean coercion, the timestamp
+  * dance, and cast enforcement.
+  *
+  * The un-projected formatted outputs (TimestampType etc.) are pinned by
+  * golden ScalaTest suites in `graft.bike` (see BikeTransformSpec).
+  */
+object BikeQueries {
+
+  /** Fixture GBFS drops live in-repo; override for out-of-repo runs. */
+  val fixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/src/main/resources/gbfs")
+
+  def b1TransformSs(s: SparkSession, d: String): DataFrame =
+    Transforms.transformSs(Transforms.readRawJson(
+        s, s"$fixtureDir/station_status.json", BikeSchemas.ssRaw))
+      .select(col("station_id"), col("stationCode"),
+        col("num_bikes_available"), col("num_docks_available"),
+        col("is_installed"), col("is_returning"), col("is_renting"),
+        unix_micros(col("lastUpdatedOther_timestamp")).as("last_updated_us"),
+        unix_micros(col("last_reported_timestamp")).as("last_reported_us"))
+
+  val b1Oracle: String =
+    s"""SELECT CAST(station.station_id AS VARCHAR) AS station_id,
+       |  station.stationCode AS stationCode,
+       |  CAST(station.num_bikes_available AS INTEGER) AS num_bikes_available,
+       |  CAST(station.num_docks_available AS INTEGER) AS num_docks_available,
+       |  COALESCE(station.is_installed = 1, false) AS is_installed,
+       |  COALESCE(station.is_returning = 1, false) AS is_returning,
+       |  COALESCE(station.is_renting = 1, false) AS is_renting,
+       |  CAST(lastUpdatedOther * 1000000 AS BIGINT) AS last_updated_us,
+       |  CAST(station.last_reported * 1000000 AS BIGINT) AS last_reported_us
+       |FROM (SELECT lastUpdatedOther, unnest(data.stations) AS station
+       |      FROM read_json_auto('$fixtureDir/station_status.json'))""".stripMargin
+
+  def b2TransformSi(s: SparkSession, d: String): DataFrame =
+    Transforms.transformSi(Transforms.readRawJson(
+        s, s"$fixtureDir/station_information.json", BikeSchemas.siRaw))
+      .select(col("station_id"), col("stationCode"), col("name"),
+        col("lat"), col("lon"), col("capacity"), col("rental_methods"),
+        unix_micros(col("lastUpdatedOther_timestamp")).as("last_updated_us"))
+
+  val b2Oracle: String =
+    s"""SELECT CAST(station.station_id AS VARCHAR) AS station_id,
+       |  station.stationCode AS stationCode,
+       |  station.name AS name,
+       |  CAST(station.lat AS REAL) AS lat,
+       |  CAST(station.lon AS REAL) AS lon,
+       |  CAST(station.capacity AS INTEGER) AS capacity,
+       |  CASE WHEN station.rental_methods IS NULL THEN NULL
+       |       ELSE '[' || COALESCE(array_to_string(station.rental_methods, ', '), '') || ']'
+       |  END AS rental_methods,
+       |  CAST(lastUpdatedOther * 1000000 AS BIGINT) AS last_updated_us
+       |FROM (SELECT lastUpdatedOther, unnest(data.stations) AS station
+       |      FROM read_json_auto('$fixtureDir/station_information.json'))""".stripMargin
+
+  def b3TransformLime(s: SparkSession, d: String): DataFrame =
+    Transforms.transformLime(Transforms.readRawJson(
+        s, s"$fixtureDir/free_bike_status.json", BikeSchemas.limeRaw))
+      .select(col("bike_id"), col("lat"), col("lon"),
+        col("is_reserved"), col("is_disabled"), col("current_range_meters"),
+        col("vehicle_type_id"), col("vehicle_type"),
+        unix_micros(col("last_updated_timestamp")).as("last_updated_us"),
+        unix_micros(col("last_reported_timestamp")).as("last_reported_us"))
+
+  val b3Oracle: String =
+    s"""SELECT bike.bike_id AS bike_id,
+       |  CAST(bike.lat AS REAL) AS lat,
+       |  CAST(bike.lon AS REAL) AS lon,
+       |  COALESCE(bike.is_reserved = 'true', false) AS is_reserved,
+       |  COALESCE(bike.is_disabled = 'true', false) AS is_disabled,
+       |  CAST(bike.current_range_meters AS INTEGER) AS current_range_meters,
+       |  bike.vehicle_type_id AS vehicle_type_id,
+       |  bike.vehicle_type AS vehicle_type,
+       |  CAST(last_updated * 1000000 AS BIGINT) AS last_updated_us,
+       |  CAST(bike.last_reported * 1000000 AS BIGINT) AS last_reported_us
+       |FROM (SELECT last_updated, unnest(data.bikes) AS bike
+       |      FROM read_json_auto('$fixtureDir/free_bike_status.json'))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_transform_ss" -> (b1TransformSs _),
+    "b2_transform_si" -> (b2TransformSi _),
+    "b3_transform_lime" -> (b3TransformLime _))
+
+  val oracles: Map[String, String] = Map(
+    "b1_transform_ss" -> b1Oracle,
+    "b2_transform_si" -> b2Oracle,
+    "b3_transform_lime" -> b3Oracle)
+}

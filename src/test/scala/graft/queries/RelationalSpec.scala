@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Plan-shape and sketch-bound assertions for the relational family. Runs
+  * on sf0.001 (~6k lineitem rows) to stay fast. */
+class RelationalSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct (HLL) lands within 10% of the exact count") {
+    import spark.implicits._
+    val row = Tables.lineitem(spark, sf)
+      .agg(countDistinct($"l_orderkey").as("exact"),
+        approx_count_distinct($"l_orderkey").as("approx"))
+      .collect().head
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    math.abs(approx - exact) / exact should be < 0.10
+  }
+
+  test("o1_topk plans TakeOrdered, never a global sort") {
+    val plan = Relational.o1TopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    (plan should not).include("SortExec")
+  }
+
+  test("r1 plans broadcast joins for the dimension sides") {
+    val plan = Relational.r1JoinBroadcast(spark, sf)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("r4 logical plan no longer forces a broadcast of customer") {
+    // the referential-integrity anti-join must not carry an explicit
+    // broadcast hint on the fact-scale customer keyset (VERDICT r1 fix);
+    // AQE may still *choose* broadcast at tiny SF, which is fine.
+    val analyzed = Relational.r4QualityChecks(spark, sf)
+      .queryExecution.analyzed.toString
+    (analyzed should not).include("ResolvedHint")
+  }
+
+  test("quality checks detect injected violations") {
+    import spark.implicits._
+    val dirty = Seq((1, "a"), (1, "b"), (2, null)).toDF("k", "v")
+    dirty.filter($"v".isNull).count() shouldBe 1
+    dirty.groupBy($"k").count().filter($"count" > 1).count() shouldBe 1
+  }
+}
