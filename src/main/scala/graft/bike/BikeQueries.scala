@@ -88,13 +88,97 @@ object BikeQueries {
        |FROM (SELECT last_updated, unnest(data.bikes) AS bike
        |      FROM read_json_auto('$fixtureDir/free_bike_status.json'))""".stripMargin
 
+  // -- enriched layer over the fixture chain --
+
+  private def formattedFixtures(s: SparkSession) = (
+    Transforms.transformSs(Transforms.readRawJson(
+      s, s"$fixtureDir/station_status.json", BikeSchemas.ssRaw)),
+    Transforms.transformSi(Transforms.readRawJson(
+      s, s"$fixtureDir/station_information.json", BikeSchemas.siRaw)),
+    Transforms.transformLime(Transforms.readRawJson(
+      s, s"$fixtureDir/free_bike_status.json", BikeSchemas.limeRaw)))
+
+  /** b4 — the full raw→formatted→enriched chain (R1 broadcast join + R2
+    * harmonize + R3 union) projected engine-neutral. */
+  def b4Enriched(s: SparkSession, d: String): DataFrame = {
+    val (ss, si, lime) = formattedFixtures(s)
+    graft.enriched.Enriched.enrichedJoinVelibLime(ss, si, lime)
+      .select(col("provider"), col("id"),
+        unix_micros(col("time")).as("time_us"),
+        col("lat"), col("lon"), col("num_bikes"), col("num_docks"))
+  }
+
+  val b4Oracle: String =
+    s"""WITH ss AS (SELECT unnest(data.stations) AS st
+       |            FROM read_json_auto('$fixtureDir/station_status.json')),
+       |     si AS (SELECT unnest(data.stations) AS inf
+       |            FROM read_json_auto('$fixtureDir/station_information.json')),
+       |     lime AS (SELECT unnest(data.bikes) AS bk
+       |            FROM read_json_auto('$fixtureDir/free_bike_status.json'))
+       |SELECT 'velib' AS provider, CAST(st.station_id AS VARCHAR) AS id,
+       |  CAST(st.last_reported * 1000000 AS BIGINT) AS time_us,
+       |  CAST(inf.lat AS REAL) AS lat, CAST(inf.lon AS REAL) AS lon,
+       |  CAST(st.num_bikes_available AS INTEGER) AS num_bikes,
+       |  CAST(st.num_docks_available AS INTEGER) AS num_docks
+       |FROM ss, si WHERE st.station_id = inf.station_id
+       |UNION ALL
+       |SELECT 'lime', bk.bike_id, CAST(bk.last_reported * 1000000 AS BIGINT),
+       |  CAST(bk.lat AS REAL), CAST(bk.lon AS REAL), 1, CAST(NULL AS INTEGER)
+       |FROM lime""".stripMargin
+
+  /** b5 — the quality-gate violation counts over the enriched fixture
+    * output (the dbt-test replacement; all-zero = gate passes, the failure
+    * path is exercised in EnrichedSpec). */
+  def b5QualityGate(s: SparkSession, d: String): DataFrame = {
+    val (ss, si, lime) = formattedFixtures(s)
+    val results = graft.enriched.QualityGate.checks(
+      graft.enriched.Enriched.enrichedJoinVelibLime(ss, si, lime))
+    import s.implicits._
+    results.map(r => (r.name, r.violations)).toDF("name", "violations")
+  }
+
+  val b5Oracle: String =
+    s"""WITH enriched AS (
+       |  SELECT 'velib' AS provider, CAST(st.station_id AS VARCHAR) AS id,
+       |    st.last_reported AS t, inf.lat AS lat, inf.lon AS lon,
+       |    st.num_bikes_available AS num_bikes,
+       |    st.num_docks_available AS num_docks
+       |  FROM (SELECT unnest(data.stations) AS st
+       |        FROM read_json_auto('$fixtureDir/station_status.json')) ss,
+       |       (SELECT unnest(data.stations) AS inf
+       |        FROM read_json_auto('$fixtureDir/station_information.json')) si
+       |  WHERE st.station_id = inf.station_id
+       |  UNION ALL
+       |  SELECT 'lime', bk.bike_id, bk.last_reported, bk.lat, bk.lon, 1,
+       |    CAST(NULL AS INTEGER)
+       |  FROM (SELECT unnest(data.bikes) AS bk
+       |        FROM read_json_auto('$fixtureDir/free_bike_status.json')))
+       |SELECT 'provider_not_null' AS name,
+       |  count(*) FILTER (provider IS NULL) AS violations FROM enriched
+       |UNION ALL SELECT 'id_not_null',
+       |  count(*) FILTER (id IS NULL) FROM enriched
+       |UNION ALL SELECT 'provider_accepted_values',
+       |  count(*) FILTER (provider NOT IN ('velib', 'lime')) FROM enriched
+       |UNION ALL SELECT 'geo_in_range',
+       |  count(*) FILTER (lat < -90 OR lat > 90 OR lon < -180 OR lon > 180)
+       |  FROM enriched
+       |UNION ALL SELECT 'counts_non_negative',
+       |  count(*) FILTER (num_bikes < 0 OR num_docks < 0) FROM enriched
+       |UNION ALL SELECT 'provider_id_time_unique',
+       |  (SELECT count(*) FROM (SELECT provider, id, t FROM enriched
+       |     GROUP BY provider, id, t HAVING count(*) > 1))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_transform_ss" -> (b1TransformSs _),
     "b2_transform_si" -> (b2TransformSi _),
-    "b3_transform_lime" -> (b3TransformLime _))
+    "b3_transform_lime" -> (b3TransformLime _),
+    "b4_enriched" -> (b4Enriched _),
+    "b5_quality_gate" -> (b5QualityGate _))
 
   val oracles: Map[String, String] = Map(
     "b1_transform_ss" -> b1Oracle,
     "b2_transform_si" -> b2Oracle,
-    "b3_transform_lime" -> b3Oracle)
+    "b3_transform_lime" -> b3Oracle,
+    "b4_enriched" -> b4Oracle,
+    "b5_quality_gate" -> b5Oracle)
 }

@@ -1,0 +1,115 @@
+package graft.enriched
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.bike.Transforms
+
+/** The enriched layer — the reference's dbt models re-expressed as Spark
+  * SQL-equivalent DataFrame programs (SURVEY §2.5; the model SQL itself is
+  * not in the reference repo, so these definitions are the engine's frozen
+  * canon, recovered from the downstream 7-column contract at
+  * `/root/reference/dags/lib/index_to_elastic_with_spark.py:115-123` and
+  * `/root/reference/dags/lib/k_means_with_spark.py:89-97`).
+  *
+  * Scale notes: SI is a true dimension (one row per station, ~1.5k today,
+  * bounded by the physical network — it does NOT grow with observation
+  * volume), so the SS⋈SI join broadcasts SI. SS and Lime are fact feeds;
+  * they stream through scan→project with no shuffle. The union is
+  * concatenation — also shuffle-free.
+  */
+object Enriched {
+
+  /** `enriched_join_velib` — per-observation availability ⋈ static geo. */
+  def enrichedJoinVelib(ssFormatted: DataFrame, siFormatted: DataFrame): DataFrame = {
+    val geo = siFormatted.select(
+      col("station_id"), col("lat"), col("lon"))
+    ssFormatted.join(broadcast(geo), Seq("station_id"), "inner")
+      .select(
+        lit("velib").as("provider"),
+        col("station_id").as("id"),
+        col("last_reported_timestamp").as("time"),
+        col("lat"),
+        col("lon"),
+        col("num_bikes_available").as("num_bikes"),
+        col("num_docks_available").as("num_docks"))
+  }
+
+  /** `enriched_lime` — harmonize free bikes to the unified schema: each
+    * free bike is one available bike with no dock slots (engine-defined
+    * canon: num_docks = NULL, SURVEY §7.4). */
+  def enrichedLime(limeFormatted: DataFrame): DataFrame =
+    limeFormatted.select(
+      lit("lime").as("provider"),
+      col("bike_id").as("id"),
+      col("last_reported_timestamp").as("time"),
+      col("lat"),
+      col("lon"),
+      lit(1).as("num_bikes"),
+      lit(null).cast("int").as("num_docks"))
+
+  /** `enriched_join_velib_lime` — the cross-provider union. */
+  def enrichedJoinVelibLime(ssFormatted: DataFrame, siFormatted: DataFrame,
+                            limeFormatted: DataFrame): DataFrame =
+    enrichedJoinVelib(ssFormatted, siFormatted)
+      .unionByName(enrichedLime(limeFormatted))
+
+  /** Enriched zone prefix — the reference's Airflow Variable default
+    * (`index_to_elastic_with_spark.py:14`). */
+  val EnrichedVelibLime = "enriched/default_velib_lime/enriched_join_velib_lime/"
+
+  /** Pipeline stage: formatted zones → quality gate → enriched parquet.
+    * Mirrors the DAG ordering `dbt_run >> dbt_test >> index_to_elastic`
+    * (`/root/reference/dags/dag_bike.py:175`): violations abort the write
+    * so the serving layer never sees bad data. Returns the output path.
+    */
+  def runStage(ss: DataFrame, si: DataFrame, lime: DataFrame,
+               lakeRoot: String, subfolder: String = "default"): String = {
+    val enriched = enrichedJoinVelibLime(ss, si, lime)
+    val failures = QualityGate.failures(enriched)
+    if (failures.nonEmpty)
+      throw new QualityGate.QualityGateException(failures)
+    val outPath = s"$lakeRoot/$EnrichedVelibLime$subfolder/"
+    Transforms.enforceSchema(enriched, graft.bike.BikeSchemas.enriched)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    outPath
+  }
+}
+
+/** R4 — the dbt-test replacement: violation-count aggregations that gate
+  * the enriched write. All row-level checks compile into ONE aggregate
+  * pass (map-side partial counts, no wide shuffle); the uniqueness check
+  * is a second, key-shuffled pass — same cost shape as dbt's generic
+  * `unique` test.
+  */
+object QualityGate {
+
+  final case class CheckResult(name: String, violations: Long)
+
+  final class QualityGateException(val failures: Seq[CheckResult])
+    extends RuntimeException(
+      "quality gate failed: " +
+        failures.map(f => s"${f.name}=${f.violations}").mkString(", "))
+
+  /** All checks over the enriched contract. */
+  def checks(enriched: DataFrame): Seq[CheckResult] = {
+    val row = enriched.agg(
+      count(when(col("provider").isNull, 1)).as("provider_not_null"),
+      count(when(col("id").isNull, 1)).as("id_not_null"),
+      count(when(!col("provider").isin("velib", "lime"), 1))
+        .as("provider_accepted_values"),
+      count(when(col("lat") < -90.0 || col("lat") > 90.0 ||
+        col("lon") < -180.0 || col("lon") > 180.0, 1)).as("geo_in_range"),
+      count(when(col("num_bikes") < 0 || col("num_docks") < 0, 1))
+        .as("counts_non_negative")).collect().head
+    val rowChecks = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      CheckResult(n, row.getLong(i))
+    }.toSeq
+    val dupes = enriched.groupBy(col("provider"), col("id"), col("time"))
+      .count().filter(col("count") > 1).count()
+    rowChecks :+ CheckResult("provider_id_time_unique", dupes)
+  }
+
+  def failures(enriched: DataFrame): Seq[CheckResult] =
+    checks(enriched).filter(_.violations > 0)
+}
