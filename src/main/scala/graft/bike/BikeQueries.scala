@@ -168,17 +168,56 @@ object BikeQueries {
        |  (SELECT count(*) FROM (SELECT provider, id, t FROM enriched
        |     GROUP BY provider, id, t HAVING count(*) > 1))""".stripMargin
 
+  /** b6 — serving projection (F5 id_concat key, F7 [lon,lat] geo array,
+    * P3 drop) over the enriched chain. The timestamp-string flavor of
+    * id_concat is the reference's exact key
+    * (`index_to_elastic_with_spark.py:133`), rendered under the pinned UTC
+    * session. */
+  def b6ServingPrep(s: SparkSession, d: String): DataFrame = {
+    val (ss, si, lime) = formattedFixtures(s)
+    graft.serving.Serving.prepare(
+        graft.enriched.Enriched.enrichedJoinVelibLime(ss, si, lime))
+      .select(col("provider"), col("id"),
+        unix_micros(col("time")).as("time_us"),
+        col("num_bikes"), col("num_docks"), col("id_concat"), col("location"))
+  }
+
+  val b6Oracle: String =
+    s"""WITH enriched AS (
+       |  SELECT 'velib' AS provider, CAST(st.station_id AS VARCHAR) AS id,
+       |    st.last_reported AS t, inf.lat AS lat, inf.lon AS lon,
+       |    CAST(st.num_bikes_available AS INTEGER) AS num_bikes,
+       |    CAST(st.num_docks_available AS INTEGER) AS num_docks
+       |  FROM (SELECT unnest(data.stations) AS st
+       |        FROM read_json_auto('$fixtureDir/station_status.json')) ss,
+       |       (SELECT unnest(data.stations) AS inf
+       |        FROM read_json_auto('$fixtureDir/station_information.json')) si
+       |  WHERE st.station_id = inf.station_id
+       |  UNION ALL
+       |  SELECT 'lime', bk.bike_id, bk.last_reported, bk.lat, bk.lon, 1,
+       |    CAST(NULL AS INTEGER)
+       |  FROM (SELECT unnest(data.bikes) AS bk
+       |        FROM read_json_auto('$fixtureDir/free_bike_status.json')))
+       |SELECT provider, id, CAST(t * 1000000 AS BIGINT) AS time_us,
+       |  num_bikes, num_docks,
+       |  id || '_' || strftime(make_timestamp(t * 1000000),
+       |    '%Y-%m-%d %H:%M:%S') AS id_concat,
+       |  [CAST(lon AS REAL), CAST(lat AS REAL)] AS location
+       |FROM enriched""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_transform_ss" -> (b1TransformSs _),
     "b2_transform_si" -> (b2TransformSi _),
     "b3_transform_lime" -> (b3TransformLime _),
     "b4_enriched" -> (b4Enriched _),
-    "b5_quality_gate" -> (b5QualityGate _))
+    "b5_quality_gate" -> (b5QualityGate _),
+    "b6_serving_prep" -> (b6ServingPrep _))
 
   val oracles: Map[String, String] = Map(
     "b1_transform_ss" -> b1Oracle,
     "b2_transform_si" -> b2Oracle,
     "b3_transform_lime" -> b3Oracle,
     "b4_enriched" -> b4Oracle,
-    "b5_quality_gate" -> b5Oracle)
+    "b5_quality_gate" -> b5Oracle,
+    "b6_serving_prep" -> b6Oracle)
 }
