@@ -37,6 +37,13 @@ object WeightedKMeans {
   final case class Params(k: Int = 12, seed: Long = 1L,
                           mode: Mode = NativeWeight)
 
+  /** The time window holds no trainable points (all rows filtered out or
+    * null-geo). The reference crashes deep inside the summarizer here;
+    * we surface it as a typed, skippable condition. */
+  final class EmptyWindowException(start: Timestamp, end: Timestamp)
+    extends RuntimeException(
+      s"no trainable points in window [$start, $end] — nothing to cluster")
+
   /** P4 + F9/F10: closed-interval time filter (bounds computed driver-side
     * by the caller — keep the clock injectable) and the weight clamp
     * `weight = max(int(num_bikes), 1)`. */
@@ -77,6 +84,8 @@ object WeightedKMeans {
         val assembled = assemble(prepared)
         (assembled, assembled)
     }
+
+    if (trainDf.isEmpty) throw new EmptyWindowException(start, end)
 
     val kmeans = new KMeans().setK(params.k).setSeed(params.seed)
     val configured = params.mode match {
