@@ -20,8 +20,16 @@ object SparkEntry {
     Relational.r1JoinBroadcast(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ScalarOps.queries ++ graft.bike.BikeQueries.queries
+    Relational.queries ++ ScalarOps.queries ++
+      graft.bike.BikeQueries.queries ++
+      graft.text.TextQueries.queries ++
+      graft.text.DedupQueries.queries ++
+      graft.ann.AnnQueries.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ ScalarOps.oracles ++ graft.bike.BikeQueries.oracles
+    Relational.oracles ++ ScalarOps.oracles ++
+      graft.bike.BikeQueries.oracles ++
+      graft.text.TextQueries.oracles ++
+      graft.text.DedupQueries.oracles ++
+      graft.ann.AnnQueries.oracles
 }

@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (exact, MinHash-
+  * LSH, SimHash, n-gram Jaccard). All candidate generation is BUCKETED —
+  * band-hash shuffles and bucket-local self-joins — never an all-pairs
+  * cartesian: at 100 TB the candidate set scales with collisions, not N².
+  *
+  * Everything is built from codegen'd higher-order array functions (no
+  * UDFs, no ML-pipeline detours): signatures are computed in one narrow
+  * pass per document.
+  */
+object Dedup {
+
+  // ---- shared text prep ----
+
+  /** Distinct word n-gram shingles (default 3) per document. */
+  def withShingles(df: DataFrame, textCol: String = "text", n: Int = 3,
+                   out: String = "shingles"): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    df.withColumn(out,
+      array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", toks)))))
+  }
+
+  // ---- D1: exact dedup ----
+
+  /** Exact dedup on the full content hash: every row keeps its group key
+    * and whether it is the keeper (minimal id in its hash group). The
+    * group-by is a shuffle on a 256-bit key — the cheapest possible exact
+    * dedup at any scale. */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val h = sha2(col(textCol), 256)
+    df.withColumn("content_hash", h)
+      .withColumn("is_keeper",
+        col(idCol) === min(col(idCol))
+          .over(Window.partitionBy(col("content_hash"))))
+  }
+
+  // ---- D2: MinHash + LSH ----
+
+  /** H-permutation MinHash signature over the shingle set. Each
+    * "permutation" is xxhash64 seeded by the permutation index; min over
+    * the shingle set approximates the Jaccard kernel. One narrow pass. */
+  def withMinhashSignature(df: DataFrame, numHashes: Int = 32,
+                           shingleCol: String = "shingles",
+                           out: String = "sig"): DataFrame =
+    df.withColumn(out,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col(shingleCol), sh => xxhash64(i, sh)))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and emit one (band, bucket) key per band. Documents sharing any
+    * band bucket become candidates — the only shuffle keys are band
+    * hashes, so co-bucketed docs land on the same partition. */
+  def lshBuckets(df: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+                 sigCol: String = "sig"): DataFrame =
+    df.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand),
+            lit(b))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Bucket-local candidate pairs (a < b), deduplicated across bands. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val x = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val y = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    x.join(y, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard verification for candidate pairs. */
+  def jaccardVerify(pairs: DataFrame, shingled: DataFrame, idCol: String,
+                    shingleCol: String = "shingles"): DataFrame = {
+    val a = shingled.select(col(idCol).as("id_a"),
+      col(shingleCol).as("sh_a"))
+    val b = shingled.select(col(idCol).as("id_b"),
+      col(shingleCol).as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full near-dup chain: shingle → minhash → band → bucket join →
+    * exact-Jaccard filter. Never materializes an all-pairs product. */
+  def nearDupPairs(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", threshold: Double = 0.5,
+                   numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val shingled = withShingles(df, textCol)
+    val signed = withMinhashSignature(shingled, numHashes)
+    val buckets = lshBuckets(signed, idCol, bands, numHashes / bands)
+    jaccardVerify(candidatePairs(buckets, idCol), shingled, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- D3: SimHash ----
+
+  /** 64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to
+    * each bit position; the sign of each accumulated bit becomes the
+    * fingerprint bit. Entirely within one narrow pass via a sequential
+    * array fold — no explode, no shuffle. */
+  def withSimhash(df: DataFrame, textCol: String = "text",
+                  out: String = "simhash"): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val contributions = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc: Column, t: Column) =>
+        zip_with(acc,
+          array((0 until 64).map(b =>
+            when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L)
+              .otherwise(-1L)): _*),
+          (a: Column, c: Column) => a + c))
+    val packed = (0 until 64).map(b =>
+      when(element_at(col("__simhash_contrib"), b + 1) > 0, lit(1L << b))
+        .otherwise(0L))
+      .reduce((a, c) => a.bitwiseOR(c))
+    df.withColumn("__simhash_contrib", contributions)
+      .withColumn(out, packed)
+      .drop("__simhash_contrib")
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into four
+    * 16-bit chunks (any exact chunk match → candidate — guaranteed to
+    * catch all pairs within Hamming distance 3), then verify
+    * `bit_count(xor) <= maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val hashed = withSimhash(df, textCol)
+      .select(col(idCol), col("simhash"))
+    val banded = hashed.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val x = banded.select(col("band"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val y = banded.select(col("band"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    x.join(y, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- D4: blocked n-gram Jaccard ----
+
+  /** Exact n-gram Jaccard over a deterministic blocking scheme: each doc
+    * is compared with its successor inside its block (lang here). The
+    * window-lead pairing is the degenerate-but-deterministic form of
+    * blocked comparison — the point is the Jaccard kernel and the
+    * block-local shuffle, both of which survive any blocking choice. */
+  def blockedNgramJaccard(df: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          blockCol: String = "lang", n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
+    val shingled = withShingles(df, textCol, n)
+    shingled
+      .withColumn("next_id", lead(col(idCol), 1).over(w))
+      .withColumn("next_sh", lead(col("shingles"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .withColumn("jaccard",
+        size(array_intersect(col("shingles"), col("next_sh"))).cast("double") /
+          size(array_union(col("shingles"), col("next_sh"))))
+      .select(col(blockCol), col(idCol).as("id_a"),
+        col("next_id").as("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Correctness-gate entries for the dedup family. The driver test corpus
+  * has no duplicates by construction, so each query PLANTS a deterministic
+  * set of duplicates/near-duplicates (exact copies, first-token edits) as
+  * part of the query — the oracle (or the spec) then checks that exactly
+  * the planted structure is recovered.
+  */
+object DedupQueries {
+
+  /** documents ∪ exact copies of doc_id < 5 (shifted ids). */
+  private def withExactCopies(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000))
+
+  /** documents ∪ near-copies of doc_id < 5: first token replaced, so the
+    * 3-gram Jaccard to the original stays high but below 1. */
+  private def withNearCopies(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", regexp_replace(col("text"), "^\\S+", "qqq")))
+
+  def dd1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(withExactCopies(Tables.documents(s, d)))
+      .select(col("doc_id"), col("content_hash"), col("is_keeper"))
+
+  val dd1Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5)
+      |SELECT doc_id, sha256(text) AS content_hash,
+      |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_keeper
+      |FROM corpus""".stripMargin
+
+  /** MinHash-LSH near-dup pairs (threshold 0.5). Candidate generation is
+    * hash-seeded and engine-internal → rows-only driver check; the planted
+    * recall/precision contract is pinned in DedupSpec. */
+  def dd2MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairs(withNearCopies(Tables.documents(s, d)),
+      threshold = 0.5)
+
+  /** SimHash fingerprints + the near-dup pairs at Hamming ≤ 3 over the
+    * planted corpus (fingerprint values are xxhash-derived → rows-only). */
+  def dd3Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(withExactCopies(Tables.documents(s, d)))
+
+  /** Blocked n-gram Jaccard — deterministic successor pairing inside each
+    * lang block; the Jaccard kernel is exact → full oracle. */
+  def dd4NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.blockedNgramJaccard(Tables.documents(s, d))
+
+  val dd4Oracle: String =
+    """WITH shingled AS (
+      |  SELECT lang, doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT lang, doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)),
+      |paired AS (
+      |  SELECT lang, doc_id AS id_a,
+      |    lead(doc_id) OVER w AS id_b,
+      |    sh AS sh_a, lead(sh) OVER w AS sh_b
+      |  FROM shingled
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id))
+      |SELECT lang, id_a, id_b,
+      |  CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) /
+      |    len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+      |FROM paired WHERE id_b IS NOT NULL""".stripMargin
+
+  /** Embedding-cosine near-dup via hyperplane LSH over embeddings ∪
+    * perturbed copies (deterministic hash-derived noise). */
+  def dd5EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        zip_with(col("embedding").cast("array<double>"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(1001))
+            .cast("double") / 1000.0 - 0.5) * 0.002))
+    graft.ann.Similarity.hyperplanePairs(
+      emb.withColumn("embedding", col("embedding").cast("array<double>"))
+        .unionByName(planted),
+      threshold = 0.95)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> (dd1ExactDedup _),
+    "dd2_minhash_lsh" -> (dd2MinhashLsh _),
+    "dd3_simhash" -> (dd3Simhash _),
+    "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
+    "dd5_embed_neardup" -> (dd5EmbedNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" -> dd1Oracle,
+    "dd4_ngram_jaccard" -> dd4Oracle)
+}

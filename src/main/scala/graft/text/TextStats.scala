@@ -1,0 +1,180 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language ID, quality scoring, token counting,
+  * content fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): at 100 TB these are single-pass narrow scans — the only
+  * shuffle anywhere here is an optional final aggregate.
+  */
+object TextStats {
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and frozen: the operator contract is the scoring
+    * rule, not the lexicon. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "los", "de", "y", "un", "es", "en", "que"))
+
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language ID: CJK codepoint ratio decides zh; otherwise the profile
+    * with the most stopword hits wins, ties broken by the fixed profile
+    * order (en > fr > de > es); no hits at all → "und". */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withHits = langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"hits_$lang", hits(tokens(col(textCol)), words))
+    }.withColumn("cjk_chars",
+      length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", "")))
+      .withColumn("n_tokens", size(toks))
+    val best = langProfiles.map(_._1).foldRight(lit("und")) {
+      case (lang, elseCol) =>
+        val isMax = langProfiles.map(_._1).filter(_ != lang)
+          .map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+          .reduce(_ && _)
+        when(col(s"hits_$lang") > 0 && isMax, lit(lang)).otherwise(elseCol)
+    }
+    withHits.withColumn("predicted_lang",
+      when(col("cjk_chars") * 3 > length(col(textCol)), lit("zh"))
+        .otherwise(best))
+  }
+
+  /** Quality scoring: the shape/char-class ratios a pretraining filter
+    * keys on (C4/Gopher-style length + symbol + stopword heuristics). */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        (length(t) - size(toks) + 1).cast("double") / size(toks))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t))
+      .withColumn("digit_ratio",
+        length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double") /
+          length(t))
+      .withColumn("stopword_ratio",
+        hits(toks, langProfiles.head._2).cast("double") / size(toks))
+  }
+
+  /** Token counting, two ways: whitespace tokens and a BPE-ish regex
+    * lexer (letter runs / digit runs / single non-space symbols) — the
+    * latter approximates subword-tokenizer input counts. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("lex_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Content fingerprint: 16-hex-char prefix of sha256 over
+    * whitespace-normalized lowercase text — the exact-dedup key that
+    * survives formatting noise. */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      substring(sha2(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256), 1, 16))
+}
+
+object TextQueries {
+
+  def tx1LangId(s: SparkSession, d: String): DataFrame =
+    TextStats.langId(Tables.documents(s, d))
+      .select(col("doc_id"), col("hits_en"), col("hits_fr"), col("hits_de"),
+        col("hits_es"), col("cjk_chars"), col("predicted_lang"))
+
+  /** The same scoring rule in DuckDB: list hits via list_filter, the same
+    * fixed-priority argmax CASE chain. */
+  val tx1Oracle: String = {
+    val hitExprs = TextStats.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split_regex(text, '\\s+'), t -> list_contains($lst, t))) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = TextStats.langProfiles.map(_._1)
+    val caseChain = langs.zipWithIndex.map { case (lang, i) =>
+      val others = langs.filter(_ != lang)
+      val cond = others.map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      s"WHEN hits_$lang > 0 AND $cond THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, cjk_chars,
+       |  CASE WHEN cjk_chars * 3 > length(text) THEN 'zh'
+       |    $caseChain
+       |    ELSE 'und' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id, text,
+       |  $hitExprs,
+       |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_chars
+       |  FROM documents)""".stripMargin
+  }
+
+  def tx2Quality(s: SparkSession, d: String): DataFrame =
+    TextStats.quality(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("alpha_ratio"), col("digit_ratio"), col("punct_ratio"),
+        col("stopword_ratio"))
+
+  val tx2Oracle: String = {
+    val stops = TextStats.langProfiles.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+       |  CAST(length(text) - len(string_split_regex(text, '\\s+')) + 1 AS DOUBLE)
+       |    / len(string_split_regex(text, '\\s+')) AS avg_token_len,
+       |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS alpha_ratio,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS digit_ratio,
+       |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |    t -> list_contains($stops, t))) AS DOUBLE)
+       |    / len(string_split_regex(text, '\\s+')) AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  def tx3Tokens(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenCounts(Tables.documents(s, d))
+      .select(col("doc_id"), col("ws_tokens"), col("lex_tokens"))
+
+  val tx3Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |    AS lex_tokens
+      |FROM documents""".stripMargin
+
+  def tx4Fingerprint(s: SparkSession, d: String): DataFrame =
+    TextStats.fingerprint(Tables.documents(s, d))
+      .select(col("doc_id"), col("fingerprint"))
+
+  val tx4Oracle: String =
+    """SELECT doc_id,
+      |  substring(sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+      |    1, 16) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_lang_id" -> (tx1LangId _),
+    "tx2_quality" -> (tx2Quality _),
+    "tx3_token_counts" -> (tx3Tokens _),
+    "tx4_fingerprint" -> (tx4Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "tx1_lang_id" -> tx1Oracle,
+    "tx2_quality" -> tx2Oracle,
+    "tx3_token_counts" -> tx3Oracle,
+    "tx4_fingerprint" -> tx4Oracle)
+}

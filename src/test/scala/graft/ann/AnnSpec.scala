@@ -1,0 +1,69 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("brute-force top-k: k rows, descending cosine, query excluded") {
+    val top = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
+      queryId = 0L, k = 10).collect()
+    top should have length 10
+    top.map(_.getDouble(1)).sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ =>
+    }
+    top.map(_.getLong(0)) should not contain 0L
+    all(top.map(_.getDouble(1))) should (be >= -1.0 and be <= 1.0)
+  }
+
+  test("IVF-probed top-k recalls most of the exact top-k at 4/16 probes") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells = 16)
+    val queryVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val approx = Similarity.ivfTopK(
+      assigned.filter(col("vec_id") =!= 0L), centroids, queryVec,
+      k = 10, nProbe = 4).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    recall should be >= 0.7
+  }
+
+  test("hyperplane LSH near-dup: planted perturbed vectors recovered at " +
+    "cosine ≥ 0.95") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val planted = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        zip_with(col("embedding"),
+          sequence(lit(0),
+            org.apache.spark.sql.functions.size(col("embedding")) - 1),
+          (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(1001))
+            .cast("double") / 1000.0 - 0.5) * 0.002))
+    val pairs = Similarity.hyperplanePairs(emb.unionByName(planted),
+      threshold = 0.95).collect()
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    plantedPairs should have length 5
+    all(plantedPairs.map(_.getDouble(2))) should be > 0.99
+  }
+
+  test("dot fold is strict left-to-right (bit-reproducibility contract)") {
+    import spark.implicits._
+    val df = Seq((Array(1e16, 1.0, -1e16), Array(1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+    // left-assoc: (1e16 + 1) absorbs the +1, then -1e16 → 0.0 exactly;
+    // any re-association would give 1.0
+    df.select(Similarity.dotFold(col("a"), col("b"))).as[Double]
+      .collect().head shouldBe 0.0
+  }
+}
