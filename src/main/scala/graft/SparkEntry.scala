@@ -24,12 +24,14 @@ object SparkEntry {
       graft.bike.BikeQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.DedupQueries.queries ++
-      graft.ann.AnnQueries.queries
+      graft.ann.AnnQueries.queries ++
+      graft.multimodal.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
       graft.bike.BikeQueries.oracles ++
       graft.text.TextQueries.oracles ++
       graft.text.DedupQueries.oracles ++
-      graft.ann.AnnQueries.oracles
+      graft.ann.AnnQueries.oracles ++
+      graft.multimodal.MultimodalQueries.oracles
 }

@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns next to typed metadata, and
+  * heavy per-item decode/feature work runs batched per partition.
+  *
+  * The actual media decode is STUBBED (this container ships no image/
+  * audio codecs): [[StubCodec]] is a deterministic fake that stands in
+  * for a JNI/FFI decoder. Everything around it — the schema contract,
+  * the partition-batched execution shape, the feature-column layout —
+  * is the real production plumbing and is tested as such.
+  *
+  * Scale notes: payload bytes never pass through a shuffle here — the
+  * media table is processed scan→mapPartitions→project. Batch size
+  * bounds per-task peak memory exactly like an Arrow batch would in a
+  * `mapInPandas` pipeline.
+  */
+object Multimodal {
+
+  final case class MediaRecord(media_id: Long, content: Array[Byte],
+                               format: String, width: Int, height: Int)
+
+  final case class MediaFeatures(media_id: Long, byte_len: Int,
+                                 features: Array[Float])
+
+  /** ======== STUB ========
+    * Deterministic fake decoder: a 16-bin byte histogram, L1-normalized,
+    * standing in for "decode image → resize → embed". A real deployment
+    * swaps `decode` for the codec call; the signature (bytes in, fixed-
+    * width float features out) and everything downstream stay unchanged.
+    */
+  object StubCodec {
+    val FeatureDim = 16
+
+    def decode(content: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < content.length) {
+        hist((content(i) & 0xFF) % FeatureDim) += 1f
+        i += 1
+      }
+      val n = math.max(content.length, 1).toFloat
+      hist.map(_ / n)
+    }
+
+    /** STUB for frame sampling / resize: deterministic byte slicing. */
+    def sampleBytes(content: Array[Byte], everyNth: Int): Array[Byte] =
+      content.zipWithIndex.collect { case (b, i) if i % everyNth == 0 => b }
+  }
+
+  /** Synthesize a media table from `documents` (UTF-8 payload bytes +
+    * derived metadata) — the driver corpus has no binary column, so the
+    * plumbing is exercised on deterministic fake payloads. */
+  def syntheticMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "jpeg")
+        .otherwise("wav").as("format"),
+      (pmod(col("doc_id"), lit(4)) * 160 + lit(320)).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(4)) * 90 + lit(180)).cast("int").as("height"))
+
+  /** Partition-batched feature extraction — the Scala analog of an Arrow
+    * `mapInPandas` stage: each task walks its partition in bounded
+    * batches, calls the (stub) codec per item, and emits the typed
+    * feature rows. No shuffle; peak memory = batchSize payloads. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.content.length,
+            StubCodec.decode(r.content))
+        }
+      }
+    }
+  }
+}
+
+object MultimodalQueries {
+
+  /** mm1 — binary-column metadata contract: payload length + content
+    * hash + typed metadata, fully oracle-checkable (the payload IS the
+    * UTF-8 text, so DuckDB re-derives everything). */
+  def mm1MediaMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.syntheticMediaTable(graft.core.Tables.documents(s, d))
+      .select(col("media_id"), length(col("content")).as("byte_len"),
+        sha2(col("content"), 256).as("content_hash"),
+        col("format"), col("width"), col("height"))
+
+  val mm1Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+      |  sha256(text) AS content_hash,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  CAST(doc_id % 4 * 160 + 320 AS INTEGER) AS width,
+      |  CAST(doc_id % 4 * 90 + 180 AS INTEGER) AS height
+      |FROM documents""".stripMargin
+
+  /** mm2 — the batched decode stage (stub codec → 16-dim features);
+    * feature values come from the stub, so the driver check is rows-only
+    * and the exact values are pinned in MultimodalSpec. */
+  def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.syntheticMediaTable(
+      graft.core.Tables.documents(s, d)).as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(media).toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_meta" -> (mm1MediaMeta _),
+    "mm2_media_features" -> (mm2MediaFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "mm1_media_meta" -> mm1Oracle)
+}
