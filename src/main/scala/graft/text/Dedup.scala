@@ -48,13 +48,29 @@ object Dedup {
 
   /** H-permutation MinHash signature over the shingle set. Each
     * "permutation" is xxhash64 seeded by the permutation index; min over
-    * the shingle set approximates the Jaccard kernel. One narrow pass. */
+    * the shingle set approximates the Jaccard kernel.
+    *
+    * Shaped as ONE sequential fold over the shingle array with an
+    * elementwise-min accumulator: each shingle is hashed H times and the
+    * shingle array is walked exactly once. (The transposed form —
+    * `transform(seeds, i => array_min(transform(shingles, ...)))` —
+    * re-evaluates the shingle-construction expression per seed after
+    * Catalyst collapses projections: 32× the work, measured 85 s vs ~3 s
+    * on 5k docs at sf0.1.) */
   def withMinhashSignature(df: DataFrame, numHashes: Int = 32,
                            shingleCol: String = "shingles",
                            out: String = "sig"): DataFrame =
     df.withColumn(out,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col(shingleCol), sh => xxhash64(i, sh)))))
+      aggregate(
+        // hash each shingle string ONCE; the H "permutations" then mix
+        // the resulting long, which is ~20× cheaper than re-hashing the
+        // string per permutation
+        transform(col(shingleCol), sh => xxhash64(sh)),
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc: Column, sh: Column) =>
+          zip_with(acc,
+            array((0 until numHashes).map(i => xxhash64(lit(i), sh)): _*),
+            (a: Column, h: Column) => least(a, h))))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and emit one (band, bucket) key per band. Documents sharing any
@@ -98,9 +114,16 @@ object Dedup {
                    textCol: String = "text", threshold: Double = 0.5,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // The (shingles, sig) frame feeds four plan branches (both self-join
+    // sides + both verify sides); shingling is the most expensive narrow
+    // op in the chain, so persist it instead of recomputing per branch.
+    // (Spark ML's approxSimilarityJoin makes the same call.)
     val shingled = withShingles(df, textCol)
+      .select(col(idCol), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = withMinhashSignature(shingled, numHashes)
     val buckets = lshBuckets(signed, idCol, bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(candidatePairs(buckets, idCol), shingled, idCol)
       .filter(col("jaccard") >= threshold)
   }
@@ -113,14 +136,17 @@ object Dedup {
     * array fold — no explode, no shuffle. */
   def withSimhash(df: DataFrame, textCol: String = "text",
                   out: String = "simhash"): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    // hash each token exactly once, THEN fold the hash array — putting
+    // xxhash64 inside the 64-way bit expansion would recompute it per bit
+    val tokenHashes = transform(split(col(textCol), "\\s+"),
+      t => xxhash64(t))
     val contributions = aggregate(
-      toks,
+      tokenHashes,
       array_repeat(lit(0L), 64),
-      (acc: Column, t: Column) =>
+      (acc: Column, h: Column) =>
         zip_with(acc,
           array((0 until 64).map(b =>
-            when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L)
+            when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
               .otherwise(-1L)): _*),
           (a: Column, c: Column) => a + c))
     val packed = (0 until 64).map(b =>
@@ -140,6 +166,7 @@ object Dedup {
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val hashed = withSimhash(df, textCol)
       .select(col(idCol), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
