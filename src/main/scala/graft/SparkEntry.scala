@@ -25,7 +25,8 @@ object SparkEntry {
       graft.text.TextQueries.queries ++
       graft.text.DedupQueries.queries ++
       graft.ann.AnnQueries.queries ++
-      graft.multimodal.MultimodalQueries.queries
+      graft.multimodal.MultimodalQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.text.TextQueries.oracles ++
       graft.text.DedupQueries.oracles ++
       graft.ann.AnnQueries.oracles ++
-      graft.multimodal.MultimodalQueries.oracles
+      graft.multimodal.MultimodalQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.bike.{BikeSchemas, Transforms}
+
+/** Structured Streaming layer (SURVEY §1.1 upgrade path: the reference
+  * emulates streaming with a 3-hour cron re-running batch jobs; the same
+  * transforms run unchanged as incremental streams over the raw zone).
+  *
+  * Design: streams reuse the EXACT batch transforms — `transformSs` etc.
+  * are pure DataFrame functions, so `readStream → transform →
+  * writeStream` gets incremental execution for free. `Trigger.AvailableNow`
+  * gives the reference's catch-up-then-stop semantics with exactly-once
+  * file tracking via the checkpoint, replacing the cron+overwrite dance.
+  */
+object Streaming {
+
+  /** Incremental GBFS formatting: every new raw drop under
+    * `raw/<source>/<feed>/<date>/<time>/` is transformed and appended to
+    * the formatted zone. At scale this replaces per-drop batch job
+    * launches with one long-lived (or AvailableNow) query; file listing
+    * is incremental and the transform itself is shuffle-free. */
+  def formattedStreamJob(spark: SparkSession, lakeRoot: String,
+                         rawPrefix: String, formattedPrefix: String,
+                         rawSchema: org.apache.spark.sql.types.StructType,
+                         transform: DataFrame => DataFrame,
+                         checkpoint: String): StreamingQuery = {
+    val raw = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 64)
+      .json(s"$lakeRoot/$rawPrefix*/*/")
+    transform(raw).writeStream
+      .format("parquet")
+      .option("path", s"$lakeRoot/$formattedPrefix")
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Convenience: the SS feed wired through [[formattedStreamJob]]. */
+  def ssStreamJob(spark: SparkSession, lakeRoot: String,
+                  checkpoint: String): StreamingQuery =
+    formattedStreamJob(spark, lakeRoot,
+      "raw/velib/stations_status/", "formatted_stream/velib/stations_status/",
+      BikeSchemas.ssRaw, Transforms.transformSs, checkpoint)
+
+  /** Watermarked tumbling-window counts — works identically on a batch
+    * or streaming DataFrame (state cleanup only engages when streaming). */
+  def windowedEventCounts(events: DataFrame, windowLength: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .count()
+
+  // ---- sessionization ----
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long)
+
+  /** Per-user open-session state (public: the state encoder instantiates
+    * it from generated code). */
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** Batch sessionization — gaps-and-islands with window functions:
+    * a new session starts where the gap to the previous event exceeds
+    * `gapMinutes`. Declarative, shuffle = one partition-by-user exchange,
+    * and directly SQL-oracle-checkable. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+  }
+
+  /** Streaming sessionization — the real state machine:
+    * `flatMapGroupsWithState` holds one open session per user, closes it
+    * when a batch shows a gap or the event-time timeout fires past the
+    * watermark. State size = O(active users), the canonical custom-state
+    * shape for a 100 TB event stream. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(userId: Long, s: OpenSession): Session =
+      Session(userId, s.startUs, s.endUs, s.n)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, newEvents, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = newEvents.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              open match {
+                case Some(s) if tUs - s.endUs > gapMs * 1000L =>
+                  closed += close(userId, s)
+                  open = Some(OpenSession(tUs, tUs, 1))
+                case Some(s) =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, tUs),
+                    s.n + 1))
+                case None =>
+                  open = Some(OpenSession(tUs, tUs, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming aggregation over a static parquet path via
+    * AvailableNow + a memory sink, returning the final table — used to
+    * drive streaming operators through the batch correctness gate. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: OutputMode): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = streamed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.bike.{BikeQueries, BikeSchemas}
+import graft.core.Tables
+import graft.streaming.Streaming.{Event, Session}
+
+class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private val T0 = 1740000000L
+
+  private def ev(id: Long, sec: Long, user: Long): Event =
+    Event(id, ts(sec), user, "click", 1.0)
+
+  test("watermarked windowed counts: closed windows emit, late data drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val counts = Streaming.windowedEventCounts(input.toDF(),
+      windowLength = "1 hour", watermark = "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("wm_test").outputMode(OutputMode.Append()).start()
+    try {
+      // window [21:00, 22:00) gets two events; the 01:10 event pushes the
+      // watermark past the window end so it closes and emits
+      input.addData(ev(1, T0, 7), ev(2, T0 + 60, 7))  // 21:20, 21:21 UTC
+      q.processAllAvailable()
+      input.addData(ev(3, T0 + 4 * 3600, 7))          // 01:20 next day
+      q.processAllAvailable()
+      val closed = spark.table("wm_test")
+        .select(unix_micros(col("window.start")), col("count"))
+        .as[(Long, Long)].collect().toMap
+      closed(1739998800L * 1000000L) shouldBe 2L
+      // a late event behind the watermark must be ignored
+      input.addData(ev(4, T0 + 120, 7))
+      q.processAllAvailable()
+      spark.table("wm_test")
+        .select(sum(col("count"))).collect().head.getLong(0) shouldBe 2L
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: in-batch gap closes, timeout flushes the " +
+    "open tail across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streaming.sessionizeStream(input.toDS(),
+      gapMinutes = 30, watermark = "10 minutes")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_test").outputMode(OutputMode.Append()).start()
+    try {
+      // user 42: two events 10 min apart (one session), then a 2-hour gap
+      input.addData(ev(1, T0, 42), ev(2, T0 + 600, 42),
+        ev(3, T0 + 7800, 42))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_test").as[Session].collect()
+      afterBatch1.toSeq shouldBe Seq(
+        Session(42, T0 * 1000000L, (T0 + 600) * 1000000L, 2))
+      // a far-future event on ANOTHER user advances the watermark past
+      // the open session's timeout → event-time timeout flushes it
+      input.addData(ev(9, T0 + 100000, 99))
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[Session].collect()
+      all should contain(
+        Session(42, (T0 + 7800) * 1000000L, (T0 + 7800) * 1000000L, 1))
+    } finally q.stop()
+  }
+
+  test("batch sessionization agrees with the streaming state machine on " +
+    "closed sessions") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, T0, 1), ev(2, T0 + 100, 1), ev(3, T0 + 5000, 1),
+      ev(4, T0, 2), ev(5, T0 + 1000, 2))
+    val batch = Streaming.sessionizeBatch(events.toDF())
+      .as[Session].collect().toSet
+    batch shouldBe Set(
+      Session(1, T0 * 1000000L, (T0 + 100) * 1000000L, 2),
+      Session(1, (T0 + 5000) * 1000000L, (T0 + 5000) * 1000000L, 1),
+      Session(2, T0 * 1000000L, (T0 + 1000) * 1000000L, 2))
+  }
+
+  test("incremental formatted stream: processes only new drops per run") {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    val checkpoint = s"$lakeRoot/_checkpoints/ss"
+    def drop(time: String): Unit = {
+      val dir = new java.io.File(
+        s"$lakeRoot/raw/velib/stations_status/20250219/$time")
+      dir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(
+          s"${BikeQueries.fixtureDir}/station_status.json"),
+        java.nio.file.Paths.get(s"$dir/station_status.json"))
+    }
+    drop("120000")
+    Streaming.ssStreamJob(spark, lakeRoot, checkpoint).awaitTermination()
+    val out = s"$lakeRoot/formatted_stream/velib/stations_status/"
+    spark.read.parquet(out).count() shouldBe 8
+    // second drop → incremental append, first file not reprocessed
+    drop("150000")
+    Streaming.ssStreamJob(spark, lakeRoot, checkpoint).awaitTermination()
+    spark.read.parquet(out).count() shouldBe 16
+    spark.read.parquet(out).schema.fields.map(_.name).toSeq shouldBe
+      BikeSchemas.ssFormatted.fields.map(_.name).toSeq
+  }
+
+  test("st1/st2 streaming queries run to completion on the test tables") {
+    val st1 = StreamingQueries.st1WindowedCounts(spark, "/root/testdata/sf0.001")
+    st1.count() should be > 0L
+    val st2 = StreamingQueries.st2SessionizeBatch(spark, "/root/testdata/sf0.001")
+    st2.count() should be > 0L
+    // session invariant: Σ n_events == total events
+    st2.agg(sum(col("n_events"))).collect().head.getLong(0) shouldBe
+      Tables.events(spark, "/root/testdata/sf0.001").count()
+  }
+}
