@@ -33,8 +33,16 @@ object Similarity {
     aggregate(transform(a, x => x * x), lit(0.0),
       (acc: Column, x: Column) => acc + x)
 
-  /** Cosine similarity between two double-array columns. */
+  /** Cosine similarity between two double-array columns — the native
+    * codegen'd expression ([[graft.functions.CosineSimilarity]]); bit-
+    * identical to the fold form `dotFold(a,b)/(√norm2·√norm2)` (both are
+    * strict left-to-right IEEE accumulation; pinned in AnnSpec). */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Fold-based cosine (interpreted) — kept as the reference semantics
+    * the native expression must match. */
+  def cosineFold(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(norm2Fold(a)) * sqrt(norm2Fold(b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")

@@ -57,6 +57,26 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
     all(plantedPairs.map(_.getDouble(2))) should be > 0.99
   }
 
+  test("native cosine_sim expression is bit-identical to the fold form " +
+    "and callable from SQL") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 3L)
+      .select(col("e")).collect().head.getSeq[Double](0)
+    val qLit = array(q.map(lit): _*)
+    val diffs = emb.select(
+      (Similarity.cosine(col("e"), qLit) =!=
+        Similarity.cosineFold(col("e"), qLit)).as("diff"))
+      .filter(col("diff")).count()
+    diffs shouldBe 0L
+    // SQL registration via GraftExtensions
+    emb.createOrReplaceTempView("emb_sql_test")
+    spark.sql(
+      "SELECT cosine_sim(e, e) AS c FROM emb_sql_test LIMIT 5")
+      .as[Double].collect().foreach(_ shouldBe 1.0 +- 1e-12)
+  }
+
   test("dot fold is strict left-to-right (bit-reproducibility contract)") {
     import spark.implicits._
     val df = Seq((Array(1e16, 1.0, -1e16), Array(1.0, 1.0, 1.0)))
