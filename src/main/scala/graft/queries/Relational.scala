@@ -340,6 +340,27 @@ object Relational {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** o2_salted_join — deliberate skew-salted equi-join
+    * ([[graft.operators.SkewJoin]]): lineitem (fact, potentially hot
+    * orderkeys) ⋈ orders, salted 8 ways, then aggregated. The oracle is
+    * the PLAIN join — salting must be invisible in the result. */
+  def o2SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("orderkey"), $"l_quantity")
+    val ord = Tables.orders(s, d)
+      .select($"o_orderkey".as("orderkey"), $"o_orderpriority")
+    graft.operators.SkewJoin.saltedInnerJoin(li, ord, "orderkey", 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), decSum($"l_quantity", 2).as("sum_qty"))
+  }
+
+  val o2Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** i1_intersect — set intersection (distinct semantics). */
   def i1Intersect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -379,6 +400,7 @@ object Relational {
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
     "o1_topk" -> (o1TopK _),
+    "o2_salted_join" -> (o2SaltedJoin _),
     "w1_window_rank" -> (w1WindowRank _),
     "w2_lag_lead" -> (w2LagLead _),
     "i1_intersect" -> (i1Intersect _),
@@ -398,6 +420,7 @@ object Relational {
     "g1_rollup" -> g1Oracle,
     "g2_cube" -> g2Oracle,
     "o1_topk" -> o1Oracle,
+    "o2_salted_join" -> o2Oracle,
     "w1_window_rank" -> w1Oracle,
     "w2_lag_lead" -> w2Oracle,
     "i1_intersect" -> i1Oracle,

@@ -24,11 +24,19 @@ object ScalarOps {
     */
   def p4TimeFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val start = "2024-01-10 00:00:00"
-    val end = "2024-01-11 12:00:00"
-    Tables.events(s, d)
-      .filter($"ts" >= to_timestamp(lit(start)) &&
-        $"ts" <= to_timestamp(lit(end)))
+    // Filter on the RAW nanosecond column so the predicate pushes down to
+    // the parquet scan (row-group/partition pruning — the single most
+    // important scan optimization at 100 TB). Filtering the converted
+    // `timestamp_micros(ts div 1000)` column would defeat pushdown
+    // because the comparison sits above a computed expression.
+    // Bounds are driver-computed UTC epochs (seconds → nanos).
+    val startNs = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val endNs = java.time.LocalDateTime.parse("2024-01-11T12:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    Tables.load(s, d, "events")
+      .filter($"ts" >= startNs && $"ts" <= endNs)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
         $"event_type", $"value")
   }

@@ -46,6 +46,29 @@ class RelationalSpec extends AnyFunSuite with Matchers with SparkSpec {
     (analyzed should not).include("ResolvedHint")
   }
 
+  test("p4 time filter pushes the raw-nanos predicate into the parquet scan") {
+    val plan = ScalarOps.p4TimeFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    // pushdown evidence: ts bounds appear in PushedFilters, not only in a
+    // post-scan Filter
+    plan should include("PushedFilters")
+    plan should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(ts".r
+  }
+
+  test("salted skew join returns exactly the plain-join result") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("orderkey"), $"l_quantity")
+    val ord = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("orderkey"), $"o_orderpriority")
+    val salted = graft.operators.SkewJoin
+      .saltedInnerJoin(li, ord, "orderkey", 8)
+    val plain = li.join(ord, Seq("orderkey"), "inner")
+    salted.count() shouldBe plain.count()
+    salted.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(salted).count() shouldBe 0
+  }
+
   test("quality checks detect injected violations") {
     import spark.implicits._
     val dirty = Seq((1, "a"), (1, "b"), (2, null)).toDF("k", "v")
