@@ -26,7 +26,8 @@ object SparkEntry {
       graft.text.DedupQueries.queries ++
       graft.ann.AnnQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
-      graft.streaming.StreamingQueries.queries
+      graft.streaming.StreamingQueries.queries ++
+      graft.text.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.text.DedupQueries.oracles ++
       graft.ann.AnnQueries.oracles ++
       graft.multimodal.MultimodalQueries.oracles ++
-      graft.streaming.StreamingQueries.oracles
+      graft.streaming.StreamingQueries.oracles ++
+      graft.text.CurationQueries.oracles
 }

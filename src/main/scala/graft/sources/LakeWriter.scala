@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-style partitioned lake writes — the SURVEY §1.1 alternative to
+  * the reference's computed `<date>/<time>/` paths: `partitionBy` makes
+  * the layout self-describing (`date=YYYYMMDD/time=HHMMSS/`), so reads
+  * with date/time predicates prune whole directories (PartitionFilters)
+  * instead of listing and scanning every drop — the difference between
+  * O(day) and O(lake) scans at 100 TB.
+  */
+object LakeWriter {
+
+  /** Write `df` partitioned by `partitionCols` (must exist as columns). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Stamp the reference's drop identifiers as partition columns. */
+  def withDropPartition(df: DataFrame, date: String, time: String): DataFrame =
+    df.withColumn("date", lit(date)).withColumn("time", lit(time))
+
+  /** Read one drop with partition pruning (predicates on partition
+    * columns never touch file contents). */
+  def readDrop(spark: SparkSession, path: String, date: String,
+               time: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("date") === date && col("time") === time)
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.bike.{BikeQueries, BikeSchemas, Transforms}
+
+class LakeWriterSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("partitioned write produces Hive layout and reads prune partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-lw").toString
+    val formatted = Transforms.transformSs(Transforms.readRawJson(
+      spark, s"${BikeQueries.fixtureDir}/station_status.json",
+      BikeSchemas.ssRaw))
+    LakeWriter.writePartitioned(
+      LakeWriter.withDropPartition(formatted, "20250219", "120000"),
+      out, Seq("date", "time"))
+    LakeWriter.writePartitioned(
+      LakeWriter.withDropPartition(formatted, "20250219", "150000"),
+      out, Seq("date", "time"), org.apache.spark.sql.SaveMode.Append)
+
+    new java.io.File(s"$out/date=20250219/time=120000").exists() shouldBe true
+    new java.io.File(s"$out/date=20250219/time=150000").exists() shouldBe true
+
+    val drop = LakeWriter.readDrop(spark, out, "20250219", "150000")
+    drop.count() shouldBe 8
+    // pruning evidence: the partition predicate shows up as
+    // PartitionFilters on the scan, not a post-scan Filter over data
+    val plan = drop.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "PartitionFilters: \\[.*date.*".r
+  }
+}
