@@ -289,6 +289,52 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
+    * pivot values (explicit values skip the extra distinct-scan job and
+    * keep the plan a single hash aggregate). */
+  def g3Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(decSum($"l_quantity", 2))
+  }
+
+  val g3Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS DOUBLE) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** a3_grouped_topk — per-group top-k through the typed
+    * [[graft.functions.TopKByValue]] Aggregator: k-bounded buffers
+    * combine map-side, so only k rows per group cross the shuffle
+    * (vs. a window row_number sorting every group row). Oracle is the
+    * row_number formulation — results must be identical. */
+  def a3GroupedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TopKByValue, UserEvent}
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .agg(new TopKByValue(3).toColumn)
+      .flatMap { case (userId, buf) =>
+        buf.items.zipWithIndex.map { case (e, i) =>
+          (userId, i + 1, e.event_id, e.value)
+        }
+      }
+      .toDF("user_id", "rn", "event_id", "value")
+  }
+
+  val a3Oracle: String =
+    """SELECT user_id, rn, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin
+
   /** w1_window_rank — per-group top-n via row_number + running total.
     * The running sum uses an exact decimal frame sum so the result does not
     * depend on how the window operator associates additions.
@@ -399,6 +445,8 @@ object Relational {
     "a2_count_distinct" -> (a2CountDistinct _),
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
+    "g3_pivot" -> (g3Pivot _),
+    "a3_grouped_topk" -> (a3GroupedTopK _),
     "o1_topk" -> (o1TopK _),
     "o2_salted_join" -> (o2SaltedJoin _),
     "w1_window_rank" -> (w1WindowRank _),
@@ -419,6 +467,8 @@ object Relational {
     "a2_count_distinct" -> a2Oracle,
     "g1_rollup" -> g1Oracle,
     "g2_cube" -> g2Oracle,
+    "g3_pivot" -> g3Oracle,
+    "a3_grouped_topk" -> a3Oracle,
     "o1_topk" -> o1Oracle,
     "o2_salted_join" -> o2Oracle,
     "w1_window_rank" -> w1Oracle,
