@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native exact n-gram Jaccard between two texts: tokenize, hash-shingle
+  * and intersect in one JVM call — no intermediate shingle-string arrays
+  * to build, ship, or persist. Pairs with [[MinHashSignature]] (same
+  * shingle hashing) as the verify kernel of the MinHash-LSH chain.
+  *
+  * Exact up to 64-bit shingle-hash collisions (~2⁻⁶⁴ per pair —
+  * irrelevant against thresholds like 0.5).
+  */
+case class NgramJaccard(left: Expression, right: Expression,
+                        shingleWidth: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(shingleWidth > 0)
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "ngram_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two string arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ShingleHashing.shingleSet(
+      a.asInstanceOf[UTF8String].toString, shingleWidth)
+    val sb = ShingleHashing.shingleSet(
+      b.asInstanceOf[UTF8String].toString, shingleWidth)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.count(sb.contains)
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramJaccard {
+  def apply(a: Column, b: Column, shingleWidth: Int): Column =
+    ColumnBridge.column(NgramJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), shingleWidth))
+}

@@ -108,24 +108,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full near-dup chain: shingle → minhash → band → bucket join →
-    * exact-Jaccard filter. Never materializes an all-pairs product. */
+  /** Full near-dup chain: native minhash signature → band → bucket join
+    * → native exact-Jaccard filter. Never materializes an all-pairs
+    * product, and never materializes shingle strings at all — both the
+    * signature and the verify kernel are single-pass native expressions
+    * ([[graft.functions.MinHashSignature]] /
+    * [[graft.functions.NgramJaccard]]); the declarative
+    * shingle/sig/verify building blocks above remain available for the
+    * oracle-checked paths. */
   def nearDupPairs(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", threshold: Double = 0.5,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // The (shingles, sig) frame feeds four plan branches (both self-join
-    // sides + both verify sides); shingling is the most expensive narrow
-    // op in the chain, so persist it instead of recomputing per branch.
-    // (Spark ML's approxSimilarityJoin makes the same call.)
-    val shingled = withShingles(df, textCol)
-      .select(col(idCol), col("shingles"))
+    val base = df.select(col(idCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val signed = withMinhashSignature(shingled, numHashes)
+    val signed = base.withColumn("sig",
+      graft.functions.MinHashSignature(col(textCol), 3, numHashes))
     val buckets = lshBuckets(signed, idCol, bands, numHashes / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardVerify(candidatePairs(buckets, idCol), shingled, idCol)
+    val a = base.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val b = base.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    candidatePairs(buckets, idCol)
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        graft.functions.NgramJaccard(col("text_a"), col("text_b"), 3))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ---- D3: SimHash ----

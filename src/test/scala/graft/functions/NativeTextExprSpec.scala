@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.text.Dedup
+
+class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("minhash signature: fixed width, deterministic, sensitive to edits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "z b c d e f g h i j"),
+      (4L, "completely different words here now")).toDF("id", "text")
+      .withColumn("sig", MinHashSignature(col("text"), 3, 32))
+    val sigs = df.select($"id", $"sig").as[(Long, Seq[Long])]
+      .collect().toMap
+    sigs(1L) should have length 32
+    sigs(1L) shouldBe sigs(2L) // identical text → identical signature
+    sigs(1L) should not be sigs(4L)
+    // near-identical text shares most signature slots (Jaccard kernel)
+    val agree = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    agree should be >= 16
+  }
+
+  test("native ngram_jaccard matches the declarative shingle jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "x"),
+      (2L, "q b c d e f g h i j", "x"),
+      (3L, "a b c d e f g h i j", "x")).toDF("doc_id", "text", "lang")
+    // declarative path (string shingles, array_intersect/union)
+    val declarative = Dedup.blockedNgramJaccard(docs)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    // native path on the same pairs
+    val a = docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"text".as("text_b"))
+    val native = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("j", NgramJaccard($"text_a", $"text_b", 3))
+      .select($"id_a", $"id_b", $"j").as[(Long, Long, Double)]
+      .collect().map { case (x, y, j) => (x, y) -> j }.toMap
+    declarative.foreach { case (pair, j) =>
+      native(pair) shouldBe j +- 1e-12
+    }
+    // identical docs → 1.0; single-token edit on 10 tokens → 5/11 shingles
+    native((1L, 3L)) shouldBe 1.0
+  }
+
+  test("empty and sub-width documents are handled") {
+    import spark.implicits._
+    val df = Seq((1L, "one two"), (2L, "one two"), (3L, ""))
+      .toDF("id", "text")
+      .withColumn("sig", MinHashSignature(col("text"), 3, 8))
+      .withColumn("j12", NgramJaccard(lit("one two"), col("text"), 3))
+    val rows = df.collect()
+    rows.foreach(_.getSeq[Long](2) should have length 8)
+    rows(1).getDouble(3) shouldBe 1.0 // identical short docs
+  }
+}
