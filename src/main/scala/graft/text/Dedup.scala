@@ -169,11 +169,14 @@ object Dedup {
   /** SimHash near-dup candidates: band the 64-bit fingerprint into four
     * 16-bit chunks (any exact chunk match → candidate — guaranteed to
     * catch all pairs within Hamming distance 3), then verify
-    * `bit_count(xor) <= maxHamming`. */
+    * `bit_count(xor) <= maxHamming`. Fingerprints come from the native
+    * [[graft.functions.SimHash64]] expression (one JVM pass per doc);
+    * [[withSimhash]] stays as the declarative reference form. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimhash(df, textCol)
-      .select(col(idCol), col("simhash"))
+    val hashed = df
+      .select(col(idCol),
+        graft.functions.SimHash64(col(textCol)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(b =>

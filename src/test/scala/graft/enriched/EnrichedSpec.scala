@@ -47,6 +47,13 @@ class EnrichedSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
   }
 
+  test("velib join plans a broadcast of the SI dimension side") {
+    val (ss, si, _) = fixtures
+    val plan = Enriched.enrichedJoinVelib(ss, si)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("quality gate passes on the clean fixture chain") {
     val (ss, si, lime) = fixtures
     QualityGate.failures(

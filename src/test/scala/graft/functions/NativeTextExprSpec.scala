@@ -51,6 +51,22 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
     native((1L, 3L)) shouldBe 1.0
   }
 
+  test("native simhash: identical text → identical fingerprint, small " +
+    "edit → small hamming, different text → large hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),
+      (3L, "a b c d e f g h i j k l m n o p q r s Z"),
+      (4L, "entirely unrelated vocabulary in this document text body"))
+      .toDF("id", "text")
+      .withColumn("fp", SimHash64(col("text")))
+    val fp = df.select($"id", $"fp").as[(Long, Long)].collect().toMap
+    fp(1L) shouldBe fp(2L)
+    java.lang.Long.bitCount(fp(1L) ^ fp(3L)) should be <= 12
+    java.lang.Long.bitCount(fp(1L) ^ fp(4L)) should be > 12
+  }
+
   test("empty and sub-width documents are handled") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, "one two"), (3L, ""))
