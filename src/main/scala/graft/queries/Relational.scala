@@ -289,6 +289,81 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  /** q3_shipping_priority — TPC-H Q3 shape: selective dimension filter,
+    * two fact joins, aggregate, top-k. The plan to want at 100 TB: both
+    * filters reach their scans as PushedFilters, the join keys shuffle
+    * once each, TakeOrdered caps the output. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = to_timestamp(lit("1998-03-15 00:00:00"))
+    val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate".cast("timestamp") < cutoff)
+    val l = Tables.lineitem(s, d)
+      .filter($"l_shipdate".cast("timestamp") > cutoff)
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("odate_us"),
+        $"o_orderpriority")
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"odate_us".asc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, odate_us, l_orderkey LIMIT 10""".stripMargin
+
+  /** q5_local_supplier — TPC-H Q5 shape: six-table join where only
+    * customer/orders/lineitem are fact-scale; nation and region are
+    * broadcast so the plan has exactly two shuffle joins. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate".cast("timestamp") >=
+        to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"o_orderdate".cast("timestamp") <
+          to_timestamp(lit("1997-01-01 00:00:00")))
+    Tables.customer(s, d)
+      .join(o, $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, d),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"))
+      .orderBy($"revenue".desc)
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC""".stripMargin
+
   /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
     * pivot values (explicit values skip the extra distinct-scan job and
     * keep the plan a single hash aggregate). */
@@ -434,6 +509,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "r1_join_broadcast" -> (r1JoinBroadcast _),
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
@@ -456,6 +533,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q5_local_supplier" -> q5Oracle,
     "r1_join_broadcast" -> r1Oracle,
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,

@@ -9,6 +9,21 @@ import graft.bike.{BikeQueries, BikeSchemas, Transforms}
 
 class LakeWriterSpec extends AnyFunSuite with Matchers with SparkSpec {
 
+  test("compaction rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    val dir = s"$out/events_smallfiles"
+    (1 to 2000).map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+      .repartition(32).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.getLong(0)).sorted
+    val report = Compactor.compact(spark, dir)
+    report.filesBefore shouldBe 32
+    report.filesAfter shouldBe 1 // tiny data → single target file
+    val after = spark.read.parquet(dir)
+    after.collect().map(_.getLong(0)).sorted shouldBe beforeRows
+  }
+
   test("partitioned write produces Hive layout and reads prune partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-lw").toString
     val formatted = Transforms.transformSs(Transforms.readRawJson(
