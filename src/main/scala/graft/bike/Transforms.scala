@@ -141,4 +141,25 @@ object Transforms {
     * read. */
   def readRawJsonInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Fail-fast variant: any malformed drop aborts the job instead of
+    * silently yielding null structs (PERMISSIVE would null `data`, the
+    * explode would drop the rows, and a bad feed day would just vanish
+    * from the lake). Use for scheduled production runs where the retry
+    * policy owns recovery. */
+  def readRawJsonStrict(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Audited variant: malformed documents are RETAINED in
+    * `_corrupt_record` so ingest can count/quarantine them while good
+    * rows flow on — the lake-scale middle ground between silent
+    * PERMISSIVE and all-or-nothing FAILFAST. */
+  def readRawJsonAudited(spark: SparkSession, path: String,
+                         schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

@@ -248,6 +248,23 @@ object Relational {
       |  count(DISTINCT l_partkey) AS n_parts
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** a4_approx_sketches — mergeable-sketch aggregates: HLL distinct
+    * counts and approximate percentiles. These are the 100 TB
+    * substitutes for exact DISTINCT / sort-based percentiles: sketches
+    * merge map-side, nothing per-key ever shuffles. Estimates are
+    * engine-specific → rows-only driver check; accuracy vs exact is
+    * bounded in RelationalSpec. */
+  def a4ApproxSketches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct($"l_orderkey").as("approx_orders"),
+      approx_count_distinct($"l_partkey").as("approx_parts"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+        .as("approx_p50"),
+      expr("percentile_approx(l_extendedprice, 0.95, 10000)")
+        .as("approx_p95"))
+  }
+
   /** g1_rollup — hierarchical totals in one pass (GROUPING SETS family). */
   def g1Rollup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -524,6 +541,7 @@ object Relational {
     "g2_cube" -> (g2Cube _),
     "g3_pivot" -> (g3Pivot _),
     "a3_grouped_topk" -> (a3GroupedTopK _),
+    "a4_approx_sketches" -> (a4ApproxSketches _),
     "o1_topk" -> (o1TopK _),
     "o2_salted_join" -> (o2SaltedJoin _),
     "w1_window_rank" -> (w1WindowRank _),

@@ -138,6 +138,25 @@ class BikeTransformSpec extends AnyFunSuite with Matchers with SparkSpec {
     readBack.count() shouldBe 8
   }
 
+  test("malformed drops: FAILFAST aborts, audited read quarantines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    val good = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(fixture("station_status.json"))).trim
+    java.nio.file.Files.writeString(dir.resolve("drop.json"),
+      good + "\n{not valid json at all\n")
+    // cache: Spark disallows queries touching ONLY the corrupt column
+    // on a raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val audited = Transforms.readRawJsonAudited(spark,
+      dir.toString + "/drop.json", BikeSchemas.ssRaw).cache()
+    audited.filter(org.apache.spark.sql.functions.col("_corrupt_record")
+      .isNotNull).count() shouldBe 1
+    audited.filter(org.apache.spark.sql.functions.col("_corrupt_record")
+      .isNull).count() shouldBe 1
+    an[Exception] should be thrownBy
+      Transforms.readRawJsonStrict(spark, dir.toString + "/drop.json",
+        BikeSchemas.ssRaw).collect()
+  }
+
   test("enforceSchema rejects arity mismatch") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("x", "y")

@@ -24,6 +24,16 @@ class RelationalSpec extends AnyFunSuite with Matchers with SparkSpec {
     math.abs(approx - exact) / exact should be < 0.10
   }
 
+  test("approx percentile sketch lands within 2% of the exact percentile") {
+    import spark.implicits._
+    val row = Tables.lineitem(spark, sf).agg(
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .collect().head
+    val (approx, exact) = (row.getDouble(0), row.getDouble(1))
+    math.abs(approx - exact) / exact should be < 0.02
+  }
+
   test("o1_topk plans TakeOrdered, never a global sort") {
     val plan = Relational.o1TopK(spark, sf)
       .queryExecution.executedPlan.toString
