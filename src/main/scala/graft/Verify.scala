@@ -9,15 +9,27 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // 4 queries in flight: Spark's scheduler interleaves their jobs, so
+    // the wall time is bounded by the slowest chain instead of the sum.
+    // Each query writes its own directory — no shared mutable state.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failed.add(name)
+          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        }
       }
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,9 +46,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    if (failed.nonEmpty) {
-      System.err.println(s"[verify] ${failed.size} queries failed: " +
-        failed.sorted.mkString(", "))
+    if (!failed.isEmpty) {
+      val names = failed.toArray(Array.empty[String]).sorted
+      System.err.println(s"[verify] ${names.length} queries failed: " +
+        names.mkString(", "))
       sys.exit(1)
     }
   }
