@@ -427,6 +427,50 @@ object Relational {
       |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
       |  FROM events) WHERE rn <= 3""".stripMargin
 
+  /** g4_unpivot — wide→long reshaping (`unpivot`/MELT, the inverse of
+    * g3): per-row fan-out is a narrow Expand, no shuffle. */
+  def g4Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_acctbal".cast("double").as("acctbal"),
+        $"c_nationkey".cast("double").as("nationkey"))
+      .unpivot(Array($"c_custkey"), Array($"acctbal", $"nationkey"),
+        "metric", "value")
+  }
+
+  val g4Oracle: String =
+    """SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+      |FROM customer""".stripMargin
+
+  /** f14_date_arith — the date/interval scalar family the bike surface
+    * never needed (computed driver-side in the reference): truncation,
+    * field extraction, day difference, month shift. */
+  def f14DateArith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select(
+      $"event_id",
+      unix_micros(date_trunc("day", $"ts")).as("day_start_us"),
+      dayofweek($"ts").as("dow"),
+      hour($"ts").as("hr"),
+      datediff($"ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        .as("days_since_epoch_start"),
+      unix_micros(expr("ts + INTERVAL 1 MONTH")).as("next_month_us"))
+  }
+
+  val f14Oracle: String =
+    """SELECT event_id,
+      |  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_start_us,
+      |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+      |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+      |  CAST(date_diff('day', DATE '2024-01-01',
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INTEGER)
+      |    AS days_since_epoch_start,
+      |  epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 1 MONTH) AS next_month_us
+      |FROM events""".stripMargin
+
   /** w1_window_rank — per-group top-n via row_number + running total.
     * The running sum uses an exact decimal frame sum so the result does not
     * depend on how the window operator associates additions.
@@ -542,6 +586,8 @@ object Relational {
     "g3_pivot" -> (g3Pivot _),
     "a3_grouped_topk" -> (a3GroupedTopK _),
     "a4_approx_sketches" -> (a4ApproxSketches _),
+    "g4_unpivot" -> (g4Unpivot _),
+    "f14_date_arith" -> (f14DateArith _),
     "o1_topk" -> (o1TopK _),
     "o2_salted_join" -> (o2SaltedJoin _),
     "w1_window_rank" -> (w1WindowRank _),
@@ -566,6 +612,8 @@ object Relational {
     "g2_cube" -> g2Oracle,
     "g3_pivot" -> g3Oracle,
     "a3_grouped_topk" -> a3Oracle,
+    "g4_unpivot" -> g4Oracle,
+    "f14_date_arith" -> f14Oracle,
     "o1_topk" -> o1Oracle,
     "o2_salted_join" -> o2Oracle,
     "w1_window_rank" -> w1Oracle,
