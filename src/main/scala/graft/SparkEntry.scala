@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ann.AnnQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
-      graft.text.CurationQueries.queries
+      graft.text.CurationQueries.queries ++
+      graft.operators.TemporalQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.ann.AnnQueries.oracles ++
       graft.multimodal.MultimodalQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
-      graft.text.CurationQueries.oracles
+      graft.text.CurationQueries.oracles ++
+      graft.operators.TemporalQueries.oracles
 }
