@@ -191,7 +191,28 @@ object ScalarOps {
   val f7Oracle: String =
     "SELECT event_id, [value, value * 2.0] AS location FROM events"
 
+  /** f15_json_props — JSON string-column functions (path extraction and
+    * schema-ful parsing). `from_json` with a declared schema is the scale
+    * path: one parse per row into a struct Catalyst can prune; repeated
+    * `get_json_object` calls re-parse per path. */
+  def f15JsonProps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    Tables.events(s, d).select(
+      $"event_id",
+      get_json_object($"props", "$.k").cast("int").as("k_path"),
+      from_json($"props", StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k_parsed"))
+  }
+
+  val f15Oracle: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS INTEGER) AS k_path,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f15_json_props" -> (f15JsonProps _),
     "p4_time_filter" -> (p4TimeFilter _),
     "p5_explode" -> (p5Explode _),
     "p6_weighted_replication" -> (p6WeightedReplication _),
@@ -202,6 +223,7 @@ object ScalarOps {
     "f7_geo_array" -> (f7GeoArray _))
 
   val oracles: Map[String, String] = Map(
+    "f15_json_props" -> f15Oracle,
     "p4_time_filter" -> p4Oracle,
     "p5_explode" -> p5Oracle,
     "p6_weighted_replication" -> p6Oracle,

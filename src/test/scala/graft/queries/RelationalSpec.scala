@@ -41,6 +41,20 @@ class RelationalSpec extends AnyFunSuite with Matchers with SparkSpec {
     (plan should not).include("SortExec")
   }
 
+  test("q1 aggregation runs inside whole-stage codegen") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    // AQE only annotates codegen stages once the plan is final — execute
+    // THIS QueryExecution (a write action would plan a fresh one)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker: the whole
+    // scan → filter → project → partial-agg pipeline fuses into stage 1
+    plan should include("*(1) HashAggregate")
+    plan should include("*(1) Filter")
+    // and the shipdate predicate reached the parquet scan
+    plan should include regex "PushedFilters: \\[.*l_shipdate".r
+  }
+
   test("r1 plans broadcast joins for the dimension sides") {
     val plan = Relational.r1JoinBroadcast(spark, sf)
       .queryExecution.executedPlan.toString
