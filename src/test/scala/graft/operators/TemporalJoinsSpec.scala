@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class TemporalJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("as-of join: latest at-or-before match, null before first right") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts(50)),   // before any quote → null
+      (2L, 100L, ts(100)),  // exactly at quote t=100 → that quote (>=)
+      (3L, 100L, ts(250)),  // between 200 and 300 → quote at 200
+      (4L, 200L, ts(500)))  // other key → its own quote stream
+      .toDF("trade_id", "account", "ts")
+    val right = Seq(
+      (100L, ts(100), 10.0), (100L, ts(200), 20.0), (100L, ts(300), 30.0),
+      (200L, ts(400), 40.0))
+      .toDF("account", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "account", "ts",
+        Seq("price"))
+      .select($"trade_id", $"__asof_price")
+      .as[(Long, Option[Double])].collect().toMap
+    out shouldBe Map(
+      1L -> None, 2L -> Some(10.0), 3L -> Some(20.0), 4L -> Some(40.0))
+  }
+
+  test("range join matches the plain theta join inside the tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, ts(1000)), (2L, 7L, ts(5000)))
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (7L, ts(400), "a"),   // 600s from l1 → only via wide tolerance
+      (7L, ts(1100), "b"),  // 100s from l1 ✓
+      (7L, ts(4800), "c"),  // 200s from l2 ✓
+      (8L, ts(1000), "d"))  // other key → never
+      .toDF("k", "ts", "tag")
+    val got = TemporalJoins.rangeJoin(left, right, "k", "ts",
+        toleranceUs = 300L * 1000000L, Seq("tag"))
+      .select($"lid", $"tag").as[(Long, String)].collect().toSet
+    got shouldBe Set((1L, "b"), (2L, "c"))
+    // bucket-boundary correctness: a match exactly at the tolerance edge
+    val edge = TemporalJoins.rangeJoin(left, right, "k", "ts",
+        toleranceUs = 600L * 1000000L, Seq("tag"))
+      .select($"lid", $"tag").as[(Long, String)].collect().toSet
+    edge should contain((1L, "a")) // |1000-400| == tolerance → inclusive
+  }
+}
