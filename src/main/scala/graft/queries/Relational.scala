@@ -381,6 +381,35 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC""".stripMargin
 
+  /** q14_promo_share — TPC-H Q14 shape: fact⋈dim join feeding a
+    * conditional-aggregate ratio. Part is a true dimension here, so the
+    * join broadcasts and the ratio reduces to two map-side partial sums.
+    * Also exercises the string-predicate family (LIKE prefix match on
+    * p_name). */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val revenue = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .agg(
+        (lit(100.0) *
+          decSum(when($"p_type" === "PROMO", revenue).otherwise(0.0), 6) /
+          decSum(revenue, 6)).as("promo_share_pct"),
+        decSum(when($"p_name".like("red%"), revenue).otherwise(0.0), 6)
+          .as("red_prefix_revenue"))
+  }
+
+  val q14Oracle: String =
+    """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(27,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS promo_share_pct,
+      |  CAST(SUM(CAST(CASE WHEN p_name LIKE 'red%'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS red_prefix_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
     * pivot values (explicit values skip the extra distinct-scan job and
     * keep the plan a single hash aggregate). */
@@ -572,6 +601,7 @@ object Relational {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q14_promo_share" -> (q14PromoShare _),
     "r1_join_broadcast" -> (r1JoinBroadcast _),
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
@@ -599,6 +629,7 @@ object Relational {
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier" -> q5Oracle,
+    "q14_promo_share" -> q14Oracle,
     "r1_join_broadcast" -> r1Oracle,
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,
