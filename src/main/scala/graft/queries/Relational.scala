@@ -175,6 +175,24 @@ object Relational {
       |SELECT 'lineitem_discount_in_range',
       |  (SELECT count(*) FILTER (l_discount < 0.0 OR l_discount > 1.0) FROM lineitem)""".stripMargin
 
+  /** r5_bloom_anti_join — referential check via
+    * [[graft.operators.BloomJoin]]: orders whose customer is not in the
+    * high-balance subset. The bloom pre-pass means only might-contain
+    * survivors shuffle for the exact anti-join; the oracle is the plain
+    * NOT EXISTS — the bloom must be invisible in the result. */
+  def r5BloomAntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.BloomJoin.preFilteredLeftAnti(
+      Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+      Tables.customer(s, d).filter($"c_acctbal" > 5000.0),
+      "o_custkey", "c_custkey", estimatedRightRows = 100000L)
+  }
+
+  val r5Oracle: String =
+    """SELECT o_orderkey, o_custkey FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |  WHERE c.c_acctbal > 5000.0 AND c.c_custkey = o.o_custkey)""".stripMargin
+
   /** j1_semi_join — EXISTS as left-semi (no row multiplication, only the
     * left columns survive — cheaper than inner+distinct at scale). */
   def j1SemiJoin(s: SparkSession, d: String): DataFrame = {
@@ -606,6 +624,7 @@ object Relational {
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
     "r4_quality_checks" -> (r4QualityChecks _),
+    "r5_bloom_anti_join" -> (r5BloomAntiJoin _),
     "j1_semi_join" -> (j1SemiJoin _),
     "j2_anti_join" -> (j2AntiJoin _),
     "j3_outer_join" -> (j3OuterJoin _),
@@ -634,6 +653,7 @@ object Relational {
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,
     "r4_quality_checks" -> r4Oracle,
+    "r5_bloom_anti_join" -> r5Oracle,
     "j1_semi_join" -> j1Oracle,
     "j2_anti_join" -> j2Oracle,
     "j3_outer_join" -> j3Oracle,
