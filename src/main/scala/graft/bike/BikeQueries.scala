@@ -175,11 +175,16 @@ object BikeQueries {
     * session. */
   def b6ServingPrep(s: SparkSession, d: String): DataFrame = {
     val (ss, si, lime) = formattedFixtures(s)
+    // The `[lon, lat]` geo array is built by Serving.prepare exactly as the
+    // reference does; the gate projects it back to elements because the
+    // driver's pandas comparison cannot hash raw array cells (r2 `err`).
     graft.serving.Serving.prepare(
         graft.enriched.Enriched.enrichedJoinVelibLime(ss, si, lime))
       .select(col("provider"), col("id"),
         unix_micros(col("time")).as("time_us"),
-        col("num_bikes"), col("num_docks"), col("id_concat"), col("location"))
+        col("num_bikes"), col("num_docks"), col("id_concat"),
+        element_at(col("location"), 1).as("location_lon"),
+        element_at(col("location"), 2).as("location_lat"))
   }
 
   val b6Oracle: String =
@@ -202,7 +207,8 @@ object BikeQueries {
        |  num_bikes, num_docks,
        |  id || '_' || strftime(make_timestamp(t * 1000000),
        |    '%Y-%m-%d %H:%M:%S') AS id_concat,
-       |  [CAST(lon AS REAL), CAST(lat AS REAL)] AS location
+       |  CAST(lon AS REAL) AS location_lon,
+       |  CAST(lat AS REAL) AS location_lat
        |FROM enriched""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -105,12 +105,17 @@ object MultimodalQueries {
 
   /** mm2 — the batched decode stage (stub codec → 16-dim features);
     * feature values come from the stub, so the driver check is rows-only
-    * and the exact values are pinned in MultimodalSpec. */
+    * and the exact values are pinned in MultimodalSpec. The gate projects
+    * the feature vector to a csv string + dim because the driver's pandas
+    * comparison cannot even sort raw array cells (r2 `err`). */
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.syntheticMediaTable(
       graft.core.Tables.documents(s, d)).as[Multimodal.MediaRecord]
     Multimodal.extractFeatures(media).toDF()
+      .select($"media_id", $"byte_len",
+        org.apache.spark.sql.functions.size($"features").as("feature_dim"),
+        concat_ws(",", $"features".cast("array<string>")).as("features_csv"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -181,15 +181,25 @@ object ScalarOps {
 
   /** f7_geo_array — `array(lon, lat)` packing for geo serving (SURVEY §2.3
     * F7, `/root/reference/dags/lib/index_to_elastic_with_spark.py:134`).
+    * The array is built exactly as the serving layer does, then projected
+    * back to its elements for the gate: the driver's pandas comparison
+    * cannot hash raw array cells (r2 `err`), and `element_at` round-trips
+    * the construction so the operator is still what's under test.
     */
   def f7GeoArray(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, d).select($"event_id",
-      array($"value", $"value" * lit(2.0)).as("location"))
+    Tables.events(s, d)
+      .select($"event_id", array($"value", $"value" * lit(2.0)).as("location"))
+      .select($"event_id",
+        element_at($"location", 1).as("location_lon"),
+        element_at($"location", 2).as("location_lat"),
+        size($"location").as("location_len"))
   }
 
   val f7Oracle: String =
-    "SELECT event_id, [value, value * 2.0] AS location FROM events"
+    """SELECT event_id, value AS location_lon, value * 2.0 AS location_lat,
+      |  2 AS location_len
+      |FROM events""".stripMargin
 
   /** f15_json_props — JSON string-column functions (path extraction and
     * schema-ful parsing). `from_json` with a declared schema is the scale

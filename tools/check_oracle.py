@@ -43,7 +43,21 @@ def main():
             print(f"FAIL  {name}: no spark output parquet")
             n_fail += 1
             continue
-        spark_tbl = pq.read_table(files[0]).to_pylist() if len(files) == 1 else \
+        spark_arrow = pq.read_table(files[0])
+        # Reproduce the driver's harness limitation: its pandas-based
+        # compare (sort_values over all columns) dies with "unhashable
+        # type: numpy.ndarray" on ANY nested-typed column — even for
+        # rows-only checks. Fail loudly here so a query that would `err`
+        # on the driver can never look green locally (r2 divergence).
+        import pyarrow.types as pat
+        nested = [f.name for f in spark_arrow.schema
+                  if pat.is_nested(f.type)]
+        if nested:
+            print(f"ERR   {name}: nested-typed columns {nested} would "
+                  f"crash the driver's pandas compare (unhashable ndarray)")
+            n_fail += 1
+            continue
+        spark_tbl = spark_arrow.to_pylist() if len(files) == 1 else \
             sum((pq.read_table(f).to_pylist() for f in files), [])
         if name not in oracle:
             ok = len(spark_tbl) > 0
