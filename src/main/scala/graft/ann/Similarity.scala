@@ -64,14 +64,31 @@ object Similarity {
   }
 
   /** IVF index: assign every vector to its nearest of `nCells` K-Means
-    * centroids. Returns (assignments with a `cell` column, fitted model).
-    * At scale the assignment job is one pass and the index is just an
-    * extra int column — re-clusterable offline, partitionable by cell. */
+    * centroids. Returns (assignments with a `cell` column, fitted
+    * centroids).
+    *
+    * The coarse quantizer is fit on a bounded random sample
+    * (~`fitSampleRows`, fixed seed): centroid placement needs a
+    * representative sample, not the full table, and an iterative
+    * full-table fit is a scale-killer — default K-Means is ~20 iterations
+    * × kmeans|| init, each a full scan; at 100 TB that is petabytes of
+    * reads to place 16 centroids. With the sample fit, the full table is
+    * touched exactly once, by the assignment pass, and the index is just
+    * an extra int column — re-clusterable offline, partitionable by cell.
+    */
   def ivfIndex(embeddings: DataFrame, nCells: Int, seed: Long = 7L,
-               embCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+               embCol: String = "embedding",
+               fitSampleRows: Int = 4096): (DataFrame, Array[Array[Double]]) = {
     val featured = embeddings.withColumn("features",
       array_to_vector(asDouble(col(embCol))))
-    val model = new KMeans().setK(nCells).setSeed(seed).fit(featured)
+    // count() over parquet is answered from footer metadata — no data read.
+    val n = math.max(embeddings.count(), 1L)
+    val fraction = math.min(1.0, fitSampleRows.toDouble * 1.2 / n)
+    val fitSample = featured.select("features")
+      .sample(withReplacement = false, fraction, seed)
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setInitMode("random").setMaxIter(10)
+      .fit(fitSample)
     val assigned = model.transform(featured)
       .withColumnRenamed("prediction", "cell").drop("features")
     (assigned, model.clusterCenters.map(_.toArray))
@@ -156,10 +173,10 @@ object Similarity {
           shiftright(col("sketch"), b * bitsPerBand).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"),
+    val bandedCached = graft.core.TransientCache.persist(banded)
+    val x = bandedCached.select(col("band"), col("chunk"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"), col("sketch").as("sk_a"))
-    val y = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"),
+    val y = bandedCached.select(col("band"), col("chunk"), col(idCol).as("id_b"),
       col(embCol).as("emb_b"), col("sketch").as("sk_b"))
     x.join(y, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
