@@ -23,7 +23,7 @@ object Verify {
         catch { case e: Throwable =>
           failed.add(name)
           System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        }
+        } finally graft.core.TransientCache.drain()
       }
     }
     scala.concurrent.Await.result(

@@ -120,12 +120,12 @@ object Dedup {
                    textCol: String = "text", threshold: Double = 0.5,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val base = df.select(col(idCol), col(textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.core.TransientCache.persist(
+      df.select(col(idCol), col(textCol)))
     val signed = base.withColumn("sig",
       graft.functions.MinHashSignature(col(textCol), 3, numHashes))
-    val buckets = lshBuckets(signed, idCol, bands, numHashes / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.core.TransientCache.persist(
+      lshBuckets(signed, idCol, bands, numHashes / bands))
     val a = base.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
     val b = base.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
     candidatePairs(buckets, idCol)
@@ -174,10 +174,9 @@ object Dedup {
     * [[withSimhash]] stays as the declarative reference form. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val hashed = df
-      .select(col(idCol),
-        graft.functions.SimHash64(col(textCol)).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = graft.core.TransientCache.persist(
+      df.select(col(idCol),
+        graft.functions.SimHash64(col(textCol)).as("simhash")))
     val banded = hashed.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))

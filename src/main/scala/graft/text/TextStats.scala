@@ -31,14 +31,21 @@ object TextStats {
 
   /** Language ID: CJK codepoint ratio decides zh; otherwise the profile
     * with the most stopword hits wins, ties broken by the fixed profile
-    * order (en > fr > de > es); no hits at all → "und". */
+    * order (en > fr > de > es); no hits at all → "und".
+    *
+    * The token array is materialized ONCE into a column and referenced by
+    * every `hits_*` column: each profile rebuilding `split(text)` would
+    * re-tokenize the document 5× (and CollapseProject keeps a multiply-
+    * referenced alias, so the single split survives optimization) — at a
+    * 100 TB corpus scan that is the dominant cost of the operator. */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val withHits = langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
-      acc.withColumn(s"hits_$lang", hits(tokens(col(textCol)), words))
+    val withToks = df.withColumn("__toks", tokens(col(textCol)))
+    val withHits = langProfiles.foldLeft(withToks) { case (acc, (lang, words)) =>
+      acc.withColumn(s"hits_$lang", hits(col("__toks"), words))
     }.withColumn("cjk_chars",
       length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", "")))
-      .withColumn("n_tokens", size(toks))
+      .withColumn("n_tokens", size(col("__toks")))
+      .drop("__toks")
     val best = langProfiles.map(_._1).foldRight(lit("und")) {
       case (lang, elseCol) =>
         val isMax = langProfiles.map(_._1).filter(_ != lang)
@@ -55,11 +62,14 @@ object TextStats {
     * keys on (C4/Gopher-style length + symbol + stopword heuristics). */
   def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    df.withColumn("n_chars_q", length(t))
-      .withColumn("n_tokens", size(toks))
+    // Tokenize once (same single-split discipline as langId): every
+    // `size(tokens(t))` below would otherwise be its own split tree.
+    val nToks = size(col("__toks"))
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", nToks)
       .withColumn("avg_token_len",
-        (length(t) - size(toks) + 1).cast("double") / size(toks))
+        (length(t) - nToks + 1).cast("double") / nToks)
       .withColumn("alpha_ratio",
         length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t))
       .withColumn("digit_ratio",
@@ -68,7 +78,8 @@ object TextStats {
         length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double") /
           length(t))
       .withColumn("stopword_ratio",
-        hits(toks, langProfiles.head._2).cast("double") / size(toks))
+        hits(col("__toks"), langProfiles.head._2).cast("double") / nToks)
+      .drop("__toks")
   }
 
   /** Token counting, two ways: whitespace tokens and a BPE-ish regex
