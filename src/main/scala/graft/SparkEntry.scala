@@ -28,7 +28,8 @@ object SparkEntry {
       graft.multimodal.MultimodalQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.text.CurationQueries.queries ++
-      graft.operators.TemporalQueries.queries
+      graft.operators.TemporalQueries.queries ++
+      graft.ml.MlQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.multimodal.MultimodalQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.text.CurationQueries.oracles ++
-      graft.operators.TemporalQueries.oracles
+      graft.operators.TemporalQueries.oracles ++
+      graft.ml.MlQueries.oracles
 }

@@ -90,7 +90,7 @@ object BikeQueries {
 
   // -- enriched layer over the fixture chain --
 
-  private def formattedFixtures(s: SparkSession) = (
+  private[graft] def formattedFixtures(s: SparkSession) = (
     Transforms.transformSs(Transforms.readRawJson(
       s, s"$fixtureDir/station_status.json", BikeSchemas.ssRaw)),
     Transforms.transformSi(Transforms.readRawJson(
