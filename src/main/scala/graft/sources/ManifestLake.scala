@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-manifest table layout: versioned commits over plain
+  * parquet files — an offline stand-in for the Delta/Iceberg connector
+  * this image cannot ship (zero-egress: no table-format jar under
+  * /opt/spark/jars).
+  *
+  * Layout:
+  * {{{
+  *   table/_manifests/v00000001.manifest   one data-file name per line
+  *   table/v1-00000-....parquet            immutable data files
+  * }}}
+  *
+  * Every write is: stage new files → publish a new manifest atomically
+  * (write temp + rename; rename is atomic and fails-on-exists on both
+  * local and HDFS semantics, so two racing committers cannot both win a
+  * version). Readers resolve a manifest to an explicit file list, so a
+  * reader holding snapshot N is never broken by a concurrent compaction
+  * publishing N+1 — data files are immutable and only [[vacuum]] deletes
+  * ones no retained manifest references. This is the core of the
+  * Iceberg/Delta reader contract — snapshot isolation + time travel —
+  * without their log formats; it replaces [[Compactor]]'s
+  * delete-then-rename swap, whose reader-visible window was flagged in
+  * review.
+  */
+object ManifestLake {
+
+  final case class Snapshot(version: Long, files: Seq[String])
+  final case class CompactReport(filesBefore: Int, filesAfter: Int,
+                                 newVersion: Long)
+
+  private val ManifestDir = "_manifests"
+  private val ManifestRe = "^v(\\d{8})\\.manifest$".r
+
+  private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val p = new Path(table)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(table: Path, v: Long): Path =
+    new Path(new Path(table, ManifestDir), f"v$v%08d.manifest")
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val (fs, p) = fsFor(spark, table)
+    val dir = new Path(p, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  def currentVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(spark, table).lastOption
+
+  /** Resolve a snapshot (latest if `version` is None) to its file list. */
+  def snapshot(spark: SparkSession, table: String,
+               version: Option[Long] = None): Snapshot = {
+    val (fs, p) = fsFor(spark, table)
+    val v = version.orElse(currentVersion(spark, table)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val mf = manifestPath(p, v)
+    if (!fs.exists(mf))
+      throw new IllegalArgumentException(s"version $v not found in $table")
+    val in = fs.open(mf)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    Snapshot(v, body.linesIterator.filter(_.nonEmpty).toSeq)
+  }
+
+  /** Read a snapshot (time travel with `version = Some(n)`). The file
+    * list is resolved NOW — the returned frame is immune to concurrent
+    * commits and compactions. */
+  def read(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    val base = new Path(table)
+    spark.read.parquet(snap.files.map(f => new Path(base, f).toString): _*)
+  }
+
+  /** Publish `files` (relative names) as the next version. Atomic: the
+    * manifest is written to a temp name and renamed into place; rename
+    * fails if a racing committer already published the same version. */
+  private[sources] def commit(fs: FileSystem, table: Path, files: Seq[String],
+                              prev: Option[Long]): Long = {
+    val next = prev.getOrElse(0L) + 1
+    val dir = new Path(table, ManifestDir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, f".tmp-v$next%08d-${files.hashCode}%08x")
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = manifestPath(table, next)
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit lost race for version $next in $table")
+    }
+    next
+  }
+
+  /** Stage `df` as new immutable data files and commit them. `append`
+    * keeps the previous snapshot's files; otherwise the new files replace
+    * them (the old files stay on disk for existing readers until
+    * [[vacuum]]). Returns the committed version. */
+  def write(df: DataFrame, table: String, append: Boolean = true): Long = {
+    val spark = df.sparkSession
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val next = prev.getOrElse(0L) + 1
+    val staging = new Path(p, f"_staging-v$next%08d")
+    fs.delete(staging, true)
+    df.write.parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val moved = staged.zipWithIndex.map { case (src, i) =>
+      val name = f"v$next%08d-$i%05d.parquet"
+      if (!fs.rename(src, new Path(p, name)))
+        throw new IllegalStateException(s"failed to publish $name in $table")
+      name
+    }.toSeq
+    fs.delete(staging, true)
+    val base = if (append && prev.isDefined)
+      snapshot(spark, table, prev).files else Seq.empty
+    commit(fs, p, base ++ moved, prev)
+  }
+
+  /** Rewrite the current snapshot to ~`targetFileBytes` files and commit
+    * the compacted set as a NEW version. Readers of older snapshots keep
+    * working: their files are untouched until [[vacuum]]. */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
+    val (fs, p) = fsFor(spark, table)
+    val snap = snapshot(spark, table)
+    val bytes = snap.files.map(f =>
+      fs.getFileStatus(new Path(p, f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // repartition (not coalesce): coalesce would narrow the upstream scan
+    // to nFiles tasks; repartition keeps the read wide, only the write narrow
+    val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
+    val newVersion = write(compacted, table, append = false)
+    CompactReport(snap.files.size,
+      snapshot(spark, table, Some(newVersion)).files.size, newVersion)
+  }
+
+  /** Delete manifests older than the last `keepLast` versions and any
+    * data file no retained manifest references. Returns the number of
+    * data files deleted. Time travel to vacuumed versions is gone —
+    * that is the retention contract. */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val (fs, p) = fsFor(spark, table)
+    val all = versions(spark, table)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val live = keep.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val dataFiles = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+    val dead = dataFiles.filterNot(live)
+    dead.foreach(f => fs.delete(new Path(p, f), false))
+    drop.foreach(v => fs.delete(manifestPath(p, v), false))
+    dead.length
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the snapshot-manifest contract: versioned atomic commits, time
+  * travel, reader isolation across a concurrent compaction, and vacuum
+  * retention — the offline stand-in for the Delta/Iceberg layer. */
+class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-mlake").toString + "/t"
+
+  private def rows(n: Range) = {
+    import spark.implicits._
+    n.map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+  }
+
+  test("append commits new versions; time travel reads old snapshots") {
+    val t = freshTable()
+    val v1 = ManifestLake.write(rows(1 to 100), t)
+    val v2 = ManifestLake.write(rows(101 to 150), t)
+    v1 shouldBe 1L
+    v2 shouldBe 2L
+    ManifestLake.read(spark, t).count() shouldBe 150
+    ManifestLake.read(spark, t, Some(1L)).count() shouldBe 100
+    ManifestLake.versions(spark, t) shouldBe Seq(1L, 2L)
+  }
+
+  test("a reader's snapshot survives a concurrent compaction") {
+    val t = freshTable()
+    // many small commits → many small files
+    (0 until 8).foreach(b => ManifestLake.write(rows(b * 10 to b * 10 + 9), t))
+    val preCompact = ManifestLake.read(spark, t) // resolves file list NOW
+    val report = ManifestLake.compact(spark, t)
+    report.filesBefore should be > report.filesAfter
+    // the old snapshot's files are untouched: the pre-compaction frame
+    // still materializes fully and correctly
+    preCompact.count() shouldBe 80
+    ManifestLake.read(spark, t).count() shouldBe 80
+    // compaction is a new version, not an overwrite: time travel intact
+    ManifestLake.read(spark, t, Some(report.newVersion - 1)).count() shouldBe 80
+  }
+
+  test("vacuum deletes only files unreferenced by retained versions") {
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 50), t)
+    ManifestLake.write(rows(51 to 60), t)
+    ManifestLake.compact(spark, t) // v3: compacted set
+    val deleted = ManifestLake.vacuum(spark, t, keepLast = 1)
+    deleted should be > 0
+    ManifestLake.read(spark, t).count() shouldBe 60
+    // vacuumed versions are gone
+    ManifestLake.versions(spark, t) should have length 1
+    intercept[IllegalArgumentException] {
+      ManifestLake.read(spark, t, Some(1L))
+    }
+  }
+
+  test("losing a commit race surfaces as an error, not silent overwrite") {
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 10), t)
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    // a racing committer publishes v2 between this committer reading the
+    // current version (v1) and publishing its own v2
+    val racing = new org.apache.hadoop.fs.Path(t + "/_manifests/v00000002.manifest")
+    val out = fs.create(racing, false)
+    out.write("v00000001-00000.parquet\n".getBytes)
+    out.close()
+    intercept[IllegalStateException] {
+      ManifestLake.commit(fs, p, Seq("v00000001-00000.parquet"), prev = Some(1L))
+    }
+    // the loser's temp file must not linger
+    fs.listStatus(new org.apache.hadoop.fs.Path(t + "/_manifests"))
+      .map(_.getPath.getName).count(_.startsWith(".tmp")) shouldBe 0
+  }
+}
