@@ -42,4 +42,45 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Object-store access surface, mirroring the reference's per-job S3A
+    * injection (`transform_ss_velib_with_spark.py:47-54`: access/secret
+    * key from the connection store, endpoint, S3A filesystem impl).
+    * Endpoint and credentials come from the caller's config — never
+    * hardcoded here. */
+  final case class S3aConf(endpoint: String, accessKey: String,
+                           secretKey: String, pathStyleAccess: Boolean = false)
+
+  def s3aConfMap(c: S3aConf): Map[String, String] = Map(
+    "spark.hadoop.fs.s3a.endpoint" -> c.endpoint,
+    "spark.hadoop.fs.s3a.access.key" -> c.accessKey,
+    "spark.hadoop.fs.s3a.secret.key" -> c.secretKey,
+    "spark.hadoop.fs.s3a.path.style.access" -> c.pathStyleAccess.toString,
+    "spark.hadoop.fs.s3.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    "spark.hadoop.fs.s3a.aws.credentials.provider" ->
+      "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+
+  /** Cluster-mode session: spark-submit supplies master/deploy-mode/
+    * memory; this applies the engine confs (UTC session TZ, AQE, parquet
+    * nanos, plan extensions) plus the optional S3A surface.
+    * `shufflePartitions` should be ~2-3× total executor cores — there is
+    * no universal default at cluster scale, so it is an explicit knob
+    * here rather than the local builder's cores-count heuristic. */
+  def cluster(appName: String = "graft",
+              s3a: Option[S3aConf] = None,
+              shufflePartitions: Option[Int] = None): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shufflePartitions.foreach(n =>
+      b.config("spark.sql.shuffle.partitions", n.toString))
+    s3a.map(s3aConfMap).getOrElse(Map.empty)
+      .foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

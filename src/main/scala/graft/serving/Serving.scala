@@ -35,16 +35,26 @@ final case class ConsoleSink(numRows: Int = 20) extends Sink {
   def verifiedCount(spark: SparkSession): Option[Long] = None
 }
 
-/** S8 — option-for-option surface of the reference's ES connector write
-  * (`index_to_elastic_with_spark.py:139-150`). The connector jar
-  * (`elasticsearch-spark-30`) is not shipped in this offline environment;
-  * [[write]] raises a clear error unless it is on the classpath, but the
-  * options map is the tested contract either way. */
+/** S8 — the reference's ES write (`index_to_elastic_with_spark.py:139-150`),
+  * two transports behind one contract:
+  *
+  *   - the es-hadoop connector, option-for-option
+  *     (`org.elasticsearch.spark.sql`), used when its jar is on the
+  *     classpath (it is not in this offline image);
+  *   - a native REST `_bulk` fallback otherwise — each partition streams
+  *     its rows as NDJSON index actions with `_id` taken from `mappingId`,
+  *     which is exactly the connector's `es.mapping.id` keyed-upsert
+  *     semantics. No driver collect; one HTTP round-trip per
+  *     `bulkBatchSize` docs per partition.
+  *
+  * Both transports preserve the contract that matters: re-serving the
+  * same window is idempotent because document identity is `id_concat`. */
 final case class ElasticsearchSink(nodes: String, port: Int, user: String,
                                    password: String, index: String,
                                    mappingId: String = "id_concat",
                                    wanOnly: Boolean = true,
-                                   autoCreate: Boolean = false) extends Sink {
+                                   autoCreate: Boolean = false,
+                                   bulkBatchSize: Int = 500) extends Sink {
   val format = "org.elasticsearch.spark.sql"
 
   def options: Map[String, String] = Map(
@@ -61,17 +71,96 @@ final case class ElasticsearchSink(nodes: String, port: Int, user: String,
     scala.util.Try(Class.forName(s"$format.DefaultSource15")).isSuccess ||
       scala.util.Try(Class.forName(s"$format.DefaultSource")).isSuccess
 
-  def write(df: DataFrame): Unit = {
-    if (!connectorAvailable)
-      throw new IllegalStateException(
-        s"elasticsearch-spark connector not on classpath; cannot write " +
-          s"index '$index' (offline environment — use ParquetSink)")
-    df.write.format(format).options(options).mode(SaveMode.Overwrite).save()
+  private def firstNode: String = nodes.split(',').head.trim
+  private def authHeader: String = "Basic " +
+    java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes("UTF-8"))
+
+  def write(df: DataFrame): Unit =
+    if (connectorAvailable)
+      df.write.format(format).options(options).mode(SaveMode.Overwrite).save()
+    else restBulkWrite(df)
+
+  /** The native REST transport. Rows with a null `mappingId` get an
+    * ES-assigned id (a create, not an upsert) — identity is undefined for
+    * them, faithfully to the reference's null-key rows. */
+  def restBulkWrite(df: DataFrame): Unit = {
+    val url = s"http://$firstNode:$port/$index/_bulk"
+    val auth = authHeader
+    val batchSize = bulkBatchSize
+    val payload = df.select(
+      col(mappingId).cast("string").as("_id"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("_doc"))
+    payload.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        val body = batch.iterator.map { r =>
+          val action =
+            if (r.isNullAt(0)) """{"index":{}}"""
+            else s"""{"index":{"_id":${EsRest.jsonString(r.getString(0))}}}"""
+          action + "\n" + r.getString(1)
+        }.mkString("", "\n", "\n")
+        EsRest.post(url, auth, body)
+      }
+    }
   }
 
   def verifiedCount(spark: SparkSession): Option[Long] =
-    if (!connectorAvailable) None
-    else Some(spark.read.format(format).options(options).load(index).count())
+    if (connectorAvailable)
+      Some(spark.read.format(format).options(options).load(index).count())
+    else EsRest.count(s"http://$firstNode:$port/$index/_count", authHeader)
+}
+
+/** Minimal HTTP plumbing for the REST transport — JDK-only (the offline
+  * image ships no HTTP client deps). */
+private[serving] object EsRest {
+
+  def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** POST the bulk body; non-2xx or `"errors":true` in the response fails
+    * the task (Spark's task retry is the retry policy). */
+  def post(url: String, auth: String, body: String): Unit = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(60000)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-ndjson")
+    conn.setRequestProperty("Authorization", auth)
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val code = conn.getResponseCode
+    val resp = scala.io.Source.fromInputStream(
+      if (code < 400) conn.getInputStream else conn.getErrorStream)
+      .mkString
+    conn.disconnect()
+    if (code < 200 || code >= 300)
+      throw new java.io.IOException(s"bulk write to $url failed: HTTP $code $resp")
+    if (resp.contains("\"errors\":true"))
+      throw new java.io.IOException(s"bulk write to $url had item errors: $resp")
+  }
+
+  /** GET `_count`; None when the cluster is unreachable (count
+    * verification is a health signal, not a correctness gate). */
+  def count(url: String, auth: String): Option[Long] =
+    try {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Authorization", auth)
+      val resp = scala.io.Source.fromInputStream(conn.getInputStream).mkString
+      conn.disconnect()
+      "\"count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(resp).map(_.group(1).toLong)
+    } catch { case _: java.io.IOException => None }
 }
 
 object Serving {

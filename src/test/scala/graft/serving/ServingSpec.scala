@@ -72,13 +72,13 @@ class ServingSpec extends AnyFunSuite with Matchers with SparkSpec {
     count shouldBe Some(12L)
   }
 
-  test("ES sink exposes the reference's option surface and fails clearly " +
-    "offline") {
-    val sink = ElasticsearchSink("es.example.internal", 9200, "u", "p",
+  test("ES sink exposes the reference's option surface; unreachable " +
+    "cluster fails the write, count verification degrades to None") {
+    val sink = ElasticsearchSink("127.0.0.1", 1, "u", "p", // port 1: nothing listens
       "all_bike_data")
     sink.options shouldBe Map(
-      "es.nodes" -> "es.example.internal",
-      "es.port" -> "9200",
+      "es.nodes" -> "127.0.0.1",
+      "es.port" -> "1",
       "es.net.http.auth.user" -> "u",
       "es.net.http.auth.pass" -> "p",
       "es.nodes.wan.only" -> "true",
@@ -86,7 +86,8 @@ class ServingSpec extends AnyFunSuite with Matchers with SparkSpec {
       "es.mapping.id" -> "id_concat",
       "es.index.auto.create" -> "false")
     sink.connectorAvailable shouldBe false
-    an[IllegalStateException] should be thrownBy
+    an[Exception] should be thrownBy
       sink.write(Serving.prepare(enrichedFixture))
+    sink.verifiedCount(spark) shouldBe None
   }
 }
