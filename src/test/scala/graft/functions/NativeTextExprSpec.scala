@@ -34,7 +34,7 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
       (2L, "q b c d e f g h i j", "x"),
       (3L, "a b c d e f g h i j", "x")).toDF("doc_id", "text", "lang")
     // declarative path (string shingles, array_intersect/union)
-    val declarative = Dedup.blockedNgramJaccard(docs)
+    val declarative = Dedup.blockedNgramJaccardShingled(docs)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
       .collect().map { case (a, b, j) => (a, b) -> j }.toMap
     // native path on the same pairs
