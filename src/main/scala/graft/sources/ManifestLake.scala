@@ -30,12 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ManifestLake {
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  final case class Snapshot(version: Long, files: Seq[String],
+                            batchId: Option[Long] = None)
   final case class CompactReport(filesBefore: Int, filesAfter: Int,
                                  newVersion: Long)
 
   private val ManifestDir = "_manifests"
   private val ManifestRe = "^v(\\d{8})\\.manifest$".r
+  private val BatchHeader = "#batch="
 
   private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -74,7 +76,11 @@ object ManifestLake {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    Snapshot(v, body.linesIterator.filter(_.nonEmpty).toSeq)
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    val batchId = lines.collectFirst {
+      case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).toLong
+    }
+    Snapshot(v, lines.filterNot(_.startsWith("#")), batchId)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -91,13 +97,16 @@ object ManifestLake {
     * manifest is written to a temp name and renamed into place; rename
     * fails if a racing committer already published the same version. */
   private[sources] def commit(fs: FileSystem, table: Path, files: Seq[String],
-                              prev: Option[Long]): Long = {
+                              prev: Option[Long],
+                              batchId: Option[Long] = None): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-v$next%08d-${files.hashCode}%08x")
+    val header = batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
     val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    try out.write((header + files.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = manifestPath(table, next)
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -112,7 +121,8 @@ object ManifestLake {
     * keeps the previous snapshot's files; otherwise the new files replace
     * them (the old files stay on disk for existing readers until
     * [[vacuum]]). Returns the committed version. */
-  def write(df: DataFrame, table: String, append: Boolean = true): Long = {
+  def write(df: DataFrame, table: String, append: Boolean = true,
+            batchId: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
@@ -132,7 +142,21 @@ object ManifestLake {
     fs.delete(staging, true)
     val base = if (append && prev.isDefined)
       snapshot(spark, table, prev).files else Seq.empty
-    commit(fs, p, base ++ moved, prev)
+    commit(fs, p, base ++ moved, prev, batchId)
+  }
+
+  /** Idempotent micro-batch append: commits `df` with `batchId` recorded
+    * in the manifest, and SKIPS the write when the current snapshot
+    * already carries `batchId` — a replayed batch (post-crash
+    * re-execution of the same epoch by Structured Streaming) commits
+    * nothing twice. With the single-writer-per-table streaming contract,
+    * a replay is always of the latest batch, so checking only the
+    * current snapshot's id is sufficient. */
+  def writeBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
+    val already = currentVersion(df.sparkSession, table).exists(v =>
+      snapshot(df.sparkSession, table, Some(v)).batchId.exists(_ >= batchId))
+    if (already) false
+    else { write(df, table, append = true, batchId = Some(batchId)); true }
   }
 
   /** Rewrite the current snapshot to ~`targetFileBytes` files and commit
@@ -146,9 +170,12 @@ object ManifestLake {
       fs.getFileStatus(new Path(p, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // repartition (not coalesce): coalesce would narrow the upstream scan
-    // to nFiles tasks; repartition keeps the read wide, only the write narrow
+    // to nFiles tasks; repartition keeps the read wide, only the write narrow.
+    // The snapshot's streaming batch id carries forward so a compaction
+    // never erases the sink's replay high-water mark.
     val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
-    val newVersion = write(compacted, table, append = false)
+    val newVersion = write(compacted, table, append = false,
+      batchId = snap.batchId)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }

@@ -157,4 +157,23 @@ object Streaming {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Exactly-once streaming sink into a [[graft.sources.ManifestLake]]
+    * table: each micro-batch appends through an atomic manifest commit
+    * carrying its batch id, and a post-crash replay of an epoch commits
+    * nothing twice ([[graft.sources.ManifestLake.writeBatch]] skips ids
+    * the current snapshot already holds). Checkpoint (source offsets) +
+    * idempotent sink = end-to-end exactly-once, the same contract a
+    * Delta/Iceberg streaming sink provides, on plain parquet. */
+  def streamToLake(streamed: DataFrame, table: String,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.ManifestLake.writeBatch(batch, table, batchId): Unit
+      }
+      .trigger(trigger)
+      .start()
 }

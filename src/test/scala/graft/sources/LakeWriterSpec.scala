@@ -47,4 +47,39 @@ class LakeWriterSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("PartitionFilters")
     plan should include regex "PartitionFilters: \\[.*date.*".r
   }
+
+  test("range-clustered write yields pairwise-disjoint file ranges " +
+    "(footer min/max skipping); a round-robin write does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val out = java.nio.file.Files.createTempDirectory("graft-clu").toString
+    val data = (1 to 20000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+
+    def fileRanges(dir: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(fmin($"id"), fmax($"id")).collect().head
+          (r.getLong(0), r.getLong(1))
+        }.sortBy(_._1)
+
+    LakeWriter.writeClustered(data.repartition(8), s"$out/clustered", "id", 4)
+    val clustered = fileRanges(s"$out/clustered")
+    clustered should have length 4
+    // pairwise disjoint: each file's max < next file's min — a range
+    // predicate touches exactly one file's stats window
+    clustered.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => aMax should be < bMin
+      case _ =>
+    }
+
+    data.repartition(4).write.parquet(s"$out/roundrobin")
+    val rr = fileRanges(s"$out/roundrobin")
+    // round-robin: every file spans ~the full id range — nothing skippable
+    rr.foreach { case (lo, hi) =>
+      lo should be < 3000L
+      hi should be > 17000L
+    }
+  }
 }
