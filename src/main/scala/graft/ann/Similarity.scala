@@ -121,25 +121,29 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64-derived
-    * components in [-1, 1]), precomputed driver-side and shipped as
-    * literal arrays — no per-row hashing, reproducible across executors
-    * and runs by construction. */
-  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.tabulate(nPlanes, dim)((p, i) =>
-      (math.floorMod(splitmix(p * 1000003L + i), 2000001L).toDouble /
-        1000000.0) - 1.0)
-  }
+    * components in [-1, 1]) — reproducible across executors and runs by
+    * construction. Components come from the single shared formula in
+    * [[graft.functions.HyperplaneSketch.planeComponent]]. */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)(
+      graft.functions.HyperplaneSketch.planeComponent)
 
-  /** Sign-sketch: bit p = (v · plane_p) > 0, packed into a long. */
-  def withSketch(embeddings: DataFrame, nPlanes: Int = 16, dim: Int = 64,
+  /** Sign-sketch: bit p = (v · plane_p) > 0, packed into a long — the
+    * native one-pass expression ([[graft.functions.HyperplaneSketch]]);
+    * bit-identical to the declarative fold form below (pinned in
+    * AnnSpec). */
+  def withSketch(embeddings: DataFrame, nPlanes: Int = 16,
                  embCol: String = "embedding",
-                 out: String = "sketch"): DataFrame = {
+                 out: String = "sketch"): DataFrame =
+    embeddings.withColumn(out,
+      graft.functions.HyperplaneSketch(asDouble(col(embCol)), nPlanes))
+
+  /** The declarative reference form of [[withSketch]] (literal plane
+    * arrays + interpreted folds) — kept as the independently-derived
+    * semantics the native expression is pinned against. */
+  def withSketchDeclarative(embeddings: DataFrame, nPlanes: Int = 16,
+                            dim: Int = 64, embCol: String = "embedding",
+                            out: String = "sketch"): DataFrame = {
     require(nPlanes <= 63, "sketch packs into a single long")
     val v = asDouble(col(embCol))
     val planeLits = planes(nPlanes, dim).map(p =>

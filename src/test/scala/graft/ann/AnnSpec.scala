@@ -77,6 +77,18 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[Double].collect().foreach(_ shouldBe 1.0 +- 1e-12)
   }
 
+  test("native hyperplane sketch is bit-identical to the declarative " +
+    "fold form") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val native = Similarity.withSketch(emb, nPlanes = 48)
+      .select($"vec_id", $"sketch").as[(Long, Long)].collect().toMap
+    val declarative = Similarity.withSketchDeclarative(emb, nPlanes = 48)
+      .select($"vec_id", $"sketch").as[(Long, Long)].collect().toMap
+    native.size should be > 0
+    native shouldBe declarative
+  }
+
   test("dot fold is strict left-to-right (bit-reproducibility contract)") {
     import spark.implicits._
     val df = Seq((Array(1e16, 1.0, -1e16), Array(1.0, 1.0, 1.0)))
