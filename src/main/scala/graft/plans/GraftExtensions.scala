@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramJaccard, SimHash64}
 
 /** Engine extension point (`spark.sql.extensions` /
   * `SparkSession.builder.withExtensions`): registers the engine's native
@@ -14,8 +15,40 @@ import graft.functions.CosineSimilarity
   * AQE's runtime filters but absent from the public registry) — the
   * building blocks of [[graft.operators.BloomJoin]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Tuning parameters of the native kernels (shingle width, hash count,
+    * plane count) shape the expression tree itself, so in SQL form they
+    * must be literal ints. */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got ${e.sql}")
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(CosineSimilarity.registration)
+    extensions.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        litInt(exprs(1), "minhash_signature"),
+        litInt(exprs(2), "minhash_signature"))))
+    extensions.injectFunction((
+      FunctionIdentifier("ngram_jaccard"),
+      new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
+      (exprs: Seq[Expression]) => NgramJaccard(exprs.head, exprs(1),
+        litInt(exprs(2), "ngram_jaccard"))))
+    extensions.injectFunction((
+      FunctionIdentifier("hyperplane_sketch"),
+      new ExpressionInfo(classOf[HyperplaneSketch].getName,
+        "hyperplane_sketch"),
+      (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head,
+        litInt(exprs(1), "hyperplane_sketch"))))
     extensions.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,

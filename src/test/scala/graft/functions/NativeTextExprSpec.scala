@@ -77,4 +77,31 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.foreach(_.getSeq[Long](2) should have length 8)
     rows(1).getDouble(3) shouldBe 1.0 // identical short docs
   }
+
+  test("all native kernels are callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+        |  minhash_signature('a b c d e', 3, 8) AS mh,
+        |  ngram_jaccard('a b c d', 'a b c d', 3) AS j,
+        |  hyperplane_sketch(array(1.0d, -0.5d, 0.25d), 16) AS hp,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs
+        |""".stripMargin).collect().head match {
+      case r =>
+        r.getSeq[Long](r.fieldIndex("mh")) should have length 8
+        r.getDouble(r.fieldIndex("j")) shouldBe 1.0
+        r.getDouble(r.fieldIndex("cs")) shouldBe 1.0 +- 1e-12
+    }
+    // SQL values match the Column-API expressions exactly
+    val viaSql = spark.sql("SELECT simhash64('x y z') AS v").as[Long].head()
+    val viaCol = Seq("x y z").toDF("t")
+      .select(SimHash64($"t")).as[Long].head()
+    viaSql shouldBe viaCol
+    // non-literal tuning parameters are rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sketch(array(1.0d), CAST(rand()*4 AS INT))")
+        .collect()
+    }
+    err.getMessage should include("literal integer")
+  }
 }
