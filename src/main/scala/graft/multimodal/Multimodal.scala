@@ -64,6 +64,21 @@ object Multimodal {
       (pmod(col("doc_id"), lit(4)) * 160 + lit(320)).cast("int").as("width"),
       (pmod(col("doc_id"), lit(4)) * 90 + lit(180)).cast("int").as("height"))
 
+  /** Frame-sample + resize stage (STUB codec): keeps every `everyNth`
+    * payload byte (standing in for frame decimation) and halves the
+    * declared dimensions (standing in for a resampler). The shape is the
+    * production contract — a narrow mapPartitions pass, binary payloads
+    * never shuffled, metadata transformed alongside the bytes; swapping
+    * [[StubCodec.sampleBytes]] for a real codec changes nothing
+    * downstream. */
+  def sampleMedia(media: Dataset[MediaRecord],
+                  everyNth: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      r.copy(content = StubCodec.sampleBytes(r.content, everyNth),
+        width = r.width / 2, height = r.height / 2)))
+  }
+
   /** Partition-batched feature extraction — the Scala analog of an Arrow
     * `mapInPandas` stage: each task walks its partition in bounded
     * batches, calls the (stub) codec per item, and emits the typed
@@ -118,10 +133,36 @@ object MultimodalQueries {
         concat_ws(",", $"features".cast("array<string>")).as("features_csv"))
   }
 
+  /** mm3 — the frame-sample/resize stage. Byte decimation length and the
+    * metadata transform are deterministic arithmetic over the synthetic
+    * table, so the stage is fully oracle-checkable; the exact sampled
+    * BYTES (which no SQL oracle can re-derive byte-for-byte cheaply) are
+    * pinned in MultimodalSpec. */
+  def mm3MediaSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.syntheticMediaTable(
+      graft.core.Tables.documents(s, d)).as[Multimodal.MediaRecord]
+    Multimodal.sampleMedia(media, everyNth = 4).toDF()
+      .select($"media_id", length($"content").as("sampled_len"),
+        $"format", $"width".as("new_width"), $"height".as("new_height"))
+  }
+
+  val mm3Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS INTEGER)
+      |    AS sampled_len,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  CAST((doc_id % 4 * 160 + 320) // 2 AS INTEGER) AS new_width,
+      |  CAST((doc_id % 4 * 90 + 180) // 2 AS INTEGER) AS new_height
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta" -> (mm1MediaMeta _),
-    "mm2_media_features" -> (mm2MediaFeatures _))
+    "mm2_media_features" -> (mm2MediaFeatures _),
+    "mm3_media_sample" -> (mm3MediaSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm1_media_meta" -> mm1Oracle)
+    "mm1_media_meta" -> mm1Oracle,
+    "mm3_media_sample" -> mm3Oracle)
 }

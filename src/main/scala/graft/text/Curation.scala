@@ -24,8 +24,12 @@ object Curation {
   /** Every input row with its audit columns and nullable `drop_reason`
     * (null = kept). */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val withStats = TextStats.quality(
-      TextStats.fingerprint(TextStats.langId(docs)))
+    // Tokenize ONCE for the whole cascade: langId and quality share the
+    // same token array instead of each splitting the text again.
+    val withStats = TextStats.qualityTokenized(
+      TextStats.fingerprint(TextStats.langIdTokenized(
+        docs.withColumn("__toks", TextStats.tokenize("text")))))
+      .drop("__toks")
     val keeperWindow = Window.partitionBy(col("fingerprint"))
     withStats
       .withColumn("is_keeper",

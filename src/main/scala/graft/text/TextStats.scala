@@ -38,14 +38,20 @@ object TextStats {
     * re-tokenize the document 5× (and CollapseProject keeps a multiply-
     * referenced alias, so the single split survives optimization) — at a
     * 100 TB corpus scan that is the dominant cost of the operator. */
-  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val withToks = df.withColumn("__toks", tokens(col(textCol)))
-    val withHits = langProfiles.foldLeft(withToks) { case (acc, (lang, words)) =>
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame =
+    langIdTokenized(df.withColumn("__toks", tokens(col(textCol))), textCol)
+      .drop("__toks")
+
+  /** [[langId]] over a pre-tokenized `__toks` column — lets a cascade
+    * ([[Curation.annotate]]) tokenize once and share the array between
+    * langId and quality instead of splitting the text per stage. */
+  private[text] def langIdTokenized(df: DataFrame,
+                                    textCol: String = "text"): DataFrame = {
+    val withHits = langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
       acc.withColumn(s"hits_$lang", hits(col("__toks"), words))
     }.withColumn("cjk_chars",
       length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", "")))
       .withColumn("n_tokens", size(col("__toks")))
-      .drop("__toks")
     val best = langProfiles.map(_._1).foldRight(lit("und")) {
       case (lang, elseCol) =>
         val isMax = langProfiles.map(_._1).filter(_ != lang)
@@ -60,13 +66,18 @@ object TextStats {
 
   /** Quality scoring: the shape/char-class ratios a pretraining filter
     * keys on (C4/Gopher-style length + symbol + stopword heuristics). */
-  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityTokenized(df.withColumn("__toks", tokens(col(textCol))), textCol)
+      .drop("__toks")
+
+  /** [[quality]] over a pre-tokenized `__toks` column (see
+    * [[langIdTokenized]]). Every `size(tokens(t))` would otherwise be
+    * its own split tree. */
+  private[text] def qualityTokenized(df: DataFrame,
+                                     textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    // Tokenize once (same single-split discipline as langId): every
-    // `size(tokens(t))` below would otherwise be its own split tree.
     val nToks = size(col("__toks"))
-    df.withColumn("__toks", tokens(t))
-      .withColumn("n_chars_q", length(t))
+    df.withColumn("n_chars_q", length(t))
       .withColumn("n_tokens", nToks)
       .withColumn("avg_token_len",
         (length(t) - nToks + 1).cast("double") / nToks)
@@ -79,8 +90,11 @@ object TextStats {
           length(t))
       .withColumn("stopword_ratio",
         hits(col("__toks"), langProfiles.head._2).cast("double") / nToks)
-      .drop("__toks")
   }
+
+  /** The shared tokenizer, exposed for cascades that pre-tokenize. */
+  private[text] def tokenize(textCol: String): Column =
+    tokens(col(textCol))
 
   /** Token counting, two ways: whitespace tokens and a BPE-ish regex
     * lexer (letter runs / digit runs / single non-space symbols) — the

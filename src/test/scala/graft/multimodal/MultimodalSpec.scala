@@ -50,4 +50,17 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     Multimodal.StubCodec.sampleBytes(bytes, 3).toSeq shouldBe
       Seq[Byte](0, 3, 6, 9)
   }
+
+  test("sampleMedia decimates payload bytes and halves dimensions") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "abcdefgh".getBytes("UTF-8"),
+        "png", 640, 360)).toDS()
+    val out = Multimodal.sampleMedia(media, everyNth = 3).collect().head
+    new String(out.content, "UTF-8") shouldBe "adg"
+    out.width shouldBe 320
+    out.height shouldBe 180
+    out.format shouldBe "png"
+    out.media_id shouldBe 1L
+  }
 }
