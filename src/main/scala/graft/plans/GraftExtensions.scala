@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramJaccard, SimHash64}
+import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramJaccard, SimHash64, WinnowFingerprint}
 
 /** Engine extension point (`spark.sql.extensions` /
   * `SparkSession.builder.withExtensions`): registers the engine's native
@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hyperplane_sketch"),
       (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head,
         litInt(exprs(1), "hyperplane_sketch"))))
+    extensions.injectFunction((
+      FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName,
+        "winnow_fingerprint"),
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs.head,
+        litInt(exprs(1), "winnow_fingerprint"),
+        litInt(exprs(2), "winnow_fingerprint"))))
     extensions.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,

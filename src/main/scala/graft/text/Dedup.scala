@@ -194,6 +194,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- D5: winnowing fingerprint overlap ----
+
+  /** Near-dup pairs by winnowed rolling-hash fingerprint overlap (the
+    * MOSS scheme): each document's sparse fingerprint set
+    * ([[graft.functions.WinnowFingerprint]]) explodes to (fingerprint,
+    * doc) rows; documents sharing a fingerprint pair up bucket-locally —
+    * candidates scale with collisions, never N². Fingerprints appearing
+    * in more than `maxDocFreq` documents are dropped first (stop-
+    * fingerprints: boilerplate shared by everything would otherwise
+    * create hot buckets — the same reason inverted indexes drop
+    * stopwords). The winnowing guarantee bounds recall: any shared
+    * substring of ≥ window+k-1 chars shares ≥ 1 fingerprint. */
+  def winnowPairs(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", k: Int = 8, window: Int = 16,
+                  minShared: Int = 3, maxDocFreq: Int = 10): DataFrame = {
+    val fps = graft.core.TransientCache.persist(
+      df.select(col(idCol),
+          explode(graft.functions.WinnowFingerprint(col(textCol), k, window))
+            .as("fp"))
+        // stop-fingerprint pruning: one narrow agg over the exploded rows
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= maxDocFreq)
+        .drop("df"))
+    val a = fps.select(col("fp"), col(idCol).as("id_a"))
+    val b = fps.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- D4: blocked n-gram Jaccard ----
 
   /** Exact n-gram Jaccard over a deterministic blocking scheme: each doc

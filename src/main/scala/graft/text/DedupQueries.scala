@@ -50,6 +50,18 @@ object DedupQueries {
   def dd3Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(withExactCopies(Tables.documents(s, d)))
 
+  /** Winnowing fingerprint-overlap near-dup pairs (the MOSS scheme) over
+    * the planted corpus. Rolling-hash fingerprint values are
+    * engine-internal → rows-only driver check; the planted-recall and
+    * winnowing-guarantee contracts are pinned in DedupSpec /
+    * NativeTextExprSpec. */
+  def dd6Winnow(s: SparkSession, d: String): DataFrame =
+    // maxDocFreq raised from the production default: the synthetic corpus
+    // draws from a tiny vocabulary, so cross-document k-gram collisions
+    // are far denser than in real text
+    Dedup.winnowPairs(withNearCopies(Tables.documents(s, d)),
+      maxDocFreq = 30)
+
   /** Blocked n-gram Jaccard — deterministic successor pairing inside each
     * lang block; the Jaccard kernel is exact → full oracle. */
   def dd4NgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -97,7 +109,8 @@ object DedupQueries {
     "dd2_minhash_lsh" -> (dd2MinhashLsh _),
     "dd3_simhash" -> (dd3Simhash _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
-    "dd5_embed_neardup" -> (dd5EmbedNearDup _))
+    "dd5_embed_neardup" -> (dd5EmbedNearDup _),
+    "dd6_winnow" -> (dd6Winnow _))
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" -> dd1Oracle,

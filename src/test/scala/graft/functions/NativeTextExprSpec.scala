@@ -78,6 +78,26 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(1).getDouble(3) shouldBe 1.0 // identical short docs
   }
 
+  test("winnowing guarantee: a shared substring of window+k-1 chars " +
+    "yields a shared fingerprint; disjoint texts share none") {
+    val k = 8; val w = 16
+    val shared = "the quick brown fox jumps over the lazy dog today"
+    require(shared.length >= w + k - 1)
+    val a = WinnowFingerprint.fingerprints(s"AAAA $shared BBBB", k, w).toSet
+    val b = WinnowFingerprint.fingerprints(s"XXXX $shared YYYY", k, w).toSet
+    a.intersect(b) should not be empty
+    val c = WinnowFingerprint.fingerprints(
+      "0123456789 zyxwvutsrq 9876543210 qrstuvwxyz", k, w).toSet
+    a.intersect(c) shouldBe empty
+    // deterministic + sparse: far fewer fingerprints than k-grams
+    WinnowFingerprint.fingerprints(shared, k, w) shouldBe
+      WinnowFingerprint.fingerprints(shared, k, w)
+    a.size should be < shared.length
+    // short-document degradation
+    WinnowFingerprint.fingerprints("ab", k, w) should have length 1
+    WinnowFingerprint.fingerprints("", k, w) shouldBe Array(0L)
+  }
+
   test("all native kernels are callable from SQL via GraftExtensions") {
     import spark.implicits._
     spark.sql(

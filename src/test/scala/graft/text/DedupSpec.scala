@@ -71,4 +71,26 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"shingles").collect().head.getSeq[String](0)
     out shouldBe Seq("one two")
   }
+
+  test("winnow pairs: planted first-token edits are recovered with high " +
+    "fingerprint overlap") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val planted = docs.unionByName(
+      docs.filter($"doc_id" < 5)
+        .withColumn("doc_id", $"doc_id" + 100000)
+        .withColumn("text", regexp_replace($"text", "^\\S+", "qqq")))
+    // maxDocFreq=30: the synthetic corpus's tiny vocabulary makes
+    // cross-doc k-gram collisions much denser than real text, so the
+    // production default (10) over-prunes here
+    val pairs = Dedup.winnowPairs(planted, maxDocFreq = 30)
+      .select($"id_a", $"id_b", $"n_shared").as[(Long, Long, Long)]
+      .collect()
+    graft.core.TransientCache.drain()
+    val plantedPairs = pairs.filter { case (a, b, _) => b == a + 100000 }
+    plantedPairs should have length 5
+    // a first-token edit leaves almost the whole document intact: the
+    // planted pair shares far more than the 3-fingerprint floor
+    all(plantedPairs.map(_._3)) should be >= 5L
+  }
 }
