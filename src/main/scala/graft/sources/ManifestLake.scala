@@ -85,12 +85,45 @@ object ManifestLake {
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
     * list is resolved NOW — the returned frame is immune to concurrent
-    * commits and compactions. */
+    * commits and compactions. `basePath` makes Hive-style partition
+    * columns in the relative paths (`date=20250219/...`) reconstruct as
+    * data columns. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, version)
     val base = new Path(table)
-    spark.read.parquet(snap.files.map(f => new Path(base, f).toString): _*)
+    spark.read.option("basePath", table)
+      .parquet(snap.files.map(f => new Path(base, f).toString): _*)
+  }
+
+  /** Partition values encoded in a manifest path, e.g.
+    * `date=20250219/time=120000/v...parquet` → date/time entries. */
+  private def partitionValues(relPath: String): Map[String, String] =
+    relPath.split('/').init.collect {
+      case seg if seg.contains('=') =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+    }.toMap
+
+  /** Manifest-level partition pruning: read only the snapshot files whose
+    * Hive-style path segments match every given k=v filter. The pruning
+    * happens against the manifest STRING LIST — no directory listing and
+    * no footer open for pruned partitions, which is what makes a
+    * time-partitioned 100 TB table answer a one-day query with one day's
+    * I/O. */
+  def readPruned(spark: SparkSession, table: String,
+                 partitionFilters: Map[String, String],
+                 version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    val keep = snap.files.filter { f =>
+      val vals = partitionValues(f)
+      partitionFilters.forall { case (k, v) => vals.get(k).contains(v) }
+    }
+    require(keep.nonEmpty,
+      s"no files match partition filter $partitionFilters in $table v${snap.version}")
+    val base = new Path(table)
+    spark.read.option("basePath", table)
+      .parquet(keep.map(f => new Path(base, f).toString): _*)
   }
 
   /** Publish `files` (relative names) as the next version. Atomic: the
@@ -117,28 +150,53 @@ object ManifestLake {
     next
   }
 
+  /** Recursive parquet listing under `root`, as root-relative paths. */
+  private def listParquetRec(fs: FileSystem, root: Path): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  private def relativize(root: Path, p: Path): String = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+  }
+
   /** Stage `df` as new immutable data files and commit them. `append`
     * keeps the previous snapshot's files; otherwise the new files replace
     * them (the old files stay on disk for existing readers until
-    * [[vacuum]]). Returns the committed version. */
+    * [[vacuum]]). With `partitionBy`, files land under Hive-style
+    * partition directories and the manifest records the partitioned
+    * relative paths — [[readPruned]] then prunes on them. Returns the
+    * committed version. */
   def write(df: DataFrame, table: String, append: Boolean = true,
-            batchId: Option[Long] = None): Long = {
+            batchId: Option[Long] = None,
+            partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
     val next = prev.getOrElse(0L) + 1
     val staging = new Path(p, f"_staging-v$next%08d")
     fs.delete(staging, true)
-    df.write.parquet(staging.toString)
-    val staged = fs.listStatus(staging)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
+    val writer = df.write
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(staging.toString)
+    val staged = listParquetRec(fs, staging)
+      .sortBy(src => relativize(staging, src))
     val moved = staged.zipWithIndex.map { case (src, i) =>
-      val name = f"v$next%08d-$i%05d.parquet"
-      if (!fs.rename(src, new Path(p, name)))
+      val dir = relativize(staging, src.getParent)
+      val name = (if (dir.isEmpty) "" else dir + "/") +
+        f"v$next%08d-$i%05d.parquet"
+      val dest = new Path(p, name)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to publish $name in $table")
       name
-    }.toSeq
+    }
     fs.delete(staging, true)
     val base = if (append && prev.isDefined)
       snapshot(spark, table, prev).files else Seq.empty
@@ -172,10 +230,14 @@ object ManifestLake {
     // repartition (not coalesce): coalesce would narrow the upstream scan
     // to nFiles tasks; repartition keeps the read wide, only the write narrow.
     // The snapshot's streaming batch id carries forward so a compaction
-    // never erases the sink's replay high-water mark.
+    // never erases the sink's replay high-water mark, and the partition
+    // layout (derived from the manifest paths) is preserved.
+    val partCols = snap.files.headOption.toSeq
+      .flatMap(f => f.split('/').init.filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))).distinct
     val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
     val newVersion = write(compacted, table, append = false,
-      batchId = snap.batchId)
+      batchId = snap.batchId, partitionBy = partCols)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
@@ -190,9 +252,9 @@ object ManifestLake {
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     val live = keep.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
-    val dataFiles = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName)
+    val dataFiles = listParquetRec(fs, p)
+      .map(f => relativize(p, f))
+      .filterNot(_.startsWith(ManifestDir))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
     drop.foreach(v => fs.delete(manifestPath(p, v), false))
