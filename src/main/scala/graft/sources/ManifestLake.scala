@@ -30,8 +30,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ManifestLake {
 
-  final case class Snapshot(version: Long, files: Seq[String],
-                            batchId: Option[Long] = None)
+  /** Per-file value range of one column, read once from the parquet
+    * footer at commit time — Iceberg-style file metrics. */
+  final case class ColRange(col: String, min: BigDecimal, max: BigDecimal)
+
+  /** One manifest entry: a relative data-file path plus optional column
+    * range. Serialized as a tab-separated line (`path[\tcol\tmin\tmax]`). */
+  final case class FileEntry(path: String, range: Option[ColRange] = None) {
+    def line: String =
+      range.map(r => s"$path\t${r.col}\t${r.min}\t${r.max}").getOrElse(path)
+  }
+
+  object FileEntry {
+    def parse(line: String): FileEntry = line.split('\t') match {
+      case Array(p) => FileEntry(p)
+      case Array(p, c, mn, mx) =>
+        FileEntry(p, Some(ColRange(c, BigDecimal(mn), BigDecimal(mx))))
+      case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
+    }
+  }
+
+  final case class Snapshot(version: Long, entries: Seq[FileEntry],
+                            batchId: Option[Long] = None) {
+    def files: Seq[String] = entries.map(_.path)
+  }
+
   final case class CompactReport(filesBefore: Int, filesAfter: Int,
                                  newVersion: Long)
 
@@ -80,7 +103,8 @@ object ManifestLake {
     val batchId = lines.collectFirst {
       case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).toLong
     }
-    Snapshot(v, lines.filterNot(_.startsWith("#")), batchId)
+    Snapshot(v, lines.filterNot(_.startsWith("#")).map(FileEntry.parse),
+      batchId)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -175,9 +199,11 @@ object ManifestLake {
     * committed version. */
   def write(df: DataFrame, table: String, append: Boolean = true,
             batchId: Option[Long] = None,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsFor(spark, table)
+    val conf = spark.sparkContext.hadoopConfiguration
     val prev = currentVersion(spark, table)
     val next = prev.getOrElse(0L) + 1
     val staging = new Path(p, f"_staging-v$next%08d")
@@ -195,12 +221,60 @@ object ManifestLake {
       fs.mkdirs(dest.getParent)
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to publish $name in $table")
-      name
+      // footer-only metadata read; no data pages touched
+      val range = statsCol.flatMap(c =>
+        footerRange(conf, dest, c).map { case (mn, mx) => ColRange(c, mn, mx) })
+      FileEntry(name, range).line
     }
     fs.delete(staging, true)
     val base = if (append && prev.isDefined)
-      snapshot(spark, table, prev).files else Seq.empty
+      snapshot(spark, table, prev).entries.map(_.line) else Seq.empty
     commit(fs, p, base ++ moved, prev, batchId)
+  }
+
+  /** Min/max of `col` across a parquet file's row groups, from the
+    * footer alone. None for non-numeric columns, all-null chunks, or
+    * missing stats — readers treat None conservatively (never skip). */
+  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
+                          file: Path, col: String): Option[(BigDecimal, BigDecimal)] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val stats = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == col).map(_.getStatistics))
+        .filter(s => s != null && s.hasNonNullValue)
+      if (stats.isEmpty) None
+      else scala.util.Try {
+        (stats.map(s => BigDecimal(s.genericGetMin.toString)).min,
+          stats.map(s => BigDecimal(s.genericGetMax.toString)).max)
+      }.toOption
+    } finally reader.close()
+  }
+
+  /** Range query with manifest-level file skipping: files whose recorded
+    * `[min, max]` of `colName` misses `[lo, hi]` are never opened (no
+    * listing, no footer); files without recorded stats are kept
+    * conservatively. The predicate is still applied to the survivors, so
+    * the result is exact regardless of stats coverage. Combined with a
+    * range-clustered write ([[LakeWriter.writeClustered]] semantics +
+    * `statsCol`), a narrow range query touches O(selectivity) files
+    * instead of O(table). */
+  def readRange(spark: SparkSession, table: String, colName: String,
+                lo: Double, hi: Double,
+                version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, table, version)
+    val (bLo, bHi) = (BigDecimal(lo), BigDecimal(hi))
+    val keep = snap.entries.filter(_.range.forall(r =>
+      r.col != colName || (r.max >= bLo && r.min <= bHi)))
+    require(keep.nonEmpty,
+      s"no files can contain $colName in [$lo, $hi] in $table v${snap.version}")
+    val base = new Path(table)
+    spark.read.option("basePath", table)
+      .parquet(keep.map(e => new Path(base, e.path).toString): _*)
+      .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
   /** Idempotent micro-batch append: commits `df` with `batchId` recorded
@@ -210,11 +284,16 @@ object ManifestLake {
     * nothing twice. With the single-writer-per-table streaming contract,
     * a replay is always of the latest batch, so checking only the
     * current snapshot's id is sufficient. */
-  def writeBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
+  def writeBatch(df: DataFrame, table: String, batchId: Long,
+                 partitionBy: Seq[String] = Nil): Boolean = {
     val already = currentVersion(df.sparkSession, table).exists(v =>
       snapshot(df.sparkSession, table, Some(v)).batchId.exists(_ >= batchId))
     if (already) false
-    else { write(df, table, append = true, batchId = Some(batchId)); true }
+    else {
+      write(df, table, append = true, batchId = Some(batchId),
+        partitionBy = partitionBy)
+      true
+    }
   }
 
   /** Rewrite the current snapshot to ~`targetFileBytes` files and commit
@@ -235,9 +314,10 @@ object ManifestLake {
     val partCols = snap.files.headOption.toSeq
       .flatMap(f => f.split('/').init.filter(_.contains('='))
         .map(_.takeWhile(_ != '='))).distinct
+    val statsCol = snap.entries.flatMap(_.range).map(_.col).distinct.headOption
     val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
     val newVersion = write(compacted, table, append = false,
-      batchId = snap.batchId, partitionBy = partCols)
+      batchId = snap.batchId, partitionBy = partCols, statsCol = statsCol)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }

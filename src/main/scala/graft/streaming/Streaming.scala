@@ -167,12 +167,14 @@ object Streaming {
     * Delta/Iceberg streaming sink provides, on plain parquet. */
   def streamToLake(streamed: DataFrame, table: String,
                    checkpoint: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   partitionBy: Seq[String] = Nil): StreamingQuery =
     streamed.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.ManifestLake.writeBatch(batch, table, batchId): Unit
+        graft.sources.ManifestLake.writeBatch(batch, table, batchId,
+          partitionBy = partitionBy): Unit
       }
       .trigger(trigger)
       .start()

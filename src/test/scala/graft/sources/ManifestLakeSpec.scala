@@ -94,6 +94,33 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, t).count() shouldBe 400
   }
 
+  test("manifest column stats skip files outside a range query; " +
+    "stats-less manifests never skip") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+    ManifestLake.write(data, t, statsCol = Some("id"))
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.entries should have length 4
+    snap.entries.flatMap(_.range) should have length 4
+    val narrow = ManifestLake.readRange(spark, t, "id", 100, 200)
+    narrow.count() shouldBe 101
+    // ids 100-200 sit in at most 2 of the 4 range-clustered files; the
+    // others are skipped from the manifest alone
+    narrow.inputFiles.length should be <= 2
+    // compaction preserves the stats column
+    ManifestLake.compact(spark, t)
+    ManifestLake.snapshot(spark, t).entries
+      .flatMap(_.range).map(_.col).distinct shouldBe Seq("id")
+
+    val t2 = freshTable()
+    ManifestLake.write(data, t2) // no statsCol recorded
+    val all = ManifestLake.readRange(spark, t2, "id", 100, 200)
+    all.count() shouldBe 101 // exact despite no stats — just no skipping
+    all.inputFiles should have length 4
+  }
+
   test("losing a commit race surfaces as an error, not silent overwrite") {
     val t = freshTable()
     ManifestLake.write(rows(1 to 10), t)
