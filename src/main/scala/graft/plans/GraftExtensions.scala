@@ -25,37 +25,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal integer parameter, got ${e.sql}")
   }
 
+  /** A wrong argument count must name the expected signature, not
+    * surface as an IndexOutOfBoundsException from exprs(n). */
+  private def arity(exprs: Seq[Expression], n: Int, sig: String): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"expected $sig, got ${exprs.length} argument(s)")
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(CosineSimilarity.registration)
     extensions.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "simhash64(text)")
+        SimHash64(exprs.head)
+      }))
     extensions.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName,
         "minhash_signature"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
-        litInt(exprs(1), "minhash_signature"),
-        litInt(exprs(2), "minhash_signature"))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "minhash_signature(text, shingleWidth, numHashes)")
+        MinHashSignature(exprs.head,
+          litInt(exprs(1), "minhash_signature"),
+          litInt(exprs(2), "minhash_signature"))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("ngram_jaccard"),
       new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
-      (exprs: Seq[Expression]) => NgramJaccard(exprs.head, exprs(1),
-        litInt(exprs(2), "ngram_jaccard"))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "ngram_jaccard(textA, textB, shingleWidth)")
+        NgramJaccard(exprs.head, exprs(1), litInt(exprs(2), "ngram_jaccard"))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),
       new ExpressionInfo(classOf[HyperplaneSketch].getName,
         "hyperplane_sketch"),
-      (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head,
-        litInt(exprs(1), "hyperplane_sketch"))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "hyperplane_sketch(vec, nPlanes)")
+        HyperplaneSketch(exprs.head, litInt(exprs(1), "hyperplane_sketch"))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName,
         "winnow_fingerprint"),
-      (exprs: Seq[Expression]) => WinnowFingerprint(exprs.head,
-        litInt(exprs(1), "winnow_fingerprint"),
-        litInt(exprs(2), "winnow_fingerprint"))))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "winnow_fingerprint(text, k, window)")
+        WinnowFingerprint(exprs.head,
+          litInt(exprs(1), "winnow_fingerprint"),
+          litInt(exprs(2), "winnow_fingerprint"))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,

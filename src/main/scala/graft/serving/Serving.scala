@@ -138,9 +138,13 @@ private[serving] object EsRest {
     val out = conn.getOutputStream
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val code = conn.getResponseCode
-    val resp = scala.io.Source.fromInputStream(
-      if (code < 400) conn.getInputStream else conn.getErrorStream)
-      .mkString
+    // getErrorStream is null when the error response has no body — a
+    // 401 with an empty body must surface as the HTTP failure below,
+    // not as an NPE that masks it
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp =
+      if (stream == null) ""
+      else scala.io.Source.fromInputStream(stream).mkString
     conn.disconnect()
     if (code < 200 || code >= 300)
       throw new java.io.IOException(s"bulk write to $url failed: HTTP $code $resp")

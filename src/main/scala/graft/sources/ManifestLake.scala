@@ -51,7 +51,8 @@ object ManifestLake {
   }
 
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
-                            batchId: Option[Long] = None) {
+                            batchId: Option[Long] = None,
+                            appId: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -61,6 +62,7 @@ object ManifestLake {
   private val ManifestDir = "_manifests"
   private val ManifestRe = "^v(\\d{8})\\.manifest$".r
   private val BatchHeader = "#batch="
+  private val AppHeader = "#app="
 
   private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -103,8 +105,11 @@ object ManifestLake {
     val batchId = lines.collectFirst {
       case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).toLong
     }
+    val appId = lines.collectFirst {
+      case l if l.startsWith(AppHeader) => l.stripPrefix(AppHeader)
+    }
     Snapshot(v, lines.filterNot(_.startsWith("#")).map(FileEntry.parse),
-      batchId)
+      batchId, appId)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -143,8 +148,11 @@ object ManifestLake {
       val vals = partitionValues(f)
       partitionFilters.forall { case (k, v) => vals.get(k).contains(v) }
     }
-    require(keep.nonEmpty,
-      s"no files match partition filter $partitionFilters in $table v${snap.version}")
+    // an empty match is a valid (empty) answer, not an error — keep the
+    // snapshot's schema by folding the full read to an empty relation
+    if (keep.isEmpty)
+      return read(spark, table, Some(snap.version))
+        .filter(org.apache.spark.sql.functions.lit(false))
     val base = new Path(table)
     spark.read.option("basePath", table)
       .parquet(keep.map(f => new Path(base, f).toString): _*)
@@ -155,23 +163,49 @@ object ManifestLake {
     * fails if a racing committer already published the same version. */
   private[sources] def commit(fs: FileSystem, table: Path, files: Seq[String],
                               prev: Option[Long],
-                              batchId: Option[Long] = None): Long = {
+                              batchId: Option[Long] = None,
+                              appId: Option[String] = None): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-v$next%08d-${files.hashCode}%08x")
-    val header = batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
+    val header = batchId.map(b => s"$BatchHeader$b\n").getOrElse("") +
+      appId.map(a => s"$AppHeader$a\n").getOrElse("")
     val out = fs.create(tmp, false)
     try out.write((header + files.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = manifestPath(table, next)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    if (!publishExclusive(fs, tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit lost race for version $next in $table")
     }
     next
+  }
+
+  /** Atomically publish `tmp` as `target`, failing (not replacing) if
+    * `target` exists. HDFS rename has fail-on-exists semantics natively,
+    * but the local filesystem's rename is POSIX rename, which silently
+    * REPLACES the destination — an exists()+rename pair is a TOCTOU race
+    * where two committers both "win" the same version and one commit
+    * silently vanishes. On `file:` schemes we publish with a hard link
+    * instead: link creation is atomic and raises EEXIST if the target
+    * appeared in between, which is exactly the lose-the-race signal. */
+  private def publishExclusive(fs: FileSystem, tmp: Path,
+                               target: Path): Boolean = {
+    if (fs.exists(target)) return false
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(tmp, target)
   }
 
   /** Recursive parquet listing under `root`, as root-relative paths. */
@@ -200,7 +234,8 @@ object ManifestLake {
   def write(df: DataFrame, table: String, append: Boolean = true,
             batchId: Option[Long] = None,
             partitionBy: Seq[String] = Nil,
-            statsCol: Option[String] = None): Long = {
+            statsCol: Option[String] = None,
+            appId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsFor(spark, table)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -229,7 +264,7 @@ object ManifestLake {
     fs.delete(staging, true)
     val base = if (append && prev.isDefined)
       snapshot(spark, table, prev).entries.map(_.line) else Seq.empty
-    commit(fs, p, base ++ moved, prev, batchId)
+    commit(fs, p, base ++ moved, prev, batchId, appId)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -269,29 +304,40 @@ object ManifestLake {
     val (bLo, bHi) = (BigDecimal(lo), BigDecimal(hi))
     val keep = snap.entries.filter(_.range.forall(r =>
       r.col != colName || (r.max >= bLo && r.min <= bHi)))
-    require(keep.nonEmpty,
-      s"no files can contain $colName in [$lo, $hi] in $table v${snap.version}")
+    // stats proving "nothing can match" is a correct empty answer — the
+    // same query on a stats-less table would return 0 rows, not throw
+    if (keep.isEmpty)
+      return read(spark, table, Some(snap.version))
+        .filter(org.apache.spark.sql.functions.lit(false))
     val base = new Path(table)
     spark.read.option("basePath", table)
       .parquet(keep.map(e => new Path(base, e.path).toString): _*)
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
-  /** Idempotent micro-batch append: commits `df` with `batchId` recorded
-    * in the manifest, and SKIPS the write when the current snapshot
-    * already carries `batchId` — a replayed batch (post-crash
-    * re-execution of the same epoch by Structured Streaming) commits
-    * nothing twice. With the single-writer-per-table streaming contract,
-    * a replay is always of the latest batch, so checking only the
-    * current snapshot's id is sufficient. */
+  /** Idempotent micro-batch append: commits `df` with `(appId, batchId)`
+    * recorded in the manifest, and SKIPS the write when the current
+    * snapshot already carries that epoch FROM THE SAME APP — a replayed
+    * batch (post-crash re-execution of the same epoch by Structured
+    * Streaming) commits nothing twice. The app identity (the sink's
+    * checkpoint location) scopes the high-water mark: a stream restarted
+    * with a FRESH checkpoint renumbers its batches from 0, and without
+    * the scoping its first batches would be silently discarded against
+    * the old stream's mark. With the single-writer-per-table streaming
+    * contract, a replay is always of the latest batch, so checking only
+    * the current snapshot is sufficient. */
   def writeBatch(df: DataFrame, table: String, batchId: Long,
-                 partitionBy: Seq[String] = Nil): Boolean = {
-    val already = currentVersion(df.sparkSession, table).exists(v =>
-      snapshot(df.sparkSession, table, Some(v)).batchId.exists(_ >= batchId))
+                 partitionBy: Seq[String] = Nil,
+                 appId: String = "default"): Boolean = {
+    val already = currentVersion(df.sparkSession, table).exists { v =>
+      val snap = snapshot(df.sparkSession, table, Some(v))
+      snap.appId.getOrElse("default") == appId &&
+        snap.batchId.exists(_ >= batchId)
+    }
     if (already) false
     else {
       write(df, table, append = true, batchId = Some(batchId),
-        partitionBy = partitionBy)
+        partitionBy = partitionBy, appId = Some(appId))
       true
     }
   }
@@ -317,7 +363,8 @@ object ManifestLake {
     val statsCol = snap.entries.flatMap(_.range).map(_.col).distinct.headOption
     val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
     val newVersion = write(compacted, table, append = false,
-      batchId = snap.batchId, partitionBy = partCols, statsCol = statsCol)
+      batchId = snap.batchId, partitionBy = partCols, statsCol = statsCol,
+      appId = snap.appId)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
@@ -334,7 +381,10 @@ object ManifestLake {
     val live = keep.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
     val dataFiles = listParquetRec(fs, p)
       .map(f => relativize(p, f))
-      .filterNot(_.startsWith(ManifestDir))
+      // never touch the manifest dir or a concurrent writer's staging
+      // area — staged files are in no manifest yet by construction and
+      // deleting them would corrupt the in-flight commit
+      .filterNot(f => f.startsWith(ManifestDir) || f.startsWith("_staging"))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
     drop.foreach(v => fs.delete(manifestPath(p, v), false))

@@ -173,8 +173,12 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the checkpoint location IS the stream's transactional identity:
+        // a fresh checkpoint renumbers epochs from 0, and scoping the
+        // lake's replay high-water mark to it keeps those first batches
+        // from being mistaken for replays of the previous stream
         graft.sources.ManifestLake.writeBatch(batch, table, batchId,
-          partitionBy = partitionBy): Unit
+          partitionBy = partitionBy, appId = checkpoint): Unit
       }
       .trigger(trigger)
       .start()

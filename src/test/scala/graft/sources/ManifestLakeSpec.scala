@@ -119,6 +119,9 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     val all = ManifestLake.readRange(spark, t2, "id", 100, 200)
     all.count() shouldBe 101 // exact despite no stats — just no skipping
     all.inputFiles should have length 4
+
+    // stats proving "nothing matches" yields an empty frame, not a crash
+    ManifestLake.readRange(spark, t, "id", 50000, 60000).count() shouldBe 0
   }
 
   test("losing a commit race surfaces as an error, not silent overwrite") {

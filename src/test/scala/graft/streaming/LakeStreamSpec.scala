@@ -72,4 +72,21 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.writeBatch(batch, table, batchId = 1L) shouldBe false
     ManifestLake.read(spark, table).count() shouldBe 4
   }
+
+  test("a fresh checkpoint (new app identity) is not mistaken for a replay") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-ls-a").toString + "/t"
+    val batch = Seq((1L, "a")).toDF("id", "v")
+    ManifestLake.writeBatch(batch, table, batchId = 5L,
+      appId = "ckpt-A") shouldBe true
+    // stream restarted with a NEW checkpoint renumbers epochs from 0 —
+    // these are new data, not replays of ckpt-A's epochs
+    ManifestLake.writeBatch(batch, table, batchId = 0L,
+      appId = "ckpt-B") shouldBe true
+    ManifestLake.read(spark, table).count() shouldBe 2
+    // a genuine replay within ckpt-B is still skipped
+    ManifestLake.writeBatch(batch, table, batchId = 0L,
+      appId = "ckpt-B") shouldBe false
+    ManifestLake.read(spark, table).count() shouldBe 2
+  }
 }
