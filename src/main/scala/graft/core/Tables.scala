@@ -31,9 +31,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.parquet stores INT64 TIMESTAMP(NANOS), surfaced as a raw
+    * nanos Long under `nanosAsLong` — this converts it to TimestampType
+    * via integer division (ns epochs exceed double's mantissa). Shared
+    * by the batch loader and the streaming reader so the nanos handling
+    * lives in exactly one place. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

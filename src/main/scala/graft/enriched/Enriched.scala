@@ -65,14 +65,22 @@ object Enriched {
     */
   def runStage(ss: DataFrame, si: DataFrame, lime: DataFrame,
                lakeRoot: String, subfolder: String = "default"): String = {
+    // Persist for the stage's lifetime: the gate runs two aggregate jobs
+    // and the write a third — without the persist the join/union plan
+    // executes three times AND the write could see different data than
+    // the gate approved if an input changed in between. Unpersisted in
+    // the same call, so nothing leaks into the session.
     val enriched = enrichedJoinVelibLime(ss, si, lime)
-    val failures = QualityGate.failures(enriched)
-    if (failures.nonEmpty)
-      throw new QualityGate.QualityGateException(failures)
-    val outPath = s"$lakeRoot/$EnrichedVelibLime$subfolder/"
-    Transforms.enforceSchema(enriched, graft.bike.BikeSchemas.enriched)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
-    outPath
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val failures = QualityGate.failures(enriched)
+      if (failures.nonEmpty)
+        throw new QualityGate.QualityGateException(failures)
+      val outPath = s"$lakeRoot/$EnrichedVelibLime$subfolder/"
+      Transforms.enforceSchema(enriched, graft.bike.BikeSchemas.enriched)
+        .write.mode(SaveMode.Overwrite).parquet(outPath)
+      outPath
+    } finally enriched.unpersist(blocking = false)
   }
 }
 

@@ -29,16 +29,28 @@ object BloomJoin {
         expr(s"bloom_filter_agg(xxhash64($rightKey), ${estimatedRightRows}L)")
           .as("__bf"))
       .collect().head.getAs[Array[Byte]]("__bf")
+    // bloom_filter_agg over ZERO rows yields NULL, and might_contain(NULL)
+    // is NULL — which both filter branches would drop, turning "anti-join
+    // against an empty right" (= every left row) into an empty result.
+    // An empty right side excludes nothing: return the left as-is.
+    if (bfBytes == null) return left
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val mightContain = ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ColumnBridge.expression(lit(bfBytes)),
         ColumnBridge.expression(xxhash64(col(leftKey)))))
-    val tagged = left.withColumn("__maybe", mightContain)
+    // persist: the two filter branches below would otherwise each rescan
+    // (and re-bloom) the full left side — scoped via TransientCache so a
+    // long-lived session frees it after the consuming action
+    val tagged = graft.core.TransientCache.persist(
+      left.withColumn("__maybe", mightContain))
     val definiteMisses = tagged.filter(!col("__maybe")).drop("__maybe")
     val needExactCheck = tagged.filter(col("__maybe")).drop("__maybe")
+    // alias the right key so same-named left/right keys (the common
+    // referential-integrity shape) don't make the join condition an
+    // ambiguous self-comparison
     definiteMisses.unionByName(
-      needExactCheck.join(right.select(col(rightKey)),
-        col(leftKey) === col(rightKey), "left_anti"))
+      needExactCheck.join(right.select(col(rightKey).as("__bj_rkey")),
+        col(leftKey) === col("__bj_rkey"), "left_anti"))
   }
 }

@@ -20,14 +20,19 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `skewed ⋈ other` on `key`, salted `saltFactor`
-    * ways. Salt assignment hashes the skewed row's key with a
-    * deterministic per-row component so replicas of one hot key spread
-    * across `saltFactor` reducers. */
+    * ways. The salt hashes the row's FULL CONTENT — deterministic under
+    * task re-execution, which matters: a salt from
+    * `monotonically_increasing_id` (or rand) changes when a stage
+    * retries after a fetch failure, routing rows to different (key,salt)
+    * reducers than the surviving shuffle outputs and silently dropping
+    * or duplicating join rows. Identical duplicate rows share a salt
+    * (slightly less spreading), which affects balance, never
+    * correctness. */
   def saltedInnerJoin(skewed: DataFrame, other: DataFrame, key: String,
                       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val saltedLeft = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
         .cast("int"))
     val replicatedRight = other.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))

@@ -30,19 +30,26 @@ object TemporalJoins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightValueCols: Seq[String]): DataFrame = {
+    require(rightValueCols.nonEmpty, "asofJoin needs right value columns")
     val leftCols = left.columns
-    val carried = rightValueCols.map(c => s"__asof_$c")
 
+    // The carried values ride in ONE nullable struct: NULL marks "this is
+    // a left placeholder row", so last(ignoreNulls) skips placeholders but
+    // NEVER a matched right row whose VALUE happens to be NULL — the
+    // struct itself is non-null, only its field is. Carrying the values
+    // as bare columns would make a legitimate NULL value indistinguishable
+    // from a placeholder and resurrect a stale older value.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val l = left
-      .withColumns(rightValueCols.zip(carried).map { case (c, cc) =>
-        cc -> lit(null).cast(right.schema(c).dataType)
-      }.toMap)
+      .withColumn("__asof_payload", lit(null).cast(payloadType))
       .withColumn("__side", lit(1))
     val r = right.select(
       (Seq(col(key), col(ts)) ++
         leftCols.filterNot(Set(key, ts)).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValueCols.zip(carried).map { case (c, cc) => col(c).as(cc) } :+
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValueCols.map(col): _*).as("__asof_payload") :+
         lit(0).as("__side")): _*)
 
     // side 0 (right) sorts before side 1 (left) at equal ts ⇒ >= match
@@ -51,10 +58,12 @@ object TemporalJoins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
-      .withColumns(carried.map(cc =>
-        cc -> last(col(cc), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__asof_payload",
+        last(col("__asof_payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .withColumns(rightValueCols.map(c =>
+        s"__asof_$c" -> col(s"__asof_payload.$c")).toMap)
+      .drop("__side", "__asof_payload")
   }
 
   /** Bucketed range (interval) join: pairs (l, r) with
@@ -66,6 +75,11 @@ object TemporalJoins {
     * per row are bounded by bucket occupancy — never the cross product
     * a `ts BETWEEN` theta-join degenerates to at scale.
     */
+  /** Right-side columns come back prefixed (`__range_<col>`, and the
+    * right timestamp as `__range_ts`) so a right value column whose name
+    * also exists on the left can never produce an ambiguous duplicate in
+    * the output — the same protection [[asofJoin]]'s `__asof_` prefix
+    * provides. */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                 toleranceUs: Long,
                 rightValueCols: Seq[String]): DataFrame = {
@@ -76,13 +90,14 @@ object TemporalJoins {
           col("__bucket0") + 1)))
       .drop("__bucket0")
     val rb = right.select(
-      (Seq(col(key).as("__rkey"), col(ts).as("__rts")) ++
-        rightValueCols.map(col)): _*)
-      .withColumn("__rbucket", (unix_micros(col("__rts")) / toleranceUs).cast("long"))
+      (Seq(col(key).as("__rkey"), col(ts).as("__range_ts")) ++
+        rightValueCols.map(c => col(c).as(s"__range_$c"))): _*)
+      .withColumn("__rbucket",
+        (unix_micros(col("__range_ts")) / toleranceUs).cast("long"))
 
     lb.join(rb, col(key) === col("__rkey") &&
         col("__bucket") === col("__rbucket"))
-      .filter(abs(unix_micros(col(ts)) - unix_micros(col("__rts")))
+      .filter(abs(unix_micros(col(ts)) - unix_micros(col("__range_ts")))
         <= toleranceUs)
       .drop("__bucket", "__rbucket", "__rkey")
   }

@@ -51,8 +51,8 @@ object TemporalQueries {
         toleranceUs = 3600L * 1000000L, Seq("view_event_id"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
-        col("view_event_id"),
-        unix_micros(col("__rts")).as("view_ts_us"))
+        col("__range_view_event_id").as("view_event_id"),
+        unix_micros(col("__range_ts")).as("view_ts_us"))
 
   val aj2Oracle: String =
     """WITH clicks AS (

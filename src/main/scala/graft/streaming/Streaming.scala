@@ -121,15 +121,28 @@ object Streaming {
             val sorted = newEvents.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
             val closed = List.newBuilder[Session]
+            val gapUs = gapMs * 1000L
             sorted.foreach { e =>
               val tUs = e.ts.getTime * 1000L
               open match {
-                case Some(s) if tUs - s.endUs > gapMs * 1000L =>
+                case Some(s) if tUs - s.endUs > gapUs =>
                   closed += close(userId, s)
                   open = Some(OpenSession(tUs, tUs, 1))
+                case Some(s) if s.startUs - tUs > gapUs =>
+                  // above-watermark event from an earlier batch, older
+                  // than the open session by more than the gap: it is its
+                  // own earlier session, emitted closed immediately.
+                  // (Bounded-state divergence from batch recomputation:
+                  // an even-later straggler that would have bridged into
+                  // it cannot reopen it. Merging it into the open session
+                  // instead — the old behavior — corrupted the session's
+                  // start and count.)
+                  closed += Session(userId, tUs, tUs, 1)
                 case Some(s) =>
-                  open = Some(OpenSession(s.startUs, math.max(s.endUs, tUs),
-                    s.n + 1))
+                  // within the gap on either side: extend, backward too —
+                  // matching the batch gaps-and-islands semantics
+                  open = Some(OpenSession(math.min(s.startUs, tUs),
+                    math.max(s.endUs, tUs), s.n + 1))
                 case None =>
                   open = Some(OpenSession(tUs, tUs, 1))
               }

@@ -11,17 +11,26 @@ import graft.core.Tables
   * batch oracle can check the final state. */
 object StreamingQueries {
 
+  /** One staged directory per source dir for the whole JVM: the file
+    * stream source wants a directory and the test table is a bare file.
+    * Staging is a hard link where the filesystem allows it (no byte
+    * copy), falling back to a copy, and is memoized so repeated gate/
+    * bench invocations don't leak a table copy per call. */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    // The file stream source wants a directory; the test table is a bare
-    // file, so stage it into a temp dir (hardlink-cheap copy). Schema from
-    // a footer probe; nanos ts normalized like Tables.events.
-    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = stagedEvents.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val dst = tmp.resolve("events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      tmp.toString
+    })
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(dir))
   }
 
   /** st1 — watermarked tumbling-window counts, driven as a stream and

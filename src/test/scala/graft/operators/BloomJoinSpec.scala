@@ -25,6 +25,29 @@ class BloomJoinSpec extends AnyFunSuite with Matchers with SparkSpec {
     bloomed.count() should be > 0L // the check is not vacuous
   }
 
+  test("empty right side returns every left row, not an empty result") {
+    import spark.implicits._
+    val left = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val right = Tables.customer(spark, sf).filter($"c_acctbal" > 1e18)
+    right.count() shouldBe 0 // the anti-join excludes nothing
+    BloomJoin.preFilteredLeftAnti(left, right, "o_custkey", "c_custkey")
+      .count() shouldBe left.count()
+  }
+
+  test("same-named left/right keys join without ambiguity") {
+    import spark.implicits._
+    val left = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val right = Tables.orders(spark, sf)
+      .filter($"o_orderkey" < 500).select($"o_custkey")
+    val bloomed = BloomJoin.preFilteredLeftAnti(left, right,
+      "o_custkey", "o_custkey", estimatedRightRows = 10000L)
+    val plain = left.join(
+      right.withColumnRenamed("o_custkey", "rk"),
+      $"o_custkey" === $"rk", "left_anti")
+    bloomed.count() shouldBe plain.count()
+    graft.core.TransientCache.drain()
+  }
+
   test("injected bloom functions are callable from SQL") {
     import spark.implicits._
     Tables.customer(spark, sf).createOrReplaceTempView("bloom_spec_c")

@@ -32,6 +32,21 @@ class TemporalJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
       1L -> None, 2L -> Some(10.0), 3L -> Some(20.0), 4L -> Some(40.0))
   }
 
+  test("as-of: a matched right row's NULL value is carried as NULL, " +
+    "not replaced by a stale earlier value") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, ts(12))).toDF("trade_id", "account", "ts")
+    val right = Seq(
+      (100L, ts(5), Some(7.0)),
+      (100L, ts(10), None)) // the actual as-of match — with a NULL price
+      .toDF("account", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "account", "ts",
+        Seq("price"))
+      .select($"trade_id", $"__asof_price")
+      .as[(Long, Option[Double])].collect().toMap
+    out(1L) shouldBe None // NOT Some(7.0)
+  }
+
   test("range join matches the plain theta join inside the tolerance") {
     import spark.implicits._
     val left = Seq((1L, 7L, ts(1000)), (2L, 7L, ts(5000)))
@@ -44,12 +59,24 @@ class TemporalJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .toDF("k", "ts", "tag")
     val got = TemporalJoins.rangeJoin(left, right, "k", "ts",
         toleranceUs = 300L * 1000000L, Seq("tag"))
-      .select($"lid", $"tag").as[(Long, String)].collect().toSet
+      .select($"lid", $"__range_tag").as[(Long, String)].collect().toSet
     got shouldBe Set((1L, "b"), (2L, "c"))
     // bucket-boundary correctness: a match exactly at the tolerance edge
     val edge = TemporalJoins.rangeJoin(left, right, "k", "ts",
         toleranceUs = 600L * 1000000L, Seq("tag"))
-      .select($"lid", $"tag").as[(Long, String)].collect().toSet
+      .select($"lid", $"__range_tag").as[(Long, String)].collect().toSet
     edge should contain((1L, "a")) // |1000-400| == tolerance → inclusive
+  }
+
+  test("range join: a right value column named like a left column does " +
+    "not produce ambiguous duplicates") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, ts(1000), "L")).toDF("lid", "k", "ts", "tag")
+    val right = Seq((7L, ts(1100), "R")).toDF("k", "ts", "tag")
+    val out = TemporalJoins.rangeJoin(left, right, "k", "ts",
+        toleranceUs = 300L * 1000000L, Seq("tag"))
+      .select($"lid", $"tag", $"__range_tag") // unambiguous by contract
+      .as[(Long, String, String)].collect().toSet
+    out shouldBe Set((1L, "L", "R"))
   }
 }

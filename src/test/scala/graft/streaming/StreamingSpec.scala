@@ -75,6 +75,36 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order above-watermark events extend a session backward " +
+    "or close as their own earlier session — never corrupt the open one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streaming.sessionizeStream(input.toDS(),
+      gapMinutes = 30, watermark = "2 hours")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_ooo_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, T0 + 3600, 7)) // open [T0+3600]
+      q.processAllAvailable()
+      // 10 min earlier, within the 30-min gap → extends BACKWARD
+      input.addData(ev(2, T0 + 3000, 7))
+      q.processAllAvailable()
+      // 1h+ before the open session's start → its own earlier session,
+      // emitted closed; the open session must stay intact
+      input.addData(ev(3, T0, 7))
+      q.processAllAvailable()
+      spark.table("sess_ooo_test").as[Session].collect().toSeq shouldBe
+        Seq(Session(7, T0 * 1000000L, T0 * 1000000L, 1))
+      // far-future other-user event → timeout flushes the open session
+      // with the backward-extended start and correct count
+      input.addData(ev(9, T0 + 100000, 99))
+      q.processAllAvailable()
+      spark.table("sess_ooo_test").as[Session].collect() should contain(
+        Session(7, (T0 + 3000) * 1000000L, (T0 + 3600) * 1000000L, 2))
+    } finally q.stop()
+  }
+
   test("batch sessionization agrees with the streaming state machine on " +
     "closed sessions") {
     import spark.implicits._
