@@ -50,7 +50,12 @@ object AnnQueries {
       // key by application too: a memoized frame is bound to the context
       // that built it — after a session restart in the same JVM, a
       // dir-only hit would hand back lineage into a stopped SparkContext
-      val key = s"${s.sparkContext.applicationId}:$d"
+      val appPrefix = s"${s.sparkContext.applicationId}:"
+      // entries from previous (stopped) contexts can never be hit again
+      // and would pin dead lineage for the JVM's lifetime — evict them
+      indexCache.keys.filterNot(_.startsWith(appPrefix)).toList
+        .foreach(indexCache.remove)
+      val key = appPrefix + d
       indexCache.getOrElseUpdate(key, {
         val (assigned, centroids) =
           Similarity.ivfIndex(Tables.embeddings(s, d), nCells = 16)

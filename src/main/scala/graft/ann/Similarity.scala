@@ -58,6 +58,9 @@ object Similarity {
     embeddings.crossJoin(broadcast(query))
       .filter(col(idCol) =!= queryId)
       .withColumn("cosine", cosine(asDouble(col(embCol)), col("q")))
+      // zero-norm vectors have undefined (NaN) cosine, and Spark's desc
+      // ordering puts NaN ABOVE every real value — they must never rank
+      .filter(!isnan(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .select(col(idCol), col("cosine"))
       .limit(k)
@@ -79,15 +82,26 @@ object Similarity {
   def ivfIndex(embeddings: DataFrame, nCells: Int, seed: Long = 7L,
                embCol: String = "embedding",
                fitSampleRows: Int = 4096): (DataFrame, Array[Array[Double]]) = {
-    val featured = embeddings.withColumn("features",
-      array_to_vector(asDouble(col(embCol))))
+    // L2-normalize before clustering (spherical K-Means): the index
+    // serves COSINE queries, and on unit vectors Euclidean assignment
+    // and cosine agree (‖a−b‖² = 2 − 2·cosθ). Clustering the raw
+    // vectors would assign by a metric the probe doesn't rank by, and a
+    // cosine-near neighbor could land in a never-probed cell.
+    val normalizer = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw_features").setOutputCol("features").setP(2.0)
+    val featured = normalizer.transform(
+        embeddings.withColumn("__raw_features",
+          array_to_vector(asDouble(col(embCol)))))
+      .drop("__raw_features")
     // count() over parquet is answered from footer metadata — no data read.
     val n = math.max(embeddings.count(), 1L)
     val fraction = math.min(1.0, fitSampleRows.toDouble * 1.2 / n)
     val fitSample = featured.select("features")
       .sample(withReplacement = false, fraction, seed)
+    // the sample is bounded, so a quality fit is cheap: k-means|| init +
+    // full iteration budget cost scales with the SAMPLE, not the table
     val model = new KMeans().setK(nCells).setSeed(seed)
-      .setInitMode("random").setMaxIter(10)
+      .setMaxIter(30)
       .fit(fitSample)
     val assigned = model.transform(featured)
       .withColumnRenamed("prediction", "cell").drop("features")
@@ -96,25 +110,32 @@ object Similarity {
 
   /** IVF probe: compute the query's `nProbe` nearest cells driver-side
     * (centroid table is tiny), then brute-force ONLY those cells. The
-    * cell filter prunes ~ (1 - nProbe/nCells) of the scan. */
+    * cell filter prunes ~ (1 - nProbe/nCells) of the scan. Cells are
+    * ranked by Euclidean distance of the NORMALIZED query to the
+    * centroid — the same metric the (normalized) assignment used, so
+    * probe order and cell membership agree. The exact re-rank inside
+    * the probed cells stays cosine (scale-invariant). */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               queryVec: Array[Double], k: Int, nProbe: Int,
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+    val qNorm = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      if (n == 0.0) queryVec else queryVec.map(_ / n)
+    }
+    def euclid2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
     }
     val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c, queryVec) }
+      .sortBy { case (c, _) => euclid2(c, qNorm) }
       .take(nProbe).map(_._2)
     val q = array(queryVec.map(lit).toIndexedSeq: _*)
     assigned
       .filter(col("cell").isInCollection(probeCells))
       .withColumn("cosine", cosine(asDouble(col(embCol)), q))
+      .filter(!isnan(col("cosine"))) // zero-norm vectors never rank
       .orderBy(col("cosine").desc, col(idCol).asc)
       .select(col(idCol), col("cell"), col("cosine"))
       .limit(k)
@@ -169,6 +190,9 @@ object Similarity {
                       maxHamming: Int = 10,
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0,
+      "bands must divide nPlanes — a remainder would silently drop the " +
+        "top sketch bits from banding (unannounced recall loss)")
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1
     val sketched = withSketch(embeddings, nPlanes)
@@ -189,7 +213,10 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(asDouble(col("emb_a")),
         asDouble(col("emb_b"))))
-      .filter(col("cosine") >= threshold)
+      // NaN (zero-norm) compares GREATER than the threshold under
+      // Spark's nan-safe ordering — exclude it explicitly, or every
+      // pair of zero vectors (which collide in every band) is emitted
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -105,5 +105,10 @@ object CosineSimilarity {
       Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"expected cosine_sim(a, b), got ${exprs.length} argument(s)")
+      CosineSimilarity(exprs.head, exprs(1))
+    })
 }

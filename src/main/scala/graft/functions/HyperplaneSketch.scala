@@ -62,17 +62,10 @@ object HyperplaneSketch {
     ColumnBridge.column(
       HyperplaneSketch(ColumnBridge.expression(vec), nPlanes))
 
-  private def splitmix(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** Component i of pseudo-random plane p, in [-1, 1] — the single
     * source of truth shared with the declarative literal-array form
     * ([[graft.ann.Similarity.planes]] delegates here). */
   def planeComponent(p: Int, i: Int): Double =
-    (math.floorMod(splitmix(p * 1000003L + i), 2000001L).toDouble /
+    (math.floorMod(Mix64.splitmix64(p * 1000003L + i), 2000001L).toDouble /
       1000000.0) - 1.0
 }

@@ -74,8 +74,12 @@ object MinHashSignature {
   * (h1, h2) mix per n-gram window. Short documents (< width tokens)
   * contribute their full token sequence as one shingle. */
 private[graft] object ShingleHashing {
-  def forEachShingle(text: String, width: Int)(f: (Long, Long) => Unit): Unit = {
-    val tokenHashes = mutable.ArrayBuffer.empty[Long]
+
+  /** The ONE tokenizer all native text kernels share: non-empty
+    * whitespace-separated tokens, each xxhash64'd (seed 42) from its
+    * UTF-8 bytes. [[SimHash64]] and [[forEachShingle]] both consume it,
+    * so their tokenizations are identical by construction. */
+  def forEachTokenHash(text: String)(f: Long => Unit): Unit = {
     var i = 0
     val n = text.length
     while (i < n) {
@@ -84,11 +88,16 @@ private[graft] object ShingleHashing {
       while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
       if (i > start) {
         val bytes = text.substring(start, i).getBytes("UTF-8")
-        tokenHashes += XXH64.hashUnsafeBytes(bytes,
+        f(XXH64.hashUnsafeBytes(bytes,
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
+          bytes.length, 42L))
       }
     }
+  }
+
+  def forEachShingle(text: String, width: Int)(f: (Long, Long) => Unit): Unit = {
+    val tokenHashes = mutable.ArrayBuffer.empty[Long]
+    forEachTokenHash(text)(tokenHashes += _)
     val nShingles = math.max(tokenHashes.length - width + 1, 1)
     var s = 0
     while (s < nShingles) {

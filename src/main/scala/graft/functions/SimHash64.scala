@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,22 +29,13 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val votes = new Array[Int](64)
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
-      val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-      if (i > start) {
-        val bytes = text.substring(start, i).getBytes("UTF-8")
-        val h = XXH64.hashUnsafeBytes(bytes,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+    // tokenization shared with the shingle kernels — identical by
+    // construction, not by coincidence
+    ShingleHashing.forEachTokenHash(text) { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
     }
     var fp = 0L

@@ -30,9 +30,17 @@ class TopKByValue(k: Int)
 
   override def reduce(b: TopKBuffer, e: UserEvent): TopKBuffer = {
     val item = ScoredEvent(e.event_id, e.value)
-    // keep the buffer sorted and k-bounded at every step: merge cost is
-    // O(k), and the shuffled state never exceeds k rows per group
-    TopKBuffer((item +: b.items).sorted(ord).take(k))
+    val items = b.items
+    // the buffer is kept sorted, so the common case — a full buffer and
+    // an item worse than the current k-th — is an O(1) reject; otherwise
+    // an O(k) sorted insert. Re-sorting per row would put an O(k log k)
+    // sort on every input row of every group.
+    if (items.length >= k && ord.compare(item, items.last) >= 0) b
+    else {
+      val idx = items.indexWhere(x => ord.compare(item, x) < 0)
+      val pos = if (idx < 0) items.length else idx
+      TopKBuffer(((items.take(pos) :+ item) ++ items.drop(pos)).take(k))
+    }
   }
 
   override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =

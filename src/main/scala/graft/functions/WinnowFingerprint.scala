@@ -108,10 +108,5 @@ object WinnowFingerprint {
 
   /** splitmix64 finalizer — decorrelates the weak polynomial hash so
     * window minima are uniform. */
-  private def mix(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(x: Long): Long = Mix64.splitmix64(x)
 }

@@ -17,10 +17,15 @@ object Dedup {
 
   // ---- shared text prep ----
 
-  /** Distinct word n-gram shingles (default 3) per document. */
+  /** Distinct word n-gram shingles (default 3) per document. Tokens are
+    * NON-EMPTY whitespace-separated runs — `split` alone keeps a leading/
+    * trailing empty token on padded text, which the native kernels
+    * ([[graft.functions.ShingleHashing]]) never produce; filtering keeps
+    * the declarative and native forms value-identical on any input. */
   def withShingles(df: DataFrame, textCol: String = "text", n: Int = 3,
                    out: String = "shingles"): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    val toks = org.apache.spark.sql.functions.filter(
+      split(col(textCol), "\\s+"), t => t =!= "")
     df.withColumn(out,
       array_distinct(
         when(size(toks) >= n,

@@ -74,7 +74,9 @@ object DedupQueries {
       |      THEN list_transform(range(1, len(toks) - 1),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |      ELSE [array_to_string(toks, ' ')] END) AS sh
-      |  FROM (SELECT lang, doc_id, string_split_regex(text, '\s+') AS toks
+      |  FROM (SELECT lang, doc_id,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |            t -> t <> '') AS toks
       |        FROM documents)),
       |paired AS (
       |  SELECT lang, doc_id AS id_a,
