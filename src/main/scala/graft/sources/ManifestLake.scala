@@ -369,6 +369,18 @@ object ManifestLake {
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
 
+  /** Table history as a DataFrame — one row per retained version with
+    * its file count and streaming transaction identity (the DESCRIBE
+    * HISTORY analog). Metadata only: reads manifests, never data. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, table)
+      .map(v => snapshot(spark, table, Some(v)))
+      .map(s => (s.version, s.files.size.toLong,
+        s.batchId, s.appId))
+      .toDF("version", "n_files", "batch_id", "app_id")
+  }
+
   /** Delete manifests older than the last `keepLast` versions and any
     * data file no retained manifest references. Returns the number of
     * data files deleted. Time travel to vacuumed versions is gone —

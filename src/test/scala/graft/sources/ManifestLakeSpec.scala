@@ -27,6 +27,9 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, t).count() shouldBe 150
     ManifestLake.read(spark, t, Some(1L)).count() shouldBe 100
     ManifestLake.versions(spark, t) shouldBe Seq(1L, 2L)
+    val hist = ManifestLake.history(spark, t).collect()
+    hist.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    hist.last.getLong(1) should be > hist.head.getLong(1) // files accrue
   }
 
   test("a reader's snapshot survives a concurrent compaction") {
