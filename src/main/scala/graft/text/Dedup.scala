@@ -90,10 +90,48 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-  /** Bucket-local candidate pairs (a < b), deduplicated across bands. */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val x = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val y = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+  /** Hot-bucket guard: deterministically truncate every (band, bucket)
+    * group to its first `maxBucketSize` members (ordered by id). A bucket
+    * holding B documents otherwise emits B² candidate pairs, and
+    * degenerate-but-common corpora — empty strings, shared boilerplate
+    * headers — put millions of docs in ONE bucket at 100 TB: the one
+    * shape that turns a bucketed join back into a cartesian product. The
+    * cap bounds any bucket's contribution at maxBucketSize² while keeping
+    * a deterministic representative sample, so planted near-dups still
+    * pair within the kept prefix. (Docs truncated from a hot bucket can
+    * still pair in their other bands; fully-identical docs are the
+    * exact-dedup operator's job, not LSH's.) The cap is NOT silent:
+    * [[truncatedBuckets]] reports every bucket over the threshold, and
+    * the capped chains run it as a logged diagnostic in their specs. */
+  private def capBuckets(buckets: DataFrame, keyCols: Seq[String],
+                         idCol: String, maxBucketSize: Int): DataFrame =
+    buckets
+      .withColumn("__bucket_rank",
+        row_number().over(Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(idCol))))
+      .filter(col("__bucket_rank") <= maxBucketSize)
+      .drop("__bucket_rank")
+
+  /** Diagnostic: every (band, bucket) whose occupancy exceeds
+    * `maxBucketSize`, with its true size — the buckets [[capBuckets]]
+    * truncates. One aggregation on the same keys as the candidate join. */
+  def truncatedBuckets(buckets: DataFrame, keyCols: Seq[String],
+                       maxBucketSize: Int): DataFrame =
+    buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+
+  /** Bucket-local candidate pairs (a < b), deduplicated across bands.
+    * Buckets over `maxBucketSize` are truncated first (see
+    * [[capBuckets]]) so a degenerate hot bucket cannot go B². */
+  def candidatePairs(buckets: DataFrame, idCol: String,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    // persisted: the capped frame feeds BOTH sides of the self-join, and
+    // the row_number window (one shuffle + sort) must not run twice
+    val capped = graft.core.TransientCache.persist(
+      capBuckets(buckets, Seq("band", "bucket"), idCol, maxBucketSize))
+    val x = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val y = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     x.join(y, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -123,7 +161,8 @@ object Dedup {
     * oracle-checked paths. */
   def nearDupPairs(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", threshold: Double = 0.5,
-                   numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 32, bands: Int = 16,
+                   maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val base = graft.core.TransientCache.persist(
       df.select(col(idCol), col(textCol)))
@@ -133,7 +172,7 @@ object Dedup {
       lshBuckets(signed, idCol, bands, numHashes / bands))
     val a = base.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
     val b = base.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    candidatePairs(buckets, idCol)
+    candidatePairs(buckets, idCol, maxBucketSize)
       .join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard",
         graft.functions.NgramJaccard(col("text_a"), col("text_b"), 3))
@@ -178,15 +217,22 @@ object Dedup {
     * [[graft.functions.SimHash64]] expression (one JVM pass per doc);
     * [[withSimhash]] stays as the declarative reference form. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                   textCol: String = "text", maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val hashed = graft.core.TransientCache.persist(
       df.select(col(idCol),
         graft.functions.SimHash64(col(textCol)).as("simhash")))
-    val banded = hashed.select(col(idCol), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "chunk")
+    // capped + persisted for the same reason as [[candidatePairs]]: a
+    // 16-bit chunk shared by a degenerate corpus (all-empty docs hash to
+    // one fingerprint) would otherwise self-join B².
+    val banded = graft.core.TransientCache.persist(
+      capBuckets(
+        hashed.select(col(idCol), col("simhash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "chunk"),
+        Seq("band", "chunk"), idCol, maxBucketSize))
     val x = banded.select(col("band"), col("chunk"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val y = banded.select(col("band"), col("chunk"),

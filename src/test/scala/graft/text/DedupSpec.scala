@@ -53,6 +53,43 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     all(plantedPairs.map(_.getInt(2))) shouldBe 0
   }
 
+  test("hot-bucket cap: a degenerate bucket of 1200 docs emits at most " +
+    "cap² candidates and the truncation is reported") {
+    import spark.implicits._
+    // 1200 docs in one (band, bucket) — the all-empty/boilerplate shape
+    // that would otherwise self-join 1200² — plus a small healthy bucket
+    val hot = (0L until 1200L).map(i => (0, 42, i))
+    val cool = Seq((1, 7, 5000L), (1, 7, 5001L))
+    val buckets = (hot ++ cool).toDF("band", "bucket", "doc_id")
+    val pairs = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 50)
+      .as[(Long, Long)].collect()
+    graft.core.TransientCache.drain()
+    val hotPairs = pairs.filter(_._1 < 5000L)
+    hotPairs.length shouldBe 50 * 49 / 2 // C(cap, 2), not C(1200, 2)
+    // the kept prefix is deterministic: the 50 smallest ids
+    hotPairs.flatMap(p => Seq(p._1, p._2)).max should be < 50L
+    pairs should contain((5000L, 5001L)) // cool bucket untouched
+    val reported = Dedup.truncatedBuckets(buckets, Seq("band", "bucket"), 50)
+      .as[(Int, Int, Long)].collect()
+    reported shouldBe Array((0, 42, 1200L))
+  }
+
+  test("simhash hot-bucket cap: 1200 identical docs complete with bounded " +
+    "candidates; distinct docs are unaffected") {
+    import spark.implicits._
+    val degenerate = (0L until 1200L).map(i => (i, "same boilerplate header"))
+    val distinct = Seq((9000L, "completely different text payload one"),
+      (9001L, "completely different text payload one"))
+    val docs = (degenerate ++ distinct).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxBucketSize = 50)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    graft.core.TransientCache.drain()
+    // all 4 bands keep the same 50 smallest ids → C(50,2) after distinct
+    val hotPairs = pairs.filter(_._1 < 9000L)
+    hotPairs.length shouldBe 50 * 49 / 2
+    pairs should contain((9000L, 9001L))
+  }
+
   test("blocked n-gram jaccard: identical docs → 1.0, disjoint → 0.0") {
     import spark.implicits._
     val docs = Seq(
