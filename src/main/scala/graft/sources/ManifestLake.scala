@@ -17,18 +17,87 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * Every write is: stage new files → publish a new manifest atomically
-  * (write temp + rename; rename is atomic and fails-on-exists on both
-  * local and HDFS semantics, so two racing committers cannot both win a
-  * version). Readers resolve a manifest to an explicit file list, so a
-  * reader holding snapshot N is never broken by a concurrent compaction
-  * publishing N+1 — data files are immutable and only [[vacuum]] deletes
-  * ones no retained manifest references. This is the core of the
-  * Iceberg/Delta reader contract — snapshot isolation + time travel —
-  * without their log formats; it replaces [[Compactor]]'s
+  * via [[CommitPrimitive]]. Readers resolve a manifest to an explicit
+  * file list, so a reader holding snapshot N is never broken by a
+  * concurrent compaction publishing N+1 — data files are immutable and
+  * only [[vacuum]] deletes ones no retained manifest references. This is
+  * the core of the Iceberg/Delta reader contract — snapshot isolation +
+  * time travel — without their log formats; it replaces [[Compactor]]'s
   * delete-then-rename swap, whose reader-visible window was flagged in
   * review.
+  *
+  * ==Supported filesystems==
+  * Commit safety REQUIRES an atomic publish-if-absent primitive. The
+  * bundled [[RenameCommit]] provides it on `file:` (hard-link publish —
+  * POSIX rename silently replaces, link raises EEXIST) and on HDFS-like
+  * schemes (rename fails-on-exists natively). Object stores (`s3a:`,
+  * `gs:`, `abfs:`, …) provide NEITHER atomic rename nor fail-on-exists —
+  * two racing committers can both "win" a version and silently lose one
+  * commit — so committing writes to an object-store table path is
+  * REJECTED with an error until a conditional-put [[CommitPrimitive]]
+  * (S3 `If-None-Match`, GCS `ifGenerationMatch=0`, a DynamoDB-style
+  * lock) is plugged in. Reads and time travel work on any scheme.
   */
 object ManifestLake {
+
+  /** The one primitive commit safety rests on: publish `tmp` as `target`
+    * atomically, returning false (NOT replacing) if `target` already
+    * exists — the lose-the-race signal. Implementations for object
+    * stores must map this onto a conditional put (S3 `If-None-Match: *`,
+    * GCS `ifGenerationMatch=0`) or an external lock; everything above
+    * this seam (versioning, snapshots, replay guards) is store-agnostic. */
+  trait CommitPrimitive {
+    /** Schemes this primitive is safe on; commits to any other scheme
+      * are rejected before any data is staged. */
+    def supportedSchemes: Set[String]
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  /** Rename/hard-link publish for filesystems with real atomic-rename
+    * semantics. HDFS rename fails-on-exists natively; the local
+    * filesystem's rename is POSIX rename, which silently REPLACES the
+    * destination — an exists()+rename pair is a TOCTOU race where two
+    * committers both "win" the same version — so on `file:` we publish
+    * with a hard link instead: link creation is atomic and raises
+    * EEXIST if the target appeared in between. */
+  object RenameCommit extends CommitPrimitive {
+    val supportedSchemes: Set[String] = Set("file", "hdfs", "viewfs")
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+      if (fs.exists(target)) return false
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, target)
+    }
+  }
+
+  /** The active commit primitive. A seam, not a config knob: an
+    * object-store deployment swaps this for a conditional-put impl. */
+  private[sources] val commitPrimitive: CommitPrimitive = RenameCommit
+
+  /** Reject commit paths whose scheme the active primitive cannot
+    * publish atomically — failing fast at the API boundary beats
+    * silently losing one of two racing commits at 3am. The scheme comes
+    * from the path URI so `s3a://...` is rejected without instantiating
+    * a FileSystem; a scheme-less path resolves through the (lazily
+    * evaluated) default filesystem. */
+  private def requireCommitScheme(table: String, defaultFs: => FileSystem): Unit = {
+    val scheme = Option(new Path(table).toUri.getScheme)
+      .getOrElse(defaultFs.getScheme)
+    require(commitPrimitive.supportedSchemes.contains(scheme),
+      s"ManifestLake cannot commit to '$table': scheme '$scheme' has no " +
+        s"atomic publish-if-absent primitive (supported: " +
+        s"${commitPrimitive.supportedSchemes.mkString(", ")}). Object " +
+        "stores need a conditional-put CommitPrimitive; reads and time " +
+        "travel remain available on any scheme.")
+  }
 
   /** Per-file value range of one column, read once from the parquet
     * footer at commit time — Iceberg-style file metrics. */
@@ -176,36 +245,12 @@ object ManifestLake {
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = manifestPath(table, next)
-    if (!publishExclusive(fs, tmp, target)) {
+    if (!commitPrimitive.publish(fs, tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit lost race for version $next in $table")
     }
     next
-  }
-
-  /** Atomically publish `tmp` as `target`, failing (not replacing) if
-    * `target` exists. HDFS rename has fail-on-exists semantics natively,
-    * but the local filesystem's rename is POSIX rename, which silently
-    * REPLACES the destination — an exists()+rename pair is a TOCTOU race
-    * where two committers both "win" the same version and one commit
-    * silently vanishes. On `file:` schemes we publish with a hard link
-    * instead: link creation is atomic and raises EEXIST if the target
-    * appeared in between, which is exactly the lose-the-race signal. */
-  private def publishExclusive(fs: FileSystem, tmp: Path,
-                               target: Path): Boolean = {
-    if (fs.exists(target)) return false
-    if (fs.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else fs.rename(tmp, target)
   }
 
   /** Recursive parquet listing under `root`, as root-relative paths. */
@@ -237,6 +282,7 @@ object ManifestLake {
             statsCol: Option[String] = None,
             appId: Option[String] = None): Long = {
     val spark = df.sparkSession
+    requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = currentVersion(spark, table)
@@ -262,29 +308,51 @@ object ManifestLake {
       FileEntry(name, range).line
     }
     fs.delete(staging, true)
-    val base = if (append && prev.isDefined)
-      snapshot(spark, table, prev).entries.map(_.line) else Seq.empty
-    commit(fs, p, base ++ moved, prev, batchId, appId)
+    val prevSnap = if (append && prev.isDefined)
+      Some(snapshot(spark, table, prev)) else None
+    val base = prevSnap.map(_.entries.map(_.line)).getOrElse(Seq.empty)
+    // A plain (non-streaming) append must CARRY the previous snapshot's
+    // streaming transaction identity forward, exactly as compact() does:
+    // if an interleaved batch write cleared the (appId, batchId) mark, a
+    // post-crash replay of the stream's last epoch would pass the
+    // writeBatch guard and commit its rows twice. Inherit only when the
+    // caller supplies neither field — mixing an inherited batch id with a
+    // caller's different app identity would pin the wrong stream.
+    val (effBatch, effApp) =
+      if (batchId.isEmpty && appId.isEmpty)
+        (prevSnap.flatMap(_.batchId), prevSnap.flatMap(_.appId))
+      else (batchId, appId)
+    commit(fs, p, base ++ moved, prev, effBatch, effApp)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
-    * footer alone. None for non-numeric columns, all-null chunks, or
-    * missing stats — readers treat None conservatively (never skip). */
+    * footer alone. Returns None — "range unknown, never skip" — unless
+    * EVERY row group carries statistics for the column: a range built
+    * from only the covered row groups would understate the file's true
+    * extent and let [[readRange]] skip a file that holds matching rows.
+    * An all-null row group (stats present, no values) is the one safe
+    * exception: it constrains nothing, because NULL matches no range
+    * predicate. */
   private def footerRange(conf: org.apache.hadoop.conf.Configuration,
                           file: Path, col: String): Option[(BigDecimal, BigDecimal)] = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
-      val stats = reader.getFooter.getBlocks.asScala
-        .flatMap(_.getColumns.asScala
-          .filter(_.getPath.toDotString == col).map(_.getStatistics))
-        .filter(s => s != null && s.hasNonNullValue)
-      if (stats.isEmpty) None
-      else scala.util.Try {
-        (stats.map(s => BigDecimal(s.genericGetMin.toString)).min,
-          stats.map(s => BigDecimal(s.genericGetMax.toString)).max)
-      }.toOption
+      val perGroup = reader.getFooter.getBlocks.asScala.map(
+        _.getColumns.asScala.find(_.getPath.toDotString == col)
+          .map(_.getStatistics))
+      // a row group missing the column, or carrying absent/empty stats,
+      // makes the file's range unknowable from the footer
+      if (perGroup.exists(_.forall(s => s == null || s.isEmpty))) None
+      else {
+        val withValues = perGroup.flatten.filter(_.hasNonNullValue)
+        if (withValues.isEmpty) None // every row group all-null
+        else scala.util.Try {
+          (withValues.map(s => BigDecimal(s.genericGetMin.toString)).min,
+            withValues.map(s => BigDecimal(s.genericGetMax.toString)).max)
+        }.toOption
+      }
     } finally reader.close()
   }
 
@@ -385,18 +453,36 @@ object ManifestLake {
     * data file no retained manifest references. Returns the number of
     * data files deleted. Time travel to vacuumed versions is gone —
     * that is the retention contract. */
+  /** The version a data file was written under, parsed from its
+    * `vNNNNNNNN-*.parquet` basename (partition directories stripped). */
+  private val DataFileRe = "^v(\\d{8})-.*\\.parquet$".r
+  private def dataFileVersion(relPath: String): Option[Long] =
+    relPath.split('/').last match {
+      case DataFileRe(v) => Some(v.toLong)
+      case _ => None
+    }
+
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current version")
     val (fs, p) = fsFor(spark, table)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     val live = keep.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    // The latest version any retained manifest has PUBLISHED. A write()
+    // in flight right now is staging files for a HIGHER version — and it
+    // renames them out of _staging into the table dir BEFORE its manifest
+    // commit, so the _staging exclusion alone does not protect them: to
+    // vacuum they look unreferenced. Files versioned beyond the newest
+    // retained manifest are therefore kept unconditionally; they become
+    // collectable only after their version (or a successor) is committed
+    // and has aged out of retention — at which point a lost-race or
+    // abandoned commit's files are genuinely dead.
+    val maxRetained = keep.lastOption.getOrElse(0L)
     val dataFiles = listParquetRec(fs, p)
       .map(f => relativize(p, f))
-      // never touch the manifest dir or a concurrent writer's staging
-      // area — staged files are in no manifest yet by construction and
-      // deleting them would corrupt the in-flight commit
+      // never touch the manifest dir or a writer's staging area
       .filterNot(f => f.startsWith(ManifestDir) || f.startsWith("_staging"))
+      .filterNot(f => dataFileVersion(f).forall(_ > maxRetained))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
     drop.foreach(v => fs.delete(manifestPath(p, v), false))

@@ -127,6 +127,84 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.readRange(spark, t, "id", 50000, 60000).count() shouldBe 0
   }
 
+  test("object-store table paths are rejected at commit time with the " +
+    "contract named") {
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.write(rows(1 to 10), "s3a://some-bucket/table")
+    }
+    e.getMessage should include("s3a")
+    e.getMessage should include("atomic publish-if-absent")
+    // the same check guards every commit path; reads stay scheme-agnostic
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(rows(1 to 10), "s3://some-bucket/table")
+    }
+  }
+
+  test("vacuum never deletes data files of an in-flight (higher-version) " +
+    "commit, even though no manifest references them yet") {
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 50), t)
+    ManifestLake.write(rows(51 to 60), t) // v2
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    // an in-flight write() has already renamed its staged file into the
+    // table dir as v3, but has not committed its manifest yet
+    val inFlight = new org.apache.hadoop.fs.Path(t, "v00000003-00000.parquet")
+    val out = fs.create(inFlight, false)
+    out.write(Array[Byte](1, 2, 3))
+    out.close()
+    ManifestLake.vacuum(spark, t, keepLast = 1)
+    fs.exists(inFlight) shouldBe true // protected: version > max retained
+    // a file at a RETAINED version that no manifest references (a lost
+    // race / abandoned commit at that version) IS collected
+    val dead = new org.apache.hadoop.fs.Path(t, "v00000002-99999.parquet")
+    val out2 = fs.create(dead, false)
+    out2.write(Array[Byte](1))
+    out2.close()
+    ManifestLake.vacuum(spark, t, keepLast = 1) shouldBe 1
+    fs.exists(dead) shouldBe false
+  }
+
+  test("an all-null stats column records no range and the file is never " +
+    "skipped") {
+    import spark.implicits._
+    val t = freshTable()
+    val nullIds = Seq[(Option[Long], String)]((None, "a"), (None, "b"))
+      .toDF("id", "payload")
+    ManifestLake.write(nullIds, t, statsCol = Some("id"))
+    ManifestLake.write(rows(100 to 110), t, statsCol = Some("id"))
+    val snap = ManifestLake.snapshot(spark, t)
+    // the all-null file carries no range; the real file does
+    snap.entries.count(_.range.isEmpty) should be >= 1
+    snap.entries.count(_.range.nonEmpty) should be >= 1
+    // exactness: the stats-less file is kept conservatively (and its
+    // NULL ids match no range predicate anyway)
+    ManifestLake.readRange(spark, t, "id", 100, 105).count() shouldBe 6
+  }
+
+  test("a plain append between streaming batches carries the replay " +
+    "high-water mark forward") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.writeBatch(rows(1 to 10), t, batchId = 5L,
+      appId = "app-x") shouldBe true
+    // maintenance append with no transaction identity of its own
+    ManifestLake.write(rows(11 to 20), t)
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.batchId shouldBe Some(5L)
+    snap.appId shouldBe Some("app-x")
+    // a post-crash replay of epoch 5 must still be recognized as done
+    ManifestLake.writeBatch(rows(1 to 10), t, batchId = 5L,
+      appId = "app-x") shouldBe false
+    ManifestLake.read(spark, t).count() shouldBe 20
+    // a genuinely new epoch still lands
+    ManifestLake.writeBatch(rows(21 to 25), t, batchId = 6L,
+      appId = "app-x") shouldBe true
+    ManifestLake.read(spark, t).count() shouldBe 25
+  }
+
   test("losing a commit race surfaces as an error, not silent overwrite") {
     val t = freshTable()
     ManifestLake.write(rows(1 to 10), t)
