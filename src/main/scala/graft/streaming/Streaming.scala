@@ -120,33 +120,64 @@ object Streaming {
           } else {
             val sorted = newEvents.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
+            // Above-watermark events older than the open session by more
+            // than the gap form a PENDING earlier session: consecutive
+            // ones within the gap of each other accumulate into it (batch
+            // gaps-and-islands would merge them — emitting each as a
+            // singleton, the old behavior, diverged even for events all
+            // in hand), and a later event bridging pending → open merges
+            // the whole chain into the open session. The only remaining
+            // divergence from batch recomputation is cross-batch: a
+            // session already EMITTED in an earlier batch cannot be
+            // reopened by a straggler, the bounded-state trade every
+            // single-open-session state machine makes.
+            var pending = Option.empty[OpenSession]
             val closed = List.newBuilder[Session]
             val gapUs = gapMs * 1000L
             sorted.foreach { e =>
               val tUs = e.ts.getTime * 1000L
               open match {
+                case None =>
+                  open = Some(OpenSession(tUs, tUs, 1))
                 case Some(s) if tUs - s.endUs > gapUs =>
+                  // past the open session by more than the gap: everything
+                  // earlier closes (pending first — it is the older one)
+                  pending.foreach(ps => closed += close(userId, ps))
+                  pending = None
                   closed += close(userId, s)
                   open = Some(OpenSession(tUs, tUs, 1))
                 case Some(s) if s.startUs - tUs > gapUs =>
-                  // above-watermark event from an earlier batch, older
-                  // than the open session by more than the gap: it is its
-                  // own earlier session, emitted closed immediately.
-                  // (Bounded-state divergence from batch recomputation:
-                  // an even-later straggler that would have bridged into
-                  // it cannot reopen it. Merging it into the open session
-                  // instead — the old behavior — corrupted the session's
-                  // start and count.)
-                  closed += Session(userId, tUs, tUs, 1)
+                  pending match {
+                    case Some(ps) if tUs - ps.endUs <= gapUs =>
+                      // consecutive late events within the gap: one session
+                      pending = Some(OpenSession(ps.startUs,
+                        math.max(ps.endUs, tUs), ps.n + 1))
+                    case Some(ps) =>
+                      closed += close(userId, ps)
+                      pending = Some(OpenSession(tUs, tUs, 1))
+                    case None =>
+                      pending = Some(OpenSession(tUs, tUs, 1))
+                  }
                 case Some(s) =>
-                  // within the gap on either side: extend, backward too —
-                  // matching the batch gaps-and-islands semantics
-                  open = Some(OpenSession(math.min(s.startUs, tUs),
-                    math.max(s.endUs, tUs), s.n + 1))
-                case None =>
-                  open = Some(OpenSession(tUs, tUs, 1))
+                  // within the gap of the open session (on either side)
+                  pending match {
+                    case Some(ps) if tUs - ps.endUs <= gapUs =>
+                      // this event bridges pending into open: the whole
+                      // chain is one session, exactly as batch computes it
+                      open = Some(OpenSession(ps.startUs,
+                        math.max(s.endUs, tUs), ps.n + s.n + 1))
+                      pending = None
+                    case _ =>
+                      pending.foreach(ps => closed += close(userId, ps))
+                      pending = None
+                      open = Some(OpenSession(math.min(s.startUs, tUs),
+                        math.max(s.endUs, tUs), s.n + 1))
+                  }
               }
             }
+            // an unbridged pending session stays strictly more than a gap
+            // before the open one — it can only close
+            pending.foreach(ps => closed += close(userId, ps))
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.endUs / 1000L + gapMs)

@@ -105,6 +105,44 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("two mutually-in-gap late events in one batch merge into ONE " +
+    "earlier session, and a bridging event merges the chain into the " +
+    "open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streaming.sessionizeStream(input.toDS(),
+      gapMinutes = 30, watermark = "6 hours")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_pending_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, T0 + 10000, 7)) // open session at T0+10000
+      q.processAllAvailable()
+      // both events are >gap before the open session AND within the gap
+      // of each other: batch semantics say ONE session of two events —
+      // the old behavior emitted two singletons
+      input.addData(ev(2, T0, 7), ev(3, T0 + 600, 7))
+      q.processAllAvailable()
+      spark.table("sess_pending_test").as[Session].collect().toSeq shouldBe
+        Seq(Session(7, T0 * 1000000L, (T0 + 600) * 1000000L, 2))
+
+      // user 8: same shape, but a third event bridges the pending chain
+      // into the open session — everything merges, nothing emits early
+      input.addData(ev(4, T0 + 4000, 8))
+      q.processAllAvailable()
+      input.addData(ev(5, T0, 8), ev(6, T0 + 900, 8), ev(7, T0 + 2400, 8))
+      q.processAllAvailable()
+      // far-future other-user event → timeout flushes user 8's single
+      // merged session: [T0, T0+4000] with all 4 events
+      input.addData(ev(9, T0 + 100000, 99))
+      q.processAllAvailable()
+      val user8 = spark.table("sess_pending_test").as[Session].collect()
+        .filter(_.user_id == 8)
+      user8.toSeq shouldBe Seq(
+        Session(8, T0 * 1000000L, (T0 + 4000) * 1000000L, 4))
+    } finally q.stop()
+  }
+
   test("batch sessionization agrees with the streaming state machine on " +
     "closed sessions") {
     import spark.implicits._
