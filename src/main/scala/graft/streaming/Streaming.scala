@@ -104,6 +104,13 @@ object Streaming {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
+    // FULL microsecond fidelity: Timestamp.getTime truncates to ms, and
+    // the event tables carry sub-ms precision — boundaries computed from
+    // getTime*1000 would diverge from the batch sessionizer's
+    // unix_micros values and break the stream ≡ batch equality gate.
+    def tsUs(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
     def close(userId: Long, s: OpenSession): Session =
       Session(userId, s.startUs, s.endUs, s.n)
 
@@ -118,7 +125,7 @@ object Streaming {
             state.remove()
             out.iterator
           } else {
-            val sorted = newEvents.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = newEvents.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
             var open = state.getOption
             // Above-watermark events older than the open session by more
             // than the gap form a PENDING earlier session: consecutive
@@ -135,7 +142,7 @@ object Streaming {
             val closed = List.newBuilder[Session]
             val gapUs = gapMs * 1000L
             sorted.foreach { e =>
-              val tUs = e.ts.getTime * 1000L
+              val tUs = tsUs(e.ts)
               open match {
                 case None =>
                   open = Some(OpenSession(tUs, tUs, 1))

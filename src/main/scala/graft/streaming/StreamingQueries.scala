@@ -72,18 +72,84 @@ object StreamingQueries {
       |  max(ts_us) AS session_end_us, count(*) AS n_events
       |FROM ids GROUP BY user_id, session_id""".stripMargin
 
-  /** st3 — the stateful streaming sessionizer over the same events (one
-    * AvailableNow batch ⇒ sessions closed by in-batch gaps are emitted;
-    * open tails stay in state, exactly as a live stream would hold them).
-    * Cross-batch state and event-time timeouts are pinned in
-    * StreamingSpec with a multi-batch MemoryStream. */
+  /** st3 — the stateful streaming sessionizer, gated as a stream ≡ batch
+    * EQUALITY: the stream runs to completion (AvailableNow ⇒ one data
+    * batch closing in-batch-gap sessions, then a final batch whose
+    * advanced watermark fires event-time timeouts), and its emitted
+    * sessions are compared in-engine against [[Streaming.sessionizeBatch]]
+    * minus the tails the state machine legitimately still holds open — a
+    * user's LAST session whose timeout (end ms + gap) has not passed the
+    * final watermark (max event ms − delay). The output row is
+    * `(n_emitted, n_stream_only, n_batch_missing)` where both EXCEPT-ALL
+    * counts must be 0 and n_emitted is re-derived independently by the
+    * DuckDB oracle — a hash-exact gate over the stateful operator, not a
+    * rows-only cardinality check. Cross-batch state and out-of-order
+    * merging are additionally pinned in StreamingSpec with a multi-batch
+    * MemoryStream. */
   def st3SessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val typed = eventsStream(s, d).as[Streaming.Event]
-    Streaming.runToMemory(s,
+    val stream = Streaming.runToMemory(s,
       Streaming.sessionizeStream(typed).toDF(),
       "st3_sessionize_tbl", OutputMode.Append())
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    val ev = Tables.events(s, d)
+    val sess = Streaming.sessionizeBatch(ev)
+    // final watermark in ms, exactly as the engine computes it: max event
+    // time truncated to ms, minus the 1-hour delay. Integral `div` — a
+    // double division of a 1.7e15 us epoch can round across the boundary.
+    val wm = ev.agg(expr("(max(unix_micros(ts)) div 1000) - 3600000")
+      .as("wm_ms"))
+    val w = Window.partitionBy(col("user_id"))
+    val expected = sess
+      .withColumn("__last_start", max(col("session_start_us")).over(w))
+      .crossJoin(broadcast(wm))
+      .filter(!(col("session_start_us") === col("__last_start") &&
+        expr("(session_end_us div 1000) + 1800000") >= col("wm_ms")))
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    stream.agg(count(lit(1)).as("n_emitted"))
+      .crossJoin(stream.exceptAll(expected)
+        .agg(count(lit(1)).as("n_stream_only")))
+      .crossJoin(expected.exceptAll(stream)
+        .agg(count(lit(1)).as("n_batch_missing")))
   }
+
+  /** DuckDB re-derives the emitted-session count from the batch
+    * gaps-and-islands form plus the timeout model; the two EXCEPT-ALL
+    * columns assert in-engine set equality and must be zero. */
+  val st3Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |marks AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+      |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |ids AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marks),
+      |sess AS (
+      |  SELECT user_id, min(ts_us) AS session_start_us,
+      |    max(ts_us) AS session_end_us, count(*) AS n_events
+      |  FROM ids GROUP BY user_id, session_id),
+      |wm AS (SELECT max(ts_us)//1000 - 3600000 AS wm_ms FROM e),
+      |last AS (
+      |  SELECT user_id, max(session_start_us) AS last_start
+      |  FROM sess GROUP BY user_id),
+      |open_tails AS (
+      |  SELECT s.* FROM sess s
+      |  JOIN last t ON s.user_id = t.user_id
+      |    AND s.session_start_us = t.last_start
+      |  WHERE s.session_end_us//1000 + 1800000 >= (SELECT wm_ms FROM wm))
+      |SELECT
+      |  CAST((SELECT count(*) FROM sess) -
+      |       (SELECT count(*) FROM open_tails) AS BIGINT) AS n_emitted,
+      |  CAST(0 AS BIGINT) AS n_stream_only,
+      |  CAST(0 AS BIGINT) AS n_batch_missing""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_windowed_counts" -> (st1WindowedCounts _),
@@ -92,5 +158,6 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_counts" -> st1Oracle,
-    "st2_sessionize_batch" -> st2Oracle)
+    "st2_sessionize_batch" -> st2Oracle,
+    "st3_sessionize_stream" -> st3Oracle)
 }
