@@ -428,6 +428,48 @@ object Relational {
       |    AS DECIMAL(27,6))) AS DOUBLE) AS red_prefix_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  /** q17_small_qty_revenue — TPC-H Q17 shape: a correlated SCALAR
+    * subquery (per-part average quantity) gating a fact-table filter —
+    * the one mainstream relational shape the surface lacked. Written as
+    * SQL because the correlated form itself is what's being covered;
+    * Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into ONE
+    * aggregate over lineitem grouped by l_partkey joined back on the
+    * key — never a per-row re-execution — so the plan is two lineitem
+    * scans (filter + per-key avg), a broadcast of the filtered part
+    * dimension, and a single-row final aggregate (PLANS.md pins this).
+    * The revenue sum goes through an exact decimal so the result is
+    * partitioning-independent; the per-part avg is exact in doubles
+    * (integral quantities, bounded count). */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("q17_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("q17_part")
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_small_qty
+        |FROM q17_lineitem, q17_part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#1'
+        |  AND p_size < 15
+        |  AND l_quantity < (
+        |    SELECT 0.5 * avg(l2.l_quantity)
+        |    FROM q17_lineitem l2
+        |    WHERE l2.l_partkey = q17_part.p_partkey)""".stripMargin)
+  }
+
+  val q17Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2)))
+      |    AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small_qty
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#1'
+      |  AND p_size < 15
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l2.l_quantity)
+      |    FROM lineitem l2
+      |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
   /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
     * pivot values (explicit values skip the extra distinct-scan job and
     * keep the plan a single hash aggregate). */
@@ -620,6 +662,7 @@ object Relational {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "r1_join_broadcast" -> (r1JoinBroadcast _),
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
@@ -649,6 +692,7 @@ object Relational {
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier" -> q5Oracle,
     "q14_promo_share" -> q14Oracle,
+    "q17_small_qty_revenue" -> q17Oracle,
     "r1_join_broadcast" -> r1Oracle,
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,
