@@ -29,7 +29,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.queries ++
       graft.text.CurationQueries.queries ++
       graft.operators.TemporalQueries.queries ++
-      graft.ml.MlQueries.queries
+      graft.ml.MlQueries.queries ++
+      graft.text.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracles ++
       graft.text.CurationQueries.oracles ++
       graft.operators.TemporalQueries.oracles ++
-      graft.ml.MlQueries.oracles
+      graft.ml.MlQueries.oracles ++
+      graft.text.CorpusQueries.oracles
 }

@@ -277,6 +277,63 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  // ---- D6: near-dup cluster formation ----
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (pairs alone can't pick
+    * keepers: a–b and b–c must collapse to ONE surviving document even
+    * when a–c was never emitted as a pair). HashMin label propagation:
+    * every node starts labeled with its own id, and each iteration joins
+    * labels across edges and keeps the minimum — one hop of propagation
+    * per iteration, so convergence takes O(graph diameter) iterations.
+    * Near-dup graphs are short-diameter by construction (clusters are
+    * dense blobs of mutual similarity), which makes HashMin the right
+    * trade at 100 TB: each iteration is ONE shuffle join + ONE key
+    * aggregate, with `localCheckpoint` truncating the iterative lineage
+    * so the final plan doesn't replay every round. (For adversarially
+    * long chains the literature's large–small-star alternation gives
+    * O(log n) rounds; not needed for dedup-shaped graphs.) Throws if the
+    * labels have not stabilized within `maxIter` — a silent partial
+    * merge would under-deduplicate. */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = graft.core.TransientCache.persist(
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "raise maxIter (diameter exceeds it) or check the edge set")
+    labels
+  }
+
+  /** Pairs → clusters: each document with its component id (the minimal
+    * doc id reachable through the pair graph), component size, and the
+    * keeper flag. Downstream dedup keeps `is_keeper` rows. */
+  def dedupClusters(nodes: DataFrame, idCol: String,
+                    pairs: DataFrame): DataFrame =
+    connectedComponents(nodes, idCol, pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .select(col("id").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
+
   // ---- D4: blocked n-gram Jaccard ----
 
   /** Exact n-gram Jaccard over a deterministic blocking scheme: each doc

@@ -106,15 +106,86 @@ object DedupQueries {
       threshold = 0.95)
   }
 
+  /** dd7 — pairs → CLUSTERS via connected components (transitive
+    * closure of the near-dup relation): plants two chained first-token
+    * edits per seed doc (ids spaced ×10 so the chain is successor-
+    * adjacent), takes the exact blocked-Jaccard successor pairs ≥ 0.4 as
+    * edges, and resolves components. The planted chains force real
+    * transitivity — orig–edit1 and edit1–edit2 are edges but orig–edit2
+    * never is, yet all three must land in one cluster. Both the edge
+    * derivation and the component closure are re-derived independently
+    * by DuckDB (recursive CTE), so the whole operator is hash-exact. */
+  def dd7DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select((col("doc_id") * 10).as("doc_id"), col("lang"),
+      col("text"))
+    def edit(repl: String, off: Int): DataFrame =
+      docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") * 10 + off).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "^\\S+", repl).as("text"))
+    val corpus = base.unionByName(edit("qqq", 1)).unionByName(edit("zzz", 2))
+    val edges = Dedup.blockedNgramJaccard(corpus)
+      .filter(col("jaccard") >= 0.4)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dedupClusters(corpus.select(col("doc_id")), "doc_id", edges)
+  }
+
+  val dd7Oracle: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id * 10 AS doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 10 + 1, lang, regexp_replace(text, '^\S+', 'qqq')
+      |  FROM documents WHERE doc_id < 5
+      |  UNION ALL
+      |  SELECT doc_id * 10 + 2, lang, regexp_replace(text, '^\S+', 'zzz')
+      |  FROM documents WHERE doc_id < 5),
+      |shingled AS (
+      |  SELECT lang, doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT lang, doc_id,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |            t -> t <> '') AS toks
+      |        FROM corpus)),
+      |paired AS (
+      |  SELECT lang, doc_id AS id_a,
+      |    lead(doc_id) OVER w AS id_b,
+      |    sh AS sh_a, lead(sh) OVER w AS sh_b
+      |  FROM shingled
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+      |edges0 AS (
+      |  SELECT id_a, id_b FROM paired
+      |  WHERE id_b IS NOT NULL
+      |    AND CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges0
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM edges0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |labels AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  doc_id = cluster_id AS is_keeper
+      |FROM labels""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_minhash_lsh" -> (dd2MinhashLsh _),
     "dd3_simhash" -> (dd3Simhash _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd5_embed_neardup" -> (dd5EmbedNearDup _),
-    "dd6_winnow" -> (dd6Winnow _))
+    "dd6_winnow" -> (dd6Winnow _),
+    "dd7_dedup_clusters" -> (dd7DedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" -> dd1Oracle,
-    "dd4_ngram_jaccard" -> dd4Oracle)
+    "dd4_ngram_jaccard" -> dd4Oracle,
+    "dd7_dedup_clusters" -> dd7Oracle)
 }

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("deterministic split: stable across repartitioning, roughly " +
+    "proportional, and a pure function of the id") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusOps.deterministicSplit(docs)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = CorpusOps.deterministicSplit(docs.repartition(17))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    a shouldBe b // identical assignment under any partitioning
+    val byCount = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // 8/1/1 buckets of a 16-bit hash: coarse proportionality is enough
+    byCount("train").toDouble / a.size should be(0.8 +- 0.1)
+    byCount.keySet shouldBe Set("train", "valid", "test")
+  }
+
+  test("token packing: offsets are gapless per block, chunk spans are " +
+    "consistent, and totals add up") {
+    import spark.implicits._
+    val out = CorpusOps.packTokens(Tables.documents(spark, sf), budget = 64)
+      .orderBy($"lang", $"doc_id").collect()
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      // each doc starts exactly where the previous one ended
+      rows.sliding(2).foreach {
+        case Array(p, n) =>
+          n.getAs[Long]("token_offset") shouldBe
+            p.getAs[Long]("token_offset") + p.getAs[Long]("n_tokens")
+        case _ =>
+      }
+    }
+    out.foreach { r =>
+      val (off, n) = (r.getAs[Long]("token_offset"), r.getAs[Long]("n_tokens"))
+      r.getAs[Long]("first_seq") shouldBe off / 64
+      r.getAs[Long]("last_seq") shouldBe (off + n - 1) / 64
+      r.getAs[Long]("n_chunks") shouldBe
+        r.getAs[Long]("last_seq") - r.getAs[Long]("first_seq") + 1
+    }
+    // budget-1 docs never split; docs longer than the budget always do
+    out.filter(_.getAs[Long]("n_tokens") > 64)
+      .foreach(_.getAs[Long]("n_chunks") should be >= 2L)
+  }
+
+  test("connected components: chains merge transitively, singletons " +
+    "keep their own label, non-convergence raises") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // path 1-2-3-4, edge 5-6, singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(nodes, "id", pairs)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    graft.core.TransientCache.drain()
+    out.map(r => r._1 -> r._2).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+    out.filter(_._2 == 1L).map(_._3).distinct shouldBe Array(4L)
+    out.filter(_._4).map(_._1).sorted shouldBe Array(1L, 5L, 7L)
+    // a 4-path needs 3 propagation hops: maxIter=1 must refuse to
+    // return a half-merged labeling
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", pairs, maxIter = 1)
+    }
+    graft.core.TransientCache.drain()
+  }
+}
