@@ -102,12 +102,15 @@ object StreamingQueries {
     val wm = ev.agg(expr("(max(unix_micros(ts)) div 1000) - 3600000")
       .as("wm_ms"))
     val w = Window.partitionBy(col("user_id"))
-    val expected = sess
+    // persisted: expected feeds BOTH EXCEPT-ALL directions — without the
+    // persist the batch sessionization (window + agg over all events)
+    // runs twice
+    val expected = graft.core.TransientCache.persist(sess
       .withColumn("__last_start", max(col("session_start_us")).over(w))
       .crossJoin(broadcast(wm))
       .filter(!(col("session_start_us") === col("__last_start") &&
         expr("(session_end_us div 1000) + 1800000") >= col("wm_ms")))
-      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .select("user_id", "session_start_us", "session_end_us", "n_events"))
     stream.agg(count(lit(1)).as("n_emitted"))
       .crossJoin(stream.exceptAll(expected)
         .agg(count(lit(1)).as("n_stream_only")))
