@@ -28,10 +28,11 @@ object Bench {
     // faster than it is, so min converges on the true cost), while the
     // interleaving keeps the two samples of any one query far apart in
     // time so one load burst can't contaminate both.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val all = SparkEntry.queries
+    val names = all.toSeq.sortBy(_._1).map(_._1)
     def runPass(): Map[String, Option[Double]] =
       names.map { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = all(name)
         val t0 = System.nanoTime()
         val t =
           try {
@@ -45,8 +46,13 @@ object Bench {
       }.toMap
     val pass1 = runPass()
     val pass2 = runPass()
-    // A query fails only if BOTH passes fail; otherwise min over successes.
-    val best = names.map { n => n -> (pass1(n).toList ::: pass2(n).toList).minOption }
+    // The min-of-two rationale covers TIMING noise only — a query that
+    // errors in either pass is flaky or broken and must surface as a
+    // failure (null time, non-zero exit), not hide behind its one good
+    // run. Timing leniency and success leniency are different axes.
+    val best = names.map { n =>
+      n -> (for (a <- pass1(n); b <- pass2(n)) yield math.min(a, b))
+    }
     val failed = best.collect { case (n, None) => n }
     def fmt(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -94,8 +94,12 @@ object AnnQueries {
       .filter(col("vec_id") === QueryId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0).toArray
-    val ivf = Similarity.ivfTopK(assigned.filter(col("vec_id") =!= QueryId),
-      centroids, queryVec, K, nProbe = 4)
+    // persisted: the k-row probe result feeds BOTH the recall aggregate
+    // and the final crossJoin — without it the cell-pruned scan +
+    // TakeOrdered probe executes twice per invocation
+    val ivf = graft.core.TransientCache.persist(
+      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= QueryId),
+        centroids, queryVec, K, nProbe = 4))
     val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
     val recall = ivf.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))

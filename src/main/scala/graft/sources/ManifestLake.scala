@@ -129,7 +129,10 @@ object ManifestLake {
                                  newVersion: Long)
 
   private val ManifestDir = "_manifests"
-  private val ManifestRe = "^v(\\d{8})\\.manifest$".r
+  // 8+ digits: %08d PADS to 8 but widens past it, so version 10^8's
+  // manifest is v100000000.manifest (9 digits) — a {8}-exact pattern
+  // would make versions() blind to it and every later commit collide
+  private val ManifestRe = "^v(\\d{8,})\\.manifest$".r
   private val BatchHeader = "#batch="
   private val AppHeader = "#app="
 
@@ -308,15 +311,18 @@ object ManifestLake {
       FileEntry(name, range).line
     }
     fs.delete(staging, true)
-    val prevSnap = if (append && prev.isDefined)
-      Some(snapshot(spark, table, prev)) else None
-    val base = prevSnap.map(_.entries.map(_.line)).getOrElse(Seq.empty)
-    // A plain (non-streaming) append must CARRY the previous snapshot's
-    // streaming transaction identity forward, exactly as compact() does:
-    // if an interleaved batch write cleared the (appId, batchId) mark, a
-    // post-crash replay of the stream's last epoch would pass the
-    // writeBatch guard and commit its rows twice. Inherit only when the
-    // caller supplies neither field — mixing an inherited batch id with a
+    val prevSnap = prev.map(v => snapshot(spark, table, Some(v)))
+    val base = if (append)
+      prevSnap.map(_.entries.map(_.line)).getOrElse(Seq.empty)
+    else Seq.empty
+    // A plain (non-streaming) write must CARRY the previous snapshot's
+    // streaming transaction identity forward, exactly as compact() does —
+    // appends AND overwrites: if a maintenance write cleared the (appId,
+    // batchId) mark, a post-crash replay of the stream's last epoch would
+    // pass the writeBatch guard and commit its rows twice. (A genuinely
+    // new table identity belongs in a new table path or a fresh stream
+    // checkpoint, not in an overwrite.) Inherit only when the caller
+    // supplies neither field — mixing an inherited batch id with a
     // caller's different app identity would pin the wrong stream.
     val (effBatch, effApp) =
       if (batchId.isEmpty && appId.isEmpty)
@@ -454,8 +460,9 @@ object ManifestLake {
     * data files deleted. Time travel to vacuumed versions is gone —
     * that is the retention contract. */
   /** The version a data file was written under, parsed from its
-    * `vNNNNNNNN-*.parquet` basename (partition directories stripped). */
-  private val DataFileRe = "^v(\\d{8})-.*\\.parquet$".r
+    * `vNNNNNNNN-*.parquet` basename (partition directories stripped).
+    * 8+ digits for the same widening reason as [[ManifestRe]]. */
+  private val DataFileRe = "^v(\\d{8,})-.*\\.parquet$".r
   private def dataFileVersion(relPath: String): Option[Long] =
     relPath.split('/').last match {
       case DataFileRe(v) => Some(v.toLong)

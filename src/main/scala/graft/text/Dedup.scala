@@ -100,9 +100,12 @@ object Dedup {
     * a deterministic representative sample, so planted near-dups still
     * pair within the kept prefix. (Docs truncated from a hot bucket can
     * still pair in their other bands; fully-identical docs are the
-    * exact-dedup operator's job, not LSH's.) The cap is NOT silent:
-    * [[truncatedBuckets]] reports every bucket over the threshold, and
-    * the capped chains run it as a logged diagnostic in their specs. */
+    * exact-dedup operator's job, not LSH's.) The cap is OBSERVABLE, not
+    * self-announcing: the hot path stays action-free, so the chains do
+    * not log truncation inline — run [[truncatedBuckets]] (same keys,
+    * one aggregation) as the monitoring query alongside any production
+    * dedup job to see exactly which buckets were cut and how big they
+    * really were. The specs pin both the bound and the diagnostic. */
   private def capBuckets(buckets: DataFrame, keyCols: Seq[String],
                          idCol: String, maxBucketSize: Int): DataFrame =
     buckets

@@ -203,6 +203,13 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.writeBatch(rows(21 to 25), t, batchId = 6L,
       appId = "app-x") shouldBe true
     ManifestLake.read(spark, t).count() shouldBe 25
+    // an OVERWRITE rewrite must also preserve the mark: a replay of the
+    // last epoch after a maintenance overwrite would otherwise land twice
+    ManifestLake.write(rows(1 to 30), t, append = false)
+    ManifestLake.snapshot(spark, t).batchId shouldBe Some(6L)
+    ManifestLake.writeBatch(rows(21 to 25), t, batchId = 6L,
+      appId = "app-x") shouldBe false
+    ManifestLake.read(spark, t).count() shouldBe 30
   }
 
   test("losing a commit race surfaces as an error, not silent overwrite") {
