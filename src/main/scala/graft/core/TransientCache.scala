@@ -33,6 +33,15 @@ object TransientCache {
     p
   }
 
+  /** Register an ALREADY-materialized frame (e.g. an eager
+    * `localCheckpoint`, which persists its RDD internally) for the next
+    * [[drain]] without re-persisting it — same lifetime contract, no
+    * extra storage level stacked on top. */
+  def register(df: DataFrame): DataFrame = {
+    scope.get += df
+    df
+  }
+
   /** Unpersist every intermediate registered on this thread since the
     * last drain. Call after the consuming action; blocks free async. */
   def drain(): Unit = {

@@ -35,6 +35,57 @@ object CorpusOps {
           .otherwise("test"))
   }
 
+  /** Corpus-relative quantile gate: keep rows whose `valueCol` reaches
+    * their group's exact q-quantile — "drop the bottom half by length
+    * per language" and friends, where the threshold is a property OF THE
+    * CORPUS rather than a constant. Exact interpolated percentile (one
+    * per group, tiny) computed in a group aggregate and broadcast back;
+    * the wide table sees one narrow join, no window sort over data rows.
+    * Pair with an integral `valueCol` (token counts) when the result
+    * must be engine-exact: interpolation between integers is exact in
+    * doubles, so the cut cannot drift by an ulp between engines. */
+  def quantileFilter(df: DataFrame, valueCol: String, q: Double,
+                     groupCol: String = "lang"): DataFrame = {
+    require(q > 0 && q < 1, "quantile must be in (0, 1)")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(q)).as("cut"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn("kept", col(valueCol) >= col("cut"))
+  }
+
+  /** Training-mixture rebalancing: select the LARGEST corpus subset
+    * whose group composition matches `targets` exactly (up to integer
+    * flooring), without replacement. The limiting group determines the
+    * achievable total `M = min_g(n_g / t_g)`; every group then keeps a
+    * quota of `floor(t_g * M)` documents, chosen deterministically by
+    * content-addressed rank (sha256 of the id), so the selection is
+    * stable under repartitioning and reprocessing — the same property
+    * [[deterministicSplit]] guarantees, for the same reason. Groups
+    * absent from `targets` are dropped. Scale: one count aggregate, one
+    * broadcast of the (tiny) per-group quota table, one rank window per
+    * group — no global sort, no collect of data rows. */
+  def rebalanceMix(df: DataFrame, targets: Seq[(String, Double)],
+                   groupCol: String = "lang",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "every target share must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF(groupCol, "target_share")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+    val m = counts.join(t, groupCol)
+      .agg(min(col("n_group") / col("target_share")).as("m"))
+    val quota = counts.join(t, groupCol).crossJoin(broadcast(m))
+      .select(col(groupCol),
+        floor(col("target_share") * col("m")).cast("long").as("quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+    df.withColumn("mix_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quota), groupCol)
+      .withColumn("kept", col("mix_rank") <= col("quota"))
+  }
+
   /** Token-budget sequence packing bookkeeping — the "concatenate the
     * corpus and cut every `budget` tokens" layout LLM pretraining uses.
     * Documents are laid out in deterministic order inside each block

@@ -50,11 +50,75 @@ object CorpusQueries {
       |    AS n_chunks
       |FROM packed""".stripMargin
 
+  /** mx1 — training-mixture rebalancing to an en-0.4 / others-0.15 mix;
+    * the limiting group caps the achievable total and every group keeps
+    * its floored quota by content-addressed rank. */
+  def mx1MixRebalance(s: SparkSession, d: String): DataFrame =
+    CorpusOps.rebalanceMix(Tables.documents(s, d),
+      Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15,
+        "zh" -> 0.15))
+      .select(col("doc_id"), col("lang"), col("mix_rank"), col("quota"),
+        col("kept"))
+
+  val mx1Oracle: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_group FROM documents GROUP BY lang),
+      |t(lang, target_share) AS (
+      |  VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15),
+      |    ('zh', 0.15)),
+      |m AS (
+      |  SELECT min(n_group / target_share) AS m
+      |  FROM counts JOIN t USING (lang)),
+      |quota AS (
+      |  SELECT lang,
+      |    CAST(floor(target_share * (SELECT m FROM m)) AS BIGINT) AS quota
+      |  FROM counts JOIN t USING (lang)),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |      AS mix_rank
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, r.mix_rank, q.quota,
+      |  r.mix_rank <= q.quota AS kept
+      |FROM ranked r JOIN quota q USING (lang)""".stripMargin
+
+  /** qf1 — per-lang median token-count gate (integral values, so the
+    * interpolated median is engine-exact). */
+  def qf1QuantileFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(
+      split(col("text"), "\\s+"), t => t =!= "")
+    CorpusOps.quantileFilter(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens")),
+      "n_tokens", 0.5)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cut"),
+        col("kept"))
+  }
+
+  val qf1Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT lang, quantile_cont(n_tokens, 0.5) AS cut
+      |  FROM toks GROUP BY lang)
+      |SELECT t.doc_id, t.lang, t.n_tokens, c.cut,
+      |  t.n_tokens >= c.cut AS kept
+      |FROM toks t JOIN cuts c USING (lang)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_hash_split" -> (sp1HashSplit _),
-    "pk1_token_pack" -> (pk1TokenPack _))
+    "pk1_token_pack" -> (pk1TokenPack _),
+    "mx1_mix_rebalance" -> (mx1MixRebalance _),
+    "qf1_quantile_filter" -> (qf1QuantileFilter _))
 
   val oracles: Map[String, String] = Map(
     "sp1_hash_split" -> sp1Oracle,
-    "pk1_token_pack" -> pk1Oracle)
+    "pk1_token_pack" -> pk1Oracle,
+    "mx1_mix_rebalance" -> mx1Oracle,
+    "qf1_quantile_filter" -> qf1Oracle)
 }

@@ -304,8 +304,9 @@ object Dedup {
     val edges = graft.core.TransientCache.persist(
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    var ckpt = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    var labels = ckpt
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -317,12 +318,20 @@ object Dedup {
             .as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("prev")).count()
+      // `next` is materialized with truncated lineage: the superseded
+      // round's checkpoint can be freed NOW instead of leaking one
+      // cached RDD per iteration for the life of the session
+      ckpt.unpersist(blocking = false)
+      ckpt = next
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations — " +
         "raise maxIter (diameter exceeds it) or check the edge set")
+    // the surviving checkpoint lives until the caller's drain, like
+    // every other transient intermediate
+    graft.core.TransientCache.register(ckpt)
     labels
   }
 

@@ -52,6 +52,32 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .foreach(_.getAs[Long]("n_chunks") should be >= 2L)
   }
 
+  test("mixture rebalancing: kept counts hit floored quotas in target " +
+    "proportion, selection is stable under repartitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val targets = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val out = CorpusOps.rebalanceMix(docs, targets)
+    val kept = out.filter($"kept")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val nByLang = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val m = targets.map { case (g, t) => nByLang(g) / t }.min
+    targets.foreach { case (g, t) =>
+      kept(g) shouldBe math.floor(t * m).toLong
+    }
+    // every group's quota is satisfiable and the mix is proportional:
+    // ratio of any two groups differs from the target ratio only by
+    // flooring
+    kept("en").toDouble / kept.values.sum should be(0.4 +- 0.01)
+    // determinism: identical keep-set under a different partitioning
+    val a = out.filter($"kept").select($"doc_id").as[Long].collect().sorted
+    val b = CorpusOps.rebalanceMix(docs.repartition(13), targets)
+      .filter($"kept").select($"doc_id").as[Long].collect().sorted
+    a shouldBe b
+  }
+
   test("connected components: chains merge transitively, singletons " +
     "keep their own label, non-convergence raises") {
     import spark.implicits._
