@@ -1,0 +1,58 @@
+package graft.text
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the distributed HashMin label propagation against an
+  * independently-written sequential union-find on random graphs: same
+  * components, same minimal-id labels, for any edge set — including
+  * cycles, self-pairs of structure (paths, stars), and isolated nodes. */
+class ComponentsPropertySpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  /** Textbook union-find with path compression — the reference model. */
+  private def unionFind(n: Int, edges: List[(Int, Int)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root by min id: union always points the larger root at the smaller,
+    // so find() lands on the component minimum
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("connectedComponents labels match sequential union-find on " +
+    "random graphs") {
+    import spark.implicits._
+    val genGraph = for {
+      n <- Gen.chooseNum(1, 24)
+      nEdges <- Gen.chooseNum(0, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges)
+    val prop = Prop.forAll(genGraph) { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val pairs = edges.map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, "id", pairs, maxIter = 30)
+        .as[(Long, Long)].collect().toMap
+      graft.core.TransientCache.drain()
+      got == unionFind(n, edges)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    withClue(result.status.toString) { result.passed shouldBe true }
+  }
+}
