@@ -22,23 +22,26 @@ import org.apache.spark.storage.StorageLevel
 object TransientCache {
 
   private val scope =
-    ThreadLocal.withInitial[scala.collection.mutable.ArrayBuffer[DataFrame]](
+    ThreadLocal.withInitial[scala.collection.mutable.ArrayBuffer[() => Unit]](
       () => scala.collection.mutable.ArrayBuffer.empty)
 
   /** Persist `df` (memory-and-disk) and register it for the next [[drain]]
     * on this thread. */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    scope.get += p
+    scope.get += (() => p.unpersist(blocking = false))
     p
   }
 
-  /** Register an ALREADY-materialized frame (e.g. an eager
-    * `localCheckpoint`, which persists its RDD internally) for the next
-    * [[drain]] without re-persisting it — same lifetime contract, no
-    * extra storage level stacked on top. */
-  def register(df: DataFrame): DataFrame = {
-    scope.get += df
+  /** Register an eagerly `localCheckpoint`ed frame for the next
+    * [[drain]] — same lifetime contract as [[persist]], but released
+    * through the RDD (a checkpointed frame's `Dataset.unpersist` is a
+    * CacheManager no-op; see
+    * [[org.apache.spark.sql.graftbridge.CheckpointBridge]]). */
+  def registerCheckpointed(df: DataFrame): DataFrame = {
+    scope.get += (() =>
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .unpersistCheckpointed(df))
     df
   }
 
@@ -46,7 +49,7 @@ object TransientCache {
     * last drain. Call after the consuming action; blocks free async. */
   def drain(): Unit = {
     val s = scope.get
-    s.foreach(_.unpersist(blocking = false))
+    s.foreach(_.apply())
     s.clear()
   }
 }

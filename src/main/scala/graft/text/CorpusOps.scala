@@ -35,21 +35,34 @@ object CorpusOps {
           .otherwise("test"))
   }
 
+  /** Whitespace token count — THE tokenization every corpus operator
+    * here shares ([[packTokens]], the qf1 gate): non-empty
+    * whitespace-separated runs, as a long. One definition so the
+    * operators cannot drift apart. */
+  def tokenCount(textCol: Column): Column =
+    size(org.apache.spark.sql.functions.filter(
+      split(textCol, "\\s+"), t => t =!= "")).cast("long")
+
   /** Corpus-relative quantile gate: keep rows whose `valueCol` reaches
     * their group's exact q-quantile — "drop the bottom half by length
     * per language" and friends, where the threshold is a property OF THE
     * CORPUS rather than a constant. Exact interpolated percentile (one
     * per group, tiny) computed in a group aggregate and broadcast back;
     * the wide table sees one narrow join, no window sort over data rows.
-    * Pair with an integral `valueCol` (token counts) when the result
-    * must be engine-exact: interpolation between integers is exact in
-    * doubles, so the cut cannot drift by an ulp between engines. */
+    * The join is NULL-SAFE on the group key: rows with a NULL group get
+    * their own group's cut and flow through flagged like every other
+    * row — a flag-style operator must never shrink the row set. Pair
+    * with an integral `valueCol` (token counts) when the result must be
+    * engine-exact: interpolation between integers is exact in doubles,
+    * so the cut cannot drift by an ulp between engines. */
   def quantileFilter(df: DataFrame, valueCol: String, q: Double,
                      groupCol: String = "lang"): DataFrame = {
     require(q > 0 && q < 1, "quantile must be in (0, 1)")
     val cuts = df.groupBy(col(groupCol))
       .agg(percentile(col(valueCol), lit(q)).as("cut"))
-    df.join(broadcast(cuts), groupCol)
+      .withColumnRenamed(groupCol, "__qf_group")
+    df.join(broadcast(cuts), col(groupCol) <=> col("__qf_group"))
+      .drop("__qf_group")
       .withColumn("kept", col(valueCol) >= col("cut"))
   }
 
@@ -60,23 +73,36 @@ object CorpusOps {
     * quota of `floor(t_g * M)` documents, chosen deterministically by
     * content-addressed rank (sha256 of the id), so the selection is
     * stable under repartitioning and reprocessing — the same property
-    * [[deterministicSplit]] guarantees, for the same reason. Groups
-    * absent from `targets` are dropped. Scale: one count aggregate, one
-    * broadcast of the (tiny) per-group quota table, one rank window per
+    * [[deterministicSplit]] guarantees, for the same reason. Rows whose
+    * group is absent from `targets` (including NULL groups) are dropped
+    * — they are not part of the requested mixture. A target group with
+    * ZERO corpus rows makes the only composition-true answer the empty
+    * selection: it caps `M` at 0, so every quota is 0 and everything is
+    * `kept = false` — never a silently skewed mix that pretends the
+    * missing group away. Scale: ONE count aggregate (the joined
+    * per-group frame is tiny and reused for both the cap and the
+    * quotas), one broadcast of the quota table, one rank window per
     * group — no global sort, no collect of data rows. */
   def rebalanceMix(df: DataFrame, targets: Seq[(String, Double)],
                    groupCol: String = "lang",
                    idCol: String = "doc_id"): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "every target share must be positive")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate group in targets — each group gets exactly one share")
     val spark = df.sparkSession
     import spark.implicits._
     val t = targets.toDF(groupCol, "target_share")
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_group"))
-    val m = counts.join(t, groupCol)
-      .agg(min(col("n_group") / col("target_share")).as("m"))
-    val quota = counts.join(t, groupCol).crossJoin(broadcast(m))
+    // targets LEFT JOIN counts: a target group missing from the corpus
+    // must participate with n_group = 0 (capping M at 0), not vanish
+    // through an inner join
+    val cj = t.join(counts, Seq(groupCol), "left")
+      .withColumn("n_group", coalesce(col("n_group"), lit(0L)))
+    val quota = cj
+      .withColumn("m", min(col("n_group") / col("target_share"))
+        .over(Window.partitionBy()))
       .select(col(groupCol),
         floor(col("target_share") * col("m")).cast("long").as("quota"))
     val w = Window.partitionBy(col(groupCol))
@@ -99,10 +125,8 @@ object CorpusOps {
                  textCol: String = "text", blockCol: String = "lang",
                  budget: Int = 512): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val toks: Column = org.apache.spark.sql.functions.filter(
-      split(col(textCol), "\\s+"), t => t =!= "")
     val w = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
       .filter(col("n_tokens") > 0)
       .withColumn("token_offset",
         coalesce(sum(col("n_tokens"))

@@ -86,12 +86,10 @@ object CorpusQueries {
   /** qf1 — per-lang median token-count gate (integral values, so the
     * interpolated median is engine-exact). */
   def qf1QuantileFilter(s: SparkSession, d: String): DataFrame = {
-    val toks = org.apache.spark.sql.functions.filter(
-      split(col("text"), "\\s+"), t => t =!= "")
     CorpusOps.quantileFilter(
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          size(toks).cast("long").as("n_tokens")),
+          CorpusOps.tokenCount(col("text")).as("n_tokens")),
       "n_tokens", 0.5)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cut"),
         col("kept"))

@@ -319,9 +319,12 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("prev")).count()
       // `next` is materialized with truncated lineage: the superseded
-      // round's checkpoint can be freed NOW instead of leaking one
-      // cached RDD per iteration for the life of the session
-      ckpt.unpersist(blocking = false)
+      // round's checkpoint RDD can be freed NOW instead of leaking one
+      // persisted RDD per iteration for the life of the session. This
+      // must go through the RDD — Dataset.unpersist on a checkpointed
+      // frame is a CacheManager no-op (CheckpointBridge scaladoc).
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .unpersistCheckpointed(ckpt)
       ckpt = next
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -331,7 +334,7 @@ object Dedup {
         "raise maxIter (diameter exceeds it) or check the edge set")
     // the surviving checkpoint lives until the caller's drain, like
     // every other transient intermediate
-    graft.core.TransientCache.register(ckpt)
+    graft.core.TransientCache.registerCheckpointed(ckpt)
     labels
   }
 

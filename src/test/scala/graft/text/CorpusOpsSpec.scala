@@ -78,6 +78,57 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     a shouldBe b
   }
 
+  test("mixture rebalancing edge cases: a target group with no corpus " +
+    "rows empties the selection; duplicate targets are rejected; " +
+    "quantile gate keeps NULL-group rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "c d"), (3L, "de", "e f"))
+      .toDF("doc_id", "lang", "text")
+    // "zh" has zero rows: the only mixture matching the target is empty
+    val out = CorpusOps.rebalanceMix(docs,
+      Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25))
+    out.filter($"kept").count() shouldBe 0
+    out.count() shouldBe 3 // en/de rows still flow through, flagged false
+    intercept[IllegalArgumentException] {
+      CorpusOps.rebalanceMix(docs, Seq("en" -> 0.5, "en" -> 0.5))
+    }
+    // a NULL group must not vanish from a flag-style operator
+    val withNull = Seq((1L, Some("en"), 5L), (2L, None, 7L), (3L, None, 9L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val gated = CorpusOps.quantileFilter(withNull, "n_tokens", 0.5)
+    gated.count() shouldBe 3
+    gated.filter($"lang".isNull && $"kept").select($"doc_id")
+      .as[Long].collect().sorted shouldBe Array(3L) // median of {7,9} = 8
+  }
+
+  test("dedupClusters frees every checkpoint RDD at drain") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = (1L to 50L).toDF("id")
+    // five 5-node stars: diameter 2, a few propagation rounds
+    val pairs = (0L until 5L).flatMap(s =>
+      (2L to 5L).map(i => (s * 5 + 1, s * 5 + i))).toDF("id_a", "id_b")
+    Dedup.dedupClusters(nodes, "id", pairs)
+      .write.format("noop").mode("overwrite").save()
+    graft.core.TransientCache.drain()
+    // async unpersists need a beat to land
+    eventually {
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      leaked shouldBe empty
+    }
+  }
+
+  private def eventually(assert: => Unit): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var last: Throwable = null
+    while (System.nanoTime() < deadline) {
+      try { assert; return }
+      catch { case t: org.scalatest.exceptions.TestFailedException =>
+        last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
+
   test("connected components: chains merge transitively, singletons " +
     "keep their own label, non-convergence raises") {
     import spark.implicits._
