@@ -194,6 +194,43 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream interval join — correlate two live event
+    * streams (every click with the same user's views in the preceding
+    * `toleranceMinutes`). The join condition carries the EVENT-TIME
+    * bound, which is what lets the engine evict state: each side only
+    * buffers rows until the other side's watermark passes the interval,
+    * so state is O(rows in the tolerance window), not O(stream). The
+    * 100 TB shape for joining two unbounded feeds without a lake
+    * round-trip. */
+  def streamStreamJoin(clicks: DataFrame, views: DataFrame,
+                       toleranceMinutes: Int = 60,
+                       watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    c.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") -
+          expr(s"INTERVAL $toleranceMinutes MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
+  }
+
+  /** Watermarked streaming deduplication — `dropDuplicates` over the
+    * full row identity with the event-time column inside the key, so
+    * the dedup state is evicted once the watermark passes a row's event
+    * time: O(rows inside the watermark horizon), the only state bound
+    * that survives an unbounded stream. Exact duplicates (re-delivered
+    * batches, at-least-once sources) collapse to one row regardless of
+    * which copy arrives first. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates()
+
   /** Run a streaming aggregation over a static parquet path via
     * AvailableNow + a memory sink, returning the final table — used to
     * drive streaming operators through the batch correctness gate. */

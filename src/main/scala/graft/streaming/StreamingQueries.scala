@@ -154,13 +154,59 @@ object StreamingQueries {
       |  CAST(0 AS BIGINT) AS n_stream_only,
       |  CAST(0 AS BIGINT) AS n_batch_missing""".stripMargin
 
+  /** st4 — watermarked stream-stream interval join, driven to
+    * completion (one AvailableNow batch ⇒ the full join result; state
+    * eviction is a multi-batch concern pinned in StreamingSpec). The
+    * DuckDB oracle is the equivalent batch interval join. */
+  def st4StreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    Streaming.runToMemory(s,
+      Streaming.streamStreamJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view")),
+      "st4_stream_join_tbl", OutputMode.Append())
+  }
+
+  val st4Oracle: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+      |  v.event_id AS view_id,
+      |  epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_ts_us
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND v.event_type = 'view'
+      |  AND epoch_us(CAST(v.ts AS TIMESTAMP))
+      |    BETWEEN epoch_us(CAST(c.ts AS TIMESTAMP)) - 3600000000
+      |    AND epoch_us(CAST(c.ts AS TIMESTAMP))""".stripMargin
+
+  /** st5 — watermarked streaming dedup over a stream that re-delivers
+    * every event twice (self-union of the source, the at-least-once
+    * shape); the final table must equal the batch DISTINCT. */
+  def st5StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    Streaming.runToMemory(s,
+      Streaming.dedupStream(ev.unionByName(eventsStream(s, d))),
+      "st5_stream_dedup_tbl", OutputMode.Append())
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  val st5Oracle: String =
+    """SELECT DISTINCT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  user_id, event_type, value, props
+      |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_windowed_counts" -> (st1WindowedCounts _),
     "st2_sessionize_batch" -> (st2SessionizeBatch _),
-    "st3_sessionize_stream" -> (st3SessionizeStream _))
+    "st3_sessionize_stream" -> (st3SessionizeStream _),
+    "st4_stream_join" -> (st4StreamJoin _),
+    "st5_stream_dedup" -> (st5StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_counts" -> st1Oracle,
     "st2_sessionize_batch" -> st2Oracle,
-    "st3_sessionize_stream" -> st3Oracle)
+    "st3_sessionize_stream" -> st3Oracle,
+    "st4_stream_join" -> st4Oracle,
+    "st5_stream_dedup" -> st5Oracle)
 }

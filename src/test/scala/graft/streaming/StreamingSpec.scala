@@ -181,6 +181,47 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
       BikeSchemas.ssFormatted.fields.map(_.name).toSeq
   }
 
+  test("stream-stream interval join: in-window views match across " +
+    "batches, out-of-window views never do") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF(), views.toDF(), toleranceMinutes = 60)
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_test").outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(ev(1, T0, 7), ev(2, T0 - 7200, 7)) // in/out of window
+      q.processAllAvailable()
+      // the click arrives in a LATER batch: the view must still be
+      // buffered in join state and match
+      clicks.addData(ev(10, T0 + 600, 7))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test")
+        .select($"click_id", $"view_id").as[(Long, Long)].collect()
+      rows.toSet shouldBe Set((10L, 1L)) // 2h-old view outside tolerance
+    } finally q.stop()
+  }
+
+  test("streaming dedup: a duplicate re-delivered in a later batch " +
+    "within the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = Streaming.dedupStream(input.toDF(), watermark = "2 hours")
+    val q = out.writeStream.format("memory")
+      .queryName("sdd_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, T0, 7), ev(1, T0, 7)) // in-batch duplicate
+      q.processAllAvailable()
+      input.addData(ev(1, T0, 7), ev(2, T0 + 60, 7)) // cross-batch dup
+      q.processAllAvailable()
+      spark.table("sdd_test").select($"event_id").as[Long]
+        .collect().sorted shouldBe Array(1L, 2L)
+    } finally q.stop()
+  }
+
   test("st1/st2 streaming queries run to completion on the test tables") {
     val st1 = StreamingQueries.st1WindowedCounts(spark, "/root/testdata/sf0.001")
     st1.count() should be > 0L
