@@ -155,8 +155,9 @@ object StreamingQueries {
       |  CAST(0 AS BIGINT) AS n_batch_missing""".stripMargin
 
   /** st4 — watermarked stream-stream interval join, driven to
-    * completion (one AvailableNow batch ⇒ the full join result; state
-    * eviction is a multi-batch concern pinned in StreamingSpec). The
+    * completion (one AvailableNow batch ⇒ the full join result; the
+    * multi-batch concerns — cross-batch buffering and watermark-driven
+    * state eviction — are pinned in StreamingSpec). The
     * DuckDB oracle is the equivalent batch interval join. */
   def st4StreamJoin(s: SparkSession, d: String): DataFrame = {
     val ev = eventsStream(s, d)

@@ -195,12 +195,25 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
       views.addData(ev(1, T0, 7), ev(2, T0 - 7200, 7)) // in/out of window
       q.processAllAvailable()
       // the click arrives in a LATER batch: the view must still be
-      // buffered in join state and match
+      // buffered in join state and match (exactly once — sorted compare
+      // so a duplicate emission cannot hide in a set)
       clicks.addData(ev(10, T0 + 600, 7))
       q.processAllAvailable()
-      val rows = spark.table("ssj_test")
-        .select($"click_id", $"view_id").as[(Long, Long)].collect()
-      rows.toSet shouldBe Set((10L, 1L)) // 2h-old view outside tolerance
+      spark.table("ssj_test").select($"click_id", $"view_id")
+        .as[(Long, Long)].collect()
+        .sorted shouldBe Array((10L, 1L)) // 2h-old view outside tolerance
+      // EVICTION: far-future events on BOTH sides push the global
+      // watermark past the old view's liveness bound (view_ts +
+      // tolerance + delay), so its buffered state is dropped — a
+      // subsequent click that would have matched it emits nothing
+      views.addData(ev(3, T0 + 100000, 99))
+      clicks.addData(ev(11, T0 + 100000, 98))
+      q.processAllAvailable()
+      clicks.addData(ev(12, T0 + 600, 7)) // below watermark now
+      q.processAllAvailable()
+      spark.table("ssj_test").select($"click_id", $"view_id")
+        .as[(Long, Long)].collect()
+        .sorted shouldBe Array((10L, 1L)) // no resurrection of evicted state
     } finally q.stop()
   }
 
