@@ -274,14 +274,50 @@ object Relational {
     * bounded in RelationalSpec. */
   def a4ApproxSketches(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d).agg(
-      approx_count_distinct($"l_orderkey").as("approx_orders"),
-      approx_count_distinct($"l_partkey").as("approx_parts"),
-      expr("percentile_approx(l_extendedprice, 0.5, 10000)")
-        .as("approx_p50"),
-      expr("percentile_approx(l_extendedprice, 0.95, 10000)")
-        .as("approx_p95"))
+    // The gate row grades the sketches in-engine instead of exposing
+    // their engine-internal values: HLL++ estimates are checked against
+    // exact count-distincts (≤ 2% relative error at the default rsd),
+    // and each percentile_approx value is checked by the RANK it lands
+    // at in a second pass (accuracy 10000 bounds rank error at 1e-4 of
+    // the population). Only the exact counts and the pass/fail booleans
+    // are emitted, so DuckDB re-derives the row hash-exactly and a
+    // sketch-accuracy regression flips a boolean and fails the gate.
+    // (A production user queries the sketch side alone — the exact
+    // companions exist here as the grading harness.)
+    val li = Tables.lineitem(s, d)
+    val sk = li.agg(
+      // rsd 0.01: the default 0.05 sketch is too coarse to promise the
+      // 2% gate bound; at 1% relative standard deviation the bound is
+      // ~2σ and, the data being fixed, the estimate is deterministic —
+      // the gate can't flake, only regress
+      approx_count_distinct($"l_orderkey", 0.01).as("a_ord"),
+      countDistinct($"l_orderkey").as("exact_orders"),
+      approx_count_distinct($"l_partkey", 0.01).as("a_part"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
+      expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95"))
+    li.crossJoin(broadcast(sk))
+      .agg(
+        first($"exact_orders").as("exact_orders"),
+        first($"exact_parts").as("exact_parts"),
+        (abs(first($"a_ord") - first($"exact_orders")) <=
+          first($"exact_orders") * 0.02).as("hll_orders_ok"),
+        (abs(first($"a_part") - first($"exact_parts")) <=
+          first($"exact_parts") * 0.02).as("hll_parts_ok"),
+        (count(when($"l_extendedprice" <= $"p50", 1))
+          .cast("double") / count(lit(1)))
+          .between(0.49, 0.51).as("p50_rank_ok"),
+        (count(when($"l_extendedprice" <= $"p95", 1))
+          .cast("double") / count(lit(1)))
+          .between(0.94, 0.96).as("p95_rank_ok"))
   }
+
+  val a4Oracle: String =
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS hll_orders_ok, TRUE AS hll_parts_ok,
+      |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+      |FROM lineitem""".stripMargin
 
   /** g1_rollup — hierarchical totals in one pass (GROUPING SETS family). */
   def g1Rollup(s: SparkSession, d: String): DataFrame = {
@@ -707,6 +743,7 @@ object Relational {
     "g2_cube" -> g2Oracle,
     "g3_pivot" -> g3Oracle,
     "a3_grouped_topk" -> a3Oracle,
+    "a4_approx_sketches" -> a4Oracle,
     "g4_unpivot" -> g4Oracle,
     "f14_date_arith" -> f14Oracle,
     "o1_topk" -> o1Oracle,
