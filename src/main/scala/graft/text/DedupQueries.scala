@@ -25,6 +25,22 @@ object DedupQueries {
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", regexp_replace(col("text"), "^\\S+", "qqq")))
 
+  /** Self-grading guard for the hash-seeded (rows-only) pair queries:
+    * every query here plants duplicates at `id + 100000`, so the pair
+    * set must contain all `expected` planted pairs — the count rides
+    * along as a column and rows survive only when recall is full, which
+    * makes the driver's recorded cardinality pin PLANTED RECALL instead
+    * of mere pair-count plumbing (the same pattern as nn2's recall
+    * gate). A recall regression empties the result. */
+  private def requirePlantedRecall(pairs: DataFrame,
+                                   expected: Int): DataFrame = {
+    val planted = pairs
+      .filter(col("id_b") === col("id_a") + 100000)
+      .agg(count(lit(1)).as("n_planted_recovered"))
+    pairs.crossJoin(broadcast(planted))
+      .filter(col("n_planted_recovered") >= expected)
+  }
+
   def dd1ExactDedup(s: SparkSession, d: String): DataFrame =
     Dedup.exactDedup(withExactCopies(Tables.documents(s, d)))
       .select(col("doc_id"), col("content_hash"), col("is_keeper"))
@@ -42,13 +58,16 @@ object DedupQueries {
     * hash-seeded and engine-internal → rows-only driver check; the planted
     * recall/precision contract is pinned in DedupSpec. */
   def dd2MinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupPairs(withNearCopies(Tables.documents(s, d)),
-      threshold = 0.5)
+    requirePlantedRecall(
+      Dedup.nearDupPairs(withNearCopies(Tables.documents(s, d)),
+        threshold = 0.5), expected = 5)
 
   /** SimHash fingerprints + the near-dup pairs at Hamming ≤ 3 over the
     * planted corpus (fingerprint values are xxhash-derived → rows-only). */
   def dd3Simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(withExactCopies(Tables.documents(s, d)))
+    requirePlantedRecall(
+      Dedup.simhashPairs(withExactCopies(Tables.documents(s, d))),
+      expected = 5)
 
   /** Winnowing fingerprint-overlap near-dup pairs (the MOSS scheme) over
     * the planted corpus. Rolling-hash fingerprint values are
@@ -59,8 +78,9 @@ object DedupQueries {
     // maxDocFreq raised from the production default: the synthetic corpus
     // draws from a tiny vocabulary, so cross-document k-gram collisions
     // are far denser than in real text
-    Dedup.winnowPairs(withNearCopies(Tables.documents(s, d)),
-      maxDocFreq = 30)
+    requirePlantedRecall(
+      Dedup.winnowPairs(withNearCopies(Tables.documents(s, d)),
+        maxDocFreq = 30), expected = 5)
 
   /** Blocked n-gram Jaccard — deterministic successor pairing inside each
     * lang block; the Jaccard kernel is exact → full oracle. */
@@ -100,10 +120,12 @@ object DedupQueries {
           sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(1001))
             .cast("double") / 1000.0 - 0.5) * 0.002))
-    graft.ann.Similarity.hyperplanePairs(
-      emb.withColumn("embedding", col("embedding").cast("array<double>"))
-        .unionByName(planted),
-      threshold = 0.95)
+    requirePlantedRecall(
+      graft.ann.Similarity.hyperplanePairs(
+        emb.withColumn("embedding", col("embedding").cast("array<double>"))
+          .unionByName(planted),
+        threshold = 0.95),
+      expected = 5)
   }
 
   /** dd7 — pairs → CLUSTERS via connected components (transitive
