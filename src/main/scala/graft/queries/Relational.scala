@@ -285,18 +285,24 @@ object Relational {
     // (A production user queries the sketch side alone — the exact
     // companions exist here as the grading harness.)
     val li = Tables.lineitem(s, d)
+    // The sketch agg and the exact count-distincts run as SEPARATE
+    // aggregations: count-distinct plans an Expand (3× rows), and mixing
+    // it with the object-hash percentile buffers in one agg forces a
+    // sort-based aggregate over the expanded rows — measured 80× slower
+    // than the two clean plans crossJoined (both are 1-row frames).
     val sk = li.agg(
       // rsd 0.01: the default 0.05 sketch is too coarse to promise the
       // 2% gate bound; at 1% relative standard deviation the bound is
       // ~2σ and, the data being fixed, the estimate is deterministic —
       // the gate can't flake, only regress
       approx_count_distinct($"l_orderkey", 0.01).as("a_ord"),
-      countDistinct($"l_orderkey").as("exact_orders"),
       approx_count_distinct($"l_partkey", 0.01).as("a_part"),
-      countDistinct($"l_partkey").as("exact_parts"),
       expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
       expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95"))
-    li.crossJoin(broadcast(sk))
+    val ex = li.agg(
+      countDistinct($"l_orderkey").as("exact_orders"),
+      countDistinct($"l_partkey").as("exact_parts"))
+    li.crossJoin(broadcast(sk)).crossJoin(broadcast(ex))
       .agg(
         first($"exact_orders").as("exact_orders"),
         first($"exact_parts").as("exact_parts"),
