@@ -267,11 +267,13 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** a4_approx_sketches — mergeable-sketch aggregates: HLL distinct
-    * counts and approximate percentiles. These are the 100 TB
-    * substitutes for exact DISTINCT / sort-based percentiles: sketches
-    * merge map-side, nothing per-key ever shuffles. Estimates are
-    * engine-specific → rows-only driver check; accuracy vs exact is
-    * bounded in RelationalSpec. */
+    * counts and approximate percentiles, the 100 TB substitutes for
+    * exact DISTINCT / sort-based percentiles (sketches merge map-side,
+    * nothing per-key ever shuffles). The estimates themselves are
+    * engine-specific, so the gate row does not expose them: it grades
+    * them in-engine and emits exact counts + pass booleans, which DuckDB
+    * re-derives HASH-EXACTLY (see the body comment); accuracy is also
+    * bounded independently in RelationalSpec. */
   def a4ApproxSketches(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // The gate row grades the sketches in-engine instead of exposing

@@ -110,8 +110,13 @@ object Dedup {
                          idCol: String, maxBucketSize: Int): DataFrame =
     buckets
       .withColumn("__bucket_rank",
+        // ordered by a hash of the id (id itself only breaks ties):
+        // deterministic, but id-UNIFORM — ranking by raw id would keep
+        // the smallest ids, systematically evicting whatever sorts last
+        // (late-ingested docs, planted copies in the gate corpora)
+        // instead of a representative sample of the bucket
         row_number().over(Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(idCol))))
+          .orderBy(xxhash64(col(idCol)), col(idCol))))
       .filter(col("__bucket_rank") <= maxBucketSize)
       .drop("__bucket_rank")
 

@@ -34,10 +34,13 @@ object DedupQueries {
     * gate). A recall regression empties the result. */
   private def requirePlantedRecall(pairs: DataFrame,
                                    expected: Int): DataFrame = {
-    val planted = pairs
+    // persisted: the pair mining (bucket self-join + verify + distinct)
+    // feeds both the recall count and the output
+    val p = graft.core.TransientCache.persist(pairs)
+    val planted = p
       .filter(col("id_b") === col("id_a") + 100000)
       .agg(count(lit(1)).as("n_planted_recovered"))
-    pairs.crossJoin(broadcast(planted))
+    p.crossJoin(broadcast(planted))
       .filter(col("n_planted_recovered") >= expected)
   }
 

@@ -66,8 +66,12 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.core.TransientCache.drain()
     val hotPairs = pairs.filter(_._1 < 5000L)
     hotPairs.length shouldBe 50 * 49 / 2 // C(cap, 2), not C(1200, 2)
-    // the kept prefix is deterministic: the 50 smallest ids
-    hotPairs.flatMap(p => Seq(p._1, p._2)).max should be < 50L
+    // the kept subset is deterministic (hash-ordered, not
+    // smallest-id-biased): a second run keeps the identical sample
+    val again = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 50)
+      .as[(Long, Long)].collect()
+    graft.core.TransientCache.drain()
+    again.sorted shouldBe pairs.sorted
     pairs should contain((5000L, 5001L)) // cool bucket untouched
     val reported = Dedup.truncatedBuckets(buckets, Seq("band", "bucket"), 50)
       .as[(Int, Int, Long)].collect()
