@@ -31,6 +31,41 @@ class ComponentsPropertySpec extends AnyFunSuite with Matchers with SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  test("rebalanceMix invariants on random corpora and targets: quotas " +
+    "are floor(t*M), never exceed group supply, and the kept counts " +
+    "realize them exactly") {
+    import spark.implicits._
+    val genCase = for {
+      nGroups <- Gen.chooseNum(1, 4)
+      sizes <- Gen.listOfN(nGroups, Gen.chooseNum(0, 40))
+      shares <- Gen.listOfN(nGroups, Gen.chooseNum(1, 10))
+    } yield (sizes, shares.map(_.toDouble))
+    val prop = Prop.forAll(genCase) { case (sizes, shares) =>
+      val groups = sizes.indices.map(i => s"g$i")
+      val rows = groups.zip(sizes).flatMap { case (g, n) =>
+        (0 until n).map(i => (g.hashCode.toLong * 1000 + i, g))
+      }
+      if (rows.isEmpty) true
+      else {
+        val df = rows.toDF("doc_id", "lang")
+        val targets = groups.zip(shares)
+        val kept = CorpusOps.rebalanceMix(df, targets)
+          .filter(org.apache.spark.sql.functions.col("kept"))
+          .groupBy($"lang").count().as[(String, Long)].collect().toMap
+        val m = targets.map { case (g, t) =>
+          sizes(groups.indexOf(g)) / t }.min
+        targets.forall { case (g, t) =>
+          val quota = math.floor(t * m).toLong
+          kept.getOrElse(g, 0L) == quota &&
+            quota <= sizes(groups.indexOf(g))
+        }
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    withClue(result.status.toString) { result.passed shouldBe true }
+  }
+
   test("connectedComponents labels match sequential union-find on " +
     "random graphs") {
     import spark.implicits._
