@@ -444,15 +444,21 @@ object Relational {
       |GROUP BY n_name ORDER BY revenue DESC""".stripMargin
 
   /** q14_promo_share — TPC-H Q14 shape: fact⋈dim join feeding a
-    * conditional-aggregate ratio. Part is a true dimension here, so the
-    * join broadcasts and the ratio reduces to two map-side partial sums.
-    * Also exercises the string-predicate family (LIKE prefix match on
-    * p_name). */
+    * conditional-aggregate ratio, then two map-side partial sums. Also
+    * exercises the string-predicate family (LIKE prefix match on p_name).
+    *
+    * No broadcast hint on part, deliberately: unlike nation/region (fixed
+    * 25/5 rows), part GROWS with scale factor — 20 k rows at sf0.1,
+    * billions at the 100 TB target — and a forced hint overrides Spark's
+    * size threshold, turning into a driver/executor OOM at scale. Left
+    * unhinted, AQE broadcasts it at small SF (PLANS.md pins the BHJ) and
+    * falls back to a shuffled hash join once part outgrows
+    * autoBroadcastJoinThreshold — the correct plan at both ends. */
   def q14PromoShare(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val revenue = $"l_extendedprice" * (lit(1.0) - $"l_discount")
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
       .agg(
         (lit(100.0) *
           decSum(when($"p_type" === "PROMO", revenue).otherwise(0.0), 6) /

@@ -290,7 +290,17 @@ object ManifestLake {
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = currentVersion(spark, table)
     val next = prev.getOrElse(0L) + 1
-    val staging = new Path(p, f"_staging-v$next%08d")
+    // Writer-unique attempt id in the staging dir AND the published data
+    // file names. The manifest publish is the only arbitration point; two
+    // committers racing for the same version both stage and rename data
+    // files BEFORE one of them loses that race, and with version-only
+    // names the loser's rename silently REPLACES the winner's published
+    // file on POSIX rename — the winner's committed snapshot would then
+    // point at the loser's bytes. Unique names make the rename targets
+    // disjoint, so the loser only ever leaves orphans (collected by
+    // vacuum once the version ages out of retention).
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(p, f"_staging-v$next%08d-$attempt")
     fs.delete(staging, true)
     val writer = df.write
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
@@ -300,7 +310,7 @@ object ManifestLake {
     val moved = staged.zipWithIndex.map { case (src, i) =>
       val dir = relativize(staging, src.getParent)
       val name = (if (dir.isEmpty) "" else dir + "/") +
-        f"v$next%08d-$i%05d.parquet"
+        f"v$next%08d-$attempt-$i%05d.parquet"
       val dest = new Path(p, name)
       fs.mkdirs(dest.getParent)
       if (!fs.rename(src, dest))
@@ -463,6 +473,7 @@ object ManifestLake {
     * `vNNNNNNNN-*.parquet` basename (partition directories stripped).
     * 8+ digits for the same widening reason as [[ManifestRe]]. */
   private val DataFileRe = "^v(\\d{8,})-.*\\.parquet$".r
+  private val StagingRe = "^_staging-v(\\d{8,})-.*$".r
   private def dataFileVersion(relPath: String): Option[Long] =
     relPath.split('/').last match {
       case DataFileRe(v) => Some(v.toLong)
@@ -489,10 +500,25 @@ object ManifestLake {
       .map(f => relativize(p, f))
       // never touch the manifest dir or a writer's staging area
       .filterNot(f => f.startsWith(ManifestDir) || f.startsWith("_staging"))
-      .filterNot(f => dataFileVersion(f).forall(_ > maxRetained))
+      // `exists`, not `forall`: a basename that doesn't parse as
+      // vNNNNNNNN-*.parquet can't be an in-flight writer's file (writers
+      // always produce matching names), so a foreign/legacy parquet file
+      // stays collectable when no retained manifest references it
+      .filterNot(f => dataFileVersion(f).exists(_ > maxRetained))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
     drop.foreach(v => fs.delete(manifestPath(p, v), false))
+    // Abandoned staging dirs (crashed or lost-race writers). A live
+    // writer always stages for version current+1 > maxRetained, so a
+    // staging dir versioned at or below the newest retained manifest is
+    // provably dead.
+    fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case StagingRe(v) if v.toLong <= maxRetained =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
     dead.length
   }
 }

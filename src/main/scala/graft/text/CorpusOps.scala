@@ -66,6 +66,41 @@ object CorpusOps {
       .withColumn("kept", col(valueCol) >= col("cut"))
   }
 
+  /** Monotone shard id from the leading bits of an already-uniform
+    * lowercase-hex ordering key: `floor(first_byte * n / 256)`. Monotone
+    * in the string ordering of the key (hex digits 0-9a-f are
+    * ASCII-ascending), so ranking hierarchically per shard and adding the
+    * count of earlier shards reproduces the GLOBAL rank exactly — while
+    * no single task ever sorts more than ~1/n of a group. */
+  private[text] def hexPrefixShard(hexCol: Column, n: Int): Column = {
+    require(n >= 1 && n <= 256, "hex-prefix sharding supports 1..256 shards")
+    floor(conv(substring(hexCol, 1, 2), 16, 10).cast("int") * n / 256)
+      .cast("int")
+  }
+
+  /** Per-group range-shard assignment for an arbitrary numeric ordering
+    * column: boundaries from `percentile_approx` (one tiny aggregate over
+    * just (group, order) — column-pruned at the scan), shard = number of
+    * boundaries ≤ the value. Monotone in `orderCol` BY CONSTRUCTION, so a
+    * hierarchical prefix over shards equals the global prefix for ANY
+    * boundary placement — approximation error moves work between shards,
+    * never a row's result. Returns the frame with an `__shard` column. */
+  private[text] def rangeShard(df: DataFrame, groupCol: String,
+                               orderCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    if (n == 1) return df.withColumn("__shard", lit(0))
+    val probs = (1 until n).map(_.toDouble / n)
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(orderCol),
+        typedLit(probs), lit(10000)).as("__bounds"))
+      .withColumnRenamed(groupCol, "__rs_group")
+    df.join(broadcast(bounds), col(groupCol) <=> col("__rs_group"), "left")
+      .withColumn("__shard",
+        coalesce(size(org.apache.spark.sql.functions.filter(
+          col("__bounds"), b => b <= col(orderCol))), lit(0)))
+      .drop("__rs_group", "__bounds")
+  }
+
   /** Training-mixture rebalancing: select the LARGEST corpus subset
     * whose group composition matches `targets` exactly (up to integer
     * flooring), without replacement. The limiting group determines the
@@ -81,11 +116,18 @@ object CorpusOps {
     * `kept = false` — never a silently skewed mix that pretends the
     * missing group away. Scale: ONE count aggregate (the joined
     * per-group frame is tiny and reused for both the cap and the
-    * quotas), one broadcast of the quota table, one rank window per
-    * group — no global sort, no collect of data rows. */
+    * quotas), one broadcast of the quota table, and a SHARDED rank — the
+    * content-addressed ordering key (sha256) is uniform, so its leading
+    * byte gives `shards` monotone, balanced blocks per group; each block
+    * ranks locally and adds the broadcast count of earlier blocks, which
+    * reproduces the global per-group rank exactly while no task ever
+    * sorts more than ~1/shards of a group. (A plain
+    * `Window.partitionBy(group)` sorts a whole language on one reducer —
+    * the 100 TB killer this layout exists to avoid.) */
   def rebalanceMix(df: DataFrame, targets: Seq[(String, Double)],
                    groupCol: String = "lang",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   shards: Int = 16): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "every target share must be positive")
     require(targets.map(_._1).distinct.size == targets.size,
@@ -105,11 +147,28 @@ object CorpusOps {
         .over(Window.partitionBy()))
       .select(col(groupCol),
         floor(col("target_share") * col("m")).cast("long").as("quota"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
-    df.withColumn("mix_rank", row_number().over(w).cast("long"))
+    val sharded = df
+      .withColumn("__sha", sha2(col(idCol).cast("string"), 256))
+      .withColumn("__shard", hexPrefixShard(col("__sha"), shards))
+    val wLocal = Window.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col("__sha"), col(idCol))
+    val shardCounts = sharded.groupBy(col(groupCol), col("__shard"))
+      .agg(count(lit(1)).as("__n"))
+    // per-(group, shard) base = rows in earlier shards of the group; the
+    // windowed frame here is ≤ groups × shards rows — trivially small
+    val wShard = Window.partitionBy(col(groupCol)).orderBy(col("__shard"))
+    val bases = shardCounts
+      .withColumn("__base", coalesce(sum(col("__n"))
+        .over(wShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__base"))
+    sharded
+      .withColumn("__local_rank", row_number().over(wLocal))
+      .join(broadcast(bases), Seq(groupCol, "__shard"))
+      .withColumn("mix_rank",
+        (col("__base") + col("__local_rank")).cast("long"))
       .join(broadcast(quota), groupCol)
       .withColumn("kept", col("mix_rank") <= col("quota"))
+      .drop("__sha", "__shard", "__local_rank", "__base")
   }
 
   /** Token-budget sequence packing bookkeeping — the "concatenate the
@@ -118,19 +177,52 @@ object CorpusOps {
     * (block = `blockCol`, the unit a packing worker owns; ordering by
     * id), and each doc gets its token offset plus the first/last sequence
     * index it lands in — a doc whose span crosses a boundary contributes
-    * to multiple sequences (`n_chunks`). All-window, all-integral: one
-    * shuffle on the block key, exact at any partitioning. Empty documents
-    * are dropped (they occupy no tokens). */
+    * to multiple sequences (`n_chunks`). All-integral, exact at any
+    * partitioning. Empty documents are dropped (they occupy no tokens).
+    *
+    * Scale shape: the prefix sum is HIERARCHICAL, not a single
+    * per-block window — a plain `Window.partitionBy(block)` sorts one
+    * whole block (at the default `lang` blocking: one entire language)
+    * on one reducer. Instead each block is range-sharded on the numeric
+    * id (boundaries from one tiny `percentile_approx` aggregate over
+    * (block, id) — column-pruned at the scan), local prefix sums run
+    * per (block, shard), and the broadcast per-shard token totals,
+    * prefix-summed over the tiny (blocks × shards) frame, supply each
+    * shard's base offset. Because the shard assignment is monotone in
+    * the id, local + base equals the global doc_id-ordered prefix for
+    * ANY boundary placement — the sketch's approximation error only
+    * moves rows between shards, never changes an offset. A non-numeric
+    * id falls back to `shards = 1` (the single-window layout) — range
+    * boundaries need an ordered numeric domain. */
   def packTokens(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", blockCol: String = "lang",
-                 budget: Int = 512): DataFrame = {
+                 budget: Int = 512, shards: Int = 16): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
+    val numericId = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // shard BEFORE tokenizing: the boundary aggregate inside rangeShard
+    // re-scans its input frame, and over the raw df that branch is a
+    // column-pruned (block, id) scan — over a tokenized frame it would
+    // re-run the tokenizer on every row
+    val sharded = rangeShard(df, blockCol, idCol,
+      if (numericId) shards else 1)
+      .withColumn("n_tokens", tokenCount(col(textCol)))
       .filter(col("n_tokens") > 0)
-      .withColumn("token_offset",
+    val wLocal = Window.partitionBy(col(blockCol), col("__shard"))
+      .orderBy(col(idCol))
+    val shardTotals = sharded.groupBy(col(blockCol), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__shard_tokens"))
+    val wShard = Window.partitionBy(col(blockCol)).orderBy(col("__shard"))
+    val bases = shardTotals
+      .withColumn("__base", coalesce(sum(col("__shard_tokens"))
+        .over(wShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(blockCol), col("__shard"), col("__base"))
+    sharded
+      .withColumn("__local_off",
         coalesce(sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bases), Seq(blockCol, "__shard"))
+      .withColumn("token_offset", col("__base") + col("__local_off"))
       .withColumn("first_seq", expr(s"token_offset div $budget"))
       .withColumn("last_seq",
         expr(s"(token_offset + n_tokens - 1) div $budget"))

@@ -67,12 +67,15 @@ object CorpusQueries {
       |  VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15),
       |    ('zh', 0.15)),
       |m AS (
-      |  SELECT min(n_group / target_share) AS m
-      |  FROM counts JOIN t USING (lang)),
+      |  -- LEFT join + COALESCE 0 mirrors the operator: a target lang
+      |  -- absent from the corpus caps M at 0 (everything kept=false),
+      |  -- instead of silently dropping the constraint via an inner join
+      |  SELECT min(COALESCE(n_group, 0) / target_share) AS m
+      |  FROM t LEFT JOIN counts USING (lang)),
       |quota AS (
       |  SELECT lang,
       |    CAST(floor(target_share * (SELECT m FROM m)) AS BIGINT) AS quota
-      |  FROM counts JOIN t USING (lang)),
+      |  FROM t LEFT JOIN counts USING (lang)),
       |ranked AS (
       |  SELECT doc_id, lang,
       |    CAST(row_number() OVER (PARTITION BY lang

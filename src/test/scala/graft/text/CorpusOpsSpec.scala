@@ -101,6 +101,44 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[Long].collect().sorted shouldBe Array(3L) // median of {7,9} = 8
   }
 
+  test("sharded corpus windows: hierarchical prefix equals the global " +
+    "window on a maximally skewed corpus, and no shard holds the whole " +
+    "group") {
+    import spark.implicits._
+    // 2,000 docs, ONE language — the exact shape where a per-lang window
+    // sorts the entire corpus on one reducer
+    val docs = (0L until 2000L)
+      .map(i => (i * 37 % 4096, "en", ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "lang", "text")
+    // packTokens: sharded output must be byte-identical to the
+    // single-window layout (offsets are doc_id-global by contract)
+    val packed1 = CorpusOps.packTokens(docs, budget = 64, shards = 1)
+      .orderBy($"doc_id").collect()
+    val packed8 = CorpusOps.packTokens(docs, budget = 64, shards = 8)
+      .orderBy($"doc_id").collect()
+    packed8 shouldBe packed1
+    // rebalanceMix: global sha-ordered rank must survive sharding
+    val mix1 = CorpusOps.rebalanceMix(docs, Seq("en" -> 1.0), shards = 1)
+      .select($"doc_id", $"mix_rank", $"kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val mix8 = CorpusOps.rebalanceMix(docs, Seq("en" -> 1.0), shards = 8)
+      .select($"doc_id", $"mix_rank", $"kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    mix8 shouldBe mix1
+    // balance: the biggest block a single task sorts is far below the
+    // group size (range shards ≈ N/8; hex-prefix shards hash-uniform)
+    val rangeSizes = CorpusOps.rangeShard(docs, "lang", "doc_id", 8)
+      .groupBy($"__shard").count().as[(Int, Long)].collect().toMap
+    rangeSizes.size shouldBe 8
+    rangeSizes.values.max should be <= (2 * 2000L / 8)
+    val hexSizes = docs
+      .withColumn("__sha", sha2($"doc_id".cast("string"), 256))
+      .withColumn("__shard", CorpusOps.hexPrefixShard($"__sha", 8))
+      .groupBy($"__shard").count().as[(Int, Long)].collect().toMap
+    hexSizes.size shouldBe 8
+    hexSizes.values.max should be <= (2 * 2000L / 8)
+  }
+
   test("dedupClusters frees every checkpoint RDD at drain") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet

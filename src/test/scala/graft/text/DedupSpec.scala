@@ -88,7 +88,8 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     val pairs = Dedup.simhashPairs(docs, maxBucketSize = 50)
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
     graft.core.TransientCache.drain()
-    // all 4 bands keep the same 50 smallest ids → C(50,2) after distinct
+    // all 4 bands keep the same 50 hash-ordered ids (capBuckets samples by
+    // xxhash64(id), not raw id) → C(50,2) after distinct
     val hotPairs = pairs.filter(_._1 < 9000L)
     hotPairs.length shouldBe 50 * 49 / 2
     pairs should contain((9000L, 9001L))
