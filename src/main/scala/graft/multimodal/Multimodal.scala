@@ -118,11 +118,17 @@ object MultimodalQueries {
       |  CAST(doc_id % 4 * 90 + 180 AS INTEGER) AS height
       |FROM documents""".stripMargin
 
-  /** mm2 — the batched decode stage (stub codec → 16-dim features);
-    * feature values come from the stub, so the driver check is rows-only
-    * and the exact values are pinned in MultimodalSpec. The gate projects
-    * the feature vector to a csv string + dim because the driver's pandas
-    * comparison cannot even sort raw array cells (r2 `err`). */
+  /** mm2 — the batched decode stage (stub codec → 16-dim features),
+    * HASH-EXACT against the oracle: the stub's features are an
+    * L1-normalized byte histogram, so multiplying each feature back by
+    * the payload length and rounding recovers the integer bin counts
+    * exactly (counts ≪ 2^23, so the float32 division round-trips), and
+    * DuckDB re-derives those counts from `hex(blob)` byte pairs. The
+    * gate output therefore flows THROUGH the decoded features — a wrong
+    * decode breaks the hash — while every emitted column is
+    * oracle-derivable scalars (the raw float vector itself stays pinned
+    * value-exact in MultimodalSpec; nested columns crash the driver's
+    * pandas compare). */
   def mm2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.syntheticMediaTable(
@@ -130,8 +136,23 @@ object MultimodalQueries {
     Multimodal.extractFeatures(media).toDF()
       .select($"media_id", $"byte_len",
         org.apache.spark.sql.functions.size($"features").as("feature_dim"),
-        concat_ws(",", $"features".cast("array<string>")).as("features_csv"))
+        concat_ws(",", transform($"features",
+          f => round(f * greatest($"byte_len", lit(1)))
+            .cast("int").cast("string"))).as("hist_csv"))
   }
+
+  val mm2Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+      |    hex(CAST(text AS BLOB)) AS h
+      |  FROM documents)
+      |SELECT media_id, byte_len, 16 AS feature_dim,
+      |  array_to_string(list_transform(range(0, 16), bin ->
+      |    CAST(len(list_filter(range(1, byte_len + 1), i ->
+      |      CAST(concat('0x', substr(h, 2 * i - 1, 2)) AS INTEGER) % 16
+      |        = bin)) AS VARCHAR)), ',') AS hist_csv
+      |FROM b""".stripMargin
 
   /** mm3 — the frame-sample/resize stage. Byte decimation length and the
     * metadata transform are deterministic arithmetic over the synthetic
@@ -164,5 +185,6 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "mm1_media_meta" -> mm1Oracle,
+    "mm2_media_features" -> mm2Oracle,
     "mm3_media_sample" -> mm3Oracle)
 }

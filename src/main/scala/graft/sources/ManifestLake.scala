@@ -78,9 +78,46 @@ object ManifestLake {
     }
   }
 
+  /** Adapter shaping a store's native conditional put into a
+    * [[CommitPrimitive]]: `putIfAbsent` receives the fully-written
+    * manifest bytes and the target path and must return false iff the
+    * object already existed — on S3 a `PutObject` with
+    * `If-None-Match: *` (412 → false), on GCS an insert with
+    * `ifGenerationMatch=0` (412 → false). Everything else about the
+    * lake (versioning, snapshot resolution, replay guards, vacuum) is
+    * already store-agnostic above the seam, so plugging a real SDK call
+    * into this one function is the entire S3 enablement. */
+  final class ConditionalPutCommit(
+      val supportedSchemes: Set[String],
+      putIfAbsent: (Path, Array[Byte]) => Boolean) extends CommitPrimitive {
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+      val in = fs.open(tmp)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+      val won = putIfAbsent(target, bytes)
+      if (won) fs.delete(tmp, false)
+      won
+    }
+  }
+
   /** The active commit primitive. A seam, not a config knob: an
-    * object-store deployment swaps this for a conditional-put impl. */
-  private[sources] val commitPrimitive: CommitPrimitive = RenameCommit
+    * object-store deployment installs a conditional-put impl once at
+    * startup (see [[ConditionalPutCommit]]); the default covers the
+    * filesystems with a native atomic publish. Volatile so an install
+    * from the launcher thread is visible to job threads. */
+  @volatile private[sources] var commitPrimitive: CommitPrimitive = RenameCommit
+
+  /** Install the commit primitive for this process (e.g. an S3
+    * conditional-put impl). Returns the previously active one so tests
+    * and embedded launchers can restore it. */
+  def installCommitPrimitive(p: CommitPrimitive): CommitPrimitive = {
+    val prev = commitPrimitive
+    commitPrimitive = p
+    prev
+  }
 
   /** Reject commit paths whose scheme the active primitive cannot
     * publish atomically — failing fast at the API boundary beats

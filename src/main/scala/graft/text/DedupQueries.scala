@@ -200,7 +200,57 @@ object DedupQueries {
       |  doc_id = cluster_id AS is_keeper
       |FROM labels""".stripMargin
 
+  /** sq1 — the dd4 dedup chain driven ENTIRELY through the SQL surface:
+    * plain `spark.sql` over a temp view, with the native kernels
+    * ([[graft.functions.NgramJaccard]], [[graft.functions.MinHashSignature]])
+    * reached through their [[graft.plans.GraftExtensions]] SQL
+    * registrations rather than the Column API — the reference's query
+    * layer is SQL (dbt models), so the extension operators must be
+    * first-class there too. The Jaccard values are exact and DuckDB
+    * re-derives them, so the row is hash-exact; `minhash_dim` drives the
+    * MinHash kernel per-row (a registration or eval failure kills the
+    * whole row). Same deliberately-degenerate lang blocking as dd4 (a
+    * demo pairing, not the scale path — the LSH chains are that). */
+  def sq1SqlDedupChain(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("sq1_documents")
+    s.sql(
+      """WITH paired AS (
+        |  SELECT lang, doc_id AS id_a,
+        |    lead(doc_id) OVER w AS id_b,
+        |    text AS text_a, lead(text) OVER w AS text_b
+        |  FROM sq1_documents
+        |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id))
+        |SELECT lang, id_a, id_b,
+        |  ngram_jaccard(text_a, text_b, 3) AS jaccard,
+        |  size(minhash_signature(text_a, 3, 64)) AS minhash_dim
+        |FROM paired WHERE id_b IS NOT NULL""".stripMargin)
+  }
+
+  val sq1Oracle: String =
+    """WITH shingled AS (
+      |  SELECT lang, doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT lang, doc_id,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |            t -> t <> '') AS toks
+      |        FROM documents)),
+      |paired AS (
+      |  SELECT lang, doc_id AS id_a,
+      |    lead(doc_id) OVER w AS id_b,
+      |    sh AS sh_a, lead(sh) OVER w AS sh_b
+      |  FROM shingled
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id))
+      |SELECT lang, id_a, id_b,
+      |  CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) /
+      |    len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard,
+      |  64 AS minhash_dim
+      |FROM paired WHERE id_b IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq1_sql_dedup_chain" -> (sq1SqlDedupChain _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_minhash_lsh" -> (dd2MinhashLsh _),
     "dd3_simhash" -> (dd3Simhash _),
@@ -210,6 +260,7 @@ object DedupQueries {
     "dd7_dedup_clusters" -> (dd7DedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "sq1_sql_dedup_chain" -> sq1Oracle,
     "dd1_exact_dedup" -> dd1Oracle,
     "dd4_ngram_jaccard" -> dd4Oracle,
     "dd7_dedup_clusters" -> dd7Oracle)

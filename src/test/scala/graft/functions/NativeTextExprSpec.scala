@@ -105,12 +105,14 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
         |  minhash_signature('a b c d e', 3, 8) AS mh,
         |  ngram_jaccard('a b c d', 'a b c d', 3) AS j,
         |  hyperplane_sketch(array(1.0d, -0.5d, 0.25d), 16) AS hp,
-        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  winnow_fingerprint('abcdefgh abcdefgh', 5, 4) AS wf
         |""".stripMargin).collect().head match {
       case r =>
         r.getSeq[Long](r.fieldIndex("mh")) should have length 8
         r.getDouble(r.fieldIndex("j")) shouldBe 1.0
         r.getDouble(r.fieldIndex("cs")) shouldBe 1.0 +- 1e-12
+        r.getSeq[Long](r.fieldIndex("wf")) should not be empty
     }
     // SQL values match the Column-API expressions exactly
     val viaSql = spark.sql("SELECT simhash64('x y z') AS v").as[Long].head()

@@ -232,4 +232,81 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     fs.listStatus(new org.apache.hadoop.fs.Path(t + "/_manifests"))
       .map(_.getPath.getName).count(_.startsWith(".tmp")) shouldBe 0
   }
+
+  /** An object store double with S3 `If-None-Match: *` semantics: the
+    * arbitration is a putIfAbsent on the object map (exactly what a
+    * conditional PUT gives you); a winning put also lands the bytes on
+    * the local path so the lake's read path sees them — the "object". */
+  private def conditionalPutStub(schemes: Set[String]) = {
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val prim = new ManifestLake.ConditionalPutCommit(schemes, (target, bytes) => {
+      val won = store.putIfAbsent(target.toString, bytes) == null
+      if (won) {
+        val local = java.nio.file.Paths.get(target.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, bytes)
+      }
+      won
+    })
+    (prim, store)
+  }
+
+  test("a conditional-put primitive arbitrates racing committers: two " +
+    "concurrent writes, every manifest publish decided by putIfAbsent") {
+    val (prim, store) = conditionalPutStub(Set("file"))
+    val prev = ManifestLake.installCommitPrimitive(prim)
+    try {
+      val t = freshTable()
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val results = Seq(rows(1 to 10), rows(11 to 25)).map { df =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+          def call(): Either[Throwable, Long] = {
+            gate.await()
+            try Right(ManifestLake.write(df, t))
+            catch { case e: Throwable => Left(e) }
+          }
+        })
+      }
+      gate.countDown()
+      val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      val wins = outcomes.collect { case Right(v) => v }
+      val losses = outcomes.collect { case Left(e) => e }
+      // either the writes serialized (both committed, distinct versions)
+      // or the race had exactly one winner and the loser got the
+      // lost-race error — NEVER two winners of one version, never a
+      // silent drop
+      wins.distinct.size shouldBe wins.size
+      losses.foreach(_ shouldBe an[IllegalStateException])
+      (wins.size + losses.size) shouldBe 2
+      wins.size should be >= 1
+      // every published manifest went through the conditional put
+      store.size shouldBe wins.size
+      // the committed state is exactly the winners' rows: every
+      // referenced file exists and nothing was clobbered
+      val expected = Map(1 -> Seq(10, 15), 2 -> Seq(25))(wins.size)
+      expected should contain(ManifestLake.read(spark, t).count().toInt)
+    } finally ManifestLake.installCommitPrimitive(prev)
+  }
+
+  test("an installed object-store primitive opens the s3a gate; the " +
+    "default rejects it") {
+    val (prim, _) = conditionalPutStub(Set("file", "s3a"))
+    val prev = ManifestLake.installCommitPrimitive(prim)
+    try {
+      // with a conditional-put primitive claiming s3a, the commit-time
+      // scheme check passes — the failure (if any) is the environment's
+      // missing s3a filesystem, NOT the lake's publish-contract error
+      val e = intercept[Throwable] {
+        ManifestLake.write(rows(1 to 5), "s3a://bucket/table")
+      }
+      e.getMessage should not include "atomic publish-if-absent"
+    } finally ManifestLake.installCommitPrimitive(prev)
+    val rejected = intercept[IllegalArgumentException] {
+      ManifestLake.write(rows(1 to 5), "s3a://bucket/table")
+    }
+    rejected.getMessage should include("atomic publish-if-absent")
+  }
 }
