@@ -1,0 +1,97 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.sources.ManifestLake
+
+/** The IVF index as a LAKE TABLE instead of a session-lifetime memo:
+  * the real offline-build contract. [[AnnQueries.ivfIndexFor]]'s
+  * memoized frame dies with the JVM — an overnight index build must
+  * outlive its session, be shared by every query session, and survive
+  * engine restarts. Here the build writes the assignment table
+  * (partitioned by `cell`) and the tiny centroid table through
+  * [[ManifestLake]], so the index inherits the lake's contracts:
+  * atomic publish (a half-written index is never visible), snapshot
+  * isolation against concurrent rebuilds, and time travel to the
+  * previous index version while a rebuild is racing.
+  *
+  * Scale shape: a probe calls [[ManifestLake.readPruned]] per probed
+  * cell — manifest-level pruning resolves the file list from the
+  * manifest STRING LIST, so the (nCells − nProbe) unprobed cells cost
+  * no directory listing and no footer reads. At 16 cells / probe 4,
+  * a query touches ~1/4 of the index files; the Spark-level partition
+  * filter inside [[Similarity.ivfTopK]] would prune the same rows but
+  * only AFTER listing every file — at 100 TB the listing itself is
+  * the latency. */
+object IvfIndexStore {
+
+  private def assignTable(indexDir: String) = s"$indexDir/assignments"
+  private def centroidTable(indexDir: String) = s"$indexDir/centroids"
+
+  /** Offline build job: fit + assign once, publish both index tables.
+    * Overwrite semantics — a rebuild commits a NEW version and readers
+    * of the old snapshot keep working. Returns the committed version of
+    * the assignment table. */
+  def build(s: SparkSession, d: String, indexDir: String,
+            nCells: Int = 16): Long = {
+    import s.implicits._
+    val (assigned, centroids) =
+      Similarity.ivfIndex(Tables.embeddings(s, d), nCells)
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+    ManifestLake.write(centDf, centroidTable(indexDir), append = false)
+    ManifestLake.write(assigned, assignTable(indexDir), append = false,
+      partitionBy = Seq("cell"))
+  }
+
+  /** Load the index from the lake — NO fitting, no assignment pass:
+    * the centroid collect is nCells × dim doubles and the assignment
+    * frame is a lazy snapshot read. This is all a fresh query session
+    * needs. */
+  def load(s: SparkSession,
+           indexDir: String): (DataFrame, Array[Array[Double]]) = {
+    val centroids = ManifestLake.read(s, centroidTable(indexDir))
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    (ManifestLake.read(s, assignTable(indexDir)), centroids)
+  }
+
+  /** Probe the lake-resident index: rank cells driver-side against the
+    * loaded centroids, then read ONLY the probed cells' files via
+    * manifest pruning and rank exact cosine inside them. Semantically
+    * identical to [[Similarity.ivfTopK]] over the full assignment
+    * frame (same cell ranking, same in-cell rerank); the difference is
+    * what never gets read. */
+  def probe(s: SparkSession, indexDir: String, queryVec: Array[Double],
+            k: Int, nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val (_, centroids) = load(s, indexDir)
+    val qNorm = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      if (n == 0.0) queryVec else queryVec.map(_ / n)
+    }
+    def euclid2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => euclid2(c, qNorm) }
+      .take(nProbe).map(_._2)
+    val probed = probeCells.map(c => ManifestLake.readPruned(
+        s, assignTable(indexDir), Map("cell" -> c.toString)))
+      .reduce(_ unionByName _)
+    val base = excludeId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
+    val q = array(queryVec.map(lit).toIndexedSeq: _*)
+    base
+      .withColumn("cosine",
+        Similarity.cosine(col("embedding").cast("array<double>"), q))
+      .filter(!isnan(col("cosine")))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .limit(k)
+  }
+}

@@ -221,6 +221,84 @@ object Streaming {
         col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
   }
 
+  /** LEFT-OUTER watermarked interval join — [[streamStreamJoin]] plus
+    * the unmatched side: a click with no view in its preceding-hour
+    * window is emitted with null view fields once the watermark proves
+    * no future view can match (view_ts ≤ click_ts, so the click's match
+    * window closes when the view-side watermark passes click_ts). The
+    * null emission is driven by state EVICTION, which is why the
+    * event-time bound in the condition is not optional here: without it
+    * the engine could never declare a left row unmatched and the state
+    * would grow O(stream). Same O(tolerance window) state as the inner
+    * form. */
+  def streamStreamJoinOuter(clicks: DataFrame, views: DataFrame,
+                            toleranceMinutes: Int = 60,
+                            watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    c.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") -
+          expr(s"INTERVAL $toleranceMinutes MINUTES") &&
+        col("view_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
+  }
+
+  /** Watermark-lag observability: attach an `observe` node recording
+    * per-batch row count and max event time. Combined with
+    * [[LagListener]], each progress event yields (max observed event
+    * time − engine watermark) — the lag a stalled upstream or a skewed
+    * source partition shows up in FIRST, long before state size or
+    * latency alarms. Zero-cost in the plan (an accumulator-backed
+    * aggregate, no shuffle). */
+  def withObservedLag(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.observe("graft_lag",
+      count(lit(1)).as("n_rows"),
+      max(unix_micros(col(tsCol))).as("max_event_ts_us"))
+
+  /** Collects watermark lag from progress events: for every micro-batch
+    * carrying the `graft_lag` observation, records the batch id, the
+    * engine's current watermark (ms epoch, 0 before initialization) and
+    * the batch's max observed event time. `lagMs` = event-time head
+    * minus watermark — steady-state it hovers near the configured
+    * delay; growth means the watermark is stuck (an idle or skewed
+    * source partition holding the min). */
+  final class LagListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    final case class Lag(batchId: Long, watermarkMs: Long,
+                         maxEventTsUs: Long) {
+      def lagMs: Long = maxEventTsUs / 1000L - watermarkMs
+    }
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Lag]()
+    def lags: Seq[Lag] = { import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq }
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener
+          .QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener
+          .QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener
+          .QueryProgressEvent): Unit = {
+      val p = e.progress
+      Option(p.observedMetrics.get("graft_lag")).foreach { row =>
+        val wm = Option(p.eventTime.get("watermark"))
+          .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
+        if (!row.isNullAt(row.fieldIndex("max_event_ts_us")))
+          buf.add(Lag(p.batchId, wm,
+            row.getLong(row.fieldIndex("max_event_ts_us"))))
+      }
+    }
+  }
+
   /** Watermarked streaming deduplication — `dropDuplicates` over the
     * full row identity with the event-time column inside the key, so
     * the dedup state is evicted once the watermark passes a row's event

@@ -197,7 +197,56 @@ object StreamingQueries {
       |  user_id, event_type, value, props
       |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin
 
+  /** st6 — the LEFT-OUTER watermarked interval join: st4's matched rows
+    * plus every click the watermark has proven unmatched, with null view
+    * fields. The null emissions come from state eviction, so the oracle
+    * re-derives the eviction model: a click is declared unmatched iff it
+    * has no view in its window AND the final watermark — min of the two
+    * sides' (max event ms − 1 h), Spark's multipleWatermarkPolicy=min —
+    * has passed its event time. Clicks still inside the watermark
+    * horizon are held in state and legitimately absent from both sides.
+    * Multi-batch buffering/eviction behavior is pinned in StreamingSpec. */
+  def st6StreamJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    Streaming.runToMemory(s,
+      Streaming.streamStreamJoinOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view")),
+      "st6_stream_join_outer_tbl", OutputMode.Append())
+  }
+
+  val st6Oracle: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT event_id AS view_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us
+      |  FROM events WHERE event_type = 'view'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts_us) FROM c),
+      |               (SELECT max(view_ts_us) FROM v)) // 1000
+      |    - 3600000 AS wm_ms),
+      |matched AS (
+      |  SELECT c.click_id, c.user_id, c.click_ts_us, v.view_id,
+      |    v.view_ts_us
+      |  FROM c JOIN v ON c.user_id = v.user_id
+      |    AND v.view_ts_us
+      |      BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us),
+      |unmatched AS (
+      |  SELECT c.click_id, c.user_id, c.click_ts_us,
+      |    CAST(NULL AS BIGINT) AS view_id,
+      |    CAST(NULL AS BIGINT) AS view_ts_us
+      |  FROM c
+      |  WHERE NOT EXISTS (SELECT 1 FROM v
+      |      WHERE v.user_id = c.user_id AND v.view_ts_us
+      |        BETWEEN c.click_ts_us - 3600000000 AND c.click_ts_us)
+      |    AND c.click_ts_us // 1000 < (SELECT wm_ms FROM wm))
+      |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st6_stream_join_outer" -> (st6StreamJoinOuter _),
     "st1_windowed_counts" -> (st1WindowedCounts _),
     "st2_sessionize_batch" -> (st2SessionizeBatch _),
     "st3_sessionize_stream" -> (st3SessionizeStream _),
@@ -205,6 +254,7 @@ object StreamingQueries {
     "st5_stream_dedup" -> (st5StreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st6_stream_join_outer" -> st6Oracle,
     "st1_windowed_counts" -> st1Oracle,
     "st2_sessionize_batch" -> st2Oracle,
     "st3_sessionize_stream" -> st3Oracle,

@@ -38,6 +38,45 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
     recall should be >= 0.7
   }
 
+  test("lake-persisted IVF index: a fresh session probes without " +
+    "re-fitting and matches the in-memory index; unprobed cells are " +
+    "never read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndexStore.build(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+    val queryVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    // a FRESH session (new session state over the shared context): the
+    // load path is a snapshot read + an nCells×dim centroid collect —
+    // structurally no KMeans fit, no assignment pass
+    val fresh = spark.newSession()
+    val (_, centroidsFromLake) = IvfIndexStore.load(fresh, dir)
+    centroidsFromLake should have length 16
+    val viaLake = IvfIndexStore.probe(fresh, dir, queryVec, k = 10,
+      nProbe = 4, excludeId = Some(0L)).collect()
+    // identical ranking to the in-memory index path (same fixed-seed
+    // quantizer, same probe metric, same strict-fold cosine)
+    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells = 16)
+    val viaMemory = Similarity.ivfTopK(
+      assigned.filter(col("vec_id") =!= 0L), centroids, queryVec,
+      k = 10, nProbe = 4).collect()
+    viaLake.map(r => (r.getLong(0), r.getDouble(2))) shouldBe
+      viaMemory.map(r => (r.getLong(0), r.getDouble(2)))
+    // manifest pruning: the probed frame's input files are a strict
+    // subset of the committed index files (unprobed cells never listed)
+    val snap = graft.sources.ManifestLake.snapshot(fresh, s"$dir/assignments")
+    val probedFiles = IvfIndexStore.probe(fresh, dir, queryVec, 10, 4)
+      .inputFiles.length
+    probedFiles should be > 0
+    probedFiles should be < snap.files.size
+    // a rebuild is a new lake version: old snapshot stays readable
+    IvfIndexStore.build(spark, sf, dir)
+    graft.sources.ManifestLake.read(fresh, s"$dir/assignments",
+      Some(snap.version)).count() shouldBe
+      graft.sources.ManifestLake.read(fresh, s"$dir/assignments").count()
+  }
+
   test("hyperplane LSH near-dup: planted perturbed vectors recovered at " +
     "cosine ≥ 0.95") {
     val emb = Tables.embeddings(spark, sf)

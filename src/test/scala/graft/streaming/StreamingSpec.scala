@@ -217,6 +217,76 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched clicks emit null views only " +
+    "after the watermark closes their window; matched clicks never " +
+    "emit a null duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = Streaming.streamStreamJoinOuter(
+      clicks.toDF(), views.toDF(), toleranceMinutes = 60)
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjo_test").outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(ev(1, T0, 7))
+      clicks.addData(ev(10, T0 + 600, 7), // matches view 1
+        ev(11, T0 + 600, 8)) // no view for user 8 — candidate null row
+      q.processAllAvailable()
+      // watermark has not moved past click 11 yet: its window is still
+      // open, so ONLY the matched row may have been emitted
+      spark.table("ssjo_test").select($"click_id", $"view_id")
+        .as[(Long, Option[Long])].collect().toSet shouldBe
+        Set((10L, Some(1L)))
+      // far-future events on both sides advance the watermark past
+      // click 11 → its state evicts and the null row emits; click 10
+      // must NOT additionally emit a null row (it matched)
+      views.addData(ev(2, T0 + 100000, 99))
+      clicks.addData(ev(12, T0 + 100000, 98))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo_test").select($"click_id", $"view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      rows should contain((11L, None))
+      rows should not contain ((10L, None))
+    } finally q.stop()
+  }
+
+  test("observed watermark lag: each batch reports max event time vs the " +
+    "engine watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new Streaming.LagListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Event]
+    val counts = Streaming.windowedEventCounts(
+      Streaming.withObservedLag(input.toDF()),
+      windowLength = "1 hour", watermark = "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("lag_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, T0, 7))
+      q.processAllAvailable()
+      input.addData(ev(2, T0 + 7200, 7))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.lags.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val lags = listener.lags
+      lags.size should be >= 2
+      lags.map(_.maxEventTsUs).max shouldBe (T0 + 7200) * 1000000L
+      // second batch: watermark = first batch's max event time − 1 h, so
+      // observed lag = event-time head − watermark = 2 h advance + 1 h
+      // delay = 3 h
+      val second = lags.find(_.maxEventTsUs == (T0 + 7200) * 1000000L).get
+      second.watermarkMs shouldBe (T0 - 3600) * 1000L
+      second.lagMs shouldBe (7200 + 3600) * 1000L
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming dedup: a duplicate re-delivered in a later batch " +
     "within the watermark is dropped") {
     import spark.implicits._
