@@ -31,33 +31,49 @@ object IvfIndexStore {
   private def centroidTable(indexDir: String) = s"$indexDir/centroids"
 
   /** Offline build job: fit + assign once, publish both index tables.
-    * Overwrite semantics — a rebuild commits a NEW version and readers
-    * of the old snapshot keep working. Returns the committed version of
-    * the assignment table. */
+    * Commit ORDER is the atomicity story for the two-table index: the
+    * assignment table commits FIRST, then the centroid table commits
+    * carrying that assignment version in `assign_version` — readers
+    * always enter through the centroids and pin the assignment snapshot
+    * they name. A crash between the two commits leaves the old centroid
+    * snapshot pointing at the old (still-retained) assignment version:
+    * consistent, just not yet rebuilt. A rebuild is therefore one
+    * atomic switch at the centroid commit; old-index readers keep their
+    * pinned snapshot. Returns the committed assignment version. */
   def build(s: SparkSession, d: String, indexDir: String,
             nCells: Int = 16): Long = {
     import s.implicits._
     val (assigned, centroids) =
       Similarity.ivfIndex(Tables.embeddings(s, d), nCells)
+    val v = ManifestLake.write(assigned, assignTable(indexDir),
+      append = false, partitionBy = Seq("cell"))
     val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .map { case (c, i) => (i, c.toSeq, v) }
+      .toDF("cell", "centroid", "assign_version")
     ManifestLake.write(centDf, centroidTable(indexDir), append = false)
-    ManifestLake.write(assigned, assignTable(indexDir), append = false,
-      partitionBy = Seq("cell"))
+    v
+  }
+
+  /** Centroids + the assignment version they were fit against — the
+    * nCells × dim collect every reader starts from. */
+  private def loadCentroids(s: SparkSession, indexDir: String)
+      : (Array[Array[Double]], Long) = {
+    val rows = ManifestLake.read(s, centroidTable(indexDir))
+      .select(col("cell"), col("centroid"), col("assign_version"))
+      .collect()
+    (rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray),
+      rows.head.getLong(2))
   }
 
   /** Load the index from the lake — NO fitting, no assignment pass:
     * the centroid collect is nCells × dim doubles and the assignment
-    * frame is a lazy snapshot read. This is all a fresh query session
-    * needs. */
+    * frame is a lazy snapshot read PINNED to the version the centroids
+    * name, so a racing rebuild can never hand back new centroids over
+    * old cells (or vice versa). */
   def load(s: SparkSession,
            indexDir: String): (DataFrame, Array[Array[Double]]) = {
-    val centroids = ManifestLake.read(s, centroidTable(indexDir))
-      .select(col("cell"), col("centroid"))
-      .collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
-    (ManifestLake.read(s, assignTable(indexDir)), centroids)
+    val (centroids, v) = loadCentroids(s, indexDir)
+    (ManifestLake.read(s, assignTable(indexDir), Some(v)), centroids)
   }
 
   /** Probe the lake-resident index: rank cells driver-side against the
@@ -68,7 +84,12 @@ object IvfIndexStore {
     * what never gets read. */
   def probe(s: SparkSession, indexDir: String, queryVec: Array[Double],
             k: Int, nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
-    val (_, centroids) = load(s, indexDir)
+    // centroids ONLY — never resolve the full assignment frame here (its
+    // construction stats every index file, the exact metadata cost the
+    // pruned probe exists to avoid); all probed cells pin the SAME
+    // assignment version, so a racing rebuild cannot split the probe
+    // across two snapshots
+    val (centroids, version) = loadCentroids(s, indexDir)
     val qNorm = {
       val n = math.sqrt(queryVec.map(x => x * x).sum)
       if (n == 0.0) queryVec else queryVec.map(_ / n)
@@ -82,7 +103,8 @@ object IvfIndexStore {
       .sortBy { case (c, _) => euclid2(c, qNorm) }
       .take(nProbe).map(_._2)
     val probed = probeCells.map(c => ManifestLake.readPruned(
-        s, assignTable(indexDir), Map("cell" -> c.toString)))
+        s, assignTable(indexDir), Map("cell" -> c.toString),
+        Some(version)))
       .reduce(_ unionByName _)
     val base = excludeId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
     val q = array(queryVec.map(lit).toIndexedSeq: _*)

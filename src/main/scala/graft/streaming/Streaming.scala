@@ -269,8 +269,10 @@ object Streaming {
     * the batch's max observed event time. `lagMs` = event-time head
     * minus watermark — steady-state it hovers near the configured
     * delay; growth means the watermark is stuck (an idle or skewed
-    * source partition holding the min). */
-  final class LagListener
+    * source partition holding the min). Retains only the newest
+    * `maxRetained` batches — a listener on an always-on 1 s-trigger
+    * query must not be a slow driver-memory leak. */
+  final class LagListener(maxRetained: Int = 1024)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     final case class Lag(batchId: Long, watermarkMs: Long,
                          maxEventTsUs: Long) {
@@ -292,9 +294,11 @@ object Streaming {
       Option(p.observedMetrics.get("graft_lag")).foreach { row =>
         val wm = Option(p.eventTime.get("watermark"))
           .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
-        if (!row.isNullAt(row.fieldIndex("max_event_ts_us")))
+        if (!row.isNullAt(row.fieldIndex("max_event_ts_us"))) {
           buf.add(Lag(p.batchId, wm,
             row.getLong(row.fieldIndex("max_event_ts_us"))))
+          while (buf.size > maxRetained) buf.poll()
+        }
       }
     }
   }

@@ -147,9 +147,17 @@ object CorpusOps {
         .over(Window.partitionBy()))
       .select(col(groupCol),
         floor(col("target_share") * col("m")).cast("long").as("quota"))
-    val sharded = df
+    // persisted: the sharded frame (with its per-row sha256) feeds both
+    // the shard-count aggregate and the ranked output — without it the
+    // hash runs over the corpus twice
+    val sharded = graft.core.TransientCache.persist(df
       .withColumn("__sha", sha2(col(idCol).cast("string"), 256))
-      .withColumn("__shard", hexPrefixShard(col("__sha"), shards))
+      // a NULL id hashes to NULL → shard 0, mirroring the single-window
+      // layout where NULL sha ordered first; the row still ranks (nulls
+      // first within the shard) instead of vanishing through an
+      // unmatched equi-join
+      .withColumn("__shard",
+        coalesce(hexPrefixShard(col("__sha"), shards), lit(0))))
     val wLocal = Window.partitionBy(col(groupCol), col("__shard"))
       .orderBy(col("__sha"), col(idCol))
     val shardCounts = sharded.groupBy(col(groupCol), col("__shard"))
@@ -160,15 +168,20 @@ object CorpusOps {
     val bases = shardCounts
       .withColumn("__base", coalesce(sum(col("__n"))
         .over(wShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(groupCol), col("__shard"), col("__base"))
+      .select(col(groupCol).as("__b_group"), col("__shard").as("__b_shard"),
+        col("__base"))
     sharded
       .withColumn("__local_rank", row_number().over(wLocal))
-      .join(broadcast(bases), Seq(groupCol, "__shard"))
+      // null-safe on the group so NULL-group rows keep flowing to their
+      // documented drop point (the quota join), not an accidental one
+      .join(broadcast(bases), col(groupCol) <=> col("__b_group") &&
+        col("__shard") === col("__b_shard"))
       .withColumn("mix_rank",
         (col("__base") + col("__local_rank")).cast("long"))
       .join(broadcast(quota), groupCol)
       .withColumn("kept", col("mix_rank") <= col("quota"))
-      .drop("__sha", "__shard", "__local_rank", "__base")
+      .drop("__sha", "__shard", "__local_rank", "__base", "__b_group",
+        "__b_shard")
   }
 
   /** Token-budget sequence packing bookkeeping — the "concatenate the
@@ -203,11 +216,13 @@ object CorpusOps {
     // shard BEFORE tokenizing: the boundary aggregate inside rangeShard
     // re-scans its input frame, and over the raw df that branch is a
     // column-pruned (block, id) scan — over a tokenized frame it would
-    // re-run the tokenizer on every row
-    val sharded = rangeShard(df, blockCol, idCol,
-      if (numericId) shards else 1)
-      .withColumn("n_tokens", tokenCount(col(textCol)))
-      .filter(col("n_tokens") > 0)
+    // re-run the tokenizer on every row. Persisted: the tokenized frame
+    // feeds both the shard-total aggregate and the windowed output —
+    // without the persist the tokenizer runs over the corpus twice.
+    val sharded = graft.core.TransientCache.persist(
+      rangeShard(df, blockCol, idCol, if (numericId) shards else 1)
+        .withColumn("n_tokens", tokenCount(col(textCol)))
+        .filter(col("n_tokens") > 0))
     val wLocal = Window.partitionBy(col(blockCol), col("__shard"))
       .orderBy(col(idCol))
     val shardTotals = sharded.groupBy(col(blockCol), col("__shard"))
@@ -216,12 +231,16 @@ object CorpusOps {
     val bases = shardTotals
       .withColumn("__base", coalesce(sum(col("__shard_tokens"))
         .over(wShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(blockCol), col("__shard"), col("__base"))
+      .select(col(blockCol).as("__b_block"), col("__shard").as("__b_shard"),
+        col("__base"))
     sharded
       .withColumn("__local_off",
         coalesce(sum(col("n_tokens"))
           .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(bases), Seq(blockCol, "__shard"))
+      // null-safe on the block: a NULL-block row is its own block in the
+      // window layout and must not vanish through an unmatched equi-join
+      .join(broadcast(bases), col(blockCol) <=> col("__b_block") &&
+        col("__shard") === col("__b_shard"))
       .withColumn("token_offset", col("__base") + col("__local_off"))
       .withColumn("first_seq", expr(s"token_offset div $budget"))
       .withColumn("last_seq",

@@ -99,6 +99,23 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     gated.count() shouldBe 3
     gated.filter($"lang".isNull && $"kept").select($"doc_id")
       .as[Long].collect().sorted shouldBe Array(3L) // median of {7,9} = 8
+    // NULL-block rows form their own packing block (they must not fall
+    // out of the sharded layout's equi-joins)
+    val nullLang = Seq((1L, Some("en"), "a b"), (2L, None, "c d e"),
+      (3L, None, "f g")).toDF("doc_id", "lang", "text")
+    val packed = CorpusOps.packTokens(nullLang, budget = 4)
+    packed.count() shouldBe 3
+    packed.filter($"lang".isNull).select($"doc_id", $"token_offset")
+      .as[(Long, Long)].collect().sorted shouldBe Array((2L, 0L), (3L, 3L))
+    graft.core.TransientCache.drain()
+    // a NULL id still ranks (shard 0, nulls-first) instead of vanishing
+    val nullId = Seq((Some(1L), "en", "x"), (None, "en", "y"))
+      .toDF("doc_id", "lang", "text")
+    val mixed = CorpusOps.rebalanceMix(nullId, Seq("en" -> 1.0))
+    mixed.count() shouldBe 2
+    mixed.select($"mix_rank").as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+    graft.core.TransientCache.drain()
   }
 
   test("sharded corpus windows: hierarchical prefix equals the global " +
