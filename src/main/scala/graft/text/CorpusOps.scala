@@ -54,12 +54,26 @@ object CorpusOps {
     * row — a flag-style operator must never shrink the row set. Pair
     * with an integral `valueCol` (token counts) when the result must be
     * engine-exact: interpolation between integers is exact in doubles,
-    * so the cut cannot drift by an ulp between engines. */
+    * so the cut cannot drift by an ulp between engines.
+    *
+    * `exact = true` (default) computes the true interpolated percentile,
+    * whose aggregation buffer is O(distinct values) per group — the
+    * right trade for integral domains (token counts, byte lengths),
+    * where distinct values are bounded. For CONTINUOUS domains (model
+    * scores, perplexities) that buffer is O(group), so pass
+    * `exact = false`: a GK sketch (`percentile_approx`) bounds the
+    * buffer at O(accuracy) regardless of cardinality; the cut is then
+    * an actual member value within rank error 1/accuracy rather than
+    * an interpolation. */
   def quantileFilter(df: DataFrame, valueCol: String, q: Double,
-                     groupCol: String = "lang"): DataFrame = {
+                     groupCol: String = "lang", exact: Boolean = true,
+                     accuracy: Int = 10000): DataFrame = {
     require(q > 0 && q < 1, "quantile must be in (0, 1)")
+    val cutAgg =
+      if (exact) percentile(col(valueCol), lit(q))
+      else percentile_approx(col(valueCol), lit(q), lit(accuracy))
     val cuts = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(q)).as("cut"))
+      .agg(cutAgg.cast("double").as("cut"))
       .withColumnRenamed(groupCol, "__qf_group")
     df.join(broadcast(cuts), col(groupCol) <=> col("__qf_group"))
       .drop("__qf_group")

