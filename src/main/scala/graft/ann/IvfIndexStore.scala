@@ -90,30 +90,12 @@ object IvfIndexStore {
     // assignment version, so a racing rebuild cannot split the probe
     // across two snapshots
     val (centroids, version) = loadCentroids(s, indexDir)
-    val qNorm = {
-      val n = math.sqrt(queryVec.map(x => x * x).sum)
-      if (n == 0.0) queryVec else queryVec.map(_ / n)
-    }
-    def euclid2(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
-      d
-    }
-    val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => euclid2(c, qNorm) }
-      .take(nProbe).map(_._2)
-    val probed = probeCells.map(c => ManifestLake.readPruned(
-        s, assignTable(indexDir), Map("cell" -> c.toString),
-        Some(version)))
-      .reduce(_ unionByName _)
+    val probeCells = Similarity.rankCells(centroids, queryVec, nProbe)
+    val probed = ManifestLake.readPrunedIn(s, assignTable(indexDir),
+      "cell", probeCells.map(_.toString).toSet, Some(version))
     val base = excludeId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
-    val q = array(queryVec.map(lit).toIndexedSeq: _*)
-    base
-      .withColumn("cosine",
-        Similarity.cosine(col("embedding").cast("array<double>"), q))
-      .filter(!isnan(col("cosine")))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .select(col("vec_id"), col("cell"), col("cosine"))
-      .limit(k)
+    // the in-cell rerank is exactly the in-memory probe's (its own cell
+    // filter is a no-op on the already-pruned frame)
+    Similarity.ivfTopK(base, centroids, queryVec, k, nProbe)
   }
 }

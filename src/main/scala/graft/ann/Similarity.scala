@@ -108,17 +108,14 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
-  /** IVF probe: compute the query's `nProbe` nearest cells driver-side
-    * (centroid table is tiny), then brute-force ONLY those cells. The
-    * cell filter prunes ~ (1 - nProbe/nCells) of the scan. Cells are
-    * ranked by Euclidean distance of the NORMALIZED query to the
-    * centroid — the same metric the (normalized) assignment used, so
-    * probe order and cell membership agree. The exact re-rank inside
-    * the probed cells stays cosine (scale-invariant). */
-  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
-              queryVec: Array[Double], k: Int, nProbe: Int,
-              idCol: String = "vec_id",
-              embCol: String = "embedding"): DataFrame = {
+  /** The query's `nProbe` nearest cells, ranked by Euclidean distance
+    * of the NORMALIZED query to each centroid — the same metric the
+    * (normalized) assignment used, so probe order and cell membership
+    * agree. THE one definition of cell ranking: the in-memory probe
+    * ([[ivfTopK]]) and the lake probe ([[IvfIndexStore.probe]]) must
+    * never rank cells differently. */
+  def rankCells(centroids: Array[Array[Double]], queryVec: Array[Double],
+                nProbe: Int): Array[Int] = {
     val qNorm = {
       val n = math.sqrt(queryVec.map(x => x * x).sum)
       if (n == 0.0) queryVec else queryVec.map(_ / n)
@@ -128,9 +125,21 @@ object Similarity {
       while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
       d
     }
-    val probeCells = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, _) => euclid2(c, qNorm) }
       .take(nProbe).map(_._2)
+  }
+
+  /** IVF probe: compute the query's `nProbe` nearest cells driver-side
+    * (centroid table is tiny, [[rankCells]]), then brute-force ONLY
+    * those cells. The cell filter prunes ~ (1 - nProbe/nCells) of the
+    * scan. The exact re-rank inside the probed cells stays cosine
+    * (scale-invariant). */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              queryVec: Array[Double], k: Int, nProbe: Int,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val probeCells = rankCells(centroids, queryVec, nProbe)
     val q = array(queryVec.map(lit).toIndexedSeq: _*)
     assigned
       .filter(col("cell").isInCollection(probeCells))

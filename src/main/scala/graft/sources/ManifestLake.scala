@@ -253,10 +253,27 @@ object ManifestLake {
                  partitionFilters: Map[String, String],
                  version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, version)
-    val keep = snap.files.filter { f =>
+    readSnapshotFiles(spark, table, snap, snap.files.filter { f =>
       val vals = partitionValues(f)
       partitionFilters.forall { case (k, v) => vals.get(k).contains(v) }
-    }
+    })
+  }
+
+  /** [[readPruned]] with an IN-list over one partition key — ONE
+    * snapshot resolution for all values (a per-value readPruned loop
+    * re-reads the manifest each time and, unpinned, could even split
+    * across racing commits). */
+  def readPrunedIn(spark: SparkSession, table: String, partitionCol: String,
+                   values: Set[String],
+                   version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    readSnapshotFiles(spark, table, snap, snap.files.filter(f =>
+      partitionValues(f).get(partitionCol).exists(values)))
+  }
+
+  private def readSnapshotFiles(spark: SparkSession, table: String,
+                                snap: Snapshot,
+                                keep: Seq[String]): DataFrame = {
     // an empty match is a valid (empty) answer, not an error — keep the
     // snapshot's schema by folding the full read to an empty relation
     if (keep.isEmpty)

@@ -274,31 +274,32 @@ object Streaming {
     * query must not be a slow driver-memory leak. */
   final class LagListener(maxRetained: Int = 1024)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
     final case class Lag(batchId: Long, watermarkMs: Long,
                          maxEventTsUs: Long) {
       def lagMs: Long = maxEventTsUs / 1000L - watermarkMs
     }
-    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Lag]()
-    def lags: Seq[Lag] = { import scala.jdk.CollectionConverters._
-      buf.iterator().asScala.toSeq }
-    override def onQueryStarted(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener
-          .QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener
-          .QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener
-          .QueryProgressEvent): Unit = {
+    // synchronized deque, not a ConcurrentLinkedQueue: CLQ.size is O(n)
+    // and the bound check runs every batch; callbacks are rare enough
+    // that a lock is the cheaper concurrency story
+    private val buf = new java.util.ArrayDeque[Lag]()
+    def lags: Seq[Lag] = buf.synchronized {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toList
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
       Option(p.observedMetrics.get("graft_lag")).foreach { row =>
         val wm = Option(p.eventTime.get("watermark"))
           .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
-        if (!row.isNullAt(row.fieldIndex("max_event_ts_us"))) {
-          buf.add(Lag(p.batchId, wm,
-            row.getLong(row.fieldIndex("max_event_ts_us"))))
-          while (buf.size > maxRetained) buf.poll()
-        }
+        if (!row.isNullAt(row.fieldIndex("max_event_ts_us")))
+          buf.synchronized {
+            buf.addLast(Lag(p.batchId, wm,
+              row.getLong(row.fieldIndex("max_event_ts_us"))))
+            while (buf.size > maxRetained) buf.pollFirst()
+          }
       }
     }
   }
