@@ -75,6 +75,26 @@ object AnnQueries {
       .foreach(_._1.unpersist())
   }
 
+  /** The LAKE-resident IVF index for a dataset: built once per
+    * (application, dataset) into a scratch ManifestLake table —
+    * the offline-build analog of [[ivfIndexFor]]'s in-memory memo.
+    * Only the DIRECTORY is memoized (strings, no lineage), so there is
+    * no dead-context hazard; a new app in the same JVM simply builds
+    * its own index table. */
+  private val lakeIndexCache =
+    scala.collection.mutable.Map.empty[String, String]
+
+  def lakeIndexFor(s: SparkSession, d: String): String =
+    lakeIndexCache.synchronized {
+      val key = s"${s.sparkContext.applicationId}:$d"
+      lakeIndexCache.getOrElseUpdate(key, {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivf-lake").toString
+        IvfIndexStore.build(s, d, dir)
+        dir
+      })
+    }
+
   /** nn2 — IVF-probed top-k (16 cells, probe 4): the scale path. Runs
     * against the shared memoized index, so the timed work is the probe —
     * a cell-pruned scan (12/16 of rows skipped) + TakeOrdered rank, plus
@@ -107,9 +127,36 @@ object AnnQueries {
       .filter(col("recall_at_10") >= 0.7)
   }
 
+  /** nn3 — the LAKE-index probe ([[IvfIndexStore]]): same recall-pinned
+    * gate shape as nn2, but the index is read from ManifestLake tables
+    * (manifest-pruned per-cell files, version-pinned snapshot) instead
+    * of the session memo — the path a fresh query session takes against
+    * an offline-built index. The build itself runs once per dataset
+    * outside the timed path ([[lakeIndexFor]]; Bench warms it with the
+    * in-memory index). Rows survive only at `recall_at_10 >= 0.7`, so
+    * the driver's cardinality pins recall through the whole
+    * lake-read → prune → probe chain. */
+  def nn3LakeTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = lakeIndexFor(s, d)
+    val queryVec = Tables.embeddings(s, d)
+      .filter(col("vec_id") === QueryId)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    // persisted: the k-row probe feeds the recall aggregate AND the output
+    val ivf = graft.core.TransientCache.persist(
+      IvfIndexStore.probe(s, dir, queryVec, K, nProbe = 4,
+        excludeId = Some(QueryId)))
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
+    val recall = ivf.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
+    ivf.crossJoin(broadcast(recall))
+      .filter(col("recall_at_10") >= 0.7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nn1_brute_topk" -> (nn1BruteTopK _),
-    "nn2_ivf_topk" -> (nn2IvfTopK _))
+    "nn2_ivf_topk" -> (nn2IvfTopK _),
+    "nn3_lake_topk" -> (nn3LakeTopK _))
 
   val oracles: Map[String, String] = Map(
     "nn1_brute_topk" -> nn1Oracle)
