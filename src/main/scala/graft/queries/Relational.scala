@@ -520,6 +520,86 @@ object Relational {
       |    FROM lineitem l2
       |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 
+  /** q4_order_priority — TPC-H Q4 shape: a correlated EXISTS predicate
+    * gating an aggregate, through the SQL surface. Catalyst's
+    * RewritePredicateSubquery decorrelates the EXISTS into a LEFT SEMI
+    * join on the correlation key — one lineitem scan, never a per-row
+    * probe (PLANS.md pins the semi join). The orders-side date filter
+    * stays pushed to the parquet scan. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("q4_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("q4_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM q4_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM q4_lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q22_idle_customers — TPC-H Q22 shape: NOT EXISTS anti-join plus an
+    * uncorrelated scalar-subquery threshold, through the SQL surface
+    * (\"high-balance customers with no large order\" — the extra
+    * o_totalprice predicate keeps the anti side selective so the gate
+    * row is non-empty at every SF). The NOT EXISTS decorrelates to a
+    * LEFT ANTI join; the threshold
+    * subquery runs once and broadcasts. The threshold itself is
+    * `exact-decimal-sum / count` rather than `avg(double)`: a double
+    * avg accumulates in partition order, so its last ulp is
+    * partitioning-dependent and a boundary row could flip between
+    * engines — sum-as-decimal is associative-exact, the cast and the
+    * single IEEE division are then bit-identical everywhere. */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("q22_customer")
+    Tables.orders(s, d).createOrReplaceTempView("q22_orders")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM q22_customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*)
+        |    FROM q22_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM q22_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q22Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |      / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_totalprice > 300000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
     * pivot values (explicit values skip the extra distinct-scan job and
     * keep the plan a single hash aggregate). */
@@ -713,6 +793,8 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q14_promo_share" -> (q14PromoShare _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "r1_join_broadcast" -> (r1JoinBroadcast _),
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
@@ -743,6 +825,8 @@ object Relational {
     "q5_local_supplier" -> q5Oracle,
     "q14_promo_share" -> q14Oracle,
     "q17_small_qty_revenue" -> q17Oracle,
+    "q4_order_priority" -> q4Oracle,
+    "q22_idle_customers" -> q22Oracle,
     "r1_join_broadcast" -> r1Oracle,
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,
