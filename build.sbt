@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the TAIL of `sbt "runMain graft.Bench"` stdout for the
+// final JSON summary line. Two rounds of BENCH_rN.json came back
+// `parsed: null` because (a) forked-run output was routed through sbt's
+// logger, prefixing every line with "[info] ", and (b) sbt appended its own
+// "[success] Total time: …" banner AFTER the summary, so the last stdout
+// line was never ours. Route forked output verbatim and drop the banner so
+// the process's last stdout line IS the bench summary.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
