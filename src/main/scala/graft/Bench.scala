@@ -31,7 +31,11 @@ object Bench {
     // interleaving keeps the two samples of any one query far apart in
     // time so one load burst can't contaminate both.
     val all = SparkEntry.queries
+    // Optional name-prefix filters for local iteration
+    // (`runMain graft.Bench st nn` times only st*/nn*). The driver invokes
+    // with no args and gets the full suite.
     val names = all.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => args.isEmpty || args.exists(n.startsWith))
     def runPass(): Map[String, Option[Double]] =
       names.map { name =>
         val fn = all(name)

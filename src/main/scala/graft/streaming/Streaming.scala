@@ -314,17 +314,44 @@ object Streaming {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates()
 
+  /** State-store partition count for gate/bench streams. Stateful
+    * operators materialize one state store per shuffle partition per
+    * micro-batch — a sizing decision the first checkpoint PINS for the
+    * stream's lifetime, so it must be chosen for the stream's data rate,
+    * not inherited from the batch session. At gate scale (≤100k events)
+    * 8 partitions hold state comfortably; a 100 TB/day feed sizes this to
+    * ~2-3× executor cores via the same env knob (and a new checkpoint,
+    * since the count cannot change under an existing one). */
+  def defaultStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+
   /** Run a streaming aggregation over a static parquet path via
     * AvailableNow + a memory sink, returning the final table — used to
-    * drive streaming operators through the batch correctness gate. */
+    * drive streaming operators through the batch correctness gate.
+    * `spark.sql.shuffle.partitions` is set to [[defaultStatePartitions]]
+    * for the duration of the stream (Structured Streaming snapshots the
+    * session conf at `start()`) and restored after: state-store count is
+    * a per-stream sizing knob, while the surrounding batch session keeps
+    * its cores-sized shuffle width. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-                  mode: OutputMode): DataFrame = {
+                  mode: OutputMode,
+                  statePartitions: Int = defaultStatePartitions): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = streamed.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, statePartitions.toString)
+    val q =
+      try {
+        val started = streamed.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     q.awaitTermination()
     spark.table(name)
   }
