@@ -600,6 +600,199 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q7_volume_shipping — TPC-H Q7 shape: the bidirectional two-nation
+    * trade query. The nation dimension appears TWICE (supplier side and
+    * customer side); both copies are pre-filtered to the two nations of
+    * interest and broadcast, so the fact-side plan is the usual
+    * supplier⋈lineitem⋈orders⋈customer chain — three key shuffles at
+    * most, zero extra shuffle for either nation hop — with the
+    * asymmetric pair predicate applied after both hops. The shipdate
+    * range reaches the lineitem scan as a PushedFilter. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = broadcast(Tables.nation(s, d)
+      .filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey".as("supp_nkey"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey".as("cust_nkey"), $"n_name".as("cust_nation")))
+    val l = Tables.lineitem(s, d)
+      .filter($"l_shipdate".cast("timestamp") >=
+        to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"l_shipdate".cast("timestamp") <
+          to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.supplier(s, d)
+      .join(l, $"s_suppkey" === $"l_suppkey")
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"supp_nkey")
+      .join(n2, $"c_nationkey" === $"cust_nkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate".cast("timestamp")).cast("long").as("l_year"))
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Oracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q8_market_share — TPC-H Q8 shape: one nation's share of a region's
+    * import revenue for one part type, by year — a conditional-aggregate
+    * RATIO over a seven-table join. part is filtered on type then joined
+    * unhinted (same reasoning as q14: it grows with SF, AQE broadcasts
+    * it while small); nation×2 and region are fixed-size broadcasts. The
+    * share numerator keys on the SUPPLIER's nation while the region
+    * filter keys on the CUSTOMER's — the two-sided nation pattern again,
+    * but asymmetrically consumed. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n2 = broadcast(Tables.nation(s, d)
+      .select($"n_nationkey".as("cust_nkey"), $"n_regionkey"))
+    val r = broadcast(Tables.region(s, d).filter($"r_name" === "ASIA"))
+    val p = Tables.part(s, d).filter($"p_type" === "PROMO")
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate".cast("timestamp") >=
+        to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"o_orderdate".cast("timestamp") <
+          to_timestamp(lit("1998-01-01 00:00:00")))
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(s, d)
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(n2, $"c_nationkey" === $"cust_nkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .groupBy(year($"o_orderdate".cast("timestamp")).cast("long")
+        .as("o_year"))
+      .agg((decSum(when($"s_nationkey" === 3, rev).otherwise(0.0), 6) /
+        decSum(rev, 6)).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q8Oracle: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN s_nationkey = 3
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(27,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** q10_returned_items — TPC-H Q10 shape: per-customer revenue lost to
+    * returns in one quarter, top 20. The quarter filter lands on the
+    * orders scan and the returnflag filter on the lineitem scan before
+    * either join; customer joins ONCE on the already-aggregated... no —
+    * aggregation keys on customer attributes, so the join order is
+    * facts-first and the grouped output is customer-sized. TakeOrdered
+    * caps the driver at 20 rows. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate".cast("timestamp") >=
+        to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"o_orderdate".cast("timestamp") <
+          to_timestamp(lit("1996-04-01 00:00:00")))
+    val l = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+    Tables.customer(s, d)
+      .join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q18_large_orders — TPC-H Q18 shape: the IN-over-grouped-HAVING
+    * subquery, through the SQL surface (the one predicate-subquery form
+    * q4/q22 don't cover: the subquery is itself an aggregate).
+    * RewritePredicateSubquery turns the IN into a LEFT SEMI join against
+    * the having-filtered aggregate — lineitem is scanned twice (once
+    * aggregated for the filter, once for the outer sum) but the filter
+    * aggregate reduces to one row per qualifying order BEFORE the semi
+    * join, so nothing resembling a per-row probe survives. Quantities
+    * are integral doubles, so their sums are exact in both engines. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("q18_customer")
+    Tables.orders(s, d).createOrReplaceTempView("q18_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("q18_lineitem")
+    s.sql(
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM q18_customer
+        |JOIN q18_orders ON c_custkey = o_custkey
+        |JOIN q18_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM q18_lineitem
+        |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0)
+        |GROUP BY c_custkey, c_name, o_orderkey, odate_us, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  val q18Oracle: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  epoch_us(o_orderdate) AS odate_us, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+      |    AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0)
+      |GROUP BY c_custkey, c_name, o_orderkey, odate_us, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
     * pivot values (explicit values skip the extra distinct-scan job and
     * keep the plan a single hash aggregate). */
@@ -795,6 +988,10 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q22_idle_customers" -> (q22IdleCustomers _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "r1_join_broadcast" -> (r1JoinBroadcast _),
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
@@ -827,6 +1024,10 @@ object Relational {
     "q17_small_qty_revenue" -> q17Oracle,
     "q4_order_priority" -> q4Oracle,
     "q22_idle_customers" -> q22Oracle,
+    "q7_volume_shipping" -> q7Oracle,
+    "q8_market_share" -> q8Oracle,
+    "q10_returned_items" -> q10Oracle,
+    "q18_large_orders" -> q18Oracle,
     "r1_join_broadcast" -> r1Oracle,
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,
