@@ -20,6 +20,9 @@ run / fork := true
 // the process's last stdout line IS the bench summary.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — exclude it
+// from the unused-key lint (the warning itself would pollute stdout).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

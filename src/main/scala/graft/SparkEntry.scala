@@ -30,7 +30,8 @@ object SparkEntry {
       graft.text.CurationQueries.queries ++
       graft.operators.TemporalQueries.queries ++
       graft.ml.MlQueries.queries ++
-      graft.text.CorpusQueries.queries
+      graft.text.CorpusQueries.queries ++
+      graft.sources.LakeQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ScalarOps.oracles ++
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.text.CurationQueries.oracles ++
       graft.operators.TemporalQueries.oracles ++
       graft.ml.MlQueries.oracles ++
-      graft.text.CorpusQueries.oracles
+      graft.text.CorpusQueries.oracles ++
+      graft.sources.LakeQueries.oracles
 }

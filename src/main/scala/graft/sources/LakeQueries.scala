@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Correctness-gate entries for the manifest-lake operators that move
+  * data (clustered write + stats-skipping range read; copy-on-write
+  * MERGE). Each builds its lake table in a memoized temp dir — the build
+  * is the offline step, the gated query is what a reader pays — and the
+  * gate output is plain row data a DuckDB oracle re-derives from the
+  * original parquet, so both rows are hash-exact. The pruning itself
+  * (files skipped, untouched files carried verbatim) is pinned in
+  * ManifestLakeSpec, where file counts are observable. */
+object LakeQueries {
+
+  /** One clustered lake table per (JVM, dataset dir): built on first use,
+    * reused by later gate/bench invocations (same contract as the staged
+    * events dir in StreamingQueries). */
+  private val clusteredTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val mergedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusteredLineitem(s: SparkSession, d: String): String =
+    clusteredTables.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-clustered").toString
+      ManifestLake.writeClustered(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_quantity"),
+        dir, "l_extendedprice", nFiles = 16)
+      dir
+    })
+
+  /** lk1_clustered_range — the data-skipping read path end-to-end:
+    * lineitem is range-clustered on `l_extendedprice` into the lake with
+    * per-file footer stats recorded, and the query is a narrow range scan
+    * through [[ManifestLake.readRange]] — at most ~1/16 of the files
+    * open (the cluster width), the rest are skipped at the MANIFEST
+    * level, before any listing or footer IO. The oracle filters the
+    * original parquet, so the row proves skipping loses nothing. */
+  def lk1ClusteredRange(s: SparkSession, d: String): DataFrame =
+    ManifestLake.readRange(s, clusteredLineitem(s, d),
+      "l_extendedprice", 900.0, 1100.0)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+
+  val lk1Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |WHERE l_extendedprice BETWEEN 900.0 AND 1100.0""".stripMargin
+
+  /** The lk2 update set, derived deterministically from the ORIGINAL
+    * customer table (never from the lake), so re-merging it is
+    * content-idempotent: repeated gate/bench passes bump the version but
+    * the snapshot's rows are identical every time. Keys ≡ 3 (mod 10) are
+    * balance adjustments (WHEN MATCHED UPDATE); keys ≡ 0 (mod 97) are
+    * re-keyed far outside the live key range (WHEN NOT MATCHED INSERT). */
+  private def lk2Updates(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    c.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .unionByName(c.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+  }
+
+  private def mergedCustomer(s: SparkSession, d: String): String =
+    mergedTables.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-merged").toString
+      // clustered base so the merge's manifest-stats candidate pruning
+      // has ranges to prune on: update keys bound which files can match
+      ManifestLake.writeClustered(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        dir, "c_custkey", nFiles = 8)
+      dir
+    })
+
+  /** lk2_merge_upsert — copy-on-write MERGE through the gate: balance
+    * updates replace matched customer rows, re-keyed rows insert, and
+    * the query reads the merged snapshot back. IO shape (manifest-stats
+    * candidate pruning → key-only touched-file scan → touched-only
+    * rewrite) is pinned in ManifestLakeSpec; this row pins the RESULT
+    * against DuckDB's anti-join + union re-derivation. The merge runs
+    * every invocation (idempotent by construction), so the gate also
+    * re-proves stability under repeated application. */
+  def lk2MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val table = mergedCustomer(s, d)
+    ManifestLake.merge(lk2Updates(s, d), table, Seq("c_custkey"),
+      statsCol = Some("c_custkey"))
+    ManifestLake.read(s, table)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+  }
+
+  val lk2Oracle: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM upd
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+      |  c.c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey)
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk1_clustered_range" -> (lk1ClusteredRange _),
+    "lk2_merge_upsert" -> (lk2MergeUpsert _))
+
+  val oracles: Map[String, String] = Map(
+    "lk1_clustered_range" -> lk1Oracle,
+    "lk2_merge_upsert" -> lk2Oracle)
+}

@@ -353,28 +353,7 @@ object ManifestLake {
     // point at the loser's bytes. Unique names make the rename targets
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
-    val attempt = java.util.UUID.randomUUID.toString.take(8)
-    val staging = new Path(p, f"_staging-v$next%08d-$attempt")
-    fs.delete(staging, true)
-    val writer = df.write
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(staging.toString)
-    val staged = listParquetRec(fs, staging)
-      .sortBy(src => relativize(staging, src))
-    val moved = staged.zipWithIndex.map { case (src, i) =>
-      val dir = relativize(staging, src.getParent)
-      val name = (if (dir.isEmpty) "" else dir + "/") +
-        f"v$next%08d-$attempt-$i%05d.parquet"
-      val dest = new Path(p, name)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(src, dest))
-        throw new IllegalStateException(s"failed to publish $name in $table")
-      // footer-only metadata read; no data pages touched
-      val range = statsCol.flatMap(c =>
-        footerRange(conf, dest, c).map { case (mn, mx) => ColRange(c, mn, mx) })
-      FileEntry(name, range).line
-    }
-    fs.delete(staging, true)
+    val moved = stageDataFiles(df, fs, p, next, partitionBy, statsCol)
     val prevSnap = prev.map(v => snapshot(spark, table, Some(v)))
     val base = if (append)
       prevSnap.map(_.entries.map(_.line)).getOrElse(Seq.empty)
@@ -393,6 +372,146 @@ object ManifestLake {
         (prevSnap.flatMap(_.batchId), prevSnap.flatMap(_.appId))
       else (batchId, appId)
     commit(fs, p, base ++ moved, prev, effBatch, effApp)
+  }
+
+  /** Stage `df` under a writer-unique staging dir and publish its parquet
+    * files as immutable `vNNNNNNNN-<attempt>-NNNNN.parquet` data files,
+    * returning their manifest lines (with `statsCol` footer ranges when
+    * requested). Shared by [[write]] and [[merge]] — the attempt id keeps
+    * racing committers' rename targets disjoint (see [[write]]). Publishes
+    * DATA files only; the caller still owns the manifest commit. */
+  private def stageDataFiles(df: DataFrame, fs: FileSystem, p: Path,
+                             next: Long, partitionBy: Seq[String],
+                             statsCol: Option[String]): Seq[String] = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(p, f"_staging-v$next%08d-$attempt")
+    fs.delete(staging, true)
+    val writer = df.write
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(staging.toString)
+    val staged = listParquetRec(fs, staging)
+      .sortBy(src => relativize(staging, src))
+    val moved = staged.zipWithIndex.map { case (src, i) =>
+      val dir = relativize(staging, src.getParent)
+      val name = (if (dir.isEmpty) "" else dir + "/") +
+        f"v$next%08d-$attempt-$i%05d.parquet"
+      val dest = new Path(p, name)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"failed to publish $name in $p")
+      // footer-only metadata read; no data pages touched
+      val range = statsCol.flatMap(c =>
+        footerRange(conf, dest, c).map { case (mn, mx) => ColRange(c, mn, mx) })
+      FileEntry(name, range).line
+    }
+    fs.delete(staging, true)
+    moved
+  }
+
+  /** Range-clustered lake write: [[graft.sources.LakeWriter.writeClustered]]
+    * layout (repartitionByRange + sortWithinPartitions, so files cover
+    * narrow pairwise-disjoint ranges of `clusterCol`) committed through the
+    * manifest with footer min/max recorded per file — the combination that
+    * makes [[readRange]] touch O(selectivity) files. One range shuffle at
+    * write time, amortized over every future range read. */
+  def writeClustered(df: DataFrame, table: String, clusterCol: String,
+                     nFiles: Int, append: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    write(df.repartitionByRange(nFiles, col(clusterCol))
+        .sortWithinPartitions(clusterCol),
+      table, append = append, statsCol = Some(clusterCol))
+  }
+
+  /** The snapshot entries a range query on `colName` must read: every
+    * entry whose recorded `[min, max]` intersects `[lo, hi]`, plus every
+    * entry with no recorded range for the column (unknown ⇒ never skip).
+    * Factored out of [[readRange]] so tests can pin the pruning itself. */
+  def rangeCandidates(snap: Snapshot, colName: String,
+                      lo: BigDecimal, hi: BigDecimal): Seq[FileEntry] =
+    snap.entries.filter(_.range.forall(r =>
+      r.col != colName || (r.max >= lo && r.min <= hi)))
+
+  /** Copy-on-write MERGE (upsert by key): every current row whose key
+    * appears in `updates` is replaced by the update row, and update rows
+    * with unseen keys are appended — Delta/Iceberg `MERGE WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT`, on plain parquet.
+    *
+    * The scale contract is that IO is proportional to TOUCHED FILES, not
+    * table size:
+    *  1. candidate files are pre-pruned at the MANIFEST level when a key
+    *     column carries recorded ranges (one tiny agg over `updates`
+    *     bounds the key space; files whose range misses it are untouched
+    *     by definition and never opened);
+    *  2. candidates are scanned key-columns-only (column pruning) with
+    *     file provenance, and a semi-join against the update keys yields
+    *     the touched-file list;
+    *  3. only touched files are rewritten (survivors anti-joined on key,
+    *     update rows appended); untouched entries carry over in the new
+    *     manifest VERBATIM — stats included, zero data IO.
+    *
+    * Rows with a null key never match an equi-join: a null-keyed current
+    * row is always retained, a null-keyed update row always inserts.
+    * Re-merging identical updates is content-idempotent (matched keys are
+    * replaced with identical rows). The previous snapshot's streaming
+    * identity carries forward, as in [[write]]. */
+  def merge(updates: DataFrame, table: String, keyCols: Seq[String],
+            statsCol: Option[String] = None,
+            partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    if (prev.isEmpty)
+      return write(updates, table, append = false, partitionBy = partitionBy,
+        statsCol = statsCol)
+    val snap = snapshot(spark, table, prev)
+    val base = new Path(table)
+    // (1) manifest-stats candidate pruning on any range-covered key column
+    val statKeys = keyCols.filter(k => snap.entries.exists(_.range.exists(_.col == k)))
+    val candidates = statKeys.foldLeft(snap.entries) { (entries, k) =>
+      val Array(lo, hi) = updates
+        .agg(org.apache.spark.sql.functions.min(col(k)).cast("string"),
+          org.apache.spark.sql.functions.max(col(k)).cast("string"))
+        .collect().head.toSeq.toArray
+      if (lo == null) Seq.empty // no non-null update keys: nothing matches
+      else scala.util.Try((BigDecimal(lo.toString), BigDecimal(hi.toString)))
+        .toOption match {
+        // non-numeric key rendering: range unknowable, prune nothing
+        case None => entries
+        case Some((bLo, bHi)) =>
+          rangeCandidates(Snapshot(snap.version, entries, None, None), k,
+            bLo, bHi)
+      }
+    }
+    // (2) touched-file detection: key-columns-only scan of the candidates
+    val updKeys = updates.select(keyCols.map(col): _*)
+    val touchedPaths: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
+        .select((keyCols.map(col) :+ col("_metadata.file_path")): _*)
+        .join(updKeys, keyCols, "left_semi")
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    val touched = candidates.filter(e =>
+      touchedPaths.exists(_.endsWith("/" + e.path)))
+    val untouched = snap.entries.filterNot(e =>
+      touched.exists(_.path == e.path))
+    // (3) rewrite touched files only: survivors + all update rows
+    val cols = updates.columns.toSeq
+    val survivors =
+      if (touched.isEmpty)
+        updates.filter(org.apache.spark.sql.functions.lit(false))
+      else readSnapshotFiles(spark, table, snap, touched.map(_.path))
+        .select(cols.map(col): _*)
+        .join(updKeys, keyCols, "left_anti")
+    val next = prev.get + 1
+    val moved = stageDataFiles(survivors.unionByName(updates), fs, p, next,
+      partitionBy, statsCol)
+    commit(fs, p, untouched.map(_.line) ++ moved, prev,
+      snap.batchId, snap.appId)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -439,9 +558,7 @@ object ManifestLake {
                 version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, version)
-    val (bLo, bHi) = (BigDecimal(lo), BigDecimal(hi))
-    val keep = snap.entries.filter(_.range.forall(r =>
-      r.col != colName || (r.max >= bLo && r.min <= bHi)))
+    val keep = rangeCandidates(snap, colName, BigDecimal(lo), BigDecimal(hi))
     // stats proving "nothing can match" is a correct empty answer — the
     // same query on a stats-less table would return 0 rows, not throw
     if (keep.isEmpty)

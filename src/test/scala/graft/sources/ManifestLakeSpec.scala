@@ -309,4 +309,60 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     rejected.getMessage should include("atomic publish-if-absent")
   }
+
+  test("merge upserts matched keys, inserts unseen keys, and rewrites " +
+    "ONLY the files that hold a matched key") {
+    import spark.implicits._
+    val t = freshTable()
+    // 4 range-clustered files with id stats: ids 1-1000, 1001-2000, ...
+    val base = (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    ManifestLake.writeClustered(base, t, "id", nFiles = 4)
+    val before = ManifestLake.snapshot(spark, t)
+    before.entries should have length 4
+
+    // updates touch ids 10-20 (first file only) and insert ids 9001-9005
+    val updates = ((10 to 20).map(i => (i.toLong, s"UPDATED_$i")) ++
+      (9001 to 9005).map(i => (i.toLong, s"NEW_$i"))).toDF("id", "payload")
+    ManifestLake.merge(updates, t, Seq("id"), statsCol = Some("id"))
+
+    val after = ManifestLake.snapshot(spark, t)
+    // the three files whose id range misses every update key carry over
+    // VERBATIM (same manifest line ⇒ same bytes, stats included)
+    val carried = after.entries.map(_.line)
+      .intersect(before.entries.map(_.line))
+    carried should have length 3
+    // and the rewritten+inserted rows are exactly the merge result
+    val got = ManifestLake.read(spark, t).as[(Long, String)].collect().toMap
+    got should have size 4005
+    got(15L) shouldBe "UPDATED_15"
+    got(9L) shouldBe "p9"
+    got(21L) shouldBe "p21"
+    got(9003L) shouldBe "NEW_9003"
+
+    // re-merging the same updates is content-idempotent
+    val v3 = ManifestLake.merge(updates, t, Seq("id"), statsCol = Some("id"))
+    v3 shouldBe after.version + 1
+    val again = ManifestLake.read(spark, t).as[(Long, String)].collect().toMap
+    again shouldBe got
+  }
+
+  test("merge on an empty table is a plain insert; null-keyed rows on " +
+    "either side never match") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = ManifestLake.merge(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), t, Seq("id"))
+    v1 shouldBe 1L
+    ManifestLake.read(spark, t).count() shouldBe 2
+
+    // a null-keyed current row is retained, a null-keyed update inserts
+    ManifestLake.write(
+      Seq((Option.empty[Long], "null_current")).toDF("id", "payload"), t)
+    ManifestLake.merge(
+      Seq((Option.empty[Long], "null_update")).toDF("id", "payload"),
+      t, Seq("id"))
+    val payloads = ManifestLake.read(spark, t)
+      .as[(Option[Long], String)].collect().map(_._2).toSet
+    payloads should contain allOf ("null_current", "null_update", "a", "b")
+  }
 }
