@@ -153,11 +153,40 @@ object AnnQueries {
       .filter(col("recall_at_10") >= 0.7)
   }
 
+  /** nn4 — metadata-filtered exact search: top-k by cosine AMONG vectors
+    * with `label = 2` ([[Similarity.filteredTopK]]). The label predicate
+    * is pushed to the parquet scan, the query row is looked up
+    * unfiltered, and k fills from qualifying rows only — pre-filtered
+    * search, the shape a training-data pipeline needs for "nearest
+    * in-domain examples". Same strict-fold arithmetic as nn1, so the
+    * DuckDB oracle hash-matches exactly. */
+  def nn4FilteredTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.filteredTopK(Tables.embeddings(s, d), QueryId, K,
+      col("label") === 2)
+
+  val nn4Oracle: String = {
+    def chain(f: Int => String): String = (1 to Dim).map(f).mkString(" + ")
+    val dot = chain(i => s"e.emb[$i] * q.emb[$i]")
+    val nE = chain(i => s"e.emb[$i] * e.emb[$i]")
+    val nQ = chain(i => s"q.emb[$i] * q.emb[$i]")
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |q AS (SELECT emb FROM v WHERE vec_id = $QueryId),
+       |e AS (SELECT * FROM v WHERE vec_id <> $QueryId AND label = 2)
+       |SELECT e.vec_id,
+       |  ($dot) / (sqrt($nQ) * sqrt($nE)) AS cosine
+       |FROM e, q
+       |ORDER BY cosine DESC, e.vec_id ASC
+       |LIMIT $K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nn1_brute_topk" -> (nn1BruteTopK _),
     "nn2_ivf_topk" -> (nn2IvfTopK _),
-    "nn3_lake_topk" -> (nn3LakeTopK _))
+    "nn3_lake_topk" -> (nn3LakeTopK _),
+    "nn4_filtered_topk" -> (nn4FilteredTopK _))
 
   val oracles: Map[String, String] = Map(
-    "nn1_brute_topk" -> nn1Oracle)
+    "nn1_brute_topk" -> nn1Oracle,
+    "nn4_filtered_topk" -> nn4Oracle)
 }

@@ -66,6 +66,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[bruteForceTopK]] with a metadata predicate on the CANDIDATE set
+    * (the query row is looked up unfiltered — its own metadata is
+    * irrelevant to what it may match). This is pre-filtered search: the
+    * predicate reaches the scan as a pushed filter, so the ranked set is
+    * O(selectivity) rows and k is always filled from qualifying rows —
+    * unlike post-filtering an ANN probe, which silently under-fills k
+    * when the predicate is selective. At IVF scale the same predicate
+    * composes with cell pruning (filter ∧ cell ∈ probed). */
+  def filteredTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                   predicate: Column,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(asDouble(col(embCol)).as("q"))
+    embeddings.filter(predicate)
+      .crossJoin(broadcast(query))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cosine", cosine(asDouble(col(embCol)), col("q")))
+      .filter(!isnan(col("cosine")))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .select(col(idCol), col("cosine"))
+      .limit(k)
+  }
+
   /** IVF index: assign every vector to its nearest of `nCells` K-Means
     * centroids. Returns (assignments with a `cell` column, fitted
     * centroids).

@@ -55,3 +55,48 @@ object NgramJaccard {
     ColumnBridge.column(NgramJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b), shingleWidth))
 }
+
+/** Native n-gram CONTAINMENT |A∩B| / |A| — the asymmetric companion of
+  * [[NgramJaccard]]: how much of the LEFT document's shingle set appears
+  * in the right one. Jaccard misses subset duplication (a paragraph
+  * quoted inside a much larger doc scores near 0 on |∩|/|∪| but 1.0
+  * here), which is the dominant dup shape in scraped training corpora —
+  * boilerplate-wrapped bodies, quoted articles, concatenated shards.
+  * Same shingle hashing, same one-JVM-pass cost model as the Jaccard
+  * kernel. A is never empty ([[ShingleHashing.shingleSet]] emits at
+  * least one shingle), so the ratio is always defined. */
+case class NgramContainment(left: Expression, right: Expression,
+                            shingleWidth: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(shingleWidth > 0)
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "ngram_containment"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two string arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ShingleHashing.shingleSet(
+      a.asInstanceOf[UTF8String].toString, shingleWidth)
+    val sb = ShingleHashing.shingleSet(
+      b.asInstanceOf[UTF8String].toString, shingleWidth)
+    sa.count(sb.contains).toDouble / sa.size
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramContainment =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramContainment {
+  def apply(a: Column, b: Column, shingleWidth: Int): Column =
+    ColumnBridge.column(NgramContainment(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), shingleWidth))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramJaccard, SimHash64, WinnowFingerprint}
+import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramContainment, NgramJaccard, SimHash64, WinnowFingerprint}
 
 /** Engine extension point (`spark.sql.extensions` /
   * `SparkSession.builder.withExtensions`): registers the engine's native
@@ -57,6 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity(exprs, 3, "ngram_jaccard(textA, textB, shingleWidth)")
         NgramJaccard(exprs.head, exprs(1), litInt(exprs(2), "ngram_jaccard"))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("ngram_containment"),
+      new ExpressionInfo(classOf[NgramContainment].getName,
+        "ngram_containment"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 3, "ngram_containment(textA, textB, shingleWidth)")
+        NgramContainment(exprs.head, exprs(1),
+          litInt(exprs(2), "ngram_containment"))
       }))
     extensions.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),

@@ -383,6 +383,27 @@ object Dedup {
         col("next_id").as("id_b"), col("jaccard"))
   }
 
+  /** Blocked n-gram CONTAINMENT — [[blockedNgramJaccard]]'s pairing with
+    * the asymmetric kernel |A∩B|/|A| ([[graft.functions.NgramContainment]]):
+    * scores how much of the first document reappears in its successor,
+    * which is what catches SUBSET duplication (quoted bodies, boilerplate-
+    * wrapped articles) that symmetric Jaccard dilutes toward 0 as the
+    * containing doc grows. Same one-key block shuffle, raw text only. */
+  def blockedNgramContainment(df: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              blockCol: String = "lang",
+                              n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
+    df.select(col(blockCol), col(idCol), col(textCol))
+      .withColumn("next_id", lead(col(idCol), 1).over(w))
+      .withColumn("next_text", lead(col(textCol), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .withColumn("containment",
+        graft.functions.NgramContainment(col(textCol), col("next_text"), n))
+      .select(col(blockCol), col(idCol).as("id_a"),
+        col("next_id").as("id_b"), col("containment"))
+  }
+
   /** The declarative reference form of [[blockedNgramJaccard]] (string
     * shingle arrays + array_intersect/array_union) — kept as the
     * independently-derived semantics the native kernel is pinned against. */

@@ -112,6 +112,35 @@ object DedupQueries {
       |    len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
       |FROM paired WHERE id_b IS NOT NULL""".stripMargin
 
+  /** dd8 — blocked n-gram CONTAINMENT (|A∩B|/|A|): the asymmetric dup
+    * score that catches subset duplication Jaccard dilutes (a doc quoted
+    * inside a larger one). Exact kernel → full oracle, with DuckDB
+    * re-deriving the shingle sets from raw text like dd4. */
+  def dd8NgramContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.blockedNgramContainment(Tables.documents(s, d))
+
+  val dd8Oracle: String =
+    """WITH shingled AS (
+      |  SELECT lang, doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT lang, doc_id,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |            t -> t <> '') AS toks
+      |        FROM documents)),
+      |paired AS (
+      |  SELECT lang, doc_id AS id_a,
+      |    lead(doc_id) OVER w AS id_b,
+      |    sh AS sh_a, lead(sh) OVER w AS sh_b
+      |  FROM shingled
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id))
+      |SELECT lang, id_a, id_b,
+      |  CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) /
+      |    len(sh_a) AS containment
+      |FROM paired WHERE id_b IS NOT NULL""".stripMargin
+
   /** Embedding-cosine near-dup via hyperplane LSH over embeddings ∪
     * perturbed copies (deterministic hash-derived noise). */
   def dd5EmbedNearDup(s: SparkSession, d: String): DataFrame = {
@@ -255,6 +284,7 @@ object DedupQueries {
     "dd2_minhash_lsh" -> (dd2MinhashLsh _),
     "dd3_simhash" -> (dd3Simhash _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
+    "dd8_ngram_containment" -> (dd8NgramContainment _),
     "dd5_embed_neardup" -> (dd5EmbedNearDup _),
     "dd6_winnow" -> (dd6Winnow _),
     "dd7_dedup_clusters" -> (dd7DedupClusters _))
@@ -263,5 +293,6 @@ object DedupQueries {
     "sq1_sql_dedup_chain" -> sq1Oracle,
     "dd1_exact_dedup" -> dd1Oracle,
     "dd4_ngram_jaccard" -> dd4Oracle,
+    "dd8_ngram_containment" -> dd8Oracle,
     "dd7_dedup_clusters" -> dd7Oracle)
 }

@@ -51,6 +51,34 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers with SparkSpec {
     native((1L, 3L)) shouldBe 1.0
   }
 
+  test("ngram_containment: subset → 1.0 on the contained side, diluted " +
+    "jaccard; asymmetric; equals jaccard on identical docs") {
+    import spark.implicits._
+    // doc 1 is a verbatim chunk of doc 2 (every 3-shingle of 1 occurs
+    // in 2) — the quoted-body shape
+    val small = "a b c d e f g h"
+    val big = "p q r " + small + " x y z w v u t s r2 q2 p2 o2 n2 m2"
+    val row = Seq((small, big)).toDF("a", "b")
+      .select(
+        NgramContainment($"a", $"b", 3).as("ab"),
+        NgramContainment($"b", $"a", 3).as("ba"),
+        NgramJaccard($"a", $"b", 3).as("j"))
+      .collect().head
+    row.getDouble(0) shouldBe 1.0 // contained side: full overlap
+    row.getDouble(1) should be < 0.3 // container side: mostly its own
+    row.getDouble(2) should be < 0.3 // symmetric jaccard dilutes to ~|A|/|B|
+    // identical docs: containment == jaccard == 1.0, both directions
+    val same = Seq(("m n o p", "m n o p")).toDF("a", "b")
+      .select(NgramContainment($"a", $"b", 3).as("c"),
+        NgramContainment($"b", $"a", 3).as("c2"))
+      .collect().head
+    same.getDouble(0) shouldBe 1.0
+    same.getDouble(1) shouldBe 1.0
+    // SQL surface
+    spark.sql("SELECT ngram_containment('a b c d', 'z z a b c d', 3) AS c")
+      .as[Double].head() shouldBe 1.0
+  }
+
   test("native simhash: identical text → identical fingerprint, small " +
     "edit → small hamming, different text → large hamming") {
     import spark.implicits._
