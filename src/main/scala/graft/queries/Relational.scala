@@ -793,6 +793,105 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** q6_forecast_revenue — TPC-H Q6 shape: the pure scan-filter-agg
+    * query. Its whole point at 100 TB is that every predicate reaches
+    * the parquet scan as a PushedFilter (shipdate year, discount band,
+    * quantity cap) and the plan is one codegen stage with a map-side
+    * partial sum — any shuffle or unpushed filter here is a bug. The
+    * discount literals compare against the same stored doubles in both
+    * engines, so the band edges cannot diverge. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate".cast("timestamp") >=
+        to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"l_shipdate".cast("timestamp") <
+          to_timestamp(lit("1997-01-01 00:00:00")) &&
+        $"l_discount" >= 0.04 && $"l_discount" <= 0.06 &&
+        $"l_quantity" < 24.0)
+      .agg(decSum($"l_extendedprice" * $"l_discount", 6).as("revenue"))
+  }
+
+  val q6Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.04 AND 0.06
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** q15_top_supplier — TPC-H Q15 shape: a derived revenue view consumed
+    * twice (join input + uncorrelated scalar MAX threshold), through the
+    * SQL surface. The revenue sums are exact decimals, so `= (SELECT
+    * max…)` cannot miss by an ulp between engines. Catalyst evaluates
+    * the scalar subquery once and reuses the view's aggregate via
+    * exchange reuse — never per-row. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("q15_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q15_lineitem")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+        |  FROM q15_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q15Oracle: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q19_disjunctive_join — TPC-H Q19 shape: an OR-of-ANDs predicate
+    * spanning both join sides. The optimizer's job here is extracting
+    * the per-side disjunctions (l_quantity ∈ [1,11]∪[10,20]∪[20,30]
+    * for lineitem, brand/size bands for part) and pushing them below
+    * the join so neither side scans rows no branch can accept — at
+    * 100 TB the difference between scanning three quantity bands and
+    * scanning the table. part joins unhinted, as in q14/q8. */
+  def q19DisjunctiveJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val branch1 = $"p_brand" === "Brand#1" &&
+      $"p_size".between(1, 10) && $"l_quantity".between(1.0, 11.0)
+    val branch2 = $"p_brand" === "Brand#2" &&
+      $"p_size".between(1, 20) && $"l_quantity".between(10.0, 20.0)
+    val branch3 = $"p_brand" === "Brand#3" &&
+      $"p_size".between(1, 30) && $"l_quantity".between(20.0, 30.0)
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+      .filter(branch1 || branch2 || branch3)
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"))
+  }
+
+  val q19Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1.0 AND 11.0)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10.0 AND 20.0)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
   /** g3_pivot — cross-tabulation via `groupBy().pivot()` with explicit
     * pivot values (explicit values skip the extra distinct-scan job and
     * keep the plan a single hash aggregate). */
@@ -992,6 +1091,9 @@ object Relational {
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
     "r1_join_broadcast" -> (r1JoinBroadcast _),
     "r2_harmonize" -> (r2Harmonize _),
     "r3_union_all" -> (r3UnionAll _),
@@ -1028,6 +1130,9 @@ object Relational {
     "q8_market_share" -> q8Oracle,
     "q10_returned_items" -> q10Oracle,
     "q18_large_orders" -> q18Oracle,
+    "q6_forecast_revenue" -> q6Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q19_disjunctive_join" -> q19Oracle,
     "r1_join_broadcast" -> r1Oracle,
     "r2_harmonize" -> r2Oracle,
     "r3_union_all" -> r3Oracle,

@@ -94,6 +94,27 @@ object Streaming {
         col("session_end_us"), col("n_events"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the built-in operator counterpart to [[sessionizeBatch]] (window
+    * functions) and [[sessionizeStream]] (custom state machine). Runs on
+    * batch AND streaming frames with the same code; streaming gets
+    * merging session state with watermark eviction for free. Boundary
+    * semantics: a session window is half-open `[start, last + gap)`, so
+    * an event at EXACTLY gap distance starts a new session, where the
+    * gaps-and-islands form (`diff > gap` starts) merges it — identical
+    * results whenever no consecutive gap is exactly the gap length
+    * (microsecond event times make that measure-zero; the gate data has
+    * none). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+
   /** Streaming sessionization — the real state machine:
     * `flatMapGroupsWithState` holds one open session per user, closes it
     * when a batch shows a gap or the event-time timeout fires past the
@@ -377,6 +398,38 @@ object Streaming {
         // from being mistaken for replays of the previous stream
         graft.sources.ManifestLake.writeBatch(batch, table, batchId,
           partitionBy = partitionBy, appId = checkpoint): Unit
+      }
+      .trigger(trigger)
+      .start()
+
+  /** CDC apply: a stream of keyed upserts merged into a
+    * [[graft.sources.ManifestLake]] table — each micro-batch goes
+    * through [[graft.sources.ManifestLake.merge]], so matched keys are
+    * replaced and new keys insert, with IO proportional to the files
+    * the batch's keys actually touch. End-to-end delivery is
+    * effectively-once BY IDEMPOTENCE rather than by the epoch guard
+    * [[streamToLake]] uses: a post-crash replay re-merges the identical
+    * update set, which bumps the version but leaves the snapshot's
+    * content bit-identical (merge is content-idempotent), the correct
+    * semantics for upserts where writeBatch's skip-the-epoch guard
+    * would be wrong if maintenance writes interleave.
+    *
+    * Each micro-batch must be KEY-UNIQUE: two updates to one key inside
+    * a batch would both insert. Dedupe upstream — e.g.
+    * `dropDuplicates(keyCols)` under a watermark, or a max_by(ts)
+    * per-key aggregate — exactly as a CDC consumer compacts its
+    * change log. */
+  def streamMergeToLake(streamed: DataFrame, table: String,
+                        keyCols: Seq[String],
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        statsCol: Option[String] = None): StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.ManifestLake.merge(batch, table, keyCols,
+          statsCol = statsCol): Unit
       }
       .trigger(trigger)
       .start()

@@ -245,7 +245,16 @@ object StreamingQueries {
       |    AND c.click_ts_us // 1000 < (SELECT wm_ms FROM wm))
       |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin
 
+  /** st7 — the native `session_window` sessionizer on the batch frame:
+    * must equal st2's gaps-and-islands derivation row-for-row (same
+    * oracle), proving the built-in operator and the window-function form
+    * agree on real data. The streaming run of the same code (merging
+    * session state, watermark eviction) is pinned in StreamingSpec. */
+  def st7SessionWindow(s: SparkSession, d: String): DataFrame =
+    Streaming.sessionizeNative(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st7_session_window" -> (st7SessionWindow _),
     "st6_stream_join_outer" -> (st6StreamJoinOuter _),
     "st1_windowed_counts" -> (st1WindowedCounts _),
     "st2_sessionize_batch" -> (st2SessionizeBatch _),
@@ -254,6 +263,7 @@ object StreamingQueries {
     "st5_stream_dedup" -> (st5StreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st7_session_window" -> st2Oracle,
     "st6_stream_join_outer" -> st6Oracle,
     "st1_windowed_counts" -> st1Oracle,
     "st2_sessionize_batch" -> st2Oracle,

@@ -48,6 +48,41 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window streaming: sessions MERGE across " +
+    "micro-batches and emit once the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streaming.sessionizeNative(
+      input.toDF().withWatermark("ts", "10 minutes"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sw_test").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events 10 min apart — one open session
+      input.addData(ev(1, T0, 7), ev(2, T0 + 600, 7))
+      q.processAllAvailable()
+      // batch 2: 25 min after the last event (inside the 30-min gap) —
+      // must MERGE into the same session, not start a new one
+      input.addData(ev(3, T0 + 600 + 1500, 7))
+      q.processAllAvailable()
+      spark.table("sw_test").count() shouldBe 0 // still open, nothing emits
+      // far-future event advances the watermark past session end + gap
+      input.addData(ev(4, T0 + 6 * 3600, 8))
+      q.processAllAvailable()
+      val emitted = spark.table("sw_test")
+        .as[Session].collect().filter(_.user_id == 7L)
+      emitted should have length 1 // ONE merged session, not three
+      emitted.head.session_start_us shouldBe T0 * 1000000L
+      emitted.head.session_end_us shouldBe (T0 + 2100) * 1000000L
+      emitted.head.n_events shouldBe 3L
+      // and it equals the batch derivation over the same events
+      val batch = Streaming.sessionizeBatch(
+        Seq(ev(1, T0, 7), ev(2, T0 + 600, 7), ev(3, T0 + 2100, 7))
+          .toDF()).as[Session].collect()
+      batch should contain theSameElementsAs Seq(emitted.head)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: in-batch gap closes, timeout flushes the " +
     "open tail across batches") {
     import spark.implicits._
