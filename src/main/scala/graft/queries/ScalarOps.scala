@@ -221,7 +221,63 @@ object ScalarOps {
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed
       |FROM events""".stripMargin
 
+  /** f16_array_hof — the higher-order array-function surface (`filter`,
+    * `transform`, `aggregate`) over a tokenized text column, projected
+    * to SCALARS for the gate (nested outputs crash the driver compare).
+    * HOFs evaluate interpreted in Spark — fine for ad-hoc analytics like
+    * this; hot per-row kernels belong in native expressions (the
+    * `graft.functions` pattern), which is why the dedup chains never
+    * went through HOFs. */
+  def f16ArrayHof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    Tables.documents(s, d).select(
+      $"doc_id",
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => length(t) > 4)).as("n_long"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).as("total_chars"))
+  }
+
+  val f16Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_filter(toks, t -> len(t) > 4)) AS INTEGER) AS n_long,
+      |  CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+      |    AS BIGINT) AS total_chars
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+      |          AS toks
+      |      FROM documents)""".stripMargin
+
+  /** w3_window_dist — the distribution window functions (`ntile`,
+    * `percent_rank`, `cume_dist`) over a per-user value ordering. The
+    * event_id tie-break makes every peer group a single row, so the
+    * rank fractions are the same exact rational in both engines (one
+    * IEEE division each). */
+  def w3WindowDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"value".asc, $"event_id".asc)
+    Tables.events(s, d).select(
+      $"user_id", $"event_id",
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  val w3Oracle: String =
+    """SELECT user_id, event_id,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f16_array_hof" -> (f16ArrayHof _),
+    "w3_window_dist" -> (w3WindowDist _),
     "f15_json_props" -> (f15JsonProps _),
     "p4_time_filter" -> (p4TimeFilter _),
     "p5_explode" -> (p5Explode _),
@@ -233,6 +289,8 @@ object ScalarOps {
     "f7_geo_array" -> (f7GeoArray _))
 
   val oracles: Map[String, String] = Map(
+    "f16_array_hof" -> f16Oracle,
+    "w3_window_dist" -> w3Oracle,
     "f15_json_props" -> f15Oracle,
     "p4_time_filter" -> p4Oracle,
     "p5_explode" -> p5Oracle,
