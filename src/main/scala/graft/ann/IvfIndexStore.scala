@@ -54,6 +54,31 @@ object IvfIndexStore {
     v
   }
 
+  /** Index MAINTENANCE: assign `newVectors` to the EXISTING centroids
+    * (no refit — [[Similarity.assignCells]], the same normalized metric
+    * the build used) and append them to the assignment table per cell.
+    * The commit order mirrors [[build]]'s atomic-switch story: the
+    * assignment append commits first, then the centroid table re-commits
+    * UNCHANGED centroids carrying the new `assign_version` — a reader
+    * either still enters through the old centroid snapshot (pinning the
+    * pre-append assignments, consistent) or through the new one (seeing
+    * every appended vector). Probes never pay a refit; the quantizer
+    * only changes on a full [[build]] rebuild (worth scheduling when
+    * drift makes cells unbalanced). Returns the new assignment version. */
+  def append(newVectors: DataFrame, indexDir: String): Long = {
+    val s = newVectors.sparkSession
+    import s.implicits._
+    val (centroids, _) = loadCentroids(s, indexDir)
+    val assigned = Similarity.assignCells(newVectors, centroids)
+    val v = ManifestLake.write(assigned, assignTable(indexDir),
+      append = true, partitionBy = Seq("cell"))
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, v) }
+      .toDF("cell", "centroid", "assign_version")
+    ManifestLake.write(centDf, centroidTable(indexDir), append = false)
+    v
+  }
+
   /** Centroids + the assignment version they were fit against — the
     * nCells × dim collect every reader starts from. */
   private def loadCentroids(s: SparkSession, indexDir: String)

@@ -132,6 +132,41 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Assign vectors to the nearest of EXISTING centroids — the index
+    * MAINTENANCE half of IVF: appending a day's new embeddings must not
+    * refit the quantizer (that is a rebuild). Assignment metric is
+    * exactly the build's: Euclidean of the L2-NORMALIZED vector to the
+    * raw centroid, decomposed as argmax(c·v̂ − ‖c‖²/2) so the per-cell
+    * constant folds driver-side. Shape: broadcast the nCells-row
+    * centroid table, score narrowly, keep the argmax row per vector via
+    * max_by — ONE shuffle on the vector id per append batch. Ties break
+    * to the lowest cell, matching Spark ML's argmin scan order. */
+  def assignCells(embeddings: DataFrame, centroids: Array[Array[Double]],
+                  embCol: String = "embedding"): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cols = embeddings.columns.toSeq
+    val cent = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq.toDF("__cell", "__c", "__c2")
+    val nv = {
+      val v = asDouble(col(embCol))
+      val n = sqrt(norm2Fold(v))
+      // zero vectors stay zero (cosine-undefined anyway; cell 0 by tie)
+      when(n === 0.0, v).otherwise(transform(v, x => x / n))
+    }
+    // grouping on the FULL original row makes max_by partial-aggregate
+    // map-side: the 16× score blowup collapses back to one row per
+    // vector before anything crosses the shuffle. (Exact duplicate rows
+    // would merge — an id-carrying index never has any.)
+    embeddings.withColumn("__nv", nv)
+      .crossJoin(broadcast(cent))
+      .withColumn("__score", dotFold(col("__nv"), col("__c")) -
+        col("__c2") / 2.0)
+      .groupBy(cols.map(col): _*)
+      .agg(expr("max_by(__cell, struct(__score, -__cell))").as("cell"))
+  }
+
   /** The query's `nProbe` nearest cells, ranked by Euclidean distance
     * of the NORMALIZED query to each centroid — the same metric the
     * (normalized) assignment used, so probe order and cell membership

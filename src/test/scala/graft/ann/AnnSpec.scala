@@ -77,6 +77,45 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
       graft.sources.ManifestLake.read(fresh, s"$dir/assignments").count()
   }
 
+  test("IVF append: assignCells reproduces the model's assignments, and " +
+    "appended vectors are probe-visible without a refit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ap").toString
+    IvfIndexStore.build(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+
+    // assignCells must agree with the ML model's own assignment on
+    // every vector (same normalized metric, ties to the lowest cell)
+    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells = 16)
+    val expected = assigned.select($"vec_id", $"cell".as("cell_model"))
+    val recomputed = Similarity.assignCells(emb, centroids)
+      .select($"vec_id", $"cell")
+    recomputed.join(expected, "vec_id")
+      .filter($"cell" =!= $"cell_model").count() shouldBe 0L
+
+    // append a copy of vector 0 under a new id: it lands in 0's cell
+    // and the probe for 0's own vector now returns it at cosine 1.0 —
+    // no refit, centroids unchanged, assignment version advanced
+    val beforeV = graft.sources.ManifestLake
+      .currentVersion(spark, s"$dir/assignments").get
+    val newVec = emb.filter($"vec_id" === 0L)
+      .withColumn("vec_id", lit(900000L))
+    val v = IvfIndexStore.append(newVec, dir)
+    v shouldBe beforeV + 1
+    val queryVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val top = IvfIndexStore.probe(spark, dir, queryVec, k = 1,
+      nProbe = 4, excludeId = Some(0L)).collect()
+    top.head.getLong(0) shouldBe 900000L
+    top.head.getDouble(2) shouldBe 1.0 +- 1e-12
+    // the old centroid snapshot still pins the pre-append assignments
+    val oldCents = graft.sources.ManifestLake
+      .read(spark, s"$dir/centroids", Some(1L))
+    oldCents.select(max($"assign_version")).collect()
+      .head.getLong(0) shouldBe beforeV
+  }
+
   test("hyperplane LSH near-dup: planted perturbed vectors recovered at " +
     "cosine ≥ 0.95") {
     val emb = Tables.embeddings(spark, sf)
