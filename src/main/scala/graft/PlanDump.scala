@@ -61,7 +61,13 @@ object PlanDump {
       "nn4_filtered_topk" ->
         "label predicate reaches the embeddings scan as a PushedFilter; ranked set is O(selectivity); TakeOrderedAndProject",
       "lk1_clustered_range" ->
-        "manifest-level file skipping: the parquet relation lists ONLY the files whose recorded range intersects the query range")
+        "manifest-level file skipping: the parquet relation lists ONLY the files whose recorded range intersects the query range",
+      "q6_forecast_revenue" ->
+        "pure scan-filter-agg: every predicate (shipdate bounds, discount band, quantity cap) in PushedFilters; one codegen stage, map-side partial sum",
+      "q19_disjunctive_join" ->
+        "OR-of-ANDs split per side: the lineitem scan carries the quantity-band disjunction and the part scan the brand/size disjunction as PushedFilters below the join",
+      "st7_session_window" ->
+        "native session_window: one shuffle on user_id + one in-partition sort feeding the merging session aggregate — no separate window-function pass over the sorted data")
 
     val sections = headline.map { case (name, claim) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
