@@ -264,4 +264,35 @@ object CorpusOps {
         col("token_offset"), col("first_seq"), col("last_seq"),
         col("n_chunks"))
   }
+
+  /** Benchmark decontamination — flag every corpus document sharing at
+    * least one `n`-gram with an evaluation set (the overlap check a
+    * training pipeline runs before any benchmark number is reportable).
+    *
+    * Scale shape: the EVAL side is a benchmark — thousands of documents,
+    * not billions — so its distinct shingle set broadcasts; the corpus
+    * side is a narrow explode into a broadcast LEFT SEMI join, so the
+    * 100 TB corpus is never shuffled: only the matched doc ids (a tiny
+    * set) go through the distinct, and the final flag join is id-to-id.
+    * If the eval side ever outgrows broadcast, the same plan degrades
+    * gracefully to a shuffled semi-join on the shingle hash — the
+    * operator's shape, explode → semi-join → distinct ids, is unchanged.
+    * Shingling follows the corpus convention ([[Dedup.withShingles]]):
+    * sub-`n`-token documents contribute their whole text as one shingle,
+    * so short eval items still match verbatim copies. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val evalSh = Dedup.withShingles(
+        evalDocs.select(col(textCol)), textCol, n)
+      .select(explode(col("shingles")).as("__sh")).distinct()
+    val hits = Dedup.withShingles(
+        docs.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("__sh"))
+      .join(broadcast(evalSh), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hits.withColumn("contaminated", lit(true)),
+        Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
 }

@@ -111,13 +111,46 @@ object CorpusQueries {
       |  t.n_tokens >= c.cut AS kept
       |FROM toks t JOIN cuts c USING (lang)""".stripMargin
 
+  /** dc1 — benchmark decontamination: the "eval set" is the documents
+    * with `doc_id ≡ 7 (mod 50)` (deterministic, non-empty at every SF),
+    * and every corpus doc sharing an 8-gram with any of them is flagged.
+    * Eval members flag themselves by construction, so the row is
+    * guaranteed non-trivial; DuckDB re-derives the shingle sets and the
+    * overlap EXISTS from raw text. */
+  def dc1Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    CorpusOps.decontaminate(docs,
+        docs.filter(col("doc_id") % 50 === 7), n = 8)
+      .select(col("doc_id"), col("lang"), col("contaminated"))
+  }
+
+  val dc1Oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(CASE WHEN len(toks) >= 8
+      |      THEN list_transform(range(1, len(toks) - 6),
+      |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+      |          toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+      |      ELSE [array_to_string(toks, ' ')] END) AS g
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |            t -> t <> '') AS toks
+      |        FROM documents)),
+      |ev AS (SELECT g FROM sh WHERE doc_id % 50 = 7)
+      |SELECT s.doc_id, s.lang,
+      |  EXISTS (SELECT 1 FROM ev e
+      |          WHERE len(list_intersect(s.g, e.g)) > 0) AS contaminated
+      |FROM sh s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dc1_decontaminate" -> (dc1Decontaminate _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "pk1_token_pack" -> (pk1TokenPack _),
     "mx1_mix_rebalance" -> (mx1MixRebalance _),
     "qf1_quantile_filter" -> (qf1QuantileFilter _))
 
   val oracles: Map[String, String] = Map(
+    "dc1_decontaminate" -> dc1Oracle,
     "sp1_hash_split" -> sp1Oracle,
     "pk1_token_pack" -> pk1Oracle,
     "mx1_mix_rebalance" -> mx1Oracle,

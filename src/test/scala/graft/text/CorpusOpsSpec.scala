@@ -224,4 +224,27 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     graft.core.TransientCache.drain()
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the " +
+    "eval set; short eval items match only verbatim") {
+    import spark.implicits._
+    val evalItem = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"prefix words here $evalItem and a suffix tail"), // contains it
+      (2L, "completely unrelated text with many distinct tokens " +
+        "that never collide with anything"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"), // 7-overlap only
+      (4L, "tiny doc"), // short doc, whole-text shingle
+      (5L, "tiny doc")  // verbatim copy of a short eval item
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(evalItem, "tiny doc").toDF("text")
+    val flagged = CorpusOps.decontaminate(docs, eval_, n = 8)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    flagged(1L) shouldBe true  // shares the full 8-gram
+    flagged(2L) shouldBe false
+    flagged(3L) shouldBe false // 7 shared tokens ≠ any shared 8-gram
+    flagged(4L) shouldBe true  // whole-text match with short eval item
+    flagged(5L) shouldBe true
+  }
 }
