@@ -1079,7 +1079,48 @@ object Relational {
       |EXCEPT
       |SELECT o_custkey FROM orders""".stripMargin
 
+  /** i3_bag_setops — INTERSECT ALL / EXCEPT ALL (bag semantics: each
+    * row survives min/difference of its multiplicities, unlike i1/i2's
+    * set forms which collapse to distinct). Driven over order-priority
+    * multisets from two date ranges so multiplicities genuinely differ;
+    * the two results are union-tagged into one gate row. */
+  def i3BagSetops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def prios(lo: String, hi: String) = Tables.orders(s, d)
+      .filter($"o_orderdate".cast("timestamp") >=
+        to_timestamp(lit(lo)) &&
+        $"o_orderdate".cast("timestamp") < to_timestamp(lit(hi)))
+      .select($"o_orderpriority".as("prio"), $"o_orderstatus".as("status"))
+    val a = prios("1996-01-01 00:00:00", "1996-02-01 00:00:00")
+    val b = prios("1996-02-01 00:00:00", "1996-03-01 00:00:00")
+    a.intersectAll(b).groupBy($"prio", $"status")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy($"prio", $"status")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+  }
+
+  val i3Oracle: String =
+    """WITH a AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'),
+      |b AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00')
+      |SELECT prio, status, count(*) AS n, 'intersect_all' AS op
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |GROUP BY 1, 2
+      |UNION ALL
+      |SELECT prio, status, count(*) AS n, 'except_all' AS op
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i3_bag_setops" -> (i3BagSetops _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1119,6 +1160,7 @@ object Relational {
     "i2_except" -> (i2Except _))
 
   val oracles: Map[String, String] = Map(
+    "i3_bag_setops" -> i3Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier" -> q5Oracle,

@@ -265,6 +265,49 @@ object CorpusOps {
         col("n_chunks"))
   }
 
+  /** Context-window chunking — split documents into overlapping
+    * token-window chunks (`maxTokens` per chunk, advancing by
+    * `maxTokens − overlap`), the layout step that turns variable-length
+    * documents into model-sized training sequences while the overlap
+    * preserves cross-boundary context. Whitespace tokens here; a real
+    * tokenizer changes the split expression, not the operator shape.
+    *
+    * Purely narrow: tokenize → per-row `sequence` of chunk starts →
+    * explode → slice/concat — no shuffle at any scale, and the chunk
+    * count per row is ⌈(n−overlap)/stride⌉ so a pathological document
+    * cannot fan out unboundedly (documents ≤ maxTokens yield exactly
+    * one chunk). Emits the chunk's token count and content hash rather
+    * than the text (the gate cannot carry megabyte columns; callers
+    * wanting text select `chunk_text` before the drop). */
+  def chunkDocs(docs: DataFrame, maxTokens: Int = 64, overlap: Int = 16,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      // chunk starts: 0, stride, 2·stride, … while start < max(n−overlap, 1)
+      .withColumn("__starts",
+        sequence(lit(0),
+          greatest(ceil((col("__n") - lit(overlap)).cast("double") /
+            stride).cast("int") - 1, lit(0)) * stride,
+          lit(stride)))
+      .select(col(idCol), col("__n").as("doc_tokens"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "__start")),
+        col("__toks"))
+      .withColumn("chunk_text",
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(maxTokens))))
+      .withColumn("chunk_tokens",
+        least(col("doc_tokens") - col("__start"), lit(maxTokens)))
+      .withColumn("chunk_sha", sha2(col("chunk_text"), 256))
+      .select(col(idCol), col("chunk_id"), col("doc_tokens"),
+        col("chunk_tokens"), col("chunk_sha"))
+  }
+
   /** Benchmark decontamination — flag every corpus document sharing at
     * least one `n`-gram with an evaluation set (the overlap check a
     * training pipeline runs before any benchmark number is reportable).

@@ -142,7 +142,38 @@ object CorpusQueries {
       |          WHERE len(list_intersect(s.g, e.g)) > 0) AS contaminated
       |FROM sh s""".stripMargin
 
+  /** ch1 — context-window chunking at 64 tokens with 16-token overlap:
+    * every document becomes ⌈(n−16)/48⌉ chunks whose token counts and
+    * content hashes the DuckDB oracle re-derives from raw text (same
+    * tokenization, same slice arithmetic, same sha256). */
+  def ch1ChunkDocs(s: SparkSession, d: String): DataFrame =
+    CorpusOps.chunkDocs(Tables.documents(s, d), maxTokens = 64,
+      overlap = 16)
+
+  val ch1Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, len(toks) AS doc_tokens,
+      |    greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INTEGER) - 1, 0)
+      |      AS last_i
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(i AS INTEGER) AS chunk_id,
+      |  CAST(doc_tokens AS INTEGER) AS doc_tokens,
+      |  CAST(least(doc_tokens - i * 48, 64) AS INTEGER) AS chunk_tokens,
+      |  sha256(coalesce(
+      |    array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' '),
+      |    '')) AS chunk_sha
+      |FROM (SELECT doc_id, toks, doc_tokens,
+      |        unnest(range(0, last_i + 1)) AS i
+      |      FROM n)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ch1_chunk_docs" -> (ch1ChunkDocs _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "pk1_token_pack" -> (pk1TokenPack _),
@@ -150,6 +181,7 @@ object CorpusQueries {
     "qf1_quantile_filter" -> (qf1QuantileFilter _))
 
   val oracles: Map[String, String] = Map(
+    "ch1_chunk_docs" -> ch1Oracle,
     "dc1_decontaminate" -> dc1Oracle,
     "sp1_hash_split" -> sp1Oracle,
     "pk1_token_pack" -> pk1Oracle,

@@ -225,6 +225,31 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     graft.core.TransientCache.drain()
   }
 
+  test("chunkDocs: overlapping windows tile the token stream, short docs " +
+    "are exactly one chunk") {
+    import spark.implicits._
+    val words = (1 to 150).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkDocs(docs, maxTokens = 64, overlap = 16)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 150 tokens, stride 48: starts 0/48/96 → sizes 64/64/54
+    chunks(1L).map(_._4).toSeq shouldBe Seq(64, 64, 54)
+    chunks(1L).map(_._3).distinct.toSeq shouldBe Seq(150)
+    chunks(2L).map(_._4).toSeq shouldBe Seq(3)
+    // the middle chunk's hash is the sha256 of tokens 49..112 —
+    // independently computed, so the slice arithmetic cannot be off by one
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(words.slice(48, 112).mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    chunks(1L)(1)._5 shouldBe expect
+    // consecutive chunks overlap by exactly 16 tokens: token w49 (start of
+    // chunk 1) sits 16 from the end of chunk 0's window [1,64]
+    CorpusOps.chunkDocs(docs.filter($"doc_id" === 1L), 64, 0)
+      .count() shouldBe 3 // ceil(150/64) with no overlap
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the " +
     "eval set; short eval items match only verbatim") {
     import spark.implicits._
