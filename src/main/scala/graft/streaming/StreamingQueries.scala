@@ -253,7 +253,31 @@ object StreamingQueries {
   def st7SessionWindow(s: SparkSession, d: String): DataFrame =
     Streaming.sessionizeNative(Tables.events(s, d))
 
+  /** st8 — stream-STATIC dimension enrichment: the live event stream
+    * joined to a batch dimension table (the single most common
+    * streaming join in practice — enrich events with account/catalog
+    * attributes). Stateless: the static side is planned as an ordinary
+    * broadcast per micro-batch, no watermark and no join state at all,
+    * which is why it needs none of st4/st6's eviction machinery. The
+    * dimension is re-resolved each batch, so a slowly-changing dim picks
+    * up updates between batches (documented Spark semantics). */
+  def st8StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val enriched = eventsStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("c_nationkey"))
+    Streaming.runToMemory(s, enriched, "st8_stream_static_tbl",
+      OutputMode.Append())
+  }
+
+  val st8Oracle: String =
+    """SELECT event_id, user_id, event_type, c_mktsegment, c_nationkey
+      |FROM events JOIN customer ON user_id = c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_static" -> (st8StreamStaticJoin _),
     "st7_session_window" -> (st7SessionWindow _),
     "st6_stream_join_outer" -> (st6StreamJoinOuter _),
     "st1_windowed_counts" -> (st1WindowedCounts _),
@@ -263,6 +287,7 @@ object StreamingQueries {
     "st5_stream_dedup" -> (st5StreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st8_stream_static" -> st8Oracle,
     "st7_session_window" -> st2Oracle,
     "st6_stream_join_outer" -> st6Oracle,
     "st1_windowed_counts" -> st1Oracle,
