@@ -1079,6 +1079,37 @@ object Relational {
       |EXCEPT
       |SELECT o_custkey FROM orders""".stripMargin
 
+  /** g5_grouping_sets — arbitrary GROUPING SETS (the general form g1's
+    * rollup and g2's cube specialize): two unrelated dimension pairs
+    * plus the grand total in ONE aggregate pass (a single Expand, not
+    * three scans unioned), with `grouping_id` disambiguating which set
+    * produced each row — the only way to tell a real NULL group from a
+    * superaggregate NULL. */
+  def g5GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g5_orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+        |    AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+        |    AS total
+        |FROM g5_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  val g5Oracle: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+      |    AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+      |    AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   /** i3_bag_setops — INTERSECT ALL / EXCEPT ALL (bag semantics: each
     * row survives min/difference of its multiplicities, unlike i1/i2's
     * set forms which collapse to distinct). Driven over order-priority
@@ -1120,6 +1151,7 @@ object Relational {
       |GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_grouping_sets" -> (g5GroupingSets _),
     "i3_bag_setops" -> (i3BagSetops _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1160,6 +1192,7 @@ object Relational {
     "i2_except" -> (i2Except _))
 
   val oracles: Map[String, String] = Map(
+    "g5_grouping_sets" -> g5Oracle,
     "i3_bag_setops" -> i3Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,

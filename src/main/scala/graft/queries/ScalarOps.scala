@@ -275,7 +275,32 @@ object ScalarOps {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin
 
+  /** f17_regex_strings — the regex + string-distance function family:
+    * `regexp_extract` (first long word), `regexp_count` (non-overlapping
+    * occurrence count), `levenshtein`, `translate`. No-match extract is
+    * empty-string in Spark and NULL in DuckDB — the oracle coalesces to
+    * '' so both engines agree on the miss representation. */
+  def f17RegexStrings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      regexp_extract($"text", "([a-z]{8,})", 1).as("first_long"),
+      regexp_count($"text", lit("the")).as("n_the"),
+      levenshtein($"lang", $"source").as("lev"),
+      translate($"lang", "aeiou", "AEIOU").as("lang_caps"))
+  }
+
+  val f17Oracle: String =
+    """SELECT doc_id,
+      |  coalesce(regexp_extract(text, '([a-z]{8,})', 1), '')
+      |    AS first_long,
+      |  CAST(len(regexp_extract_all(text, 'the')) AS INTEGER) AS n_the,
+      |  CAST(levenshtein(lang, source) AS INTEGER) AS lev,
+      |  translate(lang, 'aeiou', 'AEIOU') AS lang_caps
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f17_regex_strings" -> (f17RegexStrings _),
     "f16_array_hof" -> (f16ArrayHof _),
     "w3_window_dist" -> (w3WindowDist _),
     "f15_json_props" -> (f15JsonProps _),
@@ -289,6 +314,7 @@ object ScalarOps {
     "f7_geo_array" -> (f7GeoArray _))
 
   val oracles: Map[String, String] = Map(
+    "f17_regex_strings" -> f17Oracle,
     "f16_array_hof" -> f16Oracle,
     "w3_window_dist" -> w3Oracle,
     "f15_json_props" -> f15Oracle,
