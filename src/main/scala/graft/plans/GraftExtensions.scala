@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramContainment, NgramJaccard, SimHash64, WinnowFingerprint}
+import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramContainment, NgramJaccard, ShingleHashes, SimHash64, WinnowFingerprint}
 
 /** Engine extension point (`spark.sql.extensions` /
   * `SparkSession.builder.withExtensions`): registers the engine's native
@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(exprs, 3, "ngram_containment(textA, textB, shingleWidth)")
         NgramContainment(exprs.head, exprs(1),
           litInt(exprs(2), "ngram_containment"))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "shingle_hashes(text, shingleWidth)")
+        ShingleHashes(exprs.head, litInt(exprs(1), "shingle_hashes"))
       }))
     extensions.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),

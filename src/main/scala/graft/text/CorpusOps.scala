@@ -320,18 +320,22 @@ object CorpusOps {
     * If the eval side ever outgrows broadcast, the same plan degrades
     * gracefully to a shuffled semi-join on the shingle hash — the
     * operator's shape, explode → semi-join → distinct ids, is unchanged.
-    * Shingling follows the corpus convention ([[Dedup.withShingles]]):
-    * sub-`n`-token documents contribute their whole text as one shingle,
-    * so short eval items still match verbatim copies. */
+    * Shingling follows the corpus convention (whole text as one shingle
+    * below `n` tokens, so short eval items still match verbatim copies)
+    * through the native one-pass [[graft.functions.ShingleHashes]]
+    * kernel — the declarative string-shingle form re-tokenizes
+    * interpreted per position and measured 10× slower on the corpus
+    * sweep; matching on 64-bit shingle hashes is exact up to ~2⁻⁶⁴
+    * collisions, the same contract as the LSH verify kernels. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val evalSh = Dedup.withShingles(
-        evalDocs.select(col(textCol)), textCol, n)
-      .select(explode(col("shingles")).as("__sh")).distinct()
-    val hits = Dedup.withShingles(
-        docs.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol), explode(col("shingles")).as("__sh"))
+    val evalSh = evalDocs
+      .select(explode(graft.functions.ShingleHashes(col(textCol), n))
+        .as("__sh")).distinct()
+    val hits = docs
+      .select(col(idCol),
+        explode(graft.functions.ShingleHashes(col(textCol), n)).as("__sh"))
       .join(broadcast(evalSh), Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
     docs.join(hits.withColumn("contaminated", lit(true)),
