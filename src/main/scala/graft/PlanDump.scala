@@ -67,7 +67,9 @@ object PlanDump {
       "q19_disjunctive_join" ->
         "OR-of-ANDs split per side: the lineitem scan carries the quantity-band disjunction and the part scan the brand/size disjunction as PushedFilters below the join",
       "st7_session_window" ->
-        "native session_window: one shuffle on user_id + one in-partition sort feeding the merging session aggregate — no separate window-function pass over the sorted data")
+        "native session_window: one shuffle on user_id + one in-partition sort feeding the merging session aggregate — no separate window-function pass over the sorted data",
+      "dc1_decontaminate" ->
+        "corpus side: native shingle_hashes explode (longs, one JVM pass) into a BROADCAST left-semi join — the corpus is never shuffled; only matched ids reach the distinct")
 
     val sections = headline.map { case (name, claim) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

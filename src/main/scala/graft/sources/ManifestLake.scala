@@ -467,6 +467,25 @@ object ManifestLake {
     if (prev.isEmpty)
       return write(updates, table, append = false, partitionBy = partitionBy,
         statsCol = statsCol)
+    // The update set feeds up to three jobs (key-bound agg, touched-file
+    // semi-join, survivor anti-join + staging union) — persist a PRIVATE
+    // projection for the merge's duration so an expensive upstream
+    // (a CDC read, a dedup) computes once. A fresh select() is persisted,
+    // never the caller's frame, so the finally-unpersist cannot drop a
+    // cache the caller owns.
+    val updatesCached = updates.select(updates.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeCommitted(updatesCached, table, keyCols, statsCol, partitionBy,
+      spark, fs, p, prev)
+    finally { updatesCached.unpersist(); () }
+  }
+
+  private def mergeCommitted(updates: DataFrame, table: String,
+                             keyCols: Seq[String], statsCol: Option[String],
+                             partitionBy: Seq[String],
+                             spark: SparkSession, fs: FileSystem, p: Path,
+                             prev: Option[Long]): Long = {
+    import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, prev)
     val base = new Path(table)
     // (1) manifest-stats candidate pruning on any range-covered key column
