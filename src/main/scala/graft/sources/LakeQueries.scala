@@ -118,11 +118,43 @@ object LakeQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey)
       |""".stripMargin
 
+  private val deletedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** lk3_delete_where — copy-on-write DELETE on its own clustered copy
+    * (lk1's table must stay intact): rows below the price floor are
+    * deleted with the predicate's range named, so only the low-range
+    * files rewrite; re-running the gate hits the no-op path (nothing
+    * matches ⇒ version unchanged), proving delete idempotence the same
+    * way lk2 proves merge idempotence. */
+  def lk3DeleteWhere(s: SparkSession, d: String): DataFrame = {
+    val table = deletedTables.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-deleted").toString
+      ManifestLake.writeClustered(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        dir, "l_extendedprice", nFiles = 16)
+      dir
+    })
+    ManifestLake.delete(s, table, col("l_extendedprice") < 950.0,
+      pruneRange = Some(("l_extendedprice", 0.0, 950.0)))
+    ManifestLake.read(s, table)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  val lk3Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_extendedprice >= 950.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lk1_clustered_range" -> (lk1ClusteredRange _),
-    "lk2_merge_upsert" -> (lk2MergeUpsert _))
+    "lk2_merge_upsert" -> (lk2MergeUpsert _),
+    "lk3_delete_where" -> (lk3DeleteWhere _))
 
   val oracles: Map[String, String] = Map(
     "lk1_clustered_range" -> lk1Oracle,
-    "lk2_merge_upsert" -> lk2Oracle)
+    "lk2_merge_upsert" -> lk2Oracle,
+    "lk3_delete_where" -> lk3Oracle)
 }

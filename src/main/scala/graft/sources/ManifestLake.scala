@@ -533,6 +533,52 @@ object ManifestLake {
       snap.batchId, snap.appId)
   }
 
+  /** Copy-on-write DELETE — remove every row matching `predicate`,
+    * rewriting ONLY the files that hold one. Candidate files come from
+    * the manifest: when the caller names the predicate's range on the
+    * table's stats column (`pruneRange`), files whose recorded range
+    * misses it are untouched by definition and never opened — the same
+    * skipping [[readRange]] does, applied to DML. Candidates are scanned
+    * with file provenance to find files actually containing a match;
+    * the rest of the manifest carries over VERBATIM. The predicate
+    * itself is still applied exactly to the survivors, so `pruneRange`
+    * only needs to be an OVER-approximation of where matches can live
+    * (a wrong under-approximation cannot happen: files outside it are
+    * kept whole, which is only correct if no match lives there — hence
+    * the contract: pruneRange MUST cover the predicate's support on the
+    * stats column, exactly like a range predicate's own bounds). */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             pruneRange: Option[(String, Double, Double)] = None,
+             partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    val candidates = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
+      rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
+    }
+    val touchedPaths: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
+        .filter(predicate)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touched = candidates.filter(e =>
+      touchedPaths.exists(_.endsWith("/" + e.path)))
+    if (touched.isEmpty) return snap.version // nothing matches: no-op
+    val untouched = snap.entries.filterNot(e =>
+      touched.exists(_.path == e.path))
+    val survivors = readSnapshotFiles(spark, table, snap,
+      touched.map(_.path)).filter(!predicate)
+    val next = snap.version + 1
+    val statsCol = snap.entries.flatMap(_.range).headOption.map(_.col)
+    val moved = stageDataFiles(survivors, fs, p, next, partitionBy, statsCol)
+    commit(fs, p, untouched.map(_.line) ++ moved, prev,
+      snap.batchId, snap.appId)
+  }
+
   /** Min/max of `col` across a parquet file's row groups, from the
     * footer alone. Returns None — "range unknown, never skip" — unless
     * EVERY row group carries statistics for the column: a range built

@@ -346,6 +346,34 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     again shouldBe got
   }
 
+  test("delete rewrites only range-intersecting files; a no-match delete " +
+    "is a version no-op") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    ManifestLake.writeClustered(base, t, "id", nFiles = 4)
+    val before = ManifestLake.snapshot(spark, t)
+
+    // ids 1..1000 live in file 1 only — the other three carry over
+    val v2 = ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 150L,
+      pruneRange = Some(("id", 0.0, 150.0)))
+    v2 shouldBe before.version + 1
+    val after = ManifestLake.snapshot(spark, t)
+    after.entries.map(_.line)
+      .intersect(before.entries.map(_.line)) should have length 3
+    ManifestLake.read(spark, t).count() shouldBe 3850
+    ManifestLake.read(spark, t)
+      .agg(org.apache.spark.sql.functions.min($"id"))
+      .collect().head.getLong(0) shouldBe 151L
+
+    // nothing matches now: no new version, nothing rewritten
+    ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 150L,
+      pruneRange = Some(("id", 0.0, 150.0))) shouldBe v2
+    ManifestLake.currentVersion(spark, t) shouldBe Some(v2)
+  }
+
   test("merge on an empty table is a plain insert; null-keyed rows on " +
     "either side never match") {
     import spark.implicits._
