@@ -47,11 +47,22 @@ object IvfIndexStore {
       Similarity.ivfIndex(Tables.embeddings(s, d), nCells)
     val v = ManifestLake.write(assigned, assignTable(indexDir),
       append = false, partitionBy = Seq("cell"))
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq, v) }
-      .toDF("cell", "centroid", "assign_version")
-    ManifestLake.write(centDf, centroidTable(indexDir), append = false)
+    commitCentroids(s, indexDir, centroids, v)
     v
+  }
+
+  /** The centroid-table commit both [[build]] and [[append]] end with —
+    * ONE copy of the schema and of the commit-order invariant (this runs
+    * AFTER the assignment commit, carrying its version, so readers
+    * atomically switch to a consistent (centroids, assignments) pair). */
+  private def commitCentroids(s: SparkSession, indexDir: String,
+                              centroids: Array[Array[Double]],
+                              assignVersion: Long): Unit = {
+    import s.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, assignVersion) }
+      .toDF("cell", "centroid", "assign_version")
+    ManifestLake.write(centDf, centroidTable(indexDir), append = false): Unit
   }
 
   /** Index MAINTENANCE: assign `newVectors` to the EXISTING centroids
@@ -67,15 +78,11 @@ object IvfIndexStore {
     * drift makes cells unbalanced). Returns the new assignment version. */
   def append(newVectors: DataFrame, indexDir: String): Long = {
     val s = newVectors.sparkSession
-    import s.implicits._
     val (centroids, _) = loadCentroids(s, indexDir)
     val assigned = Similarity.assignCells(newVectors, centroids)
     val v = ManifestLake.write(assigned, assignTable(indexDir),
       append = true, partitionBy = Seq("cell"))
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq, v) }
-      .toDF("cell", "centroid", "assign_version")
-    ManifestLake.write(centDf, centroidTable(indexDir), append = false)
+    commitCentroids(s, indexDir, centroids, v)
     v
   }
 

@@ -52,10 +52,19 @@ object Similarity {
     * per-partition k-heap + driver merge, never a global sort). */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int,
                      idCol: String = "vec_id",
-                     embCol: String = "embedding"): DataFrame = {
-    val query = embeddings.filter(col(idCol) === queryId)
+                     embCol: String = "embedding"): DataFrame =
+    rankAgainstQuery(embeddings, embeddings, queryId, k, idCol, embCol)
+
+  /** The shared exact-rank pipeline: look the query row up in
+    * `querySource`, rank `candidates` against it. ONE copy of the
+    * query-exclusion, NaN-cosine guard, and tie-break contract — the
+    * filtered and unfiltered searches must never drift apart on these. */
+  private def rankAgainstQuery(candidates: DataFrame, querySource: DataFrame,
+                               queryId: Long, k: Int,
+                               idCol: String, embCol: String): DataFrame = {
+    val query = querySource.filter(col(idCol) === queryId)
       .select(asDouble(col(embCol)).as("q"))
-    embeddings.crossJoin(broadcast(query))
+    candidates.crossJoin(broadcast(query))
       .filter(col(idCol) =!= queryId)
       .withColumn("cosine", cosine(asDouble(col(embCol)), col("q")))
       // zero-norm vectors have undefined (NaN) cosine, and Spark's desc
@@ -77,18 +86,9 @@ object Similarity {
   def filteredTopK(embeddings: DataFrame, queryId: Long, k: Int,
                    predicate: Column,
                    idCol: String = "vec_id",
-                   embCol: String = "embedding"): DataFrame = {
-    val query = embeddings.filter(col(idCol) === queryId)
-      .select(asDouble(col(embCol)).as("q"))
-    embeddings.filter(predicate)
-      .crossJoin(broadcast(query))
-      .filter(col(idCol) =!= queryId)
-      .withColumn("cosine", cosine(asDouble(col(embCol)), col("q")))
-      .filter(!isnan(col("cosine")))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .select(col(idCol), col("cosine"))
-      .limit(k)
-  }
+                   embCol: String = "embedding"): DataFrame =
+    rankAgainstQuery(embeddings.filter(predicate), embeddings, queryId, k,
+      idCol, embCol)
 
   /** IVF index: assign every vector to its nearest of `nCells` K-Means
     * centroids. Returns (assignments with a `cell` column, fitted

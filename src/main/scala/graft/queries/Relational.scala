@@ -711,10 +711,9 @@ object Relational {
   /** q10_returned_items — TPC-H Q10 shape: per-customer revenue lost to
     * returns in one quarter, top 20. The quarter filter lands on the
     * orders scan and the returnflag filter on the lineitem scan before
-    * either join; customer joins ONCE on the already-aggregated... no —
-    * aggregation keys on customer attributes, so the join order is
-    * facts-first and the grouped output is customer-sized. TakeOrdered
-    * caps the driver at 20 rows. */
+    * either join; the aggregation keys on customer attributes, so the
+    * join order is facts-first and the grouped output is
+    * customer-sized. TakeOrdered caps the driver at 20 rows. */
   def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d)

@@ -15,26 +15,28 @@ import graft.core.Tables
   * ManifestLakeSpec, where file counts are observable. */
 object LakeQueries {
 
-  /** One clustered lake table per (JVM, dataset dir): built on first use,
-    * reused by later gate/bench invocations (same contract as the staged
-    * events dir in StreamingQueries). */
-  private val clusteredTables =
+  /** One clustered lake table per (JVM, dataset dir, query): built on
+    * first use, reused by later gate/bench invocations (same contract as
+    * the staged events dir in StreamingQueries). Each gate row gets its
+    * OWN table — lk2's merges and lk3's deletes must never mutate the
+    * snapshot lk1's oracle describes. */
+  private val builtTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private val mergedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def clusteredLineitem(s: SparkSession, d: String): String =
-    clusteredTables.computeIfAbsent(d, _ => {
+  private def memoClustered(key: String, d: String, clusterCol: String,
+                            nFiles: Int)(base: => DataFrame): String =
+    builtTables.computeIfAbsent(s"$key:$d", _ => {
       val dir = java.nio.file.Files
-        .createTempDirectory("graft-lake-clustered").toString
-      ManifestLake.writeClustered(
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_linenumber", "l_extendedprice",
-            "l_quantity"),
-        dir, "l_extendedprice", nFiles = 16)
+        .createTempDirectory(s"graft-lake-$key").toString
+      ManifestLake.writeClustered(base, dir, clusterCol, nFiles)
       dir
     })
+
+  private def clusteredLineitem(s: SparkSession, d: String): String =
+    memoClustered("lk1", d, "l_extendedprice", nFiles = 16)(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity"))
 
   /** lk1_clustered_range — the data-skipping read path end-to-end:
     * lineitem is range-clustered on `l_extendedprice` into the lake with
@@ -69,19 +71,13 @@ object LakeQueries {
         .withColumn("c_custkey", col("c_custkey") + 10000000L))
   }
 
+  // clustered base so the merge's manifest-stats candidate pruning
+  // has ranges to prune on: update keys bound which files can match
   private def mergedCustomer(s: SparkSession, d: String): String =
-    mergedTables.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lake-merged").toString
-      // clustered base so the merge's manifest-stats candidate pruning
-      // has ranges to prune on: update keys bound which files can match
-      ManifestLake.writeClustered(
-        Tables.customer(s, d)
-          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-            "c_mktsegment"),
-        dir, "c_custkey", nFiles = 8)
-      dir
-    })
+    memoClustered("lk2", d, "c_custkey", nFiles = 8)(
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"))
 
   /** lk2_merge_upsert — copy-on-write MERGE through the gate: balance
     * updates replace matched customer rows, re-keyed rows insert, and
@@ -118,9 +114,6 @@ object LakeQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey)
       |""".stripMargin
 
-  private val deletedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** lk3_delete_where — copy-on-write DELETE on its own clustered copy
     * (lk1's table must stay intact): rows below the price floor are
     * deleted with the predicate's range named, so only the low-range
@@ -128,15 +121,9 @@ object LakeQueries {
     * matches ⇒ version unchanged), proving delete idempotence the same
     * way lk2 proves merge idempotence. */
   def lk3DeleteWhere(s: SparkSession, d: String): DataFrame = {
-    val table = deletedTables.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lake-deleted").toString
-      ManifestLake.writeClustered(
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        dir, "l_extendedprice", nFiles = 16)
-      dir
-    })
+    val table = memoClustered("lk3", d, "l_extendedprice", nFiles = 16)(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"))
     ManifestLake.delete(s, table, col("l_extendedprice") < 950.0,
       pruneRange = Some(("l_extendedprice", 0.0, 950.0)))
     ManifestLake.read(s, table)

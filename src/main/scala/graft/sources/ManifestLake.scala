@@ -487,7 +487,6 @@ object ManifestLake {
                              prev: Option[Long]): Long = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, prev)
-    val base = new Path(table)
     // (1) manifest-stats candidate pruning on any range-covered key column
     val statKeys = keyCols.filter(k => snap.entries.exists(_.range.exists(_.col == k)))
     val candidates = statKeys.foldLeft(snap.entries) { (entries, k) =>
@@ -527,11 +526,30 @@ object ManifestLake {
         .select(cols.map(col): _*)
         .join(updKeys, keyCols, "left_anti")
     val next = prev.get + 1
+    // Rewritten files must preserve the table's existing layout, or the
+    // commit corrupts it: a partition-pathed table rewritten to root-level
+    // files mixes leaf depths (partition discovery fails on read), and a
+    // stats-carrying table rewritten without ranges silently stops
+    // pruning. Both are inferred from the snapshot when not given.
     val moved = stageDataFiles(survivors.unionByName(updates), fs, p, next,
-      partitionBy, statsCol)
+      if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
+      statsCol.orElse(snapStatsCol(snap)))
     commit(fs, p, untouched.map(_.line) ++ moved, prev,
       snap.batchId, snap.appId)
   }
+
+  /** The Hive partition columns of a snapshot's layout, in path order —
+    * empty for unpartitioned tables. Read from the first entry: every
+    * committed file of a partitioned table shares the same key sequence
+    * (write() and writeBatch() produce uniform layouts). */
+  private def partitionColsOf(snap: Snapshot): Seq[String] =
+    snap.entries.headOption.toSeq.flatMap(_.path.split('/').init.collect {
+      case seg if seg.contains('=') => seg.split("=", 2)(0)
+    })
+
+  /** The column the snapshot records ranges for, if any. */
+  private def snapStatsCol(snap: Snapshot): Option[String] =
+    snap.entries.flatMap(_.range).headOption.map(_.col)
 
   /** Copy-on-write DELETE — remove every row matching `predicate`,
     * rewriting ONLY the files that hold one. Candidate files come from
@@ -570,11 +588,19 @@ object ManifestLake {
     if (touched.isEmpty) return snap.version // nothing matches: no-op
     val untouched = snap.entries.filterNot(e =>
       touched.exists(_.path == e.path))
+    // SQL DELETE semantics: a row is removed only when the predicate is
+    // TRUE. `filter(!predicate)` alone would also drop NULL-evaluating
+    // rows (!NULL is NULL, which filter discards) — and inconsistently,
+    // since the same row in an untouched file survives. coalesce keeps
+    // them.
     val survivors = readSnapshotFiles(spark, table, snap,
-      touched.map(_.path)).filter(!predicate)
+      touched.map(_.path))
+      .filter(org.apache.spark.sql.functions.coalesce(!predicate,
+        org.apache.spark.sql.functions.lit(true)))
     val next = snap.version + 1
-    val statsCol = snap.entries.flatMap(_.range).headOption.map(_.col)
-    val moved = stageDataFiles(survivors, fs, p, next, partitionBy, statsCol)
+    val moved = stageDataFiles(survivors, fs, p, next,
+      if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
+      snapStatsCol(snap))
     commit(fs, p, untouched.map(_.line) ++ moved, prev,
       snap.batchId, snap.appId)
   }

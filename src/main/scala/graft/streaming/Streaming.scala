@@ -423,13 +423,16 @@ object Streaming {
                         keyCols: Seq[String],
                         checkpoint: String,
                         trigger: Trigger = Trigger.AvailableNow(),
-                        statsCol: Option[String] = None): StreamingQuery =
+                        statsCol: Option[String] = None,
+                        partitionBy: Seq[String] = Nil): StreamingQuery =
     streamed.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // partitionBy matters only for the FIRST batch on a fresh table
+        // (merge infers an existing table's layout from its manifest)
         graft.sources.ManifestLake.merge(batch, table, keyCols,
-          statsCol = statsCol): Unit
+          statsCol = statsCol, partitionBy = partitionBy): Unit
       }
       .trigger(trigger)
       .start()

@@ -374,6 +374,52 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.currentVersion(spark, t) shouldBe Some(v2)
   }
 
+  test("merge preserves a partitioned table's layout and a clustered " +
+    "table's recorded stats without being told") {
+    import spark.implicits._
+    // partitioned table: rewritten files must stay partition-pathed or
+    // partition discovery fails on the mixed-depth file list
+    val t = freshTable()
+    val data = (1 to 200).map(i => (i.toLong, s"p$i", s"d${i % 2}"))
+      .toDF("id", "payload", "date")
+    ManifestLake.write(data, t, partitionBy = Seq("date"))
+    ManifestLake.merge(
+      Seq((5L, "UPD", "d1"), (999L, "NEW", "d0")).toDF("id", "payload", "date"),
+      t, Seq("id"))
+    val snap = ManifestLake.snapshot(spark, t)
+    all(snap.entries.map(_.path)) should include("date=")
+    val merged = ManifestLake.read(spark, t)
+    merged.count() shouldBe 201
+    merged.filter($"id" === 5L).select("payload", "date")
+      .as[(String, String)].collect().head shouldBe ("UPD", "d1")
+
+    // clustered table: an un-hinted merge must not strip footer ranges
+    // from the rewritten files (pruning would silently decay)
+    val t2 = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t2, "id", nFiles = 4)
+    ManifestLake.merge(Seq((10L, "UPD")).toDF("id", "payload"),
+      t2, Seq("id"))
+    val entries = ManifestLake.snapshot(spark, t2).entries
+    // every non-empty rewritten file still carries an id range
+    entries.count(_.range.isDefined) should be >= 4
+  }
+
+  test("delete keeps rows whose predicate evaluates to NULL (SQL DELETE " +
+    "semantics), regardless of file co-location") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(
+      Seq((1L, Some(900.0)), (2L, None), (3L, Some(1200.0)))
+        .toDF("id", "price").coalesce(1), t)
+    ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("price") < 950.0)
+    val left = ManifestLake.read(spark, t).select("id")
+      .as[Long].collect().sorted
+    left shouldBe Array(2L, 3L) // the NULL-price row survives
+  }
+
   test("merge on an empty table is a plain insert; null-keyed rows on " +
     "either side never match") {
     import spark.implicits._
