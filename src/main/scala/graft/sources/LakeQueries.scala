@@ -135,13 +135,31 @@ object LakeQueries {
       |FROM lineitem
       |WHERE l_extendedprice >= 950.0""".stripMargin
 
+  /** lk4_time_travel — snapshot isolation through the gate: version 1 of
+    * lk2's table is the ORIGINAL clustered customer write, and it must
+    * read back bit-identical no matter how many merges have advanced the
+    * head (the gate order runs lk2's merges first in the same JVM, so
+    * this genuinely reads behind the head, not a fresh table). The
+    * oracle is the plain customer projection — time travel means the old
+    * snapshot IS the old data. */
+  def lk4TimeTravel(s: SparkSession, d: String): DataFrame =
+    ManifestLake.read(s, mergedCustomer(s, d), version = Some(1L))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+
+  val lk4Oracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lk1_clustered_range" -> (lk1ClusteredRange _),
     "lk2_merge_upsert" -> (lk2MergeUpsert _),
-    "lk3_delete_where" -> (lk3DeleteWhere _))
+    "lk3_delete_where" -> (lk3DeleteWhere _),
+    "lk4_time_travel" -> (lk4TimeTravel _))
 
   val oracles: Map[String, String] = Map(
     "lk1_clustered_range" -> lk1Oracle,
     "lk2_merge_upsert" -> lk2Oracle,
-    "lk3_delete_where" -> lk3Oracle)
+    "lk3_delete_where" -> lk3Oracle,
+    "lk4_time_travel" -> lk4Oracle)
 }
