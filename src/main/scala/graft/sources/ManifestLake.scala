@@ -12,9 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   table/_manifests/v00000001.manifest   one data-file name per line
-  *   table/v1-00000-....parquet            immutable data files
+  *   table/_manifests/v00000001.manifest     per-commit log record
+  *   table/_manifests/v00000010.checkpoint   periodic full file list
+  *   table/_manifests/_last_checkpoint       newest-checkpoint hint
+  *   table/v1-00000-....parquet              immutable data files
   * }}}
+  *
+  * ==Log structure (the 100 TB shape)==
+  * A commit publishes a DELTA record — the files it added (`A` lines)
+  * and removed (`R` lines) — so commit cost is O(changed files), never
+  * O(table): a streaming append to a million-file table writes a
+  * few-line manifest, not a few-hundred-MB one. Overwrites publish a
+  * base record (`#full` + the complete list, which for an overwrite IS
+  * the change set). Every [[checkpointInterval]] commits, the committer
+  * also writes a `.checkpoint` holding the consolidated file list, and
+  * bumps the `_last_checkpoint` hint. Snapshot resolution then reads
+  * ONE checkpoint plus at most `checkpointInterval` delta tails —
+  * Delta-style checkpoint + incremental replay — streaming each file
+  * line-by-line rather than materializing the log as one driver
+  * String. Checkpoints are derived data: a crashed or lost-race
+  * checkpoint write only lengthens the replay walk (to the previous
+  * base), never corrupts the table, so [[commit]] swallows checkpoint
+  * failures. The hint is likewise advisory — [[currentVersion]] probes
+  * forward from it and falls back to a directory listing when absent.
+  *
+  * Manifests written by older engine builds (an unprefixed full file
+  * list per version) read transparently: an unprefixed entry line marks
+  * the record as a base, exactly what those manifests were.
   *
   * Every write is: stage new files → publish a new manifest atomically
   * via [[CommitPrimitive]]. Readers resolve a manifest to an explicit
@@ -140,19 +164,29 @@ object ManifestLake {
     * footer at commit time — Iceberg-style file metrics. */
   final case class ColRange(col: String, min: BigDecimal, max: BigDecimal)
 
-  /** One manifest entry: a relative data-file path plus optional column
-    * range. Serialized as a tab-separated line (`path[\tcol\tmin\tmax]`). */
-  final case class FileEntry(path: String, range: Option[ColRange] = None) {
+  /** One manifest entry: a relative data-file path plus recorded column
+    * ranges. Serialized as a tab-separated line
+    * (`path[\tcol\tmin\tmax]*` — one col/min/max triple per recorded
+    * column, so stats on a SECOND key column don't evict the first). */
+  final case class FileEntry(path: String, ranges: Seq[ColRange] = Nil) {
+    /** The recorded range for `col`, if any. */
+    def range(col: String): Option[ColRange] = ranges.find(_.col == col)
+    /** Back-compat accessor: the first recorded range. */
+    def range: Option[ColRange] = ranges.headOption
     def line: String =
-      range.map(r => s"$path\t${r.col}\t${r.min}\t${r.max}").getOrElse(path)
+      (path +: ranges.map(r => s"${r.col}\t${r.min}\t${r.max}")).mkString("\t")
   }
 
   object FileEntry {
-    def parse(line: String): FileEntry = line.split('\t') match {
-      case Array(p) => FileEntry(p)
-      case Array(p, c, mn, mx) =>
-        FileEntry(p, Some(ColRange(c, BigDecimal(mn), BigDecimal(mx))))
-      case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
+    def apply(path: String, range: Option[ColRange]): FileEntry =
+      FileEntry(path, range.toSeq)
+    def parse(line: String): FileEntry = {
+      val parts = line.split('\t')
+      if (parts.length < 1 || (parts.length - 1) % 3 != 0)
+        throw new IllegalArgumentException(s"bad manifest line: $line")
+      FileEntry(parts.head, parts.tail.grouped(3).map {
+        case Array(c, mn, mx) => ColRange(c, BigDecimal(mn), BigDecimal(mx))
+      }.toSeq)
     }
   }
 
@@ -172,6 +206,19 @@ object ManifestLake {
   private val ManifestRe = "^v(\\d{8,})\\.manifest$".r
   private val BatchHeader = "#batch="
   private val AppHeader = "#app="
+  private val FullHeader = "#full"
+  private val HintFile = "_last_checkpoint"
+
+  /** Commits between checkpoints. Smaller = shorter replay walks but
+    * more frequent O(table-files) checkpoint writes; the default
+    * amortizes the full-list write over ten O(delta) commits. Mutable
+    * for tests; a deployment sets it once at startup. */
+  @volatile private[sources] var checkpointInterval: Int = 10
+
+  /** Count of log files (manifests + checkpoints) opened — lets tests
+    * pin the "checkpoint + bounded tail" resolution contract by
+    * observation instead of trust. */
+  private[sources] val logReads = new java.util.concurrent.atomic.AtomicLong
 
   private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -181,9 +228,62 @@ object ManifestLake {
   private def manifestPath(table: Path, v: Long): Path =
     new Path(new Path(table, ManifestDir), f"v$v%08d.manifest")
 
-  /** All committed versions, ascending. */
-  def versions(spark: SparkSession, table: String): Seq[Long] = {
-    val (fs, p) = fsFor(spark, table)
+  private def checkpointPath(table: Path, v: Long): Path =
+    new Path(new Path(table, ManifestDir), f"v$v%08d.checkpoint")
+
+  private def hintPath(table: Path): Path =
+    new Path(new Path(table, ManifestDir), HintFile)
+
+  /** One parsed log record — a commit's delta (or base) state change. */
+  private final case class LogRecord(batchId: Option[Long],
+                                     appId: Option[String], full: Boolean,
+                                     adds: Seq[FileEntry],
+                                     removes: Seq[String])
+
+  /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
+    * log is never materialized as a single driver String. */
+  private def readLog(fs: FileSystem, file: Path): LogRecord = {
+    logReads.incrementAndGet()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(file), StandardCharsets.UTF_8))
+    try {
+      var batch: Option[Long] = None
+      var app: Option[String] = None
+      var full = false
+      val adds = Seq.newBuilder[FileEntry]
+      val removes = Seq.newBuilder[String]
+      var line = in.readLine()
+      while (line != null) {
+        if (line.isEmpty) ()
+        else if (line.startsWith(BatchHeader))
+          batch = Some(line.stripPrefix(BatchHeader).toLong)
+        else if (line.startsWith(AppHeader))
+          app = Some(line.stripPrefix(AppHeader))
+        else if (line == FullHeader) full = true
+        else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
+        else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
+        else if (line.startsWith("R\t")) removes += line.substring(2)
+        else { full = true; adds += FileEntry.parse(line) } // legacy full list
+        line = in.readLine()
+      }
+      LogRecord(batch, app, full, adds.result(), removes.result())
+    } finally in.close()
+  }
+
+  private def writeStringFile(fs: FileSystem, path: Path, body: String,
+                              overwrite: Boolean): Unit = {
+    val out = fs.create(path, overwrite)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readHint(fs: FileSystem, table: Path): Option[Long] =
+    scala.util.Try {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(hintPath(table)), StandardCharsets.UTF_8))
+      try in.readLine().trim.toLong finally in.close()
+    }.toOption
+
+  private def versionsFs(fs: FileSystem, p: Path): Seq[Long] = {
     val dir = new Path(p, ManifestDir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
@@ -192,33 +292,82 @@ object ManifestLake {
     }).sorted
   }
 
-  def currentVersion(spark: SparkSession, table: String): Option[Long] =
-    versions(spark, table).lastOption
+  /** All committed versions, ascending. A history/vacuum API: inherently
+    * O(retained versions) — it lists the manifest directory. The hot
+    * paths ([[currentVersion]], [[snapshot]]) do not go through it. */
+  def versions(spark: SparkSession, table: String): Seq[Long] =
+    { val (fs, p) = fsFor(spark, table); versionsFs(fs, p) }
 
-  /** Resolve a snapshot (latest if `version` is None) to its file list. */
+  /** Latest committed version. Resolved WITHOUT listing the manifest
+    * directory when a checkpoint hint exists: probe forward from the
+    * hint version with exists() calls — at most `checkpointInterval`
+    * commits lie past the newest checkpoint, so the probe is bounded;
+    * a million-version table answers in a handful of metadata RPCs.
+    * Falls back to a listing for hint-less (young or legacy) tables. */
+  def currentVersion(spark: SparkSession, table: String): Option[Long] =
+    { val (fs, p) = fsFor(spark, table); currentVersionFs(fs, p) }
+
+  private def currentVersionFs(fs: FileSystem, p: Path): Option[Long] =
+    readHint(fs, p).filter(v => fs.exists(manifestPath(p, v))) match {
+      case Some(start) =>
+        var v = start
+        while (fs.exists(manifestPath(p, v + 1))) v += 1
+        Some(v)
+      case None => versionsFs(fs, p).lastOption
+    }
+
+  /** Resolve a snapshot (latest if `version` is None) to its file list:
+    * walk back from the requested version collecting delta records until
+    * a checkpoint or base record covers the rest, then replay forward.
+    * Reads ONE checkpoint + a bounded tail of delta manifests (≤
+    * [[checkpointInterval]] when checkpointing is healthy; a missing
+    * checkpoint only lengthens the walk to the previous base — never an
+    * error). The snapshot's streaming identity is the NEWEST record's
+    * header. */
   def snapshot(spark: SparkSession, table: String,
                version: Option[Long] = None): Snapshot = {
     val (fs, p) = fsFor(spark, table)
-    val v = version.orElse(currentVersion(spark, table)).getOrElse(
-      throw new IllegalStateException(s"no committed version in $table"))
-    val mf = manifestPath(p, v)
-    if (!fs.exists(mf))
-      throw new IllegalArgumentException(s"version $v not found in $table")
-    val in = fs.open(mf)
-    val body = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
-    val batchId = lines.collectFirst {
-      case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).toLong
+    resolveSnapshot(fs, p, version,
+      s"$table")
+  }
+
+  private def resolveSnapshot(fs: FileSystem, p: Path,
+                              version: Option[Long],
+                              tableName: String): Snapshot = {
+    val v = version.orElse(currentVersionFs(fs, p)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $tableName"))
+    var w = v
+    var base: Seq[FileEntry] = null
+    var deltas = List.empty[LogRecord]
+    var headBatch: Option[Long] = None
+    var headApp: Option[String] = None
+    var headerSeen = false
+    while (base == null) {
+      val ck = checkpointPath(p, w)
+      val rec =
+        if (fs.exists(ck)) readLog(fs, ck)
+        else if (fs.exists(manifestPath(p, w))) readLog(fs, manifestPath(p, w))
+        else if (w == v)
+          throw new IllegalArgumentException(s"version $v not found in $tableName")
+        else throw new IllegalStateException(
+          s"manifest for version $w missing in $tableName while resolving " +
+            s"version $v — vacuumed past a retained version?")
+      if (!headerSeen) { headBatch = rec.batchId; headApp = rec.appId; headerSeen = true }
+      if (rec.full) base = rec.adds
+      else {
+        deltas ::= rec
+        w -= 1
+        if (w == 0) base = Seq.empty
+      }
     }
-    val appId = lines.collectFirst {
-      case l if l.startsWith(AppHeader) => l.stripPrefix(AppHeader)
+    // deltas is ascending (prepended while walking down); replay forward
+    val state = new scala.collection.mutable.LinkedHashMap[String, FileEntry]
+    base.foreach(e => state.put(e.path, e))
+    deltas.foreach { d =>
+      d.removes.foreach(state.remove)
+      d.adds.foreach(e => state.put(e.path, e))
     }
-    Snapshot(v, lines.filterNot(_.startsWith("#")).map(FileEntry.parse),
-      batchId, appId)
+    Snapshot(v, state.values.toSeq, headBatch, headApp)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -284,30 +433,79 @@ object ManifestLake {
       .parquet(keep.map(f => new Path(base, f).toString): _*)
   }
 
-  /** Publish `files` (relative names) as the next version. Atomic: the
-    * manifest is written to a temp name and renamed into place; rename
-    * fails if a racing committer already published the same version. */
-  private[sources] def commit(fs: FileSystem, table: Path, files: Seq[String],
-                              prev: Option[Long],
-                              batchId: Option[Long] = None,
-                              appId: Option[String] = None): Long = {
+  /** Publish a log record as the next version. Atomic: the record is
+    * written to a temp name and published via the [[CommitPrimitive]],
+    * which fails if a racing committer already published the same
+    * version. `full = true` writes a base record (entry list replaces
+    * the table — overwrites, first commits, compactions); otherwise a
+    * delta record of O(changed files). Every [[checkpointInterval]]
+    * commits the committer also consolidates a checkpoint; checkpoint
+    * failures are swallowed because checkpoints are derived — losing one
+    * lengthens the next resolution's walk but corrupts nothing, whereas
+    * failing the commit AFTER its manifest published would make the
+    * caller retry an already-committed write. */
+  private[sources] def commitLog(fs: FileSystem, table: Path, full: Boolean,
+                                 adds: Seq[String], removes: Seq[String],
+                                 prev: Option[Long],
+                                 batchId: Option[Long] = None,
+                                 appId: Option[String] = None): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, f".tmp-v$next%08d-${files.hashCode}%08x")
-    val header = batchId.map(b => s"$BatchHeader$b\n").getOrElse("") +
-      appId.map(a => s"$AppHeader$a\n").getOrElse("")
-    val out = fs.create(tmp, false)
-    try out.write((header + files.mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(dir, f".tmp-v$next%08d-$attempt")
+    val sb = new StringBuilder
+    batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
+    appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
+    if (full) {
+      sb.append(FullHeader).append('\n')
+      adds.foreach(l => sb.append(l).append('\n'))
+    } else {
+      removes.foreach(r => sb.append("R\t").append(r).append('\n'))
+      adds.foreach(l => sb.append("A\t").append(l).append('\n'))
+    }
+    writeStringFile(fs, tmp, sb.toString, overwrite = false)
     val target = manifestPath(table, next)
     if (!commitPrimitive.publish(fs, tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit lost race for version $next in $table")
     }
+    if (next % checkpointInterval == 0)
+      scala.util.Try(writeCheckpoint(fs, table, next)): Unit
     next
+  }
+
+  /** Back-compat base commit (full file list) — also the shape tests use
+    * to fabricate synthetic versions. */
+  private[sources] def commit(fs: FileSystem, table: Path, files: Seq[String],
+                              prev: Option[Long],
+                              batchId: Option[Long] = None,
+                              appId: Option[String] = None): Long =
+    commitLog(fs, table, full = true, adds = files, removes = Nil, prev,
+      batchId, appId)
+
+  /** Consolidate version `v` into a checkpoint file and bump the hint.
+    * Contention-safe: the checkpoint content for a version is
+    * deterministic, so losing a publish race to another writer means an
+    * identical file already exists. The hint is advisory and only moves
+    * forward. */
+  private def writeCheckpoint(fs: FileSystem, p: Path, v: Long): Unit = {
+    val target = checkpointPath(p, v)
+    if (!fs.exists(target)) {
+      val snap = resolveSnapshot(fs, p, Some(v), p.toString)
+      val sb = new StringBuilder
+      snap.batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
+      snap.appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
+      sb.append(FullHeader).append('\n')
+      snap.entries.foreach(e => sb.append(e.line).append('\n'))
+      val tmp = new Path(new Path(p, ManifestDir),
+        f".tmp-ck$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
+      writeStringFile(fs, tmp, sb.toString, overwrite = false)
+      if (!commitPrimitive.publish(fs, tmp, target)) fs.delete(tmp, false)
+    }
+    if (readHint(fs, p).forall(_ < v))
+      writeStringFile(fs, hintPath(p), s"$v\n", overwrite = true)
   }
 
   /** Recursive parquet listing under `root`, as root-relative paths. */
@@ -327,23 +525,39 @@ object ManifestLake {
   }
 
   /** Stage `df` as new immutable data files and commit them. `append`
-    * keeps the previous snapshot's files; otherwise the new files replace
-    * them (the old files stay on disk for existing readers until
-    * [[vacuum]]). With `partitionBy`, files land under Hive-style
-    * partition directories and the manifest records the partitioned
-    * relative paths — [[readPruned]] then prunes on them. Returns the
-    * committed version. */
+    * keeps the previous snapshot's files and publishes an O(new files)
+    * delta record; otherwise a base record replaces them (the old files
+    * stay on disk for existing readers until [[vacuum]]). With
+    * `partitionBy`, files land under Hive-style partition directories
+    * and the manifest records the partitioned relative paths —
+    * [[readPruned]] then prunes on them; an append's layout must match
+    * the table's existing one (mixed leaf depths break partition
+    * discovery, so a mismatch fails fast here rather than corrupting the
+    * table). `statsCols` (or the singular `statsCol`) records footer
+    * min/max per file for each named column. Returns the committed
+    * version. */
   def write(df: DataFrame, table: String, append: Boolean = true,
             batchId: Option[Long] = None,
             partitionBy: Seq[String] = Nil,
             statsCol: Option[String] = None,
-            appId: Option[String] = None): Long = {
+            appId: Option[String] = None,
+            statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
-    val conf = spark.sparkContext.hadoopConfiguration
     val prev = currentVersion(spark, table)
     val next = prev.getOrElse(0L) + 1
+    val prevSnap = prev.map(v => snapshot(spark, table, Some(v)))
+    val effStats = (statsCol.toSeq ++ statsCols).distinct
+    prevSnap.filter(_ => append).foreach { s =>
+      val existing = partitionColsOf(s)
+      require(s.entries.isEmpty || partitionBy == existing,
+        s"append layout mismatch in $table: table is partitioned by " +
+          s"[${existing.mkString(", ")}] but the append writes " +
+          s"[${partitionBy.mkString(", ")}] — mixed layouts break " +
+          "partition discovery and manifest pruning. Overwrite " +
+          "(append = false) to change the layout.")
+    }
     // Writer-unique attempt id in the staging dir AND the published data
     // file names. The manifest publish is the only arbitration point; two
     // committers racing for the same version both stage and rename data
@@ -353,11 +567,7 @@ object ManifestLake {
     // point at the loser's bytes. Unique names make the rename targets
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
-    val moved = stageDataFiles(df, fs, p, next, partitionBy, statsCol)
-    val prevSnap = prev.map(v => snapshot(spark, table, Some(v)))
-    val base = if (append)
-      prevSnap.map(_.entries.map(_.line)).getOrElse(Seq.empty)
-    else Seq.empty
+    val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
     // A plain (non-streaming) write must CARRY the previous snapshot's
     // streaming transaction identity forward, exactly as compact() does —
     // appends AND overwrites: if a maintenance write cleared the (appId,
@@ -371,18 +581,24 @@ object ManifestLake {
       if (batchId.isEmpty && appId.isEmpty)
         (prevSnap.flatMap(_.batchId), prevSnap.flatMap(_.appId))
       else (batchId, appId)
-    commit(fs, p, base ++ moved, prev, effBatch, effApp)
+    if (append && prevSnap.nonEmpty)
+      commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
+        effBatch, effApp)
+    else
+      commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
+        effBatch, effApp)
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
     * files as immutable `vNNNNNNNN-<attempt>-NNNNN.parquet` data files,
-    * returning their manifest lines (with `statsCol` footer ranges when
-    * requested). Shared by [[write]] and [[merge]] — the attempt id keeps
-    * racing committers' rename targets disjoint (see [[write]]). Publishes
-    * DATA files only; the caller still owns the manifest commit. */
+    * returning their manifest lines (with footer ranges for each of
+    * `statsCols` when requested). Shared by [[write]] and [[merge]] — the
+    * attempt id keeps racing committers' rename targets disjoint (see
+    * [[write]]). Publishes DATA files only; the caller still owns the
+    * manifest commit. */
   private def stageDataFiles(df: DataFrame, fs: FileSystem, p: Path,
                              next: Long, partitionBy: Seq[String],
-                             statsCol: Option[String]): Seq[String] = {
+                             statsCols: Seq[String]): Seq[String] = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val attempt = java.util.UUID.randomUUID.toString.take(8)
     val staging = new Path(p, f"_staging-v$next%08d-$attempt")
@@ -401,9 +617,9 @@ object ManifestLake {
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to publish $name in $p")
       // footer-only metadata read; no data pages touched
-      val range = statsCol.flatMap(c =>
+      val ranges = statsCols.flatMap(c =>
         footerRange(conf, dest, c).map { case (mn, mx) => ColRange(c, mn, mx) })
-      FileEntry(name, range).line
+      FileEntry(name, ranges).line
     }
     fs.delete(staging, true)
     moved
@@ -414,13 +630,17 @@ object ManifestLake {
     * narrow pairwise-disjoint ranges of `clusterCol`) committed through the
     * manifest with footer min/max recorded per file — the combination that
     * makes [[readRange]] touch O(selectivity) files. One range shuffle at
-    * write time, amortized over every future range read. */
+    * write time, amortized over every future range read. `extraStatsCols`
+    * records additional columns' footer ranges (correlated columns — an
+    * order date clustered table also skips on order key, say). */
   def writeClustered(df: DataFrame, table: String, clusterCol: String,
-                     nFiles: Int, append: Boolean = false): Long = {
+                     nFiles: Int, append: Boolean = false,
+                     extraStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     write(df.repartitionByRange(nFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol),
-      table, append = append, statsCol = Some(clusterCol))
+      table, append = append, statsCol = Some(clusterCol),
+      statsCols = extraStatsCols)
   }
 
   /** The snapshot entries a range query on `colName` must read: every
@@ -429,8 +649,8 @@ object ManifestLake {
     * Factored out of [[readRange]] so tests can pin the pruning itself. */
   def rangeCandidates(snap: Snapshot, colName: String,
                       lo: BigDecimal, hi: BigDecimal): Seq[FileEntry] =
-    snap.entries.filter(_.range.forall(r =>
-      r.col != colName || (r.max >= lo && r.min <= hi)))
+    snap.entries.filter(_.range(colName).forall(r =>
+      r.max >= lo && r.min <= hi))
 
   /** Copy-on-write MERGE (upsert by key): every current row whose key
     * appears in `updates` is replaced by the update row, and update rows
@@ -450,6 +670,14 @@ object ManifestLake {
     *     update rows appended); untouched entries carry over in the new
     *     manifest VERBATIM — stats included, zero data IO.
     *
+    * `updates` must be KEY-UNIQUE: with duplicate keys every duplicate
+    * row would be appended (the matched current row is removed once),
+    * silently corrupting a primary-key table — the same situation where
+    * Delta/Iceberg MERGE raises "multiple source rows matched". Checked
+    * here by default (one small aggregate over the cached update set);
+    * callers that have already de-duplicated (e.g. a compacted CDC
+    * batch) can skip the job with `checkUniqueKeys = false`.
+    *
     * Rows with a null key never match an equi-join: a null-keyed current
     * row is always retained, a null-keyed update row always inserts.
     * Re-merging identical updates is content-idempotent (matched keys are
@@ -457,16 +685,14 @@ object ManifestLake {
     * identity carries forward, as in [[write]]. */
   def merge(updates: DataFrame, table: String, keyCols: Seq[String],
             statsCol: Option[String] = None,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            checkUniqueKeys: Boolean = true): Long = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
-    if (prev.isEmpty)
-      return write(updates, table, append = false, partitionBy = partitionBy,
-        statsCol = statsCol)
     // The update set feeds up to three jobs (key-bound agg, touched-file
     // semi-join, survivor anti-join + staging union) — persist a PRIVATE
     // projection for the merge's duration so an expensive upstream
@@ -475,9 +701,25 @@ object ManifestLake {
     // cache the caller owns.
     val updatesCached = updates.select(updates.columns.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeCommitted(updatesCached, table, keyCols, statsCol, partitionBy,
-      spark, fs, p, prev)
-    finally { updatesCached.unpersist(); () }
+    try {
+      if (checkUniqueKeys) {
+        val dup = updatesCached.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"merge updates contain duplicate keys (e.g. " +
+            s"${dup.head.toSeq.init.mkString("[", ", ", "]")}) — an upsert " +
+            "with duplicate source keys appends every duplicate and " +
+            "corrupts the table. De-duplicate the update set (keep the " +
+            "newest row per key) or pass checkUniqueKeys = false if " +
+            "already compacted.")
+      }
+      if (prev.isEmpty)
+        write(updatesCached, table, append = false, partitionBy = partitionBy,
+          statsCol = statsCol)
+      else
+        mergeCommitted(updatesCached, table, keyCols, statsCol, partitionBy,
+          spark, fs, p, prev)
+    } finally { updatesCached.unpersist(); () }
   }
 
   private def mergeCommitted(updates: DataFrame, table: String,
@@ -488,7 +730,7 @@ object ManifestLake {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, prev)
     // (1) manifest-stats candidate pruning on any range-covered key column
-    val statKeys = keyCols.filter(k => snap.entries.exists(_.range.exists(_.col == k)))
+    val statKeys = keyCols.filter(k => snap.entries.exists(_.range(k).nonEmpty))
     val candidates = statKeys.foldLeft(snap.entries) { (entries, k) =>
       val Array(lo, hi) = updates
         .agg(org.apache.spark.sql.functions.min(col(k)).cast("string"),
@@ -533,28 +775,42 @@ object ManifestLake {
     // pruning. Both are inferred from the snapshot when not given.
     val moved = stageDataFiles(survivors.unionByName(updates), fs, p, next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
-      statsCol.orElse(snapStatsCol(snap)))
-    commit(fs, p, untouched.map(_.line) ++ moved, prev,
-      snap.batchId, snap.appId)
+      (statsCol.toSeq ++ snapStatsCols(snap)).distinct)
+    commitLog(fs, p, full = false, adds = moved,
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId)
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
-    * empty for unpartitioned tables. Read from the first entry: every
-    * committed file of a partitioned table shares the same key sequence
-    * (write() and writeBatch() produce uniform layouts). */
-  private def partitionColsOf(snap: Snapshot): Seq[String] =
-    snap.entries.headOption.toSeq.flatMap(_.path.split('/').init.collect {
-      case seg if seg.contains('=') => seg.split("=", 2)(0)
-    })
+    * empty for unpartitioned tables. Validates uniformity while at it:
+    * layout inference (merge/delete/compact rewrites, basePath partition
+    * discovery) silently misbehaves on mixed-layout tables, so a table
+    * whose entries disagree on the partition-key sequence fails fast
+    * here with the offending paths named. */
+  private def partitionColsOf(snap: Snapshot): Seq[String] = {
+    def keysOf(path: String): Seq[String] =
+      path.split('/').init.collect {
+        case seg if seg.contains('=') => seg.split("=", 2)(0)
+      }.toSeq
+    snap.entries.headOption.fold(Seq.empty[String]) { first =>
+      val keys = keysOf(first.path)
+      snap.entries.find(e => keysOf(e.path) != keys).foreach(bad =>
+        throw new IllegalStateException(
+          s"mixed partition layouts in snapshot ${snap.version}: " +
+            s"'${first.path}' is laid out by [${keys.mkString(", ")}] but " +
+            s"'${bad.path}' disagrees — was an append committed with a " +
+            "different partitionBy?"))
+      keys
+    }
+  }
 
-  /** The column the snapshot records ranges for, if any. */
-  private def snapStatsCol(snap: Snapshot): Option[String] =
-    snap.entries.flatMap(_.range).headOption.map(_.col)
+  /** Every column the snapshot records ranges for. */
+  private def snapStatsCols(snap: Snapshot): Seq[String] =
+    snap.entries.flatMap(_.ranges.map(_.col)).distinct
 
   /** Copy-on-write DELETE — remove every row matching `predicate`,
     * rewriting ONLY the files that hold one. Candidate files come from
-    * the manifest: when the caller names the predicate's range on the
-    * table's stats column (`pruneRange`), files whose recorded range
+    * the manifest: when the caller names the predicate's range on a
+    * recorded stats column (`pruneRange`), files whose recorded range
     * misses it are untouched by definition and never opened — the same
     * skipping [[readRange]] does, applied to DML. Candidates are scanned
     * with file provenance to find files actually containing a match;
@@ -564,11 +820,18 @@ object ManifestLake {
     * (a wrong under-approximation cannot happen: files outside it are
     * kept whole, which is only correct if no match lives there — hence
     * the contract: pruneRange MUST cover the predicate's support on the
-    * stats column, exactly like a range predicate's own bounds). */
+    * stats column, exactly like a range predicate's own bounds).
+    * `verifyPrune = true` turns the trust-the-caller contract into a
+    * checked one: the pruned-out complement is scanned (predicate
+    * columns only) and the delete ABORTS before committing if any
+    * pruned file holds a matching row — the debug mode that catches an
+    * under-covering range during development instead of silently
+    * half-deleting in production. */
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column,
              pruneRange: Option[(String, Double, Double)] = None,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             verifyPrune: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -576,6 +839,17 @@ object ManifestLake {
     val snap = snapshot(spark, table, prev)
     val candidates = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
       rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
+    }
+    if (verifyPrune && candidates.size < snap.entries.size) {
+      val prunedOut = snap.entries.filterNot(e =>
+        candidates.exists(_.path == e.path))
+      val leaked = readSnapshotFiles(spark, table, snap, prunedOut.map(_.path))
+        .filter(predicate).limit(1).count()
+      require(leaked == 0L,
+        s"delete pruneRange=$pruneRange under-covers the predicate: a " +
+          "pruned-out file holds a matching row, which would have been " +
+          "silently retained. Widen the range (it must over-approximate " +
+          "the predicate's support on the stats column).")
     }
     val touchedPaths: Set[String] =
       if (candidates.isEmpty) Set.empty
@@ -586,8 +860,6 @@ object ManifestLake {
     val touched = candidates.filter(e =>
       touchedPaths.exists(_.endsWith("/" + e.path)))
     if (touched.isEmpty) return snap.version // nothing matches: no-op
-    val untouched = snap.entries.filterNot(e =>
-      touched.exists(_.path == e.path))
     // SQL DELETE semantics: a row is removed only when the predicate is
     // TRUE. `filter(!predicate)` alone would also drop NULL-evaluating
     // rows (!NULL is NULL, which filter discards) — and inconsistently,
@@ -600,9 +872,9 @@ object ManifestLake {
     val next = snap.version + 1
     val moved = stageDataFiles(survivors, fs, p, next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
-      snapStatsCol(snap))
-    commit(fs, p, untouched.map(_.line) ++ moved, prev,
-      snap.batchId, snap.appId)
+      snapStatsCols(snap))
+    commitLog(fs, p, full = false, adds = moved,
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -703,14 +975,12 @@ object ManifestLake {
     // The snapshot's streaming batch id carries forward so a compaction
     // never erases the sink's replay high-water mark, and the partition
     // layout (derived from the manifest paths) is preserved.
-    val partCols = snap.files.headOption.toSeq
-      .flatMap(f => f.split('/').init.filter(_.contains('='))
-        .map(_.takeWhile(_ != '='))).distinct
-    val statsCol = snap.entries.flatMap(_.range).map(_.col).distinct.headOption
+    val partCols = partitionColsOf(snap)
+    val statsCols = snapStatsCols(snap)
     val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
     val newVersion = write(compacted, table, append = false,
-      batchId = snap.batchId, partitionBy = partCols, statsCol = statsCol,
-      appId = snap.appId)
+      batchId = snap.batchId, partitionBy = partCols,
+      statsCols = statsCols, appId = snap.appId)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
@@ -727,10 +997,6 @@ object ManifestLake {
       .toDF("version", "n_files", "batch_id", "app_id")
   }
 
-  /** Delete manifests older than the last `keepLast` versions and any
-    * data file no retained manifest references. Returns the number of
-    * data files deleted. Time travel to vacuumed versions is gone —
-    * that is the retention contract. */
   /** The version a data file was written under, parsed from its
     * `vNNNNNNNN-*.parquet` basename (partition directories stripped).
     * 8+ digits for the same widening reason as [[ManifestRe]]. */
@@ -742,11 +1008,19 @@ object ManifestLake {
       case _ => None
     }
 
+  /** Delete manifests older than the last `keepLast` versions and any
+    * data file no retained manifest references. Returns the number of
+    * data files deleted. Time travel to vacuumed versions is gone —
+    * that is the retention contract. Before dropping, the oldest
+    * RETAINED version is checkpointed if it wasn't already: with a
+    * delta-record log, resolving a retained version must never need to
+    * walk into the dropped range. */
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current version")
     val (fs, p) = fsFor(spark, table)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    if (drop.nonEmpty && keep.nonEmpty) writeCheckpoint(fs, p, keep.head)
     val live = keep.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
     // The latest version any retained manifest has PUBLISHED. A write()
     // in flight right now is staging files for a HIGHER version — and it
@@ -769,7 +1043,10 @@ object ManifestLake {
       .filterNot(f => dataFileVersion(f).exists(_ > maxRetained))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
-    drop.foreach(v => fs.delete(manifestPath(p, v), false))
+    drop.foreach { v =>
+      fs.delete(manifestPath(p, v), false)
+      fs.delete(checkpointPath(p, v), false)
+    }
     // Abandoned staging dirs (crashed or lost-race writers). A live
     // writer always stages for version current+1 > maxRetained, so a
     // staging dir versioned at or below the newest retained manifest is

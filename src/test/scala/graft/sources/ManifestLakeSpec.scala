@@ -420,6 +420,154 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     left shouldBe Array(2L, 3L) // the NULL-price row survives
   }
 
+  test("the log is delta-structured: commits are O(changed files), " +
+    "resolution reads one checkpoint plus a bounded tail") {
+    val saved = ManifestLake.checkpointInterval
+    ManifestLake.checkpointInterval = 5
+    try {
+      val t = freshTable()
+      (1 to 23).foreach(i => ManifestLake.write(rows(i * 10 to i * 10 + 9), t))
+      val (fs, p) = {
+        val path = new org.apache.hadoop.fs.Path(t)
+        (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+      }
+      val mdir = new org.apache.hadoop.fs.Path(t, "_manifests")
+      def size(name: String): Long =
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(mdir, name)).getLen
+      // checkpoints landed on the cadence, and the hint points at the last
+      fs.exists(new org.apache.hadoop.fs.Path(mdir, "v00000020.checkpoint")) shouldBe true
+      fs.exists(new org.apache.hadoop.fs.Path(mdir, "_last_checkpoint")) shouldBe true
+      // a late APPEND's manifest records only its own files — it must be
+      // far smaller than the consolidated checkpoint (O(delta) vs O(table))
+      size("v00000023.manifest") should be < size("v00000020.checkpoint") / 3
+      // resolution of the head reads the v20 checkpoint + 3 delta tails —
+      // never the other 19 manifests. Observed, not trusted:
+      val before = ManifestLake.logReads.get()
+      val snap = ManifestLake.snapshot(spark, t)
+      (ManifestLake.logReads.get() - before) should be <= 4L
+      snap.version shouldBe 23L
+      snap.files should have length ManifestLake.read(spark, t).inputFiles.length
+      ManifestLake.read(spark, t).count() shouldBe 230
+      // time travel BETWEEN checkpoints replays from the nearest one below
+      val before7 = ManifestLake.logReads.get()
+      ManifestLake.read(spark, t, Some(7L)).count() shouldBe 70
+      (ManifestLake.logReads.get() - before7) should be <= 3L // v7,v6 + ck5
+      // currentVersion probes forward from the hint — no directory listing
+      // and no log reads at all
+      val beforeCur = ManifestLake.logReads.get()
+      ManifestLake.currentVersion(spark, t) shouldBe Some(23L)
+      ManifestLake.logReads.get() shouldBe beforeCur
+    } finally ManifestLake.checkpointInterval = saved
+  }
+
+  test("vacuum checkpoints the oldest retained version so retained " +
+    "snapshots never walk into the dropped log range") {
+    val saved = ManifestLake.checkpointInterval
+    ManifestLake.checkpointInterval = 100 // no cadence checkpoints at all
+    try {
+      val t = freshTable()
+      (1 to 9).foreach(i => ManifestLake.write(rows(i * 10 to i * 10 + 9), t))
+      ManifestLake.vacuum(spark, t, keepLast = 3)
+      // retained versions resolve even though v1-v6's delta records are gone
+      ManifestLake.read(spark, t, Some(7L)).count() shouldBe 70
+      ManifestLake.read(spark, t, Some(9L)).count() shouldBe 90
+      ManifestLake.versions(spark, t) shouldBe Seq(7L, 8L, 9L)
+      intercept[IllegalArgumentException] {
+        ManifestLake.read(spark, t, Some(3L))
+      }
+      // appends keep working after the vacuum
+      ManifestLake.write(rows(100 to 109), t)
+      ManifestLake.read(spark, t).count() shouldBe 100
+    } finally ManifestLake.checkpointInterval = saved
+  }
+
+  test("an append with a different partitionBy than the table's layout " +
+    "fails fast instead of committing a mixed-depth file list") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = (1 to 100).map(i => (i.toLong, s"d${i % 2}", s"p$i"))
+      .toDF("id", "date", "payload")
+    ManifestLake.write(data, t, partitionBy = Seq("date"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.write(data, t, partitionBy = Nil) // append, wrong layout
+    }
+    e.getMessage should include("layout mismatch")
+    // an overwrite may change the layout deliberately
+    ManifestLake.write(data, t, append = false, partitionBy = Nil)
+    ManifestLake.read(spark, t).count() shouldBe 100
+  }
+
+  test("merge rejects duplicate-keyed update sets by default (the " +
+    "multiple-source-rows-matched contract); compacted callers can opt out") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), t)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.merge(dup, t, Seq("id"))
+    }
+    e.getMessage should include("duplicate keys")
+    ManifestLake.read(spark, t).count() shouldBe 2 // nothing committed
+    // the documented opt-out for already-compacted CDC batches
+    ManifestLake.merge(Seq((2L, "B2")).toDF("id", "payload"), t, Seq("id"),
+      checkUniqueKeys = false)
+    ManifestLake.read(spark, t).count() shouldBe 2
+  }
+
+  test("delete verifyPrune aborts before committing when the given range " +
+    "under-covers the predicate") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, "id", nFiles = 4)
+    // predicate matches ids ≤ 1500 but the range only covers ≤ 500: file 2
+    // (ids 1001-2000) holds matches the prune would silently retain
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.delete(spark, t,
+        org.apache.spark.sql.functions.col("id") <= 1500L,
+        pruneRange = Some(("id", 0.0, 500.0)), verifyPrune = true)
+    }
+    e.getMessage should include("under-covers")
+    ManifestLake.read(spark, t).count() shouldBe 4000 // aborted pre-commit
+    // a COVERING range passes verification and deletes exactly
+    ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 1500L,
+      pruneRange = Some(("id", 0.0, 1500.0)), verifyPrune = true)
+    ManifestLake.read(spark, t).count() shouldBe 2500
+  }
+
+  test("multi-column file stats: a second recorded column prunes reads " +
+    "and merge candidates without evicting the first") {
+    import spark.implicits._
+    val t = freshTable()
+    // id and ts are correlated (ts = id * 10): clustering on id also
+    // orders ts, so both columns' footer ranges are narrow per file
+    val data = (1 to 4000).map(i => (i.toLong, i * 10L, s"p$i"))
+      .toDF("id", "ts", "payload")
+    ManifestLake.writeClustered(data, t, "id", nFiles = 4,
+      extraStatsCols = Seq("ts"))
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.entries.foreach(_.ranges.map(_.col).toSet shouldBe Set("id", "ts"))
+    // both columns skip from the manifest alone
+    ManifestLake.readRange(spark, t, "id", 100, 200)
+      .inputFiles.length should be <= 2
+    val byTs = ManifestLake.readRange(spark, t, "ts", 1000, 2000)
+    byTs.count() shouldBe 101
+    byTs.inputFiles.length should be <= 2
+    // a merge keyed on the SECOND stats column prunes its candidates too:
+    // only the file covering ts=1500 is rewritten
+    val before = snap.entries.map(_.line)
+    ManifestLake.merge(Seq((150L, 1500L, "UPD")).toDF("id", "ts", "payload"),
+      t, Seq("ts"))
+    val after = ManifestLake.snapshot(spark, t)
+    after.entries.map(_.line).intersect(before) should have length 3
+    // rewritten files keep BOTH columns' ranges
+    after.entries.foreach(_.ranges.map(_.col).toSet shouldBe Set("id", "ts"))
+    ManifestLake.read(spark, t).filter($"ts" === 1500L)
+      .select("payload").as[String].collect() shouldBe Array("UPD")
+  }
+
   test("merge on an empty table is a plain insert; null-keyed rows on " +
     "either side never match") {
     import spark.implicits._
