@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"expected $sig, got ${exprs.length} argument(s)")
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // SQL DML + time travel over manifest-lake tables (MERGE INTO /
+    // DELETE FROM / INSERT / VERSION AS OF on graft_lake.<name>) —
+    // resolution-rule rewrite, keeping the native parquet read path
+    extensions.injectResolutionRule(spark =>
+      new graft.sources.LakeSql.LakeSqlRule(spark))
     extensions.injectFunction(CosineSimilarity.registration)
     extensions.injectFunction((
       FunctionIdentifier("simhash64"),

@@ -24,11 +24,13 @@ object LakeQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def memoClustered(key: String, d: String, clusterCol: String,
-                            nFiles: Int)(base: => DataFrame): String =
+                            nFiles: Int, extraStatsCols: Seq[String] = Nil)
+                           (base: => DataFrame): String =
     builtTables.computeIfAbsent(s"$key:$d", _ => {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-lake-$key").toString
-      ManifestLake.writeClustered(base, dir, clusterCol, nFiles)
+      ManifestLake.writeClustered(base, dir, clusterCol, nFiles,
+        extraStatsCols = extraStatsCols)
       dir
     })
 
@@ -151,15 +153,77 @@ object LakeQueries {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer""".stripMargin
 
+  /** lk5_sql_dml — the whole DML surface driven purely from `spark.sql`
+    * (the dbt-analog completion): its own clustered customer copy is
+    * registered as `graft_lake.lk5_customer`, then the gate runs
+    * `MERGE INTO` (lk2's update set through the SQL resolution rule),
+    * `DELETE FROM ... WHERE c_acctbal < 0` (prune bounds DERIVED from
+    * the predicate against the recorded c_acctbal stats — no hint), and
+    * a final SELECT joining the head against `VERSION AS OF 1` to flag
+    * which surviving keys predate the merge. Each statement exercises
+    * the Catalyst rewrite end-to-end; the oracle re-derives the final
+    * state relationally, so the row is hash-exact. Invocation-stable:
+    * re-merging restores exactly the rows the delete then removes
+    * again. */
+  def lk5SqlDml(s: SparkSession, d: String): DataFrame = {
+    val dir = memoClustered("lk5", d, "c_custkey", nFiles = 8,
+      extraStatsCols = Seq("c_acctbal"))(
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"))
+    LakeSql.register("lk5_customer", dir)
+    lk2Updates(s, d).createOrReplaceTempView("lk5_updates")
+    s.sql(
+      """MERGE INTO graft_lake.lk5_customer t USING lk5_updates u
+        |ON t.c_custkey = u.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("DELETE FROM graft_lake.lk5_customer WHERE c_acctbal < 0")
+    s.sql(
+      """SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+        |  t.c_mktsegment,
+        |  CASE WHEN o.c_custkey IS NULL THEN 0 ELSE 1 END AS in_v1
+        |FROM graft_lake.lk5_customer t
+        |LEFT JOIN (SELECT c_custkey FROM graft_lake.lk5_customer
+        |           VERSION AS OF 1) o
+        |ON t.c_custkey = o.c_custkey""".stripMargin)
+  }
+
+  val lk5Oracle: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+      |    c.c_mktsegment
+      |  FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey))
+      |SELECT m.c_custkey, m.c_name, m.c_nationkey, m.c_acctbal,
+      |  m.c_mktsegment,
+      |  CASE WHEN o.c_custkey IS NULL THEN 0 ELSE 1 END AS in_v1
+      |FROM merged m
+      |LEFT JOIN (SELECT c_custkey FROM customer) o
+      |  ON m.c_custkey = o.c_custkey
+      |WHERE m.c_acctbal >= 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lk1_clustered_range" -> (lk1ClusteredRange _),
     "lk2_merge_upsert" -> (lk2MergeUpsert _),
     "lk3_delete_where" -> (lk3DeleteWhere _),
-    "lk4_time_travel" -> (lk4TimeTravel _))
+    "lk4_time_travel" -> (lk4TimeTravel _),
+    "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
     "lk1_clustered_range" -> lk1Oracle,
     "lk2_merge_upsert" -> lk2Oracle,
     "lk3_delete_where" -> lk3Oracle,
-    "lk4_time_travel" -> lk4Oracle)
+    "lk4_time_travel" -> lk4Oracle,
+    "lk5_sql_dml" -> lk5Oracle)
 }

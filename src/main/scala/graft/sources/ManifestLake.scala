@@ -807,12 +807,64 @@ object ManifestLake {
   private def snapStatsCols(snap: Snapshot): Seq[String] =
     snap.entries.flatMap(_.ranges.map(_.col)).distinct
 
+  /** Conservative per-column bounds implied by a predicate, for
+    * manifest-stats candidate pruning: only conjuncts of simple
+    * comparisons between a column and a numeric literal contribute
+    * (`c < 5`, `5 <= c`, `c = 5`, chained with AND); anything else —
+    * OR, functions, non-numeric literals — contributes NOTHING, which
+    * is always safe because dropping a constraint only widens the
+    * candidate set. A row matching the predicate satisfies every
+    * conjunct, so a file whose recorded range misses any one bound
+    * cannot hold a match. */
+  private def predicateBounds(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Option[BigDecimal], Option[BigDecimal])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def colName(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litNum(x: Expression): Option[BigDecimal] = x match {
+      case Literal(v, _) if v != null =>
+        scala.util.Try(BigDecimal(v.toString)).toOption
+      case _ => None
+    }
+    def cmp(l: Expression, r: Expression,
+            mk: (String, BigDecimal) => (String, Option[BigDecimal], Option[BigDecimal]))
+        : Seq[(String, Option[BigDecimal], Option[BigDecimal])] =
+      (for { c <- colName(l); v <- litNum(r) } yield mk(c, v)).toSeq
+    e match {
+      case And(l, r) => predicateBounds(l) ++ predicateBounds(r)
+      case LessThan(l, r) =>
+        cmp(l, r, (c, v) => (c, None, Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), None))
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r, (c, v) => (c, None, Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), None))
+      case GreaterThan(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), None)) ++
+          cmp(r, l, (c, v) => (c, None, Some(v)))
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), None)) ++
+          cmp(r, l, (c, v) => (c, None, Some(v)))
+      case EqualTo(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), Some(v)))
+      case _ => Seq.empty
+    }
+  }
+
   /** Copy-on-write DELETE — remove every row matching `predicate`,
     * rewriting ONLY the files that hold one. Candidate files come from
-    * the manifest: when the caller names the predicate's range on a
-    * recorded stats column (`pruneRange`), files whose recorded range
-    * misses it are untouched by definition and never opened — the same
-    * skipping [[readRange]] does, applied to DML. Candidates are scanned
+    * the manifest two ways: bounds DERIVED from the predicate itself
+    * (simple range conjuncts on recorded stats columns — the SQL
+    * `DELETE FROM ... WHERE price < x` path prunes with no hint at
+    * all), intersected with an optional caller-named `pruneRange` for
+    * predicates too complex to analyze. Files whose recorded range
+    * misses either are untouched by definition and never opened — the
+    * same skipping [[readRange]] does, applied to DML. Candidates are
+    * scanned
     * with file provenance to find files actually containing a match;
     * the rest of the manifest carries over VERBATIM. The predicate
     * itself is still applied exactly to the survivors, so `pruneRange`
@@ -837,9 +889,15 @@ object ManifestLake {
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
     val snap = snapshot(spark, table, prev)
-    val candidates = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
+    val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
       rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
     }
+    val candidates = predicateBounds(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate))
+      .foldLeft(explicit) { case (entries, (c, lo, hi)) =>
+        entries.filter(_.range(c).forall(r =>
+          lo.forall(r.max >= _) && hi.forall(r.min <= _)))
+      }
     if (verifyPrune && candidates.size < snap.entries.size) {
       val prunedOut = snap.entries.filterNot(e =>
         candidates.exists(_.path == e.path))

@@ -537,6 +537,24 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, t).count() shouldBe 2500
   }
 
+  test("delete derives prune bounds from simple range predicates — no " +
+    "caller hint needed for the manifest-stats skipping") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, "id", nFiles = 4)
+    val before = ManifestLake.snapshot(spark, t)
+    // no pruneRange: the bounds come from the predicate's conjuncts
+    ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 150L &&
+        org.apache.spark.sql.functions.col("payload").isNotNull)
+    val after = ManifestLake.snapshot(spark, t)
+    after.entries.map(_.line)
+      .intersect(before.entries.map(_.line)) should have length 3
+    ManifestLake.read(spark, t).count() shouldBe 3850
+  }
+
   test("multi-column file stats: a second recorded column prunes reads " +
     "and merge candidates without evicting the first") {
     import spark.implicits._
