@@ -213,7 +213,47 @@ object LakeQueries {
       |  ON m.c_custkey = o.c_custkey
       |WHERE m.c_acctbal >= 0""".stripMargin
 
+  /** The ls1 table: orders committed as FOUR lake versions (an initial
+    * base + three appends, split deterministically on key), the shape an
+    * hourly ingest leaves behind. Built once per (JVM, dataset dir). */
+  private def versionedOrders(s: SparkSession, d: String): String =
+    builtTables.computeIfAbsent(s"ls1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-ls1").toString
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderpriority")
+      (0 until 4).foreach(i =>
+        ManifestLake.write(o.filter(col("o_orderkey") % 4 === i), dir,
+          append = i > 0))
+      dir
+    })
+
+  /** ls1_lake_stream — the lake as a STREAMING SOURCE through the gate:
+    * `readStream.format("graft-lake")` over [[versionedOrders]], driven
+    * to completion with AvailableNow into a memory sink. Each committed
+    * version arrives as its own micro-batch resolved from the version's
+    * delta record (O(new files), no snapshot resolution — the plumbing
+    * is [[LakeSource]]), and the union of the batches must equal one
+    * batch read of the table — which is exactly what the DuckDB oracle
+    * re-derives from the original orders parquet. Restart/resume
+    * semantics (checkpointed version watermark, no re-emission) are
+    * pinned in LakeStreamSpec where a persistent checkpoint dir is
+    * observable. */
+  def ls1LakeStream(s: SparkSession, d: String): DataFrame = {
+    val table = versionedOrders(s, d)
+    graft.streaming.Streaming.runToMemory(s,
+      s.readStream.format("graft-lake").load(table),
+      "ls1_lake_stream_tbl",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  val ls1Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderpriority
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ls1_lake_stream" -> (ls1LakeStream _),
     "lk1_clustered_range" -> (lk1ClusteredRange _),
     "lk2_merge_upsert" -> (lk2MergeUpsert _),
     "lk3_delete_where" -> (lk3DeleteWhere _),
@@ -221,6 +261,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "ls1_lake_stream" -> ls1Oracle,
     "lk1_clustered_range" -> lk1Oracle,
     "lk2_merge_upsert" -> lk2Oracle,
     "lk3_delete_where" -> lk3Oracle,

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The manifest lake as a STRUCTURED STREAMING SOURCE: committed
+  * versions become micro-batches.
+  *
+  * {{{
+  *   spark.readStream.format("graft-lake").load(tableDir)
+  * }}}
+  *
+  * Offsets ARE lake versions: `getOffset` is one bounded
+  * [[ManifestLake.currentVersion]] probe (no listing on checkpointed
+  * tables), and a batch `(v1, v2]` resolves each version's own delta
+  * record via [[ManifestLake.changesBetween]] — O(new files), never a
+  * snapshot resolution. The engine persists offsets in the stream
+  * checkpoint, so a restarted query resumes from its committed version
+  * watermark without re-emitting (pinned in LakeStreamSpec); paired
+  * with [[ManifestLake.writeBatch]] on the sink side this closes the
+  * lake-to-lake exactly-once loop.
+  *
+  * Batches are handed to the engine as plain parquet scans of the
+  * versions' added files (rewrapped streaming via
+  * [[StreamBridge.asStreaming]]), keeping the built-in vectorized
+  * reader, column pruning, and pushdown — the same construction
+  * `FileStreamSource` uses.
+  *
+  * ==Change semantics (the Delta source contract)==
+  * Appended files stream exactly once. Commits that REWRITE data are
+  * not incrementally expressible:
+  *  - a base record (overwrite / compaction) mid-stream, or a delta
+  *    with removed files (MERGE / DELETE rewrites), raises a named
+  *    error by default;
+  *  - `ignoreChanges=true` opts into emitting such commits' added
+  *    files anyway — surviving rows of rewritten files re-emit
+  *    (at-least-once on rewrites, exactly Delta's `ignoreChanges`);
+  *  - the table's FIRST version is its initial data, not a change, and
+  *    always streams.
+  * `startingVersion` — `earliest` (default: replay the retained log
+  * from version 1), `latest` (only commits after stream start), or a
+  * version number (commits from that version on, inclusive).
+  */
+final class LakeStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake stream needs a table path: .load(dir) or .option(\"path\", dir)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      ManifestLake.read(sqlContext.sparkSession, tablePath(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new LakeSource(sqlContext.sparkSession, tablePath(parameters),
+      schema.getOrElse(
+        ManifestLake.read(sqlContext.sparkSession, tablePath(parameters)).schema),
+      parameters.getOrElse("startingversion", "earliest"),
+      parameters.get("ignorechanges").exists(_.toBoolean))
+}
+
+/** See [[LakeStreamProvider]]. One instance per (re)started query; all
+  * persistent state lives in the engine's offset checkpoint.
+  *
+  * [[SupportsTriggerAvailableNow]]: `prepareForTriggerAvailableNow`
+  * pins the table's version at trigger start, and [[getOffset]] never
+  * advances past the pin — the run drains exactly the commits that
+  * existed when it started, across as many micro-batches as the engine
+  * schedules, then terminates (no single-batch fallback). */
+final class LakeSource(spark: SparkSession, table: String,
+                       override val schema: StructType,
+                       startingVersion: String, ignoreChanges: Boolean)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Version BEFORE the first streamed one (exclusive lower bound).
+    * Evaluated once at source construction — for `latest` that freezes
+    * "now", exactly Kafka's `startingOffsets=latest`. */
+  private val boundary: Long = startingVersion match {
+    case "earliest" => 0L
+    case "latest" =>
+      ManifestLake.currentVersion(spark, table).getOrElse(0L)
+    case v => v.toLong - 1
+  }
+
+  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
+
+  /** Version pinned by an AvailableNow trigger at run start. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = ManifestLake.currentVersion(spark, table)
+
+  override def getOffset: Option[OffsetV1] = {
+    val cur = ManifestLake.currentVersion(spark, table)
+    availableNowCap.fold(cur)(cap => cur.map(_.min(cap)))
+      .filter(_ > boundary).map(new LongOffset(_))
+  }
+
+  /** Admission-control form of [[getOffset]] (the engine calls this one
+    * when the trigger is AvailableNow). Rate limits don't apply — a
+    * version is the atomic unit of consumption. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(versionOf).getOrElse(boundary)
+    val to = versionOf(end)
+    val files = ManifestLake.changesBetween(spark, table, from, to)
+      .flatMap { ch =>
+        val rewrite =
+          if (ch.base) ch.version != 1 // first commit = initial data
+          else ch.removed.nonEmpty
+        if (rewrite && !ignoreChanges)
+          throw new UnsupportedOperationException(
+            s"version ${ch.version} of $table is a " +
+              (if (ch.base) "base commit (overwrite/compaction)"
+               else "rewrite (merge/delete removed files)") +
+              " — not incrementally streamable. Set ignoreChanges=true " +
+              "to emit its added files (rows of rewritten files will " +
+              "re-emit), or stream from a version past it.")
+        ch.added.map(_.path)
+      }
+    if (files.isEmpty) StreamBridge.emptyStreaming(spark, schema)
+    else {
+      val base = new org.apache.hadoop.fs.Path(table)
+      StreamBridge.asStreaming(
+        spark.read.option("basePath", table).schema(schema)
+          .parquet(files.map(f =>
+            new org.apache.hadoop.fs.Path(base, f).toString): _*)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+    }
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeSource[$table]"
+}

@@ -1043,6 +1043,34 @@ object ManifestLake {
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
 
+  /** The committed change of one version, as its log record describes
+    * it: `base = true` means the record REPLACED the table's file list
+    * (first commit, overwrite, compaction) and `added` is the complete
+    * new list; otherwise `added`/`removed` are the commit's delta. */
+  final case class VersionChange(version: Long, base: Boolean,
+                                 added: Seq[FileEntry], removed: Seq[String])
+
+  /** Per-version change records in `(fromExclusive, toInclusive]`,
+    * ascending — the incremental-consumption API ([[LakeSource]] reads
+    * the lake as a stream through it). O(versions in range): each
+    * version costs one bounded manifest read; no snapshot resolution,
+    * no checkpoint walk, no directory listing. Raises if a manifest in
+    * the range was vacuumed away — a consumer lagging past the vacuum
+    * retention cannot be served incrementally and must re-bootstrap. */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromExclusive: Long, toInclusive: Long): Seq[VersionChange] = {
+    val (fs, p) = fsFor(spark, table)
+    ((fromExclusive + 1) to toInclusive).map { v =>
+      val mf = manifestPath(p, v)
+      if (!fs.exists(mf)) throw new IllegalStateException(
+        s"manifest for version $v missing in $table — vacuumed past an " +
+          "incremental consumer's position? Keep vacuum retention above " +
+          "the slowest consumer's lag.")
+      val rec = readLog(fs, mf)
+      VersionChange(v, rec.full, rec.adds, rec.removes)
+    }
+  }
+
   /** Table history as a DataFrame — one row per retained version with
     * its file count and streaming transaction identity (the DESCRIBE
     * HISTORY analog). Metadata only: reads manifests, never data. */

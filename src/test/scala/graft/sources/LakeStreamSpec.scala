@@ -1,0 +1,131 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins [[LakeStreamProvider]] — the lake as a streaming source:
+  * versions arrive as micro-batches, a restarted query resumes from its
+  * checkpointed version watermark without re-emitting, and rewrite
+  * commits are refused unless opted into (the Delta-source contract). */
+class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(n: Range): DataFrame = {
+    import spark.implicits._
+    n.map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+  }
+
+  /** Run the lake stream to completion (AvailableNow) through a
+    * foreachBatch collector — a sink that SUPPORTS checkpoint recovery,
+    * so a rerun with the same checkpoint dir genuinely resumes. Returns
+    * the ids this run emitted. */
+  private def runStream(table: String, checkpoint: String,
+                        options: Map[String, String] = Map.empty): Set[Long] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-lake").options(options).load(table)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    got.asScala.toSet
+  }
+
+  test("appended versions arrive as batches; restart resumes from the " +
+    "checkpointed watermark without re-emitting") {
+    val t = freshDir("graft-lstream") + "/t"
+    val ck = freshDir("graft-lstream-ck")
+    ManifestLake.write(rows(1 to 100), t)
+    ManifestLake.write(rows(101 to 150), t)
+    // first run: both committed versions stream
+    runStream(t, ck) shouldBe (1L to 150L).toSet
+    // no new commits: a resumed run emits nothing
+    runStream(t, ck) shouldBe Set.empty
+    // two more commits: ONLY they stream on resume — the engine restores
+    // the version watermark from the checkpoint, not from the sink
+    ManifestLake.write(rows(151 to 170), t)
+    ManifestLake.write(rows(171 to 180), t)
+    runStream(t, ck) shouldBe (151L to 180L).toSet
+  }
+
+  test("a fresh checkpoint replays from earliest; startingVersion bounds " +
+    "the replay; latest skips history") {
+    val t = freshDir("graft-lstream") + "/t"
+    ManifestLake.write(rows(1 to 10), t)
+    ManifestLake.write(rows(11 to 20), t)
+    ManifestLake.write(rows(21 to 30), t)
+    runStream(t, freshDir("ck")) shouldBe (1L to 30L).toSet
+    runStream(t, freshDir("ck"),
+      Map("startingVersion" -> "2")) shouldBe (11L to 30L).toSet
+    runStream(t, freshDir("ck"),
+      Map("startingVersion" -> "latest")) shouldBe Set.empty
+  }
+
+  test("exactly-once into a lake sink: replaying the source versions " +
+    "through writeBatch commits nothing twice") {
+    val src = freshDir("graft-lstream") + "/src"
+    val dst = freshDir("graft-lstream") + "/dst"
+    val ck = freshDir("graft-lstream-ck")
+    ManifestLake.write(rows(1 to 50), src)
+    ManifestLake.write(rows(51 to 80), src)
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-lake").load(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          ManifestLake.writeBatch(batch, dst, id, appId = ck): Unit
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pump()
+    ManifestLake.read(spark, dst).count() shouldBe 80
+    // a second pump with no new source commits must not duplicate —
+    // and neither must a batch replay (writeBatch's epoch guard)
+    pump()
+    ManifestLake.read(spark, dst).count() shouldBe 80
+    ManifestLake.write(rows(81 to 90), src)
+    pump()
+    ManifestLake.read(spark, dst).count() shouldBe 90
+  }
+
+  test("rewrite commits are refused by default and opted into with " +
+    "ignoreChanges") {
+    val t = freshDir("graft-lstream") + "/t"
+    // one file per version, so the delete's rewrite shape is fixed:
+    // v2 removes the single v1 file and adds one survivors file
+    ManifestLake.write(rows(1 to 20).coalesce(1), t)
+    runStream(t, freshDir("ck")) shouldBe (1L to 20L).toSet
+    ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 5)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream(t, freshDir("ck"))
+    }
+    err.getMessage should include("not incrementally streamable")
+    // ignoreChanges from the rewrite version on: the rewritten file's
+    // surviving rows emit (at-least-once on rewrites, as documented)
+    runStream(t, freshDir("ck"),
+      Map("ignoreChanges" -> "true", "startingVersion" -> "2")) shouldBe
+      (6L to 20L).toSet
+    // an overwrite (base commit) likewise needs the opt-in
+    ManifestLake.write(rows(100 to 110).coalesce(1), t, append = false)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream(t, freshDir("ck"))
+    }.getMessage should include("not incrementally streamable")
+    runStream(t, freshDir("ck"),
+      Map("ignoreChanges" -> "true", "startingVersion" -> "3")) shouldBe
+      (100L to 110L).toSet
+  }
+}
