@@ -24,11 +24,34 @@ import graft.sources.ManifestLake
   * a query touches ~1/4 of the index files; the Spark-level partition
   * filter inside [[Similarity.ivfTopK]] would prune the same rows but
   * only AFTER listing every file — at 100 TB the listing itself is
-  * the latency. */
+  * the latency.
+  *
+  * ==Drift monitoring==
+  * [[append]] assigns to FROZEN centroids, which is correct for a
+  * stationary corpus and silently recall-decaying under distribution
+  * shift — so every append measures its batch against the build's
+  * recorded distribution (mean squared assignment distance + per-cell
+  * occupancy, both stored in the centroid table) and returns an
+  * [[AppendReport]] whose `rebuildRecommended` flag trips when the
+  * batch sits far from every centroid (distance ratio) or collapses
+  * into cells the build spread load across (occupancy divergence).
+  * The flag recommends scheduling a [[build]] rebuild; it never blocks
+  * the append — the vectors are still probe-visible either way. */
 object IvfIndexStore {
 
   private def assignTable(indexDir: String) = s"$indexDir/assignments"
   private def centroidTable(indexDir: String) = s"$indexDir/centroids"
+
+  /** What one [[append]] did and observed. `committed = false` means
+    * the epoch guard recognized a replay and wrote nothing (the stats
+    * still describe the batch). Drift fields compare the batch to the
+    * build: `batchMeanDist2 / buildMeanDist2 > distFactor` or
+    * `occupancyDivergence > occupancyThreshold` ⇒ `rebuildRecommended`. */
+  final case class AppendReport(version: Long, committed: Boolean,
+                                batchMeanDist2: Double,
+                                buildMeanDist2: Double,
+                                occupancyDivergence: Double,
+                                rebuildRecommended: Boolean)
 
   /** Offline build job: fit + assign once, publish both index tables.
     * Commit ORDER is the atomicity story for the two-table index: the
@@ -39,29 +62,54 @@ object IvfIndexStore {
     * snapshot pointing at the old (still-retained) assignment version:
     * consistent, just not yet rebuilt. A rebuild is therefore one
     * atomic switch at the centroid commit; old-index readers keep their
-    * pinned snapshot. Returns the committed assignment version. */
+    * pinned snapshot. Returns the committed assignment version.
+    *
+    * Alongside the centroids, the build records its distribution
+    * baseline for [[append]]'s drift guard: per-cell occupancy (counted
+    * from the just-written assignment table — a cell-column-only scan)
+    * and the mean squared assignment distance of a bounded
+    * deterministic sample (one small job; never a second full pass). */
   def build(s: SparkSession, d: String, indexDir: String,
             nCells: Int = 16): Long = {
-    import s.implicits._
-    val (assigned, centroids) =
-      Similarity.ivfIndex(Tables.embeddings(s, d), nCells)
+    val emb = Tables.embeddings(s, d)
+    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells)
     val v = ManifestLake.write(assigned, assignTable(indexDir),
       append = false, partitionBy = Seq("cell"))
-    commitCentroids(s, indexDir, centroids, v)
+    // occupancy from the written table: column-pruned cell-only read
+    val counts = ManifestLake.read(s, assignTable(indexDir), Some(v))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, counts.values.sum)
+    val shares = Array.tabulate(nCells)(i =>
+      counts.getOrElse(i, 0L).toDouble / total)
+    // mean dist² over a bounded sample (same budget as the fit sample)
+    val n = math.max(emb.count(), 1L)
+    val fraction = math.min(1.0, 4096.0 * 1.2 / n)
+    val meanDist2 = Similarity.assignCellsScored(
+        emb.sample(withReplacement = false, fraction, 11L), centroids)
+      .agg(avg("assign_dist2")).collect().head.getDouble(0)
+    commitCentroids(s, indexDir, centroids, v, shares, meanDist2)
     v
   }
 
   /** The centroid-table commit both [[build]] and [[append]] end with —
     * ONE copy of the schema and of the commit-order invariant (this runs
     * AFTER the assignment commit, carrying its version, so readers
-    * atomically switch to a consistent (centroids, assignments) pair). */
+    * atomically switch to a consistent (centroids, assignments) pair).
+    * `build_share`/`build_mean_dist2` are the build-time distribution
+    * baseline appends drift-check against; appends carry them forward
+    * unchanged (the baseline is the BUILD's, by definition). */
   private def commitCentroids(s: SparkSession, indexDir: String,
                               centroids: Array[Array[Double]],
-                              assignVersion: Long): Unit = {
+                              assignVersion: Long,
+                              buildShares: Array[Double],
+                              buildMeanDist2: Double): Unit = {
     import s.implicits._
     val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq, assignVersion) }
-      .toDF("cell", "centroid", "assign_version")
+      .map { case (c, i) =>
+        (i, c.toSeq, assignVersion, buildShares(i), buildMeanDist2) }
+      .toDF("cell", "centroid", "assign_version", "build_share",
+        "build_mean_dist2")
     ManifestLake.write(centDf, centroidTable(indexDir), append = false): Unit
   }
 
@@ -74,27 +122,85 @@ object IvfIndexStore {
     * either still enters through the old centroid snapshot (pinning the
     * pre-append assignments, consistent) or through the new one (seeing
     * every appended vector). Probes never pay a refit; the quantizer
-    * only changes on a full [[build]] rebuild (worth scheduling when
-    * drift makes cells unbalanced). Returns the new assignment version. */
-  def append(newVectors: DataFrame, indexDir: String): Long = {
+    * only changes on a full [[build]] rebuild.
+    *
+    * `epoch = Some((appId, batchId))` makes the append REPLAY-SAFE: the
+    * commit goes through [[ManifestLake.writeBatch]]'s epoch guard, so
+    * a crashed-and-retried maintenance batch commits nothing twice
+    * (`committed = false` in the report). Without an epoch the append
+    * is NOT idempotent — a bare retry duplicates the batch.
+    *
+    * Every append also measures drift against the build's recorded
+    * distribution (see class doc) and reports `rebuildRecommended`. */
+  def append(newVectors: DataFrame, indexDir: String,
+             epoch: Option[(String, Long)] = None,
+             distFactor: Double = 1.5,
+             occupancyThreshold: Double = 0.5,
+             minOccupancyRows: Long = 64L): AppendReport = {
     val s = newVectors.sparkSession
-    val (centroids, _) = loadCentroids(s, indexDir)
-    val assigned = Similarity.assignCells(newVectors, centroids)
-    val v = ManifestLake.write(assigned, assignTable(indexDir),
-      append = true, partitionBy = Seq("cell"))
-    commitCentroids(s, indexDir, centroids, v)
-    v
+    val (centroids, _, buildShares, buildMeanDist2) =
+      loadCentroidStats(s, indexDir)
+    // the scored assignment feeds the stats agg AND the lake write;
+    // persist so the 16-way score fan-out runs once per batch
+    val scored = Similarity.assignCellsScored(newVectors, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cellStats = scored.groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("assign_dist2").as("d2"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val batchN = math.max(1L, cellStats.values.map(_._1).sum)
+      val batchMeanDist2 = cellStats.values.map(_._2).sum / batchN
+      // total-variation distance between the batch's cell occupancy and
+      // the build's: 0 = identical spread, 1 = disjoint. Catches the
+      // "new data collapses into two cells" failure mode long before
+      // mean distance moves.
+      val divergence = buildShares.indices.map { i =>
+        val batchShare = cellStats.get(i).fold(0.0)(_._1.toDouble / batchN)
+        math.abs(batchShare - buildShares(i))
+      }.sum / 2.0
+      val assigned = scored.drop("assign_dist2")
+      val committed = epoch match {
+        case Some((appId, batchId)) =>
+          ManifestLake.writeBatch(assigned, assignTable(indexDir), batchId,
+            partitionBy = Seq("cell"), appId = appId)
+        case None =>
+          ManifestLake.write(assigned, assignTable(indexDir),
+            append = true, partitionBy = Seq("cell"))
+          true
+      }
+      val v = ManifestLake.currentVersion(s, assignTable(indexDir)).get
+      if (committed)
+        commitCentroids(s, indexDir, centroids, v, buildShares,
+          buildMeanDist2)
+      // occupancy of a tiny batch is sampling noise (one vector is 100%
+      // of one cell) — the divergence is still REPORTED but only trips
+      // the flag once the batch is big enough to estimate a spread
+      AppendReport(v, committed, batchMeanDist2, buildMeanDist2, divergence,
+        rebuildRecommended =
+          batchMeanDist2 > distFactor * buildMeanDist2 ||
+            (batchN >= minOccupancyRows && divergence > occupancyThreshold))
+    } finally { scored.unpersist(); () }
   }
 
   /** Centroids + the assignment version they were fit against — the
     * nCells × dim collect every reader starts from. */
   private def loadCentroids(s: SparkSession, indexDir: String)
       : (Array[Array[Double]], Long) = {
+    val (centroids, v, _, _) = loadCentroidStats(s, indexDir)
+    (centroids, v)
+  }
+
+  /** [[loadCentroids]] plus the build's recorded distribution baseline
+    * (per-cell occupancy shares and mean squared assignment distance). */
+  private def loadCentroidStats(s: SparkSession, indexDir: String)
+      : (Array[Array[Double]], Long, Array[Double], Double) = {
     val rows = ManifestLake.read(s, centroidTable(indexDir))
-      .select(col("cell"), col("centroid"), col("assign_version"))
-      .collect()
-    (rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray),
-      rows.head.getLong(2))
+      .select(col("cell"), col("centroid"), col("assign_version"),
+        col("build_share"), col("build_mean_dist2"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getSeq[Double](1).toArray), rows.head.getLong(2),
+      rows.map(_.getDouble(3)), rows.head.getDouble(4))
   }
 
   /** Load the index from the lake — NO fitting, no assignment pass:

@@ -142,7 +142,17 @@ object Similarity {
     * max_by — ONE shuffle on the vector id per append batch. Ties break
     * to the lowest cell, matching Spark ML's argmin scan order. */
   def assignCells(embeddings: DataFrame, centroids: Array[Array[Double]],
-                  embCol: String = "embedding"): DataFrame = {
+                  embCol: String = "embedding"): DataFrame =
+    assignCellsScored(embeddings, centroids, embCol).drop("assign_dist2")
+
+  /** [[assignCells]] plus `assign_dist2`, the squared Euclidean distance
+    * of the NORMALIZED vector to its chosen centroid — recovered for
+    * free from the winning score (‖v̂ − c‖² = 1 − 2·(c·v̂ − ‖c‖²/2)).
+    * This is the drift statistic index maintenance monitors: a batch
+    * whose vectors sit far from every centroid is a batch the frozen
+    * quantizer describes poorly ([[IvfIndexStore.append]]). */
+  def assignCellsScored(embeddings: DataFrame, centroids: Array[Array[Double]],
+                        embCol: String = "embedding"): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     val cols = embeddings.columns.toSeq
@@ -164,7 +174,8 @@ object Similarity {
       .withColumn("__score", dotFold(col("__nv"), col("__c")) -
         col("__c2") / 2.0)
       .groupBy(cols.map(col): _*)
-      .agg(expr("max_by(__cell, struct(__score, -__cell))").as("cell"))
+      .agg(expr("max_by(__cell, struct(__score, -__cell))").as("cell"),
+        (lit(1.0) - lit(2.0) * max(col("__score"))).as("assign_dist2"))
   }
 
   /** The query's `nProbe` nearest cells, ranked by Euclidean distance

@@ -100,8 +100,11 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
       .currentVersion(spark, s"$dir/assignments").get
     val newVec = emb.filter($"vec_id" === 0L)
       .withColumn("vec_id", lit(900000L))
-    val v = IvfIndexStore.append(newVec, dir)
-    v shouldBe beforeV + 1
+    val report = IvfIndexStore.append(newVec, dir)
+    report.version shouldBe beforeV + 1
+    report.committed shouldBe true
+    // a copy of an indexed vector is in-distribution by construction
+    report.rebuildRecommended shouldBe false
     val queryVec = emb.filter($"vec_id" === 0L)
       .select($"embedding".cast("array<double>"))
       .collect().head.getSeq[Double](0).toArray
@@ -114,6 +117,46 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
       .read(spark, s"$dir/centroids", Some(1L))
     oldCents.select(max($"assign_version")).collect()
       .head.getLong(0) shouldBe beforeV
+  }
+
+  test("IVF append drift guard: an in-distribution batch passes, a " +
+    "shifted batch trips rebuildRecommended; an epoch replay commits " +
+    "nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dr").toString
+    IvfIndexStore.build(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+    val assignments = s"$dir/assignments"
+
+    // in-distribution: a sample of the corpus itself under new ids
+    val inDist = emb.filter($"vec_id" % 5 === 0)
+      .withColumn("vec_id", $"vec_id" + 200000L)
+    val r1 = IvfIndexStore.append(inDist, dir, epoch = Some(("maint", 1L)))
+    r1.committed shouldBe true
+    r1.rebuildRecommended shouldBe false
+    r1.occupancyDivergence should be < 0.5
+    r1.batchMeanDist2 should be < 1.5 * r1.buildMeanDist2
+    val countAfterR1 = graft.sources.ManifestLake
+      .read(spark, assignments).count()
+
+    // replaying the SAME maintenance epoch (crash/retry) is a no-op:
+    // writeBatch's guard sees the epoch already on the snapshot
+    val r2 = IvfIndexStore.append(inDist, dir, epoch = Some(("maint", 1L)))
+    r2.committed shouldBe false
+    graft.sources.ManifestLake.read(spark, assignments).count() shouldBe
+      countAfterR1
+
+    // a shifted batch (all vectors pushed toward one direction) lands
+    // in few cells — occupancy divergence trips the flag even though
+    // each vector still HAS a nearest centroid
+    val shifted = emb.filter($"vec_id" % 5 === 1)
+      .withColumn("vec_id", $"vec_id" + 300000L)
+      .withColumn("embedding",
+        transform($"embedding", x => x + lit(3.0f)))
+    val r3 = IvfIndexStore.append(shifted, dir, epoch = Some(("maint", 2L)))
+    r3.committed shouldBe true
+    r3.rebuildRecommended shouldBe true
+    r3.occupancyDivergence should be > 0.5
   }
 
   test("hyperplane LSH near-dup: planted perturbed vectors recovered at " +
