@@ -252,7 +252,43 @@ object LakeQueries {
       |  o_orderpriority
       |FROM orders""".stripMargin
 
+  /** lk6_schema_evolution — add-column evolution through the gate: the
+    * table is customer's (key, name, balance) projection; a second
+    * commit appends re-keyed rows carrying a NEW `c_flag` column. The
+    * manifest records the widened schema, so the head read serves the
+    * original files' `c_flag` as null and the appended files' values —
+    * which is exactly what the oracle re-derives with a NULL-projected
+    * UNION ALL. Version 1 keeps the narrow shape (pinned in
+    * SchemaEvolutionSpec; the gate row pins the widened head). Built
+    * once per (JVM, dataset dir) like every lake gate table. */
+  private def evolvedCustomer(s: SparkSession, d: String): String =
+    builtTables.computeIfAbsent(s"lk6:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk6").toString
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+      ManifestLake.write(c, dir)
+      ManifestLake.write(
+        c.withColumn("c_custkey", col("c_custkey") + 10000000L)
+          .withColumn("c_flag", (col("c_custkey") % 2 === 0).cast("int")),
+        dir)
+      dir
+    })
+
+  def lk6SchemaEvolution(s: SparkSession, d: String): DataFrame =
+    ManifestLake.read(s, evolvedCustomer(s, d))
+      .select("c_custkey", "c_name", "c_acctbal", "c_flag")
+
+  val lk6Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS INTEGER) AS c_flag
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal,
+      |  CAST((c_custkey + 10000000) % 2 = 0 AS INTEGER) AS c_flag
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk6_schema_evolution" -> (lk6SchemaEvolution _),
     "ls1_lake_stream" -> (ls1LakeStream _),
     "lk1_clustered_range" -> (lk1ClusteredRange _),
     "lk2_merge_upsert" -> (lk2MergeUpsert _),
@@ -261,6 +297,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk6_schema_evolution" -> lk6Oracle,
     "ls1_lake_stream" -> ls1Oracle,
     "lk1_clustered_range" -> lk1Oracle,
     "lk2_merge_upsert" -> lk2Oracle,

@@ -172,11 +172,32 @@ object LakeSql {
   }
 
   /** `INSERT INTO` (append) / `INSERT OVERWRITE` (replace) a manifest
-    * table as a new committed version. */
+    * table as a new committed version. SQL INSERT resolves the query's
+    * output against the table BY POSITION (standard SQL semantics —
+    * `SELECT id + 100, ...` has auto-generated column names), so the
+    * output is renamed and cast to the table's recorded schema before
+    * the lake write; a column-count mismatch is a named error. A fresh
+    * (never-committed) table takes the query's schema as-is. */
   final case class GraftInsertCommand(table: String, overwrite: Boolean,
       @transient query: DataFrame) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      ManifestLake.write(query, table, append = !overwrite): Unit
+      import org.apache.spark.sql.functions.col
+      val aligned = ManifestLake.currentVersion(spark, table) match {
+        case None => query
+        case Some(v) =>
+          val schema = ManifestLake.snapshot(spark, table, Some(v)).schema
+            .getOrElse(ManifestLake.read(spark, table, Some(v)).schema)
+          if (query.columns.length != schema.length)
+            throw new IllegalArgumentException(
+              s"INSERT into graft_lake table $table: query produces " +
+                s"${query.columns.length} columns but the table has " +
+                s"${schema.length} (${schema.fieldNames.mkString(", ")}) — " +
+                "INSERT matches by position and needs the full width.")
+          // backquoted: generated names like `round(x, 1.5)` hold dots
+          query.select(query.columns.toSeq.zip(schema.fields.toSeq).map {
+            case (c, f) => col(s"`$c`").cast(f.dataType).as(f.name) }: _*)
+      }
+      ManifestLake.write(aligned, table, append = !overwrite): Unit
       Seq.empty
     }
   }

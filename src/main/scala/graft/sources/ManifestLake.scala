@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal snapshot-manifest table layout: versioned commits over plain
   * parquet files — an offline stand-in for the Delta/Iceberg connector
@@ -192,8 +193,51 @@ object ManifestLake {
 
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             batchId: Option[Long] = None,
-                            appId: Option[String] = None) {
+                            appId: Option[String] = None,
+                            schema: Option[StructType] = None) {
     def files: Seq[String] = entries.map(_.path)
+  }
+
+  /** An append or merge tried to change the table's schema in a way
+    * evolution doesn't cover (retyping or dropping a column). Adding
+    * columns is the supported evolution; anything narrower needs an
+    * explicit overwrite. */
+  final class SchemaEvolutionException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** The schema the table has after committing `incoming` data over
+    * `existing`: identical schemas pass through, NEW columns widen the
+    * table (old files read the added columns as null — the commit's
+    * recorded schema is what makes that consistent), and a retyped or
+    * dropped column raises [[SchemaEvolutionException]] — the caller
+    * must overwrite to narrow. Types compare by `catalogString`
+    * (nullability is not a schema difference for parquet data). */
+  private def evolvedSchema(existing: Option[StructType],
+                            incoming: StructType, table: String,
+                            op: String): StructType = existing match {
+    case None => incoming
+    case Some(cur) =>
+      val in = incoming.fields.map(f => f.name -> f).toMap
+      cur.fields.foreach { f =>
+        in.get(f.name) match {
+          case None => throw new SchemaEvolutionException(
+            s"$op on $table drops column '${f.name}' " +
+              s"(${f.dataType.catalogString}) — schema evolution only ADDS " +
+              "columns; overwrite (append = false) to narrow the table.")
+          case Some(g)
+            if g.dataType.catalogString != f.dataType.catalogString =>
+            throw new SchemaEvolutionException(
+              s"$op on $table retypes column '${f.name}': table has " +
+                s"${f.dataType.catalogString}, incoming data has " +
+                s"${g.dataType.catalogString} — schema evolution only ADDS " +
+                "columns; overwrite (append = false) to change types.")
+          case _ => ()
+        }
+      }
+      val curNames = cur.fieldNames.toSet
+      StructType(cur.fields ++
+        incoming.fields.filterNot(f => curNames(f.name))
+          .map(_.copy(nullable = true)))
   }
 
   final case class CompactReport(filesBefore: Int, filesAfter: Int,
@@ -206,6 +250,7 @@ object ManifestLake {
   private val ManifestRe = "^v(\\d{8,})\\.manifest$".r
   private val BatchHeader = "#batch="
   private val AppHeader = "#app="
+  private val SchemaHeader = "#schema="
   private val FullHeader = "#full"
   private val HintFile = "_last_checkpoint"
 
@@ -238,7 +283,8 @@ object ManifestLake {
   private final case class LogRecord(batchId: Option[Long],
                                      appId: Option[String], full: Boolean,
                                      adds: Seq[FileEntry],
-                                     removes: Seq[String])
+                                     removes: Seq[String],
+                                     schema: Option[StructType] = None)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -249,6 +295,7 @@ object ManifestLake {
     try {
       var batch: Option[Long] = None
       var app: Option[String] = None
+      var schema: Option[StructType] = None
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -259,6 +306,9 @@ object ManifestLake {
           batch = Some(line.stripPrefix(BatchHeader).toLong)
         else if (line.startsWith(AppHeader))
           app = Some(line.stripPrefix(AppHeader))
+        else if (line.startsWith(SchemaHeader))
+          schema = Some(DataType.fromJson(line.stripPrefix(SchemaHeader))
+            .asInstanceOf[StructType])
         else if (line == FullHeader) full = true
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
@@ -266,7 +316,7 @@ object ManifestLake {
         else { full = true; adds += FileEntry.parse(line) } // legacy full list
         line = in.readLine()
       }
-      LogRecord(batch, app, full, adds.result(), removes.result())
+      LogRecord(batch, app, full, adds.result(), removes.result(), schema)
     } finally in.close()
   }
 
@@ -341,6 +391,7 @@ object ManifestLake {
     var deltas = List.empty[LogRecord]
     var headBatch: Option[Long] = None
     var headApp: Option[String] = None
+    var headSchema: Option[StructType] = None
     var headerSeen = false
     while (base == null) {
       val ck = checkpointPath(p, w)
@@ -352,7 +403,10 @@ object ManifestLake {
         else throw new IllegalStateException(
           s"manifest for version $w missing in $tableName while resolving " +
             s"version $v — vacuumed past a retained version?")
-      if (!headerSeen) { headBatch = rec.batchId; headApp = rec.appId; headerSeen = true }
+      if (!headerSeen) {
+        headBatch = rec.batchId; headApp = rec.appId
+        headSchema = rec.schema; headerSeen = true
+      }
       if (rec.full) base = rec.adds
       else {
         deltas ::= rec
@@ -367,20 +421,22 @@ object ManifestLake {
       d.removes.foreach(state.remove)
       d.adds.foreach(e => state.put(e.path, e))
     }
-    Snapshot(v, state.values.toSeq, headBatch, headApp)
+    Snapshot(v, state.values.toSeq, headBatch, headApp, headSchema)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
     * list is resolved NOW — the returned frame is immune to concurrent
     * commits and compactions. `basePath` makes Hive-style partition
     * columns in the relative paths (`date=20250219/...`) reconstruct as
-    * data columns. */
+    * data columns. Snapshots that RECORD a schema (every commit since
+    * schema tracking) read under it, so files written before a column
+    * was added serve that column as null — the consistent-mixed-schema
+    * contract; legacy schema-less snapshots infer from footers as
+    * before. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, version)
-    val base = new Path(table)
-    spark.read.option("basePath", table)
-      .parquet(snap.files.map(f => new Path(base, f).toString): _*)
+    readSnapshotFiles(spark, table, snap, snap.files)
   }
 
   /** Partition values encoded in a manifest path, e.g.
@@ -424,13 +480,21 @@ object ManifestLake {
                                 snap: Snapshot,
                                 keep: Seq[String]): DataFrame = {
     // an empty match is a valid (empty) answer, not an error — keep the
-    // snapshot's schema by folding the full read to an empty relation
-    if (keep.isEmpty)
-      return read(spark, table, Some(snap.version))
-        .filter(org.apache.spark.sql.functions.lit(false))
+    // snapshot's schema (recorded, or folded from the full read)
+    if (keep.isEmpty) return snap.schema match {
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None =>
+        if (snap.files.isEmpty) throw new IllegalStateException(
+          s"snapshot ${snap.version} of $table has no files and no " +
+            "recorded schema — nothing to derive a frame from")
+        readSnapshotFiles(spark, table, snap, snap.files)
+          .filter(org.apache.spark.sql.functions.lit(false))
+    }
     val base = new Path(table)
-    spark.read.option("basePath", table)
-      .parquet(keep.map(f => new Path(base, f).toString): _*)
+    val reader = snap.schema.foldLeft(
+      spark.read.option("basePath", table))((r, sc) => r.schema(sc))
+    reader.parquet(keep.map(f => new Path(base, f).toString): _*)
   }
 
   /** Publish a log record as the next version. Atomic: the record is
@@ -448,7 +512,8 @@ object ManifestLake {
                                  adds: Seq[String], removes: Seq[String],
                                  prev: Option[Long],
                                  batchId: Option[Long] = None,
-                                 appId: Option[String] = None): Long = {
+                                 appId: Option[String] = None,
+                                 schema: Option[StructType] = None): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
@@ -457,6 +522,7 @@ object ManifestLake {
     val sb = new StringBuilder
     batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
     appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
+    schema.foreach(s => sb.append(SchemaHeader).append(s.json).append('\n'))
     if (full) {
       sb.append(FullHeader).append('\n')
       adds.foreach(l => sb.append(l).append('\n'))
@@ -497,6 +563,8 @@ object ManifestLake {
       val sb = new StringBuilder
       snap.batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
       snap.appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
+      snap.schema.foreach(s =>
+        sb.append(SchemaHeader).append(s.json).append('\n'))
       sb.append(FullHeader).append('\n')
       snap.entries.foreach(e => sb.append(e.line).append('\n'))
       val tmp = new Path(new Path(p, ManifestDir),
@@ -558,6 +626,13 @@ object ManifestLake {
           "partition discovery and manifest pruning. Overwrite " +
           "(append = false) to change the layout.")
     }
+    // the committed schema: appends may only match or WIDEN the table's
+    // recorded schema (raises SchemaEvolutionException otherwise);
+    // overwrites define it afresh
+    val committedSchema =
+      if (append && prevSnap.nonEmpty)
+        evolvedSchema(prevSnap.get.schema, df.schema, table, "append")
+      else df.schema
     // Writer-unique attempt id in the staging dir AND the published data
     // file names. The manifest publish is the only arbitration point; two
     // committers racing for the same version both stage and rename data
@@ -583,10 +658,10 @@ object ManifestLake {
       else (batchId, appId)
     if (append && prevSnap.nonEmpty)
       commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
-        effBatch, effApp)
+        effBatch, effApp, Some(committedSchema))
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
-        effBatch, effApp)
+        effBatch, effApp, Some(committedSchema))
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
@@ -759,25 +834,42 @@ object ManifestLake {
       touchedPaths.exists(_.endsWith("/" + e.path)))
     val untouched = snap.entries.filterNot(e =>
       touched.exists(_.path == e.path))
-    // (3) rewrite touched files only: survivors + all update rows
-    val cols = updates.columns.toSeq
+    // (3) rewrite touched files only: survivors + all update rows.
+    // The update set may WIDEN the schema (new columns) — survivors and
+    // untouched files alike serve the added columns as null, survivors
+    // via the typed null literals here, untouched files via the commit's
+    // recorded schema at read time. Retyping/dropping raises the named
+    // SchemaEvolutionException inside evolvedSchema.
+    val baseSchema = snap.schema.getOrElse(
+      readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
+    val mergedSchema =
+      evolvedSchema(Some(baseSchema), updates.schema, table, "merge")
+    val baseNames = baseSchema.fieldNames.toSet
+    def align(df: DataFrame, has: String => Boolean): DataFrame =
+      df.select(mergedSchema.fields.toSeq.map(f =>
+        if (has(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)): _*)
+    val updatesAligned = align(updates, _ => true)
     val survivors =
       if (touched.isEmpty)
-        updates.filter(org.apache.spark.sql.functions.lit(false))
-      else readSnapshotFiles(spark, table, snap, touched.map(_.path))
-        .select(cols.map(col): _*)
-        .join(updKeys, keyCols, "left_anti")
+        updatesAligned.filter(org.apache.spark.sql.functions.lit(false))
+      else align(
+        readSnapshotFiles(spark, table, snap, touched.map(_.path))
+          .join(updKeys, keyCols, "left_anti"), baseNames)
     val next = prev.get + 1
     // Rewritten files must preserve the table's existing layout, or the
     // commit corrupts it: a partition-pathed table rewritten to root-level
     // files mixes leaf depths (partition discovery fails on read), and a
     // stats-carrying table rewritten without ranges silently stops
     // pruning. Both are inferred from the snapshot when not given.
-    val moved = stageDataFiles(survivors.unionByName(updates), fs, p, next,
+    val moved = stageDataFiles(survivors.unionByName(updatesAligned), fs, p,
+      next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
       (statsCol.toSeq ++ snapStatsCols(snap)).distinct)
     commitLog(fs, p, full = false, adds = moved,
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId)
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
+      Some(mergedSchema))
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
@@ -931,8 +1023,10 @@ object ManifestLake {
     val moved = stageDataFiles(survivors, fs, p, next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
       snapStatsCols(snap))
+    // a delete never changes the schema: carry the snapshot's forward
     commitLog(fs, p, full = false, adds = moved,
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId)
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
+      snap.schema)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -982,12 +1076,7 @@ object ManifestLake {
     val keep = rangeCandidates(snap, colName, BigDecimal(lo), BigDecimal(hi))
     // stats proving "nothing can match" is a correct empty answer — the
     // same query on a stats-less table would return 0 rows, not throw
-    if (keep.isEmpty)
-      return read(spark, table, Some(snap.version))
-        .filter(org.apache.spark.sql.functions.lit(false))
-    val base = new Path(table)
-    spark.read.option("basePath", table)
-      .parquet(keep.map(e => new Path(base, e.path).toString): _*)
+    readSnapshotFiles(spark, table, snap, keep.map(_.path))
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 

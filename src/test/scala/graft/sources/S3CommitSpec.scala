@@ -64,6 +64,12 @@ class S3CommitSpec extends AnyFunSuite with Matchers with SparkSpec {
     finally {
       ManifestLake.installCommitPrimitive(prev)
       stub.stop()
+      // the session (and its hadoop conf) is suite-shared: leaving the
+      // stub s3a mapping behind would make OTHER suites' s3a probes
+      // resolve to this test's backing dir instead of failing cleanly
+      conf.unset("fs.s3a.impl")
+      conf.unset("fs.graftstub.root")
+      conf.unset("fs.s3a.impl.disable.cache")
     }
   }
 

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the lake's schema-evolution contract: the manifest records the
+  * table schema per commit, add-column appends widen it (old files read
+  * the new column as null — consistently, whatever file a row lives
+  * in), retyping/dropping raises the named error, and merges align an
+  * evolved update set across touched and untouched files alike. */
+class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-mlake-ev").toString + "/t"
+
+  private def v1Rows = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+  }
+
+  private def v2Rows = {
+    import spark.implicits._
+    (101 to 120).map(i => (i.toLong, s"payload_$i", i * 1.5))
+      .toDF("id", "payload", "score")
+  }
+
+  test("an add-column append widens the table; old files serve the new " +
+    "column as null; time travel reads the old shape") {
+    val t = freshTable()
+    ManifestLake.write(v1Rows, t)
+    ManifestLake.write(v2Rows, t)
+    val head = ManifestLake.read(spark, t)
+    head.columns.toSeq shouldBe Seq("id", "payload", "score")
+    head.count() shouldBe 120
+    // every v1 row reads score as null, every v2 row its value —
+    // regardless of which physical file serves it
+    head.filter(col("id") <= 100 && col("score").isNull).count() shouldBe 100
+    head.filter(col("id") > 100 && col("score").isNotNull).count() shouldBe 20
+    head.agg(sum("score")).collect().head.getDouble(0) shouldBe
+      (101 to 120).map(_ * 1.5).sum
+    // the old snapshot still has the old schema
+    ManifestLake.read(spark, t, Some(1L)).columns.toSeq shouldBe
+      Seq("id", "payload")
+  }
+
+  test("retyping or dropping a column is rejected with the named error; " +
+    "an overwrite may reshape freely") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(v1Rows, t)
+    val retyped = (1 to 5).map(i => (s"$i", s"p$i")).toDF("id", "payload")
+    val e1 = intercept[ManifestLake.SchemaEvolutionException] {
+      ManifestLake.write(retyped, t)
+    }
+    e1.getMessage should (include("retypes column 'id'") and
+      include("bigint") and include("string"))
+    val dropped = (1 to 5).map(i => i.toLong).toDF("id")
+    intercept[ManifestLake.SchemaEvolutionException] {
+      ManifestLake.write(dropped, t)
+    }.getMessage should include("drops column 'payload'")
+    // nothing committed by the failed appends
+    ManifestLake.currentVersion(spark, t) shouldBe Some(1L)
+    // overwrite defines the schema afresh
+    ManifestLake.write(retyped, t, append = false)
+    ManifestLake.read(spark, t).schema("id").dataType.catalogString shouldBe
+      "string"
+  }
+
+  test("a merge with an evolved update set widens touched and untouched " +
+    "files consistently") {
+    import spark.implicits._
+    val t = freshTable()
+    // two files so the merge leaves one untouched (carried verbatim)
+    ManifestLake.writeClustered(v1Rows, t, "id", nFiles = 2)
+    val updates = (1 to 10).map(i =>
+      (i.toLong, s"updated_$i", i * 2.0)).toDF("id", "payload", "score")
+    ManifestLake.merge(updates, t, Seq("id"), statsCol = Some("id"))
+    val merged = ManifestLake.read(spark, t)
+    merged.columns.toSeq shouldBe Seq("id", "payload", "score")
+    merged.count() shouldBe 100
+    // updated rows carry their score; every other row — whether its file
+    // was rewritten (survivors of the touched low file) or carried
+    // verbatim (the untouched high file) — reads null
+    merged.filter(col("id") <= 10)
+      .agg(sum("score")).collect().head.getDouble(0) shouldBe
+      (1 to 10).map(_ * 2.0).sum
+    merged.filter(col("id") > 10 && col("score").isNotNull)
+      .count() shouldBe 0
+    merged.filter(col("payload").startsWith("updated")).count() shouldBe 10
+    // a merge whose updates DROP a column is the same named error
+    val narrow = (1 to 3).map(i => (i.toLong, s"x$i")).toDF("id", "payload")
+    intercept[ManifestLake.SchemaEvolutionException] {
+      ManifestLake.merge(narrow, t, Seq("id"))
+    }.getMessage should include("drops column 'score'")
+  }
+
+  test("deletes and compactions carry the evolved schema forward") {
+    val t = freshTable()
+    ManifestLake.write(v1Rows, t)
+    ManifestLake.write(v2Rows, t)
+    ManifestLake.delete(spark, t, col("id") <= 50)
+    val afterDelete = ManifestLake.read(spark, t)
+    afterDelete.columns.toSeq shouldBe Seq("id", "payload", "score")
+    afterDelete.count() shouldBe 70
+    ManifestLake.compact(spark, t)
+    val afterCompact = ManifestLake.read(spark, t)
+    afterCompact.columns.toSeq shouldBe Seq("id", "payload", "score")
+    afterCompact.filter(col("score").isNotNull).count() shouldBe 20
+  }
+}
