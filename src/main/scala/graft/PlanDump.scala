@@ -1,95 +1,27 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import graft.core.GraftSession
 
-/** Writes `PLANS.md`: the executed physical plans of headline queries,
-  * so the scan pruning / pushdown / broadcast / codegen claims in
-  * SURVEY §8 are inspectable without running anything.
-  * Usage: `runMain graft.PlanDump <sfDir> [outFile]`. */
+/** Plan-audit helper: print the EXECUTED physical plan of named gate
+  * queries (all of them with no names given) against a dataset dir —
+  * the source for PLANS.md's pinned plans. Each query runs through a
+  * noop sink first so AQE's final plan (the one a cluster actually
+  * executes) is what prints, not the pre-runtime guess. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val out = if (args.length > 1) args(1) else "PLANS.md"
-    val spark = GraftSession.local(appName = "graft-plan-dump")
-
-    val headline = Seq(
-      "q1_pricing_summary" ->
-        "fused scan→filter→partial-agg in codegen stage *(1); shipdate in PushedFilters",
-      "q5_local_supplier" ->
-        "six-table join: only two shuffle joins, nation/region broadcast",
-      "p4_time_filter" ->
-        "raw-nanos bounds reach the parquet scan (row-group pruning)",
-      "o1_topk" -> "TakeOrderedAndProject — never a global sort",
-      "b4_enriched" -> "SS⋈SI broadcasts the SI dimension; union is shuffle-free",
-      "o2_salted_join" -> "salted equi-join: hot keys spread across 8 reducers",
-      "aj1_asof_join" -> "one key-shuffle + per-group sort; no row multiplication",
-      "dd1_exact_dedup" -> "single shuffle on the 256-bit content hash",
-      "tx1_lang_id" ->
-        "ONE split(text) per row feeds all 4 profile hit-counts (no re-tokenization)",
-      "dd4_ngram_jaccard" ->
-        "raw text (not shingle arrays) crosses the block shuffle; native ngram_jaccard kernel after lead()",
-      "dd5_embed_neardup" ->
-        "native hyperplane_sketch one-pass expression; banded bucket join; bit_count Hamming gate before exact cosine",
-      "m2_kmeans_prep" ->
-        "narrow prep → single hash-agg on provider; exact decimal sums",
-      "nn2_ivf_topk" ->
-        "cell-pruned probe (persisted index scan + TakeOrdered) + the brute-force recall baseline the gate row grades itself against; probe result persisted so it feeds the recall agg and the output without re-running",
-      "q17_small_qty_revenue" ->
-        "correlated scalar subquery DECORRELATED: one per-partkey avg aggregate joined back on the key — no per-row re-execution",
-      "q4_order_priority" ->
-        "correlated EXISTS decorrelated to a LEFT SEMI join on l_orderkey — one lineitem scan, no per-row probe; the date bounds are in the orders scan's PushedFilters",
-      "q22_idle_customers" ->
-        "NOT EXISTS decorrelated to a LEFT ANTI join; the scalar threshold subquery runs once (subquery reuse) and feeds a scan filter",
-      "q14_promo_share" ->
-        "NO forced hint: AQE broadcasts part at this SF (BHJ below); at 100 TB part outgrows the threshold and the same plan falls back to a shuffled hash join instead of a forced-broadcast OOM",
-      "sp1_hash_split" ->
-        "pure narrow scan→project: the content-addressed split costs zero shuffles at any scale",
-      "mx1_mix_rebalance" ->
-        "one count aggregate; quota table broadcast; SHARDED rank — window partitions are (lang, sha-prefix shard), so no task sorts a whole language; shard bases broadcast back",
-      "pk1_token_pack" ->
-        "hierarchical prefix sum: local windows over (lang, range-shard), tiny shard-total window, bases broadcast — the global doc_id-ordered offsets without a whole-language sort",
-      "qf1_quantile_filter" ->
-        "per-group exact percentile aggregate broadcast back as a null-safe hash join — the wide side sees one narrow join, no window sort",
-      "q7_volume_shipping" ->
-        "nation joined twice: both pre-filtered copies broadcast (BHJ below), fact chain keeps its key shuffles; shipdate bounds in PushedFilters",
-      "q10_returned_items" ->
-        "quarter filter in the orders scan + returnflag filter in the lineitem scan, both as PushedFilters; TakeOrderedAndProject caps at 20",
-      "q18_large_orders" ->
-        "IN-over-grouped-HAVING decorrelated to a LEFT SEMI against the having-filtered per-order aggregate — no per-row probe",
-      "nn4_filtered_topk" ->
-        "label predicate reaches the embeddings scan as a PushedFilter; ranked set is O(selectivity); TakeOrderedAndProject",
-      "lk1_clustered_range" ->
-        "manifest-level file skipping: the parquet relation lists ONLY the files whose recorded range intersects the query range",
-      "q6_forecast_revenue" ->
-        "pure scan-filter-agg: every predicate (shipdate bounds, discount band, quantity cap) in PushedFilters; one codegen stage, map-side partial sum",
-      "q19_disjunctive_join" ->
-        "OR-of-ANDs split per side: the lineitem scan carries the quantity-band disjunction and the part scan the brand/size disjunction as PushedFilters below the join",
-      "st7_session_window" ->
-        "native session_window: one shuffle on user_id + one in-partition sort feeding the merging session aggregate — no separate window-function pass over the sorted data",
-      "dc1_decontaminate" ->
-        "corpus side: native shingle_hashes explode (longs, one JVM pass) into a BROADCAST left-semi join — the corpus is never shuffled; only matched ids reach the distinct")
-
-    val sections = headline.map { case (name, claim) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect() // finalize AQE so codegen stages are annotated
-      s"""## $name
-         |
-         |_${claim}_
-         |
-         |```
-         |${df.queryExecution.executedPlan.toString.take(6000)}
-         |```
-         |""".stripMargin
+    require(args.nonEmpty, "usage: PlanDump <sfDir> [queryName...]")
+    val sfDir = args.head
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else SparkEntry.queries.keySet.toSeq.sorted
+    val spark = GraftSession.local(appName = "graft-plandump")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      println(s"## $n")
+      println(df.queryExecution.executedPlan.toString)
+      graft.core.TransientCache.drain()
     }
-
-    Files.writeString(Paths.get(out),
-      "# Physical plan audit (generated by graft.PlanDump)\n\n" +
-        s"Scale factor dir: `$sfDir`. Regenerate: " +
-        "`sbt \"runMain graft.PlanDump <sfDir>\"`.\n\n" +
-        sections.mkString("\n"))
-    println(s"[plan-dump] wrote $out (${headline.size} plans)")
     spark.stop()
   }
 }

@@ -101,6 +101,25 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, dst).count() shouldBe 90
   }
 
+  test("a consumer lagging past vacuum retention fails with the named " +
+    "error instead of silently skipping versions") {
+    val t = freshDir("graft-lstream") + "/t"
+    val ck = freshDir("graft-lstream-ck")
+    ManifestLake.write(rows(1 to 10), t)
+    runStream(t, ck) shouldBe (1L to 10L).toSet
+    // three more versions, then drop retention to the last one — the
+    // consumer's checkpointed position (v1) now points into the
+    // vacuumed log range
+    ManifestLake.write(rows(11 to 20), t)
+    ManifestLake.write(rows(21 to 30), t)
+    ManifestLake.write(rows(31 to 40), t)
+    ManifestLake.vacuum(spark, t, keepLast = 1)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream(t, ck)
+    }
+    err.getMessage should include("vacuumed past an incremental consumer")
+  }
+
   test("rewrite commits are refused by default and opted into with " +
     "ignoreChanges") {
     val t = freshDir("graft-lstream") + "/t"

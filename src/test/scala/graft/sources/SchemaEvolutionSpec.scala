@@ -97,6 +97,30 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("drops column 'score'")
   }
 
+  test("evolution composes with Hive partitioning: the declared-schema " +
+    "read still reconstructs partition columns and backfills the added " +
+    "one") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = (1 to 60).map(i => (i.toLong, s"p$i", i % 3))
+      .toDF("id", "payload", "bucket")
+    ManifestLake.write(v1, t, partitionBy = Seq("bucket"))
+    val v2 = (61 to 80).map(i => (i.toLong, s"p$i", i % 3, i * 1.5))
+      .toDF("id", "payload", "bucket", "score")
+    ManifestLake.write(v2, t, partitionBy = Seq("bucket"))
+    val head = ManifestLake.read(spark, t)
+    head.count() shouldBe 80
+    head.columns.toSet shouldBe Set("id", "payload", "bucket", "score")
+    // partition column reconstructed from paths for old and new files
+    head.groupBy("bucket").count().collect().map(_.getLong(1)).sum shouldBe 80
+    head.filter(col("id") <= 60 && col("score").isNull).count() shouldBe 60
+    head.filter(col("id") > 60 && col("score").isNotNull).count() shouldBe 20
+    // partition pruning still works on the evolved table
+    ManifestLake.readPruned(spark, t, Map("bucket" -> "1"))
+      .count() shouldBe v1.filter(col("bucket") === 1).count() +
+      v2.filter(col("bucket") === 1).count()
+  }
+
   test("deletes and compactions carry the evolved schema forward") {
     val t = freshTable()
     ManifestLake.write(v1Rows, t)
