@@ -287,7 +287,35 @@ object LakeQueries {
       |  CAST((c_custkey + 10000000) % 2 = 0 AS INTEGER) AS c_flag
       |FROM customer""".stripMargin
 
+  /** lk7_zorder_skip — multi-dimensional skipping through the gate:
+    * lineitem z-ordered on (l_extendedprice, l_quantity) and queried
+    * with a narrow range on the SECOND dimension — the query a 1-D
+    * price-clustered layout cannot skip for at all (lk1 covers the
+    * first-dimension path). File-level pruning on both dims is pinned
+    * in ZOrderSpec where counts are observable; this row pins that the
+    * skipped read loses nothing, against the oracle's plain filter. */
+  def lk7ZorderSkip(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk7:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk7").toString
+      ZOrder.writeZOrdered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_extendedprice", "l_quantity"),
+        dir, Seq("l_extendedprice", "l_quantity"), nFiles = 16)
+      dir
+    })
+    ManifestLake.readRange(s, table, "l_quantity", 10.0, 15.0)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity")
+  }
+
+  val lk7Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10.0 AND 15.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
     "ls1_lake_stream" -> (ls1LakeStream _),
     "lk1_clustered_range" -> (lk1ClusteredRange _),
@@ -297,6 +325,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,
     "ls1_lake_stream" -> ls1Oracle,
     "lk1_clustered_range" -> lk1Oracle,

@@ -97,9 +97,20 @@ object LakeSql {
     private def readPlan(path: String, version: Option[Long]): LogicalPlan =
       PlanBridge.analyzedPlan(ManifestLake.read(spark, path, version))
 
-    /** Rewrite reads (bare relations + time travel) anywhere below. */
+    /** Rewrite reads (bare relations + time travel) anywhere below.
+      * `` graft_lake.`name$history` `` resolves to the table's version
+      * history (the Iceberg metadata-table idiom; DESCRIBE HISTORY
+      * analog) — metadata only, never data files. */
     private def resolveReads(plan: LogicalPlan): LogicalPlan =
       plan.resolveOperatorsUp {
+        case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
+            u.multipartIdentifier(1).endsWith("$history") &&
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$history")).isDefined =>
+          PlanBridge.analyzedPlan(ManifestLake.history(spark,
+            pathOf(u.multipartIdentifier(1).stripSuffix("$history")).get))
         case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if lakeTarget(u).isDefined =>
           val path = lakeTarget(u).get

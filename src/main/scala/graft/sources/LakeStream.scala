@@ -44,6 +44,8 @@ import org.apache.spark.sql.types.StructType
   * `startingVersion` — `earliest` (default: replay the retained log
   * from version 1), `latest` (only commits after stream start), or a
   * version number (commits from that version on, inclusive).
+  * `maxVersionsPerTrigger` caps the versions one micro-batch drains
+  * (the `maxFilesPerTrigger` analog for catch-up reads).
   */
 final class LakeStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -67,7 +69,9 @@ final class LakeStreamProvider extends StreamSourceProvider
       schema.getOrElse(
         ManifestLake.read(sqlContext.sparkSession, tablePath(parameters)).schema),
       parameters.getOrElse("startingversion", "earliest"),
-      parameters.get("ignorechanges").exists(_.toBoolean))
+      parameters.get("ignorechanges").exists(_.toBoolean),
+      parameters.get("maxversionspertrigger").map(_.toInt)
+        .getOrElse(Int.MaxValue))
 }
 
 /** See [[LakeStreamProvider]]. One instance per (re)started query; all
@@ -80,7 +84,8 @@ final class LakeStreamProvider extends StreamSourceProvider
   * schedules, then terminates (no single-batch fallback). */
 final class LakeSource(spark: SparkSession, table: String,
                        override val schema: StructType,
-                       startingVersion: String, ignoreChanges: Boolean)
+                       startingVersion: String, ignoreChanges: Boolean,
+                       maxVersionsPerTrigger: Int = Int.MaxValue)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -109,13 +114,21 @@ final class LakeSource(spark: SparkSession, table: String,
   }
 
   /** Admission-control form of [[getOffset]] (the engine calls this one
-    * when the trigger is AvailableNow). Rate limits don't apply — a
-    * version is the atomic unit of consumption. */
+    * when the trigger is AvailableNow). The version is the atomic unit
+    * of consumption; `maxVersionsPerTrigger` caps how many of them one
+    * micro-batch drains (the `maxFilesPerTrigger` analog — bounds a
+    * resuming consumer's catch-up batch instead of replaying a week of
+    * commits in one giant batch), and an AvailableNow run simply takes
+    * several batches to reach its pinned end. */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(_.json.trim.toLong).getOrElse(boundary)
+    getOffset.map(versionOf)
+      .map(a => math.min(a, from + maxVersionsPerTrigger))
+      .filter(_ > from).map(new LongOffset(_)).orNull
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(versionOf).getOrElse(boundary)

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustering for the manifest lake — the
+  * `OPTIMIZE ZORDER BY` analog. A 1-D clustered write
+  * ([[ManifestLake.writeClustered]]) makes range queries on ONE column
+  * skip files; queries on any other column scan the table. Z-ordering
+  * interleaves the bits of several columns' rank-bucket indices into
+  * one sort key, so every output file covers a small hyper-rectangle of
+  * the combined space — and with per-file stats recorded for EVERY
+  * z-column ([[ManifestLake.FileEntry]] is multi-column since r7), a
+  * narrow range on ANY of them prunes at the manifest level. The cost
+  * model is the clustered write's: one range shuffle at write time,
+  * amortized over every future read on any clustered dimension.
+  *
+  * Bucketing is EQUI-DEPTH (approxQuantile boundaries, one combined
+  * pass for all columns), not equi-width: a skewed column's hot range
+  * still spreads across buckets, which is what keeps file ranges tight
+  * under real distributions. Boundaries are a driver-side array of ≤
+  * `bits²` doubles per column — broadcast-scale metadata, never a
+  * shuffle. NULL z-column values sort to bucket 0 (lowest), mirroring
+  * NULLS FIRST.
+  */
+object ZOrder {
+
+  /** Bits per dimension: 8 ⇒ 256 rank buckets each, 2 dims ⇒ 16-bit
+    * z-values — granular enough to order thousands of files. */
+  val BitsPerDim = 8
+
+  /** The interleaved-bit z-value of the given bucket-index columns
+    * (each in `[0, 2^bits)`): column i contributes its bit b to output
+    * position `b * n + (n − 1 − i)`. Pure `shift`/`and`/`or` column
+    * arithmetic — codegen-friendly, no UDF. */
+  private[sources] def interleave(buckets: Seq[Column],
+                                  bits: Int = BitsPerDim): Column = {
+    val n = buckets.size
+    val terms = for {
+      (b, i) <- buckets.zipWithIndex
+      bit <- 0 until bits
+    } yield shiftleft(
+      shiftrightunsigned(b, bit).bitwiseAND(lit(1)),
+      bit * n + (n - 1 - i))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The rank-bucket index (0-based) of `c` against sorted equi-depth
+    * `bounds`: the count of boundaries ≤ value, capped into
+    * `[0, 2^bits)`. Unrolled comparisons over ≤ 255 literal boundaries
+    * — a balanced conditional tree after codegen, no interpreted HOF,
+    * no per-row allocation. */
+  private[sources] def bucketOf(c: Column, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(c.isNotNull && c >= b, 1).otherwise(0))
+
+  /** Z-ordered lake write: bucket each `zCols` by its own equi-depth
+    * boundaries, interleave into a z-value, range-cluster the data on
+    * it, and commit through the manifest with per-file min/max recorded
+    * for EVERY z-column — after which [[ManifestLake.readRange]] (and
+    * merge/delete candidate pruning) skips files on any of the
+    * dimensions. Returns the committed version. */
+  def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
+                    nFiles: Int, append: Boolean = false): Long = {
+    require(zCols.size >= 2,
+      "z-ordering needs ≥ 2 columns; use writeClustered for one")
+    val nBuckets = 1 << BitsPerDim
+    // one combined pass computes every column's quantile sketch
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val quantiles = df.stat.approxQuantile(
+      zCols.map(c => c).toArray, probs, 0.001)
+    val buckets = zCols.zip(quantiles).map { case (c, qs) =>
+      bucketOf(col(c).cast("double"), qs.distinct.sorted)
+    }
+    val z = interleave(buckets)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    ManifestLake.write(clustered, table, append = append,
+      statsCols = zCols)
+  }
+}

@@ -135,4 +135,25 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     e.getMessage.toLowerCase should include("not") // table not found
   }
+
+  test("the $history metadata table serves version history from SQL — " +
+    "manifests only, no data read") {
+    import spark.implicits._
+    val path = freshTable("hist")
+    seed(path, 10)
+    ManifestLake.write(
+      (11 to 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), path)
+    val hist = spark.sql(
+      "SELECT version, n_files FROM graft_lake.`hist$history` " +
+        "ORDER BY version")
+    val rows = hist.collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    rows.last.getLong(1) should be > rows.head.getLong(1) // files accrue
+    // joins against the data table compose normally
+    spark.sql(
+      """SELECT h.version, count(*) AS n
+        |FROM graft_lake.`hist$history` h CROSS JOIN graft_lake.hist t
+        |WHERE h.version = 2 GROUP BY h.version""".stripMargin)
+      .collect().head.getLong(1) shouldBe 20L
+  }
 }

@@ -101,6 +101,31 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, dst).count() shouldBe 90
   }
 
+  test("maxVersionsPerTrigger bounds a catch-up run into several " +
+    "batches without losing or duplicating rows") {
+    val t = freshDir("graft-lstream") + "/t"
+    (0 until 5).foreach(i =>
+      ManifestLake.write(rows(i * 10 + 1 to i * 10 + 10), t))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getLong(0))
+        batchSizes.add(ids.length)
+        ids.foreach(got.add); ()
+      }
+      .option("checkpointLocation", freshDir("ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    got.asScala.toSet shouldBe (1L to 50L).toSet
+    got.asScala.size shouldBe 50 // no duplicates either
+    // 5 versions at ≤2 per trigger: 3 data batches of 20/20/10 rows
+    batchSizes.asScala.toSeq.filter(_ > 0).sorted shouldBe Seq(10, 20, 20)
+  }
+
   test("a consumer lagging past vacuum retention fails with the named " +
     "error instead of silently skipping versions") {
     val t = freshDir("graft-lstream") + "/t"

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the z-order contract: after [[ZOrder.writeZOrdered]] on two
+  * columns, a narrow range on EITHER column prunes files at the
+  * manifest level (the capability 1-D clustering can't give), skipping
+  * loses no rows, and NULL z-values neither crash the write nor get
+  * wrongly skipped. */
+class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+
+  test("both z-dimensions prune files; a 1-D clustered layout prunes " +
+    "only its own") {
+    import spark.implicits._
+    // x uniform, y decorrelated from x (multiplicative shuffle)
+    val rows = (0 until 32000)
+      .map(i => (i.toLong, (i % 1000).toDouble, ((i * 7919) % 1000).toDouble))
+      .toDF("id", "x", "y")
+    val zt = freshTable()
+    ZOrder.writeZOrdered(rows, zt, Seq("x", "y"), nFiles = 16)
+    val zsnap = ManifestLake.snapshot(spark, zt)
+    zsnap.entries should have size 16
+    // every file records ranges for BOTH dimensions
+    all(zsnap.entries.map(_.ranges.map(_.col).toSet)) shouldBe Set("x", "y")
+
+    val xCand = ManifestLake.rangeCandidates(
+      zsnap, "x", BigDecimal(100), BigDecimal(149))
+    val yCand = ManifestLake.rangeCandidates(
+      zsnap, "y", BigDecimal(100), BigDecimal(149))
+    withClue(s"x:${xCand.size} y:${yCand.size} of 16") {
+      xCand.size should be < 16
+      yCand.size should be < 16
+      // a 5% window over 4×4 z-tiles touches about a quarter of files
+      xCand.size should be <= 8
+      yCand.size should be <= 8
+    }
+
+    // the same data 1-D clustered on x: x prunes harder, y not at all
+    val ct = freshTable()
+    ManifestLake.writeClustered(rows, ct, "x", nFiles = 16,
+      extraStatsCols = Seq("y"))
+    val csnap = ManifestLake.snapshot(spark, ct)
+    ManifestLake.rangeCandidates(csnap, "x", BigDecimal(100),
+      BigDecimal(149)).size should be <= xCand.size
+    ManifestLake.rangeCandidates(csnap, "y", BigDecimal(100),
+      BigDecimal(149)).size shouldBe csnap.entries.size // no pruning
+
+    // skipping loses nothing, on either dimension
+    ManifestLake.readRange(spark, zt, "x", 100.0, 149.0).count() shouldBe
+      rows.filter($"x".between(100.0, 149.0)).count()
+    ManifestLake.readRange(spark, zt, "y", 100.0, 149.0).count() shouldBe
+      rows.filter($"y".between(100.0, 149.0)).count()
+  }
+
+  test("NULL z-values cluster low, never match a range, and are never " +
+    "wrongly skipped away from a full read") {
+    import spark.implicits._
+    val rows = (0 until 2000)
+      .map(i => (i.toLong,
+        if (i % 100 == 0) None else Some((i % 500).toDouble),
+        (i % 300).toDouble))
+      .toDF("id", "x", "y")
+    val t = freshTable()
+    ZOrder.writeZOrdered(rows, t, Seq("x", "y"), nFiles = 4)
+    ManifestLake.read(spark, t).count() shouldBe 2000
+    ManifestLake.read(spark, t).filter($"x".isNull).count() shouldBe 20
+    // a range query never returns (or counts) null-x rows — SQL semantics
+    ManifestLake.readRange(spark, t, "x", 0.0, 500.0)
+      .count() shouldBe 1980
+  }
+}
