@@ -34,6 +34,8 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *   MERGE INTO graft_lake.t USING <src> s ON t.k = s.k [AND ...]
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *
+  *   ALTER TABLE graft_lake.t ADD COLUMNS (c TYPE, ...)   -- metadata-only
+  *   SELECT ... FROM graft_lake.`t$history`               -- version history
   * }}}
   * The MERGE shape is exactly [[ManifestLake.merge]]'s upsert contract
   * (equi-keyed, update-all / insert-all); any other action list raises
@@ -54,6 +56,16 @@ object LakeSql {
 
   def pathOf(name: String): Option[String] =
     Option(tables.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** The registered lake path an ALTER command's `UnresolvedTable`
+    * child refers to. */
+  private def lakeAlterTarget(plan: LogicalPlan): Option[String] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+      if t.multipartIdentifier.length == 2 &&
+        t.multipartIdentifier.head.equalsIgnoreCase(Namespace) =>
+      pathOf(t.multipartIdentifier(1))
+    case _ => None
+  }
 
   /** The registered lake path a (possibly aliased) relation refers to. */
   private def lakeTarget(plan: LogicalPlan): Option[String] = plan match {
@@ -145,6 +157,18 @@ object LakeSql {
             equiKeys(m.mergeCondition),
             PlanBridge.ofRows(spark, src))
         }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
+        if lakeAlterTarget(a.table).isDefined =>
+        val cols = a.columnsToAdd.map { c =>
+          if (c.path.nonEmpty || c.position.nonEmpty || c.default.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft_lake ALTER TABLE ADD COLUMNS supports plain top-level " +
+                "columns only (no nested paths, FIRST/AFTER positions, or " +
+                "DEFAULT values)")
+          org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+            nullable = true)
+        }
+        GraftAddColumnsCommand(lakeAlterTarget(a.table).get, cols)
       case d: DeleteFromTable if lakeTarget(d.table).isDefined =>
         GraftDeleteCommand(lakeTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))
@@ -167,6 +191,17 @@ object LakeSql {
       @transient source: DataFrame) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       ManifestLake.merge(source, table, keyCols): Unit
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS` — [[ManifestLake.addColumns]]'s
+    * metadata-only widened-schema commit (no data IO at any size). */
+  final case class GraftAddColumnsCommand(table: String,
+      cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      ManifestLake.addColumns(spark, table, cols): Unit
       Seq.empty
     }
   }

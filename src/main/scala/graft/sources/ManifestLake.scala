@@ -1132,6 +1132,32 @@ object ManifestLake {
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
 
+  /** Metadata-only ALTER: commit the CURRENT file list under a widened
+    * schema — a delta record with no adds, no removes, just the new
+    * schema header, so adding a column is O(1) at any table size (the
+    * column reads as null everywhere until data arrives; the first
+    * append carrying it is an ordinary evolved append). The SQL
+    * surface's `ALTER TABLE graft_lake.t ADD COLUMNS (...)` lands
+    * here. Raises [[SchemaEvolutionException]] if a name already
+    * exists; a legacy schema-less table derives its base schema from
+    * its files first. */
+  def addColumns(spark: SparkSession, table: String,
+                 newCols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    val base = snap.schema.getOrElse(read(spark, table, prev).schema)
+    newCols.find(f => base.fieldNames.contains(f.name)).foreach(f =>
+      throw new SchemaEvolutionException(
+        s"ALTER on $table: column '${f.name}' already exists " +
+          s"(${base(f.name).dataType.catalogString})"))
+    val widened = StructType(base.fields ++ newCols.map(_.copy(nullable = true)))
+    commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
+      snap.batchId, snap.appId, Some(widened))
+  }
+
   /** The committed change of one version, as its log record describes
     * it: `base = true` means the record REPLACED the table's file list
     * (first commit, overwrite, compaction) and `added` is the complete

@@ -136,6 +136,31 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage.toLowerCase should include("not") // table not found
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema from SQL without " +
+    "touching data; unsupported shapes raise named errors") {
+    val path = freshTable("alt")
+    seed(path, 10)
+    val filesBefore = ManifestLake.snapshot(spark, path).files
+    spark.sql("ALTER TABLE graft_lake.alt ADD COLUMNS (score DOUBLE, " +
+      "tag STRING)")
+    ManifestLake.snapshot(spark, path).files shouldBe filesBefore
+    val head = spark.sql("SELECT * FROM graft_lake.alt")
+    head.columns.toSeq shouldBe Seq("id", "payload", "score", "tag")
+    head.count() shouldBe 10
+    spark.sql("SELECT count(*) AS n FROM graft_lake.alt " +
+      "WHERE score IS NULL").collect().head.getLong(0) shouldBe 10
+    // INSERT after ALTER takes the widened width positionally
+    spark.sql("INSERT INTO graft_lake.alt " +
+      "SELECT 100L, 'p100', 1.5D, 'tagged'")
+    spark.sql("SELECT count(*) AS n FROM graft_lake.alt " +
+      "WHERE score IS NOT NULL").collect().head.getLong(0) shouldBe 1
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.alt ADD COLUMNS " +
+        "(late INT AFTER id)")
+    }
+    e.getMessage should include("plain top-level columns")
+  }
+
   test("the $history metadata table serves version history from SQL — " +
     "manifests only, no data read") {
     import spark.implicits._

@@ -121,6 +121,31 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSpec {
       v2.filter(col("bucket") === 1).count()
   }
 
+  test("addColumns is a metadata-only commit: same files, widened " +
+    "schema, nulls everywhere until data arrives") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val t = freshTable()
+    ManifestLake.write(v1Rows, t)
+    val before = ManifestLake.snapshot(spark, t)
+    val v = ManifestLake.addColumns(spark, t,
+      Seq(StructField("score", DoubleType)))
+    v shouldBe 2L
+    val after = ManifestLake.snapshot(spark, t)
+    after.files shouldBe before.files // NO data was touched
+    val head = ManifestLake.read(spark, t)
+    head.columns.toSeq shouldBe Seq("id", "payload", "score")
+    head.filter(col("score").isNotNull).count() shouldBe 0
+    // the first append CARRYING the column is an ordinary evolved append
+    ManifestLake.write(v2Rows, t)
+    ManifestLake.read(spark, t)
+      .filter(col("score").isNotNull).count() shouldBe 20
+    // duplicate names raise the named error
+    intercept[ManifestLake.SchemaEvolutionException] {
+      ManifestLake.addColumns(spark, t,
+        Seq(StructField("payload", DoubleType)))
+    }.getMessage should include("already exists")
+  }
+
   test("deletes and compactions carry the evolved schema forward") {
     val t = freshTable()
     ManifestLake.write(v1Rows, t)
