@@ -314,7 +314,49 @@ object LakeQueries {
       |FROM lineitem
       |WHERE l_quantity BETWEEN 10.0 AND 15.0""".stripMargin
 
+  /** cd1_change_feed — row-level CDC through the gate: its own
+    * clustered customer copy takes one lk2-style MERGE, and the feed
+    * over that single version must emit EXACTLY the merge's semantic
+    * change set — a `delete` of every matched row's old image and an
+    * `insert` of every update row — and nothing else: rows of
+    * rewritten files that survived verbatim cancel in the diff, rows
+    * of untouched files never enter it. That cancellation is what the
+    * DuckDB oracle re-derives relationally from the original customer
+    * table, so the row is hash-exact. IO ∝ changed files is pinned in
+    * ManifestLakeSpec where file reads are observable. */
+  def cd1ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"cd1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-cd1").toString
+      ManifestLake.writeClustered(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        dir, "c_custkey", nFiles = 8)
+      ManifestLake.merge(lk2Updates(s, d), dir, Seq("c_custkey"),
+        statsCol = Some("c_custkey"))
+      dir
+    })
+    ManifestLake.changeFeed(s, table, 1L, 2L)
+      .select("_change_type", "c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+  }
+
+  val cd1Oracle: String =
+    """SELECT 'delete' AS _change_type, c_custkey, c_name, c_nationkey,
+      |  c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 10 = 3
+      |UNION ALL
+      |SELECT 'insert' AS _change_type, c_custkey, c_name, c_nationkey,
+      |  c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 10 = 3
+      |UNION ALL
+      |SELECT 'insert' AS _change_type, c_custkey + 10000000 AS c_custkey,
+      |  c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
     "ls1_lake_stream" -> (ls1LakeStream _),
@@ -325,6 +367,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,
     "ls1_lake_stream" -> ls1Oracle,

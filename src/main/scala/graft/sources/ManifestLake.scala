@@ -1186,6 +1186,70 @@ object ManifestLake {
     }
   }
 
+  /** Row-level CHANGE FEED for `(fromExclusive, toInclusive]` — the
+    * `readChangeFeed` analog, computed on demand from the log instead
+    * of write-time change files: for each version, the rows of its
+    * REMOVED files that don't reappear in its ADDED files are
+    * `delete`s, and added-file rows absent from the removed files are
+    * `insert`s (an update is a delete + insert of the same key, which
+    * is how copy-on-write actually happened). Rows of rewritten files
+    * that survived verbatim cancel in the EXCEPT ALL and are never
+    * emitted — so IO and compute are proportional to the CHANGED files
+    * of each version, never the table. Output: `_change_type`,
+    * `_commit_version`, then the data columns (aligned to each
+    * version's recorded schema; a column added later reads null in
+    * earlier versions' changes).
+    *
+    * Version 1 is the initial data (all inserts). A mid-range base
+    * commit (overwrite/compaction) is not row-diffable from its delta
+    * record alone and raises — feed past it from a later
+    * `fromExclusive`, matching the streaming source's contract. */
+  def changeFeed(spark: SparkSession, table: String,
+                 fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(toInclusive > fromExclusive,
+      s"empty change range ($fromExclusive, $toInclusive]")
+    val changes = changesBetween(spark, table, fromExclusive, toInclusive)
+    val frames = changes.map { ch =>
+      if (ch.base && ch.version != 1)
+        throw new UnsupportedOperationException(
+          s"version ${ch.version} of $table is a base commit " +
+            "(overwrite/compaction) — not row-diffable from its log " +
+            "record. Start the feed after it.")
+      val snap = snapshot(spark, table, Some(ch.version))
+      val schema = snap.schema
+      val added = readSnapshotFiles(spark, table, snap,
+        ch.added.map(_.path))
+      // removed files belong to the PREVIOUS snapshot, but read them
+      // under THIS version's schema: evolution only widens, so the
+      // declared read null-backfills any column the old files predate
+      val removed =
+        if (ch.removed.isEmpty) added.filter(lit(false))
+        else readSnapshotFiles(spark, table,
+          snapshot(spark, table, Some(ch.version - 1))
+            .copy(schema = schema),
+          ch.removed)
+      def aligned(df: DataFrame): DataFrame = schema match {
+        case Some(sc) => df.select(sc.fields.toSeq.map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+        case None => df
+      }
+      val a = aligned(added)
+      val r = aligned(removed)
+      a.exceptAll(r)
+        .select(lit("insert").as("_change_type") +:
+          lit(ch.version).as("_commit_version") +:
+          a.columns.toSeq.map(col): _*)
+        .unionByName(
+          r.exceptAll(a)
+            .select(lit("delete").as("_change_type") +:
+              lit(ch.version).as("_commit_version") +:
+              r.columns.toSeq.map(col): _*))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Table history as a DataFrame — one row per retained version with
     * its file count and streaming transaction identity (the DESCRIBE
     * HISTORY analog). Metadata only: reads manifests, never data. */
