@@ -126,13 +126,24 @@ object LakeSql {
         case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if lakeTarget(u).isDefined =>
           val path = lakeTarget(u).get
-          if (ts.nonEmpty) throw new UnsupportedOperationException(
-            "graft_lake time travel is by version (VERSION AS OF n); " +
-              "TIMESTAMP AS OF is not supported — the manifest records " +
-              "no commit timestamps")
-          val v = version.getOrElse(throw new UnsupportedOperationException(
-            "graft_lake time travel needs VERSION AS OF n"))
-          readPlan(path, Some(java.lang.Long.parseLong(v)))
+          val v = (ts, version) match {
+            case (Some(e), _) =>
+              // evaluate the (foldable) timestamp expression in the
+              // session time zone, as the engines do
+              val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+                e, org.apache.spark.sql.types.TimestampType,
+                Some(spark.conf.get("spark.sql.session.timeZone")))
+                .eval(null)
+              if (micros == null) throw new IllegalArgumentException(
+                s"TIMESTAMP AS OF ${e.sql} does not evaluate to a timestamp")
+              ManifestLake.versionAsOf(spark, path,
+                Math.floorDiv(micros.asInstanceOf[Long], 1000L))
+            case (None, Some(n)) => java.lang.Long.parseLong(n)
+            case _ => throw new UnsupportedOperationException(
+              "graft_lake time travel needs VERSION AS OF n or " +
+                "TIMESTAMP AS OF ts")
+          }
+          readPlan(path, Some(v))
         case u: UnresolvedRelation if lakeTarget(u).isDefined =>
           readPlan(lakeTarget(u).get, None)
       }

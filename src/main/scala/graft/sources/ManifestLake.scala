@@ -251,7 +251,13 @@ object ManifestLake {
   private val BatchHeader = "#batch="
   private val AppHeader = "#app="
   private val SchemaHeader = "#schema="
+  private val TsHeader = "#ts="
   private val FullHeader = "#full"
+
+  /** Commit wall-clock source — a seam so specs can pin timestamp
+    * resolution deterministically; production uses the system clock. */
+  @volatile private[sources] var clock: () => Long =
+    () => System.currentTimeMillis()
   private val HintFile = "_last_checkpoint"
 
   /** Commits between checkpoints. Smaller = shorter replay walks but
@@ -284,7 +290,8 @@ object ManifestLake {
                                      appId: Option[String], full: Boolean,
                                      adds: Seq[FileEntry],
                                      removes: Seq[String],
-                                     schema: Option[StructType] = None)
+                                     schema: Option[StructType] = None,
+                                     tsMillis: Option[Long] = None)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -296,6 +303,7 @@ object ManifestLake {
       var batch: Option[Long] = None
       var app: Option[String] = None
       var schema: Option[StructType] = None
+      var ts: Option[Long] = None
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -309,6 +317,8 @@ object ManifestLake {
         else if (line.startsWith(SchemaHeader))
           schema = Some(DataType.fromJson(line.stripPrefix(SchemaHeader))
             .asInstanceOf[StructType])
+        else if (line.startsWith(TsHeader))
+          ts = Some(line.stripPrefix(TsHeader).toLong)
         else if (line == FullHeader) full = true
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
@@ -316,7 +326,7 @@ object ManifestLake {
         else { full = true; adds += FileEntry.parse(line) } // legacy full list
         line = in.readLine()
       }
-      LogRecord(batch, app, full, adds.result(), removes.result(), schema)
+      LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts)
     } finally in.close()
   }
 
@@ -523,6 +533,7 @@ object ManifestLake {
     batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
     appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
     schema.foreach(s => sb.append(SchemaHeader).append(s.json).append('\n'))
+    sb.append(TsHeader).append(clock()).append('\n')
     if (full) {
       sb.append(FullHeader).append('\n')
       adds.foreach(l => sb.append(l).append('\n'))
@@ -1132,6 +1143,40 @@ object ManifestLake {
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
 
+  /** The latest version committed at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution. Binary search over the retained
+    * versions' manifest headers: O(log versions) header reads after
+    * one directory listing. Commit timestamps come from the
+    * committer's clock and are assumed non-decreasing (single writer
+    * or synchronized clocks — the assumption every log-structured
+    * table format documents); manifests from before timestamp
+    * tracking sort as oldest. Raises if `tsMillis` predates the first
+    * retained commit — time travel into the vacuumed range is gone by
+    * the retention contract. */
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val (fs, p) = fsFor(spark, table)
+    val vs = versionsFs(fs, p)
+    if (vs.isEmpty)
+      throw new IllegalStateException(s"no committed version in $table")
+    def tsOf(v: Long): Option[Long] = readLog(fs, manifestPath(p, v)).tsMillis
+    var lo = 0
+    var hi = vs.size - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (tsOf(vs(mid)).forall(_ <= tsMillis)) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates the first retained commit of $table " +
+        s"(version ${vs.head}${tsOf(vs.head).fold("")(t => s", committed at $t")})")
+    vs(ans)
+  }
+
+  /** [[read]] at the snapshot [[versionAsOf]] resolves for `tsMillis`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
+
   /** Metadata-only ALTER: commit the CURRENT file list under a widened
     * schema — a delta record with no adds, no removes, just the new
     * schema header, so adding a column is O(1) at any table size (the
@@ -1255,11 +1300,14 @@ object ManifestLake {
     * HISTORY analog). Metadata only: reads manifests, never data. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
+    val (fs, p) = fsFor(spark, table)
     versions(spark, table)
-      .map(v => snapshot(spark, table, Some(v)))
-      .map(s => (s.version, s.files.size.toLong,
-        s.batchId, s.appId))
-      .toDF("version", "n_files", "batch_id", "app_id")
+      .map { v =>
+        val s = snapshot(spark, table, Some(v))
+        (s.version, s.files.size.toLong, s.batchId, s.appId,
+          readLog(fs, manifestPath(p, v)).tsMillis)
+      }
+      .toDF("version", "n_files", "batch_id", "app_id", "commit_ts_ms")
   }
 
   /** The version a data file was written under, parsed from its

@@ -136,6 +136,30 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage.toLowerCase should include("not") // table not found
   }
 
+  test("TIMESTAMP AS OF reads the snapshot current at that wall-clock " +
+    "time (session-TZ literal)") {
+    import spark.implicits._
+    val path = freshTable("tsv")
+    val prevClock = ManifestLake.clock
+    try {
+      ManifestLake.clock = () => 2000L // 1970-01-01 00:00:02 UTC
+      seed(path, 10)
+      ManifestLake.clock = () => 4000L
+      ManifestLake.write(
+        (11 to 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), path)
+      spark.sql("SELECT count(*) AS n FROM graft_lake.tsv " +
+        "TIMESTAMP AS OF '1970-01-01 00:00:03'")
+        .collect().head.getLong(0) shouldBe 10L
+      spark.sql("SELECT count(*) AS n FROM graft_lake.tsv " +
+        "TIMESTAMP AS OF '1970-01-01 00:00:05'")
+        .collect().head.getLong(0) shouldBe 30L
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft_lake.tsv " +
+          "TIMESTAMP AS OF '1970-01-01 00:00:01'").collect()
+      }.getMessage should include("predates the first retained commit")
+    } finally ManifestLake.clock = prevClock
+  }
+
   test("ALTER TABLE ADD COLUMNS widens the schema from SQL without " +
     "touching data; unsupported shapes raise named errors") {
     val path = freshTable("alt")

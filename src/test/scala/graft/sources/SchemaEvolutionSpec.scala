@@ -146,6 +146,30 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("already exists")
   }
 
+  test("TIMESTAMP AS OF resolves the latest version at or before the " +
+    "timestamp via the recorded commit clock") {
+    val t = freshTable()
+    val prevClock = ManifestLake.clock
+    try {
+      ManifestLake.clock = () => 1000L
+      ManifestLake.write(v1Rows, t) // v1 @ 1000
+      ManifestLake.clock = () => 2000L
+      ManifestLake.write(v2Rows, t) // v2 @ 2000
+      ManifestLake.clock = () => 3000L
+      ManifestLake.delete(spark, t, col("id") <= 10) // v3 @ 3000
+      ManifestLake.versionAsOf(spark, t, 1500L) shouldBe 1L
+      ManifestLake.versionAsOf(spark, t, 2000L) shouldBe 2L
+      ManifestLake.versionAsOf(spark, t, 99999L) shouldBe 3L
+      ManifestLake.readAsOf(spark, t, 2500L).count() shouldBe 120
+      intercept[IllegalArgumentException] {
+        ManifestLake.versionAsOf(spark, t, 500L)
+      }.getMessage should include("predates the first retained commit")
+      // history surfaces the commit clock
+      ManifestLake.history(spark, t).select("commit_ts_ms").collect()
+        .map(_.getLong(0)).toSeq shouldBe Seq(1000L, 2000L, 3000L)
+    } finally ManifestLake.clock = prevClock
+  }
+
   test("deletes and compactions carry the evolved schema forward") {
     val t = freshTable()
     ManifestLake.write(v1Rows, t)
