@@ -87,7 +87,8 @@ final class LakeSource(spark: SparkSession, table: String,
                        startingVersion: String, ignoreChanges: Boolean,
                        maxVersionsPerTrigger: Int = Int.MaxValue)
     extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   /** Version BEFORE the first streamed one (exclusive lower bound).
     * Evaluated once at source construction — for `latest` that freezes
@@ -157,6 +158,21 @@ final class LakeSource(spark: SparkSession, table: String,
             new org.apache.hadoop.fs.Path(base, f).toString): _*)
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
     }
+  }
+
+  /** Consumer-lag observability in StreamingQueryProgress: how many
+    * committed versions the stream has not yet drained (the Kafka
+    * consumer-lag analog — the number an operator alerts on). */
+  override def metrics(latestConsumedOffset: java.util.Optional[
+      org.apache.spark.sql.connector.read.streaming.Offset])
+      : java.util.Map[String, String] = {
+    val consumed =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.json.trim.toLong
+      else boundary
+    val latest = ManifestLake.currentVersion(spark, table).getOrElse(boundary)
+    java.util.Collections.singletonMap("versionsBehind",
+      math.max(0L, latest - consumed).toString)
   }
 
   override def stop(): Unit = ()

@@ -1122,7 +1122,9 @@ object ManifestLake {
     * the compacted set as a NEW version. Readers of older snapshots keep
     * working: their files are untouched until [[vacuum]]. */
   def compact(spark: SparkSession, table: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              clusterCol: Option[String] = None): CompactReport = {
+    import org.apache.spark.sql.functions.col
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
     val bytes = snap.files.map(f =>
@@ -1132,15 +1134,39 @@ object ManifestLake {
     // to nFiles tasks; repartition keeps the read wide, only the write narrow.
     // The snapshot's streaming batch id carries forward so a compaction
     // never erases the sink's replay high-water mark, and the partition
-    // layout (derived from the manifest paths) is preserved.
+    // layout (derived from the manifest paths) is preserved. With
+    // `clusterCol`, compaction RE-CLUSTERS (the OPTIMIZE idiom): many
+    // interleaved-range appends degrade range skipping to nothing, and a
+    // range-repartitioned rewrite restores pairwise-disjoint file ranges
+    // — same IO as the plain compaction, recorded stats included.
     val partCols = partitionColsOf(snap)
-    val statsCols = snapStatsCols(snap)
-    val compacted = read(spark, table, Some(snap.version)).repartition(nFiles)
+    val statsCols = (clusterCol.toSeq ++ snapStatsCols(snap)).distinct
+    val current = read(spark, table, Some(snap.version))
+    val compacted = clusterCol match {
+      case Some(c) => current.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(c)
+      case None => current.repartition(nFiles)
+    }
     val newVersion = write(compacted, table, append = false,
       batchId = snap.batchId, partitionBy = partCols,
       statsCols = statsCols, appId = snap.appId)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
+  }
+
+  /** Time-based retention: vacuum every version whose commit clock is
+    * at or before `cutoffMillis` (the head survives regardless — a
+    * table always keeps its current snapshot). Built on the recorded
+    * `#ts=` headers, so versions from before timestamp tracking count
+    * as oldest and age out first. Returns data files deleted. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+                      cutoffMillis: Long): Int = {
+    val (fs, p) = fsFor(spark, table)
+    val vs = versionsFs(fs, p)
+    if (vs.isEmpty) return 0
+    val keep = vs.count(v =>
+      readLog(fs, manifestPath(p, v)).tsMillis.exists(_ > cutoffMillis))
+    vacuum(spark, table, keepLast = math.max(1, keep))
   }
 
   /** The latest version committed at or before `tsMillis` — the

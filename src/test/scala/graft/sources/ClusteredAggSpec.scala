@@ -67,6 +67,35 @@ class ClusteredAggSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("clustered compaction restores range skipping that interleaved " +
+    "appends destroyed (the OPTIMIZE idiom)") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-mlake-agg").toString + "/t"
+    // 8 appends whose id ranges all interleave: every file spans the
+    // whole value space, so range skipping prunes NOTHING
+    (0 until 8).foreach { k =>
+      ManifestLake.write(
+        (0 until 1000).map(i => ((i * 8 + k).toLong, s"p$i"))
+          .toDF("id", "payload").coalesce(1),
+        t, statsCol = Some("id"))
+    }
+    val before = ManifestLake.snapshot(spark, t)
+    ManifestLake.rangeCandidates(before, "id", BigDecimal(0),
+      BigDecimal(499)).size shouldBe before.entries.size // no pruning
+    val report = ManifestLake.compact(spark, t,
+      targetFileBytes = 16 * 1024, clusterCol = Some("id"))
+    report.filesAfter should be > 1
+    val after = ManifestLake.snapshot(spark, t)
+    // same rows, but a narrow window now touches a strict subset
+    ManifestLake.read(spark, t).count() shouldBe 8000
+    val pruned = ManifestLake.rangeCandidates(after, "id", BigDecimal(0),
+      BigDecimal(499)).size
+    pruned should be < after.entries.size
+    ManifestLake.readRange(spark, t, "id", 0.0, 499.0)
+      .count() shouldBe 500
+  }
+
   test("disjoint query windows resolve to disjoint file sets (the " +
     "clustered write's pairwise-disjoint range contract)") {
     import spark.implicits._

@@ -101,6 +101,25 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, dst).count() shouldBe 90
   }
 
+  test("the source reports versionsBehind in streaming progress (the " +
+    "consumer-lag metric)") {
+    val t = freshDir("graft-lstream") + "/t"
+    ManifestLake.write(rows(1 to 10), t)
+    ManifestLake.write(rows(11 to 20), t)
+    val q = spark.readStream.format("graft-lake").load(t)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", freshDir("ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.sources.nonEmpty)
+    progress should not be empty
+    // the final progress entry has drained everything: lag 0
+    progress.last.sources.head.metrics
+      .get("versionsBehind") shouldBe "0"
+  }
+
   test("maxVersionsPerTrigger bounds a catch-up run into several " +
     "batches without losing or duplicating rows") {
     val t = freshDir("graft-lstream") + "/t"

@@ -167,6 +167,14 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSpec {
       // history surfaces the commit clock
       ManifestLake.history(spark, t).select("commit_ts_ms").collect()
         .map(_.getLong(0)).toSeq shouldBe Seq(1000L, 2000L, 3000L)
+      // time-based retention: everything committed at or before 2000
+      // ages out (the head would survive regardless)
+      ManifestLake.vacuumOlderThan(spark, t, 2000L)
+      ManifestLake.versions(spark, t) shouldBe Seq(3L)
+      ManifestLake.read(spark, t).count() shouldBe 110
+      intercept[Exception] {
+        ManifestLake.read(spark, t, Some(1L)).collect()
+      } // vacuumed version gone, per the retention contract
     } finally ManifestLake.clock = prevClock
   }
 
