@@ -355,7 +355,56 @@ object LakeQueries {
       |  c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
 
+  /** cf1_stream_changes — STREAMING CDC through the gate: a customer
+    * table takes one recorded merge, and
+    * `readStream.option("readChangeFeed", true)` drains it to
+    * completion — version 1's initial data as inserts, then the
+    * merge's recorded operation log (old images deleted, update rows
+    * inserted) verbatim from its `_changes/` sidecars, each frame a
+    * plain streamable scan. The oracle re-derives the union
+    * relationally, so the row is hash-exact; resume/refusal semantics
+    * live in LakeStreamSpec. */
+  def cf1StreamChanges(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"cf1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-cf1").toString
+      ManifestLake.writeClustered(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        dir, "c_custkey", nFiles = 8)
+      ManifestLake.merge(lk2Updates(s, d), dir, Seq("c_custkey"),
+        statsCol = Some("c_custkey"), recordChangeFeed = true)
+      dir
+    })
+    graft.streaming.Streaming.runToMemory(s,
+      s.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(table),
+      "cf1_stream_changes_tbl",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("_change_type", "_commit_version", "c_custkey", "c_name",
+        "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+
+  val cf1Oracle: String =
+    """SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+      |  c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |UNION ALL
+      |SELECT 'delete', 2, c_custkey, c_name, c_nationkey, c_acctbal,
+      |  c_mktsegment
+      |FROM customer WHERE c_custkey % 10 = 3
+      |UNION ALL
+      |SELECT 'insert', 2, c_custkey, c_name, c_nationkey,
+      |  c_acctbal + 1000.0, c_mktsegment
+      |FROM customer WHERE c_custkey % 10 = 3
+      |UNION ALL
+      |SELECT 'insert', 2, c_custkey + 10000000, c_name, c_nationkey,
+      |  c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cf1_stream_changes" -> (cf1StreamChanges _),
     "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
@@ -367,6 +416,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "cf1_stream_changes" -> cf1Oracle,
     "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,

@@ -46,6 +46,10 @@ import org.apache.spark.sql.types.StructType
   * version number (commits from that version on, inclusive).
   * `maxVersionsPerTrigger` caps the versions one micro-batch drains
   * (the `maxFilesPerTrigger` analog for catch-up reads).
+  * `readChangeFeed=true` streams ROW-LEVEL CHANGES instead of rows:
+  * `(_change_type, _commit_version, data...)` per committed version —
+  * recorded change files verbatim, appends as inserts, and rewrites
+  * without recorded sidecars refused by name.
   */
 final class LakeStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -56,22 +60,39 @@ final class LakeStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-lake stream needs a table path: .load(dir) or .option(\"path\", dir)"))
 
+  private def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readchangefeed").exists(_.toBoolean)
+
+  /** The source schema: the table's own, or in CDC mode the change-row
+    * shape (`_change_type`, `_commit_version`, data columns). */
+  private def schemaFor(sqlContext: SQLContext,
+                        parameters: Map[String, String]): StructType = {
+    val data = ManifestLake.read(
+      sqlContext.sparkSession, tablePath(parameters)).schema
+    if (!cdcMode(parameters)) data
+    else StructType(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      data.fields)
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      ManifestLake.read(sqlContext.sparkSession, tablePath(parameters)).schema))
+    (shortName(), schema.getOrElse(schemaFor(sqlContext, parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new LakeSource(sqlContext.sparkSession, tablePath(parameters),
-      schema.getOrElse(
-        ManifestLake.read(sqlContext.sparkSession, tablePath(parameters)).schema),
+      schema.getOrElse(schemaFor(sqlContext, parameters)),
       parameters.getOrElse("startingversion", "earliest"),
       parameters.get("ignorechanges").exists(_.toBoolean),
       parameters.get("maxversionspertrigger").map(_.toInt)
-        .getOrElse(Int.MaxValue))
+        .getOrElse(Int.MaxValue),
+      readChangeFeed = cdcMode(parameters))
 }
 
 /** See [[LakeStreamProvider]]. One instance per (re)started query; all
@@ -85,7 +106,8 @@ final class LakeStreamProvider extends StreamSourceProvider
 final class LakeSource(spark: SparkSession, table: String,
                        override val schema: StructType,
                        startingVersion: String, ignoreChanges: Boolean,
-                       maxVersionsPerTrigger: Int = Int.MaxValue)
+                       maxVersionsPerTrigger: Int = Int.MaxValue,
+                       readChangeFeed: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
@@ -134,6 +156,7 @@ final class LakeSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(versionOf).getOrElse(boundary)
     val to = versionOf(end)
+    if (readChangeFeed) return getChangeBatch(from, to)
     val files = ManifestLake.changesBetween(spark, table, from, to)
       .flatMap { ch =>
         val rewrite =
@@ -158,6 +181,48 @@ final class LakeSource(spark: SparkSession, table: String,
             new org.apache.hadoop.fs.Path(base, f).toString): _*)
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
     }
+  }
+
+  /** The CDC batch for `(from, to]`: recorded change files scan
+    * verbatim, pure appends emit their added files as inserts, and a
+    * rewrite WITHOUT recorded change files raises — every frame stays
+    * a plain scan + projection, which is why recorded sidecars exist
+    * at all (the on-demand EXCEPT ALL diff is not a legal streaming
+    * plan). Metadata-only commits (ALTER) contribute nothing. */
+  private def getChangeBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dataFields = schema.fields.toSeq.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version")
+    val base = new org.apache.hadoop.fs.Path(table)
+    def align(df: DataFrame, version: Long,
+              changeType: org.apache.spark.sql.Column): DataFrame =
+      df.select(changeType.as("_change_type") +:
+        lit(version).as("_commit_version") +:
+        dataFields.map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+    val frames = ManifestLake.changesBetween(spark, table, from, to)
+      .flatMap { ch =>
+        if (ch.changeFiles.nonEmpty)
+          Some(align(spark.read.parquet(ch.changeFiles.map(f =>
+              new org.apache.hadoop.fs.Path(base, f).toString): _*),
+            ch.version, col("_change_type")))
+        else if (ch.removed.nonEmpty || (ch.base && ch.version != 1))
+          throw new UnsupportedOperationException(
+            s"version ${ch.version} of $table rewrote data without a " +
+              "recorded change feed — run merge/delete with " +
+              "recordChangeFeed = true to stream its changes, or start " +
+              "the stream past it.")
+        else if (ch.added.isEmpty) None // metadata-only commit
+        else Some(align(
+          spark.read.option("basePath", table)
+            .schema(org.apache.spark.sql.types.StructType(dataFields.toArray))
+            .parquet(ch.added.map(e =>
+              new org.apache.hadoop.fs.Path(base, e.path).toString): _*),
+          ch.version, lit("insert")))
+      }
+    if (frames.isEmpty) StreamBridge.emptyStreaming(spark, schema)
+    else StreamBridge.asStreaming(frames.reduce(_.unionByName(_)))
   }
 
   /** Consumer-lag observability in StreamingQueryProgress: how many

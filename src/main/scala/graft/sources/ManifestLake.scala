@@ -244,6 +244,7 @@ object ManifestLake {
                                  newVersion: Long)
 
   private val ManifestDir = "_manifests"
+  private val ChangesDir = "_changes"
   // 8+ digits: %08d PADS to 8 but widens past it, so version 10^8's
   // manifest is v100000000.manifest (9 digits) — a {8}-exact pattern
   // would make versions() blind to it and every later commit collide
@@ -285,13 +286,17 @@ object ManifestLake {
   private def hintPath(table: Path): Path =
     new Path(new Path(table, ManifestDir), HintFile)
 
-  /** One parsed log record — a commit's delta (or base) state change. */
+  /** One parsed log record — a commit's delta (or base) state change.
+    * `changeFiles` are write-time CDC sidecars (`C` lines): parquet
+    * files holding the commit's row-level changes with `_change_type`,
+    * living under `_changes/` — NOT part of the snapshot's data. */
   private final case class LogRecord(batchId: Option[Long],
                                      appId: Option[String], full: Boolean,
                                      adds: Seq[FileEntry],
                                      removes: Seq[String],
                                      schema: Option[StructType] = None,
-                                     tsMillis: Option[Long] = None)
+                                     tsMillis: Option[Long] = None,
+                                     changeFiles: Seq[String] = Nil)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -307,6 +312,7 @@ object ManifestLake {
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
+      val changeFiles = Seq.newBuilder[String]
       var line = in.readLine()
       while (line != null) {
         if (line.isEmpty) ()
@@ -323,10 +329,12 @@ object ManifestLake {
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
         else if (line.startsWith("R\t")) removes += line.substring(2)
+        else if (line.startsWith("C\t")) changeFiles += line.substring(2)
         else { full = true; adds += FileEntry.parse(line) } // legacy full list
         line = in.readLine()
       }
-      LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts)
+      LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts,
+        changeFiles.result())
     } finally in.close()
   }
 
@@ -523,7 +531,8 @@ object ManifestLake {
                                  prev: Option[Long],
                                  batchId: Option[Long] = None,
                                  appId: Option[String] = None,
-                                 schema: Option[StructType] = None): Long = {
+                                 schema: Option[StructType] = None,
+                                 changeFiles: Seq[String] = Nil): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
@@ -541,6 +550,7 @@ object ManifestLake {
       removes.foreach(r => sb.append("R\t").append(r).append('\n'))
       adds.foreach(l => sb.append("A\t").append(l).append('\n'))
     }
+    changeFiles.foreach(c => sb.append("C\t").append(c).append('\n'))
     writeStringFile(fs, tmp, sb.toString, overwrite = false)
     val target = manifestPath(table, next)
     if (!commitPrimitive.publish(fs, tmp, target)) {
@@ -711,6 +721,34 @@ object ManifestLake {
     moved
   }
 
+  /** Stage a commit's row-level change set (rows + `_change_type`)
+    * under `_changes/` and return the relative paths for the
+    * manifest's `C` lines. Change files are NOT data files: never part
+    * of a snapshot, never compacted, and vacuumed together with their
+    * version's manifest. The cost of recording is one extra write of
+    * the changed rows — which the commit already has in hand — and it
+    * buys exact per-version CDC as a PLAIN SCAN, the form a streaming
+    * consumer can read (a post-hoc diff needs EXCEPT ALL, which no
+    * streaming plan may contain). */
+  private def stageChangeFiles(df: DataFrame, fs: FileSystem, p: Path,
+                               next: Long): Seq[String] = {
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(p, f"_staging-v$next%08d-cf-$attempt")
+    fs.delete(staging, true)
+    df.write.parquet(staging.toString)
+    val staged = listParquetRec(fs, staging)
+      .sortBy(src => relativize(staging, src))
+    fs.mkdirs(new Path(p, ChangesDir))
+    val moved = staged.zipWithIndex.map { case (src, i) =>
+      val name = s"$ChangesDir/" + f"v$next%08d-$attempt-$i%05d.parquet"
+      if (!fs.rename(src, new Path(p, name)))
+        throw new IllegalStateException(s"failed to publish $name in $p")
+      name
+    }
+    fs.delete(staging, true)
+    moved
+  }
+
   /** Range-clustered lake write: [[graft.sources.LakeWriter.writeClustered]]
     * layout (repartitionByRange + sortWithinPartitions, so files cover
     * narrow pairwise-disjoint ranges of `clusterCol`) committed through the
@@ -772,7 +810,8 @@ object ManifestLake {
   def merge(updates: DataFrame, table: String, keyCols: Seq[String],
             statsCol: Option[String] = None,
             partitionBy: Seq[String] = Nil,
-            checkUniqueKeys: Boolean = true): Long = {
+            checkUniqueKeys: Boolean = true,
+            recordChangeFeed: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
@@ -804,7 +843,7 @@ object ManifestLake {
           statsCol = statsCol)
       else
         mergeCommitted(updatesCached, table, keyCols, statsCol, partitionBy,
-          spark, fs, p, prev)
+          spark, fs, p, prev, recordChangeFeed)
     } finally { updatesCached.unpersist(); () }
   }
 
@@ -812,7 +851,8 @@ object ManifestLake {
                              keyCols: Seq[String], statsCol: Option[String],
                              partitionBy: Seq[String],
                              spark: SparkSession, fs: FileSystem, p: Path,
-                             prev: Option[Long]): Long = {
+                             prev: Option[Long],
+                             recordChangeFeed: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, prev)
     // (1) manifest-stats candidate pruning on any range-covered key column
@@ -878,9 +918,30 @@ object ManifestLake {
       next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
       (statsCol.toSeq ++ snapStatsCols(snap)).distinct)
+    // recorded CDC: the merge's OPERATION log — a delete of every
+    // matched row's old image plus an insert of every update row
+    // (Delta CDF semantics: recorded per operation, even when an update
+    // happens to rewrite identical content; the on-demand diff in
+    // [[changeFeed]] instead reports the NET row difference)
+    val changeFiles =
+      if (!recordChangeFeed) Nil
+      else {
+        val oldImages =
+          if (touched.isEmpty)
+            updatesAligned.filter(org.apache.spark.sql.functions.lit(false))
+          else align(
+            readSnapshotFiles(spark, table, snap, touched.map(_.path))
+              .join(updKeys, keyCols, "left_semi"), baseNames)
+        stageChangeFiles(
+          oldImages.withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("delete"))
+            .unionByName(updatesAligned.withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("insert"))),
+          fs, p, next)
+      }
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      Some(mergedSchema))
+      Some(mergedSchema), changeFiles)
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
@@ -986,7 +1047,8 @@ object ManifestLake {
              predicate: org.apache.spark.sql.Column,
              pruneRange: Option[(String, Double, Double)] = None,
              partitionBy: Seq[String] = Nil,
-             verifyPrune: Boolean = false): Long = {
+             verifyPrune: Boolean = false,
+             recordChangeFeed: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -1034,10 +1096,19 @@ object ManifestLake {
     val moved = stageDataFiles(survivors, fs, p, next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
       snapStatsCols(snap))
+    // recorded CDC: exactly the rows the predicate removed
+    val changeFiles =
+      if (!recordChangeFeed) Nil
+      else stageChangeFiles(
+        readSnapshotFiles(spark, table, snap, touched.map(_.path))
+          .filter(predicate)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete")),
+        fs, p, next)
     // a delete never changes the schema: carry the snapshot's forward
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema)
+      snap.schema, changeFiles)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -1231,10 +1302,12 @@ object ManifestLake {
 
   /** The committed change of one version, as its log record describes
     * it: `base = true` means the record REPLACED the table's file list
-    * (first commit, overwrite, compaction) and `added` is the complete
-    * new list; otherwise `added`/`removed` are the commit's delta. */
+    * (first commit, overwrite, compaction) and `added`/`removed` are
+    * the commit's delta otherwise. `changeFiles` are the commit's
+    * recorded row-level CDC sidecars, when the writer opted in. */
   final case class VersionChange(version: Long, base: Boolean,
-                                 added: Seq[FileEntry], removed: Seq[String])
+                                 added: Seq[FileEntry], removed: Seq[String],
+                                 changeFiles: Seq[String] = Nil)
 
   /** Per-version change records in `(fromExclusive, toInclusive]`,
     * ascending — the incremental-consumption API ([[LakeSource]] reads
@@ -1253,28 +1326,32 @@ object ManifestLake {
           "incremental consumer's position? Keep vacuum retention above " +
           "the slowest consumer's lag.")
       val rec = readLog(fs, mf)
-      VersionChange(v, rec.full, rec.adds, rec.removes)
+      VersionChange(v, rec.full, rec.adds, rec.removes, rec.changeFiles)
     }
   }
 
   /** Row-level CHANGE FEED for `(fromExclusive, toInclusive]` — the
-    * `readChangeFeed` analog, computed on demand from the log instead
-    * of write-time change files: for each version, the rows of its
-    * REMOVED files that don't reappear in its ADDED files are
-    * `delete`s, and added-file rows absent from the removed files are
-    * `insert`s (an update is a delete + insert of the same key, which
-    * is how copy-on-write actually happened). Rows of rewritten files
-    * that survived verbatim cancel in the EXCEPT ALL and are never
-    * emitted — so IO and compute are proportional to the CHANGED files
-    * of each version, never the table. Output: `_change_type`,
-    * `_commit_version`, then the data columns (aligned to each
-    * version's recorded schema; a column added later reads null in
-    * earlier versions' changes).
+    * `readChangeFeed` analog. A version whose writer RECORDED change
+    * files (`merge`/`delete` with `recordChangeFeed = true`) serves
+    * them verbatim: exact, a plain scan, streamable, and the recorded
+    * set is the OPERATION log (every matched row emits its
+    * delete + insert pair even if content happens to be identical —
+    * Delta CDF semantics). Other versions are diffed on demand from
+    * their own changed files: pure appends are their own insert set
+    * (no diff at all); for rewrites, removed-file rows that don't
+    * reappear among the added files are `delete`s and the converse are
+    * `insert`s — the NET row difference, with verbatim survivors
+    * cancelling in the EXCEPT ALL. Either way IO and compute track the
+    * CHANGED files of each version, never the table. Output:
+    * `_change_type`, `_commit_version`, then the data columns (aligned
+    * to each version's recorded schema; a column added later reads
+    * null in earlier versions' changes).
     *
     * Version 1 is the initial data (all inserts). A mid-range base
-    * commit (overwrite/compaction) is not row-diffable from its delta
-    * record alone and raises — feed past it from a later
-    * `fromExclusive`, matching the streaming source's contract. */
+    * commit (overwrite/compaction) without recorded change files is
+    * not row-diffable from its delta record and raises — feed past it
+    * from a later `fromExclusive`, matching the streaming source's
+    * contract. */
   def changeFeed(spark: SparkSession, table: String,
                  fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1282,11 +1359,21 @@ object ManifestLake {
       s"empty change range ($fromExclusive, $toInclusive]")
     val changes = changesBetween(spark, table, fromExclusive, toInclusive)
     val frames = changes.map { ch =>
+      // a version with RECORDED change files serves them as-is: exact,
+      // a plain scan, and the only form that covers an overwrite
+      if (ch.changeFiles.nonEmpty) {
+        val base = new Path(table)
+        val cf = spark.read.parquet(
+          ch.changeFiles.map(f => new Path(base, f).toString): _*)
+        cf.select(col("_change_type") +:
+          lit(ch.version).as("_commit_version") +:
+          cf.columns.toSeq.filterNot(_ == "_change_type").map(col): _*)
+      } else {
       if (ch.base && ch.version != 1)
         throw new UnsupportedOperationException(
           s"version ${ch.version} of $table is a base commit " +
-            "(overwrite/compaction) — not row-diffable from its log " +
-            "record. Start the feed after it.")
+            "(overwrite/compaction) with no recorded change feed — not " +
+            "row-diffable from its log record. Start the feed after it.")
       val snap = snapshot(spark, table, Some(ch.version))
       val schema = snap.schema
       val added = readSnapshotFiles(spark, table, snap,
@@ -1307,16 +1394,24 @@ object ManifestLake {
         case None => df
       }
       val a = aligned(added)
-      val r = aligned(removed)
-      a.exceptAll(r)
-        .select(lit("insert").as("_change_type") +:
+      // pure appends ARE their own change set: no diff, no shuffle
+      if (ch.removed.isEmpty)
+        a.select(lit("insert").as("_change_type") +:
           lit(ch.version).as("_commit_version") +:
           a.columns.toSeq.map(col): _*)
-        .unionByName(
-          r.exceptAll(a)
-            .select(lit("delete").as("_change_type") +:
-              lit(ch.version).as("_commit_version") +:
-              r.columns.toSeq.map(col): _*))
+      else {
+        val r = aligned(removed)
+        a.exceptAll(r)
+          .select(lit("insert").as("_change_type") +:
+            lit(ch.version).as("_commit_version") +:
+            a.columns.toSeq.map(col): _*)
+          .unionByName(
+            r.exceptAll(a)
+              .select(lit("delete").as("_change_type") +:
+                lit(ch.version).as("_commit_version") +:
+                r.columns.toSeq.map(col): _*))
+      }
+      }
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1373,8 +1468,12 @@ object ManifestLake {
     val maxRetained = keep.lastOption.getOrElse(0L)
     val dataFiles = listParquetRec(fs, p)
       .map(f => relativize(p, f))
-      // never touch the manifest dir or a writer's staging area
-      .filterNot(f => f.startsWith(ManifestDir) || f.startsWith("_staging"))
+      // never touch the manifest dir, a writer's staging area, or the
+      // CDC sidecars (change files are version-scoped, not
+      // snapshot-referenced — they're collected with their manifest
+      // below, not by liveness)
+      .filterNot(f => f.startsWith(ManifestDir) || f.startsWith("_staging")
+        || f.startsWith(ChangesDir))
       // `exists`, not `forall`: a basename that doesn't parse as
       // vNNNNNNNN-*.parquet can't be an in-flight writer's file (writers
       // always produce matching names), so a foreign/legacy parquet file
@@ -1383,6 +1482,11 @@ object ManifestLake {
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
     drop.foreach { v =>
+      // a dropped version's recorded change files go with its manifest
+      // (read it BEFORE deleting — the C lines are the only reference)
+      if (fs.exists(manifestPath(p, v)))
+        readLog(fs, manifestPath(p, v)).changeFiles
+          .foreach(c => fs.delete(new Path(p, c), false))
       fs.delete(manifestPath(p, v), false)
       fs.delete(checkpointPath(p, v), false)
     }

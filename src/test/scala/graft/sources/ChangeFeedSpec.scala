@@ -77,6 +77,49 @@ class ChangeFeedSpec extends AnyFunSuite with Matchers with SparkSpec {
       (200 to 202).map(i => ("insert", 3L, i.toLong)).toSet
   }
 
+  test("recorded change files serve the feed verbatim — operation-log " +
+    "semantics, overwrite coverage, and vacuum collects them with " +
+    "their version") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, "id", nFiles = 4)
+    ManifestLake.merge(
+      Seq((7L, "updated_7"), (2000L, "new_2000")).toDF("id", "payload"),
+      t, Seq("id"), statsCol = Some("id"), recordChangeFeed = true)
+    ManifestLake.delete(spark, t, col("id") <= 3, recordChangeFeed = true)
+    // v2 (merge) and v3 (delete) both carry recorded sidecars
+    ManifestLake.changesBetween(spark, t, 1, 3)
+      .map(_.changeFiles.nonEmpty) shouldBe Seq(true, true)
+    val changes = ManifestLake.changeFeed(spark, t, 1, 3)
+      .select("_change_type", "_commit_version", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    changes shouldBe Set(
+      ("delete", 2L, 7L), ("insert", 2L, 7L), ("insert", 2L, 2000L),
+      ("delete", 3L, 1L), ("delete", 3L, 2L), ("delete", 3L, 3L))
+    // a recorded merge over IDENTICAL content still emits its pair —
+    // the operation log, not the net diff
+    ManifestLake.merge(Seq((9L, "p9")).toDF("id", "payload"), t,
+      Seq("id"), statsCol = Some("id"), recordChangeFeed = true)
+    ManifestLake.changeFeed(spark, t, 3, 4)
+      .select("_change_type").collect().map(_.getString(0))
+      .sorted shouldBe Array("delete", "insert")
+    // vacuum drops the aged versions' change files with their manifests
+    val (fs, p) = (new org.apache.hadoop.fs.Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(t))
+    fs.listStatus(new org.apache.hadoop.fs.Path(p, "_changes"))
+      .length should be >= 3
+    ManifestLake.vacuum(spark, t, keepLast = 1)
+    // only the RETAINED version's sidecars survive (v4, the last merge)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(p, "_changes"))
+      .map(_.getPath.getName)
+    left should not be empty
+    all(left) should startWith("v00000004-")
+  }
+
   test("schema evolution across the feed range null-fills the added " +
     "column for earlier versions' changes") {
     import spark.implicits._

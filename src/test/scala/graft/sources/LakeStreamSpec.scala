@@ -164,6 +164,50 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     err.getMessage should include("vacuumed past an incremental consumer")
   }
 
+  test("readChangeFeed streams row-level changes: appends as inserts, " +
+    "recorded merge sidecars verbatim, resume without re-emission, and " +
+    "unrecorded rewrites refused") {
+    import spark.implicits._
+    val t = freshDir("graft-lstream") + "/t"
+    val ck = freshDir("graft-lstream-ck")
+    ManifestLake.writeClustered(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, "id", nFiles = 2)
+    def runCdc(checkpoint: String): Set[(String, Long, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("_change_type", "_commit_version", "id").collect()
+            .foreach(r => got.add((r.getString(0), r.getLong(1),
+              r.getLong(2)))); ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.asScala.toSet
+    }
+    // v1: the initial data streams as inserts
+    runCdc(ck) shouldBe (1 to 100)
+      .map(i => ("insert", 1L, i.toLong)).toSet
+    // v2: a recorded merge streams its exact operation log on resume
+    ManifestLake.merge(
+      Seq((5L, "updated_5"), (500L, "new_500")).toDF("id", "payload"),
+      t, Seq("id"), statsCol = Some("id"), recordChangeFeed = true)
+    runCdc(ck) shouldBe Set(
+      ("delete", 2L, 5L), ("insert", 2L, 5L), ("insert", 2L, 500L))
+    // nothing new: nothing re-emits
+    runCdc(ck) shouldBe Set.empty
+    // an UNRECORDED rewrite cannot stream as changes
+    ManifestLake.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") === 6L)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCdc(ck)
+    }.getMessage should include("without a recorded change feed")
+  }
+
   test("rewrite commits are refused by default and opted into with " +
     "ignoreChanges") {
     val t = freshDir("graft-lstream") + "/t"
