@@ -195,13 +195,23 @@ object LakeSql {
     }
   }
 
+  /** Session conf making SQL DML record the change feed (the
+    * `delta.enableChangeDataFeed` analog, session-scoped): when true,
+    * `MERGE INTO` / `DELETE FROM` stage CDC sidecars so the commit is
+    * streamable as changes. */
+  val RecordChangeFeedConf = "spark.graft.lake.recordChangeFeed"
+
+  private def recordCdf(spark: SparkSession): Boolean =
+    spark.conf.getOption(RecordChangeFeedConf).exists(_.toBoolean)
+
   /** `MERGE INTO` a manifest table — executes [[ManifestLake.merge]]'s
     * copy-on-write upsert (stats-pruned candidates, touched-file-only
     * rewrite) when the command runs. */
   final case class GraftMergeIntoCommand(table: String, keyCols: Seq[String],
       @transient source: DataFrame) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      ManifestLake.merge(source, table, keyCols): Unit
+      ManifestLake.merge(source, table, keyCols,
+        recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }
   }
@@ -223,7 +233,8 @@ object LakeSql {
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      ManifestLake.delete(spark, table, predicate): Unit
+      ManifestLake.delete(spark, table, predicate,
+        recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }
   }

@@ -185,6 +185,28 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("plain top-level columns")
   }
 
+  test("SQL DML records the change feed when the session conf is on") {
+    import spark.implicits._
+    val path = freshTable("cdf")
+    seed(path, 50)
+    Seq((3L, "updated_3")).toDF("id", "payload")
+      .createOrReplaceTempView("cdf_u")
+    try {
+      spark.conf.set(LakeSql.RecordChangeFeedConf, "true")
+      spark.sql(
+        """MERGE INTO graft_lake.cdf t USING cdf_u u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql("DELETE FROM graft_lake.cdf WHERE id = 9")
+      ManifestLake.changesBetween(spark, path, 1, 3)
+        .map(_.changeFiles.nonEmpty) shouldBe Seq(true, true)
+      ManifestLake.changeFeed(spark, path, 1, 3)
+        .select("_change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet shouldBe Set(
+        ("delete", 3L), ("insert", 3L), ("delete", 9L))
+    } finally spark.conf.unset(LakeSql.RecordChangeFeedConf)
+  }
+
   test("the $history metadata table serves version history from SQL — " +
     "manifests only, no data read") {
     import spark.implicits._
