@@ -403,8 +403,40 @@ object LakeQueries {
       |  c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
 
+  /** lk8_sql_update — SQL `UPDATE ... SET ... WHERE` through the gate:
+    * its own price-clustered lineitem copy takes an UPDATE whose
+    * assignment reads an UNASSIGNED column of the old row
+    * (`l_quantity = l_extendedprice / 100.0` — content-idempotent, so
+    * repeated gate/bench invocations converge) gated on a price
+    * predicate whose prune bounds derive from the recorded stats with
+    * no hint. Only the low-price files rewrite (pinned in
+    * ManifestLakeSpec); this row pins the RESULT against the oracle's
+    * CASE re-derivation over the original parquet. */
+  def lk8SqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val table = memoClustered("lk8", d, "l_extendedprice", nFiles = 16)(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity"))
+    LakeSql.register("lk8_lineitem", table)
+    s.sql(
+      """UPDATE graft_lake.lk8_lineitem
+        |SET l_quantity = l_extendedprice / 100.0
+        |WHERE l_extendedprice < 950.0""".stripMargin)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM graft_lake.lk8_lineitem""".stripMargin)
+  }
+
+  val lk8Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  CASE WHEN l_extendedprice < 950.0
+      |       THEN l_extendedprice / 100.0 ELSE l_quantity
+      |  END AS l_quantity
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cf1_stream_changes" -> (cf1StreamChanges _),
+    "lk8_sql_update" -> (lk8SqlUpdate _),
     "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
@@ -417,6 +449,7 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "cf1_stream_changes" -> cf1Oracle,
+    "lk8_sql_update" -> lk8Oracle,
     "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,

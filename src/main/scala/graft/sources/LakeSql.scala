@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -31,6 +31,7 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *   INSERT INTO graft_lake.t SELECT ...          -- append
   *   INSERT OVERWRITE graft_lake.t SELECT ...     -- replace
   *   DELETE FROM graft_lake.t WHERE <predicate>
+  *   UPDATE graft_lake.t SET c = <expr>, ... [WHERE <predicate>]
   *   MERGE INTO graft_lake.t USING <src> s ON t.k = s.k [AND ...]
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *
@@ -183,6 +184,22 @@ object LakeSql {
       case d: DeleteFromTable if lakeTarget(d.table).isDefined =>
         GraftDeleteCommand(lakeTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))
+      case u: UpdateTable if lakeTarget(u.table).isDefined =>
+        val assigns = u.assignments.map {
+          case Assignment(k: UnresolvedAttribute, v) =>
+            // nested-field targets (`s.inner`) arrive as multi-part
+            // attributes too, but resolve nowhere: ManifestLake.update
+            // rejects the unqualified name against the table's
+            // TOP-LEVEL columns, which is the supported surface
+            k.nameParts.last -> ColumnBridge.column(unqualify(v))
+          case other => throw new UnsupportedOperationException(
+            s"graft_lake UPDATE supports only plain column assignment " +
+              s"targets; got: ${other.sql}")
+        }
+        GraftUpdateCommand(lakeTarget(u.table).get, assigns,
+          ColumnBridge.column(u.condition.fold[Expression](
+            org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)(
+            unqualify)))
       case i: InsertIntoStatement if lakeTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
           throw new UnsupportedOperationException(
@@ -234,6 +251,20 @@ object LakeSql {
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       ManifestLake.delete(spark, table, predicate,
+        recordChangeFeed = recordCdf(spark)): Unit
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE ... SET ... [WHERE ...]` — [[ManifestLake.update]]'s
+    * copy-on-write rewrite of only the files holding a matching row;
+    * assignments evaluate against the pre-update row, SQL-style. */
+  final case class GraftUpdateCommand(table: String,
+      @transient assignments: Seq[(String, org.apache.spark.sql.Column)],
+      @transient predicate: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      ManifestLake.update(spark, table, predicate, assignments,
         recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }

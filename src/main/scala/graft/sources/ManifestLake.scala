@@ -1049,39 +1049,12 @@ object ManifestLake {
              partitionBy: Seq[String] = Nil,
              verifyPrune: Boolean = false,
              recordChangeFeed: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.col
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
     val snap = snapshot(spark, table, prev)
-    val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
-      rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
-    }
-    val candidates = predicateBounds(
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate))
-      .foldLeft(explicit) { case (entries, (c, lo, hi)) =>
-        entries.filter(_.range(c).forall(r =>
-          lo.forall(r.max >= _) && hi.forall(r.min <= _)))
-      }
-    if (verifyPrune && candidates.size < snap.entries.size) {
-      val prunedOut = snap.entries.filterNot(e =>
-        candidates.exists(_.path == e.path))
-      val leaked = readSnapshotFiles(spark, table, snap, prunedOut.map(_.path))
-        .filter(predicate).limit(1).count()
-      require(leaked == 0L,
-        s"delete pruneRange=$pruneRange under-covers the predicate: a " +
-          "pruned-out file holds a matching row, which would have been " +
-          "silently retained. Widen the range (it must over-approximate " +
-          "the predicate's support on the stats column).")
-    }
-    val touchedPaths: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
-        .filter(predicate)
-        .select(col("_metadata.file_path")).distinct()
-        .collect().map(_.getString(0)).toSet
-    val touched = candidates.filter(e =>
-      touchedPaths.exists(_.endsWith("/" + e.path)))
+    val touched =
+      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
     if (touched.isEmpty) return snap.version // nothing matches: no-op
     // SQL DELETE semantics: a row is removed only when the predicate is
     // TRUE. `filter(!predicate)` alone would also drop NULL-evaluating
@@ -1106,6 +1079,132 @@ object ManifestLake {
             org.apache.spark.sql.functions.lit("delete")),
         fs, p, next)
     // a delete never changes the schema: carry the snapshot's forward
+    commitLog(fs, p, full = false, adds = moved,
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
+      snap.schema, changeFiles)
+  }
+
+  /** The snapshot files a row-predicate DML (DELETE / UPDATE) must
+    * rewrite: manifest-stats candidates — bounds DERIVED from the
+    * predicate's simple range conjuncts, intersected with the caller's
+    * optional `pruneRange` over-approximation — narrowed to the files
+    * actually HOLDING a predicate-TRUE row by a provenance scan of the
+    * candidates. `verifyPrune` additionally scans the pruned-out
+    * complement and aborts if a match lives there: an under-covering
+    * caller range would otherwise silently exempt those rows from the
+    * DML (retained by a delete, unmodified by an update). */
+  private def predicateTouched(spark: SparkSession, table: String,
+      snap: Snapshot, predicate: org.apache.spark.sql.Column,
+      pruneRange: Option[(String, Double, Double)],
+      verifyPrune: Boolean): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.col
+    val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
+      rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
+    }
+    val candidates = predicateBounds(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate))
+      .foldLeft(explicit) { case (entries, (c, lo, hi)) =>
+        entries.filter(_.range(c).forall(r =>
+          lo.forall(r.max >= _) && hi.forall(r.min <= _)))
+      }
+    if (verifyPrune && candidates.size < snap.entries.size) {
+      val prunedOut = snap.entries.filterNot(e =>
+        candidates.exists(_.path == e.path))
+      val leaked = readSnapshotFiles(spark, table, snap, prunedOut.map(_.path))
+        .filter(predicate).limit(1).count()
+      require(leaked == 0L,
+        s"pruneRange=$pruneRange under-covers the predicate: a " +
+          "pruned-out file holds a matching row, which would have been " +
+          "silently exempted from the DML. Widen the range (it must " +
+          "over-approximate the predicate's support on the stats column).")
+    }
+    val touchedPaths: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
+        .filter(predicate)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+    candidates.filter(e => touchedPaths.exists(_.endsWith("/" + e.path)))
+  }
+
+  /** Copy-on-write UPDATE — SQL `UPDATE t SET c = expr, ... WHERE p`:
+    * every row where `predicate` is TRUE has each assigned column
+    * replaced by its expression evaluated AGAINST THE OLD ROW (standard
+    * SQL: `SET a = b, b = a` swaps — all assignments read the
+    * pre-update image), cast to the column's existing type; rows where
+    * the predicate is FALSE or NULL are untouched, matching
+    * [[delete]]'s NULL semantics. Only files holding a matching row are
+    * rewritten — the same manifest-stats candidate pruning, provenance
+    * scan, `verifyPrune` check, and layout/stats preservation as
+    * [[delete]]; the rest of the manifest carries over VERBATIM.
+    * Assignments must target existing top-level columns exactly once
+    * each: UPDATE never changes the schema (new columns are
+    * [[addColumns]]' job). `recordChangeFeed` stages the commit's
+    * row-level changes as Delta CDF's `update_preimage` /
+    * `update_postimage` pair per matched row. Content-idempotent
+    * whenever the assignments are (e.g. absolute values or expressions
+    * over unassigned columns). Returns the committed version —
+    * unchanged when nothing matches. */
+  def update(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             assignments: Seq[(String, org.apache.spark.sql.Column)],
+             pruneRange: Option[(String, Double, Double)] = None,
+             partitionBy: Seq[String] = Nil,
+             verifyPrune: Boolean = false,
+             recordChangeFeed: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    val schema = snap.schema.getOrElse(
+      readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
+    val dup = assignments.groupBy(_._1).collect {
+      case (c, as) if as.size > 1 => c }
+    require(dup.isEmpty,
+      s"update assigns [${dup.mkString(", ")}] more than once — SQL " +
+        "UPDATE requires each target column at most once")
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"update assigns unknown column '$c' — the table's columns are " +
+          s"[${schema.fieldNames.mkString(", ")}]. UPDATE never adds " +
+          "columns; widen the schema first (addColumns / ALTER TABLE).")
+    }
+    val touched =
+      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
+    if (touched.isEmpty) return snap.version // nothing matches: no-op
+    val assignMap = assignments.toMap
+    val current = readSnapshotFiles(spark, table, snap, touched.map(_.path))
+    // TRUE-only gating (a NULL-evaluating predicate leaves the row
+    // unchanged), and every assignment reads the OLD row: all the
+    // when() branches are expressions over the same input projection,
+    // so `SET a = b, b = a` sees pre-update values on both sides.
+    val hit = coalesce(predicate, lit(false))
+    def updatedCols(gated: Boolean) = schema.fields.toSeq.map { f =>
+      assignMap.get(f.name) match {
+        case Some(e) if gated =>
+          when(hit, e.cast(f.dataType)).otherwise(col(s"`${f.name}`"))
+            .as(f.name)
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }
+    val next = snap.version + 1
+    val moved = stageDataFiles(current.select(updatedCols(gated = true): _*),
+      fs, p, next,
+      if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
+      snapStatsCols(snap))
+    val changeFiles =
+      if (!recordChangeFeed) Nil
+      else stageChangeFiles(
+        current.filter(hit)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(current.filter(hit)
+            .select(updatedCols(gated = false): _*)
+            .withColumn("_change_type", lit("update_postimage"))),
+        fs, p, next)
+    // an update never changes the schema: carry the snapshot's forward
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
       snap.schema, changeFiles)

@@ -207,6 +207,30 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.unset(LakeSql.RecordChangeFeedConf)
   }
 
+  test("UPDATE SET ... WHERE routes to the copy-on-write update; " +
+    "assignments read the old row and unsupported targets raise") {
+    import spark.implicits._
+    val path = freshTable("upd")
+    seed(path, 20)
+    spark.sql(
+      """UPDATE graft_lake.upd t
+        |SET t.payload = concat('row_', CAST(t.id AS STRING))
+        |WHERE t.id <= 3""".stripMargin)
+    spark.sql("SELECT payload FROM graft_lake.upd WHERE id <= 3 ORDER BY id")
+      .as[String].collect() shouldBe Array("row_1", "row_2", "row_3")
+    spark.sql("SELECT count(*) FROM graft_lake.upd WHERE payload LIKE 'row_%'")
+      .as[Long].collect().head shouldBe 3L
+    // no WHERE = every row
+    spark.sql("UPDATE graft_lake.upd SET payload = 'all'")
+    spark.sql("SELECT count(DISTINCT payload) FROM graft_lake.upd")
+      .as[Long].collect().head shouldBe 1L
+    // unknown target column raises the named lake error
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE graft_lake.upd SET nope = 'x' WHERE id = 1")
+    }
+    e.getMessage should include("unknown column 'nope'")
+  }
+
   test("the $history metadata table serves version history from SQL — " +
     "manifests only, no data read") {
     import spark.implicits._

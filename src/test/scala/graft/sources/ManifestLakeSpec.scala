@@ -605,4 +605,88 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[(Option[Long], String)].collect().map(_._2).toSet
     payloads should contain allOf ("null_current", "null_update", "a", "b")
   }
+
+  test("update rewrites only files holding a match; untouched entries " +
+    "carry over verbatim and a no-match update is a version no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, min}
+    val t = freshTable()
+    val base = (1 to 4000).map(i => (i.toLong, i * 2.0, s"p$i"))
+      .toDF("id", "price", "payload")
+    ManifestLake.writeClustered(base, t, "id", nFiles = 4)
+    val before = ManifestLake.snapshot(spark, t)
+
+    // ids 1..150 live in the first file only — the other three carry over
+    val v2 = ManifestLake.update(spark, t, col("id") <= 150L,
+      Seq("price" -> (col("price") + 10000.0), "payload" -> lit("UPD")))
+    v2 shouldBe before.version + 1
+    val after = ManifestLake.snapshot(spark, t)
+    after.entries.map(_.line)
+      .intersect(before.entries.map(_.line)) should have length 3
+    // rewritten files keep their recorded stats (pruning must not decay)
+    after.entries.count(_.range("id").isDefined) shouldBe 4
+    val head = ManifestLake.read(spark, t)
+    head.count() shouldBe 4000 // UPDATE never changes cardinality
+    head.filter($"id" <= 150L)
+      .agg(min($"price")).collect().head.getDouble(0) shouldBe 10002.0
+    head.filter($"id" > 150L).filter($"payload" === "UPD").count() shouldBe 0
+
+    // nothing matches: no new version, nothing rewritten
+    ManifestLake.update(spark, t, col("id") < 0L,
+      Seq("price" -> lit(0.0))) shouldBe v2
+    ManifestLake.currentVersion(spark, t) shouldBe Some(v2)
+  }
+
+  test("update leaves NULL-predicate rows unchanged and evaluates all " +
+    "assignments against the pre-update row (SET a = b, b = a swaps)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.write(
+      Seq((1L, Some(900.0), 1.0), (2L, None, 2.0), (3L, Some(1200.0), 3.0))
+        .toDF("id", "price", "qty").coalesce(1), t)
+    ManifestLake.update(spark, t, col("price") < 950.0,
+      Seq("price" -> col("qty"), "qty" -> col("price")))
+    val rows = ManifestLake.read(spark, t).orderBy("id")
+      .as[(Long, Option[Double], Double)].collect()
+    rows(0) shouldBe ((1L, Some(1.0), 900.0)) // swapped, both read old row
+    rows(1) shouldBe ((2L, None, 2.0))        // NULL predicate: untouched
+    rows(2) shouldBe ((3L, Some(1200.0), 3.0))
+  }
+
+  test("update rejects unknown and duplicated target columns before " +
+    "touching any data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    ManifestLake.write(Seq((1L, "a")).toDF("id", "payload"), t)
+    intercept[IllegalArgumentException] {
+      ManifestLake.update(spark, t, col("id") === 1L,
+        Seq("nope" -> lit("x")))
+    }.getMessage should include("unknown column 'nope'")
+    intercept[IllegalArgumentException] {
+      ManifestLake.update(spark, t, col("id") === 1L,
+        Seq("payload" -> lit("x"), "payload" -> lit("y")))
+    }.getMessage should include("more than once")
+    ManifestLake.currentVersion(spark, t) shouldBe Some(1L)
+  }
+
+  test("update records preimage/postimage CDC sidecars when asked, served " +
+    "verbatim by the change feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.write(
+      (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "price"), t)
+    ManifestLake.update(spark, t, col("id") <= 2L,
+      Seq("price" -> (col("price") * 100)), recordChangeFeed = true)
+    ManifestLake.changesBetween(spark, t, 1, 2)
+      .map(_.changeFiles.nonEmpty) shouldBe Seq(true)
+    val feed = ManifestLake.changeFeed(spark, t, 1, 2)
+      .select("_change_type", "id", "price")
+      .as[(String, Long, Double)].collect().toSet
+    feed shouldBe Set(
+      ("update_preimage", 1L, 1.0), ("update_postimage", 1L, 100.0),
+      ("update_preimage", 2L, 2.0), ("update_postimage", 2L, 200.0))
+  }
 }
