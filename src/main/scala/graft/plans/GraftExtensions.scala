@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramContainment, NgramJaccard, ShingleHashes, SimHash64, WinnowFingerprint}
+import graft.functions.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NgramContainment, NgramJaccard, RepetitionProfile, ShingleHashes, SimHash64, WinnowFingerprint}
 
 /** Engine extension point (`spark.sql.extensions` /
   * `SparkSession.builder.withExtensions`): registers the engine's native
@@ -96,6 +96,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprint(exprs.head,
           litInt(exprs(1), "winnow_fingerprint"),
           litInt(exprs(2), "winnow_fingerprint"))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("repetition_profile"),
+      new ExpressionInfo(classOf[RepetitionProfile].getName,
+        "repetition_profile"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "repetition_profile(text)")
+        RepetitionProfile(exprs.head)
       }))
     extensions.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),

@@ -112,6 +112,27 @@ object TextStats {
     df.withColumn("fingerprint",
       substring(sha2(
         regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256), 1, 16))
+
+  /** Gopher-style repetition profiling + flag
+    * ([[graft.functions.RepetitionProfile]] — one native JVM pass per
+    * document, no shuffle): duplicate-line counts, duplicate-line
+    * character mass, most-frequent-bigram and duplicated-5-gram counts,
+    * and `repetitive` — the filter verdict with the Gopher fraction
+    * thresholds (0.30 dup lines, 0.20 dup line chars, 0.20 top bigram,
+    * 0.15 dup 5-grams) applied as exact integer cross-products, so the
+    * flag never touches float division. */
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val profiled = df.withColumn("__rep",
+      graft.functions.RepetitionProfile(col(textCol)))
+    val flat = graft.functions.RepetitionProfile.schema.fieldNames
+      .foldLeft(profiled)((acc, f) => acc.withColumn(f, col(s"__rep.$f")))
+      .drop("__rep")
+    flat.withColumn("repetitive",
+      (col("dup_lines") * 10 > col("n_lines") * 3) ||
+        (col("dup_line_chars") * 5 > col("line_chars")) ||
+        (col("top_bigram") * 5 > col("n_bigrams")) ||
+        (col("dup_5grams") * 20 > col("n_5grams") * 3))
+  }
 }
 
 object TextQueries {
@@ -191,15 +212,88 @@ object TextQueries {
       |    1, 16) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** tx5_repetition — the Gopher repetition profile through the gate:
+    * every count plus the integer-arithmetic filter flag, re-derived by
+    * DuckDB from scratch (line counts via an unnest + group-by, n-gram
+    * counts via LATERAL generate_series over the word list — the
+    * shuffled relational plan the native kernel exists to avoid; at
+    * oracle scale it is affordable and independent). */
+  def tx5Repetition(s: SparkSession, d: String): DataFrame =
+    TextStats.repetition(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_lines"), col("dup_lines"),
+        col("line_chars"), col("dup_line_chars"), col("n_bigrams"),
+        col("top_bigram"), col("n_5grams"), col("dup_5grams"),
+        col("repetitive"))
+
+  val tx5Oracle: String =
+    """WITH lines AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+      |    x -> x <> '')) AS l
+      |  FROM documents),
+      |line_groups AS (
+      |  SELECT doc_id, l, count(*) AS cnt, length(l) AS len
+      |  FROM lines GROUP BY doc_id, l),
+      |line_stats AS (
+      |  SELECT doc_id,
+      |    CAST(sum(cnt) AS BIGINT) AS n_lines,
+      |    CAST(sum(cnt - 1) AS BIGINT) AS dup_lines,
+      |    CAST(sum(len * cnt) AS BIGINT) AS line_chars,
+      |    CAST(sum(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END) AS BIGINT)
+      |      AS dup_line_chars
+      |  FROM line_groups GROUP BY doc_id),
+      |w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |    x -> x <> '') AS ws
+      |  FROM documents),
+      |bigram_groups AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS cnt
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+      |  GROUP BY doc_id, g),
+      |bigram_stats AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |    CAST(max(cnt) AS BIGINT) AS top_bigram
+      |  FROM bigram_groups GROUP BY doc_id),
+      |five_groups AS (
+      |  SELECT doc_id,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+      |      || ' ' || ws[i+4] AS g,
+      |    count(*) AS cnt
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t
+      |  GROUP BY doc_id, g),
+      |five_stats AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_5grams,
+      |    CAST(sum(cnt - 1) AS BIGINT) AS dup_5grams
+      |  FROM five_groups GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(ls.n_lines, 0) AS n_lines,
+      |  COALESCE(ls.dup_lines, 0) AS dup_lines,
+      |  COALESCE(ls.line_chars, 0) AS line_chars,
+      |  COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+      |  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(bs.top_bigram, 0) AS top_bigram,
+      |  COALESCE(fs.n_5grams, 0) AS n_5grams,
+      |  COALESCE(fs.dup_5grams, 0) AS dup_5grams,
+      |  (COALESCE(ls.dup_lines, 0) * 10 > COALESCE(ls.n_lines, 0) * 3
+      |   OR COALESCE(ls.dup_line_chars, 0) * 5 > COALESCE(ls.line_chars, 0)
+      |   OR COALESCE(bs.top_bigram, 0) * 5 > COALESCE(bs.n_bigrams, 0)
+      |   OR COALESCE(fs.dup_5grams, 0) * 20 > COALESCE(fs.n_5grams, 0) * 3)
+      |    AS repetitive
+      |FROM documents d
+      |LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
+      |LEFT JOIN bigram_stats bs ON d.doc_id = bs.doc_id
+      |LEFT JOIN five_stats fs ON d.doc_id = fs.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_lang_id" -> (tx1LangId _),
     "tx2_quality" -> (tx2Quality _),
     "tx3_token_counts" -> (tx3Tokens _),
-    "tx4_fingerprint" -> (tx4Fingerprint _))
+    "tx4_fingerprint" -> (tx4Fingerprint _),
+    "tx5_repetition" -> (tx5Repetition _))
 
   val oracles: Map[String, String] = Map(
     "tx1_lang_id" -> tx1Oracle,
     "tx2_quality" -> tx2Oracle,
     "tx3_token_counts" -> tx3Oracle,
-    "tx4_fingerprint" -> tx4Oracle)
+    "tx4_fingerprint" -> tx4Oracle,
+    "tx5_repetition" -> tx5Oracle)
 }

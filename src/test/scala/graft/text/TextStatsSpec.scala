@@ -45,6 +45,66 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.getAs[Int]("lex_tokens") shouldBe 5
   }
 
+  test("repetition profile counts duplicate lines, top bigrams, and " +
+    "duplicated 5-grams on crafted documents") {
+    import spark.implicits._
+    // doc 1: 4 non-empty lines ("spam" ×3 of 4 chars + "real text" of 9),
+    //   words: spam spam spam real text → 4 bigrams, top "spam spam" ×2,
+    //   one 5-gram, none duplicated
+    // doc 2: no newline, "a b a b a b a b" → 8 words, 7 bigrams
+    //   ("a b" ×4, "b a" ×3), 4 5-grams: "a b a b a" ×2, "b a b a b" ×2
+    //   → dup_5grams = 2
+    // doc 3: empty-ish (whitespace only) → all zeros
+    val docs = Seq(
+      (1L, "spam\nspam\n\nspam\nreal text\n"),
+      (2L, "a b a b a b a b"),
+      (3L, " \n \n")).toDF("doc_id", "text")
+    val out = TextStats.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    d1.getAs[Long]("n_lines") shouldBe 4L
+    d1.getAs[Long]("dup_lines") shouldBe 2L
+    d1.getAs[Long]("line_chars") shouldBe (4 + 4 + 4 + 9).toLong
+    d1.getAs[Long]("dup_line_chars") shouldBe 12L
+    d1.getAs[Long]("n_bigrams") shouldBe 4L
+    d1.getAs[Long]("top_bigram") shouldBe 2L
+    d1.getAs[Long]("n_5grams") shouldBe 1L
+    d1.getAs[Long]("dup_5grams") shouldBe 0L
+    d1.getAs[Boolean]("repetitive") shouldBe true // dup_line_chars 12*5 > 21
+    val d2 = out(2L)
+    d2.getAs[Long]("n_lines") shouldBe 1L
+    d2.getAs[Long]("dup_lines") shouldBe 0L
+    d2.getAs[Long]("n_bigrams") shouldBe 7L
+    d2.getAs[Long]("top_bigram") shouldBe 4L
+    d2.getAs[Long]("n_5grams") shouldBe 4L
+    d2.getAs[Long]("dup_5grams") shouldBe 2L
+    d2.getAs[Boolean]("repetitive") shouldBe true // top_bigram 4*5 > 7
+    val d3 = out(3L)
+    d3.getAs[Long]("n_lines") shouldBe 2L // " " twice: non-empty, dup
+    d3.getAs[Long]("dup_lines") shouldBe 1L
+    d3.getAs[Long]("n_bigrams") shouldBe 0L
+    d3.getAs[Long]("n_5grams") shouldBe 0L
+  }
+
+  test("repetition profile is registered in SQL and a clean document " +
+    "is not flagged") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text").createOrReplaceTempView("rep_docs")
+    val r = spark.sql(
+      """SELECT repetition_profile(text) AS p FROM rep_docs""")
+      .select("p.n_lines", "p.dup_lines", "p.n_bigrams", "p.top_bigram")
+      .collect().head
+    r.getLong(0) shouldBe 1L
+    r.getLong(1) shouldBe 0L
+    r.getLong(2) shouldBe 9L
+    r.getLong(3) shouldBe 1L
+    TextStats.repetition(
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"))
+      .select($"repetitive").as[Boolean].collect().head shouldBe false
+  }
+
   test("fingerprint is stable under case and whitespace noise") {
     import spark.implicits._
     val out = TextStats.fingerprint(Seq(
