@@ -403,6 +403,37 @@ object LakeQueries {
       |  c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
 
+  /** lk9_point_lookup — bloom-sidecar file skipping through the gate:
+    * lineitem clustered by PRICE with bloom filters recorded on
+    * `l_orderkey`, then a point lookup on the orderkey — the query
+    * min/max stats cannot prune at all (every price-clustered file's
+    * orderkey range spans the key space; only the blooms vote files
+    * away). The oracle filters the original parquet, so the row proves
+    * bloom pruning loses nothing; the pruning itself (candidates ≪
+    * files, conservative keep without a sidecar, vacuumed sidecars) is
+    * pinned in ManifestLakeSpec where counts are observable. */
+  def lk9PointLookup(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk9:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk9").toString
+      ManifestLake.writeClustered(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_quantity"),
+        dir, "l_extendedprice", nFiles = 16,
+        bloomCols = Seq("l_orderkey"))
+      dir
+    })
+    ManifestLake.readEq(s, table, "l_orderkey", 1L)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity")
+  }
+
+  val lk9Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey = 1""".stripMargin
+
   /** lk8_sql_update — SQL `UPDATE ... SET ... WHERE` through the gate:
     * its own price-clustered lineitem copy takes an UPDATE whose
     * assignment reads an UNASSIGNED column of the old row
@@ -437,6 +468,7 @@ object LakeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cf1_stream_changes" -> (cf1StreamChanges _),
     "lk8_sql_update" -> (lk8SqlUpdate _),
+    "lk9_point_lookup" -> (lk9PointLookup _),
     "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
@@ -450,6 +482,7 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     "cf1_stream_changes" -> cf1Oracle,
     "lk8_sql_update" -> lk8Oracle,
+    "lk9_point_lookup" -> lk9Oracle,
     "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,

@@ -245,6 +245,7 @@ object ManifestLake {
 
   private val ManifestDir = "_manifests"
   private val ChangesDir = "_changes"
+  private val BloomsDir = "_blooms"
   // 8+ digits: %08d PADS to 8 but widens past it, so version 10^8's
   // manifest is v100000000.manifest (9 digits) — a {8}-exact pattern
   // would make versions() blind to it and every later commit collide
@@ -630,7 +631,9 @@ object ManifestLake {
             partitionBy: Seq[String] = Nil,
             statsCol: Option[String] = None,
             appId: Option[String] = None,
-            statsCols: Seq[String] = Nil): Long = {
+            statsCols: Seq[String] = Nil,
+            bloomCols: Seq[String] = Nil,
+            bloomExpectedRows: Long = 100000L): Long = {
     val spark = df.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -664,6 +667,11 @@ object ManifestLake {
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
     val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
+    // sidecars land BEFORE the manifest publishes: a reader either sees
+    // the commit with its blooms complete, or neither (a failed commit's
+    // orphan sidecars die with their orphan data files in vacuum)
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse), bloomCols,
+      bloomExpectedRows)
     // A plain (non-streaming) write must CARRY the previous snapshot's
     // streaming transaction identity forward, exactly as compact() does —
     // appends AND overwrites: if a maintenance write cleared the (appId,
@@ -749,6 +757,125 @@ object ManifestLake {
     moved
   }
 
+  /** Stage per-file BLOOM sidecars for `bloomCols` of the newly
+    * committed files: one grouped aggregate job reads the new files back
+    * (file-provenance grouping, so one pass covers every column) and
+    * each file's filter lands at `_blooms/<relpath>.<col>.bloom`,
+    * mirroring the data layout. Blooms answer the query min/max stats
+    * cannot: POINT LOOKUPS on a column the table is not clustered by —
+    * every file's range covers a popular key space, but only a handful
+    * of files actually hold a given key. Sidecars are advisory:
+    * [[pointLookupCandidates]] keeps any file without one, so partial
+    * coverage (older commits, DML rewrites) only weakens pruning, never
+    * correctness. Sizing: `expectedRows` is the per-file row estimate —
+    * Spark's bloom aggregate derives optimal bits for its default 3%
+    * FPP, ~75 KB at 100k rows: ≈0.1% storage overhead on a table whose
+    * files hold rows that size. The collect is bounded by (new files ×
+    * filter bytes) PER COMMIT — an initial 100 TB load amortizes it
+    * over its append batches. */
+  private def stageBloomSidecars(spark: SparkSession, fs: FileSystem,
+      p: Path, added: Seq[FileEntry], bloomCols: Seq[String],
+      expectedRows: Long): Unit = {
+    if (bloomCols.isEmpty || added.isEmpty) return
+    import org.apache.spark.sql.functions.{col, expr}
+    val byPath = spark.read
+      .parquet(added.map(e => new Path(p, e.path).toString): _*)
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(expr(s"bloom_filter_agg(xxhash64(`${bloomCols.head}`), " +
+        s"${expectedRows}L)").as(s"__bf_${bloomCols.head}"),
+        bloomCols.tail.map(c =>
+          expr(s"bloom_filter_agg(xxhash64(`$c`), ${expectedRows}L)")
+            .as(s"__bf_$c")): _*)
+      .collect()
+    fs.mkdirs(new Path(p, BloomsDir))
+    byPath.foreach { row =>
+      val abs = row.getString(0)
+      val rel = added.map(_.path).find(r => abs.endsWith("/" + r))
+        .getOrElse(throw new IllegalStateException(
+          s"bloom staging saw unexpected file $abs"))
+      bloomCols.foreach { c =>
+        val bytes = row.getAs[Array[Byte]](s"__bf_$c")
+        if (bytes != null) {
+          val dest = new Path(p, s"$BloomsDir/$rel.$c.bloom")
+          fs.mkdirs(dest.getParent)
+          val out = fs.create(dest, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    }
+  }
+
+  /** The snapshot files an equality lookup on `colName` must read:
+    * range candidates first (a clustered column's stats already answer
+    * point queries), then each candidate's bloom sidecar votes —
+    * definite-miss files drop, files without a sidecar stay
+    * conservatively. The membership test runs as one distributed job
+    * over the sidecars (`binaryFile` scan + `might_contain`), so the
+    * driver only ever sees the surviving file NAMES — at a million
+    * files the filters themselves never congregate anywhere. Public so
+    * specs can pin the pruning by observation. */
+  def pointLookupCandidates(spark: SparkSession, table: String,
+      colName: String, value: Any,
+      version: Option[Long] = None): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val (fs, p) = fsFor(spark, table)
+    val snap = snapshot(spark, table, version)
+    val candidates =
+      scala.util.Try(BigDecimal(String.valueOf(value))).toOption match {
+        case Some(v) => rangeCandidates(snap, colName, v, v)
+        case None => snap.entries
+      }
+    val bdir = new Path(p, BloomsDir)
+    if (candidates.isEmpty || !fs.exists(bdir)) return candidates
+    // hash EXACTLY what the writer's aggregate hashed: xxhash64 of the
+    // column's NATIVE type (an int-typed literal against a long column
+    // would hash differently and never match)
+    val typed = snap.schema.flatMap(_.fields.find(_.name == colName)) match {
+      case Some(f) => lit(value).cast(f.dataType)
+      case None => lit(value)
+    }
+    val keyHash = spark.range(1).select(xxhash64(typed))
+      .collect().head.getLong(0)
+    // one distributed job over the sidecars: executors deserialize each
+    // filter and vote; only (name, verdict) pairs reach the driver —
+    // the filters themselves never congregate anywhere
+    import spark.implicits._
+    val verdicts = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$colName.bloom")
+      .option("recursiveFileLookup", "true")
+      .load(bdir.toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        (path, bf.mightContainLong(keyHash))
+      }
+      .collect()
+      .flatMap { case (path, hit) =>
+        val marker = s"/$BloomsDir/"
+        val idx = path.indexOf(marker)
+        if (idx < 0) None
+        else Some(path.substring(idx + marker.length)
+          .stripSuffix(s".$colName.bloom") -> hit)
+      }.toMap
+    candidates.filter(e => verdicts.getOrElse(e.path, true))
+  }
+
+  /** Point lookup with manifest-range AND bloom-sidecar file skipping —
+    * `SELECT ... WHERE col = value` at interactive cost on a 100 TB
+    * table. The exact predicate still applies to the survivors, so the
+    * result is identical to a full-scan filter regardless of sidecar
+    * coverage or bloom false positives. */
+  def readEq(spark: SparkSession, table: String, colName: String,
+             value: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, table, version)
+    val keep = pointLookupCandidates(spark, table, colName, value, version)
+    readSnapshotFiles(spark, table, snap, keep.map(_.path))
+      .filter(col(colName) === lit(value))
+  }
+
   /** Range-clustered lake write: [[graft.sources.LakeWriter.writeClustered]]
     * layout (repartitionByRange + sortWithinPartitions, so files cover
     * narrow pairwise-disjoint ranges of `clusterCol`) committed through the
@@ -759,12 +886,13 @@ object ManifestLake {
     * order date clustered table also skips on order key, say). */
   def writeClustered(df: DataFrame, table: String, clusterCol: String,
                      nFiles: Int, append: Boolean = false,
-                     extraStatsCols: Seq[String] = Nil): Long = {
+                     extraStatsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     write(df.repartitionByRange(nFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol),
       table, append = append, statsCol = Some(clusterCol),
-      statsCols = extraStatsCols)
+      statsCols = extraStatsCols, bloomCols = bloomCols)
   }
 
   /** The snapshot entries a range query on `colName` must read: every
@@ -1580,6 +1708,22 @@ object ManifestLake {
       .filterNot(f => dataFileVersion(f).exists(_ > maxRetained))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
+    // a dead data file's bloom sidecars go with it (sidecars are keyed
+    // by data-file path, invisible to the .parquet liveness walk above)
+    val bdir = new Path(p, BloomsDir)
+    if (dead.nonEmpty && fs.exists(bdir)) {
+      val deadSet = dead.toSet
+      def walkBlooms(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) walkBlooms(st.getPath)
+        else {
+          val rel = relativize(new Path(p, BloomsDir), st.getPath)
+          // <datafile rel>.<col>.bloom → strip the two suffix segments
+          val dataRel = rel.split('.').dropRight(2).mkString(".")
+          if (deadSet.contains(dataRel)) fs.delete(st.getPath, false): Unit
+        }
+      }
+      walkBlooms(bdir)
+    }
     drop.foreach { v =>
       // a dropped version's recorded change files go with its manifest
       // (read it BEFORE deleting — the C lines are the only reference)

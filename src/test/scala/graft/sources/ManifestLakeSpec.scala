@@ -606,6 +606,62 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     payloads should contain allOf ("null_current", "null_update", "a", "b")
   }
 
+  test("bloom sidecars prune point lookups to the files actually holding " +
+    "the key; files without a sidecar are kept conservatively and vacuum " +
+    "collects sidecars with their data files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // clustered by `bucket` so min/max stats are useless for `id` point
+    // lookups: every file's id range spans the whole key space
+    val base = (1 to 4000).map(i => (i.toLong, (i % 4).toLong, s"p$i"))
+      .toDF("id", "bucket", "payload")
+    ManifestLake.writeClustered(base, t, "bucket", nFiles = 4,
+      bloomCols = Seq("id"))
+    val all = ManifestLake.snapshot(spark, t).entries
+    all.size should be >= 3 // range clustering may sample fewer boundaries
+    // id 17 lives in ONE bucket's file only — blooms must prune the rest
+    // (up to rare false positives; 3% FPP across the foreign files makes
+    // zero pruning astronomically unlikely)
+    val cands = ManifestLake.pointLookupCandidates(spark, t, "id", 17L)
+    cands.size should be < all.size
+    ManifestLake.readEq(spark, t, "id", 17L)
+      .select("payload").as[String].collect() shouldBe Array("p17")
+    // a missing key prunes to zero files but still answers (empty)
+    ManifestLake.readEq(spark, t, "id", 999999L).count() shouldBe 0L
+
+    // an append WITHOUT blooms: its files lack sidecars and must always
+    // survive the vote
+    ManifestLake.write(Seq((900001L, 9L, "new")).toDF("id", "bucket",
+      "payload"), t)
+    val after = ManifestLake.snapshot(spark, t).entries
+    val noBloom = after.filterNot(e => all.exists(_.path == e.path))
+    noBloom should have length 1
+    ManifestLake.pointLookupCandidates(spark, t, "id", 17L)
+      .map(_.path) should contain(noBloom.head.path)
+    ManifestLake.readEq(spark, t, "id", 900001L)
+      .select("payload").as[String].collect() shouldBe Array("new")
+
+    // compaction + vacuum: the old files die and so must their sidecars
+    ManifestLake.compact(spark, t)
+    ManifestLake.vacuum(spark, t, keepLast = 1)
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    val bdir = new org.apache.hadoop.fs.Path(t, "_blooms")
+    def countBlooms(dir: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).map(st =>
+        if (st.isDirectory) countBlooms(st.getPath)
+        else 1).sum
+    countBlooms(bdir) shouldBe 0 // all bloomed files were compacted away
+    // pruning is gone but answers stay exact
+    ManifestLake.readEq(spark, t, "id", 17L)
+      .select("payload").as[String].collect() shouldBe Array("p17")
+    p.toString should not be empty
+  }
+
   test("update rewrites only files holding a match; untouched entries " +
     "carry over verbatim and a no-match update is a version no-op") {
     import spark.implicits._
