@@ -194,7 +194,8 @@ object ManifestLake {
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             batchId: Option[Long] = None,
                             appId: Option[String] = None,
-                            schema: Option[StructType] = None) {
+                            schema: Option[StructType] = None,
+                            bloomCols: Seq[String] = Nil) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -255,6 +256,7 @@ object ManifestLake {
   private val SchemaHeader = "#schema="
   private val TsHeader = "#ts="
   private val FullHeader = "#full"
+  private val BloomHeader = "#blooms="
 
   /** Commit wall-clock source — a seam so specs can pin timestamp
     * resolution deterministically; production uses the system clock. */
@@ -297,7 +299,8 @@ object ManifestLake {
                                      removes: Seq[String],
                                      schema: Option[StructType] = None,
                                      tsMillis: Option[Long] = None,
-                                     changeFiles: Seq[String] = Nil)
+                                     changeFiles: Seq[String] = Nil,
+                                     bloomCols: Seq[String] = Nil)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -310,6 +313,7 @@ object ManifestLake {
       var app: Option[String] = None
       var schema: Option[StructType] = None
       var ts: Option[Long] = None
+      var blooms: Seq[String] = Nil
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -326,6 +330,9 @@ object ManifestLake {
             .asInstanceOf[StructType])
         else if (line.startsWith(TsHeader))
           ts = Some(line.stripPrefix(TsHeader).toLong)
+        else if (line.startsWith(BloomHeader))
+          blooms = line.stripPrefix(BloomHeader).split(',').toSeq
+            .filter(_.nonEmpty)
         else if (line == FullHeader) full = true
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
@@ -335,7 +342,7 @@ object ManifestLake {
         line = in.readLine()
       }
       LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts,
-        changeFiles.result())
+        changeFiles.result(), blooms)
     } finally in.close()
   }
 
@@ -411,6 +418,7 @@ object ManifestLake {
     var headBatch: Option[Long] = None
     var headApp: Option[String] = None
     var headSchema: Option[StructType] = None
+    var headBlooms: Seq[String] = Nil
     var headerSeen = false
     while (base == null) {
       val ck = checkpointPath(p, w)
@@ -424,7 +432,8 @@ object ManifestLake {
             s"version $v — vacuumed past a retained version?")
       if (!headerSeen) {
         headBatch = rec.batchId; headApp = rec.appId
-        headSchema = rec.schema; headerSeen = true
+        headSchema = rec.schema; headBlooms = rec.bloomCols
+        headerSeen = true
       }
       if (rec.full) base = rec.adds
       else {
@@ -440,7 +449,8 @@ object ManifestLake {
       d.removes.foreach(state.remove)
       d.adds.foreach(e => state.put(e.path, e))
     }
-    Snapshot(v, state.values.toSeq, headBatch, headApp, headSchema)
+    Snapshot(v, state.values.toSeq, headBatch, headApp, headSchema,
+      headBlooms)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -533,7 +543,8 @@ object ManifestLake {
                                  batchId: Option[Long] = None,
                                  appId: Option[String] = None,
                                  schema: Option[StructType] = None,
-                                 changeFiles: Seq[String] = Nil): Long = {
+                                 changeFiles: Seq[String] = Nil,
+                                 bloomCols: Seq[String] = Nil): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
@@ -543,6 +554,8 @@ object ManifestLake {
     batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
     appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
     schema.foreach(s => sb.append(SchemaHeader).append(s.json).append('\n'))
+    if (bloomCols.nonEmpty)
+      sb.append(BloomHeader).append(bloomCols.mkString(",")).append('\n')
     sb.append(TsHeader).append(clock()).append('\n')
     if (full) {
       sb.append(FullHeader).append('\n')
@@ -587,6 +600,9 @@ object ManifestLake {
       snap.appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
       snap.schema.foreach(s =>
         sb.append(SchemaHeader).append(s.json).append('\n'))
+      if (snap.bloomCols.nonEmpty)
+        sb.append(BloomHeader).append(snap.bloomCols.mkString(","))
+          .append('\n')
       sb.append(FullHeader).append('\n')
       snap.entries.foreach(e => sb.append(e.line).append('\n'))
       val tmp = new Path(new Path(p, ManifestDir),
@@ -667,10 +683,18 @@ object ManifestLake {
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
     val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
+    // bloom coverage is a TABLE property once established: appends
+    // inherit the snapshot's recorded bloom columns unless the caller
+    // names their own (an overwrite defines them afresh), so routine
+    // ingest never silently decays point-lookup pruning
+    val effBlooms =
+      if (bloomCols.nonEmpty) bloomCols
+      else if (append) prevSnap.map(_.bloomCols).getOrElse(Nil)
+      else Nil
     // sidecars land BEFORE the manifest publishes: a reader either sees
     // the commit with its blooms complete, or neither (a failed commit's
     // orphan sidecars die with their orphan data files in vacuum)
-    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse), bloomCols,
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse), effBlooms,
       bloomExpectedRows)
     // A plain (non-streaming) write must CARRY the previous snapshot's
     // streaming transaction identity forward, exactly as compact() does —
@@ -687,10 +711,10 @@ object ManifestLake {
       else (batchId, appId)
     if (append && prevSnap.nonEmpty)
       commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
-        effBatch, effApp, Some(committedSchema))
+        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms)
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
-        effBatch, effApp, Some(committedSchema))
+        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms)
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
@@ -1067,9 +1091,12 @@ object ManifestLake {
               org.apache.spark.sql.functions.lit("insert"))),
           fs, p, next)
       }
+    // rewritten files keep the table's bloom coverage (like its stats)
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      snap.bloomCols, 100000L)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      Some(mergedSchema), changeFiles)
+      Some(mergedSchema), changeFiles, snap.bloomCols)
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
@@ -1206,10 +1233,13 @@ object ManifestLake {
           .withColumn("_change_type",
             org.apache.spark.sql.functions.lit("delete")),
         fs, p, next)
-    // a delete never changes the schema: carry the snapshot's forward
+    // a delete never changes the schema: carry the snapshot's forward,
+    // and re-bloom the rewritten files so pruning never decays
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      snap.bloomCols, 100000L)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles)
+      snap.schema, changeFiles, snap.bloomCols)
   }
 
   /** The snapshot files a row-predicate DML (DELETE / UPDATE) must
@@ -1332,10 +1362,13 @@ object ManifestLake {
             .select(updatedCols(gated = false): _*)
             .withColumn("_change_type", lit("update_postimage"))),
         fs, p, next)
-    // an update never changes the schema: carry the snapshot's forward
+    // an update never changes the schema: carry the snapshot's forward,
+    // and re-bloom the rewritten files so pruning never decays
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      snap.bloomCols, 100000L)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles)
+      snap.schema, changeFiles, snap.bloomCols)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -1447,7 +1480,8 @@ object ManifestLake {
     }
     val newVersion = write(compacted, table, append = false,
       batchId = snap.batchId, partitionBy = partCols,
-      statsCols = statsCols, appId = snap.appId)
+      statsCols = statsCols, appId = snap.appId,
+      bloomCols = snap.bloomCols)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
@@ -1524,7 +1558,7 @@ object ManifestLake {
           s"(${base(f.name).dataType.catalogString})"))
     val widened = StructType(base.fields ++ newCols.map(_.copy(nullable = true)))
     commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
-      snap.batchId, snap.appId, Some(widened))
+      snap.batchId, snap.appId, Some(widened), bloomCols = snap.bloomCols)
   }
 
   /** The committed change of one version, as its log record describes

@@ -630,33 +630,45 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     // a missing key prunes to zero files but still answers (empty)
     ManifestLake.readEq(spark, t, "id", 999999L).count() shouldBe 0L
 
-    // an append WITHOUT blooms: its files lack sidecars and must always
-    // survive the vote
-    ManifestLake.write(Seq((900001L, 9L, "new")).toDF("id", "bucket",
-      "payload"), t)
-    val after = ManifestLake.snapshot(spark, t).entries
-    val noBloom = after.filterNot(e => all.exists(_.path == e.path))
-    noBloom should have length 1
-    ManifestLake.pointLookupCandidates(spark, t, "id", 17L)
-      .map(_.path) should contain(noBloom.head.path)
-    ManifestLake.readEq(spark, t, "id", 900001L)
-      .select("payload").as[String].collect() shouldBe Array("new")
-
-    // compaction + vacuum: the old files die and so must their sidecars
-    ManifestLake.compact(spark, t)
-    ManifestLake.vacuum(spark, t, keepLast = 1)
     val (fs, p) = {
       val path = new org.apache.hadoop.fs.Path(t)
       (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     }
     val bdir = new org.apache.hadoop.fs.Path(t, "_blooms")
-    def countBlooms(dir: org.apache.hadoop.fs.Path): Int =
-      if (!fs.exists(dir)) 0
-      else fs.listStatus(dir).map(st =>
-        if (st.isDirectory) countBlooms(st.getPath)
-        else 1).sum
-    countBlooms(bdir) shouldBe 0 // all bloomed files were compacted away
-    // pruning is gone but answers stay exact
+    def bloomFiles(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap(st =>
+        if (st.isDirectory) bloomFiles(st.getPath)
+        else Seq(st.getPath.getName))
+
+    // bloom coverage is a table property: a plain append INHERITS it
+    // (its new file gets a sidecar without the caller asking)
+    ManifestLake.write(Seq((900001L, 9L, "new")).toDF("id", "bucket",
+      "payload"), t)
+    val after = ManifestLake.snapshot(spark, t)
+    after.bloomCols shouldBe Seq("id")
+    val appended = after.entries.filterNot(e => all.exists(_.path == e.path))
+    appended should have length 1
+    bloomFiles(bdir) should contain(
+      appended.head.path + ".id.bloom")
+    ManifestLake.readEq(spark, t, "id", 900001L)
+      .select("payload").as[String].collect() shouldBe Array("new")
+
+    // a file whose sidecar is MISSING (legacy commit, partial coverage)
+    // must always survive the vote — delete the appended file's sidecar
+    fs.delete(new org.apache.hadoop.fs.Path(bdir,
+      appended.head.path + ".id.bloom"), false)
+    ManifestLake.pointLookupCandidates(spark, t, "id", 17L)
+      .map(_.path) should contain(appended.head.path)
+
+    // compaction + vacuum: old sidecars die with their files, and the
+    // compacted file is RE-bloomed (maintenance never decays pruning)
+    ManifestLake.compact(spark, t)
+    ManifestLake.vacuum(spark, t, keepLast = 1)
+    val compacted = ManifestLake.snapshot(spark, t)
+    compacted.bloomCols shouldBe Seq("id")
+    bloomFiles(bdir).toSet shouldBe
+      compacted.entries.map(_.path + ".id.bloom").toSet
     ManifestLake.readEq(spark, t, "id", 17L)
       .select("payload").as[String].collect() shouldBe Array("p17")
     p.toString should not be empty
