@@ -900,6 +900,63 @@ object ManifestLake {
       .filter(col(colName) === lit(value))
   }
 
+  /** Batched point lookup — `WHERE col IN (...)` with bloom skipping:
+    * a file survives when its filter might hold ANY of the keys, so the
+    * sidecars are read ONCE for the whole batch (a per-key readEq loop
+    * would re-scan them |keys| times). The small-batch key-lookup shape
+    * of CDC backfills and entity joins; the exact IN predicate still
+    * applies to the survivors. */
+  def readIn(spark: SparkSession, table: String, colName: String,
+             values: Seq[Any], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    require(values.nonEmpty, "readIn needs at least one value")
+    val (fs, p) = fsFor(spark, table)
+    val snap = snapshot(spark, table, version)
+    val numeric = values.flatMap(v =>
+      scala.util.Try(BigDecimal(String.valueOf(v))).toOption)
+    val candidates =
+      if (numeric.size == values.size)
+        rangeCandidates(snap, colName, numeric.min, numeric.max)
+      else snap.entries
+    val bdir = new Path(p, BloomsDir)
+    val keep =
+      if (candidates.isEmpty || !fs.exists(bdir)) candidates
+      else {
+        val typedField =
+          snap.schema.flatMap(_.fields.find(_.name == colName))
+        def typed(v: Any) = typedField match {
+          case Some(f) => lit(v).cast(f.dataType)
+          case None => lit(v)
+        }
+        val hashes = spark.range(1)
+          .select(values.map(v => xxhash64(typed(v))): _*)
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        import spark.implicits._
+        val verdicts = spark.read.format("binaryFile")
+          .option("pathGlobFilter", s"*.$colName.bloom")
+          .option("recursiveFileLookup", "true")
+          .load(bdir.toString)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (path, bytes) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            (path, hashes.exists(bf.mightContainLong))
+          }
+          .collect()
+          .flatMap { case (path, hit) =>
+            val marker = s"/$BloomsDir/"
+            val idx = path.indexOf(marker)
+            if (idx < 0) None
+            else Some(path.substring(idx + marker.length)
+              .stripSuffix(s".$colName.bloom") -> hit)
+          }.toMap
+        candidates.filter(e => verdicts.getOrElse(e.path, true))
+      }
+    readSnapshotFiles(spark, table, snap, keep.map(_.path))
+      .filter(col(colName).isin(values: _*))
+  }
+
   /** Range-clustered lake write: [[graft.sources.LakeWriter.writeClustered]]
     * layout (repartitionByRange + sortWithinPartitions, so files cover
     * narrow pairwise-disjoint ranges of `clusterCol`) committed through the

@@ -674,6 +674,21 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     p.toString should not be empty
   }
 
+  test("readIn answers a key batch through the blooms in one sidecar " +
+    "pass, absent keys included") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = (1 to 4000).map(i => (i.toLong, (i % 4).toLong, s"p$i"))
+      .toDF("id", "bucket", "payload")
+    ManifestLake.writeClustered(base, t, "bucket", nFiles = 4,
+      bloomCols = Seq("id"))
+    ManifestLake.readIn(spark, t, "id", Seq(17L, 2500L, 999999L))
+      .select("payload").as[String].collect().sorted shouldBe
+      Array("p17", "p2500")
+    ManifestLake.readIn(spark, t, "id", Seq(999998L, 999999L))
+      .count() shouldBe 0L
+  }
+
   test("update rewrites only files holding a match; untouched entries " +
     "carry over verbatim and a no-match update is a version no-op") {
     import spark.implicits._
