@@ -50,9 +50,12 @@ case class RepetitionProfile(child: Expression)
   private def codepoints(s: String): Long =
     s.codePointCount(0, s.length).toLong
 
+  // RE2's \s -- [\t\n\f\r ] -- NOT Java's, which adds vertical tab:
+  // the oracle re-derivation tokenizes with RE2 (DuckDB), and a
+  // divergent separator set would split words differently on documents
+  // containing a VT
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
-      c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   override def nullSafeEval(t: Any): Any = {
     val text = t.asInstanceOf[UTF8String].toString

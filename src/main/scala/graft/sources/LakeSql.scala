@@ -78,6 +78,18 @@ object LakeSql {
     case _ => None
   }
 
+  /** The names a DML target's columns may legally be qualified by: the
+    * relation alias if present, the bare table name, and the
+    * namespace-qualified form. */
+  private def targetQualifiers(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) =>
+      targetQualifiers(child) + id.name.toLowerCase(java.util.Locale.ROOT)
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 =>
+      val t = u.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT)
+      Set(t, s"${Namespace.toLowerCase(java.util.Locale.ROOT)}.$t")
+    case _ => Set.empty
+  }
+
   /** The equi-join key columns of a MERGE condition: a conjunction of
     * `t.k = s.k` pairs (same column name both sides — the upsert-key
     * shape). Anything else is not expressible as a keyed upsert. */
@@ -185,13 +197,23 @@ object LakeSql {
         GraftDeleteCommand(lakeTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))
       case u: UpdateTable if lakeTarget(u.table).isDefined =>
+        // A multi-part assignment key is legal ONLY when its qualifier
+        // is the target relation (alias / table / namespace.table) —
+        // anything else is a nested-field target, which must raise
+        // rather than fall through to the leaf name: `SET s.qty = 0`
+        // with both a struct field s.qty and a top-level qty would
+        // otherwise silently update the WRONG column.
+        val quals = targetQualifiers(u.table)
         val assigns = u.assignments.map {
           case Assignment(k: UnresolvedAttribute, v) =>
-            // nested-field targets (`s.inner`) arrive as multi-part
-            // attributes too, but resolve nowhere: ManifestLake.update
-            // rejects the unqualified name against the table's
-            // TOP-LEVEL columns, which is the supported surface
-            k.nameParts.last -> ColumnBridge.column(unqualify(v))
+            val parts = k.nameParts
+            if (parts.length > 1 && !quals.contains(parts.init
+                .map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")))
+              throw new UnsupportedOperationException(
+                s"graft_lake UPDATE target '${parts.mkString(".")}' is " +
+                  "not a plain column of the target table — nested-field " +
+                  "assignment is unsupported")
+            parts.last -> ColumnBridge.column(unqualify(v))
           case other => throw new UnsupportedOperationException(
             s"graft_lake UPDATE supports only plain column assignment " +
               s"targets; got: ${other.sql}")

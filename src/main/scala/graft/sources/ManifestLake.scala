@@ -195,7 +195,8 @@ object ManifestLake {
                             batchId: Option[Long] = None,
                             appId: Option[String] = None,
                             schema: Option[StructType] = None,
-                            bloomCols: Seq[String] = Nil) {
+                            bloomCols: Seq[String] = Nil,
+                            bloomExpectedRows: Long = 100000L) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -257,6 +258,7 @@ object ManifestLake {
   private val TsHeader = "#ts="
   private val FullHeader = "#full"
   private val BloomHeader = "#blooms="
+  private val BloomRowsHeader = "#bloomrows="
 
   /** Commit wall-clock source — a seam so specs can pin timestamp
     * resolution deterministically; production uses the system clock. */
@@ -300,7 +302,8 @@ object ManifestLake {
                                      schema: Option[StructType] = None,
                                      tsMillis: Option[Long] = None,
                                      changeFiles: Seq[String] = Nil,
-                                     bloomCols: Seq[String] = Nil)
+                                     bloomCols: Seq[String] = Nil,
+                                     bloomExpectedRows: Long = 100000L)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -314,6 +317,7 @@ object ManifestLake {
       var schema: Option[StructType] = None
       var ts: Option[Long] = None
       var blooms: Seq[String] = Nil
+      var bloomRows = 100000L
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -333,6 +337,8 @@ object ManifestLake {
         else if (line.startsWith(BloomHeader))
           blooms = line.stripPrefix(BloomHeader).split(',').toSeq
             .filter(_.nonEmpty)
+        else if (line.startsWith(BloomRowsHeader))
+          bloomRows = line.stripPrefix(BloomRowsHeader).toLong
         else if (line == FullHeader) full = true
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
@@ -342,7 +348,7 @@ object ManifestLake {
         line = in.readLine()
       }
       LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts,
-        changeFiles.result(), blooms)
+        changeFiles.result(), blooms, bloomRows)
     } finally in.close()
   }
 
@@ -419,6 +425,7 @@ object ManifestLake {
     var headApp: Option[String] = None
     var headSchema: Option[StructType] = None
     var headBlooms: Seq[String] = Nil
+    var headBloomRows = 100000L
     var headerSeen = false
     while (base == null) {
       val ck = checkpointPath(p, w)
@@ -433,6 +440,7 @@ object ManifestLake {
       if (!headerSeen) {
         headBatch = rec.batchId; headApp = rec.appId
         headSchema = rec.schema; headBlooms = rec.bloomCols
+        headBloomRows = rec.bloomExpectedRows
         headerSeen = true
       }
       if (rec.full) base = rec.adds
@@ -450,7 +458,7 @@ object ManifestLake {
       d.adds.foreach(e => state.put(e.path, e))
     }
     Snapshot(v, state.values.toSeq, headBatch, headApp, headSchema,
-      headBlooms)
+      headBlooms, headBloomRows)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -544,7 +552,8 @@ object ManifestLake {
                                  appId: Option[String] = None,
                                  schema: Option[StructType] = None,
                                  changeFiles: Seq[String] = Nil,
-                                 bloomCols: Seq[String] = Nil): Long = {
+                                 bloomCols: Seq[String] = Nil,
+                                 bloomExpectedRows: Long = 100000L): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
@@ -554,8 +563,10 @@ object ManifestLake {
     batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
     appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
     schema.foreach(s => sb.append(SchemaHeader).append(s.json).append('\n'))
-    if (bloomCols.nonEmpty)
+    if (bloomCols.nonEmpty) {
       sb.append(BloomHeader).append(bloomCols.mkString(",")).append('\n')
+      sb.append(BloomRowsHeader).append(bloomExpectedRows).append('\n')
+    }
     sb.append(TsHeader).append(clock()).append('\n')
     if (full) {
       sb.append(FullHeader).append('\n')
@@ -600,9 +611,12 @@ object ManifestLake {
       snap.appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
       snap.schema.foreach(s =>
         sb.append(SchemaHeader).append(s.json).append('\n'))
-      if (snap.bloomCols.nonEmpty)
+      if (snap.bloomCols.nonEmpty) {
         sb.append(BloomHeader).append(snap.bloomCols.mkString(","))
           .append('\n')
+        sb.append(BloomRowsHeader).append(snap.bloomExpectedRows)
+          .append('\n')
+      }
       sb.append(FullHeader).append('\n')
       snap.entries.foreach(e => sb.append(e.line).append('\n'))
       val tmp = new Path(new Path(p, ManifestDir),
@@ -683,19 +697,22 @@ object ManifestLake {
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
     val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
-    // bloom coverage is a TABLE property once established: appends
-    // inherit the snapshot's recorded bloom columns unless the caller
-    // names their own (an overwrite defines them afresh), so routine
-    // ingest never silently decays point-lookup pruning
-    val effBlooms =
-      if (bloomCols.nonEmpty) bloomCols
-      else if (append) prevSnap.map(_.bloomCols).getOrElse(Nil)
-      else Nil
+    // bloom coverage is a TABLE property once established (the Delta
+    // table-property model): appends AND overwrites inherit the
+    // snapshot's recorded bloom columns — and their persisted per-file
+    // row estimate — unless the caller names their own, so routine
+    // ingest, INSERT OVERWRITE refreshes, and compaction never silently
+    // decay point-lookup pruning. Dropping coverage is a new table
+    // path, like changing a stream's identity.
+    val (effBlooms, effBloomRows) =
+      if (bloomCols.nonEmpty) (bloomCols, bloomExpectedRows)
+      else prevSnap.map(s => (s.bloomCols, s.bloomExpectedRows))
+        .getOrElse((Nil, bloomExpectedRows))
     // sidecars land BEFORE the manifest publishes: a reader either sees
     // the commit with its blooms complete, or neither (a failed commit's
     // orphan sidecars die with their orphan data files in vacuum)
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse), effBlooms,
-      bloomExpectedRows)
+      effBloomRows)
     // A plain (non-streaming) write must CARRY the previous snapshot's
     // streaming transaction identity forward, exactly as compact() does —
     // appends AND overwrites: if a maintenance write cleared the (appId,
@@ -711,10 +728,12 @@ object ManifestLake {
       else (batchId, appId)
     if (append && prevSnap.nonEmpty)
       commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
-        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms)
+        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
+        bloomExpectedRows = effBloomRows)
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
-        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms)
+        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
+        bloomExpectedRows = effBloomRows)
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
@@ -829,40 +848,33 @@ object ManifestLake {
     }
   }
 
-  /** The snapshot files an equality lookup on `colName` must read:
-    * range candidates first (a clustered column's stats already answer
-    * point queries), then each candidate's bloom sidecar votes —
-    * definite-miss files drop, files without a sidecar stay
-    * conservatively. The membership test runs as one distributed job
-    * over the sidecars (`binaryFile` scan + `might_contain`), so the
-    * driver only ever sees the surviving file NAMES — at a million
-    * files the filters themselves never congregate anywhere. Public so
-    * specs can pin the pruning by observation. */
-  def pointLookupCandidates(spark: SparkSession, table: String,
-      colName: String, value: Any,
-      version: Option[Long] = None): Seq[FileEntry] = {
-    import org.apache.spark.sql.functions.{col, lit, xxhash64}
-    val (fs, p) = fsFor(spark, table)
-    val snap = snapshot(spark, table, version)
-    val candidates =
-      scala.util.Try(BigDecimal(String.valueOf(value))).toOption match {
-        case Some(v) => rangeCandidates(snap, colName, v, v)
-        case None => snap.entries
-      }
+  /** The column field an equality lookup must type its literals by —
+    * resolved with the session's case sensitivity. `None` means the
+    * snapshot cannot prove the writer's hashed type, in which case the
+    * bloom vote MUST be skipped: hashing a guessed type could vote
+    * definite-miss on the file that holds the key (the one
+    * non-conservative failure a bloom layer must never have). */
+  private def bloomField(spark: SparkSession, snap: Snapshot,
+      colName: String): Option[org.apache.spark.sql.types.StructField] = {
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    snap.schema.flatMap(_.fields.find(f =>
+      if (caseSensitive) f.name == colName
+      else f.name.equalsIgnoreCase(colName)))
+  }
+
+  /** One distributed vote over `colName`'s bloom sidecars: keep each
+    * candidate whose filter might contain ANY of `hashes` (executors
+    * deserialize and test; only (name, verdict) pairs reach the driver
+    * — at a million files the filters themselves never congregate
+    * anywhere). Files without a sidecar survive conservatively. Shared
+    * by [[readEq]] and [[readIn]]. */
+  private def bloomVote(spark: SparkSession, fs: FileSystem, p: Path,
+      colName: String, hashes: Array[Long],
+      candidates: Seq[FileEntry]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.col
     val bdir = new Path(p, BloomsDir)
     if (candidates.isEmpty || !fs.exists(bdir)) return candidates
-    // hash EXACTLY what the writer's aggregate hashed: xxhash64 of the
-    // column's NATIVE type (an int-typed literal against a long column
-    // would hash differently and never match)
-    val typed = snap.schema.flatMap(_.fields.find(_.name == colName)) match {
-      case Some(f) => lit(value).cast(f.dataType)
-      case None => lit(value)
-    }
-    val keyHash = spark.range(1).select(xxhash64(typed))
-      .collect().head.getLong(0)
-    // one distributed job over the sidecars: executors deserialize each
-    // filter and vote; only (name, verdict) pairs reach the driver —
-    // the filters themselves never congregate anywhere
     import spark.implicits._
     val verdicts = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$colName.bloom")
@@ -873,7 +885,7 @@ object ManifestLake {
       .map { case (path, bytes) =>
         val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bytes))
-        (path, bf.mightContainLong(keyHash))
+        (path, hashes.exists(bf.mightContainLong))
       }
       .collect()
       .flatMap { case (path, hit) =>
@@ -886,6 +898,40 @@ object ManifestLake {
     candidates.filter(e => verdicts.getOrElse(e.path, true))
   }
 
+  /** The snapshot files an equality lookup on `colName` must read:
+    * range candidates first (a clustered column's stats already answer
+    * point queries), then each candidate's bloom sidecar votes via
+    * [[bloomVote]]. Pass the already-resolved snapshot when the caller
+    * holds one — the overload resolving its own is for specs; a reader
+    * composing this with a read must use ONE snapshot for both or a
+    * concurrent commit can tear the lookup across versions. */
+  def pointLookupCandidates(spark: SparkSession, table: String,
+      snap: Snapshot, colName: String, value: Any): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val (fs, p) = fsFor(spark, table)
+    val candidates =
+      scala.util.Try(BigDecimal(String.valueOf(value))).toOption match {
+        case Some(v) => rangeCandidates(snap, colName, v, v)
+        case None => snap.entries
+      }
+    bloomField(spark, snap, colName) match {
+      case None => candidates // type unprovable: skip the vote, keep all
+      case Some(f) =>
+        // hash EXACTLY what the writer's aggregate hashed: xxhash64 of
+        // the column's NATIVE type (an int-typed literal against a long
+        // column would hash differently and never match)
+        val keyHash = spark.range(1)
+          .select(xxhash64(lit(value).cast(f.dataType)))
+          .collect().head.getLong(0)
+        bloomVote(spark, fs, p, colName, Array(keyHash), candidates)
+    }
+  }
+
+  def pointLookupCandidates(spark: SparkSession, table: String,
+      colName: String, value: Any): Seq[FileEntry] =
+    pointLookupCandidates(spark, table, snapshot(spark, table, None),
+      colName, value)
+
   /** Point lookup with manifest-range AND bloom-sidecar file skipping —
     * `SELECT ... WHERE col = value` at interactive cost on a 100 TB
     * table. The exact predicate still applies to the survivors, so the
@@ -894,8 +940,11 @@ object ManifestLake {
   def readEq(spark: SparkSession, table: String, colName: String,
              value: Any, version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // ONE snapshot resolution shared by the prune and the read — two
+    // would double the log replay and could tear across a concurrent
+    // commit (prune from v+1's entries, read under v's schema)
     val snap = snapshot(spark, table, version)
-    val keep = pointLookupCandidates(spark, table, colName, value, version)
+    val keep = pointLookupCandidates(spark, table, snap, colName, value)
     readSnapshotFiles(spark, table, snap, keep.map(_.path))
       .filter(col(colName) === lit(value))
   }
@@ -918,41 +967,14 @@ object ManifestLake {
       if (numeric.size == values.size)
         rangeCandidates(snap, colName, numeric.min, numeric.max)
       else snap.entries
-    val bdir = new Path(p, BloomsDir)
-    val keep =
-      if (candidates.isEmpty || !fs.exists(bdir)) candidates
-      else {
-        val typedField =
-          snap.schema.flatMap(_.fields.find(_.name == colName))
-        def typed(v: Any) = typedField match {
-          case Some(f) => lit(v).cast(f.dataType)
-          case None => lit(v)
-        }
+    val keep = bloomField(spark, snap, colName) match {
+      case None => candidates // type unprovable: skip the vote, keep all
+      case Some(f) =>
         val hashes = spark.range(1)
-          .select(values.map(v => xxhash64(typed(v))): _*)
+          .select(values.map(v => xxhash64(lit(v).cast(f.dataType))): _*)
           .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        import spark.implicits._
-        val verdicts = spark.read.format("binaryFile")
-          .option("pathGlobFilter", s"*.$colName.bloom")
-          .option("recursiveFileLookup", "true")
-          .load(bdir.toString)
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .map { case (path, bytes) =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(bytes))
-            (path, hashes.exists(bf.mightContainLong))
-          }
-          .collect()
-          .flatMap { case (path, hit) =>
-            val marker = s"/$BloomsDir/"
-            val idx = path.indexOf(marker)
-            if (idx < 0) None
-            else Some(path.substring(idx + marker.length)
-              .stripSuffix(s".$colName.bloom") -> hit)
-          }.toMap
-        candidates.filter(e => verdicts.getOrElse(e.path, true))
-      }
+        bloomVote(spark, fs, p, colName, hashes, candidates)
+    }
     readSnapshotFiles(spark, table, snap, keep.map(_.path))
       .filter(col(colName).isin(values: _*))
   }
@@ -1148,12 +1170,16 @@ object ManifestLake {
               org.apache.spark.sql.functions.lit("insert"))),
           fs, p, next)
       }
-    // rewritten files keep the table's bloom coverage (like its stats)
+    // rewritten files keep the table's bloom coverage (like its stats),
+    // sized by the PERSISTED per-file row estimate — a hardcoded size
+    // would saturate the filters of a large-file table and silently
+    // kill pruning
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
-      snap.bloomCols, 100000L)
+      snap.bloomCols, snap.bloomExpectedRows)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      Some(mergedSchema), changeFiles, snap.bloomCols)
+      Some(mergedSchema), changeFiles, snap.bloomCols,
+      snap.bloomExpectedRows)
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
@@ -1291,12 +1317,13 @@ object ManifestLake {
             org.apache.spark.sql.functions.lit("delete")),
         fs, p, next)
     // a delete never changes the schema: carry the snapshot's forward,
-    // and re-bloom the rewritten files so pruning never decays
+    // and re-bloom the rewritten files (persisted sizing) so pruning
+    // never decays
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
-      snap.bloomCols, 100000L)
+      snap.bloomCols, snap.bloomExpectedRows)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols)
+      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows)
   }
 
   /** The snapshot files a row-predicate DML (DELETE / UPDATE) must
@@ -1375,21 +1402,30 @@ object ManifestLake {
     val snap = snapshot(spark, table, prev)
     val schema = snap.schema.getOrElse(
       readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
-    val dup = assignments.groupBy(_._1).collect {
+    // resolve targets with the session's case sensitivity (Spark SQL
+    // default is case-insensitive — `SET Payload = ...` must land on
+    // `payload` like it does everywhere else), canonicalizing to the
+    // schema's spelling so the rewrite below matches field-for-field
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val canonical = assignments.map { case (c, e) =>
+      val f = schema.fields.find(f =>
+        if (caseSensitive) f.name == c else f.name.equalsIgnoreCase(c))
+      require(f.nonEmpty,
+        s"update assigns unknown column '$c' — the table's columns are " +
+          s"[${schema.fieldNames.mkString(", ")}]. UPDATE never adds " +
+          "columns; widen the schema first (addColumns / ALTER TABLE).")
+      f.get.name -> e
+    }
+    val dup = canonical.groupBy(_._1).collect {
       case (c, as) if as.size > 1 => c }
     require(dup.isEmpty,
       s"update assigns [${dup.mkString(", ")}] more than once — SQL " +
         "UPDATE requires each target column at most once")
-    assignments.foreach { case (c, _) =>
-      require(schema.fieldNames.contains(c),
-        s"update assigns unknown column '$c' — the table's columns are " +
-          s"[${schema.fieldNames.mkString(", ")}]. UPDATE never adds " +
-          "columns; widen the schema first (addColumns / ALTER TABLE).")
-    }
     val touched =
       predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
     if (touched.isEmpty) return snap.version // nothing matches: no-op
-    val assignMap = assignments.toMap
+    val assignMap = canonical.toMap
     val current = readSnapshotFiles(spark, table, snap, touched.map(_.path))
     // TRUE-only gating (a NULL-evaluating predicate leaves the row
     // unchanged), and every assignment reads the OLD row: all the
@@ -1420,12 +1456,13 @@ object ManifestLake {
             .withColumn("_change_type", lit("update_postimage"))),
         fs, p, next)
     // an update never changes the schema: carry the snapshot's forward,
-    // and re-bloom the rewritten files so pruning never decays
+    // and re-bloom the rewritten files (persisted sizing) so pruning
+    // never decays
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
-      snap.bloomCols, 100000L)
+      snap.bloomCols, snap.bloomExpectedRows)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols)
+      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -1615,7 +1652,8 @@ object ManifestLake {
           s"(${base(f.name).dataType.catalogString})"))
     val widened = StructType(base.fields ++ newCols.map(_.copy(nullable = true)))
     commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
-      snap.batchId, snap.appId, Some(widened), bloomCols = snap.bloomCols)
+      snap.batchId, snap.appId, Some(widened), bloomCols = snap.bloomCols,
+      bloomExpectedRows = snap.bloomExpectedRows)
   }
 
   /** The committed change of one version, as its log record describes
@@ -1799,18 +1837,24 @@ object ManifestLake {
       .filterNot(f => dataFileVersion(f).exists(_ > maxRetained))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
-    // a dead data file's bloom sidecars go with it (sidecars are keyed
-    // by data-file path, invisible to the .parquet liveness walk above)
+    // Bloom sidecars are keyed by LIVENESS, not by the dead list: a
+    // sidecar survives only while its data file is referenced by a
+    // retained version or belongs to an in-flight writer (version >
+    // maxRetained — writers stage sidecars BEFORE their manifest
+    // commits). Anything else is collectable, including orphans from a
+    // previous vacuum that crashed between the data delete and this
+    // walk — the cleanup self-heals instead of leaking forever.
     val bdir = new Path(p, BloomsDir)
-    if (dead.nonEmpty && fs.exists(bdir)) {
-      val deadSet = dead.toSet
+    if (fs.exists(bdir)) {
       def walkBlooms(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) walkBlooms(st.getPath)
         else {
           val rel = relativize(new Path(p, BloomsDir), st.getPath)
           // <datafile rel>.<col>.bloom → strip the two suffix segments
           val dataRel = rel.split('.').dropRight(2).mkString(".")
-          if (deadSet.contains(dataRel)) fs.delete(st.getPath, false): Unit
+          val inFlight = dataFileVersion(dataRel).exists(_ > maxRetained)
+          if (!live(dataRel) && !inFlight)
+            fs.delete(st.getPath, false): Unit
         }
       }
       walkBlooms(bdir)

@@ -122,8 +122,11 @@ object TextStats {
     * 0.15 dup 5-grams) applied as exact integer cross-products, so the
     * flag never touches float division. */
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // NULL text profiles as EMPTY (all-zero counts, repetitive=false),
+    // not as NULL counts: a downstream filter(!repetitive) must keep
+    // NULL-text docs, and the gate oracle's COALESCE(…, 0) says the same
     val profiled = df.withColumn("__rep",
-      graft.functions.RepetitionProfile(col(textCol)))
+      graft.functions.RepetitionProfile(coalesce(col(textCol), lit(""))))
     val flat = graft.functions.RepetitionProfile.schema.fieldNames
       .foldLeft(profiled)((acc, f) => acc.withColumn(f, col(s"__rep.$f")))
       .drop("__rep")

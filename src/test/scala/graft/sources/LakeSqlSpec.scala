@@ -229,6 +229,12 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark.sql("UPDATE graft_lake.upd SET nope = 'x' WHERE id = 1")
     }
     e.getMessage should include("unknown column 'nope'")
+    // a nested-field target raises instead of silently landing on a
+    // same-named top-level column via its leaf name
+    val n = intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE graft_lake.upd SET s.payload = 'x' WHERE id = 1")
+    }
+    n.getMessage should include("nested-field assignment is unsupported")
   }
 
   test("the $history metadata table serves version history from SQL — " +

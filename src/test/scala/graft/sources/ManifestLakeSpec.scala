@@ -674,6 +674,45 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     p.toString should not be empty
   }
 
+  test("bloom coverage AND its per-file sizing persist through " +
+    "overwrite and DML as table properties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    val data = (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    ManifestLake.write(data, t, append = false, bloomCols = Seq("id"),
+      bloomExpectedRows = 5000L)
+    ManifestLake.snapshot(spark, t).bloomExpectedRows shouldBe 5000L
+    // INSERT OVERWRITE shape: no bloom args, coverage must survive
+    ManifestLake.write(data, t, append = false)
+    val afterOverwrite = ManifestLake.snapshot(spark, t)
+    afterOverwrite.bloomCols shouldBe Seq("id")
+    afterOverwrite.bloomExpectedRows shouldBe 5000L
+    // DML rewrite: same
+    ManifestLake.update(spark, t, col("id") === 1L,
+      Seq("payload" -> lit("x")))
+    val afterUpdate = ManifestLake.snapshot(spark, t)
+    afterUpdate.bloomCols shouldBe Seq("id")
+    afterUpdate.bloomExpectedRows shouldBe 5000L
+  }
+
+  test("update resolves assignment targets case-insensitively like the " +
+    "rest of Spark SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    ManifestLake.write(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), t)
+    ManifestLake.update(spark, t, col("id") === 1L,
+      Seq("PAYLOAD" -> lit("upd")))
+    ManifestLake.read(spark, t).orderBy("id").select("payload")
+      .as[String].collect() shouldBe Array("upd", "b")
+    // the duplicate check sees through the spelling difference
+    intercept[IllegalArgumentException] {
+      ManifestLake.update(spark, t, col("id") === 1L,
+        Seq("payload" -> lit("x"), "Payload" -> lit("y")))
+    }.getMessage should include("more than once")
+  }
+
   test("readIn answers a key batch through the blooms in one sidecar " +
     "pass, absent keys included") {
     import spark.implicits._
