@@ -403,6 +403,67 @@ object LakeQueries {
       |  c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
 
+  /** mv1_incremental_agg — incremental view maintenance through the
+    * gate: a per-nation balance view over its own clustered customer
+    * copy is built from the initial feed, then the source takes a
+    * CDC-recorded MERGE (lk2's update set) and a CDC-recorded DELETE,
+    * and the view is refreshed INCREMENTALLY — the refresh reads only
+    * the two versions' changed files plus the O(distinct keys) view,
+    * never re-scanning the source. Decimal sums make the incremental
+    * result bit-identical to re-aggregation, which is exactly what the
+    * DuckDB oracle does from scratch — so the row is hash-exact.
+    * Resume/idempotence/definition-guard semantics live in
+    * MaterializedAggSpec. */
+  def mv1IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = builtTables.computeIfAbsent(s"mv1:$d", _ => {
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-lake-mv1src").toString
+      val aggDir = java.nio.file.Files
+        .createTempDirectory("graft-lake-mv1agg").toString
+      ManifestLake.writeClustered(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        src, "c_custkey", nFiles = 8,
+        extraStatsCols = Seq("c_acctbal"))
+      MaterializedAgg.refresh(s, src, aggDir,
+        Seq("c_nationkey"), Seq("c_acctbal"))
+      ManifestLake.merge(lk2Updates(s, d), src, Seq("c_custkey"),
+        statsCol = Some("c_custkey"), recordChangeFeed = true)
+      ManifestLake.delete(s, src, col("c_acctbal") < 0,
+        recordChangeFeed = true)
+      MaterializedAgg.refresh(s, src, aggDir,
+        Seq("c_nationkey"), Seq("c_acctbal"))
+      aggDir
+    })
+    ManifestLake.read(s, agg)
+      .select("c_nationkey", "c_acctbal_sum", "n_rows")
+  }
+
+  val mv1Oracle: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+      |    c.c_mktsegment
+      |  FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey))
+      |SELECT c_nationkey,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DECIMAL(27,2))
+      |    AS c_acctbal_sum,
+      |  COUNT(*) AS n_rows
+      |FROM merged
+      |WHERE c_acctbal >= 0
+      |GROUP BY c_nationkey""".stripMargin
+
   /** lk9_point_lookup — bloom-sidecar file skipping through the gate:
     * lineitem clustered by PRICE with bloom filters recorded on
     * `l_orderkey`, then a point lookup on the orderkey — the query
@@ -469,6 +530,7 @@ object LakeQueries {
     "cf1_stream_changes" -> (cf1StreamChanges _),
     "lk8_sql_update" -> (lk8SqlUpdate _),
     "lk9_point_lookup" -> (lk9PointLookup _),
+    "mv1_incremental_agg" -> (mv1IncrementalAgg _),
     "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
@@ -483,6 +545,7 @@ object LakeQueries {
     "cf1_stream_changes" -> cf1Oracle,
     "lk8_sql_update" -> lk8Oracle,
     "lk9_point_lookup" -> lk9Oracle,
+    "mv1_incremental_agg" -> mv1Oracle,
     "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the incremental-view-maintenance contract: the materialized
+  * aggregate equals a from-scratch re-aggregation after every refresh,
+  * refreshes are idempotent and resumable via the recorded source
+  * version, mismatched view definitions are rejected, and emptied
+  * groups leave the view. */
+class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mv-$name").toString + "/t"
+
+  private def recompute(source: String) =
+    ManifestLake.read(spark, source)
+      .groupBy("k")
+      .agg(sum(col("v").cast("decimal(27,2)")).cast("decimal(27,2)")
+        .as("v_sum"), count(lit(1)).as("n_rows"))
+
+  private def viewRows(agg: String) =
+    ManifestLake.read(spark, agg).select("k", "v_sum", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString,
+        r.getLong(2))).toSet
+
+  private def expectEqual(source: String, agg: String): Unit =
+    viewRows(agg) shouldBe recompute(source)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString,
+        r.getLong(2))).toSet
+
+  test("the view equals a from-scratch re-aggregation across initial " +
+    "build, appends, CDC-recorded merge/delete/update, and is " +
+    "idempotent at head") {
+    import spark.implicits._
+    val src = fresh("src")
+    val agg = fresh("agg")
+    ManifestLake.write(
+      (1 to 100).map(i => (i.toLong, (i % 5).toLong, i * 1.0))
+        .toDF("id", "k", "v"), src)
+
+    val v1 = MaterializedAgg.refresh(spark, src, agg,
+      Seq("k"), Seq("v"))
+    v1 shouldBe 1L
+    expectEqual(src, agg)
+
+    // append + recorded merge + recorded delete + recorded update
+    ManifestLake.write(
+      Seq((101L, 7L, 10.5), (102L, 7L, 2.25)).toDF("id", "k", "v"), src)
+    ManifestLake.merge(
+      Seq((1L, 0L, 999.0), (200L, 8L, 1.0)).toDF("id", "k", "v"),
+      src, Seq("id"), recordChangeFeed = true)
+    ManifestLake.delete(spark, src, col("id") <= 10L,
+      recordChangeFeed = true)
+    ManifestLake.update(spark, src, col("id") === 50L,
+      Seq("v" -> lit(123.75)), recordChangeFeed = true)
+
+    val v2 = MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    v2 shouldBe ManifestLake.currentVersion(spark, src).get
+    expectEqual(src, agg)
+
+    // at head: no new version committed
+    val aggVer = ManifestLake.currentVersion(spark, agg)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v")) shouldBe v2
+    ManifestLake.currentVersion(spark, agg) shouldBe aggVer
+  }
+
+  test("a group whose rows are all deleted leaves the view") {
+    import spark.implicits._
+    val src = fresh("zero")
+    val agg = fresh("zeroagg")
+    ManifestLake.write(
+      Seq((1L, 1L, 5.0), (2L, 1L, 6.0), (3L, 2L, 7.0))
+        .toDF("id", "k", "v"), src)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    ManifestLake.delete(spark, src, col("k") === 1L,
+      recordChangeFeed = true)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    viewRows(agg).map(_._1) shouldBe Set(2L)
+  }
+
+  test("refreshing a view table with a different definition is rejected") {
+    import spark.implicits._
+    val src = fresh("def")
+    val agg = fresh("defagg")
+    ManifestLake.write(Seq((1L, 1L, 5.0)).toDF("id", "k", "v"), src)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, agg, Seq("id"), Seq("v"))
+    }.getMessage should include("different view definition")
+  }
+
+  test("null group keys maintain one row, not a duplicate per refresh") {
+    import spark.implicits._
+    val src = fresh("nullk")
+    val agg = fresh("nullkagg")
+    ManifestLake.write(
+      Seq((1L, Option.empty[Long], 5.0), (2L, Some(1L), 6.0))
+        .toDF("id", "k", "v"), src)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    ManifestLake.write(
+      Seq((3L, Option.empty[Long], 2.0)).toDF("id", "k", "v"), src)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    val rows = ManifestLake.read(spark, agg)
+      .select("k", "v_sum", "n_rows").collect()
+      .map(r => (Option(r.get(0)), r.getDecimal(1).toPlainString,
+        r.getLong(2))).toSet
+    rows shouldBe Set((None, "7.00", 2L), (Some(1L), "6.00", 1L))
+  }
+}
