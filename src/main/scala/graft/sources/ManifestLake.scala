@@ -196,9 +196,16 @@ object ManifestLake {
                             appId: Option[String] = None,
                             schema: Option[StructType] = None,
                             bloomCols: Seq[String] = Nil,
-                            bloomExpectedRows: Long = 100000L) {
+                            bloomExpectedRows: Long = 100000L,
+                            checks: Seq[(String, String)] = Nil) {
     def files: Seq[String] = entries.map(_.path)
   }
+
+  /** A write, merge or update tried to commit a row that violates a
+    * table CHECK constraint. The data never landed: enforcement runs
+    * before staging. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** An append or merge tried to change the table's schema in a way
     * evolution doesn't cover (retyping or dropping a column). Adding
@@ -259,6 +266,7 @@ object ManifestLake {
   private val FullHeader = "#full"
   private val BloomHeader = "#blooms="
   private val BloomRowsHeader = "#bloomrows="
+  private val CheckHeader = "#check="
 
   /** Commit wall-clock source — a seam so specs can pin timestamp
     * resolution deterministically; production uses the system clock. */
@@ -303,7 +311,8 @@ object ManifestLake {
                                      tsMillis: Option[Long] = None,
                                      changeFiles: Seq[String] = Nil,
                                      bloomCols: Seq[String] = Nil,
-                                     bloomExpectedRows: Long = 100000L)
+                                     bloomExpectedRows: Long = 100000L,
+                                     checks: Seq[(String, String)] = Nil)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -318,6 +327,7 @@ object ManifestLake {
       var ts: Option[Long] = None
       var blooms: Seq[String] = Nil
       var bloomRows = 100000L
+      val checks = Seq.newBuilder[(String, String)]
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -339,6 +349,12 @@ object ManifestLake {
             .filter(_.nonEmpty)
         else if (line.startsWith(BloomRowsHeader))
           bloomRows = line.stripPrefix(BloomRowsHeader).toLong
+        else if (line.startsWith(CheckHeader)) {
+          val body = line.stripPrefix(CheckHeader)
+          val cut = body.indexOf('\t')
+          require(cut > 0, s"bad check header: $line")
+          checks += body.substring(0, cut) -> body.substring(cut + 1)
+        }
         else if (line == FullHeader) full = true
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
@@ -348,7 +364,7 @@ object ManifestLake {
         line = in.readLine()
       }
       LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts,
-        changeFiles.result(), blooms, bloomRows)
+        changeFiles.result(), blooms, bloomRows, checks.result())
     } finally in.close()
   }
 
@@ -426,6 +442,7 @@ object ManifestLake {
     var headSchema: Option[StructType] = None
     var headBlooms: Seq[String] = Nil
     var headBloomRows = 100000L
+    var headChecks: Seq[(String, String)] = Nil
     var headerSeen = false
     while (base == null) {
       val ck = checkpointPath(p, w)
@@ -441,6 +458,7 @@ object ManifestLake {
         headBatch = rec.batchId; headApp = rec.appId
         headSchema = rec.schema; headBlooms = rec.bloomCols
         headBloomRows = rec.bloomExpectedRows
+        headChecks = rec.checks
         headerSeen = true
       }
       if (rec.full) base = rec.adds
@@ -458,7 +476,7 @@ object ManifestLake {
       d.adds.foreach(e => state.put(e.path, e))
     }
     Snapshot(v, state.values.toSeq, headBatch, headApp, headSchema,
-      headBlooms, headBloomRows)
+      headBlooms, headBloomRows, headChecks)
   }
 
   /** Read a snapshot (time travel with `version = Some(n)`). The file
@@ -553,7 +571,8 @@ object ManifestLake {
                                  schema: Option[StructType] = None,
                                  changeFiles: Seq[String] = Nil,
                                  bloomCols: Seq[String] = Nil,
-                                 bloomExpectedRows: Long = 100000L): Long = {
+                                 bloomExpectedRows: Long = 100000L,
+                                 checks: Seq[(String, String)] = Nil): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
@@ -566,6 +585,9 @@ object ManifestLake {
     if (bloomCols.nonEmpty) {
       sb.append(BloomHeader).append(bloomCols.mkString(",")).append('\n')
       sb.append(BloomRowsHeader).append(bloomExpectedRows).append('\n')
+    }
+    checks.foreach { case (n, sql) =>
+      sb.append(CheckHeader).append(n).append('\t').append(sql).append('\n')
     }
     sb.append(TsHeader).append(clock()).append('\n')
     if (full) {
@@ -615,6 +637,10 @@ object ManifestLake {
         sb.append(BloomHeader).append(snap.bloomCols.mkString(","))
           .append('\n')
         sb.append(BloomRowsHeader).append(snap.bloomExpectedRows)
+          .append('\n')
+      }
+      snap.checks.foreach { case (n, sql) =>
+        sb.append(CheckHeader).append(n).append('\t').append(sql)
           .append('\n')
       }
       sb.append(FullHeader).append('\n')
@@ -696,6 +722,13 @@ object ManifestLake {
     // point at the loser's bytes. Unique names make the rename targets
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
+    // constraints gate the commit BEFORE anything stages: a violating
+    // batch costs one bounded validation job, not a staged-then-orphaned
+    // write (delete-only commits can't violate and don't pass through
+    // here)
+    val effChecks = prevSnap.map(_.checks).getOrElse(Nil)
+    enforceChecks(df, effChecks, table,
+      if (append) "append" else "overwrite")
     val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
     // bloom coverage is a TABLE property once established (the Delta
     // table-property model): appends AND overwrites inherit the
@@ -729,11 +762,11 @@ object ManifestLake {
     if (append && prevSnap.nonEmpty)
       commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows)
+        bloomExpectedRows = effBloomRows, checks = effChecks)
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows)
+        bloomExpectedRows = effBloomRows, checks = effChecks)
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
@@ -1133,6 +1166,9 @@ object ManifestLake {
         else org.apache.spark.sql.functions.lit(null)
           .cast(f.dataType).as(f.name)): _*)
     val updatesAligned = align(updates, _ => true)
+    // only the incoming rows can violate; survivors already satisfied
+    // the table's constraints when they landed
+    enforceChecks(updatesAligned, snap.checks, table, "merge")
     val survivors =
       if (touched.isEmpty)
         updatesAligned.filter(org.apache.spark.sql.functions.lit(false))
@@ -1179,7 +1215,7 @@ object ManifestLake {
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
       Some(mergedSchema), changeFiles, snap.bloomCols,
-      snap.bloomExpectedRows)
+      snap.bloomExpectedRows, snap.checks)
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
@@ -1323,7 +1359,8 @@ object ManifestLake {
       snap.bloomCols, snap.bloomExpectedRows)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows)
+      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
+      snap.checks)
   }
 
   /** The snapshot files a row-predicate DML (DELETE / UPDATE) must
@@ -1441,6 +1478,10 @@ object ManifestLake {
         case None => col(s"`${f.name}`")
       }
     }
+    // only the POST-update images can newly violate a constraint —
+    // untouched rows already satisfied them when they landed
+    enforceChecks(current.filter(hit)
+      .select(updatedCols(gated = false): _*), snap.checks, table, "update")
     val next = snap.version + 1
     val moved = stageDataFiles(current.select(updatedCols(gated = true): _*),
       fs, p, next,
@@ -1462,7 +1503,8 @@ object ManifestLake {
       snap.bloomCols, snap.bloomExpectedRows)
     commitLog(fs, p, full = false, adds = moved,
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows)
+      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
+      snap.checks)
   }
 
   /** Min/max of `col` across a parquet file's row groups, from the
@@ -1629,6 +1671,64 @@ object ManifestLake {
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
 
+  /** Fail if any row of `df` VIOLATES a check — predicate FALSE; NULL
+    * passes, SQL CHECK semantics. One bounded job per constraint so the
+    * error can name the violated one and show an offending row. */
+  private def enforceChecks(df: DataFrame, checks: Seq[(String, String)],
+      table: String, op: String): Unit =
+    checks.foreach { case (name, sql) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(sql),
+          org.apache.spark.sql.functions.lit(true)))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        s"$op on $table violates CHECK constraint '$name' ($sql) — " +
+          s"e.g. ${bad.head}. The commit was aborted; nothing landed.")
+    }
+
+  /** Register a CHECK constraint: `predicateSql` must hold (or evaluate
+    * NULL — SQL CHECK semantics) for every EXISTING row, validated now
+    * with one scan, and for every future write/merge/update, validated
+    * before anything stages. Delta's `ALTER TABLE ADD CONSTRAINT`
+    * analog: the table enforces its own invariants, so bad data can
+    * never land no matter which pipeline writes. Metadata-only commit;
+    * carried forward by every subsequent commit like the schema. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    predicateSql: String): Long = {
+    require(name.nonEmpty && !name.contains('\t'),
+      "constraint names must be non-empty and tab-free")
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    require(!snap.checks.exists(_._1 == name),
+      s"constraint '$name' already exists on $table")
+    enforceChecks(read(spark, table, prev), Seq(name -> predicateSql),
+      table, "adding a constraint over existing data")
+    commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
+      snap.batchId, snap.appId, snap.schema,
+      bloomCols = snap.bloomCols,
+      bloomExpectedRows = snap.bloomExpectedRows,
+      checks = snap.checks :+ (name -> predicateSql))
+  }
+
+  /** Remove a CHECK constraint (metadata-only). */
+  def dropConstraint(spark: SparkSession, table: String,
+                     name: String): Long = {
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    require(snap.checks.exists(_._1 == name),
+      s"no constraint '$name' on $table " +
+        s"(have: ${snap.checks.map(_._1).mkString(", ")})")
+    commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
+      snap.batchId, snap.appId, snap.schema,
+      bloomCols = snap.bloomCols,
+      bloomExpectedRows = snap.bloomExpectedRows,
+      checks = snap.checks.filterNot(_._1 == name))
+  }
+
   /** Metadata-only ALTER: commit the CURRENT file list under a widened
     * schema — a delta record with no adds, no removes, just the new
     * schema header, so adding a column is O(1) at any table size (the
@@ -1653,7 +1753,7 @@ object ManifestLake {
     val widened = StructType(base.fields ++ newCols.map(_.copy(nullable = true)))
     commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
       snap.batchId, snap.appId, Some(widened), bloomCols = snap.bloomCols,
-      bloomExpectedRows = snap.bloomExpectedRows)
+      bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks)
   }
 
   /** The committed change of one version, as its log record describes

@@ -13,23 +13,33 @@ import graft.core.Tables
   * shuffle is the dedup key exchange.
   *
   * Rule order is part of the contract (first violated rule names the drop
-  * reason): too_short → too_long → low_alpha → lang_filtered → exact_dup.
+  * reason): too_short → too_long → low_alpha → [repetitive] →
+  * lang_filtered → exact_dup.
   */
 object Curation {
 
+  /** `dropRepetitive = true` adds the Gopher repetition verdict
+    * ([[TextStats.repetition]]) to the cascade, between the shape rules
+    * and the language filter — another narrow per-row computation, no
+    * extra shuffle. Off by default: the thresholds are corpus-tuned in
+    * practice. */
   final case class Config(minTokens: Int = 30, maxTokens: Int = 120,
                           minAlphaRatio: Double = 0.5,
-                          langs: Set[String] = Set("en"))
+                          langs: Set[String] = Set("en"),
+                          dropRepetitive: Boolean = false)
 
   /** Every input row with its audit columns and nullable `drop_reason`
     * (null = kept). */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     // Tokenize ONCE for the whole cascade: langId and quality share the
     // same token array instead of each splitting the text again.
-    val withStats = TextStats.qualityTokenized(
+    val withStats0 = TextStats.qualityTokenized(
       TextStats.fingerprint(TextStats.langIdTokenized(
         docs.withColumn("__toks", TextStats.tokenize("text")))))
       .drop("__toks")
+    val withStats =
+      if (cfg.dropRepetitive) TextStats.repetition(withStats0)
+      else withStats0.withColumn("repetitive", lit(false))
     val keeperWindow = Window.partitionBy(col("fingerprint"))
     withStats
       .withColumn("is_keeper",
@@ -38,6 +48,7 @@ object Curation {
         when(col("n_tokens") < cfg.minTokens, "too_short")
           .when(col("n_tokens") > cfg.maxTokens, "too_long")
           .when(col("alpha_ratio") < cfg.minAlphaRatio, "low_alpha")
+          .when(col("repetitive"), "repetitive")
           .when(!col("predicted_lang").isInCollection(cfg.langs),
             "lang_filtered")
           .when(!col("is_keeper"), "exact_dup")

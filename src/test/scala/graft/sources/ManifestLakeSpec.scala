@@ -674,6 +674,46 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     p.toString should not be empty
   }
 
+  test("CHECK constraints gate writes, merges and updates before " +
+    "anything stages; NULL passes; existing data is validated on add; " +
+    "the property survives maintenance and can be dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    ManifestLake.write(
+      Seq((1L, Some(5.0)), (2L, None)).toDF("id", "price"), t)
+    // adding over already-violating data is rejected
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.addConstraint(spark, t, "price_pos", "price > 10.0")
+    }
+    ManifestLake.addConstraint(spark, t, "price_pos", "price >= 0.0")
+    val v = ManifestLake.currentVersion(spark, t).get
+    // a violating append aborts BEFORE committing; NULL passes (SQL CHECK)
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.write(Seq((3L, Some(-1.0))).toDF("id", "price"), t)
+    }.getMessage should include("price_pos")
+    ManifestLake.currentVersion(spark, t) shouldBe Some(v)
+    ManifestLake.write(
+      Seq((3L, Some(7.0)), (4L, None)).toDF("id", "price"), t)
+    // a violating merge and a violating update are both rejected
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.merge(Seq((1L, Some(-9.0))).toDF("id", "price"),
+        t, Seq("id"))
+    }
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.update(spark, t, col("id") === 1L,
+        Seq("price" -> lit(-2.0)))
+    }
+    // the constraint is a table property: it survives compaction…
+    ManifestLake.compact(spark, t)
+    ManifestLake.snapshot(spark, t).checks shouldBe
+      Seq("price_pos" -> "price >= 0.0")
+    // …and enforcement is gone after dropping it
+    ManifestLake.dropConstraint(spark, t, "price_pos")
+    ManifestLake.write(Seq((9L, Some(-1.0))).toDF("id", "price"), t)
+    ManifestLake.read(spark, t).count() shouldBe 5
+  }
+
   test("bloom coverage AND its per-file sizing persist through " +
     "overwrite and DML as table properties") {
     import spark.implicits._

@@ -40,4 +40,30 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept.columns.toSeq shouldBe Seq("doc_id", "text")
     kept.select($"doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
   }
+
+  test("dropRepetitive adds the Gopher verdict between the shape rules " +
+    "and the language filter; off by default") {
+    import spark.implicits._
+    // doc 1: varied English prose (no dominating n-gram — a "* 5"
+    // repeat of a clause would itself be repetitive, correctly); doc 2:
+    // a loop of the same clause (top_bigram*5 > n_bigrams). Both pass
+    // the shape rules.
+    val varied = "the quick brown fox jumps over a lazy dog and it is " +
+      "warm in the old house while birds sing of summer days to come " +
+      "with friends around every corner near water under tall trees"
+    val looped = ("the cat is the cat is the cat is the cat is " * 3).trim
+    val docs = Seq(
+      (1L, varied),
+      (2L, looped)).toDF("doc_id", "text")
+    val off = Curation.annotate(docs)
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])]
+      .collect().toMap
+    off(2L) shouldBe None // rule disabled: the doc survives
+    val on = Curation.annotate(docs,
+      Curation.Config(dropRepetitive = true))
+      .select($"doc_id", $"drop_reason").as[(Long, Option[String])]
+      .collect().toMap
+    on(1L) shouldBe None
+    on(2L) shouldBe Some("repetitive")
+  }
 }
