@@ -122,20 +122,34 @@ object LakeSql {
     private def readPlan(path: String, version: Option[Long]): LogicalPlan =
       PlanBridge.analyzedPlan(ManifestLake.read(spark, path, version))
 
-    /** Rewrite reads (bare relations + time travel) anywhere below.
-      * `` graft_lake.`name$history` `` resolves to the table's version
-      * history (the Iceberg metadata-table idiom; DESCRIBE HISTORY
-      * analog) — metadata only, never data files. */
+    /** The `` `name$suffix` `` metadata tables (the Iceberg idiom):
+      * version history (DESCRIBE HISTORY analog) and the one-row table
+      * profile (DESCRIBE DETAIL analog) — manifests only, never data
+      * files. */
+    private val metaTables: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq("$history" -> (ManifestLake.history _),
+        "$detail" -> (ManifestLake.detail _))
+
+    /** Extractor resolving a `graft_lake.<name$suffix>` relation to its
+      * metadata frame — built ONCE per match. */
+    private object MetaRelation {
+      def unapply(u: UnresolvedRelation): Option[DataFrame] =
+        if (u.multipartIdentifier.length != 2 ||
+          !u.multipartIdentifier.head.equalsIgnoreCase(Namespace)) None
+        else {
+          val name = u.multipartIdentifier(1)
+          metaTables.collectFirst {
+            case (suffix, fn) if name.endsWith(suffix) &&
+              pathOf(name.stripSuffix(suffix)).isDefined =>
+              fn(spark, pathOf(name.stripSuffix(suffix)).get)
+          }
+        }
+    }
+
+    /** Rewrite reads (bare relations + time travel) anywhere below. */
     private def resolveReads(plan: LogicalPlan): LogicalPlan =
       plan.resolveOperatorsUp {
-        case u: UnresolvedRelation
-          if u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
-            u.multipartIdentifier(1).endsWith("$history") &&
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$history")).isDefined =>
-          PlanBridge.analyzedPlan(ManifestLake.history(spark,
-            pathOf(u.multipartIdentifier(1).stripSuffix("$history")).get))
+        case MetaRelation(df) => PlanBridge.analyzedPlan(df)
         case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if lakeTarget(u).isDefined =>
           val path = lakeTarget(u).get

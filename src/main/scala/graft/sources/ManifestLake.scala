@@ -689,7 +689,8 @@ object ManifestLake {
             appId: Option[String] = None,
             statsCols: Seq[String] = Nil,
             bloomCols: Seq[String] = Nil,
-            bloomExpectedRows: Long = 100000L): Long = {
+            bloomExpectedRows: Long = 100000L,
+            validateChecks: Boolean = true): Long = {
     val spark = df.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -722,14 +723,31 @@ object ManifestLake {
     // point at the loser's bytes. Unique names make the rename targets
     // disjoint, so the loser only ever leaves orphans (collected by
     // vacuum once the version ages out of retention).
-    // constraints gate the commit BEFORE anything stages: a violating
-    // batch costs one bounded validation job, not a staged-then-orphaned
-    // write (delete-only commits can't violate and don't pass through
-    // here)
-    val effChecks = prevSnap.map(_.checks).getOrElse(Nil)
-    enforceChecks(df, effChecks, table,
-      if (append) "append" else "overwrite")
+    // `tableChecks` is what the commit RECORDS (the property always
+    // carries forward); `effChecks` is what this write ENFORCES —
+    // empty for maintenance rewrites that skip validation
+    val tableChecks = prevSnap.map(_.checks).getOrElse(Nil)
+    val effChecks = if (validateChecks) tableChecks else Nil
     val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
+    // Constraints validate the STAGED files, not the incoming plan: an
+    // arbitrary df may be non-deterministic (rand(), a re-read of a
+    // moving directory), and a pre-staging pass could approve rows the
+    // staging re-execution then changes — validating what actually
+    // landed closes that window, deterministically and bounded by the
+    // commit's new files. A violation deletes the staged files before
+    // raising, so nothing is committed OR leaked. `validateChecks =
+    // false` is for maintenance rewrites of already-committed rows
+    // (compaction), which passed enforcement when they first landed.
+    if (effChecks.nonEmpty)
+      try enforceChecks(
+        spark.read.parquet(moved.map(l =>
+          new Path(p, FileEntry.parse(l).path).toString): _*),
+        effChecks, table, if (append) "append" else "overwrite")
+      catch { case e: ConstraintViolationException =>
+        moved.foreach(l =>
+          fs.delete(new Path(p, FileEntry.parse(l).path), false))
+        throw e
+      }
     // bloom coverage is a TABLE property once established (the Delta
     // table-property model): appends AND overwrites inherit the
     // snapshot's recorded bloom columns — and their persisted per-file
@@ -762,11 +780,11 @@ object ManifestLake {
     if (append && prevSnap.nonEmpty)
       commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows, checks = effChecks)
+        bloomExpectedRows = effBloomRows, checks = tableChecks)
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows, checks = effChecks)
+        bloomExpectedRows = effBloomRows, checks = tableChecks)
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
@@ -1617,7 +1635,10 @@ object ManifestLake {
     val newVersion = write(compacted, table, append = false,
       batchId = snap.batchId, partitionBy = partCols,
       statsCols = statsCols, appId = snap.appId,
-      bloomCols = snap.bloomCols)
+      bloomCols = snap.bloomCols,
+      // compaction rewrites rows that already passed enforcement when
+      // they landed — re-validating would read the whole table again
+      validateChecks = false)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
@@ -1672,18 +1693,25 @@ object ManifestLake {
     read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
 
   /** Fail if any row of `df` VIOLATES a check — predicate FALSE; NULL
-    * passes, SQL CHECK semantics. One bounded job per constraint so the
-    * error can name the violated one and show an offending row. */
+    * passes, SQL CHECK semantics. ONE job for all constraints (a
+    * coalesce of per-constraint violation markers finds the first
+    * violated name), so N constraints never cost N passes over an
+    * arbitrary input plan. */
   private def enforceChecks(df: DataFrame, checks: Seq[(String, String)],
       table: String, op: String): Unit =
-    checks.foreach { case (name, sql) =>
-      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.expr(sql),
-          org.apache.spark.sql.functions.lit(true)))
-        .limit(1).collect()
-      if (bad.nonEmpty) throw new ConstraintViolationException(
-        s"$op on $table violates CHECK constraint '$name' ($sql) — " +
-          s"e.g. ${bad.head}. The commit was aborted; nothing landed.")
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+      val marker = coalesce(checks.map { case (name, sql) =>
+        when(!coalesce(expr(sql), lit(true)), lit(name)) }: _*)
+      val bad = df.withColumn("__violated", marker)
+        .filter(col("__violated").isNotNull).limit(1).collect()
+      bad.headOption.foreach { row =>
+        val name = row.getAs[String]("__violated")
+        val sql = checks.find(_._1 == name).map(_._2).getOrElse("")
+        throw new ConstraintViolationException(
+          s"$op on $table violates CHECK constraint '$name' ($sql) — " +
+            s"e.g. $row. The commit was aborted; nothing landed.")
+      }
     }
 
   /** Register a CHECK constraint: `predicateSql` must hold (or evaluate
@@ -1695,8 +1723,15 @@ object ManifestLake {
     * carried forward by every subsequent commit like the schema. */
   def addConstraint(spark: SparkSession, table: String, name: String,
                     predicateSql: String): Long = {
-    require(name.nonEmpty && !name.contains('\t'),
-      "constraint names must be non-empty and tab-free")
+    // The log is line-oriented: a newline in either field would split
+    // the header mid-line and the continuation would parse as a LEGACY
+    // FULL FILE LIST — one phantom entry replacing the table's real
+    // files. Reject at the API, not the parser.
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' ||
+      c == '\r'),
+      "constraint names must be non-empty with no tab or line break")
+    require(!predicateSql.exists(c => c == '\n' || c == '\r'),
+      "constraint predicates must be single-line SQL (no line breaks)")
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
@@ -1885,6 +1920,26 @@ object ManifestLake {
           readLog(fs, manifestPath(p, v)).tsMillis)
       }
       .toDF("version", "n_files", "batch_id", "app_id", "commit_ts_ms")
+  }
+
+  /** One-row table profile — the `DESCRIBE DETAIL` analog, manifests
+    * only (no data IO, no listing): current version, file count, the
+    * table properties (partition layout, stats/bloom columns + sizing,
+    * CHECK constraints, schema), and the streaming identity. SQL
+    * surface: `` SELECT * FROM graft_lake.`t$detail` ``. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, table, None)
+    Seq((snap.version, snap.files.size.toLong,
+      partitionColsOf(snap).mkString(","),
+      snapStatsCols(snap).mkString(","),
+      snap.bloomCols.mkString(","), snap.bloomExpectedRows,
+      snap.checks.map { case (n, sql) => s"$n: $sql" }.mkString("; "),
+      snap.schema.map(_.json).getOrElse(""),
+      snap.batchId, snap.appId))
+      .toDF("version", "n_files", "partition_cols", "stats_cols",
+        "bloom_cols", "bloom_expected_rows", "checks", "schema_json",
+        "batch_id", "app_id")
   }
 
   /** The version a data file was written under, parsed from its

@@ -40,8 +40,14 @@ object MaterializedAgg {
 
   private val SumType = "decimal(27,2)"
 
-  private def appIdFor(keyCols: Seq[String], sumCols: Seq[String]): String =
-    s"graft-mview:${keyCols.mkString(",")}:${sumCols.mkString(",")}"
+  /** The full view identity: SOURCE TABLE plus key and sum columns. The
+    * source must be part of it — two same-shaped views over different
+    * sources would otherwise pass the guard and a misdirected refresh
+    * would silently mix totals (and interpret the recorded version
+    * against the wrong version sequence). */
+  private def appIdFor(source: String, keyCols: Seq[String],
+                       sumCols: Seq[String]): String =
+    s"graft-mview:$source:${keyCols.mkString(",")}:${sumCols.mkString(",")}"
 
   /** The view's schema: key columns, one `<col>_sum` per sum column,
     * and `n_rows`. */
@@ -66,7 +72,7 @@ object MaterializedAgg {
     val head = ManifestLake.currentVersion(spark, source).getOrElse(
       throw new IllegalStateException(
         s"source $source has no committed version"))
-    val appId = appIdFor(keyCols, sumCols)
+    val appId = appIdFor(source, keyCols, sumCols)
     val prior = ManifestLake.currentVersion(spark, aggTable)
       .map(v => ManifestLake.snapshot(spark, aggTable, Some(v)))
     prior.foreach { s =>
@@ -95,9 +101,16 @@ object MaterializedAgg {
         val keys = keyCols.map(k =>
           coalesce(current(k), deltas(k)).as(k))
         val sums = sumCols.map { c =>
-          (coalesce(current(s"${c}_sum"), lit(0).cast(SumType)) +
-            coalesce(deltas(s"${c}_sum"), lit(0).cast(SumType)))
-            .cast(SumType).as(s"${c}_sum")
+          val cur = current(s"${c}_sum")
+          val del = deltas(s"${c}_sum")
+          // SQL SUM over an all-NULL group is NULL, and it must STAY
+          // NULL through refreshes that touch other groups — a blanket
+          // coalesce-to-0 would drift the stored value away from what a
+          // re-aggregation returns
+          when(cur.isNull && del.isNull, lit(null).cast(SumType))
+            .otherwise((coalesce(cur, lit(0).cast(SumType)) +
+              coalesce(del, lit(0).cast(SumType))).cast(SumType))
+            .as(s"${c}_sum")
         }
         val n = (coalesce(current("n_rows"), lit(0L)) +
           coalesce(deltas("n_rows"), lit(0L))).as("n_rows")

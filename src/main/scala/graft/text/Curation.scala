@@ -37,8 +37,11 @@ object Curation {
       TextStats.fingerprint(TextStats.langIdTokenized(
         docs.withColumn("__toks", TextStats.tokenize("text")))))
       .drop("__toks")
+    // only the verdict joins the cascade: the profile counts are dropped
+    // so annotate's output schema does not depend on the config
     val withStats =
       if (cfg.dropRepetitive) TextStats.repetition(withStats0)
+        .drop(graft.functions.RepetitionProfile.schema.fieldNames.toSeq: _*)
       else withStats0.withColumn("repetitive", lit(false))
     val keeperWindow = Window.partitionBy(col("fingerprint"))
     withStats

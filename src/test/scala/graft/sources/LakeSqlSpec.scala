@@ -237,6 +237,24 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     n.getMessage should include("nested-field assignment is unsupported")
   }
 
+  test("the $detail metadata table profiles the table from SQL — " +
+    "manifests only") {
+    import spark.implicits._
+    val path = freshTable("det")
+    ManifestLake.writeClustered(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      path, "id", nFiles = 4, bloomCols = Seq("id"))
+    ManifestLake.addConstraint(spark, path, "id_pos", "id > 0")
+    val r = spark.sql(
+      """SELECT version, n_files, stats_cols, bloom_cols, checks
+        |FROM graft_lake.`det$detail`""".stripMargin).collect().head
+    r.getLong(0) shouldBe 2L
+    r.getLong(1) should be >= 3L
+    r.getString(2) shouldBe "id"
+    r.getString(3) shouldBe "id"
+    r.getString(4) shouldBe "id_pos: id > 0"
+  }
+
   test("the $history metadata table serves version history from SQL — " +
     "manifests only, no data read") {
     import spark.implicits._

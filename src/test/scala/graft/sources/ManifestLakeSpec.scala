@@ -686,6 +686,11 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[ManifestLake.ConstraintViolationException] {
       ManifestLake.addConstraint(spark, t, "price_pos", "price > 10.0")
     }
+    // a line break in the predicate would split the header and corrupt
+    // the line-oriented log — rejected at the API
+    intercept[IllegalArgumentException] {
+      ManifestLake.addConstraint(spark, t, "bad", "price >= 0\nOR true")
+    }.getMessage should include("single-line")
     ManifestLake.addConstraint(spark, t, "price_pos", "price >= 0.0")
     val v = ManifestLake.currentVersion(spark, t).get
     // a violating append aborts BEFORE committing; NULL passes (SQL CHECK)

@@ -82,7 +82,8 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec {
     viewRows(agg).map(_._1) shouldBe Set(2L)
   }
 
-  test("refreshing a view table with a different definition is rejected") {
+  test("refreshing a view table with a different definition OR a " +
+    "different source is rejected") {
     import spark.implicits._
     val src = fresh("def")
     val agg = fresh("defagg")
@@ -91,6 +92,34 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException] {
       MaterializedAgg.refresh(spark, src, agg, Seq("id"), Seq("v"))
     }.getMessage should include("different view definition")
+    // same shape, different source: the recorded version would be
+    // interpreted against the wrong version sequence
+    val other = fresh("othersrc")
+    ManifestLake.write(Seq((9L, 1L, 1.0)).toDF("id", "k", "v"), other)
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, other, agg, Seq("k"), Seq("v"))
+    }.getMessage should include("different view definition")
+  }
+
+  test("an all-NULL sum group stays NULL across refreshes that touch " +
+    "other groups (SQL SUM semantics, not 0)") {
+    import spark.implicits._
+    val src = fresh("nullsum")
+    val agg = fresh("nullsumagg")
+    ManifestLake.write(
+      Seq((1L, 1L, Option.empty[Double]), (2L, 1L, Option.empty[Double]),
+        (3L, 2L, Some(4.0))).toDF("id", "k", "v"), src)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    // touch ONLY group 2; group 1's stored NULL must survive the rebuild
+    ManifestLake.write(Seq((4L, 2L, Some(1.0))).toDF("id", "k", "v"), src)
+    MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    val rows = ManifestLake.read(spark, agg)
+      .select("k", "v_sum", "n_rows").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getDecimal(1)).map(_.toPlainString), r.getLong(2))))
+      .toMap
+    rows(1L) shouldBe ((None, 2L))
+    rows(2L) shouldBe ((Some("5.00"), 2L))
   }
 
   test("null group keys maintain one row, not a duplicate per refresh") {
