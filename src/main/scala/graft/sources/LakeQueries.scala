@@ -403,6 +403,22 @@ object LakeQueries {
       |  c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
 
+  /** lk10_metadata_count — COUNT(*) from the manifest alone: lk1's
+    * clustered lineitem table (reused — a count mutates nothing)
+    * answers through [[ManifestLake.fastCount]], which sums the
+    * per-file row counts recorded at write time and scans NOTHING (the
+    * no-data-IO proof lives in ManifestLakeSpec, where the count still
+    * answers after the data files are deleted out-of-band). The oracle
+    * counts the original parquet. */
+  def lk10MetadataCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq(ManifestLake.fastCount(s, clusteredLineitem(s, d)))
+      .toDF("n_rows")
+  }
+
+  val lk10Oracle: String =
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
+
   /** mv1_incremental_agg — incremental view maintenance through the
     * gate: a per-nation balance view over its own clustered customer
     * copy is built from the initial feed, then the source takes a
@@ -530,6 +546,7 @@ object LakeQueries {
     "cf1_stream_changes" -> (cf1StreamChanges _),
     "lk8_sql_update" -> (lk8SqlUpdate _),
     "lk9_point_lookup" -> (lk9PointLookup _),
+    "lk10_metadata_count" -> (lk10MetadataCount _),
     "mv1_incremental_agg" -> (mv1IncrementalAgg _),
     "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
@@ -545,6 +562,7 @@ object LakeQueries {
     "cf1_stream_changes" -> cf1Oracle,
     "lk8_sql_update" -> lk8Oracle,
     "lk9_point_lookup" -> lk9Oracle,
+    "lk10_metadata_count" -> lk10Oracle,
     "mv1_incremental_agg" -> mv1Oracle,
     "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,

@@ -169,13 +169,15 @@ object ManifestLake {
     * ranges. Serialized as a tab-separated line
     * (`path[\tcol\tmin\tmax]*` — one col/min/max triple per recorded
     * column, so stats on a SECOND key column don't evict the first). */
-  final case class FileEntry(path: String, ranges: Seq[ColRange] = Nil) {
+  final case class FileEntry(path: String, ranges: Seq[ColRange] = Nil,
+                             rows: Option[Long] = None) {
     /** The recorded range for `col`, if any. */
     def range(col: String): Option[ColRange] = ranges.find(_.col == col)
     /** Back-compat accessor: the first recorded range. */
     def range: Option[ColRange] = ranges.headOption
     def line: String =
-      (path +: ranges.map(r => s"${r.col}\t${r.min}\t${r.max}")).mkString("\t")
+      (path +: rows.map(n => s"rows=$n").toSeq ++:
+        ranges.map(r => s"${r.col}\t${r.min}\t${r.max}")).mkString("\t")
   }
 
   object FileEntry {
@@ -183,11 +185,18 @@ object ManifestLake {
       FileEntry(path, range.toSeq)
     def parse(line: String): FileEntry = {
       val parts = line.split('\t')
-      if (parts.length < 1 || (parts.length - 1) % 3 != 0)
+      // optional `rows=N` token right after the path (absent in entries
+      // written before row counts were recorded — those parse to None
+      // and the metadata count falls back to scanning just those files)
+      val (rows, rangeParts) =
+        if (parts.length >= 2 && parts(1).startsWith("rows="))
+          (Some(parts(1).stripPrefix("rows=").toLong), parts.drop(2))
+        else (None, parts.tail)
+      if (parts.length < 1 || rangeParts.length % 3 != 0)
         throw new IllegalArgumentException(s"bad manifest line: $line")
-      FileEntry(parts.head, parts.tail.grouped(3).map {
+      FileEntry(parts.head, rangeParts.grouped(3).map {
         case Array(c, mn, mx) => ColRange(c, BigDecimal(mn), BigDecimal(mx))
-      }.toSeq)
+      }.toSeq, rows)
     }
   }
 
@@ -814,10 +823,11 @@ object ManifestLake {
       fs.mkdirs(dest.getParent)
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"failed to publish $name in $p")
-      // footer-only metadata read; no data pages touched
-      val ranges = statsCols.flatMap(c =>
-        footerRange(conf, dest, c).map { case (mn, mx) => ColRange(c, mn, mx) })
-      FileEntry(name, ranges).line
+      // one footer-only metadata read per file: every stats column's
+      // range AND the exact row count (what makes COUNT(*) answerable
+      // from the manifest alone); no data pages touched
+      val (ranges, rows) = footerMeta(conf, dest, statsCols)
+      FileEntry(name, ranges, Some(rows)).line
     }
     fs.delete(staging, true)
     moved
@@ -1534,25 +1544,36 @@ object ManifestLake {
     * exception: it constrains nothing, because NULL matches no range
     * predicate. */
   private def footerRange(conf: org.apache.hadoop.conf.Configuration,
-                          file: Path, col: String): Option[(BigDecimal, BigDecimal)] = {
+                          file: Path, col: String): Option[(BigDecimal, BigDecimal)] =
+    footerMeta(conf, file, Seq(col))._1.headOption.map(r => (r.min, r.max))
+
+  /** Every requested column's range PLUS the file's exact row count,
+    * from ONE footer open — no data pages touched. */
+  private def footerMeta(conf: org.apache.hadoop.conf.Configuration,
+                         file: Path, cols: Seq[String]): (Seq[ColRange], Long) = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
-      val perGroup = reader.getFooter.getBlocks.asScala.map(
-        _.getColumns.asScala.find(_.getPath.toDotString == col)
-          .map(_.getStatistics))
-      // a row group missing the column, or carrying absent/empty stats,
-      // makes the file's range unknowable from the footer
-      if (perGroup.exists(_.forall(s => s == null || s.isEmpty))) None
-      else {
-        val withValues = perGroup.flatten.filter(_.hasNonNullValue)
-        if (withValues.isEmpty) None // every row group all-null
-        else scala.util.Try {
-          (withValues.map(s => BigDecimal(s.genericGetMin.toString)).min,
-            withValues.map(s => BigDecimal(s.genericGetMax.toString)).max)
-        }.toOption
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      val ranges = cols.flatMap { col =>
+        val perGroup = reader.getFooter.getBlocks.asScala.map(
+          _.getColumns.asScala.find(_.getPath.toDotString == col)
+            .map(_.getStatistics))
+        // a row group missing the column, or carrying absent/empty
+        // stats, makes the file's range unknowable from the footer
+        if (perGroup.exists(_.forall(s => s == null || s.isEmpty))) None
+        else {
+          val withValues = perGroup.flatten.filter(_.hasNonNullValue)
+          if (withValues.isEmpty) None // every row group all-null
+          else scala.util.Try {
+            ColRange(col,
+              withValues.map(s => BigDecimal(s.genericGetMin.toString)).min,
+              withValues.map(s => BigDecimal(s.genericGetMax.toString)).max)
+          }.toOption
+        }
       }
+      (ranges, rows)
     } finally reader.close()
   }
 
@@ -1922,6 +1943,25 @@ object ManifestLake {
       .toDF("version", "n_files", "batch_id", "app_id", "commit_ts_ms")
   }
 
+  /** Exact COUNT(*) of a snapshot, answered from the MANIFEST where
+    * possible: every entry written since row counts were recorded
+    * contributes its footer count with zero data IO; only older
+    * entries are scanned, count-only. A fully-covered table answers
+    * entirely from metadata — on a 100 TB table that is the difference
+    * between a millisecond lookup and a full scan. Exact under
+    * concurrent commits too: one snapshot resolution pins the entry
+    * list. */
+  def fastCount(spark: SparkSession, table: String,
+                version: Option[Long] = None): Long = {
+    val snap = snapshot(spark, table, version)
+    val (known, unknown) = snap.entries.partition(_.rows.nonEmpty)
+    val scanned =
+      if (unknown.isEmpty) 0L
+      else readSnapshotFiles(spark, table, snap, unknown.map(_.path))
+        .count()
+    known.flatMap(_.rows).sum + scanned
+  }
+
   /** One-row table profile — the `DESCRIBE DETAIL` analog, manifests
     * only (no data IO, no listing): current version, file count, the
     * table properties (partition layout, stats/bloom columns + sizing,
@@ -1930,14 +1970,21 @@ object ManifestLake {
   def detail(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val snap = snapshot(spark, table, None)
-    Seq((snap.version, snap.files.size.toLong,
+    // row count only when the manifest fully covers it — a partial sum
+    // would understate silently, and null says "scan to know"
+    val rows =
+      if (snap.entries.nonEmpty && snap.entries.forall(_.rows.nonEmpty))
+        Some(snap.entries.flatMap(_.rows).sum)
+      else if (snap.entries.isEmpty) Some(0L)
+      else None
+    Seq((snap.version, snap.files.size.toLong, rows,
       partitionColsOf(snap).mkString(","),
       snapStatsCols(snap).mkString(","),
       snap.bloomCols.mkString(","), snap.bloomExpectedRows,
       snap.checks.map { case (n, sql) => s"$n: $sql" }.mkString("; "),
       snap.schema.map(_.json).getOrElse(""),
       snap.batchId, snap.appId))
-      .toDF("version", "n_files", "partition_cols", "stats_cols",
+      .toDF("version", "n_files", "n_rows", "partition_cols", "stats_cols",
         "bloom_cols", "bloom_expected_rows", "checks", "schema_json",
         "batch_id", "app_id")
   }

@@ -758,6 +758,43 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("more than once")
   }
 
+  test("fastCount answers COUNT(*) from the manifest alone — provably " +
+    "no data IO — and scans only legacy entries without recorded counts") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 500), t)
+    ManifestLake.write(rows(501 to 520), t)
+    ManifestLake.fastCount(spark, t) shouldBe 520L
+    ManifestLake.fastCount(spark, t, Some(1L)) shouldBe 500L
+
+    // proof of zero data IO: delete the data files out-of-band and the
+    // metadata count still answers (a scan would crash)
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    ManifestLake.snapshot(spark, t).files.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
+    ManifestLake.fastCount(spark, t) shouldBe 520L
+
+    // hybrid: a fabricated legacy entry (no rows= token) forces a scan
+    // of THAT file only; recorded entries still contribute metadata-only
+    val t2 = freshTable()
+    ManifestLake.write(rows(1 to 100), t2)
+    val (fs2, p2) = {
+      val path = new org.apache.hadoop.fs.Path(t2)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    rows(1 to 7).coalesce(1).write.parquet(s"$t2/legacy")
+    val legacy = fs2.listStatus(new org.apache.hadoop.fs.Path(s"$t2/legacy"))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    ManifestLake.commitLog(fs2, p2, full = false,
+      adds = Seq(s"legacy/$legacy"), removes = Nil, prev = Some(1L))
+    ManifestLake.snapshot(spark, t2).entries
+      .count(_.rows.isEmpty) shouldBe 1
+    ManifestLake.fastCount(spark, t2) shouldBe 107L
+  }
+
   test("readIn answers a key batch through the blooms in one sidecar " +
     "pass, absent keys included") {
     import spark.implicits._
