@@ -1664,6 +1664,50 @@ object ManifestLake {
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
 
+  /** Bin-packing compaction — the OPTIMIZE shape for big tables:
+    * rewrite ONLY files smaller than `smallFileBytes` (merged toward
+    * `targetFileBytes`), carrying every right-sized file over in the
+    * manifest VERBATIM — stats, row counts and bloom sidecars included,
+    * zero data IO for them. [[compact]] rewrites the whole table, which
+    * is right for re-clustering but ruinous as routine maintenance: a
+    * 100 TB table whose hourly appends leave a tail of small files
+    * needs IO proportional to the SMALL-FILE MASS, not the table.
+    * Fewer than two small files is a version no-op. Partition layout is
+    * preserved (small files across partitions rewrite into their own
+    * partition paths via the inherited partitionBy). Not for
+    * range-clustered tables — merging arbitrary small files breaks
+    * pairwise-disjoint cluster ranges; use `compact(clusterCol)` there,
+    * which restores them. */
+  def binPack(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              smallFileBytes: Long = 32L * 1024 * 1024): CompactReport = {
+    import org.apache.spark.sql.functions.col
+    require(smallFileBytes <= targetFileBytes,
+      "smallFileBytes must not exceed targetFileBytes")
+    val (fs, p) = fsFor(spark, table)
+    val snap = snapshot(spark, table)
+    val sized = snap.entries.map(e =>
+      e -> fs.getFileStatus(new Path(p, e.path)).getLen)
+    val (small, large) = sized.partition(_._2 < smallFileBytes)
+    if (small.size < 2)
+      return CompactReport(snap.files.size, snap.files.size, snap.version)
+    val smallBytes = small.map(_._2).sum
+    val nFiles = math.max(1,
+      math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val rewritten = readSnapshotFiles(spark, table, snap,
+      small.map(_._1.path)).repartition(nFiles)
+    val next = snap.version + 1
+    val moved = stageDataFiles(rewritten, fs, p, next,
+      partitionColsOf(snap), snapStatsCols(snap))
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      snap.bloomCols, snap.bloomExpectedRows)
+    val v = commitLog(fs, p, full = false, adds = moved,
+      removes = small.map(_._1.path), Some(snap.version), snap.batchId,
+      snap.appId, snap.schema, bloomCols = snap.bloomCols,
+      bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks)
+    CompactReport(snap.files.size, large.size + moved.size, v)
+  }
+
   /** Time-based retention: vacuum every version whose commit clock is
     * at or before `cutoffMillis` (the head survives regardless — a
     * table always keeps its current snapshot). Built on the recorded

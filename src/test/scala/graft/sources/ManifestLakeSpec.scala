@@ -758,6 +758,45 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("more than once")
   }
 
+  test("binPack rewrites only the small-file tail: right-sized files " +
+    "carry over verbatim, counts and blooms survive, re-run is a no-op") {
+    import spark.implicits._
+    val t = freshTable()
+    // one right-sized base file + a tail of small appends (the hourly-
+    // ingest shape)
+    ManifestLake.write(rows(1 to 50000).coalesce(1), t,
+      bloomCols = Seq("id"))
+    (0 until 4).foreach(i =>
+      ManifestLake.write(rows(100000 + i * 10 to 100000 + i * 10 + 9)
+        .coalesce(1), t))
+    val before = ManifestLake.snapshot(spark, t)
+    before.entries should have length 5
+
+    // thresholds scaled to test data: the 50k-row base (~hundreds of
+    // KB) must count as right-sized, the 10-row appends as small
+    val report = ManifestLake.binPack(spark, t,
+      targetFileBytes = 10L * 1024 * 1024, smallFileBytes = 100L * 1024)
+    report.filesBefore shouldBe 5
+    report.filesAfter shouldBe 2 // base + one packed file
+    val after = ManifestLake.snapshot(spark, t)
+    // the large file's entry is carried VERBATIM (ranges + row count)
+    val baseLine = before.entries.head.line
+    after.entries.map(_.line) should contain(baseLine)
+    // nothing lost, metadata count still fully covered
+    ManifestLake.read(spark, t).count() shouldBe 50040L
+    ManifestLake.fastCount(spark, t) shouldBe 50040L
+    after.entries.forall(_.rows.nonEmpty) shouldBe true
+    // bloom coverage survives the pack: the new file has a sidecar and
+    // a point lookup in the packed range still answers
+    after.bloomCols shouldBe Seq("id")
+    ManifestLake.readEq(spark, t, "id", 100011L).count() shouldBe 1L
+
+    // a second pack finds at most one small file: version no-op
+    ManifestLake.binPack(spark, t,
+      targetFileBytes = 10L * 1024 * 1024,
+      smallFileBytes = 100L * 1024).newVersion shouldBe report.newVersion
+  }
+
   test("fastCount answers COUNT(*) from the manifest alone — provably " +
     "no data IO — and scans only legacy entries without recorded counts") {
     import spark.implicits._
