@@ -195,6 +195,26 @@ object LakeSql {
             equiKeys(m.mergeCondition),
             PlanBridge.ofRows(spark, src))
         }
+      // `ADD CONSTRAINT ... CHECK` parses as AddCheckConstraint with a
+      // Filter(NOT pred, relation) child — Spark's own existing-data
+      // validation scan. Match it at the ROOT so the relation is never
+      // rewritten into a bare read (ResolveSessionCatalog would choke
+      // on a catalog-less LogicalRelation); ManifestLake.addConstraint
+      // performs the equivalent existing-data scan itself.
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+        if a.child.collectFirst {
+          case r: UnresolvedRelation if lakeTarget(r).isDefined => r
+        }.isDefined =>
+        val rel = a.child.collectFirst {
+          case r: UnresolvedRelation if lakeTarget(r).isDefined => r
+        }.get
+        val c = a.checkConstraint
+        GraftAddConstraintCommand(lakeTarget(rel).get,
+          Option(c.userProvidedName).getOrElse(c.name), c.condition)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint
+        if lakeAlterTarget(d.table).isDefined =>
+        GraftDropConstraintCommand(lakeAlterTarget(d.table).get, d.name,
+          d.ifExists)
       case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
         if lakeAlterTarget(a.table).isDefined =>
         val cols = a.columnsToAdd.map { c =>
@@ -265,6 +285,30 @@ object LakeSql {
     override def run(spark: SparkSession): Seq[Row] = {
       ManifestLake.merge(source, table, keyCols,
         recordChangeFeed = recordCdf(spark)): Unit
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (...)` —
+    * [[ManifestLake.addConstraint]]: existing data validated, then a
+    * metadata-only commit; every later write/merge/update enforces it. */
+  final case class GraftAddConstraintCommand(table: String, name: String,
+      conditionSql: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      ManifestLake.addConstraint(spark, table, name, conditionSql): Unit
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT [IF EXISTS] name`. */
+  final case class GraftDropConstraintCommand(table: String, name: String,
+      ifExists: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      try ManifestLake.dropConstraint(spark, table, name): Unit
+      catch {
+        case e: IllegalArgumentException
+          if ifExists && e.getMessage.contains("no constraint") => ()
+      }
       Seq.empty
     }
   }

@@ -237,6 +237,33 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     n.getMessage should include("nested-field assignment is unsupported")
   }
 
+  test("ADD CONSTRAINT ... CHECK enforces from SQL; DROP CONSTRAINT " +
+    "lifts it; IF EXISTS tolerates a missing name") {
+    import spark.implicits._
+    val path = freshTable("con")
+    seed(path, 10)
+    spark.sql(
+      "ALTER TABLE graft_lake.con ADD CONSTRAINT id_pos CHECK (id > 0)")
+    intercept[ManifestLake.ConstraintViolationException] {
+      spark.sql("INSERT INTO graft_lake.con VALUES (-5, 'bad')")
+    }.getMessage should include("id_pos")
+    spark.sql("SELECT count(*) FROM graft_lake.con")
+      .as[Long].collect().head shouldBe 10L
+    // UPDATE driving a violation is rejected too
+    intercept[ManifestLake.ConstraintViolationException] {
+      spark.sql("UPDATE graft_lake.con SET id = -1 WHERE id = 3")
+    }
+    spark.sql("ALTER TABLE graft_lake.con DROP CONSTRAINT id_pos")
+    spark.sql("INSERT INTO graft_lake.con VALUES (-5, 'now ok')")
+    spark.sql("SELECT count(*) FROM graft_lake.con")
+      .as[Long].collect().head shouldBe 11L
+    // IF EXISTS on a missing constraint is a no-op; without it, raises
+    spark.sql("ALTER TABLE graft_lake.con DROP CONSTRAINT IF EXISTS nope")
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE graft_lake.con DROP CONSTRAINT nope")
+    }.getMessage should include("no constraint")
+  }
+
   test("the $detail metadata table profiles the table from SQL — " +
     "manifests only") {
     import spark.implicits._
