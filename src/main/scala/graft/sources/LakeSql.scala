@@ -78,6 +78,18 @@ object LakeSql {
     case _ => None
   }
 
+  /** The registered lake path an `ADD CONSTRAINT` statement targets —
+    * one traversal of the validation-scan child. */
+  private object LakeConstraintTarget {
+    def unapply(
+        a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint)
+        : Option[String] =
+      a.child.collectFirst {
+        case r: UnresolvedRelation if lakeTarget(r).isDefined =>
+          lakeTarget(r).get
+      }
+  }
+
   /** The names a DML target's columns may legally be qualified by: the
     * relation alias if present, the bare table name, and the
     * namespace-qualified form. */
@@ -202,15 +214,21 @@ object LakeSql {
       // on a catalog-less LogicalRelation); ManifestLake.addConstraint
       // performs the equivalent existing-data scan itself.
       case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
-        if a.child.collectFirst {
-          case r: UnresolvedRelation if lakeTarget(r).isDefined => r
-        }.isDefined =>
-        val rel = a.child.collectFirst {
-          case r: UnresolvedRelation if lakeTarget(r).isDefined => r
-        }.get
+        if LakeConstraintTarget.unapply(a).isDefined =>
+        val path = LakeConstraintTarget.unapply(a).get
         val c = a.checkConstraint
-        GraftAddConstraintCommand(lakeTarget(rel).get,
-          Option(c.userProvidedName).getOrElse(c.name), c.condition)
+        val char = c.userProvidedCharacteristic
+        if (char.enforced.contains(false) || char.rely.nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft_lake CHECK constraints are always ENFORCED; NOT " +
+              "ENFORCED / RELY characteristics are unsupported — drop " +
+              "the characteristic or the constraint")
+        GraftAddConstraintCommand(path,
+          Option(c.userProvidedName).getOrElse(c.name),
+          // the parser hands over the user's ORIGINAL text, line breaks
+          // included; the manifest log is line-oriented, so collapse
+          // whitespace (a multi-line CHECK is the same predicate)
+          c.condition.replaceAll("\\s+", " ").trim)
       case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint
         if lakeAlterTarget(d.table).isDefined =>
         GraftDropConstraintCommand(lakeAlterTarget(d.table).get, d.name,

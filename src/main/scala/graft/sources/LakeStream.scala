@@ -159,18 +159,24 @@ final class LakeSource(spark: SparkSession, table: String,
     if (readChangeFeed) return getChangeBatch(from, to)
     val files = ManifestLake.changesBetween(spark, table, from, to)
       .flatMap { ch =>
-        val rewrite =
-          if (ch.base) ch.version != 1 // first commit = initial data
-          else ch.removed.nonEmpty
-        if (rewrite && !ignoreChanges)
-          throw new UnsupportedOperationException(
-            s"version ${ch.version} of $table is a " +
-              (if (ch.base) "base commit (overwrite/compaction)"
-               else "rewrite (merge/delete removed files)") +
-              " — not incrementally streamable. Set ignoreChanges=true " +
-              "to emit its added files (rows of rewritten files will " +
-              "re-emit), or stream from a version past it.")
-        ch.added.map(_.path)
+        // maintenance commits (compaction/bin-packing) are NET-ZERO row
+        // changes by contract: skip them entirely — neither an error
+        // nor a re-emission, the same rows are simply laid out better
+        if (ch.maintenance) Nil
+        else {
+          val rewrite =
+            if (ch.base) ch.version != 1 // first commit = initial data
+            else ch.removed.nonEmpty
+          if (rewrite && !ignoreChanges)
+            throw new UnsupportedOperationException(
+              s"version ${ch.version} of $table is a " +
+                (if (ch.base) "base commit (overwrite)"
+                 else "rewrite (merge/delete removed files)") +
+                " — not incrementally streamable. Set ignoreChanges=true " +
+                "to emit its added files (rows of rewritten files will " +
+                "re-emit), or stream from a version past it.")
+          ch.added.map(_.path)
+        }
       }
     if (files.isEmpty) StreamBridge.emptyStreaming(spark, schema)
     else {
@@ -203,7 +209,9 @@ final class LakeSource(spark: SparkSession, table: String,
           else lit(null).cast(f.dataType).as(f.name)): _*)
     val frames = ManifestLake.changesBetween(spark, table, from, to)
       .flatMap { ch =>
-        if (ch.changeFiles.nonEmpty)
+        // maintenance rewrites change no rows: no change-feed entries
+        if (ch.maintenance) None
+        else if (ch.changeFiles.nonEmpty)
           Some(align(spark.read.parquet(ch.changeFiles.map(f =>
               new org.apache.hadoop.fs.Path(base, f).toString): _*),
             ch.version, col("_change_type")))

@@ -170,13 +170,15 @@ object ManifestLake {
     * (`path[\tcol\tmin\tmax]*` — one col/min/max triple per recorded
     * column, so stats on a SECOND key column don't evict the first). */
   final case class FileEntry(path: String, ranges: Seq[ColRange] = Nil,
-                             rows: Option[Long] = None) {
+                             rows: Option[Long] = None,
+                             bytes: Option[Long] = None) {
     /** The recorded range for `col`, if any. */
     def range(col: String): Option[ColRange] = ranges.find(_.col == col)
     /** Back-compat accessor: the first recorded range. */
     def range: Option[ColRange] = ranges.headOption
     def line: String =
-      (path +: rows.map(n => s"rows=$n").toSeq ++:
+      (path +: (rows.map(n => s"rows=$n").toSeq ++
+        bytes.map(n => s"bytes=$n").toSeq) ++:
         ranges.map(r => s"${r.col}\t${r.min}\t${r.max}")).mkString("\t")
   }
 
@@ -184,19 +186,29 @@ object ManifestLake {
     def apply(path: String, range: Option[ColRange]): FileEntry =
       FileEntry(path, range.toSeq)
     def parse(line: String): FileEntry = {
-      val parts = line.split('\t')
-      // optional `rows=N` token right after the path (absent in entries
-      // written before row counts were recorded — those parse to None
-      // and the metadata count falls back to scanning just those files)
-      val (rows, rangeParts) =
-        if (parts.length >= 2 && parts(1).startsWith("rows="))
-          (Some(parts(1).stripPrefix("rows=").toLong), parts.drop(2))
-        else (None, parts.tail)
-      if (parts.length < 1 || rangeParts.length % 3 != 0)
+      def bad() =
         throw new IllegalArgumentException(s"bad manifest line: $line")
+      val parts = line.split('\t')
+      if (parts.length < 1) bad()
+      // optional `rows=N` / `bytes=N` metadata tokens right after the
+      // path (absent in entries written before they were recorded —
+      // those parse to None and consumers fall back to scanning or
+      // stat-ing just those files)
+      var rows: Option[Long] = None
+      var bytes: Option[Long] = None
+      var i = 1
+      while (i < parts.length && parts(i).contains('=') &&
+        (parts(i).startsWith("rows=") || parts(i).startsWith("bytes="))) {
+        val Array(k, v) = parts(i).split("=", 2)
+        val n = scala.util.Try(v.toLong).getOrElse(bad())
+        if (k == "rows") rows = Some(n) else bytes = Some(n)
+        i += 1
+      }
+      val rangeParts = parts.drop(i)
+      if (rangeParts.length % 3 != 0) bad()
       FileEntry(parts.head, rangeParts.grouped(3).map {
         case Array(c, mn, mx) => ColRange(c, BigDecimal(mn), BigDecimal(mx))
-      }.toSeq, rows)
+      }.toSeq, rows, bytes)
     }
   }
 
@@ -276,6 +288,7 @@ object ManifestLake {
   private val BloomHeader = "#blooms="
   private val BloomRowsHeader = "#bloomrows="
   private val CheckHeader = "#check="
+  private val MaintenanceHeader = "#maintenance"
 
   /** Commit wall-clock source — a seam so specs can pin timestamp
     * resolution deterministically; production uses the system clock. */
@@ -321,7 +334,8 @@ object ManifestLake {
                                      changeFiles: Seq[String] = Nil,
                                      bloomCols: Seq[String] = Nil,
                                      bloomExpectedRows: Long = 100000L,
-                                     checks: Seq[(String, String)] = Nil)
+                                     checks: Seq[(String, String)] = Nil,
+                                     maintenance: Boolean = false)
 
   /** Stream-parse one manifest or checkpoint file. Line-at-a-time: the
     * log is never materialized as a single driver String. */
@@ -337,6 +351,7 @@ object ManifestLake {
       var blooms: Seq[String] = Nil
       var bloomRows = 100000L
       val checks = Seq.newBuilder[(String, String)]
+      var maintenance = false
       var full = false
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -364,6 +379,7 @@ object ManifestLake {
           require(cut > 0, s"bad check header: $line")
           checks += body.substring(0, cut) -> body.substring(cut + 1)
         }
+        else if (line == MaintenanceHeader) maintenance = true
         else if (line == FullHeader) full = true
         else if (line.startsWith("#")) () // unknown header: skip forward-compatibly
         else if (line.startsWith("A\t")) adds += FileEntry.parse(line.substring(2))
@@ -373,7 +389,8 @@ object ManifestLake {
         line = in.readLine()
       }
       LogRecord(batch, app, full, adds.result(), removes.result(), schema, ts,
-        changeFiles.result(), blooms, bloomRows, checks.result())
+        changeFiles.result(), blooms, bloomRows, checks.result(),
+        maintenance)
     } finally in.close()
   }
 
@@ -581,7 +598,8 @@ object ManifestLake {
                                  changeFiles: Seq[String] = Nil,
                                  bloomCols: Seq[String] = Nil,
                                  bloomExpectedRows: Long = 100000L,
-                                 checks: Seq[(String, String)] = Nil): Long = {
+                                 checks: Seq[(String, String)] = Nil,
+                                 maintenance: Boolean = false): Long = {
     val next = prev.getOrElse(0L) + 1
     val dir = new Path(table, ManifestDir)
     fs.mkdirs(dir)
@@ -598,6 +616,9 @@ object ManifestLake {
     checks.foreach { case (n, sql) =>
       sb.append(CheckHeader).append(n).append('\t').append(sql).append('\n')
     }
+    // net-zero row change (compaction/bin-packing): incremental
+    // consumers may skip this version entirely
+    if (maintenance) sb.append(MaintenanceHeader).append('\n')
     sb.append(TsHeader).append(clock()).append('\n')
     if (full) {
       sb.append(FullHeader).append('\n')
@@ -699,7 +720,8 @@ object ManifestLake {
             statsCols: Seq[String] = Nil,
             bloomCols: Seq[String] = Nil,
             bloomExpectedRows: Long = 100000L,
-            validateChecks: Boolean = true): Long = {
+            validateChecks: Boolean = true,
+            maintenance: Boolean = false): Long = {
     val spark = df.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -748,11 +770,17 @@ object ManifestLake {
     // false` is for maintenance rewrites of already-committed rows
     // (compaction), which passed enforcement when they first landed.
     if (effChecks.nonEmpty)
+      // basePath: Hive partition columns in the staged paths must
+      // resolve, or a constraint over a partition column would fail
+      // analysis on every write despite validating fine at ADD time.
+      // ANY failure (violation or analysis error) deletes the staged
+      // files before rethrowing — nothing is committed or leaked.
       try enforceChecks(
-        spark.read.parquet(moved.map(l =>
-          new Path(p, FileEntry.parse(l).path).toString): _*),
+        spark.read.option("basePath", p.toString)
+          .parquet(moved.map(l =>
+            new Path(p, FileEntry.parse(l).path).toString): _*),
         effChecks, table, if (append) "append" else "overwrite")
-      catch { case e: ConstraintViolationException =>
+      catch { case e: Throwable =>
         moved.foreach(l =>
           fs.delete(new Path(p, FileEntry.parse(l).path), false))
         throw e
@@ -789,11 +817,13 @@ object ManifestLake {
     if (append && prevSnap.nonEmpty)
       commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows, checks = tableChecks)
+        bloomExpectedRows = effBloomRows, checks = tableChecks,
+        maintenance = maintenance)
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows, checks = tableChecks)
+        bloomExpectedRows = effBloomRows, checks = tableChecks,
+        maintenance = maintenance)
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet
@@ -825,9 +855,11 @@ object ManifestLake {
         throw new IllegalStateException(s"failed to publish $name in $p")
       // one footer-only metadata read per file: every stats column's
       // range AND the exact row count (what makes COUNT(*) answerable
-      // from the manifest alone); no data pages touched
+      // from the manifest alone); no data pages touched. File SIZE
+      // rides along so maintenance (binPack) never stats the table.
       val (ranges, rows) = footerMeta(conf, dest, statsCols)
-      FileEntry(name, ranges, Some(rows)).line
+      FileEntry(name, ranges, Some(rows),
+        Some(fs.getFileStatus(dest).getLen)).line
     }
     fs.delete(staging, true)
     moved
@@ -1535,20 +1567,14 @@ object ManifestLake {
       snap.checks)
   }
 
-  /** Min/max of `col` across a parquet file's row groups, from the
-    * footer alone. Returns None — "range unknown, never skip" — unless
-    * EVERY row group carries statistics for the column: a range built
-    * from only the covered row groups would understate the file's true
-    * extent and let [[readRange]] skip a file that holds matching rows.
-    * An all-null row group (stats present, no values) is the one safe
-    * exception: it constrains nothing, because NULL matches no range
-    * predicate. */
-  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
-                          file: Path, col: String): Option[(BigDecimal, BigDecimal)] =
-    footerMeta(conf, file, Seq(col))._1.headOption.map(r => (r.min, r.max))
-
   /** Every requested column's range PLUS the file's exact row count,
-    * from ONE footer open — no data pages touched. */
+    * from ONE footer open — no data pages touched. A column's range is
+    * omitted ("unknown, never skip") unless EVERY row group carries
+    * statistics for it: a range built from only the covered row groups
+    * would understate the file's true extent and let [[readRange]] skip
+    * a file that holds matching rows. An all-null row group (stats
+    * present, no values) is the one safe exception: it constrains
+    * nothing, because NULL matches no range predicate. */
   private def footerMeta(conf: org.apache.hadoop.conf.Configuration,
                          file: Path, cols: Seq[String]): (Seq[ColRange], Long) = {
     import scala.jdk.CollectionConverters._
@@ -1659,7 +1685,10 @@ object ManifestLake {
       bloomCols = snap.bloomCols,
       // compaction rewrites rows that already passed enforcement when
       // they landed — re-validating would read the whole table again
-      validateChecks = false)
+      validateChecks = false,
+      // net-zero row change: incremental consumers skip this version
+      // instead of raising (or re-emitting every row)
+      maintenance = true)
     CompactReport(snap.files.size,
       snapshot(spark, table, Some(newVersion)).files.size, newVersion)
   }
@@ -1681,13 +1710,18 @@ object ManifestLake {
   def binPack(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               smallFileBytes: Long = 32L * 1024 * 1024): CompactReport = {
-    import org.apache.spark.sql.functions.col
     require(smallFileBytes <= targetFileBytes,
       "smallFileBytes must not exceed targetFileBytes")
+    requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
+    // sizes come from the manifest (recorded at stage time); only
+    // legacy entries without a bytes= token pay a getFileStatus RPC —
+    // at a million files the difference between zero and a million
+    // driver round-trips per maintenance run
     val sized = snap.entries.map(e =>
-      e -> fs.getFileStatus(new Path(p, e.path)).getLen)
+      e -> e.bytes.getOrElse(
+        fs.getFileStatus(new Path(p, e.path)).getLen))
     val (small, large) = sized.partition(_._2 < smallFileBytes)
     if (small.size < 2)
       return CompactReport(snap.files.size, snap.files.size, snap.version)
@@ -1704,7 +1738,8 @@ object ManifestLake {
     val v = commitLog(fs, p, full = false, adds = moved,
       removes = small.map(_._1.path), Some(snap.version), snap.batchId,
       snap.appId, snap.schema, bloomCols = snap.bloomCols,
-      bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks)
+      bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks,
+      maintenance = true)
     CompactReport(snap.files.size, large.size + moved.size, v)
   }
 
@@ -1863,7 +1898,8 @@ object ManifestLake {
     * recorded row-level CDC sidecars, when the writer opted in. */
   final case class VersionChange(version: Long, base: Boolean,
                                  added: Seq[FileEntry], removed: Seq[String],
-                                 changeFiles: Seq[String] = Nil)
+                                 changeFiles: Seq[String] = Nil,
+                                 maintenance: Boolean = false)
 
   /** Per-version change records in `(fromExclusive, toInclusive]`,
     * ascending — the incremental-consumption API ([[LakeSource]] reads
@@ -1882,7 +1918,8 @@ object ManifestLake {
           "incremental consumer's position? Keep vacuum retention above " +
           "the slowest consumer's lag.")
       val rec = readLog(fs, mf)
-      VersionChange(v, rec.full, rec.adds, rec.removes, rec.changeFiles)
+      VersionChange(v, rec.full, rec.adds, rec.removes, rec.changeFiles,
+        rec.maintenance)
     }
   }
 
@@ -1914,6 +1951,10 @@ object ManifestLake {
     require(toInclusive > fromExclusive,
       s"empty change range ($fromExclusive, $toInclusive]")
     val changes = changesBetween(spark, table, fromExclusive, toInclusive)
+      // maintenance rewrites (compaction/bin-packing) are net-zero by
+      // contract: no rows to feed, and diffing them would only prove it
+      // expensively
+      .filterNot(_.maintenance)
     val frames = changes.map { ch =>
       // a version with RECORDED change files serves them as-is: exact,
       // a plain scan, and the only form that covers an overwrite
@@ -1968,6 +2009,21 @@ object ManifestLake {
                 r.columns.toSeq.map(col): _*))
       }
       }
+    }
+    if (frames.isEmpty) {
+      // every version in range was maintenance: the feed is EMPTY, not
+      // an error — shaped like any other feed frame
+      val snap = snapshot(spark, table, Some(toInclusive))
+      val dataSchema = snap.schema.getOrElse(
+        readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) +:
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType) +:
+          dataSchema.fields.toSeq))
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }

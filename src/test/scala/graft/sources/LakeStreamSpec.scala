@@ -59,6 +59,36 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     runStream(t, ck) shouldBe (151L to 180L).toSet
   }
 
+  test("maintenance commits (compaction, bin-packing) are net-zero: the " +
+    "stream skips them — no error, no re-emission — and later appends " +
+    "still arrive; the change feed skips them too") {
+    val t = freshDir("graft-lstream-mx") + "/t"
+    val ck = freshDir("graft-lstream-mx-ck")
+    ManifestLake.write(rows(1 to 100), t)
+    runStream(t, ck) shouldBe (1L to 100L).toSet
+    // maintenance between stream runs: plain compaction AND bin-packing
+    (0 until 3).foreach(i =>
+      ManifestLake.write(rows(200 + i * 10 to 200 + i * 10 + 9), t))
+    ManifestLake.binPack(spark, t,
+      targetFileBytes = 10L * 1024 * 1024, smallFileBytes = 100L * 1024)
+    ManifestLake.compact(spark, t)
+    // the three real appends arrive; the two maintenance versions are
+    // silently skipped (without the marker they would throw or, with
+    // ignoreChanges, re-emit all 130 rows)
+    runStream(t, ck) shouldBe
+      ((200L to 209L) ++ (210L to 219L) ++ (220L to 229L)).toSet
+    ManifestLake.write(rows(300 to 305), t)
+    runStream(t, ck) shouldBe (300L to 305L).toSet
+    // the batch change feed across the maintenance versions agrees
+    val head = ManifestLake.currentVersion(spark, t).get
+    val feed = ManifestLake.changeFeed(spark, t, 1L, head)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    feed.map(_._1).toSet shouldBe Set("insert")
+    feed.map(_._2).toSet shouldBe
+      ((200L to 229L) ++ (300L to 305L)).toSet
+  }
+
   test("a fresh checkpoint replays from earliest; startingVersion bounds " +
     "the replay; latest skips history") {
     val t = freshDir("graft-lstream") + "/t"
