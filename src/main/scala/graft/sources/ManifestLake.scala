@@ -1000,7 +1000,6 @@ object ManifestLake {
     * concurrent commit can tear the lookup across versions. */
   def pointLookupCandidates(spark: SparkSession, table: String,
       snap: Snapshot, colName: String, value: Any): Seq[FileEntry] = {
-    import org.apache.spark.sql.functions.{lit, xxhash64}
     val (fs, p) = fsFor(spark, table)
     val candidates =
       scala.util.Try(BigDecimal(String.valueOf(value))).toOption match {
@@ -1010,14 +1009,22 @@ object ManifestLake {
     bloomField(spark, snap, colName) match {
       case None => candidates // type unprovable: skip the vote, keep all
       case Some(f) =>
-        // hash EXACTLY what the writer's aggregate hashed: xxhash64 of
-        // the column's NATIVE type (an int-typed literal against a long
-        // column would hash differently and never match)
-        val keyHash = spark.range(1)
-          .select(xxhash64(lit(value).cast(f.dataType)))
-          .collect().head.getLong(0)
-        bloomVote(spark, fs, p, colName, Array(keyHash), candidates)
+        bloomVote(spark, fs, p, colName,
+          Array(writerHash(value, f.dataType)), candidates)
     }
+  }
+
+  /** The exact 64-bit value the writer's `bloom_filter_agg(xxhash64(
+    * col))` inserted for `value` — the same Catalyst expressions,
+    * evaluated on the DRIVER (a point lookup should not pay a one-row
+    * cluster job just to hash its key). Typing matters: an int-typed
+    * literal against a long column would hash differently and never
+    * match, hence the cast to the column's native type. */
+  private def writerHash(value: Any,
+      dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    XxHash64(Seq(Cast(Literal(value), dt, Some("UTC"))), 42L)
+      .eval(null).asInstanceOf[Long]
   }
 
   def pointLookupCandidates(spark: SparkSession, table: String,
@@ -1050,7 +1057,7 @@ object ManifestLake {
     * applies to the survivors. */
   def readIn(spark: SparkSession, table: String, colName: String,
              values: Seq[Any], version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit}
     require(values.nonEmpty, "readIn needs at least one value")
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table, version)
@@ -1063,10 +1070,8 @@ object ManifestLake {
     val keep = bloomField(spark, snap, colName) match {
       case None => candidates // type unprovable: skip the vote, keep all
       case Some(f) =>
-        val hashes = spark.range(1)
-          .select(values.map(v => xxhash64(lit(v).cast(f.dataType))): _*)
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        bloomVote(spark, fs, p, colName, hashes, candidates)
+        bloomVote(spark, fs, p, colName,
+          values.map(writerHash(_, f.dataType)).toArray, candidates)
     }
     readSnapshotFiles(spark, table, snap, keep.map(_.path))
       .filter(col(colName).isin(values: _*))
