@@ -79,15 +79,17 @@ object LakeSql {
   }
 
   /** The registered lake path an `ADD CONSTRAINT` statement targets —
-    * one traversal of the validation-scan child. */
+    * matched as a PATTERN so the traversal and registry lookup run
+    * once. */
   private object LakeConstraintTarget {
-    def unapply(
-        a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint)
-        : Option[String] =
-      a.child.collectFirst {
-        case r: UnresolvedRelation if lakeTarget(r).isDefined =>
-          lakeTarget(r).get
-      }
+    def unapply(plan: LogicalPlan): Option[(
+        org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint,
+        String)] = plan match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        a.child.collectFirst { case r: UnresolvedRelation => lakeTarget(r) }
+          .flatten.map(a -> _)
+      case _ => None
+    }
   }
 
   /** The names a DML target's columns may legally be qualified by: the
@@ -213,22 +215,35 @@ object LakeSql {
       // rewritten into a bare read (ResolveSessionCatalog would choke
       // on a catalog-less LogicalRelation); ManifestLake.addConstraint
       // performs the equivalent existing-data scan itself.
-      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
-        if LakeConstraintTarget.unapply(a).isDefined =>
-        val path = LakeConstraintTarget.unapply(a).get
+      case LakeConstraintTarget(a, path) =>
         val c = a.checkConstraint
         val char = c.userProvidedCharacteristic
-        if (char.enforced.contains(false) || char.rely.nonEmpty)
+        // explicit ENFORCED and NORELY are the behaviors the lake
+        // implements — accept them; only their opposites are refused
+        if (char.enforced.contains(false))
           throw new UnsupportedOperationException(
             "graft_lake CHECK constraints are always ENFORCED; NOT " +
-              "ENFORCED / RELY characteristics are unsupported — drop " +
-              "the characteristic or the constraint")
+              "ENFORCED is unsupported — drop the characteristic or " +
+              "the constraint")
+        if (char.rely.contains(true))
+          throw new UnsupportedOperationException(
+            "graft_lake CHECK constraints are always validated; RELY " +
+              "is unsupported")
+        // the parser hands over the user's ORIGINAL text, line breaks
+        // included, but the manifest log is line-oriented. Replacing
+        // ONLY line breaks keeps string literals intact ('a  b' must
+        // not become 'a b'); a line comment would swallow the rest of
+        // the flattened predicate, so it is refused by name.
+        val cond = c.condition
+        if (cond.exists(ch => ch == '\n' || ch == '\r') &&
+          cond.contains("--"))
+          throw new UnsupportedOperationException(
+            "graft_lake CHECK predicates are stored single-line; a " +
+              "line comment (--) inside a multi-line CHECK would " +
+              "swallow the rest of the predicate — remove the comment")
         GraftAddConstraintCommand(path,
           Option(c.userProvidedName).getOrElse(c.name),
-          // the parser hands over the user's ORIGINAL text, line breaks
-          // included; the manifest log is line-oriented, so collapse
-          // whitespace (a multi-line CHECK is the same predicate)
-          c.condition.replaceAll("\\s+", " ").trim)
+          cond.replace('\n', ' ').replace('\r', ' ').trim)
       case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint
         if lakeAlterTarget(d.table).isDefined =>
         GraftDropConstraintCommand(lakeAlterTarget(d.table).get, d.name,

@@ -31,11 +31,13 @@ import org.apache.spark.sql.types.StructType
   * `FileStreamSource` uses.
   *
   * ==Change semantics (the Delta source contract)==
-  * Appended files stream exactly once. Commits that REWRITE data are
-  * not incrementally expressible:
-  *  - a base record (overwrite / compaction) mid-stream, or a delta
-  *    with removed files (MERGE / DELETE rewrites), raises a named
-  *    error by default;
+  * Appended files stream exactly once. MAINTENANCE commits
+  * (compaction, bin-packing) carry the net-zero `#maintenance` marker
+  * and are skipped outright — they change layout, not rows. Other
+  * commits that REWRITE data are not incrementally expressible:
+  *  - a base record (overwrite) mid-stream, or a delta with removed
+  *    files (MERGE / DELETE rewrites), raises a named error by
+  *    default;
   *  - `ignoreChanges=true` opts into emitting such commits' added
   *    files anyway — surviving rows of rewritten files re-emit
   *    (at-least-once on rewrites, exactly Delta's `ignoreChanges`);

@@ -780,9 +780,11 @@ object ManifestLake {
           .parquet(moved.map(l =>
             new Path(p, FileEntry.parse(l).path).toString): _*),
         effChecks, table, if (append) "append" else "overwrite")
-      catch { case e: Throwable =>
-        moved.foreach(l =>
-          fs.delete(new Path(p, FileEntry.parse(l).path), false))
+      catch { case scala.util.control.NonFatal(e) =>
+        // best-effort cleanup; the ORIGINAL failure must always win (a
+        // transient delete error would otherwise mask the violation)
+        moved.foreach(l => scala.util.Try(
+          fs.delete(new Path(p, FileEntry.parse(l).path), false)): Unit)
         throw e
       }
     // bloom coverage is a TABLE property once established (the Delta
@@ -1010,20 +1012,25 @@ object ManifestLake {
       case None => candidates // type unprovable: skip the vote, keep all
       case Some(f) =>
         bloomVote(spark, fs, p, colName,
-          Array(writerHash(value, f.dataType)), candidates)
+          Array(writerHash(spark, value, f.dataType)), candidates)
     }
   }
 
   /** The exact 64-bit value the writer's `bloom_filter_agg(xxhash64(
     * col))` inserted for `value` — the same Catalyst expressions,
     * evaluated on the DRIVER (a point lookup should not pay a one-row
-    * cluster job just to hash its key). Typing matters: an int-typed
-    * literal against a long column would hash differently and never
-    * match, hence the cast to the column's native type. */
-  private def writerHash(value: Any,
+    * cluster job just to hash its key). Typing matters twice: an
+    * int-typed literal against a long column would hash differently
+    * and never match, hence the cast to the column's native type; and
+    * the cast runs under the SESSION time zone so a string-to-timestamp
+    * key resolves to the same instant the final row filter uses — a
+    * hardcoded zone would vote definite-miss on the file holding the
+    * row. */
+  private def writerHash(spark: SparkSession, value: Any,
       dt: org.apache.spark.sql.types.DataType): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-    XxHash64(Seq(Cast(Literal(value), dt, Some("UTC"))), 42L)
+    XxHash64(Seq(Cast(Literal(value), dt,
+      Some(spark.conf.get("spark.sql.session.timeZone")))), 42L)
       .eval(null).asInstanceOf[Long]
   }
 
@@ -1071,7 +1078,7 @@ object ManifestLake {
       case None => candidates // type unprovable: skip the vote, keep all
       case Some(f) =>
         bloomVote(spark, fs, p, colName,
-          values.map(writerHash(_, f.dataType)).toArray, candidates)
+          values.map(writerHash(spark, _, f.dataType)).toArray, candidates)
     }
     readSnapshotFiles(spark, table, snap, keep.map(_.path))
       .filter(col(colName).isin(values: _*))
@@ -1664,8 +1671,9 @@ object ManifestLake {
     import org.apache.spark.sql.functions.col
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
-    val bytes = snap.files.map(f =>
-      fs.getFileStatus(new Path(p, f)).getLen).sum
+    // sizes from the manifest where recorded; only legacy entries stat
+    val bytes = snap.entries.map(e => e.bytes.getOrElse(
+      fs.getFileStatus(new Path(p, e.path)).getLen)).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // repartition (not coalesce): coalesce would narrow the upstream scan
     // to nFiles tasks; repartition keeps the read wide, only the write narrow.
@@ -1945,11 +1953,12 @@ object ManifestLake {
     * to each version's recorded schema; a column added later reads
     * null in earlier versions' changes).
     *
-    * Version 1 is the initial data (all inserts). A mid-range base
-    * commit (overwrite/compaction) without recorded change files is
-    * not row-diffable from its delta record and raises — feed past it
-    * from a later `fromExclusive`, matching the streaming source's
-    * contract. */
+    * Version 1 is the initial data (all inserts). Maintenance commits
+    * (compaction/bin-packing, net-zero by contract) contribute nothing
+    * and are skipped. A mid-range base commit (overwrite) without
+    * recorded change files is not row-diffable from its delta record
+    * and raises — feed past it from a later `fromExclusive`, matching
+    * the streaming source's contract. */
   def changeFeed(spark: SparkSession, table: String,
                  fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1974,7 +1983,7 @@ object ManifestLake {
       if (ch.base && ch.version != 1)
         throw new UnsupportedOperationException(
           s"version ${ch.version} of $table is a base commit " +
-            "(overwrite/compaction) with no recorded change feed — not " +
+            "(overwrite) with no recorded change feed — not " +
             "row-diffable from its log record. Start the feed after it.")
       val snap = snapshot(spark, table, Some(ch.version))
       val schema = snap.schema

@@ -264,6 +264,57 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("no constraint")
   }
 
+  test("multi-line CHECK text flattens without touching string " +
+    "literals; line comments and NOT ENFORCED / RELY raise named " +
+    "errors; NORELY (the implemented default) is accepted") {
+    import spark.implicits._
+    val path = freshTable("conml")
+    ManifestLake.write(
+      Seq((1L, "a  b"), (2L, "ok")).toDF("id", "tag"), path)
+    // multi-line predicate containing a two-space string literal: the
+    // literal must survive flattening verbatim
+    spark.sql(
+      """ALTER TABLE graft_lake.conml ADD CONSTRAINT no_ab CHECK (
+        |  tag <> 'a  b'
+        |  OR id = 1
+        |) NORELY""".stripMargin)
+    intercept[ManifestLake.ConstraintViolationException] {
+      spark.sql("INSERT INTO graft_lake.conml VALUES (9, 'a  b')")
+    }
+    spark.sql("INSERT INTO graft_lake.conml VALUES (9, 'a b')")
+    // NOT ENFORCED / RELY are rejected by Spark's own parser for CHECK
+    // constraints (the rule keeps defensive guards regardless)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(
+        "ALTER TABLE graft_lake.conml ADD CONSTRAINT x CHECK (id > 0) " +
+          "NOT ENFORCED")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """ALTER TABLE graft_lake.conml ADD CONSTRAINT x CHECK (
+          |  id > 0 -- positive
+          |  AND id < 100
+          |)""".stripMargin)
+    }.getMessage should include("line comment")
+  }
+
+  test("a CHECK over a Hive partition column validates writes (staged " +
+    "files read with basePath so the partition column resolves)") {
+    import spark.implicits._
+    val path = freshTable("conpart")
+    ManifestLake.write(
+      Seq((1L, "p1", "d1"), (2L, "p2", "d2")).toDF("id", "payload", "ds"),
+      path, partitionBy = Seq("ds"))
+    ManifestLake.addConstraint(spark, path, "ds_known", "ds IN ('d1', 'd2')")
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.write(Seq((3L, "p3", "dX")).toDF("id", "payload", "ds"),
+        path, partitionBy = Seq("ds"))
+    }.getMessage should include("ds_known")
+    ManifestLake.write(Seq((3L, "p3", "d1")).toDF("id", "payload", "ds"),
+      path, partitionBy = Seq("ds"))
+    ManifestLake.read(spark, path).count() shouldBe 3
+  }
+
   test("the $detail metadata table profiles the table from SQL — " +
     "manifests only") {
     import spark.implicits._

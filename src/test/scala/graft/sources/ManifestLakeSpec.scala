@@ -834,6 +834,25 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.fastCount(spark, t2) shouldBe 107L
   }
 
+  test("bloom point lookups hash under the SESSION time zone: a " +
+    "string-keyed timestamp lookup finds its row in a non-UTC session") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val t = freshTable()
+      ManifestLake.write(
+        Seq("2026-01-01 00:00:00", "2026-06-15 12:30:00")
+          .toDF("s").select(to_timestamp($"s").as("ts")),
+        t, bloomCols = Seq("ts"))
+      // the key is a STRING cast to timestamp at lookup time — the
+      // cast must run in the session zone, like the row filter does
+      ManifestLake.readEq(spark, t, "ts", "2026-01-01 00:00:00")
+        .count() shouldBe 1L
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("readIn answers a key batch through the blooms in one sidecar " +
     "pass, absent keys included") {
     import spark.implicits._
