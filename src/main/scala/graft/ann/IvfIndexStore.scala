@@ -138,7 +138,7 @@ object IvfIndexStore {
              occupancyThreshold: Double = 0.5,
              minOccupancyRows: Long = 64L): AppendReport = {
     val s = newVectors.sparkSession
-    val (centroids, _, buildShares, buildMeanDist2) =
+    val (centroids, recordedAssignV, buildShares, buildMeanDist2) =
       loadCentroidStats(s, indexDir)
     // the scored assignment feeds the stats agg AND the lake write;
     // persist so the 16-way score fan-out runs once per batch
@@ -170,7 +170,16 @@ object IvfIndexStore {
           true
       }
       val v = ManifestLake.currentVersion(s, assignTable(indexDir)).get
-      if (committed)
+      // committed = false can mean two things: a clean replay of a batch
+      // whose ORIGINAL attempt finished both commits (nothing to do), or
+      // a retry of an attempt that crashed BETWEEN the assignment commit
+      // and the centroid re-point — then the assignment table is ahead
+      // of the centroid table's recorded assign_version and the appended
+      // vectors are invisible to probes. The retry heals that half-done
+      // two-table commit by re-running the centroid commit whenever the
+      // recorded version lags, which is idempotent (same centroids, same
+      // baseline, just the new assign_version).
+      if (committed || v > recordedAssignV)
         commitCentroids(s, indexDir, centroids, v, buildShares,
           buildMeanDist2)
       // occupancy of a tiny batch is sampling noise (one vector is 100%

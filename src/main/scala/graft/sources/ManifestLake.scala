@@ -224,7 +224,8 @@ object ManifestLake {
 
   /** A write, merge or update tried to commit a row that violates a
     * table CHECK constraint. The data never landed: enforcement runs
-    * before staging. */
+    * against the staged files before the manifest commit, and a
+    * violation deletes them. */
   final class ConstraintViolationException(msg: String)
     extends IllegalArgumentException(msg)
 
@@ -740,11 +741,19 @@ object ManifestLake {
     }
     // the committed schema: appends may only match or WIDEN the table's
     // recorded schema (raises SchemaEvolutionException otherwise);
-    // overwrites define it afresh
+    // overwrites define it afresh. A legacy snapshot with no RECORDED
+    // schema still has one — in its files — so derive the base from a
+    // committed file (as merge does): letting the incoming schema pass
+    // unchecked would record it as the table schema and silently
+    // narrow/retype every older file at read time.
     val committedSchema =
-      if (append && prevSnap.nonEmpty)
-        evolvedSchema(prevSnap.get.schema, df.schema, table, "append")
-      else df.schema
+      if (append && prevSnap.nonEmpty) {
+        val base = prevSnap.get.schema.orElse(
+          prevSnap.get.files.headOption.map(_ =>
+            readSnapshotFiles(spark, table, prevSnap.get,
+              prevSnap.get.files.take(1)).schema))
+        evolvedSchema(base, df.schema, table, "append")
+      } else df.schema
     // Writer-unique attempt id in the staging dir AND the published data
     // file names. The manifest publish is the only arbitration point; two
     // committers racing for the same version both stage and rename data
@@ -760,33 +769,11 @@ object ManifestLake {
     val tableChecks = prevSnap.map(_.checks).getOrElse(Nil)
     val effChecks = if (validateChecks) tableChecks else Nil
     val moved = stageDataFiles(df, fs, p, next, partitionBy, effStats)
-    // Constraints validate the STAGED files, not the incoming plan: an
-    // arbitrary df may be non-deterministic (rand(), a re-read of a
-    // moving directory), and a pre-staging pass could approve rows the
-    // staging re-execution then changes — validating what actually
-    // landed closes that window, deterministically and bounded by the
-    // commit's new files. A violation deletes the staged files before
-    // raising, so nothing is committed OR leaked. `validateChecks =
-    // false` is for maintenance rewrites of already-committed rows
-    // (compaction), which passed enforcement when they first landed.
-    if (effChecks.nonEmpty)
-      // basePath: Hive partition columns in the staged paths must
-      // resolve, or a constraint over a partition column would fail
-      // analysis on every write despite validating fine at ADD time.
-      // ANY failure (violation or analysis error) deletes the staged
-      // files before rethrowing — nothing is committed or leaked.
-      try enforceChecks(
-        spark.read.option("basePath", p.toString)
-          .parquet(moved.map(l =>
-            new Path(p, FileEntry.parse(l).path).toString): _*),
-        effChecks, table, if (append) "append" else "overwrite")
-      catch { case scala.util.control.NonFatal(e) =>
-        // best-effort cleanup; the ORIGINAL failure must always win (a
-        // transient delete error would otherwise mask the violation)
-        moved.foreach(l => scala.util.Try(
-          fs.delete(new Path(p, FileEntry.parse(l).path), false)): Unit)
-        throw e
-      }
+    // `validateChecks = false` is for maintenance rewrites of
+    // already-committed rows (compaction), which passed enforcement
+    // when they first landed.
+    validateStagedChecks(spark, fs, p, moved, effChecks, table,
+      if (append) "append" else "overwrite")
     // bloom coverage is a TABLE property once established (the Delta
     // table-property model): appends AND overwrites inherit the
     // snapshot's recorded bloom columns — and their persisted per-file
@@ -958,12 +945,24 @@ object ManifestLake {
       else f.name.equalsIgnoreCase(colName)))
   }
 
+  /** Candidate-set size up to which [[bloomVote]] loads the candidates'
+    * own sidecar paths (≤ this many existence probes) instead of listing
+    * the whole `_blooms` tree. Interactive point lookups land far under
+    * it once range stats have pruned; bulk votes (merge/delete over a
+    * wide key set) amortize one recursive listing instead. */
+  private val BloomVoteDirectLoadMax = 256
+
   /** One distributed vote over `colName`'s bloom sidecars: keep each
     * candidate whose filter might contain ANY of `hashes` (executors
     * deserialize and test; only (name, verdict) pairs reach the driver
     * — at a million files the filters themselves never congregate
     * anywhere). Files without a sidecar survive conservatively. Shared
-    * by [[readEq]] and [[readIn]]. */
+    * by [[readEq]] and [[readIn]]. Small candidate sets (the
+    * interactive-lookup shape: range stats already pruned to a handful)
+    * load EXACTLY those files' sidecars — the whole-tree glob is
+    * O(table files) IO per lookup and reads sidecars of departed files
+    * and already-pruned candidates, which would dominate an
+    * interactive-at-100TB point query. */
   private def bloomVote(spark: SparkSession, fs: FileSystem, p: Path,
       colName: String, hashes: Array[Long],
       candidates: Seq[FileEntry]): Seq[FileEntry] = {
@@ -971,10 +970,21 @@ object ManifestLake {
     val bdir = new Path(p, BloomsDir)
     if (candidates.isEmpty || !fs.exists(bdir)) return candidates
     import spark.implicits._
-    val verdicts = spark.read.format("binaryFile")
-      .option("pathGlobFilter", s"*.$colName.bloom")
-      .option("recursiveFileLookup", "true")
-      .load(bdir.toString)
+    val direct = candidates.size <= BloomVoteDirectLoadMax
+    val loadPaths: Seq[String] =
+      if (direct)
+        candidates
+          .map(e => new Path(p, s"$BloomsDir/${e.path}.$colName.bloom"))
+          .filter(fs.exists).map(_.toString) // no sidecar: survives below
+      else Seq(bdir.toString)
+    if (loadPaths.isEmpty) return candidates
+    val reader =
+      if (direct) spark.read.format("binaryFile")
+      else spark.read.format("binaryFile")
+        .option("pathGlobFilter", s"*.$colName.bloom")
+        .option("recursiveFileLookup", "true")
+    val verdicts = reader
+      .load(loadPaths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
@@ -1238,9 +1248,6 @@ object ManifestLake {
         else org.apache.spark.sql.functions.lit(null)
           .cast(f.dataType).as(f.name)): _*)
     val updatesAligned = align(updates, _ => true)
-    // only the incoming rows can violate; survivors already satisfied
-    // the table's constraints when they landed
-    enforceChecks(updatesAligned, snap.checks, table, "merge")
     val survivors =
       if (touched.isEmpty)
         updatesAligned.filter(org.apache.spark.sql.functions.lit(false))
@@ -1257,6 +1264,11 @@ object ManifestLake {
       next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
       (statsCol.toSeq ++ snapStatsCols(snap)).distinct)
+    // Constraints validate what LANDED (survivors re-pass trivially;
+    // the cost is bounded by the rewritten files) — a pre-staging pass
+    // over a non-deterministic update set could approve rows the
+    // staging re-execution then changes. See [[validateStagedChecks]].
+    validateStagedChecks(spark, fs, p, moved, snap.checks, table, "merge")
     // recorded CDC: the merge's OPERATION log — a delete of every
     // matched row's old image plus an insert of every update row
     // (Delta CDF semantics: recorded per operation, even when an update
@@ -1550,15 +1562,17 @@ object ManifestLake {
         case None => col(s"`${f.name}`")
       }
     }
-    // only the POST-update images can newly violate a constraint —
-    // untouched rows already satisfied them when they landed
-    enforceChecks(current.filter(hit)
-      .select(updatedCols(gated = false): _*), snap.checks, table, "update")
     val next = snap.version + 1
     val moved = stageDataFiles(current.select(updatedCols(gated = true): _*),
       fs, p, next,
       if (partitionBy.nonEmpty) partitionBy else partitionColsOf(snap),
       snapStatsCols(snap))
+    // Constraints validate the STAGED rewrite (only the post-update
+    // images can newly violate; unchanged rows re-pass trivially) — a
+    // pre-staging pass over non-deterministic assignments (rand()) could
+    // approve rows the staging re-execution then changes. See
+    // [[validateStagedChecks]].
+    validateStagedChecks(spark, fs, p, moved, snap.checks, table, "update")
     val changeFiles =
       if (!recordChangeFeed) Nil
       else stageChangeFiles(
@@ -1826,6 +1840,33 @@ object ManifestLake {
             s"e.g. $row. The commit was aborted; nothing landed.")
       }
     }
+
+  /** Validate the table's CHECK constraints against freshly STAGED data
+    * files — what actually LANDED, not the incoming plan: an arbitrary
+    * plan may be non-deterministic (rand(), a re-read of a moving
+    * source), and a pre-staging pass could approve rows the staging
+    * re-execution then changes. Validating the staged files closes that
+    * window, deterministically and bounded by the commit's new files.
+    * `basePath` keeps Hive partition columns in the staged paths
+    * resolvable, or a constraint over a partition column would fail
+    * analysis on every write despite validating fine at ADD time. ANY
+    * failure (violation or analysis error) deletes the staged files
+    * before rethrowing — nothing is committed OR leaked — and the
+    * ORIGINAL failure always wins over a transient delete error. */
+  private def validateStagedChecks(spark: SparkSession, fs: FileSystem,
+      p: Path, moved: Seq[String], checks: Seq[(String, String)],
+      table: String, op: String): Unit =
+    if (checks.nonEmpty && moved.nonEmpty)
+      try enforceChecks(
+        spark.read.option("basePath", p.toString)
+          .parquet(moved.map(l =>
+            new Path(p, FileEntry.parse(l).path).toString): _*),
+        checks, table, op)
+      catch { case scala.util.control.NonFatal(e) =>
+        moved.foreach(l => scala.util.Try(
+          fs.delete(new Path(p, FileEntry.parse(l).path), false)): Unit)
+        throw e
+      }
 
   /** Register a CHECK constraint: `predicateSql` must hold (or evaluate
     * NULL — SQL CHECK semantics) for every EXISTING row, validated now

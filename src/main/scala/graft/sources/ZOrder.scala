@@ -32,15 +32,25 @@ object ZOrder {
   /** The interleaved-bit z-value of the given bucket-index columns
     * (each in `[0, 2^bits)`): column i contributes its bit b to output
     * position `b * n + (n − 1 − i)`. Pure `shift`/`and`/`or` column
-    * arithmetic — codegen-friendly, no UDF. */
+    * arithmetic — codegen-friendly, no UDF. LONG arithmetic throughout
+    * ([[bucketOf]] emits long buckets): in 32-bit ints, 4 dims × 8 bits
+    * put the top bucket's bit on bit 31 (the sign bit, inverting range
+    * order) and ≥ 5 dims wrap shift amounts mod 32 into colliding
+    * positions — a silently corrupted key that degrades clustering while
+    * results stay correct. A long holds 64 interleaved bits, and the
+    * require rejects anything wider by name instead of wrapping. */
   private[sources] def interleave(buckets: Seq[Column],
                                   bits: Int = BitsPerDim): Column = {
     val n = buckets.size
+    require(n * bits <= 63,
+      s"z-order interleaving $n columns × $bits bits needs ${n * bits} " +
+        "bits — a signed long key holds at most 63. Use fewer z-columns " +
+        "or fewer bits per dimension.")
     val terms = for {
       (b, i) <- buckets.zipWithIndex
       bit <- 0 until bits
     } yield shiftleft(
-      shiftrightunsigned(b, bit).bitwiseAND(lit(1)),
+      shiftrightunsigned(b, bit).bitwiseAND(lit(1L)),
       bit * n + (n - 1 - i))
     terms.reduce(_.bitwiseOR(_))
   }
@@ -49,10 +59,11 @@ object ZOrder {
     * `bounds`: the count of boundaries ≤ value, capped into
     * `[0, 2^bits)`. Unrolled comparisons over ≤ 255 literal boundaries
     * — a balanced conditional tree after codegen, no interpreted HOF,
-    * no per-row allocation. */
+    * no per-row allocation. Long-typed so [[interleave]]'s shifts never
+    * touch 32-bit sign/wrap territory. */
   private[sources] def bucketOf(c: Column, bounds: Array[Double]): Column =
-    bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(c.isNotNull && c >= b, 1).otherwise(0))
+    bounds.foldLeft(lit(0L))((acc, b) =>
+      acc + when(c.isNotNull && c >= b, 1L).otherwise(0L))
 
   /** Z-ordered lake write: bucket each `zCols` by its own equi-depth
     * boundaries, interleave into a z-value, range-cluster the data on

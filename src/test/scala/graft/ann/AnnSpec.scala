@@ -159,6 +159,53 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
     r3.occupancyDivergence should be > 0.5
   }
 
+  test("IVF append retry heals a half-done two-table commit: a replay " +
+    "whose original attempt died between the assignment commit and the " +
+    "centroid re-point re-runs the re-point, no duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-hl").toString
+    IvfIndexStore.build(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+    val assignments = s"$dir/assignments"
+    val centroidsT = s"$dir/centroids"
+    val beforeV = graft.sources.ManifestLake
+      .currentVersion(spark, assignments).get
+
+    val batch = emb.filter($"vec_id" === 0L)
+      .withColumn("vec_id", lit(910000L))
+    val r1 = IvfIndexStore.append(batch, dir, epoch = Some(("heal", 1L)))
+    r1.committed shouldBe true
+    val appendedV = r1.version
+    val countAfter = graft.sources.ManifestLake.read(spark, assignments)
+      .count()
+
+    // simulate the crash: roll the centroid table's recorded
+    // assign_version back to the pre-append snapshot, as if the first
+    // attempt committed the assignments but died before the re-point —
+    // the appended vector is now invisible to probes
+    val cents = graft.sources.ManifestLake.read(spark, centroidsT)
+    graft.sources.ManifestLake.write(
+      cents.withColumn("assign_version", lit(beforeV)),
+      centroidsT, append = false)
+    val queryVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    IvfIndexStore.probe(spark, dir, queryVec, k = 1, nProbe = 4,
+      excludeId = Some(0L)).collect().head.getLong(0) should not be 910000L
+
+    // the replayed batch commits nothing new (epoch guard) but HEALS
+    // the lagging centroid re-point
+    val r2 = IvfIndexStore.append(batch, dir, epoch = Some(("heal", 1L)))
+    r2.committed shouldBe false
+    graft.sources.ManifestLake.read(spark, assignments).count() shouldBe
+      countAfter
+    graft.sources.ManifestLake.read(spark, centroidsT)
+      .select(max($"assign_version")).collect()
+      .head.getLong(0) shouldBe appendedV
+    IvfIndexStore.probe(spark, dir, queryVec, k = 1, nProbe = 4,
+      excludeId = Some(0L)).collect().head.getLong(0) shouldBe 910000L
+  }
+
   test("hyperplane LSH near-dup: planted perturbed vectors recovered at " +
     "cosine ≥ 0.95") {
     val emb = Tables.embeddings(spark, sf)

@@ -675,7 +675,7 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("CHECK constraints gate writes, merges and updates before " +
-    "anything stages; NULL passes; existing data is validated on add; " +
+    "anything commits; NULL passes; existing data is validated on add; " +
     "the property survives maintenance and can be dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
@@ -700,7 +700,23 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.currentVersion(spark, t) shouldBe Some(v)
     ManifestLake.write(
       Seq((3L, Some(7.0)), (4L, None)).toDF("id", "price"), t)
-    // a violating merge and a violating update are both rejected
+    // a violating merge and a violating update are both rejected —
+    // validated against the STAGED rewrite (sound for non-deterministic
+    // update sets), and the abort deletes the staged files: the on-disk
+    // data-file set is exactly what it was before either attempt
+    def dataFiles(): Set[String] = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("_manifests") &&
+          !f.contains("_staging")) b += f
+      }
+      b.result()
+    }
+    val before = dataFiles()
     intercept[ManifestLake.ConstraintViolationException] {
       ManifestLake.merge(Seq((1L, Some(-9.0))).toDF("id", "price"),
         t, Seq("id"))
@@ -709,6 +725,7 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       ManifestLake.update(spark, t, col("id") === 1L,
         Seq("price" -> lit(-2.0)))
     }
+    dataFiles() shouldBe before
     // the constraint is a table property: it survives compaction…
     ManifestLake.compact(spark, t)
     ManifestLake.snapshot(spark, t).checks shouldBe

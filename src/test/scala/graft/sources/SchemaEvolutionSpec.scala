@@ -178,6 +178,37 @@ class SchemaEvolutionSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally ManifestLake.clock = prevClock
   }
 
+  test("an append to a LEGACY table (no recorded schema) derives the " +
+    "base from its files: a narrowing append is rejected, not silently " +
+    "recorded as the table schema") {
+    import spark.implicits._
+    val t = freshTable()
+    // fabricate a legacy commit: data files on disk, manifest with no
+    // #schema= header — the pre-evolution log format
+    val path = new org.apache.hadoop.fs.Path(t)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v1Rows.coalesce(1).write.parquet(s"$t/legacy")
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/legacy"))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    ManifestLake.commitLog(fs, path, full = true,
+      adds = Seq(s"legacy/$file"), removes = Nil, prev = None)
+    ManifestLake.snapshot(spark, t).schema shouldBe None
+    // an append that DROPS a column must raise, exactly as it would
+    // against a recorded schema — otherwise the narrower schema would
+    // be recorded and 'payload' would vanish from every older file
+    val narrower = (200 to 205).map(_.toLong).toDF("id")
+    intercept[ManifestLake.SchemaEvolutionException] {
+      ManifestLake.write(narrower, t)
+    }.getMessage should include("drops column 'payload'")
+    // a matching append works and records the file-derived schema
+    ManifestLake.write(
+      (200 to 205).map(i => (i.toLong, s"payload_$i")).toDF("id", "payload"),
+      t)
+    val head = ManifestLake.read(spark, t)
+    head.columns.toSeq shouldBe Seq("id", "payload")
+    head.count() shouldBe 106
+  }
+
   test("deletes and compactions carry the evolved schema forward") {
     val t = freshTable()
     ManifestLake.write(v1Rows, t)

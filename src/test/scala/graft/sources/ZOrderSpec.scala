@@ -59,6 +59,31 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
       rows.filter($"y".between(100.0, 149.0)).count()
   }
 
+  test("interleave runs in long arithmetic: 4 dims fill 32 bits without " +
+    "sign inversion, wider than 63 bits is rejected by name") {
+    import spark.implicits._
+    val df = Seq(
+      (255L, 255L, 255L, 255L),
+      (0L, 0L, 0L, 0L),
+      (128L, 0L, 0L, 0L)).toDF("a", "b", "c", "d")
+    val z = df.select(ZOrder.interleave(
+        Seq(col("a"), col("b"), col("c"), col("d"))).as("z"))
+      .as[Long].collect()
+    // all 32 interleaved bits set: 2^32-1, POSITIVE — int arithmetic
+    // would have produced -1 and inverted the range order
+    z(0) shouldBe (1L << 32) - 1
+    z(1) shouldBe 0L
+    // dim 0's top bucket bit lands on position 31 (the int sign bit):
+    // in long arithmetic it stays an ordinary magnitude bit
+    z(2) shouldBe (1L << 31)
+    z(2) should be > 0L
+    z(0) should be > z(2)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.interleave(Seq.fill(8)(lit(0L)))
+    }
+    e.getMessage should include("63")
+  }
+
   test("NULL z-values cluster low, never match a range, and are never " +
     "wrongly skipped away from a full read") {
     import spark.implicits._
