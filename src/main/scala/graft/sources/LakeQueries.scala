@@ -63,7 +63,7 @@ object LakeQueries {
     * the snapshot's rows are identical every time. Keys ≡ 3 (mod 10) are
     * balance adjustments (WHEN MATCHED UPDATE); keys ≡ 0 (mod 97) are
     * re-keyed far outside the live key range (WHEN NOT MATCHED INSERT). */
-  private def lk2Updates(s: SparkSession, d: String): DataFrame = {
+  private[sources] def lk2Updates(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
@@ -427,11 +427,15 @@ object LakeQueries {
     * the two versions' changed files plus the O(distinct keys) view,
     * never re-scanning the source. Decimal sums make the incremental
     * result bit-identical to re-aggregation, which is exactly what the
-    * DuckDB oracle does from scratch — so the row is hash-exact.
+    * DuckDB oracle does from scratch — so the row is hash-exact. The
+    * row additionally grades ITSELF: an in-engine scratch
+    * re-aggregation is compared per group and emitted as the
+    * `incr_matches_scratch` boolean, so maintenance drift flips a flag
+    * in the row rather than only moving the hash.
     * Resume/idempotence/definition-guard semantics live in
     * MaterializedAggSpec. */
   def mv1IncrementalAgg(s: SparkSession, d: String): DataFrame = {
-    val agg = builtTables.computeIfAbsent(s"mv1:$d", _ => {
+    val dirs = builtTables.computeIfAbsent(s"mv1:$d", _ => {
       val src = java.nio.file.Files
         .createTempDirectory("graft-lake-mv1src").toString
       val aggDir = java.nio.file.Files
@@ -450,10 +454,27 @@ object LakeQueries {
         recordChangeFeed = true)
       MaterializedAgg.refresh(s, src, aggDir,
         Seq("c_nationkey"), Seq("c_acctbal"))
-      aggDir
+      s"$src|$aggDir"
     })
-    ManifestLake.read(s, agg)
+    val Array(src, agg) = dirs.split('|')
+    // SELF-EVIDENCING row (the a4 pattern): re-aggregate the source
+    // from scratch in-engine and carry a per-group equality flag — any
+    // incremental-maintenance drift flips that group's boolean (and a
+    // phantom/missing group changes the row count), so a red gate row
+    // names its own cause instead of being a silent hash mismatch. The
+    // scratch pass is the gate's grading harness, not the production
+    // cost model — a production view never re-reads the source.
+    val view = ManifestLake.read(s, agg)
       .select("c_nationkey", "c_acctbal_sum", "n_rows")
+    val scratch = ManifestLake.read(s, src)
+      .groupBy("c_nationkey")
+      .agg(sum(col("c_acctbal").cast("decimal(27,2)"))
+        .cast("decimal(27,2)").as("s_sum"),
+        count(lit(1)).as("s_n"))
+    view.join(scratch, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"), col("c_acctbal_sum"), col("n_rows"),
+        ((col("c_acctbal_sum") <=> col("s_sum")) &&
+          (col("n_rows") <=> col("s_n"))).as("incr_matches_scratch"))
   }
 
   val mv1Oracle: String =
@@ -475,7 +496,8 @@ object LakeQueries {
       |SELECT c_nationkey,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DECIMAL(27,2))
       |    AS c_acctbal_sum,
-      |  COUNT(*) AS n_rows
+      |  COUNT(*) AS n_rows,
+      |  TRUE AS incr_matches_scratch
       |FROM merged
       |WHERE c_acctbal >= 0
       |GROUP BY c_nationkey""".stripMargin

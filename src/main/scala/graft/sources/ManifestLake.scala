@@ -229,6 +229,18 @@ object ManifestLake {
   final class ConstraintViolationException(msg: String)
     extends IllegalArgumentException(msg)
 
+  /** A commit lost the version race to a concurrent committer and could
+    * not be (or exhausted its) rebase-retries: rewrites (merge / delete
+    * / update / compaction) always surface this — their read set is the
+    * snapshot they rewrote, so replaying on a moved head could resurrect
+    * deleted rows or drop the winner's — and appends surface it only
+    * when the winner's table state conflicts (layout change, exhausted
+    * retries) or the commit carries a streaming epoch whose arbitration
+    * belongs to [[writeBatch]]'s guard. Compatible blind appends rebase
+    * automatically and never see this. */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   /** An append or merge tried to change the table's schema in a way
     * evolution doesn't cover (retyping or dropping a column). Adding
     * columns is the supported evolution; anything narrower needs an
@@ -633,7 +645,7 @@ object ManifestLake {
     val target = manifestPath(table, next)
     if (!commitPrimitive.publish(fs, tmp, target)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"concurrent commit lost race for version $next in $table")
     }
     if (next % checkpointInterval == 0)
@@ -804,15 +816,108 @@ object ManifestLake {
         (prevSnap.flatMap(_.batchId), prevSnap.flatMap(_.appId))
       else (batchId, appId)
     if (append && prevSnap.nonEmpty)
-      commitLog(fs, p, full = false, adds = moved, removes = Nil, prev,
-        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows, checks = tableChecks,
-        maintenance = maintenance)
+      commitAppendWithRebase(df, spark, fs, p, table, moved, partitionBy,
+        prev, committedSchema, effBlooms, effBloomRows, tableChecks,
+        effChecks, effBatch, effApp, batchId, appId, bloomCols,
+        validateChecks, maintenance)
     else
       commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
         effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
         bloomExpectedRows = effBloomRows, checks = tableChecks,
         maintenance = maintenance)
+  }
+
+  /** How many times a lost-race APPEND re-resolves the winner's head and
+    * retries before surfacing [[CommitConflictException]]. Each retry
+    * means someone else committed, so the system as a whole progresses;
+    * the cap only guards a pathological stampede. */
+  private val MaxCommitRebases = 10
+
+  /** Commit an append's already-staged files, REBASING over concurrent
+    * winners instead of discarding the writer's work: on a lost version
+    * race, re-resolve the winner's head snapshot, re-check everything a
+    * sequential append against that head would have checked — partition
+    * layout (mismatch conflicts by name), schema evolution against the
+    * winner's schema (a concurrent retype/drop raises the named
+    * SchemaEvolutionException), CHECK constraints the winner added (the
+    * staged files are re-validated against exactly the delta, and a
+    * violation deletes them) — then retry at the next version with the
+    * winner's table properties carried forward. N parallel ingest
+    * streams thus serialize at log-record cost, never re-staging data —
+    * the Delta conflict model. Commits carrying a caller-supplied
+    * streaming epoch never rebase: epoch arbitration (was this batch
+    * already committed?) belongs to [[writeBatch]]'s guard against the
+    * snapshot it resolves, so those surface the conflict instead. */
+  private def commitAppendWithRebase(df: DataFrame, spark: SparkSession,
+      fs: FileSystem, p: Path, table: String, moved: Seq[String],
+      partitionBy: Seq[String], prev: Option[Long],
+      schema0: StructType, blooms0: Seq[String], bloomRows0: Long,
+      checks0: Seq[(String, String)], validated0: Seq[(String, String)],
+      batch0: Option[Long], app0: Option[String],
+      callerBatchId: Option[Long], callerAppId: Option[String],
+      callerBloomCols: Seq[String],
+      validateChecks: Boolean, maintenance: Boolean): Long = {
+    var basePrev = prev
+    var schemaToRecord = schema0
+    var blooms = blooms0
+    var bloomRows = bloomRows0
+    var checksToRecord = checks0
+    var batch = batch0
+    var app = app0
+    val validated = scala.collection.mutable.Set(validated0: _*)
+    var attempt = 0
+    while (true) {
+      try return commitLog(fs, p, full = false, adds = moved,
+        removes = Nil, basePrev, batch, app, Some(schemaToRecord),
+        bloomCols = blooms, bloomExpectedRows = bloomRows,
+        checks = checksToRecord, maintenance = maintenance)
+      catch { case e: CommitConflictException =>
+        attempt += 1
+        if (attempt > MaxCommitRebases) throw e
+        if (callerBatchId.nonEmpty || callerAppId.nonEmpty) throw e
+        val head = currentVersion(spark, table).getOrElse(throw e)
+        val winner = snapshot(spark, table, Some(head))
+        val wLayout = partitionColsOf(winner)
+        if (winner.entries.nonEmpty && wLayout != partitionBy)
+          throw new CommitConflictException(
+            s"append to $table lost the race to a commit that changed " +
+              s"the partition layout to [${wLayout.mkString(", ")}] — " +
+              s"the staged files are laid out by " +
+              s"[${partitionBy.mkString(", ")}] and cannot be rebased.")
+        // exactly the sequential-append rule, against the winner's head
+        val winnerSchema = winner.schema.orElse(
+          winner.files.headOption.map(_ =>
+            readSnapshotFiles(spark, table, winner,
+              winner.files.take(1)).schema))
+        schemaToRecord = evolvedSchema(winnerSchema, df.schema, table,
+          "append (rebased over a concurrent commit)")
+        // constraints the winner added since our validation pass: the
+        // staged files are still on disk, so re-validate just the delta
+        // (a violation deletes them and raises — nothing half-lands)
+        val newChecks = winner.checks.filterNot(validated)
+        if (validateChecks && newChecks.nonEmpty) {
+          validateStagedChecks(spark, fs, p, moved, newChecks, table,
+            "append (rebased over a concurrent commit)")
+          validated ++= newChecks
+        }
+        checksToRecord = winner.checks
+        // winner's table properties win, exactly as they would have
+        // sequentially (unless the caller NAMED their own bloom set —
+        // then it wins, as in the sequential path); sidecars for
+        // newly-required bloom columns are re-staged for OUR files only
+        // (coverage stays advisory either way)
+        if (callerBloomCols.isEmpty && winner.bloomCols != blooms) {
+          blooms = winner.bloomCols
+          bloomRows = winner.bloomExpectedRows
+          stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+            blooms, bloomRows)
+        }
+        batch = winner.batchId
+        app = winner.appId
+        basePrev = Some(head)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Stage `df` under a writer-unique staging dir and publish its parquet

@@ -233,6 +233,127 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(_.getPath.getName).count(_.startsWith(".tmp")) shouldBe 0
   }
 
+  test("a blind append losing the version race REBASES onto the " +
+    "winner's head and commits at the next version — zero client redo, " +
+    "both writers' rows land") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 10), t) // v1
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    // a REAL winner commit, pre-staged: its data file exists on disk
+    // and its manifest line is ready to publish from inside the race
+    rows(11 to 25).coalesce(1).write.parquet(s"$t/winner")
+    val winnerFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/winner"))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    val winnerSchema = rows(11 to 25).schema
+    // interpose on the commit primitive: the FIRST publish of v2 loses —
+    // a concurrent committer lands the winner's v2 under this writer's
+    // feet (published through the default primitive, then we report the
+    // race lost). Deterministic reproduction of the read-version /
+    // publish window.
+    val default = ManifestLake.RenameCommit
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val interposer = new ManifestLake.CommitPrimitive {
+      val supportedSchemes: Set[String] = Set("file")
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName == "v00000002.manifest" &&
+          injected.compareAndSet(false, true)) {
+          ManifestLake.commitLog(pfs, p, full = false,
+            adds = Seq(s"winner/$winnerFile"), removes = Nil,
+            prev = Some(1L), schema = Some(winnerSchema))
+          pfs.delete(tmp, false)
+          return false
+        }
+        default.publish(pfs, tmp, target)
+      }
+    }
+    val prev = ManifestLake.installCommitPrimitive(interposer)
+    try {
+      // the append loses v2, rebases onto the winner, commits v3 —
+      // the caller sees ONE successful call, no exception, no re-stage
+      val v = ManifestLake.write(rows(26 to 40), t)
+      v shouldBe 3L
+    } finally ManifestLake.installCommitPrimitive(prev)
+    ManifestLake.versions(spark, t) shouldBe Seq(1L, 2L, 3L)
+    val head = ManifestLake.read(spark, t)
+    head.count() shouldBe 40
+    head.select("id").as[Long].collect().toSet shouldBe
+      (1 to 40).map(_.toLong).toSet
+  }
+
+  test("a rebased append re-validates against a CHECK constraint the " +
+    "winner added concurrently; rewrites losing a race error by name") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 10), t) // v1
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(t)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    val default = ManifestLake.RenameCommit
+    // race 1: winner adds a constraint the loser's staged rows VIOLATE —
+    // the rebase must re-validate and abort, not land bad data
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val addCheck = new ManifestLake.CommitPrimitive {
+      val supportedSchemes: Set[String] = Set("file")
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName == "v00000002.manifest" &&
+          injected.compareAndSet(false, true)) {
+          ManifestLake.addConstraint(spark, t, "id_small", "id <= 100")
+          pfs.delete(tmp, false)
+          return false
+        }
+        default.publish(pfs, tmp, target)
+      }
+    }
+    var prev = ManifestLake.installCommitPrimitive(addCheck)
+    try {
+      intercept[ManifestLake.ConstraintViolationException] {
+        ManifestLake.write(rows(200 to 205), t)
+      }.getMessage should include("id_small")
+    } finally ManifestLake.installCommitPrimitive(prev)
+    ManifestLake.currentVersion(spark, t) shouldBe Some(2L) // only the add
+    // …while a COMPLIANT append rebases straight through the new check
+    ManifestLake.write(rows(11 to 20), t) shouldBe 3L
+    ManifestLake.read(spark, t).count() shouldBe 20
+
+    // race 2: a MERGE losing its race errors by name — its read set is
+    // the snapshot it rewrote, so it can never rebase
+    val injected2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stealV4 = new ManifestLake.CommitPrimitive {
+      val supportedSchemes: Set[String] = Set("file")
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName == "v00000004.manifest" &&
+          injected2.compareAndSet(false, true)) {
+          // a compaction wins v4 first
+          ManifestLake.compact(spark, t)
+          pfs.delete(tmp, false)
+          return false
+        }
+        default.publish(pfs, tmp, target)
+      }
+    }
+    prev = ManifestLake.installCommitPrimitive(stealV4)
+    try {
+      intercept[ManifestLake.CommitConflictException] {
+        ManifestLake.merge(Seq((1L, "updated_1")).toDF("id", "payload"),
+          t, Seq("id"))
+      }.getMessage should include("lost race")
+    } finally ManifestLake.installCommitPrimitive(prev)
+    // the compaction's v4 is the head; the merge landed nothing
+    ManifestLake.read(spark, t).filter($"payload" === "updated_1")
+      .count() shouldBe 0L
+  }
+
   /** An object store double with S3 `If-None-Match: *` semantics: the
     * arbitration is a putIfAbsent on the object map (exactly what a
     * conditional PUT gives you); a winning put also lands the bytes on

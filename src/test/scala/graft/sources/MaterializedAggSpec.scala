@@ -122,6 +122,54 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(2L) shouldBe ((Some("5.00"), 2L))
   }
 
+  test("the FULL mv1 gate chain is deterministic: two independent runs " +
+    "in one session produce bit-identical rows with every " +
+    "incr_matches_scratch flag true") {
+    // Executes the exact driver-gate computation twice against separate
+    // table dirs (LakeQueries memoizes per (JVM, dataset), so the gate
+    // itself runs the build once — this pins what a SECOND driver run
+    // would have produced) and asserts the emitted rows, flags
+    // included, are identical byte for byte.
+    val d = "/root/testdata/sf0.001"
+    def runChain(): Set[(Int, String, Long, Boolean)] = {
+      val src = fresh("mv1src")
+      val agg = fresh("mv1agg")
+      ManifestLake.writeClustered(
+        graft.core.Tables.customer(spark, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        src, "c_custkey", nFiles = 8, extraStatsCols = Seq("c_acctbal"))
+      MaterializedAgg.refresh(spark, src, agg,
+        Seq("c_nationkey"), Seq("c_acctbal"))
+      ManifestLake.merge(LakeQueries.lk2Updates(spark, d), src,
+        Seq("c_custkey"), statsCol = Some("c_custkey"),
+        recordChangeFeed = true)
+      ManifestLake.delete(spark, src, col("c_acctbal") < 0,
+        recordChangeFeed = true)
+      MaterializedAgg.refresh(spark, src, agg,
+        Seq("c_nationkey"), Seq("c_acctbal"))
+      val view = ManifestLake.read(spark, agg)
+        .select("c_nationkey", "c_acctbal_sum", "n_rows")
+      val scratch = ManifestLake.read(spark, src)
+        .groupBy("c_nationkey")
+        .agg(sum(col("c_acctbal").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").as("s_sum"),
+          count(lit(1)).as("s_n"))
+      view.join(scratch, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"), col("c_acctbal_sum"), col("n_rows"),
+          ((col("c_acctbal_sum") <=> col("s_sum")) &&
+            (col("n_rows") <=> col("s_n"))).as("ok"))
+        .collect()
+        .map(r => (r.getInt(0), r.getDecimal(1).toPlainString,
+          r.getLong(2), r.getBoolean(3))).toSet
+    }
+    val first = runChain()
+    val second = runChain()
+    first shouldBe second
+    all(first.toSeq.map(_._4)) shouldBe true
+    first.size should be > 0
+  }
+
   test("null group keys maintain one row, not a duplicate per refresh") {
     import spark.implicits._
     val src = fresh("nullk")
