@@ -564,7 +564,116 @@ object LakeQueries {
       |  END AS l_quantity
       |FROM lineitem""".stripMargin
 
+  /** lk11_string_range — STRING file-skipping through the gate: the
+    * customer table is range-clustered on its `c_name` key (an ASCII
+    * doc-id-shaped string) with truncated string min/max recorded per
+    * file, and the query is a narrow name-range scan through
+    * [[ManifestLake.readRangeStr]] — numeric stats cannot see string
+    * keys at all (the r7 blind spot: a URL/doc-id-keyed table paid a
+    * full scan or full bloom vote). Bounds are DERIVED from the data
+    * (the names of two fixed custkeys), so the row is generator-format
+    * independent; the oracle filters the original parquet with the same
+    * lexicographic BETWEEN, so the row proves skipping loses nothing.
+    * The pruning itself (strict file subset) is pinned in
+    * ManifestLakeSpec. */
+  def lk11StringRange(s: SparkSession, d: String): DataFrame = {
+    val table = memoClustered("lk11", d, "c_name", nFiles = 16)(
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    val bounds = Tables.customer(s, d)
+      .filter(col("c_custkey").isin(100L, 299L))
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ManifestLake.readRangeStr(s, table, "c_name", bounds(100L), bounds(299L))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
+  val lk11Oracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |FROM customer
+      |WHERE c_name >= (SELECT c_name FROM customer WHERE c_custkey = 100)
+      |  AND c_name <= (SELECT c_name FROM customer WHERE c_custkey = 299)""".stripMargin
+
+  /** lk12_sql_merge_full — the FULL MERGE clause surface through the
+    * gate, purely from `spark.sql`: one statement carrying a
+    * conditional `WHEN MATCHED … DELETE`, a conditional
+    * `WHEN MATCHED … UPDATE` with explicit assignments, and a
+    * conditional `WHEN NOT MATCHED … INSERT (cols) VALUES (…)` — the
+    * CDC-apply idiom (upsert + tombstone in one statement) that r7's
+    * update-all/insert-all MERGE raised a named error on. The source is
+    * derived deterministically from the ORIGINAL customer table and
+    * every clause conditions/assigns on SOURCE values only, so
+    * re-running the merge is content-idempotent (bench passes repeat
+    * it; the snapshot's rows are identical every time). The DuckDB
+    * oracle re-derives the final table with a LEFT JOIN + CASE (DuckDB
+    * has no MERGE), so the row is hash-exact. */
+  def lk12SqlMergeFull(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk12:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk12").toString + "/t"
+      ManifestLake.writeClustered(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        dir, "c_custkey", nFiles = 8)
+      LakeSql.register("lk12_customer", dir)
+      dir
+    })
+    LakeSql.register("lk12_customer", table) // re-register: fresh session
+    val c = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    c.filter(col("c_custkey") % 7 === 1)
+      .withColumn("op", when(col("c_acctbal") >= 9000.0, lit("del"))
+        .otherwise(lit("upd")))
+      .withColumn("delta", lit(500.0))
+      .unionByName(c.filter(col("c_custkey") % 101 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L)
+        .withColumn("op", lit("ins"))
+        .withColumn("delta", lit(500.0)))
+      .createOrReplaceTempView("lk12_src")
+    s.sql(
+      """MERGE INTO graft_lake.lk12_customer t USING lk12_src s
+        |  ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED AND s.op = 'upd' AND s.c_acctbal < 5000.0 THEN
+        |  UPDATE SET c_acctbal = s.c_acctbal + s.delta
+        |WHEN NOT MATCHED AND s.op = 'ins' AND s.c_nationkey < 20 THEN
+        |  INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal,
+        |    s.c_mktsegment)""".stripMargin)
+    s.sql(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM graft_lake.lk12_customer""".stripMargin)
+  }
+
+  val lk12Oracle: String =
+    """WITH src AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |    CASE WHEN c_acctbal >= 9000.0 THEN 'del' ELSE 'upd' END AS op,
+      |    500.0 AS delta
+      |  FROM customer WHERE c_custkey % 7 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment, 'ins', 500.0
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |kept AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+      |    CASE WHEN s.op = 'upd' AND s.c_acctbal < 5000.0
+      |         THEN s.c_acctbal + s.delta ELSE c.c_acctbal
+      |    END AS c_acctbal,
+      |    c.c_mktsegment
+      |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.c_custkey
+      |  WHERE s.c_custkey IS NULL OR s.op <> 'del'),
+      |ins AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM src
+      |  WHERE op = 'ins' AND c_nationkey < 20)
+      |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk12_sql_merge_full" -> (lk12SqlMergeFull _),
+    "lk11_string_range" -> (lk11StringRange _),
     "cf1_stream_changes" -> (cf1StreamChanges _),
     "lk8_sql_update" -> (lk8SqlUpdate _),
     "lk9_point_lookup" -> (lk9PointLookup _),
@@ -581,6 +690,8 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk12_sql_merge_full" -> lk12Oracle,
+    "lk11_string_range" -> lk11Oracle,
     "cf1_stream_changes" -> cf1Oracle,
     "lk8_sql_update" -> lk8Oracle,
     "lk9_point_lookup" -> lk9Oracle,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -104,6 +104,23 @@ object LakeSql {
     case _ => Set.empty
   }
 
+  /** The names a MERGE's SOURCE columns may be qualified by: every
+    * alias / relation identifier on the root path of the source plan
+    * (works on the unresolved AND resolved shapes — a temp view
+    * resolves to `SubqueryAlias(viewName, View(...))`, keeping its
+    * name addressable). */
+  private def srcQualifiersOf(plan: LogicalPlan): Set[String] = {
+    val root = java.util.Locale.ROOT
+    plan match {
+      case SubqueryAlias(id, child) =>
+        srcQualifiersOf(child) + id.name.toLowerCase(root)
+      case u: UnresolvedRelation =>
+        val parts = u.multipartIdentifier.map(_.toLowerCase(root))
+        Set(parts.mkString("."), parts.last)
+      case _ => Set.empty
+    }
+  }
+
   /** The equi-join key columns of a MERGE condition: a conjunction of
     * `t.k = s.k` pairs (same column name both sides — the upsert-key
     * shape). Anything else is not expressible as a keyed upsert. */
@@ -194,20 +211,106 @@ object LakeSql {
         val src = resolveReads(m.sourceTable)
         if (!src.resolved) m.copy(sourceTable = src) // wait for the analyzer
         else {
-          val ok = m.matchedActions.forall {
-            case UpdateStarAction(None) => true; case _ => false } &&
-            m.matchedActions.nonEmpty &&
+          if (m.notMatchedBySourceActions.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft_lake MERGE does not support WHEN NOT MATCHED BY " +
+                "SOURCE — any target row might lack a source match, so " +
+                "the clause rewrites O(table) files and breaks the " +
+                "touched-files cost contract. Use DELETE FROM / UPDATE " +
+                "with an anti-join predicate instead.")
+          if (m.withSchemaEvolution)
+            throw new UnsupportedOperationException(
+              "graft_lake MERGE WITH SCHEMA EVOLUTION is unsupported — " +
+                "widen the table first (ALTER TABLE ADD COLUMNS)")
+          val path = lakeTarget(m.targetTable).get
+          val keys = equiKeys(m.mergeCondition)
+          val simple = m.matchedActions.size == 1 &&
+            m.matchedActions.forall {
+              case UpdateStarAction(None) => true; case _ => false } &&
+            m.notMatchedActions.size == 1 &&
             m.notMatchedActions.forall {
-              case InsertStarAction(None) => true; case _ => false } &&
-            m.notMatchedActions.nonEmpty &&
-            m.notMatchedBySourceActions.isEmpty && !m.withSchemaEvolution
-          if (!ok) throw new UnsupportedOperationException(
-            "graft_lake MERGE supports exactly WHEN MATCHED THEN UPDATE " +
-              "SET * WHEN NOT MATCHED THEN INSERT * (the keyed-upsert " +
-              "contract of ManifestLake.merge)")
-          GraftMergeIntoCommand(lakeTarget(m.targetTable).get,
-            equiKeys(m.mergeCondition),
-            PlanBridge.ofRows(spark, src))
+              case InsertStarAction(None) => true; case _ => false }
+          if (simple)
+            // the plain upsert rides ManifestLake.merge, which also
+            // widens schemas from the source — the proven lk2/lk5 path
+            GraftMergeIntoCommand(path, keys, PlanBridge.ofRows(spark, src))
+          else {
+            // the general clause surface maps onto mergeApply: target
+            // columns by their own names, source columns under the
+            // __src_ prefix; every attribute in a condition/assignment
+            // is rewritten to that convention here, by qualifier (or by
+            // unambiguous ownership when bare)
+            val tgtQuals = targetQualifiers(m.targetTable)
+            val srcQuals = srcQualifiersOf(m.sourceTable) ++
+              srcQualifiersOf(src)
+            val root = java.util.Locale.ROOT
+            val tgtCols = ManifestLake.read(spark, path).schema
+              .fieldNames.map(_.toLowerCase(root)).toSet
+            val srcCols = src.output.map(_.name.toLowerCase(root)).toSet
+            def rw(e: Expression): org.apache.spark.sql.Column =
+              ColumnBridge.column(e.transform {
+                case UnresolvedAttribute(parts) if parts.length > 1 =>
+                  val qual = parts.init.map(_.toLowerCase(root)).mkString(".")
+                  if (tgtQuals.contains(qual))
+                    UnresolvedAttribute(Seq(parts.last))
+                  else if (srcQuals.contains(qual))
+                    UnresolvedAttribute(
+                      Seq(ManifestLake.MergeSrcPrefix + parts.last))
+                  else throw new UnsupportedOperationException(
+                    s"graft_lake MERGE cannot place " +
+                      s"'${parts.mkString(".")}' — qualify it with the " +
+                      "target or source alias")
+                case UnresolvedAttribute(parts) =>
+                  val n = parts.head.toLowerCase(root)
+                  if (tgtCols.contains(n) && srcCols.contains(n))
+                    throw new UnsupportedOperationException(
+                      s"graft_lake MERGE reference '${parts.head}' is " +
+                        "ambiguous — both target and source carry it; " +
+                        "qualify it")
+                  else if (srcCols.contains(n))
+                    UnresolvedAttribute(
+                      Seq(ManifestLake.MergeSrcPrefix + parts.head))
+                  else UnresolvedAttribute(parts)
+              })
+            def assignOf(a: Assignment): (String, org.apache.spark.sql.Column) =
+              a match {
+                case Assignment(k: UnresolvedAttribute, v) =>
+                  val parts = k.nameParts
+                  if (parts.length > 1 && !tgtQuals.contains(parts.init
+                      .map(_.toLowerCase(root)).mkString(".")))
+                    throw new UnsupportedOperationException(
+                      s"graft_lake MERGE assignment target " +
+                        s"'${parts.mkString(".")}' is not a plain column " +
+                        "of the target table")
+                  parts.last -> rw(v)
+                case other => throw new UnsupportedOperationException(
+                  s"graft_lake MERGE supports only plain column " +
+                    s"assignment targets; got: ${other.sql}")
+              }
+            val matchedClauses = m.matchedActions.map {
+              case UpdateStarAction(c) =>
+                ManifestLake.MergeUpdate(c.map(rw), None)
+              case UpdateAction(c, assigns, _) =>
+                ManifestLake.MergeUpdate(c.map(rw),
+                  Some(assigns.map(assignOf)))
+              case DeleteAction(c) => ManifestLake.MergeDelete(c.map(rw))
+              case other => throw new UnsupportedOperationException(
+                s"graft_lake MERGE: unsupported WHEN MATCHED action " +
+                  s"${other.getClass.getSimpleName}")
+            }
+            val insertClauses = m.notMatchedActions.map {
+              case InsertStarAction(c) =>
+                ManifestLake.MergeInsert(c.map(rw), None)
+              case InsertAction(c, assigns) =>
+                ManifestLake.MergeInsert(c.map(rw),
+                  Some(assigns.map(assignOf)))
+              case other => throw new UnsupportedOperationException(
+                s"graft_lake MERGE: unsupported WHEN NOT MATCHED action " +
+                  s"${other.getClass.getSimpleName}")
+            }
+            GraftMergeApplyCommand(path, keys, matchedClauses,
+              insertClauses, PlanBridge.ofRows(spark, src))
+          }
         }
       // `ADD CONSTRAINT ... CHECK` parses as AddCheckConstraint with a
       // Filter(NOT pred, relation) child — Spark's own existing-data
@@ -317,6 +420,21 @@ object LakeSql {
       @transient source: DataFrame) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       ManifestLake.merge(source, table, keyCols,
+        recordChangeFeed = recordCdf(spark)): Unit
+      Seq.empty
+    }
+  }
+
+  /** General-clause `MERGE INTO` — executes [[ManifestLake.mergeApply]]
+    * (conditional matched update/delete, conditional insert,
+    * first-match-wins) when the command runs. */
+  final case class GraftMergeApplyCommand(table: String,
+      keyCols: Seq[String],
+      matched: Seq[ManifestLake.MergeMatched],
+      notMatched: Seq[ManifestLake.MergeInsert],
+      @transient source: DataFrame) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      ManifestLake.mergeApply(source, table, keyCols, matched, notMatched,
         recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }

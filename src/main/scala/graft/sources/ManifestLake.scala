@@ -165,30 +165,85 @@ object ManifestLake {
     * footer at commit time — Iceberg-style file metrics. */
   final case class ColRange(col: String, min: BigDecimal, max: BigDecimal)
 
+  /** Per-file TRUNCATED string range — the Delta/Iceberg model for
+    * string file-skipping stats: `min` is a ≤[[StrStatLen]]-char PREFIX
+    * of the file's true minimum (a prefix never sorts above the value
+    * it truncates, so it is a sound lower bound), `max` is the true
+    * maximum when it fits, else the truncated prefix with its last
+    * character bumped (strictly above every string sharing the prefix —
+    * a sound upper bound); `None` means unbounded above. Recorded only
+    * for ASCII bounds: parquet footers order binary stats by UNSIGNED
+    * BYTE comparison while the JVM compares UTF-16 code units, and the
+    * two agree wherever the deciding character is ASCII — restricting
+    * the RECORDED side keeps every mixed comparison consistent, and a
+    * non-ASCII-keyed file simply records nothing (unknown ⇒ never
+    * skipped). Tables keyed by URL, doc-id or language — the shapes
+    * that made string keys worth pruning — are ASCII in practice. */
+  final case class StrRange(col: String, min: String, max: Option[String])
+
+  /** Truncation length for string file stats (Delta's default). */
+  private val StrStatLen = 32
+
+  private def asciiOnly(s: String): Boolean = s.forall(_ < '\u0080')
+
+  /** The recordable [[StrRange]] for true bounds `[mn, mx]`, or None
+    * when one can't be soundly recorded (non-ASCII). */
+  private[sources] def strRangeOf(col: String, mn: String,
+      mx: String): Option[StrRange] = {
+    val minT = mn.take(StrStatLen)
+    val maxT: Option[Option[String]] = // outer None = don't record
+      if (mx.length <= StrStatLen)
+        if (asciiOnly(mx)) Some(Some(mx)) else None
+      else {
+        val p = mx.take(StrStatLen)
+        if (!asciiOnly(p)) None
+        // bump the last char: strictly above every string with prefix p
+        else Some(Some(p.init + (p.last + 1).toChar))
+      }
+    if (!asciiOnly(minT)) None
+    else maxT.map(StrRange(col, minT, _))
+  }
+
   /** One manifest entry: a relative data-file path plus recorded column
     * ranges. Serialized as a tab-separated line
     * (`path[\tcol\tmin\tmax]*` — one col/min/max triple per recorded
     * column, so stats on a SECOND key column don't evict the first). */
   final case class FileEntry(path: String, ranges: Seq[ColRange] = Nil,
                              rows: Option[Long] = None,
-                             bytes: Option[Long] = None) {
+                             bytes: Option[Long] = None,
+                             strRanges: Seq[StrRange] = Nil) {
     /** The recorded range for `col`, if any. */
     def range(col: String): Option[ColRange] = ranges.find(_.col == col)
+    /** The recorded truncated STRING range for `col`, if any. */
+    def strRange(col: String): Option[StrRange] =
+      strRanges.find(_.col == col)
     /** Back-compat accessor: the first recorded range. */
     def range: Option[ColRange] = ranges.headOption
+    // String stats triples carry an `s:` column marker and URL-encoded
+    // bounds (the values may contain tabs/newlines — the log is
+    // line/tab-delimited, so raw strings would corrupt it); an empty
+    // max token means unbounded above.
     def line: String =
       (path +: (rows.map(n => s"rows=$n").toSeq ++
         bytes.map(n => s"bytes=$n").toSeq) ++:
-        ranges.map(r => s"${r.col}\t${r.min}\t${r.max}")).mkString("\t")
+        (ranges.map(r => s"${r.col}\t${r.min}\t${r.max}") ++
+          strRanges.map(r => s"s:${r.col}\t${FileEntry.enc(r.min)}\t" +
+            r.max.map(FileEntry.enc).getOrElse("")))).mkString("\t")
   }
 
   object FileEntry {
     def apply(path: String, range: Option[ColRange]): FileEntry =
       FileEntry(path, range.toSeq)
+    private[sources] def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    private[sources] def dec(s: String): String =
+      java.net.URLDecoder.decode(s, "UTF-8")
     def parse(line: String): FileEntry = {
       def bad() =
         throw new IllegalArgumentException(s"bad manifest line: $line")
-      val parts = line.split('\t')
+      // -1 limit: an empty trailing token is meaningful (a string
+      // range's unbounded-above max) and must not be dropped
+      val parts = line.split("\t", -1)
       if (parts.length < 1) bad()
       // optional `rows=N` / `bytes=N` metadata tokens right after the
       // path (absent in entries written before they were recorded —
@@ -206,9 +261,14 @@ object ManifestLake {
       }
       val rangeParts = parts.drop(i)
       if (rangeParts.length % 3 != 0) bad()
-      FileEntry(parts.head, rangeParts.grouped(3).map {
+      val (strTriples, numTriples) = rangeParts.grouped(3).toSeq
+        .partition(_.head.startsWith("s:"))
+      FileEntry(parts.head, numTriples.map {
         case Array(c, mn, mx) => ColRange(c, BigDecimal(mn), BigDecimal(mx))
-      }.toSeq, rows, bytes)
+      }, rows, bytes, strTriples.map {
+        case Array(c, mn, mx) => StrRange(c.stripPrefix("s:"), dec(mn),
+          if (mx.isEmpty) None else Some(dec(mx)))
+      })
     }
   }
 
@@ -671,26 +731,30 @@ object ManifestLake {
     val target = checkpointPath(p, v)
     if (!fs.exists(target)) {
       val snap = resolveSnapshot(fs, p, Some(v), p.toString)
-      val sb = new StringBuilder
-      snap.batchId.foreach(b => sb.append(BatchHeader).append(b).append('\n'))
-      snap.appId.foreach(a => sb.append(AppHeader).append(a).append('\n'))
-      snap.schema.foreach(s =>
-        sb.append(SchemaHeader).append(s.json).append('\n'))
-      if (snap.bloomCols.nonEmpty) {
-        sb.append(BloomHeader).append(snap.bloomCols.mkString(","))
-          .append('\n')
-        sb.append(BloomRowsHeader).append(snap.bloomExpectedRows)
-          .append('\n')
-      }
-      snap.checks.foreach { case (n, sql) =>
-        sb.append(CheckHeader).append(n).append('\t').append(sql)
-          .append('\n')
-      }
-      sb.append(FullHeader).append('\n')
-      snap.entries.foreach(e => sb.append(e.line).append('\n'))
       val tmp = new Path(new Path(p, ManifestDir),
         f".tmp-ck$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
-      writeStringFile(fs, tmp, sb.toString, overwrite = false)
+      // STREAMED write, line-at-a-time through a buffered writer: the
+      // read side already streams (resolveSnapshot), and a checkpoint
+      // is the one record whose size is O(table files) — building it
+      // as a single String first would spike driver memory by a few
+      // hundred MB at a million entries, for nothing.
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(tmp, false), StandardCharsets.UTF_8), 1 << 16)
+      try {
+        def line(s: String): Unit = { out.write(s); out.write('\n') }
+        snap.batchId.foreach(b => line(BatchHeader + b))
+        snap.appId.foreach(a => line(AppHeader + a))
+        snap.schema.foreach(s => line(SchemaHeader + s.json))
+        if (snap.bloomCols.nonEmpty) {
+          line(BloomHeader + snap.bloomCols.mkString(","))
+          line(BloomRowsHeader + snap.bloomExpectedRows)
+        }
+        snap.checks.foreach { case (n, sql) =>
+          line(CheckHeader + n + "\t" + sql)
+        }
+        line(FullHeader)
+        snap.entries.foreach(e => line(e.line))
+      } finally out.close()
       if (!commitPrimitive.publish(fs, tmp, target)) fs.delete(tmp, false)
     }
     if (readHint(fs, p).forall(_ < v))
@@ -951,9 +1015,9 @@ object ManifestLake {
       // range AND the exact row count (what makes COUNT(*) answerable
       // from the manifest alone); no data pages touched. File SIZE
       // rides along so maintenance (binPack) never stats the table.
-      val (ranges, rows) = footerMeta(conf, dest, statsCols)
+      val (ranges, strRanges, rows) = footerMeta(conf, dest, statsCols)
       FileEntry(name, ranges, Some(rows),
-        Some(fs.getFileStatus(dest).getLen)).line
+        Some(fs.getFileStatus(dest).getLen), strRanges).line
     }
     fs.delete(staging, true)
     moved
@@ -1118,11 +1182,18 @@ object ManifestLake {
   def pointLookupCandidates(spark: SparkSession, table: String,
       snap: Snapshot, colName: String, value: Any): Seq[FileEntry] = {
     val (fs, p) = fsFor(spark, table)
-    val candidates =
+    val numPruned =
       scala.util.Try(BigDecimal(String.valueOf(value))).toOption match {
         case Some(v) => rangeCandidates(snap, colName, v, v)
         case None => snap.entries
       }
+    // a string key prunes on the truncated string stats too (numeric
+    // and string ranges are recorded for disjoint column types, so at
+    // most one of the two prunes actually bites)
+    val candidates = value match {
+      case s: String => strPrune(numPruned, colName, s, s)
+      case _ => numPruned
+    }
     bloomField(spark, snap, colName) match {
       case None => candidates // type unprovable: skip the vote, keep all
       case Some(f) =>
@@ -1185,10 +1256,17 @@ object ManifestLake {
     val snap = snapshot(spark, table, version)
     val numeric = values.flatMap(v =>
       scala.util.Try(BigDecimal(String.valueOf(v))).toOption)
-    val candidates =
+    val numPruned =
       if (numeric.size == values.size)
         rangeCandidates(snap, colName, numeric.min, numeric.max)
       else snap.entries
+    // an all-string key batch prunes on the truncated string stats by
+    // its [min, max] envelope before the blooms vote
+    val strs = values.collect { case s: String => s }
+    val candidates =
+      if (strs.size == values.size && strs.nonEmpty)
+        strPrune(numPruned, colName, strs.min, strs.max)
+      else numPruned
     val keep = bloomField(spark, snap, colName) match {
       case None => candidates // type unprovable: skip the vote, keep all
       case Some(f) =>
@@ -1226,6 +1304,24 @@ object ManifestLake {
                       lo: BigDecimal, hi: BigDecimal): Seq[FileEntry] =
     snap.entries.filter(_.range(colName).forall(r =>
       r.max >= lo && r.min <= hi))
+
+  private def strPrune(entries: Seq[FileEntry], colName: String,
+                       lo: String, hi: String): Seq[FileEntry] =
+    // sound under truncation: recorded min ≤ true min and recorded max
+    // ≥ true max (None = unbounded above), so a file is dropped only
+    // when provably outside [lo, hi]; no recorded range ⇒ never skip
+    entries.filter(_.strRange(colName).forall(r =>
+      r.max.forall(_ >= lo) && r.min <= hi))
+
+  /** The snapshot entries a STRING range (or point, `lo == hi`) query
+    * on `colName` must read — the string twin of [[rangeCandidates]],
+    * fed by the truncated [[StrRange]] stats recorded at write time.
+    * What makes tables keyed by doc-id / URL / language prune at the
+    * manifest level instead of paying a full scan (or full bloom vote)
+    * per lookup. */
+  def strRangeCandidates(snap: Snapshot, colName: String,
+                         lo: String, hi: String): Seq[FileEntry] =
+    strPrune(snap.entries, colName, lo, hi)
 
   /** Copy-on-write MERGE (upsert by key): every current row whose key
     * appears in `updates` is replaced by the update row, and update rows
@@ -1298,6 +1394,36 @@ object ManifestLake {
     } finally { updatesCached.unpersist(); () }
   }
 
+  /** Manifest-stats candidate pruning for a keyed rewrite: one tiny agg
+    * over the update set bounds each stats-covered key column, and files
+    * whose recorded range (numeric OR truncated-string) misses the bound
+    * are untouched by definition. Shared by [[merge]] and
+    * [[mergeApply]]. */
+  private def mergeCandidates(snap: Snapshot, updates: DataFrame,
+                              keyCols: Seq[String]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.col
+    val statKeys = keyCols.filter(k => snap.entries.exists(e =>
+      e.range(k).nonEmpty || e.strRange(k).nonEmpty))
+    statKeys.foldLeft(snap.entries) { (entries, k) =>
+      val Array(lo, hi) = updates
+        .agg(org.apache.spark.sql.functions.min(col(k)).cast("string"),
+          org.apache.spark.sql.functions.max(col(k)).cast("string"))
+        .collect().head.toSeq.toArray
+      if (lo == null) Seq.empty // no non-null update keys: nothing matches
+      else scala.util.Try((BigDecimal(lo.toString), BigDecimal(hi.toString)))
+        .toOption match {
+        // non-numeric rendering: a STRING key column prunes on its
+        // truncated string stats (cast-to-string is the identity for a
+        // string column; other non-numeric types simply recorded no
+        // string range and prune nothing)
+        case None => strPrune(entries, k, lo.toString, hi.toString)
+        case Some((bLo, bHi)) =>
+          rangeCandidates(Snapshot(snap.version, entries, None, None), k,
+            bLo, bHi)
+      }
+    }
+  }
+
   private def mergeCommitted(updates: DataFrame, table: String,
                              keyCols: Seq[String], statsCol: Option[String],
                              partitionBy: Seq[String],
@@ -1307,22 +1433,7 @@ object ManifestLake {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, prev)
     // (1) manifest-stats candidate pruning on any range-covered key column
-    val statKeys = keyCols.filter(k => snap.entries.exists(_.range(k).nonEmpty))
-    val candidates = statKeys.foldLeft(snap.entries) { (entries, k) =>
-      val Array(lo, hi) = updates
-        .agg(org.apache.spark.sql.functions.min(col(k)).cast("string"),
-          org.apache.spark.sql.functions.max(col(k)).cast("string"))
-        .collect().head.toSeq.toArray
-      if (lo == null) Seq.empty // no non-null update keys: nothing matches
-      else scala.util.Try((BigDecimal(lo.toString), BigDecimal(hi.toString)))
-        .toOption match {
-        // non-numeric key rendering: range unknowable, prune nothing
-        case None => entries
-        case Some((bLo, bHi)) =>
-          rangeCandidates(Snapshot(snap.version, entries, None, None), k,
-            bLo, bHi)
-      }
-    }
+    val candidates = mergeCandidates(snap, updates, keyCols)
     // (2) touched-file detection: key-columns-only scan of the candidates
     val updKeys = updates.select(keyCols.map(col): _*)
     val touchedPaths: Set[String] =
@@ -1405,6 +1516,201 @@ object ManifestLake {
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
       Some(mergedSchema), changeFiles, snap.bloomCols,
       snap.bloomExpectedRows, snap.checks)
+  }
+
+  /** Prefix under which [[mergeApply]]'s joined row exposes SOURCE
+    * columns to clause conditions and assignment values; target columns
+    * keep their own names. */
+  val MergeSrcPrefix = "__src_"
+
+  /** The source column `name` as seen by a [[mergeApply]] clause. */
+  def mergeSrcCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(MergeSrcPrefix + name)
+
+  /** One `WHEN MATCHED` clause of a generalized MERGE. */
+  sealed trait MergeMatched { def condition: Option[org.apache.spark.sql.Column] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET ...` — `assignments =
+    * None` is `SET *` (every target column the source carries is
+    * replaced by the source's value; columns the source lacks keep
+    * their current value). */
+  final case class MergeUpdate(
+      condition: Option[org.apache.spark.sql.Column] = None,
+      assignments: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+    extends MergeMatched
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class MergeDelete(
+      condition: Option[org.apache.spark.sql.Column] = None)
+    extends MergeMatched
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause —
+    * `assignments = None` is `INSERT *` (target columns the source
+    * lacks become null; extra source columns are ignored). */
+  final case class MergeInsert(
+      condition: Option[org.apache.spark.sql.Column] = None,
+      assignments: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+
+  /** Generalized MERGE — the full Delta clause surface on [[merge]]'s
+    * copy-on-write cost model:
+    * {{{
+    *   WHEN MATCHED [AND c] THEN UPDATE SET x = e, ... | UPDATE SET * | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT (x, ...) VALUES (e, ...) | INSERT *
+    * }}}
+    * Clause conditions and values are Columns over the JOINED row:
+    * target columns under their own names, source columns under
+    * [[MergeSrcPrefix]] ([[mergeSrcCol]]). Clauses apply
+    * FIRST-MATCH-WINS in declaration order (the SQL contract; a NULL
+    * condition is not a match); a matched row no clause fires on
+    * carries over unchanged, a source row no insert clause fires on is
+    * dropped. MERGE never changes the schema here (widening belongs to
+    * [[merge]]'s update-all path or an explicit ALTER). The source must
+    * be KEY-UNIQUE, exactly as [[merge]] — and IO stays ∝ touched
+    * files: candidates prune on recorded key stats, only files holding
+    * a matched key are rewritten, untouched entries carry over
+    * verbatim. Content-idempotent whenever the clauses are (conditions
+    * and values over SOURCE columns re-apply to the same state).
+    * `recordChangeFeed` stages delete/insert CDC images of exactly the
+    * rows a clause touched. */
+  def mergeApply(source: DataFrame, table: String, keyCols: Seq[String],
+                 matched: Seq[MergeMatched],
+                 notMatched: Seq[MergeInsert] = Nil,
+                 recordChangeFeed: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "mergeApply needs at least one WHEN clause")
+    val spark = source.sparkSession
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"mergeApply target $table has no committed version — create the " +
+          "table (write) before merging into it"))
+    val snap = snapshot(spark, table, Some(prev))
+    val baseSchema = snap.schema.getOrElse(
+      readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
+    require(baseSchema.fieldNames.forall(!_.startsWith(MergeSrcPrefix)),
+      s"mergeApply target columns may not start with '$MergeSrcPrefix'")
+    val srcNames = source.columns.toSeq
+    def srcHas(n: String) = srcNames.exists(_.equalsIgnoreCase(n))
+    keyCols.foreach(k => require(srcHas(k),
+      s"mergeApply source lacks key column '$k'"))
+    val cached = source.select(source.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = cached.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"mergeApply source contains duplicate keys (e.g. " +
+          s"${dup.headOption.fold("")(_.toSeq.init.mkString("[", ", ", "]"))})" +
+          " — SQL MERGE raises when multiple source rows match one " +
+          "target row. De-duplicate the source first.")
+      val candidates = mergeCandidates(snap, cached, keyCols)
+      val srcKeys = cached.select(keyCols.map(col): _*).distinct()
+      val touchedPaths =
+        if (candidates.isEmpty) Set.empty[String]
+        else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
+          .select((keyCols.map(col) :+ col("_metadata.file_path")): _*)
+          .join(srcKeys, keyCols, "left_semi")
+          .select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+      val touched = candidates.filter(e =>
+        touchedPaths.exists(_.endsWith("/" + e.path)))
+      val presentCol = MergeSrcPrefix + "__present"
+      val srcP = cached.select(
+        (srcNames.map(c => col(s"`$c`").as(MergeSrcPrefix + c)) :+
+          lit(1).as(presentCol)): _*)
+      val currentRows =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+        else readSnapshotFiles(spark, table, snap, touched.map(_.path))
+      val joinCond = keyCols.map(k =>
+        col(s"`$k`") === col(MergeSrcPrefix + k)).reduce(_ && _)
+      val joined = currentRows.join(srcP, joinCond, "left")
+      // first-fired matched clause (SQL order); -1 = carry unchanged.
+      // NULL conditions do not fire (TRUE-only gating).
+      def fired(c: Option[org.apache.spark.sql.Column]) =
+        coalesce(c.getOrElse(lit(true)), lit(false))
+      val act = matched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), rest) => when(fired(cl.condition), lit(i))
+          .otherwise(rest)
+      }
+      val withAct = joined.withColumn("__act",
+        when(col(presentCol).isNotNull, act).otherwise(lit(-1)))
+      val deleteIdxs = matched.zipWithIndex.collect {
+        case (_: MergeDelete, i) => i }
+      val surviving =
+        if (deleteIdxs.isEmpty) withAct
+        else withAct.filter(!col("__act").isin(deleteIdxs: _*))
+      def updateValue(f: org.apache.spark.sql.types.StructField)
+          : org.apache.spark.sql.Column =
+        matched.zipWithIndex.foldRight(col(s"`${f.name}`")) {
+          case ((u: MergeUpdate, i), rest) =>
+            val v = u.assignments match {
+              case None =>
+                if (srcHas(f.name)) mergeSrcCol(f.name) else col(s"`${f.name}`")
+              case Some(as) => as.find(_._1.equalsIgnoreCase(f.name))
+                .map(_._2).getOrElse(col(s"`${f.name}`"))
+            }
+            when(col("__act") === i, v.cast(f.dataType)).otherwise(rest)
+          case (_, rest) => rest
+        }.as(f.name)
+      val survivors = surviving.select(
+        baseSchema.fields.toSeq.map(updateValue): _*)
+      // not-matched source rows: anti-join against the touched files'
+      // keys — complete, because stats-sound candidates contain every
+      // file that could hold a source key, and touched ⊆ candidates is
+      // exactly the subset that does
+      val tgtKeys = currentRows.select(keyCols.map(col): _*)
+      val notMatchedSrc = srcP.join(tgtKeys,
+        keyCols.map(k => col(MergeSrcPrefix + k) === tgtKeys(k))
+          .reduce(_ && _), "left_anti")
+      val iact = notMatched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), rest) => when(fired(cl.condition), lit(i))
+          .otherwise(rest)
+      }
+      val firedIns = notMatchedSrc.withColumn("__iact", iact)
+        .filter(col("__iact") >= 0)
+      def insertValue(f: org.apache.spark.sql.types.StructField)
+          : org.apache.spark.sql.Column =
+        notMatched.zipWithIndex.foldRight(
+          lit(null).cast(f.dataType)) { case ((cl, i), rest) =>
+          val v = cl.assignments match {
+            case None =>
+              if (srcHas(f.name)) mergeSrcCol(f.name)
+              else lit(null).cast(f.dataType)
+            case Some(as) => as.find(_._1.equalsIgnoreCase(f.name))
+              .map(_._2).getOrElse(lit(null).cast(f.dataType))
+          }
+          when(col("__iact") === i, v.cast(f.dataType)).otherwise(rest)
+        }.as(f.name)
+      val inserts = firedIns.select(
+        baseSchema.fields.toSeq.map(insertValue): _*)
+      val next = prev + 1
+      val moved = stageDataFiles(survivors.unionByName(inserts), fs, p,
+        next, partitionColsOf(snap), snapStatsCols(snap))
+      validateStagedChecks(spark, fs, p, moved, snap.checks, table, "merge")
+      val changeFiles =
+        if (!recordChangeFeed) Nil
+        else {
+          // exactly the rows a clause touched: old images of updated +
+          // deleted rows, new images of updated results + inserts
+          val oldImages = withAct.filter(col("__act") >= 0)
+            .select(baseSchema.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
+          val newImages = surviving.filter(col("__act") >= 0)
+            .select(baseSchema.fields.toSeq.map(updateValue): _*)
+          stageChangeFiles(
+            oldImages.withColumn("_change_type", lit("delete"))
+              .unionByName(newImages.withColumn("_change_type", lit("insert")))
+              .unionByName(inserts.withColumn("_change_type", lit("insert"))),
+            fs, p, next)
+        }
+      stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+        snap.bloomCols, snap.bloomExpectedRows)
+      commitLog(fs, p, full = false, adds = moved,
+        removes = touched.map(_.path), Some(prev), snap.batchId, snap.appId,
+        snap.schema.orElse(Some(baseSchema)), changeFiles, snap.bloomCols,
+        snap.bloomExpectedRows, snap.checks)
+    } finally { cached.unpersist(); () }
   }
 
   /** The Hive partition columns of a snapshot's layout, in path order —
@@ -1707,30 +2013,55 @@ object ManifestLake {
     * present, no values) is the one safe exception: it constrains
     * nothing, because NULL matches no range predicate. */
   private def footerMeta(conf: org.apache.hadoop.conf.Configuration,
-                         file: Path, cols: Seq[String]): (Seq[ColRange], Long) = {
+      file: Path, cols: Seq[String])
+      : (Seq[ColRange], Seq[StrRange], Long) = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      val ranges = cols.flatMap { col =>
+      val num = Seq.newBuilder[ColRange]
+      val str = Seq.newBuilder[StrRange]
+      cols.foreach { col =>
         val perGroup = reader.getFooter.getBlocks.asScala.map(
           _.getColumns.asScala.find(_.getPath.toDotString == col)
             .map(_.getStatistics))
         // a row group missing the column, or carrying absent/empty
         // stats, makes the file's range unknowable from the footer
-        if (perGroup.exists(_.forall(s => s == null || s.isEmpty))) None
-        else {
+        if (!perGroup.exists(_.forall(s => s == null || s.isEmpty))) {
           val withValues = perGroup.flatten.filter(_.hasNonNullValue)
-          if (withValues.isEmpty) None // every row group all-null
-          else scala.util.Try {
-            ColRange(col,
-              withValues.map(s => BigDecimal(s.genericGetMin.toString)).min,
-              withValues.map(s => BigDecimal(s.genericGetMax.toString)).max)
-          }.toOption
+          if (withValues.nonEmpty) { // else every row group all-null
+            scala.util.Try {
+              ColRange(col,
+                withValues.map(s => BigDecimal(s.genericGetMin.toString)).min,
+                withValues.map(s => BigDecimal(s.genericGetMax.toString)).max)
+            }.toOption match {
+              case Some(r) => num += r
+              case None =>
+                // not numeric: a string/binary column's footer stats are
+                // Binary values — record a TRUNCATED sound range when
+                // every bound is ASCII (so footer byte order and JVM
+                // string order provably agree; see [[StrRange]])
+                scala.util.Try {
+                  val mins = withValues.map(_.genericGetMin)
+                  val maxs = withValues.map(_.genericGetMax)
+                  val all = mins ++ maxs
+                  if (all.forall(
+                    _.isInstanceOf[org.apache.parquet.io.api.Binary])) {
+                    val strs = all.map(
+                      _.asInstanceOf[org.apache.parquet.io.api.Binary]
+                        .toStringUsingUTF8)
+                    if (strs.forall(asciiOnly))
+                      strRangeOf(col, strs.take(mins.size).min,
+                        strs.drop(mins.size).max)
+                    else None
+                  } else None
+                }.toOption.flatten.foreach(str += _)
+            }
+          }
         }
       }
-      (ranges, rows)
+      (num.result(), str.result(), rows)
     } finally reader.close()
   }
 
@@ -1752,6 +2083,20 @@ object ManifestLake {
     // same query on a stats-less table would return 0 rows, not throw
     readSnapshotFiles(spark, table, snap, keep.map(_.path))
       .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** [[readRange]] for STRING bounds: file skipping over the truncated
+    * string stats ([[strRangeCandidates]]), exact predicate re-applied
+    * to the survivors — a range scan on a doc-id/URL-keyed 100 TB table
+    * at O(selectivity) file cost. */
+  def readRangeStr(spark: SparkSession, table: String, colName: String,
+                   lo: String, hi: String,
+                   version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, table, version)
+    val keep = strRangeCandidates(snap, colName, lo, hi)
+    readSnapshotFiles(spark, table, snap, keep.map(_.path))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** Idempotent micro-batch append: commits `df` with `(appId, batchId)`
@@ -2194,12 +2539,33 @@ object ManifestLake {
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val (fs, p) = fsFor(spark, table)
-    versions(spark, table)
-      .map { v =>
-        val s = snapshot(spark, table, Some(v))
-        (s.version, s.files.size.toLong, s.batchId, s.appId,
-          readLog(fs, manifestPath(p, v)).tsMillis)
+    val vs = versions(spark, table)
+    // ONE resolution for the oldest retained version, then roll the
+    // file-path set forward with each version's own delta record — the
+    // whole history costs O(versions) log reads plus one resolution,
+    // where a per-version snapshot() would re-walk to a checkpoint each
+    // time (quadratic-ish on a long-retention table).
+    val rows = Seq.newBuilder[(Long, Long, Option[Long], Option[String],
+      Option[Long])]
+    if (vs.nonEmpty) {
+      val first = snapshot(spark, table, Some(vs.head))
+      val paths = scala.collection.mutable.LinkedHashSet(first.files: _*)
+      rows += ((vs.head, paths.size.toLong, first.batchId, first.appId,
+        readLog(fs, manifestPath(p, vs.head)).tsMillis))
+      vs.tail.foreach { v =>
+        val rec = readLog(fs, manifestPath(p, v))
+        if (rec.full) {
+          paths.clear()
+          rec.adds.foreach(e => paths += e.path)
+        } else {
+          rec.removes.foreach(paths -= _)
+          rec.adds.foreach(e => paths += e.path)
+        }
+        rows += ((v, paths.size.toLong, rec.batchId, rec.appId,
+          rec.tsMillis))
       }
+    }
+    rows.result()
       .toDF("version", "n_files", "batch_id", "app_id", "commit_ts_ms")
   }
 

@@ -107,22 +107,57 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     got(9001L) shouldBe "NEW"
   }
 
-  test("an unsupported MERGE shape raises a named error instead of " +
-    "silently approximating") {
+  test("MERGE runs the full clause surface from SQL: conditional " +
+    "matched DELETE/UPDATE, conditional INSERT, first-match-wins, " +
+    "ambiguous bare references rejected") {
     import spark.implicits._
-    val path = freshTable("mbad")
-    seed(path, 10)
-    Seq((1L, "x")).toDF("id", "payload").createOrReplaceTempView("mbad_u")
-    val e = intercept[Exception] {
+    val path = freshTable("mfull")
+    ManifestLake.writeClustered(
+      (1 to 1000).map(i => (i.toLong, i * 1.0, s"p$i"))
+        .toDF("id", "v", "payload"),
+      path, "id", nFiles = 4)
+    Seq(
+      (1L, "del", 0.0),
+      (2L, "upd", 100.0),
+      (3L, "other", 0.0), // matched, no clause fires → unchanged
+      (9001L, "ins", 5.0),
+      (9002L, "skip", 6.0)) // not matched, condition false → dropped
+      .toDF("id", "op", "nv").createOrReplaceTempView("mfull_src")
+    spark.sql(
+      """MERGE INTO graft_lake.mfull t USING mfull_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET v = t.v + s.nv
+        |WHEN NOT MATCHED AND s.op = 'ins' THEN
+        |  INSERT (id, v, payload) VALUES (s.id, s.nv, 'inserted')
+        |""".stripMargin)
+    val got = ManifestLake.read(spark, path)
+    got.count() shouldBe 1000 // one deleted, one inserted
+    got.filter($"id" === 1L).count() shouldBe 0
+    got.filter($"id" === 2L).select("v").as[Double].head() shouldBe 102.0
+    got.filter($"id" === 3L).select("v").as[Double].head() shouldBe 3.0
+    val ins = got.filter($"id" === 9001L)
+      .select("v", "payload").as[(Double, String)].head()
+    ins shouldBe ((5.0, "inserted"))
+    got.filter($"id" === 9002L).count() shouldBe 0
+
+    // a bare reference both sides carry must be qualified
+    val amb = intercept[Exception] {
       spark.sql(
-        """MERGE INTO graft_lake.mbad t USING mbad_u u ON t.id = u.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+        """MERGE INTO graft_lake.mfull t USING mfull_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = id + 0.0""".stripMargin)
     }
-    e.getMessage should include("UPDATE SET *")
+    amb.getMessage should include("ambiguous")
+    // NOT MATCHED BY SOURCE stays a named error (O(table) rewrite)
+    val nbs = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_lake.mfull t USING mfull_src s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    nbs.getMessage should include("NOT MATCHED BY SOURCE")
     // a non-equi ON condition is equally rejected
     val e2 = intercept[Exception] {
       spark.sql(
-        """MERGE INTO graft_lake.mbad t USING mbad_u u ON t.id > u.id
+        """MERGE INTO graft_lake.mfull t USING mfull_src s ON t.id > s.id
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }

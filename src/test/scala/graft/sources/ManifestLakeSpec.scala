@@ -581,6 +581,160 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally ManifestLake.checkpointInterval = saved
   }
 
+  test("mergeApply runs the full clause surface: conditional matched " +
+    "update/delete, conditional insert, first-match-wins, untouched " +
+    "files carried verbatim, duplicate sources rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 100).map(i => (i.toLong, i * 1.0, s"p$i")).toDF("id", "v", "payload"),
+      t, "id", nFiles = 4)
+    val before = ManifestLake.snapshot(spark, t)
+    val src = Seq(
+      (1L, "del", 0.0), // matched, first clause fires → deleted
+      (2L, "upd", 100.0), // matched, second clause fires → updated
+      (3L, "other", 0.0), // matched, NO clause fires → unchanged
+      (200L, "ins", 5.0), // not matched, insert clause fires
+      (201L, "skip", 6.0)) // not matched, condition false → dropped
+      .toDF("id", "op", "nv")
+    ManifestLake.mergeApply(src, t, Seq("id"),
+      matched = Seq(
+        ManifestLake.MergeDelete(
+          Some(ManifestLake.mergeSrcCol("op") === "del")),
+        ManifestLake.MergeUpdate(
+          Some(ManifestLake.mergeSrcCol("op") === "upd"),
+          Some(Seq("v" -> (ManifestLake.mergeSrcCol("nv") + col("v")))))),
+      notMatched = Seq(
+        ManifestLake.MergeInsert(
+          Some(ManifestLake.mergeSrcCol("op") === "ins"),
+          Some(Seq("id" -> ManifestLake.mergeSrcCol("id"),
+            "v" -> ManifestLake.mergeSrcCol("nv"))))))
+    val after = ManifestLake.read(spark, t)
+    after.count() shouldBe 100 // one deleted, one inserted
+    after.filter($"id" === 1L).count() shouldBe 0
+    after.filter($"id" === 2L).select("v").as[Double].head() shouldBe 102.0
+    after.filter($"id" === 3L).select("v").as[Double].head() shouldBe 3.0
+    val ins = after.filter($"id" === 200L)
+      .select("v", "payload").collect().head
+    ins.getDouble(0) shouldBe 5.0
+    ins.isNullAt(1) shouldBe true // unassigned column inserts as null
+    after.filter($"id" === 201L).count() shouldBe 0
+    // only the file(s) holding ids 1..3 were rewritten; the rest of the
+    // clustered layout carried over verbatim
+    val afterSnap = ManifestLake.snapshot(spark, t)
+    (before.files.toSet intersect afterSnap.files.toSet).size shouldBe 3
+
+    // FIRST-match-wins when clause conditions overlap: update listed
+    // before delete wins the row
+    ManifestLake.mergeApply(
+      Seq((10L, "del", 999.0)).toDF("id", "op", "nv"), t, Seq("id"),
+      matched = Seq(
+        ManifestLake.MergeUpdate(
+          Some(ManifestLake.mergeSrcCol("op") === "del"),
+          Some(Seq("v" -> ManifestLake.mergeSrcCol("nv")))),
+        ManifestLake.MergeDelete(
+          Some(ManifestLake.mergeSrcCol("op") === "del"))))
+    ManifestLake.read(spark, t).filter($"id" === 10L)
+      .select("v").as[Double].head() shouldBe 999.0
+
+    // duplicate-keyed sources raise (multiple source rows matched)
+    intercept[IllegalArgumentException] {
+      ManifestLake.mergeApply(
+        Seq((7L, "x", 0.0), (7L, "y", 0.0)).toDF("id", "op", "nv"),
+        t, Seq("id"), matched = Seq(ManifestLake.MergeDelete(None)))
+    }.getMessage should include("duplicate keys")
+  }
+
+  test("truncated string file stats prune point and range lookups on a " +
+    "string-clustered table; truncated, non-ASCII and control-char keys " +
+    "all stay correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val df = (0 until 4000)
+      .map(i => (i.toLong, f"doc-$i%06d", s"payload_$i"))
+      .toDF("id", "key", "payload")
+    ManifestLake.writeClustered(df, t, "key", nFiles = 16)
+    val snap = ManifestLake.snapshot(spark, t)
+    // every file records a string range for the cluster key
+    all(snap.entries.map(_.strRange("key").isDefined)) shouldBe true
+    // a point lookup opens a strict subset of files and finds its row
+    val cand = ManifestLake.pointLookupCandidates(spark, t, "key",
+      "doc-001234")
+    cand.size should be < snap.entries.size
+    cand.size should be >= 1
+    ManifestLake.readEq(spark, t, "key", "doc-001234").count() shouldBe 1
+    // a range scan prunes and loses nothing
+    val rc = ManifestLake.strRangeCandidates(snap, "key",
+      "doc-001000", "doc-001099")
+    rc.size should be < snap.entries.size
+    ManifestLake.readRangeStr(spark, t, "key", "doc-001000", "doc-001099")
+      .select("key").distinct().count() shouldBe 100
+    // a key beyond every range is a correct EMPTY answer, zero files
+    ManifestLake.strRangeCandidates(snap, "key", "zzz", "zzz") shouldBe empty
+    ManifestLake.readEq(spark, t, "key", "zzz").count() shouldBe 0
+
+    // keys LONGER than the truncation length record a 32-char prefix
+    // min and a bumped upper bound — lookups stay exact even when every
+    // file shares the same truncated range
+    val t2 = freshTable()
+    val df2 = (0 until 1000)
+      .map(i => (i.toLong, f"common-prefix-0123456789-abcdefg-$i%04d"))
+      .toDF("id", "key")
+    ManifestLake.writeClustered(df2, t2, "key", nFiles = 4)
+    val s2 = ManifestLake.snapshot(spark, t2)
+    all(s2.entries.map(_.strRange("key").get.min.length)) shouldBe 32
+    ManifestLake.readEq(spark, t2, "key",
+      "common-prefix-0123456789-abcdefg-0500").count() shouldBe 1
+
+    // non-ASCII keys: footer byte order and JVM order can disagree, so
+    // nothing is recorded — and nothing is ever wrongly skipped
+    val t3 = freshTable()
+    ManifestLake.write(
+      Seq((1L, "清华大学"), (2L, "мир"), (3L, "ascii")).toDF("id", "key")
+        .coalesce(1), // one file, so its stats span the non-ASCII keys
+      t3, statsCol = Some("key"))
+    ManifestLake.snapshot(spark, t3).entries
+      .flatMap(_.strRange("key")) shouldBe empty
+    ManifestLake.readEq(spark, t3, "key", "мир").count() shouldBe 1
+
+    // tab/newline keys URL-encode through the line-oriented manifest
+    val t4 = freshTable()
+    ManifestLake.write(
+      Seq((1L, "a\tb"), (2L, "c\nd"), (3L, "e f")).toDF("id", "key"),
+      t4, statsCol = Some("key"))
+    val ranges4 = ManifestLake.snapshot(spark, t4).entries
+      .flatMap(_.strRange("key"))
+    ranges4 should not be empty
+    ranges4.map(_.min).min shouldBe "a\tb"
+    ManifestLake.readEq(spark, t4, "key", "c\nd").count() shouldBe 1
+    ManifestLake.read(spark, t4).filter(col("key") === "e f")
+      .count() shouldBe 1
+  }
+
+  test("history rolls the file set forward from one resolution: " +
+    "O(versions) log reads, never a checkpoint walk per version") {
+    import org.apache.spark.sql.functions.col
+    val saved = ManifestLake.checkpointInterval
+    ManifestLake.checkpointInterval = 5
+    try {
+      val t = freshTable()
+      (1 to 20).foreach(i => ManifestLake.write(rows(i * 10 to i * 10 + 9), t))
+      ManifestLake.delete(spark, t, col("id") <= 15) // remove-carrying v21
+      val before = ManifestLake.logReads.get()
+      val hist = ManifestLake.history(spark, t).collect()
+      val reads = ManifestLake.logReads.get() - before
+      hist.map(_.getLong(0)).toSeq shouldBe (1L to 21L)
+      // one read per version + one bounded first-resolution (+ its ts
+      // re-read): far under the per-version walk this replaces
+      reads should be <= 27L
+      // the rolled-forward file count ends exactly at the head's truth
+      hist.last.getLong(1) shouldBe
+        ManifestLake.snapshot(spark, t).entries.size.toLong
+    } finally ManifestLake.checkpointInterval = saved
+  }
+
   test("vacuum checkpoints the oldest retained version so retained " +
     "snapshots never walk into the dropped log range") {
     val saved = ManifestLake.checkpointInterval
