@@ -177,6 +177,87 @@ object LakeSql {
         }
     }
 
+    /** A projection/aggregation list that is exactly one bare
+      * `COUNT(*)` / `COUNT(1)` — no DISTINCT, no FILTER clause — with
+      * its alias if the user named one. Matched on the UNRESOLVED shape
+      * (the window where the child relation is still recognizable as a
+      * lake table). */
+    private object CountStarOnly {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+      def unapply(exprs: Seq[NamedExpression]): Option[Option[String]] =
+        exprs match {
+          case Seq(one) =>
+            val (inner, name) = one match {
+              case UnresolvedAlias(f, _) => (f, None)
+              case a @ Alias(f, n) => (f, Some(n))
+              case other => (other, None)
+            }
+            inner match {
+              case f: UnresolvedFunction
+                if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+                  == Seq("count") &&
+                  !f.isDistinct && f.filter.isEmpty &&
+                  f.arguments == Seq(Literal(1)) =>
+                Some(name)
+              // the analyzer may resolve COUNT(1) (it has no column
+              // dependencies) before the relation resolves — match the
+              // resolved shape too
+              case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                  ae.aggregateFunction ==
+                    org.apache.spark.sql.catalyst.expressions.aggregate
+                      .Count(Seq(Literal(1))) =>
+                Some(name)
+              case _ => None
+            }
+          case _ => None
+        }
+    }
+
+    /** `SELECT COUNT(*) FROM graft_lake.t` (no WHERE, no grouping)
+      * answers from the MANIFEST — [[ManifestLake.fastCount]] sums the
+      * per-file row counts recorded at write time and scans NOTHING.
+      * The interactive-BI shape: on a 100 TB table this is the
+      * difference between a millisecond metadata lookup and a full
+      * scan. Any other shape (predicates, grouping, more columns)
+      * falls through to the normal scan untouched. Runs TOP-DOWN
+      * before [[resolveReads]], which would otherwise rewrite the
+      * relation bottom-up and erase the evidence that it was a lake
+      * table. */
+    private def metadataCounts(plan: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+      def fastCountPlan(path: String, name: Option[String],
+          version: Option[Long]): LogicalPlan = {
+        val n = ManifestLake.fastCount(spark, path, version)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            name.getOrElse("count(1)"),
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        PlanBridge.analyzedPlan(spark.createDataFrame(
+          java.util.Collections.singletonList(Row(n)), schema))
+      }
+      // the countable child shapes: a bare lake relation, or one pinned
+      // with VERSION AS OF (time travel counts from that version's
+      // manifest — still zero data IO)
+      object CountableLake {
+        def unapply(child: LogicalPlan): Option[(String, Option[Long])] =
+          child match {
+            case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
+              if lakeTarget(u).isDefined =>
+              scala.util.Try(java.lang.Long.parseLong(v)).toOption
+                .map(ver => (lakeTarget(u).get, Some(ver)))
+            case _ => lakeTarget(child).map(_ -> None)
+          }
+      }
+      plan.resolveOperatorsDown {
+        case Project(CountStarOnly(name), CountableLake(path, v)) =>
+          fastCountPlan(path, name, v)
+        case Aggregate(Nil, CountStarOnly(name), CountableLake(path, v), _) =>
+          fastCountPlan(path, name, v)
+      }
+    }
+
     /** Rewrite reads (bare relations + time travel) anywhere below. */
     private def resolveReads(plan: LogicalPlan): LogicalPlan =
       plan.resolveOperatorsUp {
@@ -400,7 +481,7 @@ object LakeSql {
         if (!q.resolved) i.copy(query = q)
         else GraftInsertCommand(lakeTarget(i.table).get, i.overwrite,
           PlanBridge.ofRows(spark, q))
-      case other => resolveReads(other)
+      case other => resolveReads(metadataCounts(other))
     }
   }
 

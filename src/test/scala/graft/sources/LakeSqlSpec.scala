@@ -164,6 +164,52 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     e2.getMessage should include("t.key = s.key")
   }
 
+  test("SELECT COUNT(*) with no predicate routes to the metadata count: " +
+    "no FileScan in the plan, answers without touching data; filtered " +
+    "and grouped counts still scan") {
+    import spark.implicits._
+    val path = freshTable("cnt")
+    seed(path, 500)
+    ManifestLake.write(
+      (501 to 520).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), path)
+    val q = spark.sql("SELECT COUNT(*) FROM graft_lake.cnt")
+    q.collect().head.getLong(0) shouldBe 520L
+    q.queryExecution.executedPlan.toString should not include "FileScan"
+    // aliased form keeps the alias
+    val q2 = spark.sql("SELECT COUNT(*) AS n FROM graft_lake.cnt")
+    q2.columns.toSeq shouldBe Seq("n")
+    q2.collect().head.getLong(0) shouldBe 520L
+    // proof of zero data IO: the metadata count still answers after the
+    // data files are deleted out-of-band (a scan would crash)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestLake.snapshot(spark, path).files.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
+    spark.sql("SELECT count(*) FROM graft_lake.cnt")
+      .collect().head.getLong(0) shouldBe 520L
+
+    // VERSION AS OF counts answer from that version's manifest — also
+    // metadata-only (the data files are already gone)
+    val qv = spark.sql(
+      "SELECT COUNT(*) FROM graft_lake.cnt VERSION AS OF 1")
+    qv.collect().head.getLong(0) shouldBe 500L
+    qv.queryExecution.executedPlan.toString should not include "FileScan"
+
+    // non-eligible shapes still go through the scan — and stay correct
+    val path2 = freshTable("cnt2")
+    seed(path2, 100)
+    val filtered = spark.sql(
+      "SELECT COUNT(*) FROM graft_lake.cnt2 WHERE id <= 40")
+    filtered.queryExecution.executedPlan.toString should include("FileScan")
+    filtered.collect().head.getLong(0) shouldBe 40L
+    spark.sql(
+      "SELECT COUNT(DISTINCT payload) FROM graft_lake.cnt2")
+      .collect().head.getLong(0) shouldBe 100L
+    spark.sql(
+      "SELECT COUNT(*), MAX(id) FROM graft_lake.cnt2")
+      .collect().head.getLong(0) shouldBe 100L
+  }
+
   test("unregistered names fall through to the normal analyzer error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_lake.never_registered").collect()
