@@ -1867,6 +1867,52 @@ object ManifestLake {
     * complement and aborts if a match lives there: an under-covering
     * caller range would otherwise silently exempt those rows from the
     * DML (retained by a delete, unmodified by an update). */
+  /** [[predicateBounds]]'s STRING twin: per-column bounds implied by
+    * simple comparisons against string literals, pruning on the
+    * truncated [[StrRange]] stats — `DELETE FROM t WHERE doc_id =
+    * 'x'` rewrites only the files whose recorded range admits 'x'.
+    * Same conservative contract: anything unanalyzable contributes
+    * nothing. */
+  private def predicateStrBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def colName(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litStr(x: Expression): Option[String] = x match {
+      case Literal(v, _: org.apache.spark.sql.types.StringType)
+        if v != null => Some(v.toString)
+      case _ => None
+    }
+    def cmp(l: Expression, r: Expression,
+            mk: (String, String) => (String, Option[String], Option[String]))
+        : Seq[(String, Option[String], Option[String])] =
+      (for { c <- colName(l); v <- litStr(r) } yield mk(c, v)).toSeq
+    e match {
+      case And(l, r) => predicateStrBounds(l) ++ predicateStrBounds(r)
+      case LessThan(l, r) =>
+        cmp(l, r, (c, v) => (c, None, Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), None))
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r, (c, v) => (c, None, Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), None))
+      case GreaterThan(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), None)) ++
+          cmp(r, l, (c, v) => (c, None, Some(v)))
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), None)) ++
+          cmp(r, l, (c, v) => (c, None, Some(v)))
+      case EqualTo(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), Some(v)))
+      case _ => Seq.empty
+    }
+  }
+
   private def predicateTouched(spark: SparkSession, table: String,
       snap: Snapshot, predicate: org.apache.spark.sql.Column,
       pruneRange: Option[(String, Double, Double)],
@@ -1875,11 +1921,17 @@ object ManifestLake {
     val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
       rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
     }
-    val candidates = predicateBounds(
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate))
+    val predExpr =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate)
+    val numPruned = predicateBounds(predExpr)
       .foldLeft(explicit) { case (entries, (c, lo, hi)) =>
         entries.filter(_.range(c).forall(r =>
           lo.forall(r.max >= _) && hi.forall(r.min <= _)))
+      }
+    val candidates = predicateStrBounds(predExpr)
+      .foldLeft(numPruned) { case (entries, (c, lo, hi)) =>
+        entries.filter(_.strRange(c).forall(r =>
+          lo.forall(l => r.max.forall(_ >= l)) && hi.forall(r.min <= _)))
       }
     if (verifyPrune && candidates.size < snap.entries.size) {
       val prunedOut = snap.entries.filterNot(e =>

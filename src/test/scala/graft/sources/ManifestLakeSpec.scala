@@ -674,6 +674,15 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     // a key beyond every range is a correct EMPTY answer, zero files
     ManifestLake.strRangeCandidates(snap, "key", "zzz", "zzz") shouldBe empty
     ManifestLake.readEq(spark, t, "key", "zzz").count() shouldBe 0
+    // DML prunes on string predicates too: deleting one key rewrites
+    // only the file(s) whose recorded range admits it
+    val preSnap = ManifestLake.snapshot(spark, t)
+    ManifestLake.delete(spark, t, col("key") === "doc-000777")
+    val postSnap = ManifestLake.snapshot(spark, t)
+    (preSnap.files.toSet intersect postSnap.files.toSet).size should be >=
+      (preSnap.entries.size - 2)
+    ManifestLake.read(spark, t).count() shouldBe 3999
+    ManifestLake.readEq(spark, t, "key", "doc-000777").count() shouldBe 0
 
     // keys LONGER than the truncation length record a 32-char prefix
     // min and a bumped upper bound — lookups stay exact even when every
