@@ -671,7 +671,52 @@ object LakeQueries {
       |  WHERE op = 'ins' AND c_nationkey < 20)
       |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin
 
+  /** dv1_mor_delete — deletion vectors (merge-on-read DELETE) through
+    * the gate: lineitem clustered into the lake, then one API-side
+    * [[ManifestLake.deleteMor]] and one SQL `DELETE FROM` under
+    * `spark.graft.lake.deleteMode=mor`, cumulative on overlapping
+    * files. NO data file is rewritten — the row carries
+    * `files_untouched` (the snapshot's file set is bit-identical
+    * before and after both deletes) and `count_metadata_exact`
+    * ([[ManifestLake.fastCount]], which serves from `rows=` minus
+    * `dvrows=`, equals the scanned count) as self-evidencing flags, so
+    * a DV regression flips a visible boolean instead of a silent hash.
+    * Content-idempotent: a repeat pass finds every match already
+    * vectored and no-ops. The oracle filters the original parquet —
+    * the surviving rows are hash-exact. */
+  def dv1MorDelete(s: SparkSession, d: String): DataFrame = {
+    val table = memoClustered("dv1", d, "l_extendedprice", nFiles = 16)(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity"))
+    val preFiles = ManifestLake.snapshot(s, table).files.toSet
+    ManifestLake.deleteMor(s, table, col("l_extendedprice") < 920.0)
+    LakeSql.register("dv1_lineitem", table)
+    s.conf.set(LakeSql.DeleteModeConf, "mor")
+    try s.sql(
+      """DELETE FROM graft_lake.dv1_lineitem
+        |WHERE l_extendedprice >= 920.0 AND l_extendedprice < 950.0"""
+        .stripMargin)
+    finally s.conf.unset(LakeSql.DeleteModeConf)
+    val remaining = ManifestLake.read(s, table)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val filesUntouched =
+      ManifestLake.snapshot(s, table).files.toSet == preFiles
+    val countExact =
+      ManifestLake.fastCount(s, table) == remaining.count()
+    remaining
+      .withColumn("files_untouched", lit(filesUntouched))
+      .withColumn("count_metadata_exact", lit(countExact))
+  }
+
+  val dv1Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+      |  TRUE AS files_untouched, TRUE AS count_metadata_exact
+      |FROM lineitem
+      |WHERE l_extendedprice >= 950.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dv1_mor_delete" -> (dv1MorDelete _),
     "lk12_sql_merge_full" -> (lk12SqlMergeFull _),
     "lk11_string_range" -> (lk11StringRange _),
     "cf1_stream_changes" -> (cf1StreamChanges _),
@@ -690,6 +735,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "dv1_mor_delete" -> dv1Oracle,
     "lk12_sql_merge_full" -> lk12Oracle,
     "lk11_string_range" -> lk11Oracle,
     "cf1_stream_changes" -> cf1Oracle,

@@ -494,6 +494,20 @@ object LakeSql {
   private def recordCdf(spark: SparkSession): Boolean =
     spark.conf.getOption(RecordChangeFeedConf).exists(_.toBoolean)
 
+  /** Session conf choosing how SQL `DELETE FROM` executes: `cow`
+    * (default — [[ManifestLake.delete]]'s copy-on-write file rewrite)
+    * or `mor` ([[ManifestLake.deleteMor]]'s deletion-vector sidecar,
+    * the small-delete-on-big-files shape). */
+  val DeleteModeConf = "spark.graft.lake.deleteMode"
+
+  private def morDelete(spark: SparkSession): Boolean =
+    spark.conf.getOption(DeleteModeConf) match {
+      case None | Some("cow") => false
+      case Some("mor") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"$DeleteModeConf must be 'cow' or 'mor', got '$other'")
+    }
+
   /** `MERGE INTO` a manifest table — executes [[ManifestLake.merge]]'s
     * copy-on-write upsert (stats-pruned candidates, touched-file-only
     * rewrite) when the command runs. */
@@ -557,13 +571,19 @@ object LakeSql {
   }
 
   /** `DELETE FROM` a manifest table — [[ManifestLake.delete]]'s
-    * copy-on-write rewrite of only the files holding a match. */
+    * copy-on-write rewrite of only the files holding a match, or
+    * [[ManifestLake.deleteMor]]'s deletion-vector commit when the
+    * session's [[DeleteModeConf]] is `mor`. */
   final case class GraftDeleteCommand(table: String,
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      ManifestLake.delete(spark, table, predicate,
-        recordChangeFeed = recordCdf(spark)): Unit
+      if (morDelete(spark))
+        ManifestLake.deleteMor(spark, table, predicate,
+          recordChangeFeed = recordCdf(spark)): Unit
+      else
+        ManifestLake.delete(spark, table, predicate,
+          recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }
   }

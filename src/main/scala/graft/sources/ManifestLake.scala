@@ -207,11 +207,22 @@ object ManifestLake {
   /** One manifest entry: a relative data-file path plus recorded column
     * ranges. Serialized as a tab-separated line
     * (`path[\tcol\tmin\tmax]*` — one col/min/max triple per recorded
-    * column, so stats on a SECOND key column don't evict the first). */
+    * column, so stats on a SECOND key column don't evict the first).
+    * `dv`/`dvRows` are the file's DELETION VECTOR state (merge-on-read
+    * deletes): `dv` names the sidecar parquet under `_dv/` holding the
+    * file's deleted `(file_name, row_index)` pairs — cumulative, so one
+    * sidecar reference fully describes the file's deletions — and
+    * `dvRows` is their count, which keeps COUNT(*) metadata-only.
+    * Riding ON the entry means snapshot resolution, checkpoints, time
+    * travel and the change feed all version the DV state with no new
+    * log machinery: a DV commit is a delta record re-adding the same
+    * path with its new DV annotation. */
   final case class FileEntry(path: String, ranges: Seq[ColRange] = Nil,
                              rows: Option[Long] = None,
                              bytes: Option[Long] = None,
-                             strRanges: Seq[StrRange] = Nil) {
+                             strRanges: Seq[StrRange] = Nil,
+                             dv: Option[String] = None,
+                             dvRows: Option[Long] = None) {
     /** The recorded range for `col`, if any. */
     def range(col: String): Option[ColRange] = ranges.find(_.col == col)
     /** The recorded truncated STRING range for `col`, if any. */
@@ -225,10 +236,14 @@ object ManifestLake {
     // max token means unbounded above.
     def line: String =
       (path +: (rows.map(n => s"rows=$n").toSeq ++
-        bytes.map(n => s"bytes=$n").toSeq) ++:
+        bytes.map(n => s"bytes=$n").toSeq ++
+        dv.map(d => s"dv=${FileEntry.enc(d)}").toSeq ++
+        dvRows.map(n => s"dvrows=$n").toSeq) ++:
         (ranges.map(r => s"${r.col}\t${r.min}\t${r.max}") ++
           strRanges.map(r => s"s:${r.col}\t${FileEntry.enc(r.min)}\t" +
             r.max.map(FileEntry.enc).getOrElse("")))).mkString("\t")
+    /** Live (non-deleted) rows, when the manifest can prove them. */
+    def liveRows: Option[Long] = rows.map(_ - dvRows.getOrElse(0L))
   }
 
   object FileEntry {
@@ -251,12 +266,19 @@ object ManifestLake {
       // stat-ing just those files)
       var rows: Option[Long] = None
       var bytes: Option[Long] = None
+      var dv: Option[String] = None
+      var dvRows: Option[Long] = None
       var i = 1
       while (i < parts.length && parts(i).contains('=') &&
-        (parts(i).startsWith("rows=") || parts(i).startsWith("bytes="))) {
+        (parts(i).startsWith("rows=") || parts(i).startsWith("bytes=") ||
+          parts(i).startsWith("dv=") || parts(i).startsWith("dvrows="))) {
         val Array(k, v) = parts(i).split("=", 2)
-        val n = scala.util.Try(v.toLong).getOrElse(bad())
-        if (k == "rows") rows = Some(n) else bytes = Some(n)
+        k match {
+          case "rows" => rows = Some(scala.util.Try(v.toLong).getOrElse(bad()))
+          case "bytes" => bytes = Some(scala.util.Try(v.toLong).getOrElse(bad()))
+          case "dv" => dv = Some(dec(v))
+          case "dvrows" => dvRows = Some(scala.util.Try(v.toLong).getOrElse(bad()))
+        }
         i += 1
       }
       val rangeParts = parts.drop(i)
@@ -268,7 +290,7 @@ object ManifestLake {
       }, rows, bytes, strTriples.map {
         case Array(c, mn, mx) => StrRange(c.stripPrefix("s:"), dec(mn),
           if (mx.isEmpty) None else Some(dec(mx)))
-      })
+      }, dv, dvRows)
     }
   }
 
@@ -349,6 +371,7 @@ object ManifestLake {
   private val ManifestDir = "_manifests"
   private val ChangesDir = "_changes"
   private val BloomsDir = "_blooms"
+  private val DvDir = "_dv"
   // 8+ digits: %08d PADS to 8 but widens past it, so version 10^8's
   // manifest is v100000000.manifest (9 digits) — a {8}-exact pattern
   // would make versions() blind to it and every later commit collide
@@ -645,10 +668,78 @@ object ManifestLake {
         readSnapshotFiles(spark, table, snap, snap.files)
           .filter(org.apache.spark.sql.functions.lit(false))
     }
+    val entryOf = snap.entries.map(e => e.path -> e).toMap
+    val (dvd, plain) = keep.partition(f => entryOf.get(f).exists(_.dv.nonEmpty))
+    val plainDF =
+      if (plain.isEmpty) None else Some(rawRead(spark, table, snap, plain))
+    // Files with a deletion vector anti-join their deleted
+    // (file_name, row_index) pairs — an equi BroadcastHashJoin (DVs are
+    // small by the MOR contract), fully codegen'd, and filters on data
+    // columns still push through the join's left side to the scan.
+    // file_name is a safe key: staged basenames embed version + a UUID
+    // attempt, so they are unique table-wide.
+    val dvDF = dvd match {
+      case Nil => None
+      case files =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val df = rawRead(spark, table, snap, files)
+        val dataCols = df.columns.toSeq
+        val dvPaths = files.flatMap(f => entryOf(f).dv).distinct
+        val deleted = spark.read.parquet(
+          dvPaths.map(d => new Path(new Path(table), d).toString): _*)
+          .select(col("file_name").as("__dv_file"),
+            col("row_index").as("__dv_ridx"))
+        Some(df
+          .withColumn("__g_file", col("_metadata.file_name"))
+          .withColumn("__g_ridx", col("_metadata.row_index"))
+          .join(broadcast(deleted),
+            col("__g_file") === col("__dv_file") &&
+              col("__g_ridx") === col("__dv_ridx"), "left_anti")
+          .select(dataCols.map(col): _*))
+    }
+    (plainDF, dvDF) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** The raw (no DV applied) multi-file parquet read of snapshot
+    * files — basePath for Hive partition reconstruction, the recorded
+    * schema for consistent mixed-schema serving. */
+  private def rawRead(spark: SparkSession, table: String, snap: Snapshot,
+                      keep: Seq[String]): DataFrame = {
     val base = new Path(table)
     val reader = snap.schema.foldLeft(
       spark.read.option("basePath", table))((r, sc) => r.schema(sc))
     reader.parquet(keep.map(f => new Path(base, f).toString): _*)
+  }
+
+  /** DV-filtered scan of `entries` that keeps row PROVENANCE: the data
+    * columns plus `__g_file` (the row's file basename) and `__g_ridx`
+    * (its row index within the file). What the DML planners
+    * ([[predicateTouched]]'s provenance narrowing, [[deleteMor]]'s
+    * match collection) read — already-deleted rows must neither count
+    * as matches nor re-enter a deletion vector. */
+  private def provenanceScan(spark: SparkSession, table: String,
+                             snap: Snapshot,
+                             entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val df = rawRead(spark, table, snap, entries.map(_.path))
+      .withColumn("__g_file", col("_metadata.file_name"))
+      .withColumn("__g_ridx", col("_metadata.row_index"))
+    val dvPaths = entries.flatMap(_.dv).distinct
+    if (dvPaths.isEmpty) df
+    else {
+      val deleted = spark.read.parquet(
+        dvPaths.map(d => new Path(new Path(table), d).toString): _*)
+        .select(col("file_name").as("__dv_file"),
+          col("row_index").as("__dv_ridx"))
+      df.join(broadcast(deleted),
+        col("__g_file") === col("__dv_file") &&
+          col("__g_ridx") === col("__dv_ridx"), "left_anti")
+    }
   }
 
   /** Publish a log record as the next version. Atomic: the record is
@@ -1436,15 +1527,17 @@ object ManifestLake {
     val candidates = mergeCandidates(snap, updates, keyCols)
     // (2) touched-file detection: key-columns-only scan of the candidates
     val updKeys = updates.select(keyCols.map(col): _*)
-    val touchedPaths: Set[String] =
+    // provenance scan: DV-filtered, so a key whose only occurrences are
+    // deletion-vectored does not drag its file into the rewrite
+    val touchedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
-        .select((keyCols.map(col) :+ col("_metadata.file_path")): _*)
+      else provenanceScan(spark, table, snap, candidates)
+        .select((keyCols.map(col) :+ col("__g_file")): _*)
         .join(updKeys, keyCols, "left_semi")
-        .select("file_path").distinct()
+        .select("__g_file").distinct()
         .collect().map(_.getString(0)).toSet
     val touched = candidates.filter(e =>
-      touchedPaths.exists(_.endsWith("/" + e.path)))
+      touchedNames(e.path.split('/').last))
     val untouched = snap.entries.filterNot(e =>
       touched.exists(_.path == e.path))
     // (3) rewrite touched files only: survivors + all update rows.
@@ -1605,15 +1698,15 @@ object ManifestLake {
           "target row. De-duplicate the source first.")
       val candidates = mergeCandidates(snap, cached, keyCols)
       val srcKeys = cached.select(keyCols.map(col): _*).distinct()
-      val touchedPaths =
+      val touchedNames =
         if (candidates.isEmpty) Set.empty[String]
-        else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
-          .select((keyCols.map(col) :+ col("_metadata.file_path")): _*)
+        else provenanceScan(spark, table, snap, candidates)
+          .select((keyCols.map(col) :+ col("__g_file")): _*)
           .join(srcKeys, keyCols, "left_semi")
-          .select("file_path").distinct()
+          .select("__g_file").distinct()
           .collect().map(_.getString(0)).toSet
       val touched = candidates.filter(e =>
-        touchedPaths.exists(_.endsWith("/" + e.path)))
+        touchedNames(e.path.split('/').last))
       val presentCol = MergeSrcPrefix + "__present"
       val srcP = cached.select(
         (srcNames.map(c => col(s"`$c`").as(MergeSrcPrefix + c)) :+
@@ -1858,6 +1951,93 @@ object ManifestLake {
       snap.checks)
   }
 
+  /** MERGE-ON-READ delete — the write-amplification answer for small
+    * deletes on big files: instead of rewriting every file holding a
+    * match ([[delete]]'s copy-on-write), record the matched rows'
+    * `(file_name, row_index)` pairs as a DELETION VECTOR sidecar under
+    * `_dv/` and re-commit the touched entries with a `dv=` annotation;
+    * the data files are NEVER rewritten — a one-row delete on a 1 GB
+    * file costs one tiny sidecar write instead of a 1 GB rewrite, which
+    * at 100 TB is the difference between interactive and hopeless.
+    * Reads anti-join the sidecar (broadcast, codegen'd); COUNT(*) stays
+    * metadata-only via the recorded `dvrows=`; compaction and any later
+    * copy-on-write DML over the file MATERIALIZE the vector (their
+    * reads are DV-aware, their outputs carry no `dv=`). Vectors are
+    * CUMULATIVE: a second MOR delete on the same file unions the old
+    * pairs into its new sidecar, so one reference fully describes a
+    * file. Same pruning, NULL-predicate and no-op semantics as
+    * [[delete]]; same rewrite-vs-append conflict rules (a lost commit
+    * race raises — the read set is the snapshot). Sized for SMALL
+    * deletes: the matched pair set passes through the driver-side
+    * sidecar write as one task — bulk deletes should stay copy-on-write.
+    * Background: Delta deletion vectors / Iceberg v2 position deletes
+    * (public docs); reference keeps no table format at all
+    * (`README.md:1`). */
+  def deleteMor(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column,
+                pruneRange: Option[(String, Double, Double)] = None,
+                verifyPrune: Boolean = false,
+                recordChangeFeed: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    val touched =
+      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
+    if (touched.isEmpty) return snap.version // nothing matches: no-op
+    val next = snap.version + 1
+    // the matched pairs, DV-filtered (provenance scan) so already-
+    // deleted rows never re-enter a vector; TRUE-only predicate rows,
+    // matching SQL DELETE (NULL keeps the row)
+    val matched = provenanceScan(spark, table, snap, touched)
+      .filter(predicate)
+    // carry the touched files' EXISTING vectors into the new sidecar —
+    // cumulative, one live reference per file
+    val touchedNames = touched.map(_.path.split('/').last).toSet
+    val oldPairs = touched.flatMap(_.dv).distinct match {
+      case Nil => None
+      case paths => Some(spark.read.parquet(
+        paths.map(d => new Path(p, d).toString): _*)
+        .filter(col("file_name").isin(touchedNames.toSeq: _*)))
+    }
+    val newPairs = matched
+      .select(col("__g_file").as("file_name"), col("__g_ridx").as("row_index"))
+    val allPairs = oldPairs.fold(newPairs)(newPairs.unionByName(_))
+    // one sidecar file per commit: repartition(1) keeps the candidate
+    // scan wide and only the write narrow (the MOR contract is small
+    // pair sets; bulk deletes belong to copy-on-write)
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(p, f"_staging-v$next%08d-dv-$attempt")
+    fs.delete(staging, true)
+    allPairs.repartition(1).write.parquet(staging.toString)
+    val stagedParts = listParquetRec(fs, staging)
+    fs.mkdirs(new Path(p, DvDir))
+    val dvRel = s"$DvDir/" + f"v$next%08d-$attempt-00000.parquet"
+    require(stagedParts.size == 1, s"expected one staged DV part file")
+    if (!fs.rename(stagedParts.head, new Path(p, dvRel)))
+      throw new IllegalStateException(s"failed to publish $dvRel in $p")
+    fs.delete(staging, true)
+    // per-file deleted counts → dvrows= (keeps fastCount metadata-only)
+    val perFile = spark.read.parquet(new Path(p, dvRel).toString)
+      .groupBy("file_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rewritten = touched.map { e =>
+      val name = e.path.split('/').last
+      e.copy(dv = Some(dvRel), dvRows = Some(perFile.getOrElse(name, 0L)))
+    }
+    val changeFiles =
+      if (!recordChangeFeed) Nil
+      else stageChangeFiles(
+        matched.drop("__g_file", "__g_ridx")
+          .withColumn("_change_type", lit("delete")),
+        fs, p, next)
+    commitLog(fs, p, full = false, adds = rewritten.map(_.line),
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
+      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
+      snap.checks)
+  }
+
   /** The snapshot files a row-predicate DML (DELETE / UPDATE) must
     * rewrite: manifest-stats candidates — bounds DERIVED from the
     * predicate's simple range conjuncts, intersected with the caller's
@@ -1944,13 +2124,16 @@ object ManifestLake {
           "silently exempted from the DML. Widen the range (it must " +
           "over-approximate the predicate's support on the stats column).")
     }
-    val touchedPaths: Set[String] =
+    // provenance scan is DV-FILTERED: a file whose only matching rows
+    // are already deletion-vectored holds nothing left to delete or
+    // update, so it must not be rewritten
+    val touchedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readSnapshotFiles(spark, table, snap, candidates.map(_.path))
+      else provenanceScan(spark, table, snap, candidates)
         .filter(predicate)
-        .select(col("_metadata.file_path")).distinct()
+        .select(col("__g_file")).distinct()
         .collect().map(_.getString(0)).toSet
-    candidates.filter(e => touchedPaths.exists(_.endsWith("/" + e.path)))
+    candidates.filter(e => touchedNames(e.path.split('/').last))
   }
 
   /** Copy-on-write UPDATE — SQL `UPDATE t SET c = expr, ... WHERE p`:
@@ -2637,7 +2820,10 @@ object ManifestLake {
       if (unknown.isEmpty) 0L
       else readSnapshotFiles(spark, table, snap, unknown.map(_.path))
         .count()
-    known.flatMap(_.rows).sum + scanned
+    // liveRows: footer count minus the file's deletion-vector rows —
+    // MOR deletes keep COUNT(*) metadata-only (the scan branch is
+    // DV-aware through readSnapshotFiles)
+    known.flatMap(_.liveRows).sum + scanned
   }
 
   /** One-row table profile — the `DESCRIBE DETAIL` analog, manifests
@@ -2652,7 +2838,7 @@ object ManifestLake {
     // would understate silently, and null says "scan to know"
     val rows =
       if (snap.entries.nonEmpty && snap.entries.forall(_.rows.nonEmpty))
-        Some(snap.entries.flatMap(_.rows).sum)
+        Some(snap.entries.flatMap(_.liveRows).sum)
       else if (snap.entries.isEmpty) Some(0L)
       else None
     Seq((snap.version, snap.files.size.toLong, rows,
@@ -2661,10 +2847,12 @@ object ManifestLake {
       snap.bloomCols.mkString(","), snap.bloomExpectedRows,
       snap.checks.map { case (n, sql) => s"$n: $sql" }.mkString("; "),
       snap.schema.map(_.json).getOrElse(""),
-      snap.batchId, snap.appId))
+      snap.batchId, snap.appId,
+      snap.entries.count(_.dv.nonEmpty).toLong,
+      snap.entries.flatMap(_.dvRows).sum))
       .toDF("version", "n_files", "n_rows", "partition_cols", "stats_cols",
         "bloom_cols", "bloom_expected_rows", "checks", "schema_json",
-        "batch_id", "app_id")
+        "batch_id", "app_id", "n_dv_files", "n_dv_rows")
   }
 
   /** The version a data file was written under, parsed from its
@@ -2709,7 +2897,7 @@ object ManifestLake {
       // snapshot-referenced — they're collected with their manifest
       // below, not by liveness)
       .filterNot(f => f.startsWith(ManifestDir) || f.startsWith("_staging")
-        || f.startsWith(ChangesDir))
+        || f.startsWith(ChangesDir) || f.startsWith(DvDir))
       // `exists`, not `forall`: a basename that doesn't parse as
       // vNNNNNNNN-*.parquet can't be an in-flight writer's file (writers
       // always produce matching names), so a foreign/legacy parquet file
@@ -2738,6 +2926,22 @@ object ManifestLake {
         }
       }
       walkBlooms(bdir)
+    }
+    // Deletion-vector sidecars: live while ANY retained snapshot's
+    // entry references them (older sidecars a newer cumulative vector
+    // superseded become dead once no retained version points at them);
+    // in-flight protection mirrors the data files' — a sidecar staged
+    // for a version beyond the newest retained manifest belongs to a
+    // committing writer.
+    val dvdir = new Path(p, DvDir)
+    if (fs.exists(dvdir)) {
+      val liveDv = keep.flatMap(v =>
+        snapshot(spark, table, Some(v)).entries.flatMap(_.dv)).toSet
+      fs.listStatus(dvdir).foreach { st =>
+        val rel = s"$DvDir/${st.getPath.getName}"
+        val inFlight = dataFileVersion(rel).exists(_ > maxRetained)
+        if (!liveDv(rel) && !inFlight) fs.delete(st.getPath, false): Unit
+      }
     }
     drop.foreach { v =>
       // a dropped version's recorded change files go with its manifest

@@ -1252,4 +1252,173 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       ("update_preimage", 1L, 1.0), ("update_postimage", 1L, 100.0),
       ("update_preimage", 2L, 2.0), ("update_postimage", 2L, 200.0))
   }
+
+  // ---- deletion vectors (merge-on-read deletes) ----
+
+  /** Relative paths + sizes of every data parquet under the table root
+    * (manifests/sidecars excluded) — the observable for "MOR never
+    * rewrites data files". */
+  private def dataFileSizes(t: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(t)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    java.nio.file.Files.walk(root).forEach { p =>
+      val rel = root.relativize(p).toString
+      if (rel.endsWith(".parquet") && !rel.startsWith("_"))
+        out(rel) = java.nio.file.Files.size(p)
+    }
+    out.toMap
+  }
+
+  test("deleteMor removes rows WITHOUT rewriting any data file; " +
+    "COUNT(*) stays metadata-exact and a repeat delete is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 4000).map(i => (i.toLong, i * 2.0)).toDF("id", "price"),
+      t, "id", nFiles = 8)
+    val before = dataFileSizes(t)
+    val v = ManifestLake.deleteMor(spark, t, col("id") % 100 === 0)
+    v shouldBe 2L
+    // data files byte-identical — the whole point of merge-on-read
+    dataFileSizes(t) shouldBe before
+    // reads serve the delete
+    val got = ManifestLake.read(spark, t)
+    got.count() shouldBe 3960
+    got.filter(col("id") % 100 === 0).count() shouldBe 0
+    // the manifest carries dv annotations; COUNT(*) is metadata-only
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.entries.count(_.dv.nonEmpty) should be > 0
+    snap.entries.flatMap(_.dvRows).sum shouldBe 40L
+    ManifestLake.fastCount(spark, t) shouldBe 3960L
+    // content-idempotent: every match is already vectored → version no-op
+    ManifestLake.deleteMor(spark, t, col("id") % 100 === 0) shouldBe 2L
+  }
+
+  test("deleteMor vectors are cumulative across commits and time travel " +
+    "reads each version's own DV state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.write(
+      (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    ManifestLake.deleteMor(spark, t, col("id") <= 100L)       // v2
+    ManifestLake.deleteMor(spark, t, col("id") > 900L)        // v3: same file
+    ManifestLake.read(spark, t).count() shouldBe 800
+    ManifestLake.fastCount(spark, t) shouldBe 800L
+    // time travel: v1 full, v2 after the first delete only
+    ManifestLake.read(spark, t, Some(1L)).count() shouldBe 1000
+    ManifestLake.read(spark, t, Some(2L)).count() shouldBe 900
+    ManifestLake.fastCount(spark, t, Some(2L)) shouldBe 900L
+    // null-predicate rows survive, SQL DELETE semantics
+    val t2 = freshTable()
+    ManifestLake.write(Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "price"), t2)
+    ManifestLake.deleteMor(spark, t2, col("price") < 2.0)
+    ManifestLake.read(spark, t2).select("id").as[Long].collect()
+      .sorted shouldBe Seq(2L, 3L)
+  }
+
+  test("copy-on-write DML and compaction over a vectored file " +
+    "MATERIALIZE the vector — deleted rows never resurrect") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    ManifestLake.write(
+      (1 to 500).map(i => (i.toLong, i * 1.0)).toDF("id", "price"), t)
+    ManifestLake.deleteMor(spark, t, col("id") <= 50L)
+    // CoW update rewrites the (single) file: dv gone, delete persists
+    ManifestLake.update(spark, t, col("id") === 100L,
+      Seq("price" -> lit(999.0)))
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.entries.forall(_.dv.isEmpty) shouldBe true
+    ManifestLake.read(spark, t).count() shouldBe 450
+    ManifestLake.read(spark, t).filter(col("id") <= 50L).count() shouldBe 0
+    ManifestLake.read(spark, t).filter(col("price") === 999.0)
+      .count() shouldBe 1
+    // compaction materializes too
+    val t2 = freshTable()
+    (0 until 4).foreach(b => ManifestLake.write(
+      (b * 100 + 1 to b * 100 + 100).map(i => (i.toLong, s"p$i"))
+        .toDF("id", "payload"), t2))
+    ManifestLake.deleteMor(spark, t2, col("id") % 10 === 0)
+    ManifestLake.compact(spark, t2)
+    val snap2 = ManifestLake.snapshot(spark, t2)
+    snap2.entries.forall(_.dv.isEmpty) shouldBe true
+    ManifestLake.read(spark, t2).count() shouldBe 360
+    ManifestLake.fastCount(spark, t2) shouldBe 360L
+  }
+
+  test("the change feed diffs a DV commit to exactly its deleted rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.write(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    ManifestLake.deleteMor(spark, t, col("id") <= 3L)
+    val feed = ManifestLake.changeFeed(spark, t, 1, 2)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    feed shouldBe Set(("delete", 1L), ("delete", 2L), ("delete", 3L))
+    // recorded CDC sidecars work for MOR deletes too
+    val t2 = freshTable()
+    ManifestLake.write(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t2)
+    ManifestLake.deleteMor(spark, t2, col("id") <= 2L,
+      recordChangeFeed = true)
+    ManifestLake.changesBetween(spark, t2, 1, 2)
+      .map(_.changeFiles.nonEmpty) shouldBe Seq(true)
+    ManifestLake.changeFeed(spark, t2, 1, 2)
+      .select("_change_type", "id").as[(String, Long)].collect()
+      .toSet shouldBe Set(("delete", 1L), ("delete", 2L))
+  }
+
+  test("vacuum collects superseded DV sidecars but keeps referenced ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // ONE data file: the second delete touches the same file, so its
+    // cumulative sidecar supersedes the first (disjoint-file deletes
+    // keep both sidecars live — correctly)
+    ManifestLake.write(
+      (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartition(1), t)
+    ManifestLake.deleteMor(spark, t, col("id") <= 100L)  // sidecar A
+    ManifestLake.deleteMor(spark, t, col("id") > 900L)   // sidecar B ⊇ A
+    def dvFiles(): Seq[String] = {
+      val d = java.nio.file.Paths.get(t, "_dv")
+      if (!java.nio.file.Files.exists(d)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toList
+        } finally s.close()
+      }
+    }
+    dvFiles() should have size 2
+    // retain only the head: sidecar A is unreferenced → collected
+    ManifestLake.vacuum(spark, t, keepLast = 1)
+    dvFiles() should have size 1
+    ManifestLake.read(spark, t).count() shouldBe 800
+    ManifestLake.fastCount(spark, t) shouldBe 800L
+  }
+
+  test("the DV read plan broadcast-hash-joins the vector and keeps " +
+    "predicate pushdown to the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 2000).map(i => (i.toLong, i * 1.0)).toDF("id", "price"),
+      t, "id", nFiles = 4)
+    ManifestLake.deleteMor(spark, t, col("id") === 777L)
+    val q = ManifestLake.read(spark, t).filter(col("price") > 1500.0)
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    plan should include("PushedFilters: [IsNotNull(price), " +
+      "GreaterThan(price,1500.0)")
+    q.count() shouldBe 500 // 1501..2000; 777 not in range, none missing
+  }
 }
