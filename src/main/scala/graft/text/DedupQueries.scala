@@ -278,7 +278,87 @@ object DedupQueries {
       |  64 AS minhash_dim
       |FROM paired WHERE id_b IS NOT NULL""".stripMargin
 
+  /** Memoized [[DedupIndex]] built from the documents corpus, one per
+    * (JVM, dataset dir). */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** dd9_incremental_dedup — INCREMENTAL cross-corpus dedup against the
+    * lake-resident signature index: the corpus is indexed ONCE
+    * (memoized; signatures + LSH postings as lake tables with bloom
+    * sidecars on the probe keys), then a batch of planted derivatives
+    * is classified WITHOUT re-reading corpus text — exact copies of
+    * docs 0-4, first-token near-copies of docs 5-9, reversed (novel)
+    * texts of docs 10-19, and a repeated reversed doc 10 (a
+    * within-batch exact dup). The verdict's exact flags and keeper ids
+    * are re-derived by the DuckDB oracle from content hashes; the near
+    * flags land exactly on the planted near range (reversal shares no
+    * shingles with the forward corpus, verified no natural pair in the
+    * unique range). Unique docs are ADMITTED (replay-guarded by
+    * batchId), and the classification is bit-stable across repeat
+    * passes — after admission a doc's self-match is excluded by id and
+    * within-batch keepers become corpus partners with the same minimum
+    * id. */
+  def dd9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = builtIndexes.computeIfAbsent(s"dd9:$d", _ => {
+      val ix = java.nio.file.Files
+        .createTempDirectory("graft-dedup-index-dd9").toString
+      DedupIndex.buildIndex(Tables.documents(s, d), ix)
+      ix
+    })
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val batch =
+      docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      .unionByName(docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+", "qqq")))
+      .unionByName(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", reverse(col("text"))))
+      .unionByName(docs.filter(col("doc_id") === 10)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", reverse(col("text"))))
+    val verdict = DedupIndex.classifyBatch(s, batch, dir)
+    DedupIndex.admit(s, batch, verdict, dir, batchId = 1L,
+      appId = s"dd9:$d"): Unit
+    DedupIndex.classifyBatch(s, batch, dir)
+  }
+
+  /** Exact flags re-derived from content hashes over corpus ∪ batch
+    * (corpus ids are always the smaller, so "min id sharing the hash"
+    * is exactly the engine's corpus-first-then-earlier-batch rule);
+    * near flags are the planted near range. */
+  val dd9Oracle: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 100000 AS doc_id, text
+      |  FROM documents WHERE doc_id < 5
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'qqq')
+      |  FROM documents WHERE doc_id >= 5 AND doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 200000, reverse(text)
+      |  FROM documents WHERE doc_id >= 10 AND doc_id < 20
+      |  UNION ALL
+      |  SELECT doc_id + 300000, reverse(text)
+      |  FROM documents WHERE doc_id = 10),
+      |allhash AS (
+      |  SELECT doc_id, sha256(text) AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, sha256(text) AS h FROM batch),
+      |grouped AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS min_id
+      |  FROM allhash)
+      |SELECT g.doc_id,
+      |  g.min_id < g.doc_id AS is_exact_dup,
+      |  CASE WHEN g.min_id < g.doc_id THEN g.min_id END AS dup_of,
+      |  g.min_id >= g.doc_id AND g.doc_id BETWEEN 100005 AND 100009
+      |    AS is_near_dup
+      |FROM grouped g
+      |WHERE g.doc_id >= 100000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd9_incremental_dedup" -> (dd9IncrementalDedup _),
     "sq1_sql_dedup_chain" -> (sq1SqlDedupChain _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_minhash_lsh" -> (dd2MinhashLsh _),
@@ -290,6 +370,7 @@ object DedupQueries {
     "dd7_dedup_clusters" -> (dd7DedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "dd9_incremental_dedup" -> dd9Oracle,
     "sq1_sql_dedup_chain" -> sq1Oracle,
     "dd1_exact_dedup" -> dd1Oracle,
     "dd4_ngram_jaccard" -> dd4Oracle,
