@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution-rule rewrite, keeping the native parquet read path
     extensions.injectResolutionRule(spark =>
       new graft.sources.LakeSql.LakeSqlRule(spark))
+    // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY on graft_lake tables) — a delegating parser, the
+    // public Delta-connector idiom
+    extensions.injectParser((_, delegate) =>
+      new graft.sources.LakeMaintenanceSql.Parser(delegate))
     extensions.injectFunction(CosineSimilarity.registration)
     extensions.injectFunction((
       FunctionIdentifier("simhash64"),

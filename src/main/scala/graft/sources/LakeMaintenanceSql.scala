@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+/** SQL surface for lake MAINTENANCE — the statements Spark's grammar
+  * does not know, intercepted by a delegating parser (the public
+  * Delta-connector idiom: try the extension grammar, fall through to
+  * the session parser for everything else):
+  * {{{
+  *   OPTIMIZE graft_lake.t                       -- bin-packing compaction
+  *   OPTIMIZE graft_lake.t ZORDER BY (c1, c2)    -- re-cluster (1 col = range, ≥2 = z-order)
+  *   VACUUM graft_lake.t RETAIN <n> VERSIONS     -- retention cleanup
+  *   DESCRIBE HISTORY graft_lake.t               -- the $history table, discoverably
+  * }}}
+  * Each statement returns its report as rows (files before/after +
+  * committed version; files deleted; the version history), matching
+  * what the API calls return. Table names resolve through
+  * [[LakeSql.register]]'s process-scoped registry at PARSE time, so an
+  * unregistered name fails fast by name rather than mid-execution.
+  * Everything else — including every statement the session parser can
+  * already handle on `graft_lake` tables — is delegated verbatim, so
+  * the parser composes with [[LakeSql.LakeSqlRule]] rather than
+  * replacing it. */
+object LakeMaintenanceSql {
+
+  private val Name = "graft_lake\\.`?([A-Za-z0-9_]+)`?"
+  private val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + Name +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
+  private val VacuumRe =
+    ("(?is)^\\s*VACUUM\\s+" + Name +
+      "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
+  private val HistoryRe =
+    ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Name + "\\s*;?\\s*$").r
+
+  private def resolve(name: String): String =
+    LakeSql.pathOf(name).getOrElse(throw new IllegalArgumentException(
+      s"graft_lake.$name is not registered — call LakeSql.register " +
+        "(or check the name) before maintenance SQL can address it"))
+
+  /** The maintenance plan for `sqlText`, if it is a maintenance
+    * statement. */
+  def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(name, zcols) =>
+        val cols = Option(zcols).toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        Some(GraftOptimizeCommand(resolve(name), cols))
+      case VacuumRe(name, n) =>
+        Some(GraftVacuumCommand(resolve(name), n.toInt))
+      case HistoryRe(name) =>
+        Some(GraftDescribeHistoryCommand(resolve(name)))
+      case _ => None
+    }
+
+  /** `OPTIMIZE` — plain = bin-packing (rewrites only the small-file
+    * tail); one ZORDER column = range re-cluster via
+    * [[ManifestLake.compact]]; ≥2 = [[ZOrder.optimize]]. All are
+    * net-zero maintenance commits streams skip. */
+  final case class GraftOptimizeCommand(table: String, zCols: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("files_before", LongType, nullable = false)(),
+      AttributeReference("files_after", LongType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = zCols match {
+      case Nil =>
+        val r = ManifestLake.binPack(spark, table)
+        Seq(Row(r.filesBefore.toLong, r.filesAfter.toLong, r.newVersion))
+      case Seq(c) =>
+        val r = ManifestLake.compact(spark, table, clusterCol = Some(c))
+        Seq(Row(r.filesBefore.toLong, r.filesAfter.toLong, r.newVersion))
+      case cs =>
+        val before = ManifestLake.snapshot(spark, table).entries.size.toLong
+        val v = ZOrder.optimize(spark, table, cs)
+        val after =
+          ManifestLake.snapshot(spark, table, Some(v)).entries.size.toLong
+        Seq(Row(before, after, v))
+    }
+  }
+
+  /** `VACUUM ... RETAIN n VERSIONS` — [[ManifestLake.vacuum]]. */
+  final case class GraftVacuumCommand(table: String, keepLast: Int)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("files_deleted", IntegerType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(ManifestLake.vacuum(spark, table, keepLast)))
+  }
+
+  /** `DESCRIBE HISTORY` — [[ManifestLake.history]]'s frame as command
+    * output (one row per retained version, O(versions) log reads). */
+  final case class GraftDescribeHistoryCommand(table: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("n_files", LongType, nullable = false)(),
+      AttributeReference("batch_id", LongType, nullable = true)(),
+      AttributeReference("app_id", StringType, nullable = true)(),
+      AttributeReference("commit_ts_ms", LongType, nullable = true)())
+    override def run(spark: SparkSession): Seq[Row] =
+      ManifestLake.history(spark, table).collect().toSeq
+  }
+
+  /** The delegating parser ([[graft.plans.GraftExtensions]] injects it):
+    * maintenance grammar first, session parser for everything else. */
+  final class Parser(delegate: ParserInterface) extends ParserInterface {
+    override def parsePlan(sqlText: String): LogicalPlan =
+      maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    override def parseExpression(sqlText: String): Expression =
+      delegate.parseExpression(sqlText)
+    override def parseTableIdentifier(sqlText: String): TableIdentifier =
+      delegate.parseTableIdentifier(sqlText)
+    override def parseFunctionIdentifier(
+        sqlText: String): FunctionIdentifier =
+      delegate.parseFunctionIdentifier(sqlText)
+    override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+      delegate.parseMultipartIdentifier(sqlText)
+    override def parseQuery(sqlText: String): LogicalPlan =
+      delegate.parseQuery(sqlText)
+    override def parseRoutineParam(sqlText: String): StructType =
+      delegate.parseRoutineParam(sqlText)
+    override def parseTableSchema(sqlText: String): StructType =
+      delegate.parseTableSchema(sqlText)
+    override def parseDataType(
+        sqlText: String): org.apache.spark.sql.types.DataType =
+      delegate.parseDataType(sqlText)
+  }
+}

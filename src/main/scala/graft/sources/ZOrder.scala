@@ -72,7 +72,8 @@ object ZOrder {
     * merge/delete candidate pruning) skips files on any of the
     * dimensions. Returns the committed version. */
   def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
-                    nFiles: Int, append: Boolean = false): Long = {
+                    nFiles: Int, append: Boolean = false,
+                    maintenance: Boolean = false): Long = {
     require(zCols.size >= 2,
       "z-ordering needs ≥ 2 columns; use writeClustered for one")
     val nBuckets = 1 << BitsPerDim
@@ -89,6 +90,30 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
     ManifestLake.write(clustered, table, append = append,
-      statsCols = zCols)
+      statsCols = zCols,
+      // a maintenance rewrite re-lands rows that already passed CHECK
+      // enforcement; re-validating would re-read the table for nothing
+      validateChecks = !maintenance,
+      maintenance = maintenance)
+  }
+
+  /** OPTIMIZE-shaped z-order maintenance: rewrite the CURRENT snapshot
+    * z-ordered on `zCols` as a net-zero maintenance commit (streams and
+    * incremental consumers skip it), sized from the manifest's recorded
+    * bytes like [[ManifestLake.compact]]. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, table: String,
+               zCols: Seq[String],
+               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = ManifestLake.snapshot(spark, table)
+    val (fs, p) = {
+      val path = new org.apache.hadoop.fs.Path(table)
+      (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    }
+    val bytes = snap.entries.map(e => e.bytes.getOrElse(
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(p, e.path)).getLen)).sum
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    writeZOrdered(ManifestLake.read(spark, table, Some(snap.version)),
+      table, zCols, nFiles, append = false, maintenance = true)
   }
 }

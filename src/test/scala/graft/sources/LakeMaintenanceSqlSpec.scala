@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the maintenance SQL surface: OPTIMIZE (bin-pack / re-cluster /
+  * z-order), VACUUM RETAIN, DESCRIBE HISTORY — parsed by the delegating
+  * parser, reported as rows, net-zero for streams where the API calls
+  * are, with everything else falling through to the session parser. */
+class LakeMaintenanceSqlSpec extends AnyFunSuite with Matchers
+  with SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-maint-sql").toString + "/t"
+
+  test("OPTIMIZE bin-packs the small-file tail and reports the compaction") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 6).foreach(b => ManifestLake.write(
+      (b * 10 to b * 10 + 9).map(i => (i.toLong, s"p$i")).toDF("id", "p"), t))
+    LakeSql.register("maint1", t)
+    val r = spark.sql("OPTIMIZE graft_lake.maint1").collect()
+    r should have length 1
+    r.head.getLong(1) should be < r.head.getLong(0) // files_after < before
+    ManifestLake.read(spark, t).count() shouldBe 60
+    // maintenance commit: incremental consumers skip it
+    ManifestLake.changesBetween(spark, t, r.head.getLong(2) - 1,
+      r.head.getLong(2)).map(_.maintenance) shouldBe Seq(true)
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters: one column = range cluster, " +
+    "two = z-order with stats on both dimensions") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(
+      (1 to 4000).map(i => (i.toLong, (i * 37 % 4000).toLong, s"p$i"))
+        .toDF("x", "y", "p").repartition(8), t)
+    LakeSql.register("maint2", t)
+    val r = spark.sql("OPTIMIZE graft_lake.maint2 ZORDER BY (x, y)")
+      .collect()
+    val snap = ManifestLake.snapshot(spark, t, Some(r.head.getLong(2)))
+    // z-order records per-file ranges for BOTH dimensions
+    snap.entries.foreach { e =>
+      e.range("x") should not be empty
+      e.range("y") should not be empty
+    }
+    ManifestLake.read(spark, t).count() shouldBe 4000
+    ManifestLake.changesBetween(spark, t, r.head.getLong(2) - 1,
+      r.head.getLong(2)).map(_.maintenance) shouldBe Seq(true)
+    // single-column form routes to the range re-cluster
+    spark.sql("OPTIMIZE graft_lake.maint2 ZORDER BY (x)").collect()
+    ManifestLake.read(spark, t).count() shouldBe 4000
+  }
+
+  test("VACUUM RETAIN and DESCRIBE HISTORY round-trip the API calls") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write((1 to 10).map(i => (i.toLong, s"p$i")).toDF("id", "p"), t)
+    ManifestLake.write((11 to 20).map(i => (i.toLong, s"p$i")).toDF("id", "p"), t)
+    ManifestLake.compact(spark, t)
+    LakeSql.register("maint3", t)
+    val hist = spark.sql("DESCRIBE HISTORY graft_lake.maint3").collect()
+    hist.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    hist.foreach(r => r.getLong(4) should be > 0L) // commit_ts_ms recorded
+    val deleted = spark.sql(
+      "VACUUM graft_lake.maint3 RETAIN 1 VERSIONS").collect()
+    deleted.head.getInt(0) should be > 0
+    ManifestLake.versions(spark, t) shouldBe Seq(3L)
+    ManifestLake.read(spark, t).count() shouldBe 20
+  }
+
+  test("unregistered names fail by name at parse; ordinary SQL falls " +
+    "through untouched") {
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE graft_lake.nope")
+    }.getMessage should include("not registered")
+    spark.sql("SELECT 1 AS x").collect().head.getInt(0) shouldBe 1
+    // a statement mentioning OPTIMIZE only as an identifier still parses
+    spark.sql("SELECT 'OPTIMIZE graft_lake.x' AS s").collect()
+      .head.getString(0) should include("OPTIMIZE")
+  }
+}
