@@ -715,7 +715,29 @@ object LakeQueries {
       |FROM lineitem
       |WHERE l_extendedprice >= 950.0""".stripMargin
 
+  /** lk13_stats_agg — `SELECT COUNT(*), MIN, MAX` answered from the
+    * MANIFEST alone: lk1's clustered lineitem records per-file row
+    * counts and exact l_extendedprice ranges, so the whole aggregate
+    * list is provable from stats — the plan contains no FileScan
+    * (pinned in LakeSqlSpec; this row pins the VALUES against the
+    * oracle's full-scan re-derivation). On a 100 TB table this is the
+    * dashboard query served in milliseconds. */
+  def lk13StatsAgg(s: SparkSession, d: String): DataFrame = {
+    val table = clusteredLineitem(s, d)
+    LakeSql.register("lk13_lineitem", table)
+    s.sql(
+      """SELECT COUNT(*) AS n_rows, MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM graft_lake.lk13_lineitem""".stripMargin)
+  }
+
+  val lk13Oracle: String =
+    """SELECT COUNT(*) AS n_rows, MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk13_stats_agg" -> (lk13StatsAgg _),
     "dv1_mor_delete" -> (dv1MorDelete _),
     "lk12_sql_merge_full" -> (lk12SqlMergeFull _),
     "lk11_string_range" -> (lk11StringRange _),
@@ -735,6 +757,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk13_stats_agg" -> lk13Oracle,
     "dv1_mor_delete" -> dv1Oracle,
     "lk12_sql_merge_full" -> lk12Oracle,
     "lk11_string_range" -> lk11Oracle,

@@ -215,16 +215,128 @@ object LakeSql {
         }
     }
 
+    /** One aggregate a stats-only plan may contain: COUNT(*) / COUNT(1),
+      * or MIN/MAX of a bare column. `col = None` is the count. */
+    private final case class StatAgg(fn: String, col: Option[String],
+                                     alias: Option[String])
+
+    /** A projection/aggregation list made ENTIRELY of COUNT(*) /
+      * MIN(col) / MAX(col) — no DISTINCT, no FILTER, bare column
+      * arguments — with at least one MIN/MAX (a lone COUNT belongs to
+      * [[CountStarOnly]]'s route). Unresolved shape only: MIN/MAX have
+      * column dependencies, so the analyzer cannot resolve them before
+      * the relation, and the lake relation is still recognizable. */
+    private object StatAggsOnly {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+      private def one(e: NamedExpression): Option[StatAgg] = {
+        val (inner, name) = e match {
+          case UnresolvedAlias(f, _) => (f, None)
+          case a @ Alias(f, n) => (f, Some(n))
+          case other => (other, None)
+        }
+        inner match {
+          case f: UnresolvedFunction
+            if !f.isDistinct && f.filter.isEmpty &&
+              f.nameParts.lengthCompare(1) == 0 =>
+            (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              f.arguments) match {
+              case ("count", Seq(Literal(1, _))) =>
+                Some(StatAgg("count", None, name))
+              case (fn @ ("min" | "max"), Seq(a: UnresolvedAttribute))
+                if a.nameParts.lengthCompare(1) == 0 =>
+                Some(StatAgg(fn, Some(a.nameParts.head), name))
+              case _ => None
+            }
+          // COUNT(1) has no column dependencies, so the analyzer may
+          // resolve it (and convert the Project to an Aggregate) while
+          // the MIN/MAX siblings are still unresolved — match the
+          // resolved count too, exactly as [[CountStarOnly]] does
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction ==
+                org.apache.spark.sql.catalyst.expressions.aggregate
+                  .Count(Seq(Literal(1))) =>
+            Some(StatAgg("count", None, name))
+          case _ => None
+        }
+      }
+      def unapply(exprs: Seq[NamedExpression]): Option[Seq[StatAgg]] = {
+        val parsed = exprs.map(one)
+        if (parsed.nonEmpty && parsed.forall(_.isDefined) &&
+          parsed.exists(_.get.col.nonEmpty)) Some(parsed.map(_.get))
+        else None
+      }
+    }
+
+    /** The one-row answer for a [[StatAggsOnly]] list, when the
+      * manifest can PROVE it: every entry records a row count (for
+      * COUNT) and an exact numeric range for each MIN/MAX column, and
+      * no entry carries a deletion vector (a DV may have deleted the
+      * extremal row, making recorded ranges conservative rather than
+      * exact). Numeric columns only — string stats are truncated by
+      * design. Returns None to fall through to the scan. */
+    private def statAggsPlan(path: String, version: Option[Long],
+        aggs: Seq[StatAgg]): Option[LogicalPlan] = {
+      import org.apache.spark.sql.types._
+      val snap = ManifestLake.snapshot(spark, path, version)
+      val schema = snap.schema.getOrElse(return None)
+      if (snap.entries.isEmpty) return None // empty: MIN is NULL — scan
+      if (snap.entries.exists(_.dv.nonEmpty)) return None
+      val caseSensitive =
+        spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+      def fieldOf(c: String): Option[StructField] = schema.fields.find(f =>
+        if (caseSensitive) f.name == c else f.name.equalsIgnoreCase(c))
+      def typed(bd: BigDecimal, dt: DataType): Option[Any] = dt match {
+        case IntegerType => Some(bd.toInt)
+        case LongType => Some(bd.toLong)
+        case ShortType => Some(bd.toShort)
+        case ByteType => Some(bd.toByte)
+        case DoubleType => Some(bd.toDouble)
+        case FloatType => Some(bd.toFloat)
+        case d: DecimalType =>
+          Some(bd.bigDecimal.setScale(d.scale,
+            java.math.RoundingMode.UNNECESSARY))
+        case _ => None
+      }
+      val values = aggs.map {
+        case StatAgg("count", None, _) =>
+          if (snap.entries.exists(_.rows.isEmpty)) return None
+          snap.entries.flatMap(_.liveRows).sum: Any
+        case StatAgg(fn, Some(c), _) =>
+          val f = fieldOf(c).getOrElse(return None)
+          val ranges = snap.entries.map(e =>
+            e.range(f.name).getOrElse(return None))
+          val bd =
+            if (fn == "min") ranges.map(_.min).min else ranges.map(_.max).max
+          typed(bd, f.dataType).getOrElse(return None)
+        case _ => return None
+      }
+      val fields = aggs.map {
+        case StatAgg("count", None, alias) =>
+          StructField(alias.getOrElse("count(1)"), LongType,
+            nullable = false)
+        case StatAgg(fn, Some(c), alias) =>
+          val f = fieldOf(c).get
+          StructField(alias.getOrElse(s"$fn($c)"), f.dataType)
+      }
+      Some(PlanBridge.analyzedPlan(spark.createDataFrame(
+        java.util.Collections.singletonList(Row(values: _*)),
+        StructType(fields))))
+    }
+
     /** `SELECT COUNT(*) FROM graft_lake.t` (no WHERE, no grouping)
       * answers from the MANIFEST — [[ManifestLake.fastCount]] sums the
       * per-file row counts recorded at write time and scans NOTHING.
       * The interactive-BI shape: on a 100 TB table this is the
       * difference between a millisecond metadata lookup and a full
-      * scan. Any other shape (predicates, grouping, more columns)
-      * falls through to the normal scan untouched. Runs TOP-DOWN
-      * before [[resolveReads]], which would otherwise rewrite the
-      * relation bottom-up and erase the evidence that it was a lake
-      * table. */
+      * scan. `SELECT COUNT(*), MIN(c), MAX(c) ...` extends the route:
+      * served from one snapshot resolution when the manifest PROVES
+      * the answer ([[statAggsPlan]]), scan otherwise. Any other shape
+      * (predicates, grouping, more columns) falls through to the
+      * normal scan untouched. Runs TOP-DOWN before [[resolveReads]],
+      * which would otherwise rewrite the relation bottom-up and erase
+      * the evidence that it was a lake table. */
     private def metadataCounts(plan: LogicalPlan): LogicalPlan = {
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
       def fastCountPlan(path: String, name: Option[String],
@@ -255,6 +367,11 @@ object LakeSql {
           fastCountPlan(path, name, v)
         case Aggregate(Nil, CountStarOnly(name), CountableLake(path, v), _) =>
           fastCountPlan(path, name, v)
+        case p @ Project(StatAggsOnly(aggs), CountableLake(path, v)) =>
+          statAggsPlan(path, v, aggs).getOrElse(p)
+        case a @ Aggregate(Nil, StatAggsOnly(aggs),
+            CountableLake(path, v), _) =>
+          statAggsPlan(path, v, aggs).getOrElse(a)
       }
     }
 

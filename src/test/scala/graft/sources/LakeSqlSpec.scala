@@ -210,6 +210,41 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().head.getLong(0) shouldBe 100L
   }
 
+  test("SELECT COUNT/MIN/MAX combinations serve from manifest stats " +
+    "when proven; deletion vectors, missing stats and strings scan") {
+    import spark.implicits._
+    val path = freshTable("sagg")
+    ManifestLake.writeClustered(
+      (1 to 900).map(i => (i.toLong, i * 2.5, s"p$i"))
+        .toDF("id", "price", "payload"),
+      path, "id", nFiles = 4, extraStatsCols = Seq("price"))
+    val q = spark.sql(
+      """SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi,
+        |  MAX(price) AS top FROM graft_lake.sagg""".stripMargin)
+    q.queryExecution.executedPlan.toString should not include "FileScan"
+    q.collect().head.toSeq shouldBe Seq(900L, 1L, 900L, 2250.0)
+    q.columns.toSeq shouldBe Seq("n", "lo", "hi", "top")
+    // default names match the scan's
+    spark.sql("SELECT MIN(id), COUNT(*) FROM graft_lake.sagg")
+      .columns.toSeq shouldBe Seq("min(id)", "count(1)")
+    // un-stats'd column (payload is a string; no recorded exact range)
+    // falls through to the scan and stays correct
+    val qs = spark.sql("SELECT MIN(payload) FROM graft_lake.sagg")
+    qs.queryExecution.executedPlan.toString should include("FileScan")
+    qs.collect().head.getString(0) shouldBe "p1"
+    // a deletion vector may have removed the extremal row: the route
+    // declines and the scan answers exactly
+    ManifestLake.deleteMor(spark, path,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    val qdv = spark.sql(
+      "SELECT MIN(id) AS lo, COUNT(*) AS n FROM graft_lake.sagg")
+    qdv.queryExecution.executedPlan.toString should include("FileScan")
+    qdv.collect().head.toSeq shouldBe Seq(2L, 899L)
+    // filtered/grouped shapes untouched
+    spark.sql("SELECT MIN(id) FROM graft_lake.sagg WHERE id > 10")
+      .collect().head.getLong(0) shouldBe 11L
+  }
+
   test("unregistered names fall through to the normal analyzer error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_lake.never_registered").collect()
