@@ -38,6 +38,9 @@ object LakeMaintenanceSql {
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Name + "\\s*;?\\s*$").r
+  private val RestoreRe =
+    ("(?is)^\\s*RESTORE\\s+TABLE\\s+" + Name +
+      "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
 
   private def resolve(name: String): String =
     LakeSql.pathOf(name).getOrElse(throw new IllegalArgumentException(
@@ -56,6 +59,8 @@ object LakeMaintenanceSql {
         Some(GraftVacuumCommand(resolve(name), n.toInt))
       case HistoryRe(name) =>
         Some(GraftDescribeHistoryCommand(resolve(name)))
+      case RestoreRe(name, v) =>
+        Some(GraftRestoreCommand(resolve(name), v.toLong))
       case _ => None
     }
 
@@ -106,6 +111,18 @@ object LakeMaintenanceSql {
       AttributeReference("commit_ts_ms", LongType, nullable = true)())
     override def run(spark: SparkSession): Seq[Row] =
       ManifestLake.history(spark, table).collect().toSeq
+  }
+
+  /** `RESTORE TABLE ... TO VERSION AS OF n` —
+    * [[ManifestLake.restore]]'s metadata-only rollback commit. */
+  final case class GraftRestoreCommand(table: String, version: Long)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("restored_to_version", LongType,
+        nullable = false)(),
+      AttributeReference("new_version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(version, ManifestLake.restore(spark, table, version)))
   }
 
   /** The delegating parser ([[graft.plans.GraftExtensions]] injects it):

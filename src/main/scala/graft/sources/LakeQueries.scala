@@ -692,12 +692,12 @@ object LakeQueries {
     val preFiles = ManifestLake.snapshot(s, table).files.toSet
     ManifestLake.deleteMor(s, table, col("l_extendedprice") < 920.0)
     LakeSql.register("dv1_lineitem", table)
-    s.conf.set(LakeSql.DeleteModeConf, "mor")
+    s.conf.set(LakeSql.DmlModeConf, "mor")
     try s.sql(
       """DELETE FROM graft_lake.dv1_lineitem
         |WHERE l_extendedprice >= 920.0 AND l_extendedprice < 950.0"""
         .stripMargin)
-    finally s.conf.unset(LakeSql.DeleteModeConf)
+    finally s.conf.unset(LakeSql.DmlModeConf)
     val remaining = ManifestLake.read(s, table)
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
     val filesUntouched =

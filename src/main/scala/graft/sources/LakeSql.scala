@@ -611,18 +611,19 @@ object LakeSql {
   private def recordCdf(spark: SparkSession): Boolean =
     spark.conf.getOption(RecordChangeFeedConf).exists(_.toBoolean)
 
-  /** Session conf choosing how SQL `DELETE FROM` executes: `cow`
-    * (default — [[ManifestLake.delete]]'s copy-on-write file rewrite)
-    * or `mor` ([[ManifestLake.deleteMor]]'s deletion-vector sidecar,
-    * the small-delete-on-big-files shape). */
-  val DeleteModeConf = "spark.graft.lake.deleteMode"
+  /** Session conf choosing how SQL `DELETE FROM` and `UPDATE` execute:
+    * `cow` (default — [[ManifestLake.delete]]/[[ManifestLake.update]]'s
+    * copy-on-write file rewrite) or `mor`
+    * ([[ManifestLake.deleteMor]]/[[ManifestLake.updateMor]]'s
+    * deletion-vector sidecar, the small-DML-on-big-files shape). */
+  val DmlModeConf = "spark.graft.lake.dmlMode"
 
-  private def morDelete(spark: SparkSession): Boolean =
-    spark.conf.getOption(DeleteModeConf) match {
+  private def morDml(spark: SparkSession): Boolean =
+    spark.conf.getOption(DmlModeConf) match {
       case None | Some("cow") => false
       case Some("mor") => true
       case Some(other) => throw new IllegalArgumentException(
-        s"$DeleteModeConf must be 'cow' or 'mor', got '$other'")
+        s"$DmlModeConf must be 'cow' or 'mor', got '$other'")
     }
 
   /** `MERGE INTO` a manifest table — executes [[ManifestLake.merge]]'s
@@ -690,12 +691,12 @@ object LakeSql {
   /** `DELETE FROM` a manifest table — [[ManifestLake.delete]]'s
     * copy-on-write rewrite of only the files holding a match, or
     * [[ManifestLake.deleteMor]]'s deletion-vector commit when the
-    * session's [[DeleteModeConf]] is `mor`. */
+    * session's [[DmlModeConf]] is `mor`. */
   final case class GraftDeleteCommand(table: String,
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      if (morDelete(spark))
+      if (morDml(spark))
         ManifestLake.deleteMor(spark, table, predicate,
           recordChangeFeed = recordCdf(spark)): Unit
       else
@@ -706,15 +707,21 @@ object LakeSql {
   }
 
   /** `UPDATE ... SET ... [WHERE ...]` — [[ManifestLake.update]]'s
-    * copy-on-write rewrite of only the files holding a matching row;
-    * assignments evaluate against the pre-update row, SQL-style. */
+    * copy-on-write rewrite of only the files holding a matching row
+    * ([[ManifestLake.updateMor]]'s deletion-vector + append commit
+    * under [[DmlModeConf]] `mor`); assignments evaluate against the
+    * pre-update row, SQL-style. */
   final case class GraftUpdateCommand(table: String,
       @transient assignments: Seq[(String, org.apache.spark.sql.Column)],
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      ManifestLake.update(spark, table, predicate, assignments,
-        recordChangeFeed = recordCdf(spark)): Unit
+      if (morDml(spark))
+        ManifestLake.updateMor(spark, table, predicate, assignments,
+          recordChangeFeed = recordCdf(spark)): Unit
+      else
+        ManifestLake.update(spark, table, predicate, assignments,
+          recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }
   }

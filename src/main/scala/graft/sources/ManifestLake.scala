@@ -1989,43 +1989,16 @@ object ManifestLake {
     val next = snap.version + 1
     // the matched pairs, DV-filtered (provenance scan) so already-
     // deleted rows never re-enter a vector; TRUE-only predicate rows,
-    // matching SQL DELETE (NULL keeps the row)
+    // matching SQL DELETE (NULL keeps the row). One sidecar file per
+    // commit — the scan stays wide, only the write is narrow (the MOR
+    // contract is small pair sets; bulk deletes belong to
+    // copy-on-write); per-file deleted counts land as dvrows= so
+    // fastCount stays metadata-only.
     val matched = provenanceScan(spark, table, snap, touched)
       .filter(predicate)
-    // carry the touched files' EXISTING vectors into the new sidecar —
-    // cumulative, one live reference per file
-    val touchedNames = touched.map(_.path.split('/').last).toSet
-    val oldPairs = touched.flatMap(_.dv).distinct match {
-      case Nil => None
-      case paths => Some(spark.read.parquet(
-        paths.map(d => new Path(p, d).toString): _*)
-        .filter(col("file_name").isin(touchedNames.toSeq: _*)))
-    }
-    val newPairs = matched
-      .select(col("__g_file").as("file_name"), col("__g_ridx").as("row_index"))
-    val allPairs = oldPairs.fold(newPairs)(newPairs.unionByName(_))
-    // one sidecar file per commit: repartition(1) keeps the candidate
-    // scan wide and only the write narrow (the MOR contract is small
-    // pair sets; bulk deletes belong to copy-on-write)
-    val attempt = java.util.UUID.randomUUID.toString.take(8)
-    val staging = new Path(p, f"_staging-v$next%08d-dv-$attempt")
-    fs.delete(staging, true)
-    allPairs.repartition(1).write.parquet(staging.toString)
-    val stagedParts = listParquetRec(fs, staging)
-    fs.mkdirs(new Path(p, DvDir))
-    val dvRel = s"$DvDir/" + f"v$next%08d-$attempt-00000.parquet"
-    require(stagedParts.size == 1, s"expected one staged DV part file")
-    if (!fs.rename(stagedParts.head, new Path(p, dvRel)))
-      throw new IllegalStateException(s"failed to publish $dvRel in $p")
-    fs.delete(staging, true)
-    // per-file deleted counts → dvrows= (keeps fastCount metadata-only)
-    val perFile = spark.read.parquet(new Path(p, dvRel).toString)
-      .groupBy("file_name").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rewritten = touched.map { e =>
-      val name = e.path.split('/').last
-      e.copy(dv = Some(dvRel), dvRows = Some(perFile.getOrElse(name, 0L)))
-    }
+    val (rewritten, _) = stageDvSidecar(spark, fs, p, next, touched,
+      matched.select(col("__g_file").as("file_name"),
+        col("__g_ridx").as("row_index")))
     val changeFiles =
       if (!recordChangeFeed) Nil
       else stageChangeFiles(
@@ -2237,6 +2210,140 @@ object ManifestLake {
       removes = touched.map(_.path), prev, snap.batchId, snap.appId,
       snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
       snap.checks)
+  }
+
+  /** MERGE-ON-READ update — [[deleteMor]]'s economics for UPDATE: the
+    * matched rows' old images join the touched files' DELETION VECTORS
+    * and the post-update images land as NEW appended files, all in one
+    * commit — no touched file is rewritten, so updating 10 rows in a
+    * 1 GB file costs a sidecar plus a 10-row file instead of a 1 GB
+    * rewrite. Same assignment semantics as [[update]] (old-row
+    * evaluation, TRUE-only gating, canonical targets, no schema
+    * change), same pruning and no-op contract, CHECK constraints
+    * validate the staged post-images, CDC records the
+    * preimage/postimage pairs, and the on-demand change feed diffs the
+    * commit to exactly those pairs. Copy-on-write DML and compaction
+    * over the vectored files later MATERIALIZE the vectors. Sized for
+    * small updates (the matched set passes through one sidecar write
+    * task) — bulk updates belong to [[update]]. */
+  def updateMor(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column,
+                assignments: Seq[(String, org.apache.spark.sql.Column)],
+                pruneRange: Option[(String, Double, Double)] = None,
+                partitionBy: Seq[String] = Nil,
+                verifyPrune: Boolean = false,
+                recordChangeFeed: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    val schema = snap.schema.getOrElse(
+      readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val canonical = assignments.map { case (c, e) =>
+      val f = schema.fields.find(f =>
+        if (caseSensitive) f.name == c else f.name.equalsIgnoreCase(c))
+      require(f.nonEmpty,
+        s"update assigns unknown column '$c' — the table's columns are " +
+          s"[${schema.fieldNames.mkString(", ")}]. UPDATE never adds " +
+          "columns; widen the schema first (addColumns / ALTER TABLE).")
+      f.get.name -> e
+    }
+    val dup = canonical.groupBy(_._1).collect {
+      case (c, as) if as.size > 1 => c }
+    require(dup.isEmpty,
+      s"update assigns [${dup.mkString(", ")}] more than once — SQL " +
+        "UPDATE requires each target column at most once")
+    val touched =
+      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
+    if (touched.isEmpty) return snap.version // nothing matches: no-op
+    val assignMap = canonical.toMap
+    val next = snap.version + 1
+    val hit = coalesce(predicate, lit(false))
+    val matched = provenanceScan(spark, table, snap, touched).filter(hit)
+    // post-update images: every assignment reads the OLD row
+    def postImages(df: DataFrame) = df.select(schema.fields.toSeq.map { f =>
+      assignMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }: _*)
+    // the old images join the deletion vectors (cumulative, as in
+    // deleteMor)
+    val (rewritten, anyDeleted) = stageDvSidecar(spark, fs, p, next, touched,
+      matched.select(col("__g_file").as("file_name"),
+        col("__g_ridx").as("row_index")))
+    if (!anyDeleted) return snap.version // already-vectored rows only
+    // the new images land as ordinary appended files with stats + blooms
+    val parts = if (partitionBy.nonEmpty) partitionBy
+      else partitionColsOf(snap)
+    val moved = stageDataFiles(
+      postImages(matched.drop("__g_file", "__g_ridx")), fs, p, next, parts,
+      snapStatsCols(snap))
+    validateStagedChecks(spark, fs, p, moved, snap.checks, table, "update")
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      snap.bloomCols, snap.bloomExpectedRows)
+    val changeFiles =
+      if (!recordChangeFeed) Nil
+      else {
+        val pre = matched.drop("__g_file", "__g_ridx")
+        stageChangeFiles(
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(postImages(pre)
+              .withColumn("_change_type", lit("update_postimage"))),
+          fs, p, next)
+      }
+    commitLog(fs, p, full = false,
+      adds = rewritten.map(_.line) ++ moved,
+      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
+      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
+      snap.checks)
+  }
+
+  /** Stage a commit's cumulative deletion-vector sidecar for `touched`
+    * entries from the newly matched `pairs` (file_name, row_index):
+    * unions the touched files' existing vectors, writes ONE sidecar
+    * file, and returns the entries re-annotated with `dv=`/`dvrows=`
+    * plus whether any NEW pair was actually vectored (false ⇒ the
+    * caller's match set was entirely already-deleted rows and the
+    * commit should no-op). */
+  private def stageDvSidecar(spark: SparkSession, fs: FileSystem, p: Path,
+      next: Long, touched: Seq[FileEntry], pairs: DataFrame)
+      : (Seq[FileEntry], Boolean) = {
+    import org.apache.spark.sql.functions.col
+    val touchedNames = touched.map(_.path.split('/').last).toSet
+    val oldPairs = touched.flatMap(_.dv).distinct match {
+      case Nil => None
+      case paths => Some(spark.read.parquet(
+        paths.map(d => new Path(p, d).toString): _*)
+        .filter(col("file_name").isin(touchedNames.toSeq: _*)))
+    }
+    val allPairs = oldPairs.fold(pairs)(pairs.unionByName(_))
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(p, f"_staging-v$next%08d-dv-$attempt")
+    fs.delete(staging, true)
+    allPairs.repartition(1).write.parquet(staging.toString)
+    val stagedParts = listParquetRec(fs, staging)
+    fs.mkdirs(new Path(p, DvDir))
+    val dvRel = s"$DvDir/" + f"v$next%08d-$attempt-00000.parquet"
+    require(stagedParts.size == 1, s"expected one staged DV part file")
+    if (!fs.rename(stagedParts.head, new Path(p, dvRel)))
+      throw new IllegalStateException(s"failed to publish $dvRel in $p")
+    fs.delete(staging, true)
+    val perFile = spark.read.parquet(new Path(p, dvRel).toString)
+      .groupBy("file_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rewritten = touched.map { e =>
+      val name = e.path.split('/').last
+      e.copy(dv = Some(dvRel), dvRows = Some(perFile.getOrElse(name, 0L)))
+    }
+    val grew = touched.exists { e =>
+      perFile.getOrElse(e.path.split('/').last, 0L) > e.dvRows.getOrElse(0L)
+    }
+    (rewritten, grew)
   }
 
   /** Every requested column's range PLUS the file's exact row count,
@@ -2865,6 +2972,30 @@ object ManifestLake {
       case DataFileRe(v) => Some(v.toLong)
       case _ => None
     }
+
+  /** ROLL BACK the table to `version`'s state as a NEW commit (Delta's
+    * RESTORE): the old snapshot's entries — files, stats, deletion
+    * vectors, schema, blooms, CHECK constraints — are re-published as a
+    * base record at the head, so history is preserved (the bad commits
+    * remain time-travelable until vacuum) and readers of the current
+    * head switch atomically. Metadata-only: zero data IO — the restored
+    * files still exist because `version` is retained (a vacuumed
+    * version fails resolution by name). The STREAMING identity
+    * (appId/batchId) keeps the HEAD's watermark, never the restored
+    * version's: rolling the replay high-water mark back would re-admit
+    * an already-committed streaming batch — the one part of table state
+    * a rollback must not roll back. Incremental consumers see a base
+    * commit (re-bootstrap), like any overwrite. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val head = snapshot(spark, table, None)
+    if (head.version == version) return head.version // no-op
+    val old = snapshot(spark, table, Some(version))
+    commitLog(fs, p, full = true, adds = old.entries.map(_.line),
+      removes = Nil, Some(head.version), head.batchId, head.appId,
+      old.schema, Nil, old.bloomCols, old.bloomExpectedRows, old.checks)
+  }
 
   /** Delete manifests older than the last `keepLast` versions and any
     * data file no retained manifest references. Returns the number of

@@ -1404,6 +1404,78 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.fastCount(spark, t) shouldBe 800L
   }
 
+  test("updateMor vectors the old images and appends the new ones — no " +
+    "touched file rewritten, counts exact, CDC pairs served") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 2000).map(i => (i.toLong, i * 1.0)).toDF("id", "price"),
+      t, "id", nFiles = 4)
+    val before = dataFileSizes(t)
+    ManifestLake.updateMor(spark, t, col("id") <= 3L,
+      Seq("price" -> (col("price") * 100)), recordChangeFeed = true)
+    // every pre-update file is byte-identical; the post-images are a
+    // NEW file on top
+    val after = dataFileSizes(t)
+    before.foreach { case (f, sz) => after(f) shouldBe sz }
+    after.size shouldBe before.size + 1
+    // reads serve the update exactly
+    val got = ManifestLake.read(spark, t)
+    got.count() shouldBe 2000
+    got.filter(col("id") <= 3L).select("price").as[Double].collect()
+      .sorted shouldBe Seq(100.0, 200.0, 300.0)
+    ManifestLake.fastCount(spark, t) shouldBe 2000L
+    // assignments read the OLD row; NULL-predicate rows untouched
+    val feed = ManifestLake.changeFeed(spark, t, 1, 2)
+      .select("_change_type", "id", "price")
+      .as[(String, Long, Double)].collect().toSet
+    feed shouldBe Set(
+      ("update_preimage", 1L, 1.0), ("update_postimage", 1L, 100.0),
+      ("update_preimage", 2L, 2.0), ("update_postimage", 2L, 200.0),
+      ("update_preimage", 3L, 3.0), ("update_postimage", 3L, 300.0))
+    // a later CoW pass over the vectored file materializes: the old
+    // images stay gone
+    ManifestLake.update(spark, t, col("id") === 5L,
+      Seq("price" -> lit(555.0)))
+    ManifestLake.read(spark, t).count() shouldBe 2000
+    ManifestLake.read(spark, t).filter(col("id") === 1L)
+      .select("price").as[Double].head() shouldBe 100.0
+  }
+
+  test("restore rolls the table back to an old version as a new " +
+    "metadata-only commit, keeping the head's streaming watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.writeBatch(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, batchId = 7L, appId = "app")
+    ManifestLake.write(
+      (101 to 120).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    ManifestLake.delete(spark, t, col("id") <= 50L)
+    ManifestLake.read(spark, t).count() shouldBe 70
+    val v = ManifestLake.restore(spark, t, 1L)
+    v shouldBe 4L
+    ManifestLake.read(spark, t).count() shouldBe 100
+    // history preserved: the bad versions still time-travel
+    ManifestLake.read(spark, t, Some(3L)).count() shouldBe 70
+    // the head's streaming watermark survives the rollback: a replayed
+    // batch 7 is still recognized as committed
+    ManifestLake.snapshot(spark, t).batchId shouldBe Some(7L)
+    ManifestLake.writeBatch(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, batchId = 7L, appId = "app") shouldBe false
+    // restoring to the current head is a no-op
+    ManifestLake.restore(spark, t, 4L) shouldBe 4L
+    // SQL surface
+    LakeSql.register("restore_t", t)
+    val r = spark.sql(
+      "RESTORE TABLE graft_lake.restore_t TO VERSION AS OF 3").collect()
+    r.head.getLong(0) shouldBe 3L
+    ManifestLake.read(spark, t).count() shouldBe 70
+  }
+
   test("the DV read plan broadcast-hash-joins the vector and keeps " +
     "predicate pushdown to the scan") {
     import spark.implicits._
