@@ -736,7 +736,46 @@ object LakeQueries {
       |  MAX(l_extendedprice) AS max_price
       |FROM lineitem""".stripMargin
 
+  /** dv2_mor_update — merge-on-read UPDATE through the gate, purely
+    * from SQL: its own clustered lineitem copy takes an
+    * `UPDATE ... SET l_extendedprice = 1.0 WHERE l_orderkey % 1000 = 7`
+    * under `spark.graft.lake.dmlMode=mor` — the old images join the
+    * touched files' deletion vectors and the post-images land as a NEW
+    * appended file; NO pre-existing file is rewritten (`no_rewrite`
+    * rides in-row: every pre-update file is still in the snapshot) and
+    * COUNT(*) stays metadata-exact. Content-idempotent: the absolute
+    * assignment makes a repeat pass rewrite the same logical rows to
+    * the same values. The oracle re-derives the update with a CASE. */
+  def dv2MorUpdate(s: SparkSession, d: String): DataFrame = {
+    val table = memoClustered("dv2", d, "l_orderkey", nFiles = 16)(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    val preFiles = ManifestLake.snapshot(s, table).files.toSet
+    LakeSql.register("dv2_lineitem", table)
+    s.conf.set(LakeSql.DmlModeConf, "mor")
+    try s.sql(
+      """UPDATE graft_lake.dv2_lineitem SET l_extendedprice = 1.0
+        |WHERE l_orderkey % 1000 = 7""".stripMargin)
+    finally s.conf.unset(LakeSql.DmlModeConf)
+    val updated = ManifestLake.read(s, table)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val postFiles = ManifestLake.snapshot(s, table).files.toSet
+    val noRewrite = preFiles.subsetOf(postFiles)
+    val countExact = ManifestLake.fastCount(s, table) == updated.count()
+    updated
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("count_metadata_exact", lit(countExact))
+  }
+
+  val dv2Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_orderkey % 1000 = 7 THEN 1.0
+      |       ELSE l_extendedprice END AS l_extendedprice,
+      |  TRUE AS no_rewrite, TRUE AS count_metadata_exact
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dv2_mor_update" -> (dv2MorUpdate _),
     "lk13_stats_agg" -> (lk13StatsAgg _),
     "dv1_mor_delete" -> (dv1MorDelete _),
     "lk12_sql_merge_full" -> (lk12SqlMergeFull _),
@@ -757,6 +796,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "dv2_mor_update" -> dv2Oracle,
     "lk13_stats_agg" -> lk13Oracle,
     "dv1_mor_delete" -> dv1Oracle,
     "lk12_sql_merge_full" -> lk12Oracle,
