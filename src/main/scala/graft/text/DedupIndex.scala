@@ -94,12 +94,13 @@ object DedupIndex {
     * plan anyway). */
   private def probe(spark: SparkSession, table: String, keyCol: String,
                     keys: DataFrame, cfg: Config): DataFrame = {
-    val distinct = keys.distinct()
-    val n = distinct.limit(cfg.maxProbeKeys + 1).count()
-    if (n == 0) ManifestLake.read(spark, table).filter(lit(false))
-    else if (n <= cfg.maxProbeKeys)
-      ManifestLake.readIn(spark, table, keyCol,
-        distinct.collect().map(_.get(0)).toSeq)
+    // one job: collect up to the cap + 1 — the overflow row alone
+    // decides full-read, no separate count pass
+    val vals = keys.distinct().limit(cfg.maxProbeKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    if (vals.isEmpty) ManifestLake.read(spark, table).filter(lit(false))
+    else if (vals.size <= cfg.maxProbeKeys)
+      ManifestLake.readIn(spark, table, keyCol, vals)
     else ManifestLake.read(spark, table)
   }
 
