@@ -2066,6 +2066,39 @@ object ManifestLake {
     }
   }
 
+  /** Prune `entries` whose Hive partition-path value for `colName`
+    * provably falls outside `[lo, hi]` (either bound optional; numeric
+    * when both the path value and the bound parse, lexicographic for
+    * string bounds). Partition columns live in PATHS, not file stats —
+    * without this a `DELETE WHERE date = X` on a date-partitioned
+    * 100 TB table provenance-scans every file. Conservative by
+    * construction: an entry without the partition key, an
+    * escape-encoded segment (`%` — Hive path escaping would make raw
+    * comparison unsound in BOTH directions), or an unparseable value
+    * is always kept. Pruning the null partition on a bounded column is
+    * sound: DML predicates gate on TRUE, and NULL compares to nothing.
+    */
+  private[sources] def partitionPrune(entries: Seq[FileEntry],
+      colName: String, lo: Option[BigDecimal], hi: Option[BigDecimal],
+      strLo: Option[String], strHi: Option[String]): Seq[FileEntry] =
+    entries.filter { e =>
+      partitionValues(e.path).get(colName) match {
+        case None => true
+        case Some(v) if v.contains('%') => true
+        // the null partition: a bound on this column came from a
+        // TRUE-gated comparison, and NULL compares to nothing — rows
+        // here can never match the DML predicate
+        case Some("__HIVE_DEFAULT_PARTITION__") =>
+          lo.isEmpty && hi.isEmpty && strLo.isEmpty && strHi.isEmpty
+        case Some(v) =>
+          val numOk = scala.util.Try(BigDecimal(v)).toOption match {
+            case None => true
+            case Some(bv) => lo.forall(bv >= _) && hi.forall(bv <= _)
+          }
+          numOk && strLo.forall(v >= _) && strHi.forall(v <= _)
+      }
+    }
+
   private def predicateTouched(spark: SparkSession, table: String,
       snap: Snapshot, predicate: org.apache.spark.sql.Column,
       pruneRange: Option[(String, Double, Double)],
@@ -2076,15 +2109,28 @@ object ManifestLake {
     }
     val predExpr =
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate)
-    val numPruned = predicateBounds(predExpr)
+    val numBounds = predicateBounds(predExpr)
+    val strBounds = predicateStrBounds(predExpr)
+    val numPruned = numBounds
       .foldLeft(explicit) { case (entries, (c, lo, hi)) =>
         entries.filter(_.range(c).forall(r =>
           lo.forall(r.max >= _) && hi.forall(r.min <= _)))
       }
-    val candidates = predicateStrBounds(predExpr)
+    val statPruned = strBounds
       .foldLeft(numPruned) { case (entries, (c, lo, hi)) =>
         entries.filter(_.strRange(c).forall(r =>
           lo.forall(l => r.max.forall(_ >= l)) && hi.forall(r.min <= _)))
+      }
+    // partition-column bounds prune on the PATH values (partition
+    // columns never appear in file stats — they aren't in the files)
+    val partCols = partitionColsOf(snap).toSet
+    val candidates = (numBounds.map(b => (b._1, b._2, b._3, None: Option[String],
+        None: Option[String])) ++
+      strBounds.map(b => (b._1, None: Option[BigDecimal],
+        None: Option[BigDecimal], b._2, b._3)))
+      .filter(b => partCols(b._1))
+      .foldLeft(statPruned) { case (entries, (c, lo, hi, slo, shi)) =>
+        partitionPrune(entries, c, lo, hi, slo, shi)
       }
     if (verifyPrune && candidates.size < snap.entries.size) {
       val prunedOut = snap.entries.filterNot(e =>

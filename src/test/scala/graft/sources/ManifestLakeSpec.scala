@@ -1476,6 +1476,51 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, t).count() shouldBe 70
   }
 
+  test("DML predicates on partition columns prune candidates from the " +
+    "PATH values — conservative on escapes and unparseables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // unit-level: the pruning kernel itself
+    def e(p: String) = ManifestLake.FileEntry(p)
+    val entries = Seq(
+      e("date=20250101/v00000001-a-00000.parquet"),
+      e("date=20250102/v00000001-a-00001.parquet"),
+      e("date=__HIVE_DEFAULT_PARTITION__/v00000001-a-00002.parquet"),
+      e("date=a%20b/v00000001-a-00003.parquet"), // escaped: always kept
+      e("v00000001-a-00004.parquet"))            // unpartitioned: kept
+    ManifestLake.partitionPrune(entries, "date",
+      Some(BigDecimal(20250102)), Some(BigDecimal(20250102)), None, None)
+      .map(_.path) shouldBe Seq(
+        "date=20250102/v00000001-a-00001.parquet",
+        "date=a%20b/v00000001-a-00003.parquet",
+        "v00000001-a-00004.parquet")
+    // string bounds prune lexicographically (ISO dates sort)
+    ManifestLake.partitionPrune(entries, "date", None, None,
+      Some("20250102"), None).map(_.path) should contain
+        ("date=20250102/v00000001-a-00001.parquet")
+    // unrelated column: everything kept
+    ManifestLake.partitionPrune(entries, "other",
+      Some(BigDecimal(1)), Some(BigDecimal(1)), None, None) should
+      have size entries.size.toLong
+    // end to end: a partitioned DELETE touches only its partition's
+    // files; every other partition's files carry over verbatim
+    val t = freshTable()
+    ManifestLake.write(
+      (1 to 300).map(i => (i.toLong, s"d${i % 3}", s"p$i"))
+        .toDF("id", "part", "payload"),
+      t, partitionBy = Seq("part"))
+    val before = dataFileSizes(t)
+    ManifestLake.delete(spark, t, col("part") === "d1")
+    val after = dataFileSizes(t)
+    // files of d0/d2 are byte-identical and still present
+    before.filterNot(_._1.startsWith("part=d1")).foreach {
+      case (f, sz) => after(f) shouldBe sz
+    }
+    ManifestLake.read(spark, t).count() shouldBe 200
+    ManifestLake.read(spark, t).filter(col("part") === "d1")
+      .count() shouldBe 0
+  }
+
   test("the DV read plan broadcast-hash-joins the vector and keeps " +
     "predicate pushdown to the scan") {
     import spark.implicits._
