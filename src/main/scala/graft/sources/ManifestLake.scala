@@ -1094,21 +1094,28 @@ object ManifestLake {
      else writer).parquet(staging.toString)
     val staged = listParquetRec(fs, staging)
       .sortBy(src => relativize(staging, src))
-    val moved = staged.zipWithIndex.map { case (src, i) =>
-      val dir = relativize(staging, src.getParent)
-      val name = (if (dir.isEmpty) "" else dir + "/") +
-        f"v$next%08d-$attempt-$i%05d.parquet"
-      val dest = new Path(p, name)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(src, dest))
-        throw new IllegalStateException(s"failed to publish $name in $p")
+    val moved = staged.zipWithIndex.flatMap { case (src, i) =>
       // one footer-only metadata read per file: every stats column's
       // range AND the exact row count (what makes COUNT(*) answerable
       // from the manifest alone); no data pages touched. File SIZE
       // rides along so maintenance (binPack) never stats the table.
-      val (ranges, strRanges, rows) = footerMeta(conf, dest, statsCols)
-      FileEntry(name, ranges, Some(rows),
-        Some(fs.getFileStatus(dest).getLen), strRanges).line
+      val (ranges, strRanges, rows) = footerMeta(conf, src, statsCols)
+      // zero-row part files (empty write partitions, fully-deleted CoW
+      // survivors) never publish: an empty file in the manifest is pure
+      // listing/footer overhead on every future read
+      if (rows == 0L) None
+      else {
+        val dir = relativize(staging, src.getParent)
+        val name = (if (dir.isEmpty) "" else dir + "/") +
+          f"v$next%08d-$attempt-$i%05d.parquet"
+        val dest = new Path(p, name)
+        val bytes = fs.getFileStatus(src).getLen
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new IllegalStateException(s"failed to publish $name in $p")
+        Some(FileEntry(name, ranges, Some(rows), Some(bytes),
+          strRanges).line)
+      }
     }
     fs.delete(staging, true)
     moved
@@ -1983,22 +1990,29 @@ object ManifestLake {
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
     val snap = snapshot(spark, table, prev)
-    val touched =
-      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
-    if (touched.isEmpty) return snap.version // nothing matches: no-op
+    // ONE provenance scan over the stats/partition-pruned candidates
+    // finds the matched pairs AND the touched files (CoW DML needs the
+    // touched set before its survivor re-read; MOR's sidecar IS the
+    // pair set, so a second pass would be pure waste). DV-filtered, so
+    // already-deleted rows never re-enter a vector; TRUE-only predicate
+    // rows, matching SQL DELETE (NULL keeps the row).
+    val candidates = predicateCandidates(snap, predicate, pruneRange)
+    if (candidates.isEmpty) return snap.version
+    if (verifyPrune)
+      verifyPruneCovers(spark, table, snap, candidates, predicate, pruneRange)
     val next = snap.version + 1
-    // the matched pairs, DV-filtered (provenance scan) so already-
-    // deleted rows never re-enter a vector; TRUE-only predicate rows,
-    // matching SQL DELETE (NULL keeps the row). One sidecar file per
-    // commit — the scan stays wide, only the write is narrow (the MOR
-    // contract is small pair sets; bulk deletes belong to
-    // copy-on-write); per-file deleted counts land as dvrows= so
-    // fastCount stays metadata-only.
-    val matched = provenanceScan(spark, table, snap, touched)
-      .filter(predicate)
-    val (rewritten, _) = stageDvSidecar(spark, fs, p, next, touched,
+    val matched = graft.core.TransientCache.persist(
+      provenanceScan(spark, table, snap, candidates).filter(predicate))
+    // per-file NEW pair counts: the touched set, and (merged with the
+    // existing dvrows=) the metadata that keeps fastCount exact
+    val newCounts = matched.groupBy("__g_file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return snap.version // nothing matches: no-op
+    val touched = candidates.filter(e =>
+      newCounts.contains(e.path.split('/').last))
+    val rewritten = stageDvSidecar(spark, fs, p, next, touched,
       matched.select(col("__g_file").as("file_name"),
-        col("__g_ridx").as("row_index")))
+        col("__g_ridx").as("row_index")), newCounts)
     val changeFiles =
       if (!recordChangeFeed) Nil
       else stageChangeFiles(
@@ -2099,11 +2113,14 @@ object ManifestLake {
       }
     }
 
-  private def predicateTouched(spark: SparkSession, table: String,
-      snap: Snapshot, predicate: org.apache.spark.sql.Column,
-      pruneRange: Option[(String, Double, Double)],
-      verifyPrune: Boolean): Seq[FileEntry] = {
-    import org.apache.spark.sql.functions.col
+  /** The scan-free candidate set for a row-predicate DML: stats +
+    * string-stats + partition-path pruning from the predicate's simple
+    * conjuncts (intersected with the caller's optional over-
+    * approximating `pruneRange`). No data IO — narrowing to the files
+    * actually HOLDING a match is the caller's one provenance scan. */
+  private def predicateCandidates(snap: Snapshot,
+      predicate: org.apache.spark.sql.Column,
+      pruneRange: Option[(String, Double, Double)]): Seq[FileEntry] = {
     val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
       rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
     }
@@ -2124,7 +2141,7 @@ object ManifestLake {
     // partition-column bounds prune on the PATH values (partition
     // columns never appear in file stats — they aren't in the files)
     val partCols = partitionColsOf(snap).toSet
-    val candidates = (numBounds.map(b => (b._1, b._2, b._3, None: Option[String],
+    (numBounds.map(b => (b._1, b._2, b._3, None: Option[String],
         None: Option[String])) ++
       strBounds.map(b => (b._1, None: Option[BigDecimal],
         None: Option[BigDecimal], b._2, b._3)))
@@ -2132,7 +2149,16 @@ object ManifestLake {
       .foldLeft(statPruned) { case (entries, (c, lo, hi, slo, shi)) =>
         partitionPrune(entries, c, lo, hi, slo, shi)
       }
-    if (verifyPrune && candidates.size < snap.entries.size) {
+  }
+
+  /** `verifyPrune` support: scan the pruned-out complement and abort if
+    * a match lives there — an under-covering caller range would
+    * otherwise silently exempt those rows from the DML. */
+  private def verifyPruneCovers(spark: SparkSession, table: String,
+      snap: Snapshot, candidates: Seq[FileEntry],
+      predicate: org.apache.spark.sql.Column,
+      pruneRange: Option[(String, Double, Double)]): Unit =
+    if (candidates.size < snap.entries.size) {
       val prunedOut = snap.entries.filterNot(e =>
         candidates.exists(_.path == e.path))
       val leaked = readSnapshotFiles(spark, table, snap, prunedOut.map(_.path))
@@ -2143,6 +2169,15 @@ object ManifestLake {
           "silently exempted from the DML. Widen the range (it must " +
           "over-approximate the predicate's support on the stats column).")
     }
+
+  private def predicateTouched(spark: SparkSession, table: String,
+      snap: Snapshot, predicate: org.apache.spark.sql.Column,
+      pruneRange: Option[(String, Double, Double)],
+      verifyPrune: Boolean): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.col
+    val candidates = predicateCandidates(snap, predicate, pruneRange)
+    if (verifyPrune)
+      verifyPruneCovers(spark, table, snap, candidates, predicate, pruneRange)
     // provenance scan is DV-FILTERED: a file whose only matching rows
     // are already deletion-vectored holds nothing left to delete or
     // update, so it must not be rewritten
@@ -2303,13 +2338,22 @@ object ManifestLake {
     require(dup.isEmpty,
       s"update assigns [${dup.mkString(", ")}] more than once — SQL " +
         "UPDATE requires each target column at most once")
-    val touched =
-      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
-    if (touched.isEmpty) return snap.version // nothing matches: no-op
+    // ONE provenance scan finds matched pairs + touched files, as in
+    // deleteMor
+    val candidates = predicateCandidates(snap, predicate, pruneRange)
+    if (candidates.isEmpty) return snap.version
+    if (verifyPrune)
+      verifyPruneCovers(spark, table, snap, candidates, predicate, pruneRange)
     val assignMap = canonical.toMap
     val next = snap.version + 1
     val hit = coalesce(predicate, lit(false))
-    val matched = provenanceScan(spark, table, snap, touched).filter(hit)
+    val matched = graft.core.TransientCache.persist(
+      provenanceScan(spark, table, snap, candidates).filter(hit))
+    val newCounts = matched.groupBy("__g_file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return snap.version // nothing matches: no-op
+    val touched = candidates.filter(e =>
+      newCounts.contains(e.path.split('/').last))
     // post-update images: every assignment reads the OLD row
     def postImages(df: DataFrame) = df.select(schema.fields.toSeq.map { f =>
       assignMap.get(f.name) match {
@@ -2319,10 +2363,9 @@ object ManifestLake {
     }: _*)
     // the old images join the deletion vectors (cumulative, as in
     // deleteMor)
-    val (rewritten, anyDeleted) = stageDvSidecar(spark, fs, p, next, touched,
+    val rewritten = stageDvSidecar(spark, fs, p, next, touched,
       matched.select(col("__g_file").as("file_name"),
-        col("__g_ridx").as("row_index")))
-    if (!anyDeleted) return snap.version // already-vectored rows only
+        col("__g_ridx").as("row_index")), newCounts)
     // the new images land as ordinary appended files with stats + blooms
     val parts = if (partitionBy.nonEmpty) partitionBy
       else partitionColsOf(snap)
@@ -2352,13 +2395,15 @@ object ManifestLake {
   /** Stage a commit's cumulative deletion-vector sidecar for `touched`
     * entries from the newly matched `pairs` (file_name, row_index):
     * unions the touched files' existing vectors, writes ONE sidecar
-    * file, and returns the entries re-annotated with `dv=`/`dvrows=`
-    * plus whether any NEW pair was actually vectored (false ⇒ the
-    * caller's match set was entirely already-deleted rows and the
-    * commit should no-op). */
+    * file, and returns the entries re-annotated with `dv=`/`dvrows=`.
+    * `newCounts` (per-file count of the NEW pairs, which the caller
+    * already collected to derive the touched set) merges with the
+    * existing `dvrows=` — the new pairs are provenance-scanned against
+    * the old vectors, so the sets are disjoint and the sums exact with
+    * no sidecar read-back. */
   private def stageDvSidecar(spark: SparkSession, fs: FileSystem, p: Path,
-      next: Long, touched: Seq[FileEntry], pairs: DataFrame)
-      : (Seq[FileEntry], Boolean) = {
+      next: Long, touched: Seq[FileEntry], pairs: DataFrame,
+      newCounts: Map[String, Long]): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.col
     val touchedNames = touched.map(_.path.split('/').last).toSet
     val oldPairs = touched.flatMap(_.dv).distinct match {
@@ -2379,17 +2424,11 @@ object ManifestLake {
     if (!fs.rename(stagedParts.head, new Path(p, dvRel)))
       throw new IllegalStateException(s"failed to publish $dvRel in $p")
     fs.delete(staging, true)
-    val perFile = spark.read.parquet(new Path(p, dvRel).toString)
-      .groupBy("file_name").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rewritten = touched.map { e =>
+    touched.map { e =>
       val name = e.path.split('/').last
-      e.copy(dv = Some(dvRel), dvRows = Some(perFile.getOrElse(name, 0L)))
+      e.copy(dv = Some(dvRel),
+        dvRows = Some(e.dvRows.getOrElse(0L) + newCounts.getOrElse(name, 0L)))
     }
-    val grew = touched.exists { e =>
-      perFile.getOrElse(e.path.split('/').last, 0L) > e.dvRows.getOrElse(0L)
-    }
-    (rewritten, grew)
   }
 
   /** Every requested column's range PLUS the file's exact row count,
