@@ -41,6 +41,12 @@ object LakeMaintenanceSql {
   private val RestoreRe =
     ("(?is)^\\s*RESTORE\\s+TABLE\\s+" + Name +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val CreateRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + Name +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val DropRe =
+    ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" + Name +
+      "\\s*;?\\s*$").r
 
   private def resolve(name: String): String =
     LakeSql.pathOf(name).getOrElse(throw new IllegalArgumentException(
@@ -61,6 +67,12 @@ object LakeMaintenanceSql {
         Some(GraftDescribeHistoryCommand(resolve(name)))
       case RestoreRe(name, v) =>
         Some(GraftRestoreCommand(resolve(name), v.toLong))
+      case CreateRe(replace, name, partCols, query) =>
+        val parts = Option(partCols).toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        Some(GraftCreateTableCommand(name, replace != null, parts, query))
+      case DropRe(ifExists, name) =>
+        Some(GraftDropTableCommand(name, ifExists != null))
       case _ => None
     }
 
@@ -123,6 +135,76 @@ object LakeMaintenanceSql {
       AttributeReference("new_version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(version, ManifestLake.restore(spark, table, version)))
+  }
+
+  /** Where CTAS-created (managed) tables live:
+    * `<warehouse>/<table name>`. CTAS without it is a named error —
+    * there is no sane default path to silently invent. */
+  val WarehouseConf = "spark.graft.lake.warehouse"
+
+  /** `CREATE [OR REPLACE] TABLE graft_lake.x [PARTITIONED BY (...)]
+    * AS <query>` — the SQL-only way to MAKE a lake table: runs the
+    * query, commits it under the session warehouse (or, for OR REPLACE
+    * of a registered name, as an overwrite at its EXISTING path — the
+    * replacement is a new version, so time travel reaches through it),
+    * and registers the name. The query text is re-parsed by the
+    * session at run time, so any SELECT the engine supports works
+    * (including over other lake tables). Plain CREATE on an existing
+    * name raises by name. */
+  final case class GraftCreateTableCommand(name: String, replace: Boolean,
+      partitionBy: Seq[String], query: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val existing = LakeSql.pathOf(name)
+      if (existing.nonEmpty && !replace)
+        throw new IllegalArgumentException(
+          s"graft_lake.$name already exists — use CREATE OR REPLACE " +
+            "TABLE to overwrite it (the replacement commits as a new " +
+            "version; history stays time-travelable).")
+      val path = existing.getOrElse {
+        val wh = spark.conf.getOption(WarehouseConf).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TABLE graft_lake.$name needs $WarehouseConf set — " +
+              "managed lake tables land under the warehouse directory."))
+        s"${wh.stripSuffix("/")}/$name"
+      }
+      val v = ManifestLake.write(spark.sql(query), path, append = false,
+        partitionBy = partitionBy)
+      LakeSql.register(name, path)
+      Seq(Row(name, path, v))
+    }
+  }
+
+  /** `DROP TABLE [IF EXISTS] graft_lake.x` — unregisters the name;
+    * managed tables (under the session warehouse) are deleted from
+    * disk, externally registered paths are left untouched (the
+    * external-table contract). */
+  final case class GraftDropTableCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("dropped", StringType, nullable = false)(),
+      AttributeReference("deleted_data", org.apache.spark.sql.types
+        .BooleanType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      LakeSql.pathOf(name) match {
+        case None if ifExists => Seq.empty
+        case None => throw new IllegalArgumentException(
+          s"graft_lake.$name is not registered — nothing to drop")
+        case Some(path) =>
+          LakeSql.unregister(name)
+          val managed = spark.conf.getOption(WarehouseConf).exists(wh =>
+            path.startsWith(wh.stripSuffix("/") + "/"))
+          if (managed) {
+            val p = new org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true): Unit
+          }
+          Seq(Row(name, managed))
+      }
   }
 
   /** The delegating parser ([[graft.plans.GraftExtensions]] injects it):

@@ -774,7 +774,34 @@ object LakeQueries {
       |  TRUE AS no_rewrite, TRUE AS count_metadata_exact
       |FROM lineitem""".stripMargin
 
+  /** lk14_ctas — a lake table CREATED purely from SQL: the session
+    * warehouse points at a memoized temp dir, `CREATE OR REPLACE TABLE
+    * ... AS SELECT` derives a projection + filter of customer, and the
+    * gate reads it back through SQL. OR REPLACE makes repeat passes
+    * content-idempotent (each run overwrites as a new version of the
+    * SAME managed table — time travel reaches the earlier runs). */
+  def lk14Ctas(s: SparkSession, d: String): DataFrame = {
+    val wh = builtTables.computeIfAbsent(s"lk14:$d", _ =>
+      java.nio.file.Files.createTempDirectory("graft-lake-lk14").toString)
+    s.conf.set(LakeMaintenanceSql.WarehouseConf, wh)
+    try {
+      Tables.customer(s, d).createOrReplaceTempView("lk14_src")
+      s.sql(
+        """CREATE OR REPLACE TABLE graft_lake.lk14_rich AS
+          |SELECT c_custkey, c_name, c_acctbal FROM lk14_src
+          |WHERE c_acctbal > 5000.0""".stripMargin).collect()
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal
+          |FROM graft_lake.lk14_rich""".stripMargin)
+    } finally s.conf.unset(LakeMaintenanceSql.WarehouseConf)
+  }
+
+  val lk14Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > 5000.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk14_ctas" -> (lk14Ctas _),
     "dv2_mor_update" -> (dv2MorUpdate _),
     "lk13_stats_agg" -> (lk13StatsAgg _),
     "dv1_mor_delete" -> (dv1MorDelete _),
@@ -796,6 +823,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk14_ctas" -> lk14Oracle,
     "dv2_mor_update" -> dv2Oracle,
     "lk13_stats_agg" -> lk13Oracle,
     "dv1_mor_delete" -> dv1Oracle,

@@ -58,6 +58,10 @@ object LakeSql {
   def pathOf(name: String): Option[String] =
     Option(tables.get(name.toLowerCase(java.util.Locale.ROOT)))
 
+  /** Remove `name` from the registry (SQL `DROP TABLE`'s seam). */
+  def unregister(name: String): Unit =
+    tables.remove(name.toLowerCase(java.util.Locale.ROOT)): Unit
+
   /** The registered lake path an ALTER command's `UnresolvedTable`
     * child refers to. */
   private def lakeAlterTarget(plan: LogicalPlan): Option[String] = plan match {

@@ -73,6 +73,60 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with Matchers
     ManifestLake.read(spark, t).count() shouldBe 20
   }
 
+  test("CREATE TABLE AS SELECT makes a managed lake table under the " +
+    "warehouse; OR REPLACE overwrites as a new version; DROP TABLE " +
+    "deletes managed data but leaves external paths") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set(LakeMaintenanceSql.WarehouseConf, wh)
+    try {
+      (1 to 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+        .createOrReplaceTempView("ctas_src")
+      val r = spark.sql(
+        """CREATE TABLE graft_lake.ctas1 AS
+          |SELECT id, name FROM ctas_src WHERE id <= 30""".stripMargin)
+        .collect()
+      r.head.getString(1) shouldBe s"$wh/ctas1"
+      spark.sql("SELECT COUNT(*) FROM graft_lake.ctas1")
+        .collect().head.getLong(0) shouldBe 30L
+      // plain CREATE on an existing name raises by name
+      intercept[IllegalArgumentException] {
+        spark.sql("CREATE TABLE graft_lake.ctas1 AS SELECT * FROM ctas_src")
+      }.getMessage should include("already exists")
+      // OR REPLACE overwrites AT THE SAME PATH as a new version:
+      // history reaches through
+      spark.sql(
+        """CREATE OR REPLACE TABLE graft_lake.ctas1 AS
+          |SELECT id, name FROM ctas_src""".stripMargin).collect()
+      ManifestLake.read(spark, s"$wh/ctas1").count() shouldBe 50
+      ManifestLake.read(spark, s"$wh/ctas1", Some(1L)).count() shouldBe 30
+      // partitioned CTAS lays out Hive dirs the manifest prunes on
+      spark.sql(
+        """CREATE TABLE graft_lake.ctas2 PARTITIONED BY (part) AS
+          |SELECT id, id % 3 AS part FROM ctas_src""".stripMargin).collect()
+      ManifestLake.readPruned(spark, s"$wh/ctas2", Map("part" -> "1"))
+        .count() shouldBe 17
+      // DROP deletes managed data
+      spark.sql("DROP TABLE graft_lake.ctas2").collect()
+        .head.getBoolean(1) shouldBe true
+      new java.io.File(s"$wh/ctas2").exists() shouldBe false
+      LakeSql.pathOf("ctas2") shouldBe None
+      // external path: registered outside the warehouse — DROP only
+      // unregisters
+      val ext = freshTable()
+      ManifestLake.write(Seq((1L, "x")).toDF("id", "name"), ext)
+      LakeSql.register("ctas_ext", ext)
+      spark.sql("DROP TABLE graft_lake.ctas_ext").collect()
+        .head.getBoolean(1) shouldBe false
+      ManifestLake.read(spark, ext).count() shouldBe 1
+      // IF EXISTS tolerates a missing name; bare DROP raises
+      spark.sql("DROP TABLE IF EXISTS graft_lake.never_was").collect()
+      intercept[IllegalArgumentException] {
+        spark.sql("DROP TABLE graft_lake.never_was")
+      }.getMessage should include("not registered")
+    } finally spark.conf.unset(LakeMaintenanceSql.WarehouseConf)
+  }
+
   test("unregistered names fail by name at parse; ordinary SQL falls " +
     "through untouched") {
     intercept[IllegalArgumentException] {
