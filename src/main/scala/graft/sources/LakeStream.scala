@@ -159,7 +159,7 @@ final class LakeSource(spark: SparkSession, table: String,
     val from = start.map(versionOf).getOrElse(boundary)
     val to = versionOf(end)
     if (readChangeFeed) return getChangeBatch(from, to)
-    val files = ManifestLake.changesBetween(spark, table, from, to)
+    val entries = ManifestLake.changesBetween(spark, table, from, to)
       .flatMap { ch =>
         // maintenance commits (compaction/bin-packing) are NET-ZERO row
         // changes by contract: skip them entirely — neither an error
@@ -177,18 +177,19 @@ final class LakeSource(spark: SparkSession, table: String,
                 " — not incrementally streamable. Set ignoreChanges=true " +
                 "to emit its added files (rows of rewritten files will " +
                 "re-emit), or stream from a version past it.")
-          ch.added.map(_.path)
+          ch.added
         }
       }
-    if (files.isEmpty) StreamBridge.emptyStreaming(spark, schema)
-    else {
-      val base = new org.apache.hadoop.fs.Path(table)
+    if (entries.isEmpty) StreamBridge.emptyStreaming(spark, schema)
+    else
+      // entry-level read honors dv= annotations: an ignoreChanges
+      // re-emission of a deletion-vectored file serves only its LIVE
+      // rows, never the just-deleted ones. The sidecar scan stays a
+      // STATIC leaf — the anti-join is then a legal stream-static join.
       StreamBridge.asStreaming(
-        spark.read.option("basePath", table).schema(schema)
-          .parquet(files.map(f =>
-            new org.apache.hadoop.fs.Path(base, f).toString): _*)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
-    }
+        ManifestLake.readEntries(spark, table, Some(schema), entries)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*),
+        keepStatic = StreamBridge.underDir("_dv"))
   }
 
   /** The CDC batch for `(from, to]`: recorded change files scan

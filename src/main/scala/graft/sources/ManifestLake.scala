@@ -669,9 +669,23 @@ object ManifestLake {
           .filter(org.apache.spark.sql.functions.lit(false))
     }
     val entryOf = snap.entries.map(e => e.path -> e).toMap
-    val (dvd, plain) = keep.partition(f => entryOf.get(f).exists(_.dv.nonEmpty))
+    readEntries(spark, table, snap.schema,
+      keep.map(f => entryOf.getOrElse(f, FileEntry(f))))
+  }
+
+  /** DV-aware read of explicit manifest entries under a declared
+    * schema — the shared read kernel: [[readSnapshotFiles]] resolves
+    * entries from a snapshot, the streaming source passes a commit's
+    * own `added` entries (whose `dv=` annotations it must honor — an
+    * `ignoreChanges` re-emission of a vectored file serves only its
+    * LIVE rows). */
+  private[sources] def readEntries(spark: SparkSession, table: String,
+                                   schema: Option[StructType],
+                                   entries: Seq[FileEntry]): DataFrame = {
+    val (dvd, plain) = entries.partition(_.dv.nonEmpty)
     val plainDF =
-      if (plain.isEmpty) None else Some(rawRead(spark, table, snap, plain))
+      if (plain.isEmpty) None
+      else Some(rawRead(spark, table, schema, plain.map(_.path)))
     // Files with a deletion vector anti-join their deleted
     // (file_name, row_index) pairs — an equi BroadcastHashJoin (DVs are
     // small by the MOR contract), fully codegen'd, and filters on data
@@ -682,9 +696,9 @@ object ManifestLake {
       case Nil => None
       case files =>
         import org.apache.spark.sql.functions.{broadcast, col}
-        val df = rawRead(spark, table, snap, files)
+        val df = rawRead(spark, table, schema, files.map(_.path))
         val dataCols = df.columns.toSeq
-        val dvPaths = files.flatMap(f => entryOf(f).dv).distinct
+        val dvPaths = files.flatMap(_.dv).distinct
         val deleted = spark.read.parquet(
           dvPaths.map(d => new Path(new Path(table), d).toString): _*)
           .select(col("file_name").as("__dv_file"),
@@ -706,12 +720,13 @@ object ManifestLake {
   }
 
   /** The raw (no DV applied) multi-file parquet read of snapshot
-    * files — basePath for Hive partition reconstruction, the recorded
+    * files — basePath for Hive partition reconstruction, the declared
     * schema for consistent mixed-schema serving. */
-  private def rawRead(spark: SparkSession, table: String, snap: Snapshot,
+  private def rawRead(spark: SparkSession, table: String,
+                      schema: Option[StructType],
                       keep: Seq[String]): DataFrame = {
     val base = new Path(table)
-    val reader = snap.schema.foldLeft(
+    val reader = schema.foldLeft(
       spark.read.option("basePath", table))((r, sc) => r.schema(sc))
     reader.parquet(keep.map(f => new Path(base, f).toString): _*)
   }
@@ -726,7 +741,7 @@ object ManifestLake {
                              snap: Snapshot,
                              entries: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val df = rawRead(spark, table, snap, entries.map(_.path))
+    val df = rawRead(spark, table, snap.schema, entries.map(_.path))
       .withColumn("__g_file", col("_metadata.file_name"))
       .withColumn("__g_ridx", col("_metadata.row_index"))
     val dvPaths = entries.flatMap(_.dv).distinct

@@ -19,13 +19,29 @@ import org.apache.spark.sql.types.StructType
 object StreamBridge {
 
   /** `df` with every leaf file relation re-marked as streaming — the
-    * shape `MicroBatchExecution` requires of a v1 source batch. */
-  def asStreaming(df: DataFrame): DataFrame = {
+    * shape `MicroBatchExecution` requires of a v1 source batch.
+    * `keepStatic` exempts leaves that must stay BATCH sides of the
+    * plan: a deletion-vector sidecar scan anti-joined against the data
+    * is a legal stream-STATIC join, but flipping it too would make the
+    * join stream-stream, which rejects LeftAnti. */
+  def asStreaming(df: DataFrame,
+                  keepStatic: LogicalRelation => Boolean = _ => false)
+      : DataFrame = {
     val plan = PlanBridge.analyzedPlan(df).transform {
-      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case lr: LogicalRelation if !keepStatic(lr) =>
+        lr.copy(isStreaming = true)
     }
     PlanBridge.ofRows(df.sparkSession, plan)
   }
+
+  /** `keepStatic` predicate matching file relations rooted under the
+    * given marker directory name (e.g. the lake's `_dv` sidecars). */
+  def underDir(marker: String): LogicalRelation => Boolean = lr =>
+    lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toString.contains(s"/$marker/"))
+      case _ => false
+    }
 
   /** An empty streaming frame of `schema`, for a version range that
     * added no files. */

@@ -265,4 +265,18 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
       Map("ignoreChanges" -> "true", "startingVersion" -> "3")) shouldBe
       (100L to 110L).toSet
   }
+
+  test("an ignoreChanges re-emission of a deletion-vectored file serves " +
+    "only its LIVE rows") {
+    val t = freshDir("graft-lstream") + "/t"
+    ManifestLake.write(rows(1 to 20).coalesce(1), t)
+    // v2: MOR delete — same file re-added with a dv= annotation
+    ManifestLake.deleteMor(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 5)
+    // the batch covering ONLY the DV commit re-emits the file's live
+    // rows — the deleted five never appear
+    runStream(t, freshDir("ck"),
+      Map("ignoreChanges" -> "true", "startingVersion" -> "2")) shouldBe
+      (6L to 20L).toSet
+  }
 }
