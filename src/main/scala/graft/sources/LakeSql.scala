@@ -299,8 +299,12 @@ object LakeSql {
         case DoubleType => Some(bd.toDouble)
         case FloatType => Some(bd.toFloat)
         case d: DecimalType =>
-          Some(bd.bigDecimal.setScale(d.scale,
-            java.math.RoundingMode.UNNECESSARY))
+          // recorded decimal stats carry the column scale (footerMeta
+          // decodes the logical type); anything that can't rescale
+          // losslessly declines to the scan rather than throwing out
+          // of an analyzer rule
+          scala.util.Try(bd.bigDecimal.setScale(d.scale,
+            java.math.RoundingMode.UNNECESSARY)).toOption
         case _ => None
       }
       val values = aggs.map {
@@ -446,7 +450,12 @@ object LakeSql {
             val srcQuals = srcQualifiersOf(m.sourceTable) ++
               srcQualifiersOf(src)
             val root = java.util.Locale.ROOT
-            val tgtCols = ManifestLake.read(spark, path).schema
+            // column NAMES only: the recorded snapshot schema answers
+            // without constructing a parquet relation (whose file index
+            // lists every snapshot file during analysis); legacy
+            // schema-less tables fall back to the relation read
+            val tgtCols = ManifestLake.snapshot(spark, path).schema
+              .getOrElse(ManifestLake.read(spark, path).schema)
               .fieldNames.map(_.toLowerCase(root)).toSet
             val srcCols = src.output.map(_.name.toLowerCase(root)).toSet
             def rw(e: Expression): org.apache.spark.sql.Column =

@@ -189,7 +189,7 @@ final class LakeSource(spark: SparkSession, table: String,
       StreamBridge.asStreaming(
         ManifestLake.readEntries(spark, table, Some(schema), entries)
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*),
-        keepStatic = StreamBridge.underDir("_dv"))
+        keepStatic = StreamBridge.underDir(table, "_dv"))
   }
 
   /** The CDC batch for `(from, to]`: recorded change files scan

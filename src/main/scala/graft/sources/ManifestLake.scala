@@ -695,20 +695,12 @@ object ManifestLake {
     val dvDF = dvd match {
       case Nil => None
       case files =>
-        import org.apache.spark.sql.functions.{broadcast, col}
+        import org.apache.spark.sql.functions.col
         val df = rawRead(spark, table, schema, files.map(_.path))
         val dataCols = df.columns.toSeq
-        val dvPaths = files.flatMap(_.dv).distinct
-        val deleted = spark.read.parquet(
-          dvPaths.map(d => new Path(new Path(table), d).toString): _*)
-          .select(col("file_name").as("__dv_file"),
-            col("row_index").as("__dv_ridx"))
-        Some(df
-          .withColumn("__g_file", col("_metadata.file_name"))
-          .withColumn("__g_ridx", col("_metadata.row_index"))
-          .join(broadcast(deleted),
-            col("__g_file") === col("__dv_file") &&
-              col("__g_ridx") === col("__dv_ridx"), "left_anti")
+        Some(dvAntiJoin(spark, table, files.flatMap(_.dv).distinct,
+          df.withColumn("__g_file", col("_metadata.file_name"))
+            .withColumn("__g_ridx", col("_metadata.row_index")))
           .select(dataCols.map(col): _*))
     }
     (plainDF, dvDF) match {
@@ -716,6 +708,27 @@ object ManifestLake {
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Anti-join a provenance-carrying frame (`__g_file`/`__g_ridx`)
+    * against the deleted pairs in `dvPaths` — THE deletion-vector
+    * filter, shared by [[readEntries]] and [[provenanceScan]] so the
+    * join key contract (unique staged basenames + row index) lives in
+    * one place. An equi BroadcastHashJoin: DVs are small by the MOR
+    * contract, and data-column filters push through the left side. */
+  private def dvAntiJoin(spark: SparkSession, table: String,
+                         dvPaths: Seq[String], df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (dvPaths.isEmpty) df
+    else {
+      val deleted = spark.read.parquet(
+        dvPaths.map(d => new Path(new Path(table), d).toString): _*)
+        .select(col("file_name").as("__dv_file"),
+          col("row_index").as("__dv_ridx"))
+      df.join(broadcast(deleted),
+        col("__g_file") === col("__dv_file") &&
+          col("__g_ridx") === col("__dv_ridx"), "left_anti")
     }
   }
 
@@ -740,21 +753,11 @@ object ManifestLake {
   private def provenanceScan(spark: SparkSession, table: String,
                              snap: Snapshot,
                              entries: Seq[FileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val df = rawRead(spark, table, snap.schema, entries.map(_.path))
-      .withColumn("__g_file", col("_metadata.file_name"))
-      .withColumn("__g_ridx", col("_metadata.row_index"))
-    val dvPaths = entries.flatMap(_.dv).distinct
-    if (dvPaths.isEmpty) df
-    else {
-      val deleted = spark.read.parquet(
-        dvPaths.map(d => new Path(new Path(table), d).toString): _*)
-        .select(col("file_name").as("__dv_file"),
-          col("row_index").as("__dv_ridx"))
-      df.join(broadcast(deleted),
-        col("__g_file") === col("__dv_file") &&
-          col("__g_ridx") === col("__dv_ridx"), "left_anti")
-    }
+    import org.apache.spark.sql.functions.col
+    dvAntiJoin(spark, table, entries.flatMap(_.dv).distinct,
+      rawRead(spark, table, snap.schema, entries.map(_.path))
+        .withColumn("__g_file", col("_metadata.file_name"))
+        .withColumn("__g_ridx", col("_metadata.row_index")))
   }
 
   /** Publish a log record as the next version. Atomic: the record is
@@ -1034,10 +1037,11 @@ object ManifestLake {
     var checksToRecord = checks0
     var batch = batch0
     var app = app0
+    var staged = moved
     val validated = scala.collection.mutable.Set(validated0: _*)
     var attempt = 0
     while (true) {
-      try return commitLog(fs, p, full = false, adds = moved,
+      try return commitLog(fs, p, full = false, adds = staged,
         removes = Nil, basePrev, batch, app, Some(schemaToRecord),
         bloomCols = blooms, bloomExpectedRows = bloomRows,
         checks = checksToRecord, maintenance = maintenance)
@@ -1046,6 +1050,33 @@ object ManifestLake {
         if (attempt > MaxCommitRebases) throw e
         if (callerBatchId.nonEmpty || callerAppId.nonEmpty) throw e
         val head = currentVersion(spark, table).getOrElse(throw e)
+        // RE-VERSION the staged files (and their bloom sidecars) to the
+        // new target version FIRST: vacuum's in-flight-writer protection
+        // keys on a data file's embedded version being at or ahead of
+        // the newest retained manifest, so files left at the LOST
+        // version would look dead to a concurrent vacuum and the
+        // rebased commit would publish dangling references.
+        val newNext = head + 1
+        staged = staged.map { line =>
+          val entry = FileEntry.parse(line)
+          val segs = entry.path.split('/')
+          val newBase =
+            segs.last.replaceFirst("^v\\d{8,}", f"v$newNext%08d")
+          val newPath = (segs.init :+ newBase).mkString("/")
+          if (newPath == entry.path) line
+          else {
+            if (!fs.rename(new Path(p, entry.path), new Path(p, newPath)))
+              throw new IllegalStateException(
+                s"rebase failed to re-version staged file ${entry.path}")
+            (blooms0 ++ blooms).distinct.foreach { c =>
+              val oldSidecar = new Path(p, s"$BloomsDir/${entry.path}.$c.bloom")
+              if (fs.exists(oldSidecar))
+                fs.rename(oldSidecar,
+                  new Path(p, s"$BloomsDir/$newPath.$c.bloom")): Unit
+            }
+            entry.copy(path = newPath).line
+          }
+        }
         val winner = snapshot(spark, table, Some(head))
         val wLayout = partitionColsOf(winner)
         if (winner.entries.nonEmpty && wLayout != partitionBy)
@@ -1066,7 +1097,7 @@ object ManifestLake {
         // (a violation deletes them and raises — nothing half-lands)
         val newChecks = winner.checks.filterNot(validated)
         if (validateChecks && newChecks.nonEmpty) {
-          validateStagedChecks(spark, fs, p, moved, newChecks, table,
+          validateStagedChecks(spark, fs, p, staged, newChecks, table,
             "append (rebased over a concurrent commit)")
           validated ++= newChecks
         }
@@ -1079,7 +1110,7 @@ object ManifestLake {
         if (callerBloomCols.isEmpty && winner.bloomCols != blooms) {
           blooms = winner.bloomCols
           bloomRows = winner.bloomExpectedRows
-          stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+          stageBloomSidecars(spark, fs, p, staged.map(FileEntry.parse),
             blooms, bloomRows)
         }
         batch = winner.batchId
@@ -2096,20 +2127,28 @@ object ManifestLake {
   }
 
   /** Prune `entries` whose Hive partition-path value for `colName`
-    * provably falls outside `[lo, hi]` (either bound optional; numeric
-    * when both the path value and the bound parse, lexicographic for
-    * string bounds). Partition columns live in PATHS, not file stats —
-    * without this a `DELETE WHERE date = X` on a date-partitioned
-    * 100 TB table provenance-scans every file. Conservative by
-    * construction: an entry without the partition key, an
-    * escape-encoded segment (`%` — Hive path escaping would make raw
-    * comparison unsound in BOTH directions), or an unparseable value
-    * is always kept. Pruning the null partition on a bounded column is
-    * sound: DML predicates gate on TRUE, and NULL compares to nothing.
-    */
+    * provably falls outside `[lo, hi]` (either bound optional).
+    * Partition columns live in PATHS, not file stats — without this a
+    * `DELETE WHERE date = X` on a date-partitioned 100 TB table
+    * provenance-scans every file. TYPE-GATED on the recorded schema:
+    * numeric bounds apply only to numeric-typed columns (a string
+    * column's "05" and a numeric bound 5 must not meet), string bounds
+    * only to StringType columns with ASCII value AND bounds (where
+    * path byte order and JVM string order provably agree — the
+    * [[StrRange]] argument); an unknown column type keeps everything.
+    * Also conservative on: a missing partition key, an escape-encoded
+    * segment (`%` — Hive path escaping makes raw comparison unsound in
+    * BOTH directions), and unparseable numerics. Pruning the null
+    * partition on a bounded column is sound: DML predicates gate on
+    * TRUE, and NULL compares to nothing. */
   private[sources] def partitionPrune(entries: Seq[FileEntry],
-      colName: String, lo: Option[BigDecimal], hi: Option[BigDecimal],
-      strLo: Option[String], strHi: Option[String]): Seq[FileEntry] =
+      colName: String, dataType: Option[DataType],
+      lo: Option[BigDecimal], hi: Option[BigDecimal],
+      strLo: Option[String], strHi: Option[String]): Seq[FileEntry] = {
+    val numericCol = dataType.exists(
+      _.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val stringCol = dataType.exists(
+      _.isInstanceOf[org.apache.spark.sql.types.StringType])
     entries.filter { e =>
       partitionValues(e.path).get(colName) match {
         case None => true
@@ -2120,13 +2159,18 @@ object ManifestLake {
         case Some("__HIVE_DEFAULT_PARTITION__") =>
           lo.isEmpty && hi.isEmpty && strLo.isEmpty && strHi.isEmpty
         case Some(v) =>
-          val numOk = scala.util.Try(BigDecimal(v)).toOption match {
-            case None => true
-            case Some(bv) => lo.forall(bv >= _) && hi.forall(bv <= _)
-          }
-          numOk && strLo.forall(v >= _) && strHi.forall(v <= _)
+          val numOk = !numericCol ||
+            (scala.util.Try(BigDecimal(v)).toOption match {
+              case None => true
+              case Some(bv) => lo.forall(bv >= _) && hi.forall(bv <= _)
+            })
+          val strOk = !stringCol || !asciiOnly(v) ||
+            (strLo.forall(l => !asciiOnly(l) || v >= l) &&
+              strHi.forall(h => !asciiOnly(h) || v <= h))
+          numOk && strOk
       }
     }
+  }
 
   /** The scan-free candidate set for a row-predicate DML: stats +
     * string-stats + partition-path pruning from the predicate's simple
@@ -2154,15 +2198,19 @@ object ManifestLake {
           lo.forall(l => r.max.forall(_ >= l)) && hi.forall(r.min <= _)))
       }
     // partition-column bounds prune on the PATH values (partition
-    // columns never appear in file stats — they aren't in the files)
+    // columns never appear in file stats — they aren't in the files);
+    // bound application is TYPE-GATED on the recorded schema
     val partCols = partitionColsOf(snap).toSet
+    def typeOf(c: String): Option[DataType] =
+      snap.schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType))
     (numBounds.map(b => (b._1, b._2, b._3, None: Option[String],
         None: Option[String])) ++
       strBounds.map(b => (b._1, None: Option[BigDecimal],
         None: Option[BigDecimal], b._2, b._3)))
       .filter(b => partCols(b._1))
       .foldLeft(statPruned) { case (entries, (c, lo, hi, slo, shi)) =>
-        partitionPrune(entries, c, lo, hi, slo, shi)
+        partitionPrune(entries, c, typeOf(c), lo, hi, slo, shi)
       }
   }
 
@@ -2464,6 +2512,31 @@ object ManifestLake {
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       val num = Seq.newBuilder[ColRange]
       val str = Seq.newBuilder[StrRange]
+      // DECIMAL columns: parquet statistics carry the UNSCALED
+      // representation (an int/long, or a big-endian two's-complement
+      // Binary) — recording that raw value would corrupt every range
+      // comparison by 10^scale, making stats pruning SKIP files that
+      // hold matching rows. Decode through the column's logical-type
+      // scale.
+      val decimalScale: Map[String, Int] =
+        reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+          .flatMap { cd =>
+            cd.getPrimitiveType.getLogicalTypeAnnotation match {
+              case d: org.apache.parquet.schema.LogicalTypeAnnotation
+                       .DecimalLogicalTypeAnnotation =>
+                Some(cd.getPath.mkString(".") -> d.getScale)
+              case _ => None
+            }
+          }.toMap
+      def statValue(col: String, v: Any): BigDecimal =
+        decimalScale.get(col) match {
+          case Some(scale) => v match {
+            case b: org.apache.parquet.io.api.Binary =>
+              BigDecimal(new java.math.BigInteger(b.getBytes), scale)
+            case n => BigDecimal(new java.math.BigInteger(n.toString), scale)
+          }
+          case None => BigDecimal(v.toString)
+        }
       cols.foreach { col =>
         val perGroup = reader.getFooter.getBlocks.asScala.map(
           _.getColumns.asScala.find(_.getPath.toDotString == col)
@@ -2475,8 +2548,8 @@ object ManifestLake {
           if (withValues.nonEmpty) { // else every row group all-null
             scala.util.Try {
               ColRange(col,
-                withValues.map(s => BigDecimal(s.genericGetMin.toString)).min,
-                withValues.map(s => BigDecimal(s.genericGetMax.toString)).max)
+                withValues.map(s => statValue(col, s.genericGetMin)).min,
+                withValues.map(s => statValue(col, s.genericGetMax)).max)
             }.toOption match {
               case Some(r) => num += r
               case None =>
@@ -3110,16 +3183,23 @@ object ManifestLake {
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     if (drop.nonEmpty && keep.nonEmpty) writeCheckpoint(fs, p, keep.head)
-    val live = keep.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    // ONE snapshot resolution per retained version feeds BOTH liveness
+    // sets (data files and DV sidecars) — a second per-version walk
+    // would double vacuum's manifest-resolution cost for nothing
+    val keepSnaps = keep.map(v => snapshot(spark, table, Some(v)))
+    val live = keepSnaps.flatMap(_.files).toSet
     // The latest version any retained manifest has PUBLISHED. A write()
     // in flight right now is staging files for a HIGHER version — and it
     // renames them out of _staging into the table dir BEFORE its manifest
     // commit, so the _staging exclusion alone does not protect them: to
-    // vacuum they look unreferenced. Files versioned beyond the newest
-    // retained manifest are therefore kept unconditionally; they become
-    // collectable only after their version (or a successor) is committed
-    // and has aged out of retention — at which point a lost-race or
-    // abandoned commit's files are genuinely dead.
+    // vacuum they look unreferenced. Files versioned AT or beyond the
+    // newest retained manifest are therefore kept unconditionally ("at"
+    // covers a REBASING append: its files briefly keep the lost
+    // version's name — equal to the new head — until the retry
+    // re-versions them); they become collectable only after their
+    // version's successor is committed and has aged out of retention —
+    // at which point a lost-race or abandoned commit's files are
+    // genuinely dead.
     val maxRetained = keep.lastOption.getOrElse(0L)
     val dataFiles = listParquetRec(fs, p)
       .map(f => relativize(p, f))
@@ -3133,7 +3213,7 @@ object ManifestLake {
       // vNNNNNNNN-*.parquet can't be an in-flight writer's file (writers
       // always produce matching names), so a foreign/legacy parquet file
       // stays collectable when no retained manifest references it
-      .filterNot(f => dataFileVersion(f).exists(_ > maxRetained))
+      .filterNot(f => dataFileVersion(f).exists(_ >= maxRetained))
     val dead = dataFiles.filterNot(live)
     dead.foreach(f => fs.delete(new Path(p, f), false))
     // Bloom sidecars are keyed by LIVENESS, not by the dead list: a
@@ -3151,7 +3231,7 @@ object ManifestLake {
           val rel = relativize(new Path(p, BloomsDir), st.getPath)
           // <datafile rel>.<col>.bloom → strip the two suffix segments
           val dataRel = rel.split('.').dropRight(2).mkString(".")
-          val inFlight = dataFileVersion(dataRel).exists(_ > maxRetained)
+          val inFlight = dataFileVersion(dataRel).exists(_ >= maxRetained)
           if (!live(dataRel) && !inFlight)
             fs.delete(st.getPath, false): Unit
         }
@@ -3166,11 +3246,10 @@ object ManifestLake {
     // committing writer.
     val dvdir = new Path(p, DvDir)
     if (fs.exists(dvdir)) {
-      val liveDv = keep.flatMap(v =>
-        snapshot(spark, table, Some(v)).entries.flatMap(_.dv)).toSet
+      val liveDv = keepSnaps.flatMap(_.entries.flatMap(_.dv)).toSet
       fs.listStatus(dvdir).foreach { st =>
         val rel = s"$DvDir/${st.getPath.getName}"
-        val inFlight = dataFileVersion(rel).exists(_ > maxRetained)
+        val inFlight = dataFileVersion(rel).exists(_ >= maxRetained)
         if (!liveDv(rel) && !inFlight) fs.delete(st.getPath, false): Unit
       }
     }

@@ -35,13 +35,18 @@ object StreamBridge {
   }
 
   /** `keepStatic` predicate matching file relations rooted under the
-    * given marker directory name (e.g. the lake's `_dv` sidecars). */
-  def underDir(marker: String): LogicalRelation => Boolean = lr =>
-    lr.relation match {
+    * exact directory `parent/child` (e.g. the lake table's `_dv`
+    * sidecar dir) — anchored, so a TABLE whose own path happens to
+    * contain a same-named segment never matches. */
+  def underDir(parent: String, child: String): LogicalRelation => Boolean = {
+    val prefix = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(parent), child).toUri.getPath + "/"
+    lr => lr.relation match {
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.contains(s"/$marker/"))
+        fs.location.rootPaths.exists(_.toUri.getPath.startsWith(prefix))
       case _ => false
     }
+  }
 
   /** An empty streaming frame of `schema`, for a version range that
     * added no files. */

@@ -157,14 +157,20 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.close()
     ManifestLake.vacuum(spark, t, keepLast = 1)
     fs.exists(inFlight) shouldBe true // protected: version > max retained
-    // a file at a RETAINED version that no manifest references (a lost
-    // race / abandoned commit at that version) IS collected
-    val dead = new org.apache.hadoop.fs.Path(t, "v00000002-99999.parquet")
-    val out2 = fs.create(dead, false)
+    // a file AT the newest retained version that no manifest references
+    // is ALSO protected for one cycle: a REBASING append briefly holds
+    // its files at the lost version (== the winner's head) before the
+    // retry re-versions them — collecting it here would corrupt the
+    // rebased commit. It becomes collectable once the head advances.
+    val limbo = new org.apache.hadoop.fs.Path(t, "v00000002-99999.parquet")
+    val out2 = fs.create(limbo, false)
     out2.write(Array[Byte](1))
     out2.close()
-    ManifestLake.vacuum(spark, t, keepLast = 1) shouldBe 1
-    fs.exists(dead) shouldBe false
+    ManifestLake.vacuum(spark, t, keepLast = 1) shouldBe 0
+    fs.exists(limbo) shouldBe true
+    ManifestLake.write(rows(61 to 70), t) // head moves to v3
+    ManifestLake.vacuum(spark, t, keepLast = 1) should be >= 1
+    fs.exists(limbo) shouldBe false // now provably dead
   }
 
   test("an all-null stats column records no range and the file is never " +
@@ -284,6 +290,17 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     head.count() shouldBe 40
     head.select("id").as[Long].collect().toSet shouldBe
       (1 to 40).map(_.toLong).toSet
+    // the rebase RE-VERSIONED the staged files to the committed
+    // version: nothing in the snapshot is named at the lost v2 except
+    // the winner's own file — a concurrent vacuum's in-flight
+    // protection (which keys on the embedded version being >= the
+    // newest retained manifest) must never see the loser's files as
+    // collectable at the lost version
+    val v3Files = ManifestLake.snapshot(spark, t, Some(3L)).files
+      .filterNot(_.startsWith("winner/"))
+    val rebased = v3Files.filter(_.split('/').last.startsWith("v00000003"))
+    rebased should not be empty
+    v3Files.filter(_.split('/').last.startsWith("v00000002")) shouldBe empty
   }
 
   test("a rebased append re-validates against a CHECK constraint the " +
@@ -1488,18 +1505,35 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       e("date=__HIVE_DEFAULT_PARTITION__/v00000001-a-00002.parquet"),
       e("date=a%20b/v00000001-a-00003.parquet"), // escaped: always kept
       e("v00000001-a-00004.parquet"))            // unpartitioned: kept
-    ManifestLake.partitionPrune(entries, "date",
+    val longT = Some(org.apache.spark.sql.types.LongType:
+      org.apache.spark.sql.types.DataType)
+    val strT = Some(org.apache.spark.sql.types.StringType:
+      org.apache.spark.sql.types.DataType)
+    ManifestLake.partitionPrune(entries, "date", longT,
       Some(BigDecimal(20250102)), Some(BigDecimal(20250102)), None, None)
       .map(_.path) shouldBe Seq(
         "date=20250102/v00000001-a-00001.parquet",
         "date=a%20b/v00000001-a-00003.parquet",
         "v00000001-a-00004.parquet")
-    // string bounds prune lexicographically (ISO dates sort)
-    ManifestLake.partitionPrune(entries, "date", None, None,
+    // string bounds prune lexicographically on STRING columns (ISO
+    // dates sort); ASCII-gated both sides
+    ManifestLake.partitionPrune(entries, "date", strT, None, None,
       Some("20250102"), None).map(_.path) should contain
         ("date=20250102/v00000001-a-00001.parquet")
+    // TYPE GATE: numeric bounds never touch a string column's values
+    // and string bounds never touch a numeric column's — both keep all
+    // (minus the provably-unmatchable null partition)
+    ManifestLake.partitionPrune(entries, "date", strT,
+      Some(BigDecimal(20250102)), Some(BigDecimal(20250102)), None, None)
+      .size shouldBe entries.size - 1 // only the null partition prunes
+    ManifestLake.partitionPrune(entries, "date", longT, None, None,
+      Some("x"), Some("x")).size shouldBe entries.size - 1
+    // unknown column type: everything kept except the null partition
+    ManifestLake.partitionPrune(entries, "date", None,
+      Some(BigDecimal(1)), Some(BigDecimal(1)), None, None)
+      .size shouldBe entries.size - 1
     // unrelated column: everything kept
-    ManifestLake.partitionPrune(entries, "other",
+    ManifestLake.partitionPrune(entries, "other", longT,
       Some(BigDecimal(1)), Some(BigDecimal(1)), None, None) should
       have size entries.size.toLong
     // end to end: a partitioned DELETE touches only its partition's
@@ -1519,6 +1553,41 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, t).count() shouldBe 200
     ManifestLake.read(spark, t).filter(col("part") === "d1")
       .count() shouldBe 0
+  }
+
+  test("DECIMAL column stats record SCALED values — range pruning and " +
+    "stats-served MIN/MAX stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // DECIMAL(10,2): parquet stores the unscaled int/long in its
+    // statistics — recording that raw value would shift every bound by
+    // 10^2 and make range pruning skip files that hold matching rows
+    val df = (1 to 800).map(i => (i.toLong, BigDecimal(i) / 100))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(10,2)").as("price"))
+    ManifestLake.writeClustered(df, t, "price", nFiles = 4)
+    val snap = ManifestLake.snapshot(spark, t)
+    // recorded bounds are in COLUMN units: the global min/max are
+    // 0.01 .. 8.00, not 1 .. 800
+    snap.entries.flatMap(_.range("price")).map(_.min).min shouldBe
+      BigDecimal("0.01")
+    snap.entries.flatMap(_.range("price")).map(_.max).max shouldBe
+      BigDecimal("8.00")
+    // the pruned range read returns exactly the matching rows (an
+    // unscaled-stats bug would prune every file for this window)
+    ManifestLake.readRange(spark, t, "price", 2.0, 3.0)
+      .count() shouldBe 101 // 2.00..3.00
+    // SQL stats-served MIN/MAX return scaled decimals
+    LakeSql.register("dec1", t)
+    val q = spark.sql(
+      "SELECT MIN(price) AS lo, MAX(price) AS hi, COUNT(*) AS n " +
+        "FROM graft_lake.dec1")
+    q.queryExecution.executedPlan.toString should not include "FileScan"
+    val r = q.collect().head
+    r.getDecimal(0) shouldBe new java.math.BigDecimal("0.01")
+    r.getDecimal(1) shouldBe new java.math.BigDecimal("8.00")
+    r.getLong(2) shouldBe 800L
   }
 
   test("the DV read plan broadcast-hash-joins the vector and keeps " +
