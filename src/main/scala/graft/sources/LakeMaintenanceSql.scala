@@ -47,6 +47,8 @@ object LakeMaintenanceSql {
   private val DropRe =
     ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" + Name +
       "\\s*;?\\s*$").r
+  private val ShowRe =
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_lake\\s*;?\\s*$".r
 
   private def resolve(name: String): String =
     LakeSql.pathOf(name).getOrElse(throw new IllegalArgumentException(
@@ -73,6 +75,7 @@ object LakeMaintenanceSql {
         Some(GraftCreateTableCommand(name, replace != null, parts, query))
       case DropRe(ifExists, name) =>
         Some(GraftDropTableCommand(name, ifExists != null))
+      case ShowRe() => Some(GraftShowTablesCommand())
       case _ => None
     }
 
@@ -205,6 +208,18 @@ object LakeMaintenanceSql {
           }
           Seq(Row(name, managed))
       }
+  }
+
+  /** `SHOW TABLES IN graft_lake` — the registry listing (name + path),
+    * sorted by name. */
+  final case class GraftShowTablesCommand()
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      LakeSql.registered.toSeq.sortBy(_._1)
+        .map { case (n, p) => Row(n, p) }
   }
 
   /** The delegating parser ([[graft.plans.GraftExtensions]] injects it):

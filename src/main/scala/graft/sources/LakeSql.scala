@@ -62,6 +62,12 @@ object LakeSql {
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)): Unit
 
+  /** Snapshot of the registry (SQL `SHOW TABLES IN graft_lake`). */
+  def registered: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    tables.asScala.toMap
+  }
+
   /** The registered lake path an ALTER command's `UnresolvedTable`
     * child refers to. */
   private def lakeAlterTarget(plan: LogicalPlan): Option[String] = plan match {

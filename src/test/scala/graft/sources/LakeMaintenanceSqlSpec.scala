@@ -127,6 +127,18 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with Matchers
     } finally spark.conf.unset(LakeMaintenanceSql.WarehouseConf)
   }
 
+  test("SHOW TABLES IN graft_lake lists the registry") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(Seq((1L, "x")).toDF("id", "p"), t)
+    LakeSql.register("show_me", t)
+    val rows = spark.sql("SHOW TABLES IN graft_lake").collect()
+    rows.map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("show_me") shouldBe Some(t)
+    // non-lake SHOW TABLES still goes to the session catalog
+    spark.sql("SHOW TABLES").collect() // parses + runs via the delegate
+  }
+
   test("unregistered names fail by name at parse; ordinary SQL falls " +
     "through untouched") {
     intercept[IllegalArgumentException] {
