@@ -580,19 +580,21 @@ object LakeQueries {
     val table = memoClustered("lk11", d, "c_name", nFiles = 16)(
       Tables.customer(s, d)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    // keys 10 and 120 exist at EVERY scale factor (sf0.001 ships only
+    // 150 customers — larger anchors crash the smallest smoke SF)
     val bounds = Tables.customer(s, d)
-      .filter(col("c_custkey").isin(100L, 299L))
+      .filter(col("c_custkey").isin(10L, 120L))
       .select("c_custkey", "c_name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    ManifestLake.readRangeStr(s, table, "c_name", bounds(100L), bounds(299L))
+    ManifestLake.readRangeStr(s, table, "c_name", bounds(10L), bounds(120L))
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
   }
 
   val lk11Oracle: String =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal
       |FROM customer
-      |WHERE c_name >= (SELECT c_name FROM customer WHERE c_custkey = 100)
-      |  AND c_name <= (SELECT c_name FROM customer WHERE c_custkey = 299)""".stripMargin
+      |WHERE c_name >= (SELECT c_name FROM customer WHERE c_custkey = 10)
+      |  AND c_name <= (SELECT c_name FROM customer WHERE c_custkey = 120)""".stripMargin
 
   /** lk12_sql_merge_full — the FULL MERGE clause surface through the
     * gate, purely from `spark.sql`: one statement carrying a
