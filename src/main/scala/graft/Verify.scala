@@ -9,6 +9,24 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Announce the output dir so self-diagnosing gate rows (mv1) can
+    // drop their evidence sidecars next to the gate parquet.
+    spark.conf.set("spark.graft.verify.outDir", outDir)
+    // SPARK_GRAFT_VERIFY_ONLY=<name,name,...> restricts the run to a
+    // subset — the stress/debug path (fresh-JVM repros of one query's
+    // neighborhood without paying the full 118-query pass). Unset in
+    // the driver's run: all queries, unchanged behavior.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case None => SparkEntry.queries.toSeq
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: " +
+            unknown.mkString(", "))
+        SparkEntry.queries.filter(kv => names(kv._1)).toSeq
+    }
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // 4 queries in flight: Spark's scheduler interleaves their jobs, so
     // the wall time is bounded by the slowest chain instead of the sum.
@@ -16,7 +34,7 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

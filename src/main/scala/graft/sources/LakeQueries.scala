@@ -471,11 +471,90 @@ object LakeQueries {
       .agg(sum(col("c_acctbal").cast("decimal(27,2)"))
         .cast("decimal(27,2)").as("s_sum"),
         count(lit(1)).as("s_n"))
-    view.join(scratch, Seq("c_nationkey"), "full_outer")
+    val result = view.join(scratch, Seq("c_nationkey"), "full_outer")
       .select(col("c_nationkey"), col("c_acctbal_sum"), col("n_rows"),
         ((col("c_acctbal_sum") <=> col("s_sum")) &&
           (col("n_rows") <=> col("s_n"))).as("incr_matches_scratch"))
+    mv1Diagnostic(s, src, agg, result)
+    result
   }
+
+  /** When the Verify harness announces its output dir
+    * (`spark.graft.verify.outDir`), dump a diagnostic sidecar next to
+    * the gate parquet: the materialized view rows, the in-engine scratch
+    * re-aggregation, the gate rows as THIS process evaluated them, the
+    * per-group diff, the source/view table history, the change feed
+    * aggregated per (version, change type), and the environment knobs
+    * that could plausibly differ between this box and the driver's.
+    * Motivation: the driver's artifact records only match booleans, so a
+    * red `mv1_incremental_agg` row (r7, r8 — never reproduced locally)
+    * arrives with no way to see WHICH value diverged. With the sidecar a
+    * red row ships its own evidence. Best-effort: a sidecar failure
+    * must never fail the gate row itself. */
+  private def mv1Diagnostic(s: SparkSession, src: String, agg: String,
+                            result: DataFrame): Unit =
+    s.conf.getOption("spark.graft.verify.outDir").foreach { outDir =>
+      try {
+        def jstr(v: Any): String = v match {
+          case null => "null"
+          case b: Boolean => b.toString
+          case n @ (_: Int | _: Long) => n.toString
+          case other =>
+            "\"" + other.toString.replace("\\", "\\\\")
+              .replace("\"", "\\\"") + "\""
+        }
+        def rowsJson(df: DataFrame): String = {
+          val cols = df.columns
+          df.collect().map(r => cols.indices.map(i =>
+            s"${jstr(cols(i))}: ${jstr(r.get(i))}")
+            .mkString("{", ", ", "}"))
+            .sorted.mkString("[\n    ", ",\n    ", "\n  ]")
+        }
+        val viewRows = ManifestLake.read(s, agg)
+          .select("c_nationkey", "c_acctbal_sum", "n_rows")
+        val scratchRows = ManifestLake.read(s, src)
+          .groupBy("c_nationkey")
+          .agg(sum(col("c_acctbal").cast("decimal(27,2)"))
+            .cast("decimal(27,2)").as("s_sum"), count(lit(1)).as("s_n"))
+        val feedAgg = ManifestLake
+          .changeFeed(s, src, 0L,
+            ManifestLake.currentVersion(s, src).getOrElse(0L))
+          .groupBy("_commit_version", "_change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(27,2)"))
+              .cast("decimal(27,2)").as("acctbal_sum"))
+        val diff = viewRows.join(scratchRows, Seq("c_nationkey"),
+          "full_outer")
+          .filter(!((col("c_acctbal_sum") <=> col("s_sum")) &&
+            (col("n_rows") <=> col("s_n"))))
+        val json =
+          s"""{
+  "env": {
+    "spark_version": ${jstr(s.version)},
+    "master": ${jstr(s.sparkContext.master)},
+    "default_parallelism": ${s.sparkContext.defaultParallelism},
+    "shuffle_partitions": ${jstr(
+            s.conf.get("spark.sql.shuffle.partitions", "unset"))},
+    "spark_graft_cpus": ${jstr(
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "unset"))},
+    "available_processors": ${Runtime.getRuntime.availableProcessors}
+  },
+  "source_history": ${rowsJson(ManifestLake.history(s, src))},
+  "view_history": ${rowsJson(ManifestLake.history(s, agg))},
+  "change_feed_by_version_type": ${rowsJson(feedAgg)},
+  "view_rows": ${rowsJson(viewRows)},
+  "scratch_rows": ${rowsJson(scratchRows)},
+  "gate_rows_as_evaluated_here": ${rowsJson(result)},
+  "view_vs_scratch_diff": ${rowsJson(diff)}
+}
+"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, "mv1_diagnostic.json"), json)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[mv1] diagnostic sidecar failed: $e")
+      }
+    }
 
   val mv1Oracle: String =
     """WITH upd AS (
