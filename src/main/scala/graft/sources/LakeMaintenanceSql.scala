@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
   * Delta-connector idiom: try the extension grammar, fall through to
   * the session parser for everything else):
   * {{{
-  *   OPTIMIZE graft_lake.t                       -- bin-packing compaction
+  *   OPTIMIZE graft_lake.t                       -- bin-packing compaction + DV purge
   *   OPTIMIZE graft_lake.t ZORDER BY (c1, c2)    -- re-cluster (1 col = range, ≥2 = z-order)
+  *   REORG TABLE graft_lake.t APPLY (PURGE)      -- materialize every deletion vector
   *   VACUUM graft_lake.t RETAIN <n> VERSIONS     -- retention cleanup
   *   DESCRIBE HISTORY graft_lake.t               -- the $history table, discoverably
   * }}}
@@ -49,6 +50,9 @@ object LakeMaintenanceSql {
       "\\s*;?\\s*$").r
   private val ShowRe =
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_lake\\s*;?\\s*$".r
+  private val ReorgRe =
+    ("(?is)^\\s*REORG\\s+TABLE\\s+" + Name +
+      "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
 
   private def resolve(name: String): String =
     LakeSql.pathOf(name).getOrElse(throw new IllegalArgumentException(
@@ -76,6 +80,7 @@ object LakeMaintenanceSql {
       case DropRe(ifExists, name) =>
         Some(GraftDropTableCommand(name, ifExists != null))
       case ShowRe() => Some(GraftShowTablesCommand())
+      case ReorgRe(name) => Some(GraftReorgPurgeCommand(resolve(name)))
       case _ => None
     }
 
@@ -102,6 +107,21 @@ object LakeMaintenanceSql {
         val after =
           ManifestLake.snapshot(spark, table, Some(v)).entries.size.toLong
         Seq(Row(before, after, v))
+    }
+  }
+
+  /** `REORG TABLE … APPLY (PURGE)` — [[ManifestLake.purgeDv]]: rewrite
+    * every deletion-vectored file, materializing the vectors (the Delta
+    * statement of the same shape, public docs). */
+  final case class GraftReorgPurgeCommand(table: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("files_before", LongType, nullable = false)(),
+      AttributeReference("files_after", LongType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = ManifestLake.purgeDv(spark, table)
+      Seq(Row(r.filesBefore.toLong, r.filesAfter.toLong, r.newVersion))
     }
   }
 

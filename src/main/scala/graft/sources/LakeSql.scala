@@ -32,15 +32,20 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   *   INSERT OVERWRITE graft_lake.t SELECT ...     -- replace
   *   DELETE FROM graft_lake.t WHERE <predicate>
   *   UPDATE graft_lake.t SET c = <expr>, ... [WHERE <predicate>]
-  *   MERGE INTO graft_lake.t USING <src> s ON t.k = s.k [AND ...]
-  *     WHEN MATCHED THEN UPDATE SET *
-  *     WHEN NOT MATCHED THEN INSERT *
+  *   MERGE INTO graft_lake.t USING <src> s ON t.k = s.k [AND <target-only scope>]
+  *     WHEN MATCHED [AND c] THEN UPDATE SET ... | UPDATE SET * | DELETE
+  *     WHEN NOT MATCHED [AND c] THEN INSERT ... | INSERT *
+  *     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
   *   ALTER TABLE graft_lake.t ADD COLUMNS (c TYPE, ...)   -- metadata-only
   *   SELECT ... FROM graft_lake.`t$history`               -- version history
   * }}}
-  * The MERGE shape is exactly [[ManifestLake.merge]]'s upsert contract
-  * (equi-keyed, update-all / insert-all); any other action list raises
-  * a named error rather than silently approximating.
+  * The plain update-all/insert-all MERGE rides
+  * [[ManifestLake.merge]]'s upsert; the general clause surface rides
+  * [[ManifestLake.mergeApply]]. `WHEN NOT MATCHED BY SOURCE` (the
+  * full-sync CDC mirror) requires either target-only ON conjuncts (a
+  * prune-able scope) or the [[FullTableMergeConf]] opt-in — see
+  * [[ManifestLake.mergeApply]] for the cost contract. Unsupported
+  * shapes raise a named error rather than silently approximating.
   */
 object LakeSql {
 
@@ -131,17 +136,39 @@ object LakeSql {
     }
   }
 
-  /** The equi-join key columns of a MERGE condition: a conjunction of
-    * `t.k = s.k` pairs (same column name both sides — the upsert-key
-    * shape). Anything else is not expressible as a keyed upsert. */
-  private def equiKeys(cond: Expression): Seq[String] = cond match {
-    case And(l, r) => equiKeys(l) ++ equiKeys(r)
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-      if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-      Seq(a.nameParts.last)
-    case other => throw new UnsupportedOperationException(
-      s"graft_lake MERGE supports only conjunctions of t.key = s.key " +
-        s"(same column name both sides); got: ${other.sql}")
+  /** Split a MERGE ON condition into its equi-join key columns
+    * (`t.k = s.k`, same name both sides — the upsert-key shape) and the
+    * residual TARGET-ONLY conjuncts (the scope of a
+    * `WHEN NOT MATCHED BY SOURCE` sync, e.g. `AND t.ds = '2026-08-13'`
+    * — prune-able bounds the cost contract rides on). A conjunct
+    * referencing source columns that is not a key equality has no
+    * touched-files reading — still an error. */
+  private def splitMergeOn(cond: Expression, tgtQuals: Set[String],
+      tgtCols: Set[String], srcCols: Set[String])
+      : (Seq[String], Seq[Expression]) = {
+    val root = java.util.Locale.ROOT
+    def targetOnly(e: Expression): Boolean = !e.exists {
+      case UnresolvedAttribute(parts) if parts.length > 1 =>
+        !tgtQuals.contains(parts.init.map(_.toLowerCase(root)).mkString("."))
+      case UnresolvedAttribute(parts) =>
+        val n = parts.head.toLowerCase(root)
+        !tgtCols.contains(n) || srcCols.contains(n)
+      case _ => false
+    }
+    cond match {
+      case And(l, r) =>
+        val (kl, sl) = splitMergeOn(l, tgtQuals, tgtCols, srcCols)
+        val (kr, sr) = splitMergeOn(r, tgtQuals, tgtCols, srcCols)
+        (kl ++ kr, sl ++ sr)
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        (Seq(a.nameParts.last), Nil)
+      case other if targetOnly(other) => (Nil, Seq(other))
+      case other => throw new UnsupportedOperationException(
+        s"graft_lake MERGE supports conjunctions of t.key = s.key " +
+          "(same column name both sides) plus target-only scope " +
+          s"conjuncts; got: ${other.sql}")
+    }
   }
 
   /** Strip relation qualifiers from a DML predicate's attributes: the
@@ -423,20 +450,28 @@ object LakeSql {
         val src = resolveReads(m.sourceTable)
         if (!src.resolved) m.copy(sourceTable = src) // wait for the analyzer
         else {
-          if (m.notMatchedBySourceActions.nonEmpty)
-            throw new UnsupportedOperationException(
-              "graft_lake MERGE does not support WHEN NOT MATCHED BY " +
-                "SOURCE — any target row might lack a source match, so " +
-                "the clause rewrites O(table) files and breaks the " +
-                "touched-files cost contract. Use DELETE FROM / UPDATE " +
-                "with an anti-join predicate instead.")
           if (m.withSchemaEvolution)
             throw new UnsupportedOperationException(
               "graft_lake MERGE WITH SCHEMA EVOLUTION is unsupported — " +
                 "widen the table first (ALTER TABLE ADD COLUMNS)")
           val path = lakeTarget(m.targetTable).get
-          val keys = equiKeys(m.mergeCondition)
-          val simple = m.matchedActions.size == 1 &&
+          val mTgtQuals = targetQualifiers(m.targetTable)
+          val root0 = java.util.Locale.ROOT
+          val mTgtCols = ManifestLake.snapshot(spark, path).schema
+            .getOrElse(ManifestLake.read(spark, path).schema)
+            .fieldNames.map(_.toLowerCase(root0)).toSet
+          val mSrcCols = src.output.map(_.name.toLowerCase(root0)).toSet
+          val (keys, scopeConjuncts) = splitMergeOn(m.mergeCondition,
+            mTgtQuals, mTgtCols, mSrcCols)
+          if (keys.isEmpty) throw new UnsupportedOperationException(
+            "graft_lake MERGE needs at least one t.key = s.key " +
+              "conjunct in its ON clause")
+          val scopeCol = scopeConjuncts
+            .reduceOption[Expression](And(_, _))
+            .map(e => ColumnBridge.column(unqualify(e)))
+          val simple = scopeConjuncts.isEmpty &&
+            m.notMatchedBySourceActions.isEmpty &&
+            m.matchedActions.size == 1 &&
             m.matchedActions.forall {
               case UpdateStarAction(None) => true; case _ => false } &&
             m.notMatchedActions.size == 1 &&
@@ -452,18 +487,12 @@ object LakeSql {
             // __src_ prefix; every attribute in a condition/assignment
             // is rewritten to that convention here, by qualifier (or by
             // unambiguous ownership when bare)
-            val tgtQuals = targetQualifiers(m.targetTable)
+            val tgtQuals = mTgtQuals
             val srcQuals = srcQualifiersOf(m.sourceTable) ++
               srcQualifiersOf(src)
             val root = java.util.Locale.ROOT
-            // column NAMES only: the recorded snapshot schema answers
-            // without constructing a parquet relation (whose file index
-            // lists every snapshot file during analysis); legacy
-            // schema-less tables fall back to the relation read
-            val tgtCols = ManifestLake.snapshot(spark, path).schema
-              .getOrElse(ManifestLake.read(spark, path).schema)
-              .fieldNames.map(_.toLowerCase(root)).toSet
-            val srcCols = src.output.map(_.name.toLowerCase(root)).toSet
+            val tgtCols = mTgtCols
+            val srcCols = mSrcCols
             def rw(e: Expression): org.apache.spark.sql.Column =
               ColumnBridge.column(e.transform {
                 case UnresolvedAttribute(parts) if parts.length > 1 =>
@@ -525,8 +554,40 @@ object LakeSql {
                 s"graft_lake MERGE: unsupported WHEN NOT MATCHED action " +
                   s"${other.getClass.getSimpleName}")
             }
+            // NMBS clauses see only the target row (there is no source
+            // row) — a source reference is an error, caught by checking
+            // for the __src_ convention after the rewrite
+            def rwTgt(e: Expression): org.apache.spark.sql.Column = {
+              val c = rw(e)
+              val bad = ColumnBridge.expression(c).collectFirst {
+                case UnresolvedAttribute(parts) if parts.head
+                  .startsWith(ManifestLake.MergeSrcPrefix) => parts.head
+              }
+              bad.foreach(n => throw new UnsupportedOperationException(
+                "graft_lake MERGE: WHEN NOT MATCHED BY SOURCE clauses " +
+                  "may reference target columns only — " +
+                  s"'${n.stripPrefix(ManifestLake.MergeSrcPrefix)}' " +
+                  "resolves to the source"))
+              c
+            }
+            val nmbsClauses = m.notMatchedBySourceActions.map {
+              case DeleteAction(c) => ManifestLake.MergeDelete(c.map(rwTgt))
+              case UpdateAction(c, assigns, _) =>
+                ManifestLake.MergeUpdate(c.map(rwTgt),
+                  Some(assigns.map { a =>
+                    val (k, _) = assignOf(a)
+                    k -> (a match {
+                      case Assignment(_, v) => rwTgt(v)
+                    })
+                  }))
+              case other => throw new UnsupportedOperationException(
+                "graft_lake MERGE: unsupported WHEN NOT MATCHED BY " +
+                  s"SOURCE action ${other.getClass.getSimpleName} — " +
+                  "UPDATE SET with explicit assignments or DELETE")
+            }
             GraftMergeApplyCommand(path, keys, matchedClauses,
-              insertClauses, PlanBridge.ofRows(spark, src))
+              insertClauses, nmbsClauses, scopeCol,
+              PlanBridge.ofRows(spark, src))
           }
         }
       // `ADD CONSTRAINT ... CHECK` parses as AddCheckConstraint with a
@@ -637,6 +698,16 @@ object LakeSql {
     * deletion-vector sidecar, the small-DML-on-big-files shape). */
   val DmlModeConf = "spark.graft.lake.dmlMode"
 
+  /** Session conf opting a SQL MERGE with `WHEN NOT MATCHED BY SOURCE`
+    * into the WHOLE-TABLE pass when its ON clause carries no
+    * target-only scope conjuncts — the explicit acknowledgment that an
+    * unscoped full sync reads every candidate file (the write still
+    * stays O(affected rows) via merge-on-read tombstones). */
+  val FullTableMergeConf = "spark.graft.lake.fullTableMerge"
+
+  private def fullTableMerge(spark: SparkSession): Boolean =
+    spark.conf.getOption(FullTableMergeConf).exists(_.toBoolean)
+
   private def morDml(spark: SparkSession): Boolean =
     spark.conf.getOption(DmlModeConf) match {
       case None | Some("cow") => false
@@ -659,14 +730,21 @@ object LakeSql {
 
   /** General-clause `MERGE INTO` — executes [[ManifestLake.mergeApply]]
     * (conditional matched update/delete, conditional insert,
-    * first-match-wins) when the command runs. */
+    * NOT-MATCHED-BY-SOURCE sync, first-match-wins) when the command
+    * runs. `scope` is the ON clause's target-only conjunction;
+    * [[FullTableMergeConf]] is read at execution, so `SET` and `MERGE`
+    * compose in one session naturally. */
   final case class GraftMergeApplyCommand(table: String,
       keyCols: Seq[String],
       matched: Seq[ManifestLake.MergeMatched],
       notMatched: Seq[ManifestLake.MergeInsert],
+      notMatchedBySource: Seq[ManifestLake.MergeMatched],
+      scope: Option[org.apache.spark.sql.Column],
       @transient source: DataFrame) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       ManifestLake.mergeApply(source, table, keyCols, matched, notMatched,
+        notMatchedBySource = notMatchedBySource, scope = scope,
+        fullTableMerge = fullTableMerge(spark),
         recordChangeFeed = recordCdf(spark)): Unit
       Seq.empty
     }

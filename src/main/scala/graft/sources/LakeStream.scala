@@ -184,12 +184,13 @@ final class LakeSource(spark: SparkSession, table: String,
     else
       // entry-level read honors dv= annotations: an ignoreChanges
       // re-emission of a deletion-vectored file serves only its LIVE
-      // rows, never the just-deleted ones. The sidecar scan stays a
-      // STATIC leaf — the anti-join is then a legal stream-static join.
+      // rows, never the just-deleted ones. DV application is a
+      // per-file PREDICATE (DvLive), not a plan leaf — the streaming
+      // conversion sees exactly one file relation, and the filter is
+      // trivially legal in a streaming plan.
       StreamBridge.asStreaming(
         ManifestLake.readEntries(spark, table, Some(schema), entries)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*),
-        keepStatic = StreamBridge.underDir(table, "_dv"))
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
   }
 
   /** The CDC batch for `(from, to]`: recorded change files scan

@@ -312,14 +312,18 @@ object ManifestLake {
     extends IllegalArgumentException(msg)
 
   /** A commit lost the version race to a concurrent committer and could
-    * not be (or exhausted its) rebase-retries: rewrites (merge / delete
-    * / update / compaction) always surface this — their read set is the
-    * snapshot they rewrote, so replaying on a moved head could resurrect
-    * deleted rows or drop the winner's — and appends surface it only
+    * not be (or exhausted its) rebase-retries. Appends surface it only
     * when the winner's table state conflicts (layout change, exhausted
     * retries) or the commit carries a streaming epoch whose arbitration
-    * belongs to [[writeBatch]]'s guard. Compatible blind appends rebase
-    * automatically and never see this. */
+    * belongs to [[writeBatch]]'s guard — compatible blind appends rebase
+    * automatically. Rewrites (merge / delete / update) retry via
+    * [[commitRewriteWithRetry]] and surface this only when the winner
+    * OVERLAPS them: it rewrote a file they read, added a file their
+    * pruning cannot rule out, or changed schema/layout — replaying
+    * those on a moved head could resurrect deleted rows or drop the
+    * winner's. Compaction always surfaces a lost race (maintenance is
+    * the operation to re-run cheaply, not the one to retry into a
+    * moved table). */
   final class CommitConflictException(msg: String)
     extends IllegalStateException(msg)
 
@@ -686,22 +690,22 @@ object ManifestLake {
     val plainDF =
       if (plain.isEmpty) None
       else Some(rawRead(spark, table, schema, plain.map(_.path)))
-    // Files with a deletion vector anti-join their deleted
-    // (file_name, row_index) pairs — an equi BroadcastHashJoin (DVs are
-    // small by the MOR contract), fully codegen'd, and filters on data
-    // columns still push through the join's left side to the scan.
-    // file_name is a safe key: staged basenames embed version + a UUID
-    // attempt, so they are unique table-wide.
+    // Files with a deletion vector apply it PER FILE, inside the task
+    // scanning that file: the [[DvLive]] predicate loads the scanned
+    // file's own sidecar block (manifest token = rel#offset#length) and
+    // probes a bitmap per row — no join, no broadcast, nothing
+    // materialized driver-side, so a mass delete's vectors cost each
+    // task only its own file's deletions. Data-column filters and
+    // column pruning still reach the scan: the plan gains one Filter,
+    // not an exchange. file_name is a safe key: staged basenames embed
+    // version + a UUID attempt, so they are unique table-wide.
     val dvDF = dvd match {
       case Nil => None
       case files =>
         import org.apache.spark.sql.functions.col
-        val df = rawRead(spark, table, schema, files.map(_.path))
-        val dataCols = df.columns.toSeq
-        Some(dvAntiJoin(spark, table, files.flatMap(_.dv).distinct,
-          df.withColumn("__g_file", col("_metadata.file_name"))
-            .withColumn("__g_ridx", col("_metadata.row_index")))
-          .select(dataCols.map(col): _*))
+        Some(rawRead(spark, table, schema, files.map(_.path))
+          .filter(dvLivePredicate(spark, table, files,
+            col("_metadata.file_name"), col("_metadata.row_index"))))
     }
     (plainDF, dvDF) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -711,25 +715,34 @@ object ManifestLake {
     }
   }
 
-  /** Anti-join a provenance-carrying frame (`__g_file`/`__g_ridx`)
-    * against the deleted pairs in `dvPaths` — THE deletion-vector
-    * filter, shared by [[readEntries]] and [[provenanceScan]] so the
-    * join key contract (unique staged basenames + row index) lives in
-    * one place. An equi BroadcastHashJoin: DVs are small by the MOR
-    * contract, and data-column filters push through the left side. */
-  private def dvAntiJoin(spark: SparkSession, table: String,
-                         dvPaths: Seq[String], df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    if (dvPaths.isEmpty) df
-    else {
-      val deleted = spark.read.parquet(
-        dvPaths.map(d => new Path(new Path(table), d).toString): _*)
-        .select(col("file_name").as("__dv_file"),
-          col("row_index").as("__dv_ridx"))
-      df.join(broadcast(deleted),
-        col("__g_file") === col("__dv_file") &&
-          col("__g_ridx") === col("__dv_ridx"), "left_anti")
-    }
+  /** THE deletion-vector filter, shared by [[readEntries]] and
+    * [[provenanceScan]] so the key contract (unique staged basenames +
+    * row index) lives in one place: a [[DvLive]] predicate carrying
+    * each vectored file's `dv=` block token — evaluation loads the
+    * SCANNED file's block inside the scanning task (executor-global
+    * cached) and probes per row, replacing the r8 global broadcast
+    * anti-join that materialized every file's pairs on the driver. */
+  private def dvLivePredicate(spark: SparkSession, table: String,
+                              entries: Seq[FileEntry],
+                              fileCol: org.apache.spark.sql.Column,
+                              ridxCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val refs = entries.flatMap(e =>
+      e.dv.map(t => e.path.split('/').last -> t)).toMap
+    ColumnBridge.column(DvLive(
+      ColumnBridge.expression(fileCol), ColumnBridge.expression(ridxCol),
+      table, refs, hadoopConfMap(spark)))
+  }
+
+  /** The session's Hadoop conf as a serializable map — what the DV
+    * loader rebuilds a `Configuration` from inside executor tasks (the
+    * same propagation Spark itself uses for file access; local runs
+    * only need the defaults, a real cluster carries its fs.* keys). */
+  private def hadoopConfMap(spark: SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
   }
 
   /** The raw (no DV applied) multi-file parquet read of snapshot
@@ -754,10 +767,12 @@ object ManifestLake {
                              snap: Snapshot,
                              entries: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    dvAntiJoin(spark, table, entries.flatMap(_.dv).distinct,
-      rawRead(spark, table, snap.schema, entries.map(_.path))
-        .withColumn("__g_file", col("_metadata.file_name"))
-        .withColumn("__g_ridx", col("_metadata.row_index")))
+    val df = rawRead(spark, table, snap.schema, entries.map(_.path))
+      .withColumn("__g_file", col("_metadata.file_name"))
+      .withColumn("__g_ridx", col("_metadata.row_index"))
+    if (entries.forall(_.dv.isEmpty)) df
+    else df.filter(dvLivePredicate(spark, table, entries,
+      col("__g_file"), col("__g_ridx")))
   }
 
   /** Publish a log record as the next version. Atomic: the record is
@@ -1116,6 +1131,171 @@ object ManifestLake {
         batch = winner.batchId
         app = winner.appId
         basePrev = Some(head)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Commit a REWRITE (merge / delete / update, CoW or MOR), RETRYING
+    * over concurrent winners when that is provably safe — the Delta
+    * conflict-checker model (public docs), extending round 8's
+    * append-only rebase to DML: N writers touching DISJOINT key ranges
+    * serialize at log-record cost with zero client redo, instead of one
+    * of them redoing a full rewrite. On a lost version race the loser
+    * diffs its base snapshot against the new head and retries there iff
+    * ALL of:
+    *  - no winner removed, rewrote or re-annotated a file this rewrite
+    *    READ (detected as a changed-or-missing manifest line, which
+    *    covers delta and full/overwrite winner records alike): its
+    *    match set or survivor images could be stale (overlapping
+    *    rewrites stay the named [[CommitConflictException]], e.g. a
+    *    merge racing a compaction of the same files);
+    *  - no winner ADDED a file the rewrite's own candidate pruning
+    *    cannot rule out (`wouldRead` — key/predicate stats bounds): a
+    *    concurrently appended row this rewrite should have matched
+    *    means its output is incomplete, so it must re-run. Files with
+    *    no stats conservatively conflict;
+    *  - the winner changed neither the schema nor the partition layout;
+    *  - CHECK constraints the winner added re-validate green against
+    *    the still-staged files (exactly the append-rebase rule).
+    * The retry re-versions every staged artifact — data files, bloom
+    * sidecars, change files, deletion-vector sidecars (rewriting the
+    * annotated entries' `dv=` tokens) — to the new target version
+    * FIRST, for the same vacuum in-flight-protection reason as the
+    * append rebase, then re-commits the same adds/removes against the
+    * new head. `annotatedAdds` (MOR entries re-annotating EXISTING
+    * files) keep their data path verbatim; only their freshly staged
+    * sidecars move. */
+  private def commitRewriteWithRetry(spark: SparkSession, fs: FileSystem,
+      p: Path, table: String, op: String, base: Snapshot,
+      readPaths: Set[String],
+      wouldRead: Seq[FileEntry] => Seq[FileEntry],
+      stagedAdds0: Seq[String], annotatedAdds0: Seq[String],
+      removes: Seq[String], changeFiles0: Seq[String],
+      schema: Option[StructType]): Long = {
+    var prevV = base.version
+    var staged = stagedAdds0
+    var annotated = annotatedAdds0
+    var changeFiles = changeFiles0
+    var checksToRecord = base.checks
+    var blooms = base.bloomCols
+    var bloomRows = base.bloomExpectedRows
+    var batch = base.batchId
+    var app = base.appId
+    val validated = scala.collection.mutable.Set(base.checks: _*)
+    var attempt = 0
+    while (true) {
+      try return commitLog(fs, p, full = false, adds = staged ++ annotated,
+        removes = removes, Some(prevV), batch, app, schema,
+        changeFiles, blooms, bloomRows, checksToRecord)
+      catch { case e: CommitConflictException =>
+        attempt += 1
+        if (attempt > MaxCommitRebases) throw e
+        val head = currentVersion(spark, table).getOrElse(throw e)
+        val headSnap = snapshot(spark, table, Some(head))
+        // did a winner TOUCH any file this rewrite read? Diffing the
+        // base and head manifest LINES (not reading winner records)
+        // catches every form uniformly: a removed file is absent at
+        // head, a rewritten one replaced by a new path, a MOR
+        // re-annotation or overwrite carries a different line — and
+        // full-record commits (compaction = overwrite) need no special
+        // case. Untouched entries carry over verbatim, so line equality
+        // is exactly "no winner touched it".
+        val headByPath = headSnap.entries.map(e => e.path -> e.line).toMap
+        val baseByPath = base.entries.map(e => e.path -> e.line).toMap
+        val overlap = readPaths.filter(rp =>
+          headByPath.get(rp) != baseByPath.get(rp))
+        if (overlap.nonEmpty) throw new CommitConflictException(
+          s"$op on $table lost the race to a concurrent commit that " +
+            s"rewrote or removed ${overlap.size} of the files this " +
+            s"rewrite read (e.g. ${overlap.head}) — overlapping " +
+            "rewrites cannot be replayed; re-run against the new head.")
+        // files that exist at head but did not at base: winner-added,
+        // net of later winner removes. The rewrite's own pruning decides
+        // whether any could hold a row it should have read.
+        val newEntries = headSnap.entries.filterNot(a =>
+          base.entries.exists(_.path == a.path))
+        val shouldHaveRead = wouldRead(newEntries)
+        if (shouldHaveRead.nonEmpty) throw new CommitConflictException(
+          s"$op on $table lost the race to a concurrent commit that " +
+            s"added ${shouldHaveRead.size} file(s) this rewrite would " +
+            s"have read (e.g. ${shouldHaveRead.head.path}) — its rows " +
+            "could match; re-run the operation against the new head.")
+        if (headSnap.schema.map(_.json) != base.schema.map(_.json))
+          throw new CommitConflictException(
+            s"$op on $table lost the race to a concurrent commit that " +
+              "changed the table schema — re-run against the new head.")
+        if (headSnap.entries.nonEmpty &&
+            partitionColsOf(headSnap) != partitionColsOf(base))
+          throw new CommitConflictException(
+            s"$op on $table lost the race to a concurrent commit that " +
+              "changed the partition layout — re-run against the new head.")
+        // constraints the winner added: re-validate exactly the delta
+        // against the still-staged NEW files (annotated MOR entries only
+        // lose rows — they cannot introduce a violation)
+        val newChecks = headSnap.checks.filterNot(validated)
+        if (newChecks.nonEmpty) {
+          validateStagedChecks(spark, fs, p, staged, newChecks, table,
+            s"$op (retried over a concurrent commit)")
+          validated ++= newChecks
+        }
+        checksToRecord = headSnap.checks
+        // re-version every staged artifact to the new target (vacuum
+        // in-flight protection keys on the embedded version — see
+        // commitAppendWithRebase)
+        val newNext = head + 1
+        def reversionBase(rel: String): String = {
+          val segs = rel.split('/')
+          (segs.init :+ segs.last.replaceFirst("^v\\d{8,}",
+            f"v$newNext%08d")).mkString("/")
+        }
+        def mv(from: String, to: String): Unit =
+          if (from != to && !fs.rename(new Path(p, from), new Path(p, to)))
+            throw new IllegalStateException(
+              s"retry failed to re-version staged artifact $from")
+        staged = staged.map { line =>
+          val entry = FileEntry.parse(line)
+          val newPath = reversionBase(entry.path)
+          if (newPath == entry.path) line
+          else {
+            mv(entry.path, newPath)
+            blooms.foreach { c =>
+              val oldSidecar = new Path(p, s"$BloomsDir/${entry.path}.$c.bloom")
+              if (fs.exists(oldSidecar))
+                fs.rename(oldSidecar,
+                  new Path(p, s"$BloomsDir/$newPath.$c.bloom")): Unit
+            }
+            entry.copy(path = newPath).line
+          }
+        }
+        changeFiles = changeFiles.map { rel =>
+          val to = reversionBase(rel); mv(rel, to); to
+        }
+        // freshly staged DV sidecars (every annotated entry's token
+        // points at one — stageDvSidecar always writes the cumulative
+        // block anew): rename each distinct sidecar once, then rewrite
+        // the tokens; block offsets are unchanged by the rename
+        annotated.flatMap(l => FileEntry.parse(l).dv)
+          .map(DeletionVectors.parseRef(_).rel).distinct
+          .foreach(rel => mv(rel, reversionBase(rel)))
+        annotated = annotated.map { line =>
+          val entry = FileEntry.parse(line)
+          entry.copy(dv = entry.dv.map { t =>
+            val r = DeletionVectors.parseRef(t)
+            DeletionVectors.encodeRef(r.copy(rel = reversionBase(r.rel)))
+          }).line
+        }
+        // winner's table properties win, as they would have sequentially
+        if (headSnap.bloomCols != blooms ||
+            headSnap.bloomExpectedRows != bloomRows) {
+          blooms = headSnap.bloomCols
+          bloomRows = headSnap.bloomExpectedRows
+          stageBloomSidecars(spark, fs, p, staged.map(FileEntry.parse),
+            blooms, bloomRows)
+        }
+        batch = headSnap.batchId
+        app = headSnap.appId
+        prevV = head
       }
     }
     -1L // unreachable
@@ -1658,10 +1838,16 @@ object ManifestLake {
     // kill pruning
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
       snap.bloomCols, snap.bloomExpectedRows)
-    commitLog(fs, p, full = false, adds = moved,
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      Some(mergedSchema), changeFiles, snap.bloomCols,
-      snap.bloomExpectedRows, snap.checks)
+    // disjoint-writer retry: safe iff no concurrent commit rewrote a
+    // candidate file or added one the update-key stats cannot prune
+    commitRewriteWithRetry(spark, fs, p, table, "merge", snap,
+      readPaths = candidates.map(_.path).toSet,
+      wouldRead = newEntries => mergeCandidates(
+        Snapshot(snap.version, newEntries, schema = Some(baseSchema)),
+        updates, keyCols),
+      stagedAdds0 = moved, annotatedAdds0 = Nil,
+      removes = touched.map(_.path), changeFiles0 = changeFiles,
+      schema = Some(mergedSchema))
   }
 
   /** Prefix under which [[mergeApply]]'s joined row exposes SOURCE
@@ -1699,6 +1885,7 @@ object ManifestLake {
     * {{{
     *   WHEN MATCHED [AND c] THEN UPDATE SET x = e, ... | UPDATE SET * | DELETE
     *   WHEN NOT MATCHED [AND c] THEN INSERT (x, ...) VALUES (e, ...) | INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET x = e, ... | DELETE
     * }}}
     * Clause conditions and values are Columns over the JOINED row:
     * target columns under their own names, source columns under
@@ -1714,15 +1901,55 @@ object ManifestLake {
     * verbatim. Content-idempotent whenever the clauses are (conditions
     * and values over SOURCE columns re-apply to the same state).
     * `recordChangeFeed` stages delete/insert CDC images of exactly the
-    * rows a clause touched. */
+    * rows a clause touched.
+    *
+    * `WHEN NOT MATCHED BY SOURCE` — the full-sync CDC idiom (mirror a
+    * source, deleting/altering target rows the source no longer has) —
+    * fires on target rows WITHOUT a source-key match. Any target row
+    * might lack one, so an unscoped clause is O(table); the cost
+    * contract survives by requiring ONE of:
+    *  - `scope`: a target-row predicate (SQL derives it from extra ON
+    *    conjuncts, e.g. `ON t.k = s.k AND t.ds = '2026-08-13'`) that
+    *    bounds where the sync applies — candidate files prune on the
+    *    predicate's stats bounds exactly like DELETE's, target rows
+    *    outside it are untouched (and also not ordinarily MATCHED: the
+    *    scope rides the join condition, per SQL ON semantics);
+    *  - `fullTableMerge = true`: the explicit whole-table opt-in.
+    * Either way the WRITE stays O(affected rows), not O(table): rows in
+    * already-rewritten (matched-key) files apply their clause inline;
+    * rows in any other in-scope file are tombstoned MERGE-ON-READ — the
+    * file gains a deletion-vector block, UPDATE post-images append as
+    * new files, and NO additional file is rewritten. NMBS UPDATE
+    * clauses need explicit assignments (there is no source row to
+    * `SET *` from), and conditions/values may reference target columns
+    * only. */
   def mergeApply(source: DataFrame, table: String, keyCols: Seq[String],
                  matched: Seq[MergeMatched],
                  notMatched: Seq[MergeInsert] = Nil,
+                 notMatchedBySource: Seq[MergeMatched] = Nil,
+                 scope: Option[org.apache.spark.sql.Column] = None,
+                 fullTableMerge: Boolean = false,
                  recordChangeFeed: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(keyCols.nonEmpty, "mergeApply needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty,
       "mergeApply needs at least one WHEN clause")
+    if (notMatchedBySource.nonEmpty) {
+      require(scope.nonEmpty || fullTableMerge,
+        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
+          "source match — unscoped, that is O(table). Either add " +
+          "target-only conjuncts to the ON clause (a prune-able scope, " +
+          "e.g. ON t.k = s.k AND t.ds = <partition>) or opt in to the " +
+          "whole-table pass with fullTableMerge = true " +
+          s"(SQL: SET ${LakeSql.FullTableMergeConf} = true).")
+      notMatchedBySource.foreach {
+        case u: MergeUpdate => require(u.assignments.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit " +
+            "assignments — there is no source row to SET * from")
+        case _ => ()
+      }
+    }
     val spark = source.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -1769,8 +1996,10 @@ object ManifestLake {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
         else readSnapshotFiles(spark, table, snap, touched.map(_.path))
-      val joinCond = keyCols.map(k =>
-        col(s"`$k`") === col(MergeSrcPrefix + k)).reduce(_ && _)
+      // the ON clause's target-only scope conjuncts ride the join, per
+      // SQL semantics: a key-equal row failing the scope is NOT matched
+      val joinCond = scope.foldLeft(keyCols.map(k =>
+        col(s"`$k`") === col(MergeSrcPrefix + k)).reduce(_ && _))(_ && _)
       val joined = currentRows.join(srcP, joinCond, "left")
       // first-fired matched clause (SQL order); -1 = carry unchanged.
       // NULL conditions do not fire (TRUE-only gating).
@@ -1780,16 +2009,30 @@ object ManifestLake {
         case ((cl, i), rest) => when(fired(cl.condition), lit(i))
           .otherwise(rest)
       }
+      // NMBS clauses fire on source-MATCHLESS rows inside the scope;
+      // rows of TOUCHED files apply them inline in this rewrite (free —
+      // the file is being rewritten anyway), indexed after the matched
+      // clauses in the shared __act space
+      val scopeP = scope.map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(fullTableMerge))
+      val nmbsBase = matched.size
+      val nmbsAct = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), rest) => when(fired(cl.condition), lit(nmbsBase + i))
+          .otherwise(rest)
+      }
       val withAct = joined.withColumn("__act",
-        when(col(presentCol).isNotNull, act).otherwise(lit(-1)))
-      val deleteIdxs = matched.zipWithIndex.collect {
+        when(col(presentCol).isNotNull, act)
+          .otherwise(if (notMatchedBySource.isEmpty) lit(-1)
+          else when(scopeP, nmbsAct).otherwise(lit(-1))))
+      val rowClauses = matched ++ notMatchedBySource
+      val deleteIdxs = rowClauses.zipWithIndex.collect {
         case (_: MergeDelete, i) => i }
       val surviving =
         if (deleteIdxs.isEmpty) withAct
         else withAct.filter(!col("__act").isin(deleteIdxs: _*))
       def updateValue(f: org.apache.spark.sql.types.StructField)
           : org.apache.spark.sql.Column =
-        matched.zipWithIndex.foldRight(col(s"`${f.name}`")) {
+        rowClauses.zipWithIndex.foldRight(col(s"`${f.name}`")) {
           case ((u: MergeUpdate, i), rest) =>
             val v = u.assignments match {
               case None =>
@@ -1835,6 +2078,86 @@ object ManifestLake {
       val moved = stageDataFiles(survivors.unionByName(inserts), fs, p,
         next, partitionColsOf(snap), snapStatsCols(snap))
       validateStagedChecks(spark, fs, p, moved, snap.checks, table, "merge")
+      // NMBS over files NOT already being rewritten: tombstone
+      // MERGE-ON-READ. Candidate files prune on the scope predicate's
+      // stats bounds (whole table only under the explicit opt-in);
+      // matchless in-scope rows that fire a clause become deletion-
+      // vector pairs, and UPDATE post-images append as new files — the
+      // write is O(affected rows), no extra file rewrites.
+      val (nmbsVectored, nmbsRemoves, nmbsMoved, nmbsCdc, nmbsRead) =
+        if (notMatchedBySource.isEmpty)
+          (Seq.empty[FileEntry], Seq.empty[String], Seq.empty[String],
+            Option.empty[DataFrame], Seq.empty[String])
+        else {
+          val scopeCand = (if (scope.isEmpty) snap.entries
+            else predicateCandidates(snap, scope.get, None))
+            .filterNot(e => touchedNames(e.path.split('/').last))
+          if (scopeCand.isEmpty)
+            (Seq.empty[FileEntry], Seq.empty[String], Seq.empty[String],
+              Option.empty[DataFrame], Seq.empty[String])
+          else {
+            val nact0 = notMatchedBySource.zipWithIndex
+              .foldRight(lit(-1)) { case ((cl, i), rest) =>
+                when(fired(cl.condition), lit(i)).otherwise(rest) }
+            val rowScope = scope.map(c => coalesce(c, lit(false)))
+              .getOrElse(lit(true))
+            val firedRows = graft.core.TransientCache.persist(
+              provenanceScan(spark, table, snap, scopeCand)
+                .join(srcKeys, keyCols.toSeq, "left_anti")
+                .where(rowScope)
+                .withColumn("__nact", nact0)
+                .filter(col("__nact") >= 0))
+            val counts = firedRows.groupBy("__g_file").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            if (counts.isEmpty)
+              (Seq.empty[FileEntry], Seq.empty[String], Seq.empty[String],
+                Option.empty[DataFrame], scopeCand.map(_.path))
+            else {
+              val nmbsTouched = scopeCand.filter(e =>
+                counts.contains(e.path.split('/').last))
+              val vectored = stageDvSidecar(spark, fs, p, next,
+                nmbsTouched,
+                firedRows.select(col("__g_file").as("file_name"),
+                  col("__g_ridx").as("row_index")))
+              val updIdxs = notMatchedBySource.zipWithIndex.collect {
+                case (_: MergeUpdate, i) => i }
+              def nmbsPost(df: DataFrame) = df.select(
+                baseSchema.fields.toSeq.map { f =>
+                  notMatchedBySource.zipWithIndex
+                    .foldRight(col(s"`${f.name}`")) {
+                      case ((u: MergeUpdate, i), rest) =>
+                        val v = u.assignments.get
+                          .find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+                          .getOrElse(col(s"`${f.name}`"))
+                        when(col("__nact") === i, v.cast(f.dataType))
+                          .otherwise(rest)
+                      case (_, rest) => rest
+                    }.as(f.name)
+                }: _*)
+              val updRows =
+                if (updIdxs.isEmpty) None
+                else Some(firedRows.filter(col("__nact").isin(updIdxs: _*)))
+              val postMoved = updRows.fold(Seq.empty[String]) { r =>
+                val staged = stageDataFiles(nmbsPost(r), fs, p, next,
+                  partitionColsOf(snap), snapStatsCols(snap))
+                validateStagedChecks(spark, fs, p, staged, snap.checks,
+                  table, "merge")
+                staged
+              }
+              val cdc =
+                if (!recordChangeFeed) None
+                else {
+                  val olds = firedRows.select(
+                    baseSchema.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
+                    .withColumn("_change_type", lit("delete"))
+                  Some(updRows.fold(olds)(r => olds.unionByName(
+                    nmbsPost(r).withColumn("_change_type", lit("insert")))))
+                }
+              (vectored, nmbsTouched.map(_.path), postMoved, cdc,
+                scopeCand.map(_.path))
+            }
+          }
+        }
       val changeFiles =
         if (!recordChangeFeed) Nil
         else {
@@ -1844,18 +2167,36 @@ object ManifestLake {
             .select(baseSchema.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
           val newImages = surviving.filter(col("__act") >= 0)
             .select(baseSchema.fields.toSeq.map(updateValue): _*)
-          stageChangeFiles(
-            oldImages.withColumn("_change_type", lit("delete"))
-              .unionByName(newImages.withColumn("_change_type", lit("insert")))
-              .unionByName(inserts.withColumn("_change_type", lit("insert"))),
+          val cowCdc = oldImages.withColumn("_change_type", lit("delete"))
+            .unionByName(newImages.withColumn("_change_type", lit("insert")))
+            .unionByName(inserts.withColumn("_change_type", lit("insert")))
+          stageChangeFiles(nmbsCdc.fold(cowCdc)(cowCdc.unionByName(_)),
             fs, p, next)
         }
-      stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      stageBloomSidecars(spark, fs, p,
+        (moved ++ nmbsMoved).map(FileEntry.parse),
         snap.bloomCols, snap.bloomExpectedRows)
-      commitLog(fs, p, full = false, adds = moved,
-        removes = touched.map(_.path), Some(prev), snap.batchId, snap.appId,
-        snap.schema.orElse(Some(baseSchema)), changeFiles, snap.bloomCols,
-        snap.bloomExpectedRows, snap.checks)
+      // disjoint-writer retry: this merge READ the key-candidate files
+      // plus the NMBS scope candidates; a concurrent commit whose adds
+      // the same pruning rules out (and whose removes miss that read
+      // set) re-commits at the new head with zero redo
+      commitRewriteWithRetry(spark, fs, p, table, "merge", snap,
+        readPaths = (candidates.map(_.path) ++ nmbsRead).toSet,
+        wouldRead = { newEntries =>
+          val synth = Snapshot(snap.version, newEntries,
+            schema = snap.schema.orElse(Some(baseSchema)))
+          val keyHits = mergeCandidates(synth, cached, keyCols)
+          val nmbsHits =
+            if (notMatchedBySource.isEmpty) Nil
+            else if (scope.isEmpty) newEntries // unscoped sync reads all
+            else predicateCandidates(synth, scope.get, None)
+          (keyHits ++ nmbsHits).distinct
+        },
+        stagedAdds0 = moved ++ nmbsMoved,
+        annotatedAdds0 = nmbsVectored.map(_.line),
+        removes = touched.map(_.path) ++ nmbsRemoves,
+        changeFiles0 = changeFiles,
+        schema = snap.schema.orElse(Some(baseSchema)))
     } finally { cached.unpersist(); () }
   }
 
@@ -1895,6 +2236,38 @@ object ManifestLake {
     * candidate set. A row matching the predicate satisfies every
     * conjunct, so a file whose recorded range misses any one bound
     * cannot hold a match. */
+  /** Lower boolean/comparison CALLS that reach static analysis
+    * unresolved into the concrete catalyst operators the bounds
+    * analyzers match. The Column DSL (`$"id" === 5L && $"id" < 7L`)
+    * lowers to NAMED function nodes (`=`, `<`, `and`) that only the
+    * analyzer maps onto `EqualTo`/`LessThan`/`And` — without this,
+    * every API-built DML predicate silently stopped pruning (the SQL
+    * path parses straight to the concrete operators and never hit it).
+    * Anything unrecognized stays put: the analyzers already treat
+    * unknown shapes as unprunable, so this only ever WIDENS pruning. */
+  private def lowerPredicateOps(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions._
+    e.transformUp {
+      case f: UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 &&
+          !f.isDistinct && f.filter.isEmpty =>
+        val Seq(l, r) = f.arguments
+        f.nameParts.head.toLowerCase(java.util.Locale.ROOT) match {
+          case "=" | "==" => EqualTo(l, r)
+          case "<" => LessThan(l, r)
+          case "<=" => LessThanOrEqual(l, r)
+          case ">" => GreaterThan(l, r)
+          case ">=" => GreaterThanOrEqual(l, r)
+          case "and" => And(l, r)
+          case "or" => Or(l, r)
+          case _ => f
+        }
+    }
+  }
+
   private def predicateBounds(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[(String, Option[BigDecimal], Option[BigDecimal])] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -1968,8 +2341,8 @@ object ManifestLake {
     val (fs, p) = fsFor(spark, table)
     val prev = currentVersion(spark, table)
     val snap = snapshot(spark, table, prev)
-    val touched =
-      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
+    val (candidates, touched) = predicateCandTouched(spark, table, snap,
+      predicate, pruneRange, verifyPrune)
     if (touched.isEmpty) return snap.version // nothing matches: no-op
     // SQL DELETE semantics: a row is removed only when the predicate is
     // TRUE. `filter(!predicate)` alone would also drop NULL-evaluating
@@ -1998,10 +2371,16 @@ object ManifestLake {
     // never decays
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
       snap.bloomCols, snap.bloomExpectedRows)
-    commitLog(fs, p, full = false, adds = moved,
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
-      snap.checks)
+    // disjoint-writer retry: safe iff no concurrent commit rewrote a
+    // candidate file or added one the predicate's stats cannot prune
+    commitRewriteWithRetry(spark, fs, p, table, "delete", snap,
+      readPaths = candidates.map(_.path).toSet,
+      wouldRead = newEntries => predicateCandidates(
+        Snapshot(snap.version, newEntries, schema = snap.schema),
+        predicate, pruneRange),
+      stagedAdds0 = moved, annotatedAdds0 = Nil,
+      removes = touched.map(_.path), changeFiles0 = changeFiles,
+      schema = snap.schema)
   }
 
   /** MERGE-ON-READ delete — the write-amplification answer for small
@@ -2012,17 +2391,21 @@ object ManifestLake {
     * the data files are NEVER rewritten — a one-row delete on a 1 GB
     * file costs one tiny sidecar write instead of a 1 GB rewrite, which
     * at 100 TB is the difference between interactive and hopeless.
-    * Reads anti-join the sidecar (broadcast, codegen'd); COUNT(*) stays
-    * metadata-only via the recorded `dvrows=`; compaction and any later
-    * copy-on-write DML over the file MATERIALIZE the vector (their
-    * reads are DV-aware, their outputs carry no `dv=`). Vectors are
-    * CUMULATIVE: a second MOR delete on the same file unions the old
-    * pairs into its new sidecar, so one reference fully describes a
-    * file. Same pruning, NULL-predicate and no-op semantics as
-    * [[delete]]; same rewrite-vs-append conflict rules (a lost commit
-    * race raises — the read set is the snapshot). Sized for SMALL
-    * deletes: the matched pair set passes through the driver-side
-    * sidecar write as one task — bulk deletes should stay copy-on-write.
+    * Reads apply each file's vector INSIDE the task scanning it (the
+    * [[DvLive]] predicate seeks the file's own sidecar block — no join,
+    * no broadcast); COUNT(*) stays metadata-only via the recorded
+    * `dvrows=`; compaction and any later copy-on-write DML over the
+    * file MATERIALIZE the vector (their reads are DV-aware, their
+    * outputs carry no `dv=`). Vectors are CUMULATIVE: a second MOR
+    * delete on the same file unions the old pairs into its new block,
+    * so one token fully describes a file. Same pruning, NULL-predicate
+    * and no-op semantics as [[delete]]; same rewrite-vs-append conflict
+    * rules (a lost commit race raises — the read set is the snapshot).
+    * Scales to BULK deletes too: pair encoding is distributed across
+    * executors ([[DeletionVectors.writePartition]]) and the driver
+    * only sees O(touched files) block metadata — though a delete
+    * removing most of a table is still cheaper copy-on-write, which
+    * the live-ratio compaction policy converges toward anyway.
     * Background: Delta deletion vectors / Iceberg v2 position deletes
     * (public docs); reference keeps no table format at all
     * (`README.md:1`). */
@@ -2058,17 +2441,24 @@ object ManifestLake {
       newCounts.contains(e.path.split('/').last))
     val rewritten = stageDvSidecar(spark, fs, p, next, touched,
       matched.select(col("__g_file").as("file_name"),
-        col("__g_ridx").as("row_index")), newCounts)
+        col("__g_ridx").as("row_index")))
     val changeFiles =
       if (!recordChangeFeed) Nil
       else stageChangeFiles(
         matched.drop("__g_file", "__g_ridx")
           .withColumn("_change_type", lit("delete")),
         fs, p, next)
-    commitLog(fs, p, full = false, adds = rewritten.map(_.line),
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
-      snap.checks)
+    // disjoint-writer retry: the MOR delete read the candidate files;
+    // its vector pairs stay valid as long as none were rewritten and no
+    // unprunable file landed concurrently
+    commitRewriteWithRetry(spark, fs, p, table, "deleteMor", snap,
+      readPaths = candidates.map(_.path).toSet,
+      wouldRead = newEntries => predicateCandidates(
+        Snapshot(snap.version, newEntries, schema = snap.schema),
+        predicate, pruneRange),
+      stagedAdds0 = Nil, annotatedAdds0 = rewritten.map(_.line),
+      removes = touched.map(_.path), changeFiles0 = changeFiles,
+      schema = snap.schema)
   }
 
   /** The snapshot files a row-predicate DML (DELETE / UPDATE) must
@@ -2183,8 +2573,9 @@ object ManifestLake {
     val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
       rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
     }
-    val predExpr =
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(predicate)
+    val predExpr = lowerPredicateOps(
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .loweredExpression(predicate))
     val numBounds = predicateBounds(predExpr)
     val strBounds = predicateStrBounds(predExpr)
     val numPruned = numBounds
@@ -2236,7 +2627,18 @@ object ManifestLake {
   private def predicateTouched(spark: SparkSession, table: String,
       snap: Snapshot, predicate: org.apache.spark.sql.Column,
       pruneRange: Option[(String, Double, Double)],
-      verifyPrune: Boolean): Seq[FileEntry] = {
+      verifyPrune: Boolean): Seq[FileEntry] =
+    predicateCandTouched(spark, table, snap, predicate, pruneRange,
+      verifyPrune)._2
+
+  /** [[predicateTouched]] plus the full candidate set it scanned — the
+    * DML's READ set, which the conflict retry needs: a concurrent
+    * rewrite of any candidate (touched or not) invalidates this DML's
+    * match decisions. */
+  private def predicateCandTouched(spark: SparkSession, table: String,
+      snap: Snapshot, predicate: org.apache.spark.sql.Column,
+      pruneRange: Option[(String, Double, Double)],
+      verifyPrune: Boolean): (Seq[FileEntry], Seq[FileEntry]) = {
     import org.apache.spark.sql.functions.col
     val candidates = predicateCandidates(snap, predicate, pruneRange)
     if (verifyPrune)
@@ -2250,7 +2652,7 @@ object ManifestLake {
         .filter(predicate)
         .select(col("__g_file")).distinct()
         .collect().map(_.getString(0)).toSet
-    candidates.filter(e => touchedNames(e.path.split('/').last))
+    (candidates, candidates.filter(e => touchedNames(e.path.split('/').last)))
   }
 
   /** Copy-on-write UPDATE — SQL `UPDATE t SET c = expr, ... WHERE p`:
@@ -2306,8 +2708,8 @@ object ManifestLake {
     require(dup.isEmpty,
       s"update assigns [${dup.mkString(", ")}] more than once — SQL " +
         "UPDATE requires each target column at most once")
-    val touched =
-      predicateTouched(spark, table, snap, predicate, pruneRange, verifyPrune)
+    val (candidates, touched) = predicateCandTouched(spark, table, snap,
+      predicate, pruneRange, verifyPrune)
     if (touched.isEmpty) return snap.version // nothing matches: no-op
     val assignMap = canonical.toMap
     val current = readSnapshotFiles(spark, table, snap, touched.map(_.path))
@@ -2350,10 +2752,15 @@ object ManifestLake {
     // never decays
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
       snap.bloomCols, snap.bloomExpectedRows)
-    commitLog(fs, p, full = false, adds = moved,
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
-      snap.checks)
+    // disjoint-writer retry: same read-set/added-file rules as delete's
+    commitRewriteWithRetry(spark, fs, p, table, "update", snap,
+      readPaths = candidates.map(_.path).toSet,
+      wouldRead = newEntries => predicateCandidates(
+        Snapshot(snap.version, newEntries, schema = snap.schema),
+        predicate, pruneRange),
+      stagedAdds0 = moved, annotatedAdds0 = Nil,
+      removes = touched.map(_.path), changeFiles0 = changeFiles,
+      schema = snap.schema)
   }
 
   /** MERGE-ON-READ update — [[deleteMor]]'s economics for UPDATE: the
@@ -2428,7 +2835,7 @@ object ManifestLake {
     // deleteMor)
     val rewritten = stageDvSidecar(spark, fs, p, next, touched,
       matched.select(col("__g_file").as("file_name"),
-        col("__g_ridx").as("row_index")), newCounts)
+        col("__g_ridx").as("row_index")))
     // the new images land as ordinary appended files with stats + blooms
     val parts = if (partitionBy.nonEmpty) partitionBy
       else partitionColsOf(snap)
@@ -2448,49 +2855,74 @@ object ManifestLake {
               .withColumn("_change_type", lit("update_postimage"))),
           fs, p, next)
       }
-    commitLog(fs, p, full = false,
-      adds = rewritten.map(_.line) ++ moved,
-      removes = touched.map(_.path), prev, snap.batchId, snap.appId,
-      snap.schema, changeFiles, snap.bloomCols, snap.bloomExpectedRows,
-      snap.checks)
+    // disjoint-writer retry: vector pairs + post-images stay valid iff
+    // no candidate was rewritten and no unprunable file landed
+    commitRewriteWithRetry(spark, fs, p, table, "updateMor", snap,
+      readPaths = candidates.map(_.path).toSet,
+      wouldRead = newEntries => predicateCandidates(
+        Snapshot(snap.version, newEntries, schema = snap.schema),
+        predicate, pruneRange),
+      stagedAdds0 = moved, annotatedAdds0 = rewritten.map(_.line),
+      removes = touched.map(_.path), changeFiles0 = changeFiles,
+      schema = snap.schema)
   }
 
-  /** Stage a commit's cumulative deletion-vector sidecar for `touched`
-    * entries from the newly matched `pairs` (file_name, row_index):
-    * unions the touched files' existing vectors, writes ONE sidecar
-    * file, and returns the entries re-annotated with `dv=`/`dvrows=`.
-    * `newCounts` (per-file count of the NEW pairs, which the caller
-    * already collected to derive the touched set) merges with the
-    * existing `dvrows=` — the new pairs are provenance-scanned against
-    * the old vectors, so the sets are disjoint and the sums exact with
-    * no sidecar read-back. */
+  /** Stage a commit's cumulative deletion vectors for `touched` entries
+    * from the newly matched `pairs` (file_name, row_index): unions each
+    * touched file's existing vector, writes PER-FILE BLOCKS into staged
+    * binary sidecars (one sidecar per shuffle partition, encoded by the
+    * executors — see [[DeletionVectors.writePartition]]), and returns
+    * the entries re-annotated with `dv=rel#offset#length` tokens plus
+    * exact `dvrows=`. Scales with the delete: pair encoding is
+    * distributed, the driver only collects O(touched files) block
+    * metadata, and every file's full vector lives in one contiguous
+    * block a reader seeks directly. The new pairs are
+    * provenance-scanned against the old vectors, so the union is
+    * disjoint and block counts are exact. */
   private def stageDvSidecar(spark: SparkSession, fs: FileSystem, p: Path,
-      next: Long, touched: Seq[FileEntry], pairs: DataFrame,
-      newCounts: Map[String, Long]): Seq[FileEntry] = {
+      next: Long, touched: Seq[FileEntry],
+      pairs: DataFrame): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.col
-    val touchedNames = touched.map(_.path.split('/').last).toSet
-    val oldPairs = touched.flatMap(_.dv).distinct match {
-      case Nil => None
-      case paths => Some(spark.read.parquet(
-        paths.map(d => new Path(p, d).toString): _*)
-        .filter(col("file_name").isin(touchedNames.toSeq: _*)))
-    }
-    val allPairs = oldPairs.fold(pairs)(pairs.unionByName(_))
+    import spark.implicits._
+    val hconf = hadoopConfMap(spark)
+    val oldRefs = touched.flatMap(e =>
+      e.dv.map(t => e.path.split('/').last -> t))
+    val fresh = pairs.select(col("file_name"),
+      col("row_index").cast("long").as("row_index"))
+    val allPairs =
+      if (oldRefs.isEmpty) fresh
+      else fresh.unionByName(
+        DeletionVectors.pairsDF(spark, p.toString, oldRefs, hconf))
     val attempt = java.util.UUID.randomUUID.toString.take(8)
-    val staging = new Path(p, f"_staging-v$next%08d-dv-$attempt")
+    val stagingName = f"_staging-v$next%08d-dv-$attempt"
+    val staging = new Path(p, stagingName)
     fs.delete(staging, true)
-    allPairs.repartition(1).write.parquet(staging.toString)
-    val stagedParts = listParquetRec(fs, staging)
+    fs.mkdirs(staging)
+    val baseName = f"v$next%08d-$attempt"
+    val tableStr = p.toString
+    val nPart = math.max(1, math.min(touched.size,
+      spark.sparkContext.defaultParallelism))
+    val meta = allPairs
+      .repartition(nPart, col("file_name"))
+      .sortWithinPartitions("file_name", "row_index")
+      .as[(String, Long)]
+      .mapPartitions(it => DeletionVectors.writePartition(
+        it, tableStr, stagingName, baseName, hconf))
+      .collect()
     fs.mkdirs(new Path(p, DvDir))
-    val dvRel = s"$DvDir/" + f"v$next%08d-$attempt-00000.parquet"
-    require(stagedParts.size == 1, s"expected one staged DV part file")
-    if (!fs.rename(stagedParts.head, new Path(p, dvRel)))
-      throw new IllegalStateException(s"failed to publish $dvRel in $p")
+    meta.map(_._2).distinct.foreach { name =>
+      if (!fs.rename(new Path(staging, name), new Path(p, s"$DvDir/$name")))
+        throw new IllegalStateException(s"failed to publish $DvDir/$name in $p")
+    }
     fs.delete(staging, true)
+    val byFile = meta.map(m => m._1 -> m).toMap
     touched.map { e =>
       val name = e.path.split('/').last
-      e.copy(dv = Some(dvRel),
-        dvRows = Some(e.dvRows.getOrElse(0L) + newCounts.getOrElse(name, 0L)))
+      val m = byFile.getOrElse(name, throw new IllegalStateException(
+        s"no deletion-vector block written for touched file $name"))
+      e.copy(dv = Some(DeletionVectors.encodeRef(
+          DeletionVectors.DvRef(s"$DvDir/${m._2}", m._3, m._4))),
+        dvRows = Some(m._5))
     }
   }
 
@@ -2698,12 +3130,28 @@ object ManifestLake {
     * partition paths via the inherited partitionBy). Not for
     * range-clustered tables — merging arbitrary small files breaks
     * pairwise-disjoint cluster ranges; use `compact(clusterCol)` there,
-    * which restores them. */
+    * which restores them.
+    *
+    * DV LIVE-RATIO PURGE rides the same pass: a file whose deletion
+    * vector covers ≥ `purgeDvRatio` of its rows pays its full scan plus
+    * a mostly-hit vector probe on EVERY read, forever — so maintenance
+    * rewrites it (the DV-aware read materializes the vector; the fresh
+    * entry carries no `dv=` and its superseded sidecar block ages out
+    * via vacuum). The same policy Delta's `REORG … APPLY (PURGE)` /
+    * auto-compaction thresholds and Iceberg's
+    * `rewrite_data_files(delete_ratio_threshold)` implement (public
+    * docs). A single over-threshold file is reason enough to commit —
+    * unlike the ≥2 rule for small-file merging, purging one file is
+    * useful by itself. */
   def binPack(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              smallFileBytes: Long = 32L * 1024 * 1024): CompactReport = {
+              smallFileBytes: Long = 32L * 1024 * 1024,
+              purgeDvRatio: Double = 0.3): CompactReport = {
     require(smallFileBytes <= targetFileBytes,
       "smallFileBytes must not exceed targetFileBytes")
+    require(purgeDvRatio > 0.0,
+      "purgeDvRatio must be positive (1.0 disables purging in practice; " +
+        "use REORG-style purgeDv for rewrite-anything-vectored)")
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
@@ -2715,24 +3163,78 @@ object ManifestLake {
       e -> e.bytes.getOrElse(
         fs.getFileStatus(new Path(p, e.path)).getLen))
     val (small, large) = sized.partition(_._2 < smallFileBytes)
-    if (small.size < 2)
+    val purge = large.filter { case (e, _) =>
+      e.dvRows.exists(dvr => dvr > 0 &&
+        e.rows.exists(r => r > 0 && dvr.toDouble / r >= purgeDvRatio))
+    }
+    if (small.size < 2 && purge.isEmpty)
       return CompactReport(snap.files.size, snap.files.size, snap.version)
-    val smallBytes = small.map(_._2).sum
+    val rewrite = small ++ purge
+    // size the output by LIVE bytes: a 90%-deleted file contributes
+    // ~10% of its stored size after its vector materializes
+    val liveBytes = rewrite.map { case (e, b) =>
+      (e.rows, e.liveRows) match {
+        case (Some(r), Some(lr)) if r > 0 => b * lr / r
+        case _ => b
+      }
+    }.sum
     val nFiles = math.max(1,
-      math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+      math.ceil(liveBytes.toDouble / targetFileBytes).toInt)
     val rewritten = readSnapshotFiles(spark, table, snap,
-      small.map(_._1.path)).repartition(nFiles)
+      rewrite.map(_._1.path)).repartition(nFiles)
     val next = snap.version + 1
     val moved = stageDataFiles(rewritten, fs, p, next,
       partitionColsOf(snap), snapStatsCols(snap))
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
       snap.bloomCols, snap.bloomExpectedRows)
     val v = commitLog(fs, p, full = false, adds = moved,
-      removes = small.map(_._1.path), Some(snap.version), snap.batchId,
+      removes = rewrite.map(_._1.path), Some(snap.version), snap.batchId,
       snap.appId, snap.schema, bloomCols = snap.bloomCols,
       bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks,
       maintenance = true)
-    CompactReport(snap.files.size, large.size + moved.size, v)
+    CompactReport(snap.files.size,
+      (large.size - purge.size) + moved.size, v)
+  }
+
+  /** `REORG … APPLY (PURGE)`: rewrite EVERY file carrying a deletion
+    * vector, materializing the vectors — after it, no read pays any
+    * DV probe and vacuum can collect every sidecar. The targeted
+    * repair for a table whose MOR history left vectors too thin for
+    * [[binPack]]'s ratio trigger but numerous enough to annoy. Files
+    * without vectors are carried verbatim (zero IO); no vectored
+    * files is a version no-op. */
+  def purgeDv(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val snap = snapshot(spark, table)
+    val vectored = snap.entries.filter(_.dv.nonEmpty)
+    if (vectored.isEmpty)
+      return CompactReport(snap.files.size, snap.files.size, snap.version)
+    val liveBytes = vectored.map { e =>
+      val b = e.bytes.getOrElse(
+        fs.getFileStatus(new Path(p, e.path)).getLen)
+      (e.rows, e.liveRows) match {
+        case (Some(r), Some(lr)) if r > 0 => b * lr / r
+        case _ => b
+      }
+    }.sum
+    val nFiles = math.max(1,
+      math.ceil(liveBytes.toDouble / targetFileBytes).toInt)
+    val rewritten = readSnapshotFiles(spark, table, snap,
+      vectored.map(_.path)).repartition(nFiles)
+    val next = snap.version + 1
+    val moved = stageDataFiles(rewritten, fs, p, next,
+      partitionColsOf(snap), snapStatsCols(snap))
+    stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
+      snap.bloomCols, snap.bloomExpectedRows)
+    val v = commitLog(fs, p, full = false, adds = moved,
+      removes = vectored.map(_.path), Some(snap.version), snap.batchId,
+      snap.appId, snap.schema, bloomCols = snap.bloomCols,
+      bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks,
+      maintenance = true)
+    CompactReport(snap.files.size,
+      (snap.entries.size - vectored.size) + moved.size, v)
   }
 
   /** Time-based retention: vacuum every version whose commit clock is
@@ -3136,9 +3638,11 @@ object ManifestLake {
   }
 
   /** The version a data file was written under, parsed from its
-    * `vNNNNNNNN-*.parquet` basename (partition directories stripped).
-    * 8+ digits for the same widening reason as [[ManifestRe]]. */
-  private val DataFileRe = "^v(\\d{8,})-.*\\.parquet$".r
+    * `vNNNNNNNN-*.parquet` basename (partition directories stripped);
+    * `.bin` covers deletion-vector sidecars, whose in-flight vacuum
+    * protection rides the same version prefix. 8+ digits for the same
+    * widening reason as [[ManifestRe]]. */
+  private val DataFileRe = "^v(\\d{8,})-.*\\.(?:parquet|bin)$".r
   private val StagingRe = "^_staging-v(\\d{8,})-.*$".r
   private def dataFileVersion(relPath: String): Option[Long] =
     relPath.split('/').last match {
@@ -3246,7 +3750,8 @@ object ManifestLake {
     // committing writer.
     val dvdir = new Path(p, DvDir)
     if (fs.exists(dvdir)) {
-      val liveDv = keepSnaps.flatMap(_.entries.flatMap(_.dv)).toSet
+      val liveDv = keepSnaps.flatMap(_.entries.flatMap(_.dv))
+        .map(t => DeletionVectors.parseRef(t).rel).toSet
       fs.listStatus(dvdir).foreach { st =>
         val rel = s"$DvDir/${st.getPath.getName}"
         val inFlight = dataFileVersion(rel).exists(_ >= maxRetained)

@@ -56,6 +56,31 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with Matchers
     ManifestLake.read(spark, t).count() shouldBe 4000
   }
 
+  test("REORG TABLE … APPLY (PURGE) rewrites every deletion-vectored " +
+    "file and materializes the vectors; a clean table no-ops") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 2000).map(i => (i.toLong, s"p$i")).toDF("id", "p"),
+      t, "id", nFiles = 4)
+    // thin vectors on two files — below any ratio trigger, but REORG
+    // purges unconditionally
+    ManifestLake.deleteMor(spark, t, col("id") === 3L || col("id") === 1500L)
+    ManifestLake.snapshot(spark, t).entries
+      .count(_.dv.nonEmpty) shouldBe 2
+    LakeSql.register("maint_reorg", t)
+    val r = spark.sql("REORG TABLE graft_lake.maint_reorg APPLY (PURGE)")
+      .collect()
+    r should have length 1
+    val snap = ManifestLake.snapshot(spark, t, Some(r.head.getLong(2)))
+    snap.entries.forall(_.dv.isEmpty) shouldBe true
+    ManifestLake.read(spark, t).count() shouldBe 1998
+    ManifestLake.fastCount(spark, t) shouldBe 1998L
+    // idempotent: nothing vectored → version no-op
+    spark.sql("REORG TABLE graft_lake.maint_reorg APPLY (PURGE)")
+      .collect().head.getLong(2) shouldBe r.head.getLong(2)
+  }
+
   test("VACUUM RETAIN and DESCRIBE HISTORY round-trip the API calls") {
     import spark.implicits._
     val t = freshTable()

@@ -164,6 +164,70 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     e2.getMessage should include("t.key = s.key")
   }
 
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: an ON-scope conjunct " +
+    "bounds the sync; the fullTableMerge conf unlocks the whole-table " +
+    "mirror; source references in NMBS clauses are rejected") {
+    import spark.implicits._
+    val path = freshTable("nmbs")
+    (0 until 4).foreach { b =>
+      ManifestLake.write(
+        (b * 250 + 1 to b * 250 + 250).map(i => (i.toLong, i * 1.0))
+          .toDF("id", "v").repartition(1),
+        path, append = b > 0, statsCols = Seq("id"))
+    }
+    // "today's" snapshot of keys ≤ 500: every 10th key vanished, every
+    // 4th value changed
+    (1 to 500).filter(_ % 10 != 0)
+      .map(i => (i.toLong, if (i % 4 == 0) -1.0 else i * 1.0))
+      .toDF("id", "v").createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      """MERGE INTO graft_lake.nmbs t USING nmbs_src s
+        |ON t.id = s.id AND t.id <= 500
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = ManifestLake.read(spark, path)
+    got.count() shouldBe (500 - 50) + 500
+    got.filter($"id" <= 500L && $"id" % 10 === 0).count() shouldBe 0
+    got.filter($"id" === 8L).select("v").as[Double].head() shouldBe -1.0
+    got.filter($"id" === 900L).select("v").as[Double].head() shouldBe 900.0
+    ManifestLake.fastCount(spark, path) shouldBe got.count()
+    // out-of-scope files carried verbatim, in-scope matchless file(s)
+    // tombstoned MOR — at least one entry wears a vector
+    val snap = ManifestLake.snapshot(spark, path)
+    snap.entries.filter(e => e.range("id")
+      .exists(_.min > BigDecimal(500))).foreach(_.dv shouldBe empty)
+    // whole-table mirror: unscoped NMBS needs the conf opt-in
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_lake.nmbs t USING nmbs_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    e.getMessage should include("fullTableMerge")
+    spark.conf.set(LakeSql.FullTableMergeConf, "true")
+    try {
+      spark.sql(
+        """MERGE INTO graft_lake.nmbs t USING nmbs_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    } finally spark.conf.unset(LakeSql.FullTableMergeConf)
+    // the mirror now equals the source exactly
+    val mirrored = ManifestLake.read(spark, path)
+    mirrored.count() shouldBe 450
+    mirrored.select("id").as[Long].collect().sorted shouldBe
+      (1 to 500).filter(_ % 10 != 0).map(_.toLong).toArray
+    // NMBS clauses cannot reference the source
+    val badRef = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_lake.nmbs t USING nmbs_src s
+          |ON t.id = s.id AND t.id <= 500
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    badRef.getMessage should include("target columns only")
+  }
+
   test("SELECT COUNT(*) with no predicate routes to the metadata count: " +
     "no FileScan in the plan, answers without touching data; filtered " +
     "and grouped counts still scan") {

@@ -341,8 +341,9 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.write(rows(11 to 20), t) shouldBe 3L
     ManifestLake.read(spark, t).count() shouldBe 20
 
-    // race 2: a MERGE losing its race errors by name — its read set is
-    // the snapshot it rewrote, so it can never rebase
+    // race 2: a MERGE racing a compaction of the SAME files errors by
+    // name — the winner rewrote the merge's read set, so its match
+    // decisions are stale and no retry is sound
     val injected2 = new java.util.concurrent.atomic.AtomicBoolean(false)
     val stealV4 = new ManifestLake.CommitPrimitive {
       val supportedSchemes: Set[String] = Set("file")
@@ -364,11 +365,125 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       intercept[ManifestLake.CommitConflictException] {
         ManifestLake.merge(Seq((1L, "updated_1")).toDF("id", "payload"),
           t, Seq("id"))
-      }.getMessage should include("lost race")
+      }.getMessage should include("rewrote or removed")
     } finally ManifestLake.installCommitPrimitive(prev)
     // the compaction's v4 is the head; the merge landed nothing
     ManifestLake.read(spark, t).filter($"payload" === "updated_1")
       .count() shouldBe 0L
+  }
+
+  test("two MERGEs on DISJOINT key ranges both commit with zero client " +
+    "redo: the loser retries at the new head; a concurrent append of " +
+    "rows the merge's keys CAN match still errors by name") {
+    import spark.implicits._
+    val t = freshTable()
+    // two files with recorded id stats: low keys and high keys
+    ManifestLake.write(rows(1 to 10), t, statsCol = Some("id")) // v1
+    ManifestLake.write(rows(101 to 110), t, statsCol = Some("id")) // v2
+    val p = new org.apache.hadoop.fs.Path(t)
+    val default = ManifestLake.RenameCommit
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val winnerHighKeys = new ManifestLake.CommitPrimitive {
+      val supportedSchemes: Set[String] = Set("file")
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName == "v00000003.manifest" &&
+          injected.compareAndSet(false, true)) {
+          // a merge on the HIGH range wins v3 under the loser's feet
+          ManifestLake.merge(
+            Seq((105L, "hi_105")).toDF("id", "payload"), t, Seq("id"))
+          pfs.delete(tmp, false)
+          return false
+        }
+        default.publish(pfs, tmp, target)
+      }
+    }
+    var prev = ManifestLake.installCommitPrimitive(winnerHighKeys)
+    try {
+      // the loser merges a LOW key: its read set is the low file only,
+      // the winner rewrote the high file only, and the winner's output
+      // (id range 101-110) prunes against update key 5 — disjoint, so
+      // ONE call commits at v4 with no exception and no re-staging
+      ManifestLake.merge(
+        Seq((5L, "lo_5")).toDF("id", "payload"), t, Seq("id")) shouldBe 4L
+    } finally ManifestLake.installCommitPrimitive(prev)
+    val head = ManifestLake.read(spark, t)
+    head.count() shouldBe 20
+    head.filter($"payload" === "hi_105").count() shouldBe 1L
+    head.filter($"payload" === "lo_5").count() shouldBe 1L
+    // the retry RE-VERSIONED the loser's staged files to the committed
+    // version (vacuum in-flight protection — same contract as the
+    // append rebase): nothing in the head snapshot carries the lost
+    // version's name except the winner's own output
+    val v4Files = ManifestLake.snapshot(spark, t, Some(4L)).files
+    v4Files.filter(_.split('/').last.startsWith("v00000004")) should
+      not be empty
+    // and the re-versioned file is really the loser's: it holds lo_5
+    ManifestLake.read(spark, t).filter($"payload" === "lo_5")
+      .count() shouldBe 1L
+
+    // a winner whose ADDED rows the loser's keys can match (same key
+    // range, no prunable stats distance) is NOT safe to replay: the
+    // merge should have matched those rows, so it errors by name
+    val injected2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val winnerOverlapping = new ManifestLake.CommitPrimitive {
+      val supportedSchemes: Set[String] = Set("file")
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName == "v00000005.manifest" &&
+          injected2.compareAndSet(false, true)) {
+          // an append lands key 6 — inside the loser's update range
+          ManifestLake.write(rows(6 to 6), t, statsCol = Some("id"))
+          pfs.delete(tmp, false)
+          return false
+        }
+        default.publish(pfs, tmp, target)
+      }
+    }
+    prev = ManifestLake.installCommitPrimitive(winnerOverlapping)
+    try {
+      intercept[ManifestLake.CommitConflictException] {
+        ManifestLake.merge(
+          Seq((6L, "dup_6")).toDF("id", "payload"), t, Seq("id"))
+      }.getMessage should include("would have read")
+    } finally ManifestLake.installCommitPrimitive(prev)
+    ManifestLake.read(spark, t)
+      .filter($"payload" === "dup_6").count() shouldBe 0L
+  }
+
+  test("a DELETE losing the race to a disjoint-range DELETE retries " +
+    "at the new head — both land in one call each") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.write(rows(1 to 10), t, statsCol = Some("id")) // v1
+    ManifestLake.write(rows(101 to 110), t, statsCol = Some("id")) // v2
+    val default = ManifestLake.RenameCommit
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val winnerHigh = new ManifestLake.CommitPrimitive {
+      val supportedSchemes: Set[String] = Set("file")
+      def publish(pfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName == "v00000003.manifest" &&
+          injected.compareAndSet(false, true)) {
+          ManifestLake.delete(spark, t, $"id" === 105L)
+          pfs.delete(tmp, false)
+          return false
+        }
+        default.publish(pfs, tmp, target)
+      }
+    }
+    val prev = ManifestLake.installCommitPrimitive(winnerHigh)
+    try {
+      ManifestLake.delete(spark, t, $"id" === 5L) shouldBe 4L
+    } finally ManifestLake.installCommitPrimitive(prev)
+    val ids = ManifestLake.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    ids should not contain 5L
+    ids should not contain 105L
+    ids.size shouldBe 18
   }
 
   /** An object store double with S3 `If-None-Match: *` semantics: the
@@ -661,6 +776,113 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
         Seq((7L, "x", 0.0), (7L, "y", 0.0)).toDF("id", "op", "nv"),
         t, Seq("id"), matched = Seq(ManifestLake.MergeDelete(None)))
     }.getMessage should include("duplicate keys")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE syncs a scoped mirror: in-scope " +
+    "source-missing rows tombstone MERGE-ON-READ in untouched files, " +
+    "apply inline in rewritten ones, out-of-scope rows never move") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // 8 EXACTLY-bounded range files over 1..2000 (one append each:
+    // 1..250, 251..500, ...) — repartitionByRange would only sample
+    // approximate boundaries, and this test pins per-file outcomes
+    (0 until 8).foreach { b =>
+      ManifestLake.write(
+        (b * 250 + 1 to b * 250 + 250).map(i => (i.toLong, i * 1.0))
+          .toDF("id", "v").repartition(1),
+        t, append = b > 0, statsCols = Seq("id"))
+    }
+    val before = ManifestLake.snapshot(spark, t)
+    // source covers only keys ≤ 250 (file 1), minus every 7th (those
+    // must DELETE), with every 5th's value bumped; scope is id ≤ 500 —
+    // so file 2 (251..500) is in scope but holds no matched key: its
+    // sync rows go MERGE-ON-READ. Files 3..8 are out of scope.
+    val src = (1 to 250).filter(_ % 7 != 0)
+      .map(i => (i.toLong, if (i % 5 == 0) i * 10.0 else i * 1.0))
+      .toDF("id", "v")
+    ManifestLake.mergeApply(src, t, Seq("id"),
+      matched = Seq(ManifestLake.MergeUpdate(None, None)), // SET *
+      notMatched = Seq(ManifestLake.MergeInsert(None, None)), // INSERT *
+      notMatchedBySource = Seq(ManifestLake.MergeDelete(None)),
+      scope = Some(col("id") <= 500L))
+    val after = ManifestLake.snapshot(spark, t)
+    // file 2: tombstoned in place — same path, now vectored
+    val file2 = before.entries.find(e =>
+      e.range("id").exists(r => r.min == BigDecimal(251))).get
+    val file2After = after.entries.find(_.path == file2.path).get
+    file2After.dv should not be empty
+    file2After.dvRows shouldBe Some(250L)
+    // files 3..8: untouched verbatim (no rewrite, no vector)
+    val outOfScope = before.entries.filter(e =>
+      e.range("id").exists(_.min >= BigDecimal(501))).map(_.path).toSet
+    outOfScope.size shouldBe 6
+    outOfScope.foreach { pth =>
+      val e = after.entries.find(_.path == pth).get
+      e.dv shouldBe empty
+    }
+    // content: mirror of the source within scope, original outside
+    val got = ManifestLake.read(spark, t)
+    got.count() shouldBe (250 - 250 / 7) + 1500
+    got.filter($"id" <= 500L && $"id" % 7 === 0).count() shouldBe 0
+    got.filter($"id" > 250L && $"id" <= 500L).count() shouldBe 0
+    got.filter($"id" === 25L).select("v").as[Double].head() shouldBe 250.0
+    got.filter($"id" === 1999L).select("v").as[Double].head() shouldBe 1999.0
+    ManifestLake.fastCount(spark, t) shouldBe got.count()
+    // NMBS UPDATE assignments are mandatory (no source row to SET * from)
+    intercept[IllegalArgumentException] {
+      ManifestLake.mergeApply(src, t, Seq("id"),
+        matched = Nil, notMatchedBySource =
+          Seq(ManifestLake.MergeUpdate(None, None)),
+        scope = Some(col("id") <= 500L))
+    }.getMessage should include("explicit")
+    // unscoped NMBS without the opt-in names both ways out
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.mergeApply(src, t, Seq("id"),
+        matched = Nil,
+        notMatchedBySource = Seq(ManifestLake.MergeDelete(None)))
+    }
+    e.getMessage should include("ON")
+    e.getMessage should include("fullTableMerge")
+  }
+
+  test("an NMBS UPDATE tombstones the old image and appends the post-" +
+    "image — the MOR-update shape — and a fullTableMerge mirror equals " +
+    "the source exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    (0 until 4).foreach { b =>
+      ManifestLake.write(
+        (b * 250 + 1 to b * 250 + 250)
+          .map(i => (i.toLong, i * 1.0, "live")).toDF("id", "v", "st")
+          .repartition(1),
+        t, append = b > 0, statsCols = Seq("id"))
+    }
+    val before = ManifestLake.snapshot(spark, t)
+    // source holds only 1..500; rows the source lost are MARKED, not
+    // deleted (the soft-delete mirror idiom)
+    val src = (1 to 500).map(i => (i.toLong, i * 1.0, "live")).toDF("id", "v", "st")
+    ManifestLake.mergeApply(src, t, Seq("id"),
+      matched = Seq(ManifestLake.MergeUpdate(None, None)),
+      notMatchedBySource = Seq(ManifestLake.MergeUpdate(None,
+        Some(Seq("st" -> lit("gone"))))),
+      fullTableMerge = true)
+    val got = ManifestLake.read(spark, t)
+    got.count() shouldBe 1000
+    got.filter($"st" === "gone").count() shouldBe 500
+    got.filter($"id" > 500L && $"st" =!= "gone").count() shouldBe 0
+    got.filter($"id" === 400L).select("st").as[String].head() shouldBe "live"
+    ManifestLake.fastCount(spark, t) shouldBe 1000L
+    // the files NOT holding matched keys kept their bytes: old images
+    // vectored, post-images appended
+    val after = ManifestLake.snapshot(spark, t)
+    val unmatchedFiles = before.entries.filter(e =>
+      e.range("id").exists(_.min > BigDecimal(500)))
+    unmatchedFiles should not be empty
+    unmatchedFiles.foreach { e =>
+      after.entries.find(_.path == e.path).get.dv should not be empty
+    }
   }
 
   test("truncated string file stats prune point and range lookups on a " +
@@ -1409,7 +1631,7 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.endsWith(".parquet")).toList
+            .filter(_.endsWith(".bin")).toList
         } finally s.close()
       }
     }
@@ -1590,8 +1812,8 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     r.getLong(2) shouldBe 800L
   }
 
-  test("the DV read plan broadcast-hash-joins the vector and keeps " +
-    "predicate pushdown to the scan") {
+  test("the DV read applies vectors PER FILE — no join or exchange in " +
+    "the plan, predicate pushdown intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val t = freshTable()
@@ -1601,10 +1823,76 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.deleteMor(spark, t, col("id") === 777L)
     val q = ManifestLake.read(spark, t).filter(col("price") > 1500.0)
     val plan = q.queryExecution.executedPlan.toString
-    plan should include("BroadcastHashJoin")
-    (plan should not).include("BroadcastNestedLoopJoin")
+    // the r8 shape (global broadcast anti-join of every file's pairs)
+    // is gone: vectors apply as a dv_live filter inside the scan stage
+    (plan should not).include("BroadcastExchange")
+    (plan should not).include("Join")
+    plan should include("dv_live")
     plan should include("PushedFilters: [IsNotNull(price), " +
       "GreaterThan(price,1500.0)")
     q.count() shouldBe 500 // 1501..2000; 777 not in range, none missing
+  }
+
+  test("a MASS MOR delete (50% of rows across many files) reads back " +
+    "exactly with no broadcast and no driver-side pair set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 20000).map(i => (i.toLong, i * 1.0)).toDF("id", "price"),
+      t, "id", nFiles = 16)
+    ManifestLake.deleteMor(spark, t, col("id") % 2 === 0)
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.entries.count(_.dv.nonEmpty) shouldBe 16 // every file vectored
+    val q = ManifestLake.read(spark, t)
+    val plan = q.queryExecution.executedPlan.toString
+    (plan should not).include("BroadcastExchange")
+    plan should include("dv_live")
+    q.count() shouldBe 10000
+    q.filter(col("id") % 2 === 0).count() shouldBe 0
+    ManifestLake.fastCount(spark, t) shouldBe 10000L
+    // a second mass delete unions into each file's cumulative block
+    ManifestLake.deleteMor(spark, t, col("id") % 3 === 0)
+    // survivors: odd and not divisible by 3 → 1,5,7,11,... (2/6 of 20k
+    // are odd non-multiples-of-3... exactly: odds 10000 minus odd
+    // multiples of 3 (3,9,...,19997 = 3333) = 6667
+    ManifestLake.read(spark, t).count() shouldBe 6667
+    ManifestLake.fastCount(spark, t) shouldBe 6667L
+    ManifestLake.read(spark, t)
+      .filter(col("id") % 2 === 0 || col("id") % 3 === 0)
+      .count() shouldBe 0
+  }
+
+  test("binPack purges a file once its deletion-vector ratio crosses " +
+    "the threshold — vector materialized, dv= gone, neighbors verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    ManifestLake.writeClustered(
+      (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      t, "id", nFiles = 4)
+    // ~50% of ONE file's rows (ids 1..500 live in the first range file)
+    ManifestLake.deleteMor(spark, t, col("id") <= 500L)
+    val before = ManifestLake.snapshot(spark, t)
+    before.entries.count(_.dv.nonEmpty) shouldBe 1
+    val untouched = before.entries.filter(_.dv.isEmpty).map(_.path).toSet
+    // below the threshold: a 50%-deleted file survives a 0.9 pass
+    ManifestLake.binPack(spark, t, smallFileBytes = 1,
+      purgeDvRatio = 0.9).newVersion shouldBe before.version
+    // at 0.3 the file rewrites: vector materialized, dv= disappears
+    val r = ManifestLake.binPack(spark, t, smallFileBytes = 1,
+      purgeDvRatio = 0.3)
+    r.newVersion shouldBe before.version + 1
+    val after = ManifestLake.snapshot(spark, t)
+    after.entries.forall(_.dv.isEmpty) shouldBe true
+    // the three clean files carried verbatim — same manifest paths
+    untouched.subsetOf(after.entries.map(_.path).toSet) shouldBe true
+    ManifestLake.read(spark, t).count() shouldBe 3500
+    ManifestLake.read(spark, t).filter(col("id") <= 500L)
+      .count() shouldBe 0
+    ManifestLake.fastCount(spark, t) shouldBe 3500L
+    // maintenance commit: incremental consumers skip it
+    ManifestLake.changesBetween(spark, t, before.version, r.newVersion)
+      .map(_.maintenance) shouldBe Seq(true)
   }
 }
