@@ -3059,7 +3059,8 @@ object ManifestLake {
     * the current snapshot is sufficient. */
   def writeBatch(df: DataFrame, table: String, batchId: Long,
                  partitionBy: Seq[String] = Nil,
-                 appId: String = "default"): Boolean = {
+                 appId: String = "default",
+                 bloomCols: Seq[String] = Nil): Boolean = {
     val already = currentVersion(df.sparkSession, table).exists { v =>
       val snap = snapshot(df.sparkSession, table, Some(v))
       snap.appId.getOrElse("default") == appId &&
@@ -3068,7 +3069,8 @@ object ManifestLake {
     if (already) false
     else {
       write(df, table, append = true, batchId = Some(batchId),
-        partitionBy = partitionBy, appId = Some(appId))
+        partitionBy = partitionBy, appId = Some(appId),
+        bloomCols = bloomCols)
       true
     }
   }

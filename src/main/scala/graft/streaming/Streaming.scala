@@ -419,6 +419,61 @@ object Streaming {
     * `dropDuplicates(keyCols)` under a watermark, or a max_by(ts)
     * per-key aggregate — exactly as a CDC consumer compacts its
     * change log. */
+  /** DEDUPLICATING streaming ingest — the production composition of
+    * [[streamToLake]] and [[graft.text.DedupIndex]]: each micro-batch
+    * is classified against the lake-resident signature index (exact
+    * hash + MinHash-LSH near-dup, corpus AND within-batch), only the
+    * UNIQUE docs land in the corpus table, and the index admits their
+    * signatures — all three commits replay-guarded by (checkpoint,
+    * epoch), so a crash-replay of an epoch admits nothing twice.
+    * Classification is read-only and bit-stable across a replay even
+    * when the crash landed between the three commits: an already-
+    * admitted doc never matches itself (self-exclusion in the index
+    * probe), and within-batch dups keep their smallest-id keeper
+    * orientation. Corpus text is never re-read — batch work is
+    * O(batch), index probes prune through bloom sidecars. */
+  def streamDedupToLake(streamed: DataFrame, corpusTable: String,
+                        indexDir: String, checkpoint: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        cfg: graft.text.DedupIndex.Config =
+                          graft.text.DedupIndex.Config()): StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIngestBatch(batch, batchId, corpusTable, indexDir,
+          checkpoint, idCol, textCol, cfg): Unit
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[streamDedupToLake]]'s per-epoch body, separable so a
+    * crash-replay (same epoch re-executed) is directly testable:
+    * classify → admit unique docs to the corpus table → admit their
+    * signatures+postings to the index, each write individually
+    * replay-guarded under the checkpoint's app identity. Returns the
+    * number of unique docs in the batch (0 admitted on a replay, but
+    * the verdict is recomputed — it is bit-stable by construction). */
+  private[streaming] def dedupIngestBatch(batch: DataFrame, batchId: Long,
+      corpusTable: String, indexDir: String, checkpoint: String,
+      idCol: String, textCol: String,
+      cfg: graft.text.DedupIndex.Config): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val b = graft.core.TransientCache.persist(batch)
+    val verdict = graft.core.TransientCache.persist(
+      graft.text.DedupIndex.classifyBatch(spark, b, indexDir,
+        idCol, textCol, cfg))
+    val fresh = b.join(
+      verdict.filter(!col("is_exact_dup") && !col("is_near_dup"))
+        .select(col(idCol)), idCol)
+    graft.sources.ManifestLake.writeBatch(fresh, corpusTable, batchId,
+      appId = checkpoint): Unit
+    graft.text.DedupIndex.admit(spark, b, verdict, indexDir, batchId,
+      appId = checkpoint, idCol = idCol, textCol = textCol, cfg = cfg)
+  }
+
   def streamMergeToLake(streamed: DataFrame, table: String,
                         keyCols: Seq[String],
                         checkpoint: String,

@@ -119,9 +119,17 @@ object DedupIndex {
                     cfg: Config = Config()): DataFrame = {
     val b = graft.core.TransientCache.persist(
       signed(batch, idCol, textCol, cfg))
+    // a not-yet-created index (the streaming-bootstrap first epoch)
+    // classifies against an EMPTY corpus: every probe below short-
+    // circuits to a zero-row frame of the right shape, and within-batch
+    // dedup still applies in full
+    val indexExists = ManifestLake
+      .currentVersion(spark, signaturesTable(indexDir)).nonEmpty
     // ---- exact: corpus probe (point lookups through the blooms) ----
-    val corpusHash = probe(spark, signaturesTable(indexDir), "content_hash",
-      b.select(col("content_hash")), cfg)
+    val corpusHash = (if (indexExists)
+      probe(spark, signaturesTable(indexDir), "content_hash",
+        b.select(col("content_hash")), cfg)
+      else b.filter(lit(false)))
       .select(col("content_hash"), col(idCol).as("__c_id"))
     val exactCorpus = b.select(col(idCol), col("content_hash"))
       .join(corpusHash, "content_hash")
@@ -137,8 +145,10 @@ object DedupIndex {
     // ---- near: corpus postings probe (bucket blooms) + batch self ----
     val bBuckets = graft.core.TransientCache.persist(
       Dedup.lshBuckets(b, idCol, cfg.bands, cfg.rowsPerBand))
-    val corpusPost = probe(spark, postingsTable(indexDir), "bucket",
-      bBuckets.select(col("bucket")), cfg)
+    val corpusPost = (if (indexExists)
+      probe(spark, postingsTable(indexDir), "bucket",
+        bBuckets.select(col("bucket")), cfg)
+      else bBuckets.filter(lit(false)))
       .select(col("band"), col("bucket"), col(idCol).as("__p_id"))
     val corpusCand = bBuckets.join(corpusPost, Seq("band", "bucket"))
       .filter(col("__p_id") =!= col(idCol))
@@ -148,8 +158,9 @@ object DedupIndex {
       // keeper stays unique) — the orientation that survives admission
       .select(col("id_b").as(idCol), col("id_a").as("__partner"))
     val partnerIds = corpusCand.select(col("__partner")).distinct()
-    val partnerSigs = probe(spark, signaturesTable(indexDir), idCol,
-      partnerIds, cfg)
+    val partnerSigs = (if (indexExists)
+      probe(spark, signaturesTable(indexDir), idCol, partnerIds, cfg)
+      else b.filter(lit(false)))
       .select(col(idCol).as("__partner"), col("sig").as("__partner_sig"))
     val bSigs = b.select(col(idCol), col("sig"))
     val nearCorpus = corpusCand
@@ -196,12 +207,16 @@ object DedupIndex {
     val sigs = graft.core.TransientCache.persist(
       signed(fresh, idCol, textCol, cfg).drop(textCol))
     val n = sigs.count()
+    // blooms named explicitly so a streaming-bootstrap FIRST admission
+    // (no prior buildIndex) still creates the index with its probe
+    // sidecars; on an existing index this re-states the same set
     ManifestLake.writeBatch(sigs, signaturesTable(indexDir), batchId,
-      appId = appId)
+      appId = appId, bloomCols = Seq("content_hash"))
     ManifestLake.writeBatch(
       Dedup.lshBuckets(sigs, idCol, cfg.bands, cfg.rowsPerBand)
         .select(col(idCol), col("band"), col("bucket")),
-      postingsTable(indexDir), batchId, appId = appId)
+      postingsTable(indexDir), batchId, appId = appId,
+      bloomCols = Seq("bucket"))
     n
   }
 }

@@ -139,4 +139,71 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     run()
     ManifestLake.currentVersion(spark, table) shouldBe vBefore
   }
+
+  test("deduplicating streaming ingest admits each unique doc to the " +
+    "corpus and index exactly once — across epochs, within a batch, " +
+    "and under a crash-replay of an epoch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.text.DedupIndex
+    val src = java.nio.file.Files.createTempDirectory("graft-dd-src").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    val corpus = s"$root/corpus"
+    val index = s"$root/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dd-ck").toString
+    def doc(tag: String) = (0 until 30).map(t => s"${tag}_$t").mkString(" ")
+    def stage(name: String, docs: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dd-stage")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(src, name)): Unit
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def run(): Unit = {
+      val q = Streaming.streamDedupToLake(
+        spark.readStream.schema(schema).parquet(src), corpus, index, ckpt)
+      q.awaitTermination()
+    }
+    // epoch 0 BOOTSTRAPS the index (no buildIndex ran): an exact and a
+    // near within-batch dup are rejected, the keepers admitted
+    stage("b1.parquet", Seq(
+      (1L, doc("a")),
+      (2L, doc("a")),                                         // exact dup of 1
+      (3L, "qqq " + (1 until 30).map(t => s"a_$t").mkString(" ")), // near dup of 1
+      (4L, doc("b"))))
+    run()
+    ManifestLake.read(spark, corpus).select("doc_id").as[Long]
+      .collect().toSet shouldBe Set(1L, 4L)
+    ManifestLake.snapshot(spark, DedupIndex.signaturesTable(index))
+      .bloomCols shouldBe Seq("content_hash") // bootstrap set the blooms
+    // epoch 1: a fresh doc, a CROSS-EPOCH exact dup of corpus doc 4,
+    // and a within-batch dup of the fresh doc — only the fresh doc lands
+    val b2 = Seq((9L, doc("c")), (10L, doc("b")), (11L, doc("c")))
+    stage("b2.parquet", b2)
+    run()
+    ManifestLake.read(spark, corpus).select("doc_id").as[Long]
+      .collect().toSet shouldBe Set(1L, 4L, 9L)
+    ManifestLake.read(spark, DedupIndex.signaturesTable(index))
+      .count() shouldBe 3L
+    // crash-replay of epoch 1: the re-executed body classifies
+    // bit-stably and every commit is skipped by the epoch guard
+    val vC = ManifestLake.currentVersion(spark, corpus)
+    val vS = ManifestLake.currentVersion(spark,
+      DedupIndex.signaturesTable(index))
+    val vP = ManifestLake.currentVersion(spark,
+      DedupIndex.postingsTable(index))
+    Streaming.dedupIngestBatch(b2.toDF("doc_id", "text"), 1L, corpus,
+      index, ckpt, "doc_id", "text", DedupIndex.Config())
+    ManifestLake.currentVersion(spark, corpus) shouldBe vC
+    ManifestLake.currentVersion(spark,
+      DedupIndex.signaturesTable(index)) shouldBe vS
+    ManifestLake.currentVersion(spark,
+      DedupIndex.postingsTable(index)) shouldBe vP
+    ManifestLake.read(spark, corpus).select("doc_id").as[Long]
+      .collect().toSet shouldBe Set(1L, 4L, 9L)
+  }
 }
