@@ -65,30 +65,75 @@ object ZOrder {
     bounds.foldLeft(lit(0L))((acc, b) =>
       acc + when(c.isNotNull && c >= b, 1L).otherwise(0L))
 
+  /** An order-preserving NUMERIC code for a STRING column — what lets a
+    * string dimension ride the same equi-depth quantile bucketing as a
+    * numeric one: the first SEVEN UTF-8 bytes, right-padded with zeros
+    * and read big-endian as a long. Unsigned byte order over UTF-8 IS
+    * code-point order, so `code(a) < code(b)` implies `a < b` on the
+    * 7-byte truncation — the same truncated-key contract the recorded
+    * [[ManifestLake.StrRange]] stats use, so boundaries derived from
+    * the code cluster consistently with how reads prune. Seven bytes,
+    * not eight, keeps the code in 56 bits: always positive in a signed
+    * long AND exactly representable, where an 8-byte code pushed to
+    * ~2^63 exceeds double precision (ULP ≈ 1024) and quantile
+    * boundaries would collapse adjacent keys differing only in their
+    * low bytes — measured as 11/16 candidate files instead of ≤ 8 on a
+    * shared-prefix id column. Pure built-in column ops
+    * (encode/hex/rpad/conv), fully codegen'd. */
+  private[sources] def strPrefixCode(c: Column): Column =
+    conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
+      16, 10).cast("bigint")
+
   /** Z-ordered lake write: bucket each `zCols` by its own equi-depth
     * boundaries, interleave into a z-value, range-cluster the data on
     * it, and commit through the manifest with per-file min/max recorded
-    * for EVERY z-column — after which [[ManifestLake.readRange]] (and
-    * merge/delete candidate pruning) skips files on any of the
-    * dimensions. Returns the committed version. */
+    * for EVERY z-column — after which [[ManifestLake.readRange]] /
+    * [[ManifestLake.readRangeStr]] (and merge/delete candidate pruning)
+    * skip files on any of the dimensions. STRING columns z-order
+    * through their truncated-key code ([[strPrefixCode]]) and record
+    * truncated [[ManifestLake.StrRange]] stats, so a (doc_id, score)
+    * pair clusters and prunes on both. Returns the committed version. */
   def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
                     nFiles: Int, append: Boolean = false,
                     maintenance: Boolean = false): Long = {
     require(zCols.size >= 2,
       "z-ordering needs ≥ 2 columns; use writeClustered for one")
     val nBuckets = 1 << BitsPerDim
-    // one combined pass computes every column's quantile sketch
+    def isStr(c: String) = df.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    // each dimension ranks through a numeric view: strings by their
+    // order-preserving prefix code, everything else by a double cast;
+    // the views are temporary columns so ONE approxQuantile pass (it
+    // takes column NAMES) covers every dimension's sketch
+    val rankCols = zCols.indices.map(i => s"__zrank_$i")
+    val ranked = zCols.zip(rankCols).foldLeft(df) { case (d, (c, rc)) =>
+      d.withColumn(rc,
+        if (isStr(c)) strPrefixCode(col(c)) else col(c).cast("double"))
+    }
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val quantiles = df.stat.approxQuantile(
-      zCols.map(c => c).toArray, probs, 0.001)
-    val buckets = zCols.zip(quantiles).map { case (c, qs) =>
-      bucketOf(col(c).cast("double"), qs.distinct.sorted)
+    val quantiles = ranked.stat.approxQuantile(
+      rankCols.toArray, probs, 0.001)
+    val buckets = rankCols.zip(quantiles).map { case (rc, qs) =>
+      val bs = qs.distinct.sorted
+      // STRETCH the rank to fill [0, 2^bits): a low-cardinality
+      // dimension (fewer distinct quantile boundaries than buckets —
+      // e.g. a truncated string key with 100 distinct prefixes) would
+      // otherwise never set its high bucket bits, and since high bits
+      // dominate the z-value, range partitioning would split almost
+      // entirely on the other dimensions, silently killing this one's
+      // pruning (measured: 11/16 candidates instead of ≤ 8/16).
+      // Multiply-then-divide: products stay ≤ 255², exact in the
+      // double division `/` lowers to; floor brings the scaled rank
+      // back to the long bucket index interleave expects.
+      floor(bucketOf(col(rc), bs) * lit((nBuckets - 1).toLong) /
+        lit(math.max(bs.length, 1).toLong)).cast("long")
     }
     val z = interleave(buckets)
-    val clustered = df.withColumn("__z", z)
+    val clustered = ranked.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z").drop(rankCols: _*)
     ManifestLake.write(clustered, table, append = append,
       statsCols = zCols,
       // a maintenance rewrite re-lands rows that already passed CHECK

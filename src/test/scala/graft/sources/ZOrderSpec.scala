@@ -84,6 +84,41 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("63")
   }
 
+  test("a (string, numeric) z-ordered pair prunes files on BOTH " +
+    "dimensions — truncated-key rank buckets for the string, and " +
+    "skipping loses no rows on either") {
+    import spark.implicits._
+    // doc ids share a 4-byte prefix (the truncated-key worst case that
+    // still discriminates); score decorrelated from id order
+    val rows = (0 until 32000)
+      .map(i => (i.toLong, f"doc_${i % 1000}%04d",
+        ((i * 7919) % 1000).toDouble))
+      .toDF("id", "doc_id", "score")
+    val zt = freshTable()
+    ZOrder.writeZOrdered(rows, zt, Seq("doc_id", "score"), nFiles = 16)
+    val snap = ManifestLake.snapshot(spark, zt)
+    snap.entries should have size 16
+    // every file records the STRING stats for doc_id and numeric for score
+    all(snap.entries.map(_.strRanges.map(_.col).toSet)) shouldBe
+      Set("doc_id")
+    all(snap.entries.map(_.ranges.map(_.col).toSet)) shouldBe Set("score")
+    val sCand = ManifestLake.strRangeCandidates(
+      snap, "doc_id", "doc_0100", "doc_0149")
+    val nCand = ManifestLake.rangeCandidates(
+      snap, "score", BigDecimal(100), BigDecimal(149))
+    withClue(s"doc_id:${sCand.size} score:${nCand.size} of 16") {
+      sCand.size should be <= 8
+      nCand.size should be <= 8
+    }
+    // skipping loses nothing, on either dimension
+    ManifestLake.readRangeStr(spark, zt, "doc_id", "doc_0100", "doc_0149")
+      .count() shouldBe
+      rows.filter($"doc_id".between("doc_0100", "doc_0149")).count()
+    ManifestLake.readRange(spark, zt, "score", 100.0, 149.0)
+      .count() shouldBe
+      rows.filter($"score".between(100.0, 149.0)).count()
+  }
+
   test("NULL z-values cluster low, never match a range, and are never " +
     "wrongly skipped away from a full read") {
     import spark.implicits._
