@@ -276,7 +276,89 @@ object StreamingQueries {
     """SELECT event_id, user_id, event_type, c_mktsegment, c_nationkey
       |FROM events JOIN customer ON user_id = c_custkey""".stripMargin
 
+  /** One built corpus per (JVM, dataset dir) — the stream runs once;
+    * repeat gate/bench invocations re-read the landed corpus table,
+    * which is the content-idempotence contract every lake gate row
+    * keeps. */
+  private val builtDedupCorpus =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** sd1 — DEDUPLICATING STREAMING INGEST end to end through the REAL
+    * streaming machinery ([[Streaming.streamDedupToLake]]): two
+    * AvailableNow epochs land document batches in a lake corpus table,
+    * each batch classified against the lake-resident
+    * [[graft.text.DedupIndex]] (bootstrapped by epoch 0 — no separate
+    * buildIndex step). The stream plants a cross-epoch exact dup (a
+    * copy of doc 0 arriving in epoch 1), a within-batch exact dup (two
+    * copies of doc 10 in epoch 1), and a novel reversed text that must
+    * be admitted. Near-dup matching is disabled for this row
+    * (`simThreshold > 1` is unreachable for the MinHash lane-agreement
+    * estimate), so the admitted set is EXACTLY the min-id keeper per
+    * distinct text — which the DuckDB oracle re-derives with one
+    * window function. Epoch batches split on ascending id ranges, so
+    * the first-epoch-wins + smaller-id-within-batch engine rule and
+    * the oracle's global min-id rule provably coincide. Replay /
+    * crash-recovery semantics are pinned in LakeStreamSpec where a
+    * re-executed epoch is observable. */
+  def sd1StreamDedupIngest(s: SparkSession, d: String): DataFrame = {
+    val corpusTable = builtDedupCorpus.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sd1").toString
+      val src = s"$root/src"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+      val corpus = s"$root/corpus"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def stage(name: String, df: DataFrame): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sd1-stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .find(_.endsWith(".parquet")).get
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          java.nio.file.Paths.get(s"$src/$name")): Unit
+      }
+      val cfg = graft.text.DedupIndex.Config(simThreshold = 1.5)
+      def run(): Unit =
+        Streaming.streamDedupToLake(
+          s.readStream.schema(docs.schema).parquet(src), corpus,
+          s"$root/index", s"$root/ckpt", cfg = cfg).awaitTermination()
+      stage("b0.parquet", docs.filter(col("doc_id") < 10))
+      run()
+      stage("b1.parquet",
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .withColumn("doc_id", lit(100000L)))
+          .unionByName(docs.filter(col("doc_id") === 10)
+            .withColumn("doc_id", lit(100001L)))
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .withColumn("doc_id", lit(100002L))
+            .withColumn("text", reverse(col("text")))))
+      run()
+      corpus
+    })
+    graft.sources.ManifestLake.read(s, corpusTable)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  val sd1Oracle: String =
+    """WITH stream AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 20
+      |  UNION ALL
+      |  SELECT CAST(100000 AS BIGINT), text FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT CAST(100001 AS BIGINT), text FROM documents WHERE doc_id = 10
+      |  UNION ALL
+      |  SELECT CAST(100002 AS BIGINT), reverse(text)
+      |  FROM documents WHERE doc_id = 0),
+      |keyed AS (
+      |  SELECT doc_id, text,
+      |    min(doc_id) OVER (PARTITION BY text) AS keeper
+      |  FROM stream)
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM keyed WHERE doc_id = keeper""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sd1_stream_dedup_ingest" -> (sd1StreamDedupIngest _),
     "st8_stream_static" -> (st8StreamStaticJoin _),
     "st7_session_window" -> (st7SessionWindow _),
     "st6_stream_join_outer" -> (st6StreamJoinOuter _),
@@ -287,6 +369,7 @@ object StreamingQueries {
     "st5_stream_dedup" -> (st5StreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "sd1_stream_dedup_ingest" -> sd1Oracle,
     "st8_stream_static" -> st8Oracle,
     "st7_session_window" -> st2Oracle,
     "st6_stream_join_outer" -> st6Oracle,
