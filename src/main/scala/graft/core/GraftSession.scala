@@ -11,11 +11,13 @@ import org.apache.spark.sql.SparkSession
   * and document the divergence, SURVEY.md §7.4), AQE on, shuffle partitions
   * sized to the actual parallelism instead of the 200 default.
   *
-  * `spark.sql.legacy.parquet.nanosAsLong=true` is required for the driver
-  * test tables: `events.parquet` stores INT64 TIMESTAMP(NANOS), which Spark
-  * 4.x otherwise rejects with PARQUET_TYPE_ILLEGAL. With the flag on, the
-  * column surfaces as a nanosecond-epoch Long and [[Tables.events]] converts
-  * it to a proper TimestampType via integer division (micros).
+  * `spark.sql.legacy.parquet.nanosAsLong=true` is kept for input
+  * compatibility: some generations of the driver test tables store
+  * `events.ts` as INT64 TIMESTAMP(NANOS), which Spark 4.x otherwise
+  * rejects with PARQUET_TYPE_ILLEGAL. With the flag on that column
+  * surfaces as a nanosecond-epoch Long; [[Tables.normalizeEventTs]]
+  * converts whichever stored shape (nanos Long, TIMESTAMP_NTZ micros,
+  * TimestampType) to a session-zoned TimestampType in one place.
   *
   * At cluster scale the same builder is used minus `.master(local)` —
   * spark-submit supplies master/memory and `shuffle.partitions` should be

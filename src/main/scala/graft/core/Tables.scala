@@ -31,13 +31,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores INT64 TIMESTAMP(NANOS), surfaced as a raw
-    * nanos Long under `nanosAsLong` — this converts it to TimestampType
-    * via integer division (ns epochs exceed double's mantissa). Shared
-    * by the batch loader and the streaming reader so the nanos handling
-    * lives in exactly one place. */
+  /** Normalize `events.ts` to session-zoned TimestampType whatever the
+    * generator wrote — the driver has shipped this column as INT64
+    * TIMESTAMP(NANOS) (surfaced as a raw nanos Long under `nanosAsLong`)
+    * and as plain TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ) in
+    * different rounds, and a schema-shape change in the input must not
+    * ripple into every consumer. Long nanos convert via integer
+    * division (ns epochs exceed double's 53-bit mantissa, so a float
+    * division would round half the values up by 1µs); NTZ wall-clock
+    * values cast in the UTC session to the same instant the nanos path
+    * produced. Shared by the batch loader and the streaming reader so
+    * the type handling lives in exactly one place. */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other")
+    }
 
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))

@@ -24,19 +24,30 @@ object ScalarOps {
     */
   def p4TimeFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Filter on the RAW nanosecond column so the predicate pushes down to
-    // the parquet scan (row-group/partition pruning — the single most
-    // important scan optimization at 100 TB). Filtering the converted
-    // `timestamp_micros(ts div 1000)` column would defeat pushdown
-    // because the comparison sits above a computed expression.
-    // Bounds are driver-computed UTC epochs (seconds → nanos).
-    val startNs = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    val endNs = java.time.LocalDateTime.parse("2024-01-11T12:00:00")
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    Tables.load(s, d, "events")
-      .filter($"ts" >= startNs && $"ts" <= endNs)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Filter on the column AS STORED so the predicate pushes down to the
+    // parquet scan (row-group/partition pruning — the single most
+    // important scan optimization at 100 TB). Filtering above a computed
+    // conversion (`timestamp_micros(ts div 1000)`, a cast) would defeat
+    // pushdown, so the bound literals adapt to the stored type instead:
+    // raw nanos Longs for the INT64(NANOS) generation of events.parquet,
+    // LocalDateTime (TIMESTAMP_NTZ) literals for the TIMESTAMP(MICROS)
+    // one — both compare scan-native and prune row groups.
+    val start = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+    val end = java.time.LocalDateTime.parse("2024-01-11T12:00:00")
+    val raw = Tables.load(s, d, "events")
+    val bounded = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val ns = (t: java.time.LocalDateTime) =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+        raw.filter($"ts" >= ns(start) && $"ts" <= ns(end))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.filter($"ts" >= lit(start) && $"ts" <= lit(end))
+      case _ =>
+        val inst = (t: java.time.LocalDateTime) =>
+          java.sql.Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
+        raw.filter($"ts" >= lit(inst(start)) && $"ts" <= lit(inst(end)))
+    }
+    Tables.normalizeEventTs(bounded)
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
         $"event_type", $"value")
   }
