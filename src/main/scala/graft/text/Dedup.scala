@@ -404,6 +404,56 @@ object Dedup {
         col("next_id").as("id_b"), col("containment"))
   }
 
+  /** Paragraph-level exact dedup across the corpus — the RefinedWeb /
+    * Falcon recipe at paragraph granularity: split each document on
+    * `sep`, keep only the GLOBALLY FIRST occurrence of every distinct
+    * paragraph (first = smallest (id, position)), and reassemble each
+    * document from its surviving paragraphs in order. Boilerplate
+    * repeated across millions of pages (headers, footers, license
+    * blocks, cookie banners) disappears from every carrier but its
+    * first, while unique prose survives untouched — removal that
+    * document-level dedup (dd1) cannot express because no two
+    * DOCUMENTS are equal.
+    *
+    * Scale shape: a narrow posexplode, ONE groupBy on the sha256
+    * paragraph key (min-combining a single arithmetic order key —
+    * map-side partial, O(distinct paragraphs) reduce state), one hash
+    * join back on that key, and one groupBy(id) reassembly. No global
+    * sort, nothing driver-side, and the corpus text crosses shuffles
+    * only as the id-keyed reassembly payload — the dedup DECISION
+    * travels as (64-hex hash, one long). The order key packs
+    * (id, pos) as `id * 2^20 + pos` — ids must be non-negative and
+    * documents under 2^20 paragraphs, the documented contract. */
+  def paragraphDedup(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     sep: String = "\n\n"): DataFrame = {
+    // persisted: the exploded/keyed paragraphs feed three consumers
+    // (the first-occurrence aggregate, the keep-join probe, and the
+    // per-doc paragraph counts) — without it the split+sha kernel runs
+    // per consumer
+    val paras = graft.core.TransientCache.persist(df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .withColumn("h", sha2(col("para"), 256))
+      .withColumn("okey", col(idCol) * lit(1048576L) + col("pos")))
+    val first = paras.groupBy("h").agg(min("okey").as("first_okey"))
+    val kept = paras.join(first, Seq("h"))
+      .filter(col("okey") === col("first_okey"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(struct(col("pos"), col("para")))),
+          p => p.getField("para"))).as("text_dedup"))
+    // A document whose every paragraph first appeared elsewhere keeps
+    // nothing — it must still come back (empty), not vanish.
+    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** The declarative reference form of [[blockedNgramJaccard]] (string
     * shingle arrays + array_intersect/array_union) — kept as the
     * independently-derived semantics the native kernel is pinned against. */

@@ -363,7 +363,63 @@ object DedupQueries {
       |FROM grouped g
       |WHERE g.doc_id >= 100000""".stripMargin
 
+  /** dd10_paragraph_dedup — cross-corpus paragraph-level exact dedup
+    * through the gate. The test docs are single-line, so the row
+    * constructs a paragraph corpus with REAL cross-document repetition
+    * (the identical expression in both engines): each doc becomes its
+    * own 120-char prefix plus the PREVIOUS doc's prefix as a second
+    * paragraph — every prefix therefore appears twice (as doc i's
+    * first paragraph and doc i+1's second), and the dedup must keep
+    * exactly the first carrier and strip the repeat, doc 0's seed
+    * paragraph surviving as a singleton. The lag() fixture runs over
+    * one unpartitioned window — gate construction, not the operator
+    * (which is keyed shuffles only; see [[Dedup.paragraphDedup]]).
+    * The oracle re-derives split → first-occurrence → reassembly
+    * relationally in DuckDB, text byte-for-byte. */
+  def dd10ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+    val corpus = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("a"))
+      .withColumn("text", concat(col("a"), lit("\n\n"),
+        coalesce(lag(col("a"), 1).over(w), lit("seed paragraph"))))
+      .select(col("doc_id"), col("text"))
+    Dedup.paragraphDedup(corpus)
+  }
+
+  val dd10Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, substr(text, 1, 120) AS a FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, a || chr(10) || chr(10) ||
+      |    COALESCE(lag(a) OVER (ORDER BY doc_id), 'seed paragraph')
+      |    AS text
+      |  FROM base),
+      |paras AS (
+      |  SELECT doc_id, g.i - 1 AS pos,
+      |    string_split(text, chr(10) || chr(10))[g.i] AS para
+      |  FROM corpus, LATERAL (
+      |    SELECT unnest(range(1,
+      |      len(string_split(text, chr(10) || chr(10))) + 1)) AS i) g),
+      |keyed AS (
+      |  SELECT doc_id, pos, para, sha256(para) AS h,
+      |    doc_id * 1048576 + pos AS okey
+      |  FROM paras),
+      |first AS (SELECT h, min(okey) AS first_okey FROM keyed GROUP BY h),
+      |kept AS (
+      |  SELECT k.doc_id, k.pos, k.para FROM keyed k
+      |  JOIN first f ON k.h = f.h AND k.okey = f.first_okey),
+      |rebuilt AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+      |  FROM kept GROUP BY doc_id),
+      |counts AS (SELECT doc_id, count(*) AS n_paras FROM keyed GROUP BY doc_id)
+      |SELECT c.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+      |  c.n_paras, COALESCE(r.n_kept, 0) AS n_kept
+      |FROM counts c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd10_paragraph_dedup" -> (dd10ParagraphDedup _),
     "dd9_incremental_dedup" -> (dd9IncrementalDedup _),
     "sq1_sql_dedup_chain" -> (sq1SqlDedupChain _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
@@ -376,6 +432,7 @@ object DedupQueries {
     "dd7_dedup_clusters" -> (dd7DedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "dd10_paragraph_dedup" -> dd10Oracle,
     "dd9_incremental_dedup" -> dd9Oracle,
     "sq1_sql_dedup_chain" -> sq1Oracle,
     "dd1_exact_dedup" -> dd1Oracle,

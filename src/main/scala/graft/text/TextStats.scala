@@ -136,6 +136,42 @@ object TextStats {
         (col("top_bigram") * 5 > col("n_bigrams")) ||
         (col("dup_5grams") * 20 > col("n_5grams") * 3))
   }
+
+  /** PII patterns shared by the scrub and its oracle. Deliberately
+    * RE2-compatible (character classes + bounded quantifiers, no
+    * lookaround/backreference) so the SAME pattern strings run under
+    * Java's engine here and RE2 in DuckDB with identical matches —
+    * both engines are leftmost-first with greedy quantifiers on this
+    * subset. Each pattern pairs with its replacement placeholder. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"))
+
+  /** PII scrubbing — the redaction stage every published training
+    * corpus runs before release: counts each PII class, then replaces
+    * matches with typed placeholders. ONE narrow projection per
+    * document (counts via `regexp_extract_all` size, rewrite via a
+    * `regexp_replace` chain) — no shuffle, no UDF, everything inside
+    * whole-stage codegen; at 100 TB this is a map-only pass whose cost
+    * is the regex scans themselves. Order matters and is fixed: emails
+    * scrub before IPv4 so a numeric mail host can't double-count; the
+    * counts are taken against the SAME intermediate text the rewrite
+    * sees, so `n_<class>` always equals the placeholders inserted. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(df) {
+      case (acc, (name, pattern, repl)) =>
+        val src =
+          if (acc.columns.contains("__pii_text")) col("__pii_text")
+          else col(textCol)
+        acc.withColumn(s"n_$name",
+            size(regexp_extract_all(src, lit(pattern), lit(0))))
+          .withColumn("__pii_text", regexp_replace(src, pattern, repl))
+    }
+    scrubbed.withColumn("text_scrubbed", col("__pii_text"))
+      .drop("__pii_text")
+  }
 }
 
 object TextQueries {
@@ -286,17 +322,80 @@ object TextQueries {
       |LEFT JOIN bigram_stats bs ON d.doc_id = bs.doc_id
       |LEFT JOIN five_stats fs ON d.doc_id = fs.doc_id""".stripMargin
 
+  /** tx6_pii_scrub — the redaction stage through the gate. The test
+    * corpus carries no PII, so the row PLANTS deterministic addresses /
+    * IPs / id numbers derived from `doc_id` (the identical expression
+    * in both engines — docs off each modulus keep zero counts and
+    * untouched text, exercising the no-op path too), then scrubs with
+    * [[TextStats.piiScrub]]. The oracle re-runs the same construction
+    * and the same RE2-safe patterns with DuckDB's regex engine: counts
+    * AND the rewritten text must agree byte-for-byte. */
+  def tx6PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0.42"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    TextStats.piiScrub(planted)
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_id"),
+        col("text_scrubbed"))
+  }
+
+  val tx6Oracle: String = {
+    val Seq((_, pEmail, rEmail), (_, pIp, rIp), (_, pId, rId)) =
+      TextStats.piiPatterns
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+       |      CAST(doc_id AS VARCHAR) || '@mail' ||
+       |      CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+       |      CAST(doc_id % 200 AS VARCHAR) || '.0.42' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '$pEmail')) AS n_email,
+       |    regexp_replace(text, '$pEmail', '$rEmail', 'g') AS t
+       |  FROM planted),
+       |s2 AS (
+       |  SELECT doc_id, n_email,
+       |    len(regexp_extract_all(t, '$pIp')) AS n_ipv4,
+       |    regexp_replace(t, '$pIp', '$rIp', 'g') AS t
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT doc_id, n_email, n_ipv4,
+       |    len(regexp_extract_all(t, '$pId')) AS n_id,
+       |    regexp_replace(t, '$pId', '$rId', 'g') AS t
+       |  FROM s2)
+       |SELECT doc_id, n_email, n_ipv4, n_id, t AS text_scrubbed
+       |FROM s3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_lang_id" -> (tx1LangId _),
     "tx2_quality" -> (tx2Quality _),
     "tx3_token_counts" -> (tx3Tokens _),
     "tx4_fingerprint" -> (tx4Fingerprint _),
-    "tx5_repetition" -> (tx5Repetition _))
+    "tx5_repetition" -> (tx5Repetition _),
+    "tx6_pii_scrub" -> (tx6PiiScrub _))
 
   val oracles: Map[String, String] = Map(
     "tx1_lang_id" -> tx1Oracle,
     "tx2_quality" -> tx2Oracle,
     "tx3_token_counts" -> tx3Oracle,
     "tx4_fingerprint" -> tx4Oracle,
-    "tx5_repetition" -> tx5Oracle)
+    "tx5_repetition" -> tx5Oracle,
+    "tx6_pii_scrub" -> tx6Oracle)
 }

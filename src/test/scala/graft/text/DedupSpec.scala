@@ -135,4 +135,37 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     // planted pair shares far more than the 3-fingerprint floor
     all(plantedPairs.map(_._3)) should be >= 5L
   }
+
+  test("paragraph dedup keeps only the globally-first carrier of " +
+    "repeated boilerplate and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\n\nSHARED FOOTER\n\nunique two"),
+      (2L, "fresh prose\n\nSHARED FOOTER"),
+      (3L, "SHARED FOOTER\n\nlast words")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs)
+      .select($"doc_id", $"text_dedup", $"n_paras", $"n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    graft.core.TransientCache.drain()
+    out(0) shouldBe ((1L, "unique one\n\nSHARED FOOTER\n\nunique two",
+      3L, 3L))
+    out(1) shouldBe ((2L, "fresh prose", 2L, 1L))
+    out(2) shouldBe ((3L, "last words", 2L, 1L))
+  }
+
+  test("paragraph dedup: a doc made entirely of earlier paragraphs " +
+    "comes back empty, and a within-doc repeat keeps its first copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nalpha\n\nbeta"),
+      (2L, "beta\n\nalpha")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs)
+      .select($"doc_id", $"text_dedup", $"n_paras", $"n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    graft.core.TransientCache.drain()
+    // doc 1: the second "alpha" (pos 1) loses to pos 0; beta survives
+    out(0) shouldBe ((1L, "alpha\n\nbeta", 3L, 2L))
+    // doc 2: both paragraphs first appeared in doc 1 — nothing left
+    out(1) shouldBe ((2L, "", 2L, 0L))
+  }
 }

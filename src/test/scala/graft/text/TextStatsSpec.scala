@@ -116,4 +116,30 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(2) should not be out(0)
     out(0) should have length 16
   }
+
+  test("PII scrub replaces every class with its placeholder and counts " +
+    "against the text each pattern actually sees") {
+    import spark.implicits._
+    val out = TextStats.piiScrub(Seq(
+      (1L, "mail a.b+c@x.co and d@y.org, host 10.0.0.1, id 123-45-6789"),
+      (2L, "no pii here at all"),
+      (3L, "two ips 192.168.1.1 8.8.8.8 and 999-99-9999"))
+      .toDF("doc_id", "text"))
+      .select($"doc_id", $"n_email", $"n_ipv4", $"n_id", $"text_scrubbed")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 2, 1, 1,
+      "mail <EMAIL> and <EMAIL>, host <IP>, id <ID>"))
+    out(1) shouldBe ((2L, 0, 0, 0, "no pii here at all"))
+    out(2) shouldBe ((3L, 0, 2, 1, "two ips <IP> <IP> and <ID>"))
+  }
+
+  test("PII scrub order: an address with a dotted-numeric host is one " +
+    "email, never an extra IP") {
+    import spark.implicits._
+    val out = TextStats.piiScrub(Seq((1L, "x u@10.0.0.1.co y"))
+      .toDF("doc_id", "text"))
+      .select($"n_email", $"n_ipv4", $"text_scrubbed")
+      .as[(Int, Int, String)].collect().head
+    out shouldBe ((1, 0, "x <EMAIL> y"))
+  }
 }
