@@ -196,7 +196,8 @@ object LakeSql {
       * files. */
     private val metaTables: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("$history" -> (ManifestLake.history _),
-        "$detail" -> (ManifestLake.detail _))
+        "$detail" -> (ManifestLake.detail _),
+        "$files" -> (ManifestLake.files _))
 
     /** Extractor resolving a `graft_lake.<name$suffix>` relation to its
       * metadata frame — built ONCE per match. */

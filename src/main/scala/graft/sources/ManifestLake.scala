@@ -1003,16 +1003,52 @@ object ManifestLake {
       if (batchId.isEmpty && appId.isEmpty)
         (prevSnap.flatMap(_.batchId), prevSnap.flatMap(_.appId))
       else (batchId, appId)
-    if (append && prevSnap.nonEmpty)
-      commitAppendWithRebase(df, spark, fs, p, table, moved, partitionBy,
-        prev, committedSchema, effBlooms, effBloomRows, tableChecks,
-        effChecks, effBatch, effApp, batchId, appId, bloomCols,
-        validateChecks, maintenance)
-    else
-      commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
-        effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
-        bloomExpectedRows = effBloomRows, checks = tableChecks,
-        maintenance = maintenance)
+    val committed =
+      if (append && prevSnap.nonEmpty)
+        commitAppendWithRebase(df, spark, fs, p, table, moved, partitionBy,
+          prev, committedSchema, effBlooms, effBloomRows, tableChecks,
+          effChecks, effBatch, effApp, batchId, appId, bloomCols,
+          validateChecks, maintenance)
+      else
+        commitLog(fs, p, full = true, adds = moved, removes = Nil, prev,
+          effBatch, effApp, Some(committedSchema), bloomCols = effBlooms,
+          bloomExpectedRows = effBloomRows, checks = tableChecks,
+          maintenance = maintenance)
+    if (!maintenance) maybeAutoBinPack(spark, table)
+    committed
+  }
+
+  /** Session conf enabling write-triggered compaction: when set to a
+    * positive integer N, any non-maintenance [[write]] whose resulting
+    * snapshot holds ≥ N small files (under
+    * `spark.graft.lake.autoBinPack.smallFileBytes`, default 32 MiB)
+    * immediately runs [[binPack]] — Delta's auto-compaction model.
+    * Unset = off (the default): maintenance cadence is an operational
+    * choice, and micro-benchmarks shouldn't pay surprise rewrites. */
+  val AutoBinPackConf = "spark.graft.lake.autoBinPack.smallFiles"
+  val AutoBinPackBytesConf = "spark.graft.lake.autoBinPack.smallFileBytes"
+
+  /** The [[write]] epilogue for [[AutoBinPackConf]]: one snapshot
+    * resolution (checkpoint + bounded tail) counts small files from
+    * manifest-recorded sizes — no file-system stats — and triggers the
+    * rewrite only past the threshold, so steady-state ingest pays a
+    * metadata probe and the pack cost amortizes to once per N small
+    * commits. The pack commit itself is `#maintenance` (streams skip
+    * it) and never re-triggers (binPack commits directly, not through
+    * [[write]]). Trigger failures propagate: a caller who opted into
+    * auto-compaction wants to know it stopped, not find a million-file
+    * table later. */
+  private def maybeAutoBinPack(spark: SparkSession, table: String): Unit = {
+    val threshold = spark.conf.getOption(AutoBinPackConf).map(_.trim)
+      .filter(_.nonEmpty).map(_.toInt)
+    threshold.filter(_ > 0).foreach { n =>
+      val smallBytes = spark.conf.getOption(AutoBinPackBytesConf)
+        .map(_.toLong).getOrElse(32L * 1024 * 1024)
+      val snap = snapshot(spark, table)
+      val small = snap.entries.count(_.bytes.exists(_ < smallBytes))
+      if (small >= n)
+        binPack(spark, table, smallFileBytes = smallBytes)
+    }
   }
 
   /** How many times a lost-race APPEND re-resolves the winner's head and
@@ -3637,6 +3673,31 @@ object ManifestLake {
       .toDF("version", "n_files", "n_rows", "partition_cols", "stats_cols",
         "bloom_cols", "bloom_expected_rows", "checks", "schema_json",
         "batch_id", "app_id", "n_dv_files", "n_dv_rows")
+  }
+
+  /** Per-file inventory of the current snapshot — the `` `t$files` ``
+    * metadata table (Iceberg's `files` / Delta's file-level DESCRIBE
+    * DETAIL): one row per manifest entry with its recorded size, row
+    * count, deletion-vector load, and first-stats-column bounds, all
+    * from the MANIFEST (zero data IO). What an operator reads to
+    * answer "why is this table slow" — small-file skew, DV
+    * accumulation, stats coverage holes — before reaching for
+    * OPTIMIZE/REORG. Driver-built like `history()`/`detail()`: the
+    * entry list is already resolved driver-side; at extreme file
+    * counts inspect a partition's subset via the path prefix. */
+  def files(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, table, None)
+    val statCol = snapStatsCols(snap).headOption
+    snap.entries.map { e =>
+      val r = statCol.flatMap(e.range)
+      val sr = statCol.flatMap(e.strRange)
+      (e.path, e.bytes, e.rows, e.dvRows.getOrElse(0L), e.liveRows,
+        e.dv.nonEmpty, statCol.getOrElse(""),
+        r.map(_.min.toString).orElse(sr.map(_.min)).getOrElse(""),
+        r.map(_.max.toString).orElse(sr.flatMap(_.max)).getOrElse(""))
+    }.toDF("path", "bytes", "rows", "dv_rows", "live_rows", "has_dv",
+      "stats_col", "stats_min", "stats_max")
   }
 
   /** The version a data file was written under, parsed from its

@@ -1895,4 +1895,61 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.changesBetween(spark, t, before.version, r.newVersion)
       .map(_.maintenance) shouldBe Seq(true)
   }
+
+  test("auto bin-pack: crossing the small-file threshold triggers a " +
+    "maintenance pack after the write; under it (or unset) nothing fires") {
+    import spark.implicits._
+    val t = freshTable()
+    spark.conf.set(ManifestLake.AutoBinPackConf, "4")
+    spark.conf.set(ManifestLake.AutoBinPackBytesConf, (100L * 1024).toString)
+    try {
+      (0 until 3).foreach(i =>
+        ManifestLake.write(rows(i * 10 to i * 10 + 9).coalesce(1), t))
+      // 3 small files < threshold 4: untouched
+      ManifestLake.snapshot(spark, t).entries should have length 3
+      val vBefore = ManifestLake.currentVersion(spark, t).get
+      ManifestLake.write(rows(30 to 39).coalesce(1), t)
+      // the 4th small file crossed the threshold: the write committed,
+      // then the pack collapsed the tail in a follow-up MAINTENANCE
+      // version (streams skip it)
+      val snap = ManifestLake.snapshot(spark, t)
+      snap.entries should have length 1
+      snap.version shouldBe vBefore + 2
+      ManifestLake.changesBetween(spark, t, vBefore + 1, snap.version)
+        .map(_.maintenance) shouldBe Seq(true)
+      ManifestLake.read(spark, t).count() shouldBe 40L
+    } finally {
+      spark.conf.unset(ManifestLake.AutoBinPackConf)
+      spark.conf.unset(ManifestLake.AutoBinPackBytesConf)
+    }
+    // conf now unset: small appends accumulate again
+    (0 until 2).foreach(i =>
+      ManifestLake.write(rows(100 + i * 10 to 100 + i * 10 + 9)
+        .coalesce(1), t))
+    ManifestLake.snapshot(spark, t).entries should have length 3
+  }
+
+  test("$files inventory: one row per manifest entry with recorded " +
+    "sizes, counts, stats bounds, and deletion-vector load") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestLake.writeClustered(rows(1 to 1000), t, "id", nFiles = 4)
+    ManifestLake.deleteMor(spark, t,
+      org.apache.spark.sql.functions.col("id") <= 10L)
+    val inv = ManifestLake.files(spark, t).collect()
+    inv should have length 4
+    inv.map(_.getAs[Long]("rows")).sum shouldBe 1000L
+    inv.map(_.getAs[Long]("dv_rows")).sum shouldBe 10L
+    inv.count(_.getAs[Boolean]("has_dv")) shouldBe 1
+    all(inv.map(_.getAs[Long]("bytes"))) should be > 0L
+    all(inv.map(_.getAs[String]("stats_col"))) shouldBe "id"
+    // bounds come back as the recorded numeric range strings
+    inv.map(r => (BigDecimal(r.getAs[String]("stats_min")),
+      BigDecimal(r.getAs[String]("stats_max"))))
+      .map(_._1).min shouldBe BigDecimal(1)
+    // and the SQL surface serves the same inventory
+    LakeSql.register("files_inv", t)
+    spark.sql("SELECT count(*) AS n FROM graft_lake.`files_inv$files`")
+      .head().getLong(0) shouldBe 4L
+  }
 }
