@@ -320,6 +320,12 @@ case class DvLive(left: Expression, right: Expression, table: String,
 
   override def prettyName: String = "dv_live"
 
+  /** Plan rendering: the vector tokens and the rebuilt Hadoop conf are
+    * payload, not structure — without this override every explain()
+    * prints the full 1000+-entry conf map per DV filter. */
+  override def stringArgs: Iterator[Any] =
+    Iterator(left, right, table, s"${refs.size} vectored file(s)")
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
