@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
   *   OPTIMIZE graft_lake.t ZORDER BY (c1, c2)    -- re-cluster (1 col = range, ≥2 = z-order)
   *   REORG TABLE graft_lake.t APPLY (PURGE)      -- materialize every deletion vector
   *   VACUUM graft_lake.t RETAIN <n> VERSIONS     -- retention cleanup
+  *   VACUUM graft_lake.t RETAIN <n> VERSIONS DRY RUN -- would-delete preview
   *   DESCRIBE HISTORY graft_lake.t               -- the $history table, discoverably
   * }}}
   * Each statement returns its report as rows (files before/after +
@@ -36,7 +37,7 @@ object LakeMaintenanceSql {
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + Name +
-      "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
+      "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Name + "\\s*;?\\s*$").r
   private val RestoreRe =
@@ -67,8 +68,9 @@ object LakeMaintenanceSql {
         val cols = Option(zcols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         Some(GraftOptimizeCommand(resolve(name), cols))
-      case VacuumRe(name, n) =>
-        Some(GraftVacuumCommand(resolve(name), n.toInt))
+      case VacuumRe(name, n, dry) =>
+        if (dry != null) Some(GraftVacuumDryRunCommand(resolve(name), n.toInt))
+        else Some(GraftVacuumCommand(resolve(name), n.toInt))
       case HistoryRe(name) =>
         Some(GraftDescribeHistoryCommand(resolve(name)))
       case RestoreRe(name, v) =>
@@ -132,6 +134,29 @@ object LakeMaintenanceSql {
       AttributeReference("files_deleted", IntegerType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(ManifestLake.vacuum(spark, table, keepLast)))
+  }
+
+  /** `VACUUM ... RETAIN n VERSIONS DRY RUN` — the preview every
+    * operator wants before an irreversible retention cut:
+    * [[ManifestLake.vacuumPlan]]'s would-delete inventory as (kind,
+    * path) rows, one per data file / bloom sidecar / DV sidecar /
+    * change file / staging dir / dropped version. Read-only by
+    * construction (the SAME planning pass vacuum executes, so the
+    * preview cannot drift from the deletion logic). */
+  final case class GraftVacuumDryRunCommand(table: String, keepLast: Int)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val plan = ManifestLake.vacuumPlan(spark, table, keepLast)
+      plan.deadData.map(Row("data", _)) ++
+        plan.deadBlooms.map(Row("bloom", _)) ++
+        plan.deadDv.map(Row("dv", _)) ++
+        plan.deadChangeFiles.map(Row("changes", _)) ++
+        plan.deadStagingDirs.map(Row("staging", _)) ++
+        plan.dropVersions.map(v => Row("version", v.toString))
+    }
   }
 
   /** `DESCRIBE HISTORY` — [[ManifestLake.history]]'s frame as command

@@ -3745,11 +3745,44 @@ object ManifestLake {
     * delta-record log, resolving a retained version must never need to
     * walk into the dropped range. */
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
+    val (fs, p) = fsFor(spark, table)
+    val plan = vacuumPlan(spark, table, keepLast)
+    // Before dropping, the oldest RETAINED version is checkpointed if it
+    // wasn't already: with a delta-record log, resolving a retained
+    // version must never need to walk into the dropped range.
+    if (plan.dropVersions.nonEmpty && plan.keepVersions.nonEmpty)
+      writeCheckpoint(fs, p, plan.keepVersions.head)
+    plan.deadData.foreach(f => fs.delete(new Path(p, f), false))
+    plan.deadBlooms.foreach(f => fs.delete(new Path(p, f), false))
+    plan.deadDv.foreach(f => fs.delete(new Path(p, f), false))
+    // a dropped version's recorded change files go with its manifest
+    plan.deadChangeFiles.foreach(c => fs.delete(new Path(p, c), false))
+    plan.dropVersions.foreach { v =>
+      fs.delete(manifestPath(p, v), false)
+      fs.delete(checkpointPath(p, v), false)
+    }
+    plan.deadStagingDirs.foreach(d => fs.delete(new Path(p, d), true))
+    plan.deadData.length
+  }
+
+  /** What a [[vacuum]] at this retention WOULD delete — the planning
+    * pass shared by vacuum itself and the `DRY RUN` SQL surface, so the
+    * preview can never drift from the deletion logic. Read-only: no
+    * checkpoint write, no deletes. */
+  final case class VacuumPlan(dropVersions: Seq[Long],
+                              keepVersions: Seq[Long],
+                              deadData: Seq[String],
+                              deadBlooms: Seq[String],
+                              deadDv: Seq[String],
+                              deadChangeFiles: Seq[String],
+                              deadStagingDirs: Seq[String])
+
+  def vacuumPlan(spark: SparkSession, table: String,
+                 keepLast: Int = 2): VacuumPlan = {
     require(keepLast >= 1, "must retain at least the current version")
     val (fs, p) = fsFor(spark, table)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
-    if (drop.nonEmpty && keep.nonEmpty) writeCheckpoint(fs, p, keep.head)
     // ONE snapshot resolution per retained version feeds BOTH liveness
     // sets (data files and DV sidecars) — a second per-version walk
     // would double vacuum's manifest-resolution cost for nothing
@@ -3782,7 +3815,6 @@ object ManifestLake {
       // stays collectable when no retained manifest references it
       .filterNot(f => dataFileVersion(f).exists(_ >= maxRetained))
     val dead = dataFiles.filterNot(live)
-    dead.foreach(f => fs.delete(new Path(p, f), false))
     // Bloom sidecars are keyed by LIVENESS, not by the dead list: a
     // sidecar survives only while its data file is referenced by a
     // retained version or belongs to an in-flight writer (version >
@@ -3790,17 +3822,18 @@ object ManifestLake {
     // commits). Anything else is collectable, including orphans from a
     // previous vacuum that crashed between the data delete and this
     // walk — the cleanup self-heals instead of leaking forever.
+    val deadBlooms = Seq.newBuilder[String]
     val bdir = new Path(p, BloomsDir)
     if (fs.exists(bdir)) {
       def walkBlooms(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) walkBlooms(st.getPath)
         else {
           val rel = relativize(new Path(p, BloomsDir), st.getPath)
-          // <datafile rel>.<col>.bloom → strip the two suffix segments
+          // <datafile rel>.<col>.bloom -> strip the two suffix segments
           val dataRel = rel.split('.').dropRight(2).mkString(".")
           val inFlight = dataFileVersion(dataRel).exists(_ >= maxRetained)
           if (!live(dataRel) && !inFlight)
-            fs.delete(st.getPath, false): Unit
+            deadBlooms += s"$BloomsDir/$rel"
         }
       }
       walkBlooms(bdir)
@@ -3811,6 +3844,7 @@ object ManifestLake {
     // in-flight protection mirrors the data files' — a sidecar staged
     // for a version beyond the newest retained manifest belongs to a
     // committing writer.
+    val deadDv = Seq.newBuilder[String]
     val dvdir = new Path(p, DvDir)
     if (fs.exists(dvdir)) {
       val liveDv = keepSnaps.flatMap(_.entries.flatMap(_.dv))
@@ -3818,29 +3852,28 @@ object ManifestLake {
       fs.listStatus(dvdir).foreach { st =>
         val rel = s"$DvDir/${st.getPath.getName}"
         val inFlight = dataFileVersion(rel).exists(_ >= maxRetained)
-        if (!liveDv(rel) && !inFlight) fs.delete(st.getPath, false): Unit
+        if (!liveDv(rel) && !inFlight) deadDv += rel
       }
     }
-    drop.foreach { v =>
-      // a dropped version's recorded change files go with its manifest
-      // (read it BEFORE deleting — the C lines are the only reference)
+    // read dropped manifests BEFORE vacuum deletes them — the C lines
+    // are the only reference to a version's recorded change files
+    val deadChanges = drop.flatMap { v =>
       if (fs.exists(manifestPath(p, v)))
         readLog(fs, manifestPath(p, v)).changeFiles
-          .foreach(c => fs.delete(new Path(p, c), false))
-      fs.delete(manifestPath(p, v), false)
-      fs.delete(checkpointPath(p, v), false)
+      else Nil
     }
     // Abandoned staging dirs (crashed or lost-race writers). A live
     // writer always stages for version current+1 > maxRetained, so a
     // staging dir versioned at or below the newest retained manifest is
     // provably dead.
-    fs.listStatus(p).foreach { st =>
+    val deadStaging = fs.listStatus(p).toSeq.flatMap { st =>
       st.getPath.getName match {
         case StagingRe(v) if v.toLong <= maxRetained =>
-          fs.delete(st.getPath, true)
-        case _ => ()
+          Some(st.getPath.getName)
+        case _ => None
       }
     }
-    dead.length
+    VacuumPlan(drop, keep, dead, deadBlooms.result(), deadDv.result(),
+      deadChanges, deadStaging)
   }
 }

@@ -164,6 +164,35 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with Matchers
     spark.sql("SHOW TABLES").collect() // parses + runs via the delegate
   }
 
+  test("VACUUM DRY RUN previews exactly what the real vacuum deletes, " +
+    "deleting nothing itself") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1..v3: two overwrites orphan v1/v2's files under RETAIN 1
+    ManifestLake.write(Seq((1L, "a")).toDF("id", "p"), t)
+    ManifestLake.write(Seq((2L, "b")).toDF("id", "p"), t, append = false)
+    ManifestLake.write(Seq((3L, "c")).toDF("id", "p"), t, append = false)
+    LakeSql.register("vac_dry", t)
+    val preview = spark.sql(
+      "VACUUM graft_lake.vac_dry RETAIN 1 VERSIONS DRY RUN").collect()
+    val previewData = preview.filter(_.getString(0) == "data")
+      .map(_.getString(1)).toSet
+    previewData should not be empty
+    // dry run deleted nothing: time travel to v1 still reads
+    ManifestLake.read(spark, t, Some(1L)).count() shouldBe 1L
+    // the real vacuum removes exactly the previewed data files
+    spark.sql("VACUUM graft_lake.vac_dry RETAIN 1 VERSIONS")
+      .head().getInt(0) shouldBe previewData.size
+    val (fs, p) = (new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(t))
+    previewData.foreach { rel =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, rel)) shouldBe false
+    }
+    ManifestLake.read(spark, t).collect().map(_.getLong(0)) shouldBe
+      Array(3L)
+  }
+
   test("unregistered names fail by name at parse; ordinary SQL falls " +
     "through untouched") {
     intercept[IllegalArgumentException] {
