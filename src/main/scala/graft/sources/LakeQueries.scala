@@ -979,7 +979,44 @@ object LakeQueries {
       |FROM lineitem
       |WHERE l_extendedprice >= 1200.0""".stripMargin
 
+  /** lk16_time_partition — time-derived partitioning through the gate:
+    * the events table lands under day partitions generated from `ts`
+    * (the generation recorded as an enforced CHECK constraint), and a
+    * 1.5-day closed-interval read resolves ~2 of ~30 partitions at the
+    * MANIFEST before the exact predicate pushes into the surviving
+    * scans — partition pruning + row-group pruning, the two layers a
+    * time-partitioned 100 TB lake lives on. The oracle filters the
+    * original parquet, so the row proves derived-partition pruning
+    * loses nothing; the pruned-entry counts are pinned in
+    * ManifestLakeSpec where they are observable. Same bounds as p4, so
+    * the two rows also pin layout-vs-scan equivalence against each
+    * other. */
+  def lk16TimePartition(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk16:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk16").toString
+      ManifestLake.writeTimePartitioned(
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        dir, "ts")
+      dir
+    })
+    def ts(x: String) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(x).toInstant(java.time.ZoneOffset.UTC))
+    ManifestLake.readTsRange(s, table, "ts",
+        ts("2024-01-10T00:00:00"), ts("2024-01-11T12:00:00"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  val lk16Oracle: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-11 12:00:00'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk16_time_partition" -> (lk16TimePartition _),
     "lk15_sql_merge_sync" -> (lk15SqlMergeSync _),
     "dv3_reorg_purge" -> (dv3ReorgPurge _),
     "lk14_ctas" -> (lk14Ctas _),
@@ -1004,6 +1041,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk16_time_partition" -> lk16Oracle,
     "lk15_sql_merge_sync" -> lk15Oracle,
     "dv3_reorg_purge" -> dv3Oracle,
     "lk14_ctas" -> lk14Oracle,

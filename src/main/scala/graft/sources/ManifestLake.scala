@@ -1656,6 +1656,85 @@ object ManifestLake {
       statsCols = extraStatsCols, bloomCols = bloomCols)
   }
 
+  /** TIME-DERIVED partitioning — the canonical 100 TB time-series
+    * layout: rows land under `p_day=yyyy-MM-dd` Hive partitions derived
+    * from `tsCol` (UTC), and the derivation is recorded as an ENFORCED
+    * CHECK constraint (`<dayCol>_gen`), which buys three things at
+    * once with zero new manifest machinery: every later append —
+    * through ANY write path — must carry a correct day column or abort
+    * by name; the generation survives compaction/DML/restore because
+    * constraints already carry forward through every commit; and
+    * [[readTsRange]] can DERIVE partition pruning for timestamp range
+    * predicates from the recorded expression (the Delta
+    * generated-column pattern, public docs). Appends materialize the
+    * day column here, so callers pass raw event frames. */
+  def writeTimePartitioned(df: DataFrame, table: String, tsCol: String,
+                           append: Boolean = false,
+                           dayCol: String = "p_day",
+                           statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val spark = df.sparkSession
+    val genSql = timeGenSql(dayCol, tsCol)
+    val withDay = df.withColumn(dayCol,
+      date_format(col(tsCol), "yyyy-MM-dd"))
+    // the generation constraint is added exactly once; overwrites and
+    // appends of a table that already records it inherit it through the
+    // normal checks carry-forward (and are validated against it)
+    val hasGen = currentVersion(spark, table).exists(_ =>
+      snapshot(spark, table).checks.exists(_._1 == s"${dayCol}_gen"))
+    val v = write(withDay, table, append = append,
+      partitionBy = Seq(dayCol), statsCols = statsCols)
+    if (hasGen) v
+    else addConstraint(spark, table, s"${dayCol}_gen", genSql)
+  }
+
+  /** The recorded generation expression — ONE definition shared by the
+    * writer (records it) and [[readTsRange]] (parses it back), so the
+    * two can never disagree on the derivation. */
+  private def timeGenSql(dayCol: String, tsCol: String): String =
+    s"$dayCol = date_format($tsCol, 'yyyy-MM-dd')"
+
+  private val TimeGenRe =
+    "^([A-Za-z0-9_]+) = date_format\\(([A-Za-z0-9_]+), 'yyyy-MM-dd'\\)$".r
+
+  /** Closed-interval timestamp range read over a time-partitioned
+    * table: when the snapshot carries a recorded day-generation
+    * constraint for `tsCol`, the UTC day span of `[startTs, endTs]`
+    * prunes partitions AT THE MANIFEST (a 1.5-day query on a 10-year
+    * table resolves two partitions' entries, reads nothing else), and
+    * the exact predicate still pushes into the surviving scans for
+    * row-group pruning — two independent skipping layers, like lk9's
+    * bloom + stats. A table WITHOUT the recorded generation falls back
+    * to the full snapshot with the same filter: correct, never
+    * accidentally wrong, just unpruned. */
+  def readTsRange(spark: SparkSession, table: String, tsCol: String,
+                  startTs: java.sql.Timestamp,
+                  endTs: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(!startTs.after(endTs), "startTs must be <= endTs")
+    val snap = snapshot(spark, table)
+    val dayCol = snap.checks.collectFirst {
+      case (_, TimeGenRe(day, ts)) if ts.equalsIgnoreCase(tsCol) => day
+    }
+    val entries = dayCol match {
+      case Some(day) =>
+        val utc = java.time.ZoneOffset.UTC
+        val from = startTs.toInstant.atZone(utc).toLocalDate
+        val to = endTs.toInstant.atZone(utc).toLocalDate
+        val days = Iterator.iterate(from)(_.plusDays(1))
+          .takeWhile(!_.isAfter(to)).map(_.toString).toSet
+        // entries without the day key (pre-layout legacy files) are
+        // conservatively kept; the Hive DEFAULT partition's value
+        // doesn't parse as a day and is pruned — EXACT, not lossy: it
+        // holds only null-ts rows, which a closed interval excludes
+        snap.entries.filter(e => partitionValues(e.path).get(day)
+          .forall(days))
+      case None => snap.entries
+    }
+    readEntries(spark, table, snap.schema, entries)
+      .filter(col(tsCol) >= lit(startTs) && col(tsCol) <= lit(endTs))
+  }
+
   /** The snapshot entries a range query on `colName` must read: every
     * entry whose recorded `[min, max]` intersects `[lo, hi]`, plus every
     * entry with no recorded range for the column (unknown ⇒ never skip).

@@ -1896,6 +1896,53 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(_.maintenance) shouldBe Seq(true)
   }
 
+  test("time-derived partitioning: a ts range resolves only its days' " +
+    "partitions, the generation is enforced on appends, and a table " +
+    "without the generation still answers unpruned") {
+    import spark.implicits._
+    val t = freshTable()
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 1, day, h, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val events = (1 to 10).flatMap(day => (0 until 4).map(h =>
+      (day.toLong * 100 + h, ts(day, h * 6), s"e$day-$h")))
+      .toDF("event_id", "ts", "tag")
+    ManifestLake.writeTimePartitioned(events, t, "ts")
+    // 10 day partitions on disk; a 2-day closed range reads only 2
+    val snap = ManifestLake.snapshot(spark, t)
+    snap.entries.flatMap(e => e.path.split('/')
+      .find(_.startsWith("p_day="))).distinct.size shouldBe 10
+    val out = ManifestLake.readTsRange(spark, t, "ts",
+      ts(3, 0), ts(4, 23))
+    out.count() shouldBe 8L
+    // pruning is observable in the scan: only the two days' files
+    val scanned = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    scanned should include("p_day=2024-01-03")
+    scanned should not include "p_day=2024-01-05"
+    // appends materialize the day column and re-validate the recorded
+    // generation; a plain write carrying a WRONG day value aborts by
+    // the constraint's name and commits nothing
+    ManifestLake.writeTimePartitioned(
+      Seq((9901L, ts(7, 3), "late")).toDF("event_id", "ts", "tag"),
+      t, "ts", append = true)
+    ManifestLake.readTsRange(spark, t, "ts", ts(7, 0), ts(7, 6))
+      .count() shouldBe 3L
+    val bad = Seq((9902L, ts(8, 0), "bad"))
+      .toDF("event_id", "ts", "tag")
+      .withColumn("p_day", org.apache.spark.sql.functions.lit("2024-02-27"))
+    val before = ManifestLake.currentVersion(spark, t)
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.write(bad, t, partitionBy = Seq("p_day"))
+    }.getMessage should include("p_day_gen")
+    ManifestLake.currentVersion(spark, t) shouldBe before
+    // no recorded generation -> full snapshot, same answer
+    val plain = freshTable()
+    ManifestLake.write(events, plain)
+    ManifestLake.readTsRange(spark, plain, "ts", ts(3, 0), ts(4, 23))
+      .count() shouldBe 8L
+  }
+
   test("auto bin-pack: crossing the small-file threshold triggers a " +
     "maintenance pack after the write; under it (or unset) nothing fires") {
     import spark.implicits._
