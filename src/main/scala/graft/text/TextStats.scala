@@ -172,6 +172,31 @@ object TextStats {
     scrubbed.withColumn("text_scrubbed", col("__pii_text"))
       .drop("__pii_text")
   }
+
+  /** C4-style line-quality filtering — the web-corpus cleaning rule
+    * set: keep only lines with ≥ `minWords` words ending in terminal
+    * punctuation, rebuild the document from survivors, and flag docs
+    * that keep ≥ `minKeptLines` lines (C4 drops the rest). ONE narrow
+    * projection per document — the split/filter/rejoin runs as
+    * higher-order array functions inside the row, no explode, no
+    * shuffle; at 100 TB this is a map-only pass like [[piiScrub]].
+    * (The HOF lambda is interpreted, not codegen'd — acceptable here
+    * because the regex kernels dominate; the native-Expression route
+    * remains if this ever tops a profile.) */
+  def lineQualityFilter(df: DataFrame, textCol: String = "text",
+                        minWords: Int = 3,
+                        minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = filter(lines, l =>
+      (size(split(trim(l), "\\s+")) >= minWords) &&
+        regexp_like(trim(l), lit("[.!?]$")))
+    df.withColumn("__kept", keep)
+      .withColumn("text_clean", concat_ws("\n", col("__kept")))
+      .withColumn("n_lines", size(lines))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("kept_doc", col("n_kept") >= minKeptLines)
+      .drop("__kept")
+  }
 }
 
 object TextQueries {
@@ -383,13 +408,55 @@ object TextQueries {
        |FROM s3""".stripMargin
   }
 
+  /** tx7_line_filter — C4 line cleaning through the gate. The
+    * single-line test docs gain a deterministic 4-line structure (the
+    * identical expression in both engines): a punctuated prose line
+    * (kept), an unpunctuated one (dropped — no terminal punctuation),
+    * a 2-word line (dropped — under the word floor), and a
+    * '?'-terminated line (kept). The oracle re-runs the same
+    * split → list_filter → rejoin in DuckDB: cleaned text, counts, and
+    * the keep-doc verdict must agree byte-for-byte. */
+  def tx7LineFilter(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("text", concat(
+        substring(col("text"), 1, 60), lit(".\n"),
+        substring(col("text"), 61, 60), lit("\n"),
+        lit("short one\n"),
+        substring(col("text"), 121, 60), lit("?")))
+    TextStats.lineQualityFilter(planted, minKeptLines = 2)
+      .select(col("doc_id"), col("text_clean"), col("n_lines"),
+        col("n_kept"), col("kept_doc"))
+  }
+
+  val tx7Oracle: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 60) || '.' || chr(10) ||
+      |    substr(text, 61, 60) || chr(10) ||
+      |    'short one' || chr(10) ||
+      |    substr(text, 121, 60) || '?' AS text
+      |  FROM documents),
+      |split AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+      |filtered AS (
+      |  SELECT doc_id, lines,
+      |    list_filter(lines, l ->
+      |      len(string_split_regex(trim(l), '\s+')) >= 3 AND
+      |      regexp_matches(trim(l), '[.!?]$')) AS kept
+      |  FROM split)
+      |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+      |  len(lines) AS n_lines, len(kept) AS n_kept,
+      |  len(kept) >= 2 AS kept_doc
+      |FROM filtered""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_lang_id" -> (tx1LangId _),
     "tx2_quality" -> (tx2Quality _),
     "tx3_token_counts" -> (tx3Tokens _),
     "tx4_fingerprint" -> (tx4Fingerprint _),
     "tx5_repetition" -> (tx5Repetition _),
-    "tx6_pii_scrub" -> (tx6PiiScrub _))
+    "tx6_pii_scrub" -> (tx6PiiScrub _),
+    "tx7_line_filter" -> (tx7LineFilter _))
 
   val oracles: Map[String, String] = Map(
     "tx1_lang_id" -> tx1Oracle,
@@ -397,5 +464,6 @@ object TextQueries {
     "tx3_token_counts" -> tx3Oracle,
     "tx4_fingerprint" -> tx4Oracle,
     "tx5_repetition" -> tx5Oracle,
-    "tx6_pii_scrub" -> tx6Oracle)
+    "tx6_pii_scrub" -> tx6Oracle,
+    "tx7_line_filter" -> tx7Oracle)
 }

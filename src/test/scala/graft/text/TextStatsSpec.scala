@@ -133,6 +133,22 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(2) shouldBe ((3L, 0, 2, 1, "two ips <IP> <IP> and <ID>"))
   }
 
+  test("line-quality filter keeps punctuated lines over the word floor, " +
+    "rebuilds in order, and flags docs under the kept-lines floor") {
+    import spark.implicits._
+    val out = TextStats.lineQualityFilter(Seq(
+      (1L, "one two three.\nno punctuation here\ntoo short.\n" +
+        "ends with question?\n  trailing spaces count.  "),
+      (2L, "just one good line.\nbad\nbad")).toDF("doc_id", "text"),
+      minWords = 3, minKeptLines = 3)
+      .select($"doc_id", $"text_clean", $"n_lines", $"n_kept", $"kept_doc")
+      .as[(Long, String, Int, Int, Boolean)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L,
+      "one two three.\nends with question?\n  trailing spaces count.  ",
+      5, 3, true))
+    out(1) shouldBe ((2L, "just one good line.", 3, 1, false))
+  }
+
   test("PII scrub order: an address with a dotted-numeric host is one " +
     "email, never an extra IP") {
     import spark.implicits._
