@@ -417,6 +417,76 @@ object LakeSql {
       }
     }
 
+    /** DERIVED-partition pruning for SQL timestamp predicates — the
+      * generated-column pruning Delta ships: a `WHERE` with both
+      * timestamp bounds on a column the table records a day generation
+      * for (`writeTimePartitioned`'s CHECK constraint) swaps the
+      * relation for the day-pruned file set BEFORE resolution, so a
+      * 1.5-day SQL query on a years-deep table lists two partitions'
+      * files and nothing else. The ORIGINAL filter stays in the plan
+      * (and pushes into the surviving scans), so the rewrite can only
+      * ever remove provably-out-of-range files; any shape it can't
+      * prove — missing bound, non-literal bound, OR at the top —
+      * leaves the plan untouched and the plain read serves it. Runs
+      * TOP-DOWN before [[resolveReads]], which would otherwise erase
+      * the evidence the child was a lake table. */
+    private def derivedPartitionPrune(plan: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      import org.apache.spark.sql.types.TimestampType
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      def attrName(e: Expression): Option[String] = e match {
+        case UnresolvedAttribute(parts) => Some(parts.last.toLowerCase(
+          java.util.Locale.ROOT))
+        case _ => None
+      }
+      def tsMicros(e: Expression): Option[Long] = e match {
+        case Literal(v: Long, TimestampType) => Some(v)
+        case _ => None
+      }
+      // (col -> lower) and (col -> upper) bounds in epoch micros; a
+      // STRICT bound still prunes soundly at day granularity
+      def bounds(cond: Expression): (Map[String, Long], Map[String, Long]) = {
+        val lo = scala.collection.mutable.Map.empty[String, Long]
+        val hi = scala.collection.mutable.Map.empty[String, Long]
+        conjuncts(cond).foreach {
+          case GreaterThanOrEqual(a, l) => for (n <- attrName(a);
+            v <- tsMicros(l)) lo(n) = math.max(lo.getOrElse(n, v), v)
+          case GreaterThan(a, l) => for (n <- attrName(a);
+            v <- tsMicros(l)) lo(n) = math.max(lo.getOrElse(n, v), v)
+          case LessThanOrEqual(a, l) => for (n <- attrName(a);
+            v <- tsMicros(l)) hi(n) = math.min(hi.getOrElse(n, v), v)
+          case LessThan(a, l) => for (n <- attrName(a);
+            v <- tsMicros(l)) hi(n) = math.min(hi.getOrElse(n, v), v)
+          case GreaterThanOrEqual(l: Literal, a) => for (n <- attrName(a);
+            v <- tsMicros(l)) hi(n) = math.min(hi.getOrElse(n, v), v)
+          case LessThanOrEqual(l: Literal, a) => for (n <- attrName(a);
+            v <- tsMicros(l)) lo(n) = math.max(lo.getOrElse(n, v), v)
+          case _ => ()
+        }
+        (lo.toMap, hi.toMap)
+      }
+      plan.resolveOperatorsDown {
+        case f @ Filter(cond, u: UnresolvedRelation)
+            if lakeTarget(u).isDefined =>
+          val path = lakeTarget(u).get
+          val (lo, hi) = bounds(cond)
+          val pruned = (lo.keySet & hi.keySet).iterator.flatMap { c =>
+            ManifestLake.readTsPruned(spark, path, c,
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(lo(c), 1000000L)),
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(hi(c), 1000000L) + 1))
+          }.nextOption()
+          pruned.map(df => f.copy(child = PlanBridge.analyzedPlan(df)))
+            .getOrElse(f)
+      }
+    }
+
     /** Rewrite reads (bare relations + time travel) anywhere below. */
     private def resolveReads(plan: LogicalPlan): LogicalPlan =
       plan.resolveOperatorsUp {
@@ -679,7 +749,8 @@ object LakeSql {
         if (!q.resolved) i.copy(query = q)
         else GraftInsertCommand(lakeTarget(i.table).get, i.overwrite,
           PlanBridge.ofRows(spark, q))
-      case other => resolveReads(metadataCounts(other))
+      case other =>
+        resolveReads(derivedPartitionPrune(metadataCounts(other)))
     }
   }
 

@@ -1712,27 +1712,39 @@ object ManifestLake {
                   endTs: java.sql.Timestamp): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(!startTs.after(endTs), "startTs must be <= endTs")
-    val snap = snapshot(spark, table)
-    val dayCol = snap.checks.collectFirst {
-      case (_, TimeGenRe(day, ts)) if ts.equalsIgnoreCase(tsCol) => day
-    }
-    val entries = dayCol match {
-      case Some(day) =>
-        val utc = java.time.ZoneOffset.UTC
-        val from = startTs.toInstant.atZone(utc).toLocalDate
-        val to = endTs.toInstant.atZone(utc).toLocalDate
-        val days = Iterator.iterate(from)(_.plusDays(1))
-          .takeWhile(!_.isAfter(to)).map(_.toString).toSet
-        // entries without the day key (pre-layout legacy files) are
-        // conservatively kept; the Hive DEFAULT partition's value
-        // doesn't parse as a day and is pruned — EXACT, not lossy: it
-        // holds only null-ts rows, which a closed interval excludes
-        snap.entries.filter(e => partitionValues(e.path).get(day)
-          .forall(days))
-      case None => snap.entries
-    }
-    readEntries(spark, table, snap.schema, entries)
+    readTsPruned(spark, table, tsCol, startTs.toInstant, endTs.toInstant)
+      .getOrElse(read(spark, table))
       .filter(col(tsCol) >= lit(startTs) && col(tsCol) <= lit(endTs))
+  }
+
+  /** The day-pruned (but UNfiltered) read behind [[readTsRange]] —
+    * `None` when the snapshot records no day generation for `tsCol`,
+    * so callers (the SQL rule) can fall back without losing the
+    * original plan. The caller owns the exact predicate. */
+  private[sources] def readTsPruned(spark: SparkSession, table: String,
+                                    tsCol: String,
+                                    start: java.time.Instant,
+                                    end: java.time.Instant)
+      : Option[DataFrame] = {
+    val snap = snapshot(spark, table)
+    snap.checks.collectFirst {
+      case (_, TimeGenRe(day, ts)) if ts.equalsIgnoreCase(tsCol) => day
+    }.map { day =>
+      val utc = java.time.ZoneOffset.UTC
+      val from = start.atZone(utc).toLocalDate
+      val to = end.atZone(utc).toLocalDate
+      val days = Iterator.iterate(from)(_.plusDays(1))
+        .takeWhile(!_.isAfter(to)).map(_.toString).toSet
+      // entries without the day key (pre-layout legacy files) are
+      // conservatively kept; the Hive DEFAULT partition's value
+      // doesn't parse as a day and is pruned — EXACT, not lossy: it
+      // holds only null-ts rows, which a closed interval excludes.
+      // readSnapshotFiles (not readEntries) for the all-pruned case:
+      // an empty match is a valid empty frame under the schema
+      readSnapshotFiles(spark, table, snap,
+        snap.entries.filter(e => partitionValues(e.path).get(day)
+          .forall(days)).map(_.path))
+    }
   }
 
   /** The snapshot entries a range query on `colName` must read: every

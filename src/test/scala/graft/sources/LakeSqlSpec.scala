@@ -513,6 +513,48 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     r.getString(4) shouldBe "id_pos: id > 0"
   }
 
+  test("SQL timestamp range predicates prune derived day partitions at " +
+    "the manifest; unprovable shapes fall through to the plain read") {
+    import spark.implicits._
+    val path = freshTable("tsprune")
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 3, day, h, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val events = (1 to 8).flatMap(day => (0 until 3).map(h =>
+      (day.toLong * 10 + h, ts(day, h * 8), s"e$day-$h")))
+      .toDF("event_id", "ts", "tag")
+    ManifestLake.writeTimePartitioned(events, path, "ts")
+    val q = spark.sql(
+      """SELECT event_id FROM graft_lake.tsprune
+        |WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-03-03 23:59:59'""".stripMargin)
+    q.collect().map(_.getLong(0)).sorted shouldBe
+      Array(20L, 21L, 22L, 30L, 31L, 32L)
+    // the scan lists ONLY the two days' partitions — derived pruning
+    // fired at the manifest, before Spark ever saw the other files
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    scanned should include("p_day=2024-03-02")
+    scanned should not include "p_day=2024-03-05"
+    // BETWEEN lowers to the same bounds and prunes too
+    val qb = spark.sql(
+      """SELECT count(*) AS n FROM graft_lake.tsprune
+        |WHERE ts BETWEEN TIMESTAMP '2024-03-02 00:00:00'
+        |  AND TIMESTAMP '2024-03-02 23:59:59'""".stripMargin)
+    qb.collect().head.getLong(0) shouldBe 3L
+    // one-sided bound: unprovable -> full read, same answers
+    spark.sql(
+      """SELECT count(*) AS n FROM graft_lake.tsprune
+        |WHERE ts >= TIMESTAMP '2024-03-07 00:00:00'""".stripMargin)
+      .collect().head.getLong(0) shouldBe 6L
+    // OR at the top: untouched and correct
+    spark.sql(
+      """SELECT count(*) AS n FROM graft_lake.tsprune
+        |WHERE ts <= TIMESTAMP '2024-03-01 23:59:59'
+        |   OR ts >= TIMESTAMP '2024-03-08 00:00:00'""".stripMargin)
+      .collect().head.getLong(0) shouldBe 6L
+  }
+
   test("the $history metadata table serves version history from SQL — " +
     "manifests only, no data read") {
     import spark.implicits._
