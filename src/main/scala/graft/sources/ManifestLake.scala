@@ -2722,14 +2722,81 @@ object ManifestLake {
     def typeOf(c: String): Option[DataType] =
       snap.schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c))
         .map(_.dataType))
-    (numBounds.map(b => (b._1, b._2, b._3, None: Option[String],
-        None: Option[String])) ++
+    val pathPruned = (numBounds.map(b => (b._1, b._2, b._3,
+        None: Option[String], None: Option[String])) ++
       strBounds.map(b => (b._1, None: Option[BigDecimal],
         None: Option[BigDecimal], b._2, b._3)))
       .filter(b => partCols(b._1))
       .foldLeft(statPruned) { case (entries, (c, lo, hi, slo, shi)) =>
         partitionPrune(entries, c, typeOf(c), lo, hi, slo, shi)
       }
+    // GENERATION-derived day pruning: a TIMESTAMP bound on a column the
+    // table records a day generation for prunes the derived partition
+    // even though the predicate never names it — the retention-delete
+    // idiom (`DELETE WHERE ts < cutoff` on a time-partitioned table)
+    // touches only expired days' files. Day strings sort like the days
+    // they name, so a half-open bound prunes as a string interval;
+    // bounds come from typed TimestampType literals ONLY (a bare
+    // numeric literal compares under a seconds cast, not micros — the
+    // generic numeric path must never reinterpret it)
+    val tsBounds = predicateTsBounds(predExpr)
+    snap.checks.collect { case (_, TimeGenRe(day, ts)) => (day, ts) }
+      .foldLeft(pathPruned) { case (entries, (day, ts)) =>
+        tsBounds.filter(_._1.equalsIgnoreCase(ts))
+          .foldLeft(entries) { case (es, (_, lo, hi)) =>
+            def d(us: Long) = java.time.Instant
+              .ofEpochSecond(Math.floorDiv(us, 1000000L))
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            partitionPrune(es, day,
+              Some(org.apache.spark.sql.types.StringType),
+              None, None, lo.map(d), hi.map(d))
+          }
+      }
+  }
+
+  /** [[predicateBounds]]' TIMESTAMP twin: bounds from comparisons
+    * against typed TimestampType literals, in epoch micros. Kept
+    * separate from the numeric path because the VALUE spaces differ —
+    * a bare long literal compares to a timestamp under a seconds cast,
+    * while the literal's stored value is micros. */
+  private def predicateTsBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Option[Long], Option[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.TimestampType
+    def colName(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litTs(x: Expression): Option[Long] = x match {
+      case Literal(v: Long, TimestampType) => Some(v)
+      case _ => None
+    }
+    def cmp(l: Expression, r: Expression,
+            mk: (String, Long) => (String, Option[Long], Option[Long]))
+        : Seq[(String, Option[Long], Option[Long])] =
+      (for { c <- colName(l); v <- litTs(r) } yield mk(c, v)).toSeq
+    e match {
+      case And(l, r) => predicateTsBounds(l) ++ predicateTsBounds(r)
+      case LessThan(l, r) =>
+        cmp(l, r, (c, v) => (c, None, Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), None))
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r, (c, v) => (c, None, Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), None))
+      case GreaterThan(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), None)) ++
+          cmp(r, l, (c, v) => (c, None, Some(v)))
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), None)) ++
+          cmp(r, l, (c, v) => (c, None, Some(v)))
+      case EqualTo(l, r) =>
+        cmp(l, r, (c, v) => (c, Some(v), Some(v))) ++
+          cmp(r, l, (c, v) => (c, Some(v), Some(v)))
+      case _ => Seq.empty
+    }
   }
 
   /** `verifyPrune` support: scan the pruned-out complement and abort if
