@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
   *   OPTIMIZE graft_lake.t                       -- bin-packing compaction + DV purge
   *   OPTIMIZE graft_lake.t ZORDER BY (c1, c2)    -- re-cluster (1 col = range, ≥2 = z-order)
   *   REORG TABLE graft_lake.t APPLY (PURGE)      -- materialize every deletion vector
+  *   OPTIMIZE graft_lake.t WHERE p_day = '2024-01-10' -- partition-scoped pack
   *   VACUUM graft_lake.t RETAIN <n> VERSIONS     -- retention cleanup
   *   VACUUM graft_lake.t RETAIN <n> VERSIONS DRY RUN -- would-delete preview
   *   DESCRIBE HISTORY graft_lake.t               -- the $history table, discoverably
@@ -34,7 +35,22 @@ object LakeMaintenanceSql {
   private val Name = "graft_lake\\.`?([A-Za-z0-9_]+)`?"
   private val OptimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + Name +
+      "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
+
+  /** The only OPTIMIZE scope shape: AND-ed equality predicates on
+    * partition columns (`p_day = '2024-01-10' AND region = 'eu'`) —
+    * Delta's contract, and the only one a manifest can serve without
+    * scanning. Anything else is a named parse error. */
+  private def parseOptimizeScope(where: String): Map[String, String] = {
+    val EqRe = "^`?([A-Za-z0-9_]+)`?\\s*=\\s*(?:'([^']*)'|([0-9.+-]+))$".r
+    where.split("(?i)\\s+AND\\s+").map(_.trim).map {
+      case EqRe(c, s, n) => c -> (if (s != null) s else n)
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE ... WHERE supports only AND-ed partition equality " +
+          s"predicates (col = 'value'); cannot parse '$other'")
+    }.toMap
+  }
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + Name +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
@@ -64,10 +80,15 @@ object LakeMaintenanceSql {
     * statement. */
   def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(name, zcols) =>
+      case OptimizeRe(name, where, zcols) =>
         val cols = Option(zcols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(GraftOptimizeCommand(resolve(name), cols))
+        val scope = Option(where).map(parseOptimizeScope)
+          .getOrElse(Map.empty[String, String])
+        require(scope.isEmpty || cols.isEmpty,
+          "OPTIMIZE ... WHERE cannot combine with ZORDER BY — " +
+            "re-clustering is whole-table by definition")
+        Some(GraftOptimizeCommand(resolve(name), cols, scope))
       case VacuumRe(name, n, dry) =>
         if (dry != null) Some(GraftVacuumDryRunCommand(resolve(name), n.toInt))
         else Some(GraftVacuumCommand(resolve(name), n.toInt))
@@ -90,7 +111,8 @@ object LakeMaintenanceSql {
     * tail); one ZORDER column = range re-cluster via
     * [[ManifestLake.compact]]; ≥2 = [[ZOrder.optimize]]. All are
     * net-zero maintenance commits streams skip. */
-  final case class GraftOptimizeCommand(table: String, zCols: Seq[String])
+  final case class GraftOptimizeCommand(table: String, zCols: Seq[String],
+      scope: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("files_before", LongType, nullable = false)(),
@@ -98,7 +120,8 @@ object LakeMaintenanceSql {
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = zCols match {
       case Nil =>
-        val r = ManifestLake.binPack(spark, table)
+        val r = ManifestLake.binPack(spark, table,
+          partitionFilter = scope)
         Seq(Row(r.filesBefore.toLong, r.filesAfter.toLong, r.newVersion))
       case Seq(c) =>
         val r = ManifestLake.compact(spark, table, clusterCol = Some(c))

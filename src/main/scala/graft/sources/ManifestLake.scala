@@ -3342,7 +3342,9 @@ object ManifestLake {
   def binPack(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               smallFileBytes: Long = 32L * 1024 * 1024,
-              purgeDvRatio: Double = 0.3): CompactReport = {
+              purgeDvRatio: Double = 0.3,
+              partitionFilter: Map[String, String] = Map.empty)
+      : CompactReport = {
     require(smallFileBytes <= targetFileBytes,
       "smallFileBytes must not exceed targetFileBytes")
     require(purgeDvRatio > 0.0,
@@ -3351,11 +3353,31 @@ object ManifestLake {
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
+    // partition-SCOPED maintenance (Delta's `OPTIMIZE ... WHERE`): on a
+    // years-deep table only the fresh partitions accumulate small
+    // files — scoping the rewrite candidate walk to them makes routine
+    // maintenance IO track the ingest surface, not the table. Entries
+    // outside the scope are carried verbatim like any right-sized file.
+    if (partitionFilter.nonEmpty) {
+      val partCols = partitionColsOf(snap).map(_.toLowerCase(
+        java.util.Locale.ROOT)).toSet
+      val unknown = partitionFilter.keys.filterNot(k =>
+        partCols(k.toLowerCase(java.util.Locale.ROOT)))
+      require(unknown.isEmpty,
+        s"OPTIMIZE scope names non-partition column(s) " +
+          s"[${unknown.mkString(", ")}] — the table is partitioned by " +
+          s"[${partCols.mkString(", ")}]; only partition equality " +
+          "predicates can scope maintenance")
+    }
+    val inScope = (e: FileEntry) => {
+      val vals = partitionValues(e.path)
+      partitionFilter.forall { case (k, v) => vals.get(k).contains(v) }
+    }
     // sizes come from the manifest (recorded at stage time); only
     // legacy entries without a bytes= token pay a getFileStatus RPC —
     // at a million files the difference between zero and a million
     // driver round-trips per maintenance run
-    val sized = snap.entries.map(e =>
+    val sized = snap.entries.filter(inScope).map(e =>
       e -> e.bytes.getOrElse(
         fs.getFileStatus(new Path(p, e.path)).getLen))
     val (small, large) = sized.partition(_._2 < smallFileBytes)
@@ -3389,7 +3411,7 @@ object ManifestLake {
       bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks,
       maintenance = true)
     CompactReport(snap.files.size,
-      (large.size - purge.size) + moved.size, v)
+      snap.entries.size - rewrite.size + moved.size, v)
   }
 
   /** `REORG … APPLY (PURGE)`: rewrite EVERY file carrying a deletion

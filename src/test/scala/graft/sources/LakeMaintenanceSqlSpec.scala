@@ -164,6 +164,42 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with Matchers
     spark.sql("SHOW TABLES").collect() // parses + runs via the delegate
   }
 
+  test("OPTIMIZE WHERE scopes the pack to named partitions — other " +
+    "partitions' small files stay, and bad scopes fail by name") {
+    import spark.implicits._
+    val t = freshTable()
+    // two partitions, three small files each
+    (0 until 3).foreach { i =>
+      ManifestLake.write(
+        Seq((i.toLong, "a"), (100L + i, "b")).toDF("id", "part")
+          .withColumn("id", $"id")
+          .coalesce(1),
+        t, partitionBy = Seq("part"))
+    }
+    val before = ManifestLake.snapshot(spark, t)
+    before.entries.count(_.path.contains("part=a")) shouldBe 3
+    before.entries.count(_.path.contains("part=b")) shouldBe 3
+    LakeSql.register("opt_scope", t)
+    val r = spark.sql(
+      "OPTIMIZE graft_lake.opt_scope WHERE part = 'a'").collect().head
+    r.getLong(0) shouldBe 6L
+    r.getLong(1) shouldBe 4L // a packed to 1, b's 3 untouched
+    val after = ManifestLake.snapshot(spark, t)
+    after.entries.count(_.path.contains("part=a")) shouldBe 1
+    // b's entries carried VERBATIM
+    before.entries.filter(_.path.contains("part=b")).map(_.line).toSet
+      .subsetOf(after.entries.map(_.line).toSet) shouldBe true
+    ManifestLake.read(spark, t).count() shouldBe 6L
+    // a non-partition column in the scope is a named error
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE graft_lake.opt_scope WHERE id = '1'")
+    }.getMessage should include("non-partition")
+    // non-equality shapes fail at parse
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE graft_lake.opt_scope WHERE part > 'a'")
+    }.getMessage should include("partition equality")
+  }
+
   test("VACUUM DRY RUN previews exactly what the real vacuum deletes, " +
     "deleting nothing itself") {
     import spark.implicits._
