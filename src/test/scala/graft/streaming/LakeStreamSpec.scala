@@ -54,6 +54,75 @@ class LakeStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.currentVersion(spark, table) shouldBe vBefore
   }
 
+  test("streaming ingest into a time-partitioned table: epochs land " +
+    "under day partitions, the generation constraint gates them, and " +
+    "ts-range reads prune to the streamed days") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, date_format}
+    import spark.implicits._
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 7, day, h, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val src = java.nio.file.Files.createTempDirectory("graft-tp-src").toString
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-tp-t").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tp-ck").toString
+    // batch bootstrap records the day generation (and its CHECK)
+    ManifestLake.writeTimePartitioned(
+      Seq((1L, ts(1, 8), "seed")).toDF("event_id", "ts", "tag"),
+      table, "ts")
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, String)])
+        : Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tp-stage")
+      rows.toDF("event_id", "ts", "tag").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(src, name)): Unit
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("tag", StringType)))
+    def run(): Unit =
+      Streaming.streamToLake(
+        spark.readStream.schema(schema).parquet(src)
+          .withColumn("p_day", date_format(col("ts"), "yyyy-MM-dd")),
+        table, ckpt, partitionBy = Seq("p_day")).awaitTermination()
+    stage("e0.parquet", Seq((2L, ts(2, 1), "a"), (3L, ts(3, 2), "b")))
+    run()
+    stage("e1.parquet", Seq((4L, ts(3, 9), "c"), (5L, ts(4, 5), "d")))
+    run()
+    // day partitions from BOTH the bootstrap and the stream epochs
+    val snap = ManifestLake.snapshot(spark, table)
+    snap.entries.flatMap(_.path.split('/').find(_.startsWith("p_day=")))
+      .distinct.sorted shouldBe Seq("p_day=2024-07-01", "p_day=2024-07-02",
+      "p_day=2024-07-03", "p_day=2024-07-04")
+    // a ts-range read prunes to the matching streamed days
+    val out = ManifestLake.readTsRange(spark, table, "ts", ts(3, 0), ts(4, 23))
+    out.collect().map(_.getLong(0)).sorted shouldBe Array(3L, 4L, 5L)
+    val scanned = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    scanned should not include "p_day=2024-07-01"
+    // an epoch violating the recorded generation aborts and commits
+    // nothing: the constraint gates STREAMING appends like batch ones
+    val vBefore = ManifestLake.currentVersion(spark, table)
+    stage("e2.parquet", Seq((6L, ts(5, 0), "bad")))
+    val q = Streaming.streamToLake(
+      spark.readStream.schema(schema).parquet(src)
+        .withColumn("p_day",
+          org.apache.spark.sql.functions.lit("1999-01-01")),
+      table, java.nio.file.Files
+        .createTempDirectory("graft-tp-ck2").toString,
+      partitionBy = Seq("p_day"))
+    val failed = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q.awaitTermination() }
+    Iterator.iterate(failed: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("p_day_gen")))
+      .shouldBe(true)
+    ManifestLake.currentVersion(spark, table) shouldBe vBefore
+  }
+
   test("a replayed micro-batch id is skipped, a fresh one commits") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-ls-r").toString + "/t"
