@@ -1035,9 +1035,13 @@ object ManifestLake {
     * metadata probe and the pack cost amortizes to once per N small
     * commits. The pack commit itself is `#maintenance` (streams skip
     * it) and never re-triggers (binPack commits directly, not through
-    * [[write]]). Trigger failures propagate: a caller who opted into
-    * auto-compaction wants to know it stopped, not find a million-file
-    * table later. */
+    * [[write]]). A pack losing a commit RACE to a concurrent writer is
+    * swallowed: the caller's own write already committed, the small
+    * files are still there, and the next triggering write packs them —
+    * failing the caller for a lost maintenance race would punish the
+    * success path. Every other trigger failure propagates: a caller
+    * who opted into auto-compaction wants to know it stopped, not find
+    * a million-file table later. */
   private def maybeAutoBinPack(spark: SparkSession, table: String): Unit = {
     val threshold = spark.conf.getOption(AutoBinPackConf).map(_.trim)
       .filter(_.nonEmpty).map(_.toInt)
@@ -1047,7 +1051,8 @@ object ManifestLake {
       val snap = snapshot(spark, table)
       val small = snap.entries.count(_.bytes.exists(_ < smallBytes))
       if (small >= n)
-        binPack(spark, table, smallFileBytes = smallBytes)
+        try binPack(spark, table, smallFileBytes = smallBytes)
+        catch { case _: CommitConflictException => () }
     }
   }
 
