@@ -313,8 +313,19 @@ object DeletionVectors {
   * refs map. Deterministic: `refs` tokens address immutable sidecar
   * blocks pinned at plan time. */
 case class DvLive(left: Expression, right: Expression, table: String,
-                  refs: Map[String, String],
-                  hconf: Map[String, String]) extends BinaryExpression {
+                  env: org.apache.spark.broadcast.Broadcast[
+                    (Map[String, String], Map[String, String])])
+    extends BinaryExpression {
+
+  /** The `dv=` token per vectored basename and the Hadoop conf ride a
+    * BROADCAST, not the expression: as case-class fields they would
+    * serialize into EVERY task binary of every stage scanning the
+    * table and weigh plan comparison — at a mass-delete's 100k
+    * vectored files that's O(files) bytes per task. The broadcast
+    * ships once per executor (Spark's own SerializableConfiguration
+    * pattern) and the expression carries an O(1) handle. */
+  private def refs: Map[String, String] = env.value._1
+  private def hconf: Map[String, String] = env.value._2
 
   override def dataType: DataType = BooleanType
 
@@ -322,7 +333,7 @@ case class DvLive(left: Expression, right: Expression, table: String,
 
   /** Plan rendering: the vector tokens and the rebuilt Hadoop conf are
     * payload, not structure — without this override every explain()
-    * prints the full 1000+-entry conf map per DV filter. */
+    * prints opaque broadcast internals per DV filter. */
   override def stringArgs: Iterator[Any] =
     Iterator(left, right, table, s"${refs.size} vectored file(s)")
 

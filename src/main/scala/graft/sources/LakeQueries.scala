@@ -773,12 +773,14 @@ object LakeQueries {
     val preFiles = ManifestLake.snapshot(s, table).files.toSet
     ManifestLake.deleteMor(s, table, col("l_extendedprice") < 920.0)
     LakeSql.register("dv1_lineitem", table)
-    s.conf.set(LakeSql.DmlModeConf, "mor")
-    try s.sql(
-      """DELETE FROM graft_lake.dv1_lineitem
-        |WHERE l_extendedprice >= 920.0 AND l_extendedprice < 950.0"""
-        .stripMargin)
-    finally s.conf.unset(LakeSql.DmlModeConf)
+    // thread-confined: a session-conf window would flip CONCURRENT
+    // gate rows' SQL DML to MOR on the shared Verify/Bench session
+    LakeSql.withDmlMode("mor") {
+      s.sql(
+        """DELETE FROM graft_lake.dv1_lineitem
+          |WHERE l_extendedprice >= 920.0 AND l_extendedprice < 950.0"""
+          .stripMargin)
+    }
     val remaining = ManifestLake.read(s, table)
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
     val filesUntouched =
@@ -833,11 +835,11 @@ object LakeQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice"))
     val preFiles = ManifestLake.snapshot(s, table).files.toSet
     LakeSql.register("dv2_lineitem", table)
-    s.conf.set(LakeSql.DmlModeConf, "mor")
-    try s.sql(
-      """UPDATE graft_lake.dv2_lineitem SET l_extendedprice = 1.0
-        |WHERE l_orderkey % 1000 = 7""".stripMargin)
-    finally s.conf.unset(LakeSql.DmlModeConf)
+    LakeSql.withDmlMode("mor") {
+      s.sql(
+        """UPDATE graft_lake.dv2_lineitem SET l_extendedprice = 1.0
+          |WHERE l_orderkey % 1000 = 7""".stripMargin)
+    }
     val updated = ManifestLake.read(s, table)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
     val postFiles = ManifestLake.snapshot(s, table).files.toSet
@@ -956,11 +958,11 @@ object LakeQueries {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_extendedprice"))
     LakeSql.register("dv3_lineitem", table)
-    s.conf.set(LakeSql.DmlModeConf, "mor")
-    try s.sql(
-      """DELETE FROM graft_lake.dv3_lineitem
-        |WHERE l_extendedprice < 1200.0""".stripMargin)
-    finally s.conf.unset(LakeSql.DmlModeConf)
+    LakeSql.withDmlMode("mor") {
+      s.sql(
+        """DELETE FROM graft_lake.dv3_lineitem
+          |WHERE l_extendedprice < 1200.0""".stripMargin)
+    }
     s.sql("REORG TABLE graft_lake.dv3_lineitem APPLY (PURGE)").collect()
     val snap = ManifestLake.snapshot(s, table)
     val noDvLeft = snap.entries.forall(_.dv.isEmpty)

@@ -144,15 +144,19 @@ object LakeSql {
     * referencing source columns that is not a key equality has no
     * touched-files reading — still an error. */
   private def splitMergeOn(cond: Expression, tgtQuals: Set[String],
-      tgtCols: Set[String], srcCols: Set[String])
+      tgtCols: () => Set[String], srcCols: Set[String])
       : (Seq[String], Seq[Expression]) = {
+    // tgtCols is a THUNK: resolving the target's columns on a legacy
+    // schema-less table costs a full file-index listing, and the common
+    // qualified-key MERGE never needs it — only a BARE attribute in a
+    // scope conjunct forces ownership resolution
     val root = java.util.Locale.ROOT
     def targetOnly(e: Expression): Boolean = !e.exists {
       case UnresolvedAttribute(parts) if parts.length > 1 =>
         !tgtQuals.contains(parts.init.map(_.toLowerCase(root)).mkString("."))
       case UnresolvedAttribute(parts) =>
         val n = parts.head.toLowerCase(root)
-        !tgtCols.contains(n) || srcCols.contains(n)
+        !tgtCols().contains(n) || srcCols.contains(n)
       case _ => false
     }
     cond match {
@@ -431,42 +435,20 @@ object LakeSql {
       * TOP-DOWN before [[resolveReads]], which would otherwise erase
       * the evidence the child was a lake table. */
     private def derivedPartitionPrune(plan: LogicalPlan): LogicalPlan = {
-      import org.apache.spark.sql.catalyst.expressions.{
-        GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
       import org.apache.spark.sql.catalyst.plans.logical.Filter
-      import org.apache.spark.sql.types.TimestampType
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => conjuncts(l) ++ conjuncts(r)
-        case x => Seq(x)
-      }
-      def attrName(e: Expression): Option[String] = e match {
-        case UnresolvedAttribute(parts) => Some(parts.last.toLowerCase(
-          java.util.Locale.ROOT))
-        case _ => None
-      }
-      def tsMicros(e: Expression): Option[Long] = e match {
-        case Literal(v: Long, TimestampType) => Some(v)
-        case _ => None
-      }
-      // (col -> lower) and (col -> upper) bounds in epoch micros; a
-      // STRICT bound still prunes soundly at day granularity
+      // Bounds come from ManifestLake.predicateTsBounds — the SAME
+      // extractor the DML day-pruning path uses (both literal
+      // orientations, strict and non-strict, typed TimestampType
+      // literals only), so SQL reads and DML cannot diverge on what
+      // they can prune. A STRICT bound still prunes soundly at day
+      // granularity (the boundary day is kept).
       def bounds(cond: Expression): (Map[String, Long], Map[String, Long]) = {
         val lo = scala.collection.mutable.Map.empty[String, Long]
         val hi = scala.collection.mutable.Map.empty[String, Long]
-        conjuncts(cond).foreach {
-          case GreaterThanOrEqual(a, l) => for (n <- attrName(a);
-            v <- tsMicros(l)) lo(n) = math.max(lo.getOrElse(n, v), v)
-          case GreaterThan(a, l) => for (n <- attrName(a);
-            v <- tsMicros(l)) lo(n) = math.max(lo.getOrElse(n, v), v)
-          case LessThanOrEqual(a, l) => for (n <- attrName(a);
-            v <- tsMicros(l)) hi(n) = math.min(hi.getOrElse(n, v), v)
-          case LessThan(a, l) => for (n <- attrName(a);
-            v <- tsMicros(l)) hi(n) = math.min(hi.getOrElse(n, v), v)
-          case GreaterThanOrEqual(l: Literal, a) => for (n <- attrName(a);
-            v <- tsMicros(l)) hi(n) = math.min(hi.getOrElse(n, v), v)
-          case LessThanOrEqual(l: Literal, a) => for (n <- attrName(a);
-            v <- tsMicros(l)) lo(n) = math.max(lo.getOrElse(n, v), v)
-          case _ => ()
+        ManifestLake.predicateTsBounds(cond).foreach { case (c, l, h) =>
+          val n = c.toLowerCase(java.util.Locale.ROOT)
+          l.foreach(v => lo(n) = math.max(lo.getOrElse(n, v), v))
+          h.foreach(v => hi(n) = math.min(hi.getOrElse(n, v), v))
         }
         (lo.toMap, hi.toMap)
       }
@@ -528,12 +510,12 @@ object LakeSql {
           val path = lakeTarget(m.targetTable).get
           val mTgtQuals = targetQualifiers(m.targetTable)
           val root0 = java.util.Locale.ROOT
-          val mTgtCols = ManifestLake.snapshot(spark, path).schema
+          lazy val mTgtCols = ManifestLake.snapshot(spark, path).schema
             .getOrElse(ManifestLake.read(spark, path).schema)
             .fieldNames.map(_.toLowerCase(root0)).toSet
           val mSrcCols = src.output.map(_.name.toLowerCase(root0)).toSet
           val (keys, scopeConjuncts) = splitMergeOn(m.mergeCondition,
-            mTgtQuals, mTgtCols, mSrcCols)
+            mTgtQuals, () => mTgtCols, mSrcCols)
           if (keys.isEmpty) throw new UnsupportedOperationException(
             "graft_lake MERGE needs at least one t.key = s.key " +
               "conjunct in its ON clause")
@@ -780,8 +762,30 @@ object LakeSql {
   private def fullTableMerge(spark: SparkSession): Boolean =
     spark.conf.getOption(FullTableMergeConf).exists(_.toBoolean)
 
+  /** Thread-confined DML-mode override. The session conf is GLOBAL to
+    * every thread sharing the session — a gate/benchmark harness
+    * running queries on a pool would have one row's set/unset window
+    * silently flip CONCURRENT rows' DML mode (hash-identical results,
+    * but the rows would no longer pin the path they claim to).
+    * `withDmlMode` scopes the choice to the calling thread; SQL
+    * commands execute eagerly on that thread, so the override is
+    * visible exactly to the statements inside the block. The session
+    * conf remains the public multi-statement surface. */
+  private val dmlModeOverride = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  def withDmlMode[T](mode: String)(f: => T): T = {
+    require(mode == "cow" || mode == "mor",
+      s"dml mode must be 'cow' or 'mor', got '$mode'")
+    val prev = dmlModeOverride.get()
+    dmlModeOverride.set(Some(mode))
+    try f finally dmlModeOverride.set(prev)
+  }
+
   private def morDml(spark: SparkSession): Boolean =
-    spark.conf.getOption(DmlModeConf) match {
+    dmlModeOverride.get()
+      .orElse(spark.conf.getOption(DmlModeConf)) match {
       case None | Some("cow") => false
       case Some("mor") => true
       case Some(other) => throw new IllegalArgumentException(

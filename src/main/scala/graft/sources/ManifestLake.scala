@@ -730,9 +730,12 @@ object ManifestLake {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val refs = entries.flatMap(e =>
       e.dv.map(t => e.path.split('/').last -> t)).toMap
+    // one broadcast per read carries the token map + Hadoop conf to
+    // executors; the expression itself stays O(1) on the wire
+    val env = spark.sparkContext.broadcast((refs, hadoopConfMap(spark)))
     ColumnBridge.column(DvLive(
       ColumnBridge.expression(fileCol), ColumnBridge.expression(ridxCol),
-      table, refs, hadoopConfMap(spark)))
+      table, env))
   }
 
   /** The session's Hadoop conf as a serializable map — what the DV
@@ -1035,24 +1038,30 @@ object ManifestLake {
     * metadata probe and the pack cost amortizes to once per N small
     * commits. The pack commit itself is `#maintenance` (streams skip
     * it) and never re-triggers (binPack commits directly, not through
-    * [[write]]). A pack losing a commit RACE to a concurrent writer is
-    * swallowed: the caller's own write already committed, the small
-    * files are still there, and the next triggering write packs them —
-    * failing the caller for a lost maintenance race would punish the
-    * success path. Every other trigger failure propagates: a caller
-    * who opted into auto-compaction wants to know it stopped, not find
-    * a million-file table later. */
+    * [[write]]). The trigger runs AFTER the caller's commit published,
+    * so NO pack failure may propagate out of [[write]]: a caller
+    * seeing an exception would reasonably treat the WRITE as failed
+    * and retry it — appending the same rows twice (blind appends
+    * rebase cleanly; nothing would flag the duplicate). A lost commit
+    * race or any transient failure leaves the small files in place for
+    * the next triggering write; the warning on stderr is the signal
+    * that maintenance is being skipped, without punishing the already-
+    * succeeded ingest path. */
   private def maybeAutoBinPack(spark: SparkSession, table: String): Unit = {
     val threshold = spark.conf.getOption(AutoBinPackConf).map(_.trim)
       .filter(_.nonEmpty).map(_.toInt)
     threshold.filter(_ > 0).foreach { n =>
       val smallBytes = spark.conf.getOption(AutoBinPackBytesConf)
         .map(_.toLong).getOrElse(32L * 1024 * 1024)
-      val snap = snapshot(spark, table)
-      val small = snap.entries.count(_.bytes.exists(_ < smallBytes))
-      if (small >= n)
-        try binPack(spark, table, smallFileBytes = smallBytes)
-        catch { case _: CommitConflictException => () }
+      try {
+        val snap = snapshot(spark, table)
+        val small = snap.entries.count(_.bytes.exists(_ < smallBytes))
+        if (small >= n) binPack(spark, table, smallFileBytes = smallBytes)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-lake] auto bin-pack of $table " +
+            s"skipped (write already committed): $e")
+      }
     }
   }
 
@@ -1663,8 +1672,13 @@ object ManifestLake {
 
   /** TIME-DERIVED partitioning — the canonical 100 TB time-series
     * layout: rows land under `p_day=yyyy-MM-dd` Hive partitions derived
-    * from `tsCol` (UTC), and the derivation is recorded as an ENFORCED
-    * CHECK constraint (`<dayCol>_gen`), which buys three things at
+    * from `tsCol` in the SESSION time zone (`date_format`'s evaluation
+    * zone — every reader/pruner below derives day bounds in the same
+    * zone, so writer and reader agree by construction; a deployment
+    * must pin ONE session zone across writers and readers, which
+    * [[graft.core.GraftSession]] does with UTC), and the derivation is
+    * recorded as an ENFORCED CHECK constraint (`<dayCol>_gen`), which
+    * buys three things at
     * once with zero new manifest machinery: every later append —
     * through ANY write path — must carry a correct day column or abort
     * by name; the generation survives compaction/DML/restore because
@@ -1698,6 +1712,13 @@ object ManifestLake {
     * two can never disagree on the derivation. */
   private def timeGenSql(dayCol: String, tsCol: String): String =
     s"$dayCol = date_format($tsCol, 'yyyy-MM-dd')"
+
+  /** The session's resolved time zone — the zone `date_format`
+    * evaluates in, and therefore the ONLY zone day-bound derivation may
+    * use. */
+  private def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
 
   private val TimeGenRe =
     "^([A-Za-z0-9_]+) = date_format\\(([A-Za-z0-9_]+), 'yyyy-MM-dd'\\)$".r
@@ -1735,9 +1756,12 @@ object ManifestLake {
     snap.checks.collectFirst {
       case (_, TimeGenRe(day, ts)) if ts.equalsIgnoreCase(tsCol) => day
     }.map { day =>
-      val utc = java.time.ZoneOffset.UTC
-      val from = start.atZone(utc).toLocalDate
-      val to = end.atZone(utc).toLocalDate
+      // SESSION zone, not hard-coded UTC: the writer's date_format
+      // evaluated in the session zone, and pruning in any other zone
+      // would silently drop rows whose local day straddles midnight
+      val zone = sessionZone(spark)
+      val from = start.atZone(zone).toLocalDate
+      val to = end.atZone(zone).toLocalDate
       val days = Iterator.iterate(from)(_.plusDays(1))
         .takeWhile(!_.isAfter(to)).map(_.toString).toSet
       // entries without the day key (pre-layout legacy files) are
@@ -2045,7 +2069,17 @@ object ManifestLake {
     *    bounds where the sync applies — candidate files prune on the
     *    predicate's stats bounds exactly like DELETE's, target rows
     *    outside it are untouched (and also not ordinarily MATCHED: the
-    *    scope rides the join condition, per SQL ON semantics);
+    *    scope rides the join condition, per SQL ON semantics).
+    *    SEMANTIC DEVIATION, deliberate and worth reading twice: under
+    *    standard SQL/Delta semantics an ON conjunct like
+    *    `t.ds = '2026-08-13'` makes every OTHER day's row "not matched
+    *    by source" — an unscoped NMBS DELETE would wipe the rest of
+    *    the table, which is almost never what the author meant and is
+    *    O(table) in cost. Here the same conjunct is read as the SYNC
+    *    BOUNDARY instead: out-of-scope rows are carried untouched. A
+    *    user porting a Delta MERGE that RELIES on the wipe-the-rest
+    *    reading must use `fullTableMerge = true` with no scope — that
+    *    form keeps the standard semantics;
     *  - `fullTableMerge = true`: the explicit whole-table opt-in.
     * Either way the WRITE stays O(affected rows), not O(table): rows in
     * already-rewritten (matched-key) files apply their clause inline;
@@ -2222,7 +2256,8 @@ object ManifestLake {
             Option.empty[DataFrame], Seq.empty[String])
         else {
           val scopeCand = (if (scope.isEmpty) snap.entries
-            else predicateCandidates(snap, scope.get, None))
+            else predicateCandidates(snap, scope.get, None,
+              sessionZone(spark)))
             .filterNot(e => touchedNames(e.path.split('/').last))
           if (scopeCand.isEmpty)
             (Seq.empty[FileEntry], Seq.empty[String], Seq.empty[String],
@@ -2321,7 +2356,8 @@ object ManifestLake {
           val nmbsHits =
             if (notMatchedBySource.isEmpty) Nil
             else if (scope.isEmpty) newEntries // unscoped sync reads all
-            else predicateCandidates(synth, scope.get, None)
+            else predicateCandidates(synth, scope.get, None,
+              sessionZone(spark))
           (keyHits ++ nmbsHits).distinct
         },
         stagedAdds0 = moved ++ nmbsMoved,
@@ -2509,7 +2545,7 @@ object ManifestLake {
       readPaths = candidates.map(_.path).toSet,
       wouldRead = newEntries => predicateCandidates(
         Snapshot(snap.version, newEntries, schema = snap.schema),
-        predicate, pruneRange),
+        predicate, pruneRange, sessionZone(spark)),
       stagedAdds0 = moved, annotatedAdds0 = Nil,
       removes = touched.map(_.path), changeFiles0 = changeFiles,
       schema = snap.schema)
@@ -2557,7 +2593,8 @@ object ManifestLake {
     // pair set, so a second pass would be pure waste). DV-filtered, so
     // already-deleted rows never re-enter a vector; TRUE-only predicate
     // rows, matching SQL DELETE (NULL keeps the row).
-    val candidates = predicateCandidates(snap, predicate, pruneRange)
+    val candidates = predicateCandidates(snap, predicate, pruneRange,
+      sessionZone(spark))
     if (candidates.isEmpty) return snap.version
     if (verifyPrune)
       verifyPruneCovers(spark, table, snap, candidates, predicate, pruneRange)
@@ -2587,7 +2624,7 @@ object ManifestLake {
       readPaths = candidates.map(_.path).toSet,
       wouldRead = newEntries => predicateCandidates(
         Snapshot(snap.version, newEntries, schema = snap.schema),
-        predicate, pruneRange),
+        predicate, pruneRange, sessionZone(spark)),
       stagedAdds0 = Nil, annotatedAdds0 = rewritten.map(_.line),
       removes = touched.map(_.path), changeFiles0 = changeFiles,
       schema = snap.schema)
@@ -2701,7 +2738,8 @@ object ManifestLake {
     * actually HOLDING a match is the caller's one provenance scan. */
   private def predicateCandidates(snap: Snapshot,
       predicate: org.apache.spark.sql.Column,
-      pruneRange: Option[(String, Double, Double)]): Seq[FileEntry] = {
+      pruneRange: Option[(String, Double, Double)],
+      zone: java.time.ZoneId): Seq[FileEntry] = {
     val explicit = pruneRange.fold(snap.entries) { case (c, lo, hi) =>
       rangeCandidates(snap, c, BigDecimal(lo), BigDecimal(hi))
     }
@@ -2749,9 +2787,11 @@ object ManifestLake {
       .foldLeft(pathPruned) { case (entries, (day, ts)) =>
         tsBounds.filter(_._1.equalsIgnoreCase(ts))
           .foldLeft(entries) { case (es, (_, lo, hi)) =>
+            // SESSION zone (the caller's) — must match date_format's
+            // evaluation zone or day pruning silently loses rows
             def d(us: Long) = java.time.Instant
               .ofEpochSecond(Math.floorDiv(us, 1000000L))
-              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+              .atZone(zone).toLocalDate.toString
             partitionPrune(es, day,
               Some(org.apache.spark.sql.types.StringType),
               None, None, lo.map(d), hi.map(d))
@@ -2764,7 +2804,7 @@ object ManifestLake {
     * separate from the numeric path because the VALUE spaces differ —
     * a bare long literal compares to a timestamp under a seconds cast,
     * while the literal's stored value is micros. */
-  private def predicateTsBounds(
+  private[sources] def predicateTsBounds(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[(String, Option[Long], Option[Long])] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -2839,7 +2879,8 @@ object ManifestLake {
       pruneRange: Option[(String, Double, Double)],
       verifyPrune: Boolean): (Seq[FileEntry], Seq[FileEntry]) = {
     import org.apache.spark.sql.functions.col
-    val candidates = predicateCandidates(snap, predicate, pruneRange)
+    val candidates = predicateCandidates(snap, predicate, pruneRange,
+      sessionZone(spark))
     if (verifyPrune)
       verifyPruneCovers(spark, table, snap, candidates, predicate, pruneRange)
     // provenance scan is DV-FILTERED: a file whose only matching rows
@@ -2956,7 +2997,7 @@ object ManifestLake {
       readPaths = candidates.map(_.path).toSet,
       wouldRead = newEntries => predicateCandidates(
         Snapshot(snap.version, newEntries, schema = snap.schema),
-        predicate, pruneRange),
+        predicate, pruneRange, sessionZone(spark)),
       stagedAdds0 = moved, annotatedAdds0 = Nil,
       removes = touched.map(_.path), changeFiles0 = changeFiles,
       schema = snap.schema)
@@ -3009,7 +3050,8 @@ object ManifestLake {
         "UPDATE requires each target column at most once")
     // ONE provenance scan finds matched pairs + touched files, as in
     // deleteMor
-    val candidates = predicateCandidates(snap, predicate, pruneRange)
+    val candidates = predicateCandidates(snap, predicate, pruneRange,
+      sessionZone(spark))
     if (candidates.isEmpty) return snap.version
     if (verifyPrune)
       verifyPruneCovers(spark, table, snap, candidates, predicate, pruneRange)
@@ -3060,7 +3102,7 @@ object ManifestLake {
       readPaths = candidates.map(_.path).toSet,
       wouldRead = newEntries => predicateCandidates(
         Snapshot(snap.version, newEntries, schema = snap.schema),
-        predicate, pruneRange),
+        predicate, pruneRange, sessionZone(spark)),
       stagedAdds0 = moved, annotatedAdds0 = rewritten.map(_.line),
       removes = touched.map(_.path), changeFiles0 = changeFiles,
       schema = snap.schema)

@@ -542,6 +542,15 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
         |WHERE ts BETWEEN TIMESTAMP '2024-03-02 00:00:00'
         |  AND TIMESTAMP '2024-03-02 23:59:59'""".stripMargin)
     qb.collect().head.getLong(0) shouldBe 3L
+    // literal-FIRST bounds prune identically (regression: these
+    // comparisons were dead cases in the first cut of the rule)
+    val ql = spark.sql(
+      """SELECT count(*) AS n FROM graft_lake.tsprune
+        |WHERE TIMESTAMP '2024-03-02 00:00:00' <= ts
+        |  AND TIMESTAMP '2024-03-03 23:59:59' >= ts""".stripMargin)
+    ql.collect().head.getLong(0) shouldBe 6L
+    ql.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString should not include "p_day=2024-03-05"
     // one-sided bound: unprovable -> full read, same answers
     spark.sql(
       """SELECT count(*) AS n FROM graft_lake.tsprune

@@ -1943,6 +1943,41 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 8L
   }
 
+  test("time partitioning in a non-UTC session: day derivation and " +
+    "range pruning agree on the session zone — no rows lost across " +
+    "local midnight") {
+    import spark.implicits._
+    val t = freshTable()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      // 2024-06-01 20:00 UTC = 2024-06-02 05:00 Tokyo — the row lands
+      // in the Tokyo day-2 partition; a UTC-day reader would prune it
+      // away from a day-1 UTC range and silently lose it
+      def utc(day: Int, h: Int) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.of(2024, 6, day, h, 0)
+          .toInstant(java.time.ZoneOffset.UTC))
+      val rows = Seq((1L, utc(1, 10), "mid"), (2L, utc(1, 20), "late"),
+        (3L, utc(2, 10), "next")).toDF("event_id", "ts", "tag")
+      ManifestLake.writeTimePartitioned(rows, t, "ts")
+      // Tokyo days: 01 10:00Z → 06-01 19:00 local; 01 20:00Z →
+      // 06-02 05:00 local (across local midnight); 02 10:00Z →
+      // 06-02 19:00 local
+      val snap = ManifestLake.snapshot(spark, t)
+      snap.entries.flatMap(_.path.split('/').find(_.startsWith("p_day=")))
+        .distinct.sorted shouldBe Seq("p_day=2024-06-01",
+        "p_day=2024-06-02")
+      // closed interval covering all three instants returns all three,
+      // whatever local days they landed on
+      ManifestLake.readTsRange(spark, t, "ts", utc(1, 0), utc(2, 23))
+        .count() shouldBe 3L
+      // the narrow range [20:00Z, 20:00Z] hits exactly the
+      // across-midnight row — pruned by TOKYO day, read back exactly
+      ManifestLake.readTsRange(spark, t, "ts", utc(1, 20), utc(1, 20))
+        .collect().map(_.getLong(0)) shouldBe Array(2L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("retention delete on a time-partitioned table prunes candidates " +
     "to expired days from the generation — fresh days carried verbatim") {
     import spark.implicits._
