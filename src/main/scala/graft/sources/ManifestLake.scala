@@ -1690,12 +1690,14 @@ object ManifestLake {
   def writeTimePartitioned(df: DataFrame, table: String, tsCol: String,
                            append: Boolean = false,
                            dayCol: String = "p_day",
-                           statsCols: Seq[String] = Nil): Long = {
+                           statsCols: Seq[String] = Nil,
+                           granularity: String = "day"): Long = {
     import org.apache.spark.sql.functions.{col, date_format}
     val spark = df.sparkSession
-    val genSql = timeGenSql(dayCol, tsCol)
+    val gran = TimeGranularity(granularity)
+    val genSql = timeGenSql(dayCol, tsCol, gran)
     val withDay = df.withColumn(dayCol,
-      date_format(col(tsCol), "yyyy-MM-dd"))
+      date_format(col(tsCol), gran.pattern))
     // the generation constraint is added exactly once; overwrites and
     // appends of a table that already records it inherit it through the
     // normal checks carry-forward (and are validated against it)
@@ -1707,11 +1709,55 @@ object ManifestLake {
     else addConstraint(spark, table, s"${dayCol}_gen", genSql)
   }
 
+  /** A time-partitioning granularity: its `date_format` pattern (which
+    * doubles as the partition value format — every pattern's string
+    * values sort like the periods they name, so period ranges prune as
+    * STRING intervals) and the truncation/step used to enumerate the
+    * periods a timestamp range spans. `month` suits years-deep
+    * archives (bounded partition counts), `day` the default analytics
+    * shape, `hour` high-volume ingest where a day is too coarse to
+    * prune usefully. */
+  private[sources] final case class TimeGranularity(
+      name: String, pattern: String,
+      fmt: java.time.format.DateTimeFormatter,
+      truncate: java.time.ZonedDateTime => java.time.ZonedDateTime,
+      step: java.time.ZonedDateTime => java.time.ZonedDateTime) {
+    def periods(start: java.time.Instant, end: java.time.Instant,
+                zone: java.time.ZoneId): Set[String] = {
+      val from = truncate(start.atZone(zone))
+      val to = truncate(end.atZone(zone))
+      Iterator.iterate(from)(step).takeWhile(!_.isAfter(to))
+        .map(fmt.format(_)).toSet
+    }
+  }
+
+  private[sources] object TimeGranularity {
+    import java.time.format.DateTimeFormatter
+    val Day: TimeGranularity = TimeGranularity("day", "yyyy-MM-dd",
+      DateTimeFormatter.ofPattern("yyyy-MM-dd"),
+      _.truncatedTo(java.time.temporal.ChronoUnit.DAYS), _.plusDays(1))
+    val Month: TimeGranularity = TimeGranularity("month", "yyyy-MM",
+      DateTimeFormatter.ofPattern("yyyy-MM"),
+      z => z.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+        .withDayOfMonth(1), _.plusMonths(1))
+    val Hour: TimeGranularity = TimeGranularity("hour", "yyyy-MM-dd-HH",
+      DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"),
+      _.truncatedTo(java.time.temporal.ChronoUnit.HOURS), _.plusHours(1))
+    val all: Seq[TimeGranularity] = Seq(Day, Month, Hour)
+    def apply(name: String): TimeGranularity =
+      all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"unknown time-partition granularity '$name' — " +
+          s"one of ${all.map(_.name).mkString("/")}"))
+    def ofPattern(pattern: String): Option[TimeGranularity] =
+      all.find(_.pattern == pattern)
+  }
+
   /** The recorded generation expression — ONE definition shared by the
     * writer (records it) and [[readTsRange]] (parses it back), so the
     * two can never disagree on the derivation. */
-  private def timeGenSql(dayCol: String, tsCol: String): String =
-    s"$dayCol = date_format($tsCol, 'yyyy-MM-dd')"
+  private def timeGenSql(dayCol: String, tsCol: String,
+                         gran: TimeGranularity): String =
+    s"$dayCol = date_format($tsCol, '${gran.pattern}')"
 
   /** The session's resolved time zone — the zone `date_format`
     * evaluates in, and therefore the ONLY zone day-bound derivation may
@@ -1721,7 +1767,8 @@ object ManifestLake {
       java.util.TimeZone.getDefault.getID))
 
   private val TimeGenRe =
-    "^([A-Za-z0-9_]+) = date_format\\(([A-Za-z0-9_]+), 'yyyy-MM-dd'\\)$".r
+    ("^([A-Za-z0-9_]+) = date_format\\(([A-Za-z0-9_]+), " +
+      "'([yMdH-]+)'\\)$").r
 
   /** Closed-interval timestamp range read over a time-partitioned
     * table: when the snapshot carries a recorded day-generation
@@ -1754,25 +1801,24 @@ object ManifestLake {
       : Option[DataFrame] = {
     val snap = snapshot(spark, table)
     snap.checks.collectFirst {
-      case (_, TimeGenRe(day, ts)) if ts.equalsIgnoreCase(tsCol) => day
-    }.map { day =>
+      case (_, TimeGenRe(day, ts, pat)) if ts.equalsIgnoreCase(tsCol) &&
+        TimeGranularity.ofPattern(pat).isDefined =>
+        (day, TimeGranularity.ofPattern(pat).get)
+    }.map { case (day, gran) =>
       // SESSION zone, not hard-coded UTC: the writer's date_format
       // evaluated in the session zone, and pruning in any other zone
-      // would silently drop rows whose local day straddles midnight
-      val zone = sessionZone(spark)
-      val from = start.atZone(zone).toLocalDate
-      val to = end.atZone(zone).toLocalDate
-      val days = Iterator.iterate(from)(_.plusDays(1))
-        .takeWhile(!_.isAfter(to)).map(_.toString).toSet
-      // entries without the day key (pre-layout legacy files) are
+      // would silently drop rows whose local period straddles a
+      // boundary
+      val periods = gran.periods(start, end, sessionZone(spark))
+      // entries without the period key (pre-layout legacy files) are
       // conservatively kept; the Hive DEFAULT partition's value
-      // doesn't parse as a day and is pruned — EXACT, not lossy: it
+      // doesn't parse as a period and is pruned — EXACT, not lossy: it
       // holds only null-ts rows, which a closed interval excludes.
       // readSnapshotFiles (not readEntries) for the all-pruned case:
       // an empty match is a valid empty frame under the schema
       readSnapshotFiles(spark, table, snap,
         snap.entries.filter(e => partitionValues(e.path).get(day)
-          .forall(days)).map(_.path))
+          .forall(periods)).map(_.path))
     }
   }
 
@@ -2783,15 +2829,21 @@ object ManifestLake {
     // numeric literal compares under a seconds cast, not micros — the
     // generic numeric path must never reinterpret it)
     val tsBounds = predicateTsBounds(predExpr)
-    snap.checks.collect { case (_, TimeGenRe(day, ts)) => (day, ts) }
-      .foldLeft(pathPruned) { case (entries, (day, ts)) =>
+    snap.checks.collect {
+      case (_, TimeGenRe(day, ts, pat))
+        if TimeGranularity.ofPattern(pat).isDefined =>
+        (day, ts, TimeGranularity.ofPattern(pat).get)
+    }.foldLeft(pathPruned) { case (entries, (day, ts, gran)) =>
         tsBounds.filter(_._1.equalsIgnoreCase(ts))
           .foldLeft(entries) { case (es, (_, lo, hi)) =>
             // SESSION zone (the caller's) — must match date_format's
-            // evaluation zone or day pruning silently loses rows
-            def d(us: Long) = java.time.Instant
-              .ofEpochSecond(Math.floorDiv(us, 1000000L))
-              .atZone(zone).toLocalDate.toString
+            // evaluation zone or period pruning silently loses rows.
+            // Truncating each bound to its period start is conservative
+            // on BOTH ends: period strings sort like the periods they
+            // name, and the boundary period is always kept.
+            def d(us: Long) = gran.fmt.format(gran.truncate(
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L)).atZone(zone)))
             partitionPrune(es, day,
               Some(org.apache.spark.sql.types.StringType),
               None, None, lo.map(d), hi.map(d))

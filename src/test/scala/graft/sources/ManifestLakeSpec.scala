@@ -1943,6 +1943,53 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 8L
   }
 
+  test("month and hour granularities: partition values, range pruning, " +
+    "and retention DML all follow the recorded pattern") {
+    import spark.implicits._
+    def ts(mo: Int, day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, mo, day, h, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+    // MONTH: a year of monthly rows, one quarter queried
+    val tm = freshTable()
+    val monthly = (1 to 12).map(mo => (mo.toLong, ts(mo, 15, 12), "m"))
+      .toDF("event_id", "ts", "tag")
+    ManifestLake.writeTimePartitioned(monthly, tm, "ts",
+      granularity = "month")
+    val msnap = ManifestLake.snapshot(spark, tm)
+    msnap.entries.flatMap(_.path.split('/').find(_.startsWith("p_day=")))
+      .distinct.size shouldBe 12
+    msnap.entries.exists(_.path.contains("p_day=2024-03")) shouldBe true
+    val q = ManifestLake.readTsRange(spark, tm, "ts",
+      ts(4, 1, 0), ts(6, 30, 23))
+    q.collect().map(_.getLong(0)).sorted shouldBe Array(4L, 5L, 6L)
+    q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString should not include "p_day=2024-01"
+    // retention DML prunes by month period too
+    ManifestLake.delete(spark, tm,
+      org.apache.spark.sql.functions.col("ts") < ts(3, 1, 0),
+      verifyPrune = true)
+    ManifestLake.read(spark, tm).count() shouldBe 10L
+    // HOUR: one day of hourly rows, a 3-hour window
+    val th = freshTable()
+    val hourly = (0 until 24).map(h => (h.toLong, ts(8, 1, h), "h"))
+      .toDF("event_id", "ts", "tag")
+    ManifestLake.writeTimePartitioned(hourly, th, "ts",
+      granularity = "hour")
+    ManifestLake.snapshot(spark, th).entries
+      .flatMap(_.path.split('/').find(_.startsWith("p_day=")))
+      .distinct.size shouldBe 24
+    val hq = ManifestLake.readTsRange(spark, th, "ts",
+      ts(8, 1, 10), ts(8, 1, 12))
+    hq.collect().map(_.getLong(0)).sorted shouldBe Array(10L, 11L, 12L)
+    hq.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString should not include "p_day=2024-08-01-20"
+    // unknown granularity is a named error
+    intercept[IllegalArgumentException] {
+      ManifestLake.writeTimePartitioned(hourly, freshTable(), "ts",
+        granularity = "week")
+    }.getMessage should include("granularity")
+  }
+
   test("time partitioning in a non-UTC session: day derivation and " +
     "range pruning agree on the session zone — no rows lost across " +
     "local midnight") {
