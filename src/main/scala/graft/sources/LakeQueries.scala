@@ -1017,7 +1017,45 @@ object LakeQueries {
       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
       |  AND ts <= TIMESTAMP '2024-01-11 12:00:00'""".stripMargin
 
+  /** lk17_month_partition — the MONTH granularity through the gate:
+    * orders spans ~80 months (1995–2001), so a month-partitioned copy
+    * holds ~80 period partitions and a one-quarter closed range
+    * resolves 3 of them at the manifest — the years-deep-archive
+    * shape where day partitioning would mean thousands of partitions.
+    * The oracle filters the original parquet; the pruned-partition
+    * counts are pinned in ManifestLakeSpec's granularity spec. */
+  def lk17MonthPartition(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk17:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk17").toString
+      ManifestLake.writeTimePartitioned(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          // the generated table stores TIMESTAMP_NTZ source dates as
+          // session-zoned timestamps (same instants in the pinned-UTC
+          // session), the type the range-read/pruning surface speaks
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+        dir, "o_orderdate", granularity = "month")
+      dir
+    })
+    def ts(x: String) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(x).toInstant(java.time.ZoneOffset.UTC))
+    ManifestLake.readTsRange(s, table, "o_orderdate",
+        ts("1997-04-01T00:00:00"), ts("1997-06-30T23:59:59"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_totalprice"))
+  }
+
+  val lk17Oracle: String =
+    """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate)
+      |    AS o_orderdate_us, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
     "lk15_sql_merge_sync" -> (lk15SqlMergeSync _),
     "dv3_reorg_purge" -> (dv3ReorgPurge _),
@@ -1043,6 +1081,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
     "lk15_sql_merge_sync" -> lk15Oracle,
     "dv3_reorg_purge" -> dv3Oracle,

@@ -1696,8 +1696,16 @@ object ManifestLake {
     val spark = df.sparkSession
     val gran = TimeGranularity(granularity)
     val genSql = timeGenSql(dayCol, tsCol, gran)
+    // repartition BY PERIOD before the partitioned write — without it
+    // every task writes a file into every period it happens to hold
+    // (tasks × periods small files, the classic dynamic-partition
+    // explosion); with it each period's rows co-locate and the file
+    // count tracks the period count. A single hot period serializing
+    // into one task is the known trade — split such a period with a
+    // finer granularity.
     val withDay = df.withColumn(dayCol,
       date_format(col(tsCol), gran.pattern))
+      .repartition(col(dayCol))
     // the generation constraint is added exactly once; overwrites and
     // appends of a table that already records it inherit it through the
     // normal checks carry-forward (and are validated against it)
