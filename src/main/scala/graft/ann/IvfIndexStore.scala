@@ -70,9 +70,36 @@ object IvfIndexStore {
     * and the mean squared assignment distance of a bounded
     * deterministic sample (one small job; never a second full pass). */
   def build(s: SparkSession, d: String, indexDir: String,
-            nCells: Int = 16): Long = {
-    val emb = Tables.embeddings(s, d)
-    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells)
+            nCells: Int = 16): Long =
+    publishIndex(Tables.embeddings(s, d), indexDir, nCells)
+
+  /** DRIFT RECOVERY — the path [[AppendReport.rebuildRecommended]]
+    * points at, closing the monitoring loop: re-train the quantizer
+    * from the CURRENT corpus and republish both index tables as new
+    * lake versions. The training input is the assignment table ITSELF
+    * (cell column dropped) — the original build feed may be long gone,
+    * but every indexed vector is by construction in the index; a
+    * reindex therefore needs no external input and reflects every
+    * append that drifted the distribution in the first place. The
+    * atomic switch is [[build]]'s: the rebuilt assignments commit
+    * first, then the centroid table re-points — a probe racing the
+    * reindex either keeps the old (still-retained) snapshot pair or
+    * sees the full rebuilt pair, never a mixed quantizer. The recorded
+    * drift baseline resets to the rebuilt distribution, re-arming
+    * [[append]]'s guard. An append racing the overwrite surfaces the
+    * lake's named commit conflict — schedule reindex like any
+    * maintenance. */
+  def reindex(s: SparkSession, indexDir: String, nCells: Int = 16): Long = {
+    val (assigned, _) = load(s, indexDir)
+    publishIndex(assigned.drop("cell"), indexDir, nCells)
+  }
+
+  /** The shared fit-assign-publish pass behind [[build]] (external
+    * vectors) and [[reindex]] (the index's own vectors). */
+  private def publishIndex(vectors: DataFrame, indexDir: String,
+                           nCells: Int): Long = {
+    val s = vectors.sparkSession
+    val (assigned, centroids) = Similarity.ivfIndex(vectors, nCells)
     val v = ManifestLake.write(assigned, assignTable(indexDir),
       append = false, partitionBy = Seq("cell"))
     // occupancy from the written table: column-pruned cell-only read
@@ -83,10 +110,10 @@ object IvfIndexStore {
     val shares = Array.tabulate(nCells)(i =>
       counts.getOrElse(i, 0L).toDouble / total)
     // mean dist² over a bounded sample (same budget as the fit sample)
-    val n = math.max(emb.count(), 1L)
+    val n = math.max(vectors.count(), 1L)
     val fraction = math.min(1.0, 4096.0 * 1.2 / n)
     val meanDist2 = Similarity.assignCellsScored(
-        emb.sample(withReplacement = false, fraction, 11L), centroids)
+        vectors.sample(withReplacement = false, fraction, 11L), centroids)
       .agg(avg("assign_dist2")).collect().head.getDouble(0)
     commitCentroids(s, indexDir, centroids, v, shares, meanDist2)
     v

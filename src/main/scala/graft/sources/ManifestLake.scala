@@ -730,13 +730,33 @@ object ManifestLake {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val refs = entries.flatMap(e =>
       e.dv.map(t => e.path.split('/').last -> t)).toMap
-    // one broadcast per read carries the token map + Hadoop conf to
-    // executors; the expression itself stays O(1) on the wire
-    val env = spark.sparkContext.broadcast((refs, hadoopConfMap(spark)))
+    // ONE broadcast per (table, DV state), not per read: the token map
+    // identifies the snapshot's vectored files, so a long-lived session
+    // re-reading the same table reuses the cached broadcast instead of
+    // accumulating blocks until GC + ContextCleaner catch up. When a new
+    // snapshot changes the map, the superseded broadcast is unpersisted
+    // (non-blocking; executors re-fetch from the driver if an in-flight
+    // task still holds the expression) and replaced.
+    val env = dvBroadcastCache.compute(table, (_, cached) =>
+      cached match {
+        case (oldRefs, old) if oldRefs == refs && old != null => cached
+        case _ =>
+          if (cached != null) scala.util.Try(cached._2.unpersist(false))
+          (refs, spark.sparkContext.broadcast((refs, hadoopConfMap(spark))))
+      })._2
     ColumnBridge.column(DvLive(
       ColumnBridge.expression(fileCol), ColumnBridge.expression(ridxCol),
       table, env))
   }
+
+  /** Per-table cache behind [[dvLivePredicate]] — key is the table
+    * path, value the (token map, broadcast) of the latest DV state
+    * read. Bounded by the number of distinct vectored tables a session
+    * touches; superseded entries are unpersisted on replacement. */
+  private val dvBroadcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, String],
+      org.apache.spark.broadcast.Broadcast[(Map[String, String],
+        Map[String, String])])]()
 
   /** The session's Hadoop conf as a serializable map — what the DV
     * loader rebuilds a `Configuration` from inside executor tasks (the
@@ -1047,23 +1067,25 @@ object ManifestLake {
     * the next triggering write; the warning on stderr is the signal
     * that maintenance is being skipped, without punishing the already-
     * succeeded ingest path. */
-  private def maybeAutoBinPack(spark: SparkSession, table: String): Unit = {
-    val threshold = spark.conf.getOption(AutoBinPackConf).map(_.trim)
-      .filter(_.nonEmpty).map(_.toInt)
-    threshold.filter(_ > 0).foreach { n =>
-      val smallBytes = spark.conf.getOption(AutoBinPackBytesConf)
-        .map(_.toLong).getOrElse(32L * 1024 * 1024)
-      try {
+  private def maybeAutoBinPack(spark: SparkSession, table: String): Unit =
+    // the conf PARSING sits inside the guard too: a malformed value
+    // ('10MB') must degrade to a skipped-maintenance warning, not throw
+    // NumberFormatException out of a write() that already published
+    try {
+      val threshold = spark.conf.getOption(AutoBinPackConf).map(_.trim)
+        .filter(_.nonEmpty).map(_.toInt)
+      threshold.filter(_ > 0).foreach { n =>
+        val smallBytes = spark.conf.getOption(AutoBinPackBytesConf)
+          .map(_.toLong).getOrElse(32L * 1024 * 1024)
         val snap = snapshot(spark, table)
         val small = snap.entries.count(_.bytes.exists(_ < smallBytes))
         if (small >= n) binPack(spark, table, smallFileBytes = smallBytes)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft-lake] auto bin-pack of $table " +
-            s"skipped (write already committed): $e")
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-lake] auto bin-pack of $table " +
+          s"skipped (write already committed): $e")
     }
-  }
 
   /** How many times a lost-race APPEND re-resolves the winner's head and
     * retries before surfacing [[CommitConflictException]]. Each retry
@@ -1673,10 +1695,7 @@ object ManifestLake {
   /** TIME-DERIVED partitioning — the canonical 100 TB time-series
     * layout: rows land under `p_day=yyyy-MM-dd` Hive partitions derived
     * from `tsCol` in the SESSION time zone (`date_format`'s evaluation
-    * zone — every reader/pruner below derives day bounds in the same
-    * zone, so writer and reader agree by construction; a deployment
-    * must pin ONE session zone across writers and readers, which
-    * [[graft.core.GraftSession]] does with UTC), and the derivation is
+    * zone), and the derivation is
     * recorded as an ENFORCED CHECK constraint (`<dayCol>_gen`), which
     * buys three things at
     * once with zero new manifest machinery: every later append —
@@ -1686,7 +1705,27 @@ object ManifestLake {
     * [[readTsRange]] can DERIVE partition pruning for timestamp range
     * predicates from the recorded expression (the Delta
     * generated-column pattern, public docs). Appends materialize the
-    * day column here, so callers pass raw event frames. */
+    * day column here, so callers pass raw event frames.
+    *
+    * The SESSION ZONE IS RECORDED in the constraint (a `tz=` token
+    * riding the generation SQL as a bracketed comment — inert to the
+    * CHECK evaluator, parsed back by every pruner): a writer, reader,
+    * pruner or DML planner whose session zone differs from the recorded
+    * one raises [[TimeZoneMismatchException]] BY NAME instead of
+    * silently deriving different periods — the straddling-rows footgun
+    * a multi-team deployment would otherwise hit. Legacy tables whose
+    * constraint predates the token keep the old pin-one-zone
+    * convention (no zone check — nothing recorded to check against).
+    *
+    * HOT-PERIOD SUB-SPLITTING: the period shuffle is a REBALANCE (AQE
+    * `RebalancePartitions`, the OSS form of Delta's optimized write),
+    * not a plain hash repartition — at runtime AQE splits an oversized
+    * period's shuffle partition into multiple tasks by actual byte
+    * size (each writes its own file under the same Hive partition dir)
+    * and coalesces small periods together, so ONE skewed ingest day
+    * parallelizes instead of funneling through one task while cold
+    * periods still produce one file each. Without AQE the hint
+    * degrades to exactly the old per-period hash shuffle. */
   def writeTimePartitioned(df: DataFrame, table: String, tsCol: String,
                            append: Boolean = false,
                            dayCol: String = "p_day",
@@ -1695,22 +1734,28 @@ object ManifestLake {
     import org.apache.spark.sql.functions.{col, date_format}
     val spark = df.sparkSession
     val gran = TimeGranularity(granularity)
-    val genSql = timeGenSql(dayCol, tsCol, gran)
+    val genSql = timeGenSql(dayCol, tsCol, gran, sessionZone(spark))
     // repartition BY PERIOD before the partitioned write — without it
     // every task writes a file into every period it happens to hold
     // (tasks × periods small files, the classic dynamic-partition
     // explosion); with it each period's rows co-locate and the file
-    // count tracks the period count. A single hot period serializing
-    // into one task is the known trade — split such a period with a
-    // finer granularity.
+    // count tracks the period count (modulo AQE's size-based split of
+    // hot periods, see the Scaladoc).
     val withDay = df.withColumn(dayCol,
       date_format(col(tsCol), gran.pattern))
-      .repartition(col(dayCol))
+      .hint("rebalance", col(dayCol))
     // the generation constraint is added exactly once; overwrites and
     // appends of a table that already records it inherit it through the
-    // normal checks carry-forward (and are validated against it)
-    val hasGen = currentVersion(spark, table).exists(_ =>
-      snapshot(spark, table).checks.exists(_._1 == s"${dayCol}_gen"))
+    // normal checks carry-forward (and are validated against it) — but
+    // first the recorded zone, if any, must match this session's
+    val hasGen = currentVersion(spark, table).exists { _ =>
+      val checks = snapshot(spark, table).checks
+      checks.collectFirst {
+        case (n, TimeGenRe(day, _, _, recZone)) if n == s"${dayCol}_gen" =>
+          requireGenZone(spark, table, day, Option(recZone))
+      }
+      checks.exists(_._1 == s"${dayCol}_gen")
+    }
     val v = write(withDay, table, append = append,
       partitionBy = Seq(dayCol), statsCols = statsCols)
     if (hasGen) v
@@ -1762,10 +1807,15 @@ object ManifestLake {
 
   /** The recorded generation expression — ONE definition shared by the
     * writer (records it) and [[readTsRange]] (parses it back), so the
-    * two can never disagree on the derivation. */
+    * two can never disagree on the derivation. The writer's session
+    * zone rides along as a bracketed comment: the CHECK evaluator
+    * ignores it (Spark SQL comment), every pruner parses it back and
+    * [[requireGenZone]] refuses a mismatched session by name. */
   private def timeGenSql(dayCol: String, tsCol: String,
-                         gran: TimeGranularity): String =
-    s"$dayCol = date_format($tsCol, '${gran.pattern}')"
+                         gran: TimeGranularity,
+                         zone: java.time.ZoneId): String =
+    s"$dayCol = date_format($tsCol, '${gran.pattern}') " +
+      s"/* tz=${zone.getId} */"
 
   /** The session's resolved time zone — the zone `date_format`
     * evaluates in, and therefore the ONLY zone day-bound derivation may
@@ -1774,9 +1824,39 @@ object ManifestLake {
     java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
 
+  /** Raised when a session whose `spark.sql.session.timeZone` differs
+    * from a time-partitioned table's RECORDED generation zone attempts
+    * to derive, prune or enforce periods — the alternative is silent
+    * disagreement on which period a boundary-straddling timestamp
+    * belongs to (wrong partitions written, rows lost from pruned
+    * reads). Named so deployments hit a searchable error, not data
+    * loss. */
+  final class TimeZoneMismatchException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Refuse a recorded-zone mismatch by name; a legacy constraint
+    * without a recorded zone checks nothing (pin-one-zone convention,
+    * as before). */
+  private def requireGenZone(spark: SparkSession, table: String,
+                             dayCol: String,
+                             recorded: Option[String]): Unit =
+    recorded.foreach { z =>
+      val sess = sessionZone(spark).getId
+      if (z != sess) throw new TimeZoneMismatchException(
+        s"time-partitioned table $table records generation zone '$z' " +
+          s"for partition column '$dayCol', but this session evaluates " +
+          s"date_format in '$sess' — writers and pruners in a different " +
+          "zone would silently derive different periods. Set " +
+          s"spark.sql.session.timeZone to '$z' (or rewrite the table " +
+          "under the new zone).")
+    }
+
+  /** Matches a recorded generation: groups = (dayCol, tsCol, pattern,
+    * zone-or-null). Group 4 is null for constraints recorded before
+    * zone tracking. */
   private val TimeGenRe =
     ("^([A-Za-z0-9_]+) = date_format\\(([A-Za-z0-9_]+), " +
-      "'([yMdH-]+)'\\)$").r
+      "'([yMdH-]+)'\\)(?:\\s*/\\* tz=([A-Za-z0-9_+:/-]+) \\*/)?$").r
 
   /** Closed-interval timestamp range read over a time-partitioned
     * table: when the snapshot carries a recorded day-generation
@@ -1809,14 +1889,17 @@ object ManifestLake {
       : Option[DataFrame] = {
     val snap = snapshot(spark, table)
     snap.checks.collectFirst {
-      case (_, TimeGenRe(day, ts, pat)) if ts.equalsIgnoreCase(tsCol) &&
-        TimeGranularity.ofPattern(pat).isDefined =>
-        (day, TimeGranularity.ofPattern(pat).get)
-    }.map { case (day, gran) =>
+      case (_, TimeGenRe(day, ts, pat, recZone))
+        if ts.equalsIgnoreCase(tsCol) &&
+          TimeGranularity.ofPattern(pat).isDefined =>
+        (day, TimeGranularity.ofPattern(pat).get, Option(recZone))
+    }.map { case (day, gran, recZone) =>
       // SESSION zone, not hard-coded UTC: the writer's date_format
       // evaluated in the session zone, and pruning in any other zone
       // would silently drop rows whose local period straddles a
-      // boundary
+      // boundary — which is why a recorded-zone mismatch is a named
+      // error, not a different answer
+      requireGenZone(spark, table, day, recZone)
       val periods = gran.periods(start, end, sessionZone(spark))
       // entries without the period key (pre-layout legacy files) are
       // conservatively kept; the Hive DEFAULT partition's value
@@ -2065,6 +2148,26 @@ object ManifestLake {
     * keep their own names. */
   val MergeSrcPrefix = "__src_"
 
+  /** Session conf: the recorded-size ceiling under which an UNSCOPED
+    * `WHEN NOT MATCHED BY SOURCE` MERGE runs the standard (Delta)
+    * whole-table semantics without `fullTableMerge` — the manifest's
+    * own byte stats prove the O(table) pass cheap. `0` disables the
+    * automatic path (every unscoped NMBS then needs the explicit
+    * opt-in). */
+  val NmbsSmallTableBytesConf = "spark.graft.lake.nmbs.smallTableBytes"
+
+  /** Is `snap` provably small per [[NmbsSmallTableBytesConf]]? Every
+    * entry must RECORD its size (an unknown could hide anything —
+    * conservatively large) and the recorded total must fit. Malformed
+    * conf values count as the default rather than failing DML. */
+  private def nmbsSmallTable(spark: SparkSession, snap: Snapshot): Boolean = {
+    val threshold = spark.conf.getOption(NmbsSmallTableBytesConf)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1L * 1024 * 1024 * 1024)
+    threshold > 0 && snap.entries.forall(_.bytes.isDefined) &&
+      snap.entries.flatMap(_.bytes).sum <= threshold
+  }
+
   /** The source column `name` as seen by a [[mergeApply]] clause. */
   def mergeSrcCol(name: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.col(MergeSrcPrefix + name)
@@ -2134,7 +2237,14 @@ object ManifestLake {
     *    user porting a Delta MERGE that RELIES on the wipe-the-rest
     *    reading must use `fullTableMerge = true` with no scope — that
     *    form keeps the standard semantics;
-    *  - `fullTableMerge = true`: the explicit whole-table opt-in.
+    *  - `fullTableMerge = true`: the explicit whole-table opt-in;
+    *  - or the target is provably SMALL: when every manifest entry
+    *    records its size and the total is at most
+    *    [[NmbsSmallTableBytesConf]] (default 1 GiB), an unscoped NMBS
+    *    MERGE runs the standard whole-table semantics WITHOUT the flag
+    *    — a Delta-verbatim MERGE just works on the tables where
+    *    O(table) is cheap, and the named error guards only the
+    *    genuinely dangerous case (large table, no scope, no opt-in).
     * Either way the WRITE stays O(affected rows), not O(table): rows in
     * already-rewritten (matched-key) files apply their clause inline;
     * rows in any other in-scope file are tombstoned MERGE-ON-READ — the
@@ -2156,13 +2266,6 @@ object ManifestLake {
       notMatchedBySource.nonEmpty,
       "mergeApply needs at least one WHEN clause")
     if (notMatchedBySource.nonEmpty) {
-      require(scope.nonEmpty || fullTableMerge,
-        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
-          "source match — unscoped, that is O(table). Either add " +
-          "target-only conjuncts to the ON clause (a prune-able scope, " +
-          "e.g. ON t.k = s.k AND t.ds = <partition>) or opt in to the " +
-          "whole-table pass with fullTableMerge = true " +
-          s"(SQL: SET ${LakeSql.FullTableMergeConf} = true).")
       notMatchedBySource.foreach {
         case u: MergeUpdate => require(u.assignments.nonEmpty,
           "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit " +
@@ -2178,6 +2281,23 @@ object ManifestLake {
         s"mergeApply target $table has no committed version — create the " +
           "table (write) before merging into it"))
     val snap = snapshot(spark, table, Some(prev))
+    // unscoped NMBS on a provably-SMALL target gets the standard
+    // whole-table semantics for free: every entry's size is recorded
+    // and the total fits the threshold, so O(table) is cheap by the
+    // manifest's own evidence. Unknown sizes count as large.
+    val effectiveFullTable = fullTableMerge ||
+      (notMatchedBySource.nonEmpty && scope.isEmpty &&
+        nmbsSmallTable(spark, snap))
+    if (notMatchedBySource.nonEmpty)
+      require(scope.nonEmpty || effectiveFullTable,
+        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
+          "source match — unscoped, that is O(table). Either add " +
+          "target-only conjuncts to the ON clause (a prune-able scope, " +
+          "e.g. ON t.k = s.k AND t.ds = <partition>) or opt in to the " +
+          "whole-table pass with fullTableMerge = true " +
+          s"(SQL: SET ${LakeSql.FullTableMergeConf} = true). Tables " +
+          s"whose recorded size fits $NmbsSmallTableBytesConf " +
+          "run whole-table automatically.")
     val baseSchema = snap.schema.getOrElse(
       readSnapshotFiles(spark, table, snap, snap.files.take(1)).schema)
     require(baseSchema.fieldNames.forall(!_.startsWith(MergeSrcPrefix)),
@@ -2234,7 +2354,7 @@ object ManifestLake {
       // the file is being rewritten anyway), indexed after the matched
       // clauses in the shared __act space
       val scopeP = scope.map(c => coalesce(c, lit(false)))
-        .getOrElse(lit(fullTableMerge))
+        .getOrElse(lit(effectiveFullTable))
       val nmbsBase = matched.size
       val nmbsAct = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
         case ((cl, i), rest) => when(fired(cl.condition), lit(nmbsBase + i))
@@ -2838,11 +2958,21 @@ object ManifestLake {
     // generic numeric path must never reinterpret it)
     val tsBounds = predicateTsBounds(predExpr)
     snap.checks.collect {
-      case (_, TimeGenRe(day, ts, pat))
+      case (_, TimeGenRe(day, ts, pat, recZone))
         if TimeGranularity.ofPattern(pat).isDefined =>
-        (day, ts, TimeGranularity.ofPattern(pat).get)
-    }.foldLeft(pathPruned) { case (entries, (day, ts, gran)) =>
-        tsBounds.filter(_._1.equalsIgnoreCase(ts))
+        (day, ts, TimeGranularity.ofPattern(pat).get, Option(recZone))
+    }.foldLeft(pathPruned) { case (entries, (day, ts, gran, recZone)) =>
+        val relevant = tsBounds.filter(_._1.equalsIgnoreCase(ts))
+        // a predicate actually bounding the generated column must run
+        // in the recorded zone — refusing by name beats mispruning
+        if (relevant.nonEmpty) recZone.foreach { z =>
+          if (z != zone.getId) throw new TimeZoneMismatchException(
+            s"time-partitioned table records generation zone '$z' for " +
+              s"partition column '$day', but this session derives " +
+              s"period bounds in '${zone.getId}' — set " +
+              s"spark.sql.session.timeZone to '$z'.")
+        }
+        relevant
           .foldLeft(entries) { case (es, (_, lo, hi)) =>
             // SESSION zone (the caller's) — must match date_format's
             // evaluation zone or period pruning silently loses rows.
@@ -3381,7 +3511,14 @@ object ManifestLake {
     * working: their files are untouched until [[vacuum]]. */
   def compact(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              clusterCol: Option[String] = None): CompactReport = {
+              clusterCol: Option[String] = None): CompactReport =
+    retryMaintenance("compact", table) {
+      compactOnce(spark, table, targetFileBytes, clusterCol)
+    }
+
+  private def compactOnce(spark: SparkSession, table: String,
+                          targetFileBytes: Long,
+                          clusterCol: Option[String]): CompactReport = {
     import org.apache.spark.sql.functions.col
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
@@ -3458,6 +3595,17 @@ object ManifestLake {
       "purgeDvRatio must be positive (1.0 disables purging in practice; " +
         "use REORG-style purgeDv for rewrite-anything-vectored)")
     requireCommitScheme(table, fsFor(spark, table)._1)
+    retryMaintenance("binPack", table) {
+      binPackOnce(spark, table, targetFileBytes, smallFileBytes,
+        purgeDvRatio, partitionFilter)
+    }
+  }
+
+  private def binPackOnce(spark: SparkSession, table: String,
+                          targetFileBytes: Long, smallFileBytes: Long,
+                          purgeDvRatio: Double,
+                          partitionFilter: Map[String, String])
+      : CompactReport = {
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
     // partition-SCOPED maintenance (Delta's `OPTIMIZE ... WHERE`): on a
@@ -3487,6 +3635,14 @@ object ManifestLake {
     val sized = snap.entries.filter(inScope).map(e =>
       e -> e.bytes.getOrElse(
         fs.getFileStatus(new Path(p, e.path)).getLen))
+    // a scope that matches NOTHING is almost always a spelling mismatch
+    // against the stored Hive segment (p = 1.0 vs p=1, an escaped
+    // value) — surface it instead of silently no-opping the maintenance
+    if (partitionFilter.nonEmpty && sized.isEmpty && snap.entries.nonEmpty)
+      System.err.println(s"[graft-lake] OPTIMIZE scope " +
+        s"${partitionFilter.map { case (k, v) => s"$k=$v" }.mkString(", ")} " +
+        s"matched 0 of ${snap.entries.size} files in $table — check the " +
+        "value spelling against the stored partition path segments")
     val (small, large) = sized.partition(_._2 < smallFileBytes)
     val purge = large.filter { case (e, _) =>
       e.dvRows.exists(dvr => dvr > 0 &&
@@ -3512,11 +3668,8 @@ object ManifestLake {
       partitionColsOf(snap), snapStatsCols(snap))
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
       snap.bloomCols, snap.bloomExpectedRows)
-    val v = commitLog(fs, p, full = false, adds = moved,
-      removes = rewrite.map(_._1.path), Some(snap.version), snap.batchId,
-      snap.appId, snap.schema, bloomCols = snap.bloomCols,
-      bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks,
-      maintenance = true)
+    val v = commitMaintenanceOrAbort(fs, p, moved,
+      removes = rewrite.map(_._1.path), snap)
     CompactReport(snap.files.size,
       snap.entries.size - rewrite.size + moved.size, v)
   }
@@ -3531,6 +3684,12 @@ object ManifestLake {
   def purgeDv(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
     requireCommitScheme(table, fsFor(spark, table)._1)
+    retryMaintenance("purgeDv", table) { purgeDvOnce(spark, table,
+      targetFileBytes) }
+  }
+
+  private def purgeDvOnce(spark: SparkSession, table: String,
+                          targetFileBytes: Long): CompactReport = {
     val (fs, p) = fsFor(spark, table)
     val snap = snapshot(spark, table)
     val vectored = snap.entries.filter(_.dv.nonEmpty)
@@ -3553,13 +3712,65 @@ object ManifestLake {
       partitionColsOf(snap), snapStatsCols(snap))
     stageBloomSidecars(spark, fs, p, moved.map(FileEntry.parse),
       snap.bloomCols, snap.bloomExpectedRows)
-    val v = commitLog(fs, p, full = false, adds = moved,
-      removes = vectored.map(_.path), Some(snap.version), snap.batchId,
+    val v = commitMaintenanceOrAbort(fs, p, moved,
+      removes = vectored.map(_.path), snap)
+    CompactReport(snap.files.size,
+      (snap.entries.size - vectored.size) + moved.size, v)
+  }
+
+  /** Commit a maintenance rewrite against the snapshot it planned on;
+    * on a lost version race, DELETE the staged artifacts (they embed a
+    * version that will never commit — cheaper to drop now than to rely
+    * on vacuum's orphan sweep) and rethrow for [[retryMaintenance]] to
+    * re-plan on the new head. */
+  /** Test-only: runs ONCE immediately before a maintenance commit
+    * attempt (then self-clears), letting specs interleave a competing
+    * commit deterministically — the only way to pin the
+    * lost-race-then-re-plan behavior without a timing-dependent test. */
+  private[sources] val maintenanceRaceHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+
+  private def commitMaintenanceOrAbort(fs: FileSystem, p: Path,
+      moved: Seq[String], removes: Seq[String], snap: Snapshot): Long = {
+    Option(maintenanceRaceHook.getAndSet(null)).foreach(_.run())
+    try commitLog(fs, p, full = false, adds = moved,
+      removes = removes, Some(snap.version), snap.batchId,
       snap.appId, snap.schema, bloomCols = snap.bloomCols,
       bloomExpectedRows = snap.bloomExpectedRows, checks = snap.checks,
       maintenance = true)
-    CompactReport(snap.files.size,
-      (snap.entries.size - vectored.size) + moved.size, v)
+    catch { case e: CommitConflictException =>
+      moved.map(FileEntry.parse).foreach { entry =>
+        scala.util.Try(fs.delete(new Path(p, entry.path), false))
+        snap.bloomCols.foreach { c =>
+          scala.util.Try(fs.delete(
+            new Path(p, s"$BloomsDir/${entry.path}.$c.bloom"), false))
+        }
+      }
+      throw e
+    }
+  }
+
+  /** Maintenance (OPTIMIZE / binPack / REORG-purge / compact) carries
+    * NO user payload — when it races real DML, the operationally right
+    * asymmetry is that MAINTENANCE re-plans and the DML never redoes.
+    * Each retry re-resolves the head snapshot inside the body, so a
+    * binPack that lost to a MERGE simply packs the merge's output.
+    * Bounded like the append rebase: every retry means someone else
+    * committed, so the system progresses. */
+  private def retryMaintenance(op: String, table: String)
+      (body: => CompactReport): CompactReport = {
+    var attempt = 0
+    while (attempt <= MaxCommitRebases) {
+      try return body
+      catch { case e: CommitConflictException =>
+        attempt += 1
+        if (attempt > MaxCommitRebases) throw e
+        System.err.println(s"[graft-lake] $op of $table lost a commit " +
+          s"race (attempt $attempt of $MaxCommitRebases); re-planning " +
+          "against the new head")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Time-based retention: vacuum every version whose commit clock is

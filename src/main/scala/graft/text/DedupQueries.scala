@@ -403,7 +403,7 @@ object DedupQueries {
       |      len(string_split(text, chr(10) || chr(10))) + 1)) AS i) g),
       |keyed AS (
       |  SELECT doc_id, pos, para, sha256(para) AS h,
-      |    doc_id * 1048576 + pos AS okey
+      |    CAST(doc_id AS BIGINT) * 1048576 + pos AS okey
       |  FROM paras),
       |first AS (SELECT h, min(okey) AS first_okey FROM keyed GROUP BY h),
       |kept AS (

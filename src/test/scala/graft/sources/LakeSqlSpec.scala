@@ -147,12 +147,15 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
           |WHEN MATCHED THEN UPDATE SET v = id + 0.0""".stripMargin)
     }
     amb.getMessage should include("ambiguous")
-    // NOT MATCHED BY SOURCE stays a named error (O(table) rewrite)
-    val nbs = intercept[Exception] {
+    // NOT MATCHED BY SOURCE stays a named error (O(table) rewrite) —
+    // with the small-table fast path disabled; this table's recorded
+    // size would otherwise run it whole-table automatically
+    spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "0")
+    val nbs = try intercept[Exception] {
       spark.sql(
         """MERGE INTO graft_lake.mfull t USING mfull_src s ON t.id = s.id
           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
+    } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
     nbs.getMessage should include("NOT MATCHED BY SOURCE")
     // a non-equi ON condition is equally rejected
     val e2 = intercept[Exception] {
@@ -197,13 +200,15 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     val snap = ManifestLake.snapshot(spark, path)
     snap.entries.filter(e => e.range("id")
       .exists(_.min > BigDecimal(500))).foreach(_.dv shouldBe empty)
-    // whole-table mirror: unscoped NMBS needs the conf opt-in
-    val e = intercept[Exception] {
+    // whole-table mirror: unscoped NMBS on a NOT-provably-small table
+    // needs the conf opt-in (threshold 0 disables the automatic path)
+    spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "0")
+    val e = try intercept[Exception] {
       spark.sql(
         """MERGE INTO graft_lake.nmbs t USING nmbs_src s ON t.id = s.id
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
+    } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
     e.getMessage should include("fullTableMerge")
     spark.conf.set(LakeSql.FullTableMergeConf, "true")
     try {
@@ -226,6 +231,42 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin)
     }
     badRef.getMessage should include("target columns only")
+  }
+
+  test("SQL MERGE NMBS on a provably small table: a Delta-verbatim " +
+    "unscoped full sync runs with NO flag — the manifest's recorded " +
+    "size is the proof; shrinking the threshold restores the error") {
+    import spark.implicits._
+    val path = freshTable("nmbs_small")
+    ManifestLake.write(
+      (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .repartition(2),
+      path, statsCols = Seq("id"))
+    // the source kept only the odd keys; a Delta user writes the
+    // standard three-clause mirror with no scope and no conf
+    (1 to 300).filter(_ % 2 == 1).map(i => (i.toLong, i + 0.5))
+      .toDF("id", "v").createOrReplaceTempView("nmbs_small_src")
+    spark.sql(
+      """MERGE INTO graft_lake.nmbs_small t USING nmbs_small_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = ManifestLake.read(spark, path)
+    got.count() shouldBe 150
+    got.select("id").as[Long].collect().sorted shouldBe
+      (1 to 300).filter(_ % 2 == 1).map(_.toLong).toArray
+    got.filter($"id" === 3L).select("v").as[Double].head() shouldBe 3.5
+    // a threshold the table does NOT fit re-arms the named guard
+    spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "1")
+    try {
+      intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_lake.nmbs_small t USING nmbs_small_src s
+            |ON t.id = s.id
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      }.getMessage should include("fullTableMerge")
+    } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
   }
 
   test("SELECT COUNT(*) with no predicate routes to the metadata count: " +

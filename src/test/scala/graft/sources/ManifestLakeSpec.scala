@@ -836,14 +836,19 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
           Seq(ManifestLake.MergeUpdate(None, None)),
         scope = Some(col("id") <= 500L))
     }.getMessage should include("explicit")
-    // unscoped NMBS without the opt-in names both ways out
-    val e = intercept[IllegalArgumentException] {
-      ManifestLake.mergeApply(src, t, Seq("id"),
-        matched = Nil,
-        notMatchedBySource = Seq(ManifestLake.MergeDelete(None)))
-    }
-    e.getMessage should include("ON")
-    e.getMessage should include("fullTableMerge")
+    // unscoped NMBS without the opt-in names both ways out — pinned
+    // with the small-table fast path disabled (threshold 0), since this
+    // test table's recorded size would otherwise qualify it
+    spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ManifestLake.mergeApply(src, t, Seq("id"),
+          matched = Nil,
+          notMatchedBySource = Seq(ManifestLake.MergeDelete(None)))
+      }
+      e.getMessage should include("ON")
+      e.getMessage should include("fullTableMerge")
+    } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
   }
 
   test("an NMBS UPDATE tombstones the old image and appends the post-" +
@@ -1740,8 +1745,8 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     // string bounds prune lexicographically on STRING columns (ISO
     // dates sort); ASCII-gated both sides
     ManifestLake.partitionPrune(entries, "date", strT, None, None,
-      Some("20250102"), None).map(_.path) should contain
-        ("date=20250102/v00000001-a-00001.parquet")
+      Some("20250102"), None).map(_.path) should contain(
+      "date=20250102/v00000001-a-00001.parquet")
     // TYPE GATE: numeric bounds never touch a string column's values
     // and string bounds never touch a numeric column's — both keep all
     // (minus the provably-unmatchable null partition)
@@ -2023,6 +2028,129 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       ManifestLake.readTsRange(spark, t, "ts", utc(1, 20), utc(1, 20))
         .collect().map(_.getLong(0)) shouldBe Array(2L)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("recorded generation zone: writes, reads and DML in a different " +
+    "session zone raise TimeZoneMismatchException by name; the matching " +
+    "zone works; a legacy constraint without the token checks nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, date_format}
+    val t = freshTable()
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2024, 3, day, h, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val events = (1 to 5).map(day => (day.toLong, ts(day, 12), "e"))
+      .toDF("event_id", "ts", "tag")
+    // session zone is UTC (GraftSession) — recorded in the constraint
+    ManifestLake.writeTimePartitioned(events, t, "ts")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      intercept[ManifestLake.TimeZoneMismatchException] {
+        ManifestLake.readTsRange(spark, t, "ts", ts(2, 0), ts(3, 23))
+      }.getMessage should include("UTC")
+      intercept[ManifestLake.TimeZoneMismatchException] {
+        ManifestLake.writeTimePartitioned(
+          Seq((9L, ts(6, 1), "late")).toDF("event_id", "ts", "tag"),
+          t, "ts", append = true)
+      }.getMessage should include("Asia/Tokyo")
+      intercept[ManifestLake.TimeZoneMismatchException] {
+        ManifestLake.delete(spark, t, col("ts") < ts(2, 0))
+      }.getMessage should include("UTC")
+      // nothing committed by any refused attempt
+      ManifestLake.read(spark, t).count() shouldBe 5L
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // back in the recorded zone everything works
+    ManifestLake.readTsRange(spark, t, "ts", ts(2, 0), ts(3, 23))
+      .count() shouldBe 2L
+    ManifestLake.writeTimePartitioned(
+      Seq((9L, ts(6, 1), "late")).toDF("event_id", "ts", "tag"),
+      t, "ts", append = true)
+    ManifestLake.read(spark, t).count() shouldBe 6L
+    // legacy shape (pre-zone constraint, recorded by hand): no token,
+    // no check — the old pin-one-zone convention, unchanged
+    val legacy = freshTable()
+    ManifestLake.write(events.withColumn("p_day",
+      date_format(col("ts"), "yyyy-MM-dd")), legacy,
+      partitionBy = Seq("p_day"))
+    ManifestLake.addConstraint(spark, legacy, "p_day_gen",
+      "p_day = date_format(ts, 'yyyy-MM-dd')")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      // a full-span range still answers (pruning may keep extra days;
+      // it must never throw on a legacy table)
+      ManifestLake.readTsRange(spark, legacy, "ts", ts(1, 0), ts(5, 23))
+        .count() shouldBe 5L
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("hot-period write sub-splitting: a skewed period parallelizes " +
+    "into multiple files from multiple tasks; cold periods still write " +
+    "one file each") {
+    import spark.implicits._
+    val t = freshTable()
+    val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevAdv = spark.conf.get(advKey, "64MB")
+    // shrink the AQE advisory size so the test-sized hot period is
+    // "oversized" the way a skewed ingest day is at production scale
+    spark.conf.set(advKey, (64 * 1024).toString)
+    try {
+      def ts(day: Int, m: Int) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.of(2024, 7, day, m / 60, m % 60)
+          .toInstant(java.time.ZoneOffset.UTC))
+      // one hot day with the overwhelming mass; four cold single-row
+      // days (single-row so the file count claim is deterministic
+      // whatever reduce partition each day hashes into)
+      val hot = (0 until 20000).map(i =>
+        (i.toLong, ts(15, i % 1440), "x" * 64))
+      val cold = (1 to 4).map(day => (100000L + day, ts(day, 30), "c"))
+      ManifestLake.writeTimePartitioned(
+        (hot ++ cold).toDF("event_id", "ts", "tag"), t, "ts")
+      val byDay = ManifestLake.snapshot(spark, t).entries
+        .groupBy(_.path.split('/').find(_.startsWith("p_day=")).get)
+      // the hot period wrote from MULTIPLE tasks — the one-task funnel
+      // is gone
+      byDay("p_day=2024-07-15").size should be > 1
+      (1 to 4).foreach { day =>
+        byDay(f"p_day=2024-07-0$day").size shouldBe 1
+      }
+      // correctness and pruning untouched by the split
+      ManifestLake.read(spark, t).count() shouldBe 20004L
+      ManifestLake.readTsRange(spark, t, "ts", ts(2, 0), ts(3, 1440 - 1))
+        .count() shouldBe 2L
+    } finally spark.conf.set(advKey, prevAdv)
+  }
+
+  test("maintenance loses races gracefully: a binPack racing a " +
+    "committed MERGE re-plans and packs the merge's output; the merge " +
+    "never redoes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    (0 until 6).foreach(b =>
+      ManifestLake.write(rows(b * 10 until b * 10 + 10), t,
+        statsCol = Some("id")))
+    var merged = false
+    // deterministic interleave: the merge commits AFTER binPack plans
+    // and stages its rewrite, BEFORE its commit attempt — the exact
+    // compaction-vs-DML race
+    ManifestLake.maintenanceRaceHook.set(() => {
+      ManifestLake.merge(Seq((5L, "updated_5")).toDF("id", "payload"),
+        t, Seq("id"), statsCol = Some("id"))
+      merged = true
+    })
+    val mergesBefore = ManifestLake.history(spark, t).count()
+    val report = ManifestLake.binPack(spark, t,
+      smallFileBytes = 1024 * 1024)
+    merged shouldBe true
+    report.filesAfter should be < report.filesBefore
+    // the merge's payload survives the pack — applied exactly once
+    val out = ManifestLake.read(spark, t)
+    out.count() shouldBe 60L
+    out.filter(col("id") === 5L).select("payload")
+      .as[String].head() shouldBe "updated_5"
+    // two commits landed after the race: the merge's, then the pack's
+    ManifestLake.history(spark, t).count() shouldBe mergesBefore + 2
   }
 
   test("retention delete on a time-partitioned table prunes candidates " +
