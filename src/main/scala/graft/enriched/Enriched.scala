@@ -82,6 +82,37 @@ object Enriched {
       outPath
     } finally enriched.unpersist(blocking = false)
   }
+
+  /** [[runStage]]'s LAKE variant — the parity surface and the scale
+    * surface as ONE code path: the same gate guards the write, but the
+    * enriched rows land in a manifest-lake table time-partitioned at
+    * HOUR granularity on the drop instant
+    * ([[graft.pipeline.Ingest.dropInstant]] recovers it from the raw
+    * key, so the reference's `YYYYMMDD/HHMMSS` layout and the lake's
+    * `p_hour=yyyy-MM-dd-HH` partitions derive from the same clock
+    * reading). Each pipeline run APPENDS its snapshot; serving a
+    * window of drops is then an hour-pruned [[ManifestLake.readTsRange]]
+    * instead of a raw-zone directory walk — at years of 10-minute
+    * drops, the difference between reading one hour's files and
+    * listing them all. The recorded generation enforces the layout on
+    * every later append and pins the UTC zone the dated keys are
+    * formatted in. */
+  def runStageLake(ss: DataFrame, si: DataFrame, lime: DataFrame,
+                   table: String, dropTs: java.sql.Timestamp): Long = {
+    import graft.sources.ManifestLake
+    val enriched = enrichedJoinVelibLime(ss, si, lime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val failures = QualityGate.failures(enriched)
+      if (failures.nonEmpty)
+        throw new QualityGate.QualityGateException(failures)
+      ManifestLake.writeTimePartitioned(
+        Transforms.enforceSchema(enriched, graft.bike.BikeSchemas.enriched)
+          .withColumn("drop_ts", lit(dropTs)),
+        table, "drop_ts", append = true, dayCol = "p_hour",
+        granularity = "hour")
+    } finally enriched.unpersist(blocking = false)
+  }
 }
 
 /** R4 — the dbt-test replacement: violation-count aggregations that gate

@@ -84,4 +84,21 @@ object Ingest {
     Files.write(target, bytes)
     s"$lakeRoot/$key"
   }
+
+  /** Recover the drop instant [[fetchStore]] embedded in a raw key —
+    * the `<YYYYMMDD>/<HHMMSS>` segments immediately above the file
+    * name, read back with the SAME formatters and UTC zone that wrote
+    * them, so the two can never disagree. This is what lets the
+    * reference's dated-key layout compose with the lake's hour-
+    * granularity time partitioning: the drop path IS the event time of
+    * the snapshot it holds. */
+  def dropInstant(dropPath: String): java.time.Instant = {
+    val segs = dropPath.split('/')
+    require(segs.length >= 3,
+      s"not a dated drop path (needs .../YYYYMMDD/HHMMSS/<file>): $dropPath")
+    val (day, time) = (segs(segs.length - 3), segs(segs.length - 2))
+    java.time.LocalDateTime
+      .parse(s"$day$time", DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      .toInstant(ZoneOffset.UTC)
+  }
 }

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
-import graft.bike.BikeQueries
+import graft.bike.{BikeJobs, BikeQueries}
 import graft.ml.WeightedKMeans
 
 class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
@@ -79,5 +79,46 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     new java.io.File(s"$lakeRoot/enriched/default_velib_lime/enriched_join_velib_lime/default")
       .exists() shouldBe true
     new java.io.File(s"$lakeRoot/usage/kmeans_results").exists() shouldBe true
+  }
+
+  test("dated drops compose with hour partitioning: two pipeline runs " +
+    "land as two p_hour partitions and a one-hour range reads only its " +
+    "own drop") {
+    import graft.enriched.Enriched
+    import graft.sources.ManifestLake
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-tp").toString
+    val table = s"$lakeRoot/enriched_lake/velib_lime"
+    // the raw key written at 21:25 UTC parses back to the same instant —
+    // one clock reading feeds both the reference layout and the lake
+    Ingest.dropInstant(
+      "lake/raw/velib/stations_status/20250219/212500/f.json") shouldBe
+      Instant.ofEpochSecond(1740000300L)
+    Seq(0L, 3600L).foreach { offset =>
+      val c = Clock.fixed(Instant.ofEpochSecond(1740000300L + offset),
+        ZoneOffset.UTC)
+      val ssDrop = Ingest.fetchStore(fixtureClient, Feed.VelibSs, lakeRoot, c)
+      val siDrop = Ingest.fetchStore(fixtureClient, Feed.VelibSi, lakeRoot, c)
+      val lmDrop = Ingest.fetchStore(fixtureClient, Feed.LimeFbs, lakeRoot, c)
+      val ss = spark.read.parquet(BikeJobs.runSs(spark, ssDrop, lakeRoot))
+      val si = spark.read.parquet(BikeJobs.runSi(spark, siDrop, lakeRoot))
+      val lm = spark.read.parquet(BikeJobs.runLime(spark, lmDrop, lakeRoot))
+      Enriched.runStageLake(ss, si, lm, table,
+        java.sql.Timestamp.from(Ingest.dropInstant(ssDrop)))
+    }
+    // one partition per drop hour, the reference's HH resolution
+    ManifestLake.snapshot(spark, table).entries
+      .flatMap(_.path.split('/').find(_.startsWith("p_hour=")))
+      .distinct.sorted shouldBe
+      Seq("p_hour=2025-02-19-21", "p_hour=2025-02-19-22")
+    // the drop hour's window [21:00, 21:59:59] reads ONLY its drop: 12
+    // enriched rows, and the other hour's files never enter the scan
+    val hourStart = 1739998800L // 2025-02-19T21:00:00Z
+    val hour = ManifestLake.readTsRange(spark, table, "drop_ts",
+      java.sql.Timestamp.from(Instant.ofEpochSecond(hourStart)),
+      java.sql.Timestamp.from(Instant.ofEpochSecond(hourStart + 3599L)))
+    hour.count() shouldBe 12L
+    val files = hour.inputFiles
+    files should not be empty
+    all(files) should include("p_hour=2025-02-19-21")
   }
 }
