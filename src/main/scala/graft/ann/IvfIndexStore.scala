@@ -86,13 +86,19 @@ object IvfIndexStore {
     * reindex either keeps the old (still-retained) snapshot pair or
     * sees the full rebuilt pair, never a mixed quantizer. The recorded
     * drift baseline resets to the rebuilt distribution, re-arming
-    * [[append]]'s guard. An append racing the overwrite surfaces the
-    * lake's named commit conflict — schedule reindex like any
-    * maintenance. */
-  def reindex(s: SparkSession, indexDir: String, nCells: Int = 16): Long = {
-    val (assigned, _) = load(s, indexDir)
-    publishIndex(assigned.drop("cell"), indexDir, nCells)
-  }
+    * [[append]]'s guard. An append racing the reindex is refused by
+    * name on the append side ([[ConcurrentReindexException]]) before
+    * it can land stale cells or clobber the rebuilt centroids.
+    *
+    * Trains on the assignment table's HEAD, not the centroid-pinned
+    * snapshot: a crashed append may have committed assignments the
+    * centroid table does not point at yet (the half-done state the
+    * append replay heals) — those vectors are committed corpus and
+    * must survive the rebuild, so the rebuild must see them. */
+  def reindex(s: SparkSession, indexDir: String, nCells: Int = 16): Long =
+    publishIndex(
+      ManifestLake.read(s, assignTable(indexDir)).drop("cell"),
+      indexDir, nCells)
 
   /** The shared fit-assign-publish pass behind [[build]] (external
     * vectors) and [[reindex]] (the index's own vectors). */
@@ -187,6 +193,16 @@ object IvfIndexStore {
         math.abs(batchShare - buildShares(i))
       }.sum / 2.0
       val assigned = scored.drop("assign_dist2")
+      // QUANTIZER GUARD, pre-commit: a [[reindex]] that finished while
+      // this batch was being assigned replaced the centroids — landing
+      // rows assigned under the OLD quantizer into the NEW assignment
+      // table would silently mis-cell them (the lake's append rebase
+      // cannot know the cells are stale). Re-read the centroid table at
+      // the last responsible moment and refuse by name; the caller just
+      // re-runs append, which re-assigns under the new centroids. A
+      // reindex landing inside the residual commit window is caught by
+      // the post-commit check below.
+      requireQuantizerUnchanged(s, indexDir, centroids, "before committing")
       val committed = epoch match {
         case Some((appId, batchId)) =>
           ManifestLake.writeBatch(assigned, assignTable(indexDir), batchId,
@@ -197,6 +213,14 @@ object IvfIndexStore {
           true
       }
       val v = ManifestLake.currentVersion(s, assignTable(indexDir)).get
+      // QUANTIZER GUARD, post-commit: if a reindex won the residual
+      // window, do NOT re-point the centroid table (that would clobber
+      // the rebuilt quantizer with the stale one) — surface the name
+      // instead so the operator re-runs reindex (which re-trains over
+      // every committed row, healing this batch's stale cells too).
+      requireQuantizerUnchanged(s, indexDir, centroids,
+        "after committing its assignments; re-run reindex to re-cell " +
+          "the batch, then")
       // committed = false can mean two things: a clean replay of a batch
       // whose ORIGINAL attempt finished both commits (nothing to do), or
       // a retry of an attempt that crashed BETWEEN the assignment commit
@@ -217,6 +241,26 @@ object IvfIndexStore {
           batchMeanDist2 > distFactor * buildMeanDist2 ||
             (batchN >= minOccupancyRows && divergence > occupancyThreshold))
     } finally { scored.unpersist(); () }
+  }
+
+  /** Raised when [[append]] detects that a concurrent [[reindex]]
+    * replaced the quantizer while the batch was in flight — the batch's
+    * cell assignments are (or would be) stale. Named so the operator's
+    * remedy is in the message, not in a debugging session. */
+  final class ConcurrentReindexException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def requireQuantizerUnchanged(s: SparkSession, indexDir: String,
+      loaded: Array[Array[Double]], when: String): Unit = {
+    val (current, _, _, _) = loadCentroidStats(s, indexDir)
+    val same = current.length == loaded.length &&
+      current.indices.forall(i =>
+        java.util.Arrays.equals(current(i), loaded(i)))
+    if (!same) throw new ConcurrentReindexException(
+      s"a concurrent reindex of $indexDir replaced the quantizer $when " +
+        "this append could finish — its cell assignments were computed " +
+        "against the old centroids. Re-run the append (it will re-assign " +
+        "under the current quantizer).")
   }
 
   /** Centroids + the assignment version they were fit against — the

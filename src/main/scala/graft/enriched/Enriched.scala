@@ -63,25 +63,33 @@ object Enriched {
     * (`/root/reference/dags/dag_bike.py:175`): violations abort the write
     * so the serving layer never sees bad data. Returns the output path.
     */
-  def runStage(ss: DataFrame, si: DataFrame, lime: DataFrame,
-               lakeRoot: String, subfolder: String = "default"): String = {
-    // Persist for the stage's lifetime: the gate runs two aggregate jobs
-    // and the write a third — without the persist the join/union plan
-    // executes three times AND the write could see different data than
-    // the gate approved if an input changed in between. Unpersisted in
-    // the same call, so nothing leaks into the session.
+  /** The shared gate-then-write harness of both stage variants: build
+    * the enriched union ONCE (persisted — the gate runs two aggregate
+    * jobs and the write a third; without the persist the join/union
+    * plan executes three times AND the write could see different data
+    * than the gate approved), refuse on any violation, hand the
+    * schema-enforced frame to the writer, unpersist in the same call so
+    * nothing leaks into the session. */
+  private def gatedStage[A](ss: DataFrame, si: DataFrame, lime: DataFrame)
+                           (write: DataFrame => A): A = {
     val enriched = enrichedJoinVelibLime(ss, si, lime)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val failures = QualityGate.failures(enriched)
       if (failures.nonEmpty)
         throw new QualityGate.QualityGateException(failures)
-      val outPath = s"$lakeRoot/$EnrichedVelibLime$subfolder/"
-      Transforms.enforceSchema(enriched, graft.bike.BikeSchemas.enriched)
-        .write.mode(SaveMode.Overwrite).parquet(outPath)
-      outPath
+      write(Transforms.enforceSchema(enriched,
+        graft.bike.BikeSchemas.enriched))
     } finally enriched.unpersist(blocking = false)
   }
+
+  def runStage(ss: DataFrame, si: DataFrame, lime: DataFrame,
+               lakeRoot: String, subfolder: String = "default"): String =
+    gatedStage(ss, si, lime) { enforced =>
+      val outPath = s"$lakeRoot/$EnrichedVelibLime$subfolder/"
+      enforced.write.mode(SaveMode.Overwrite).parquet(outPath)
+      outPath
+    }
 
   /** [[runStage]]'s LAKE variant — the parity surface and the scale
     * surface as ONE code path: the same gate guards the write, but the
@@ -98,21 +106,13 @@ object Enriched {
     * every later append and pins the UTC zone the dated keys are
     * formatted in. */
   def runStageLake(ss: DataFrame, si: DataFrame, lime: DataFrame,
-                   table: String, dropTs: java.sql.Timestamp): Long = {
-    import graft.sources.ManifestLake
-    val enriched = enrichedJoinVelibLime(ss, si, lime)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val failures = QualityGate.failures(enriched)
-      if (failures.nonEmpty)
-        throw new QualityGate.QualityGateException(failures)
-      ManifestLake.writeTimePartitioned(
-        Transforms.enforceSchema(enriched, graft.bike.BikeSchemas.enriched)
-          .withColumn("drop_ts", lit(dropTs)),
+                   table: String, dropTs: java.sql.Timestamp): Long =
+    gatedStage(ss, si, lime) { enforced =>
+      graft.sources.ManifestLake.writeTimePartitioned(
+        enforced.withColumn("drop_ts", lit(dropTs)),
         table, "drop_ts", append = true, dayCol = "p_hour",
         granularity = "hour")
-    } finally enriched.unpersist(blocking = false)
-  }
+    }
 }
 
 /** R4 — the dbt-test replacement: violation-count aggregations that gate

@@ -730,33 +730,54 @@ object ManifestLake {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val refs = entries.flatMap(e =>
       e.dv.map(t => e.path.split('/').last -> t)).toMap
-    // ONE broadcast per (table, DV state), not per read: the token map
-    // identifies the snapshot's vectored files, so a long-lived session
-    // re-reading the same table reuses the cached broadcast instead of
-    // accumulating blocks until GC + ContextCleaner catch up. When a new
-    // snapshot changes the map, the superseded broadcast is unpersisted
-    // (non-blocking; executors re-fetch from the driver if an in-flight
-    // task still holds the expression) and replaced.
-    val env = dvBroadcastCache.compute(table, (_, cached) =>
-      cached match {
-        case (oldRefs, old) if oldRefs == refs && old != null => cached
-        case _ =>
-          if (cached != null) scala.util.Try(cached._2.unpersist(false))
-          (refs, spark.sparkContext.broadcast((refs, hadoopConfMap(spark))))
-      })._2
+    val conf = hadoopConfMap(spark)
+    val sc = spark.sparkContext
+    // ONE broadcast per (table, DV state), not per read: a long-lived
+    // session re-reading the same table reuses the cached broadcast
+    // instead of accumulating blocks until GC + ContextCleaner catch
+    // up. Reuse rule: every (basename → token) THIS read needs must be
+    // present UNCHANGED in the cached map (pruned reads are subsets of
+    // the snapshot's DV state, so alternating probes of different cells
+    // all hit the same broadcast; a re-annotated file changes its token
+    // and forces the rebuild), under the SAME SparkContext (a broadcast
+    // outlives neither its context nor a session recycle) and the same
+    // Hadoop conf (rotated fs credentials must reach the loader). The
+    // rebuild merges so the superset keeps serving future subsets, and
+    // resets once dead basenames dominate; the superseded broadcast is
+    // unpersisted (non-blocking — executors re-fetch from the driver if
+    // an in-flight task still holds it).
+    val env = dvBroadcastCache.compute(table, (_, cached) => cached match {
+      case c: DvEnvCache if (c.sc eq sc) && !sc.isStopped &&
+        c.conf == conf &&
+        refs.forall { case (k, v) => c.refs.get(k).contains(v) } => c
+      case c =>
+        if (c != null && (c.sc eq sc))
+          scala.util.Try(c.bc.unpersist(false))
+        val merged =
+          if (c == null || c.conf != conf || !(c.sc eq sc) ||
+            c.refs.size > 4 * math.max(1, refs.size)) refs
+          else c.refs ++ refs
+        DvEnvCache(sc, merged, conf, sc.broadcast((merged, conf)))
+    }).bc
     ColumnBridge.column(DvLive(
       ColumnBridge.expression(fileCol), ColumnBridge.expression(ridxCol),
       table, env))
   }
 
-  /** Per-table cache behind [[dvLivePredicate]] — key is the table
-    * path, value the (token map, broadcast) of the latest DV state
-    * read. Bounded by the number of distinct vectored tables a session
-    * touches; superseded entries are unpersisted on replacement. */
-  private val dvBroadcastCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, String],
-      org.apache.spark.broadcast.Broadcast[(Map[String, String],
-        Map[String, String])])]()
+  /** One [[dvBroadcastCache]] entry: the owning context, the accumulated
+    * (basename → dv token) map the broadcast carries, the Hadoop conf it
+    * was built with, and the broadcast itself. */
+  private final case class DvEnvCache(sc: org.apache.spark.SparkContext,
+      refs: Map[String, String], conf: Map[String, String],
+      bc: org.apache.spark.broadcast.Broadcast[(Map[String, String],
+        Map[String, String])])
+
+  /** Per-table cache behind [[dvLivePredicate]]. Bounded by the number
+    * of distinct vectored tables a JVM touches; superseded entries are
+    * unpersisted on replacement (same-context only — a dead context's
+    * blocks are already gone with it). */
+  private val dvBroadcastCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DvEnvCache]()
 
   /** The session's Hadoop conf as a serializable map — what the DV
     * loader rebuilds a `Configuration` from inside executor tasks (the
@@ -1752,7 +1773,7 @@ object ManifestLake {
       val checks = snapshot(spark, table).checks
       checks.collectFirst {
         case (n, TimeGenRe(day, _, _, recZone)) if n == s"${dayCol}_gen" =>
-          requireGenZone(spark, table, day, Option(recZone))
+          requireGenZone(sessionZone(spark), table, day, Option(recZone))
       }
       checks.exists(_._1 == s"${dayCol}_gen")
     }
@@ -1836,19 +1857,25 @@ object ManifestLake {
 
   /** Refuse a recorded-zone mismatch by name; a legacy constraint
     * without a recorded zone checks nothing (pin-one-zone convention,
-    * as before). */
-  private def requireGenZone(spark: SparkSession, table: String,
+    * as before). Zones compare NORMALIZED ('UTC', 'Etc/UTC', 'Z' and
+    * '+00:00' all derive identical periods — refusing across those
+    * spellings would fail a correctly-configured reader), and an
+    * unparseable recorded zone is itself a mismatch (conservative: it
+    * can never be proven to agree). */
+  private def requireGenZone(zone: java.time.ZoneId, tableDesc: String,
                              dayCol: String,
                              recorded: Option[String]): Unit =
     recorded.foreach { z =>
-      val sess = sessionZone(spark).getId
-      if (z != sess) throw new TimeZoneMismatchException(
-        s"time-partitioned table $table records generation zone '$z' " +
-          s"for partition column '$dayCol', but this session evaluates " +
-          s"date_format in '$sess' — writers and pruners in a different " +
-          "zone would silently derive different periods. Set " +
-          s"spark.sql.session.timeZone to '$z' (or rewrite the table " +
-          "under the new zone).")
+      val same = scala.util.Try(
+        java.time.ZoneId.of(z).normalized() == zone.normalized())
+        .getOrElse(false)
+      if (!same) throw new TimeZoneMismatchException(
+        s"time-partitioned table $tableDesc records generation zone " +
+          s"'$z' for partition column '$dayCol', but this session " +
+          s"evaluates date_format in '${zone.getId}' — writers and " +
+          "pruners in a different zone would silently derive different " +
+          s"periods. Set spark.sql.session.timeZone to '$z' (or rewrite " +
+          "the table under the new zone).")
     }
 
   /** Matches a recorded generation: groups = (dayCol, tsCol, pattern,
@@ -1899,7 +1926,7 @@ object ManifestLake {
       // would silently drop rows whose local period straddles a
       // boundary — which is why a recorded-zone mismatch is a named
       // error, not a different answer
-      requireGenZone(spark, table, day, recZone)
+      requireGenZone(sessionZone(spark), table, day, recZone)
       val periods = gran.periods(start, end, sessionZone(spark))
       // entries without the period key (pre-layout legacy files) are
       // conservatively kept; the Hive DEFAULT partition's value
@@ -2965,13 +2992,8 @@ object ManifestLake {
         val relevant = tsBounds.filter(_._1.equalsIgnoreCase(ts))
         // a predicate actually bounding the generated column must run
         // in the recorded zone — refusing by name beats mispruning
-        if (relevant.nonEmpty) recZone.foreach { z =>
-          if (z != zone.getId) throw new TimeZoneMismatchException(
-            s"time-partitioned table records generation zone '$z' for " +
-              s"partition column '$day', but this session derives " +
-              s"period bounds in '${zone.getId}' — set " +
-              s"spark.sql.session.timeZone to '$z'.")
-        }
+        if (relevant.nonEmpty)
+          requireGenZone(zone, "(DML target)", day, recZone)
         relevant
           .foldLeft(entries) { case (es, (_, lo, hi)) =>
             // SESSION zone (the caller's) — must match date_format's

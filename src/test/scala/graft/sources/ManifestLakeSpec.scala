@@ -2063,6 +2063,12 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     // back in the recorded zone everything works
     ManifestLake.readTsRange(spark, t, "ts", ts(2, 0), ts(3, 23))
       .count() shouldBe 2L
+    // zone SPELLINGS that derive identical periods are not mismatches:
+    // 'Etc/UTC' normalizes to the recorded 'UTC'
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try ManifestLake.readTsRange(spark, t, "ts", ts(2, 0), ts(3, 23))
+      .count() shouldBe 2L
+    finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     ManifestLake.writeTimePartitioned(
       Seq((9L, ts(6, 1), "late")).toDF("event_id", "ts", "tag"),
       t, "ts", append = true)
