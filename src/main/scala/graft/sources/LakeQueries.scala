@@ -993,6 +993,50 @@ object LakeQueries {
       |FROM lineitem
       |WHERE l_extendedprice >= 1200.0""".stripMargin
 
+  /** lk18_nmbs_small_sync — the DELTA-VERBATIM full sync through the
+    * gate: an unscoped three-clause MERGE (`WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE`, no ON-scope conjunct, no session conf) runs because
+    * the target's manifest-recorded size proves the whole-table pass
+    * cheap — the automatic small-table path. After the merge the table
+    * IS the source (updates restated, vanished keys deleted), which is
+    * exactly what a user porting a Delta mirror job expects to happen
+    * with their SQL unchanged. Self-grading `mirror_exact` flag (the
+    * lk15 pattern: both-ways EXCEPT ALL emptiness), and the oracle
+    * derives the same mirror from the raw parquet. Pass-2 idempotent:
+    * every clause re-applies to identical state. */
+  def lk18NmbsSmallSync(s: SparkSession, d: String): DataFrame = {
+    val table = memoClustered("lk18", d, "s_suppkey", nFiles = 4)(
+      Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal"))
+    LakeSql.register("lk18_supplier", table)
+    Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      .createOrReplaceTempView("lk18_base")
+    // today's source: two thirds of the suppliers, balances restated
+    s.sql(
+      """SELECT s_suppkey, s_name, s_acctbal + 500.0 AS s_acctbal
+        |FROM lk18_base WHERE s_suppkey % 3 != 0""".stripMargin)
+      .createOrReplaceTempView("lk18_src")
+    s.sql(
+      """MERGE INTO graft_lake.lk18_supplier t USING lk18_src s
+        |  ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET s_acctbal = s.s_acctbal
+        |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_name, s_acctbal)
+        |  VALUES (s.s_suppkey, s.s_name, s.s_acctbal)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val post = ManifestLake.read(s, table)
+      .select("s_suppkey", "s_name", "s_acctbal")
+    def norm(df: DataFrame) = df.select(col("s_suppkey").cast("long"),
+      col("s_name"), col("s_acctbal").cast("double"))
+    val src = norm(s.table("lk18_src"))
+    val mirror = norm(post).exceptAll(src).limit(1).count() == 0L &&
+      src.exceptAll(norm(post)).limit(1).count() == 0L
+    post.withColumn("mirror_exact", lit(mirror))
+  }
+
+  val lk18Oracle: String =
+    """SELECT s_suppkey, s_name, s_acctbal + 500.0 AS s_acctbal,
+      |  TRUE AS mirror_exact
+      |FROM supplier WHERE s_suppkey % 3 != 0""".stripMargin
+
   /** lk16_time_partition — time-derived partitioning through the gate:
     * the events table lands under day partitions generated from `ts`
     * (the generation recorded as an enforced CHECK constraint), and a
@@ -1067,6 +1111,7 @@ object LakeQueries {
       |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
     "lk15_sql_merge_sync" -> (lk15SqlMergeSync _),
@@ -1093,6 +1138,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
     "lk15_sql_merge_sync" -> lk15Oracle,
