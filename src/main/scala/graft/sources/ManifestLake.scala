@@ -1885,6 +1885,58 @@ object ManifestLake {
     ("^([A-Za-z0-9_]+) = date_format\\(([A-Za-z0-9_]+), " +
       "'([yMdH-]+)'\\)(?:\\s*/\\* tz=([A-Za-z0-9_+:/-]+) \\*/)?$").r
 
+  /** Upgrade a LEGACY (pre-zone-tracking) generation constraint to
+    * record this session's zone — the migration path that closes the
+    * pin-one-zone footgun for tables written before the token existed.
+    * The claim is VALIDATED, not trusted: every existing row must
+    * satisfy the generation under the claimed zone (one scan, the same
+    * enforcement [[addConstraint]] applies), so a session in the wrong
+    * zone cannot record it — a boundary-straddling row violates and the
+    * commit is refused by the constraint's name. Consistency under the
+    * CLAIMED zone is exactly what pruning soundness needs; the
+    * historical writing zone is irrelevant once the data provably
+    * derives under this one. No-op if a matching zone is already
+    * recorded; a DIFFERENT recorded zone raises
+    * [[TimeZoneMismatchException]] (re-zoning requires a rewrite, not a
+    * metadata edit). Metadata-only commit — one manifest line changes,
+    * no data IO beyond the validation read. */
+  def recordGenerationZone(spark: SparkSession, table: String,
+                           dayCol: String = "p_day"): Long = {
+    requireCommitScheme(table, fsFor(spark, table)._1)
+    val (fs, p) = fsFor(spark, table)
+    val prev = currentVersion(spark, table)
+    val snap = snapshot(spark, table, prev)
+    val name = s"${dayCol}_gen"
+    val (day, tsCol, pat, recZone) = snap.checks.collectFirst {
+      case (n, TimeGenRe(dy, ts, pt, z)) if n == name =>
+        (dy, ts, pt, Option(z))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table records no time-generation constraint '$name' to " +
+        "record a zone on"))
+    val zone = sessionZone(spark)
+    recZone match {
+      case some @ Some(_) =>
+        requireGenZone(zone, table, day, some)
+        snap.version
+      case None =>
+        val gran = TimeGranularity.ofPattern(pat).getOrElse(
+          throw new IllegalArgumentException(
+            s"constraint '$name' of $table uses pattern '$pat', which " +
+              "is not a known time-partition granularity"))
+        val newSql = timeGenSql(day, tsCol, gran, zone)
+        enforceChecks(read(spark, table, prev), Seq(name -> newSql),
+          table, "recording the generation zone over existing data")
+        commitLog(fs, p, full = false, adds = Nil, removes = Nil, prev,
+          snap.batchId, snap.appId, snap.schema,
+          bloomCols = snap.bloomCols,
+          bloomExpectedRows = snap.bloomExpectedRows,
+          checks = snap.checks.map {
+            case (n, _) if n == name => n -> newSql
+            case other => other
+          })
+    }
+  }
+
   /** Closed-interval timestamp range read over a time-partitioned
     * table: when the snapshot carries a recorded day-generation
     * constraint for `tsCol`, the UTC day span of `[startTs, endTs]`

@@ -2088,6 +2088,41 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
       ManifestLake.readTsRange(spark, legacy, "ts", ts(1, 0), ts(5, 23))
         .count() shouldBe 5L
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // UPGRADE path: the claimed zone is validated against the data —
+    // this table's 12:00Z rows satisfy the generation under UTC, so
+    // recording succeeds in a UTC session and is a metadata-only
+    // commit; afterwards a Tokyo session is refused by name
+    val vBefore = ManifestLake.currentVersion(spark, legacy).get
+    ManifestLake.recordGenerationZone(spark, legacy) shouldBe vBefore + 1
+    // idempotent with a matching zone
+    ManifestLake.recordGenerationZone(spark, legacy) shouldBe vBefore + 1
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      intercept[ManifestLake.TimeZoneMismatchException] {
+        ManifestLake.readTsRange(spark, legacy, "ts", ts(1, 0), ts(5, 23))
+      }
+      // and a DIFFERENT-zone session cannot re-record either
+      intercept[ManifestLake.TimeZoneMismatchException] {
+        ManifestLake.recordGenerationZone(spark, legacy)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // a WRONG zone claim is refused by the data itself: this table has
+    // a 20:00Z row whose Tokyo day differs from its stored UTC p_day,
+    // so a Tokyo session's claim violates the generation on that row
+    val straddle = freshTable()
+    ManifestLake.write(
+      Seq((1L, ts(1, 12), "mid"), (2L, ts(1, 20), "late"))
+        .toDF("event_id", "ts", "tag")
+        .withColumn("p_day", date_format(col("ts"), "yyyy-MM-dd")),
+      straddle, partitionBy = Seq("p_day"))
+    ManifestLake.addConstraint(spark, straddle, "p_day_gen",
+      "p_day = date_format(ts, 'yyyy-MM-dd')")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      intercept[ManifestLake.ConstraintViolationException] {
+        ManifestLake.recordGenerationZone(spark, straddle)
+      }.getMessage should include("p_day_gen")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("hot-period write sub-splitting: a skewed period parallelizes " +
