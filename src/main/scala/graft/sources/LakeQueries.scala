@@ -1037,6 +1037,35 @@ object LakeQueries {
       |  TRUE AS mirror_exact
       |FROM supplier WHERE s_suppkey % 3 != 0""".stripMargin
 
+  /** lk19_bucket_lookup — hash-bucket generated partitioning through
+    * the gate: orders lands under `p_bucket = pmod(hash(o_custkey), 16)`
+    * partitions (Iceberg's bucket transform; the derivation recorded as
+    * an enforced CHECK, like the time generation), and an equality
+    * lookup on the key derives its bucket DRIVER-SIDE from the recorded
+    * expression and reads 1 of 16 partitions at the manifest — the
+    * append-stable point-lookup layout for high-cardinality keys, where
+    * clustering would degrade under interleaved appends. The oracle
+    * filters the original parquet, so the row proves bucket routing
+    * loses nothing; the 1-of-N file pruning is pinned in
+    * ManifestLakeSpec where inputFiles are observable. */
+  def lk19BucketLookup(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk19:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk19").toString
+      ManifestLake.writeBucketPartitioned(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        dir, "o_custkey", nBuckets = 16)
+      dir
+    })
+    ManifestLake.readKeyEq(s, table, "o_custkey", 19L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val lk19Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_custkey = 19""".stripMargin
+
   /** lk16_time_partition — time-derived partitioning through the gate:
     * the events table lands under day partitions generated from `ts`
     * (the generation recorded as an enforced CHECK constraint), and a
@@ -1111,6 +1140,7 @@ object LakeQueries {
       |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lk19_bucket_lookup" -> (lk19BucketLookup _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1138,6 +1168,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "lk19_bucket_lookup" -> lk19Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -1826,6 +1826,88 @@ object ManifestLake {
       all.find(_.pattern == pattern)
   }
 
+  /** HASH-BUCKET generated partitioning — Iceberg's `bucket(N, key)`
+    * transform on the manifest lake: rows land under
+    * `p_bucket=pmod(hash(key), N)` Hive partitions, with the derivation
+    * recorded as an enforced CHECK constraint exactly like the time
+    * generation. What it buys that clustering doesn't: the layout is
+    * APPEND-STABLE for high-cardinality keys — new batches land into
+    * the same N buckets forever with no re-cluster (interleaved appends
+    * degrade [[writeClustered]]'s disjoint ranges until an OPTIMIZE
+    * re-sorts), and an equality lookup on the key resolves 1 of N
+    * partitions AT THE MANIFEST ([[readKeyEq]]) before stats/blooms see
+    * anything — at a million files, (N−1)/N of the listing never
+    * happens. `hash` is Spark's Murmur3 (seed 42), deterministic across
+    * sessions and versions by contract; the recorded SQL re-derives the
+    * same buckets in any session, so there is no zone-like footgun to
+    * record. The bucket shuffle is a REBALANCE (see
+    * [[writeTimePartitioned]]): AQE splits hot buckets by size and
+    * coalesces cold ones. */
+  def writeBucketPartitioned(df: DataFrame, table: String, keyCol: String,
+                             nBuckets: Int, append: Boolean = false,
+                             bucketCol: String = "p_bucket",
+                             statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    val genSql = s"$bucketCol = pmod(hash($keyCol), $nBuckets)"
+    val withB = df.withColumn(bucketCol,
+      pmod(hash(col(keyCol)), lit(nBuckets)))
+      .hint("rebalance", col(bucketCol))
+    val hasGen = currentVersion(spark, table).exists(_ =>
+      snapshot(spark, table).checks.exists(_._1 == s"${bucketCol}_gen"))
+    val v = write(withB, table, append = append,
+      partitionBy = Seq(bucketCol), statsCols = statsCols)
+    if (hasGen) v
+    else addConstraint(spark, table, s"${bucketCol}_gen", genSql)
+  }
+
+  /** Matches a recorded bucket generation: groups = (bucketCol, keyCol,
+    * nBuckets). */
+  private val BucketGenRe =
+    "^([A-Za-z0-9_]+) = pmod\\(hash\\(([A-Za-z0-9_]+)\\), (\\d+)\\)$".r
+
+  /** Equality lookup on a bucket-partitioned table's key: derive the
+    * literal's bucket DRIVER-SIDE from the recorded generation (the
+    * same `pmod(hash(...))` expression the writer ran, constant-folded
+    * — no job), keep only that bucket's manifest entries, and push the
+    * exact predicate into the surviving scans. The literal hashes under
+    * the column's RECORDED type (`hash(5)` ≠ `hash(5L)` — an int-typed
+    * probe of a bigint key would silently probe the wrong bucket), so
+    * the value is cast first. Entries without the partition key
+    * (legacy files) are conservatively kept; a table without the
+    * recorded generation falls back to the full snapshot with the same
+    * filter — correct, just unpruned. */
+  def readKeyEq(spark: SparkSession, table: String, keyCol: String,
+                value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val snap = snapshot(spark, table)
+    val base = snap.checks.collectFirst {
+      case (_, BucketGenRe(b, k, n)) if k.equalsIgnoreCase(keyCol) =>
+        (b, n.toInt)
+    } match {
+      case Some((bucketCol, n)) =>
+        // the writer's exact derivation, constant-folded driver-side:
+        // Murmur3 seed 42 is what the `hash` function resolves to, and
+        // the literal casts to the column's RECORDED type first
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal,
+          Murmur3Hash, Pmod}
+        val lit0 = Literal(value)
+        val keyExpr = snap.schema.flatMap(_.fields
+            .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
+          .fold(lit0: org.apache.spark.sql.catalyst.expressions.Expression)(
+            t => Cast(lit0, t, Some(sessionZone(spark).getId)))
+        val bucket = Pmod(new Murmur3Hash(Seq(keyExpr)), Literal(n))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        readSnapshotFiles(spark, table, snap, snap.entries.filter(e =>
+          partitionValues(e.path).get(bucketCol)
+            .forall(_ == String.valueOf(bucket))).map(_.path))
+      case None => read(spark, table)
+    }
+    base.filter(col(keyCol) === lit(value))
+  }
+
   /** The recorded generation expression — ONE definition shared by the
     * writer (records it) and [[readTsRange]] (parses it back), so the
     * two can never disagree on the derivation. The writer's session

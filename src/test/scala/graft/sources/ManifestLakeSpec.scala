@@ -2162,6 +2162,49 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set(advKey, prevAdv)
   }
 
+  test("bucket partitioning: appends land in the same N buckets with " +
+    "the generation enforced, and a key lookup reads only its bucket's " +
+    "files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val first = (0 until 4000).map(i => (i.toLong, s"payload_$i"))
+      .toDF("id", "payload")
+    ManifestLake.writeBucketPartitioned(first, t, "id", nBuckets = 8)
+    val snap = ManifestLake.snapshot(spark, t)
+    val buckets = snap.entries.flatMap(_.path.split('/')
+      .find(_.startsWith("p_bucket="))).distinct
+    buckets.size shouldBe 8
+    // an APPEND lands in the same layout — no re-cluster, same 8 dirs
+    ManifestLake.writeBucketPartitioned(
+      (4000 until 5000).map(i => (i.toLong, s"payload_$i"))
+        .toDF("id", "payload"), t, "id", nBuckets = 8, append = true)
+    ManifestLake.snapshot(spark, t).entries.flatMap(_.path.split('/')
+      .find(_.startsWith("p_bucket="))).distinct.size shouldBe 8
+    // a key lookup reads ONLY its bucket — every scanned file is in
+    // one partition dir, and the answer is exact across both commits
+    val hit = ManifestLake.readKeyEq(spark, t, "id", 4321L)
+    hit.collect().map(_.getString(1)) shouldBe Array("payload_4321")
+    val dirs = hit.inputFiles.flatMap(_.split('/')
+      .find(_.startsWith("p_bucket="))).distinct
+    dirs.length shouldBe 1
+    // absent key: same single-bucket scan, empty exact answer
+    ManifestLake.readKeyEq(spark, t, "id", 999999L).count() shouldBe 0L
+    // the recorded generation REJECTS a write carrying wrong buckets
+    // (-1 is outside pmod's [0, n) range, so it can never be correct)
+    val bad = Seq((9001L, "rogue")).toDF("id", "payload")
+      .withColumn("p_bucket", org.apache.spark.sql.functions.lit(-1))
+    intercept[ManifestLake.ConstraintViolationException] {
+      ManifestLake.write(bad, t, partitionBy = Seq("p_bucket"))
+    }.getMessage should include("p_bucket_gen")
+    // a table without the generation still answers, unpruned
+    val plain = freshTable()
+    ManifestLake.write(first, plain)
+    ManifestLake.readKeyEq(spark, plain, "id", 4321L)
+      .count() shouldBe 0L
+    ManifestLake.readKeyEq(spark, plain, "id", 321L).count() shouldBe 1L
+  }
+
   test("maintenance loses races gracefully: a binPack racing a " +
     "committed MERGE re-plans and packs the merge's output; the merge " +
     "never redoes") {
