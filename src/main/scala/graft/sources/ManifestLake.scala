@@ -622,7 +622,7 @@ object ManifestLake {
 
   /** Partition values encoded in a manifest path, e.g.
     * `date=20250219/time=120000/v...parquet` → date/time entries. */
-  private def partitionValues(relPath: String): Map[String, String] =
+  private[sources] def partitionValues(relPath: String): Map[String, String] =
     relPath.split('/').init.collect {
       case seg if seg.contains('=') =>
         val Array(k, v) = seg.split("=", 2)
@@ -3118,7 +3118,7 @@ object ManifestLake {
     // numeric literal compares under a seconds cast, not micros — the
     // generic numeric path must never reinterpret it)
     val tsBounds = predicateTsBounds(predExpr)
-    snap.checks.collect {
+    val genPruned = snap.checks.collect {
       case (_, TimeGenRe(day, ts, pat, recZone))
         if TimeGranularity.ofPattern(pat).isDefined =>
         (day, ts, TimeGranularity.ofPattern(pat).get, Option(recZone))
@@ -3143,7 +3143,62 @@ object ManifestLake {
               None, None, lo.map(d), hi.map(d))
           }
       }
+    bucketPrune(snap, genPruned, numBounds, strBounds)
   }
+
+  /** GENERATION-derived BUCKET pruning for an EQUALITY bound on a
+    * bucket-partitioned table's key — `DELETE FROM t WHERE user_id = X`
+    * (or a keyed MERGE's candidate walk) touches 1/N of the manifest
+    * even though the predicate never names the bucket column: the
+    * bounds collapse to a point, the point hashes under the column's
+    * RECORDED type through the recorded `pmod(hash(...))` expression,
+    * and every entry of a different bucket is provably matchless. A
+    * numeric point that does not convert EXACTLY to the recorded type
+    * (fractional probe of an integer key) keeps everything —
+    * conservative, never wrong. Folded into [[predicateCandidates]]
+    * alongside the time-generation pruning. */
+  private def bucketPrune(snap: Snapshot, entries: Seq[FileEntry],
+      numBounds: Seq[(String, Option[BigDecimal], Option[BigDecimal])],
+      strBounds: Seq[(String, Option[String], Option[String])])
+      : Seq[FileEntry] =
+    snap.checks.collect {
+      case (_, BucketGenRe(b, k, n)) => (b, k, n.toInt)
+    }.foldLeft(entries) { case (es, (bucketCol, keyCol, n)) =>
+      val dt = snap.schema.flatMap(_.fields
+        .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
+      // an equality bound = identical finite lo/hi on the key column
+      val numPoint = numBounds.collectFirst {
+        case (c, Some(lo), Some(hi))
+          if c.equalsIgnoreCase(keyCol) && lo == hi => lo
+      }
+      val strPoint = strBounds.collectFirst {
+        case (c, Some(lo), Some(hi))
+          if c.equalsIgnoreCase(keyCol) && lo == hi => lo
+      }
+      // the typed probe value: exact conversion or bail to no pruning
+      val typedValue: Option[Any] = (numPoint, strPoint, dt) match {
+        case (Some(v), _, Some(org.apache.spark.sql.types.LongType)) =>
+          scala.util.Try(v.toLongExact).toOption
+        case (Some(v), _, Some(org.apache.spark.sql.types.IntegerType)) =>
+          scala.util.Try(v.toIntExact).toOption
+        case (Some(v), _, Some(org.apache.spark.sql.types.ShortType)) =>
+          scala.util.Try(v.toShortExact).toOption
+        case (_, Some(s), Some(org.apache.spark.sql.types.StringType)) =>
+          Some(s) // Literal.create converts to UTF8String
+        case _ => None
+      }
+      (typedValue, dt) match {
+        case (Some(v), Some(t)) =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal,
+            Murmur3Hash, Pmod}
+          val bucket = Pmod(
+            new Murmur3Hash(Seq(Literal.create(v, t))), Literal(n))
+            .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          es.filter(e => partitionValues(e.path).get(bucketCol)
+            .forall(_ == String.valueOf(bucket)))
+        case _ => es
+      }
+    }
 
   /** [[predicateBounds]]' TIMESTAMP twin: bounds from comparisons
     * against typed TimestampType literals, in epoch micros. Kept

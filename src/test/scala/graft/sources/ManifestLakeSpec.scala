@@ -2203,6 +2203,33 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.readKeyEq(spark, plain, "id", 4321L)
       .count() shouldBe 0L
     ManifestLake.readKeyEq(spark, plain, "id", 321L).count() shouldBe 1L
+    // DML derives the SAME bucket pruning: a keyed DELETE touches only
+    // the key's bucket — every other bucket's entries carry over
+    // VERBATIM (same manifest lines), and verifyPrune double-checks
+    // the pruned-out complement holds no match
+    val before = ManifestLake.snapshot(spark, t)
+    ManifestLake.delete(spark, t, col("id") === 1234L,
+      verifyPrune = true)
+    val after = ManifestLake.snapshot(spark, t)
+    val hitBucket = before.entries.flatMap(e =>
+      ManifestLake.partitionValues(e.path).get("p_bucket")).distinct.find { b =>
+      // the deleted key's bucket: the one whose entries changed
+      val beforeLines = before.entries.filter(e =>
+        ManifestLake.partitionValues(e.path).get("p_bucket")
+          .contains(b)).map(_.line)
+      val afterLines = after.entries.filter(e =>
+        ManifestLake.partitionValues(e.path).get("p_bucket")
+          .contains(b)).map(_.line)
+      beforeLines.toSet != afterLines.toSet
+    }
+    hitBucket should not be empty
+    val untouched = before.entries.filterNot(e =>
+      ManifestLake.partitionValues(e.path).get("p_bucket") == hitBucket)
+      .map(_.line)
+    untouched.toSet.subsetOf(after.entries.map(_.line).toSet) shouldBe true
+    ManifestLake.read(spark, t).filter(col("id") === 1234L)
+      .count() shouldBe 0L
+    ManifestLake.read(spark, t).count() shouldBe 4999L
   }
 
   test("maintenance loses races gracefully: a binPack racing a " +
