@@ -464,6 +464,9 @@ object LakeSql {
               java.time.Instant.ofEpochSecond(
                 Math.floorDiv(hi(c), 1000000L) + 1))
           }.nextOption()
+            // equality point on a bucket-partitioned key: the same
+            // remove-provably-dead-files contract, bucket flavor
+            .orElse(ManifestLake.readBucketPruned(spark, path, cond))
           pruned.map(df => f.copy(child = PlanBridge.analyzedPlan(df)))
             .getOrElse(f)
       }

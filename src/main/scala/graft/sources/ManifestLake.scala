@@ -3146,6 +3146,29 @@ object ManifestLake {
     bucketPrune(snap, genPruned, numBounds, strBounds)
   }
 
+  /** The bucket-pruned (but UNfiltered) read for a SQL predicate —
+    * `None` when the snapshot records no bucket generation, the
+    * predicate carries no equality point on a bucketed key, or pruning
+    * would keep everything anyway; the caller (the SQL rule) then
+    * leaves the plan untouched. The original filter stays in the plan
+    * either way, so this can only ever REMOVE provably-matchless
+    * buckets — the same contract as the SQL day pruning, via the SAME
+    * bound extractors the DML path uses. */
+  private[sources] def readBucketPruned(spark: SparkSession,
+      table: String,
+      predExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[DataFrame] = {
+    val snap = snapshot(spark, table)
+    if (!snap.checks.exists(c => BucketGenRe.pattern.matcher(c._2)
+      .matches())) return None
+    val lowered = lowerPredicateOps(predExpr)
+    val kept = bucketPrune(snap, snap.entries,
+      predicateBounds(lowered), predicateStrBounds(lowered))
+    if (kept.size < snap.entries.size)
+      Some(readSnapshotFiles(spark, table, snap, kept.map(_.path)))
+    else None
+  }
+
   /** GENERATION-derived BUCKET pruning for an EQUALITY bound on a
     * bucket-partitioned table's key — `DELETE FROM t WHERE user_id = X`
     * (or a keyed MERGE's candidate walk) touches 1/N of the manifest

@@ -233,6 +233,25 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     badRef.getMessage should include("target columns only")
   }
 
+  test("a SQL point lookup on a bucket-partitioned table scans only " +
+    "the key's bucket — the filter stays in the plan, dead buckets " +
+    "never enter it") {
+    import spark.implicits._
+    val path = freshTable("bkt")
+    ManifestLake.writeBucketPartitioned(
+      (0 until 4000).map(i => (i.toLong, s"payload_$i"))
+        .toDF("id", "payload"), path, "id", nBuckets = 8)
+    val df = spark.sql(
+      "SELECT payload FROM graft_lake.bkt WHERE id = 1234")
+    df.collect().map(_.getString(0)) shouldBe Array("payload_1234")
+    val dirs = df.inputFiles.flatMap(_.split('/')
+      .find(_.startsWith("p_bucket="))).distinct
+    dirs.length shouldBe 1
+    // a non-equality shape is left to the plain read: same answer
+    spark.sql("SELECT count(*) AS n FROM graft_lake.bkt WHERE id < 10")
+      .collect().head.getLong(0) shouldBe 10L
+  }
+
   test("SQL MERGE NMBS on a provably small table: a Delta-verbatim " +
     "unscoped full sync runs with NO flag — the manifest's recorded " +
     "size is the proof; shrinking the threshold restores the error") {
