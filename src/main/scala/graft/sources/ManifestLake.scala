@@ -1888,24 +1888,55 @@ object ManifestLake {
         (b, n.toInt)
     } match {
       case Some((bucketCol, n)) =>
-        // the writer's exact derivation, constant-folded driver-side:
-        // Murmur3 seed 42 is what the `hash` function resolves to, and
-        // the literal casts to the column's RECORDED type first
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal,
-          Murmur3Hash, Pmod}
-        val lit0 = Literal(value)
-        val keyExpr = snap.schema.flatMap(_.fields
-            .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
-          .fold(lit0: org.apache.spark.sql.catalyst.expressions.Expression)(
-            t => Cast(lit0, t, Some(sessionZone(spark).getId)))
-        val bucket = Pmod(new Murmur3Hash(Seq(keyExpr)), Literal(n))
-          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        val bucket = bucketFor(spark, snap, keyCol, n, value)
         readSnapshotFiles(spark, table, snap, snap.entries.filter(e =>
           partitionValues(e.path).get(bucketCol)
-            .forall(_ == String.valueOf(bucket))).map(_.path))
+            .forall(_ == bucket)).map(_.path))
       case None => read(spark, table)
     }
     base.filter(col(keyCol) === lit(value))
+  }
+
+  /** [[readKeyEq]]'s IN-list twin — the batch point lookup a feature
+    * store or serving layer runs for a set of entities: the probed
+    * keys' buckets are derived driver-side (a k-key batch touches at
+    * most min(k, N) partitions' entries, typically ≪ N), everything
+    * else never enters the listing, and the exact IN-filter pushes
+    * into the surviving scans. Same fallbacks as [[readKeyEq]]. */
+  def readKeyIn(spark: SparkSession, table: String, keyCol: String,
+                values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(values.nonEmpty, "readKeyIn needs at least one value")
+    val snap = snapshot(spark, table)
+    val base = snap.checks.collectFirst {
+      case (_, BucketGenRe(b, k, n)) if k.equalsIgnoreCase(keyCol) =>
+        (b, n.toInt)
+    } match {
+      case Some((bucketCol, n)) =>
+        val buckets = values.map(bucketFor(spark, snap, keyCol, n, _)).toSet
+        readSnapshotFiles(spark, table, snap, snap.entries.filter(e =>
+          partitionValues(e.path).get(bucketCol)
+            .forall(buckets)).map(_.path))
+      case None => read(spark, table)
+    }
+    base.filter(col(keyCol).isin(values.map(lit): _*))
+  }
+
+  /** The writer's exact bucket derivation, constant-folded driver-side
+    * — Murmur3 seed 42 (what the `hash` function resolves to) over the
+    * value cast to the column's RECORDED type (`hash(5)` ≠ `hash(5L)`).
+    * Returned as the partition-path STRING the manifest compares. */
+  private def bucketFor(spark: SparkSession, snap: Snapshot,
+                        keyCol: String, n: Int, value: Any): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal,
+      Murmur3Hash, Pmod}
+    val lit0 = Literal(value)
+    val keyExpr = snap.schema.flatMap(_.fields
+        .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
+      .fold(lit0: org.apache.spark.sql.catalyst.expressions.Expression)(
+        t => Cast(lit0, t, Some(sessionZone(spark).getId)))
+    String.valueOf(Pmod(new Murmur3Hash(Seq(keyExpr)), Literal(n))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty))
   }
 
   /** The recorded generation expression — ONE definition shared by the

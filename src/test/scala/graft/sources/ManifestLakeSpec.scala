@@ -2190,6 +2190,13 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     dirs.length shouldBe 1
     // absent key: same single-bucket scan, empty exact answer
     ManifestLake.readKeyEq(spark, t, "id", 999999L).count() shouldBe 0L
+    // batch lookup: k keys touch at most min(k, N) buckets' files and
+    // answer exactly (absent key contributes nothing)
+    val batch = ManifestLake.readKeyIn(spark, t, "id",
+      Seq(7L, 4321L, 999999L))
+    batch.collect().map(_.getLong(0)).sorted shouldBe Array(7L, 4321L)
+    batch.inputFiles.flatMap(_.split('/')
+      .find(_.startsWith("p_bucket="))).distinct.length should be <= 3
     // the recorded generation REJECTS a write carrying wrong buckets
     // (-1 is outside pmod's [0, n) range, so it can never be correct)
     val bad = Seq((9001L, "rogue")).toDF("id", "payload")
