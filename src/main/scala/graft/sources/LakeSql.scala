@@ -457,17 +457,18 @@ object LakeSql {
             if lakeTarget(u).isDefined =>
           val path = lakeTarget(u).get
           val (lo, hi) = bounds(cond)
-          val pruned = (lo.keySet & hi.keySet).iterator.flatMap { c =>
-            ManifestLake.readTsPruned(spark, path, c,
-              java.time.Instant.ofEpochSecond(
-                Math.floorDiv(lo(c), 1000000L)),
+          // day windows AND bucket equality points COMPOSE on one
+          // entry set in a single call (1 bucket × matching periods on
+          // a doubly-partitioned table), resolving the snapshot only
+          // when the predicate has a prunable shape at all
+          val windows = (lo.keySet & hi.keySet).map { c =>
+            c -> (java.time.Instant.ofEpochSecond(
+              Math.floorDiv(lo(c), 1000000L)),
               java.time.Instant.ofEpochSecond(
                 Math.floorDiv(hi(c), 1000000L) + 1))
-          }.nextOption()
-            // equality point on a bucket-partitioned key: the same
-            // remove-provably-dead-files contract, bucket flavor
-            .orElse(ManifestLake.readBucketPruned(spark, path, cond))
-          pruned.map(df => f.copy(child = PlanBridge.analyzedPlan(df)))
+          }.toMap
+          ManifestLake.readDerivedPruned(spark, path, cond, windows)
+            .map(df => f.copy(child = PlanBridge.analyzedPlan(df)))
             .getOrElse(f)
       }
     }

@@ -1779,8 +1779,8 @@ object ManifestLake {
     }
     val v = write(withDay, table, append = append,
       partitionBy = Seq(dayCol), statsCols = statsCols)
-    if (hasGen) v
-    else addConstraint(spark, table, s"${dayCol}_gen", genSql)
+    if (hasGen) v else recordGenOrWarn(spark, table,
+      s"${dayCol}_gen", genSql, v)
   }
 
   /** A time-partitioning granularity: its `date_format` pattern (which
@@ -1854,13 +1854,47 @@ object ManifestLake {
     val withB = df.withColumn(bucketCol,
       pmod(hash(col(keyCol)), lit(nBuckets)))
       .hint("rebalance", col(bucketCol))
-    val hasGen = currentVersion(spark, table).exists(_ =>
-      snapshot(spark, table).checks.exists(_._1 == s"${bucketCol}_gen"))
+    // an existing generation must MATCH this call's parameters — a
+    // changed key or bucket count fails FAST by name, before staging,
+    // not as a generic constraint violation after all the IO
+    val hasGen = currentVersion(spark, table).exists { _ =>
+      snapshot(spark, table).checks.collectFirst {
+        case (n, sql) if n == s"${bucketCol}_gen" =>
+          val ok = sql match {
+            case BucketGenRe(b, k, m) => b == bucketCol &&
+              k.equalsIgnoreCase(keyCol) && m.toInt == nBuckets
+            case _ => false
+          }
+          require(ok, s"$table already records '$sql' as " +
+            s"${bucketCol}_gen — this call requested " +
+            s"pmod(hash($keyCol), $nBuckets); bucket layout parameters " +
+            "cannot change on append (rewrite the table to re-bucket)")
+      }.isDefined
+    }
     val v = write(withB, table, append = append,
       partitionBy = Seq(bucketCol), statsCols = statsCols)
-    if (hasGen) v
-    else addConstraint(spark, table, s"${bucketCol}_gen", genSql)
+    if (hasGen) v else recordGenOrWarn(spark, table,
+      s"${bucketCol}_gen", genSql, v)
   }
+
+  /** The constraint-recording EPILOGUE of the generated-partitioning
+    * writers: runs AFTER the data commit published, so no failure here
+    * may propagate — a caller reading an exception as a failed write
+    * would retry and append the batch TWICE. A lost commit race or a
+    * pre-existing violating row leaves the table un-constrained
+    * (readers fall back to unpruned — correct, just slower) with the
+    * warning as the signal; the next generated write re-attempts the
+    * recording, so the state self-heals. */
+  private def recordGenOrWarn(spark: SparkSession, table: String,
+                              name: String, genSql: String,
+                              committed: Long): Long =
+    try addConstraint(spark, table, name, genSql)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-lake] recording $name on $table " +
+          s"skipped (the data write already committed): $e")
+        committed
+    }
 
   /** Matches a recorded bucket generation: groups = (bucketCol, keyCol,
     * nBuckets). */
@@ -1888,11 +1922,10 @@ object ManifestLake {
         (b, n.toInt)
     } match {
       case Some((bucketCol, n)) =>
-        val bucket = bucketFor(spark, snap, keyCol, n, value)
-        readSnapshotFiles(spark, table, snap, snap.entries.filter(e =>
-          partitionValues(e.path).get(bucketCol)
-            .forall(_ == bucket)).map(_.path))
-      case None => read(spark, table)
+        readSnapshotFiles(spark, table, snap,
+          bucketEntries(spark, snap, bucketCol, keyCol, n, Seq(value))
+            .map(_.path))
+      case None => readSnapshotFiles(spark, table, snap, snap.files)
     }
     base.filter(col(keyCol) === lit(value))
   }
@@ -1913,30 +1946,47 @@ object ManifestLake {
         (b, n.toInt)
     } match {
       case Some((bucketCol, n)) =>
-        val buckets = values.map(bucketFor(spark, snap, keyCol, n, _)).toSet
-        readSnapshotFiles(spark, table, snap, snap.entries.filter(e =>
-          partitionValues(e.path).get(bucketCol)
-            .forall(buckets)).map(_.path))
-      case None => read(spark, table)
+        readSnapshotFiles(spark, table, snap,
+          bucketEntries(spark, snap, bucketCol, keyCol, n, values)
+            .map(_.path))
+      case None => readSnapshotFiles(spark, table, snap, snap.files)
     }
     base.filter(col(keyCol).isin(values.map(lit): _*))
   }
 
-  /** The writer's exact bucket derivation, constant-folded driver-side
-    * — Murmur3 seed 42 (what the `hash` function resolves to) over the
-    * value cast to the column's RECORDED type (`hash(5)` ≠ `hash(5L)`).
-    * Returned as the partition-path STRING the manifest compares. */
-  private def bucketFor(spark: SparkSession, snap: Snapshot,
-                        keyCol: String, n: Int, value: Any): String = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal,
-      Murmur3Hash, Pmod}
-    val lit0 = Literal(value)
-    val keyExpr = snap.schema.flatMap(_.fields
-        .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
-      .fold(lit0: org.apache.spark.sql.catalyst.expressions.Expression)(
-        t => Cast(lit0, t, Some(sessionZone(spark).getId)))
-    String.valueOf(Pmod(new Murmur3Hash(Seq(keyExpr)), Literal(n))
-      .eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+  /** The entries a batch of probe values must read on a bucketed
+    * table: each value's bucket derives from the writer's exact
+    * expression (Murmur3 seed 42 over the value CAST to the column's
+    * recorded type — `hash(5)` ≠ `hash(5L)`); a probe whose cast nulls
+    * out (caller passed an incompatible type) conservatively keeps
+    * everything, and so do legacy files without the partition key and
+    * the Hive DEFAULT partition (the generation CHECK passes NULL, so
+    * a live key could legally sit there). */
+  private def bucketEntries(spark: SparkSession, snap: Snapshot,
+                            bucketCol: String, keyCol: String, n: Int,
+                            values: Seq[Any]): Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val colType = snap.schema.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
+    val buckets = values.map { value =>
+      val lit0 = Literal(value)
+      val typed = colType.fold(
+        lit0: org.apache.spark.sql.catalyst.expressions.Expression)(t =>
+        Cast(lit0, t, Some(sessionZone(spark).getId)))
+      val v = typed.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      if (v == null && value != null) None // incompatible probe type
+      else Some(bucketOf(Literal(v, typed.dataType), n))
+    }
+    if (buckets.exists(_.isEmpty)) snap.entries
+    else {
+      val hit = buckets.flatten.toSet
+      snap.entries.filter(e =>
+        partitionValues(e.path).get(bucketCol) match {
+          case None => true
+          case Some("__HIVE_DEFAULT_PARTITION__") => true
+          case Some(v) => hit(v)
+        })
+    }
   }
 
   /** The recorded generation expression — ONE definition shared by the
@@ -2080,6 +2130,19 @@ object ManifestLake {
                                     end: java.time.Instant)
       : Option[DataFrame] = {
     val snap = snapshot(spark, table)
+    timeGenEntries(spark, snap, table, snap.entries, tsCol, start, end)
+      // readSnapshotFiles (not readEntries) for the all-pruned case:
+      // an empty match is a valid empty frame under the schema
+      .map(es => readSnapshotFiles(spark, table, snap, es.map(_.path)))
+  }
+
+  /** The entry-level kernel behind [[readTsPruned]] and
+    * [[readDerivedPruned]] — `None` when `entries`' snapshot records no
+    * matching day generation (the caller then changes nothing). */
+  private def timeGenEntries(spark: SparkSession, snap: Snapshot,
+      tableDesc: String, entries: Seq[FileEntry], tsCol: String,
+      start: java.time.Instant, end: java.time.Instant)
+      : Option[Seq[FileEntry]] =
     snap.checks.collectFirst {
       case (_, TimeGenRe(day, ts, pat, recZone))
         if ts.equalsIgnoreCase(tsCol) &&
@@ -2091,18 +2154,45 @@ object ManifestLake {
       // would silently drop rows whose local period straddles a
       // boundary — which is why a recorded-zone mismatch is a named
       // error, not a different answer
-      requireGenZone(sessionZone(spark), table, day, recZone)
+      requireGenZone(sessionZone(spark), tableDesc, day, recZone)
       val periods = gran.periods(start, end, sessionZone(spark))
       // entries without the period key (pre-layout legacy files) are
       // conservatively kept; the Hive DEFAULT partition's value
       // doesn't parse as a period and is pruned — EXACT, not lossy: it
       // holds only null-ts rows, which a closed interval excludes.
-      // readSnapshotFiles (not readEntries) for the all-pruned case:
-      // an empty match is a valid empty frame under the schema
-      readSnapshotFiles(spark, table, snap,
-        snap.entries.filter(e => partitionValues(e.path).get(day)
-          .forall(periods)).map(_.path))
+      entries.filter(e => partitionValues(e.path).get(day)
+        .forall(periods))
     }
+
+  /** The SQL rule's one-call pruned read: time-generation windows AND
+    * bucket-generation equality points COMPOSE on the same entry set
+    * (a table partitioned by both reads 1 bucket × matching periods,
+    * exactly as the DML path does), resolving the snapshot only when
+    * the predicate has a prunable shape at all. `None` = nothing
+    * provably removable; the caller leaves the plan untouched, and
+    * since the original filter always stays in the plan, this rewrite
+    * can only ever REMOVE provably-dead files. */
+  private[sources] def readDerivedPruned(spark: SparkSession,
+      table: String,
+      predExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      tsWindows: Map[String, (java.time.Instant, java.time.Instant)])
+      : Option[DataFrame] = {
+    val points = predicateEqPoints(predExpr)
+    if (tsWindows.isEmpty && points.isEmpty) return None
+    val snap = snapshot(spark, table)
+    var entries = snap.entries
+    var pruned = false
+    tsWindows.foreach { case (c, (s0, e0)) =>
+      timeGenEntries(spark, snap, table, entries, c, s0, e0).foreach {
+        es => entries = es; pruned = true
+      }
+    }
+    val afterBucket = bucketPrune(snap, entries, points)
+    if (afterBucket.size < entries.size) { entries = afterBucket
+      pruned = true }
+    if (pruned)
+      Some(readSnapshotFiles(spark, table, snap, entries.map(_.path)))
+    else None
   }
 
   /** The snapshot entries a range query on `colName` must read: every
@@ -3174,85 +3264,119 @@ object ManifestLake {
               None, None, lo.map(d), hi.map(d))
           }
       }
-    bucketPrune(snap, genPruned, numBounds, strBounds)
+    bucketPrune(snap, genPruned, predicateEqPoints(predExpr))
   }
 
-  /** The bucket-pruned (but UNfiltered) read for a SQL predicate —
-    * `None` when the snapshot records no bucket generation, the
-    * predicate carries no equality point on a bucketed key, or pruning
-    * would keep everything anyway; the caller (the SQL rule) then
-    * leaves the plan untouched. The original filter stays in the plan
-    * either way, so this can only ever REMOVE provably-matchless
-    * buckets — the same contract as the SQL day pruning, via the SAME
-    * bound extractors the DML path uses. */
-  private[sources] def readBucketPruned(spark: SparkSession,
-      table: String,
-      predExpr: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Option[DataFrame] = {
-    val snap = snapshot(spark, table)
-    if (!snap.checks.exists(c => BucketGenRe.pattern.matcher(c._2)
-      .matches())) return None
-    val lowered = lowerPredicateOps(predExpr)
-    val kept = bucketPrune(snap, snap.entries,
-      predicateBounds(lowered), predicateStrBounds(lowered))
-    if (kept.size < snap.entries.size)
-      Some(readSnapshotFiles(spark, table, snap, kept.map(_.path)))
-    else None
+  /** Top-level AND-conjunct equality points `col = literal` (both
+    * orientations) with the literal's ORIGINAL type preserved —
+    * [[bucketPrune]]'s probe source. Kept separate from
+    * [[predicateBounds]], whose BigDecimal normalization erases the
+    * type information bucket hashing is sensitive to (a bigint probed
+    * by a string or double literal compares under DOUBLE coercion —
+    * hashing the stringified number would prune the wrong bucket). */
+  private[sources] def predicateEqPoints(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def colName(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def collect(x: Expression): Seq[(String, Literal)] = x match {
+      case And(l, r) => collect(l) ++ collect(r)
+      case EqualTo(a, l: Literal) => colName(a).map(_ -> l).toSeq
+      case EqualTo(l: Literal, a) => colName(a).map(_ -> l).toSeq
+      case _ => Nil
+    }
+    collect(e)
   }
 
-  /** GENERATION-derived BUCKET pruning for an EQUALITY bound on a
+  /** GENERATION-derived BUCKET pruning for an EQUALITY point on a
     * bucket-partitioned table's key — `DELETE FROM t WHERE user_id = X`
     * (or a keyed MERGE's candidate walk) touches 1/N of the manifest
-    * even though the predicate never names the bucket column: the
-    * bounds collapse to a point, the point hashes under the column's
-    * RECORDED type through the recorded `pmod(hash(...))` expression,
-    * and every entry of a different bucket is provably matchless. A
-    * numeric point that does not convert EXACTLY to the recorded type
-    * (fractional probe of an integer key) keeps everything —
-    * conservative, never wrong. Folded into [[predicateCandidates]]
-    * alongside the time-generation pruning. */
+    * even though the predicate never names the bucket column. Sound by
+    * construction on two axes: the probe prunes ONLY when the
+    * literal's own type and the column's recorded type agree under
+    * integral-exact (or string-to-string) semantics — any coercing
+    * comparison (string/double/timestamp probe of an integer key
+    * compares as DOUBLE or under a cast, a different value space than
+    * the hash's) keeps everything; and the Hive DEFAULT partition is
+    * conservatively KEPT — the generation CHECK passes a NULL
+    * `p_bucket` (SQL CHECK semantics), so a hand-written row with a
+    * live key could legally sit there. */
   private def bucketPrune(snap: Snapshot, entries: Seq[FileEntry],
-      numBounds: Seq[(String, Option[BigDecimal], Option[BigDecimal])],
-      strBounds: Seq[(String, Option[String], Option[String])])
+      points: Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Literal)])
       : Seq[FileEntry] =
-    snap.checks.collect {
+    if (points.isEmpty) entries
+    else snap.checks.collect {
       case (_, BucketGenRe(b, k, n)) => (b, k, n.toInt)
     }.foldLeft(entries) { case (es, (bucketCol, keyCol, n)) =>
-      val dt = snap.schema.flatMap(_.fields
-        .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
-      // an equality bound = identical finite lo/hi on the key column
-      val numPoint = numBounds.collectFirst {
-        case (c, Some(lo), Some(hi))
-          if c.equalsIgnoreCase(keyCol) && lo == hi => lo
-      }
-      val strPoint = strBounds.collectFirst {
-        case (c, Some(lo), Some(hi))
-          if c.equalsIgnoreCase(keyCol) && lo == hi => lo
-      }
-      // the typed probe value: exact conversion or bail to no pruning
-      val typedValue: Option[Any] = (numPoint, strPoint, dt) match {
-        case (Some(v), _, Some(org.apache.spark.sql.types.LongType)) =>
-          scala.util.Try(v.toLongExact).toOption
-        case (Some(v), _, Some(org.apache.spark.sql.types.IntegerType)) =>
-          scala.util.Try(v.toIntExact).toOption
-        case (Some(v), _, Some(org.apache.spark.sql.types.ShortType)) =>
-          scala.util.Try(v.toShortExact).toOption
-        case (_, Some(s), Some(org.apache.spark.sql.types.StringType)) =>
-          Some(s) // Literal.create converts to UTF8String
-        case _ => None
-      }
-      (typedValue, dt) match {
-        case (Some(v), Some(t)) =>
-          import org.apache.spark.sql.catalyst.expressions.{Literal,
-            Murmur3Hash, Pmod}
-          val bucket = Pmod(
-            new Murmur3Hash(Seq(Literal.create(v, t))), Literal(n))
-            .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          es.filter(e => partitionValues(e.path).get(bucketCol)
-            .forall(_ == String.valueOf(bucket)))
-        case _ => es
+      points.collectFirst {
+        case (c, l) if c.equalsIgnoreCase(keyCol) => l
+      }.flatMap(l => typedBucketProbe(snap, keyCol, l)) match {
+        case Some(probe) =>
+          val bucket = bucketOf(probe, n)
+          es.filter(e => partitionValues(e.path).get(bucketCol) match {
+            case None => true // legacy file without the key: keep
+            case Some("__HIVE_DEFAULT_PARTITION__") => true // NULL bucket
+            case Some(v) => v == bucket
+          })
+        case None => es
       }
     }
+
+  /** The probe [[Literal]] retyped to the column's RECORDED type iff
+    * the comparison semantics make the hash sound: integral literal →
+    * integral column with an exact fit, or string → string. Everything
+    * else (fractional, coercing, unknown-schema) returns None — keep
+    * all. */
+  private def typedBucketProbe(snap: Snapshot, keyCol: String,
+      l: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val colType = snap.schema.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType))
+    def integral(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case x: Long => Some(x)
+      case _ => None
+    }
+    def isIntegral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    colType.flatMap { ct =>
+      (l.dataType, ct) match {
+        case (lt, LongType) if isIntegral(lt) =>
+          integral(l.value).map(Literal(_, LongType))
+        case (lt, IntegerType) if isIntegral(lt) =>
+          integral(l.value).filter(_.isValidInt)
+            .map(v => Literal(v.toInt, IntegerType))
+        case (lt, ShortType) if isIntegral(lt) =>
+          integral(l.value).filter(_.isValidShort)
+            .map(v => Literal(v.toShort, ShortType))
+        case (StringType, StringType) => Some(l)
+        case _ => None
+      }
+    }
+  }
+
+  /** `pmod(hash(probe), n)` constant-folded driver-side, as the
+    * partition-path STRING the manifest compares — Murmur3 seed 42 is
+    * what the `hash` function the writer recorded resolves to. */
+  private def bucketOf(probe: org.apache.spark.sql.catalyst.expressions
+      .Literal, n: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal,
+      Murmur3Hash, Pmod}
+    String.valueOf(Pmod(new Murmur3Hash(Seq(probe)), Literal(n))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+  }
 
   /** [[predicateBounds]]' TIMESTAMP twin: bounds from comparisons
     * against typed TimestampType literals, in epoch micros. Kept

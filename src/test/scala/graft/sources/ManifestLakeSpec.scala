@@ -2204,6 +2204,32 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[ManifestLake.ConstraintViolationException] {
       ManifestLake.write(bad, t, partitionBy = Seq("p_bucket"))
     }.getMessage should include("p_bucket_gen")
+    // a NULL bucket PASSES the check (SQL CHECK semantics) and lands
+    // under the Hive default partition — the pruners must keep that
+    // partition conservatively, or this row would silently vanish
+    // from keyed reads and survive keyed deletes
+    ManifestLake.write(
+      Seq((9100L, "ghost")).toDF("id", "payload")
+        .withColumn("p_bucket",
+          org.apache.spark.sql.functions.lit(null).cast("int")),
+      t, partitionBy = Seq("p_bucket"))
+    ManifestLake.readKeyEq(spark, t, "id", 9100L)
+      .collect().map(_.getString(1)) shouldBe Array("ghost")
+    ManifestLake.delete(spark, t, col("id") === 9100L,
+      verifyPrune = true)
+    ManifestLake.readKeyEq(spark, t, "id", 9100L).count() shouldBe 0L
+    // a COERCING probe (string literal against the bigint key) prunes
+    // nothing — the comparison runs under DOUBLE coercion, a different
+    // value space than the hash's — but stays exactly correct
+    ManifestLake.delete(spark, t, col("id") === "2345")
+    ManifestLake.readKeyEq(spark, t, "id", 2345L).count() shouldBe 0L
+    // appending with CHANGED layout parameters fails fast by name,
+    // before any staging
+    intercept[IllegalArgumentException] {
+      ManifestLake.writeBucketPartitioned(
+        Seq((1L, "x")).toDF("id", "payload"), t, "id",
+        nBuckets = 16, append = true)
+    }.getMessage should include("cannot change")
     // a table without the generation still answers, unpruned
     val plain = freshTable()
     ManifestLake.write(first, plain)
@@ -2236,7 +2262,9 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     untouched.toSet.subsetOf(after.entries.map(_.line).toSet) shouldBe true
     ManifestLake.read(spark, t).filter(col("id") === 1234L)
       .count() shouldBe 0L
-    ManifestLake.read(spark, t).count() shouldBe 4999L
+    // 5000 written, minus the coercion-probe and keyed deletions (the
+    // ghost row came and went above)
+    ManifestLake.read(spark, t).count() shouldBe 4998L
   }
 
   test("maintenance loses races gracefully: a binPack racing a " +
