@@ -153,6 +153,57 @@ object AnnQueries {
       .filter(col("recall_at_10") >= 0.7)
   }
 
+  /** The PQ index for a dataset — trained codebooks + the encoded frame
+    * persisted — memoized with the same application-scoped key
+    * discipline as [[ivfIndexFor]] (a memoized frame is bound to the
+    * context that built it). Encoding is the one full-table pass; the
+    * per-query work is LUT + narrow ADC scan + targeted rerank. */
+  private val pqCache = scala.collection.mutable.Map
+    .empty[String, (DataFrame, ProductQuantizer.PqModel)]
+
+  def pqIndexFor(s: SparkSession, d: String)
+      : (DataFrame, ProductQuantizer.PqModel) =
+    pqCache.synchronized {
+      val appPrefix = s"${s.sparkContext.applicationId}:"
+      pqCache.keys.filterNot(_.startsWith(appPrefix)).toList
+        .foreach(pqCache.remove)
+      pqCache.getOrElseUpdate(appPrefix + d, {
+        val model = ProductQuantizer.train(Tables.embeddings(s, d))
+        val encoded = ProductQuantizer
+          .encode(Tables.embeddings(s, d), model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        encoded.count() // materialize outside the first query's timed path
+        (encoded, model)
+      })
+    }
+
+  /** nn5 — product-quantized top-k ([[ProductQuantizer]]): the
+    * COMPRESSION tier of the ANN story. Candidate generation scores
+    * `(vec_id, pq_code)` ONLY — 16 small ints per 256-byte vector, the
+    * embedding column never read — then the ≤8k-candidate pool reranks
+    * by exact cosine. Same recall-pinned rows-only gate shape as
+    * nn2/nn3 (no SQL oracle can re-derive the trained codebooks):
+    * every surviving row carries `recall_at_10` vs the in-engine exact
+    * top-k and rows only survive at ≥ 0.7, so the driver's recorded
+    * cardinality pins the recall floor. */
+  def nn5PqTopK(s: SparkSession, d: String): DataFrame = {
+    val (encoded, model) = pqIndexFor(s, d)
+    val queryVec = Tables.embeddings(s, d)
+      .filter(col("vec_id") === QueryId)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    // persisted: the k-row result feeds the recall aggregate AND the output
+    val pq = graft.core.TransientCache.persist(
+      ProductQuantizer.adcTopK(
+        encoded.filter(col("vec_id") =!= QueryId),
+        Tables.embeddings(s, d), model, queryVec, K, rerank = 8 * K))
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
+    val recall = pq.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
+    pq.crossJoin(broadcast(recall))
+      .filter(col("recall_at_10") >= 0.7)
+  }
+
   /** nn4 — metadata-filtered exact search: top-k by cosine AMONG vectors
     * with `label = 2` ([[Similarity.filteredTopK]]). The label predicate
     * is pushed to the parquet scan, the query row is looked up
@@ -184,7 +235,8 @@ object AnnQueries {
     "nn1_brute_topk" -> (nn1BruteTopK _),
     "nn2_ivf_topk" -> (nn2IvfTopK _),
     "nn3_lake_topk" -> (nn3LakeTopK _),
-    "nn4_filtered_topk" -> (nn4FilteredTopK _))
+    "nn4_filtered_topk" -> (nn4FilteredTopK _),
+    "nn5_pq_topk" -> (nn5PqTopK _))
 
   val oracles: Map[String, String] = Map(
     "nn1_brute_topk" -> nn1Oracle,
