@@ -568,6 +568,64 @@ object LakeQueries {
       }
     }
 
+  /** mv2_streaming_view — the STREAMING maintainer through the gate:
+    * the same source lifecycle as mv1 (clustered customer → CDC-recorded
+    * MERGE → CDC-recorded DELETE), but the view is kept current by
+    * [[MaterializedAgg.stream]] — a `graft-lake` change-feed stream
+    * feeding `foreachBatch` — run as TWO AvailableNow passes over one
+    * checkpoint: the first drains the initial load, the DML lands while
+    * the stream is down, the second drains exactly the two new
+    * versions. What the row proves beyond mv1: the engine's offset
+    * checkpoint resumes the maintenance mid-history (no re-emission of
+    * version 1, or the sums would double), and the replay-guarded
+    * foreachBatch commits land the identical decimal-exact totals the
+    * from-scratch DuckDB oracle computes. Same emitted surface as mv1
+    * (sums cast to DOUBLE; the maintenance math stays decimal), same
+    * self-grading `incr_matches_scratch` flag from an in-engine scratch
+    * re-aggregation. Crash-replay and definition-guard semantics are
+    * pinned in MaterializedAggSpec. */
+  def mv2StreamingView(s: SparkSession, d: String): DataFrame = {
+    val dirs = builtTables.computeIfAbsent(s"mv2:$d", _ => {
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-lake-mv2src").toString
+      val aggDir = java.nio.file.Files
+        .createTempDirectory("graft-lake-mv2agg").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-lake-mv2ckpt").toString
+      ManifestLake.writeClustered(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        src, "c_custkey", nFiles = 8,
+        extraStatsCols = Seq("c_acctbal"))
+      def drain(): Unit =
+        MaterializedAgg.stream(s, src, aggDir,
+          Seq("c_nationkey"), Seq("c_acctbal"), ckpt)
+          .awaitTermination()
+      drain() // pass 1: the initial load streams as version 1's inserts
+      ManifestLake.merge(lk2Updates(s, d), src, Seq("c_custkey"),
+        statsCol = Some("c_custkey"), recordChangeFeed = true)
+      ManifestLake.delete(s, src, col("c_acctbal") < 0,
+        recordChangeFeed = true)
+      drain() // pass 2: resumes at the checkpointed version watermark
+      s"$src|$aggDir"
+    })
+    val Array(src, agg) = dirs.split('|')
+    val view = ManifestLake.read(s, agg)
+      .select("c_nationkey", "c_acctbal_sum", "n_rows")
+    val scratch = ManifestLake.read(s, src)
+      .groupBy("c_nationkey")
+      .agg(sum(col("c_acctbal").cast("decimal(27,2)"))
+        .cast("decimal(27,2)").as("s_sum"),
+        count(lit(1)).as("s_n"))
+    view.join(scratch, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        col("c_acctbal_sum").cast("double").as("c_acctbal_sum"),
+        col("n_rows"),
+        ((col("c_acctbal_sum") <=> col("s_sum")) &&
+          (col("n_rows") <=> col("s_n"))).as("incr_matches_scratch"))
+  }
+
   val mv1Oracle: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_name, c_nationkey,
@@ -1157,6 +1215,7 @@ object LakeQueries {
     "lk9_point_lookup" -> (lk9PointLookup _),
     "lk10_metadata_count" -> (lk10MetadataCount _),
     "mv1_incremental_agg" -> (mv1IncrementalAgg _),
+    "mv2_streaming_view" -> (mv2StreamingView _),
     "cd1_change_feed" -> (cd1ChangeFeed _),
     "lk7_zorder_skip" -> (lk7ZorderSkip _),
     "lk6_schema_evolution" -> (lk6SchemaEvolution _),
@@ -1185,6 +1244,7 @@ object LakeQueries {
     "lk9_point_lookup" -> lk9Oracle,
     "lk10_metadata_count" -> lk10Oracle,
     "mv1_incremental_agg" -> mv1Oracle,
+    "mv2_streaming_view" -> mv1Oracle,
     "cd1_change_feed" -> cd1Oracle,
     "lk7_zorder_skip" -> lk7Oracle,
     "lk6_schema_evolution" -> lk6Oracle,

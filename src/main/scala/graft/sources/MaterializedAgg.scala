@@ -83,15 +83,31 @@ object MaterializedAgg {
     }
     val applied = prior.flatMap(_.batchId)
     if (applied.contains(head)) return head // already current: no-op
-    val sign = when(
-      col("_change_type").isin("insert", "update_postimage"), lit(1))
-      .otherwise(lit(-1))
     val deltas = aggregate(
       ManifestLake.changeFeed(spark, source, applied.getOrElse(0L), head),
-      keyCols, sumCols, sign)
-    val combined = prior match {
-      case None => deltas
-      case Some(_) =>
+      keyCols, sumCols, changeSign)
+    applyDeltas(spark, aggTable, prior.isDefined, deltas, keyCols, sumCols,
+      batchId = head, appId = appId)
+    head
+  }
+
+  /** +1 for a row arriving, −1 for a row leaving — how a CDC row moves
+    * the view's sums and counts. */
+  private def changeSign: Column = when(
+    col("_change_type").isin("insert", "update_postimage"), lit(1))
+    .otherwise(lit(-1))
+
+  /** Combine `deltas` into the stored view and commit it carrying
+    * `(appId, batchId)` — ONE copy of the merge arithmetic shared by the
+    * batch refresh and the streaming maintainer (sum/NULL semantics must
+    * never drift between them). */
+  private def applyDeltas(spark: SparkSession, aggTable: String,
+                          hasPrior: Boolean, deltas: DataFrame,
+                          keyCols: Seq[String], sumCols: Seq[String],
+                          batchId: Long, appId: String): Unit = {
+    val combined =
+      if (!hasPrior) deltas
+      else {
         val current = ManifestLake.read(spark, aggTable)
         // null-SAFE key equality: a null group key must meet itself,
         // or every refresh would duplicate that group's row
@@ -115,14 +131,84 @@ object MaterializedAgg {
         val n = (coalesce(current("n_rows"), lit(0L)) +
           coalesce(deltas("n_rows"), lit(0L))).as("n_rows")
         joined.select((keys ++ sums :+ n): _*)
-    }
+      }
     // emptied groups leave the view, as a re-aggregation would show
     val next = combined.filter(col("n_rows") > 0)
     // the view is O(distinct keys): overwriting it wholesale is the
     // cheap side of the refresh — the expensive side (the source) was
     // only read where it CHANGED
     ManifestLake.write(next, aggTable, append = false,
-      batchId = Some(head), appId = Some(appId))
-    head
+      batchId = Some(batchId), appId = Some(appId)): Unit
+  }
+
+  /** STREAMING view maintenance: the same incremental arithmetic driven
+    * by the lake's change-feed SOURCE instead of a polled refresh —
+    * `readStream.format("graft-lake").option("readChangeFeed", true)`
+    * feeding `foreachBatch`, the production shape for a view that must
+    * track an ingest continuously. Each micro-batch applies its CDC
+    * rows' deltas and commits the view carrying the STREAMING batch id;
+    * a crashed-and-replayed batch (foreachBatch is at-least-once) finds
+    * the view already at or past its id and commits NOTHING — the
+    * replay guard that, with the source's checkpointed version
+    * watermark, closes the exactly-once loop end to end.
+    *
+    * The view's recorded identity gets a `:stream` suffix: its batchId
+    * axis is streaming batch numbers, not source versions, and a batch
+    * [[refresh]] of a stream-maintained view (or vice versa) would
+    * misread one for the other — the definition guard turns that into
+    * a named error instead.
+    *
+    * Runs with `Trigger.AvailableNow` by default: drain every committed
+    * change, maintain the view, terminate — re-invoke on a schedule or
+    * swap the trigger for continuous tailing. Scale shape per batch:
+    * changed-file scans + an O(distinct keys) join, never a source
+    * re-scan. */
+  def stream(spark: SparkSession, source: String, aggTable: String,
+             keyCols: Seq[String], sumCols: Seq[String],
+             checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty && sumCols.nonEmpty,
+      "materialized agg needs key and sum columns")
+    val appId = appIdFor(source, keyCols, sumCols) + ":stream"
+    spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .load(source)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyStreamBatch(batch, aggTable, keyCols, sumCols, appId, id): Unit
+      }
+      .start()
+  }
+
+  /** One streaming micro-batch of CDC rows into the view — factored
+    * from the foreachBatch closure so the replay guard is directly
+    * testable. Returns true when the batch committed (false = replay
+    * skip or empty batch). */
+  private[sources] def applyStreamBatch(batch: DataFrame, aggTable: String,
+                                        keyCols: Seq[String],
+                                        sumCols: Seq[String],
+                                        appId: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val prior = ManifestLake.currentVersion(spark, aggTable)
+      .map(v => ManifestLake.snapshot(spark, aggTable, Some(v)))
+    prior.foreach { s =>
+      require(s.appId.contains(appId),
+        s"$aggTable was built by a different view definition " +
+          s"(${s.appId.getOrElse("none")} vs $appId) — maintaining it " +
+          "with this stream would corrupt the view. Use a fresh table path.")
+    }
+    // REPLAY GUARD: batch ids are monotonic; a view already at or past
+    // this id has applied these change rows — commit nothing (the
+    // foreachBatch retry after a sink-side crash lands here)
+    if (prior.exists(_.batchId.exists(_ >= batchId))) return false
+    if (batch.isEmpty) return false // no change rows: nothing to commit
+    val deltas = aggregate(batch, keyCols, sumCols, changeSign)
+    applyDeltas(spark, aggTable, prior.isDefined, deltas, keyCols, sumCols,
+      batchId = batchId, appId = appId)
+    true
   }
 }

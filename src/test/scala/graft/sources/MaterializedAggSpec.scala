@@ -187,4 +187,66 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec {
         r.getLong(2))).toSet
     rows shouldBe Set((None, "7.00", 2L), (Some(1L), "6.00", 1L))
   }
+
+  test("streaming maintenance: two AvailableNow passes over one " +
+    "checkpoint track initial load + CDC DML without re-emitting " +
+    "version 1, and the view equals a re-aggregation") {
+    import spark.implicits._
+    val src = fresh("st-src")
+    val agg = fresh("st-agg")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mv-st-ckpt").toString
+    ManifestLake.write(
+      (1 to 100).map(i => (i.toLong, (i % 5).toLong, i * 1.0))
+        .toDF("id", "k", "v"), src)
+    def drain(): Unit =
+      MaterializedAgg.stream(spark, src, agg, Seq("k"), Seq("v"), ckpt)
+        .awaitTermination()
+    drain()
+    expectEqual(src, agg)
+    // DML lands while the stream is down; the resumed stream must apply
+    // ONLY the two new versions — a version-1 re-emission would double
+    // every original group's sums (expectEqual would catch it)
+    ManifestLake.merge(
+      Seq((1L, 0L, 999.0), (200L, 8L, 1.0)).toDF("id", "k", "v"),
+      src, Seq("id"), recordChangeFeed = true)
+    ManifestLake.delete(spark, src, col("id") <= 10L,
+      recordChangeFeed = true)
+    drain()
+    expectEqual(src, agg)
+    // draining at head commits nothing (no phantom versions)
+    val aggVer = ManifestLake.currentVersion(spark, agg)
+    drain()
+    ManifestLake.currentVersion(spark, agg) shouldBe aggVer
+  }
+
+  test("a replayed foreachBatch commits nothing (the at-least-once " +
+    "retry after a sink-side crash), and a definition mismatch is " +
+    "refused by name") {
+    import spark.implicits._
+    val src = fresh("rp-src")
+    val agg = fresh("rp-agg")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mv-rp-ckpt").toString
+    ManifestLake.write(
+      Seq((1L, 1L, 5.0), (2L, 2L, 6.0)).toDF("id", "k", "v"), src)
+    MaterializedAgg.stream(spark, src, agg, Seq("k"), Seq("v"), ckpt)
+      .awaitTermination()
+    val appId = ManifestLake.snapshot(spark, agg).appId.get
+    appId should endWith(":stream")
+    val before = ManifestLake.currentVersion(spark, agg)
+    // replay batch 0's change rows by hand: the guard must skip them
+    val replayRows = ManifestLake.changeFeed(spark, src, 0L, 1L)
+    MaterializedAgg.applyStreamBatch(replayRows, agg, Seq("k"), Seq("v"),
+      appId, batchId = 0L) shouldBe false
+    ManifestLake.currentVersion(spark, agg) shouldBe before
+    expectEqual(src, agg)
+    // a BATCH refresh of a stream-maintained view is a different
+    // definition: the guard names the mismatch instead of misreading
+    // stream batch ids as source versions
+    val ex = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, agg, Seq("k"), Seq("v"))
+    }
+    ex.getMessage should include("different view definition")
+  }
 }
