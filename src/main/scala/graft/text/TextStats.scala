@@ -173,6 +173,56 @@ object TextStats {
       .drop("__pii_text")
   }
 
+  /** Corpus-trained unigram language-model scoring — the CCNet
+    * perplexity-filter SHAPE (train an LM on a reference corpus, score
+    * each document by its average negative log-likelihood, filter the
+    * tail) with a unigram model standing in for KenLM's 5-gram: the
+    * pipeline topology, cost model and join/aggregate structure are
+    * identical, only the conditioning context is shorter. High
+    * `avg_nll` = improbable tokens = gibberish/rare-vocabulary
+    * documents; the canonical use is `filter(avg_nll < cutoff)` or
+    * quantile bucketing ([[CorpusOps]]).
+    *
+    * Scale shape — three shuffles, each over SHRINKING data:
+    *  1. `(doc, token)` occurrence counts — map-side combine collapses
+    *     repeated tokens before the exchange;
+    *  2. the vocabulary — O(V) rows aggregated from (1)'s output;
+    *  3. the per-document score — (1) joined to the vocabulary on
+    *     token (AQE broadcasts the vocab at gate scale; at 100 TB it
+    *     is a shuffle-hash join on token) and re-aggregated by doc.
+    * The corpus total N is one 1-row aggregate. Nothing ever re-reads
+    * the documents table after pass (1).
+    *
+    * Numeric contract (what makes the row HASH-exact against a DuckDB
+    * oracle): each distinct corpus count's token NLL `-ln(c/N)` is
+    * rounded to a fixed 6-decimal grid and summed as DECIMAL — decimal
+    * addition is exact and associative, so the per-document sum is
+    * independent of Spark's (and DuckDB's) aggregation order; the two
+    * engines' `ln` may differ in the last ulp, which the grid absorbs.
+    * The emitted `sum_nll` is the decimal cast to DOUBLE (exact), and
+    * `avg_nll` one correctly-rounded division — no decimal column
+    * reaches the output surface (the mv1 lesson). */
+  def unigramNll(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+        .as("__token"))
+    val perDoc = graft.core.TransientCache.persist(
+      toks.groupBy(col(idCol), col("__token"))
+        .agg(count(lit(1)).as("__m")))
+    val vocab = perDoc.groupBy("__token").agg(sum("__m").as("__c"))
+    // corpus size: one 1-row aggregate (a scalar the per-token NLL
+    // expression folds as a literal)
+    val n = perDoc.agg(sum("__m")).collect().head.getLong(0)
+    val nll = round(-log(col("__c").cast("double") / n.toDouble), 6)
+      .cast("decimal(28,6)")
+    perDoc.join(vocab, Seq("__token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(col("__m") * nll).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", col("sum_nll") / col("n_tokens"))
+  }
+
   /** C4-style line-quality filtering — the web-corpus cleaning rule
     * set: keep only lines with ≥ `minWords` words ending in terminal
     * punctuation, rebuild the document from survivors, and flag docs
@@ -449,7 +499,38 @@ object TextQueries {
       |  len(kept) >= 2 AS kept_doc
       |FROM filtered""".stripMargin
 
+  /** tx8_unigram_ppl — the CCNet-shaped perplexity filter through the
+    * gate: a unigram LM trained ON the documents corpus scores every
+    * document's total and average token NLL, re-derived from scratch by
+    * DuckDB (its own unnest/group/join plan). The 6-decimal NLL grid +
+    * decimal summation is what makes a float-valued, order-free
+    * aggregate hash-stable across engines — see
+    * [[TextStats.unigramNll]]'s numeric contract. */
+  def tx8UnigramPpl(s: SparkSession, d: String): DataFrame =
+    TextStats.unigramNll(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("sum_nll"), col("avg_nll"))
+
+  val tx8Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t.t AS token
+      |  FROM documents,
+      |    UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS t(t)),
+      |dt AS (
+      |  SELECT doc_id, token, count(*) AS m FROM tok GROUP BY doc_id, token),
+      |vocab AS (SELECT token, sum(m) AS c FROM dt GROUP BY token),
+      |tot AS (SELECT CAST(sum(m) AS DOUBLE) AS n FROM dt)
+      |SELECT doc_id,
+      |  CAST(sum(m) AS BIGINT) AS n_tokens,
+      |  CAST(sum(m * CAST(round(-ln(CAST(c AS DOUBLE) / n), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_nll,
+      |  CAST(sum(m * CAST(round(-ln(CAST(c AS DOUBLE) / n), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(m) AS BIGINT) AS avg_nll
+      |FROM dt JOIN vocab USING (token), tot
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx8_unigram_ppl" -> (tx8UnigramPpl _),
     "tx1_lang_id" -> (tx1LangId _),
     "tx2_quality" -> (tx2Quality _),
     "tx3_token_counts" -> (tx3Tokens _),
@@ -459,6 +540,7 @@ object TextQueries {
     "tx7_line_filter" -> (tx7LineFilter _))
 
   val oracles: Map[String, String] = Map(
+    "tx8_unigram_ppl" -> tx8Oracle,
     "tx1_lang_id" -> tx1Oracle,
     "tx2_quality" -> tx2Oracle,
     "tx3_token_counts" -> tx3Oracle,

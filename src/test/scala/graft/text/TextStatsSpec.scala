@@ -158,4 +158,29 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[(Int, Int, String)].collect().head
     out shouldBe ((1, 0, "x <EMAIL> y"))
   }
+
+  test("unigram NLL: hand-computed scores on a toy corpus, empty tokens " +
+    "dropped, zero-token docs absent") {
+    import spark.implicits._
+    // corpus: N = 6 tokens; counts: a=3, b=2, c=1
+    val out = TextStats.unigramNll(Seq(
+      (1L, "a  b a"), // leading/multi spaces: empty tokens never count
+      (2L, "B c A"),  // lowercased before counting
+      (3L, "   ")     // no tokens: absent from the output
+    ).toDF("doc_id", "text"))
+      .select($"doc_id", $"n_tokens", $"sum_nll", $"avg_nll")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    def nll(c: Int): BigDecimal =
+      BigDecimal(-math.log(c / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    out should have length 2
+    out(0)._1 shouldBe 1L
+    out(0)._2 shouldBe 3L
+    out(0)._3 shouldBe (nll(3) * 2 + nll(2)).toDouble
+    out(0)._4 shouldBe out(0)._3 / 3.0
+    out(1)._1 shouldBe 2L
+    out(1)._2 shouldBe 3L
+    out(1)._3 shouldBe (nll(2) + nll(1) + nll(3)).toDouble
+    // the rare-token doc scores HIGHER avg NLL — the filter signal
+    out(1)._4 should be > out(0)._4
+  }
 }
