@@ -161,6 +161,22 @@ object CorpusOps {
         .over(Window.partitionBy()))
       .select(col(groupCol),
         floor(col("target_share") * col("m")).cast("long").as("quota"))
+    contentRank(df, groupCol, idCol, shards)
+      .join(broadcast(quota), groupCol)
+      .withColumn("kept", col("mix_rank") <= col("quota"))
+  }
+
+  /** The shared content-addressed per-group rank (`mix_rank`, 1-based
+    * within `groupCol`, ordered by sha256 of the id): the deterministic
+    * selection key of [[rebalanceMix]] and [[temperatureMix]] — stable
+    * under repartitioning and reprocessing, uniform by construction.
+    * Sharded exactly as documented on [[rebalanceMix]]: the sha's
+    * leading byte gives monotone balanced blocks per group, each block
+    * ranks locally, and the broadcast count of earlier blocks
+    * reproduces the global rank with no task sorting more than
+    * ~1/shards of a group. */
+  private def contentRank(df: DataFrame, groupCol: String, idCol: String,
+                          shards: Int): DataFrame = {
     // persisted: the sharded frame (with its per-row sha256) feeds both
     // the shard-count aggregate and the ranked output — without it the
     // hash runs over the corpus twice
@@ -186,16 +202,66 @@ object CorpusOps {
         col("__base"))
     sharded
       .withColumn("__local_rank", row_number().over(wLocal))
-      // null-safe on the group so NULL-group rows keep flowing to their
-      // documented drop point (the quota join), not an accidental one
+      // null-safe on the group so NULL-group rows keep flowing to the
+      // caller's documented drop point (its quota join), never an
+      // accidental one here
       .join(broadcast(bases), col(groupCol) <=> col("__b_group") &&
         col("__shard") === col("__b_shard"))
       .withColumn("mix_rank",
         (col("__base") + col("__local_rank")).cast("long"))
-      .join(broadcast(quota), groupCol)
-      .withColumn("kept", col("mix_rank") <= col("quota"))
       .drop("__sha", "__shard", "__local_rank", "__base", "__b_group",
         "__b_shard")
+  }
+
+  /** Temperature-based mixture resampling — the multilingual/DoReMi
+    * reweighting shape: domain `g` is sampled proportionally to
+    * `n_g^alpha` (alpha = 1 keeps the natural distribution, alpha → 0
+    * flattens toward uniform), WITH replacement, so under-represented
+    * domains repeat (epoch upsampling) while the head is subsampled.
+    * Deterministic, no RNG: domain quotas `q_g = floor(budget · p_g)`
+    * are dealt to documents by the shared content-addressed rank —
+    * every doc gets `q_g div n_g` copies and the first `q_g mod n_g`
+    * ranked docs one more, so Σ n_copies = q_g exactly and re-running
+    * the job reproduces the same copies at any partitioning.
+    * Materialize with the existing replication op
+    * (`explode(array_repeat(struct(...), n_copies))` — P6's shape).
+    *
+    * Numeric contract (hash-exact oracle): `n_g^alpha` is rounded to a
+    * 6-decimal grid and totaled as DECIMAL (pow may differ in the last
+    * ulp between engines; decimal addition is order-free), and every
+    * step after — decimal→double conversion, one division, one
+    * multiplication, floor, integer div/mod — is IEEE-correctly-rounded
+    * or integral, hence bit-identical across engines.
+    *
+    * Scale: one count aggregate over the corpus, the tiny per-group
+    * share/quota frame broadcast back, and the sharded rank — no
+    * full-group single-reducer sort anywhere. */
+  def temperatureMix(df: DataFrame, budget: Long, alpha: Double = 0.5,
+                     groupCol: String = "lang", idCol: String = "doc_id",
+                     shards: Int = 16): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(alpha > 0, "alpha must be positive (alpha = 1 is natural)")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+    val scored = counts.withColumn("__s",
+      round(pow(col("n_group").cast("double"), alpha), 6)
+        .cast("decimal(28,6)"))
+    val quota = scored
+      .withColumn("__t", sum(col("__s")).over(Window.partitionBy()))
+      .withColumn("mix_share",
+        col("__s").cast("double") / col("__t").cast("double"))
+      .withColumn("quota",
+        floor(lit(budget.toDouble) * col("mix_share")).cast("long"))
+      .select(col(groupCol).as("__q_group"), col("n_group"),
+        col("mix_share"), col("quota"))
+    contentRank(df, groupCol, idCol, shards)
+      // null-safe: a NULL domain is still a domain of the mixture
+      .join(broadcast(quota), col(groupCol) <=> col("__q_group"))
+      .withColumn("n_copies",
+        expr("quota div n_group") + // integral division, never float
+          when(col("mix_rank") <= pmod(col("quota"), col("n_group")), 1L)
+            .otherwise(0L))
+      .drop("__q_group")
   }
 
   /** Token-budget sequence packing bookkeeping — the "concatenate the

@@ -60,6 +60,45 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), col("mix_rank"), col("quota"),
         col("kept"))
 
+  /** mx2 — temperature-based mixture resampling (α = 0.5, with
+    * replacement) through the gate: per-domain sampling shares
+    * ∝ n_g^0.5, a 10 000-doc budget dealt as exact integer copy counts
+    * by content-addressed rank. DuckDB re-derives shares, quotas, ranks
+    * and copy counts from scratch; the row is hash-exact because every
+    * float step is either grid-rounded-then-decimal or a single
+    * IEEE-correctly-rounded op ([[CorpusOps.temperatureMix]]). */
+  def mx2TemperatureMix(s: SparkSession, d: String): DataFrame =
+    CorpusOps.temperatureMix(Tables.documents(s, d), budget = 10000L,
+      alpha = 0.5)
+      .select(col("doc_id"), col("lang"), col("mix_rank"),
+        col("mix_share"), col("quota"), col("n_copies"))
+
+  val mx2Oracle: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_group FROM documents GROUP BY lang),
+      |s AS (
+      |  SELECT lang, n_group,
+      |    CAST(round(pow(CAST(n_group AS DOUBLE), 0.5), 6)
+      |      AS DECIMAL(28,6)) AS sg
+      |  FROM counts),
+      |tot AS (SELECT CAST(sum(sg) AS DECIMAL(28,6)) AS t FROM s),
+      |quota AS (
+      |  SELECT lang, n_group,
+      |    CAST(sg AS DOUBLE) / CAST(t AS DOUBLE) AS mix_share,
+      |    CAST(floor(10000.0 * (CAST(sg AS DOUBLE) / CAST(t AS DOUBLE)))
+      |      AS BIGINT) AS quota
+      |  FROM s, tot),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS mix_rank
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, r.mix_rank, q.mix_share, q.quota,
+      |  q.quota // q.n_group +
+      |    CASE WHEN r.mix_rank <= q.quota % q.n_group THEN 1 ELSE 0 END
+      |    AS n_copies
+      |FROM ranked r JOIN quota q ON r.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
   val mx1Oracle: String =
     """WITH counts AS (
       |  SELECT lang, count(*) AS n_group FROM documents GROUP BY lang),
@@ -178,6 +217,7 @@ object CorpusQueries {
     "sp1_hash_split" -> (sp1HashSplit _),
     "pk1_token_pack" -> (pk1TokenPack _),
     "mx1_mix_rebalance" -> (mx1MixRebalance _),
+    "mx2_temperature_mix" -> (mx2TemperatureMix _),
     "qf1_quantile_filter" -> (qf1QuantileFilter _))
 
   val oracles: Map[String, String] = Map(
@@ -186,5 +226,6 @@ object CorpusQueries {
     "sp1_hash_split" -> sp1Oracle,
     "pk1_token_pack" -> pk1Oracle,
     "mx1_mix_rebalance" -> mx1Oracle,
+    "mx2_temperature_mix" -> mx2Oracle,
     "qf1_quantile_filter" -> qf1Oracle)
 }

@@ -272,4 +272,47 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     flagged(4L) shouldBe true  // whole-text match with short eval item
     flagged(5L) shouldBe true
   }
+
+  test("temperature mix: copy counts sum exactly to each domain's " +
+    "quota, alpha < 1 flattens toward uniform, and the deal is stable " +
+    "under repartitioning") {
+    import spark.implicits._
+    // skewed corpus: 64 en, 8 de, 2 zh
+    val docs = ((1 to 64).map(i => (i.toLong, "en")) ++
+      (101 to 108).map(i => (i.toLong, "de")) ++
+      Seq((201L, "zh"), (202L, "zh"))).toDF("doc_id", "lang")
+    // budget = corpus size, so "flatter than natural" is visible as
+    // head-subsample / tail-upsample
+    val out = CorpusOps.temperatureMix(docs, budget = 74L, alpha = 0.5)
+    val perGroup = out.groupBy($"lang")
+      .agg(sum($"n_copies").as("copies"), max($"quota").as("quota"),
+        max($"mix_share").as("share"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // Σ n_copies == quota, exactly, per domain
+    perGroup.values.foreach { case (_, copies, quota, _, _) =>
+      copies shouldBe quota
+    }
+    // sqrt-temperature shares: 8/11.242, 2.828/11.242, 1.414/11.242 —
+    // flatter than the natural 64/74, 8/74, 2/74
+    perGroup("en")._4 should be < 64.0 / 74.0
+    perGroup("zh")._4 should be > 2.0 / 74.0
+    // the small domain upsamples (copies > corpus size), the head
+    // subsamples (copies < corpus size)
+    perGroup("zh")._2 should be > perGroup("zh")._5
+    perGroup("en")._2 should be < perGroup("en")._5
+    // copy counts differ by at most one WITHIN a domain (the dealt
+    // remainder), and the deal is partitioning-invariant
+    val byDomain = out.select($"lang", $"n_copies")
+      .as[(String, Long)].collect().groupBy(_._1)
+    byDomain.values.foreach { g =>
+      g.map(_._2).max - g.map(_._2).min should be <= 1L
+    }
+    val copies = out.select($"doc_id", $"n_copies")
+      .as[(Long, Long)].collect().toMap
+    val re = CorpusOps.temperatureMix(docs.repartition(7), budget = 74L,
+      alpha = 0.5).select($"doc_id", $"n_copies")
+      .as[(Long, Long)].collect().toMap
+    re shouldBe copies
+  }
 }
