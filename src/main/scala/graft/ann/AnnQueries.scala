@@ -204,6 +204,30 @@ object AnnQueries {
       .filter(col("recall_at_10") >= 0.7)
   }
 
+  /** nn6 — the LAKE-resident IVF-PQ probe: both pruning dimensions of
+    * the billion-vector read path at once — manifest pruning keeps only
+    * the probed cells' files AND the candidate scan reads only
+    * `(vec_id, pq_code)` (the embedding column stays unread until the
+    * exact rerank of the bounded candidate pool). Same recall-pinned
+    * rows-only gate shape as nn2/nn3/nn5; the build is [[lakeIndexFor]]'s
+    * shared offline step. */
+  def nn6LakePqTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = lakeIndexFor(s, d)
+    val queryVec = Tables.embeddings(s, d)
+      .filter(col("vec_id") === QueryId)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    // persisted: the k-row probe feeds the recall aggregate AND the output
+    val pq = graft.core.TransientCache.persist(
+      IvfIndexStore.probePq(s, dir, queryVec, K, nProbe = 4,
+        rerank = 8 * K, excludeId = Some(QueryId)))
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
+    val recall = pq.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
+    pq.crossJoin(broadcast(recall))
+      .filter(col("recall_at_10") >= 0.7)
+  }
+
   /** nn4 — metadata-filtered exact search: top-k by cosine AMONG vectors
     * with `label = 2` ([[Similarity.filteredTopK]]). The label predicate
     * is pushed to the parquet scan, the query row is looked up
@@ -236,7 +260,8 @@ object AnnQueries {
     "nn2_ivf_topk" -> (nn2IvfTopK _),
     "nn3_lake_topk" -> (nn3LakeTopK _),
     "nn4_filtered_topk" -> (nn4FilteredTopK _),
-    "nn5_pq_topk" -> (nn5PqTopK _))
+    "nn5_pq_topk" -> (nn5PqTopK _),
+    "nn6_lakepq_topk" -> (nn6LakePqTopK _))
 
   val oracles: Map[String, String] = Map(
     "nn1_brute_topk" -> nn1Oracle,

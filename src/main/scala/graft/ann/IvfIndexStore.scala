@@ -41,6 +41,7 @@ object IvfIndexStore {
 
   private def assignTable(indexDir: String) = s"$indexDir/assignments"
   private def centroidTable(indexDir: String) = s"$indexDir/centroids"
+  private def pqTable(indexDir: String) = s"$indexDir/pq"
 
   /** What one [[append]] did and observed. `committed = false` means
     * the epoch guard recognized a replay and wrote nothing (the stats
@@ -97,17 +98,37 @@ object IvfIndexStore {
     * must survive the rebuild, so the rebuild must see them. */
   def reindex(s: SparkSession, indexDir: String, nCells: Int = 16): Long =
     publishIndex(
-      ManifestLake.read(s, assignTable(indexDir)).drop("cell"),
+      ManifestLake.read(s, assignTable(indexDir)).drop("cell", "pq_code"),
       indexDir, nCells)
 
   /** The shared fit-assign-publish pass behind [[build]] (external
-    * vectors) and [[reindex]] (the index's own vectors). */
+    * vectors) and [[reindex]] (the index's own vectors).
+    *
+    * The assignment table carries a PRODUCT-QUANTIZED code column
+    * alongside each vector ([[ProductQuantizer.encode]], one extra
+    * codegen'd projection in the same staging pass) and the codebook
+    * publishes as a third tiny lake table, version-pinned from the
+    * centroid row (`pq_version`) exactly like the assignments — so
+    * [[probePq]]'s candidate scan can read `(vec_id, pq_code)` ONLY:
+    * manifest pruning skips the unprobed cells' files, and parquet
+    * column pruning skips the embedding column of the probed ones.
+    * Commit order extends the two-table atomic switch: assignments,
+    * then codebook, then the centroid re-point naming both versions —
+    * a reader entering through the centroids can never pair a new
+    * quantizer with old codes or vice versa. */
   private def publishIndex(vectors: DataFrame, indexDir: String,
                            nCells: Int): Long = {
     val s = vectors.sparkSession
-    val (assigned, centroids) = Similarity.ivfIndex(vectors, nCells)
+    val (assignedRaw, centroids) = Similarity.ivfIndex(vectors, nCells)
+    // subspace count adapts to the dimension (largest power-of-two
+    // divisor ≤ 16) so synthetic/odd dims still index
+    val dim = centroids.head.length
+    val m = Seq(16, 8, 4, 2, 1).find(dim % _ == 0).get
+    val pq = ProductQuantizer.train(vectors, m = m)
+    val assigned = ProductQuantizer.encode(assignedRaw, pq)
     val v = ManifestLake.write(assigned, assignTable(indexDir),
       append = false, partitionBy = Seq("cell"))
+    val pqV = commitPqBooks(s, indexDir, pq)
     // occupancy from the written table: column-pruned cell-only read
     val counts = ManifestLake.read(s, assignTable(indexDir), Some(v))
       .groupBy("cell").count().collect()
@@ -121,8 +142,36 @@ object IvfIndexStore {
     val meanDist2 = Similarity.assignCellsScored(
         vectors.sample(withReplacement = false, fraction, 11L), centroids)
       .agg(avg("assign_dist2")).collect().head.getDouble(0)
-    commitCentroids(s, indexDir, centroids, v, shares, meanDist2)
+    commitCentroids(s, indexDir, centroids, v, pqV, shares, meanDist2)
     v
+  }
+
+  /** Publish the PQ codebook as its own tiny lake table (m·ksub rows of
+    * dsub-dim codewords) and return the committed version — readers pin
+    * it via the centroid row's `pq_version`, never by HEAD. */
+  private def commitPqBooks(s: SparkSession, indexDir: String,
+                            pq: ProductQuantizer.PqModel): Long = {
+    import s.implicits._
+    val rows = for {
+      sub <- 0 until pq.m
+      j <- 0 until pq.ksub
+    } yield (sub, j, pq.codewords(sub)(j).toSeq)
+    ManifestLake.write(rows.toDF("sub", "j", "codeword"),
+      pqTable(indexDir), append = false)
+  }
+
+  /** Load the codebook at the version the centroid snapshot names. */
+  private def loadPqBooks(s: SparkSession, indexDir: String,
+                          version: Long): ProductQuantizer.PqModel = {
+    val rows = ManifestLake.read(s, pqTable(indexDir), Some(version))
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (sub, j, cw) => books(sub)(j) = cw }
+    ProductQuantizer.PqModel(m, ksub, rows.head._3.length,
+      books.map(_.toArray))
   }
 
   /** The centroid-table commit both [[build]] and [[append]] end with —
@@ -134,15 +183,16 @@ object IvfIndexStore {
     * unchanged (the baseline is the BUILD's, by definition). */
   private def commitCentroids(s: SparkSession, indexDir: String,
                               centroids: Array[Array[Double]],
-                              assignVersion: Long,
+                              assignVersion: Long, pqVersion: Long,
                               buildShares: Array[Double],
                               buildMeanDist2: Double): Unit = {
     import s.implicits._
     val centDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) =>
-        (i, c.toSeq, assignVersion, buildShares(i), buildMeanDist2) }
-      .toDF("cell", "centroid", "assign_version", "build_share",
-        "build_mean_dist2")
+        (i, c.toSeq, assignVersion, pqVersion, buildShares(i),
+          buildMeanDist2) }
+      .toDF("cell", "centroid", "assign_version", "pq_version",
+        "build_share", "build_mean_dist2")
     ManifestLake.write(centDf, centroidTable(indexDir), append = false): Unit
   }
 
@@ -171,8 +221,13 @@ object IvfIndexStore {
              occupancyThreshold: Double = 0.5,
              minOccupancyRows: Long = 64L): AppendReport = {
     val s = newVectors.sparkSession
+    val st = loadCentroidStats(s, indexDir)
     val (centroids, recordedAssignV, buildShares, buildMeanDist2) =
-      loadCentroidStats(s, indexDir)
+      (st.centroids, st.assignVersion, st.shares, st.meanDist2)
+    // encode under the CURRENT codebook — the guard below refuses the
+    // commit if a concurrent reindex replaced it (new books commit
+    // before the centroid re-point, so centroid equality covers both)
+    val pq = loadPqBooks(s, indexDir, st.pqVersion)
     // the scored assignment feeds the stats agg AND the lake write;
     // persist so the 16-way score fan-out runs once per batch
     val scored = Similarity.assignCellsScored(newVectors, centroids)
@@ -192,7 +247,8 @@ object IvfIndexStore {
         val batchShare = cellStats.get(i).fold(0.0)(_._1.toDouble / batchN)
         math.abs(batchShare - buildShares(i))
       }.sum / 2.0
-      val assigned = scored.drop("assign_dist2")
+      val assigned = ProductQuantizer.encode(
+        scored.drop("assign_dist2"), pq)
       // QUANTIZER GUARD, pre-commit: a [[reindex]] that finished while
       // this batch was being assigned replaced the centroids — landing
       // rows assigned under the OLD quantizer into the NEW assignment
@@ -231,8 +287,8 @@ object IvfIndexStore {
       // recorded version lags, which is idempotent (same centroids, same
       // baseline, just the new assign_version).
       if (committed || v > recordedAssignV)
-        commitCentroids(s, indexDir, centroids, v, buildShares,
-          buildMeanDist2)
+        commitCentroids(s, indexDir, centroids, v, st.pqVersion,
+          buildShares, buildMeanDist2)
       // occupancy of a tiny batch is sampling noise (one vector is 100%
       // of one cell) — the divergence is still REPORTED but only trips
       // the flag once the batch is big enough to estimate a spread
@@ -252,7 +308,7 @@ object IvfIndexStore {
 
   private def requireQuantizerUnchanged(s: SparkSession, indexDir: String,
       loaded: Array[Array[Double]], when: String): Unit = {
-    val (current, _, _, _) = loadCentroidStats(s, indexDir)
+    val current = loadCentroidStats(s, indexDir).centroids
     val same = current.length == loaded.length &&
       current.indices.forall(i =>
         java.util.Arrays.equals(current(i), loaded(i)))
@@ -267,20 +323,28 @@ object IvfIndexStore {
     * nCells × dim collect every reader starts from. */
   private def loadCentroids(s: SparkSession, indexDir: String)
       : (Array[Array[Double]], Long) = {
-    val (centroids, v, _, _) = loadCentroidStats(s, indexDir)
-    (centroids, v)
+    val st = loadCentroidStats(s, indexDir)
+    (st.centroids, st.assignVersion)
   }
 
-  /** [[loadCentroids]] plus the build's recorded distribution baseline
-    * (per-cell occupancy shares and mean squared assignment distance). */
-  private def loadCentroidStats(s: SparkSession, indexDir: String)
-      : (Array[Array[Double]], Long, Array[Double], Double) = {
+  /** Everything the centroid snapshot pins: the quantizer, the
+    * assignment and codebook versions it names, and the build-time
+    * distribution baseline. */
+  private final case class CentroidState(centroids: Array[Array[Double]],
+                                         assignVersion: Long,
+                                         pqVersion: Long,
+                                         shares: Array[Double],
+                                         meanDist2: Double)
+
+  private def loadCentroidStats(s: SparkSession,
+                                indexDir: String): CentroidState = {
     val rows = ManifestLake.read(s, centroidTable(indexDir))
       .select(col("cell"), col("centroid"), col("assign_version"),
-        col("build_share"), col("build_mean_dist2"))
+        col("pq_version"), col("build_share"), col("build_mean_dist2"))
       .collect().sortBy(_.getInt(0))
-    (rows.map(_.getSeq[Double](1).toArray), rows.head.getLong(2),
-      rows.map(_.getDouble(3)), rows.head.getDouble(4))
+    CentroidState(rows.map(_.getSeq[Double](1).toArray),
+      rows.head.getLong(2), rows.head.getLong(3),
+      rows.map(_.getDouble(4)), rows.head.getDouble(5))
   }
 
   /** Load the index from the lake — NO fitting, no assignment pass:
@@ -315,5 +379,31 @@ object IvfIndexStore {
     // the in-cell rerank is exactly the in-memory probe's (its own cell
     // filter is a no-op on the already-pruned frame)
     Similarity.ivfTopK(base, centroids, queryVec, k, nProbe)
+  }
+
+  /** The IVF-PQ probe — BOTH pruning dimensions at once, the canonical
+    * billion-vector read path: manifest pruning keeps only the probed
+    * cells' FILES, and the candidate pass selects `(vec_id, pq_code)`
+    * so parquet column pruning never materializes the embedding column
+    * there — per candidate row the scan pays m small ints instead of
+    * the full vector (≈16× narrower at the 64-dim demo shape, ≈64× at
+    * a 1536-dim production embedding). ADC scores rank a `rerank`-size
+    * candidate pool, and only those rows' embeddings are read back
+    * (broadcast semi-join inside the same probed cells) for the exact
+    * cosine top-k — [[probe]]'s answer quality at a fraction of its
+    * candidate-scan IO. All three tables pin to the versions the ONE
+    * centroid read names, so a racing rebuild can never mix quantizer,
+    * codes and vectors across snapshots. */
+  def probePq(s: SparkSession, indexDir: String, queryVec: Array[Double],
+              k: Int, nProbe: Int, rerank: Int,
+              excludeId: Option[Long] = None): DataFrame = {
+    val st = loadCentroidStats(s, indexDir)
+    val pq = loadPqBooks(s, indexDir, st.pqVersion)
+    val probeCells = Similarity.rankCells(st.centroids, queryVec, nProbe)
+    val probed = ManifestLake.readPrunedIn(s, assignTable(indexDir),
+      "cell", probeCells.map(_.toString).toSet, Some(st.assignVersion))
+    val base = excludeId.fold(probed)(id =>
+      probed.filter(col("vec_id") =!= id))
+    ProductQuantizer.adcTopK(base, base, pq, queryVec, k, rerank)
   }
 }

@@ -120,6 +120,42 @@ class PqSpec extends AnyFunSuite with Matchers with SparkSpec {
     exact.intersect(approx.map(_.getLong(0)).toSet).size / 10.0 should be >= 0.6
   }
 
+  test("lake IVF-PQ: probePq recalls most of the exact top-10, its " +
+    "candidate scan reads only the probed cells' (vec_id, pq_code), " +
+    "and an append encodes under the pinned codebook") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfIndexStore.build(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+    val queryVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val top = IvfIndexStore.probePq(spark, dir, queryVec, k = 10,
+      nProbe = 8, rerank = 80, excludeId = Some(0L))
+    val plan = top.queryExecution.executedPlan.toString
+    // the candidate side reads codes, never embeddings; the rerank side
+    // may read embeddings — and BOTH scans list only probed-cell files
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toList
+    readSchemas.filter(_.contains("pq_code")).foreach { s =>
+      s should not include "embedding"
+    }
+    atLeast(1, readSchemas) should include("pq_code")
+    val rows = top.collect()
+    rows should have length 10
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(rows.map(_.getLong(0)).toSet).size / 10.0 should be >= 0.7
+    // append under the pinned codebook: the appended copy of vector 0
+    // becomes the top PQ hit at cosine 1.0 (its code ties its source's,
+    // so ADC ranks it into the pool and the exact rerank tops it)
+    IvfIndexStore.append(
+      emb.filter($"vec_id" === 0L).withColumn("vec_id", lit(910000L)), dir)
+    val after = IvfIndexStore.probePq(spark, dir, queryVec, k = 1,
+      nProbe = 4, rerank = 40, excludeId = Some(0L)).collect()
+    after.head.getLong(0) shouldBe 910000L
+    after.head.getDouble(1) shouldBe 1.0 +- 1e-12
+  }
+
   test("a code outside the codebook range fails by name, not silently") {
     val m = model
     import spark.implicits._
