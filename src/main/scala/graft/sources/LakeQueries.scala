@@ -1124,6 +1124,37 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_custkey = 19""".stripMargin
 
+  /** lk20_dpp_join — runtime dim-driven partition pruning (the
+    * star-join DPP shape) through the gate: the filtered customer dim
+    * resolves its 6 join keys first, the bucket-partitioned orders
+    * fact (lk19's table, built once for both rows) prunes to those
+    * keys' ≤ 6 of 16 bucket partitions at the MANIFEST, and the join
+    * runs against the broadcast dim. The oracle is the plain two-table
+    * join over the raw parquet, so the row proves the two-phase
+    * pruned plan loses nothing; the pruned-file counts and fallbacks
+    * are pinned in ManifestLakeSpec where inputFiles are observable. */
+  def lk20DppJoin(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"lk19:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk19").toString
+      ManifestLake.writeBucketPartitioned(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        dir, "o_custkey", nBuckets = 16)
+      dir
+    })
+    val dim = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 30)
+      .select("c_custkey", "c_name")
+    ManifestLake.dimPrunedJoin(s, table, "o_custkey", dim, "c_custkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+  }
+
+  val lk20Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 30""".stripMargin
+
   /** lk16_time_partition — time-derived partitioning through the gate:
     * the events table lands under day partitions generated from `ts`
     * (the generation recorded as an enforced CHECK constraint), and a
@@ -1199,6 +1230,7 @@ object LakeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
+    "lk20_dpp_join" -> (lk20DppJoin _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1228,6 +1260,7 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "lk19_bucket_lookup" -> lk19Oracle,
+    "lk20_dpp_join" -> lk20Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -1954,6 +1954,45 @@ object ManifestLake {
     base.filter(col(keyCol).isin(values.map(lit): _*))
   }
 
+  /** Runtime dim-driven partition pruning — the star-join DPP shape a
+    * 100 TB fact table lives on: the dimension side's join keys are
+    * resolved FIRST (a bounded driver-side collect of the filtered
+    * dim's distinct keys), the fact read prunes to those keys'
+    * partitions at the MANIFEST via [[readKeyIn]] (bucket-generated
+    * layouts resolve ≤ min(k, N) of N partitions; other layouts fall
+    * through to stats/Hive pruning under the pushed IN-filter), and
+    * only then does the join run — against a broadcast of the small
+    * dim. Spark's own DPP does this inside one query for Hive tables;
+    * on the manifest lake the pruning must happen where the manifest
+    * is, so the two-phase plan is explicit.
+    *
+    * More than `maxKeys` distinct dim keys (the same bound the probe
+    * paths use) falls back to the plain scan-and-join — a warn, never
+    * a driver OOM; AQE picks the join strategy there. NULL dim keys
+    * never match an equi-join and are dropped from the probe set. An
+    * empty dim short-circuits to the empty join result without
+    * touching a single fact file. */
+  def dimPrunedJoin(spark: SparkSession, factTable: String,
+                    keyCol: String, dim: DataFrame, dimKeyCol: String,
+                    maxKeys: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val keyRows = dim.select(col(dimKeyCol)).na.drop()
+      .distinct().limit(maxKeys + 1).collect()
+    if (keyRows.length > maxKeys) {
+      System.err.println(s"[graft-lake] dim-pruned join on $factTable: " +
+        s"dim exceeds $maxKeys distinct keys — falling back to the " +
+        "unpruned scan-and-join")
+      val fact = read(spark, factTable)
+      fact.join(dim, fact(keyCol) === dim(dimKeyCol))
+    } else if (keyRows.isEmpty) {
+      val fact = read(spark, factTable).filter(lit(false))
+      fact.join(dim, fact(keyCol) === dim(dimKeyCol))
+    } else {
+      val fact = readKeyIn(spark, factTable, keyCol, keyRows.map(_.get(0)))
+      fact.join(broadcast(dim), fact(keyCol) === dim(dimKeyCol))
+    }
+  }
+
   /** The entries a batch of probe values must read on a bucketed
     * table: each value's bucket derives from the writer's exact
     * expression (Murmur3 seed 42 over the value CAST to the column's

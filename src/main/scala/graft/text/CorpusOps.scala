@@ -35,6 +35,45 @@ object CorpusOps {
           .otherwise("test"))
   }
 
+  /** Stratified deterministic split: EXACT per-group train/valid/test
+    * quotas by content-addressed rank, where [[deterministicSplit]]
+    * only hits the target fractions in expectation. Within each
+    * `groupCol` stratum the first `floor(trainFrac·n_g)` docs by
+    * sha256 rank are train, the next `floor(validFrac·n_g)` valid, the
+    * rest test — so a 40-doc language contributes exactly 32/4/4 and a
+    * tiny stratum is never accidentally absent from eval. The rank is
+    * the shared [[rebalanceMix]]/[[temperatureMix]] content-addressed
+    * key: stable under repartitioning and reprocessing, and docs only
+    * ever migrate at a stratum BOUNDARY when the stratum grows (the
+    * deterministic-split stability property, traded for exactness).
+    *
+    * Scale: one count aggregate, the tiny per-group quota frame
+    * broadcast back, and the sharded rank — no full-group
+    * single-reducer sort ([[rebalanceMix]]'s layout). The quota
+    * arithmetic (`floor(frac · n)`) is one IEEE-correctly-rounded
+    * multiply + floor, bit-identical across engines. */
+  def stratifiedSplit(df: DataFrame, groupCol: String = "lang",
+                      idCol: String = "doc_id", trainFrac: Double = 0.8,
+                      validFrac: Double = 0.1,
+                      shards: Int = 16): DataFrame = {
+    require(trainFrac > 0 && validFrac >= 0 && trainFrac + validFrac < 1,
+      "train/valid fractions must leave a test remainder")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__gn"))
+      .withColumnRenamed(groupCol, "__ss_group")
+    contentRank(df, groupCol, idCol, shards)
+      .withColumnRenamed("mix_rank", "strat_rank")
+      .join(broadcast(counts), col(groupCol) <=> col("__ss_group"))
+      .withColumn("n_train", floor(col("__gn") * trainFrac))
+      .withColumn("n_valid", floor(col("__gn") * validFrac))
+      .withColumn("split",
+        when(col("strat_rank") <= col("n_train"), "train")
+          .when(col("strat_rank") <= col("n_train") + col("n_valid"),
+            "valid")
+          .otherwise("test"))
+      .drop("__ss_group", "__gn")
+  }
+
   /** Whitespace token count — THE tokenization every corpus operator
     * here shares ([[packTokens]], the qf1 gate): non-empty
     * whitespace-separated runs, as a long. One definition so the

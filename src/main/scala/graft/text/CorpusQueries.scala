@@ -27,6 +27,30 @@ object CorpusQueries {
       |    ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** sp2 — stratified split: exact floor(frac·n) train/valid quotas per
+    * lang by content-addressed rank, re-derived by DuckDB with a plain
+    * window (the engine's sharded rank must agree with the single-sort
+    * definition — that equivalence IS what the row verifies). */
+  def sp2StratifiedSplit(s: SparkSession, d: String): DataFrame =
+    CorpusOps.stratifiedSplit(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("strat_rank"), col("split"))
+
+  val sp2Oracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |      AS strat_rank,
+      |    count(*) OVER (PARTITION BY lang) AS gn
+      |  FROM documents)
+      |SELECT doc_id, lang, strat_rank,
+      |  CASE WHEN strat_rank <= CAST(floor(gn * 0.8) AS BIGINT)
+      |      THEN 'train'
+      |    WHEN strat_rank <= CAST(floor(gn * 0.8) AS BIGINT)
+      |      + CAST(floor(gn * 0.1) AS BIGINT) THEN 'valid'
+      |    ELSE 'test' END AS split
+      |FROM r""".stripMargin
+
   /** pk1 — token-budget sequence packing bookkeeping per lang block. */
   def pk1TokenPack(s: SparkSession, d: String): DataFrame =
     CorpusOps.packTokens(Tables.documents(s, d), budget = 512)
@@ -215,6 +239,7 @@ object CorpusQueries {
     "ch1_chunk_docs" -> (ch1ChunkDocs _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "sp1_hash_split" -> (sp1HashSplit _),
+    "sp2_stratified_split" -> (sp2StratifiedSplit _),
     "pk1_token_pack" -> (pk1TokenPack _),
     "mx1_mix_rebalance" -> (mx1MixRebalance _),
     "mx2_temperature_mix" -> (mx2TemperatureMix _),
@@ -224,6 +249,7 @@ object CorpusQueries {
     "ch1_chunk_docs" -> ch1Oracle,
     "dc1_decontaminate" -> dc1Oracle,
     "sp1_hash_split" -> sp1Oracle,
+    "sp2_stratified_split" -> sp2Oracle,
     "pk1_token_pack" -> pk1Oracle,
     "mx1_mix_rebalance" -> mx1Oracle,
     "mx2_temperature_mix" -> mx2Oracle,

@@ -223,6 +223,73 @@ object TextStats {
       .withColumn("avg_nll", col("sum_nll") / col("n_tokens"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every document
+    * by how much more likely its tokens are under a TARGET distribution
+    * (a curated subset: Wikipedia-like, a chosen language, a trusted
+    * source) than under the raw-corpus SOURCE distribution:
+    * `log w(x) = Σ_tokens [log p_target(tok) − log p_source(tok)]`,
+    * with hashed-bucket bag-of-words models standing in for the paper's
+    * hashed n-grams. Positive `logw_sum` = target-like; the canonical
+    * use is "keep the top fraction by weight" (compose with
+    * [[CorpusOps.quantileFilter]]) or the paper's resampling.
+    *
+    * Both models use add-one smoothing over `buckets` hash buckets, so
+    * a token never seen in the target contributes a finite penalty
+    * instead of −∞. The bucket is the first 16 bits of sha256(token)
+    * mod `buckets` — the engine-portable hash this repo already uses
+    * for content-addressed assignment ([[CorpusOps.deterministicSplit]]).
+    *
+    * Scale shape — the [[unigramNll]] template, with the vocabulary
+    * compressed to ≤ `buckets` rows: (1) one `(doc, bucket)` count
+    * shuffle with map-side combine; (2) bucket statistics — an O(B)
+    * aggregate with the target side counted by a conditional sum, so
+    * ONE pass serves both models; (3) the per-doc score — (1) joined to
+    * the broadcast-sized bucket table and re-aggregated by doc. Token
+    * totals are two scalar aggregates. Nothing re-reads the corpus
+    * after pass (1).
+    *
+    * Numeric contract (hash-exact oracle, the [[unigramNll]] trick):
+    * each bucket's two log-probs are rounded to a 6-decimal grid and
+    * their DIFFERENCE taken as DECIMAL (exact), the per-doc sum is
+    * decimal (order-free), and the emitted doubles are one exact cast
+    * plus one correctly-rounded division. */
+  def dsirWeights(df: DataFrame, targetPred: Column,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      "bucket count must fit the 16-bit hash prefix")
+    val toks = df.select(col(idCol), targetPred.as("__in_target"),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+        .as("__token"))
+      .withColumn("__bucket",
+        conv(substring(sha2(col("__token"), 256), 1, 4), 16, 10)
+          .cast("long") % buckets)
+    val perDoc = graft.core.TransientCache.persist(
+      toks.groupBy(col(idCol), col("__in_target"), col("__bucket"))
+        .agg(count(lit(1)).as("__m")))
+    val stats = perDoc.groupBy("__bucket")
+      .agg(sum(col("__m")).as("__cs"),
+        sum(when(col("__in_target"), col("__m")).otherwise(0L)).as("__ct"))
+    val totals = perDoc.agg(
+      sum(col("__m")).as("__ns"),
+      sum(when(col("__in_target"), col("__m")).otherwise(0L)).as("__nt"))
+      .collect().head
+    val ns = totals.getLong(0).toDouble + buckets
+    val nt = totals.getLong(1).toDouble + buckets
+    val logT = round(log((col("__ct") + 1).cast("double") / nt), 6)
+      .cast("decimal(28,6)")
+    val logS = round(log((col("__cs") + 1).cast("double") / ns), 6)
+      .cast("decimal(28,6)")
+    perDoc.join(stats, Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(col("__m") * (logT - logS)).cast("double").as("logw_sum"),
+        first(col("__in_target")).as("in_target"))
+      .withColumn("logw_avg", col("logw_sum") / col("n_tokens"))
+      .withColumn("target_like", col("logw_sum") > 0)
+  }
+
   /** C4-style line-quality filtering — the web-corpus cleaning rule
     * set: keep only lines with ≥ `minWords` words ending in terminal
     * punctuation, rebuild the document from survivors, and flag docs
@@ -246,6 +313,86 @@ object TextStats {
       .withColumn("n_kept", size(col("__kept")))
       .withColumn("kept_doc", col("n_kept") >= minKeptLines)
       .drop("__kept")
+  }
+
+  /** The Gopher stop-word set — the "contains ≥ 2 of these" document
+    * rule. Frozen like [[langProfiles]]: the contract is the rule, not
+    * the lexicon. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality rules (Rae et al. 2021, the
+    * MassiveText filter set) — the third member of the quality-filter
+    * family alongside the C4 line filter ([[lineQualityFilter]]) and
+    * the repetition profile ([[repetition]]): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, bullet-/ellipsis-line
+    * fractions, alphabetic-word fraction, and the stop-word presence
+    * rule, folded into one `kept` verdict.
+    *
+    * ONE narrow codegen'd projection per document — token and line
+    * arrays each materialize once and every rule reads them; no
+    * shuffle, no UDF, map-only at 100 TB like [[piiScrub]]. Every
+    * flag is an exact integer cross-product (the [[repetition]]
+    * pattern): `bullet_lines·10 ≤ n_lines·9` instead of a float
+    * ratio, so the verdict is bit-stable across engines and never
+    * touches float rounding. The only float on the surface,
+    * `mean_word_len`, is one correctly-rounded int/int division.
+    *
+    * Word-count bounds default to Gopher's 50..100k; pass others for
+    * short-document corpora. */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    val toksCol = filter(split(t, "\\s+"), x => x =!= "")
+    val linesCol = split(t, "\n")
+    val withArrays = df.withColumn("__toks", toksCol)
+      .withColumn("__lines", linesCol)
+    val nWords = size(col("__toks")).cast("long")
+    // Σ word lengths without a per-word loop: every non-whitespace char
+    // is part of exactly one token
+    val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    // '...' occurrences: non-overlapping greedy left-to-right in both
+    // engines' replace; the removed length is divisible by 3 by
+    // construction
+    val nEllipsis =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("long")
+    val bulletLines = size(filter(col("__lines"),
+      l => substring(ltrim(l), 1, 1).isInCollection(Seq("-", "*", "•"))))
+      .cast("long")
+    val ellipsisLines = size(filter(col("__lines"),
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("long")
+    val alphaWords = size(filter(col("__toks"),
+      x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = gopherStops.map(w =>
+      when(exists(col("__toks"), x => lower(x) === w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    withArrays
+      .withColumn("n_words", nWords)
+      .withColumn("word_chars", wordChars)
+      .withColumn("n_hash", nHash)
+      .withColumn("n_ellipsis", nEllipsis)
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("bullet_lines", bulletLines)
+      .withColumn("ellipsis_lines", ellipsisLines)
+      .withColumn("alpha_words", alphaWords)
+      .withColumn("stopword_hits", stopHits)
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          col("word_chars").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("kept",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10 &&
+          (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_words") &&
+          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("alpha_words") * 10 >= col("n_words") * 8 &&
+          col("stopword_hits") >= 2)
+      .drop("__toks", "__lines")
   }
 }
 
@@ -529,7 +676,110 @@ object TextQueries {
       |FROM dt JOIN vocab USING (token), tot
       |GROUP BY doc_id""".stripMargin
 
+  /** tx9_gopher_rules — the Gopher document-level filter set through
+    * the gate: every metric and the folded `kept` verdict re-derived
+    * from scratch by DuckDB. The verdict is hash-exact because every
+    * rule compares integers ([[TextStats.gopherRules]]); the only
+    * float column is one int/int division. */
+  def tx9GopherRules(s: SparkSession, d: String): DataFrame =
+    TextStats.gopherRules(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_words"), col("word_chars"),
+        col("n_hash"), col("n_ellipsis"), col("n_lines"),
+        col("bullet_lines"), col("ellipsis_lines"), col("alpha_words"),
+        col("stopword_hits"), col("mean_word_len"), col("kept"))
+
+  val tx9Oracle: String = {
+    val stopSum = TextStats.gopherStops.map(w =>
+      s"CASE WHEN len(list_filter(toks, x -> lower(x) = '$w')) > 0 " +
+        "THEN 1 ELSE 0 END").mkString("(", "\n    + ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+       |      AS toks,
+       |    string_split(text, chr(10)) AS lines,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+       |      AS word_chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS n_ellipsis
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, word_chars, n_hash, n_ellipsis,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l ->
+       |      substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+       |      AS bullet_lines,
+       |    CAST(len(list_filter(lines, l ->
+       |      ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+       |      AS BIGINT) AS ellipsis_lines,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS alpha_words,
+       |    CAST($stopSum AS BIGINT) AS stopword_hits
+       |  FROM base)
+       |SELECT doc_id, n_words, word_chars, n_hash, n_ellipsis, n_lines,
+       |  bullet_lines, ellipsis_lines, alpha_words, stopword_hits,
+       |  CASE WHEN n_words > 0
+       |    THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END
+       |    AS mean_word_len,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+       |    AND (n_hash + n_ellipsis) * 10 <= n_words
+       |    AND bullet_lines * 10 <= n_lines * 9
+       |    AND ellipsis_lines * 10 <= n_lines * 3
+       |    AND alpha_words * 10 >= n_words * 8
+       |    AND stopword_hits >= 2) AS kept
+       |FROM m""".stripMargin
+  }
+
+  /** ds1_dsir_weights — DSIR importance weights with the English
+    * subset as the target distribution: bucketed unigram models for
+    * target and source, per-doc log-ratio scores, re-derived from
+    * scratch by DuckDB (its own unnest/hash/group/join plan). Same
+    * 6-decimal-grid + decimal-sum contract as tx8. */
+  def ds1DsirWeights(s: SparkSession, d: String): DataFrame =
+    TextStats.dsirWeights(Tables.documents(s, d), col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"), col("logw_sum"),
+        col("logw_avg"), col("in_target"), col("target_like"))
+
+  val ds1Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS in_target,
+      |    CAST(concat('0x', substring(sha256(t.t), 1, 4)) AS BIGINT)
+      |      % 1024 AS bucket
+      |  FROM documents,
+      |    UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS t(t)),
+      |dt AS (
+      |  SELECT doc_id, in_target, bucket, count(*) AS m
+      |  FROM tok GROUP BY doc_id, in_target, bucket),
+      |stats AS (
+      |  SELECT bucket, sum(m) AS cs,
+      |    sum(CASE WHEN in_target THEN m ELSE 0 END) AS ct
+      |  FROM dt GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(sum(m) AS DOUBLE) + 1024 AS ns,
+      |    CAST(sum(CASE WHEN in_target THEN m ELSE 0 END) AS DOUBLE)
+      |      + 1024 AS nt
+      |  FROM dt),
+      |scored AS (
+      |  SELECT doc_id, in_target,
+      |    CAST(sum(m) AS BIGINT) AS n_tokens,
+      |    CAST(sum(m * (CAST(round(ln((ct + 1) / nt), 6)
+      |        AS DECIMAL(28,6))
+      |      - CAST(round(ln((cs + 1) / ns), 6) AS DECIMAL(28,6))))
+      |      AS DOUBLE) AS logw_sum
+      |  FROM dt JOIN stats USING (bucket), tot
+      |  GROUP BY doc_id, in_target)
+      |SELECT doc_id, n_tokens, logw_sum,
+      |  logw_sum / n_tokens AS logw_avg, in_target,
+      |  logw_sum > 0 AS target_like
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds1_dsir_weights" -> (ds1DsirWeights _),
+    "tx9_gopher_rules" -> (tx9GopherRules _),
     "tx8_unigram_ppl" -> (tx8UnigramPpl _),
     "tx1_lang_id" -> (tx1LangId _),
     "tx2_quality" -> (tx2Quality _),
@@ -540,6 +790,8 @@ object TextQueries {
     "tx7_line_filter" -> (tx7LineFilter _))
 
   val oracles: Map[String, String] = Map(
+    "ds1_dsir_weights" -> ds1Oracle,
+    "tx9_gopher_rules" -> tx9Oracle,
     "tx8_unigram_ppl" -> tx8Oracle,
     "tx1_lang_id" -> tx1Oracle,
     "tx2_quality" -> tx2Oracle,

@@ -2267,6 +2267,41 @@ class ManifestLakeSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, t).count() shouldBe 4998L
   }
 
+  test("dim-pruned star join: the dim's keys resolve the fact's buckets " +
+    "at the manifest; empty, null-keyed and oversized dims fall back " +
+    "safely") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val fact = (0 until 4000).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "amount")
+    ManifestLake.writeBucketPartitioned(fact, t, "id", nBuckets = 8)
+    val dim = Seq((7L, "seven"), (1234L, "big")).toDF("k", "name")
+    val out = ManifestLake.dimPrunedJoin(spark, t, "id", dim, "k")
+    out.select($"id", $"amount", $"name").as[(Long, Double, String)]
+      .collect().sortBy(_._1) shouldBe
+      Array((7L, 14.0, "seven"), (1234L, 2468.0, "big"))
+    // the fact scan touched at most the 2 probed keys' buckets
+    out.inputFiles.flatMap(_.split('/')
+      .find(_.startsWith("p_bucket="))).distinct.length should be <= 2
+    // an EMPTY dim never plans a fact scan: the filter(false) fact
+    // side collapses to an empty LocalRelation
+    ManifestLake.dimPrunedJoin(spark, t, "id",
+      dim.filter(col("k") < 0), "k").count() shouldBe 0L
+    // NULL dim keys can never equi-match and are dropped from the
+    // probe set (a NULL probe would otherwise disable pruning)
+    val withNull = Seq((java.lang.Long.valueOf(7L), "seven"),
+      (null.asInstanceOf[java.lang.Long], "ghost")).toDF("k", "name")
+    val nn = ManifestLake.dimPrunedJoin(spark, t, "id", withNull, "k")
+    nn.select($"name").as[String].collect() shouldBe Array("seven")
+    nn.inputFiles.flatMap(_.split('/')
+      .find(_.startsWith("p_bucket="))).distinct.length shouldBe 1
+    // a dim past maxKeys falls back to the unpruned join — warn, not
+    // a driver OOM — and stays exact
+    ManifestLake.dimPrunedJoin(spark, t, "id", dim, "k", maxKeys = 1)
+      .count() shouldBe 2L
+  }
+
   test("maintenance loses races gracefully: a binPack racing a " +
     "committed MERGE re-plans and packs the merge's output; the merge " +
     "never redoes") {

@@ -315,4 +315,30 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[(Long, Long)].collect().toMap
     re shouldBe copies
   }
+
+  test("stratified split: exact floor quotas per stratum, tiny strata " +
+    "keep a test remainder, assignment partitioning-invariant") {
+    import spark.implicits._
+    // strata: 20 en, 10 fr, 3 zh
+    val docs = ((1L to 20L).map(i => (i, "en")) ++
+      (21L to 30L).map(i => (i, "fr")) ++
+      (31L to 33L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    val out = CorpusOps.stratifiedSplit(docs)
+      .select($"doc_id", $"lang", $"strat_rank", $"split")
+      .as[(Long, String, Long, String)].collect()
+    val byStratum = out.groupBy(_._2).view
+      .mapValues(_.groupBy(_._4).view.mapValues(_.length).toMap).toMap
+    byStratum("en") shouldBe Map("train" -> 16, "valid" -> 2, "test" -> 2)
+    byStratum("fr") shouldBe Map("train" -> 8, "valid" -> 1, "test" -> 1)
+    // 3 docs: floor(2.4)=2 train, floor(0.3)=0 valid, 1 test — the
+    // stratum is never swallowed whole into train
+    byStratum("zh") shouldBe Map("train" -> 2, "test" -> 1)
+    // ranks are a permutation of 1..n within each stratum
+    out.groupBy(_._2).foreach { case (_, g) =>
+      g.map(_._3).sorted shouldBe (1L to g.length).toArray
+    }
+    val re = CorpusOps.stratifiedSplit(docs.repartition(7), shards = 3)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    re shouldBe out.map(r => r._1 -> r._4).toMap
+  }
 }

@@ -183,4 +183,69 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the rare-token doc scores HIGHER avg NLL — the filter signal
     out(1)._4 should be > out(0)._4
   }
+
+  test("DSIR weights: hand-computed log-ratios on a toy corpus; the " +
+    "target doc outscores the source-only doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb", "en"),   // the target subset
+      (2L, "cc cc bb", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextStats.dsirWeights(docs, $"lang" === "en")
+      .select($"doc_id", $"n_tokens", $"logw_sum", $"target_like")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // replicate the bucket hash (first 16 bits of sha256 mod 1024) and
+    // the 6-decimal grid by hand
+    def bucket(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 8) | (d(1) & 0xffL)) % 1024
+    }
+    Seq("aa", "bb", "cc").map(bucket).distinct should have length 3
+    val nt = 3.0 + 1024; val ns = 6.0 + 1024
+    def grid(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def lr(ct: Long, cs: Long): BigDecimal =
+      grid(math.log((ct + 1) / nt)) - grid(math.log((cs + 1) / ns))
+    val logw1 = (lr(2, 2) * 2 + lr(1, 2)).toDouble    // aa×2 + bb
+    val logw2 = (lr(0, 2) * 2 + lr(1, 2)).toDouble    // cc×2 + bb
+    out(0) shouldBe ((1L, 3L, logw1, logw1 > 0))
+    out(1) shouldBe ((2L, 3L, logw2, logw2 > 0))
+    out(0)._3 should be > out(1)._3
+  }
+
+  test("Gopher rules: each metric on a crafted document; every rule can " +
+    "fail the verdict on its own") {
+    import spark.implicits._
+    // A passing doc: 6 words of mean length in [3,10], 2 stopwords, all
+    // alphabetic, no symbols/bullets/ellipses (minWords lowered to 5).
+    val good = (1L, "the quick brown foxes jumped with")
+    val docs = Seq(
+      good,
+      (2L, "one two"),                                  // too few words
+      (3L, "the of a# b# c# d# e# f#"),                 // symbol ratio
+      (4L, "- the aaa\n- of bbb\n- ccc ddd"),           // bullet lines
+      (5L, "the aaa...\nof bbb...\nccc...\nddd eee"),   // ellipsis lines
+      (6L, "the of 11 22 33 44 55 66"),                 // alpha fraction
+      (7L, "aaa bbb ccc ddd eee fff")                   // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs, minWords = 5)
+      .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false)
+    val m = TextStats.gopherRules(docs, minWords = 5)
+      .where($"doc_id" === 5L).collect().head
+    m.getAs[Long]("n_ellipsis") shouldBe 3L
+    m.getAs[Long]("ellipsis_lines") shouldBe 3L
+    m.getAs[Long]("n_lines") shouldBe 4L
+    val b = TextStats.gopherRules(docs, minWords = 5)
+      .where($"doc_id" === 4L).collect().head
+    b.getAs[Long]("bullet_lines") shouldBe 3L
+    b.getAs[Long]("stopword_hits") shouldBe 2L
+    val g = TextStats.gopherRules(docs, minWords = 5)
+      .where($"doc_id" === 1L).collect().head
+    g.getAs[Long]("n_words") shouldBe 6L
+    g.getAs[Double]("mean_word_len") shouldBe 28.0 / 6 +- 1e-12
+    g.getAs[Long]("alpha_words") shouldBe 6L
+  }
 }
