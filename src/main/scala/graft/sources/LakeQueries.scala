@@ -436,8 +436,13 @@ object LakeQueries {
     * in the row rather than only moving the hash.
     * Resume/idempotence/definition-guard semantics live in
     * MaterializedAggSpec. */
-  def mv1IncrementalAgg(s: SparkSession, d: String): DataFrame = {
-    val dirs = builtTables.computeIfAbsent(s"mv1:$d", _ => {
+  /** The shared mv source + sum-view build (the DML script both mv gate
+    * rows grade against): a clustered customer copy, a sum view built
+    * from the initial feed, then a CDC-recorded MERGE and DELETE and an
+    * incremental refresh. Memoized so mv1/mv3 build it once between
+    * them, whichever runs first. */
+  private def mv1Dirs(s: SparkSession, d: String): Array[String] =
+    builtTables.computeIfAbsent(s"mv1:$d", _ => {
       val src = java.nio.file.Files
         .createTempDirectory("graft-lake-mv1src").toString
       val aggDir = java.nio.file.Files
@@ -457,8 +462,10 @@ object LakeQueries {
       MaterializedAgg.refresh(s, src, aggDir,
         Seq("c_nationkey"), Seq("c_acctbal"))
       s"$src|$aggDir"
-    })
-    val Array(src, agg) = dirs.split('|')
+    }).split('|')
+
+  def mv1IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val Array(src, agg) = mv1Dirs(s, d)
     // SELF-EVIDENCING row (the a4 pattern): re-aggregate the source
     // from scratch in-engine and carry a per-group equality flag — any
     // incremental-maintenance drift flips that group's boolean (and a
@@ -650,6 +657,62 @@ object LakeQueries {
       |FROM merged
       |WHERE c_acctbal >= 0
       |GROUP BY c_nationkey""".stripMargin
+
+  /** mv3_incremental_distinct — exact incremental COUNT DISTINCT
+    * through the gate: the pair table (`(segment, nation) →
+    * multiplicity`) is built by applying mv1's full recorded change
+    * feed — initial inserts, a MERGE's pre/post-image pairs, a
+    * DELETE's retractions — never by re-scanning the source, and the
+    * served per-segment distinct-nation count must equal what DuckDB's
+    * from-scratch COUNT(DISTINCT) says over the equivalent final
+    * state. Self-grading like mv1: an in-engine scratch COUNT DISTINCT
+    * is compared per group into `incr_matches_scratch`.
+    * Stepwise-refresh, idempotence and guard semantics live in
+    * MaterializedAggSpec. */
+  def mv3IncrementalDistinct(s: SparkSession, d: String): DataFrame = {
+    val src = mv1Dirs(s, d)(0)
+    val pair = builtTables.computeIfAbsent(s"mv3:$d", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-lake-mv3pair").toString
+      MaterializedAgg.refreshDistinct(s, src, p,
+        Seq("c_mktsegment"), "c_nationkey")
+      p
+    })
+    val view = MaterializedAgg.distinctCounts(s, pair,
+      Seq("c_mktsegment"), "c_nationkey")
+    val scratch = ManifestLake.read(s, src)
+      .groupBy("c_mktsegment")
+      .agg(count_distinct(col("c_nationkey")).as("s_d"),
+        count(lit(1)).as("s_n"))
+    view.join(scratch, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"), col("n_distinct"), col("n_rows"),
+        ((col("n_distinct") <=> col("s_d")) &&
+          (col("n_rows") <=> col("s_n"))).as("incr_matches_scratch"))
+  }
+
+  val mv3Oracle: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+      |    c.c_mktsegment
+      |  FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey))
+      |SELECT c_mktsegment,
+      |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_distinct,
+      |  COUNT(*) AS n_rows,
+      |  TRUE AS incr_matches_scratch
+      |FROM merged
+      |WHERE c_acctbal >= 0
+      |GROUP BY c_mktsegment""".stripMargin
 
   /** lk9_point_lookup — bloom-sidecar file skipping through the gate:
     * lineitem clustered by PRICE with bloom filters recorded on
@@ -1231,6 +1294,7 @@ object LakeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
     "lk20_dpp_join" -> (lk20DppJoin _),
+    "mv3_incremental_distinct" -> (mv3IncrementalDistinct _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1261,6 +1325,7 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     "lk19_bucket_lookup" -> lk19Oracle,
     "lk20_dpp_join" -> lk20Oracle,
+    "mv3_incremental_distinct" -> mv3Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

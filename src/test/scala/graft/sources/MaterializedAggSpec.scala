@@ -82,6 +82,60 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers with SparkSpec {
     viewRows(agg).map(_._1) shouldBe Set(2L)
   }
 
+  test("incremental distinct: the pair table tracks multiplicities — " +
+    "deleting one duplicate keeps the value, deleting the last drops " +
+    "it, NULLs never count, and the count equals a from-scratch " +
+    "COUNT DISTINCT after every refresh") {
+    import spark.implicits._
+    val src = fresh("dsrc")
+    val pair = fresh("dpair")
+    def expectDistinct(): Unit = {
+      val served = MaterializedAgg.distinctCounts(spark, pair,
+        Seq("k"), "u")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val scratch = ManifestLake.read(spark, src).groupBy("k")
+        .agg(count_distinct(col("u")).as("d"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      served shouldBe scratch
+    }
+    // k=1: users 10 (×2), 11; k=2: user 20, plus a NULL user
+    ManifestLake.write(
+      Seq((1L, 1L, Some(10L)), (2L, 1L, Some(10L)), (3L, 1L, Some(11L)),
+        (4L, 2L, Some(20L)), (5L, 2L, Option.empty[Long]))
+        .toDF("id", "k", "u"), src)
+    MaterializedAgg.refreshDistinct(spark, src, pair, Seq("k"), "u")
+      .shouldBe(1L)
+    expectDistinct()
+    MaterializedAgg.distinctCounts(spark, pair, Seq("k"), "u")
+      .where(col("k") === 2L).select("n_distinct", "n_rows")
+      .as[(Long, Long)].head() shouldBe ((1L, 2L))
+    // delete ONE of user 10's two rows: the value stays counted
+    ManifestLake.delete(spark, src, col("id") === 1L,
+      recordChangeFeed = true)
+    MaterializedAgg.refreshDistinct(spark, src, pair, Seq("k"), "u")
+    expectDistinct()
+    // delete the LAST row of user 10: the value leaves the count
+    ManifestLake.delete(spark, src, col("id") === 2L,
+      recordChangeFeed = true)
+    // and an update MOVES a pair: user 20 becomes user 21
+    ManifestLake.update(spark, src, col("id") === 4L,
+      Seq("u" -> lit(21L)), recordChangeFeed = true)
+    val head = MaterializedAgg.refreshDistinct(spark, src, pair,
+      Seq("k"), "u")
+    expectDistinct()
+    // idempotent at head: no new pair-table version
+    val pv = ManifestLake.currentVersion(spark, pair)
+    MaterializedAgg.refreshDistinct(spark, src, pair, Seq("k"), "u")
+      .shouldBe(head)
+    ManifestLake.currentVersion(spark, pair) shouldBe pv
+    // the pair table is guarded against the SUM view's definition
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, pair, Seq("k"), Seq("u"))
+    }.getMessage should include("different view definition")
+  }
+
   test("refreshing a view table with a different definition OR a " +
     "different source is rejected") {
     import spark.implicits._
