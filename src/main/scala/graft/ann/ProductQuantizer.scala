@@ -75,9 +75,14 @@ object ProductQuantizer {
             fitSampleRows: Int = 4096): PqModel = {
     val n = math.max(embeddings.count(), 1L)
     val fraction = math.min(1.0, fitSampleRows.toDouble * 1.2 / n)
+    // content-addressed sample + canonical sort, like the IVF coarse
+    // fit: the codebooks become a pure function of sample CONTENT —
+    // invariant under partitioning and reprocessing (rdd.sample and
+    // collect order are not)
+    val cut = (fraction * (1L << 40).toDouble).toLong
     val rows = embeddings
+      .filter(pmod(xxhash64(lit(seed), col(embCol)), lit(1L << 40)) < cut)
       .select(col(embCol).cast("array<double>").as("v"))
-      .sample(withReplacement = false, fraction, seed)
       .collect().map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "pq train: empty sample")
     val dim = rows.head.length
@@ -87,6 +92,8 @@ object ProductQuantizer {
       val n2 = v.map(x => x * x).sum
       if (n2 == 0.0) v else v.map(_ / math.sqrt(n2))
     }
+    java.util.Arrays.sort(normalized,
+      (a: Array[Double], b: Array[Double]) => java.util.Arrays.compare(a, b))
     val books = Array.tabulate(m) { sub =>
       val subVecs = normalized.map(v =>
         java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
@@ -99,8 +106,8 @@ object ProductQuantizer {
     * sample. An emptied cluster re-seeds from the point farthest from
     * its assigned center (the standard repair, keeps ksub codewords
     * meaningful when ksub approaches the sample's diversity). */
-  private def lloyd(points: Array[Array[Double]], k: Int,
-                    rnd: scala.util.Random, iters: Int = 25)
+  private[ann] def lloyd(points: Array[Array[Double]], k: Int,
+                         rnd: scala.util.Random, iters: Int = 25)
       : Array[Array[Double]] = {
     val d = points.head.length
     def dist2(a: Array[Double], b: Array[Double]): Double = {

@@ -1,7 +1,7 @@
 package graft.ann
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,13 @@ object Similarity {
     // count() over parquet is answered from footer metadata — no data read.
     val n = math.max(embeddings.count(), 1L)
     val fraction = math.min(1.0, fitSampleRows.toDouble * 1.2 / n)
+    // NOTE on determinism: the fit is deterministic for a fixed seed,
+    // input, and PARTITION LAYOUT — k-means|| draws per partition, so
+    // re-clustering a differently-partitioned copy of the corpus may
+    // place centroids differently (and move probe/keep verdicts).
+    // Inherent to sampled distributed clustering; verdicts that must be
+    // layout-stable should run against a PERSISTED index
+    // ([[IvfIndexStore]]) rather than refit per job.
     val fitSample = featured.select("features")
       .sample(withReplacement = false, fraction, seed)
     // the sample is bounded, so a quality fit is cheap: k-means|| init +
@@ -297,5 +304,68 @@ object Similarity {
       // pair of zero vectors (which collide in every band) is emitted
       .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustered
+    * pairwise cosine — cluster the embeddings with the bounded-sample
+    * spherical K-Means ([[ivfIndex]]'s quantizer), compare pairs only
+    * WITHIN a cluster, and for every pair above `threshold` keep the
+    * member closer to its centroid (the paper's "low similarity to
+    * centroid is dropped last" rule, inverted to a keep rule; exact
+    * ties break to the lower id). A document is dropped iff some
+    * same-cluster neighbor above the threshold beats it — one
+    * deterministic anti-join over the pair set, no iteration.
+    *
+    * Scale shape — the clustering IS the cost model: the quadratic
+    * pair join runs per cell, so total work is Σ n_c² ≈ N²/k; pick
+    * `nCells` ≈ N / (desired cluster size) exactly as the paper does
+    * (110k clusters for LAION-440M). One bounded-sample fit, ONE full
+    * scan to assign (cell + centroid distance in the same pass), one
+    * shuffle on cell for the join. Keep-verdicts are a pure function of
+    * the fitted centroids: re-running over the same frame reproduces
+    * them exactly; a differently-partitioned copy may cluster (and so
+    * dedup) differently, as with any sampled clustering — persist the
+    * assignments when the verdict must be durable.
+    *
+    * Returns every input row with `cell`, `centroid_dist2` (the
+    * normalized-vector squared distance to its centroid) and `kept`.
+    *
+    * `centroids` reuses a quantizer that already exists — the common
+    * production case where the corpus carries a lake IVF index
+    * ([[IvfIndexStore]]): dedup then costs assignment + the cell join
+    * only, no fit, and the dedup's cells agree with the index's. */
+  def semanticDedup(embeddings: DataFrame, nCells: Int,
+                    threshold: Double = 0.95, idCol: String = "vec_id",
+                    embCol: String = "embedding",
+                    seed: Long = 7L,
+                    centroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    require(nCells >= 1, "need at least one cluster")
+    // only the bounded-sample FIT job runs here — the discarded
+    // assignment frame is lazy and never executed; the one full-table
+    // pass below gets cell AND distance together
+    val cents = centroids.getOrElse(
+      ivfIndex(embeddings, nCells, seed, embCol)._2)
+    val scored = graft.core.TransientCache.persist(
+      assignCellsScored(embeddings, cents, embCol))
+    val a = scored.select(col("cell"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"), col("assign_dist2").as("d_a"))
+    val b = scored.select(col("cell"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"), col("assign_dist2").as("d_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      // the loser check first — it halves the cosine evaluations and
+      // makes the verdict antisymmetric by construction
+      .filter(col("d_b") < col("d_a") ||
+        (col("d_b") === col("d_a") && col("id_b") < col("id_a")))
+      .withColumn("cosine", cosine(asDouble(col("emb_a")),
+        asDouble(col("emb_b"))))
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+      .select(col("id_a").as(idCol)).distinct()
+    scored.join(dropped.withColumn("__dropped", lit(true)),
+        Seq(idCol), "left")
+      .withColumn("kept", col("__dropped").isNull)
+      .withColumnRenamed("assign_dist2", "centroid_dist2")
+      .drop("__dropped")
   }
 }

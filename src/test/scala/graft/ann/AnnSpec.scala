@@ -272,6 +272,62 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkSpec {
     all(plantedPairs.map(_.getDouble(2))) should be > 0.99
   }
 
+  test("SemDeDup: planted near-dup pairs resolve to one survivor, the " +
+    "survivor is the centroid-closer member, no same-cell kept pair " +
+    "remains above the threshold, and a re-run reproduces the verdict") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val planted = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        zip_with(col("embedding"),
+          sequence(lit(0),
+            org.apache.spark.sql.functions.size(col("embedding")) - 1),
+          (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(1001))
+            .cast("double") / 1000.0 - 0.5) * 0.002))
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.semanticDedup(corpus, nCells = 8)
+    val rows = out.select($"vec_id", $"cell", $"centroid_dist2", $"kept")
+      .as[(Long, Int, Double, Boolean)].collect()
+    rows.length shouldBe corpus.count()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every planted pair that shares a cell resolves to ONE survivor,
+    // and the survivor is the closer-to-centroid member (id tiebreak)
+    val shared = (0L until 5L).filter(o =>
+      byId(o)._2 == byId(o + 100000)._2)
+    shared should not be empty
+    shared.foreach { o =>
+      val (orig, copy) = (byId(o), byId(o + 100000))
+      orig._4 should not be copy._4
+      val kept = if (orig._4) orig else copy
+      val dropped = if (orig._4) copy else orig
+      assert(kept._3 < dropped._3 ||
+        (kept._3 == dropped._3 && kept._1 < dropped._1))
+    }
+    // the SemDeDup invariant: no two KEPT docs in one cell at cosine
+    // ≥ threshold (any such pair would have had a strict winner)
+    val keptDf = out.filter($"kept")
+      .select($"cell", $"vec_id", $"embedding")
+    val survivors = keptDf.as("x").join(keptDf.as("y"), "cell")
+      .filter($"x.vec_id" < $"y.vec_id")
+      .withColumn("cos", Similarity.cosine(
+        col("x.embedding").cast("array<double>"),
+        col("y.embedding").cast("array<double>")))
+      .filter($"cos" >= 0.95 && !isnan($"cos"))
+    survivors.count() shouldBe 0L
+    // same seed, same frame → identical verdicts on a re-run
+    val re = Similarity.semanticDedup(corpus, nCells = 8)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    re shouldBe rows.map(r => r._1 -> r._4).toMap
+    // pre-trained centroids skip the fit and reproduce the verdicts
+    val (_, cents) = Similarity.ivfIndex(corpus, nCells = 8)
+    Similarity.semanticDedup(corpus, nCells = 8,
+      centroids = Some(cents))
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect()
+      .toMap shouldBe re
+  }
+
   test("native cosine_sim expression is bit-identical to the fold form " +
     "and callable from SQL") {
     import spark.implicits._
