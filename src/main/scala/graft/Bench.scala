@@ -22,6 +22,9 @@ object Bench {
     // rank.
     graft.ann.AnnQueries.ivfIndexFor(spark, sfDir)
     graft.ann.AnnQueries.lakeIndexFor(spark, sfDir)
+    // BPE tokenizer training is the same kind of offline batch job —
+    // bp1 serves the trained merge list; the train happens here.
+    graft.text.TextQueries.bpeMergesFor(spark, sfDir)
     // Two full interleaved passes; each query reports the MIN of its runs.
     // A single-pass artifact is load-sensitive: an unrelated process
     // stealing cores for 30 s inflates every query it overlaps with, and
