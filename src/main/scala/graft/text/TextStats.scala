@@ -290,6 +290,56 @@ object TextStats {
       .withColumn("target_like", col("logw_sum") > 0)
   }
 
+  /** PMI collocation mining — the classic corpus-statistics operator
+    * (Church & Hanks 1990): score adjacent token pairs by pointwise
+    * mutual information `ln(P(ab) / (P(a)·P(b)))`, surfacing
+    * multi-word expressions ("san francisco") a tokenizer or phrase
+    * normalizer should treat as units. `minCount` keeps the classic
+    * low-frequency PMI explosion out of the result.
+    *
+    * Scale shape: one `(bigram)` count shuffle with map-side combine
+    * (the corpus collapses to O(distinct bigrams) immediately), one
+    * unigram aggregate derived from the SAME pass's data, two
+    * vocabulary joins (AQE broadcasts them at gate scale; shuffle-hash
+    * on token at 100 TB), and two scalar totals. Nothing re-reads the
+    * corpus after the first pass.
+    *
+    * Numeric contract: counts and totals are exact longs; the ratio is
+    * a fixed sequence of correctly-rounded double ops, and the `ln` is
+    * grid-rounded to 6 decimals (the [[unigramNll]] trick) so an
+    * engine's last-ulp `ln` difference cannot move the surface. */
+  def pmiBigrams(df: DataFrame, textCol: String = "text",
+                 minCount: Long = 5L): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val pairs = graft.core.TransientCache.persist(
+      df.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_pair")))
+    // unigram counts from the same bigram table: every token position
+    // except each document's last contributes one w1; the last
+    // contributes a w2 — counting BOTH sides and halving would
+    // miscount boundaries, so unigrams come from their own pass over
+    // the token stream (still one aggregate over O(corpus tokens),
+    // map-side combined to O(vocabulary))
+    val uni = graft.core.TransientCache.persist(
+      df.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w")))
+    val nTok = uni.agg(sum(col("n_w"))).collect().head.getLong(0).toDouble
+    val nPairs = pairs.agg(sum(col("n_pair"))).collect().head
+      .getLong(0).toDouble
+    pairs.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .withColumn("pmi",
+        round(log((col("n_pair").cast("double") * nTok * nTok) /
+          (lit(nPairs) * col("n_w1") * col("n_w2"))), 6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), col("pmi"))
+  }
+
   /** C4-style line-quality filtering — the web-corpus cleaning rule
     * set: keep only lines with ≥ `minWords` words ending in terminal
     * punctuation, rebuild the document from survivors, and flag docs
@@ -816,7 +866,39 @@ object TextQueries {
       .filter(col("matches_reference"))
   }
 
+  /** co1_pmi_collocations — PMI bigram mining through the gate: counts,
+    * unigram frequencies and the grid-rounded PMI score re-derived from
+    * scratch by DuckDB with the same operand order, so the row is
+    * hash-exact despite the ln ([[TextStats.pmiBigrams]]'s contract). */
+  def co1PmiCollocations(s: SparkSession, d: String): DataFrame =
+    TextStats.pmiBigrams(Tables.documents(s, d))
+
+  val co1Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+      |      AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair
+      |  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      |  GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT u.w AS w, count(*) AS n_w
+      |  FROM toks, UNNEST(t) AS u(w) GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(n_w) AS DOUBLE) FROM uni) AS nt,
+      |    (SELECT CAST(sum(n_pair) AS DOUBLE) FROM pairs) AS np)
+      |SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+      |  round(ln((CAST(n_pair AS DOUBLE) * nt * nt)
+      |    / (np * u1.n_w * u2.n_w)), 6) AS pmi
+      |FROM pairs
+      |JOIN uni u1 ON u1.w = w1
+      |JOIN uni u2 ON u2.w = w2, tot
+      |WHERE n_pair >= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "co1_pmi_collocations" -> (co1PmiCollocations _),
     "bp1_bpe_merges" -> (bp1BpeMerges _),
     "ds1_dsir_weights" -> (ds1DsirWeights _),
     "tx9_gopher_rules" -> (tx9GopherRules _),
@@ -830,6 +912,7 @@ object TextQueries {
     "tx7_line_filter" -> (tx7LineFilter _))
 
   val oracles: Map[String, String] = Map(
+    "co1_pmi_collocations" -> co1Oracle,
     "ds1_dsir_weights" -> ds1Oracle,
     "tx9_gopher_rules" -> tx9Oracle,
     "tx8_unigram_ppl" -> tx8Oracle,

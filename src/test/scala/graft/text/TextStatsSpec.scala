@@ -184,6 +184,35 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(1)._4 should be > out(0)._4
   }
 
+  test("PMI collocations: hand-computed scores; a true collocation " +
+    "outscores an incidental pair; minCount gates the tail") {
+    import spark.implicits._
+    // "a b" ×6 (collocation), "a c" ×3, singles pad the unigram mass
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b a b"),
+      (3L, "a c a c a c"), (4L, "d d d d d d")
+    ).toDF("doc_id", "text")
+    val out = TextStats.pmiBigrams(docs, minCount = 3)
+      .select($"w1", $"w2", $"n_pair", $"pmi")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // bigrams per doc: 5 each → N_pairs = 20; tokens: a=9, b=6, c=3,
+    // d=6, N_tok = 24
+    val nt = 24.0; val np = 20.0
+    def pmi(nab: Long, na: Long, nb: Long): Double =
+      BigDecimal(math.log((nab.toDouble * nt * nt) / (np * na * nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(("a", "b"))._1 shouldBe 6L
+    out(("a", "b"))._2 shouldBe pmi(6, 9, 6)
+    out(("a", "c"))._1 shouldBe 3L
+    // "a b" is the stronger collocation than chance predicts
+    out(("a", "b"))._2 should be > 0.0
+    // minCount gates the tail: (c,a) occurs only twice and is absent
+    out(("d", "d"))._1 shouldBe 5L
+    out.keySet shouldBe Set(("a", "b"), ("b", "a"), ("a", "c"),
+      ("d", "d"))
+  }
+
   test("DSIR weights: hand-computed log-ratios on a toy corpus; the " +
     "target doc outscores the source-only doc") {
     import spark.implicits._
