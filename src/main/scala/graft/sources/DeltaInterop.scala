@@ -1,0 +1,485 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta Lake TRANSACTION-LOG interop, pure Spark — no delta-spark jar.
+  *
+  * The Delta log format is an open specification (delta.io PROTOCOL.md):
+  * a `_delta_log/` directory of numbered JSON commits
+  * (`%020d.json`, one action object per line — `add` / `remove` /
+  * `metaData` / `protocol` / `commitInfo` / `txn`), periodically
+  * compacted into a parquet checkpoint (`%020d.checkpoint.parquet`,
+  * one nullable struct column per action type) named by
+  * `_last_checkpoint`. This module implements that format directly:
+  *
+  *   - [[read]] / [[readVersion]] replay the log — newest checkpoint at
+  *     or below the target version, then the JSON tail — into the live
+  *     file set, attach each file's `partitionValues` from the LOG (the
+  *     protocol's source of truth — never inferred from directory
+  *     names), and serve the table under `metaData.schemaString`.
+  *     Unsupported protocol requirements (reader version > 1, reader
+  *     features, deletion vectors, column mapping) raise
+  *     [[UnsupportedDeltaFeatureException]] BY NAME — never a silently
+  *     wrong read.
+  *   - [[write]] produces a conformant table delta-spark can open:
+  *     parquet data files staged then renamed in, and a commit whose
+  *     rename-if-absent publication is the same optimistic protocol
+  *     real Delta uses on HDFS-semantics filesystems. Appends verify
+  *     the schema against the recorded `metaData`; overwrites emit
+  *     `remove` actions for every previously-live file.
+  *   - [[checkpoint]] compacts the log into a single-part checkpoint +
+  *     `_last_checkpoint`, exactly the artifact [[read]] consumes.
+  *
+  * Division of labor vs [[ManifestLake]]: the manifest lake is this
+  * repo's native format (DVs, bloom sidecars, generated partitioning,
+  * CDF...); DeltaInterop is the COMPATIBILITY surface — read a table
+  * someone else's Delta writer produced, or hand one back. Log replay
+  * is driver-side over O(files) metadata, the same cost model as the
+  * manifest (and as Delta's own driver-side state reconstruction).
+  */
+object DeltaInterop {
+
+  final class UnsupportedDeltaFeatureException(msg: String)
+    extends RuntimeException(msg)
+
+  final class ConcurrentDeltaCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** One live data file: `path` is table-root-relative and URL-decoded;
+    * `partitionValues` are the log's string-encoded values (null =
+    * null partition value). */
+  final case class DeltaAdd(path: String,
+                            partitionValues: Map[String, Option[String]],
+                            size: Long)
+
+  /** Reconstructed table state at one version. */
+  final case class DeltaState(version: Long, schema: StructType,
+                              partitionColumns: Seq[String],
+                              files: Seq[DeltaAdd])
+
+  /** Test seam: runs between a write's version choice and its commit
+    * publication — lets a spec interleave a racing commit
+    * deterministically (the ManifestLake.maintenanceRaceHook pattern). */
+  private[sources] val commitRaceHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
+  private val JsonRe = """(\d{20})\.json""".r
+  private val CkRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val CkPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---------------------------------------------------------------- read
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    toDF(spark, table, state(spark, table, None))
+
+  def readVersion(spark: SparkSession, table: String,
+                  version: Long): DataFrame =
+    toDF(spark, table, state(spark, table, Some(version)))
+
+  /** Replay the log into the live state at `version` (default: head). */
+  def state(spark: SparkSession, table: String,
+            version: Option[Long]): DeltaState = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = hadoopFs(spark, logDir)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $table")
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val jsonVersions = names.collect { case JsonRe(v) => v.toLong }.sorted
+    require(jsonVersions.nonEmpty, s"empty Delta log under $table")
+    val head = jsonVersions.max
+    val target = version.getOrElse(head)
+    require(target <= head,
+      s"version $target does not exist in $table (head is $head)")
+    // newest checkpoint at or below the target — from the LISTING, not
+    // only _last_checkpoint: the hint is an optimization delta-spark
+    // also treats as best-effort, and it may point past a time-travel
+    // target
+    val ckSingle = names.collect { case CkRe(v) => v.toLong }
+    val ckParts = names.collect { case CkPartRe(v, _, _) => v.toLong }
+    val ck = (ckSingle ++ ckParts).filter(_ <= target).sorted.lastOption
+
+    var files = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
+
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      if (readerFeatures.nonEmpty)
+        throw new UnsupportedDeltaFeatureException(
+          s"table $table requires reader features " +
+            s"${readerFeatures.mkString("[", ", ", "]")} — none are " +
+            "supported by this reader")
+      if (minReader > 1)
+        throw new UnsupportedDeltaFeatureException(
+          s"table $table requires minReaderVersion=$minReader — only " +
+            "version 1 (no column mapping, no deletion vectors) is " +
+            "supported by this reader")
+    }
+
+    ck.foreach { cv =>
+      val parts =
+        if (ckSingle.contains(cv))
+          Seq(new Path(logDir, f"$cv%020d.checkpoint.parquet").toString)
+        else names.collect {
+          case n @ CkPartRe(v, _, _) if v.toLong == cv =>
+            new Path(logDir, n).toString
+        }.toSeq
+      val rows = spark.read.parquet(parts: _*)
+      val cols = rows.columns.toSet
+      rows.collect().foreach { r =>
+        def struct(name: String): Option[Row] =
+          if (cols(name) && !r.isNullAt(r.fieldIndex(name)))
+            Some(r.getStruct(r.fieldIndex(name)))
+          else None
+        struct("protocol").foreach { p =>
+          val feats =
+            if (p.schema.fieldNames.contains("readerFeatures") &&
+              !p.isNullAt(p.fieldIndex("readerFeatures")))
+              p.getSeq[String](p.fieldIndex("readerFeatures"))
+            else Nil
+          checkProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
+        }
+        struct("metaData").foreach { m =>
+          schema = Some(DataType.fromJson(
+            m.getString(m.fieldIndex("schemaString"))).asInstanceOf[StructType])
+          partCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
+        }
+        struct("add").foreach { a =>
+          if (a.schema.fieldNames.contains("deletionVector") &&
+            !a.isNullAt(a.fieldIndex("deletionVector")))
+            throw new UnsupportedDeltaFeatureException(
+              s"file in $table carries a deletion vector — not supported")
+          val pv = a.getMap[String, String](a.fieldIndex("partitionValues"))
+            .toMap.map { case (k, v) => k -> Option(v) }
+          val path = urlDecode(a.getString(a.fieldIndex("path")))
+          files(path) = DeltaAdd(path, pv,
+            a.getLong(a.fieldIndex("size")))
+        }
+        struct("remove").foreach { rm =>
+          files.remove(urlDecode(rm.getString(rm.fieldIndex("path")))): Unit
+        }
+      }
+    }
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    ((ck.map(_ + 1).getOrElse(0L)) to target).foreach { v =>
+      val file = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(file)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        def str(v: JValue): Option[String] = v match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
+        def long(v: JValue): Long = v match {
+          case JInt(i) => i.toLong
+          case JLong(l) => l
+          case _ => 0L
+        }
+        j \ "protocol" match {
+          case JNothing | JNull =>
+          case p =>
+            val feats = p \ "readerFeatures" match {
+              case JArray(xs) => xs.flatMap(str)
+              case _ => Nil
+            }
+            checkProtocol(long(p \ "minReaderVersion").toInt, feats)
+        }
+        j \ "metaData" match {
+          case JNothing | JNull =>
+          case m =>
+            schema = Some(DataType.fromJson(
+              str(m \ "schemaString").getOrElse(throw new IllegalStateException(
+                s"metaData without schemaString in $file")))
+              .asInstanceOf[StructType])
+            partCols = (m \ "partitionColumns") match {
+              case JArray(xs) => xs.flatMap(str)
+              case _ => Nil
+            }
+            (m \ "configuration" \ "delta.columnMapping.mode") match {
+              case JString(mode) if mode != "none" =>
+                throw new UnsupportedDeltaFeatureException(
+                  s"table $table uses column mapping mode '$mode' — not " +
+                    "supported")
+              case _ =>
+            }
+        }
+        j \ "add" match {
+          case JNothing | JNull =>
+          case a =>
+            (a \ "deletionVector") match {
+              case JNothing | JNull =>
+              case _ => throw new UnsupportedDeltaFeatureException(
+                s"file in $table carries a deletion vector — not supported")
+            }
+            val pv = (a \ "partitionValues") match {
+              case JObject(fields) => fields.map {
+                case (k, JString(s)) => k -> Some(s)
+                case (k, _) => k -> None
+              }.toMap
+              case _ => Map.empty[String, Option[String]]
+            }
+            val path = urlDecode(str(a \ "path").getOrElse(
+              throw new IllegalStateException(s"add without path in $file")))
+            files(path) = DeltaAdd(path, pv, long(a \ "size"))
+        }
+        j \ "remove" match {
+          case JNothing | JNull =>
+          case rm => str(rm \ "path").foreach(p =>
+            files.remove(urlDecode(p)): Unit)
+        }
+      }
+    }
+
+    DeltaState(target,
+      schema.getOrElse(throw new IllegalStateException(
+        s"no metaData action found replaying $table to $target")),
+      partCols, files.values.toSeq)
+  }
+
+  /** Serve a reconstructed state: data files are read under the DATA
+    * schema (full schema minus partition columns — Delta data files do
+    * not store partition columns), each file group gets its partition
+    * values attached as literals CAST from the log's string encoding,
+    * and the output projects the full schema in declared order. One
+    * read per distinct partition-value combination — the same grouping
+    * Delta's own scan builder performs. */
+  private def toDF(spark: SparkSession, table: String,
+                   st: DeltaState): DataFrame = {
+    val dataSchema = StructType(
+      st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
+    val outCols = st.schema.fields.map(f => col(f.name))
+    if (st.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], st.schema)
+    val groups = st.files.groupBy(_.partitionValues)
+    groups.map { case (pv, adds) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(adds.map(a => new Path(table, a.path).toString): _*)
+      st.partitionColumns.foldLeft(base) { (acc, pc) =>
+        val dt = st.schema(pc).dataType
+        val v = pv.get(pc).flatten
+        acc.withColumn(pc,
+          v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)))
+      }.select(outCols.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Write `df` as a Delta table commit. `overwrite = false` appends
+    * (schema checked against the recorded metaData by name);
+    * `overwrite = true` also emits `remove` actions for every
+    * previously-live file. Creating a new table writes `protocol` +
+    * `metaData` in commit 0. The commit file publishes via
+    * rename-if-absent — a lost race raises
+    * [[ConcurrentDeltaCommitException]] and leaves the log untouched. */
+  def write(df: DataFrame, table: String,
+            partitionBy: Seq[String] = Nil,
+            overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val logDir = new Path(root, "_delta_log")
+    val prior =
+      if (fs.exists(logDir) &&
+        fs.listStatus(logDir).exists(s =>
+          JsonRe.pattern.matcher(s.getPath.getName).matches()))
+        Some(state(spark, table, None))
+      else None
+    prior.foreach { p =>
+      require(p.partitionColumns == partitionBy,
+        s"cannot change partitioning of $table from " +
+          s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
+      if (!overwrite)
+        require(p.schema.fieldNames.sorted.sameElements(
+          df.schema.fieldNames.sorted),
+          s"append schema ${df.schema.fieldNames.mkString(",")} does not " +
+            s"match table schema ${p.schema.fieldNames.mkString(",")}")
+    }
+    val version = prior.map(_.version + 1).getOrElse(0L)
+
+    // stage data files, then move them under the table root keeping the
+    // writer's partition-dir layout (cosmetic for Delta — the log is
+    // the source of truth — but it matches what delta-spark produces)
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(stage.toString)
+    val staged = listParquet(fs, stage)
+    val adds = staged.map { p =>
+      val rel = relativize(stage, p)
+      val dest = new Path(root, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest))
+        throw new IllegalStateException(s"failed to move $p to $dest")
+      val pv = hivePartitionValues(rel)
+      DeltaAdd(rel, partitionBy.map(c => c -> pv.get(c).flatten).toMap,
+        fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(stage, true): Unit
+
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr(if (overwrite || prior.isEmpty) "WRITE" else "APPEND")
+    },"operationParameters":{},"engineInfo":${jstr("graft")}}}"""
+    if (prior.isEmpty) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += metaDataJson(df.schema, partitionBy, now)
+    }
+    if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
+      lines += s"""{"remove":{"path":${jstr(urlEncode(f.path))},""" +
+        s""""deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    adds.foreach { a =>
+      val pvJson = a.partitionValues.map {
+        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+        case (k, None) => s"${jstr(k)}:null"
+      }.mkString("{", ",", "}")
+      lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
+        s""""partitionValues":$pvJson,"size":${a.size},""" +
+        s""""modificationTime":$now,"dataChange":true}}"""
+    }
+
+    fs.mkdirs(logDir)
+    val commit = new Path(logDir, f"$version%020d.json")
+    val tmp = new Path(logDir, f".$version%020d.json.${
+      java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    commitRaceHook.getAndSet(() => ()).apply()
+    val published = !fs.exists(commit) && fs.rename(tmp, commit)
+    if (!published) {
+      fs.delete(tmp, false)
+      throw new ConcurrentDeltaCommitException(
+        s"version $version of $table was committed concurrently — " +
+          "re-read the table and retry")
+    }
+    version
+  }
+
+  /** Compact the log at its head into a single-part checkpoint +
+    * `_last_checkpoint` — the artifact [[read]] starts from instead of
+    * replaying every JSON commit. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    val logDir = new Path(table, "_delta_log")
+    val fs = hadoopFs(spark, logDir)
+    import spark.implicits._
+    val rows =
+      CkRow(Some(CkProtocol(1, 2)), None, None) +:
+        CkRow(None, Some(CkMeta(
+          java.util.UUID.randomUUID().toString,
+          CkFormat("parquet", Map.empty), st.schema.json,
+          st.partitionColumns, Map.empty,
+          System.currentTimeMillis())), None) +:
+        st.files.map(a => CkRow(None, None, Some(CkAdd(
+          urlEncode(a.path),
+          a.partitionValues.map { case (k, v) => k -> v.orNull },
+          a.size, 0L, dataChange = false))))
+    val stage = new Path(logDir, s".ck-${java.util.UUID.randomUUID()}")
+    rows.toDF().coalesce(1).write.parquet(stage.toString)
+    val part = listParquet(fs, stage).head
+    val target = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(s"failed to publish checkpoint $target")
+    fs.delete(stage, true)
+    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write(
+      s"""{"version":${st.version},"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally lc.close()
+    st.version
+  }
+
+  // checkpoint action rows (object-level so Spark can derive encoders)
+  private[sources] final case class CkProtocol(minReaderVersion: Int,
+                                      minWriterVersion: Int)
+  private[sources] final case class CkFormat(provider: String,
+                                    options: Map[String, String])
+  private[sources] final case class CkMeta(id: String, format: CkFormat,
+                                  schemaString: String,
+                                  partitionColumns: Seq[String],
+                                  configuration: Map[String, String],
+                                  createdTime: Long)
+  private[sources] final case class CkAdd(path: String,
+                                 partitionValues: Map[String, String],
+                                 size: Long, modificationTime: Long,
+                                 dataChange: Boolean)
+  private[sources] final case class CkRow(protocol: Option[CkProtocol],
+                                 metaData: Option[CkMeta],
+                                 add: Option[CkAdd])
+
+  // ------------------------------------------------------------- helpers
+
+  private def metaDataJson(schema: StructType, partitionBy: Seq[String],
+                           now: Long): String = {
+    val parts = partitionBy.map(jstr).mkString("[", ",", "]")
+    s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schema.json)},""" +
+      s""""partitionColumns":$parts,"configuration":{},""" +
+      s""""createdTime":$now}}"""
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.toSeq
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/") + "/"
+    val full = p.toUri.getPath
+    require(full.startsWith(b), s"$p is not under $base")
+    full.stripPrefix(b)
+  }
+
+  /** Hive-style `k=v` path segments → partition values (URL-decoded;
+    * the writer-side twin of the values the reader takes from the log). */
+  private def hivePartitionValues(rel: String): Map[String, Option[String]] =
+    rel.split('/').init.collect {
+      case seg if seg.contains('=') =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None
+              else Some(urlDecode(v)))
+    }.toMap
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def urlEncode(s: String): String =
+    s.split('/').map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
+}

@@ -1218,6 +1218,58 @@ object LakeQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 30""".stripMargin
 
+  /** The shared Delta-interop table: three versions of open-format
+    * Delta log (create partitioned, append shifted copies, destructive
+    * overwrite), memoized so dl1/dl2 build it once between them. */
+  private def dl1Table(s: SparkSession, d: String): String =
+    builtTables.computeIfAbsent(s"dl1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl1").toString + "/t"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+      DeltaInterop.write(base, dir, partitionBy = Seq("o_orderpriority"))
+      DeltaInterop.write(
+        base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+        dir, partitionBy = Seq("o_orderpriority"))
+      DeltaInterop.write(base.filter(col("o_totalprice") >= 100000.0),
+        dir, partitionBy = Seq("o_orderpriority"), overwrite = true)
+      dir
+    })
+
+  /** dl1_delta_roundtrip — Delta Lake log interop through the gate: the
+    * open-format table (pure-Spark writer, no delta-spark jar) is read
+    * back BY LOG REPLAY at head — after a destructive overwrite, so the
+    * row proves add/remove reconstruction, log-sourced partition
+    * values, and the schemaString round-trip against DuckDB filtering
+    * the original parquet. Format conformance against hand-written
+    * delta-spark-shaped logs is pinned in DeltaInteropSpec. */
+  def dl1DeltaRoundtrip(s: SparkSession, d: String): DataFrame =
+    DeltaInterop.read(s, dl1Table(s, d))
+      .filter(col("o_orderpriority") === "1-URGENT")
+
+  val dl1Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice >= 100000.0
+      |  AND o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** dl2_delta_time_travel — version-addressed reads through the gate:
+    * version 1 (base ∪ appended copies) is served EXACTLY even though
+    * version 2 overwrote the table — the remove actions must scope to
+    * their version, not poison history. */
+  def dl2DeltaTimeTravel(s: SparkSession, d: String): DataFrame =
+    DeltaInterop.readVersion(s, dl1Table(s, d), 1L)
+
+  val dl2Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+      |  o_orderpriority
+      |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin
+
   /** lk16_time_partition — time-derived partitioning through the gate:
     * the events table lands under day partitions generated from `ts`
     * (the generation recorded as an enforced CHECK constraint), and a
@@ -1295,6 +1347,8 @@ object LakeQueries {
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
     "lk20_dpp_join" -> (lk20DppJoin _),
     "mv3_incremental_distinct" -> (mv3IncrementalDistinct _),
+    "dl1_delta_roundtrip" -> (dl1DeltaRoundtrip _),
+    "dl2_delta_time_travel" -> (dl2DeltaTimeTravel _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1326,6 +1380,8 @@ object LakeQueries {
     "lk19_bucket_lookup" -> lk19Oracle,
     "lk20_dpp_join" -> lk20Oracle,
     "mv3_incremental_distinct" -> mv3Oracle,
+    "dl1_delta_roundtrip" -> dl1Oracle,
+    "dl2_delta_time_travel" -> dl2Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the Delta transaction-log interop against the OPEN FORMAT, not
+  * against this module's own writer alone: the foreign-table test
+  * hand-writes a `_delta_log` shaped exactly like delta-spark output
+  * (commitInfo first, txn actions, URL-encoded paths, data files that
+  * do NOT carry partition columns or live under hive dirs) and the
+  * reader must serve it correctly from the log alone. */
+class DeltaInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-delta").toString + "/t"
+
+  private def writeText(table: String, rel: String, text: String): Unit = {
+    val p = new Path(table, rel)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("round-trip: write partitioned, read back exactly; appends land " +
+    "as new versions; overwrite removes the old files but time travel " +
+    "still reads them") {
+    import spark.implicits._
+    val t = fresh()
+    val base = (1 to 100).map(i => (i.toLong, i % 4, s"p$i"))
+      .toDF("id", "bucket", "payload")
+    DeltaInterop.write(base, t, partitionBy = Seq("bucket")) shouldBe 0L
+    val got = DeltaInterop.read(spark, t)
+    got.schema.fieldNames shouldBe Array("id", "bucket", "payload")
+    got.select($"id", $"bucket", $"payload").as[(Long, Int, String)]
+      .collect().sorted shouldBe
+      (1 to 100).map(i => (i.toLong, i % 4, s"p$i")).sorted
+    // append
+    DeltaInterop.write(
+      Seq((101L, 1, "p101")).toDF("id", "bucket", "payload"), t,
+      partitionBy = Seq("bucket")) shouldBe 1L
+    DeltaInterop.read(spark, t).count() shouldBe 101L
+    // overwrite: only the new rows remain at head...
+    DeltaInterop.write(
+      Seq((999L, 0, "fresh")).toDF("id", "bucket", "payload"), t,
+      partitionBy = Seq("bucket"), overwrite = true) shouldBe 2L
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect() shouldBe Array(999L)
+    // ...but the log remembers: version 1 still serves 101 rows
+    DeltaInterop.readVersion(spark, t, 1L).count() shouldBe 101L
+    DeltaInterop.readVersion(spark, t, 0L).count() shouldBe 100L
+  }
+
+  test("foreign table: a hand-written delta-spark-shaped log is served " +
+    "from the log alone — partition values from add actions (files " +
+    "carry neither the column nor hive dirs), URL-encoded paths, txn " +
+    "and commitInfo ignored, remove drops, time travel works") {
+    import spark.implicits._
+    val t = fresh()
+    // data files: DATA schema only (no partition column), flat layout
+    // with a URL-encodable name
+    def dataFile(rel: String, rows: Seq[(Long, String)]): Long = {
+      val stage = fresh()
+      rows.toDF("id", "payload").coalesce(1).write.parquet(stage)
+      val fs = new Path(stage).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      fs.getFileStatus(dest).getLen
+    }
+    val s1 = dataFile("part one.parquet", Seq((1L, "a"), (2L, "b")))
+    val s2 = dataFile("part-2.parquet", Seq((3L, "c")))
+    val s3 = dataFile("part-3.parquet", Seq((9L, "z")))
+    val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, payload STRING, region INT").json
+    // exactly the line shapes delta-spark emits (PROTOCOL.md)
+    writeText(t, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"timestamp":1700000000000,"operation":"WRITE","operationParameters":{"mode":"ErrorIfExists"},"engineInfo":"Apache-Spark/3.5.0 Delta-Lake/3.1.0"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":["region"],"configuration":{},"createdTime":1700000000000}}
+         |{"txn":{"appId":"someStream","version":7,"lastUpdated":1700000000000}}
+         |{"add":{"path":"part%20one.parquet","partitionValues":{"region":"10"},"size":$s1,"modificationTime":1700000000000,"dataChange":true}}
+         |{"add":{"path":"part-2.parquet","partitionValues":{"region":"20"},"size":$s2,"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin)
+    writeText(t, "_delta_log/00000000000000000001.json",
+      s"""{"commitInfo":{"timestamp":1700000100000,"operation":"MERGE","operationParameters":{}}}
+         |{"remove":{"path":"part-2.parquet","deletionTimestamp":1700000100000,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{"region":"20"},"size":$s2}}
+         |{"add":{"path":"part-3.parquet","partitionValues":{"region":null},"size":$s3,"modificationTime":1700000100000,"dataChange":true}}
+         |""".stripMargin)
+    val head = DeltaInterop.read(spark, t)
+    head.schema.fieldNames shouldBe Array("id", "payload", "region")
+    head.select($"id", $"payload", $"region".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).orNull)).toSet shouldBe Set(
+      (1L, "a", "10"), (2L, "b", "10"), (9L, "z", null))
+    // typed partition column: region is INT from the schemaString
+    head.schema("region").dataType.typeName shouldBe "integer"
+    head.filter($"region" === 10).count() shouldBe 2L
+    // version 0: the removed file is still live, the v1 add absent
+    DeltaInterop.readVersion(spark, t, 0L)
+      .select($"id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L)
+  }
+
+  test("checkpoint: the reader starts from the newest checkpoint at or " +
+    "below the target and replays only the JSON tail — even with the " +
+    "pre-checkpoint commits vacuumed away") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(Seq((1L, "a")).toDF("id", "payload"), t)
+    DeltaInterop.write(Seq((2L, "b")).toDF("id", "payload"), t)
+    DeltaInterop.checkpoint(spark, t) shouldBe 1L
+    DeltaInterop.write(Seq((3L, "c")).toDF("id", "payload"), t)
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 3L)
+    // vacuum the compacted commits: state must come from the checkpoint
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(t, "_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(t, "_delta_log/00000000000000000001.json"), false)
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 3L)
+    // time travel BELOW the checkpoint still works when its json exists
+    DeltaInterop.readVersion(spark, t, 2L).count() shouldBe 3L
+  }
+
+  test("unsupported protocol requirements fail by name, never a wrong " +
+    "read: reader features, reader version > 1, deletion vectors, " +
+    "column mapping") {
+    import spark.implicits._
+    def tableWith(extraActions: String): String = {
+      val t = fresh()
+      val stage = fresh()
+      Seq((1L, "a")).toDF("id", "payload").coalesce(1).write.parquet(stage)
+      val fs = new Path(stage).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new Path(t))
+      fs.rename(part, new Path(t, "f1.parquet")) shouldBe true
+      val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, payload STRING").json
+      writeText(t, "_delta_log/00000000000000000000.json",
+        s"""$extraActions
+           |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+          DeltaJsonTestUtil.jstr(schemaJson)
+        },"partitionColumns":[],"configuration":{},"createdTime":1}}
+           |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+           |""".stripMargin)
+      t
+    }
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.read(spark, tableWith(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""))
+    }.getMessage should include("deletionVectors")
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.read(spark, tableWith(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+    }.getMessage should include("minReaderVersion=2")
+    val dvTable = fresh()
+    val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT").json
+    writeText(dvTable, "_delta_log/00000000000000000000.json",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}
+         |""".stripMargin)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.read(spark, dvTable)
+    }.getMessage should include("deletion vector")
+    val cmTable = fresh()
+    writeText(cmTable, "_delta_log/00000000000000000000.json",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}
+         |""".stripMargin)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.read(spark, cmTable)
+    }.getMessage should include("column mapping")
+  }
+
+  test("write guards: append schema mismatch and partitioning changes " +
+    "fail fast; a lost commit race raises by name and leaves the log " +
+    "clean; null partition values round-trip") {
+    import spark.implicits._
+    val t = fresh()
+    val withNull = Seq((1L, Some("x"), "a"), (2L, None, "b"))
+      .toDF("id", "k", "payload")
+    DeltaInterop.write(withNull, t, partitionBy = Seq("k"))
+    val back = DeltaInterop.read(spark, t)
+      .select($"id", $"k").as[(Long, Option[String])].collect().toMap
+    back shouldBe Map(1L -> Some("x"), 2L -> None)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((3L, "y")).toDF("id", "k"), t,
+        partitionBy = Seq("k"))
+    }.getMessage should include("does not match")
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(withNull, t)
+    }.getMessage should include("cannot change partitioning")
+    // a racing writer publishes the SAME version between this write's
+    // version choice and its publication — deterministic via the seam
+    DeltaInterop.commitRaceHook.set(() =>
+      writeText(t, "_delta_log/00000000000000000001.json",
+        """{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}""" + "\n"))
+    intercept[DeltaInterop.ConcurrentDeltaCommitException] {
+      DeltaInterop.write(withNull, t, partitionBy = Seq("k"),
+        overwrite = true)
+    }
+    // the loser's commit never landed: head is still the racer's 1
+    DeltaInterop.state(spark, t, None).version shouldBe 1L
+  }
+}
+
+private object DeltaJsonTestUtil {
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+}
