@@ -354,23 +354,7 @@ object DeltaInterop {
         s""""modificationTime":$now,"dataChange":true}}"""
     }
 
-    fs.mkdirs(logDir)
-    val commit = new Path(logDir, f"$version%020d.json")
-    val tmp = new Path(logDir, f".$version%020d.json.${
-      java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(lines.mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    commitRaceHook.getAndSet(() => ()).apply()
-    val published = !fs.exists(commit) && fs.rename(tmp, commit)
-    if (!published) {
-      fs.delete(tmp, false)
-      throw new ConcurrentDeltaCommitException(
-        s"version $version of $table was committed concurrently — " +
-          "re-read the table and retry")
-    }
-    version
+    publishCommit(fs, logDir, version, lines.toSeq)
   }
 
   /** Compact the log at its head into a single-part checkpoint +
@@ -405,6 +389,140 @@ object DeltaInterop {
         .getBytes(StandardCharsets.UTF_8))
     finally lc.close()
     st.version
+  }
+
+  // ---------------------------------------------------- format conversion
+
+  /** Metadata-only manifest-lake → Delta conversion, in place: publish
+    * (or re-sync) a `_delta_log` NEXT TO the existing manifest, whose
+    * add actions reference the manifest snapshot's live parquet files
+    * verbatim — zero data movement, the CONVERT TO DELTA shape. At
+    * 100 TB this is the only conversion that makes sense: both formats
+    * store plain parquet, so interop is a log translation, not a
+    * rewrite. Re-running after manifest commits diffs the two live
+    * sets (adds for new files, removes for gone ones), keeping the
+    * Delta mirror current.
+    *
+    * Files carrying deletion vectors refuse by name (a Delta reader
+    * would resurrect the deleted rows): run
+    * `REORG TABLE … APPLY (PURGE)` first. Partition columns derive
+    * from the manifest's Hive path segments — present in the recorded
+    * schema, absent from the data files, exactly Delta's convention. */
+  def exportFromManifest(spark: SparkSession, table: String): Long = {
+    val snap = ManifestLake.snapshot(spark, table)
+    snap.entries.find(_.dv.nonEmpty).foreach(e =>
+      throw new UnsupportedDeltaFeatureException(
+        s"file ${e.path} carries a deletion vector — run REORG TABLE " +
+          "… APPLY (PURGE) before exporting to Delta, or the mirror " +
+          "would resurrect its deleted rows"))
+    val schema = snap.schema.getOrElse(ManifestLake.read(spark, table).schema)
+    val partCols = orderedPartKeys(
+      snap.entries.headOption.map(_.path).getOrElse(""))
+    snap.entries.foreach(e =>
+      require(orderedPartKeys(e.path) == partCols,
+        s"mixed partition layouts in $table cannot export: ${e.path} " +
+          s"vs [${partCols.mkString(", ")}]"))
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val logDir = new Path(root, "_delta_log")
+    val prior =
+      if (fs.exists(logDir) && fs.listStatus(logDir).exists(s =>
+        JsonRe.pattern.matcher(s.getPath.getName).matches()))
+        Some(state(spark, table, None))
+      else None
+    val priorPaths = prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val livePaths = snap.entries.map(_.path).toSet
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("CONVERT")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    if (prior.isEmpty) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += metaDataJson(schema, partCols, now)
+    } else if (prior.exists(p => p.schema.json != schema.json ||
+      p.partitionColumns != partCols))
+      lines += metaDataJson(schema, partCols, now)
+    (priorPaths -- livePaths).toSeq.sorted.foreach { p =>
+      lines += s"""{"remove":{"path":${jstr(urlEncode(p))},""" +
+        s""""deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    snap.entries.filterNot(e => priorPaths(e.path))
+      .sortBy(_.path).foreach { e =>
+        val pv = ManifestLake.partitionValues(e.path)
+        val pvJson = partCols.map { c =>
+          pv.get(c) match {
+            case Some("__HIVE_DEFAULT_PARTITION__") | None =>
+              s"${jstr(c)}:null"
+            case Some(v) => s"${jstr(c)}:${jstr(urlDecode(v))}"
+          }
+        }.mkString("{", ",", "}")
+        val size = e.bytes.getOrElse(
+          fs.getFileStatus(new Path(root, e.path)).getLen)
+        lines += s"""{"add":{"path":${jstr(urlEncode(e.path))},""" +
+          s""""partitionValues":$pvJson,"size":$size,""" +
+          s""""modificationTime":$now,"dataChange":true}}"""
+      }
+    publishCommit(fs, logDir, prior.map(_.version + 1).getOrElse(0L),
+      lines.toSeq)
+  }
+
+  /** Metadata-only Delta → manifest-lake conversion, in place: register
+    * the Delta table's live files as a manifest version next to the
+    * `_delta_log` — after which the full native surface (DML, stats,
+    * blooms, CDF, z-order, generated partitioning...) applies without
+    * rewriting a byte. Requires the physical layout delta-spark
+    * produces anyway: Hive-style partition directories that AGREE with
+    * each add action's partitionValues (the manifest derives partition
+    * semantics from paths) — a mismatch refuses by name rather than
+    * silently mis-partitioning. */
+  def importToManifest(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    st.files.foreach { f =>
+      val fromPath = hivePartitionValues(f.path)
+        .map { case (k, v) => k -> v }
+      val fromLog = st.partitionColumns.map(c =>
+        c -> f.partitionValues.get(c).flatten).toMap
+      require(fromPath == fromLog,
+        s"file ${f.path}: Hive path segments $fromPath disagree with " +
+          s"the log's partitionValues $fromLog — the manifest derives " +
+          "partition semantics from paths; re-layout before importing")
+    }
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val entries = st.files.sortBy(_.path).map(f =>
+      ManifestLake.FileEntry(f.path, bytes = Some(f.size)))
+    ManifestLake.commitLog(fs, root, full = true,
+      adds = entries.map(_.line), removes = Nil,
+      prev = ManifestLake.currentVersion(spark, table),
+      schema = Some(st.schema))
+  }
+
+  /** Ordered Hive partition keys of a relative path (segment order is
+    * the partition column order). */
+  private def orderedPartKeys(rel: String): Seq[String] =
+    rel.split('/').init.toSeq.collect {
+      case seg if seg.contains('=') => seg.split("=", 2)(0)
+    }
+
+  private def publishCommit(fs: FileSystem, logDir: Path, version: Long,
+                            lines: Seq[String]): Long = {
+    fs.mkdirs(logDir)
+    val commit = new Path(logDir, f"$version%020d.json")
+    val tmp = new Path(logDir, f".$version%020d.json.${
+      java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    commitRaceHook.getAndSet(() => ()).apply()
+    val published = !fs.exists(commit) && fs.rename(tmp, commit)
+    if (!published) {
+      fs.delete(tmp, false)
+      throw new ConcurrentDeltaCommitException(
+        s"version $version was committed concurrently — re-read and retry")
+    }
+    version
   }
 
   // checkpoint action rows (object-level so Spark can derive encoders)

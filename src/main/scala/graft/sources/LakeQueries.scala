@@ -658,6 +658,34 @@ object LakeQueries {
       |WHERE c_acctbal >= 0
       |GROUP BY c_nationkey""".stripMargin
 
+  /** dl3_convert_export — metadata-only manifest → Delta conversion
+    * through the gate: a manifest table takes native DML
+    * (copy-on-write delete), exports in place (zero data movement —
+    * spec-pinned file identity), and the DELTA read of the mirror must
+    * equal DuckDB filtering the original parquet. */
+  def dl3ConvertExport(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dl3:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl3").toString + "/t"
+      ManifestLake.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority"),
+        dir, partitionBy = Seq("o_orderpriority"))
+      ManifestLake.delete(s, dir, col("o_totalprice") < 50000.0)
+      DeltaInterop.exportFromManifest(s, dir)
+      dir
+    })
+    DeltaInterop.read(s, table)
+      .filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+  }
+
+  val dl3Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice >= 50000.0
+      |  AND o_orderpriority IN ('2-HIGH', '3-MEDIUM')""".stripMargin
+
   /** mv3_incremental_distinct — exact incremental COUNT DISTINCT
     * through the gate: the pair table (`(segment, nation) →
     * multiplicity`) is built by applying mv1's full recorded change
@@ -1349,6 +1377,7 @@ object LakeQueries {
     "mv3_incremental_distinct" -> (mv3IncrementalDistinct _),
     "dl1_delta_roundtrip" -> (dl1DeltaRoundtrip _),
     "dl2_delta_time_travel" -> (dl2DeltaTimeTravel _),
+    "dl3_convert_export" -> (dl3ConvertExport _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1382,6 +1411,7 @@ object LakeQueries {
     "mv3_incremental_distinct" -> mv3Oracle,
     "dl1_delta_roundtrip" -> dl1Oracle,
     "dl2_delta_time_travel" -> dl2Oracle,
+    "dl3_convert_export" -> dl3Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -225,6 +225,118 @@ class DeltaInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 }
 
+class DeltaConversionSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-convert").toString + "/t"
+
+  private def parquetCount(table: String): Int = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.toString.contains("_delta_log") &&
+        !f.getPath.toString.contains("_graft_manifest")) n += 1
+    }
+    n
+  }
+
+  test("manifest → Delta export is metadata-only and stays in sync: " +
+    "the mirror serves the same rows over the SAME files, and a " +
+    "re-export after manifest commits diffs instead of rewriting") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestLake.write(
+      (1 to 40).map(i => (i.toLong, i % 3, s"p$i")).toDF("id", "k", "payload"),
+      t, partitionBy = Seq("k"))
+    val before = parquetCount(t)
+    DeltaInterop.exportFromManifest(spark, t) shouldBe 0L
+    parquetCount(t) shouldBe before // zero data movement
+    val viaDelta = DeltaInterop.read(spark, t)
+      .select($"id", $"k", $"payload").as[(Long, Int, String)]
+      .collect().sorted
+    viaDelta shouldBe ManifestLake.read(spark, t)
+      .select($"id", $"k", $"payload").as[(Long, Int, String)]
+      .collect().sorted
+    // the mirror references the manifest's own files verbatim
+    val deltaPaths = DeltaInterop.state(spark, t, None).files.map(_.path).toSet
+    val manifestPaths = ManifestLake.snapshot(spark, t).files.toSet
+    deltaPaths shouldBe manifestPaths
+    // manifest evolves (append + delete), the re-export diffs
+    ManifestLake.write(
+      Seq((99L, 0, "new")).toDF("id", "k", "payload"), t,
+      partitionBy = Seq("k"))
+    ManifestLake.delete(spark, t, col("id") <= 5L)
+    DeltaInterop.exportFromManifest(spark, t) shouldBe 1L
+    DeltaInterop.read(spark, t).select($"id").as[Long].collect().sorted shouldBe
+      ManifestLake.read(spark, t).select($"id").as[Long].collect().sorted
+  }
+
+  test("export refuses deletion-vector files by name; after REORG " +
+    "PURGE it succeeds") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestLake.write(
+      (1 to 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t,
+      statsCol = Some("id"))
+    ManifestLake.deleteMor(spark, t, col("id") % 7 === 0)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.exportFromManifest(spark, t)
+    }.getMessage should include("PURGE")
+    ManifestLake.purgeDv(spark, t)
+    DeltaInterop.exportFromManifest(spark, t)
+    DeltaInterop.read(spark, t).count() shouldBe 26L
+  }
+
+  test("Delta → manifest import registers the live files in place and " +
+    "the native surface (stats DML) applies without a rewrite; a " +
+    "layout that disagrees with the log refuses by name") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1 to 50).map(i => (i.toLong, i % 2, s"p$i")).toDF("id", "k", "payload"),
+      t, partitionBy = Seq("k"))
+    val before = parquetCount(t)
+    DeltaInterop.importToManifest(spark, t) shouldBe 1L
+    parquetCount(t) shouldBe before
+    ManifestLake.read(spark, t).count() shouldBe 50L
+    ManifestLake.read(spark, t).schema.fieldNames.toSet shouldBe
+      Set("id", "k", "payload")
+    // native DML now applies to the imported table
+    ManifestLake.delete(spark, t, col("id") === 7L)
+    ManifestLake.read(spark, t).count() shouldBe 49L
+    // a foreign table whose files are NOT hive-laid-out refuses
+    val flat = fresh()
+    val stage = fresh()
+    Seq((1L, "a")).toDF("id", "payload").coalesce(1).write.parquet(stage)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(flat))
+    fs.rename(part, new Path(flat, "f1.parquet")) shouldBe true
+    val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, payload STRING, region INT").json
+    val logLine =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":["region"],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","partitionValues":{"region":"10"},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin
+    val lp = new Path(flat, "_delta_log/00000000000000000000.json")
+    fs.mkdirs(lp.getParent)
+    val out = fs.create(lp, true)
+    try out.write(logLine.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    intercept[IllegalArgumentException] {
+      DeltaInterop.importToManifest(spark, flat)
+    }.getMessage should include("re-layout")
+  }
+}
+
 private object DeltaJsonTestUtil {
   def jstr(s: String): String =
     "\"" + s.flatMap {
