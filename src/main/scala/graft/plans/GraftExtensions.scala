@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution-rule rewrite, keeping the native parquet read path
     extensions.injectResolutionRule(spark =>
       new graft.sources.LakeSql.LakeSqlRule(spark))
+    // SQL reads + VERSION AS OF over Delta-log tables
+    // (graft_delta.<name>) — same rewrite approach, read-only surface
+    extensions.injectResolutionRule(spark =>
+      new graft.sources.DeltaSql.DeltaSqlRule(spark))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // DESCRIBE HISTORY on graft_lake tables) — a delegating parser, the
     // public Delta-connector idiom

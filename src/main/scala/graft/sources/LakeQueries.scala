@@ -658,6 +658,33 @@ object LakeQueries {
       |WHERE c_acctbal >= 0
       |GROUP BY c_nationkey""".stripMargin
 
+  /** dl4_delta_sql — the Delta SQL surface through the gate: a grouped
+    * aggregate with `VERSION AS OF 1` runs purely from `spark.sql`
+    * against the registered `graft_delta` name, resolving through the
+    * DeltaSqlRule rewrite onto the native parquet scan. Decimal-summed
+    * totals cast to DOUBLE keep the float surface hash-exact (the mv1
+    * contract). */
+  def dl4DeltaSql(s: SparkSession, d: String): DataFrame = {
+    DeltaSql.register("dl4_orders", dl1Table(s, d))
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+        |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+        |FROM graft_delta.dl4_orders VERSION AS OF 1
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val dl4Oracle: String =
+    """WITH v1 AS (
+      |  SELECT o_totalprice, o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT o_totalprice, o_orderpriority FROM orders
+      |  WHERE o_orderkey % 97 = 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+      |FROM v1 GROUP BY o_orderpriority""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1378,6 +1405,7 @@ object LakeQueries {
     "dl1_delta_roundtrip" -> (dl1DeltaRoundtrip _),
     "dl2_delta_time_travel" -> (dl2DeltaTimeTravel _),
     "dl3_convert_export" -> (dl3ConvertExport _),
+    "dl4_delta_sql" -> (dl4DeltaSql _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1412,6 +1440,7 @@ object LakeQueries {
     "dl1_delta_roundtrip" -> dl1Oracle,
     "dl2_delta_time_travel" -> dl2Oracle,
     "dl3_convert_export" -> dl3Oracle,
+    "dl4_delta_sql" -> dl4Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -337,6 +337,44 @@ class DeltaConversionSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 }
 
+class DeltaSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("graft_delta SQL: reads resolve to the native parquet scan with " +
+    "pushdown, VERSION AS OF works, TIMESTAMP AS OF and unknown names " +
+    "fail clearly") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-deltasql").toString + "/t"
+    DeltaInterop.write(
+      (1 to 60).map(i => (i.toLong, i % 3, s"p$i")).toDF("id", "k", "payload"),
+      t, partitionBy = Seq("k"))
+    DeltaInterop.write(
+      Seq((61L, 1, "p61")).toDF("id", "k", "payload"), t,
+      partitionBy = Seq("k"))
+    DeltaSql.register("sqlspec", t)
+    spark.sql("SELECT count(*) AS n FROM graft_delta.sqlspec")
+      .as[Long].head() shouldBe 61L
+    spark.sql(
+      "SELECT count(*) AS n FROM graft_delta.sqlspec VERSION AS OF 0")
+      .as[Long].head() shouldBe 60L
+    // the rewrite lands on the native scan and the filter pushes down
+    val plan = spark.sql(
+      "SELECT id FROM graft_delta.sqlspec WHERE id > 50")
+      .queryExecution.executedPlan.toString
+    plan should include("FileScan parquet")
+    plan should include("PushedFilters: [IsNotNull(id), GreaterThan(id,50)")
+    spark.sql("SELECT id FROM graft_delta.sqlspec WHERE id > 50")
+      .as[Long].collect().sorted shouldBe (51L to 61L).toArray
+    intercept[UnsupportedOperationException] {
+      spark.sql("SELECT * FROM graft_delta.sqlspec TIMESTAMP AS OF " +
+        "'2024-01-01'").collect()
+    }.getMessage should include("VERSION AS OF only")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_delta.nope").collect()
+    }.getMessage.toLowerCase should include("not")
+  }
+}
+
 private object DeltaJsonTestUtil {
   def jstr(s: String): String =
     "\"" + s.flatMap {
