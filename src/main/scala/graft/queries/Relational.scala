@@ -747,6 +747,33 @@ object Relational {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q13_order_distribution — TPC-H Q13 shape: the customer
+    * order-count DISTRIBUTION, the one double-aggregate-over-outer-join
+    * form in the suite. The LEFT join keeps zero-order customers (their
+    * `count(o_orderkey)` is 0 — count of a null column, not count(*)),
+    * the first aggregate collapses to one row per customer, the second
+    * histograms those counts. Scale shape: one join shuffle on the
+    * customer key, then an aggregate whose input is O(customers) and
+    * output O(distinct counts) — the histogram step is near-free. */
+  def q13OrderDistribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_custkey")
+      .join(Tables.orders(s, d).select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
   /** q18_large_orders — TPC-H Q18 shape: the IN-over-grouped-HAVING
     * subquery, through the SQL surface (the one predicate-subquery form
     * q4/q22 don't cover: the subquery is itself an aggregate).
@@ -1162,6 +1189,7 @@ object Relational {
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1203,6 +1231,7 @@ object Relational {
     "q7_volume_shipping" -> q7Oracle,
     "q8_market_share" -> q8Oracle,
     "q10_returned_items" -> q10Oracle,
+    "q13_order_distribution" -> q13Oracle,
     "q18_large_orders" -> q18Oracle,
     "q6_forecast_revenue" -> q6Oracle,
     "q15_top_supplier" -> q15Oracle,

@@ -167,79 +167,14 @@ object DeltaInterop {
       }
     }
 
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     ((ck.map(_ + 1).getOrElse(0L)) to target).foreach { v =>
-      val file = new Path(logDir, f"$v%020d.json")
-      val in = fs.open(file)
-      val text = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        new String(out.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
-      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        def str(v: JValue): Option[String] = v match {
-          case JString(s) => Some(s)
-          case _ => None
-        }
-        def long(v: JValue): Long = v match {
-          case JInt(i) => i.toLong
-          case JLong(l) => l
-          case _ => 0L
-        }
-        j \ "protocol" match {
-          case JNothing | JNull =>
-          case p =>
-            val feats = p \ "readerFeatures" match {
-              case JArray(xs) => xs.flatMap(str)
-              case _ => Nil
-            }
-            checkProtocol(long(p \ "minReaderVersion").toInt, feats)
-        }
-        j \ "metaData" match {
-          case JNothing | JNull =>
-          case m =>
-            schema = Some(DataType.fromJson(
-              str(m \ "schemaString").getOrElse(throw new IllegalStateException(
-                s"metaData without schemaString in $file")))
-              .asInstanceOf[StructType])
-            partCols = (m \ "partitionColumns") match {
-              case JArray(xs) => xs.flatMap(str)
-              case _ => Nil
-            }
-            (m \ "configuration" \ "delta.columnMapping.mode") match {
-              case JString(mode) if mode != "none" =>
-                throw new UnsupportedDeltaFeatureException(
-                  s"table $table uses column mapping mode '$mode' — not " +
-                    "supported")
-              case _ =>
-            }
-        }
-        j \ "add" match {
-          case JNothing | JNull =>
-          case a =>
-            (a \ "deletionVector") match {
-              case JNothing | JNull =>
-              case _ => throw new UnsupportedDeltaFeatureException(
-                s"file in $table carries a deletion vector — not supported")
-            }
-            val pv = (a \ "partitionValues") match {
-              case JObject(fields) => fields.map {
-                case (k, JString(s)) => k -> Some(s)
-                case (k, _) => k -> None
-              }.toMap
-              case _ => Map.empty[String, Option[String]]
-            }
-            val path = urlDecode(str(a \ "path").getOrElse(
-              throw new IllegalStateException(s"add without path in $file")))
-            files(path) = DeltaAdd(path, pv, long(a \ "size"))
-        }
-        j \ "remove" match {
-          case JNothing | JNull =>
-          case rm => str(rm \ "path").foreach(p =>
-            files.remove(urlDecode(p)): Unit)
-        }
+      parseCommit(spark, table, v).foreach {
+        case ProtocolAction(minReader, feats) =>
+          checkProtocol(minReader, feats)
+        case MetaAction(sc, pc) =>
+          schema = Some(sc); partCols = pc
+        case AddAction(a) => files(a.path) = a
+        case RemoveAction(p) => files.remove(p): Unit
       }
     }
 
@@ -247,6 +182,132 @@ object DeltaInterop {
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying $table to $target")),
       partCols, files.values.toSeq)
+  }
+
+  private sealed trait DeltaAction
+  private final case class ProtocolAction(minReader: Int,
+                                          readerFeatures: Seq[String])
+    extends DeltaAction
+  private final case class MetaAction(schema: StructType,
+                                      partitionColumns: Seq[String])
+    extends DeltaAction
+  private final case class AddAction(add: DeltaAdd) extends DeltaAction
+  private final case class RemoveAction(path: String) extends DeltaAction
+
+  /** Parse one JSON commit file into its actions (commitInfo/txn
+    * ignored). ONE definition shared by snapshot replay and the
+    * streaming tail — the two must never read a commit differently. */
+  private def parseCommit(spark: SparkSession, table: String,
+                          v: Long): Seq[DeltaAction] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val logDir = new Path(table, "_delta_log")
+    val fs = hadoopFs(spark, logDir)
+    val file = new Path(logDir, f"$v%020d.json")
+    val in = fs.open(file)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split('\n').filter(_.trim.nonEmpty).toSeq.flatMap { line =>
+      val j = JsonMethods.parse(line)
+      def str(v: JValue): Option[String] = v match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      def long(v: JValue): Long = v match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case _ => 0L
+      }
+      val protocol = j \ "protocol" match {
+        case JNothing | JNull => Nil
+        case p =>
+          val feats = p \ "readerFeatures" match {
+            case JArray(xs) => xs.flatMap(str)
+            case _ => Nil
+          }
+          Seq(ProtocolAction(long(p \ "minReaderVersion").toInt, feats))
+      }
+      val meta = j \ "metaData" match {
+        case JNothing | JNull => Nil
+        case m =>
+          (m \ "configuration" \ "delta.columnMapping.mode") match {
+            case JString(mode) if mode != "none" =>
+              throw new UnsupportedDeltaFeatureException(
+                s"table $table uses column mapping mode '$mode' — not " +
+                  "supported")
+            case _ =>
+          }
+          Seq(MetaAction(
+            DataType.fromJson(str(m \ "schemaString").getOrElse(
+              throw new IllegalStateException(
+                s"metaData without schemaString in $file")))
+              .asInstanceOf[StructType],
+            (m \ "partitionColumns") match {
+              case JArray(xs) => xs.flatMap(str)
+              case _ => Nil
+            }))
+      }
+      val add = j \ "add" match {
+        case JNothing | JNull => Nil
+        case a =>
+          (a \ "deletionVector") match {
+            case JNothing | JNull =>
+            case _ => throw new UnsupportedDeltaFeatureException(
+              s"file in $table carries a deletion vector — not supported")
+          }
+          val pv = (a \ "partitionValues") match {
+            case JObject(fields) => fields.map {
+              case (k, JString(s)) => k -> Some(s)
+              case (k, _) => k -> None
+            }.toMap
+            case _ => Map.empty[String, Option[String]]
+          }
+          Seq(AddAction(DeltaAdd(
+            urlDecode(str(a \ "path").getOrElse(
+              throw new IllegalStateException(s"add without path in $file"))),
+            pv, long(a \ "size"))))
+      }
+      val remove = j \ "remove" match {
+        case JNothing | JNull => Nil
+        case rm => str(rm \ "path").toSeq.map(p => RemoveAction(urlDecode(p)))
+      }
+      protocol ++ meta ++ add ++ remove
+    }
+  }
+
+  /** The table's head version (max JSON commit), if the log exists. */
+  def currentVersion(spark: SparkSession, table: String): Option[Long] = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = hadoopFs(spark, logDir)
+    if (!fs.exists(logDir)) None
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case JsonRe(v) => v.toLong }
+      .reduceOption(_ max _)
+  }
+
+  /** One commit's file-level changes — the streaming source's unit of
+    * consumption ([[DeltaStreamProvider]]). */
+  final case class DeltaChanges(version: Long, added: Seq[DeltaAdd],
+                                removed: Seq[String])
+
+  def changesAt(spark: SparkSession, table: String, v: Long): DeltaChanges = {
+    val adds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
+    val removes = scala.collection.mutable.ArrayBuffer.empty[String]
+    parseCommit(spark, table, v).foreach {
+      case ProtocolAction(minReader, feats) =>
+        if (feats.nonEmpty || minReader > 1)
+          throw new UnsupportedDeltaFeatureException(
+            s"version $v of $table requires an unsupported reader " +
+              s"(minReaderVersion=$minReader, features " +
+              s"${feats.mkString("[", ", ", "]")})")
+      case AddAction(a) => adds += a
+      case RemoveAction(p) => removes += p
+      case _: MetaAction =>
+    }
+    DeltaChanges(v, adds.toSeq, removes.toSeq)
   }
 
   /** Serve a reconstructed state: data files are read under the DATA
@@ -257,19 +318,27 @@ object DeltaInterop {
     * read per distinct partition-value combination — the same grouping
     * Delta's own scan builder performs. */
   private def toDF(spark: SparkSession, table: String,
-                   st: DeltaState): DataFrame = {
+                   st: DeltaState): DataFrame =
+    filesToDF(spark, table, st.schema, st.partitionColumns, st.files)
+
+  /** The shared file-set read kernel — used by snapshot serving AND the
+    * streaming source's per-batch reads. */
+  private[sources] def filesToDF(spark: SparkSession, table: String,
+                                 schema: StructType,
+                                 partitionColumns: Seq[String],
+                                 files: Seq[DeltaAdd]): DataFrame = {
     val dataSchema = StructType(
-      st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
-    val outCols = st.schema.fields.map(f => col(f.name))
-    if (st.files.isEmpty)
+      schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+    val outCols = schema.fields.map(f => col(f.name))
+    if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], st.schema)
-    val groups = st.files.groupBy(_.partitionValues)
+        spark.sparkContext.emptyRDD[Row], schema)
+    val groups = files.groupBy(_.partitionValues)
     groups.map { case (pv, adds) =>
       val base = spark.read.schema(dataSchema)
         .parquet(adds.map(a => new Path(table, a.path).toString): _*)
-      st.partitionColumns.foldLeft(base) { (acc, pc) =>
-        val dt = st.schema(pc).dataType
+      partitionColumns.foldLeft(base) { (acc, pc) =>
+        val dt = schema(pc).dataType
         val v = pv.get(pc).flatten
         acc.withColumn(pc,
           v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)))

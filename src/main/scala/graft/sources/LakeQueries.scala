@@ -252,6 +252,34 @@ object LakeQueries {
       |  o_orderpriority
       |FROM orders""".stripMargin
 
+  /** dls1_delta_stream — a Delta-log table as a STREAMING SOURCE
+    * through the gate: `readStream.format("graft-delta")` over a
+    * four-commit Delta table (dl1's key-split shape, partitioned so
+    * every emitted row's partition value comes from the LOG), driven to
+    * completion with AvailableNow; the union of the per-commit batches
+    * must equal what DuckDB derives from the original orders parquet.
+    * Refusal/resume/rate-limit semantics live in DeltaStreamSpec. */
+  def dls1DeltaStream(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dls1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dls1").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderpriority")
+      (0 until 4).foreach(i =>
+        DeltaInterop.write(o.filter(col("o_orderkey") % 4 === i), dir,
+          partitionBy = Seq("o_orderpriority")))
+      dir
+    })
+    graft.streaming.Streaming.runToMemory(s,
+      s.readStream.format("graft-delta").load(table),
+      "dls1_delta_stream_tbl",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  val dls1Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders""".stripMargin
+
   /** lk6_schema_evolution — add-column evolution through the gate: the
     * table is customer's (key, name, balance) projection; a second
     * commit appends re-keyed rows carrying a NEW `c_flag` column. The
@@ -1406,6 +1434,7 @@ object LakeQueries {
     "dl2_delta_time_travel" -> (dl2DeltaTimeTravel _),
     "dl3_convert_export" -> (dl3ConvertExport _),
     "dl4_delta_sql" -> (dl4DeltaSql _),
+    "dls1_delta_stream" -> (dls1DeltaStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1441,6 +1470,7 @@ object LakeQueries {
     "dl2_delta_time_travel" -> dl2Oracle,
     "dl3_convert_export" -> dl3Oracle,
     "dl4_delta_sql" -> dl4Oracle,
+    "dls1_delta_stream" -> dls1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
