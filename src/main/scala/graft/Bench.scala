@@ -25,6 +25,8 @@ object Bench {
     // BPE tokenizer training is the same kind of offline batch job —
     // bp1 serves the trained merge list; the train happens here.
     graft.text.TextQueries.bpeMergesFor(spark, sfDir)
+    // PCA fit likewise: em1 times the reduced-space search.
+    graft.ann.AnnQueries.pcaModelFor(spark, sfDir)
     // Two full interleaved passes; each query reports the MIN of its runs.
     // A single-pass artifact is load-sensitive: an unrelated process
     // stealing cores for 30 s inflates every query it overlaps with, and

@@ -255,7 +255,54 @@ object AnnQueries {
        |LIMIT $K""".stripMargin
   }
 
+  /** Memoized PCA model per (app, dataset) — the fit is one covariance
+    * pass + driver eigendecomposition, an offline batch job like the
+    * quantizer fits; em1 times the reduced-space SEARCH. */
+  private val pcaCache =
+    scala.collection.mutable.Map.empty[String, Pca.PcaModel]
+
+  def pcaModelFor(s: SparkSession, d: String): Pca.PcaModel =
+    pcaCache.synchronized {
+      val appPrefix = s"${s.sparkContext.applicationId}:"
+      pcaCache.keys.filterNot(_.startsWith(appPrefix)).toList
+        .foreach(pcaCache.remove)
+      pcaCache.getOrElseUpdate(appPrefix + d,
+        Pca.fit(Tables.embeddings(s, d), k = 32))
+    }
+
+  /** em1_pca_topk — PCA-reduced similarity search through the gate,
+    * in the production two-stage shape (the ADC-rerank pattern):
+    * embeddings project to 32 of 64 dimensions (centered literal-dot
+    * projection, [[Pca.project]]), candidate generation is a top-50
+    * scan in the REDUCED space (2× narrower per candidate — on this
+    * synthetic corpus's deliberately flat spectrum, 32 components
+    * retain only ~60% variance, so raw reduced-space RANKING is not
+    * servable; candidates + exact rerank is, exactly as in PQ), and
+    * the exact cosine reranks the 50 survivors to the final top-10.
+    * Every surviving row carries `recall_at_10` vs the full-dimension
+    * exact top-k and rows survive only at ≥ 0.7, the nn2 pinning
+    * shape; eigenvector sign/summation-order nondeterminism keeps the
+    * surface rows-only like the other fitted-model rows. */
+  def em1PcaTopK(s: SparkSession, d: String): DataFrame = {
+    val model = pcaModelFor(s, d)
+    val emb = Tables.embeddings(s, d)
+    val proj = graft.core.TransientCache.persist(
+      Pca.project(emb, model).select(col("vec_id"), col("pca")))
+    val candIds = Similarity.bruteForceTopK(proj, QueryId, 50,
+      embCol = "pca").collect().map(_.getLong(0))
+    val reranked = graft.core.TransientCache.persist(
+      Similarity.filteredTopK(emb, QueryId, K,
+        col("vec_id").isin(candIds.map(Long.box).toIndexedSeq: _*)))
+    val brute = Similarity.bruteForceTopK(emb, QueryId, K)
+    val recall = reranked
+      .join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
+    reranked.crossJoin(broadcast(recall))
+      .filter(col("recall_at_10") >= 0.7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "em1_pca_topk" -> (em1PcaTopK _),
     "nn1_brute_topk" -> (nn1BruteTopK _),
     "nn2_ivf_topk" -> (nn2IvfTopK _),
     "nn3_lake_topk" -> (nn3LakeTopK _),
