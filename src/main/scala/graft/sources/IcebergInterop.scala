@@ -1,0 +1,531 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Apache Iceberg TABLE-FORMAT interop, pure Spark — no iceberg jar
+  * (the image ships none; plain `avro` is enough, because Iceberg's
+  * avro files are SELF-DESCRIBING and a `GenericDatumReader` reads
+  * them without compiled schemas).
+  *
+  * The Iceberg spec (iceberg.apache.org/spec) under a Hadoop catalog:
+  * `metadata/v<N>.metadata.json` (named by `version-hint.text`) names
+  * the current snapshot; the snapshot names a MANIFEST LIST (avro);
+  * each manifest-list row names a MANIFEST (avro) of data-file entries
+  * (status added/existing/deleted, file path, format, counts). Unlike
+  * Delta/Hive, Iceberg data files carry ALL columns — partition
+  * transforms are a pruning concern, not a reconstruction one — so a
+  * read is: replay metadata → live file set → one parquet scan under
+  * the converted schema.
+  *
+  *   - [[read]] / [[readSnapshot]] serve the table at the current (or
+  *     a named) snapshot. Anything this reader cannot serve CORRECTLY
+  *     refuses by name ([[UnsupportedIcebergFeatureException]]):
+  *     delete manifests / delete files (v2 merge-on-read), non-parquet
+  *     data files, list/map column types. Column resolution is
+  *     BY NAME: a table that renamed columns via field ids needs
+  *     id-based resolution this reader does not do — documented, not
+  *     guessed at.
+  *   - [[write]] produces a conformant v1 Hadoop-catalog table:
+  *     staged parquet + a manifest avro + a manifest list avro + the
+  *     next `v<N>.metadata.json`, published via the same
+  *     rename-if-absent optimistic protocol the Hadoop catalog uses
+  *     (`version-hint.text` updated after). Appends reference prior
+  *     manifests verbatim — O(new files) metadata per commit.
+  *   - [[importToManifest]] is the metadata-only migration:
+  *     register the live files as a [[ManifestLake]] version in place
+  *     (they already hold every column), unlocking the native surface
+  *     with zero rewrite.
+  */
+object IcebergInterop {
+
+  final class UnsupportedIcebergFeatureException(msg: String)
+    extends RuntimeException(msg)
+
+  final class ConcurrentIcebergCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** One live data file (absolute URI, per the spec) with its recorded
+    * row count. */
+  final case class IceFile(path: String, records: Long, bytes: Long)
+
+  final case class IceState(metadataVersion: Long, snapshotId: Long,
+                            schema: StructType, files: Seq[IceFile])
+
+  private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---------------------------------------------------------------- read
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    toDF(spark, state(spark, table, None))
+
+  /** Time travel to a named snapshot id. */
+  def readSnapshot(spark: SparkSession, table: String,
+                   snapshotId: Long): DataFrame =
+    toDF(spark, state(spark, table, Some(snapshotId)))
+
+  private def toDF(spark: SparkSession, st: IceState): DataFrame =
+    if (st.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
+    else spark.read.schema(st.schema)
+      .parquet(st.files.map(_.path): _*)
+
+  def state(spark: SparkSession, table: String,
+            snapshotId: Option[Long]): IceState = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    require(fs.exists(metaDir),
+      s"not an Iceberg table: no metadata dir under $table")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    def jLong(v: JValue): Long = v match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case _ => -1L
+    }
+    val formatVersion = jLong(metaJson \ "format-version")
+    if (formatVersion > 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is format-version $formatVersion — only v1/v2 " +
+          "are supported")
+    // current schema: the "schemas" list keyed by current-schema-id,
+    // with the legacy single "schema" field as fallback
+    val schemaJson = {
+      val curId = jLong(metaJson \ "current-schema-id")
+      (metaJson \ "schemas") match {
+        case JArray(xs) if xs.nonEmpty =>
+          xs.find(s => jLong(s \ "schema-id") == curId).getOrElse(xs.head)
+        case _ => metaJson \ "schema"
+      }
+    }
+    val schema = icebergSchemaToSpark(schemaJson, table)
+    val snapId = snapshotId.getOrElse(jLong(metaJson \ "current-snapshot-id"))
+    if (snapId == -1L) // no snapshot yet: an empty table
+      return IceState(version, -1L, schema, Nil)
+    val snapshots = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    val snap = snapshots.find(s => jLong(s \ "snapshot-id") == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId not found in $table (have " +
+          s"${snapshots.map(s => jLong(s \ "snapshot-id")).mkString(", ")})"))
+    val manifestList = (snap \ "manifest-list") match {
+      case JString(p) => p
+      case _ => throw new UnsupportedIcebergFeatureException(
+        s"snapshot $snapId of $table uses inline 'manifests' (ancient " +
+          "pre-manifest-list layout) — not supported")
+    }
+    val files = Seq.newBuilder[IceFile]
+    avroRows(fs, new Path(manifestList)).foreach { mf =>
+      val content = fieldOpt(mf, "content")
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+      if (content != 0)
+        throw new UnsupportedIcebergFeatureException(
+          s"table $table carries a DELETE manifest (v2 merge-on-read) " +
+            "— serving it without applying deletes would resurrect " +
+            "deleted rows; compact the table first")
+      val mPath = mf.get("manifest_path").toString
+      avroRows(fs, new Path(mPath)).foreach { entry =>
+        val status = entry.get("status").asInstanceOf[Number].intValue
+        if (status != 2) { // 0 existing, 1 added — 2 deleted drops
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          fieldOpt(df, "content")
+            .map(_.asInstanceOf[Number].intValue).foreach { c =>
+              if (c != 0) throw new UnsupportedIcebergFeatureException(
+                s"table $table holds a delete file (content=$c) — v2 " +
+                  "merge-on-read deletes are not supported; compact first")
+            }
+          val fmt = df.get("file_format").toString
+          if (!fmt.equalsIgnoreCase("parquet"))
+            throw new UnsupportedIcebergFeatureException(
+              s"data file format $fmt in $table — only parquet is served")
+          files += IceFile(df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Number].longValue,
+            df.get("file_size_in_bytes").asInstanceOf[Number].longValue)
+        }
+      }
+    }
+    IceState(version, snapId, schema, files.result())
+  }
+
+  /** Newest `v<N>.metadata.json` — the version-hint is consulted first
+    * (the Hadoop-catalog fast path) but the listing wins if it is
+    * ahead (a crashed writer may have updated one and not the other). */
+  private def currentMetadataVersion(fs: FileSystem,
+                                     table: String): Option[Long] = {
+    val metaDir = new Path(table, "metadata")
+    val MetaRe = """v(\d+)\.metadata\.json""".r
+    val listed = fs.listStatus(metaDir).map(_.getPath.getName).collect {
+      case MetaRe(v) => v.toLong
+    }
+    listed.reduceOption(_ max _)
+  }
+
+  /** Field access tolerant of absent fields — GenericData.Record.get
+    * THROWS on a name outside the file's schema, and real Iceberg
+    * files differ by version in which optional fields they carry. */
+  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+
+  /** Every record of a self-describing avro file. */
+  private def avroRows(fs: FileSystem, p: Path): Seq[GenericRecord] = {
+    val in = fs.open(p)
+    try {
+      val stream = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try stream.iterator().asScala.toList
+      finally stream.close()
+    } finally scala.util.Try(in.close())
+  }
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  // ------------------------------------------------------- schema mapping
+
+  private[sources] def icebergSchemaToSpark(
+      schemaJson: org.json4s.JValue, table: String): StructType = {
+    import org.json4s._
+    def convert(t: JValue): DataType = t match {
+      case JString(s) => primitive(s)
+      case obj =>
+        (obj \ "type") match {
+          case JString("struct") =>
+            StructType((obj \ "fields") match {
+              case JArray(fs) => fs.map { f =>
+                val name = (f \ "name") match {
+                  case JString(n) => n
+                  case _ => throw new IllegalStateException(
+                    s"Iceberg schema field without name in $table")
+                }
+                val required = (f \ "required") == JBool(true)
+                StructField(name, convert(f \ "type"), nullable = !required)
+              }
+              case _ => Nil
+            })
+          case JString(other) =>
+            throw new UnsupportedIcebergFeatureException(
+              s"Iceberg $other column type in $table — only primitives " +
+                "and structs are supported by this reader")
+          case _ => throw new IllegalStateException(
+            s"unparseable Iceberg type $obj in $table")
+        }
+    }
+    def primitive(s: String): DataType = s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(',').map(_.trim.toInt)
+        DecimalType(p, sc)
+      case other => throw new UnsupportedIcebergFeatureException(
+        s"Iceberg primitive type '$other' in $table — not mapped")
+    }
+    convert(schemaJson) match {
+      case st: StructType => st
+      case other => throw new IllegalStateException(
+        s"Iceberg schema of $table is not a struct: $other")
+    }
+  }
+
+  private def sparkTypeToIceberg(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new UnsupportedIcebergFeatureException(
+      s"cannot write Spark type ${other.sql} as an Iceberg primitive")
+  }
+
+  private def icebergSchemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":${!f.nullable},""" +
+        s""""type":${jstr(sparkTypeToIceberg(f.dataType))}}"""
+    }.mkString("[", ",", "]")
+    s"""{"type":"struct","schema-id":0,"fields":$fields}"""
+  }
+
+  // --------------------------------------------------------------- write
+
+  private val ManifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]},"field-id":2}
+      |]}""".stripMargin.replace("\n", ""))
+
+  private val ManifestFileSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
+      |]}""".stripMargin.replace("\n", ""))
+
+  /** Write `df` as an Iceberg v1 commit (unpartitioned spec — Iceberg
+    * data files carry every column, so partitioning is purely a
+    * pruning optimization this writer does not emit). `overwrite`
+    * starts the snapshot's manifest list fresh; append carries the
+    * prior snapshot's manifests verbatim (O(new files) metadata). */
+  def write(df: DataFrame, table: String,
+            overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val prior =
+      if (fs.exists(metaDir) &&
+        currentMetadataVersion(fs, table).isDefined)
+        Some(state(spark, table, None))
+      else None
+    prior.foreach { p =>
+      if (!overwrite)
+        require(p.schema.fieldNames.sorted.sameElements(
+          df.schema.fieldNames.sorted),
+          s"append schema ${df.schema.fieldNames.mkString(",")} does not " +
+            s"match table schema ${p.schema.fieldNames.mkString(",")}")
+    }
+    // stage data files under data/
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val moved = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map { p =>
+        val dest = new Path(dataDir, p.getName)
+        if (!fs.rename(p, dest))
+          throw new IllegalStateException(s"failed to move $p to $dest")
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, conf))
+        val rows = try reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount.toLong).sum
+        finally reader.close()
+        IceFile(dest.toString, rows, fs.getFileStatus(dest).getLen)
+      }.toSeq
+    fs.delete(stage, true): Unit
+
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val uuid = java.util.UUID.randomUUID().toString
+    // the new manifest
+    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
+    fs.mkdirs(metaDir)
+    writeAvro(fs, manifestPath, ManifestEntrySchema,
+      Map("format-version" -> "1", "content" -> "data",
+        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "schema" -> icebergSchemaJson(df.schema)),
+      moved.map { f =>
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        val dfRec = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        dfRec.put("file_path", f.path)
+        dfRec.put("file_format", "PARQUET")
+        dfRec.put("partition", new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema()
+            .getField("partition").schema()))
+        dfRec.put("record_count", f.records)
+        dfRec.put("file_size_in_bytes", f.bytes)
+        e.put("data_file", dfRec)
+        e
+      })
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+    // the manifest list: prior manifests carried verbatim on append
+    val priorManifests: Seq[GenericRecord] =
+      if (overwrite) Nil
+      else prior.toSeq.flatMap { p =>
+        if (p.snapshotId == -1L) Nil
+        else {
+          val metaJson = org.json4s.jackson.JsonMethods.parse(readText(fs,
+            new Path(metaDir, s"v${p.metadataVersion}.metadata.json")))
+          import org.json4s._
+          val snaps = (metaJson \ "snapshots") match {
+            case JArray(xs) => xs
+            case _ => Nil
+          }
+          snaps.find(s => (s \ "snapshot-id") match {
+            case JInt(i) => i.toLong == p.snapshotId
+            case JLong(l) => l == p.snapshotId
+            case _ => false
+          }).toSeq.flatMap(s => (s \ "manifest-list") match {
+            case JString(ml) => avroRows(fs, new Path(ml))
+            case _ => Nil
+          })
+        }
+      }
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    val newEntry = {
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", manifestPath.toString)
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    }
+    // prior manifest-file rows re-encode under OUR list schema (their
+    // extra columns drop; the four this reader and writer agree on stay)
+    val carried = priorManifests.map { pm =>
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", pm.get("manifest_path").toString)
+      r.put("manifest_length",
+        pm.get("manifest_length").asInstanceOf[Number].longValue)
+      r.put("partition_spec_id", fieldOpt(pm, "partition_spec_id")
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0))
+      r.put("added_snapshot_id", fieldOpt(pm, "added_snapshot_id")
+        .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
+      r
+    }
+    writeAvro(fs, listPath, ManifestFileSchema,
+      Map("format-version" -> "1"), newEntry +: carried)
+
+    // next metadata json, rename-if-absent (the Hadoop-catalog commit).
+    // PRIOR snapshots carry forward verbatim — time travel addresses
+    // them until an expiry pass removes them, Iceberg's own retention
+    // model.
+    val nextVersion = prior.map(_.metadataVersion + 1).getOrElse(1L)
+    val now = System.currentTimeMillis()
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val priorSnapshotsJson: Seq[String] = prior.toSeq.flatMap { p =>
+      import org.json4s._
+      val metaJson = org.json4s.jackson.JsonMethods.parse(readText(fs,
+        new Path(metaDir, s"v${p.metadataVersion}.metadata.json")))
+      (metaJson \ "snapshots") match {
+        case JArray(xs) => xs.map(s =>
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(s)))
+        case _ => Nil
+      }
+    }
+    val newSnapshotJson =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
+        s""""summary":{"operation":${jstr(
+          if (overwrite) "overwrite" else "append")}},""" +
+        s""""manifest-list":${jstr(listPath.toString)},"schema-id":0}"""
+    val snapshotsJson =
+      (priorSnapshotsJson :+ newSnapshotJson).mkString("[", ",", "]")
+    val json =
+      s"""{"format-version":1,"table-uuid":${jstr(uuid)},
+         |"location":${jstr(root.toString)},"last-updated-ms":$now,
+         |"last-column-id":${df.schema.length},
+         |"schema":${icebergSchemaJson(df.schema)},
+         |"schemas":[${icebergSchemaJson(df.schema)}],
+         |"current-schema-id":0,
+         |"partition-spec":[],"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"properties":{},
+         |"current-snapshot-id":$snapshotId,
+         |"snapshots":$snapshotsJson,
+         |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapshotId}]
+         |}""".stripMargin.replace("\n", "")
+    val out = fs.create(metaTmp, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val published = !fs.exists(metaTarget) && fs.rename(metaTmp, metaTarget)
+    if (!published) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $table was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapshotId
+  }
+
+  private def writeAvro(fs: FileSystem, target: Path,
+                        schema: org.apache.avro.Schema,
+                        meta: Map[String, String],
+                        rows: Seq[GenericRecord]): Unit = {
+    val out = fs.create(target, false)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    writer.create(schema, out)
+    try rows.foreach(writer.append)
+    finally writer.close() // closes the stream
+  }
+
+  // --------------------------------------------------------- conversion
+
+  /** Metadata-only Iceberg → manifest-lake migration, in place: the
+    * live data files register as a manifest version (they carry every
+    * column, so no layout requirement at all — simpler than the Delta
+    * import), after which the native DML/stats/bloom surface applies
+    * with zero rewrite. Files outside the table root refuse by name
+    * (manifest entries are root-relative). */
+  def importToManifest(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val rootPath = root.toUri.getPath.stripSuffix("/") + "/"
+    val entries = st.files.sortBy(_.path).map { f =>
+      val p = new Path(f.path).toUri.getPath
+      require(p.startsWith(rootPath),
+        s"data file $p lives outside the table root $rootPath — " +
+          "a manifest entry must be root-relative; copy it in first")
+      ManifestLake.FileEntry(p.stripPrefix(rootPath),
+        rows = Some(f.records), bytes = Some(f.bytes))
+    }
+    ManifestLake.commitLog(fs, root, full = true,
+      adds = entries.map(_.line), removes = Nil,
+      prev = ManifestLake.currentVersion(spark, table),
+      schema = Some(st.schema))
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

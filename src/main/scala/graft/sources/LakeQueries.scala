@@ -713,6 +713,60 @@ object LakeQueries {
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total
       |FROM v1 GROUP BY o_orderpriority""".stripMargin
 
+  /** The shared Iceberg gate table: a v1 Hadoop-catalog table written
+    * by the pure-Spark writer — base orders + an appended shifted
+    * subset (second snapshot carrying the first's manifest verbatim).
+    * Memoized as `dir|firstSnapshotId` so ic1/ic2 build once. */
+  private def ic1Table(s: SparkSession, d: String): (String, Long) = {
+    val v = builtTables.computeIfAbsent(s"ic1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic1").toString + "/t"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+      val s0 = IcebergInterop.write(base, dir)
+      IcebergInterop.write(
+        base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+        dir)
+      s"$dir|$s0"
+    })
+    val Array(dir, s0) = v.split('|')
+    (dir, s0.toLong)
+  }
+
+  /** ic1_iceberg_roundtrip — Iceberg interop through the gate: the
+    * two-snapshot table (manifest-list → manifest → data-file replay,
+    * schema converted from the Iceberg JSON) read at head must equal
+    * DuckDB over the source parquet. Format conformance against
+    * hand-written v2-shaped foreign metadata is pinned in
+    * IcebergInteropSpec. */
+  def ic1IcebergRoundtrip(s: SparkSession, d: String): DataFrame =
+    IcebergInterop.read(s, ic1Table(s, d)._1)
+      .filter(col("o_orderpriority") === "1-URGENT")
+
+  val ic1Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+      |    o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT * FROM t WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** ic2_iceberg_time_travel — snapshot-addressed reads: the FIRST
+    * snapshot id serves the pre-append state exactly even though the
+    * current metadata's head includes the appended manifest. */
+  def ic2IcebergTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val (dir, s0) = ic1Table(s, d)
+    IcebergInterop.readSnapshot(s, dir, s0)
+  }
+
+  val ic2Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1435,6 +1489,8 @@ object LakeQueries {
     "dl3_convert_export" -> (dl3ConvertExport _),
     "dl4_delta_sql" -> (dl4DeltaSql _),
     "dls1_delta_stream" -> (dls1DeltaStream _),
+    "ic1_iceberg_roundtrip" -> (ic1IcebergRoundtrip _),
+    "ic2_iceberg_time_travel" -> (ic2IcebergTimeTravel _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1471,6 +1527,8 @@ object LakeQueries {
     "dl3_convert_export" -> dl3Oracle,
     "dl4_delta_sql" -> dl4Oracle,
     "dls1_delta_stream" -> dls1Oracle,
+    "ic1_iceberg_roundtrip" -> ic1Oracle,
+    "ic2_iceberg_time_travel" -> ic2Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

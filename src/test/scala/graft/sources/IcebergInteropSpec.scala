@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the Iceberg interop against the OPEN FORMAT: the foreign-table
+  * test hand-writes metadata JSON + avro manifests shaped like real
+  * Iceberg output — v2 extra fields (sequence numbers, value counts),
+  * EXISTING/DELETED entry statuses — and the reader must serve the
+  * right rows from the self-describing files alone. */
+class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-ice").toString + "/t"
+
+  private def writeText(table: String, rel: String, text: String): Unit = {
+    val p = new Path(table, rel)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("round-trip: write, read back exactly; append carries prior " +
+    "manifests (new snapshot, O(new files) metadata); overwrite resets; " +
+    "snapshot time travel works") {
+    import spark.implicits._
+    val t = fresh()
+    val base = (1 to 80).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val s0 = IcebergInterop.write(base, t)
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe (1L to 80L).toArray
+    val s1 = IcebergInterop.write(
+      Seq((81L, "p81")).toDF("id", "payload"), t)
+    IcebergInterop.read(spark, t).count() shouldBe 81L
+    // time travel to the first snapshot
+    IcebergInterop.readSnapshot(spark, t, s0).count() shouldBe 80L
+    IcebergInterop.readSnapshot(spark, t, s1).count() shouldBe 81L
+    // overwrite: fresh manifest list
+    IcebergInterop.write(Seq((999L, "x")).toDF("id", "payload"), t,
+      overwrite = true)
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect() shouldBe Array(999L)
+    // schema guard on append
+    intercept[IllegalArgumentException] {
+      IcebergInterop.write(Seq((1L, 2L)).toDF("id", "other"), t)
+    }.getMessage should include("does not match")
+  }
+
+  test("foreign table: hand-written v2-shaped metadata — extra avro " +
+    "fields, EXISTING and DELETED statuses — serves the right rows; " +
+    "unsupported shapes refuse by name") {
+    import spark.implicits._
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFile(rel: String, rows: Seq[(Long, String)]): (String, Long) = {
+      val stage = fresh()
+      rows.toDF("id", "payload").coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      (dest.toString, rows.length.toLong)
+    }
+    val (f1, n1) = dataFile("data/f1.parquet", Seq((1L, "a"), (2L, "b")))
+    val (f2, _) = dataFile("data/f2.parquet", Seq((3L, "c")))
+    val (f3, n3) = dataFile("data/f3.parquet", Seq((9L, "z")))
+    // a RICHER manifest-entry schema than the writer's: sequence
+    // numbers, content, value_counts — the v2 fields real files carry
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"rp","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"value_counts","type":["null",{"type":"map","values":"long"}],"default":null}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int","default":0},
+        |{"name":"sequence_number","type":"long","default":0},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    def entry(status: Int, path: String, n: Long): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", 77L)
+      e.put("sequence_number", 3L)
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(
+        entrySchema.getField("data_file").schema()
+          .getField("partition").schema()))
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", 1L)
+      e.put("data_file", d)
+      e
+    }
+    // f1 EXISTING (0), f2 DELETED (2), f3 ADDED (1)
+    val (mPath, mLen) = avro("metadata/m1.avro", entrySchema, Seq(
+      entry(0, f1, n1), entry(2, f2, 1L), entry(1, f3, n3)))
+    val mf = new GenericData.Record(listSchema)
+    mf.put("manifest_path", mPath)
+    mf.put("manifest_length", mLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", 3L)
+    mf.put("added_snapshot_id", 77L)
+    val (listPath, _) = avro("metadata/snap-77-1-x.avro", listSchema, Seq(mf))
+    writeText(t, "metadata/v5.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":1,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"payload","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$listPath","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "5")
+    val got = IcebergInterop.read(spark, t)
+    got.schema.fieldNames shouldBe Array("id", "payload")
+    // EXISTING + ADDED serve; DELETED does not
+    got.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L, 9L)
+    // a delete MANIFEST (content=1 in the list) refuses by name
+    val mfDel = new GenericData.Record(listSchema)
+    mfDel.put("manifest_path", mPath)
+    mfDel.put("manifest_length", mLen)
+    mfDel.put("partition_spec_id", 0)
+    mfDel.put("content", 1)
+    mfDel.put("sequence_number", 4L)
+    mfDel.put("added_snapshot_id", 78L)
+    val (listPath2, _) = avro("metadata/snap-78-1-x.avro", listSchema,
+      Seq(mf, mfDel))
+    writeText(t, "metadata/v6.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":2,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"payload","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":78,
+         |"snapshots":[
+         |{"snapshot-id":77,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$listPath","schema-id":0},
+         |{"snapshot-id":78,"timestamp-ms":2,
+         |"summary":{"operation":"delete"},
+         |"manifest-list":"$listPath2","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.read(spark, t)
+    }.getMessage should include("DELETE manifest")
+    // the PREVIOUS snapshot still serves via time travel
+    IcebergInterop.readSnapshot(spark, t, 77L).count() shouldBe 3L
+  }
+
+  test("unsupported schema/format shapes refuse by name: list columns, " +
+    "unknown primitives, future format versions") {
+    val t = fresh()
+    writeText(t, "metadata/v1.metadata.json",
+      s"""{"format-version":3,"schemas":[],"current-snapshot-id":-1}""")
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.state(spark, t, None)
+    }.getMessage should include("format-version 3")
+    val t2 = fresh()
+    writeText(t2, "metadata/v1.metadata.json",
+      s"""{"format-version":2,"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"tags","required":false,
+         |"type":{"type":"list","element-id":2,"element":"string",
+         |"element-required":false}}]}],
+         |"current-snapshot-id":-1}""".stripMargin.replace("\n", ""))
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.state(spark, t2, None)
+    }.getMessage should include("list")
+  }
+
+  test("Iceberg → manifest import is metadata-only and unlocks native " +
+    "DML on the same files") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1 to 50).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    IcebergInterop.importToManifest(spark, t) shouldBe 1L
+    ManifestLake.read(spark, t).count() shouldBe 50L
+    ManifestLake.delete(spark, t, col("id") === 7L)
+    ManifestLake.read(spark, t).count() shouldBe 49L
+    // the Iceberg view of the table is untouched by the manifest DML
+    IcebergInterop.read(spark, t).count() shouldBe 50L
+  }
+
+}
