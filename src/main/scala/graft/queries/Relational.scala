@@ -774,6 +774,105 @@ object Relational {
       |  GROUP BY c_custkey)
       |GROUP BY c_count""".stripMargin
 
+  /** q12_priority_by_status — TPC-H Q12 shape: the CASE-conditional
+    * double count over a fact⋈fact join (the driver testdata carries no
+    * `l_shipmode`/commit/receipt columns, so the grouping rides
+    * `l_linestatus` and the date window rides `l_shipdate`; the PLAN
+    * shape — Q12's point — is unchanged). Scale shape: the year
+    * predicate reaches the lineitem scan as a PushedFilter, both CASE
+    * counts fold into ONE partial aggregate map-side (`count(CASE)` not
+    * `sum(CASE)`, so both engines agree the surface is a plain BIGINT),
+    * and the single join shuffle carries only (orderkey, linestatus) vs
+    * (orderkey, priority) — two narrow columns each side. */
+  def q12PriorityByStatus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val highs = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"l_shipdate" < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select($"l_orderkey", $"l_linestatus")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        count(when($"o_orderpriority".isin(highs: _*), 1))
+          .as("high_line_count"),
+        count(when(!$"o_orderpriority".isin(highs: _*), 1))
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_linestatus,
+      |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS high_line_count,
+      |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q21_waiting_suppliers — TPC-H Q21 shape: the doubly-correlated
+    * EXISTS / NOT EXISTS form (\"the supplier who was the ONLY late one
+    * on a multi-supplier order\"), the hardest decorrelation in the
+    * suite — and the NOT EXISTS side carries its own join, so Catalyst
+    * must decorrelate a subquery that is not a bare filter. \"Late\"
+    * is `l_shipdate > o_orderdate + 75 days` (the testdata has no
+    * commit/receipt dates; the correlation structure — Q21's point — is
+    * identical). RewritePredicateSubquery turns both predicates into
+    * LEFT SEMI / LEFT ANTI joins on `l_orderkey`; all three lineitem
+    * scans reduce to (orderkey, suppkey[, shipdate]) before any
+    * shuffle, and the supplier dimension broadcasts. The numwait-DESC
+    * ordering tie-breaks on s_name so the row set is deterministic. */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("q21_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q21_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("q21_orders")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM q21_supplier s
+        |JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '75' DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM q21_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1
+        |    FROM q21_lineitem l3
+        |    JOIN q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL '75' DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  val q21Oracle: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1
+      |    FROM lineitem l3
+      |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 75 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
   /** q18_large_orders — TPC-H Q18 shape: the IN-over-grouped-HAVING
     * subquery, through the SQL surface (the one predicate-subquery form
     * q4/q22 don't cover: the subquery is itself an aggregate).
@@ -1189,8 +1288,10 @@ object Relational {
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q12_priority_by_status" -> (q12PriorityByStatus _),
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
@@ -1231,8 +1332,10 @@ object Relational {
     "q7_volume_shipping" -> q7Oracle,
     "q8_market_share" -> q8Oracle,
     "q10_returned_items" -> q10Oracle,
+    "q12_priority_by_status" -> q12Oracle,
     "q13_order_distribution" -> q13Oracle,
     "q18_large_orders" -> q18Oracle,
+    "q21_waiting_suppliers" -> q21Oracle,
     "q6_forecast_revenue" -> q6Oracle,
     "q15_top_supplier" -> q15Oracle,
     "q19_disjunctive_join" -> q19Oracle,

@@ -99,4 +99,28 @@ class RelationalSpec extends AnyFunSuite with Matchers with SparkSpec {
     dirty.filter($"v".isNull).count() shouldBe 1
     dirty.groupBy($"k").count().filter($"count" > 1).count() shouldBe 1
   }
+
+  test("q21 decorrelates both EXISTS forms to hash joins — no nested loop") {
+    // The doubly-correlated EXISTS / NOT EXISTS (the NOT EXISTS side
+    // carrying its own join) must become LeftSemi/LeftAnti HASH joins on
+    // l_orderkey. A BroadcastNestedLoopJoin or CartesianProduct here
+    // would mean the decorrelation failed and the query is O(n²) — the
+    // difference between a keyed shuffle and a scale disaster at 100 TB.
+    val df = Relational.q21WaitingSuppliers(spark, sf)
+    df.count() should be > 0L
+    val plan = df.queryExecution.executedPlan.toString
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+  }
+
+  test("q12 pushes the shipdate window into the lineitem scan") {
+    val df = Relational.q12PriorityByStatus(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "PushedFilters: \\[.*l_shipdate".r
+    // both CASE counts fold into one aggregate, not two plan branches
+    plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be <= 4
+  }
 }
