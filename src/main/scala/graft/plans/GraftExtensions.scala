@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft_delta.<name>) — same rewrite approach, read-only surface
     extensions.injectResolutionRule(spark =>
       new graft.sources.DeltaSql.DeltaSqlRule(spark))
+    // SQL reads + VERSION AS OF <snapshot-id> over Iceberg tables
+    // (graft_iceberg.<name>)
+    extensions.injectResolutionRule(spark =>
+      new graft.sources.IcebergSql.IcebergSqlRule(spark))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // DESCRIBE HISTORY on graft_lake tables) — a delegating parser, the
     // public Delta-connector idiom

@@ -39,10 +39,12 @@ import org.apache.spark.sql.types._
   *     rename-if-absent optimistic protocol the Hadoop catalog uses
   *     (`version-hint.text` updated after). Appends reference prior
   *     manifests verbatim — O(new files) metadata per commit.
-  *   - [[importToManifest]] is the metadata-only migration:
-  *     register the live files as a [[ManifestLake]] version in place
-  *     (they already hold every column), unlocking the native surface
-  *     with zero rewrite.
+  *   - [[importToManifest]] / [[exportFromManifest]] are the
+  *     metadata-only migrations, both directions zero-rewrite: import
+  *     registers the live files as a [[ManifestLake]] version in place
+  *     (they already hold every column), unlocking the native surface;
+  *     export publishes/re-syncs an Iceberg mirror referencing the
+  *     manifest's live files verbatim.
   */
 object IcebergInterop {
 
@@ -345,7 +347,21 @@ object IcebergInterop {
         IceFile(dest.toString, rows, fs.getFileStatus(dest).getLen)
       }.toSeq
     fs.delete(stage, true): Unit
+    publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
+      if (overwrite) "overwrite" else "append")
+  }
 
+  /** The shared commit tail of [[write]] and [[exportFromManifest]]:
+    * one manifest avro for `newFiles`, a manifest list (prior
+    * manifests carried verbatim unless `overwrite`), and the next
+    * `v<N>.metadata.json` published rename-if-absent. Prior snapshots
+    * stay addressable either way — expiry is a separate maintenance
+    * concern, Iceberg's own retention model. */
+  private def publishSnapshot(fs: FileSystem, root: Path,
+      schema: StructType, newFiles: Seq[IceFile],
+      prior: Option[IceState], overwrite: Boolean,
+      operation: String): Long = {
+    val metaDir = new Path(root, "metadata")
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
     val uuid = java.util.UUID.randomUUID().toString
@@ -355,8 +371,8 @@ object IcebergInterop {
     writeAvro(fs, manifestPath, ManifestEntrySchema,
       Map("format-version" -> "1", "content" -> "data",
         "partition-spec" -> "[]", "partition-spec-id" -> "0",
-        "schema" -> icebergSchemaJson(df.schema)),
-      moved.map { f =>
+        "schema" -> icebergSchemaJson(schema)),
+      newFiles.map { f =>
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
@@ -443,17 +459,16 @@ object IcebergInterop {
     }
     val newSnapshotJson =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
-        s""""summary":{"operation":${jstr(
-          if (overwrite) "overwrite" else "append")}},""" +
+        s""""summary":{"operation":${jstr(operation)}},""" +
         s""""manifest-list":${jstr(listPath.toString)},"schema-id":0}"""
     val snapshotsJson =
       (priorSnapshotsJson :+ newSnapshotJson).mkString("[", ",", "]")
     val json =
       s"""{"format-version":1,"table-uuid":${jstr(uuid)},
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
-         |"last-column-id":${df.schema.length},
-         |"schema":${icebergSchemaJson(df.schema)},
-         |"schemas":[${icebergSchemaJson(df.schema)}],
+         |"last-column-id":${schema.length},
+         |"schema":${icebergSchemaJson(schema)},
+         |"schemas":[${icebergSchemaJson(schema)}],
          |"current-schema-id":0,
          |"partition-spec":[],"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[]}],
@@ -469,7 +484,7 @@ object IcebergInterop {
     if (!published) {
       fs.delete(metaTmp, false)
       throw new ConcurrentIcebergCommitException(
-        s"metadata version $nextVersion of $table was committed " +
+        s"metadata version $nextVersion of $root was committed " +
           "concurrently — re-read the table and retry")
     }
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
@@ -492,6 +507,57 @@ object IcebergInterop {
   }
 
   // --------------------------------------------------------- conversion
+
+  /** Metadata-only manifest-lake → Iceberg export, in place: publish
+    * (or re-sync) an Iceberg mirror whose snapshot references the
+    * manifest's live files VERBATIM — zero data movement, the dl3
+    * contract with the roles reversed. Two named refusals keep the
+    * mirror honest: deletion-vector files (an Iceberg reader knows
+    * nothing of the sidecar and would resurrect deleted rows — run
+    * `REORG TABLE … APPLY (PURGE)` first), and Hive-partitioned
+    * layouts (their partition values live in the PATH, not the data
+    * files; Iceberg data files must carry every column, and
+    * reconstructing path values through an identity partition spec is
+    * exactly the metadata this jar-less writer does not emit). Each
+    * export publishes an overwrite-style snapshot of the full live
+    * set; earlier mirror snapshots stay addressable until expiry. */
+  def exportFromManifest(spark: SparkSession, table: String): Long = {
+    val snap = ManifestLake.snapshot(spark, table)
+    snap.entries.find(_.dv.nonEmpty).foreach(e =>
+      throw new UnsupportedIcebergFeatureException(
+        s"file ${e.path} carries a deletion vector — run REORG TABLE " +
+          "… APPLY (PURGE) before exporting to Iceberg, or the mirror " +
+          "would resurrect its deleted rows"))
+    snap.entries.find(e =>
+      ManifestLake.partitionValues(e.path).nonEmpty).foreach(e =>
+      throw new UnsupportedIcebergFeatureException(
+        s"file ${e.path} is Hive-partitioned — its partition values " +
+          "live in the path, not the data file, and this writer emits " +
+          "no partition spec to reconstruct them; export an " +
+          "unpartitioned table (CTAS one if needed)"))
+    val schema = snap.schema.getOrElse(ManifestLake.read(spark, table).schema)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = snap.entries.sortBy(_.path).map { e =>
+      val abs = new Path(root, e.path)
+      val rows = e.rows.getOrElse {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(abs, conf))
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally reader.close()
+      }
+      IceFile(abs.toString, rows,
+        e.bytes.getOrElse(fs.getFileStatus(abs).getLen))
+    }
+    val metaDir = new Path(root, "metadata")
+    val prior =
+      if (fs.exists(metaDir) && currentMetadataVersion(fs, table).isDefined)
+        Some(state(spark, table, None))
+      else None
+    publishSnapshot(fs, root, schema, files, prior, overwrite = true,
+      operation = "convert")
+  }
 
   /** Metadata-only Iceberg → manifest-lake migration, in place: the
     * live data files register as a manifest version (they carry every

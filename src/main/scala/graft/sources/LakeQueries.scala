@@ -767,6 +767,60 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
       |FROM orders""".stripMargin
 
+  /** ic3_convert_export — metadata-only manifest → Iceberg conversion
+    * through the gate (the dl3 contract with Iceberg as the target):
+    * an UNPARTITIONED manifest table takes native DML (copy-on-write
+    * delete), exports in place — the mirror snapshot references the
+    * live parquet verbatim, zero data movement (file identity pinned
+    * in IcebergInteropSpec) — and the ICEBERG read of the mirror must
+    * equal DuckDB filtering the original parquet. */
+  def ic3ConvertExport(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"ic3:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic3").toString + "/t"
+      ManifestLake.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority"),
+        dir)
+      ManifestLake.delete(s, dir, col("o_totalprice") < 50000.0)
+      IcebergInterop.exportFromManifest(s, dir)
+      dir
+    })
+    IcebergInterop.read(s, table)
+      .filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+  }
+
+  val ic3Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice >= 50000.0
+      |  AND o_orderpriority IN ('2-HIGH', '3-MEDIUM')""".stripMargin
+
+  /** ic4_iceberg_sql — the Iceberg SQL surface through the gate: a
+    * grouped aggregate with `VERSION AS OF <first-snapshot-id>` runs
+    * purely from `spark.sql` against the registered `graft_iceberg`
+    * name, resolving through the IcebergSqlRule rewrite onto the
+    * native parquet scan — and must serve the PRE-APPEND state from
+    * under the current head. Decimal-summed totals cast to DOUBLE keep
+    * the float surface hash-exact (the mv1 contract). */
+  def ic4IcebergSql(s: SparkSession, d: String): DataFrame = {
+    val (dir, s0) = ic1Table(s, d)
+    IcebergSql.register("ic4_orders", dir)
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+         |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+         |FROM graft_iceberg.ic4_orders VERSION AS OF $s0
+         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val ic4Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1491,6 +1545,8 @@ object LakeQueries {
     "dls1_delta_stream" -> (dls1DeltaStream _),
     "ic1_iceberg_roundtrip" -> (ic1IcebergRoundtrip _),
     "ic2_iceberg_time_travel" -> (ic2IcebergTimeTravel _),
+    "ic3_convert_export" -> (ic3ConvertExport _),
+    "ic4_iceberg_sql" -> (ic4IcebergSql _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1529,6 +1585,8 @@ object LakeQueries {
     "dls1_delta_stream" -> dls1Oracle,
     "ic1_iceberg_roundtrip" -> ic1Oracle,
     "ic2_iceberg_time_travel" -> ic2Oracle,
+    "ic3_convert_export" -> ic3Oracle,
+    "ic4_iceberg_sql" -> ic4Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

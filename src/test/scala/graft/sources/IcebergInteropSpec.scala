@@ -227,4 +227,105 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.read(spark, t).count() shouldBe 50L
   }
 
+  private def parquetCount(table: String): Int = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.toString.contains("/metadata/") &&
+        !f.getPath.toString.contains("_graft_manifest")) n += 1
+    }
+    n
+  }
+
+  test("manifest → Iceberg export is metadata-only and stays in sync: " +
+    "the mirror serves the same rows over the SAME files, and a " +
+    "re-export after manifest DML follows") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestLake.write(
+      (1 to 40).map(i => (i.toLong, i % 3, s"p$i")).toDF("id", "k", "payload"),
+      t)
+    val before = parquetCount(t)
+    IcebergInterop.exportFromManifest(spark, t)
+    parquetCount(t) shouldBe before // zero data movement
+    val viaIce = IcebergInterop.read(spark, t)
+      .select($"id", $"k", $"payload").as[(Long, Int, String)]
+      .collect().sorted
+    viaIce shouldBe ManifestLake.read(spark, t)
+      .select($"id", $"k", $"payload").as[(Long, Int, String)]
+      .collect().sorted
+    // the mirror references the manifest's own files verbatim
+    val root = new Path(t).toUri.getPath.stripSuffix("/") + "/"
+    val icePaths = IcebergInterop.state(spark, t, None).files
+      .map(f => new Path(f.path).toUri.getPath.stripPrefix(root)).toSet
+    icePaths shouldBe ManifestLake.snapshot(spark, t).files.toSet
+    // manifest evolves (append + delete), the re-export re-syncs and
+    // the PRIOR mirror snapshot stays addressable
+    val s0 = IcebergInterop.state(spark, t, None).snapshotId
+    ManifestLake.write(Seq((99L, 0, "new")).toDF("id", "k", "payload"),
+      t, append = true)
+    ManifestLake.delete(spark, t, col("id") <= 5L)
+    IcebergInterop.exportFromManifest(spark, t)
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe
+      ManifestLake.read(spark, t).select($"id").as[Long].collect().sorted
+    IcebergInterop.readSnapshot(spark, t, s0).count() shouldBe 40L
+  }
+
+  test("export refuses DV files and Hive-partitioned layouts by name; " +
+    "after REORG PURGE the DV case succeeds") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestLake.write(
+      (1 to 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t,
+      statsCol = Some("id"))
+    ManifestLake.deleteMor(spark, t, col("id") % 7 === 0)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.exportFromManifest(spark, t)
+    }.getMessage should include("PURGE")
+    ManifestLake.purgeDv(spark, t)
+    IcebergInterop.exportFromManifest(spark, t)
+    IcebergInterop.read(spark, t).count() shouldBe 26L
+    // partitioned layout: partition values live in the path, not the
+    // files — the export must refuse, not publish unreadable data
+    val tp = fresh()
+    ManifestLake.write(
+      (1 to 20).map(i => (i.toLong, i % 2, s"p$i")).toDF("id", "k", "payload"),
+      tp, partitionBy = Seq("k"))
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.exportFromManifest(spark, tp)
+    }.getMessage should include("Hive-partitioned")
+  }
+
+  test("graft_iceberg SQL: reads resolve to the native scan with " +
+    "pushdown; VERSION AS OF takes a snapshot id; TIMESTAMP AS OF and " +
+    "unknown names refuse by name") {
+    import spark.implicits._
+    val t = fresh()
+    val s0 = IcebergInterop.write(
+      (1 to 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    IcebergInterop.write(
+      Seq((101L, "p101")).toDF("id", "payload"), t)
+    IcebergSql.register("icesqlspec", t)
+    spark.sql("SELECT count(*) AS n FROM graft_iceberg.icesqlspec")
+      .as[Long].head() shouldBe 101L
+    spark.sql(
+      s"SELECT count(*) AS n FROM graft_iceberg.icesqlspec " +
+        s"VERSION AS OF $s0").as[Long].head() shouldBe 100L
+    spark.sql("SELECT id FROM graft_iceberg.icesqlspec WHERE id > 50")
+      .count() shouldBe 51L
+    val plan = spark.sql(
+      "SELECT id FROM graft_iceberg.icesqlspec WHERE id > 50")
+      .queryExecution.executedPlan.toString
+    plan should include regex "PushedFilters: \\[.*id".r
+    intercept[UnsupportedOperationException] {
+      spark.sql("SELECT * FROM graft_iceberg.icesqlspec TIMESTAMP AS OF " +
+        "'2024-01-01'").collect()
+    }.getMessage should include("snapshot id")
+  }
+
 }
