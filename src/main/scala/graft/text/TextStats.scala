@@ -340,6 +340,64 @@ object TextStats {
         col("n_w2"), col("pmi"))
   }
 
+  /** BM25 relevance ranking (Robertson & Walker 1994, the Lucene
+    * `+1`-idf form so every term contributes positively) for a FIXED
+    * query term set — the retrieval primitive curation and
+    * decontamination pipelines run against their corpus ("find the
+    * documents most like this benchmark prompt").
+    *
+    * Scale shape: per-document term frequencies come from ONE narrow
+    * map-only projection (array-filter counts inside the row — no
+    * explode, no corpus-wide inverted index, no shuffle of the
+    * corpus); the corpus statistics (N, Σdl, per-term document
+    * frequencies) are ONE single-row aggregate broadcast back; top-k
+    * is TakeOrderedAndProject. At 100 TB an ad-hoc query costs one
+    * map pass and a k-row result. A SERVING workload (many queries
+    * per second) wants lake-resident postings instead
+    * ([[graft.text.DedupIndex]]'s shape) — this is the scan-side
+    * primitive, not the index.
+    *
+    * Numeric contract: tf/dl/df/N are exact longs; avgdl is one IEEE
+    * division of exact values; each idf is a grid-rounded ln (the
+    * [[pmiBigrams]] trick); the per-term contributions sum in FIXED
+    * query order inside one projection and the final score
+    * grid-rounds — so an oracle re-deriving the identical operation
+    * sequence is hash-exact despite the transcendental. */
+  def bm25Rank(df: DataFrame, queryTerms: Seq[String], k: Int = 15,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("__t"))
+      .select(
+        col(idCol) +: size(col("__t")).cast("long").as("dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__t"), x => x === t)).cast("long")
+              .as(s"__tf$i")
+          }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sumdl") +:
+        queryTerms.indices.map(i =>
+          count(when(col(s"__tf$i") > 0, 1)).as(s"__df$i")): _*)
+    val joined = base.crossJoin(broadcast(stats))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val contribs = queryTerms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = round(log(
+        ((col("__n") - col(s"__df$i")).cast("double") + 0.5) /
+          (col(s"__df$i").cast("double") + 0.5) + 1.0), 6)
+      idf * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / avgdl))))
+    }
+    joined.select(col(idCol), col("dl"),
+        round(contribs.reduceLeft(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** C4-style line-quality filtering — the web-corpus cleaning rule
     * set: keep only lines with ≥ `minWords` words ending in terminal
     * punctuation, rebuild the document from survivors, and flag docs
@@ -897,7 +955,55 @@ object TextQueries {
       |JOIN uni u2 ON u2.w = w2, tot
       |WHERE n_pair >= 5""".stripMargin
 
+  /** bm1_bm25_topk — BM25 retrieval through the gate: the top-15
+    * documents for a fixed three-term query, DuckDB re-deriving the
+    * identical tf/df/idf/score sequence ([[TextStats.bm25Rank]]'s
+    * numeric contract) so the row is hash-exact despite the ln. */
+  def bm1Bm25TopK(s: SparkSession, d: String): DataFrame =
+    TextStats.bm25Rank(Tables.documents(s, d),
+      Seq("spark", "data", "query"))
+
+  val bm1Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+      |      AS t
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(t) AS dl,
+      |    len(list_filter(t, x -> x = 'spark')) AS tf0,
+      |    len(list_filter(t, x -> x = 'data')) AS tf1,
+      |    len(list_filter(t, x -> x = 'query')) AS tf2
+      |  FROM toks),
+      |stats AS (
+      |  SELECT count(*) AS n, sum(dl) AS sumdl,
+      |    count(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+      |    count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+      |    count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+      |  FROM base)
+      |SELECT doc_id, dl,
+      |  round(
+      |    round(ln((CAST(n - df0 AS DOUBLE) + 0.5)
+      |        / (CAST(df0 AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |          / (CAST(sumdl AS DOUBLE) / n)))))
+      |    + round(ln((CAST(n - df1 AS DOUBLE) + 0.5)
+      |        / (CAST(df1 AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |          / (CAST(sumdl AS DOUBLE) / n)))))
+      |    + round(ln((CAST(n - df2 AS DOUBLE) + 0.5)
+      |        / (CAST(df2 AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |          / (CAST(sumdl AS DOUBLE) / n))))), 6) AS score
+      |FROM base, stats
+      |ORDER BY score DESC, doc_id
+      |LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm1_bm25_topk" -> (bm1Bm25TopK _),
     "co1_pmi_collocations" -> (co1PmiCollocations _),
     "bp1_bpe_merges" -> (bp1BpeMerges _),
     "ds1_dsir_weights" -> (ds1DsirWeights _),
@@ -912,6 +1018,7 @@ object TextQueries {
     "tx7_line_filter" -> (tx7LineFilter _))
 
   val oracles: Map[String, String] = Map(
+    "bm1_bm25_topk" -> bm1Oracle,
     "co1_pmi_collocations" -> co1Oracle,
     "ds1_dsir_weights" -> ds1Oracle,
     "tx9_gopher_rules" -> tx9Oracle,

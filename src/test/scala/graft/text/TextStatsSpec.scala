@@ -277,4 +277,31 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     g.getAs[Double]("mean_word_len") shouldBe 28.0 / 6 +- 1e-12
     g.getAs[Long]("alpha_words") shouldBe 6L
   }
+
+  test("BM25: hand-computed scores on a toy corpus; rarer terms score " +
+    "higher, the absent term contributes nothing, top-k tie-breaks on id") {
+    import spark.implicits._
+    // 3 docs, query = (a, z): 'a' appears everywhere (df=3), 'z' only in
+    // doc 2 (df=1) — BM25 must rank doc 2 first on idf alone.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a z b z"),
+      (3L, "a a b c")).toDF("doc_id", "text")
+    val out = TextStats.bm25Rank(docs, Seq("a", "z"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(_._1).head shouldBe 2L
+    // hand computation: N=3, avgdl=4, dl=4 for all -> norm = 1.2
+    def idf(df: Long): Double =
+      math.rint(math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0) * 1e6) / 1e6
+    def w(tf: Long, idfV: Double): Double =
+      idfV * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 1.0)))
+    def grid(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (idfA, idfZ) = (idf(3), idf(1))
+    out.find(_._1 == 2L).get._3 shouldBe grid(w(1, idfA) + w(2, idfZ))
+    out.find(_._1 == 1L).get._3 shouldBe grid(w(1, idfA))
+    out.find(_._1 == 3L).get._3 shouldBe grid(w(2, idfA))
+    // doc 3 (tf_a=2) beats doc 1 (tf_a=1); both trail doc 2
+    out.map(_._1) shouldBe Array(2L, 3L, 1L)
+  }
 }
