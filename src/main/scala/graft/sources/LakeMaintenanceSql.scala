@@ -62,6 +62,10 @@ object LakeMaintenanceSql {
   private val CreateRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + Name +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val CloneRe =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+" + Name +
+      "\\s+SHALLOW\\s+CLONE\\s+" + Name +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
   private val DropRe =
     ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" + Name +
       "\\s*;?\\s*$").r
@@ -96,6 +100,9 @@ object LakeMaintenanceSql {
         Some(GraftDescribeHistoryCommand(resolve(name)))
       case RestoreRe(name, v) =>
         Some(GraftRestoreCommand(resolve(name), v.toLong))
+      case CloneRe(target, source, v) =>
+        Some(GraftShallowCloneCommand(target, resolve(source),
+          Option(v).map(_.toLong)))
       case CreateRe(replace, name, partCols, query) =>
         val parts = Option(partCols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -245,6 +252,34 @@ object LakeMaintenanceSql {
       }
       val v = ManifestLake.write(spark.sql(query), path, append = false,
         partitionBy = partitionBy)
+      LakeSql.register(name, path)
+      Seq(Row(name, path, v))
+    }
+  }
+
+  /** `CREATE TABLE graft_lake.t SHALLOW CLONE graft_lake.s
+    * [VERSION AS OF n]` — [[ManifestLake.shallowClone]]: the target
+    * lands under the session warehouse (the managed-table convention
+    * CTAS uses) and registers; the clone is a metadata commit
+    * referencing the source's live files in place. */
+  final case class GraftShallowCloneCommand(name: String, sourcePath: String,
+      version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (LakeSql.pathOf(name).nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft_lake.$name already exists — SHALLOW CLONE creates a " +
+            "new table; DROP TABLE it first to re-clone")
+      val wh = spark.conf.getOption(WarehouseConf).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE graft_lake.$name SHALLOW CLONE needs " +
+            s"$WarehouseConf set — managed lake tables land under the " +
+            "warehouse directory."))
+      val path = s"${wh.stripSuffix("/")}/$name"
+      val v = ManifestLake.shallowClone(spark, sourcePath, path, version)
       LakeSql.register(name, path)
       Seq(Row(name, path, v))
     }

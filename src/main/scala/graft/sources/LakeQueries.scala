@@ -1207,6 +1207,51 @@ object LakeQueries {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_acctbal > 5000.0""".stripMargin
 
+  /** lk21_shallow_clone — zero-copy branching through the gate: a
+    * customer lake table SHALLOW CLONEs purely in SQL (a metadata
+    * commit borrowing the source's files in place), the CLONE takes
+    * SQL DML (copy-on-write delete landing in the clone's own
+    * directory), and the gate reads the diverged clone — while
+    * `source_intact` pins, in-row, that the source still serves its
+    * original rows (the ownership contract; a violation empties the
+    * row set rather than shipping quietly). ShallowCloneSpec pins the
+    * physical side: zero copied files, vacuum root-scoping,
+    * refusals. */
+  def lk21ShallowClone(s: SparkSession, d: String): DataFrame = {
+    val tag = (d.hashCode & 0x7fffffff).toString
+    val dirs = builtTables.computeIfAbsent(s"lk21:$d", _ => {
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk21").toString + "/t"
+      ManifestLake.write(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+        src, statsCol = Some("c_custkey"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-lake-lk21wh").toString
+      LakeSql.register(s"lk21_src_$tag", src)
+      s.conf.set(LakeMaintenanceSql.WarehouseConf, wh)
+      try {
+        s.sql(s"CREATE TABLE graft_lake.lk21_clone_$tag SHALLOW CLONE " +
+          s"graft_lake.lk21_src_$tag").collect()
+        s.sql(s"DELETE FROM graft_lake.lk21_clone_$tag " +
+          "WHERE c_acctbal < 0.0").collect()
+      } finally s.conf.unset(LakeMaintenanceSql.WarehouseConf)
+      s"$src|$wh/lk21_clone_$tag"
+    })
+    val Array(src, clone) = dirs.split('|')
+    val intact = ManifestLake.read(s, src).count() ==
+      Tables.customer(s, d).count()
+    ManifestLake.read(s, clone)
+      .withColumn("source_intact", lit(intact))
+      .filter(col("source_intact"))
+  }
+
+  val lk21Oracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |  TRUE AS source_intact
+      |FROM customer
+      |WHERE c_acctbal >= 0.0""".stripMargin
+
   /** lk15_sql_merge_sync — the full-sync CDC MIRROR in one SQL MERGE
     * (round-8 verdict "What's missing #1"): `WHEN NOT MATCHED BY
     * SOURCE THEN DELETE` makes the in-scope slice of the target equal
@@ -1553,6 +1598,7 @@ object LakeQueries {
     "lk15_sql_merge_sync" -> (lk15SqlMergeSync _),
     "dv3_reorg_purge" -> (dv3ReorgPurge _),
     "lk14_ctas" -> (lk14Ctas _),
+    "lk21_shallow_clone" -> (lk21ShallowClone _),
     "dv2_mor_update" -> (dv2MorUpdate _),
     "lk13_stats_agg" -> (lk13StatsAgg _),
     "dv1_mor_delete" -> (dv1MorDelete _),
@@ -1593,6 +1639,7 @@ object LakeQueries {
     "lk15_sql_merge_sync" -> lk15Oracle,
     "dv3_reorg_purge" -> dv3Oracle,
     "lk14_ctas" -> lk14Oracle,
+    "lk21_shallow_clone" -> lk21Oracle,
     "dv2_mor_update" -> dv2Oracle,
     "lk13_stats_agg" -> lk13Oracle,
     "dv1_mor_delete" -> dv1Oracle,

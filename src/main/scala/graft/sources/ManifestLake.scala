@@ -796,8 +796,16 @@ object ManifestLake {
                       schema: Option[StructType],
                       keep: Seq[String]): DataFrame = {
     val base = new Path(table)
-    val reader = schema.foldLeft(
-      spark.read.option("basePath", table))((r, sc) => r.schema(sc))
+    // A shallow clone's borrowed entries (`../…`, [[shallowClone]])
+    // resolve OUTSIDE the table root, where `basePath` would refuse
+    // the scan. basePath exists only to reconstruct Hive partition
+    // columns, and clones of partitioned sources are refused at
+    // creation — so an escaping entry set simply reads without it.
+    val escapes = keep.exists(_.startsWith("../"))
+    val reader0 =
+      if (escapes) spark.read
+      else spark.read.option("basePath", table)
+    val reader = schema.foldLeft(reader0)((r, sc) => r.schema(sc))
     reader.parquet(keep.map(f => new Path(base, f).toString): _*)
   }
 
@@ -4670,6 +4678,79 @@ object ManifestLake {
     * RETAINED version is checkpointed if it wasn't already: with a
     * delta-record log, resolving a retained version must never need to
     * walk into the dropped range. */
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
+    * `target` becomes a NEW manifest table whose version-1 entries
+    * reference the source snapshot's live files IN PLACE, relative
+    * paths traversing from the clone's root (`../…`). At 100 TB this
+    * is the dev/test/branching primitive — a full table copy costs a
+    * metadata commit, after which the clone takes the entire native
+    * DML surface: rewrites land in the CLONE's directory and the
+    * borrowed entry is dropped from the clone's manifest only — the
+    * source never observes the clone.
+    *
+    * Ownership contract: the clone BORROWS, never owns. Physical
+    * deletion in this lake is listing-scoped ([[vacuumPlan]] only
+    * enumerates files under its own root), so no clone maintenance
+    * can ever delete a source file — by construction, not by guard.
+    * The converse hazard is Delta's too: a `VACUUM`/`REORG` on the
+    * SOURCE that drops a version the clone still references breaks
+    * the clone. Keep source retention ≥ clone lifetime.
+    *
+    * Refusals, each by name: an existing target (CLONE creates, never
+    * overwrites); a different source/target filesystem (a relative
+    * traversal cannot cross schemes — copy instead); Hive-partitioned
+    * sources (partition values live in path segments `basePath` must
+    * reconstruct, and borrowed entries escape basePath); entries
+    * carrying deletion vectors (`REORG … APPLY (PURGE)` first).
+    * Recorded per-entry stats (numeric + string ranges, rows, bytes)
+    * carry verbatim — skipping works on the clone immediately; CHECK
+    * constraints carry; bloom configuration does NOT (bloom sidecars
+    * are root-relative in the source — blooms re-establish as the
+    * clone rewrites files). `version` clones a time-travel state. */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+                   version: Option[Long] = None): Long = {
+    val snap = snapshot(spark, source, version)
+    val (sfs, sp) = fsFor(spark, source)
+    val (tfs, tp) = fsFor(spark, target)
+    requireCommitScheme(target, tfs)
+    require(currentVersion(spark, target).isEmpty,
+      s"shallow clone target $target already exists — CLONE creates a " +
+        "new table; drop it first to re-clone")
+    val sq = sfs.makeQualified(sp).toUri
+    val tq = tfs.makeQualified(tp).toUri
+    require(sq.getScheme == tq.getScheme &&
+      java.util.Objects.equals(sq.getAuthority, tq.getAuthority),
+      s"shallow clone cannot cross filesystems ($sq vs $tq) — a " +
+        "relative reference cannot traverse schemes; copy the data " +
+        "instead")
+    snap.entries.find(_.dv.nonEmpty).foreach(e =>
+      throw new IllegalArgumentException(
+        s"source file ${e.path} carries a deletion vector — run REORG " +
+          "TABLE … APPLY (PURGE) on the source before cloning (the " +
+          "clone's sidecar references would resolve against the wrong " +
+          "root)"))
+    snap.entries.find(e => partitionValues(e.path).nonEmpty).foreach(e =>
+      throw new IllegalArgumentException(
+        s"source file ${e.path} is Hive-partitioned — partition values " +
+          "live in path segments the clone's scan cannot reconstruct " +
+          "for out-of-root entries; clone an unpartitioned table (CTAS " +
+          "one if needed)"))
+    // the relative traversal from the clone root to the source root
+    def segs(u: java.net.URI): List[String] =
+      u.getPath.split('/').filter(_.nonEmpty).toList
+    val (s0, t0) = (segs(sq), segs(tq))
+    val common = s0.zip(t0).takeWhile { case (a, b) => a == b }.length
+    val rel = (List.fill(t0.length - common)("..") ++
+      s0.drop(common)).mkString("/")
+    require(rel.nonEmpty && rel != ".",
+      s"shallow clone target equals the source root $sq")
+    val entries = snap.entries.map(e => e.copy(path = s"$rel/${e.path}"))
+    val schema = snap.schema.orElse(
+      Some(read(spark, source, version).schema))
+    commitLog(tfs, tp, full = true, adds = entries.map(_.line),
+      removes = Nil, prev = None, schema = schema, checks = snap.checks)
+  }
+
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
     val (fs, p) = fsFor(spark, table)
     val plan = vacuumPlan(spark, table, keepLast)
