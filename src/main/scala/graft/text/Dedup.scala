@@ -454,6 +454,92 @@ object Dedup {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** PassJoin-style distributed EDIT-DISTANCE similarity join (Li,
+    * Deng & Feng, "PASS-JOIN: a partition-based method for similarity
+    * joins", VLDB 2011 — public paper): every pair of documents whose
+    * normalized key strings (`lower`, first `prefixLen` chars) are
+    * within Levenshtein distance `k`, found EXACTLY and WITHOUT the
+    * all-pairs product. The pigeonhole blocking: partition each string
+    * of length m into k+1 contiguous segments; if ed(a, b) ≤ k with
+    * |a| = m ≤ |b|, then b contains SOME segment of a verbatim, its
+    * start shifted by at most k (≤ k edits can displace any position
+    * by at most k) — so the index side emits its k+1 segments keyed
+    * (m, i, seg), the probe side emits the substrings at every
+    * in-window position for every candidate shorter length
+    * m ∈ [n−k, n], and a hash join on the key finds every candidate
+    * pair; native `levenshtein` verifies. Completeness is exact — the
+    * oracle brute-forces the cross product and must agree pair for
+    * pair.
+    *
+    * Scale shape: O(k²)-ish keys per row on each side ((k+1) segments;
+    * (k+1)·(k+1)·(2k+1) probe substrings — 45 at k=2), ONE key shuffle,
+    * verification bounded by true candidates. The position-and-length
+    * context (m, i) in the key keeps common substrings from colliding
+    * across unrelated alignments — residual hot keys (a boilerplate
+    * segment shared by millions) would bound-cap like [[capBuckets]];
+    * at gate scale the join stays exact-complete as the oracle
+    * demands. Strings shorter than k+1 chars cannot be segmented and
+    * are dropped (with `prefixLen` ≥ 16 that is a degenerate-document
+    * edge, not a data path). */
+  def editDistanceJoin(df: DataFrame, k: Int = 2, prefixLen: Int = 32,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1 && prefixLen > k,
+      s"editDistanceJoin needs k >= 1 and prefixLen > k (got $k, $prefixLen)")
+    val q = k + 1
+    def flo(m: Column): Column = (m / lit(q)).cast("int")
+    def rem(m: Column): Column = m % lit(q)
+    // even partition: the first (m mod q) segments take the extra char
+    def segLen(m: Column, i: Column): Column =
+      flo(m) + when(i < rem(m), 1).otherwise(0)
+    def segStart(m: Column, i: Column): Column =
+      i * flo(m) + least(i, rem(m))
+    val base = graft.core.TransientCache.persist(
+      df.select(col(idCol).as("id"),
+          substring(lower(col(textCol)), 1, prefixLen).as("s"))
+        .withColumn("len", length(col("s")))
+        .filter(col("len") > k))
+    val index = base.select(col("id").as("ida"), col("s").as("sa"),
+        col("len"))
+      .select(col("ida"), col("sa"), col("len").as("m"),
+        explode(transform(sequence(lit(0), lit(k)), i =>
+          struct(i.as("i"),
+            col("sa").substr(segStart(col("len"), i) + 1,
+              segLen(col("len"), i)).as("seg")))).as("e"))
+      .select(col("ida"), col("sa"), col("m"),
+        col("e.i").as("i"), col("e.seg").as("seg"))
+    val n = col("len")
+    val probeKeys = flatten(transform(
+      sequence(greatest(lit(q), n - lit(k)), n), m =>
+        flatten(transform(sequence(lit(0), lit(k)), i => {
+          val sl = segLen(m, i)
+          val lo = greatest(lit(0), segStart(m, i) - lit(k))
+          val hi = least(segStart(m, i) + lit(k), n - sl)
+          transform(
+            when(lo <= hi, sequence(lo, hi))
+              .otherwise(array().cast("array<int>")),
+            p => struct(m.as("m"), i.as("i"),
+              col("sb").substr(p + 1, sl).as("seg")))
+        }))))
+    val probe = base.select(col("id").as("idb"), col("s").as("sb"),
+        col("len"))
+      .select(col("idb"), col("sb"), explode(probeKeys).as("e"))
+      .select(col("idb"), col("sb"),
+        col("e.m").as("m"), col("e.i").as("i"), col("e.seg").as("seg"))
+    index.join(probe, Seq("m", "i", "seg"))
+      .filter(col("ida") =!= col("idb"))
+      .select(when(col("ida") < col("idb"),
+          struct(col("ida").as("id_a"), col("sa").as("s_a"),
+            col("idb").as("id_b"), col("sb").as("s_b")))
+        .otherwise(
+          struct(col("idb").as("id_a"), col("sb").as("s_a"),
+            col("ida").as("id_b"), col("sa").as("s_b"))).as("p"))
+      .select("p.*").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** The declarative reference form of [[blockedNgramJaccard]] (string
     * shingle arrays + array_intersect/array_union) — kept as the
     * independently-derived semantics the native kernel is pinned against. */

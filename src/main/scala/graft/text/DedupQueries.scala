@@ -457,7 +457,29 @@ object DedupQueries {
       |  c.n_paras, COALESCE(r.n_kept, 0) AS n_kept
       |FROM counts c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""".stripMargin
 
+  /** dd12 — the PassJoin edit-distance similarity join through the
+    * gate: every document pair whose 32-char normalized prefix is
+    * within Levenshtein distance 2, found by exact-complete segment
+    * blocking ([[Dedup.editDistanceJoin]]) — and the oracle BRUTE
+    * FORCES the full cross product in DuckDB, so any pair the
+    * blocking misses (or invents) is a hash mismatch. The strongest
+    * possible check of a blocking scheme: the gate compares a
+    * never-all-pairs plan against the all-pairs ground truth. */
+  def dd12EditDistanceJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistanceJoin(Tables.documents(s, d))
+
+  val dd12Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, substr(lower(text), 1, 32) AS s
+      |  FROM documents
+      |  WHERE length(substr(lower(text), 1, 32)) > 2)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  levenshtein(a.s, b.s) AS dist
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_edit_distance_join" -> (dd12EditDistanceJoin _),
     "dd10_paragraph_dedup" -> (dd10ParagraphDedup _),
     "dd9_incremental_dedup" -> (dd9IncrementalDedup _),
     "sq1_sql_dedup_chain" -> (sq1SqlDedupChain _),
@@ -472,6 +494,7 @@ object DedupQueries {
     "dd7_dedup_clusters" -> (dd7DedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "dd12_edit_distance_join" -> dd12Oracle,
     "dd10_paragraph_dedup" -> dd10Oracle,
     "dd9_incremental_dedup" -> dd9Oracle,
     "sq1_sql_dedup_chain" -> sq1Oracle,

@@ -168,4 +168,42 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     // doc 2: both paragraphs first appeared in doc 1 — nothing left
     out(1) shouldBe ((2L, "", 2L, 0L))
   }
+
+  test("edit-distance join: planted pairs at distance 0/1/2 found, " +
+    "distance-3 excluded, equals in-test brute force, no cartesian") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over it"),   // dist 0 to 1
+      (3L, "the quick brown fox bumps over it"),   // dist 1
+      (4L, "tho quick brewn fox jumps over it"),   // dist 2
+      (5L, "xyz quick brown fox jumps over it"),   // dist 3 (excluded vs 1)
+      (6L, "completely different text entirely"),
+      (7L, "zz"))                                   // shorter than k+1: dropped
+      .toDF("doc_id", "text")
+    val df = Dedup.editDistanceJoin(docs, k = 2, prefixLen = 32)
+    val got = df.as[(Long, Long, Long)].collect().toSet
+    // in-test brute force over the same normalization
+    def norm(t: String) = t.toLowerCase.take(32)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = docs.as[(Long, String)].collect().filter(_._2.length > 2)
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      dist = lev(norm(ta), norm(tb)) if dist <= 2
+    } yield (ia, ib, dist.toLong)).toSet
+    got shouldBe want
+    got.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (1L, 3L), (1L, 4L))
+    (got.map(p => (p._1, p._2)) should not).contain((1L, 5L))
+    // the plan is a keyed hash join on segments — never a cross product
+    val plan = df.queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
 }
