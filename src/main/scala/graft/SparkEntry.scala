@@ -29,6 +29,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.queries ++
       graft.text.CurationQueries.queries ++
       graft.operators.TemporalQueries.queries ++
+      graft.operators.GraphQueries.queries ++
       graft.ml.MlQueries.queries ++
       graft.text.CorpusQueries.queries ++
       graft.sources.LakeQueries.queries
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracles ++
       graft.text.CurationQueries.oracles ++
       graft.operators.TemporalQueries.oracles ++
+      graft.operators.GraphQueries.oracles ++
       graft.ml.MlQueries.oracles ++
       graft.text.CorpusQueries.oracles ++
       graft.sources.LakeQueries.oracles

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.exact
+
+/** Iterative graph analytics over edge DataFrames — the family member
+  * beyond [[graft.text.Dedup.connectedComponents]]'s HashMin. The
+  * operators are plain keyed joins + aggregates, so Catalyst plans each
+  * superstep like any relational stage (AQE included) — no specialized
+  * graph runtime, which is exactly what keeps them composable with the
+  * rest of the engine at 100 TB.
+  */
+object Graph {
+
+  /** Distributed PageRank (Page, Brin, Motwani & Winograd 1999) with
+    * `iterations` fixed power-iteration steps and damping `d`:
+    * `r'(v) = (1 - d) + d · Σ_{u→v} r(u) / outdeg(u)`.
+    *
+    * `edges` is a directed (src, dst) DataFrame; every node must
+    * appear as a `src` at least once (no dangling nodes — callers with
+    * one-directional data add reverse edges or a self-loop policy
+    * first; dangling-mass redistribution is a modeling choice this
+    * operator refuses to make silently).
+    *
+    * Scale shape: ONE keyed join (contributions) + ONE aggregate
+    * (inbound sum) + one left join back to the node set per
+    * superstep — all on the same key space, so a 1000-executor run
+    * wants the edge table bucketed by `src` once and reused every
+    * iteration (edges and degrees are persisted here; rank is
+    * re-persisted per step to keep the plan O(1)-deep instead of
+    * O(iterations)-deep).
+    *
+    * Numeric contract ([[exact.decSum]]'s): each contribution
+    * `r(u)/outdeg(u)` is one IEEE division grid-cast to
+    * DECIMAL(27,9); the inbound sum is decimal-exact (associative —
+    * partitioning cannot move it); the damping step is two fixed
+    * double ops. Identical inputs therefore produce BIT-IDENTICAL
+    * ranks on any partitioning, and an oracle replaying the same
+    * sequence agrees hash-exactly — the property a metric must have
+    * before anyone tunes on it. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val e = graft.core.TransientCache.persist(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = graft.core.TransientCache.persist(e.join(deg, Seq("src")))
+    val nodes = graft.core.TransientCache.persist(
+      e.select(col("src").as("node")).distinct())
+    var rank = nodes.withColumn("r", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = ed.join(rank, ed("src") === rank("node"))
+        .select(col("dst"), (col("r") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(exact.decSum(col("c"), 9).as("s"))
+      rank = graft.core.TransientCache.persist(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("r")))
+    }
+    rank
+  }
+}
+
+/** Correctness-gate entries for the graph family. */
+object GraphQueries {
+
+  /** pr1_pagerank — exact PageRank through the gate: the supplier ⇄
+    * customer trade graph (distinct (l_suppkey, o_custkey) pairs via
+    * orders, both directions so no node dangles), five power
+    * iterations, and DuckDB re-derives the IDENTICAL grid-decimal
+    * sequence through five unrolled CTEs — an iterative algorithm
+    * held to a hash-exact oracle. */
+  def pr1PageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("sk"), col("o_custkey").as("ck")).distinct()
+    val edges = pairs
+      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    Graph.pageRank(edges, iterations = 5)
+      .filter(col("node") % 2 === 0)
+      .select((col("node") / 2).cast("long").as("s_suppkey"),
+        round(col("r"), 9).as("rank"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val pr1Oracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    0.15 + 0.85 * COALESCE(CAST(SUM(CAST(p.r / e.outdeg
+         |      AS DECIMAL(27,9))) AS DOUBLE), 0.0) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT ed.src, ed.dst, dg.outdeg
+         |             FROM edges ed JOIN deg dg ON dg.src = ed.src) e
+         |    ON e.dst = n.node
+         |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT ck * 2 + 1, sk * 2 FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+       |$iters
+       |SELECT CAST(node / 2 AS BIGINT) AS s_suppkey,
+       |  round(r, 9) AS rank
+       |FROM pr5
+       |WHERE node % 2 = 0
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr1_pagerank" -> (pr1PageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "pr1_pagerank" -> pr1Oracle)
+}
