@@ -304,4 +304,22 @@ class TextStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // doc 3 (tf_a=2) beats doc 1 (tf_a=1); both trail doc 2
     out.map(_._1) shouldBe Array(2L, 3L, 1L)
   }
+
+  test("BM25 index serving equals corpus scanning BIT FOR BIT, " +
+    "zero-score docs included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha beta"),
+      (3L, "epsilon zeta eta"),          // zero-score for this query
+      (4L, "beta beta beta gamma")).toDF("doc_id", "text")
+    val scan = TextStats.bm25Rank(docs, Seq("alpha", "gamma"), k = 4)
+      .as[(Long, Long, Double)].collect()
+    val (postings, dl) = TextStats.bm25IndexBuild(docs)
+    val served = TextStats.bm25IndexRank(dl,
+        t => postings.filter($"term" === t), Seq("alpha", "gamma"), k = 4)
+      .as[(Long, Long, Double)].collect()
+    served shouldBe scan // exact equality, not tolerance
+    served.map(_._1) should contain(3L) // the zero-score doc is ranked
+  }
 }
