@@ -508,6 +508,121 @@ object IcebergInterop {
 
   // --------------------------------------------------------- conversion
 
+  /** Iceberg's retention maintenance (`expireSnapshots`): drop every
+    * snapshot but the newest `keepLast`, publish the pruned metadata
+    * as the next version, and physically delete what only the dropped
+    * snapshots referenced — their manifest lists, their manifests, and
+    * their data files. Returns the number of data files deleted.
+    *
+    * Ownership discipline (the [[ManifestLake.vacuum]] rule, applied
+    * to the Iceberg side): data files are deleted ONLY under the
+    * writer's own `data/` directory. A mirror published by
+    * [[exportFromManifest]] references the manifest table's files
+    * in place — outside `data/` — and expiring mirror snapshots must
+    * never reach into what the manifest table owns; those entries are
+    * dropped from metadata and left on disk for the owner's VACUUM.
+    * (The converse composition — a manifest VACUUM collecting `data/`
+    * files an old Iceberg-only snapshot still references after
+    * [[importToManifest]] — is the shared-files caveat every
+    * cross-format conversion carries: retention on one format must be
+    * ≥ the other's reader horizon.) */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val snaps = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    if (snaps.length <= keepLast) return 0
+    def snapId(s: JValue): Long = (s \ "snapshot-id") match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case _ => -1L
+    }
+    val (drop, keep) = snaps.splitAt(snaps.length - keepLast)
+    // liveness walk: manifest lists + manifests + data files of the
+    // RETAINED snapshots — anything a retained snapshot can reach must
+    // survive, shared manifests included (appends carry them verbatim)
+    def reach(ss: Seq[JValue]): (Set[String], Set[String], Set[String]) = {
+      val lists = Set.newBuilder[String]
+      val manifests = Set.newBuilder[String]
+      val data = Set.newBuilder[String]
+      ss.foreach { s =>
+        (s \ "manifest-list") match {
+          case JString(ml) =>
+            lists += ml
+            avroRows(fs, new Path(ml)).foreach { mf =>
+              val mPath = mf.get("manifest_path").toString
+              manifests += mPath
+              avroRows(fs, new Path(mPath)).foreach { entry =>
+                if (entry.get("status").asInstanceOf[Number].intValue != 2)
+                  data += entry.get("data_file")
+                    .asInstanceOf[GenericRecord].get("file_path").toString
+              }
+            }
+          case _ => ()
+        }
+      }
+      (lists.result(), manifests.result(), data.result())
+    }
+    val (keepLists, keepManifests, keepData) = reach(keep)
+    val (dropLists, dropManifests, dropData) = reach(drop)
+    // publish the pruned metadata FIRST (rename-if-absent): a reader
+    // racing the deletes resolves either the old version (files still
+    // present) or the new one (no dropped references)
+    val keptIds = keep.map(snapId).toSet
+    val newAst = metaJson.transformField {
+      case JField("snapshots", _) =>
+        JField("snapshots", JArray(keep.toList))
+      case JField("snapshot-log", JArray(xs)) =>
+        JField("snapshot-log", JArray(xs.filter(e =>
+          (e \ "snapshot-id") match {
+            case JInt(i) => keptIds(i.toLong)
+            case JLong(l) => keptIds(l)
+            case _ => false
+          })))
+    }
+    val newJson = JsonMethods.compact(JsonMethods.render(newAst))
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(newJson.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!(!fs.exists(metaTarget) && fs.rename(metaTmp, metaTarget))) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry the expiry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    // physical deletes: only what NO retained snapshot reaches, and
+    // data only under the writer-owned data/ directory
+    (dropLists -- keepLists).foreach(p =>
+      fs.delete(new Path(p), false): Unit)
+    (dropManifests -- keepManifests).foreach(p =>
+      fs.delete(new Path(p), false): Unit)
+    val dataDirPath = fs.makeQualified(new Path(root, "data")).toUri.getPath
+      .stripSuffix("/") + "/"
+    val deadData = (dropData -- keepData).filter(p =>
+      new Path(p).toUri.getPath.startsWith(dataDirPath))
+    deadData.foreach(p => fs.delete(new Path(p), false): Unit)
+    deadData.size
+  }
+
   /** Metadata-only manifest-lake → Iceberg export, in place: publish
     * (or re-sync) an Iceberg mirror whose snapshot references the
     * manifest's live files VERBATIM — zero data movement, the dl3

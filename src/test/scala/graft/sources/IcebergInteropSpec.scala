@@ -328,4 +328,43 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("snapshot id")
   }
 
+  test("expireSnapshots drops old snapshots and their exclusive files, " +
+    "keeps the head readable, refuses expired time travel — and never " +
+    "touches a mirror's borrowed files outside data/") {
+    import spark.implicits._
+    val t = fresh()
+    val s0 = IcebergInterop.write(
+      (1 to 40).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    IcebergInterop.write(
+      (100 to 120).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t,
+      overwrite = true)
+    IcebergInterop.write(Seq((121L, "x")).toDF("id", "payload"), t)
+    val before = parquetCount(t)
+    val deleted = IcebergInterop.expireSnapshots(spark, t, keepLast = 2)
+    deleted should be > 0 // snapshot 0's overwritten files died
+    parquetCount(t) shouldBe (before - deleted)
+    // head + the retained prior snapshot still serve
+    IcebergInterop.read(spark, t).count() shouldBe 22L
+    // the dropped snapshot is no longer addressable, by name
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readSnapshot(spark, t, s0).collect()
+    }.getMessage should include("not found")
+    // idempotent-ish: nothing left to expire at the same retention
+    IcebergInterop.expireSnapshots(spark, t, keepLast = 2) shouldBe 0
+    // a manifest-table mirror: expire may prune mirror METADATA but
+    // must never delete the manifest table's data files (they live
+    // outside the writer-owned data/ dir)
+    val m = fresh()
+    ManifestLake.write(
+      (1 to 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), m)
+    IcebergInterop.exportFromManifest(spark, m)
+    ManifestLake.delete(spark, m, col("id") <= 5L)
+    IcebergInterop.exportFromManifest(spark, m) // second mirror snapshot
+    val manifestFiles = parquetCount(m)
+    IcebergInterop.expireSnapshots(spark, m, keepLast = 1) shouldBe 0
+    parquetCount(m) shouldBe manifestFiles
+    IcebergInterop.read(spark, m).count() shouldBe 25L
+    ManifestLake.read(spark, m).count() shouldBe 25L
+  }
+
 }
