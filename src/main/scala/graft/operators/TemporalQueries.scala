@@ -117,12 +117,105 @@ object TemporalQueries {
       |  w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Strict-order first-touch FUNNEL over an event stream: step 1 is
+    * each user's first `steps(0)` event; step i is the first
+    * `steps(i)` event STRICTLY AFTER the user's step-(i−1) timestamp —
+    * the product-analytics conversion query (view → click → purchase).
+    * Returns one row per user who entered the funnel, with the step
+    * reached and each step's timestamp (null past the drop-off).
+    *
+    * Scale shape: one `(user, step-type)` filtered aggregate per step
+    * (each a map-side-combined min over only THAT event type's rows)
+    * chained by joins on the user key — step tables shrink
+    * monotonically down the funnel, and every join is on the same key
+    * space (co-partitioned at scale; AQE broadcasts the deep-funnel
+    * tails). No window over the full event stream — the classic
+    * sessionize-then-scan formulation sorts every user's whole
+    * history; this one touches each step's event type only. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("step1_ts"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"step${i}_ts"
+      val cur = s"step${i + 1}_ts"
+      val nxt = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__t"))
+        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col("__t") > col(prev))
+        .groupBy(col(userCol))
+        .agg(min(col("__t")).as(cur))
+      acc.join(nxt.select(col(userCol), col(cur)), Seq(userCol), "left")
+    }.withColumn("step_reached",
+      // fold ascending so the DEEPEST step is the outermost test
+      steps.indices.drop(1).foldLeft(lit(1)) { (acc, i) =>
+        when(col(s"step${i + 1}_ts").isNotNull, i + 1).otherwise(acc)
+      })
+  }
+
+  /** fn1_funnel — the view → click → purchase conversion funnel
+    * through the gate: per-step user counts plus each step's exact
+    * first-touch timestamp sum (microsecond epochs as exact longs, so
+    * the aggregate is associative and partition-independent), DuckDB
+    * re-deriving the same strictly-ordered first-touch semantics. */
+  def fn1Funnel(s: SparkSession, d: String): DataFrame = {
+    // the first-36h slice leaves real drop-off at every SF (the full
+    // stream is dense enough that every user eventually converts, and
+    // a funnel with one populated step exercises nothing)
+    funnel(Tables.events(s, d)
+        .filter(col("ts") <= to_timestamp(lit("2024-01-02 12:00:00"))),
+      Seq("view", "click", "purchase"))
+      .groupBy(col("step_reached"))
+      .agg(count(lit(1)).as("users"),
+        sum(unix_micros(col("step1_ts"))).as("sum_view_us"),
+        sum(unix_micros(col("step2_ts"))).as("sum_click_us"),
+        sum(unix_micros(col("step3_ts"))).as("sum_purchase_us"))
+      .orderBy(col("step_reached"))
+  }
+
+  val fn1Oracle: String =
+    """WITH src AS (
+      |  SELECT * FROM events
+      |  WHERE ts <= TIMESTAMP '2024-01-02 12:00:00'),
+      |v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM src
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM src e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM src e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |  GROUP BY e.user_id),
+      |f AS (
+      |  SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+      |    CASE WHEN p.p_ts IS NOT NULL THEN 3
+      |         WHEN c.c_ts IS NOT NULL THEN 2
+      |         ELSE 1 END AS step_reached
+      |  FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |  LEFT JOIN p ON p.user_id = v.user_id)
+      |SELECT step_reached, count(*) AS users,
+      |  sum(epoch_us(v_ts)) AS sum_view_us,
+      |  sum(epoch_us(c_ts)) AS sum_click_us,
+      |  sum(epoch_us(p_ts)) AS sum_purchase_us
+      |FROM f
+      |GROUP BY step_reached
+      |ORDER BY step_reached""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn1_funnel" -> (fn1Funnel _),
     "aj1_asof_join" -> (aj1AsofJoin _),
     "aj2_range_join" -> (aj2RangeJoin _),
     "aj3_asof_window" -> (aj3AsofWindow _))
 
   val oracles: Map[String, String] = Map(
+    "fn1_funnel" -> fn1Oracle,
     "aj1_asof_join" -> aj1Oracle,
     "aj2_range_join" -> aj2Oracle,
     "aj3_asof_window" -> aj3Oracle)

@@ -79,4 +79,25 @@ class TemporalJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[(Long, String, String)].collect().toSet
     out shouldBe Set((1L, "L", "R"))
   }
+
+  test("funnel: strict first-touch ordering — pre-view clicks don't " +
+    "count, drop-offs label correctly, never-viewed users are absent") {
+    import spark.implicits._
+    def t(sec: Int) = Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(sec)}")
+    val events = Seq(
+      // user 1: full conversion in order
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // user 2: click BEFORE the first view — must not count; no later
+      // click, so user 2 stalls at step 1 despite a purchase existing
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)),
+      // user 3: view then click, purchase BEFORE the click — step 2
+      (3L, "view", t(1)), (3L, "purchase", t(2)), (3L, "click", t(3)),
+      // user 4: never views — not in the funnel at all
+      (4L, "click", t(1)), (4L, "purchase", t(2)))
+      .toDF("user_id", "event_type", "ts")
+    val out = TemporalQueries.funnel(events, Seq("view", "click", "purchase"))
+      .select($"user_id", $"step_reached")
+      .as[(Long, Int)].collect().toMap
+    out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 2)
+  }
 }
