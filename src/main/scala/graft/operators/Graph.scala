@@ -101,6 +101,9 @@ object GraphQueries {
           .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
           .unionByName(pairs
             .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+          // a handful of right-sized files: 32 shards of a ~20 MB edge
+          // table would pay 32 task launches per superstep stage
+          .coalesce(4)
           .write.mode("overwrite").parquet(out)
         out
       })
