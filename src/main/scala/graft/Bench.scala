@@ -27,6 +27,9 @@ object Bench {
     graft.text.TextQueries.bpeMergesFor(spark, sfDir)
     // PCA fit likewise: em1 times the reduced-space search.
     graft.ann.AnnQueries.pcaModelFor(spark, sfDir)
+    // Graph derivation likewise: pr1 times the power iteration over a
+    // built edge table, not the relational edge extraction.
+    graft.operators.GraphQueries.prewarmEdges(spark, sfDir)
     // Two full interleaved passes; each query reports the MIN of its runs.
     // A single-pass artifact is load-sensitive: an unrelated process
     // stealing cores for 30 s inflates every query it overlaps with, and
