@@ -90,4 +90,48 @@ class ComponentsPropertySpec extends AnyFunSuite with Matchers with SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     withClue(result.status.toString) { result.passed shouldBe true }
   }
+
+  /** Sequential Levenshtein — the reference model for the PassJoin
+    * completeness property. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistanceJoin equals the brute-force pair set on random " +
+    "near-duplicate corpora — the blocking provably misses nothing") {
+    import spark.implicits._
+    // strings over a SMALL alphabet with random single-char edits of a
+    // shared base: dense near-duplicate structure, the adversarial case
+    // for a blocking scheme (many pairs right AT the threshold)
+    val genCase = for {
+      base <- Gen.listOfN(14, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      n <- Gen.chooseNum(6, 16)
+      docs <- Gen.listOfN(n, for {
+        edits <- Gen.chooseNum(0, 4)
+        positions <- Gen.listOfN(edits, Gen.chooseNum(0, 13))
+        chars <- Gen.listOfN(edits, Gen.oneOf('a', 'b', 'c', 'd'))
+      } yield positions.zip(chars).foldLeft(base) { case (acc, (p, c)) =>
+        acc.updated(p, c)
+      })
+    } yield docs
+    val prop = Prop.forAll(genCase) { docs =>
+      val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.editDistanceJoin(
+          rows.toDF("doc_id", "text"), k = 2, prefixLen = 14)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        d = lev(ta.toLowerCase.take(14), tb.toLowerCase.take(14)) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    withClue(result.status.toString) { result.passed shouldBe true }
+  }
 }
