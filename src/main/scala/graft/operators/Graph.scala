@@ -73,6 +73,35 @@ object Graph {
     }
     rank
   }
+
+  /** Exact TRIANGLE COUNT (the clustering/cohesion primitive): edges
+    * canonicalize to `u < v` (dedup + self-loop drop), then triangles
+    * enumerate as two hash joins — wedges `a<b<c` from e(a,b)⋈e(b,c),
+    * closed by e(a,c). Returns one row: (nodes, edges, triangles).
+    *
+    * Scale shape: the wedge join's cost is Σ deg(v)² over the middle
+    * vertex — id-ordering keeps the oracle re-derivable relationally;
+    * a skew-heavy production graph wants DEGREE orientation instead
+    * (orient each edge low-degree → high, same triangle set, wedge
+    * work bounded by arboricity — swap the canonical ordering, the
+    * enumeration is unchanged). Everything is keyed shuffles; nothing
+    * is quadratic in nodes. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = graft.core.TransientCache.persist(
+      edges.select(
+          least(col("src"), col("dst")).cast("long").as("u"),
+          greatest(col("src"), col("dst")).cast("long").as("v"))
+        .filter(col("u") < col("v")).distinct())
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = wedges.join(e.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"))
+    val nodes = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n"))).distinct()
+    nodes.agg(count(lit(1)).as("nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("triangles")))
+  }
 }
 
 /** Correctness-gate entries for the graph family. */
@@ -113,6 +142,34 @@ object GraphQueries {
       })
     s.read.parquet(dir)
   }
+
+  /** tc1_triangles — exact triangle counting through the gate: the
+    * part CO-PURCHASE graph (parts co-ordered on the same order key),
+    * DuckDB re-deriving the same canonical-ordered two-join
+    * enumeration over the same edge set. */
+  def tc1Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey"))
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    Graph.triangleCount(edges)
+  }
+
+  val tc1Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT u AS n FROM e UNION SELECT v FROM e)) AS nodes,
+      |  (SELECT count(*) FROM e) AS edges,
+      |  (SELECT count(*) FROM e e1
+      |     JOIN e e2 ON e2.u = e1.v
+      |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS triangles""".stripMargin
 
   /** pr1_pagerank — exact PageRank through the gate: the supplier ⇄
     * customer trade graph (distinct (l_suppkey, o_custkey) pairs via
@@ -160,8 +217,10 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pr1_pagerank" -> (pr1PageRank _))
+    "pr1_pagerank" -> (pr1PageRank _),
+    "tc1_triangles" -> (tc1Triangles _))
 
   val oracles: Map[String, String] = Map(
-    "pr1_pagerank" -> pr1Oracle)
+    "pr1_pagerank" -> pr1Oracle,
+    "tc1_triangles" -> tc1Oracle)
 }

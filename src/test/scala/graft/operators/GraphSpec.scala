@@ -44,4 +44,14 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[(Long, Double)].collect().sorted
     one shouldBe many // exact equality, not tolerance
   }
+
+  test("triangle count: K4 has 4 triangles; duplicates, reversed " +
+    "edges and self-loops canonicalize away; a dangling edge adds none") {
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 1L), (4L, 5L), (2L, 1L))).toDF("src", "dst")
+    val row = Graph.triangleCount(edges)
+      .as[(Long, Long, Long)].collect().head
+    row shouldBe ((5L, 7L, 4L)) // 5 nodes, K4's 6 edges + (4,5), 4 triangles
+  }
 }
