@@ -208,13 +208,60 @@ object TemporalQueries {
       |GROUP BY step_reached
       |ORDER BY step_reached""".stripMargin
 
+  /** ct1_cohort_retention — the cohort-retention matrix (the other
+    * half of product analytics beside [[funnel]]): users cohorted by
+    * the ISO week of their first SIGNUP event, then for every
+    * (cohort, week-offset) the exact count of distinct users active
+    * that week — pre-signup activity excluded, never-signed-up users
+    * outside the matrix. Scale shape:
+    * the event stream collapses to distinct (user, week) pairs
+    * immediately (one map-side-combined distinct — O(users × weeks),
+    * not O(events)), the cohort derivation is one min-aggregate on the
+    * user key, and the matrix is one more keyed aggregate after a join
+    * on that same key. */
+  def ct1CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val uw = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    // cohort = the week of the user's first SIGNUP (the acquisition
+    // event); users who never sign up are outside the matrix
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    uw.join(cohorts, Seq("user_id"))
+      .filter(col("wk") >= col("cohort"))
+      .groupBy(col("cohort").cast("date").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val ct1Oracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT CAST(cohort AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', cohort, wk) / 7 AS INTEGER) AS week_offset,
+      |  count(*) AS users
+      |FROM uw JOIN cohorts USING (user_id)
+      |WHERE wk >= cohort
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct1_cohort_retention" -> (ct1CohortRetention _),
     "fn1_funnel" -> (fn1Funnel _),
     "aj1_asof_join" -> (aj1AsofJoin _),
     "aj2_range_join" -> (aj2RangeJoin _),
     "aj3_asof_window" -> (aj3AsofWindow _))
 
   val oracles: Map[String, String] = Map(
+    "ct1_cohort_retention" -> ct1Oracle,
     "fn1_funnel" -> fn1Oracle,
     "aj1_asof_join" -> aj1Oracle,
     "aj2_range_join" -> aj2Oracle,
