@@ -104,6 +104,14 @@ object DeltaInterop {
     val ckSingle = names.collect { case CkRe(v) => v.toLong }
     val ckParts = names.collect { case CkPartRe(v, _, _) => v.toLong }
     val ck = (ckSingle ++ ckParts).filter(_ <= target).sorted.lastOption
+    // a target below both the oldest commit JSON and every checkpoint
+    // has been vacuumed away — refuse by name instead of a
+    // FileNotFoundException from the replay
+    require(ck.nonEmpty || jsonVersions.min <= 0 ||
+      target >= jsonVersions.min,
+      s"version $target of $table is no longer resolvable — log " +
+        s"cleanup (vacuum) removed its commits; oldest resolvable " +
+        s"version is ${jsonVersions.min}")
 
     var files = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
     var schema: Option[StructType] = None
@@ -426,11 +434,15 @@ object DeltaInterop {
     publishCommit(fs, logDir, version, lines.toSeq)
   }
 
-  /** Compact the log at its head into a single-part checkpoint +
-    * `_last_checkpoint` — the artifact [[read]] starts from instead of
-    * replaying every JSON commit. */
-  def checkpoint(spark: SparkSession, table: String): Long = {
-    val st = state(spark, table, None)
+  /** Compact the log at its head (or a named `version`) into a
+    * single-part checkpoint + `_last_checkpoint` — the artifact
+    * [[read]] starts from instead of replaying every JSON commit.
+    * A versioned checkpoint is what [[vacuum]] writes at the oldest
+    * RETAINED version so every retained version stays resolvable
+    * after older JSON commits drop. */
+  def checkpoint(spark: SparkSession, table: String,
+                 version: Option[Long] = None): Long = {
+    val st = state(spark, table, version)
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
@@ -452,12 +464,77 @@ object DeltaInterop {
     if (!fs.rename(part, target))
       throw new IllegalStateException(s"failed to publish checkpoint $target")
     fs.delete(stage, true)
-    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try lc.write(
-      s"""{"version":${st.version},"size":${rows.size}}"""
-        .getBytes(StandardCharsets.UTF_8))
-    finally lc.close()
+    // the hint names the NEWEST checkpoint; a versioned (historical)
+    // checkpoint must not rewind it — state() resolves from the
+    // listing either way, the hint is best-effort
+    if (version.forall(v => currentVersion(spark, table).contains(v))) {
+      val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try lc.write(
+        s"""{"version":${st.version},"size":${rows.size}}"""
+          .getBytes(StandardCharsets.UTF_8))
+      finally lc.close()
+    }
     st.version
+  }
+
+  /** Delta-side retention (`VACUUM` + log cleanup in one pass): keep
+    * the newest `keepLast` versions — a checkpoint lands AT the oldest
+    * retained version first (so every retained version resolves
+    * without the dropped JSONs), then dropped commit JSONs, superseded
+    * checkpoints, and data files NO retained version references are
+    * deleted. Returns the number of data files deleted.
+    *
+    * Ownership and safety rules:
+    *   - A table whose root also holds a manifest-lake log refuses by
+    *     name: an exported mirror ([[exportFromManifest]]) BORROWS the
+    *     manifest's files, and "unreferenced by the Delta log" says
+    *     nothing about what the owning manifest references — use the
+    *     manifest's own VACUUM there.
+    *   - Only visible `*.parquet` files older than the oldest RETAINED
+    *     commit are candidates: a concurrent writer's staging dir is
+    *     dot-hidden, and its already-moved files are newer than the
+    *     retained head by construction (the mtime guard real Delta's
+    *     retention period provides).
+    *   - Time travel to a dropped version fails by name afterwards —
+    *     the Delta contract. */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    require(ManifestLake.currentVersion(spark, table).isEmpty,
+      s"$table is a manifest-lake table with a Delta mirror — its data " +
+        "files are owned by the manifest; run the manifest VACUUM " +
+        "(the mirror's add actions borrow, they do not own)")
+    val logDir = new Path(root, "_delta_log")
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val versions = names.collect { case JsonRe(v) => v.toLong }.sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val oldestKeep = keep.head
+    if (drop.nonEmpty) checkpoint(spark, table, Some(oldestKeep))
+    val live = keep.flatMap(v => state(spark, table, Some(v)).files
+      .map(_.path)).toSet
+    val cutoff = fs.getFileStatus(
+      new Path(logDir, f"$oldestKeep%020d.json")).getModificationTime
+    var deleted = 0
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory) {
+        if (!nm.startsWith(".") && !nm.startsWith("_")) walk(st.getPath)
+      } else if (nm.endsWith(".parquet") && !nm.startsWith(".")) {
+        val rel = relativize(root, st.getPath)
+        if (!live(rel) && st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    }
+    walk(root)
+    drop.foreach { v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false)
+      names.collect { case CkRe(cv) if cv.toLong == v =>
+        fs.delete(new Path(logDir, f"$v%020d.checkpoint.parquet"), false)
+      }: Unit
+    }
+    deleted
   }
 
   // ---------------------------------------------------- format conversion

@@ -335,6 +335,40 @@ class DeltaConversionSpec extends AnyFunSuite with Matchers with SparkSpec {
       DeltaInterop.importToManifest(spark, flat)
     }.getMessage should include("re-layout")
   }
+
+  test("vacuum keeps the newest versions readable, drops the rest by " +
+    "name, deletes only their exclusive files — and refuses a " +
+    "manifest-owned mirror") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-delta-vac")
+      .toString + "/t"
+    DeltaInterop.write(
+      (1 to 40).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    DeltaInterop.write(
+      (100 to 120).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t,
+      overwrite = true)
+    DeltaInterop.write(Seq((121L, "x")).toDF("id", "payload"), t)
+    val before = parquetCount(t)
+    val deleted = DeltaInterop.vacuum(spark, t, keepLast = 2)
+    deleted should be > 0 // version 0's overwritten files died
+    parquetCount(t) shouldBe (before - deleted)
+    DeltaInterop.read(spark, t).count() shouldBe 22L
+    DeltaInterop.readVersion(spark, t, 1L).count() shouldBe 21L
+    intercept[IllegalArgumentException] {
+      DeltaInterop.readVersion(spark, t, 0L).collect()
+    }
+    // nothing more to collect at the same retention
+    DeltaInterop.vacuum(spark, t, keepLast = 2) shouldBe 0
+    // an exported manifest mirror refuses: the manifest owns the files
+    val m = java.nio.file.Files.createTempDirectory("graft-delta-vac-m")
+      .toString + "/t"
+    ManifestLake.write(
+      (1 to 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), m)
+    DeltaInterop.exportFromManifest(spark, m)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.vacuum(spark, m)
+    }.getMessage should include("manifest")
+  }
 }
 
 class DeltaSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
