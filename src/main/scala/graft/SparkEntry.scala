@@ -30,6 +30,7 @@ object SparkEntry {
       graft.text.CurationQueries.queries ++
       graft.operators.TemporalQueries.queries ++
       graft.operators.GraphQueries.queries ++
+      graft.operators.SpatialQueries.queries ++
       graft.ml.MlQueries.queries ++
       graft.text.CorpusQueries.queries ++
       graft.sources.LakeQueries.queries
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.text.CurationQueries.oracles ++
       graft.operators.TemporalQueries.oracles ++
       graft.operators.GraphQueries.oracles ++
+      graft.operators.SpatialQueries.oracles ++
       graft.ml.MlQueries.oracles ++
       graft.text.CorpusQueries.oracles ++
       graft.sources.LakeQueries.oracles
