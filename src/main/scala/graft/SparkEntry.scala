@@ -31,6 +31,7 @@ object SparkEntry {
       graft.operators.TemporalQueries.queries ++
       graft.operators.GraphQueries.queries ++
       graft.operators.SpatialQueries.queries ++
+      graft.operators.BasketQueries.queries ++
       graft.ml.MlQueries.queries ++
       graft.text.CorpusQueries.queries ++
       graft.sources.LakeQueries.queries
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.operators.TemporalQueries.oracles ++
       graft.operators.GraphQueries.oracles ++
       graft.operators.SpatialQueries.oracles ++
+      graft.operators.BasketQueries.oracles ++
       graft.ml.MlQueries.oracles ++
       graft.text.CorpusQueries.oracles ++
       graft.sources.LakeQueries.oracles
