@@ -151,19 +151,16 @@ object GraphQueries {
     * quadratic garbage, measured 19 s vs sub-second), DuckDB
     * re-deriving the same canonical-ordered two-join enumeration
     * over the same edge set. */
-  def tc1Triangles(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-      col("l_partkey"))
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
-      .filter(col("src") < col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(countDistinct(col("l_orderkey")).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("src"), col("dst"))
-    Graph.triangleCount(edges)
-  }
+  def tc1Triangles(s: SparkSession, d: String): DataFrame =
+    // the edge derivation IS the frequent-pair computation — reuse it
+    // (distinct (basket, item) BEFORE the self-join, the Apriori move
+    // that bounds join output by true basket sizes and turns the
+    // support count into a plain count)
+    Graph.triangleCount(
+      Baskets.frequentPairs(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")))
+        .select(col("pa").as("src"), col("pb").as("dst")))
 
   val tc1Oracle: String =
     """WITH e AS (
@@ -198,7 +195,7 @@ object GraphQueries {
     val iters = (1 to 5).map { i =>
       s"""pr$i AS (
          |  SELECT n.node,
-         |    0.15 + 0.85 * COALESCE(CAST(SUM(CAST(p.r / e.outdeg
+         |    (1.0 - 0.85) + 0.85 * COALESCE(CAST(SUM(CAST(p.r / e.outdeg
          |      AS DECIMAL(27,9))) AS DOUBLE), 0.0) AS r
          |  FROM nodes n
          |  LEFT JOIN (SELECT ed.src, ed.dst, dg.outdeg

@@ -104,14 +104,15 @@ object DeltaInterop {
     val ckSingle = names.collect { case CkRe(v) => v.toLong }
     val ckParts = names.collect { case CkPartRe(v, _, _) => v.toLong }
     val ck = (ckSingle ++ ckParts).filter(_ <= target).sorted.lastOption
-    // a target below both the oldest commit JSON and every checkpoint
-    // has been vacuumed away — refuse by name instead of a
-    // FileNotFoundException from the replay
-    require(ck.nonEmpty || jsonVersions.min <= 0 ||
-      target >= jsonVersions.min,
+    // without a checkpoint at or below the target, resolution must
+    // replay from version 0 — a log whose oldest JSON is later (log
+    // cleanup, vacuum) cannot serve the target at all; refuse by name
+    // instead of a FileNotFoundException from the replay
+    require(ck.nonEmpty || jsonVersions.min == 0,
       s"version $target of $table is no longer resolvable — log " +
-        s"cleanup (vacuum) removed its commits; oldest resolvable " +
-        s"version is ${jsonVersions.min}")
+        s"cleanup (vacuum) removed the commits below " +
+        s"${jsonVersions.min} and no checkpoint at or below $target " +
+        "survives")
 
     var files = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
     var schema: Option[StructType] = None
@@ -511,8 +512,8 @@ object DeltaInterop {
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     val oldestKeep = keep.head
     if (drop.nonEmpty) checkpoint(spark, table, Some(oldestKeep))
-    val live = keep.flatMap(v => state(spark, table, Some(v)).files
-      .map(_.path)).toSet
+    val keepStates = keep.map(v => v -> state(spark, table, Some(v))).toMap
+    val live = keepStates.values.flatMap(_.files.map(_.path)).toSet
     val cutoff = fs.getFileStatus(
       new Path(logDir, f"$oldestKeep%020d.json")).getModificationTime
     var deleted = 0
@@ -528,11 +529,35 @@ object DeltaInterop {
       }
     }
     walk(root)
-    drop.foreach { v =>
-      fs.delete(new Path(logDir, f"$v%020d.json"), false)
-      names.collect { case CkRe(cv) if cv.toLong == v =>
-        fs.delete(new Path(logDir, f"$v%020d.checkpoint.parquet"), false)
-      }: Unit
+    val dropSet = drop.toSet
+    drop.foreach(v => fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    // BOTH checkpoint shapes of dropped versions die — a surviving
+    // multi-part checkpoint would keep a dropped version falsely
+    // "resolvable" (the guard in state() checks for any checkpoint)
+    // while its data files are already gone
+    names.foreach {
+      case n @ CkRe(cv) if dropSet(cv.toLong) =>
+        fs.delete(new Path(logDir, n), false): Unit
+      case n @ CkPartRe(cv, _, _) if dropSet(cv.toLong) =>
+        fs.delete(new Path(logDir, n), false): Unit
+      case _ => ()
+    }
+    // _last_checkpoint may name a checkpoint the drop loop just
+    // deleted — external readers (delta-spark, delta-rs) resolve
+    // through the hint, so it must move to the newest SURVIVING
+    // checkpoint (the one this vacuum wrote at the oldest retained
+    // version, superseded only by a newer pre-existing one)
+    if (drop.nonEmpty) {
+      val surviving = (names.collect { case CkRe(cv) => cv.toLong } ++
+        names.collect { case CkPartRe(cv, _, _) => cv.toLong })
+        .filterNot(dropSet).toSeq :+ oldestKeep
+      val newest = surviving.max
+      val size = keepStates.get(newest).map(_.files.size + 2)
+        .getOrElse(state(spark, table, Some(newest)).files.size + 2)
+      val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try lc.write(s"""{"version":$newest,"size":$size}"""
+        .getBytes(StandardCharsets.UTF_8))
+      finally lc.close()
     }
     deleted
   }

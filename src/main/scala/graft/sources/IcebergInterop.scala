@@ -549,7 +549,29 @@ object IcebergInterop {
       case JLong(l) => l
       case _ => -1L
     }
-    val (drop, keep) = snaps.splitAt(snaps.length - keepLast)
+    def snapTs(s: JValue): Long = (s \ "timestamp-ms") match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case _ => 0L
+    }
+    // "newest" is decided by timestamp (id tie-break) — the spec does
+    // not order the snapshots array, and foreign writers list in any
+    // order; and the CURRENT snapshot must survive, or the expiry
+    // would delete the table's own head data out from under it
+    val ordered = snaps.sortBy(s => (snapTs(s), snapId(s)))
+    val (drop, keep) = ordered.splitAt(ordered.length - keepLast)
+    val currentId = (metaJson \ "current-snapshot-id") match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case _ => -1L
+    }
+    if (currentId != -1L && !keep.exists(s => snapId(s) == currentId))
+      throw new IllegalStateException(
+        s"expireSnapshots(keepLast=$keepLast) on $table would drop the " +
+          s"CURRENT snapshot $currentId — the newest $keepLast " +
+          "snapshots by timestamp do not include the head; the " +
+          "metadata is inconsistent (or a foreign writer recorded " +
+          "non-monotonic timestamps) and nothing was expired")
     // liveness walk: manifest lists + manifests + data files of the
     // RETAINED snapshots — anything a retained snapshot can reach must
     // survive, shared manifests included (appends carry them verbatim)

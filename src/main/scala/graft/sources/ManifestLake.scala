@@ -4740,10 +4740,18 @@ object ManifestLake {
       u.getPath.split('/').filter(_.nonEmpty).toList
     val (s0, t0) = (segs(sq), segs(tq))
     val common = s0.zip(t0).takeWhile { case (a, b) => a == b }.length
+    // NESTED roots refuse: each table's vacuum enumerates its own root
+    // recursively, so a clone inside the source would have its local
+    // rewrites collected by the SOURCE's vacuum (and a source inside
+    // the clone, the reverse) — the ownership-by-listing argument only
+    // holds for disjoint roots
+    require(common < s0.length && common < t0.length,
+      s"shallow clone target $tq equals or nests with the source $sq — " +
+        "each table's VACUUM walks its own root recursively, so nested " +
+        "roots would collect each other's files; clone to a disjoint " +
+        "directory")
     val rel = (List.fill(t0.length - common)("..") ++
       s0.drop(common)).mkString("/")
-    require(rel.nonEmpty && rel != ".",
-      s"shallow clone target equals the source root $sq")
     val entries = snap.entries.map(e => e.copy(path = s"$rel/${e.path}"))
     val schema = snap.schema.orElse(
       Some(read(spark, source, version).schema))

@@ -369,13 +369,17 @@ object TextStats {
                textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val base = df.select(col(idCol), toks.as("__t"))
-      .select(
-        col(idCol) +: size(col("__t")).cast("long").as("dl") +:
-          queryTerms.zipWithIndex.map { case (t, i) =>
-            size(filter(col("__t"), x => x === t)).cast("long")
-              .as(s"__tf$i")
-          }: _*)
+    // persisted: the tokenize-and-count projection feeds BOTH the
+    // single-row stats aggregate and the scored projection — without
+    // the persist the corpus tokenizes twice per query
+    val base = graft.core.TransientCache.persist(
+      df.select(col(idCol), toks.as("__t"))
+        .select(
+          col(idCol) +: size(col("__t")).cast("long").as("dl") +:
+            queryTerms.zipWithIndex.map { case (t, i) =>
+              size(filter(col("__t"), x => x === t)).cast("long")
+                .as(s"__tf$i")
+            }: _*))
     val stats = base.agg(
       count(lit(1)).as("__n"),
       sum(col("dl")).as("__sumdl") +:

@@ -359,6 +359,17 @@ class DeltaConversionSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     // nothing more to collect at the same retention
     DeltaInterop.vacuum(spark, t, keepLast = 2) shouldBe 0
+    // _last_checkpoint names a SURVIVING checkpoint (external readers
+    // resolve through the hint; pointing at a deleted file strands them)
+    val lcPath = new Path(t, "_delta_log/_last_checkpoint")
+    val lfs = lcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val lcIn = lfs.open(lcPath)
+    val lcText = try scala.io.Source.fromInputStream(lcIn).mkString
+      finally lcIn.close()
+    val lcV = """"version":(\d+)""".r.findFirstMatchIn(lcText)
+      .get.group(1).toLong
+    lfs.exists(new Path(t,
+      f"_delta_log/$lcV%020d.checkpoint.parquet")) shouldBe true
     // an exported manifest mirror refuses: the manifest owns the files
     val m = java.nio.file.Files.createTempDirectory("graft-delta-vac-m")
       .toString + "/t"

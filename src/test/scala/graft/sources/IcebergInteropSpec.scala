@@ -367,4 +367,40 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     ManifestLake.read(spark, m).count() shouldBe 25L
   }
 
+  test("expireSnapshots orders by timestamp, not array position: a " +
+    "foreign newest-first snapshots array keeps the head and drops " +
+    "the old one") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1 to 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    IcebergInterop.write(
+      (100 to 110).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t,
+      overwrite = true)
+    // hand-publish the next metadata version with the snapshots array
+    // REVERSED (newest first) — the spec does not mandate order and
+    // foreign writers differ
+    val metaDir = new Path(t, "metadata")
+    val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = fs.listStatus(metaDir).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".metadata.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }.max
+    val in = fs.open(new Path(metaDir, s"v$v.metadata.json"))
+    val text = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val ast = JsonMethods.parse(text).transformField {
+      case JField("snapshots", JArray(xs)) =>
+        JField("snapshots", JArray(xs.reverse))
+    }
+    writeText(t, s"metadata/v${v + 1}.metadata.json",
+      JsonMethods.compact(JsonMethods.render(ast)))
+    writeText(t, "metadata/version-hint.text", (v + 1).toString)
+    // expiry must keep the newest-BY-TIMESTAMP snapshot (the head),
+    // not the last array element (the oldest)
+    IcebergInterop.expireSnapshots(spark, t, keepLast = 1) should be > 0
+    IcebergInterop.read(spark, t).count() shouldBe 11L
+  }
+
 }

@@ -90,6 +90,15 @@ class ShallowCloneSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestLake.shallowClone(spark, src, tgt)
     }.getMessage should include("already exists")
+    // nested roots refuse both ways: each table's vacuum walks its own
+    // root recursively and would collect the other's files
+    intercept[IllegalArgumentException] {
+      ManifestLake.shallowClone(spark, src, s"$src/inner")
+    }.getMessage should include("nests")
+    intercept[IllegalArgumentException] {
+      val parent = new Path(src).getParent.toString
+      ManifestLake.shallowClone(spark, src, parent)
+    }.getMessage should include("nests")
     val part = fresh("part")
     ManifestLake.write(
       (1 to 20).map(i => (i.toLong, i % 2, s"p$i")).toDF("id", "k", "p"),
