@@ -253,7 +253,54 @@ object TemporalQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** mk1_transitions — the first-order Markov transition matrix over
+    * per-user event sequences (the journey-analysis primitive beside
+    * [[funnel]] and [[ct1CohortRetention]]): within each user's
+    * timeline ordered by (ts, event_id) — the id tie-break makes
+    * simultaneous events deterministic — count every consecutive
+    * (state, next-state) pair and row-normalize to transition
+    * probabilities (ONE IEEE division of exact longs, bit-identical
+    * everywhere). Scale shape: one user-partitioned window pass (the
+    * sort is per-user, never global), one pair-keyed aggregate of
+    * O(states²) output, one broadcast-sized row-total join. */
+  def mk1Transitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("row_total")).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val mk1Oracle: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, sum(n) AS row_total FROM pairs GROUP BY 1)
+      |SELECT p.event_type, p.next_type, p.n,
+      |  CAST(p.n AS DOUBLE) / t.row_total AS p
+      |FROM pairs p JOIN totals t USING (event_type)
+      |ORDER BY p.event_type, p.next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mk1_transitions" -> (mk1Transitions _),
     "ct1_cohort_retention" -> (ct1CohortRetention _),
     "fn1_funnel" -> (fn1Funnel _),
     "aj1_asof_join" -> (aj1AsofJoin _),
@@ -261,6 +308,7 @@ object TemporalQueries {
     "aj3_asof_window" -> (aj3AsofWindow _))
 
   val oracles: Map[String, String] = Map(
+    "mk1_transitions" -> mk1Oracle,
     "ct1_cohort_retention" -> ct1Oracle,
     "fn1_funnel" -> fn1Oracle,
     "aj1_asof_join" -> aj1Oracle,

