@@ -201,9 +201,9 @@ object TemporalQueries {
       |  FROM v LEFT JOIN c ON c.user_id = v.user_id
       |  LEFT JOIN p ON p.user_id = v.user_id)
       |SELECT step_reached, count(*) AS users,
-      |  sum(epoch_us(v_ts)) AS sum_view_us,
-      |  sum(epoch_us(c_ts)) AS sum_click_us,
-      |  sum(epoch_us(p_ts)) AS sum_purchase_us
+      |  CAST(sum(epoch_us(v_ts)) AS BIGINT) AS sum_view_us,
+      |  CAST(sum(epoch_us(c_ts)) AS BIGINT) AS sum_click_us,
+      |  CAST(sum(epoch_us(p_ts)) AS BIGINT) AS sum_purchase_us
       |FROM f
       |GROUP BY step_reached
       |ORDER BY step_reached""".stripMargin

@@ -102,8 +102,20 @@ object DeltaInterop {
     // also treats as best-effort, and it may point past a time-travel
     // target
     val ckSingle = names.collect { case CkRe(v) => v.toLong }
-    val ckParts = names.collect { case CkPartRe(v, _, _) => v.toLong }
-    val ck = (ckSingle ++ ckParts).filter(_ <= target).sorted.lastOption
+    // a multi-part checkpoint is usable only when ALL of its N-of-M
+    // parts landed: a writer that crashed mid-write leaves a partial
+    // part set, and replaying it would silently drop the missing
+    // parts' add actions — delta-spark skips such versions, and so
+    // does this reader (falling back to the next older checkpoint)
+    val ckParts = names.collect { case CkPartRe(v, part, of) =>
+      (v.toLong, part.toLong, of.toLong)
+    }
+    val ckMultiComplete = ckParts.groupBy(_._1).collect {
+      case (v, parts) if parts.map(_._3).distinct.length == 1 &&
+        parts.map(_._2).toSet == (1L to parts.head._3).toSet => v
+    }
+    val ck = (ckSingle ++ ckMultiComplete).filter(_ <= target)
+      .sorted.lastOption
     // without a checkpoint at or below the target, resolution must
     // replay from version 0 — a log whose oldest JSON is later (log
     // cleanup, vacuum) cannot serve the target at all; refuse by name
@@ -382,11 +394,15 @@ object DeltaInterop {
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
       if (!overwrite)
-        require(p.schema.fieldNames.sorted.sameElements(
-          df.schema.fieldNames.sorted),
-          s"append schema ${df.schema.fieldNames.mkString(",")} does not " +
-            s"match table schema ${p.schema.fieldNames.mkString(",")}")
+        InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
     }
+    // an overwrite MAY change the schema (delta-spark's overwriteSchema
+    // path) — but then the commit must republish metaData, or readers
+    // (this one and delta-spark, which trust the recorded schemaString)
+    // would serve the new files under the stale schema: silently
+    // dropped / nulled / mistyped columns
+    val schemaChanged = overwrite && prior.exists(p =>
+      !InteropSchema.sameShape(p.schema, df.schema))
     val version = prior.map(_.version + 1).getOrElse(0L)
 
     // stage data files, then move them under the table root keeping the
@@ -417,7 +433,8 @@ object DeltaInterop {
     if (prior.isEmpty) {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       lines += metaDataJson(df.schema, partitionBy, now)
-    }
+    } else if (schemaChanged)
+      lines += metaDataJson(df.schema, partitionBy, now)
     if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
       lines += s"""{"remove":{"path":${jstr(urlEncode(f.path))},""" +
         s""""deletionTimestamp":$now,"dataChange":true}}"""
@@ -687,7 +704,12 @@ object DeltaInterop {
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     commitRaceHook.getAndSet(() => ()).apply()
-    val published = !fs.exists(commit) && fs.rename(tmp, commit)
+    // exists()+rename is check-then-act: on POSIX filesystems Hadoop's
+    // rename silently REPLACES the destination, so two racing
+    // committers could both "win" the version and one commit would
+    // vanish — publish through the lake's atomic create-if-absent
+    // primitive (hard-link on file:, fail-on-exists rename on HDFS)
+    val published = ManifestLake.RenameCommit.publish(fs, tmp, commit)
     if (!published) {
       fs.delete(tmp, false)
       throw new ConcurrentDeltaCommitException(

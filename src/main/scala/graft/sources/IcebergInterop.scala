@@ -64,6 +64,15 @@ object IcebergInterop {
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  private def jLong(v: org.json4s.JValue): Long = {
+    import org.json4s._
+    v match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case _ => -1L
+    }
+  }
+
   // ---------------------------------------------------------------- read
 
   def read(spark: SparkSession, table: String): DataFrame =
@@ -93,11 +102,6 @@ object IcebergInterop {
         s"no v*.metadata.json under $table/metadata"))
     val metaJson = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v$version.metadata.json")))
-    def jLong(v: JValue): Long = v match {
-      case JInt(i) => i.toLong
-      case JLong(l) => l
-      case _ => -1L
-    }
     val formatVersion = jLong(metaJson \ "format-version")
     if (formatVersion > 2)
       throw new UnsupportedIcebergFeatureException(
@@ -274,12 +278,14 @@ object IcebergInterop {
       s"cannot write Spark type ${other.sql} as an Iceberg primitive")
   }
 
-  private def icebergSchemaJson(schema: StructType): String = {
+  private def icebergSchemaJson(schema: StructType, schemaId: Long = 0L,
+                                firstFieldId: Long = 1L): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":${!f.nullable},""" +
+      s"""{"id":${firstFieldId + i},"name":${jstr(f.name)},""" +
+        s""""required":${!f.nullable},""" +
         s""""type":${jstr(sparkTypeToIceberg(f.dataType))}}"""
     }.mkString("[", ",", "]")
-    s"""{"type":"struct","schema-id":0,"fields":$fields}"""
+    s"""{"type":"struct","schema-id":$schemaId,"fields":$fields}"""
   }
 
   // --------------------------------------------------------------- write
@@ -323,10 +329,7 @@ object IcebergInterop {
       else None
     prior.foreach { p =>
       if (!overwrite)
-        require(p.schema.fieldNames.sorted.sameElements(
-          df.schema.fieldNames.sorted),
-          s"append schema ${df.schema.fieldNames.mkString(",")} does not " +
-            s"match table schema ${p.schema.fieldNames.mkString(",")}")
+        InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
     }
     // stage data files under data/
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
@@ -354,24 +357,91 @@ object IcebergInterop {
   /** The shared commit tail of [[write]] and [[exportFromManifest]]:
     * one manifest avro for `newFiles`, a manifest list (prior
     * manifests carried verbatim unless `overwrite`), and the next
-    * `v<N>.metadata.json` published rename-if-absent. Prior snapshots
-    * stay addressable either way — expiry is a separate maintenance
-    * concern, Iceberg's own retention model. */
+    * `v<N>.metadata.json` published create-if-absent.
+    *
+    * Table IDENTITY and history carry forward — a real Iceberg client
+    * holding the table open fails its refresh if the `table-uuid`
+    * changes under it, id-based column resolution misbinds if a
+    * foreign table's (non-positional) field ids are regenerated, and
+    * `snapshot-log` is the table's rollback lineage — so the prior
+    * metadata's uuid, CURRENT schema JSON (original field ids), and
+    * snapshot-log entries are reused verbatim whenever the incoming
+    * schema matches the recorded one (always true for appends, which
+    * [[write]] guards). A genuine schema CHANGE (overwrite) evolves
+    * per spec instead of resetting: new field ids continue from the
+    * prior `last-column-id`, the new schema gets the next schema-id,
+    * and prior schemas stay listed so earlier snapshots' `schema-id`
+    * references remain resolvable. Prior snapshots stay addressable
+    * either way — expiry is a separate maintenance concern, Iceberg's
+    * own retention model. */
   private def publishSnapshot(fs: FileSystem, root: Path,
       schema: StructType, newFiles: Seq[IceFile],
       prior: Option[IceState], overwrite: Boolean,
       operation: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def compactJ(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
     val metaDir = new Path(root, "metadata")
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
     val uuid = java.util.UUID.randomUUID().toString
+    val priorMeta: Option[JValue] = prior.map(p =>
+      JsonMethods.parse(readText(fs,
+        new Path(metaDir, s"v${p.metadataVersion}.metadata.json"))))
+    // identity carries forward: regenerating the uuid per commit makes
+    // every commit look like a table REPLACEMENT to a foreign client
+    val tableUuid = priorMeta.flatMap(m => (m \ "table-uuid") match {
+      case JString(u) => Some(u)
+      case _ => None
+    }).getOrElse(uuid)
+    val priorSchemaNode: Option[JValue] = priorMeta.map { m =>
+      val curId = jLong(m \ "current-schema-id")
+      (m \ "schemas") match {
+        case JArray(xs) if xs.nonEmpty =>
+          xs.find(s => jLong(s \ "schema-id") == curId).getOrElse(xs.head)
+        case _ => m \ "schema"
+      }
+    }.filter(_ != JNothing)
+    val reusePrior = prior.exists(p =>
+      InteropSchema.sameShape(p.schema, schema)) && priorSchemaNode.nonEmpty
+    val (schemaJsonStr, currentSchemaId, lastColumnId, schemasJson) =
+      if (reusePrior) {
+        val node = priorSchemaNode.get
+        val sid = jLong(node \ "schema-id") match {
+          case -1L => 0L
+          case id => id
+        }
+        val lci = priorMeta.map(m => jLong(m \ "last-column-id"))
+          .filter(_ >= 0).getOrElse(schema.length.toLong)
+        val schemas = priorMeta.map(m => m \ "schemas") match {
+          case Some(JArray(xs)) if xs.nonEmpty =>
+            xs.map(compactJ).mkString("[", ",", "]")
+          case _ => s"[${compactJ(node)}]"
+        }
+        (compactJ(node), sid, lci, schemas)
+      } else {
+        // a new table, or an overwrite that CHANGES the schema: evolve
+        // per spec — continue field ids from the prior last-column-id,
+        // take the next schema-id, keep prior schemas resolvable
+        val firstFieldId = priorMeta.map(m => jLong(m \ "last-column-id"))
+          .filter(_ >= 0).map(_ + 1).getOrElse(1L)
+        val sid = priorMeta.map(m => jLong(m \ "current-schema-id"))
+          .filter(_ >= 0).map(_ + 1).getOrElse(0L)
+        val sj = icebergSchemaJson(schema, sid, firstFieldId)
+        val priorSchemas = priorMeta.map(m => m \ "schemas") match {
+          case Some(JArray(xs)) => xs.map(compactJ)
+          case _ => priorSchemaNode.map(compactJ).toList
+        }
+        (sj, sid, firstFieldId + schema.length - 1,
+          (priorSchemas :+ sj).mkString("[", ",", "]"))
+      }
     // the new manifest
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     fs.mkdirs(metaDir)
     writeAvro(fs, manifestPath, ManifestEntrySchema,
       Map("format-version" -> "1", "content" -> "data",
         "partition-spec" -> "[]", "partition-spec-id" -> "0",
-        "schema" -> icebergSchemaJson(schema)),
+        "schema" -> schemaJsonStr),
       newFiles.map { f =>
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1) // ADDED
@@ -392,25 +462,16 @@ object IcebergInterop {
     // the manifest list: prior manifests carried verbatim on append
     val priorManifests: Seq[GenericRecord] =
       if (overwrite) Nil
-      else prior.toSeq.flatMap { p =>
-        if (p.snapshotId == -1L) Nil
-        else {
-          val metaJson = org.json4s.jackson.JsonMethods.parse(readText(fs,
-            new Path(metaDir, s"v${p.metadataVersion}.metadata.json")))
-          import org.json4s._
-          val snaps = (metaJson \ "snapshots") match {
-            case JArray(xs) => xs
-            case _ => Nil
-          }
-          snaps.find(s => (s \ "snapshot-id") match {
-            case JInt(i) => i.toLong == p.snapshotId
-            case JLong(l) => l == p.snapshotId
-            case _ => false
-          }).toSeq.flatMap(s => (s \ "manifest-list") match {
+      else prior.toSeq.filter(_.snapshotId != -1L).flatMap { p =>
+        val snaps = priorMeta.map(m => m \ "snapshots") match {
+          case Some(JArray(xs)) => xs
+          case _ => Nil
+        }
+        snaps.find(s => jLong(s \ "snapshot-id") == p.snapshotId)
+          .toSeq.flatMap(s => (s \ "manifest-list") match {
             case JString(ml) => avroRows(fs, new Path(ml))
             case _ => Nil
           })
-        }
       }
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
     val newEntry = {
@@ -446,41 +507,48 @@ object IcebergInterop {
     val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
     val metaTmp = new Path(metaDir,
       s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
-    val priorSnapshotsJson: Seq[String] = prior.toSeq.flatMap { p =>
-      import org.json4s._
-      val metaJson = org.json4s.jackson.JsonMethods.parse(readText(fs,
-        new Path(metaDir, s"v${p.metadataVersion}.metadata.json")))
-      (metaJson \ "snapshots") match {
-        case JArray(xs) => xs.map(s =>
-          org.json4s.jackson.JsonMethods.compact(
-            org.json4s.jackson.JsonMethods.render(s)))
+    val priorSnapshotsJson: Seq[String] =
+      priorMeta.map(m => m \ "snapshots") match {
+        case Some(JArray(xs)) => xs.map(compactJ)
         case _ => Nil
       }
-    }
     val newSnapshotJson =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
         s""""summary":{"operation":${jstr(operation)}},""" +
-        s""""manifest-list":${jstr(listPath.toString)},"schema-id":0}"""
+        s""""manifest-list":${jstr(listPath.toString)},""" +
+        s""""schema-id":$currentSchemaId}"""
     val snapshotsJson =
       (priorSnapshotsJson :+ newSnapshotJson).mkString("[", ",", "]")
+    // snapshot-log is the table's rollback lineage — resetting it to
+    // only the new entry erases history a foreign client navigates by
+    val priorLogJson: Seq[String] =
+      priorMeta.map(m => m \ "snapshot-log") match {
+        case Some(JArray(xs)) => xs.map(compactJ)
+        case _ => Nil
+      }
+    val logJson = (priorLogJson :+
+      s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}""")
+      .mkString("[", ",", "]")
     val json =
-      s"""{"format-version":1,"table-uuid":${jstr(uuid)},
+      s"""{"format-version":1,"table-uuid":${jstr(tableUuid)},
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
-         |"last-column-id":${schema.length},
-         |"schema":${icebergSchemaJson(schema)},
-         |"schemas":[${icebergSchemaJson(schema)}],
-         |"current-schema-id":0,
+         |"last-column-id":$lastColumnId,
+         |"schema":$schemaJsonStr,
+         |"schemas":$schemasJson,
+         |"current-schema-id":$currentSchemaId,
          |"partition-spec":[],"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[]}],
          |"properties":{},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":$snapshotsJson,
-         |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapshotId}]
+         |"snapshot-log":$logJson
          |}""".stripMargin.replace("\n", "")
     val out = fs.create(metaTmp, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val published = !fs.exists(metaTarget) && fs.rename(metaTmp, metaTarget)
+    // atomic create-if-absent (hard-link on file:): exists()+rename is
+    // a TOCTOU race where two committers can both "win" the version
+    val published = ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)
     if (!published) {
       fs.delete(metaTmp, false)
       throw new ConcurrentIcebergCommitException(
@@ -622,7 +690,7 @@ object IcebergInterop {
     val out = fs.create(metaTmp, false)
     try out.write(newJson.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!(!fs.exists(metaTarget) && fs.rename(metaTmp, metaTarget))) {
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
       fs.delete(metaTmp, false)
       throw new ConcurrentIcebergCommitException(
         s"metadata version $nextVersion of $root was committed " +

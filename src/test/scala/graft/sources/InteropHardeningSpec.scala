@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the open-format interop hardening: overwrite schema changes
+  * republish Delta metaData, appends compare types (not just names),
+  * partial multi-part checkpoints are skipped, Iceberg table identity
+  * (uuid / field ids / snapshot-log) carries across commits, and
+  * commit publication is atomic create-if-absent rather than
+  * exists()+rename. */
+class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def writeText(table: String, rel: String, text: String): Unit = {
+    val p = new Path(table, rel)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(table: String, rel: String): String = {
+    val p = new Path(table, rel)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val outBytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, outBytes, 65536, false)
+      new String(outBytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  // ------------------------------------------------------------- Delta
+
+  test("Delta overwrite with a changed schema republishes metaData in " +
+    "the same commit — reads serve the NEW schema, not the stale one") {
+    import spark.implicits._
+    val t = fresh("graft-dh")
+    DeltaInterop.write(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), t)
+    DeltaInterop.state(spark, t, None).schema.fieldNames shouldBe
+      Array("id", "payload")
+    // overwrite with a different column set: qty replaces payload
+    DeltaInterop.write(Seq((10L, 5L), (11L, 7L)).toDF("id", "qty"), t,
+      overwrite = true)
+    val st = DeltaInterop.state(spark, t, None)
+    st.schema.fieldNames shouldBe Array("id", "qty")
+    DeltaInterop.read(spark, t).select($"id", $"qty").as[(Long, Long)]
+      .collect().sorted shouldBe Array((10L, 5L), (11L, 7L))
+    // time travel still serves version 0 under ITS schema
+    DeltaInterop.readVersion(spark, t, 0L).schema.fieldNames shouldBe
+      Array("id", "payload")
+  }
+
+  test("Delta append re-typing a same-name column refuses by name " +
+    "instead of writing files that disagree with the recorded schema") {
+    import spark.implicits._
+    val t = fresh("graft-dh")
+    DeltaInterop.write(Seq((1L, "a")).toDF("id", "payload"), t)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((2L, 99L)).toDF("id", "payload"), t)
+    }.getMessage should include("re-types")
+    // same shape still appends fine
+    DeltaInterop.write(Seq((2L, "b")).toDF("id", "payload"), t)
+    DeltaInterop.read(spark, t).count() shouldBe 2L
+  }
+
+  test("Delta: a partially written multi-part checkpoint (missing " +
+    "parts) is skipped — resolution replays the JSON log instead of " +
+    "serving an incomplete file set") {
+    import spark.implicits._
+    val t = fresh("graft-dh")
+    DeltaInterop.write(Seq((1L, "a")).toDF("id", "payload"), t)
+    DeltaInterop.write(Seq((2L, "b")).toDF("id", "payload"), t)
+    // a crashed writer left part 1-of-2 of a v1 checkpoint, never part
+    // 2: the file is not even valid parquet, so reading it would throw
+    writeText(t, "_delta_log/" +
+      "00000000000000000001.checkpoint.0000000001.0000000002.parquet",
+      "NOT PARQUET — must never be read")
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L)
+    // a COMPLETE single-part checkpoint at the same version is still
+    // preferred over replay once it exists
+    DeltaInterop.checkpoint(spark, t)
+    DeltaInterop.read(spark, t).count() shouldBe 2L
+  }
+
+  // ----------------------------------------------------------- Iceberg
+
+  test("Iceberg commits carry table identity forward: stable " +
+    "table-uuid, accumulated snapshot-log, schema JSON reused verbatim " +
+    "on append and same-shape overwrite") {
+    import spark.implicits._
+    val t = fresh("graft-ih")
+    def meta(v: Long): String = readText(t, s"metadata/v$v.metadata.json")
+    IcebergInterop.write(Seq((1L, "a")).toDF("id", "payload"), t)
+    val m1 = meta(1)
+    val UuidRe = """"table-uuid":"([^"]+)"""".r
+    val uuid1 = UuidRe.findFirstMatchIn(m1).get.group(1)
+    IcebergInterop.write(Seq((2L, "b")).toDF("id", "payload"), t)
+    val m2 = meta(2)
+    UuidRe.findFirstMatchIn(m2).get.group(1) shouldBe uuid1
+    // snapshot-log accumulates instead of resetting
+    def logIds(m: String): Seq[String] =
+      """"snapshot-log":\[(.*?)\]""".r.findFirstMatchIn(m).get.group(1)
+        .split("\\},\\{").toSeq.filter(_.nonEmpty)
+    logIds(m1).length shouldBe 1
+    logIds(m2).length shouldBe 2
+    // same-shape overwrite keeps identity too
+    IcebergInterop.write(Seq((9L, "z")).toDF("id", "payload"), t,
+      overwrite = true)
+    val m3 = meta(3)
+    UuidRe.findFirstMatchIn(m3).get.group(1) shouldBe uuid1
+    logIds(m3).length shouldBe 3
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect() shouldBe Array(9L)
+  }
+
+  test("Iceberg append to a FOREIGN table preserves its original " +
+    "(non-positional) field ids — id-based column resolution by a real " +
+    "client keeps binding the same columns") {
+    import spark.implicits._
+    val t = fresh("graft-ih")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    // one data file
+    val stage = fresh("graft-ih-stage")
+    Seq((1L, "a")).toDF("id", "payload").coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dataDest = new Path(t, "data/f1.parquet")
+    fs.mkdirs(dataDest.getParent)
+    fs.rename(part, dataDest) shouldBe true
+    // minimal v1 manifest + list, hand-written
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1)
+    val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+    d.put("file_path", dataDest.toString)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", 1L)
+    d.put("file_size_in_bytes", fs.getFileStatus(dataDest).getLen)
+    e.put("data_file", d)
+    val (mPath, mLen) = avro("metadata/m1.avro", entrySchema, Seq(e))
+    val mf = new GenericData.Record(listSchema)
+    mf.put("manifest_path", mPath)
+    mf.put("manifest_length", mLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", 77L)
+    val (listPath, _) = avro("metadata/snap-77-1-x.avro", listSchema, Seq(mf))
+    // the foreign table's field ids are 11 and 22 — NOT positional
+    writeText(t, "metadata/v5.metadata.json",
+      s"""{"format-version":1,"table-uuid":"foreign-uuid","location":"$t",
+         |"last-updated-ms":1,"last-column-id":22,
+         |"schemas":[{"type":"struct","schema-id":3,"fields":[
+         |{"id":11,"name":"id","required":false,"type":"long"},
+         |{"id":22,"name":"payload","required":true,"type":"string"}]}],
+         |"current-schema-id":3,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$listPath","schema-id":3}],
+         |"snapshot-log":[{"timestamp-ms":1,"snapshot-id":77}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "5")
+    // append through our writer: id nullable matches, payload must be
+    // non-nullable to satisfy required=true
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val appendSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("payload", StringType, nullable = false)))
+    val nonNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, "b")), appendSchema)
+    IcebergInterop.write(nonNull, t)
+    val m6 = readText(t, "metadata/v6.metadata.json")
+    m6 should include(""""table-uuid":"foreign-uuid"""")
+    m6 should include(""""id":11""")
+    m6 should include(""""id":22""")
+    m6 should include(""""last-column-id":22""")
+    m6 should include(""""current-schema-id":3""")
+    IcebergInterop.read(spark, t).count() shouldBe 2L
+  }
+
+  test("Iceberg overwrite with a CHANGED schema evolves per spec: new " +
+    "schema-id, field ids continue from last-column-id, prior schemas " +
+    "stay resolvable; append re-types refuse by name") {
+    import spark.implicits._
+    val t = fresh("graft-ih")
+    IcebergInterop.write(Seq((1L, "a")).toDF("id", "payload"), t)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.write(Seq((2L, 99L)).toDF("id", "payload"), t)
+    }.getMessage should include("re-types")
+    IcebergInterop.write(Seq((10L, 5L)).toDF("id", "qty"), t,
+      overwrite = true)
+    val m2 = readText(t, "metadata/v2.metadata.json")
+    // new ids continue from the prior last-column-id (2): qty cols are
+    // 3 and 4, schema-id bumps to 1, the old schema-id 0 is retained
+    m2 should include(""""current-schema-id":1""")
+    m2 should include(""""last-column-id":4""")
+    m2 should include(""""schema-id":0""")
+    IcebergInterop.read(spark, t).select($"qty").as[Long]
+      .collect() shouldBe Array(5L)
+  }
+}
