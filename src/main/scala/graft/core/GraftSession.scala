@@ -24,6 +24,15 @@ import org.apache.spark.sql.SparkSession
   * ~2-3× total executor cores (set via --conf).
   */
 object GraftSession {
+  /** Cap on rendered plan strings (explain / AQE plan-update events /
+    * UI). Spark's default is effectively unbounded, and a deeply
+    * ITERATIVE operator (PageRank supersteps, HashMin rounds) whose
+    * persisted stages nest InMemoryRelations produces plan strings
+    * that grow EXPONENTIALLY with depth — AQE's onUpdatePlan then
+    * OOMs the driver building a string nobody reads. 1 MiB keeps
+    * every human use of explain intact and bounds the waste. */
+  private val PlanStringCap = (1024 * 1024).toString
+
   /** Number of local cores: SPARK_GRAFT_CPUS env, else all available. */
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -39,6 +48,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.maxPlanStringLength", PlanStringCap)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +87,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.maxPlanStringLength", PlanStringCap)
     shufflePartitions.foreach(n =>
       b.config("spark.sql.shuffle.partitions", n.toString))
     s3a.map(s3aConfMap).getOrElse(Map.empty)

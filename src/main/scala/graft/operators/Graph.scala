@@ -19,11 +19,21 @@ object Graph {
     * `iterations` fixed power-iteration steps and damping `d`:
     * `r'(v) = (1 - d) + d · Σ_{u→v} r(u) / outdeg(u)`.
     *
-    * `edges` is a directed (src, dst) DataFrame; every node must
-    * appear as a `src` at least once (no dangling nodes — callers with
-    * one-directional data add reverse edges or a self-loop policy
-    * first; dangling-mass redistribution is a modeling choice this
-    * operator refuses to make silently).
+    * `edges` is a directed (src, dst) DataFrame. DANGLING nodes
+    * (appear as a dst, never as a src) are a modeling choice the
+    * operator never makes silently: `dangling = "refuse"` (default)
+    * fails by name, `"self-loop"` gives each dangling node a
+    * self-edge (it keeps its own mass), `"redistribute"` spreads the
+    * aggregate dangling mass uniformly over all nodes every superstep
+    * (the classic random-surfer teleport model — one bounded 1-row
+    * grid-exact aggregate per step, broadcast back).
+    *
+    * `tolerance > 0` switches from a fixed `iterations` count to
+    * CONVERGENCE termination: stop as soon as the L1 rank delta drops
+    * under `tolerance` (with `iterations` as the cap). Convergence
+    * and redistribute both materialize the rank per superstep
+    * (auto-persisted — the delta and the dangling mass are per-step
+    * actions), so deep runs never stack an unbounded lazy plan.
     *
     * Scale shape: ONE keyed join (contributions) + ONE aggregate
     * (inbound sum) + one left join back to the node set per
@@ -50,57 +60,168 @@ object Graph {
     * before anyone tunes on it. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
-               persistEvery: Int = 0): DataFrame = {
+               persistEvery: Int = 0,
+               dangling: String = "refuse",
+               tolerance: Double = 0.0): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
-    val e = graft.core.TransientCache.persist(
+    require(Set("refuse", "self-loop", "redistribute")(dangling),
+      s"unknown dangling policy '$dangling' — one of refuse, " +
+        "self-loop, redistribute")
+    require(tolerance >= 0.0, "tolerance must be non-negative")
+    val raw = graft.core.TransientCache.persist(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
+    // dangling nodes: appear as a dst but never as a src — their rank
+    // mass has nowhere to go, and every policy is a MODELING choice:
+    //   refuse (default)  — fail by name; the caller adds reverse
+    //                       edges or picks a policy explicitly
+    //   self-loop         — each dangling node keeps its own mass
+    //                       (a self-edge), the local-sink model
+    //   redistribute      — dangling mass spreads uniformly over all
+    //                       nodes each step, the classic random-surfer
+    //                       teleport model (adds one bounded 1-row
+    //                       aggregate per superstep)
+    val danglingNodes = raw.select(col("dst").as("node")).distinct()
+      .join(raw.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+    val hasDangling = !danglingNodes.isEmpty
+    if (dangling == "refuse")
+      require(!hasDangling,
+        "graph has dangling nodes (appear as dst, never as src) — " +
+          "their rank mass has nowhere to go; add reverse edges, or " +
+          "pass dangling = \"self-loop\" or \"redistribute\"")
+    val e =
+      if (dangling == "self-loop" && hasDangling)
+        raw.unionByName(danglingNodes.select(col("node").as("src"),
+          col("node").as("dst")))
+      else raw
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = graft.core.TransientCache.persist(e.join(deg, Seq("src")))
     val nodes = graft.core.TransientCache.persist(
-      e.select(col("src").as("node")).distinct())
+      if (dangling == "redistribute")
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct()
+      else e.select(col("src").as("node")).distinct())
+    val redistribute = dangling == "redistribute" && hasDangling
+    // the redistribute policy reads the rank TWICE per superstep (the
+    // contribution join and the dangling-mass aggregate) and the
+    // convergence test needs a per-step DELTA — both force the rank
+    // to materialize per step, so those modes persist every iteration
+    // (the lazy single-DAG fast path stays for the plain fixed-count
+    // run); n is metadata-scale (one count over the node set)
+    val eager = redistribute || tolerance > 0.0
+    val n = if (redistribute) nodes.count().toDouble else 0.0
     var rank = nodes.withColumn("r", lit(1.0))
-    for (i <- 1 to iterations) {
+    var converged = false
+    for (i <- 1 to iterations if !converged) {
       val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst"), (col("r") / col("outdeg")).as("c"))
         .groupBy(col("dst")).agg(exact.decSum(col("c"), 9).as("s"))
-      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
-      if (persistEvery > 0 && i % persistEvery == 0 && i < iterations)
-        rank = graft.core.TransientCache.persist(rank)
+      var next =
+        if (redistribute) {
+          // Σ r(u) over dangling u, grid-exact like the contributions
+          // so partitioning cannot move the total; 1 row, broadcast
+          val dm = rank.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(exact.decSum(col("r"), 9), lit(0.0)).as("__dm"))
+          nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(1.0 - damping) + lit(damping) *
+                (coalesce(col("s"), lit(0.0)) + col("__dm") / lit(n)))
+                .as("r"))
+        } else
+          nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+            .select(col("node"),
+              (lit(1.0 - damping) +
+                lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+      if (eager || (persistEvery > 0 && i % persistEvery == 0 &&
+        i < iterations))
+        next = graft.core.TransientCache.persist(next)
+      if (tolerance > 0.0) {
+        val delta = next.join(
+            rank.select(col("node"), col("r").as("__prev")), Seq("node"))
+          .agg(sum(abs(col("r") - col("__prev"))).as("d"))
+          .collect().head.getDouble(0)
+        if (delta < tolerance) converged = true
+      }
+      rank = next
     }
     rank
   }
 
   /** Exact TRIANGLE COUNT (the clustering/cohesion primitive): edges
     * canonicalize to `u < v` (dedup + self-loop drop), then triangles
-    * enumerate as two hash joins — wedges `a<b<c` from e(a,b)⋈e(b,c),
-    * closed by e(a,c). Returns one row: (nodes, edges, triangles).
+    * enumerate as two hash joins. Returns one row:
+    * (nodes, edges, triangles) — identical under both orientations.
     *
-    * Scale shape: the wedge join's cost is Σ deg(v)² over the middle
-    * vertex — id-ordering keeps the oracle re-derivable relationally;
-    * a skew-heavy production graph wants DEGREE orientation instead
-    * (orient each edge low-degree → high, same triangle set, wedge
-    * work bounded by arboricity — swap the canonical ordering, the
-    * enumeration is unchanged). Everything is keyed shuffles; nothing
-    * is quadratic in nodes. */
-  def triangleCount(edges: DataFrame): DataFrame = {
+    * Scale shape: the wedge join's cost is Σ outdeg(v)² over the
+    * pivot vertex, and the ORIENTATION decides that sum.
+    * `degreeOriented = false` (default) pivots on id-order — wedges
+    * `a<b<c` from e(a,b)⋈e(b,c) closed by e(a,c) — which keeps the
+    * oracle re-derivable relationally but leaves a low-id HUB with
+    * deg² wedge work. `degreeOriented = true` orients every edge from
+    * its lower-(degree, id) endpoint to the higher and pivots there
+    * ([[orientedEdges]]): every out-degree is then bounded by O(√m)
+    * (arboricity), so a star hub generates ZERO wedges instead of
+    * C(deg, 2) — the skew-graph production setting. Same triangle
+    * set (each triangle is counted exactly once at its orientation-
+    * minimal vertex); everything is keyed shuffles, nothing quadratic
+    * in nodes. */
+  def triangleCount(edges: DataFrame,
+                    degreeOriented: Boolean = false): DataFrame = {
     val e = graft.core.TransientCache.persist(
       edges.select(
           least(col("src"), col("dst")).cast("long").as("u"),
           greatest(col("src"), col("dst")).cast("long").as("v"))
         .filter(col("u") < col("v")).distinct())
-    val wedges = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-    val tri = wedges.join(e.select(col("u").as("a"), col("v").as("c")),
-      Seq("a", "c"))
+    val tri =
+      if (!degreeOriented) {
+        val wedges = e.select(col("u").as("a"), col("v").as("b"))
+          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+        wedges.join(e.select(col("u").as("a"), col("v").as("c")),
+          Seq("a", "c"))
+      } else {
+        val o = graft.core.TransientCache.persist(orientedEdges(e))
+        // wedges at the pivot s: ordered out-neighbor pairs (t1 ≺ t2
+        // in the same (degree, id) order), closed by the oriented
+        // edge t1 → t2 (present iff the undirected edge exists, since
+        // the orientation is consistent with ≺)
+        val wedges = o.select(col("s"), col("t").as("t1"),
+            col("dt").as("d1"))
+          .join(o.select(col("s"), col("t").as("t2"),
+            col("dt").as("d2")), Seq("s"))
+          .filter(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("t1") < col("t2")))
+        wedges.join(o.select(col("s").as("t1"), col("t").as("t2")),
+          Seq("t1", "t2"))
+      }
     val nodes = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n"))).distinct()
     nodes.agg(count(lit(1)).as("nodes"))
       .crossJoin(e.agg(count(lit(1)).as("edges")))
       .crossJoin(tri.agg(count(lit(1)).as("triangles")))
+  }
+
+  /** Degree orientation of a canonical undirected edge set (columns
+    * `u < v`): each edge re-aims from its lower-(degree, id) endpoint
+    * `s` to the higher `t`, with `dt` = degree(t) carried so wedge
+    * enumeration can order out-neighbors without another join. The
+    * acyclic-orientation trick (Chiba–Nishizeki): out-degrees are
+    * bounded by O(√m), so Σ outdeg² — the wedge-join cost — survives
+    * power-law hubs that make id-ordering quadratic. */
+  private[operators] def orientedEdges(canonical: DataFrame): DataFrame = {
+    val deg = canonical.select(col("u").as("n"))
+      .unionByName(canonical.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    canonical
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(uLower, col("u")).otherwise(col("v")).as("s"),
+        when(uLower, col("v")).otherwise(col("u")).as("t"),
+        when(uLower, col("dv")).otherwise(col("du")).as("dt"))
   }
 }
 
