@@ -134,18 +134,33 @@ object TemporalQueries {
     * history; this one touches each step's event type only. */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts"): DataFrame = {
+             tsCol: String = "ts",
+             maxGapUs: Seq[Long] = Nil): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    // per-transition conversion DEADLINES ("click within 7 days of the
+    // view"): maxGapUs(i) bounds the gap step i → step i+1 in
+    // microseconds; ≤ 0 means unbounded. The deadline applies to the
+    // candidate events themselves — the first qualifying event must
+    // land INSIDE the window, not merely exist after the previous step
+    require(maxGapUs.isEmpty || maxGapUs.size == steps.size - 1,
+      s"maxGapUs needs one entry per transition " +
+        s"(${steps.size - 1} for ${steps.size} steps), got ${maxGapUs.size}")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("step1_ts"))
     steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
       val prev = s"step${i}_ts"
       val cur = s"step${i + 1}_ts"
+      val gap = if (maxGapUs.isEmpty) 0L else maxGapUs(i - 1)
+      val inWindow =
+        if (gap > 0)
+          col("__t") > col(prev) &&
+            unix_micros(col("__t")) - unix_micros(col(prev)) <= gap
+        else col("__t") > col(prev)
       val nxt = events.filter(col(typeCol) === step)
         .select(col(userCol), col(tsCol).as("__t"))
         .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-        .filter(col("__t") > col(prev))
+        .filter(inWindow)
         .groupBy(col(userCol))
         .agg(min(col("__t")).as(cur))
       acc.join(nxt.select(col(userCol), col(cur)), Seq(userCol), "left")
@@ -192,6 +207,55 @@ object TemporalQueries {
       |  SELECT e.user_id, min(e.ts) AS p_ts
       |  FROM src e JOIN c ON c.user_id = e.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |  GROUP BY e.user_id),
+      |f AS (
+      |  SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+      |    CASE WHEN p.p_ts IS NOT NULL THEN 3
+      |         WHEN c.c_ts IS NOT NULL THEN 2
+      |         ELSE 1 END AS step_reached
+      |  FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |  LEFT JOIN p ON p.user_id = v.user_id)
+      |SELECT step_reached, count(*) AS users,
+      |  CAST(sum(epoch_us(v_ts)) AS BIGINT) AS sum_view_us,
+      |  CAST(sum(epoch_us(c_ts)) AS BIGINT) AS sum_click_us,
+      |  CAST(sum(epoch_us(p_ts)) AS BIGINT) AS sum_purchase_us
+      |FROM f
+      |GROUP BY step_reached
+      |ORDER BY step_reached""".stripMargin
+
+  /** fn2_funnel_deadline — the same conversion funnel with per-step
+    * DEADLINES, the shape real funnels take ("click within 2 h of the
+    * view, purchase within 8 h of the click"): the first qualifying
+    * event must land inside the window, so late converters DROP
+    * instead of counting — over the full event stream (no slice
+    * needed; the deadlines themselves create drop-off at every SF).
+    * Same exact epoch-sum surface as fn1, BIGINT-cast per the
+    * gate-surface lint. */
+  def fn2FunnelDeadline(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d), Seq("view", "click", "purchase"),
+        maxGapUs = Seq(2L * 3600 * 1000000, 8L * 3600 * 1000000))
+      .groupBy(col("step_reached"))
+      .agg(count(lit(1)).as("users"),
+        sum(unix_micros(col("step1_ts"))).as("sum_view_us"),
+        sum(unix_micros(col("step2_ts"))).as("sum_click_us"),
+        sum(unix_micros(col("step3_ts"))).as("sum_purchase_us"))
+      .orderBy(col("step_reached"))
+
+  val fn2Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |    AND epoch_us(e.ts) - epoch_us(v.v_ts) <= 7200000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |    AND epoch_us(e.ts) - epoch_us(c.c_ts) <= 28800000000
       |  GROUP BY e.user_id),
       |f AS (
       |  SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
@@ -303,6 +367,7 @@ object TemporalQueries {
     "mk1_transitions" -> (mk1Transitions _),
     "ct1_cohort_retention" -> (ct1CohortRetention _),
     "fn1_funnel" -> (fn1Funnel _),
+    "fn2_funnel_deadline" -> (fn2FunnelDeadline _),
     "aj1_asof_join" -> (aj1AsofJoin _),
     "aj2_range_join" -> (aj2RangeJoin _),
     "aj3_asof_window" -> (aj3AsofWindow _))
@@ -311,6 +376,7 @@ object TemporalQueries {
     "mk1_transitions" -> mk1Oracle,
     "ct1_cohort_retention" -> ct1Oracle,
     "fn1_funnel" -> fn1Oracle,
+    "fn2_funnel_deadline" -> fn2Oracle,
     "aj1_asof_join" -> aj1Oracle,
     "aj2_range_join" -> aj2Oracle,
     "aj3_asof_window" -> aj3Oracle)

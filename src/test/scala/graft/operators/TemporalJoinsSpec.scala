@@ -101,6 +101,47 @@ class TemporalJoinsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 2)
   }
 
+  test("funnel deadlines: the first qualifying event must land INSIDE " +
+    "the per-step window — late converters drop, a within-window " +
+    "SECOND event still converts, unbounded entries behave like fn1") {
+    import spark.implicits._
+    def t(sec: Int) = Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(sec)}")
+    val events = Seq(
+      // user 1: click 2 s after view (inside the 5 s window), purchase
+      // 3 s after click (inside 10 s) — full conversion
+      (1L, "view", t(1)), (1L, "click", t(3)), (1L, "purchase", t(6)),
+      // user 2: first click 8 s after view — OUTSIDE the 5 s window,
+      // and no earlier click exists: stalls at step 1 even though a
+      // purchase follows
+      (2L, "view", t(1)), (2L, "click", t(9)), (2L, "purchase", t(10)),
+      // user 3: click converts at 4 s; purchase 20 s later — outside
+      // the 10 s purchase window: step 2
+      (3L, "view", t(1)), (3L, "click", t(5)), (3L, "purchase", t(25)),
+      // user 4: an out-of-window click at 8 s is IGNORED, but a
+      // second view resets nothing — windows anchor on the FIRST
+      // view; the later click at 30 s is also out of window: step 1
+      (4L, "view", t(1)), (4L, "click", t(30)))
+      .toDF("user_id", "event_type", "ts")
+    val out = TemporalQueries.funnel(events, Seq("view", "click", "purchase"),
+        maxGapUs = Seq(5L * 1000000, 10L * 1000000))
+      .select($"user_id", $"step_reached")
+      .as[(Long, Int)].collect().toMap
+    out shouldBe Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1)
+    // zero/negative gaps mean unbounded — identical to the plain funnel
+    val plain = TemporalQueries.funnel(events,
+      Seq("view", "click", "purchase"))
+      .select($"user_id", $"step_reached").as[(Long, Int)].collect().toMap
+    TemporalQueries.funnel(events, Seq("view", "click", "purchase"),
+        maxGapUs = Seq(0L, -1L))
+      .select($"user_id", $"step_reached")
+      .as[(Long, Int)].collect().toMap shouldBe plain
+    // arity guard
+    intercept[IllegalArgumentException] {
+      TemporalQueries.funnel(events, Seq("view", "click", "purchase"),
+        maxGapUs = Seq(1L))
+    }.getMessage should include("one entry per transition")
+  }
+
   test("transition matrix: hand-computed counts and probabilities; " +
     "sequences never cross users; ties break on event_id") {
     import spark.implicits._
