@@ -138,6 +138,47 @@ class BikeTransformSpec extends AnyFunSuite with Matchers with SparkSpec {
     readBack.count() shouldBe 8
   }
 
+  test("lake-resident formatted zone: drops append under hour-generated " +
+    "partitions and a window read PRUNES to the touched hour's files") {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-lakefmt")
+      .toString
+    def drop(date: String, time: String): String = {
+      val dir = new java.io.File(
+        s"$lakeRoot/raw/velib/stations_status/$date/$time")
+      dir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(fixture("station_status.json")),
+        java.nio.file.Paths.get(s"$dir/station_status.json"))
+      s"$dir/station_status.json"
+    }
+    // two drops in hour 09, one in hour 11 — the reference's dated
+    // path layout, committed through hour-generated lake partitions
+    BikeJobs.runSsLake(spark, drop("20250210", "090500"), lakeRoot)
+    BikeJobs.runSsLake(spark, drop("20250210", "094500"), lakeRoot)
+    BikeJobs.runSsLake(spark, drop("20250210", "110500"), lakeRoot)
+    val table = s"$lakeRoot/formatted_lake/velib/stations_status"
+    val all = graft.sources.ManifestLake.read(spark, table)
+    all.count() shouldBe 24 // 3 drops × 8 stations
+    // the drop timestamp decodes the path segments as UTC
+    BikeJobs.dropTimestamp("x/20250210/090500/f.json") shouldBe
+      java.sql.Timestamp.from(java.time.Instant.parse("2025-02-10T09:05:00Z"))
+    // window read: hour 09 only — rows AND files prune to that hour
+    val window = graft.sources.ManifestLake.readTsRange(spark, table,
+      "drop_ts",
+      java.sql.Timestamp.from(java.time.Instant.parse("2025-02-10T09:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2025-02-10T09:59:59Z")))
+    window.count() shouldBe 16
+    val touched = window.inputFiles
+    touched should not be empty
+    every(touched.toSeq) should include("p_hour=2025-02-10-09")
+    // the generation is ENFORCED: a later append through the plain
+    // write path must carry a correct p_hour or abort by name
+    val bad = all.limit(1).drop("p_hour")
+    intercept[Exception] {
+      graft.sources.ManifestLake.write(bad, table, append = true)
+    }
+  }
+
   test("malformed drops: FAILFAST aborts, audited read quarantines") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
     val good = java.nio.file.Files.readString(
