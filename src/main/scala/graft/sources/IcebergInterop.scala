@@ -26,10 +26,15 @@ import org.apache.spark.sql.types._
   * the converted schema.
   *
   *   - [[read]] / [[readSnapshot]] serve the table at the current (or
-  *     a named) snapshot. Anything this reader cannot serve CORRECTLY
-  *     refuses by name ([[UnsupportedIcebergFeatureException]]):
-  *     delete manifests / delete files (v2 merge-on-read), non-parquet
-  *     data files, list/map column types. Column resolution is
+  *     a named) snapshot — including v2 POSITION DELETES (merge-on-
+  *     read): delete manifests' `(file_path, pos)` parquet rows anti-
+  *     join against the scan's `_metadata` file/row-index columns,
+  *     the same per-file-position machinery the native lake's
+  *     deletion vectors use. Anything this reader cannot serve
+  *     CORRECTLY refuses by name
+  *     ([[UnsupportedIcebergFeatureException]]): EQUALITY deletes
+  *     (sequence-number-aware value resolution), non-parquet data
+  *     files, list/map column types. Column resolution is
   *     BY NAME: a table that renamed columns via field ids needs
   *     id-based resolution this reader does not do — documented, not
   *     guessed at.
@@ -58,8 +63,11 @@ object IcebergInterop {
     * row count. */
   final case class IceFile(path: String, records: Long, bytes: Long)
 
+  /** `posDeletes` are v2 POSITION-DELETE parquet files (rows of
+    * `(file_path, pos)`) the read must anti-join away. */
   final case class IceState(metadataVersion: Long, snapshotId: Long,
-                            schema: StructType, files: Seq[IceFile])
+                            schema: StructType, files: Seq[IceFile],
+                            posDeletes: Seq[String] = Nil)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -86,8 +94,34 @@ object IcebergInterop {
   private def toDF(spark: SparkSession, st: IceState): DataFrame =
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
-    else spark.read.schema(st.schema)
-      .parquet(st.files.map(_.path): _*)
+    else {
+      val data = spark.read.schema(st.schema)
+        .parquet(st.files.map(_.path): _*)
+      if (st.posDeletes.isEmpty) data
+      else {
+        // v2 merge-on-read: anti-join on (file, row position). Spark's
+        // parquet metadata columns supply exactly the delete key —
+        // `_metadata.row_index` is the row's ordinal within its file,
+        // the position the delete files recorded. Path spellings vary
+        // by writer (`file:/x` vs `file:///x`), so both sides
+        // normalize the scheme prefix before comparing. The delete
+        // set is file-path-keyed, so it stays proportional to deleted
+        // rows and AQE broadcasts it when small.
+        import org.apache.spark.sql.functions.{col, regexp_replace}
+        def norm(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+        val dels = spark.read.parquet(st.posDeletes: _*)
+          .select(norm(col("file_path")).as("__fp"),
+            col("pos").cast("long").as("__pos"))
+          .distinct()
+        data
+          .select(col("*"),
+            norm(col("_metadata.file_path")).as("__fp"),
+            col("_metadata.row_index").as("__pos"))
+          .join(dels, Seq("__fp", "__pos"), "left_anti")
+          .drop("__fp", "__pos")
+      }
+    }
 
   def state(spark: SparkSession, table: String,
             snapshotId: Option[Long]): IceState = {
@@ -136,36 +170,47 @@ object IcebergInterop {
           "pre-manifest-list layout) — not supported")
     }
     val files = Seq.newBuilder[IceFile]
+    val posDeletes = Seq.newBuilder[String]
     avroRows(fs, new Path(manifestList)).foreach { mf =>
       val content = fieldOpt(mf, "content")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
-      if (content != 0)
-        throw new UnsupportedIcebergFeatureException(
-          s"table $table carries a DELETE manifest (v2 merge-on-read) " +
-            "— serving it without applying deletes would resurrect " +
-            "deleted rows; compact the table first")
+      // manifest-list content: 0 = data manifest, 1 = DELETE manifest
+      // (v2 merge-on-read) — position deletes are served by the read's
+      // anti-join; equality deletes refuse by name below
       val mPath = mf.get("manifest_path").toString
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          fieldOpt(df, "content")
-            .map(_.asInstanceOf[Number].intValue).foreach { c =>
-              if (c != 0) throw new UnsupportedIcebergFeatureException(
-                s"table $table holds a delete file (content=$c) — v2 " +
-                  "merge-on-read deletes are not supported; compact first")
-            }
+          val fileContent = fieldOpt(df, "content")
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0)
           val fmt = df.get("file_format").toString
           if (!fmt.equalsIgnoreCase("parquet"))
             throw new UnsupportedIcebergFeatureException(
-              s"data file format $fmt in $table — only parquet is served")
-          files += IceFile(df.get("file_path").toString,
-            df.get("record_count").asInstanceOf[Number].longValue,
-            df.get("file_size_in_bytes").asInstanceOf[Number].longValue)
+              s"file format $fmt in $table — only parquet is served")
+          fileContent match {
+            case 0 =>
+              if (content != 0)
+                throw new UnsupportedIcebergFeatureException(
+                  s"table $table lists a data file (content=0) inside " +
+                    "a DELETE manifest — malformed metadata; refusing " +
+                    "rather than guessing which rows survive")
+              files += IceFile(df.get("file_path").toString,
+                df.get("record_count").asInstanceOf[Number].longValue,
+                df.get("file_size_in_bytes").asInstanceOf[Number].longValue)
+            case 1 => // position deletes: (file_path, pos) rows
+              posDeletes += df.get("file_path").toString
+            case 2 => throw new UnsupportedIcebergFeatureException(
+              s"table $table holds an EQUALITY delete file — value-" +
+                "keyed deletes need sequence-number-aware resolution " +
+                "this reader does not do; compact the table first")
+            case other => throw new UnsupportedIcebergFeatureException(
+              s"unknown delete-file content=$other in $table")
+          }
         }
       }
     }
-    IceState(version, snapId, schema, files.result())
+    IceState(version, snapId, schema, files.result(), posDeletes.result())
   }
 
   /** Newest `v<N>.metadata.json` — the version-hint is consulted first
@@ -483,8 +528,18 @@ object IcebergInterop {
       r
     }
     // prior manifest-file rows re-encode under OUR list schema (their
-    // extra columns drop; the four this reader and writer agree on stay)
+    // extra columns drop; the four this reader and writer agree on
+    // stay) — EXCEPT a delete manifest: dropping its `content=1`
+    // marker would re-label it as a data manifest for foreign readers
     val carried = priorManifests.map { pm =>
+      val pmContent = fieldOpt(pm, "content")
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+      if (pmContent != 0)
+        throw new UnsupportedIcebergFeatureException(
+          s"append to $root would carry a DELETE manifest whose " +
+            "content marker this writer's manifest-list schema does " +
+            "not encode — a foreign reader would misread it as data; " +
+            "compact the table first")
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", pm.get("manifest_path").toString)
       r.put("manifest_length",
@@ -772,6 +827,10 @@ object IcebergInterop {
     * (manifest entries are root-relative). */
   def importToManifest(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
+    require(st.posDeletes.isEmpty,
+      s"table $table carries position-delete files — a metadata-only " +
+        "import would register the data files WITHOUT their deletes " +
+        "and resurrect deleted rows; compact the Iceberg table first")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val rootPath = root.toUri.getPath.stripSuffix("/") + "/"

@@ -219,6 +219,140 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.read(spark, t).count() shouldBe 2L
   }
 
+  test("Iceberg v2 position deletes are APPLIED on read: deleted rows " +
+    "drop, other files are untouched, time travel before the delete " +
+    "still serves them; equality deletes refuse by name") {
+    import spark.implicits._
+    val t = fresh("graft-ipd")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFile(rel: String, df: org.apache.spark.sql.DataFrame): String = {
+      val stage = fresh("graft-ipd-stage")
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      dest.toString
+    }
+    // two data files; the delete file kills rows 1 and 3 (0-based) of f1
+    val f1 = parquetFile("data/f1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "payload"))
+    val f2 = parquetFile("data/f2.parquet",
+      Seq((9L, "z")).toDF("id", "payload"))
+    val del = parquetFile("data/del1.parquet",
+      Seq((f1, 1L), (f1, 3L)).toDF("file_path", "pos"))
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int","default":0},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    def entry(content: Int, path: String, n: Long): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", content)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", 1L)
+      e.put("data_file", d)
+      e
+    }
+    val (mData, mDataLen) = avro("metadata/m-data.avro", entrySchema,
+      Seq(entry(0, f1, 4L), entry(0, f2, 1L)))
+    val (mDel, mDelLen) = avro("metadata/m-del.avro", entrySchema,
+      Seq(entry(1, del, 2L)))
+    def listRow(path: String, len: Long, content: Int): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", 77L)
+      r
+    }
+    // snapshot 77: data only; snapshot 78: data + position deletes
+    val (list77, _) = avro("metadata/snap-77.avro", listSchema,
+      Seq(listRow(mData, mDataLen, 0)))
+    val (list78, _) = avro("metadata/snap-78.avro", listSchema,
+      Seq(listRow(mData, mDataLen, 0), listRow(mDel, mDelLen, 1)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"payload","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(t, "metadata/v3.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":2,"last-column-id":2,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":78,
+         |"snapshots":[
+         |{"snapshot-id":77,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$list77","schema-id":0},
+         |{"snapshot-id":78,"timestamp-ms":2,
+         |"summary":{"operation":"delete"},
+         |"manifest-list":"$list78","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "3")
+    // head read: rows 2 and 4 of f1 deleted by position, f2 intact
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 9L)
+    // time travel BEFORE the delete still serves every row
+    IcebergInterop.readSnapshot(spark, t, 77L).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 9L)
+    // a metadata-only import would resurrect the deleted rows — refuse
+    intercept[IllegalArgumentException] {
+      IcebergInterop.importToManifest(spark, t)
+    }.getMessage should include("resurrect")
+    // equality deletes refuse by name
+    val (mEq, mEqLen) = avro("metadata/m-eq.avro", entrySchema,
+      Seq(entry(2, del, 1L)))
+    val (list79, _) = avro("metadata/snap-79.avro", listSchema,
+      Seq(listRow(mData, mDataLen, 0), listRow(mEq, mEqLen, 1)))
+    writeText(t, "metadata/v4.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":3,"last-column-id":2,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":79,
+         |"snapshots":[{"snapshot-id":79,"timestamp-ms":3,
+         |"summary":{"operation":"delete"},
+         |"manifest-list":"$list79","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "4")
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.read(spark, t)
+    }.getMessage should include("EQUALITY")
+  }
+
   test("Iceberg overwrite with a CHANGED schema evolves per spec: new " +
     "schema-id, field ids continue from last-column-id, prior schemas " +
     "stay resolvable; append re-types refuse by name") {
