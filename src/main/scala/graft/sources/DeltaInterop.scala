@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, regexp_replace}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Delta Lake TRANSACTION-LOG interop, pure Spark — no delta-spark jar.
@@ -55,7 +55,8 @@ object DeltaInterop {
     * null partition value). */
   final case class DeltaAdd(path: String,
                             partitionValues: Map[String, Option[String]],
-                            size: Long)
+                            size: Long,
+                            dv: Option[DeltaDv.DvDescriptor] = None)
 
   /** Reconstructed table state at one version. */
   final case class DeltaState(version: Long, schema: StructType,
@@ -131,16 +132,21 @@ object DeltaInterop {
     var partCols: Seq[String] = Nil
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      if (readerFeatures.nonEmpty)
+      // reader version 3 tables declare table features by name; the
+      // one this reader serves is deletionVectors (applied per file in
+      // the read kernel) — anything else refuses by name. Version 2 is
+      // column mapping, which changes every column's physical name.
+      val unsupported = readerFeatures.filterNot(_ == "deletionVectors")
+      if (unsupported.nonEmpty)
         throw new UnsupportedDeltaFeatureException(
           s"table $table requires reader features " +
-            s"${readerFeatures.mkString("[", ", ", "]")} — none are " +
-            "supported by this reader")
-      if (minReader > 1)
+            s"${unsupported.mkString("[", ", ", "]")} — not supported " +
+            "by this reader (deletionVectors is)")
+      if (minReader == 2 || minReader > 3)
         throw new UnsupportedDeltaFeatureException(
-          s"table $table requires minReaderVersion=$minReader — only " +
-            "version 1 (no column mapping, no deletion vectors) is " +
-            "supported by this reader")
+          s"table $table requires minReaderVersion=$minReader — " +
+            "versions 1 and 3 (with deletionVectors) are supported; " +
+            "2 is column mapping, which this reader does not resolve")
     }
 
     ck.foreach { cv =>
@@ -172,15 +178,35 @@ object DeltaInterop {
           partCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
         }
         struct("add").foreach { a =>
-          if (a.schema.fieldNames.contains("deletionVector") &&
-            !a.isNullAt(a.fieldIndex("deletionVector")))
-            throw new UnsupportedDeltaFeatureException(
-              s"file in $table carries a deletion vector — not supported")
+          val dv =
+            if (a.schema.fieldNames.contains("deletionVector") &&
+              !a.isNullAt(a.fieldIndex("deletionVector"))) {
+              val d = a.getStruct(a.fieldIndex("deletionVector"))
+              def fld[T](name: String, get: Int => T, dflt: T): T = {
+                val i = d.schema.fieldNames.indexOf(name)
+                if (i >= 0 && !d.isNullAt(i)) get(i) else dflt
+              }
+              Some(DeltaDv.DvDescriptor(
+                d.getString(d.fieldIndex("storageType")),
+                d.getString(d.fieldIndex("pathOrInlineDv")),
+                fld[Long]("offset", i => d.get(i) match {
+                  case n: java.lang.Number => n.longValue
+                  case _ => 0L
+                }, 0L),
+                fld[Int]("sizeInBytes", i => d.get(i) match {
+                  case n: java.lang.Number => n.intValue
+                  case _ => 0
+                }, 0),
+                fld[Long]("cardinality", i => d.get(i) match {
+                  case n: java.lang.Number => n.longValue
+                  case _ => 0L
+                }, 0L)))
+            } else None
           val pv = a.getMap[String, String](a.fieldIndex("partitionValues"))
             .toMap.map { case (k, v) => k -> Option(v) }
           val path = urlDecode(a.getString(a.fieldIndex("path")))
           files(path) = DeltaAdd(path, pv,
-            a.getLong(a.fieldIndex("size")))
+            a.getLong(a.fieldIndex("size")), dv)
         }
         struct("remove").foreach { rm =>
           files.remove(urlDecode(rm.getString(rm.fieldIndex("path")))): Unit
@@ -274,10 +300,16 @@ object DeltaInterop {
       val add = j \ "add" match {
         case JNothing | JNull => Nil
         case a =>
-          (a \ "deletionVector") match {
-            case JNothing | JNull =>
-            case _ => throw new UnsupportedDeltaFeatureException(
-              s"file in $table carries a deletion vector — not supported")
+          val dv = (a \ "deletionVector") match {
+            case JNothing | JNull => None
+            case d => Some(DeltaDv.DvDescriptor(
+              str(d \ "storageType").getOrElse(throw
+                new IllegalStateException(s"DV without storageType in $file")),
+              str(d \ "pathOrInlineDv").getOrElse(throw
+                new IllegalStateException(s"DV without payload in $file")),
+              long(d \ "offset"),
+              long(d \ "sizeInBytes").toInt,
+              long(d \ "cardinality")))
           }
           val pv = (a \ "partitionValues") match {
             case JObject(fields) => fields.map {
@@ -289,7 +321,7 @@ object DeltaInterop {
           Seq(AddAction(DeltaAdd(
             urlDecode(str(a \ "path").getOrElse(
               throw new IllegalStateException(s"add without path in $file"))),
-            pv, long(a \ "size"))))
+            pv, long(a \ "size"), dv)))
       }
       val remove = j \ "remove" match {
         case JNothing | JNull => Nil
@@ -343,7 +375,11 @@ object DeltaInterop {
     filesToDF(spark, table, st.schema, st.partitionColumns, st.files)
 
   /** The shared file-set read kernel — used by snapshot serving AND the
-    * streaming source's per-batch reads. */
+    * streaming source's per-batch reads. Files carrying DELETION
+    * VECTORS anti-join their decoded `(file, row position)` pairs
+    * against the scan's parquet metadata columns — the delete set is
+    * proportional to deleted rows (bitmaps decode on executors, the
+    * driver only ships descriptors) and AQE broadcasts it when small. */
   private[sources] def filesToDF(spark: SparkSession, table: String,
                                  schema: StructType,
                                  partitionColumns: Seq[String],
@@ -355,7 +391,13 @@ object DeltaInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     val groups = files.groupBy(_.partitionValues)
-    groups.map { case (pv, adds) =>
+    val dvAdds = files.filter(_.dv.nonEmpty)
+    // path spellings vary by writer (file:/x vs file:///x vs /x) —
+    // both join sides normalize the scheme prefix the same way
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    def scan(pv: Map[String, Option[String]], adds: Seq[DeltaAdd],
+             extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
       val base = spark.read.schema(dataSchema)
         .parquet(adds.map(a => new Path(table, a.path).toString): _*)
       partitionColumns.foldLeft(base) { (acc, pc) =>
@@ -363,8 +405,39 @@ object DeltaInterop {
         val v = pv.get(pc).flatten
         acc.withColumn(pc,
           v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)))
-      }.select(outCols.toIndexedSeq: _*)
-    }.reduce(_ unionByName _)
+      }.select((outCols ++ extra).toIndexedSeq: _*)
+    }
+    if (dvAdds.isEmpty)
+      groups.map { case (pv, adds) => scan(pv, adds, Nil) }
+        .reduce(_ unionByName _)
+    else {
+      import spark.implicits._
+      val descriptors = dvAdds.map { a =>
+        val d = a.dv.get
+        (new Path(table, a.path).toString, d.storageType,
+          d.pathOrInlineDv, d.offset, d.sizeInBytes)
+      }
+      val tableRoot = table
+      val dels = spark.createDataset(descriptors)
+        .flatMap { case (fp, st, payload, off, size) =>
+          val root = new Path(tableRoot)
+          val fs = root.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          DeltaDv.deserialize(DeltaDv.bitmapBytes(fs, root,
+              DeltaDv.DvDescriptor(st, payload, off, size, -1L)))
+            .map(pos => (fp, pos))
+        }
+        .toDF("__fp", "__pos")
+        .select(norm(col("__fp")).as("__fp"), col("__pos"))
+      groups.map { case (pv, adds) =>
+          scan(pv, adds, Seq(
+            norm(col("_metadata.file_path")).as("__fp"),
+            col("_metadata.row_index").as("__pos")))
+        }
+        .reduce(_ unionByName _)
+        .join(dels, Seq("__fp", "__pos"), "left_anti")
+        .drop("__fp", "__pos")
+    }
   }
 
   // --------------------------------------------------------------- write
@@ -461,6 +534,13 @@ object DeltaInterop {
   def checkpoint(spark: SparkSession, table: String,
                  version: Option[Long] = None): Long = {
     val st = state(spark, table, version)
+    // this writer's checkpoint rows carry no deletionVector column —
+    // checkpointing a DV-bearing state would drop the vectors and
+    // resurrect their deleted rows for every later reader
+    require(st.files.forall(_.dv.isEmpty),
+      s"table $table holds deletion-vector files at version " +
+        s"${st.version} — checkpointing would drop the vectors; " +
+        "compact the table (rewrite DV files) first")
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
@@ -666,6 +746,10 @@ object DeltaInterop {
     * silently mis-partitioning. */
   def importToManifest(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
+    require(st.files.forall(_.dv.isEmpty),
+      s"table $table holds deletion-vector files — a metadata-only " +
+        "import would register the data files WITHOUT their deletes " +
+        "and resurrect deleted rows; compact the Delta table first")
     st.files.foreach { f =>
       val fromPath = hivePartitionValues(f.path)
         .map { case (k, v) => k -> v }

@@ -160,27 +160,22 @@ class DeltaInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
            |""".stripMargin)
       t
     }
+    // reader version 3 with ONLY deletionVectors is now a supported
+    // surface — the (DV-less) table serves its row
+    DeltaInterop.read(spark, tableWith(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""))
+      .count() shouldBe 1L
+    // an UNKNOWN reader feature still refuses by name
     intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
       DeltaInterop.read(spark, tableWith(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""))
-    }.getMessage should include("deletionVectors")
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
+    }.getMessage should include("v2Checkpoint")
     intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
       DeltaInterop.read(spark, tableWith(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
     }.getMessage should include("minReaderVersion=2")
-    val dvTable = fresh()
     val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
       "id BIGINT").json
-    writeText(dvTable, "_delta_log/00000000000000000000.json",
-      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
-         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
-        DeltaJsonTestUtil.jstr(schemaJson)
-      },"partitionColumns":[],"configuration":{},"createdTime":1}}
-         |{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}
-         |""".stripMargin)
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
-      DeltaInterop.read(spark, dvTable)
-    }.getMessage should include("deletion vector")
     val cmTable = fresh()
     writeText(cmTable, "_delta_log/00000000000000000000.json",
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}

@@ -96,6 +96,69 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     DeltaInterop.read(spark, t).count() shouldBe 2L
   }
 
+  test("Delta deletion vectors are APPLIED on read — file-based (u) and " +
+    "inline (i) storage, z85 + roaring round-trips, time travel before " +
+    "the DV serves every row; checkpoint and import refuse DV states") {
+    import spark.implicits._
+    val t = fresh("graft-ddv")
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFile(rel: String, df: org.apache.spark.sql.DataFrame): Long = {
+      val stage = fresh("graft-ddv-stage")
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      fs.getFileStatus(dest).getLen
+    }
+    // the codec round-trips, including multi-container values
+    val probe = Seq(0L, 1L, 4095L, 70000L, (1L << 32) + 7L)
+    DeltaDv.deserialize(DeltaDv.serialize(probe)).sorted shouldBe
+      probe.sorted.toArray
+    val s1 = parquetFile("f1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "payload"))
+    val s2 = parquetFile("f2.parquet", Seq((9L, "z")).toDF("id", "payload"))
+    val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, payload STRING").json
+    def meta = s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+      DeltaJsonTestUtil.jstr(schemaJson)
+    },"partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    writeText(t, "_delta_log/00000000000000000000.json",
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |$meta
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}
+         |{"add":{"path":"f2.parquet","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin)
+    // v1: f1 gains a FILE-based DV killing row positions 1 and 3
+    val (dvId, off, size) = DeltaDv.writeDvFile(fs, root, Seq(1L, 3L))
+    writeText(t, "_delta_log/00000000000000000001.json",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":2,"dataChange":false,"deletionVector":{"storageType":"u","pathOrInlineDv":"$dvId","offset":$off,"sizeInBytes":$size,"cardinality":2}}}
+         |""".stripMargin)
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 9L)
+    // time travel BEFORE the DV serves every row
+    DeltaInterop.readVersion(spark, t, 0L).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 9L)
+    // checkpoint and metadata-only import refuse a DV-bearing state
+    intercept[IllegalArgumentException] {
+      DeltaInterop.checkpoint(spark, t)
+    }.getMessage should include("deletion-vector")
+    intercept[IllegalArgumentException] {
+      DeltaInterop.importToManifest(spark, t)
+    }.getMessage should include("resurrect")
+    // v2: the DV is replaced by an INLINE vector killing position 0
+    val inlineData = DeltaDv.serialize(Seq(0L))
+    writeText(t, "_delta_log/00000000000000000002.json",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":3,"dataChange":false,"deletionVector":{"storageType":"i","pathOrInlineDv":"${
+        DeltaDv.z85EncodePadded(inlineData)
+      }","offset":0,"sizeInBytes":${inlineData.length},"cardinality":1}}}
+         |""".stripMargin)
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(2L, 3L, 4L, 9L)
+  }
+
   // ----------------------------------------------------------- Iceberg
 
   test("Iceberg commits carry table identity forward: stable " +
