@@ -525,6 +525,58 @@ object DeltaInterop {
     publishCommit(fs, logDir, version, lines.toSeq)
   }
 
+  /** REORG-style deletion-vector PURGE — the compaction every DV
+    * refusal in this module points at: each DV-bearing file rewrites
+    * WITHOUT its deleted rows (grouped by partition values, so one
+    * scan + one staged write per partition group, not per file), and
+    * one commit removes the vectored files and adds their clean
+    * replacements (`dataChange = false` — no logical rows changed,
+    * the Delta maintenance marker). After the purge the state carries
+    * no vectors, so [[checkpoint]], [[vacuum]] and
+    * [[importToManifest]] apply again. Untouched files are not
+    * rewritten — cost tracks the vectored surface, not the table. */
+  def purgeDeletionVectors(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    val dvAdds = st.files.filter(_.dv.nonEmpty)
+    if (dvAdds.isEmpty) return st.version
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val dataSchema = StructType(st.schema.fields.filterNot(f =>
+      st.partitionColumns.contains(f.name)))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("PURGE")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    dvAdds.groupBy(_.partitionValues).foreach { case (pv, adds) =>
+      // the group's survivors in one pass: scan the vectored files
+      // with their row positions, anti-join the decoded deletes
+      val clean = filesToDF(spark, table, dataSchema, Nil, adds)
+      val stage = new Path(root, s".purge-${java.util.UUID.randomUUID()}")
+      clean.write.mode("overwrite").parquet(stage.toString)
+      val staged = listParquet(fs, stage)
+      staged.foreach { p =>
+        val dest = new Path(root, p.getName)
+        if (!fs.rename(p, dest))
+          throw new IllegalStateException(s"failed to move $p to $dest")
+        val pvJson = pv.map {
+          case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+          case (k, None) => s"${jstr(k)}:null"
+        }.mkString("{", ",", "}")
+        lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
+          s""""partitionValues":$pvJson,""" +
+          s""""size":${fs.getFileStatus(dest).getLen},""" +
+          s""""modificationTime":$now,"dataChange":false}}"""
+      }
+      fs.delete(stage, true): Unit
+      adds.foreach(a =>
+        lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""deletionTimestamp":$now,"dataChange":false}}""")
+    }
+    publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
+      lines.toSeq)
+  }
+
   /** Compact the log at its head (or a named `version`) into a
     * single-part checkpoint + `_last_checkpoint` — the artifact
     * [[read]] starts from instead of replaying every JSON commit.
@@ -540,7 +592,7 @@ object DeltaInterop {
     require(st.files.forall(_.dv.isEmpty),
       s"table $table holds deletion-vector files at version " +
         s"${st.version} — checkpointing would drop the vectors; " +
-        "compact the table (rewrite DV files) first")
+        "purge the vectors first (purgeDeletionVectors)")
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
@@ -749,7 +801,8 @@ object DeltaInterop {
     require(st.files.forall(_.dv.isEmpty),
       s"table $table holds deletion-vector files — a metadata-only " +
         "import would register the data files WITHOUT their deletes " +
-        "and resurrect deleted rows; compact the Delta table first")
+        "and resurrect deleted rows; purge the vectors first " +
+        "(purgeDeletionVectors)")
     st.files.foreach { f =>
       val fromPath = hivePartitionValues(f.path)
         .map { case (k, v) => k -> v }

@@ -203,7 +203,7 @@ object IcebergInterop {
             case 2 => throw new UnsupportedIcebergFeatureException(
               s"table $table holds an EQUALITY delete file — value-" +
                 "keyed deletes need sequence-number-aware resolution " +
-                "this reader does not do; compact the table first")
+                "this reader does not do; rewrite the deletes away first")
             case other => throw new UnsupportedIcebergFeatureException(
               s"unknown delete-file content=$other in $table")
           }
@@ -539,7 +539,7 @@ object IcebergInterop {
           s"append to $root would carry a DELETE manifest whose " +
             "content marker this writer's manifest-list schema does " +
             "not encode — a foreign reader would misread it as data; " +
-            "compact the table first")
+            "compact the deletes first (compactDeletes)")
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", pm.get("manifest_path").toString)
       r.put("manifest_length",
@@ -630,6 +630,59 @@ object IcebergInterop {
   }
 
   // --------------------------------------------------------- conversion
+
+  /** Compact away v2 POSITION DELETES — the rewrite every
+    * equality/append refusal in this module points at: data files the
+    * delete rows touch rewrite WITHOUT their deleted positions, files
+    * no delete touches carry verbatim, and one overwrite-style
+    * snapshot publishes the clean file set with NO delete manifests
+    * (prior snapshots stay addressable until expiry). After the
+    * compaction, appends and [[importToManifest]] apply again. Cost
+    * tracks the deleted surface: only touched files rewrite. */
+  def compactDeletes(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    if (st.posDeletes.isEmpty) return st.snapshotId
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    def normStr(s: String): String =
+      s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    val touched = spark.read.parquet(st.posDeletes: _*)
+      .select(norm(col("file_path")).as("fp")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, keep) = st.files.partition(f => touched(normStr(f.path)))
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val rewritten =
+      if (rewrite.isEmpty) Nil
+      else {
+        val clean = toDF(spark, IceState(st.metadataVersion, st.snapshotId,
+          st.schema, rewrite, st.posDeletes))
+        val stage = new Path(root,
+          s".compact-${java.util.UUID.randomUUID()}")
+        clean.write.mode("overwrite").parquet(stage.toString)
+        val conf = spark.sessionState.newHadoopConf()
+        val moved = fs.listStatus(new Path(stage.toString)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map { p =>
+            val dest = new Path(dataDir, p.getName)
+            if (!fs.rename(p, dest))
+              throw new IllegalStateException(s"failed to move $p to $dest")
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                dest, conf))
+            val rows = try reader.getFooter.getBlocks.asScala
+              .map(_.getRowCount.toLong).sum
+            finally reader.close()
+            IceFile(dest.toString, rows, fs.getFileStatus(dest).getLen)
+          }.toSeq
+        fs.delete(stage, true): Unit
+        moved
+      }
+    publishSnapshot(fs, root, st.schema, keep ++ rewritten,
+      Some(st), overwrite = true, operation = "replace")
+  }
 
   /** Iceberg's retention maintenance (`expireSnapshots`): drop every
     * snapshot but the newest `keepLast`, publish the pruned metadata
@@ -830,7 +883,8 @@ object IcebergInterop {
     require(st.posDeletes.isEmpty,
       s"table $table carries position-delete files — a metadata-only " +
         "import would register the data files WITHOUT their deletes " +
-        "and resurrect deleted rows; compact the Iceberg table first")
+        "and resurrect deleted rows; compact the deletes first " +
+        "(compactDeletes)")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val rootPath = root.toUri.getPath.stripSuffix("/") + "/"

@@ -157,6 +157,15 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
          |""".stripMargin)
     DeltaInterop.read(spark, t).select($"id").as[Long]
       .collect().sorted shouldBe Array(2L, 3L, 4L, 9L)
+    // PURGE rewrites the vectored files clean: reads unchanged, the
+    // vectors are gone, and the refused maintenance applies again
+    DeltaInterop.purgeDeletionVectors(spark, t)
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(2L, 3L, 4L, 9L)
+    DeltaInterop.state(spark, t, None).files
+      .forall(_.dv.isEmpty) shouldBe true
+    DeltaInterop.checkpoint(spark, t)
+    DeltaInterop.read(spark, t).count() shouldBe 4L
   }
 
   // ----------------------------------------------------------- Iceberg
@@ -395,12 +404,20 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException] {
       IcebergInterop.importToManifest(spark, t)
     }.getMessage should include("resurrect")
+    // COMPACT rewrites the deletes away: reads unchanged, no delete
+    // manifests left, and appends apply again
+    IcebergInterop.compactDeletes(spark, t)
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 9L)
+    IcebergInterop.state(spark, t, None).posDeletes shouldBe empty
+    IcebergInterop.write(Seq((100L, "q")).toDF("id", "payload"), t)
+    IcebergInterop.read(spark, t).count() shouldBe 4L
     // equality deletes refuse by name
     val (mEq, mEqLen) = avro("metadata/m-eq.avro", entrySchema,
       Seq(entry(2, del, 1L)))
     val (list79, _) = avro("metadata/snap-79.avro", listSchema,
       Seq(listRow(mData, mDataLen, 0), listRow(mEq, mEqLen, 1)))
-    writeText(t, "metadata/v4.metadata.json",
+    writeText(t, "metadata/v9.metadata.json",
       s"""{"format-version":2,"table-uuid":"u","location":"$t",
          |"last-updated-ms":3,"last-column-id":2,
          |"schemas":[$schemaJson],"current-schema-id":0,
@@ -410,7 +427,7 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
          |"summary":{"operation":"delete"},
          |"manifest-list":"$list79","schema-id":0}]
          |}""".stripMargin.replace("\n", ""))
-    writeText(t, "metadata/version-hint.text", "4")
+    writeText(t, "metadata/version-hint.text", "9")
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
       IcebergInterop.read(spark, t)
     }.getMessage should include("EQUALITY")
