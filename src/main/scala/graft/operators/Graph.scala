@@ -22,7 +22,9 @@ object Graph {
     * `edges` is a directed (src, dst) DataFrame. DANGLING nodes
     * (appear as a dst, never as a src) are a modeling choice the
     * operator never makes silently: `dangling = "refuse"` (default)
-    * fails by name, `"self-loop"` gives each dangling node a
+    * fails by name (one distinct + anti-join over the edges —
+    * callers whose construction proves closure skip that job with
+    * `"assume-none"`), `"self-loop"` gives each dangling node a
     * self-edge (it keeps its own mass), `"redistribute"` spreads the
     * aggregate dangling mass uniformly over all nodes every superstep
     * (the classic random-surfer teleport model — one bounded 1-row
@@ -64,9 +66,10 @@ object Graph {
                dangling: String = "refuse",
                tolerance: Double = 0.0): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
-    require(Set("refuse", "self-loop", "redistribute")(dangling),
+    require(Set("refuse", "assume-none", "self-loop", "redistribute")(
+      dangling),
       s"unknown dangling policy '$dangling' — one of refuse, " +
-        "self-loop, redistribute")
+        "assume-none, self-loop, redistribute")
     require(tolerance >= 0.0, "tolerance must be non-negative")
     val raw = graft.core.TransientCache.persist(
       edges.select(col("src").cast("long").as("src"),
@@ -81,15 +84,21 @@ object Graph {
     //                       nodes each step, the classic random-surfer
     //                       teleport model (adds one bounded 1-row
     //                       aggregate per superstep)
-    val danglingNodes = raw.select(col("dst").as("node")).distinct()
+    // the refuse check is one distinct + anti-join over the edge
+    // table — a real job proportional to edges, so callers whose
+    // construction PROVES closure (bidirectional edge builds, graphs
+    // with a self-loop invariant) may skip it with "assume-none":
+    // same semantics as a passing refuse, none of the cost
+    lazy val danglingNodes = raw.select(col("dst").as("node")).distinct()
       .join(raw.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
-    val hasDangling = !danglingNodes.isEmpty
+    val hasDangling = dangling != "assume-none" && !danglingNodes.isEmpty
     if (dangling == "refuse")
       require(!hasDangling,
         "graph has dangling nodes (appear as dst, never as src) — " +
-          "their rank mass has nowhere to go; add reverse edges, or " +
-          "pass dangling = \"self-loop\" or \"redistribute\"")
+          "their rank mass has nowhere to go; add reverse edges, pass " +
+          "dangling = \"self-loop\" or \"redistribute\", or " +
+          "\"assume-none\" if the construction guarantees closure")
     val e =
       if (dangling == "self-loop" && hasDangling)
         raw.unionByName(danglingNodes.select(col("node").as("src"),
@@ -305,7 +314,10 @@ object GraphQueries {
     * sequence through five unrolled CTEs — an iterative algorithm
     * held to a hash-exact oracle. */
   def pr1PageRank(s: SparkSession, d: String): DataFrame = {
-    Graph.pageRank(tradeEdges(s, d), iterations = 5)
+    // both directions of every pair are emitted, so closure holds by
+    // construction — assume-none skips the refuse check's edge job
+    Graph.pageRank(tradeEdges(s, d), iterations = 5,
+      dangling = "assume-none")
       .filter(col("node") % 2 === 0)
       .select((col("node") / 2).cast("long").as("s_suppkey"),
         round(col("r"), 9).as("rank"))

@@ -109,6 +109,13 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.pageRank(dangling, iterations = 1)
     }.getMessage should include("dangling")
+    // assume-none skips the check's edge job; on a CLOSED graph it is
+    // bit-identical to the checked default
+    val closed0 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    Graph.pageRank(closed0, iterations = 2, dangling = "assume-none")
+      .as[(Long, Double)].collect().sorted shouldBe
+      Graph.pageRank(closed0, iterations = 2).as[(Long, Double)]
+        .collect().sorted
     // self-loop oracle, 2 iterations (outdeg: 1→2 (+2,3), 2→1 (self),
     // 3→1): r0 = 1 each.
     // iter1: r1 = .15+.85*(r3)= .15+.85*1 = 1.0
