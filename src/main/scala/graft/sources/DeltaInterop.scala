@@ -58,10 +58,14 @@ object DeltaInterop {
                             size: Long,
                             dv: Option[DeltaDv.DvDescriptor] = None)
 
-  /** Reconstructed table state at one version. */
+  /** Reconstructed table state at one version. `columnMappingMode` is
+    * the recorded `delta.columnMapping.mode` (`none` / `name` / `id`);
+    * when mapped, data files carry PHYSICAL column names from the
+    * schema fields' `delta.columnMapping.physicalName` metadata. */
   final case class DeltaState(version: Long, schema: StructType,
                               partitionColumns: Seq[String],
-                              files: Seq[DeltaAdd])
+                              files: Seq[DeltaAdd],
+                              columnMappingMode: String = "none")
 
   /** Test seam: runs between a write's version choice and its commit
     * publication — lets a spec interleave a racing commit
@@ -130,23 +134,25 @@ object DeltaInterop {
     var files = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var mappingMode: String = "none"
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      // reader version 3 tables declare table features by name; the
-      // one this reader serves is deletionVectors (applied per file in
-      // the read kernel) — anything else refuses by name. Version 2 is
-      // column mapping, which changes every column's physical name.
-      val unsupported = readerFeatures.filterNot(_ == "deletionVectors")
+      // reader version 3 tables declare table features by name; this
+      // reader serves deletionVectors (per-file anti-join in the read
+      // kernel) and columnMapping (physical-name resolution) — anything
+      // else refuses by name. Version 2 IS column mapping.
+      val supported = Set("deletionVectors", "columnMapping")
+      val unsupported = readerFeatures.filterNot(supported)
       if (unsupported.nonEmpty)
         throw new UnsupportedDeltaFeatureException(
           s"table $table requires reader features " +
             s"${unsupported.mkString("[", ", ", "]")} — not supported " +
-            "by this reader (deletionVectors is)")
-      if (minReader == 2 || minReader > 3)
+            "by this reader (deletionVectors and columnMapping are)")
+      if (minReader > 3)
         throw new UnsupportedDeltaFeatureException(
           s"table $table requires minReaderVersion=$minReader — " +
-            "versions 1 and 3 (with deletionVectors) are supported; " +
-            "2 is column mapping, which this reader does not resolve")
+            "versions 1-3 (deletionVectors, columnMapping) are the " +
+            "supported surface")
     }
 
     ck.foreach { cv =>
@@ -176,6 +182,11 @@ object DeltaInterop {
           schema = Some(DataType.fromJson(
             m.getString(m.fieldIndex("schemaString"))).asInstanceOf[StructType])
           partCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
+          if (m.schema.fieldNames.contains("configuration") &&
+            !m.isNullAt(m.fieldIndex("configuration")))
+            mappingMode = m.getMap[String, String](
+              m.fieldIndex("configuration")).toMap
+              .getOrElse("delta.columnMapping.mode", "none")
         }
         struct("add").foreach { a =>
           val dv =
@@ -218,8 +229,8 @@ object DeltaInterop {
       parseCommit(spark, table, v).foreach {
         case ProtocolAction(minReader, feats) =>
           checkProtocol(minReader, feats)
-        case MetaAction(sc, pc) =>
-          schema = Some(sc); partCols = pc
+        case MetaAction(sc, pc, mode) =>
+          schema = Some(sc); partCols = pc; mappingMode = mode
         case AddAction(a) => files(a.path) = a
         case RemoveAction(p) => files.remove(p): Unit
       }
@@ -228,7 +239,7 @@ object DeltaInterop {
     DeltaState(target,
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying $table to $target")),
-      partCols, files.values.toSeq)
+      partCols, files.values.toSeq, mappingMode)
   }
 
   private sealed trait DeltaAction
@@ -236,7 +247,8 @@ object DeltaInterop {
                                           readerFeatures: Seq[String])
     extends DeltaAction
   private final case class MetaAction(schema: StructType,
-                                      partitionColumns: Seq[String])
+                                      partitionColumns: Seq[String],
+                                      columnMappingMode: String)
     extends DeltaAction
   private final case class AddAction(add: DeltaAdd) extends DeltaAction
   private final case class RemoveAction(path: String) extends DeltaAction
@@ -280,12 +292,9 @@ object DeltaInterop {
       val meta = j \ "metaData" match {
         case JNothing | JNull => Nil
         case m =>
-          (m \ "configuration" \ "delta.columnMapping.mode") match {
-            case JString(mode) if mode != "none" =>
-              throw new UnsupportedDeltaFeatureException(
-                s"table $table uses column mapping mode '$mode' — not " +
-                  "supported")
-            case _ =>
+          val mode = (m \ "configuration" \ "delta.columnMapping.mode") match {
+            case JString(s) => s
+            case _ => "none"
           }
           Seq(MetaAction(
             DataType.fromJson(str(m \ "schemaString").getOrElse(
@@ -295,7 +304,7 @@ object DeltaInterop {
             (m \ "partitionColumns") match {
               case JArray(xs) => xs.flatMap(str)
               case _ => Nil
-            }))
+            }, mode))
       }
       val add = j \ "add" match {
         case JNothing | JNull => Nil
@@ -372,7 +381,8 @@ object DeltaInterop {
     * Delta's own scan builder performs. */
   private def toDF(spark: SparkSession, table: String,
                    st: DeltaState): DataFrame =
-    filesToDF(spark, table, st.schema, st.partitionColumns, st.files)
+    filesToDF(spark, table, st.schema, st.partitionColumns, st.files,
+      st.columnMappingMode)
 
   /** The shared file-set read kernel — used by snapshot serving AND the
     * streaming source's per-batch reads. Files carrying DELETION
@@ -383,7 +393,18 @@ object DeltaInterop {
   private[sources] def filesToDF(spark: SparkSession, table: String,
                                  schema: StructType,
                                  partitionColumns: Seq[String],
-                                 files: Seq[DeltaAdd]): DataFrame = {
+                                 files: Seq[DeltaAdd],
+                                 columnMappingMode: String = "none")
+      : DataFrame = {
+    val mapped = columnMappingMode != "none"
+    // under column mapping the add actions' partitionValues are keyed
+    // by PHYSICAL names — reconstructing partition columns would need
+    // a physical→logical value remap this reader does not attempt
+    if (mapped && partitionColumns.nonEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"table $table is PARTITIONED under column mapping mode " +
+          s"'$columnMappingMode' — partitionValues are physically " +
+          "keyed; not supported by this reader")
     val dataSchema = StructType(
       schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     val outCols = schema.fields.map(f => col(f.name))
@@ -398,8 +419,18 @@ object DeltaInterop {
       regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
     def scan(pv: Map[String, Option[String]], adds: Seq[DeltaAdd],
              extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val base = spark.read.schema(dataSchema)
-        .parquet(adds.map(a => new Path(table, a.path).toString): _*)
+      val paths = adds.map(a => new Path(table, a.path).toString)
+      val base =
+        if (!mapped) spark.read.schema(dataSchema).parquet(paths: _*)
+        else
+          // read under the PHYSICAL schema (the fields' recorded
+          // delta.columnMapping.physicalName, recursively), then cast
+          // back to the logical shape — the struct cast renames nested
+          // fields positionally, so one projection restores the
+          // logical schema wholesale
+          spark.read.schema(physicalStruct(dataSchema)).parquet(paths: _*)
+            .select(dataSchema.fields.toIndexedSeq.map(f =>
+              col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)): _*)
       partitionColumns.foldLeft(base) { (acc, pc) =>
         val dt = schema(pc).dataType
         val v = pv.get(pc).flatten
@@ -440,6 +471,29 @@ object DeltaInterop {
     }
   }
 
+  /** A field's physical (on-disk) name under column mapping. */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as the data files store it: every struct field renamed
+    * to its physical name, recursively (arrays/maps descend). */
+  private def physicalStruct(dt: DataType): StructType =
+    physicalType(dt).asInstanceOf[StructType]
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), physicalType(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalType(m.keyType),
+        valueType = physicalType(m.valueType))
+    case other => other
+  }
+
   // --------------------------------------------------------------- write
 
   /** Write `df` as a Delta table commit. `overwrite = false` appends
@@ -463,6 +517,10 @@ object DeltaInterop {
         Some(state(spark, table, None))
       else None
     prior.foreach { p =>
+      require(p.columnMappingMode == "none",
+        s"table $table uses column mapping mode " +
+          s"'${p.columnMappingMode}' — this writer emits logical-named " +
+          "data files, which would corrupt a mapped table; reads only")
       require(p.partitionColumns == partitionBy,
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
@@ -537,6 +595,9 @@ object DeltaInterop {
     * rewritten — cost tracks the vectored surface, not the table. */
   def purgeDeletionVectors(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — the purge would rewrite " +
+        "files under logical names; reads only")
     val dvAdds = st.files.filter(_.dv.nonEmpty)
     if (dvAdds.isEmpty) return st.version
     val root = new Path(table)
@@ -593,6 +654,10 @@ object DeltaInterop {
       s"table $table holds deletion-vector files at version " +
         s"${st.version} — checkpointing would drop the vectors; " +
         "purge the vectors first (purgeDeletionVectors)")
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — this writer's checkpoint " +
+        "rows drop the table configuration, so readers would resolve " +
+        "logical names against physical files; reads only")
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
@@ -803,6 +868,9 @@ object DeltaInterop {
         "import would register the data files WITHOUT their deletes " +
         "and resurrect deleted rows; purge the vectors first " +
         "(purgeDeletionVectors)")
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — the manifest would serve " +
+        "physical column names; reads only")
     st.files.foreach { f =>
       val fromPath = hivePartitionValues(f.path)
         .map { case (k, v) => k -> v }

@@ -26,16 +26,18 @@ import org.apache.spark.sql.types._
   * the converted schema.
   *
   *   - [[read]] / [[readSnapshot]] serve the table at the current (or
-  *     a named) snapshot — including v2 POSITION DELETES (merge-on-
-  *     read): delete manifests' `(file_path, pos)` parquet rows anti-
-  *     join against the scan's `_metadata` file/row-index columns,
-  *     the same per-file-position machinery the native lake's
-  *     deletion vectors use. Anything this reader cannot serve
-  *     CORRECTLY refuses by name
-  *     ([[UnsupportedIcebergFeatureException]]): EQUALITY deletes
-  *     (sequence-number-aware value resolution), non-parquet data
-  *     files, list/map column types. Column resolution is
-  *     BY NAME: a table that renamed columns via field ids needs
+  *     a named) snapshot — including BOTH v2 merge-on-read delete
+  *     kinds: POSITION deletes anti-join `(file_path, pos)` rows
+  *     against the scan's `_metadata` file/row-index columns (the
+  *     same per-file-position machinery the native lake's deletion
+  *     vectors use), and EQUALITY deletes apply sequence-number-aware
+  *     (a delete row kills matching rows only in data files with a
+  *     strictly smaller data sequence number, so re-inserts after the
+  *     delete survive — the spec's ordering). Anything this reader
+  *     cannot serve CORRECTLY refuses by name
+  *     ([[UnsupportedIcebergFeatureException]]): non-parquet data
+  *     files, nested/dropped-column equality keys. Column resolution
+  *     is BY NAME: a table that renamed columns via field ids needs
   *     id-based resolution this reader does not do — documented, not
   *     guessed at.
   *   - [[write]] produces a conformant v1 Hadoop-catalog table:
@@ -60,14 +62,25 @@ object IcebergInterop {
     extends RuntimeException(msg)
 
   /** One live data file (absolute URI, per the spec) with its recorded
-    * row count. */
-  final case class IceFile(path: String, records: Long, bytes: Long)
+    * row count. `seq` is the v2 DATA SEQUENCE NUMBER (entry-level, or
+    * inherited from the manifest-list row; 0 on v1 tables) — the
+    * ordering equality deletes resolve against. */
+  final case class IceFile(path: String, records: Long, bytes: Long,
+                           seq: Long = 0L)
+
+  /** One v2 EQUALITY-DELETE file: rows carry values for `cols` (the
+    * schema names the file's `equality_ids` resolve to), deleting any
+    * matching row in data files with a STRICTLY SMALLER sequence
+    * number. */
+  final case class EqDelete(path: String, seq: Long, cols: Seq[String])
 
   /** `posDeletes` are v2 POSITION-DELETE parquet files (rows of
-    * `(file_path, pos)`) the read must anti-join away. */
+    * `(file_path, pos)`) the read must anti-join away; `eqDeletes`
+    * are value-keyed and sequence-ordered. */
   final case class IceState(metadataVersion: Long, snapshotId: Long,
                             schema: StructType, files: Seq[IceFile],
-                            posDeletes: Seq[String] = Nil)
+                            posDeletes: Seq[String] = Nil,
+                            eqDeletes: Seq[EqDelete] = Nil)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -95,32 +108,64 @@ object IcebergInterop {
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     else {
+      import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
       val data = spark.read.schema(st.schema)
         .parquet(st.files.map(_.path): _*)
-      if (st.posDeletes.isEmpty) data
-      else {
-        // v2 merge-on-read: anti-join on (file, row position). Spark's
-        // parquet metadata columns supply exactly the delete key —
-        // `_metadata.row_index` is the row's ordinal within its file,
-        // the position the delete files recorded. Path spellings vary
-        // by writer (`file:/x` vs `file:///x`), so both sides
-        // normalize the scheme prefix before comparing. The delete
-        // set is file-path-keyed, so it stays proportional to deleted
-        // rows and AQE broadcasts it when small.
-        import org.apache.spark.sql.functions.{col, regexp_replace}
-        def norm(c: org.apache.spark.sql.Column) =
-          regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-        val dels = spark.read.parquet(st.posDeletes: _*)
-          .select(norm(col("file_path")).as("__fp"),
-            col("pos").cast("long").as("__pos"))
-          .distinct()
-        data
-          .select(col("*"),
-            norm(col("_metadata.file_path")).as("__fp"),
-            col("_metadata.row_index").as("__pos"))
-          .join(dels, Seq("__fp", "__pos"), "left_anti")
-          .drop("__fp", "__pos")
-      }
+      if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return data
+      // metadata-derived delete keys resolve against the SCAN — attach
+      // them once, before any join hides the file source
+      val keyed = data.select(col("*"),
+        norm(col("_metadata.file_path")).as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      // v2 merge-on-read, POSITION deletes: anti-join on (file, row
+      // position). Spark's parquet metadata columns supply exactly the
+      // delete key — `_metadata.row_index` is the row's ordinal within
+      // its file. Path spellings vary by writer (`file:/x` vs
+      // `file:///x`), so both sides normalize the scheme prefix. The
+      // delete set stays proportional to deleted rows and AQE
+      // broadcasts it when small.
+      val posApplied =
+        if (st.posDeletes.isEmpty) keyed
+        else {
+          val dels = spark.read.parquet(st.posDeletes: _*)
+            .select(norm(col("file_path")).as("__fp"),
+              col("pos").cast("long").as("__pos"))
+            .distinct()
+          keyed.join(dels, Seq("__fp", "__pos"), "left_anti")
+        }
+      // EQUALITY deletes: a delete row kills every data row whose key
+      // columns match (null-safe) in files with a STRICTLY SMALLER
+      // data sequence number — the spec's ordering, which is what lets
+      // a re-insert after the delete survive. Each row learns its
+      // file's sequence number from a broadcast (path → seq) map; each
+      // distinct key-column set applies as one anti-join, delete rows
+      // carrying their file's sequence number as a literal.
+      val eqApplied =
+        if (st.eqDeletes.isEmpty) posApplied
+        else {
+          import spark.implicits._
+          val fileSeq = broadcast(
+            st.files.map(f => (f.path.replaceFirst(
+                "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"), f.seq))
+              .toDF("__fp", "__seq"))
+          val withSeq = posApplied.join(fileSeq, Seq("__fp"))
+          st.eqDeletes.groupBy(_.cols.sorted).values
+            .foldLeft(withSeq) { (acc, dels) =>
+              val cols = dels.head.cols
+              val delRows = dels.map { d =>
+                spark.read.parquet(d.path)
+                  .select(cols.map(c => col(c).as(s"__d_$c")) :+
+                    lit(d.seq).as("__dseq"): _*)
+              }.reduce(_ unionByName _)
+              val cond = cols.map(c => acc(c) <=> delRows(s"__d_$c"))
+                .reduce(_ && _) && delRows("__dseq") > acc("__seq")
+              acc.join(delRows, cond, "left_anti")
+            }
+            .drop("__seq")
+        }
+      eqApplied.drop("__fp", "__pos")
     }
 
   def state(spark: SparkSession, table: String,
@@ -169,18 +214,33 @@ object IcebergInterop {
         s"snapshot $snapId of $table uses inline 'manifests' (ancient " +
           "pre-manifest-list layout) — not supported")
     }
+    // top-level field id → name, for equality_ids resolution
+    val fieldIdToName: Map[Long, String] = (schemaJson \ "fields") match {
+      case JArray(fs0) => fs0.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (id, JString(n)) if jLong(id) >= 0 => Some(jLong(id) -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
     val files = Seq.newBuilder[IceFile]
     val posDeletes = Seq.newBuilder[String]
+    val eqDeletes = Seq.newBuilder[EqDelete]
     avroRows(fs, new Path(manifestList)).foreach { mf =>
       val content = fieldOpt(mf, "content")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
       // manifest-list content: 0 = data manifest, 1 = DELETE manifest
-      // (v2 merge-on-read) — position deletes are served by the read's
-      // anti-join; equality deletes refuse by name below
+      // (v2 merge-on-read); the manifest's sequence number is inherited
+      // by entries that do not carry their own
+      val mfSeq = fieldOpt(mf, "sequence_number")
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
       val mPath = mf.get("manifest_path").toString
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
+          val entrySeq = fieldOpt(entry, "sequence_number")
+            .map(_.asInstanceOf[Number].longValue).getOrElse(mfSeq)
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = fieldOpt(df, "content")
             .map(_.asInstanceOf[Number].intValue).getOrElse(0)
@@ -197,20 +257,36 @@ object IcebergInterop {
                     "rather than guessing which rows survive")
               files += IceFile(df.get("file_path").toString,
                 df.get("record_count").asInstanceOf[Number].longValue,
-                df.get("file_size_in_bytes").asInstanceOf[Number].longValue)
+                df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
+                entrySeq)
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
-            case 2 => throw new UnsupportedIcebergFeatureException(
-              s"table $table holds an EQUALITY delete file — value-" +
-                "keyed deletes need sequence-number-aware resolution " +
-                "this reader does not do; rewrite the deletes away first")
+            case 2 => // equality deletes: value rows + field-id key set
+              val ids = fieldOpt(df, "equality_ids") match {
+                case Some(xs: java.util.Collection[_]) =>
+                  xs.asScala.toSeq.map(_.asInstanceOf[Number].longValue)
+                case _ => Nil
+              }
+              if (ids.isEmpty)
+                throw new UnsupportedIcebergFeatureException(
+                  s"equality delete file in $table carries no " +
+                    "equality_ids — cannot resolve its key columns")
+              val cols = ids.map(id => fieldIdToName.getOrElse(id,
+                throw new UnsupportedIcebergFeatureException(
+                  s"equality delete in $table keys on field id $id, " +
+                    "which is not a top-level column of the current " +
+                    "schema — nested or dropped-column equality " +
+                    "deletes are not supported")))
+              eqDeletes += EqDelete(df.get("file_path").toString,
+                entrySeq, cols)
             case other => throw new UnsupportedIcebergFeatureException(
               s"unknown delete-file content=$other in $table")
           }
         }
       }
     }
-    IceState(version, snapId, schema, files.result(), posDeletes.result())
+    IceState(version, snapId, schema, files.result(), posDeletes.result(),
+      eqDeletes.result())
   }
 
   /** Newest `v<N>.metadata.json` — the version-hint is consulted first
@@ -274,10 +350,16 @@ object IcebergInterop {
               }
               case _ => Nil
             })
+          case JString("list") =>
+            ArrayType(convert(obj \ "element"),
+              containsNull = (obj \ "element-required") != JBool(true))
+          case JString("map") =>
+            MapType(convert(obj \ "key"), convert(obj \ "value"),
+              valueContainsNull = (obj \ "value-required") != JBool(true))
           case JString(other) =>
             throw new UnsupportedIcebergFeatureException(
-              s"Iceberg $other column type in $table — only primitives " +
-                "and structs are supported by this reader")
+              s"Iceberg $other column type in $table — primitives, " +
+                "structs, lists and maps are supported by this reader")
           case _ => throw new IllegalStateException(
             s"unparseable Iceberg type $obj in $table")
         }
@@ -641,7 +723,7 @@ object IcebergInterop {
     * tracks the deleted surface: only touched files rewrite. */
   def compactDeletes(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
-    if (st.posDeletes.isEmpty) return st.snapshotId
+    if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return st.snapshotId
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     import org.apache.spark.sql.functions.{col, regexp_replace}
@@ -649,17 +731,25 @@ object IcebergInterop {
       regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
     def normStr(s: String): String =
       s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-    val touched = spark.read.parquet(st.posDeletes: _*)
-      .select(norm(col("file_path")).as("fp")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (rewrite, keep) = st.files.partition(f => touched(normStr(f.path)))
+    val touched =
+      if (st.posDeletes.isEmpty) Set.empty[String]
+      else spark.read.parquet(st.posDeletes: _*)
+        .select(norm(col("file_path")).as("fp")).distinct()
+        .collect().map(_.getString(0)).toSet
+    // an equality delete can touch ANY file with a smaller sequence
+    // number — rewrite everything below the newest delete's sequence
+    val maxEqSeq =
+      if (st.eqDeletes.isEmpty) Long.MinValue
+      else st.eqDeletes.map(_.seq).max
+    val (rewrite, keep) = st.files.partition(f =>
+      touched(normStr(f.path)) || f.seq < maxEqSeq)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
     val rewritten =
       if (rewrite.isEmpty) Nil
       else {
         val clean = toDF(spark, IceState(st.metadataVersion, st.snapshotId,
-          st.schema, rewrite, st.posDeletes))
+          st.schema, rewrite, st.posDeletes, st.eqDeletes))
         val stage = new Path(root,
           s".compact-${java.util.UUID.randomUUID()}")
         clean.write.mode("overwrite").parquet(stage.toString)
@@ -880,10 +970,10 @@ object IcebergInterop {
     * (manifest entries are root-relative). */
   def importToManifest(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
-    require(st.posDeletes.isEmpty,
-      s"table $table carries position-delete files — a metadata-only " +
-        "import would register the data files WITHOUT their deletes " +
-        "and resurrect deleted rows; compact the deletes first " +
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+      s"table $table carries delete files — a metadata-only import " +
+        "would register the data files WITHOUT their deletes and " +
+        "resurrect deleted rows; compact the deletes first " +
         "(compactDeletes)")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)

@@ -170,21 +170,56 @@ class DeltaInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
       DeltaInterop.read(spark, tableWith(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
     }.getMessage should include("v2Checkpoint")
+    // reader version 2 (column mapping) is served too: without
+    // physicalName metadata the physical schema IS the logical one
+    DeltaInterop.read(spark, tableWith(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+      .count() shouldBe 1L
+    // version 4+ has no published semantics — refuse by name
     intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
       DeltaInterop.read(spark, tableWith(
-        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
-    }.getMessage should include("minReaderVersion=2")
+        """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}"""))
+    }.getMessage should include("minReaderVersion=4")
     val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
       "id BIGINT").json
+    // column mapping is now SERVED: a mapped table's data files carry
+    // physical names, the read resolves them back to logical names
+    import spark.implicits._
     val cmTable = fresh()
+    val fsCm = new Path(cmTable).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = fresh()
+    Seq((1L, "a"), (2L, "b")).toDF("col-9f2", "col-a71")
+      .coalesce(1).write.parquet(stage)
+    val part = fsCm.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fsCm.mkdirs(new Path(cmTable))
+    fsCm.rename(part, new Path(cmTable, "f1.parquet")) shouldBe true
+    val mappedSchema =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-9f2"}},
+        |{"name":"payload","type":"string","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-a71"}}
+        |]}""".stripMargin.replace("\n", "")
     writeText(cmTable, "_delta_log/00000000000000000000.json",
-      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
          |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
-        DeltaJsonTestUtil.jstr(schemaJson)
+        DeltaJsonTestUtil.jstr(mappedSchema)
       },"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
          |""".stripMargin)
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
-      DeltaInterop.read(spark, cmTable)
+    val got = DeltaInterop.read(spark, cmTable)
+    got.schema.fieldNames shouldBe Array("id", "payload")
+    got.select($"id", $"payload").as[(Long, String)]
+      .collect().sorted shouldBe Array((1L, "a"), (2L, "b"))
+    // but this writer refuses to TOUCH a mapped table (logical-named
+    // files would corrupt it), and checkpoints would drop the mapping
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((3L, "c")).toDF("id", "payload"), cmTable)
+    }.getMessage should include("column mapping")
+    intercept[IllegalArgumentException] {
+      DeltaInterop.checkpoint(spark, cmTable)
     }.getMessage should include("column mapping")
   }
 

@@ -192,8 +192,8 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.readSnapshot(spark, t, 77L).count() shouldBe 3L
   }
 
-  test("unsupported schema/format shapes refuse by name: list columns, " +
-    "unknown primitives, future format versions") {
+  test("schema conversion: list and map columns map to Spark array/map " +
+    "types; unknown primitives and future format versions refuse by name") {
     val t = fresh()
     writeText(t, "metadata/v1.metadata.json",
       s"""{"format-version":3,"schemas":[],"current-snapshot-id":-1}""")
@@ -206,11 +206,29 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
          |"schemas":[{"type":"struct","schema-id":0,"fields":[
          |{"id":1,"name":"tags","required":false,
          |"type":{"type":"list","element-id":2,"element":"string",
-         |"element-required":false}}]}],
+         |"element-required":false}},
+         |{"id":3,"name":"attrs","required":true,
+         |"type":{"type":"map","key-id":4,"key":"string",
+         |"value-id":5,"value":"long","value-required":true}}]}],
+         |"current-snapshot-id":-1}""".stripMargin.replace("\n", ""))
+    val st = IcebergInterop.state(spark, t2, None)
+    st.schema("tags").dataType shouldBe
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true)
+    st.schema("attrs").dataType shouldBe
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType, valueContainsNull = false)
+    st.schema("attrs").nullable shouldBe false
+    val t3 = fresh()
+    writeText(t3, "metadata/v1.metadata.json",
+      s"""{"format-version":2,"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"u","required":false,"type":"uuid"}]}],
          |"current-snapshot-id":-1}""".stripMargin.replace("\n", ""))
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
-      IcebergInterop.state(spark, t2, None)
-    }.getMessage should include("list")
+      IcebergInterop.state(spark, t3, None)
+    }.getMessage should include("uuid")
   }
 
   test("Iceberg → manifest import is metadata-only and unlocks native " +

@@ -430,7 +430,142 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     writeText(t, "metadata/version-hint.text", "9")
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
       IcebergInterop.read(spark, t)
-    }.getMessage should include("EQUALITY")
+    }.getMessage should include("equality_ids")
+  }
+
+  test("Iceberg v2 EQUALITY deletes apply sequence-number-aware: " +
+    "matching rows in older files drop, a re-insert in a NEWER file " +
+    "survives, sequence numbers inherit from the manifest list, and " +
+    "compaction rewrites the deletes away") {
+    import spark.implicits._
+    val t = fresh("graft-ieq")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFile(rel: String, df: org.apache.spark.sql.DataFrame): String = {
+      val stage = fresh("graft-ieq-stage")
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      dest.toString
+    }
+    // f1 @ seq 1; an equality delete on id ∈ {2, 4} @ seq 2; f2 @ seq 3
+    // RE-INSERTS id 2 — it must survive the older delete
+    val f1 = parquetFile("data/f1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "payload"))
+    val f2 = parquetFile("data/f2.parquet",
+      Seq((2L, "b-again")).toDF("id", "payload"))
+    val eqDel = parquetFile("data/eqdel.parquet",
+      Seq(Tuple1(2L), Tuple1(4L)).toDF("id"))
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int","default":0},
+        |{"name":"sequence_number","type":"long","default":0},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    def entry(content: Int, path: String, n: Long,
+              seq: Option[Long], eqIds: Seq[Int]): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      seq.foreach(s => e.put("sequence_number", s))
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", content)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", 1L)
+      if (eqIds.nonEmpty) {
+        val arr = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => arr.add(i))
+        d.put("equality_ids", arr)
+      }
+      e.put("data_file", d)
+      e
+    }
+    // entry seq inherits from the LIST row for f1/f2 (null entry seq);
+    // the delete entry carries its own explicit sequence number
+    val (m1, m1Len) = avro("metadata/m1.avro", entrySchema,
+      Seq(entry(0, f1, 4L, None, Nil)))
+    val (m2, m2Len) = avro("metadata/m2.avro", entrySchema,
+      Seq(entry(0, f2, 1L, None, Nil)))
+    val (mD, mDLen) = avro("metadata/md.avro", entrySchema,
+      Seq(entry(2, eqDel, 2L, Some(2L), Seq(1))))
+    def listRow(path: String, len: Long, content: Int,
+                seq: Long): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("added_snapshot_id", 80L)
+      r
+    }
+    val (list80, _) = avro("metadata/snap-80.avro", listSchema, Seq(
+      listRow(m1, m1Len, 0, 1L),
+      listRow(m2, m2Len, 0, 3L),
+      listRow(mD, mDLen, 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"payload","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(t, "metadata/v3.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":1,"last-column-id":2,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":80,
+         |"snapshots":[{"snapshot-id":80,"timestamp-ms":1,
+         |"summary":{"operation":"delete"},
+         |"manifest-list":"$list80","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "3")
+    // f1 (seq 1 < 2) loses ids 2 and 4; f2's re-inserted id 2
+    // (seq 3 > 2) SURVIVES
+    IcebergInterop.read(spark, t)
+      .select($"id", $"payload").as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "a"), (2L, "b-again"), (3L, "c"))
+    // import refuses while deletes are live
+    intercept[IllegalArgumentException] {
+      IcebergInterop.importToManifest(spark, t)
+    }.getMessage should include("resurrect")
+    // compaction rewrites the deletes away; reads unchanged, appends OK
+    IcebergInterop.compactDeletes(spark, t)
+    IcebergInterop.read(spark, t)
+      .select($"id", $"payload").as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "a"), (2L, "b-again"), (3L, "c"))
+    IcebergInterop.state(spark, t, None).eqDeletes shouldBe empty
+    IcebergInterop.write(Seq((7L, "g")).toDF("id", "payload"), t)
+    IcebergInterop.read(spark, t).count() shouldBe 4L
   }
 
   test("Iceberg overwrite with a CHANGED schema evolves per spec: new " +
