@@ -64,9 +64,32 @@ object IcebergInterop {
   /** One live data file (absolute URI, per the spec) with its recorded
     * row count. `seq` is the v2 DATA SEQUENCE NUMBER (entry-level, or
     * inherited from the manifest-list row; 0 on v1 tables) — the
-    * ordering equality deletes resolve against. */
+    * ordering equality deletes resolve against. `specId` names the
+    * partition spec the entry was written under and `partition` its
+    * recorded partition tuple (spec-field name → raw avro value;
+    * empty on unpartitioned specs or manifests that omit the field) —
+    * the inputs [[readWhere]] prunes on. */
   final case class IceFile(path: String, records: Long, bytes: Long,
-                           seq: Long = 0L)
+                           seq: Long = 0L, specId: Int = 0,
+                           partition: Map[String, AnyRef] = Map.empty)
+
+  /** One field of a partition spec: `transform(source) AS name`, with
+    * `source` already resolved from the spec's `source-id` to a
+    * top-level column name (spec fields whose source id is nested or
+    * dropped are omitted — pruning on them fails open). */
+  final case class SpecField(name: String, transform: String,
+                             source: String)
+
+  /** The pruning predicates [[readWhere]] accepts. Both are applied
+    * EXACTLY as a residual filter after pruning, so a predicate the
+    * partition metadata cannot prune on is never wrong — just
+    * unpruned (the manifest lake's fail-open contract). */
+  sealed trait IcePredicate { def column: String }
+  /** `column = value` (null-safe never matches null: pass non-null). */
+  final case class IceEq(column: String, value: Any) extends IcePredicate
+  /** Closed interval `lo <= column <= hi`. */
+  final case class IceBetween(column: String, lo: Any,
+                              hi: Any) extends IcePredicate
 
   /** One v2 EQUALITY-DELETE file: rows carry values for `cols` (the
     * schema names the file's `equality_ids` resolve to), deleting any
@@ -80,7 +103,8 @@ object IcebergInterop {
   final case class IceState(metadataVersion: Long, snapshotId: Long,
                             schema: StructType, files: Seq[IceFile],
                             posDeletes: Seq[String] = Nil,
-                            eqDeletes: Seq[EqDelete] = Nil)
+                            eqDeletes: Seq[EqDelete] = Nil,
+                            specs: Map[Int, Seq[SpecField]] = Map.empty)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -103,6 +127,271 @@ object IcebergInterop {
   def readSnapshot(spark: SparkSession, table: String,
                    snapshotId: Long): DataFrame =
     toDF(spark, state(spark, table, Some(snapshotId)))
+
+  /** PARTITION-PRUNED foreign-table read — the metadata path that
+    * makes a 100 TB foreign Iceberg table queryable for a one-day /
+    * one-bucket question: each manifest entry's recorded partition
+    * tuple is tested against `preds` through the table's declared
+    * transforms (spec Appendix B semantics — identity, bucket[N] via
+    * murmur3_x86_32 of the single-value binary encoding, truncate[W],
+    * year/month/day/hour), and a data file is dropped only when it
+    * PROVABLY holds no matching row. Everything else fails OPEN:
+    * unknown transforms, nested/dropped source columns, value shapes
+    * this evaluator does not model all keep the file — and the full
+    * predicate is then applied EXACTLY to the survivors, so the result
+    * is always the same rows as `read(...).filter(...)`, scanned from
+    * fewer files. Range predicates prune through monotone transforms
+    * only (identity / truncate / the time transforms); bucket prunes
+    * equality alone, by construction. Pruning is O(live files) over
+    * metadata already resolved by [[state]] — no data file is opened
+    * to decide. */
+  def readWhere(spark: SparkSession, table: String,
+                preds: Seq[IcePredicate],
+                snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val st = state(spark, table, snapshotId)
+    val kept = st.files.filter(f =>
+      !preds.exists(p => filePrunes(f, st.specs, st.schema, p)))
+    val df = toDF(spark, st.copy(files = kept))
+    preds.foldLeft(df) { (acc, p) =>
+      p match {
+        case IceEq(c, v) => acc.filter(col(c) === lit(v))
+        case IceBetween(c, lo, hi) =>
+          acc.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }
+    }
+  }
+
+  // ------------------------------------------------- partition pruning
+
+  /** True when `f`'s recorded partition tuple PROVES no row can match
+    * `pred`. Any missing piece — no spec field on the predicate
+    * column, absent tuple value, unmodeled transform or value shape —
+    * returns false (keep the file). */
+  private[sources] def filePrunes(f: IceFile,
+      specs: Map[Int, Seq[SpecField]], schema: StructType,
+      pred: IcePredicate): Boolean = {
+    val dt = schema.find(_.name == pred.column).map(_.dataType) match {
+      case Some(t) => t
+      case None => return false
+    }
+    specs.getOrElse(f.specId, Nil).filter(_.source == pred.column)
+      .exists { sf =>
+        f.partition.get(sf.name) match {
+          case None => false
+          case Some(null) =>
+            // a present-NULL tuple value under a null-preserving
+            // transform means every row is null in the source column —
+            // and neither `=` nor BETWEEN matches null
+            nullPreserving(sf.transform)
+          case Some(raw) =>
+            (storedValue(raw), pred) match {
+              case (Some(stored), IceEq(_, v)) =>
+                (for {
+                  cv <- canonicalValue(dt, v)
+                  out <- transformValue(sf.transform, cv, dt)
+                  c <- compareValues(out, stored)
+                } yield c != 0).getOrElse(false)
+              case (Some(stored), IceBetween(_, lo, hi))
+                if monotoneTransform(sf.transform) =>
+                (for {
+                  cl <- canonicalValue(dt, lo)
+                  ch <- canonicalValue(dt, hi)
+                  tl <- transformValue(sf.transform, cl, dt)
+                  th <- transformValue(sf.transform, ch, dt)
+                  cLo <- compareValues(stored, tl)
+                  cHi <- compareValues(stored, th)
+                } yield cLo < 0 || cHi > 0).getOrElse(false)
+              case _ => false
+            }
+        }
+      }
+  }
+
+  /** Iceberg's transforms all map null to null; `void` maps EVERYTHING
+    * to null, so a stored null under it says nothing about the rows. */
+  private def nullPreserving(t: String): Boolean =
+    t == "identity" || t.startsWith("bucket[") ||
+      t.startsWith("truncate[") ||
+      t == "year" || t == "month" || t == "day" || t == "hour"
+
+  /** Transforms through which `lo <= x <= hi` implies
+    * `t(lo) <= t(x) <= t(hi)` — what lets a range predicate prune.
+    * (String truncation is code-point-prefix, monotone under UTF-8
+    * byte order, which is how [[compareValues]] compares.) */
+  private def monotoneTransform(t: String): Boolean =
+    t == "identity" || t.startsWith("truncate[") ||
+      t == "year" || t == "month" || t == "day" || t == "hour"
+
+  /** A predicate value canonicalized to the spec's single-value
+    * representation: integers/date-days/timestamp-micros as Left,
+    * strings as Right; anything else fails open. */
+  private def canonicalValue(dt: DataType,
+                             v: Any): Option[Either[Long, String]] =
+    (dt, v) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(Left(n.longValue))
+      case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay))
+      case (DateType, d: java.sql.Date) =>
+        Some(Left(d.toLocalDate.toEpochDay))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(Left(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+          1000000L) + t.getNanos / 1000))
+      case (TimestampType, i: java.time.Instant) =>
+        Some(Left(Math.multiplyExact(i.getEpochSecond, 1000000L) +
+          i.getNano / 1000))
+      case (TimestampNTZType, dt2: java.time.LocalDateTime) =>
+        Some(Left(Math.multiplyExact(
+          dt2.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          dt2.getNano / 1000))
+      case (StringType, s: String) => Some(Right(s))
+      case _ => None
+    }
+
+  /** A manifest partition-tuple value in the same canonical shape.
+    * Only exact integer and string physical types are modeled —
+    * float/double/binary partition values fail open. */
+  private def storedValue(raw: AnyRef): Option[Either[Long, String]] =
+    raw match {
+      case n: java.lang.Integer => Some(Left(n.longValue))
+      case n: java.lang.Long => Some(Left(n.longValue))
+      case s: CharSequence => Some(Right(s.toString))
+      case _ => None
+    }
+
+  private def compareValues(a: Either[Long, String],
+                            b: Either[Long, String]): Option[Int] =
+    (a, b) match {
+      case (Left(x), Left(y)) => Some(java.lang.Long.compare(x, y))
+      case (Right(x), Right(y)) => Some(utf8Compare(x, y))
+      case _ => None
+    }
+
+  /** Unsigned UTF-8 byte order — code-point order, the collation both
+    * Iceberg bounds and Spark's UTF8String comparisons use (Java
+    * String.compareTo differs on supplementary characters). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Spec Appendix B transform evaluation over the canonical value.
+    * None = not modeled (pruning fails open). */
+  private[sources] def transformValue(transform: String,
+      value: Either[Long, String],
+      dt: DataType): Option[Either[Long, String]] = {
+    val Bucket = """bucket\[(\d+)\]""".r
+    val Truncate = """truncate\[(\d+)\]""".r
+    def timeUnits(unit: String, v: Long): Option[Long] = {
+      // micros for timestamps, epoch days for dates
+      val days = dt match {
+        case TimestampType | TimestampNTZType =>
+          Math.floorDiv(v, 86400000000L)
+        case DateType => v
+        case _ => return None
+      }
+      unit match {
+        case "day" => Some(days)
+        case "hour" => dt match {
+          case TimestampType | TimestampNTZType =>
+            Some(Math.floorDiv(v, 3600000000L))
+          case _ => None // hour(date) is not a thing
+        }
+        case "month" =>
+          val d = java.time.LocalDate.ofEpochDay(days)
+          Some((d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1))
+        case "year" =>
+          Some((java.time.LocalDate.ofEpochDay(days).getYear - 1970).toLong)
+        case _ => None
+      }
+    }
+    transform match {
+      case "identity" => Some(value)
+      case Bucket(n) =>
+        val buckets = n.toInt
+        if (buckets <= 0) None
+        else {
+          val hash = value match {
+            // int/long/date/timestamp all hash as the 8-byte
+            // little-endian long (spec: hashLong)
+            case Left(l) =>
+              val b = new Array[Byte](8)
+              var i = 0
+              while (i < 8) { b(i) = ((l >>> (8 * i)) & 0xff).toByte; i += 1 }
+              murmur3x86(b)
+            case Right(s) =>
+              murmur3x86(s.getBytes(StandardCharsets.UTF_8))
+          }
+          Some(Left(((hash % buckets) + buckets) % buckets))
+        }
+      case Truncate(w) =>
+        val width = w.toInt
+        if (width <= 0) None
+        else value match {
+          case Left(l) => Some(Left(l - (((l % width) + width) % width)))
+          case Right(s) => // first W CODE POINTS, per the spec
+            val cps = s.codePointCount(0, s.length)
+            Some(Right(if (cps <= width) s
+            else s.substring(0, s.offsetByCodePoints(0, width))))
+        }
+      case "year" | "month" | "day" | "hour" =>
+        value match {
+          case Left(l) => timeUnits(transform, l).map(Left(_))
+          case _ => None
+        }
+      case _ => None // void, unknown, future transforms: fail open
+    }
+  }
+
+  /** murmur3_x86_32, seed 0 — the hash the spec's bucket transform
+    * names. Pinned against the spec's Appendix B test vectors in
+    * IcebergPruneSpec. */
+  private[sources] def murmur3x86(bytes: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = 0
+    val nblocks = bytes.length / 4
+    var i = 0
+    while (i < nblocks) {
+      val base = i * 4
+      var k1 = (bytes(base) & 0xff) | ((bytes(base + 1) & 0xff) << 8) |
+        ((bytes(base + 2) & 0xff) << 16) | ((bytes(base + 3) & 0xff) << 24)
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    val rem = bytes.length & 3
+    if (rem == 3) k1 ^= (bytes(tail + 2) & 0xff) << 16
+    if (rem >= 2) k1 ^= (bytes(tail + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k1 ^= bytes(tail) & 0xff
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= bytes.length
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
 
   private def toDF(spark: SparkSession, st: IceState): DataFrame =
     if (st.files.isEmpty)
@@ -224,6 +513,36 @@ object IcebergInterop {
       }.toMap
       case _ => Map.empty
     }
+    // partition specs: `partition-specs` keyed by spec-id, with the
+    // legacy flat `partition-spec` field as spec 0 fallback. Spec
+    // fields whose source-id is not a top-level column drop here —
+    // pruning on them fails open.
+    def parseSpecFields(v: JValue): Seq[SpecField] = v match {
+      case JArray(sfs) => sfs.flatMap { f =>
+        ((f \ "name"), (f \ "transform"), jLong(f \ "source-id")) match {
+          case (JString(n), JString(t), sid) if sid >= 0 =>
+            fieldIdToName.get(sid).map(src => SpecField(n, t, src))
+          case _ => None
+        }
+      }
+      case _ => Nil
+    }
+    val specs: Map[Int, Seq[SpecField]] = {
+      val multi = (metaJson \ "partition-specs") match {
+        case JArray(xs) => xs.flatMap { sp =>
+          jLong(sp \ "spec-id") match {
+            case -1L => None
+            case sid => Some(sid.toInt -> parseSpecFields(sp \ "fields"))
+          }
+        }.toMap
+        case _ => Map.empty[Int, Seq[SpecField]]
+      }
+      if (multi.nonEmpty) multi
+      else (metaJson \ "partition-spec") match {
+        case arr @ JArray(_) => Map(0 -> parseSpecFields(arr))
+        case _ => Map.empty
+      }
+    }
     val files = Seq.newBuilder[IceFile]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
@@ -235,6 +554,8 @@ object IcebergInterop {
       // by entries that do not carry their own
       val mfSeq = fieldOpt(mf, "sequence_number")
         .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      val mfSpecId = fieldOpt(mf, "partition_spec_id")
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
       val mPath = mf.get("manifest_path").toString
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
@@ -255,10 +576,24 @@ object IcebergInterop {
                   s"table $table lists a data file (content=0) inside " +
                     "a DELETE manifest — malformed metadata; refusing " +
                     "rather than guessing which rows survive")
+              // partition tuple: field name → raw avro value (Utf8
+              // normalized; explicit nulls kept — a present-null means
+              // every row's transform output is null)
+              val partition: Map[String, AnyRef] =
+                fieldOpt(df, "partition") match {
+                  case Some(r: GenericRecord) =>
+                    r.getSchema.getFields.asScala.map { fld =>
+                      fld.name -> (r.get(fld.pos) match {
+                        case u: org.apache.avro.util.Utf8 => u.toString
+                        case x => x
+                      })
+                    }.toMap
+                  case _ => Map.empty
+                }
               files += IceFile(df.get("file_path").toString,
                 df.get("record_count").asInstanceOf[Number].longValue,
                 df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
-                entrySeq)
+                entrySeq, mfSpecId, partition)
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -286,7 +621,7 @@ object IcebergInterop {
       }
     }
     IceState(version, snapId, schema, files.result(), posDeletes.result(),
-      eqDeletes.result())
+      eqDeletes.result(), specs)
   }
 
   /** Newest `v<N>.metadata.json` — the version-hint is consulted first

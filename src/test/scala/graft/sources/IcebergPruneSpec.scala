@@ -1,0 +1,352 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import IcebergInterop._
+
+/** Pins foreign-Iceberg PARTITION PRUNING: the transform evaluation
+  * against the Iceberg spec's own Appendix B test vectors (murmur3
+  * bucket hashes, truncate, time transforms), and readWhere against
+  * hand-authored partitioned metadata — files prune by recorded tuple,
+  * results stay exactly `read(...).filter(...)`, and anything the
+  * evaluator does not model fails OPEN (kept files, exact residual). */
+class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def writeText(table: String, rel: String, text: String): Unit = {
+    val p = new Path(table, rel)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def le(l: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((l >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  // ------------------------------------------------ transform semantics
+
+  test("bucket hashes match the Iceberg spec's Appendix B test vectors") {
+    // int/long/date/timestamp hash as the 8-byte little-endian long;
+    // strings hash their UTF-8 bytes (murmur3_x86_32, seed 0)
+    murmur3x86(le(34L)) shouldBe 2017239379
+    murmur3x86("iceberg".getBytes(StandardCharsets.UTF_8)) shouldBe
+      1210000089
+    // date 2017-11-16 = 17486 days from epoch
+    murmur3x86(le(17486L)) shouldBe -653330422
+    // timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    murmur3x86(le(1510871468000000L)) shouldBe -2047944441
+  }
+
+  test("transform evaluation: bucket / truncate / time transforms and " +
+    "the fail-open unknowns") {
+    import org.apache.spark.sql.types._
+    // bucket[16](34) = (2017239379 mod 16) = 3
+    transformValue("bucket[16]", Left(34L), LongType) shouldBe
+      Some(Left(2017239379L % 16))
+    transformValue("bucket[16]", Right("iceberg"), StringType) shouldBe
+      Some(Left(1210000089L % 16))
+    // truncate: ints floor to the width multiple (negatives too);
+    // strings keep the first W code points
+    transformValue("truncate[10]", Left(37L), LongType) shouldBe
+      Some(Left(30L))
+    transformValue("truncate[10]", Left(-3L), LongType) shouldBe
+      Some(Left(-10L))
+    transformValue("truncate[3]", Right("apple"), StringType) shouldBe
+      Some(Right("app"))
+    transformValue("truncate[5]", Right("ab"), StringType) shouldBe
+      Some(Right("ab"))
+    // time transforms on micros: 2017-11-16T22:31:08Z
+    val micros = 1510871468000000L
+    transformValue("day", Left(micros), TimestampType) shouldBe
+      Some(Left(17486L))
+    transformValue("hour", Left(micros), TimestampType) shouldBe
+      Some(Left(micros / 3600000000L))
+    transformValue("month", Left(micros), TimestampType) shouldBe
+      Some(Left((2017 - 1970) * 12 + 10L))
+    transformValue("year", Left(micros), TimestampType) shouldBe
+      Some(Left(47L))
+    // on date (epoch days) the same names apply to the day count
+    transformValue("day", Left(17486L), DateType) shouldBe Some(Left(17486L))
+    transformValue("year", Left(17486L), DateType) shouldBe Some(Left(47L))
+    // not modeled → None (pruning fails open): hour(date), void, future
+    transformValue("hour", Left(17486L), DateType) shouldBe None
+    transformValue("void", Left(1L), LongType) shouldBe None
+    transformValue("zorder[2]", Left(1L), LongType) shouldBe None
+    // pre-epoch micros floor-divide (no truncation toward zero):
+    // 1969-12-31T23:00Z is day -1, not day 0
+    transformValue("day", Left(-3600000000L), TimestampType) shouldBe
+      Some(Left(-1L))
+  }
+
+  // --------------------------------------------------- readWhere pruning
+
+  /** Authors a foreign table at `t` with one spec and one single-row
+    * manifest per data file, each carrying the given partition tuple.
+    * Returns file path by label. */
+  private def authorTable(t: String, schemaJson: String, specJson: String,
+      partAvroFields: String,
+      files: Seq[(String, org.apache.spark.sql.DataFrame,
+        Map[String, Any])]): Map[String, String] = {
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFile(rel: String,
+                    df: org.apache.spark.sql.DataFrame): String = {
+      val stage = fresh("graft-ipr-stage")
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      dest.toString
+    }
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"file_path","type":"string"},
+         |  {"name":"file_format","type":"string"},
+         |  {"name":"partition","type":{"type":"record","name":"r102",
+         |    "fields":[$partAvroFields]}},
+         |  {"name":"record_count","type":"long"},
+         |  {"name":"file_size_in_bytes","type":"long"}
+         |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    val paths = files.map { case (label, df, tuple) =>
+      val path = parquetFile(s"data/$label.parquet", df)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(entrySchema
+        .getField("data_file").schema().getField("partition").schema())
+      tuple.foreach { case (k, v) => pr.put(k, v.asInstanceOf[AnyRef]) }
+      d.put("partition", pr)
+      d.put("record_count", df.count())
+      d.put("file_size_in_bytes", 1L)
+      e.put("data_file", d)
+      val (mPath, mLen) = avro(s"metadata/m-$label.avro", entrySchema, Seq(e))
+      (label, path, mPath, mLen)
+    }
+    val listRows = paths.map { case (_, _, mPath, mLen) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mPath)
+      r.put("manifest_length", mLen)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", 7L)
+      r
+    }
+    val (list, _) = avro("metadata/snap-7.avro", listSchema, listRows)
+    writeText(t, "metadata/v1.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":1,"last-column-id":9,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[$specJson],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":7,
+         |"snapshots":[{"snapshot-id":7,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$list","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "1")
+    paths.map(p => p._1 -> p._2).toMap
+  }
+
+  private def inputFileNames(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+
+  test("readWhere prunes by day transform: a one-day range reads only " +
+    "that day's files, an unmodeled spec field fails open, and rows " +
+    "always equal read().filter()") {
+    import spark.implicits._
+    import java.time.Instant
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.from(Instant.parse(s))
+    val t = fresh("graft-ipr-day")
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamptz"},
+        |{"id":3,"name":"payload","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    // ts_day = day(ts); a second spec field with a transform this
+    // evaluator does not model must never prune
+    val specJson =
+      """{"spec-id":0,"fields":[
+        |{"name":"ts_day","transform":"day","source-id":2,"field-id":1000},
+        |{"name":"pay_z","transform":"zorder[2]","source-id":3,
+        |"field-id":1001}]}""".stripMargin.replace("\n", "")
+    val partAvro =
+      """{"name":"ts_day","type":["null","int"],"default":null},
+        |{"name":"pay_z","type":["null","string"],"default":null}"""
+        .stripMargin.replace("\n", "")
+    // 2024-01-01 = epoch day 19723; 2024-01-02 = 19724
+    authorTable(t, schemaJson, specJson, partAvro, Seq(
+      ("d1", Seq((1L, ts("2024-01-01T10:00:00Z"), "a"),
+        (2L, ts("2024-01-01T23:30:00Z"), "b"))
+        .toDF("id", "ts", "payload"), Map("ts_day" -> 19723, "pay_z" -> "x")),
+      ("d2a", Seq((3L, ts("2024-01-02T00:10:00Z"), "c"))
+        .toDF("id", "ts", "payload"), Map("ts_day" -> 19724, "pay_z" -> "x")),
+      ("d2b", Seq((4L, ts("2024-01-02T18:00:00Z"), "d"))
+        .toDF("id", "ts", "payload"), Map("ts_day" -> 19724, "pay_z" -> "x"))))
+    // one-day range: only d1 is scanned, rows exact
+    val day1 = IcebergInterop.readWhere(spark, t, Seq(IceBetween("ts",
+      Instant.parse("2024-01-01T00:00:00Z"),
+      Instant.parse("2024-01-01T23:59:59Z"))))
+    inputFileNames(day1) shouldBe Set("d1.parquet")
+    day1.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    // a range crossing midnight keeps both days' files but filters
+    // rows exactly
+    val cross = IcebergInterop.readWhere(spark, t, Seq(IceBetween("ts",
+      Instant.parse("2024-01-01T23:00:00Z"),
+      Instant.parse("2024-01-02T01:00:00Z"))))
+    inputFileNames(cross) shouldBe Set("d1.parquet", "d2a.parquet",
+      "d2b.parquet")
+    cross.select($"id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // point equality on the timestamp prunes to its day
+    val point = IcebergInterop.readWhere(spark, t,
+      Seq(IceEq("ts", Instant.parse("2024-01-02T00:10:00Z"))))
+    inputFileNames(point) shouldBe Set("d2a.parquet", "d2b.parquet")
+    point.select($"id").as[Long].collect() shouldBe Array(3L)
+    // the unmodeled zorder spec field never prunes: a payload
+    // predicate scans everything and filters exactly
+    val pay = IcebergInterop.readWhere(spark, t, Seq(IceEq("payload", "d")))
+    inputFileNames(pay) shouldBe Set("d1.parquet", "d2a.parquet",
+      "d2b.parquet")
+    pay.select($"id").as[Long].collect() shouldBe Array(4L)
+    // empty prune result: a day with no files reads zero rows
+    IcebergInterop.readWhere(spark, t, Seq(IceEq("ts",
+      Instant.parse("2030-06-06T00:00:00Z")))).count() shouldBe 0L
+  }
+
+  test("readWhere prunes by bucket and truncate transforms; a " +
+    "present-NULL tuple value prunes equality and range") {
+    import spark.implicits._
+    val t = fresh("graft-ipr-bkt")
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def bucket4(id: Long): Int =
+      transformValue("bucket[4]", Left(id), LongType)
+        .get.swap.getOrElse(-1L).toInt
+    def trunc3(s: String): String =
+      transformValue("truncate[3]", Right(s), StringType)
+        .get.getOrElse("")
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"payload","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    val specJson =
+      """{"spec-id":0,"fields":[
+        |{"name":"id_bucket","transform":"bucket[4]","source-id":1,
+        |"field-id":1000},
+        |{"name":"pay_tr","transform":"truncate[3]","source-id":2,
+        |"field-id":1001}]}""".stripMargin.replace("\n", "")
+    val partAvro =
+      """{"name":"id_bucket","type":["null","int"],"default":null},
+        |{"name":"pay_tr","type":["null","string"],"default":null}"""
+        .stripMargin.replace("\n", "")
+    // one file per id so each file's bucket is exact; fN holds a NULL
+    // payload (and a null tuple value for it)
+    authorTable(t, schemaJson, specJson, partAvro, Seq(
+      ("f10", Seq((10L, "apple")).toDF("id", "payload"),
+        Map("id_bucket" -> bucket4(10L), "pay_tr" -> trunc3("apple"))),
+      ("f11", Seq((11L, "apric")).toDF("id", "payload"),
+        Map("id_bucket" -> bucket4(11L), "pay_tr" -> trunc3("apric"))),
+      ("f12", Seq((12L, "zebra")).toDF("id", "payload"),
+        Map("id_bucket" -> bucket4(12L), "pay_tr" -> trunc3("zebra"))),
+      ("fN", Seq((13L, null.asInstanceOf[String])).toDF("id", "payload"),
+        Map("id_bucket" -> bucket4(13L)))))
+    // bucket equality: only files sharing bucket4(10) survive
+    val expect10 = Seq(10L, 11L, 12L, 13L)
+      .filter(i => bucket4(i) == bucket4(10L))
+      .map(i => (if (i == 13L) "fN" else s"f$i") + ".parquet").toSet
+    val q10 = IcebergInterop.readWhere(spark, t, Seq(IceEq("id", 10L)))
+    inputFileNames(q10) shouldBe expect10
+    q10.select($"payload").as[String].collect() shouldBe Array("apple")
+    // a bucketed column does NOT prune ranges (hash order ≠ value
+    // order) — all files scanned, rows exact
+    val qr = IcebergInterop.readWhere(spark, t,
+      Seq(IceBetween("id", 10L, 11L)))
+    qr.inputFiles.length shouldBe 4
+    qr.select($"id").as[Long].collect().sorted shouldBe Array(10L, 11L)
+    // truncate[3] prunes equality to the matching prefix — and the
+    // NULL-tuple file drops too (its rows are all null)
+    val qe = IcebergInterop.readWhere(spark, t,
+      Seq(IceEq("payload", "apple")))
+    inputFileNames(qe) shouldBe Set("f10.parquet")
+    // truncate is monotone: a prefix range prunes zebra AND the null
+    // file, keeps both ap* files
+    val qt = IcebergInterop.readWhere(spark, t,
+      Seq(IceBetween("payload", "aaaaa", "azzzz")))
+    inputFileNames(qt) shouldBe Set("f10.parquet", "f11.parquet")
+    qt.select($"id").as[Long].collect().sorted shouldBe Array(10L, 11L)
+  }
+
+  test("legacy flat partition-spec field parses as spec 0, and " +
+    "specless tables never prune") {
+    import spark.implicits._
+    val t = fresh("graft-ipr-legacy")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    // a v1 table written by our own writer: unpartitioned — readWhere
+    // degrades to read().filter() with every file kept
+    IcebergInterop.write(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), t)
+    val q = IcebergInterop.readWhere(spark, t, Seq(IceEq("id", 2L)))
+    q.select($"payload").as[String].collect() shouldBe Array("b")
+    q.inputFiles.length should be >= 1
+    // the legacy flat field parses: rewrite the metadata naming a
+    // truncate spec (the tuple is absent from the manifests, so
+    // pruning STILL fails open — absent ≠ provably excluded)
+    val metaDir = new Path(t, "metadata")
+    val v1 = new Path(metaDir, "v1.metadata.json")
+    val in = fs.open(v1)
+    val txt = try {
+      val o = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, o, 65536, false)
+      new String(o.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val patched = txt
+      .replace(""""partition-specs":[{"spec-id":0,"fields":[]}]""",
+        """"partition-specs":[]""")
+      .replace(""""partition-spec":[]""",
+        """"partition-spec":[{"name":"id_tr","transform":"truncate[10]",
+          |"source-id":1,"field-id":1000}]""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/v1.metadata.json", patched)
+    val st = IcebergInterop.state(spark, t, None)
+    st.specs(0) shouldBe Seq(SpecField("id_tr", "truncate[10]", "id"))
+    // tuple absent from the manifest → fail open, exact rows
+    IcebergInterop.readWhere(spark, t, Seq(IceEq("id", 1L)))
+      .select($"payload").as[String].collect() shouldBe Array("a")
+  }
+}
