@@ -40,12 +40,20 @@ import org.apache.spark.sql.types._
   *     is BY NAME: a table that renamed columns via field ids needs
   *     id-based resolution this reader does not do — documented, not
   *     guessed at.
+  *   - [[readWhere]] is the pruned read: manifest partition tuples ×
+  *     the table's declared transforms decide which data files can
+  *     hold a match, fail-open, with the exact predicate applied to
+  *     the survivors.
   *   - [[write]] produces a conformant v1 Hadoop-catalog table:
   *     staged parquet + a manifest avro + a manifest list avro + the
   *     next `v<N>.metadata.json`, published via the same
   *     rename-if-absent optimistic protocol the Hadoop catalog uses
   *     (`version-hint.text` updated after). Appends reference prior
-  *     manifests verbatim — O(new files) metadata per commit.
+  *     manifests verbatim — O(new files) metadata per commit. A
+  *     `partitionBy` spec writes real partition tuples (one write job,
+  *     synthetic tuple columns), and spec CHANGES append under a fresh
+  *     spec id — an id already referenced by older manifests is never
+  *     redefined.
   *   - [[importToManifest]] / [[exportFromManifest]] are the
   *     metadata-only migrations, both directions zero-rewrite: import
   *     registers the live files as a [[ManifestLake]] version in place
@@ -104,7 +112,8 @@ object IcebergInterop {
                             schema: StructType, files: Seq[IceFile],
                             posDeletes: Seq[String] = Nil,
                             eqDeletes: Seq[EqDelete] = Nil,
-                            specs: Map[Int, Seq[SpecField]] = Map.empty)
+                            specs: Map[Int, Seq[SpecField]] = Map.empty,
+                            defaultSpecId: Int = 0)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -621,7 +630,11 @@ object IcebergInterop {
       }
     }
     IceState(version, snapId, schema, files.result(), posDeletes.result(),
-      eqDeletes.result(), specs)
+      eqDeletes.result(), specs,
+      jLong(metaJson \ "default-spec-id") match {
+        case -1L => 0
+        case id => id.toInt
+      })
   }
 
   /** Newest `v<N>.metadata.json` — the version-hint is consulted first
@@ -752,18 +765,120 @@ object IcebergInterop {
 
   // --------------------------------------------------------------- write
 
-  private val ManifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]},"field-id":2}
-      |]}""".stripMargin.replace("\n", ""))
+  /** The avro physical type of a partition-tuple value:
+    * `transform(source)` per the spec's result-type table. None =
+    * this writer cannot partition by that combination (refused by
+    * name at write time — never a wrong tuple). */
+  private[sources] def tupleAvroType(transform: String,
+                                     dt: DataType): Option[String] = {
+    val Bucket = """bucket\[(\d+)\]""".r
+    val Truncate = """truncate\[(\d+)\]""".r
+    def sourcePhysical: Option[String] = dt match {
+      case ByteType | ShortType | IntegerType => Some("int")
+      case LongType => Some("long")
+      case StringType => Some("string")
+      case DateType => Some("int") // epoch days
+      case TimestampType | TimestampNTZType => Some("long") // micros
+      case _ => None
+    }
+    transform match {
+      case "identity" => sourcePhysical
+      case Truncate(_) => dt match { // spec: int, long, string (jar-less
+        case ByteType | ShortType | IntegerType => Some("int")
+        case LongType => Some("long") // subset; decimal/binary refuse)
+        case StringType => Some("string")
+        case _ => None
+      }
+      case Bucket(_) => dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType | TimestampType | TimestampNTZType => Some("int")
+        case _ => None
+      }
+      case "day" | "month" | "year" => dt match {
+        case DateType | TimestampType | TimestampNTZType => Some("int")
+        case _ => None
+      }
+      case "hour" => dt match {
+        case TimestampType | TimestampNTZType => Some("int")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** One spec field's tuple value for one row — null in, null out;
+    * shares [[transformValue]] with the read-side pruner, so a tuple a
+    * write records and the prune decision a read takes can never
+    * disagree. */
+  private def evalTuple(sf: SpecField, dt: DataType,
+                        v: Any): Option[Either[Long, String]] =
+    Option(v).flatMap(x => canonicalValue(dt, x))
+      .flatMap(c => transformValue(sf.transform, c, dt))
+
+  /** The synthetic write-partitioning column for one spec field. A
+    * Scala closure (not codegen) is the honest choice here: it is the
+    * write path's one narrow projection, and it reuses the EXACT
+    * evaluator the reader prunes with. */
+  private def tupleColumn(sf: SpecField, dt: DataType,
+                          avroType: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, udf}
+    def asLong(e: Either[Long, String]): Long = e match {
+      case Left(l) => l
+      case Right(s) => throw new IllegalStateException(
+        s"transform ${sf.transform} produced a string for a numeric " +
+          s"tuple field ${sf.name}: $s")
+    }
+    def asStr(e: Either[Long, String]): String = e match {
+      case Right(s) => s
+      case Left(l) => throw new IllegalStateException(
+        s"transform ${sf.transform} produced a number for a string " +
+          s"tuple field ${sf.name}: $l")
+    }
+    val src = col(sf.source)
+    (dt, avroType) match {
+      case (ByteType | ShortType | IntegerType | LongType, "string") =>
+        throw new UnsupportedIcebergFeatureException(
+          s"integer source ${sf.source} cannot yield a string tuple")
+      case (ByteType | ShortType | IntegerType | LongType, _) =>
+        udf((v: java.lang.Long) =>
+          evalTuple(sf, dt, v).map(asLong)).apply(src.cast("long"))
+      case (StringType, "string") =>
+        udf((v: String) => evalTuple(sf, dt, v).map(asStr)).apply(src)
+      case (StringType, _) =>
+        udf((v: String) => evalTuple(sf, dt, v).map(asLong)).apply(src)
+      case (DateType, _) =>
+        udf((v: java.sql.Date) => evalTuple(sf, dt, v).map(asLong)).apply(src)
+      case (TimestampType, _) =>
+        udf((v: java.sql.Timestamp) =>
+          evalTuple(sf, dt, v).map(asLong)).apply(src)
+      case (TimestampNTZType, _) =>
+        udf((v: java.time.LocalDateTime) =>
+          evalTuple(sf, dt, v).map(asLong)).apply(src)
+      case (other, _) => throw new UnsupportedIcebergFeatureException(
+        s"cannot partition by ${sf.transform}(${sf.source}) over Spark " +
+          s"type ${other.sql}")
+    }
+  }
+
+  private def manifestEntrySchema(
+      partFields: Seq[(SpecField, String, Int)]): org.apache.avro.Schema = {
+    val partJson = partFields.map { case (sf, avroType, fid) =>
+      s"""{"name":${jstr(sf.name)},"type":["null","$avroType"],""" +
+        s""""default":null,"field-id":$fid}"""
+    }.mkString(",")
+    new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partJson]},"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]},"field-id":2}
+         |]}""".stripMargin.replace("\n", ""))
+  }
 
   private val ManifestFileSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -773,13 +888,22 @@ object IcebergInterop {
       |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
       |]}""".stripMargin.replace("\n", ""))
 
-  /** Write `df` as an Iceberg v1 commit (unpartitioned spec — Iceberg
-    * data files carry every column, so partitioning is purely a
-    * pruning optimization this writer does not emit). `overwrite`
-    * starts the snapshot's manifest list fresh; append carries the
-    * prior snapshot's manifests verbatim (O(new files) metadata). */
+  /** Write `df` as an Iceberg v1 commit. `overwrite` starts the
+    * snapshot's manifest list fresh; append carries the prior
+    * snapshot's manifests verbatim (O(new files) metadata).
+    *
+    * `partitionBy` declares a partition SPEC — Iceberg data files
+    * carry every column, so this is purely the pruning metadata
+    * [[readWhere]] resolves: each data file is written under one
+    * transform tuple (one Spark write job, partitioned by the
+    * synthetic tuple columns) and its manifest entry records that
+    * tuple. Appends must keep the table's current default spec (a
+    * different one refuses by name — evolve via overwrite); transform
+    * evaluation is the same code the read-side pruner runs, so write
+    * tuple and prune verdict cannot disagree. */
   def write(df: DataFrame, table: String,
-            overwrite: Boolean = false): Long = {
+            overwrite: Boolean = false,
+            partitionBy: Seq[SpecField] = Nil): Long = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -790,30 +914,136 @@ object IcebergInterop {
         Some(state(spark, table, None))
       else None
     prior.foreach { p =>
-      if (!overwrite)
+      if (!overwrite) {
         InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
+        val current = p.specs.getOrElse(p.defaultSpecId, Nil)
+        if (partitionBy != current)
+          throw new UnsupportedIcebergFeatureException(
+            s"append to $table declares partition spec $partitionBy " +
+              s"but the table's current default spec is $current — an " +
+              "append keeps the table's spec; change it with an " +
+              "overwrite commit")
+      }
     }
-    // stage data files under data/
+    val moved =
+      if (partitionBy.isEmpty) stageUnpartitioned(spark, df, root, fs)
+      else stagePartitioned(spark, df, root, fs, partitionBy)
+    publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
+      if (overwrite) "overwrite" else "append", partitionBy)
+  }
+
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+    finally reader.close()
+  }
+
+  private def stageUnpartitioned(spark: SparkSession, df: DataFrame,
+      root: Path, fs: FileSystem): Seq[IceFile] = {
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(stage.toString)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
-    val conf = spark.sessionState.newHadoopConf()
     val moved = fs.listStatus(stage).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map { p =>
         val dest = new Path(dataDir, p.getName)
         if (!fs.rename(p, dest))
           throw new IllegalStateException(s"failed to move $p to $dest")
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, conf))
-        val rows = try reader.getFooter.getBlocks.asScala
-          .map(_.getRowCount.toLong).sum
-        finally reader.close()
-        IceFile(dest.toString, rows, fs.getFileStatus(dest).getLen)
+        IceFile(dest.toString, parquetRowCount(spark, dest),
+          fs.getFileStatus(dest).getLen)
       }.toSeq
     fs.delete(stage, true): Unit
-    publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
-      if (overwrite) "overwrite" else "append")
+    moved
+  }
+
+  /** One write job partitioned by the synthetic tuple columns; staged
+    * `__gpN=value/` directories carry each file's tuple (values parsed
+    * back under the known per-field type — no Hive type inference),
+    * and the data files themselves carry every source column (the
+    * synthetic columns are what partitionBy strips). */
+  private def stagePartitioned(spark: SparkSession, df: DataFrame,
+      root: Path, fs: FileSystem,
+      spec: Seq[SpecField]): Seq[IceFile] = {
+    import org.apache.spark.sql.functions.col
+    val typed = spec.map { sf =>
+      val dt = df.schema.find(_.name == sf.source).map(_.dataType)
+        .getOrElse(throw new UnsupportedIcebergFeatureException(
+          s"partition source column ${sf.source} missing from the " +
+            "DataFrame being written"))
+      val avroType = tupleAvroType(sf.transform, dt).getOrElse(
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot partition by ${sf.transform}(${sf.source}) over " +
+            s"${dt.sql} — not a transform/type combination this " +
+            "writer models"))
+      (sf, dt, avroType)
+    }
+    val gpNames = typed.indices.map(i => s"__gp$i")
+    require(!df.columns.exists(gpNames.contains),
+      "reserved __gpN column name collision")
+    val staged = df.select(col("*") +: typed.zipWithIndex.map {
+      case ((sf, dt, avroType), i) =>
+        tupleColumn(sf, dt, avroType).as(s"__gp$i")
+    }: _*)
+    val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
+    // hash-distribute by tuple (Iceberg's hash distribution mode):
+    // without it every task writes a sliver into every partition and
+    // the file count is O(tasks × tuples); with it, O(tuples). The
+    // trade-off — a single-tuple batch serializes into one task — is
+    // the spec'd write-mode trade-off, not an accident.
+    staged.repartition(gpNames.map(col): _*)
+      .write.mode("overwrite").partitionBy(gpNames: _*)
+      .parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    // walk __gp0=…/__gp1=…/part-*.parquet; dir values decode by the
+    // KNOWN avro type of each field (Hive %-escaping, null marker)
+    def unescape(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def decode(raw: String, avroType: String): AnyRef =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else avroType match {
+        case "int" => Integer.valueOf(unescape(raw))
+        case "long" => java.lang.Long.valueOf(unescape(raw))
+        case _ => unescape(raw)
+      }
+    val moved = Seq.newBuilder[IceFile]
+    def walk(dir: Path, tuple: Map[String, AnyRef]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          val eq = name.indexOf('=')
+          val gpIdx = gpNames.indexOf(name.substring(0, eq))
+          if (gpIdx >= 0) {
+            val (sf, _, avroType) = typed(gpIdx)
+            walk(st.getPath, tuple +
+              (sf.name -> decode(name.substring(eq + 1), avroType)))
+          }
+        } else if (!st.isDirectory && name.endsWith(".parquet")) {
+          // a unique name: the same part-00000 recurs in every tuple dir
+          val dest = new Path(dataDir,
+            s"${java.util.UUID.randomUUID()}.parquet")
+          if (!fs.rename(st.getPath, dest))
+            throw new IllegalStateException(
+              s"failed to move ${st.getPath} to $dest")
+          moved += IceFile(dest.toString, parquetRowCount(spark, dest),
+            fs.getFileStatus(dest).getLen, partition = tuple)
+        }
+      }
+    walk(stage, Map.empty)
+    fs.delete(stage, true): Unit
+    moved.result()
   }
 
   /** The shared commit tail of [[write]] and [[exportFromManifest]]:
@@ -839,7 +1069,7 @@ object IcebergInterop {
   private def publishSnapshot(fs: FileSystem, root: Path,
       schema: StructType, newFiles: Seq[IceFile],
       prior: Option[IceState], overwrite: Boolean,
-      operation: String): Long = {
+      operation: String, spec: Seq[SpecField] = Nil): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
@@ -897,24 +1127,117 @@ object IcebergInterop {
         (sj, sid, firstFieldId + schema.length - 1,
           (priorSchemas :+ sj).mkString("[", ",", "]"))
       }
+    // ---- partition-spec resolution: prior specs carry VERBATIM (old
+    // snapshots' manifests resolve their tuples against them forever);
+    // the new manifest's spec either MATCHES an existing one (reuse its
+    // id and field ids) or appends under the next id — a spec's meaning
+    // is never redefined under an id already referenced
+    val schemaFieldIds: Map[String, Long] =
+      (JsonMethods.parse(schemaJsonStr) \ "fields") match {
+        case JArray(fs0) => fs0.flatMap { f =>
+          ((f \ "name"), jLong(f \ "id")) match {
+            case (JString(n), id) if id >= 0 => Some(n -> id)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty
+      }
+    val wantFields: Seq[(String, String, Long)] = spec.map { sf =>
+      (sf.name, sf.transform, schemaFieldIds.getOrElse(sf.source,
+        throw new UnsupportedIcebergFeatureException(
+          s"partition source column ${sf.source} is not a top-level " +
+            s"column of the schema being written to $root")))
+    }
+    val priorSpecs: Seq[JValue] =
+      priorMeta.map(m => m \ "partition-specs") match {
+        case Some(JArray(xs)) => xs
+        case _ => priorMeta.map(m => m \ "partition-spec") match {
+          case Some(arr @ JArray(fs0)) if fs0.nonEmpty =>
+            Seq(JObject(List("spec-id" -> JInt(0), "fields" -> arr)))
+          case _ => Nil
+        }
+      }
+    def specMatches(node: JValue): Boolean = (node \ "fields") match {
+      case JArray(fs0) => fs0.length == wantFields.length &&
+        fs0.zip(wantFields).forall { case (f, (n, t, sid)) =>
+          (f \ "name") == JString(n) && (f \ "transform") == JString(t) &&
+            jLong(f \ "source-id") == sid
+        }
+      case _ => wantFields.isEmpty
+    }
+    val matchedSpec = priorSpecs.find(specMatches)
+    val specNode: JValue = matchedSpec.getOrElse {
+      val nextId = priorSpecs.map(n => jLong(n \ "spec-id"))
+        .filter(_ >= 0).reduceOption(_ max _).map(_ + 1).getOrElse(0L)
+      JObject(List("spec-id" -> JInt(nextId),
+        "fields" -> JArray(wantFields.zipWithIndex.map {
+          case ((n, t, sid), i) =>
+            JObject(List("name" -> JString(n), "transform" -> JString(t),
+              "source-id" -> JInt(sid), "field-id" -> JInt(1000 + i)))
+        }.toList)))
+    }
+    val specId = jLong(specNode \ "spec-id").toInt
+    val allSpecsJson =
+      (if (matchedSpec.isDefined) priorSpecs else priorSpecs :+ specNode)
+        .map(compactJ).mkString("[", ",", "]") match {
+        case "[]" => s"[${compactJ(specNode)}]" // fresh table
+        case s => s
+      }
+    val legacySpecJson = compactJ(specNode \ "fields")
+    // avro partition-record fields: field ids from the RESOLVED spec
+    // node, physical types from transform × source column type
+    val partFields: Seq[(SpecField, String, Int)] =
+      spec.zipWithIndex.map { case (sf, i) =>
+        val dt = schema.find(_.name == sf.source).map(_.dataType)
+          .getOrElse(throw new UnsupportedIcebergFeatureException(
+            s"partition source column ${sf.source} missing from the " +
+              s"written schema of $root"))
+        val avroType = tupleAvroType(sf.transform, dt).getOrElse(
+          throw new UnsupportedIcebergFeatureException(
+            s"cannot partition $root by ${sf.transform}(${sf.source}) " +
+              s"over ${dt.sql} — not a transform/type combination this " +
+              "writer models"))
+        val fid = ((specNode \ "fields") match {
+          case JArray(fs0) => jLong(fs0(i) \ "field-id")
+          case _ => -1L
+        }) match {
+          case -1L => 1000 + i
+          case id => id.toInt
+        }
+        (sf, avroType, fid)
+      }
+    val entrySchema = manifestEntrySchema(partFields)
     // the new manifest
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     fs.mkdirs(metaDir)
-    writeAvro(fs, manifestPath, ManifestEntrySchema,
+    writeAvro(fs, manifestPath, entrySchema,
       Map("format-version" -> "1", "content" -> "data",
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "partition-spec" -> legacySpecJson,
+        "partition-spec-id" -> specId.toString,
         "schema" -> schemaJsonStr),
       newFiles.map { f =>
-        val e = new GenericData.Record(ManifestEntrySchema)
+        val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
         val dfRec = new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema())
+          entrySchema.getField("data_file").schema())
         dfRec.put("file_path", f.path)
         dfRec.put("file_format", "PARQUET")
-        dfRec.put("partition", new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema()
-            .getField("partition").schema()))
+        val partRec = new GenericData.Record(
+          entrySchema.getField("data_file").schema()
+            .getField("partition").schema())
+        partFields.foreach { case (sf, avroType, _) =>
+          f.partition.get(sf.name).filter(_ != null).foreach { v =>
+            partRec.put(sf.name, avroType match {
+              case "int" => Integer.valueOf(
+                v.asInstanceOf[Number].intValue)
+              case "long" => java.lang.Long.valueOf(
+                v.asInstanceOf[Number].longValue)
+              case _ => v.toString
+            })
+          }
+        }
+        dfRec.put("partition", partRec)
         dfRec.put("record_count", f.records)
         dfRec.put("file_size_in_bytes", f.bytes)
         e.put("data_file", dfRec)
@@ -940,7 +1263,7 @@ object IcebergInterop {
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", manifestPath.toString)
       r.put("manifest_length", manifestLen)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       r.put("added_snapshot_id", snapshotId)
       r
     }
@@ -1008,8 +1331,8 @@ object IcebergInterop {
          |"schema":$schemaJsonStr,
          |"schemas":$schemasJson,
          |"current-schema-id":$currentSchemaId,
-         |"partition-spec":[],"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"partition-spec":$legacySpecJson,"default-spec-id":$specId,
+         |"partition-specs":$allSpecsJson,
          |"properties":{},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":$snapshotsJson,

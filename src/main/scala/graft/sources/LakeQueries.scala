@@ -821,6 +821,47 @@ object LakeQueries {
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** ic5_iceberg_prune — partitioned Iceberg writes and pruned foreign
+    * reads through the gate: orders written under a
+    * `month(o_orderdate)` partition spec (~80 real partition tuples in
+    * the manifest), then `readWhere` resolves a one-quarter closed
+    * range to 3 tuples' files AT THE MANIFEST and applies the exact
+    * range to the survivors — the result must equal DuckDB filtering
+    * the original parquet. File-level prune behavior (inputFiles ⊂
+    * live set, fail-open unknowns, Appendix B transform vectors) is
+    * pinned in IcebergPruneSpec. */
+  def ic5IcebergPrune(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"ic5:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic5").toString + "/t"
+      IcebergInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          // TIMESTAMP_NTZ source dates as session-zoned timestamps
+          // (pinned-UTC session) — the type the transform evaluator
+          // canonicalizes to epoch micros
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+        dir, partitionBy = Seq(
+          IcebergInterop.SpecField("o_month", "month", "o_orderdate")))
+      dir
+    })
+    def inst(x: String) = java.time.LocalDateTime.parse(x)
+      .toInstant(java.time.ZoneOffset.UTC)
+    IcebergInterop.readWhere(s, table, Seq(IcebergInterop.IceBetween(
+        "o_orderdate",
+        inst("1997-04-01T00:00:00"), inst("1997-06-30T23:59:59"))))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_totalprice"))
+  }
+
+  val ic5Oracle: String =
+    """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate)
+      |    AS o_orderdate_us, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1592,6 +1633,7 @@ object LakeQueries {
     "ic2_iceberg_time_travel" -> (ic2IcebergTimeTravel _),
     "ic3_convert_export" -> (ic3ConvertExport _),
     "ic4_iceberg_sql" -> (ic4IcebergSql _),
+    "ic5_iceberg_prune" -> (ic5IcebergPrune _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1633,6 +1675,7 @@ object LakeQueries {
     "ic2_iceberg_time_travel" -> ic2Oracle,
     "ic3_convert_export" -> ic3Oracle,
     "ic4_iceberg_sql" -> ic4Oracle,
+    "ic5_iceberg_prune" -> ic5Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

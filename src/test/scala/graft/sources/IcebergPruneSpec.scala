@@ -314,6 +314,93 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     qt.select($"id").as[Long].collect().sorted shouldBe Array(10L, 11L)
   }
 
+  // ----------------------------------------------- partitioned writes
+
+  test("partitioned writes record the spec and per-file tuples: " +
+    "readWhere prunes the writer's own table, appends keep the spec, " +
+    "a different append spec refuses, overwrite evolves the spec id") {
+    import spark.implicits._
+    import java.time.Instant
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.from(Instant.parse(s))
+    val t = fresh("graft-ipw")
+    val spec = Seq(SpecField("ts_day", "day", "ts"),
+      SpecField("cat_tr", "truncate[2]", "cat"))
+    IcebergInterop.write(Seq(
+      (1L, ts("2024-03-01T08:00:00Z"), "aa-x"),
+      (2L, ts("2024-03-01T09:00:00Z"), "ab-y"),
+      (3L, ts("2024-03-02T10:00:00Z"), "aa-z"))
+      .toDF("id", "ts", "cat"), t, partitionBy = spec)
+    // the spec landed in metadata and resolves on read
+    val st = IcebergInterop.state(spark, t, None)
+    st.specs(st.defaultSpecId) shouldBe spec
+    // every file carries a tuple; 3 distinct (day, prefix) pairs
+    st.files.foreach(f => f.partition.keySet shouldBe Set("ts_day", "cat_tr"))
+    st.files.map(_.partition).toSet should have size 3
+    // a one-day equality prunes to that day's files
+    val day1 = IcebergInterop.readWhere(spark, t, Seq(IceBetween("ts",
+      Instant.parse("2024-03-01T00:00:00Z"),
+      Instant.parse("2024-03-01T23:59:59Z"))))
+    day1.inputFiles.length shouldBe 2
+    day1.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    // truncate prefix equality prunes to the matching prefix files
+    val aa = IcebergInterop.readWhere(spark, t, Seq(IceEq("cat", "aa-z")))
+    aa.inputFiles.length shouldBe 2 // both "aa" files, exact residual
+    aa.select($"id").as[Long].collect() shouldBe Array(3L)
+    // appends keep the spec; the new day prunes alone
+    IcebergInterop.write(Seq((4L, ts("2024-03-03T01:00:00Z"), "zz-q"))
+      .toDF("id", "ts", "cat"), t, partitionBy = spec)
+    val day3 = IcebergInterop.readWhere(spark, t, Seq(IceEq("ts",
+      Instant.parse("2024-03-03T01:00:00Z"))))
+    day3.inputFiles.length shouldBe 1
+    day3.select($"id").as[Long].collect() shouldBe Array(4L)
+    // an append under a DIFFERENT spec refuses by name
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.write(Seq((5L, ts("2024-03-03T02:00:00Z"), "k"))
+        .toDF("id", "ts", "cat"), t,
+        partitionBy = Seq(SpecField("ts_hour", "hour", "ts")))
+    }.getMessage should include("default spec")
+    // and so does an unpartitioned append
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.write(Seq((5L, ts("2024-03-03T02:00:00Z"), "k"))
+        .toDF("id", "ts", "cat"), t)
+    }.getMessage should include("default spec")
+    // overwrite EVOLVES: the unpartitioned spec appends under a new id,
+    // the old spec stays listed (old snapshots resolve their tuples)
+    IcebergInterop.write(Seq((9L, ts("2024-04-01T00:00:00Z"), "n"))
+      .toDF("id", "ts", "cat"), t, overwrite = true)
+    val st2 = IcebergInterop.state(spark, t, None)
+    st2.defaultSpecId should be > st.defaultSpecId
+    st2.specs(st.defaultSpecId) shouldBe spec
+    st2.specs(st2.defaultSpecId) shouldBe Nil
+    IcebergInterop.read(spark, t).select($"id").as[Long]
+      .collect() shouldBe Array(9L)
+  }
+
+  test("null partition values and path-hostile strings round-trip " +
+    "through the staged write: tuples decode exactly, null tuples " +
+    "prune equality") {
+    import spark.implicits._
+    val t = fresh("graft-ipw-null")
+    val spec = Seq(SpecField("cat", "identity", "cat"))
+    IcebergInterop.write(Seq(
+      (1L, "plain"), (2L, "a/b:c d%2F"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "cat"), t, partitionBy = spec)
+    val st = IcebergInterop.state(spark, t, None)
+    // the hostile value survives Hive path escaping byte-exactly
+    st.files.flatMap(_.partition.values).filter(_ != null)
+      .map(_.toString).toSet shouldBe Set("plain", "a/b:c d%2F")
+    st.files.map(_.partition("cat")).count(_ == null) shouldBe 1
+    // equality on the hostile value prunes to its file alone (the
+    // null-tuple file drops: identity is null-preserving)
+    val q = IcebergInterop.readWhere(spark, t,
+      Seq(IceEq("cat", "a/b:c d%2F")))
+    q.inputFiles.length shouldBe 1
+    q.select($"id").as[Long].collect() shouldBe Array(2L)
+    // the null row is still served by a plain read
+    IcebergInterop.read(spark, t).count() shouldBe 3L
+  }
+
   test("legacy flat partition-spec field parses as spec 0, and " +
     "specless tables never prune") {
     import spark.implicits._
