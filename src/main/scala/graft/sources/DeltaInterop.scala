@@ -89,6 +89,103 @@ object DeltaInterop {
                   version: Long): DataFrame =
     toDF(spark, table, state(spark, table, Some(version)))
 
+  /** PARTITION-PRUNED read — Delta partitioning is identity-only, so
+    * each add action's string-encoded `partitionValues` decide
+    * directly whether the file can hold a match: equality and closed
+    * ranges prune on the decoded value, a recorded NULL prunes both
+    * (neither `=` nor BETWEEN matches null), and anything undecodable
+    * fails OPEN — then the full predicate applies EXACTLY to the
+    * survivors, so the result is always `read(...).filter(...)` from
+    * fewer files. Timestamp values decode in the SESSION zone, the
+    * same zone the read kernel reconstructs partition columns in, so
+    * prune verdict and reconstructed value cannot disagree. O(live
+    * files) driver-side over already-replayed log state. */
+  def readWhere(spark: SparkSession, table: String,
+                preds: Seq[ScanPredicate],
+                version: Option[Long] = None): DataFrame = {
+    val st = state(spark, table, version)
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val kept = st.files.filter(a =>
+      !preds.exists(p => filePrunes(a, st, zone, p)))
+    ScanPredicates.residual(
+      filesToDF(spark, table, st.schema, st.partitionColumns, kept,
+        st.columnMappingMode), preds)
+  }
+
+  /** True when `a`'s recorded partition value PROVES no row matches
+    * `pred`; every uncertainty keeps the file. */
+  private[sources] def filePrunes(a: DeltaAdd, st: DeltaState,
+      zone: java.time.ZoneId, pred: ScanPredicate): Boolean = {
+    import ScanPredicates.{canonicalValue, compareValues}
+    // under column mapping partitionValues are physically keyed — the
+    // read kernel refuses partitioned+mapped anyway; never prune here
+    if (st.columnMappingMode != "none") return false
+    if (!st.partitionColumns.contains(pred.column)) return false
+    val dt = st.schema.find(_.name == pred.column).map(_.dataType) match {
+      case Some(t) => t
+      case None => return false
+    }
+    a.partitionValues.get(pred.column) match {
+      case None => false // absent from the action: fail open
+      case Some(None) => true // recorded null: no predicate matches
+      case Some(Some(s)) =>
+        partitionValue(dt, s, zone) match {
+          case None => false
+          case Some(stored) => pred match {
+            case ScanEq(_, v) =>
+              (for {
+                cv <- canonicalValue(dt, v)
+                c <- compareValues(stored, cv)
+              } yield c != 0).getOrElse(false)
+            case ScanBetween(_, lo, hi) =>
+              (for {
+                cl <- canonicalValue(dt, lo)
+                ch <- canonicalValue(dt, hi)
+                cLo <- compareValues(stored, cl)
+                cHi <- compareValues(stored, ch)
+              } yield cLo < 0 || cHi > 0).getOrElse(false)
+          }
+        }
+    }
+  }
+
+  private val PartitionTsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+      1, 9, true)
+    .optionalEnd()
+    .toFormatter()
+
+  /** The protocol's partition-value string decoded per column type to
+    * the canonical compare shape; unparseable → None (fail open). */
+  private def partitionValue(dt: org.apache.spark.sql.types.DataType,
+      s: String, zone: java.time.ZoneId): Option[Either[Long, String]] = {
+    import org.apache.spark.sql.types._
+    def tsLocal: Option[java.time.LocalDateTime] =
+      scala.util.Try(
+        java.time.LocalDateTime.parse(s.trim, PartitionTsFmt)).toOption
+    def micros(i: java.time.Instant): Long =
+      Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
+    dt match {
+      case StringType => Some(Right(s))
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(Left(s.trim.toLong)).toOption
+      case DateType => scala.util.Try(
+        Left(java.time.LocalDate.parse(s.trim).toEpochDay)).toOption
+      case TimestampType =>
+        tsLocal.map(l => Left(micros(l.atZone(zone).toInstant)))
+          .orElse(scala.util.Try(
+            Left(micros(java.time.Instant.parse(s.trim)))).toOption)
+      case TimestampNTZType =>
+        tsLocal.map(l => Left(Math.multiplyExact(
+          l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          l.getNano / 1000))
+      case _ => None
+    }
+  }
+
   /** Replay the log into the live state at `version` (default: head). */
   def state(spark: SparkSession, table: String,
             version: Option[Long]): DeltaState = {

@@ -88,16 +88,8 @@ object IcebergInterop {
   final case class SpecField(name: String, transform: String,
                              source: String)
 
-  /** The pruning predicates [[readWhere]] accepts. Both are applied
-    * EXACTLY as a residual filter after pruning, so a predicate the
-    * partition metadata cannot prune on is never wrong — just
-    * unpruned (the manifest lake's fail-open contract). */
-  sealed trait IcePredicate { def column: String }
-  /** `column = value` (null-safe never matches null: pass non-null). */
-  final case class IceEq(column: String, value: Any) extends IcePredicate
-  /** Closed interval `lo <= column <= hi`. */
-  final case class IceBetween(column: String, lo: Any,
-                              hi: Any) extends IcePredicate
+  // pruning predicates: the shared [[ScanPredicate]] ADT (ScanEq /
+  // ScanBetween), spoken by this module's readWhere and Delta's
 
   /** One v2 EQUALITY-DELETE file: rows carry values for `cols` (the
     * schema names the file's `equality_ids` resolve to), deleting any
@@ -155,20 +147,12 @@ object IcebergInterop {
     * metadata already resolved by [[state]] — no data file is opened
     * to decide. */
   def readWhere(spark: SparkSession, table: String,
-                preds: Seq[IcePredicate],
+                preds: Seq[ScanPredicate],
                 snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     val st = state(spark, table, snapshotId)
     val kept = st.files.filter(f =>
       !preds.exists(p => filePrunes(f, st.specs, st.schema, p)))
-    val df = toDF(spark, st.copy(files = kept))
-    preds.foldLeft(df) { (acc, p) =>
-      p match {
-        case IceEq(c, v) => acc.filter(col(c) === lit(v))
-        case IceBetween(c, lo, hi) =>
-          acc.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
-      }
-    }
+    ScanPredicates.residual(toDF(spark, st.copy(files = kept)), preds)
   }
 
   // ------------------------------------------------- partition pruning
@@ -179,7 +163,8 @@ object IcebergInterop {
     * returns false (keep the file). */
   private[sources] def filePrunes(f: IceFile,
       specs: Map[Int, Seq[SpecField]], schema: StructType,
-      pred: IcePredicate): Boolean = {
+      pred: ScanPredicate): Boolean = {
+    import ScanPredicates.{canonicalValue, compareValues}
     val dt = schema.find(_.name == pred.column).map(_.dataType) match {
       case Some(t) => t
       case None => return false
@@ -195,13 +180,13 @@ object IcebergInterop {
             nullPreserving(sf.transform)
           case Some(raw) =>
             (storedValue(raw), pred) match {
-              case (Some(stored), IceEq(_, v)) =>
+              case (Some(stored), ScanEq(_, v)) =>
                 (for {
                   cv <- canonicalValue(dt, v)
                   out <- transformValue(sf.transform, cv, dt)
                   c <- compareValues(out, stored)
                 } yield c != 0).getOrElse(false)
-              case (Some(stored), IceBetween(_, lo, hi))
+              case (Some(stored), ScanBetween(_, lo, hi))
                 if monotoneTransform(sf.transform) =>
                 (for {
                   cl <- canonicalValue(dt, lo)
@@ -227,38 +212,13 @@ object IcebergInterop {
   /** Transforms through which `lo <= x <= hi` implies
     * `t(lo) <= t(x) <= t(hi)` — what lets a range predicate prune.
     * (String truncation is code-point-prefix, monotone under UTF-8
-    * byte order, which is how [[compareValues]] compares.) */
+    * byte order, which is how `ScanPredicates.compareValues`
+    * compares.) */
   private def monotoneTransform(t: String): Boolean =
     t == "identity" || t.startsWith("truncate[") ||
       t == "year" || t == "month" || t == "day" || t == "hour"
 
-  /** A predicate value canonicalized to the spec's single-value
-    * representation: integers/date-days/timestamp-micros as Left,
-    * strings as Right; anything else fails open. */
-  private def canonicalValue(dt: DataType,
-                             v: Any): Option[Either[Long, String]] =
-    (dt, v) match {
-      case (_, null) => None
-      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-        Some(Left(n.longValue))
-      case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay))
-      case (DateType, d: java.sql.Date) =>
-        Some(Left(d.toLocalDate.toEpochDay))
-      case (TimestampType, t: java.sql.Timestamp) =>
-        Some(Left(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
-          1000000L) + t.getNanos / 1000))
-      case (TimestampType, i: java.time.Instant) =>
-        Some(Left(Math.multiplyExact(i.getEpochSecond, 1000000L) +
-          i.getNano / 1000))
-      case (TimestampNTZType, dt2: java.time.LocalDateTime) =>
-        Some(Left(Math.multiplyExact(
-          dt2.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
-          dt2.getNano / 1000))
-      case (StringType, s: String) => Some(Right(s))
-      case _ => None
-    }
-
-  /** A manifest partition-tuple value in the same canonical shape.
+  /** A manifest partition-tuple value in the canonical compare shape.
     * Only exact integer and string physical types are modeled —
     * float/double/binary partition values fail open. */
   private def storedValue(raw: AnyRef): Option[Either[Long, String]] =
@@ -268,29 +228,6 @@ object IcebergInterop {
       case s: CharSequence => Some(Right(s.toString))
       case _ => None
     }
-
-  private def compareValues(a: Either[Long, String],
-                            b: Either[Long, String]): Option[Int] =
-    (a, b) match {
-      case (Left(x), Left(y)) => Some(java.lang.Long.compare(x, y))
-      case (Right(x), Right(y)) => Some(utf8Compare(x, y))
-      case _ => None
-    }
-
-  /** Unsigned UTF-8 byte order — code-point order, the collation both
-    * Iceberg bounds and Spark's UTF8String comparisons use (Java
-    * String.compareTo differs on supplementary characters). */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    var i = 0
-    while (i < x.length && i < y.length) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    x.length - y.length
-  }
 
   /** Spec Appendix B transform evaluation over the canonical value.
     * None = not modeled (pruning fails open). */
@@ -812,7 +749,7 @@ object IcebergInterop {
     * disagree. */
   private def evalTuple(sf: SpecField, dt: DataType,
                         v: Any): Option[Either[Long, String]] =
-    Option(v).flatMap(x => canonicalValue(dt, x))
+    Option(v).flatMap(x => ScanPredicates.canonicalValue(dt, x))
       .flatMap(c => transformValue(sf.transform, c, dt))
 
   /** The synthetic write-partitioning column for one spec field. A

@@ -847,7 +847,7 @@ object LakeQueries {
     })
     def inst(x: String) = java.time.LocalDateTime.parse(x)
       .toInstant(java.time.ZoneOffset.UTC)
-    IcebergInterop.readWhere(s, table, Seq(IcebergInterop.IceBetween(
+    IcebergInterop.readWhere(s, table, Seq(ScanBetween(
         "o_orderdate",
         inst("1997-04-01T00:00:00"), inst("1997-06-30T23:59:59"))))
       .select(col("o_orderkey"), col("o_custkey"),
@@ -861,6 +861,35 @@ object LakeQueries {
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
       |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
+
+  /** dl5_delta_prune — partition-pruned foreign Delta reads through
+    * the gate: orders written Hive-partitioned by o_orderpriority (5
+    * add-action groups), readWhere prunes 4 of the 5 on the recorded
+    * partitionValues and applies the exact residual — a non-partition
+    * range rides along unpruned (fail-open) to pin that the residual
+    * is always the full predicate. */
+  def dl5DeltaPrune(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dl5:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl5").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority"),
+        dir, partitionBy = Seq("o_orderpriority"))
+      dir
+    })
+    DeltaInterop.readWhere(s, table, Seq(
+      ScanEq("o_orderpriority", "1-URGENT"),
+      ScanBetween("o_totalprice", 50000.0, 250000.0)))
+  }
+
+  val dl5Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |  o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |  AND o_totalprice BETWEEN 50000.0 AND 250000.0""".stripMargin
 
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
@@ -1634,6 +1663,7 @@ object LakeQueries {
     "ic3_convert_export" -> (ic3ConvertExport _),
     "ic4_iceberg_sql" -> (ic4IcebergSql _),
     "ic5_iceberg_prune" -> (ic5IcebergPrune _),
+    "dl5_delta_prune" -> (dl5DeltaPrune _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1676,6 +1706,7 @@ object LakeQueries {
     "ic3_convert_export" -> ic3Oracle,
     "ic4_iceberg_sql" -> ic4Oracle,
     "ic5_iceberg_prune" -> ic5Oracle,
+    "dl5_delta_prune" -> dl5Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** The pruning predicates the interop `readWhere` surfaces accept
+  * (Iceberg transform-tuple pruning, Delta partitionValues pruning).
+  * Both are ALWAYS applied exactly as a residual filter after the
+  * file-level prune, so a predicate the partition metadata cannot
+  * prune on is never wrong — just unpruned (the manifest lake's
+  * fail-open contract, spoken across formats). */
+sealed trait ScanPredicate { def column: String }
+
+/** `column = value` (`=` semantics — never matches null; pass a
+  * non-null value). */
+final case class ScanEq(column: String, value: Any) extends ScanPredicate
+
+/** Closed interval `lo <= column <= hi`. */
+final case class ScanBetween(column: String, lo: Any,
+                             hi: Any) extends ScanPredicate
+
+private[sources] object ScanPredicates {
+
+  /** A predicate value canonicalized to a single comparable shape:
+    * integers / date-days / timestamp-micros as Left, strings as
+    * Right; anything else fails open (None). */
+  def canonicalValue(dt: DataType, v: Any): Option[Either[Long, String]] =
+    (dt, v) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(Left(n.longValue))
+      case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay))
+      case (DateType, d: java.sql.Date) =>
+        Some(Left(d.toLocalDate.toEpochDay))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(Left(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+          1000000L) + t.getNanos / 1000))
+      case (TimestampType, i: java.time.Instant) =>
+        Some(Left(Math.multiplyExact(i.getEpochSecond, 1000000L) +
+          i.getNano / 1000))
+      case (TimestampNTZType, dt2: java.time.LocalDateTime) =>
+        Some(Left(Math.multiplyExact(
+          dt2.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          dt2.getNano / 1000))
+      case (StringType, s: String) => Some(Right(s))
+      case _ => None
+    }
+
+  def compareValues(a: Either[Long, String],
+                    b: Either[Long, String]): Option[Int] =
+    (a, b) match {
+      case (Left(x), Left(y)) => Some(java.lang.Long.compare(x, y))
+      case (Right(x), Right(y)) => Some(utf8Compare(x, y))
+      case _ => None
+    }
+
+  /** Unsigned UTF-8 byte order — code-point order, the collation both
+    * Iceberg bounds and Spark's UTF8String comparisons use (Java
+    * String.compareTo differs on supplementary characters). */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The exact residual every pruned read ends with. */
+  def residual(df: DataFrame, preds: Seq[ScanPredicate]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    preds.foldLeft(df) { (acc, p) =>
+      p match {
+        case ScanEq(c, v) => acc.filter(col(c) === lit(v))
+        case ScanBetween(c, lo, hi) =>
+          acc.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }
+    }
+  }
+}

@@ -222,14 +222,14 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
       ("d2b", Seq((4L, ts("2024-01-02T18:00:00Z"), "d"))
         .toDF("id", "ts", "payload"), Map("ts_day" -> 19724, "pay_z" -> "x"))))
     // one-day range: only d1 is scanned, rows exact
-    val day1 = IcebergInterop.readWhere(spark, t, Seq(IceBetween("ts",
+    val day1 = IcebergInterop.readWhere(spark, t, Seq(ScanBetween("ts",
       Instant.parse("2024-01-01T00:00:00Z"),
       Instant.parse("2024-01-01T23:59:59Z"))))
     inputFileNames(day1) shouldBe Set("d1.parquet")
     day1.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
     // a range crossing midnight keeps both days' files but filters
     // rows exactly
-    val cross = IcebergInterop.readWhere(spark, t, Seq(IceBetween("ts",
+    val cross = IcebergInterop.readWhere(spark, t, Seq(ScanBetween("ts",
       Instant.parse("2024-01-01T23:00:00Z"),
       Instant.parse("2024-01-02T01:00:00Z"))))
     inputFileNames(cross) shouldBe Set("d1.parquet", "d2a.parquet",
@@ -237,17 +237,17 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     cross.select($"id").as[Long].collect().sorted shouldBe Array(2L, 3L)
     // point equality on the timestamp prunes to its day
     val point = IcebergInterop.readWhere(spark, t,
-      Seq(IceEq("ts", Instant.parse("2024-01-02T00:10:00Z"))))
+      Seq(ScanEq("ts", Instant.parse("2024-01-02T00:10:00Z"))))
     inputFileNames(point) shouldBe Set("d2a.parquet", "d2b.parquet")
     point.select($"id").as[Long].collect() shouldBe Array(3L)
     // the unmodeled zorder spec field never prunes: a payload
     // predicate scans everything and filters exactly
-    val pay = IcebergInterop.readWhere(spark, t, Seq(IceEq("payload", "d")))
+    val pay = IcebergInterop.readWhere(spark, t, Seq(ScanEq("payload", "d")))
     inputFileNames(pay) shouldBe Set("d1.parquet", "d2a.parquet",
       "d2b.parquet")
     pay.select($"id").as[Long].collect() shouldBe Array(4L)
     // empty prune result: a day with no files reads zero rows
-    IcebergInterop.readWhere(spark, t, Seq(IceEq("ts",
+    IcebergInterop.readWhere(spark, t, Seq(ScanEq("ts",
       Instant.parse("2030-06-06T00:00:00Z")))).count() shouldBe 0L
   }
 
@@ -292,24 +292,24 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     val expect10 = Seq(10L, 11L, 12L, 13L)
       .filter(i => bucket4(i) == bucket4(10L))
       .map(i => (if (i == 13L) "fN" else s"f$i") + ".parquet").toSet
-    val q10 = IcebergInterop.readWhere(spark, t, Seq(IceEq("id", 10L)))
+    val q10 = IcebergInterop.readWhere(spark, t, Seq(ScanEq("id", 10L)))
     inputFileNames(q10) shouldBe expect10
     q10.select($"payload").as[String].collect() shouldBe Array("apple")
     // a bucketed column does NOT prune ranges (hash order ≠ value
     // order) — all files scanned, rows exact
     val qr = IcebergInterop.readWhere(spark, t,
-      Seq(IceBetween("id", 10L, 11L)))
+      Seq(ScanBetween("id", 10L, 11L)))
     qr.inputFiles.length shouldBe 4
     qr.select($"id").as[Long].collect().sorted shouldBe Array(10L, 11L)
     // truncate[3] prunes equality to the matching prefix — and the
     // NULL-tuple file drops too (its rows are all null)
     val qe = IcebergInterop.readWhere(spark, t,
-      Seq(IceEq("payload", "apple")))
+      Seq(ScanEq("payload", "apple")))
     inputFileNames(qe) shouldBe Set("f10.parquet")
     // truncate is monotone: a prefix range prunes zebra AND the null
     // file, keeps both ap* files
     val qt = IcebergInterop.readWhere(spark, t,
-      Seq(IceBetween("payload", "aaaaa", "azzzz")))
+      Seq(ScanBetween("payload", "aaaaa", "azzzz")))
     inputFileNames(qt) shouldBe Set("f10.parquet", "f11.parquet")
     qt.select($"id").as[Long].collect().sorted shouldBe Array(10L, 11L)
   }
@@ -338,19 +338,19 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     st.files.foreach(f => f.partition.keySet shouldBe Set("ts_day", "cat_tr"))
     st.files.map(_.partition).toSet should have size 3
     // a one-day equality prunes to that day's files
-    val day1 = IcebergInterop.readWhere(spark, t, Seq(IceBetween("ts",
+    val day1 = IcebergInterop.readWhere(spark, t, Seq(ScanBetween("ts",
       Instant.parse("2024-03-01T00:00:00Z"),
       Instant.parse("2024-03-01T23:59:59Z"))))
     day1.inputFiles.length shouldBe 2
     day1.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
     // truncate prefix equality prunes to the matching prefix files
-    val aa = IcebergInterop.readWhere(spark, t, Seq(IceEq("cat", "aa-z")))
+    val aa = IcebergInterop.readWhere(spark, t, Seq(ScanEq("cat", "aa-z")))
     aa.inputFiles.length shouldBe 2 // both "aa" files, exact residual
     aa.select($"id").as[Long].collect() shouldBe Array(3L)
     // appends keep the spec; the new day prunes alone
     IcebergInterop.write(Seq((4L, ts("2024-03-03T01:00:00Z"), "zz-q"))
       .toDF("id", "ts", "cat"), t, partitionBy = spec)
-    val day3 = IcebergInterop.readWhere(spark, t, Seq(IceEq("ts",
+    val day3 = IcebergInterop.readWhere(spark, t, Seq(ScanEq("ts",
       Instant.parse("2024-03-03T01:00:00Z"))))
     day3.inputFiles.length shouldBe 1
     day3.select($"id").as[Long].collect() shouldBe Array(4L)
@@ -394,7 +394,7 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     // equality on the hostile value prunes to its file alone (the
     // null-tuple file drops: identity is null-preserving)
     val q = IcebergInterop.readWhere(spark, t,
-      Seq(IceEq("cat", "a/b:c d%2F")))
+      Seq(ScanEq("cat", "a/b:c d%2F")))
     q.inputFiles.length shouldBe 1
     q.select($"id").as[Long].collect() shouldBe Array(2L)
     // the null row is still served by a plain read
@@ -409,7 +409,7 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     // a v1 table written by our own writer: unpartitioned — readWhere
     // degrades to read().filter() with every file kept
     IcebergInterop.write(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), t)
-    val q = IcebergInterop.readWhere(spark, t, Seq(IceEq("id", 2L)))
+    val q = IcebergInterop.readWhere(spark, t, Seq(ScanEq("id", 2L)))
     q.select($"payload").as[String].collect() shouldBe Array("b")
     q.inputFiles.length should be >= 1
     // the legacy flat field parses: rewrite the metadata naming a
@@ -433,7 +433,7 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     val st = IcebergInterop.state(spark, t, None)
     st.specs(0) shouldBe Seq(SpecField("id_tr", "truncate[10]", "id"))
     // tuple absent from the manifest → fail open, exact rows
-    IcebergInterop.readWhere(spark, t, Seq(IceEq("id", 1L)))
+    IcebergInterop.readWhere(spark, t, Seq(ScanEq("id", 1L)))
       .select($"payload").as[String].collect() shouldBe Array("a")
   }
 }
