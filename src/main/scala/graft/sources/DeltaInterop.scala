@@ -150,14 +150,6 @@ object DeltaInterop {
     }
   }
 
-  private val PartitionTsFmt = new java.time.format.DateTimeFormatterBuilder()
-    .appendPattern("yyyy-MM-dd HH:mm:ss")
-    .optionalStart()
-    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
-      1, 9, true)
-    .optionalEnd()
-    .toFormatter()
-
   /** The protocol's partition-value string decoded per column type to
     * the canonical compare shape; unparseable → None (fail open). */
   private def partitionValue(dt: org.apache.spark.sql.types.DataType,
@@ -165,7 +157,8 @@ object DeltaInterop {
     import org.apache.spark.sql.types._
     def tsLocal: Option[java.time.LocalDateTime] =
       scala.util.Try(
-        java.time.LocalDateTime.parse(s.trim, PartitionTsFmt)).toOption
+        java.time.LocalDateTime.parse(s.trim,
+          ScanPredicates.PartitionTsFmt)).toOption
     def micros(i: java.time.Instant): Long =
       Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
     dt match {

@@ -218,6 +218,68 @@ object IcebergInterop {
     t == "identity" || t.startsWith("truncate[") ||
       t == "year" || t == "month" || t == "day" || t == "hour"
 
+  /** A recorded identity tuple value converted to the column's Spark
+    * EXTERNAL type for the fill broadcast. Identity fill is a
+    * correctness feature (migrated files omit the column), so an
+    * unmodeled combination REFUSES by name — serving file nulls
+    * instead would be silent data loss. */
+  private def identityExternal(dt: DataType, raw: AnyRef): Any =
+    (dt, raw) match {
+      case (ByteType, n: Number) => n.byteValue
+      case (ShortType, n: Number) => n.shortValue
+      case (IntegerType, n: Number) => n.intValue
+      case (LongType, n: Number) => n.longValue
+      case (FloatType, n: Number) => n.floatValue
+      case (DoubleType, n: Number) => n.doubleValue
+      case (BooleanType, b: java.lang.Boolean) => b.booleanValue
+      case (StringType, s) => s.toString
+      case (DateType, n: Number) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
+      case (TimestampType, n: Number) =>
+        val us = n.longValue
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case (TimestampNTZType, n: Number) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(n.longValue, 1000000L),
+          (Math.floorMod(n.longValue, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case (other, v) => throw new UnsupportedIcebergFeatureException(
+        s"cannot reconstruct an identity-partitioned ${other.sql} " +
+          s"column from recorded partition value $v " +
+          s"(${v.getClass.getSimpleName}) — refusing rather than " +
+          "serving the data file's (possibly absent) values")
+    }
+
+  /** A Hive partition-directory value parsed under the column's type
+    * to the tuple's avro shape. Outer None = unparseable / unmodeled
+    * type; inner None = the Hive null marker. Sessions are pinned UTC,
+    * so timestamp directory values render and parse in UTC. */
+  private def hivePathValue(dt: DataType,
+                            raw: String): Option[Option[AnyRef]] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return Some(None)
+    val s = ScanPredicates.unescapePath(raw)
+    try dt match {
+      case ByteType | ShortType | IntegerType =>
+        Some(Some(Integer.valueOf(s)))
+      case LongType => Some(Some(java.lang.Long.valueOf(s)))
+      case StringType => Some(Some(s))
+      case DateType => Some(Some(
+        Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)))
+      case TimestampType | TimestampNTZType =>
+        val l = java.time.LocalDateTime.parse(s,
+          ScanPredicates.PartitionTsFmt)
+        Some(Some(java.lang.Long.valueOf(Math.multiplyExact(
+          l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          l.getNano / 1000)))
+      case _ => None
+    } catch {
+      case _: IllegalArgumentException => None
+      case _: java.time.format.DateTimeParseException => None
+    }
+  }
+
   /** A manifest partition-tuple value in the canonical compare shape.
     * Only exact integer and string physical types are modeled —
     * float/double/binary partition values fail open. */
@@ -343,17 +405,66 @@ object IcebergInterop {
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     else {
-      import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+      import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace, when}
       def norm(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+      def normStr(s: String): String =
+        s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
       val data = spark.read.schema(st.schema)
         .parquet(st.files.map(_.path): _*)
-      if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return data
-      // metadata-derived delete keys resolve against the SCAN — attach
-      // them once, before any join hides the file source
-      val keyed = data.select(col("*"),
+      // IDENTITY-partitioned columns: the recorded tuple value is
+      // authoritative per spec — and the ONLY source of the column for
+      // add_files-migrated data files that omit it (reading those
+      // without the fill would serve silent nulls). Resolution is one
+      // broadcast of (file → recorded identity values) joined on the
+      // scan's metadata file path, then a per-column when() — a single
+      // scan whatever the partition count, never a union per tuple.
+      // The broadcast is O(live files), the metadata the driver
+      // already holds.
+      def recorded(f: IceFile): Seq[(String, Option[AnyRef])] =
+        st.specs.getOrElse(f.specId, Nil)
+          .filter(sf => sf.transform == "identity" &&
+            st.schema.exists(_.name == sf.source))
+          .flatMap(sf =>
+            f.partition.get(sf.name).map(v => sf.source -> Option(v)))
+      val identCols: Seq[String] =
+        st.files.flatMap(f => recorded(f).map(_._1)).distinct
+      if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+        identCols.isEmpty) return data
+      // metadata-derived delete keys and the identity fill both resolve
+      // against the SCAN — attach them once, before any join hides the
+      // file source
+      val keyed0 = data.select(col("*"),
         norm(col("_metadata.file_path")).as("__fp"),
         col("_metadata.row_index").as("__pos"))
+      val keyed =
+        if (identCols.isEmpty) keyed0
+        else {
+          val fillSchema = StructType(
+            StructField("__fp", StringType) +: identCols.flatMap(c =>
+              Seq(StructField(s"__t_$c", st.schema(c).dataType),
+                StructField(s"__th_$c", BooleanType, nullable = false))))
+          val fillRows = st.files.map { f =>
+            val rec = recorded(f).toMap
+            Row.fromSeq(normStr(f.path) +: identCols.flatMap { c =>
+              rec.get(c) match {
+                case Some(vOpt) => Seq(vOpt
+                  .map(identityExternal(st.schema(c).dataType, _)).orNull,
+                  true)
+                case None => Seq(null, false)
+              }
+            })
+          }.distinctBy(_.getString(0))
+          val fillDf = spark.createDataFrame(
+            fillRows.asJava, fillSchema)
+          val joined = keyed0.join(broadcast(fillDf), Seq("__fp"), "left")
+          identCols.foldLeft(joined) { (acc, c) =>
+            acc.withColumn(c,
+              when(col(s"__th_$c"), col(s"__t_$c")).otherwise(col(c)))
+          }.drop(identCols.flatMap(c => Seq(s"__t_$c", s"__th_$c")): _*)
+        }
+      if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty)
+        return keyed.drop("__fp", "__pos")
       // v2 merge-on-read, POSITION deletes: anti-join on (file, row
       // position). Spark's parquet metadata columns supply exactly the
       // delete key — `_metadata.row_index` is the row's ordinal within
@@ -936,24 +1047,13 @@ object IcebergInterop {
     fs.mkdirs(dataDir)
     // walk __gp0=…/__gp1=…/part-*.parquet; dir values decode by the
     // KNOWN avro type of each field (Hive %-escaping, null marker)
-    def unescape(s: String): String = {
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
     def decode(raw: String, avroType: String): AnyRef =
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else avroType match {
-        case "int" => Integer.valueOf(unescape(raw))
-        case "long" => java.lang.Long.valueOf(unescape(raw))
-        case _ => unescape(raw)
+        case "int" => Integer.valueOf(ScanPredicates.unescapePath(raw))
+        case "long" =>
+          java.lang.Long.valueOf(ScanPredicates.unescapePath(raw))
+        case _ => ScanPredicates.unescapePath(raw)
       }
     val moved = Seq.newBuilder[IceFile]
     def walk(dir: Path, tuple: Map[String, AnyRef]): Unit =
@@ -1509,16 +1609,20 @@ object IcebergInterop {
   /** Metadata-only manifest-lake → Iceberg export, in place: publish
     * (or re-sync) an Iceberg mirror whose snapshot references the
     * manifest's live files VERBATIM — zero data movement, the dl3
-    * contract with the roles reversed. Two named refusals keep the
-    * mirror honest: deletion-vector files (an Iceberg reader knows
-    * nothing of the sidecar and would resurrect deleted rows — run
-    * `REORG TABLE … APPLY (PURGE)` first), and Hive-partitioned
-    * layouts (their partition values live in the PATH, not the data
-    * files; Iceberg data files must carry every column, and
-    * reconstructing path values through an identity partition spec is
-    * exactly the metadata this jar-less writer does not emit). Each
-    * export publishes an overwrite-style snapshot of the full live
-    * set; earlier mirror snapshots stay addressable until expiry. */
+    * contract with the roles reversed. HIVE-PARTITIONED layouts export
+    * as IDENTITY partition specs: each file's path values parse under
+    * the schema's column types into real partition tuples (the
+    * add_files migration shape — data files omit the identity columns
+    * and readers, this one's fill included, reconstruct them from the
+    * tuple, which the spec makes authoritative). One named refusal
+    * keeps the mirror honest: deletion-vector files (an Iceberg reader
+    * knows nothing of the sidecar and would resurrect deleted rows —
+    * run `REORG TABLE … APPLY (PURGE)` first); a path value that does
+    * not parse under its column's type also refuses by name — a wrong
+    * tuple would serve wrong reconstructed values, not just miss a
+    * prune. Each export publishes an overwrite-style snapshot of the
+    * full live set; earlier mirror snapshots stay addressable until
+    * expiry. */
   def exportFromManifest(spark: SparkSession, table: String): Long = {
     val snap = ManifestLake.snapshot(spark, table)
     snap.entries.find(_.dv.nonEmpty).foreach(e =>
@@ -1526,14 +1630,33 @@ object IcebergInterop {
         s"file ${e.path} carries a deletion vector — run REORG TABLE " +
           "… APPLY (PURGE) before exporting to Iceberg, or the mirror " +
           "would resurrect its deleted rows"))
-    snap.entries.find(e =>
-      ManifestLake.partitionValues(e.path).nonEmpty).foreach(e =>
-      throw new UnsupportedIcebergFeatureException(
-        s"file ${e.path} is Hive-partitioned — its partition values " +
-          "live in the path, not the data file, and this writer emits " +
-          "no partition spec to reconstruct them; export an " +
-          "unpartitioned table (CTAS one if needed)"))
     val schema = snap.schema.getOrElse(ManifestLake.read(spark, table).schema)
+    // Hive partition columns from the paths: one consistent key set
+    // across every file (ordered as the first file's segments), each
+    // named by the schema
+    val rawParts: Seq[(String, Map[String, String])] =
+      snap.entries.map(e => e.path -> ManifestLake.partitionValues(e.path))
+    val partCols: Seq[String] = rawParts.headOption.map { case (p, _) =>
+      p.split('/').init.filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
+    }.getOrElse(Nil)
+    rawParts.find(_._2.keySet != partCols.toSet).foreach { case (p, vs) =>
+      throw new UnsupportedIcebergFeatureException(
+        s"file $p carries partition keys ${vs.keySet.mkString(",")} " +
+          s"but the table's layout is ${partCols.mkString(",")} — a " +
+          "mixed layout cannot export as one partition spec")
+    }
+    val spec = partCols.map { c =>
+      require(schema.exists(_.name == c),
+        s"partition path column $c of $table is not in the recorded " +
+          "schema — cannot export a spec for it")
+      SpecField(c, "identity", c)
+    }
+    def tupleValue(c: String, raw: String): AnyRef =
+      hivePathValue(schema(c).dataType, raw).getOrElse(
+        throw new UnsupportedIcebergFeatureException(
+          s"partition path value '$raw' of column $c does not parse " +
+            s"as ${schema(c).dataType.sql} — refusing to export a " +
+            "wrong tuple")).orNull
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val conf = spark.sessionState.newHadoopConf()
@@ -1545,8 +1668,13 @@ object IcebergInterop {
         try reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
         finally reader.close()
       }
+      val tuple: Map[String, AnyRef] =
+        ManifestLake.partitionValues(e.path).map { case (k, v) =>
+          k -> tupleValue(k, v)
+        }
       IceFile(abs.toString, rows,
-        e.bytes.getOrElse(fs.getFileStatus(abs).getLen))
+        e.bytes.getOrElse(fs.getFileStatus(abs).getLen),
+        partition = tuple)
     }
     val metaDir = new Path(root, "metadata")
     val prior =
@@ -1554,7 +1682,7 @@ object IcebergInterop {
         Some(state(spark, table, None))
       else None
     publishSnapshot(fs, root, schema, files, prior, overwrite = true,
-      operation = "convert")
+      operation = "convert", spec = spec)
   }
 
   /** Metadata-only Iceberg → manifest-lake migration, in place: the
@@ -1578,7 +1706,31 @@ object IcebergInterop {
       require(p.startsWith(rootPath),
         s"data file $p lives outside the table root $rootPath — " +
           "a manifest entry must be root-relative; copy it in first")
-      ManifestLake.FileEntry(p.stripPrefix(rootPath),
+      val rel = p.stripPrefix(rootPath)
+      // identity tuples are the authoritative source of their columns
+      // (migrated files may omit them); the manifest lake reconstructs
+      // Hive values from PATHS, so an identity tuple the path does not
+      // reproduce would read back wrong — refuse by name
+      val pathVals = ManifestLake.partitionValues(rel)
+      st.specs.getOrElse(f.specId, Nil)
+        .filter(_.transform == "identity").foreach { sf =>
+          f.partition.get(sf.name).foreach { tupleRaw =>
+            val dt = st.schema.find(_.name == sf.source).map(_.dataType)
+            val pathParsed = for {
+              d <- dt
+              raw <- pathVals.get(sf.source)
+              v <- hivePathValue(d, raw)
+            } yield v.orNull
+            if (!pathParsed.contains(tupleRaw))
+              throw new UnsupportedIcebergFeatureException(
+                s"file $rel records identity partition " +
+                  s"${sf.source}=$tupleRaw but its path does not " +
+                  "carry that value Hive-style — a metadata-only " +
+                  "import would read the column back wrong; rewrite " +
+                  "the table (CTAS) instead")
+          }
+        }
+      ManifestLake.FileEntry(rel,
         rows = Some(f.records), bytes = Some(f.bytes))
     }
     ManifestLake.commitLog(fs, root, full = true,

@@ -23,6 +23,31 @@ final case class ScanBetween(column: String, lo: Any,
 
 private[sources] object ScanPredicates {
 
+  /** The `yyyy-MM-dd HH:mm:ss[.f…]` shape Delta partitionValues and
+    * Hive partition directories serialize timestamps in. */
+  val PartitionTsFmt: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+        1, 9, true)
+      .optionalEnd()
+      .toFormatter()
+
+  /** Hive %-escaping decode (partition directory names). */
+  def unescapePath(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** A predicate value canonicalized to a single comparable shape:
     * integers / date-days / timestamp-micros as Left, strings as
     * Right; anything else fails open (None). */

@@ -294,8 +294,8 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.readSnapshot(spark, t, s0).count() shouldBe 40L
   }
 
-  test("export refuses DV files and Hive-partitioned layouts by name; " +
-    "after REORG PURGE the DV case succeeds") {
+  test("export refuses DV files by name; after REORG PURGE it " +
+    "succeeds; Hive-partitioned layouts export as identity specs") {
     import spark.implicits._
     val t = fresh()
     ManifestLake.write(
@@ -309,14 +309,15 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.exportFromManifest(spark, t)
     IcebergInterop.read(spark, t).count() shouldBe 26L
     // partitioned layout: partition values live in the path, not the
-    // files — the export must refuse, not publish unreadable data
+    // files — the export records identity tuples and the Iceberg read
+    // reconstructs the column (deeper coverage in IcebergPruneSpec)
     val tp = fresh()
     ManifestLake.write(
       (1 to 20).map(i => (i.toLong, i % 2, s"p$i")).toDF("id", "k", "payload"),
       tp, partitionBy = Seq("k"))
-    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
-      IcebergInterop.exportFromManifest(spark, tp)
-    }.getMessage should include("Hive-partitioned")
+    IcebergInterop.exportFromManifest(spark, tp)
+    IcebergInterop.read(spark, tp).filter(col("k") === 1)
+      .count() shouldBe 10L
   }
 
   test("graft_iceberg SQL: reads resolve to the native scan with " +

@@ -401,6 +401,84 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.read(spark, t).count() shouldBe 3L
   }
 
+  test("Hive-partitioned manifest tables export as identity specs: " +
+    "tuples parse from paths, the Iceberg read FILLS the identity " +
+    "columns (data files omit them), prunes on them, and the import " +
+    "round-trips") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val t = fresh("graft-ipx")
+    ManifestLake.write(Seq(
+      (1L, "emea", d("2024-01-01"), 10.0),
+      (2L, "emea", d("2024-01-02"), 20.0),
+      (3L, "apac", d("2024-01-01"), 30.0),
+      (4L, null.asInstanceOf[String], d("2024-01-02"), 40.0))
+      .toDF("id", "region", "day", "v"), t,
+      partitionBy = Seq("region", "day"))
+    IcebergInterop.exportFromManifest(spark, t)
+    val st = IcebergInterop.state(spark, t, None)
+    st.specs(st.defaultSpecId) shouldBe Seq(
+      SpecField("region", "identity", "region"),
+      SpecField("day", "identity", "day"))
+    // tuples carry parsed values: region strings, day as epoch days
+    st.files.map(_.partition("day")).toSet shouldBe
+      Set(Integer.valueOf(19723), Integer.valueOf(19724))
+    st.files.map(_.partition("region")).toSet shouldBe
+      Set("emea", "apac", null)
+    // the Iceberg read reconstructs the identity columns from tuples —
+    // the Hive-layout data files do NOT carry them
+    val full = IcebergInterop.read(spark, t)
+    full.count() shouldBe 4L
+    full.filter($"region".isNull).select($"id").as[Long]
+      .collect() shouldBe Array(4L)
+    full.select($"id", $"region", $"day").as[(Long, String, java.sql.Date)]
+      .collect().sortBy(_._1) shouldBe Array(
+      (1L, "emea", d("2024-01-01")), (2L, "emea", d("2024-01-02")),
+      (3L, "apac", d("2024-01-01")), (4L, null, d("2024-01-02")))
+    // identity pruning: one (region, day) cell reads one file
+    val cell = IcebergInterop.readWhere(spark, t, Seq(
+      ScanEq("region", "emea"),
+      ScanBetween("day", java.time.LocalDate.parse("2024-01-02"),
+        java.time.LocalDate.parse("2024-01-02"))))
+    cell.inputFiles.length shouldBe 1
+    cell.select($"id").as[Long].collect() shouldBe Array(2L)
+    // metadata-only import back: paths carry the values, so it lands,
+    // and the lake read reconstructs the same rows
+    IcebergInterop.importToManifest(spark, t)
+    ManifestLake.read(spark, t)
+      .select($"id", $"region").as[(Long, String)]
+      .collect().sortBy(_._1) shouldBe Array(
+      (1L, "emea"), (2L, "emea"), (3L, "apac"), (4L, null))
+  }
+
+  test("a foreign migrated identity table whose paths do NOT carry " +
+    "the tuple values refuses metadata-only import by name (the lake " +
+    "would read the column back wrong)") {
+    import spark.implicits._
+    val t = fresh("graft-ipx-ref")
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"region","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    val specJson =
+      """{"spec-id":0,"fields":[
+        |{"name":"region","transform":"identity","source-id":2,
+        |"field-id":1000}]}""".stripMargin.replace("\n", "")
+    val partAvro =
+      """{"name":"region","type":["null","string"],"default":null}"""
+    // the data file carries ONLY id — the migrated shape — and lives
+    // under a flat path with no region=… segment
+    authorTable(t, schemaJson, specJson, partAvro, Seq(
+      ("flat", Seq(Tuple1(1L)).toDF("id"), Map("region" -> "emea"))))
+    // the read serves the identity value from the tuple
+    IcebergInterop.read(spark, t).select($"id", $"region")
+      .as[(Long, String)].collect() shouldBe Array((1L, "emea"))
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.importToManifest(spark, t)
+    }.getMessage should include("Hive-style")
+  }
+
   test("legacy flat partition-spec field parses as spec 0, and " +
     "specless tables never prune") {
     import spark.implicits._
