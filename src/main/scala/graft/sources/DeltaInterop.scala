@@ -102,15 +102,30 @@ object DeltaInterop {
     * files) driver-side over already-replayed log state. */
   def readWhere(spark: SparkSession, table: String,
                 preds: Seq[ScanPredicate],
-                version: Option[Long] = None): DataFrame = {
+                version: Option[Long] = None): DataFrame =
+    ScanPredicates.residual(readPruned(spark, table, preds, version),
+      preds)
+
+  /** The prune WITHOUT the residual — for callers that already hold
+    * the full predicate in their plan (the SQL rule keeps the original
+    * Filter above the swapped-in scan). Columns resolve
+    * case-insensitively, matching SQL analysis. */
+  def readPruned(spark: SparkSession, table: String,
+                 preds: Seq[ScanPredicate],
+                 version: Option[Long] = None): DataFrame = {
     val st = state(spark, table, version)
+    def exact(c: String): String =
+      st.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c)
+    val resolved = preds.map {
+      case ScanEq(c, v) => ScanEq(exact(c), v)
+      case ScanBetween(c, lo, hi) => ScanBetween(exact(c), lo, hi)
+    }
     val zone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)
     val kept = st.files.filter(a =>
-      !preds.exists(p => filePrunes(a, st, zone, p)))
-    ScanPredicates.residual(
-      filesToDF(spark, table, st.schema, st.partitionColumns, kept,
-        st.columnMappingMode), preds)
+      !resolved.exists(p => filePrunes(a, st, zone, p)))
+    filesToDF(spark, table, st.schema, st.partitionColumns, kept,
+      st.columnMappingMode)
   }
 
   /** True when `a`'s recorded partition value PROVES no row matches

@@ -51,8 +51,33 @@ object DeltaSql {
         throw new UnsupportedOperationException(
           s"graft_delta VERSION AS OF expects an integer version, got $v"))
 
+    /** PARTITION pruning for SQL predicates — literal equality/range
+      * conjuncts in a `WHERE` directly over a graft_delta relation swap
+      * it for [[DeltaInterop.readPruned]]'s file set before resolution;
+      * the ORIGINAL filter stays in the plan, so extraction misses cost
+      * pruning, never rows. Top-down, before the relation rewrite. */
+    private def filterPrune(plan: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      plan.resolveOperatorsDown {
+        case f @ Filter(cond, u: UnresolvedRelation)
+          if deltaTarget(u).isDefined =>
+          val preds = ScanPredicates.fromSqlCondition(cond)
+          if (preds.isEmpty) f
+          else f.copy(child = PlanBridge.analyzedPlan(
+            DeltaInterop.readPruned(spark, deltaTarget(u).get, preds)))
+        case f @ Filter(cond,
+          RelationTimeTravel(u: UnresolvedRelation, None, Some(v)))
+          if deltaTarget(u).isDefined =>
+          val preds = ScanPredicates.fromSqlCondition(cond)
+          if (preds.isEmpty) f
+          else f.copy(child = PlanBridge.analyzedPlan(
+            DeltaInterop.readPruned(spark, deltaTarget(u).get, preds,
+              Some(versionOf(v)))))
+      }
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.resolveOperatorsUp {
+      filterPrune(plan).resolveOperatorsUp {
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if deltaTarget(u).isDefined =>
           readPlan(deltaTarget(u).get, Some(versionOf(v)))

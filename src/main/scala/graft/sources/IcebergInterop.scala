@@ -148,11 +148,27 @@ object IcebergInterop {
     * to decide. */
   def readWhere(spark: SparkSession, table: String,
                 preds: Seq[ScanPredicate],
-                snapshotId: Option[Long] = None): DataFrame = {
+                snapshotId: Option[Long] = None): DataFrame =
+    ScanPredicates.residual(readPruned(spark, table, preds, snapshotId),
+      preds)
+
+  /** The prune WITHOUT the residual — for callers that already hold
+    * the full predicate in their plan (the SQL rule keeps the original
+    * Filter above the swapped-in scan). Columns resolve
+    * case-insensitively, matching SQL analysis. */
+  def readPruned(spark: SparkSession, table: String,
+                 preds: Seq[ScanPredicate],
+                 snapshotId: Option[Long] = None): DataFrame = {
     val st = state(spark, table, snapshotId)
+    def exact(c: String): String =
+      st.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c)
+    val resolved = preds.map {
+      case ScanEq(c, v) => ScanEq(exact(c), v)
+      case ScanBetween(c, lo, hi) => ScanBetween(exact(c), lo, hi)
+    }
     val kept = st.files.filter(f =>
-      !preds.exists(p => filePrunes(f, st.specs, st.schema, p)))
-    ScanPredicates.residual(toDF(spark, st.copy(files = kept)), preds)
+      !resolved.exists(p => filePrunes(f, st.specs, st.schema, p)))
+    toDF(spark, st.copy(files = kept))
   }
 
   // ------------------------------------------------- partition pruning

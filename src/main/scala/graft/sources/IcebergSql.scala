@@ -56,8 +56,37 @@ object IcebergSql {
           s"graft_iceberg VERSION AS OF expects an integer snapshot id, " +
             s"got $v"))
 
+    /** PARTITION pruning for SQL predicates — the rule-based analog of
+      * the lake's derived-window pruning: a `WHERE` whose top-level
+      * conjuncts carry literal equality/range predicates swaps the
+      * relation for [[IcebergInterop.readPruned]]'s file set BEFORE
+      * resolution erases the evidence the child was an Iceberg table.
+      * The ORIGINAL filter stays in the plan (and pushes into the
+      * surviving scan), so a shape the extractor cannot read costs
+      * pruning, never rows. Runs TOP-DOWN before the relation
+      * rewrite. */
+    private def filterPrune(plan: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      plan.resolveOperatorsDown {
+        case f @ Filter(cond, u: UnresolvedRelation)
+          if iceTarget(u).isDefined =>
+          val preds = ScanPredicates.fromSqlCondition(cond)
+          if (preds.isEmpty) f
+          else f.copy(child = PlanBridge.analyzedPlan(
+            IcebergInterop.readPruned(spark, iceTarget(u).get, preds)))
+        case f @ Filter(cond,
+          RelationTimeTravel(u: UnresolvedRelation, None, Some(v)))
+          if iceTarget(u).isDefined =>
+          val preds = ScanPredicates.fromSqlCondition(cond)
+          if (preds.isEmpty) f
+          else f.copy(child = PlanBridge.analyzedPlan(
+            IcebergInterop.readPruned(spark, iceTarget(u).get, preds,
+              Some(snapshotOf(v)))))
+      }
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.resolveOperatorsUp {
+      filterPrune(plan).resolveOperatorsUp {
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, Some(snapshotOf(v)))

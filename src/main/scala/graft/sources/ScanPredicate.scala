@@ -107,4 +107,80 @@ private[sources] object ScanPredicates {
       }
     }
   }
+
+  /** Prunable predicates extracted from an UNRESOLVED SQL condition —
+    * the interop SQL rules' analog of the lake rule's derived-window
+    * extraction. Sound by construction: only TOP-LEVEL conjuncts are
+    * read (a file failing one conjunct cannot satisfy the AND), strict
+    * bounds prune as their closed counterparts (the boundary file is
+    * KEPT), and the original Filter stays in the plan, so an
+    * extraction miss costs pruning, never rows. Ranges need BOTH
+    * bounds (the lake precedent); equality needs one literal. */
+  def fromSqlCondition(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[ScanPredicate] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(v, dt) if v != null => external(v, dt)
+      case _ => None
+    }
+    val eqs = Seq.newBuilder[ScanPredicate]
+    val lows = scala.collection.mutable.Map.empty[String, List[Any]]
+    val highs = scala.collection.mutable.Map.empty[String, List[Any]]
+    def low(c: Option[String], v: Option[Any]): Unit =
+      for (cc <- c; vv <- v) lows(cc) = vv :: lows.getOrElse(cc, Nil)
+    def high(c: Option[String], v: Option[Any]): Unit =
+      for (cc <- c; vv <- v) highs(cc) = vv :: highs.getOrElse(cc, Nil)
+    conjuncts(cond).foreach {
+      case EqualTo(a, l) if attr(a).isDefined && litVal(l).isDefined =>
+        eqs += ScanEq(attr(a).get, litVal(l).get)
+      case EqualTo(l, a) if attr(a).isDefined && litVal(l).isDefined =>
+        eqs += ScanEq(attr(a).get, litVal(l).get)
+      // `col >= lit` is a lower bound; `lit >= col` an upper one —
+      // at most one side is an attribute, so both calls are safe
+      case GreaterThanOrEqual(x, y) =>
+        low(attr(x), litVal(y)); high(attr(y), litVal(x))
+      case GreaterThan(x, y) =>
+        low(attr(x), litVal(y)); high(attr(y), litVal(x))
+      case LessThanOrEqual(x, y) =>
+        high(attr(x), litVal(y)); low(attr(y), litVal(x))
+      case LessThan(x, y) =>
+        high(attr(x), litVal(y)); low(attr(y), litVal(x))
+      case _ => ()
+    }
+    val ranges = (lows.keySet & highs.keySet).toSeq.flatMap { c =>
+      for (lo <- lows(c); hi <- highs(c)) yield ScanBetween(c, lo, hi)
+    }
+    eqs.result() ++ ranges
+  }
+
+  /** A catalyst literal's internal value lifted to the external shape
+    * [[canonicalValue]] models; None = not a prunable shape. */
+  private def external(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = dt match {
+    case StringType => Some(v.toString)
+    case ByteType | ShortType | IntegerType | LongType => Some(v)
+    case DateType => Some(java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Number].longValue))
+    case TimestampType =>
+      val us = v.asInstanceOf[Number].longValue
+      Some(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+    case TimestampNTZType =>
+      val us = v.asInstanceOf[Number].longValue
+      Some(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+    case _ => None
+  }
 }

@@ -54,6 +54,35 @@ class DeltaPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     byId.select($"region").as[String].collect() shouldBe Array(null)
   }
 
+  test("SQL WHERE prunes through the DeltaSqlRule: equality and " +
+    "range conjuncts drop add actions, the original filter stays, " +
+    "VERSION AS OF composes") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val t = fresh("graft-dpr-sql")
+    DeltaInterop.write(Seq(
+      (1L, "emea", d("2024-01-01")),
+      (2L, "apac", d("2024-01-01")),
+      (3L, "emea", d("2024-01-02")))
+      .toDF("id", "region", "day"), t, partitionBy = Seq("region", "day"))
+    DeltaSql.register("dprsql", t)
+    val q = spark.sql(
+      """SELECT id FROM graft_delta.dprsql
+        |WHERE region = 'emea'
+        |  AND day >= DATE '2024-01-02' AND day <= DATE '2024-01-02'"""
+        .stripMargin)
+    q.inputFiles.length shouldBe 1
+    q.as[Long].collect() shouldBe Array(3L)
+    // time travel composes with the filter pre-pass
+    DeltaInterop.write(Seq((4L, "emea", d("2024-01-03")))
+      .toDF("id", "region", "day"), t, partitionBy = Seq("region", "day"))
+    val v0 = spark.sql(
+      """SELECT id FROM graft_delta.dprsql VERSION AS OF 0
+        |WHERE region = 'emea'""".stripMargin)
+    v0.inputFiles.length shouldBe 2
+    v0.as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
   test("timestamp partitions decode in the session zone — prune " +
     "verdicts agree with the reconstructed column, and time travel " +
     "composes with pruning") {

@@ -479,6 +479,43 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("Hive-style")
   }
 
+  test("SQL WHERE prunes through the IcebergSqlRule: the relation " +
+    "swaps for the pruned file set, the original filter stays, rows " +
+    "match the unpruned read") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.time.Instant
+    def ts(s: String) = Timestamp.from(Instant.parse(s))
+    val t = fresh("graft-ipr-sql")
+    IcebergInterop.write(Seq(
+      (1L, ts("2024-03-01T08:00:00Z"), 5.0),
+      (2L, ts("2024-03-02T09:00:00Z"), 6.0),
+      (3L, ts("2024-03-03T10:00:00Z"), 7.0))
+      .toDF("id", "ts", "v"), t,
+      partitionBy = Seq(SpecField("ts_day", "day", "ts")))
+    IcebergSql.register("iprsql", t)
+    val pruned = spark.sql(
+      """SELECT id, v FROM graft_iceberg.iprsql
+        |WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-03-02 23:59:59'""".stripMargin)
+    pruned.inputFiles.length shouldBe 1
+    pruned.as[(Long, Double)].collect() shouldBe Array((2L, 6.0))
+    // equality point: one day's file; other conjuncts ride along
+    val eq = spark.sql(
+      """SELECT id FROM graft_iceberg.iprsql
+        |WHERE ts = TIMESTAMP '2024-03-03 10:00:00' AND v > 1.0""".stripMargin)
+    eq.inputFiles.length shouldBe 1
+    eq.as[Long].collect() shouldBe Array(3L)
+    // a shape the extractor cannot read (OR at top) stays unpruned
+    // and exact
+    val or = spark.sql(
+      """SELECT id FROM graft_iceberg.iprsql
+        |WHERE ts = TIMESTAMP '2024-03-01 08:00:00'
+        |   OR ts = TIMESTAMP '2024-03-03 10:00:00'""".stripMargin)
+    or.inputFiles.length shouldBe 3
+    or.as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
   test("legacy flat partition-spec field parses as spec 0, and " +
     "specless tables never prune") {
     import spark.implicits._
