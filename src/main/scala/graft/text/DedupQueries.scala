@@ -112,6 +112,42 @@ object DedupQueries {
       |    len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
       |FROM paired WHERE id_b IS NOT NULL""".stripMargin
 
+  /** dd13 — cross-document duplicated k-gram spans: per document, how
+    * many of its 5-token windows occur in ≥ 2 DISTINCT documents — the
+    * corpus-level "duplicated n-gram fraction" quality signal (tx9
+    * owns the within-doc variant). Exact → full oracle: DuckDB
+    * re-derives the same windows from raw text and the same ≥2-doc
+    * gram set; zero-span shorties surface with a null ratio. */
+  def dd13DuplicatedSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, d))
+
+  val dd13Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+      |    THEN list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' '))
+      |    ELSE [] END) AS gram
+      |  FROM toks),
+      |multi AS (
+      |  SELECT gram FROM grams
+      |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |dup AS (
+      |  SELECT g.doc_id, count(*) AS dup_spans
+      |  FROM grams g JOIN multi m USING (gram)
+      |  GROUP BY g.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(greatest(len(t.toks) - 4, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+      |  CASE WHEN len(t.toks) >= 5
+      |    THEN CAST(coalesce(d.dup_spans, 0) AS DOUBLE) /
+      |      (len(t.toks) - 4) END AS dup_ratio
+      |FROM toks t LEFT JOIN dup d USING (doc_id)""".stripMargin
+
   /** dd8 — blocked n-gram CONTAINMENT (|A∩B|/|A|): the asymmetric dup
     * score that catches subset duplication Jaccard dilutes (a doc quoted
     * inside a larger one). Exact kernel → full oracle, with DuckDB
@@ -488,6 +524,7 @@ object DedupQueries {
     "dd3_simhash" -> (dd3Simhash _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd8_ngram_containment" -> (dd8NgramContainment _),
+    "dd13_duplicated_spans" -> (dd13DuplicatedSpans _),
     "dd5_embed_neardup" -> (dd5EmbedNearDup _),
     "dd11_semantic_dedup" -> (dd11SemanticDedup _),
     "dd6_winnow" -> (dd6Winnow _),
@@ -501,5 +538,6 @@ object DedupQueries {
     "dd1_exact_dedup" -> dd1Oracle,
     "dd4_ngram_jaccard" -> dd4Oracle,
     "dd8_ngram_containment" -> dd8Oracle,
+    "dd13_duplicated_spans" -> dd13Oracle,
     "dd7_dedup_clusters" -> dd7Oracle)
 }

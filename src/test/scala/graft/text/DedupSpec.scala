@@ -169,6 +169,25 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(1) shouldBe ((2L, "", 2L, 0L))
   }
 
+  test("duplicated spans: cross-doc k-gram windows count, within-doc " +
+    "repeats do not, shorties surface with zero spans and null ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c" (k=3) appears in docs 1 and 2 → both positions count;
+      // doc 1's "x x x" repeats WITHIN doc 1 only → not duplicated
+      (1L, "a b c d x x x x"),
+      (2L, "z a b c"),
+      (3L, "only two")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // doc 1: 6 windows; only "a b c" is cross-doc duplicated
+    out(0) shouldBe ((1L, 6L, 1L, Some(1.0 / 6)))
+    // doc 2: 2 windows ("z a b", "a b c"); one duplicated
+    out(1) shouldBe ((2L, 2L, 1L, Some(0.5)))
+    // doc 3: shorter than k — zero spans, null ratio, still present
+    out(2) shouldBe ((3L, 0L, 0L, None))
+  }
+
   test("edit-distance join: planted pairs at distance 0/1/2 found, " +
     "distance-3 excluded, equals in-test brute force, no cartesian") {
     import spark.implicits._
