@@ -417,7 +417,7 @@ object IcebergInterop {
     h1
   }
 
-  private def toDF(spark: SparkSession, st: IceState): DataFrame =
+  private[sources] def toDF(spark: SparkSession, st: IceState): DataFrame =
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     else {
@@ -649,24 +649,10 @@ object IcebergInterop {
                   s"table $table lists a data file (content=0) inside " +
                     "a DELETE manifest — malformed metadata; refusing " +
                     "rather than guessing which rows survive")
-              // partition tuple: field name → raw avro value (Utf8
-              // normalized; explicit nulls kept — a present-null means
-              // every row's transform output is null)
-              val partition: Map[String, AnyRef] =
-                fieldOpt(df, "partition") match {
-                  case Some(r: GenericRecord) =>
-                    r.getSchema.getFields.asScala.map { fld =>
-                      fld.name -> (r.get(fld.pos) match {
-                        case u: org.apache.avro.util.Utf8 => u.toString
-                        case x => x
-                      })
-                    }.toMap
-                  case _ => Map.empty
-                }
               files += IceFile(df.get("file_path").toString,
                 df.get("record_count").asInstanceOf[Number].longValue,
                 df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
-                entrySeq, mfSpecId, partition)
+                entrySeq, mfSpecId, entryPartition(df))
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -699,6 +685,132 @@ object IcebergInterop {
         case -1L => 0
         case id => id.toInt
       })
+  }
+
+  /** A manifest entry's partition tuple: field name → raw avro value
+    * (Utf8 normalized; explicit nulls kept — a present-null means
+    * every row's transform output is null). */
+  private def entryPartition(df: GenericRecord): Map[String, AnyRef] =
+    fieldOpt(df, "partition") match {
+      case Some(r: GenericRecord) =>
+        r.getSchema.getFields.asScala.map { fld =>
+          fld.name -> (r.get(fld.pos) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case x => x
+          })
+        }.toMap
+      case _ => Map.empty
+    }
+
+  // ------------------------------------------------- incremental reads
+
+  /** The table's snapshot lineage, oldest → newest: the snapshot-log
+    * when present (the spec's append-ordered history, pruned in step
+    * with expiry), else the snapshots list ordered by
+    * (timestamp, id). Ids only — O(metadata), no manifest opened. */
+  def snapshotLineage(spark: SparkSession, table: String): Seq[Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    (metaJson \ "snapshot-log") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.map(e => jLong(e \ "snapshot-id")).filter(_ >= 0)
+      case _ => (metaJson \ "snapshots") match {
+        case JArray(xs) => xs.map(s =>
+          (jLong(s \ "timestamp-ms"), jLong(s \ "snapshot-id")))
+          .filter(_._2 >= 0).sorted.map(_._2)
+        case _ => Nil
+      }
+    }
+  }
+
+  /** One snapshot's changes relative to its predecessor. `rewrites` =
+    * a prior manifest disappeared or a new manifest carries EXISTING /
+    * DELETED entries (compaction, overwrite, delete-rewrite);
+    * `addedDeletes` = a new DELETE manifest appeared. Both make the
+    * snapshot non-incremental. */
+  final case class IceChanges(added: Seq[IceFile], rewrites: Boolean,
+                              addedDeletes: Boolean)
+
+  /** Appended data files of `snapId` vs `parentId` — the manifest-list
+    * DIFF (new manifests only are opened, so a pure append costs
+    * O(its new files), never a snapshot replay). */
+  def changesAt(spark: SparkSession, table: String, snapId: Long,
+                parentId: Option[Long]): IceChanges = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    def manifestList(id: Long): String = {
+      val snaps = (metaJson \ "snapshots") match {
+        case JArray(xs) => xs
+        case _ => Nil
+      }
+      snaps.find(s => jLong(s \ "snapshot-id") == id)
+        .flatMap(s => (s \ "manifest-list") match {
+          case JString(p) => Some(p)
+          case _ => None
+        })
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot $id of $table is no longer resolvable — it was " +
+            "expired from the metadata; restart the stream from a " +
+            "live snapshot"))
+    }
+    val childRows = avroRows(fs, new Path(manifestList(snapId)))
+    val parentPaths: Set[String] = parentId.map(p =>
+      avroRows(fs, new Path(manifestList(p)))
+        .map(_.get("manifest_path").toString).toSet)
+      .getOrElse(Set.empty)
+    val childPaths = childRows.map(_.get("manifest_path").toString).toSet
+    var rewrites = !parentPaths.subsetOf(childPaths)
+    var addedDeletes = false
+    val added = Seq.newBuilder[IceFile]
+    childRows.filterNot(r => parentPaths(r.get("manifest_path").toString))
+      .foreach { mf =>
+        val content = fieldOpt(mf, "content")
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        if (content != 0) addedDeletes = true
+        else {
+          val mfSeq = fieldOpt(mf, "sequence_number")
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          val mfSpecId = fieldOpt(mf, "partition_spec_id")
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+          avroRows(fs, new Path(mf.get("manifest_path").toString))
+            .foreach { entry =>
+              val status = entry.get("status").asInstanceOf[Number].intValue
+              if (status != 1) rewrites = true
+              else {
+                val entrySeq = fieldOpt(entry, "sequence_number")
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(mfSeq)
+                val df = entry.get("data_file").asInstanceOf[GenericRecord]
+                val fmt = df.get("file_format").toString
+                if (!fmt.equalsIgnoreCase("parquet"))
+                  throw new UnsupportedIcebergFeatureException(
+                    s"file format $fmt in $table — only parquet is served")
+                if (fieldOpt(df, "content")
+                  .map(_.asInstanceOf[Number].intValue).getOrElse(0) != 0)
+                  addedDeletes = true
+                else added += IceFile(df.get("file_path").toString,
+                  df.get("record_count").asInstanceOf[Number].longValue,
+                  df.get("file_size_in_bytes")
+                    .asInstanceOf[Number].longValue,
+                  entrySeq, mfSpecId, entryPartition(df))
+              }
+            }
+        }
+      }
+    IceChanges(added.result(), rewrites, addedDeletes)
   }
 
   /** Newest `v<N>.metadata.json` — the version-hint is consulted first

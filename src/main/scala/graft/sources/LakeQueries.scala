@@ -862,6 +862,33 @@ object LakeQueries {
       |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
       |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
 
+  /** ics1_iceberg_stream — the Iceberg table as a streaming SOURCE
+    * through the gate: four append snapshots of orders quarters, the
+    * `graft-iceberg` stream drains them AvailableNow in snapshot-log
+    * order (ids are random longs — lineage position is the clock),
+    * and the union of micro-batches must equal DuckDB over the whole
+    * source table. Restart/rewrite/expiry semantics pinned in
+    * IcebergStreamSpec. */
+  def ics1IcebergStream(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"ics1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ics1").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderpriority")
+      (0 until 4).foreach(i =>
+        IcebergInterop.write(o.filter(col("o_orderkey") % 4 === i), dir))
+      dir
+    })
+    graft.streaming.Streaming.runToMemory(s,
+      s.readStream.format("graft-iceberg").load(table),
+      "ics1_iceberg_stream_tbl",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  val ics1Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -1664,6 +1691,7 @@ object LakeQueries {
     "ic4_iceberg_sql" -> (ic4IcebergSql _),
     "ic5_iceberg_prune" -> (ic5IcebergPrune _),
     "dl5_delta_prune" -> (dl5DeltaPrune _),
+    "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -1707,6 +1735,7 @@ object LakeQueries {
     "ic4_iceberg_sql" -> ic4Oracle,
     "ic5_iceberg_prune" -> ic5Oracle,
     "dl5_delta_prune" -> dl5Oracle,
+    "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
