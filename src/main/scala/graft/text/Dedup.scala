@@ -411,33 +411,38 @@ object Dedup {
     * signal of the RefinedWeb/CCNet recipes, and the detection half of
     * exact-substring dedup at fixed granularity).
     *
-    * Exact, three keyed shuffles, all O(tokens): explode each doc into
-    * its k-gram windows, find grams carried by ≥ 2 DISTINCT docs (a
-    * gram repeated only WITHIN a doc does not count — tx9 owns that
-    * signal), semi-join positions against that set, count per doc.
-    * Gram strings shuffle raw for oracle-exactness; a production run
-    * at corpus scale would key the two gram shuffles on a 128-bit hash
-    * of the gram (collision-negligible, ~10× narrower shuffle rows) —
-    * same plan shape. Docs shorter than k tokens surface with zero
-    * spans and a null ratio, not silently dropped. */
+    * Exact, ONE chain over one explode (the gram strings are built
+    * exactly once): per-(gram, doc) position counts first — a
+    * map-side-combinable shuffle whose rows are the DISTINCT
+    * (gram, doc) pairs — then a gram-partitioned window counts the
+    * docs per gram (≥ 2 = cross-doc; a gram repeated only WITHIN a
+    * doc does not count — tx9 owns that signal), and the surviving
+    * pairs sum their positions per doc. The totals branch re-derives
+    * only the cheap token count, never the gram strings. Grams
+    * shuffle raw for oracle-exactness; a production run at corpus
+    * scale would key them by a 128-bit hash (collision-negligible,
+    * ~10× narrower shuffle rows) — same plan shape. Docs shorter than
+    * k tokens surface with zero spans and a null ratio, not silently
+    * dropped. */
   def duplicatedSpans(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val base = df.select(col(idCol), toks.as("toks"))
     val grams = when(size(col("toks")) >= k,
       transform(sequence(lit(0), size(col("toks")) - k),
         i => array_join(slice(col("toks"), i + lit(1), lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    val withGrams = df.select(col(idCol), toks.as("toks"))
-      .select(col(idCol), grams.as("grams"))
-    val exploded = withGrams
-      .select(col(idCol), explode(col("grams")).as("gram"))
-    val multiDoc = exploded.groupBy(col("gram"))
-      .agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= 2).select(col("gram"))
-    val dupPerDoc = exploded.join(multiDoc, Seq("gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
-    withGrams.select(col(idCol), size(col("grams")).cast("long").as("n_spans"))
+    val perGramDoc = base.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col("gram"), col(idCol)).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("gram"))
+    val dupPerDoc = perGramDoc
+      .withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") >= 2)
+      .groupBy(col(idCol)).agg(sum(col("c")).as("dup_spans"))
+    base.select(col(idCol),
+        greatest(size(col("toks")) - (k - 1), lit(0))
+          .cast("long").as("n_spans"))
       .join(dupPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
