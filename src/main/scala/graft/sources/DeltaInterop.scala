@@ -56,7 +56,8 @@ object DeltaInterop {
   final case class DeltaAdd(path: String,
                             partitionValues: Map[String, Option[String]],
                             size: Long,
-                            dv: Option[DeltaDv.DvDescriptor] = None)
+                            dv: Option[DeltaDv.DvDescriptor] = None,
+                            stats: Option[String] = None)
 
   /** Reconstructed table state at one version. `columnMappingMode` is
     * the recorded `delta.columnMapping.mode` (`none` / `name` / `id`);
@@ -128,19 +129,49 @@ object DeltaInterop {
       st.columnMappingMode)
   }
 
-  /** True when `a`'s recorded partition value PROVES no row matches
-    * `pred`; every uncertainty keeps the file. */
+  /** True when `a`'s recorded partition value OR its `stats` JSON
+    * bounds PROVE no row matches `pred`; every uncertainty keeps the
+    * file. Stats are the manifest-level analog of parquet footer
+    * skipping — they prune columns no partition layout covers.
+    * (delta-spark's truncated string maxValues are padded upward, so
+    * trusting them stays sound, the same writer-conformance trust
+    * every stat consumer extends.) */
   private[sources] def filePrunes(a: DeltaAdd, st: DeltaState,
       zone: java.time.ZoneId, pred: ScanPredicate): Boolean = {
     import ScanPredicates.{canonicalValue, compareValues}
-    // under column mapping partitionValues are physically keyed — the
-    // read kernel refuses partitioned+mapped anyway; never prune here
+    // under column mapping partitionValues AND stats are physically
+    // keyed — the read kernel refuses partitioned+mapped anyway;
+    // never prune here
     if (st.columnMappingMode != "none") return false
-    if (!st.partitionColumns.contains(pred.column)) return false
     val dt = st.schema.find(_.name == pred.column).map(_.dataType) match {
       case Some(t) => t
       case None => return false
     }
+    def outsideStats: Boolean = a.stats.exists { s =>
+      import org.json4s._
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption
+        .exists { j =>
+          def bound(which: String): Option[Either[Long, String]] =
+            (j \ which \ pred.column) match {
+              case JNothing | JNull => None
+              case v => statsBound(dt, v, zone)
+            }
+          val lb = bound("minValues")
+          val ub = bound("maxValues")
+          pred match {
+            case ScanEq(_, v) => canonicalValue(dt, v).exists(cv =>
+              lb.flatMap(compareValues(cv, _)).exists(_ < 0) ||
+                ub.flatMap(compareValues(cv, _)).exists(_ > 0))
+            case ScanBetween(_, lo, hi) =>
+              canonicalValue(dt, hi).exists(ch =>
+                lb.flatMap(compareValues(ch, _)).exists(_ < 0)) ||
+                canonicalValue(dt, lo).exists(cl =>
+                  ub.flatMap(compareValues(cl, _)).exists(_ > 0))
+          }
+        }
+    }
+    if (outsideStats) return true
+    if (!st.partitionColumns.contains(pred.column)) return false
     a.partitionValues.get(pred.column) match {
       case None => false // absent from the action: fail open
       case Some(None) => true // recorded null: no predicate matches
@@ -162,6 +193,50 @@ object DeltaInterop {
               } yield cLo < 0 || cHi > 0).getOrElse(false)
           }
         }
+    }
+  }
+
+  /** One `stats` min/max JSON scalar decoded per column type to the
+    * canonical compare shape; unparseable → None (fail open).
+    * Timestamps parse as ISO instants, ISO locals (Delta normalizes
+    * stats to UTC), or the space format in the session zone. */
+  private def statsBound(dt: org.apache.spark.sql.types.DataType,
+      v: org.json4s.JValue,
+      zone: java.time.ZoneId): Option[Either[Long, String]] = {
+    import org.apache.spark.sql.types._
+    import org.json4s._
+    def micros(i: java.time.Instant): Long =
+      Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
+    def num: Option[Long] = v match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _ => None
+    }
+    def str0: Option[String] = v match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    def tsMicros(s: String): Option[Long] =
+      scala.util.Try(micros(java.time.Instant.parse(s))).toOption
+        .orElse(scala.util.Try(micros(
+          java.time.LocalDateTime.parse(s)
+            .toInstant(java.time.ZoneOffset.UTC))).toOption)
+        .orElse(scala.util.Try(micros(
+          java.time.LocalDateTime.parse(s, ScanPredicates.PartitionTsFmt)
+            .atZone(zone).toInstant)).toOption)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => num.map(Left(_))
+      case StringType => str0.map(Right(_))
+      case DateType => str0.flatMap(s => scala.util.Try(
+        java.time.LocalDate.parse(s).toEpochDay).toOption).map(Left(_))
+      case TimestampType => str0.flatMap(tsMicros).map(Left(_))
+      case TimestampNTZType => str0.flatMap(s =>
+        scala.util.Try(Math.multiplyExact(
+          java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+            .toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          java.time.LocalDateTime.parse(s.stripSuffix("Z")).getNano / 1000)
+          .toOption).map(Left(_))
+      case _ => None
     }
   }
 
@@ -321,8 +396,13 @@ object DeltaInterop {
           val pv = a.getMap[String, String](a.fieldIndex("partitionValues"))
             .toMap.map { case (k, v) => k -> Option(v) }
           val path = urlDecode(a.getString(a.fieldIndex("path")))
+          val stats =
+            if (a.schema.fieldNames.contains("stats") &&
+              !a.isNullAt(a.fieldIndex("stats")))
+              Some(a.getString(a.fieldIndex("stats")))
+            else None
           files(path) = DeltaAdd(path, pv,
-            a.getLong(a.fieldIndex("size")), dv)
+            a.getLong(a.fieldIndex("size")), dv, stats)
         }
         struct("remove").foreach { rm =>
           files.remove(urlDecode(rm.getString(rm.fieldIndex("path")))): Unit
@@ -435,7 +515,7 @@ object DeltaInterop {
           Seq(AddAction(DeltaAdd(
             urlDecode(str(a \ "path").getOrElse(
               throw new IllegalStateException(s"add without path in $file"))),
-            pv, long(a \ "size"), dv)))
+            pv, long(a \ "size"), dv, str(a \ "stats"))))
       }
       val remove = j \ "remove" match {
         case JNothing | JNull => Nil

@@ -75,11 +75,20 @@ object IcebergInterop {
     * ordering equality deletes resolve against. `specId` names the
     * partition spec the entry was written under and `partition` its
     * recorded partition tuple (spec-field name → raw avro value;
-    * empty on unpartitioned specs or manifests that omit the field) —
-    * the inputs [[readWhere]] prunes on. */
+    * empty on unpartitioned specs or manifests that omit the field);
+    * `lower`/`upper` are the entry's recorded per-column value bounds
+    * (decoded from the spec's single-value binary serialization,
+    * column name keyed; truncated string bounds stay sound — the spec
+    * truncates lower bounds down and upper bounds up). Partition
+    * tuples and bounds are the two evidence sources [[readWhere]]
+    * prunes on. */
   final case class IceFile(path: String, records: Long, bytes: Long,
                            seq: Long = 0L, specId: Int = 0,
-                           partition: Map[String, AnyRef] = Map.empty)
+                           partition: Map[String, AnyRef] = Map.empty,
+                           lower: Map[String, Either[Long, String]] =
+                             Map.empty,
+                           upper: Map[String, Either[Long, String]] =
+                             Map.empty)
 
   /** One field of a partition spec: `transform(source) AS name`, with
     * `source` already resolved from the spec's `source-id` to a
@@ -173,10 +182,10 @@ object IcebergInterop {
 
   // ------------------------------------------------- partition pruning
 
-  /** True when `f`'s recorded partition tuple PROVES no row can match
-    * `pred`. Any missing piece — no spec field on the predicate
-    * column, absent tuple value, unmodeled transform or value shape —
-    * returns false (keep the file). */
+  /** True when `f`'s recorded partition tuple OR column bounds PROVE
+    * no row can match `pred`. Any missing piece — no spec field on
+    * the predicate column, absent tuple value or bound, unmodeled
+    * transform or value shape — returns false (keep the file). */
   private[sources] def filePrunes(f: IceFile,
       specs: Map[Int, Seq[SpecField]], schema: StructType,
       pred: ScanPredicate): Boolean = {
@@ -185,6 +194,24 @@ object IcebergInterop {
       case Some(t) => t
       case None => return false
     }
+    // evidence 2: the entry's recorded min/max for the column — the
+    // manifest-level analog of parquet footer skipping, no partition
+    // layout required. One-sided bounds prune one-sidedly.
+    def outsideBounds: Boolean = {
+      val lb = f.lower.get(pred.column)
+      val ub = f.upper.get(pred.column)
+      pred match {
+        case ScanEq(_, v) => canonicalValue(dt, v).exists(cv =>
+          lb.flatMap(compareValues(cv, _)).exists(_ < 0) ||
+            ub.flatMap(compareValues(cv, _)).exists(_ > 0))
+        case ScanBetween(_, lo, hi) =>
+          canonicalValue(dt, hi).exists(ch =>
+            lb.flatMap(compareValues(ch, _)).exists(_ < 0)) ||
+            canonicalValue(dt, lo).exists(cl =>
+              ub.flatMap(compareValues(cl, _)).exists(_ > 0))
+      }
+    }
+    if (outsideBounds) return true
     specs.getOrElse(f.specId, Nil).filter(_.source == pred.column)
       .exists { sf =>
         f.partition.get(sf.name) match {
@@ -652,7 +679,9 @@ object IcebergInterop {
               files += IceFile(df.get("file_path").toString,
                 df.get("record_count").asInstanceOf[Number].longValue,
                 df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
-                entrySeq, mfSpecId, entryPartition(df))
+                entrySeq, mfSpecId, entryPartition(df),
+                entryBounds(df, "lower_bounds", fieldIdToName, schema),
+                entryBounds(df, "upper_bounds", fieldIdToName, schema))
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -685,6 +714,67 @@ object IcebergInterop {
         case -1L => 0
         case id => id.toInt
       })
+  }
+
+  /** An entry's `lower_bounds`/`upper_bounds` map decoded to the
+    * canonical compare shape: keys are field ids resolved to
+    * top-level column names, values the spec's single-value binary
+    * serialization under the column's type (ints/dates 4-byte LE,
+    * longs/timestamps 8-byte LE, strings UTF-8). Unmodeled types,
+    * unresolvable ids, and malformed payloads are simply absent —
+    * bounds are pruning evidence, and absent evidence fails open.
+    * Avro surfaces the map either as a real map or as the spec's
+    * array-of-(key, value) records; both shapes parse. */
+  private def entryBounds(df: GenericRecord, field: String,
+      fieldIdToName: Map[Long, String],
+      schema: StructType): Map[String, Either[Long, String]] = {
+    def decode(id: Long, raw: AnyRef): Option[(String, Either[Long, String])] =
+      for {
+        name <- fieldIdToName.get(id)
+        dt <- schema.find(_.name == name).map(_.dataType)
+        bytes <- raw match {
+          case b: java.nio.ByteBuffer =>
+            val arr = new Array[Byte](b.remaining())
+            b.duplicate().get(arr)
+            Some(arr)
+          case b: Array[Byte] => Some(b)
+          case _ => None
+        }
+        v <- dt match {
+          case ByteType | ShortType | IntegerType | DateType
+            if bytes.length == 4 =>
+            Some(Left(
+              java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong))
+          case LongType | TimestampType | TimestampNTZType
+            if bytes.length == 8 =>
+            Some(Left(
+              java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+          case StringType =>
+            Some(Right(new String(bytes, StandardCharsets.UTF_8)))
+          case _ => None
+        }
+      } yield name -> v
+    fieldOpt(df, field) match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.flatMap {
+          case (k: Number, v: AnyRef) => decode(k.longValue, v)
+          case _ => None
+        }.toMap
+      case Some(arr: java.lang.Iterable[_]) =>
+        arr.asScala.flatMap {
+          case r: GenericRecord
+            if r.getSchema.getField("key") != null &&
+              r.getSchema.getField("value") != null =>
+            r.get("key") match {
+              case k: Number => decode(k.longValue, r.get("value"))
+              case _ => None
+            }
+          case _ => None
+        }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** A manifest entry's partition tuple: field name → raw avro value

@@ -54,6 +54,75 @@ class DeltaPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     byId.select($"region").as[String].collect() shouldBe Array(null)
   }
 
+  test("add-action stats bounds prune files without any partition " +
+    "layout; malformed stats fail open; timestamps parse ISO") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val t = fresh("graft-dpr-stats")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFile(rel: String,
+                    df: org.apache.spark.sql.DataFrame): String = {
+      val stage = fresh("graft-dprs-stage")
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      rel
+    }
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val f1 = parquetFile("f1.parquet",
+      (1L to 10L).map(i =>
+        (i, ts(f"2024-05-01T00:00:${i}%02dZ"))).toDF("id", "hr"))
+    val f2 = parquetFile("f2.parquet",
+      (11L to 20L).map(i =>
+        (i, ts(f"2024-06-01T00:00:${i - 10}%02dZ"))).toDF("id", "hr"))
+    val f3 = parquetFile("f3.parquet",
+      (21L to 30L).map(i =>
+        (i, ts(f"2024-07-01T00:00:${i - 20}%02dZ"))).toDF("id", "hr"))
+    val schemaStr =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},
+        |{\"name\":\"hr\",\"type\":\"timestamp\",\"nullable\":true,\"metadata\":{}}]}"""
+        .stripMargin.replace("\n", "")
+    def add(path: String, stats: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,"stats":"$stats"}}"""
+    val log = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"$schemaStr",""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      add(f1, """{\"numRecords\":10,\"minValues\":{\"id\":1,""" +
+        """\"hr\":\"2024-05-01T00:00:01.000Z\"},""" +
+        """\"maxValues\":{\"id\":10,\"hr\":\"2024-05-01T00:00:10.000Z\"}}"""),
+      add(f2, """{\"numRecords\":10,\"minValues\":{\"id\":11,""" +
+        """\"hr\":\"2024-06-01T00:00:01.000Z\"},""" +
+        """\"maxValues\":{\"id\":20,\"hr\":\"2024-06-01T00:00:10.000Z\"}}"""),
+      // f3: stats are NOT valid JSON — must fail open, never wrong
+      add(f3, "not json at all")).mkString("\n")
+    val p = new Path(t, "_delta_log/00000000000000000000.json")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(log.getBytes("UTF-8")) finally out.close()
+    DeltaInterop.read(spark, t).count() shouldBe 30L
+    // id range inside f2: f2 survives by stats, f3 by fail-open
+    val q = DeltaInterop.readWhere(spark, t, Seq(ScanBetween("id", 12L, 15L)))
+    names(q) shouldBe 2
+    q.select($"id").as[Long].collect().sorted shouldBe (12L to 15L).toArray
+    // timestamp range: June only + the fail-open file
+    val tq = DeltaInterop.readWhere(spark, t, Seq(ScanBetween("hr",
+      java.time.Instant.parse("2024-06-01T00:00:00Z"),
+      java.time.Instant.parse("2024-06-30T23:59:59Z"))))
+    names(tq) shouldBe 2
+    tq.select($"id").as[Long].collect().sorted shouldBe (11L to 20L).toArray
+    // equality outside every recorded bound: only the stat-less file
+    val eq = DeltaInterop.readWhere(spark, t, Seq(ScanEq("id", 99L)))
+    names(eq) shouldBe 1
+    eq.count() shouldBe 0L
+  }
+
   test("SQL WHERE prunes through the DeltaSqlRule: equality and " +
     "range conjuncts drop add actions, the original filter stays, " +
     "VERSION AS OF composes") {

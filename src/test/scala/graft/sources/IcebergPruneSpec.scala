@@ -516,6 +516,157 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     or.as[Long].collect().sorted shouldBe Array(1L, 3L)
   }
 
+  test("recorded column bounds prune files with NO partition layout: " +
+    "the manifest-level analog of footer skipping, one-sided bounds " +
+    "prune one-sidedly, absent bounds fail open") {
+    import spark.implicits._
+    val t = fresh("graft-ipr-bounds")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFile(rel: String,
+                    df: org.apache.spark.sql.DataFrame): String = {
+      val stage = fresh("graft-iprb-stage")
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      dest.toString
+    }
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k126","fields":[
+        |    {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |    "default":null},
+        |  {"name":"upper_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k128","fields":[
+        |    {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |    "default":null}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    def leLong(l: Long): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(l); b.flip(); b
+    }
+    def utf8(s: String): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8))
+    def boundsArr(schemaField: org.apache.avro.Schema,
+                  vs: Map[Int, java.nio.ByteBuffer]): AnyRef = {
+      val itemSchema = schemaField.getTypes.get(1).getElementType
+      val arr = new java.util.ArrayList[GenericRecord]()
+      vs.foreach { case (k, v) =>
+        val r = new GenericData.Record(itemSchema)
+        r.put("key", k); r.put("value", v)
+        arr.add(r)
+      }
+      arr
+    }
+    def entry(path: String, n: Long, lo: Map[Int, java.nio.ByteBuffer],
+              hi: Map[Int, java.nio.ByteBuffer]): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", 1L)
+      val dfSchema = entrySchema.getField("data_file").schema()
+      if (lo.nonEmpty)
+        d.put("lower_bounds",
+          boundsArr(dfSchema.getField("lower_bounds").schema(), lo))
+      if (hi.nonEmpty)
+        d.put("upper_bounds",
+          boundsArr(dfSchema.getField("upper_bounds").schema(), hi))
+      e.put("data_file", d)
+      e
+    }
+    // field ids: 1 = id (long), 2 = name (string)
+    val f1 = parquetFile("data/f1.parquet",
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "name"))
+    val f2 = parquetFile("data/f2.parquet",
+      (11L to 20L).map(i => (i, s"m$i")).toDF("id", "name"))
+    val f3 = parquetFile("data/f3.parquet",
+      (21L to 30L).map(i => (i, s"z$i")).toDF("id", "name"))
+    val (m1, l1) = avro("metadata/m1.avro", entrySchema, Seq(
+      entry(f1, 10, Map(1 -> leLong(1L), 2 -> utf8("a1")),
+        Map(1 -> leLong(10L), 2 -> utf8("a9")))))
+    val (m2, l2) = avro("metadata/m2.avro", entrySchema, Seq(
+      entry(f2, 10, Map(1 -> leLong(11L), 2 -> utf8("m11")),
+        Map(1 -> leLong(20L), 2 -> utf8("m20")))))
+    // f3: only a LOWER id bound (one-sided), no name bounds
+    val (m3, l3) = avro("metadata/m3.avro", entrySchema, Seq(
+      entry(f3, 10, Map(1 -> leLong(21L)), Map.empty)))
+    def listRow(p: String, len: Long): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", 7L)
+      r
+    }
+    val (list, _) = avro("metadata/snap-7.avro", listSchema,
+      Seq(listRow(m1, l1), listRow(m2, l2), listRow(m3, l3)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"name","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    writeText(t, "metadata/v1.metadata.json",
+      s"""{"format-version":2,"table-uuid":"u","location":"$t",
+         |"last-updated-ms":1,"last-column-id":2,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":7,
+         |"snapshots":[{"snapshot-id":7,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$list","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "1")
+    // range inside f2's id bounds: one file scanned
+    val r = IcebergInterop.readWhere(spark, t,
+      Seq(ScanBetween("id", 12L, 15L)))
+    inputFileNames(r) shouldBe Set("f2.parquet")
+    r.select($"id").as[Long].collect().sorted shouldBe (12L to 15L).toArray
+    // string equality prunes on utf8 bounds; f3 has none → kept
+    val s = IcebergInterop.readWhere(spark, t, Seq(ScanEq("name", "z25")))
+    inputFileNames(s) shouldBe Set("f3.parquet")
+    s.select($"id").as[Long].collect() shouldBe Array(25L)
+    // one-sided: f3's lower bound 21 prunes an id <= 20 range…
+    val low = IcebergInterop.readWhere(spark, t,
+      Seq(ScanBetween("id", 1L, 9L)))
+    inputFileNames(low) shouldBe Set("f1.parquet")
+    // …but cannot prune an UNBOUNDED-above equality beyond it
+    val hi = IcebergInterop.readWhere(spark, t, Seq(ScanEq("id", 99L)))
+    inputFileNames(hi) shouldBe Set("f3.parquet")
+    hi.count() shouldBe 0L
+  }
+
   test("legacy flat partition-spec field parses as spec 0, and " +
     "specless tables never prune") {
     import spark.implicits._
