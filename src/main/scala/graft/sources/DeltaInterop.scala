@@ -196,6 +196,41 @@ object DeltaInterop {
     }
   }
 
+  /** The add action's `stats` JSON from canonical bounds —
+    * [[statsBound]]'s inverse, so what this writer records is exactly
+    * what the pruner reads back. Timestamps render as ISO instants
+    * (stats are UTC-normalized), dates as ISO dates. */
+  private def statsJson(rows: Long,
+      lower: Map[String, Either[Long, String]],
+      upper: Map[String, Either[Long, String]],
+      schema: StructType): String = {
+    import org.apache.spark.sql.types._
+    def render(c: String, v: Either[Long, String]): Option[String] =
+      (schema.find(_.name == c).map(_.dataType), v) match {
+        case (Some(ByteType | ShortType | IntegerType | LongType),
+          Left(l)) => Some(l.toString)
+        case (Some(StringType), Right(s)) => Some(jstr(s))
+        case (Some(DateType), Left(days)) =>
+          Some(jstr(java.time.LocalDate.ofEpochDay(days).toString))
+        case (Some(TimestampType), Left(us)) =>
+          Some(jstr(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L).toString))
+        case (Some(TimestampNTZType), Left(us)) =>
+          Some(jstr(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toString))
+        case _ => None
+      }
+    def obj(m: Map[String, Either[Long, String]]): String =
+      m.toSeq.sortBy(_._1).flatMap { case (c, v) =>
+        render(c, v).map(r => s"${jstr(c)}:$r")
+      }.mkString("{", ",", "}")
+    s"""{"numRecords":$rows,"minValues":${obj(lower)},""" +
+      s""""maxValues":${obj(upper)}}"""
+  }
+
   /** One `stats` min/max JSON scalar decoded per column type to the
     * canonical compare shape; unparseable → None (fail open).
     * Timestamps parse as ISO instants, ISO locals (Delta normalizes
@@ -736,8 +771,13 @@ object DeltaInterop {
       if (!fs.rename(p, dest))
         throw new IllegalStateException(s"failed to move $p to $dest")
       val pv = hivePartitionValues(rel)
+      // record the file's stats from its own footer (one open) — what
+      // this reader and delta-spark prune on
+      val (rows, lo, hi) =
+        ScanPredicates.footerStats(spark, dest, df.schema)
       DeltaAdd(rel, partitionBy.map(c => c -> pv.get(c).flatten).toMap,
-        fs.getFileStatus(dest).getLen)
+        fs.getFileStatus(dest).getLen,
+        stats = Some(statsJson(rows, lo, hi, df.schema)))
     }
     fs.delete(stage, true): Unit
 
@@ -762,7 +802,8 @@ object DeltaInterop {
       }.mkString("{", ",", "}")
       lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
         s""""partitionValues":$pvJson,"size":${a.size},""" +
-        s""""modificationTime":$now,"dataChange":true}}"""
+        s""""modificationTime":$now,"dataChange":true""" +
+        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
     }
 
     publishCommit(fs, logDir, version, lines.toSeq)
@@ -856,7 +897,7 @@ object DeltaInterop {
         st.files.map(a => CkRow(None, None, Some(CkAdd(
           urlEncode(a.path),
           a.partitionValues.map { case (k, v) => k -> v.orNull },
-          a.size, 0L, dataChange = false))))
+          a.size, 0L, dataChange = false, stats = a.stats))))
     val stage = new Path(logDir, s".ck-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.parquet(stage.toString)
     val part = listParquet(fs, stage).head
@@ -1121,7 +1162,8 @@ object DeltaInterop {
   private[sources] final case class CkAdd(path: String,
                                  partitionValues: Map[String, String],
                                  size: Long, modificationTime: Long,
-                                 dataChange: Boolean)
+                                 dataChange: Boolean,
+                                 stats: Option[String] = None)
   private[sources] final case class CkRow(protocol: Option[CkProtocol],
                                  metaData: Option[CkMeta],
                                  add: Option[CkAdd])

@@ -1132,6 +1132,15 @@ object IcebergInterop {
       s"""{"name":${jstr(sf.name)},"type":["null","$avroType"],""" +
         s""""default":null,"field-id":$fid}"""
     }.mkString(",")
+    // bounds maps use the spec's array-of-(key, value) shape with the
+    // manifest schema's OFFICIAL field ids (125-130)
+    def boundsField(name: String, fid: Int, kId: Int, vId: Int): String =
+      s"""{"name":"$name","type":["null",{"type":"array","items":
+         |{"type":"record","name":"k${kId}_v$vId","fields":[
+         |{"name":"key","type":"int","field-id":$kId},
+         |{"name":"value","type":"bytes","field-id":$vId}]},
+         |"logicalType":"map"}],"default":null,"field-id":$fid}"""
+        .stripMargin.replace("\n", "")
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -1141,10 +1150,33 @@ object IcebergInterop {
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partJson]},"field-id":102},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  ${boundsField("lower_bounds", 125, 126, 127)},
+         |  ${boundsField("upper_bounds", 128, 129, 130)}
          |]},"field-id":2}
          |]}""".stripMargin.replace("\n", ""))
   }
+
+  /** A canonical bound encoded as the spec's single-value binary
+    * serialization under the column's type; None = not encodable. */
+  private def encodeBound(dt: DataType,
+      v: Either[Long, String]): Option[java.nio.ByteBuffer] =
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType | DateType, Left(l)) =>
+        val b = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(l.toInt); b.flip()
+        Some(b)
+      case (LongType | TimestampType | TimestampNTZType, Left(l)) =>
+        val b = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putLong(l); b.flip()
+        Some(b)
+      case (StringType, Right(s)) =>
+        Some(java.nio.ByteBuffer.wrap(
+          s.getBytes(StandardCharsets.UTF_8)))
+      case _ => None
+    }
 
   private val ManifestFileSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -1206,6 +1238,7 @@ object IcebergInterop {
     finally reader.close()
   }
 
+
   private def stageUnpartitioned(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem): Seq[IceFile] = {
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
@@ -1217,8 +1250,9 @@ object IcebergInterop {
         val dest = new Path(dataDir, p.getName)
         if (!fs.rename(p, dest))
           throw new IllegalStateException(s"failed to move $p to $dest")
-        IceFile(dest.toString, parquetRowCount(spark, dest),
-          fs.getFileStatus(dest).getLen)
+        val (rows, lo, hi) = ScanPredicates.footerStats(spark, dest, df.schema)
+        IceFile(dest.toString, rows, fs.getFileStatus(dest).getLen,
+          lower = lo, upper = hi)
       }.toSeq
     fs.delete(stage, true): Unit
     moved
@@ -1292,8 +1326,10 @@ object IcebergInterop {
           if (!fs.rename(st.getPath, dest))
             throw new IllegalStateException(
               s"failed to move ${st.getPath} to $dest")
-          moved += IceFile(dest.toString, parquetRowCount(spark, dest),
-            fs.getFileStatus(dest).getLen, partition = tuple)
+          val (rows, lo, hi) = ScanPredicates.footerStats(spark, dest, df.schema)
+          moved += IceFile(dest.toString, rows,
+            fs.getFileStatus(dest).getLen, partition = tuple,
+            lower = lo, upper = hi)
         }
       }
     walk(stage, Map.empty)
@@ -1495,6 +1531,30 @@ object IcebergInterop {
         dfRec.put("partition", partRec)
         dfRec.put("record_count", f.records)
         dfRec.put("file_size_in_bytes", f.bytes)
+        // recorded bounds (when the stager extracted them) — what a
+        // reader, foreign or ours, prunes files on
+        def boundsRecord(field: String,
+                         m: Map[String, Either[Long, String]]): Unit =
+          if (m.nonEmpty) {
+            val itemSchema = entrySchema.getField("data_file").schema()
+              .getField(field).schema().getTypes.get(1).getElementType
+            val arr = new java.util.ArrayList[GenericRecord]()
+            m.foreach { case (colName, bound) =>
+              for {
+                id <- schemaFieldIds.get(colName)
+                dt <- schema.find(_.name == colName).map(_.dataType)
+                bytes <- encodeBound(dt, bound)
+              } {
+                val r = new GenericData.Record(itemSchema)
+                r.put("key", id.toInt)
+                r.put("value", bytes)
+                arr.add(r)
+              }
+            }
+            if (!arr.isEmpty) dfRec.put(field, arr)
+          }
+        boundsRecord("lower_bounds", f.lower)
+        boundsRecord("upper_bounds", f.upper)
         e.put("data_file", dfRec)
         e
       })

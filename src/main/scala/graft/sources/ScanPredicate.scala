@@ -96,6 +96,72 @@ private[sources] object ScanPredicates {
     x.length - y.length
   }
 
+  /** Row count + per-column bounds from one staged file's parquet
+    * footer (one open, shared by both) — what the interop WRITERS
+    * record so their own tables prune. A column records a bound only
+    * when EVERY row group carries stats with non-null values —
+    * partial coverage must never prune a matching file — and only for
+    * the types the canonical compare shape models; oversized string
+    * bounds drop (a truncated upper bound would need round-up padding
+    * to stay sound, which full values get for free). */
+  def footerStats(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path, schema: StructType)
+      : (Long, Map[String, Either[Long, String]],
+        Map[String, Either[Long, String]]) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount.toLong).sum
+      val lower = Map.newBuilder[String, Either[Long, String]]
+      val upper = Map.newBuilder[String, Either[Long, String]]
+      schema.fields.foreach { f =>
+        val modeled = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | StringType => true
+          case _ => false
+        }
+        if (modeled && blocks.nonEmpty) {
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == f.name)
+              .map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+              .flatMap { s =>
+                (f.dataType, s.genericGetMin, s.genericGetMax) match {
+                  case (StringType,
+                    mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary)
+                    if mn.length <= 96 && mx.length <= 96 =>
+                    Some((Right(new String(mn.getBytes,
+                        StandardCharsets.UTF_8)): Either[Long, String],
+                      Right(new String(mx.getBytes,
+                        StandardCharsets.UTF_8)): Either[Long, String]))
+                  case (_, mn: Number, mx: Number) =>
+                    Some((Left(mn.longValue): Either[Long, String],
+                      Left(mx.longValue): Either[Long, String]))
+                  case _ => None
+                }
+              }
+          }
+          if (perBlock.forall(_.isDefined)) {
+            def cmp(a: Either[Long, String], b: Either[Long, String]): Int =
+              compareValues(a, b).getOrElse(0)
+            val los = perBlock.flatten.map(_._1)
+            val his = perBlock.flatten.map(_._2)
+            lower += f.name ->
+              los.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+            upper += f.name ->
+              his.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+          }
+        }
+      }
+      (rows, lower.result(), upper.result())
+    } finally reader.close()
+  }
+
   /** The exact residual every pruned read ends with. */
   def residual(df: DataFrame, preds: Seq[ScanPredicate]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -48,9 +48,10 @@ class DeltaPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
       ScanEq("region", "apac"), ScanEq("day", d("2024-01-02"))))
     names(one) shouldBe 1
     one.select($"id").as[Long].collect() shouldBe Array(4L)
-    // a non-partition predicate never prunes, residual exact
+    // a non-partition predicate prunes through recorded FILE STATS
+    // (the writer records footer bounds) — and stays residual-exact
     val byId = DeltaInterop.readWhere(spark, t, Seq(ScanEq("id", 5L)))
-    names(byId) shouldBe 5
+    names(byId) should be < 5
     byId.select($"region").as[String].collect() shouldBe Array(null)
   }
 
@@ -121,6 +122,29 @@ class DeltaPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     val eq = DeltaInterop.readWhere(spark, t, Seq(ScanEq("id", 99L)))
     names(eq) shouldBe 1
     eq.count() shouldBe 0L
+  }
+
+  test("the writer records footer stats in its add actions: an " +
+    "UNPARTITIONED own table prunes ranges, and a checkpoint carries " +
+    "the stats forward") {
+    import spark.implicits._
+    val t = fresh("graft-dpr-own")
+    DeltaInterop.write((1L to 10L).map(i => (i, s"a$i")).toDF("id", "s"), t)
+    DeltaInterop.write((11L to 20L).map(i => (i, s"m$i")).toDF("id", "s"), t)
+    DeltaInterop.write((21L to 30L).map(i => (i, s"z$i")).toDF("id", "s"), t)
+    val st0 = DeltaInterop.state(spark, t, None)
+    st0.files.foreach(_.stats shouldBe defined)
+    val q = DeltaInterop.readWhere(spark, t, Seq(ScanBetween("id", 12L, 15L)))
+    names(q) should be < st0.files.size
+    q.select($"id").as[Long].collect().sorted shouldBe (12L to 15L).toArray
+    // a checkpoint + log-free resolution still prunes (stats carried)
+    DeltaInterop.checkpoint(spark, t)
+    DeltaInterop.write((31L to 40L).map(i => (i, s"q$i")).toDF("id", "s"), t)
+    DeltaInterop.state(spark, t, None).files
+      .foreach(_.stats shouldBe defined)
+    val q2 = DeltaInterop.readWhere(spark, t, Seq(ScanEq("id", 35L)))
+    names(q2) shouldBe 1
+    q2.select($"s").as[String].collect() shouldBe Array("q35")
   }
 
   test("SQL WHERE prunes through the DeltaSqlRule: equality and " +

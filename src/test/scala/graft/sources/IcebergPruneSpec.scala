@@ -343,9 +343,11 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
       Instant.parse("2024-03-01T23:59:59Z"))))
     day1.inputFiles.length shouldBe 2
     day1.select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
-    // truncate prefix equality prunes to the matching prefix files
+    // equality prunes through the truncate tuple AND the recorded
+    // value bounds (the writer records footer stats): exactly the one
+    // file carrying the value survives
     val aa = IcebergInterop.readWhere(spark, t, Seq(ScanEq("cat", "aa-z")))
-    aa.inputFiles.length shouldBe 2 // both "aa" files, exact residual
+    aa.inputFiles.length shouldBe 1
     aa.select($"id").as[Long].collect() shouldBe Array(3L)
     // appends keep the spec; the new day prunes alone
     IcebergInterop.write(Seq((4L, ts("2024-03-03T01:00:00Z"), "zz-q"))
@@ -665,6 +667,34 @@ class IcebergPruneSpec extends AnyFunSuite with Matchers with SparkSpec {
     val hi = IcebergInterop.readWhere(spark, t, Seq(ScanEq("id", 99L)))
     inputFileNames(hi) shouldBe Set("f3.parquet")
     hi.count() shouldBe 0L
+  }
+
+  test("the writer records footer bounds in its manifests: an " +
+    "UNPARTITIONED own table prunes ranges, and appended snapshots " +
+    "keep earlier files' bounds") {
+    import spark.implicits._
+    val t = fresh("graft-ipw-stats")
+    IcebergInterop.write(
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "name"), t)
+    IcebergInterop.write(
+      (11L to 20L).map(i => (i, s"m$i")).toDF("id", "name"), t)
+    IcebergInterop.write(
+      (21L to 30L).map(i => (i, s"z$i")).toDF("id", "name"), t)
+    val st = IcebergInterop.state(spark, t, None)
+    // each append may split into several part files — every one must
+    // carry both columns' bounds
+    st.files.size should be >= 3
+    st.files.foreach { f =>
+      f.lower.keySet shouldBe Set("id", "name")
+      f.upper.keySet shouldBe Set("id", "name")
+    }
+    val q = IcebergInterop.readWhere(spark, t,
+      Seq(ScanBetween("id", 12L, 15L)))
+    q.inputFiles.length should be < st.files.size
+    q.select($"id").as[Long].collect().sorted shouldBe (12L to 15L).toArray
+    val s = IcebergInterop.readWhere(spark, t, Seq(ScanEq("name", "z25")))
+    s.inputFiles.length shouldBe 1
+    s.select($"id").as[Long].collect() shouldBe Array(25L)
   }
 
   test("legacy flat partition-spec field parses as spec 0, and " +
