@@ -862,6 +862,40 @@ object LakeQueries {
       |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
       |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
 
+  /** ic6_iceberg_stats_prune — string value-bounds pruning through
+    * the gate: orders written range-clustered on o_orderpriority with
+    * NO partition spec, so each manifest entry records string
+    * lower/upper bounds under the spec's single-value binary
+    * serialization (UTF-8 bytes keyed by field id). `readWhere`
+    * resolves a closed string range against those bounds in unsigned
+    * UTF-8 byte order — the collation parquet stats, Iceberg bounds
+    * and Spark's UTF8String all share — and applies the exact
+    * predicate to survivors. DuckDB compares the same ASCII range
+    * lexicographically, so the boundary cannot flip between engines.
+    * File-subset behavior is pinned in IcebergPruneSpec. */
+  def ic6IcebergStatsPrune(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"ic6:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic6").toString + "/t"
+      IcebergInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority")
+          .repartitionByRange(8, col("o_orderpriority"))
+          .sortWithinPartitions("o_orderpriority"),
+        dir)
+      dir
+    })
+    IcebergInterop.readWhere(s, table,
+      Seq(ScanBetween("o_orderpriority", "2-HIGH", "3-MEDIUM")))
+  }
+
+  val ic6Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority >= '2-HIGH'
+      |  AND o_orderpriority <= '3-MEDIUM'""".stripMargin
+
   /** ics1_iceberg_stream — the Iceberg table as a streaming SOURCE
     * through the gate: four append snapshots of orders quarters, the
     * `graft-iceberg` stream drains them AvailableNow in snapshot-log
@@ -917,6 +951,39 @@ object LakeQueries {
       |FROM orders
       |WHERE o_orderpriority = '1-URGENT'
       |  AND o_totalprice BETWEEN 50000.0 AND 250000.0""".stripMargin
+
+  /** dl6_delta_stats_prune — value-bounds pruning with NO partition
+    * layout through the gate: orders written range-clustered on
+    * o_orderkey (8 files whose add actions record disjoint
+    * minValues/maxValues in the stats JSON the writer extracts from
+    * each staged footer), then `readWhere` resolves a key range to the
+    * overlapping files on recorded statistics alone — the
+    * manifest-level analog of parquet footer skipping, covering the
+    * clustered-but-unpartitioned write pattern. File-subset behavior
+    * (inputFiles strictly smaller than the live set, one-sided bounds,
+    * stats-less adds kept) is pinned in DeltaPruneSpec; the gate pins
+    * the VALUES against DuckDB filtering the original parquet. */
+  def dl6DeltaStatsPrune(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dl6:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl6").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority")
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir)
+      dir
+    })
+    DeltaInterop.readWhere(s, table,
+      Seq(ScanBetween("o_orderkey", 3000L, 6000L)))
+  }
+
+  val dl6Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 3000 AND 6000""".stripMargin
 
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
@@ -1691,6 +1758,8 @@ object LakeQueries {
     "ic4_iceberg_sql" -> (ic4IcebergSql _),
     "ic5_iceberg_prune" -> (ic5IcebergPrune _),
     "dl5_delta_prune" -> (dl5DeltaPrune _),
+    "ic6_iceberg_stats_prune" -> (ic6IcebergStatsPrune _),
+    "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
@@ -1735,6 +1804,8 @@ object LakeQueries {
     "ic4_iceberg_sql" -> ic4Oracle,
     "ic5_iceberg_prune" -> ic5Oracle,
     "dl5_delta_prune" -> dl5Oracle,
+    "ic6_iceberg_stats_prune" -> ic6Oracle,
+    "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
