@@ -36,10 +36,15 @@ import org.apache.spark.sql.types._
   *     delete survive — the spec's ordering). Anything this reader
   *     cannot serve CORRECTLY refuses by name
   *     ([[UnsupportedIcebergFeatureException]]): non-parquet data
-  *     files, nested/dropped-column equality keys. Column resolution
-  *     is BY NAME: a table that renamed columns via field ids needs
-  *     id-based resolution this reader does not do — documented, not
-  *     guessed at.
+  *     files, nested/dropped-column equality keys, type promotion
+  *     across schema evolution. Column resolution is BY FIELD ID on
+  *     evolved tables (each file resolves against the schema its
+  *     adding snapshot recorded, falling back to its own footer ids,
+  *     then to name mapping) — renames serve old files under their
+  *     physical names, added columns null-fill, and a drop+re-add
+  *     never resurfaces dropped values. [[renameColumn]] /
+  *     [[addColumn]] / [[dropColumn]] are the metadata-only evolution
+  *     commits.
   *   - [[readWhere]] is the pruned read: manifest partition tuples ×
   *     the table's declared transforms decide which data files can
   *     hold a match, fail-open, with the exact predicate applied to
@@ -88,7 +93,29 @@ object IcebergInterop {
                            lower: Map[String, Either[Long, String]] =
                              Map.empty,
                            upper: Map[String, Either[Long, String]] =
-                             Map.empty)
+                             Map.empty,
+                           snapId: Long = -1L)
+
+  /** The table's schema-evolution evidence, resolved once per
+    * [[state]] call: every schema the metadata retains as ordered
+    * `(fieldId, name, type)` triples, which schema each snapshot wrote
+    * under, and the EFFECTIVE schema's id/field-id map. Field ids are
+    * Iceberg's column identity — a rename keeps the id, a drop+re-add
+    * takes a fresh one — so [[toDF]] resolves every data file's
+    * columns by ID against the schema it was written under (null-fill
+    * for columns the file predates, old physical names for renamed
+    * columns), exactly the spec's projection rule. */
+  final case class SchemaEvolution(
+      currentSchemaId: Long = 0L,
+      lastColumnId: Long = 0L,
+      fieldIds: Map[String, Long] = Map.empty,
+      schemaFields: Map[Long, Seq[(Long, String, DataType)]] = Map.empty,
+      snapshotSchemaIds: Map[Long, Long] = Map.empty) {
+    /** True when any two retained schemas disagree on (id, name,
+      * type) — the only case where per-file resolution is needed. */
+    def evolved: Boolean =
+      schemaFields.values.map(_.toSet).toSet.size > 1
+  }
 
   /** One field of a partition spec: `transform(source) AS name`, with
     * `source` already resolved from the spec's `source-id` to a
@@ -114,7 +141,8 @@ object IcebergInterop {
                             posDeletes: Seq[String] = Nil,
                             eqDeletes: Seq[EqDelete] = Nil,
                             specs: Map[Int, Seq[SpecField]] = Map.empty,
-                            defaultSpecId: Int = 0)
+                            defaultSpecId: Int = 0,
+                            evo: SchemaEvolution = SchemaEvolution())
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -453,8 +481,83 @@ object IcebergInterop {
         regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
       def normStr(s: String): String =
         s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-      val data = spark.read.schema(st.schema)
-        .parquet(st.files.map(_.path): _*)
+      // ---- column resolution: BY FIELD ID when the table has evolved
+      // schemas (rename keeps an id, drop+re-add takes a fresh one);
+      // by name on the never-evolved fast path (zero per-file work).
+      // A file's write-time schema resolves through the snapshot that
+      // added it; files whose snapshot is no longer retained fall back
+      // to the ids in their own parquet footer, and files carrying
+      // neither read under the current names (the spec's name-mapping
+      // fallback). Files sharing a projection scan together — group
+      // count is O(distinct historical schemas), not O(files).
+      val cur: Seq[(Long, String, DataType)] =
+        st.evo.schemaFields.getOrElse(st.evo.currentSchemaId,
+          st.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            (-(i + 1).toLong, f.name, f.dataType)
+          })
+      val identitySig: Seq[Option[String]] = cur.map(t => Some(t._2))
+      def mappingOf(f: IceFile): Option[Map[Long, (String, DataType)]] =
+        st.evo.snapshotSchemaIds.get(f.snapId)
+          .flatMap(sid => st.evo.schemaFields.get(sid))
+          .map(_.map(t => t._1 -> (t._2, t._3)).toMap)
+          .orElse(footerFieldIds(spark, f.path).map(m =>
+            m.flatMap { case (id, phys) =>
+              cur.find(_._1 == id).map(c => id -> (phys, c._3))
+            }))
+      val grouped: Option[Seq[(Seq[String], Seq[Option[(String, DataType)]])]] =
+        if (!st.evo.evolved) None
+        else {
+          val perFile = st.files.map { f =>
+            val sig = mappingOf(f) match {
+              case Some(m) => cur.map { case (id, _, dt) =>
+                m.get(id).map { case (phys, histDt) =>
+                  if (histDt != dt)
+                    throw new UnsupportedIcebergFeatureException(
+                      s"data file ${f.path} was written with field id " +
+                        s"$id as ${histDt.sql} but the current schema " +
+                        s"declares ${dt.sql} — type promotion across " +
+                        "schema evolution is not supported by this " +
+                        "reader")
+                  (phys, dt)
+                }
+              }
+              case None => cur.map(t => Some((t._2, t._3)))
+            }
+            f.path -> sig
+          }
+          if (perFile.forall(_._2.map(_.map(_._1)) == identitySig)) None
+          else Some(perFile.groupBy(_._2).toSeq.map { case (sig, fs0) =>
+            (fs0.map(_._1), sig)
+          })
+        }
+      def metaCols = Seq(
+        norm(col("_metadata.file_path")).as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      val (data, keyedScan) = grouped match {
+        case None =>
+          val d = spark.read.schema(st.schema)
+            .parquet(st.files.map(_.path): _*)
+          (d, () => d.select(col("*") +: metaCols: _*))
+        case Some(groups) =>
+          def scan(paths: Seq[String],
+                   sig: Seq[Option[(String, DataType)]],
+                   withMeta: Boolean): DataFrame = {
+            val phys = StructType(sig.flatMap(_.map { case (p, dt) =>
+              StructField(p, dt)
+            }))
+            val proj = cur.zip(sig).map {
+              case ((_, name, _), Some((p, dt))) => col(p).as(name)
+              case ((_, name, dt), None) => lit(null).cast(dt).as(name)
+            }
+            val base = spark.read.schema(phys).parquet(paths: _*)
+            val all = if (withMeta) proj ++ metaCols else proj
+            base.select(all: _*)
+          }
+          (groups.map { case (p, s) => scan(p, s, withMeta = false) }
+            .reduce(_ union _),
+            () => groups.map { case (p, s) => scan(p, s, withMeta = true) }
+              .reduce(_ union _))
+      }
       // IDENTITY-partitioned columns: the recorded tuple value is
       // authoritative per spec — and the ONLY source of the column for
       // add_files-migrated data files that omit it (reading those
@@ -476,10 +579,9 @@ object IcebergInterop {
         identCols.isEmpty) return data
       // metadata-derived delete keys and the identity fill both resolve
       // against the SCAN — attach them once, before any join hides the
-      // file source
-      val keyed0 = data.select(col("*"),
-        norm(col("_metadata.file_path")).as("__fp"),
-        col("_metadata.row_index").as("__pos"))
+      // file source (on the grouped path, inside each branch, BEFORE
+      // the union erases per-scan metadata columns)
+      val keyed0 = keyedScan()
       val keyed =
         if (identCols.isEmpty) keyed0
         else {
@@ -575,24 +677,74 @@ object IcebergInterop {
       throw new UnsupportedIcebergFeatureException(
         s"table $table is format-version $formatVersion — only v1/v2 " +
           "are supported")
-    // current schema: the "schemas" list keyed by current-schema-id,
-    // with the legacy single "schema" field as fallback
-    val schemaJson = {
-      val curId = jLong(metaJson \ "current-schema-id")
-      (metaJson \ "schemas") match {
-        case JArray(xs) if xs.nonEmpty =>
-          xs.find(s => jLong(s \ "schema-id") == curId).getOrElse(xs.head)
-        case _ => metaJson \ "schema"
+    // every retained schema, keyed by schema-id — the "schemas" list,
+    // with the legacy single "schema" field as a one-entry fallback
+    val schemaNodes: Seq[(Long, JValue)] = (metaJson \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.map(s => (jLong(s \ "schema-id") match {
+          case -1L => 0L
+          case id => id
+        }) -> s)
+      case _ => (metaJson \ "schema") match {
+        case JNothing => Nil
+        case s => Seq((jLong(s \ "schema-id") match {
+          case -1L => 0L
+          case id => id
+        }) -> s)
       }
     }
-    val schema = icebergSchemaToSpark(schemaJson, table)
-    val snapId = snapshotId.getOrElse(jLong(metaJson \ "current-snapshot-id"))
-    if (snapId == -1L) // no snapshot yet: an empty table
-      return IceState(version, -1L, schema, Nil)
+    val curSchemaId = jLong(metaJson \ "current-schema-id") match {
+      case -1L => schemaNodes.headOption.map(_._1).getOrElse(0L)
+      case id => id
+    }
     val snapshots = (metaJson \ "snapshots") match {
       case JArray(xs) => xs
       case _ => Nil
     }
+    val snapshotSchemaIds: Map[Long, Long] = snapshots.flatMap { s =>
+      (jLong(s \ "snapshot-id"), jLong(s \ "schema-id")) match {
+        case (sid, schId) if sid >= 0 && schId >= 0 => Some(sid -> schId)
+        case _ => None
+      }
+    }.toMap
+    val snapId = snapshotId.getOrElse(jLong(metaJson \ "current-snapshot-id"))
+    // the EFFECTIVE schema: an explicit time travel serves the schema
+    // the snapshot was committed under (the spec's rule — a later
+    // rename must not leak into a historical read); a current read
+    // serves current-schema-id, which a metadata-only evolution can
+    // advance past the current snapshot's recorded id
+    val effSchemaId: Long = snapshotId
+      .flatMap(id => snapshotSchemaIds.get(id))
+      .filter(id => schemaNodes.exists(_._1 == id))
+      .getOrElse(curSchemaId)
+    val schemaJson = schemaNodes.find(_._1 == effSchemaId).map(_._2)
+      .orElse(schemaNodes.headOption.map(_._2))
+      .getOrElse(metaJson \ "schema")
+    val schema = icebergSchemaToSpark(schemaJson, table)
+    // (id, name, type) triples per retained schema — [[toDF]]'s
+    // per-file projection evidence. Schemas that fail to convert
+    // (e.g. a dropped type this reader never served) are omitted;
+    // files resolving to them fall back to footer ids.
+    val schemaFieldTriples: Map[Long, Seq[(Long, String, DataType)]] =
+      schemaNodes.flatMap { case (sid, node) =>
+        scala.util.Try {
+          val st0 = icebergSchemaToSpark(node, table)
+          val ids = (node \ "fields") match {
+            case JArray(fs0) => fs0.map(f => jLong(f \ "id"))
+            case _ => Nil
+          }
+          sid -> st0.fields.toSeq.zip(ids).collect {
+            case (f, id) if id >= 0 => (id, f.name, f.dataType)
+          }
+        }.toOption
+      }.toMap
+    if (snapId == -1L) // no snapshot yet: an empty table
+      return IceState(version, -1L, schema, Nil,
+        evo = SchemaEvolution(effSchemaId,
+          jLong(metaJson \ "last-column-id") max schema.length.toLong,
+          schemaFieldTriples.getOrElse(effSchemaId, Nil)
+            .map(t => t._2 -> t._1).toMap,
+          schemaFieldTriples, snapshotSchemaIds))
     val snap = snapshots.find(s => jLong(s \ "snapshot-id") == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not found in $table (have " +
@@ -656,12 +808,19 @@ object IcebergInterop {
         .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
       val mfSpecId = fieldOpt(mf, "partition_spec_id")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+      val mfAddedSnap = fieldOpt(mf, "added_snapshot_id")
+        .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
       val mPath = mf.get("manifest_path").toString
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
           val entrySeq = fieldOpt(entry, "sequence_number")
             .map(_.asInstanceOf[Number].longValue).getOrElse(mfSeq)
+          // the snapshot that ADDED this entry (explicit, or inherited
+          // from the manifest-list row) — the key [[toDF]] resolves the
+          // file's write-time schema through
+          val entrySnap = fieldOpt(entry, "snapshot_id")
+            .map(_.asInstanceOf[Number].longValue).getOrElse(mfAddedSnap)
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = fieldOpt(df, "content")
             .map(_.asInstanceOf[Number].intValue).getOrElse(0)
@@ -681,7 +840,8 @@ object IcebergInterop {
                 df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
                 entrySeq, mfSpecId, entryPartition(df),
                 entryBounds(df, "lower_bounds", fieldIdToName, schema),
-                entryBounds(df, "upper_bounds", fieldIdToName, schema))
+                entryBounds(df, "upper_bounds", fieldIdToName, schema),
+                snapId = entrySnap)
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -713,7 +873,16 @@ object IcebergInterop {
       jLong(metaJson \ "default-spec-id") match {
         case -1L => 0
         case id => id.toInt
-      })
+      },
+      SchemaEvolution(effSchemaId,
+        jLong(metaJson \ "last-column-id") max
+          schemaFieldTriples.values.flatten.map(_._1)
+            .foldLeft(0L)(_ max _),
+        schemaFieldTriples.getOrElse(effSchemaId,
+          schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            ((i + 1).toLong, f.name, f.dataType)
+          }).map(t => t._2 -> t._1).toMap,
+        schemaFieldTriples, snapshotSchemaIds))
   }
 
   /** An entry's `lower_bounds`/`upper_bounds` map decoded to the
@@ -1223,11 +1392,237 @@ object IcebergInterop {
               "overwrite commit")
       }
     }
+    // stage with parquet FIELD IDS stamped into the footers — the ids
+    // the published schema will record (prior ids on append/same-shape
+    // overwrite, fresh ids continuing last-column-id on an evolving
+    // overwrite, positional on create). Spark writes them natively
+    // from the `parquet.field.id` field metadata, making every file
+    // this writer produces resolvable by id for foreign readers and
+    // for [[toDF]] after renames.
+    val ids: Map[String, Long] = prior
+      .filter(p => !overwrite || InteropSchema.sameShape(df.schema, p.schema))
+      .map(_.evo.fieldIds)
+      .filter(m => df.schema.fieldNames.forall(m.contains))
+      .getOrElse {
+        val first = prior.map(_.evo.lastColumnId + 1).getOrElse(1L)
+        df.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> (first + i) }.toMap
+      }
+    val stamped = stampFieldIds(df, ids)
     val moved =
-      if (partitionBy.isEmpty) stageUnpartitioned(spark, df, root, fs)
-      else stagePartitioned(spark, df, root, fs, partitionBy)
+      if (partitionBy.isEmpty) stageUnpartitioned(spark, stamped, root, fs)
+      else stagePartitioned(spark, stamped, root, fs, partitionBy)
     publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
       if (overwrite) "overwrite" else "append", partitionBy)
+  }
+
+  /** Re-select with `parquet.field.id` metadata on every column so the
+    * parquet writer records Iceberg's field ids in the footers. */
+  private def stampFieldIds(df: DataFrame,
+                            ids: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fields.toSeq.map { f =>
+      val m = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", ids(f.name)).build()
+      col(f.name).as(f.name, m)
+    }: _*)
+  }
+
+  // ------------------------------------------------ schema evolution
+
+  /** Metadata-only column RENAME — the field id (the column's
+    * identity) is unchanged, so every existing data file keeps
+    * resolving by id under its recorded physical name; no data moves.
+    * Appends after the rename must use the new name. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Unit =
+    evolveSchema(spark, table) { (fields, _) =>
+      import org.json4s._
+      require(fields.exists(f => (f \ "name") == JString(from)),
+        s"no column named $from in $table")
+      if (fields.exists(f => (f \ "name") == JString(to)))
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot rename $from to $to in $table — a column named " +
+            s"$to already exists")
+      (fields.map {
+        case JObject(fs0) if fs0.contains("name" -> JString(from)) =>
+          JObject(fs0.map {
+            case ("name", _) => "name" -> JString(to)
+            case kv => kv
+          })
+        case f => f
+      }, 0L)
+    }
+
+  /** Metadata-only column ADD under a fresh field id (last-column-id
+    * + 1). The column is optional per spec — existing files null-fill
+    * on read; appends must then carry it. */
+  def addColumn(spark: SparkSession, table: String,
+                name: String, dataType: DataType): Unit =
+    evolveSchema(spark, table) { (fields, lastColumnId) =>
+      import org.json4s._
+      if (fields.exists(f => (f \ "name") == JString(name)))
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot add column $name to $table — it already exists")
+      val newId = lastColumnId + 1
+      (fields :+ JObject(List(
+        "id" -> JInt(newId), "name" -> JString(name),
+        "required" -> JBool(false),
+        "type" -> JString(sparkTypeToIceberg(dataType)))), newId)
+    }
+
+  /** Metadata-only column DROP. The field id retires with it — a
+    * later [[addColumn]] under the same name takes a FRESH id, so old
+    * files' values for the dropped column never resurface (the spec's
+    * id-resolution rule, pinned in IcebergEvolutionSpec). Refuses when
+    * a partition spec sources the column (its tuples would become
+    * unresolvable). */
+  def dropColumn(spark: SparkSession, table: String,
+                 name: String): Unit =
+    evolveSchema(spark, table) { (fields, _) =>
+      import org.json4s._
+      val victim = fields.find(f => (f \ "name") == JString(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column named $name in $table"))
+      require(fields.length > 1,
+        s"cannot drop the only column of $table")
+      val victimId = jLong(victim \ "id")
+      if (specSourceIds(spark, table).contains(victimId))
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot drop column $name of $table — a partition spec " +
+            "sources it; rewrite the table under a new spec first")
+      (fields.filterNot(_ == victim), 0L)
+    }
+
+  /** Every field id any retained partition spec sources. */
+  private def specSourceIds(spark: SparkSession,
+                            table: String): Set[Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(return Set.empty)
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val multi = (metaJson \ "partition-specs") match {
+      case JArray(xs) => xs.flatMap(sp => (sp \ "fields") match {
+        case JArray(fs0) => fs0.map(f => jLong(f \ "source-id"))
+        case _ => Nil
+      })
+      case _ => Nil
+    }
+    val legacy = (metaJson \ "partition-spec") match {
+      case JArray(fs0) => fs0.map(f => jLong(f \ "source-id"))
+      case _ => Nil
+    }
+    (multi ++ legacy).filter(_ >= 0).toSet
+  }
+
+  /** Publish the next metadata version with an EVOLVED current schema
+    * and nothing else changed: `transform` maps (current fields,
+    * last-column-id) to (new fields, highest field id it assigned —
+    * 0 when none). The new schema appends to `schemas` under the next
+    * schema-id; snapshots, specs, uuid and the snapshot log carry
+    * verbatim, so history and time travel are untouched. */
+  private def evolveSchema(spark: SparkSession, table: String)(
+      transform: (List[org.json4s.JValue], Long) =>
+        (List[org.json4s.JValue], Long)): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def compactJ(v: JValue): String =
+      JsonMethods.compact(JsonMethods.render(v))
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    if (jLong(metaJson \ "format-version") > 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is format-version " +
+          s"${jLong(metaJson \ "format-version")} — only v1/v2 are " +
+          "supported")
+    val curId = jLong(metaJson \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val priorSchemas: List[JValue] = (metaJson \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty => xs
+      case _ => (metaJson \ "schema") match {
+        case JNothing => throw new IllegalStateException(
+          s"metadata of $table carries no schema")
+        case s => List(s)
+      }
+    }
+    val curNode = priorSchemas
+      .find(s => jLong(s \ "schema-id") == curId)
+      .getOrElse(priorSchemas.head)
+    val curFields: List[JValue] = (curNode \ "fields") match {
+      case JArray(fs0) => fs0
+      case _ => throw new IllegalStateException(
+        s"current schema of $table has no fields array")
+    }
+    val lastColumnId = jLong(metaJson \ "last-column-id") max
+      curFields.map(f => jLong(f \ "id")).foldLeft(0L)(_ max _)
+    val (newFields, maxAssigned) = transform(curFields, lastColumnId)
+    val newSid = priorSchemas.map(s => jLong(s \ "schema-id"))
+      .foldLeft(0L)(_ max _) + 1
+    val newNode = JObject(List(
+      "type" -> JString("struct"), "schema-id" -> JInt(newSid),
+      "fields" -> JArray(newFields)))
+    val newLci = lastColumnId max maxAssigned
+    val now = System.currentTimeMillis()
+    val replaced = Set("schema", "schemas", "current-schema-id",
+      "last-column-id", "last-updated-ms")
+    val newMeta = metaJson match {
+      case JObject(kvs) => JObject(
+        kvs.filterNot(kv => replaced(kv._1)) ++ List(
+          "schema" -> newNode,
+          "schemas" -> JArray(priorSchemas :+ newNode),
+          "current-schema-id" -> JInt(newSid),
+          "last-column-id" -> JInt(newLci),
+          "last-updated-ms" -> JInt(now)))
+      case other => other
+    }
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(compactJ(newMeta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val published = ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)
+    if (!published) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $table was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+  }
+
+  /** The `(field id → physical column name)` map recorded in one
+    * parquet footer, or None when the file carries no field ids — the
+    * per-file fallback [[toDF]] resolves evolved columns through when
+    * the adding snapshot has been expired from the metadata. Bounded:
+    * it runs only for that unresolvable subset of an EVOLVED table,
+    * never on the common path. */
+  private def footerFieldIds(spark: SparkSession,
+                             path: String): Option[Map[Long, String]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(path), conf))
+    try {
+      val fields = reader.getFooter.getFileMetaData.getSchema
+        .getFields.asScala
+      val withIds = fields.flatMap(f => Option(f.getId)
+        .map(id => id.intValue.toLong -> f.getName))
+      if (withIds.isEmpty) None else Some(withIds.toMap)
+    } finally reader.close()
   }
 
   private def parquetRowCount(spark: SparkSession, p: Path): Long = {
@@ -1385,8 +1780,13 @@ object IcebergInterop {
         case _ => m \ "schema"
       }
     }.filter(_ != JNothing)
-    val reusePrior = prior.exists(p =>
-      InteropSchema.sameShape(p.schema, schema)) && priorSchemaNode.nonEmpty
+    // an APPEND always writes under the table's recorded schema (it
+    // passed requireAppendCompatible — evolving field ids on a mere
+    // nullability narrowing would orphan the old ids); only an
+    // overwrite that genuinely changes the shape evolves the schema
+    val reusePrior = prior.nonEmpty && priorSchemaNode.nonEmpty &&
+      (!overwrite || prior.exists(p =>
+        InteropSchema.sameShape(p.schema, schema)))
     val (schemaJsonStr, currentSchemaId, lastColumnId, schemasJson) =
       if (reusePrior) {
         val node = priorSchemaNode.get
@@ -1721,8 +2121,13 @@ object IcebergInterop {
     val rewritten =
       if (rewrite.isEmpty) Nil
       else {
-        val clean = toDF(spark, IceState(st.metadataVersion, st.snapshotId,
-          st.schema, rewrite, st.posDeletes, st.eqDeletes))
+        // copy the full state (specs for the identity fill, evo for
+        // renamed-generation resolution) — only the file set narrows
+        val clean0 = toDF(spark, st.copy(files = rewrite))
+        val clean =
+          if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
+            stampFieldIds(clean0, st.evo.fieldIds)
+          else clean0
         val stage = new Path(root,
           s".compact-${java.util.UUID.randomUUID()}")
         clean.write.mode("overwrite").parquet(stage.toString)

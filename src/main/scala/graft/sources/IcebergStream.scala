@@ -156,8 +156,27 @@ final class IcebergStreamSource(spark: SparkSession, table: String,
       ch.added
     }
     if (added.isEmpty) StreamBridge.emptyStreaming(spark, schema)
-    else StreamBridge.asStreaming(IcebergInterop.toDF(spark,
-      IcebergInterop.IceState(0L, endId, schema, added, specs = specs)))
+    else {
+      // schema drift: the stream's schema was locked at start, and a
+      // metadata-only evolution (rename/add/drop) can land under it.
+      // Refuse by name when the table's shape at the batch end no
+      // longer matches — a name-based read of new-schema files would
+      // serve silent nulls. When the shape DOES match, the state's
+      // evolution evidence rides along so files from any intermediate
+      // schema generation still resolve by field id.
+      val stNow = IcebergInterop.state(spark, table, Some(endId))
+      def shape(s: StructType) =
+        s.fields.toSeq.map(f => (f.name, f.dataType))
+      if (shape(stNow.schema) != shape(schema))
+        throw new UnsupportedOperationException(
+          s"the schema of $table evolved under the stream (stream " +
+            s"locked ${schema.simpleString}, table now " +
+            s"${stNow.schema.simpleString}) — restart the stream to " +
+            "pick up the new schema")
+      StreamBridge.asStreaming(IcebergInterop.toDF(spark,
+        IcebergInterop.IceState(0L, endId, schema, added, specs = specs,
+          evo = stNow.evo)))
+    }
   }
 
   override def metrics(latestConsumedOffset: java.util.Optional[

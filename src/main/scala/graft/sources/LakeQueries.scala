@@ -896,6 +896,42 @@ object LakeQueries {
       |WHERE o_orderpriority >= '2-HIGH'
       |  AND o_orderpriority <= '3-MEDIUM'""".stripMargin
 
+  /** ic7_iceberg_evolution — field-id schema evolution through the
+    * gate: even-key orders written under (o_orderkey, o_totalprice,
+    * o_orderpriority); then a metadata-only RENAME o_totalprice →
+    * price and ADD o_orderstatus; then the odd keys appended under the
+    * evolved schema. The read must resolve the renamed column BY
+    * FIELD ID for the first generation (a name-based read would null
+    * half the price column — exactly what the oracle's real values
+    * catch) and null-fill o_orderstatus only where the file predates
+    * it. Drop/re-add identity and footer-id fallback are pinned in
+    * IcebergEvolutionSpec. */
+  def ic7IcebergEvolution(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"ic7:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic7").toString + "/t"
+      val o = Tables.orders(s, d)
+      IcebergInterop.write(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"), dir)
+      IcebergInterop.renameColumn(s, dir, "o_totalprice", "price")
+      IcebergInterop.addColumn(s, dir, "o_orderstatus",
+        org.apache.spark.sql.types.StringType)
+      IcebergInterop.write(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderpriority"), col("o_orderstatus")), dir)
+      dir
+    })
+    IcebergInterop.read(s, table)
+  }
+
+  val ic7Oracle: String =
+    """SELECT o_orderkey, o_totalprice AS price, o_orderpriority,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+      |    AS o_orderstatus
+      |FROM orders""".stripMargin
+
   /** ics1_iceberg_stream — the Iceberg table as a streaming SOURCE
     * through the gate: four append snapshots of orders quarters, the
     * `graft-iceberg` stream drains them AvailableNow in snapshot-log
@@ -1759,6 +1795,7 @@ object LakeQueries {
     "ic5_iceberg_prune" -> (ic5IcebergPrune _),
     "dl5_delta_prune" -> (dl5DeltaPrune _),
     "ic6_iceberg_stats_prune" -> (ic6IcebergStatsPrune _),
+    "ic7_iceberg_evolution" -> (ic7IcebergEvolution _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -1805,6 +1842,7 @@ object LakeQueries {
     "ic5_iceberg_prune" -> ic5Oracle,
     "dl5_delta_prune" -> dl5Oracle,
     "ic6_iceberg_stats_prune" -> ic6Oracle,
+    "ic7_iceberg_evolution" -> ic7Oracle,
     "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
