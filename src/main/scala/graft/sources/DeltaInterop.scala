@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, regexp_replace}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, lit, regexp_replace, timestamp_millis}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Delta Lake TRANSACTION-LOG interop, pure Spark — no delta-spark jar.
   *
@@ -57,16 +57,22 @@ object DeltaInterop {
                             partitionValues: Map[String, Option[String]],
                             size: Long,
                             dv: Option[DeltaDv.DvDescriptor] = None,
-                            stats: Option[String] = None)
+                            stats: Option[String] = None,
+                            dataChange: Boolean = true)
 
   /** Reconstructed table state at one version. `columnMappingMode` is
     * the recorded `delta.columnMapping.mode` (`none` / `name` / `id`);
     * when mapped, data files carry PHYSICAL column names from the
-    * schema fields' `delta.columnMapping.physicalName` metadata. */
+    * schema fields' `delta.columnMapping.physicalName` metadata.
+    * `configuration` is the recorded metaData configuration map and
+    * `metaId` the table's stable metaData id — both carried forward
+    * by commits that republish metaData. */
   final case class DeltaState(version: Long, schema: StructType,
                               partitionColumns: Seq[String],
                               files: Seq[DeltaAdd],
-                              columnMappingMode: String = "none")
+                              columnMappingMode: String = "none",
+                              configuration: Map[String, String] = Map.empty,
+                              metaId: Option[String] = None)
 
   /** Test seam: runs between a write's version choice and its commit
     * publication — lets a spec interleave a racing commit
@@ -350,6 +356,8 @@ object DeltaInterop {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var mappingMode: String = "none"
+    var config: Map[String, String] = Map.empty
+    var metaId: Option[String] = None
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       // reader version 3 tables declare table features by name; this
@@ -398,10 +406,14 @@ object DeltaInterop {
             m.getString(m.fieldIndex("schemaString"))).asInstanceOf[StructType])
           partCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
           if (m.schema.fieldNames.contains("configuration") &&
-            !m.isNullAt(m.fieldIndex("configuration")))
-            mappingMode = m.getMap[String, String](
+            !m.isNullAt(m.fieldIndex("configuration"))) {
+            config = m.getMap[String, String](
               m.fieldIndex("configuration")).toMap
-              .getOrElse("delta.columnMapping.mode", "none")
+            mappingMode = config.getOrElse("delta.columnMapping.mode", "none")
+          }
+          if (m.schema.fieldNames.contains("id") &&
+            !m.isNullAt(m.fieldIndex("id")))
+            metaId = Some(m.getString(m.fieldIndex("id")))
         }
         struct("add").foreach { a =>
           val dv =
@@ -449,17 +461,19 @@ object DeltaInterop {
       parseCommit(spark, table, v).foreach {
         case ProtocolAction(minReader, feats) =>
           checkProtocol(minReader, feats)
-        case MetaAction(sc, pc, mode) =>
+        case MetaAction(sc, pc, mode, cfg, id) =>
           schema = Some(sc); partCols = pc; mappingMode = mode
+          config = cfg; metaId = id.orElse(metaId)
         case AddAction(a) => files(a.path) = a
-        case RemoveAction(p) => files.remove(p): Unit
+        case RemoveAction(p, _) => files.remove(p): Unit
+        case _: CdcAction | _: CommitInfoAction =>
       }
     }
 
     DeltaState(target,
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying $table to $target")),
-      partCols, files.values.toSeq, mappingMode)
+      partCols, files.values.toSeq, mappingMode, config, metaId)
   }
 
   private sealed trait DeltaAction
@@ -468,10 +482,19 @@ object DeltaInterop {
     extends DeltaAction
   private final case class MetaAction(schema: StructType,
                                       partitionColumns: Seq[String],
-                                      columnMappingMode: String)
+                                      columnMappingMode: String,
+                                      configuration: Map[String, String],
+                                      metaId: Option[String])
     extends DeltaAction
   private final case class AddAction(add: DeltaAdd) extends DeltaAction
-  private final case class RemoveAction(path: String) extends DeltaAction
+  private final case class RemoveAction(path: String, dataChange: Boolean)
+    extends DeltaAction
+  /** A `cdc` action: one CHANGE-DATA file under `_change_data/`,
+    * carrying the data columns plus `_change_type`. */
+  private final case class CdcAction(path: String,
+      partitionValues: Map[String, Option[String]]) extends DeltaAction
+  private final case class CommitInfoAction(timestampMs: Long)
+    extends DeltaAction
 
   /** Parse one JSON commit file into its actions (commitInfo/txn
     * ignored). ONE definition shared by snapshot replay and the
@@ -512,10 +535,13 @@ object DeltaInterop {
       val meta = j \ "metaData" match {
         case JNothing | JNull => Nil
         case m =>
-          val mode = (m \ "configuration" \ "delta.columnMapping.mode") match {
-            case JString(s) => s
-            case _ => "none"
+          val config: Map[String, String] = (m \ "configuration") match {
+            case JObject(kvs) => kvs.collect {
+              case (k, JString(s)) => k -> s
+            }.toMap
+            case _ => Map.empty
           }
+          val mode = config.getOrElse("delta.columnMapping.mode", "none")
           Seq(MetaAction(
             DataType.fromJson(str(m \ "schemaString").getOrElse(
               throw new IllegalStateException(
@@ -524,7 +550,7 @@ object DeltaInterop {
             (m \ "partitionColumns") match {
               case JArray(xs) => xs.flatMap(str)
               case _ => Nil
-            }, mode))
+            }, mode, config, str(m \ "id")))
       }
       val add = j \ "add" match {
         case JNothing | JNull => Nil
@@ -547,16 +573,44 @@ object DeltaInterop {
             }.toMap
             case _ => Map.empty[String, Option[String]]
           }
+          val dc = (a \ "dataChange") match {
+            case JBool(b) => b
+            case _ => true
+          }
           Seq(AddAction(DeltaAdd(
             urlDecode(str(a \ "path").getOrElse(
               throw new IllegalStateException(s"add without path in $file"))),
-            pv, long(a \ "size"), dv, str(a \ "stats"))))
+            pv, long(a \ "size"), dv, str(a \ "stats"), dc)))
       }
       val remove = j \ "remove" match {
         case JNothing | JNull => Nil
-        case rm => str(rm \ "path").toSeq.map(p => RemoveAction(urlDecode(p)))
+        case rm => str(rm \ "path").toSeq.map(p =>
+          RemoveAction(urlDecode(p), (rm \ "dataChange") match {
+            case JBool(b) => b
+            case _ => true
+          }))
       }
-      protocol ++ meta ++ add ++ remove
+      val cdc = j \ "cdc" match {
+        case JNothing | JNull => Nil
+        case c =>
+          val pv = (c \ "partitionValues") match {
+            case JObject(fields) => fields.map {
+              case (k, JString(s)) => k -> Some(s)
+              case (k, _) => k -> None
+            }.toMap
+            case _ => Map.empty[String, Option[String]]
+          }
+          str(c \ "path").toSeq.map(p => CdcAction(urlDecode(p), pv))
+      }
+      val info = j \ "commitInfo" match {
+        case JNothing | JNull => Nil
+        case ci => (ci \ "timestamp") match {
+          case JInt(t) => Seq(CommitInfoAction(t.toLong))
+          case JLong(t) => Seq(CommitInfoAction(t))
+          case _ => Nil
+        }
+      }
+      protocol ++ meta ++ add ++ remove ++ cdc ++ info
     }
   }
 
@@ -586,8 +640,8 @@ object DeltaInterop {
               s"(minReaderVersion=$minReader, features " +
               s"${feats.mkString("[", ", ", "]")})")
       case AddAction(a) => adds += a
-      case RemoveAction(p) => removes += p
-      case _: MetaAction =>
+      case RemoveAction(p, _) => removes += p
+      case _ =>
     }
     DeltaChanges(v, adds.toSeq, removes.toSeq)
   }
@@ -790,7 +844,9 @@ object DeltaInterop {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       lines += metaDataJson(df.schema, partitionBy, now)
     } else if (schemaChanged)
-      lines += metaDataJson(df.schema, partitionBy, now)
+      lines += metaDataJson(df.schema, partitionBy, now,
+        prior.map(_.configuration).getOrElse(Map.empty),
+        prior.flatMap(_.metaId))
     if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
       lines += s"""{"remove":{"path":${jstr(urlEncode(f.path))},""" +
         s""""deletionTimestamp":$now,"dataChange":true}}"""
@@ -807,6 +863,175 @@ object DeltaInterop {
     }
 
     publishCommit(fs, logDir, version, lines.toSeq)
+  }
+
+  // --------------------------------------------------- change data feed
+
+  /** Enable the table's CHANGE DATA FEED (`ALTER TABLE … SET
+    * TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')` analog):
+    * one metadata-only commit republishing metaData with the property
+    * plus the protocol upgrade the feature requires
+    * (minWriterVersion 4). From that version on, [[changeFeed]]
+    * serves row-level changes. No-op if already enabled. */
+  def enableChangeDataFeed(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    if (st.configuration.get("delta.enableChangeDataFeed")
+      .contains("true")) return st.version
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — this writer only enables " +
+        "the change data feed on unmapped tables")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("SET TBLPROPERTIES")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaDataJson(st.schema, st.partitionColumns, now,
+        st.configuration + ("delta.enableChangeDataFeed" -> "true"),
+        st.metaId))
+    publishCommit(fs, new Path(root, "_delta_log"), st.version + 1, lines)
+  }
+
+  /** Row-level CHANGES between two commit versions (both inclusive) —
+    * the `table_changes(...)` read. Output = the table columns plus
+    * `_change_type` (insert / delete / update_preimage /
+    * update_postimage), `_commit_version`, `_commit_timestamp`.
+    *
+    * Per the protocol: a commit carrying `cdc` actions serves its
+    * changes from those `_change_data` files ALONE (they are
+    * authoritative and complete — how update pre/post images arrive);
+    * a commit without them derives changes from its add/remove
+    * actions — `dataChange=true` adds are inserts, `dataChange=true`
+    * removes are deletes read from the removed file's content (still
+    * on disk until vacuum — a vacuumed file refuses by name).
+    * `dataChange=false` pairs (compaction, DV purge) emit nothing.
+    * The derivation is only sound when the feed was ENABLED at the
+    * commit (writers must then emit cdc for partial-file changes), so
+    * a data-changing commit with the property off refuses by name, as
+    * do DV-bearing changes without cdc (file-level derivation would
+    * mislabel surviving rows) and a schema change inside the range
+    * (one output schema must fit every batch).
+    *
+    * Scale shape: one log pass, O(range) metadata; each commit's rows
+    * come from exactly the files that changed — never a snapshot
+    * diff. */
+  def changeFeed(spark: SparkSession, table: String,
+                 fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad change-feed range [$fromVersion, $toVersion]")
+    val head = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a Delta table: no _delta_log under $table"))
+    require(toVersion <= head,
+      s"version $toVersion does not exist in $table (head is $head)")
+    val pre =
+      if (fromVersion == 0) None
+      else Some(state(spark, table, Some(fromVersion - 1)))
+    var schema: Option[StructType] = pre.map(_.schema)
+    var partCols: Seq[String] = pre.map(_.partitionColumns).getOrElse(Nil)
+    var mode: String = pre.map(_.columnMappingMode).getOrElse("none")
+    var cdfOn = pre.exists(_.configuration
+      .get("delta.enableChangeDataFeed").contains("true"))
+    var live: Map[String, DeltaAdd] =
+      pre.map(_.files.map(a => a.path -> a).toMap).getOrElse(Map.empty)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (fromVersion to toVersion).foreach { v =>
+      val adds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
+      val removes =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val cdcs = scala.collection.mutable
+        .ArrayBuffer.empty[(String, Map[String, Option[String]])]
+      var ts = 0L
+      parseCommit(spark, table, v).foreach {
+        case CommitInfoAction(t) => ts = t
+        case ProtocolAction(minReader, feats) =>
+          val unsupported = feats.filterNot(
+            Set("deletionVectors", "columnMapping"))
+          if (minReader > 3 || unsupported.nonEmpty)
+            throw new UnsupportedDeltaFeatureException(
+              s"version $v of $table requires an unsupported reader " +
+                s"(minReaderVersion=$minReader, features " +
+                s"${unsupported.mkString("[", ", ", "]")})")
+        case MetaAction(sc, pc, m2, cfg, _) =>
+          schema.foreach { s0 =>
+            if (!InteropSchema.sameShape(s0, sc))
+              throw new UnsupportedDeltaFeatureException(
+                s"the schema of $table changes at version $v inside " +
+                  "the change-feed range — split the read at the " +
+                  "schema-change version")
+          }
+          schema = Some(sc); partCols = pc; mode = m2
+          cdfOn = cfg.get("delta.enableChangeDataFeed").contains("true")
+        case AddAction(a) => adds += a
+        case RemoveAction(p, dc) => removes += (p -> dc)
+        case CdcAction(p, pv) => cdcs += (p -> pv)
+      }
+      if (ts == 0L)
+        ts = fs.getFileStatus(
+          new Path(new Path(root, "_delta_log"), f"$v%020d.json"))
+          .getModificationTime
+      val sc = schema.getOrElse(
+        throw new IllegalStateException(
+          s"no metaData action by version $v of $table"))
+      val dAdds = adds.filter(_.dataChange).toSeq
+      val dRems = removes.collect { case (p, true) => p }.toSeq
+      val batch: Option[DataFrame] =
+        if (cdcs.nonEmpty) {
+          val cdcSchema = StructType(sc.fields :+
+            StructField("_change_type", StringType))
+          Some(filesToDF(spark, table, cdcSchema, partCols,
+            cdcs.toSeq.map { case (p, pv) => DeltaAdd(p, pv, 0L) }, mode))
+        } else if (dAdds.isEmpty && dRems.isEmpty) None
+        else {
+          if (!cdfOn)
+            throw new UnsupportedDeltaFeatureException(
+              s"the change data feed is not enabled at version $v of " +
+                s"$table (delta.enableChangeDataFeed) — without it, " +
+                "add/remove actions cannot be soundly read as " +
+                "row-level changes")
+          val remAdds = dRems.map(p => live.getOrElse(p,
+            throw new IllegalStateException(
+              s"version $v of $table removes $p, which is not live at " +
+                s"version ${v - 1} — inconsistent log")))
+          if ((dAdds ++ remAdds).exists(_.dv.nonEmpty))
+            throw new UnsupportedDeltaFeatureException(
+              s"version $v of $table changes deletion vectors without " +
+                "cdc actions — file-level derivation would mislabel " +
+                "the surviving rows")
+          remAdds.foreach { a =>
+            if (!fs.exists(new Path(root, a.path)))
+              throw new UnsupportedDeltaFeatureException(
+                s"removed file ${a.path} of $table is no longer on " +
+                  s"disk (vacuumed) — the deletes of version $v cannot " +
+                  "be reconstructed")
+          }
+          val ins =
+            if (dAdds.isEmpty) None
+            else Some(filesToDF(spark, table, sc, partCols, dAdds, mode)
+              .withColumn("_change_type", lit("insert")))
+          val del =
+            if (remAdds.isEmpty) None
+            else Some(filesToDF(spark, table, sc, partCols, remAdds, mode)
+              .withColumn("_change_type", lit("delete")))
+          Some((ins.toSeq ++ del.toSeq).reduce(_ unionByName _))
+        }
+      batch.foreach(b => batches += b
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
+      live = live -- removes.map(_._1) ++ dAdds.map(a => a.path -> a)
+    }
+    if (batches.isEmpty) {
+      val outSchema = StructType(
+        schema.map(_.fields).getOrElse(Array.empty[StructField]) ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", LongType),
+          StructField("_commit_timestamp", TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    } else batches.reduce(_ unionByName _)
   }
 
   /** REORG-style deletion-vector PURGE — the compaction every DV
@@ -1171,12 +1396,21 @@ object DeltaInterop {
   // ------------------------------------------------------------- helpers
 
   private def metaDataJson(schema: StructType, partitionBy: Seq[String],
-                           now: Long): String = {
+                           now: Long,
+                           configuration: Map[String, String] = Map.empty,
+                           id: Option[String] = None): String = {
     val parts = partitionBy.map(jstr).mkString("[", ",", "]")
-    s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+    val config = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    // the id is the table's STABLE identity — a republish (schema
+    // change, property change) carries the prior one so a foreign
+    // client holding the table open does not see a table replacement
+    s"""{"metaData":{"id":${jstr(
+      id.getOrElse(java.util.UUID.randomUUID().toString))},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jstr(schema.json)},""" +
-      s""""partitionColumns":$parts,"configuration":{},""" +
+      s""""partitionColumns":$parts,"configuration":$config,""" +
       s""""createdTime":$now}}"""
   }
 

@@ -1021,6 +1021,44 @@ object LakeQueries {
       |FROM orders
       |WHERE o_orderkey BETWEEN 3000 AND 6000""".stripMargin
 
+  /** dl7_delta_change_feed — the Delta CHANGE DATA FEED through the
+    * gate: even-key orders created (v0), the feed enabled (v1,
+    * metadata-only — emits nothing), odd keys appended (v2 → inserts),
+    * then an overwrite to the keys ≤ 1000 (v3 → a delete for every
+    * previously-live row, read from the removed files' still-on-disk
+    * content, plus the new inserts). The oracle reconstructs all
+    * three change sets from the original parquet with literal
+    * change-type/version columns — row-level CDC equivalence, not
+    * just counts. cdc-action commits, dataChange=false maintenance,
+    * and the disabled-range refusal are pinned in DeltaCdfSpec. */
+  def dl7DeltaChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dl7:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl7").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 0), dir)
+      DeltaInterop.enableChangeDataFeed(s, dir)
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 1), dir)
+      DeltaInterop.write(o.filter(col("o_orderkey") <= 1000), dir,
+        overwrite = true)
+      dir
+    })
+    DeltaInterop.changeFeed(s, table, 1L, 3L)
+      .select("o_orderkey", "o_totalprice", "_change_type",
+        "_commit_version")
+  }
+
+  val dl7Oracle: String =
+    """SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+      |  CAST(2 AS BIGINT) AS _commit_version
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'delete', 3 FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'insert', 3 FROM orders
+      |WHERE o_orderkey <= 1000""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1796,6 +1834,7 @@ object LakeQueries {
     "dl5_delta_prune" -> (dl5DeltaPrune _),
     "ic6_iceberg_stats_prune" -> (ic6IcebergStatsPrune _),
     "ic7_iceberg_evolution" -> (ic7IcebergEvolution _),
+    "dl7_delta_change_feed" -> (dl7DeltaChangeFeed _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -1843,6 +1882,7 @@ object LakeQueries {
     "dl5_delta_prune" -> dl5Oracle,
     "ic6_iceberg_stats_prune" -> ic6Oracle,
     "ic7_iceberg_evolution" -> ic7Oracle,
+    "dl7_delta_change_feed" -> dl7Oracle,
     "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,

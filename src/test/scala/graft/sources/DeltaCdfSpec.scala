@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the Delta CHANGE DATA FEED surface: derived inserts/deletes
+  * from add/remove actions, cdc actions as the authoritative source
+  * when present (the protocol's rule for partial-file changes),
+  * dataChange=false maintenance commits emitting nothing, the
+  * disabled-range and schema-change refusals, and the table's stable
+  * metaData id across republishing commits. */
+class DeltaCdfSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-delta-cdf").toString + "/t"
+
+  private def writeText(table: String, rel: String, text: String): Unit = {
+    val p = new Path(table, rel)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("derived feed: appends are inserts, overwrite is delete-all + " +
+    "insert; the enabling commit and pre-range versions stay out") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 40L).map(i => (i, s"a$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t) shouldBe 1L
+    DeltaInterop.write((41L to 50L).map(i => (i, s"b$i")).toDF("id", "p"), t)
+    DeltaInterop.write((100L to 104L).map(i => (i, s"c$i")).toDF("id", "p"),
+      t, overwrite = true)
+    val cf = DeltaInterop.changeFeed(spark, t, 1L, 3L).cache()
+    cf.columns should contain allOf
+      ("_change_type", "_commit_version", "_commit_timestamp")
+    // v1 metadata-only: nothing; v2: 10 inserts; v3: 50 deletes + 5 inserts
+    cf.filter($"_commit_version" === 1L).count() shouldBe 0L
+    cf.filter($"_commit_version" === 2L &&
+      $"_change_type" === "insert").count() shouldBe 10L
+    cf.filter($"_commit_version" === 3L &&
+      $"_change_type" === "delete").count() shouldBe 50L
+    cf.filter($"_commit_version" === 3L &&
+      $"_change_type" === "insert").count() shouldBe 5L
+    // the deleted rows carry real values from the removed files
+    cf.filter($"_change_type" === "delete").select($"id")
+      .as[Long].collect().sorted shouldBe ((1L to 50L).toArray)
+    cf.unpersist()
+  }
+
+  test("a data-changing commit before the feed was enabled refuses by " +
+    "name; a range past the enable works") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 5L).map(i => (i, i * 2)).toDF("id", "v"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.changeFeed(spark, t, 0L, 1L).count()
+    }.getMessage should include("not enabled")
+    DeltaInterop.changeFeed(spark, t, 1L, 1L).count() shouldBe 0L
+  }
+
+  test("cdc actions are authoritative: a commit carrying them serves " +
+    "ONLY the _change_data rows, not its add/remove derivation") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 10L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    // hand-write an UPDATE-shaped commit: one cdc file with pre/post
+    // images, plus the add/remove pair a real engine would also emit
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def stageParquet(rel: String, df: org.apache.spark.sql.DataFrame): Long = {
+      val stage = fresh()
+      df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(t, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      fs.getFileStatus(dest).getLen
+    }
+    val cdcLen = stageParquet("_change_data/cdc-0.parquet",
+      Seq((3L, "x3", "update_preimage"), (3L, "X3", "update_postimage"))
+        .toDF("id", "p", "_change_type"))
+    val addLen = stageParquet("rewritten-0.parquet",
+      ((1L to 10L).filterNot(_ == 3L).map(i => (i, s"x$i")) :+ (3L, "X3"))
+        .toDF("id", "p"))
+    val priorFile = DeltaInterop.state(spark, t, None).files.head.path
+    writeText(t, "_delta_log/00000000000000000002.json",
+      s"""{"commitInfo":{"timestamp":1700000000000,"operation":"UPDATE"}}
+         |{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":$cdcLen,"dataChange":false}}
+         |{"add":{"path":"rewritten-0.parquet","partitionValues":{},"size":$addLen,"modificationTime":1700000000000,"dataChange":true}}
+         |{"remove":{"path":"$priorFile","deletionTimestamp":1700000000000,"dataChange":true}}
+         |""".stripMargin)
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.count() shouldBe 2L
+    cf.select($"_change_type").as[String].collect().sorted shouldBe
+      Array("update_postimage", "update_preimage")
+    cf.filter($"_change_type" === "update_postimage")
+      .select($"p").as[String].head() shouldBe "X3"
+    // and the post-update snapshot still reads normally
+    DeltaInterop.read(spark, t).filter($"id" === 3L)
+      .select($"p").as[String].head() shouldBe "X3"
+  }
+
+  test("dataChange=false maintenance commits emit nothing; a schema " +
+    "change inside the range refuses by name") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 6L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    // hand-written compaction: same content re-added, dataChange=false
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = fresh()
+    (1L to 6L).map(i => (i, s"x$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(t, "compacted-0.parquet")) shouldBe true
+    val priorFile = DeltaInterop.state(spark, t, None).files.head.path
+    writeText(t, "_delta_log/00000000000000000002.json",
+      s"""{"commitInfo":{"timestamp":1700000000000,"operation":"OPTIMIZE"}}
+         |{"add":{"path":"compacted-0.parquet","partitionValues":{},"size":${
+        fs.getFileStatus(new Path(t, "compacted-0.parquet")).getLen
+      },"modificationTime":1700000000000,"dataChange":false}}
+         |{"remove":{"path":"$priorFile","deletionTimestamp":1700000000000,"dataChange":false}}
+         |""".stripMargin)
+    DeltaInterop.changeFeed(spark, t, 2L, 2L).count() shouldBe 0L
+    // schema change (overwrite with a new shape) inside the range
+    DeltaInterop.write(Seq((1L, 2L)).toDF("id", "n"), t, overwrite = true)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.changeFeed(spark, t, 2L, 3L).count()
+    }.getMessage should include("schema")
+  }
+
+  test("metaData id and configuration survive a schema-changing " +
+    "overwrite — the table keeps its identity for foreign clients") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 4L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    val before = DeltaInterop.state(spark, t, None)
+    before.metaId.isDefined shouldBe true
+    DeltaInterop.write(Seq((1L, 2.5)).toDF("id", "score"), t,
+      overwrite = true)
+    val after = DeltaInterop.state(spark, t, None)
+    after.metaId shouldBe before.metaId
+    after.configuration.get("delta.enableChangeDataFeed") shouldBe
+      Some("true")
+  }
+}
