@@ -1059,6 +1059,35 @@ object LakeQueries {
       |SELECT o_orderkey, o_totalprice, 'insert', 3 FROM orders
       |WHERE o_orderkey <= 1000""".stripMargin
 
+  /** cx1_cross_format — ZERO-COPY Delta → Iceberg conversion through
+    * the gate: a Hive-partitioned Delta table converts in place (no
+    * data file moves — file identity is spec-pinned in
+    * CrossFormatSpec), and the gate reads ONE partition through the
+    * converted Iceberg metadata — so the read must both prune on the
+    * carried-over identity tuples and FILL the partition column the
+    * Delta data files omit. Conversion cost is O(files) metadata,
+    * never O(bytes): the 100 TB migration story. */
+  def cx1CrossFormat(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"cx1:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-xfmt-cx1").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority"),
+        dir, partitionBy = Seq("o_orderpriority"))
+      CrossFormat.deltaToIceberg(s, dir)
+      dir
+    })
+    IcebergInterop.readWhere(s, table, Seq(ScanEq("o_orderpriority",
+      "2-HIGH")))
+  }
+
+  val cx1Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority = '2-HIGH'""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1835,6 +1864,7 @@ object LakeQueries {
     "ic6_iceberg_stats_prune" -> (ic6IcebergStatsPrune _),
     "ic7_iceberg_evolution" -> (ic7IcebergEvolution _),
     "dl7_delta_change_feed" -> (dl7DeltaChangeFeed _),
+    "cx1_cross_format" -> (cx1CrossFormat _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -1883,6 +1913,7 @@ object LakeQueries {
     "ic6_iceberg_stats_prune" -> ic6Oracle,
     "ic7_iceberg_evolution" -> ic7Oracle,
     "dl7_delta_change_feed" -> dl7Oracle,
+    "cx1_cross_format" -> cx1Oracle,
     "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
