@@ -1089,6 +1089,95 @@ object DeltaInterop {
       lines.toSeq)
   }
 
+  /** OPTIMIZE — bin-pack compaction and optional multi-dimensional
+    * Z-ORDER clustering, the Delta maintenance pair:
+    *
+    *   - `zorderBy = Nil`: per partition, files SMALLER than
+    *     `targetFileBytes` coalesce into ~target-sized replacements
+    *     (a group of one small file is left alone — nothing to gain).
+    *   - `zorderBy = cols`: per partition, ALL plain files rewrite
+    *     range-clustered on the interleaved z-value
+    *     ([[ZOrder.clusterByZ]]), tightening every dimension's
+    *     per-file min/max so [[readWhere]]'s stats pruning skips on
+    *     any of them.
+    *
+    * The commit is pure maintenance: adds and removes carry
+    * `dataChange = false` (no logical rows change), so the CHANGE
+    * DATA FEED emits nothing for it and a change-feed range spanning
+    * the optimize stays exact. Rewritten files re-record footer stats.
+    * DV-bearing files are excluded (purge first — their rewrite is
+    * [[purgeDeletionVectors]]' job); column-mapped tables refuse by
+    * name. Returns the committed version, or the current one when
+    * nothing qualifies. */
+  def optimize(spark: SparkSession, table: String,
+               targetFileBytes: Long = 128L * 1024 * 1024,
+               zorderBy: Seq[String] = Nil): Long = {
+    val st = state(spark, table, None)
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — OPTIMIZE would rewrite " +
+        "files under logical names; reads only")
+    zorderBy.foreach(c => require(st.schema.exists(_.name == c),
+      s"z-order column $c is not in the schema of $table"))
+    require(zorderBy.forall(c => !st.partitionColumns.contains(c)),
+      "z-ordering a partition column is a no-op — it is constant " +
+        "within every rewrite group")
+    val dataSchema = StructType(st.schema.fields.filterNot(f =>
+      st.partitionColumns.contains(f.name)))
+    val plain = st.files.filter(_.dv.isEmpty)
+    val groups = plain.groupBy(_.partitionValues).toSeq.flatMap {
+      case (pv, adds) =>
+        val picked =
+          if (zorderBy.nonEmpty) adds
+          else adds.filter(_.size < targetFileBytes)
+        // one lone small file has nothing to pack with; a z-order
+        // rewrite of a single file still tightens its clustering only
+        // if there are ≥ 2 files or the caller asked for layout change
+        if ((zorderBy.isEmpty && picked.size < 2) || picked.isEmpty) None
+        else Some(pv -> picked)
+    }
+    if (groups.isEmpty) return st.version
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("OPTIMIZE")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    groups.foreach { case (pv, adds) =>
+      val grouped = filesToDF(spark, table, dataSchema, Nil, adds)
+      val nOut = math.max(1L,
+        math.ceil(adds.map(_.size).sum.toDouble / targetFileBytes).toLong)
+        .toInt
+      val packed =
+        if (zorderBy.nonEmpty) ZOrder.clusterByZ(grouped, zorderBy, nOut)
+        else grouped.coalesce(nOut)
+      val stage = new Path(root, s".optimize-${java.util.UUID.randomUUID()}")
+      packed.write.mode("overwrite").parquet(stage.toString)
+      val pvJson = pv.map {
+        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+        case (k, None) => s"${jstr(k)}:null"
+      }.mkString("{", ",", "}")
+      listParquet(fs, stage).foreach { p =>
+        val dest = new Path(root, p.getName)
+        if (!fs.rename(p, dest))
+          throw new IllegalStateException(s"failed to move $p to $dest")
+        val (rows, lo, hi) =
+          ScanPredicates.footerStats(spark, dest, dataSchema)
+        lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
+          s""""partitionValues":$pvJson,""" +
+          s""""size":${fs.getFileStatus(dest).getLen},""" +
+          s""""modificationTime":$now,"dataChange":false,""" +
+          s""""stats":${jstr(statsJson(rows, lo, hi, dataSchema))}}}"""
+      }
+      fs.delete(stage, true): Unit
+      adds.foreach(a =>
+        lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""deletionTimestamp":$now,"dataChange":false}}""")
+    }
+    publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
+      lines.toSeq)
+  }
+
   /** Compact the log at its head (or a named `version`) into a
     * single-part checkpoint + `_last_checkpoint` — the artifact
     * [[read]] starts from instead of replaying every JSON commit.

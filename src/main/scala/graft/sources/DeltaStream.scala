@@ -43,12 +43,27 @@ final class DeltaStreamProvider extends StreamSourceProvider
       "graft-delta stream needs a table path: .load(dir) or " +
         ".option(\"path\", dir)"))
 
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readchangefeed").exists(_.toBoolean)
+
+  private def withCdfCols(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) =
-    (shortName(), schema.getOrElse(DeltaInterop.state(
-      sqlContext.sparkSession, tablePath(parameters), None).schema))
+    (shortName(), schema.getOrElse {
+      val base = DeltaInterop.state(
+        sqlContext.sparkSession, tablePath(parameters), None).schema
+      if (cdf(parameters)) withCdfCols(base) else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -57,11 +72,14 @@ final class DeltaStreamProvider extends StreamSourceProvider
     val path = tablePath(parameters)
     val st = DeltaInterop.state(spark, path, None)
     new DeltaStreamSource(spark, path,
-      schema.getOrElse(st.schema), st.partitionColumns,
+      schema.getOrElse(
+        if (cdf(parameters)) withCdfCols(st.schema) else st.schema),
+      st.partitionColumns,
       parameters.getOrElse("startingversion", "earliest"),
       parameters.get("ignorechanges").exists(_.toBoolean),
       parameters.get("maxversionspertrigger").map(_.toInt)
-        .getOrElse(Int.MaxValue))
+        .getOrElse(Int.MaxValue),
+      readChangeFeed = cdf(parameters))
   }
 }
 
@@ -71,7 +89,8 @@ final class DeltaStreamSource(spark: SparkSession, table: String,
                               partitionColumns: Seq[String],
                               startingVersion: String,
                               ignoreChanges: Boolean,
-                              maxVersionsPerTrigger: Int)
+                              maxVersionsPerTrigger: Int,
+                              readChangeFeed: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
@@ -111,6 +130,21 @@ final class DeltaStreamSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(versionOf).getOrElse(boundary)
     val to = versionOf(end)
+    // CHANGE-DATA-FEED mode: the batch is the row-level changes of
+    // (from, to], through [[DeltaInterop.changeFeed]] — cdc actions
+    // authoritative, insert/delete derivation otherwise, with its
+    // refusals (feed disabled, DV derivation, mid-range schema
+    // change) surfacing as stream failures rather than wrong rows.
+    // ignoreChanges is not consulted: removes ARE the deletes here.
+    if (readChangeFeed) {
+      val cf = StreamBridge.asStreaming(
+        DeltaInterop.changeFeed(spark, table, from + 1, to))
+      // a range with no row-level changes (metadata-only commits)
+      // yields a LOCAL empty frame asStreaming cannot re-mark — the
+      // engine still asserts isStreaming on it
+      return if (cf.isStreaming) cf
+      else StreamBridge.emptyStreaming(spark, schema)
+    }
     val added = ((from + 1) to to).flatMap { v =>
       val ch = DeltaInterop.changesAt(spark, table, v)
       if (ch.removed.nonEmpty && v != 0 && !ignoreChanges)

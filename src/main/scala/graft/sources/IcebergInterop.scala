@@ -2152,6 +2152,79 @@ object IcebergInterop {
       Some(st), overwrite = true, operation = "replace")
   }
 
+  /** OPTIMIZE — bin-pack compaction and optional Z-ORDER clustering
+    * for the Iceberg side (`rewrite_data_files` strategy binpack /
+    * sort): per partition tuple, small files (or ALL plain files when
+    * `zorderBy` is given) rewrite into ~target-sized replacements,
+    * clustered on the interleaved z-value when ordering — footer
+    * bounds re-record, so [[readWhere]]'s stats pruning tightens on
+    * every z dimension. Publishes one `replace` snapshot carrying the
+    * untouched files verbatim. Merge-on-read delete files must be
+    * compacted first ([[compactDeletes]]); mixed partition specs among
+    * live files refuse by name (one manifest declares one spec).
+    * Returns the new snapshot id, or the current one when nothing
+    * qualifies. */
+  def optimize(spark: SparkSession, table: String,
+               targetFileBytes: Long = 128L * 1024 * 1024,
+               zorderBy: Seq[String] = Nil): Long = {
+    val st = state(spark, table, None)
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+      s"table $table carries delete files — compact them first " +
+        "(compactDeletes), then OPTIMIZE")
+    zorderBy.foreach(c => require(st.schema.exists(_.name == c),
+      s"z-order column $c is not in the schema of $table"))
+    val spec = st.specs.getOrElse(st.defaultSpecId, Nil)
+    if (st.files.exists(_.specId != st.defaultSpecId))
+      throw new UnsupportedIcebergFeatureException(
+        s"live files of $table span multiple partition specs — one " +
+          "rewrite manifest declares one spec; overwrite under the " +
+          "current spec first")
+    val groups = st.files.groupBy(_.partition).toSeq.flatMap {
+      case (tuple, fs0) =>
+        val picked =
+          if (zorderBy.nonEmpty) fs0
+          else fs0.filter(_.bytes < targetFileBytes)
+        if ((zorderBy.isEmpty && picked.size < 2) || picked.isEmpty) None
+        else Some(tuple -> picked)
+    }
+    if (groups.isEmpty) return st.snapshotId
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val rewrittenPaths = groups.flatMap(_._2.map(_.path)).toSet
+    val keep = st.files.filterNot(f => rewrittenPaths(f.path))
+    val rewritten = groups.flatMap { case (tuple, picked) =>
+      val grouped0 = toDF(spark, st.copy(files = picked,
+        posDeletes = Nil, eqDeletes = Nil))
+      val grouped =
+        if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
+          stampFieldIds(grouped0, st.evo.fieldIds)
+        else grouped0
+      val nOut = math.max(1L, math.ceil(
+        picked.map(_.bytes).sum.toDouble / targetFileBytes).toLong).toInt
+      val packed =
+        if (zorderBy.nonEmpty) ZOrder.clusterByZ(grouped, zorderBy, nOut)
+        else grouped.coalesce(nOut)
+      val stage = new Path(root, s".optimize-${java.util.UUID.randomUUID()}")
+      packed.write.mode("overwrite").parquet(stage.toString)
+      val moved = fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map { p =>
+          val dest = new Path(dataDir, p.getName)
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"failed to move $p to $dest")
+          val (rows, lo, hi) =
+            ScanPredicates.footerStats(spark, dest, st.schema)
+          IceFile(dest.toString, rows, fs.getFileStatus(dest).getLen,
+            partition = tuple, lower = lo, upper = hi)
+        }.toSeq
+      fs.delete(stage, true): Unit
+      moved
+    }
+    publishSnapshot(fs, root, st.schema, keep ++ rewritten, Some(st),
+      overwrite = true, operation = "replace", spec = spec)
+  }
+
   /** Iceberg's retention maintenance (`expireSnapshots`): drop every
     * snapshot but the newest `keepLast`, publish the pruned metadata
     * as the next version, and physically delete what only the dropped

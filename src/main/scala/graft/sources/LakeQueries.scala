@@ -1088,6 +1088,91 @@ object LakeQueries {
       |FROM orders
       |WHERE o_orderpriority = '2-HIGH'""".stripMargin
 
+  /** dls2_delta_cdf_stream — the change data feed as a STREAMING
+    * source through the gate: dl7's table shape (create / enable /
+    * append / overwrite) streamed with `readChangeFeed=true` from the
+    * enabling version, AvailableNow — the union of per-commit change
+    * batches must equal dl7's batch reconstruction (same oracle).
+    * Maintenance silence and checkpoint resume live in
+    * InteropOptimizeSpec. */
+  def dls2DeltaCdfStream(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dls2:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dls2").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 0), dir)
+      DeltaInterop.enableChangeDataFeed(s, dir)
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 1), dir)
+      DeltaInterop.write(o.filter(col("o_orderkey") <= 1000), dir,
+        overwrite = true)
+      dir
+    })
+    graft.streaming.Streaming.runToMemory(s,
+      s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(table),
+      "dls2_delta_cdf_stream_tbl",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("o_orderkey", "o_totalprice", "_change_type",
+        "_commit_version")
+  }
+
+  /** dl8_delta_optimize — OPTIMIZE ZORDER through the gate: orders
+    * written as 12 anti-clustered files, rewritten by
+    * `optimize(zorderBy = custkey, totalprice)` in one
+    * dataChange=false commit, then a custkey range served through
+    * `readWhere` — the rewritten files' recorded stats must both
+    * prune (file-subset pinned in InteropOptimizeSpec) and return
+    * exactly the oracle's rows. */
+  def dl8DeltaOptimize(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"dl8:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl8").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(12),
+        dir)
+      DeltaInterop.optimize(s, dir, targetFileBytes = 64L * 1024,
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      dir
+    })
+    DeltaInterop.readWhere(s, table,
+      Seq(ScanBetween("o_custkey", 100L, 300L)))
+  }
+
+  val dl8Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 300""".stripMargin
+
+  /** ic8_iceberg_optimize — the Iceberg-side OPTIMIZE ZORDER through
+    * the gate: four appends accumulate small files, one `replace`
+    * snapshot rewrites them z-clustered on (custkey, totalprice) with
+    * re-recorded bounds, and the gate serves a custkey range through
+    * the rewritten manifest. */
+  def ic8IcebergOptimize(s: SparkSession, d: String): DataFrame = {
+    val table = builtTables.computeIfAbsent(s"ic8:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic8").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      (0 until 4).foreach(i =>
+        IcebergInterop.write(o.filter(col("o_orderkey") % 4 === i), dir))
+      IcebergInterop.optimize(s, dir, targetFileBytes = 64L * 1024,
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      dir
+    })
+    IcebergInterop.readWhere(s, table,
+      Seq(ScanBetween("o_custkey", 100L, 300L)))
+  }
+
+  val ic8Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 300""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1865,6 +1950,9 @@ object LakeQueries {
     "ic7_iceberg_evolution" -> (ic7IcebergEvolution _),
     "dl7_delta_change_feed" -> (dl7DeltaChangeFeed _),
     "cx1_cross_format" -> (cx1CrossFormat _),
+    "dls2_delta_cdf_stream" -> (dls2DeltaCdfStream _),
+    "dl8_delta_optimize" -> (dl8DeltaOptimize _),
+    "ic8_iceberg_optimize" -> (ic8IcebergOptimize _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -1914,6 +2002,9 @@ object LakeQueries {
     "ic7_iceberg_evolution" -> ic7Oracle,
     "dl7_delta_change_feed" -> dl7Oracle,
     "cx1_cross_format" -> cx1Oracle,
+    "dls2_delta_cdf_stream" -> dl7Oracle,
+    "dl8_delta_optimize" -> dl8Oracle,
+    "ic8_iceberg_optimize" -> ic8Oracle,
     "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,

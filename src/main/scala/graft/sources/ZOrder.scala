@@ -84,18 +84,14 @@ object ZOrder {
     conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
       16, 10).cast("bigint")
 
-  /** Z-ordered lake write: bucket each `zCols` by its own equi-depth
-    * boundaries, interleave into a z-value, range-cluster the data on
-    * it, and commit through the manifest with per-file min/max recorded
-    * for EVERY z-column — after which [[ManifestLake.readRange]] /
-    * [[ManifestLake.readRangeStr]] (and merge/delete candidate pruning)
-    * skip files on any of the dimensions. STRING columns z-order
-    * through their truncated-key code ([[strPrefixCode]]) and record
-    * truncated [[ManifestLake.StrRange]] stats, so a (doc_id, score)
-    * pair clusters and prunes on both. Returns the committed version. */
-  def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
-                    nFiles: Int, append: Boolean = false,
-                    maintenance: Boolean = false): Long = {
+  /** The clustering WITHOUT the lake commit — the shared kernel
+    * [[writeZOrdered]] and the open-format interop OPTIMIZE paths
+    * rewrite through: bucket each `zCols` by its own equi-depth
+    * boundaries, interleave into a z-value, range-cluster into
+    * `nFiles` output partitions sorted within. One approxQuantile
+    * pass sketches every dimension. */
+  private[sources] def clusterByZ(df: DataFrame, zCols: Seq[String],
+                                  nFiles: Int): DataFrame = {
     require(zCols.size >= 2,
       "z-ordering needs ≥ 2 columns; use writeClustered for one")
     val nBuckets = 1 << BitsPerDim
@@ -130,10 +126,25 @@ object ZOrder {
         lit(math.max(bs.length, 1).toLong)).cast("long")
     }
     val z = interleave(buckets)
-    val clustered = ranked.withColumn("__z", z)
+    ranked.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z").drop(rankCols: _*)
+  }
+
+  /** Z-ordered lake write: bucket each `zCols` by its own equi-depth
+    * boundaries, interleave into a z-value, range-cluster the data on
+    * it, and commit through the manifest with per-file min/max recorded
+    * for EVERY z-column — after which [[ManifestLake.readRange]] /
+    * [[ManifestLake.readRangeStr]] (and merge/delete candidate pruning)
+    * skip files on any of the dimensions. STRING columns z-order
+    * through their truncated-key code ([[strPrefixCode]]) and record
+    * truncated [[ManifestLake.StrRange]] stats, so a (doc_id, score)
+    * pair clusters and prunes on both. Returns the committed version. */
+  def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
+                    nFiles: Int, append: Boolean = false,
+                    maintenance: Boolean = false): Long = {
+    val clustered = clusterByZ(df, zCols, nFiles)
     ManifestLake.write(clustered, table, append = append,
       statsCols = zCols,
       // a maintenance rewrite re-lands rows that already passed CHECK
