@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, regexp_replace, timestamp_millis}
+import org.apache.spark.sql.functions.{col, count, lit, regexp_replace, timestamp_millis, when}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Delta Lake TRANSACTION-LOG interop, pure Spark — no delta-spark jar.
@@ -72,7 +72,9 @@ object DeltaInterop {
                               files: Seq[DeltaAdd],
                               columnMappingMode: String = "none",
                               configuration: Map[String, String] = Map.empty,
-                              metaId: Option[String] = None)
+                              metaId: Option[String] = None,
+                              minReaderVersion: Int = 1,
+                              readerFeatures: Seq[String] = Nil)
 
   /** Test seam: runs between a write's version choice and its commit
     * publication — lets a spec interleave a racing commit
@@ -358,8 +360,12 @@ object DeltaInterop {
     var mappingMode: String = "none"
     var config: Map[String, String] = Map.empty
     var metaId: Option[String] = None
+    var protoReader: Int = 1
+    var protoFeatures: Seq[String] = Nil
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      protoReader = minReader
+      protoFeatures = readerFeatures
       // reader version 3 tables declare table features by name; this
       // reader serves deletionVectors (per-file anti-join in the read
       // kernel) and columnMapping (physical-name resolution) — anything
@@ -473,7 +479,8 @@ object DeltaInterop {
     DeltaState(target,
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying $table to $target")),
-      partCols, files.values.toSeq, mappingMode, config, metaId)
+      partCols, files.values.toSeq, mappingMode, config, metaId,
+      protoReader, protoFeatures)
   }
 
   private sealed trait DeltaAction
@@ -668,7 +675,8 @@ object DeltaInterop {
                                  schema: StructType,
                                  partitionColumns: Seq[String],
                                  files: Seq[DeltaAdd],
-                                 columnMappingMode: String = "none")
+                                 columnMappingMode: String = "none",
+                                 keepLineage: Boolean = false)
       : DataFrame = {
     val mapped = columnMappingMode != "none"
     // under column mapping the add actions' partitionValues are keyed
@@ -712,8 +720,17 @@ object DeltaInterop {
           v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)))
       }.select((outCols ++ extra).toIndexedSeq: _*)
     }
+    // `keepLineage` exposes each surviving row's normalized source
+    // file path and row position as `__fp`/`__pos` — the lineage DML
+    // needs to turn "rows matching the predicate" into "per-file
+    // deleted positions" without a second scan
+    val lineageCols = Seq(
+      norm(col("_metadata.file_path")).as("__fp"),
+      col("_metadata.row_index").as("__pos"))
     if (dvAdds.isEmpty)
-      groups.map { case (pv, adds) => scan(pv, adds, Nil) }
+      groups.map { case (pv, adds) =>
+          scan(pv, adds, if (keepLineage) lineageCols else Nil)
+        }
         .reduce(_ unionByName _)
     else {
       import spark.implicits._
@@ -734,14 +751,12 @@ object DeltaInterop {
         }
         .toDF("__fp", "__pos")
         .select(norm(col("__fp")).as("__fp"), col("__pos"))
-      groups.map { case (pv, adds) =>
-          scan(pv, adds, Seq(
-            norm(col("_metadata.file_path")).as("__fp"),
-            col("_metadata.row_index").as("__pos")))
+      val joined = groups.map { case (pv, adds) =>
+          scan(pv, adds, lineageCols)
         }
         .reduce(_ unionByName _)
         .join(dels, Seq("__fp", "__pos"), "left_anti")
-        .drop("__fp", "__pos")
+      if (keepLineage) joined else joined.drop("__fp", "__pos")
     }
   }
 
@@ -863,6 +878,267 @@ object DeltaInterop {
     }
 
     publishCommit(fs, logDir, version, lines.toSeq)
+  }
+
+  // ------------------------------------------------------ row-level DML
+
+  /** One row-level DML commit's outcome. */
+  final case class DeltaDml(version: Long, rowsAffected: Long,
+                            filesTouched: Int)
+
+  private def numRecordsOf(a: DeltaAdd): Option[Long] = a.stats.flatMap { s =>
+    import org.json4s._
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption
+      .flatMap(j => (j \ "numRecords") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      })
+  }
+
+  private def pvJsonOf(pv: Map[String, Option[String]]): String =
+    pv.map {
+      case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+      case (k, None) => s"${jstr(k)}:null"
+    }.mkString("{", ",", "}")
+
+  private def normStr(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Stage `rows` as CHANGE-DATA files under `_change_data/` and
+    * return their `cdc` action lines — the row-level record
+    * [[changeFeed]] serves verbatim instead of re-deriving changes
+    * from adds/removes. One staged write per partition-value group. */
+  private def stageCdc(rows: DataFrame, root: Path, fs: FileSystem,
+                       pv: Map[String, Option[String]]): Seq[String] = {
+    val stage = new Path(root, s".cdc-${java.util.UUID.randomUUID()}")
+    rows.write.mode("overwrite").parquet(stage.toString)
+    val cdcDir = new Path(root, "_change_data")
+    fs.mkdirs(cdcDir)
+    val lines = listParquet(fs, stage).map { p =>
+      val dest = new Path(cdcDir,
+        s"cdc-${java.util.UUID.randomUUID()}.parquet")
+      if (!fs.rename(p, dest))
+        throw new IllegalStateException(s"failed to move $p to $dest")
+      s"""{"cdc":{"path":${
+        jstr(urlEncode(s"_change_data/${dest.getName}"))
+      },"partitionValues":${pvJsonOf(pv)},"size":${
+        fs.getFileStatus(dest).getLen
+      },"dataChange":false}}"""
+    }
+    fs.delete(stage, true): Unit
+    lines
+  }
+
+  /** `DELETE FROM` a Delta table, MERGE-ON-READ — the deletion-vector
+    * commit delta-spark itself prefers for small deletes on big files:
+    * matched rows' positions serialize into RoaringBitmap DV files
+    * (the on-disk framing [[DeltaDv.writeDvFile]] writes and
+    * delta-spark reads), and each touched file re-commits with a
+    * `deletionVector` descriptor instead of being rewritten — a
+    * one-row delete on a 1 GB file costs one tiny sidecar, the
+    * difference between interactive and hopeless at 100 TB. Vectors
+    * are CUMULATIVE: a second delete on the same file unions the old
+    * positions into its new vector (the protocol's rule — one
+    * descriptor fully describes a file). A file whose vector reaches
+    * its recorded `numRecords` drops from the table entirely (remove,
+    * no re-add). The commit upgrades the protocol to table features
+    * (minReaderVersion 3 / minWriterVersion 7, `deletionVectors`) on
+    * the table's first vector, carrying any existing reader features
+    * forward. SQL NULL semantics: a row deletes only when the
+    * predicate is TRUE (filter keeps exactly those).
+    *
+    * Scale shape: one lineage scan finds matched `(file, position)`
+    * pairs; vectors serialize PER FILE on executors
+    * (`groupByKey(file)` — each file's positions must fit one task,
+    * the same bound delta-spark's DV writer has); the driver sees
+    * only O(touched files) descriptors. When the table's change data
+    * feed is enabled, the deleted rows also stage as `cdc` files so
+    * [[changeFeed]] serves them row-level (without CDF, a later
+    * change-feed read over this commit refuses by name — file-level
+    * derivation cannot see through a vector). */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column): DeltaDml = {
+    val st = state(spark, table, None)
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — DML would address logical " +
+        "names; reads only")
+    if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val byNorm: Map[String, DeltaAdd] =
+      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+    // live rows (existing vectors applied) matching the predicate,
+    // with (file, position) lineage from the scan's metadata columns
+    val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
+      st.files, keepLineage = true).filter(predicate)
+    import spark.implicits._
+    val oldDvs: Map[String, DeltaDv.DvDescriptor] =
+      byNorm.collect { case (n, a) if a.dv.nonEmpty => n -> a.dv.get }
+    val tableRootStr = root.toString
+    // (normPath, payloadId, offset, sizeInBytes, cardinality, fresh)
+    val perFile: Array[(String, String, Long, Int, Long, Long)] =
+      matched.select(col("__fp"), col("__pos")).as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (fp, it) =>
+          val fresh = it.map(_._2).toArray
+          val root0 = new Path(tableRootStr)
+          val fs0 = root0.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val old = oldDvs.get(fp)
+            .map(d => DeltaDv.deserialize(
+              DeltaDv.bitmapBytes(fs0, root0, d)))
+            .getOrElse(Array.empty[Long])
+          val all = (old ++ fresh).distinct.sorted
+          val (enc, off, size) =
+            DeltaDv.writeDvFile(fs0, root0, all.toIndexedSeq)
+          (fp, enc, off, size, all.length.toLong, fresh.length.toLong)
+        }.collect()
+    if (perFile.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val cdfOn = st.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val touched = perFile.map(t => byNorm(t._1))
+    val dataSchema = StructType(st.schema.fields.filterNot(f =>
+      st.partitionColumns.contains(f.name)))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("DELETE")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    if (!(st.minReaderVersion >= 3 &&
+      st.readerFeatures.contains("deletionVectors"))) {
+      val rf = (st.readerFeatures :+ "deletionVectors").distinct
+      val fj = rf.map(jstr).mkString("[", ",", "]")
+      lines += s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,"readerFeatures":$fj,""" +
+        s""""writerFeatures":$fj}}"""
+    }
+    perFile.foreach { case (fp, enc, off, size, card, _) =>
+      val a = byNorm(fp)
+      lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+        s""""deletionTimestamp":$now,"dataChange":true}}"""
+      if (!numRecordsOf(a).contains(card))
+        lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""partitionValues":${pvJsonOf(a.partitionValues)},""" +
+          s""""size":${a.size},"modificationTime":$now,""" +
+          s""""dataChange":true""" +
+          a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+          s""","deletionVector":{"storageType":"u",""" +
+          s""""pathOrInlineDv":${jstr(enc)},"offset":$off,""" +
+          s""""sizeInBytes":$size,"cardinality":$card}}}"""
+    }
+    if (cdfOn) touched.groupBy(_.partitionValues).foreach {
+      case (pv, adds) =>
+        val rows = filesToDF(spark, table, st.schema,
+          st.partitionColumns, adds.toIndexedSeq)
+          .filter(predicate)
+          .select(dataSchema.fields.toIndexedSeq.map(f => col(f.name)): _*)
+          .withColumn("_change_type", lit("delete"))
+        lines ++= stageCdc(rows, root, fs, pv)
+    }
+    val v = publishCommit(fs, new Path(root, "_delta_log"),
+      st.version + 1, lines.toSeq)
+    DeltaDml(v, perFile.map(_._6).sum, perFile.length)
+  }
+
+  /** `UPDATE ... SET ... WHERE ...` on a Delta table, COPY-ON-WRITE:
+    * only files holding a matching live row rewrite (matched rows
+    * under the assignments — evaluated against the PRE-update row,
+    * SQL-style — unmatched rows verbatim); the commit removes the old
+    * files and adds their replacements with fresh footer stats. A
+    * touched file's deletion vector materializes in the rewrite (the
+    * replacement carries no vector). Assignments to partition columns
+    * refuse by name — they would move rows across the log's recorded
+    * partitionValues. When CDF is enabled the matched rows stage as
+    * `update_preimage`/`update_postimage` cdc files.
+    *
+    * Scale shape: one lineage scan finds touched files (O(touched)
+    * driver strings + per-file match counts in the same job); one
+    * rewrite job per partition-value group over ONLY those files. */
+  def update(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
+    val st = state(spark, table, None)
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — DML would address logical " +
+        "names; reads only")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.foreach { case (c, _) =>
+      require(st.schema.exists(_.name == c),
+        s"UPDATE target column $c is not in the schema of $table")
+      require(!st.partitionColumns.contains(c),
+        s"UPDATE of partition column $c is unsupported — it would " +
+          "move rows across the log's recorded partitionValues")
+    }
+    if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val byNorm: Map[String, DeltaAdd] =
+      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+    import spark.implicits._
+    // touched files AND per-file match counts in one lineage job
+    val counts: Array[(String, Long)] =
+      filesToDF(spark, table, st.schema, st.partitionColumns, st.files,
+        keepLineage = true)
+        .filter(predicate)
+        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    if (counts.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val touched = counts.map(t => byNorm(t._1))
+    val cdfOn = st.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val dataSchema = StructType(st.schema.fields.filterNot(f =>
+      st.partitionColumns.contains(f.name)))
+    val setMap = set.toMap
+    def updatedSelect(d: DataFrame): DataFrame =
+      d.select(st.schema.fields.toIndexedSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(e) =>
+            when(predicate, e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val dataCols = dataSchema.fields.toIndexedSeq.map(f => col(f.name))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("UPDATE")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    touched.groupBy(_.partitionValues).foreach { case (pv, adds) =>
+      val rows = filesToDF(spark, table, st.schema, st.partitionColumns,
+        adds.toIndexedSeq)
+      val rewritten = updatedSelect(rows).select(dataCols: _*)
+      val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
+      rewritten.write.mode("overwrite").parquet(stage.toString)
+      listParquet(fs, stage).foreach { p =>
+        val dest = new Path(root, p.getName)
+        if (!fs.rename(p, dest))
+          throw new IllegalStateException(s"failed to move $p to $dest")
+        val (rows0, lo, hi) =
+          ScanPredicates.footerStats(spark, dest, dataSchema)
+        lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
+          s""""partitionValues":${pvJsonOf(pv)},""" +
+          s""""size":${fs.getFileStatus(dest).getLen},""" +
+          s""""modificationTime":$now,"dataChange":true,""" +
+          s""""stats":${jstr(statsJson(rows0, lo, hi, dataSchema))}}}"""
+      }
+      fs.delete(stage, true): Unit
+      adds.foreach(a =>
+        lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""deletionTimestamp":$now,"dataChange":true}}""")
+      if (cdfOn) {
+        val pre = rows.filter(predicate)
+        val cdcRows = pre.select(dataCols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updatedSelect(pre).select(dataCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
+        lines ++= stageCdc(cdcRows, root, fs, pv)
+      }
+    }
+    val v = publishCommit(fs, new Path(root, "_delta_log"),
+      st.version + 1, lines.toSeq)
+    DeltaDml(v, counts.map(_._2).sum, touched.length)
   }
 
   // --------------------------------------------------- change data feed

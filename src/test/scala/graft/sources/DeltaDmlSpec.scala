@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins Delta row-level DML: merge-on-read DELETE via deletion-vector
+  * commits (cumulative vectors, protocol upgrade to table features,
+  * fully-deleted files dropping from the state, SQL NULL predicate
+  * semantics, time travel to the pre-delete version), copy-on-write
+  * UPDATE (touched-file-only rewrite, pre-update assignment
+  * evaluation, vector materialization), and both operations' CDC
+  * records through the change feed. */
+class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-delta-dml").toString + "/t"
+
+  private def logText(table: String, v: Long): String = {
+    val p = new Path(new Path(table, "_delta_log"), f"$v%020d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  test("DELETE commits deletion vectors: no data file rewrites, the " +
+    "protocol upgrades to table features, reads serve survivors, and " +
+    "time travel still serves the pre-delete version") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 200L).map(i => (i, s"p${i % 3}", i * 10)).toDF("id", "g", "v")
+        .repartition(4), t)
+    val dataFilesBefore = DeltaInterop.state(spark, t, None).files
+      .map(_.path).toSet
+    val r = DeltaInterop.delete(spark, t, col("id") % 7 === 0)
+    r.version shouldBe 1L
+    r.rowsAffected shouldBe (1L to 200L).count(_ % 7 == 0)
+    r.filesTouched should be > 0
+    val st = DeltaInterop.state(spark, t, None)
+    // merge-on-read: the SAME data files stay live, now vectored
+    st.files.map(_.path).toSet shouldBe dataFilesBefore
+    st.files.foreach(a => a.dv should not be empty)
+    st.minReaderVersion shouldBe 3
+    st.readerFeatures should contain("deletionVectors")
+    logText(t, 1L) should include(""""storageType":"u"""")
+    DeltaInterop.read(spark, t).count() shouldBe
+      (1L to 200L).count(_ % 7 != 0)
+    DeltaInterop.read(spark, t).filter($"id" % 7 === 0).count() shouldBe 0L
+    DeltaInterop.readVersion(spark, t, 0L).count() shouldBe 200L
+  }
+
+  test("a second DELETE on the same files unions cumulatively; " +
+    "re-deleting already-dead rows is a no-op") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 100L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.delete(spark, t, col("id") <= 10).rowsAffected shouldBe 10L
+    // overlapping predicate: only the 10 NEW rows count
+    val r2 = DeltaInterop.delete(spark, t, col("id") <= 20)
+    r2.rowsAffected shouldBe 10L
+    DeltaInterop.read(spark, t).agg(min($"id")).as[Long].head() shouldBe 21L
+    // a touched file carries ONE descriptor covering both deletes
+    val vectored = DeltaInterop.state(spark, t, None).files.filter(_.dv.nonEmpty)
+    vectored should not be empty
+    vectored.map(_.dv.get.cardinality).sum shouldBe 20L
+    // fully-covered predicate again: nothing new, version unchanged
+    val r3 = DeltaInterop.delete(spark, t, col("id") <= 20)
+    r3.rowsAffected shouldBe 0L
+    r3.version shouldBe r2.version
+  }
+
+  test("a file whose vector reaches numRecords drops from the table " +
+    "instead of re-adding with a full vector") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 50L).map(i => (s"g${i % 2}", i)).toDF("g", "id"), t,
+      partitionBy = Seq("g"))
+    val before = DeltaInterop.state(spark, t, None).files
+    before.size should be >= 2
+    DeltaInterop.delete(spark, t, col("g") === "g0")
+    val after = DeltaInterop.state(spark, t, None)
+    // g0's files are GONE (not vectored); g1's untouched
+    after.files.foreach { a =>
+      a.partitionValues("g") shouldBe Some("g1")
+      a.dv shouldBe empty
+    }
+    DeltaInterop.read(spark, t).count() shouldBe
+      (1L to 50L).count(_ % 2 == 1)
+  }
+
+  test("SQL NULL semantics: a row deletes only when the predicate is " +
+    "TRUE — NULL-evaluating rows survive") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(Seq[(Long, java.lang.Long)](
+      (1L, 5L), (2L, null), (3L, 20L)).toDF("id", "v"), t)
+    DeltaInterop.delete(spark, t, col("v") > 10).rowsAffected shouldBe 1L
+    DeltaInterop.read(spark, t).select($"id").as[Long].collect()
+      .sorted shouldBe Array(1L, 2L)
+  }
+
+  test("DELETE with CDF enabled serves the deleted rows through the " +
+    "change feed; without CDF the vectored range refuses by name") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 30L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    DeltaInterop.delete(spark, t, col("id") <= 5)
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.filter($"_change_type" === "delete").select($"id").as[Long]
+      .collect().sorted shouldBe (1L to 5L).toArray
+    // a table WITHOUT cdf: the DV commit cannot be read as changes
+    val t2 = fresh()
+    DeltaInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t2)
+    DeltaInterop.delete(spark, t2, col("id") === 1L)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.changeFeed(spark, t2, 1L, 1L).count()
+    }
+  }
+
+  test("UPDATE rewrites only touched files, evaluates assignments " +
+    "against the pre-update row, and records fresh stats") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 100L).map(i => (s"g${i % 2}", i, i)).toDF("g", "id", "v"),
+      t, partitionBy = Seq("g"))
+    val g1Files = DeltaInterop.state(spark, t, None).files
+      .filter(_.partitionValues("g").contains("g1")).map(_.path).toSet
+    // swap-style assignment: v := v + id, id := id * 2 — both read the
+    // PRE-update row (id*2 must not feed v's sum)
+    val r = DeltaInterop.update(spark, t, col("g") === "g0",
+      Seq("v" -> (col("v") + col("id")), "id" -> (col("id") * 2)))
+    r.rowsAffected shouldBe 50L
+    val st = DeltaInterop.state(spark, t, None)
+    // g1's files untouched; g0's replaced with stats
+    st.files.filter(_.partitionValues("g").contains("g1"))
+      .map(_.path).toSet shouldBe g1Files
+    st.files.filter(_.partitionValues("g").contains("g0"))
+      .foreach(a => a.stats should not be empty)
+    val out = DeltaInterop.read(spark, t)
+    out.filter($"g" === "g0" && $"v" =!= $"id").count() shouldBe 0L
+    out.filter($"g" === "g1").agg(sum($"v")).as[Long].head() shouldBe
+      (1L to 100L).filter(_ % 2 == 1).sum
+    out.count() shouldBe 100L
+  }
+
+  test("UPDATE over a vectored file materializes the vector: the " +
+    "replacement carries no DV and dead rows stay dead") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 40L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.delete(spark, t, col("id") <= 10)
+    DeltaInterop.update(spark, t, col("id") > 30, Seq("v" -> lit(0L)))
+    val st = DeltaInterop.state(spark, t, None)
+    st.files.foreach(a => a.dv shouldBe empty)
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 30L
+    out.filter($"v" === 0L).count() shouldBe 10L
+    out.agg(min($"id")).as[Long].head() shouldBe 11L
+  }
+
+  test("UPDATE with CDF enabled records update_preimage and " +
+    "update_postimage rows") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    DeltaInterop.update(spark, t, col("id") === 7L,
+      Seq("v" -> lit(700L)))
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.filter($"_change_type" === "update_preimage")
+      .select($"v").as[Long].collect() shouldBe Array(7L)
+    cf.filter($"_change_type" === "update_postimage")
+      .select($"v").as[Long].collect() shouldBe Array(700L)
+  }
+
+  test("UPDATE refusals: partition-column assignment and unknown " +
+    "columns; a no-match predicate is a version no-op") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 10L).map(i => (s"g${i % 2}", i)).toDF("g", "id"), t,
+      partitionBy = Seq("g"))
+    intercept[IllegalArgumentException] {
+      DeltaInterop.update(spark, t, lit(true), Seq("g" -> lit("x")))
+    }.getMessage should include("partition column")
+    intercept[IllegalArgumentException] {
+      DeltaInterop.update(spark, t, lit(true), Seq("nope" -> lit(1)))
+    }.getMessage should include("not in the schema")
+    val r = DeltaInterop.update(spark, t, col("id") > 999,
+      Seq("id" -> lit(0L)))
+    r.rowsAffected shouldBe 0L
+    r.version shouldBe 0L
+  }
+}
