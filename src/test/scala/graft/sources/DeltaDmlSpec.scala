@@ -186,6 +186,29 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"v").as[Long].collect() shouldBe Array(700L)
   }
 
+  test("SQL surface: DELETE FROM and UPDATE against graft_delta, " +
+    "aliased and qualified, execute the interop DML") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaSql.register("dml_sql_t", t)
+    try {
+      spark.sql("DELETE FROM graft_delta.dml_sql_t WHERE id <= 3")
+      spark.sql(
+        "UPDATE graft_delta.dml_sql_t AS x SET v = x.v * 10 WHERE x.id = 4")
+      val out = spark.sql(
+        "SELECT id, v FROM graft_delta.dml_sql_t ORDER BY id")
+        .as[(Long, Long)].collect()
+      out.map(_._1) shouldBe (4L to 10L).toArray
+      out.find(_._1 == 4L).get._2 shouldBe 40L
+      out.find(_._1 == 5L).get._2 shouldBe 5L
+      // the delete landed merge-on-read: version 1 carries a vector
+      // (the later UPDATE may have materialized it at the head)
+      DeltaInterop.state(spark, t, Some(1L))
+        .files.exists(_.dv.nonEmpty) shouldBe true
+    } finally DeltaSql.unregister("dml_sql_t")
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._
