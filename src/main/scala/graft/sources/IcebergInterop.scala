@@ -94,7 +94,8 @@ object IcebergInterop {
                              Map.empty,
                            upper: Map[String, Either[Long, String]] =
                              Map.empty,
-                           snapId: Long = -1L)
+                           snapId: Long = -1L,
+                           manifest: String = "")
 
   /** The table's schema-evolution evidence, resolved once per
     * [[state]] call: every schema the metadata retains as ordered
@@ -472,7 +473,8 @@ object IcebergInterop {
     h1
   }
 
-  private[sources] def toDF(spark: SparkSession, st: IceState): DataFrame =
+  private[sources] def toDF(spark: SparkSession, st: IceState,
+                            keepLineage: Boolean = false): DataFrame =
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     else {
@@ -576,7 +578,7 @@ object IcebergInterop {
       val identCols: Seq[String] =
         st.files.flatMap(f => recorded(f).map(_._1)).distinct
       if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
-        identCols.isEmpty) return data
+        identCols.isEmpty) return (if (keepLineage) keyedScan() else data)
       // metadata-derived delete keys and the identity fill both resolve
       // against the SCAN — attach them once, before any join hides the
       // file source (on the grouped path, inside each branch, BEFORE
@@ -609,7 +611,7 @@ object IcebergInterop {
           }.drop(identCols.flatMap(c => Seq(s"__t_$c", s"__th_$c")): _*)
         }
       if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty)
-        return keyed.drop("__fp", "__pos")
+        return (if (keepLineage) keyed else keyed.drop("__fp", "__pos"))
       // v2 merge-on-read, POSITION deletes: anti-join on (file, row
       // position). Spark's parquet metadata columns supply exactly the
       // delete key — `_metadata.row_index` is the row's ordinal within
@@ -656,7 +658,7 @@ object IcebergInterop {
             }
             .drop("__seq")
         }
-      eqApplied.drop("__fp", "__pos")
+      if (keepLineage) eqApplied else eqApplied.drop("__fp", "__pos")
     }
 
   def state(spark: SparkSession, table: String,
@@ -841,7 +843,7 @@ object IcebergInterop {
                 entrySeq, mfSpecId, entryPartition(df),
                 entryBounds(df, "lower_bounds", fieldIdToName, schema),
                 entryBounds(df, "upper_bounds", fieldIdToName, schema),
-                snapId = entrySnap)
+                snapId = entrySnap, manifest = mPath)
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -1414,6 +1416,392 @@ object IcebergInterop {
       else stagePartitioned(spark, stamped, root, fs, partitionBy)
     publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
       if (overwrite) "overwrite" else "append", partitionBy)
+  }
+
+  // ------------------------------------------------------ row-level DML
+
+  /** One row-level DML commit's outcome. */
+  final case class IceDml(snapshotId: Long, rowsAffected: Long,
+                          filesTouched: Int)
+
+  private def dmlNormStr(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** `DELETE FROM` an Iceberg table, COPY-ON-WRITE: only data files
+    * holding a matching row rewrite (without their matched rows); the
+    * commit is one `overwrite` snapshot through [[publishRewrite]] —
+    * untouched manifests carry verbatim, so metadata work tracks the
+    * TOUCHED surface, not the table. SQL NULL semantics: a row
+    * deletes only when the predicate is TRUE. Rewritten rows re-enter
+    * under the table's current default partition spec (the engines'
+    * rule for rewrites). Merge-on-read delete files must compact
+    * first ([[compactDeletes]]) — copy-on-write over uncompacted
+    * deletes would have to re-apply their semantics file by file. */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column): IceDml = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+      s"table $table carries merge-on-read delete files — run " +
+        "compactDeletes first; copy-on-write DML would silently " +
+        "resurrect their deleted rows otherwise")
+    if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    import spark.implicits._
+    // touched files and per-file match counts in one lineage job
+    val counts: Array[(String, Long)] =
+      toDF(spark, st, keepLineage = true).filter(predicate)
+        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    val byNorm = st.files.map(f => dmlNormStr(f.path) -> f).toMap
+    val touched = counts.map(t => byNorm(t._1)).toSeq
+    // survivors of ONLY the touched files; NULL-evaluating rows keep
+    val survivors = toDF(spark, st.copy(files = touched))
+      .filter(coalesce(!predicate, lit(true)))
+    val added = stageRewritten(spark, fs, root, st, survivors)
+    val snap = publishRewrite(spark, fs, root, st, added,
+      touched.map(_.path).toSet, "overwrite")
+    IceDml(snap, counts.map(_._2).sum, touched.size)
+  }
+
+  /** `UPDATE ... SET ... WHERE ...` on an Iceberg table,
+    * COPY-ON-WRITE: only files holding a matching row rewrite, with
+    * assignments evaluated against the PRE-update row (SQL-style);
+    * same snapshot/manifest economics as [[delete]]. Rewritten rows
+    * re-enter under the current default spec, so an update that moves
+    * a row's partition value lands it in the right tuple. */
+  def update(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             set: Seq[(String, org.apache.spark.sql.Column)]): IceDml = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+      s"table $table carries merge-on-read delete files — run " +
+        "compactDeletes first; copy-on-write DML would silently " +
+        "resurrect their deleted rows otherwise")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.foreach { case (c, _) =>
+      require(st.schema.exists(_.name == c),
+        s"UPDATE target column $c is not in the schema of $table")
+    }
+    if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    import spark.implicits._
+    val counts: Array[(String, Long)] =
+      toDF(spark, st, keepLineage = true).filter(predicate)
+        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    val byNorm = st.files.map(f => dmlNormStr(f.path) -> f).toMap
+    val touched = counts.map(t => byNorm(t._1)).toSeq
+    val setMap = set.toMap
+    val rewritten = toDF(spark, st.copy(files = touched))
+      .select(st.schema.fields.toIndexedSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(e) =>
+            when(predicate, e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val added = stageRewritten(spark, fs, root, st, rewritten)
+    val snap = publishRewrite(spark, fs, root, st, added,
+      touched.map(_.path).toSet, "overwrite")
+    IceDml(snap, counts.map(_._2).sum, touched.size)
+  }
+
+  /** Stage a DML rewrite's surviving rows as data files under the
+    * table's current default spec, field ids stamped; empty outputs
+    * (a rewrite that deleted every row) clean up rather than commit
+    * zero-record files. */
+  private def stageRewritten(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, rows: DataFrame): Seq[IceFile] = {
+    val ids: Map[String, Long] =
+      if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
+        st.evo.fieldIds
+      else st.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (i + 1).toLong }.toMap
+    val stamped = stampFieldIds(rows, ids)
+    val spec = st.specs.getOrElse(st.defaultSpecId, Nil)
+    val staged =
+      if (spec.isEmpty) stageUnpartitioned(spark, stamped, root, fs)
+      else stagePartitioned(spark, stamped, root, fs, spec)
+    val (kept, empty) = staged.partition(_.records > 0)
+    empty.foreach(f => fs.delete(new Path(f.path), false): Unit)
+    kept
+  }
+
+  /** Publish a COPY-ON-WRITE DML snapshot: `added` files enter under
+    * the table's default spec; files in `removedPaths` leave.
+    * Metadata economics: manifests holding NO removed file carry
+    * VERBATIM in the new manifest list; only manifests that lost a
+    * file rewrite, their survivors re-entered as status=0 EXISTING
+    * under their ORIGINAL snapshot ids (so by-field-id column
+    * resolution across schema evolution keeps working for old files).
+    * Table identity (uuid), schemas, partition specs, properties,
+    * prior snapshots and the snapshot log all carry forward verbatim
+    * — time travel to the pre-DML snapshot still serves the removed
+    * rows until an expiry pass drops it. Format-version 2 tables
+    * refuse by name (this writer's manifest-list rows carry no
+    * sequence numbers, which v2 readers require). */
+  private def publishRewrite(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, added: Seq[IceFile],
+      removedPaths: Set[String], operation: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def compactJ(v: JValue): String =
+      JsonMethods.compact(JsonMethods.render(v))
+    val metaDir = new Path(root, "metadata")
+    val priorMeta = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    val formatVersion = jLong(priorMeta \ "format-version")
+    if (formatVersion != 1)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $root is format-version $formatVersion — this writer " +
+          "publishes v1 commits only (v2 manifest lists need sequence " +
+          "numbers); copy the table through convert/import first")
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val uuid = java.util.UUID.randomUUID().toString
+    val now = System.currentTimeMillis()
+    // the current schema node, verbatim — DML never changes the schema
+    val curSchemaId = jLong(priorMeta \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val schemaNode: JValue = (priorMeta \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.find(s => jLong(s \ "schema-id") == curSchemaId)
+          .getOrElse(xs.head)
+      case _ => priorMeta \ "schema"
+    }
+    val schemaJsonStr = compactJ(schemaNode)
+    val schemaFieldIds: Map[String, Long] =
+      (schemaNode \ "fields") match {
+        case JArray(fs0) => fs0.flatMap { f =>
+          ((f \ "name"), jLong(f \ "id")) match {
+            case (JString(n), id) if id >= 0 => Some(n -> id)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty
+      }
+    // spec nodes by id, verbatim from the prior metadata
+    val specNodes: Map[Int, JValue] =
+      ((priorMeta \ "partition-specs") match {
+        case JArray(xs) => xs.flatMap(sp => jLong(sp \ "spec-id") match {
+          case -1L => None
+          case sid => Some(sid.toInt -> sp)
+        })
+        case _ => Nil
+      }).toMap match {
+        case m if m.nonEmpty => m
+        case _ => (priorMeta \ "partition-spec") match {
+          case arr @ JArray(_) => Map(0 -> JObject(List(
+            "spec-id" -> JInt(0), "fields" -> arr)))
+          case _ => Map.empty
+        }
+      }
+    def partFieldsOf(specId: Int): Seq[(SpecField, String, Int)] = {
+      val sfs = st.specs.getOrElse(specId, Nil)
+      val node = specNodes.get(specId)
+      val declared = node.map(n => (n \ "fields") match {
+        case JArray(fs0) => fs0.length
+        case _ => 0
+      }).getOrElse(sfs.length)
+      if (declared != sfs.length)
+        throw new UnsupportedIcebergFeatureException(
+          s"partition spec $specId of $root has fields whose source " +
+            "columns are not resolvable top-level columns — rewriting " +
+            "its manifests would drop partition tuple fields a " +
+            "foreign reader prunes on")
+      sfs.zipWithIndex.map { case (sf, i) =>
+        val dt = st.schema.find(_.name == sf.source).map(_.dataType)
+          .getOrElse(throw new UnsupportedIcebergFeatureException(
+            s"partition source column ${sf.source} missing from the " +
+              s"schema of $root"))
+        val avroType = tupleAvroType(sf.transform, dt).getOrElse(
+          throw new UnsupportedIcebergFeatureException(
+            s"cannot re-encode ${sf.transform}(${sf.source}) over " +
+              s"${dt.sql} — not a transform/type combination this " +
+              "writer models"))
+        val fid = node.map(n => (n \ "fields") match {
+          case JArray(fs0) if fs0.length > i =>
+            jLong(fs0(i) \ "field-id")
+          case _ => -1L
+        }).filter(_ >= 0).map(_.toInt).getOrElse(1000 + i)
+        (sf, avroType, fid)
+      }
+    }
+    def writeManifest(name: String, specId: Int,
+        entries: Seq[(IceFile, Int, Long)]): (Path, Long) = {
+      val partFields = partFieldsOf(specId)
+      val entrySchema = manifestEntrySchema(partFields)
+      val target = new Path(metaDir, name)
+      writeAvro(fs, target, entrySchema,
+        Map("format-version" -> "1", "content" -> "data",
+          "partition-spec" -> specNodes.get(specId)
+            .map(n => compactJ(n \ "fields")).getOrElse("[]"),
+          "partition-spec-id" -> specId.toString,
+          "schema" -> schemaJsonStr),
+        entries.map { case (f, status, snap) =>
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", status)
+          if (snap >= 0) e.put("snapshot_id", snap)
+          val dfRec = new GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          dfRec.put("file_path", f.path)
+          dfRec.put("file_format", "PARQUET")
+          val partRec = new GenericData.Record(
+            entrySchema.getField("data_file").schema()
+              .getField("partition").schema())
+          partFields.foreach { case (sf, avroType, _) =>
+            f.partition.get(sf.name).filter(_ != null).foreach { v =>
+              partRec.put(sf.name, avroType match {
+                case "int" => Integer.valueOf(
+                  v.asInstanceOf[Number].intValue)
+                case "long" => java.lang.Long.valueOf(
+                  v.asInstanceOf[Number].longValue)
+                case _ => v.toString
+              })
+            }
+          }
+          dfRec.put("partition", partRec)
+          dfRec.put("record_count", f.records)
+          dfRec.put("file_size_in_bytes", f.bytes)
+          def boundsRecord(field: String,
+              m: Map[String, Either[Long, String]]): Unit =
+            if (m.nonEmpty) {
+              val itemSchema = entrySchema.getField("data_file").schema()
+                .getField(field).schema().getTypes.get(1).getElementType
+              val arr = new java.util.ArrayList[GenericRecord]()
+              m.foreach { case (colName, bound) =>
+                for {
+                  id <- schemaFieldIds.get(colName)
+                  dt <- st.schema.find(_.name == colName).map(_.dataType)
+                  bytes <- encodeBound(dt, bound)
+                } {
+                  val r = new GenericData.Record(itemSchema)
+                  r.put("key", id.toInt)
+                  r.put("value", bytes)
+                  arr.add(r)
+                }
+              }
+              if (!arr.isEmpty) dfRec.put(field, arr)
+            }
+          boundsRecord("lower_bounds", f.lower)
+          boundsRecord("upper_bounds", f.upper)
+          e.put("data_file", dfRec)
+          e
+        })
+      (target, fs.getFileStatus(target).getLen)
+    }
+    def listRow(path: String, length: Long, specId: Int,
+        addedSnap: Long): GenericRecord = {
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", length)
+      r.put("partition_spec_id", specId)
+      r.put("added_snapshot_id", addedSnap)
+      r
+    }
+    // the new manifest list: added files first, then prior manifests
+    // carried or rewritten by whether they lost a file
+    val listEntries =
+      scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    if (added.nonEmpty) {
+      val (p, len) = writeManifest(s"$uuid-m0.avro", st.defaultSpecId,
+        added.map(f => (f, 1, snapshotId)))
+      listEntries += listRow(p.toString, len, st.defaultSpecId, snapshotId)
+    }
+    val byManifest: Map[String, Seq[IceFile]] = st.files.groupBy(_.manifest)
+    val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
+      case JArray(xs) =>
+        xs.find(s => jLong(s \ "snapshot-id") == st.snapshotId)
+          .toSeq.flatMap(s => (s \ "manifest-list") match {
+            case JString(ml) => avroRows(fs, new Path(ml))
+            case _ => Nil
+          })
+      case _ => Nil
+    }
+    var mIdx = 1
+    priorList.foreach { pm =>
+      val mPath = pm.get("manifest_path").toString
+      val group = byManifest.getOrElse(mPath, Nil)
+      val survivors = group.filterNot(f => removedPaths.contains(f.path))
+      if (survivors.size == group.size) {
+        // untouched: carry verbatim (the four fields this list schema
+        // and every reader agree on)
+        listEntries += listRow(mPath,
+          pm.get("manifest_length").asInstanceOf[Number].longValue,
+          fieldOpt(pm, "partition_spec_id")
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+          fieldOpt(pm, "added_snapshot_id")
+            .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
+      } else if (survivors.nonEmpty) {
+        val specId = survivors.head.specId
+        val (p, len) = writeManifest(s"$uuid-m$mIdx.avro", specId,
+          survivors.map(f => (f, 0, f.snapId)))
+        mIdx += 1
+        listEntries += listRow(p.toString, len, specId, snapshotId)
+      } // fully-removed manifests simply drop from the list
+    }
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    writeAvro(fs, listPath, ManifestFileSchema,
+      Map("format-version" -> "1"), listEntries.toSeq)
+    // next metadata json: the prior document verbatim, with only the
+    // snapshot bookkeeping advanced
+    val newSnapshot: JValue = JObject(List(
+      "snapshot-id" -> JLong(snapshotId),
+      "timestamp-ms" -> JLong(now),
+      "summary" -> JObject(List("operation" -> JString(operation))),
+      "manifest-list" -> JString(listPath.toString),
+      "schema-id" -> JLong(curSchemaId)))
+    val logEntry: JValue = JObject(List(
+      "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapshotId)))
+    def appended(v: JValue, extra: JValue): JValue = v match {
+      case JArray(xs) => JArray(xs :+ extra)
+      case _ => JArray(List(extra))
+    }
+    val nextMeta = JObject(priorMeta.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) => "last-updated-ms" -> JLong(now)
+      case ("current-snapshot-id", _) =>
+        "current-snapshot-id" -> JLong(snapshotId)
+      case ("snapshots", v) => "snapshots" -> appended(v, newSnapshot)
+      case ("snapshot-log", v) => "snapshot-log" -> appended(v, logEntry)
+      case other => other
+    } match {
+      case fields =>
+        val have = fields.map(_._1).toSet
+        fields ++
+          (if (have("snapshots")) Nil
+           else List("snapshots" -> JArray(List(newSnapshot)))) ++
+          (if (have("snapshot-log")) Nil
+           else List("snapshot-log" -> JArray(List(logEntry)))) ++
+          (if (have("current-snapshot-id")) Nil
+           else List("current-snapshot-id" -> JLong(snapshotId)))
+    })
+    val nextVersion = st.metadataVersion + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(compactJ(nextMeta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val published = ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)
+    if (!published) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapshotId
   }
 
   /** Re-select with `parquet.field.id` metadata on every column so the
