@@ -1,10 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 
 /** SQL read surface over [[IcebergInterop]] tables:
   * `SELECT ... FROM graft_iceberg.<name> [VERSION AS OF <snapshot-id>]`
@@ -13,10 +15,14 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * pushdown and codegen) for tables whose source of truth is Iceberg
   * metadata. `VERSION AS OF` takes a SNAPSHOT ID — Iceberg's stable
   * address — not an ordinal (metadata version numbers shift under
-  * expiry; snapshot ids never do). Reads only: writes go through
-  * [[IcebergInterop.write]] or, better,
-  * [[IcebergInterop.importToManifest]] and the full `graft_lake` DML
-  * surface. */
+  * expiry; snapshot ids never do) — plus row-level DML:
+  * `DELETE FROM graft_iceberg.t WHERE ...` and
+  * `UPDATE graft_iceberg.t SET ... [WHERE ...]` execute
+  * [[IcebergInterop.delete]]/[[IcebergInterop.update]]'s
+  * copy-on-write touched-file rewrites (untouched manifests carry
+  * verbatim). Bulk writes go through [[IcebergInterop.write]] or,
+  * better, [[IcebergInterop.importToManifest]] and the full
+  * `graft_lake` surface. */
 object IcebergSql {
 
   val Namespace = "graft_iceberg"
@@ -40,6 +46,58 @@ object IcebergSql {
       u.multipartIdentifier.head.equalsIgnoreCase(Namespace))
       pathOf(u.multipartIdentifier(1))
     else None
+
+  /** A DML statement's target path, through an optional alias. */
+  private def dmlTarget(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => dmlTarget(child)
+    case u: UnresolvedRelation => iceTarget(u)
+    case _ => None
+  }
+
+  /** The names a DML target's columns may legally be qualified by. */
+  private def targetQualifiers(plan: LogicalPlan): Set[String] = {
+    val root = java.util.Locale.ROOT
+    plan match {
+      case SubqueryAlias(id, child) =>
+        targetQualifiers(child) + id.name.toLowerCase(root)
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 =>
+        val t = u.multipartIdentifier(1).toLowerCase(root)
+        Set(t, s"${Namespace.toLowerCase(root)}.$t")
+      case _ => Set.empty
+    }
+  }
+
+  /** Strip relation qualifiers from a DML expression's attributes: the
+    * command evaluates it against the bare table read, where `t.id`
+    * would not resolve but `id` does. */
+  private def unqualify(cond: Expression): Expression = cond.transform {
+    case UnresolvedAttribute(parts) if parts.length > 1 =>
+      UnresolvedAttribute(Seq(parts.last))
+  }
+
+  /** `DELETE FROM graft_iceberg.t` — [[IcebergInterop.delete]]'s
+    * copy-on-write snapshot when the command runs. */
+  final case class GraftIcebergDeleteCommand(table: String,
+      @transient predicate: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergInterop.delete(spark, table, predicate): Unit
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE graft_iceberg.t SET ...` — [[IcebergInterop.update]]'s
+    * copy-on-write touched-file rewrite; assignments evaluate against
+    * the pre-update row, SQL-style. */
+  final case class GraftIcebergUpdateCommand(table: String,
+      @transient assignments: Seq[(String, org.apache.spark.sql.Column)],
+      @transient predicate: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergInterop.update(spark, table, predicate, assignments): Unit
+      Seq.empty
+    }
+  }
 
   final class IcebergSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -85,7 +143,34 @@ object IcebergSql {
       }
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan =
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      // DML matches at the ROOT (where SQL grammar puts it) so the
+      // target relation is never rewritten into a bare read
+      case d: DeleteFromTable if dmlTarget(d.table).isDefined =>
+        GraftIcebergDeleteCommand(dmlTarget(d.table).get,
+          ColumnBridge.column(unqualify(d.condition)))
+      case u: UpdateTable if dmlTarget(u.table).isDefined =>
+        val quals = targetQualifiers(u.table)
+        val assigns = u.assignments.map {
+          case Assignment(k: UnresolvedAttribute, v) =>
+            val parts = k.nameParts
+            if (parts.length > 1 && !quals.contains(parts.init
+                .map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")))
+              throw new UnsupportedOperationException(
+                s"graft_iceberg UPDATE target '${parts.mkString(".")}' " +
+                  "is not a plain column of the target table — " +
+                  "nested-field assignment is unsupported")
+            parts.last -> ColumnBridge.column(unqualify(v))
+          case a => throw new UnsupportedOperationException(
+            s"graft_iceberg UPDATE: unsupported assignment ${a.sql}")
+        }
+        GraftIcebergUpdateCommand(dmlTarget(u.table).get, assigns,
+          ColumnBridge.column(u.condition.fold[Expression](
+            Literal.TrueLiteral)(unqualify)))
+      case _ => applyReads(plan)
+    }
+
+    private def applyReads(plan: LogicalPlan): LogicalPlan =
       filterPrune(plan).resolveOperatorsUp {
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>

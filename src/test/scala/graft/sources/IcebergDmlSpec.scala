@@ -114,6 +114,26 @@ class IcebergDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     moved should not be empty
   }
 
+  test("SQL surface: DELETE FROM and UPDATE against graft_iceberg, " +
+    "aliased and qualified, execute the interop DML") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergSql.register("ice_dml_t", t)
+    try {
+      spark.sql("DELETE FROM graft_iceberg.ice_dml_t WHERE id <= 3")
+      spark.sql(
+        "UPDATE graft_iceberg.ice_dml_t AS x SET v = x.v * 10 " +
+          "WHERE x.id = 4")
+      val out = spark.sql(
+        "SELECT id, v FROM graft_iceberg.ice_dml_t ORDER BY id")
+        .as[(Long, Long)].collect()
+      out.map(_._1) shouldBe (4L to 10L).toArray
+      out.find(_._1 == 4L).get._2 shouldBe 40L
+      out.find(_._1 == 5L).get._2 shouldBe 5L
+    } finally IcebergSql.unregister("ice_dml_t")
+  }
+
   test("no-op predicates keep the snapshot; MOR delete files and " +
     "unknown columns refuse by name") {
     import spark.implicits._
