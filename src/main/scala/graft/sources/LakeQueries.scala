@@ -1173,6 +1173,98 @@ object LakeQueries {
       |FROM orders
       |WHERE o_custkey BETWEEN 100 AND 300""".stripMargin
 
+  /** dl9_delta_dml — Delta ROW-LEVEL DML through the gate, via the
+    * SQL surface: `DELETE FROM` lands as a MERGE-ON-READ
+    * deletion-vector commit (no data file rewrites — the in-row
+    * `mor_delete` flag pins that the delete version carries a vector)
+    * and `UPDATE` as a copy-on-write rewrite of only the files
+    * holding a match (materializing their vectors). The oracle
+    * re-derives the post-DML table from the original parquet; sums
+    * ride the decimal-exact-then-DOUBLE contract (mv1). */
+  def dl9DeltaDml(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl9:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl9").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        dir)
+      DeltaSql.register("dl9_orders", dir)
+      s.sql("DELETE FROM graft_delta.dl9_orders WHERE o_orderkey % 5 = 0")
+      s.sql("UPDATE graft_delta.dl9_orders " +
+        "SET o_totalprice = o_totalprice + 10 WHERE o_orderkey % 7 = 0")
+      val mor = DeltaInterop.state(s, dir, Some(1L))
+        .files.exists(_.dv.nonEmpty)
+      s"$dir|$mor"
+    })
+    val Array(dir, mor) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("mor_delete", lit(mor.toBoolean))
+  }
+
+  val dl9Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS mor_delete
+      |FROM t GROUP BY o_orderpriority""".stripMargin
+
+  /** ic9_iceberg_dml — Iceberg ROW-LEVEL DML through the gate, via
+    * the SQL surface: two appends build two manifests (evens, odds);
+    * copy-on-write `DELETE FROM` and `UPDATE` touch only even keys,
+    * so the odd append's manifest must carry VERBATIM through both
+    * commits — the in-row `untouched_manifest_carried` flag pins the
+    * per-manifest metadata economics, and the oracle re-derives the
+    * post-DML rows from the original parquet. */
+  def ic9IcebergDml(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic9:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic9").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 0), dir)
+      val oddSnap =
+        IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 1), dir)
+      def oddManifests() = IcebergInterop.state(s, dir, None)
+        .files.filter(_.snapId == oddSnap).map(_.manifest).toSet
+      val before = oddManifests()
+      IcebergSql.register("ic9_orders", dir)
+      s.sql("DELETE FROM graft_iceberg.ic9_orders WHERE o_orderkey % 10 = 0")
+      s.sql("UPDATE graft_iceberg.ic9_orders " +
+        "SET o_totalprice = o_totalprice + 10 WHERE o_orderkey % 10 = 2")
+      val carried = before.nonEmpty && oddManifests() == before
+      s"$dir|$carried"
+    })
+    val Array(dir, carried) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("untouched_manifest_carried", lit(carried.toBoolean))
+  }
+
+  val ic9Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS untouched_manifest_carried
+      |FROM t GROUP BY o_orderpriority""".stripMargin
+
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML
     * (copy-on-write delete), exports in place (zero data movement —
@@ -1953,6 +2045,8 @@ object LakeQueries {
     "dls2_delta_cdf_stream" -> (dls2DeltaCdfStream _),
     "dl8_delta_optimize" -> (dl8DeltaOptimize _),
     "ic8_iceberg_optimize" -> (ic8IcebergOptimize _),
+    "dl9_delta_dml" -> (dl9DeltaDml _),
+    "ic9_iceberg_dml" -> (ic9IcebergDml _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -2005,6 +2099,8 @@ object LakeQueries {
     "dls2_delta_cdf_stream" -> dl7Oracle,
     "dl8_delta_optimize" -> dl8Oracle,
     "ic8_iceberg_optimize" -> ic8Oracle,
+    "dl9_delta_dml" -> dl9Oracle,
+    "ic9_iceberg_dml" -> ic9Oracle,
     "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
