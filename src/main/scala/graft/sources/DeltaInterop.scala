@@ -1141,6 +1141,167 @@ object DeltaInterop {
     DeltaDml(v, counts.map(_._2).sum, touched.length)
   }
 
+  /** Stage CDC `rows` (data columns + `_change_type`; partition
+    * columns present when the table is partitioned — the staged write
+    * strips them into dirs) under `_change_data/` and return cdc
+    * action lines with each file's partition values. The
+    * partition-aware variant of [[stageCdc]], for DML whose rows can
+    * MOVE across partitions (MERGE). */
+  private def stageCdcFiles(rows: DataFrame, root: Path, fs: FileSystem,
+                            partitionBy: Seq[String]): Seq[String] = {
+    val stage = new Path(root, s".cdc-${java.util.UUID.randomUUID()}")
+    val w = rows.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val cdcDir = new Path(root, "_change_data")
+    fs.mkdirs(cdcDir)
+    val lines = listParquet(fs, stage).map { p =>
+      val rel = relativize(stage, p)
+      val pv = hivePartitionValues(rel)
+      val dest = new Path(cdcDir,
+        s"cdc-${java.util.UUID.randomUUID()}.parquet")
+      if (!fs.rename(p, dest))
+        throw new IllegalStateException(s"failed to move $p to $dest")
+      s"""{"cdc":{"path":${
+        jstr(urlEncode(s"_change_data/${dest.getName}"))
+      },"partitionValues":${
+        pvJsonOf(partitionBy.map(c => c -> pv.get(c).flatten).toMap)
+      },"size":${fs.getFileStatus(dest).getLen},"dataChange":false}}"""
+    }
+    fs.delete(stage, true): Unit
+    lines
+  }
+
+  /** `MERGE INTO` a Delta table — the classic upsert (`WHEN MATCHED
+    * THEN UPDATE SET *` / `WHEN NOT MATCHED THEN INSERT *`),
+    * COPY-ON-WRITE: only files holding a key match rewrite (matched
+    * rows replaced WHOLESALE by their source row, unmatched rows
+    * verbatim), not-matched source rows insert, and one commit
+    * publishes removes + adds. Matched rows may move PARTITIONS (the
+    * source row's partition values win): the rewrite stages through
+    * the same partition-dir layout as [[write]], so every add records
+    * the values its rows actually carry. Source keys must be UNIQUE —
+    * two source rows matching one target row is the protocol's
+    * nondeterministic-merge error, refused by name (Delta's own
+    * multipleMatches rule). When CDF is on, matched rows record as
+    * `update_preimage`/`update_postimage` and inserts as `insert`.
+    *
+    * Scale shape: one key-column scan (column-pruned) finds touched
+    * files and match counts; only those files rescan for the rewrite;
+    * the source anti-join for inserts rides the same pruned key scan.
+    * AQE broadcasts the source when small — the common dimension-sync
+    * case costs one broadcast join over the touched surface. */
+  def merge(source: DataFrame, table: String,
+            keyCols: Seq[String]): DeltaDml = {
+    val spark = source.sparkSession
+    val st = state(spark, table, None)
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — DML would address logical " +
+        "names; reads only")
+    require(keyCols.nonEmpty, "MERGE needs at least one key column")
+    keyCols.foreach(k => require(st.schema.exists(_.name == k),
+      s"MERGE key column $k is not in the schema of $table"))
+    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    import spark.implicits._
+    // nondeterministic-merge guard: a key matched by 2+ source rows
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+    require(dup.isEmpty,
+      s"MERGE source has duplicate key rows on " +
+        s"(${keyCols.mkString(", ")}) — which one updates the target " +
+        "is undefined; deduplicate the source first")
+    val byNorm: Map[String, DeltaAdd] =
+      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // one key-column scan: touched files + per-file match counts
+    val liveKeys = filesToDF(spark, table, st.schema,
+      st.partitionColumns, st.files, keepLineage = true)
+      .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
+    val counts: Array[(String, Long)] =
+      liveKeys.join(srcKeys, keyCols)
+        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    val touched = counts.map(t => byNorm(t._1)).toIndexedSeq
+    val orderedCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
+    val notMatched = source
+      .join(liveKeys.drop("__fp").distinct(), keyCols, "left_anti")
+      .select(orderedCols: _*)
+    val cdfOn = st.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    // matched rewrite: source columns win wholesale on a key match
+    val srcPref = source.select(st.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).as(s"__src_${f.name}")): _*)
+    val keyCond = keyCols.map(k => col(k) === col(s"__src_$k"))
+      .reduce(_ && _)
+    val matchedInd = col(s"__src_${keyCols.head}").isNotNull
+    def tgtRows = filesToDF(spark, table, st.schema,
+      st.partitionColumns, touched)
+    val merged = tgtRows.join(srcPref, keyCond, "left")
+      .select(st.schema.fields.toIndexedSeq.map(f =>
+        when(matchedInd, col(s"__src_${f.name}"))
+          .otherwise(col(f.name)).cast(f.dataType).as(f.name)): _*)
+    val outRows = merged.unionByName(notMatched)
+    // stage through the same partition-dir layout as write()
+    val stage = new Path(root, s".merge-${java.util.UUID.randomUUID()}")
+    val w = outRows.write.mode("overwrite")
+    (if (st.partitionColumns.nonEmpty)
+       w.partitionBy(st.partitionColumns: _*)
+     else w).parquet(stage.toString)
+    val dataSchema = StructType(st.schema.fields.filterNot(f =>
+      st.partitionColumns.contains(f.name)))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("MERGE")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    var insertedAny = false
+    listParquet(fs, stage).foreach { p =>
+      val rel = relativize(stage, p)
+      val (rows0, lo, hi) =
+        ScanPredicates.footerStats(spark, p, dataSchema)
+      if (rows0 > 0) { // an all-no-op group stages an empty file — skip
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest))
+          throw new IllegalStateException(s"failed to move $p to $dest")
+        insertedAny = true
+        val pv = hivePartitionValues(rel)
+        lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
+          s""""partitionValues":${
+            pvJsonOf(st.partitionColumns
+              .map(c => c -> pv.get(c).flatten).toMap)
+          },"size":${fs.getFileStatus(dest).getLen},""" +
+          s""""modificationTime":$now,"dataChange":true,""" +
+          s""""stats":${jstr(statsJson(rows0, lo, hi, dataSchema))}}}"""
+      }
+    }
+    fs.delete(stage, true): Unit
+    touched.foreach(a =>
+      lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+        s""""deletionTimestamp":$now,"dataChange":true}}""")
+    // a merge into an empty/no-match state with an empty source would
+    // publish an empty commit — keep the version instead
+    val inserts =
+      if (touched.isEmpty && !insertedAny) return DeltaDml(st.version, 0L, 0)
+      else notMatched.count()
+    if (cdfOn) {
+      val pre = tgtRows.join(srcKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = tgtRows.join(srcPref, keyCond, "inner")
+        .select(st.schema.fields.toIndexedSeq.map(f =>
+          col(s"__src_${f.name}").cast(f.dataType).as(f.name)): _*)
+        .withColumn("_change_type", lit("update_postimage"))
+      val ins = notMatched.withColumn("_change_type", lit("insert"))
+      lines ++= stageCdcFiles(pre.unionByName(post).unionByName(ins),
+        root, fs, st.partitionColumns)
+    }
+    val v = publishCommit(fs, new Path(root, "_delta_log"),
+      st.version + 1, lines.toSeq)
+    DeltaDml(v, counts.map(_._2).sum + inserts, touched.length)
+  }
+
   // --------------------------------------------------- change data feed
 
   /** Enable the table's CHANGE DATA FEED (`ALTER TABLE … SET

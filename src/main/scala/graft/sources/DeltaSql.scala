@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -16,8 +16,9 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   * row-level DML: `DELETE FROM graft_delta.t WHERE ...` executes
   * [[DeltaInterop.delete]]'s merge-on-read deletion-vector commit and
   * `UPDATE graft_delta.t SET ... [WHERE ...]` executes
-  * [[DeltaInterop.update]]'s copy-on-write touched-file rewrite. Bulk
-  * writes go through [[DeltaInterop.write]] or, better,
+  * [[DeltaInterop.update]]'s copy-on-write touched-file rewrite, and
+  * the plain-upsert `MERGE INTO` shape executes [[DeltaInterop.merge]].
+  * Bulk writes go through [[DeltaInterop.write]] or, better,
   * [[DeltaInterop.importToManifest]] and the full `graft_lake`
   * surface. */
 object DeltaSql {
@@ -96,6 +97,31 @@ object DeltaSql {
     }
   }
 
+  /** A MERGE ON clause as upsert keys: conjunctions of
+    * `t.k = s.k` (same column name both sides) only. */
+  private def mergeKeys(cond: Expression): Seq[String] = cond match {
+    case And(l, r) => mergeKeys(l) ++ mergeKeys(r)
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+      if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+      Seq(a.nameParts.last)
+    case other => throw new UnsupportedOperationException(
+      s"graft_delta MERGE supports conjunctions of t.key = s.key (same " +
+        s"column name both sides) in its ON clause; got: ${other.sql}")
+  }
+
+  /** `MERGE INTO graft_delta.t USING src ON ... WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+    * [[DeltaInterop.merge]]'s copy-on-write upsert when the command
+    * runs. */
+  final case class GraftDeltaMergeCommand(table: String, keyCols: Seq[String],
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      DeltaInterop.merge(source, table, keyCols): Unit
+      Seq.empty
+    }
+  }
+
   final class DeltaSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     private def readPlan(path: String, version: Option[Long]): LogicalPlan =
@@ -137,6 +163,27 @@ object DeltaSql {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       // DML matches at the ROOT (where SQL grammar puts it) so the
       // target relation is never rewritten into a bare read
+      case m: MergeIntoTable if dmlTarget(m.targetTable).isDefined =>
+        val src = applyReads(m.sourceTable)
+        if (!src.resolved) m.copy(sourceTable = src) // wait for analyzer
+        else {
+          val simple = !m.withSchemaEvolution &&
+            m.notMatchedBySourceActions.isEmpty &&
+            m.matchedActions.size == 1 &&
+            m.matchedActions.forall {
+              case UpdateStarAction(None) => true; case _ => false } &&
+            m.notMatchedActions.size == 1 &&
+            m.notMatchedActions.forall {
+              case InsertStarAction(None) => true; case _ => false }
+          if (!simple) throw new UnsupportedOperationException(
+            "graft_delta MERGE supports the plain upsert shape only — " +
+              "WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED " +
+              "THEN INSERT *; route richer clause logic through " +
+              "importToManifest and the graft_lake MERGE surface")
+          GraftDeltaMergeCommand(dmlTarget(m.targetTable).get,
+            mergeKeys(m.mergeCondition),
+            PlanBridge.ofRows(spark, src))
+        }
       case d: DeleteFromTable if dmlTarget(d.table).isDefined =>
         GraftDeltaDeleteCommand(dmlTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))

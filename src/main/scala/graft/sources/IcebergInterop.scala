@@ -1513,6 +1513,76 @@ object IcebergInterop {
     IceDml(snap, counts.map(_._2).sum, touched.size)
   }
 
+  /** `MERGE INTO` an Iceberg table — the classic upsert (`WHEN
+    * MATCHED THEN UPDATE SET *` / `WHEN NOT MATCHED THEN INSERT *`),
+    * COPY-ON-WRITE: only files holding a key match rewrite (matched
+    * rows replaced wholesale by their source row, unmatched verbatim),
+    * not-matched source rows insert, and one `overwrite` snapshot
+    * publishes through [[publishRewrite]] — untouched manifests carry
+    * verbatim. Rewritten and inserted rows re-derive their partition
+    * tuples under the current default spec, so a merge that moves a
+    * row's partition value lands it correctly. Source keys must be
+    * unique (two source rows matching one target row is refused by
+    * name — the engines' nondeterministic-merge rule).
+    *
+    * Scale shape: one key-column scan (column-pruned) finds touched
+    * files and match counts; only those files rescan for the rewrite;
+    * AQE broadcasts a small source. */
+  def merge(source: DataFrame, table: String,
+            keyCols: Seq[String]): IceDml = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val spark = source.sparkSession
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+      s"table $table carries merge-on-read delete files — run " +
+        "compactDeletes first; copy-on-write DML would silently " +
+        "resurrect their deleted rows otherwise")
+    require(keyCols.nonEmpty, "MERGE needs at least one key column")
+    keyCols.foreach(k => require(st.schema.exists(_.name == k),
+      s"MERGE key column $k is not in the schema of $table"))
+    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
+    import spark.implicits._
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+    require(dup.isEmpty,
+      s"MERGE source has duplicate key rows on " +
+        s"(${keyCols.mkString(", ")}) — which one updates the target " +
+        "is undefined; deduplicate the source first")
+    val orderedCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
+    val byNorm = st.files.map(f => dmlNormStr(f.path) -> f).toMap
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val liveKeys = toDF(spark, st, keepLineage = true)
+      .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
+    val counts: Array[(String, Long)] =
+      liveKeys.join(srcKeys, keyCols)
+        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    val touched = counts.map(t => byNorm(t._1)).toSeq
+    val notMatched = source
+      .join(liveKeys.drop("__fp").distinct(), keyCols, "left_anti")
+      .select(orderedCols: _*)
+    val inserts = notMatched.count()
+    if (touched.isEmpty && inserts == 0L)
+      return IceDml(st.snapshotId, 0L, 0)
+    val srcPref = source.select(st.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).as(s"__src_${f.name}")): _*)
+    val keyCond = keyCols.map(k => col(k) === col(s"__src_$k"))
+      .reduce(_ && _)
+    val matchedInd = col(s"__src_${keyCols.head}").isNotNull
+    val merged = toDF(spark, st.copy(files = touched))
+      .join(srcPref, keyCond, "left")
+      .select(st.schema.fields.toIndexedSeq.map(f =>
+        when(matchedInd, col(s"__src_${f.name}"))
+          .otherwise(col(f.name)).cast(f.dataType).as(f.name)): _*)
+    val added = stageRewritten(spark, fs, root, st,
+      merged.unionByName(notMatched))
+    val snap = publishRewrite(spark, fs, root, st, added,
+      touched.map(_.path).toSet, "overwrite")
+    IceDml(snap, counts.map(_._2).sum + inserts, touched.size)
+  }
+
   /** Stage a DML rewrite's surviving rows as data files under the
     * table's current default spec, field ids stamped; empty outputs
     * (a rewrite that deleted every row) clean up rather than commit

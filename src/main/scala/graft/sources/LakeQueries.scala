@@ -1173,26 +1173,39 @@ object LakeQueries {
       |FROM orders
       |WHERE o_custkey BETWEEN 100 AND 300""".stripMargin
 
-  /** dl9_delta_dml — Delta ROW-LEVEL DML through the gate, via the
-    * SQL surface: `DELETE FROM` lands as a MERGE-ON-READ
-    * deletion-vector commit (no data file rewrites — the in-row
-    * `mor_delete` flag pins that the delete version carries a vector)
-    * and `UPDATE` as a copy-on-write rewrite of only the files
-    * holding a match (materializing their vectors). The oracle
-    * re-derives the post-DML table from the original parquet; sums
-    * ride the decimal-exact-then-DOUBLE contract (mv1). */
+  /** dl9_delta_dml — Delta ROW-LEVEL DML through the gate, all three
+    * verbs via the SQL surface: `DELETE FROM` lands as a
+    * MERGE-ON-READ deletion-vector commit (no data file rewrites —
+    * the in-row `mor_delete` flag pins that the delete version
+    * carries a vector), `UPDATE` as a copy-on-write rewrite of only
+    * the files holding a match (materializing their vectors), and
+    * `MERGE INTO` as the upsert (matched keys replaced wholesale —
+    * including keys the DELETE killed, which re-enter as inserts —
+    * plus genuinely new keys). The oracle re-derives the post-DML
+    * table from the original parquet; sums ride the
+    * decimal-exact-then-DOUBLE contract (mv1). */
   def dl9DeltaDml(s: SparkSession, d: String): DataFrame = {
     val built = builtTables.computeIfAbsent(s"dl9:$d", _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-delta-dl9").toString + "/t"
-      DeltaInterop.write(
-        Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
-        dir)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o, dir)
       DeltaSql.register("dl9_orders", dir)
       s.sql("DELETE FROM graft_delta.dl9_orders WHERE o_orderkey % 5 = 0")
       s.sql("UPDATE graft_delta.dl9_orders " +
         "SET o_totalprice = o_totalprice + 10 WHERE o_orderkey % 7 = 0")
+      val nine = o.filter(col("o_orderkey") % 9 === 1)
+      nine.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(nine.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(100000000L))
+            .cast(o.schema("o_orderkey").dataType)))
+        .createOrReplaceTempView("dl9_merge_src")
+      s.sql(
+        """MERGE INTO graft_delta.dl9_orders AS t
+          |USING dl9_merge_src AS m ON t.o_orderkey = m.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       val mor = DeltaInterop.state(s, dir, Some(1L))
         .files.exists(_.dv.nonEmpty)
       s"$dir|$mor"
@@ -1207,24 +1220,37 @@ object LakeQueries {
   }
 
   val dl9Oracle: String =
-    """WITH t AS (
-      |  SELECT o_orderpriority,
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_orderpriority,
       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
       |         ELSE o_totalprice END AS o_totalprice
-      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |m AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 = 1),
+      |fin AS (
+      |  SELECT * FROM m
+      |  UNION ALL
+      |  SELECT * FROM upd
+      |  WHERE upd.o_orderkey NOT IN (SELECT o_orderkey FROM m))
       |SELECT o_orderpriority, count(*) AS n_orders,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
       |  TRUE AS mor_delete
-      |FROM t GROUP BY o_orderpriority""".stripMargin
+      |FROM fin GROUP BY o_orderpriority""".stripMargin
 
-  /** ic9_iceberg_dml — Iceberg ROW-LEVEL DML through the gate, via
-    * the SQL surface: two appends build two manifests (evens, odds);
-    * copy-on-write `DELETE FROM` and `UPDATE` touch only even keys,
-    * so the odd append's manifest must carry VERBATIM through both
-    * commits — the in-row `untouched_manifest_carried` flag pins the
-    * per-manifest metadata economics, and the oracle re-derives the
-    * post-DML rows from the original parquet. */
+  /** ic9_iceberg_dml — Iceberg ROW-LEVEL DML through the gate, all
+    * three verbs via the SQL surface: two appends build two manifests
+    * (evens, odds); copy-on-write `DELETE FROM`, `UPDATE` and the
+    * `MERGE INTO` upsert touch only EVEN keys, so the odd append's
+    * manifest must carry VERBATIM through all three commits — the
+    * in-row `untouched_manifest_carried` flag pins the per-manifest
+    * metadata economics, and the oracle re-derives the post-DML rows
+    * from the original parquet. */
   def ic9IcebergDml(s: SparkSession, d: String): DataFrame = {
     val built = builtTables.computeIfAbsent(s"ic9:$d", _ => {
       val dir = java.nio.file.Files
@@ -1241,6 +1267,17 @@ object LakeQueries {
       s.sql("DELETE FROM graft_iceberg.ic9_orders WHERE o_orderkey % 10 = 0")
       s.sql("UPDATE graft_iceberg.ic9_orders " +
         "SET o_totalprice = o_totalprice + 10 WHERE o_orderkey % 10 = 2")
+      val four = o.filter(col("o_orderkey") % 10 === 4)
+      four.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(four.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(100000000L))
+            .cast(o.schema("o_orderkey").dataType)))
+        .createOrReplaceTempView("ic9_merge_src")
+      s.sql(
+        """MERGE INTO graft_iceberg.ic9_orders AS t
+          |USING ic9_merge_src AS m ON t.o_orderkey = m.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       val carried = before.nonEmpty && oddManifests() == before
       s"$dir|$carried"
     })
@@ -1254,16 +1291,28 @@ object LakeQueries {
   }
 
   val ic9Oracle: String =
-    """WITH t AS (
-      |  SELECT o_orderpriority,
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_orderpriority,
       |    CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 10
       |         ELSE o_totalprice END AS o_totalprice
-      |  FROM orders WHERE o_orderkey % 10 <> 0)
+      |  FROM orders WHERE o_orderkey % 10 <> 0),
+      |m AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 4),
+      |fin AS (
+      |  SELECT * FROM m
+      |  UNION ALL
+      |  SELECT * FROM upd
+      |  WHERE upd.o_orderkey NOT IN (SELECT o_orderkey FROM m))
       |SELECT o_orderpriority, count(*) AS n_orders,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
       |  TRUE AS untouched_manifest_carried
-      |FROM t GROUP BY o_orderpriority""".stripMargin
+      |FROM fin GROUP BY o_orderpriority""".stripMargin
 
   /** dl3_convert_export — metadata-only manifest → Delta conversion
     * through the gate: a manifest table takes native DML

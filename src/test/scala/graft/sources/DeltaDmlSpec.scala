@@ -209,6 +209,82 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally DeltaSql.unregister("dml_sql_t")
   }
 
+  test("MERGE upserts copy-on-write: matched rows replaced wholesale " +
+    "(moving partitions when the source says so), unmatched inserted, " +
+    "untouched files kept; duplicate source keys refuse") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 40L).map(i => (s"g${i % 2}", i, i)).toDF("g", "id", "v"), t,
+      partitionBy = Seq("g"))
+    // id=2 moves g0 → g1; id=4 updates in place; ids 100,101 insert
+    val src = Seq(("g1", 2L, 222L), ("g0", 4L, 444L),
+      ("g0", 100L, 1000L), ("g1", 101L, 1010L)).toDF("g", "id", "v")
+    val r = DeltaInterop.merge(src, t, Seq("id"))
+    r.rowsAffected shouldBe 4L
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 42L
+    out.filter($"id" === 2L).select($"g", $"v").as[(String, Long)]
+      .head() shouldBe (("g1", 222L))
+    out.filter($"id" === 4L).select($"v").as[Long].head() shouldBe 444L
+    out.filter($"id" === 100L).count() shouldBe 1L
+    out.filter($"id" === 3L).select($"v").as[Long].head() shouldBe 3L
+    // duplicate source keys refuse by name
+    intercept[IllegalArgumentException] {
+      DeltaInterop.merge(
+        Seq(("g0", 1L, 1L), ("g0", 1L, 2L)).toDF("g", "id", "v"),
+        t, Seq("id"))
+    }.getMessage should include("duplicate")
+  }
+
+  test("MERGE with CDF enabled records update pre/post images and " +
+    "inserts through the change feed") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    DeltaInterop.merge(
+      Seq((3L, 33L), (99L, 990L)).toDF("id", "v"), t, Seq("id"))
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.filter($"_change_type" === "update_preimage")
+      .select($"v").as[Long].collect() shouldBe Array(3L)
+    cf.filter($"_change_type" === "update_postimage")
+      .select($"v").as[Long].collect() shouldBe Array(33L)
+    cf.filter($"_change_type" === "insert")
+      .select($"id").as[Long].collect() shouldBe Array(99L)
+  }
+
+  test("SQL MERGE INTO graft_delta executes the upsert; richer clause " +
+    "shapes refuse by name") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaSql.register("merge_sql_t", t)
+    Seq((2L, 20L), (9L, 90L)).toDF("id", "v")
+      .createOrReplaceTempView("merge_sql_src")
+    try {
+      spark.sql(
+        """MERGE INTO graft_delta.merge_sql_t AS t
+          |USING merge_sql_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql(
+        "SELECT id, v FROM graft_delta.merge_sql_t ORDER BY id")
+        .as[(Long, Long)].collect()
+      out shouldBe Array((1L, 1L), (2L, 20L), (3L, 3L), (4L, 4L),
+        (5L, 5L), (9L, 90L))
+      intercept[UnsupportedOperationException] {
+        spark.sql(
+          """MERGE INTO graft_delta.merge_sql_t AS t
+            |USING merge_sql_src AS s ON t.id = s.id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+      }.getMessage should include("plain upsert")
+    } finally {
+      DeltaSql.unregister("merge_sql_t")
+      spark.catalog.dropTempView("merge_sql_src"): Unit
+    }
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._

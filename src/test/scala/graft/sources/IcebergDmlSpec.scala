@@ -134,6 +134,57 @@ class IcebergDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally IcebergSql.unregister("ice_dml_t")
   }
 
+  test("MERGE upserts copy-on-write: matched rows replaced wholesale, " +
+    "unmatched inserted, untouched manifests carried; duplicate " +
+    "source keys refuse") {
+    import spark.implicits._
+    val t = fresh()
+    val s1 = IcebergInterop.write(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.write(
+      (21L to 40L).map(i => (i, i)).toDF("id", "v"), t)
+    val firstManifests = IcebergInterop.state(spark, t, None)
+      .files.filter(_.snapId == s1).map(_.manifest).toSet
+    // touch only the SECOND write's keys; first manifest must carry
+    val r = IcebergInterop.merge(
+      Seq((25L, 250L), (99L, 990L)).toDF("id", "v"), t, Seq("id"))
+    r.rowsAffected shouldBe 2L
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 41L
+    out.filter($"id" === 25L).select($"v").as[Long].head() shouldBe 250L
+    out.filter($"id" === 99L).count() shouldBe 1L
+    IcebergInterop.state(spark, t, None).files
+      .filter(_.snapId == s1).map(_.manifest).toSet shouldBe firstManifests
+    intercept[IllegalArgumentException] {
+      IcebergInterop.merge(
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), t, Seq("id"))
+    }.getMessage should include("duplicate")
+  }
+
+  test("SQL MERGE INTO graft_iceberg executes the upsert") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergSql.register("ice_merge_t", t)
+    Seq((2L, 20L), (9L, 90L)).toDF("id", "v")
+      .createOrReplaceTempView("ice_merge_src")
+    try {
+      spark.sql(
+        """MERGE INTO graft_iceberg.ice_merge_t AS t
+          |USING ice_merge_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(
+        "SELECT id, v FROM graft_iceberg.ice_merge_t ORDER BY id")
+        .as[(Long, Long)].collect() shouldBe
+        Array((1L, 1L), (2L, 20L), (3L, 3L), (4L, 4L), (5L, 5L),
+          (9L, 90L))
+    } finally {
+      IcebergSql.unregister("ice_merge_t")
+      spark.catalog.dropTempView("ice_merge_src"): Unit
+    }
+  }
+
   test("no-op predicates keep the snapshot; MOR delete files and " +
     "unknown columns refuse by name") {
     import spark.implicits._
