@@ -222,6 +222,28 @@ object DeltaDv {
   /** The serialized bitmap bytes for a descriptor: inline Z85 payload,
     * or the framed slice of a DV file (size word checked against the
     * descriptor, CRC32 verified). */
+  /** The on-disk file a descriptor references — None for inline
+    * payloads ("i" storage, which live in the log itself). What
+    * [[bitmapBytes]] opens and what retention (vacuum) must treat as
+    * referenced. */
+  def dvFilePath(tableRoot: Path, dv: DvDescriptor): Option[Path] =
+    dv.storageType match {
+      case "p" => Some(new Path(dv.pathOrInlineDv))
+      case "u" =>
+        // <prefix?><20-char z85 uuid>; the prefix (if any) is a
+        // directory level under the table root
+        val enc = dv.pathOrInlineDv
+        require(enc.length >= 20, s"malformed u-storage DV id '$enc'")
+        val (prefix, z) = enc.splitAt(enc.length - 20)
+        val bytes = z85Decode(z)
+        val bb = ByteBuffer.wrap(bytes)
+        val uuid = new java.util.UUID(bb.getLong(), bb.getLong())
+        val name = s"deletion_vector_$uuid.bin"
+        Some(if (prefix.isEmpty) new Path(tableRoot, name)
+        else new Path(new Path(tableRoot, prefix), name))
+      case _ => None
+    }
+
   def bitmapBytes(fs: FileSystem, tableRoot: Path,
                   dv: DvDescriptor): Array[Byte] = dv.storageType match {
     case "i" =>
@@ -232,21 +254,7 @@ object DeltaDv {
         raw.take(dv.sizeInBytes)
       else raw
     case "u" | "p" =>
-      val file = dv.storageType match {
-        case "p" => new Path(dv.pathOrInlineDv)
-        case _ =>
-          // <prefix?><20-char z85 uuid>; the prefix (if any) is a
-          // directory level under the table root
-          val enc = dv.pathOrInlineDv
-          require(enc.length >= 20, s"malformed u-storage DV id '$enc'")
-          val (prefix, z) = enc.splitAt(enc.length - 20)
-          val bytes = z85Decode(z)
-          val bb = ByteBuffer.wrap(bytes)
-          val uuid = new java.util.UUID(bb.getLong(), bb.getLong())
-          val name = s"deletion_vector_$uuid.bin"
-          if (prefix.isEmpty) new Path(tableRoot, name)
-          else new Path(new Path(tableRoot, prefix), name)
-      }
+      val file = dvFilePath(tableRoot, dv).get
       val in = fs.open(file)
       try {
         in.seek(dv.offset)

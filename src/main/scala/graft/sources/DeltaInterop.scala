@@ -1620,17 +1620,13 @@ object DeltaInterop {
     * [[read]] starts from instead of replaying every JSON commit.
     * A versioned checkpoint is what [[vacuum]] writes at the oldest
     * RETAINED version so every retained version stays resolvable
-    * after older JSON commits drop. */
+    * after older JSON commits drop. Vectored states checkpoint under
+    * the table-features protocol with per-add `deletionVector`
+    * structs (the protocol's checkpoint schema), so DML-heavy tables
+    * compact their logs without purging first. */
   def checkpoint(spark: SparkSession, table: String,
                  version: Option[Long] = None): Long = {
     val st = state(spark, table, version)
-    // this writer's checkpoint rows carry no deletionVector column —
-    // checkpointing a DV-bearing state would drop the vectors and
-    // resurrect their deleted rows for every later reader
-    require(st.files.forall(_.dv.isEmpty),
-      s"table $table holds deletion-vector files at version " +
-        s"${st.version} — checkpointing would drop the vectors; " +
-        "purge the vectors first (purgeDeletionVectors)")
     require(st.columnMappingMode == "none",
       s"table $table uses column mapping — this writer's checkpoint " +
         "rows drop the table configuration, so readers would resolve " +
@@ -1638,8 +1634,17 @@ object DeltaInterop {
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
+    // a vectored state checkpoints under the table-features protocol
+    // (reader 3 / writer 7 + the feature names) — its add rows carry
+    // the deletionVector struct the replay side already parses, so
+    // the vectors survive log cleanup
+    val proto =
+      if (st.readerFeatures.nonEmpty || st.minReaderVersion >= 3)
+        CkProtocol(math.max(st.minReaderVersion, 3), 7,
+          Some(st.readerFeatures), Some(st.readerFeatures))
+      else CkProtocol(1, 2)
     val rows =
-      CkRow(Some(CkProtocol(1, 2)), None, None) +:
+      CkRow(Some(proto), None, None) +:
         CkRow(None, Some(CkMeta(
           java.util.UUID.randomUUID().toString,
           CkFormat("parquet", Map.empty), st.schema.json,
@@ -1648,7 +1653,10 @@ object DeltaInterop {
         st.files.map(a => CkRow(None, None, Some(CkAdd(
           urlEncode(a.path),
           a.partitionValues.map { case (k, v) => k -> v.orNull },
-          a.size, 0L, dataChange = false, stats = a.stats))))
+          a.size, 0L, dataChange = false, stats = a.stats,
+          deletionVector = a.dv.map(d => CkDv(d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality))))))
     val stage = new Path(logDir, s".ck-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.parquet(stage.toString)
     val part = listParquet(fs, stage).head
@@ -1705,6 +1713,12 @@ object DeltaInterop {
     if (drop.nonEmpty) checkpoint(spark, table, Some(oldestKeep))
     val keepStates = keep.map(v => v -> state(spark, table, Some(v))).toMap
     val live = keepStates.values.flatMap(_.files.map(_.path)).toSet
+    // deletion-vector sidecars any RETAINED version still references
+    // (the oldest retained version is DV-free — checkpoint enforced it
+    // — but newer retained versions may carry vectors from DML)
+    val liveDv = keepStates.values.flatMap(_.files.flatMap(_.dv))
+      .flatMap(d => DeltaDv.dvFilePath(root, d))
+      .map(p => relativize(root, p)).toSet
     val cutoff = fs.getFileStatus(
       new Path(logDir, f"$oldestKeep%020d.json")).getModificationTime
     var deleted = 0
@@ -1715,6 +1729,13 @@ object DeltaInterop {
       } else if (nm.endsWith(".parquet") && !nm.startsWith(".")) {
         val rel = relativize(root, st.getPath)
         if (!live(rel) && st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      } else if (nm.startsWith("deletion_vector_") && nm.endsWith(".bin")) {
+        // superseded vectors (a later delete unioned them into a new
+        // file, a rewrite materialized them, or their version dropped)
+        val rel = relativize(root, st.getPath)
+        if (!liveDv(rel) && st.getModificationTime < cutoff) {
           if (fs.delete(st.getPath, false)) deleted += 1
         }
       }
@@ -1902,7 +1923,11 @@ object DeltaInterop {
 
   // checkpoint action rows (object-level so Spark can derive encoders)
   private[sources] final case class CkProtocol(minReaderVersion: Int,
-                                      minWriterVersion: Int)
+                                      minWriterVersion: Int,
+                                      readerFeatures: Option[Seq[String]] =
+                                        None,
+                                      writerFeatures: Option[Seq[String]] =
+                                        None)
   private[sources] final case class CkFormat(provider: String,
                                     options: Map[String, String])
   private[sources] final case class CkMeta(id: String, format: CkFormat,
@@ -1910,11 +1935,15 @@ object DeltaInterop {
                                   partitionColumns: Seq[String],
                                   configuration: Map[String, String],
                                   createdTime: Long)
+  private[sources] final case class CkDv(storageType: String,
+                                 pathOrInlineDv: String, offset: Long,
+                                 sizeInBytes: Int, cardinality: Long)
   private[sources] final case class CkAdd(path: String,
                                  partitionValues: Map[String, String],
                                  size: Long, modificationTime: Long,
                                  dataChange: Boolean,
-                                 stats: Option[String] = None)
+                                 stats: Option[String] = None,
+                                 deletionVector: Option[CkDv] = None)
   private[sources] final case class CkRow(protocol: Option[CkProtocol],
                                  metaData: Option[CkMeta],
                                  add: Option[CkAdd])

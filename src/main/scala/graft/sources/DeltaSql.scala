@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -97,6 +97,27 @@ object DeltaSql {
     }
   }
 
+  /** `INSERT INTO` / `INSERT OVERWRITE` graft_delta.t —
+    * [[DeltaInterop.write]]'s append/overwrite commit when the command
+    * runs, under the table's recorded partitioning. Positional
+    * column semantics (SQL's INSERT contract). */
+  final case class GraftDeltaInsertCommand(table: String, overwrite: Boolean,
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      val st = DeltaInterop.state(spark, table, None)
+      require(source.columns.length == st.schema.length,
+        s"INSERT arity ${source.columns.length} does not match table " +
+          s"$table (${st.schema.length} columns)")
+      // positional semantics, SQL's INSERT contract: the query's
+      // columns land in schema order regardless of their names
+      val positioned = source.toDF(st.schema.fieldNames.toIndexedSeq: _*)
+      DeltaInterop.write(positioned, table, st.partitionColumns,
+        overwrite): Unit
+      Seq.empty
+    }
+  }
+
   /** A MERGE ON clause as upsert keys: conjunctions of
     * `t.k = s.k` (same column name both sides) only. */
   private def mergeKeys(cond: Expression): Seq[String] = cond match {
@@ -184,6 +205,14 @@ object DeltaSql {
             mergeKeys(m.mergeCondition),
             PlanBridge.ofRows(spark, src))
         }
+      case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
+        if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft_delta INSERT supports no PARTITION spec or column list")
+        val q = applyReads(i.query)
+        if (!q.resolved) i.copy(query = q) // wait for the analyzer
+        else GraftDeltaInsertCommand(dmlTarget(i.table).get, i.overwrite,
+          PlanBridge.ofRows(spark, q))
       case d: DeleteFromTable if dmlTarget(d.table).isDefined =>
         GraftDeltaDeleteCommand(dmlTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))

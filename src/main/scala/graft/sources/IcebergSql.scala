@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -96,6 +96,27 @@ object IcebergSql {
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
       IcebergInterop.update(spark, table, predicate, assignments): Unit
+      Seq.empty
+    }
+  }
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` graft_iceberg.t —
+    * [[IcebergInterop.write]]'s append/overwrite commit when the command
+    * runs, under the table's recorded partitioning. Positional
+    * column semantics (SQL's INSERT contract). */
+  final case class GraftIcebergInsertCommand(table: String, overwrite: Boolean,
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      val st = IcebergInterop.state(spark, table, None)
+      require(source.columns.length == st.schema.length,
+        s"INSERT arity ${source.columns.length} does not match table " +
+          s"$table (${st.schema.length} columns)")
+      // positional semantics, SQL's INSERT contract: the query's
+      // columns land in schema order regardless of their names
+      val positioned = source.toDF(st.schema.fieldNames.toIndexedSeq: _*)
+      IcebergInterop.write(positioned, table, overwrite,
+        st.specs.getOrElse(st.defaultSpecId, Nil)): Unit
       Seq.empty
     }
   }
@@ -193,6 +214,14 @@ object IcebergSql {
             mergeKeys(m.mergeCondition),
             PlanBridge.ofRows(spark, src))
         }
+      case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
+        if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft_iceberg INSERT supports no PARTITION spec or column list")
+        val q = applyReads(i.query)
+        if (!q.resolved) i.copy(query = q) // wait for the analyzer
+        else GraftIcebergInsertCommand(dmlTarget(i.table).get, i.overwrite,
+          PlanBridge.ofRows(spark, q))
       case d: DeleteFromTable if dmlTarget(d.table).isDefined =>
         GraftIcebergDeleteCommand(dmlTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))

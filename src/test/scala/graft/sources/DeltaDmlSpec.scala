@@ -285,6 +285,57 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("a vectored state CHECKPOINTS under the table-features " +
+    "protocol and replays exactly; vacuum keeps referenced vectors " +
+    "and cleans superseded ones") {
+    import spark.implicits._
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def dvFiles(): Set[String] = fs.listStatus(new Path(t))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+      .toSet
+    DeltaInterop.write((1L to 60L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.delete(spark, t, col("id") <= 5)   // v1: vector A
+    DeltaInterop.delete(spark, t, col("id") <= 10)  // v2: B supersedes A
+    dvFiles().size should be >= 2
+    // checkpoint at the DV-bearing head, then replay THROUGH it only
+    DeltaInterop.checkpoint(spark, t)
+    DeltaInterop.read(spark, t).agg(min($"id")).as[Long]
+      .head() shouldBe 11L
+    // vacuum retaining v1+v2: v1's vectors are still REFERENCED and
+    // predate v1's commit (the mtime guard alone would kill them) —
+    // the liveDv set must keep every retained version's sidecars
+    val before = dvFiles()
+    DeltaInterop.vacuum(spark, t, keepLast = 2)
+    dvFiles() shouldBe before
+    DeltaInterop.readVersion(spark, t, 1L).count() shouldBe 55L
+    // purge, then retain only the clean head: every vector is
+    // superseded and cleans up
+    DeltaInterop.purgeDeletionVectors(spark, t)
+    DeltaInterop.vacuum(spark, t, keepLast = 1)
+    dvFiles() shouldBe empty
+    DeltaInterop.read(spark, t).count() shouldBe 50L
+  }
+
+  test("SQL INSERT INTO and INSERT OVERWRITE append/replace with " +
+    "positional column semantics") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 5L).map(i => (i, i * 10)).toDF("id", "v"), t)
+    DeltaSql.register("ins_sql_t", t)
+    try {
+      spark.sql("INSERT INTO graft_delta.ins_sql_t " +
+        "SELECT 6L AS anything, 60L AS whatever")
+      spark.sql("SELECT v FROM graft_delta.ins_sql_t WHERE id = 6")
+        .as[Long].head() shouldBe 60L
+      spark.sql("INSERT OVERWRITE graft_delta.ins_sql_t " +
+        "SELECT 9L, 90L")
+      spark.sql("SELECT id, v FROM graft_delta.ins_sql_t")
+        .as[(Long, Long)].collect() shouldBe Array((9L, 90L))
+    } finally DeltaSql.unregister("ins_sql_t")
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._

@@ -185,6 +185,29 @@ class IcebergDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO and INSERT OVERWRITE append/replace with " +
+    "positional column semantics, keeping the table's spec") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 6L).map(i => (i, s"g${i % 2}")).toDF("id", "g"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergSql.register("ice_ins_t", t)
+    try {
+      spark.sql("INSERT INTO graft_iceberg.ice_ins_t " +
+        "SELECT 7L AS anything, 'g1' AS whatever")
+      spark.sql("SELECT count(*) FROM graft_iceberg.ice_ins_t " +
+        "WHERE g = 'g1'").as[Long].head() shouldBe 4L
+      // the inserted row landed with a real partition tuple
+      IcebergInterop.readWhere(spark, t, Seq(ScanEq("g", "g1")))
+        .filter($"id" === 7L).count() shouldBe 1L
+      spark.sql("INSERT OVERWRITE graft_iceberg.ice_ins_t " +
+        "SELECT 9L, 'g0'")
+      spark.sql("SELECT id, g FROM graft_iceberg.ice_ins_t")
+        .as[(Long, String)].collect() shouldBe Array((9L, "g0"))
+    } finally IcebergSql.unregister("ice_ins_t")
+  }
+
   test("no-op predicates keep the snapshot; MOR delete files and " +
     "unknown columns refuse by name") {
     import spark.implicits._

@@ -98,7 +98,7 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   test("Delta deletion vectors are APPLIED on read — file-based (u) and " +
     "inline (i) storage, z85 + roaring round-trips, time travel before " +
-    "the DV serves every row; checkpoint and import refuse DV states") {
+    "the DV serves every row; vectored states checkpoint; import refuses") {
     import spark.implicits._
     val t = fresh("graft-ddv")
     val root = new Path(t)
@@ -141,10 +141,13 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     // time travel BEFORE the DV serves every row
     DeltaInterop.readVersion(spark, t, 0L).select($"id").as[Long]
       .collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 9L)
-    // checkpoint and metadata-only import refuse a DV-bearing state
-    intercept[IllegalArgumentException] {
-      DeltaInterop.checkpoint(spark, t)
-    }.getMessage should include("deletion-vector")
+    // a DV-bearing state CHECKPOINTS (per-add deletionVector structs
+    // + the table-features protocol row) and replays exactly; the
+    // metadata-only import still refuses (the manifest would borrow
+    // files whose dead rows it cannot see)
+    DeltaInterop.checkpoint(spark, t) shouldBe 1L
+    DeltaInterop.read(spark, t).select($"id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 9L)
     intercept[IllegalArgumentException] {
       DeltaInterop.importToManifest(spark, t)
     }.getMessage should include("resurrect")
