@@ -930,6 +930,70 @@ object DeltaInterop {
     lines
   }
 
+  /** The MOR kill-set writer shared by [[delete]] and [[updateMor]]:
+    * serialize `matched`'s `(__fp, __pos)` pairs into one DV file PER
+    * FILE on executors (merging any existing vector — the protocol's
+    * cumulative rule), returning O(touched files)
+    * `(normPath, payloadId, offset, sizeInBytes, cardinality, fresh)`
+    * descriptors to the driver. Each file's positions must fit one
+    * task, the same bound delta-spark's DV writer has. */
+  private def writeDvPerFile(spark: SparkSession, root: Path,
+      st: DeltaState, matched: DataFrame)
+      : Array[(String, String, Long, Int, Long, Long)] = {
+    import spark.implicits._
+    val oldDvs: Map[String, DeltaDv.DvDescriptor] =
+      st.files.flatMap(a => a.dv.map(d =>
+        normStr(new Path(root, a.path).toString) -> d)).toMap
+    val tableRootStr = root.toString
+    matched.select(col("__fp"), col("__pos")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fp, it) =>
+        val fresh = it.map(_._2).toArray
+        val root0 = new Path(tableRootStr)
+        val fs0 = root0.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val old = oldDvs.get(fp)
+          .map(d => DeltaDv.deserialize(
+            DeltaDv.bitmapBytes(fs0, root0, d)))
+          .getOrElse(Array.empty[Long])
+        val all = (old ++ fresh).distinct.sorted
+        val (enc, off, size) =
+          DeltaDv.writeDvFile(fs0, root0, all.toIndexedSeq)
+        (fp, enc, off, size, all.length.toLong, fresh.length.toLong)
+      }.collect()
+  }
+
+  /** The protocol-upgrade line a first-vector commit needs (none when
+    * the table already declares the feature). */
+  private def dvProtocolLines(st: DeltaState): Seq[String] =
+    if (st.minReaderVersion >= 3 &&
+      st.readerFeatures.contains("deletionVectors")) Nil
+    else {
+      val rf = (st.readerFeatures :+ "deletionVectors").distinct
+      val fj = rf.map(jstr).mkString("[", ",", "]")
+      Seq(s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,"readerFeatures":$fj,""" +
+        s""""writerFeatures":$fj}}""")
+    }
+
+  /** The remove + vectored re-add lines for one touched file (or a
+    * bare remove when the vector covers every physical row). */
+  private def dvRewriteLines(a: DeltaAdd, enc: String, off: Long,
+      size: Int, card: Long, now: Long): Seq[String] = {
+    val rm = s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+      s""""deletionTimestamp":$now,"dataChange":true}}"""
+    if (numRecordsOf(a).contains(card)) Seq(rm)
+    else Seq(rm,
+      s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
+        s""""partitionValues":${pvJsonOf(a.partitionValues)},""" +
+        s""""size":${a.size},"modificationTime":$now,""" +
+        s""""dataChange":true""" +
+        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        s""","deletionVector":{"storageType":"u",""" +
+        s""""pathOrInlineDv":${jstr(enc)},"offset":$off,""" +
+        s""""sizeInBytes":$size,"cardinality":$card}}}""")
+  }
+
   /** `DELETE FROM` a Delta table, MERGE-ON-READ — the deletion-vector
     * commit delta-spark itself prefers for small deletes on big files:
     * matched rows' positions serialize into RoaringBitmap DV files
@@ -972,28 +1036,7 @@ object DeltaInterop {
     // with (file, position) lineage from the scan's metadata columns
     val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
       st.files, keepLineage = true).filter(predicate)
-    import spark.implicits._
-    val oldDvs: Map[String, DeltaDv.DvDescriptor] =
-      byNorm.collect { case (n, a) if a.dv.nonEmpty => n -> a.dv.get }
-    val tableRootStr = root.toString
-    // (normPath, payloadId, offset, sizeInBytes, cardinality, fresh)
-    val perFile: Array[(String, String, Long, Int, Long, Long)] =
-      matched.select(col("__fp"), col("__pos")).as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (fp, it) =>
-          val fresh = it.map(_._2).toArray
-          val root0 = new Path(tableRootStr)
-          val fs0 = root0.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
-          val old = oldDvs.get(fp)
-            .map(d => DeltaDv.deserialize(
-              DeltaDv.bitmapBytes(fs0, root0, d)))
-            .getOrElse(Array.empty[Long])
-          val all = (old ++ fresh).distinct.sorted
-          val (enc, off, size) =
-            DeltaDv.writeDvFile(fs0, root0, all.toIndexedSeq)
-          (fp, enc, off, size, all.length.toLong, fresh.length.toLong)
-        }.collect()
+    val perFile = writeDvPerFile(spark, root, st, matched)
     if (perFile.isEmpty) return DeltaDml(st.version, 0L, 0)
     val cdfOn = st.configuration
       .get("delta.enableChangeDataFeed").contains("true")
@@ -1005,27 +1048,9 @@ object DeltaInterop {
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
       jstr("DELETE")},"operationParameters":{},"engineInfo":${
       jstr("graft")}}}"""
-    if (!(st.minReaderVersion >= 3 &&
-      st.readerFeatures.contains("deletionVectors"))) {
-      val rf = (st.readerFeatures :+ "deletionVectors").distinct
-      val fj = rf.map(jstr).mkString("[", ",", "]")
-      lines += s"""{"protocol":{"minReaderVersion":3,""" +
-        s""""minWriterVersion":7,"readerFeatures":$fj,""" +
-        s""""writerFeatures":$fj}}"""
-    }
+    lines ++= dvProtocolLines(st)
     perFile.foreach { case (fp, enc, off, size, card, _) =>
-      val a = byNorm(fp)
-      lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
-        s""""deletionTimestamp":$now,"dataChange":true}}"""
-      if (!numRecordsOf(a).contains(card))
-        lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
-          s""""partitionValues":${pvJsonOf(a.partitionValues)},""" +
-          s""""size":${a.size},"modificationTime":$now,""" +
-          s""""dataChange":true""" +
-          a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
-          s""","deletionVector":{"storageType":"u",""" +
-          s""""pathOrInlineDv":${jstr(enc)},"offset":$off,""" +
-          s""""sizeInBytes":$size,"cardinality":$card}}}"""
+      lines ++= dvRewriteLines(byNorm(fp), enc, off, size, card, now)
     }
     if (cdfOn) touched.groupBy(_.partitionValues).foreach {
       case (pv, adds) =>
@@ -1170,6 +1195,105 @@ object DeltaInterop {
     }
     fs.delete(stage, true): Unit
     lines
+  }
+
+  /** MERGE-ON-READ `UPDATE` — the write-amplification answer for
+    * small updates on big files: instead of rewriting every touched
+    * file ([[update]]'s copy-on-write), the matched rows' positions
+    * join their files' deletion vectors (killing the OLD images) and
+    * the NEW images append as fresh files — a one-row update on a
+    * 1 GB file costs one tiny sidecar plus a one-row file. The shape
+    * delta-spark itself uses for DV-enabled updates. Same semantics
+    * as [[update]] (pre-update assignment evaluation, partition
+    * columns not assignable, CDC pre/post images when enabled);
+    * appended rows land under the rows' ORIGINAL partition values
+    * (partition columns are not assignable, so none move). Reads stay
+    * O(live rows); the vectored debt retires through
+    * [[purgeDeletionVectors]] / [[optimize]] like any delete's. */
+  def updateMor(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column,
+                set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
+    val st = state(spark, table, None)
+    require(st.columnMappingMode == "none",
+      s"table $table uses column mapping — DML would address logical " +
+        "names; reads only")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.foreach { case (c, _) =>
+      require(st.schema.exists(_.name == c),
+        s"UPDATE target column $c is not in the schema of $table")
+      require(!st.partitionColumns.contains(c),
+        s"UPDATE of partition column $c is unsupported — it would " +
+          "move rows across the log's recorded partitionValues")
+    }
+    if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val byNorm: Map[String, DeltaAdd] =
+      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+    // one lineage scan feeds BOTH the kill set and the new images
+    val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
+      st.files, keepLineage = true).filter(predicate).persist()
+    try {
+      val perFile = writeDvPerFile(spark, root, st, matched)
+      if (perFile.isEmpty) return DeltaDml(st.version, 0L, 0)
+      val setMap = set.toMap
+      val updated = matched.select(
+        st.schema.fields.toIndexedSeq.map { f =>
+          setMap.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val dataSchema = StructType(st.schema.fields.filterNot(f =>
+        st.partitionColumns.contains(f.name)))
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("UPDATE")},"operationParameters":{},"engineInfo":${
+        jstr("graft")}}}"""
+      lines ++= dvProtocolLines(st)
+      perFile.foreach { case (fp, enc, off, size, card, _) =>
+        lines ++= dvRewriteLines(byNorm(fp), enc, off, size, card, now)
+      }
+      // the new images append through write()'s partition-dir layout
+      val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
+      val w = updated.write.mode("overwrite")
+      (if (st.partitionColumns.nonEmpty)
+         w.partitionBy(st.partitionColumns: _*)
+       else w).parquet(stage.toString)
+      listParquet(fs, stage).foreach { p =>
+        val rel = relativize(stage, p)
+        val (rows0, lo, hi) =
+          ScanPredicates.footerStats(spark, p, dataSchema)
+        if (rows0 > 0) {
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"failed to move $p to $dest")
+          val pv = hivePartitionValues(rel)
+          lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
+            s""""partitionValues":${
+              pvJsonOf(st.partitionColumns
+                .map(c => c -> pv.get(c).flatten).toMap)
+            },"size":${fs.getFileStatus(dest).getLen},""" +
+            s""""modificationTime":$now,"dataChange":true,""" +
+            s""""stats":${jstr(statsJson(rows0, lo, hi, dataSchema))}}}"""
+        }
+      }
+      fs.delete(stage, true): Unit
+      if (st.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) {
+        val allCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
+        val cdcRows = matched.select(allCols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated.select(allCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
+        lines ++= stageCdcFiles(cdcRows, root, fs, st.partitionColumns)
+      }
+      val v = publishCommit(fs, new Path(root, "_delta_log"),
+        st.version + 1, lines.toSeq)
+      DeltaDml(v, perFile.map(_._6).sum, perFile.length)
+    } finally matched.unpersist(): Unit
   }
 
   /** `MERGE INTO` a Delta table — the classic upsert (`WHEN MATCHED

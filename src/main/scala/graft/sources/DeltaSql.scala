@@ -84,15 +84,31 @@ object DeltaSql {
     }
   }
 
+  /** Session conf choosing how SQL `UPDATE` executes: `cow` (default
+    * — [[DeltaInterop.update]]'s touched-file rewrite) or `mor`
+    * ([[DeltaInterop.updateMor]]'s deletion-vector + append commit,
+    * the small-update-on-big-files shape). The `graft_lake` analog of
+    * [[LakeSql.DmlModeConf]]. */
+  val DmlModeConf = "spark.graft.delta.dmlMode"
+
   /** `UPDATE graft_delta.t SET ...` — [[DeltaInterop.update]]'s
-    * copy-on-write touched-file rewrite; assignments evaluate against
-    * the pre-update row, SQL-style. */
+    * copy-on-write touched-file rewrite, or
+    * [[DeltaInterop.updateMor]]'s deletion-vector commit under
+    * [[DmlModeConf]] `mor`; assignments evaluate against the
+    * pre-update row, SQL-style. */
   final case class GraftDeltaUpdateCommand(table: String,
       @transient assignments: Seq[(String, org.apache.spark.sql.Column)],
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-      DeltaInterop.update(spark, table, predicate, assignments): Unit
+      spark.conf.getOption(DmlModeConf) match {
+        case Some("mor") =>
+          DeltaInterop.updateMor(spark, table, predicate, assignments): Unit
+        case None | Some("cow") =>
+          DeltaInterop.update(spark, table, predicate, assignments): Unit
+        case Some(other) => throw new IllegalArgumentException(
+          s"$DmlModeConf must be 'cow' or 'mor', got '$other'")
+      }
       Seq.empty
     }
   }

@@ -336,6 +336,49 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally DeltaSql.unregister("ins_sql_t")
   }
 
+  test("MERGE-ON-READ UPDATE: old images die by vector, new images " +
+    "append, untouched files keep their paths; CDC records pre/post") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 60L).map(i => (s"g${i % 2}", i, i)).toDF("g", "id", "v"), t,
+      partitionBy = Seq("g"))
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    val before = DeltaInterop.state(spark, t, None).files.map(_.path).toSet
+    val r = DeltaInterop.updateMor(spark, t, col("id") === 7L,
+      Seq("v" -> (col("v") * 100)))
+    r.rowsAffected shouldBe 1L
+    val st = DeltaInterop.state(spark, t, None)
+    // every pre-existing file is still live (one now vectored); the
+    // new image is one appended file
+    before.subsetOf(st.files.map(_.path).toSet) shouldBe true
+    st.files.count(_.dv.nonEmpty) shouldBe 1
+    (st.files.map(_.path).toSet -- before).size shouldBe 1
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 60L
+    out.filter($"id" === 7L).select($"v").as[Long].head() shouldBe 700L
+    out.filter($"id" === 7L).select($"g").as[String].head() shouldBe "g1"
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.filter($"_change_type" === "update_preimage")
+      .select($"v").as[Long].collect() shouldBe Array(7L)
+    cf.filter($"_change_type" === "update_postimage")
+      .select($"g", $"v").as[(String, Long)].head() shouldBe (("g1", 700L))
+    // the SQL surface reaches it through the session dml-mode conf
+    spark.conf.set(DeltaSql.DmlModeConf, "mor")
+    try {
+      DeltaSql.register("mor_sql_t", t)
+      spark.sql(
+        "UPDATE graft_delta.mor_sql_t SET v = v + 1 WHERE id = 8")
+      DeltaInterop.state(spark, t, None)
+        .files.count(_.dv.nonEmpty) shouldBe 2
+      DeltaInterop.read(spark, t).filter($"id" === 8L)
+        .select($"v").as[Long].head() shouldBe 9L
+    } finally {
+      spark.conf.unset(DeltaSql.DmlModeConf)
+      DeltaSql.unregister("mor_sql_t")
+    }
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._
