@@ -208,6 +208,35 @@ class IcebergDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally IcebergSql.unregister("ice_ins_t")
   }
 
+  test("expireSnapshots after DML: files shared with the retained " +
+    "snapshot survive, replaced originals delete, the expired " +
+    "snapshot stops resolving") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    IcebergInterop.write(
+      (1L to 50L).map(i => (i, s"g${i % 5}")).toDF("id", "g"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    val pre = IcebergInterop.state(spark, t, None)
+    val preFiles = pre.files.map(_.path).toSet
+    IcebergInterop.delete(spark, t, col("g") === "g0" && col("id") < 30)
+    val post = IcebergInterop.state(spark, t, None)
+    val postFiles = post.files.map(_.path).toSet
+    val replaced = preFiles -- postFiles
+    val shared = preFiles intersect postFiles
+    replaced should not be empty
+    shared should not be empty
+    IcebergInterop.expireSnapshots(spark, t, keepLast = 1) should be > 0
+    IcebergInterop.read(spark, t).count() shouldBe
+      (1L to 50L).count(i => !(i % 5 == 0 && i < 30))
+    replaced.foreach(p => fs.exists(new Path(p)) shouldBe false)
+    shared.foreach(p => fs.exists(new Path(p)) shouldBe true)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readSnapshot(spark, t, pre.snapshotId).count()
+    }
+  }
+
   test("no-op predicates keep the snapshot; MOR delete files and " +
     "unknown columns refuse by name") {
     import spark.implicits._
