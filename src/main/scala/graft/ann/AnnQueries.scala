@@ -301,6 +301,46 @@ object AnnQueries {
       .filter(col("recall_at_10") >= 0.7)
   }
 
+  /** rr1_hybrid_rrf — HYBRID retrieval through the gate: the bm1 BM25
+    * top-15 over `documents` and a cosine top-15 over `embeddings`
+    * (vec_id standing as the document id) fuse by Reciprocal Rank
+    * Fusion into one consensus top-10, DuckDB re-deriving both ranked
+    * lists (the bm1 and nn1 oracle bodies verbatim, as CTEs) and the
+    * identical `1/(60+rank)` sums — rank fusion is integer-driven, so
+    * the fused doubles are bit-exact despite two float rankers. */
+  def rr1HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val bm = graft.text.TextQueries.bm1Bm25TopK(s, d)
+      .select(col("doc_id"), col("score"))
+    val vec = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      QueryId, 15)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    HybridRetrieval.rrfFuse(
+      Seq(bm -> "score", vec -> "cosine"), "doc_id")
+  }
+
+  val rr1Oracle: String = {
+    val vecList = nn1Oracle.replace(s"LIMIT $K", "LIMIT 15")
+    s"""WITH bm AS (${graft.text.TextQueries.bm1Oracle}),
+       |vec AS ($vecList),
+       |bmr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |  FROM bm),
+       |vr AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+       |  FROM vec),
+       |u AS (
+       |  SELECT doc_id, 1e0 / (60 + r) AS c FROM bmr
+       |  UNION ALL
+       |  SELECT doc_id, 1e0 / (60 + r) AS c FROM vr)
+       |SELECT doc_id, round(sum(c), 6) AS rrf,
+       |  count(*) AS lists_hit
+       |FROM u GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em1_pca_topk" -> (em1PcaTopK _),
     "nn1_brute_topk" -> (nn1BruteTopK _),
@@ -308,9 +348,11 @@ object AnnQueries {
     "nn3_lake_topk" -> (nn3LakeTopK _),
     "nn4_filtered_topk" -> (nn4FilteredTopK _),
     "nn5_pq_topk" -> (nn5PqTopK _),
-    "nn6_lakepq_topk" -> (nn6LakePqTopK _))
+    "nn6_lakepq_topk" -> (nn6LakePqTopK _),
+    "rr1_hybrid_rrf" -> (rr1HybridRrf _))
 
   val oracles: Map[String, String] = Map(
     "nn1_brute_topk" -> nn1Oracle,
-    "nn4_filtered_topk" -> nn4Oracle)
+    "nn4_filtered_topk" -> nn4Oracle,
+    "rr1_hybrid_rrf" -> rr1Oracle)
 }
