@@ -341,6 +341,21 @@ object AnnQueries {
        |LIMIT 10""".stripMargin
   }
 
+  /** rr2_hybrid_lake — the same fusion with the BM25 leg served from
+    * the LAKE-RESIDENT inverted index (bm2's term-pruned lookups, no
+    * corpus scan): index-served fusion must equal scan-served fusion
+    * hash-exactly — rr1's oracle verbatim, the index≡scan invariant
+    * extended through the fusion layer. */
+  def rr2HybridLake(s: SparkSession, d: String): DataFrame = {
+    val bm = graft.text.TextQueries.bm2Bm25Index(s, d)
+      .select(col("doc_id"), col("score"))
+    val vec = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      QueryId, 15)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    HybridRetrieval.rrfFuse(
+      Seq(bm -> "score", vec -> "cosine"), "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "em1_pca_topk" -> (em1PcaTopK _),
     "nn1_brute_topk" -> (nn1BruteTopK _),
@@ -349,10 +364,12 @@ object AnnQueries {
     "nn4_filtered_topk" -> (nn4FilteredTopK _),
     "nn5_pq_topk" -> (nn5PqTopK _),
     "nn6_lakepq_topk" -> (nn6LakePqTopK _),
-    "rr1_hybrid_rrf" -> (rr1HybridRrf _))
+    "rr1_hybrid_rrf" -> (rr1HybridRrf _),
+    "rr2_hybrid_lake" -> (rr2HybridLake _))
 
   val oracles: Map[String, String] = Map(
     "nn1_brute_topk" -> nn1Oracle,
     "nn4_filtered_topk" -> nn4Oracle,
-    "rr1_hybrid_rrf" -> rr1Oracle)
+    "rr1_hybrid_rrf" -> rr1Oracle,
+    "rr2_hybrid_lake" -> rr1Oracle)
 }

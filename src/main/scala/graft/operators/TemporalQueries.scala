@@ -363,11 +363,80 @@ object TemporalQueries {
       |FROM pairs p JOIN totals t USING (event_type)
       |ORDER BY p.event_type, p.next_type""".stripMargin
 
+  /** GAP-BASED SESSIONIZATION — the product-analytics primitive under
+    * funnels and journeys: within each user's timeline, a new session
+    * opens when the gap since the previous event exceeds `gapUs`
+    * microseconds; every event gets a per-user `session_idx` (1-based,
+    * in time order). Classic lag-then-cumulative-sum formulation.
+    *
+    * Scale shape: ONE shuffle on the user key, then per-user window
+    * sorts (never a global sort — each partition orders only its own
+    * users' rows); output adds two narrow columns. A pathological
+    * single user's whole history must fit one partition's sort, the
+    * standard sessionization bound every engine shares.
+    *
+    * Determinism with tied timestamps: ties diff to zero, so no break
+    * opens between them regardless of their internal order — the
+    * session assignment (and every per-session aggregate over it) is
+    * order-invariant. */
+  def sessionize(events: DataFrame, gapUs: Long,
+                 userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapUs > 0, "the session gap must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__brk")
+  }
+
+  /** sn1_sessionize — sessionization through the gate: 30-minute-gap
+    * sessions over the event stream, emitted as per-session rows
+    * (event count, exact microsecond duration, exact start) so every
+    * surfaced value is an exact long — no epoch SUMS (the gate lint's
+    * 2^53 class), durations are bounded diffs. */
+  def sn1Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d), gapUs = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"),
+        min(unix_micros(col("ts"))).as("start_us"))
+
+  val sn1Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tu FROM events),
+      |l AS (
+      |  SELECT user_id, tu,
+      |    CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+      |           IS NULL
+      |         OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+      |           > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tu,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l)
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  CAST(max(tu) - min(tu) AS BIGINT) AS duration_us,
+      |  CAST(min(tu) AS BIGINT) AS start_us
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mk1_transitions" -> (mk1Transitions _),
     "ct1_cohort_retention" -> (ct1CohortRetention _),
     "fn1_funnel" -> (fn1Funnel _),
     "fn2_funnel_deadline" -> (fn2FunnelDeadline _),
+    "sn1_sessionize" -> (sn1Sessionize _),
     "aj1_asof_join" -> (aj1AsofJoin _),
     "aj2_range_join" -> (aj2RangeJoin _),
     "aj3_asof_window" -> (aj3AsofWindow _))
@@ -377,6 +446,7 @@ object TemporalQueries {
     "ct1_cohort_retention" -> ct1Oracle,
     "fn1_funnel" -> fn1Oracle,
     "fn2_funnel_deadline" -> fn2Oracle,
+    "sn1_sessionize" -> sn1Oracle,
     "aj1_asof_join" -> aj1Oracle,
     "aj2_range_join" -> aj2Oracle,
     "aj3_asof_window" -> aj3Oracle)
