@@ -379,6 +379,35 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("a DML commit racing another writer raises the concurrent-" +
+    "commit error and never silently overwrites the winner") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
+    // the racer publishes version 1 between this delete's version
+    // choice and its publication — deterministic via the seam
+    val racer = new Path(new Path(t, "_delta_log"),
+      f"${1L}%020d.json")
+    val fs = racer.getFileSystem(spark.sessionState.newHadoopConf())
+    DeltaInterop.commitRaceHook.set { () =>
+      val out = fs.create(racer, false)
+      try out.write(
+        ("""{"commitInfo":{"timestamp":1,"operation":"WRITE",""" +
+          """"operationParameters":{}}}""" + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    intercept[DeltaInterop.ConcurrentDeltaCommitException] {
+      DeltaInterop.delete(spark, t, col("id") <= 3)
+    }
+    // the loser's actions never landed: the racer's empty commit is
+    // the head, and every row is still live
+    DeltaInterop.state(spark, t, None).version shouldBe 1L
+    DeltaInterop.read(spark, t).count() shouldBe 10L
+    // the retry (fresh state read) succeeds at version 2
+    DeltaInterop.delete(spark, t, col("id") <= 3).version shouldBe 2L
+    DeltaInterop.read(spark, t).count() shouldBe 7L
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._
