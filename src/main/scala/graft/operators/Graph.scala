@@ -143,8 +143,16 @@ object Graph {
             .select(col("node"),
               (lit(1.0 - damping) +
                 lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
-      if (eager || (persistEvery > 0 && i % persistEvery == 0 &&
-        i < iterations))
+      // the eager modes reference the PREVIOUS rank plan twice per
+      // superstep (contribution join + dangling-mass / delta reads),
+      // so the LOGICAL plan doubles per step even under persist —
+      // caching stores data but never truncates lineage, and by step
+      // ~25 the analyzer walks a 2^25-node tree. localCheckpoint cuts
+      // the plan to the materialized RDD per step (the Bpe trainer's
+      // exponential-lineage fix, same class)
+      if (eager) next = next.localCheckpoint(true)
+      else if (persistEvery > 0 && i % persistEvery == 0 &&
+        i < iterations)
         next = graft.core.TransientCache.persist(next)
       if (tolerance > 0.0) {
         val delta = next.join(
