@@ -143,7 +143,8 @@ object IcebergInterop {
                             eqDeletes: Seq[EqDelete] = Nil,
                             specs: Map[Int, Seq[SpecField]] = Map.empty,
                             defaultSpecId: Int = 0,
-                            evo: SchemaEvolution = SchemaEvolution())
+                            evo: SchemaEvolution = SchemaEvolution(),
+                            formatVersion: Int = 1)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -746,7 +747,8 @@ object IcebergInterop {
           jLong(metaJson \ "last-column-id") max schema.length.toLong,
           schemaFieldTriples.getOrElse(effSchemaId, Nil)
             .map(t => t._2 -> t._1).toMap,
-          schemaFieldTriples, snapshotSchemaIds))
+          schemaFieldTriples, snapshotSchemaIds),
+        formatVersion = formatVersion.toInt)
     val snap = snapshots.find(s => jLong(s \ "snapshot-id") == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not found in $table (have " +
@@ -817,6 +819,7 @@ object IcebergInterop {
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
           val entrySeq = fieldOpt(entry, "sequence_number")
+            .orElse(fieldOpt(entry, "data_sequence_number"))
             .map(_.asInstanceOf[Number].longValue).getOrElse(mfSeq)
           // the snapshot that ADDED this entry (explicit, or inherited
           // from the manifest-list row) — the key [[toDF]] resolves the
@@ -884,7 +887,8 @@ object IcebergInterop {
           schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
             ((i + 1).toLong, f.name, f.dataType)
           }).map(t => t._2 -> t._1).toMap,
-        schemaFieldTriples, snapshotSchemaIds))
+        schemaFieldTriples, snapshotSchemaIds),
+      formatVersion.toInt)
   }
 
   /** An entry's `lower_bounds`/`upper_bounds` map decoded to the
@@ -1298,7 +1302,8 @@ object IcebergInterop {
   }
 
   private def manifestEntrySchema(
-      partFields: Seq[(SpecField, String, Int)]): org.apache.avro.Schema = {
+      partFields: Seq[(SpecField, String, Int)],
+      v2: Boolean = false): org.apache.avro.Schema = {
     val partJson = partFields.map { case (sf, avroType, fid) =>
       s"""{"name":${jstr(sf.name)},"type":["null","$avroType"],""" +
         s""""default":null,"field-id":$fid}"""
@@ -1312,11 +1317,23 @@ object IcebergInterop {
          |{"name":"value","type":"bytes","field-id":$vId}]},
          |"logicalType":"map"}],"default":null,"field-id":$fid}"""
         .stripMargin.replace("\n", "")
+    // v2 entries carry explicit (inheritable) sequence numbers and
+    // the data_file's content discriminator (0 data / 1 position
+    // deletes / 2 equality deletes) — the spec's required v2 fields
+    val seqFields =
+      if (!v2) ""
+      else """{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},""" +
+        """{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},"""
+    val contentField =
+      if (!v2) ""
+      else """{"name":"content","type":"int","field-id":134},"""
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |$seqFields
          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  $contentField
          |  {"name":"file_path","type":"string","field-id":100},
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partJson]},"field-id":102},
@@ -1356,6 +1373,89 @@ object IcebergInterop {
       |{"name":"partition_spec_id","type":"int","field-id":502},
       |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
       |]}""".stripMargin.replace("\n", ""))
+
+  /** The v2 manifest-list row: the spec's REQUIRED v2 fields —
+    * `content` (0 data / 1 deletes), the manifest's `sequence_number`
+    * (what entries without their own inherit) and
+    * `min_sequence_number`, plus the per-status file/row counts. */
+  private val ManifestFileSchemaV2 = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin.replace("\n", ""))
+
+  private def manifestListRowV2(path: String, length: Long, specId: Int,
+      content: Int, seq: Long, minSeq: Long, addedSnap: Long,
+      counts: (Int, Int, Int, Long, Long, Long)): GenericRecord = {
+    val r = new GenericData.Record(ManifestFileSchemaV2)
+    r.put("manifest_path", path)
+    r.put("manifest_length", length)
+    r.put("partition_spec_id", specId)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r.put("min_sequence_number", minSeq)
+    r.put("added_snapshot_id", addedSnap)
+    r.put("added_files_count", counts._1)
+    r.put("existing_files_count", counts._2)
+    r.put("deleted_files_count", counts._3)
+    r.put("added_rows_count", counts._4)
+    r.put("existing_rows_count", counts._5)
+    r.put("deleted_rows_count", counts._6)
+    r
+  }
+
+  /** Re-encode a prior manifest-list row under the v2 schema: every
+    * recorded field carries verbatim; the counts a v1-written row
+    * never recorded compute by reading the manifest once (paid once,
+    * at the first v2 commit after an upgrade). */
+  private def carryManifestRowV2(fs: FileSystem, pm: GenericRecord,
+      fallbackSnap: Long): GenericRecord = {
+    def num(n: String): Option[Long] =
+      fieldOpt(pm, n).map(_.asInstanceOf[Number].longValue)
+    val counts = (num("added_files_count"), num("existing_files_count"),
+      num("deleted_files_count"), num("added_rows_count"),
+      num("existing_rows_count"), num("deleted_rows_count")) match {
+      case (Some(a), Some(e), Some(d), Some(ar), Some(er), Some(dr)) =>
+        (a.toInt, e.toInt, d.toInt, ar, er, dr)
+      case _ =>
+        var af = 0; var ef = 0; var df = 0
+        var ar = 0L; var er = 0L; var dr = 0L
+        avroRows(fs,
+          new Path(pm.get("manifest_path").toString)).foreach { entry =>
+          val st = entry.get("status").asInstanceOf[Number].intValue
+          val rows = entry.get("data_file").asInstanceOf[GenericRecord]
+            .get("record_count").asInstanceOf[Number].longValue
+          st match {
+            case 2 => df += 1; dr += rows
+            case 0 => ef += 1; er += rows
+            case _ => af += 1; ar += rows
+          }
+        }
+        (af, ef, df, ar, er, dr)
+    }
+    manifestListRowV2(pm.get("manifest_path").toString,
+      pm.get("manifest_length").asInstanceOf[Number].longValue,
+      fieldOpt(pm, "partition_spec_id")
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+      fieldOpt(pm, "content")
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+      num("sequence_number").getOrElse(0L),
+      num("min_sequence_number")
+        .orElse(num("sequence_number")).getOrElse(0L),
+      num("added_snapshot_id").getOrElse(fallbackSnap),
+      counts)
+  }
 
   /** Write `df` as an Iceberg v1 commit. `overwrite` starts the
     * snapshot's manifest list fresh; append carries the prior
@@ -1416,6 +1516,70 @@ object IcebergInterop {
       else stagePartitioned(spark, stamped, root, fs, partitionBy)
     publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
       if (overwrite) "overwrite" else "append", partitionBy)
+  }
+
+  /** Metadata-only FORMAT UPGRADE v1 → v2 (the spec's one legal
+    * direction — downgrades never happen): the current metadata
+    * document republishes with `format-version: 2` and the v2-required
+    * fields; existing snapshots and manifests keep sequence number 0
+    * (the spec's upgrade rule — inheritance defaults cover them) and
+    * every later commit takes the next sequence number. Opens the
+    * merge-on-read write path ([[deleteMor]]) and delete-manifest
+    * carrying appends. No data or manifest files move. */
+  def upgradeFormat(spark: SparkSession, table: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    if (jLong(metaJson \ "format-version") >= 2) return version
+    val lastPartitionId: Long = ((metaJson \ "partition-specs") match {
+      case JArray(sps) => sps.flatMap(sp => (sp \ "fields") match {
+        case JArray(fs0) => fs0.map(f => jLong(f \ "field-id"))
+        case _ => Nil
+      })
+      case _ => (metaJson \ "partition-spec") match {
+        case JArray(fs0) => fs0.map(f => jLong(f \ "field-id"))
+        case _ => Nil
+      }
+    }).foldLeft(999L)(_ max _)
+    val v2Only = Set("last-sequence-number", "last-partition-id",
+      "default-sort-order-id", "sort-orders")
+    val upgraded = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("format-version", _) => "format-version" -> (JInt(2): JValue)
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case other => other
+    }.filterNot(f => v2Only(f._1)) ++ List[(String, JValue)](
+      "last-sequence-number" -> JLong(0L),
+      "last-partition-id" -> JLong(lastPartitionId),
+      "default-sort-order-id" -> JInt(0),
+      "sort-orders" -> JArray(List(JObject(List(
+        "order-id" -> (JInt(0): JValue),
+        "fields" -> (JArray(Nil): JValue)))))))
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(upgraded))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    nextVersion
   }
 
   // ------------------------------------------------------ row-level DML
@@ -1583,6 +1747,153 @@ object IcebergInterop {
     IceDml(snap, counts.map(_._2).sum + inserts, touched.size)
   }
 
+  /** MERGE-ON-READ `DELETE` — Iceberg v2 POSITION DELETES, the
+    * write-amplification answer for small deletes on big files:
+    * matched live rows' `(file_path, pos)` pairs land as
+    * position-delete parquet files (the spec's reserved field ids
+    * 2147483546/2147483545, sorted by file then position) under a
+    * DELETE manifest (`content = 1`) at the commit's sequence number;
+    * data files are NEVER rewritten — a one-row delete on a 1 GB file
+    * costs one tiny parquet. The read side applies these
+    * sequence-aware already, so rows a LATER append re-inserts
+    * survive (their data sequence exceeds the delete's — the spec's
+    * rule). Deletes are CUMULATIVE across commits (each new delete
+    * file adds positions; earlier ones keep applying), and
+    * [[compactDeletes]] retires the debt.
+    *
+    * Requires format-version 2 ([[upgradeFormat]] is the metadata-only
+    * door); a PARTITIONED default spec refuses by name — this writer
+    * emits GLOBAL (unpartitioned-spec) position deletes only, and a
+    * partition-scoped delete manifest it cannot model would misapply
+    * under a foreign reader's partition pruning. The copy-on-write
+    * [[delete]] covers both refusals.
+    *
+    * Scale shape: one lineage scan finds matched pairs; the delete
+    * files write DISTRIBUTED (positions never collect — the driver
+    * sees O(delete files) descriptors); the commit carries every
+    * prior manifest verbatim. */
+  def deleteMor(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column): IceDml = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    if (st.formatVersion < 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is format-version 1 — merge-on-read deletes " +
+          "need v2 sequence semantics; upgradeFormat first, or use " +
+          "the copy-on-write delete")
+    if (st.specs.getOrElse(st.defaultSpecId, Nil).nonEmpty)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is partitioned — this writer emits GLOBAL " +
+          "(unpartitioned-spec) position deletes only; use the " +
+          "copy-on-write delete")
+    if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    import spark.implicits._
+    // live rows only (existing deletes already applied by the scan),
+    // so re-deleting dead rows is naturally a no-op
+    val matched = toDF(spark, st, keepLineage = true).filter(predicate)
+      .select(col("__fp"), col("__pos"))
+    val counts: Array[(String, Long)] =
+      matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    // positions key on the RECORDED manifest paths, not the scan's
+    // normalized spelling
+    val pathMap = st.files.map(f => dmlNormStr(f.path) -> f.path).toMap
+    val bc = spark.sparkContext.broadcast(pathMap)
+    val delRows = matched.as[(String, Long)]
+      .map { case (fp, pos) => (bc.value.getOrElse(fp, fp), pos) }
+      .toDF("file_path", "pos")
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    val stamped = stampFieldIds(delRows,
+      Map("file_path" -> 2147483546L, "pos" -> 2147483545L))
+    val stage = new Path(root, s".mor-${java.util.UUID.randomUUID()}")
+    stamped.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val delFiles: Seq[(String, Long, Long)] =
+      fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).flatMap { p =>
+          val rows = parquetRowCount(spark, p)
+          if (rows == 0) { fs.delete(p, false); None }
+          else {
+            val dest = new Path(dataDir, s"delete-${p.getName}")
+            if (!fs.rename(p, dest))
+              throw new IllegalStateException(s"failed to move $p to $dest")
+            Some((dest.toString, rows, fs.getFileStatus(dest).getLen))
+          }
+        }.toSeq
+    fs.delete(stage, true): Unit
+    // the DELETE manifest: v2 entries, data_file.content = 1
+    val metaDir = new Path(root, "metadata")
+    val priorMeta = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val uuid = java.util.UUID.randomUUID().toString
+    val curSchemaId = jLong(priorMeta \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val schemaJsonStr = ((priorMeta \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.find(sc => jLong(sc \ "schema-id") == curSchemaId)
+          .getOrElse(xs.head)
+      case _ => priorMeta \ "schema"
+    }) match {
+      case node => JsonMethods.compact(JsonMethods.render(node))
+    }
+    val entrySchema = manifestEntrySchema(Nil, v2 = true)
+    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
+    writeAvro(fs, manifestPath, entrySchema,
+      Map("format-version" -> "2", "content" -> "deletes",
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> st.defaultSpecId.toString,
+        "schema" -> schemaJsonStr),
+      delFiles.map { case (path, rows, bytes) =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        val dfRec = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        dfRec.put("content", 1) // position deletes
+        dfRec.put("file_path", path)
+        dfRec.put("file_format", "PARQUET")
+        dfRec.put("partition", new GenericData.Record(
+          entrySchema.getField("data_file").schema()
+            .getField("partition").schema()))
+        dfRec.put("record_count", rows)
+        dfRec.put("file_size_in_bytes", bytes)
+        e.put("data_file", dfRec)
+        e
+      })
+    // the list: EVERY prior manifest carries verbatim + the delete row
+    val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
+      case JArray(xs) =>
+        xs.find(sn => jLong(sn \ "snapshot-id") == st.snapshotId)
+          .toSeq.flatMap(sn => (sn \ "manifest-list") match {
+            case JString(ml) => avroRows(fs, new Path(ml))
+            case _ => Nil
+          })
+      case _ => Nil
+    }
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    writeAvro(fs, listPath, ManifestFileSchemaV2,
+      Map("format-version" -> "2"),
+      manifestListRowV2(manifestPath.toString,
+        fs.getFileStatus(manifestPath).getLen, st.defaultSpecId,
+        content = 1, seq = newSeq, minSeq = newSeq, snapshotId,
+        (delFiles.size, 0, 0, delFiles.map(_._2).sum, 0L, 0L)) +:
+        priorList.map(pm => carryManifestRowV2(fs, pm, snapshotId)))
+    val snap = publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
+      snapshotId, listPath, "delete", curSchemaId, Some(newSeq))
+    IceDml(snap, counts.map(_._2).sum, counts.length)
+  }
+
   /** Stage a DML rewrite's surviving rows as data files under the
     * table's current default spec, field ids stamped; empty outputs
     * (a rewrite that deleted every row) clean up rather than commit
@@ -1627,12 +1938,14 @@ object IcebergInterop {
     val metaDir = new Path(root, "metadata")
     val priorMeta = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
-    val formatVersion = jLong(priorMeta \ "format-version")
-    if (formatVersion != 1)
-      throw new UnsupportedIcebergFeatureException(
-        s"table $root is format-version $formatVersion — this writer " +
-          "publishes v1 commits only (v2 manifest lists need sequence " +
-          "numbers); copy the table through convert/import first")
+    val v2 = jLong(priorMeta \ "format-version") >= 2
+    // v2 commits take the next sequence number; rewritten survivors
+    // keep their ORIGINAL data sequence numbers (entry-level, so the
+    // manifest-list inheritance cannot re-stamp them — the spec's
+    // EXISTING-entry rule)
+    val newSeq: Long =
+      if (!v2) 0L
+      else (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
     val uuid = java.util.UUID.randomUUID().toString
@@ -1709,10 +2022,11 @@ object IcebergInterop {
     def writeManifest(name: String, specId: Int,
         entries: Seq[(IceFile, Int, Long)]): (Path, Long) = {
       val partFields = partFieldsOf(specId)
-      val entrySchema = manifestEntrySchema(partFields)
+      val entrySchema = manifestEntrySchema(partFields, v2)
       val target = new Path(metaDir, name)
       writeAvro(fs, target, entrySchema,
-        Map("format-version" -> "1", "content" -> "data",
+        Map("format-version" -> (if (v2) "2" else "1"),
+          "content" -> "data",
           "partition-spec" -> specNodes.get(specId)
             .map(n => compactJ(n \ "fields")).getOrElse("[]"),
           "partition-spec-id" -> specId.toString,
@@ -1721,8 +2035,11 @@ object IcebergInterop {
           val e = new GenericData.Record(entrySchema)
           e.put("status", status)
           if (snap >= 0) e.put("snapshot_id", snap)
+          if (v2 && status == 0) // EXISTING keeps its original sequence
+            e.put("sequence_number", f.seq)
           val dfRec = new GenericData.Record(
             entrySchema.getField("data_file").schema())
+          if (v2) dfRec.put("content", 0)
           dfRec.put("file_path", f.path)
           dfRec.put("file_format", "PARQUET")
           val partRec = new GenericData.Record(
@@ -1785,7 +2102,11 @@ object IcebergInterop {
     if (added.nonEmpty) {
       val (p, len) = writeManifest(s"$uuid-m0.avro", st.defaultSpecId,
         added.map(f => (f, 1, snapshotId)))
-      listEntries += listRow(p.toString, len, st.defaultSpecId, snapshotId)
+      listEntries +=
+        (if (v2) manifestListRowV2(p.toString, len, st.defaultSpecId,
+          content = 0, seq = newSeq, minSeq = newSeq, snapshotId,
+          (added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+        else listRow(p.toString, len, st.defaultSpecId, snapshotId))
     }
     val byManifest: Map[String, Seq[IceFile]] = st.files.groupBy(_.manifest)
     val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
@@ -1803,33 +2124,61 @@ object IcebergInterop {
       val group = byManifest.getOrElse(mPath, Nil)
       val survivors = group.filterNot(f => removedPaths.contains(f.path))
       if (survivors.size == group.size) {
-        // untouched: carry verbatim (the four fields this list schema
-        // and every reader agree on)
-        listEntries += listRow(mPath,
-          pm.get("manifest_length").asInstanceOf[Number].longValue,
-          fieldOpt(pm, "partition_spec_id")
-            .map(_.asInstanceOf[Number].intValue).getOrElse(0),
-          fieldOpt(pm, "added_snapshot_id")
-            .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
+        // untouched: carry verbatim (under the version's list schema)
+        listEntries +=
+          (if (v2) carryManifestRowV2(fs, pm, snapshotId)
+          else listRow(mPath,
+            pm.get("manifest_length").asInstanceOf[Number].longValue,
+            fieldOpt(pm, "partition_spec_id")
+              .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+            fieldOpt(pm, "added_snapshot_id")
+              .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId)))
       } else if (survivors.nonEmpty) {
         val specId = survivors.head.specId
         val (p, len) = writeManifest(s"$uuid-m$mIdx.avro", specId,
           survivors.map(f => (f, 0, f.snapId)))
         mIdx += 1
-        listEntries += listRow(p.toString, len, specId, snapshotId)
+        listEntries +=
+          (if (v2) manifestListRowV2(p.toString, len, specId,
+            content = 0, seq = newSeq,
+            minSeq = survivors.map(_.seq).foldLeft(newSeq)(_ min _),
+            snapshotId,
+            (0, survivors.size, 0, 0L, survivors.map(_.records).sum, 0L))
+          else listRow(p.toString, len, specId, snapshotId))
       } // fully-removed manifests simply drop from the list
     }
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
-    writeAvro(fs, listPath, ManifestFileSchema,
-      Map("format-version" -> "1"), listEntries.toSeq)
+    writeAvro(fs, listPath,
+      if (v2) ManifestFileSchemaV2 else ManifestFileSchema,
+      Map("format-version" -> (if (v2) "2" else "1")),
+      listEntries.toSeq)
     // next metadata json: the prior document verbatim, with only the
     // snapshot bookkeeping advanced
-    val newSnapshot: JValue = JObject(List(
-      "snapshot-id" -> JLong(snapshotId),
-      "timestamp-ms" -> JLong(now),
-      "summary" -> JObject(List("operation" -> JString(operation))),
-      "manifest-list" -> JString(listPath.toString),
-      "schema-id" -> JLong(curSchemaId)))
+    publishDmlDoc(fs, root, priorMeta, st.metadataVersion, snapshotId,
+      listPath, operation, curSchemaId,
+      if (v2) Some(newSeq) else None)
+  }
+
+  /** The DML commits' shared metadata-document publication: the prior
+    * document verbatim with only the snapshot bookkeeping advanced
+    * (last-updated, current snapshot, snapshots + log appended, and
+    * the sequence counter when `seq` is set — v2 commits). */
+  private def publishDmlDoc(fs: FileSystem, root: Path,
+      priorMeta: org.json4s.JValue, metadataVersion: Long,
+      snapshotId: Long, listPath: Path, operation: String,
+      curSchemaId: Long, seq: Option[Long]): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(root, "metadata")
+    val now = System.currentTimeMillis()
+    val newSnapshot: JValue = JObject(
+      List("snapshot-id" -> (JLong(snapshotId): JValue)) ++
+        seq.toList.map(n => "sequence-number" -> (JLong(n): JValue)) ++
+        List[(String, JValue)](
+          "timestamp-ms" -> JLong(now),
+          "summary" -> JObject(List("operation" -> JString(operation))),
+          "manifest-list" -> JString(listPath.toString),
+          "schema-id" -> JLong(curSchemaId)))
     val logEntry: JValue = JObject(List(
       "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapshotId)))
     def appended(v: JValue, extra: JValue): JValue = v match {
@@ -1838,6 +2187,8 @@ object IcebergInterop {
     }
     val nextMeta = JObject(priorMeta.asInstanceOf[JObject].obj.map {
       case ("last-updated-ms", _) => "last-updated-ms" -> JLong(now)
+      case ("last-sequence-number", _) if seq.isDefined =>
+        "last-sequence-number" -> JLong(seq.get)
       case ("current-snapshot-id", _) =>
         "current-snapshot-id" -> JLong(snapshotId)
       case ("snapshots", v) => "snapshots" -> appended(v, newSnapshot)
@@ -1854,12 +2205,13 @@ object IcebergInterop {
           (if (have("current-snapshot-id")) Nil
            else List("current-snapshot-id" -> JLong(snapshotId)))
     })
-    val nextVersion = st.metadataVersion + 1
+    val nextVersion = metadataVersion + 1
     val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
     val metaTmp = new Path(metaDir,
       s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(metaTmp, false)
-    try out.write(compactJ(nextMeta).getBytes(StandardCharsets.UTF_8))
+    try out.write(JsonMethods.compact(JsonMethods.render(nextMeta))
+      .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val published = ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)
     if (!published) {
@@ -2224,6 +2576,17 @@ object IcebergInterop {
     val priorMeta: Option[JValue] = prior.map(p =>
       JsonMethods.parse(readText(fs,
         new Path(metaDir, s"v${p.metadataVersion}.metadata.json"))))
+    // FORMAT VERSION carries forward (a 2→1 downgrade is illegal per
+    // spec — sequence numbers would vanish under a reader's feet);
+    // fresh tables write v1, upgraded/foreign v2 tables publish v2
+    // commits with the NEXT sequence number
+    val formatVersion: Int = priorMeta.map(m =>
+      jLong(m \ "format-version")).filter(_ >= 1).getOrElse(1L).toInt
+    val v2 = formatVersion >= 2
+    val newSeq: Long =
+      if (!v2) 0L
+      else priorMeta.map(m => jLong(m \ "last-sequence-number"))
+        .filter(_ >= 0).getOrElse(0L) + 1L
     // identity carries forward: regenerating the uuid per commit makes
     // every commit look like a table REPLACEMENT to a foreign client
     val tableUuid = priorMeta.flatMap(m => (m \ "table-uuid") match {
@@ -2355,12 +2718,13 @@ object IcebergInterop {
         }
         (sf, avroType, fid)
       }
-    val entrySchema = manifestEntrySchema(partFields)
+    val entrySchema = manifestEntrySchema(partFields, v2)
     // the new manifest
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     fs.mkdirs(metaDir)
     writeAvro(fs, manifestPath, entrySchema,
-      Map("format-version" -> "1", "content" -> "data",
+      Map("format-version" -> formatVersion.toString,
+        "content" -> "data",
         "partition-spec" -> legacySpecJson,
         "partition-spec-id" -> specId.toString,
         "schema" -> schemaJsonStr),
@@ -2370,6 +2734,7 @@ object IcebergInterop {
         e.put("snapshot_id", snapshotId)
         val dfRec = new GenericData.Record(
           entrySchema.getField("data_file").schema())
+        if (v2) dfRec.put("content", 0) // sequence numbers inherit
         dfRec.put("file_path", f.path)
         dfRec.put("file_format", "PARQUET")
         val partRec = new GenericData.Record(
@@ -2432,39 +2797,60 @@ object IcebergInterop {
           })
       }
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
-    val newEntry = {
-      val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", manifestPath.toString)
-      r.put("manifest_length", manifestLen)
-      r.put("partition_spec_id", specId)
-      r.put("added_snapshot_id", snapshotId)
-      r
+    if (!v2) {
+      val newEntry = {
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", manifestPath.toString)
+        r.put("manifest_length", manifestLen)
+        r.put("partition_spec_id", specId)
+        r.put("added_snapshot_id", snapshotId)
+        r
+      }
+      // prior manifest-file rows re-encode under OUR list schema (their
+      // extra columns drop; the four this reader and writer agree on
+      // stay) — EXCEPT a delete manifest: dropping its `content=1`
+      // marker would re-label it as a data manifest for foreign readers
+      val carried = priorManifests.map { pm =>
+        val pmContent = fieldOpt(pm, "content")
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        if (pmContent != 0)
+          throw new UnsupportedIcebergFeatureException(
+            s"append to $root would carry a DELETE manifest whose " +
+              "content marker this writer's v1 manifest-list schema " +
+              "does not encode — a foreign reader would misread it as " +
+              "data; compact the deletes first (compactDeletes) or " +
+              "upgrade the table (upgradeFormat)")
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", pm.get("manifest_path").toString)
+        r.put("manifest_length",
+          pm.get("manifest_length").asInstanceOf[Number].longValue)
+        r.put("partition_spec_id", fieldOpt(pm, "partition_spec_id")
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0))
+        r.put("added_snapshot_id", fieldOpt(pm, "added_snapshot_id")
+          .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
+        r
+      }
+      writeAvro(fs, listPath, ManifestFileSchema,
+        Map("format-version" -> "1"), newEntry +: carried)
+    } else {
+      // v2 list rows carry the spec's required content / sequence /
+      // count fields. The new manifest takes the commit's sequence
+      // number (its entries inherit it); carried rows keep their own
+      // recorded values — INCLUDING delete manifests, whose content=1
+      // marker this schema encodes, so appends to merge-on-read
+      // tables no longer refuse (new files get a HIGHER sequence than
+      // every existing delete, which is exactly the spec's rule for
+      // "deletes never apply to later data")
+      val newEntry = manifestListRowV2(manifestPath.toString, manifestLen,
+        specId, content = 0, seq = newSeq, minSeq = newSeq,
+        addedSnap = snapshotId,
+        counts = (newFiles.size, 0, 0,
+          newFiles.map(_.records).sum, 0L, 0L))
+      val carried = priorManifests.map(pm =>
+        carryManifestRowV2(fs, pm, snapshotId))
+      writeAvro(fs, listPath, ManifestFileSchemaV2,
+        Map("format-version" -> "2"), newEntry +: carried)
     }
-    // prior manifest-file rows re-encode under OUR list schema (their
-    // extra columns drop; the four this reader and writer agree on
-    // stay) — EXCEPT a delete manifest: dropping its `content=1`
-    // marker would re-label it as a data manifest for foreign readers
-    val carried = priorManifests.map { pm =>
-      val pmContent = fieldOpt(pm, "content")
-        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
-      if (pmContent != 0)
-        throw new UnsupportedIcebergFeatureException(
-          s"append to $root would carry a DELETE manifest whose " +
-            "content marker this writer's manifest-list schema does " +
-            "not encode — a foreign reader would misread it as data; " +
-            "compact the deletes first (compactDeletes)")
-      val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", pm.get("manifest_path").toString)
-      r.put("manifest_length",
-        pm.get("manifest_length").asInstanceOf[Number].longValue)
-      r.put("partition_spec_id", fieldOpt(pm, "partition_spec_id")
-        .map(_.asInstanceOf[Number].intValue).getOrElse(0))
-      r.put("added_snapshot_id", fieldOpt(pm, "added_snapshot_id")
-        .map(_.asInstanceOf[Number].longValue).getOrElse(snapshotId))
-      r
-    }
-    writeAvro(fs, listPath, ManifestFileSchema,
-      Map("format-version" -> "1"), newEntry +: carried)
 
     // next metadata json, rename-if-absent (the Hadoop-catalog commit).
     // PRIOR snapshots carry forward verbatim — time travel addresses
@@ -2481,7 +2867,9 @@ object IcebergInterop {
         case _ => Nil
       }
     val newSnapshotJson =
-      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
+      s"""{"snapshot-id":$snapshotId,""" +
+        (if (v2) s""""sequence-number":$newSeq,""" else "") +
+        s""""timestamp-ms":$now,""" +
         s""""summary":{"operation":${jstr(operation)}},""" +
         s""""manifest-list":${jstr(listPath.toString)},""" +
         s""""schema-id":$currentSchemaId}"""
@@ -2497,10 +2885,27 @@ object IcebergInterop {
     val logJson = (priorLogJson :+
       s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}""")
       .mkString("[", ",", "]")
+    // v2 REQUIRED top-level fields beyond v1's: last-sequence-number,
+    // last-partition-id, sort-orders/default-sort-order-id
+    val lastPartitionId: Long =
+      (JsonMethods.parse(allSpecsJson) match {
+        case JArray(sps) => sps.flatMap(sp => (sp \ "fields") match {
+          case JArray(fs0) => fs0.map(f => jLong(f \ "field-id"))
+          case _ => Nil
+        })
+        case _ => Nil
+      }).foldLeft(999L)(_ max _)
+    val v2Fields =
+      if (!v2) ""
+      else s""""last-sequence-number":$newSeq,
+           |"last-partition-id":$lastPartitionId,
+           |"default-sort-order-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],
+           |""".stripMargin
     val json =
-      s"""{"format-version":1,"table-uuid":${jstr(tableUuid)},
+      s"""{"format-version":$formatVersion,"table-uuid":${jstr(tableUuid)},
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
-         |"last-column-id":$lastColumnId,
+         |$v2Fields"last-column-id":$lastColumnId,
          |"schema":$schemaJsonStr,
          |"schemas":$schemasJson,
          |"current-schema-id":$currentSchemaId,

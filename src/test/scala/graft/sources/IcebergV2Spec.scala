@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pins the format-version-2 WRITE path: the metadata-only v1→v2
+  * upgrade, sequence-numbered v2 commits (manifest lists under the
+  * spec's required v2 schema with counts), merge-on-read position
+  * deletes written by [[IcebergInterop.deleteMor]], the spec's
+  * sequence rule (a later re-insert survives an earlier delete),
+  * copy-on-write DML on v2 tables, and compaction retiring the
+  * merge-on-read debt. */
+class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-ice-v2").toString + "/t"
+
+  private def metaText(t: String): String = {
+    val metaDir = new Path(t, "metadata")
+    val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = fs.listStatus(metaDir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }.max
+    val in = fs.open(new Path(metaDir, s"v$v.metadata.json"))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  test("upgradeFormat rewrites metadata only: v2 fields land, reads " +
+    "are identical, re-upgrading is a no-op, and the next append " +
+    "takes sequence number 1") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 30L).map(i => (i, i)).toDF("id", "v"), t)
+    val filesBefore = IcebergInterop.state(spark, t, None)
+      .files.map(_.path).toSet
+    IcebergInterop.upgradeFormat(spark, t)
+    val st = IcebergInterop.state(spark, t, None)
+    st.formatVersion shouldBe 2
+    st.files.map(_.path).toSet shouldBe filesBefore
+    IcebergInterop.read(spark, t).count() shouldBe 30L
+    val m = metaText(t)
+    m should include(""""format-version":2""")
+    m should include(""""last-sequence-number"""")
+    m should include(""""sort-orders"""")
+    val v = IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upgradeFormat(spark, t) shouldBe v // no-op
+    // the next append publishes a sequence-numbered v2 snapshot;
+    // pre-upgrade files keep inherited sequence 0
+    IcebergInterop.write(Seq((31L, 31L)).toDF("id", "v"), t)
+    val st2 = IcebergInterop.state(spark, t, None)
+    st2.files.filter(f => filesBefore(f.path)).foreach(_.seq shouldBe 0L)
+    st2.files.filterNot(f => filesBefore(f.path)).foreach(_.seq shouldBe 1L)
+    metaText(t) should include(""""last-sequence-number":1""")
+    IcebergInterop.read(spark, t).count() shouldBe 31L
+  }
+
+  test("deleteMor writes position deletes: data files untouched, " +
+    "reads exclude, re-deleting dead rows is a no-op, and a LATER " +
+    "re-insert survives the earlier delete (the sequence rule)") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 40L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    val before = IcebergInterop.state(spark, t, None).files.map(_.path).toSet
+    val r = IcebergInterop.deleteMor(spark, t, col("id") <= 10)
+    r.rowsAffected shouldBe 10L
+    val st = IcebergInterop.state(spark, t, None)
+    st.files.map(_.path).toSet shouldBe before // merge-on-read
+    st.posDeletes should not be empty
+    IcebergInterop.read(spark, t).agg(min($"id")).as[Long]
+      .head() shouldBe 11L
+    // cumulative second delete; already-dead rows never re-match
+    IcebergInterop.deleteMor(spark, t, col("id") <= 15)
+      .rowsAffected shouldBe 5L
+    IcebergInterop.deleteMor(spark, t, col("id") <= 15)
+      .rowsAffected shouldBe 0L
+    IcebergInterop.read(spark, t).count() shouldBe 25L
+    // a LATER append re-inserts deleted keys: its files carry a
+    // HIGHER data sequence than the deletes, so the rows survive
+    IcebergInterop.write(Seq((3L, 333L)).toDF("id", "v"), t)
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 26L
+    out.filter($"id" === 3L).select($"v").as[Long].collect() shouldBe
+      Array(333L)
+  }
+
+  test("copy-on-write DML on a v2 table: sequence bookkeeping " +
+    "advances, survivors keep their original data sequences, and " +
+    "time travel still serves the pre-DML snapshot") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.write((21L to 40L).map(i => (i, i)).toDF("id", "v"), t)
+    val pre = IcebergInterop.state(spark, t, None)
+    IcebergInterop.delete(spark, t, col("id") % 10 === 1)
+      .rowsAffected shouldBe 4L
+    val st = IcebergInterop.state(spark, t, None)
+    // pre-upgrade survivors keep sequence 0, the second append's keep
+    // 1, and the rewrite's additions take the new sequence 2
+    st.files.map(_.seq).toSet should contain allOf (0L, 1L, 2L)
+    IcebergInterop.read(spark, t).count() shouldBe 36L
+    IcebergInterop.readSnapshot(spark, t, pre.snapshotId)
+      .count() shouldBe 40L
+    metaText(t) should include(""""last-sequence-number":2""")
+    // upsert MERGE on the v2 table
+    IcebergInterop.merge(Seq((2L, 222L), (99L, 990L)).toDF("id", "v"),
+      t, Seq("id")).rowsAffected shouldBe 2L
+    val out = IcebergInterop.read(spark, t)
+    out.filter($"id" === 2L).select($"v").as[Long].head() shouldBe 222L
+    out.count() shouldBe 37L
+  }
+
+  test("appends CARRY delete manifests on v2 (no more compact-first " +
+    "refusal), and compactDeletes retires the merge-on-read debt") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 30L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.deleteMor(spark, t, col("id") <= 5)
+    // v2 append carries the delete manifest instead of refusing
+    IcebergInterop.write(Seq((100L, 100L)).toDF("id", "v"), t)
+    val st = IcebergInterop.state(spark, t, None)
+    st.posDeletes should not be empty
+    IcebergInterop.read(spark, t).count() shouldBe 26L
+    // compaction rewrites the touched files clean
+    IcebergInterop.compactDeletes(spark, t)
+    val st2 = IcebergInterop.state(spark, t, None)
+    st2.posDeletes shouldBe empty
+    IcebergInterop.read(spark, t).count() shouldBe 26L
+    IcebergInterop.read(spark, t).agg(min($"id")).as[Long]
+      .head() shouldBe 6L
+  }
+
+  test("deleteMor refusals name the door: v1 tables point at " +
+    "upgradeFormat, partitioned tables at the copy-on-write delete") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.deleteMor(spark, t, col("id") === 1L)
+    }.getMessage should include("upgradeFormat")
+    val t2 = fresh()
+    IcebergInterop.write(
+      (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "g"), t2,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergInterop.upgradeFormat(spark, t2)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.deleteMor(spark, t2, col("id") === 1L)
+    }.getMessage should include("copy-on-write")
+  }
+}
