@@ -1754,10 +1754,10 @@ object IcebergInterop {
     * 2147483546/2147483545, sorted by file then position) under a
     * DELETE manifest (`content = 1`) at the commit's sequence number;
     * data files are NEVER rewritten — a one-row delete on a 1 GB file
-    * costs one tiny parquet. The read side applies these
-    * sequence-aware already, so rows a LATER append re-inserts
-    * survive (their data sequence exceeds the delete's — the spec's
-    * rule). Deletes are CUMULATIVE across commits (each new delete
+    * costs one tiny parquet. Position deletes are PATH-KEYED, so rows
+    * a later append re-inserts survive naturally (new files, new
+    * paths — unlike equality deletes, no sequence comparison is even
+    * needed). Deletes are CUMULATIVE across commits (each new delete
     * file adds positions; earlier ones keep applying), and
     * [[compactDeletes]] retires the debt.
     *
@@ -1774,22 +1774,11 @@ object IcebergInterop {
     * prior manifest verbatim. */
   def deleteMor(spark: SparkSession, table: String,
                 predicate: org.apache.spark.sql.Column): IceDml = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     import org.apache.spark.sql.functions.{col, count, lit}
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
-    if (st.formatVersion < 2)
-      throw new UnsupportedIcebergFeatureException(
-        s"table $table is format-version 1 — merge-on-read deletes " +
-          "need v2 sequence semantics; upgradeFormat first, or use " +
-          "the copy-on-write delete")
-    if (st.specs.getOrElse(st.defaultSpecId, Nil).nonEmpty)
-      throw new UnsupportedIcebergFeatureException(
-        s"table $table is partitioned — this writer emits GLOBAL " +
-          "(unpartitioned-spec) position deletes only; use the " +
-          "copy-on-write delete")
+    requireMorWritable(st, table, "deletes")
     if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
     import spark.implicits._
     // live rows only (existing deletes already applied by the scan),
@@ -1800,8 +1789,82 @@ object IcebergInterop {
       matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
         .as[(String, Long)].collect()
     if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
-    // positions key on the RECORDED manifest paths, not the scan's
-    // normalized spelling
+    val delFiles = stageMorDeleteFiles(spark, fs, root, st, matched)
+    val snap = publishMor(spark, fs, root, st, delFiles, Nil, "delete")
+    IceDml(snap, counts.map(_._2).sum, counts.length)
+  }
+
+  /** MERGE-ON-READ `UPDATE` — position-delete the matched rows' OLD
+    * images and append their NEW images, in ONE snapshot at ONE
+    * sequence number: position deletes are path-keyed, so the
+    * appended image files (fresh paths) are untouched by their own
+    * commit's delete rows — the one-snapshot MOR-update shape the
+    * engines use. Same guards and semantics as
+    * [[deleteMor]]/[[update]] (pre-update assignment evaluation,
+    * v2 + unpartitioned-spec required). */
+  def updateMor(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column,
+                set: Seq[(String, org.apache.spark.sql.Column)]): IceDml = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    requireMorWritable(st, table, "updates")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.foreach { case (c, _) =>
+      require(st.schema.exists(_.name == c),
+        s"UPDATE target column $c is not in the schema of $table")
+    }
+    if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    import spark.implicits._
+    val matched = toDF(spark, st, keepLineage = true).filter(predicate)
+      .persist()
+    try {
+      val counts: Array[(String, Long)] =
+        matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect()
+      if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+      val delFiles = stageMorDeleteFiles(spark, fs, root, st,
+        matched.select(col("__fp"), col("__pos")))
+      val setMap = set.toMap
+      val updated = matched.select(
+        st.schema.fields.toIndexedSeq.map { f =>
+          setMap.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val added = stageRewritten(spark, fs, root, st, updated)
+      val snap = publishMor(spark, fs, root, st, delFiles, added,
+        "overwrite")
+      IceDml(snap, counts.map(_._2).sum, counts.length)
+    } finally matched.unpersist(): Unit
+  }
+
+  private def requireMorWritable(st: IceState, table: String,
+                                 what: String): Unit = {
+    if (st.formatVersion < 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is format-version 1 — merge-on-read $what " +
+          "need v2 sequence semantics; upgradeFormat first, or use " +
+          "the copy-on-write path")
+    if (st.specs.getOrElse(st.defaultSpecId, Nil).nonEmpty)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is partitioned — this writer emits GLOBAL " +
+          "(unpartitioned-spec) position deletes only; use the " +
+          "copy-on-write path")
+  }
+
+  /** Stage `matched`'s `(__fp, __pos)` pairs as position-delete
+    * parquet files (spec field ids, sorted by file then position)
+    * under `data/`, keyed on the RECORDED manifest paths. Returns
+    * O(delete files) `(path, rows, bytes)` — positions never reach
+    * the driver. */
+  private def stageMorDeleteFiles(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState,
+      matched: DataFrame): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
     val pathMap = st.files.map(f => dmlNormStr(f.path) -> f.path).toMap
     val bc = spark.sparkContext.broadcast(pathMap)
     val delRows = matched.as[(String, Long)]
@@ -1814,20 +1877,30 @@ object IcebergInterop {
     stamped.write.mode("overwrite").parquet(stage.toString)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
-    val delFiles: Seq[(String, Long, Long)] =
-      fs.listStatus(stage).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).flatMap { p =>
-          val rows = parquetRowCount(spark, p)
-          if (rows == 0) { fs.delete(p, false); None }
-          else {
-            val dest = new Path(dataDir, s"delete-${p.getName}")
-            if (!fs.rename(p, dest))
-              throw new IllegalStateException(s"failed to move $p to $dest")
-            Some((dest.toString, rows, fs.getFileStatus(dest).getLen))
-          }
-        }.toSeq
+    val delFiles = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).flatMap { p =>
+        val rows = parquetRowCount(spark, p)
+        if (rows == 0) { fs.delete(p, false); None }
+        else {
+          val dest = new Path(dataDir, s"delete-${p.getName}")
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"failed to move $p to $dest")
+          Some((dest.toString, rows, fs.getFileStatus(dest).getLen))
+        }
+      }.toSeq
     fs.delete(stage, true): Unit
-    // the DELETE manifest: v2 entries, data_file.content = 1
+    delFiles
+  }
+
+  /** Publish one merge-on-read snapshot: a DELETE manifest for
+    * `delFiles` (+ optionally a DATA manifest for `added` images,
+    * both at the commit's sequence number), every prior manifest
+    * carried verbatim. */
+  private def publishMor(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, delFiles: Seq[(String, Long, Long)],
+      added: Seq[IceFile], operation: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
     val priorMeta = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
@@ -1848,6 +1921,8 @@ object IcebergInterop {
       case node => JsonMethods.compact(JsonMethods.render(node))
     }
     val entrySchema = manifestEntrySchema(Nil, v2 = true)
+    val listEntries =
+      scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     writeAvro(fs, manifestPath, entrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
@@ -1871,7 +1946,39 @@ object IcebergInterop {
         e.put("data_file", dfRec)
         e
       })
-    // the list: EVERY prior manifest carries verbatim + the delete row
+    listEntries += manifestListRowV2(manifestPath.toString,
+      fs.getFileStatus(manifestPath).getLen, st.defaultSpecId,
+      content = 1, seq = newSeq, minSeq = newSeq, snapshotId,
+      (delFiles.size, 0, 0, delFiles.map(_._2).sum, 0L, 0L))
+    if (added.nonEmpty) {
+      val dataManifest = new Path(metaDir, s"$uuid-m1.avro")
+      writeAvro(fs, dataManifest, entrySchema,
+        Map("format-version" -> "2", "content" -> "data",
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> st.defaultSpecId.toString,
+          "schema" -> schemaJsonStr),
+        added.map { f =>
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          val dfRec = new GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          dfRec.put("content", 0)
+          dfRec.put("file_path", f.path)
+          dfRec.put("file_format", "PARQUET")
+          dfRec.put("partition", new GenericData.Record(
+            entrySchema.getField("data_file").schema()
+              .getField("partition").schema()))
+          dfRec.put("record_count", f.records)
+          dfRec.put("file_size_in_bytes", f.bytes)
+          e.put("data_file", dfRec)
+          e
+        })
+      listEntries += manifestListRowV2(dataManifest.toString,
+        fs.getFileStatus(dataManifest).getLen, st.defaultSpecId,
+        content = 0, seq = newSeq, minSeq = newSeq, snapshotId,
+        (added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+    }
     val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
       case JArray(xs) =>
         xs.find(sn => jLong(sn \ "snapshot-id") == st.snapshotId)
@@ -1884,14 +1991,10 @@ object IcebergInterop {
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
     writeAvro(fs, listPath, ManifestFileSchemaV2,
       Map("format-version" -> "2"),
-      manifestListRowV2(manifestPath.toString,
-        fs.getFileStatus(manifestPath).getLen, st.defaultSpecId,
-        content = 1, seq = newSeq, minSeq = newSeq, snapshotId,
-        (delFiles.size, 0, 0, delFiles.map(_._2).sum, 0L, 0L)) +:
+      listEntries.toSeq ++
         priorList.map(pm => carryManifestRowV2(fs, pm, snapshotId)))
-    val snap = publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
-      snapshotId, listPath, "delete", curSchemaId, Some(newSeq))
-    IceDml(snap, counts.map(_._2).sum, counts.length)
+    publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
+      snapshotId, listPath, operation, curSchemaId, Some(newSeq))
   }
 
   /** Stage a DML rewrite's surviving rows as data files under the

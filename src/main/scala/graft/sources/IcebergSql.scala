@@ -76,26 +76,47 @@ object IcebergSql {
       UnresolvedAttribute(Seq(parts.last))
   }
 
+  /** Session conf choosing how SQL `DELETE FROM` and `UPDATE`
+    * execute: `cow` (default — the touched-file rewrites) or `mor`
+    * ([[IcebergInterop.deleteMor]]/[[IcebergInterop.updateMor]]'s
+    * v2 position-delete commits, the small-DML-on-big-files shape). */
+  val DmlModeConf = "spark.graft.iceberg.dmlMode"
+
+  private def morDml(spark: SparkSession): Boolean =
+    spark.conf.getOption(DmlModeConf) match {
+      case None | Some("cow") => false
+      case Some("mor") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"$DmlModeConf must be 'cow' or 'mor', got '$other'")
+    }
+
   /** `DELETE FROM graft_iceberg.t` — [[IcebergInterop.delete]]'s
-    * copy-on-write snapshot when the command runs. */
+    * copy-on-write snapshot, or [[IcebergInterop.deleteMor]]'s
+    * position-delete commit under [[DmlModeConf]] `mor`. */
   final case class GraftIcebergDeleteCommand(table: String,
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-      IcebergInterop.delete(spark, table, predicate): Unit
+      if (morDml(spark))
+        IcebergInterop.deleteMor(spark, table, predicate): Unit
+      else IcebergInterop.delete(spark, table, predicate): Unit
       Seq.empty
     }
   }
 
   /** `UPDATE graft_iceberg.t SET ...` — [[IcebergInterop.update]]'s
-    * copy-on-write touched-file rewrite; assignments evaluate against
+    * copy-on-write touched-file rewrite ([[IcebergInterop.updateMor]]
+    * under [[DmlModeConf]] `mor`); assignments evaluate against
     * the pre-update row, SQL-style. */
   final case class GraftIcebergUpdateCommand(table: String,
       @transient assignments: Seq[(String, org.apache.spark.sql.Column)],
       @transient predicate: org.apache.spark.sql.Column)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-      IcebergInterop.update(spark, table, predicate, assignments): Unit
+      if (morDml(spark))
+        IcebergInterop.updateMor(spark, table, predicate, assignments): Unit
+      else
+        IcebergInterop.update(spark, table, predicate, assignments): Unit
       Seq.empty
     }
   }

@@ -2072,7 +2072,54 @@ object LakeQueries {
       |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
       |  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'""".stripMargin
 
+  /** ic10_iceberg_mor — the format-version-2 MERGE-ON-READ write path
+    * through the gate: a v1 table upgrades in place (metadata-only),
+    * `deleteMor` lands position-delete files and `updateMor` kills +
+    * re-appends matched images — NO data file is ever rewritten (the
+    * in-row `mor_path` flag pins that every original file is still
+    * live and delete files exist). The oracle re-derives the post-DML
+    * table from the original parquet. */
+  def ic10IcebergMor(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic10:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic10").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o, dir)
+      IcebergInterop.upgradeFormat(s, dir)
+      val before = IcebergInterop.state(s, dir, None)
+        .files.map(_.path).toSet
+      IcebergInterop.deleteMor(s, dir, col("o_orderkey") % 5 === 0)
+      IcebergInterop.updateMor(s, dir, col("o_orderkey") % 7 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + 10)))
+      val after = IcebergInterop.state(s, dir, None)
+      val mor = before.subsetOf(after.files.map(_.path).toSet) &&
+        after.posDeletes.nonEmpty
+      s"$dir|$mor"
+    })
+    val Array(dir, mor) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("mor_path", lit(mor.toBoolean))
+  }
+
+  val ic10Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS mor_path
+      |FROM t GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ic10_iceberg_mor" -> (ic10IcebergMor _),
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
     "lk20_dpp_join" -> (lk20DppJoin _),
     "mv3_incremental_distinct" -> (mv3IncrementalDistinct _),
@@ -2127,6 +2174,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "ic10_iceberg_mor" -> ic10Oracle,
     "lk19_bucket_lookup" -> lk19Oracle,
     "lk20_dpp_join" -> lk20Oracle,
     "mv3_incremental_distinct" -> mv3Oracle,

@@ -142,6 +142,64 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
       .head() shouldBe 6L
   }
 
+  test("updateMor kills old images by position and appends new ones " +
+    "in one snapshot: data files untouched, pre-update assignments, " +
+    "old snapshot intact") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 30L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    val pre = IcebergInterop.state(spark, t, None)
+    val before = pre.files.map(_.path).toSet
+    // swap-shape assignments read the PRE-update row
+    val r = IcebergInterop.updateMor(spark, t, col("id") <= 3,
+      Seq("v" -> (col("v") + col("id") * 100), "id" -> (col("id") + 50)))
+    r.rowsAffected shouldBe 3L
+    val st = IcebergInterop.state(spark, t, None)
+    before.subsetOf(st.files.map(_.path).toSet) shouldBe true
+    st.posDeletes should not be empty
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 30L
+    out.filter($"id" === 51L).select($"v").as[Long].head() shouldBe 101L
+    out.filter($"id" === 1L).count() shouldBe 0L
+    // the old snapshot still serves the pre-update rows
+    IcebergInterop.readSnapshot(spark, t, pre.snapshotId)
+      .filter($"id" === 1L).count() shouldBe 1L
+    // a second MOR update over a previously-updated row composes
+    IcebergInterop.updateMor(spark, t, col("id") === 51L,
+      Seq("v" -> lit(0L))).rowsAffected shouldBe 1L
+    IcebergInterop.read(spark, t).filter($"id" === 51L)
+      .select($"v").as[Long].head() shouldBe 0L
+    IcebergInterop.read(spark, t).count() shouldBe 30L
+  }
+
+  test("the SQL surface reaches merge-on-read through the session " +
+    "dml-mode conf") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 12L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    val before = IcebergInterop.state(spark, t, None).files.map(_.path).toSet
+    IcebergSql.register("ice_mor_sql", t)
+    spark.conf.set(IcebergSql.DmlModeConf, "mor")
+    try {
+      spark.sql("DELETE FROM graft_iceberg.ice_mor_sql WHERE id <= 2")
+      spark.sql(
+        "UPDATE graft_iceberg.ice_mor_sql SET v = v * 10 WHERE id = 3")
+      val st = IcebergInterop.state(spark, t, None)
+      before.subsetOf(st.files.map(_.path).toSet) shouldBe true
+      st.posDeletes should not be empty
+      spark.sql("SELECT v FROM graft_iceberg.ice_mor_sql WHERE id = 3")
+        .as[Long].head() shouldBe 30L
+      spark.sql("SELECT count(*) FROM graft_iceberg.ice_mor_sql")
+        .as[Long].head() shouldBe 10L
+    } finally {
+      spark.conf.unset(IcebergSql.DmlModeConf)
+      IcebergSql.unregister("ice_mor_sql")
+    }
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
