@@ -1327,6 +1327,9 @@ object IcebergInterop {
     val contentField =
       if (!v2) ""
       else """{"name":"content","type":"int","field-id":134},"""
+    val equalityIdsField =
+      if (!v2) ""
+      else """,{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}"""
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -1341,6 +1344,7 @@ object IcebergInterop {
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
          |  ${boundsField("lower_bounds", 125, 126, 127)},
          |  ${boundsField("upper_bounds", 128, 129, 130)}
+         |  $equalityIdsField
          |]},"field-id":2}
          |]}""".stripMargin.replace("\n", ""))
   }
@@ -1841,6 +1845,66 @@ object IcebergInterop {
     } finally matched.unpersist(): Unit
   }
 
+  /** ZERO-SCAN key deletion — v2 EQUALITY DELETES, the CDC-apply
+    * shape: every table row whose `keys` columns match a key row
+    * (null-safe) dies, and THE TABLE IS NEVER READ — the commit
+    * writes only the key rows as equality-delete parquet (content=2,
+    * `equality_ids` naming the key columns' field ids) at the next
+    * sequence number. The spec's strictly-smaller rule does the rest
+    * on read: the delete kills rows in files with a SMALLER data
+    * sequence, so a later re-insert of the same key survives. This is
+    * the operation that makes streaming upserts O(changed keys) at
+    * 100 TB — a billion-row table takes a thousand-key delete for the
+    * cost of writing a thousand rows.
+    *
+    * Returns `rowsAffected = -1`: counting matches would cost the
+    * very table scan this operation exists to avoid. Same v2 +
+    * unpartitioned-spec guards as [[deleteMor]]; key columns must be
+    * top-level table columns with matching types. */
+  def deleteByKeys(spark: SparkSession, table: String,
+                   keys: DataFrame): IceDml = {
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    requireMorWritable(st, table, "key deletes")
+    require(keys.columns.nonEmpty, "deleteByKeys needs key columns")
+    keys.schema.fields.foreach { f =>
+      val tf = st.schema.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column ${f.name} is not in the schema of $table"))
+      require(tf.dataType == f.dataType,
+        s"key column ${f.name} is ${f.dataType.sql} but the table " +
+          s"records ${tf.dataType.sql} — a mistyped equality delete " +
+          "would silently match nothing")
+    }
+    val eqIds: Seq[Int] = keys.columns.toIndexedSeq.map(c =>
+      st.evo.fieldIds.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"key column $c has no recorded field id in $table")).toInt)
+    val ids = keys.columns.zip(eqIds.map(_.toLong)).toMap
+    val stamped = stampFieldIds(keys.distinct(), ids)
+    val stage = new Path(root, s".eqdel-${java.util.UUID.randomUUID()}")
+    stamped.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val delFiles = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).flatMap { p =>
+        val rows = parquetRowCount(spark, p)
+        if (rows == 0) { fs.delete(p, false); None }
+        else {
+          val dest = new Path(dataDir, s"eq-delete-${p.getName}")
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"failed to move $p to $dest")
+          Some((dest.toString, rows, fs.getFileStatus(dest).getLen))
+        }
+      }.toSeq
+    fs.delete(stage, true): Unit
+    if (delFiles.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+    val snap = publishMor(spark, fs, root, st, delFiles, Nil, "delete",
+      eqIds = eqIds)
+    IceDml(snap, -1L, 0)
+  }
+
   private def requireMorWritable(st: IceState, table: String,
                                  what: String): Unit = {
     if (st.formatVersion < 2)
@@ -1898,7 +1962,8 @@ object IcebergInterop {
     * carried verbatim. */
   private def publishMor(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, delFiles: Seq[(String, Long, Long)],
-      added: Seq[IceFile], operation: String): Long = {
+      added: Seq[IceFile], operation: String,
+      eqIds: Seq[Int] = Nil): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
@@ -1935,7 +2000,14 @@ object IcebergInterop {
         e.put("snapshot_id", snapshotId)
         val dfRec = new GenericData.Record(
           entrySchema.getField("data_file").schema())
-        dfRec.put("content", 1) // position deletes
+        // content 1 = position deletes, 2 = equality deletes (which
+        // also record the key columns' field ids)
+        dfRec.put("content", if (eqIds.nonEmpty) 2 else 1)
+        if (eqIds.nonEmpty) {
+          val arr = new java.util.ArrayList[Integer]()
+          eqIds.foreach(id => arr.add(Integer.valueOf(id)))
+          dfRec.put("equality_ids", arr)
+        }
         dfRec.put("file_path", path)
         dfRec.put("file_format", "PARQUET")
         dfRec.put("partition", new GenericData.Record(

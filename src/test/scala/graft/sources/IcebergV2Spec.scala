@@ -200,6 +200,41 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("deleteByKeys never reads the table: equality-delete files " +
+    "kill matching rows in EARLIER files only, so a same-commit-later " +
+    "re-insert of the key survives; mistyped keys refuse") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 20L).map(i => (i, s"p$i")).toDF("id", "payload"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    val before = IcebergInterop.state(spark, t, None).files.map(_.path).toSet
+    val r = IcebergInterop.deleteByKeys(spark, t,
+      Seq(3L, 7L, 999L).toDF("id"))
+    r.rowsAffected shouldBe -1L // zero-scan by contract
+    val st = IcebergInterop.state(spark, t, None)
+    st.files.map(_.path).toSet shouldBe before
+    st.eqDeletes should not be empty
+    st.eqDeletes.head.cols shouldBe Seq("id")
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 18L
+    out.filter($"id".isin(3L, 7L)).count() shouldBe 0L
+    // a LATER append re-inserts key 3: its file's data sequence
+    // exceeds the delete's, so the strictly-smaller rule keeps it
+    IcebergInterop.write(Seq((3L, "reborn")).toDF("id", "payload"), t)
+    IcebergInterop.read(spark, t).filter($"id" === 3L)
+      .select($"payload").as[String].collect() shouldBe Array("reborn")
+    // compaction retires the debt
+    IcebergInterop.compactDeletes(spark, t)
+    val st2 = IcebergInterop.state(spark, t, None)
+    st2.eqDeletes shouldBe empty
+    IcebergInterop.read(spark, t).count() shouldBe 19L
+    // a mistyped key column refuses by name
+    intercept[IllegalArgumentException] {
+      IcebergInterop.deleteByKeys(spark, t, Seq(1).toDF("id")) // INT
+    }.getMessage should include("mistyped")
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
