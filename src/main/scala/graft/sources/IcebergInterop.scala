@@ -1905,6 +1905,71 @@ object IcebergInterop {
     IceDml(snap, -1L, 0)
   }
 
+  /** ZERO-SCAN UPSERT (the CDC-apply / streaming-upsert shape Flink
+    * writes): ONE snapshot carrying an equality-delete manifest on
+    * the source's keys AND a data manifest with the source rows, both
+    * at the commit's sequence number. The spec's strictly-smaller
+    * rule makes it atomic: the delete kills old versions (their files
+    * have smaller data sequences) but NOT the rows appended in this
+    * very commit (same sequence) — no reader ever observes the
+    * deleted-but-not-yet-reinserted state a two-commit upsert leaks.
+    * The table is never read; cost is O(source) at ANY table size —
+    * what makes per-minute CDC batches feasible against 100 TB.
+    * Duplicate source keys refuse (which version wins is undefined);
+    * the merge-on-read debt retires through [[compactDeletes]]. */
+  def upsertByKeys(source: DataFrame, table: String,
+                   keyCols: Seq[String]): IceDml = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark = source.sparkSession
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    requireMorWritable(st, table, "upserts")
+    require(keyCols.nonEmpty, "upsertByKeys needs at least one key")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"key column $k is not in the source"))
+    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+    require(dup.isEmpty,
+      s"upsert source has duplicate key rows on " +
+        s"(${keyCols.mkString(", ")}) — which version lands is " +
+        "undefined; deduplicate the source first")
+    val eqIds: Seq[Int] = keyCols.map(c =>
+      st.evo.fieldIds.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"key column $c has no recorded field id in $table")).toInt)
+    // the delete leg: just the key columns, stamped with their ids
+    val ids = keyCols.zip(eqIds.map(_.toLong)).toMap
+    val keyRows = stampFieldIds(
+      source.select(keyCols.map(col): _*).distinct(), ids)
+    val stage = new Path(root, s".upsert-${java.util.UUID.randomUUID()}")
+    keyRows.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val delFiles = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).flatMap { p =>
+        val rows = parquetRowCount(spark, p)
+        if (rows == 0) { fs.delete(p, false); None }
+        else {
+          val dest = new Path(dataDir, s"eq-delete-${p.getName}")
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"failed to move $p to $dest")
+          Some((dest.toString, rows, fs.getFileStatus(dest).getLen))
+        }
+      }.toSeq
+    fs.delete(stage, true): Unit
+    // the data leg: the full source rows under the table's schema
+    val added = stageRewritten(spark, fs, root, st,
+      source.select(st.schema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*))
+    if (delFiles.isEmpty && added.isEmpty)
+      return IceDml(st.snapshotId, 0L, 0)
+    val snap = publishMor(spark, fs, root, st, delFiles, added,
+      "overwrite", eqIds = eqIds)
+    IceDml(snap, -1L, 0)
+  }
+
   private def requireMorWritable(st: IceState, table: String,
                                  what: String): Unit = {
     if (st.formatVersion < 2)
@@ -1989,6 +2054,7 @@ object IcebergInterop {
     val listEntries =
       scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
+    if (delFiles.nonEmpty) {
     writeAvro(fs, manifestPath, entrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
         "partition-spec" -> "[]",
@@ -2022,6 +2088,7 @@ object IcebergInterop {
       fs.getFileStatus(manifestPath).getLen, st.defaultSpecId,
       content = 1, seq = newSeq, minSeq = newSeq, snapshotId,
       (delFiles.size, 0, 0, delFiles.map(_._2).sum, 0L, 0L))
+    }
     if (added.nonEmpty) {
       val dataManifest = new Path(metaDir, s"$uuid-m1.avro")
       writeAvro(fs, dataManifest, entrySchema,

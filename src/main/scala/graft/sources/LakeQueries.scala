@@ -2118,8 +2118,66 @@ object LakeQueries {
       |  TRUE AS mor_path
       |FROM t GROUP BY o_orderpriority""".stripMargin
 
+  /** ic11_iceberg_upsert — the ZERO-SCAN upsert through the gate: one
+    * equality-delete + data snapshot applies a CDC-style source
+    * (changed rows + genuinely new keys) to a v2 table WITHOUT
+    * reading it — the in-row `zero_scan_upsert` flag pins that every
+    * original data file is still live and equality deletes exist.
+    * The oracle re-derives the upserted table from the original
+    * parquet. */
+  def ic11IcebergUpsert(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic11:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic11").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o, dir)
+      IcebergInterop.upgradeFormat(s, dir)
+      val before = IcebergInterop.state(s, dir, None)
+        .files.map(_.path).toSet
+      val eleven = o.filter(col("o_orderkey") % 11 === 1)
+      val src = eleven
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(eleven.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(100000000L))
+            .cast(o.schema("o_orderkey").dataType)))
+      IcebergInterop.upsertByKeys(src, dir, Seq("o_orderkey"))
+      val after = IcebergInterop.state(s, dir, None)
+      val zeroScan = before.subsetOf(after.files.map(_.path).toSet) &&
+        after.eqDeletes.nonEmpty
+      s"$dir|$zeroScan"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("zero_scan_upsert", lit(flag.toBoolean))
+  }
+
+  val ic11Oracle: String =
+    """WITH m AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 1),
+      |fin AS (
+      |  SELECT * FROM m
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m))
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS zero_scan_upsert
+      |FROM fin GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ic10_iceberg_mor" -> (ic10IcebergMor _),
+    "ic11_iceberg_upsert" -> (ic11IcebergUpsert _),
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
     "lk20_dpp_join" -> (lk20DppJoin _),
     "mv3_incremental_distinct" -> (mv3IncrementalDistinct _),
@@ -2175,6 +2233,7 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "ic10_iceberg_mor" -> ic10Oracle,
+    "ic11_iceberg_upsert" -> ic11Oracle,
     "lk19_bucket_lookup" -> lk19Oracle,
     "lk20_dpp_join" -> lk20Oracle,
     "mv3_incremental_distinct" -> mv3Oracle,

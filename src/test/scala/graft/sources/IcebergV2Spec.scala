@@ -235,6 +235,43 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("mistyped")
   }
 
+  test("upsertByKeys is ONE atomic snapshot: old versions die, this " +
+    "commit's rows survive their own delete, inserts land, the table " +
+    "is never read, and repeated upserts compose") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 20L).map(i => (i, i * 10)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    val pre = IcebergInterop.state(spark, t, None)
+    val before = pre.files.map(_.path).toSet
+    IcebergInterop.upsertByKeys(
+      Seq((3L, 333L), (99L, 990L)).toDF("id", "v"), t, Seq("id"))
+    val st = IcebergInterop.state(spark, t, None)
+    // exactly one snapshot advanced; originals untouched
+    before.subsetOf(st.files.map(_.path).toSet) shouldBe true
+    st.eqDeletes should not be empty
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 21L
+    out.filter($"id" === 3L).select($"v").as[Long].collect() shouldBe
+      Array(333L)
+    out.filter($"id" === 99L).count() shouldBe 1L
+    // the pre-upsert snapshot still serves the old version
+    IcebergInterop.readSnapshot(spark, t, pre.snapshotId)
+      .filter($"id" === 3L).select($"v").as[Long].head() shouldBe 30L
+    // a second upsert over the SAME key replaces the first's version
+    IcebergInterop.upsertByKeys(Seq((3L, 444L)).toDF("id", "v"),
+      t, Seq("id"))
+    IcebergInterop.read(spark, t).filter($"id" === 3L)
+      .select($"v").as[Long].collect() shouldBe Array(444L)
+    IcebergInterop.read(spark, t).count() shouldBe 21L
+    // duplicate source keys refuse
+    intercept[IllegalArgumentException] {
+      IcebergInterop.upsertByKeys(
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), t, Seq("id"))
+    }.getMessage should include("duplicate")
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
