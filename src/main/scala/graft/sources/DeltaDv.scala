@@ -180,10 +180,12 @@ object DeltaDv {
     }
   }
 
-  /** Serialize positions as a portable RoaringBitmapArray (array
-    * containers only — always legal, any conformant reader accepts
-    * it). The write side of the interop: specs hand-craft DV fixtures
-    * with it, and it is the seed of a future DV-writing DELETE. */
+  /** Serialize positions as a portable RoaringBitmapArray — the
+    * format's standard container choice per 2^16 block: an ARRAY of
+    * sorted shorts up to 4096 values, a fixed 8 KiB BITMAP beyond
+    * (the crossover where the bitmap is smaller). The write side of
+    * every DV-producing DML commit; any conformant reader accepts
+    * both container kinds. */
   def serialize(positions: Seq[Long]): Array[Byte] = {
     require(positions.forall(_ >= 0), "row positions must be >= 0")
     val byHigh = positions.distinct.sorted.groupBy(_ >>> 32)
@@ -191,11 +193,10 @@ object DeltaDv {
     val bitmaps = (0L until nBitmaps).map { b =>
       val vals = byHigh.getOrElse(b, Nil).map(v => (v & 0xffffffffL).toInt)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
-      byKey.foreach { case (_, vs) => require(vs.size <= 4096,
-        "fixture serializer writes array containers only (≤ 4096/container)")
-      }
+      def containerBytes(vs: Seq[Int]): Int =
+        if (vs.size <= 4096) vs.size * 2 else 8192
       val body = ByteBuffer.allocate(
-        8 + byKey.size * 8 + byKey.map(_._2.size * 2).sum)
+        8 + byKey.size * 8 + byKey.map(kv => containerBytes(kv._2)).sum)
         .order(ByteOrder.LITTLE_ENDIAN)
       body.putInt(12346).putInt(byKey.size)
       byKey.foreach { case (k, vs) =>
@@ -203,10 +204,19 @@ object DeltaDv {
       }
       var off = 4 + 4 + byKey.size * 4 + byKey.size * 4
       byKey.foreach { case (_, vs) =>
-        body.putInt(off); off += vs.size * 2
+        body.putInt(off); off += containerBytes(vs)
       }
       byKey.foreach { case (_, vs) =>
-        vs.sorted.foreach(v => body.putShort((v & 0xffff).toShort))
+        if (vs.size <= 4096)
+          vs.sorted.foreach(v => body.putShort((v & 0xffff).toShort))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xffff
+            words(low >>> 6) |= (1L << (low & 63))
+          }
+          words.foreach(body.putLong)
+        }
       }
       body.array()
     }

@@ -1918,7 +1918,8 @@ object IcebergInterop {
     * Duplicate source keys refuse (which version wins is undefined);
     * the merge-on-read debt retires through [[compactDeletes]]. */
   def upsertByKeys(source: DataFrame, table: String,
-                   keyCols: Seq[String]): IceDml = {
+                   keyCols: Seq[String],
+                   summary: Map[String, String] = Map.empty): IceDml = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val spark = source.sparkSession
     val root = new Path(table)
@@ -1966,8 +1967,72 @@ object IcebergInterop {
     if (delFiles.isEmpty && added.isEmpty)
       return IceDml(st.snapshotId, 0L, 0)
     val snap = publishMor(spark, fs, root, st, delFiles, added,
-      "overwrite", eqIds = eqIds)
+      "overwrite", eqIds = eqIds, summary = summary)
     IceDml(snap, -1L, 0)
+  }
+
+  /** The newest `graft.batch-id` any snapshot's summary records for
+    * `appId` — [[streamUpsert]]'s replay high-water mark. -1 when the
+    * stream has never committed. O(snapshots) metadata. */
+  def lastStreamBatch(spark: SparkSession, table: String,
+                      appId: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    currentMetadataVersion(fs, table) match {
+      case None => -1L
+      case Some(v) =>
+        val metaJson = JsonMethods.parse(readText(fs,
+          new Path(metaDir, s"v$v.metadata.json")))
+        (metaJson \ "snapshots") match {
+          case JArray(xs) => xs.flatMap { sn =>
+            val sm = sn \ "summary"
+            ((sm \ "graft.app-id"), (sm \ "graft.batch-id")) match {
+              case (JString(a), JString(b)) if a == appId =>
+                scala.util.Try(b.toLong).toOption
+              case _ => None
+            }
+          }.foldLeft(-1L)(_ max _)
+          case _ => -1L
+        }
+    }
+  }
+
+  /** EXACTLY-ONCE STREAMING UPSERT into a v2 Iceberg table — the
+    * CDC-sink shape: each micro-batch applies as ONE zero-scan
+    * [[upsertByKeys]] snapshot stamped `(graft.app-id, graft.batch-id)`
+    * in its summary; a crash between the snapshot commit and the
+    * checkpoint advance replays the epoch, the stamp detects it, and
+    * the batch commits NOTHING twice. Cost per batch is O(batch) at
+    * any table size — the equality-delete economics, continuously. */
+  def streamUpsert(streamed: DataFrame, table: String,
+      keyCols: Seq[String], checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, batchId, table, keyCols, checkpoint): Unit
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[streamUpsert]]'s per-epoch body, separable so a crash-replay
+    * (same epoch re-executed) is directly testable. Returns whether
+    * the batch committed (false = detected replay, skipped). */
+  private[sources] def upsertBatch(batch: DataFrame, batchId: Long,
+      table: String, keyCols: Seq[String], appId: String): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= lastStreamBatch(spark, table, appId)) false
+    else {
+      upsertByKeys(batch, table, keyCols,
+        summary = Map("graft.app-id" -> appId,
+          "graft.batch-id" -> batchId.toString)): Unit
+      true
+    }
   }
 
   private def requireMorWritable(st: IceState, table: String,
@@ -2028,7 +2093,8 @@ object IcebergInterop {
   private def publishMor(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, delFiles: Seq[(String, Long, Long)],
       added: Seq[IceFile], operation: String,
-      eqIds: Seq[Int] = Nil): Long = {
+      eqIds: Seq[Int] = Nil,
+      summary: Map[String, String] = Map.empty): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
@@ -2133,7 +2199,8 @@ object IcebergInterop {
       listEntries.toSeq ++
         priorList.map(pm => carryManifestRowV2(fs, pm, snapshotId)))
     publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
-      snapshotId, listPath, operation, curSchemaId, Some(newSeq))
+      snapshotId, listPath, operation, curSchemaId, Some(newSeq),
+      summary)
   }
 
   /** Stage a DML rewrite's surviving rows as data files under the
@@ -2408,7 +2475,8 @@ object IcebergInterop {
   private def publishDmlDoc(fs: FileSystem, root: Path,
       priorMeta: org.json4s.JValue, metadataVersion: Long,
       snapshotId: Long, listPath: Path, operation: String,
-      curSchemaId: Long, seq: Option[Long]): Long = {
+      curSchemaId: Long, seq: Option[Long],
+      summary: Map[String, String] = Map.empty): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
@@ -2418,7 +2486,10 @@ object IcebergInterop {
         seq.toList.map(n => "sequence-number" -> (JLong(n): JValue)) ++
         List[(String, JValue)](
           "timestamp-ms" -> JLong(now),
-          "summary" -> JObject(List("operation" -> JString(operation))),
+          "summary" -> JObject(
+            ("operation" -> (JString(operation): JValue)) ::
+              summary.toList.map { case (k, v) =>
+                k -> (JString(v): JValue) }),
           "manifest-list" -> JString(listPath.toString),
           "schema-id" -> JLong(curSchemaId)))
     val logEntry: JValue = JObject(List(

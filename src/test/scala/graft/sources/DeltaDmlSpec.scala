@@ -408,6 +408,28 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     DeltaInterop.read(spark, t).count() shouldBe 7L
   }
 
+  test("large deletes cross the array→bitmap container boundary: the " +
+    "codec round-trips dense kill sets and a bulk DELETE reads back " +
+    "exactly") {
+    import spark.implicits._
+    // codec: dense (bitmap container), sparse (array), and straddling
+    val dense = (0L until 30000L by 2L) ++ Seq(70000L, (1L << 32) + 5L)
+    DeltaDv.deserialize(DeltaDv.serialize(dense)).sorted shouldBe
+      dense.distinct.sorted.toArray
+    // a one-file table whose delete kills >4096 positions in one
+    // 2^16 block — the sf0.1 bulk-delete shape that needs the bitmap
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 30000L).map(i => (i, i)).toDF("id", "v").coalesce(1), t)
+    val r = DeltaInterop.delete(spark, t, col("id") % 3 === 0)
+    r.rowsAffected shouldBe 10000L
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 20000L
+    out.filter($"id" % 3 === 0).count() shouldBe 0L
+    out.agg(sum($"id")).as[Long].head() shouldBe
+      (1L to 30000L).filterNot(_ % 3 == 0).sum
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._

@@ -272,6 +272,51 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("duplicate")
   }
 
+  test("streamUpsert applies each micro-batch exactly once: a " +
+    "replayed epoch detects its summary stamp and commits nothing " +
+    "twice; two AvailableNow drains over one checkpoint compose") {
+    import spark.implicits._
+    val t = fresh()
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-ice-stream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ice-stream-ck").toString
+    // the table schema must be nullable like the stream's (parquet
+    // sources declare nullable columns; required→nullable appends
+    // refuse by design)
+    val initDir = java.nio.file.Files
+      .createTempDirectory("graft-ice-stream-init").toString
+    (1L to 10L).map(i => (i, i * 10)).toDF("id", "v")
+      .write.mode("overwrite").parquet(initDir)
+    IcebergInterop.write(spark.read.parquet(initDir), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    Seq((3L, 333L), (11L, 110L)).toDF("id", "v")
+      .write.parquet(s"$srcDir/b0")
+    def drain(): Unit = IcebergInterop.streamUpsert(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, v BIGINT"))
+        .parquet(s"$srcDir/*"),
+      t, Seq("id"), ckpt).awaitTermination()
+    drain()
+    val out1 = IcebergInterop.read(spark, t)
+    out1.count() shouldBe 11L
+    out1.filter($"id" === 3L).select($"v").as[Long].head() shouldBe 333L
+    // second drain with NEW data: only the new file commits
+    Seq((3L, 444L)).toDF("id", "v").write.parquet(s"$srcDir/b1")
+    drain()
+    IcebergInterop.read(spark, t).filter($"id" === 3L)
+      .select($"v").as[Long].head() shouldBe 444L
+    IcebergInterop.read(spark, t).count() shouldBe 11L
+    // a crash-replay of an already-committed epoch commits nothing
+    val snaps = IcebergInterop.snapshotLineage(spark, t).size
+    IcebergInterop.upsertBatch(Seq((3L, 999L)).toDF("id", "v"),
+      batchId = 0L, t, Seq("id"), appId = ckpt) shouldBe false
+    IcebergInterop.snapshotLineage(spark, t).size shouldBe snaps
+    IcebergInterop.read(spark, t).filter($"id" === 3L)
+      .select($"v").as[Long].head() shouldBe 444L
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
