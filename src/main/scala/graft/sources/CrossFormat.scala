@@ -39,4 +39,20 @@ object CrossFormat {
     IcebergInterop.importToManifest(spark, table)
     DeltaInterop.exportFromManifest(spark, table)
   }
+
+  /** Vectored Delta → Iceberg WITHOUT purging: deletion vectors and
+    * v2 position deletes are the same per-file kill sets, so the
+    * merge-on-read debt converts directly ([[IcebergInterop
+    * .importFromDeltaMor]]) — O(deleted rows) sidecar writes, data
+    * files shared. Unpartitioned tables; the converted root serves
+    * the Delta log and the Iceberg metadata (no manifest layer). */
+  def deltaToIcebergMor(spark: SparkSession, table: String): Long =
+    IcebergInterop.importFromDeltaMor(spark, table)
+
+  /** Merge-on-read Iceberg → Delta WITHOUT compacting: position
+    * deletes re-serialize as deletion-vector sidecars
+    * ([[DeltaInterop.importFromIcebergMor]]). Equality deletes and
+    * partitioned specs refuse by name. */
+  def icebergToDeltaMor(spark: SparkSession, table: String): Long =
+    DeltaInterop.importFromIcebergMor(spark, table)
 }

@@ -886,7 +886,7 @@ object DeltaInterop {
   final case class DeltaDml(version: Long, rowsAffected: Long,
                             filesTouched: Int)
 
-  private def numRecordsOf(a: DeltaAdd): Option[Long] = a.stats.flatMap { s =>
+  private[sources] def numRecordsOf(a: DeltaAdd): Option[Long] = a.stats.flatMap { s =>
     import org.json4s._
     scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption
       .flatMap(j => (j \ "numRecords") match {
@@ -1424,6 +1424,80 @@ object DeltaInterop {
     val v = publishCommit(fs, new Path(root, "_delta_log"),
       st.version + 1, lines.toSeq)
     DeltaDml(v, counts.map(_._2).sum + inserts, touched.length)
+  }
+
+  /** Direct Iceberg → Delta conversion for MERGE-ON-READ tables — the
+    * reverse of [[IcebergInterop.importFromDeltaMor]]: v2 position
+    * deletes and deletion vectors are the same per-file kill sets, so
+    * the delete parquet re-serializes as RoaringBitmap DV sidecars
+    * (per file, on executors) and one version-0 Delta log publishes
+    * the SHARED data files with their vectors — zero data movement.
+    * Add actions reference the files by ABSOLUTE path (the protocol's
+    * shallow-clone convention) and carry `numRecords` stats from the
+    * Iceberg manifests. Equality deletes refuse by name (they have no
+    * Delta analog without a scan — compactDeletes first), as do
+    * partitioned specs and a root already carrying a Delta log. */
+  def importFromIcebergMor(spark: SparkSession, table: String): Long = {
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val logDir = new Path(root, "_delta_log")
+    if (fs.exists(logDir) && fs.listStatus(logDir).exists(s =>
+      JsonRe.pattern.matcher(s.getPath.getName).matches()))
+      throw new UnsupportedDeltaFeatureException(
+        s"$table already carries a Delta log — re-syncing a converted " +
+          "table is the manifest-composed conversion's job")
+    val ist = IcebergInterop.state(spark, table, None)
+    if (ist.eqDeletes.nonEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"table $table carries EQUALITY deletes, which have no Delta " +
+          "analog without a table scan — compactDeletes first")
+    require(ist.specs.getOrElse(ist.defaultSpecId, Nil).isEmpty &&
+      ist.files.forall(_.partition.isEmpty),
+      s"table $table is partitioned — identity re-declaration is the " +
+        "manifest-composed conversion's job; compact deletes first")
+    require(ist.files.nonEmpty, s"nothing to convert: $table is empty")
+    import spark.implicits._
+    // re-serialize the position kill sets as per-file DV sidecars
+    val perFile: Array[(String, String, Long, Int, Long, Long)] =
+      if (ist.posDeletes.isEmpty)
+        Array.empty
+      else {
+        val dels = spark.read.parquet(ist.posDeletes: _*)
+          .select(
+            org.apache.spark.sql.functions.regexp_replace(col("file_path"),
+              "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/").as("__fp"),
+            col("pos").cast("long").as("__pos"))
+          .distinct()
+        writeDvPerFile(spark, root,
+          DeltaState(0L, ist.schema, Nil, Nil), dels)
+      }
+    val dvByNorm = perFile.map(t => t._1 -> t).toMap
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("CONVERT")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    if (perFile.nonEmpty)
+      lines += s"""{"protocol":{"minReaderVersion":3,""" +
+        """"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
+    else
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += metaDataJson(ist.schema, Nil, now)
+    ist.files.foreach { f =>
+      val dv = dvByNorm.get(normStr(f.path))
+      lines += s"""{"add":{"path":${jstr(urlEncode(f.path))},""" +
+        s""""partitionValues":{},"size":${f.bytes},""" +
+        s""""modificationTime":$now,"dataChange":true,""" +
+        s""""stats":${jstr(s"""{"numRecords":${f.records}}""")}""" +
+        dv.map { case (_, enc, off, size, card, _) =>
+          s""","deletionVector":{"storageType":"u",""" +
+            s""""pathOrInlineDv":${jstr(enc)},"offset":$off,""" +
+            s""""sizeInBytes":$size,"cardinality":$card}"""
+        }.getOrElse("") + "}}"
+    }
+    publishCommit(fs, logDir, 0L, lines.toSeq)
   }
 
   // --------------------------------------------------- change data feed

@@ -2035,6 +2035,154 @@ object IcebergInterop {
     }
   }
 
+  /** Direct Delta → Iceberg conversion for VECTORED tables — the
+    * migration the manifest-composed [[CrossFormat.deltaToIceberg]]
+    * refuses without a purge: deletion vectors and position deletes
+    * are the SAME thing (per-file position kill sets), so the
+    * merge-on-read debt converts as O(deleted rows) delete-parquet
+    * writes while every data file is SHARED in place — never a data
+    * rewrite. Publishes a FRESH v2 table: one snapshot at sequence 1
+    * carrying a data manifest over Delta's live files plus a delete
+    * manifest with the decoded positions (vectors decode on
+    * executors; the driver ships descriptors). Unpartitioned,
+    * unmapped Delta only, and a root already carrying Iceberg
+    * metadata refuses — all by name. Record counts ride the adds'
+    * stats when present, one footer open per file otherwise. */
+  def importFromDeltaMor(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    if (fs.exists(metaDir) && currentMetadataVersion(fs, table).isDefined)
+      throw new UnsupportedIcebergFeatureException(
+        s"$table already carries Iceberg metadata — re-syncing a " +
+          "converted table is the manifest-composed conversion's job")
+    val dst = DeltaInterop.state(spark, table, None)
+    require(dst.columnMappingMode == "none",
+      s"table $table uses column mapping — its files carry physical " +
+        "names this conversion cannot re-declare; reads only")
+    require(dst.partitionColumns.isEmpty,
+      s"table $table is partitioned — Delta data files omit partition " +
+        "columns, which Iceberg data files must carry; purge the " +
+        "vectors and convert through CrossFormat.deltaToIceberg")
+    require(dst.files.nonEmpty, s"nothing to convert: $table is empty")
+    import spark.implicits._
+    val rootStr = root.toString
+    val vectored = dst.files.filter(_.dv.nonEmpty)
+    val delFiles: Seq[(String, Long, Long)] =
+      if (vectored.isEmpty) Nil
+      else {
+        val descriptors = vectored.map { a =>
+          val d = a.dv.get
+          (new Path(root, a.path).toString, d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        }
+        val delRows = spark.createDataset(descriptors)
+          .flatMap { case (fp, st0, payload, off, size) =>
+            val r = new Path(rootStr)
+            val fs0 = r.getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
+            DeltaDv.deserialize(DeltaDv.bitmapBytes(fs0, r,
+                DeltaDv.DvDescriptor(st0, payload, off, size, -1L)))
+              .map(p => (fp, p))
+          }.toDF("file_path", "pos")
+        stageDeleteParquet(spark, fs, root, delRows)
+      }
+    val dataFiles: Seq[IceFile] = dst.files.map { a =>
+      val abs = new Path(root, a.path)
+      val rows = DeltaInterop.numRecordsOf(a)
+        .getOrElse(parquetRowCount(spark, abs))
+      IceFile(abs.toString, rows, a.size)
+    }
+    // fresh v2 table document
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val uuid = java.util.UUID.randomUUID().toString
+    val now = System.currentTimeMillis()
+    val schemaJsonStr = icebergSchemaJson(dst.schema)
+    val entrySchema = manifestEntrySchema(Nil, v2 = true)
+    def entryOf(path: String, rows: Long, bytes: Long,
+                content: Int): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val dfRec = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dfRec.put("content", content)
+      dfRec.put("file_path", path)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("partition", new GenericData.Record(
+        entrySchema.getField("data_file").schema()
+          .getField("partition").schema()))
+      dfRec.put("record_count", rows)
+      dfRec.put("file_size_in_bytes", bytes)
+      e.put("data_file", dfRec)
+      e
+    }
+    fs.mkdirs(metaDir)
+    val avroMetaBase = Map("format-version" -> "2",
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "schema" -> schemaJsonStr)
+    val dataManifest = new Path(metaDir, s"$uuid-m0.avro")
+    writeAvro(fs, dataManifest, entrySchema,
+      avroMetaBase + ("content" -> "data"),
+      dataFiles.map(f => entryOf(f.path, f.records, f.bytes, 0)))
+    val listEntries =
+      scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    listEntries += manifestListRowV2(dataManifest.toString,
+      fs.getFileStatus(dataManifest).getLen, 0, content = 0,
+      seq = 1L, minSeq = 1L, snapshotId,
+      (dataFiles.size, 0, 0, dataFiles.map(_.records).sum, 0L, 0L))
+    if (delFiles.nonEmpty) {
+      val delManifest = new Path(metaDir, s"$uuid-m1.avro")
+      writeAvro(fs, delManifest, entrySchema,
+        avroMetaBase + ("content" -> "deletes"),
+        delFiles.map { case (p, r, b) => entryOf(p, r, b, 1) })
+      listEntries += manifestListRowV2(delManifest.toString,
+        fs.getFileStatus(delManifest).getLen, 0, content = 1,
+        seq = 1L, minSeq = 1L, snapshotId,
+        (delFiles.size, 0, 0, delFiles.map(_._2).sum, 0L, 0L))
+    }
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    writeAvro(fs, listPath, ManifestFileSchemaV2,
+      Map("format-version" -> "2"), listEntries.toSeq)
+    val json =
+      s"""{"format-version":2,"table-uuid":${jstr(uuid)},
+         |"location":${jstr(root.toString)},"last-updated-ms":$now,
+         |"last-sequence-number":1,
+         |"last-partition-id":999,
+         |"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"last-column-id":${dst.schema.length},
+         |"schema":$schemaJsonStr,
+         |"schemas":[$schemaJsonStr],
+         |"current-schema-id":0,
+         |"partition-spec":[],"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"properties":{},
+         |"current-snapshot-id":$snapshotId,
+         |"snapshots":[{"snapshot-id":$snapshotId,"sequence-number":1,
+         |"timestamp-ms":$now,"summary":{"operation":"append"},
+         |"manifest-list":${jstr(listPath.toString)},"schema-id":0}],
+         |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapshotId}]
+         |}""".stripMargin.replace("\n", "")
+    val metaTarget = new Path(metaDir, "v1.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v1.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"v1 metadata of $root was committed concurrently")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write("1".getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapshotId
+  }
+
   private def requireMorWritable(st: IceState, table: String,
                                  what: String): Unit = {
     if (st.formatVersion < 2)
@@ -2064,8 +2212,17 @@ object IcebergInterop {
     val delRows = matched.as[(String, Long)]
       .map { case (fp, pos) => (bc.value.getOrElse(fp, fp), pos) }
       .toDF("file_path", "pos")
-      .sortWithinPartitions(col("file_path"), col("pos"))
-    val stamped = stampFieldIds(delRows,
+    stageDeleteParquet(spark, fs, root, delRows)
+  }
+
+  /** Stage ready `(file_path, pos)` rows as spec-conformant
+    * position-delete parquet under `data/` (reserved field ids,
+    * sorted by file then position). */
+  private def stageDeleteParquet(spark: SparkSession, fs: FileSystem,
+      root: Path, delRows: DataFrame): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val stamped = stampFieldIds(
+      delRows.sortWithinPartitions(col("file_path"), col("pos")),
       Map("file_path" -> 2147483546L, "pos" -> 2147483545L))
     val stage = new Path(root, s".mor-${java.util.UUID.randomUUID()}")
     stamped.write.mode("overwrite").parquet(stage.toString)

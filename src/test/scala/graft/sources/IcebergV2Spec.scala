@@ -317,6 +317,59 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"v").as[Long].head() shouldBe 444L
   }
 
+  test("MOR cross-format: a vectored Delta table converts to Iceberg " +
+    "v2 position deletes with every data file shared, and back — " +
+    "kill sets survive both directions bit-for-bit") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // Delta → Iceberg: DVs become position deletes
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 200L).map(i => (i, s"p$i")).toDF("id", "payload"), t)
+    DeltaInterop.delete(spark, t, col("id") % 3 === 0)
+    val deltaFiles = DeltaInterop.state(spark, t, None).files
+      .map(a => new Path(new Path(t), a.path).toString).toSet
+    CrossFormat.deltaToIcebergMor(spark, t)
+    val ist = IcebergInterop.state(spark, t, None)
+    ist.formatVersion shouldBe 2
+    ist.files.map(_.path).toSet shouldBe deltaFiles // shared in place
+    ist.posDeletes should not be empty
+    val viaIceberg = IcebergInterop.read(spark, t)
+    viaIceberg.count() shouldBe (1L to 200L).count(_ % 3 != 0)
+    viaIceberg.select($"id").as[Long].collect().sorted shouldBe
+      (1L to 200L).filterNot(_ % 3 == 0).toArray
+    // re-converting refuses (already Iceberg)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      CrossFormat.deltaToIcebergMor(spark, t)
+    }
+    // Iceberg MOR → Delta: position deletes become vectors
+    val t2 = fresh()
+    IcebergInterop.write(
+      (1L to 100L).map(i => (i, i)).toDF("id", "v"), t2)
+    IcebergInterop.upgradeFormat(spark, t2)
+    IcebergInterop.deleteMor(spark, t2, col("id") <= 40)
+    val iceFiles = IcebergInterop.state(spark, t2, None)
+      .files.map(f => f.path.replaceFirst(
+        "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")).toSet
+    CrossFormat.icebergToDeltaMor(spark, t2)
+    val dst = DeltaInterop.state(spark, t2, None)
+    dst.files.map(a => new Path(new Path(t2), a.path).toString
+      .replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+      .toSet shouldBe iceFiles
+    dst.files.count(_.dv.nonEmpty) should be > 0
+    val viaDelta = DeltaInterop.read(spark, t2)
+    viaDelta.count() shouldBe 60L
+    viaDelta.agg(min($"id")).as[Long].head() shouldBe 41L
+    // equality deletes refuse the direct path by name
+    val t3 = fresh()
+    IcebergInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t3)
+    IcebergInterop.upgradeFormat(spark, t3)
+    IcebergInterop.deleteByKeys(spark, t3, Seq(1L).toDF("id"))
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      CrossFormat.icebergToDeltaMor(spark, t3)
+    }.getMessage should include("EQUALITY")
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
