@@ -2175,7 +2175,50 @@ object LakeQueries {
       |  TRUE AS zero_scan_upsert
       |FROM fin GROUP BY o_orderpriority""".stripMargin
 
+  /** cx2_cross_format_mor — MERGE-ON-READ conversion through the
+    * gate: a Delta table takes a deletion-vector DELETE, converts
+    * DIRECTLY to Iceberg v2 (vectors → position deletes, every data
+    * file shared in place — the in-row `kill_set_converted` flag pins
+    * both), and the gate reads the result through the ICEBERG
+    * metadata; the oracle re-derives the post-delete table from the
+    * original parquet. */
+  def cx2CrossFormatMor(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"cx2:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-xfmt-cx2").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        dir)
+      DeltaInterop.delete(s, dir, col("o_orderkey") % 5 === 0)
+      val deltaFiles = DeltaInterop.state(s, dir, None).files
+        .map(a => new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dir), a.path).toString).toSet
+      CrossFormat.deltaToIcebergMor(s, dir)
+      val ist = IcebergInterop.state(s, dir, None)
+      val converted = ist.files.map(_.path).toSet == deltaFiles &&
+        ist.posDeletes.nonEmpty
+      s"$dir|$converted"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("kill_set_converted", lit(flag.toBoolean))
+  }
+
+  val cx2Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS kill_set_converted
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cx2_cross_format_mor" -> (cx2CrossFormatMor _),
     "ic10_iceberg_mor" -> (ic10IcebergMor _),
     "ic11_iceberg_upsert" -> (ic11IcebergUpsert _),
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
@@ -2232,6 +2275,7 @@ object LakeQueries {
     "lk5_sql_dml" -> (lk5SqlDml _))
 
   val oracles: Map[String, String] = Map(
+    "cx2_cross_format_mor" -> cx2Oracle,
     "ic10_iceberg_mor" -> ic10Oracle,
     "ic11_iceberg_upsert" -> ic11Oracle,
     "lk19_bucket_lookup" -> lk19Oracle,
