@@ -1500,6 +1500,67 @@ object DeltaInterop {
     publishCommit(fs, logDir, 0L, lines.toSeq)
   }
 
+  /** `RESTORE TABLE ... TO VERSION AS OF v` — roll the table's LIVE
+    * state back to `version` with one ordinary commit: files live at
+    * `version` but not at head re-add (their content must still be on
+    * disk — vacuumed files refuse by name), head files not live at
+    * `version` remove, and the restored schema republishes when it
+    * differs. History is preserved (the restore is itself a new
+    * version; time travel to the undone versions still works) —
+    * exactly delta-spark's RESTORE semantics. Metadata-only:
+    * O(|live(v)| + |live(head)|) driver work, no data IO. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val head = state(spark, table, None)
+    if (head.version == version) return head.version
+    val target = state(spark, table, Some(version))
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val headFiles = head.files.map(a => a.path -> a).toMap
+    val targetFiles = target.files.map(a => a.path -> a).toMap
+    (targetFiles.keySet -- headFiles.keySet).foreach { p =>
+      if (!fs.exists(new Path(root, p)))
+        throw new UnsupportedDeltaFeatureException(
+          s"restoring $table to version $version needs $p, which is " +
+            "no longer on disk (vacuumed) — that version is gone")
+    }
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("RESTORE")},"operationParameters":{"version":$version},""" +
+      s""""engineInfo":${jstr("graft")}}}"""
+    if (target.schema.json != head.schema.json ||
+      target.partitionColumns != head.partitionColumns)
+      lines += metaDataJson(target.schema, target.partitionColumns, now,
+        target.configuration, target.metaId)
+    (headFiles.keySet -- targetFiles.keySet).toSeq.sorted.foreach { p =>
+      lines += s"""{"remove":{"path":${jstr(urlEncode(p))},""" +
+        s""""deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    // re-adds AND files whose vector differs at the restored version
+    // (a DV change is a logical row change — the add must republish)
+    targetFiles.toSeq.sortBy(_._1).foreach { case (p, a) =>
+      val headA = headFiles.get(p)
+      if (!headA.contains(a)) {
+        if (headA.isDefined)
+          lines += s"""{"remove":{"path":${jstr(urlEncode(p))},""" +
+            s""""deletionTimestamp":$now,"dataChange":true}}"""
+        lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""partitionValues":${pvJsonOf(a.partitionValues)},""" +
+          s""""size":${a.size},"modificationTime":$now,""" +
+          s""""dataChange":true""" +
+          a.stats.map(st => s""","stats":${jstr(st)}""").getOrElse("") +
+          a.dv.map(d =>
+            s""","deletionVector":{"storageType":${jstr(d.storageType)},""" +
+              s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},""" +
+              s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},""" +
+              s""""cardinality":${d.cardinality}}""").getOrElse("") +
+          "}}"
+      }
+    }
+    publishCommit(fs, new Path(root, "_delta_log"),
+      head.version + 1, lines.toSeq)
+  }
+
   // --------------------------------------------------- change data feed
 
   /** Enable the table's CHANGE DATA FEED (`ALTER TABLE … SET

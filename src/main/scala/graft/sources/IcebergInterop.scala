@@ -1586,6 +1586,68 @@ object IcebergInterop {
     nextVersion
   }
 
+  /** `rollback_to_snapshot` — Iceberg's METADATA-ONLY rollback: the
+    * current-snapshot pointer moves to a RETAINED older snapshot in a
+    * new metadata version; no snapshot is created, no file moves, and
+    * the rolled-past snapshots stay addressable (an expiry pass
+    * retires them on its own schedule). The snapshot-log records the
+    * rollback (the spec's rule: the log is the sequence of CURRENT
+    * snapshots over time, not of commits). */
+  def rollbackTo(spark: SparkSession, table: String,
+                 snapshotId: Long): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val known = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs.map(s => jLong(s \ "snapshot-id"))
+      case _ => Nil
+    }
+    require(known.contains(snapshotId),
+      s"snapshot $snapshotId is not retained in $table (have " +
+        s"${known.mkString(", ")}) — an expired snapshot cannot be " +
+        "rolled back to")
+    if (jLong(metaJson \ "current-snapshot-id") == snapshotId)
+      return version
+    val now = System.currentTimeMillis()
+    val logEntry: JValue = JObject(List(
+      "timestamp-ms" -> (JLong(now): JValue),
+      "snapshot-id" -> (JLong(snapshotId): JValue)))
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("current-snapshot-id", _) =>
+        "current-snapshot-id" -> (JLong(snapshotId): JValue)
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(now): JValue)
+      case ("snapshot-log", JArray(xs)) =>
+        "snapshot-log" -> (JArray(xs :+ logEntry): JValue)
+      case other => other
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    nextVersion
+  }
+
   // ------------------------------------------------------ row-level DML
 
   /** One row-level DML commit's outcome. */

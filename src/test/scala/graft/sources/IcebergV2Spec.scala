@@ -370,6 +370,43 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("EQUALITY")
   }
 
+  test("RESTORE and rollback: Delta restores a pre-DML version as a " +
+    "new commit (history intact, vectors republished exactly); " +
+    "Iceberg rolls the current pointer back metadata-only") {
+    import spark.implicits._
+    // Delta: write → delete (DV) → update → RESTORE to the vectored
+    // version → the vector state of THAT version serves again
+    val t = fresh()
+    DeltaInterop.write((1L to 40L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.delete(spark, t, col("id") <= 10) // v1, vectored
+    DeltaInterop.update(spark, t, col("id") > 35,
+      Seq("v" -> lit(0L))) // v2, rewrites + materializes
+    DeltaInterop.restore(spark, t, 1L) shouldBe 3L
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 30L
+    out.filter($"v" === 0L).count() shouldBe 0L // the update undone
+    out.agg(min($"id")).as[Long].head() shouldBe 11L // the delete kept
+    // the undone version is still addressable
+    DeltaInterop.readVersion(spark, t, 2L)
+      .filter($"v" === 0L).count() shouldBe 5L
+    // restore to v0: every row returns
+    DeltaInterop.restore(spark, t, 0L)
+    DeltaInterop.read(spark, t).count() shouldBe 40L
+    // Iceberg: rollback moves the pointer without a new snapshot
+    val t2 = fresh()
+    IcebergInterop.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), t2)
+    val s0 = IcebergInterop.state(spark, t2, None).snapshotId
+    IcebergInterop.write((21L to 30L).map(i => (i, i)).toDF("id", "v"), t2)
+    val snapsBefore = IcebergInterop.snapshotLineage(spark, t2).size
+    IcebergInterop.rollbackTo(spark, t2, s0)
+    IcebergInterop.read(spark, t2).count() shouldBe 20L
+    IcebergInterop.snapshotLineage(spark, t2).size shouldBe
+      (snapsBefore + 1) // the log records the rollback, no new snapshot
+    intercept[IllegalArgumentException] {
+      IcebergInterop.rollbackTo(spark, t2, 12345L)
+    }.getMessage should include("not retained")
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
