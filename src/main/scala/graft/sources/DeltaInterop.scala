@@ -621,6 +621,53 @@ object DeltaInterop {
     }
   }
 
+  /** `DESCRIBE HISTORY` — one row per RETAINED commit (vacuumed JSON
+    * versions are gone by design): version, wall-clock timestamp,
+    * operation name, and the commit's add/remove counts. O(versions)
+    * driver-side log reads, no data IO. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val logDir = new Path(table, "_delta_log")
+    val fs = hadoopFs(spark, logDir)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $table")
+    val versions = fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case JsonRe(v) => v.toLong }.sorted.toIndexedSeq
+    versions.map { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      var ts = 0L
+      var op = ""
+      var adds = 0L
+      var removes = 0L
+      text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "commitInfo") match {
+          case JNothing | JNull => ()
+          case ci =>
+            (ci \ "timestamp") match {
+              case JInt(t) => ts = t.toLong
+              case JLong(t) => ts = t
+              case _ => ()
+            }
+            (ci \ "operation") match {
+              case JString(s) => op = s
+              case _ => ()
+            }
+        }
+        if ((j \ "add") != JNothing && (j \ "add") != JNull) adds += 1
+        if ((j \ "remove") != JNothing && (j \ "remove") != JNull)
+          removes += 1
+      }
+      (v, ts, op, adds, removes)
+    }.toDF("version", "timestamp_ms", "operation", "n_adds", "n_removes")
+  }
+
   /** The table's head version (max JSON commit), if the log exists. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] = {
     val logDir = new Path(table, "_delta_log")

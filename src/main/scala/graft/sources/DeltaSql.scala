@@ -255,6 +255,17 @@ object DeltaSql {
 
     private def applyReads(plan: LogicalPlan): LogicalPlan =
       filterPrune(plan).resolveOperatorsUp {
+        // `` graft_delta.`name$history` `` — the DESCRIBE HISTORY
+        // metadata table (the lake's $-suffix idiom)
+        case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
+            u.multipartIdentifier(1).endsWith("$history") &&
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$history")).isDefined =>
+          PlanBridge.analyzedPlan(DeltaInterop.history(spark,
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$history")).get))
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if deltaTarget(u).isDefined =>
           readPlan(deltaTarget(u).get, Some(versionOf(v)))

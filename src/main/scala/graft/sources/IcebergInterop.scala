@@ -1586,6 +1586,39 @@ object IcebergInterop {
     nextVersion
   }
 
+  /** `DESCRIBE HISTORY` — one row per RETAINED snapshot (expired ones
+    * are gone by design): snapshot id, sequence number (0 on v1),
+    * wall-clock timestamp, operation, and whether it is current.
+    * One metadata read, no data IO. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val current = jLong(metaJson \ "current-snapshot-id")
+    val rows = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs.map { sn =>
+        val id = jLong(sn \ "snapshot-id")
+        val op = (sn \ "summary" \ "operation") match {
+          case JString(s) => s
+          case _ => ""
+        }
+        (id, jLong(sn \ "sequence-number") max 0L,
+          jLong(sn \ "timestamp-ms"), op, id == current)
+      }
+      case _ => Nil
+    }
+    rows.toDF("snapshot_id", "sequence_number", "timestamp_ms",
+      "operation", "is_current")
+  }
+
   /** `rollback_to_snapshot` — Iceberg's METADATA-ONLY rollback: the
     * current-snapshot pointer moves to a RETAINED older snapshot in a
     * new metadata version; no snapshot is created, no file moves, and

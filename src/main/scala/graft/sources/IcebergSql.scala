@@ -269,6 +269,17 @@ object IcebergSql {
 
     private def applyReads(plan: LogicalPlan): LogicalPlan =
       filterPrune(plan).resolveOperatorsUp {
+        // `` graft_iceberg.`name$history` `` — the DESCRIBE HISTORY
+        // metadata table (the lake's $-suffix idiom)
+        case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
+            u.multipartIdentifier(1).endsWith("$history") &&
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$history")).isDefined =>
+          PlanBridge.analyzedPlan(IcebergInterop.history(spark,
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$history")).get))
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, Some(snapshotOf(v)))

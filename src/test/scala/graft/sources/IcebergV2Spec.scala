@@ -407,6 +407,33 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("not retained")
   }
 
+  test("$history metadata tables serve commit/snapshot lineage " +
+    "through SQL for both dialects") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
+    DeltaInterop.delete(spark, t, col("id") === 1L)
+    DeltaSql.register("hist_t", t)
+    try {
+      val h = spark.sql(
+        "SELECT version, operation FROM graft_delta.`hist_t$history` " +
+          "ORDER BY version").as[(Long, String)].collect()
+      h shouldBe Array((0L, "WRITE"), (1L, "DELETE"))
+    } finally DeltaSql.unregister("hist_t")
+    val t2 = fresh()
+    IcebergInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t2)
+    IcebergInterop.write(Seq((6L, 6L)).toDF("id", "v"), t2)
+    IcebergSql.register("hist_i", t2)
+    try {
+      val h = spark.sql(
+        "SELECT operation, is_current FROM " +
+          "graft_iceberg.`hist_i$history` ORDER BY timestamp_ms")
+        .as[(String, Boolean)].collect()
+      h.map(_._1) shouldBe Array("append", "append")
+      h.map(_._2) shouldBe Array(false, true)
+    } finally IcebergSql.unregister("hist_i")
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
