@@ -1011,12 +1011,21 @@ object DeltaInterop {
   }
 
   /** The protocol-upgrade line a first-vector commit needs (none when
-    * the table already declares the feature). */
+    * the table already declares the feature). Upgrading a reader-v2
+    * table (column mapping, implicit) to table features must DECLARE
+    * columnMapping — version 3 lists every capability by name, and a
+    * dropped declaration would let a mapping-unaware reader serve
+    * physical gibberish. */
   private def dvProtocolLines(st: DeltaState): Seq[String] =
     if (st.minReaderVersion >= 3 &&
       st.readerFeatures.contains("deletionVectors")) Nil
     else {
-      val rf = (st.readerFeatures :+ "deletionVectors").distinct
+      val base =
+        if (st.minReaderVersion >= 3) st.readerFeatures
+        else if (st.minReaderVersion == 2 || st.columnMappingMode != "none")
+          st.readerFeatures :+ "columnMapping"
+        else st.readerFeatures
+      val rf = (base :+ "deletionVectors").distinct
       val fj = rf.map(jstr).mkString("[", ",", "]")
       Seq(s"""{"protocol":{"minReaderVersion":3,""" +
         s""""minWriterVersion":7,"readerFeatures":$fj,""" +
@@ -1071,9 +1080,22 @@ object DeltaInterop {
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column): DeltaDml = {
     val st = state(spark, table, None)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — DML would address logical " +
-        "names; reads only")
+    // deletion vectors are POSITION-keyed — the commit never writes a
+    // column name — so the MOR delete serves column-mapped tables too
+    // (the predicate resolves against the mapped read's logical
+    // names), as long as the mapped read itself works (unpartitioned)
+    // and no cdc files are owed (those would need physical-name
+    // writes this engine does not do)
+    if (st.columnMappingMode != "none") {
+      require(st.partitionColumns.isEmpty,
+        s"table $table is partitioned under column mapping — its " +
+          "partitionValues are physically keyed; reads only")
+      require(!st.configuration.get("delta.enableChangeDataFeed")
+        .contains("true"),
+        s"table $table has the change data feed enabled under column " +
+          "mapping — cdc files would need physical-name writes; " +
+          "disable CDF or use a mapping-aware engine")
+    }
     if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -1082,7 +1104,8 @@ object DeltaInterop {
     // live rows (existing vectors applied) matching the predicate,
     // with (file, position) lineage from the scan's metadata columns
     val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
-      st.files, keepLineage = true).filter(predicate)
+      st.files, st.columnMappingMode, keepLineage = true)
+      .filter(predicate)
     val perFile = writeDvPerFile(spark, root, st, matched)
     if (perFile.isEmpty) return DeltaDml(st.version, 0L, 0)
     val cdfOn = st.configuration
@@ -1102,7 +1125,7 @@ object DeltaInterop {
     if (cdfOn) touched.groupBy(_.partitionValues).foreach {
       case (pv, adds) =>
         val rows = filesToDF(spark, table, st.schema,
-          st.partitionColumns, adds.toIndexedSeq)
+          st.partitionColumns, adds.toIndexedSeq, st.columnMappingMode)
           .filter(predicate)
           .select(dataSchema.fields.toIndexedSeq.map(f => col(f.name)): _*)
           .withColumn("_change_type", lit("delete"))
@@ -1151,7 +1174,7 @@ object DeltaInterop {
     // touched files AND per-file match counts in one lineage job
     val counts: Array[(String, Long)] =
       filesToDF(spark, table, st.schema, st.partitionColumns, st.files,
-        keepLineage = true)
+        st.columnMappingMode, keepLineage = true)
         .filter(predicate)
         .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
         .as[(String, Long)].collect()
@@ -1179,7 +1202,7 @@ object DeltaInterop {
       jstr("graft")}}}"""
     touched.groupBy(_.partitionValues).foreach { case (pv, adds) =>
       val rows = filesToDF(spark, table, st.schema, st.partitionColumns,
-        adds.toIndexedSeq)
+        adds.toIndexedSeq, st.columnMappingMode)
       val rewritten = updatedSelect(rows).select(dataCols: _*)
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
       rewritten.write.mode("overwrite").parquet(stage.toString)
@@ -1279,7 +1302,8 @@ object DeltaInterop {
       st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
     // one lineage scan feeds BOTH the kill set and the new images
     val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
-      st.files, keepLineage = true).filter(predicate).persist()
+      st.files, st.columnMappingMode, keepLineage = true)
+      .filter(predicate).persist()
     try {
       val perFile = writeDvPerFile(spark, root, st, matched)
       if (perFile.isEmpty) return DeltaDml(st.version, 0L, 0)
@@ -1388,7 +1412,8 @@ object DeltaInterop {
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     // one key-column scan: touched files + per-file match counts
     val liveKeys = filesToDF(spark, table, st.schema,
-      st.partitionColumns, st.files, keepLineage = true)
+      st.partitionColumns, st.files, st.columnMappingMode,
+      keepLineage = true)
       .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
     val counts: Array[(String, Long)] =
       liveKeys.join(srcKeys, keyCols)
@@ -1408,7 +1433,7 @@ object DeltaInterop {
       .reduce(_ && _)
     val matchedInd = col(s"__src_${keyCols.head}").isNotNull
     def tgtRows = filesToDF(spark, table, st.schema,
-      st.partitionColumns, touched)
+      st.partitionColumns, touched, st.columnMappingMode)
     val merged = tgtRows.join(srcPref, keyCond, "left")
       .select(st.schema.fields.toIndexedSeq.map(f =>
         when(matchedInd, col(s"__src_${f.name}"))

@@ -430,6 +430,56 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
       (1L to 30000L).filterNot(_ % 3 == 0).sum
   }
 
+  test("DV DELETE works on COLUMN-MAPPED tables (positions are " +
+    "name-free): the predicate resolves logically, the vector lands, " +
+    "and the protocol upgrade declares columnMapping by name") {
+    import spark.implicits._
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    // hand-build a name-mapped table: physical column names on disk
+    val stage = fresh()
+    (1L to 20L).map(i => (i, s"p$i")).toDF("col-9f2", "col-a71")
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(t))
+    fs.rename(part, new Path(t, "f1.parquet")) shouldBe true
+    val mappedSchema =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-9f2"}},
+        |{"name":"payload","type":"string","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-a71"}}
+        |]}""".stripMargin.replace("\n", "")
+    val p0 = new Path(new Path(t, "_delta_log"),
+      "00000000000000000000.json")
+    fs.mkdirs(p0.getParent)
+    val out = fs.create(p0, true)
+    try out.write(
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(mappedSchema)
+      },"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}
+          |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+          |""").stripMargin.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // the LOGICAL predicate deletes merge-on-read
+    val r = DeltaInterop.delete(spark, t, col("id") <= 5)
+    r.rowsAffected shouldBe 5L
+    val st = DeltaInterop.state(spark, t, None)
+    st.columnMappingMode shouldBe "name"
+    st.minReaderVersion shouldBe 3
+    st.readerFeatures should contain allOf
+      ("columnMapping", "deletionVectors")
+    val got = DeltaInterop.read(spark, t)
+    got.count() shouldBe 15L
+    got.agg(min($"id")).as[Long].head() shouldBe 6L
+    // the rewriting verbs still refuse mapped tables by name
+    intercept[IllegalArgumentException] {
+      DeltaInterop.update(spark, t, col("id") === 6L, Seq("id" -> lit(0L)))
+    }.getMessage should include("column mapping")
+  }
+
   test("UPDATE refusals: partition-column assignment and unknown " +
     "columns; a no-match predicate is a version no-op") {
     import spark.implicits._
