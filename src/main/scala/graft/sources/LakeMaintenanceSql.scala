@@ -329,7 +329,9 @@ object LakeMaintenanceSql {
     * maintenance grammar first, session parser for everything else. */
   final class Parser(delegate: ParserInterface) extends ParserInterface {
     override def parsePlan(sqlText: String): LogicalPlan =
-      maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+      maintenancePlan(sqlText)
+        .orElse(InteropMaintenanceSql.maintenancePlan(sqlText))
+        .getOrElse(delegate.parsePlan(sqlText))
     override def parseExpression(sqlText: String): Expression =
       delegate.parseExpression(sqlText)
     override def parseTableIdentifier(sqlText: String): TableIdentifier =

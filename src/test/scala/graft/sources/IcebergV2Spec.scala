@@ -434,6 +434,56 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     } finally IcebergSql.unregister("hist_i")
   }
 
+  test("interop maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE " +
+    "HISTORY / RESTORE / REORG PURGE address graft_delta and " +
+    "graft_iceberg tables through the delegating parser") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 30L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4), t)
+    DeltaInterop.delete(spark, t, col("id") <= 5)
+    DeltaSql.register("maint_d", t)
+    try {
+      spark.sql("DESCRIBE HISTORY graft_delta.maint_d")
+        .select("operation").as[String].collect().sorted shouldBe
+        Array("DELETE", "WRITE")
+      spark.sql("REORG TABLE graft_delta.maint_d APPLY (PURGE)")
+        .collect()
+      DeltaInterop.state(spark, t, None).files
+        .forall(_.dv.isEmpty) shouldBe true
+      spark.sql("OPTIMIZE graft_delta.maint_d").collect()
+      spark.sql(
+        "RESTORE TABLE graft_delta.maint_d TO VERSION AS OF 0")
+        .collect()
+      spark.sql("SELECT count(*) FROM graft_delta.maint_d")
+        .as[Long].head() shouldBe 30L
+      spark.sql("VACUUM graft_delta.maint_d RETAIN 1 VERSIONS")
+        .collect()
+    } finally DeltaSql.unregister("maint_d")
+    val t2 = fresh()
+    IcebergInterop.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), t2)
+    val s0 = IcebergInterop.state(spark, t2, None).snapshotId
+    IcebergInterop.write(Seq((21L, 21L)).toDF("id", "v"), t2)
+    IcebergSql.register("maint_i", t2)
+    try {
+      spark.sql("DESCRIBE HISTORY graft_iceberg.maint_i")
+        .count() shouldBe 2L
+      spark.sql(
+        s"RESTORE TABLE graft_iceberg.maint_i TO SNAPSHOT AS OF $s0")
+        .collect()
+      spark.sql("SELECT count(*) FROM graft_iceberg.maint_i")
+        .as[Long].head() shouldBe 20L
+      // after the rollback the CURRENT snapshot is the OLDER one, so
+      // keep-newest-1 expiry rightly refuses; retaining both works
+      intercept[IllegalStateException] {
+        spark.sql("VACUUM graft_iceberg.maint_i RETAIN 1 SNAPSHOTS")
+          .collect()
+      }.getMessage should include("CURRENT")
+      spark.sql("VACUUM graft_iceberg.maint_i RETAIN 2 SNAPSHOTS")
+        .collect()
+    } finally IcebergSql.unregister("maint_i")
+  }
+
   test("deleteMor refusals name the door: v1 tables point at " +
     "upgradeFormat, partitioned tables at the copy-on-write delete") {
     import spark.implicits._
