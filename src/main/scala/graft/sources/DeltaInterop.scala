@@ -74,7 +74,9 @@ object DeltaInterop {
                               configuration: Map[String, String] = Map.empty,
                               metaId: Option[String] = None,
                               minReaderVersion: Int = 1,
-                              readerFeatures: Seq[String] = Nil)
+                              readerFeatures: Seq[String] = Nil,
+                              minWriterVersion: Int = 2,
+                              writerFeatures: Seq[String] = Nil)
 
   /** Test seam: runs between a write's version choice and its commit
     * publication — lets a spec interleave a racing commit
@@ -362,10 +364,15 @@ object DeltaInterop {
     var metaId: Option[String] = None
     var protoReader: Int = 1
     var protoFeatures: Seq[String] = Nil
+    var protoWriter: Int = 2
+    var protoWriterFeatures: Seq[String] = Nil
 
-    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String],
+                      minWriter: Int, writerFeatures: Seq[String]): Unit = {
       protoReader = minReader
       protoFeatures = readerFeatures
+      protoWriter = minWriter
+      protoWriterFeatures = writerFeatures
       // reader version 3 tables declare table features by name; this
       // reader serves deletionVectors (per-file anti-join in the read
       // kernel) and columnMapping (physical-name resolution) — anything
@@ -394,18 +401,29 @@ object DeltaInterop {
         }.toSeq
       val rows = spark.read.parquet(parts: _*)
       val cols = rows.columns.toSet
-      rows.collect().foreach { r =>
+      // STREAM the action rows instead of collect(): a 100 TB foreign
+      // table's checkpoint holds ~10⁶ add rows, and materializing the
+      // full Row array alongside the reconciled file map doubles the
+      // driver's peak. toLocalIterator holds one partition's rows at a
+      // time; the retained state is only the reconciled live-file map.
+      rows.toLocalIterator().forEachRemaining { r =>
         def struct(name: String): Option[Row] =
           if (cols(name) && !r.isNullAt(r.fieldIndex(name)))
             Some(r.getStruct(r.fieldIndex(name)))
           else None
         struct("protocol").foreach { p =>
-          val feats =
-            if (p.schema.fieldNames.contains("readerFeatures") &&
-              !p.isNullAt(p.fieldIndex("readerFeatures")))
-              p.getSeq[String](p.fieldIndex("readerFeatures"))
+          def feats(field: String): Seq[String] =
+            if (p.schema.fieldNames.contains(field) &&
+              !p.isNullAt(p.fieldIndex(field)))
+              p.getSeq[String](p.fieldIndex(field))
             else Nil
-          checkProtocol(p.getInt(p.fieldIndex("minReaderVersion")), feats)
+          val minWriter =
+            if (p.schema.fieldNames.contains("minWriterVersion") &&
+              !p.isNullAt(p.fieldIndex("minWriterVersion")))
+              p.getInt(p.fieldIndex("minWriterVersion"))
+            else 2
+          checkProtocol(p.getInt(p.fieldIndex("minReaderVersion")),
+            feats("readerFeatures"), minWriter, feats("writerFeatures"))
         }
         struct("metaData").foreach { m =>
           schema = Some(DataType.fromJson(
@@ -465,8 +483,8 @@ object DeltaInterop {
 
     ((ck.map(_ + 1).getOrElse(0L)) to target).foreach { v =>
       parseCommit(spark, table, v).foreach {
-        case ProtocolAction(minReader, feats) =>
-          checkProtocol(minReader, feats)
+        case ProtocolAction(minReader, feats, minWriter, wFeats) =>
+          checkProtocol(minReader, feats, minWriter, wFeats)
         case MetaAction(sc, pc, mode, cfg, id) =>
           schema = Some(sc); partCols = pc; mappingMode = mode
           config = cfg; metaId = id.orElse(metaId)
@@ -480,12 +498,14 @@ object DeltaInterop {
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying $table to $target")),
       partCols, files.values.toSeq, mappingMode, config, metaId,
-      protoReader, protoFeatures)
+      protoReader, protoFeatures, protoWriter, protoWriterFeatures)
   }
 
   private sealed trait DeltaAction
   private final case class ProtocolAction(minReader: Int,
-                                          readerFeatures: Seq[String])
+                                          readerFeatures: Seq[String],
+                                          minWriter: Int = 2,
+                                          writerFeatures: Seq[String] = Nil)
     extends DeltaAction
   private final case class MetaAction(schema: StructType,
                                       partitionColumns: Seq[String],
@@ -533,11 +553,16 @@ object DeltaInterop {
       val protocol = j \ "protocol" match {
         case JNothing | JNull => Nil
         case p =>
-          val feats = p \ "readerFeatures" match {
+          def feats(field: String): Seq[String] = p \ field match {
             case JArray(xs) => xs.flatMap(str)
             case _ => Nil
           }
-          Seq(ProtocolAction(long(p \ "minReaderVersion").toInt, feats))
+          val mw = p \ "minWriterVersion" match {
+            case JNothing | JNull => 2
+            case v => long(v).toInt
+          }
+          Seq(ProtocolAction(long(p \ "minReaderVersion").toInt,
+            feats("readerFeatures"), mw, feats("writerFeatures")))
       }
       val meta = j \ "metaData" match {
         case JNothing | JNull => Nil
@@ -687,7 +712,7 @@ object DeltaInterop {
     val adds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
     val removes = scala.collection.mutable.ArrayBuffer.empty[String]
     parseCommit(spark, table, v).foreach {
-      case ProtocolAction(minReader, feats) =>
+      case ProtocolAction(minReader, feats, _, _) =>
         if (feats.nonEmpty || minReader > 1)
           throw new UnsupportedDeltaFeatureException(
             s"version $v of $table requires an unsupported reader " +
@@ -829,6 +854,24 @@ object DeltaInterop {
         valueType = physicalType(m.valueType))
     case other => other
   }
+
+  /** Logical column name → the PHYSICAL key its on-disk artifacts
+    * (data columns, partitionValues, stats) are recorded under —
+    * identity when the table is unmapped. */
+  private def physKeyOf(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physicalName(f)).toMap
+
+  /** A logical-shaped frame re-projected to the physical (on-disk)
+    * shape for staging writes on a MAPPED table: every column renamed
+    * to its recorded physicalName (struct casts rename nested fields
+    * positionally, the read kernel's trick in reverse); `passThrough`
+    * columns (`_change_type`) keep their names verbatim. */
+  private def toPhysical(df: DataFrame, schema: StructType,
+                         passThrough: Seq[String] = Nil): DataFrame =
+    df.select((schema.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name}`").cast(physicalType(f.dataType))
+        .as(physicalName(f))) ++
+      passThrough.map(c => col(s"`$c`"))): _*)
 
   // --------------------------------------------------------------- write
 
@@ -1600,8 +1643,12 @@ object DeltaInterop {
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
       jstr("RESTORE")},"operationParameters":{"version":$version},""" +
       s""""engineInfo":${jstr("graft")}}}"""
+    // configuration differences roll back too (a CDF enable/disable
+    // between target and head) — RESTORE restores the target
+    // version's FULL metadata, not just its schema
     if (target.schema.json != head.schema.json ||
-      target.partitionColumns != head.partitionColumns)
+      target.partitionColumns != head.partitionColumns ||
+      target.configuration != head.configuration)
       lines += metaDataJson(target.schema, target.partitionColumns, now,
         target.configuration, target.metaId)
     (headFiles.keySet -- targetFiles.keySet).toSeq.sorted.foreach { p =>
@@ -1645,17 +1692,34 @@ object DeltaInterop {
     val st = state(spark, table, None)
     if (st.configuration.get("delta.enableChangeDataFeed")
       .contains("true")) return st.version
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — this writer only enables " +
-        "the change data feed on unmapped tables")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val now = System.currentTimeMillis()
+    // the protocol line only ever UPGRADES: a table-features table
+    // (3/7) declares changeDataFeed by name, a legacy table raises
+    // minWriterVersion to 4 keeping its reader version (column-mapped
+    // tables are already at writer 5, which subsumes 4's obligations)
+    val protoLines: Seq[String] =
+      if (st.minReaderVersion >= 3 || st.readerFeatures.nonEmpty ||
+        st.minWriterVersion >= 7) {
+        if (st.writerFeatures.contains("changeDataFeed")) Nil
+        else {
+          val rf = st.readerFeatures.map(jstr).mkString("[", ",", "]")
+          val wf = ((st.writerFeatures ++ st.readerFeatures).distinct :+
+            "changeDataFeed").distinct.map(jstr).mkString("[", ",", "]")
+          Seq(s"""{"protocol":{"minReaderVersion":${
+            math.max(st.minReaderVersion, 3)
+          },"minWriterVersion":7,"readerFeatures":$rf,""" +
+            s""""writerFeatures":$wf}}""")
+        }
+      } else if (st.minWriterVersion < 4)
+        Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion},""" +
+          """"minWriterVersion":4}}""")
+      else Nil
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$now,"operation":${
         jstr("SET TBLPROPERTIES")},"operationParameters":{},""" +
-        s""""engineInfo":${jstr("graft")}}}""",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s""""engineInfo":${jstr("graft")}}}""") ++ protoLines ++ Seq(
       metaDataJson(st.schema, st.partitionColumns, now,
         st.configuration + ("delta.enableChangeDataFeed" -> "true"),
         st.metaId))
@@ -1716,7 +1780,7 @@ object DeltaInterop {
       var ts = 0L
       parseCommit(spark, table, v).foreach {
         case CommitInfoAction(t) => ts = t
-        case ProtocolAction(minReader, feats) =>
+        case ProtocolAction(minReader, feats, _, _) =>
           val unsupported = feats.filterNot(
             Set("deletionVectors", "columnMapping"))
           if (minReader > 3 || unsupported.nonEmpty)
@@ -1790,7 +1854,11 @@ object DeltaInterop {
       batch.foreach(b => batches += b
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
-      live = live -- removes.map(_._1) ++ dAdds.map(a => a.path -> a)
+      // EVERY add re-enters the live map, dataChange or not — an
+      // OPTIMIZE / DV-purge commit (dataChange=false) replaces files
+      // a LATER commit in the range may legitimately remove; dropping
+      // them here would misreport that log as inconsistent
+      live = live -- removes.map(_._1) ++ adds.map(a => a.path -> a)
     }
     if (batches.isEmpty) {
       val outSchema = StructType(
@@ -1958,28 +2026,33 @@ object DeltaInterop {
   def checkpoint(spark: SparkSession, table: String,
                  version: Option[Long] = None): Long = {
     val st = state(spark, table, version)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — this writer's checkpoint " +
-        "rows drop the table configuration, so readers would resolve " +
-        "logical names against physical files; reads only")
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
     // a vectored state checkpoints under the table-features protocol
     // (reader 3 / writer 7 + the feature names) — its add rows carry
     // the deletionVector struct the replay side already parses, so
-    // the vectors survive log cleanup
+    // the vectors survive log cleanup. A legacy-protocol state keeps
+    // its RECORDED versions verbatim: downgrading minWriterVersion
+    // (e.g. 4 → 2 on a CDF table) would tell foreign writers the
+    // feature obligations are gone.
     val proto =
-      if (st.readerFeatures.nonEmpty || st.minReaderVersion >= 3)
+      if (st.readerFeatures.nonEmpty || st.minReaderVersion >= 3 ||
+        st.writerFeatures.nonEmpty || st.minWriterVersion >= 7)
         CkProtocol(math.max(st.minReaderVersion, 3), 7,
-          Some(st.readerFeatures), Some(st.readerFeatures))
-      else CkProtocol(1, 2)
+          Some(st.readerFeatures),
+          Some((st.writerFeatures ++ st.readerFeatures).distinct))
+      else CkProtocol(st.minReaderVersion, st.minWriterVersion)
+    // metaData carries the RECORDED configuration and table id — a
+    // checkpoint that regenerated the id or dropped the configuration
+    // (delta.enableChangeDataFeed, columnMapping.mode...) would make
+    // replay-from-checkpoint silently disagree with replay-from-JSON
     val rows =
       CkRow(Some(proto), None, None) +:
         CkRow(None, Some(CkMeta(
-          java.util.UUID.randomUUID().toString,
+          st.metaId.getOrElse(java.util.UUID.randomUUID().toString),
           CkFormat("parquet", Map.empty), st.schema.json,
-          st.partitionColumns, Map.empty,
+          st.partitionColumns, st.configuration,
           System.currentTimeMillis())), None) +:
         st.files.map(a => CkRow(None, None, Some(CkAdd(
           urlEncode(a.path),

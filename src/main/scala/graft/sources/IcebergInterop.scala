@@ -95,7 +95,8 @@ object IcebergInterop {
                            upper: Map[String, Either[Long, String]] =
                              Map.empty,
                            snapId: Long = -1L,
-                           manifest: String = "")
+                           manifest: String = "",
+                           fileSeq: Long = -1L)
 
   /** The table's schema-evolution evidence, resolved once per
     * [[state]] call: every schema the metadata retains as ordered
@@ -846,7 +847,10 @@ object IcebergInterop {
                 entrySeq, mfSpecId, entryPartition(df),
                 entryBounds(df, "lower_bounds", fieldIdToName, schema),
                 entryBounds(df, "upper_bounds", fieldIdToName, schema),
-                snapId = entrySnap, manifest = mPath)
+                snapId = entrySnap, manifest = mPath,
+                fileSeq = fieldOpt(entry, "file_sequence_number")
+                  .map(_.asInstanceOf[Number].longValue)
+                  .getOrElse(entrySeq))
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -2066,9 +2070,13 @@ object IcebergInterop {
     IceDml(snap, -1L, 0)
   }
 
-  /** The newest `graft.batch-id` any snapshot's summary records for
-    * `appId` — [[streamUpsert]]'s replay high-water mark. -1 when the
-    * stream has never committed. O(snapshots) metadata. */
+  /** [[streamUpsert]]'s replay high-water mark for `appId`: the
+    * `graft.stream.<appId>.batch-id` TABLE PROPERTY (persisted by
+    * every upsert commit and carried forward by every metadata
+    * publication — expiry-proof), max'd with any surviving snapshot
+    * summary stamp (the pre-property location, so tables written
+    * before the property existed still replay exactly-once). -1 when
+    * the stream has never committed. O(snapshots) metadata. */
   def lastStreamBatch(spark: SparkSession, table: String,
                       appId: String): Long = {
     import org.json4s._
@@ -2081,7 +2089,13 @@ object IcebergInterop {
       case Some(v) =>
         val metaJson = JsonMethods.parse(readText(fs,
           new Path(metaDir, s"v$v.metadata.json")))
-        (metaJson \ "snapshots") match {
+        val fromProp: Long =
+          (metaJson \ "properties" \ s"graft.stream.$appId.batch-id") match {
+            case JString(b) =>
+              scala.util.Try(b.toLong).toOption.getOrElse(-1L)
+            case _ => -1L
+          }
+        val fromSummaries: Long = (metaJson \ "snapshots") match {
           case JArray(xs) => xs.flatMap { sn =>
             val sm = sn \ "summary"
             ((sm \ "graft.app-id"), (sm \ "graft.batch-id")) match {
@@ -2092,6 +2106,7 @@ object IcebergInterop {
           }.foldLeft(-1L)(_ max _)
           case _ => -1L
         }
+        fromProp max fromSummaries
     }
   }
 
@@ -2596,8 +2611,13 @@ object IcebergInterop {
           val e = new GenericData.Record(entrySchema)
           e.put("status", status)
           if (snap >= 0) e.put("snapshot_id", snap)
-          if (v2 && status == 0) // EXISTING keeps its original sequence
+          if (v2 && status == 0) { // EXISTING keeps its original sequence
             e.put("sequence_number", f.seq)
+            // strict v2 readers require EXPLICIT sequence fields on
+            // non-ADDED entries — inheritance only applies to status=1
+            e.put("file_sequence_number",
+              if (f.fileSeq >= 0) f.fileSeq else f.seq)
+          }
           val dfRec = new GenericData.Record(
             entrySchema.getField("data_file").schema())
           if (v2) dfRec.put("content", 0)
@@ -2750,6 +2770,17 @@ object IcebergInterop {
       case JArray(xs) => JArray(xs :+ extra)
       case _ => JArray(List(extra))
     }
+    // a streaming-upsert commit ALSO persists its replay high-water
+    // mark as a table property — snapshot summaries are expirable
+    // (expireSnapshots drops the stamped snapshot, and a crash-replay
+    // after expiry would then commit twice), while properties carry
+    // forward through every metadata publication
+    val propDelta: List[(String, JValue)] =
+      (summary.get("graft.app-id"), summary.get("graft.batch-id")) match {
+        case (Some(a), Some(b)) =>
+          List(s"graft.stream.$a.batch-id" -> JString(b))
+        case _ => Nil
+      }
     val nextMeta = JObject(priorMeta.asInstanceOf[JObject].obj.map {
       case ("last-updated-ms", _) => "last-updated-ms" -> JLong(now)
       case ("last-sequence-number", _) if seq.isDefined =>
@@ -2758,6 +2789,9 @@ object IcebergInterop {
         "current-snapshot-id" -> JLong(snapshotId)
       case ("snapshots", v) => "snapshots" -> appended(v, newSnapshot)
       case ("snapshot-log", v) => "snapshot-log" -> appended(v, logEntry)
+      case ("properties", JObject(kvs)) if propDelta.nonEmpty =>
+        "properties" -> JObject(
+          kvs.filterNot(kv => propDelta.exists(_._1 == kv._1)) ++ propDelta)
       case other => other
     } match {
       case fields =>
@@ -2768,7 +2802,9 @@ object IcebergInterop {
           (if (have("snapshot-log")) Nil
            else List("snapshot-log" -> JArray(List(logEntry)))) ++
           (if (have("current-snapshot-id")) Nil
-           else List("current-snapshot-id" -> JLong(snapshotId)))
+           else List("current-snapshot-id" -> JLong(snapshotId))) ++
+          (if (have("properties") || propDelta.isEmpty) Nil
+           else List("properties" -> JObject(propDelta)))
     })
     val nextVersion = metadataVersion + 1
     val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")

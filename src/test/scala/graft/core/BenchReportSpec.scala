@@ -1,0 +1,81 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.BenchReport
+
+/** Pins the bench artifact's line schema — specifically the TAIL-SAFETY
+  * contract: the driver's capture windows onto the last ~2,000 chars of
+  * stdout, so (1) the final summary line must be compact and
+  * self-contained including the top-N slowest per-query MINIMA, and
+  * (2) the detail line must order raw passes FIRST and minima LAST, so
+  * a window cutting into it lands on minima — never on one pass's raw
+  * timings (the r11 artifact presented pass-2 raw noise as per-query
+  * regressions because the minima lived at the truncated front). */
+class BenchReportSpec extends AnyFunSuite with Matchers {
+
+  private val names = Seq("q_fast", "q_mid", "q_slow", "q_broken")
+  private val best: Seq[(String, Option[Double])] = Seq(
+    "q_fast" -> Some(0.1), "q_mid" -> Some(1.5),
+    "q_slow" -> Some(9.0), "q_broken" -> None)
+  private val pass1 = Map("q_fast" -> Some(0.1), "q_mid" -> Some(2.0),
+    "q_slow" -> Some(9.0), "q_broken" -> Option.empty[Double])
+  private val pass2 = Map("q_fast" -> Some(0.3), "q_mid" -> Some(1.5),
+    "q_slow" -> Some(44.0), "q_broken" -> Option.empty[Double])
+
+  private def parsed(line: String): org.json4s.JValue =
+    org.json4s.jackson.JsonMethods.parse(line)
+
+  test("the summary line is valid JSON carrying total, counts, " +
+    "sentinels, and the slowest per-query minima under `top`") {
+    import org.json4s._
+    val (_, summary) = BenchReport.lines(names, best, Seq(pass1, pass2),
+      "/x/sf0.1", Seq(0.17, 0.19))
+    val j = parsed(summary)
+    (j \ "metric") shouldBe JString("total")
+    (j \ "value") shouldBe JDouble(0.1 + 1.5 + 9.0)
+    (j \ "queries_run") shouldBe JInt(4)
+    (j \ "failed") shouldBe JInt(1)
+    (j \ "sentinel_sec") shouldBe JArray(List(JDouble(0.17), JDouble(0.19)))
+    // top carries MINIMA (q_slow's min 9.0, not pass2's raw 44.0),
+    // slowest first, failed queries excluded
+    (j \ "top") shouldBe JObject(List(
+      "q_slow" -> JDouble(9.0), "q_mid" -> JDouble(1.5),
+      "q_fast" -> JDouble(0.1)))
+  }
+
+  test("the detail line puts raw passes FIRST and per-query minima " +
+    "LAST, so any tail truncation lands on minima") {
+    import org.json4s._
+    val (detail, _) = BenchReport.lines(names, best, Seq(pass1, pass2),
+      "/x/sf0.1", Seq(0.17, 0.19))
+    val j = parsed(detail)
+    (j \ "queries" \ "q_slow") shouldBe JDouble(9.0)
+    (j \ "passes") match {
+      case JArray(ps) =>
+        ps should have size 2
+        (ps(1) \ "q_slow") shouldBe JDouble(44.0)
+      case other => fail(s"passes is not an array: $other")
+    }
+    // the positional contract itself: the minima object trails the
+    // raw passes in the emitted line
+    detail.indexOf("\"queries\":") should be >
+      detail.indexOf("\"passes\":")
+    detail.indexOf("\"queries\":") should be >
+      detail.lastIndexOf("44.0")
+  }
+
+  test("top is capped at TopN and orders ties by name") {
+    val many = (1 to 25).map(i => f"q$i%02d" -> Some(1.0))
+    val (_, summary) = BenchReport.lines(many.map(_._1), many,
+      Seq(many.toMap), "/x", Seq(0.1))
+    import org.json4s._
+    parsed(summary) \ "top" match {
+      case JObject(kvs) =>
+        kvs should have size BenchReport.TopN
+        kvs.map(_._1) shouldBe kvs.map(_._1).sorted
+      case other => fail(s"top is not an object: $other")
+    }
+  }
+}

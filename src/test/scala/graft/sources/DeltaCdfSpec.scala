@@ -155,4 +155,74 @@ class DeltaCdfSpec extends AnyFunSuite with Matchers with SparkSpec {
     after.configuration.get("delta.enableChangeDataFeed") shouldBe
       Some("true")
   }
+
+  test("a checkpoint preserves configuration, metaData id and the " +
+    "recorded minWriterVersion — checkpoint + later DML keeps the " +
+    "change feed exact") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 20L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    val before = DeltaInterop.state(spark, t, None)
+    before.minWriterVersion shouldBe 4
+    DeltaInterop.checkpoint(spark, t) shouldBe 1L
+    // DML after the checkpoint still emits cdc and the feed serves it
+    DeltaInterop.delete(spark, t, $"id" <= 3).rowsAffected shouldBe 3L
+    // drop the JSON commits the checkpoint covers, so the replay can
+    // ONLY come from checkpoint rows — any dropped metadata shows
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(0L, 1L).foreach(v => fs.delete(
+      new Path(t, f"_delta_log/$v%020d.json"), false))
+    val after = DeltaInterop.state(spark, t, None)
+    after.configuration.get("delta.enableChangeDataFeed") shouldBe
+      Some("true")
+    after.metaId shouldBe before.metaId
+    // the checkpoint-only resolution at v1 keeps the recorded
+    // minWriterVersion=4 — no protocol downgrade
+    val atCk = DeltaInterop.state(spark, t, Some(1L))
+    atCk.minWriterVersion shouldBe 4
+    atCk.minReaderVersion shouldBe 1
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.filter($"_change_type" === "delete").count() shouldBe 3L
+  }
+
+  test("a later commit may remove a file added by a dataChange=false " +
+    "maintenance commit inside the feed range — the optimize stays " +
+    "CDF-exact end-to-end") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 12L).map(i => (i, s"x$i")).toDF("id", "p").repartition(3), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    // v2: real OPTIMIZE (dataChange=false adds + removes)
+    DeltaInterop.optimize(spark, t) shouldBe 2L
+    // v3: overwrite — removes the COMPACTED file the optimize added
+    DeltaInterop.write(
+      (100L to 102L).map(i => (i, s"y$i")).toDF("id", "p"), t,
+      overwrite = true)
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 3L).cache()
+    cf.filter($"_commit_version" === 2L).count() shouldBe 0L
+    cf.filter($"_commit_version" === 3L &&
+      $"_change_type" === "delete").count() shouldBe 12L
+    cf.filter($"_commit_version" === 3L &&
+      $"_change_type" === "insert").count() shouldBe 3L
+    cf.unpersist()
+  }
+
+  test("RESTORE rolls the table configuration back to the target " +
+    "version's, not only its schema") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 5L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t) shouldBe 1L
+    DeltaInterop.state(spark, t, None).configuration
+      .get("delta.enableChangeDataFeed") shouldBe Some("true")
+    DeltaInterop.restore(spark, t, 0L) shouldBe 2L
+    val st = DeltaInterop.state(spark, t, None)
+    st.configuration.get("delta.enableChangeDataFeed") shouldBe None
+    // and rolling FORWARD restores it again
+    DeltaInterop.restore(spark, t, 1L) shouldBe 3L
+    DeltaInterop.state(spark, t, None).configuration
+      .get("delta.enableChangeDataFeed") shouldBe Some("true")
+  }
 }

@@ -213,14 +213,12 @@ class DeltaInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.schema.fieldNames shouldBe Array("id", "payload")
     got.select($"id", $"payload").as[(Long, String)]
       .collect().sorted shouldBe Array((1L, "a"), (2L, "b"))
-    // but this writer refuses to TOUCH a mapped table (logical-named
-    // files would corrupt it), and checkpoints would drop the mapping
-    intercept[IllegalArgumentException] {
-      DeltaInterop.write(Seq((3L, "c")).toDF("id", "payload"), cmTable)
-    }.getMessage should include("column mapping")
-    intercept[IllegalArgumentException] {
-      DeltaInterop.checkpoint(spark, cmTable)
-    }.getMessage should include("column mapping")
+    // a checkpoint on a mapped table preserves the mapping config —
+    // the replay-from-checkpoint state must equal replay-from-JSON
+    DeltaInterop.checkpoint(spark, cmTable) shouldBe 0L
+    val ckSt = DeltaInterop.state(spark, cmTable, None)
+    ckSt.columnMappingMode shouldBe "name"
+    ckSt.metaId shouldBe Some("x")
   }
 
   test("write guards: append schema mismatch and partitioning changes " +

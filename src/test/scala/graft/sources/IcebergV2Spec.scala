@@ -272,6 +272,36 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("duplicate")
   }
 
+  test("the streaming replay marker SURVIVES snapshot expiry: the " +
+    "high-water mark lives in table properties, so a crash-replay " +
+    "after expireSnapshots dropped the stamped snapshot still " +
+    "commits nothing twice") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 10L).map(i => (i, i * 10)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upsertBatch(Seq((1L, 111L)).toDF("id", "v"),
+      batchId = 0L, t, Seq("id"), appId = "appX") shouldBe true
+    IcebergInterop.upsertBatch(Seq((2L, 222L)).toDF("id", "v"),
+      batchId = 1L, t, Seq("id"), appId = "appX") shouldBe true
+    // expiry drops the stamped snapshots (keep only the head)
+    IcebergInterop.expireSnapshots(spark, t, keepLast = 1)
+    IcebergInterop.snapshotLineage(spark, t).size shouldBe 1
+    IcebergInterop.lastStreamBatch(spark, t, "appX") shouldBe 1L
+    // post-expiry crash-replay of batch 1: detected, nothing commits
+    val snaps = IcebergInterop.snapshotLineage(spark, t).size
+    IcebergInterop.upsertBatch(Seq((2L, 999L)).toDF("id", "v"),
+      batchId = 1L, t, Seq("id"), appId = "appX") shouldBe false
+    IcebergInterop.snapshotLineage(spark, t).size shouldBe snaps
+    IcebergInterop.read(spark, t).filter($"id" === 2L)
+      .select($"v").as[Long].head() shouldBe 222L
+    // a genuinely new epoch still commits
+    IcebergInterop.upsertBatch(Seq((2L, 333L)).toDF("id", "v"),
+      batchId = 2L, t, Seq("id"), appId = "appX") shouldBe true
+    IcebergInterop.read(spark, t).filter($"id" === 2L)
+      .select($"v").as[Long].head() shouldBe 333L
+  }
+
   test("streamUpsert applies each micro-batch exactly once: a " +
     "replayed epoch detects its summary stamp and commits nothing " +
     "twice; two AvailableNow drains over one checkpoint compose") {
