@@ -149,20 +149,23 @@ object DeltaInterop {
   private[sources] def filePrunes(a: DeltaAdd, st: DeltaState,
       zone: java.time.ZoneId, pred: ScanPredicate): Boolean = {
     import ScanPredicates.{canonicalValue, compareValues}
-    // under column mapping partitionValues AND stats are physically
-    // keyed — the read kernel refuses partitioned+mapped anyway;
-    // never prune here
-    if (st.columnMappingMode != "none") return false
-    val dt = st.schema.find(_.name == pred.column).map(_.dataType) match {
-      case Some(t) => t
+    // under column mapping partitionValues AND stats are keyed by the
+    // column's recorded PHYSICAL name — translate the logical
+    // predicate column once, then prune identically
+    val field = st.schema.find(_.name == pred.column) match {
+      case Some(f) => f
       case None => return false
     }
+    val dt = field.dataType
+    val key =
+      if (st.columnMappingMode == "none") pred.column
+      else physicalName(field)
     def outsideStats: Boolean = a.stats.exists { s =>
       import org.json4s._
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption
         .exists { j =>
           def bound(which: String): Option[Either[Long, String]] =
-            (j \ which \ pred.column) match {
+            (j \ which \ key) match {
               case JNothing | JNull => None
               case v => statsBound(dt, v, zone)
             }
@@ -182,7 +185,7 @@ object DeltaInterop {
     }
     if (outsideStats) return true
     if (!st.partitionColumns.contains(pred.column)) return false
-    a.partitionValues.get(pred.column) match {
+    a.partitionValues.get(key) match {
       case None => false // absent from the action: fail open
       case Some(None) => true // recorded null: no predicate matches
       case Some(Some(s)) =>
@@ -752,13 +755,9 @@ object DeltaInterop {
       : DataFrame = {
     val mapped = columnMappingMode != "none"
     // under column mapping the add actions' partitionValues are keyed
-    // by PHYSICAL names — reconstructing partition columns would need
-    // a physical→logical value remap this reader does not attempt
-    if (mapped && partitionColumns.nonEmpty)
-      throw new UnsupportedDeltaFeatureException(
-        s"table $table is PARTITIONED under column mapping mode " +
-          s"'$columnMappingMode' — partitionValues are physically " +
-          "keyed; not supported by this reader")
+    // by PHYSICAL names — partition columns reconstruct through the
+    // schema's recorded physicalName metadata
+    val physKey = physKeyOf(schema)
     val dataSchema = StructType(
       schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     val outCols = schema.fields.map(f => col(f.name))
@@ -787,7 +786,7 @@ object DeltaInterop {
               col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)): _*)
       partitionColumns.foldLeft(base) { (acc, pc) =>
         val dt = schema(pc).dataType
-        val v = pv.get(pc).flatten
+        val v = pv.get(if (mapped) physKey(pc) else pc).flatten
         acc.withColumn(pc,
           v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)))
       }.select((outCols ++ extra).toIndexedSeq: _*)
@@ -808,7 +807,9 @@ object DeltaInterop {
       import spark.implicits._
       val descriptors = dvAdds.map { a =>
         val d = a.dv.get
-        (new Path(table, a.path).toString, d.storageType,
+        // toUri keeps percent-escapes so the anti-join key agrees
+        // with the scan's _metadata.file_path form
+        (new Path(table, a.path).toUri.toString, d.storageType,
           d.pathOrInlineDv, d.offset, d.sizeInBytes)
       }
       val tableRoot = table
@@ -873,22 +874,62 @@ object DeltaInterop {
         .as(physicalName(f))) ++
       passThrough.map(c => col(s"`$c`"))): _*)
 
+  /** Column-mapping metadata (field ids + `col-…` physical names) for
+    * a new mapped table's schema — what delta-spark assigns at
+    * creation under `delta.columnMapping.mode = name`. Every struct
+    * field gets an id, nested included (the protocol's requirement);
+    * arrays/maps descend. Returns the annotated schema and the last
+    * id assigned (`delta.columnMapping.maxColumnId`). */
+  private def assignMapping(schema: StructType): (StructType, Long) = {
+    var next = 0L
+    def annotate(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        next += 1
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", next)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .build()
+        StructField(f.name, annotate(f.dataType), f.nullable, m)
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = annotate(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = annotate(m.keyType),
+          valueType = annotate(m.valueType))
+      case other => other
+    }
+    val out = annotate(schema).asInstanceOf[StructType]
+    (out, next)
+  }
+
   // --------------------------------------------------------------- write
 
   /** Write `df` as a Delta table commit. `overwrite = false` appends
     * (schema checked against the recorded metaData by name);
     * `overwrite = true` also emits `remove` actions for every
     * previously-live file. Creating a new table writes `protocol` +
-    * `metaData` in commit 0. The commit file publishes via
-    * rename-if-absent — a lost race raises
+    * `metaData` in commit 0; `columnMapping = "name"` creates it
+    * COLUMN-MAPPED (field ids + `col-…` physical names in the schema
+    * metadata, protocol 2/5 — the modern-Delta default shape; data
+    * files and their recorded stats then live under physical names,
+    * and reads/DML keep addressing logical ones). Appends to a mapped
+    * table stage through the same physical projection. The commit
+    * file publishes via rename-if-absent — a lost race raises
     * [[ConcurrentDeltaCommitException]] and leaves the log untouched. */
   def write(df: DataFrame, table: String,
             partitionBy: Seq[String] = Nil,
-            overwrite: Boolean = false): Long = {
+            overwrite: Boolean = false,
+            columnMapping: String = "none"): Long = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val logDir = new Path(root, "_delta_log")
+    require(columnMapping == "none" || columnMapping == "name",
+      s"columnMapping mode '$columnMapping' — this writer creates " +
+        "'name'-mapped tables ('id' mode additionally keys on parquet " +
+        "field ids, which delta-spark itself only produces on convert)")
     val prior =
       if (fs.exists(logDir) &&
         fs.listStatus(logDir).exists(s =>
@@ -896,10 +937,6 @@ object DeltaInterop {
         Some(state(spark, table, None))
       else None
     prior.foreach { p =>
-      require(p.columnMappingMode == "none",
-        s"table $table uses column mapping mode " +
-          s"'${p.columnMappingMode}' — this writer emits logical-named " +
-          "data files, which would corrupt a mapped table; reads only")
       require(p.partitionColumns == partitionBy,
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
@@ -913,14 +950,38 @@ object DeltaInterop {
     // dropped / nulled / mistyped columns
     val schemaChanged = overwrite && prior.exists(p =>
       !InteropSchema.sameShape(p.schema, df.schema))
+    val mapped = prior.map(_.columnMappingMode != "none")
+      .getOrElse(columnMapping != "none")
+    if (mapped && schemaChanged)
+      throw new UnsupportedDeltaFeatureException(
+        s"schema-changing overwrite of column-mapped table $table — " +
+          "new columns would need fresh field-id/physical-name " +
+          "assignment; evolve with a mapping-aware engine, or " +
+          "overwrite with the recorded shape")
+    // the RECORDED schema: the prior one (carries the mapping
+    // metadata) unless this commit creates the table or legitimately
+    // changes the shape
+    val (recordedSchema, maxColumnId) = prior match {
+      case Some(p) if !schemaChanged => (p.schema, 0L)
+      case _ if mapped => assignMapping(df.schema)
+      case _ => (df.schema, 0L)
+    }
     val version = prior.map(_.version + 1).getOrElse(0L)
+    val physKey = physKeyOf(recordedSchema)
+    val partitionDirs =
+      if (mapped) partitionBy.map(physKey) else partitionBy
+    val statsSchema =
+      if (mapped) physicalStruct(recordedSchema) else recordedSchema
 
     // stage data files, then move them under the table root keeping the
     // writer's partition-dir layout (cosmetic for Delta — the log is
-    // the source of truth — but it matches what delta-spark produces)
+    // the source of truth — but it matches what delta-spark produces:
+    // physical-named dirs on mapped tables)
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+    val stagedFrame =
+      if (mapped) toPhysical(df, recordedSchema) else df
+    val writer = stagedFrame.write.mode("overwrite")
+    (if (partitionDirs.nonEmpty) writer.partitionBy(partitionDirs: _*)
      else writer).parquet(stage.toString)
     val staged = listParquet(fs, stage)
     val adds = staged.map { p =>
@@ -931,12 +992,13 @@ object DeltaInterop {
         throw new IllegalStateException(s"failed to move $p to $dest")
       val pv = hivePartitionValues(rel)
       // record the file's stats from its own footer (one open) — what
-      // this reader and delta-spark prune on
+      // this reader and delta-spark prune on (physical-keyed when
+      // mapped, like the data columns themselves)
       val (rows, lo, hi) =
-        ScanPredicates.footerStats(spark, dest, df.schema)
-      DeltaAdd(rel, partitionBy.map(c => c -> pv.get(c).flatten).toMap,
+        ScanPredicates.footerStats(spark, dest, statsSchema)
+      DeltaAdd(rel, partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
         fs.getFileStatus(dest).getLen,
-        stats = Some(statsJson(rows, lo, hi, df.schema)))
+        stats = Some(statsJson(rows, lo, hi, statsSchema)))
     }
     fs.delete(stage, true): Unit
 
@@ -946,10 +1008,17 @@ object DeltaInterop {
       jstr(if (overwrite || prior.isEmpty) "WRITE" else "APPEND")
     },"operationParameters":{},"engineInfo":${jstr("graft")}}}"""
     if (prior.isEmpty) {
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      lines += metaDataJson(df.schema, partitionBy, now)
+      if (mapped) {
+        lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        lines += metaDataJson(recordedSchema, partitionBy, now,
+          Map("delta.columnMapping.mode" -> "name",
+            "delta.columnMapping.maxColumnId" -> maxColumnId.toString))
+      } else {
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        lines += metaDataJson(recordedSchema, partitionBy, now)
+      }
     } else if (schemaChanged)
-      lines += metaDataJson(df.schema, partitionBy, now,
+      lines += metaDataJson(recordedSchema, partitionBy, now,
         prior.map(_.configuration).getOrElse(Map.empty),
         prior.flatMap(_.metaId))
     if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
@@ -995,6 +1064,15 @@ object DeltaInterop {
   private def normStr(s: String): String =
     s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
+  /** The normalized key `_metadata.file_path` produces for a live
+    * file: scheme stripped, URI percent-escapes INTACT (an on-disk
+    * space shows as `%20`, a literal `%` as `%25`). Lineage keys MUST
+    * go through `toUri` — Hadoop's `Path.toString` deliberately
+    * unescapes, so a partition value with a space ("4-NOT SPECIFIED")
+    * would silently miss every join against scan lineage. */
+  private def uriKey(root: Path, rel: String): String =
+    normStr(new Path(root, rel).toUri.toString)
+
   /** Stage `rows` as CHANGE-DATA files under `_change_data/` and
     * return their `cdc` action lines — the row-level record
     * [[changeFeed]] serves verbatim instead of re-deriving changes
@@ -1033,7 +1111,7 @@ object DeltaInterop {
     import spark.implicits._
     val oldDvs: Map[String, DeltaDv.DvDescriptor] =
       st.files.flatMap(a => a.dv.map(d =>
-        normStr(new Path(root, a.path).toString) -> d)).toMap
+        uriKey(root, a.path) -> d)).toMap
     val tableRootStr = root.toString
     matched.select(col("__fp"), col("__pos")).as[(String, Long)]
       .groupByKey(_._1)
@@ -1124,26 +1202,14 @@ object DeltaInterop {
              predicate: org.apache.spark.sql.Column): DeltaDml = {
     val st = state(spark, table, None)
     // deletion vectors are POSITION-keyed — the commit never writes a
-    // column name — so the MOR delete serves column-mapped tables too
-    // (the predicate resolves against the mapped read's logical
-    // names), as long as the mapped read itself works (unpartitioned)
-    // and no cdc files are owed (those would need physical-name
-    // writes this engine does not do)
-    if (st.columnMappingMode != "none") {
-      require(st.partitionColumns.isEmpty,
-        s"table $table is partitioned under column mapping — its " +
-          "partitionValues are physically keyed; reads only")
-      require(!st.configuration.get("delta.enableChangeDataFeed")
-        .contains("true"),
-        s"table $table has the change data feed enabled under column " +
-          "mapping — cdc files would need physical-name writes; " +
-          "disable CDF or use a mapping-aware engine")
-    }
+    // column name — so the MOR delete serves column-mapped tables
+    // as-is (the predicate resolves against the mapped read's logical
+    // names); owed cdc files stage through the physical projection
     if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val byNorm: Map[String, DeltaAdd] =
-      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+      st.files.map(a => uriKey(root, a.path) -> a).toMap
     // live rows (existing vectors applied) matching the predicate,
     // with (file, position) lineage from the scan's metadata columns
     val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
@@ -1172,7 +1238,12 @@ object DeltaInterop {
           .filter(predicate)
           .select(dataSchema.fields.toIndexedSeq.map(f => col(f.name)): _*)
           .withColumn("_change_type", lit("delete"))
-        lines ++= stageCdc(rows, root, fs, pv)
+        // cdc files store PHYSICAL column names on mapped tables,
+        // like the data files they sit next to
+        val cdcRows =
+          if (st.columnMappingMode == "none") rows
+          else toPhysical(rows, dataSchema, Seq("_change_type"))
+        lines ++= stageCdc(cdcRows, root, fs, pv)
     }
     val v = publishCommit(fs, new Path(root, "_delta_log"),
       st.version + 1, lines.toSeq)
@@ -1197,9 +1268,6 @@ object DeltaInterop {
              predicate: org.apache.spark.sql.Column,
              set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
     val st = state(spark, table, None)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — DML would address logical " +
-        "names; reads only")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -1212,7 +1280,7 @@ object DeltaInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val byNorm: Map[String, DeltaAdd] =
-      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+      st.files.map(a => uriKey(root, a.path) -> a).toMap
     import spark.implicits._
     // touched files AND per-file match counts in one lineage job
     val counts: Array[(String, Long)] =
@@ -1243,10 +1311,16 @@ object DeltaInterop {
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
       jstr("UPDATE")},"operationParameters":{},"engineInfo":${
       jstr("graft")}}}"""
+    val mapped = st.columnMappingMode != "none"
+    val statsSchema = if (mapped) physicalStruct(dataSchema) else dataSchema
     touched.groupBy(_.partitionValues).foreach { case (pv, adds) =>
       val rows = filesToDF(spark, table, st.schema, st.partitionColumns,
         adds.toIndexedSeq, st.columnMappingMode)
-      val rewritten = updatedSelect(rows).select(dataCols: _*)
+      val rewritten0 = updatedSelect(rows).select(dataCols: _*)
+      // mapped tables rewrite under PHYSICAL column names — the same
+      // on-disk shape the files they replace had
+      val rewritten =
+        if (mapped) toPhysical(rewritten0, dataSchema) else rewritten0
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
       rewritten.write.mode("overwrite").parquet(stage.toString)
       listParquet(fs, stage).foreach { p =>
@@ -1254,12 +1328,12 @@ object DeltaInterop {
         if (!fs.rename(p, dest))
           throw new IllegalStateException(s"failed to move $p to $dest")
         val (rows0, lo, hi) =
-          ScanPredicates.footerStats(spark, dest, dataSchema)
+          ScanPredicates.footerStats(spark, dest, statsSchema)
         lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
           s""""partitionValues":${pvJsonOf(pv)},""" +
           s""""size":${fs.getFileStatus(dest).getLen},""" +
           s""""modificationTime":$now,"dataChange":true,""" +
-          s""""stats":${jstr(statsJson(rows0, lo, hi, dataSchema))}}}"""
+          s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
       }
       fs.delete(stage, true): Unit
       adds.foreach(a =>
@@ -1267,10 +1341,13 @@ object DeltaInterop {
           s""""deletionTimestamp":$now,"dataChange":true}}""")
       if (cdfOn) {
         val pre = rows.filter(predicate)
-        val cdcRows = pre.select(dataCols: _*)
+        val cdcRows0 = pre.select(dataCols: _*)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(updatedSelect(pre).select(dataCols: _*)
             .withColumn("_change_type", lit("update_postimage")))
+        val cdcRows =
+          if (mapped) toPhysical(cdcRows0, dataSchema, Seq("_change_type"))
+          else cdcRows0
         lines ++= stageCdc(cdcRows, root, fs, pv)
       }
     }
@@ -1327,9 +1404,6 @@ object DeltaInterop {
                 predicate: org.apache.spark.sql.Column,
                 set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
     val st = state(spark, table, None)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — DML would address logical " +
-        "names; reads only")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -1342,7 +1416,7 @@ object DeltaInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val byNorm: Map[String, DeltaAdd] =
-      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+      st.files.map(a => uriKey(root, a.path) -> a).toMap
     // one lineage scan feeds BOTH the kill set and the new images
     val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
       st.files, st.columnMappingMode, keepLineage = true)
@@ -1370,15 +1444,25 @@ object DeltaInterop {
         lines ++= dvRewriteLines(byNorm(fp), enc, off, size, card, now)
       }
       // the new images append through write()'s partition-dir layout
+      // (physical column names and dirs on mapped tables)
+      val mapped = st.columnMappingMode != "none"
+      val physKey = physKeyOf(st.schema)
+      val partitionDirs =
+        if (mapped) st.partitionColumns.map(physKey)
+        else st.partitionColumns
+      val statsSchema =
+        if (mapped) physicalStruct(dataSchema) else dataSchema
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
-      val w = updated.write.mode("overwrite")
-      (if (st.partitionColumns.nonEmpty)
-         w.partitionBy(st.partitionColumns: _*)
+      val stagedFrame =
+        if (mapped) toPhysical(updated, st.schema) else updated
+      val w = stagedFrame.write.mode("overwrite")
+      (if (partitionDirs.nonEmpty)
+         w.partitionBy(partitionDirs: _*)
        else w).parquet(stage.toString)
       listParquet(fs, stage).foreach { p =>
         val rel = relativize(stage, p)
         val (rows0, lo, hi) =
-          ScanPredicates.footerStats(spark, p, dataSchema)
+          ScanPredicates.footerStats(spark, p, statsSchema)
         if (rows0 > 0) {
           val dest = new Path(root, rel)
           fs.mkdirs(dest.getParent)
@@ -1387,22 +1471,25 @@ object DeltaInterop {
           val pv = hivePartitionValues(rel)
           lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
             s""""partitionValues":${
-              pvJsonOf(st.partitionColumns
+              pvJsonOf(partitionDirs
                 .map(c => c -> pv.get(c).flatten).toMap)
             },"size":${fs.getFileStatus(dest).getLen},""" +
             s""""modificationTime":$now,"dataChange":true,""" +
-            s""""stats":${jstr(statsJson(rows0, lo, hi, dataSchema))}}}"""
+            s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
         }
       }
       fs.delete(stage, true): Unit
       if (st.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) {
         val allCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
-        val cdcRows = matched.select(allCols: _*)
+        val cdcRows0 = matched.select(allCols: _*)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(updated.select(allCols: _*)
             .withColumn("_change_type", lit("update_postimage")))
-        lines ++= stageCdcFiles(cdcRows, root, fs, st.partitionColumns)
+        val cdcRows =
+          if (mapped) toPhysical(cdcRows0, st.schema, Seq("_change_type"))
+          else cdcRows0
+        lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
       }
       val v = publishCommit(fs, new Path(root, "_delta_log"),
         st.version + 1, lines.toSeq)
@@ -1433,9 +1520,6 @@ object DeltaInterop {
             keyCols: Seq[String]): DeltaDml = {
     val spark = source.sparkSession
     val st = state(spark, table, None)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — DML would address logical " +
-        "names; reads only")
     require(keyCols.nonEmpty, "MERGE needs at least one key column")
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
@@ -1451,7 +1535,7 @@ object DeltaInterop {
         s"(${keyCols.mkString(", ")}) — which one updates the target " +
         "is undefined; deduplicate the source first")
     val byNorm: Map[String, DeltaAdd] =
-      st.files.map(a => normStr(new Path(root, a.path).toString) -> a).toMap
+      st.files.map(a => uriKey(root, a.path) -> a).toMap
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     // one key-column scan: touched files + per-file match counts
     val liveKeys = filesToDF(spark, table, st.schema,
@@ -1483,13 +1567,22 @@ object DeltaInterop {
           .otherwise(col(f.name)).cast(f.dataType).as(f.name)): _*)
     val outRows = merged.unionByName(notMatched)
     // stage through the same partition-dir layout as write()
+    // (physical column names and dirs on mapped tables)
+    val mapped = st.columnMappingMode != "none"
+    val physKey = physKeyOf(st.schema)
+    val partitionDirs =
+      if (mapped) st.partitionColumns.map(physKey) else st.partitionColumns
     val stage = new Path(root, s".merge-${java.util.UUID.randomUUID()}")
-    val w = outRows.write.mode("overwrite")
-    (if (st.partitionColumns.nonEmpty)
-       w.partitionBy(st.partitionColumns: _*)
+    val stagedFrame =
+      if (mapped) toPhysical(outRows, st.schema) else outRows
+    val w = stagedFrame.write.mode("overwrite")
+    (if (partitionDirs.nonEmpty)
+       w.partitionBy(partitionDirs: _*)
      else w).parquet(stage.toString)
     val dataSchema = StructType(st.schema.fields.filterNot(f =>
       st.partitionColumns.contains(f.name)))
+    val statsSchema =
+      if (mapped) physicalStruct(dataSchema) else dataSchema
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
@@ -1499,7 +1592,7 @@ object DeltaInterop {
     listParquet(fs, stage).foreach { p =>
       val rel = relativize(stage, p)
       val (rows0, lo, hi) =
-        ScanPredicates.footerStats(spark, p, dataSchema)
+        ScanPredicates.footerStats(spark, p, statsSchema)
       if (rows0 > 0) { // an all-no-op group stages an empty file — skip
         val dest = new Path(root, rel)
         fs.mkdirs(dest.getParent)
@@ -1509,11 +1602,11 @@ object DeltaInterop {
         val pv = hivePartitionValues(rel)
         lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
           s""""partitionValues":${
-            pvJsonOf(st.partitionColumns
+            pvJsonOf(partitionDirs
               .map(c => c -> pv.get(c).flatten).toMap)
           },"size":${fs.getFileStatus(dest).getLen},""" +
           s""""modificationTime":$now,"dataChange":true,""" +
-          s""""stats":${jstr(statsJson(rows0, lo, hi, dataSchema))}}}"""
+          s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
       }
     }
     fs.delete(stage, true): Unit
@@ -1533,8 +1626,11 @@ object DeltaInterop {
           col(s"__src_${f.name}").cast(f.dataType).as(f.name)): _*)
         .withColumn("_change_type", lit("update_postimage"))
       val ins = notMatched.withColumn("_change_type", lit("insert"))
-      lines ++= stageCdcFiles(pre.unionByName(post).unionByName(ins),
-        root, fs, st.partitionColumns)
+      val cdcRows0 = pre.unionByName(post).unionByName(ins)
+      val cdcRows =
+        if (mapped) toPhysical(cdcRows0, st.schema, Seq("_change_type"))
+        else cdcRows0
+      lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
     }
     val v = publishCommit(fs, new Path(root, "_delta_log"),
       st.version + 1, lines.toSeq)
@@ -1882,13 +1978,11 @@ object DeltaInterop {
     * rewritten — cost tracks the vectored surface, not the table. */
   def purgeDeletionVectors(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — the purge would rewrite " +
-        "files under logical names; reads only")
     val dvAdds = st.files.filter(_.dv.nonEmpty)
     if (dvAdds.isEmpty) return st.version
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
+    val mapped = st.columnMappingMode != "none"
     val dataSchema = StructType(st.schema.fields.filterNot(f =>
       st.partitionColumns.contains(f.name)))
     val now = System.currentTimeMillis()
@@ -1898,8 +1992,13 @@ object DeltaInterop {
       jstr("graft")}}}"""
     dvAdds.groupBy(_.partitionValues).foreach { case (pv, adds) =>
       // the group's survivors in one pass: scan the vectored files
-      // with their row positions, anti-join the decoded deletes
-      val clean = filesToDF(spark, table, dataSchema, Nil, adds)
+      // with their row positions, anti-join the decoded deletes;
+      // mapped tables rewrite under physical names like the files
+      // they replace
+      val clean0 = filesToDF(spark, table, dataSchema, Nil, adds,
+        st.columnMappingMode)
+      val clean =
+        if (mapped) toPhysical(clean0, dataSchema) else clean0
       val stage = new Path(root, s".purge-${java.util.UUID.randomUUID()}")
       clean.write.mode("overwrite").parquet(stage.toString)
       val staged = listParquet(fs, stage)
@@ -1949,9 +2048,7 @@ object DeltaInterop {
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorderBy: Seq[String] = Nil): Long = {
     val st = state(spark, table, None)
-    require(st.columnMappingMode == "none",
-      s"table $table uses column mapping — OPTIMIZE would rewrite " +
-        "files under logical names; reads only")
+    val mapped = st.columnMappingMode != "none"
     zorderBy.foreach(c => require(st.schema.exists(_.name == c),
       s"z-order column $c is not in the schema of $table"))
     require(zorderBy.forall(c => !st.partitionColumns.contains(c)),
@@ -1980,13 +2077,16 @@ object DeltaInterop {
       jstr("OPTIMIZE")},"operationParameters":{},"engineInfo":${
       jstr("graft")}}}"""
     groups.foreach { case (pv, adds) =>
-      val grouped = filesToDF(spark, table, dataSchema, Nil, adds)
+      val grouped = filesToDF(spark, table, dataSchema, Nil, adds,
+        st.columnMappingMode)
       val nOut = math.max(1L,
         math.ceil(adds.map(_.size).sum.toDouble / targetFileBytes).toLong)
         .toInt
-      val packed =
+      val packed0 =
         if (zorderBy.nonEmpty) ZOrder.clusterByZ(grouped, zorderBy, nOut)
         else grouped.coalesce(nOut)
+      val packed =
+        if (mapped) toPhysical(packed0, dataSchema) else packed0
       val stage = new Path(root, s".optimize-${java.util.UUID.randomUUID()}")
       packed.write.mode("overwrite").parquet(stage.toString)
       val pvJson = pv.map {
@@ -1997,13 +2097,15 @@ object DeltaInterop {
         val dest = new Path(root, p.getName)
         if (!fs.rename(p, dest))
           throw new IllegalStateException(s"failed to move $p to $dest")
+        val statsSchema =
+          if (mapped) physicalStruct(dataSchema) else dataSchema
         val (rows, lo, hi) =
-          ScanPredicates.footerStats(spark, dest, dataSchema)
+          ScanPredicates.footerStats(spark, dest, statsSchema)
         lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
           s""""partitionValues":$pvJson,""" +
           s""""size":${fs.getFileStatus(dest).getLen},""" +
           s""""modificationTime":$now,"dataChange":false,""" +
-          s""""stats":${jstr(statsJson(rows, lo, hi, dataSchema))}}}"""
+          s""""stats":${jstr(statsJson(rows, lo, hi, statsSchema))}}}"""
       }
       fs.delete(stage, true): Unit
       adds.foreach(a =>

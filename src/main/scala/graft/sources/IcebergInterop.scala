@@ -499,7 +499,12 @@ object IcebergInterop {
           st.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
             (-(i + 1).toLong, f.name, f.dataType)
           })
-      val identitySig: Seq[Option[String]] = cur.map(t => Some(t._2))
+      // identity = same physical name AND same type as the current
+      // schema; a file holding a PROMOTED column (int→long) must go
+      // through the grouped path even when names agree — the parquet
+      // reader cannot serve int32 pages under a bigint read schema
+      val identitySig: Seq[Option[(String, DataType)]] =
+        cur.map(t => Some((t._2, t._3)))
       def mappingOf(f: IceFile): Option[Map[Long, (String, DataType)]] =
         st.evo.snapshotSchemaIds.get(f.snapId)
           .flatMap(sid => st.evo.schemaFields.get(sid))
@@ -508,6 +513,10 @@ object IcebergInterop {
             m.flatMap { case (id, phys) =>
               cur.find(_._1 == id).map(c => id -> (phys, c._3))
             }))
+      // sig entries carry the FILE's write-time type; the projection
+      // casts up to the current type where the spec allows promotion
+      // (int→long, float→double, decimal precision-widen at equal
+      // scale) and refuses everything else by name
       val grouped: Option[Seq[(Seq[String], Seq[Option[(String, DataType)]])]] =
         if (!st.evo.evolved) None
         else {
@@ -515,21 +524,21 @@ object IcebergInterop {
             val sig = mappingOf(f) match {
               case Some(m) => cur.map { case (id, _, dt) =>
                 m.get(id).map { case (phys, histDt) =>
-                  if (histDt != dt)
+                  if (histDt != dt && !legalPromotion(histDt, dt))
                     throw new UnsupportedIcebergFeatureException(
                       s"data file ${f.path} was written with field id " +
                         s"$id as ${histDt.sql} but the current schema " +
-                        s"declares ${dt.sql} — type promotion across " +
-                        "schema evolution is not supported by this " +
-                        "reader")
-                  (phys, dt)
+                        s"declares ${dt.sql} — not one of the spec's " +
+                        "legal type promotions (int→long, " +
+                        "float→double, decimal precision widening)")
+                  (phys, histDt)
                 }
               }
               case None => cur.map(t => Some((t._2, t._3)))
             }
             f.path -> sig
           }
-          if (perFile.forall(_._2.map(_.map(_._1)) == identitySig)) None
+          if (perFile.forall(_._2 == identitySig)) None
           else Some(perFile.groupBy(_._2).toSeq.map { case (sig, fs0) =>
             (fs0.map(_._1), sig)
           })
@@ -546,11 +555,15 @@ object IcebergInterop {
           def scan(paths: Seq[String],
                    sig: Seq[Option[(String, DataType)]],
                    withMeta: Boolean): DataFrame = {
+            // read under the file's write-time types, cast up to the
+            // current schema where they differ (legal promotions only
+            // — checked at sig construction)
             val phys = StructType(sig.flatMap(_.map { case (p, dt) =>
               StructField(p, dt)
             }))
             val proj = cur.zip(sig).map {
-              case ((_, name, _), Some((p, dt))) => col(p).as(name)
+              case ((_, name, cdt), Some((p, fdt))) =>
+                (if (fdt == cdt) col(p) else col(p).cast(cdt)).as(name)
               case ((_, name, dt), None) => lit(null).cast(dt).as(name)
             }
             val base = spark.read.schema(phys).parquet(paths: _*)
@@ -2880,6 +2893,61 @@ object IcebergInterop {
         "id" -> JInt(newId), "name" -> JString(name),
         "required" -> JBool(false),
         "type" -> JString(sparkTypeToIceberg(dataType)))), newId)
+    }
+
+  /** The Iceberg spec's legal primitive TYPE PROMOTIONS — the only
+    * (write-time → current) pairs the by-id read kernel serves by
+    * casting up; everything else refuses by name. */
+  private[sources] def legalPromotion(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        f.scale == t.scale && t.precision >= f.precision
+      case _ => false
+    }
+
+  /** Metadata-only column TYPE PROMOTION — the spec's legal widenings
+    * only (int→long, float→double, decimal precision widening at
+    * equal scale). The field id is unchanged, so every existing data
+    * file keeps resolving by id; the read kernel serves old files
+    * under their write-time type and casts up. Appends after the
+    * promotion use the new type. */
+  def promoteColumn(spark: SparkSession, table: String,
+                    name: String, to: DataType): Unit =
+    evolveSchema(spark, table) { (fields, lastColumnId) =>
+      import org.json4s._
+      val victim = fields.find(f => (f \ "name") == JString(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column named $name in $table"))
+      val fromS = (victim \ "type") match {
+        case JString(s) => s
+        case _ => throw new UnsupportedIcebergFeatureException(
+          s"column $name of $table has a nested type — promotion " +
+            "applies to primitives")
+      }
+      val toS = sparkTypeToIceberg(to)
+      val DecRe = """decimal\((\d+),\s*(\d+)\)""".r
+      val ok = (fromS.replace(" ", ""), toS.replace(" ", "")) match {
+        case ("int", "long") => true
+        case ("float", "double") => true
+        case (DecRe(p1, s1), DecRe(p2, s2)) =>
+          s1 == s2 && p2.toInt >= p1.toInt
+        case _ => false
+      }
+      if (!ok)
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot promote $name of $table from $fromS to $toS — the " +
+            "spec allows int→long, float→double, and decimal " +
+            "precision widening at equal scale only")
+      (fields.map {
+        case f if (f \ "name") == JString(name) =>
+          JObject(f.asInstanceOf[JObject].obj.map {
+            case ("type", _) => "type" -> (JString(toS): JValue)
+            case kv => kv
+          })
+        case f => f
+      }, lastColumnId)
     }
 
   /** Metadata-only column DROP. The field id retires with it — a

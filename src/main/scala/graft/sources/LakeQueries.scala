@@ -1243,6 +1243,86 @@ object LakeQueries {
       |  TRUE AS mor_delete
       |FROM fin GROUP BY o_orderpriority""".stripMargin
 
+  /** dl10_mapped_dml — the full row-level DML matrix on a
+    * COLUMN-MAPPED, PARTITIONED Delta table (the modern-Delta default
+    * shape): the table is created name-mapped (`col-…` physical names
+    * on disk, ids in the schema metadata, protocol 2/5, physically
+    * keyed partitionValues), then DELETE lands merge-on-read
+    * (deletion vector — `mor_delete` pins the vector at the delete
+    * version), UPDATE copy-on-writes only the matching files under
+    * physical names, and MERGE upserts (matched keys replaced
+    * wholesale, killed keys re-enter as inserts, new keys land in
+    * their partitions). `mapped_physical` pins IN-ROW that every live
+    * data file really stores `col-…` physical columns — the gate
+    * fails if a rewrite ever leaks logical names into a mapped
+    * table. DML semantics are dl9's, so the oracle re-derives the
+    * same post-DML table from the original parquet. */
+  def dl10MappedDml(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl10:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl10").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o, dir, partitionBy = Seq("o_orderpriority"),
+        columnMapping = "name")
+      DeltaInterop.delete(s, dir, col("o_orderkey") % 5 === 0)
+      DeltaInterop.update(s, dir, col("o_orderkey") % 7 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + 10)))
+      val nine = o.filter(col("o_orderkey") % 9 === 1)
+      val src = nine.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(nine.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(100000000L))
+            .cast(o.schema("o_orderkey").dataType)))
+      DeltaInterop.merge(src, dir, Seq("o_orderkey")): Unit
+      val mor = DeltaInterop.state(s, dir, Some(1L))
+        .files.exists(_.dv.nonEmpty)
+      val st = DeltaInterop.state(s, dir, None)
+      val phys = st.columnMappingMode == "name" && st.files.nonEmpty &&
+        st.files.forall { a =>
+          spark_read_columns(s, dir, a.path).forall(_.startsWith("col-"))
+        }
+      s"$dir|$mor|$phys"
+    })
+    val Array(dir, mor, phys) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("mor_delete", lit(mor.toBoolean))
+      .withColumn("mapped_physical", lit(phys.toBoolean))
+  }
+
+  /** One data file's on-disk column names (schema-only read). */
+  private def spark_read_columns(s: SparkSession, dir: String,
+                                 rel: String): Seq[String] =
+    s.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, rel).toString).columns.toSeq
+
+  val dl10Oracle: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |m AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 = 1),
+      |fin AS (
+      |  SELECT * FROM m
+      |  UNION ALL
+      |  SELECT * FROM upd
+      |  WHERE upd.o_orderkey NOT IN (SELECT o_orderkey FROM m))
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS mor_delete, TRUE AS mapped_physical
+      |FROM fin GROUP BY o_orderpriority""".stripMargin
+
   /** ic9_iceberg_dml — Iceberg ROW-LEVEL DML through the gate, all
     * three verbs via the SQL surface: two appends build two manifests
     * (evens, odds); copy-on-write `DELETE FROM`, `UPDATE` and the
@@ -2243,6 +2323,7 @@ object LakeQueries {
     "dl8_delta_optimize" -> (dl8DeltaOptimize _),
     "ic8_iceberg_optimize" -> (ic8IcebergOptimize _),
     "dl9_delta_dml" -> (dl9DeltaDml _),
+    "dl10_mapped_dml" -> (dl10MappedDml _),
     "ic9_iceberg_dml" -> (ic9IcebergDml _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
@@ -2298,6 +2379,7 @@ object LakeQueries {
     "cx1_cross_format" -> cx1Oracle,
     "dls2_delta_cdf_stream" -> dl7Oracle,
     "dl8_delta_optimize" -> dl8Oracle,
+    "dl10_mapped_dml" -> dl10Oracle,
     "ic8_iceberg_optimize" -> ic8Oracle,
     "dl9_delta_dml" -> dl9Oracle,
     "ic9_iceberg_dml" -> ic9Oracle,

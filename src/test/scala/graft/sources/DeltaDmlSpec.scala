@@ -474,10 +474,38 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     val got = DeltaInterop.read(spark, t)
     got.count() shouldBe 15L
     got.agg(min($"id")).as[Long].head() shouldBe 6L
-    // the rewriting verbs still refuse mapped tables by name
-    intercept[IllegalArgumentException] {
-      DeltaInterop.update(spark, t, col("id") === 6L, Seq("id" -> lit(0L)))
-    }.getMessage should include("column mapping")
+    // the rewriting verbs serve mapped tables too (physical-name
+    // rewrites): a CoW UPDATE on the hand-built foreign table works
+    DeltaInterop.update(spark, t, col("id") === 6L,
+      Seq("payload" -> lit("updated"))).rowsAffected shouldBe 1L
+    DeltaInterop.read(spark, t).filter(col("id") === 6L)
+      .select(col("payload")).as[String].head() shouldBe "updated"
+  }
+
+  test("partition values needing URI escaping (spaces) keep lineage " +
+    "joins exact: _metadata.file_path reports %20 while Path.toString " +
+    "unescapes — DELETE, UPDATE and MERGE all key through the URI form") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 20L).map(i => (i, if (i % 2 == 0) "A B" else "C", i))
+        .toDF("id", "g", "v"), t, partitionBy = Seq("g"))
+    // MOR delete touches the space-named partition
+    DeltaInterop.delete(spark, t, $"id" === 2L).rowsAffected shouldBe 1L
+    // CoW update in the same partition (file with an existing vector)
+    DeltaInterop.update(spark, t, $"id" === 4L,
+      Seq("v" -> lit(400L))).rowsAffected shouldBe 1L
+    // merge updates a space-partition row and inserts a new one
+    DeltaInterop.merge(
+      Seq((6L, "A B", 600L), (21L, "A B", 21L)).toDF("id", "g", "v"),
+      t, Seq("id")).rowsAffected shouldBe 2L
+    val out = DeltaInterop.read(spark, t).cache()
+    out.count() shouldBe 20L // 20 - 1 deleted + 1 inserted
+    out.filter($"id" === 4L).select($"v").as[Long].head() shouldBe 400L
+    out.filter($"id" === 6L).select($"v").as[Long].head() shouldBe 600L
+    out.filter($"id" === 2L).count() shouldBe 0L
+    out.filter($"g" === "A B").count() shouldBe 10L
+    out.unpersist()
   }
 
   test("UPDATE refusals: partition-column assignment and unknown " +

@@ -161,4 +161,78 @@ class IcebergEvolutionSpec extends AnyFunSuite with Matchers
     val live = IcebergInterop.state(spark, t, None).files.size
     pruned.inputFiles.length should be < live
   }
+
+  test("type promotion int→long: old files read under their " +
+    "write-time type and cast up, new appends land wide, values " +
+    "survive exactly") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1 to 100).map(i => (i, i * 10)).toDF("id", "v"), t) // both INT
+    IcebergInterop.promoteColumn(spark, t, "v", LongType)
+    val st = IcebergInterop.state(spark, t, None)
+    st.schema("v").dataType shouldBe LongType
+    st.schema("id").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
+    // the promoted read serves the OLD int32 file under bigint
+    val got = IcebergInterop.read(spark, t)
+    got.schema("v").dataType shouldBe LongType
+    got.count() shouldBe 100L
+    got.agg(sum($"v")).as[Long].head() shouldBe
+      (1 to 100).map(_ * 10L).sum
+    // an append with the WIDE type composes with the narrow files
+    IcebergInterop.write(
+      Seq((101, 5000000000L)).toDF("id", "v"), t)
+    val all = IcebergInterop.read(spark, t)
+    all.count() shouldBe 101L
+    all.filter($"id" === 101).select($"v").as[Long]
+      .head() shouldBe 5000000000L
+    all.filter($"id" === 7).select($"v").as[Long].head() shouldBe 70L
+  }
+
+  test("type promotion float→double and decimal precision widening; " +
+    "illegal promotions refuse by name") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1 to 20).map(i => (i.toLong, i.toFloat,
+        BigDecimal(i).setScale(2))).toDF("id", "f", "d")
+        .select($"id", $"f", $"d".cast("decimal(10,2)").as("d")), t)
+    IcebergInterop.promoteColumn(spark, t, "f", DoubleType)
+    IcebergInterop.promoteColumn(spark, t, "d",
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    val got = IcebergInterop.read(spark, t)
+    got.schema("f").dataType shouldBe DoubleType
+    got.schema("d").dataType shouldBe
+      org.apache.spark.sql.types.DecimalType(20, 2)
+    got.filter($"id" === 3L).select($"f").as[Double]
+      .head() shouldBe 3.0d
+    got.filter($"id" === 3L).select($"d".cast("string")).as[String]
+      .head() shouldBe "3.00"
+    // illegal: long→int (narrowing), decimal scale change
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.promoteColumn(spark, t, "id",
+        org.apache.spark.sql.types.IntegerType)
+    }.getMessage should include("promote")
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.promoteColumn(spark, t, "d",
+        org.apache.spark.sql.types.DecimalType(20, 4))
+    }.getMessage should include("equal scale")
+  }
+
+  test("promotion composes with rename and DML: the id-keyed read " +
+    "serves renamed+promoted columns across a copy-on-write delete") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1 to 50).map(i => (i, i)).toDF("k", "v"), t)
+    IcebergInterop.promoteColumn(spark, t, "v", LongType)
+    IcebergInterop.renameColumn(spark, t, "v", "value")
+    IcebergInterop.delete(spark, t, col("k") % 5 === 0)
+    val got = IcebergInterop.read(spark, t)
+    got.count() shouldBe 40L
+    got.schema("value").dataType shouldBe LongType
+    got.agg(sum($"value")).as[Long].head() shouldBe
+      (1 to 50).filterNot(_ % 5 == 0).map(_.toLong).sum
+  }
 }
