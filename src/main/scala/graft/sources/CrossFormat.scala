@@ -50,9 +50,11 @@ object CrossFormat {
     IcebergInterop.importFromDeltaMor(spark, table)
 
   /** Merge-on-read Iceberg → Delta WITHOUT compacting: position
-    * deletes re-serialize as deletion-vector sidecars
-    * ([[DeltaInterop.importFromIcebergMor]]). Equality deletes and
-    * partitioned specs refuse by name. */
+    * deletes re-serialize as deletion-vector sidecars metadata-only;
+    * EQUALITY deletes resolve to per-file positions with one
+    * provenance scan at conversion time
+    * ([[DeltaInterop.importFromIcebergMor]]). Partitioned specs
+    * refuse by name. */
   def icebergToDeltaMor(spark: SparkSession, table: String): Long =
     DeltaInterop.importFromIcebergMor(spark, table)
 }

@@ -87,6 +87,9 @@ object DeltaInterop {
   private val JsonRe = """(\d{20})\.json""".r
   private val CkRe = """(\d{20})\.checkpoint\.parquet""".r
   private val CkPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // v2 checkpoints: <version>.checkpoint.<uniqueId>.{json|parquet} —
+  // the uniqueId never contains dots, so multi-part names don't match
+  private val CkV2Re = """(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)""".r
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -347,8 +350,15 @@ object DeltaInterop {
       case (v, parts) if parts.map(_._3).distinct.length == 1 &&
         parts.map(_._2).toSet == (1L to parts.head._3).toSet => v
     }
-    val ck = (ckSingle ++ ckMultiComplete).filter(_ <= target)
-      .sorted.lastOption
+    // v2 checkpoints (checkpointPolicy = v2): one
+    // `<v>.checkpoint.<uuid>.{json|parquet}` top-level file whose
+    // add/remove rows may live in SIDECAR parquet files under
+    // `_delta_log/_sidecars/`
+    val ckV2 = names.collect { case n @ CkV2Re(v, _, ext) =>
+      (v.toLong, n, ext)
+    }
+    val ck = (ckSingle ++ ckMultiComplete ++ ckV2.map(_._1))
+      .filter(_ <= target).sorted.lastOption
     // without a checkpoint at or below the target, resolution must
     // replay from version 0 — a log whose oldest JSON is later (log
     // cleanup, vacuum) cannot serve the target at all; refuse by name
@@ -394,22 +404,11 @@ object DeltaInterop {
             "supported surface")
     }
 
-    ck.foreach { cv =>
-      val parts =
-        if (ckSingle.contains(cv))
-          Seq(new Path(logDir, f"$cv%020d.checkpoint.parquet").toString)
-        else names.collect {
-          case n @ CkPartRe(v, _, _) if v.toLong == cv =>
-            new Path(logDir, n).toString
-        }.toSeq
-      val rows = spark.read.parquet(parts: _*)
-      val cols = rows.columns.toSet
-      // STREAM the action rows instead of collect(): a 100 TB foreign
-      // table's checkpoint holds ~10⁶ add rows, and materializing the
-      // full Row array alongside the reconciled file map doubles the
-      // driver's peak. toLocalIterator holds one partition's rows at a
-      // time; the retained state is only the reconciled live-file map.
-      rows.toLocalIterator().forEachRemaining { r =>
+    // one checkpoint ROW processed into the replay state; returns the
+    // sidecar path when the row is a v2 `sidecar` reference. Shared by
+    // classic/multi-part checkpoints, v2 parquet checkpoints, and v2
+    // sidecar files (all carry the same nullable action structs).
+    def processCkRow(cols: Set[String], r: Row): Option[String] = {
         def struct(name: String): Option[Row] =
           if (cols(name) && !r.isNullAt(r.fieldIndex(name)))
             Some(r.getStruct(r.fieldIndex(name)))
@@ -481,6 +480,65 @@ object DeltaInterop {
         struct("remove").foreach { rm =>
           files.remove(urlDecode(rm.getString(rm.fieldIndex("path")))): Unit
         }
+        struct("sidecar").map(sc =>
+          sc.getString(sc.fieldIndex("path")))
+    }
+
+    // STREAM the action rows instead of collect(): a 100 TB foreign
+    // table's checkpoint holds ~10⁶ add rows, and materializing the
+    // full Row array alongside the reconciled file map doubles the
+    // driver's peak. toLocalIterator holds one partition's rows at a
+    // time; the retained state is only the reconciled live-file map.
+    def processCkParquet(paths: Seq[String]): Seq[String] = {
+      val rows = spark.read.parquet(paths: _*)
+      val cols = rows.columns.toSet
+      val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
+      rows.toLocalIterator().forEachRemaining { r =>
+        processCkRow(cols, r).foreach(sidecars += _)
+      }
+      sidecars.toSeq
+    }
+
+    ck.foreach { cv =>
+      val classic = ckSingle.contains(cv) || ckMultiComplete.exists(_ == cv)
+      val sidecars: Seq[String] =
+        if (classic) {
+          val parts =
+            if (ckSingle.contains(cv))
+              Seq(new Path(logDir, f"$cv%020d.checkpoint.parquet").toString)
+            else names.collect {
+              case n @ CkPartRe(v, _, _) if v.toLong == cv =>
+                new Path(logDir, n).toString
+            }.toSeq
+          processCkParquet(parts)
+        } else {
+          val (_, name, ext) = ckV2.find(_._1 == cv).get
+          val file = new Path(logDir, name)
+          if (ext == "json")
+            parseActionLines(readUtf8(fs, file), file).flatMap {
+              case ProtocolAction(mr, rf, mw, wf) =>
+                checkProtocol(mr, rf, mw, wf); Nil
+              case MetaAction(sc, pc, mode, cfg, id) =>
+                schema = Some(sc); partCols = pc; mappingMode = mode
+                config = cfg; metaId = id.orElse(metaId); Nil
+              case AddAction(a) => files(a.path) = a; Nil
+              case RemoveAction(p, _) => files.remove(p); Nil
+              case SidecarAction(p) => Seq(p)
+              case _ => Nil
+            }
+          else processCkParquet(Seq(file.toString))
+        }
+      // sidecar paths resolve under _delta_log/_sidecars/ unless
+      // absolute (the protocol allows both)
+      sidecars.foreach { sp =>
+        val p =
+          if (sp.startsWith("/") ||
+            sp.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) new Path(sp)
+          else new Path(new Path(logDir, "_sidecars"), sp)
+        processCkParquet(Seq(p.toString)).foreach(nested =>
+          throw new UnsupportedDeltaFeatureException(
+            s"sidecar file $sp of $table itself references sidecar " +
+              s"$nested — nested sidecars are not in the protocol"))
       }
     }
 
@@ -493,7 +551,7 @@ object DeltaInterop {
           config = cfg; metaId = id.orElse(metaId)
         case AddAction(a) => files(a.path) = a
         case RemoveAction(p, _) => files.remove(p): Unit
-        case _: CdcAction | _: CommitInfoAction =>
+        case _: CdcAction | _: CommitInfoAction | _: SidecarAction =>
       }
     }
 
@@ -525,23 +583,36 @@ object DeltaInterop {
       partitionValues: Map[String, Option[String]]) extends DeltaAction
   private final case class CommitInfoAction(timestampMs: Long)
     extends DeltaAction
+  /** A v2-checkpoint `sidecar` action: one parquet file under
+    * `_delta_log/_sidecars/` holding add/remove rows. */
+  private final case class SidecarAction(path: String) extends DeltaAction
 
   /** Parse one JSON commit file into its actions (commitInfo/txn
     * ignored). ONE definition shared by snapshot replay and the
     * streaming tail — the two must never read a commit differently. */
   private def parseCommit(spark: SparkSession, table: String,
                           v: Long): Seq[DeltaAction] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     val file = new Path(logDir, f"$v%020d.json")
+    parseActionLines(readUtf8(fs, file), file)
+  }
+
+  private def readUtf8(fs: FileSystem, file: Path): String = {
     val in = fs.open(file)
-    val text = try {
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  /** The action-per-line JSON parse shared by commit files and JSON
+    * v2 checkpoints (same line grammar, plus `sidecar` there). */
+  private def parseActionLines(text: String,
+                               file: Path): Seq[DeltaAction] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     text.split('\n').filter(_.trim.nonEmpty).toSeq.flatMap { line =>
       val j = JsonMethods.parse(line)
       def str(v: JValue): Option[String] = v match {
@@ -645,7 +716,11 @@ object DeltaInterop {
           case _ => Nil
         }
       }
-      protocol ++ meta ++ add ++ remove ++ cdc ++ info
+      val sidecar = j \ "sidecar" match {
+        case JNothing | JNull => Nil
+        case sc => str(sc \ "path").toSeq.map(SidecarAction)
+      }
+      protocol ++ meta ++ add ++ remove ++ cdc ++ info ++ sidecar
     }
   }
 
@@ -1645,9 +1720,11 @@ object DeltaInterop {
     * the SHARED data files with their vectors — zero data movement.
     * Add actions reference the files by ABSOLUTE path (the protocol's
     * shallow-clone convention) and carry `numRecords` stats from the
-    * Iceberg manifests. Equality deletes refuse by name (they have no
-    * Delta analog without a scan — compactDeletes first), as do
-    * partitioned specs and a root already carrying a Delta log. */
+    * Iceberg manifests. Equality deletes convert too — resolved to
+    * per-file positions by ONE provenance scan at conversion time
+    * (killed = all positions − the Iceberg kernel's survivors), the
+    * only point where a scan is unavoidable. Partitioned specs and a
+    * root already carrying a Delta log refuse by name. */
   def importFromIcebergMor(spark: SparkSession, table: String): Long = {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -1658,21 +1735,25 @@ object DeltaInterop {
         s"$table already carries a Delta log — re-syncing a converted " +
           "table is the manifest-composed conversion's job")
     val ist = IcebergInterop.state(spark, table, None)
-    if (ist.eqDeletes.nonEmpty)
-      throw new UnsupportedDeltaFeatureException(
-        s"table $table carries EQUALITY deletes, which have no Delta " +
-          "analog without a table scan — compactDeletes first")
     require(ist.specs.getOrElse(ist.defaultSpecId, Nil).isEmpty &&
       ist.files.forall(_.partition.isEmpty),
       s"table $table is partitioned — identity re-declaration is the " +
         "manifest-composed conversion's job; compact deletes first")
     require(ist.files.nonEmpty, s"nothing to convert: $table is empty")
     import spark.implicits._
-    // re-serialize the position kill sets as per-file DV sidecars
+    // re-serialize the kill sets as per-file DV sidecars. POSITION
+    // deletes convert metadata-only (their rows ARE (file, pos)).
+    // EQUALITY deletes have no positional form, so they resolve to
+    // positions with ONE provenance scan at conversion time: every
+    // row position in the table, anti-joined against the Iceberg read
+    // kernel's survivors (which applies the full sequence-ordered
+    // pos+eq semantics) — killed = all − survivors. The scan projects
+    // only the eq-key columns plus parquet metadata; cost tracks the
+    // keyed surface once, never per read afterwards.
     val perFile: Array[(String, String, Long, Int, Long, Long)] =
-      if (ist.posDeletes.isEmpty)
+      if (ist.posDeletes.isEmpty && ist.eqDeletes.isEmpty)
         Array.empty
-      else {
+      else if (ist.eqDeletes.isEmpty) {
         val dels = spark.read.parquet(ist.posDeletes: _*)
           .select(
             org.apache.spark.sql.functions.regexp_replace(col("file_path"),
@@ -1681,6 +1762,20 @@ object DeltaInterop {
           .distinct()
         writeDvPerFile(spark, root,
           DeltaState(0L, ist.schema, Nil, Nil), dels)
+      } else {
+        def norm0(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.regexp_replace(c,
+            "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+        val all = spark.read.parquet(ist.files.map(_.path): _*)
+          .select(norm0(col("_metadata.file_path")).as("__fp"),
+            col("_metadata.row_index").as("__pos"))
+        val survivors = IcebergInterop.toDF(spark, ist,
+            keepLineage = true)
+          .select(col("__fp"), col("__pos"))
+        val killed = all.join(survivors, Seq("__fp", "__pos"),
+          "left_anti")
+        writeDvPerFile(spark, root,
+          DeltaState(0L, ist.schema, Nil, Nil), killed)
       }
     val dvByNorm = perFile.map(t => t._1 -> t).toMap
     val now = System.currentTimeMillis()
@@ -1897,6 +1992,7 @@ object DeltaInterop {
         case AddAction(a) => adds += a
         case RemoveAction(p, dc) => removes += (p -> dc)
         case CdcAction(p, pv) => cdcs += (p -> pv)
+        case _: SidecarAction => // never in commit files
       }
       if (ts == 0L)
         ts = fs.getFileStatus(
@@ -2257,6 +2353,8 @@ object DeltaInterop {
       case n @ CkRe(cv) if dropSet(cv.toLong) =>
         fs.delete(new Path(logDir, n), false): Unit
       case n @ CkPartRe(cv, _, _) if dropSet(cv.toLong) =>
+        fs.delete(new Path(logDir, n), false): Unit
+      case n @ CkV2Re(cv, _, _) if dropSet(cv.toLong) =>
         fs.delete(new Path(logDir, n), false): Unit
       case _ => ()
     }

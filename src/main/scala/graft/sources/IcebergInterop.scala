@@ -1636,6 +1636,159 @@ object IcebergInterop {
       "operation", "is_current")
   }
 
+  // ----------------------------------------------------- branches & tags
+
+  /** The table's named REFS: `name → (snapshotId, type)` where type
+    * is `branch` or `tag` (the spec's `refs` metadata map). The
+    * `main` branch is implicit — when the metadata declares none, the
+    * current snapshot serves as it, exactly how Iceberg resolves an
+    * un-declared main. O(1) metadata, no data IO. */
+  def refs(spark: SparkSession, table: String)
+      : Map[String, (Long, String)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val declared: Map[String, (Long, String)] =
+      (metaJson \ "refs") match {
+        case JObject(kvs) => kvs.flatMap { case (name, node) =>
+          val sid = jLong(node \ "snapshot-id")
+          if (sid < 0) None
+          else Some(name -> (sid, (node \ "type") match {
+            case JString(tp) => tp
+            case _ => "branch"
+          }))
+        }.toMap
+        case _ => Map.empty
+      }
+    val cur = jLong(metaJson \ "current-snapshot-id")
+    if (!declared.contains("main") && cur >= 0)
+      declared + ("main" -> (cur -> "branch"))
+    else declared
+  }
+
+  /** Ref name → snapshot id; unknown names refuse BY NAME listing the
+    * refs that exist (never a silent head read). */
+  def resolveRef(spark: SparkSession, table: String, name: String): Long =
+    refs(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no branch or tag named '$name' on $table — refs: " +
+          refs(spark, table).keys.toSeq.sorted.mkString("[", ", ", "]")))._1
+
+  /** Time travel by BRANCH or TAG name — `VERSION AS OF 'tag'`. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    readSnapshot(spark, table, resolveRef(spark, table, name))
+
+  /** The `$refs` metadata table: one row per ref (implicit `main`
+    * included), with its snapshot id and type. */
+  def refsTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    refs(spark, table).toSeq.sortBy(_._1)
+      .map { case (n, (sid, tp)) => (n, sid, tp) }
+      .toDF("name", "snapshot_id", "type")
+  }
+
+  /** Create or move a TAG (`refType = "tag"`) or BRANCH (`"branch"`)
+    * to `snapshotId` (default: the current snapshot) — one
+    * metadata-version publication, no data IO. The snapshot must be
+    * retained; `main` cannot be re-typed to a tag. */
+  def createRef(spark: SparkSession, table: String, name: String,
+                refType: String = "tag",
+                snapshotId: Option[Long] = None): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be 'tag' or 'branch', got '$refType'")
+    require(!(name == "main" && refType == "tag"),
+      "'main' is the table's head branch — it cannot become a tag")
+    import org.json4s._
+    transformMetadata(spark, table) { metaJson =>
+      val snaps: Set[Long] = (metaJson \ "snapshots") match {
+        case JArray(xs) => xs.map(s => jLong(s \ "snapshot-id")).toSet
+        case _ => Set.empty
+      }
+      val target = snapshotId.getOrElse(
+        jLong(metaJson \ "current-snapshot-id"))
+      require(snaps.contains(target),
+        s"snapshot $target is not retained by $table — a ref must " +
+          "name a live snapshot")
+      val entry: JValue = JObject(List(
+        "snapshot-id" -> JLong(target), "type" -> JString(refType)))
+      metaJson match {
+        case JObject(kvs) =>
+          val existing = kvs.collectFirst {
+            case ("refs", JObject(rs)) => rs
+          }.getOrElse(Nil)
+          JObject(kvs.filterNot(_._1 == "refs") :+
+            ("refs" -> (JObject(existing.filterNot(_._1 == name) :+
+              (name -> entry)): JValue)))
+        case other => other
+      }
+    }
+  }
+
+  /** Drop a ref. Dropping `main` refuses (the head must stay
+    * addressable); dropping an unknown name refuses by name. */
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    require(name != "main", "cannot drop the 'main' branch")
+    import org.json4s._
+    transformMetadata(spark, table) { metaJson =>
+      val existing = metaJson \ "refs" match {
+        case JObject(rs) => rs
+        case _ => Nil
+      }
+      require(existing.exists(_._1 == name),
+        s"no branch or tag named '$name' on $table")
+      metaJson match {
+        case JObject(kvs) =>
+          JObject(kvs.filterNot(_._1 == "refs") :+
+            ("refs" -> (JObject(
+              existing.filterNot(_._1 == name)): JValue)))
+        case other => other
+      }
+    }
+  }
+
+  /** One metadata-document transform published as the next version —
+    * the shared tail of every metadata-only verb (refs, rollback,
+    * evolution): read-modify-write with the same atomic
+    * create-if-absent publication DML uses, so a racing writer
+    * surfaces as [[ConcurrentIcebergCommitException]], never a lost
+    * update. */
+  private def transformMetadata(spark: SparkSession, table: String)(
+      f: org.json4s.JValue => org.json4s.JValue): Unit = {
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val newMeta = f(metaJson)
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(newMeta))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val published = ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)
+    if (!published) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $table was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+  }
+
   /** `rollback_to_snapshot` — Iceberg's METADATA-ONLY rollback: the
     * current-snapshot pointer moves to a RETAINED older snapshot in a
     * new metadata version; no snapshot is created, no file moves, and
@@ -2805,6 +2958,18 @@ object IcebergInterop {
       case ("properties", JObject(kvs)) if propDelta.nonEmpty =>
         "properties" -> JObject(
           kvs.filterNot(kv => propDelta.exists(_._1 == kv._1)) ++ propDelta)
+      // a declared `main` branch advances with the commit (tags and
+      // other branches stay pinned)
+      case ("refs", JObject(kvs)) =>
+        "refs" -> JObject(kvs.map {
+          case ("main", JObject(fields)) =>
+            "main" -> (JObject(fields.map {
+              case ("snapshot-id", _) =>
+                "snapshot-id" -> (JLong(snapshotId): JValue)
+              case kv => kv
+            }): JValue)
+          case kv => kv
+        })
       case other => other
     } match {
       case fields =>
@@ -3571,6 +3736,28 @@ object IcebergInterop {
            |"default-sort-order-id":0,
            |"sort-orders":[{"order-id":0,"fields":[]}],
            |""".stripMargin
+    // properties and refs carry forward VERBATIM — dropping them
+    // would erase table configuration (the streaming replay marker
+    // lives there) and every branch/tag; a declared `main` branch
+    // advances to the new head like Iceberg's own writers move it
+    val propsJson = priorMeta.map(m => m \ "properties") match {
+      case Some(o @ JObject(_)) => compactJ(o)
+      case _ => "{}"
+    }
+    val refsField: String = priorMeta.map(m => m \ "refs") match {
+      case Some(JObject(kvs)) if kvs.nonEmpty =>
+        val advanced = kvs.map {
+          case ("main", JObject(fields)) =>
+            "main" -> (JObject(fields.map {
+              case ("snapshot-id", _) =>
+                "snapshot-id" -> (JLong(snapshotId): JValue)
+              case kv => kv
+            }): JValue)
+          case kv => kv
+        }
+        s""""refs":${compactJ(JObject(advanced))},"""
+      case _ => ""
+    }
     val json =
       s"""{"format-version":$formatVersion,"table-uuid":${jstr(tableUuid)},
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
@@ -3580,8 +3767,8 @@ object IcebergInterop {
          |"current-schema-id":$currentSchemaId,
          |"partition-spec":$legacySpecJson,"default-spec-id":$specId,
          |"partition-specs":$allSpecsJson,
-         |"properties":{},
-         |"current-snapshot-id":$snapshotId,
+         |"properties":$propsJson,
+         |$refsField"current-snapshot-id":$snapshotId,
          |"snapshots":$snapshotsJson,
          |"snapshot-log":$logJson
          |}""".stripMargin.replace("\n", "")
@@ -3806,9 +3993,21 @@ object IcebergInterop {
     // "newest" is decided by timestamp (id tie-break) — the spec does
     // not order the snapshots array, and foreign writers list in any
     // order; and the CURRENT snapshot must survive, or the expiry
-    // would delete the table's own head data out from under it
+    // would delete the table's own head data out from under it.
+    // Snapshots a BRANCH or TAG names are ref-reachable and survive
+    // regardless of age — expiring a tagged snapshot would leave the
+    // ref dangling and its readers fileless.
+    val refIds: Set[Long] = (metaJson \ "refs") match {
+      case JObject(kvs) =>
+        kvs.map(kv => jLong(kv._2 \ "snapshot-id")).filter(_ >= 0).toSet
+      case _ => Set.empty
+    }
     val ordered = snaps.sortBy(s => (snapTs(s), snapId(s)))
-    val (drop, keep) = ordered.splitAt(ordered.length - keepLast)
+    val (dropCand, keepTail) =
+      ordered.splitAt(ordered.length - keepLast)
+    val (refKept, drop) = dropCand.partition(s => refIds(snapId(s)))
+    val keep = refKept ++ keepTail
+    if (drop.isEmpty) return 0
     val currentId = (metaJson \ "current-snapshot-id") match {
       case JInt(i) => i.toLong
       case JLong(l) => l

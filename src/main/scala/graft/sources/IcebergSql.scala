@@ -176,11 +176,12 @@ object IcebergSql {
         case None => IcebergInterop.read(spark, path)
       })
 
-    private def snapshotOf(v: String): Long =
+    /** `VERSION AS OF` accepts a snapshot id OR a branch/tag name —
+      * non-numeric versions resolve through the table's refs (the
+      * `main` branch implicitly included). */
+    private def snapshotOf(path: String, v: String): Long =
       scala.util.Try(java.lang.Long.parseLong(v)).getOrElse(
-        throw new UnsupportedOperationException(
-          s"graft_iceberg VERSION AS OF expects an integer snapshot id, " +
-            s"got $v"))
+        IcebergInterop.resolveRef(spark, path, v))
 
     /** PARTITION pruning for SQL predicates — the rule-based analog of
       * the lake's derived-window pruning: a `WHERE` whose top-level
@@ -207,7 +208,7 @@ object IcebergSql {
           if (preds.isEmpty) f
           else f.copy(child = PlanBridge.analyzedPlan(
             IcebergInterop.readPruned(spark, iceTarget(u).get, preds,
-              Some(snapshotOf(v)))))
+              Some(snapshotOf(iceTarget(u).get, v)))))
       }
     }
 
@@ -280,9 +281,19 @@ object IcebergSql {
           PlanBridge.analyzedPlan(IcebergInterop.history(spark,
             pathOf(u.multipartIdentifier(1)
               .stripSuffix("$history")).get))
+        // `` graft_iceberg.`name$refs` `` — branches and tags
+        case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
+            u.multipartIdentifier(1).endsWith("$refs") &&
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$refs")).isDefined =>
+          PlanBridge.analyzedPlan(IcebergInterop.refsTable(spark,
+            pathOf(u.multipartIdentifier(1)
+              .stripSuffix("$refs")).get))
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>
-          readPlan(iceTarget(u).get, Some(snapshotOf(v)))
+          readPlan(iceTarget(u).get, Some(snapshotOf(iceTarget(u).get, v)))
         case RelationTimeTravel(u: UnresolvedRelation, Some(_), None)
           if iceTarget(u).isDefined =>
           throw new UnsupportedOperationException(

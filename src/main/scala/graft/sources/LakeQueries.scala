@@ -1243,6 +1243,102 @@ object LakeQueries {
       |  TRUE AS mor_delete
       |FROM fin GROUP BY o_orderpriority""".stripMargin
 
+  /** ic12_refs_timetravel — BRANCHES AND TAGS through the gate: a
+    * tag pins the pre-append snapshot, later appends and an
+    * upsert-style overwrite move the head (and the declared `main`
+    * branch with it), and the gate serves the TAGGED snapshot through
+    * the SQL surface (`VERSION AS OF 'v1'` — name, not id). The
+    * oracle re-derives the tagged subset from the original parquet;
+    * `ref_pinned` pins in-row that the tag still resolves to the
+    * original snapshot after the head moved AND survived a snapshot
+    * expiry that would have dropped it by age. */
+  def ic12RefsTimetravel(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic12:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic12").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val s1 = IcebergInterop.write(o.filter(col("o_orderkey") % 3 === 0),
+        dir)
+      IcebergInterop.createRef(s, dir, "v1", "tag")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 3 === 1), dir)
+      IcebergInterop.write(o.filter(col("o_orderkey") % 3 === 2), dir)
+      // age-based expiry alone would drop s1 — the tag must keep it
+      IcebergInterop.expireSnapshots(s, dir, keepLast = 1)
+      val pinned =
+        IcebergInterop.resolveRef(s, dir, "v1") == s1 &&
+          IcebergInterop.snapshotLineage(s, dir).contains(s1)
+      IcebergSql.register("ic12_orders", dir)
+      s"$dir|$pinned"
+    })
+    val Array(_, pinned) = built.split('|')
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+        |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+        |FROM graft_iceberg.ic12_orders VERSION AS OF 'v1'
+        |GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("ref_pinned", lit(pinned.toBoolean))
+  }
+
+  val ic12Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS ref_pinned
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** ic13_type_promotion — the spec's legal TYPE PROMOTIONS through
+    * the gate: the table is created with `o_totalprice` DOWNCAST to
+    * float and a decimal(12,2) twin, promoted (float→double,
+    * decimal(12,2)→decimal(27,2)) metadata-only, then appended WIDE —
+    * so the serving read must resolve OLD files under their
+    * write-time types and cast up while new files read natively. The
+    * float lane aggregates over float-valued doubles (the oracle
+    * applies the same float round-trip); the decimal lane is exact. */
+  def ic13TypePromotion(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic13:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic13").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      val narrow = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("float").as("price_f"),
+          col("o_totalprice").cast("decimal(12,2)").as("price_d"))
+      IcebergInterop.write(narrow, dir)
+      IcebergInterop.promoteColumn(s, dir, "price_f",
+        org.apache.spark.sql.types.DoubleType)
+      IcebergInterop.promoteColumn(s, dir, "price_d",
+        org.apache.spark.sql.types.DecimalType(27, 2))
+      val wide = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("float").cast("double").as("price_f"),
+          col("o_totalprice").cast("decimal(27,2)").as("price_d"))
+      IcebergInterop.write(wide, dir)
+      dir
+    })
+    // ROW-LEVEL surface, deliberately: re-quantizing float-rounded
+    // values to decimal is NOT engine-exact (DuckDB's double→decimal
+    // cast rounds x·10^s computed in double arithmetic; Spark rounds
+    // the exact value — near-tie floats diverge by a cent), so the
+    // gate hashes the raw float64 bits per row instead: float→double
+    // widening is exact in both engines, and decimal(12,2)→double is
+    // exact below 2^53/100. Every row of both lanes is covered — a
+    // single wrong promoted value fails the hash.
+    IcebergInterop.read(s, built)
+      .select(col("o_orderkey"), col("price_f"),
+        col("price_d").cast("double").as("price_d"))
+  }
+
+  val ic13Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price_f,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_d
+      |FROM orders""".stripMargin
+
   /** dl10_mapped_dml — the full row-level DML matrix on a
     * COLUMN-MAPPED, PARTITIONED Delta table (the modern-Delta default
     * shape): the table is created name-mapped (`col-…` physical names
@@ -2297,8 +2393,72 @@ object LakeQueries {
       |FROM orders WHERE o_orderkey % 5 <> 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** cx3_cross_format_eq — the LAST MOR interop asymmetry closed:
+    * an Iceberg v2 table carrying EQUALITY deletes (zero-scan
+    * `deleteByKeys` kills, plus an `upsertByKeys` whose re-inserted
+    * keys must SURVIVE the earlier delete — the sequence-ordering
+    * case conversion must honor) converts to Delta in place. Equality
+    * deletes have no positional form, so the conversion resolves them
+    * with one provenance scan (killed = all positions − the kernel's
+    * survivors) into RoaringBitmap deletion vectors; data files are
+    * shared verbatim. The gate reads the CONVERTED table through the
+    * Delta kernel; `eq_converted` pins in-row that the source really
+    * carried equality deletes and every Delta data file is a shared
+    * Iceberg file. */
+  def cx3CrossFormatEq(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"cx3:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-xfmt-cx3").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o, dir)
+      IcebergInterop.upgradeFormat(s, dir)
+      // equality-delete DML: kill %5 keys, then upsert %9==1 keys
+      // (re-inserting the %45==10 overlap — those must survive)
+      IcebergInterop.deleteByKeys(s, dir,
+        o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      IcebergInterop.upsertByKeys(
+        o.filter(col("o_orderkey") % 9 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        dir, Seq("o_orderkey"))
+      val ist = IcebergInterop.state(s, dir, None)
+      val hadEq = ist.eqDeletes.nonEmpty
+      val iceFiles = ist.files.map(_.path).toSet
+      CrossFormat.icebergToDeltaMor(s, dir)
+      val dst = DeltaInterop.state(s, dir, None)
+      val shared = dst.files.map(a => new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir), a.path).toString)
+        .forall(iceFiles)
+      s"$dir|${hadEq && shared}"
+    })
+    val Array(dir, flag) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("eq_converted", lit(flag.toBoolean))
+  }
+
+  val cx3Oracle: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 5 <> 0 AND o_orderkey % 9 <> 1)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS eq_converted
+      |FROM fin GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cx2_cross_format_mor" -> (cx2CrossFormatMor _),
+    "cx3_cross_format_eq" -> (cx3CrossFormatEq _),
+    "ic12_refs_timetravel" -> (ic12RefsTimetravel _),
+    "ic13_type_promotion" -> (ic13TypePromotion _),
     "ic10_iceberg_mor" -> (ic10IcebergMor _),
     "ic11_iceberg_upsert" -> (ic11IcebergUpsert _),
     "lk19_bucket_lookup" -> (lk19BucketLookup _),
@@ -2357,6 +2517,9 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "cx2_cross_format_mor" -> cx2Oracle,
+    "cx3_cross_format_eq" -> cx3Oracle,
+    "ic12_refs_timetravel" -> ic12Oracle,
+    "ic13_type_promotion" -> ic13Oracle,
     "ic10_iceberg_mor" -> ic10Oracle,
     "ic11_iceberg_upsert" -> ic11Oracle,
     "lk19_bucket_lookup" -> lk19Oracle,

@@ -390,14 +390,23 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
     val viaDelta = DeltaInterop.read(spark, t2)
     viaDelta.count() shouldBe 60L
     viaDelta.agg(min($"id")).as[Long].head() shouldBe 41L
-    // equality deletes refuse the direct path by name
+    // EQUALITY deletes convert too: one provenance scan resolves them
+    // to per-file positions, and sequence ordering is honored — a key
+    // re-inserted AFTER its delete (upsert) survives the conversion
     val t3 = fresh()
     IcebergInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t3)
     IcebergInterop.upgradeFormat(spark, t3)
-    IcebergInterop.deleteByKeys(spark, t3, Seq(1L).toDF("id"))
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
-      CrossFormat.icebergToDeltaMor(spark, t3)
-    }.getMessage should include("EQUALITY")
+    IcebergInterop.deleteByKeys(spark, t3, Seq(1L, 2L, 3L).toDF("id"))
+    IcebergInterop.upsertByKeys(Seq((2L, 222L)).toDF("id", "v"),
+      t3, Seq("id"))
+    IcebergInterop.state(spark, t3, None).eqDeletes should not be empty
+    CrossFormat.icebergToDeltaMor(spark, t3)
+    val viaDelta3 = DeltaInterop.read(spark, t3)
+    viaDelta3.count() shouldBe 8L // 10 - 3 deleted + 1 re-inserted
+    viaDelta3.select($"id").as[Long].collect().sorted shouldBe
+      Array(2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    viaDelta3.filter($"id" === 2L).select($"v").as[Long]
+      .head() shouldBe 222L
   }
 
   test("RESTORE and rollback: Delta restores a pre-DML version as a " +
