@@ -388,15 +388,20 @@ object DeltaInterop {
       protoWriterFeatures = writerFeatures
       // reader version 3 tables declare table features by name; this
       // reader serves deletionVectors (per-file anti-join in the read
-      // kernel) and columnMapping (physical-name resolution) — anything
+      // kernel), columnMapping (physical-name resolution), v2Checkpoint
+      // (sidecar-bearing checkpoints), timestampNtz (the type reads
+      // natively), and typeWidening (Spark 4's parquet reader serves
+      // the spec's widenings under the current schema — a widening it
+      // cannot serve throws loudly, never silently wrong) — anything
       // else refuses by name. Version 2 IS column mapping.
-      val supported = Set("deletionVectors", "columnMapping")
+      val supported = Set("deletionVectors", "columnMapping",
+        "v2Checkpoint", "timestampNtz", "typeWidening")
       val unsupported = readerFeatures.filterNot(supported)
       if (unsupported.nonEmpty)
         throw new UnsupportedDeltaFeatureException(
           s"table $table requires reader features " +
             s"${unsupported.mkString("[", ", ", "]")} — not supported " +
-            "by this reader (deletionVectors and columnMapping are)")
+            s"by this reader (${supported.mkString(", ")} are)")
       if (minReader > 3)
         throw new UnsupportedDeltaFeatureException(
           s"table $table requires minReaderVersion=$minReader — " +
@@ -729,21 +734,22 @@ object DeltaInterop {
     * operation name, and the commit's add/remove counts. O(versions)
     * driver-side log reads, no data IO. */
   def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    historyRows(spark, table)
+      .toDF("version", "timestamp_ms", "operation", "n_adds", "n_removes")
+  }
+
+  private def historyRows(spark: SparkSession, table: String)
+      : Seq[(Long, Long, String, Long, Long)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    import spark.implicits._
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     require(fs.exists(logDir), s"not a Delta table: no _delta_log under $table")
     val versions = fs.listStatus(logDir).map(_.getPath.getName)
       .collect { case JsonRe(v) => v.toLong }.sorted.toIndexedSeq
     versions.map { v =>
-      val in = fs.open(new Path(logDir, f"$v%020d.json"))
-      val text = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        new String(out.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
+      val text = readUtf8(fs, new Path(logDir, f"$v%020d.json"))
       var ts = 0L
       var op = ""
       var adds = 0L
@@ -767,9 +773,49 @@ object DeltaInterop {
         if ((j \ "remove") != JNothing && (j \ "remove") != JNull)
           removes += 1
       }
+      if (ts == 0L)
+        ts = fs.getFileStatus(new Path(logDir, f"$v%020d.json"))
+          .getModificationTime
       (v, ts, op, adds, removes)
-    }.toDF("version", "timestamp_ms", "operation", "n_adds", "n_removes")
+    }
   }
+
+  /** `TIMESTAMP AS OF` resolution — delta-spark's rule over the
+    * RETAINED log: the latest commit whose (monotonically adjusted)
+    * timestamp is ≤ the asked instant. Commit timestamps are writer
+    * wall clocks, so like delta-spark this reader adjusts any
+    * non-increasing timestamp up to its predecessor's — resolution is
+    * then well-defined even across clock skew. A timestamp before the
+    * first retained commit or after the latest refuses BY NAME (the
+    * Delta contract), naming the usable range. O(retained versions)
+    * log reads, no data IO. */
+  def versionAt(spark: SparkSession, table: String,
+                timestampMs: Long): Long = {
+    val rows = historyRows(spark, table)
+    require(rows.nonEmpty, s"empty Delta log under $table")
+    // monotonic adjustment: each commit's effective timestamp is at
+    // least its predecessor's + 1ms (delta-spark's rule)
+    val adjusted = rows.scanLeft((-1L, Long.MinValue)) {
+      case ((_, prevTs), (v, ts, _, _, _)) =>
+        (v, math.max(ts, prevTs + 1))
+    }.drop(1)
+    val (firstV, firstTs) = adjusted.head
+    require(timestampMs >= firstTs,
+      s"timestamp $timestampMs is before the first retained commit " +
+        s"of $table (version $firstV at $firstTs) — older history " +
+        "has been vacuumed")
+    val (lastV, lastTs) = adjusted.last
+    require(timestampMs <= lastTs,
+      s"timestamp $timestampMs is after the latest commit of $table " +
+        s"(version $lastV at $lastTs) — the Delta contract refuses a " +
+        "future instant rather than silently serving the head")
+    adjusted.takeWhile(_._2 <= timestampMs).last._1
+  }
+
+  /** Time travel by TIMESTAMP — `TIMESTAMP AS OF`. */
+  def readTimestamp(spark: SparkSession, table: String,
+                    timestampMs: Long): DataFrame =
+    readVersion(spark, table, versionAt(spark, table, timestampMs))
 
   /** The table's head version (max JSON commit), if the log exists. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] = {
@@ -1973,7 +2019,8 @@ object DeltaInterop {
         case CommitInfoAction(t) => ts = t
         case ProtocolAction(minReader, feats, _, _) =>
           val unsupported = feats.filterNot(
-            Set("deletionVectors", "columnMapping"))
+            Set("deletionVectors", "columnMapping",
+              "v2Checkpoint", "timestampNtz", "typeWidening"))
           if (minReader > 3 || unsupported.nonEmpty)
             throw new UnsupportedDeltaFeatureException(
               s"version $v of $table requires an unsupported reader " +

@@ -269,12 +269,14 @@ object DeltaSql {
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if deltaTarget(u).isDefined =>
           readPlan(deltaTarget(u).get, Some(versionOf(v)))
-        case RelationTimeTravel(u: UnresolvedRelation, Some(_), None)
+        // TIMESTAMP AS OF: delta's rule — the latest commit whose
+        // monotonically-adjusted wall-clock timestamp is at or before
+        // the asked instant (DeltaInterop.versionAt)
+        case RelationTimeTravel(u: UnresolvedRelation, Some(ts), None)
           if deltaTarget(u).isDefined =>
-          throw new UnsupportedOperationException(
-            "graft_delta supports VERSION AS OF only — the Delta commit " +
-              "timestamps this log records are writer wall clocks; use " +
-              "an explicit version")
+          readPlan(deltaTarget(u).get,
+            Some(DeltaInterop.versionAt(spark, deltaTarget(u).get,
+              SqlTimeTravel.tsMillisOf(spark, ts))))
         case u: UnresolvedRelation if deltaTarget(u).isDefined =>
           readPlan(deltaTarget(u).get, None)
       }

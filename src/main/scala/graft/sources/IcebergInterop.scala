@@ -169,6 +169,57 @@ object IcebergInterop {
                    snapshotId: Long): DataFrame =
     toDF(spark, state(spark, table, Some(snapshotId)))
 
+  /** `TIMESTAMP AS OF` resolution — the spec's rule: the snapshot
+    * that was CURRENT at the instant, i.e. the latest snapshot-log
+    * entry with `timestamp-ms` ≤ the asked time (the log is the
+    * sequence of current snapshots over time, so rollbacks resolve
+    * the way a reader at that instant saw the table). Falls back to
+    * the snapshots list when the metadata carries no log. A timestamp
+    * before the first retained entry refuses by name. */
+  def snapshotAt(spark: SparkSession, table: String,
+                 timestampMs: Long): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    def entries(field: String): Seq[(Long, Long)] =
+      (metaJson \ field) match {
+        case JArray(xs) => xs.flatMap { e =>
+          (jLong(e \ "timestamp-ms"), jLong(e \ "snapshot-id")) match {
+            case (ts, id) if ts >= 0 && id >= 0 => Some(ts -> id)
+            case _ => None
+          }
+        }
+        case _ => Nil
+      }
+    val log = entries("snapshot-log") match {
+      case Nil => entries("snapshots")
+      case xs => xs
+    }
+    require(log.nonEmpty, s"no snapshots recorded for $table")
+    val retained: Set[Long] = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs.map(s => jLong(s \ "snapshot-id")).toSet
+      case _ => Set.empty
+    }
+    val eligible = log.sortBy(_._1).takeWhile(_._1 <= timestampMs)
+      .filter(e => retained(e._2))
+    require(eligible.nonEmpty,
+      s"timestamp $timestampMs is before the first retained snapshot " +
+        s"of $table (earliest is ${log.map(_._1).min}) — older history " +
+        "has been expired")
+    eligible.last._2
+  }
+
+  /** Time travel by TIMESTAMP — `TIMESTAMP AS OF`. */
+  def readTimestamp(spark: SparkSession, table: String,
+                    timestampMs: Long): DataFrame =
+    readSnapshot(spark, table, snapshotAt(spark, table, timestampMs))
+
   /** PARTITION-PRUNED foreign-table read — the metadata path that
     * makes a 100 TB foreign Iceberg table queryable for a one-day /
     * one-bucket question: each manifest entry's recorded partition
@@ -767,12 +818,29 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not found in $table (have " +
           s"${snapshots.map(s => jLong(s \ "snapshot-id")).mkString(", ")})"))
-    val manifestList = (snap \ "manifest-list") match {
-      case JString(p) => p
-      case _ => throw new UnsupportedIcebergFeatureException(
-        s"snapshot $snapId of $table uses inline 'manifests' (ancient " +
-          "pre-manifest-list layout) — not supported")
-    }
+    // pre-manifest-list layouts (ancient v1: the snapshot carries an
+    // inline `manifests` path array) synthesize list rows — spec id 0
+    // and this snapshot as the adder, exactly the defaults such
+    // metadata predates
+    val manifestListRows: Seq[GenericRecord] =
+      (snap \ "manifest-list") match {
+        case JString(p) => avroRows(fs, new Path(p))
+        case _ => (snap \ "manifests") match {
+          case JArray(ps) if ps.nonEmpty => ps.flatMap {
+            case JString(mp) =>
+              val r = new GenericData.Record(ManifestFileSchema)
+              r.put("manifest_path", mp)
+              r.put("manifest_length", 0L)
+              r.put("partition_spec_id", 0)
+              r.put("added_snapshot_id", snapId)
+              Some(r)
+            case _ => None
+          }
+          case _ => throw new UnsupportedIcebergFeatureException(
+            s"snapshot $snapId of $table carries neither a " +
+              "manifest-list nor an inline manifests array")
+        }
+      }
     // top-level field id → name, for equality_ids resolution
     val fieldIdToName: Map[Long, String] = (schemaJson \ "fields") match {
       case JArray(fs0) => fs0.flatMap { f =>
@@ -816,7 +884,7 @@ object IcebergInterop {
     val files = Seq.newBuilder[IceFile]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
-    avroRows(fs, new Path(manifestList)).foreach { mf =>
+    manifestListRows.foreach { mf =>
       val content = fieldOpt(mf, "content")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
       // manifest-list content: 0 = data manifest, 1 = DELETE manifest

@@ -294,12 +294,14 @@ object IcebergSql {
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, Some(snapshotOf(iceTarget(u).get, v)))
-        case RelationTimeTravel(u: UnresolvedRelation, Some(_), None)
+        // TIMESTAMP AS OF: the snapshot that was CURRENT at the
+        // instant, resolved through the snapshot-log
+        // (IcebergInterop.snapshotAt)
+        case RelationTimeTravel(u: UnresolvedRelation, Some(ts), None)
           if iceTarget(u).isDefined =>
-          throw new UnsupportedOperationException(
-            "graft_iceberg supports VERSION AS OF <snapshot-id> only — " +
-              "the snapshot timestamps this writer records are wall " +
-              "clocks; use an explicit snapshot id")
+          readPlan(iceTarget(u).get,
+            Some(IcebergInterop.snapshotAt(spark, iceTarget(u).get,
+              SqlTimeTravel.tsMillisOf(spark, ts))))
         case u: UnresolvedRelation if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, None)
       }

@@ -438,10 +438,21 @@ class DeltaSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("PushedFilters: [IsNotNull(id), GreaterThan(id,50)")
     spark.sql("SELECT id FROM graft_delta.sqlspec WHERE id > 50")
       .as[Long].collect().sorted shouldBe (51L to 61L).toArray
-    intercept[UnsupportedOperationException] {
+    // TIMESTAMP AS OF is served (versionAt) — an instant before the
+    // first retained commit refuses by name, a current one resolves
+    intercept[IllegalArgumentException] {
       spark.sql("SELECT * FROM graft_delta.sqlspec TIMESTAMP AS OF " +
-        "'2024-01-01'").collect()
-    }.getMessage should include("VERSION AS OF only")
+        "'2001-01-01'").collect()
+    }.getMessage should include("before the first")
+    val lastTs = DeltaInterop.history(spark, t)
+      .agg(org.apache.spark.sql.functions.max("timestamp_ms"))
+      .head().getLong(0)
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(lastTs))
+    spark.sql("SELECT count(*) AS n FROM graft_delta.sqlspec " +
+      s"TIMESTAMP AS OF '$iso'").as[Long].head() shouldBe 61L
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_delta.nope").collect()
     }.getMessage.toLowerCase should include("not")

@@ -196,6 +196,32 @@ class DeltaMappedDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
     DeltaInterop.read(spark, t).count() shouldBe 20L
   }
 
+  test("the SQL DML surface addresses mapped tables: DELETE, UPDATE " +
+    "and MERGE INTO via graft_delta resolve logical names end-to-end") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v"), t,
+      columnMapping = "name")
+    DeltaSql.register("cm_sql", t)
+    spark.sql("DELETE FROM graft_delta.cm_sql WHERE id % 4 = 0")
+    spark.sql("UPDATE graft_delta.cm_sql SET v = 0 WHERE id = 1")
+    Seq((2L, 222L), (100L, 100L)).toDF("id", "v")
+      .createOrReplaceTempView("cm_src")
+    spark.sql(
+      """MERGE INTO graft_delta.cm_sql AS t USING cm_src AS m
+        |ON t.id = m.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql("SELECT id, v FROM graft_delta.cm_sql")
+      .as[(Long, Long)].collect().toMap
+    out.size shouldBe 16 // 20 - 5 deleted + 1 inserted
+    out(1L) shouldBe 0L
+    out(2L) shouldBe 222L
+    out(100L) shouldBe 100L
+    out.contains(4L) shouldBe false
+  }
+
   test("mapped refusals that remain, by name: schema-changing " +
     "overwrite and id-mode creation") {
     import spark.implicits._

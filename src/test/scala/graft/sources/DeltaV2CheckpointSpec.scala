@@ -85,8 +85,10 @@ class DeltaV2CheckpointSpec extends AnyFunSuite with Matchers
     val sidecar = writeSidecar(t, fs)
     // hand-written v2 checkpoint at version 1 (as if commits 0-1 were
     // cleaned): protocol + metaData inline, adds via the sidecar
+    // a real checkpointPolicy=v2 table declares the v2Checkpoint
+    // reader feature — the reader must accept it by name
     writeText(t, "_delta_log/00000000000000000001.checkpoint.abc-123.json",
-      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
          |{"metaData":{"id":"v2ck","format":{"provider":"parquet","options":{}},"schemaString":${
         DeltaJsonTestUtil.jstr(schemaJson)
       },"partitionColumns":[],"configuration":{"k":"v"},"createdTime":1}}
@@ -100,6 +102,7 @@ class DeltaV2CheckpointSpec extends AnyFunSuite with Matchers
         |""".stripMargin)
     val st = DeltaInterop.state(spark, t, None)
     st.version shouldBe 2L
+    st.readerFeatures shouldBe Seq("v2Checkpoint")
     st.metaId shouldBe Some("v2ck")
     st.configuration.get("k") shouldBe Some("v")
     st.files.map(_.path) shouldBe Seq("f2.parquet")

@@ -341,10 +341,18 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
       "SELECT id FROM graft_iceberg.icesqlspec WHERE id > 50")
       .queryExecution.executedPlan.toString
     plan should include regex "PushedFilters: \\[.*id".r
-    intercept[UnsupportedOperationException] {
-      spark.sql("SELECT * FROM graft_iceberg.icesqlspec TIMESTAMP AS OF " +
-        "'2024-01-01'").collect()
-    }.getMessage should include("snapshot id")
+    // TIMESTAMP AS OF is served (snapshotAt) — an instant before the
+    // first snapshot refuses by name, a current one resolves the head
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_iceberg.icesqlspec TIMESTAMP AS " +
+        "OF '2001-01-01'").collect()
+    }.getMessage should include("before the first")
+    val nowIso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    spark.sql("SELECT count(*) AS n FROM graft_iceberg.icesqlspec " +
+      s"TIMESTAMP AS OF '$nowIso'").as[Long].head() shouldBe 101L
   }
 
   test("expireSnapshots drops old snapshots and their exclusive files, " +
