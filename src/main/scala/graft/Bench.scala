@@ -113,7 +113,6 @@ object BenchReport {
             passes: Seq[Map[String, Option[Double]]], sfDir: String,
             sentinels: Seq[Double]): (String, String) = {
     def fmt(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
-    val bestMap = best.toMap
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     def passJson(p: Map[String, Option[Double]]): String =

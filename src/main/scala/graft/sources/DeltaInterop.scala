@@ -1061,6 +1061,14 @@ object DeltaInterop {
       require(p.partitionColumns == partitionBy,
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
+      // a mapping request against an existing table must MATCH the
+      // recorded mode — silently writing unmapped into a table the
+      // caller asked to be mapped breaks the creation contract
+      require(columnMapping == "none" ||
+        p.columnMappingMode == columnMapping,
+        s"table $table already exists with columnMapping mode " +
+          s"'${p.columnMappingMode}' — a write requesting mode " +
+          s"'$columnMapping' cannot retrofit it")
       if (!overwrite)
         InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
     }
@@ -1838,7 +1846,12 @@ object DeltaInterop {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     lines += metaDataJson(ist.schema, Nil, now)
     ist.files.foreach { f =>
+      // the kill-set keys differ by branch: pos-delete rows carry the
+      // manifests' RAW path strings, the eq-delete provenance scan
+      // carries _metadata's percent-ESCAPED form — try both, so a
+      // root needing URI escaping never silently drops its vector
       val dv = dvByNorm.get(normStr(f.path))
+        .orElse(dvByNorm.get(normStr(new Path(f.path).toUri.toString)))
       lines += s"""{"add":{"path":${jstr(urlEncode(f.path))},""" +
         s""""partitionValues":{},"size":${f.bytes},""" +
         s""""modificationTime":$now,"dataChange":true,""" +
@@ -1932,22 +1945,28 @@ object DeltaInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val now = System.currentTimeMillis()
-    // the protocol line only ever UPGRADES: a table-features table
-    // (3/7) declares changeDataFeed by name, a legacy table raises
-    // minWriterVersion to 4 keeping its reader version (column-mapped
-    // tables are already at writer 5, which subsumes 4's obligations)
+    // the protocol line only ever UPGRADES the WRITER side, and the
+    // reader side stays AS RECORDED: a writer-features table (any
+    // reader version) adds changeDataFeed to writerFeatures —
+    // readerFeatures appear only when minReaderVersion is already 3
+    // (bumping reader 1/2 to 3 with an empty feature list would drop
+    // the implicit columnMapping capability and lock out pre-v3
+    // readers for no reason); a legacy table raises minWriterVersion
+    // to 4 keeping its reader version (column-mapped tables are
+    // already at writer 5, which subsumes 4's obligations)
     val protoLines: Seq[String] =
-      if (st.minReaderVersion >= 3 || st.readerFeatures.nonEmpty ||
-        st.minWriterVersion >= 7) {
+      if (st.minWriterVersion >= 7 || st.writerFeatures.nonEmpty) {
         if (st.writerFeatures.contains("changeDataFeed")) Nil
         else {
-          val rf = st.readerFeatures.map(jstr).mkString("[", ",", "]")
-          val wf = ((st.writerFeatures ++ st.readerFeatures).distinct :+
-            "changeDataFeed").distinct.map(jstr).mkString("[", ",", "]")
-          Seq(s"""{"protocol":{"minReaderVersion":${
-            math.max(st.minReaderVersion, 3)
-          },"minWriterVersion":7,"readerFeatures":$rf,""" +
-            s""""writerFeatures":$wf}}""")
+          val rfField =
+            if (st.minReaderVersion >= 3)
+              s""""readerFeatures":${
+                st.readerFeatures.map(jstr).mkString("[", ",", "]")},"""
+            else ""
+          val wf = (st.writerFeatures :+ "changeDataFeed").distinct
+            .map(jstr).mkString("[", ",", "]")
+          Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion
+          },"minWriterVersion":7,$rfField"writerFeatures":$wf}}""")
         }
       } else if (st.minWriterVersion < 4)
         Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion},""" +
@@ -2274,20 +2293,14 @@ object DeltaInterop {
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
-    // a vectored state checkpoints under the table-features protocol
-    // (reader 3 / writer 7 + the feature names) — its add rows carry
-    // the deletionVector struct the replay side already parses, so
-    // the vectors survive log cleanup. A legacy-protocol state keeps
-    // its RECORDED versions verbatim: downgrading minWriterVersion
-    // (e.g. 4 → 2 on a CDF table) would tell foreign writers the
-    // feature obligations are gone.
-    val proto =
-      if (st.readerFeatures.nonEmpty || st.minReaderVersion >= 3 ||
-        st.writerFeatures.nonEmpty || st.minWriterVersion >= 7)
-        CkProtocol(math.max(st.minReaderVersion, 3), 7,
-          Some(st.readerFeatures),
-          Some((st.writerFeatures ++ st.readerFeatures).distinct))
-      else CkProtocol(st.minReaderVersion, st.minWriterVersion)
+    // the checkpoint records the protocol VERBATIM — replaying from
+    // the checkpoint must reconstruct exactly what replaying the JSON
+    // log would (widening a (1,7) writer-features table to reader 3,
+    // or downgrading a CDF table's writer 4 to 2, both make the two
+    // replays disagree and misrepresent the table to foreign readers)
+    val proto = CkProtocol(st.minReaderVersion, st.minWriterVersion,
+      if (st.minReaderVersion >= 3) Some(st.readerFeatures) else None,
+      if (st.minWriterVersion >= 7) Some(st.writerFeatures) else None)
     // metaData carries the RECORDED configuration and table id — a
     // checkpoint that regenerated the id or dropped the configuration
     // (delta.enableChangeDataFeed, columnMapping.mode...) would make
@@ -2404,6 +2417,36 @@ object DeltaInterop {
       case n @ CkV2Re(cv, _, _) if dropSet(cv.toLong) =>
         fs.delete(new Path(logDir, n), false): Unit
       case _ => ()
+    }
+    // v2 checkpoint SIDECARS: the spec allows sharing them across
+    // checkpoints, so a dropped checkpoint's sidecars are only dead
+    // once no SURVIVING v2 checkpoint references them — sweep
+    // _delta_log/_sidecars against the surviving reference set (else
+    // every checkpoint cycle leaks its add-set worth of parquet)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    if (fs.exists(sidecarDir)) {
+      val referenced: Set[String] = names.collect {
+        case n @ CkV2Re(cv, _, ext) if !dropSet(cv.toLong) => (n, ext)
+      }.flatMap { case (n, ext) =>
+        val file = new Path(logDir, n)
+        if (ext == "json")
+          parseActionLines(readUtf8(fs, file), file).collect {
+            case SidecarAction(p) => p.split('/').last
+          }
+        else {
+          val rows = spark.read.parquet(file.toString)
+          if (rows.columns.contains("sidecar"))
+            rows.select("sidecar.path").collect()
+              .flatMap(r => Option(r.getString(0)))
+              .map(_.split('/').last).toSeq
+          else Nil
+        }
+      }.toSet
+      fs.listStatus(sidecarDir).foreach { s0 =>
+        if (!referenced(s0.getPath.getName) &&
+          s0.getModificationTime < cutoff)
+          fs.delete(s0.getPath, false): Unit
+      }
     }
     // _last_checkpoint may name a checkpoint the drop loop just
     // deleted — external readers (delta-spark, delta-rs) resolve

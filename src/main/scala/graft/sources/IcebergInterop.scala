@@ -1897,6 +1897,19 @@ object IcebergInterop {
         "last-updated-ms" -> (JLong(now): JValue)
       case ("snapshot-log", JArray(xs)) =>
         "snapshot-log" -> (JArray(xs :+ logEntry): JValue)
+      // a declared `main` branch follows the current pointer — a
+      // stale main would serve the undone head via VERSION AS OF
+      // 'main' and shield it from expiry
+      case ("refs", JObject(kvs)) =>
+        "refs" -> (JObject(kvs.map {
+          case ("main", JObject(fields)) =>
+            "main" -> (JObject(fields.map {
+              case ("snapshot-id", _) =>
+                "snapshot-id" -> (JLong(snapshotId): JValue)
+              case kv => kv
+            }): JValue)
+          case kv => kv
+        }): JValue)
       case other => other
     })
     val nextVersion = version + 1
@@ -2115,20 +2128,24 @@ object IcebergInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
-    requireMorWritable(st, table, "deletes")
+    requireMorWritable(st, table, "deletes", allowPartitioned = true)
     if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
     import spark.implicits._
     // live rows only (existing deletes already applied by the scan),
     // so re-deleting dead rows is naturally a no-op
     val matched = toDF(spark, st, keepLineage = true).filter(predicate)
-      .select(col("__fp"), col("__pos"))
-    val counts: Array[(String, Long)] =
-      matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
-        .as[(String, Long)].collect()
-    if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
-    val delFiles = stageMorDeleteFiles(spark, fs, root, st, matched)
-    val snap = publishMor(spark, fs, root, st, delFiles, Nil, "delete")
-    IceDml(snap, counts.map(_._2).sum, counts.length)
+      .select(col("__fp"), col("__pos")).persist()
+    try {
+      val counts: Array[(String, Long)] =
+        matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect()
+      if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+      val (delFiles, delParts) = stageMorDeletesByTuple(spark, fs, root,
+        st, matched, counts.map(_._1).toIndexedSeq)
+      val snap = publishMor(spark, fs, root, st, delFiles, Nil, "delete",
+        delPartitions = delParts)
+      IceDml(snap, counts.map(_._2).sum, counts.length)
+    } finally matched.unpersist(): Unit
   }
 
   /** MERGE-ON-READ `UPDATE` — position-delete the matched rows' OLD
@@ -2138,7 +2155,9 @@ object IcebergInterop {
     * commit's delete rows — the one-snapshot MOR-update shape the
     * engines use. Same guards and semantics as
     * [[deleteMor]]/[[update]] (pre-update assignment evaluation,
-    * v2 + unpartitioned-spec required). */
+    * v2 required; partitioned tables stamp tuples into both
+    * manifests, and assignments to partition source columns refuse —
+    * they would move rows across tuples). */
   def updateMor(spark: SparkSession, table: String,
                 predicate: org.apache.spark.sql.Column,
                 set: Seq[(String, org.apache.spark.sql.Column)]): IceDml = {
@@ -2146,11 +2165,17 @@ object IcebergInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
-    requireMorWritable(st, table, "updates")
+    requireMorWritable(st, table, "updates", allowPartitioned = true)
     require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val specSources =
+      st.specs.getOrElse(st.defaultSpecId, Nil).map(_.source).toSet
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
         s"UPDATE target column $c is not in the schema of $table")
+      require(!specSources.contains(c),
+        s"UPDATE of partition source column $c is unsupported on the " +
+          "merge-on-read path — it would move rows across tuples; " +
+          "use the copy-on-write update")
     }
     if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
     import spark.implicits._
@@ -2161,8 +2186,9 @@ object IcebergInterop {
         matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect()
       if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
-      val delFiles = stageMorDeleteFiles(spark, fs, root, st,
-        matched.select(col("__fp"), col("__pos")))
+      val (delFiles, delParts) = stageMorDeletesByTuple(spark, fs, root,
+        st, matched.select(col("__fp"), col("__pos")),
+        counts.map(_._1).toIndexedSeq)
       val setMap = set.toMap
       val updated = matched.select(
         st.schema.fields.toIndexedSeq.map { f =>
@@ -2173,7 +2199,7 @@ object IcebergInterop {
         }: _*)
       val added = stageRewritten(spark, fs, root, st, updated)
       val snap = publishMor(spark, fs, root, st, delFiles, added,
-        "overwrite")
+        "overwrite", delPartitions = delParts)
       IceDml(snap, counts.map(_._2).sum, counts.length)
     } finally matched.unpersist(): Unit
   }
@@ -2528,17 +2554,52 @@ object IcebergInterop {
   }
 
   private def requireMorWritable(st: IceState, table: String,
-                                 what: String): Unit = {
+                                 what: String,
+                                 allowPartitioned: Boolean = false): Unit = {
     if (st.formatVersion < 2)
       throw new UnsupportedIcebergFeatureException(
         s"table $table is format-version 1 — merge-on-read $what " +
           "need v2 sequence semantics; upgradeFormat first, or use " +
           "the copy-on-write path")
-    if (st.specs.getOrElse(st.defaultSpecId, Nil).nonEmpty)
+    // position deletes stamp their target files' tuples and are
+    // partition-capable; EQUALITY deletes stay global, which the
+    // spec ties to an unpartitioned spec
+    if (!allowPartitioned &&
+      st.specs.getOrElse(st.defaultSpecId, Nil).nonEmpty)
       throw new UnsupportedIcebergFeatureException(
         s"table $table is partitioned — this writer emits GLOBAL " +
-          "(unpartitioned-spec) position deletes only; use the " +
-          "copy-on-write path")
+          "(unpartitioned-spec) equality deletes only; use the " +
+          "position-delete or copy-on-write path")
+  }
+
+  /** Stage `matched` `(__fp, __pos)` pairs as position-delete
+    * parquet, ONE staging group per touched PARTITION TUPLE — a
+    * delete file's manifest entry carries exactly one tuple, so
+    * foreign readers prune delete files by partition like data
+    * files. Returns the staged files plus the path → tuple map the
+    * manifest writer stamps. Unpartitioned tables collapse to one
+    * group (the prior behavior verbatim). */
+  private def stageMorDeletesByTuple(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, matched: DataFrame,
+      touched: Seq[String])
+      : (Seq[(String, Long, Long)], Map[String, Map[String, AnyRef]]) = {
+    import org.apache.spark.sql.functions.col
+    val tupleOf: Map[String, Map[String, AnyRef]] =
+      st.files.map(f => dmlNormStr(f.path) -> f.partition).toMap
+    val groups = touched.groupBy(fp =>
+      tupleOf.getOrElse(fp, Map.empty[String, AnyRef]))
+    val files = Seq.newBuilder[(String, Long, Long)]
+    val parts = Map.newBuilder[String, Map[String, AnyRef]]
+    groups.foreach { case (tuple, fps) =>
+      val subset =
+        if (groups.size == 1) matched
+        else matched.filter(col("__fp").isin(fps: _*))
+      stageMorDeleteFiles(spark, fs, root, st, subset).foreach { t =>
+        files += t
+        parts += t._1 -> tuple
+      }
+    }
+    (files.result(), parts.result())
   }
 
   /** Stage `matched`'s `(__fp, __pos)` pairs as position-delete
@@ -2591,11 +2652,74 @@ object IcebergInterop {
     * `delFiles` (+ optionally a DATA manifest for `added` images,
     * both at the commit's sequence number), every prior manifest
     * carried verbatim. */
+  /** The default spec's `(field, avro type, field-id)` triples plus
+    * its declared fields JSON — the partition machinery a MOR commit
+    * needs to stamp tuples into its delete/data manifests (the same
+    * resolution [[publishRewrite]] performs for CoW rewrites). Empty
+    * for unpartitioned tables. */
+  private def morPartFields(priorMeta: org.json4s.JValue, st: IceState)
+      : (Seq[(SpecField, String, Int)], String) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val sfs = st.specs.getOrElse(st.defaultSpecId, Nil)
+    if (sfs.isEmpty) return (Nil, "[]")
+    val node: Option[JValue] = ((priorMeta \ "partition-specs") match {
+      case JArray(xs) =>
+        xs.find(sp => jLong(sp \ "spec-id") == st.defaultSpecId)
+      case _ => None
+    }).orElse((priorMeta \ "partition-spec") match {
+      case arr @ JArray(_) if st.defaultSpecId == 0 =>
+        Some(JObject(List("spec-id" -> JInt(0), "fields" -> arr)))
+      case _ => None
+    })
+    val fields = sfs.zipWithIndex.map { case (sf, i) =>
+      val dt = st.schema.find(_.name == sf.source).map(_.dataType)
+        .getOrElse(throw new UnsupportedIcebergFeatureException(
+          s"partition source column ${sf.source} missing from the " +
+            "schema — cannot stamp merge-on-read partition tuples"))
+      val avroType = tupleAvroType(sf.transform, dt).getOrElse(
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot re-encode ${sf.transform}(${sf.source}) over " +
+            s"${dt.sql} — not a transform/type combination this " +
+            "writer models"))
+      val fid = node.map(n => (n \ "fields") match {
+        case JArray(fs0) if fs0.length > i => jLong(fs0(i) \ "field-id")
+        case _ => -1L
+      }).filter(_ >= 0).map(_.toInt).getOrElse(1000 + i)
+      (sf, avroType, fid)
+    }
+    val specJson = node.map(n =>
+      JsonMethods.compact(JsonMethods.render(n \ "fields")))
+      .getOrElse("[]")
+    (fields, specJson)
+  }
+
+  private def putPartition(entrySchema: org.apache.avro.Schema,
+      dfRec: GenericData.Record,
+      partFields: Seq[(SpecField, String, Int)],
+      tuple: Map[String, AnyRef]): Unit = {
+    val partRec = new GenericData.Record(
+      entrySchema.getField("data_file").schema()
+        .getField("partition").schema())
+    partFields.foreach { case (sf, avroType, _) =>
+      tuple.get(sf.name).filter(_ != null).foreach { v =>
+        partRec.put(sf.name, avroType match {
+          case "int" => Integer.valueOf(v.asInstanceOf[Number].intValue)
+          case "long" => java.lang.Long.valueOf(
+            v.asInstanceOf[Number].longValue)
+          case _ => v.toString
+        })
+      }
+    }
+    dfRec.put("partition", partRec)
+  }
+
   private def publishMor(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, delFiles: Seq[(String, Long, Long)],
       added: Seq[IceFile], operation: String,
       eqIds: Seq[Int] = Nil,
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty,
+      delPartitions: Map[String, Map[String, AnyRef]] = Map.empty): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
@@ -2617,14 +2741,20 @@ object IcebergInterop {
     }) match {
       case node => JsonMethods.compact(JsonMethods.render(node))
     }
-    val entrySchema = manifestEntrySchema(Nil, v2 = true)
+    // partitioned tables stamp the default spec's tuples into BOTH
+    // manifests (delete entries carry their target files' tuples so
+    // foreign readers prune delete files by partition); equality
+    // deletes stay global — their entries are spec-less by the
+    // unpartitioned guard on that path
+    val (partFields, specJson) = morPartFields(priorMeta, st)
+    val entrySchema = manifestEntrySchema(partFields, v2 = true)
     val listEntries =
       scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     if (delFiles.nonEmpty) {
     writeAvro(fs, manifestPath, entrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
-        "partition-spec" -> "[]",
+        "partition-spec" -> specJson,
         "partition-spec-id" -> st.defaultSpecId.toString,
         "schema" -> schemaJsonStr),
       delFiles.map { case (path, rows, bytes) =>
@@ -2643,9 +2773,8 @@ object IcebergInterop {
         }
         dfRec.put("file_path", path)
         dfRec.put("file_format", "PARQUET")
-        dfRec.put("partition", new GenericData.Record(
-          entrySchema.getField("data_file").schema()
-            .getField("partition").schema()))
+        putPartition(entrySchema, dfRec, partFields,
+          delPartitions.getOrElse(path, Map.empty))
         dfRec.put("record_count", rows)
         dfRec.put("file_size_in_bytes", bytes)
         e.put("data_file", dfRec)
@@ -2660,7 +2789,7 @@ object IcebergInterop {
       val dataManifest = new Path(metaDir, s"$uuid-m1.avro")
       writeAvro(fs, dataManifest, entrySchema,
         Map("format-version" -> "2", "content" -> "data",
-          "partition-spec" -> "[]",
+          "partition-spec" -> specJson,
           "partition-spec-id" -> st.defaultSpecId.toString,
           "schema" -> schemaJsonStr),
         added.map { f =>
@@ -2672,9 +2801,7 @@ object IcebergInterop {
           dfRec.put("content", 0)
           dfRec.put("file_path", f.path)
           dfRec.put("file_format", "PARQUET")
-          dfRec.put("partition", new GenericData.Record(
-            entrySchema.getField("data_file").schema()
-              .getField("partition").schema()))
+          putPartition(entrySchema, dfRec, partFields, f.partition)
           dfRec.put("record_count", f.records)
           dfRec.put("file_size_in_bytes", f.bytes)
           e.put("data_file", dfRec)

@@ -209,6 +209,50 @@ class DeltaCdfSpec extends AnyFunSuite with Matchers with SparkSpec {
     cf.unpersist()
   }
 
+  test("protocol fidelity on foreign shapes: a (1,7) writer-features " +
+    "table checkpoints VERBATIM and enables CDF without a reader " +
+    "bump — readerFeatures never materialize below reader 3") {
+    import spark.implicits._
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = fresh()
+    (1L to 6L).map(i => (i, s"x$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(t))
+    fs.rename(part, new Path(t, "f1.parquet")) shouldBe true
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"p","type":"string","nullable":true,"metadata":{}}
+        |]}""".stripMargin.replace("\n", "")
+    writeText(t, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}
+         |{"metaData":{"id":"wf","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin)
+    // enableCDF: writer side gains changeDataFeed, reader side STAYS 1
+    DeltaInterop.enableChangeDataFeed(spark, t) shouldBe 1L
+    val st = DeltaInterop.state(spark, t, None)
+    st.minReaderVersion shouldBe 1
+    st.minWriterVersion shouldBe 7
+    st.readerFeatures shouldBe Nil
+    st.writerFeatures.sorted shouldBe Seq("appendOnly", "changeDataFeed")
+    // checkpoint: the recorded protocol survives replay VERBATIM
+    DeltaInterop.checkpoint(spark, t) shouldBe 1L
+    DeltaInterop.delete(spark, t, $"id" === 1L) // v2 tail after the ck
+    fs.delete(new Path(t, "_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(t, "_delta_log/00000000000000000001.json"), false)
+    val atCk = DeltaInterop.state(spark, t, Some(1L))
+    atCk.minReaderVersion shouldBe 1
+    atCk.minWriterVersion shouldBe 7
+    atCk.writerFeatures.sorted shouldBe Seq("appendOnly", "changeDataFeed")
+  }
+
   test("RESTORE rolls the table configuration back to the target " +
     "version's, not only its schema") {
     import spark.implicits._

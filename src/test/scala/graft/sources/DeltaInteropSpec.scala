@@ -165,11 +165,12 @@ class DeltaInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
     DeltaInterop.read(spark, tableWith(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""))
       .count() shouldBe 1L
-    // an UNKNOWN reader feature still refuses by name
+    // an UNKNOWN reader feature still refuses by name (v2Checkpoint,
+    // timestampNtz and typeWidening moved to the supported set)
     intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
       DeltaInterop.read(spark, tableWith(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
-    }.getMessage should include("v2Checkpoint")
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType-preview"],"writerFeatures":["variantType-preview"]}}"""))
+    }.getMessage should include("variantType-preview")
     // reader version 2 (column mapping) is served too: without
     // physicalName metadata the physical schema IS the logical one
     DeltaInterop.read(spark, tableWith(
@@ -444,6 +445,9 @@ class DeltaSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark.sql("SELECT * FROM graft_delta.sqlspec TIMESTAMP AS OF " +
         "'2001-01-01'").collect()
     }.getMessage should include("before the first")
+    // SQL must resolve the same version the API resolves for the
+    // same instant (raw max can land mid-adjustment when two commits
+    // share a millisecond, so derive the expectation from versionAt)
     val lastTs = DeltaInterop.history(spark, t)
       .agg(org.apache.spark.sql.functions.max("timestamp_ms"))
       .head().getLong(0)
@@ -452,7 +456,9 @@ class DeltaSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.ofEpochMilli(lastTs))
     spark.sql("SELECT count(*) AS n FROM graft_delta.sqlspec " +
-      s"TIMESTAMP AS OF '$iso'").as[Long].head() shouldBe 61L
+      s"TIMESTAMP AS OF '$iso'").as[Long].head() shouldBe
+      DeltaInterop.readVersion(spark, t,
+        DeltaInterop.versionAt(spark, t, lastTs)).count()
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_delta.nope").collect()
     }.getMessage.toLowerCase should include("not")

@@ -56,6 +56,12 @@ class IcebergRefsSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException] {
       IcebergInterop.resolveRef(spark, t, "audit")
     }.getMessage should include("no branch or tag")
+    // a DECLARED main follows every head move — including a rollback
+    IcebergInterop.createRef(spark, t, "main", "branch")
+    IcebergInterop.resolveRef(spark, t, "main") shouldBe s2
+    IcebergInterop.rollbackTo(spark, t, s1)
+    IcebergInterop.resolveRef(spark, t, "main") shouldBe s1
+    IcebergInterop.readRef(spark, t, "main").count() shouldBe 10L
   }
 
   test("refusals by name: unknown refs list what exists, main cannot " +

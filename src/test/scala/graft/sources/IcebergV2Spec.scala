@@ -524,7 +524,7 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("deleteMor refusals name the door: v1 tables point at " +
-    "upgradeFormat, partitioned tables at the copy-on-write delete") {
+    "upgradeFormat; equality deletes refuse partitioned specs") {
     import spark.implicits._
     val t = fresh()
     IcebergInterop.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
@@ -537,7 +537,80 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
       partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
     IcebergInterop.upgradeFormat(spark, t2)
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
-      IcebergInterop.deleteMor(spark, t2, col("id") === 1L)
-    }.getMessage should include("copy-on-write")
+      IcebergInterop.deleteByKeys(spark, t2, Seq(1L).toDF("id"))
+    }.getMessage should include("equality deletes")
+  }
+
+  test("PARTITIONED merge-on-read: position deletes stamp their " +
+    "target files' tuples (per-tuple delete files, pruned like " +
+    "data), updateMor composes, and partition-source assignment " +
+    "refuses by name") {
+    import spark.implicits._
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord => GR}
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 40L).map(i => (i, s"g${i % 2}", i * 10L))
+        .toDF("id", "g", "v"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergInterop.upgradeFormat(spark, t)
+    // MOR delete touching BOTH partitions
+    val d = IcebergInterop.deleteMor(spark, t, col("id") % 5 === 0)
+    d.rowsAffected shouldBe 8L
+    val st = IcebergInterop.state(spark, t, None)
+    st.posDeletes should not be empty
+    // every delete file's manifest entry carries a real tuple, and
+    // the two partitions' kill sets live in SEPARATE delete files
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(t, "metadata")
+    val delTuples = fs.listStatus(metaDir)
+      .map(_.getPath).filter(_.getName.endsWith(".avro"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        try {
+          val s0 = new DataFileStream[GR](in, new GenericDatumReader[GR]())
+          try {
+            val isDel = Option(s0.getMetaString("content"))
+              .contains("deletes")
+            val b = Seq.newBuilder[(String, String)]
+            while (s0.hasNext) {
+              val e = s0.next()
+              if (isDel) {
+                val df0 = e.get("data_file").asInstanceOf[GR]
+                val part = df0.get("partition").asInstanceOf[GR]
+                b += (df0.get("file_path").toString ->
+                  String.valueOf(part.get("g")))
+              }
+            }
+            b.result()
+          } finally s0.close()
+        } finally scala.util.Try(in.close()): Unit
+      }
+    delTuples should not be empty
+    delTuples.map(_._2).toSet shouldBe Set("g0", "g1")
+    // one tuple per delete file (never mixed)
+    delTuples.groupBy(_._1).values.foreach(ts =>
+      ts.map(_._2).distinct should have size 1)
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 32L
+    out.filter($"id" % 5 === 0).count() shouldBe 0L
+    // MOR update in one partition; data files untouched
+    val filesBefore = IcebergInterop.state(spark, t, None)
+      .files.map(_.path).toSet
+    IcebergInterop.updateMor(spark, t, col("id") === 7L,
+      Seq("v" -> org.apache.spark.sql.functions.lit(777L)))
+      .rowsAffected shouldBe 1L
+    val after = IcebergInterop.read(spark, t)
+    after.filter($"id" === 7L).select($"v").as[Long].head() shouldBe 777L
+    after.filter($"id" === 7L).select($"g").as[String]
+      .head() shouldBe "g1"
+    after.count() shouldBe 32L
+    IcebergInterop.state(spark, t, None).files.map(_.path)
+      .toSet should contain allElementsOf filesBefore
+    // partition-source assignment refuses on the MOR path
+    intercept[IllegalArgumentException] {
+      IcebergInterop.updateMor(spark, t, col("id") === 2L,
+        Seq("g" -> org.apache.spark.sql.functions.lit("g0")))
+    }.getMessage should include("partition source")
   }
 }
