@@ -1339,6 +1339,94 @@ object LakeQueries {
       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_d
       |FROM orders""".stripMargin
 
+  /** dl11_timestamp_travel — `TIMESTAMP AS OF` through the gate: two
+    * commits (evens, then odds), the first commit's RECORDED
+    * timestamp captured from `$history`, and the gate serves
+    * `TIMESTAMP AS OF <that instant>` through SQL. Deterministic even
+    * when both commits land in one wall-clock millisecond: versionAt
+    * adjusts non-increasing timestamps up, so the first commit's own
+    * instant always resolves version 0. Oracle = the even half. */
+  def dl11TimestampTravel(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl11:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl11").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 0), dir)
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 1), dir)
+      DeltaSql.register("dl11_orders", dir)
+      val ts0 = DeltaInterop.history(s, dir)
+        .filter(col("version") === 0L)
+        .select(col("timestamp_ms")).head().getLong(0)
+      s"$dir|$ts0"
+    })
+    val Array(_, ts0) = built.split('|')
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts0.toLong))
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+         |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+         |FROM graft_delta.dl11_orders TIMESTAMP AS OF '$iso'
+         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val dl11Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** ic14_partitioned_mor — PARTITIONED merge-on-read Iceberg DML
+    * through the gate: an identity-partitioned v2 table takes a
+    * `deleteMor` spanning both partitions and an `updateMor` in one,
+    * with position-delete files stamped per partition tuple (one
+    * delete file per touched tuple — the shape foreign readers prune
+    * by partition). `data_untouched` pins IN-ROW that no original
+    * data file was rewritten by either verb — the merge-on-read
+    * economics on the 100 TB-normal partitioned layout. */
+  def ic14PartitionedMor(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic14:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic14").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o, dir, partitionBy =
+        Seq(IcebergInterop.SpecField(
+          "o_orderpriority", "identity", "o_orderpriority")))
+      IcebergInterop.upgradeFormat(s, dir)
+      val before = IcebergInterop.state(s, dir, None)
+        .files.map(_.path).toSet
+      IcebergInterop.deleteMor(s, dir, col("o_orderkey") % 5 === 0)
+      IcebergInterop.updateMor(s, dir, col("o_orderkey") % 7 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + 10)))
+      val st = IcebergInterop.state(s, dir, None)
+      val untouched = before.subsetOf(st.files.map(_.path).toSet) &&
+        st.posDeletes.nonEmpty
+      s"$dir|$untouched"
+    })
+    val Array(dir, untouched) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("data_untouched", lit(untouched.toBoolean))
+  }
+
+  val ic14Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS data_untouched
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** dl10_mapped_dml — the full row-level DML matrix on a
     * COLUMN-MAPPED, PARTITIONED Delta table (the modern-Delta default
     * shape): the table is created name-mapped (`col-…` physical names
@@ -2484,6 +2572,8 @@ object LakeQueries {
     "ic8_iceberg_optimize" -> (ic8IcebergOptimize _),
     "dl9_delta_dml" -> (dl9DeltaDml _),
     "dl10_mapped_dml" -> (dl10MappedDml _),
+    "dl11_timestamp_travel" -> (dl11TimestampTravel _),
+    "ic14_partitioned_mor" -> (ic14PartitionedMor _),
     "ic9_iceberg_dml" -> (ic9IcebergDml _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
@@ -2543,6 +2633,8 @@ object LakeQueries {
     "dls2_delta_cdf_stream" -> dl7Oracle,
     "dl8_delta_optimize" -> dl8Oracle,
     "dl10_mapped_dml" -> dl10Oracle,
+    "dl11_timestamp_travel" -> dl11Oracle,
+    "ic14_partitioned_mor" -> ic14Oracle,
     "ic8_iceberg_optimize" -> ic8Oracle,
     "dl9_delta_dml" -> dl9Oracle,
     "ic9_iceberg_dml" -> ic9Oracle,
