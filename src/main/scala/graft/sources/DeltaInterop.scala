@@ -885,17 +885,29 @@ object DeltaInterop {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    val groups = files.groupBy(_.partitionValues)
     val dvAdds = files.filter(_.dv.nonEmpty)
     // path spellings vary by writer (file:/x vs file:///x vs /x) —
     // both join sides normalize the scheme prefix the same way
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-    def scan(pv: Map[String, Option[String]], adds: Seq[DeltaAdd],
-             extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val paths = adds.map(a => new Path(table, a.path).toString)
+    // ONE scan for the whole file set, whatever the partition count:
+    // each file's recorded partitionValues attach through a BROADCAST
+    // (file → string values) join on the scan's metadata path instead
+    // of one scan per partition-value group — a 1000-partition
+    // foreign table plans one relation, not a 1000-way union (the
+    // per-group shape was an O(partitions) driver-planning ceiling)
+    // `withLineage` exposes each surviving row's normalized source
+    // file path and row position as `__fp`/`__pos` — the lineage DML
+    // needs to turn "rows matching the predicate" into "per-file
+    // deleted positions" without a second scan. The metadata columns
+    // materialize ON the scan (they resolve nowhere else), and the
+    // partition join keys on the same `__fp`.
+    def scanAll(withLineage: Boolean): DataFrame = {
+      val paths = files.map(a => new Path(table, a.path).toString)
       val base =
         if (!mapped) spark.read.schema(dataSchema).parquet(paths: _*)
+          .withColumn("__fp", norm(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
         else
           // read under the PHYSICAL schema (the fields' recorded
           // delta.columnMapping.physicalName, recursively), then cast
@@ -904,26 +916,38 @@ object DeltaInterop {
           // logical schema wholesale
           spark.read.schema(physicalStruct(dataSchema)).parquet(paths: _*)
             .select(dataSchema.fields.toIndexedSeq.map(f =>
-              col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)): _*)
-      partitionColumns.foldLeft(base) { (acc, pc) =>
-        val dt = schema(pc).dataType
-        val v = pv.get(if (mapped) physKey(pc) else pc).flatten
-        acc.withColumn(pc,
-          v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)))
-      }.select((outCols ++ extra).toIndexedSeq: _*)
-    }
-    // `keepLineage` exposes each surviving row's normalized source
-    // file path and row position as `__fp`/`__pos` — the lineage DML
-    // needs to turn "rows matching the predicate" into "per-file
-    // deleted positions" without a second scan
-    val lineageCols = Seq(
-      norm(col("_metadata.file_path")).as("__fp"),
-      col("_metadata.row_index").as("__pos"))
-    if (dvAdds.isEmpty)
-      groups.map { case (pv, adds) =>
-          scan(pv, adds, if (keepLineage) lineageCols else Nil)
+              col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)) ++
+              Seq(norm(col("_metadata.file_path")).as("__fp"),
+                col("_metadata.row_index").as("__pos")): _*)
+      val withParts =
+        if (partitionColumns.isEmpty) base
+        else {
+          val pvSchema = StructType(
+            StructField("__fp", org.apache.spark.sql.types.StringType) +:
+              partitionColumns.map(pc => StructField(s"__pv_$pc",
+                org.apache.spark.sql.types.StringType)))
+          val pvRows = files.map(a => Row.fromSeq(
+            uriKey(new Path(table), a.path) +:
+              partitionColumns.map(pc => a.partitionValues
+                .get(if (mapped) physKey(pc) else pc).flatten.orNull)))
+          val pvDf = spark.createDataFrame(
+            new java.util.ArrayList[Row](
+              scala.jdk.CollectionConverters
+                .SeqHasAsJava(pvRows).asJava), pvSchema)
+          val joined = base
+            .join(org.apache.spark.sql.functions.broadcast(pvDf),
+              Seq("__fp"), "left")
+          partitionColumns.foldLeft(joined) { (acc, pc) =>
+            acc.withColumn(pc,
+              col(s"`__pv_$pc`").cast(schema(pc).dataType))
+          }
         }
-        .reduce(_ unionByName _)
+      val extra =
+        if (withLineage) Seq(col("__fp"), col("__pos")) else Nil
+      withParts.select((outCols ++ extra).toIndexedSeq: _*)
+    }
+    if (dvAdds.isEmpty)
+      scanAll(keepLineage)
     else {
       import spark.implicits._
       val descriptors = dvAdds.map { a =>
@@ -945,10 +969,7 @@ object DeltaInterop {
         }
         .toDF("__fp", "__pos")
         .select(norm(col("__fp")).as("__fp"), col("__pos"))
-      val joined = groups.map { case (pv, adds) =>
-          scan(pv, adds, lineageCols)
-        }
-        .reduce(_ unionByName _)
+      val joined = scanAll(withLineage = true)
         .join(dels, Seq("__fp", "__pos"), "left_anti")
       if (keepLineage) joined else joined.drop("__fp", "__pos")
     }
