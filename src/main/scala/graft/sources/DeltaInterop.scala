@@ -1297,10 +1297,30 @@ object DeltaInterop {
           st.readerFeatures :+ "columnMapping"
         else st.readerFeatures
       val rf = (base :+ "deletionVectors").distinct
+      // writer features: version 7 lists every capability by name, so
+      // the upgrade must carry over what the legacy minWriterVersion
+      // IMPLIED (spec table: v2 appendOnly+invariants, v3 +check
+      // constraints, v4 +changeDataFeed+generatedColumns, v5 +column
+      // mapping, v6 +identityColumns) — copying only the reader list
+      // would e.g. strip changeDataFeed from a CDF-enabled table and
+      // delta-spark rejects a table whose property requires a feature
+      // the protocol no longer declares
+      val legacyImplied: Seq[String] =
+        (if (st.minWriterVersion >= 2) Seq("appendOnly", "invariants")
+         else Nil) ++
+        (if (st.minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
+        (if (st.minWriterVersion >= 4)
+           Seq("changeDataFeed", "generatedColumns") else Nil) ++
+        (if (st.minWriterVersion >= 5) Seq("columnMapping") else Nil) ++
+        (if (st.minWriterVersion >= 6) Seq("identityColumns") else Nil) ++
+        (if (st.configuration.get("delta.enableChangeDataFeed")
+          .contains("true")) Seq("changeDataFeed") else Nil)
+      val wf = (st.writerFeatures ++ legacyImplied ++ rf).distinct
       val fj = rf.map(jstr).mkString("[", ",", "]")
+      val wj = wf.map(jstr).mkString("[", ",", "]")
       Seq(s"""{"protocol":{"minReaderVersion":3,""" +
         s""""minWriterVersion":7,"readerFeatures":$fj,""" +
-        s""""writerFeatures":$fj}}""")
+        s""""writerFeatures":$wj}}""")
     }
 
   /** The remove + vectored re-add lines for one touched file (or a

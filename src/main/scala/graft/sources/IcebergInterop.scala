@@ -536,6 +536,16 @@ object IcebergInterop {
         regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
       def normStr(s: String): String =
         s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+      // `__fp` carries `_metadata.file_path`'s URI percent-escapes (a
+      // space-valued partition dir arrives as `%20`) while manifests
+      // and spec-compliant delete files record RAW paths — every map
+      // joined against `__fp` keys BOTH forms (identical for the
+      // escape-free common case)
+      def fpForms(p: String): Seq[String] = {
+        val raw = normStr(p)
+        val esc = normStr(new Path(p).toUri.toString)
+        if (raw == esc) Seq(raw) else Seq(raw, esc)
+      }
       // ---- column resolution: BY FIELD ID when the table has evolved
       // schemas (rename keeps an id, drop+re-add takes a fresh one);
       // by name on the never-evolved fast path (zero per-file work).
@@ -657,16 +667,17 @@ object IcebergInterop {
             StructField("__fp", StringType) +: identCols.flatMap(c =>
               Seq(StructField(s"__t_$c", st.schema(c).dataType),
                 StructField(s"__th_$c", BooleanType, nullable = false))))
-          val fillRows = st.files.map { f =>
+          val fillRows = st.files.flatMap { f =>
             val rec = recorded(f).toMap
-            Row.fromSeq(normStr(f.path) +: identCols.flatMap { c =>
+            val tail = identCols.flatMap { c =>
               rec.get(c) match {
                 case Some(vOpt) => Seq(vOpt
                   .map(identityExternal(st.schema(c).dataType, _)).orNull,
                   true)
                 case None => Seq(null, false)
               }
-            })
+            }
+            fpForms(f.path).map(k => Row.fromSeq(k +: tail))
           }.distinctBy(_.getString(0))
           val fillDf = spark.createDataFrame(
             fillRows.asJava, fillSchema)
@@ -688,9 +699,22 @@ object IcebergInterop {
       val posApplied =
         if (st.posDeletes.isEmpty) keyed
         else {
+          // the delete set is O(deleted rows); expanding each row to
+          // the raw + escaped path forms keeps the anti-join exact
+          // whichever spelling the delete's writer recorded
+          import spark.implicits._
           val dels = spark.read.parquet(st.posDeletes: _*)
-            .select(norm(col("file_path")).as("__fp"),
-              col("pos").cast("long").as("__pos"))
+            .select(col("file_path").cast("string"),
+              col("pos").cast("long"))
+            .as[(String, Long)]
+            .flatMap { case (fp, pos) =>
+              val raw = fp.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+              val esc = new Path(fp).toUri.toString
+                .replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+              (if (raw == esc) Seq(raw) else Seq(raw, esc))
+                .map(k => (k, pos))
+            }
+            .toDF("__fp", "__pos")
             .distinct()
           keyed.join(dels, Seq("__fp", "__pos"), "left_anti")
         }
@@ -706,8 +730,7 @@ object IcebergInterop {
         else {
           import spark.implicits._
           val fileSeq = broadcast(
-            st.files.map(f => (f.path.replaceFirst(
-                "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"), f.seq))
+            st.files.flatMap(f => fpForms(f.path).map(k => (k, f.seq)))
               .toDF("__fp", "__seq"))
           val withSeq = posApplied.join(fileSeq, Seq("__fp"))
           st.eqDeletes.groupBy(_.cols.sorted).values
@@ -1783,6 +1806,16 @@ object IcebergInterop {
       require(snaps.contains(target),
         s"snapshot $target is not retained by $table — a ref must " +
           "name a live snapshot")
+      // Iceberg semantics: `main` IS the current-snapshot pointer.
+      // DECLARING it at the head is fine; re-pointing it elsewhere
+      // without moving current-snapshot-id would make `VERSION AS OF
+      // 'main'` and a bare read diverge — the lockstep move
+      // (snapshot-log entry included) is rollback's job.
+      require(name != "main" ||
+        target == jLong(metaJson \ "current-snapshot-id"),
+        "'main' tracks current-snapshot-id — move the head with " +
+          "rollbackToSnapshot, which keeps the ref, the pointer and " +
+          "the snapshot log in lockstep")
       val entry: JValue = JObject(List(
         "snapshot-id" -> JLong(target), "type" -> JString(refType)))
       metaJson match {
@@ -1969,7 +2002,12 @@ object IcebergInterop {
         .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
         .as[(String, Long)].collect()
     if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
-    val byNorm = st.files.map(f => dmlNormStr(f.path) -> f).toMap
+    // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
+    // percent-escapes (space-valued partition dirs arrive as `%20`)
+    // while the manifest records the raw path
+    val byNorm = st.files.flatMap(f => Seq(
+      dmlNormStr(f.path) -> f,
+      dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
     val touched = counts.map(t => byNorm(t._1)).toSeq
     // survivors of ONLY the touched files; NULL-evaluating rows keep
     val survivors = toDF(spark, st.copy(files = touched))
@@ -2009,7 +2047,12 @@ object IcebergInterop {
         .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
         .as[(String, Long)].collect()
     if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
-    val byNorm = st.files.map(f => dmlNormStr(f.path) -> f).toMap
+    // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
+    // percent-escapes (space-valued partition dirs arrive as `%20`)
+    // while the manifest records the raw path
+    val byNorm = st.files.flatMap(f => Seq(
+      dmlNormStr(f.path) -> f,
+      dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
     val touched = counts.map(t => byNorm(t._1)).toSeq
     val setMap = set.toMap
     val rewritten = toDF(spark, st.copy(files = touched))
@@ -2065,7 +2108,12 @@ object IcebergInterop {
         s"(${keyCols.mkString(", ")}) — which one updates the target " +
         "is undefined; deduplicate the source first")
     val orderedCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
-    val byNorm = st.files.map(f => dmlNormStr(f.path) -> f).toMap
+    // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
+    // percent-escapes (space-valued partition dirs arrive as `%20`)
+    // while the manifest records the raw path
+    val byNorm = st.files.flatMap(f => Seq(
+      dmlNormStr(f.path) -> f,
+      dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val liveKeys = toDF(spark, st, keepLineage = true)
       .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
@@ -2584,8 +2632,16 @@ object IcebergInterop {
       touched: Seq[String])
       : (Seq[(String, Long, Long)], Map[String, Map[String, AnyRef]]) = {
     import org.apache.spark.sql.functions.col
+    // keyed on BOTH the raw manifest path and its URI-escaped form:
+    // the grouped `__fp` values come from `_metadata.file_path`, whose
+    // percent-escapes survive (a space-valued partition dir shows as
+    // `%20`) while the manifest records the raw path — a raw-only map
+    // would silently group such files under the EMPTY tuple and their
+    // delete files would never partition-match for foreign readers
     val tupleOf: Map[String, Map[String, AnyRef]] =
-      st.files.map(f => dmlNormStr(f.path) -> f.partition).toMap
+      st.files.flatMap(f => Seq(
+        dmlNormStr(f.path) -> f.partition,
+        dmlNormStr(new Path(f.path).toUri.toString) -> f.partition)).toMap
     val groups = touched.groupBy(fp =>
       tupleOf.getOrElse(fp, Map.empty[String, AnyRef]))
     val files = Seq.newBuilder[(String, Long, Long)]
@@ -2612,7 +2668,12 @@ object IcebergInterop {
       matched: DataFrame): Seq[(String, Long, Long)] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val pathMap = st.files.map(f => dmlNormStr(f.path) -> f.path).toMap
+    // raw + URI-escaped keys, as in stageMorDeletesByTuple: the
+    // delete file's file_path column must record the RAW manifest
+    // path, or spec-compliant foreign readers never path-match it
+    val pathMap = st.files.flatMap(f => Seq(
+      dmlNormStr(f.path) -> f.path,
+      dmlNormStr(new Path(f.path).toUri.toString) -> f.path)).toMap
     val bc = spark.sparkContext.broadcast(pathMap)
     val delRows = matched.as[(String, Long)]
       .map { case (fp, pos) => (bc.value.getOrElse(fp, fp), pos) }
@@ -4028,8 +4089,12 @@ object IcebergInterop {
     val maxEqSeq =
       if (st.eqDeletes.isEmpty) Long.MinValue
       else st.eqDeletes.map(_.seq).max
+    // match either path spelling: delete files record raw paths per
+    // spec, but pre-fix graft sidecars carried the escaped lineage form
     val (rewrite, keep) = st.files.partition(f =>
-      touched(normStr(f.path)) || f.seq < maxEqSeq)
+      touched(normStr(f.path)) ||
+        touched(normStr(new Path(f.path).toUri.toString)) ||
+        f.seq < maxEqSeq)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
     val rewritten =

@@ -253,6 +253,36 @@ class DeltaCdfSpec extends AnyFunSuite with Matchers with SparkSpec {
     atCk.writerFeatures.sorted shouldBe Seq("appendOnly", "changeDataFeed")
   }
 
+  test("legacy→(3,7) DV upgrade carries IMPLIED writer features: a " +
+    "CDF-enabled legacy table's first vectored delete declares " +
+    "changeDataFeed (and the v2 implieds) in writerFeatures") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 8L).map(i => (i, s"x$i")).toDF("id", "p"), t)
+    // legacy writer: enableCDF bumps minWriterVersion to 4, no
+    // feature lists yet
+    DeltaInterop.enableChangeDataFeed(spark, t) shouldBe 1L
+    val pre = DeltaInterop.state(spark, t, None)
+    pre.minWriterVersion shouldBe 4
+    pre.writerFeatures shouldBe Nil
+    // first MOR delete converts the protocol to (3,7); the implied
+    // legacy capabilities must survive the conversion or delta-spark
+    // rejects a table whose CDF property requires an undeclared
+    // feature
+    DeltaInterop.delete(spark, t, $"id" === 2L).rowsAffected shouldBe 1L
+    val st = DeltaInterop.state(spark, t, None)
+    st.minReaderVersion shouldBe 3
+    st.minWriterVersion shouldBe 7
+    st.readerFeatures should contain("deletionVectors")
+    st.writerFeatures should contain allOf
+      ("changeDataFeed", "appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "deletionVectors")
+    // and the feed still serves the vectored delete row-level
+    val feed = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    feed.filter($"_change_type" === "delete").select($"id")
+      .as[Long].collect() shouldBe Array(2L)
+  }
+
   test("RESTORE rolls the table configuration back to the target " +
     "version's, not only its schema") {
     import spark.implicits._

@@ -81,6 +81,14 @@ class IcebergRefsSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException] {
       IcebergInterop.createRef(spark, t, "ghost", "tag", Some(12345L))
     }.getMessage should include("not retained")
+    // re-pointing main AWAY from the head would split `VERSION AS OF
+    // 'main'` from a bare read — refused toward rollbackToSnapshot
+    // (declaring main AT the head stays legal, pinned above)
+    val s1 = IcebergInterop.resolveRef(spark, t, "main")
+    IcebergInterop.write(Seq((2L, 2L)).toDF("id", "v"), t)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.createRef(spark, t, "main", "branch", Some(s1))
+    }.getMessage should include("rollbackToSnapshot")
   }
 
   test("FOREIGN refs: a hand-edited metadata refs map resolves the " +

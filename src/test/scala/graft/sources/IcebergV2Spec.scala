@@ -613,4 +613,83 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
         Seq("g" -> org.apache.spark.sql.functions.lit("g0")))
     }.getMessage should include("partition source")
   }
+
+  test("URI-escapable partition values: MOR deletes on a space-valued " +
+    "partition dir record RAW manifest paths and REAL tuples — a " +
+    "spec-compliant foreign reader path-matches and partition-prunes " +
+    "them") {
+    import spark.implicits._
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord => GR}
+    val t = fresh()
+    // the standard foreign layout the advisory names: Hive-style
+    // partition-value DIRS with a space (graft's own Iceberg writer
+    // lays files flat, so the layout comes from a lake export), whose
+    // paths `_metadata.file_path` serves as `%20` while the manifest
+    // records the raw path
+    ManifestLake.write(
+      (1L to 20L).map(i =>
+        (i, if (i % 2 == 0) "4-NOT SPECIFIED" else "1-URGENT", i * 10L))
+        .toDF("id", "pri", "v"), t, partitionBy = Seq("pri"))
+    IcebergInterop.exportFromManifest(spark, t)
+    IcebergInterop.upgradeFormat(spark, t)
+    val st0 = IcebergInterop.state(spark, t, None)
+    val rawPaths = st0.files.map(_.path).toSet
+    rawPaths.exists(_.contains("4-NOT SPECIFIED")) shouldBe true
+    val d = IcebergInterop.deleteMor(spark, t, col("id") % 4 === 0)
+    d.rowsAffected shouldBe 5L
+    val st = IcebergInterop.state(spark, t, None)
+    st.posDeletes should not be empty
+    // (1) the delete parquet's file_path column records the RAW
+    // manifest path — not the %20-escaped lineage form
+    val delRows = spark.read.parquet(st.posDeletes: _*)
+      .select("file_path").as[String].collect()
+    delRows should not be empty
+    delRows.foreach { fp =>
+      fp should not include "%20"
+      rawPaths should contain(fp)
+    }
+    delRows.exists(_.contains("4-NOT SPECIFIED")) shouldBe true
+    // (2) every delete manifest entry carries the REAL tuple, never
+    // the empty-tuple fallback
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(t, "metadata")
+    val delTuples = fs.listStatus(metaDir)
+      .map(_.getPath).filter(_.getName.endsWith(".avro"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        try {
+          val s0 = new DataFileStream[GR](in, new GenericDatumReader[GR]())
+          try {
+            val isDel = Option(s0.getMetaString("content"))
+              .contains("deletes")
+            val b = Seq.newBuilder[String]
+            while (s0.hasNext) {
+              val e = s0.next()
+              if (isDel) {
+                val df0 = e.get("data_file").asInstanceOf[GR]
+                val part = df0.get("partition").asInstanceOf[GR]
+                b += String.valueOf(part.get("pri"))
+              }
+            }
+            b.result()
+          } finally s0.close()
+        } finally scala.util.Try(in.close()): Unit
+      }
+    delTuples should not be empty
+    // ids divisible by 4 are all even — only the space-valued
+    // partition is touched, and its tuple is the REAL value (the bug
+    // grouped such files under the EMPTY tuple)
+    delTuples.toSet shouldBe Set("4-NOT SPECIFIED")
+    // (3) graft's own reader still applies them
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 15L
+    out.filter($"id" % 4 === 0).count() shouldBe 0L
+    // (4) CoW paths on escaped-lineage tables keep working too
+    IcebergInterop.compactDeletes(spark, t)
+    IcebergInterop.update(spark, t, col("id") === 3L,
+      Seq("v" -> lit(333L))).rowsAffected shouldBe 1L
+    IcebergInterop.read(spark, t).filter($"id" === 3L)
+      .select($"v").as[Long].head() shouldBe 333L
+  }
 }
