@@ -1668,32 +1668,81 @@ object DeltaInterop {
   }
 
   /** `MERGE INTO` a Delta table — the classic upsert (`WHEN MATCHED
-    * THEN UPDATE SET *` / `WHEN NOT MATCHED THEN INSERT *`),
-    * COPY-ON-WRITE: only files holding a key match rewrite (matched
-    * rows replaced WHOLESALE by their source row, unmatched rows
-    * verbatim), not-matched source rows insert, and one commit
-    * publishes removes + adds. Matched rows may move PARTITIONS (the
-    * source row's partition values win): the rewrite stages through
-    * the same partition-dir layout as [[write]], so every add records
-    * the values its rows actually carry. Source keys must be UNIQUE —
-    * two source rows matching one target row is the protocol's
-    * nondeterministic-merge error, refused by name (Delta's own
-    * multipleMatches rule). When CDF is on, matched rows record as
-    * `update_preimage`/`update_postimage` and inserts as `insert`.
-    *
-    * Scale shape: one key-column scan (column-pruned) finds touched
-    * files and match counts; only those files rescan for the rewrite;
-    * the source anti-join for inserts rides the same pruned key scan.
-    * AQE broadcasts the source when small — the common dimension-sync
-    * case costs one broadcast join over the touched surface. */
+    * THEN UPDATE SET *` / `WHEN NOT MATCHED THEN INSERT *`), the
+    * plain-shape door onto [[mergeApply]]'s clause machinery. The
+    * source must carry the full schema (the wholesale-replacement
+    * contract), and keys must be UNIQUE. See [[mergeApply]] for the
+    * cost model. */
   def merge(source: DataFrame, table: String,
             keyCols: Seq[String]): DeltaDml = {
+    val st = state(source.sparkSession, table, None)
+    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
+    mergeApply(source, table, keyCols,
+      matched = Seq(ManifestLake.MergeUpdate()),
+      notMatched = Seq(ManifestLake.MergeInsert()))
+  }
+
+  /** Session conf + recorded-size test shared with the lake: an
+    * UNSCOPED `WHEN NOT MATCHED BY SOURCE` runs whole-table
+    * automatically when every add records its size and the total fits
+    * [[ManifestLake.NmbsSmallTableBytesConf]]. */
+  private def nmbsSmallTable(spark: SparkSession, st: DeltaState): Boolean = {
+    val threshold = spark.conf
+      .getOption(ManifestLake.NmbsSmallTableBytesConf)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1L * 1024 * 1024 * 1024)
+    threshold > 0 && st.files.nonEmpty &&
+      st.files.map(_.size).sum <= threshold
+  }
+
+  /** Generalized `MERGE INTO` — the full Delta clause surface,
+    * COPY-ON-WRITE ([[ManifestLake.mergeApply]]'s semantics on the
+    * interop's staging):
+    * {{{
+    *   WHEN MATCHED [AND c] THEN UPDATE SET x = e, ... | UPDATE SET * | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT (x, ...) VALUES (e, ...) | INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET x = e, ... | DELETE
+    * }}}
+    * Clause conditions and values are Columns over the JOINED row:
+    * target columns under their own names, source columns under
+    * [[ManifestLake.MergeSrcPrefix]] ([[ManifestLake.mergeSrcCol]]).
+    * Clauses apply FIRST-MATCH-WINS in declaration order (a NULL
+    * condition is not a match); a matched row no clause fires on
+    * carries over unchanged; a source row no insert clause fires on
+    * is dropped. The source must be KEY-UNIQUE. MERGE never changes
+    * the schema here. Updated rows may move PARTITIONS (the rewrite
+    * stages through [[write]]'s partition-dir layout, physical names
+    * on column-mapped tables). With CDF enabled, the commit stages
+    * `update_preimage`/`update_postimage`, `delete` and `insert`
+    * cdc images of exactly the rows a clause touched.
+    *
+    * `WHEN NOT MATCHED BY SOURCE` keeps the lake's cost contract:
+    * it needs a `scope` (a target-only predicate — SQL derives it
+    * from extra ON conjuncts — whose stats/partition bounds prune
+    * candidate files like DELETE's, with the lake's documented
+    * sync-boundary reading), OR `fullTableMerge = true` (the
+    * explicit whole-table opt-in, standard Delta semantics), OR a
+    * target provably small under
+    * [[ManifestLake.NmbsSmallTableBytesConf]].
+    *
+    * Scale shape: one key-column scan (column-pruned) finds
+    * key-matched files; the NMBS scope prunes on recorded
+    * stats/partition values before one anti-join scan finds
+    * clause-fired files; ONLY files holding a fired row rewrite;
+    * the insert anti-join rides the same pruned key scan. AQE
+    * broadcasts a small source. */
+  def mergeApply(source: DataFrame, table: String, keyCols: Seq[String],
+                 matched: Seq[ManifestLake.MergeMatched],
+                 notMatched: Seq[ManifestLake.MergeInsert] = Nil,
+                 notMatchedBySource: Seq[ManifestLake.MergeMatched] = Nil,
+                 scope: Option[org.apache.spark.sql.Column] = None,
+                 fullTableMerge: Boolean = false): DeltaDml = {
     val spark = source.sparkSession
+    MergeClauses.requireValid(keyCols, matched, notMatched,
+      notMatchedBySource)
     val st = state(spark, table, None)
-    require(keyCols.nonEmpty, "MERGE needs at least one key column")
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
-    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     import spark.implicits._
@@ -1704,38 +1753,78 @@ object DeltaInterop {
       s"MERGE source has duplicate key rows on " +
         s"(${keyCols.mkString(", ")}) — which one updates the target " +
         "is undefined; deduplicate the source first")
-    val byNorm: Map[String, DeltaAdd] =
-      st.files.map(a => uriKey(root, a.path) -> a).toMap
+    val effectiveFullTable = fullTableMerge ||
+      (notMatchedBySource.nonEmpty && scope.isEmpty &&
+        nmbsSmallTable(spark, st))
+    if (notMatchedBySource.nonEmpty)
+      require(scope.nonEmpty || effectiveFullTable,
+        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
+          "source match — unscoped, that is O(table). Either add " +
+          "target-only conjuncts to the ON clause (a prune-able scope) " +
+          "or opt in to the whole-table pass with fullTableMerge = " +
+          "true. Tables whose recorded size fits " +
+          s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
+          "automatically.")
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    // one key-column scan: touched files + per-file match counts
+    // one key-column scan: files holding a key match
     val liveKeys = filesToDF(spark, table, st.schema,
       st.partitionColumns, st.files, st.columnMappingMode,
       keepLineage = true)
       .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
-    val counts: Array[(String, Long)] =
-      liveKeys.join(srcKeys, keyCols)
-        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
-        .as[(String, Long)].collect()
-    val touched = counts.map(t => byNorm(t._1)).toIndexedSeq
-    val orderedCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
-    val notMatched = source
+    val touchedNames: Set[String] =
+      liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
+        .as[String].collect().toSet
+    val touched = st.files.filter(a => touchedNames(uriKey(root, a.path)))
+    // NMBS-fired files: scope-pruned candidates, one anti-join scan
+    val nmbsTouched: Seq[DeltaAdd] =
+      if (notMatchedBySource.isEmpty) Nil
+      else {
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val cands0 = st.files.filterNot(a =>
+          touchedNames(uriKey(root, a.path)))
+        val cands = scope match {
+          case Some(sc) =>
+            val preds = ScanPredicates.fromSqlCondition(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(sc))
+            cands0.filterNot(a =>
+              preds.exists(p => filePrunes(a, st, zone, p)))
+          case None => cands0
+        }
+        if (cands.isEmpty) Nil
+        else {
+          val rowScope = scope
+            .map(c => org.apache.spark.sql.functions.coalesce(c,
+              lit(false)))
+            .getOrElse(lit(true))
+          val hit = filesToDF(spark, table, st.schema,
+            st.partitionColumns, cands.toIndexedSeq,
+            st.columnMappingMode, keepLineage = true)
+            .join(srcKeys, keyCols, "left_anti")
+            .where(rowScope)
+            .withColumn("__nact",
+              MergeClauses.actionIndex(notMatchedBySource))
+            .filter(col("__nact") >= 0)
+            .select(col("__fp")).distinct().as[String].collect().toSet
+          cands.filter(a => hit(uriKey(root, a.path)))
+        }
+      }
+    val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
+    val currentRows =
+      if (rewriteSet.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          st.schema)
+      else filesToDF(spark, table, st.schema, st.partitionColumns,
+        rewriteSet, st.columnMappingMode)
+    val notMatchedSrc = source
       .join(liveKeys.drop("__fp").distinct(), keyCols, "left_anti")
-      .select(orderedCols: _*)
+    val applied = MergeClauses(currentRows, source, keyCols, st.schema,
+      matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
+      notMatchedSrc)
+    val outRows = applied.survivors.unionByName(applied.inserts)
     val cdfOn = st.configuration
       .get("delta.enableChangeDataFeed").contains("true")
-    // matched rewrite: source columns win wholesale on a key match
-    val srcPref = source.select(st.schema.fields.toIndexedSeq.map(f =>
-      col(f.name).as(s"__src_${f.name}")): _*)
-    val keyCond = keyCols.map(k => col(k) === col(s"__src_$k"))
-      .reduce(_ && _)
-    val matchedInd = col(s"__src_${keyCols.head}").isNotNull
-    def tgtRows = filesToDF(spark, table, st.schema,
-      st.partitionColumns, touched, st.columnMappingMode)
-    val merged = tgtRows.join(srcPref, keyCond, "left")
-      .select(st.schema.fields.toIndexedSeq.map(f =>
-        when(matchedInd, col(s"__src_${f.name}"))
-          .otherwise(col(f.name)).cast(f.dataType).as(f.name)): _*)
-    val outRows = merged.unionByName(notMatched)
     // stage through the same partition-dir layout as write()
     // (physical column names and dirs on mapped tables)
     val mapped = st.columnMappingMode != "none"
@@ -1780,23 +1869,26 @@ object DeltaInterop {
       }
     }
     fs.delete(stage, true): Unit
-    touched.foreach(a =>
+    rewriteSet.foreach(a =>
       lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
         s""""deletionTimestamp":$now,"dataChange":true}}""")
     // a merge into an empty/no-match state with an empty source would
     // publish an empty commit — keep the version instead
-    val inserts =
-      if (touched.isEmpty && !insertedAny) return DeltaDml(st.version, 0L, 0)
-      else notMatched.count()
+    if (rewriteSet.isEmpty && !insertedAny) return DeltaDml(st.version, 0L, 0)
+    // rowsAffected: clause-FIRED rows (matched + NMBS) plus fired
+    // inserts — both bounded by the rewrite surface
+    val firedCount =
+      if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
+    val insertCount = applied.inserts.count()
     if (cdfOn) {
-      val pre = tgtRows.join(srcKeys, keyCols, "left_semi")
-        .withColumn("_change_type", lit("update_preimage"))
-      val post = tgtRows.join(srcPref, keyCond, "inner")
-        .select(st.schema.fields.toIndexedSeq.map(f =>
-          col(s"__src_${f.name}").cast(f.dataType).as(f.name)): _*)
-        .withColumn("_change_type", lit("update_postimage"))
-      val ins = notMatched.withColumn("_change_type", lit("insert"))
-      val cdcRows0 = pre.unionByName(post).unionByName(ins)
+      val cdcRows0 = applied.updatedPre
+          .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(applied.updatedPost
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(applied.deletedOld
+          .withColumn("_change_type", lit("delete")))
+        .unionByName(applied.inserts
+          .withColumn("_change_type", lit("insert")))
       val cdcRows =
         if (mapped) toPhysical(cdcRows0, st.schema, Seq("_change_type"))
         else cdcRows0
@@ -1804,8 +1896,9 @@ object DeltaInterop {
     }
     val v = publishCommit(fs, new Path(root, "_delta_log"),
       st.version + 1, lines.toSeq)
-    DeltaDml(v, counts.map(_._2).sum + inserts, touched.length)
+    DeltaDml(v, firedCount + insertCount, rewriteSet.length)
   }
+
 
   /** Direct Iceberg → Delta conversion for MERGE-ON-READ tables — the
     * reverse of [[IcebergInterop.importFromDeltaMor]]: v2 position

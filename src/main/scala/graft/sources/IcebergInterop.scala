@@ -2072,23 +2072,70 @@ object IcebergInterop {
 
   /** `MERGE INTO` an Iceberg table — the classic upsert (`WHEN
     * MATCHED THEN UPDATE SET *` / `WHEN NOT MATCHED THEN INSERT *`),
-    * COPY-ON-WRITE: only files holding a key match rewrite (matched
-    * rows replaced wholesale by their source row, unmatched verbatim),
-    * not-matched source rows insert, and one `overwrite` snapshot
-    * publishes through [[publishRewrite]] — untouched manifests carry
-    * verbatim. Rewritten and inserted rows re-derive their partition
-    * tuples under the current default spec, so a merge that moves a
-    * row's partition value lands it correctly. Source keys must be
-    * unique (two source rows matching one target row is refused by
-    * name — the engines' nondeterministic-merge rule).
-    *
-    * Scale shape: one key-column scan (column-pruned) finds touched
-    * files and match counts; only those files rescan for the rewrite;
-    * AQE broadcasts a small source. */
+    * the plain-shape door onto [[mergeApply]]'s clause machinery. The
+    * source must carry the full schema (the wholesale-replacement
+    * contract), and keys must be unique. See [[mergeApply]] for the
+    * cost model. */
   def merge(source: DataFrame, table: String,
             keyCols: Seq[String]): IceDml = {
-    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val st = state(source.sparkSession, table, None)
+    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
+    mergeApply(source, table, keyCols,
+      matched = Seq(ManifestLake.MergeUpdate()),
+      notMatched = Seq(ManifestLake.MergeInsert()))
+  }
+
+  /** Shared with the lake and the Delta interop: an UNSCOPED `WHEN
+    * NOT MATCHED BY SOURCE` runs whole-table automatically when the
+    * manifests' recorded total size fits
+    * [[ManifestLake.NmbsSmallTableBytesConf]]. */
+  private def nmbsSmallTable(spark: SparkSession, st: IceState): Boolean = {
+    val threshold = spark.conf
+      .getOption(ManifestLake.NmbsSmallTableBytesConf)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1L * 1024 * 1024 * 1024)
+    threshold > 0 && st.files.nonEmpty &&
+      st.files.map(_.bytes).sum <= threshold
+  }
+
+  /** Generalized `MERGE INTO` — the full clause surface
+    * ([[ManifestLake.mergeApply]]'s semantics on the interop's
+    * copy-on-write staging):
+    * {{{
+    *   WHEN MATCHED [AND c] THEN UPDATE SET x = e, ... | UPDATE SET * | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT (x, ...) VALUES (e, ...) | INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET x = e, ... | DELETE
+    * }}}
+    * Clause conditions/values are Columns over the JOINED row: target
+    * columns under their own names, source columns under
+    * [[ManifestLake.MergeSrcPrefix]] ([[ManifestLake.mergeSrcCol]]);
+    * FIRST-MATCH-WINS in declaration order, TRUE-only condition
+    * gating, key-unique source. Rewritten and inserted rows re-derive
+    * their partition tuples under the current default spec (a clause
+    * that moves a partition value lands the row correctly).
+    *
+    * `WHEN NOT MATCHED BY SOURCE` keeps the lake's cost contract:
+    * a `scope` predicate (pruned on manifest bounds/partition tuples
+    * like DELETE's, with the documented sync-boundary reading), OR
+    * `fullTableMerge = true`, OR a target provably small under
+    * [[ManifestLake.NmbsSmallTableBytesConf]].
+    *
+    * Scale shape: one key-column scan (column-pruned) finds
+    * key-matched files and the insert anti-join rides it; the NMBS
+    * scope prunes candidates on recorded bounds before one anti-join
+    * scan finds clause-fired files; ONLY files holding a fired row
+    * rewrite; untouched manifests carry verbatim through
+    * [[publishRewrite]]. AQE broadcasts a small source. */
+  def mergeApply(source: DataFrame, table: String, keyCols: Seq[String],
+                 matched: Seq[ManifestLake.MergeMatched],
+                 notMatched: Seq[ManifestLake.MergeInsert] = Nil,
+                 notMatchedBySource: Seq[ManifestLake.MergeMatched] = Nil,
+                 scope: Option[org.apache.spark.sql.Column] = None,
+                 fullTableMerge: Boolean = false): IceDml = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val spark = source.sparkSession
+    MergeClauses.requireValid(keyCols, matched, notMatched,
+      notMatchedBySource)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -2096,10 +2143,8 @@ object IcebergInterop {
       s"table $table carries merge-on-read delete files — run " +
         "compactDeletes first; copy-on-write DML would silently " +
         "resurrect their deleted rows otherwise")
-    require(keyCols.nonEmpty, "MERGE needs at least one key column")
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
-    InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
     import spark.implicits._
     val dup = source.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
@@ -2107,43 +2152,87 @@ object IcebergInterop {
       s"MERGE source has duplicate key rows on " +
         s"(${keyCols.mkString(", ")}) — which one updates the target " +
         "is undefined; deduplicate the source first")
-    val orderedCols = st.schema.fields.toIndexedSeq.map(f => col(f.name))
+    val effectiveFullTable = fullTableMerge ||
+      (notMatchedBySource.nonEmpty && scope.isEmpty &&
+        nmbsSmallTable(spark, st))
+    if (notMatchedBySource.nonEmpty)
+      require(scope.nonEmpty || effectiveFullTable,
+        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
+          "source match — unscoped, that is O(table). Either add " +
+          "target-only conjuncts to the ON clause (a prune-able scope) " +
+          "or opt in to the whole-table pass with fullTableMerge = " +
+          "true. Tables whose recorded size fits " +
+          s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
+          "automatically.")
     // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
-    // percent-escapes (space-valued partition dirs arrive as `%20`)
-    // while the manifest records the raw path
+    // percent-escapes while the manifest records the raw path
     val byNorm = st.files.flatMap(f => Seq(
       dmlNormStr(f.path) -> f,
       dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val liveKeys = toDF(spark, st, keepLineage = true)
       .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
-    val counts: Array[(String, Long)] =
-      liveKeys.join(srcKeys, keyCols)
-        .groupBy(col("__fp")).agg(count(lit(1)).as("n"))
-        .as[(String, Long)].collect()
-    val touched = counts.map(t => byNorm(t._1)).toSeq
-    val notMatched = source
+    val touchedNames: Set[String] =
+      liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
+        .as[String].collect().toSet
+    val touched = st.files.filter(f =>
+      touchedNames(dmlNormStr(f.path)) ||
+        touchedNames(dmlNormStr(new Path(f.path).toUri.toString)))
+    // NMBS-fired files: bound-pruned candidates, one anti-join scan
+    val nmbsTouched: Seq[IceFile] =
+      if (notMatchedBySource.isEmpty) Nil
+      else {
+        val touchedPaths = touched.map(_.path).toSet
+        val cands0 = st.files.filterNot(f => touchedPaths(f.path))
+        val cands = scope match {
+          case Some(sc) =>
+            val preds = ScanPredicates.fromSqlCondition(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(sc))
+            cands0.filterNot(f =>
+              preds.exists(p => filePrunes(f, st.specs, st.schema, p)))
+          case None => cands0
+        }
+        if (cands.isEmpty) Nil
+        else {
+          val rowScope = scope.map(c => coalesce(c, lit(false)))
+            .getOrElse(lit(true))
+          val hit = toDF(spark, st.copy(files = cands.toIndexedSeq),
+            keepLineage = true)
+            .join(srcKeys, keyCols, "left_anti")
+            .where(rowScope)
+            .withColumn("__nact",
+              MergeClauses.actionIndex(notMatchedBySource))
+            .filter(col("__nact") >= 0)
+            .select(col("__fp")).distinct().as[String].collect().toSet
+          cands.filter(f => hit(dmlNormStr(f.path)) ||
+            hit(dmlNormStr(new Path(f.path).toUri.toString)))
+        }
+      }
+    val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
+    val currentRows =
+      if (rewriteSet.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          st.schema)
+      else toDF(spark, st.copy(files = rewriteSet.toIndexedSeq))
+        .drop("__fp", "__pos")
+    val notMatchedSrc = source
       .join(liveKeys.drop("__fp").distinct(), keyCols, "left_anti")
-      .select(orderedCols: _*)
-    val inserts = notMatched.count()
-    if (touched.isEmpty && inserts == 0L)
+    val applied = MergeClauses(currentRows, source, keyCols, st.schema,
+      matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
+      notMatchedSrc)
+    val insertCount = applied.inserts.count()
+    if (rewriteSet.isEmpty && insertCount == 0L)
       return IceDml(st.snapshotId, 0L, 0)
-    val srcPref = source.select(st.schema.fields.toIndexedSeq.map(f =>
-      col(f.name).as(s"__src_${f.name}")): _*)
-    val keyCond = keyCols.map(k => col(k) === col(s"__src_$k"))
-      .reduce(_ && _)
-    val matchedInd = col(s"__src_${keyCols.head}").isNotNull
-    val merged = toDF(spark, st.copy(files = touched))
-      .join(srcPref, keyCond, "left")
-      .select(st.schema.fields.toIndexedSeq.map(f =>
-        when(matchedInd, col(s"__src_${f.name}"))
-          .otherwise(col(f.name)).cast(f.dataType).as(f.name)): _*)
+    val firedCount =
+      if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
     val added = stageRewritten(spark, fs, root, st,
-      merged.unionByName(notMatched))
+      applied.survivors.unionByName(applied.inserts))
     val snap = publishRewrite(spark, fs, root, st, added,
-      touched.map(_.path).toSet, "overwrite")
-    IceDml(snap, counts.map(_._2).sum + inserts, touched.size)
+      rewriteSet.map(_.path).toSet, "overwrite")
+    IceDml(snap, firedCount + insertCount, rewriteSet.size)
   }
+
 
   /** MERGE-ON-READ `DELETE` — Iceberg v2 POSITION DELETES, the
     * write-amplification answer for small deletes on big files:

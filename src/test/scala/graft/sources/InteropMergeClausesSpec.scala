@@ -1,0 +1,289 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.sources.ManifestLake.{MergeDelete, MergeInsert, MergeUpdate,
+  mergeSrcCol}
+
+/** Pins the generalized MERGE clause surface on BOTH open-format
+  * interops ([[DeltaInterop.mergeApply]] /
+  * [[IcebergInterop.mergeApply]]): conditional matched
+  * update/delete, first-match-wins, conditional column-list inserts,
+  * WHEN NOT MATCHED BY SOURCE under the scoped cost contract,
+  * partition moves, CDF images, and the cost shape (untouched
+  * files/manifests carry verbatim). */
+class InteropMergeClausesSpec extends AnyFunSuite with Matchers
+  with SparkSpec {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-mrgcl").toString + "/t"
+
+  test("Delta clause matrix: conditional delete/update first-match-" +
+    "wins, conditional column-list insert, untouched files carried, " +
+    "partition moves land") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 100L).map(i => (s"g${i % 4}", i, i * 1.0))
+        .toDF("g", "id", "v"), t, partitionBy = Seq("g"))
+    val before = DeltaInterop.state(spark, t, None).files.map(_.path).toSet
+    val src = Seq(
+      ("g1", 1L, "del", 0.0),     // matched, delete clause fires
+      ("g2", 2L, "upd", 100.0),   // matched, update clause fires
+      ("g3", 3L, "other", 0.0),   // matched, NO clause fires → unchanged
+      ("g0", 4L, "upd", 0.5),     // matched update MOVES partition g0→g0 (id 4 is g0) — keep same
+      ("g0", 200L, "ins", 5.0),   // not matched, insert fires
+      ("g0", 201L, "skip", 6.0))  // not matched, condition false → dropped
+      .toDF("g", "id", "op", "nv")
+    val r = DeltaInterop.mergeApply(src, t, Seq("id"),
+      matched = Seq(
+        MergeDelete(Some(mergeSrcCol("op") === "del")),
+        MergeUpdate(Some(mergeSrcCol("op") === "upd"),
+          Some(Seq("v" -> (mergeSrcCol("nv") + col("v")))))),
+      notMatched = Seq(
+        MergeInsert(Some(mergeSrcCol("op") === "ins"),
+          Some(Seq("id" -> mergeSrcCol("id"),
+            "g" -> mergeSrcCol("g"),
+            "v" -> mergeSrcCol("nv"))))))
+    r.rowsAffected shouldBe 4L // del(1) + upd(2,4) + ins(200)
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 100L // -1 deleted, +1 inserted
+    out.filter($"id" === 1L).count() shouldBe 0L
+    out.filter($"id" === 2L).select($"v").as[Double].head() shouldBe 102.0
+    out.filter($"id" === 3L).select($"v").as[Double].head() shouldBe 3.0
+    out.filter($"id" === 4L).select($"v").as[Double].head() shouldBe 4.5
+    out.filter($"id" === 200L).select($"g", $"v")
+      .as[(String, Double)].head() shouldBe (("g0", 5.0))
+    out.filter($"id" === 201L).count() shouldBe 0L
+    // untouched partitions carried verbatim: ids 1..4 live in g0..g3,
+    // so every partition is touched here — instead pin that files NOT
+    // holding a matched key survive: rewrite only removed what it had to
+    val after = DeltaInterop.state(spark, t, None).files.map(_.path).toSet
+    (before intersect after) should not be empty
+
+    // FIRST-match-wins: update listed before delete wins
+    DeltaInterop.mergeApply(
+      Seq(("g2", 10L, "del", 999.0)).toDF("g", "id", "op", "nv"),
+      t, Seq("id"),
+      matched = Seq(
+        MergeUpdate(Some(mergeSrcCol("op") === "del"),
+          Some(Seq("v" -> mergeSrcCol("nv")))),
+        MergeDelete(Some(mergeSrcCol("op") === "del"))))
+    DeltaInterop.read(spark, t).filter($"id" === 10L)
+      .select($"v").as[Double].head() shouldBe 999.0
+
+    // a partition MOVE through an UPDATE assignment
+    DeltaInterop.mergeApply(
+      Seq(("gX", 20L)).toDF("g", "id"), t, Seq("id"),
+      matched = Seq(MergeUpdate(None,
+        Some(Seq("g" -> mergeSrcCol("g"))))))
+    DeltaInterop.read(spark, t).filter($"id" === 20L)
+      .select($"g").as[String].head() shouldBe "gX"
+
+    // duplicate-keyed sources refuse by name
+    intercept[IllegalArgumentException] {
+      DeltaInterop.mergeApply(
+        Seq(("g0", 7L, "x", 0.0), ("g0", 7L, "y", 0.0))
+          .toDF("g", "id", "op", "nv"),
+        t, Seq("id"), matched = Seq(MergeDelete(None)))
+    }.getMessage should include("duplicate")
+  }
+
+  test("Delta WHEN NOT MATCHED BY SOURCE: scoped sync deletes only " +
+    "in-scope matchless rows, out-of-scope files never rewrite; " +
+    "NMBS UPDATE marks; unscoped refuses without opt-in") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 400L).map(i => (s"d${(i - 1) / 100}", i, "live"))
+        .toDF("ds", "id", "st"), t, partitionBy = Seq("ds"))
+    val before = DeltaInterop.state(spark, t, None).files
+    // source mirrors partition d0 minus every 7th id
+    val src = (1L to 100L).filterNot(_ % 7 == 0)
+      .map(i => ("d0", i, "live")).toDF("ds", "id", "st")
+    val r = DeltaInterop.mergeApply(src, t, Seq("id"),
+      matched = Seq(MergeUpdate()),      // SET *
+      notMatched = Seq(MergeInsert()),   // INSERT *
+      notMatchedBySource = Seq(MergeDelete(None)),
+      scope = Some(col("ds") === "d0"))
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe (400L - 100L / 7L)
+    out.filter($"ds" === "d0" && $"id" % 7 === 0).count() shouldBe 0L
+    out.filter($"ds" =!= "d0").count() shouldBe 300L
+    // files of d1..d3 carried VERBATIM — the scope pruned them out
+    val after = DeltaInterop.state(spark, t, None).files.map(_.path).toSet
+    before.filter(_.partitionValues.get("ds").flatten.exists(_ != "d0"))
+      .foreach(a => after should contain(a.path))
+    // rowsAffected = 86 matched-fired (SET *) + 14 NMBS deletes
+    r.rowsAffected shouldBe 100L
+
+    // NMBS UPDATE with assignments under the whole-table opt-in: the
+    // soft-delete mirror idiom
+    val t2 = fresh()
+    DeltaInterop.write(
+      (1L to 40L).map(i => (i, "live")).toDF("id", "st"), t2)
+    DeltaInterop.mergeApply(
+      (1L to 20L).map(i => (i, "live")).toDF("id", "st"), t2, Seq("id"),
+      matched = Seq(MergeUpdate()),
+      notMatchedBySource = Seq(MergeUpdate(None,
+        Some(Seq("st" -> lit("gone"))))),
+      fullTableMerge = true)
+    val m = DeltaInterop.read(spark, t2)
+    m.count() shouldBe 40L
+    m.filter($"st" === "gone").count() shouldBe 20L
+    m.filter($"id" <= 20L && $"st" =!= "live").count() shouldBe 0L
+
+    // NMBS UPDATE needs explicit assignments
+    intercept[IllegalArgumentException] {
+      DeltaInterop.mergeApply(src, t, Seq("id"),
+        matched = Nil,
+        notMatchedBySource = Seq(MergeUpdate(None, None)),
+        scope = Some(col("ds") === "d0"))
+    }.getMessage should include("explicit")
+    // unscoped NMBS refuses without the opt-in (small-table fast path
+    // disabled so this table does not qualify automatically)
+    spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "0")
+    try {
+      intercept[IllegalArgumentException] {
+        DeltaInterop.mergeApply(src, t, Seq("id"),
+          matched = Nil, notMatchedBySource = Seq(MergeDelete(None)))
+      }.getMessage should include("fullTableMerge")
+    } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
+  }
+
+  test("Delta clause MERGE with CDF records update pre/post, delete " +
+    "and insert images — exactly the rows a clause touched") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"), t)
+    DeltaInterop.enableChangeDataFeed(spark, t)
+    DeltaInterop.mergeApply(
+      Seq((3L, "upd", 33.0), (5L, "del", 0.0), (99L, "ins", 990.0))
+        .toDF("id", "op", "nv"), t, Seq("id"),
+      matched = Seq(
+        MergeUpdate(Some(mergeSrcCol("op") === "upd"),
+          Some(Seq("v" -> mergeSrcCol("nv")))),
+        MergeDelete(Some(mergeSrcCol("op") === "del"))),
+      notMatched = Seq(MergeInsert(Some(mergeSrcCol("op") === "ins"),
+        Some(Seq("id" -> mergeSrcCol("id"), "v" -> mergeSrcCol("nv"))))))
+    val cf = DeltaInterop.changeFeed(spark, t, 2L, 2L)
+    cf.filter($"_change_type" === "update_preimage")
+      .select($"v").as[Double].collect() shouldBe Array(3.0)
+    cf.filter($"_change_type" === "update_postimage")
+      .select($"v").as[Double].collect() shouldBe Array(33.0)
+    cf.filter($"_change_type" === "delete")
+      .select($"id").as[Long].collect() shouldBe Array(5L)
+    cf.filter($"_change_type" === "insert")
+      .select($"id").as[Long].collect() shouldBe Array(99L)
+  }
+
+  test("Iceberg clause matrix: conditional delete/update first-match-" +
+    "wins, conditional column-list insert, untouched manifests " +
+    "carried, partition moves re-derive tuples") {
+    import spark.implicits._
+    val t = fresh()
+    val s1 = IcebergInterop.write(
+      (1L to 50L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "g", "v"),
+      t, partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergInterop.write(
+      (51L to 100L).map(i => (i, s"g${i % 2}", i * 1.0))
+        .toDF("id", "g", "v"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    val firstManifests = IcebergInterop.state(spark, t, None)
+      .files.filter(_.snapId == s1).map(_.manifest).toSet
+    // touch only second-write keys: first write's manifests must carry
+    val src = Seq(
+      (60L, "del", 0.0), (62L, "upd", 100.0), (64L, "other", 0.0),
+      (200L, "ins", 5.0), (201L, "skip", 6.0))
+      .toDF("id", "op", "nv")
+    val r = IcebergInterop.mergeApply(src, t, Seq("id"),
+      matched = Seq(
+        MergeDelete(Some(mergeSrcCol("op") === "del")),
+        MergeUpdate(Some(mergeSrcCol("op") === "upd"),
+          Some(Seq("v" -> (mergeSrcCol("nv") + col("v")))))),
+      notMatched = Seq(
+        MergeInsert(Some(mergeSrcCol("op") === "ins"),
+          Some(Seq("id" -> mergeSrcCol("id"), "g" -> lit("g0"),
+            "v" -> mergeSrcCol("nv"))))))
+    r.rowsAffected shouldBe 3L
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 100L
+    out.filter($"id" === 60L).count() shouldBe 0L
+    out.filter($"id" === 62L).select($"v").as[Double].head() shouldBe 162.0
+    out.filter($"id" === 64L).select($"v").as[Double].head() shouldBe 64.0
+    out.filter($"id" === 200L).select($"g").as[String].head() shouldBe "g0"
+    out.filter($"id" === 201L).count() shouldBe 0L
+    IcebergInterop.state(spark, t, None).files
+      .filter(_.snapId == s1).map(_.manifest)
+      .toSet shouldBe firstManifests
+    // partition move through an UPDATE assignment: tuple re-derives
+    IcebergInterop.mergeApply(
+      Seq((61L, "gX")).toDF("id", "g"), t, Seq("id"),
+      matched = Seq(MergeUpdate(None, Some(Seq("g" -> mergeSrcCol("g"))))))
+    val moved = IcebergInterop.state(spark, t, None).files
+      .filter(_.partition.get("g").exists(v => String.valueOf(v) == "gX"))
+    moved should not be empty
+    IcebergInterop.read(spark, t).filter($"id" === 61L)
+      .select($"g").as[String].head() shouldBe "gX"
+    // duplicate-keyed sources refuse by name
+    intercept[IllegalArgumentException] {
+      IcebergInterop.mergeApply(
+        Seq((7L, "x", 0.0), (7L, "y", 0.0)).toDF("id", "op", "nv"),
+        t, Seq("id"), matched = Seq(MergeDelete(None)))
+    }.getMessage should include("duplicate")
+  }
+
+  test("Iceberg WHEN NOT MATCHED BY SOURCE: scoped sync under tuple " +
+    "pruning, NMBS UPDATE marks under fullTableMerge, unscoped " +
+    "refuses without opt-in") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 400L).map(i => (i, s"d${(i - 1) / 100}", "live"))
+        .toDF("id", "ds", "st"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("ds", "identity", "ds")))
+    val src = (1L to 100L).filterNot(_ % 7 == 0)
+      .map(i => (i, "d0", "live")).toDF("id", "ds", "st")
+    val r = IcebergInterop.mergeApply(src, t, Seq("id"),
+      matched = Seq(MergeUpdate()),
+      notMatched = Seq(MergeInsert()),
+      notMatchedBySource = Seq(MergeDelete(None)),
+      scope = Some(col("ds") === "d0"))
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe (400L - 100L / 7L)
+    out.filter($"ds" === "d0" && $"id" % 7 === 0).count() shouldBe 0L
+    out.filter($"ds" =!= "d0").count() shouldBe 300L
+    r.rowsAffected shouldBe 100L
+    // NMBS UPDATE + fullTableMerge: the soft-delete mirror
+    val t2 = fresh()
+    IcebergInterop.write(
+      (1L to 40L).map(i => (i, "live")).toDF("id", "st"), t2)
+    IcebergInterop.mergeApply(
+      (1L to 20L).map(i => (i, "live")).toDF("id", "st"), t2, Seq("id"),
+      matched = Seq(MergeUpdate()),
+      notMatchedBySource = Seq(MergeUpdate(None,
+        Some(Seq("st" -> lit("gone"))))),
+      fullTableMerge = true)
+    val m = IcebergInterop.read(spark, t2)
+    m.count() shouldBe 40L
+    m.filter($"st" === "gone").count() shouldBe 20L
+    // refusals
+    spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "0")
+    try {
+      intercept[IllegalArgumentException] {
+        IcebergInterop.mergeApply(src, t, Seq("id"),
+          matched = Nil, notMatchedBySource = Seq(MergeDelete(None)))
+      }.getMessage should include("fullTableMerge")
+    } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.mergeApply(src, t, Seq("id"),
+        matched = Nil,
+        notMatchedBySource = Seq(MergeUpdate(None, None)),
+        scope = Some(col("ds") === "d0"))
+    }.getMessage should include("explicit")
+  }
+}
