@@ -1766,13 +1766,16 @@ object DeltaInterop {
           s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
           "automatically.")
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    // one key-column scan: files holding a key match
-    val liveKeys = filesToDF(spark, table, st.schema,
+    // one key-column scan: files holding a key match (skipped when no
+    // clause can fire on a matched row — an NMBS-only sync never
+    // rewrites key-matched files)
+    def liveKeys = filesToDF(spark, table, st.schema,
       st.partitionColumns, st.files, st.columnMappingMode,
       keepLineage = true)
       .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
     val touchedNames: Set[String] =
-      liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
+      if (matched.isEmpty) Set.empty
+      else liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
         .as[String].collect().toSet
     val touched = st.files.filter(a => touchedNames(uriKey(root, a.path)))
     // NMBS-fired files: scope-pruned candidates, one anti-join scan
@@ -1817,8 +1820,10 @@ object DeltaInterop {
           st.schema)
       else filesToDF(spark, table, st.schema, st.partitionColumns,
         rewriteSet, st.columnMappingMode)
-    val notMatchedSrc = source
-      .join(liveKeys.drop("__fp").distinct(), keyCols, "left_anti")
+    val notMatchedSrc =
+      if (notMatched.isEmpty) source.filter(lit(false))
+      else source.join(liveKeys.drop("__fp").distinct(), keyCols,
+        "left_anti")
     val applied = MergeClauses(currentRows, source, keyCols, st.schema,
       matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
       notMatchedSrc)
@@ -1879,7 +1884,8 @@ object DeltaInterop {
     // inserts — both bounded by the rewrite surface
     val firedCount =
       if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
-    val insertCount = applied.inserts.count()
+    val insertCount =
+      if (notMatched.isEmpty) 0L else applied.inserts.count()
     if (cdfOn) {
       val cdcRows0 = applied.updatedPre
           .withColumn("_change_type", lit("update_preimage"))

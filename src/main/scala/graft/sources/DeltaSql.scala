@@ -134,18 +134,6 @@ object DeltaSql {
     }
   }
 
-  /** A MERGE ON clause as upsert keys: conjunctions of
-    * `t.k = s.k` (same column name both sides) only. */
-  private def mergeKeys(cond: Expression): Seq[String] = cond match {
-    case And(l, r) => mergeKeys(l) ++ mergeKeys(r)
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-      if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-      Seq(a.nameParts.last)
-    case other => throw new UnsupportedOperationException(
-      s"graft_delta MERGE supports conjunctions of t.key = s.key (same " +
-        s"column name both sides) in its ON clause; got: ${other.sql}")
-  }
-
   /** `MERGE INTO graft_delta.t USING src ON ... WHEN MATCHED THEN
     * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
     * [[DeltaInterop.merge]]'s copy-on-write upsert when the command
@@ -155,6 +143,30 @@ object DeltaSql {
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
       DeltaInterop.merge(source, table, keyCols): Unit
+      Seq.empty
+    }
+  }
+
+  /** General-clause `MERGE INTO` — executes
+    * [[DeltaInterop.mergeApply]] (conditional matched update/delete,
+    * conditional insert, NOT-MATCHED-BY-SOURCE sync under the scoped
+    * cost contract, first-match-wins) when the command runs.
+    * [[LakeSql.FullTableMergeConf]] is read at execution — the one
+    * whole-table opt-in serves all three dialects. */
+  final case class GraftDeltaMergeApplyCommand(table: String,
+      keyCols: Seq[String],
+      matched: Seq[ManifestLake.MergeMatched],
+      notMatched: Seq[ManifestLake.MergeInsert],
+      notMatchedBySource: Seq[ManifestLake.MergeMatched],
+      @transient scope: Option[org.apache.spark.sql.Column],
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      DeltaInterop.mergeApply(source, table, keyCols, matched,
+        notMatched, notMatchedBySource = notMatchedBySource,
+        scope = scope,
+        fullTableMerge = spark.conf
+          .getOption(LakeSql.FullTableMergeConf).exists(_.toBoolean)): Unit
       Seq.empty
     }
   }
@@ -204,22 +216,18 @@ object DeltaSql {
         val src = applyReads(m.sourceTable)
         if (!src.resolved) m.copy(sourceTable = src) // wait for analyzer
         else {
-          val simple = !m.withSchemaEvolution &&
-            m.notMatchedBySourceActions.isEmpty &&
-            m.matchedActions.size == 1 &&
-            m.matchedActions.forall {
-              case UpdateStarAction(None) => true; case _ => false } &&
-            m.notMatchedActions.size == 1 &&
-            m.notMatchedActions.forall {
-              case InsertStarAction(None) => true; case _ => false }
-          if (!simple) throw new UnsupportedOperationException(
-            "graft_delta MERGE supports the plain upsert shape only — " +
-              "WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED " +
-              "THEN INSERT *; route richer clause logic through " +
-              "importToManifest and the graft_lake MERGE surface")
-          GraftDeltaMergeCommand(dmlTarget(m.targetTable).get,
-            mergeKeys(m.mergeCondition),
-            PlanBridge.ofRows(spark, src))
+          val path = dmlTarget(m.targetTable).get
+          val tr = MergeSqlSupport.translate(m, src, "graft_delta",
+            targetQualifiers(m.targetTable),
+            () => DeltaInterop.state(spark, path, None).schema
+              .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+          if (tr.simple)
+            GraftDeltaMergeCommand(path, tr.keys,
+              PlanBridge.ofRows(spark, src))
+          else
+            GraftDeltaMergeApplyCommand(path, tr.keys, tr.matched,
+              tr.inserts, tr.nmbs, tr.scope,
+              PlanBridge.ofRows(spark, src))
         }
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)

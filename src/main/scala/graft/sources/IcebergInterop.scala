@@ -2170,10 +2170,13 @@ object IcebergInterop {
       dmlNormStr(f.path) -> f,
       dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    val liveKeys = toDF(spark, st, keepLineage = true)
+    // skipped when no clause can fire on a matched row — an NMBS-only
+    // sync never rewrites key-matched files
+    def liveKeys = toDF(spark, st, keepLineage = true)
       .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
     val touchedNames: Set[String] =
-      liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
+      if (matched.isEmpty) Set.empty
+      else liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
         .as[String].collect().toSet
     val touched = st.files.filter(f =>
       touchedNames(dmlNormStr(f.path)) ||
@@ -2216,12 +2219,15 @@ object IcebergInterop {
           st.schema)
       else toDF(spark, st.copy(files = rewriteSet.toIndexedSeq))
         .drop("__fp", "__pos")
-    val notMatchedSrc = source
-      .join(liveKeys.drop("__fp").distinct(), keyCols, "left_anti")
+    val notMatchedSrc =
+      if (notMatched.isEmpty) source.filter(lit(false))
+      else source.join(liveKeys.drop("__fp").distinct(), keyCols,
+        "left_anti")
     val applied = MergeClauses(currentRows, source, keyCols, st.schema,
       matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
       notMatchedSrc)
-    val insertCount = applied.inserts.count()
+    val insertCount =
+      if (notMatched.isEmpty) 0L else applied.inserts.count()
     if (rewriteSet.isEmpty && insertCount == 0L)
       return IceDml(st.snapshotId, 0L, 0)
     val firedCount =

@@ -1507,6 +1507,144 @@ object LakeQueries {
       |  TRUE AS mor_delete, TRUE AS mapped_physical
       |FROM fin GROUP BY o_orderpriority""".stripMargin
 
+  /** dl12_merge_clauses — the FULL MERGE clause surface on a
+    * partitioned Delta table through the SQL gate: one clause merge
+    * (conditional `WHEN MATCHED DELETE`, fallthrough `WHEN MATCHED
+    * UPDATE SET`, column-list `WHEN NOT MATCHED INSERT` —
+    * first-match-wins order) followed by a SCOPED `WHEN NOT MATCHED
+    * BY SOURCE DELETE` sync whose ON conjunct
+    * (`t.o_orderpriority = '1-URGENT'`) bounds the pass.
+    * `scope_pruned` pins IN-ROW that the sync never rewrote an
+    * out-of-scope partition's files — the cost contract the clause
+    * port carries from the lake. The oracle re-derives both merges
+    * from the original parquet. */
+  def dl12MergeClauses(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl12:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl12").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o, dir, partitionBy = Seq("o_orderpriority"))
+      DeltaSql.register("dl12_t", dir)
+      val base = o.filter(col("o_orderkey") % 10 === 1)
+      base.unionByName(base.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(100000000L))
+            .cast(o.schema("o_orderkey").dataType)))
+        .createOrReplaceTempView("dl12_src")
+      s.sql(
+        """MERGE INTO graft_delta.dl12_t AS t
+          |USING dl12_src AS s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_totalprice > 150000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 5
+          |WHEN NOT MATCHED THEN
+          |  INSERT (o_orderkey, o_orderpriority, o_totalprice)
+          |  VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice * 2)
+          |""".stripMargin)
+      val outOfScope = DeltaInterop.state(s, dir, None).files
+        .filter(_.partitionValues.get("o_orderpriority").flatten
+          .exists(_ != "1-URGENT")).map(_.path).toSet
+      s.sql(
+        """MERGE INTO graft_delta.dl12_t AS t
+          |USING dl12_src AS s
+          |ON t.o_orderkey = s.o_orderkey
+          |  AND t.o_orderpriority = '1-URGENT'
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      val after = DeltaInterop.state(s, dir, None).files.map(_.path).toSet
+      s"$dir|${outOfScope.subsetOf(after)}"
+    })
+    val Array(dir, pruned) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("scope_pruned", lit(pruned.toBoolean))
+  }
+
+  /** Both merges of dl12/ic15, re-derived relationally: merge 1
+    * deletes expensive matched keys, bumps the rest, inserts offset
+    * copies at double price; merge 2 deletes 1-URGENT rows without a
+    * source key (source keys are exactly the ≡1 (mod 10) keys, offset
+    * rows included since 10 | 10⁸). */
+  private def mergeClausesOracle(flag: String): String =
+    s"""WITH post1 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 5
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 10 = 1 AND o_totalprice > 150000)
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority,
+      |    o_totalprice * 2
+      |  FROM orders WHERE o_orderkey % 10 = 1),
+      |post2 AS (
+      |  SELECT * FROM post1
+      |  WHERE NOT (o_orderpriority = '1-URGENT'
+      |    AND o_orderkey % 10 <> 1))
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS $flag
+      |FROM post2 GROUP BY o_orderpriority""".stripMargin
+
+  val dl12Oracle: String = mergeClausesOracle("scope_pruned")
+
+  /** ic15_merge_clauses — the same clause surface on a PARTITIONED
+    * Iceberg table through the SQL gate (conditional matched
+    * delete/update, column-list insert, scoped NMBS sync).
+    * `scope_pruned` pins that the sync carried every out-of-scope
+    * partition's data files verbatim. */
+  def ic15MergeClauses(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic15:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic15").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o, dir, partitionBy =
+        Seq(IcebergInterop.SpecField(
+          "o_orderpriority", "identity", "o_orderpriority")))
+      IcebergSql.register("ic15_t", dir)
+      val base = o.filter(col("o_orderkey") % 10 === 1)
+      base.unionByName(base.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(100000000L))
+            .cast(o.schema("o_orderkey").dataType)))
+        .createOrReplaceTempView("ic15_src")
+      s.sql(
+        """MERGE INTO graft_iceberg.ic15_t AS t
+          |USING ic15_src AS s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_totalprice > 150000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 5
+          |WHEN NOT MATCHED THEN
+          |  INSERT (o_orderkey, o_orderpriority, o_totalprice)
+          |  VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice * 2)
+          |""".stripMargin)
+      val outOfScope = IcebergInterop.state(s, dir, None).files
+        .filter(_.partition.get("o_orderpriority")
+          .exists(v => String.valueOf(v) != "1-URGENT"))
+        .map(_.path).toSet
+      s.sql(
+        """MERGE INTO graft_iceberg.ic15_t AS t
+          |USING ic15_src AS s
+          |ON t.o_orderkey = s.o_orderkey
+          |  AND t.o_orderpriority = '1-URGENT'
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      val after = IcebergInterop.state(s, dir, None)
+        .files.map(_.path).toSet
+      s"$dir|${outOfScope.subsetOf(after)}"
+    })
+    val Array(dir, pruned) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("scope_pruned", lit(pruned.toBoolean))
+  }
+
+  val ic15Oracle: String = mergeClausesOracle("scope_pruned")
+
   /** ic9_iceberg_dml — Iceberg ROW-LEVEL DML through the gate, all
     * three verbs via the SQL surface: two appends build two manifests
     * (evens, odds); copy-on-write `DELETE FROM`, `UPDATE` and the
@@ -2572,6 +2710,8 @@ object LakeQueries {
     "ic8_iceberg_optimize" -> (ic8IcebergOptimize _),
     "dl9_delta_dml" -> (dl9DeltaDml _),
     "dl10_mapped_dml" -> (dl10MappedDml _),
+    "dl12_merge_clauses" -> (dl12MergeClauses _),
+    "ic15_merge_clauses" -> (ic15MergeClauses _),
     "dl11_timestamp_travel" -> (dl11TimestampTravel _),
     "ic14_partitioned_mor" -> (ic14PartitionedMor _),
     "ic9_iceberg_dml" -> (ic9IcebergDml _),
@@ -2633,6 +2773,8 @@ object LakeQueries {
     "dls2_delta_cdf_stream" -> dl7Oracle,
     "dl8_delta_optimize" -> dl8Oracle,
     "dl10_mapped_dml" -> dl10Oracle,
+    "dl12_merge_clauses" -> dl12Oracle,
+    "ic15_merge_clauses" -> ic15Oracle,
     "dl11_timestamp_travel" -> dl11Oracle,
     "ic14_partitioned_mor" -> ic14Oracle,
     "ic8_iceberg_optimize" -> ic8Oracle,

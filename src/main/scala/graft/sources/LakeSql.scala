@@ -119,61 +119,7 @@ object LakeSql {
     case _ => Set.empty
   }
 
-  /** The names a MERGE's SOURCE columns may be qualified by: every
-    * alias / relation identifier on the root path of the source plan
-    * (works on the unresolved AND resolved shapes — a temp view
-    * resolves to `SubqueryAlias(viewName, View(...))`, keeping its
-    * name addressable). */
-  private def srcQualifiersOf(plan: LogicalPlan): Set[String] = {
-    val root = java.util.Locale.ROOT
-    plan match {
-      case SubqueryAlias(id, child) =>
-        srcQualifiersOf(child) + id.name.toLowerCase(root)
-      case u: UnresolvedRelation =>
-        val parts = u.multipartIdentifier.map(_.toLowerCase(root))
-        Set(parts.mkString("."), parts.last)
-      case _ => Set.empty
-    }
-  }
 
-  /** Split a MERGE ON condition into its equi-join key columns
-    * (`t.k = s.k`, same name both sides — the upsert-key shape) and the
-    * residual TARGET-ONLY conjuncts (the scope of a
-    * `WHEN NOT MATCHED BY SOURCE` sync, e.g. `AND t.ds = '2026-08-13'`
-    * — prune-able bounds the cost contract rides on). A conjunct
-    * referencing source columns that is not a key equality has no
-    * touched-files reading — still an error. */
-  private def splitMergeOn(cond: Expression, tgtQuals: Set[String],
-      tgtCols: () => Set[String], srcCols: Set[String])
-      : (Seq[String], Seq[Expression]) = {
-    // tgtCols is a THUNK: resolving the target's columns on a legacy
-    // schema-less table costs a full file-index listing, and the common
-    // qualified-key MERGE never needs it — only a BARE attribute in a
-    // scope conjunct forces ownership resolution
-    val root = java.util.Locale.ROOT
-    def targetOnly(e: Expression): Boolean = !e.exists {
-      case UnresolvedAttribute(parts) if parts.length > 1 =>
-        !tgtQuals.contains(parts.init.map(_.toLowerCase(root)).mkString("."))
-      case UnresolvedAttribute(parts) =>
-        val n = parts.head.toLowerCase(root)
-        !tgtCols().contains(n) || srcCols.contains(n)
-      case _ => false
-    }
-    cond match {
-      case And(l, r) =>
-        val (kl, sl) = splitMergeOn(l, tgtQuals, tgtCols, srcCols)
-        val (kr, sr) = splitMergeOn(r, tgtQuals, tgtCols, srcCols)
-        (kl ++ kr, sl ++ sr)
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-        (Seq(a.nameParts.last), Nil)
-      case other if targetOnly(other) => (Nil, Seq(other))
-      case other => throw new UnsupportedOperationException(
-        s"graft_lake MERGE supports conjunctions of t.key = s.key " +
-          "(same column name both sides) plus target-only scope " +
-          s"conjuncts; got: ${other.sql}")
-    }
-  }
 
   /** Strip relation qualifiers from a DML predicate's attributes: the
     * command evaluates it against the bare lake read, where `t.id`
@@ -507,145 +453,24 @@ object LakeSql {
         val src = resolveReads(m.sourceTable)
         if (!src.resolved) m.copy(sourceTable = src) // wait for the analyzer
         else {
-          if (m.withSchemaEvolution)
-            throw new UnsupportedOperationException(
-              "graft_lake MERGE WITH SCHEMA EVOLUTION is unsupported — " +
-                "widen the table first (ALTER TABLE ADD COLUMNS)")
           val path = lakeTarget(m.targetTable).get
-          val mTgtQuals = targetQualifiers(m.targetTable)
-          val root0 = java.util.Locale.ROOT
-          lazy val mTgtCols = ManifestLake.snapshot(spark, path).schema
-            .getOrElse(ManifestLake.read(spark, path).schema)
-            .fieldNames.map(_.toLowerCase(root0)).toSet
-          val mSrcCols = src.output.map(_.name.toLowerCase(root0)).toSet
-          val (keys, scopeConjuncts) = splitMergeOn(m.mergeCondition,
-            mTgtQuals, () => mTgtCols, mSrcCols)
-          if (keys.isEmpty) throw new UnsupportedOperationException(
-            "graft_lake MERGE needs at least one t.key = s.key " +
-              "conjunct in its ON clause")
-          val scopeCol = scopeConjuncts
-            .reduceOption[Expression](And(_, _))
-            .map(e => ColumnBridge.column(unqualify(e)))
-          val simple = scopeConjuncts.isEmpty &&
-            m.notMatchedBySourceActions.isEmpty &&
-            m.matchedActions.size == 1 &&
-            m.matchedActions.forall {
-              case UpdateStarAction(None) => true; case _ => false } &&
-            m.notMatchedActions.size == 1 &&
-            m.notMatchedActions.forall {
-              case InsertStarAction(None) => true; case _ => false }
-          if (simple)
+          val tr = MergeSqlSupport.translate(m, src, "graft_lake",
+            targetQualifiers(m.targetTable),
+            // a thunk: resolving a legacy schema-less table's columns
+            // costs a file-index listing the qualified-key MERGE
+            // never needs
+            () => ManifestLake.snapshot(spark, path).schema
+              .getOrElse(ManifestLake.read(spark, path).schema)
+              .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+          if (tr.simple)
             // the plain upsert rides ManifestLake.merge, which also
             // widens schemas from the source — the proven lk2/lk5 path
-            GraftMergeIntoCommand(path, keys, PlanBridge.ofRows(spark, src))
-          else {
-            // the general clause surface maps onto mergeApply: target
-            // columns by their own names, source columns under the
-            // __src_ prefix; every attribute in a condition/assignment
-            // is rewritten to that convention here, by qualifier (or by
-            // unambiguous ownership when bare)
-            val tgtQuals = mTgtQuals
-            val srcQuals = srcQualifiersOf(m.sourceTable) ++
-              srcQualifiersOf(src)
-            val root = java.util.Locale.ROOT
-            val tgtCols = mTgtCols
-            val srcCols = mSrcCols
-            def rw(e: Expression): org.apache.spark.sql.Column =
-              ColumnBridge.column(e.transform {
-                case UnresolvedAttribute(parts) if parts.length > 1 =>
-                  val qual = parts.init.map(_.toLowerCase(root)).mkString(".")
-                  if (tgtQuals.contains(qual))
-                    UnresolvedAttribute(Seq(parts.last))
-                  else if (srcQuals.contains(qual))
-                    UnresolvedAttribute(
-                      Seq(ManifestLake.MergeSrcPrefix + parts.last))
-                  else throw new UnsupportedOperationException(
-                    s"graft_lake MERGE cannot place " +
-                      s"'${parts.mkString(".")}' — qualify it with the " +
-                      "target or source alias")
-                case UnresolvedAttribute(parts) =>
-                  val n = parts.head.toLowerCase(root)
-                  if (tgtCols.contains(n) && srcCols.contains(n))
-                    throw new UnsupportedOperationException(
-                      s"graft_lake MERGE reference '${parts.head}' is " +
-                        "ambiguous — both target and source carry it; " +
-                        "qualify it")
-                  else if (srcCols.contains(n))
-                    UnresolvedAttribute(
-                      Seq(ManifestLake.MergeSrcPrefix + parts.head))
-                  else UnresolvedAttribute(parts)
-              })
-            def assignOf(a: Assignment): (String, org.apache.spark.sql.Column) =
-              a match {
-                case Assignment(k: UnresolvedAttribute, v) =>
-                  val parts = k.nameParts
-                  if (parts.length > 1 && !tgtQuals.contains(parts.init
-                      .map(_.toLowerCase(root)).mkString(".")))
-                    throw new UnsupportedOperationException(
-                      s"graft_lake MERGE assignment target " +
-                        s"'${parts.mkString(".")}' is not a plain column " +
-                        "of the target table")
-                  parts.last -> rw(v)
-                case other => throw new UnsupportedOperationException(
-                  s"graft_lake MERGE supports only plain column " +
-                    s"assignment targets; got: ${other.sql}")
-              }
-            val matchedClauses = m.matchedActions.map {
-              case UpdateStarAction(c) =>
-                ManifestLake.MergeUpdate(c.map(rw), None)
-              case UpdateAction(c, assigns, _) =>
-                ManifestLake.MergeUpdate(c.map(rw),
-                  Some(assigns.map(assignOf)))
-              case DeleteAction(c) => ManifestLake.MergeDelete(c.map(rw))
-              case other => throw new UnsupportedOperationException(
-                s"graft_lake MERGE: unsupported WHEN MATCHED action " +
-                  s"${other.getClass.getSimpleName}")
-            }
-            val insertClauses = m.notMatchedActions.map {
-              case InsertStarAction(c) =>
-                ManifestLake.MergeInsert(c.map(rw), None)
-              case InsertAction(c, assigns) =>
-                ManifestLake.MergeInsert(c.map(rw),
-                  Some(assigns.map(assignOf)))
-              case other => throw new UnsupportedOperationException(
-                s"graft_lake MERGE: unsupported WHEN NOT MATCHED action " +
-                  s"${other.getClass.getSimpleName}")
-            }
-            // NMBS clauses see only the target row (there is no source
-            // row) — a source reference is an error, caught by checking
-            // for the __src_ convention after the rewrite
-            def rwTgt(e: Expression): org.apache.spark.sql.Column = {
-              val c = rw(e)
-              val bad = ColumnBridge.expression(c).collectFirst {
-                case UnresolvedAttribute(parts) if parts.head
-                  .startsWith(ManifestLake.MergeSrcPrefix) => parts.head
-              }
-              bad.foreach(n => throw new UnsupportedOperationException(
-                "graft_lake MERGE: WHEN NOT MATCHED BY SOURCE clauses " +
-                  "may reference target columns only — " +
-                  s"'${n.stripPrefix(ManifestLake.MergeSrcPrefix)}' " +
-                  "resolves to the source"))
-              c
-            }
-            val nmbsClauses = m.notMatchedBySourceActions.map {
-              case DeleteAction(c) => ManifestLake.MergeDelete(c.map(rwTgt))
-              case UpdateAction(c, assigns, _) =>
-                ManifestLake.MergeUpdate(c.map(rwTgt),
-                  Some(assigns.map { a =>
-                    val (k, _) = assignOf(a)
-                    k -> (a match {
-                      case Assignment(_, v) => rwTgt(v)
-                    })
-                  }))
-              case other => throw new UnsupportedOperationException(
-                "graft_lake MERGE: unsupported WHEN NOT MATCHED BY " +
-                  s"SOURCE action ${other.getClass.getSimpleName} — " +
-                  "UPDATE SET with explicit assignments or DELETE")
-            }
-            GraftMergeApplyCommand(path, keys, matchedClauses,
-              insertClauses, nmbsClauses, scopeCol,
+            GraftMergeIntoCommand(path, tr.keys,
               PlanBridge.ofRows(spark, src))
-          }
+          else
+            GraftMergeApplyCommand(path, tr.keys, tr.matched,
+              tr.inserts, tr.nmbs, tr.scope,
+              PlanBridge.ofRows(spark, src))
         }
       // `ADD CONSTRAINT ... CHECK` parses as AddCheckConstraint with a
       // Filter(NOT pred, relation) child — Spark's own existing-data

@@ -254,8 +254,8 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"id").as[Long].collect() shouldBe Array(99L)
   }
 
-  test("SQL MERGE INTO graft_delta executes the upsert; richer clause " +
-    "shapes refuse by name") {
+  test("SQL MERGE INTO graft_delta executes the upsert; clause " +
+    "shapes run through mergeApply") {
     import spark.implicits._
     val t = fresh()
     DeltaInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
@@ -273,12 +273,13 @@ class DeltaDmlSpec extends AnyFunSuite with Matchers with SparkSpec {
         .as[(Long, Long)].collect()
       out shouldBe Array((1L, 1L), (2L, 20L), (3L, 3L), (4L, 4L),
         (5L, 5L), (9L, 90L))
-      intercept[UnsupportedOperationException] {
-        spark.sql(
-          """MERGE INTO graft_delta.merge_sql_t AS t
-            |USING merge_sql_src AS s ON t.id = s.id
-            |WHEN MATCHED THEN DELETE""".stripMargin)
-      }.getMessage should include("plain upsert")
+      // clause shape: WHEN MATCHED THEN DELETE now executes
+      spark.sql(
+        """MERGE INTO graft_delta.merge_sql_t AS t
+          |USING merge_sql_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      spark.sql("SELECT id FROM graft_delta.merge_sql_t ORDER BY id")
+        .as[Long].collect() shouldBe Array(1L, 3L, 4L, 5L)
     } finally {
       DeltaSql.unregister("merge_sql_t")
       spark.catalog.dropTempView("merge_sql_src"): Unit

@@ -286,4 +286,106 @@ class InteropMergeClausesSpec extends AnyFunSuite with Matchers
         scope = Some(col("ds") === "d0"))
     }.getMessage should include("explicit")
   }
+
+  test("SQL clause MERGE on graft_delta: conditional update/delete, " +
+    "column-list insert, ON-conjunct scope drives NMBS, and the " +
+    "whole-table conf gates the unscoped sync") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 200L).map(i => (s"d${(i - 1) / 100}", i, i * 1.0, "live"))
+        .toDF("ds", "id", "v", "st"), t, partitionBy = Seq("ds"))
+    DeltaSql.register("mc_t", t)
+    Seq(("d0", 1L, "del", 0.0), ("d0", 2L, "upd", 100.0),
+      ("d0", 300L, "ins", 3.0))
+      .toDF("ds", "id", "op", "nv").createOrReplaceTempView("mc_src")
+    try {
+      spark.sql(
+        """MERGE INTO graft_delta.mc_t AS t
+          |USING mc_src AS s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'del' THEN DELETE
+          |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET v = s.nv + t.v
+          |WHEN NOT MATCHED AND s.op = 'ins' THEN
+          |  INSERT (ds, id, v, st) VALUES (s.ds, s.id, s.nv, 'new')
+          |""".stripMargin)
+      val out = DeltaInterop.read(spark, t)
+      out.count() shouldBe 200L
+      out.filter($"id" === 1L).count() shouldBe 0L
+      out.filter($"id" === 2L).select($"v").as[Double].head() shouldBe 102.0
+      out.filter($"id" === 300L).select($"st").as[String]
+        .head() shouldBe "new"
+      // NMBS through the ON-conjunct scope: mirror d0 to {2,300}
+      spark.sql(
+        """MERGE INTO graft_delta.mc_t AS t
+          |USING mc_src AS s ON t.id = s.id AND t.ds = 'd0'
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      val synced = DeltaInterop.read(spark, t)
+      synced.filter($"ds" === "d0").count() shouldBe 2L
+      synced.filter($"ds" === "d1").count() shouldBe 100L
+      // unscoped NMBS: refused without the conf, runs with it
+      spark.conf.set(ManifestLake.NmbsSmallTableBytesConf, "0")
+      try {
+        intercept[IllegalArgumentException] {
+          spark.sql(
+            """MERGE INTO graft_delta.mc_t AS t
+              |USING mc_src AS s ON t.id = s.id
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        }.getMessage should include("fullTableMerge")
+        spark.conf.set(LakeSql.FullTableMergeConf, "true")
+        try spark.sql(
+          """MERGE INTO graft_delta.mc_t AS t
+            |USING mc_src AS s ON t.id = s.id
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        finally spark.conf.unset(LakeSql.FullTableMergeConf)
+        DeltaInterop.read(spark, t).count() shouldBe 2L
+      } finally spark.conf.unset(ManifestLake.NmbsSmallTableBytesConf)
+    } finally {
+      DeltaSql.unregister("mc_t")
+      spark.catalog.dropTempView("mc_src"): Unit
+    }
+  }
+
+  test("SQL clause MERGE on graft_iceberg: conditional update/delete, " +
+    "column-list insert and the scoped NMBS sync") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 200L).map(i => (i, s"d${(i - 1) / 100}", i * 1.0))
+        .toDF("id", "ds", "v"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("ds", "identity", "ds")))
+    IcebergSql.register("mc_ice_t", t)
+    Seq((1L, "d0", "del", 0.0), (2L, "d0", "upd", 100.0),
+      (300L, "d0", "ins", 3.0))
+      .toDF("id", "ds", "op", "nv").createOrReplaceTempView("mc_ice_src")
+    try {
+      spark.sql(
+        """MERGE INTO graft_iceberg.mc_ice_t AS t
+          |USING mc_ice_src AS s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'del' THEN DELETE
+          |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET v = s.nv + t.v
+          |WHEN NOT MATCHED AND s.op = 'ins' THEN
+          |  INSERT (id, ds, v) VALUES (s.id, s.ds, s.nv)
+          |""".stripMargin)
+      val out = IcebergInterop.read(spark, t)
+      out.count() shouldBe 200L
+      out.filter($"id" === 1L).count() shouldBe 0L
+      out.filter($"id" === 2L).select($"v").as[Double].head() shouldBe 102.0
+      out.filter($"id" === 300L).select($"ds").as[String]
+        .head() shouldBe "d0"
+      spark.sql(
+        """MERGE INTO graft_iceberg.mc_ice_t AS t
+          |USING mc_ice_src AS s ON t.id = s.id AND t.ds = 'd0'
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      val synced = IcebergInterop.read(spark, t)
+      synced.filter($"ds" === "d0").count() shouldBe 2L
+      synced.filter($"ds" === "d1").count() shouldBe 100L
+    } finally {
+      IcebergSql.unregister("mc_ice_t")
+      spark.catalog.dropTempView("mc_ice_src"): Unit
+    }
+  }
 }
