@@ -185,13 +185,20 @@ object DeletionVectors {
       new java.util.LinkedHashMap[String, DvBits](64, 0.75f, true)
 
     def get(table: String, token: String,
-            hconf: Map[String, String]): DvBits = {
-      val key = table + "\u0000" + token
+            hconf: Map[String, String]): DvBits =
+      getWith(table + "\u0000" + token)(
+        load(table, parseRef(token), hconf))
+
+    /** Generic entry: cache `key` under the same LRU byte cap, loading
+      * with `loader` on a miss — the door foreign-format kill sets
+      * ([[ForeignDvLive]]) share so one executor holds ONE bounded
+      * pool of decoded vectors whatever their on-disk dialect. */
+    def getWith(key: String)(loader: => DvBits): DvBits = {
       cache.synchronized {
         val hit = cache.get(key)
         if (hit != null) return hit
       }
-      val bits = load(table, parseRef(token), hconf)
+      val bits = loader
       cache.synchronized {
         val prev = cache.putIfAbsent(key, bits)
         if (prev != null) prev
@@ -215,6 +222,15 @@ object DeletionVectors {
   private[sources] def get(table: String, token: String,
                            hconf: Map[String, String]): DvBits =
     DvStore.get(table, token, hconf)
+
+  /** Generic cached decode under the shared executor LRU. */
+  private[sources] def getWith(key: String)(loader: => DvBits): DvBits =
+    DvStore.getWith(key)(loader)
+
+  /** Decoded bits for an arbitrary sorted kill list — the foreign-
+    * format loaders' constructor. */
+  private[sources] def bitsOf(sorted: Array[Long]): DvBits =
+    bitsFor(sorted)
 
   private def fsConf(hconf: Map[String, String]): Configuration = {
     val c = new Configuration()

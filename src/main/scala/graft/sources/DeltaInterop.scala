@@ -949,29 +949,24 @@ object DeltaInterop {
     if (dvAdds.isEmpty)
       scanAll(keepLineage)
     else {
-      import spark.implicits._
-      val descriptors = dvAdds.map { a =>
-        val d = a.dv.get
-        // toUri keeps percent-escapes so the anti-join key agrees
-        // with the scan's _metadata.file_path form
-        (new Path(table, a.path).toUri.toString, d.storageType,
-          d.pathOrInlineDv, d.offset, d.sizeInBytes)
-      }
-      val tableRoot = table
-      val dels = spark.createDataset(descriptors)
-        .flatMap { case (fp, st, payload, off, size) =>
-          val root = new Path(tableRoot)
-          val fs = root.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
-          DeltaDv.deserialize(DeltaDv.bitmapBytes(fs, root,
-              DeltaDv.DvDescriptor(st, payload, off, size, -1L)))
-            .map(pos => (fp, pos))
-        }
-        .toDF("__fp", "__pos")
-        .select(norm(col("__fp")).as("__fp"), col("__pos"))
-      val joined = scanAll(withLineage = true)
-        .join(dels, Seq("__fp", "__pos"), "left_anti")
-      if (keepLineage) joined else joined.drop("__fp", "__pos")
+      // PER-FILE vector application ([[ForeignDvLive]]): the task
+      // scanning a file loads just ITS descriptor's bitmap
+      // (executor-cached) and probes per row — no join, no Exchange,
+      // the prior whole-scan anti-join's 100× read ceiling closed the
+      // same way the native lake's was in r9. Keyed on the scan's
+      // `_metadata.file_path` form (toUri keeps percent-escapes).
+      val refs: Map[String, String] = dvAdds.map { a =>
+        normStr(new Path(table, a.path).toUri.toString) ->
+          ForeignDv.deltaToken(a.dv.get)
+      }.toMap
+      val env = spark.sparkContext.broadcast(
+        (refs, ForeignDv.hadoopConfMap(spark)))
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val filtered = scanAll(withLineage = true)
+        .filter(ColumnBridge.column(ForeignDvLive(
+          ColumnBridge.expression(col("__fp")),
+          ColumnBridge.expression(col("__pos")), table, env)))
+      if (keepLineage) filtered else filtered.drop("__fp", "__pos")
     }
   }
 

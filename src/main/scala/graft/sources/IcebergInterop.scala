@@ -689,34 +689,27 @@ object IcebergInterop {
         }
       if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty)
         return (if (keepLineage) keyed else keyed.drop("__fp", "__pos"))
-      // v2 merge-on-read, POSITION deletes: anti-join on (file, row
-      // position). Spark's parquet metadata columns supply exactly the
-      // delete key — `_metadata.row_index` is the row's ordinal within
-      // its file. Path spellings vary by writer (`file:/x` vs
-      // `file:///x`), so both sides normalize the scheme prefix. The
-      // delete set stays proportional to deleted rows and AQE
-      // broadcasts it when small.
+      // v2 merge-on-read, POSITION deletes: PER-FILE application
+      // ([[ForeignDvLive]]) — the task scanning a data file probes
+      // only its own kill set; each delete FILE decodes once per
+      // executor into a (data file → bitmap) map under the shared
+      // LRU cap. `_metadata.row_index` supplies the position; no
+      // join, no Exchange (the prior whole-scan anti-join was the
+      // 100× read ceiling on heavily-vectored tables). Position
+      // deletes are path-keyed per spec, so no sequence comparison
+      // is needed (a later re-insert is a new path).
       val posApplied =
         if (st.posDeletes.isEmpty) keyed
         else {
-          // the delete set is O(deleted rows); expanding each row to
-          // the raw + escaped path forms keeps the anti-join exact
-          // whichever spelling the delete's writer recorded
-          import spark.implicits._
-          val dels = spark.read.parquet(st.posDeletes: _*)
-            .select(col("file_path").cast("string"),
-              col("pos").cast("long"))
-            .as[(String, Long)]
-            .flatMap { case (fp, pos) =>
-              val raw = fp.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-              val esc = new Path(fp).toUri.toString
-                .replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-              (if (raw == esc) Seq(raw) else Seq(raw, esc))
-                .map(k => (k, pos))
-            }
-            .toDF("__fp", "__pos")
-            .distinct()
-          keyed.join(dels, Seq("__fp", "__pos"), "left_anti")
+          val token = ForeignDv.icebergToken(st.posDeletes)
+          val refs: Map[String, String] =
+            st.files.flatMap(f => fpForms(f.path).map(_ -> token)).toMap
+          val env = spark.sparkContext.broadcast(
+            (refs, ForeignDv.hadoopConfMap(spark)))
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          keyed.filter(ColumnBridge.column(ForeignDvLive(
+            ColumnBridge.expression(col("__fp")),
+            ColumnBridge.expression(col("__pos")), "iceberg", env)))
         }
       // EQUALITY deletes: a delete row kills every data row whose key
       // columns match (null-safe) in files with a STRICTLY SMALLER
