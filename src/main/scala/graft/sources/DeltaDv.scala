@@ -119,6 +119,28 @@ object DeltaDv {
     out.toArray
   }
 
+  /** Deleted positions from a STANDARD portable 64-bit roaring bitmap
+    * (RoaringBitmap's `Roaring64NavigableMap` portable spec): 8-byte
+    * LE bucket count, then per bucket a 4-byte LE high key + one
+    * 32-bit portable bitmap. This is the serialization Iceberg v3
+    * deletion vectors embed in Puffin `deletion-vector-v1` blobs —
+    * distinct from Delta's RoaringBitmapArray framing above (magic +
+    * implicit bucket index), but sharing the 32-bit container codec. */
+  def deserializePortable64(data: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val nBuckets = buf.getLong()
+    require(nBuckets >= 0 && nBuckets <= Int.MaxValue,
+      s"bad 64-bit roaring bucket count $nBuckets")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var b = 0L
+    while (b < nBuckets) {
+      val high = buf.getInt().toLong << 32
+      readBitmap32(buf, v32 => out += (high | (v32 & 0xffffffffL)))
+      b += 1
+    }
+    out.toArray
+  }
+
   /** One standard portable 32-bit roaring bitmap, values to `emit`. */
   private def readBitmap32(buf: ByteBuffer, emit: Int => Unit): Unit = {
     val cookie = buf.getInt()

@@ -759,11 +759,24 @@ object DeltaInterop {
         (j \ "commitInfo") match {
           case JNothing | JNull => ()
           case ci =>
+            // inCommitTimestamps (Delta 3.3+): when the table feature
+            // is enabled the commit's OWN monotonic clock is the
+            // authoritative timestamp — resolution must use it, or
+            // TIMESTAMP AS OF silently disagrees with delta-spark on
+            // such tables (the wall-clock rule below stays the
+            // fallback for pre-enablement commits, which simply lack
+            // the field)
+            val ict = (ci \ "inCommitTimestamp") match {
+              case JInt(t) => Some(t.toLong)
+              case JLong(t) => Some(t)
+              case _ => None
+            }
             (ci \ "timestamp") match {
               case JInt(t) => ts = t.toLong
               case JLong(t) => ts = t
               case _ => ()
             }
+            ict.foreach(ts = _)
             (ci \ "operation") match {
               case JString(s) => op = s
               case _ => ()
@@ -1181,7 +1194,8 @@ object DeltaInterop {
         a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
     }
 
-    publishCommit(fs, logDir, version, lines.toSeq)
+    publishCommit(fs, logDir, version, lines.toSeq,
+      prior.map(_.configuration).getOrElse(Map.empty))
   }
 
   // ------------------------------------------------------ row-level DML
@@ -1411,7 +1425,7 @@ object DeltaInterop {
         lines ++= stageCdc(cdcRows, root, fs, pv)
     }
     val v = publishCommit(fs, new Path(root, "_delta_log"),
-      st.version + 1, lines.toSeq)
+      st.version + 1, lines.toSeq, st.configuration)
     DeltaDml(v, perFile.map(_._6).sum, perFile.length)
   }
 
@@ -1517,7 +1531,7 @@ object DeltaInterop {
       }
     }
     val v = publishCommit(fs, new Path(root, "_delta_log"),
-      st.version + 1, lines.toSeq)
+      st.version + 1, lines.toSeq, st.configuration)
     DeltaDml(v, counts.map(_._2).sum, touched.length)
   }
 
@@ -1657,7 +1671,7 @@ object DeltaInterop {
         lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
       }
       val v = publishCommit(fs, new Path(root, "_delta_log"),
-        st.version + 1, lines.toSeq)
+        st.version + 1, lines.toSeq, st.configuration)
       DeltaDml(v, perFile.map(_._6).sum, perFile.length)
     } finally matched.unpersist(): Unit
   }
@@ -1896,7 +1910,7 @@ object DeltaInterop {
       lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
     }
     val v = publishCommit(fs, new Path(root, "_delta_log"),
-      st.version + 1, lines.toSeq)
+      st.version + 1, lines.toSeq, st.configuration)
     DeltaDml(v, firedCount + insertCount, rewriteSet.length)
   }
 
@@ -2062,7 +2076,7 @@ object DeltaInterop {
       }
     }
     publishCommit(fs, new Path(root, "_delta_log"),
-      head.version + 1, lines.toSeq)
+      head.version + 1, lines.toSeq, head.configuration)
   }
 
   // --------------------------------------------------- change data feed
@@ -2114,7 +2128,8 @@ object DeltaInterop {
       metaDataJson(st.schema, st.partitionColumns, now,
         st.configuration + ("delta.enableChangeDataFeed" -> "true"),
         st.metaId))
-    publishCommit(fs, new Path(root, "_delta_log"), st.version + 1, lines)
+    publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
+      lines, st.configuration + ("delta.enableChangeDataFeed" -> "true"))
   }
 
   /** Row-level CHANGES between two commit versions (both inclusive) —
@@ -2318,7 +2333,7 @@ object DeltaInterop {
           s""""deletionTimestamp":$now,"dataChange":false}}""")
     }
     publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
-      lines.toSeq)
+      lines.toSeq, st.configuration)
   }
 
   /** OPTIMIZE — bin-pack compaction and optional multi-dimensional
@@ -2410,7 +2425,7 @@ object DeltaInterop {
           s""""deletionTimestamp":$now,"dataChange":false}}""")
     }
     publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
-      lines.toSeq)
+      lines.toSeq, st.configuration)
   }
 
   /** Compact the log at its head (or a named `version`) into a
@@ -2676,7 +2691,7 @@ object DeltaInterop {
           s""""modificationTime":$now,"dataChange":true}}"""
       }
     publishCommit(fs, logDir, prior.map(_.version + 1).getOrElse(0L),
-      lines.toSeq)
+      lines.toSeq, prior.map(_.configuration).getOrElse(Map.empty))
   }
 
   /** Metadata-only Delta → manifest-lake conversion, in place: register
@@ -2725,8 +2740,54 @@ object DeltaInterop {
       case seg if seg.contains('=') => seg.split("=", 2)(0)
     }
 
+  /** Monotonic in-commit timestamp for the next commit when the table
+    * enables `inCommitTimestamps` (Delta 3.3+): at least wall clock,
+    * strictly after the previous commit's own ICT (read from its
+    * FIRST line — the feature requires commitInfo first). A
+    * checkpoint-truncated predecessor falls back to the wall clock —
+    * still monotonic, since ICTs never run ahead of it by contract. */
+  private def nextIct(fs: FileSystem, logDir: Path,
+                      version: Long): Long = {
+    import org.json4s._
+    val prevIct: Long =
+      if (version == 0) Long.MinValue
+      else {
+        val prev = new Path(logDir, f"${version - 1}%020d.json")
+        if (!fs.exists(prev)) Long.MinValue
+        else {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(prev),
+              StandardCharsets.UTF_8))
+          val first = try in.readLine() finally in.close()
+          scala.util.Try(org.json4s.jackson.JsonMethods.parse(first))
+            .toOption.map(j => j \ "commitInfo" \ "inCommitTimestamp")
+            .collect { case JInt(t) => t.toLong; case JLong(t) => t }
+            .getOrElse(Long.MinValue)
+        }
+      }
+    math.max(System.currentTimeMillis(), prevIct + 1)
+  }
+
   private def publishCommit(fs: FileSystem, logDir: Path, version: Long,
-                            lines: Seq[String]): Long = {
+                            lines0: Seq[String],
+                            config: Map[String, String] =
+                              Map.empty): Long = {
+    // inCommitTimestamps: the commit's own monotonic clock lands in
+    // commitInfo (first action) — a spec-compliant reader of an
+    // ICT-enabled table resolves TIMESTAMP AS OF through it, so a
+    // commit WITHOUT the field would silently break such readers
+    val lines =
+      if (!config.get("delta.enableInCommitTimestamps").contains("true"))
+        lines0
+      else {
+        val ict = nextIct(fs, logDir, version)
+        lines0.zipWithIndex.map {
+          case (l, 0) if l.startsWith("""{"commitInfo":{""") =>
+            s"""{"commitInfo":{"inCommitTimestamp":$ict,""" +
+              l.stripPrefix("""{"commitInfo":{""")
+          case (l, _) => l
+        }
+      }
     fs.mkdirs(logDir)
     val commit = new Path(logDir, f"$version%020d.json")
     val tmp = new Path(logDir, f".$version%020d.json.${

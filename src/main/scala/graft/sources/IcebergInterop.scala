@@ -135,9 +135,17 @@ object IcebergInterop {
     * number. */
   final case class EqDelete(path: String, seq: Long, cols: Seq[String])
 
+  /** One Iceberg v3 DELETION VECTOR: a Puffin `deletion-vector-v1`
+    * blob killing positions of exactly one data file
+    * (`referenced_data_file`), addressed by byte range — the v3
+    * replacement for position-delete parquet. */
+  final case class IceDvDelete(referenced: String, path: String,
+                               offset: Long, size: Long)
+
   /** `posDeletes` are v2 POSITION-DELETE parquet files (rows of
-    * `(file_path, pos)`) the read must anti-join away; `eqDeletes`
-    * are value-keyed and sequence-ordered. */
+    * `(file_path, pos)`) the read must kill per file; `dvDeletes` are
+    * v3 deletion vectors (Puffin blobs, one per referenced data
+    * file); `eqDeletes` are value-keyed and sequence-ordered. */
   final case class IceState(metadataVersion: Long, snapshotId: Long,
                             schema: StructType, files: Seq[IceFile],
                             posDeletes: Seq[String] = Nil,
@@ -145,7 +153,8 @@ object IcebergInterop {
                             specs: Map[Int, Seq[SpecField]] = Map.empty,
                             defaultSpecId: Int = 0,
                             evo: SchemaEvolution = SchemaEvolution(),
-                            formatVersion: Int = 1)
+                            formatVersion: Int = 1,
+                            dvDeletes: Seq[IceDvDelete] = Nil)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -654,7 +663,8 @@ object IcebergInterop {
       val identCols: Seq[String] =
         st.files.flatMap(f => recorded(f).map(_._1)).distinct
       if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
-        identCols.isEmpty) return (if (keepLineage) keyedScan() else data)
+        st.dvDeletes.isEmpty && identCols.isEmpty)
+        return (if (keepLineage) keyedScan() else data)
       // metadata-derived delete keys and the identity fill both resolve
       // against the SCAN — attach them once, before any join hides the
       // file source (on the grouped path, inside each branch, BEFORE
@@ -687,7 +697,8 @@ object IcebergInterop {
               when(col(s"__th_$c"), col(s"__t_$c")).otherwise(col(c)))
           }.drop(identCols.flatMap(c => Seq(s"__t_$c", s"__th_$c")): _*)
         }
-      if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty)
+      if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+        st.dvDeletes.isEmpty)
         return (if (keepLineage) keyed else keyed.drop("__fp", "__pos"))
       // v2 merge-on-read, POSITION deletes: PER-FILE application
       // ([[ForeignDvLive]]) — the task scanning a data file probes
@@ -699,11 +710,26 @@ object IcebergInterop {
       // deletes are path-keyed per spec, so no sequence comparison
       // is needed (a later re-insert is a new path).
       val posApplied =
-        if (st.posDeletes.isEmpty) keyed
+        if (st.posDeletes.isEmpty && st.dvDeletes.isEmpty) keyed
         else {
-          val token = ForeignDv.icebergToken(st.posDeletes)
+          // v2 position-delete parquet shares one I-token across the
+          // snapshot (the per-file probe is a map lookup); a v3
+          // deletion vector is its referenced file's own P-token —
+          // both compose per file via the Multi separator
+          val posToken =
+            if (st.posDeletes.isEmpty) None
+            else Some(ForeignDv.icebergToken(st.posDeletes))
+          val dvByFile: Map[String, String] =
+            st.dvDeletes.flatMap(d => fpForms(d.referenced).map(_ ->
+              ForeignDv.puffinToken(d.path, d.offset, d.size))).toMap
           val refs: Map[String, String] =
-            st.files.flatMap(f => fpForms(f.path).map(_ -> token)).toMap
+            st.files.flatMap { f =>
+              fpForms(f.path).flatMap { k =>
+                val toks = posToken.toSeq ++ dvByFile.get(k).toSeq
+                if (toks.isEmpty) None
+                else Some(k -> toks.mkString(ForeignDv.Multi))
+              }
+            }.toMap
           val env = spark.sparkContext.broadcast(
             (refs, ForeignDv.hadoopConfMap(spark)))
           import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -757,10 +783,13 @@ object IcebergInterop {
     val metaJson = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v$version.metadata.json")))
     val formatVersion = jLong(metaJson \ "format-version")
-    if (formatVersion > 2)
+    // v3 is served READ-ONLY (deletion vectors; unknown v3 features
+    // refuse where they surface) — the write paths refuse v3 by name
+    // at publish time
+    if (formatVersion > 3)
       throw new UnsupportedIcebergFeatureException(
-        s"table $table is format-version $formatVersion — only v1/v2 " +
-          "are supported")
+        s"table $table is format-version $formatVersion — v1/v2 are " +
+          "supported, v3 read-only")
     // every retained schema, keyed by schema-id — the "schemas" list,
     // with the legacy single "schema" field as a one-entry fallback
     val schemaNodes: Seq[(Long, JValue)] = (metaJson \ "schemas") match {
@@ -900,6 +929,7 @@ object IcebergInterop {
     val files = Seq.newBuilder[IceFile]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
+    val dvDeletes = Seq.newBuilder[IceDvDelete]
     manifestListRows.foreach { mf =>
       val content = fieldOpt(mf, "content")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
@@ -928,9 +958,11 @@ object IcebergInterop {
           val fileContent = fieldOpt(df, "content")
             .map(_.asInstanceOf[Number].intValue).getOrElse(0)
           val fmt = df.get("file_format").toString
-          if (!fmt.equalsIgnoreCase("parquet"))
+          if (!fmt.equalsIgnoreCase("parquet") &&
+            !(fileContent == 1 && fmt.equalsIgnoreCase("puffin")))
             throw new UnsupportedIcebergFeatureException(
-              s"file format $fmt in $table — only parquet is served")
+              s"file format $fmt in $table — parquet data/delete " +
+                "files and puffin deletion vectors are served")
           fileContent match {
             case 0 =>
               if (content != 0)
@@ -948,6 +980,28 @@ object IcebergInterop {
                 fileSeq = fieldOpt(entry, "file_sequence_number")
                   .map(_.asInstanceOf[Number].longValue)
                   .getOrElse(entrySeq))
+            case 1 if fmt.equalsIgnoreCase("puffin") =>
+              // v3 DELETION VECTOR: one Puffin blob per referenced
+              // data file, addressed by byte range — all three v3
+              // fields are mandatory for this entry shape
+              val referenced = fieldOpt(df, "referenced_data_file")
+                .map(_.toString).getOrElse(
+                  throw new UnsupportedIcebergFeatureException(
+                    s"puffin deletion vector in $table lacks " +
+                      "referenced_data_file — cannot resolve which " +
+                      "data file it kills"))
+              val off = fieldOpt(df, "content_offset")
+                .map(_.asInstanceOf[Number].longValue)
+              val len = fieldOpt(df, "content_size_in_bytes")
+                .map(_.asInstanceOf[Number].longValue)
+              if (off.isEmpty || len.isEmpty)
+                throw new UnsupportedIcebergFeatureException(
+                  s"puffin deletion vector in $table lacks " +
+                    "content_offset/content_size_in_bytes — a whole-" +
+                    "file Puffin read (footer resolution) is not " +
+                    "supported; write blob-addressed entries")
+              dvDeletes += IceDvDelete(referenced,
+                df.get("file_path").toString, off.get, len.get)
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -989,7 +1043,7 @@ object IcebergInterop {
             ((i + 1).toLong, f.name, f.dataType)
           }).map(t => t._2 -> t._1).toMap,
         schemaFieldTriples, snapshotSchemaIds),
-      formatVersion.toInt)
+      formatVersion.toInt, dvDeletes.result())
   }
 
   /** An entry's `lower_bounds`/`upper_bounds` map decoded to the
@@ -1983,10 +2037,12 @@ object IcebergInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
-    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
-        "compactDeletes first; copy-on-write DML would silently " +
-        "resurrect their deleted rows otherwise")
+        "compactDeletes first (v3 deletion vectors are read-only: " +
+        "rewrite with the owning engine); copy-on-write DML would " +
+        "silently resurrect their deleted rows otherwise")
     if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
     import spark.implicits._
     // touched files and per-file match counts in one lineage job
@@ -2024,10 +2080,12 @@ object IcebergInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
-    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
-        "compactDeletes first; copy-on-write DML would silently " +
-        "resurrect their deleted rows otherwise")
+        "compactDeletes first (v3 deletion vectors are read-only: " +
+        "rewrite with the owning engine); copy-on-write DML would " +
+        "silently resurrect their deleted rows otherwise")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -2132,10 +2190,12 @@ object IcebergInterop {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
-    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
-        "compactDeletes first; copy-on-write DML would silently " +
-        "resurrect their deleted rows otherwise")
+        "compactDeletes first (v3 deletion vectors are read-only: " +
+        "rewrite with the owning engine); copy-on-write DML would " +
+        "silently resurrect their deleted rows otherwise")
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
     import spark.implicits._
@@ -2874,6 +2934,11 @@ object IcebergInterop {
     val metaDir = new Path(root, "metadata")
     val priorMeta = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    if (jLong(priorMeta \ "format-version") > 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $root is format-version " +
+          s"${jLong(priorMeta \ "format-version")} — served read-only " +
+          "(this writer publishes v1/v2 commits)")
     val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
@@ -3024,6 +3089,11 @@ object IcebergInterop {
     val metaDir = new Path(root, "metadata")
     val priorMeta = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    if (jLong(priorMeta \ "format-version") > 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $root is format-version " +
+          s"${jLong(priorMeta \ "format-version")} — served read-only " +
+          "(this writer publishes v1/v2 commits)")
     val v2 = jLong(priorMeta \ "format-version") >= 2
     // v2 commits take the next sequence number; rewritten survivors
     // keep their ORIGINAL data sequence numbers (entry-level, so the
@@ -3760,6 +3830,10 @@ object IcebergInterop {
     // commits with the NEXT sequence number
     val formatVersion: Int = priorMeta.map(m =>
       jLong(m \ "format-version")).filter(_ >= 1).getOrElse(1L).toInt
+    if (formatVersion > 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $root is format-version $formatVersion — served " +
+          "read-only (this writer publishes v1/v2 commits)")
     val v2 = formatVersion >= 2
     val newSeq: Long =
       if (!v2) 0L
@@ -4159,6 +4233,10 @@ object IcebergInterop {
     * tracks the deleted surface: only touched files rewrite. */
   def compactDeletes(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
+    if (st.dvDeletes.nonEmpty)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table carries v3 deletion vectors — this writer " +
+          "serves them read-only; compact with the owning engine")
     if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return st.snapshotId
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -4235,9 +4313,11 @@ object IcebergInterop {
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorderBy: Seq[String] = Nil): Long = {
     val st = state(spark, table, None)
-    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty,
       s"table $table carries delete files — compact them first " +
-        "(compactDeletes), then OPTIMIZE")
+        "(compactDeletes; v3 deletion vectors need the owning " +
+        "engine), then OPTIMIZE")
     zorderBy.foreach(c => require(st.schema.exists(_.name == c),
       s"z-order column $c is not in the schema of $table"))
     val spec = st.specs.getOrElse(st.defaultSpecId, Nil)
@@ -4528,7 +4608,8 @@ object IcebergInterop {
     * (manifest entries are root-relative). */
   def importToManifest(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
-    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty,
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty,
       s"table $table carries delete files — a metadata-only import " +
         "would register the data files WITHOUT their deletes and " +
         "resurrect deleted rows; compact the deletes first " +

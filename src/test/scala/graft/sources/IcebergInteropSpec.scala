@@ -195,11 +195,12 @@ class IcebergInteropSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("schema conversion: list and map columns map to Spark array/map " +
     "types; unknown primitives and future format versions refuse by name") {
     val t = fresh()
+    // v3 serves READ-ONLY (deletion vectors); beyond-v3 refuses
     writeText(t, "metadata/v1.metadata.json",
-      s"""{"format-version":3,"schemas":[],"current-snapshot-id":-1}""")
+      s"""{"format-version":4,"schemas":[],"current-snapshot-id":-1}""")
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
       IcebergInterop.state(spark, t, None)
-    }.getMessage should include("format-version 3")
+    }.getMessage should include("format-version 4")
     val t2 = fresh()
     writeText(t2, "metadata/v1.metadata.json",
       s"""{"format-version":2,"current-schema-id":0,

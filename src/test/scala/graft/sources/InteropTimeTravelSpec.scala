@@ -106,6 +106,62 @@ class InteropTimeTravelSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("Delta inCommitTimestamps: resolution follows the commit's OWN " +
+    "monotonic clock when present — wall-clock commitInfo timestamps " +
+    "that disagree are ignored — and graft DML on an ICT table emits " +
+    "the field monotonically") {
+    import spark.implicits._
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("f1", "f2").zipWithIndex.foreach { case (name, i) =>
+      val stage = fresh()
+      Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("id")
+        .coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new Path(t))
+      fs.rename(part, new Path(t, s"$name.parquet")) shouldBe true
+    }
+    // hand-written ICT log: the wall-clock `timestamp` fields are
+    // DELIBERATELY wrong (v1's is far in the past) — delta-spark
+    // resolves through inCommitTimestamp on such tables, and so must
+    // this reader
+    writeText(t, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"inCommitTimestamp":1700000001000,"timestamp":1600000000000,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamps"]}}
+         |{"metaData":{"id":"ict","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true"},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin)
+    writeText(t, "_delta_log/00000000000000000001.json",
+      s"""{"commitInfo":{"inCommitTimestamp":1700000002000,"timestamp":1500000000000,"operation":"WRITE"}}
+         |{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin)
+    DeltaInterop.versionAt(spark, t, 1700000001000L) shouldBe 0L
+    DeltaInterop.versionAt(spark, t, 1700000001999L) shouldBe 0L
+    DeltaInterop.versionAt(spark, t, 1700000002000L) shouldBe 1L
+    intercept[IllegalArgumentException] {
+      DeltaInterop.versionAt(spark, t, 1600000000000L)
+    }.getMessage should include("before the first")
+    // graft DML on the ICT table: the new commit must carry its own
+    // inCommitTimestamp, strictly after the previous commit's
+    DeltaInterop.delete(spark, t, org.apache.spark.sql.functions
+      .col("id") === 0L).rowsAffected shouldBe 1L
+    val v2Text = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(new Path(t, "_delta_log/00000000000000000002.json"))),
+      StandardCharsets.UTF_8)
+    val firstLine = v2Text.split('\n').head
+    firstLine should startWith("""{"commitInfo":{"inCommitTimestamp":""")
+    val ict = firstLine
+      .stripPrefix("""{"commitInfo":{"inCommitTimestamp":""")
+      .takeWhile(_.isDigit).toLong
+    ict should be > 1700000002000L
+    // and resolution at the new head follows it
+    DeltaInterop.versionAt(spark, t, ict) shouldBe 2L
+  }
+
   test("Iceberg TIMESTAMP AS OF resolves through the snapshot-log — " +
     "including a rollback (the log is the sequence of CURRENT " +
     "snapshots); SQL surface; pre-first refuses") {
