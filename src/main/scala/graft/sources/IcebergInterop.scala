@@ -96,7 +96,8 @@ object IcebergInterop {
                              Map.empty,
                            snapId: Long = -1L,
                            manifest: String = "",
-                           fileSeq: Long = -1L)
+                           fileSeq: Long = -1L,
+                           format: String = "parquet")
 
   /** The table's schema-evolution evidence, resolved once per
     * [[state]] call: every schema the metadata retains as ordered
@@ -587,10 +588,33 @@ object IcebergInterop {
       // casts up to the current type where the spec allows promotion
       // (int→long, float→double, decimal precision-widen at equal
       // scale) and refuses everything else by name
+      // ORC data files (the add_files migration shape) read BY NAME
+      // under the current schema — such files carry no Iceberg field
+      // ids, which is exactly the spec's name-mapping fallback; missing
+      // columns (identity-partition sources) null-fill and the tuple
+      // fill below restores them. Spark's `row_index` metadata column
+      // is parquet-only, so row-level lineage and merge-on-read
+      // deletes over ORC files refuse by name rather than serve a
+      // silently-wrong kill join.
+      val orcFiles = st.files.filter(_.format == "orc")
+      if (orcFiles.nonEmpty) {
+        if (keepLineage)
+          throw new UnsupportedIcebergFeatureException(
+            s"row-level lineage needs parquet row_index metadata — " +
+              s"ORC data files (e.g. ${orcFiles.head.path}) serve " +
+              "reads only; rewrite to parquet for DML")
+        if (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty ||
+          st.dvDeletes.nonEmpty)
+          throw new UnsupportedIcebergFeatureException(
+            s"merge-on-read deletes over ORC data files — position " +
+              "application needs parquet row_index metadata; compact " +
+              "with the owning engine first")
+      }
+      val pqFiles = st.files.filterNot(_.format == "orc")
       val grouped: Option[Seq[(Seq[String], Seq[Option[(String, DataType)]])]] =
         if (!st.evo.evolved) None
         else {
-          val perFile = st.files.map { f =>
+          val perFile = pqFiles.map { f =>
             val sig = mappingOf(f) match {
               case Some(m) => cur.map { case (id, _, dt) =>
                 m.get(id).map { case (phys, histDt) =>
@@ -616,11 +640,28 @@ object IcebergInterop {
       def metaCols = Seq(
         norm(col("_metadata.file_path")).as("__fp"),
         col("_metadata.row_index").as("__pos"))
+      def orcScan(withMeta: Boolean): Option[DataFrame] =
+        if (orcFiles.isEmpty) None
+        else {
+          val base = spark.read.schema(st.schema)
+            .orc(orcFiles.map(_.path): _*)
+          Some(
+            if (!withMeta) base
+            else base.select(col("*") +:
+              Seq(norm(col("_metadata.file_path")).as("__fp"),
+                lit(null).cast("long").as("__pos")): _*))
+        }
+      def withOrc(pq: Option[DataFrame], withMeta: Boolean): DataFrame =
+        (pq.toSeq ++ orcScan(withMeta).toSeq).reduce(_ unionByName _)
       val (data, keyedScan) = grouped match {
         case None =>
-          val d = spark.read.schema(st.schema)
-            .parquet(st.files.map(_.path): _*)
-          (d, () => d.select(col("*") +: metaCols: _*))
+          val d =
+            if (pqFiles.isEmpty) None
+            else Some(spark.read.schema(st.schema)
+              .parquet(pqFiles.map(_.path): _*))
+          (withOrc(d, withMeta = false),
+            () => withOrc(d.map(_.select(col("*") +: metaCols: _*)),
+              withMeta = true))
         case Some(groups) =>
           def scan(paths: Seq[String],
                    sig: Seq[Option[(String, DataType)]],
@@ -640,10 +681,12 @@ object IcebergInterop {
             val all = if (withMeta) proj ++ metaCols else proj
             base.select(all: _*)
           }
-          (groups.map { case (p, s) => scan(p, s, withMeta = false) }
-            .reduce(_ union _),
-            () => groups.map { case (p, s) => scan(p, s, withMeta = true) }
-              .reduce(_ union _))
+          (withOrc(groups.map { case (p, s) =>
+            scan(p, s, withMeta = false) }.reduceOption(_ union _),
+            withMeta = false),
+            () => withOrc(groups.map { case (p, s) =>
+              scan(p, s, withMeta = true) }.reduceOption(_ union _),
+              withMeta = true))
       }
       // IDENTITY-partitioned columns: the recorded tuple value is
       // authoritative per spec — and the ONLY source of the column for
@@ -958,11 +1001,17 @@ object IcebergInterop {
           val fileContent = fieldOpt(df, "content")
             .map(_.asInstanceOf[Number].intValue).getOrElse(0)
           val fmt = df.get("file_format").toString
+          // parquet everywhere; ORC data files (the add_files
+          // migration shape) serve by-name; puffin carries v3 DVs.
+          // Avro data files refuse by name — no avro DataSource on
+          // this classpath to serve them through
           if (!fmt.equalsIgnoreCase("parquet") &&
+            !(fileContent == 0 && fmt.equalsIgnoreCase("orc")) &&
             !(fileContent == 1 && fmt.equalsIgnoreCase("puffin")))
             throw new UnsupportedIcebergFeatureException(
               s"file format $fmt in $table — parquet data/delete " +
-                "files and puffin deletion vectors are served")
+                "files, ORC data files and puffin deletion vectors " +
+                "are served")
           fileContent match {
             case 0 =>
               if (content != 0)
@@ -979,7 +1028,8 @@ object IcebergInterop {
                 snapId = entrySnap, manifest = mPath,
                 fileSeq = fieldOpt(entry, "file_sequence_number")
                   .map(_.asInstanceOf[Number].longValue)
-                  .getOrElse(entrySeq))
+                  .getOrElse(entrySeq),
+                format = fmt.toLowerCase(java.util.Locale.ROOT))
             case 1 if fmt.equalsIgnoreCase("puffin") =>
               // v3 DELETION VECTOR: one Puffin blob per referenced
               // data file, addressed by byte range — all three v3

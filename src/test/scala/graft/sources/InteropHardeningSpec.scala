@@ -591,4 +591,140 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.read(spark, t).select($"qty").as[Long]
       .collect() shouldBe Array(5L)
   }
+
+  test("MIXED-FORMAT Iceberg table (add_files migration shape): ORC " +
+    "data files serve by name next to parquet, identity tuples fill " +
+    "the ORC files' missing partition column, DML refuses by name, " +
+    "avro data files refuse by name") {
+    import spark.implicits._
+    val t = fresh("graft-ih-mixed")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def stageOne(fmt: String, name: String,
+                 df: org.apache.spark.sql.DataFrame): (String, Long) = {
+      val stage = fresh("graft-ih-mixed-stage")
+      if (fmt == "orc") df.coalesce(1).write.orc(stage)
+      else df.coalesce(1).write.parquet(stage)
+      val part = fs.listStatus(new Path(stage)).map(_.getPath)
+        .find(_.getName.endsWith(s".$fmt")).get
+      val dest = new Path(t, s"data/$name")
+      fs.mkdirs(dest.getParent)
+      fs.rename(part, dest) shouldBe true
+      (dest.toString, fs.getFileStatus(dest).getLen)
+    }
+    // parquet file carries (id, v, pri); the migrated ORC file OMITS
+    // the identity-partition source `pri` — the tuple must restore it
+    val (pq, pqLen) = stageOne("parquet", "f1.parquet",
+      (1L to 5L).map(i => (i, i * 10L, "A")).toDF("id", "v", "pri"))
+    val (orc, orcLen) = stageOne("orc", "f2.orc",
+      (6L to 10L).map(i => (i, i * 10L)).toDF("id", "v"))
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"rp","fields":[
+        |    {"name":"pri","type":["null","string"],"default":null}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def avro(rel: String, schema: org.apache.avro.Schema,
+             rows: Seq[GenericRecord]): (String, Long) = {
+      val p = new Path(t, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      (p.toString, fs.getFileStatus(p).getLen)
+    }
+    def entry(path: String, fmt: String, len: Long,
+              pri: String): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("file_path", path); d.put("file_format", fmt)
+      val p = new GenericData.Record(entrySchema
+        .getField("data_file").schema().getField("partition").schema())
+      p.put("pri", pri)
+      d.put("partition", p)
+      d.put("record_count", 5L); d.put("file_size_in_bytes", len)
+      e.put("data_file", d)
+      e
+    }
+    val (mPath, mLen) = avro("metadata/m1.avro", entrySchema, Seq(
+      entry(pq, "PARQUET", pqLen, "A"), entry(orc, "ORC", orcLen, "B")))
+    val mf = new GenericData.Record(listSchema)
+    mf.put("manifest_path", mPath); mf.put("manifest_length", mLen)
+    mf.put("partition_spec_id", 0); mf.put("added_snapshot_id", 50L)
+    val (listPath, _) = avro("metadata/snap-50.avro", listSchema, Seq(mf))
+    writeText(t, "metadata/v1.metadata.json",
+      s"""{"format-version":1,"table-uuid":"mx","location":"$t",
+         |"last-updated-ms":1,"last-column-id":3,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"v","required":false,"type":"long"},
+         |{"id":3,"name":"pri","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"pri","transform":"identity","source-id":3,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":50,
+         |"snapshots":[{"snapshot-id":50,"timestamp-ms":1,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$listPath","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "1")
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 10L
+    // parquet rows keep their recorded tuple; the ORC file's missing
+    // pri column fills from ITS tuple
+    out.filter($"pri" === "A").select($"id").as[Long]
+      .collect().sorted shouldBe (1L to 5L).toArray
+    out.filter($"pri" === "B").select($"id").as[Long]
+      .collect().sorted shouldBe (6L to 10L).toArray
+    out.filter($"id" === 7L).select($"v").as[Long].head() shouldBe 70L
+    // DML over a mixed table refuses by name (no parquet row_index on
+    // the ORC side)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.delete(spark, t, $"id" === 1L)
+    }.getMessage should include("ORC")
+    // an avro DATA file refuses by name — no reader on this classpath
+    val (mPath2, mLen2) = avro("metadata/m2.avro", entrySchema, Seq(
+      entry(pq, "PARQUET", pqLen, "A"),
+      entry(orc.replace(".orc", ".avro"), "AVRO", 1L, "B")))
+    val mf2 = new GenericData.Record(listSchema)
+    mf2.put("manifest_path", mPath2); mf2.put("manifest_length", mLen2)
+    mf2.put("partition_spec_id", 0); mf2.put("added_snapshot_id", 51L)
+    val (listPath2, _) = avro("metadata/snap-51.avro", listSchema, Seq(mf2))
+    writeText(t, "metadata/v2.metadata.json",
+      s"""{"format-version":1,"table-uuid":"mx","location":"$t",
+         |"last-updated-ms":2,"last-column-id":3,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"v","required":false,"type":"long"},
+         |{"id":3,"name":"pri","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"pri","transform":"identity","source-id":3,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":51,
+         |"snapshots":[{"snapshot-id":51,"timestamp-ms":2,
+         |"summary":{"operation":"append"},
+         |"manifest-list":"$listPath2","schema-id":0}]
+         |}""".stripMargin.replace("\n", ""))
+    writeText(t, "metadata/version-hint.text", "2")
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.state(spark, t, None)
+    }.getMessage should include("AVRO")
+  }
 }
