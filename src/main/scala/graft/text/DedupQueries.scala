@@ -57,20 +57,75 @@ object DedupQueries {
       |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_keeper
       |FROM corpus""".stripMargin
 
-  /** MinHash-LSH near-dup pairs (threshold 0.5). Candidate generation is
-    * hash-seeded and engine-internal → rows-only driver check; the planted
-    * recall/precision contract is pinned in DedupSpec. */
-  def dd2MinhashLsh(s: SparkSession, d: String): DataFrame =
-    requirePlantedRecall(
-      Dedup.nearDupPairs(withNearCopies(Tables.documents(s, d)),
-        threshold = 0.5), expected = 5)
+  /** Hash-exact conversion of the hash-seeded pair queries (the
+    * a4/mv1 pattern): the gate row emits only the DETERMINISTIC
+    * portion — the planted pairs the algorithm recovered, with their
+    * exact (oracle-re-derivable) verification values — plus the
+    * recovered count; the row set survives only at FULL planted
+    * recall, so DuckDB hash-compares recall AND the exact values
+    * instead of recording a weaker rows-only cardinality. The
+    * hash-seeded non-planted discoveries stay pinned by DedupSpec's
+    * recall/precision contracts. */
+  private def plantedHashExact(pairs: DataFrame, expected: Int)
+      (out: DataFrame => DataFrame): DataFrame = {
+    val p = graft.core.TransientCache.persist(pairs)
+    val planted = p.filter(col("id_b") === col("id_a") + 100000)
+    val n = planted.agg(count(lit(1)).as("n_planted_recovered"))
+    out(planted).crossJoin(broadcast(n))
+      .filter(col("n_planted_recovered") >= expected)
+  }
 
-  /** SimHash fingerprints + the near-dup pairs at Hamming ≤ 3 over the
-    * planted corpus (fingerprint values are xxhash-derived → rows-only). */
+  /** MinHash-LSH near-dup pairs (threshold 0.5): the planted pairs'
+    * exact 3-gram Jaccard values gate hash-exact (candidate
+    * generation stays hash-seeded; its wider recall/precision is
+    * DedupSpec's). */
+  def dd2MinhashLsh(s: SparkSession, d: String): DataFrame =
+    plantedHashExact(
+      Dedup.nearDupPairs(withNearCopies(Tables.documents(s, d)),
+        threshold = 0.5), expected = 5)(
+      _.select(col("id_a"), col("id_b"), col("jaccard")))
+
+  val dd2Oracle: String =
+    """WITH pl AS (
+      |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b, text AS ta,
+      |    regexp_replace(text, '^\S+', 'qqq') AS tb
+      |  FROM documents WHERE doc_id < 5),
+      |sh AS (
+      |  SELECT id_a, id_b,
+      |    list_distinct(CASE WHEN len(ta_t) >= 3
+      |      THEN list_transform(range(1, len(ta_t) - 1),
+      |        i -> ta_t[i] || ' ' || ta_t[i+1] || ' ' || ta_t[i+2])
+      |      ELSE [array_to_string(ta_t, ' ')] END) AS sh_a,
+      |    list_distinct(CASE WHEN len(tb_t) >= 3
+      |      THEN list_transform(range(1, len(tb_t) - 1),
+      |        i -> tb_t[i] || ' ' || tb_t[i+1] || ' ' || tb_t[i+2])
+      |      ELSE [array_to_string(tb_t, ' ')] END) AS sh_b
+      |  FROM (SELECT id_a, id_b,
+      |          list_filter(string_split_regex(ta, '\s+'),
+      |            t -> t <> '') AS ta_t,
+      |          list_filter(string_split_regex(tb, '\s+'),
+      |            t -> t <> '') AS tb_t
+      |        FROM pl))
+      |SELECT id_a, id_b,
+      |  CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) /
+      |    len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard,
+      |  CAST(5 AS BIGINT) AS n_planted_recovered
+      |FROM sh""".stripMargin
+
+  /** SimHash near-dup pairs at Hamming ≤ 3: the planted EXACT copies
+    * gate hash-exact at Hamming 0 (fingerprint values themselves are
+    * xxhash-derived and stay spec-pinned). */
   def dd3Simhash(s: SparkSession, d: String): DataFrame =
-    requirePlantedRecall(
+    plantedHashExact(
       Dedup.simhashPairs(withExactCopies(Tables.documents(s, d))),
-      expected = 5)
+      expected = 5)(
+      _.select(col("id_a"), col("id_b"), col("hamming")))
+
+  val dd3Oracle: String =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      |  CAST(0 AS INTEGER) AS hamming,
+      |  CAST(5 AS BIGINT) AS n_planted_recovered
+      |FROM documents WHERE doc_id < 5""".stripMargin
 
   /** Winnowing fingerprint-overlap near-dup pairs (the MOSS scheme) over
     * the planted corpus. Rolling-hash fingerprint values are
@@ -80,10 +135,18 @@ object DedupQueries {
   def dd6Winnow(s: SparkSession, d: String): DataFrame =
     // maxDocFreq raised from the production default: the synthetic corpus
     // draws from a tiny vocabulary, so cross-document k-gram collisions
-    // are far denser than in real text
-    requirePlantedRecall(
+    // are far denser than in real text. Planted pairs gate hash-exact
+    // (the shared-fingerprint count is rolling-hash-derived and stays
+    // spec-pinned).
+    plantedHashExact(
       Dedup.winnowPairs(withNearCopies(Tables.documents(s, d)),
-        maxDocFreq = 30), expected = 5)
+        maxDocFreq = 30), expected = 5)(
+      _.select(col("id_a"), col("id_b")))
+
+  val dd6Oracle: String =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      |  CAST(5 AS BIGINT) AS n_planted_recovered
+      |FROM documents WHERE doc_id < 5""".stripMargin
 
   /** Blocked n-gram Jaccard — deterministic successor pairing inside each
     * lang block; the Jaccard kernel is exact → full oracle. */
@@ -531,6 +594,9 @@ object DedupQueries {
     "dd7_dedup_clusters" -> (dd7DedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "dd2_minhash_lsh" -> dd2Oracle,
+    "dd3_simhash" -> dd3Oracle,
+    "dd6_winnow" -> dd6Oracle,
     "dd12_edit_distance_join" -> dd12Oracle,
     "dd10_paragraph_dedup" -> dd10Oracle,
     "dd9_incremental_dedup" -> dd9Oracle,
