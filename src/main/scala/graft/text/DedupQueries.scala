@@ -251,13 +251,22 @@ object DedupQueries {
           sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(1001))
             .cast("double") / 1000.0 - 0.5) * 0.002))
-    requirePlantedRecall(
+    // planted ids gate hash-exact (the cosine rides the xxhash
+    // perturbation, so its value stays spec-pinned rather than
+    // oracle-compared)
+    plantedHashExact(
       graft.ann.Similarity.hyperplanePairs(
         emb.withColumn("embedding", col("embedding").cast("array<double>"))
           .unionByName(planted),
         threshold = 0.95),
-      expected = 5)
+      expected = 5)(
+      _.select(col("id_a"), col("id_b")))
   }
+
+  val dd5Oracle: String =
+    """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+      |  CAST(5 AS BIGINT) AS n_planted_recovered
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
 
   /** dd11 — SemDeDup: clustered semantic deduplication over embeddings
     * ∪ the dd5 perturbed copies. Each planted copy sits at cosine
@@ -596,6 +605,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dd2_minhash_lsh" -> dd2Oracle,
     "dd3_simhash" -> dd3Oracle,
+    "dd5_embed_neardup" -> dd5Oracle,
     "dd6_winnow" -> dd6Oracle,
     "dd12_edit_distance_join" -> dd12Oracle,
     "dd10_paragraph_dedup" -> dd10Oracle,
