@@ -387,15 +387,16 @@ object DeltaInterop {
       protoWriter = minWriter
       protoWriterFeatures = writerFeatures
       // reader version 3 tables declare table features by name; this
-      // reader serves deletionVectors (per-file anti-join in the read
+      // reader serves deletionVectors (per-file predicate in the read
       // kernel), columnMapping (physical-name resolution), v2Checkpoint
-      // (sidecar-bearing checkpoints), timestampNtz (the type reads
-      // natively), and typeWidening (Spark 4's parquet reader serves
-      // the spec's widenings under the current schema — a widening it
-      // cannot serve throws loudly, never silently wrong) — anything
-      // else refuses by name. Version 2 IS column mapping.
+      // (sidecar-bearing checkpoints), timestampNtz and variantType
+      // (both types read natively on Spark 4's parquet reader), and
+      // typeWidening (the spec's widenings served under the current
+      // schema — a widening it cannot serve throws loudly, never
+      // silently wrong) — anything else refuses by name. Version 2 IS
+      // column mapping.
       val supported = Set("deletionVectors", "columnMapping",
-        "v2Checkpoint", "timestampNtz", "typeWidening")
+        "v2Checkpoint", "timestampNtz", "typeWidening", "variantType")
       val unsupported = readerFeatures.filterNot(supported)
       if (unsupported.nonEmpty)
         throw new UnsupportedDeltaFeatureException(

@@ -727,4 +727,61 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
       IcebergInterop.state(spark, t, None)
     }.getMessage should include("AVRO")
   }
+
+  test("Delta variantType tables serve: variant columns read natively, " +
+    "variant_get extracts, and a vectored delete composes; unknown " +
+    "reader features still refuse by name") {
+    import spark.implicits._
+    val t = fresh("graft-ih-var")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    // variant parquet written by Spark's own writer (what delta-spark
+    // on Spark 4 emits for variant columns)
+    val stage = fresh("graft-ih-var-stage")
+    (1L to 8L).map(i => (i, s"""{"k":$i,"tag":"t$i"}"""))
+      .toDF("id", "s")
+      .select(col("id"), parse_json(col("s")).as("v"))
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(t))
+    fs.rename(part, new Path(t, "f1.parquet")) shouldBe true
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"v","type":"variant","nullable":true,"metadata":{}}
+        |]}""".stripMargin.replace("\n", "")
+    writeText(t, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}
+         |{"metaData":{"id":"var","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin)
+    val df = DeltaInterop.read(spark, t)
+    df.schema("v").dataType shouldBe
+      org.apache.spark.sql.types.VariantType
+    df.count() shouldBe 8L
+    df.select(variant_get(col("v"), "$.k", "long").as("k"))
+      .as[Long].collect().sorted shouldBe (1L to 8L).toArray
+    // a vectored delete over the variant table composes (positions
+    // are type-agnostic); the variant column survives the read
+    DeltaInterop.delete(spark, t, $"id" === 3L).rowsAffected shouldBe 1L
+    val after = DeltaInterop.read(spark, t)
+    after.count() shouldBe 7L
+    after.select(variant_get(col("v"), "$.tag", "string").as("g"))
+      .as[String].collect().sorted should not contain "t3"
+    // unknown reader features keep refusing by name
+    val t2 = fresh("graft-ih-var2")
+    writeText(t2, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureFeatureX"],"writerFeatures":[]}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{},"createdTime":1}}
+         |""".stripMargin)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.state(spark, t2, None)
+    }.getMessage should include("futureFeatureX")
+  }
 }
