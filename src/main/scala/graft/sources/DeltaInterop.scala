@@ -918,11 +918,20 @@ object DeltaInterop {
     // partition join keys on the same `__fp`.
     def scanAll(withLineage: Boolean): DataFrame = {
       val paths = files.map(a => new Path(table, a.path).toString)
+      // metadata pseudo-columns attach ONLY when something consumes
+      // them (lineage, the partition-value join, or the DV predicate)
+      // — a plain unpartitioned read otherwise pays per-row
+      // named_struct construction for fields the projection drops
+      val needMeta = withLineage || partitionColumns.nonEmpty
+      val metaProj =
+        if (!needMeta) Nil
+        else Seq(norm(col("_metadata.file_path")).as("__fp"),
+          col("_metadata.row_index").as("__pos"))
       val base =
-        if (!mapped) spark.read.schema(dataSchema).parquet(paths: _*)
-          .withColumn("__fp", norm(col("_metadata.file_path")))
-          .withColumn("__pos", col("_metadata.row_index"))
-        else
+        if (!mapped) {
+          val b = spark.read.schema(dataSchema).parquet(paths: _*)
+          if (!needMeta) b else b.select(col("*") +: metaProj: _*)
+        } else
           // read under the PHYSICAL schema (the fields' recorded
           // delta.columnMapping.physicalName, recursively), then cast
           // back to the logical shape — the struct cast renames nested
@@ -931,8 +940,7 @@ object DeltaInterop {
           spark.read.schema(physicalStruct(dataSchema)).parquet(paths: _*)
             .select(dataSchema.fields.toIndexedSeq.map(f =>
               col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)) ++
-              Seq(norm(col("_metadata.file_path")).as("__fp"),
-                col("_metadata.row_index").as("__pos")): _*)
+              metaProj: _*)
       val withParts =
         if (partitionColumns.isEmpty) base
         else {
