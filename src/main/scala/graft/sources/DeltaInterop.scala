@@ -1314,26 +1314,40 @@ object DeltaInterop {
         else if (st.minReaderVersion == 2 || st.columnMappingMode != "none")
           st.readerFeatures :+ "columnMapping"
         else st.readerFeatures
-      val rf = (base :+ "deletionVectors").distinct
       // writer features: version 7 lists every capability by name, so
-      // the upgrade must carry over what the legacy minWriterVersion
+      // a LEGACY upgrade must carry over what its minWriterVersion
       // IMPLIED (spec table: v2 appendOnly+invariants, v3 +check
       // constraints, v4 +changeDataFeed+generatedColumns, v5 +column
       // mapping, v6 +identityColumns) — copying only the reader list
       // would e.g. strip changeDataFeed from a CDF-enabled table and
       // delta-spark rejects a table whose property requires a feature
-      // the protocol no longer declares
+      // the protocol no longer declares. A table ALREADY at writer 7
+      // declares its capabilities explicitly — the implication table
+      // must NOT apply (it would over-declare features like
+      // identityColumns that foreign writers then have to implement).
+      val legacy = st.minWriterVersion < 7 && st.writerFeatures.isEmpty
       val legacyImplied: Seq[String] =
-        (if (st.minWriterVersion >= 2) Seq("appendOnly", "invariants")
-         else Nil) ++
-        (if (st.minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
-        (if (st.minWriterVersion >= 4)
+        (if (legacy && st.minWriterVersion >= 2)
+           Seq("appendOnly", "invariants") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 3)
+           Seq("checkConstraints") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 4)
            Seq("changeDataFeed", "generatedColumns") else Nil) ++
-        (if (st.minWriterVersion >= 5) Seq("columnMapping") else Nil) ++
-        (if (st.minWriterVersion >= 6) Seq("identityColumns") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 5)
+           Seq("columnMapping") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 6)
+           Seq("identityColumns") else Nil) ++
         (if (st.configuration.get("delta.enableChangeDataFeed")
           .contains("true")) Seq("changeDataFeed") else Nil)
-      val wf = (st.writerFeatures ++ legacyImplied ++ rf).distinct
+      val rf0 = (base :+ "deletionVectors").distinct
+      // reader-writer features (deletionVectors, columnMapping, …)
+      // must appear in BOTH lists: the writer list carries everything
+      // the reader list does, and columnMapping landing writer-side
+      // via the implication must surface reader-side too
+      val wf = (st.writerFeatures ++ legacyImplied ++ rf0).distinct
+      val rf = (rf0 ++
+        (if (wf.contains("columnMapping")) Seq("columnMapping")
+         else Nil)).distinct
       val fj = rf.map(jstr).mkString("[", ",", "]")
       val wj = wf.map(jstr).mkString("[", ",", "]")
       Seq(s"""{"protocol":{"minReaderVersion":3,""" +
@@ -1695,22 +1709,10 @@ object DeltaInterop {
             keyCols: Seq[String]): DeltaDml = {
     val st = state(source.sparkSession, table, None)
     InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
-    mergeApply(source, table, keyCols,
+    mergeApplyResolved(st, source, table, keyCols,
       matched = Seq(ManifestLake.MergeUpdate()),
-      notMatched = Seq(ManifestLake.MergeInsert()))
-  }
-
-  /** Session conf + recorded-size test shared with the lake: an
-    * UNSCOPED `WHEN NOT MATCHED BY SOURCE` runs whole-table
-    * automatically when every add records its size and the total fits
-    * [[ManifestLake.NmbsSmallTableBytesConf]]. */
-  private def nmbsSmallTable(spark: SparkSession, st: DeltaState): Boolean = {
-    val threshold = spark.conf
-      .getOption(ManifestLake.NmbsSmallTableBytesConf)
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .getOrElse(1L * 1024 * 1024 * 1024)
-    threshold > 0 && st.files.nonEmpty &&
-      st.files.map(_.size).sum <= threshold
+      notMatched = Seq(ManifestLake.MergeInsert()),
+      notMatchedBySource = Nil, scope = None, fullTableMerge = false)
   }
 
   /** Generalized `MERGE INTO` — the full Delta clause surface,
@@ -1754,173 +1756,196 @@ object DeltaInterop {
                  notMatched: Seq[ManifestLake.MergeInsert] = Nil,
                  notMatchedBySource: Seq[ManifestLake.MergeMatched] = Nil,
                  scope: Option[org.apache.spark.sql.Column] = None,
-                 fullTableMerge: Boolean = false): DeltaDml = {
+                 fullTableMerge: Boolean = false): DeltaDml =
+    mergeApplyResolved(state(source.sparkSession, table, None),
+      source, table, keyCols, matched, notMatched,
+      notMatchedBySource, scope, fullTableMerge)
+
+  /** [[mergeApply]] against an already-resolved state — one log
+    * replay per statement whatever the entry point (merge() checks
+    * schema compatibility against the SAME state it merges). The
+    * source is persisted for the statement: its plan feeds the
+    * key-uniqueness guard, the touched-file scans, the staging job
+    * and the CDC images, and a nondeterministic source re-executed
+    * per job could commit rows that disagree with its own images
+    * (the lake's mergeApply discipline). */
+  private def mergeApplyResolved(st: DeltaState, source: DataFrame,
+      table: String, keyCols: Seq[String],
+      matched: Seq[ManifestLake.MergeMatched],
+      notMatched: Seq[ManifestLake.MergeInsert],
+      notMatchedBySource: Seq[ManifestLake.MergeMatched],
+      scope: Option[org.apache.spark.sql.Column],
+      fullTableMerge: Boolean): DeltaDml = {
     val spark = source.sparkSession
     MergeClauses.requireValid(keyCols, matched, notMatched,
       notMatchedBySource)
-    val st = state(spark, table, None)
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     import spark.implicits._
-    // nondeterministic-merge guard: a key matched by 2+ source rows
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
-    require(dup.isEmpty,
-      s"MERGE source has duplicate key rows on " +
-        s"(${keyCols.mkString(", ")}) — which one updates the target " +
-        "is undefined; deduplicate the source first")
-    val effectiveFullTable = fullTableMerge ||
-      (notMatchedBySource.nonEmpty && scope.isEmpty &&
-        nmbsSmallTable(spark, st))
-    if (notMatchedBySource.nonEmpty)
-      require(scope.nonEmpty || effectiveFullTable,
-        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
-          "source match — unscoped, that is O(table). Either add " +
-          "target-only conjuncts to the ON clause (a prune-able scope) " +
-          "or opt in to the whole-table pass with fullTableMerge = " +
-          "true. Tables whose recorded size fits " +
-          s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
-          "automatically.")
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    // one key-column scan: files holding a key match (skipped when no
-    // clause can fire on a matched row — an NMBS-only sync never
-    // rewrites key-matched files)
-    def liveKeys = filesToDF(spark, table, st.schema,
-      st.partitionColumns, st.files, st.columnMappingMode,
-      keepLineage = true)
-      .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
-    val touchedNames: Set[String] =
-      if (matched.isEmpty) Set.empty
-      else liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
-        .as[String].collect().toSet
-    val touched = st.files.filter(a => touchedNames(uriKey(root, a.path)))
-    // NMBS-fired files: scope-pruned candidates, one anti-join scan
-    val nmbsTouched: Seq[DeltaAdd] =
-      if (notMatchedBySource.isEmpty) Nil
-      else {
-        val zone = java.time.ZoneId.of(
-          spark.sessionState.conf.sessionLocalTimeZone)
-        val cands0 = st.files.filterNot(a =>
-          touchedNames(uriKey(root, a.path)))
-        val cands = scope match {
-          case Some(sc) =>
-            val preds = ScanPredicates.fromSqlCondition(
-              org.apache.spark.sql.graftbridge.ColumnBridge.expression(sc))
-            cands0.filterNot(a =>
-              preds.exists(p => filePrunes(a, st, zone, p)))
-          case None => cands0
-        }
-        if (cands.isEmpty) Nil
+    val cached = source.select(source.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // nondeterministic-merge guard: a key matched by 2+ cached rows
+      val dup = cached.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+      require(dup.isEmpty,
+        s"MERGE cached has duplicate key rows on " +
+          s"(${keyCols.mkString(", ")}) — which one updates the target " +
+          "is undefined; deduplicate the cached first")
+      val effectiveFullTable = fullTableMerge ||
+        (notMatchedBySource.nonEmpty && scope.isEmpty &&
+          MergeClauses.nmbsSmallTable(spark,
+        if (st.files.isEmpty) None else Some(st.files.map(_.size).sum)))
+      if (notMatchedBySource.nonEmpty)
+        require(scope.nonEmpty || effectiveFullTable,
+          "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
+            "cached match — unscoped, that is O(table). Either add " +
+            "target-only conjuncts to the ON clause (a prune-able scope) " +
+            "or opt in to the whole-table pass with fullTableMerge = " +
+            "true. Tables whose recorded size fits " +
+            s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
+            "automatically.")
+      val srcKeys = cached.select(keyCols.map(col): _*).distinct()
+      // one key-column scan: files holding a key match (skipped when no
+      // clause can fire on a matched row — an NMBS-only sync never
+      // rewrites key-matched files)
+      def liveKeys = filesToDF(spark, table, st.schema,
+        st.partitionColumns, st.files, st.columnMappingMode,
+        keepLineage = true)
+        .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
+      val touchedNames: Set[String] =
+        if (matched.isEmpty) Set.empty
+        else liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
+          .as[String].collect().toSet
+      val touched = st.files.filter(a => touchedNames(uriKey(root, a.path)))
+      // NMBS-fired files: scope-pruned candidates, one anti-join scan
+      val nmbsTouched: Seq[DeltaAdd] =
+        if (notMatchedBySource.isEmpty) Nil
         else {
-          val rowScope = scope
-            .map(c => org.apache.spark.sql.functions.coalesce(c,
-              lit(false)))
-            .getOrElse(lit(true))
-          val hit = filesToDF(spark, table, st.schema,
-            st.partitionColumns, cands.toIndexedSeq,
-            st.columnMappingMode, keepLineage = true)
-            .join(srcKeys, keyCols, "left_anti")
-            .where(rowScope)
-            .withColumn("__nact",
-              MergeClauses.actionIndex(notMatchedBySource))
-            .filter(col("__nact") >= 0)
-            .select(col("__fp")).distinct().as[String].collect().toSet
-          cands.filter(a => hit(uriKey(root, a.path)))
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val cands0 = st.files.filterNot(a =>
+            touchedNames(uriKey(root, a.path)))
+          val cands = scope match {
+            case Some(sc) =>
+              val preds = ScanPredicates.fromSqlCondition(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(sc))
+              cands0.filterNot(a =>
+                preds.exists(p => filePrunes(a, st, zone, p)))
+            case None => cands0
+          }
+          if (cands.isEmpty) Nil
+          else {
+            val rowScope = scope
+              .map(c => org.apache.spark.sql.functions.coalesce(c,
+                lit(false)))
+              .getOrElse(lit(true))
+            val hit = filesToDF(spark, table, st.schema,
+              st.partitionColumns, cands.toIndexedSeq,
+              st.columnMappingMode, keepLineage = true)
+              .join(srcKeys, keyCols, "left_anti")
+              .where(rowScope)
+              .withColumn("__nact",
+                MergeClauses.actionIndex(notMatchedBySource))
+              .filter(col("__nact") >= 0)
+              .select(col("__fp")).distinct().as[String].collect().toSet
+            cands.filter(a => hit(uriKey(root, a.path)))
+          }
+        }
+      val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
+      val currentRows =
+        if (rewriteSet.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            st.schema)
+        else filesToDF(spark, table, st.schema, st.partitionColumns,
+          rewriteSet, st.columnMappingMode)
+      val notMatchedSrc =
+        if (notMatched.isEmpty) cached.filter(lit(false))
+        else cached.join(liveKeys.drop("__fp").distinct(), keyCols,
+          "left_anti")
+      val applied = MergeClauses(currentRows, cached, keyCols, st.schema,
+        matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
+        notMatchedSrc)
+      val outRows = applied.survivors.unionByName(applied.inserts)
+      val cdfOn = st.configuration
+        .get("delta.enableChangeDataFeed").contains("true")
+      // stage through the same partition-dir layout as write()
+      // (physical column names and dirs on mapped tables)
+      val mapped = st.columnMappingMode != "none"
+      val physKey = physKeyOf(st.schema)
+      val partitionDirs =
+        if (mapped) st.partitionColumns.map(physKey) else st.partitionColumns
+      val stage = new Path(root, s".merge-${java.util.UUID.randomUUID()}")
+      val stagedFrame =
+        if (mapped) toPhysical(outRows, st.schema) else outRows
+      val w = stagedFrame.write.mode("overwrite")
+      (if (partitionDirs.nonEmpty)
+         w.partitionBy(partitionDirs: _*)
+       else w).parquet(stage.toString)
+      val dataSchema = StructType(st.schema.fields.filterNot(f =>
+        st.partitionColumns.contains(f.name)))
+      val statsSchema =
+        if (mapped) physicalStruct(dataSchema) else dataSchema
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("MERGE")},"operationParameters":{},"engineInfo":${
+        jstr("graft")}}}"""
+      var insertedAny = false
+      listParquet(fs, stage).foreach { p =>
+        val rel = relativize(stage, p)
+        val (rows0, lo, hi) =
+          ScanPredicates.footerStats(spark, p, statsSchema)
+        if (rows0 > 0) { // an all-no-op group stages an empty file — skip
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(p, dest))
+            throw new IllegalStateException(s"failed to move $p to $dest")
+          insertedAny = true
+          val pv = hivePartitionValues(rel)
+          lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
+            s""""partitionValues":${
+              pvJsonOf(partitionDirs
+                .map(c => c -> pv.get(c).flatten).toMap)
+            },"size":${fs.getFileStatus(dest).getLen},""" +
+            s""""modificationTime":$now,"dataChange":true,""" +
+            s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
         }
       }
-    val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
-    val currentRows =
-      if (rewriteSet.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          st.schema)
-      else filesToDF(spark, table, st.schema, st.partitionColumns,
-        rewriteSet, st.columnMappingMode)
-    val notMatchedSrc =
-      if (notMatched.isEmpty) source.filter(lit(false))
-      else source.join(liveKeys.drop("__fp").distinct(), keyCols,
-        "left_anti")
-    val applied = MergeClauses(currentRows, source, keyCols, st.schema,
-      matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
-      notMatchedSrc)
-    val outRows = applied.survivors.unionByName(applied.inserts)
-    val cdfOn = st.configuration
-      .get("delta.enableChangeDataFeed").contains("true")
-    // stage through the same partition-dir layout as write()
-    // (physical column names and dirs on mapped tables)
-    val mapped = st.columnMappingMode != "none"
-    val physKey = physKeyOf(st.schema)
-    val partitionDirs =
-      if (mapped) st.partitionColumns.map(physKey) else st.partitionColumns
-    val stage = new Path(root, s".merge-${java.util.UUID.randomUUID()}")
-    val stagedFrame =
-      if (mapped) toPhysical(outRows, st.schema) else outRows
-    val w = stagedFrame.write.mode("overwrite")
-    (if (partitionDirs.nonEmpty)
-       w.partitionBy(partitionDirs: _*)
-     else w).parquet(stage.toString)
-    val dataSchema = StructType(st.schema.fields.filterNot(f =>
-      st.partitionColumns.contains(f.name)))
-    val statsSchema =
-      if (mapped) physicalStruct(dataSchema) else dataSchema
-    val now = System.currentTimeMillis()
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
-      jstr("MERGE")},"operationParameters":{},"engineInfo":${
-      jstr("graft")}}}"""
-    var insertedAny = false
-    listParquet(fs, stage).foreach { p =>
-      val rel = relativize(stage, p)
-      val (rows0, lo, hi) =
-        ScanPredicates.footerStats(spark, p, statsSchema)
-      if (rows0 > 0) { // an all-no-op group stages an empty file — skip
-        val dest = new Path(root, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(p, dest))
-          throw new IllegalStateException(s"failed to move $p to $dest")
-        insertedAny = true
-        val pv = hivePartitionValues(rel)
-        lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
-          s""""partitionValues":${
-            pvJsonOf(partitionDirs
-              .map(c => c -> pv.get(c).flatten).toMap)
-          },"size":${fs.getFileStatus(dest).getLen},""" +
-          s""""modificationTime":$now,"dataChange":true,""" +
-          s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
+      fs.delete(stage, true): Unit
+      rewriteSet.foreach(a =>
+        lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""deletionTimestamp":$now,"dataChange":true}}""")
+      // a merge into an empty/no-match state with an empty cached would
+      // publish an empty commit — keep the version instead
+      if (rewriteSet.isEmpty && !insertedAny) return DeltaDml(st.version, 0L, 0)
+      // rowsAffected: clause-FIRED rows (matched + NMBS) plus fired
+      // inserts — both bounded by the rewrite surface
+      val firedCount =
+        if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
+      val insertCount =
+        if (notMatched.isEmpty) 0L else applied.inserts.count()
+      if (cdfOn) {
+        val cdcRows0 = applied.updatedPre
+            .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied.updatedPost
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(applied.deletedOld
+            .withColumn("_change_type", lit("delete")))
+          .unionByName(applied.inserts
+            .withColumn("_change_type", lit("insert")))
+        val cdcRows =
+          if (mapped) toPhysical(cdcRows0, st.schema, Seq("_change_type"))
+          else cdcRows0
+        lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
       }
-    }
-    fs.delete(stage, true): Unit
-    rewriteSet.foreach(a =>
-      lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
-        s""""deletionTimestamp":$now,"dataChange":true}}""")
-    // a merge into an empty/no-match state with an empty source would
-    // publish an empty commit — keep the version instead
-    if (rewriteSet.isEmpty && !insertedAny) return DeltaDml(st.version, 0L, 0)
-    // rowsAffected: clause-FIRED rows (matched + NMBS) plus fired
-    // inserts — both bounded by the rewrite surface
-    val firedCount =
-      if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
-    val insertCount =
-      if (notMatched.isEmpty) 0L else applied.inserts.count()
-    if (cdfOn) {
-      val cdcRows0 = applied.updatedPre
-          .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(applied.updatedPost
-          .withColumn("_change_type", lit("update_postimage")))
-        .unionByName(applied.deletedOld
-          .withColumn("_change_type", lit("delete")))
-        .unionByName(applied.inserts
-          .withColumn("_change_type", lit("insert")))
-      val cdcRows =
-        if (mapped) toPhysical(cdcRows0, st.schema, Seq("_change_type"))
-        else cdcRows0
-      lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
-    }
-    val v = publishCommit(fs, new Path(root, "_delta_log"),
-      st.version + 1, lines.toSeq, st.configuration)
-    DeltaDml(v, firedCount + insertCount, rewriteSet.length)
+      val v = publishCommit(fs, new Path(root, "_delta_log"),
+        st.version + 1, lines.toSeq, st.configuration)
+      DeltaDml(v, firedCount + insertCount, rewriteSet.length)
+    } finally { cached.unpersist(): Unit }
   }
 
 
@@ -2758,22 +2783,32 @@ object DeltaInterop {
   private def nextIct(fs: FileSystem, logDir: Path,
                       version: Long): Long = {
     import org.json4s._
+    def ictOf(v: Long): Option[Long] = {
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p),
+            StandardCharsets.UTF_8))
+        val first = try in.readLine() finally in.close()
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(first))
+          .toOption.map(j => j \ "commitInfo" \ "inCommitTimestamp")
+          .collect { case JInt(t) => t.toLong; case JLong(t) => t }
+      }
+    }
+    // a checkpoint-truncated predecessor falls back to the NEWEST
+    // retained commit's ICT — a lower bound on the truncated one, so
+    // the emitted timestamp stays ≥ every retained ICT even when a
+    // burst ran the clock ahead of wall time (the exact predecessor
+    // bound needs its JSON; retention on ICT tables should keep it)
     val prevIct: Long =
       if (version == 0) Long.MinValue
-      else {
-        val prev = new Path(logDir, f"${version - 1}%020d.json")
-        if (!fs.exists(prev)) Long.MinValue
-        else {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(prev),
-              StandardCharsets.UTF_8))
-          val first = try in.readLine() finally in.close()
-          scala.util.Try(org.json4s.jackson.JsonMethods.parse(first))
-            .toOption.map(j => j \ "commitInfo" \ "inCommitTimestamp")
-            .collect { case JInt(t) => t.toLong; case JLong(t) => t }
-            .getOrElse(Long.MinValue)
-        }
-      }
+      else ictOf(version - 1).orElse {
+        // one listing, newest retained commit below `version`
+        fs.listStatus(logDir).iterator.map(_.getPath.getName)
+          .collect { case JsonRe(v) => v.toLong }
+          .filter(_ < version).maxOption.flatMap(ictOf)
+      }.getOrElse(Long.MinValue)
     math.max(System.currentTimeMillis(), prevIct + 1)
   }
 

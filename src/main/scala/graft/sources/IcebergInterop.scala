@@ -549,13 +549,8 @@ object IcebergInterop {
       // `__fp` carries `_metadata.file_path`'s URI percent-escapes (a
       // space-valued partition dir arrives as `%20`) while manifests
       // and spec-compliant delete files record RAW paths — every map
-      // joined against `__fp` keys BOTH forms (identical for the
-      // escape-free common case)
-      def fpForms(p: String): Seq[String] = {
-        val raw = normStr(p)
-        val esc = normStr(new Path(p).toUri.toString)
-        if (raw == esc) Seq(raw) else Seq(raw, esc)
-      }
+      // joined against `__fp` keys BOTH forms ([[ForeignDv.forms]])
+      def fpForms(p: String): Seq[String] = ForeignDv.forms(p)
       // ---- column resolution: BY FIELD ID when the table has evolved
       // schemas (rename keeps an id, drop+re-add takes a fresh one);
       // by name on the never-evolved fast path (zero per-file work).
@@ -2104,9 +2099,8 @@ object IcebergInterop {
     // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
     // percent-escapes (space-valued partition dirs arrive as `%20`)
     // while the manifest records the raw path
-    val byNorm = st.files.flatMap(f => Seq(
-      dmlNormStr(f.path) -> f,
-      dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
+    val byNorm = st.files.flatMap(f =>
+      ForeignDv.forms(f.path).map(_ -> f)).toMap
     val touched = counts.map(t => byNorm(t._1)).toSeq
     // survivors of ONLY the touched files; NULL-evaluating rows keep
     val survivors = toDF(spark, st.copy(files = touched))
@@ -2151,9 +2145,8 @@ object IcebergInterop {
     // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
     // percent-escapes (space-valued partition dirs arrive as `%20`)
     // while the manifest records the raw path
-    val byNorm = st.files.flatMap(f => Seq(
-      dmlNormStr(f.path) -> f,
-      dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
+    val byNorm = st.files.flatMap(f =>
+      ForeignDv.forms(f.path).map(_ -> f)).toMap
     val touched = counts.map(t => byNorm(t._1)).toSeq
     val setMap = set.toMap
     val rewritten = toDF(spark, st.copy(files = touched))
@@ -2181,22 +2174,10 @@ object IcebergInterop {
             keyCols: Seq[String]): IceDml = {
     val st = state(source.sparkSession, table, None)
     InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
-    mergeApply(source, table, keyCols,
+    mergeApplyResolved(st, source, table, keyCols,
       matched = Seq(ManifestLake.MergeUpdate()),
-      notMatched = Seq(ManifestLake.MergeInsert()))
-  }
-
-  /** Shared with the lake and the Delta interop: an UNSCOPED `WHEN
-    * NOT MATCHED BY SOURCE` runs whole-table automatically when the
-    * manifests' recorded total size fits
-    * [[ManifestLake.NmbsSmallTableBytesConf]]. */
-  private def nmbsSmallTable(spark: SparkSession, st: IceState): Boolean = {
-    val threshold = spark.conf
-      .getOption(ManifestLake.NmbsSmallTableBytesConf)
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .getOrElse(1L * 1024 * 1024 * 1024)
-    threshold > 0 && st.files.nonEmpty &&
-      st.files.map(_.bytes).sum <= threshold
+      notMatched = Seq(ManifestLake.MergeInsert()),
+      notMatchedBySource = Nil, scope = None, fullTableMerge = false)
   }
 
   /** Generalized `MERGE INTO` — the full clause surface
@@ -2232,14 +2213,32 @@ object IcebergInterop {
                  notMatched: Seq[ManifestLake.MergeInsert] = Nil,
                  notMatchedBySource: Seq[ManifestLake.MergeMatched] = Nil,
                  scope: Option[org.apache.spark.sql.Column] = None,
-                 fullTableMerge: Boolean = false): IceDml = {
+                 fullTableMerge: Boolean = false): IceDml =
+    mergeApplyResolved(state(source.sparkSession, table, None),
+      source, table, keyCols, matched, notMatched,
+      notMatchedBySource, scope, fullTableMerge)
+
+  /** [[mergeApply]] against an already-resolved state — one
+    * metadata/manifest replay per statement whatever the entry
+    * point (merge() checks schema compatibility against the SAME
+    * state it merges). The source is persisted for the statement:
+    * its plan feeds the key-uniqueness guard, the touched-file
+    * scans and the staging job, and a nondeterministic source
+    * re-executed per job could commit rows that disagree with its
+    * own counts (the lake's mergeApply discipline). */
+  private def mergeApplyResolved(st: IceState, source: DataFrame,
+      table: String, keyCols: Seq[String],
+      matched: Seq[ManifestLake.MergeMatched],
+      notMatched: Seq[ManifestLake.MergeInsert],
+      notMatchedBySource: Seq[ManifestLake.MergeMatched],
+      scope: Option[org.apache.spark.sql.Column],
+      fullTableMerge: Boolean): IceDml = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val spark = source.sparkSession
     MergeClauses.requireValid(keyCols, matched, notMatched,
       notMatchedBySource)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
-    val st = state(spark, table, None)
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
@@ -2249,97 +2248,95 @@ object IcebergInterop {
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
     import spark.implicits._
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
-    require(dup.isEmpty,
-      s"MERGE source has duplicate key rows on " +
-        s"(${keyCols.mkString(", ")}) — which one updates the target " +
-        "is undefined; deduplicate the source first")
-    val effectiveFullTable = fullTableMerge ||
-      (notMatchedBySource.nonEmpty && scope.isEmpty &&
-        nmbsSmallTable(spark, st))
-    if (notMatchedBySource.nonEmpty)
-      require(scope.nonEmpty || effectiveFullTable,
-        "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
-          "source match — unscoped, that is O(table). Either add " +
-          "target-only conjuncts to the ON clause (a prune-able scope) " +
-          "or opt in to the whole-table pass with fullTableMerge = " +
-          "true. Tables whose recorded size fits " +
-          s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
-          "automatically.")
-    // raw + URI-escaped keys: `__fp` carries `_metadata.file_path`'s
-    // percent-escapes while the manifest records the raw path
-    val byNorm = st.files.flatMap(f => Seq(
-      dmlNormStr(f.path) -> f,
-      dmlNormStr(new Path(f.path).toUri.toString) -> f)).toMap
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    // skipped when no clause can fire on a matched row — an NMBS-only
-    // sync never rewrites key-matched files
-    def liveKeys = toDF(spark, st, keepLineage = true)
-      .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
-    val touchedNames: Set[String] =
-      if (matched.isEmpty) Set.empty
-      else liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
-        .as[String].collect().toSet
-    val touched = st.files.filter(f =>
-      touchedNames(dmlNormStr(f.path)) ||
-        touchedNames(dmlNormStr(new Path(f.path).toUri.toString)))
-    // NMBS-fired files: bound-pruned candidates, one anti-join scan
-    val nmbsTouched: Seq[IceFile] =
-      if (notMatchedBySource.isEmpty) Nil
-      else {
-        val touchedPaths = touched.map(_.path).toSet
-        val cands0 = st.files.filterNot(f => touchedPaths(f.path))
-        val cands = scope match {
-          case Some(sc) =>
-            val preds = ScanPredicates.fromSqlCondition(
-              org.apache.spark.sql.graftbridge.ColumnBridge.expression(sc))
-            cands0.filterNot(f =>
-              preds.exists(p => filePrunes(f, st.specs, st.schema, p)))
-          case None => cands0
-        }
-        if (cands.isEmpty) Nil
+    val cached = source.select(source.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = cached.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+      require(dup.isEmpty,
+        s"MERGE cached has duplicate key rows on " +
+          s"(${keyCols.mkString(", ")}) — which one updates the target " +
+          "is undefined; deduplicate the cached first")
+      val effectiveFullTable = fullTableMerge ||
+        (notMatchedBySource.nonEmpty && scope.isEmpty &&
+          MergeClauses.nmbsSmallTable(spark,
+          if (st.files.isEmpty) None else Some(st.files.map(_.bytes).sum)))
+      if (notMatchedBySource.nonEmpty)
+        require(scope.nonEmpty || effectiveFullTable,
+          "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
+            "cached match — unscoped, that is O(table). Either add " +
+            "target-only conjuncts to the ON clause (a prune-able scope) " +
+            "or opt in to the whole-table pass with fullTableMerge = " +
+            "true. Tables whose recorded size fits " +
+            s"${ManifestLake.NmbsSmallTableBytesConf} run whole-table " +
+            "automatically.")
+      val srcKeys = cached.select(keyCols.map(col): _*).distinct()
+      // skipped when no clause can fire on a matched row — an NMBS-only
+      // sync never rewrites key-matched files
+      def liveKeys = toDF(spark, st, keepLineage = true)
+        .select((keyCols.map(col) :+ col("__fp")).toIndexedSeq: _*)
+      val touchedNames: Set[String] =
+        if (matched.isEmpty) Set.empty
+        else liveKeys.join(srcKeys, keyCols).select(col("__fp")).distinct()
+          .as[String].collect().toSet
+      val touched = st.files.filter(f =>
+        ForeignDv.forms(f.path).exists(touchedNames))
+      // NMBS-fired files: bound-pruned candidates, one anti-join scan
+      val nmbsTouched: Seq[IceFile] =
+        if (notMatchedBySource.isEmpty) Nil
         else {
-          val rowScope = scope.map(c => coalesce(c, lit(false)))
-            .getOrElse(lit(true))
-          val hit = toDF(spark, st.copy(files = cands.toIndexedSeq),
-            keepLineage = true)
-            .join(srcKeys, keyCols, "left_anti")
-            .where(rowScope)
-            .withColumn("__nact",
-              MergeClauses.actionIndex(notMatchedBySource))
-            .filter(col("__nact") >= 0)
-            .select(col("__fp")).distinct().as[String].collect().toSet
-          cands.filter(f => hit(dmlNormStr(f.path)) ||
-            hit(dmlNormStr(new Path(f.path).toUri.toString)))
+          val touchedPaths = touched.map(_.path).toSet
+          val cands0 = st.files.filterNot(f => touchedPaths(f.path))
+          val cands = scope match {
+            case Some(sc) =>
+              val preds = ScanPredicates.fromSqlCondition(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(sc))
+              cands0.filterNot(f =>
+                preds.exists(p => filePrunes(f, st.specs, st.schema, p)))
+            case None => cands0
+          }
+          if (cands.isEmpty) Nil
+          else {
+            val rowScope = scope.map(c => coalesce(c, lit(false)))
+              .getOrElse(lit(true))
+            val hit = toDF(spark, st.copy(files = cands.toIndexedSeq),
+              keepLineage = true)
+              .join(srcKeys, keyCols, "left_anti")
+              .where(rowScope)
+              .withColumn("__nact",
+                MergeClauses.actionIndex(notMatchedBySource))
+              .filter(col("__nact") >= 0)
+              .select(col("__fp")).distinct().as[String].collect().toSet
+            cands.filter(f => ForeignDv.forms(f.path).exists(hit))
+          }
         }
-      }
-    val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
-    val currentRows =
-      if (rewriteSet.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          st.schema)
-      else toDF(spark, st.copy(files = rewriteSet.toIndexedSeq))
-        .drop("__fp", "__pos")
-    val notMatchedSrc =
-      if (notMatched.isEmpty) source.filter(lit(false))
-      else source.join(liveKeys.drop("__fp").distinct(), keyCols,
-        "left_anti")
-    val applied = MergeClauses(currentRows, source, keyCols, st.schema,
-      matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
-      notMatchedSrc)
-    val insertCount =
-      if (notMatched.isEmpty) 0L else applied.inserts.count()
-    if (rewriteSet.isEmpty && insertCount == 0L)
-      return IceDml(st.snapshotId, 0L, 0)
-    val firedCount =
-      if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
-    val added = stageRewritten(spark, fs, root, st,
-      applied.survivors.unionByName(applied.inserts))
-    val snap = publishRewrite(spark, fs, root, st, added,
-      rewriteSet.map(_.path).toSet, "overwrite")
-    IceDml(snap, firedCount + insertCount, rewriteSet.size)
+      val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
+      val currentRows =
+        if (rewriteSet.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            st.schema)
+        else toDF(spark, st.copy(files = rewriteSet.toIndexedSeq))
+          .drop("__fp", "__pos")
+      val notMatchedSrc =
+        if (notMatched.isEmpty) cached.filter(lit(false))
+        else cached.join(liveKeys.drop("__fp").distinct(), keyCols,
+          "left_anti")
+      val applied = MergeClauses(currentRows, cached, keyCols, st.schema,
+        matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
+        notMatchedSrc)
+      val insertCount =
+        if (notMatched.isEmpty) 0L else applied.inserts.count()
+      if (rewriteSet.isEmpty && insertCount == 0L)
+        return IceDml(st.snapshotId, 0L, 0)
+      val firedCount =
+        if (rewriteSet.isEmpty) 0L else applied.firedOld.count()
+      val added = stageRewritten(spark, fs, root, st,
+        applied.survivors.unionByName(applied.inserts))
+      val snap = publishRewrite(spark, fs, root, st, added,
+        rewriteSet.map(_.path).toSet, "overwrite")
+      IceDml(snap, firedCount + insertCount, rewriteSet.size)
+    } finally { cached.unpersist(): Unit }
   }
 
 
@@ -2837,9 +2834,8 @@ object IcebergInterop {
     // would silently group such files under the EMPTY tuple and their
     // delete files would never partition-match for foreign readers
     val tupleOf: Map[String, Map[String, AnyRef]] =
-      st.files.flatMap(f => Seq(
-        dmlNormStr(f.path) -> f.partition,
-        dmlNormStr(new Path(f.path).toUri.toString) -> f.partition)).toMap
+      st.files.flatMap(f =>
+        ForeignDv.forms(f.path).map(_ -> f.partition)).toMap
     val groups = touched.groupBy(fp =>
       tupleOf.getOrElse(fp, Map.empty[String, AnyRef]))
     val files = Seq.newBuilder[(String, Long, Long)]
@@ -2869,9 +2865,8 @@ object IcebergInterop {
     // raw + URI-escaped keys, as in stageMorDeletesByTuple: the
     // delete file's file_path column must record the RAW manifest
     // path, or spec-compliant foreign readers never path-match it
-    val pathMap = st.files.flatMap(f => Seq(
-      dmlNormStr(f.path) -> f.path,
-      dmlNormStr(new Path(f.path).toUri.toString) -> f.path)).toMap
+    val pathMap = st.files.flatMap(f =>
+      ForeignDv.forms(f.path).map(_ -> f.path)).toMap
     val bc = spark.sparkContext.broadcast(pathMap)
     val delRows = matched.as[(String, Long)]
       .map { case (fp, pos) => (bc.value.getOrElse(fp, fp), pos) }
@@ -4308,9 +4303,7 @@ object IcebergInterop {
     // match either path spelling: delete files record raw paths per
     // spec, but pre-fix graft sidecars carried the escaped lineage form
     val (rewrite, keep) = st.files.partition(f =>
-      touched(normStr(f.path)) ||
-        touched(normStr(new Path(f.path).toUri.toString)) ||
-        f.seq < maxEqSeq)
+      ForeignDv.forms(f.path).exists(touched) || f.seq < maxEqSeq)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
     val rewritten =

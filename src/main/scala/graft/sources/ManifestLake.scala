@@ -2487,15 +2487,13 @@ object ManifestLake {
 
   /** Is `snap` provably small per [[NmbsSmallTableBytesConf]]? Every
     * entry must RECORD its size (an unknown could hide anything —
-    * conservatively large) and the recorded total must fit. Malformed
-    * conf values count as the default rather than failing DML. */
-  private def nmbsSmallTable(spark: SparkSession, snap: Snapshot): Boolean = {
-    val threshold = spark.conf.getOption(NmbsSmallTableBytesConf)
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .getOrElse(1L * 1024 * 1024 * 1024)
-    threshold > 0 && snap.entries.forall(_.bytes.isDefined) &&
-      snap.entries.flatMap(_.bytes).sum <= threshold
-  }
+    * conservatively large) and the recorded total must fit
+    * ([[MergeClauses.nmbsSmallTable]], shared with both interops). */
+  private def nmbsSmallTable(spark: SparkSession, snap: Snapshot): Boolean =
+    MergeClauses.nmbsSmallTable(spark,
+      if (snap.entries.forall(_.bytes.isDefined))
+        Some(snap.entries.flatMap(_.bytes).sum)
+      else None)
 
   /** The source column `name` as seen by a [[mergeApply]] clause. */
   def mergeSrcCol(name: String): org.apache.spark.sql.Column =
@@ -2590,18 +2588,8 @@ object ManifestLake {
                  fullTableMerge: Boolean = false,
                  recordChangeFeed: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty ||
-      notMatchedBySource.nonEmpty,
-      "mergeApply needs at least one WHEN clause")
-    if (notMatchedBySource.nonEmpty) {
-      notMatchedBySource.foreach {
-        case u: MergeUpdate => require(u.assignments.nonEmpty,
-          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit " +
-            "assignments — there is no source row to SET * from")
-        case _ => ()
-      }
-    }
+    MergeClauses.requireValid(keyCols, matched, notMatched,
+      notMatchedBySource)
     val spark = source.sparkSession
     requireCommitScheme(table, fsFor(spark, table)._1)
     val (fs, p) = fsFor(spark, table)
@@ -2671,24 +2659,17 @@ object ManifestLake {
         col(s"`$k`") === col(MergeSrcPrefix + k)).reduce(_ && _))(_ && _)
       val joined = currentRows.join(srcP, joinCond, "left")
       // first-fired matched clause (SQL order); -1 = carry unchanged.
-      // NULL conditions do not fire (TRUE-only gating).
-      def fired(c: Option[org.apache.spark.sql.Column]) =
-        coalesce(c.getOrElse(lit(true)), lit(false))
-      val act = matched.zipWithIndex.foldRight(lit(-1)) {
-        case ((cl, i), rest) => when(fired(cl.condition), lit(i))
-          .otherwise(rest)
-      }
+      // NULL conditions do not fire (TRUE-only gating) — the shared
+      // [[MergeClauses]] fold, one semantics for all three dialects.
+      val act = MergeClauses.actionIndex(matched)
       // NMBS clauses fire on source-MATCHLESS rows inside the scope;
       // rows of TOUCHED files apply them inline in this rewrite (free —
       // the file is being rewritten anyway), indexed after the matched
       // clauses in the shared __act space
       val scopeP = scope.map(c => coalesce(c, lit(false)))
         .getOrElse(lit(effectiveFullTable))
-      val nmbsBase = matched.size
-      val nmbsAct = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
-        case ((cl, i), rest) => when(fired(cl.condition), lit(nmbsBase + i))
-          .otherwise(rest)
-      }
+      val nmbsAct = MergeClauses.actionIndex(notMatchedBySource,
+        matched.size)
       val withAct = joined.withColumn("__act",
         when(col(presentCol).isNotNull, act)
           .otherwise(if (notMatchedBySource.isEmpty) lit(-1)
@@ -2722,10 +2703,7 @@ object ManifestLake {
       val notMatchedSrc = srcP.join(tgtKeys,
         keyCols.map(k => col(MergeSrcPrefix + k) === tgtKeys(k))
           .reduce(_ && _), "left_anti")
-      val iact = notMatched.zipWithIndex.foldRight(lit(-1)) {
-        case ((cl, i), rest) => when(fired(cl.condition), lit(i))
-          .otherwise(rest)
-      }
+      val iact = MergeClauses.actionIndexOf(notMatched.map(_.condition))
       val firedIns = notMatchedSrc.withColumn("__iact", iact)
         .filter(col("__iact") >= 0)
       def insertValue(f: org.apache.spark.sql.types.StructField)
@@ -2766,9 +2744,7 @@ object ManifestLake {
             (Seq.empty[FileEntry], Seq.empty[String], Seq.empty[String],
               Option.empty[DataFrame], Seq.empty[String])
           else {
-            val nact0 = notMatchedBySource.zipWithIndex
-              .foldRight(lit(-1)) { case ((cl, i), rest) =>
-                when(fired(cl.condition), lit(i)).otherwise(rest) }
+            val nact0 = MergeClauses.actionIndex(notMatchedBySource)
             val rowScope = scope.map(c => coalesce(c, lit(false)))
               .getOrElse(lit(true))
             val firedRows = graft.core.TransientCache.persist(

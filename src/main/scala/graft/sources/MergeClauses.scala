@@ -56,8 +56,22 @@ private[sources] object MergeClauses {
 
   /** A clause condition as a fire test: absent = always, NULL = no
     * (the SQL contract's TRUE-only gating). */
-  private def fires(c: Option[Column]): Column =
+  private[sources] def fires(c: Option[Column]): Column =
     coalesce(c.getOrElse(lit(true)), lit(false))
+
+  /** Shared small-table test for the unscoped-NMBS automatic
+    * whole-table pass ([[ManifestLake.NmbsSmallTableBytesConf]]):
+    * `recordedBytes` is the table's total recorded size, None when any
+    * file's size is unrecorded (conservatively large). Malformed conf
+    * values count as the default rather than failing DML. */
+  def nmbsSmallTable(spark: org.apache.spark.sql.SparkSession,
+                     recordedBytes: Option[Long]): Boolean = {
+    val threshold = spark.conf
+      .getOption(ManifestLake.NmbsSmallTableBytesConf)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1L * 1024 * 1024 * 1024)
+    threshold > 0 && recordedBytes.exists(_ <= threshold)
+  }
 
   /** First-match-wins action index over clause conditions (offset by
     * `base` in the shared action space); -1 = no clause fired. */

@@ -150,8 +150,8 @@ private[sources] object MergeSqlSupport {
               Seq(ManifestLake.MergeSrcPrefix + parts.head))
           else UnresolvedAttribute(parts)
       })
-    def assignOf(a: Assignment): (String, Column) = a match {
-      case Assignment(k: UnresolvedAttribute, v) =>
+    def assignKey(a: Assignment): String = a match {
+      case Assignment(k: UnresolvedAttribute, _) =>
         val parts = k.nameParts
         if (parts.length > 1 && !tgtQuals.contains(parts.init
             .map(_.toLowerCase(root)).mkString(".")))
@@ -159,11 +159,13 @@ private[sources] object MergeSqlSupport {
             s"$dialect MERGE assignment target " +
               s"'${parts.mkString(".")}' is not a plain column " +
               "of the target table")
-        parts.last -> rw(v)
+        parts.last
       case other => throw new UnsupportedOperationException(
         s"$dialect MERGE supports only plain column " +
           s"assignment targets; got: ${other.sql}")
     }
+    def assignOf(a: Assignment): (String, Column) =
+      assignKey(a) -> rw(a.value)
     val matchedClauses = m.matchedActions.map {
       case UpdateStarAction(c) =>
         ManifestLake.MergeUpdate(c.map(rw), None)
@@ -203,12 +205,7 @@ private[sources] object MergeSqlSupport {
       case DeleteAction(c) => ManifestLake.MergeDelete(c.map(rwTgt))
       case UpdateAction(c, assigns, _) =>
         ManifestLake.MergeUpdate(c.map(rwTgt),
-          Some(assigns.map { a =>
-            val (k, _) = assignOf(a)
-            k -> (a match {
-              case Assignment(_, v) => rwTgt(v)
-            })
-          }))
+          Some(assigns.map(a => assignKey(a) -> rwTgt(a.value))))
       case other => throw new UnsupportedOperationException(
         s"$dialect MERGE: unsupported WHEN NOT MATCHED BY " +
           s"SOURCE action ${other.getClass.getSimpleName} — " +

@@ -281,6 +281,39 @@ class DeltaCdfSpec extends AnyFunSuite with Matchers with SparkSpec {
     val feed = DeltaInterop.changeFeed(spark, t, 2L, 2L)
     feed.filter($"_change_type" === "delete").select($"id")
       .as[Long].collect() shouldBe Array(2L)
+
+    // the implication table applies to LEGACY versions only: a table
+    // ALREADY at writer 7 with explicit features must NOT gain
+    // capabilities it never declared (foreign writers would have to
+    // implement them)
+    val t2 = fresh()
+    val fs2 = new Path(t2).getFileSystem(spark.sessionState.newHadoopConf())
+    val stage2 = fresh()
+    (1L to 6L).map(i => (i, s"x$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(stage2)
+    val part2 = fs2.listStatus(new Path(stage2)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs2.mkdirs(new Path(t2))
+    fs2.rename(part2, new Path(t2, "f1.parquet")) shouldBe true
+    val schemaJson2 =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"p","type":"string","nullable":true,"metadata":{}}
+        |]}""".stripMargin.replace("\n", "")
+    writeText(t2, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}
+         |{"metaData":{"id":"wf7","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson2)
+      },"partitionColumns":[],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin)
+    DeltaInterop.delete(spark, t2, $"id" === 1L).rowsAffected shouldBe 1L
+    val st2 = DeltaInterop.state(spark, t2, None)
+    st2.writerFeatures.sorted shouldBe
+      Seq("deletionVectors", "timestampNtz")
+    st2.readerFeatures.sorted shouldBe
+      Seq("deletionVectors", "timestampNtz")
   }
 
   test("RESTORE rolls the table configuration back to the target " +
