@@ -764,7 +764,12 @@ object IcebergInterop {
             st.files.flatMap { f =>
               fpForms(f.path).flatMap { k =>
                 val toks = posToken.toSeq ++ dvByFile.get(k).toSeq
+                // single-token values reuse the ONE instance (the
+                // common all-pos-deletes case): Java serialization
+                // back-references it, so the broadcast costs O(files
+                // + delete paths), not O(files × delete paths)
                 if (toks.isEmpty) None
+                else if (toks.size == 1) Some(k -> toks.head)
                 else Some(k -> toks.mkString(ForeignDv.Multi))
               }
             }.toMap

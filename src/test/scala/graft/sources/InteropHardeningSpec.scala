@@ -728,6 +728,38 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("AVRO")
   }
 
+  test("rowTracking-shaped Delta logs read: domainMetadata actions and " +
+    "baseRowId/defaultRowCommitVersion add fields pass through (writer " +
+    "features never gate reads)") {
+    import spark.implicits._
+    val t = fresh("graft-ih-rt")
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = fresh("graft-ih-rt-stage")
+    (1L to 4L).map(i => (i, s"x$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(t))
+    fs.rename(part, new Path(t, "f1.parquet")) shouldBe true
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"p","type":"string","nullable":true,"metadata":{}}
+        |]}""".stripMargin.replace("\n", "")
+    writeText(t, "_delta_log/00000000000000000000.json",
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}
+         |{"metaData":{"id":"rt","format":{"provider":"parquet","options":{}},"schemaString":${
+        DeltaJsonTestUtil.jstr(schemaJson)
+      },"partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},"createdTime":1}}
+         |{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":3}","removed":false}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0}}
+         |""".stripMargin)
+    val df = DeltaInterop.read(spark, t)
+    df.count() shouldBe 4L
+    df.select($"id").as[Long].collect().sorted shouldBe (1L to 4L).toArray
+  }
+
   test("Delta variantType tables serve: variant columns read natively, " +
     "variant_get extracts, and a vectored delete composes; unknown " +
     "reader features still refuse by name") {
