@@ -287,6 +287,69 @@ class InteropMergeClausesSpec extends AnyFunSuite with Matchers
     }.getMessage should include("explicit")
   }
 
+  test("clause MERGE on a COLUMN-MAPPED Delta table: assignments " +
+    "address logical names, staged files keep physical ones") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 30L).map(i => (s"g${i % 3}", i, i * 1.0))
+        .toDF("g", "id", "v"), t, partitionBy = Seq("g"),
+      columnMapping = "name")
+    DeltaInterop.mergeApply(
+      Seq((3L, "del", 0.0), (4L, "upd", 100.0), (99L, "ins", 9.0))
+        .toDF("id", "op", "nv"), t, Seq("id"),
+      matched = Seq(
+        MergeDelete(Some(mergeSrcCol("op") === "del")),
+        MergeUpdate(Some(mergeSrcCol("op") === "upd"),
+          Some(Seq("v" -> mergeSrcCol("nv"))))),
+      notMatched = Seq(MergeInsert(Some(mergeSrcCol("op") === "ins"),
+        Some(Seq("id" -> mergeSrcCol("id"), "g" -> lit("g0"),
+          "v" -> mergeSrcCol("nv"))))))
+    val out = DeltaInterop.read(spark, t)
+    out.count() shouldBe 30L
+    out.filter($"id" === 3L).count() shouldBe 0L
+    out.filter($"id" === 4L).select($"v").as[Double].head() shouldBe 100.0
+    out.filter($"id" === 99L).select($"g").as[String].head() shouldBe "g0"
+    // every live data file still stores physical col-… names
+    val st = DeltaInterop.state(spark, t, None)
+    st.columnMappingMode shouldBe "name"
+    st.files should not be empty
+    st.files.foreach { a =>
+      spark.read.parquet(new Path(t, a.path).toString)
+        .columns.foreach(_ should startWith("col-"))
+    }
+  }
+
+  test("clause MERGE on a FORMAT-V2 Iceberg table: the rewrite commits " +
+    "at the next sequence number, survivors keep theirs") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 20L).map(i => (i, i * 1.0))
+      .toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.write((21L to 40L).map(i => (i, i * 1.0))
+      .toDF("id", "v"), t) // seq 1
+    val r = IcebergInterop.mergeApply(
+      Seq((25L, "upd", 100.0), (26L, "del", 0.0))
+        .toDF("id", "op", "nv"), t, Seq("id"),
+      matched = Seq(
+        MergeUpdate(Some(mergeSrcCol("op") === "upd"),
+          Some(Seq("v" -> mergeSrcCol("nv")))),
+        MergeDelete(Some(mergeSrcCol("op") === "del"))))
+    r.rowsAffected shouldBe 2L
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 39L
+    out.filter($"id" === 25L).select($"v").as[Double].head() shouldBe 100.0
+    out.filter($"id" === 26L).count() shouldBe 0L
+    // first write's files keep their ORIGINAL sequence number; the
+    // rewrite's adds take a later one
+    val st = IcebergInterop.state(spark, t, None)
+    st.formatVersion shouldBe 2
+    val untouched = st.files.filter(_.seq == 0L)
+    untouched should not be empty
+    st.files.map(_.seq).max should be >= 2L
+  }
+
   test("SQL clause MERGE on graft_delta: conditional update/delete, " +
     "column-list insert, ON-conjunct scope drives NMBS, and the " +
     "whole-table conf gates the unscoped sync") {
