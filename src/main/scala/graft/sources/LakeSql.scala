@@ -461,7 +461,11 @@ object LakeSql {
             // never needs
             () => ManifestLake.snapshot(spark, path).schema
               .getOrElse(ManifestLake.read(spark, path).schema)
-              .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+              .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
+            // the lake's simple-upsert path (ManifestLake.merge)
+            // already widens schemas from the source — WITH SCHEMA
+            // EVOLUTION is simply accepted for that shape
+            evolvingSimpleMerge = true)
           if (tr.simple)
             // the plain upsert rides ManifestLake.merge, which also
             // widens schemas from the source — the proven lk2/lk5 path

@@ -94,12 +94,8 @@ private[sources] object MergeSqlSupport {
     * legal target qualifiers, `tgtCols` the (lazily resolved) target
     * column set. */
   def translate(m: MergeIntoTable, src: LogicalPlan, dialect: String,
-                tgtQuals: Set[String],
-                tgtCols: () => Set[String]): Translated = {
-    if (m.withSchemaEvolution)
-      throw new UnsupportedOperationException(
-        s"$dialect MERGE WITH SCHEMA EVOLUTION is unsupported — " +
-          "widen the table first (ALTER TABLE ADD COLUMNS)")
+                tgtQuals: Set[String], tgtCols: () => Set[String],
+                evolvingSimpleMerge: Boolean = false): Translated = {
     val root = Locale.ROOT
     val srcCols = src.output.map(_.name.toLowerCase(root)).toSet
     val (keys, scopeConjuncts) = splitMergeOn(m.mergeCondition,
@@ -115,9 +111,17 @@ private[sources] object MergeSqlSupport {
       m.matchedActions.size == 1 &&
       m.matchedActions.forall {
         case UpdateStarAction(None) => true; case _ => false } &&
-      m.notMatchedActions.size == 1 &&
       m.notMatchedActions.forall {
-        case InsertStarAction(None) => true; case _ => false }
+        case InsertStarAction(None) => true; case _ => false } &&
+      m.notMatchedActions.size == 1
+    // WITH SCHEMA EVOLUTION: only the dialect whose simple-upsert
+    // path already widens schemas from the source may accept it (the
+    // lake's merge()); clause shapes never change the schema here
+    if (m.withSchemaEvolution && !(simple && evolvingSimpleMerge))
+      throw new UnsupportedOperationException(
+        s"$dialect MERGE WITH SCHEMA EVOLUTION is supported for the " +
+          "plain upsert shape on graft_lake only — widen the table " +
+          "first (ALTER TABLE ADD COLUMNS) for clause merges")
     if (simple) return Translated(keys, None, Nil, Nil, Nil, simple = true)
     // the general clause surface maps onto mergeApply: target columns
     // by their own names, source columns under the __src_ prefix;

@@ -25,24 +25,6 @@ object DedupQueries {
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", regexp_replace(col("text"), "^\\S+", "qqq")))
 
-  /** Self-grading guard for the hash-seeded (rows-only) pair queries:
-    * every query here plants duplicates at `id + 100000`, so the pair
-    * set must contain all `expected` planted pairs — the count rides
-    * along as a column and rows survive only when recall is full, which
-    * makes the driver's recorded cardinality pin PLANTED RECALL instead
-    * of mere pair-count plumbing (the same pattern as nn2's recall
-    * gate). A recall regression empties the result. */
-  private def requirePlantedRecall(pairs: DataFrame,
-                                   expected: Int): DataFrame = {
-    // persisted: the pair mining (bucket self-join + verify + distinct)
-    // feeds both the recall count and the output
-    val p = graft.core.TransientCache.persist(pairs)
-    val planted = p
-      .filter(col("id_b") === col("id_a") + 100000)
-      .agg(count(lit(1)).as("n_planted_recovered"))
-    p.crossJoin(broadcast(planted))
-      .filter(col("n_planted_recovered") >= expected)
-  }
 
   def dd1ExactDedup(s: SparkSession, d: String): DataFrame =
     Dedup.exactDedup(withExactCopies(Tables.documents(s, d)))
@@ -127,11 +109,10 @@ object DedupQueries {
       |  CAST(5 AS BIGINT) AS n_planted_recovered
       |FROM documents WHERE doc_id < 5""".stripMargin
 
-  /** Winnowing fingerprint-overlap near-dup pairs (the MOSS scheme) over
-    * the planted corpus. Rolling-hash fingerprint values are
-    * engine-internal → rows-only driver check; the planted-recall and
-    * winnowing-guarantee contracts are pinned in DedupSpec /
-    * NativeTextExprSpec. */
+  /** Winnowing fingerprint-overlap near-dup pairs (the MOSS scheme)
+    * over the planted corpus: the planted pair ids gate hash-exact;
+    * the rolling-hash fingerprint values and the winnowing-guarantee
+    * contract stay pinned in DedupSpec / NativeTextExprSpec. */
   def dd6Winnow(s: SparkSession, d: String): DataFrame =
     // maxDocFreq raised from the production default: the synthetic corpus
     // draws from a tiny vocabulary, so cross-document k-gram collisions

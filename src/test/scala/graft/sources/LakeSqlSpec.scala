@@ -107,6 +107,37 @@ class LakeSqlSpec extends AnyFunSuite with Matchers with SparkSpec {
     got(9001L) shouldBe "NEW"
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target on the simple " +
+    "upsert shape; clause shapes keep refusing by name") {
+    import spark.implicits._
+    val path = freshTable("mrgevo")
+    ManifestLake.write((1 to 20).map(i => (i.toLong, s"p$i"))
+      .toDF("id", "payload"), path)
+    Seq((5L, "UPD", "extra5"), (99L, "NEW", "extra99"))
+      .toDF("id", "payload", "note")
+      .createOrReplaceTempView("mrgevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_lake.mrgevo t
+        |USING mrgevo_src u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = ManifestLake.read(spark, path)
+    got.columns.sorted shouldBe Array("id", "note", "payload")
+    got.count() shouldBe 21L
+    got.filter($"id" === 5L).select($"note").as[String]
+      .head() shouldBe "extra5"
+    got.filter($"id" === 1L).select($"note").isEmpty shouldBe false
+    got.filter($"id" === 1L).select($"note").as[String]
+      .collect() shouldBe Array(null)
+    // clause shapes still refuse the evolution flag
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_lake.mrgevo t
+          |USING mrgevo_src u ON t.id = u.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }.getMessage should include("SCHEMA EVOLUTION")
+  }
+
   test("MERGE runs the full clause surface from SQL: conditional " +
     "matched DELETE/UPDATE, conditional INSERT, first-match-wins, " +
     "ambiguous bare references rejected") {
