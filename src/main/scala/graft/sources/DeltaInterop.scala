@@ -1787,13 +1787,13 @@ object DeltaInterop {
     val cached = source.select(source.columns.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // nondeterministic-merge guard: a key matched by 2+ cached rows
+      // nondeterministic-merge guard: a key matched by 2+ source rows
       val dup = cached.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
       require(dup.isEmpty,
-        s"MERGE cached has duplicate key rows on " +
+        s"MERGE source has duplicate key rows on " +
           s"(${keyCols.mkString(", ")}) — which one updates the target " +
-          "is undefined; deduplicate the cached first")
+          "is undefined; deduplicate the source first")
       val effectiveFullTable = fullTableMerge ||
         (notMatchedBySource.nonEmpty && scope.isEmpty &&
           MergeClauses.nmbsSmallTable(spark,
@@ -1801,7 +1801,7 @@ object DeltaInterop {
       if (notMatchedBySource.nonEmpty)
         require(scope.nonEmpty || effectiveFullTable,
           "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
-            "cached match — unscoped, that is O(table). Either add " +
+            "source match — unscoped, that is O(table). Either add " +
             "target-only conjuncts to the ON clause (a prune-able scope) " +
             "or opt in to the whole-table pass with fullTableMerge = " +
             "true. Tables whose recorded size fits " +

@@ -2259,9 +2259,9 @@ object IcebergInterop {
       val dup = cached.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
       require(dup.isEmpty,
-        s"MERGE cached has duplicate key rows on " +
+        s"MERGE source has duplicate key rows on " +
           s"(${keyCols.mkString(", ")}) — which one updates the target " +
-          "is undefined; deduplicate the cached first")
+          "is undefined; deduplicate the source first")
       val effectiveFullTable = fullTableMerge ||
         (notMatchedBySource.nonEmpty && scope.isEmpty &&
           MergeClauses.nmbsSmallTable(spark,
@@ -2269,7 +2269,7 @@ object IcebergInterop {
       if (notMatchedBySource.nonEmpty)
         require(scope.nonEmpty || effectiveFullTable,
           "WHEN NOT MATCHED BY SOURCE fires on any target row without a " +
-            "cached match — unscoped, that is O(table). Either add " +
+            "source match — unscoped, that is O(table). Either add " +
             "target-only conjuncts to the ON clause (a prune-able scope) " +
             "or opt in to the whole-table pass with fullTableMerge = " +
             "true. Tables whose recorded size fits " +
