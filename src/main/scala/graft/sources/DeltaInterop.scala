@@ -2115,6 +2115,64 @@ object DeltaInterop {
 
   // --------------------------------------------------- change data feed
 
+  /** `ALTER TABLE … ADD COLUMNS` — metadata-only: one commit
+    * republishing metaData with the widened schema (new columns are
+    * nullable and read as NULL everywhere until data arrives — O(1)
+    * at any table size). On COLUMN-MAPPED tables the new fields take
+    * fresh field ids + `col-…` physical names and the commit bumps
+    * `delta.columnMapping.maxColumnId`, so later appends stage them
+    * physically like any mapped column. Existing names refuse by
+    * name. */
+  def addColumns(spark: SparkSession, table: String,
+                 newCols: Seq[StructField]): Long = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    val st = state(spark, table, None)
+    newCols.find(f => st.schema.fieldNames.contains(f.name)).foreach(f =>
+      throw new IllegalArgumentException(
+        s"ALTER on $table: column '${f.name}' already exists " +
+          s"(${st.schema(f.name).dataType.catalogString})"))
+    val mapped = st.columnMappingMode != "none"
+    var nextId = st.configuration
+      .get("delta.columnMapping.maxColumnId")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
+    def annotate(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        nextId += 1
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", nextId)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .build()
+        StructField(f.name, annotate(f.dataType), f.nullable, m)
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = annotate(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = annotate(m.keyType),
+          valueType = annotate(m.valueType))
+      case other => other
+    }
+    val added =
+      if (!mapped) newCols.map(_.copy(nullable = true))
+      else annotate(StructType(newCols.map(_.copy(nullable = true))))
+        .asInstanceOf[StructType].fields.toSeq
+    val widened = StructType(st.schema.fields ++ added)
+    val config =
+      if (!mapped) st.configuration
+      else st.configuration +
+        ("delta.columnMapping.maxColumnId" -> nextId.toString)
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("ADD COLUMNS")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      metaDataJson(widened, st.partitionColumns, now, config, st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, config)
+  }
+
   /** Enable the table's CHANGE DATA FEED (`ALTER TABLE … SET
     * TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')` analog):
     * one metadata-only commit republishing metaData with the property

@@ -45,6 +45,15 @@ object DeltaSql {
       pathOf(u.multipartIdentifier(1))
     else None
 
+  /** An ALTER statement's target path (UnresolvedTable shape). */
+  private def alterTarget(plan: LogicalPlan): Option[String] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+      if t.multipartIdentifier.length == 2 &&
+        t.multipartIdentifier.head.equalsIgnoreCase(Namespace) =>
+      pathOf(t.multipartIdentifier(1))
+    case _ => None
+  }
+
   /** A DML statement's target path, through an optional alias. */
   private def dmlTarget(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => dmlTarget(child)
@@ -171,6 +180,17 @@ object DeltaSql {
     }
   }
 
+  /** `ALTER TABLE graft_delta.t ADD COLUMNS (...)` — [[DeltaInterop.addColumns]]'s
+    * metadata-only widening when the command runs. */
+  final case class GraftDeltaAddColumnsCommand(table: String,
+      cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      DeltaInterop.addColumns(spark, table, cols): Unit
+      Seq.empty
+    }
+  }
+
   final class DeltaSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     private def readPlan(path: String, version: Option[Long]): LogicalPlan =
@@ -229,6 +249,18 @@ object DeltaSql {
               tr.inserts, tr.nmbs, tr.scope,
               PlanBridge.ofRows(spark, src))
         }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
+        if alterTarget(a.table).isDefined =>
+        val cols = a.columnsToAdd.map { c =>
+          if (c.path.nonEmpty || c.position.nonEmpty || c.default.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft_delta ALTER TABLE ADD COLUMNS supports plain top-level " +
+                "columns only (no nested paths, FIRST/AFTER positions, " +
+                "or DEFAULT values)")
+          org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+            nullable = true)
+        }
+        GraftDeltaAddColumnsCommand(alterTarget(a.table).get, cols)
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
           throw new UnsupportedOperationException(

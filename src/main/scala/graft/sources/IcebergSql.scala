@@ -48,6 +48,15 @@ object IcebergSql {
       pathOf(u.multipartIdentifier(1))
     else None
 
+  /** An ALTER statement's target path (UnresolvedTable shape). */
+  private def alterTarget(plan: LogicalPlan): Option[String] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+      if t.multipartIdentifier.length == 2 &&
+        t.multipartIdentifier.head.equalsIgnoreCase(Namespace) =>
+      pathOf(t.multipartIdentifier(1))
+    case _ => None
+  }
+
   /** A DML statement's target path, through an optional alias. */
   private def dmlTarget(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => dmlTarget(child)
@@ -179,6 +188,17 @@ object IcebergSql {
     }
   }
 
+  /** `ALTER TABLE graft_iceberg.t ADD COLUMNS (...)` — [[IcebergInterop.addColumns]]'s
+    * metadata-only widening when the command runs. */
+  final case class GraftIcebergAddColumnsCommand(table: String,
+      cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergInterop.addColumns(spark, table, cols): Unit
+      Seq.empty
+    }
+  }
+
   final class IcebergSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     private def readPlan(path: String,
@@ -244,6 +264,18 @@ object IcebergSql {
               tr.inserts, tr.nmbs, tr.scope,
               PlanBridge.ofRows(spark, src))
         }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
+        if alterTarget(a.table).isDefined =>
+        val cols = a.columnsToAdd.map { c =>
+          if (c.path.nonEmpty || c.position.nonEmpty || c.default.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft_iceberg ALTER TABLE ADD COLUMNS supports plain top-level " +
+                "columns only (no nested paths, FIRST/AFTER positions, " +
+                "or DEFAULT values)")
+          org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+            nullable = true)
+        }
+        GraftIcebergAddColumnsCommand(alterTarget(a.table).get, cols)
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
           throw new UnsupportedOperationException(
