@@ -2173,6 +2173,74 @@ object DeltaInterop {
       st.version + 1, lines, config)
   }
 
+  /** `ALTER TABLE … RENAME COLUMN` — COLUMN-MAPPED tables only (the
+    * protocol's rule: unmapped data files are name-keyed, so a rename
+    * would orphan every existing value): metadata-only republish with
+    * the new logical name over the SAME field id + physical name.
+    * Partition column renames update the recorded partitionColumns
+    * (the dirs are physically named already). */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Long = {
+    val st = state(spark, table, None)
+    if (st.columnMappingMode == "none")
+      throw new UnsupportedDeltaFeatureException(
+        s"RENAME COLUMN on $table needs column mapping — unmapped data " +
+          "files are name-keyed and would orphan the values; recreate " +
+          "the table with columnMapping=\"name\"")
+    require(st.schema.fieldNames.contains(from),
+      s"ALTER on $table: no column '$from'")
+    require(!st.schema.fieldNames.contains(to),
+      s"ALTER on $table: column '$to' already exists")
+    val widened = StructType(st.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val parts = st.partitionColumns.map(c => if (c == from) to else c)
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("RENAME COLUMN")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      metaDataJson(widened, parts, now, st.configuration, st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, st.configuration)
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — COLUMN-MAPPED tables only (the
+    * protocol's rule), metadata-only: the field leaves the recorded
+    * schema; its physical values stay in the files, invisible to
+    * by-physical-name projection. Partition columns refuse (the
+    * layout would dangle). */
+  def dropColumns(spark: SparkSession, table: String,
+                  names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    val st = state(spark, table, None)
+    if (st.columnMappingMode == "none")
+      throw new UnsupportedDeltaFeatureException(
+        s"DROP COLUMN on $table needs column mapping — unmapped readers " +
+          "resolve by name and would keep serving the values")
+    names.foreach { n =>
+      require(st.schema.fieldNames.contains(n),
+        s"ALTER on $table: no column '$n'")
+      require(!st.partitionColumns.contains(n),
+        s"ALTER on $table: '$n' is a partition column — the layout " +
+          "would dangle; rewrite the table to change partitioning")
+    }
+    require(names.size < st.schema.size,
+      s"ALTER on $table would drop every column")
+    val widened = StructType(
+      st.schema.fields.filterNot(f => names.contains(f.name)))
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("DROP COLUMNS")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      metaDataJson(widened, st.partitionColumns, now, st.configuration,
+        st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, st.configuration)
+  }
+
   /** Enable the table's CHANGE DATA FEED (`ALTER TABLE … SET
     * TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')` analog):
     * one metadata-only commit republishing metaData with the property

@@ -191,6 +191,26 @@ object DeltaSql {
     }
   }
 
+  /** `ALTER TABLE graft_delta.t RENAME COLUMN a TO b` —
+    * [[DeltaInterop.renameColumn]]'s metadata-only rename. */
+  final case class GraftDeltaRenameColumnCommand(table: String,
+      from: String, to: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      DeltaInterop.renameColumn(spark, table, from, to): Unit
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE graft_delta.t DROP COLUMN ...` —
+    * [[DeltaInterop.dropColumns]]'s metadata-only drop. */
+  final case class GraftDeltaDropColumnsCommand(table: String,
+      names: Seq[String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      DeltaInterop.dropColumns(spark, table, names): Unit
+      Seq.empty
+    }
+  }
+
   final class DeltaSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     private def readPlan(path: String, version: Option[Long]): LogicalPlan =
@@ -261,6 +281,25 @@ object DeltaSql {
             nullable = true)
         }
         GraftDeltaAddColumnsCommand(alterTarget(a.table).get, cols)
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
+        if alterTarget(r.table).isDefined =>
+        if (r.column.name.length != 1)
+          throw new UnsupportedOperationException(
+            "graft_delta RENAME COLUMN supports top-level columns only")
+        GraftDeltaRenameColumnCommand(alterTarget(r.table).get,
+          r.column.name.head, r.newName)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns
+        if alterTarget(d.table).isDefined =>
+        if (d.ifExists)
+          throw new UnsupportedOperationException(
+            "graft_delta DROP COLUMN IF EXISTS is unsupported — drop by exact name")
+        val names = d.columnsToDrop.map { c =>
+          if (c.name.length != 1)
+            throw new UnsupportedOperationException(
+              "graft_delta DROP COLUMN supports top-level columns only")
+          c.name.head
+        }
+        GraftDeltaDropColumnsCommand(alterTarget(d.table).get, names)
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
           throw new UnsupportedOperationException(

@@ -1956,83 +1956,6 @@ object IcebergInterop {
     * create-if-absent publication DML uses, so a racing writer
     * surfaces as [[ConcurrentIcebergCommitException]], never a lost
     * update. */
-  /** `ALTER TABLE … ADD COLUMNS` — metadata-only: a NEW schema node
-    * (fresh field ids continuing from `last-column-id`, optional per
-    * spec) becomes current; old files resolve by id through their
-    * write-time schemas and serve the added columns as NULL. Existing
-    * names refuse by name. */
-  def addColumns(spark: SparkSession, table: String,
-                 newCols: Seq[StructField]): Unit = {
-    import org.json4s._
-    require(newCols.nonEmpty, "addColumns needs at least one column")
-    val st = state(spark, table, None)
-    newCols.find(f => st.schema.fieldNames.contains(f.name)).foreach(f =>
-      throw new IllegalArgumentException(
-        s"ALTER on $table: column '${f.name}' already exists " +
-          s"(${st.schema(f.name).dataType.catalogString})"))
-    transformMetadata(spark, table) { metaJson =>
-      val lastId = jLong(metaJson \ "last-column-id") max
-        st.evo.fieldIds.values.foldLeft(0L)(_ max _)
-      val curId = jLong(metaJson \ "current-schema-id") match {
-        case -1L => 0L
-        case id => id
-      }
-      val (curNode, priorNodes): (JValue, List[JValue]) =
-        (metaJson \ "schemas") match {
-          case JArray(xs) if xs.nonEmpty =>
-            (xs.find(s => jLong(s \ "schema-id") == curId)
-              .getOrElse(xs.head), xs)
-          case _ => (metaJson \ "schema") match {
-            case JNothing => throw new IllegalStateException(
-              s"table $table records no schema to widen")
-            case s => (s, List(s))
-          }
-        }
-      val newSchemaId = (priorNodes.map(s => jLong(s \ "schema-id"))
-        .filter(_ >= 0) :+ curId).max + 1
-      val newFieldNodes: List[JValue] = newCols.toList.zipWithIndex
-        .map { case (f, i) =>
-          JObject(List(
-            "id" -> (JLong(lastId + i + 1): JValue),
-            "name" -> (JString(f.name): JValue),
-            "required" -> (JBool(false): JValue),
-            "type" -> (JString(sparkTypeToIceberg(f.dataType)): JValue)))
-        }
-      val curFields: List[JValue] = (curNode \ "fields") match {
-        case JArray(xs) => xs
-        case _ => Nil
-      }
-      val widenedNode: JValue = JObject(List(
-        "type" -> (JString("struct"): JValue),
-        "schema-id" -> (JLong(newSchemaId): JValue),
-        "fields" -> (JArray(curFields ++ newFieldNodes): JValue)))
-      val keys = metaJson.asInstanceOf[JObject].obj.map(_._1).toSet
-      JObject(metaJson.asInstanceOf[JObject].obj.flatMap {
-        case ("schemas", JArray(xs)) =>
-          Seq("schemas" -> (JArray(xs :+ widenedNode): JValue))
-        case ("schema", _) => Nil // legacy single-schema field retires
-        case ("current-schema-id", _) =>
-          Seq("current-schema-id" -> (JLong(newSchemaId): JValue))
-        case ("last-column-id", _) =>
-          Seq("last-column-id" ->
-            (JLong(lastId + newCols.size): JValue))
-        case ("last-updated-ms", _) =>
-          Seq("last-updated-ms" ->
-            (JLong(System.currentTimeMillis()): JValue))
-        case kv => Seq(kv)
-      } ++
-        (if (keys("schemas")) Nil
-         else Seq("schemas" ->
-           (JArray(priorNodes :+ widenedNode): JValue))) ++
-        (if (keys("current-schema-id")) Nil
-         else Seq("current-schema-id" ->
-           (JLong(newSchemaId): JValue))) ++
-        (if (keys("last-column-id")) Nil
-         else Seq("last-column-id" ->
-           (JLong(lastId + newCols.size): JValue))))
-    }
-  }
-
   private def transformMetadata(spark: SparkSession, table: String)(
       f: org.json4s.JValue => org.json4s.JValue): Unit = {
     import org.json4s.jackson.JsonMethods
@@ -3600,6 +3523,55 @@ object IcebergInterop {
         "required" -> JBool(false),
         "type" -> JString(sparkTypeToIceberg(dataType)))), newId)
     }
+
+  /** `ALTER TABLE … ADD COLUMNS` — [[addColumn]] for several fields
+    * in ONE metadata version (fresh ids continuing from
+    * last-column-id, optional per spec). */
+  def addColumns(spark: SparkSession, table: String,
+                 newCols: Seq[StructField]): Unit = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    evolveSchema(spark, table) { (fields, lastColumnId) =>
+      import org.json4s._
+      var next = lastColumnId
+      val added = newCols.toList.map { f =>
+        if (fields.exists(x => (x \ "name") == JString(f.name)))
+          throw new IllegalArgumentException(
+            s"ALTER on $table: column '${f.name}' already exists")
+        next += 1
+        JObject(List(
+          "id" -> JInt(next), "name" -> JString(f.name),
+          "required" -> JBool(false),
+          "type" -> JString(sparkTypeToIceberg(f.dataType)))): JValue
+      }
+      (fields ++ added, next)
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMNS` — [[dropColumn]] for several fields
+    * in ONE metadata version (ids retire; partition-spec sources
+    * refuse). */
+  def dropColumns(spark: SparkSession, table: String,
+                  names: Seq[String]): Unit = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    val sourced = specSourceIds(spark, table)
+    evolveSchema(spark, table) { (fields, _) =>
+      import org.json4s._
+      val victims = names.map { n =>
+        fields.find(f => (f \ "name") == JString(n))
+          .getOrElse(throw new IllegalArgumentException(
+            s"ALTER on $table: no column '$n'"))
+      }
+      victims.foreach { v =>
+        if (sourced.contains(jLong(v \ "id")))
+          throw new UnsupportedIcebergFeatureException(
+            s"cannot drop a partition-spec source column of $table — " +
+              "rewrite the table under a new spec first")
+      }
+      require(victims.size < fields.size,
+        s"ALTER on $table would drop every column")
+      (fields.filterNot(victims.contains), 0L)
+    }
+  }
 
   /** The Iceberg spec's legal primitive TYPE PROMOTIONS — the only
     * (write-time → current) pairs the by-id read kernel serves by

@@ -199,6 +199,26 @@ object IcebergSql {
     }
   }
 
+  /** `ALTER TABLE graft_iceberg.t RENAME COLUMN a TO b` —
+    * [[IcebergInterop.renameColumn]]'s metadata-only rename. */
+  final case class GraftIcebergRenameColumnCommand(table: String,
+      from: String, to: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergInterop.renameColumn(spark, table, from, to): Unit
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE graft_iceberg.t DROP COLUMN ...` —
+    * [[IcebergInterop.dropColumns]]'s metadata-only drop. */
+  final case class GraftIcebergDropColumnsCommand(table: String,
+      names: Seq[String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergInterop.dropColumns(spark, table, names): Unit
+      Seq.empty
+    }
+  }
+
   final class IcebergSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     private def readPlan(path: String,
@@ -276,6 +296,25 @@ object IcebergSql {
             nullable = true)
         }
         GraftIcebergAddColumnsCommand(alterTarget(a.table).get, cols)
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
+        if alterTarget(r.table).isDefined =>
+        if (r.column.name.length != 1)
+          throw new UnsupportedOperationException(
+            "graft_iceberg RENAME COLUMN supports top-level columns only")
+        GraftIcebergRenameColumnCommand(alterTarget(r.table).get,
+          r.column.name.head, r.newName)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns
+        if alterTarget(d.table).isDefined =>
+        if (d.ifExists)
+          throw new UnsupportedOperationException(
+            "graft_iceberg DROP COLUMN IF EXISTS is unsupported — drop by exact name")
+        val names = d.columnsToDrop.map { c =>
+          if (c.name.length != 1)
+            throw new UnsupportedOperationException(
+              "graft_iceberg DROP COLUMN supports top-level columns only")
+          c.name.head
+        }
+        GraftIcebergDropColumnsCommand(alterTarget(d.table).get, names)
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
           throw new UnsupportedOperationException(

@@ -106,4 +106,65 @@ class InteropAddColumnsSpec extends AnyFunSuite with Matchers
       IcebergInterop.addColumns(spark, t, Seq(StructField("id", LongType)))
     }.getMessage should include("already exists")
   }
+
+  test("Delta RENAME/DROP COLUMN: mapped tables evolve metadata-only " +
+    "over stable physical names; unmapped tables refuse by name; SQL " +
+    "routes both verbs") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write((1L to 8L).map(i => (i, i * 2, s"p$i"))
+      .toDF("id", "v", "payload"), t, columnMapping = "name")
+    DeltaInterop.renameColumn(spark, t, "v", "value")
+    val out = DeltaInterop.read(spark, t)
+    out.columns.sorted shouldBe Array("id", "payload", "value")
+    out.filter($"id" === 3L).select($"value").as[Long].head() shouldBe 6L
+    DeltaInterop.dropColumns(spark, t, Seq("payload"))
+    val out2 = DeltaInterop.read(spark, t)
+    out2.columns.sorted shouldBe Array("id", "value")
+    out2.count() shouldBe 8L
+    // SQL surface
+    DeltaSql.register("evo_d", t)
+    try {
+      spark.sql(
+        "ALTER TABLE graft_delta.evo_d RENAME COLUMN value TO amount")
+      spark.sql("SELECT sum(amount) AS s FROM graft_delta.evo_d")
+        .as[Long].head() shouldBe (1L to 8L).map(_ * 2).sum
+      spark.sql("ALTER TABLE graft_delta.evo_d DROP COLUMN amount")
+      DeltaInterop.read(spark, t).columns shouldBe Array("id")
+    } finally DeltaSql.unregister("evo_d")
+    // unmapped tables refuse both verbs by name
+    val t2 = fresh()
+    DeltaInterop.write(Seq((1L, 2L)).toDF("id", "v"), t2)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.renameColumn(spark, t2, "v", "w")
+    }.getMessage should include("column mapping")
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
+      DeltaInterop.dropColumns(spark, t2, Seq("v"))
+    }.getMessage should include("column mapping")
+  }
+
+  test("Iceberg RENAME/DROP COLUMN through SQL: by-id resolution keeps " +
+    "serving old files under the new name; dropped ids retire") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 8L).map(i => (i, i * 2, s"p$i"))
+      .toDF("id", "v", "payload"), t)
+    IcebergSql.register("evo_i", t)
+    try {
+      spark.sql(
+        "ALTER TABLE graft_iceberg.evo_i RENAME COLUMN v TO amount")
+      spark.sql("SELECT sum(amount) AS s FROM graft_iceberg.evo_i")
+        .as[Long].head() shouldBe (1L to 8L).map(_ * 2).sum
+      spark.sql("ALTER TABLE graft_iceberg.evo_i DROP COLUMN payload")
+      val out = IcebergInterop.read(spark, t)
+      out.columns.sorted shouldBe Array("amount", "id")
+      out.count() shouldBe 8L
+      // re-adding the dropped name takes a FRESH id: old values never
+      // resurface
+      spark.sql(
+        "ALTER TABLE graft_iceberg.evo_i ADD COLUMNS (payload STRING)")
+      IcebergInterop.read(spark, t)
+        .filter($"payload".isNotNull).count() shouldBe 0L
+    } finally IcebergSql.unregister("evo_i")
+  }
 }
