@@ -1645,6 +1645,59 @@ object LakeQueries {
 
   val ic15Oracle: String = mergeClausesOracle("scope_pruned")
 
+  /** dl13_schema_evolution — the interop ALTER verbs through the
+    * gate on a COLUMN-MAPPED Delta table: ADD COLUMNS (metadata-only,
+    * old rows serve NULL), an append carrying the new column, and
+    * RENAME COLUMN (same field id/physical name) — then one aggregate
+    * over the evolved shape the oracle re-derives from the original
+    * parquet. `mapped_physical` pins in-row that every live data file
+    * still stores physical `col-…` names after the evolution. */
+  def dl13SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl13:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl13").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      DeltaInterop.write(o, dir, columnMapping = "name")
+      DeltaInterop.addColumns(s, dir, Seq(
+        org.apache.spark.sql.types.StructField("o_flag",
+          org.apache.spark.sql.types.StringType)))
+      DeltaInterop.write(
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey",
+            (col("o_orderkey") + lit(200000000L))
+              .cast(o.schema("o_orderkey").dataType))
+          .withColumn("o_flag", lit("x")),
+        dir)
+      DeltaInterop.renameColumn(s, dir, "o_totalprice", "price")
+      val st = DeltaInterop.state(s, dir, None)
+      val phys = st.columnMappingMode == "name" && st.files.nonEmpty &&
+        st.files.forall { a =>
+          spark_read_columns(s, dir, a.path).forall(_.startsWith("col-"))
+        }
+      s"$dir|$phys"
+    })
+    val Array(dir, phys) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_flag"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("mapped_physical", lit(phys.toBoolean))
+  }
+
+  val dl13Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_totalprice AS price,
+      |    CAST(NULL AS VARCHAR) AS o_flag FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, o_totalprice, 'x'
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_flag, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(price AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS mapped_physical
+      |FROM t GROUP BY o_flag""".stripMargin
+
   /** ic9_iceberg_dml — Iceberg ROW-LEVEL DML through the gate, all
     * three verbs via the SQL surface: two appends build two manifests
     * (evens, odds); copy-on-write `DELETE FROM`, `UPDATE` and the
@@ -2711,6 +2764,7 @@ object LakeQueries {
     "dl9_delta_dml" -> (dl9DeltaDml _),
     "dl10_mapped_dml" -> (dl10MappedDml _),
     "dl12_merge_clauses" -> (dl12MergeClauses _),
+    "dl13_schema_evolution" -> (dl13SchemaEvolution _),
     "ic15_merge_clauses" -> (ic15MergeClauses _),
     "dl11_timestamp_travel" -> (dl11TimestampTravel _),
     "ic14_partitioned_mor" -> (ic14PartitionedMor _),
@@ -2774,6 +2828,7 @@ object LakeQueries {
     "dl8_delta_optimize" -> dl8Oracle,
     "dl10_mapped_dml" -> dl10Oracle,
     "dl12_merge_clauses" -> dl12Oracle,
+    "dl13_schema_evolution" -> dl13Oracle,
     "ic15_merge_clauses" -> ic15Oracle,
     "dl11_timestamp_travel" -> dl11Oracle,
     "ic14_partitioned_mor" -> ic14Oracle,
