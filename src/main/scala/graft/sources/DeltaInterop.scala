@@ -76,7 +76,9 @@ object DeltaInterop {
                               minReaderVersion: Int = 1,
                               readerFeatures: Seq[String] = Nil,
                               minWriterVersion: Int = 2,
-                              writerFeatures: Seq[String] = Nil)
+                              writerFeatures: Seq[String] = Nil,
+                              appTransactions: Map[String, Long] =
+                                Map.empty)
 
   /** Test seam: runs between a write's version choice and its commit
     * publication — lets a spec interleave a racing commit
@@ -370,6 +372,7 @@ object DeltaInterop {
         "survives")
 
     var files = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var mappingMode: String = "none"
@@ -486,6 +489,14 @@ object DeltaInterop {
         struct("remove").foreach { rm =>
           files.remove(urlDecode(rm.getString(rm.fieldIndex("path")))): Unit
         }
+        struct("txn").foreach { tx =>
+          if (!tx.isNullAt(tx.fieldIndex("appId")))
+            txns(tx.getString(tx.fieldIndex("appId"))) =
+              tx.get(tx.fieldIndex("version")) match {
+                case n: java.lang.Number => n.longValue
+                case _ => 0L
+              }
+        }
         struct("sidecar").map(sc =>
           sc.getString(sc.fieldIndex("path")))
     }
@@ -530,6 +541,7 @@ object DeltaInterop {
               case AddAction(a) => files(a.path) = a; Nil
               case RemoveAction(p, _) => files.remove(p); Nil
               case SidecarAction(p) => Seq(p)
+              case TxnAction(a, v) => txns(a) = v; Nil
               case _ => Nil
             }
           else processCkParquet(Seq(file.toString))
@@ -557,6 +569,7 @@ object DeltaInterop {
           config = cfg; metaId = id.orElse(metaId)
         case AddAction(a) => files(a.path) = a
         case RemoveAction(p, _) => files.remove(p): Unit
+        case TxnAction(a, v) => txns(a) = v
         case _: CdcAction | _: CommitInfoAction | _: SidecarAction =>
       }
     }
@@ -565,7 +578,8 @@ object DeltaInterop {
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying $table to $target")),
       partCols, files.values.toSeq, mappingMode, config, metaId,
-      protoReader, protoFeatures, protoWriter, protoWriterFeatures)
+      protoReader, protoFeatures, protoWriter, protoWriterFeatures,
+      txns.toMap)
   }
 
   private sealed trait DeltaAction
@@ -592,6 +606,8 @@ object DeltaInterop {
   /** A v2-checkpoint `sidecar` action: one parquet file under
     * `_delta_log/_sidecars/` holding add/remove rows. */
   private final case class SidecarAction(path: String) extends DeltaAction
+  private final case class TxnAction(appId: String, version: Long)
+    extends DeltaAction
 
   /** Parse one JSON commit file into its actions (commitInfo/txn
     * ignored). ONE definition shared by snapshot replay and the
@@ -726,7 +742,14 @@ object DeltaInterop {
         case JNothing | JNull => Nil
         case sc => str(sc \ "path").toSeq.map(SidecarAction)
       }
-      protocol ++ meta ++ add ++ remove ++ cdc ++ info ++ sidecar
+      // txn: the protocol's idempotent-writer primitive — the latest
+      // `version` per `appId` is the stream's replay high-water mark
+      val txn = j \ "txn" match {
+        case JNothing | JNull => Nil
+        case tx => str(tx \ "appId").toSeq.map(a =>
+          TxnAction(a, long(tx \ "version")))
+      }
+      protocol ++ meta ++ add ++ remove ++ cdc ++ info ++ sidecar ++ txn
     }
   }
 
@@ -1080,7 +1103,8 @@ object DeltaInterop {
   def write(df: DataFrame, table: String,
             partitionBy: Seq[String] = Nil,
             overwrite: Boolean = false,
-            columnMapping: String = "none"): Long = {
+            columnMapping: String = "none",
+            txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -1096,6 +1120,9 @@ object DeltaInterop {
         Some(state(spark, table, None))
       else None
     prior.foreach { p =>
+      DeltaWriteGate.requireWritable(p, table,
+        if (overwrite) "overwrite" else "append",
+        removesData = overwrite, addsData = true)
       require(p.partitionColumns == partitionBy,
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
@@ -1168,12 +1195,25 @@ object DeltaInterop {
         stats = Some(statsJson(rows, lo, hi, statsSchema)))
     }
     fs.delete(stage, true): Unit
+    // writer obligations (CHECK constraints, invariants, NOT NULL,
+    // generated columns) validate against the STAGED files before the
+    // commit publishes — a violation deletes them and nothing lands
+    prior.foreach(p => DeltaWriteGate.validateAddsOrAbort(spark, table,
+      p, recordedSchema, partitionBy, adds,
+      if (overwrite) "overwrite" else "append", fs, root))
 
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
       jstr(if (overwrite || prior.isEmpty) "WRITE" else "APPEND")
     },"operationParameters":{},"engineInfo":${jstr("graft")}}}"""
+    // the protocol's idempotent-writer primitive: a (appId, version)
+    // stamp the NEXT attempt of the same epoch detects via
+    // lastTxnVersion — the exactly-once streaming contract
+    txn.foreach { case (appId, v) =>
+      lines += s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
+        s""""lastUpdated":$now}}"""
+    }
     if (prior.isEmpty) {
       if (mapped) {
         lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
@@ -1403,6 +1443,8 @@ object DeltaInterop {
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column): DeltaDml = {
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "DELETE",
+      removesData = true, addsData = false)
     // deletion vectors are POSITION-keyed — the commit never writes a
     // column name — so the MOR delete serves column-mapped tables
     // as-is (the predicate resolves against the mapped read's logical
@@ -1470,6 +1512,8 @@ object DeltaInterop {
              predicate: org.apache.spark.sql.Column,
              set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "UPDATE",
+      removesData = true, addsData = true)
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -1515,6 +1559,7 @@ object DeltaInterop {
       jstr("graft")}}}"""
     val mapped = st.columnMappingMode != "none"
     val statsSchema = if (mapped) physicalStruct(dataSchema) else dataSchema
+    val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
     touched.groupBy(_.partitionValues).foreach { case (pv, adds) =>
       val rows = filesToDF(spark, table, st.schema, st.partitionColumns,
         adds.toIndexedSeq, st.columnMappingMode)
@@ -1531,6 +1576,8 @@ object DeltaInterop {
           throw new IllegalStateException(s"failed to move $p to $dest")
         val (rows0, lo, hi) =
           ScanPredicates.footerStats(spark, dest, statsSchema)
+        newAdds += DeltaAdd(p.getName, pv,
+          fs.getFileStatus(dest).getLen)
         lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
           s""""partitionValues":${pvJsonOf(pv)},""" +
           s""""size":${fs.getFileStatus(dest).getLen},""" +
@@ -1553,6 +1600,11 @@ object DeltaInterop {
         lines ++= stageCdc(cdcRows, root, fs, pv)
       }
     }
+    // the REWRITTEN rows (post-assignment) must still satisfy the
+    // table's recorded obligations — an UPDATE can violate what an
+    // append never could (e.g. SET a required column to NULL)
+    DeltaWriteGate.validateAddsOrAbort(spark, table, st, st.schema,
+      st.partitionColumns, newAdds.toSeq, "UPDATE", fs, root)
     val v = publishCommit(fs, new Path(root, "_delta_log"),
       st.version + 1, lines.toSeq, st.configuration)
     DeltaDml(v, counts.map(_._2).sum, touched.length)
@@ -1606,6 +1658,8 @@ object DeltaInterop {
                 predicate: org.apache.spark.sql.Column,
                 set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "UPDATE",
+      removesData = true, addsData = true)
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -1661,6 +1715,7 @@ object DeltaInterop {
       (if (partitionDirs.nonEmpty)
          w.partitionBy(partitionDirs: _*)
        else w).parquet(stage.toString)
+      val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
       listParquet(fs, stage).foreach { p =>
         val rel = relativize(stage, p)
         val (rows0, lo, hi) =
@@ -1671,6 +1726,9 @@ object DeltaInterop {
           if (!fs.rename(p, dest))
             throw new IllegalStateException(s"failed to move $p to $dest")
           val pv = hivePartitionValues(rel)
+          newAdds += DeltaAdd(rel,
+            partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
+            fs.getFileStatus(dest).getLen)
           lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
             s""""partitionValues":${
               pvJsonOf(partitionDirs
@@ -1693,6 +1751,8 @@ object DeltaInterop {
           else cdcRows0
         lines ++= stageCdcFiles(cdcRows, root, fs, partitionDirs)
       }
+      DeltaWriteGate.validateAddsOrAbort(spark, table, st, st.schema,
+        st.partitionColumns, newAdds.toSeq, "UPDATE", fs, root)
       val v = publishCommit(fs, new Path(root, "_delta_log"),
         st.version + 1, lines.toSeq, st.configuration)
       DeltaDml(v, perFile.map(_._6).sum, perFile.length)
@@ -1756,10 +1816,11 @@ object DeltaInterop {
                  notMatched: Seq[ManifestLake.MergeInsert] = Nil,
                  notMatchedBySource: Seq[ManifestLake.MergeMatched] = Nil,
                  scope: Option[org.apache.spark.sql.Column] = None,
-                 fullTableMerge: Boolean = false): DeltaDml =
+                 fullTableMerge: Boolean = false,
+                 txn: Option[(String, Long)] = None): DeltaDml =
     mergeApplyResolved(state(source.sparkSession, table, None),
       source, table, keyCols, matched, notMatched,
-      notMatchedBySource, scope, fullTableMerge)
+      notMatchedBySource, scope, fullTableMerge, txn)
 
   /** [[mergeApply]] against an already-resolved state — one log
     * replay per statement whatever the entry point (merge() checks
@@ -1775,10 +1836,17 @@ object DeltaInterop {
       notMatched: Seq[ManifestLake.MergeInsert],
       notMatchedBySource: Seq[ManifestLake.MergeMatched],
       scope: Option[org.apache.spark.sql.Column],
-      fullTableMerge: Boolean): DeltaDml = {
+      fullTableMerge: Boolean,
+      txn: Option[(String, Long)] = None): DeltaDml = {
     val spark = source.sparkSession
     MergeClauses.requireValid(keyCols, matched, notMatched,
       notMatchedBySource)
+    // a matched/NMBS clause rewrites target files (remove actions,
+    // dataChange=true) — illegal on append-only tables; an insert-only
+    // merge is a plain append and passes
+    DeltaWriteGate.requireWritable(st, table, "MERGE",
+      removesData = matched.nonEmpty || notMatchedBySource.nonEmpty,
+      addsData = true)
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
     val root = new Path(table)
@@ -1894,7 +1962,12 @@ object DeltaInterop {
       lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
         jstr("MERGE")},"operationParameters":{},"engineInfo":${
         jstr("graft")}}}"""
+      txn.foreach { case (appId, v) =>
+        lines += s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
+          s""""lastUpdated":$now}}"""
+      }
       var insertedAny = false
+      val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
       listParquet(fs, stage).foreach { p =>
         val rel = relativize(stage, p)
         val (rows0, lo, hi) =
@@ -1906,6 +1979,9 @@ object DeltaInterop {
             throw new IllegalStateException(s"failed to move $p to $dest")
           insertedAny = true
           val pv = hivePartitionValues(rel)
+          newAdds += DeltaAdd(rel,
+            partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
+            fs.getFileStatus(dest).getLen)
           lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
             s""""partitionValues":${
               pvJsonOf(partitionDirs
@@ -1922,6 +1998,10 @@ object DeltaInterop {
       // a merge into an empty/no-match state with an empty cached would
       // publish an empty commit — keep the version instead
       if (rewriteSet.isEmpty && !insertedAny) return DeltaDml(st.version, 0L, 0)
+      // merged rows (updates applied, inserts included) must satisfy
+      // the table's recorded obligations before anything publishes
+      DeltaWriteGate.validateAddsOrAbort(spark, table, st, st.schema,
+        st.partitionColumns, newAdds.toSeq, "MERGE", fs, root)
       // rowsAffected: clause-FIRED rows (matched + NMBS) plus fired
       // inserts — both bounded by the rewrite surface
       val firedCount =
@@ -1948,6 +2028,91 @@ object DeltaInterop {
     } finally { cached.unpersist(): Unit }
   }
 
+
+  // ------------------------------------------------- streaming sink
+
+  /** The replay high-water mark for `appId`: the greatest `version`
+    * any retained `txn` action recorded (checkpoints preserve the
+    * per-app maxima, so log cleanup cannot forget it). -1 when the
+    * stream has never committed, or the table does not exist yet.
+    * Foreign writers' txn actions (delta-spark's streaming sink
+    * writes the same shape) are honored identically. O(log replay)
+    * driver-side metadata. */
+  def lastTxnVersion(spark: SparkSession, table: String,
+                     appId: String): Long = {
+    val logDir = new Path(table, "_delta_log")
+    if (!hadoopFs(spark, logDir).exists(logDir)) -1L
+    else state(spark, table, None).appTransactions.getOrElse(appId, -1L)
+  }
+
+  /** EXACTLY-ONCE STREAMING APPEND into a Delta table — each
+    * micro-batch commits as ONE append carrying the protocol's `txn`
+    * action `(appId, batchId)`; a crash between the Delta commit and
+    * the engine checkpoint advance replays the epoch, the recorded
+    * high-water mark detects it, and the batch commits NOTHING twice.
+    * `appId` defaults to the checkpoint path — stable across
+    * restarts, distinct across sinks. Cost per batch is O(batch) at
+    * any table size. */
+  def streamToDelta(streamed: DataFrame, table: String,
+      checkpoint: String, partitionBy: Seq[String] = Nil,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTxnBatch(batch, batchId, table, partitionBy,
+          checkpoint): Unit
+      }
+      .trigger(trigger)
+      .start()
+
+  /** EXACTLY-ONCE STREAMING UPSERT into a Delta table — the CDC-sink
+    * shape: each micro-batch applies as ONE [[mergeApply]] commit
+    * (update-matched / insert-unmatched, touched-files-only rewrite)
+    * stamped with the `txn` action. The table must already exist (a
+    * merge needs a recorded schema). Symmetric to
+    * [[IcebergInterop.streamUpsert]]. */
+  def streamUpsertToDelta(streamed: DataFrame, table: String,
+      keyCols: Seq[String], checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertTxnBatch(batch, batchId, table, keyCols, checkpoint): Unit
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[streamToDelta]]'s per-epoch body, separable so a crash-replay
+    * (same epoch re-executed) is directly testable. Returns whether
+    * the batch committed (false = detected replay, skipped). */
+  private[sources] def appendTxnBatch(batch: DataFrame, batchId: Long,
+      table: String, partitionBy: Seq[String],
+      appId: String): Boolean =
+    if (batchId <= lastTxnVersion(batch.sparkSession, table, appId))
+      false
+    else {
+      write(batch, table, partitionBy,
+        txn = Some(appId -> batchId)): Unit
+      true
+    }
+
+  /** [[streamUpsertToDelta]]'s per-epoch body — replay-guarded
+    * upsert (update-matched / insert-unmatched on `keyCols`). */
+  private[sources] def upsertTxnBatch(batch: DataFrame, batchId: Long,
+      table: String, keyCols: Seq[String], appId: String): Boolean =
+    if (batchId <= lastTxnVersion(batch.sparkSession, table, appId))
+      false
+    else {
+      mergeApply(batch, table, keyCols,
+        matched = Seq(ManifestLake.MergeUpdate()),
+        notMatched = Seq(ManifestLake.MergeInsert()),
+        txn = Some(appId -> batchId)): Unit
+      true
+    }
 
   /** Direct Iceberg → Delta conversion for MERGE-ON-READ tables — the
     * reverse of [[IcebergInterop.importFromDeltaMor]]: v2 position
@@ -2060,6 +2225,12 @@ object DeltaInterop {
   def restore(spark: SparkSession, table: String, version: Long): Long = {
     val head = state(spark, table, None)
     if (head.version == version) return head.version
+    // a restore removes every post-target file (dataChange=true) —
+    // illegal on append-only tables; re-added files are NOT
+    // re-validated against constraints added since (delta-spark's
+    // RESTORE semantics: the target version's rows come back as-were)
+    DeltaWriteGate.requireWritable(head, table, "RESTORE",
+      removesData = true, addsData = false)
     val target = state(spark, table, Some(version))
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -2127,6 +2298,8 @@ object DeltaInterop {
                  newCols: Seq[StructField]): Long = {
     require(newCols.nonEmpty, "addColumns needs at least one column")
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "ADD COLUMNS",
+      removesData = false, addsData = false)
     newCols.find(f => st.schema.fieldNames.contains(f.name)).foreach(f =>
       throw new IllegalArgumentException(
         s"ALTER on $table: column '${f.name}' already exists " +
@@ -2182,6 +2355,8 @@ object DeltaInterop {
   def renameColumn(spark: SparkSession, table: String,
                    from: String, to: String): Long = {
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "RENAME COLUMN",
+      removesData = false, addsData = false)
     if (st.columnMappingMode == "none")
       throw new UnsupportedDeltaFeatureException(
         s"RENAME COLUMN on $table needs column mapping — unmapped data " +
@@ -2214,6 +2389,22 @@ object DeltaInterop {
                   names: Seq[String]): Long = {
     require(names.nonEmpty, "dropColumns needs at least one column")
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "DROP COLUMNS",
+      removesData = false, addsData = false)
+    // dropping a column a recorded CHECK constraint or invariant
+    // references would orphan the obligation — later writes could not
+    // validate it; refuse by the constraint's name first
+    names.foreach { n =>
+      st.configuration.foreach { case (k, sql) =>
+        if (k.startsWith("delta.constraints.") &&
+          sql.toLowerCase.matches(s".*\\b${java.util.regex.Pattern
+            .quote(n.toLowerCase)}\\b.*"))
+          throw new UnsupportedDeltaFeatureException(
+            s"DROP COLUMN $n on $table: CHECK constraint " +
+              s"'${k.stripPrefix("delta.constraints.")}' ($sql) " +
+              "references it — drop the constraint first")
+      }
+    }
     if (st.columnMappingMode == "none")
       throw new UnsupportedDeltaFeatureException(
         s"DROP COLUMN on $table needs column mapping — unmapped readers " +
@@ -2251,6 +2442,8 @@ object DeltaInterop {
     val st = state(spark, table, None)
     if (st.configuration.get("delta.enableChangeDataFeed")
       .contains("true")) return st.version
+    DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
+      removesData = false, addsData = false)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val now = System.currentTimeMillis()
@@ -2290,6 +2483,144 @@ object DeltaInterop {
         st.metaId))
     publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
       lines, st.configuration + ("delta.enableChangeDataFeed" -> "true"))
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — a metadata-only republish
+    * merging `props` into the recorded configuration. Properties this
+    * module gives dedicated (protocol-upgrading) doors refuse by name
+    * and point at them; `delta.appendOnly=true` on a table-features
+    * table adds the `appendOnly` writer feature in the same commit
+    * (legacy writer 2 already implies it). From the commit on, every
+    * write path enforces the property ([[DeltaWriteGate]]). */
+  def setProperties(spark: SparkSession, table: String,
+                    props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
+      removesData = false, addsData = false)
+    props.keys.foreach { k =>
+      require(!k.startsWith("delta.columnMapping."),
+        s"$k cannot change via SET TBLPROPERTIES — mapping mode is " +
+          "fixed at table creation (write(columnMapping = ...))")
+      require(k != "delta.enableChangeDataFeed",
+        "use enableChangeDataFeed(...) — CDF needs its own protocol " +
+          "upgrade (minWriterVersion 4 / changeDataFeed feature)")
+      require(k != "delta.enableInCommitTimestamps",
+        "use the dedicated ICT enablement path — the first ICT commit " +
+          "must record enablement version and timestamp")
+    }
+    val featuresTable = st.minWriterVersion >= 7 ||
+      st.writerFeatures.nonEmpty
+    val protoLines: Seq[String] =
+      if (props.get("delta.appendOnly").contains("true") &&
+        featuresTable && !st.writerFeatures.contains("appendOnly")) {
+        val rfField =
+          if (st.minReaderVersion >= 3)
+            s""""readerFeatures":${
+              st.readerFeatures.map(jstr).mkString("[", ",", "]")},"""
+          else ""
+        val wf = (st.writerFeatures :+ "appendOnly").distinct
+          .map(jstr).mkString("[", ",", "]")
+        Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion
+        },"minWriterVersion":7,$rfField"writerFeatures":$wf}}""")
+      } else Nil
+    val config = st.configuration ++ props
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("SET TBLPROPERTIES")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""") ++ protoLines ++ Seq(
+      metaDataJson(st.schema, st.partitionColumns, now, config,
+        st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, config)
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<sql>)` — Delta's
+    * CHECK-constraint door: existing data validates FIRST with one
+    * scan (SQL CHECK semantics — NULL passes), then a metadata-only
+    * commit records `delta.constraints.<name>` and upgrades the
+    * protocol's writer side to carry the obligation
+    * (`minWriterVersion` 3 on legacy tables; the `checkConstraints`
+    * feature on table-features tables). Every later write path
+    * validates its staged files against it ([[DeltaWriteGate]]) —
+    * and so must any spec-compliant foreign writer. */
+  def addCheckConstraint(spark: SparkSession, table: String,
+                         name: String, predicateSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-'),
+      s"constraint name '$name' — letters, digits, _ and - only")
+    val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "ADD CONSTRAINT",
+      removesData = false, addsData = false)
+    val key = s"delta.constraints.$name"
+    require(!st.configuration.contains(key),
+      s"constraint '$name' already exists on $table " +
+        s"(${st.configuration(key)})")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val bad = read(spark, table)
+      .filter(not(coalesce(expr(predicateSql), lit(true))))
+      .limit(1).collect()
+    bad.headOption.foreach(row =>
+      throw new DeltaWriteGate.DeltaConstraintViolationException(
+        s"adding CHECK constraint '$name' ($predicateSql) on $table: " +
+          s"existing data violates it — e.g. $row. Nothing committed."))
+    val featuresTable = st.minWriterVersion >= 7 ||
+      st.writerFeatures.nonEmpty
+    val protoLines: Seq[String] =
+      if (featuresTable) {
+        if (st.writerFeatures.contains("checkConstraints")) Nil
+        else {
+          val rfField =
+            if (st.minReaderVersion >= 3)
+              s""""readerFeatures":${
+                st.readerFeatures.map(jstr).mkString("[", ",", "]")},"""
+            else ""
+          val wf = (st.writerFeatures :+ "checkConstraints").distinct
+            .map(jstr).mkString("[", ",", "]")
+          Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion
+          },"minWriterVersion":7,$rfField"writerFeatures":$wf}}""")
+        }
+      } else if (st.minWriterVersion < 3)
+        Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion
+        },"minWriterVersion":3}}""")
+      else Nil
+    val config = st.configuration + (key -> predicateSql)
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("ADD CONSTRAINT")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""") ++ protoLines ++ Seq(
+      metaDataJson(st.schema, st.partitionColumns, now, config,
+        st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, config)
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT` — metadata-only; unknown names
+    * refuse (a silent no-op would leave the caller believing a
+    * constraint was lifted). */
+  def dropCheckConstraint(spark: SparkSession, table: String,
+                          name: String): Long = {
+    val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "DROP CONSTRAINT",
+      removesData = false, addsData = false)
+    val key = s"delta.constraints.$name"
+    require(st.configuration.contains(key),
+      s"no CHECK constraint '$name' on $table")
+    val config = st.configuration - key
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("DROP CONSTRAINT")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      metaDataJson(st.schema, st.partitionColumns, now, config,
+        st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, config)
   }
 
   /** Row-level CHANGES between two commit versions (both inclusive) —
@@ -2450,6 +2781,8 @@ object DeltaInterop {
     * rewritten — cost tracks the vectored surface, not the table. */
   def purgeDeletionVectors(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table,
+      "REORG PURGE", removesData = false, addsData = false)
     val dvAdds = st.files.filter(_.dv.nonEmpty)
     if (dvAdds.isEmpty) return st.version
     val root = new Path(table)
@@ -2520,6 +2853,10 @@ object DeltaInterop {
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorderBy: Seq[String] = Nil): Long = {
     val st = state(spark, table, None)
+    // dataChange=false rewrites are LEGAL on append-only tables
+    // (delta-spark allows OPTIMIZE there) — removesData=false
+    DeltaWriteGate.requireWritable(st, table, "OPTIMIZE",
+      removesData = false, addsData = false)
     val mapped = st.columnMappingMode != "none"
     zorderBy.foreach(c => require(st.schema.exists(_.name == c),
       s"z-order column $c is not in the schema of $table"))
@@ -2600,6 +2937,7 @@ object DeltaInterop {
   def checkpoint(spark: SparkSession, table: String,
                  version: Option[Long] = None): Long = {
     val st = state(spark, table, version)
+    DeltaWriteGate.requireCheckpointable(st, table)
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
     import spark.implicits._
@@ -2622,19 +2960,33 @@ object DeltaInterop {
           CkFormat("parquet", Map.empty), st.schema.json,
           st.partitionColumns, st.configuration,
           System.currentTimeMillis())), None) +:
+        // txn high-water marks survive the checkpoint (the protocol
+        // requires it) — or a replay-from-checkpoint would forget a
+        // stream's last batch and let a crashed epoch double-commit
+        (st.appTransactions.toSeq.sortBy(_._1).map { case (a, v) =>
+          CkRow(None, None, None, txn = Some(CkTxn(a, v)))
+        } ++
         st.files.map(a => CkRow(None, None, Some(CkAdd(
           urlEncode(a.path),
           a.partitionValues.map { case (k, v) => k -> v.orNull },
           a.size, 0L, dataChange = false, stats = a.stats,
           deletionVector = a.dv.map(d => CkDv(d.storageType,
             d.pathOrInlineDv, d.offset, d.sizeInBytes,
-            d.cardinality))))))
+            d.cardinality)))))))
+    val target = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
+    // idempotent: a checkpoint for this version already exists — it
+    // replays to the same state (checkpoints are deterministic
+    // functions of the log), so keep it (e.g. vacuum re-checkpointing
+    // an already-checkpointed retained head)
+    if (fs.exists(target)) return st.version
     val stage = new Path(logDir, s".ck-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.parquet(stage.toString)
     val part = listParquet(fs, stage).head
-    val target = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
-    if (!fs.rename(part, target))
+    if (!fs.rename(part, target)) {
+      fs.delete(stage, true): Unit
+      if (fs.exists(target)) return st.version // raced: same content
       throw new IllegalStateException(s"failed to publish checkpoint $target")
+    }
     fs.delete(stage, true)
     // the hint names the NEWEST checkpoint; a versioned (historical)
     // checkpoint must not rewind it — state() resolves from the
@@ -2671,6 +3023,10 @@ object DeltaInterop {
     *     the Delta contract. */
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current version")
+    // the vacuumProtocolCheck feature's whole duty: run the writer
+    // (and transitively reader) protocol check BEFORE deleting files
+    DeltaWriteGate.requireWritable(state(spark, table, None), table,
+      "VACUUM", removesData = false, addsData = false)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     require(ManifestLake.currentVersion(spark, table).isEmpty,
@@ -2817,6 +3173,11 @@ object DeltaInterop {
         JsonRe.pattern.matcher(s.getPath.getName).matches()))
         Some(state(spark, table, None))
       else None
+    // re-exporting over an existing mirror removes stale paths —
+    // gate it like any other data-removing commit (the mirror's rows
+    // already passed the MANIFEST's own constraints at lake-write)
+    prior.foreach(p => DeltaWriteGate.requireWritable(p, table,
+      "CONVERT", removesData = true, addsData = true))
     val priorPaths = prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val livePaths = snap.entries.map(_.path).toSet
     val now = System.currentTimeMillis()
@@ -3004,9 +3365,12 @@ object DeltaInterop {
                                  dataChange: Boolean,
                                  stats: Option[String] = None,
                                  deletionVector: Option[CkDv] = None)
+  private[sources] final case class CkTxn(appId: String, version: Long,
+                                 lastUpdated: Option[Long] = None)
   private[sources] final case class CkRow(protocol: Option[CkProtocol],
                                  metaData: Option[CkMeta],
-                                 add: Option[CkAdd])
+                                 add: Option[CkAdd],
+                                 txn: Option[CkTxn] = None)
 
   // ------------------------------------------------------------- helpers
 

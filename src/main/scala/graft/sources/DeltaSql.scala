@@ -39,6 +39,13 @@ object DeltaSql {
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)): Unit
 
+  /** The registry listing (name → path) — `SHOW TABLES IN
+    * graft_delta`'s source. */
+  def registered: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    tables.asScala.toMap
+  }
+
   private def deltaTarget(u: UnresolvedRelation): Option[String] =
     if (u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase(Namespace))

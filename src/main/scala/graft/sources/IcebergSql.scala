@@ -42,6 +42,13 @@ object IcebergSql {
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)): Unit
 
+  /** The registry listing (name → path) — `SHOW TABLES IN
+    * graft_iceberg`'s source. */
+  def registered: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    tables.asScala.toMap
+  }
+
   private def iceTarget(u: UnresolvedRelation): Option[String] =
     if (u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase(Namespace))

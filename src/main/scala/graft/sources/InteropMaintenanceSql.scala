@@ -21,8 +21,32 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
   *   RESTORE TABLE graft_delta.t TO VERSION AS OF <v>
   *   RESTORE TABLE graft_iceberg.t TO SNAPSHOT AS OF <id>  -- rollback
   *   REORG TABLE graft_delta.t APPLY (PURGE)       -- DV purge
+  *
+  * plus the TABLE-LIFECYCLE statements ([[LakeMaintenanceSql]]'s CTAS
+  * surface on the open formats — how real users create Delta/Iceberg
+  * tables):
+  *
+  *   CREATE [OR REPLACE] TABLE graft_delta.t
+  *     [PARTITIONED BY (c1, ...)] AS <query>
+  *   CREATE [OR REPLACE] TABLE graft_iceberg.t
+  *     [PARTITIONED BY (c1, days(ts), bucket(16, id), ...)] AS <query>
+  *   DROP TABLE [IF EXISTS] graft_delta.t | graft_iceberg.t
+  *   SHOW TABLES IN graft_delta | graft_iceberg
+  *
+  * Managed tables land under `spark.graft.delta.warehouse` /
+  * `spark.graft.iceberg.warehouse` (CTAS without the conf is a named
+  * error); DROP deletes managed tables from disk and leaves
+  * externally registered paths untouched — the external-table
+  * contract. OR REPLACE of a registered name overwrites at its
+  * EXISTING path as a new version/snapshot, so time travel reaches
+  * through the replacement.
   */
 object InteropMaintenanceSql {
+
+  /** Where CTAS-created (managed) interop tables live:
+    * `<warehouse>/<table name>`. */
+  val DeltaWarehouseConf = "spark.graft.delta.warehouse"
+  val IcebergWarehouseConf = "spark.graft.iceberg.warehouse"
 
   private val DName = "graft_delta\\.`?([A-Za-z0-9_$]+)`?"
   private val IName = "graft_iceberg\\.`?([A-Za-z0-9_$]+)`?"
@@ -52,6 +76,56 @@ object InteropMaintenanceSql {
   private val DReorgRe =
     ("(?is)^\\s*REORG\\s+TABLE\\s+" + DName +
       "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
+  // PARTITIONED BY items may themselves be calls — bucket(4, id) —
+  // so the list matches one level of nested parentheses
+  private val PartList = "((?:[^()]|\\([^()]*\\))+)"
+  private val DCreateRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + DName +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(" + PartList +
+      "\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val ICreateRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + IName +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(" + PartList +
+      "\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val DDropRe =
+    ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" + DName +
+      "\\s*;?\\s*$").r
+  private val IDropRe =
+    ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" + IName +
+      "\\s*;?\\s*$").r
+  private val DShowRe =
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_delta\\s*;?\\s*$".r
+  private val IShowRe =
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_iceberg\\s*;?\\s*$".r
+  // one PARTITIONED BY item on the Iceberg side: a bare identity
+  // column or one of the spec's transforms
+  private val TransformRe =
+    "(?i)^(years?|months?|days?|hours?)\\s*\\(\\s*`?([A-Za-z0-9_$]+)`?\\s*\\)$".r
+  private val ArgTransformRe =
+    "(?i)^(bucket|truncate)\\s*\\(\\s*(\\d+)\\s*,\\s*`?([A-Za-z0-9_$]+)`?\\s*\\)$".r
+
+  /** One Iceberg PARTITIONED BY item → the spec field it declares.
+    * Unrecognized shapes refuse by name — never a silently-identity
+    * transform. */
+  private def iceSpecField(raw: String): IcebergInterop.SpecField =
+    raw.trim match {
+      case TransformRe(t, src) =>
+        val unit = t.toLowerCase.stripSuffix("s")
+        IcebergInterop.SpecField(s"${src}_$unit", unit, src)
+      case ArgTransformRe(t, n, src) =>
+        val tf = s"${t.toLowerCase}[$n]"
+        val nm =
+          if (t.equalsIgnoreCase("bucket")) s"${src}_bucket"
+          else s"${src}_trunc"
+        IcebergInterop.SpecField(nm, tf, src)
+      case bare if bare.matches("`?[A-Za-z0-9_$]+`?") =>
+        val c = bare.stripPrefix("`").stripSuffix("`")
+        IcebergInterop.SpecField(c, "identity", c)
+      case other => throw new IllegalArgumentException(
+        s"PARTITIONED BY item '$other' is not a column or a supported " +
+          "transform (years/months/days/hours(col), bucket(n, col), " +
+          "truncate(n, col))")
+    }
 
   private def deltaPath(name: String): String =
     DeltaSql.pathOf(name).getOrElse(throw new IllegalArgumentException(
@@ -89,8 +163,37 @@ object InteropMaintenanceSql {
         Some(IcebergRollbackCommand(icePath(name), id.toLong))
       case DReorgRe(name) =>
         Some(DeltaPurgeCommand(deltaPath(name)))
+      case DCreateRe(replace, name, partCols, query) =>
+        Some(DeltaCreateTableCommand(name, replace != null,
+          splitCols(partCols), query))
+      case ICreateRe(replace, name, partCols, query) =>
+        Some(IcebergCreateTableCommand(name, replace != null,
+          splitCols(partCols), query))
+      case DDropRe(ifExists, name) =>
+        Some(InteropDropTableCommand(name, ifExists != null,
+          delta = true))
+      case IDropRe(ifExists, name) =>
+        Some(InteropDropTableCommand(name, ifExists != null,
+          delta = false))
+      case DShowRe() => Some(InteropShowTablesCommand(delta = true))
+      case IShowRe() => Some(InteropShowTablesCommand(delta = false))
       case _ => None
     }
+
+  private def splitCols(raw: String): Seq[String] = {
+    // split on TOP-LEVEL commas only — `bucket(16, id)` keeps its own
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    Option(raw).getOrElse("").foreach {
+      case '(' => depth += 1; cur += '(': Unit
+      case ')' => depth -= 1; cur += ')': Unit
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c: Unit
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   final case class DeltaOptimizeCommand(table: String, z: Seq[String])
     extends LeafRunnableCommand {
@@ -175,5 +278,123 @@ object InteropMaintenanceSql {
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaInterop.purgeDeletionVectors(spark, table)))
+  }
+
+  private def warehousePath(spark: SparkSession, conf: String,
+                            name: String): String = {
+    val wh = spark.conf.getOption(conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE needs $conf set — managed tables land under " +
+          "the warehouse directory; register an existing path " +
+          "instead for external tables"))
+    s"${wh.stripSuffix("/")}/$name"
+  }
+
+  /** `CREATE [OR REPLACE] TABLE graft_delta.x [PARTITIONED BY (...)]
+    * AS <query>` — the SQL-only way to MAKE a Delta table: runs the
+    * query, commits under the session warehouse (or, for OR REPLACE
+    * of a registered name, as an overwrite at its EXISTING path — a
+    * new log version, so time travel reaches through it), registers
+    * the name. Plain CREATE on an existing name raises by name. The
+    * commit inherits every [[DeltaWriteGate]] obligation. */
+  final case class DeltaCreateTableCommand(name: String, replace: Boolean,
+      partitionBy: Seq[String], query: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val existing = DeltaSql.pathOf(name)
+      if (existing.nonEmpty && !replace)
+        throw new IllegalArgumentException(
+          s"graft_delta.$name already exists — use CREATE OR REPLACE " +
+            "TABLE to overwrite it (the replacement commits as a new " +
+            "version; history stays time-travelable).")
+      val path = existing.getOrElse(
+        warehousePath(spark, DeltaWarehouseConf, name))
+      val parts = partitionBy
+        .map(_.stripPrefix("`").stripSuffix("`"))
+      val v = DeltaInterop.write(spark.sql(query), path,
+        partitionBy = parts, overwrite = existing.nonEmpty)
+      DeltaSql.register(name, path)
+      Seq(Row(name, path, v))
+    }
+  }
+
+  /** `CREATE [OR REPLACE] TABLE graft_iceberg.x [PARTITIONED BY
+    * (c, days(ts), bucket(16, id), ...)] AS <query>` — identity
+    * columns and the spec's transforms land as a real partition spec
+    * (tuples in the manifests, field-id-stamped data files); the
+    * replacement snapshot of OR REPLACE keeps history reachable. */
+  final case class IcebergCreateTableCommand(name: String,
+      replace: Boolean, partitionBy: Seq[String], query: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("snapshot_id", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val existing = IcebergSql.pathOf(name)
+      if (existing.nonEmpty && !replace)
+        throw new IllegalArgumentException(
+          s"graft_iceberg.$name already exists — use CREATE OR " +
+            "REPLACE TABLE to overwrite it (the replacement is a new " +
+            "snapshot; history stays time-travelable).")
+      val path = existing.getOrElse(
+        warehousePath(spark, IcebergWarehouseConf, name))
+      val spec = partitionBy.map(iceSpecField)
+      val snap = IcebergInterop.write(spark.sql(query), path,
+        overwrite = existing.nonEmpty, partitionBy = spec)
+      IcebergSql.register(name, path)
+      Seq(Row(name, path, snap))
+    }
+  }
+
+  /** `DROP TABLE [IF EXISTS] graft_delta.x | graft_iceberg.x` —
+    * unregisters the name; managed tables (under the respective
+    * session warehouse) are deleted from disk, externally registered
+    * paths are left untouched — the external-table contract. */
+  final case class InteropDropTableCommand(name: String,
+      ifExists: Boolean, delta: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("dropped", StringType, nullable = false)(),
+      AttributeReference("deleted_data", BooleanType,
+        nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (ns, conf) =
+        if (delta) (DeltaSql.Namespace, DeltaWarehouseConf)
+        else (IcebergSql.Namespace, IcebergWarehouseConf)
+      val path = if (delta) DeltaSql.pathOf(name)
+        else IcebergSql.pathOf(name)
+      path match {
+        case None if ifExists => Seq.empty
+        case None => throw new IllegalArgumentException(
+          s"$ns.$name is not registered — nothing to drop")
+        case Some(p) =>
+          if (delta) DeltaSql.unregister(name)
+          else IcebergSql.unregister(name)
+          val managed = spark.conf.getOption(conf).exists(wh =>
+            p.startsWith(wh.stripSuffix("/") + "/"))
+          if (managed) {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(hp, true): Unit
+          }
+          Seq(Row(name, managed))
+      }
+    }
+  }
+
+  /** `SHOW TABLES IN graft_delta | graft_iceberg` — the registry
+    * listing (name + path), sorted by name. */
+  final case class InteropShowTablesCommand(delta: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      (if (delta) DeltaSql.registered else IcebergSql.registered)
+        .toSeq.sortBy(_._1).map { case (n, p) => Row(n, p) }
   }
 }

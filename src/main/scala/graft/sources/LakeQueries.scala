@@ -959,6 +959,155 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
       |FROM orders""".stripMargin
 
+  /** dls3_delta_stream_sink — the EXACTLY-ONCE Delta streaming sink
+    * through the gate: a Delta table seeded with the ≡0 (mod 4)
+    * orders takes two AvailableNow upsert drains over one engine
+    * checkpoint (drain 1: ≡1 inserts + ≡2 inserts at doubled price;
+    * drain 2: ≡3 inserts + ≡0 (mod 8) updates at price+5 — every
+    * micro-batch ONE `txn`-stamped merge commit), then a simulated
+    * crash-replay of an already-committed epoch must commit NOTHING
+    * (`replay_rejected` pins version-unmoved in-row). The oracle
+    * re-derives the final table relationally from the original
+    * parquet — exactly-once is what makes the hash match. */
+  def dls3DeltaStreamSink(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dls3:$d", _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-delta-dls3").toString
+      val dir = s"$base/t"
+      val src = s"$base/src"
+      val ckpt = s"$base/ck"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 4 === 0), dir)
+      o.filter(col("o_orderkey") % 4 === 1).write.parquet(s"$src/b0")
+      o.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.parquet(s"$src/b1")
+      def drain(): Unit = DeltaInterop.streamUpsertToDelta(
+        s.readStream.schema(o.schema).parquet(s"$src/*"),
+        dir, Seq("o_orderkey"), ckpt).awaitTermination()
+      drain()
+      o.filter(col("o_orderkey") % 4 === 3).write.parquet(s"$src/b2")
+      o.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5)
+        .write.parquet(s"$src/b3")
+      drain()
+      // crash-replay of the FIRST epoch: the txn stamp detects it and
+      // the version must not move
+      val vBefore = DeltaInterop.state(s, dir, None).version
+      val committed = DeltaInterop.upsertTxnBatch(
+        o.filter(col("o_orderkey") % 4 === 1).limit(50),
+        0L, dir, Seq("o_orderkey"), ckpt)
+      val replayRejected = !committed &&
+        DeltaInterop.state(s, dir, None).version == vBefore
+      s"$dir|$replayRejected"
+    })
+    val Array(dir, rejected) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("replay_rejected", lit(rejected.toBoolean))
+  }
+
+  val dls3Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 5
+      |         WHEN o_orderkey % 4 = 2 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS replay_rejected
+      |FROM t GROUP BY o_orderpriority""".stripMargin
+
+  /** dl15_sql_ctas — the Delta table LIFECYCLE purely from SQL: a
+    * partitioned `CREATE TABLE graft_delta.* PARTITIONED BY … AS`
+    * under the session warehouse, an `INSERT INTO` append, an
+    * idempotence-pinning `CREATE OR REPLACE` (same path, new
+    * version — `replace_versioned` verifies v0 still time-travels),
+    * and the final read back through `spark.sql` — no Scala API
+    * touches the table after creation. */
+  def dl15SqlCtas(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl15:$d", _ => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl15").toString
+      s.conf.set(InteropMaintenanceSql.DeltaWarehouseConf, wh)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("dl15_src")
+      s.sql("CREATE TABLE graft_delta.dl15_t " +
+        "PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT * FROM dl15_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft_delta.dl15_t " +
+        "SELECT * FROM dl15_src WHERE o_orderkey % 2 = 1")
+      s.sql("CREATE OR REPLACE TABLE graft_delta.dl15_t " +
+        "PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT * FROM dl15_src")
+      val replaceVersioned =
+        DeltaInterop.readVersion(s, s"$wh/dl15_t", 0L).count() ==
+          Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0).count()
+      s"$wh|$replaceVersioned"
+    })
+    val Array(_, versioned) = built.split('|')
+    s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+        |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+        |FROM graft_delta.dl15_t GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("replace_versioned", lit(versioned.toBoolean))
+  }
+
+  val dl15Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS replace_versioned
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** ic16_sql_ctas — the Iceberg lifecycle purely from SQL with a
+    * REAL transform spec: `PARTITIONED BY (o_orderpriority,
+    * bucket(4, o_orderkey))` lands identity + bucket tuples in the
+    * manifests (`spec_recorded` pins the recorded spec in-row), an
+    * INSERT INTO appends under the same spec, and the read back is
+    * `spark.sql` over the registered name. */
+  def ic16SqlCtas(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic16:$d", _ => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic16").toString
+      s.conf.set(InteropMaintenanceSql.IcebergWarehouseConf, wh)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("ic16_src")
+      s.sql("CREATE TABLE graft_iceberg.ic16_t " +
+        "PARTITIONED BY (o_orderpriority, bucket(4, o_orderkey)) AS " +
+        "SELECT * FROM ic16_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft_iceberg.ic16_t " +
+        "SELECT * FROM ic16_src WHERE o_orderkey % 2 = 1")
+      val st = IcebergInterop.state(s, s"$wh/ic16_t", None)
+      val spec = st.specs(st.defaultSpecId)
+        .map(f => s"${f.transform}(${f.source})").mkString(",")
+      val specOk =
+        spec == "identity(o_orderpriority),bucket[4](o_orderkey)"
+      s"$wh|$specOk"
+    })
+    val Array(_, specOk) = built.split('|')
+    s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+        |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+        |FROM graft_iceberg.ic16_t GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("spec_recorded", lit(specOk.toBoolean))
+  }
+
+  val ic16Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS spec_recorded
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -1684,6 +1833,80 @@ object LakeQueries {
           .cast("decimal(27,2)").cast("double").as("total"))
       .withColumn("mapped_physical", lit(phys.toBoolean))
   }
+
+  /** dl14_write_gate — the Delta writer-obligation gate end-to-end:
+    * a CHECK constraint (`ADD CONSTRAINT price_pos`) recorded on a
+    * graft-written Delta table aborts a VIOLATING append with nothing
+    * landed (version unmoved, staged files deleted), then admits a
+    * valid one; `delta.appendOnly=true` then refuses a DELETE while a
+    * further append still lands. The refusals pin IN-ROW
+    * (`bad_append_rejected` / `ao_delete_rejected` — each true only
+    * when the op threw AND the table state is provably untouched);
+    * the oracle re-derives the final aggregate from the original
+    * parquet plus exactly the two admitted appends. */
+  def dl14WriteGate(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl14:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl14").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o, dir)
+      DeltaInterop.addCheckConstraint(s, dir, "price_pos",
+        "o_totalprice > 0")
+      val vBefore = DeltaInterop.state(s, dir, None).version
+      val keyType = o.schema("o_orderkey").dataType
+      def offset(mod: Int, off: Long) = o
+        .filter(col("o_orderkey") % 10 === mod)
+        .withColumn("o_orderkey",
+          (col("o_orderkey") + lit(off)).cast(keyType))
+      val badRejected =
+        try {
+          DeltaInterop.write(offset(3, 100000000L)
+            .withColumn("o_totalprice", -col("o_totalprice")), dir)
+          false
+        } catch {
+          case _: DeltaWriteGate.DeltaConstraintViolationException =>
+            DeltaInterop.state(s, dir, None).version == vBefore
+        }
+      DeltaInterop.write(offset(3, 100000000L), dir)
+      DeltaInterop.setProperties(s, dir,
+        Map("delta.appendOnly" -> "true"))
+      val cntBefore = DeltaInterop.read(s, dir).count()
+      val aoRejected =
+        try {
+          DeltaInterop.delete(s, dir,
+            col("o_orderpriority") === "1-URGENT"); false
+        } catch {
+          case _: DeltaInterop.UnsupportedDeltaFeatureException =>
+            DeltaInterop.read(s, dir).count() == cntBefore
+        }
+      DeltaInterop.write(offset(6, 200000000L), dir)
+      s"$dir|$badRejected|$aoRejected"
+    })
+    val Array(dir, bad, ao) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("bad_append_rejected", lit(bad.toBoolean))
+      .withColumn("ao_delete_rejected", lit(ao.toBoolean))
+  }
+
+  val dl14Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 6)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS bad_append_rejected, TRUE AS ao_delete_rejected
+      |FROM t GROUP BY o_orderpriority""".stripMargin
 
   val dl13Oracle: String =
     """WITH t AS (
@@ -2765,12 +2988,16 @@ object LakeQueries {
     "dl10_mapped_dml" -> (dl10MappedDml _),
     "dl12_merge_clauses" -> (dl12MergeClauses _),
     "dl13_schema_evolution" -> (dl13SchemaEvolution _),
+    "dl14_write_gate" -> (dl14WriteGate _),
     "ic15_merge_clauses" -> (ic15MergeClauses _),
     "dl11_timestamp_travel" -> (dl11TimestampTravel _),
     "ic14_partitioned_mor" -> (ic14PartitionedMor _),
     "ic9_iceberg_dml" -> (ic9IcebergDml _),
     "dl6_delta_stats_prune" -> (dl6DeltaStatsPrune _),
     "ics1_iceberg_stream" -> (ics1IcebergStream _),
+    "dls3_delta_stream_sink" -> (dls3DeltaStreamSink _),
+    "dl15_sql_ctas" -> (dl15SqlCtas _),
+    "ic16_sql_ctas" -> (ic16SqlCtas _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -2829,6 +3056,7 @@ object LakeQueries {
     "dl10_mapped_dml" -> dl10Oracle,
     "dl12_merge_clauses" -> dl12Oracle,
     "dl13_schema_evolution" -> dl13Oracle,
+    "dl14_write_gate" -> dl14Oracle,
     "ic15_merge_clauses" -> ic15Oracle,
     "dl11_timestamp_travel" -> dl11Oracle,
     "ic14_partitioned_mor" -> ic14Oracle,
@@ -2837,6 +3065,9 @@ object LakeQueries {
     "ic9_iceberg_dml" -> ic9Oracle,
     "dl6_delta_stats_prune" -> dl6Oracle,
     "ics1_iceberg_stream" -> ics1Oracle,
+    "dls3_delta_stream_sink" -> dls3Oracle,
+    "dl15_sql_ctas" -> dl15Oracle,
+    "ic16_sql_ctas" -> ic16Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
