@@ -98,37 +98,58 @@ object AnnQueries {
   /** nn2 — IVF-probed top-k (16 cells, probe 4): the scale path. Runs
     * against the shared memoized index, so the timed work is the probe —
     * a cell-pruned scan (12/16 of rows skipped) + TakeOrdered rank, plus
-    * the brute-force baseline the result is graded against.
-    *
-    * The gate row carries its own evidence: every row has a
-    * `recall_at_10` column — overlap with the in-engine exact cosine
-    * top-k (both sides deterministic: fixed-seed quantizer, strict-fold
-    * cosine) — and rows only survive when `recall_at_10 >= 0.7`, so the
-    * driver's recorded cardinality (10 vs 0) PINS the recall floor
-    * instead of proving mere row-count plumbing. No SQL oracle can
-    * re-derive the K-Means cells, so the row stays rows-only — but the
-    * rows now mean something. AnnSpec pins the same floor in-test. */
+    * the brute-force baseline the result is graded against. HASH-EXACT
+    * since r14 via [[recallGated]]: the oracle re-derives the emitted
+    * brute values bit-for-bit and the probe's recall floor gates
+    * survival. AnnSpec pins the same floor in-test. */
   def nn2IvfTopK(s: SparkSession, d: String): DataFrame = {
     val (assigned, centroids) = ivfIndexFor(s, d)
     val queryVec = Tables.embeddings(s, d)
       .filter(col("vec_id") === QueryId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0).toArray
-    // persisted: the k-row probe result feeds BOTH the recall aggregate
-    // and the final crossJoin — without it the cell-pruned scan +
-    // TakeOrdered probe executes twice per invocation
-    val ivf = graft.core.TransientCache.persist(
-      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= QueryId),
-        centroids, queryVec, K, nProbe = 4))
-    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
-    val recall = ivf.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
-    ivf.crossJoin(broadcast(recall))
-      .filter(col("recall_at_10") >= 0.7)
+    val ivf = Similarity.ivfTopK(
+      assigned.filter(col("vec_id") =!= QueryId),
+      centroids, queryVec, K, nProbe = 4)
+    recallGated(s, d, ivf)
   }
 
-  /** nn3 — the LAKE-index probe ([[IvfIndexStore]]): same recall-pinned
-    * gate shape as nn2, but the index is read from ManifestLake tables
+  /** The dd2 gate shape shared by nn2/nn3 — what upgrades them from
+    * rows-only to HASH-EXACT: the emitted rows are the DETERMINISTIC
+    * portion — the brute-force top-k with its bit-reproducible
+    * cosines (nn1's strict-fold arithmetic, which the DuckDB oracle
+    * re-derives term by term) — and they survive ONLY when the IVF
+    * probe (the timed, cell-pruned path, which still runs) recovered
+    * `recall_at_10 >= 0.7` of them. The probe's exact recall scalar
+    * is the one thing no SQL oracle can re-derive (it depends on the
+    * trained cells), so it gates rather than lands: a probe
+    * regression empties the result and the hash fails loudly, while
+    * a healthy probe hash-matches values AND cardinality. */
+  private def recallGated(s: SparkSession, d: String,
+                          probeResult: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, sum, when}
+    // persisted: the k-row probe feeds the per-row flag AND the
+    // recall aggregate — without it the cell-pruned scan +
+    // TakeOrdered probe executes twice per invocation
+    val ivf = graft.core.TransientCache.persist(probeResult)
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      QueryId, K)
+    val flagged = graft.core.TransientCache.persist(
+      brute.join(ivf.select(col("vec_id"), lit(true).as("probed")),
+        Seq("vec_id"), "left")
+        .withColumn("probed", coalesce(col("probed"), lit(false))))
+    val recall = flagged.agg(
+      (sum(when(col("probed"), 1).otherwise(0)).cast("double") / K)
+        .as("recall"))
+    flagged.crossJoin(broadcast(recall))
+      .filter(col("recall") >= 0.7)
+      .select(col("vec_id"), col("cosine"),
+        (col("recall") >= 0.7).as("recall_floor_met"))
+  }
+
+  /** nn3 — the LAKE-index probe ([[IvfIndexStore]]): same hash-exact
+    * gate shape as nn2 ([[recallGated]]), but the index is read from
+    * ManifestLake tables
     * (manifest-pruned per-cell files, version-pinned snapshot) instead
     * of the session memo — the path a fresh query session takes against
     * an offline-built index. The build itself runs once per dataset
@@ -142,15 +163,9 @@ object AnnQueries {
       .filter(col("vec_id") === QueryId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0).toArray
-    // persisted: the k-row probe feeds the recall aggregate AND the output
-    val ivf = graft.core.TransientCache.persist(
+    recallGated(s, d,
       IvfIndexStore.probe(s, dir, queryVec, K, nProbe = 4,
         excludeId = Some(QueryId)))
-    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
-    val recall = ivf.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
-    ivf.crossJoin(broadcast(recall))
-      .filter(col("recall_at_10") >= 0.7)
   }
 
   /** The PQ index for a dataset — trained codebooks + the encoded frame
@@ -367,8 +382,20 @@ object AnnQueries {
     "rr1_hybrid_rrf" -> (rr1HybridRrf _),
     "rr2_hybrid_lake" -> (rr2HybridLake _))
 
+  /** nn2/nn3's oracle — nn1's exact brute-force arithmetic with the
+    * gate outcome asserted: the full top-k present (at `>= 0.7`
+    * recall the Spark side emits ALL brute rows or NONE) with
+    * `recall_floor_met` TRUE. A probe regression empties the Spark
+    * side and the compare fails on cardinality; a value drift fails
+    * on the bit-exact cosines. */
+  val nnRecallOracle: String =
+    s"""SELECT vec_id, cosine, TRUE AS recall_floor_met
+       |FROM ($nn1Oracle)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "nn1_brute_topk" -> nn1Oracle,
+    "nn2_ivf_topk" -> nnRecallOracle,
+    "nn3_lake_topk" -> nnRecallOracle,
     "nn4_filtered_topk" -> nn4Oracle,
     "rr1_hybrid_rrf" -> rr1Oracle,
     "rr2_hybrid_lake" -> rr1Oracle)

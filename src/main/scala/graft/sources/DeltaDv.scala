@@ -212,40 +212,66 @@ object DeltaDv {
     require(positions.forall(_ >= 0), "row positions must be >= 0")
     val byHigh = positions.distinct.sorted.groupBy(_ >>> 32)
     val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.keys.max + 1
-    val bitmaps = (0L until nBitmaps).map { b =>
-      val vals = byHigh.getOrElse(b, Nil).map(v => (v & 0xffffffffL).toInt)
-      val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
-      def containerBytes(vs: Seq[Int]): Int =
-        if (vs.size <= 4096) vs.size * 2 else 8192
-      val body = ByteBuffer.allocate(
-        8 + byKey.size * 8 + byKey.map(kv => containerBytes(kv._2)).sum)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      body.putInt(12346).putInt(byKey.size)
-      byKey.foreach { case (k, vs) =>
-        body.putShort(k.toShort).putShort((vs.size - 1).toShort)
-      }
-      var off = 4 + 4 + byKey.size * 4 + byKey.size * 4
-      byKey.foreach { case (_, vs) =>
-        body.putInt(off); off += containerBytes(vs)
-      }
-      byKey.foreach { case (_, vs) =>
-        if (vs.size <= 4096)
-          vs.sorted.foreach(v => body.putShort((v & 0xffff).toShort))
-        else {
-          val words = new Array[Long](1024)
-          vs.foreach { v =>
-            val low = v & 0xffff
-            words(low >>> 6) |= (1L << (low & 63))
-          }
-          words.foreach(body.putLong)
-        }
-      }
-      body.array()
-    }
+    val bitmaps = (0L until nBitmaps).map(b =>
+      bitmap32Bytes(byHigh.getOrElse(b, Nil)
+        .map(v => (v & 0xffffffffL).toInt)))
     val total = 12 + bitmaps.map(_.length).sum
     val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(Magic).putLong(nBitmaps)
     bitmaps.foreach(out.put)
+    out.array()
+  }
+
+  /** One portable 32-bit roaring bitmap serialized — the container
+    * body both 64-bit framings share (Delta's implicit-index array
+    * above, the standard keyed form below). */
+  private def bitmap32Bytes(vals: Seq[Int]): Array[Byte] = {
+    val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+    def containerBytes(vs: Seq[Int]): Int =
+      if (vs.size <= 4096) vs.size * 2 else 8192
+    val body = ByteBuffer.allocate(
+      8 + byKey.size * 8 + byKey.map(kv => containerBytes(kv._2)).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    body.putInt(12346).putInt(byKey.size)
+    byKey.foreach { case (k, vs) =>
+      body.putShort(k.toShort).putShort((vs.size - 1).toShort)
+    }
+    var off = 4 + 4 + byKey.size * 4 + byKey.size * 4
+    byKey.foreach { case (_, vs) =>
+      body.putInt(off); off += containerBytes(vs)
+    }
+    byKey.foreach { case (_, vs) =>
+      if (vs.size <= 4096)
+        vs.sorted.foreach(v => body.putShort((v & 0xffff).toShort))
+      else {
+        val words = new Array[Long](1024)
+        vs.foreach { v =>
+          val low = v & 0xffff
+          words(low >>> 6) |= (1L << (low & 63))
+        }
+        words.foreach(body.putLong)
+      }
+    }
+    body.array()
+  }
+
+  /** STANDARD portable 64-bit roaring serialization — the write-side
+    * inverse of [[deserializePortable64]] (what Iceberg v3 deletion
+    * vectors embed in Puffin blobs): 8-byte LE bucket count, then per
+    * NON-EMPTY bucket its 4-byte LE high key + one portable 32-bit
+    * bitmap. Distinct from Delta's framing above (magic + implicit
+    * dense bucket index); same 32-bit container codec. */
+  def serializePortable64(positions: Seq[Long]): Array[Byte] = {
+    require(positions.forall(_ >= 0), "row positions must be >= 0")
+    val byHigh = positions.distinct.sorted.groupBy(_ >>> 32)
+      .toSeq.sortBy(_._1)
+    val bodies = byHigh.map { case (k, vs) =>
+      k -> bitmap32Bytes(vs.map(v => (v & 0xffffffffL).toInt))
+    }
+    val out = ByteBuffer.allocate(8 + bodies.map(4 + _._2.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putLong(bodies.size.toLong)
+    bodies.foreach { case (k, b) => out.putInt(k.toInt); out.put(b) }
     out.array()
   }
 

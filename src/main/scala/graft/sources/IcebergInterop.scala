@@ -141,7 +141,8 @@ object IcebergInterop {
     * (`referenced_data_file`), addressed by byte range — the v3
     * replacement for position-delete parquet. */
   final case class IceDvDelete(referenced: String, path: String,
-                               offset: Long, size: Long)
+                               offset: Long, size: Long,
+                               records: Long = 0L)
 
   /** `posDeletes` are v2 POSITION-DELETE parquet files (rows of
     * `(file_path, pos)`) the read must kill per file; `dvDeletes` are
@@ -1051,7 +1052,9 @@ object IcebergInterop {
                     "file Puffin read (footer resolution) is not " +
                     "supported; write blob-addressed entries")
               dvDeletes += IceDvDelete(referenced,
-                df.get("file_path").toString, off.get, len.get)
+                df.get("file_path").toString, off.get, len.get,
+                records = Option(df.get("record_count"))
+                  .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
             case 1 => // position deletes: (file_path, pos) rows
               posDeletes += df.get("file_path").toString
             case 2 => // equality deletes: value rows + field-id key set
@@ -1508,7 +1511,8 @@ object IcebergInterop {
 
   private def manifestEntrySchema(
       partFields: Seq[(SpecField, String, Int)],
-      v2: Boolean = false): org.apache.avro.Schema = {
+      v2: Boolean = false,
+      dv: Boolean = false): org.apache.avro.Schema = {
     val partJson = partFields.map { case (sf, avroType, fid) =>
       s"""{"name":${jstr(sf.name)},"type":["null","$avroType"],""" +
         s""""default":null,"field-id":$fid}"""
@@ -1535,6 +1539,13 @@ object IcebergInterop {
     val equalityIdsField =
       if (!v2) ""
       else """,{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}"""
+    // v3 deletion-vector addressing (spec data_file fields 143-145):
+    // which data file the blob kills and its byte range in the Puffin
+    val dvFields =
+      if (!dv) ""
+      else """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},""" +
+        """{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},""" +
+        """{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -1550,6 +1561,7 @@ object IcebergInterop {
          |  ${boundsField("lower_bounds", 125, 126, 127)},
          |  ${boundsField("upper_bounds", 128, 129, 130)}
          |  $equalityIdsField
+         |  $dvFields
          |]},"field-id":2}
          |]}""".stripMargin.replace("\n", ""))
   }
@@ -1735,9 +1747,13 @@ object IcebergInterop {
     * every later commit takes the next sequence number. Opens the
     * merge-on-read write path ([[deleteMor]]) and delete-manifest
     * carrying appends. No data or manifest files move. */
-  def upgradeFormat(spark: SparkSession, table: String): Long = {
+  def upgradeFormat(spark: SparkSession, table: String,
+                    target: Int = 2): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    require(target == 2 || target == 3,
+      s"upgradeFormat target $target — 2 and 3 are the supported " +
+        "format versions")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val metaDir = new Path(root, "metadata")
@@ -1746,7 +1762,15 @@ object IcebergInterop {
         s"no v*.metadata.json under $table/metadata"))
     val metaJson = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v$version.metadata.json")))
-    if (jLong(metaJson \ "format-version") >= 2) return version
+    if (jLong(metaJson \ "format-version") >= target) return version
+    // a v1 table targeted at 3 upgrades through 2 first (sequence
+    // semantics), then the v3 republish below stacks on top
+    if (jLong(metaJson \ "format-version") < 2 && target == 3) {
+      upgradeFormat(spark, table, 2): Unit
+      return upgradeFormat(spark, table, 3)
+    }
+    if (target == 3) return upgradeToV3(spark, fs, metaDir, version,
+      metaJson)
     val lastPartitionId: Long = ((metaJson \ "partition-specs") match {
       case JArray(sps) => sps.flatMap(sp => (sp \ "fields") match {
         case JArray(fs0) => fs0.map(f => jLong(f \ "field-id"))
@@ -1784,6 +1808,44 @@ object IcebergInterop {
       throw new ConcurrentIcebergCommitException(
         s"metadata version $nextVersion of $root was committed " +
           "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    nextVersion
+  }
+
+  /** The v2 → v3 metadata republish: `format-version` 3 plus the
+    * v3-required `next-row-id` (row lineage starts at 0 — rows
+    * written BEFORE the upgrade carry no assigned lineage, the spec's
+    * upgrade convention; every post-upgrade snapshot claims its
+    * `first-row-id`/`added-rows` range from here). Everything else
+    * carries verbatim. */
+  private def upgradeToV3(spark: SparkSession, fs: FileSystem,
+      metaDir: Path, version: Long,
+      metaJson: org.json4s.JValue): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val upgraded = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("format-version", _) => "format-version" -> (JInt(3): JValue)
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case other => other
+    }.filterNot(_._1 == "next-row-id") ++
+      List[(String, JValue)]("next-row-id" -> JLong(0L)))
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(upgraded))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"v3 metadata of $metaDir was committed concurrently — " +
+          "re-read the table and retry")
     }
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
@@ -2090,8 +2152,8 @@ object IcebergInterop {
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
-        "compactDeletes first (v3 deletion vectors are read-only: " +
-        "rewrite with the owning engine); copy-on-write DML would " +
+        "compactDeletes first (on v3, use deleteMor: row deletes " +
+        "write deletion vectors natively); copy-on-write DML would " +
         "silently resurrect their deleted rows otherwise")
     if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
     import spark.implicits._
@@ -2132,8 +2194,8 @@ object IcebergInterop {
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
-        "compactDeletes first (v3 deletion vectors are read-only: " +
-        "rewrite with the owning engine); copy-on-write DML would " +
+        "compactDeletes first (on v3, use deleteMor: row deletes " +
+        "write deletion vectors natively); copy-on-write DML would " +
         "silently resurrect their deleted rows otherwise")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
@@ -2247,8 +2309,8 @@ object IcebergInterop {
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,
       s"table $table carries merge-on-read delete files — run " +
-        "compactDeletes first (v3 deletion vectors are read-only: " +
-        "rewrite with the owning engine); copy-on-write DML would " +
+        "compactDeletes first (on v3, use deleteMor: row deletes " +
+        "write deletion vectors natively); copy-on-write DML would " +
         "silently resurrect their deleted rows otherwise")
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
@@ -2388,6 +2450,10 @@ object IcebergInterop {
         matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect()
       if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
+      // v3 tables delete with DELETION VECTORS (Puffin blobs, one per
+      // touched file) — the spec's v3 row-level delete encoding
+      if (st.formatVersion >= 3)
+        return deleteMorDv(spark, fs, root, st, matched, counts)
       val (delFiles, delParts) = stageMorDeletesByTuple(spark, fs, root,
         st, matched, counts.map(_._1).toIndexedSeq)
       val snap = publishMor(spark, fs, root, st, delFiles, Nil, "delete",
@@ -2987,8 +3053,10 @@ object IcebergInterop {
     if (jLong(priorMeta \ "format-version") > 2)
       throw new UnsupportedIcebergFeatureException(
         s"table $root is format-version " +
-          s"${jLong(priorMeta \ "format-version")} — served read-only " +
-          "(this writer publishes v1/v2 commits)")
+          s"${jLong(priorMeta \ "format-version")} — v3 merge-on-read " +
+          "updates and equality deletes are not yet written (the v3 " +
+          "write surface is appends + deletion-vector deletes); use " +
+          "deleteMor for row deletes")
     val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
@@ -3095,6 +3163,250 @@ object IcebergInterop {
       summary)
   }
 
+  // --------------------------------------------- v3 deletion vectors
+
+  /** One framed `deletion-vector-v1` blob: 4-byte BE length (magic +
+    * vector), magic D1 D3 39 64, the STANDARD portable 64-bit roaring
+    * bitmap, big-endian CRC-32 of magic+vector — exactly what the
+    * read side ([[ForeignDv.puffinBits]]) decodes. */
+  private[sources] def dvBlobBytes(vector: Array[Byte]): Array[Byte] = {
+    val magic = Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+    val len = 4 + vector.length
+    val out = java.nio.ByteBuffer.allocate(4 + len + 4) // BE by default
+    out.putInt(len)
+    out.put(magic)
+    out.put(vector)
+    val crc = new java.util.zip.CRC32
+    crc.update(magic)
+    crc.update(vector)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Decode one deletion vector's positions from its Puffin byte
+    * range — the uncached executor-side read the DV MERGE uses
+    * (the scan path goes through [[ForeignDv]]'s LRU instead). */
+  private[sources] def readPuffinDvPositions(path: String, offset: Long,
+      size: Long, conf: org.apache.hadoop.conf.Configuration)
+      : Array[Long] = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val payload =
+      try {
+        in.seek(offset)
+        val buf = new Array[Byte](size.toInt)
+        in.readFully(buf)
+        buf
+      } finally in.close()
+    val len = java.nio.ByteBuffer.wrap(payload, 0, 4).getInt()
+    require(len >= 4 && len + 8 <= payload.length,
+      s"malformed deletion-vector blob at $path:$offset")
+    DeltaDv.deserializePortable64(
+      java.util.Arrays.copyOfRange(payload, 8, 4 + len))
+  }
+
+  /** Write ONE Puffin file holding one `deletion-vector-v1` blob per
+    * entry of `blobs` (`(referencedDataFile, portable64Vector,
+    * cardinality)`), per the Puffin spec: magic `PFA1`, the framed
+    * blobs, a JSON FooterPayload describing each blob (type, byte
+    * range, snapshot/sequence lineage, referenced-data-file +
+    * cardinality properties), its 4-byte LE size, 4 zero flag bytes
+    * (uncompressed footer), closing magic. Returns each blob's
+    * `(referenced, content_offset, content_size_in_bytes,
+    * cardinality)` for the delete manifest. */
+  private def writePuffinDv(fs: FileSystem, path: Path,
+      blobs: Seq[(String, Array[Byte], Long)], snapshotId: Long,
+      seq: Long): Seq[(String, Long, Long, Long)] = {
+    val magic = "PFA1".getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(path, false)
+    try {
+      out.write(magic)
+      var offset = 4L
+      val placed = blobs.map { case (referenced, vector, card) =>
+        val framed = dvBlobBytes(vector)
+        out.write(framed)
+        val here = offset
+        offset += framed.length
+        (referenced, here, framed.length.toLong, card)
+      }
+      val blobsJson = placed.map { case (referenced, off, size, card) =>
+        s"""{"type":"deletion-vector-v1","fields":[],""" +
+          s""""snapshot-id":$snapshotId,"sequence-number":$seq,""" +
+          s""""offset":$off,"length":$size,"properties":{""" +
+          s""""referenced-data-file":${jstr(referenced)},""" +
+          s""""cardinality":${jstr(card.toString)}}}"""
+      }.mkString(",")
+      val payload = (s"""{"blobs":[$blobsJson],""" +
+        s""""properties":{"created-by":${jstr("graft")}}}""")
+        .getBytes(StandardCharsets.UTF_8)
+      out.write(magic)
+      out.write(payload)
+      val tail = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: footer uncompressed
+      out.write(tail.array())
+      out.write(magic)
+      placed
+    } finally out.close()
+  }
+
+  /** The v3 MERGE-ON-READ delete — [[deleteMor]]'s deletion-vector
+    * leg: per TOUCHED data file the fresh kill positions merge with
+    * the file's existing vector (the spec's at-most-one-DV-per-file
+    * rule) and serialize on EXECUTORS; the driver streams the merged
+    * blobs into one Puffin file and publishes ONE delete manifest
+    * carrying the COMPLETE vector surface — re-vectored files point
+    * at the new blobs, untouched files carry their recorded Puffin
+    * ranges — while prior delete manifests drop from the list (their
+    * every entry is represented; the pure-DV precondition below makes
+    * that safe). Mixed legacy MOR debt (v2 position/equality deletes
+    * on an upgraded table) refuses by name — consolidating parquet
+    * deletes into vectors is compaction's job, not a delete's.
+    *
+    * Scale shape: one lineage scan; per-file merge cost is the file's
+    * vector, on the executor that holds it; driver memory is
+    * O(touched files × compressed bitmap), the same bound the Delta
+    * DV writer carries. */
+  private def deleteMorDv(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState,
+      matched: DataFrame, counts: Array[(String, Long)]): IceDml = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    if (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $root carries v2 position/equality delete files next " +
+          "to v3 deletion vectors — consolidate the parquet deletes " +
+          "(compactDeletes on the v2 table before upgrading) before " +
+          "vector DML")
+    val existing: Map[String, IceDvDelete] =
+      st.dvDeletes.map(d => d.referenced -> d).toMap
+    val merged: Array[(String, Array[Byte], Long)] =
+      matched.select(col("__fp"), col("__pos")).as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (fp, it) =>
+          val fresh = it.map(_._2).toArray
+          val old = existing.get(fp)
+            .map(d => readPuffinDvPositions(d.path, d.offset, d.size,
+              new org.apache.hadoop.conf.Configuration()))
+            .getOrElse(Array.empty[Long])
+          val all = (old ++ fresh).distinct.sorted
+          (fp, DeltaDv.serializePortable64(all.toIndexedSeq),
+            all.length.toLong)
+        }.collect()
+    val metaDir = new Path(root, "metadata")
+    val priorMeta = org.json4s.jackson.JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val puffinPath = new Path(dataDir,
+      s"dv-${java.util.UUID.randomUUID()}.puffin")
+    val placed = writePuffinDv(fs, puffinPath,
+      merged.toIndexedSeq, snapshotId, newSeq)
+    // the complete vector surface: new blobs for touched files,
+    // recorded ranges carried for the rest
+    val touched = placed.map(_._1).toSet
+    val dvEntries: Seq[(String, String, Long, Long, Long)] =
+      placed.map { case (ref, off, size, card) =>
+        (ref, puffinPath.toString, off, size, card)
+      } ++ st.dvDeletes.filterNot(d => touched(d.referenced)).map(d =>
+        (d.referenced, d.path, d.offset, d.size, d.records))
+    val snap = publishDvMor(spark, fs, root, st, priorMeta, dvEntries,
+      snapshotId, newSeq, "delete")
+    IceDml(snap, counts.map(_._2).sum, counts.length)
+  }
+
+  /** Publish a v3 DELETION-VECTOR commit: one delete manifest whose
+    * entries are Puffin-addressed (`file_format=PUFFIN`,
+    * `referenced_data_file`, `content_offset`/`content_size_in_bytes`,
+    * `record_count` = cardinality, the target file's partition tuple
+    * for pruning), a manifest list carrying every prior DATA manifest
+    * verbatim and NO prior delete manifest (the caller consolidated
+    * them), and the v3 metadata document (snapshot `first-row-id` =
+    * the table's `next-row-id`, `added-rows` 0 — a delete adds no
+    * rows, so the lineage counter holds). */
+  private def publishDvMor(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, priorMeta: org.json4s.JValue,
+      dvEntries: Seq[(String, String, Long, Long, Long)],
+      snapshotId: Long, newSeq: Long, operation: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaDir = new Path(root, "metadata")
+    val uuid = java.util.UUID.randomUUID().toString
+    val curSchemaId = jLong(priorMeta \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val schemaJsonStr = ((priorMeta \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.find(sc => jLong(sc \ "schema-id") == curSchemaId)
+          .getOrElse(xs.head)
+      case _ => priorMeta \ "schema"
+    }) match {
+      case node => JsonMethods.compact(JsonMethods.render(node))
+    }
+    val (partFields, specJson) = morPartFields(priorMeta, st)
+    val entrySchema = manifestEntrySchema(partFields, v2 = true,
+      dv = true)
+    val tupleOf: Map[String, Map[String, AnyRef]] =
+      st.files.map(f => f.path -> f.partition).toMap
+    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
+    writeAvro(fs, manifestPath, entrySchema,
+      Map("format-version" -> "2", "content" -> "deletes",
+        "partition-spec" -> specJson,
+        "partition-spec-id" -> st.defaultSpecId.toString,
+        "schema" -> schemaJsonStr),
+      dvEntries.map { case (referenced, path, off, size, card) =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        val dfRec = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        dfRec.put("content", 1)
+        dfRec.put("file_path", path)
+        dfRec.put("file_format", "PUFFIN")
+        putPartition(entrySchema, dfRec, partFields,
+          tupleOf.getOrElse(referenced, Map.empty))
+        dfRec.put("record_count", card)
+        dfRec.put("file_size_in_bytes", size)
+        dfRec.put("referenced_data_file", referenced)
+        dfRec.put("content_offset", off)
+        dfRec.put("content_size_in_bytes", size)
+        e.put("data_file", dfRec)
+        e
+      })
+    val listEntries =
+      scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    listEntries += manifestListRowV2(manifestPath.toString,
+      fs.getFileStatus(manifestPath).getLen, st.defaultSpecId,
+      content = 1, seq = newSeq, minSeq = newSeq, snapshotId,
+      (dvEntries.size, 0, 0, dvEntries.map(_._5).sum, 0L, 0L))
+    val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
+      case JArray(xs) =>
+        xs.find(sn => jLong(sn \ "snapshot-id") == st.snapshotId)
+          .toSeq.flatMap(sn => (sn \ "manifest-list") match {
+            case JString(ml) => avroRows(fs, new Path(ml))
+            case _ => Nil
+          })
+      case _ => Nil
+    }
+    // prior DATA manifests carry; prior DELETE manifests drop — every
+    // live vector is re-represented in the consolidated manifest
+    val carriedData = priorList.filter(pm => fieldOpt(pm, "content")
+      .map(_.asInstanceOf[Number].intValue).getOrElse(0) == 0)
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    writeAvro(fs, listPath, ManifestFileSchemaV2,
+      Map("format-version" -> "2"),
+      listEntries.toSeq ++
+        carriedData.map(pm => carryManifestRowV2(fs, pm, snapshotId)))
+    publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
+      snapshotId, listPath, operation, curSchemaId, Some(newSeq),
+      rowLineage = Some((jLong(priorMeta \ "next-row-id") max 0L, 0L)))
+  }
+
   /** Stage a DML rewrite's surviving rows as data files under the
     * table's current default spec, field ids stamped; empty outputs
     * (a rewrite that deleted every row) clean up rather than commit
@@ -3142,8 +3454,11 @@ object IcebergInterop {
     if (jLong(priorMeta \ "format-version") > 2)
       throw new UnsupportedIcebergFeatureException(
         s"table $root is format-version " +
-          s"${jLong(priorMeta \ "format-version")} — served read-only " +
-          "(this writer publishes v1/v2 commits)")
+          s"${jLong(priorMeta \ "format-version")} — v3 copy-on-write " +
+          "rewrites are not yet written: rewritten rows must carry " +
+          "their assigned row lineage forward, which this writer does " +
+          "not materialize (v3 appends and deletion-vector deletes " +
+          "are the supported write surface)")
     val v2 = jLong(priorMeta \ "format-version") >= 2
     // v2 commits take the next sequence number; rewritten survivors
     // keep their ORIGINAL data sequence numbers (entry-level, so the
@@ -3378,7 +3693,8 @@ object IcebergInterop {
       priorMeta: org.json4s.JValue, metadataVersion: Long,
       snapshotId: Long, listPath: Path, operation: String,
       curSchemaId: Long, seq: Option[Long],
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty,
+      rowLineage: Option[(Long, Long)] = None): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
@@ -3386,6 +3702,12 @@ object IcebergInterop {
     val newSnapshot: JValue = JObject(
       List("snapshot-id" -> (JLong(snapshotId): JValue)) ++
         seq.toList.map(n => "sequence-number" -> (JLong(n): JValue)) ++
+        // v3 row lineage: the snapshot records where its row-id range
+        // starts and how many rows it added
+        rowLineage.toList.flatMap { case (first, added) =>
+          List("first-row-id" -> (JLong(first): JValue),
+            "added-rows" -> (JLong(added): JValue))
+        } ++
         List[(String, JValue)](
           "timestamp-ms" -> JLong(now),
           "summary" -> JObject(
@@ -3415,6 +3737,8 @@ object IcebergInterop {
       case ("last-updated-ms", _) => "last-updated-ms" -> JLong(now)
       case ("last-sequence-number", _) if seq.isDefined =>
         "last-sequence-number" -> JLong(seq.get)
+      case ("next-row-id", _) if rowLineage.isDefined =>
+        "next-row-id" -> JLong(rowLineage.get._1 + rowLineage.get._2)
       case ("current-snapshot-id", _) =>
         "current-snapshot-id" -> JLong(snapshotId)
       case ("snapshots", v) => "snapshots" -> appended(v, newSnapshot)
@@ -3446,7 +3770,10 @@ object IcebergInterop {
           (if (have("current-snapshot-id")) Nil
            else List("current-snapshot-id" -> JLong(snapshotId))) ++
           (if (have("properties") || propDelta.isEmpty) Nil
-           else List("properties" -> JObject(propDelta)))
+           else List("properties" -> JObject(propDelta))) ++
+          (if (have("next-row-id") || rowLineage.isEmpty) Nil
+           else List("next-row-id" ->
+             (JLong(rowLineage.get._1 + rowLineage.get._2): JValue)))
     })
     val nextVersion = metadataVersion + 1
     val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
@@ -3929,11 +4256,18 @@ object IcebergInterop {
     // commits with the NEXT sequence number
     val formatVersion: Int = priorMeta.map(m =>
       jLong(m \ "format-version")).filter(_ >= 1).getOrElse(1L).toInt
-    if (formatVersion > 2)
+    if (formatVersion > 3)
       throw new UnsupportedIcebergFeatureException(
         s"table $root is format-version $formatVersion — served " +
-          "read-only (this writer publishes v1/v2 commits)")
+          "read-only (this writer publishes v1-v3 commits)")
     val v2 = formatVersion >= 2
+    val v3 = formatVersion >= 3
+    // v3 ROW LINEAGE: every commit that adds rows claims the next
+    // range of row ids — the snapshot records first-row-id, the
+    // metadata's next-row-id advances by the added record count
+    val priorNextRowId: Long = priorMeta
+      .map(m => jLong(m \ "next-row-id")).filter(_ >= 0).getOrElse(0L)
+    val addedRows: Long = newFiles.map(_.records).sum
     val newSeq: Long =
       if (!v2) 0L
       else priorMeta.map(m => jLong(m \ "last-sequence-number"))
@@ -4220,6 +4554,8 @@ object IcebergInterop {
     val newSnapshotJson =
       s"""{"snapshot-id":$snapshotId,""" +
         (if (v2) s""""sequence-number":$newSeq,""" else "") +
+        (if (v3) s""""first-row-id":$priorNextRowId,""" +
+          s""""added-rows":$addedRows,""" else "") +
         s""""timestamp-ms":$now,""" +
         s""""summary":{"operation":${jstr(operation)}},""" +
         s""""manifest-list":${jstr(listPath.toString)},""" +
@@ -4252,7 +4588,9 @@ object IcebergInterop {
            |"last-partition-id":$lastPartitionId,
            |"default-sort-order-id":0,
            |"sort-orders":[{"order-id":0,"fields":[]}],
-           |""".stripMargin
+           |""".stripMargin +
+        (if (!v3) ""
+         else s""""next-row-id":${priorNextRowId + addedRows},""" + "\n")
     // properties and refs carry forward VERBATIM — dropping them
     // would erase table configuration (the streaming replay marker
     // lives there) and every branch/tag; a declared `main` branch

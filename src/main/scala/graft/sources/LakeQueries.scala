@@ -1108,6 +1108,57 @@ object LakeQueries {
       |  TRUE AS spec_recorded
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** ic17_v3_dv_dml — the Iceberg v3 WRITE slice through the gate:
+    * `upgradeFormat(3)` (row-lineage metadata), two `deleteMor`
+    * passes that write and then MERGE Puffin deletion vectors (the
+    * spec's one-DV-per-file rule — `dv_unique` pins it in-row), and
+    * a post-vector append whose snapshot claims its row-id range.
+    * The oracle re-derives survivors + the append relationally; the
+    * vectors being exact is what makes the hash match. */
+  def ic17V3DvDml(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic17:$d", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic17").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o.repartition(4), dir)
+      IcebergInterop.upgradeFormat(s, dir)
+      IcebergInterop.upgradeFormat(s, dir, 3)
+      IcebergInterop.deleteMor(s, dir, col("o_orderkey") % 7 === 0)
+      IcebergInterop.deleteMor(s, dir, col("o_orderkey") % 5 === 0)
+      val keyType = o.schema("o_orderkey").dataType
+      IcebergInterop.write(
+        o.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey",
+            (col("o_orderkey") + lit(300000000L)).cast(keyType)), dir)
+      val st = IcebergInterop.state(s, dir, None)
+      val dvUnique = st.formatVersion == 3 && st.dvDeletes.nonEmpty &&
+        st.dvDeletes.map(_.referenced).distinct.length ==
+          st.dvDeletes.length
+      s"$dir|$dvUnique"
+    })
+    val Array(dir, dvUnique) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("dv_unique", lit(dvUnique.toBoolean))
+  }
+
+  val ic17Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 300000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 1)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS dv_unique
+      |FROM t GROUP BY o_orderpriority""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -2998,6 +3049,7 @@ object LakeQueries {
     "dls3_delta_stream_sink" -> (dls3DeltaStreamSink _),
     "dl15_sql_ctas" -> (dl15SqlCtas _),
     "ic16_sql_ctas" -> (ic16SqlCtas _),
+    "ic17_v3_dv_dml" -> (ic17V3DvDml _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -3068,6 +3120,7 @@ object LakeQueries {
     "dls3_delta_stream_sink" -> dls3Oracle,
     "dl15_sql_ctas" -> dl15Oracle,
     "ic16_sql_ctas" -> ic16Oracle,
+    "ic17_v3_dv_dml" -> ic17Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

@@ -302,5 +302,22 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[DeltaInterop.UnsupportedDeltaFeatureException](
       spark.sql("UPDATE graft_delta.wgate_ao SET v = 0 WHERE id = 1"))
     DeltaInterop.read(spark, t).count() shouldBe 101L
+    // CHECK constraints bind the SQL verbs too: INSERT and UPDATE of
+    // a constrained table validate staged rows before publishing
+    val t2 = fresh()
+    seed(t2)
+    DeltaInterop.addCheckConstraint(spark, t2, "pos_v", "v > 0")
+    DeltaSql.register("wgate_ck", t2)
+    intercept[DeltaWriteGate.DeltaConstraintViolationException](
+      spark.sql("INSERT INTO graft_delta.wgate_ck VALUES " +
+        "(CAST(200 AS BIGINT), 'g0', CAST(-5 AS BIGINT))"))
+    DeltaInterop.read(spark, t2).count() shouldBe 100L
+    spark.sql("INSERT INTO graft_delta.wgate_ck VALUES " +
+      "(CAST(200 AS BIGINT), 'g0', CAST(5 AS BIGINT))")
+    DeltaInterop.read(spark, t2).count() shouldBe 101L
+    intercept[DeltaWriteGate.DeltaConstraintViolationException](
+      spark.sql("UPDATE graft_delta.wgate_ck SET v = -1 WHERE id = 200"))
+    DeltaInterop.read(spark, t2).filter(col("v") < 0)
+      .count() shouldBe 0L
   }
 }

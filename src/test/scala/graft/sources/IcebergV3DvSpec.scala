@@ -20,6 +20,12 @@ import graft.SparkSpec
   * loudly, never silently wrong. */
 class IcebergV3DvSpec extends AnyFunSuite with Matchers with SparkSpec {
 
+  private def jnum(v: org.json4s.JValue): Long = v match {
+    case org.json4s.JInt(i) => i.toLong
+    case org.json4s.JLong(l) => l
+    case other => fail(s"not a number: $other")
+  }
+
   private def fresh(): String =
     java.nio.file.Files.createTempDirectory("graft-icev3").toString + "/t"
 
@@ -243,23 +249,148 @@ class IcebergV3DvSpec extends AnyFunSuite with Matchers with SparkSpec {
         (10L to 19L)).toArray
   }
 
-  test("v3 tables are READ-ONLY: writes, DML, compaction and " +
-    "metadata-only import refuse by name") {
+  test("the v3 WRITE surface: appends land with row-lineage " +
+    "bookkeeping (first-row-id / added-rows / next-row-id); " +
+    "copy-on-write DML, compaction and metadata-only import still " +
+    "refuse by name") {
     import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     val (t, _) = v3Table(kill = Seq(1L))
-    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
-      IcebergInterop.write(Seq(99L).toDF("id"), t)
-    }.getMessage should include("read-only")
+    IcebergInterop.write(Seq(99L).toDF("id"), t)
+    IcebergInterop.read(spark, t).count() shouldBe 20L // 19 live + 1
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(t, "metadata")
+    val hv = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      fs.open(new Path(metaDir, "version-hint.text"))),
+      StandardCharsets.UTF_8).trim
+    val meta = JsonMethods.parse(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(new Path(metaDir, s"v$hv.metadata.json"))),
+      StandardCharsets.UTF_8))
+    (meta \ "format-version") shouldBe JInt(3)
+    jnum(meta \ "next-row-id") shouldBe 1L // 1 appended row
+    val snaps = (meta \ "snapshots").asInstanceOf[JArray].arr
+    val appendSnap = snaps.last
+    jnum(appendSnap \ "first-row-id") shouldBe 0L
+    jnum(appendSnap \ "added-rows") shouldBe 1L
+    // copy-on-write rewrites still refuse — rewritten rows would lose
+    // their lineage
     intercept[IllegalArgumentException] {
       IcebergInterop.delete(spark, t,
         org.apache.spark.sql.functions.col("id") === 1L)
-    }.getMessage should include("deletion vectors are read-only")
+    }.getMessage should include("deleteMor")
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
       IcebergInterop.compactDeletes(spark, t)
-    }.getMessage should include("read-only")
+    }
     intercept[IllegalArgumentException] {
       IcebergInterop.importToManifest(spark, t)
     }
+  }
+
+  test("graft v3 deletion-vector DML round-trip: upgradeFormat(3), " +
+    "deleteMor writes Puffin blobs the reader serves, a second " +
+    "delete MERGES vectors (one DV per file), and the blob bytes " +
+    "hand-verify against the spec's framing") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val t = fresh()
+    IcebergInterop.write(
+      (0L until 100L).map(i => (i, i % 10)).toDF("id", "g")
+        .repartition(4), t)
+    IcebergInterop.upgradeFormat(spark, t) // v2 first
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def meta(): JValue = {
+      val hv = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          fs.open(new Path(t, "metadata/version-hint.text"))),
+        StandardCharsets.UTF_8).trim
+      JsonMethods.parse(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          fs.open(new Path(t, s"metadata/v$hv.metadata.json"))),
+        StandardCharsets.UTF_8))
+    }
+    jnum(meta() \ "format-version") shouldBe 3L
+    jnum(meta() \ "next-row-id") shouldBe 0L
+    // first DV delete
+    val r1 = IcebergInterop.deleteMor(spark, t,
+      org.apache.spark.sql.functions.col("id") % 7 === 0)
+    r1.rowsAffected shouldBe (0L until 100L).count(_ % 7 == 0)
+    IcebergInterop.read(spark, t).count() shouldBe
+      (0L until 100L).count(_ % 7 != 0)
+    val st1 = IcebergInterop.state(spark, t, None)
+    st1.formatVersion shouldBe 3
+    st1.dvDeletes should not be empty
+    st1.posDeletes shouldBe empty
+    // one DV per referenced file — the spec's at-most-one rule
+    st1.dvDeletes.map(_.referenced).distinct.length shouldBe
+      st1.dvDeletes.length
+    // second delete MERGES into the existing vectors
+    IcebergInterop.deleteMor(spark, t,
+      org.apache.spark.sql.functions.col("id") % 5 === 0)
+    IcebergInterop.read(spark, t).count() shouldBe
+      (0L until 100L).count(i => i % 7 != 0 && i % 5 != 0)
+    val st2 = IcebergInterop.state(spark, t, None)
+    st2.dvDeletes.map(_.referenced).distinct.length shouldBe
+      st2.dvDeletes.length
+    // hand-verify one blob against the spec framing: BE length,
+    // magic D1 D3 39 64, portable-64 roaring, BE CRC-32
+    val d = st2.dvDeletes.head
+    val in = fs.open(new Path(d.path))
+    val payload = new Array[Byte](d.size.toInt)
+    try { in.seek(d.offset); in.readFully(payload) } finally in.close()
+    val len = ByteBuffer.wrap(payload, 0, 4).getInt()
+    len shouldBe (payload.length - 8)
+    payload.slice(4, 8) shouldBe
+      Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+    val crc = new java.util.zip.CRC32
+    crc.update(payload, 4, len)
+    (crc.getValue & 0xffffffffL) shouldBe
+      (ByteBuffer.wrap(payload, 4 + len, 4).getInt() & 0xffffffffL)
+    val positions = DeltaDv.deserializePortable64(
+      java.util.Arrays.copyOfRange(payload, 8, 4 + len))
+    positions.length.toLong shouldBe d.records
+    positions.toSeq shouldBe positions.toSeq.sorted
+    // the Puffin FOOTER is spec-shaped: trailing magic, flags,
+    // LE payload size, JSON listing deletion-vector-v1 blobs
+    val pf = new Path(d.path)
+    val flen = fs.getFileStatus(pf).getLen
+    val fin = fs.open(pf)
+    val all = new Array[Byte](flen.toInt)
+    try fin.readFully(all) finally fin.close()
+    new String(all, 0, 4, StandardCharsets.UTF_8) shouldBe "PFA1"
+    new String(all, flen.toInt - 4, 4,
+      StandardCharsets.UTF_8) shouldBe "PFA1"
+    val payloadSize = ByteBuffer.wrap(all, flen.toInt - 12, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt()
+    val footer = new String(all, flen.toInt - 12 - payloadSize,
+      payloadSize, StandardCharsets.UTF_8)
+    footer should include("deletion-vector-v1")
+    footer should include("referenced-data-file")
+    // an append AFTER vector DML still lands and advances lineage
+    IcebergInterop.write(Seq((1000L, 0L)).toDF("id", "g"), t)
+    IcebergInterop.read(spark, t).count() shouldBe
+      (0L until 100L).count(i => i % 7 != 0 && i % 5 != 0) + 1
+    jnum(meta() \ "next-row-id") shouldBe 1L
+  }
+
+  test("v3 DV deletes refuse when v2 parquet delete files remain " +
+    "(mixed MOR debt) — compact before upgrading") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    // v2 position delete first, then upgrade to 3
+    IcebergInterop.deleteMor(spark, t,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
+      IcebergInterop.deleteMor(spark, t,
+        org.apache.spark.sql.functions.col("id") === 2L)
+    }.getMessage should include("position/equality delete")
   }
 
   test("malformed v3 entries fail loudly: a DV without content_offset " +
