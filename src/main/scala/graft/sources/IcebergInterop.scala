@@ -593,20 +593,27 @@ object IcebergInterop {
       // deletes over ORC files refuse by name rather than serve a
       // silently-wrong kill join.
       val orcFiles = st.files.filter(_.format == "orc")
-      if (orcFiles.nonEmpty) {
+      // AVRO data files (the other add_files shape) serve by NAME too,
+      // through the jar-less GenericDatumReader scan below — same
+      // restrictions as ORC (no parquet row_index ⇒ no lineage, no
+      // MOR application)
+      val avroFiles = st.files.filter(_.format == "avro")
+      if (orcFiles.nonEmpty || avroFiles.nonEmpty) {
+        val ex = (orcFiles ++ avroFiles).head.path
         if (keepLineage)
           throw new UnsupportedIcebergFeatureException(
             s"row-level lineage needs parquet row_index metadata — " +
-              s"ORC data files (e.g. ${orcFiles.head.path}) serve " +
+              s"ORC/AVRO data files (e.g. $ex) serve " +
               "reads only; rewrite to parquet for DML")
         if (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty ||
           st.dvDeletes.nonEmpty)
           throw new UnsupportedIcebergFeatureException(
-            s"merge-on-read deletes over ORC data files — position " +
-              "application needs parquet row_index metadata; compact " +
-              "with the owning engine first")
+            s"merge-on-read deletes over ORC/AVRO data files — " +
+              "position application needs parquet row_index " +
+              "metadata; compact with the owning engine first")
       }
-      val pqFiles = st.files.filterNot(_.format == "orc")
+      val pqFiles = st.files.filterNot(f =>
+        f.format == "orc" || f.format == "avro")
       val grouped: Option[Seq[(Seq[String], Seq[Option[(String, DataType)]])]] =
         if (!st.evo.evolved) None
         else {
@@ -647,8 +654,12 @@ object IcebergInterop {
               Seq(norm(col("_metadata.file_path")).as("__fp"),
                 lit(null).cast("long").as("__pos")): _*))
         }
+      def avroScanOpt(withMeta: Boolean): Option[DataFrame] =
+        if (avroFiles.isEmpty) None
+        else Some(avroDataScan(spark, avroFiles, st.schema, withMeta))
       def withOrc(pq: Option[DataFrame], withMeta: Boolean): DataFrame =
-        (pq.toSeq ++ orcScan(withMeta).toSeq).reduce(_ unionByName _)
+        (pq.toSeq ++ orcScan(withMeta).toSeq ++
+          avroScanOpt(withMeta).toSeq).reduce(_ unionByName _)
       val (data, keyedScan) = grouped match {
         case None =>
           val d =
@@ -1002,17 +1013,17 @@ object IcebergInterop {
           val fileContent = fieldOpt(df, "content")
             .map(_.asInstanceOf[Number].intValue).getOrElse(0)
           val fmt = df.get("file_format").toString
-          // parquet everywhere; ORC data files (the add_files
-          // migration shape) serve by-name; puffin carries v3 DVs.
-          // Avro data files refuse by name — no avro DataSource on
-          // this classpath to serve them through
+          // parquet everywhere; ORC and AVRO data files (the
+          // add_files migration shapes) serve by-name; puffin
+          // carries v3 DVs
           if (!fmt.equalsIgnoreCase("parquet") &&
-            !(fileContent == 0 && fmt.equalsIgnoreCase("orc")) &&
+            !(fileContent == 0 && (fmt.equalsIgnoreCase("orc") ||
+              fmt.equalsIgnoreCase("avro"))) &&
             !(fileContent == 1 && fmt.equalsIgnoreCase("puffin")))
             throw new UnsupportedIcebergFeatureException(
               s"file format $fmt in $table — parquet data/delete " +
-                "files, ORC data files and puffin deletion vectors " +
-                "are served")
+                "files, ORC/AVRO data files and puffin deletion " +
+                "vectors are served")
           fileContent match {
             case 0 =>
               if (content != 0)
@@ -1306,6 +1317,99 @@ object IcebergInterop {
     Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
 
   /** Every record of a self-describing avro file. */
+  /** Hand-rolled AVRO data-file scan — `spark-avro` is absent from
+    * this classpath, but avro CORE is here (the same
+    * GenericDatumReader that already parses Iceberg's own avro
+    * metadata), so `add_files`-migrated avro data serves by NAME
+    * under the current schema: one task per file decodes its
+    * GenericRecords into Rows. Scalar leaf types only — the
+    * migrated-table surface; nested/array/map columns refuse by name
+    * UP FRONT on the driver, never a mid-scan surprise. Missing
+    * columns null-fill and the identity tuple fill restores
+    * partition sources, exactly the ORC name-mapping path.
+    * `withMeta` attaches the normalized `__fp` (and a null `__pos` —
+    * avro carries no row_index) so the tuple-fill broadcast joins
+    * uniformly across formats. */
+  private def avroDataScan(spark: SparkSession, files: Seq[IceFile],
+      schema: StructType, withMeta: Boolean): DataFrame = {
+    schema.fields.foreach(f => f.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | StringType |
+           BinaryType | DateType | TimestampType | TimestampNTZType =>
+      case other => throw new UnsupportedIcebergFeatureException(
+        s"avro data files: column ${f.name} is ${other.sql} — the " +
+          "jar-less avro decoder serves scalar columns only; " +
+          "rewrite to parquet for nested types")
+    })
+    val names = schema.fields.map(_.name)
+    val types = schema.fields.map(_.dataType)
+    val out = StructType(schema.fields ++
+      (if (withMeta) Seq(StructField("__fp", StringType),
+        StructField("__pos", LongType)) else Nil))
+    val rows = spark.sparkContext
+      .parallelize(files.map(_.path), math.max(1, files.size))
+      .flatMap { pstr =>
+        val p = new Path(pstr)
+        val fs0 = p.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val in = fs0.open(p)
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val fp = dmlNormStr(pstr)
+        try stream.iterator().asScala.map { rec =>
+          val vals = names.indices.map { i =>
+            val raw =
+              if (rec.getSchema.getField(names(i)) == null) null
+              else rec.get(names(i))
+            decodeAvroScalar(raw, types(i), names(i))
+          }
+          Row.fromSeq(if (withMeta) vals :+ fp :+ null else vals)
+        }.toList
+        finally {
+          scala.util.Try(stream.close()): Unit
+          scala.util.Try(in.close()): Unit
+        }
+      }
+    spark.createDataFrame(rows, out)
+  }
+
+  /** One avro leaf value → the Spark external type `createDataFrame`
+    * expects; logical date/timestamp[-ntz] decode from their spec
+    * int/long encodings. An unmodeled combination REFUSES by name —
+    * never a silently-null column. */
+  private def decodeAvroScalar(raw: AnyRef, dt: DataType,
+      name: String): Any = (raw, dt) match {
+    case (null, _) => null
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (n: Number, ByteType) => n.byteValue
+    case (n: Number, ShortType) => n.shortValue
+    case (n: Number, IntegerType) => n.intValue
+    case (n: Number, LongType) => n.longValue
+    case (n: Number, FloatType) => n.floatValue
+    case (n: Number, DoubleType) => n.doubleValue
+    case (s, StringType)
+      if s.isInstanceOf[org.apache.avro.util.Utf8] ||
+        s.isInstanceOf[String] => s.toString
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (n: Number, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
+    case (n: Number, TimestampType) =>
+      val micros = n.longValue
+      val ts = new java.sql.Timestamp(
+        Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case (n: Number, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(n.longValue, 1000000L),
+        (Math.floorMod(n.longValue, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (other, _) => throw new IllegalArgumentException(
+      s"avro value of ${other.getClass.getName} does not decode to " +
+        s"${dt.sql} for column $name")
+  }
+
   private def avroRows(fs: FileSystem, p: Path): Seq[GenericRecord] = {
     val in = fs.open(p)
     try {

@@ -593,9 +593,9 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("MIXED-FORMAT Iceberg table (add_files migration shape): ORC " +
-    "data files serve by name next to parquet, identity tuples fill " +
-    "the ORC files' missing partition column, DML refuses by name, " +
-    "avro data files refuse by name") {
+    "and AVRO data files serve by name next to parquet, identity " +
+    "tuples fill their missing partition column, DML refuses by " +
+    "name") {
     import spark.implicits._
     val t = fresh("graft-ih-mixed")
     val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
@@ -698,10 +698,24 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
       IcebergInterop.delete(spark, t, $"id" === 1L)
     }.getMessage should include("ORC")
-    // an avro DATA file refuses by name — no reader on this classpath
+    // an avro DATA file serves too (r14: jar-less GenericDatumReader
+    // scan by name) — write one OMITTING pri like the ORC file, so
+    // the identity tuple must fill it
+    val avroRowSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"row","fields":[
+        |{"name":"id","type":["null","long"],"default":null},
+        |{"name":"v","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    val (avroData, avroLen) = avro("data/f3.avro", avroRowSchema,
+      (11L to 15L).map { i =>
+        val r = new GenericData.Record(avroRowSchema)
+        r.put("id", i); r.put("v", i * 10L)
+        r
+      })
     val (mPath2, mLen2) = avro("metadata/m2.avro", entrySchema, Seq(
       entry(pq, "PARQUET", pqLen, "A"),
-      entry(orc.replace(".orc", ".avro"), "AVRO", 1L, "B")))
+      entry(orc, "ORC", orcLen, "B"),
+      entry(avroData, "AVRO", avroLen, "C")))
     val mf2 = new GenericData.Record(listSchema)
     mf2.put("manifest_path", mPath2); mf2.put("manifest_length", mLen2)
     mf2.put("partition_spec_id", 0); mf2.put("added_snapshot_id", 51L)
@@ -723,8 +737,14 @@ class InteropHardeningSpec extends AnyFunSuite with Matchers with SparkSpec {
          |"manifest-list":"$listPath2","schema-id":0}]
          |}""".stripMargin.replace("\n", ""))
     writeText(t, "metadata/version-hint.text", "2")
+    val out2 = IcebergInterop.read(spark, t)
+    out2.count() shouldBe 15L
+    out2.filter($"pri" === "C").select($"id").as[Long]
+      .collect().sorted shouldBe (11L to 15L).toArray
+    out2.filter($"id" === 13L).select($"v").as[Long].head() shouldBe 130L
+    // DML over the avro-bearing table still refuses by name
     intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
-      IcebergInterop.state(spark, t, None)
+      IcebergInterop.delete(spark, t, $"id" === 11L)
     }.getMessage should include("AVRO")
   }
 
