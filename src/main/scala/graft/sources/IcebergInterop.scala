@@ -1957,6 +1957,80 @@ object IcebergInterop {
     nextVersion
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` — a metadata-only republish
+    * merging `props` into the table's properties map; everything else
+    * (snapshots, refs, specs, schemas) carries verbatim. The
+    * `graft.stream.*` replay markers refuse by name — they are the
+    * streaming sink's ledger, not user configuration. */
+  def setProperties(spark: SparkSession, table: String,
+                    props: Map[String, String]): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    require(props.nonEmpty, "setProperties needs at least one property")
+    props.keys.foreach(k => require(!k.startsWith("graft.stream."),
+      s"$k is the streaming sink's replay ledger — not settable"))
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val delta: List[(String, JValue)] =
+      props.toList.sortBy(_._1).map { case (k, v) =>
+        k -> (JString(v): JValue) }
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case ("properties", JObject(kvs)) =>
+        "properties" -> (JObject(
+          kvs.filterNot(kv => props.contains(kv._1)) ++ delta): JValue)
+      case other => other
+    } match {
+      case fields if fields.exists(_._1 == "properties") => fields
+      case fields => fields :+
+        ("properties" -> (JObject(delta): JValue))
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    nextVersion
+  }
+
+  /** The table's recorded properties map — [[setProperties]]' read
+    * side, one metadata read. */
+  def properties(spark: SparkSession, table: String)
+      : Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    JsonMethods.parse(readText(fs, new Path(new Path(root, "metadata"),
+      s"v$version.metadata.json"))) \ "properties" match {
+      case JObject(kvs) => kvs.collect {
+        case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** `DESCRIBE HISTORY` — one row per RETAINED snapshot (expired ones
     * are gone by design): snapshot id, sequence number (0 on v1),
     * wall-clock timestamp, operation, and whether it is current.
@@ -2604,9 +2678,6 @@ object IcebergInterop {
         matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect()
       if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
-      val (delFiles, delParts) = stageMorDeletesByTuple(spark, fs, root,
-        st, matched.select(col("__fp"), col("__pos")),
-        counts.map(_._1).toIndexedSeq)
       val setMap = set.toMap
       val updated = matched.select(
         st.schema.fields.toIndexedSeq.map { f =>
@@ -2615,6 +2686,14 @@ object IcebergInterop {
             case None => col(f.name)
           }
         }: _*)
+      // v3 tables kill the old images with DELETION VECTORS — same
+      // one-snapshot shape, vectors instead of position parquet
+      if (st.formatVersion >= 3)
+        return updateMorDv(spark, fs, root, st,
+          matched.select(col("__fp"), col("__pos")), counts, updated)
+      val (delFiles, delParts) = stageMorDeletesByTuple(spark, fs, root,
+        st, matched.select(col("__fp"), col("__pos")),
+        counts.map(_._1).toIndexedSeq)
       val added = stageRewritten(spark, fs, root, st, updated)
       val snap = publishMor(spark, fs, root, st, delFiles, added,
         "overwrite", delPartitions = delParts)
@@ -3371,10 +3450,67 @@ object IcebergInterop {
     * Scale shape: one lineage scan; per-file merge cost is the file's
     * vector, on the executor that holds it; driver memory is
     * O(touched files × compressed bitmap), the same bound the Delta
-    * DV writer carries. */
+    * DV writer carries. The consolidated delete manifest re-lists
+    * every live vector — O(vectored files) METADATA rows per commit
+    * (entries only, never blob bytes); carrying disjoint prior delete
+    * manifests verbatim would need per-entry manifest provenance and
+    * is the next refinement if vectored-file counts grow past what
+    * one manifest comfortably holds (the 100k-entry manifest bound is
+    * pinned in MetadataScaleSpec). */
   private def deleteMorDv(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState,
       matched: DataFrame, counts: Array[(String, Long)]): IceDml = {
+    val metaDir = new Path(root, "metadata")
+    val priorMeta = org.json4s.jackson.JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val dvEntries = mergedDvEntries(spark, fs, root, st, matched,
+      snapshotId, newSeq)
+    val snap = publishDvMor(spark, fs, root, st, priorMeta, dvEntries,
+      snapshotId, newSeq, "delete")
+    IceDml(snap, counts.map(_._2).sum, counts.length)
+  }
+
+  /** The v3 MERGE-ON-READ update — [[updateMor]]'s deletion-vector
+    * leg: the matched rows' OLD images vector out (the
+    * [[deleteMorDv]] merge machinery) and their NEW images append, in
+    * ONE snapshot at ONE sequence number — vectors are path-keyed, so
+    * the appended image files (fresh paths) are untouched by their
+    * own commit's kill side, the same one-snapshot shape as the v2
+    * position-delete update. The new images claim a FRESH row-id
+    * range (this writer does not materialize per-row `_row_id`, so an
+    * update reassigns lineage — the carry-over refinement needs
+    * row-id materialization; rows written before the v3 upgrade never
+    * had lineage to lose). */
+  private def updateMorDv(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, matched: DataFrame,
+      counts: Array[(String, Long)], updated: DataFrame): IceDml = {
+    val metaDir = new Path(root, "metadata")
+    val priorMeta = org.json4s.jackson.JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
+    val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    val dvEntries = mergedDvEntries(spark, fs, root, st, matched,
+      snapshotId, newSeq)
+    val added = stageRewritten(spark, fs, root, st, updated)
+    val snap = publishDvMor(spark, fs, root, st, priorMeta, dvEntries,
+      snapshotId, newSeq, "overwrite", added)
+    IceDml(snap, counts.map(_._2).sum, counts.length)
+  }
+
+  /** The shared v3 vector-merge core: per TOUCHED file the fresh kill
+    * positions merge with the file's existing vector ON EXECUTORS and
+    * serialize; the driver streams merged blobs into one Puffin file
+    * and returns the COMPLETE vector surface (new blobs + carried
+    * recorded ranges, superseded entries dropped by either path
+    * form). Mixed v2 parquet deletes refuse by name. */
+  private def mergedDvEntries(spark: SparkSession, fs: FileSystem,
+      root: Path, st: IceState, matched: DataFrame,
+      snapshotId: Long, newSeq: Long)
+      : Seq[(String, String, Long, Long, Long)] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     if (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty)
@@ -3383,8 +3519,13 @@ object IcebergInterop {
           "to v3 deletion vectors — consolidate the parquet deletes " +
           "(compactDeletes on the v2 table before upgrading) before " +
           "vector DML")
+    // keyed by BOTH path forms ([[ForeignDv.forms]]): the scan's
+    // `__fp` is scheme-normalized + URI-escaped while a foreign
+    // manifest may record either shape — a missed lookup here would
+    // silently DROP the old vector from the merge (resurrected rows)
     val existing: Map[String, IceDvDelete] =
-      st.dvDeletes.map(d => d.referenced -> d).toMap
+      st.dvDeletes.flatMap(d =>
+        ForeignDv.forms(d.referenced).map(_ -> d)).toMap
     val merged: Array[(String, Array[Byte], Long)] =
       matched.select(col("__fp"), col("__pos")).as[(String, Long)]
         .groupByKey(_._1)
@@ -3398,12 +3539,6 @@ object IcebergInterop {
           (fp, DeltaDv.serializePortable64(all.toIndexedSeq),
             all.length.toLong)
         }.collect()
-    val metaDir = new Path(root, "metadata")
-    val priorMeta = org.json4s.jackson.JsonMethods.parse(readText(fs,
-      new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
-    val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
-    val snapshotId = math.abs(java.util.UUID.randomUUID()
-      .getMostSignificantBits)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
     val puffinPath = new Path(dataDir,
@@ -3411,16 +3546,21 @@ object IcebergInterop {
     val placed = writePuffinDv(fs, puffinPath,
       merged.toIndexedSeq, snapshotId, newSeq)
     // the complete vector surface: new blobs for touched files,
-    // recorded ranges carried for the rest
+    // recorded ranges carried for the rest — superseded entries match
+    // by EITHER path form, or a re-vectored file would carry two DVs
     val touched = placed.map(_._1).toSet
-    val dvEntries: Seq[(String, String, Long, Long, Long)] =
-      placed.map { case (ref, off, size, card) =>
-        (ref, puffinPath.toString, off, size, card)
-      } ++ st.dvDeletes.filterNot(d => touched(d.referenced)).map(d =>
-        (d.referenced, d.path, d.offset, d.size, d.records))
-    val snap = publishDvMor(spark, fs, root, st, priorMeta, dvEntries,
-      snapshotId, newSeq, "delete")
-    IceDml(snap, counts.map(_._2).sum, counts.length)
+    // new entries record the data file's path AS THE MANIFEST RECORDS
+    // IT (foreign readers match referenced_data_file textually against
+    // their own file list), not the scan's normalized form
+    val recordedPath: Map[String, String] =
+      st.files.flatMap(f =>
+        ForeignDv.forms(f.path).map(_ -> f.path)).toMap
+    placed.map { case (ref, off, size, card) =>
+      (recordedPath.getOrElse(ref, ref), puffinPath.toString, off,
+        size, card)
+    } ++ st.dvDeletes
+      .filterNot(d => ForeignDv.forms(d.referenced).exists(touched))
+      .map(d => (d.referenced, d.path, d.offset, d.size, d.records))
   }
 
   /** Publish a v3 DELETION-VECTOR commit: one delete manifest whose
@@ -3435,7 +3575,8 @@ object IcebergInterop {
   private def publishDvMor(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, priorMeta: org.json4s.JValue,
       dvEntries: Seq[(String, String, Long, Long, Long)],
-      snapshotId: Long, newSeq: Long, operation: String): Long = {
+      snapshotId: Long, newSeq: Long, operation: String,
+      added: Seq[IceFile] = Nil): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val metaDir = new Path(root, "metadata")
@@ -3455,8 +3596,11 @@ object IcebergInterop {
     val (partFields, specJson) = morPartFields(priorMeta, st)
     val entrySchema = manifestEntrySchema(partFields, v2 = true,
       dv = true)
+    // both path forms again: new entries key by the scan's normalized
+    // `__fp`, carried ones by the manifest's recorded path
     val tupleOf: Map[String, Map[String, AnyRef]] =
-      st.files.map(f => f.path -> f.partition).toMap
+      st.files.flatMap(f =>
+        ForeignDv.forms(f.path).map(_ -> f.partition)).toMap
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     writeAvro(fs, manifestPath, entrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
@@ -3488,6 +3632,36 @@ object IcebergInterop {
       fs.getFileStatus(manifestPath).getLen, st.defaultSpecId,
       content = 1, seq = newSeq, minSeq = newSeq, snapshotId,
       (dvEntries.size, 0, 0, dvEntries.map(_._5).sum, 0L, 0L))
+    // updateMor's NEW images: a data manifest at the SAME sequence
+    // number — vectors are path-keyed, so the fresh paths are
+    // untouched by this commit's own kill side
+    if (added.nonEmpty) {
+      val dataManifest = new Path(metaDir, s"$uuid-m1.avro")
+      writeAvro(fs, dataManifest, entrySchema,
+        Map("format-version" -> "2", "content" -> "data",
+          "partition-spec" -> specJson,
+          "partition-spec-id" -> st.defaultSpecId.toString,
+          "schema" -> schemaJsonStr),
+        added.map { f =>
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          val dfRec = new GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          dfRec.put("content", 0)
+          dfRec.put("file_path", f.path)
+          dfRec.put("file_format", "PARQUET")
+          putPartition(entrySchema, dfRec, partFields, f.partition)
+          dfRec.put("record_count", f.records)
+          dfRec.put("file_size_in_bytes", f.bytes)
+          e.put("data_file", dfRec)
+          e
+        })
+      listEntries += manifestListRowV2(dataManifest.toString,
+        fs.getFileStatus(dataManifest).getLen, st.defaultSpecId,
+        content = 0, seq = newSeq, minSeq = newSeq, snapshotId,
+        (added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+    }
     val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
       case JArray(xs) =>
         xs.find(sn => jLong(sn \ "snapshot-id") == st.snapshotId)
@@ -3508,7 +3682,8 @@ object IcebergInterop {
         carriedData.map(pm => carryManifestRowV2(fs, pm, snapshotId)))
     publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
       snapshotId, listPath, operation, curSchemaId, Some(newSeq),
-      rowLineage = Some((jLong(priorMeta \ "next-row-id") max 0L, 0L)))
+      rowLineage = Some((jLong(priorMeta \ "next-row-id") max 0L,
+        added.map(_.records).sum)))
   }
 
   /** Stage a DML rewrite's surviving rows as data files under the

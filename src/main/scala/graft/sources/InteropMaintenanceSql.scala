@@ -32,6 +32,10 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
   *     [PARTITIONED BY (c1, days(ts), bucket(16, id), ...)] AS <query>
   *   DROP TABLE [IF EXISTS] graft_delta.t | graft_iceberg.t
   *   SHOW TABLES IN graft_delta | graft_iceberg
+  *   ALTER TABLE graft_delta.t | graft_iceberg.t
+  *     SET TBLPROPERTIES ('k' = 'v', ...)
+  *   ALTER TABLE graft_delta.t ADD CONSTRAINT n CHECK (expr)
+  *   ALTER TABLE graft_delta.t DROP CONSTRAINT n
   *
   * Managed tables land under `spark.graft.delta.warehouse` /
   * `spark.graft.iceberg.warehouse` (CTAS without the conf is a named
@@ -97,6 +101,39 @@ object InteropMaintenanceSql {
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_delta\\s*;?\\s*$".r
   private val IShowRe =
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_iceberg\\s*;?\\s*$".r
+  private val DPropsRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
+      "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
+  private val IPropsRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
+  private val DAddCkRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
+      "\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_-]+)\\s+CHECK\\s*" +
+      "\\((.+)\\)\\s*;?\\s*$").r
+  private val DDropCkRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
+      "\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_-]+)\\s*;?\\s*$").r
+
+  /** `'k' = 'v', 'k2' = 'v2'` → pairs (commas INSIDE quotes stay in
+    * their value); non-quoted or malformed items refuse by name. */
+  private def parseProps(raw: String): Map[String, String] = {
+    val items = Seq.newBuilder[String]
+    var inQ = false
+    val cur = new StringBuilder
+    raw.foreach {
+      case '\'' => inQ = !inQ; cur += '\'': Unit
+      case ',' if !inQ => items += cur.result(); cur.clear()
+      case c => cur += c: Unit
+    }
+    if (cur.nonEmpty) items += cur.result()
+    val ItemRe = "(?s)^\\s*'([^']*)'\\s*=\\s*'([^']*)'\\s*$".r
+    items.result().map(_.trim).filter(_.nonEmpty).map {
+      case ItemRe(k, v) => k -> v
+      case item => throw new IllegalArgumentException(
+        s"TBLPROPERTIES item $item — expected 'key' = 'value'")
+    }.toMap
+  }
   // one PARTITIONED BY item on the Iceberg side: a bare identity
   // column or one of the spec's transforms
   private val TransformRe =
@@ -177,6 +214,16 @@ object InteropMaintenanceSql {
           delta = false))
       case DShowRe() => Some(InteropShowTablesCommand(delta = true))
       case IShowRe() => Some(InteropShowTablesCommand(delta = false))
+      case DPropsRe(name, props) =>
+        Some(DeltaSetPropertiesCommand(deltaPath(name),
+          parseProps(props)))
+      case IPropsRe(name, props) =>
+        Some(IcebergSetPropertiesCommand(icePath(name),
+          parseProps(props)))
+      case DAddCkRe(name, ck, sql) =>
+        Some(DeltaAddConstraintCommand(deltaPath(name), ck, sql))
+      case DDropCkRe(name, ck) =>
+        Some(DeltaDropConstraintCommand(deltaPath(name), ck))
       case _ => None
     }
 
@@ -384,6 +431,48 @@ object InteropMaintenanceSql {
           Seq(Row(name, managed))
       }
     }
+  }
+
+  /** `ALTER TABLE graft_delta.t SET TBLPROPERTIES ('k'='v', …)` —
+    * [[DeltaInterop.setProperties]]: the metadata republish (with its
+    * appendOnly protocol handling) from SQL. */
+  final case class DeltaSetPropertiesCommand(table: String,
+      props: Map[String, String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaInterop.setProperties(spark, table, props)))
+  }
+
+  /** `ALTER TABLE graft_iceberg.t SET TBLPROPERTIES ('k'='v', …)` —
+    * [[IcebergInterop.setProperties]]' metadata-only republish. */
+  final case class IcebergSetPropertiesCommand(table: String,
+      props: Map[String, String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("metadata_version", LongType,
+        nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(IcebergInterop.setProperties(spark, table, props)))
+  }
+
+  /** `ALTER TABLE graft_delta.t ADD CONSTRAINT n CHECK (expr)` —
+    * [[DeltaInterop.addCheckConstraint]]: existing data validates
+    * first; every later write validates against it. */
+  final case class DeltaAddConstraintCommand(table: String,
+      name: String, sql: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaInterop.addCheckConstraint(spark, table, name, sql)))
+  }
+
+  /** `ALTER TABLE graft_delta.t DROP CONSTRAINT n`. */
+  final case class DeltaDropConstraintCommand(table: String,
+      name: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaInterop.dropCheckConstraint(spark, table, name)))
   }
 
   /** `SHOW TABLES IN graft_delta | graft_iceberg` — the registry

@@ -376,6 +376,42 @@ class IcebergV3DvSpec extends AnyFunSuite with Matchers with SparkSpec {
     jnum(meta() \ "next-row-id") shouldBe 1L
   }
 
+  test("v3 MOR UPDATE: old images vector out and new images append " +
+    "in ONE snapshot; a later delete merges vectors over the mix") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (0L until 60L).map(i => (i, i)).toDF("id", "v").repartition(3), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    val snapsBefore = IcebergInterop.snapshotLineage(spark, t).size
+    val r = IcebergInterop.updateMor(spark, t,
+      org.apache.spark.sql.functions.col("id") < 10L,
+      Seq("v" -> org.apache.spark.sql.functions
+        .col("v").plus(1000L)))
+    r.rowsAffected shouldBe 10L
+    IcebergInterop.snapshotLineage(spark, t).size shouldBe
+      snapsBefore + 1 // ONE snapshot for kill + append
+    val out = IcebergInterop.read(spark, t)
+    out.count() shouldBe 60L
+    out.filter($"id" < 10L).select($"v").as[Long]
+      .collect().sorted shouldBe (1000L until 1010L).toArray
+    out.filter($"id" >= 10L).filter($"v" >= 1000L).count() shouldBe 0L
+    val st = IcebergInterop.state(spark, t, None)
+    st.dvDeletes should not be empty
+    st.dvDeletes.map(_.referenced).distinct.length shouldBe
+      st.dvDeletes.length
+    // a later DV delete merges over the mixed old/new file surface
+    IcebergInterop.deleteMor(spark, t,
+      org.apache.spark.sql.functions.col("v") === 1005L)
+    IcebergInterop.read(spark, t).count() shouldBe 59L
+    IcebergInterop.read(spark, t).filter($"v" === 1005L)
+      .count() shouldBe 0L
+    val st2 = IcebergInterop.state(spark, t, None)
+    st2.dvDeletes.map(_.referenced).distinct.length shouldBe
+      st2.dvDeletes.length
+  }
+
   test("v3 DV deletes refuse when v2 parquet delete files remain " +
     "(mixed MOR debt) — compact before upgrading") {
     import spark.implicits._

@@ -97,6 +97,44 @@ class InteropCtasSpec extends AnyFunSuite with Matchers with SparkSpec {
     new java.io.File(s"$wh/ctas_it").exists() shouldBe false
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES / ADD CONSTRAINT / DROP " +
+    "CONSTRAINT route from SQL: the property lands and binds (Delta " +
+    "appendOnly via SQL refuses a later DELETE), Iceberg properties " +
+    "republish metadata-only, constraints gate writes end-to-end") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ctas-alter").toString + "/t"
+    Seq((1L, 5L), (2L, 6L)).toDF("id", "v")
+      .createOrReplaceTempView("alter_src")
+    DeltaInterop.write(spark.table("alter_src"), t)
+    DeltaSql.register("alter_t", t)
+    spark.sql("ALTER TABLE graft_delta.alter_t ADD CONSTRAINT " +
+      "pos_v CHECK (v > 0)")
+    DeltaInterop.state(spark, t, None)
+      .configuration("delta.constraints.pos_v") shouldBe "v > 0"
+    intercept[DeltaWriteGate.DeltaConstraintViolationException](
+      spark.sql("INSERT INTO graft_delta.alter_t VALUES " +
+        "(CAST(3 AS BIGINT), CAST(-1 AS BIGINT))"))
+    spark.sql("ALTER TABLE graft_delta.alter_t DROP CONSTRAINT pos_v")
+    spark.sql("INSERT INTO graft_delta.alter_t VALUES " +
+      "(CAST(3 AS BIGINT), CAST(-1 AS BIGINT))")
+    DeltaInterop.read(spark, t).count() shouldBe 3L
+    spark.sql("ALTER TABLE graft_delta.alter_t SET TBLPROPERTIES " +
+      "('delta.appendOnly' = 'true')")
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      spark.sql("DELETE FROM graft_delta.alter_t WHERE id = 1"))
+    // Iceberg: metadata-only property republish, read back exact
+    val it = java.nio.file.Files
+      .createTempDirectory("graft-ctas-ialter").toString + "/t"
+    IcebergInterop.write(Seq((1L, 5L)).toDF("id", "v"), it)
+    IcebergSql.register("alter_it", it)
+    spark.sql("ALTER TABLE graft_iceberg.alter_it SET TBLPROPERTIES " +
+      "('commit.retry.num-retries' = '7', 'write.tag' = 'a,b')")
+    IcebergInterop.properties(spark, it) shouldBe Map(
+      "commit.retry.num-retries" -> "7", "write.tag" -> "a,b")
+    IcebergInterop.read(spark, it).count() shouldBe 1L
+  }
+
   test("unparseable PARTITIONED BY transforms and a missing " +
     "warehouse conf refuse by name") {
     import spark.implicits._
