@@ -207,16 +207,9 @@ object AnnQueries {
       .filter(col("vec_id") === QueryId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0).toArray
-    // persisted: the k-row result feeds the recall aggregate AND the output
-    val pq = graft.core.TransientCache.persist(
-      ProductQuantizer.adcTopK(
-        encoded.filter(col("vec_id") =!= QueryId),
-        Tables.embeddings(s, d), model, queryVec, K, rerank = 8 * K))
-    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
-    val recall = pq.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
-    pq.crossJoin(broadcast(recall))
-      .filter(col("recall_at_10") >= 0.7)
+    recallGated(s, d, ProductQuantizer.adcTopK(
+      encoded.filter(col("vec_id") =!= QueryId),
+      Tables.embeddings(s, d), model, queryVec, K, rerank = 8 * K))
   }
 
   /** nn6 — the LAKE-resident IVF-PQ probe: both pruning dimensions of
@@ -232,15 +225,8 @@ object AnnQueries {
       .filter(col("vec_id") === QueryId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0).toArray
-    // persisted: the k-row probe feeds the recall aggregate AND the output
-    val pq = graft.core.TransientCache.persist(
-      IvfIndexStore.probePq(s, dir, queryVec, K, nProbe = 4,
-        rerank = 8 * K, excludeId = Some(QueryId)))
-    val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryId, K)
-    val recall = pq.join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
-    pq.crossJoin(broadcast(recall))
-      .filter(col("recall_at_10") >= 0.7)
+    recallGated(s, d, IvfIndexStore.probePq(s, dir, queryVec, K,
+      nProbe = 4, rerank = 8 * K, excludeId = Some(QueryId)))
   }
 
   /** nn4 — metadata-filtered exact search: top-k by cosine AMONG vectors
@@ -305,15 +291,8 @@ object AnnQueries {
       Pca.project(emb, model).select(col("vec_id"), col("pca")))
     val candIds = Similarity.bruteForceTopK(proj, QueryId, 50,
       embCol = "pca").collect().map(_.getLong(0))
-    val reranked = graft.core.TransientCache.persist(
-      Similarity.filteredTopK(emb, QueryId, K,
-        col("vec_id").isin(candIds.map(Long.box).toIndexedSeq: _*)))
-    val brute = Similarity.bruteForceTopK(emb, QueryId, K)
-    val recall = reranked
-      .join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)).cast("double") / K).as("recall_at_10"))
-    reranked.crossJoin(broadcast(recall))
-      .filter(col("recall_at_10") >= 0.7)
+    recallGated(s, d, Similarity.filteredTopK(emb, QueryId, K,
+      col("vec_id").isin(candIds.map(Long.box).toIndexedSeq: _*)))
   }
 
   /** rr1_hybrid_rrf — HYBRID retrieval through the gate: the bm1 BM25
@@ -396,6 +375,9 @@ object AnnQueries {
     "nn1_brute_topk" -> nn1Oracle,
     "nn2_ivf_topk" -> nnRecallOracle,
     "nn3_lake_topk" -> nnRecallOracle,
+    "nn5_pq_topk" -> nnRecallOracle,
+    "nn6_lakepq_topk" -> nnRecallOracle,
+    "em1_pca_topk" -> nnRecallOracle,
     "nn4_filtered_topk" -> nn4Oracle,
     "rr1_hybrid_rrf" -> rr1Oracle,
     "rr2_hybrid_lake" -> rr1Oracle)

@@ -278,15 +278,30 @@ object DedupQueries {
           .unionByName(planted),
         nCells = 16, centroids = Some(cents))
         .select(col("vec_id"), col("cell"), col("kept")))
-    val resolved = out.filter(col("vec_id") >= 100000)
-      .select((col("vec_id") - 100000).as("o"), col("kept").as("k_copy"))
-      .join(out.select(col("vec_id").as("o"), col("kept").as("k_orig")),
-        Seq("o"))
-      .agg(sum(when(col("k_copy") =!= col("k_orig"), 1L).otherwise(0L))
-        .as("n_resolved"))
-    out.crossJoin(broadcast(resolved))
+    // HASH-EXACT since r14 (the dd2 pattern): the emitted rows are
+    // the DETERMINISTIC planted pairs, surviving only when EVERY pair
+    // resolved (exactly one member kept) — K-Means cells and kept
+    // flags gate rather than land, so DuckDB re-derives the full
+    // output while a cluster-split or keep-rule regression empties it
+    val pairs = out.filter(col("vec_id") >= 100000)
+      .select((col("vec_id") - 100000).as("id_a"),
+        col("kept").as("k_copy"))
+      .join(out.select(col("vec_id").as("id_a"),
+        col("kept").as("k_orig")), Seq("id_a"))
+      .withColumn("id_b", col("id_a") + 100000)
+      .withColumn("resolved", col("k_copy") =!= col("k_orig"))
+    val resolved = pairs.agg(
+      sum(when(col("resolved"), 1L).otherwise(0L)).as("n_resolved"))
+    pairs.crossJoin(broadcast(resolved))
       .filter(col("n_resolved") >= 5)
+      .select(col("id_a"), col("id_b"), col("resolved"),
+        col("n_resolved"))
   }
+
+  val dd11Oracle: String =
+    """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+      |  TRUE AS resolved, CAST(5 AS BIGINT) AS n_resolved
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
 
   /** dd7 — pairs → CLUSTERS via connected components (transitive
     * closure of the near-dup relation): plants two chained first-token
@@ -596,5 +611,6 @@ object DedupQueries {
     "dd4_ngram_jaccard" -> dd4Oracle,
     "dd8_ngram_containment" -> dd8Oracle,
     "dd13_duplicated_spans" -> dd13Oracle,
-    "dd7_dedup_clusters" -> dd7Oracle)
+    "dd7_dedup_clusters" -> dd7Oracle,
+    "dd11_semantic_dedup" -> dd11Oracle)
 }
