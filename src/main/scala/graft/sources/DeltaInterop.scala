@@ -1119,6 +1119,21 @@ object DeltaInterop {
           JsonRe.pattern.matcher(s.getPath.getName).matches()))
         Some(state(spark, table, None))
       else None
+    // GENERATED COLUMNS a plain append omits DERIVE from their
+    // recorded expression (delta-spark's writer obligation for
+    // omitted generated columns); explicitly provided values keep the
+    // caller's and validate against the expression at staging
+    val df1 = prior match {
+      case Some(p) if !overwrite =>
+        p.schema.fields.toSeq
+          .filter(f => !df.columns.contains(f.name) &&
+            f.metadata.contains("delta.generationExpression"))
+          .foldLeft(df)((acc, f) => acc.withColumn(f.name,
+            org.apache.spark.sql.functions.expr(
+              f.metadata.getString("delta.generationExpression"))
+              .cast(f.dataType)))
+      case _ => df
+    }
     prior.foreach { p =>
       DeltaWriteGate.requireWritable(p, table,
         if (overwrite) "overwrite" else "append",
@@ -1135,7 +1150,7 @@ object DeltaInterop {
           s"'${p.columnMappingMode}' — a write requesting mode " +
           s"'$columnMapping' cannot retrofit it")
       if (!overwrite)
-        InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
+        InteropSchema.requireAppendCompatible(df1.schema, p.schema, table)
     }
     // an overwrite MAY change the schema (delta-spark's overwriteSchema
     // path) — but then the commit must republish metaData, or readers
@@ -1143,7 +1158,7 @@ object DeltaInterop {
     // would serve the new files under the stale schema: silently
     // dropped / nulled / mistyped columns
     val schemaChanged = overwrite && prior.exists(p =>
-      !InteropSchema.sameShape(p.schema, df.schema))
+      !InteropSchema.sameShape(p.schema, df1.schema))
     val mapped = prior.map(_.columnMappingMode != "none")
       .getOrElse(columnMapping != "none")
     if (mapped && schemaChanged)
@@ -1157,8 +1172,8 @@ object DeltaInterop {
     // changes the shape
     val (recordedSchema, maxColumnId) = prior match {
       case Some(p) if !schemaChanged => (p.schema, 0L)
-      case _ if mapped => assignMapping(df.schema)
-      case _ => (df.schema, 0L)
+      case _ if mapped => assignMapping(df1.schema)
+      case _ => (df1.schema, 0L)
     }
     val version = prior.map(_.version + 1).getOrElse(0L)
     val physKey = physKeyOf(recordedSchema)
@@ -1173,7 +1188,7 @@ object DeltaInterop {
     // physical-named dirs on mapped tables)
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
     val stagedFrame =
-      if (mapped) toPhysical(df, recordedSchema) else df
+      if (mapped) toPhysical(df1, recordedSchema) else df1
     val writer = stagedFrame.write.mode("overwrite")
     (if (partitionDirs.nonEmpty) writer.partitionBy(partitionDirs: _*)
      else writer).parquet(stage.toString)
@@ -2940,6 +2955,13 @@ object DeltaInterop {
     DeltaWriteGate.requireCheckpointable(st, table)
     val logDir = new Path(table, "_delta_log")
     val fs = hadoopFs(spark, logDir)
+    // v2-policy tables get the spec's V2 form natively: a sidecar-
+    // bearing checkpoint whose add actions split across parallel
+    // parquet files — the shape a 100 TB table's million-file state
+    // actually needs (one classic single-part file serializes the
+    // whole state through one writer)
+    if (st.configuration.get("delta.checkpointPolicy").contains("v2"))
+      return checkpointV2(spark, fs, logDir, st, version)
     import spark.implicits._
     // the checkpoint records the protocol VERBATIM — replaying from
     // the checkpoint must reconstruct exactly what replaying the JSON
@@ -2995,6 +3017,128 @@ object DeltaInterop {
       val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
       try lc.write(
         s"""{"version":${st.version},"size":${rows.size}}"""
+          .getBytes(StandardCharsets.UTF_8))
+      finally lc.close()
+    }
+    st.version
+  }
+
+  /** Enable V2 CHECKPOINTS (`delta.checkpointPolicy = v2`): one
+    * metadata commit recording the policy and upgrading the protocol
+    * to declare `v2Checkpoint` on BOTH sides — reader 3 (a v2
+    * checkpoint is unreadable to pre-v3 readers, so the spec requires
+    * the declaration) and writer 7 with the legacy-implied writer
+    * features carried over, the [[dvProtocolLines]] discipline. From
+    * this commit on [[checkpoint]] writes the sidecar-bearing V2
+    * form. */
+  def enableV2Checkpoints(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    if (st.configuration.get("delta.checkpointPolicy").contains("v2"))
+      return st.version
+    DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
+      removesData = false, addsData = false)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val now = System.currentTimeMillis()
+    val rf0 =
+      if (st.minReaderVersion >= 3) st.readerFeatures
+      else if (st.minReaderVersion == 2 || st.columnMappingMode != "none")
+        st.readerFeatures :+ "columnMapping"
+      else st.readerFeatures
+    val legacy = st.minWriterVersion < 7 && st.writerFeatures.isEmpty
+    val legacyImplied =
+      (if (legacy && st.minWriterVersion >= 2)
+        Seq("appendOnly", "invariants") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 3)
+          Seq("checkConstraints") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 4)
+          Seq("changeDataFeed", "generatedColumns") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 5)
+          Seq("columnMapping") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 6)
+          Seq("identityColumns") else Nil)
+    val rf = (rf0 :+ "v2Checkpoint").distinct
+    val wf = (st.writerFeatures ++ legacyImplied ++ rf0 :+
+      "v2Checkpoint").distinct
+    val config = st.configuration + ("delta.checkpointPolicy" -> "v2")
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("SET TBLPROPERTIES")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${rf.map(jstr).mkString("[", ",", "]")},""" +
+        s""""writerFeatures":${wf.map(jstr).mkString("[", ",", "]")}}}""",
+      metaDataJson(st.schema, st.partitionColumns, now, config,
+        st.metaId))
+    publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
+      lines, config)
+  }
+
+  /** The V2 checkpoint writer: add actions split across SIDECAR
+    * parquet files under `_delta_log/_sidecars/` (bounded rows each —
+    * at scale, written and later read in parallel), referenced by a
+    * top-level `<v>.checkpoint.<uuid>.parquet` holding
+    * checkpointMetadata / protocol / metaData / txn rows plus the
+    * sidecar references — exactly the artifact the read side's
+    * `CkV2Re` path consumes. Idempotent per version like the classic
+    * form. */
+  private[sources] def checkpointV2(spark: SparkSession, fs: FileSystem,
+      logDir: Path, st: DeltaState, version: Option[Long],
+      rowsPerSidecar: Int = 100000): Long = {
+    import spark.implicits._
+    val existing = fs.listStatus(logDir).map(_.getPath.getName)
+      .exists { case CkV2Re(v, _, _) => v.toLong == st.version
+                case _ => false }
+    if (existing) return st.version
+    val uuid = java.util.UUID.randomUUID().toString
+    val sideDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sideDir)
+    val now = System.currentTimeMillis()
+    val sidecars = st.files.grouped(rowsPerSidecar).zipWithIndex.map {
+      case (group, i) =>
+        val rows = group.map(a => CkSideRow(Some(CkAdd(
+          urlEncode(a.path),
+          a.partitionValues.map { case (k, v) => k -> v.orNull },
+          a.size, 0L, dataChange = false, stats = a.stats,
+          deletionVector = a.dv.map(d => CkDv(d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality))))))
+        val stage = new Path(logDir, s".sc-$uuid-$i")
+        rows.toDF().coalesce(1).write.parquet(stage.toString)
+        val part = listParquet(fs, stage).head
+        val dest = new Path(sideDir, s"$uuid-$i.parquet")
+        if (!fs.rename(part, dest))
+          throw new IllegalStateException(s"failed to move $part")
+        fs.delete(stage, true): Unit
+        CkSidecarRef(dest.getName, fs.getFileStatus(dest).getLen, now)
+    }.toSeq
+    val proto = CkProtocol(st.minReaderVersion, st.minWriterVersion,
+      if (st.minReaderVersion >= 3) Some(st.readerFeatures) else None,
+      if (st.minWriterVersion >= 7) Some(st.writerFeatures) else None)
+    val top: Seq[CkV2Row] =
+      CkV2Row(checkpointMetadata = Some(CkCheckpointMeta(st.version))) +:
+        CkV2Row(protocol = Some(proto)) +:
+        CkV2Row(metaData = Some(CkMeta(
+          st.metaId.getOrElse(java.util.UUID.randomUUID().toString),
+          CkFormat("parquet", Map.empty), st.schema.json,
+          st.partitionColumns, st.configuration, now))) +:
+        (st.appTransactions.toSeq.sortBy(_._1).map { case (a, v) =>
+          CkV2Row(txn = Some(CkTxn(a, v)))
+        } ++ sidecars.map(sc => CkV2Row(sidecar = Some(sc))))
+    val target = new Path(logDir,
+      f"${st.version}%020d.checkpoint.$uuid.parquet")
+    val stage = new Path(logDir, s".ckv2-$uuid")
+    top.toDF().coalesce(1).write.parquet(stage.toString)
+    val part = listParquet(fs, stage).head
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(
+        s"failed to publish v2 checkpoint $target")
+    fs.delete(stage, true): Unit
+    if (version.forall(v =>
+      currentVersion(spark, logDir.getParent.toString).contains(v))) {
+      val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try lc.write(
+        s"""{"version":${st.version},"size":${top.size}}"""
           .getBytes(StandardCharsets.UTF_8))
       finally lc.close()
     }
@@ -3371,6 +3515,19 @@ object DeltaInterop {
                                  metaData: Option[CkMeta],
                                  add: Option[CkAdd],
                                  txn: Option[CkTxn] = None)
+  // v2-checkpoint action rows: the top-level file's shape (no adds —
+  // those live in sidecars) and the sidecar files' (adds only)
+  private[sources] final case class CkCheckpointMeta(version: Long)
+  private[sources] final case class CkSidecarRef(path: String,
+                                 sizeInBytes: Long,
+                                 modificationTime: Long)
+  private[sources] final case class CkV2Row(
+      checkpointMetadata: Option[CkCheckpointMeta] = None,
+      protocol: Option[CkProtocol] = None,
+      metaData: Option[CkMeta] = None,
+      txn: Option[CkTxn] = None,
+      sidecar: Option[CkSidecarRef] = None)
+  private[sources] final case class CkSideRow(add: Option[CkAdd])
 
   // ------------------------------------------------------------- helpers
 

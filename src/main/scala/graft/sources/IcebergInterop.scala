@@ -1797,7 +1797,8 @@ object IcebergInterop {
     * tuple and prune verdict cannot disagree. */
   def write(df: DataFrame, table: String,
             overwrite: Boolean = false,
-            partitionBy: Seq[SpecField] = Nil): Long = {
+            partitionBy: Seq[SpecField] = Nil,
+            streamMark: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -1840,7 +1841,7 @@ object IcebergInterop {
       if (partitionBy.isEmpty) stageUnpartitioned(spark, stamped, root, fs)
       else stagePartitioned(spark, stamped, root, fs, partitionBy)
     publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
-      if (overwrite) "overwrite" else "append", partitionBy)
+      if (overwrite) "overwrite" else "append", partitionBy, streamMark)
   }
 
   /** Metadata-only FORMAT UPGRADE v1 → v2 (the spec's one legal
@@ -2898,6 +2899,45 @@ object IcebergInterop {
       upsertByKeys(batch, table, keyCols,
         summary = Map("graft.app-id" -> appId,
           "graft.batch-id" -> batchId.toString)): Unit
+      true
+    }
+  }
+
+  /** EXACTLY-ONCE STREAMING APPEND into an Iceberg table — the
+    * non-keyed sibling of [[streamUpsert]] (and the symmetric twin of
+    * [[DeltaInterop.streamToDelta]]): each micro-batch commits as ONE
+    * append snapshot stamped `(graft.app-id, graft.batch-id)` in its
+    * summary AND as the expiry-proof `graft.stream.<appId>.batch-id`
+    * table property; a crash-replayed epoch detects the mark and
+    * commits nothing twice. `appId` defaults to the checkpoint path.
+    * A first batch CREATES the table. Cost per batch is O(batch). */
+  def streamAppend(streamed: DataFrame, table: String,
+      checkpoint: String,
+      partitionBy: Seq[SpecField] = Nil,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, table, partitionBy,
+          checkpoint): Unit
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[streamAppend]]'s per-epoch body — replay-guarded append. */
+  private[sources] def appendBatch(batch: DataFrame, batchId: Long,
+      table: String, partitionBy: Seq[SpecField],
+      appId: String): Boolean = {
+    val spark = batch.sparkSession
+    val metaDir = new Path(table, "metadata")
+    val exists = hadoopFs(spark, metaDir).exists(metaDir) &&
+      currentMetadataVersion(hadoopFs(spark, metaDir), table).isDefined
+    if (exists && batchId <= lastStreamBatch(spark, table, appId)) false
+    else {
+      write(batch, table, overwrite = false, partitionBy,
+        streamMark = Some(appId -> batchId)): Unit
       true
     }
   }
@@ -4518,7 +4558,8 @@ object IcebergInterop {
   private def publishSnapshot(fs: FileSystem, root: Path,
       schema: StructType, newFiles: Seq[IceFile],
       prior: Option[IceState], overwrite: Boolean,
-      operation: String, spec: Seq[SpecField] = Nil): Long = {
+      operation: String, spec: Seq[SpecField] = Nil,
+      streamMark: Option[(String, Long)] = None): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
@@ -4830,13 +4871,20 @@ object IcebergInterop {
         case Some(JArray(xs)) => xs.map(compactJ)
         case _ => Nil
       }
+    // a streaming append stamps its (app, batch) into the snapshot
+    // summary like the upsert sink does — the visible half of the
+    // replay guard (the durable half is the table property below)
+    val summaryJson = ("\"operation\":" + jstr(operation)) +
+      streamMark.map { case (a, b) =>
+        s""","graft.app-id":${jstr(a)},"graft.batch-id":${jstr(b.toString)}"""
+      }.getOrElse("")
     val newSnapshotJson =
       s"""{"snapshot-id":$snapshotId,""" +
         (if (v2) s""""sequence-number":$newSeq,""" else "") +
         (if (v3) s""""first-row-id":$priorNextRowId,""" +
           s""""added-rows":$addedRows,""" else "") +
         s""""timestamp-ms":$now,""" +
-        s""""summary":{"operation":${jstr(operation)}},""" +
+        s""""summary":{$summaryJson},""" +
         s""""manifest-list":${jstr(listPath.toString)},""" +
         s""""schema-id":$currentSchemaId}"""
     val snapshotsJson =
@@ -4874,9 +4922,20 @@ object IcebergInterop {
     // would erase table configuration (the streaming replay marker
     // lives there) and every branch/tag; a declared `main` branch
     // advances to the new head like Iceberg's own writers move it
-    val propsJson = priorMeta.map(m => m \ "properties") match {
-      case Some(o @ JObject(_)) => compactJ(o)
-      case _ => "{}"
+    val propsJson = {
+      val prior0: List[(String, JValue)] =
+        priorMeta.map(m => m \ "properties") match {
+          case Some(JObject(kvs)) => kvs
+          case _ => Nil
+        }
+      // the EXPIRY-PROOF replay high-water mark, exactly like the
+      // upsert sink's property ledger ([[publishDmlDoc]])
+      val delta: List[(String, JValue)] = streamMark.toList.map {
+        case (a, b) =>
+          s"graft.stream.$a.batch-id" -> (JString(b.toString): JValue)
+      }
+      compactJ(JObject(
+        prior0.filterNot(kv => delta.exists(_._1 == kv._1)) ++ delta))
     }
     val refsField: String = priorMeta.map(m => m \ "refs") match {
       case Some(JObject(kvs)) if kvs.nonEmpty =>

@@ -179,6 +179,50 @@ class DeltaV2CheckpointSpec extends AnyFunSuite with Matchers
       "_delta_log/00000000000000000001.checkpoint.solo.json")) shouldBe false
     DeltaInterop.read(spark, t).count() shouldBe 22L
   }
+
+  test("NATIVE v2 checkpoint WRITE (r14): enableV2Checkpoints " +
+    "upgrades the protocol on both sides, checkpoint() emits the " +
+    "sidecar-bearing form, the own reader resolves from it after log " +
+    "cleanup, and txn high-water marks survive") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 40L).map(i => (i, s"p${i % 4}")).toDF("id", "p")
+        .repartition(4), t)
+    DeltaInterop.appendTxnBatch(
+      Seq((41L, "x")).toDF("id", "p"), 3L, t, Nil, "appV2") shouldBe true
+    DeltaInterop.enableV2Checkpoints(spark, t)
+    val st = DeltaInterop.state(spark, t, None)
+    st.minReaderVersion shouldBe 3
+    st.readerFeatures should contain("v2Checkpoint")
+    st.writerFeatures should contain("v2Checkpoint")
+    st.configuration("delta.checkpointPolicy") shouldBe "v2"
+    // force several sidecars with a tiny per-sidecar bound
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    DeltaInterop.checkpointV2(spark, fs, logDir, st, None,
+      rowsPerSidecar = 2) shouldBe st.version
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    names.count(_.matches(
+      f"${st.version}%020d\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet")) shouldBe 1
+    fs.listStatus(new Path(logDir, "_sidecars"))
+      .count(_.getPath.getName.endsWith(".parquet")) should be >= 2
+    // drop the whole JSON tail below the checkpoint: state resolves
+    // from the v2 checkpoint + sidecars alone
+    DeltaInterop.vacuum(spark, t, keepLast = 1)
+    DeltaInterop.read(spark, t).count() shouldBe 41L
+    DeltaInterop.lastTxnVersion(spark, t, "appV2") shouldBe 3L
+    DeltaInterop.appendTxnBatch(
+      Seq((41L, "x")).toDF("id", "p"), 3L, t, Nil, "appV2") shouldBe false
+    // the POLICY routes checkpoint() itself to the v2 form for later
+    // versions
+    DeltaInterop.write(Seq((42L, "y")).toDF("id", "p"), t)
+    DeltaInterop.checkpoint(spark, t)
+    val head = DeltaInterop.state(spark, t, None).version
+    fs.listStatus(logDir).map(_.getPath.getName).count(_.matches(
+      f"$head%020d\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet")) shouldBe 1
+    DeltaInterop.read(spark, t).count() shouldBe 42L
+  }
 }
 
 /** v2 checkpoint parquet rows: the classic action structs plus the

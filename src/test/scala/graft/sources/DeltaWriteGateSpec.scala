@@ -230,6 +230,11 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       .getMessage should include("generated column v")
     DeltaInterop.write(Seq((400L, "g0", 800L)).toDF("id", "g", "v"), t2)
     DeltaInterop.read(spark, t2).count() shouldBe 101L
+    // an append OMITTING the generated column DERIVES it from the
+    // recorded expression — delta-spark's writer behavior
+    DeltaInterop.write(Seq((500L, "g1")).toDF("id", "g"), t2)
+    DeltaInterop.read(spark, t2).filter(col("id") === 500L)
+      .select(col("v")).collect().head.getLong(0) shouldBe 1000L
   }
 
   test("identity-column metadata refuses data-adding commits by " +

@@ -347,6 +347,41 @@ class IcebergV2Spec extends AnyFunSuite with Matchers with SparkSpec {
       .select($"v").as[Long].head() shouldBe 444L
   }
 
+  test("streamAppend applies each micro-batch exactly once: the " +
+    "first batch creates the table, a second drain appends only the " +
+    "new file, and a crash-replayed epoch commits nothing") {
+    import spark.implicits._
+    val t = fresh()
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-ice-sapp-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ice-sapp-ck").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").write.parquet(s"$srcDir/b0")
+    def drain(): Unit = IcebergInterop.streamAppend(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, v BIGINT"))
+        .parquet(s"$srcDir/*"),
+      t, ckpt).awaitTermination()
+    drain()
+    IcebergInterop.read(spark, t).count() shouldBe 2L
+    Seq((3L, 30L)).toDF("id", "v").write.parquet(s"$srcDir/b1")
+    drain()
+    IcebergInterop.read(spark, t).count() shouldBe 3L
+    IcebergInterop.lastStreamBatch(spark, t, ckpt) should be >= 1L
+    // crash-replay of epoch 0: detected via summary stamp + property
+    val snaps = IcebergInterop.snapshotLineage(spark, t).size
+    IcebergInterop.appendBatch(Seq((1L, 10L)).toDF("id", "v"),
+      0L, t, Nil, ckpt) shouldBe false
+    IcebergInterop.snapshotLineage(spark, t).size shouldBe snaps
+    IcebergInterop.read(spark, t).count() shouldBe 3L
+    // the mark survives snapshot EXPIRY (property ledger)
+    IcebergInterop.expireSnapshots(spark, t, keepLast = 1)
+    IcebergInterop.appendBatch(Seq((1L, 10L)).toDF("id", "v"),
+      1L, t, Nil, ckpt) shouldBe false
+    IcebergInterop.read(spark, t).count() shouldBe 3L
+  }
+
   test("MOR cross-format: a vectored Delta table converts to Iceberg " +
     "v2 position deletes with every data file shared, and back — " +
     "kill sets survive both directions bit-for-bit") {
