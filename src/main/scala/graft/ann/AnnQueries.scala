@@ -128,14 +128,14 @@ object AnnQueries {
   private def recallGated(s: SparkSession, d: String,
                           probeResult: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, sum, when}
-    // persisted: the k-row probe feeds the per-row flag AND the
-    // recall aggregate — without it the cell-pruned scan +
-    // TakeOrdered probe executes twice per invocation
-    val ivf = graft.core.TransientCache.persist(probeResult)
+    // ONE persist, on the flagged k-row join result: it feeds both
+    // the recall aggregate and the final crossJoin, so the probe (its
+    // only upstream consumer) executes exactly once per invocation
     val brute = Similarity.bruteForceTopK(Tables.embeddings(s, d),
       QueryId, K)
     val flagged = graft.core.TransientCache.persist(
-      brute.join(ivf.select(col("vec_id"), lit(true).as("probed")),
+      brute.join(
+        probeResult.select(col("vec_id"), lit(true).as("probed")),
         Seq("vec_id"), "left")
         .withColumn("probed", coalesce(col("probed"), lit(false))))
     val recall = flagged.agg(

@@ -2044,6 +2044,77 @@ object DeltaInterop {
   }
 
 
+  /** `CREATE TABLE … SHALLOW CLONE` — a METADATA-ONLY copy: the
+    * target's version-0 log references the source's live data files
+    * by ABSOLUTE path (the protocol's shallow-clone convention, the
+    * same shape [[importFromIcebergMor]] publishes), so no data
+    * moves whatever the table size. Schema, partitioning,
+    * configuration (constraints included — they bind the clone's
+    * writes too), protocol and per-file stats carry; deletion
+    * vectors re-point as ABSOLUTE-path `p` descriptors (a `u`
+    * descriptor resolves under the table root, which changes).
+    * The clone gets a FRESH table id — it is a new table, not a
+    * replacement the source's readers should follow. Time travel on
+    * the clone starts at its own version 0, delta-spark's clone
+    * semantics. Inline (`i`) vectors carry verbatim. */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+                   version: Option[Long] = None): Long = {
+    val st = state(spark, source, version)
+    val srcRoot = new Path(source)
+    val dstRoot = new Path(target)
+    val fs = hadoopFs(spark, dstRoot)
+    val dstLog = new Path(dstRoot, "_delta_log")
+    require(!fs.exists(dstLog) ||
+      !fs.listStatus(dstLog).exists(s =>
+        JsonRe.pattern.matcher(s.getPath.getName).matches()),
+      s"$target is already a Delta table — DROP it first to re-clone")
+    val srcFs = hadoopFs(spark, srcRoot)
+    val srcAbs = srcFs.makeQualified(srcRoot)
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("CLONE")},"operationParameters":{},"engineInfo":${
+      jstr("graft")}}}"""
+    val rf =
+      if (st.minReaderVersion >= 3)
+        s""","readerFeatures":${
+          st.readerFeatures.map(jstr).mkString("[", ",", "]")}"""
+      else ""
+    val wf =
+      if (st.minWriterVersion >= 7)
+        s""","writerFeatures":${
+          st.writerFeatures.map(jstr).mkString("[", ",", "]")}"""
+      else ""
+    lines += s"""{"protocol":{"minReaderVersion":${st.minReaderVersion
+    },"minWriterVersion":${st.minWriterVersion}$rf$wf}}"""
+    lines += metaDataJson(st.schema, st.partitionColumns, now,
+      st.configuration)
+    st.files.foreach { a =>
+      val abs =
+        if (a.path.startsWith("/") ||
+          a.path.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) a.path
+        else new Path(srcAbs, a.path).toString
+      val dvField = a.dv.map { d =>
+        val re = d.storageType match {
+          case "i" => d // inline payloads live in the log — carry
+          case _ => d.copy(storageType = "p",
+            pathOrInlineDv = DeltaDv.dvFilePath(srcAbs, d).get.toString)
+        }
+        s""","deletionVector":{"storageType":${jstr(re.storageType)},""" +
+          s""""pathOrInlineDv":${jstr(re.pathOrInlineDv)},""" +
+          s""""offset":${re.offset},"sizeInBytes":${re.sizeInBytes},""" +
+          s""""cardinality":${re.cardinality}}"""
+      }.getOrElse("")
+      lines += s"""{"add":{"path":${jstr(urlEncode(abs))},""" +
+        s""""partitionValues":${pvJsonOf(a.partitionValues)},""" +
+        s""""size":${a.size},"modificationTime":$now,""" +
+        s""""dataChange":true""" +
+        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        dvField + "}}"
+    }
+    publishCommit(fs, dstLog, 0L, lines.toSeq, st.configuration)
+  }
+
   // ------------------------------------------------- streaming sink
 
   /** The replay high-water mark for `appId`: the greatest `version`

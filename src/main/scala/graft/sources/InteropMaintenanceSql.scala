@@ -91,6 +91,10 @@ object InteropMaintenanceSql {
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + IName +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(" + PartList +
       "\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val DCloneRe =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+" + DName +
+      "\\s+SHALLOW\\s+CLONE\\s+" + DName +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
   private val DDropRe =
     ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" + DName +
       "\\s*;?\\s*$").r
@@ -200,6 +204,9 @@ object InteropMaintenanceSql {
         Some(IcebergRollbackCommand(icePath(name), id.toLong))
       case DReorgRe(name) =>
         Some(DeltaPurgeCommand(deltaPath(name)))
+      case DCloneRe(target, source, v) =>
+        Some(DeltaShallowCloneCommand(target, deltaPath(source),
+          Option(v).map(_.toLong)))
       case DCreateRe(replace, name, partCols, query) =>
         Some(DeltaCreateTableCommand(name, replace != null,
           splitCols(partCols), query))
@@ -395,6 +402,30 @@ object InteropMaintenanceSql {
         overwrite = existing.nonEmpty, partitionBy = spec)
       IcebergSql.register(name, path)
       Seq(Row(name, path, snap))
+    }
+  }
+
+  /** `CREATE TABLE graft_delta.t SHALLOW CLONE graft_delta.s
+    * [VERSION AS OF n]` — [[DeltaInterop.shallowClone]]: the target
+    * lands under the session warehouse (the managed-table convention
+    * CTAS uses) and registers; the clone is one metadata commit
+    * referencing the source's live files in place. */
+  final case class DeltaShallowCloneCommand(name: String,
+      sourcePath: String, version: Option[Long])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (DeltaSql.pathOf(name).nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft_delta.$name already exists — SHALLOW CLONE creates " +
+            "a new table; DROP TABLE it first to re-clone")
+      val path = warehousePath(spark, DeltaWarehouseConf, name)
+      val v = DeltaInterop.shallowClone(spark, sourcePath, path, version)
+      DeltaSql.register(name, path)
+      Seq(Row(name, path, v))
     }
   }
 

@@ -135,6 +135,42 @@ class InteropCtasSpec extends AnyFunSuite with Matchers with SparkSpec {
     IcebergInterop.read(spark, it).count() shouldBe 1L
   }
 
+  test("SHALLOW CLONE graft_delta: metadata-only copy with absolute " +
+    "paths, deletion vectors re-pointed, constraints carried, " +
+    "version-pinned clones serve history; writes to the clone leave " +
+    "the source untouched") {
+    import spark.implicits._
+    val wh = freshWh("graft-ctas-clwh")
+    spark.conf.set(InteropMaintenanceSql.DeltaWarehouseConf, wh)
+    val src = freshWh("graft-ctas-clsrc") + "/t"
+    DeltaInterop.write(
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "v"), src)
+    DeltaInterop.addCheckConstraint(spark, src, "pos_v", "v > 0")
+    DeltaInterop.delete(spark, src, col("id") % 10 === 0) // vectors
+    DeltaSql.register("cl_src", src)
+    spark.sql("CREATE TABLE graft_delta.cl_t SHALLOW CLONE " +
+      "graft_delta.cl_src").collect()
+    val clonePath = s"$wh/cl_t"
+    // no data files under the clone root — metadata only
+    new java.io.File(clonePath).listFiles()
+      .map(_.getName).toSet shouldBe Set("_delta_log")
+    DeltaInterop.read(spark, clonePath).count() shouldBe 90L
+    DeltaInterop.read(spark, clonePath).filter(col("id") % 10 === 0)
+      .count() shouldBe 0L // vectors survived the re-point
+    // the carried constraint binds the clone's writes
+    intercept[DeltaWriteGate.DeltaConstraintViolationException](
+      DeltaInterop.write(Seq((200L, -1L)).toDF("id", "v"), clonePath))
+    // writes to the clone never touch the source
+    DeltaInterop.write(Seq((200L, 7L)).toDF("id", "v"), clonePath)
+    DeltaInterop.read(spark, clonePath).count() shouldBe 91L
+    DeltaInterop.read(spark, src).count() shouldBe 90L
+    // a version-pinned clone serves the PRE-delete state
+    DeltaSql.unregister("cl_v0")
+    spark.sql("CREATE TABLE graft_delta.cl_v0 SHALLOW CLONE " +
+      "graft_delta.cl_src VERSION AS OF 0").collect()
+    DeltaInterop.read(spark, s"$wh/cl_v0").count() shouldBe 100L
+  }
+
   test("unparseable PARTITIONED BY transforms and a missing " +
     "warehouse conf refuse by name") {
     import spark.implicits._
