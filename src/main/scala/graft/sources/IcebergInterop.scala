@@ -86,7 +86,12 @@ object IcebergInterop {
     * column name keyed; truncated string bounds stay sound — the spec
     * truncates lower bounds down and upper bounds up). Partition
     * tuples and bounds are the two evidence sources [[readWhere]]
-    * prunes on. */
+    * prunes on. `firstRowId` is the file's v3 ROW-LINEAGE origin —
+    * explicit when the manifest records `first_row_id` (field 142),
+    * otherwise assigned by the spec's inheritance walk (manifest
+    * `first_row_id`, or the adding snapshot's `first-row-id`, plus
+    * the record counts of preceding null-id data files); None on
+    * pre-v3 tables or when no inheritance source resolves. */
   final case class IceFile(path: String, records: Long, bytes: Long,
                            seq: Long = 0L, specId: Int = 0,
                            partition: Map[String, AnyRef] = Map.empty,
@@ -97,7 +102,8 @@ object IcebergInterop {
                            snapId: Long = -1L,
                            manifest: String = "",
                            fileSeq: Long = -1L,
-                           format: String = "parquet")
+                           format: String = "parquet",
+                           firstRowId: Option[Long] = None)
 
   /** The table's schema-evolution evidence, resolved once per
     * [[state]] call: every schema the metadata retains as ordered
@@ -538,10 +544,19 @@ object IcebergInterop {
   }
 
   private[sources] def toDF(spark: SparkSession, st: IceState,
-                            keepLineage: Boolean = false): DataFrame =
+                            keepLineage: Boolean = false,
+                            extraPhysical: Seq[StructField] = Nil)
+      : DataFrame =
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     else {
+      // `extraPhysical` columns (the v3 materialized-lineage fields)
+      // join the REQUESTED parquet schema on the metadata-keyed scan
+      // only — files that never materialized them null-fill, and the
+      // caller resolves the nulls by inheritance. Lineage callers
+      // refuse non-parquet files before reaching here.
+      require(extraPhysical.isEmpty || keepLineage,
+        "extraPhysical columns ride the lineage-keyed scan")
       import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace, when}
       def norm(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
@@ -666,8 +681,16 @@ object IcebergInterop {
             if (pqFiles.isEmpty) None
             else Some(spark.read.schema(st.schema)
               .parquet(pqFiles.map(_.path): _*))
+          // the keyed scan re-reads under the widened schema when
+          // extra physical (lineage) columns are requested
+          val dk =
+            if (extraPhysical.isEmpty) d
+            else if (pqFiles.isEmpty) None
+            else Some(spark.read
+              .schema(StructType(st.schema.fields ++ extraPhysical))
+              .parquet(pqFiles.map(_.path): _*))
           (withOrc(d, withMeta = false),
-            () => withOrc(d.map(_.select(col("*") +: metaCols: _*)),
+            () => withOrc(dk.map(_.select(col("*") +: metaCols: _*)),
               withMeta = true))
         case Some(groups) =>
           def scan(paths: Seq[String],
@@ -678,12 +701,13 @@ object IcebergInterop {
             // — checked at sig construction)
             val phys = StructType(sig.flatMap(_.map { case (p, dt) =>
               StructField(p, dt)
-            }))
+            }) ++ (if (withMeta) extraPhysical else Nil))
             val proj = cur.zip(sig).map {
               case ((_, name, cdt), Some((p, fdt))) =>
                 (if (fdt == cdt) col(p) else col(p).cast(cdt)).as(name)
               case ((_, name, dt), None) => lit(null).cast(dt).as(name)
-            }
+            } ++ (if (withMeta) extraPhysical.map(f => col(f.name))
+                  else Nil)
             val base = spark.read.schema(phys).parquet(paths: _*)
             val all = if (withMeta) proj ++ metaCols else proj
             base.select(all: _*)
@@ -875,6 +899,17 @@ object IcebergInterop {
         case _ => None
       }
     }.toMap
+    // v3 row lineage: each snapshot records where its row-id range
+    // begins — the inheritance fallback for manifests that predate
+    // explicit `first_row_id` stamping (graft's own pre-lineage v3
+    // appends wrote exactly one data manifest per commit, so the
+    // adding snapshot's origin IS the manifest's origin)
+    val snapFirstRowId: Map[Long, Long] = snapshots.flatMap { s =>
+      (jLong(s \ "snapshot-id"), jLong(s \ "first-row-id")) match {
+        case (sid, frid) if sid >= 0 && frid >= 0 => Some(sid -> frid)
+        case _ => None
+      }
+    }.toMap
     val snapId = snapshotId.getOrElse(jLong(metaJson \ "current-snapshot-id"))
     // the EFFECTIVE schema: an explicit time travel serves the schema
     // the snapshot was committed under (the spec's rule — a later
@@ -998,6 +1033,17 @@ object IcebergInterop {
       val mfAddedSnap = fieldOpt(mf, "added_snapshot_id")
         .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
       val mPath = mf.get("manifest_path").toString
+      // v3 row-lineage inheritance cursor: data files that record no
+      // explicit `first_row_id` take the manifest's origin (explicit
+      // `first_row_id` list field, else the adding snapshot's
+      // `first-row-id`) plus the record counts of the null-id data
+      // files before them — the spec's assignment walk. Explicit
+      // entries never consume the cursor.
+      var rowIdCursor: Option[Long] =
+        if (formatVersion < 3 || content != 0) None
+        else fieldOpt(mf, "first_row_id")
+          .map(_.asInstanceOf[Number].longValue)
+          .orElse(snapFirstRowId.get(mfAddedSnap))
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
@@ -1031,8 +1077,17 @@ object IcebergInterop {
                   s"table $table lists a data file (content=0) inside " +
                     "a DELETE manifest — malformed metadata; refusing " +
                     "rather than guessing which rows survive")
-              files += IceFile(df.get("file_path").toString,
-                df.get("record_count").asInstanceOf[Number].longValue,
+              val recs =
+                df.get("record_count").asInstanceOf[Number].longValue
+              val frid: Option[Long] =
+                fieldOpt(df, "first_row_id")
+                  .map(_.asInstanceOf[Number].longValue)
+                  .orElse {
+                    val v = rowIdCursor
+                    rowIdCursor = rowIdCursor.map(_ + recs)
+                    v
+                  }
+              files += IceFile(df.get("file_path").toString, recs,
                 df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
                 entrySeq, mfSpecId, entryPartition(df),
                 entryBounds(df, "lower_bounds", fieldIdToName, schema),
@@ -1041,7 +1096,8 @@ object IcebergInterop {
                 fileSeq = fieldOpt(entry, "file_sequence_number")
                   .map(_.asInstanceOf[Number].longValue)
                   .getOrElse(entrySeq),
-                format = fmt.toLowerCase(java.util.Locale.ROOT))
+                format = fmt.toLowerCase(java.util.Locale.ROOT),
+                firstRowId = if (formatVersion < 3) None else frid)
             case 1 if fmt.equalsIgnoreCase("puffin") =>
               // v3 DELETION VECTOR: one Puffin blob per referenced
               // data file, addressed by byte range — all three v3
@@ -1616,7 +1672,8 @@ object IcebergInterop {
   private def manifestEntrySchema(
       partFields: Seq[(SpecField, String, Int)],
       v2: Boolean = false,
-      dv: Boolean = false): org.apache.avro.Schema = {
+      dv: Boolean = false,
+      lineage: Boolean = false): org.apache.avro.Schema = {
     val partJson = partFields.map { case (sf, avroType, fid) =>
       s"""{"name":${jstr(sf.name)},"type":["null","$avroType"],""" +
         s""""default":null,"field-id":$fid}"""
@@ -1650,6 +1707,12 @@ object IcebergInterop {
       else """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},""" +
         """{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},""" +
         """{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+    // v3 row lineage (spec data_file field 142): the file's explicit
+    // row-id origin — stamped on every v3 data file this writer adds,
+    // so readers never need the inheritance walk on graft tables
+    val lineageField =
+      if (!lineage) ""
+      else """,{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142}"""
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -1666,6 +1729,7 @@ object IcebergInterop {
          |  ${boundsField("upper_bounds", 128, 129, 130)}
          |  $equalityIdsField
          |  $dvFields
+         |  $lineageField
          |]},"field-id":2}
          |]}""".stripMargin.replace("\n", ""))
   }
@@ -1717,13 +1781,19 @@ object IcebergInterop {
       |{"name":"deleted_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
-      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}
       |]}""".stripMargin.replace("\n", ""))
 
   private def manifestListRowV2(path: String, length: Long, specId: Int,
       content: Int, seq: Long, minSeq: Long, addedSnap: Long,
-      counts: (Int, Int, Int, Long, Long, Long)): GenericRecord = {
+      counts: (Int, Int, Int, Long, Long, Long),
+      firstRowId: Option[Long] = None): GenericRecord = {
     val r = new GenericData.Record(ManifestFileSchemaV2)
+    // v3 row lineage (manifest_file field 520): the data manifest's
+    // row-id origin, preserved when the manifest is carried — the
+    // nullable field is invisible to v2 readers' schema resolution
+    firstRowId.foreach(v => r.put("first_row_id", java.lang.Long.valueOf(v)))
     r.put("manifest_path", path)
     r.put("manifest_length", length)
     r.put("partition_spec_id", specId)
@@ -1779,7 +1849,8 @@ object IcebergInterop {
       num("min_sequence_number")
         .orElse(num("sequence_number")).getOrElse(0L),
       num("added_snapshot_id").getOrElse(fallbackSnap),
-      counts)
+      counts,
+      firstRowId = num("first_row_id"))
   }
 
   /** Write `df` as an Iceberg v1 commit. `overwrite` starts the
@@ -2672,8 +2743,13 @@ object IcebergInterop {
     }
     if (st.files.isEmpty) return IceDml(st.snapshotId, 0L, 0)
     import spark.implicits._
-    val matched = toDF(spark, st, keepLineage = true).filter(predicate)
-      .persist()
+    // v3 scans resolve row lineage alongside __fp/__pos — the new
+    // images MATERIALIZE each matched row's `_row_id`, so an update
+    // preserves lineage instead of reassigning it
+    val matched = (if (st.formatVersion >= 3)
+        lineageResolved(spark, st, table)
+      else toDF(spark, st, keepLineage = true))
+      .filter(predicate).persist()
     try {
       val counts: Array[(String, Long)] =
         matched.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
@@ -2681,12 +2757,13 @@ object IcebergInterop {
       if (counts.isEmpty) return IceDml(st.snapshotId, 0L, 0)
       val setMap = set.toMap
       val updated = matched.select(
-        st.schema.fields.toIndexedSeq.map { f =>
+        (st.schema.fields.toIndexedSeq.map { f =>
           setMap.get(f.name) match {
             case Some(e) => e.cast(f.dataType).as(f.name)
             case None => col(f.name)
           }
-        }: _*)
+        } ++ (if (st.formatVersion >= 3) Seq(col(RowIdCol)) else Nil))
+          : _*)
       // v3 tables kill the old images with DELETION VECTORS — same
       // one-snapshot shape, vectors instead of position parquet
       if (st.formatVersion >= 3)
@@ -3386,6 +3463,77 @@ object IcebergInterop {
       summary)
   }
 
+  // ------------------------------------------------- v3 row lineage
+
+  /** The v3 reserved lineage column names and field ids (spec
+    * "Reserved Field IDs": `_row_id` 2147483540,
+    * `_last_updated_sequence_number` 2147483539). */
+  private[sources] val RowIdCol = "_row_id"
+  private[sources] val LastUpdatedCol = "_last_updated_sequence_number"
+  private[sources] val RowIdFieldId = 2147483540L
+  private[sources] val LastUpdatedFieldId = 2147483539L
+
+  /** Read the live rows of a v3 table WITH their row lineage: every
+    * data column plus `_row_id` and `_last_updated_sequence_number`,
+    * deletion vectors applied. Per the spec's assignment rule, a
+    * MATERIALIZED value (written by merge-on-read updates and
+    * rewrites) takes precedence; rows that never materialized inherit
+    * `first_row_id + row position` and the file's data sequence
+    * number; rows in files that predate the v3 upgrade (no recorded
+    * or inheritable origin) serve NULL lineage — they never had ids
+    * to lose.
+    *
+    * Scale shape: the lineage columns ride the ONE data scan — a
+    * broadcast of (file → origin, sequence) joins on the scan's
+    * metadata path, positions come from parquet `row_index`; no extra
+    * pass, no shuffle. Parquet-only (ORC/avro carry no row_index). */
+  def readRowLineage(spark: SparkSession, table: String,
+                     snapshotId: Option[Long] = None): DataFrame = {
+    val st = state(spark, table, snapshotId)
+    lineageResolved(spark, st, table).drop("__fp", "__pos")
+  }
+
+  /** [[readRowLineage]]'s body over a resolved state, `__fp`/`__pos`
+    * retained for DML callers (the v3 update carries `_row_id` into
+    * its new images through this). */
+  private def lineageResolved(spark: SparkSession, st: IceState,
+                              table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+    if (st.formatVersion < 3)
+      throw new UnsupportedIcebergFeatureException(
+        s"table $table is format-version ${st.formatVersion} — row " +
+          "lineage is a v3 feature (upgradeFormat(spark, t, 3) first)")
+    Seq(RowIdCol, LastUpdatedCol).foreach(n =>
+      if (st.schema.exists(_.name == n))
+        throw new UnsupportedIcebergFeatureException(
+          s"table $table declares a data column named $n — it shadows " +
+            "the v3 reserved lineage name"))
+    val extras = Seq(StructField(RowIdCol, LongType),
+      StructField(LastUpdatedCol, LongType))
+    if (st.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(st.schema.fields ++ extras))
+      .withColumn("__fp", lit(null).cast(StringType))
+      .withColumn("__pos", lit(null).cast(LongType))
+    st.files.find(_.format != "parquet").foreach(bad =>
+      throw new UnsupportedIcebergFeatureException(
+        s"row lineage over $table needs parquet row_index metadata — " +
+          s"${bad.path} is a ${bad.format} data file"))
+    val df = toDF(spark, st, keepLineage = true, extraPhysical = extras)
+    import spark.implicits._
+    val origins = broadcast(
+      st.files.flatMap(f => ForeignDv.forms(f.path).map(k =>
+        (k, f.firstRowId, f.seq))).distinct
+        .toDF("__fp", "__frid", "__fseq"))
+    df.join(origins, Seq("__fp"), "left")
+      .withColumn(RowIdCol,
+        coalesce(col(RowIdCol), col("__frid") + col("__pos")))
+      .withColumn(LastUpdatedCol,
+        when(col(RowIdCol).isNull, lit(null).cast(LongType))
+          .otherwise(coalesce(col(LastUpdatedCol), col("__fseq"))))
+      .drop("__frid", "__fseq")
+  }
+
   // --------------------------------------------- v3 deletion vectors
 
   /** One framed `deletion-vector-v1` blob: 4-byte BE length (magic +
@@ -3519,14 +3667,16 @@ object IcebergInterop {
     * ONE snapshot at ONE sequence number — vectors are path-keyed, so
     * the appended image files (fresh paths) are untouched by their
     * own commit's kill side, the same one-snapshot shape as the v2
-    * position-delete update. The new images claim a FRESH row-id
-    * range (this writer does not materialize per-row `_row_id`, so an
-    * update reassigns lineage — the carry-over refinement needs
-    * row-id materialization; rows written before the v3 upgrade never
-    * had lineage to lose). */
+    * position-delete update. The new images MATERIALIZE row lineage:
+    * each carries its old row's resolved `_row_id` (null for rows
+    * predating the v3 upgrade — those inherit a fresh id from the
+    * image file's origin, the spec's null-assignment rule) and
+    * `_last_updated_sequence_number` = this commit's sequence, under
+    * the reserved field ids, so an update PRESERVES lineage. */
   private def updateMorDv(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, matched: DataFrame,
       counts: Array[(String, Long)], updated: DataFrame): IceDml = {
+    import org.apache.spark.sql.functions.lit
     val metaDir = new Path(root, "metadata")
     val priorMeta = org.json4s.jackson.JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
@@ -3535,7 +3685,8 @@ object IcebergInterop {
       .getMostSignificantBits)
     val dvEntries = mergedDvEntries(spark, fs, root, st, matched,
       snapshotId, newSeq)
-    val added = stageRewritten(spark, fs, root, st, updated)
+    val added = stageRewritten(spark, fs, root, st,
+      updated.withColumn(LastUpdatedCol, lit(newSeq)))
     val snap = publishDvMor(spark, fs, root, st, priorMeta, dvEntries,
       snapshotId, newSeq, "overwrite", added)
     IceDml(snap, counts.map(_._2).sum, counts.length)
@@ -3635,7 +3786,7 @@ object IcebergInterop {
     }
     val (partFields, specJson) = morPartFields(priorMeta, st)
     val entrySchema = manifestEntrySchema(partFields, v2 = true,
-      dv = true)
+      dv = true, lineage = true)
     // both path forms again: new entries key by the scan's normalized
     // `__fp`, carried ones by the manifest's recorded path
     val tupleOf: Map[String, Map[String, AnyRef]] =
@@ -3674,7 +3825,11 @@ object IcebergInterop {
       (dvEntries.size, 0, 0, dvEntries.map(_._5).sum, 0L, 0L))
     // updateMor's NEW images: a data manifest at the SAME sequence
     // number — vectors are path-keyed, so the fresh paths are
-    // untouched by this commit's own kill side
+    // untouched by this commit's own kill side. Each image file
+    // records an explicit row-id origin from the table's next-row-id
+    // (materialized `_row_id` values take precedence row by row; only
+    // rows predating the upgrade — materialized null — inherit).
+    var rowIdCursor = jLong(priorMeta \ "next-row-id") max 0L
     if (added.nonEmpty) {
       val dataManifest = new Path(metaDir, s"$uuid-m1.avro")
       writeAvro(fs, dataManifest, entrySchema,
@@ -3694,13 +3849,17 @@ object IcebergInterop {
           putPartition(entrySchema, dfRec, partFields, f.partition)
           dfRec.put("record_count", f.records)
           dfRec.put("file_size_in_bytes", f.bytes)
+          dfRec.put("first_row_id",
+            java.lang.Long.valueOf(rowIdCursor))
+          rowIdCursor += f.records
           e.put("data_file", dfRec)
           e
         })
       listEntries += manifestListRowV2(dataManifest.toString,
         fs.getFileStatus(dataManifest).getLen, st.defaultSpecId,
         content = 0, seq = newSeq, minSeq = newSeq, snapshotId,
-        (added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+        (added.size, 0, 0, added.map(_.records).sum, 0L, 0L),
+        firstRowId = Some(jLong(priorMeta \ "next-row-id") max 0L))
     }
     val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
       case JArray(xs) =>
@@ -3733,10 +3892,15 @@ object IcebergInterop {
   private def stageRewritten(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, rows: DataFrame): Seq[IceFile] = {
     val ids: Map[String, Long] =
-      if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
+      (if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
         st.evo.fieldIds
       else st.schema.fieldNames.zipWithIndex
-        .map { case (n, i) => n -> (i + 1).toLong }.toMap
+        .map { case (n, i) => n -> (i + 1).toLong }.toMap) ++
+        // v3 materialized lineage columns stamp the spec's RESERVED
+        // field ids — foreign readers resolve them by id
+        Seq(RowIdCol -> RowIdFieldId,
+          LastUpdatedCol -> LastUpdatedFieldId)
+          .filter { case (n, _) => rows.schema.fieldNames.contains(n) }
     val stamped = stampFieldIds(rows, ids)
     val spec = st.specs.getOrElse(st.defaultSpecId, Nil)
     val staged =
@@ -4587,7 +4751,21 @@ object IcebergInterop {
     // metadata's next-row-id advances by the added record count
     val priorNextRowId: Long = priorMeta
       .map(m => jLong(m \ "next-row-id")).filter(_ >= 0).getOrElse(0L)
-    val addedRows: Long = newFiles.map(_.records).sum
+    // files that already CARRY a row-id origin (compaction survivors,
+    // rewrites whose rows materialize `_row_id`) preserve it; only
+    // fresh files allocate from next-row-id, in manifest order
+    val fileRowIds: Map[String, Long] =
+      if (!v3) Map.empty
+      else {
+        var cursor = priorNextRowId
+        newFiles.map { f =>
+          f.path -> f.firstRowId.getOrElse {
+            val v = cursor; cursor += f.records; v
+          }
+        }.toMap
+      }
+    val addedRows: Long =
+      newFiles.filter(_.firstRowId.isEmpty).map(_.records).sum
     val newSeq: Long =
       if (!v2) 0L
       else priorMeta.map(m => jLong(m \ "last-sequence-number"))
@@ -4723,7 +4901,7 @@ object IcebergInterop {
         }
         (sf, avroType, fid)
       }
-    val entrySchema = manifestEntrySchema(partFields, v2)
+    val entrySchema = manifestEntrySchema(partFields, v2, lineage = v3)
     // the new manifest
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
     fs.mkdirs(metaDir)
@@ -4759,6 +4937,10 @@ object IcebergInterop {
         dfRec.put("partition", partRec)
         dfRec.put("record_count", f.records)
         dfRec.put("file_size_in_bytes", f.bytes)
+        // v3 row lineage: every added data file records its explicit
+        // row-id origin (preserved or freshly allocated above)
+        if (v3) fileRowIds.get(f.path).foreach(v =>
+          dfRec.put("first_row_id", java.lang.Long.valueOf(v)))
         // recorded bounds (when the stager extracted them) — what a
         // reader, foreign or ours, prunes files on
         def boundsRecord(field: String,
@@ -4850,7 +5032,8 @@ object IcebergInterop {
         specId, content = 0, seq = newSeq, minSeq = newSeq,
         addedSnap = snapshotId,
         counts = (newFiles.size, 0, 0,
-          newFiles.map(_.records).sum, 0L, 0L))
+          newFiles.map(_.records).sum, 0L, 0L),
+        firstRowId = if (v3) Some(priorNextRowId) else None)
       val carried = priorManifests.map(pm =>
         carryManifestRowV2(fs, pm, snapshotId))
       writeAvro(fs, listPath, ManifestFileSchemaV2,

@@ -1159,6 +1159,54 @@ object LakeQueries {
       |  TRUE AS dv_unique
       |FROM t GROUP BY o_orderpriority""".stripMargin
 
+  /** ic18_v3_row_lineage — Iceberg v3 ROW LINEAGE through the gate:
+    * even keys land PRE-upgrade (null lineage, emitted −1), odd keys
+    * append post-upgrade as ONE key-sorted file (so the assigned
+    * `_row_id` IS the key's rank, which DuckDB re-derives with
+    * ROW_NUMBER), a deletion-vector delete drops `% 7` rows WITHOUT
+    * moving survivors' ids, and a merge-on-read UPDATE materializes
+    * its rows' carried ids — every emitted `row_id` and `last_seq`
+    * (append=1, update=3, pre-upgrade=−1) is exactly re-derivable, so
+    * a carry-over or assignment regression fails the hash loudly. */
+  def ic18V3RowLineage(s: SparkSession, d: String): DataFrame = {
+    val dir = builtTables.computeIfAbsent(s"ic18:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic18").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      IcebergInterop.upgradeFormat(s, t)
+      IcebergInterop.upgradeFormat(s, t, 3)
+      IcebergInterop.write(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"), t)
+      IcebergInterop.deleteMor(s, t, col("o_orderkey") % 7 === 0)
+      IcebergInterop.updateMor(s, t, col("o_orderkey") % 100 === 1,
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(1000000.0))))
+      t
+    })
+    IcebergInterop.readRowLineage(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("total"),
+        coalesce(col("_row_id"), lit(-1L)).as("row_id"),
+        coalesce(col("_last_updated_sequence_number"), lit(-1L))
+          .as("last_seq"))
+  }
+
+  val ic18Oracle: String =
+    """WITH odd AS (
+      |  SELECT o_orderkey,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o.o_orderkey,
+      |  CASE WHEN o.o_orderkey % 100 = 1
+      |    THEN o.o_totalprice + 1000000.0 ELSE o.o_totalprice
+      |  END AS total,
+      |  COALESCE(d.rid, -1) AS row_id,
+      |  CASE WHEN o.o_orderkey % 2 = 0 THEN -1
+      |       WHEN o.o_orderkey % 100 = 1 THEN 3
+      |       ELSE 1 END AS last_seq
+      |FROM orders o LEFT JOIN odd d USING (o_orderkey)
+      |WHERE o.o_orderkey % 7 <> 0""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3050,6 +3098,7 @@ object LakeQueries {
     "dl15_sql_ctas" -> (dl15SqlCtas _),
     "ic16_sql_ctas" -> (ic16SqlCtas _),
     "ic17_v3_dv_dml" -> (ic17V3DvDml _),
+    "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -3121,6 +3170,7 @@ object LakeQueries {
     "dl15_sql_ctas" -> dl15Oracle,
     "ic16_sql_ctas" -> ic16Oracle,
     "ic17_v3_dv_dml" -> ic17Oracle,
+    "ic18_v3_row_lineage" -> ic18Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
