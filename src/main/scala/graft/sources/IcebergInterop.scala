@@ -1079,13 +1079,20 @@ object IcebergInterop {
                     "rather than guessing which rows survive")
               val recs =
                 df.get("record_count").asInstanceOf[Number].longValue
+              // the inheritance cursor feeds ADDED entries only — an
+              // EXISTING entry must record its origin explicitly (the
+              // spec's carry rule); a null one has no lineage (it was
+              // rewritten before the table tracked row ids)
               val frid: Option[Long] =
                 fieldOpt(df, "first_row_id")
                   .map(_.asInstanceOf[Number].longValue)
                   .orElse {
-                    val v = rowIdCursor
-                    rowIdCursor = rowIdCursor.map(_ + recs)
-                    v
+                    if (status != 1) None
+                    else {
+                      val v = rowIdCursor
+                      rowIdCursor = rowIdCursor.map(_ + recs)
+                      v
+                    }
                   }
               files += IceFile(df.get("file_path").toString, recs,
                 df.get("file_size_in_bytes").asInstanceOf[Number].longValue,
@@ -2419,12 +2426,17 @@ object IcebergInterop {
     val byNorm = st.files.flatMap(f =>
       ForeignDv.forms(f.path).map(_ -> f)).toMap
     val touched = counts.map(t => byNorm(t._1)).toSeq
-    // survivors of ONLY the touched files; NULL-evaluating rows keep
-    val survivors = toDF(spark, st.copy(files = touched))
+    // survivors of ONLY the touched files; NULL-evaluating rows keep.
+    // v3 survivors MATERIALIZE their resolved row lineage — a delete
+    // never updates a surviving row, so both columns carry verbatim
+    val survivors = (if (st.formatVersion >= 3)
+        lineageResolved(spark, st.copy(files = touched), table)
+          .drop("__fp", "__pos")
+      else toDF(spark, st.copy(files = touched)))
       .filter(coalesce(!predicate, lit(true)))
     val added = stageRewritten(spark, fs, root, st, survivors)
     val snap = publishRewrite(spark, fs, root, st, added,
-      touched.map(_.path).toSet, "overwrite")
+      touched.map(_.path).toSet, "overwrite", lineageSafe = true)
     IceDml(snap, counts.map(_._2).sum, touched.size)
   }
 
@@ -2466,18 +2478,39 @@ object IcebergInterop {
       ForeignDv.forms(f.path).map(_ -> f)).toMap
     val touched = counts.map(t => byNorm(t._1)).toSeq
     val setMap = set.toMap
-    val rewritten = toDF(spark, st.copy(files = touched))
-      .select(st.schema.fields.toIndexedSeq.map { f =>
+    val v3 = st.formatVersion >= 3
+    // v3 rewrites MATERIALIZE lineage: every row carries its resolved
+    // `_row_id`; rows the predicate fires on take this commit's
+    // sequence as `_last_updated_sequence_number`, bystanders in the
+    // same files carry their old one
+    val base =
+      if (v3) lineageResolved(spark, st.copy(files = touched), table)
+        .drop("__fp", "__pos")
+      else toDF(spark, st.copy(files = touched))
+    val newSeq: Long =
+      if (!v3) 0L
+      else {
+        val meta = org.json4s.jackson.JsonMethods.parse(readText(fs,
+          new Path(new Path(table),
+            s"metadata/v${st.metadataVersion}.metadata.json")))
+        (jLong(meta \ "last-sequence-number") max 0L) + 1L
+      }
+    val rewritten = base
+      .select((st.schema.fields.toIndexedSeq.map { f =>
         setMap.get(f.name) match {
           case Some(e) =>
             when(predicate, e.cast(f.dataType))
               .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*)
+      } ++ (if (!v3) Nil
+            else Seq(col(RowIdCol),
+              when(predicate, lit(newSeq))
+                .otherwise(col(LastUpdatedCol)).as(LastUpdatedCol))))
+        : _*)
     val added = stageRewritten(spark, fs, root, st, rewritten)
     val snap = publishRewrite(spark, fs, root, st, added,
-      touched.map(_.path).toSet, "overwrite")
+      touched.map(_.path).toSet, "overwrite", lineageSafe = true)
     IceDml(snap, counts.map(_._2).sum, touched.size)
   }
 
@@ -3926,7 +3959,8 @@ object IcebergInterop {
     * sequence numbers, which v2 readers require). */
   private def publishRewrite(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, added: Seq[IceFile],
-      removedPaths: Set[String], operation: String): Long = {
+      removedPaths: Set[String], operation: String,
+      lineageSafe: Boolean = false): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String =
@@ -3934,15 +3968,33 @@ object IcebergInterop {
     val metaDir = new Path(root, "metadata")
     val priorMeta = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
-    if (jLong(priorMeta \ "format-version") > 2)
+    // a v3 rewrite is legal ONLY when the caller materialized row
+    // lineage into the rewritten rows (`lineageSafe`) — the CoW
+    // delete/update paths do; anything else would silently reassign
+    // every rewritten row's id
+    if (jLong(priorMeta \ "format-version") > 2 && !lineageSafe)
       throw new UnsupportedIcebergFeatureException(
         s"table $root is format-version " +
-          s"${jLong(priorMeta \ "format-version")} — v3 copy-on-write " +
-          "rewrites are not yet written: rewritten rows must carry " +
-          "their assigned row lineage forward, which this writer does " +
-          "not materialize (v3 appends and deletion-vector deletes " +
-          "are the supported write surface)")
+          s"${jLong(priorMeta \ "format-version")} — this rewrite " +
+          "path does not materialize row lineage, and a v3 rewrite " +
+          "that drops assigned row ids is spec-illegal (CoW " +
+          "delete/update, OPTIMIZE and compactDeletes carry lineage " +
+          "and are supported)")
     val v2 = jLong(priorMeta \ "format-version") >= 2
+    val v3 = jLong(priorMeta \ "format-version") >= 3
+    // v3: fresh files allocate their row-id origins from next-row-id
+    // (materialized `_row_id` values take precedence row by row);
+    // EXISTING survivors carry their recorded origins explicitly
+    val priorNextRowId: Long =
+      if (!v3) 0L else jLong(priorMeta \ "next-row-id") max 0L
+    val fileRowIds: Map[String, Long] =
+      if (!v3) Map.empty
+      else {
+        var cursor = priorNextRowId
+        added.map { f =>
+          f.path -> { val v = cursor; cursor += f.records; v }
+        }.toMap
+      }
     // v2 commits take the next sequence number; rewritten survivors
     // keep their ORIGINAL data sequence numbers (entry-level, so the
     // manifest-list inheritance cannot re-stamp them — the spec's
@@ -4026,7 +4078,7 @@ object IcebergInterop {
     def writeManifest(name: String, specId: Int,
         entries: Seq[(IceFile, Int, Long)]): (Path, Long) = {
       val partFields = partFieldsOf(specId)
-      val entrySchema = manifestEntrySchema(partFields, v2)
+      val entrySchema = manifestEntrySchema(partFields, v2, lineage = v3)
       val target = new Path(metaDir, name)
       writeAvro(fs, target, entrySchema,
         Map("format-version" -> (if (v2) "2" else "1"),
@@ -4068,6 +4120,13 @@ object IcebergInterop {
           dfRec.put("partition", partRec)
           dfRec.put("record_count", f.records)
           dfRec.put("file_size_in_bytes", f.bytes)
+          // v3 row lineage: ADDED files record their fresh origin,
+          // EXISTING survivors carry their recorded one (a null stays
+          // null — the file predates lineage and never had ids)
+          if (v3)
+            (if (status == 1) fileRowIds.get(f.path) else f.firstRowId)
+              .foreach(v0 =>
+                dfRec.put("first_row_id", java.lang.Long.valueOf(v0)))
           def boundsRecord(field: String,
               m: Map[String, Either[Long, String]]): Unit =
             if (m.nonEmpty) {
@@ -4114,7 +4173,8 @@ object IcebergInterop {
       listEntries +=
         (if (v2) manifestListRowV2(p.toString, len, st.defaultSpecId,
           content = 0, seq = newSeq, minSeq = newSeq, snapshotId,
-          (added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+          (added.size, 0, 0, added.map(_.records).sum, 0L, 0L),
+          firstRowId = if (v3) Some(priorNextRowId) else None)
         else listRow(p.toString, len, st.defaultSpecId, snapshotId))
     }
     val byManifest: Map[String, Seq[IceFile]] = st.files.groupBy(_.manifest)
@@ -4162,10 +4222,14 @@ object IcebergInterop {
       Map("format-version" -> (if (v2) "2" else "1")),
       listEntries.toSeq)
     // next metadata json: the prior document verbatim, with only the
-    // snapshot bookkeeping advanced
+    // snapshot bookkeeping advanced (v3: the snapshot claims its
+    // row-id range and next-row-id moves past it)
     publishDmlDoc(fs, root, priorMeta, st.metadataVersion, snapshotId,
       listPath, operation, curSchemaId,
-      if (v2) Some(newSeq) else None)
+      if (v2) Some(newSeq) else None,
+      rowLineage =
+        if (v3) Some((priorNextRowId, added.map(_.records).sum))
+        else None)
   }
 
   /** The DML commits' shared metadata-document publication: the prior
@@ -5181,21 +5245,26 @@ object IcebergInterop {
 
   // --------------------------------------------------------- conversion
 
-  /** Compact away v2 POSITION DELETES — the rewrite every
-    * equality/append refusal in this module points at: data files the
-    * delete rows touch rewrite WITHOUT their deleted positions, files
-    * no delete touches carry verbatim, and one overwrite-style
-    * snapshot publishes the clean file set with NO delete manifests
-    * (prior snapshots stay addressable until expiry). After the
+  /** Compact away MERGE-ON-READ delete debt — v2 position/equality
+    * deletes AND v3 deletion vectors: data files a delete touches
+    * rewrite WITHOUT their deleted rows, files no delete touches
+    * carry verbatim, and one overwrite-style snapshot publishes the
+    * clean file set with NO delete manifests (prior snapshots stay
+    * addressable until expiry). On v3 the rewritten survivors
+    * MATERIALIZE their row lineage and kept files preserve recorded
+    * origins, so compaction never reassigns a row id. After the
     * compaction, appends and [[importToManifest]] apply again. Cost
     * tracks the deleted surface: only touched files rewrite. */
   def compactDeletes(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
-    if (st.dvDeletes.nonEmpty)
+    if (st.dvDeletes.nonEmpty &&
+      (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty))
       throw new UnsupportedIcebergFeatureException(
-        s"table $table carries v3 deletion vectors — this writer " +
-          "serves them read-only; compact with the owning engine")
-    if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty) return st.snapshotId
+        s"table $table carries v2 position/equality delete files " +
+          "NEXT TO v3 deletion vectors — compact the parquet deletes " +
+          "on the v2 table before upgrading")
+    if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty) return st.snapshotId
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     import org.apache.spark.sql.functions.{col, regexp_replace}
@@ -5203,11 +5272,14 @@ object IcebergInterop {
       regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
     def normStr(s: String): String =
       s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    // v3 deletion vectors name their target file directly; v2
+    // position deletes name theirs in rows
     val touched =
-      if (st.posDeletes.isEmpty) Set.empty[String]
-      else spark.read.parquet(st.posDeletes: _*)
-        .select(norm(col("file_path")).as("fp")).distinct()
-        .collect().map(_.getString(0)).toSet
+      (if (st.posDeletes.isEmpty) Set.empty[String]
+       else spark.read.parquet(st.posDeletes: _*)
+         .select(norm(col("file_path")).as("fp")).distinct()
+         .collect().map(_.getString(0)).toSet) ++
+        st.dvDeletes.flatMap(d => ForeignDv.forms(d.referenced))
     // an equality delete can touch ANY file with a smaller sequence
     // number — rewrite everything below the newest delete's sequence
     val maxEqSeq =
@@ -5223,11 +5295,21 @@ object IcebergInterop {
       if (rewrite.isEmpty) Nil
       else {
         // copy the full state (specs for the identity fill, evo for
-        // renamed-generation resolution) — only the file set narrows
-        val clean0 = toDF(spark, st.copy(files = rewrite))
+        // renamed-generation resolution) — only the file set narrows.
+        // v3 survivors MATERIALIZE their resolved row lineage: kept
+        // files preserve recorded origins, rewritten rows carry their
+        // ids in-file, so compaction never reassigns lineage
+        val clean0 =
+          if (st.formatVersion >= 3)
+            lineageResolved(spark, st.copy(files = rewrite), table)
+              .drop("__fp", "__pos")
+          else toDF(spark, st.copy(files = rewrite))
         val clean =
           if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
-            stampFieldIds(clean0, st.evo.fieldIds)
+            stampFieldIds(clean0, st.evo.fieldIds ++
+              Seq(RowIdCol -> RowIdFieldId,
+                LastUpdatedCol -> LastUpdatedFieldId)
+                .filter(kv => clean0.schema.fieldNames.contains(kv._1)))
           else clean0
         val stage = new Path(root,
           s".compact-${java.util.UUID.randomUUID()}")
@@ -5272,8 +5354,8 @@ object IcebergInterop {
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,
       s"table $table carries delete files — compact them first " +
-        "(compactDeletes; v3 deletion vectors need the owning " +
-        "engine), then OPTIMIZE")
+        "(compactDeletes handles v2 parquet deletes and v3 deletion " +
+        "vectors alike), then OPTIMIZE")
     zorderBy.foreach(c => require(st.schema.exists(_.name == c),
       s"z-order column $c is not in the schema of $table"))
     val spec = st.specs.getOrElse(st.defaultSpecId, Nil)
@@ -5298,11 +5380,21 @@ object IcebergInterop {
     val rewrittenPaths = groups.flatMap(_._2.map(_.path)).toSet
     val keep = st.files.filterNot(f => rewrittenPaths(f.path))
     val rewritten = groups.flatMap { case (tuple, picked) =>
-      val grouped0 = toDF(spark, st.copy(files = picked,
-        posDeletes = Nil, eqDeletes = Nil))
+      // v3 rewrites MATERIALIZE row lineage — compaction must not
+      // reassign ids (kept files preserve their recorded origins)
+      val grouped0 =
+        if (st.formatVersion >= 3)
+          lineageResolved(spark, st.copy(files = picked,
+            posDeletes = Nil, eqDeletes = Nil), table)
+            .drop("__fp", "__pos")
+        else toDF(spark, st.copy(files = picked,
+          posDeletes = Nil, eqDeletes = Nil))
       val grouped =
         if (st.schema.fieldNames.forall(st.evo.fieldIds.contains))
-          stampFieldIds(grouped0, st.evo.fieldIds)
+          stampFieldIds(grouped0, st.evo.fieldIds ++
+            Seq(RowIdCol -> RowIdFieldId,
+              LastUpdatedCol -> LastUpdatedFieldId)
+              .filter(kv => grouped0.schema.fieldNames.contains(kv._1)))
         else grouped0
       val nOut = math.max(1L, math.ceil(
         picked.map(_.bytes).sum.toDouble / targetFileBytes).toLong).toInt

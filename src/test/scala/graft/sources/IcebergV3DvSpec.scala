@@ -250,9 +250,9 @@ class IcebergV3DvSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("the v3 WRITE surface: appends land with row-lineage " +
-    "bookkeeping (first-row-id / added-rows / next-row-id); " +
-    "copy-on-write DML, compaction and metadata-only import still " +
-    "refuse by name") {
+    "bookkeeping (first-row-id / added-rows / next-row-id); DML " +
+    "refuses while MOR debt exists, compaction retires the vectors " +
+    "(lineage materialized), and CoW DML then applies") {
     import spark.implicits._
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -274,18 +274,23 @@ class IcebergV3DvSpec extends AnyFunSuite with Matchers with SparkSpec {
     val appendSnap = snaps.last
     jnum(appendSnap \ "first-row-id") shouldBe 0L
     jnum(appendSnap \ "added-rows") shouldBe 1L
-    // copy-on-write rewrites still refuse — rewritten rows would lose
-    // their lineage
+    // copy-on-write DML refuses while merge-on-read debt exists
     intercept[IllegalArgumentException] {
       IcebergInterop.delete(spark, t,
         org.apache.spark.sql.functions.col("id") === 1L)
     }.getMessage should include("deleteMor")
-    intercept[IcebergInterop.UnsupportedIcebergFeatureException] {
-      IcebergInterop.compactDeletes(spark, t)
-    }
     intercept[IllegalArgumentException] {
       IcebergInterop.importToManifest(spark, t)
     }
+    // v3 compaction retires the vector (r14c: lineage materializes,
+    // so the rewrite is legal) and CoW DML then applies
+    IcebergInterop.compactDeletes(spark, t)
+    val stc = IcebergInterop.state(spark, t, None)
+    stc.dvDeletes shouldBe empty
+    IcebergInterop.read(spark, t).count() shouldBe 20L
+    IcebergInterop.delete(spark, t,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    IcebergInterop.read(spark, t).count() shouldBe 19L
   }
 
   test("graft v3 deletion-vector DML round-trip: upgradeFormat(3), " +

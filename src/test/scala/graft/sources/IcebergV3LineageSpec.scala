@@ -223,6 +223,70 @@ class IcebergV3LineageSpec extends AnyFunSuite with Matchers
       .collect().toMap shouldBe (0L until 17L).map(i => i -> i).toMap
   }
 
+  test("v3 compaction retires deletion vectors WITHOUT reassigning " +
+    "ids, and copy-on-write UPDATE/DELETE carry lineage — _last bumps " +
+    "only for fired rows, bystanders in rewritten files keep theirs") {
+    import spark.implicits._
+    val t = lineagedTable()
+    IcebergInterop.deleteMor(spark, t, col("id") === 2L)
+    IcebergInterop.compactDeletes(spark, t)
+    IcebergInterop.state(spark, t, None).dvDeletes shouldBe empty
+    val out = IcebergInterop.readRowLineage(spark, t)
+    out.count() shouldBe 14L // 5 pre-upgrade + 10 assigned − 1 deleted
+    out.filter($"id" < 10L).select($"id", $"_row_id")
+      .as[(Long, Long)].collect().toMap shouldBe
+      (0L until 10L).filter(_ != 2L).map(i => i -> i).toMap
+    val bystanderLast = out.filter($"id" === 5L)
+      .select($"_last_updated_sequence_number").as[Long].head()
+    // CoW UPDATE is legal now: the fired row keeps its id and takes
+    // the commit's sequence; a bystander in the same file keeps both
+    IcebergInterop.update(spark, t, col("id") === 4L,
+      Seq("id" -> lit(400L)))
+    val a = IcebergInterop.readRowLineage(spark, t)
+    val fired = a.filter($"id" === 400L)
+      .select($"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long)].collect()
+    fired.length shouldBe 1
+    fired.head._1 shouldBe 4L
+    fired.head._2 should be > bystanderLast
+    a.filter($"id" === 5L)
+      .select($"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long)].head() shouldBe ((5L, bystanderLast))
+    // CoW DELETE: survivors of the touched file keep their ids
+    IcebergInterop.delete(spark, t, col("id") === 6L)
+    val b = IcebergInterop.readRowLineage(spark, t)
+    b.count() shouldBe 13L
+    b.filter($"id" === 7L).select($"_row_id").as[Long]
+      .head() shouldBe 7L
+  }
+
+  test("OPTIMIZE on v3 materializes lineage: assigned ids survive " +
+    "the rewrite; pre-upgrade rows gain ids on their FIRST rewrite " +
+    "and keep them through the second") {
+    import spark.implicits._
+    val t = lineagedTable()
+    IcebergInterop.optimize(spark, t)
+    val a = IcebergInterop.readRowLineage(spark, t)
+    a.filter($"id" < 10L).select($"id", $"_row_id")
+      .as[(Long, Long)].collect().toMap shouldBe
+      (0L until 10L).map(i => i -> i).toMap
+    // pre-upgrade rows were rewritten into a lineage-bearing file —
+    // they now HAVE assigned ids, disjoint from the first range
+    val preIds = a.filter($"id" >= 100L)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    preIds.size shouldBe 5
+    preIds.values.foreach(_ should be >= 10L)
+    // a later append + second optimize keeps every materialized id
+    IcebergInterop.write((20L until 25L).toDF("id").coalesce(1), t)
+    IcebergInterop.optimize(spark, t)
+    val b = IcebergInterop.readRowLineage(spark, t)
+    b.filter($"id" < 10L).select($"id", $"_row_id")
+      .as[(Long, Long)].collect().toMap shouldBe
+      (0L until 10L).map(i => i -> i).toMap
+    b.filter($"id" >= 100L).select($"id", $"_row_id")
+      .as[(Long, Long)].collect().toMap shouldBe preIds
+  }
+
   test("refusals by name: pre-v3 tables have no row lineage; a data " +
     "column shadowing a reserved lineage name refuses") {
     import spark.implicits._
