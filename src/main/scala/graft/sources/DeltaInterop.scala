@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, regexp_replace, timestamp_millis, when}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, Metadata, MetadataBuilder, StringType, StructField, StructType, TimestampType}
 
 /** Delta Lake TRANSACTION-LOG interop, pure Spark — no delta-spark jar.
   *
@@ -1100,11 +1100,21 @@ object DeltaInterop {
     * table stage through the same physical projection. The commit
     * file publishes via rename-if-absent — a lost race raises
     * [[ConcurrentDeltaCommitException]] and leaves the log untouched. */
+  /** One IDENTITY-column declaration for a CREATE-time [[write]]:
+    * `GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY (START WITH start
+    * INCREMENT BY step)`. `allowExplicitInsert=false` is ALWAYS
+    * (provided values refuse); `true` is BY DEFAULT (provided values
+    * accepted and the high-water mark advances past them). */
+  final case class IdentityColumn(name: String, start: Long = 1L,
+                                  step: Long = 1L,
+                                  allowExplicitInsert: Boolean = false)
+
   def write(df: DataFrame, table: String,
             partitionBy: Seq[String] = Nil,
             overwrite: Boolean = false,
             columnMapping: String = "none",
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            identity: Seq[IdentityColumn] = Nil): Long = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
@@ -1134,10 +1144,70 @@ object DeltaInterop {
               .cast(f.dataType)))
       case _ => df
     }
+    // IDENTITY columns: declared at CREATE time (the `identity`
+    // param); a write that OMITS one ALLOCATES values past the
+    // recorded high-water mark as `base + (monotonic id + 1) × step`
+    // — unique and step-aligned by construction, computed inside the
+    // ONE staging job with no extra pass (partition-id gaps are
+    // legal: the contract is uniqueness past the mark, not density);
+    // provided values require `allowExplicitInsert`. The commit
+    // republishes metaData with the advanced mark, read back from the
+    // staged files' own footer bounds.
+    require(identity.isEmpty || prior.isEmpty,
+      s"identity columns are declared when a table is created — " +
+        s"$table already exists")
+    identity.foreach { ic =>
+      require(ic.step != 0,
+        s"identity column ${ic.name}: INCREMENT BY 0 is illegal") }
+    val identityCols: Seq[(String, Long, Long, Boolean, Option[Long])] =
+      prior match {
+        case Some(p) => p.schema.fields.toSeq.flatMap(identityOf)
+        case None => identity.map(ic =>
+          (ic.name, ic.start, ic.step, ic.allowExplicitInsert, None))
+      }
+    val df2 = identityCols.foldLeft(df1) {
+      case (acc, (n, start, step, allowExplicit, hwm)) =>
+        if (!acc.columns.contains(n)) {
+          val base = hwm.getOrElse(start - step)
+          acc.withColumn(n, (lit(base) +
+            (org.apache.spark.sql.functions
+              .monotonically_increasing_id() + lit(1L)) * lit(step))
+            .cast(LongType))
+        } else if (!allowExplicit)
+          throw new UnsupportedDeltaFeatureException(
+            s"column $n of $table is GENERATED ALWAYS AS IDENTITY — " +
+              "explicit values are not accepted; omit the column and " +
+              "the writer allocates")
+        else acc
+    }
+    // CREATE with identity: stamp the declaration into the recorded
+    // schema's field metadata (the protocol's identity keys)
+    val dfFinal =
+      if (prior.nonEmpty || identity.isEmpty) df2
+      else df2.select(df2.schema.fields.toSeq.map { f =>
+        identity.find(_.name == f.name) match {
+          case Some(ic) =>
+            require(f.dataType == LongType,
+              s"identity column ${ic.name} of $table must be BIGINT, " +
+                s"found ${f.dataType.sql}")
+            val m = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.identity.start", ic.start)
+              .putLong("delta.identity.step", ic.step)
+              .putBoolean("delta.identity.allowExplicitInsert",
+                ic.allowExplicitInsert)
+              .build()
+            col(f.name).as(f.name, m)
+          case None => col(f.name)
+        }
+      }: _*)
+    identity.foreach(ic => require(
+      dfFinal.columns.contains(ic.name),
+      s"identity column ${ic.name} missing from the written frame"))
     prior.foreach { p =>
       DeltaWriteGate.requireWritable(p, table,
         if (overwrite) "overwrite" else "append",
-        removesData = overwrite, addsData = true)
+        removesData = overwrite, addsData = true,
+        identityHandled = true)
       require(p.partitionColumns == partitionBy,
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
@@ -1150,7 +1220,7 @@ object DeltaInterop {
           s"'${p.columnMappingMode}' — a write requesting mode " +
           s"'$columnMapping' cannot retrofit it")
       if (!overwrite)
-        InteropSchema.requireAppendCompatible(df1.schema, p.schema, table)
+        InteropSchema.requireAppendCompatible(dfFinal.schema, p.schema, table)
     }
     // an overwrite MAY change the schema (delta-spark's overwriteSchema
     // path) — but then the commit must republish metaData, or readers
@@ -1158,7 +1228,7 @@ object DeltaInterop {
     // would serve the new files under the stale schema: silently
     // dropped / nulled / mistyped columns
     val schemaChanged = overwrite && prior.exists(p =>
-      !InteropSchema.sameShape(p.schema, df1.schema))
+      !InteropSchema.sameShape(p.schema, dfFinal.schema))
     val mapped = prior.map(_.columnMappingMode != "none")
       .getOrElse(columnMapping != "none")
     if (mapped && schemaChanged)
@@ -1172,8 +1242,8 @@ object DeltaInterop {
     // changes the shape
     val (recordedSchema, maxColumnId) = prior match {
       case Some(p) if !schemaChanged => (p.schema, 0L)
-      case _ if mapped => assignMapping(df1.schema)
-      case _ => (df1.schema, 0L)
+      case _ if mapped => assignMapping(dfFinal.schema)
+      case _ => (dfFinal.schema, 0L)
     }
     val version = prior.map(_.version + 1).getOrElse(0L)
     val physKey = physKeyOf(recordedSchema)
@@ -1188,12 +1258,12 @@ object DeltaInterop {
     // physical-named dirs on mapped tables)
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
     val stagedFrame =
-      if (mapped) toPhysical(df1, recordedSchema) else df1
+      if (mapped) toPhysical(dfFinal, recordedSchema) else dfFinal
     val writer = stagedFrame.write.mode("overwrite")
     (if (partitionDirs.nonEmpty) writer.partitionBy(partitionDirs: _*)
      else writer).parquet(stage.toString)
     val staged = listParquet(fs, stage)
-    val adds = staged.map { p =>
+    val addsWithBounds = staged.map { p =>
       val rel = relativize(stage, p)
       val dest = new Path(root, rel)
       fs.mkdirs(dest.getParent)
@@ -1205,11 +1275,38 @@ object DeltaInterop {
       // mapped, like the data columns themselves)
       val (rows, lo, hi) =
         ScanPredicates.footerStats(spark, dest, statsSchema)
-      DeltaAdd(rel, partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
+      (DeltaAdd(rel, partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
         fs.getFileStatus(dest).getLen,
-        stats = Some(statsJson(rows, lo, hi, statsSchema)))
+        stats = Some(statsJson(rows, lo, hi, statsSchema))), lo, hi)
     }
+    val adds = addsWithBounds.map(_._1)
     fs.delete(stage, true): Unit
+    // the ADVANCED identity high-water marks, read back from the
+    // staged files' own footer bounds (no extra pass): the smallest
+    // step-aligned value at or past the extreme this commit landed
+    val identityHwms: Map[String, Long] = identityCols.flatMap {
+      case (n, start, step, _, hwm) =>
+        val key = if (mapped) physKey(n) else n
+        val seen = addsWithBounds.flatMap { case (_, lo, hi) =>
+          (if (step > 0) hi else lo).get(key)
+            .collect { case Left(v) => v } }
+        if (seen.isEmpty) hwm.map(n -> _)
+        else {
+          val extreme = if (step > 0) seen.max else seen.min
+          val base = hwm.getOrElse(start - step)
+          val advanced =
+            if (step > 0) extreme > base else extreme < base
+          if (!advanced) hwm.map(n -> _)
+          else {
+            val d = extreme - start
+            val k = math.max(0L, Math.floorDiv(d, step) +
+              (if (Math.floorMod(d, step) == 0L) 0L else 1L))
+            Some(n -> (start + k * step))
+          }
+        }
+    }.toMap
+    val identityAdvanced = identityCols.exists {
+      case (n, _, _, _, hwm) => identityHwms.get(n) != hwm }
     // writer obligations (CHECK constraints, invariants, NOT NULL,
     // generated columns) validate against the STAGED files before the
     // commit publishes — a violation deletes them and nothing lands
@@ -1230,18 +1327,31 @@ object DeltaInterop {
         s""""lastUpdated":$now}}"""
     }
     if (prior.isEmpty) {
+      // identity columns need legacy writer 6 (which implies the
+      // lower versions' features, identityColumns included)
+      val wv = if (identity.nonEmpty) 6 else if (mapped) 5 else 2
       if (mapped) {
-        lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
-        lines += metaDataJson(recordedSchema, partitionBy, now,
-          Map("delta.columnMapping.mode" -> "name",
+        lines += s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":$wv}}"""
+        lines += metaDataJson(
+          withIdentityHwm(recordedSchema, identityHwms), partitionBy,
+          now, Map("delta.columnMapping.mode" -> "name",
             "delta.columnMapping.maxColumnId" -> maxColumnId.toString))
       } else {
-        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        lines += metaDataJson(recordedSchema, partitionBy, now)
+        lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
+        lines += metaDataJson(
+          withIdentityHwm(recordedSchema, identityHwms), partitionBy,
+          now)
       }
     } else if (schemaChanged)
       lines += metaDataJson(recordedSchema, partitionBy, now,
         prior.map(_.configuration).getOrElse(Map.empty),
+        prior.flatMap(_.metaId))
+    else if (identityAdvanced)
+      // same commit, same metaData id: only the identity high-water
+      // marks move (the protocol's same-commit advance rule)
+      lines += metaDataJson(
+        withIdentityHwm(recordedSchema, identityHwms), partitionBy,
+        now, prior.map(_.configuration).getOrElse(Map.empty),
         prior.flatMap(_.metaId))
     if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
       lines += s"""{"remove":{"path":${jstr(urlEncode(f.path))},""" +
@@ -3601,6 +3711,47 @@ object DeltaInterop {
   private[sources] final case class CkSideRow(add: Option[CkAdd])
 
   // ------------------------------------------------------------- helpers
+
+  /** Lenient numeric/boolean accessors over schemaString field
+    * metadata — foreign writers serialize the identity keys as JSON
+    * numbers/booleans, but strings have been seen in the wild. */
+  private def metaLong(m: Metadata, key: String): Option[Long] =
+    if (!m.contains(key)) None
+    else scala.util.Try(m.getLong(key)).toOption
+      .orElse(scala.util.Try(m.getDouble(key).toLong).toOption)
+      .orElse(scala.util.Try(m.getString(key).trim.toLong).toOption)
+
+  private def metaBool(m: Metadata, key: String): Option[Boolean] =
+    if (!m.contains(key)) None
+    else scala.util.Try(m.getBoolean(key)).toOption
+      .orElse(scala.util.Try(
+        m.getString(key).trim.toBoolean).toOption)
+
+  /** One IDENTITY column's recorded contract:
+    * (name, start, step, allowExplicitInsert, highWaterMark). */
+  private def identityOf(f: StructField)
+      : Option[(String, Long, Long, Boolean, Option[Long])] =
+    if (!f.metadata.contains("delta.identity.start") &&
+      !f.metadata.contains("delta.identity.step")) None
+    else Some((f.name,
+      metaLong(f.metadata, "delta.identity.start").getOrElse(1L),
+      metaLong(f.metadata, "delta.identity.step").getOrElse(1L),
+      metaBool(f.metadata, "delta.identity.allowExplicitInsert")
+        .getOrElse(false),
+      metaLong(f.metadata, "delta.identity.highWaterMark")))
+
+  /** The recorded schema with identity high-water marks advanced —
+    * what an identity-advancing commit's metaData republish
+    * serializes. */
+  private def withIdentityHwm(schema: StructType,
+                              hwms: Map[String, Long]): StructType =
+    if (hwms.isEmpty) schema
+    else StructType(schema.fields.map(f => hwms.get(f.name) match {
+      case Some(h) => f.copy(metadata =
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.identity.highWaterMark", h).build())
+      case None => f
+    }))
 
   private def metaDataJson(schema: StructType, partitionBy: Seq[String],
                            now: Long,

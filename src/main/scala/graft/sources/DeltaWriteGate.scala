@@ -54,10 +54,13 @@ object DeltaWriteGate {
     *  - `generatedColumns` — stored values are validated against the
     *    recorded `delta.generationExpression` (null-safe equality) on
     *    every added file;
-    *  - `identityColumns` — tables that actually CARRY identity
-    *    metadata refuse data-adding commits by name (this writer does
-    *    not allocate identity values); the bare feature with no
-    *    identity column has no per-commit duty;
+    *  - `identityColumns` — plain appends ALLOCATE values past the
+    *    recorded `delta.identity.highWaterMark` (respecting
+    *    start/step; GENERATED ALWAYS refuses explicit values,
+    *    `allowExplicitInsert` accepts them) and the commit advances
+    *    the mark; every OTHER data-adding verb (merge inserts) still
+    *    refuses by name (`identityHandled` marks the paths that
+    *    allocate);
     *  - `changeDataFeed` — DML paths stage cdc files when
     *    `delta.enableChangeDataFeed=true` (appends need none: the
     *    spec derives inserts from dataChange adds);
@@ -102,7 +105,8 @@ object DeltaWriteGate {
     * identity values). */
   def requireWritable(st: DeltaState, table: String, op: String,
                       removesData: Boolean,
-                      addsData: Boolean): Unit = {
+                      addsData: Boolean,
+                      identityHandled: Boolean = false): Unit = {
     if (st.minWriterVersion > 7)
       throw new UnsupportedDeltaFeatureException(
         s"$op on $table requires minWriterVersion=" +
@@ -121,7 +125,7 @@ object DeltaWriteGate {
         s"$op on $table would remove data, but the table declares " +
           "delta.appendOnly=true — only appends (and " +
           "dataChange=false rewrites) are legal commits")
-    if (addsData) {
+    if (addsData && !identityHandled) {
       val identity = st.schema.fields.filter(f =>
         f.metadata.contains("delta.identity.start") ||
           f.metadata.contains("delta.identity.step"))
@@ -129,8 +133,9 @@ object DeltaWriteGate {
         throw new UnsupportedDeltaFeatureException(
           s"$op on $table: column(s) " +
             s"${identity.map(_.name).mkString("[", ", ", "]")} are " +
-            "IDENTITY columns — this writer does not allocate " +
-            "identity values or track their high-water mark")
+            "IDENTITY columns — this path does not allocate identity " +
+            "values or advance their high-water mark (plain appends " +
+            "do)")
       val nested = nestedObligations(st.schema)
       if (nested.nonEmpty)
         throw new UnsupportedDeltaFeatureException(

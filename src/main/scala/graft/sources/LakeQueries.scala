@@ -1159,6 +1159,49 @@ object LakeQueries {
       |  TRUE AS dv_unique
       |FROM t GROUP BY o_orderpriority""".stripMargin
 
+  /** dl16_identity — Delta IDENTITY columns through the gate: a
+    * GENERATED ALWAYS column declared at CREATE (start 1000, step 3)
+    * allocates over two key-sorted single-file appends, so every
+    * `rid` is `1000 + 3 × rank` with batch 2 continuing past batch
+    * 1's high-water mark — and the RECORDED mark itself is emitted
+    * per-row, all exactly re-derivable by ROW_NUMBER. An allocation,
+    * continuation, or mark regression fails the hash loudly. */
+  def dl16Identity(s: SparkSession, d: String): DataFrame = {
+    val dir = builtTables.computeIfAbsent(s"dl16:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl16").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey")
+      DeltaInterop.write(
+        o.filter(col("o_orderkey") % 3 === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey"), t,
+        identity = Seq(DeltaInterop.IdentityColumn("rid",
+          start = 1000L, step = 3L)))
+      DeltaInterop.write(
+        o.filter(col("o_orderkey") % 3 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"), t)
+      t
+    })
+    val hwm = DeltaInterop.state(s, dir, None).schema("rid")
+      .metadata.getLong("delta.identity.highWaterMark")
+    DeltaInterop.read(s, dir)
+      .select(col("o_orderkey"), col("rid"), lit(hwm).as("hwm"))
+  }
+
+  val dl16Oracle: String =
+    """WITH b1 AS (
+      |  SELECT o_orderkey,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |b2 AS (
+      |  SELECT o_orderkey,
+      |    (SELECT count(*) FROM b1)
+      |      + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 3 = 1),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT o_orderkey, 1000 + 3 * r AS rid,
+      |  (SELECT 1000 + 3 * (count(*) - 1) FROM u) AS hwm
+      |FROM u""".stripMargin
+
   /** ic18_v3_row_lineage — Iceberg v3 ROW LINEAGE through the gate:
     * even keys land PRE-upgrade (null lineage, emitted −1), odd keys
     * append post-upgrade as ONE key-sorted file (so the assigned
@@ -3099,6 +3142,7 @@ object LakeQueries {
     "ic16_sql_ctas" -> (ic16SqlCtas _),
     "ic17_v3_dv_dml" -> (ic17V3DvDml _),
     "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
+    "dl16_identity" -> (dl16Identity _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -3171,6 +3215,7 @@ object LakeQueries {
     "ic16_sql_ctas" -> ic16Oracle,
     "ic17_v3_dv_dml" -> ic17Oracle,
     "ic18_v3_row_lineage" -> ic18Oracle,
+    "dl16_identity" -> dl16Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,
