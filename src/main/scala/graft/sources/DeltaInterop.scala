@@ -58,7 +58,9 @@ object DeltaInterop {
                             size: Long,
                             dv: Option[DeltaDv.DvDescriptor] = None,
                             stats: Option[String] = None,
-                            dataChange: Boolean = true)
+                            dataChange: Boolean = true,
+                            baseRowId: Option[Long] = None,
+                            defaultRowCommitVersion: Option[Long] = None)
 
   /** Reconstructed table state at one version. `columnMappingMode` is
     * the recorded `delta.columnMapping.mode` (`none` / `name` / `id`);
@@ -78,7 +80,8 @@ object DeltaInterop {
                               minWriterVersion: Int = 2,
                               writerFeatures: Seq[String] = Nil,
                               appTransactions: Map[String, Long] =
-                                Map.empty)
+                                Map.empty,
+                              domains: Map[String, String] = Map.empty)
 
   /** Test seam: runs between a write's version choice and its commit
     * publication — lets a spec interleave a racing commit
@@ -373,6 +376,7 @@ object DeltaInterop {
 
     var files = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var mappingMode: String = "none"
@@ -483,8 +487,30 @@ object DeltaInterop {
               !a.isNullAt(a.fieldIndex("stats")))
               Some(a.getString(a.fieldIndex("stats")))
             else None
+          def optLongCol(name: String): Option[Long] = {
+            val i = a.schema.fieldNames.indexOf(name)
+            if (i >= 0 && !a.isNullAt(i)) a.get(i) match {
+              case n: java.lang.Number => Some(n.longValue)
+              case _ => None
+            } else None
+          }
           files(path) = DeltaAdd(path, pv,
-            a.getLong(a.fieldIndex("size")), dv, stats)
+            a.getLong(a.fieldIndex("size")), dv, stats,
+            baseRowId = optLongCol("baseRowId"),
+            defaultRowCommitVersion =
+              optLongCol("defaultRowCommitVersion"))
+        }
+        struct("domainMetadata").foreach { dm =>
+          val name = dm.getString(dm.fieldIndex("domain"))
+          val removed = {
+            val i = dm.schema.fieldNames.indexOf("removed")
+            i >= 0 && !dm.isNullAt(i) && dm.getBoolean(i)
+          }
+          if (removed) domains.remove(name): Unit
+          else domains(name) = {
+            val i = dm.schema.fieldNames.indexOf("configuration")
+            if (i >= 0 && !dm.isNullAt(i)) dm.getString(i) else "{}"
+          }
         }
         struct("remove").foreach { rm =>
           files.remove(urlDecode(rm.getString(rm.fieldIndex("path")))): Unit
@@ -542,6 +568,9 @@ object DeltaInterop {
               case RemoveAction(p, _) => files.remove(p); Nil
               case SidecarAction(p) => Seq(p)
               case TxnAction(a, v) => txns(a) = v; Nil
+              case DomainAction(n, cfg, removed) =>
+                if (removed) domains.remove(n) else domains(n) = cfg
+                Nil
               case _ => Nil
             }
           else processCkParquet(Seq(file.toString))
@@ -570,6 +599,8 @@ object DeltaInterop {
         case AddAction(a) => files(a.path) = a
         case RemoveAction(p, _) => files.remove(p): Unit
         case TxnAction(a, v) => txns(a) = v
+        case DomainAction(n, cfg, removed) =>
+          if (removed) domains.remove(n): Unit else domains(n) = cfg
         case _: CdcAction | _: CommitInfoAction | _: SidecarAction =>
       }
     }
@@ -579,7 +610,7 @@ object DeltaInterop {
         s"no metaData action found replaying $table to $target")),
       partCols, files.values.toSeq, mappingMode, config, metaId,
       protoReader, protoFeatures, protoWriter, protoWriterFeatures,
-      txns.toMap)
+      txns.toMap, domains.toMap)
   }
 
   private sealed trait DeltaAction
@@ -608,6 +639,10 @@ object DeltaInterop {
   private final case class SidecarAction(path: String) extends DeltaAction
   private final case class TxnAction(appId: String, version: Long)
     extends DeltaAction
+  /** A `domainMetadata` action: domain name → configuration JSON
+    * string; removed=true drops the domain from the state. */
+  private final case class DomainAction(domain: String,
+      configuration: String, removed: Boolean) extends DeltaAction
 
   /** Parse one JSON commit file into its actions (commitInfo/txn
     * ignored). ONE definition shared by snapshot replay and the
@@ -705,10 +740,18 @@ object DeltaInterop {
             case JBool(b) => b
             case _ => true
           }
+          def optLong(v: JValue): Option[Long] = v match {
+            case JInt(i) => Some(i.toLong)
+            case JLong(l) => Some(l)
+            case _ => None
+          }
           Seq(AddAction(DeltaAdd(
             urlDecode(str(a \ "path").getOrElse(
               throw new IllegalStateException(s"add without path in $file"))),
-            pv, long(a \ "size"), dv, str(a \ "stats"), dc)))
+            pv, long(a \ "size"), dv, str(a \ "stats"), dc,
+            baseRowId = optLong(a \ "baseRowId"),
+            defaultRowCommitVersion =
+              optLong(a \ "defaultRowCommitVersion"))))
       }
       val remove = j \ "remove" match {
         case JNothing | JNull => Nil
@@ -749,7 +792,20 @@ object DeltaInterop {
         case tx => str(tx \ "appId").toSeq.map(a =>
           TxnAction(a, long(tx \ "version")))
       }
-      protocol ++ meta ++ add ++ remove ++ cdc ++ info ++ sidecar ++ txn
+      // domainMetadata: named configuration domains (row tracking's
+      // high-water mark lives in `delta.rowTracking`); `removed=true`
+      // tombstones the domain
+      val domain = j \ "domainMetadata" match {
+        case JNothing | JNull => Nil
+        case dm => str(dm \ "domain").toSeq.map(n =>
+          DomainAction(n, str(dm \ "configuration").getOrElse("{}"),
+            (dm \ "removed") match {
+              case JBool(b) => b
+              case _ => false
+            }))
+      }
+      protocol ++ meta ++ add ++ remove ++ cdc ++ info ++ sidecar ++
+        txn ++ domain
     }
   }
 
@@ -1207,7 +1263,7 @@ object DeltaInterop {
       DeltaWriteGate.requireWritable(p, table,
         if (overwrite) "overwrite" else "append",
         removesData = overwrite, addsData = true,
-        identityHandled = true)
+        identityHandled = true, rowTrackingHandled = true)
       require(p.partitionColumns == partitionBy,
         s"cannot change partitioning of $table from " +
           s"${p.partitionColumns.mkString(",")} to ${partitionBy.mkString(",")}")
@@ -1307,6 +1363,28 @@ object DeltaInterop {
     }.toMap
     val identityAdvanced = identityCols.exists {
       case (n, _, _, _, hwm) => identityHwms.get(n) != hwm }
+    // ROW TRACKING: every added file takes a fresh baseRowId range
+    // past the delta.rowTracking domain's high-water mark, stamped
+    // with this commit's version; the same commit republishes the
+    // domain with the advanced mark
+    val rowTracking =
+      prior.exists(_.writerFeatures.contains("rowTracking"))
+    val rowIdBase: Map[String, Long] =
+      if (!rowTracking) Map.empty
+      else {
+        var cursor = rowIdHwmOf(prior.get.domains) + 1
+        adds.map { a =>
+          val n = numRecordsOf(a).getOrElse(
+            throw new UnsupportedDeltaFeatureException(
+              s"cannot assign baseRowId on $table: staged file " +
+                s"${a.path} records no numRecords stats"))
+          val b = cursor; cursor += n; a.path -> b
+        }.toMap
+      }
+    val newRowIdHwm: Long =
+      if (!rowTracking || adds.isEmpty) -1L
+      else adds.map(a =>
+        rowIdBase(a.path) + numRecordsOf(a).getOrElse(0L) - 1).max
     // writer obligations (CHECK constraints, invariants, NOT NULL,
     // generated columns) validate against the STAGED files before the
     // commit publishes — a violation deletes them and nothing lands
@@ -1365,8 +1443,14 @@ object DeltaInterop {
       lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
         s""""partitionValues":$pvJson,"size":${a.size},""" +
         s""""modificationTime":$now,"dataChange":true""" +
-        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        rowIdBase.get(a.path).map(b =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$version""")
+          .getOrElse("") + "}}"
     }
+    if (rowTracking && adds.nonEmpty)
+      lines += domainJson(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$newRowIdHwm}""")
 
     publishCommit(fs, logDir, version, lines.toSeq,
       prior.map(_.configuration).getOrElse(Map.empty))
@@ -2495,7 +2579,7 @@ object DeltaInterop {
     require(newCols.nonEmpty, "addColumns needs at least one column")
     val st = state(spark, table, None)
     DeltaWriteGate.requireWritable(st, table, "ADD COLUMNS",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     newCols.find(f => st.schema.fieldNames.contains(f.name)).foreach(f =>
       throw new IllegalArgumentException(
         s"ALTER on $table: column '${f.name}' already exists " +
@@ -2552,7 +2636,7 @@ object DeltaInterop {
                    from: String, to: String): Long = {
     val st = state(spark, table, None)
     DeltaWriteGate.requireWritable(st, table, "RENAME COLUMN",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     if (st.columnMappingMode == "none")
       throw new UnsupportedDeltaFeatureException(
         s"RENAME COLUMN on $table needs column mapping — unmapped data " +
@@ -2586,7 +2670,7 @@ object DeltaInterop {
     require(names.nonEmpty, "dropColumns needs at least one column")
     val st = state(spark, table, None)
     DeltaWriteGate.requireWritable(st, table, "DROP COLUMNS",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     // dropping a column a recorded CHECK constraint or invariant
     // references would orphan the obligation — later writes could not
     // validate it; refuse by the constraint's name first
@@ -2639,7 +2723,7 @@ object DeltaInterop {
     if (st.configuration.get("delta.enableChangeDataFeed")
       .contains("true")) return st.version
     DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val now = System.currentTimeMillis()
@@ -2693,7 +2777,7 @@ object DeltaInterop {
     require(props.nonEmpty, "setProperties needs at least one property")
     val st = state(spark, table, None)
     DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     props.keys.foreach { k =>
       require(!k.startsWith("delta.columnMapping."),
         s"$k cannot change via SET TBLPROPERTIES — mapping mode is " +
@@ -2749,7 +2833,7 @@ object DeltaInterop {
       s"constraint name '$name' — letters, digits, _ and - only")
     val st = state(spark, table, None)
     DeltaWriteGate.requireWritable(st, table, "ADD CONSTRAINT",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     val key = s"delta.constraints.$name"
     require(!st.configuration.contains(key),
       s"constraint '$name' already exists on $table " +
@@ -2802,7 +2886,7 @@ object DeltaInterop {
                           name: String): Long = {
     val st = state(spark, table, None)
     DeltaWriteGate.requireWritable(st, table, "DROP CONSTRAINT",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     val key = s"delta.constraints.$name"
     require(st.configuration.contains(key),
       s"no CHECK constraint '$name' on $table")
@@ -3169,13 +3253,22 @@ object DeltaInterop {
         (st.appTransactions.toSeq.sortBy(_._1).map { case (a, v) =>
           CkRow(None, None, None, txn = Some(CkTxn(a, v)))
         } ++
+        // live domainMetadata actions survive the checkpoint (the
+        // spec requires it — row tracking's high-water mark lives
+        // in the delta.rowTracking domain)
+        st.domains.toSeq.sortBy(_._1).map { case (n, cfg) =>
+          CkRow(None, None, None,
+            domainMetadata = Some(CkDomain(n, cfg)))
+        } ++
         st.files.map(a => CkRow(None, None, Some(CkAdd(
           urlEncode(a.path),
           a.partitionValues.map { case (k, v) => k -> v.orNull },
           a.size, 0L, dataChange = false, stats = a.stats,
           deletionVector = a.dv.map(d => CkDv(d.storageType,
             d.pathOrInlineDv, d.offset, d.sizeInBytes,
-            d.cardinality)))))))
+            d.cardinality)),
+          baseRowId = a.baseRowId,
+          defaultRowCommitVersion = a.defaultRowCommitVersion)))))
     val target = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
     // idempotent: a checkpoint for this version already exists — it
     // replays to the same state (checkpoints are deterministic
@@ -3217,7 +3310,7 @@ object DeltaInterop {
     if (st.configuration.get("delta.checkpointPolicy").contains("v2"))
       return st.version
     DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val now = System.currentTimeMillis()
@@ -3255,6 +3348,161 @@ object DeltaInterop {
       lines, config)
   }
 
+  // ------------------------------------------------------ row tracking
+
+  /** The protocol's row-tracking metadata domain — its configuration
+    * JSON carries `rowIdHighWaterMark`, the largest assigned row id. */
+  private[sources] val RowTrackingDomain = "delta.rowTracking"
+
+  private def rowIdHwmOf(domains: Map[String, String]): Long =
+    domains.get(RowTrackingDomain).flatMap { cfg =>
+      import org.json4s._
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(cfg)).toOption
+        .flatMap(j => (j \ "rowIdHighWaterMark") match {
+          case JInt(n) => Some(n.toLong)
+          case JLong(n) => Some(n)
+          case _ => None
+        })
+    }.getOrElse(-1L)
+
+  private def domainJson(domain: String, configuration: String,
+                         removed: Boolean = false): String =
+    s"""{"domainMetadata":{"domain":${jstr(domain)},""" +
+      s""""configuration":${jstr(configuration)},"removed":$removed}}"""
+
+  /** Enable ROW TRACKING: one commit upgrades the protocol to writer
+    * 7 declaring `rowTracking` + `domainMetadata` (legacy-implied
+    * features carried, reader side untouched — row tracking has no
+    * reader feature), records `delta.enableRowTracking=true`, and
+    * BACKFILLS every live file with an assigned `baseRowId` /
+    * `defaultRowCommitVersion` (dataChange=false re-adds), publishing
+    * the `delta.rowTracking` domain's high-water mark. From this
+    * commit on, appends assign fresh row-id ranges; verbs this writer
+    * cannot preserve row ids through (CoW rewrites) refuse by name.
+    * O(live files) metadata, no data IO. */
+  def enableRowTracking(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table, None)
+    if (st.writerFeatures.contains("rowTracking") &&
+      st.configuration.get("delta.enableRowTracking").contains("true"))
+      return st.version
+    DeltaWriteGate.requireWritable(st, table, "SET TBLPROPERTIES",
+      removesData = false, addsData = false, rowTrackingHandled = true)
+    // only files WITHOUT an assignment backfill — re-enabling (or
+    // enabling a foreign table whose writer already assigned) must
+    // never move an existing file's row ids
+    val backfill: Seq[(DeltaAdd, Long)] =
+      st.files.filter(_.baseRowId.isEmpty).map(a =>
+        a -> numRecordsOf(a).getOrElse(
+          throw new UnsupportedDeltaFeatureException(
+            s"enableRowTracking on $table: live file ${a.path} " +
+              "records no numRecords stats — cannot backfill base " +
+              "row ids")))
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val now = System.currentTimeMillis()
+    val version = st.version + 1
+    // writer 7 with legacy-implied features carried over (the
+    // enableV2Checkpoints discipline); reader-side features that are
+    // also writer features stay listed on the writer side
+    val legacy = st.minWriterVersion < 7 && st.writerFeatures.isEmpty
+    val legacyImplied =
+      (if (legacy && st.minWriterVersion >= 2)
+        Seq("appendOnly", "invariants") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 3)
+          Seq("checkConstraints") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 4)
+          Seq("changeDataFeed", "generatedColumns") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 5)
+          Seq("columnMapping") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 6)
+          Seq("identityColumns") else Nil)
+    val rf =
+      if (st.minReaderVersion >= 3) st.readerFeatures
+      else Nil
+    val wf = (st.writerFeatures ++ legacyImplied ++ rf ++
+      Seq("domainMetadata", "rowTracking")).distinct
+    val config = st.configuration + ("delta.enableRowTracking" -> "true")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("SET TBLPROPERTIES")},"operationParameters":{},""" +
+      s""""engineInfo":${jstr("graft")}}}"""
+    lines += s"""{"protocol":{"minReaderVersion":${st.minReaderVersion},""" +
+      s""""minWriterVersion":7,""" +
+      (if (st.minReaderVersion >= 3)
+        s""""readerFeatures":${rf.map(jstr).mkString("[", ",", "]")},"""
+      else "") +
+      s""""writerFeatures":${wf.map(jstr).mkString("[", ",", "]")}}}"""
+    lines += metaDataJson(st.schema, st.partitionColumns, now, config,
+      st.metaId)
+    var cursor = rowIdHwmOf(st.domains) + 1
+    backfill.foreach { case (a, n) =>
+      val b = cursor; cursor += n
+      lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
+        s""""partitionValues":${pvJsonOf(a.partitionValues)},""" +
+        s""""size":${a.size},"modificationTime":$now,""" +
+        s""""dataChange":false""" +
+        a.stats.map(st0 => s""","stats":${jstr(st0)}""").getOrElse("") +
+        a.dv.map(d =>
+          s""","deletionVector":{"storageType":${jstr(d.storageType)},""" +
+            s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},""" +
+            s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},""" +
+            s""""cardinality":${d.cardinality}}""").getOrElse("") +
+        s""","baseRowId":$b,"defaultRowCommitVersion":$version}}"""
+    }
+    lines += domainJson(RowTrackingDomain,
+      s"""{"rowIdHighWaterMark":${cursor - 1}}""")
+    publishCommit(fs, new Path(root, "_delta_log"), version,
+      lines.toSeq, config)
+  }
+
+  /** Read the live rows of a row-tracking table WITH their row ids:
+    * every data column plus `_row_id` (the file's `baseRowId` + row
+    * position) and `_row_commit_version` (the file's
+    * `defaultRowCommitVersion`), deletion vectors applied. Files a
+    * foreign writer added without assignment serve NULL. Tables that
+    * record MATERIALIZED tracking columns refuse by name — this
+    * reader serves inherited ids only, and a rewritten row's
+    * materialized id must win over inheritance.
+    *
+    * Scale shape: the id columns ride the ONE data scan — a broadcast
+    * of (file → base, version) joins on the scan's metadata path,
+    * positions come from parquet `row_index`; no extra pass. */
+  def readRowIds(spark: SparkSession, table: String,
+                 version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val st = state(spark, table, version)
+    if (!st.writerFeatures.contains("rowTracking"))
+      throw new UnsupportedDeltaFeatureException(
+        s"table $table does not declare the rowTracking writer " +
+          "feature (enableRowTracking is the door)")
+    Seq("delta.rowTracking.materializedRowIdColumnName",
+      "delta.rowTracking.materializedRowCommitVersionColumnName")
+      .foreach(k => if (st.configuration.contains(k))
+        throw new UnsupportedDeltaFeatureException(
+          s"table $table records materialized row-tracking columns " +
+            s"($k) — this reader serves inherited row ids only and " +
+            "cannot honor materialized precedence"))
+    Seq("_row_id", "_row_commit_version").foreach(n =>
+      if (st.schema.exists(_.name == n))
+        throw new UnsupportedDeltaFeatureException(
+          s"table $table declares a data column named $n — it " +
+            "shadows the row-tracking output column"))
+    val df = filesToDF(spark, table, st.schema, st.partitionColumns,
+      st.files, st.columnMappingMode, keepLineage = true)
+    if (st.files.isEmpty)
+      return df.withColumn("_row_id", lit(null).cast(LongType))
+        .withColumn("_row_commit_version", lit(null).cast(LongType))
+    import spark.implicits._
+    val info = broadcast(st.files.map(a =>
+      (uriKey(new Path(table), a.path), a.baseRowId,
+        a.defaultRowCommitVersion))
+      .toDF("__fp", "__base", "__dcv"))
+    df.join(info, Seq("__fp"), "left")
+      .withColumn("_row_id", col("__base") + col("__pos"))
+      .withColumn("_row_commit_version", col("__dcv"))
+      .drop("__fp", "__pos", "__base", "__dcv")
+  }
+
   /** The V2 checkpoint writer: add actions split across SIDECAR
     * parquet files under `_delta_log/_sidecars/` (bounded rows each —
     * at scale, written and later read in parallel), referenced by a
@@ -3283,7 +3531,9 @@ object DeltaInterop {
           a.size, 0L, dataChange = false, stats = a.stats,
           deletionVector = a.dv.map(d => CkDv(d.storageType,
             d.pathOrInlineDv, d.offset, d.sizeInBytes,
-            d.cardinality))))))
+            d.cardinality)),
+          baseRowId = a.baseRowId,
+          defaultRowCommitVersion = a.defaultRowCommitVersion))))
         val stage = new Path(logDir, s".sc-$uuid-$i")
         rows.toDF().coalesce(1).write.parquet(stage.toString)
         val part = listParquet(fs, stage).head
@@ -3305,6 +3555,8 @@ object DeltaInterop {
           st.partitionColumns, st.configuration, now))) +:
         (st.appTransactions.toSeq.sortBy(_._1).map { case (a, v) =>
           CkV2Row(txn = Some(CkTxn(a, v)))
+        } ++ st.domains.toSeq.sortBy(_._1).map { case (n, cfg) =>
+          CkV2Row(domainMetadata = Some(CkDomain(n, cfg)))
         } ++ sidecars.map(sc => CkV2Row(sidecar = Some(sc))))
     val target = new Path(logDir,
       f"${st.version}%020d.checkpoint.$uuid.parquet")
@@ -3351,7 +3603,8 @@ object DeltaInterop {
     // the vacuumProtocolCheck feature's whole duty: run the writer
     // (and transitively reader) protocol check BEFORE deleting files
     DeltaWriteGate.requireWritable(state(spark, table, None), table,
-      "VACUUM", removesData = false, addsData = false)
+      "VACUUM", removesData = false, addsData = false,
+      rowTrackingHandled = true)
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     require(ManifestLake.currentVersion(spark, table).isEmpty,
@@ -3689,13 +3942,20 @@ object DeltaInterop {
                                  size: Long, modificationTime: Long,
                                  dataChange: Boolean,
                                  stats: Option[String] = None,
-                                 deletionVector: Option[CkDv] = None)
+                                 deletionVector: Option[CkDv] = None,
+                                 baseRowId: Option[Long] = None,
+                                 defaultRowCommitVersion: Option[Long] =
+                                   None)
   private[sources] final case class CkTxn(appId: String, version: Long,
                                  lastUpdated: Option[Long] = None)
+  private[sources] final case class CkDomain(domain: String,
+                                 configuration: String,
+                                 removed: Boolean = false)
   private[sources] final case class CkRow(protocol: Option[CkProtocol],
                                  metaData: Option[CkMeta],
                                  add: Option[CkAdd],
-                                 txn: Option[CkTxn] = None)
+                                 txn: Option[CkTxn] = None,
+                                 domainMetadata: Option[CkDomain] = None)
   // v2-checkpoint action rows: the top-level file's shape (no adds —
   // those live in sidecars) and the sidecar files' (adds only)
   private[sources] final case class CkCheckpointMeta(version: Long)
@@ -3707,7 +3967,8 @@ object DeltaInterop {
       protocol: Option[CkProtocol] = None,
       metaData: Option[CkMeta] = None,
       txn: Option[CkTxn] = None,
-      sidecar: Option[CkSidecarRef] = None)
+      sidecar: Option[CkSidecarRef] = None,
+      domainMetadata: Option[CkDomain] = None)
   private[sources] final case class CkSideRow(add: Option[CkAdd])
 
   // ------------------------------------------------------------- helpers

@@ -78,12 +78,15 @@ object DeltaWriteGate {
     *  - `vacuumProtocolCheck` / `checkpointProtection` — duties
     *    attach to VACUUM / metadata cleanup, neither of which this
     *    writer performs;
-    *  - `domainMetadata` — data commits never touch domains; writing
-    *    a CHECKPOINT would drop recorded domains (state replay does
-    *    not carry them), so [[requireCheckpointable]] refuses that
-    *    one verb by name.
-    * Anything else — `rowTracking` (writers must allocate base row
-    * IDs), `icebergCompatV1/V2` (parquet field-id duties),
+    *  - `domainMetadata` — data commits never touch domains, and
+    *    CHECKPOINTs preserve every live domain action (state replay
+    *    carries them);
+    *  - `rowTracking` — plain appends ASSIGN `baseRowId` /
+    *    `defaultRowCommitVersion` and advance the
+    *    `delta.rowTracking` domain's high-water mark; checkpoints
+    *    preserve both; every other data verb refuses by name
+    *    (`rowTrackingHandled` marks the honoring paths).
+    * Anything else — `icebergCompatV1/V2` (parquet field-id duties),
     * `clustering`, unknown future features — refuses BY NAME, the
     * same courtesy the reader extends. */
   val SupportedWriterFeatures: Set[String] = Set(
@@ -106,13 +109,19 @@ object DeltaWriteGate {
   def requireWritable(st: DeltaState, table: String, op: String,
                       removesData: Boolean,
                       addsData: Boolean,
-                      identityHandled: Boolean = false): Unit = {
+                      identityHandled: Boolean = false,
+                      rowTrackingHandled: Boolean = false): Unit = {
     if (st.minWriterVersion > 7)
       throw new UnsupportedDeltaFeatureException(
         s"$op on $table requires minWriterVersion=" +
           s"${st.minWriterVersion} — versions 1-7 (table features) " +
           "are the supported writer surface")
     val unsupported = st.writerFeatures.filterNot(SupportedWriterFeatures)
+      // rowTracking is honored by the paths that ASSIGN base row ids
+      // (plain appends and the checkpoint, which preserves them);
+      // everything else keeps refusing it by name — a rewrite that
+      // dropped assigned row ids would corrupt the tracking
+      .filterNot(f => rowTrackingHandled && f == "rowTracking")
     if (unsupported.nonEmpty)
       throw new UnsupportedDeltaFeatureException(
         s"$op on $table requires writer features " +
@@ -153,16 +162,9 @@ object DeltaWriteGate {
     * that feature, a graft checkpoint would silently drop recorded
     * domains (e.g. row-tracking high-water marks) for any reader that
     * starts from it. Refuse that one verb by name. */
-  def requireCheckpointable(st: DeltaState, table: String): Unit = {
+  def requireCheckpointable(st: DeltaState, table: String): Unit =
     requireWritable(st, table, "CHECKPOINT", removesData = false,
-      addsData = false)
-    if (st.writerFeatures.contains("domainMetadata"))
-      throw new UnsupportedDeltaFeatureException(
-        s"CHECKPOINT on $table: the table carries the domainMetadata " +
-          "writer feature and this writer's checkpoints do not " +
-          "preserve domainMetadata actions — a checkpoint would drop " +
-          "recorded domains; keep replaying the JSON log instead")
-  }
+      addsData = false, rowTrackingHandled = true)
 
   /** Nested struct fields carrying write obligations this gate only
     * enforces at the top level — returned as dotted paths so

@@ -1202,6 +1202,48 @@ object LakeQueries {
       |  (SELECT 1000 + 3 * (count(*) - 1) FROM u) AS hwm
       |FROM u""".stripMargin
 
+  /** dl17_row_tracking — Delta ROW TRACKING through the gate:
+    * `enableRowTracking` BACKFILLS the key-sorted creation file (so
+    * `_row_id` is the key's rank), a later sorted append assigns the
+    * next range, and a CHECKPOINT carries the `delta.rowTracking`
+    * domain + per-file assignment that the emitted read then replays
+    * THROUGH. Every `_row_id` and `_row_commit_version` (backfill=1,
+    * append=2) is exactly re-derivable by ROW_NUMBER. */
+  def dl17RowTracking(s: SparkSession, d: String): DataFrame = {
+    val dir = builtTables.computeIfAbsent(s"dl17:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl17").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey")
+      DeltaInterop.write(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey"), t)
+      DeltaInterop.enableRowTracking(s, t) // version 1: backfill
+      DeltaInterop.write(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"), t)
+      DeltaInterop.checkpoint(s, t) // domains + assignment survive
+      t
+    })
+    DeltaInterop.readRowIds(s, dir)
+      .select(col("o_orderkey"), col("_row_id").as("row_id"),
+        col("_row_commit_version").as("rcv"))
+  }
+
+  val dl17Oracle: String =
+    """WITH e AS (
+      |  SELECT o_orderkey,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |o2 AS (
+      |  SELECT o_orderkey,
+      |    (SELECT count(*) FROM e)
+      |      + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o_orderkey, r AS row_id, CAST(1 AS BIGINT) AS rcv FROM e
+      |UNION ALL
+      |SELECT o_orderkey, r AS row_id, CAST(2 AS BIGINT) AS rcv
+      |FROM o2""".stripMargin
+
   /** ic18_v3_row_lineage — Iceberg v3 ROW LINEAGE through the gate:
     * even keys land PRE-upgrade (null lineage, emitted −1), odd keys
     * append post-upgrade as ONE key-sorted file (so the assigned
@@ -3143,6 +3185,7 @@ object LakeQueries {
     "ic17_v3_dv_dml" -> (ic17V3DvDml _),
     "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
     "dl16_identity" -> (dl16Identity _),
+    "dl17_row_tracking" -> (dl17RowTracking _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
     "lk17_month_partition" -> (lk17MonthPartition _),
     "lk16_time_partition" -> (lk16TimePartition _),
@@ -3216,6 +3259,7 @@ object LakeQueries {
     "ic17_v3_dv_dml" -> ic17Oracle,
     "ic18_v3_row_lineage" -> ic18Oracle,
     "dl16_identity" -> dl16Oracle,
+    "dl17_row_tracking" -> dl17Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
     "lk17_month_partition" -> lk17Oracle,
     "lk16_time_partition" -> lk16Oracle,

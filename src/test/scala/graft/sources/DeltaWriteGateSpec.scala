@@ -120,7 +120,9 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("unknown writer features and minWriterVersion > 7 refuse " +
-    "every write verb by name while reads keep working") {
+    "every write verb by name while reads keep working; rowTracking " +
+    "appends ASSIGN instead of refusing (r14c), rewrites still " +
+    "refuse") {
     import spark.implicits._
     val t = fresh()
     seed(t)
@@ -130,16 +132,29 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
         """"writerFeatures":["rowTracking","invariants"]}}"""))
     DeltaInterop.read(spark, t).count() shouldBe 100L
-    val e = intercept[DeltaInterop.UnsupportedDeltaFeatureException](
-      DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t))
-    e.getMessage should include("rowTracking")
-    e.getMessage should not include "invariants]"
+    // appends on a rowTracking table now ASSIGN base row ids
+    DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t)
+    val st2 = DeltaInterop.state(spark, t, None)
+    st2.files.exists(_.baseRowId.isDefined) shouldBe true
+    st2.domains.keySet should contain("delta.rowTracking")
+    // file-rewriting verbs still refuse — they cannot preserve ids
     intercept[DeltaInterop.UnsupportedDeltaFeatureException](
       DeltaInterop.delete(spark, t, col("id") === 1L))
       .getMessage should include("rowTracking")
     intercept[DeltaInterop.UnsupportedDeltaFeatureException](
       DeltaInterop.optimize(spark, t)).getMessage should
       include("rowTracking")
+    // a genuinely unknown feature refuses EVERY verb, appends included
+    val t3 = fresh()
+    seed(t3)
+    rawCommit(t3, 1L, Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"UPGRADE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["clustering","invariants"]}}"""))
+    val e = intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t3))
+    e.getMessage should include("clustering")
+    e.getMessage should not include "invariants]"
     val t2 = fresh()
     seed(t2)
     rawCommit(t2, 1L, Seq(
@@ -257,8 +272,9 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       .rowsAffected shouldBe 1L
   }
 
-  test("checkpoint refuses domainMetadata tables by name (graft " +
-    "checkpoints would drop recorded domains)") {
+  test("checkpoints PRESERVE domainMetadata actions (r14c): a " +
+    "foreign domain survives replay-from-checkpoint; removed " +
+    "domains drop") {
     import spark.implicits._
     val t = fresh()
     seed(t)
@@ -266,14 +282,20 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       """{"commitInfo":{"timestamp":0,"operation":"UPGRADE"}}""",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
         """"writerFeatures":["domainMetadata"]}}""",
-      """{"domainMetadata":{"domain":"d1","configuration":"{}",""" +
-        """"removed":false}}"""))
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
-      DeltaInterop.checkpoint(spark, t))
-      .getMessage should include("domainMetadata")
+      """{"domainMetadata":{"domain":"d1","configuration":"{\"x\":1}",""" +
+        """"removed":false}}""",
+      """{"domainMetadata":{"domain":"d2","configuration":"{}",""" +
+        """"removed":false}}""",
+      """{"domainMetadata":{"domain":"d2","configuration":"{}",""" +
+        """"removed":true}}"""))
+    DeltaInterop.checkpoint(spark, t)
+    val st = DeltaInterop.state(spark, t, None)
+    st.domains shouldBe Map("d1" -> """{"x":1}""")
     // data commits are unaffected — appends never touch domains
     DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t)
     DeltaInterop.read(spark, t).count() shouldBe 101L
+    DeltaInterop.state(spark, t, None)
+      .domains.keySet should contain("d1")
   }
 
   test("DROP COLUMN refuses when a CHECK constraint references the " +
