@@ -1214,7 +1214,12 @@ object DeltaInterop {
         s"$table already exists")
     identity.foreach { ic =>
       require(ic.step != 0,
-        s"identity column ${ic.name}: INCREMENT BY 0 is illegal") }
+        s"identity column ${ic.name}: INCREMENT BY 0 is illegal")
+      require(!partitionBy.contains(ic.name),
+        s"identity column ${ic.name} cannot be a partition column — " +
+          "partition values carry no footer bounds, so the high-water " +
+          "mark could not advance")
+    }
     val identityCols: Seq[(String, Long, Long, Boolean, Option[Long])] =
       prior match {
         case Some(p) => p.schema.fields.toSeq.flatMap(identityOf)
@@ -1285,6 +1290,14 @@ object DeltaInterop {
     // dropped / nulled / mistyped columns
     val schemaChanged = overwrite && prior.exists(p =>
       !InteropSchema.sameShape(p.schema, dfFinal.schema))
+    // a schema-changing overwrite records the NEW frame's schema —
+    // on an identity table that would silently drop the identity
+    // declaration (start/step/high-water mark live in field metadata)
+    if (schemaChanged && identityCols.nonEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"schema-changing overwrite of $table would drop its IDENTITY " +
+          s"column declaration (${identityCols.map(_._1).mkString(", ")})" +
+          " — overwrite with the recorded shape")
     val mapped = prior.map(_.columnMappingMode != "none")
       .getOrElse(columnMapping != "none")
     if (mapped && schemaChanged)

@@ -139,6 +139,26 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Single-word reference encode: apply the learned merges in rank
+    * order over the character sequence and return the subword count —
+    * the local ground truth [[graft.functions.BpeEncode]]'s kernel is
+    * checked against (bp1's in-row evidence). */
+  private[text] def referenceTokens(word: String,
+                                    merges: Seq[Merge]): Int = {
+    var syms = word.map(_.toString).toVector
+    merges.sortBy(_.rank).foreach { m =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == m.left &&
+          syms(i + 1) == m.right) { out += (m.left + m.right); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
   /** Encode: per-doc subword token sequence lengths under a learned
     * merge list — character count collapses to `bpe_tokens` as merges
     * apply. One narrow projection; the merges travel as literals. */

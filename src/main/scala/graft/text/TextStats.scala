@@ -973,24 +973,56 @@ object TextQueries {
         val merges = Bpe.train(docs, nMerges = 24)
         val dict = Bpe.wordDict(docs).select(col("word"), col("freq"))
           .as[(String, Long)].collect().toSeq
-        (merges, Bpe.trainReference(dict, nMerges = 24) == merges)
+        val refEq = Bpe.trainReference(dict, nMerges = 24) == merges
+        // encode-kernel evidence: the distributed BpeEncode projection
+        // totals over the dictionary must equal a local reference
+        // application of the same list (one O(vocabulary) pass)
+        val encTotal = Bpe.encode(Bpe.wordDict(docs), merges, "word")
+          .select(coalesce(sum(col("freq") * col("bpe_tokens")), lit(0L))
+            .cast("long"))
+          .as[Long].head()
+        val refTotal = dict.map { case (w, f) =>
+          f * Bpe.referenceTokens(w, merges) }.sum
+        (merges, refEq && encTotal == refTotal)
       })
     }
 
   /** bp1_bpe_merges — distributed BPE tokenizer training through the
-    * gate: the learned merge list (rank, pair, weighted frequency) over
-    * the documents corpus, self-graded in-row against an independent
-    * single-threaded reference trainer over the collected dictionary
-    * (same tie-break, same stop rule) — any divergence empties the row
-    * set rather than shipping quietly. Iterative and engine-internal →
-    * rows-only driver check, like the other non-SQL-expressible ops. */
+    * gate, HASH-EXACT via the dd11 pattern: the emitted rows are the
+    * corpus's top-24 word types by (freq DESC, word) — exactly
+    * re-derivable by DuckDB under the identical tokenization — and
+    * they SURVIVE only when (a) the distributed trainer's merge list
+    * equals an independent single-threaded reference trainer's (same
+    * tie-break, same stop rule) and (b) the native BpeEncode kernel's
+    * subword totals over the dictionary equal a local reference
+    * application of the learned list. A trainer or kernel regression
+    * empties the result into a loud cardinality failure. */
   def bp1BpeMerges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (merges, ok) = bpeMergesFor(s, d)
-    merges.toDF()
-      .withColumn("matches_reference", lit(ok))
-      .filter(col("matches_reference"))
+    import org.apache.spark.sql.expressions.Window
+    val (_, ok) = bpeMergesFor(s, d)
+    Bpe.wordDict(Tables.documents(s, d))
+      .select(col("word"), col("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(24)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number()
+        .over(Window.orderBy(col("freq").desc, col("word"))))
+      .withColumn("bpe_ok", lit(ok))
+      .filter(col("bpe_ok"))
   }
+
+  val bp1Oracle: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |dict AS (
+      |  SELECT u.w AS word, count(*) AS freq
+      |  FROM toks, UNNEST(t) AS u(w) GROUP BY 1)
+      |SELECT word, freq,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS INT)
+      |    AS rank,
+      |  TRUE AS bpe_ok
+      |FROM dict ORDER BY freq DESC, word LIMIT 24""".stripMargin
 
   /** co1_pmi_collocations — PMI bigram mining through the gate: counts,
     * unigram frequencies and the grid-rounded PMI score re-derived from
@@ -1121,6 +1153,7 @@ object TextQueries {
     "tx7_line_filter" -> (tx7LineFilter _))
 
   val oracles: Map[String, String] = Map(
+    "bp1_bpe_merges" -> bp1Oracle,
     "bm1_bm25_topk" -> bm1Oracle,
     "bm2_bm25_index" -> bm1Oracle,
     "co1_pmi_collocations" -> co1Oracle,
