@@ -2661,20 +2661,45 @@ object IcebergInterop {
           }
         }
       val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
+      // v3 rewrites MATERIALIZE row lineage: the rewrite scan resolves
+      // `_row_id`/`_last_updated_sequence_number`, survivors carry
+      // them (UPDATE-fired rows take this commit's sequence), inserts
+      // land null and inherit fresh ids from their file's origin
+      val v3 = st.formatVersion >= 3
+      val lineageFields =
+        if (!v3) Nil
+        else Seq(StructField(RowIdCol, LongType),
+          StructField(LastUpdatedCol, LongType))
       val currentRows =
         if (rewriteSet.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            st.schema)
+            StructType(st.schema.fields ++ lineageFields))
+        else if (v3)
+          lineageResolved(spark,
+            st.copy(files = rewriteSet.toIndexedSeq), table)
+            .drop("__fp", "__pos")
         else toDF(spark, st.copy(files = rewriteSet.toIndexedSeq))
           .drop("__fp", "__pos")
+      val newSeq: Long =
+        if (!v3) 0L
+        else {
+          val meta = org.json4s.jackson.JsonMethods.parse(readText(fs,
+            new Path(new Path(table),
+              s"metadata/v${st.metadataVersion}.metadata.json")))
+          (jLong(meta \ "last-sequence-number") max 0L) + 1L
+        }
       val notMatchedSrc =
         if (notMatched.isEmpty) cached.filter(lit(false))
         else cached.join(liveKeys.drop("__fp").distinct(), keyCols,
           "left_anti")
       val applied = MergeClauses(currentRows, cached, keyCols, st.schema,
         matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
-        notMatchedSrc)
+        notMatchedSrc,
+        extraCarry = lineageFields,
+        stampUpdated =
+          if (!v3) Map.empty
+          else Map(LastUpdatedCol -> lit(newSeq)))
       val insertCount =
         if (notMatched.isEmpty) 0L else applied.inserts.count()
       if (rewriteSet.isEmpty && insertCount == 0L)
@@ -2684,7 +2709,7 @@ object IcebergInterop {
       val added = stageRewritten(spark, fs, root, st,
         applied.survivors.unionByName(applied.inserts))
       val snap = publishRewrite(spark, fs, root, st, added,
-        rewriteSet.map(_.path).toSet, "overwrite")
+        rewriteSet.map(_.path).toSet, "overwrite", lineageSafe = true)
       IceDml(snap, firedCount + insertCount, rewriteSet.size)
     } finally { cached.unpersist(): Unit }
   }

@@ -91,12 +91,22 @@ private[sources] object MergeClauses {
     * (a key-equal row failing it is NOT matched), and NMBS clauses
     * fire on source-matchless rows inside the scope (everywhere, when
     * `effectiveFullTable`). */
+  /** `extraCarry` columns (present on `currentRows`, e.g. Iceberg v3
+    * lineage) ride survivors VERBATIM — except UPDATE-fired rows,
+    * where a `stampUpdated` entry overrides the carry (the
+    * last-updated-sequence bump) — and land NULL on inserts (fresh
+    * rows inherit downstream). CDC images stay schema-shaped. */
   def apply(currentRows: DataFrame, source: DataFrame,
             keyCols: Seq[String], schema: StructType,
             matched: Seq[MergeMatched], notMatched: Seq[MergeInsert],
             notMatchedBySource: Seq[MergeMatched],
             scope: Option[Column], effectiveFullTable: Boolean,
-            notMatchedSrc: DataFrame): Applied = {
+            notMatchedSrc: DataFrame,
+            extraCarry: Seq[org.apache.spark.sql.types.StructField] = Nil,
+            stampUpdated: Map[String, Column] = Map.empty): Applied = {
+    extraCarry.foreach(f => require(
+      currentRows.columns.contains(f.name),
+      s"extraCarry column ${f.name} missing from the rewrite scan"))
     require(schema.fieldNames.forall(!_.startsWith(MergeSrcPrefix)),
       s"MERGE target columns may not start with '$MergeSrcPrefix'")
     val srcNames = source.columns.toSeq
@@ -141,7 +151,15 @@ private[sources] object MergeClauses {
         case (_, rest) => rest
       }.as(f.name)
     val schemaCols = schema.fields.toIndexedSeq
-    val survivors = surviving.select(schemaCols.map(updateValue): _*)
+    def carryValue(f: org.apache.spark.sql.types.StructField): Column =
+      stampUpdated.get(f.name) match {
+        case Some(stamp) if updateIdxs.nonEmpty =>
+          when(col("__act").isin(updateIdxs: _*), stamp)
+            .otherwise(col(s"`${f.name}`")).as(f.name)
+        case _ => col(s"`${f.name}`").as(f.name)
+      }
+    val survivors = surviving.select(
+      (schemaCols.map(updateValue) ++ extraCarry.map(carryValue)): _*)
     val oldCols = schemaCols.map(f => col(s"`${f.name}`"))
     val firedOld = withAct.filter(col("__act") >= 0).select(oldCols: _*)
     val updatedRows =
@@ -170,7 +188,9 @@ private[sources] object MergeClauses {
           }
           when(col("__iact") === i, v.cast(f.dataType)).otherwise(rest)
       }.as(f.name)
-    val inserts = firedIns.select(schemaCols.map(insertValue): _*)
+    val inserts = firedIns.select(
+      (schemaCols.map(insertValue) ++ extraCarry.map(f =>
+        lit(null).cast(f.dataType).as(f.name))): _*)
     Applied(survivors, inserts, firedOld, updatedPre, updatedPost,
       deletedOld)
   }

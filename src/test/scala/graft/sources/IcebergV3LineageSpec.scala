@@ -287,6 +287,46 @@ class IcebergV3LineageSpec extends AnyFunSuite with Matchers
       .as[(Long, Long)].collect().toMap shouldBe preIds
   }
 
+  test("MERGE on v3 carries lineage: updated rows keep _row_id and " +
+    "take the commit's sequence, bystanders in rewritten files keep " +
+    "both, inserts inherit fresh ids, and a second merge preserves " +
+    "the carried id again") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (100L until 103L).map(k => (k, k)).toDF("k", "v").coalesce(1), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    IcebergInterop.write(
+      (0L until 10L).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k"), t)
+    val before = IcebergInterop.readRowLineage(spark, t)
+    val bystanderLast = before.filter($"k" === 7L)
+      .select($"_last_updated_sequence_number").as[Long].head()
+    IcebergInterop.merge(
+      Seq((5L, 500L), (20L, 2000L)).toDF("k", "v"), t, Seq("k"))
+    val a = IcebergInterop.readRowLineage(spark, t)
+    a.count() shouldBe 14L
+    val upd = a.filter($"k" === 5L)
+      .select($"v", $"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long, Long)].head()
+    upd._1 shouldBe 500L
+    upd._2 shouldBe 5L // carried
+    upd._3 should be > bystanderLast // bumped to the merge's sequence
+    // bystander in the SAME rewritten file keeps id AND sequence
+    a.filter($"k" === 7L)
+      .select($"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long)].head() shouldBe ((7L, bystanderLast))
+    // the insert inherits a FRESH id from its file's origin
+    val ins = a.filter($"k" === 20L).select($"_row_id").as[Long].head()
+    ins should be >= 10L
+    // a second merge over the materialized file carries again
+    IcebergInterop.merge(Seq((5L, 501L)).toDF("k", "v"), t, Seq("k"))
+    IcebergInterop.readRowLineage(spark, t).filter($"k" === 5L)
+      .select($"v", $"_row_id").as[(Long, Long)]
+      .head() shouldBe ((501L, 5L))
+  }
+
   test("refusals by name: pre-v3 tables have no row lineage; a data " +
     "column shadowing a reserved lineage name refuses") {
     import spark.implicits._
