@@ -965,8 +965,14 @@ object DeltaInterop {
                                  partitionColumns: Seq[String],
                                  files: Seq[DeltaAdd],
                                  columnMappingMode: String = "none",
-                                 keepLineage: Boolean = false)
+                                 keepLineage: Boolean = false,
+                                 extraPhysical: Seq[StructField] = Nil)
       : DataFrame = {
+    // `extraPhysical` columns (materialized row-tracking columns) join
+    // the REQUESTED parquet schema — files that never materialized
+    // them null-fill; they ride the lineage-keyed scan only
+    require(extraPhysical.isEmpty || keepLineage,
+      "extraPhysical columns ride the lineage-keyed scan")
     val mapped = columnMappingMode != "none"
     // under column mapping the add actions' partitionValues are keyed
     // by PHYSICAL names — partition columns reconstruct through the
@@ -1008,17 +1014,24 @@ object DeltaInterop {
           col("_metadata.row_index").as("__pos"))
       val base =
         if (!mapped) {
-          val b = spark.read.schema(dataSchema).parquet(paths: _*)
+          val b = spark.read
+            .schema(StructType(dataSchema.fields ++ extraPhysical))
+            .parquet(paths: _*)
           if (!needMeta) b else b.select(col("*") +: metaProj: _*)
         } else
           // read under the PHYSICAL schema (the fields' recorded
           // delta.columnMapping.physicalName, recursively), then cast
           // back to the logical shape — the struct cast renames nested
           // fields positionally, so one projection restores the
-          // logical schema wholesale
-          spark.read.schema(physicalStruct(dataSchema)).parquet(paths: _*)
+          // logical schema wholesale. Materialized tracking columns
+          // are physical names already and select verbatim.
+          spark.read
+            .schema(StructType(
+              physicalStruct(dataSchema).fields ++ extraPhysical))
+            .parquet(paths: _*)
             .select(dataSchema.fields.toIndexedSeq.map(f =>
               col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)) ++
+              extraPhysical.map(f => col(s"`${f.name}`")) ++
               metaProj: _*)
       val withParts =
         if (partitionColumns.isEmpty) base
@@ -1044,7 +1057,8 @@ object DeltaInterop {
           }
         }
       val extra =
-        if (withLineage) Seq(col("__fp"), col("__pos")) else Nil
+        (if (withLineage) Seq(col("__fp"), col("__pos")) else Nil) ++
+          extraPhysical.map(f => col(s"`${f.name}`"))
       withParts.select((outCols ++ extra).toIndexedSeq: _*)
     }
     if (dvAdds.isEmpty)
@@ -1630,6 +1644,12 @@ object DeltaInterop {
         s""""size":${a.size},"modificationTime":$now,""" +
         s""""dataChange":true""" +
         a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        // re-adding the SAME file (positions unchanged) carries its
+        // row-tracking assignment — dropping it would strip every
+        // surviving row's id
+        a.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+        a.defaultRowCommitVersion.map(v =>
+          s""","defaultRowCommitVersion":$v""").getOrElse("") +
         s""","deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":${jstr(enc)},"offset":$off,""" +
         s""""sizeInBytes":$size,"cardinality":$card}}}""")
@@ -1665,8 +1685,11 @@ object DeltaInterop {
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column): DeltaDml = {
     val st = state(spark, table, None)
+    // the DV delete never rewrites a data file — positions are stable,
+    // the re-add carries the file's row-tracking assignment verbatim —
+    // so row ids survive by construction (rowTrackingHandled)
     DeltaWriteGate.requireWritable(st, table, "DELETE",
-      removesData = true, addsData = false)
+      removesData = true, addsData = false, rowTrackingHandled = true)
     // deletion vectors are POSITION-keyed — the commit never writes a
     // column name — so the MOR delete serves column-mapped tables
     // as-is (the predicate resolves against the mapped read's logical
@@ -1880,8 +1903,11 @@ object DeltaInterop {
                 predicate: org.apache.spark.sql.Column,
                 set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
     val st = state(spark, table, None)
+    // the MOR update is row-tracking-safe: the kill side never
+    // rewrites a file (vectors), and the NEW images MATERIALIZE each
+    // matched row's resolved id under the recorded column names
     DeltaWriteGate.requireWritable(st, table, "UPDATE",
-      removesData = true, addsData = true)
+      removesData = true, addsData = true, rowTrackingHandled = true)
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -1891,25 +1917,44 @@ object DeltaInterop {
           "move rows across the log's recorded partitionValues")
     }
     if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val rowTracking = st.writerFeatures.contains("rowTracking")
+    val matNames: Option[(String, String)] =
+      (st.configuration.get(MatRowIdKey),
+        st.configuration.get(MatRowCommitKey)) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case _ => None
+      }
+    if (rowTracking && matNames.isEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"UPDATE on row-tracking table $table: no materialized " +
+          "tracking column names recorded " +
+          s"($MatRowIdKey/$MatRowCommitKey) — rewritten rows could " +
+          "not preserve their ids")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val byNorm: Map[String, DeltaAdd] =
       st.files.map(a => uriKey(root, a.path) -> a).toMap
     // one lineage scan feeds BOTH the kill set and the new images
-    val matched = filesToDF(spark, table, st.schema, st.partitionColumns,
-      st.files, st.columnMappingMode, keepLineage = true)
+    // (row-tracking tables resolve each row's id alongside)
+    val matched = (if (rowTracking) rowIdResolvedScan(spark, table, st)
+      else filesToDF(spark, table, st.schema, st.partitionColumns,
+        st.files, st.columnMappingMode, keepLineage = true))
       .filter(predicate).persist()
     try {
       val perFile = writeDvPerFile(spark, root, st, matched)
       if (perFile.isEmpty) return DeltaDml(st.version, 0L, 0)
       val setMap = set.toMap
+      val version = st.version + 1
       val updated = matched.select(
-        st.schema.fields.toIndexedSeq.map { f =>
+        (st.schema.fields.toIndexedSeq.map { f =>
           setMap.get(f.name) match {
             case Some(e) => e.cast(f.dataType).as(f.name)
             case None => col(f.name)
           }
-        }: _*)
+        } ++ matNames.toSeq.filter(_ => rowTracking).flatMap {
+          case (ridN, rcvN) => Seq(col("__rt_rid").as(ridN),
+            lit(version).cast(LongType).as(rcvN))
+        }): _*)
       val dataSchema = StructType(st.schema.fields.filterNot(f =>
         st.partitionColumns.contains(f.name)))
       val now = System.currentTimeMillis()
@@ -1932,12 +1977,20 @@ object DeltaInterop {
         if (mapped) physicalStruct(dataSchema) else dataSchema
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
       val stagedFrame =
-        if (mapped) toPhysical(updated, st.schema) else updated
+        if (mapped) toPhysical(updated, st.schema,
+          passThrough = matNames.toSeq.filter(_ => rowTracking)
+            .flatMap(t => Seq(t._1, t._2)))
+        else updated
       val w = stagedFrame.write.mode("overwrite")
       (if (partitionDirs.nonEmpty)
          w.partitionBy(partitionDirs: _*)
        else w).parquet(stage.toString)
       val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
+      // fresh base-row-id ranges for the image files (materialized
+      // per-row values take precedence; the range advances the mark)
+      var rowIdCursor =
+        if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+      val rowIdCursor0 = rowIdCursor
       listParquet(fs, stage).foreach { p =>
         val rel = relativize(stage, p)
         val (rows0, lo, hi) =
@@ -1951,15 +2004,25 @@ object DeltaInterop {
           newAdds += DeltaAdd(rel,
             partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
             fs.getFileStatus(dest).getLen)
+          val rowIdJson =
+            if (!rowTracking) ""
+            else {
+              val b = rowIdCursor; rowIdCursor += rows0
+              s""","baseRowId":$b,"defaultRowCommitVersion":$version"""
+            }
           lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
             s""""partitionValues":${
               pvJsonOf(partitionDirs
                 .map(c => c -> pv.get(c).flatten).toMap)
             },"size":${fs.getFileStatus(dest).getLen},""" +
-            s""""modificationTime":$now,"dataChange":true,""" +
-            s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
+            s""""modificationTime":$now,"dataChange":true""" +
+            rowIdJson +
+            s""","stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
         }
       }
+      if (rowTracking && rowIdCursor > rowIdCursor0)
+        lines += domainJson(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":${rowIdCursor - 1}}""")
       fs.delete(stage, true): Unit
       if (st.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) {
@@ -3147,9 +3210,23 @@ object DeltaInterop {
                zorderBy: Seq[String] = Nil): Long = {
     val st = state(spark, table, None)
     // dataChange=false rewrites are LEGAL on append-only tables
-    // (delta-spark allows OPTIMIZE there) — removesData=false
+    // (delta-spark allows OPTIMIZE there) — removesData=false.
+    // Row-tracking tables rewrite with MATERIALIZED ids (below), so
+    // compaction never reassigns a row id.
     DeltaWriteGate.requireWritable(st, table, "OPTIMIZE",
-      removesData = false, addsData = false)
+      removesData = false, addsData = false, rowTrackingHandled = true)
+    val rowTracking = st.writerFeatures.contains("rowTracking")
+    val matNames: Option[(String, String)] =
+      (st.configuration.get(MatRowIdKey),
+        st.configuration.get(MatRowCommitKey)) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case _ => None
+      }
+    if (rowTracking && matNames.isEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"OPTIMIZE on row-tracking table $table: no materialized " +
+          "tracking column names recorded — rewritten rows could not " +
+          "preserve their ids")
     val mapped = st.columnMappingMode != "none"
     zorderBy.foreach(c => require(st.schema.exists(_.name == c),
       s"z-order column $c is not in the schema of $table"))
@@ -3178,9 +3255,41 @@ object DeltaInterop {
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
       jstr("OPTIMIZE")},"operationParameters":{},"engineInfo":${
       jstr("graft")}}}"""
+    // fresh base-row-id ranges for compacted files (materialized
+    // per-row values carry the truth; the range advances the mark)
+    var rowIdCursor =
+      if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+    val rowIdCursor0 = rowIdCursor
+    val version = st.version + 1
     groups.foreach { case (pv, adds) =>
-      val grouped = filesToDF(spark, table, dataSchema, Nil, adds,
-        st.columnMappingMode)
+      val grouped =
+        if (!rowTracking)
+          filesToDF(spark, table, dataSchema, Nil, adds,
+            st.columnMappingMode)
+        else {
+          // resolve each row's id/commit-version (materialized value,
+          // else base + position) and MATERIALIZE both into the
+          // compacted rows — OPTIMIZE moves rows across files, so
+          // inheritance alone cannot survive it
+          import org.apache.spark.sql.functions.{broadcast, coalesce}
+          import spark.implicits._
+          val (ridN, rcvN) = matNames.get
+          val extras = Seq(StructField(ridN, LongType),
+            StructField(rcvN, LongType))
+          val scanned = filesToDF(spark, table, dataSchema, Nil, adds,
+            st.columnMappingMode, keepLineage = true,
+            extraPhysical = extras)
+          val info = broadcast(adds.map(a =>
+            (uriKey(new Path(table), a.path), a.baseRowId,
+              a.defaultRowCommitVersion))
+            .toDF("__fp", "__rt_base", "__rt_dcv"))
+          scanned.join(info, Seq("__fp"), "left")
+            .select((dataSchema.fields.toIndexedSeq
+              .map(f => col(s"`${f.name}`")) ++ Seq(
+              coalesce(col(s"`$ridN`"),
+                col("__rt_base") + col("__pos")).as(ridN),
+              coalesce(col(s"`$rcvN`"), col("__rt_dcv")).as(rcvN))): _*)
+        }
       val nOut = math.max(1L,
         math.ceil(adds.map(_.size).sum.toDouble / targetFileBytes).toLong)
         .toInt
@@ -3188,7 +3297,10 @@ object DeltaInterop {
         if (zorderBy.nonEmpty) ZOrder.clusterByZ(grouped, zorderBy, nOut)
         else grouped.coalesce(nOut)
       val packed =
-        if (mapped) toPhysical(packed0, dataSchema) else packed0
+        if (mapped) toPhysical(packed0, dataSchema,
+          passThrough = matNames.toSeq.filter(_ => rowTracking)
+            .flatMap(t => Seq(t._1, t._2)))
+        else packed0
       val stage = new Path(root, s".optimize-${java.util.UUID.randomUUID()}")
       packed.write.mode("overwrite").parquet(stage.toString)
       val pvJson = pv.map {
@@ -3203,17 +3315,27 @@ object DeltaInterop {
           if (mapped) physicalStruct(dataSchema) else dataSchema
         val (rows, lo, hi) =
           ScanPredicates.footerStats(spark, dest, statsSchema)
+        val rowIdJson =
+          if (!rowTracking) ""
+          else {
+            val b = rowIdCursor; rowIdCursor += rows
+            s""","baseRowId":$b,"defaultRowCommitVersion":$version"""
+          }
         lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
           s""""partitionValues":$pvJson,""" +
           s""""size":${fs.getFileStatus(dest).getLen},""" +
-          s""""modificationTime":$now,"dataChange":false,""" +
-          s""""stats":${jstr(statsJson(rows, lo, hi, statsSchema))}}}"""
+          s""""modificationTime":$now,"dataChange":false""" +
+          rowIdJson +
+          s""","stats":${jstr(statsJson(rows, lo, hi, statsSchema))}}}"""
       }
       fs.delete(stage, true): Unit
       adds.foreach(a =>
         lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
           s""""deletionTimestamp":$now,"dataChange":false}}""")
     }
+    if (rowTracking && rowIdCursor > rowIdCursor0)
+      lines += domainJson(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":${rowIdCursor - 1}}""")
     publishCommit(fs, new Path(root, "_delta_log"), st.version + 1,
       lines.toSeq, st.configuration)
   }
@@ -3367,6 +3489,14 @@ object DeltaInterop {
     * JSON carries `rowIdHighWaterMark`, the largest assigned row id. */
   private[sources] val RowTrackingDomain = "delta.rowTracking"
 
+  /** The config keys naming the MATERIALIZED tracking columns —
+    * physical columns rewritten files carry so preserved row ids win
+    * over base-id inheritance. */
+  private[sources] val MatRowIdKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[sources] val MatRowCommitKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
   private def rowIdHwmOf(domains: Map[String, String]): Long =
     domains.get(RowTrackingDomain).flatMap { cfg =>
       import org.json4s._
@@ -3434,7 +3564,16 @@ object DeltaInterop {
       else Nil
     val wf = (st.writerFeatures ++ legacyImplied ++ rf ++
       Seq("domainMetadata", "rowTracking")).distinct
-    val config = st.configuration + ("delta.enableRowTracking" -> "true")
+    // record the MATERIALIZED tracking column names up front (kept if
+    // a foreign writer already chose them) — the rewrite paths write
+    // preserved ids under these physical names
+    val matSuffix = java.util.UUID.randomUUID().toString
+    val config = st.configuration +
+      ("delta.enableRowTracking" -> "true") +
+      (MatRowIdKey -> st.configuration.getOrElse(MatRowIdKey,
+        s"_row-id-col-$matSuffix")) +
+      (MatRowCommitKey -> st.configuration.getOrElse(MatRowCommitKey,
+        s"_row-commit-version-col-$matSuffix"))
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
       jstr("SET TBLPROPERTIES")},"operationParameters":{},""" +
@@ -3469,51 +3608,69 @@ object DeltaInterop {
   }
 
   /** Read the live rows of a row-tracking table WITH their row ids:
-    * every data column plus `_row_id` (the file's `baseRowId` + row
-    * position) and `_row_commit_version` (the file's
-    * `defaultRowCommitVersion`), deletion vectors applied. Files a
-    * foreign writer added without assignment serve NULL. Tables that
-    * record MATERIALIZED tracking columns refuse by name — this
-    * reader serves inherited ids only, and a rewritten row's
-    * materialized id must win over inheritance.
+    * every data column plus `_row_id` and `_row_commit_version`,
+    * deletion vectors applied, with the spec's precedence — a
+    * MATERIALIZED tracking value (written by merge-on-read updates
+    * and OPTIMIZE, named by the `delta.rowTracking.materialized*`
+    * configs) wins; rows that never materialized inherit
+    * `baseRowId + position` and the file's `defaultRowCommitVersion`;
+    * files a foreign writer added without assignment serve NULL.
     *
     * Scale shape: the id columns ride the ONE data scan — a broadcast
     * of (file → base, version) joins on the scan's metadata path,
     * positions come from parquet `row_index`; no extra pass. */
   def readRowIds(spark: SparkSession, table: String,
                  version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val st = state(spark, table, version)
     if (!st.writerFeatures.contains("rowTracking"))
       throw new UnsupportedDeltaFeatureException(
         s"table $table does not declare the rowTracking writer " +
           "feature (enableRowTracking is the door)")
-    Seq("delta.rowTracking.materializedRowIdColumnName",
-      "delta.rowTracking.materializedRowCommitVersionColumnName")
-      .foreach(k => if (st.configuration.contains(k))
-        throw new UnsupportedDeltaFeatureException(
-          s"table $table records materialized row-tracking columns " +
-            s"($k) — this reader serves inherited row ids only and " +
-            "cannot honor materialized precedence"))
     Seq("_row_id", "_row_commit_version").foreach(n =>
       if (st.schema.exists(_.name == n))
         throw new UnsupportedDeltaFeatureException(
           s"table $table declares a data column named $n — it " +
             "shadows the row-tracking output column"))
-    val df = filesToDF(spark, table, st.schema, st.partitionColumns,
-      st.files, st.columnMappingMode, keepLineage = true)
     if (st.files.isEmpty)
-      return df.withColumn("_row_id", lit(null).cast(LongType))
+      return filesToDF(spark, table, st.schema, st.partitionColumns,
+        st.files, st.columnMappingMode)
+        .withColumn("_row_id", lit(null).cast(LongType))
         .withColumn("_row_commit_version", lit(null).cast(LongType))
+    rowIdResolvedScan(spark, table, st)
+      .withColumnRenamed("__rt_rid", "_row_id")
+      .withColumnRenamed("__rt_rcv", "_row_commit_version")
+      .drop("__fp", "__pos")
+  }
+
+  /** The row-tracking-resolved scan: data columns + `__rt_rid` /
+    * `__rt_rcv` (materialized value, else `baseRowId + position` /
+    * the file's `defaultRowCommitVersion`) + `__fp`/`__pos` — shared
+    * by [[readRowIds]] and the DML paths that materialize carried
+    * ids into rewritten rows. */
+  private def rowIdResolvedScan(spark: SparkSession, table: String,
+                                st: DeltaState): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
+    val matRid = st.configuration.get(MatRowIdKey)
+    val matRcv = st.configuration.get(MatRowCommitKey)
+    val extras = (matRid.toSeq ++ matRcv.toSeq)
+      .map(n => StructField(n, LongType))
+    val df = filesToDF(spark, table, st.schema, st.partitionColumns,
+      st.files, st.columnMappingMode, keepLineage = true,
+      extraPhysical = extras)
     import spark.implicits._
     val info = broadcast(st.files.map(a =>
       (uriKey(new Path(table), a.path), a.baseRowId,
         a.defaultRowCommitVersion))
-      .toDF("__fp", "__base", "__dcv"))
+      .toDF("__fp", "__rt_base", "__rt_dcv"))
     df.join(info, Seq("__fp"), "left")
-      .withColumn("_row_id", col("__base") + col("__pos"))
-      .withColumn("_row_commit_version", col("__dcv"))
-      .drop("__fp", "__pos", "__base", "__dcv")
+      .withColumn("__rt_rid",
+        coalesce((matRid.map(n => col(s"`$n`")).toSeq :+
+          (col("__rt_base") + col("__pos"))): _*))
+      .withColumn("__rt_rcv",
+        coalesce((matRcv.map(n => col(s"`$n`")).toSeq :+
+          col("__rt_dcv")): _*))
+      .drop((matRid.toSeq ++ matRcv.toSeq :+ "__rt_base" :+ "__rt_dcv")
+        : _*)
   }
 
   /** The V2 checkpoint writer: add actions split across SIDECAR

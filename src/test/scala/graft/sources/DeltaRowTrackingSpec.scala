@@ -12,7 +12,8 @@ import graft.SparkSpec
   * appends assign fresh ranges past it; [[DeltaInterop.readRowIds]]
   * serves `_row_id`/`_row_commit_version` as `baseRowId + position`;
   * CHECKPOINTS preserve both the domain and the per-file assignment;
-  * verbs that cannot preserve row ids keep refusing by name. */
+  * MOR UPDATE and OPTIMIZE materialize carried ids under the recorded
+  * column names; CoW rewrites keep refusing by name. */
 class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
     with SparkSpec {
 
@@ -91,9 +92,9 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
       .collect().toMap shouldBe (0L until 4L).map(i => i -> i).toMap
   }
 
-  test("refusals by name: CoW DML cannot preserve row ids; " +
-    "readRowIds needs the feature; materialized tracking columns " +
-    "refuse; deletion vectors still compose with row ids") {
+  test("the DV DELETE is row-id-safe (files never rewrite, the " +
+    "re-add carries the assignment); copy-on-write rewrites refuse; " +
+    "readRowIds needs the feature") {
     import spark.implicits._
     val t = fresh()
     DeltaInterop.write(
@@ -102,20 +103,65 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
       DeltaInterop.readRowIds(spark, t)
     }.getMessage should include("rowTracking")
     DeltaInterop.enableRowTracking(spark, t)
+    // DELETE attaches a deletion vector — survivors keep their ids
+    // (row_index is the PHYSICAL position, stable under vectors)
+    DeltaInterop.delete(spark, t, col("k") === 1L)
+    DeltaInterop.readRowIds(spark, t)
+      .select($"k", $"_row_id").as[(Long, Long)]
+      .collect().toMap shouldBe
+      (0L until 6L).filter(_ != 1L).map(i => i -> i).toMap
+    // a second delete merges vectors; ids still stable
+    DeltaInterop.delete(spark, t, col("k") === 4L)
+    DeltaInterop.readRowIds(spark, t)
+      .select($"k", $"_row_id").as[(Long, Long)]
+      .collect().toMap shouldBe
+      Map(0L -> 0L, 2L -> 2L, 3L -> 3L, 5L -> 5L)
+    // copy-on-write rewrites still refuse by name
     intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
-      DeltaInterop.delete(spark, t, col("k") === 1L)
+      DeltaInterop.update(spark, t, col("k") === 2L,
+        Seq("k" -> org.apache.spark.sql.functions.lit(20L)))
     }.getMessage should include("rowTracking")
-    // a DV delete is row-id-safe (files never rewrite)… but the
-    // deleteMor path is gated the same conservative way for now —
-    // the refusal is BY NAME either way, never silent corruption
-    // materialized-column configs refuse the reader
-    val t2 = fresh()
-    DeltaInterop.write((0L until 3L).toDF("k"), t2)
-    DeltaInterop.setProperties(spark, t2, Map(
-      "delta.rowTracking.materializedRowIdColumnName" -> "_mat_rid"))
-    DeltaInterop.enableRowTracking(spark, t2)
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
-      DeltaInterop.readRowIds(spark, t2)
-    }.getMessage should include("materialized")
+  }
+
+  test("MOR UPDATE materializes carried ids (twice) and bumps the " +
+    "row's commit version; OPTIMIZE preserves materialized AND " +
+    "inherited ids; later appends never collide") {
+    import spark.implicits._
+    val lit0 = org.apache.spark.sql.functions.lit _
+    val t = fresh()
+    DeltaInterop.write(
+      (0L until 8L).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k"), t)
+    DeltaInterop.enableRowTracking(spark, t) // version 1: ids 0..7
+    DeltaInterop.updateMor(spark, t, col("k") === 3L,
+      Seq("v" -> lit0(300L))) // version 2
+    val a = DeltaInterop.readRowIds(spark, t)
+    a.filter($"k" === 3L)
+      .select($"v", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].head() shouldBe ((300L, 3L, 2L))
+    a.filter($"k" === 5L)
+      .select($"_row_id", $"_row_commit_version")
+      .as[(Long, Long)].head() shouldBe ((5L, 1L))
+    // second update over the materialized image carries again
+    DeltaInterop.updateMor(spark, t, col("k") === 3L,
+      Seq("v" -> lit0(301L))) // version 3
+    DeltaInterop.readRowIds(spark, t).filter($"k" === 3L)
+      .select($"v", $"_row_id", $"_row_commit_version")
+      .as[(Long, Long, Long)].head() shouldBe ((301L, 3L, 3L))
+    // OPTIMIZE compacts the DV-less image files, materializing
+    // resolved ids — nothing moves
+    DeltaInterop.optimize(spark, t)
+    val b = DeltaInterop.readRowIds(spark, t)
+    b.select($"k", $"_row_id").as[(Long, Long)]
+      .collect().toMap shouldBe (0L until 8L).map(i => i -> i).toMap
+    b.filter($"k" === 3L).select($"_row_commit_version")
+      .as[Long].head() shouldBe 3L
+    // appended rows take a fresh range past everything assigned
+    DeltaInterop.write(Seq((100L, 100L)).toDF("k", "v"), t)
+    val ids = DeltaInterop.readRowIds(spark, t)
+      .select($"_row_id").as[Long].collect()
+    ids.distinct.length shouldBe ids.length
+    DeltaInterop.readRowIds(spark, t).filter($"k" === 100L)
+      .select($"_row_id").as[Long].head() should be >= 8L
   }
 }

@@ -137,13 +137,14 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
     val st2 = DeltaInterop.state(spark, t, None)
     st2.files.exists(_.baseRowId.isDefined) shouldBe true
     st2.domains.keySet should contain("delta.rowTracking")
-    // file-rewriting verbs still refuse — they cannot preserve ids
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
-      DeltaInterop.delete(spark, t, col("id") === 1L))
-      .getMessage should include("rowTracking")
+    // the DV DELETE is row-id-safe and passes; OPTIMIZE on a foreign
+    // rowTracking table that never recorded materialized column
+    // names refuses by name (rewritten rows could not preserve ids)
+    DeltaInterop.delete(spark, t, col("id") === 1L)
+    DeltaInterop.read(spark, t).count() shouldBe 100L
     intercept[DeltaInterop.UnsupportedDeltaFeatureException](
       DeltaInterop.optimize(spark, t)).getMessage should
-      include("rowTracking")
+      include("materialized")
     // a genuinely unknown feature refuses EVERY verb, appends included
     val t3 = fresh()
     seed(t3)
