@@ -1757,8 +1757,9 @@ object DeltaInterop {
              predicate: org.apache.spark.sql.Column,
              set: Seq[(String, org.apache.spark.sql.Column)]): DeltaDml = {
     val st = state(spark, table, None)
+    // row-tracking tables rewrite with MATERIALIZED ids (below)
     DeltaWriteGate.requireWritable(st, table, "UPDATE",
-      removesData = true, addsData = true)
+      removesData = true, addsData = true, rowTrackingHandled = true)
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.foreach { case (c, _) =>
       require(st.schema.exists(_.name == c),
@@ -1768,6 +1769,22 @@ object DeltaInterop {
           "move rows across the log's recorded partitionValues")
     }
     if (st.files.isEmpty) return DeltaDml(st.version, 0L, 0)
+    val rowTracking = st.writerFeatures.contains("rowTracking")
+    val rtNames: Option[(String, String)] =
+      (st.configuration.get(MatRowIdKey),
+        st.configuration.get(MatRowCommitKey)) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case _ => None
+      }
+    if (rowTracking && rtNames.isEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"UPDATE on row-tracking table $table: no materialized " +
+          "tracking column names recorded — rewritten rows could not " +
+          "preserve their ids")
+    val rtFields: Seq[StructField] = rtNames.toSeq
+      .filter(_ => rowTracking)
+      .flatMap(t => Seq(StructField(t._1, LongType),
+        StructField(t._2, LongType)))
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val byNorm: Map[String, DeltaAdd] =
@@ -1805,14 +1822,57 @@ object DeltaInterop {
     val mapped = st.columnMappingMode != "none"
     val statsSchema = if (mapped) physicalStruct(dataSchema) else dataSchema
     val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
+    val version = st.version + 1
+    var rowIdCursor =
+      if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+    val rowIdCursor0 = rowIdCursor
     touched.groupBy(_.partitionValues).foreach { case (pv, adds) =>
-      val rows = filesToDF(spark, table, st.schema, st.partitionColumns,
-        adds.toIndexedSeq, st.columnMappingMode)
-      val rewritten0 = updatedSelect(rows).select(dataCols: _*)
+      // row-tracking rewrites resolve each row's id/commit-version on
+      // the rewrite scan and MATERIALIZE them: bystanders carry both,
+      // predicate-fired rows take this commit's version
+      val rows =
+        if (!rowTracking)
+          filesToDF(spark, table, st.schema, st.partitionColumns,
+            adds.toIndexedSeq, st.columnMappingMode)
+        else {
+          import org.apache.spark.sql.functions.{broadcast, coalesce}
+          val (ridN, rcvN) = rtNames.get
+          val scanned = filesToDF(spark, table, st.schema,
+            st.partitionColumns, adds.toIndexedSeq,
+            st.columnMappingMode, keepLineage = true,
+            extraPhysical = rtFields)
+          val info = broadcast(adds.map(a =>
+            (uriKey(root, a.path), a.baseRowId,
+              a.defaultRowCommitVersion))
+            .toSeq.toDF("__fp", "__rt_base", "__rt_dcv"))
+          scanned.join(info, Seq("__fp"), "left")
+            .select((st.schema.fields.toIndexedSeq
+              .map(f => col(s"`${f.name}`")) ++ Seq(
+              coalesce(col(s"`$ridN`"),
+                col("__rt_base") + col("__pos")).as(ridN),
+              when(predicate, lit(version).cast(LongType))
+                .otherwise(coalesce(col(s"`$rcvN`"), col("__rt_dcv")))
+                .as(rcvN))): _*)
+        }
+      val rtCols = rtFields.map(f => col(s"`${f.name}`"))
+      // one projection applies the assignments AND keeps the
+      // materialized tracking columns, then partition columns drop
+      val rewritten0 = rows
+        .select((st.schema.fields.toIndexedSeq.map { f =>
+          setMap.get(f.name) match {
+            case Some(e) =>
+              when(predicate, e.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        } ++ (if (rowTracking) rtCols else Nil)): _*)
+        .select((dataCols ++ (if (rowTracking) rtCols else Nil)): _*)
       // mapped tables rewrite under PHYSICAL column names — the same
       // on-disk shape the files they replace had
       val rewritten =
-        if (mapped) toPhysical(rewritten0, dataSchema) else rewritten0
+        if (mapped) toPhysical(rewritten0, dataSchema,
+          passThrough = rtFields.map(_.name))
+        else rewritten0
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
       rewritten.write.mode("overwrite").parquet(stage.toString)
       listParquet(fs, stage).foreach { p =>
@@ -1823,11 +1883,18 @@ object DeltaInterop {
           ScanPredicates.footerStats(spark, dest, statsSchema)
         newAdds += DeltaAdd(p.getName, pv,
           fs.getFileStatus(dest).getLen)
+        val rowIdJson =
+          if (!rowTracking) ""
+          else {
+            val b = rowIdCursor; rowIdCursor += rows0
+            s""","baseRowId":$b,"defaultRowCommitVersion":$version"""
+          }
         lines += s"""{"add":{"path":${jstr(urlEncode(p.getName))},""" +
           s""""partitionValues":${pvJsonOf(pv)},""" +
           s""""size":${fs.getFileStatus(dest).getLen},""" +
-          s""""modificationTime":$now,"dataChange":true,""" +
-          s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
+          s""""modificationTime":$now,"dataChange":true""" +
+          rowIdJson +
+          s""","stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
       }
       fs.delete(stage, true): Unit
       adds.foreach(a =>
@@ -1845,6 +1912,9 @@ object DeltaInterop {
         lines ++= stageCdc(cdcRows, root, fs, pv)
       }
     }
+    if (rowTracking && rowIdCursor > rowIdCursor0)
+      lines += domainJson(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":${rowIdCursor - 1}}""")
     // the REWRITTEN rows (post-assignment) must still satisfy the
     // table's recorded obligations — an UPDATE can violate what an
     // append never could (e.g. SET a required column to NULL)
@@ -2128,10 +2198,27 @@ object DeltaInterop {
       notMatchedBySource)
     // a matched/NMBS clause rewrites target files (remove actions,
     // dataChange=true) — illegal on append-only tables; an insert-only
-    // merge is a plain append and passes
+    // merge is a plain append and passes. Row-tracking tables rewrite
+    // with MATERIALIZED ids (below), so merge preserves row ids.
     DeltaWriteGate.requireWritable(st, table, "MERGE",
       removesData = matched.nonEmpty || notMatchedBySource.nonEmpty,
-      addsData = true)
+      addsData = true, rowTrackingHandled = true)
+    val rowTracking = st.writerFeatures.contains("rowTracking")
+    val rtNames: Option[(String, String)] =
+      (st.configuration.get(MatRowIdKey),
+        st.configuration.get(MatRowCommitKey)) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case _ => None
+      }
+    if (rowTracking && rtNames.isEmpty)
+      throw new UnsupportedDeltaFeatureException(
+        s"MERGE on row-tracking table $table: no materialized " +
+          "tracking column names recorded — rewritten rows could not " +
+          "preserve their ids")
+    val rtFields: Seq[StructField] = rtNames.toSeq
+      .filter(_ => rowTracking)
+      .flatMap(t => Seq(StructField(t._1, LongType),
+        StructField(t._2, LongType)))
     keyCols.foreach(k => require(st.schema.exists(_.name == k),
       s"MERGE key column $k is not in the schema of $table"))
     val root = new Path(table)
@@ -2208,20 +2295,48 @@ object DeltaInterop {
           }
         }
       val rewriteSet = (touched ++ nmbsTouched).distinctBy(_.path)
+      val version = st.version + 1
+      // row-tracking rewrites resolve each row's id/commit-version on
+      // the rewrite scan (materialized value, else base + position)
+      // and MATERIALIZE them: survivors carry, UPDATE-fired rows take
+      // this commit's version, inserts land null and inherit fresh
       val currentRows =
         if (rewriteSet.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            st.schema)
-        else filesToDF(spark, table, st.schema, st.partitionColumns,
-          rewriteSet, st.columnMappingMode)
+            StructType(st.schema.fields ++ rtFields))
+        else if (!rowTracking)
+          filesToDF(spark, table, st.schema, st.partitionColumns,
+            rewriteSet, st.columnMappingMode)
+        else {
+          import org.apache.spark.sql.functions.{broadcast, coalesce}
+          val (ridN, rcvN) = rtNames.get
+          val scanned = filesToDF(spark, table, st.schema,
+            st.partitionColumns, rewriteSet, st.columnMappingMode,
+            keepLineage = true, extraPhysical = rtFields)
+          val info = broadcast(rewriteSet.map(a =>
+            (uriKey(root, a.path), a.baseRowId,
+              a.defaultRowCommitVersion))
+            .toDF("__fp", "__rt_base", "__rt_dcv"))
+          scanned.join(info, Seq("__fp"), "left")
+            .select((st.schema.fields.toIndexedSeq
+              .map(f => col(s"`${f.name}`")) ++ Seq(
+              coalesce(col(s"`$ridN`"),
+                col("__rt_base") + col("__pos")).as(ridN),
+              coalesce(col(s"`$rcvN`"), col("__rt_dcv")).as(rcvN))): _*)
+        }
       val notMatchedSrc =
         if (notMatched.isEmpty) cached.filter(lit(false))
         else cached.join(liveKeys.drop("__fp").distinct(), keyCols,
           "left_anti")
       val applied = MergeClauses(currentRows, cached, keyCols, st.schema,
         matched, notMatched, notMatchedBySource, scope, effectiveFullTable,
-        notMatchedSrc)
+        notMatchedSrc,
+        extraCarry = rtFields,
+        stampUpdated =
+          if (!rowTracking) Map.empty
+          else Map(rtNames.get._2 ->
+            lit(version).cast(LongType)))
       val outRows = applied.survivors.unionByName(applied.inserts)
       val cdfOn = st.configuration
         .get("delta.enableChangeDataFeed").contains("true")
@@ -2233,7 +2348,9 @@ object DeltaInterop {
         if (mapped) st.partitionColumns.map(physKey) else st.partitionColumns
       val stage = new Path(root, s".merge-${java.util.UUID.randomUUID()}")
       val stagedFrame =
-        if (mapped) toPhysical(outRows, st.schema) else outRows
+        if (mapped) toPhysical(outRows, st.schema,
+          passThrough = rtFields.map(_.name))
+        else outRows
       val w = stagedFrame.write.mode("overwrite")
       (if (partitionDirs.nonEmpty)
          w.partitionBy(partitionDirs: _*)
@@ -2252,6 +2369,9 @@ object DeltaInterop {
           s""""lastUpdated":$now}}"""
       }
       var insertedAny = false
+      var rowIdCursor =
+        if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+      val rowIdCursor0 = rowIdCursor
       val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
       listParquet(fs, stage).foreach { p =>
         val rel = relativize(stage, p)
@@ -2267,15 +2387,25 @@ object DeltaInterop {
           newAdds += DeltaAdd(rel,
             partitionDirs.map(c => c -> pv.get(c).flatten).toMap,
             fs.getFileStatus(dest).getLen)
+          val rowIdJson =
+            if (!rowTracking) ""
+            else {
+              val b = rowIdCursor; rowIdCursor += rows0
+              s""","baseRowId":$b,"defaultRowCommitVersion":$version"""
+            }
           lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
             s""""partitionValues":${
               pvJsonOf(partitionDirs
                 .map(c => c -> pv.get(c).flatten).toMap)
             },"size":${fs.getFileStatus(dest).getLen},""" +
-            s""""modificationTime":$now,"dataChange":true,""" +
-            s""""stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
+            s""""modificationTime":$now,"dataChange":true""" +
+            rowIdJson +
+            s""","stats":${jstr(statsJson(rows0, lo, hi, statsSchema))}}}"""
         }
       }
+      if (rowTracking && rowIdCursor > rowIdCursor0)
+        lines += domainJson(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":${rowIdCursor - 1}}""")
       fs.delete(stage, true): Unit
       rewriteSet.foreach(a =>
         lines += s"""{"remove":{"path":${jstr(urlEncode(a.path))},""" +
@@ -2301,6 +2431,8 @@ object DeltaInterop {
           .unionByName(applied.deletedOld
             .withColumn("_change_type", lit("delete")))
           .unionByName(applied.inserts
+            .select(st.schema.fields.toIndexedSeq
+              .map(f => col(s"`${f.name}`")): _*)
             .withColumn("_change_type", lit("insert")))
         val cdcRows =
           if (mapped) toPhysical(cdcRows0, st.schema, Seq("_change_type"))

@@ -1221,6 +1221,10 @@ object LakeQueries {
       DeltaInterop.write(
         o.filter(col("o_orderkey") % 2 === 1)
           .repartition(1).sortWithinPartitions("o_orderkey"), t)
+      // version 3: the MOR update MATERIALIZES its rows' carried ids
+      // — the emitted read then proves materialized precedence
+      DeltaInterop.updateMor(s, t, col("o_orderkey") % 1000 === 1,
+        Seq("o_orderkey" -> (col("o_orderkey") + lit(10000000L))))
       DeltaInterop.checkpoint(s, t) // domains + assignment survive
       t
     })
@@ -1238,11 +1242,18 @@ object LakeQueries {
       |  SELECT o_orderkey,
       |    (SELECT count(*) FROM e)
       |      + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r
-      |  FROM orders WHERE o_orderkey % 2 = 1)
-      |SELECT o_orderkey, r AS row_id, CAST(1 AS BIGINT) AS rcv FROM e
-      |UNION ALL
-      |SELECT o_orderkey, r AS row_id, CAST(2 AS BIGINT) AS rcv
-      |FROM o2""".stripMargin
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |u AS (
+      |  SELECT o_orderkey, r, CAST(1 AS BIGINT) AS rcv FROM e
+      |  UNION ALL
+      |  SELECT o_orderkey, r, CAST(2 AS BIGINT) AS rcv FROM o2)
+      |SELECT CASE WHEN o_orderkey % 1000 = 1
+      |         THEN o_orderkey + 10000000 ELSE o_orderkey END
+      |    AS o_orderkey,
+      |  r AS row_id,
+      |  CASE WHEN o_orderkey % 1000 = 1
+      |    THEN CAST(3 AS BIGINT) ELSE rcv END AS rcv
+      |FROM u""".stripMargin
 
   /** ic18_v3_row_lineage — Iceberg v3 ROW LINEAGE through the gate:
     * even keys land PRE-upgrade (null lineage, emitted −1), odd keys

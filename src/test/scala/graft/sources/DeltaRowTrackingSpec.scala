@@ -12,8 +12,8 @@ import graft.SparkSpec
   * appends assign fresh ranges past it; [[DeltaInterop.readRowIds]]
   * serves `_row_id`/`_row_commit_version` as `baseRowId + position`;
   * CHECKPOINTS preserve both the domain and the per-file assignment;
-  * MOR UPDATE and OPTIMIZE materialize carried ids under the recorded
-  * column names; CoW rewrites keep refusing by name. */
+  * every rewriting verb (CoW UPDATE/MERGE, MOR UPDATE, OPTIMIZE)
+  * MATERIALIZES carried ids under the recorded column names. */
 class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
     with SparkSpec {
 
@@ -93,8 +93,8 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
   }
 
   test("the DV DELETE is row-id-safe (files never rewrite, the " +
-    "re-add carries the assignment); copy-on-write rewrites refuse; " +
-    "readRowIds needs the feature") {
+    "re-add carries the assignment); CoW UPDATE materializes carried " +
+    "ids; readRowIds needs the feature") {
     import spark.implicits._
     val t = fresh()
     DeltaInterop.write(
@@ -116,11 +116,16 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
       .select($"k", $"_row_id").as[(Long, Long)]
       .collect().toMap shouldBe
       Map(0L -> 0L, 2L -> 2L, 3L -> 3L, 5L -> 5L)
-    // copy-on-write rewrites still refuse by name
-    intercept[DeltaInterop.UnsupportedDeltaFeatureException] {
-      DeltaInterop.update(spark, t, col("k") === 2L,
-        Seq("k" -> org.apache.spark.sql.functions.lit(20L)))
-    }.getMessage should include("rowTracking")
+    // the CoW UPDATE rewrites the touched file with MATERIALIZED
+    // ids: the fired row keeps its id and takes the commit's version,
+    // bystanders in the same file keep both
+    DeltaInterop.update(spark, t, col("k") === 2L,
+      Seq("k" -> org.apache.spark.sql.functions.lit(20L)))
+    val afterU = DeltaInterop.readRowIds(spark, t)
+    afterU.filter($"k" === 20L).select($"_row_id").as[Long]
+      .head() shouldBe 2L
+    afterU.filter($"k" === 3L).select($"_row_id", $"_row_commit_version")
+      .as[(Long, Long)].head() shouldBe ((3L, 1L))
   }
 
   test("MOR UPDATE materializes carried ids (twice) and bumps the " +
@@ -163,5 +168,15 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
     ids.distinct.length shouldBe ids.length
     DeltaInterop.readRowIds(spark, t).filter($"k" === 100L)
       .select($"_row_id").as[Long].head() should be >= 8L
+    // MERGE carries too: the matched row keeps its id, the insert
+    // inherits a fresh one, bystanders in the rewritten file keep
+    DeltaInterop.merge(
+      Seq((3L, 999L), (200L, 200L)).toDF("k", "v"), t, Seq("k"))
+    val m = DeltaInterop.readRowIds(spark, t)
+    m.filter($"k" === 3L).select($"v", $"_row_id")
+      .as[(Long, Long)].head() shouldBe ((999L, 3L))
+    m.filter($"k" === 5L).select($"_row_id").as[Long].head() shouldBe 5L
+    val mi = m.select($"_row_id").as[Long].collect()
+    mi.distinct.length shouldBe mi.length
   }
 }
