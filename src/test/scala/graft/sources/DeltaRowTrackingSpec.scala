@@ -128,6 +128,24 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
       .as[(Long, Long)].head() shouldBe ((3L, 1L))
   }
 
+  test("row tracking composes with COLUMN MAPPING: materialized " +
+    "columns ride the physical scan and a mapped MOR update carries") {
+    import spark.implicits._
+    val t = fresh()
+    DeltaInterop.write(
+      (0L until 5L).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k"), t,
+      columnMapping = "name")
+    DeltaInterop.enableRowTracking(spark, t)
+    DeltaInterop.updateMor(spark, t, col("k") === 2L,
+      Seq("v" -> org.apache.spark.sql.functions.lit(200L)))
+    val out = DeltaInterop.readRowIds(spark, t)
+    out.filter($"k" === 2L).select($"v", $"_row_id")
+      .as[(Long, Long)].head() shouldBe ((200L, 2L))
+    out.select($"k", $"_row_id").as[(Long, Long)]
+      .collect().toMap shouldBe (0L until 5L).map(i => i -> i).toMap
+  }
+
   test("MOR UPDATE materializes carried ids (twice) and bumps the " +
     "row's commit version; OPTIMIZE preserves materialized AND " +
     "inherited ids; later appends never collide") {
