@@ -1399,7 +1399,7 @@ object DeltaInterop {
     val rowIdBase: Map[String, Long] =
       if (!rowTracking) Map.empty
       else {
-        var cursor = rowIdHwmOf(prior.get.domains) + 1
+        var cursor = rowIdCursorStart(prior.get)
         adds.map { a =>
           val n = numRecordsOf(a).getOrElse(
             throw new UnsupportedDeltaFeatureException(
@@ -1824,7 +1824,7 @@ object DeltaInterop {
     val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
     val version = st.version + 1
     var rowIdCursor =
-      if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+      if (!rowTracking) 0L else rowIdCursorStart(st)
     val rowIdCursor0 = rowIdCursor
     touched.groupBy(_.partitionValues).foreach { case (pv, adds) =>
       // row-tracking rewrites resolve each row's id/commit-version on
@@ -2059,7 +2059,7 @@ object DeltaInterop {
       // fresh base-row-id ranges for the image files (materialized
       // per-row values take precedence; the range advances the mark)
       var rowIdCursor =
-        if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+        if (!rowTracking) 0L else rowIdCursorStart(st)
       val rowIdCursor0 = rowIdCursor
       listParquet(fs, stage).foreach { p =>
         val rel = relativize(stage, p)
@@ -2370,7 +2370,7 @@ object DeltaInterop {
       }
       var insertedAny = false
       var rowIdCursor =
-        if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+        if (!rowTracking) 0L else rowIdCursorStart(st)
       val rowIdCursor0 = rowIdCursor
       val newAdds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
       listParquet(fs, stage).foreach { p =>
@@ -3390,7 +3390,7 @@ object DeltaInterop {
     // fresh base-row-id ranges for compacted files (materialized
     // per-row values carry the truth; the range advances the mark)
     var rowIdCursor =
-      if (!rowTracking) 0L else rowIdHwmOf(st.domains) + 1
+      if (!rowTracking) 0L else rowIdCursorStart(st)
     val rowIdCursor0 = rowIdCursor
     val version = st.version + 1
     groups.foreach { case (pv, adds) =>
@@ -3640,6 +3640,16 @@ object DeltaInterop {
         })
     }.getOrElse(-1L)
 
+  /** The first safe row id to assign: past the domain's recorded
+    * high-water mark AND past every live file's assigned range — a
+    * foreign log whose domain lags its assignments (or lost it) must
+    * never be handed colliding ids. */
+  private def rowIdCursorStart(st: DeltaState): Long =
+    (rowIdHwmOf(st.domains) max
+      st.files.flatMap(a => a.baseRowId.map(b =>
+        b + numRecordsOf(a).getOrElse(0L) - 1))
+        .foldLeft(-1L)(_ max _)) + 1
+
   private def domainJson(domain: String, configuration: String,
                          removed: Boolean = false): String =
     s"""{"domainMetadata":{"domain":${jstr(domain)},""" +
@@ -3718,7 +3728,7 @@ object DeltaInterop {
       s""""writerFeatures":${wf.map(jstr).mkString("[", ",", "]")}}}"""
     lines += metaDataJson(st.schema, st.partitionColumns, now, config,
       st.metaId)
-    var cursor = rowIdHwmOf(st.domains) + 1
+    var cursor = rowIdCursorStart(st)
     backfill.foreach { case (a, n) =>
       val b = cursor; cursor += n
       lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
