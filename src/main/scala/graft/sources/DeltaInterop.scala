@@ -2512,7 +2512,18 @@ object DeltaInterop {
         s""""size":${a.size},"modificationTime":$now,""" +
         s""""dataChange":true""" +
         a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        // row-tracking assignments carry — the clone serves the same
+        // row ids as the source (positions are unchanged: same files)
+        a.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+        a.defaultRowCommitVersion.map(v =>
+          s""","defaultRowCommitVersion":$v""").getOrElse("") +
         dvField + "}}"
+    }
+    // live metadata domains carry (the row-tracking high-water mark
+    // lives there — dropping it would hand the clone colliding ids,
+    // though rowIdCursorStart guards that too)
+    st.domains.toSeq.sortBy(_._1).foreach { case (n, cfg) =>
+      lines += domainJson(n, cfg)
     }
     publishCommit(fs, dstLog, 0L, lines.toSeq, st.configuration)
   }

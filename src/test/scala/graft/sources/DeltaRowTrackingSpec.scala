@@ -128,6 +128,25 @@ class DeltaRowTrackingSpec extends AnyFunSuite with Matchers
       .as[(Long, Long)].head() shouldBe ((3L, 1L))
   }
 
+  test("SHALLOW CLONE carries the assignments and the domain: the " +
+    "clone serves the source's row ids and allocates past them") {
+    import spark.implicits._
+    val t = fresh()
+    val c = fresh()
+    DeltaInterop.write(
+      (0L until 6L).toDF("k").coalesce(1).sortWithinPartitions("k"), t)
+    DeltaInterop.enableRowTracking(spark, t)
+    DeltaInterop.shallowClone(spark, t, c)
+    DeltaInterop.readRowIds(spark, c)
+      .select($"k", $"_row_id").as[(Long, Long)]
+      .collect().toMap shouldBe (0L until 6L).map(i => i -> i).toMap
+    DeltaInterop.state(spark, c, None)
+      .domains.keySet should contain("delta.rowTracking")
+    DeltaInterop.write(Seq(10L).toDF("k"), c)
+    DeltaInterop.readRowIds(spark, c).filter($"k" === 10L)
+      .select($"_row_id").as[Long].head() should be >= 6L
+  }
+
   test("row tracking composes with COLUMN MAPPING: materialized " +
     "columns ride the physical scan and a mapped MOR update carries") {
     import spark.implicits._
