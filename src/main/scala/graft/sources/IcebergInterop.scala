@@ -3408,13 +3408,13 @@ object IcebergInterop {
     val metaDir = new Path(root, "metadata")
     val priorMeta = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v${st.metadataVersion}.metadata.json")))
-    if (jLong(priorMeta \ "format-version") > 2)
-      throw new UnsupportedIcebergFeatureException(
-        s"table $root is format-version " +
-          s"${jLong(priorMeta \ "format-version")} — v3 merge-on-read " +
-          "updates and equality deletes are not yet written (the v3 " +
-          "write surface is appends + deletion-vector deletes); use " +
-          "deleteMor for row deletes")
+    // v3: MOR commits are lineage-neutral on the delete side (no
+    // data file moves, no row gains or loses its id — equality
+    // deletes publish fine) and added image files stamp explicit
+    // first_row_id origins below, so keyed upserts work too
+    val v3 = jLong(priorMeta \ "format-version") > 2
+    val priorNextRowId: Long =
+      if (!v3) 0L else jLong(priorMeta \ "next-row-id") max 0L
     val newSeq = (jLong(priorMeta \ "last-sequence-number") max 0L) + 1L
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
@@ -3437,7 +3437,8 @@ object IcebergInterop {
     // deletes stay global — their entries are spec-less by the
     // unpartitioned guard on that path
     val (partFields, specJson) = morPartFields(priorMeta, st)
-    val entrySchema = manifestEntrySchema(partFields, v2 = true)
+    val entrySchema = manifestEntrySchema(partFields, v2 = true,
+      lineage = v3)
     val listEntries =
       scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
     val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
@@ -3482,25 +3483,34 @@ object IcebergInterop {
           "partition-spec" -> specJson,
           "partition-spec-id" -> st.defaultSpecId.toString,
           "schema" -> schemaJsonStr),
-        added.map { f =>
-          val e = new GenericData.Record(entrySchema)
-          e.put("status", 1)
-          e.put("snapshot_id", snapshotId)
-          val dfRec = new GenericData.Record(
-            entrySchema.getField("data_file").schema())
-          dfRec.put("content", 0)
-          dfRec.put("file_path", f.path)
-          dfRec.put("file_format", "PARQUET")
-          putPartition(entrySchema, dfRec, partFields, f.partition)
-          dfRec.put("record_count", f.records)
-          dfRec.put("file_size_in_bytes", f.bytes)
-          e.put("data_file", dfRec)
-          e
+        {
+          var rowIdCursor = priorNextRowId
+          added.map { f =>
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            val dfRec = new GenericData.Record(
+              entrySchema.getField("data_file").schema())
+            dfRec.put("content", 0)
+            dfRec.put("file_path", f.path)
+            dfRec.put("file_format", "PARQUET")
+            putPartition(entrySchema, dfRec, partFields, f.partition)
+            dfRec.put("record_count", f.records)
+            dfRec.put("file_size_in_bytes", f.bytes)
+            if (v3) {
+              dfRec.put("first_row_id",
+                java.lang.Long.valueOf(rowIdCursor))
+              rowIdCursor += f.records
+            }
+            e.put("data_file", dfRec)
+            e
+          }
         })
       listEntries += manifestListRowV2(dataManifest.toString,
         fs.getFileStatus(dataManifest).getLen, st.defaultSpecId,
         content = 0, seq = newSeq, minSeq = newSeq, snapshotId,
-        (added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+        (added.size, 0, 0, added.map(_.records).sum, 0L, 0L),
+        firstRowId = if (v3) Some(priorNextRowId) else None)
     }
     val priorList: Seq[GenericRecord] = (priorMeta \ "snapshots") match {
       case JArray(xs) =>
@@ -3518,7 +3528,12 @@ object IcebergInterop {
         priorList.map(pm => carryManifestRowV2(fs, pm, snapshotId)))
     publishDmlDoc(fs, root, priorMeta, st.metadataVersion,
       snapshotId, listPath, operation, curSchemaId, Some(newSeq),
-      summary)
+      summary,
+      // v3 snapshots claim their row-id range (0-wide for pure
+      // delete-file commits; the upsert's image files consume one)
+      rowLineage =
+        if (!v3) None
+        else Some((priorNextRowId, added.map(_.records).sum)))
   }
 
   // ------------------------------------------------- v3 row lineage

@@ -327,6 +327,45 @@ class IcebergV3LineageSpec extends AnyFunSuite with Matchers
       .head() shouldBe ((501L, 5L))
   }
 
+  test("v3 EQUALITY DELETES and keyed upserts: zero-scan deleteByKeys " +
+    "drops rows without touching survivors' ids, upsertByKeys appends " +
+    "fresh-lineage images, and compactDeletes retires the debt with " +
+    "every id preserved") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (100L until 103L).map(k => (k, k)).toDF("k", "v").coalesce(1), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    IcebergInterop.write(
+      (0L until 10L).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k"), t)
+    // zero-scan keyed delete: one equality-delete file, no data IO
+    IcebergInterop.deleteByKeys(spark, t, Seq(3L).toDF("k"))
+    val a = IcebergInterop.readRowLineage(spark, t)
+    a.count() shouldBe 12L
+    a.filter($"k" === 7L).select($"_row_id").as[Long].head() shouldBe 7L
+    // keyed upsert: the old row dies by key, the image is a NEW row
+    // with fresh lineage from its file's stamped origin
+    IcebergInterop.upsertByKeys(
+      Seq((5L, 500L)).toDF("k", "v"), t, Seq("k"))
+    val b = IcebergInterop.readRowLineage(spark, t)
+    b.count() shouldBe 12L
+    val up = b.filter($"k" === 5L)
+      .select($"v", $"_row_id").as[(Long, Long)].collect()
+    up.length shouldBe 1
+    up.head._1 shouldBe 500L
+    up.head._2 should be >= 10L // fresh identity, not the old 5
+    val upId = up.head._2
+    // compaction retires the eq-delete debt; every id holds
+    IcebergInterop.compactDeletes(spark, t)
+    IcebergInterop.state(spark, t, None).eqDeletes shouldBe empty
+    val c = IcebergInterop.readRowLineage(spark, t)
+    c.count() shouldBe 12L
+    c.filter($"k" === 5L).select($"_row_id").as[Long].head() shouldBe upId
+    c.filter($"k" === 7L).select($"_row_id").as[Long].head() shouldBe 7L
+  }
+
   test("refusals by name: pre-v3 tables have no row lineage; a data " +
     "column shadowing a reserved lineage name refuses") {
     import spark.implicits._
