@@ -3780,9 +3780,8 @@ object IcebergInterop {
     if (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty)
       throw new UnsupportedIcebergFeatureException(
         s"table $root carries v2 position/equality delete files next " +
-          "to v3 deletion vectors — consolidate the parquet deletes " +
-          "(compactDeletes on the v2 table before upgrading) before " +
-          "vector DML")
+          "to v3 deletion vectors — run compactDeletes (it retires " +
+          "all three encodings together) before vector DML")
     // keyed by BOTH path forms ([[ForeignDv.forms]]): the scan's
     // `__fp` is scheme-normalized + URI-escaped while a foreign
     // manifest may record either shape — a missed lookup here would
@@ -5297,12 +5296,10 @@ object IcebergInterop {
     * tracks the deleted surface: only touched files rewrite. */
   def compactDeletes(spark: SparkSession, table: String): Long = {
     val st = state(spark, table, None)
-    if (st.dvDeletes.nonEmpty &&
-      (st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty))
-      throw new UnsupportedIcebergFeatureException(
-        s"table $table carries v2 position/equality delete files " +
-          "NEXT TO v3 deletion vectors — compact the parquet deletes " +
-          "on the v2 table before upgrading")
+    // all three delete encodings (v2 position/equality parquet, v3
+    // deletion vectors) compose in the read and retire together here
+    // — compaction is the remedy for mixed debt, so it must never
+    // refuse it (DML atop mixed debt refuses and points HERE)
     if (st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty) return st.snapshotId
     val root = new Path(table)

@@ -357,13 +357,26 @@ class IcebergV3LineageSpec extends AnyFunSuite with Matchers
     up.head._1 shouldBe 500L
     up.head._2 should be >= 10L // fresh identity, not the old 5
     val upId = up.head._2
-    // compaction retires the eq-delete debt; every id holds
+    // compaction retires the eq debt with every id preserved
     IcebergInterop.compactDeletes(spark, t)
     IcebergInterop.state(spark, t, None).eqDeletes shouldBe empty
     val c = IcebergInterop.readRowLineage(spark, t)
     c.count() shouldBe 12L
     c.filter($"k" === 5L).select($"_row_id").as[Long].head() shouldBe upId
     c.filter($"k" === 7L).select($"_row_id").as[Long].head() shouldBe 7L
+    // MIXED debt: a deletion vector lands, then an eq-delete NEXT TO
+    // it (legal — only DV DML atop parquet debt refuses), and ONE
+    // compaction retires both encodings
+    IcebergInterop.deleteMor(spark, t, col("k") === 8L)
+    IcebergInterop.deleteByKeys(spark, t, Seq(9L).toDF("k"))
+    IcebergInterop.compactDeletes(spark, t)
+    val stc = IcebergInterop.state(spark, t, None)
+    stc.eqDeletes shouldBe empty
+    stc.dvDeletes shouldBe empty
+    val d = IcebergInterop.readRowLineage(spark, t)
+    d.count() shouldBe 10L
+    d.filter($"k" === 5L).select($"_row_id").as[Long].head() shouldBe upId
+    d.filter($"k" === 7L).select($"_row_id").as[Long].head() shouldBe 7L
   }
 
   test("refusals by name: pre-v3 tables have no row lineage; a data " +
