@@ -3654,11 +3654,21 @@ object DeltaInterop {
   /** The first safe row id to assign: past the domain's recorded
     * high-water mark AND past every live file's assigned range — a
     * foreign log whose domain lags its assignments (or lost it) must
-    * never be handed colliding ids. */
+    * never be handed colliding ids. A baseRowId-carrying live file
+    * with NO numRecords stats refuses by name (r15): guessing 0 would
+    * understate its range end, and if the domain mark also lags,
+    * fresh allocations could collide with that file's tail ids —
+    * the same refusal [[enableRowTracking]]'s backfill makes. */
   private def rowIdCursorStart(st: DeltaState): Long =
     (rowIdHwmOf(st.domains) max
       st.files.flatMap(a => a.baseRowId.map(b =>
-        b + numRecordsOf(a).getOrElse(0L) - 1))
+        b + numRecordsOf(a).getOrElse(
+          throw new UnsupportedDeltaFeatureException(
+            s"row-tracking table: live file ${a.path} carries " +
+              s"baseRowId=$b but records no numRecords stats — its " +
+              "assigned row-id range end is unknowable, and fresh " +
+              "allocations could collide with it; refusing rather " +
+              "than risk duplicate row ids")) - 1))
         .foldLeft(-1L)(_ max _)) + 1
 
   private def domainJson(domain: String, configuration: String,

@@ -134,17 +134,24 @@ object DeltaWriteGate {
         s"$op on $table would remove data, but the table declares " +
           "delta.appendOnly=true — only appends (and " +
           "dataChange=false rewrites) are legal commits")
-    if (addsData && !identityHandled) {
-      val identity = st.schema.fields.filter(f =>
-        f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.identity.step"))
-      if (identity.nonEmpty)
-        throw new UnsupportedDeltaFeatureException(
-          s"$op on $table: column(s) " +
-            s"${identity.map(_.name).mkString("[", ", ", "]")} are " +
-            "IDENTITY columns — this path does not allocate identity " +
-            "values or advance their high-water mark (plain appends " +
-            "do)")
+    if (addsData) {
+      if (!identityHandled) {
+        val identity = st.schema.fields.filter(f =>
+          f.metadata.contains("delta.identity.start") ||
+            f.metadata.contains("delta.identity.step"))
+        if (identity.nonEmpty)
+          throw new UnsupportedDeltaFeatureException(
+            s"$op on $table: column(s) " +
+              s"${identity.map(_.name).mkString("[", ", ", "]")} are " +
+              "IDENTITY columns — this path does not allocate identity " +
+              "values or advance their high-water mark (plain appends " +
+              "do)")
+      }
+      // NESTED obligations refuse on EVERY data-adding verb —
+      // identityHandled marks paths that allocate identity values, it
+      // says nothing about nested invariants, so the refusal must not
+      // hide behind it (a plain append to a table whose struct fields
+      // carry invariants would otherwise land unvalidated rows)
       val nested = nestedObligations(st.schema)
       if (nested.nonEmpty)
         throw new UnsupportedDeltaFeatureException(

@@ -119,7 +119,16 @@ object IcebergInterop {
       lastColumnId: Long = 0L,
       fieldIds: Map[String, Long] = Map.empty,
       schemaFields: Map[Long, Seq[(Long, String, DataType)]] = Map.empty,
-      snapshotSchemaIds: Map[Long, Long] = Map.empty) {
+      snapshotSchemaIds: Map[Long, Long] = Map.empty,
+      // v3 COLUMN DEFAULTS (spec: `initial-default` is the value every
+      // row written BEFORE the field existed must serve — decoded here
+      // to a Spark-literal-ready value, keyed by field id; serving
+      // NULL instead would be silently wrong). `writeDefaults` maps
+      // current-schema field names to their raw `write-default` JSON —
+      // [[write]] APPLIES the default when an append omits the column
+      // (decode failure refuses by name where it surfaces).
+      initialDefaults: Map[Long, Any] = Map.empty,
+      writeDefaults: Map[String, org.json4s.JValue] = Map.empty) {
     /** True when any two retained schemas disagree on (id, name,
       * type) — the only case where per-file resolution is needed. */
     def evolved: Boolean =
@@ -615,6 +624,14 @@ object IcebergInterop {
       val avroFiles = st.files.filter(_.format == "avro")
       if (orcFiles.nonEmpty || avroFiles.nonEmpty) {
         val ex = (orcFiles ++ avroFiles).head.path
+        if (st.evo.initialDefaults.nonEmpty)
+          throw new UnsupportedIcebergFeatureException(
+            s"the schema declares initial-default column values but " +
+              s"ORC/AVRO data files (e.g. $ex) read by NAME — this " +
+              "reader cannot tell a genuinely null value from a " +
+              "predates-the-column null there, and serving NULL " +
+              "where the spec says serve the default is silently " +
+              "wrong; rewrite those files to parquet first")
         if (keepLineage)
           throw new UnsupportedIcebergFeatureException(
             s"row-level lineage needs parquet row_index metadata — " +
@@ -629,8 +646,12 @@ object IcebergInterop {
       }
       val pqFiles = st.files.filterNot(f =>
         f.format == "orc" || f.format == "avro")
+      // a default-bearing schema forces PER-FILE resolution even when
+      // retained schemas agree (older schemas may have been expired):
+      // the default must serve exactly for files that predate the
+      // column, which only the per-file signature walk can tell
       val grouped: Option[Seq[(Seq[String], Seq[Option[(String, DataType)]])]] =
-        if (!st.evo.evolved) None
+        if (!st.evo.evolved && st.evo.initialDefaults.isEmpty) None
         else {
           val perFile = pqFiles.map { f =>
             val sig = mappingOf(f) match {
@@ -646,7 +667,21 @@ object IcebergInterop {
                   (phys, histDt)
                 }
               }
-              case None => cur.map(t => Some((t._2, t._3)))
+              case None =>
+                // name-mapping fallback: the file carries neither a
+                // resolvable snapshot schema nor footer field ids. On
+                // a default-bearing schema that is unservable — this
+                // reader cannot tell whether the file predates the
+                // defaulted column (must serve the default) or holds
+                // it (must serve stored values)
+                if (st.evo.initialDefaults.nonEmpty)
+                  throw new UnsupportedIcebergFeatureException(
+                    s"data file ${f.path} resolves by name mapping " +
+                      "only (no snapshot schema, no footer field ids) " +
+                      "but the schema declares initial-default column " +
+                      "values — cannot decide between the default and " +
+                      "stored values; refusing rather than guess")
+                cur.map(t => Some((t._2, t._3)))
             }
             f.path -> sig
           }
@@ -705,7 +740,14 @@ object IcebergInterop {
             val proj = cur.zip(sig).map {
               case ((_, name, cdt), Some((p, fdt))) =>
                 (if (fdt == cdt) col(p) else col(p).cast(cdt)).as(name)
-              case ((_, name, dt), None) => lit(null).cast(dt).as(name)
+              case ((id, name, dt), None) =>
+                // the file predates this column: serve the schema's
+                // v3 initial-default when one is recorded (the spec's
+                // rule), else null-fill as before
+                st.evo.initialDefaults.get(id) match {
+                  case Some(d) => lit(d).cast(dt).as(name)
+                  case None => lit(null).cast(dt).as(name)
+                }
             } ++ (if (withMeta) extraPhysical.map(f => col(f.name))
                   else Nil)
             val base = spark.read.schema(phys).parquet(paths: _*)
@@ -924,6 +966,12 @@ object IcebergInterop {
       .orElse(schemaNodes.headOption.map(_._2))
       .getOrElse(metaJson \ "schema")
     val schema = icebergSchemaToSpark(schemaJson, table)
+    // v3 COLUMN DEFAULTS on the effective schema — initial-default
+    // serves where added-column null-fill sat; write-default refuses
+    // data-adding commits by name (pre-v3 metadata never carries
+    // either, so this is free on v1/v2 tables)
+    val (initialDefaults, writeDefaults) =
+      schemaDefaults(schemaJson, schema, table)
     // (id, name, type) triples per retained schema — [[toDF]]'s
     // per-file projection evidence. Schemas that fail to convert
     // (e.g. a dropped type this reader never served) are omitted;
@@ -947,7 +995,8 @@ object IcebergInterop {
           jLong(metaJson \ "last-column-id") max schema.length.toLong,
           schemaFieldTriples.getOrElse(effSchemaId, Nil)
             .map(t => t._2 -> t._1).toMap,
-          schemaFieldTriples, snapshotSchemaIds),
+          schemaFieldTriples, snapshotSchemaIds,
+          initialDefaults, writeDefaults),
         formatVersion = formatVersion.toInt)
     val snap = snapshots.find(s => jLong(s \ "snapshot-id") == snapId)
       .getOrElse(throw new IllegalArgumentException(
@@ -1020,6 +1069,20 @@ object IcebergInterop {
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
     val dvDeletes = Seq.newBuilder[IceDvDelete]
+    // r15: the snapshot-origin fallback below is sound only when the
+    // adding snapshot contributed exactly ONE data manifest — with
+    // several lacking manifest-level first_row_id, each would inherit
+    // the same origin and the read would serve DUPLICATE row ids
+    // (graft's own history is one-manifest-per-commit; a foreign v3
+    // writer's need not be)
+    val dataManifestsPerSnap: Map[Long, Int] =
+      if (formatVersion < 3) Map.empty
+      else manifestListRows
+        .filter(mf => fieldOpt(mf, "content")
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0) == 0)
+        .groupBy(mf => fieldOpt(mf, "added_snapshot_id")
+          .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
+        .map { case (k, v) => k -> v.size }
     manifestListRows.foreach { mf =>
       val content = fieldOpt(mf, "content")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
@@ -1043,7 +1106,10 @@ object IcebergInterop {
         if (formatVersion < 3 || content != 0) None
         else fieldOpt(mf, "first_row_id")
           .map(_.asInstanceOf[Number].longValue)
-          .orElse(snapFirstRowId.get(mfAddedSnap))
+          .orElse(
+            if (dataManifestsPerSnap.getOrElse(mfAddedSnap, 0) == 1)
+              snapFirstRowId.get(mfAddedSnap)
+            else None)
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
@@ -1169,7 +1235,8 @@ object IcebergInterop {
           schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
             ((i + 1).toLong, f.name, f.dataType)
           }).map(t => t._2 -> t._1).toMap,
-        schemaFieldTriples, snapshotSchemaIds),
+        schemaFieldTriples, snapshotSchemaIds,
+        initialDefaults, writeDefaults),
       formatVersion.toInt, dvDeletes.result())
   }
 
@@ -1543,6 +1610,17 @@ object IcebergInterop {
         val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")")
           .split(',').map(_.trim.toInt)
         DecimalType(p, sc)
+      // v3's new types, refused BY NAME (not an anonymous parse
+      // failure): variant needs the binary variant encoding, geometry/
+      // geography carry CRS semantics, the ns timestamps overflow
+      // micros, and `unknown` has no values to serve
+      case v3t if v3t == "variant" || v3t == "unknown" ||
+        v3t == "timestamp_ns" || v3t == "timestamptz_ns" ||
+        v3t == "geometry" || v3t.startsWith("geometry(") ||
+        v3t == "geography" || v3t.startsWith("geography(") =>
+        throw new UnsupportedIcebergFeatureException(
+          s"Iceberg v3 type '$v3t' in $table — this reader does not " +
+            "serve it; refusing by name rather than misread the column")
       case other => throw new UnsupportedIcebergFeatureException(
         s"Iceberg primitive type '$other' in $table — not mapped")
     }
@@ -1550,6 +1628,113 @@ object IcebergInterop {
       case st: StructType => st
       case other => throw new IllegalStateException(
         s"Iceberg schema of $table is not a struct: $other")
+    }
+  }
+
+  /** The v3 COLUMN-DEFAULT declarations of a schema node:
+    * (field-id → decoded `initial-default`, names of top-level fields
+    * carrying `write-default`). The spec (v3) makes `initial-default`
+    * the value every row written BEFORE the field existed must serve
+    * — [[toDF]]'s by-id projection substitutes it where the null-fill
+    * sat. Defaults on NESTED fields refuse by name: this reader fills
+    * top-level columns only, and skipping a recorded default would
+    * serve silently wrong NULLs — the one hazard class the refusal
+    * discipline exists for. */
+  private[sources] def schemaDefaults(schemaJson: org.json4s.JValue,
+      schema: StructType, table: String)
+      : (Map[Long, Any], Map[String, org.json4s.JValue]) = {
+    import org.json4s._
+    def nestedCarriesDefault(t: JValue): Boolean = (t \ "type") match {
+      case JString("struct") => (t \ "fields") match {
+        case JArray(fs) => fs.exists(f =>
+          (f \ "initial-default") != JNothing ||
+            (f \ "write-default") != JNothing ||
+            nestedCarriesDefault(f \ "type"))
+        case _ => false
+      }
+      case JString("list") => nestedCarriesDefault(t \ "element")
+      case JString("map") => nestedCarriesDefault(t \ "key") ||
+        nestedCarriesDefault(t \ "value")
+      case _ => false
+    }
+    (schemaJson \ "fields") match {
+      case JArray(fs) =>
+        val inits = Map.newBuilder[Long, Any]
+        val writes = Map.newBuilder[String, JValue]
+        fs.foreach { f =>
+          val name = (f \ "name") match {
+            case JString(n) => n
+            case _ => "?"
+          }
+          if (nestedCarriesDefault(f \ "type"))
+            throw new UnsupportedIcebergFeatureException(
+              s"column $name of $table declares a default on a NESTED " +
+                "field — this reader fills top-level columns only and " +
+                "refuses rather than serve NULL where the spec says " +
+                "serve the default")
+          val dt = schema.find(_.name == name).map(_.dataType)
+          (f \ "initial-default") match {
+            case JNothing => ()
+            case dj =>
+              val id = jLong(f \ "id")
+              dt.foreach(t => inits += id ->
+                decodeDefault(t, dj, name, table))
+          }
+          (f \ "write-default") match {
+            case JNothing => ()
+            case dj => writes += name -> dj
+          }
+        }
+        (inits.result(), writes.result())
+      case _ => (Map.empty, Map.empty)
+    }
+  }
+
+  /** Iceberg JSON single-value serialization → a Spark-literal-ready
+    * value, under the field's converted Spark type. Shapes this
+    * decoder does not model refuse BY NAME — a guessed default is a
+    * silently wrong value on every pre-existing row. */
+  private def decodeDefault(dt: DataType, j: org.json4s.JValue,
+      field: String, table: String): Any = {
+    import org.json4s._
+    def refuse(): Nothing =
+      throw new UnsupportedIcebergFeatureException(
+        s"column $field of $table declares default " +
+          s"${org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(j))} which this " +
+          s"reader cannot decode as ${dt.sql} — refusing rather than " +
+          "serve a wrong value on pre-existing rows")
+    try (dt, j) match {
+      case (_, JNull) => null
+      case (BooleanType, JBool(b)) => b
+      case (IntegerType, JInt(n)) => n.toInt
+      case (IntegerType, JLong(n)) => n.toInt
+      case (LongType, JInt(n)) => n.toLong
+      case (LongType, JLong(n)) => n
+      case (FloatType, JDouble(d)) => d.toFloat
+      case (FloatType, JInt(n)) => n.toFloat
+      case (DoubleType, JDouble(d)) => d
+      case (DoubleType, JInt(n)) => n.toDouble
+      case (_: DecimalType, JString(s)) => new java.math.BigDecimal(s)
+      case (_: DecimalType, JDouble(d)) =>
+        java.math.BigDecimal.valueOf(d)
+      case (_: DecimalType, JInt(n)) =>
+        new java.math.BigDecimal(n.bigInteger)
+      case (StringType, JString(s)) => s
+      case (DateType, JString(s)) => java.sql.Date.valueOf(s)
+      case (TimestampNTZType, JString(s)) =>
+        java.time.LocalDateTime.parse(s)
+      case (TimestampType, JString(s)) =>
+        java.time.OffsetDateTime.parse(s).toInstant
+      case (BinaryType, JString(s)) =>
+        val hex = s.stripPrefix("0x").stripPrefix("0X")
+        if (hex.isEmpty || hex.length % 2 != 0 ||
+          !hex.forall(c => Character.digit(c, 16) >= 0)) refuse()
+        hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      case _ => refuse()
+    } catch {
+      case _: IllegalArgumentException => refuse()
+      case _: java.time.format.DateTimeParseException => refuse()
     }
   }
 
@@ -1873,11 +2058,11 @@ object IcebergInterop {
     * different one refuses by name — evolve via overwrite); transform
     * evaluation is the same code the read-side pruner runs, so write
     * tuple and prune verdict cannot disagree. */
-  def write(df: DataFrame, table: String,
+  def write(df0: DataFrame, table: String,
             overwrite: Boolean = false,
             partitionBy: Seq[SpecField] = Nil,
             streamMark: Option[(String, Long)] = None): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val metaDir = new Path(root, "metadata")
@@ -1886,6 +2071,22 @@ object IcebergInterop {
         currentMetadataVersion(fs, table).isDefined)
         Some(state(spark, table, None))
       else None
+    // v3 `write-default`: an append that OMITS a defaulted column
+    // APPLIES the recorded default (the spec's writer duty — an
+    // undecodable default refuses by name inside decodeDefault);
+    // omitted columns without one still refuse in
+    // requireAppendCompatible below
+    val df = prior.filter(_ => !overwrite)
+      .map(p => p.evo.writeDefaults.foldLeft(df0) {
+        case (acc, (name, j)) =>
+          if (acc.columns.contains(name) ||
+            !p.schema.fieldNames.contains(name)) acc
+          else {
+            val dt = p.schema(name).dataType
+            acc.withColumn(name, org.apache.spark.sql.functions
+              .lit(decodeDefault(dt, j, name, table)).cast(dt))
+          }
+      }).getOrElse(df0)
     prior.foreach { p =>
       if (!overwrite) {
         InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
@@ -4608,11 +4809,13 @@ object IcebergInterop {
         s"no v*.metadata.json under $table/metadata"))
     val metaJson = JsonMethods.parse(readText(fs,
       new Path(metaDir, s"v$version.metadata.json")))
-    if (jLong(metaJson \ "format-version") > 2)
+    // metadata-only evolution: every other top-level field (v3's
+    // next-row-id included) carries verbatim, so v1-v3 are all safe
+    if (jLong(metaJson \ "format-version") > 3)
       throw new UnsupportedIcebergFeatureException(
         s"table $table is format-version " +
-          s"${jLong(metaJson \ "format-version")} — only v1/v2 are " +
-          "supported")
+          s"${jLong(metaJson \ "format-version")} — v1/v2/v3 " +
+          "metadata is what this writer evolves")
     val curId = jLong(metaJson \ "current-schema-id") match {
       case -1L => 0L
       case id => id
@@ -4826,7 +5029,8 @@ object IcebergInterop {
       schema: StructType, newFiles: Seq[IceFile],
       prior: Option[IceState], overwrite: Boolean,
       operation: String, spec: Seq[SpecField] = Nil,
-      streamMark: Option[(String, Long)] = None): Long = {
+      streamMark: Option[(String, Long)] = None,
+      existing: Seq[IceFile] = Nil): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
@@ -5014,13 +5218,30 @@ object IcebergInterop {
         "partition-spec" -> legacySpecJson,
         "partition-spec-id" -> specId.toString,
         "schema" -> schemaJsonStr),
-      newFiles.map { f =>
+      (newFiles.map((_, true)) ++ existing.map((_, false))).map {
+        case (f, isAdded) =>
         val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapshotId)
+        if (isAdded) {
+          e.put("status", 1) // ADDED — sequence numbers inherit
+          e.put("snapshot_id", snapshotId)
+        } else {
+          // UNTOUCHED survivor of a replace commit (compaction):
+          // status=0 with its ORIGINAL data sequence number recorded
+          // entry-level, so manifest-list inheritance cannot re-stamp
+          // it — rows that never materialized
+          // `_last_updated_sequence_number` keep reporting the seq
+          // that actually last updated them (spec's EXISTING rule)
+          e.put("status", 0)
+          if (f.snapId >= 0) e.put("snapshot_id", f.snapId)
+          if (v2) {
+            e.put("sequence_number", f.seq)
+            e.put("file_sequence_number",
+              if (f.fileSeq >= 0) f.fileSeq else f.seq)
+          }
+        }
         val dfRec = new GenericData.Record(
           entrySchema.getField("data_file").schema())
-        if (v2) dfRec.put("content", 0) // sequence numbers inherit
+        if (v2) dfRec.put("content", 0)
         dfRec.put("file_path", f.path)
         dfRec.put("file_format", "PARQUET")
         val partRec = new GenericData.Record(
@@ -5041,9 +5262,13 @@ object IcebergInterop {
         dfRec.put("record_count", f.records)
         dfRec.put("file_size_in_bytes", f.bytes)
         // v3 row lineage: every added data file records its explicit
-        // row-id origin (preserved or freshly allocated above)
-        if (v3) fileRowIds.get(f.path).foreach(v =>
-          dfRec.put("first_row_id", java.lang.Long.valueOf(v)))
+        // row-id origin (preserved or freshly allocated above);
+        // EXISTING survivors carry their recorded one (a null stays
+        // null — the file predates lineage and never had ids)
+        if (v3)
+          (if (isAdded) fileRowIds.get(f.path) else f.firstRowId)
+            .foreach(v =>
+              dfRec.put("first_row_id", java.lang.Long.valueOf(v)))
         // recorded bounds (when the stager extracted them) — what a
         // reader, foreign or ours, prunes files on
         def boundsRecord(field: String,
@@ -5132,10 +5357,12 @@ object IcebergInterop {
       // every existing delete, which is exactly the spec's rule for
       // "deletes never apply to later data")
       val newEntry = manifestListRowV2(manifestPath.toString, manifestLen,
-        specId, content = 0, seq = newSeq, minSeq = newSeq,
+        specId, content = 0, seq = newSeq,
+        minSeq = existing.map(_.seq).filter(_ >= 0)
+          .foldLeft(newSeq)(_ min _),
         addedSnap = snapshotId,
-        counts = (newFiles.size, 0, 0,
-          newFiles.map(_.records).sum, 0L, 0L),
+        counts = (newFiles.size, existing.size, 0,
+          newFiles.map(_.records).sum, existing.map(_.records).sum, 0L),
         firstRowId = if (v3) Some(priorNextRowId) else None)
       val carried = priorManifests.map(pm =>
         carryManifestRowV2(fs, pm, snapshotId))
@@ -5368,8 +5595,13 @@ object IcebergInterop {
         fs.delete(stage, true): Unit
         moved
       }
-    publishSnapshot(fs, root, st.schema, keep ++ rewritten,
-      Some(st), overwrite = true, operation = "replace")
+    // keep files ride as EXISTING entries with their ORIGINAL data
+    // sequence numbers — re-adding them would re-stamp every
+    // unmaterialized row's `_last_updated_sequence_number` with the
+    // compaction's sequence (r15 lineage fix)
+    publishSnapshot(fs, root, st.schema, rewritten,
+      Some(st), overwrite = true, operation = "replace",
+      existing = keep)
   }
 
   /** OPTIMIZE — bin-pack compaction and optional Z-ORDER clustering
@@ -5453,8 +5685,11 @@ object IcebergInterop {
       fs.delete(stage, true): Unit
       moved
     }
-    publishSnapshot(fs, root, st.schema, keep ++ rewritten, Some(st),
-      overwrite = true, operation = "replace", spec = spec)
+    // untouched files carry as EXISTING with their original data
+    // sequence numbers (see compactDeletes — same r15 lineage fix)
+    publishSnapshot(fs, root, st.schema, rewritten, Some(st),
+      overwrite = true, operation = "replace", spec = spec,
+      existing = keep)
   }
 
   /** Iceberg's retention maintenance (`expireSnapshots`): drop every

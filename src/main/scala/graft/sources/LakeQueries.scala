@@ -1303,6 +1303,85 @@ object LakeQueries {
       |FROM orders o LEFT JOIN odd d USING (o_orderkey)
       |WHERE o.o_orderkey % 7 <> 0""".stripMargin
 
+  /** ic19_v3_defaults — Iceberg v3 COLUMN DEFAULTS through the gate:
+    * a third of orders lands BEFORE `tag`/`score` exist, the added
+    * columns then carry hand-edited `initial-default` ("legacy" / 7)
+    * and `write-default` ("fresh") attributes — the foreign-writer
+    * shape — and two more appends land one batch with explicit
+    * values and one that OMITS `tag` (the write-default must fill
+    * it). The oracle re-derives all three value sources relationally,
+    * so serving NULL where the spec says serve the default (the
+    * pre-r15 behavior) fails the hash loudly. */
+  def ic19V3Defaults(s: SparkSession, d: String): DataFrame = {
+    val dir = builtTables.computeIfAbsent(s"ic19:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic19").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 3 === 0), t)
+      IcebergInterop.upgradeFormat(s, t)
+      IcebergInterop.upgradeFormat(s, t, 3)
+      IcebergInterop.addColumns(s, t, Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType)))
+      // a foreign v3 writer's default declarations, hand-stamped
+      // (graft's own ALTER does not write defaults)
+      val root = new org.apache.hadoop.fs.Path(t)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      def slurp(p: org.apache.hadoop.fs.Path): String = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val hint = slurp(new org.apache.hadoop.fs.Path(t,
+        "metadata/version-hint.text")).trim
+      val metaP = new org.apache.hadoop.fs.Path(t,
+        s"metadata/v$hint.metadata.json")
+      val edited = slurp(metaP)
+        .replace(""""name":"tag","required":false,"type":"string"""",
+          """"name":"tag","required":false,"type":"string",""" +
+            """"initial-default":"legacy","write-default":"fresh"""")
+        .replace(""""name":"score","required":false,"type":"long"""",
+          """"name":"score","required":false,"type":"long",""" +
+            """"initial-default":7""")
+      val out = fs.create(metaP, true)
+      try out.write(edited.getBytes("UTF-8")) finally out.close()
+      IcebergInterop.write(
+        o.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("tag", lit("stored"))
+          .withColumn("score", (col("o_orderkey") % 10).cast("long")), t)
+      IcebergInterop.write(
+        o.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("score", lit(0L)), t)
+      t
+    })
+    IcebergInterop.read(s, dir)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score")).cast("long").as("score_sum"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+  }
+
+  val ic19Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_totalprice, 'legacy' AS tag,
+      |    CAST(7 AS BIGINT) AS score
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'stored',
+      |    CAST(o_orderkey % 10 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'fresh', CAST(0 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |SELECT tag, count(*) AS n,
+      |  CAST(SUM(score) AS BIGINT) AS score_sum,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+      |FROM t GROUP BY tag""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3195,6 +3274,7 @@ object LakeQueries {
     "ic16_sql_ctas" -> (ic16SqlCtas _),
     "ic17_v3_dv_dml" -> (ic17V3DvDml _),
     "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
+    "ic19_v3_defaults" -> (ic19V3Defaults _),
     "dl16_identity" -> (dl16Identity _),
     "dl17_row_tracking" -> (dl17RowTracking _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -3269,6 +3349,7 @@ object LakeQueries {
     "ic16_sql_ctas" -> ic16Oracle,
     "ic17_v3_dv_dml" -> ic17Oracle,
     "ic18_v3_row_lineage" -> ic18Oracle,
+    "ic19_v3_defaults" -> ic19Oracle,
     "dl16_identity" -> dl16Oracle,
     "dl17_row_tracking" -> dl17Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,

@@ -271,6 +271,29 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
     // deletes (no new rows) still legal on identity tables
     DeltaInterop.delete(spark, t, col("id") === 1L)
       .rowsAffected shouldBe 1L
+
+    // nested obligations refuse on a PLAIN APPEND (the
+    // identityHandled=true path — r15 regression fix: the refusal
+    // must not hide behind the identity check)
+    val t2 = fresh()
+    seed(t2)
+    val st2 = DeltaInterop.state(spark, t2, None)
+    val nestedSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("g", StringType),
+      StructField("v", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("score", LongType, nullable = true,
+          new MetadataBuilder().putString("delta.invariants",
+            """{"expression":{"expression":"meta.score > 0"}}""")
+            .build()))))))
+    foreignMetadata(t2, nestedSchema, st2.configuration)
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.write(
+        Seq((500L, "g0", 1L, 7L)).toDF("id", "g", "v", "score")
+          .select(col("id"), col("g"), col("v"),
+            struct(col("score")).as("meta")), t2))
+      .getMessage should include("meta.score")
   }
 
   test("checkpoints PRESERVE domainMetadata actions (r14c): a " +

@@ -379,6 +379,62 @@ class IcebergV3LineageSpec extends AnyFunSuite with Matchers
     d.filter($"k" === 7L).select($"_row_id").as[Long].head() shouldBe 7L
   }
 
+  test("compaction is lineage-safe for UNTOUCHED files too (r15): " +
+    "kept files carry as EXISTING entries with their original data " +
+    "sequence numbers, so bystander rows keep their " +
+    "_last_updated_sequence_number through compactDeletes and " +
+    "OPTIMIZE instead of inheriting the compaction's sequence") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((100L until 105L).toDF("id").coalesce(1), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    IcebergInterop.write((0L until 10L).toDF("id").coalesce(1), t)
+    IcebergInterop.write((50L until 55L).toDF("id").coalesce(1), t)
+    val before = IcebergInterop.readRowLineage(spark, t)
+      .filter($"id" < 10L)
+      .select($"id", $"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    // delete touches ONLY the 50..55 file; the 0..10 file is a
+    // bystander that never materialized its lineage
+    IcebergInterop.deleteMor(spark, t, col("id") === 52L)
+    IcebergInterop.compactDeletes(spark, t)
+    val after = IcebergInterop.readRowLineage(spark, t)
+    after.count() shouldBe 19L
+    after.filter($"id" < 10L)
+      .select($"id", $"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet shouldBe before
+    // pre-upgrade bystanders still serve NULL lineage
+    after.filter($"id" >= 100L)
+      .filter($"_row_id".isNotNull ||
+        $"_last_updated_sequence_number".isNotNull)
+      .count() shouldBe 0L
+    // OPTIMIZE with a size threshold that leaves a LARGE file kept:
+    // the two small files pack, the big one rides as EXISTING and its
+    // rows keep their recorded last-updated
+    val t2 = fresh()
+    IcebergInterop.write((0L until 2000L).toDF("id").coalesce(1), t2)
+    IcebergInterop.upgradeFormat(spark, t2)
+    IcebergInterop.upgradeFormat(spark, t2, 3)
+    IcebergInterop.write((5000L until 5003L).toDF("id").coalesce(1), t2)
+    IcebergInterop.write((9000L until 11000L).toDF("id").coalesce(1), t2)
+    IcebergInterop.write((6000L until 6003L).toDF("id").coalesce(1), t2)
+    val bigBefore = IcebergInterop.readRowLineage(spark, t2)
+      .filter($"id" >= 9000L)
+      .select($"id", $"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    val bigFileBytes = IcebergInterop.state(spark, t2, None)
+      .files.map(_.bytes).max
+    IcebergInterop.optimize(spark, t2, targetFileBytes = bigFileBytes)
+    val st2 = IcebergInterop.state(spark, t2, None)
+    // the big file survived verbatim (kept), small ones packed
+    st2.files.map(_.records).max shouldBe 2000L
+    IcebergInterop.readRowLineage(spark, t2)
+      .filter($"id" >= 9000L)
+      .select($"id", $"_row_id", $"_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet shouldBe bigBefore
+  }
+
   test("refusals by name: pre-v3 tables have no row lineage; a data " +
     "column shadowing a reserved lineage name refuses") {
     import spark.implicits._
