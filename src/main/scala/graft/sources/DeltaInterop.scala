@@ -89,6 +89,10 @@ object DeltaInterop {
   private[sources] val commitRaceHook =
     new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
+  /** Bounded blind-append retries after a lost version race — the
+    * ManifestLake `MaxCommitRebases` discipline. */
+  private val MaxCommitRetries = 10
+
   private val JsonRe = """(\d{20})\.json""".r
   private val CkRe = """(\d{20})\.checkpoint\.parquet""".r
   private val CkPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
@@ -1419,68 +1423,148 @@ object DeltaInterop {
       p, recordedSchema, partitionBy, adds,
       if (overwrite) "overwrite" else "append", fs, root))
 
-    val now = System.currentTimeMillis()
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
-      jstr(if (overwrite || prior.isEmpty) "WRITE" else "APPEND")
-    },"operationParameters":{},"engineInfo":${jstr("graft")}}}"""
-    // the protocol's idempotent-writer primitive: a (appId, version)
-    // stamp the NEXT attempt of the same epoch detects via
-    // lastTxnVersion — the exactly-once streaming contract
-    txn.foreach { case (appId, v) =>
-      lines += s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
-        s""""lastUpdated":$now}}"""
-    }
-    if (prior.isEmpty) {
-      // identity columns need legacy writer 6 (which implies the
-      // lower versions' features, identityColumns included)
-      val wv = if (identity.nonEmpty) 6 else if (mapped) 5 else 2
-      if (mapped) {
-        lines += s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":$wv}}"""
-        lines += metaDataJson(
-          withIdentityHwm(recordedSchema, identityHwms), partitionBy,
-          now, Map("delta.columnMapping.mode" -> "name",
-            "delta.columnMapping.maxColumnId" -> maxColumnId.toString))
-      } else {
-        lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
-        lines += metaDataJson(
-          withIdentityHwm(recordedSchema, identityHwms), partitionBy,
-          now)
+    def buildLines(pOpt: Option[DeltaState], v: Long,
+        rowIdBaseA: Map[String, Long], newRowIdHwmA: Long,
+        trackingA: Boolean): Seq[String] = {
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr(if (overwrite || pOpt.isEmpty) "WRITE" else "APPEND")
+      },"operationParameters":{},"engineInfo":${jstr("graft")}}}"""
+      // the protocol's idempotent-writer primitive: a (appId, version)
+      // stamp the NEXT attempt of the same epoch detects via
+      // lastTxnVersion — the exactly-once streaming contract
+      txn.foreach { case (appId, tv) =>
+        lines += s"""{"txn":{"appId":${jstr(appId)},"version":$tv,""" +
+          s""""lastUpdated":$now}}"""
       }
-    } else if (schemaChanged)
-      lines += metaDataJson(recordedSchema, partitionBy, now,
-        prior.map(_.configuration).getOrElse(Map.empty),
-        prior.flatMap(_.metaId))
-    else if (identityAdvanced)
-      // same commit, same metaData id: only the identity high-water
-      // marks move (the protocol's same-commit advance rule)
-      lines += metaDataJson(
-        withIdentityHwm(recordedSchema, identityHwms), partitionBy,
-        now, prior.map(_.configuration).getOrElse(Map.empty),
-        prior.flatMap(_.metaId))
-    if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
-      lines += s"""{"remove":{"path":${jstr(urlEncode(f.path))},""" +
-        s""""deletionTimestamp":$now,"dataChange":true}}"""
+      if (pOpt.isEmpty) {
+        // identity columns need legacy writer 6 (which implies the
+        // lower versions' features, identityColumns included)
+        val wv = if (identity.nonEmpty) 6 else if (mapped) 5 else 2
+        if (mapped) {
+          lines += s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":$wv}}"""
+          lines += metaDataJson(
+            withIdentityHwm(recordedSchema, identityHwms), partitionBy,
+            now, Map("delta.columnMapping.mode" -> "name",
+              "delta.columnMapping.maxColumnId" -> maxColumnId.toString))
+        } else {
+          lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$wv}}"""
+          lines += metaDataJson(
+            withIdentityHwm(recordedSchema, identityHwms), partitionBy,
+            now)
+        }
+      } else if (schemaChanged)
+        lines += metaDataJson(recordedSchema, partitionBy, now,
+          prior.map(_.configuration).getOrElse(Map.empty),
+          prior.flatMap(_.metaId))
+      else if (identityAdvanced)
+        // same commit, same metaData id: only the identity high-water
+        // marks move (the protocol's same-commit advance rule)
+        lines += metaDataJson(
+          withIdentityHwm(recordedSchema, identityHwms), partitionBy,
+          now, prior.map(_.configuration).getOrElse(Map.empty),
+          prior.flatMap(_.metaId))
+      if (overwrite) prior.toSeq.flatMap(_.files).foreach { f =>
+        lines += s"""{"remove":{"path":${jstr(urlEncode(f.path))},""" +
+          s""""deletionTimestamp":$now,"dataChange":true}}"""
+      }
+      adds.foreach { a =>
+        val pvJson = a.partitionValues.map {
+          case (k, Some(pv)) => s"${jstr(k)}:${jstr(pv)}"
+          case (k, None) => s"${jstr(k)}:null"
+        }.mkString("{", ",", "}")
+        lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
+          s""""partitionValues":$pvJson,"size":${a.size},""" +
+          s""""modificationTime":$now,"dataChange":true""" +
+          a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+          rowIdBaseA.get(a.path).map(b =>
+            s""","baseRowId":$b,"defaultRowCommitVersion":$v""")
+            .getOrElse("") + "}}"
+      }
+      if (trackingA && adds.nonEmpty)
+        lines += domainJson(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":$newRowIdHwmA}""")
+      lines.toSeq
     }
-    adds.foreach { a =>
-      val pvJson = a.partitionValues.map {
-        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
-        case (k, None) => s"${jstr(k)}:null"
-      }.mkString("{", ",", "}")
-      lines += s"""{"add":{"path":${jstr(urlEncode(a.path))},""" +
-        s""""partitionValues":$pvJson,"size":${a.size},""" +
-        s""""modificationTime":$now,"dataChange":true""" +
-        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
-        rowIdBase.get(a.path).map(b =>
-          s""","baseRowId":$b,"defaultRowCommitVersion":$version""")
-          .getOrElse("") + "}}"
-    }
-    if (rowTracking && adds.nonEmpty)
-      lines += domainJson(RowTrackingDomain,
-        s"""{"rowIdHighWaterMark":$newRowIdHwm}""")
 
-    publishCommit(fs, logDir, version, lines.toSeq,
-      prior.map(_.configuration).getOrElse(Map.empty))
+    // COMMIT with blind-append auto-retry (the ManifestLake
+    // `commitAppendWithRebase` discipline brought to the Delta side):
+    // an APPEND that loses the version race re-resolves the winner's
+    // state, RE-PROVES every obligation it already proved (protocol
+    // gate, partitioning, mapping, schema shape, constraints on the
+    // still-staged files, row-id assignment) and retries at the next
+    // version — the staged data files are version-free so nothing
+    // rewrites. Rewrites (overwrite), identity tables (allocated
+    // values are baked into the staged parquet) and txn-stamped
+    // commits (the sink owns replay decisions) keep RAISING the named
+    // conflict.
+    var attemptState = prior
+    var attemptRowIdBase = rowIdBase
+    var attemptHwm = newRowIdHwm
+    var attemptTracking = rowTracking
+    var attempts = 0
+    while (true) {
+      val v = attemptState.map(_.version + 1).getOrElse(0L)
+      try return publishCommit(fs, logDir, v,
+        buildLines(attemptState, v, attemptRowIdBase, attemptHwm,
+          attemptTracking),
+        attemptState.map(_.configuration).getOrElse(Map.empty))
+      catch { case e: ConcurrentDeltaCommitException =>
+        attempts += 1
+        if (overwrite || txn.nonEmpty || identityCols.nonEmpty ||
+          attempts > MaxCommitRetries) throw e
+        val ws = state(spark, table, None)
+        DeltaWriteGate.requireWritable(ws, table,
+          "append (retried over a concurrent commit)",
+          removesData = false, addsData = true,
+          identityHandled = true, rowTrackingHandled = true)
+        def abortRetry(why: String): Nothing = {
+          adds.foreach(a => scala.util.Try(
+            fs.delete(new Path(root, a.path), false)): Unit)
+          throw new ConcurrentDeltaCommitException(
+            s"append to $table lost the race to a commit that $why — " +
+              "cannot rebase; staged files removed, nothing landed")
+        }
+        if (ws.partitionColumns != partitionBy)
+          abortRetry(s"changed the partitioning to " +
+            s"[${ws.partitionColumns.mkString(", ")}]")
+        if ((ws.columnMappingMode != "none") != mapped)
+          abortRetry(s"set columnMapping=${ws.columnMappingMode}")
+        if (!InteropSchema.sameShape(ws.schema, recordedSchema))
+          abortRetry("changed the schema")
+        if (ws.schema.fields.exists(f =>
+          f.metadata.contains("delta.identity.start") ||
+            f.metadata.contains("delta.identity.step")))
+          abortRetry("declared IDENTITY columns (this append did " +
+            "not allocate values)")
+        // constraints/invariants the winner may have added validate
+        // against the STILL-STAGED files; a violation deletes them
+        // and aborts — the sequential-append semantics exactly
+        DeltaWriteGate.validateAddsOrAbort(spark, table, ws, ws.schema,
+          partitionBy, adds, "append (retried over a concurrent " +
+            "commit)", fs, root)
+        // row-id ranges re-allocate past the WINNER's high-water mark
+        // (assignments live in the log, not the staged parquet)
+        attemptTracking = ws.writerFeatures.contains("rowTracking")
+        if (attemptTracking) {
+          var cursor = rowIdCursorStart(ws)
+          attemptRowIdBase = adds.map { a =>
+            val n = numRecordsOf(a).getOrElse(
+              throw new UnsupportedDeltaFeatureException(
+                s"cannot assign baseRowId on $table: staged file " +
+                  s"${a.path} records no numRecords stats"))
+            val b = cursor; cursor += n; a.path -> b
+          }.toMap
+          attemptHwm =
+            if (adds.isEmpty) -1L
+            else adds.map(a => attemptRowIdBase(a.path) +
+              numRecordsOf(a).getOrElse(0L) - 1).max
+        } else { attemptRowIdBase = Map.empty; attemptHwm = -1L }
+        attemptState = Some(ws)
+      }
+    }
+    -1L // unreachable — the loop returns or throws
   }
 
   // ------------------------------------------------------ row-level DML

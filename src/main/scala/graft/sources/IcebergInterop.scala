@@ -74,6 +74,16 @@ object IcebergInterop {
   final class ConcurrentIcebergCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** Test seam: runs between a snapshot's version choice and its
+    * metadata publication — lets a spec interleave a racing commit
+    * deterministically (the DeltaInterop.commitRaceHook pattern). */
+  private[sources] val commitRaceHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
+  /** Bounded blind-append retries after a lost version race — the
+    * ManifestLake `MaxCommitRebases` discipline. */
+  private val MaxCommitRetries = 10
+
   /** One live data file (absolute URI, per the spec) with its recorded
     * row count. `seq` is the v2 DATA SEQUENCE NUMBER (entry-level, or
     * inherited from the manifest-list row; 0 on v1 tables) — the
@@ -2119,8 +2129,48 @@ object IcebergInterop {
     val moved =
       if (partitionBy.isEmpty) stageUnpartitioned(spark, stamped, root, fs)
       else stagePartitioned(spark, stamped, root, fs, partitionBy)
-    publishSnapshot(fs, root, df.schema, moved, prior, overwrite,
-      if (overwrite) "overwrite" else "append", partitionBy, streamMark)
+    // COMMIT with blind-append auto-retry (the ManifestLake
+    // `commitAppendWithRebase` discipline on the Iceberg side): an
+    // APPEND that loses the metadata-version race re-resolves the
+    // winner's state, RE-PROVES schema compatibility, the partition
+    // spec and the staged footers' field ids against it, and retries
+    // at the next version — the staged data files are version-free so
+    // nothing rewrites. Overwrites and streamMark-stamped commits
+    // (the sink owns replay decisions) keep RAISING the named
+    // conflict.
+    var attemptPrior = prior
+    var attempts = 0
+    while (true) {
+      try return publishSnapshot(fs, root, df.schema, moved,
+        attemptPrior, overwrite,
+        if (overwrite) "overwrite" else "append", partitionBy, streamMark)
+      catch { case e: ConcurrentIcebergCommitException =>
+        attempts += 1
+        if (overwrite || streamMark.nonEmpty || attempts > MaxCommitRetries)
+          throw e
+        val ws = state(spark, table, None)
+        def abortRetry(why: String): Nothing = {
+          moved.foreach(f => scala.util.Try(
+            fs.delete(new Path(f.path), false)): Unit)
+          throw new ConcurrentIcebergCommitException(
+            s"append to $table lost the race to a commit that $why — " +
+              "cannot rebase; staged files removed, nothing landed")
+        }
+        if (!scala.util.Try(InteropSchema.requireAppendCompatible(
+          df.schema, ws.schema, table)).isSuccess)
+          abortRetry("changed the schema")
+        if (partitionBy != ws.specs.getOrElse(ws.defaultSpecId, Nil))
+          abortRetry("changed the default partition spec")
+        // staged parquet footers already carry OUR field ids — if the
+        // winner renumbered any written column (drop + re-add), the
+        // staged files would serve wrong-by-id to foreign readers
+        if (!df.schema.fieldNames.forall(n =>
+          ws.evo.fieldIds.get(n).contains(ids(n))))
+          abortRetry("renumbered column field ids")
+        attemptPrior = Some(ws)
+      }
+    }
+    -1L // unreachable — the loop returns or throws
   }
 
   /** Metadata-only FORMAT UPGRADE v1 → v2 (the spec's one legal
@@ -5481,6 +5531,7 @@ object IcebergInterop {
     val out = fs.create(metaTmp, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    commitRaceHook.getAndSet(() => ()).apply()
     // atomic create-if-absent (hard-link on file:): exists()+rename is
     // a TOCTOU race where two committers can both "win" the version
     val published = ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)
