@@ -71,20 +71,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val s1 = sentinel()
-    val pass1 = runPass()
-    val s2 = sentinel()
-    val pass2 = runPass()
-    // The min-of-two rationale covers TIMING noise only — a query that
-    // errors in either pass is flaky or broken and must surface as a
-    // failure (null time, non-zero exit), not hide behind its one good
-    // run. Timing leniency and success leniency are different axes.
+    // SELF-DEFENSE against a loaded box (r15): the two standard
+    // passes always run; when even the BEST sentinel seen is above
+    // 1.5× the recorded quiet norm, the box was loaded for the whole
+    // window — up to two EXTRA passes run, stopping as soon as one
+    // starts quiet. Min over all passes converges on the true cost;
+    // the artifact carries every sentinel plus an explicitly-labeled
+    // load ratio so a reader can discount what remains.
+    val passes =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Option[Double]]]
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (passes.size < 2 ||
+      (passes.size < BenchReport.MaxPasses &&
+        sentinels.min > BenchReport.LoadedRatio * BenchReport.QuietNormSec)) {
+      sentinels += sentinel()
+      passes += runPass()
+    }
+    sentinels += sentinel() // bound the LAST pass from both sides
+    // The min-of-N rationale covers TIMING noise only — a query that
+    // errors in any pass is flaky or broken and must surface as a
+    // failure (null time, non-zero exit), not hide behind its good
+    // runs. Timing leniency and success leniency are different axes.
     val best = names.map { n =>
-      n -> (for (a <- pass1(n); b <- pass2(n)) yield math.min(a, b))
+      val times = passes.map(_(n))
+      n -> (if (times.exists(_.isEmpty)) None
+            else Some(times.flatten.min))
     }
     val failed = best.collect { case (n, None) => n }
     val (detail, summary) =
-      BenchReport.lines(names, best, Seq(pass1, pass2), sfDir, Seq(s1, s2))
+      BenchReport.lines(names, best, passes.toSeq, sfDir,
+        sentinels.toSeq)
     println(detail)
     println(summary)
     spark.stop()
@@ -109,6 +125,18 @@ object Bench {
 object BenchReport {
   val TopN = 10
 
+  /** The sentinel's QUIET-BOX norm, recorded from many quiet local
+    * runs (0.17–0.23 s band) — the yardstick a pass's sentinel is
+    * judged against. */
+  val QuietNormSec = 0.20
+
+  /** A pass whose sentinel exceeds this multiple of the norm ran on a
+    * loaded box. */
+  val LoadedRatio = 1.5
+
+  /** Standard 2 passes + up to 2 load-triggered extras. */
+  val MaxPasses = 4
+
   def lines(names: Seq[String], best: Seq[(String, Option[Double])],
             passes: Seq[Map[String, Option[Double]]], sfDir: String,
             sentinels: Seq[Double]): (String, String) = {
@@ -126,10 +154,21 @@ object BenchReport {
     val detail =
       s"""{"detail":"raw passes first, per-query min-of-2 last (tail-safe)","passes":[${
         passes.map(passJson).mkString(",")}],"queries":$qs}"""
+    // load self-labeling (r15): the BEST sentinel bounds how quiet
+    // the window ever got; `load_ratio` > LoadedRatio marks the whole
+    // artifact as load-contaminated, and `load_adjusted_total` is the
+    // explicitly-estimated quiet-equivalent (total scaled down by the
+    // ratio) — an ESTIMATE for discounting, never a replacement for a
+    // quiet rerun.
+    val loadRatio = if (sentinels.isEmpty) 1.0
+      else math.max(1.0, sentinels.min / QuietNormSec)
+    val adjusted = total / loadRatio
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${
         names.size},"failed":$failed,"sentinel_sec":[${
-        sentinels.mkString(",")}],"top":$top}"""
+        sentinels.mkString(",")}],"quiet_norm_sec":$QuietNormSec,"load_ratio":${
+        f"$loadRatio%.2f"},"load_adjusted_total":${
+        f"$adjusted%.1f"},"passes_run":${passes.size},"top":$top}"""
     (detail, summary)
   }
 }

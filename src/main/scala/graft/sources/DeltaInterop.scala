@@ -3460,18 +3460,33 @@ object DeltaInterop {
     require(zorderBy.forall(c => !st.partitionColumns.contains(c)),
       "z-ordering a partition column is a no-op — it is constant " +
         "within every rewrite group")
+    // LIQUID CLUSTERING: an OPTIMIZE with no explicit z-order set
+    // re-clusters on the table's RECORDED clustering columns (the
+    // delta.clustering domain) — maintaining the clustering is what
+    // makes accepting the `clustering` writer feature honest. A
+    // recorded column the schema no longer carries refuses by name.
+    val effZorder: Seq[String] =
+      if (zorderBy.nonEmpty) zorderBy
+      else clusteringColumnsOf(st, table).getOrElse(Nil).map { c =>
+        if (!st.schema.exists(_.name == c))
+          throw new UnsupportedDeltaFeatureException(
+            s"table $table records clustering column $c which is not " +
+              "in the schema — refusing to OPTIMIZE rather than drop " +
+              "its clustering")
+        c
+      }.filterNot(st.partitionColumns.contains)
     val dataSchema = StructType(st.schema.fields.filterNot(f =>
       st.partitionColumns.contains(f.name)))
     val plain = st.files.filter(_.dv.isEmpty)
     val groups = plain.groupBy(_.partitionValues).toSeq.flatMap {
       case (pv, adds) =>
         val picked =
-          if (zorderBy.nonEmpty) adds
+          if (effZorder.nonEmpty) adds
           else adds.filter(_.size < targetFileBytes)
         // one lone small file has nothing to pack with; a z-order
         // rewrite of a single file still tightens its clustering only
         // if there are ≥ 2 files or the caller asked for layout change
-        if ((zorderBy.isEmpty && picked.size < 2) || picked.isEmpty) None
+        if ((effZorder.isEmpty && picked.size < 2) || picked.isEmpty) None
         else Some(pv -> picked)
     }
     if (groups.isEmpty) return st.version
@@ -3521,7 +3536,7 @@ object DeltaInterop {
         math.ceil(adds.map(_.size).sum.toDouble / targetFileBytes).toLong)
         .toInt
       val packed0 =
-        if (zorderBy.nonEmpty) ZOrder.clusterByZ(grouped, zorderBy, nOut)
+        if (effZorder.nonEmpty) ZOrder.clusterByZ(grouped, effZorder, nOut)
         else grouped.coalesce(nOut)
       val packed =
         if (mapped) toPhysical(packed0, dataSchema,
@@ -3716,6 +3731,46 @@ object DeltaInterop {
     * JSON carries `rowIdHighWaterMark`, the largest assigned row id. */
   private[sources] val RowTrackingDomain = "delta.rowTracking"
 
+  /** The liquid-clustering domain (writer feature `clustering`): the
+    * protocol records the clustering columns as domain metadata
+    * `delta.clustering` with configuration
+    * `{"clusteringColumns":[["a"],["b"]]}` (each entry a nested-name
+    * path). Data commits preserve it by never touching domains;
+    * [[optimize]] RE-CLUSTERS on it. */
+  private[sources] val ClusteringDomain = "delta.clustering"
+
+  /** The recorded liquid-clustering columns, or None when the table
+    * carries no `delta.clustering` domain. Nested column paths and
+    * unrecognized configuration shapes refuse BY NAME — silently
+    * ignoring them would let OPTIMIZE destroy the table's clustering
+    * while claiming to maintain it. */
+  private[sources] def clusteringColumnsOf(st: DeltaState,
+      table: String): Option[Seq[String]] =
+    st.domains.get(ClusteringDomain).map { cfg =>
+      import org.json4s._
+      def bad(): Nothing =
+        throw new UnsupportedDeltaFeatureException(
+          s"table $table carries a delta.clustering domain this " +
+            s"writer cannot interpret ($cfg) — refusing rather than " +
+            "drop or ignore its clustering")
+      val parsed = scala.util.Try(
+        org.json4s.jackson.JsonMethods.parse(cfg)).getOrElse(bad())
+      (parsed \ "clusteringColumns") match {
+        case JArray(cols) => cols.map {
+          case JArray(List(JString(n))) => n
+          case JArray(parts) if parts.length > 1 =>
+            throw new UnsupportedDeltaFeatureException(
+              s"table $table clusters on a NESTED column (" +
+                parts.collect { case JString(s) => s }
+                  .mkString(".") + ") — this writer z-clusters " +
+                "top-level columns only")
+          case JString(n) => n // lenient: flat names seen in the wild
+          case _ => bad()
+        }
+        case _ => bad()
+      }
+    }
+
   /** The config keys naming the MATERIALIZED tracking columns —
     * physical columns rewritten files carry so preserved row ids win
     * over base-id inheritance. */
@@ -3852,6 +3907,63 @@ object DeltaInterop {
       s"""{"rowIdHighWaterMark":${cursor - 1}}""")
     publishCommit(fs, new Path(root, "_delta_log"), version,
       lines.toSeq, config)
+  }
+
+  /** Enable LIQUID CLUSTERING (`ALTER TABLE … CLUSTER BY`): one
+    * commit upgrades the protocol to writer 7 declaring `clustering`
+    * + `domainMetadata` (legacy-implied features carried, the
+    * [[enableRowTracking]] discipline) and publishes the
+    * `delta.clustering` domain recording `cols`. From then on
+    * [[optimize]] re-clusters on them; appends stay legal — the
+    * protocol allows adding unclustered data. O(1) metadata, no data
+    * IO. */
+  def enableClustering(spark: SparkSession, table: String,
+                       cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "enableClustering needs at least one column")
+    val st = state(spark, table, None)
+    cols.foreach(c => require(st.schema.exists(_.name == c),
+      s"clustering column $c is not in the schema of $table"))
+    require(cols.forall(c => !st.partitionColumns.contains(c)),
+      s"clustering a partition column of $table is a no-op — it is " +
+        "constant within every file group")
+    DeltaWriteGate.requireWritable(st, table, "ALTER TABLE CLUSTER BY",
+      removesData = false, addsData = false,
+      rowTrackingHandled = true)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val now = System.currentTimeMillis()
+    val version = st.version + 1
+    val legacy = st.minWriterVersion < 7 && st.writerFeatures.isEmpty
+    val legacyImplied =
+      (if (legacy && st.minWriterVersion >= 2)
+        Seq("appendOnly", "invariants") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 3)
+          Seq("checkConstraints") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 4)
+          Seq("changeDataFeed", "generatedColumns") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 5)
+          Seq("columnMapping") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 6)
+          Seq("identityColumns") else Nil)
+    val rf = if (st.minReaderVersion >= 3) st.readerFeatures else Nil
+    val wf = (st.writerFeatures ++ legacyImplied ++ rf ++
+      Seq("domainMetadata", "clustering")).distinct
+    val colsJson = cols.map(c => s"[${jstr(c)}]")
+      .mkString("[", ",", "]")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("CLUSTER BY")},"operationParameters":{},""" +
+      s""""engineInfo":${jstr("graft")}}}"""
+    lines += s"""{"protocol":{"minReaderVersion":${st.minReaderVersion},""" +
+      s""""minWriterVersion":7,""" +
+      (if (st.minReaderVersion >= 3)
+        s""""readerFeatures":${rf.map(jstr).mkString("[", ",", "]")},"""
+      else "") +
+      s""""writerFeatures":${wf.map(jstr).mkString("[", ",", "]")}}}"""
+    lines += domainJson(ClusteringDomain,
+      s"""{"clusteringColumns":$colsJson}""")
+    publishCommit(fs, new Path(root, "_delta_log"), version,
+      lines.toSeq, st.configuration)
   }
 
   /** Read the live rows of a row-tracking table WITH their row ids:

@@ -85,17 +85,23 @@ object DeltaWriteGate {
     *    `defaultRowCommitVersion` and advance the
     *    `delta.rowTracking` domain's high-water mark; checkpoints
     *    preserve both; every other data verb refuses by name
-    *    (`rowTrackingHandled` marks the honoring paths).
+    *    (`rowTrackingHandled` marks the honoring paths);
+    *  - `clustering` (liquid clustering) — the protocol's duty is to
+    *    PRESERVE the `delta.clustering` domain metadata (data commits
+    *    never touch domains, checkpoints replay every live domain)
+    *    and writers may add unclustered data; graft's OPTIMIZE goes
+    *    further and RE-CLUSTERS on the recorded clustering columns
+    *    ([[DeltaInterop.optimize]]).
     * Anything else — `icebergCompatV1/V2` (parquet field-id duties),
-    * `clustering`, unknown future features — refuses BY NAME, the
-    * same courtesy the reader extends. */
+    * unknown future features — refuses BY NAME, the same courtesy
+    * the reader extends. */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "inCommitTimestamp", "inCommitTimestamps",
     "v2Checkpoint", "timestampNtz", "typeWidening", "variantType",
     "allowColumnDefaults", "vacuumProtocolCheck",
-    "checkpointProtection", "domainMetadata")
+    "checkpointProtection", "domainMetadata", "clustering")
 
   /** Refuse the commit unless this writer can honor every obligation
     * the table's protocol attaches to it. `removesData` = the verb

@@ -92,12 +92,24 @@ object ZOrder {
     * pass sketches every dimension. */
   private[sources] def clusterByZ(df: DataFrame, zCols: Seq[String],
                                   nFiles: Int): DataFrame = {
-    require(zCols.size >= 2,
-      "z-ordering needs ≥ 2 columns; use writeClustered for one")
+    require(zCols.nonEmpty, "z-ordering needs at least one column")
     val nBuckets = 1 << BitsPerDim
     def isStr(c: String) = df.schema.fields
       .find(_.name.equalsIgnoreCase(c))
       .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    // ONE dimension needs no interleave: a plain range cluster on the
+    // column's numeric view is the exact (not bit-approximate)
+    // ordering — what liquid-clustered tables with a single recorded
+    // clustering column get from OPTIMIZE
+    if (zCols.size == 1) {
+      val c = zCols.head
+      val view = if (isStr(c)) strPrefixCode(col(c))
+                 else col(c).cast("double")
+      return df.withColumn("__z", view)
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
     // each dimension ranks through a numeric view: strings by their
     // order-preserving prefix code, everything else by a double cast;
     // the views are temporary columns so ONE approxQuantile pass (it

@@ -66,6 +66,25 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
       detail.lastIndexOf("44.0")
   }
 
+  test("load self-labeling (r15): a quiet window reports ratio 1.0 " +
+    "and an adjusted total equal to the raw; a loaded window labels " +
+    "itself with the ratio and the discounted estimate") {
+    import org.json4s._
+    val (_, quiet) = BenchReport.lines(names, best, Seq(pass1, pass2),
+      "/x/sf0.1", Seq(0.17, 0.19))
+    val jq = parsed(quiet)
+    (jq \ "quiet_norm_sec") shouldBe JDouble(BenchReport.QuietNormSec)
+    (jq \ "load_ratio") shouldBe JDouble(1.0)
+    (jq \ "load_adjusted_total") shouldBe JDouble(10.6)
+    (jq \ "passes_run") shouldBe JInt(2)
+    // loaded: the BEST sentinel (0.7) sets the ratio — 0.7/0.2 = 3.5
+    val (_, loaded) = BenchReport.lines(names, best, Seq(pass1, pass2),
+      "/x/sf0.1", Seq(0.8, 0.7))
+    val jl = parsed(loaded)
+    (jl \ "load_ratio") shouldBe JDouble(3.5)
+    (jl \ "load_adjusted_total") shouldBe JDouble(3.0) // 10.6/3.5 ≈ 3.0
+  }
+
   test("top is capped at TopN and orders ties by name") {
     val many = (1 to 25).map(i => f"q$i%02d" -> Some(1.0))
     val (_, summary) = BenchReport.lines(many.map(_._1), many,

@@ -151,10 +151,10 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
     rawCommit(t3, 1L, Seq(
       """{"commitInfo":{"timestamp":0,"operation":"UPGRADE"}}""",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"writerFeatures":["clustering","invariants"]}}"""))
+        """"writerFeatures":["futureFeatureX","invariants"]}}"""))
     val e = intercept[DeltaInterop.UnsupportedDeltaFeatureException](
       DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t3))
-    e.getMessage should include("clustering")
+    e.getMessage should include("futureFeatureX")
     e.getMessage should not include "invariants]"
     val t2 = fresh()
     seed(t2)
@@ -370,5 +370,71 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark.sql("UPDATE graft_delta.wgate_ck SET v = -1 WHERE id = 200"))
     DeltaInterop.read(spark, t2).filter(col("v") < 0)
       .count() shouldBe 0L
+  }
+
+  test("liquid clustering (r15): a clustering-featured table accepts " +
+    "appends, OPTIMIZE re-clusters on the RECORDED columns (disjoint " +
+    "per-file ranges) and the domain survives; nested or unreadable " +
+    "clustering domains refuse by name") {
+    import spark.implicits._
+    val t = fresh()
+    // 4 files whose v ranges fully INTERLEAVE (i*4 + k)
+    (0 until 4).foreach { k =>
+      DeltaInterop.write(
+        (0L until 50L).map(i => (k * 1000L + i, "g", i * 4 + k))
+          .toDF("id", "g", "v").coalesce(1), t)
+    }
+    DeltaInterop.enableClustering(spark, t, Seq("v"))
+    val st0 = DeltaInterop.state(spark, t, None)
+    st0.writerFeatures should contain allOf ("clustering",
+      "domainMetadata")
+    st0.domains.keySet should contain(DeltaInterop.ClusteringDomain)
+    // appends stay legal — the protocol allows unclustered adds
+    DeltaInterop.write(Seq((9000L, "g", 9000L)).toDF("id", "g", "v"), t)
+    // OPTIMIZE with NO explicit z-order re-clusters on v
+    val total = DeltaInterop.state(spark, t, None).files.map(_.size).sum
+    DeltaInterop.optimize(spark, t, targetFileBytes = total / 2 + 1)
+    val st1 = DeltaInterop.state(spark, t, None)
+    st1.files.size shouldBe 2
+    st1.domains.keySet should contain(DeltaInterop.ClusteringDomain)
+    // per-file v bounds are DISJOINT after the re-cluster
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val bounds = st1.files.map { a =>
+      val j = JsonMethods.parse(a.stats.get)
+      def v(of: String): Long = (j \ of \ "v") match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case other => fail(s"no v bound in $other")
+      }
+      (v("minValues"), v("maxValues"))
+    }.sortBy(_._1)
+    bounds.head._2 should be < bounds(1)._1
+    DeltaInterop.read(spark, t).count() shouldBe 201L
+    // checkpoints preserve the clustering domain
+    DeltaInterop.checkpoint(spark, t)
+    DeltaInterop.state(spark, t, None)
+      .domains.keySet should contain(DeltaInterop.ClusteringDomain)
+
+    // a NESTED clustering column refuses by name at OPTIMIZE
+    val t2 = fresh()
+    seed(t2)
+    DeltaInterop.enableClustering(spark, t2, Seq("v"))
+    rawCommit(t2, DeltaInterop.state(spark, t2, None).version + 1, Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"FOREIGN"}}""",
+      """{"domainMetadata":{"domain":"delta.clustering",""" +
+        """"configuration":"{\"clusteringColumns\":[[\"a\",\"b\"]]}",""" +
+        """"removed":false}}"""))
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.optimize(spark, t2))
+      .getMessage should include("NESTED")
+    // an uninterpretable domain configuration refuses by name
+    rawCommit(t2, DeltaInterop.state(spark, t2, None).version + 1, Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"FOREIGN"}}""",
+      """{"domainMetadata":{"domain":"delta.clustering",""" +
+        """"configuration":"oops","removed":false}}"""))
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.optimize(spark, t2))
+      .getMessage should include("cannot interpret")
   }
 }
