@@ -1090,6 +1090,34 @@ object DeltaInterop {
   }
 
   /** A field's physical (on-disk) name under column mapping. */
+  /** icebergCompatV2's writer duty (UniForm): every staged PHYSICAL
+    * data frame carries `parquet.field.id` footer metadata equal to
+    * each column's recorded `delta.columnMapping.id`, so the Iceberg
+    * mirror of the table resolves the files BY ID. No-op unless the
+    * table enables the compat; graft-internal passenger columns (the
+    * materialized row-tracking pair) ride un-stamped — they are not
+    * part of the mirrored schema. */
+  private def stampCompatIds(df: DataFrame, st: DeltaState): DataFrame =
+    if (!st.configuration.get("delta.enableIcebergCompatV2")
+      .contains("true")) df
+    else {
+      val ids: Map[String, Long] = st.schema.fields.toSeq.flatMap { f =>
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(physicalName(f) ->
+            f.metadata.getLong("delta.columnMapping.id"))
+        else None
+      }.toMap
+      df.select(df.schema.fields.toSeq.map { f =>
+        ids.get(f.name) match {
+          case Some(id) =>
+            val m = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("parquet.field.id", id).build()
+            col(f.name).as(f.name, m)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
+
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
@@ -1344,8 +1372,10 @@ object DeltaInterop {
     // the source of truth — but it matches what delta-spark produces:
     // physical-named dirs on mapped tables)
     val stage = new Path(root, s".stage-${java.util.UUID.randomUUID()}")
-    val stagedFrame =
+    val stagedFrame0 =
       if (mapped) toPhysical(dfFinal, recordedSchema) else dfFinal
+    val stagedFrame = prior.map(stampCompatIds(stagedFrame0, _))
+      .getOrElse(stagedFrame0)
     val writer = stagedFrame.write.mode("overwrite")
     (if (partitionDirs.nonEmpty) writer.partitionBy(partitionDirs: _*)
      else writer).parquet(stage.toString)
@@ -1953,10 +1983,10 @@ object DeltaInterop {
         .select((dataCols ++ (if (rowTracking) rtCols else Nil)): _*)
       // mapped tables rewrite under PHYSICAL column names — the same
       // on-disk shape the files they replace had
-      val rewritten =
+      val rewritten = stampCompatIds(
         if (mapped) toPhysical(rewritten0, dataSchema,
           passThrough = rtFields.map(_.name))
-        else rewritten0
+        else rewritten0, st)
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
       rewritten.write.mode("overwrite").parquet(stage.toString)
       listParquet(fs, stage).foreach { p =>
@@ -2130,11 +2160,11 @@ object DeltaInterop {
       val statsSchema =
         if (mapped) physicalStruct(dataSchema) else dataSchema
       val stage = new Path(root, s".update-${java.util.UUID.randomUUID()}")
-      val stagedFrame =
+      val stagedFrame = stampCompatIds(
         if (mapped) toPhysical(updated, st.schema,
           passThrough = matNames.toSeq.filter(_ => rowTracking)
             .flatMap(t => Seq(t._1, t._2)))
-        else updated
+        else updated, st)
       val w = stagedFrame.write.mode("overwrite")
       (if (partitionDirs.nonEmpty)
          w.partitionBy(partitionDirs: _*)
@@ -2431,10 +2461,10 @@ object DeltaInterop {
       val partitionDirs =
         if (mapped) st.partitionColumns.map(physKey) else st.partitionColumns
       val stage = new Path(root, s".merge-${java.util.UUID.randomUUID()}")
-      val stagedFrame =
+      val stagedFrame = stampCompatIds(
         if (mapped) toPhysical(outRows, st.schema,
           passThrough = rtFields.map(_.name))
-        else outRows
+        else outRows, st)
       val w = stagedFrame.write.mode("overwrite")
       (if (partitionDirs.nonEmpty)
          w.partitionBy(partitionDirs: _*)
@@ -3385,8 +3415,8 @@ object DeltaInterop {
       // they replace
       val clean0 = filesToDF(spark, table, dataSchema, Nil, adds,
         st.columnMappingMode)
-      val clean =
-        if (mapped) toPhysical(clean0, dataSchema) else clean0
+      val clean = stampCompatIds(
+        if (mapped) toPhysical(clean0, dataSchema) else clean0, st)
       val stage = new Path(root, s".purge-${java.util.UUID.randomUUID()}")
       clean.write.mode("overwrite").parquet(stage.toString)
       val staged = listParquet(fs, stage)
@@ -3538,11 +3568,11 @@ object DeltaInterop {
       val packed0 =
         if (effZorder.nonEmpty) ZOrder.clusterByZ(grouped, effZorder, nOut)
         else grouped.coalesce(nOut)
-      val packed =
+      val packed = stampCompatIds(
         if (mapped) toPhysical(packed0, dataSchema,
           passThrough = matNames.toSeq.filter(_ => rowTracking)
             .flatMap(t => Seq(t._1, t._2)))
-        else packed0
+        else packed0, st)
       val stage = new Path(root, s".optimize-${java.util.UUID.randomUUID()}")
       packed.write.mode("overwrite").parquet(stage.toString)
       val pvJson = pv.map {
@@ -4446,6 +4476,11 @@ object DeltaInterop {
       throw new ConcurrentDeltaCommitException(
         s"version $version was committed concurrently — re-read and retry")
     }
+    // UniForm-style auto-mirror: data commits re-sync the registered
+    // Iceberg mirror; property/protocol-only commits skip
+    UniForm.afterDeltaCommit(logDir.getParent.toString,
+      lines.exists(l => l.startsWith("""{"add"""") ||
+        l.startsWith("""{"remove"""") || l.startsWith("""{"cdc"""")))
     version
   }
 

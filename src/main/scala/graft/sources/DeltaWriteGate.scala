@@ -92,16 +92,25 @@ object DeltaWriteGate {
     *    and writers may add unclustered data; graft's OPTIMIZE goes
     *    further and RE-CLUSTERS on the recorded clustering columns
     *    ([[DeltaInterop.optimize]]).
-    * Anything else — `icebergCompatV1/V2` (parquet field-id duties),
-    * unknown future features — refuses BY NAME, the same courtesy
-    * the reader extends. */
+    *  - `icebergCompatV2` (UniForm) — when
+    *    `delta.enableIcebergCompatV2=true`, every staged data file
+    *    carries `parquet.field.id` footer metadata equal to the
+    *    column's recorded `delta.columnMapping.id`
+    *    ([[DeltaInterop]] `stampCompatIds` on every data staging
+    *    site), so the Iceberg mirror resolves them by id; the compat
+    *    requires column mapping and forbids deletion vectors —
+    *    tables violating either refuse writes by name.
+    * Anything else — `icebergCompatV1` (a different field-id
+    * contract), unknown future features — refuses BY NAME, the same
+    * courtesy the reader extends. */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "inCommitTimestamp", "inCommitTimestamps",
     "v2Checkpoint", "timestampNtz", "typeWidening", "variantType",
     "allowColumnDefaults", "vacuumProtocolCheck",
-    "checkpointProtection", "domainMetadata", "clustering")
+    "checkpointProtection", "domainMetadata", "clustering",
+    "icebergCompatV2")
 
   /** Refuse the commit unless this writer can honor every obligation
     * the table's protocol attaches to it. `removesData` = the verb
@@ -134,6 +143,28 @@ object DeltaWriteGate {
           s"${unsupported.mkString("[", ", ", "]")} — not supported " +
           "by this writer; committing anyway could corrupt the " +
           "table's invariants")
+    // icebergCompatV2's PRECONDITIONS (delta.io PROTOCOL.md / UniForm):
+    // column mapping must be on (field ids come from its assigned
+    // ids) and deletion vectors must be off (the V2 compat has no DV
+    // mirror story) — a foreign table violating either cannot be
+    // written compatibly, so refuse by name rather than break its
+    // Iceberg mirror
+    if (st.writerFeatures.contains("icebergCompatV2") &&
+      st.configuration.get("delta.enableIcebergCompatV2")
+        .contains("true")) {
+      if (st.columnMappingMode == "none")
+        throw new UnsupportedDeltaFeatureException(
+          s"$op on $table: delta.enableIcebergCompatV2=true requires " +
+            "column mapping (field ids are the mapping's ids), but " +
+            "the table's mode is 'none' — malformed compat table, " +
+            "refusing to write")
+      if (st.configuration.get("delta.enableDeletionVectors")
+        .contains("true"))
+        throw new UnsupportedDeltaFeatureException(
+          s"$op on $table: delta.enableIcebergCompatV2=true forbids " +
+            "deletion vectors, but the table enables them — " +
+            "malformed compat table, refusing to write")
+    }
     if (removesData &&
       st.configuration.get("delta.appendOnly").contains("true"))
       throw new UnsupportedDeltaFeatureException(

@@ -1722,12 +1722,15 @@ object IcebergInterop {
       case (LongType, JInt(n)) => n.toLong
       case (LongType, JLong(n)) => n
       case (FloatType, JDouble(d)) => d.toFloat
+      case (FloatType, JDecimal(d)) => d.toFloat
       case (FloatType, JInt(n)) => n.toFloat
       case (DoubleType, JDouble(d)) => d
+      case (DoubleType, JDecimal(d)) => d.toDouble
       case (DoubleType, JInt(n)) => n.toDouble
       case (_: DecimalType, JString(s)) => new java.math.BigDecimal(s)
       case (_: DecimalType, JDouble(d)) =>
         java.math.BigDecimal.valueOf(d)
+      case (_: DecimalType, JDecimal(d)) => d.bigDecimal
       case (_: DecimalType, JInt(n)) =>
         new java.math.BigDecimal(n.bigInteger)
       case (StringType, JString(s)) => s

@@ -437,4 +437,73 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       DeltaInterop.optimize(spark, t2))
       .getMessage should include("cannot interpret")
   }
+
+  test("icebergCompatV2 (r15): a compat-featured mapped table " +
+    "accepts writes and every staged data file carries " +
+    "parquet.field.id equal to the column's mapping id; unmapped or " +
+    "DV-enabled compat tables refuse by name") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = fresh()
+    DeltaInterop.write(
+      (1L to 10L).map(i => (i, s"g${i % 2}", i)).toDF("id", "g", "v"),
+      t, columnMapping = "name")
+    val st = DeltaInterop.state(spark, t, None)
+    foreignMetadata(t, st.schema,
+      st.configuration + ("delta.enableIcebergCompatV2" -> "true"),
+      protocol = Some(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],""" +
+          """"writerFeatures":["columnMapping","icebergCompatV2",""" +
+          """"invariants","appendOnly"]}}"""))
+    val pre = DeltaInterop.state(spark, t, None).files
+      .map(_.path).toSet
+    DeltaInterop.write(Seq((100L, "g0", 100L)).toDF("id", "g", "v"), t)
+    DeltaInterop.read(spark, t).count() shouldBe 11L
+    // the NEW file's parquet footer records field ids = mapping ids
+    val st2 = DeltaInterop.state(spark, t, None)
+    val mappingIds: Map[String, Long] = st2.schema.fields.map(f =>
+      f.metadata.getString("delta.columnMapping.physicalName") ->
+        f.metadata.getLong("delta.columnMapping.id")).toMap
+    val newest = st2.files.filterNot(a => pre(a.path)).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(t, newest.path), conf))
+    val footerIds = try reader.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.flatMap(f => Option(f.getId)
+        .map(id => f.getName -> id.intValue.toLong)).toMap
+    finally reader.close()
+    footerIds shouldBe mappingIds
+    // malformed compat: mapping mode none refuses by name
+    val t2 = fresh()
+    seed(t2)
+    val stb = DeltaInterop.state(spark, t2, None)
+    foreignMetadata(t2, stb.schema,
+      stb.configuration + ("delta.enableIcebergCompatV2" -> "true"),
+      protocol = Some(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["icebergCompatV2","invariants"]}}"""))
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t2))
+      .getMessage should include("column mapping")
+    // malformed compat: deletion vectors enabled refuses by name
+    val t3 = fresh()
+    DeltaInterop.write(
+      (1L to 10L).map(i => (i, s"g${i % 2}", i)).toDF("id", "g", "v"),
+      t3, columnMapping = "name")
+    val stc = DeltaInterop.state(spark, t3, None)
+    foreignMetadata(t3, stc.schema,
+      stc.configuration +
+        ("delta.enableIcebergCompatV2" -> "true") +
+        ("delta.enableDeletionVectors" -> "true"),
+      protocol = Some(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping","deletionVectors"],""" +
+          """"writerFeatures":["columnMapping","deletionVectors",""" +
+          """"icebergCompatV2"]}}"""))
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t3))
+      .getMessage should include("deletion vectors")
+  }
 }
