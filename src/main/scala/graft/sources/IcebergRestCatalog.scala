@@ -180,6 +180,22 @@ object IcebergRestCatalog {
         case _ => -1L
       }
       val updates = scala.collection.mutable.ArrayBuffer.empty[JValue]
+      // v3 ROW LINEAGE boundary: a data-adding v3 commit advances
+      // `next-row-id`, and the CommitTableRequest update vocabulary
+      // this client speaks has NO action to advance it at the
+      // catalog — publishing the snapshot without it would hand the
+      // NEXT writer a stale allocation cursor and duplicate row ids.
+      // Refuse by name rather than corrupt lineage.
+      if (jnum(head \ "next-row-id") > jnum(base \ "next-row-id") &&
+        jnum(base \ "next-row-id") >= 0)
+        throw new IcebergInterop.UnsupportedIcebergFeatureException(
+          s"REST catalog commit of $ns.$name would advance the v3 " +
+            s"row-id cursor (next-row-id ${jnum(base \ "next-row-id")}" +
+            s" → ${jnum(head \ "next-row-id")}) but the REST " +
+            "CommitTableRequest vocabulary has no update action for " +
+            "it — committing anyway would hand the next writer " +
+            "colliding row ids; use the path-based catalog for v3 " +
+            "row-lineage tables")
       // format upgrade first — later updates may depend on it
       if (jnum(head \ "format-version") > jnum(base \ "format-version"))
         updates += JObject(List(

@@ -262,4 +262,27 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
       fin.filter(col("id") >= 100L).count() shouldBe 2L
     }
   }
+
+  test("a v3 row-lineage commit refuses by name: the REST update " +
+    "vocabulary cannot advance next-row-id, and publishing without " +
+    "it would hand the next writer colliding row ids") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 5L).toDF("id"), t)
+      IcebergInterop.upgradeFormat(spark, t)
+      IcebergInterop.upgradeFormat(spark, t, 3)
+      stub.seed("lake", "v3t", t)
+      val rt = client.loadTable(spark, "lake", "v3t")
+      IcebergInterop.read(spark, rt.localDir).count() shouldBe 5L // reads fine
+      IcebergInterop.write(Seq(100L).toDF("id"), rt.localDir)
+      intercept[IcebergInterop.UnsupportedIcebergFeatureException](
+        client.commitTable(spark, "lake", "v3t", rt))
+        .getMessage should include("next-row-id")
+      // nothing reached the catalog
+      IcebergInterop.read(spark,
+        client.loadTable(spark, "lake", "v3t").localDir)
+        .count() shouldBe 5L
+    }
+  }
 }
