@@ -1382,6 +1382,100 @@ object LakeQueries {
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total
       |FROM t GROUP BY tag""".stripMargin
 
+  /** dl18_liquid_clustering — the Delta `clustering` writer feature
+    * through the gate: four fully-interleaved appends, `ALTER TABLE
+    * CLUSTER BY (o_orderkey)` (the delta.clustering domain under a
+    * writer-7 upgrade), then OPTIMIZE with NO explicit z-order —
+    * which must re-cluster on the RECORDED column. The `clustered`
+    * flag pins the evidence in-row: >1 output file, pairwise-DISJOINT
+    * per-file key ranges (read from the rewritten files' own recorded
+    * stats), and the domain surviving the rewrite; the data aggregate
+    * is re-derived relationally, so a re-cluster or domain regression
+    * fails the hash loudly. */
+  def dl18LiquidClustering(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl18:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl18").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      (0 until 4).foreach { k =>
+        DeltaInterop.write(
+          o.filter(col("o_orderkey") % 4 === k).coalesce(1), t)
+      }
+      DeltaInterop.enableClustering(s, t, Seq("o_orderkey"))
+      val total = DeltaInterop.state(s, t, None).files.map(_.size).sum
+      DeltaInterop.optimize(s, t, targetFileBytes = total / 3 + 1)
+      val st = DeltaInterop.state(s, t, None)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def keyBound(stats: String, of: String): Option[Long] =
+        (JsonMethods.parse(stats) \ of \ "o_orderkey") match {
+          case JInt(n) => Some(n.toLong)
+          case JLong(n) => Some(n)
+          case _ => None
+        }
+      val bounds = st.files.flatMap(a => a.stats.flatMap(s0 =>
+        for (lo <- keyBound(s0, "minValues");
+             hi <- keyBound(s0, "maxValues")) yield (lo, hi)))
+        .sortBy(_._1)
+      val disjoint = bounds.size == st.files.size && bounds.size > 1 &&
+        bounds.sliding(2).forall {
+          case Seq((_, hi), (lo, _)) => hi < lo
+          case _ => true
+        }
+      val domainKept = st.domains.contains(DeltaInterop.ClusteringDomain)
+      s"$t|${disjoint && domainKept}"
+    })
+    val Array(dir, clustered) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy((col("o_orderkey") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("clustered", lit(clustered.toBoolean))
+  }
+
+  val dl18Oracle: String =
+    """SELECT o_orderkey % 8 AS bucket, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS clustered
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** dl19_uniform_mirror — the UniForm-style auto-mirror through the
+    * gate: enable on an even-keys table, then an APPEND and a
+    * DV-writing DELETE land as ordinary Delta commits — each re-syncs
+    * the Iceberg mirror from the commit hook (the delete
+    * purge-then-syncs, since a mirror cannot represent Delta DVs) —
+    * and the gate read is served BY THE MIRROR
+    * (`IcebergInterop.read`), with the oracle re-deriving the final
+    * state relationally: a missed or stale sync fails the hash
+    * loudly. */
+  def dl19UniformMirror(s: SparkSession, d: String): DataFrame = {
+    val dir = builtTables.computeIfAbsent(s"dl19:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl19").toString + "/t"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      UniForm.enableAutoMirror(s, t)
+      try {
+        DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 1), t)
+        DeltaInterop.delete(s, t, col("o_orderkey") % 9 === 0): Unit
+      } finally UniForm.disableAutoMirror(t)
+      t
+    })
+    IcebergInterop.read(s, dir)
+      .groupBy((col("o_orderkey") % 5).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+  }
+
+  val dl19Oracle: String =
+    """SELECT o_orderkey % 5 AS bucket, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 9 <> 0 GROUP BY 1""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3275,6 +3369,8 @@ object LakeQueries {
     "ic17_v3_dv_dml" -> (ic17V3DvDml _),
     "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
     "ic19_v3_defaults" -> (ic19V3Defaults _),
+    "dl18_liquid_clustering" -> (dl18LiquidClustering _),
+    "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl16_identity" -> (dl16Identity _),
     "dl17_row_tracking" -> (dl17RowTracking _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -3350,6 +3446,8 @@ object LakeQueries {
     "ic17_v3_dv_dml" -> ic17Oracle,
     "ic18_v3_row_lineage" -> ic18Oracle,
     "ic19_v3_defaults" -> ic19Oracle,
+    "dl18_liquid_clustering" -> dl18Oracle,
+    "dl19_uniform_mirror" -> dl19Oracle,
     "dl16_identity" -> dl16Oracle,
     "dl17_row_tracking" -> dl17Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
