@@ -1767,7 +1767,7 @@ object IcebergInterop {
       s"cannot write Spark type ${other.sql} as an Iceberg primitive")
   }
 
-  private def icebergSchemaJson(schema: StructType, schemaId: Long = 0L,
+  private[sources] def icebergSchemaJson(schema: StructType, schemaId: Long = 0L,
                                 firstFieldId: Long = 1L): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${firstFieldId + i},"name":${jstr(f.name)},""" +

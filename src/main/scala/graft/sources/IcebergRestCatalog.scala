@@ -88,6 +88,46 @@ object IcebergRestCatalog {
     private def compactJ(v: JValue): String =
       JsonMethods.compact(JsonMethods.render(v))
 
+    /** `POST /v1/{prefix}/namespaces/{ns}/tables` — the OpenAPI's
+      * CreateTableRequest: registers an EMPTY table with the given
+      * schema (and an identity partition spec over `partitionBy`)
+      * at the catalog. Data then lands through the ordinary
+      * load → local append → [[commitTable]] flow (or
+      * [[appendWithRetry]]). 409 = the name exists. */
+    def createTable(spark: SparkSession, ns: String, name: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    partitionBy: Seq[String] = Nil,
+                    properties: Map[String, String] = Map.empty): Unit = {
+      val schemaJson = IcebergInterop.icebergSchemaJson(schema)
+      partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+        s"partition column $c is not in the schema of $ns.$name"))
+      val fieldIds = schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (i + 1) }.toMap
+      val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
+        s"""{"name":${jq(c)},"transform":"identity",""" +
+          s""""source-id":${fieldIds(c)},"field-id":${1000 + i}}"""
+      }.mkString("[", ",", "]")
+      val propsJson = JsonMethods.compact(JsonMethods.render(
+        JObject(properties.toList.map { case (k, v) =>
+          k -> (JString(v): JValue) })))
+      val body =
+        s"""{"name":${jq(name)},"schema":$schemaJson,""" +
+          s""""partition-spec":{"spec-id":0,"fields":$specFields},""" +
+          s""""properties":$propsJson}"""
+      val (code, text) = http("POST", url("namespaces", ns, "tables"),
+        Some(body))
+      if (code == 409)
+        throw new IllegalArgumentException(
+          s"REST catalog create of $ns.$name: the name already " +
+            s"exists (HTTP 409): $text")
+      if (code != 200)
+        throw new IllegalArgumentException(
+          s"REST catalog create of $ns.$name failed: HTTP $code $text")
+    }
+
+    private def jq(s: String): String =
+      JsonMethods.compact(JsonMethods.render(JString(s)))
+
     /** `GET /v1/{prefix}/namespaces/{ns}/tables/{name}` → the staged
       * local mirror. Non-200 refuses by name with the catalog's
       * response attached. */
@@ -247,15 +287,18 @@ object IcebergRestCatalog {
           "action" -> JString("set-properties"),
           "updates" -> JObject(changed.toList)))
       if (updates.isEmpty) return
-      val requirements: List[JValue] =
+      // the optimistic-concurrency guard: main must still point where
+      // we loaded it — a null snapshot-id asserts "no snapshot yet"
+      // (two racing FIRST appends must not both land)
+      val requirements: List[JValue] = List(
         JObject(List("type" -> JString("assert-table-uuid"),
-          "uuid" -> JString(rt.uuid))) ::
-          (if (rt.baseSnapshotId >= 0)
-            List(JObject(List(
-              "type" -> JString("assert-ref-snapshot-id"),
-              "ref" -> JString("main"),
-              "snapshot-id" -> JLong(rt.baseSnapshotId))))
-          else Nil)
+          "uuid" -> JString(rt.uuid))),
+        JObject(List(
+          "type" -> JString("assert-ref-snapshot-id"),
+          "ref" -> JString("main"),
+          "snapshot-id" ->
+            (if (rt.baseSnapshotId >= 0) JLong(rt.baseSnapshotId)
+             else JNull))))
       val req = compactJ(JObject(List(
         "identifier" -> JObject(List(
           "namespace" -> JArray(List(JString(ns))),

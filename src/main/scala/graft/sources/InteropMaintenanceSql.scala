@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
   *     SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER TABLE graft_delta.t ADD CONSTRAINT n CHECK (expr)
   *   ALTER TABLE graft_delta.t DROP CONSTRAINT n
+  *   ALTER TABLE graft_delta.t CLUSTER BY (c1, ...)   -- liquid clustering
   *
   * Managed tables land under `spark.graft.delta.warehouse` /
   * `spark.graft.iceberg.warehouse` (CTAS without the conf is a named
@@ -118,6 +119,9 @@ object InteropMaintenanceSql {
   private val DDropCkRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
       "\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_-]+)\\s*;?\\s*$").r
+  private val DClusterRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
+      "\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$").r
 
   /** `'k' = 'v', 'k2' = 'v2'` → pairs (commas INSIDE quotes stay in
     * their value); non-quoted or malformed items refuse by name. */
@@ -231,6 +235,8 @@ object InteropMaintenanceSql {
         Some(DeltaAddConstraintCommand(deltaPath(name), ck, sql))
       case DDropCkRe(name, ck) =>
         Some(DeltaDropConstraintCommand(deltaPath(name), ck))
+      case DClusterRe(name, cols) =>
+        Some(DeltaClusterByCommand(deltaPath(name), splitCols(cols)))
       case _ => None
     }
 
@@ -263,6 +269,19 @@ object InteropMaintenanceSql {
       AttributeReference("snapshot_id", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.optimize(spark, table, zorderBy = z)))
+  }
+
+  /** `ALTER TABLE graft_delta.t CLUSTER BY (c1[, c2…])` —
+    * [[DeltaInterop.enableClustering]]'s SQL door: publishes the
+    * delta.clustering domain under the writer-7 upgrade; later
+    * `OPTIMIZE graft_delta.t` re-clusters on the recorded columns. */
+  final case class DeltaClusterByCommand(table: String,
+                                         cols: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaInterop.enableClustering(spark, table, cols)))
   }
 
   final case class DeltaVacuumCommand(table: String, keepLast: Int)

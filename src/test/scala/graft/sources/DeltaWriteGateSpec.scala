@@ -384,7 +384,9 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
         (0L until 50L).map(i => (k * 1000L + i, "g", i * 4 + k))
           .toDF("id", "g", "v").coalesce(1), t)
     }
-    DeltaInterop.enableClustering(spark, t, Seq("v"))
+    // through the SQL door — ALTER TABLE … CLUSTER BY
+    DeltaSql.register("wgate_lc", t)
+    spark.sql("ALTER TABLE graft_delta.wgate_lc CLUSTER BY (v)")
     val st0 = DeltaInterop.state(spark, t, None)
     st0.writerFeatures should contain allOf ("clustering",
       "domainMetadata")

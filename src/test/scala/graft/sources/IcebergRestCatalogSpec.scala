@@ -103,8 +103,6 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
       exchange: com.sun.net.httpserver.HttpExchange =>
       val segs = exchange.getRequestURI.getPath.split('/')
         .filter(_.nonEmpty)
-      // /v1/namespaces/{ns}/tables/{name}
-      val key = s"${segs(2)}.${segs(4)}"
       def respond(code: Int, body: String): Unit = {
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         exchange.sendResponseHeaders(code,
@@ -115,6 +113,53 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
         }
         exchange.close()
       }
+      // /v1/namespaces/{ns}/tables → CREATE; …/tables/{name} → table ops
+      val isCreate =
+        segs.length == 4 && exchange.getRequestMethod == "POST"
+      if (isCreate) {
+        val req = JsonMethods.parse(new String(
+          exchange.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8))
+        val name = (req \ "name") match {
+          case JString(n) => n
+          case _ => ""
+        }
+        val key = s"${segs(2)}.$name"
+        tables.synchronized {
+          if (tables.containsKey(key))
+            respond(409, """{"error":"table exists"}""")
+          else {
+            val lci = ((req \ "schema" \ "fields") match {
+              case JArray(fs) => fs.map(f => jnum(f \ "id"))
+              case _ => Nil
+            }).foldLeft(0L)(_ max _)
+            val meta = JObject(List(
+              "format-version" -> JInt(2),
+              "table-uuid" -> JString(
+                java.util.UUID.randomUUID().toString),
+              "location" -> JString(s"stub://$key"),
+              "last-updated-ms" -> JInt(1),
+              "last-column-id" -> JLong(lci),
+              "last-sequence-number" -> JInt(0),
+              "last-partition-id" -> JInt(1999),
+              "default-sort-order-id" -> JInt(0),
+              "sort-orders" -> JArray(List(JObject(List(
+                "order-id" -> JInt(0), "fields" -> JArray(Nil))))),
+              "schemas" -> JArray(List(req \ "schema")),
+              "current-schema-id" -> JInt(0),
+              "partition-specs" -> JArray(List(req \ "partition-spec")),
+              "default-spec-id" -> JInt(0),
+              "properties" -> (req \ "properties"),
+              "current-snapshot-id" -> JInt(-1),
+              "snapshots" -> JArray(Nil)))
+            tables.put(key, meta)
+            respond(200, JsonMethods.compact(JsonMethods.render(
+              JObject(List("metadata-location" ->
+                JString(s"stub://$key/0"), "metadata" -> meta)))))
+          }
+        }
+      } else {
+      val key = s"${segs(2)}.${segs(4)}"
       exchange.getRequestMethod match {
         case "GET" =>
           Option(tables.get(key)) match {
@@ -164,6 +209,7 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
             }
           }
         case _ => respond(405, "")
+      }
       }
     })
     server.start()
@@ -260,6 +306,42 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
         client.loadTable(spark, "lake", "racers").localDir)
       fin.count() shouldBe 12L
       fin.filter(col("id") >= 100L).count() shouldBe 2L
+    }
+  }
+
+  test("createTable registers an EMPTY table at the catalog; data " +
+    "lands through load → append → commit; a duplicate create " +
+    "answers 409; racing FIRST appends are guarded by the " +
+    "null-snapshot assertion") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    withCatalog { (stub, client) =>
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType)))
+      client.createTable(spark, "lake", "fresh", schema,
+        properties = Map("owner" -> "graft"))
+      // duplicate create → 409, named
+      intercept[IllegalArgumentException](
+        client.createTable(spark, "lake", "fresh", schema))
+        .getMessage should include("409")
+      // the empty table loads and serves zero rows
+      val rt0 = client.loadTable(spark, "lake", "fresh")
+      IcebergInterop.read(spark, rt0.localDir).count() shouldBe 0L
+      // racing FIRST appends: both load the empty base, one wins
+      val a = client.loadTable(spark, "lake", "fresh")
+      val b = client.loadTable(spark, "lake", "fresh")
+      IcebergInterop.write(Seq((1L, 1L)).toDF("id", "v"), a.localDir)
+      IcebergInterop.write(Seq((2L, 2L)).toDF("id", "v"), b.localDir)
+      client.commitTable(spark, "lake", "fresh", a)
+      intercept[IcebergInterop.ConcurrentIcebergCommitException](
+        client.commitTable(spark, "lake", "fresh", b))
+      // the retry primitive lands the loser's row too
+      client.appendWithRetry(spark, "lake", "fresh",
+        Seq((2L, 2L)).toDF("id", "v"))
+      val out = IcebergInterop.read(spark,
+        client.loadTable(spark, "lake", "fresh").localDir)
+      out.count() shouldBe 2L
+      out.select("id").as[Long].collect().sorted shouldBe Array(1L, 2L)
     }
   }
 
