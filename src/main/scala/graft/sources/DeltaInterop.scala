@@ -4161,7 +4161,8 @@ object DeltaInterop {
     require(keepLast >= 1, "must retain at least the current version")
     // the vacuumProtocolCheck feature's whole duty: run the writer
     // (and transitively reader) protocol check BEFORE deleting files
-    DeltaWriteGate.requireWritable(state(spark, table, None), table,
+    val stHead = state(spark, table, None)
+    DeltaWriteGate.requireWritable(stHead, table,
       "VACUUM", removesData = false, addsData = false,
       rowTrackingHandled = true)
     val root = new Path(table)
@@ -4174,6 +4175,24 @@ object DeltaInterop {
     val names = fs.listStatus(logDir).map(_.getPath.getName)
     val versions = names.collect { case JsonRe(v) => v.toLong }.sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // checkpointProtection (r15): this vacuum's log cleanup deletes
+    // dropped commit jsons and their checkpoints — exactly the
+    // metadata cleanup the feature protects below
+    // `delta.requireCheckpointProtectionBeforeVersion`. A cleanup
+    // crossing that line must preserve the protected checkpoint
+    // structure, which this writer does not model — refuse by name
+    // rather than destroy what the table declared protected.
+    if (stHead.writerFeatures.contains("checkpointProtection")) {
+      val protV = stHead.configuration
+        .get("delta.requireCheckpointProtectionBeforeVersion")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+      if (drop.exists(_ < protV))
+        throw new UnsupportedDeltaFeatureException(
+          s"VACUUM on $table would clean up log versions below the " +
+            s"checkpointProtection line (version $protV) — this " +
+            "writer does not produce protected checkpoints; retain " +
+            "more versions or clean up with a protection-aware engine")
+    }
     val oldestKeep = keep.head
     if (drop.nonEmpty) checkpoint(spark, table, Some(oldestKeep))
     val keepStates = keep.map(v => v -> state(spark, table, Some(v))).toMap

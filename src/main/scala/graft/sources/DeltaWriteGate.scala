@@ -75,9 +75,14 @@ object DeltaWriteGate {
     *    every recorded column explicitly
     *    ([[InteropSchema.requireAppendCompatible]]), and the spec
     *    lets explicit values win over defaults;
-    *  - `vacuumProtocolCheck` / `checkpointProtection` — duties
-    *    attach to VACUUM / metadata cleanup, neither of which this
-    *    writer performs;
+    *  - `vacuumProtocolCheck` — its whole duty is running the
+    *    protocol check before deleting files, which
+    *    [[DeltaInterop.vacuum]] does (this very gate, first thing);
+    *  - `checkpointProtection` — duties attach to metadata CLEANUP
+    *    below `requireCheckpointProtectionBeforeVersion`;
+    *    [[DeltaInterop.vacuum]] refuses by name when its log cleanup
+    *    would cross that line (this writer does not produce
+    *    protected checkpoints);
     *  - `domainMetadata` — data commits never touch domains, and
     *    CHECKPOINTs preserve every live domain action (state replay
     *    carries them);

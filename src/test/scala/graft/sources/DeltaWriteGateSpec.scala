@@ -440,6 +440,29 @@ class DeltaWriteGateSpec extends AnyFunSuite with Matchers with SparkSpec {
       .getMessage should include("cannot interpret")
   }
 
+  test("checkpointProtection (r15): VACUUM refuses by name when its " +
+    "log cleanup would cross the protection line; cleanup above the " +
+    "line stays legal") {
+    import spark.implicits._
+    val t = fresh()
+    seed(t)
+    (1 to 3).foreach(i => DeltaInterop.write(
+      Seq((100L + i, "g0", i.toLong)).toDF("id", "g", "v"), t))
+    val st = DeltaInterop.state(spark, t, None)
+    foreignMetadata(t, st.schema, st.configuration +
+      ("delta.requireCheckpointProtectionBeforeVersion" -> "3"),
+      protocol = Some(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["checkpointProtection","invariants"]}}"""))
+    // head is now v4; keepLast=2 would drop v0-v2 — below the line
+    intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+      DeltaInterop.vacuum(spark, t, keepLast = 2))
+      .getMessage should include("checkpointProtection")
+    // a vacuum that drops NO protected version stays legal
+    DeltaInterop.vacuum(spark, t, keepLast = 5)
+    DeltaInterop.read(spark, t).count() shouldBe 103L
+  }
+
   test("icebergCompatV2 (r15): a compat-featured mapped table " +
     "accepts writes and every staged data file carries " +
     "parquet.field.id equal to the column's mapping id; unmapped or " +
