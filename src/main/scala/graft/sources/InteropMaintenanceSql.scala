@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
   * tables):
   *
   *   CREATE [OR REPLACE] TABLE graft_delta.t
-  *     [PARTITIONED BY (c1, ...)] AS <query>
+  *     [PARTITIONED BY (c1, ...)] [CLUSTER BY (c1, ...)] AS <query>
   *   CREATE [OR REPLACE] TABLE graft_iceberg.t
   *     [PARTITIONED BY (c1, days(ts), bucket(16, id), ...)] AS <query>
   *   DROP TABLE [IF EXISTS] graft_delta.t | graft_iceberg.t
@@ -87,6 +87,7 @@ object InteropMaintenanceSql {
   private val DCreateRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + DName +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(" + PartList +
+      "\\))?(?:\\s+CLUSTER\\s+BY\\s*\\(" + PartList +
       "\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
   private val ICreateRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" + IName +
@@ -211,9 +212,9 @@ object InteropMaintenanceSql {
       case DCloneRe(target, source, v) =>
         Some(DeltaShallowCloneCommand(target, deltaPath(source),
           Option(v).map(_.toLong)))
-      case DCreateRe(replace, name, partCols, query) =>
+      case DCreateRe(replace, name, partCols, clusterCols, query) =>
         Some(DeltaCreateTableCommand(name, replace != null,
-          splitCols(partCols), query))
+          splitCols(partCols), query, splitCols(clusterCols)))
       case ICreateRe(replace, name, partCols, query) =>
         Some(IcebergCreateTableCommand(name, replace != null,
           splitCols(partCols), query))
@@ -371,7 +372,8 @@ object InteropMaintenanceSql {
     * the name. Plain CREATE on an existing name raises by name. The
     * commit inherits every [[DeltaWriteGate]] obligation. */
   final case class DeltaCreateTableCommand(name: String, replace: Boolean,
-      partitionBy: Seq[String], query: String)
+      partitionBy: Seq[String], query: String,
+      clusterBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("table", StringType, nullable = false)(),
@@ -388,8 +390,14 @@ object InteropMaintenanceSql {
         warehousePath(spark, DeltaWarehouseConf, name))
       val parts = partitionBy
         .map(_.stripPrefix("`").stripSuffix("`"))
-      val v = DeltaInterop.write(spark.sql(query), path,
+      val v0 = DeltaInterop.write(spark.sql(query), path,
         partitionBy = parts, overwrite = existing.nonEmpty)
+      // CLUSTER BY at CREATE: the clustering declaration commits
+      // right behind the data (OPTIMIZE then re-clusters on it)
+      val v =
+        if (clusterBy.isEmpty) v0
+        else DeltaInterop.enableClustering(spark, path, clusterBy
+          .map(_.stripPrefix("`").stripSuffix("`")))
       DeltaSql.register(name, path)
       Seq(Row(name, path, v))
     }

@@ -97,6 +97,26 @@ class InteropCtasSpec extends AnyFunSuite with Matchers with SparkSpec {
     new java.io.File(s"$wh/ctas_it").exists() shouldBe false
   }
 
+  test("CREATE TABLE graft_delta.x CLUSTER BY AS (r15): the created " +
+    "table carries the clustering feature + domain, and a plain " +
+    "OPTIMIZE re-clusters on it") {
+    import spark.implicits._
+    val wh = freshWh("graft-ctas-lcwh")
+    spark.conf.set(InteropMaintenanceSql.DeltaWarehouseConf, wh)
+    (1L to 200L).map(i => (i, i % 7)).toDF("id", "v")
+      .createOrReplaceTempView("ctas_lc_src")
+    spark.sql("CREATE TABLE graft_delta.ctas_lc CLUSTER BY (id) AS " +
+      "SELECT * FROM ctas_lc_src")
+    val st = DeltaInterop.state(spark, s"$wh/ctas_lc", None)
+    st.writerFeatures should contain("clustering")
+    st.domains.keySet should contain(DeltaInterop.ClusteringDomain)
+    spark.sql("SELECT count(*) FROM graft_delta.ctas_lc")
+      .head().getLong(0) shouldBe 200L
+    spark.sql("OPTIMIZE graft_delta.ctas_lc") // re-clusters, no error
+    spark.sql("SELECT count(*) FROM graft_delta.ctas_lc")
+      .head().getLong(0) shouldBe 200L
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES / ADD CONSTRAINT / DROP " +
     "CONSTRAINT route from SQL: the property lands and binds (Delta " +
     "appendOnly via SQL refuses a later DELETE), Iceberg properties " +
