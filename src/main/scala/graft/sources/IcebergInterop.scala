@@ -4691,6 +4691,75 @@ object IcebergInterop {
         "type" -> JString(sparkTypeToIceberg(dataType)))), newId)
     }
 
+  /** `ALTER TABLE … ADD COLUMN … DEFAULT <v>` — the WRITE side of v3
+    * column defaults: the new field declares the given value as BOTH
+    * `initial-default` (rows written before the field existed serve
+    * it — the read side's [[toDF]] projection) and `write-default`
+    * (appends omitting the column apply it — [[write]]'s fill), the
+    * same pairing Spark's own `ADD COLUMN … DEFAULT` creates.
+    * Pre-v3 tables refuse by name (defaults are a v3 schema
+    * capability); values this writer cannot encode under the spec's
+    * JSON single-value serialization refuse by name. Metadata-only —
+    * no data moves. */
+  def addColumnWithDefault(spark: SparkSession, table: String,
+      name: String, dataType: DataType, default: Any): Unit = {
+    import org.json4s._
+    val st = state(spark, table, None)
+    if (st.formatVersion < 3)
+      throw new UnsupportedIcebergFeatureException(
+        s"column defaults on $table need format-version 3 (the spec " +
+          s"added them there) — the table is v${st.formatVersion}; " +
+          "upgradeFormat(table, 3) first")
+    val dj = encodeDefault(dataType, default, name, table)
+    evolveSchema(spark, table) { (fields, lastColumnId) =>
+      if (fields.exists(f => (f \ "name") == JString(name)))
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot add column $name to $table — it already exists")
+      val newId = lastColumnId + 1
+      (fields :+ JObject(List(
+        "id" -> JInt(newId), "name" -> JString(name),
+        "required" -> JBool(false),
+        "type" -> JString(sparkTypeToIceberg(dataType)),
+        "initial-default" -> dj,
+        "write-default" -> dj)), newId)
+    }
+  }
+
+  /** A Scala value → the spec's JSON single-value serialization under
+    * the declared type — [[decodeDefault]]'s inverse; unencodable
+    * combinations refuse by name. */
+  private def encodeDefault(dt: DataType, v: Any, field: String,
+      table: String): org.json4s.JValue = {
+    import org.json4s._
+    (dt, v) match {
+      case (BooleanType, b: Boolean) => JBool(b)
+      case (IntegerType, n: Int) => JInt(n)
+      case (LongType, n: Long) => JLong(n)
+      case (LongType, n: Int) => JLong(n.toLong)
+      case (FloatType, f: Float) => JDouble(f.toDouble)
+      case (DoubleType, d: Double) => JDouble(d)
+      case (StringType, s: String) => JString(s)
+      case (DateType, d: java.sql.Date) => JString(d.toString)
+      case (_: DecimalType, d: java.math.BigDecimal) =>
+        JString(d.toPlainString)
+      case (_: DecimalType, d: BigDecimal) =>
+        JString(d.bigDecimal.toPlainString)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        JString(t.toString)
+      case (TimestampType, t: java.time.Instant) =>
+        JString(java.time.OffsetDateTime
+          .ofInstant(t, java.time.ZoneOffset.UTC).toString)
+      case (BinaryType, b: Array[Byte]) =>
+        JString("0x" + b.map("%02x".format(_)).mkString)
+      case _ =>
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot declare $v (${v.getClass.getSimpleName}) as the " +
+            s"default of $field ${dt.sql} on $table — not a " +
+            "type/value combination this writer encodes under the " +
+            "spec's JSON single-value serialization")
+    }
+  }
+
   /** `ALTER TABLE … ADD COLUMNS` — [[addColumn]] for several fields
     * in ONE metadata version (fresh ids continuing from
     * last-column-id, optional per spec). */

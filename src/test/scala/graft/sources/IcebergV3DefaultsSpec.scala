@@ -133,6 +133,45 @@ class IcebergV3DefaultsSpec extends AnyFunSuite with Matchers
       .head() shouldBe "stored"
   }
 
+  test("addColumnWithDefault (r15): graft DECLARES v3 defaults " +
+    "natively — pre-existing rows serve the value, appends omitting " +
+    "the column apply it, explicit values win; pre-v3 tables and " +
+    "unencodable values refuse by name") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write((1L to 5L).toDF("id").coalesce(1), t)
+    IcebergInterop.upgradeFormat(spark, t)
+    IcebergInterop.upgradeFormat(spark, t, 3)
+    IcebergInterop.addColumnWithDefault(spark, t, "tag", StringType,
+      "legacy")
+    IcebergInterop.addColumnWithDefault(spark, t, "score", LongType, 7L)
+    val out0 = IcebergInterop.read(spark, t)
+    out0.filter($"id" <= 5L).select($"tag", $"score").distinct()
+      .as[(String, Long)].collect() shouldBe Array(("legacy", 7L))
+    // an append omitting BOTH defaulted columns applies both
+    IcebergInterop.write(Seq(10L).toDF("id"), t)
+    IcebergInterop.read(spark, t).filter($"id" === 10L)
+      .select($"tag", $"score").as[(String, Long)]
+      .head() shouldBe (("legacy", 7L))
+    // explicit values win
+    IcebergInterop.write(
+      Seq((11L, "stored", 99L)).toDF("id", "tag", "score"), t)
+    IcebergInterop.read(spark, t).filter($"id" === 11L)
+      .select($"tag", $"score").as[(String, Long)]
+      .head() shouldBe (("stored", 99L))
+    // pre-v3 refusal
+    val t2 = fresh()
+    IcebergInterop.write((1L to 3L).toDF("id"), t2)
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException](
+      IcebergInterop.addColumnWithDefault(spark, t2, "tag",
+        StringType, "x")).getMessage should include("format-version 3")
+    // unencodable value refusal
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException](
+      IcebergInterop.addColumnWithDefault(spark, t, "bad",
+        LongType, "not-a-long"))
+      .getMessage should include("single-value")
+  }
+
   test("refusals by name: nested-field defaults, undecodable default " +
     "values, and v3 variant/geometry columns") {
     import spark.implicits._
