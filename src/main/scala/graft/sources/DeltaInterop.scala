@@ -1568,6 +1568,16 @@ object DeltaInterop {
             f.metadata.contains("delta.identity.step")))
           abortRetry("declared IDENTITY columns (this append did " +
             "not allocate values)")
+        // a winner ENABLING icebergCompatV2 mid-race makes the staged
+        // files (written before the duty existed) field-id-less —
+        // committing them would break the table's Iceberg mirror
+        def compatOn(s: DeltaState): Boolean =
+          s.writerFeatures.contains("icebergCompatV2") &&
+            s.configuration.get("delta.enableIcebergCompatV2")
+              .contains("true")
+        if (compatOn(ws) && !prior.exists(compatOn))
+          abortRetry("enabled icebergCompatV2 (the staged files " +
+            "carry no parquet field ids)")
         // constraints/invariants the winner may have added validate
         // against the STILL-STAGED files; a violation deletes them
         // and aborts — the sequential-append semantics exactly
