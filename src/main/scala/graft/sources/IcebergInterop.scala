@@ -2090,16 +2090,7 @@ object IcebergInterop {
     // omitted columns without one still refuse in
     // requireAppendCompatible below
     val df = prior.filter(_ => !overwrite)
-      .map(p => p.evo.writeDefaults.foldLeft(df0) {
-        case (acc, (name, j)) =>
-          if (acc.columns.contains(name) ||
-            !p.schema.fieldNames.contains(name)) acc
-          else {
-            val dt = p.schema(name).dataType
-            acc.withColumn(name, org.apache.spark.sql.functions
-              .lit(decodeDefault(dt, j, name, table)).cast(dt))
-          }
-      }).getOrElse(df0)
+      .map(p => applyWriteDefaults(df0, p, table)).getOrElse(df0)
     prior.foreach { p =>
       if (!overwrite) {
         InteropSchema.requireAppendCompatible(df.schema, p.schema, table)
@@ -3163,18 +3154,21 @@ object IcebergInterop {
     * what makes per-minute CDC batches feasible against 100 TB.
     * Duplicate source keys refuse (which version wins is undefined);
     * the merge-on-read debt retires through [[compactDeletes]]. */
-  def upsertByKeys(source: DataFrame, table: String,
+  def upsertByKeys(source0: DataFrame, table: String,
                    keyCols: Seq[String],
                    summary: Map[String, String] = Map.empty): IceDml = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val spark = source.sparkSession
+    val spark = source0.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
     requireMorWritable(st, table, "upserts")
     require(keyCols.nonEmpty, "upsertByKeys needs at least one key")
-    keyCols.foreach(k => require(source.columns.contains(k),
+    keyCols.foreach(k => require(source0.columns.contains(k),
       s"key column $k is not in the source"))
+    // v3 write-defaults apply to the APPENDED images exactly as they
+    // do to plain appends — an image is a row this writer supplies
+    val source = applyWriteDefaults(source0, st, table)
     InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
     val dup = source.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
@@ -4724,6 +4718,22 @@ object IcebergInterop {
         "write-default" -> dj)), newId)
     }
   }
+
+  /** The v3 writer duty [[write]] and [[upsertByKeys]] share: an
+    * append-shaped source that OMITS a `write-default`-bearing column
+    * gets the recorded default filled in (explicit values always
+    * win — the fold only touches absent columns). */
+  private def applyWriteDefaults(df: DataFrame, st: IceState,
+      table: String): DataFrame =
+    st.evo.writeDefaults.foldLeft(df) { case (acc, (name, j)) =>
+      if (acc.columns.contains(name) ||
+        !st.schema.fieldNames.contains(name)) acc
+      else {
+        val dt = st.schema(name).dataType
+        acc.withColumn(name, org.apache.spark.sql.functions
+          .lit(decodeDefault(dt, j, name, table)).cast(dt))
+      }
+    }
 
   /** A Scala value → the spec's JSON single-value serialization under
     * the declared type — [[decodeDefault]]'s inverse; unencodable

@@ -170,6 +170,12 @@ class IcebergV3DefaultsSpec extends AnyFunSuite with Matchers
       IcebergInterop.addColumnWithDefault(spark, t, "bad",
         LongType, "not-a-long"))
       .getMessage should include("single-value")
+    // write-defaults apply to UPSERT images too: a keyed image
+    // omitting both defaulted columns lands with them filled
+    IcebergInterop.upsertByKeys(Seq(3L).toDF("id"), t, Seq("id"))
+    val up = IcebergInterop.read(spark, t).filter($"id" === 3L)
+      .select($"tag", $"score").as[(String, Long)].collect()
+    up shouldBe Array(("legacy", 7L))
   }
 
   test("refusals by name: nested-field defaults, undecodable default " +
