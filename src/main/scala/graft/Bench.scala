@@ -134,8 +134,11 @@ object BenchReport {
     * loaded box. */
   val LoadedRatio = 1.5
 
-  /** Standard 2 passes + up to 2 load-triggered extras. */
-  val MaxPasses = 4
+  /** Standard 2 passes + at most ONE load-triggered extra — bounded
+    * so a persistently loaded box stretches the driver's bench
+    * window by at most 50% (losing the artifact to a timeout would
+    * be worse than a self-labeled contaminated one). */
+  val MaxPasses = 3
 
   def lines(names: Seq[String], best: Seq[(String, Option[Double])],
             passes: Seq[Map[String, Option[Double]]], sfDir: String,

@@ -286,6 +286,11 @@ object IcebergRestCatalog {
         updates += JObject(List(
           "action" -> JString("set-properties"),
           "updates" -> JObject(changed.toList)))
+      val removedProps = (pBase.keySet -- pHead.keySet).toList.sorted
+      if (removedProps.nonEmpty)
+        updates += JObject(List(
+          "action" -> JString("remove-properties"),
+          "removals" -> JArray(removedProps.map(JString(_)))))
       if (updates.isEmpty) return
       // the optimistic-concurrency guard: main must still point where
       // we loaded it — a null snapshot-id asserts "no snapshot yet"

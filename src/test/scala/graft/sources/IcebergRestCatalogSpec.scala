@@ -94,6 +94,16 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
             }
             set("properties", JObject(
               cur.filterNot(kv => upd.exists(_._1 == kv._1)) ++ upd))
+          case JString("remove-properties") =>
+            val cur = (m \ "properties") match {
+              case JObject(kvs) => kvs
+              case _ => Nil
+            }
+            val gone = (u \ "removals") match {
+              case JArray(xs) => xs.collect { case JString(k) => k }.toSet
+              case _ => Set.empty[String]
+            }
+            set("properties", JObject(cur.filterNot(kv => gone(kv._1))))
           case other =>
             throw new IllegalArgumentException(s"stub: unknown $other")
         }
