@@ -37,6 +37,33 @@ import org.json4s.jackson.JsonMethods
   * is needed to begin reading. */
 object IcebergRestCatalog {
 
+  /** The SQL namespace: `SELECT … FROM graft_iceberg_rest.<alias>`
+    * loads THROUGH the catalog — a fresh metadata fetch per query, so
+    * reads are catalog-current; planning then rides the ordinary
+    * path-based read kernel unchanged. Writes go through the
+    * [[Client]] API (a commit needs the catalog round-trip). */
+  val Namespace = "graft_iceberg_rest"
+
+  private val sqlTables = new java.util.concurrent
+    .ConcurrentHashMap[String, (Client, String, String)]()
+
+  /** Register `alias` so SQL can address catalog table `ns`.`name`
+    * through `client` as `graft_iceberg_rest.alias`. */
+  def register(alias: String, client: Client, ns: String,
+               name: String): Unit =
+    sqlTables.put(alias.toLowerCase(java.util.Locale.ROOT),
+      (client, ns, name)): Unit
+
+  def unregister(alias: String): Unit =
+    sqlTables.remove(alias.toLowerCase(java.util.Locale.ROOT)): Unit
+
+  /** The catalog-current staged dir for a registered alias — one
+    * loadTable (one GET) per query. */
+  private[sources] def sqlDirOf(spark: SparkSession,
+                                alias: String): Option[String] =
+    Option(sqlTables.get(alias.toLowerCase(java.util.Locale.ROOT)))
+      .map { case (c, ns, n) => c.loadTable(spark, ns, n).localDir }
+
   /** A loaded table: `localDir` is the staged Hadoop-layout mirror
     * every kernel operates on; `baseSnapshotId`/`uuid` are the
     * optimistic-concurrency evidence the commit asserts. */

@@ -390,6 +390,16 @@ object IcebergSql {
               SqlTimeTravel.tsMillisOf(spark, ts))))
         case u: UnresolvedRelation if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, None)
+        // graft_iceberg_rest.<alias> — a catalog-current read: ONE
+        // loadTable GET stages the pointer's metadata, then the
+        // ordinary path-based read plans over it (unregistered
+        // aliases fall through to the analyzer's own error)
+        case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(
+              IcebergRestCatalog.Namespace) =>
+          IcebergRestCatalog.sqlDirOf(spark, u.multipartIdentifier(1))
+            .map(dir => readPlan(dir, None)).getOrElse(u)
       }
   }
 }

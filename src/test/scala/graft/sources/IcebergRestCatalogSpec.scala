@@ -355,6 +355,31 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("SQL reads through the catalog: graft_iceberg_rest.<alias> " +
+    "stages a fresh pointer fetch per query, so a commit published " +
+    "through the client is visible to the NEXT SELECT") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 10L).map(i => (i, i))
+        .toDF("id", "v"), t)
+      stub.seed("lake", "sqlt", t)
+      IcebergRestCatalog.register("sql_orders", client, "lake", "sqlt")
+      try {
+        spark.sql(
+          "SELECT count(*) AS n FROM graft_iceberg_rest.sql_orders")
+          .head().getLong(0) shouldBe 10L
+        client.appendWithRetry(spark, "lake", "sqlt",
+          Seq((100L, 100L)).toDF("id", "v"))
+        spark.sql(
+          "SELECT count(*) AS n FROM graft_iceberg_rest.sql_orders")
+          .head().getLong(0) shouldBe 11L
+        spark.sql("SELECT sum(v) AS s FROM graft_iceberg_rest" +
+          ".sql_orders WHERE id >= 100").head().getLong(0) shouldBe 100L
+      } finally IcebergRestCatalog.unregister("sql_orders")
+    }
+  }
+
   test("a v3 row-lineage commit refuses by name: the REST update " +
     "vocabulary cannot advance next-row-id, and publishing without " +
     "it would hand the next writer colliding row ids") {
