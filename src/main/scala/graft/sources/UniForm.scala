@@ -74,6 +74,18 @@ object UniForm {
             .files.exists(_.dv.nonEmpty))
             DeltaInterop.purgeDeletionVectors(spark, table): Unit
           CrossFormat.deltaToIceberg(spark, table): Unit
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // the failure mode must name what ACTUALLY happened: the
+            // Delta commit LANDED; only the mirror is stale — a
+            // caller that re-ran the write on this error would
+            // double-append
+            throw new IllegalStateException(
+              s"Delta commit on $table LANDED but the UniForm mirror " +
+                "re-sync failed — the MIRROR is stale, the table is " +
+                "not; do NOT retry the write. Re-sync with " +
+                "CrossFormat.deltaToIceberg once the cause is fixed: " +
+                e.getMessage, e)
         } finally syncing.set(false)
       }
 }
