@@ -4505,11 +4505,29 @@ object DeltaInterop {
       throw new ConcurrentDeltaCommitException(
         s"version $version was committed concurrently — re-read and retry")
     }
-    // UniForm-style auto-mirror: data commits re-sync the registered
-    // Iceberg mirror; property/protocol-only commits skip
-    UniForm.afterDeltaCommit(logDir.getParent.toString,
-      lines.exists(l => l.startsWith("""{"add"""") ||
-        l.startsWith("""{"remove"""") || l.startsWith("""{"cdc"""")))
+    // UniForm-style auto-mirror: a committed configuration carrying
+    // delta.universalFormat.enabledFormats=iceberg re-syncs the
+    // Iceberg mirror from ANY writer session — enablement rides the
+    // TABLE PROPERTY, not process state, so a fresh JVM's append
+    // keeps the mirror current without re-enabling. The action parse
+    // is paid only by enabled tables (one Map lookup otherwise).
+    val table = logDir.getParent.toString
+    if (UniForm.mirrorEnabled(config, table)) {
+      val acts = parseActionLines(lines.mkString("\n"), commit)
+      UniForm.afterDeltaCommit(None, table, UniForm.CommitSummary(
+        version,
+        adds = acts.collect { case AddAction(a) =>
+          UniForm.CommitAdd(a.path, a.size, numRecordsOf(a),
+            a.dv.nonEmpty)
+        },
+        removes = acts.collect { case RemoveAction(p, _) => p },
+        metaSchemaJson = acts.collectFirst {
+          case m: MetaAction => m.schema.json
+        },
+        metaPartCols = acts.collectFirst {
+          case m: MetaAction => m.partitionColumns
+        }))
+    }
     version
   }
 

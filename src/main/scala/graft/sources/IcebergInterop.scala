@@ -6053,6 +6053,93 @@ object IcebergInterop {
       operation = "convert", spec = spec)
   }
 
+  /** Current snapshot id straight from the current metadata JSON —
+    * one directory list + one file read, no manifest parsing. The
+    * cheap head-check callers ([[UniForm]]'s incremental sync) use to
+    * prove the mirror wasn't moved out-of-band. */
+  private[sources] def currentSnapshotId(spark: SparkSession,
+                                         table: String): Option[Long] = {
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    if (!fs.exists(metaDir)) return None
+    currentMetadataVersion(fs, table).flatMap { v =>
+      val j = org.json4s.jackson.JsonMethods.parse(
+        readText(fs, new Path(metaDir, s"v$v.metadata.json")))
+      jLong(j \ "current-snapshot-id") match {
+        case -1L => None
+        case id => Some(id)
+      }
+    }
+  }
+
+  /** INCREMENTAL mirror publication for [[UniForm]]: one Iceberg
+    * snapshot derived from a Delta commit's own add/remove actions —
+    * O(changed files) metadata, never a full re-export. Adds publish
+    * as an append (every prior manifest carried VERBATIM in the new
+    * manifest list); a commit that also removes paths publishes
+    * through the rewrite leg, which rewrites only manifests that lost
+    * a file. Paths are table-root-relative; partition tuples
+    * reconstruct from the Hive path segments against the mirror's
+    * recorded identity spec, exactly as the full export does. Any
+    * shape this leg can't prove equivalent to the full export refuses
+    * by name (the caller falls back to the full re-export). */
+  private[sources] def mirrorPublish(spark: SparkSession, table: String,
+      adds: Seq[(String, Long, Option[Long])],
+      removes: Seq[String]): Long = {
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
+      st.dvDeletes.isEmpty,
+      s"mirror of $table carries delete files — not a shape the " +
+        "incremental sync publishes over")
+    val spec = st.specs.getOrElse(st.defaultSpecId, Nil)
+    require(spec.forall(_.transform == "identity"),
+      s"mirror of $table has non-identity partitioning — not a " +
+        "path-reproducible spec")
+    val conf = spark.sessionState.newHadoopConf()
+    def tupleValue(c: String, raw: String): AnyRef = {
+      val dt = st.schema.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition path column $c of $table is not in the mirror " +
+            "schema"))
+      hivePathValue(dt, raw).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition path value '$raw' of column $c does not parse " +
+            s"as ${dt.sql}")).orNull
+    }
+    val iceAdds = adds.sortBy(_._1).map { case (rel, size, rowsOpt) =>
+      val abs = new Path(root, rel)
+      val pv = ManifestLake.partitionValues(rel)
+      require(pv.keySet == spec.map(_.source).toSet,
+        s"file $rel carries partition keys ${pv.keySet.mkString(",")} " +
+          s"but the mirror's spec is ${spec.map(_.source).mkString(",")}")
+      val rows = rowsOpt.getOrElse {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            abs, conf))
+        try reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount.toLong).sum
+        finally reader.close()
+      }
+      IceFile(abs.toString, rows, size,
+        partition = pv.map { case (k, v) => k -> tupleValue(k, v) })
+    }
+    if (removes.isEmpty)
+      publishSnapshot(fs, root, st.schema, iceAdds, Some(st),
+        overwrite = false, operation = "append", spec = spec)
+    else {
+      val live = st.files.map(_.path).toSet
+      val removedAbs = removes.map(r => new Path(root, r).toString).toSet
+      removedAbs.foreach(r => require(live(r),
+        s"removed file $r is not live in the mirror of $table — the " +
+          "mirror diverged from the Delta log"))
+      publishRewrite(spark, fs, root, st, iceAdds, removedAbs,
+        operation = "overwrite")
+    }
+  }
+
   /** Metadata-only Iceberg → manifest-lake migration, in place: the
     * live data files register as a manifest version (they carry every
     * column, so no layout requirement at all — simpler than the Delta

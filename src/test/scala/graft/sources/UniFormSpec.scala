@@ -7,23 +7,31 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
 
-/** UniForm-style auto-mirror ([[UniForm]]): after enable, every DATA
-  * commit on the Delta table re-syncs its Iceberg mirror in place
-  * (append, DML), maintenance commits skip, disable freezes the
-  * mirror, and ineligible tables refuse through the conversion legs'
-  * named errors. */
+/** UniForm-style auto-mirror ([[UniForm]]): enablement rides the
+  * `delta.universalFormat.enabledFormats` TABLE PROPERTY, so every
+  * writer session's data commit re-syncs the Iceberg mirror (append,
+  * DML) — including sessions that never called enable; maintenance
+  * commits skip; the steady-state sync is INCREMENTAL (untouched
+  * mirror manifests carried verbatim, O(changed files) manifest-lake
+  * commits); disable freezes; ineligible tables refuse through the
+  * conversion legs' named errors. */
 class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private def fresh(): String =
     java.nio.file.Files.createTempDirectory("graft-uniform").toString + "/t"
 
-  private def iceVersions(t: String): Long = {
-    val fs = new Path(t).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    fs.listStatus(new Path(t, "metadata")).toSeq
+  private def fs(t: String) = new Path(t).getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def iceVersions(t: String): Long =
+    fs(t).listStatus(new Path(t, "metadata")).toSeq
       .map(_.getPath.getName)
       .count(n => n.startsWith("v") && n.endsWith(".metadata.json"))
-  }
+
+  private def iceManifests(t: String): Set[String] =
+    fs(t).listStatus(new Path(t, "metadata")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.contains("-m") && n.endsWith(".avro")).toSet
 
   test("enable publishes the mirror; appends and DML re-sync it " +
     "automatically; property-only commits skip; disable freezes") {
@@ -34,6 +42,9 @@ class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
         (1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
       UniForm.enableAutoMirror(spark, t)
       IcebergInterop.read(spark, t).count() shouldBe 10L
+      // enablement is recorded in the table configuration
+      DeltaInterop.state(spark, t, None).configuration
+        .get(UniForm.EnabledFormatsProp) shouldBe Some("iceberg")
       // commit 1: append — the mirror serves it with no extra call
       DeltaInterop.write(Seq((100L, 100L)).toDF("id", "v"), t)
       IcebergInterop.read(spark, t).count() shouldBe 11L
@@ -47,7 +58,7 @@ class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
       val before = iceVersions(t)
       DeltaInterop.setProperties(spark, t, Map("graft.note" -> "x"))
       iceVersions(t) shouldBe before
-      // disable: the mirror freezes at its last synced state
+      // JVM-local disable: the mirror freezes at its last synced state
       UniForm.disableAutoMirror(t)
       DeltaInterop.write(Seq((200L, 200L)).toDF("id", "v"), t)
       DeltaInterop.read(spark, t).count() shouldBe 9L
@@ -55,8 +66,124 @@ class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally UniForm.disableAutoMirror(t)
   }
 
+  test("enablement is the table property: a session that never " +
+    "registered the table re-syncs on its own append") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      DeltaInterop.write((1L to 6L).map(i => (i, i)).toDF("id", "v"), t)
+      UniForm.enableAutoMirror(spark, t)
+      // emulate a fresh JVM: clear every process-local override, then
+      // append from a DIFFERENT SparkSession — the commit hook must
+      // pick enablement up from the committed configuration alone
+      UniForm.resetLocalState()
+      val other = spark.newSession()
+      DeltaInterop.write(Seq((50L, 50L)).toDF("id", "v"), t)
+      IcebergInterop.read(other, t).count() shouldBe 7L
+      IcebergInterop.read(other, t).filter(col("id") === 50L)
+        .count() shouldBe 1L
+      // durable disable clears the property; no session mirrors after
+      UniForm.disableAutoMirror(spark, t)
+      DeltaInterop.state(spark, t, None).configuration
+        .getOrElse(UniForm.EnabledFormatsProp, "") shouldBe ""
+      DeltaInterop.write(Seq((60L, 60L)).toDF("id", "v"), t)
+      DeltaInterop.read(spark, t).count() shouldBe 8L
+      IcebergInterop.read(spark, t).count() shouldBe 7L
+    } finally UniForm.disableAutoMirror(t)
+  }
+
+  test("steady-state sync is incremental: an append carries every " +
+    "prior mirror manifest verbatim and commits O(changed files) " +
+    "to the manifest lake") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      DeltaInterop.write(
+        (1L to 100L).map(i => (i, i)).toDF("id", "v"), t)
+      UniForm.enableAutoMirror(spark, t)
+      val f = fs(t)
+      val manifestsBefore = iceManifests(t)
+      val mvBefore = ManifestLake.currentVersion(spark, t).get
+      val mtimes = manifestsBefore.map(n => n -> f.getFileStatus(
+        new Path(new Path(t, "metadata"), n)).getModificationTime).toMap
+      DeltaInterop.write(Seq((500L, 500L)).toDF("id", "v"), t)
+      // exactly one NEW iceberg manifest; every prior one untouched
+      val manifestsAfter = iceManifests(t)
+      manifestsBefore.subsetOf(manifestsAfter) shouldBe true
+      (manifestsAfter -- manifestsBefore).size shouldBe 1
+      manifestsBefore.foreach { n =>
+        f.getFileStatus(new Path(new Path(t, "metadata"), n))
+          .getModificationTime shouldBe mtimes(n)
+      }
+      // the manifest lake moved by ONE incremental version: a few
+      // header lines plus one A-line, no #full re-list
+      val mvAfter = ManifestLake.currentVersion(spark, t).get
+      mvAfter shouldBe mvBefore + 1
+      val logText = {
+        val p = new Path(new Path(t, "_manifests"),
+          f"v$mvAfter%08d.manifest")
+        val in = f.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      }
+      logText should not include "#full"
+      logText.linesIterator.count(_.startsWith("A\t")) shouldBe 1
+      logText.linesIterator.count(_.startsWith("R\t")) shouldBe 0
+      // and the mirror is CORRECT after the incremental leg
+      IcebergInterop.read(spark, t).count() shouldBe 101L
+      ManifestLake.read(spark, t).count() shouldBe 101L
+    } finally UniForm.disableAutoMirror(t)
+  }
+
+  test("a rewrite commit (OPTIMIZE) syncs through the rewrite leg: " +
+    "removed paths leave the mirror, untouched manifests carry") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      (0 until 3).foreach(k => DeltaInterop.write(
+        (1L to 20L).map(i => (i * 10 + k, i)).toDF("id", "v")
+          .coalesce(1), t))
+      UniForm.enableAutoMirror(spark, t)
+      IcebergInterop.read(spark, t).count() shouldBe 60L
+      val before = iceVersions(t)
+      DeltaInterop.optimize(spark, t)
+      // ONE new mirror snapshot, reflecting the compacted file set
+      iceVersions(t) shouldBe before + 1
+      val st = IcebergInterop.state(spark, t, None)
+      st.files.map(_.path).toSet shouldBe
+        DeltaInterop.state(spark, t, None).files
+          .map(a => new Path(t, a.path).toString).toSet
+      IcebergInterop.read(spark, t).count() shouldBe 60L
+      ManifestLake.read(spark, t).count() shouldBe 60L
+    } finally UniForm.disableAutoMirror(t)
+  }
+
+  test("a schema-evolving commit re-exports so the mirror serves the " +
+    "new column") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      DeltaInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
+      UniForm.enableAutoMirror(spark, t)
+      DeltaInterop.addColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType)))
+      // the metadata-only ALTER re-exported the mirror schema; the
+      // follow-up append rides the incremental leg under it
+      DeltaInterop.write(Seq((9L, 9L, "x")).toDF("id", "v", "tag"), t)
+      val mirror = IcebergInterop.read(spark, t)
+      mirror.columns should contain("tag")
+      mirror.count() shouldBe 6L
+      mirror.filter(col("tag") === "x").count() shouldBe 1L
+    } finally UniForm.disableAutoMirror(t)
+  }
+
   test("ineligible tables refuse at enable through the legs' named " +
-    "errors and nothing registers") {
+    "errors and nothing records") {
     import spark.implicits._
     val t = fresh()
     DeltaInterop.write(
@@ -65,8 +192,9 @@ class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
     intercept[IllegalArgumentException](
       UniForm.enableAutoMirror(spark, t))
       .getMessage should include("column mapping")
-    UniForm.isMirrored(t) shouldBe false
-    // later commits on the unregistered table never try to sync
+    DeltaInterop.state(spark, t, None).configuration
+      .contains(UniForm.EnabledFormatsProp) shouldBe false
+    // later commits on the un-enabled table never try to sync
     DeltaInterop.write(Seq((9L, 9L)).toDF("id", "v"), t)
     DeltaInterop.read(spark, t).count() shouldBe 6L
   }
