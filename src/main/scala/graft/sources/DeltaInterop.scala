@@ -3472,6 +3472,91 @@ object DeltaInterop {
     * [[purgeDeletionVectors]]' job); column-mapped tables refuse by
     * name. Returns the committed version, or the current one when
     * nothing qualifies. */
+  /** INCREMENTAL liquid-clustering selection: which of a partition
+    * group's files an implicit (recorded-clustering) OPTIMIZE must
+    * rewrite, as independent REWRITE UNITS. Files whose recorded key
+    * ranges are pairwise DISJOINT and well-sized are already
+    * clustered and stay untouched — only overlap components (≥2
+    * files whose ranges intersect, e.g. a fresh append spanning the
+    * key space plus the clustered files it overlaps) and small
+    * strays (< target/2 — rewrite outputs average ≥ target/2, so
+    * re-picking cannot loop) rewrite, so routine maintenance on a
+    * mostly-clustered table costs O(new + overlapped files), not
+    * O(table). Each unit is a maximal RUN of range-consecutive
+    * rewritten components: rewriting a run produces files confined
+    * to the run's own key span, so kept files' ranges stay disjoint
+    * from every output — the pairwise-disjointness the dl18 gate
+    * pins survives any interleaving of kept and rewritten files.
+    * Everything the stats cannot PROVE disjoint rewrites: a
+    * stats-less or incomparably-typed file overlaps the whole key
+    * space, which degrades to a full re-cluster, never a wrong skip.
+    * Multi-column clustering re-clusters the whole group: z-order
+    * output bounding boxes are not pairwise disjoint, so an overlap
+    * test could never converge there. */
+  private def clusteringUnits(st: DeltaState, adds: Seq[DeltaAdd],
+      cols: Seq[String], targetFileBytes: Long,
+      zone: java.time.ZoneId): Seq[Seq[DeltaAdd]] = {
+    if (cols.length != 1) return Seq(adds)
+    val field = st.schema.find(_.name == cols.head) match {
+      case Some(f) => f
+      case None => return Seq(adds)
+    }
+    val key =
+      if (st.columnMappingMode == "none") field.name
+      else physicalName(field)
+    def boundsOf(a: DeltaAdd): Option[(Either[Long, String],
+        Either[Long, String])] =
+      a.stats.flatMap(s =>
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption)
+        .flatMap { j =>
+          for {
+            lo <- statsBound(field.dataType, j \ "minValues" \ key, zone)
+            hi <- statsBound(field.dataType, j \ "maxValues" \ key, zone)
+          } yield (lo, hi)
+        }
+    val boxed = adds.map(a => a -> boundsOf(a))
+    // a file that can't prove its range overlaps everything — the
+    // whole group re-clusters (never a wrong skip)
+    if (boxed.exists(_._2.isEmpty)) return Seq(adds)
+    var incomparable = false
+    def cmp(x: Either[Long, String], y: Either[Long, String]): Int =
+      ScanPredicates.compareValues(x, y).getOrElse {
+        incomparable = true; 0
+      }
+    val sorted = boxed.map { case (a, b) => (a, b.get) }
+      .sortWith((p, q) => cmp(p._2._1, q._2._1) < 0)
+    // interval sweep: range-overlap components, in key order
+    val comps =
+      scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[DeltaAdd]]
+    var curHi: Option[Either[Long, String]] = None
+    sorted.foreach { case (a, (lo, hi)) =>
+      if (curHi.forall(h => cmp(lo, h) > 0)) {
+        comps += scala.collection.mutable.ArrayBuffer(a)
+        curHi = Some(hi)
+      } else {
+        comps.last += a
+        if (cmp(hi, curHi.get) > 0) curHi = Some(hi)
+      }
+    }
+    if (incomparable) return Seq(adds)
+    // kept = a lone well-sized file with a range of its own; every
+    // maximal run of non-kept components between kept files rewrites
+    // as ONE unit (≥2 files — a lone small stray has nothing to pack
+    // with and waits for company)
+    def kept(c: scala.collection.mutable.ArrayBuffer[DeltaAdd]): Boolean =
+      c.length == 1 && c.head.size >= targetFileBytes / 2
+    val units = scala.collection.mutable.ArrayBuffer.empty[Seq[DeltaAdd]]
+    val run = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
+    def flush(): Unit = {
+      if (run.length >= 2) units += run.toSeq
+      run.clear()
+    }
+    comps.foreach(c => if (kept(c)) flush() else run ++= c)
+    flush()
+    units.toSeq
+  }
+
   def optimize(spark: SparkSession, table: String,
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorderBy: Seq[String] = Nil): Long = {
@@ -3518,16 +3603,23 @@ object DeltaInterop {
     val dataSchema = StructType(st.schema.fields.filterNot(f =>
       st.partitionColumns.contains(f.name)))
     val plain = st.files.filter(_.dv.isEmpty)
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
     val groups = plain.groupBy(_.partitionValues).toSeq.flatMap {
       case (pv, adds) =>
-        val picked =
-          if (effZorder.nonEmpty) adds
-          else adds.filter(_.size < targetFileBytes)
+        // each unit rewrites independently (its own clusterByZ +
+        // range split), so a unit's output stays confined to its own
+        // key span and never straddles a kept file's range
+        val units: Seq[Seq[DeltaAdd]] =
+          if (zorderBy.nonEmpty) Seq(adds) // explicit: full re-layout
+          else if (effZorder.nonEmpty)
+            clusteringUnits(st, adds, effZorder, targetFileBytes, zone)
+          else Seq(adds.filter(_.size < targetFileBytes))
         // one lone small file has nothing to pack with; a z-order
         // rewrite of a single file still tightens its clustering only
         // if there are ≥ 2 files or the caller asked for layout change
-        if ((effZorder.isEmpty && picked.size < 2) || picked.isEmpty) None
-        else Some(pv -> picked)
+        units.filter(u =>
+          u.size >= 2 || (zorderBy.nonEmpty && u.nonEmpty)).map(pv -> _)
     }
     if (groups.isEmpty) return st.version
     val root = new Path(table)
