@@ -44,8 +44,27 @@ object Bench {
     // with no args and gets the full suite.
     val names = all.toSeq.sortBy(_._1).map(_._1)
       .filter(n => args.isEmpty || args.exists(n.startsWith))
+    // Load-calibration SENTINEL: a fixed trivial query whose true cost is
+    // constant (~tens of ms, nation is 25 rows), so an inflated sentinel
+    // in the artifact says "the box was loaded HERE" — the per-query
+    // numbers around it can be discounted WITHOUT a quiesced rerun. It
+    // never touches the measured queries or the min-of-N.
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sentinel(): Unit = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+      sentinels += (System.nanoTime() - t0) / 1e9
+    }
+    // The sentinel INTERLEAVES through each pass (every SentinelEvery
+    // queries), not just at pass boundaries: the r15 artifact
+    // self-labeled quiet off a boundary sentinel while a mid-window
+    // burst had inflated one query 23× in BOTH its passes — evidence a
+    // boundary-only sentinel structurally cannot carry.
     def runPass(): Map[String, Option[Double]] =
-      names.map { name =>
+      names.zipWithIndex.map { case (name, i) =>
+        if (i % BenchReport.SentinelEvery == 0) sentinel()
         val fn = all(name)
         val t0 = System.nanoTime()
         val t =
@@ -58,36 +77,26 @@ object Bench {
           } finally graft.core.TransientCache.drain()
         name -> t
       }.toMap
-    // Load-calibration SENTINEL: a fixed trivial query timed immediately
-    // before each pass. Its true cost is constant (~tens of ms, nation is
-    // 25 rows), so an inflated sentinel in the artifact says "this pass
-    // ran on a loaded box" — the per-query numbers of that pass can be
-    // discounted WITHOUT a quiesced local rerun for cross-checking. It
-    // never touches the measured queries or the min-of-2.
-    def sentinel(): Double = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/nation.parquet")
-        .groupBy("n_regionkey").count()
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // SELF-DEFENSE against a loaded box (r15): the two standard
-    // passes always run; when even the BEST sentinel seen is above
-    // 1.5× the recorded quiet norm, the box was loaded for the whole
-    // window — up to two EXTRA passes run, stopping as soon as one
-    // starts quiet. Min over all passes converges on the true cost;
-    // the artifact carries every sentinel plus an explicitly-labeled
-    // load ratio so a reader can discount what remains.
+    // SELF-DEFENSE against a loaded box (r15, widened r16): the two
+    // standard passes always run; up to MaxPasses-2 EXTRA passes run
+    // when the evidence says the window was dirty — the BEST sentinel
+    // above the quiet band (loaded throughout), the WORST sentinel far
+    // above it (a mid-window burst), or any query whose own passes
+    // disagree by >2× (the burst landed on it). Min over all passes
+    // converges on the true cost; the artifact carries every sentinel
+    // plus per-query spread so a reader can discount what remains.
     val passes =
       scala.collection.mutable.ArrayBuffer.empty[Map[String, Option[Double]]]
-    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def dirty(): Boolean =
+      sentinels.min > BenchReport.LoadedRatio * BenchReport.QuietNormSec ||
+        sentinels.max >
+          BenchReport.BurstRatio * BenchReport.QuietNormSec ||
+        BenchReport.suspects(names, passes.toSeq).nonEmpty
     while (passes.size < 2 ||
-      (passes.size < BenchReport.MaxPasses &&
-        sentinels.min > BenchReport.LoadedRatio * BenchReport.QuietNormSec)) {
-      sentinels += sentinel()
+      (passes.size < BenchReport.MaxPasses && dirty())) {
       passes += runPass()
+      sentinel() // bound the pass from both sides
     }
-    sentinels += sentinel() // bound the LAST pass from both sides
     // The min-of-N rationale covers TIMING noise only — a query that
     // errors in any pass is flaky or broken and must surface as a
     // failure (null time, non-zero exit), not hide behind its good
@@ -134,11 +143,42 @@ object BenchReport {
     * loaded box. */
   val LoadedRatio = 1.5
 
-  /** Standard 2 passes + at most ONE load-triggered extra — bounded
+  /** A single sentinel exceeding this multiple of the norm marks a
+    * mid-window BURST even when the window's best sentinel is quiet. */
+  val BurstRatio = 3.0
+
+  /** How often the sentinel interleaves through a pass (every N
+    * queries) — ~9 samples per 206-query pass, ≲2 s of overhead. */
+  val SentinelEvery = 25
+
+  /** A query whose own passes disagree by more than this ratio (and
+    * more than [[SuspectDeltaSec]] absolutely) caught a burst — its
+    * min may still be contaminated if every pass was hit. */
+  val SuspectRatio = 2.0
+  val SuspectDeltaSec = 0.2
+
+  /** Standard 2 passes + at most ONE dirt-triggered extra — bounded
     * so a persistently loaded box stretches the driver's bench
     * window by at most 50% (losing the artifact to a timeout would
     * be worse than a self-labeled contaminated one). */
   val MaxPasses = 3
+
+  /** Queries whose cross-pass timings disagree by more than
+    * [[SuspectRatio]] (worst/best) and [[SuspectDeltaSec]]: the load
+    * evidence the min-of-N cannot carry alone, keyed to the ratio. */
+  def suspects(names: Seq[String],
+               passes: Seq[Map[String, Option[Double]]])
+      : Seq[(String, Double)] =
+    names.flatMap { n =>
+      val ts = passes.flatMap(_.get(n).flatten)
+      if (ts.size < 2) None
+      else {
+        val (mn, mx) = (ts.min, ts.max)
+        if (mn > 0 && mx / mn > SuspectRatio && mx - mn > SuspectDeltaSec)
+          Some(n -> mx / mn)
+        else None
+      }
+    }.sortBy { case (n, r) => (-r, n) }
 
   def lines(names: Seq[String], best: Seq[(String, Option[Double])],
             passes: Seq[Map[String, Option[Double]]], sfDir: String,
@@ -154,23 +194,49 @@ object BenchReport {
       .sortBy { case (n, t) => (-t, n) }.take(TopN)
       .map { case (n, t) => "\"" + n + "\":" + t }
       .mkString("{", ",", "}")
+    // per-query SPREAD (worst/best across passes): the in-artifact
+    // evidence that a burst landed on a specific query — only ratios
+    // above 1.5 are emitted (a full 206-entry map of 1.0x would bury
+    // the signal in the tail-truncated detail line)
+    val spreadAll = names.flatMap { n =>
+      val ts = passes.flatMap(_.get(n).flatten)
+      if (ts.size < 2 || ts.min <= 0) None
+      else Some(n -> ts.max / ts.min)
+    }
+    val spread = spreadAll.filter(_._2 > 1.5)
+      .sortBy { case (n, r) => (-r, n) }
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val suspect = suspects(names, passes)
+    val suspectJson = suspect.take(5)
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"detail":"raw passes first, per-query min-of-2 last (tail-safe)","passes":[${
-        passes.map(passJson).mkString(",")}],"queries":$qs}"""
-    // load self-labeling (r15): the BEST sentinel bounds how quiet
-    // the window ever got; `load_ratio` > LoadedRatio marks the whole
-    // artifact as load-contaminated, and `load_adjusted_total` is the
-    // explicitly-estimated quiet-equivalent (total scaled down by the
-    // ratio) — an ESTIMATE for discounting, never a replacement for a
-    // quiet rerun.
+      s"""{"detail":"raw passes first, per-query min-of-${passes.size
+      } last (tail-safe)","passes":[${
+        passes.map(passJson).mkString(",")
+      }],"spread_gt_1_5":$spread,"queries":$qs}"""
+    // load self-labeling (r15, widened r16): `load_ratio` bounds how
+    // quiet the window ever got (best sentinel); `burst_ratio` bounds
+    // how dirty it ever got (worst sentinel — the interleaved samples
+    // see mid-pass bursts the boundaries cannot); `suspect_queries`
+    // count queries whose own passes disagree >2×. An artifact is
+    // trustworthy only when all three are clean — `load_adjusted_
+    // total` stays an ESTIMATE for discounting, never a replacement
+    // for a quiet rerun.
     val loadRatio = if (sentinels.isEmpty) 1.0
       else math.max(1.0, sentinels.min / QuietNormSec)
+    val burstRatio = if (sentinels.isEmpty) 1.0
+      else math.max(1.0, sentinels.max / QuietNormSec)
     val adjusted = total / loadRatio
+    val sentinelJson = sentinels.map(s => f"$s%.3f").mkString(",")
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${
         names.size},"failed":$failed,"sentinel_sec":[${
-        sentinels.mkString(",")}],"quiet_norm_sec":$QuietNormSec,"load_ratio":${
-        f"$loadRatio%.2f"},"load_adjusted_total":${
+        sentinelJson}],"quiet_norm_sec":$QuietNormSec,"load_ratio":${
+        f"$loadRatio%.2f"},"burst_ratio":${f"$burstRatio%.2f"
+      },"suspect_queries":${suspect.size},"suspect":${suspectJson
+      },"load_adjusted_total":${
         f"$adjusted%.1f"},"passes_run":${passes.size},"top":$top}"""
     (detail, summary)
   }

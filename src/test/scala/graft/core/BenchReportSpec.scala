@@ -85,6 +85,46 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     (jl \ "load_adjusted_total") shouldBe JDouble(3.0) // 10.6/3.5 ≈ 3.0
   }
 
+  test("per-query load evidence (r16): a query whose own passes " +
+    "disagree >2x surfaces as a suspect with its ratio; interleaved " +
+    "sentinel maxima surface as burst_ratio; spread rides the detail " +
+    "line") {
+    import org.json4s._
+    // q_slow: 9.0 vs 44.0 — a 4.9x disagreement, the r15 pr1 shape;
+    // q_fast: 3x ratio but only 0.2 s absolute — below the delta bar
+    val (detail, summary) = BenchReport.lines(names, best,
+      Seq(pass1, pass2), "/x/sf0.1",
+      // boundary sentinels quiet, one INTERLEAVED sample caught the
+      // burst — load_ratio stays 1.0 (best) but burst_ratio flags
+      Seq(0.18, 2.4, 0.19))
+    val j = parsed(summary)
+    (j \ "load_ratio") shouldBe JDouble(1.0)
+    (j \ "burst_ratio") shouldBe JDouble(12.0)
+    (j \ "suspect_queries") shouldBe JInt(1)
+    (j \ "suspect" \ "q_slow") shouldBe JDouble(4.89)
+    val jd = parsed(detail)
+    (jd \ "spread_gt_1_5" \ "q_slow") shouldBe JDouble(4.89)
+    (jd \ "spread_gt_1_5" \ "q_fast") shouldBe JDouble(3.0)
+    // the spread map precedes minima so truncation still lands on
+    // minima last
+    detail.indexOf("\"queries\":") should be >
+      detail.indexOf("\"spread_gt_1_5\":")
+    // the methodology label derives from the passes actually run
+    detail should include("min-of-2")
+    val (d3, _) = BenchReport.lines(names, best,
+      Seq(pass1, pass2, pass2), "/x/sf0.1", Seq(0.18))
+    d3 should include("min-of-3")
+  }
+
+  test("suspects: flags only >2x AND >0.2s disagreements") {
+    BenchReport.suspects(names, Seq(pass1, pass2)).map(_._1) shouldBe
+      Seq("q_slow")
+    // a broken query (missing in one pass) is a failure, not a suspect
+    BenchReport.suspects(Seq("q_broken"), Seq(pass1, pass2)) shouldBe empty
+    // identical passes: nothing suspect
+    BenchReport.suspects(names, Seq(pass1, pass1)) shouldBe empty
+  }
+
   test("top is capped at TopN and orders ties by name") {
     val many = (1 to 25).map(i => f"q$i%02d" -> Some(1.0))
     val (_, summary) = BenchReport.lines(many.map(_._1), many,
