@@ -1382,6 +1382,91 @@ object LakeQueries {
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total
       |FROM t GROUP BY tag""".stripMargin
 
+  /** ic20_v3_keyed_cdc — ZERO-SCAN keyed CDC on a format-version 3
+    * table with ROW LINEAGE correct across the whole lifecycle:
+    * `deleteByKeys` (one equality-delete file, no data IO) kills the
+    * %7 keys, `upsertByKeys` re-images the %9==2 keys in ONE
+    * snapshot (images claim FRESH row ids past the pre-DML
+    * next-row-id), and `compactDeletes` retires the merge-on-read
+    * debt with every id preserved. The `lineage_ok` flag pins the
+    * evidence in-row: a bystander row's `_row_id` survives delete,
+    * upsert AND compaction unchanged; the upsert images' id set
+    * (count/min/sum, all distinct) is fresh and survives compaction
+    * byte-identically; the eq/dv debt really existed and really
+    * retired. The data aggregate re-derives relationally, so a wrong
+    * kill, a lost image, or a reassigned id fails the hash loudly. */
+  def ic20V3KeyedCdc(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic20:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic20").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      // even keys predate the v3 upgrade (NULL lineage — they never
+      // had ids); odd keys append as a v3 commit with stamped origins
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      IcebergInterop.upgradeFormat(s, t)
+      IcebergInterop.upgradeFormat(s, t, 3)
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 1), t)
+      import s.implicits._
+      val pre = IcebergInterop.readRowLineage(s, t)
+      // a bystander both DMLs miss, with its stamped id
+      val (survKey, survId) = pre
+        .filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 9 =!= 2)
+        .select(col("o_orderkey").cast("long"), col("_row_id"))
+        .as[(Long, Long)].orderBy(col("o_orderkey")).head()
+      val maxId0 = pre.agg(max(col("_row_id"))).as[Long].head()
+      IcebergInterop.deleteByKeys(s, t,
+        o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      IcebergInterop.upsertByKeys(
+        o.filter(col("o_orderkey") % 9 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") * 3),
+        t, Seq("o_orderkey"))
+      def imageIds(df: DataFrame): (Long, Long, Long, Long) =
+        df.filter(col("o_orderkey") % 9 === 2)
+          .agg(count(col("_row_id")), countDistinct(col("_row_id")),
+            min(col("_row_id")), sum(col("_row_id")))
+          .as[(Long, Long, Long, Long)].head()
+      def survivorId(df: DataFrame): Long =
+        df.filter(col("o_orderkey") === survKey)
+          .select(col("_row_id")).as[Long].head()
+      val mid = IcebergInterop.readRowLineage(s, t)
+      val (mn, mdist, mmin, msum) = imageIds(mid)
+      val hadDebt = IcebergInterop.state(s, t, None).eqDeletes.nonEmpty
+      IcebergInterop.compactDeletes(s, t)
+      val stc = IcebergInterop.state(s, t, None)
+      val post = IcebergInterop.readRowLineage(s, t)
+      val ok = hadDebt && stc.eqDeletes.isEmpty &&
+        stc.dvDeletes.isEmpty &&
+        mn > 0 && mdist == mn && mmin > maxId0 && // fresh, all distinct
+        imageIds(post) == ((mn, mdist, mmin, msum)) && // ids survive
+        survivorId(mid) == survId && survivorId(post) == survId
+      s"$t|$ok"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("lineage_ok", lit(flag.toBoolean))
+  }
+
+  val ic20Oracle: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    o_totalprice * 3 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 9 <> 2)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS lineage_ok
+      |FROM fin GROUP BY o_orderpriority""".stripMargin
+
   /** dl18_liquid_clustering — the Delta `clustering` writer feature
     * through the gate: four fully-interleaved appends, `ALTER TABLE
     * CLUSTER BY (o_orderkey)` (the delta.clustering domain under a
@@ -3369,6 +3454,7 @@ object LakeQueries {
     "ic17_v3_dv_dml" -> (ic17V3DvDml _),
     "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
     "ic19_v3_defaults" -> (ic19V3Defaults _),
+    "ic20_v3_keyed_cdc" -> (ic20V3KeyedCdc _),
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl16_identity" -> (dl16Identity _),
@@ -3446,6 +3532,7 @@ object LakeQueries {
     "ic17_v3_dv_dml" -> ic17Oracle,
     "ic18_v3_row_lineage" -> ic18Oracle,
     "ic19_v3_defaults" -> ic19Oracle,
+    "ic20_v3_keyed_cdc" -> ic20Oracle,
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl16_identity" -> dl16Oracle,
