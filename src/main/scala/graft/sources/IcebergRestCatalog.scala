@@ -57,12 +57,49 @@ object IcebergRestCatalog {
   def unregister(alias: String): Unit =
     sqlTables.remove(alias.toLowerCase(java.util.Locale.ROOT)): Unit
 
+  private[sources] def sqlEntry(alias: String)
+      : Option[(Client, String, String)] =
+    Option(sqlTables.get(alias.toLowerCase(java.util.Locale.ROOT)))
+
   /** The catalog-current staged dir for a registered alias — one
-    * loadTable (one GET) per query. */
+    * pointer GET per query, but the STAGING is reused while the
+    * catalog's metadata-location is unchanged (an analyzer that
+    * plans the same table many times must not grow the disk by one
+    * mirror per query). A dirty mirror (local uncommitted versions)
+    * never reuses. */
   private[sources] def sqlDirOf(spark: SparkSession,
                                 alias: String): Option[String] =
-    Option(sqlTables.get(alias.toLowerCase(java.util.Locale.ROOT)))
-      .map { case (c, ns, n) => c.loadTable(spark, ns, n).localDir }
+    sqlEntry(alias).map { case (c, ns, n) =>
+      c.loadTableReusing(spark, ns, n).localDir
+    }
+
+  /** `INSERT INTO graft_iceberg_rest.<alias>` — positional columns
+    * (SQL's INSERT contract), landed through [[Client
+    * .appendWithRetry]] so a 409 race re-loads and replays. */
+  private[sources] def sqlInsert(spark: SparkSession, alias: String,
+                                 source: org.apache.spark.sql
+                                   .DataFrame): Unit = {
+    val (client, ns, name) = sqlEntry(alias).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_iceberg_rest.$alias is not a registered catalog table"))
+    val rt = client.loadTable(spark, ns, name)
+    val st = IcebergInterop.state(spark, rt.localDir, None)
+    require(source.columns.length == st.schema.length,
+      s"INSERT arity ${source.columns.length} does not match catalog " +
+        s"table $ns.$name (${st.schema.length} columns)")
+    client.appendWithRetry(spark, ns, name,
+      source.toDF(st.schema.fieldNames.toIndexedSeq: _*))
+  }
+
+  /** OAuth2 CLIENT-CREDENTIALS configuration (the REST spec's
+    * `/v1/oauth/tokens` flow): the client fetches a bearer token
+    * before the first request and refreshes it when `expires_in`
+    * lapses; every catalog request carries `Authorization: Bearer`.
+    * `tokenEndpoint` overrides the default `{endpoint}/v1/oauth/
+    * tokens` for catalogs that delegate to an external issuer. */
+  final case class OAuth(clientId: String, clientSecret: String,
+                         scope: String = "catalog",
+                         tokenEndpoint: Option[String] = None)
 
   /** A loaded table: `localDir` is the staged Hadoop-layout mirror
     * every kernel operates on; `baseSnapshotId`/`uuid` are the
@@ -79,23 +116,30 @@ object IcebergRestCatalog {
     * headers (e.g. an Authorization bearer). */
   final class Client(endpoint: String, prefix: String = "",
                      props: Map[String, String] = Map.empty,
-                     warehouse: Option[String] = None) {
+                     warehouse: Option[String] = None,
+                     oauth: Option[OAuth] = None) {
 
     private def url(pathSegs: String*): String = {
       val pfx = if (prefix.isEmpty) "" else s"/$prefix"
       s"$endpoint/v1$pfx/" + pathSegs.mkString("/")
     }
 
-    private def http(method: String, u: String,
-                     body: Option[String]): (Int, String) = {
+    // ---- OAuth2 client-credentials token (fetched lazily, refreshed
+    // 30 s before expiry; the raw exchange bypasses http() so the
+    // token fetch can never recurse into itself)
+    @volatile private var bearer: Option[(String, Long)] = None
+
+    private def rawHttp(method: String, u: String, body: Option[String],
+                        contentType: String,
+                        headers: Map[String, String]): (Int, String) = {
       val conn = new java.net.URL(u).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(10000)
       conn.setRequestMethod(method)
-      props.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       body.foreach { b =>
-        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setRequestProperty("Content-Type", contentType)
         conn.setDoOutput(true)
         val out = conn.getOutputStream
         try out.write(b.getBytes(StandardCharsets.UTF_8))
@@ -110,6 +154,99 @@ object IcebergRestCatalog {
         finally in.close()
       }.getOrElse("")
       (code, text)
+    }
+
+    private def authHeader(): Map[String, String] = oauth match {
+      case None => Map.empty
+      case Some(cfg) =>
+        val now = System.currentTimeMillis()
+        val valid = bearer.filter(_._2 > now + 30000L)
+        val tok = valid.getOrElse {
+          def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+          val form = s"grant_type=client_credentials&client_id=${
+            enc(cfg.clientId)}&client_secret=${
+            enc(cfg.clientSecret)}&scope=${enc(cfg.scope)}"
+          val (code, text) = rawHttp("POST",
+            cfg.tokenEndpoint.getOrElse(s"$endpoint/v1/oauth/tokens"),
+            Some(form), "application/x-www-form-urlencoded", props)
+          if (code != 200)
+            throw new IllegalArgumentException(
+              s"REST catalog OAuth token fetch failed: HTTP $code $text")
+          val j = JsonMethods.parse(text)
+          val access = j \ "access_token" match {
+            case JString(t) => t
+            case _ => throw new IllegalArgumentException(
+              "REST catalog OAuth response carries no access_token")
+          }
+          val ttlSec = j \ "expires_in" match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => 3600L
+          }
+          val fresh = (access, now + ttlSec * 1000L)
+          bearer = Some(fresh)
+          fresh
+        }
+        Map("Authorization" -> s"Bearer ${tok._1}")
+    }
+
+    private def http(method: String, u: String,
+                     body: Option[String]): (Int, String) =
+      rawHttp(method, u, body, "application/json",
+        props ++ authHeader())
+
+    /** `GET /v1/namespaces` followed through `next-page-token` until
+      * the catalog stops paging — multi-level namespaces join with
+      * '.'. */
+    def listNamespaces(spark: SparkSession): Seq[String] =
+      paged(url("namespaces"), "namespaces") {
+        case JArray(parts) =>
+          Some(parts.collect { case JString(s) => s }.mkString("."))
+        case _ => None
+      }
+
+    /** `GET /v1/namespaces/{ns}/tables`, paged the same way. */
+    def listTables(spark: SparkSession, ns: String): Seq[String] =
+      paged(url("namespaces", ns, "tables"), "identifiers") { ident =>
+        ident \ "name" match {
+          case JString(n) => Some(n)
+          case _ => None
+        }
+      }
+
+    private def paged(base: String, field: String)
+                     (extract: JValue => Option[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var token: Option[String] = None
+      var pages = 0
+      var done = false
+      while (!done) {
+        pages += 1
+        if (pages > 10000)
+          throw new IllegalStateException(
+            s"REST catalog listing at $base exceeded 10000 pages — " +
+              "the server is looping its next-page-token")
+        val u = token match {
+          case Some(t) =>
+            s"$base?pageToken=${java.net.URLEncoder.encode(t, "UTF-8")}"
+          case None => base
+        }
+        val (code, text) = http("GET", u, None)
+        if (code != 200)
+          throw new IllegalArgumentException(
+            s"REST catalog listing at $base failed: HTTP $code $text")
+        val j = JsonMethods.parse(text)
+        (j \ field) match {
+          case JArray(xs) => xs.flatMap(extract).foreach(out += _)
+          case _ => ()
+        }
+        (j \ "next-page-token") match {
+          case JString(t) if t.nonEmpty && !token.contains(t) =>
+            token = Some(t)
+          case _ => done = true
+        }
+      }
+      out.result()
     }
 
     private def compactJ(v: JValue): String =
@@ -155,11 +292,10 @@ object IcebergRestCatalog {
     private def jq(s: String): String =
       JsonMethods.compact(JsonMethods.render(JString(s)))
 
-    /** `GET /v1/{prefix}/namespaces/{ns}/tables/{name}` → the staged
-      * local mirror. Non-200 refuses by name with the catalog's
-      * response attached. */
-    def loadTable(spark: SparkSession, ns: String,
-                  name: String): RestTable = {
+    /** `GET /v1/{prefix}/namespaces/{ns}/tables/{name}` → the parsed
+      * inline metadata, pointer, and concurrency evidence. */
+    private def fetchMeta(ns: String, name: String)
+        : (JValue, String, String, Long) = {
       val (code, text) = http("GET",
         url("namespaces", ns, "tables", name), None)
       if (code != 200)
@@ -186,6 +322,11 @@ object IcebergRestCatalog {
         case JLong(n) => n
         case _ => -1L
       }
+      (meta, metaLoc, uuid, baseSnap)
+    }
+
+    private def stage(spark: SparkSession, ns: String, name: String,
+                      meta: JValue): String = {
       val dir = warehouse match {
         case Some(w) =>
           s"$w/$ns/$name-${java.util.UUID.randomUUID()}"
@@ -203,8 +344,60 @@ object IcebergRestCatalog {
       }
       writeText(new Path(metaDir, "v1.metadata.json"), compactJ(meta))
       writeText(new Path(metaDir, "version-hint.text"), "1")
+      dir
+    }
+
+    /** Load and stage a FRESH local mirror. Non-200 refuses by name
+      * with the catalog's response attached. Writers need a private
+      * mirror (local commits land as v2+); read-only callers that
+      * reload often should prefer [[loadTableReusing]]. */
+    def loadTable(spark: SparkSession, ns: String,
+                  name: String): RestTable = {
+      val (meta, metaLoc, uuid, baseSnap) = fetchMeta(ns, name)
+      RestTable(stage(spark, ns, name, meta), uuid, baseSnap, metaLoc)
+    }
+
+    // staged-mirror cache for READ paths, keyed by table: while the
+    // catalog's metadata-location is unchanged the same staged dir
+    // serves — a per-query SQL analyzer does one GET but stages no
+    // new bytes. A mirror that accumulated LOCAL versions (a caller
+    // committed on it) is dirty and never reused.
+    private val staged = new java.util.concurrent
+      .ConcurrentHashMap[String, (String, String)]()
+
+    /** [[loadTable]], reusing the previous staging while the
+      * catalog's pointer is unchanged. Read-only use — local commits
+      * on the returned dir poison it for reuse (detected, restaged),
+      * so writers should call [[loadTable]]. */
+    def loadTableReusing(spark: SparkSession, ns: String,
+                         name: String): RestTable = {
+      val (meta, metaLoc, uuid, baseSnap) = fetchMeta(ns, name)
+      val key = s"$ns.$name"
+      val cached = Option(staged.get(key)).collect {
+        case (loc, dir) if loc == metaLoc && metaLoc.nonEmpty &&
+          cleanStage(spark, dir) => dir
+      }
+      val dir = cached.getOrElse {
+        val d = stage(spark, ns, name, meta)
+        staged.put(key, (metaLoc, d)): Unit
+        d
+      }
       RestTable(dir, uuid, baseSnap, metaLoc)
     }
+
+    /** True when the staged mirror still exists and carries no LOCAL
+      * commits (head is the staged v1). */
+    private def cleanStage(spark: SparkSession, dir: String): Boolean =
+      scala.util.Try {
+        val metaDir = new Path(new Path(dir), "metadata")
+        val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.exists(metaDir) && fs.listStatus(metaDir).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") &&
+            n.endsWith(".metadata.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+          .max == 1L
+      }.getOrElse(false)
 
     /** Diff the staged mirror's base (v1) against its head (the
       * newest local `v*.metadata.json` a kernel committed) into ONE
@@ -268,30 +461,91 @@ object IcebergRestCatalog {
         updates += JObject(List(
           "action" -> JString("upgrade-format-version"),
           "format-version" -> (head \ "format-version")))
+      // base→head changes OUTSIDE this client's update vocabulary
+      // refuse BY NAME — committing a partial diff would publish
+      // snapshots whose metadata the catalog cannot resolve.
+      // (`location` is NOT compared: the local kernel re-stamps the
+      // staged mirror's own root there; the catalog keeps its own.)
+      if ((head \ "sort-orders") != (base \ "sort-orders") ||
+        jnum(head \ "default-sort-order-id") !=
+          jnum(base \ "default-sort-order-id"))
+        throw new IcebergInterop.UnsupportedIcebergFeatureException(
+          s"REST catalog commit of $ns.$name would change SORT " +
+            "ORDERS — this client emits no add-sort-order/" +
+            "set-default-sort-order actions; commit sort-order " +
+            "changes through a native catalog client")
       // schemas added by the local commit, then the current pointer
       val baseSchemaIds = (base \ "schemas") match {
         case JArray(xs) => xs.map(s => jnum(s \ "schema-id")).toSet
         case _ => Set.empty[Long]
       }
-      (head \ "schemas") match {
+      val addedSchemaIds = ((head \ "schemas") match {
         case JArray(xs) => xs.filterNot(s =>
-          baseSchemaIds(jnum(s \ "schema-id"))).foreach { s =>
-          updates += JObject(List(
-            "action" -> JString("add-schema"), "schema" -> s))
-        }
-        case _ => ()
+          baseSchemaIds(jnum(s \ "schema-id")))
+        case _ => Nil
+      }).sortBy(s => jnum(s \ "schema-id"))
+      addedSchemaIds.foreach { s =>
+        updates += JObject(List(
+          "action" -> JString("add-schema"), "schema" -> s))
       }
       if (jnum(head \ "current-schema-id") !=
-        jnum(base \ "current-schema-id"))
+        jnum(base \ "current-schema-id")) {
+        // the REST spec lets the server REASSIGN an added schema's id:
+        // when the new current schema is the one this commit just
+        // added, point at it as -1 ("last added") so a renumbering
+        // server still sets the right one
+        val headCur = jnum(head \ "current-schema-id")
+        val lastAdded = addedSchemaIds.lastOption
+          .map(s => jnum(s \ "schema-id"))
         updates += JObject(List(
           "action" -> JString("set-current-schema"),
-          "schema-id" -> (head \ "current-schema-id")))
+          "schema-id" ->
+            (if (lastAdded.contains(headCur)) JInt(-1)
+             else head \ "current-schema-id")))
+      }
+      // partition specs the local commit added (an OPTIMIZE/overwrite
+      // that evolved the layout), then the default pointer — dropping
+      // these would publish manifests whose spec-id the catalog
+      // cannot resolve
+      val baseSpecIds = (base \ "partition-specs") match {
+        case JArray(xs) => xs.map(s => jnum(s \ "spec-id")).toSet
+        case _ => Set.empty[Long]
+      }
+      val addedSpecs = ((head \ "partition-specs") match {
+        case JArray(xs) => xs.filterNot(s =>
+          baseSpecIds(jnum(s \ "spec-id")))
+        case _ => Nil
+      }).sortBy(s => jnum(s \ "spec-id"))
+      addedSpecs.foreach { s =>
+        updates += JObject(List(
+          "action" -> JString("add-spec"), "spec" -> s))
+      }
+      if (jnum(head \ "default-spec-id") != jnum(base \ "default-spec-id")) {
+        val headDefault = jnum(head \ "default-spec-id")
+        val lastAdded = addedSpecs.lastOption.map(s => jnum(s \ "spec-id"))
+        updates += JObject(List(
+          "action" -> JString("set-default-spec"),
+          "spec-id" ->
+            (if (lastAdded.contains(headDefault)) JInt(-1)
+             else head \ "default-spec-id")))
+      }
       // snapshots the local commit added, then the main-ref move
       val baseIds = snaps(base).map(idOf).toSet
+      val headIds = snaps(head).map(idOf).toSet
       snaps(head).filterNot(s => baseIds(idOf(s))).foreach { s =>
         updates += JObject(List(
           "action" -> JString("add-snapshot"), "snapshot" -> s))
       }
+      // snapshots a local expireSnapshots dropped: without the
+      // remove, the catalog keeps listing snapshots whose manifests
+      // the local expiry already deleted from the warehouse —
+      // dangling pointers for every catalog reader
+      val removedIds = (baseIds -- headIds).toList.sorted
+      if (removedIds.nonEmpty)
+        updates += JObject(List(
+          "action" -> JString("remove-snapshots"),
+          "snapshot-ids" -> JArray(removedIds.map(i =>
+            JLong(i.toLong): JValue))))
       val headSnap = jnum(head \ "current-snapshot-id")
       if (headSnap != rt.baseSnapshotId && headSnap >= 0)
         updates += JObject(List(
@@ -299,6 +553,28 @@ object IcebergRestCatalog {
           "ref-name" -> JString("main"),
           "type" -> JString("branch"),
           "snapshot-id" -> (head \ "current-snapshot-id")))
+      // named refs beyond main (branches/tags a local createBranch/
+      // createTag added or a local drop removed)
+      def refsOf(v: JValue): Map[String, JValue] = v \ "refs" match {
+        case JObject(kvs) => kvs.toMap
+        case _ => Map.empty
+      }
+      val rBase = refsOf(base)
+      val rHead = refsOf(head)
+      rHead.toList.sortBy(_._1).foreach { case (rname, node) =>
+        if (rname != "main" && !rBase.get(rname).contains(node))
+          updates += JObject(List(
+            "action" -> JString("set-snapshot-ref"),
+            "ref-name" -> JString(rname),
+            "type" -> (node \ "type"),
+            "snapshot-id" -> (node \ "snapshot-id")))
+      }
+      (rBase.keySet -- rHead.keySet).toList.sorted
+        .filter(_ != "main").foreach { rname =>
+          updates += JObject(List(
+            "action" -> JString("remove-snapshot-ref"),
+            "ref-name" -> JString(rname)))
+        }
       // property deltas (the streaming replay ledger rides here)
       def propsOf(v: JValue): Map[String, JValue] =
         v \ "properties" match {
@@ -357,7 +633,11 @@ object IcebergRestCatalog {
       var attempts = 0
       while (true) {
         val rt = loadTable(spark, ns, name)
-        IcebergInterop.write(df, rt.localDir)
+        // an append keeps the table's recorded partitioning — a
+        // partitioned catalog table appends under its default spec
+        val st = IcebergInterop.state(spark, rt.localDir, None)
+        IcebergInterop.write(df, rt.localDir,
+          partitionBy = st.specs.getOrElse(st.defaultSpecId, Nil))
         try { commitTable(spark, ns, name, rt); return }
         catch {
           case e: IcebergInterop.ConcurrentIcebergCommitException =>

@@ -71,6 +71,19 @@ object IcebergSql {
     case _ => None
   }
 
+  /** A DML statement's REST-catalog alias, when the target is a
+    * registered `graft_iceberg_rest.<alias>`. */
+  private def restTarget(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => restTarget(child)
+    case u: UnresolvedRelation
+      if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase(
+          IcebergRestCatalog.Namespace) &&
+        IcebergRestCatalog.sqlEntry(u.multipartIdentifier(1)).isDefined =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
+
   /** The names a DML target's columns may legally be qualified by. */
   private def targetQualifiers(plan: LogicalPlan): Set[String] = {
     val root = java.util.Locale.ROOT
@@ -154,6 +167,18 @@ object IcebergSql {
       val positioned = source.toDF(st.schema.fieldNames.toIndexedSeq: _*)
       IcebergInterop.write(positioned, table, overwrite,
         st.specs.getOrElse(st.defaultSpecId, Nil)): Unit
+      Seq.empty
+    }
+  }
+
+  /** `INSERT INTO graft_iceberg_rest.<alias>` — the catalog write
+    * door: positional columns, landed through the client's
+    * load → local append → commit with bounded 409 replay. */
+  final case class GraftIcebergRestInsertCommand(alias: String,
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergRestCatalog.sqlInsert(spark, alias, source)
       Seq.empty
     }
   }
@@ -322,6 +347,23 @@ object IcebergSql {
           c.name.head
         }
         GraftIcebergDropColumnsCommand(alterTarget(d.table).get, names)
+      // INSERT INTO graft_iceberg_rest.<alias> — the catalog WRITE
+      // door: the rows land through Client.appendWithRetry, so a 409
+      // race re-loads and replays
+      case i: InsertIntoStatement if restTarget(i.table).isDefined =>
+        if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft_iceberg_rest INSERT supports no PARTITION spec or " +
+              "column list")
+        if (i.overwrite)
+          throw new UnsupportedOperationException(
+            "graft_iceberg_rest INSERT OVERWRITE is unsupported — the " +
+              "catalog door APPENDS (appendWithRetry); overwrite " +
+              "through the Client API")
+        val qr = applyReads(i.query)
+        if (!qr.resolved) i.copy(query = qr) // wait for the analyzer
+        else GraftIcebergRestInsertCommand(restTarget(i.table).get,
+          PlanBridge.ofRows(spark, qr))
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
           throw new UnsupportedOperationException(

@@ -28,10 +28,15 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
   /** Minimal REST catalog: metadata JValue per "ns.name", requirement
     * checks + update application under a lock (a real catalog's
     * transactional backend). */
-  private final class StubCatalog {
+  private final class StubCatalog(requireAuth: Boolean = false,
+                                  tokenTtlSec: Long = 3600L,
+                                  pageSize: Int = 0) {
     val tables =
       new java.util.concurrent.ConcurrentHashMap[String, JValue]()
     val commits = new java.util.concurrent.atomic.AtomicLong()
+    val tokenFetches = new java.util.concurrent.atomic.AtomicLong()
+    private val issued =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -68,7 +73,54 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
               .filterNot(_._1 == "last-column-id") :+
               ("last-column-id" -> (JLong(lci): JValue)))
           case JString("set-current-schema") =>
-            set("current-schema-id", u \ "schema-id")
+            // -1 = "last added" per the REST spec (a renumbering
+            // server resolves it to the id IT assigned)
+            val want = jnum(u \ "schema-id") match {
+              case -1L => (m \ "schemas") match {
+                case JArray(xs) if xs.nonEmpty =>
+                  JLong(jnum(xs.last \ "schema-id")): JValue
+                case _ => u \ "schema-id"
+              }
+              case _ => u \ "schema-id"
+            }
+            set("current-schema-id", want)
+          case JString("add-spec") =>
+            val specs = (m \ "partition-specs") match {
+              case JArray(xs) => xs
+              case _ => Nil
+            }
+            set("partition-specs", JArray(specs :+ (u \ "spec")))
+          case JString("set-default-spec") =>
+            val want = jnum(u \ "spec-id") match {
+              case -1L => (m \ "partition-specs") match {
+                case JArray(xs) if xs.nonEmpty =>
+                  JLong(jnum(xs.last \ "spec-id")): JValue
+                case _ => u \ "spec-id"
+              }
+              case _ => u \ "spec-id"
+            }
+            set("default-spec-id", want)
+          case JString("remove-snapshots") =>
+            val gone = (u \ "snapshot-ids") match {
+              case JArray(xs) => xs.map(jnum).toSet
+              case _ => Set.empty[Long]
+            }
+            val kept = (m \ "snapshots") match {
+              case JArray(xs) =>
+                xs.filterNot(s => gone(jnum(s \ "snapshot-id")))
+              case _ => Nil
+            }
+            set("snapshots", JArray(kept))
+          case JString("remove-snapshot-ref") =>
+            val rname = (u \ "ref-name") match {
+              case JString(r) => r
+              case _ => ""
+            }
+            val kept = (m \ "refs") match {
+              case JObject(kvs) => kvs.filterNot(_._1 == rname)
+              case _ => Nil
+            }
+            set("refs", JObject(kept))
           case JString("add-snapshot") =>
             val snaps = (m \ "snapshots") match {
               case JArray(xs) => xs
@@ -82,7 +134,23 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
                 ("last-sequence-number" -> (JLong(seq): JValue)))
             else m2
           case JString("set-snapshot-ref") =>
-            set("current-snapshot-id", u \ "snapshot-id")
+            val rname = (u \ "ref-name") match {
+              case JString(r) => r
+              case _ => "main"
+            }
+            val refs = (m \ "refs") match {
+              case JObject(kvs) => kvs
+              case _ => Nil
+            }
+            val m2 = set("refs", JObject(
+              refs.filterNot(_._1 == rname) :+ (rname -> (JObject(List(
+                "snapshot-id" -> (u \ "snapshot-id"),
+                "type" -> (u \ "type"))): JValue))))
+            if (rname == "main")
+              JObject(m2.asInstanceOf[JObject].obj
+                .filterNot(_._1 == "current-snapshot-id") :+
+                ("current-snapshot-id" -> (u \ "snapshot-id")))
+            else m2
           case JString("set-properties") =>
             val cur = (m \ "properties") match {
               case JObject(kvs) => kvs
@@ -123,6 +191,58 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
         }
         exchange.close()
       }
+      val isTokenReq = segs.length == 3 && segs(1) == "oauth" &&
+        segs(2) == "tokens" && exchange.getRequestMethod == "POST"
+      // a page of `all`, honoring ?pageToken=<index>
+      def page(all: Seq[JValue], field: String): String = {
+        val from = Option(exchange.getRequestURI.getQuery).toSeq
+          .flatMap(_.split('&')).collectFirst {
+            case q if q.startsWith("pageToken=") =>
+              q.stripPrefix("pageToken=").toInt
+          }.getOrElse(0)
+        val slice =
+          if (pageSize <= 0) all.drop(from) else all.slice(from,
+            from + pageSize)
+        val next =
+          if (pageSize > 0 && from + pageSize < all.size)
+            List("next-page-token" ->
+              (JString((from + pageSize).toString): JValue))
+          else Nil
+        JsonMethods.compact(JsonMethods.render(JObject(
+          (field -> (JArray(slice.toList): JValue)) :: next)))
+      }
+      if (isTokenReq) {
+        tokenFetches.incrementAndGet()
+        val tok = s"stub-token-${tokenFetches.get()}"
+        issued.add(tok): Unit
+        respond(200, JsonMethods.compact(JsonMethods.render(JObject(List(
+          "access_token" -> JString(tok),
+          "token_type" -> JString("bearer"),
+          "expires_in" -> JLong(tokenTtlSec))))))
+      } else if (requireAuth && {
+        val h = Option(exchange.getRequestHeaders
+          .getFirst("Authorization")).getOrElse("")
+        !h.startsWith("Bearer ") || !issued.contains(
+          h.stripPrefix("Bearer "))
+      }) respond(401, """{"error":"unauthorized"}""")
+      else if (segs.length == 2 && segs(1) == "namespaces" &&
+        exchange.getRequestMethod == "GET") {
+        import scala.jdk.CollectionConverters._
+        val nss = tables.keySet.asScala.toSeq.map(_.split('.').head)
+          .distinct.sorted
+          .map(n => JArray(List(JString(n))): JValue)
+        respond(200, page(nss, "namespaces"))
+      } else if (segs.length == 4 && segs(3) == "tables" &&
+        exchange.getRequestMethod == "GET") {
+        import scala.jdk.CollectionConverters._
+        val ns = segs(2)
+        val names = tables.keySet.asScala.toSeq
+          .filter(_.startsWith(s"$ns.")).map(_.split('.')(1)).sorted
+          .map(n => JObject(List(
+            "namespace" -> (JArray(List(JString(ns))): JValue),
+            "name" -> (JString(n): JValue))): JValue)
+        respond(200, page(names, "identifiers"))
+      } else {
       // /v1/namespaces/{ns}/tables → CREATE; …/tables/{name} → table ops
       val isCreate =
         segs.length == 4 && exchange.getRequestMethod == "POST"
@@ -219,6 +339,7 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
             }
           }
         case _ => respond(405, "")
+      }
       }
       }
     })
@@ -377,6 +498,199 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
         spark.sql("SELECT sum(v) AS s FROM graft_iceberg_rest" +
           ".sql_orders WHERE id >= 100").head().getLong(0) shouldBe 100L
       } finally IcebergRestCatalog.unregister("sql_orders")
+    }
+  }
+
+  test("SQL INSERT through the catalog: INSERT INTO " +
+    "graft_iceberg_rest.<alias> lands via appendWithRetry and the " +
+    "next SELECT serves it; INSERT OVERWRITE refuses by name") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 10L).map(i => (i, i))
+        .toDF("id", "v"), t)
+      stub.seed("lake", "ins", t)
+      IcebergRestCatalog.register("ins_t", client, "lake", "ins")
+      try {
+        spark.sql("INSERT INTO graft_iceberg_rest.ins_t " +
+          "VALUES (CAST(100 AS BIGINT), CAST(100 AS BIGINT))")
+        spark.sql(
+          "SELECT count(*) AS n FROM graft_iceberg_rest.ins_t")
+          .head().getLong(0) shouldBe 11L
+        spark.sql("SELECT v FROM graft_iceberg_rest.ins_t " +
+          "WHERE id = 100").head().getLong(0) shouldBe 100L
+        intercept[UnsupportedOperationException](spark.sql(
+          "INSERT OVERWRITE graft_iceberg_rest.ins_t VALUES (1, 1)"))
+          .getMessage should include("APPENDS")
+      } finally IcebergRestCatalog.unregister("ins_t")
+    }
+  }
+
+  test("OAuth2 client-credentials: an unauthenticated client is " +
+    "refused with 401; the oauth client fetches a bearer token, " +
+    "reuses it while valid, and REFRESHES it when expires_in lapses") {
+    import spark.implicits._
+    val stub = new StubCatalog(requireAuth = true)
+    try {
+      val t = fresh()
+      IcebergInterop.write((1L to 4L).map(i => (i, i)).toDF("id", "v"), t)
+      stub.seed("lake", "auth", t)
+      val anon = new IcebergRestCatalog.Client(stub.endpoint)
+      intercept[IllegalArgumentException](
+        anon.loadTable(spark, "lake", "auth"))
+        .getMessage should include("401")
+      val authed = new IcebergRestCatalog.Client(stub.endpoint,
+        oauth = Some(IcebergRestCatalog.OAuth("me", "secret")))
+      IcebergInterop.read(spark,
+        authed.loadTable(spark, "lake", "auth").localDir)
+        .count() shouldBe 4L
+      authed.loadTable(spark, "lake", "auth")
+      // long-lived token: one fetch serves every request
+      stub.tokenFetches.get() shouldBe 1L
+    } finally stub.stop()
+    // short-lived token: within the 30 s refresh margin, so every
+    // request re-fetches — the refresh path exercised without sleeping
+    val stub2 = new StubCatalog(requireAuth = true, tokenTtlSec = 1L)
+    try {
+      val t = fresh()
+      IcebergInterop.write((1L to 4L).map(i => (i, i)).toDF("id", "v"), t)
+      stub2.seed("lake", "auth2", t)
+      val c = new IcebergRestCatalog.Client(stub2.endpoint,
+        oauth = Some(IcebergRestCatalog.OAuth("me", "secret")))
+      c.loadTable(spark, "lake", "auth2")
+      c.loadTable(spark, "lake", "auth2")
+      stub2.tokenFetches.get() should be >= 2L
+    } finally stub2.stop()
+  }
+
+  test("namespace and table listings follow next-page-token to the " +
+    "end") {
+    import spark.implicits._
+    val stub = new StubCatalog(pageSize = 1)
+    try {
+      val client = new IcebergRestCatalog.Client(stub.endpoint)
+      Seq("a", "b", "c").foreach { n =>
+        val t = fresh()
+        IcebergInterop.write(Seq((1L, 1L)).toDF("id", "v"), t)
+        stub.seed("lake", n, t)
+      }
+      client.listTables(spark, "lake") shouldBe Seq("a", "b", "c")
+      client.listNamespaces(spark) shouldBe Seq("lake")
+    } finally stub.stop()
+  }
+
+  test("a commit that evolves the PARTITION SPEC publishes add-spec " +
+    "+ set-default-spec (-1 = last added) instead of dropping it; a " +
+    "local expireSnapshots publishes remove-snapshots; a local tag " +
+    "publishes set-snapshot-ref") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 10L).map(i => (i, i % 3))
+        .toDF("id", "p"), t)
+      IcebergInterop.upgradeFormat(spark, t)
+      stub.seed("lake", "spec", t)
+      // overwrite under a NEW identity spec on p
+      val rt = client.loadTable(spark, "lake", "spec")
+      IcebergInterop.write(
+        (1L to 10L).map(i => (i, i % 3)).toDF("id", "p"),
+        rt.localDir, overwrite = true,
+        partitionBy = Seq(IcebergInterop.SpecField("p", "identity", "p")))
+      client.commitTable(spark, "lake", "spec", rt)
+      val meta = stub.tables.get("lake.spec")
+      (meta \ "partition-specs") match {
+        case JArray(xs) => xs.length shouldBe 2
+        case other => fail(s"partition-specs: $other")
+      }
+      // -1 resolved by the server to the ADDED spec's id
+      (meta \ "default-spec-id") match {
+        case JInt(n) => n.toInt shouldBe 1
+        case JLong(n) => n.toInt shouldBe 1
+        case other => fail(s"default-spec-id: $other")
+      }
+      // the committed spec round-trips: a fresh load reads fine
+      val rt2 = client.loadTable(spark, "lake", "spec")
+      IcebergInterop.read(spark, rt2.localDir).count() shouldBe 10L
+      // a TAG created locally publishes as set-snapshot-ref
+      IcebergInterop.createRef(spark, rt2.localDir, "v1", "tag")
+      client.commitTable(spark, "lake", "spec", rt2)
+      val rt3 = client.loadTable(spark, "lake", "spec")
+      IcebergInterop.refsTable(spark, rt3.localDir)
+        .filter(col("name") === "v1").count() shouldBe 1L
+      // grow history, then a local expiry publishes remove-snapshots
+      client.appendWithRetry(spark, "lake", "spec",
+        Seq((100L, 1L)).toDF("id", "p"))
+      val rt4 = client.loadTable(spark, "lake", "spec")
+      val before = (stub.tables.get("lake.spec") \ "snapshots") match {
+        case JArray(xs) => xs.length
+        case _ => 0
+      }
+      before shouldBe 3 // seed + overwrite + append
+      IcebergInterop.expireSnapshots(spark, rt4.localDir, keepLast = 1)
+      client.commitTable(spark, "lake", "spec", rt4)
+      // the seed snapshot dropped; the tagged one is ref-kept
+      (stub.tables.get("lake.spec") \ "snapshots") match {
+        case JArray(xs) => xs.length shouldBe 2
+        case other => fail(s"snapshots: $other")
+      }
+      IcebergInterop.read(spark,
+        client.loadTable(spark, "lake", "spec").localDir)
+        .count() shouldBe 11L
+    }
+  }
+
+  test("a base-to-head change OUTSIDE the update vocabulary refuses " +
+    "by name instead of committing a partial diff") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
+      stub.seed("lake", "sorted", t)
+      val rt = client.loadTable(spark, "lake", "sorted")
+      IcebergInterop.write(Seq((9L, 9L)).toDF("id", "v"), rt.localDir)
+      // hand-edit the local head to change the default sort order —
+      // the one metadata axis this client has no action for
+      val metaDir = new Path(rt.localDir, "metadata")
+      val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val headP = new Path(metaDir, "v2.metadata.json")
+      val in = fs.open(headP)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      val edited =
+        if (text.contains("\"default-sort-order-id\""))
+          text.replace("\"default-sort-order-id\":0",
+            "\"default-sort-order-id\":7")
+        else text.replaceFirst("\\{",
+          """{"default-sort-order-id":7,""")
+      val out = fs.create(headP, true)
+      try out.write(edited.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      intercept[IcebergInterop.UnsupportedIcebergFeatureException](
+        client.commitTable(spark, "lake", "sorted", rt))
+        .getMessage should include("SORT ORDERS")
+    }
+  }
+
+  test("the SQL read path reuses its staged mirror while the " +
+    "catalog pointer is unchanged, and restages when it moves") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 6L).map(i => (i, i)).toDF("id", "v"), t)
+      stub.seed("lake", "reuse", t)
+      val a = client.loadTableReusing(spark, "lake", "reuse")
+      val b = client.loadTableReusing(spark, "lake", "reuse")
+      b.localDir shouldBe a.localDir // unchanged pointer → same mirror
+      client.appendWithRetry(spark, "lake", "reuse",
+        Seq((100L, 100L)).toDF("id", "v"))
+      val c = client.loadTableReusing(spark, "lake", "reuse")
+      c.localDir should not be a.localDir // moved pointer → restaged
+      IcebergInterop.read(spark, c.localDir).count() shouldBe 7L
+      // a mirror dirtied by a LOCAL commit is never reused
+      IcebergInterop.write(Seq((200L, 200L)).toDF("id", "v"), c.localDir)
+      val d = client.loadTableReusing(spark, "lake", "reuse")
+      d.localDir should not be c.localDir
+      IcebergInterop.read(spark, d.localDir).count() shouldBe 7L
     }
   }
 
