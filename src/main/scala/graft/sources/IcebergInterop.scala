@@ -113,7 +113,8 @@ object IcebergInterop {
                            manifest: String = "",
                            fileSeq: Long = -1L,
                            format: String = "parquet",
-                           firstRowId: Option[Long] = None)
+                           firstRowId: Option[Long] = None,
+                           lineageUnresolved: Boolean = false)
 
   /** The table's schema-evolution evidence, resolved once per
     * [[state]] call: every schema the metadata retains as ordered
@@ -1079,20 +1080,47 @@ object IcebergInterop {
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
     val dvDeletes = Seq.newBuilder[IceDvDelete]
-    // r15: the snapshot-origin fallback below is sound only when the
-    // adding snapshot contributed exactly ONE data manifest — with
-    // several lacking manifest-level first_row_id, each would inherit
-    // the same origin and the read would serve DUPLICATE row ids
-    // (graft's own history is one-manifest-per-commit; a foreign v3
-    // writer's need not be)
-    val dataManifestsPerSnap: Map[Long, Int] =
-      if (formatVersion < 3) Map.empty
-      else manifestListRows
-        .filter(mf => fieldOpt(mf, "content")
-          .map(_.asInstanceOf[Number].intValue).getOrElse(0) == 0)
-        .groupBy(mf => fieldOpt(mf, "added_snapshot_id")
-          .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
-        .map { case (k, v) => k -> v.size }
+    // v3 manifest-level first_row_id inheritance (r16, the spec's
+    // ORDER-BASED walk): a data manifest lacking the explicit field
+    // takes the adding snapshot's `first-row-id` PLUS the added-rows
+    // counts of that snapshot's PRECEDING null-id data manifests, in
+    // manifest-list order — list order is assignment order (appends
+    // prepend new manifests and carry prior rows verbatim, so a
+    // snapshot's own manifests keep their relative order forever).
+    // A preceding manifest with no usable added-rows count poisons
+    // the snapshot's later manifests: their origins are unknowable,
+    // and serving NULL lineage there would be silently wrong — the
+    // lineage read refuses by name instead (plain reads unaffected).
+    val inheritedFirstRowId = Map.newBuilder[String, Long]
+    val poisonedManifests = Set.newBuilder[String]
+    if (formatVersion >= 3) {
+      val cursors = scala.collection.mutable.Map.empty[Long, Option[Long]]
+      manifestListRows.foreach { mf =>
+        val isData = fieldOpt(mf, "content")
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0) == 0
+        if (isData && fieldOpt(mf, "first_row_id").isEmpty) {
+          val snap = fieldOpt(mf, "added_snapshot_id")
+            .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
+          val mp = mf.get("manifest_path").toString
+          snapFirstRowId.get(snap) match {
+            case None => () // snapshot predates lineage: legit null
+            case Some(base) =>
+              cursors.getOrElseUpdate(snap, Some(base)) match {
+                case Some(cur) =>
+                  inheritedFirstRowId += mp -> cur
+                  fieldOpt(mf, "added_rows_count")
+                    .map(_.asInstanceOf[Number].longValue) match {
+                    case Some(n) => cursors(snap) = Some(cur + n)
+                    case None => cursors(snap) = None // poison the rest
+                  }
+                case None => poisonedManifests += mp
+              }
+          }
+        }
+      }
+    }
+    val manifestFirstRowId: Map[String, Long] = inheritedFirstRowId.result()
+    val unresolvedManifests: Set[String] = poisonedManifests.result()
     manifestListRows.foreach { mf =>
       val content = fieldOpt(mf, "content")
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
@@ -1116,10 +1144,8 @@ object IcebergInterop {
         if (formatVersion < 3 || content != 0) None
         else fieldOpt(mf, "first_row_id")
           .map(_.asInstanceOf[Number].longValue)
-          .orElse(
-            if (dataManifestsPerSnap.getOrElse(mfAddedSnap, 0) == 1)
-              snapFirstRowId.get(mfAddedSnap)
-            else None)
+          .orElse(manifestFirstRowId.get(mPath))
+      val mfLineageUnresolved = unresolvedManifests.contains(mPath)
       avroRows(fs, new Path(mPath)).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue
         if (status != 2) { // 0 existing, 1 added — 2 deleted drops
@@ -1180,7 +1206,10 @@ object IcebergInterop {
                   .map(_.asInstanceOf[Number].longValue)
                   .getOrElse(entrySeq),
                 format = fmt.toLowerCase(java.util.Locale.ROOT),
-                firstRowId = if (formatVersion < 3) None else frid)
+                firstRowId = if (formatVersion < 3) None else frid,
+                lineageUnresolved = formatVersion >= 3 &&
+                  mfLineageUnresolved && status == 1 &&
+                  fieldOpt(df, "first_row_id").isEmpty)
             case 1 if fmt.equalsIgnoreCase("puffin") =>
               // v3 DELETION VECTOR: one Puffin blob per referenced
               // data file, addressed by byte range — all three v3
@@ -1620,11 +1649,19 @@ object IcebergInterop {
         val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")")
           .split(',').map(_.trim.toInt)
         DecimalType(p, sc)
-      // v3's new types, refused BY NAME (not an anonymous parse
-      // failure): variant needs the binary variant encoding, geometry/
-      // geography carry CRS semantics, the ns timestamps overflow
-      // micros, and `unknown` has no values to serve
-      case v3t if v3t == "variant" || v3t == "unknown" ||
+      // v3 VARIANT serves natively: Iceberg v3 adopted the SAME
+      // binary variant encoding Spark 4's parquet reader speaks
+      // (metadata+value binary pair under the VARIANT logical type),
+      // so the scan resolves it like any other column and
+      // `variant_get` extraction works downstream — the Delta side
+      // has served `variantType` since r13b, this closes the
+      // asymmetry
+      case "variant" => org.apache.spark.sql.types.VariantType
+      // v3's OTHER new types stay refused BY NAME (not an anonymous
+      // parse failure): geometry/geography carry CRS semantics, the
+      // ns timestamps overflow micros, and `unknown` has no values
+      // to serve
+      case v3t if v3t == "unknown" ||
         v3t == "timestamp_ns" || v3t == "timestamptz_ns" ||
         v3t == "geometry" || v3t.startsWith("geometry(") ||
         v3t == "geography" || v3t.startsWith("geography(") =>
@@ -3840,6 +3877,17 @@ object IcebergInterop {
       throw new UnsupportedIcebergFeatureException(
         s"row lineage over $table needs parquet row_index metadata — " +
           s"${bad.path} is a ${bad.format} data file"))
+    // a file whose manifest's row-id origin is UNKNOWABLE (a foreign
+    // snapshot's earlier manifest recorded no added-rows count to
+    // advance the spec's order-based walk by) must not serve NULL
+    // lineage as if it predated the upgrade — refuse by name
+    st.files.find(_.lineageUnresolved).foreach(bad =>
+      throw new UnsupportedIcebergFeatureException(
+        s"row lineage over $table: the manifest holding ${bad.path} " +
+          "inherits its first-row-id from a preceding manifest whose " +
+          "added-rows count is unrecorded — the origin is unknowable " +
+          "and serving NULL ids would be silently wrong; rewrite the " +
+          "affected files (OPTIMIZE materializes lineage) first"))
     val df = toDF(spark, st, keepLineage = true, extraPhysical = extras)
     import spark.implicits._
     val origins = broadcast(

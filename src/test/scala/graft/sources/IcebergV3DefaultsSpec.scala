@@ -179,7 +179,7 @@ class IcebergV3DefaultsSpec extends AnyFunSuite with Matchers
   }
 
   test("refusals by name: nested-field defaults, undecodable default " +
-    "values, and v3 variant/geometry columns") {
+    "values, and v3 geometry columns (variant reads natively, r16)") {
     import spark.implicits._
     def craft(fieldsJson: String): String = {
       val t = fresh()
@@ -197,11 +197,12 @@ class IcebergV3DefaultsSpec extends AnyFunSuite with Matchers
       writeText(t, "metadata/version-hint.text", "1")
       t
     }
-    // v3 variant type — named refusal, not a MatchError
-    intercept[IcebergInterop.UnsupportedIcebergFeatureException](
-      IcebergInterop.state(spark,
-        craft("""{"id":1,"name":"v","required":false,"type":"variant"}"""),
-        None)).getMessage should include("variant")
+    // v3 variant type serves natively since r16 (IcebergV3VariantSpec
+    // covers the read); the schema parses to Spark VariantType
+    IcebergInterop.state(spark,
+      craft("""{"id":1,"name":"v","required":false,"type":"variant"}"""),
+      None).schema("v").dataType shouldBe
+      org.apache.spark.sql.types.VariantType
     // geometry with a CRS parameter
     intercept[IcebergInterop.UnsupportedIcebergFeatureException](
       IcebergInterop.state(spark,

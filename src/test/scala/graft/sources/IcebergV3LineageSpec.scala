@@ -223,6 +223,139 @@ class IcebergV3LineageSpec extends AnyFunSuite with Matchers
       .collect().toMap shouldBe (0L until 17L).map(i => i -> i).toMap
   }
 
+  test("manifest-LEVEL inheritance across SEVERAL data manifests " +
+    "(r16): origins assign in manifest-list order from the " +
+    "snapshot's first-row-id plus preceding added-rows counts; a " +
+    "preceding manifest with NO added-rows count makes later " +
+    "origins unknowable — the lineage read refuses by name, the " +
+    "plain read is unaffected") {
+    import spark.implicits._
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"rp","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    def listSchema(withAddedRows: Boolean) =
+      new org.apache.avro.Schema.Parser().parse(
+        ("""{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"},
+          |{"name":"partition_spec_id","type":"int"},
+          |{"name":"content","type":"int","default":0},
+          |{"name":"sequence_number","type":"long","default":0},""" +
+          (if (withAddedRows)
+            """{"name":"added_rows_count","type":["null","long"],"default":null},"""
+          else "") +
+          """{"name":"added_snapshot_id","type":["null","long"],"default":null}
+          |]}""").stripMargin.replace("\n", ""))
+    def build(t: String, withAddedRows: Boolean): Unit = {
+      val fs = new Path(t).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      def stageParquet(name: String, ids: Seq[Long]): String = {
+        val stage = fresh()
+        ids.toDF("id").coalesce(1).write.parquet(stage)
+        val part = fs.listStatus(new Path(stage)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new Path(t, "data"))
+        val dest = new Path(t, s"data/$name")
+        fs.rename(part, dest) shouldBe true
+        dest.toString
+      }
+      def avro(rel: String, schema: org.apache.avro.Schema,
+               rows: Seq[GenericRecord]): (String, Long) = {
+        val p = new Path(t, rel)
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, out)
+        try rows.foreach(w.append) finally w.close()
+        (p.toString, fs.getFileStatus(p).getLen)
+      }
+      def dataEntry(path: String, n: Long): GenericRecord = {
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("snapshot_id", 90L)
+        e.put("sequence_number", 1L)
+        val d = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        d.put("content", 0); d.put("file_path", path)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(entrySchema
+          .getField("data_file").schema().getField("partition").schema()))
+        d.put("record_count", n); d.put("file_size_in_bytes", 1L)
+        e.put("data_file", d)
+        e
+      }
+      val f1 = stageParquet("f1.parquet", 0L to 9L)
+      val f2 = stageParquet("f2.parquet", 10L to 16L)
+      // TWO data manifests of the same snapshot, neither carrying a
+      // manifest-level first_row_id
+      val (m0, m0Len) = avro("metadata/m0.avro", entrySchema,
+        Seq(dataEntry(f1, 10L)))
+      val (m1, m1Len) = avro("metadata/m1.avro", entrySchema,
+        Seq(dataEntry(f2, 7L)))
+      val ls = listSchema(withAddedRows)
+      def listRow(p: String, len: Long, added: Long): GenericRecord = {
+        val mf = new GenericData.Record(ls)
+        mf.put("manifest_path", p); mf.put("manifest_length", len)
+        mf.put("partition_spec_id", 0); mf.put("content", 0)
+        mf.put("sequence_number", 1L); mf.put("added_snapshot_id", 90L)
+        if (withAddedRows) mf.put("added_rows_count", added)
+        mf
+      }
+      val (listPath, _) = avro("metadata/snap-90.avro", ls,
+        Seq(listRow(m0, m0Len, 10L), listRow(m1, m1Len, 7L)))
+      def writeText(rel: String, text: String): Unit = {
+        val p = new Path(t, rel)
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(text.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      writeText("metadata/v1.metadata.json",
+        s"""{"format-version":3,"table-uuid":"u3m","location":"$t",
+           |"last-updated-ms":1,"last-column-id":1,"last-sequence-number":1,
+           |"next-row-id":17,
+           |"schemas":[{"type":"struct","schema-id":0,"fields":[
+           |{"id":1,"name":"id","required":false,"type":"long"}]}],
+           |"current-schema-id":0,
+           |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+           |"properties":{},"current-snapshot-id":90,
+           |"snapshots":[{"snapshot-id":90,"timestamp-ms":1,
+           |"sequence-number":1,"first-row-id":0,"added-rows":17,
+           |"summary":{"operation":"append"},
+           |"manifest-list":"$listPath","schema-id":0}]
+           |}""".stripMargin.replace("\n", ""))
+      writeText("metadata/version-hint.text", "1")
+    }
+    // the good shape: added_rows_count advances the walk — m0's file
+    // originates at 0, m1's at 0 + 10
+    val t1 = fresh()
+    build(t1, withAddedRows = true)
+    val st = IcebergInterop.state(spark, t1, None)
+    st.files.sortBy(_.path.contains("f2"))
+      .flatMap(_.firstRowId) shouldBe Seq(0L, 10L)
+    IcebergInterop.readRowLineage(spark, t1)
+      .select($"id", $"_row_id").as[(Long, Long)]
+      .collect().toMap shouldBe (0L until 17L).map(i => i -> i).toMap
+    // the unknowable shape: no added_rows_count → m1's origin cannot
+    // be derived; the lineage read refuses BY NAME, plain reads serve
+    val t2 = fresh()
+    build(t2, withAddedRows = false)
+    IcebergInterop.read(spark, t2).count() shouldBe 17L
+    intercept[IcebergInterop.UnsupportedIcebergFeatureException](
+      IcebergInterop.readRowLineage(spark, t2).collect())
+      .getMessage should include("added-rows count is unrecorded")
+  }
+
   test("v3 compaction retires deletion vectors WITHOUT reassigning " +
     "ids, and copy-on-write UPDATE/DELETE carry lineage — _last bumps " +
     "only for fired rows, bystanders in rewritten files keep theirs") {
