@@ -49,22 +49,31 @@ object Bench {
     // in the artifact says "the box was loaded HERE" — the per-query
     // numbers around it can be discounted WITHOUT a quiesced rerun. It
     // never touches the measured queries or the min-of-N.
+    //
+    // TWO sentinel classes: pass 1 is WARM-UP-CONTAMINATED BY DESIGN
+    // (gate queries build their temp tables there, JIT compiles, caches
+    // fill — its interleaved sentinels read high from the surrounding
+    // churn, not from load), so only sentinels from LATER passes and
+    // pass boundaries are JUDGED; pass-1 interleaves are reported
+    // separately (`sentinel_warm_sec`) for completeness.
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def sentinel(): Unit = {
+    val warmSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sentinel(judged: Boolean): Unit = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").count()
         .write.format("noop").mode("overwrite").save()
-      sentinels += (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      if (judged) sentinels += t else warmSentinels += t
     }
     // The sentinel INTERLEAVES through each pass (every SentinelEvery
     // queries), not just at pass boundaries: the r15 artifact
     // self-labeled quiet off a boundary sentinel while a mid-window
     // burst had inflated one query 23× in BOTH its passes — evidence a
     // boundary-only sentinel structurally cannot carry.
-    def runPass(): Map[String, Option[Double]] =
+    def runPass(first: Boolean): Map[String, Option[Double]] =
       names.zipWithIndex.map { case (name, i) =>
-        if (i % BenchReport.SentinelEvery == 0) sentinel()
+        if (i % BenchReport.SentinelEvery == 0) sentinel(judged = !first)
         val fn = all(name)
         val t0 = System.nanoTime()
         val t =
@@ -79,23 +88,26 @@ object Bench {
       }.toMap
     // SELF-DEFENSE against a loaded box (r15, widened r16): the two
     // standard passes always run; up to MaxPasses-2 EXTRA passes run
-    // when the evidence says the window was dirty — the BEST sentinel
-    // above the quiet band (loaded throughout), the WORST sentinel far
-    // above it (a mid-window burst), or any query whose own passes
-    // disagree by >2× (the burst landed on it). Min over all passes
-    // converges on the true cost; the artifact carries every sentinel
-    // plus per-query spread so a reader can discount what remains.
+    // when the JUDGED evidence says the window was dirty — the BEST
+    // sentinel above the quiet band (loaded throughout), the WORST
+    // judged sentinel far above it (a mid-window burst), or any query
+    // whose own NON-FIRST passes disagree by >2× (a burst landed on
+    // it; pass 1 is excluded because build/JIT cost makes it
+    // structurally slower — min-of-N already discounts it). Min over
+    // all passes converges on the true cost; the artifact carries
+    // every sentinel plus per-query spread so a reader can discount
+    // what remains.
     val passes =
       scala.collection.mutable.ArrayBuffer.empty[Map[String, Option[Double]]]
-    def dirty(): Boolean =
+    def dirty(): Boolean = sentinels.nonEmpty && (
       sentinels.min > BenchReport.LoadedRatio * BenchReport.QuietNormSec ||
         sentinels.max >
           BenchReport.BurstRatio * BenchReport.QuietNormSec ||
-        BenchReport.suspects(names, passes.toSeq).nonEmpty
+        BenchReport.suspects(names, passes.toSeq).nonEmpty)
     while (passes.size < 2 ||
       (passes.size < BenchReport.MaxPasses && dirty())) {
-      passes += runPass()
-      sentinel() // bound the pass from both sides
+      passes += runPass(first = passes.isEmpty)
+      sentinel(judged = true) // bound the pass from both sides
     }
     // The min-of-N rationale covers TIMING noise only — a query that
     // errors in any pass is flaky or broken and must surface as a
@@ -109,7 +121,7 @@ object Bench {
     val failed = best.collect { case (n, None) => n }
     val (detail, summary) =
       BenchReport.lines(names, best, passes.toSeq, sfDir,
-        sentinels.toSeq)
+        sentinels.toSeq, warmSentinels.toSeq)
     println(detail)
     println(summary)
     spark.stop()
@@ -151,9 +163,12 @@ object BenchReport {
     * queries) — ~9 samples per 206-query pass, ≲2 s of overhead. */
   val SentinelEvery = 25
 
-  /** A query whose own passes disagree by more than this ratio (and
-    * more than [[SuspectDeltaSec]] absolutely) caught a burst — its
-    * min may still be contaminated if every pass was hit. */
+  /** A query whose own NON-FIRST passes disagree by more than this
+    * ratio (and more than [[SuspectDeltaSec]] absolutely) caught a
+    * burst — its min may still be contaminated if every pass was
+    * hit. The FIRST pass never participates: gate queries build
+    * their temp tables there (a 300× pass-1/pass-2 ratio is build
+    * cost, not load) and min-of-N already discounts it. */
   val SuspectRatio = 2.0
   val SuspectDeltaSec = 0.2
 
@@ -163,14 +178,17 @@ object BenchReport {
     * be worse than a self-labeled contaminated one). */
   val MaxPasses = 3
 
-  /** Queries whose cross-pass timings disagree by more than
+  /** Queries whose NON-FIRST-pass timings disagree by more than
     * [[SuspectRatio]] (worst/best) and [[SuspectDeltaSec]]: the load
-    * evidence the min-of-N cannot carry alone, keyed to the ratio. */
+    * evidence the min-of-N cannot carry alone, keyed to the ratio.
+    * Needs ≥3 passes to be evaluable (≥2 post-build samples); the
+    * 2-pass standard artifact relies on the interleaved-sentinel
+    * burst_ratio instead. */
   def suspects(names: Seq[String],
                passes: Seq[Map[String, Option[Double]]])
       : Seq[(String, Double)] =
     names.flatMap { n =>
-      val ts = passes.flatMap(_.get(n).flatten)
+      val ts = passes.drop(1).flatMap(_.get(n).flatten)
       if (ts.size < 2) None
       else {
         val (mn, mx) = (ts.min, ts.max)
@@ -182,7 +200,8 @@ object BenchReport {
 
   def lines(names: Seq[String], best: Seq[(String, Option[Double])],
             passes: Seq[Map[String, Option[Double]]], sfDir: String,
-            sentinels: Seq[Double]): (String, String) = {
+            sentinels: Seq[Double],
+            warmSentinels: Seq[Double] = Nil): (String, String) = {
     def fmt(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -194,12 +213,14 @@ object BenchReport {
       .sortBy { case (n, t) => (-t, n) }.take(TopN)
       .map { case (n, t) => "\"" + n + "\":" + t }
       .mkString("{", ",", "}")
-    // per-query SPREAD (worst/best across passes): the in-artifact
-    // evidence that a burst landed on a specific query — only ratios
-    // above 1.5 are emitted (a full 206-entry map of 1.0x would bury
-    // the signal in the tail-truncated detail line)
+    // per-query SPREAD (worst/best across NON-FIRST passes — pass 1
+    // carries build/JIT cost by design): the in-artifact evidence
+    // that a burst landed on a specific query — only ratios above
+    // 1.5 are emitted (a full 206-entry map of 1.0x would bury the
+    // signal in the tail-truncated detail line); with the standard 2
+    // passes the raw `passes` array is the per-query evidence
     val spreadAll = names.flatMap { n =>
-      val ts = passes.flatMap(_.get(n).flatten)
+      val ts = passes.drop(1).flatMap(_.get(n).flatten)
       if (ts.size < 2 || ts.min <= 0) None
       else Some(n -> ts.max / ts.min)
     }
@@ -230,10 +251,12 @@ object BenchReport {
       else math.max(1.0, sentinels.max / QuietNormSec)
     val adjusted = total / loadRatio
     val sentinelJson = sentinels.map(s => f"$s%.3f").mkString(",")
+    val warmJson = warmSentinels.map(s => f"$s%.3f").mkString(",")
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_run":${
         names.size},"failed":$failed,"sentinel_sec":[${
-        sentinelJson}],"quiet_norm_sec":$QuietNormSec,"load_ratio":${
+        sentinelJson}],"sentinel_warm_sec":[$warmJson],"quiet_norm_sec":${
+        QuietNormSec},"load_ratio":${
         f"$loadRatio%.2f"},"burst_ratio":${f"$burstRatio%.2f"
       },"suspect_queries":${suspect.size},"suspect":${suspectJson
       },"load_adjusted_total":${

@@ -2586,6 +2586,20 @@ object DeltaInterop {
   def shallowClone(spark: SparkSession, source: String, target: String,
                    version: Option[Long] = None): Long = {
     val st = state(spark, source, version)
+    // a UniForm-enabled source refuses by name: the clone's files
+    // live OUTSIDE its own root (shallow = shared source files), so
+    // the property's promise — every writer session maintains the
+    // Iceberg mirror — is unfulfillable on the clone; carrying it
+    // would make every future commit there throw mid-hook instead
+    if (st.configuration.get(UniForm.EnabledFormatsProp)
+      .exists(_.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .contains("iceberg")))
+      throw new UnsupportedDeltaFeatureException(
+        s"shallow clone of $source: the table enables the UniForm " +
+          "iceberg mirror (delta.universalFormat.enabledFormats), " +
+          "which a shallow clone cannot maintain — its data files " +
+          "live outside the clone root; disable the mirror first or " +
+          "copy the data (CTAS)")
     val srcRoot = new Path(source)
     val dstRoot = new Path(target)
     val fs = hadoopFs(spark, dstRoot)

@@ -6121,23 +6121,107 @@ object IcebergInterop {
     }
   }
 
+  /** The current-metadata HEAD of a table WITHOUT parsing a single
+    * manifest: metadata version, snapshot id, current schema, specs,
+    * format version — `files` empty. One directory list + one JSON
+    * read, O(1) in table size. Enough for an APPEND publication
+    * (prior manifests carry by reference from the manifest LIST;
+    * nothing needs the per-file inventory) — the piece that makes
+    * the UniForm mirror's steady-state append truly O(changed
+    * files); only v1 heads qualify (v2+ can carry delete manifests
+    * the light read cannot see, and the mirror is v1 by
+    * construction). */
+  private[sources] def stateLight(spark: SparkSession,
+                                  table: String): Option[IceState] = {
+    import org.json4s._
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    if (!fs.exists(metaDir)) return None
+    val version = currentMetadataVersion(fs, table).getOrElse(return None)
+    val metaJson = org.json4s.jackson.JsonMethods.parse(
+      readText(fs, new Path(metaDir, s"v$version.metadata.json")))
+    if (jLong(metaJson \ "format-version") != 1L) return None
+    val schemaJson = (metaJson \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        val cur = jLong(metaJson \ "current-schema-id") match {
+          case -1L => 0L
+          case id => id
+        }
+        xs.find(sc => jLong(sc \ "schema-id") == cur).getOrElse(xs.head)
+      case _ => metaJson \ "schema"
+    }
+    val schema = icebergSchemaToSpark(schemaJson, table)
+    val fieldIdToName: Map[Long, String] = (schemaJson \ "fields") match {
+      case JArray(fs0) => fs0.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (id, JString(n)) if jLong(id) >= 0 => Some(jLong(id) -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    def parseSpecFields(v: JValue): Seq[SpecField] = v match {
+      case JArray(sfs) => sfs.flatMap { f =>
+        ((f \ "name"), (f \ "transform"), jLong(f \ "source-id")) match {
+          case (JString(n), JString(t), sid) if sid >= 0 =>
+            fieldIdToName.get(sid).map(src => SpecField(n, t, src))
+          case _ => None
+        }
+      }
+      case _ => Nil
+    }
+    val specs: Map[Int, Seq[SpecField]] = {
+      val multi = (metaJson \ "partition-specs") match {
+        case JArray(xs) => xs.flatMap { sp =>
+          jLong(sp \ "spec-id") match {
+            case -1L => None
+            case sid => Some(sid.toInt -> parseSpecFields(sp \ "fields"))
+          }
+        }.toMap
+        case _ => Map.empty[Int, Seq[SpecField]]
+      }
+      if (multi.nonEmpty) multi
+      else (metaJson \ "partition-spec") match {
+        case arr @ JArray(_) => Map(0 -> parseSpecFields(arr))
+        case _ => Map.empty[Int, Seq[SpecField]]
+      }
+    }
+    val defaultSpecId = jLong(metaJson \ "default-spec-id") match {
+      case -1L => 0
+      case id => id.toInt
+    }
+    Some(IceState(version, jLong(metaJson \ "current-snapshot-id"),
+      schema, Nil, specs = specs, defaultSpecId = defaultSpecId,
+      formatVersion = 1))
+  }
+
   /** INCREMENTAL mirror publication for [[UniForm]]: one Iceberg
     * snapshot derived from a Delta commit's own add/remove actions —
     * O(changed files) metadata, never a full re-export. Adds publish
     * as an append (every prior manifest carried VERBATIM in the new
-    * manifest list); a commit that also removes paths publishes
-    * through the rewrite leg, which rewrites only manifests that lost
-    * a file. Paths are table-root-relative; partition tuples
-    * reconstruct from the Hive path segments against the mirror's
-    * recorded identity spec, exactly as the full export does. Any
-    * shape this leg can't prove equivalent to the full export refuses
-    * by name (the caller falls back to the full re-export). */
+    * manifest list, resolved from the HEAD read alone — the per-file
+    * inventory is never parsed, so a million-file mirror appends at
+    * the same metadata cost as a ten-file one); a commit that also
+    * removes paths publishes through the rewrite leg, which needs
+    * the inventory to find survivors and rewrites only manifests
+    * that lost a file. Paths are table-root-relative; partition
+    * tuples reconstruct from the Hive path segments against the
+    * mirror's recorded identity spec, exactly as the full export
+    * does. Any shape this leg can't prove equivalent to the full
+    * export refuses by name (the caller falls back to the full
+    * re-export). */
   private[sources] def mirrorPublish(spark: SparkSession, table: String,
       adds: Seq[(String, Long, Option[Long])],
       removes: Seq[String]): Long = {
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
-    val st = state(spark, table, None)
+    // append-only commits ride the LIGHT head (no manifest parse; a
+    // v1 head cannot hide delete files); rewrites need the inventory
+    val st =
+      if (removes.isEmpty)
+        stateLight(spark, table).getOrElse(state(spark, table, None))
+      else state(spark, table, None)
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,
       s"mirror of $table carries delete files — not a shape the " +

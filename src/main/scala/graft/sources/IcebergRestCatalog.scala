@@ -91,6 +91,20 @@ object IcebergRestCatalog {
       source.toDF(st.schema.fieldNames.toIndexedSeq: _*))
   }
 
+  /** DELETE/UPDATE on a registered alias: the kernel DML runs on a
+    * fresh staged mirror and publishes through [[Client
+    * .mutateWithRetry]] — a 409 re-loads and RE-RUNS the predicate
+    * against the winner's state (a predicate is state-independent, so
+    * the replay is the correct semantics, unlike a blind diff
+    * replay). */
+  private[sources] def sqlMutate(spark: SparkSession, alias: String)
+                                (body: String => Unit): Unit = {
+    val (client, ns, name) = sqlEntry(alias).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_iceberg_rest.$alias is not a registered catalog table"))
+    client.mutateWithRetry(spark, ns, name)(body)
+  }
+
   /** OAuth2 CLIENT-CREDENTIALS configuration (the REST spec's
     * `/v1/oauth/tokens` flow): the client fetches a bearer token
     * before the first request and refreshes it when `expires_in`
@@ -624,20 +638,20 @@ object IcebergRestCatalog {
           s"REST catalog commit of $ns.$name failed: HTTP $code $text")
     }
 
-    /** Load → local append → commit, retried on 409 with a fresh load
-      * each round (bounded) — both racers' rows land with zero client
-      * redo, the path-based auto-retry's catalog twin. */
-    def appendWithRetry(spark: SparkSession, ns: String, name: String,
-                        df: org.apache.spark.sql.DataFrame,
-                        maxAttempts: Int = 10): Unit = {
+    /** Load → run `body` against the staged mirror → commit, retried
+      * on 409 with a FRESH load each round (bounded): the body
+      * re-executes against the winner's state, so both racers'
+      * effects land with zero client redo — the path-based
+      * auto-retry's catalog twin, generalized to any local kernel
+      * mutation whose semantics are state-independent (appends,
+      * predicate DML). */
+    def mutateWithRetry(spark: SparkSession, ns: String, name: String,
+                        maxAttempts: Int = 10)
+                       (body: String => Unit): Unit = {
       var attempts = 0
       while (true) {
         val rt = loadTable(spark, ns, name)
-        // an append keeps the table's recorded partitioning — a
-        // partitioned catalog table appends under its default spec
-        val st = IcebergInterop.state(spark, rt.localDir, None)
-        IcebergInterop.write(df, rt.localDir,
-          partitionBy = st.specs.getOrElse(st.defaultSpecId, Nil))
+        body(rt.localDir)
         try { commitTable(spark, ns, name, rt); return }
         catch {
           case e: IcebergInterop.ConcurrentIcebergCommitException =>
@@ -646,5 +660,18 @@ object IcebergRestCatalog {
         }
       }
     }
+
+    /** Load → local append → commit, retried on 409 with a fresh load
+      * each round (bounded) — both racers' rows land. */
+    def appendWithRetry(spark: SparkSession, ns: String, name: String,
+                        df: org.apache.spark.sql.DataFrame,
+                        maxAttempts: Int = 10): Unit =
+      mutateWithRetry(spark, ns, name, maxAttempts) { dir =>
+        // an append keeps the table's recorded partitioning — a
+        // partitioned catalog table appends under its default spec
+        val st = IcebergInterop.state(spark, dir, None)
+        IcebergInterop.write(df, dir,
+          partitionBy = st.specs.getOrElse(st.defaultSpecId, Nil)): Unit
+      }
   }
 }

@@ -171,6 +171,32 @@ object IcebergSql {
     }
   }
 
+  /** `DELETE FROM graft_iceberg_rest.<alias> WHERE …` — the kernel's
+    * copy-on-write delete on a fresh staged mirror, published through
+    * the catalog with bounded 409 re-load + re-run. */
+  final case class GraftIcebergRestDeleteCommand(alias: String,
+      @transient predicate: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergRestCatalog.sqlMutate(spark, alias)(dir =>
+        IcebergInterop.delete(spark, dir, predicate): Unit)
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE graft_iceberg_rest.<alias> SET … [WHERE …]` — the
+    * kernel's copy-on-write update, published through the catalog. */
+  final case class GraftIcebergRestUpdateCommand(alias: String,
+      @transient assignments: Seq[(String, org.apache.spark.sql.Column)],
+      @transient predicate: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergRestCatalog.sqlMutate(spark, alias)(dir =>
+        IcebergInterop.update(spark, dir, predicate, assignments): Unit)
+      Seq.empty
+    }
+  }
+
   /** `INSERT INTO graft_iceberg_rest.<alias>` — the catalog write
     * door: positional columns, landed through the client's
     * load → local append → commit with bounded 409 replay. */
@@ -372,10 +398,18 @@ object IcebergSql {
         if (!q.resolved) i.copy(query = q) // wait for the analyzer
         else GraftIcebergInsertCommand(dmlTarget(i.table).get, i.overwrite,
           PlanBridge.ofRows(spark, q))
+      // DELETE/UPDATE on graft_iceberg_rest.<alias>: the kernel DML
+      // runs on a fresh staged mirror, the commit publishes through
+      // the catalog, and a 409 re-loads and RE-RUNS the predicate
+      // against the winner's state (bounded)
+      case d: DeleteFromTable if restTarget(d.table).isDefined =>
+        GraftIcebergRestDeleteCommand(restTarget(d.table).get,
+          ColumnBridge.column(unqualify(d.condition)))
       case d: DeleteFromTable if dmlTarget(d.table).isDefined =>
         GraftIcebergDeleteCommand(dmlTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))
-      case u: UpdateTable if dmlTarget(u.table).isDefined =>
+      case u: UpdateTable
+        if restTarget(u.table).isDefined || dmlTarget(u.table).isDefined =>
         val quals = targetQualifiers(u.table)
         val assigns = u.assignments.map {
           case Assignment(k: UnresolvedAttribute, v) =>
@@ -390,9 +424,15 @@ object IcebergSql {
           case a => throw new UnsupportedOperationException(
             s"graft_iceberg UPDATE: unsupported assignment ${a.sql}")
         }
-        GraftIcebergUpdateCommand(dmlTarget(u.table).get, assigns,
-          ColumnBridge.column(u.condition.fold[Expression](
-            Literal.TrueLiteral)(unqualify)))
+        val cond = ColumnBridge.column(u.condition.fold[Expression](
+          Literal.TrueLiteral)(unqualify))
+        restTarget(u.table) match {
+          case Some(alias) =>
+            GraftIcebergRestUpdateCommand(alias, assigns, cond)
+          case None =>
+            GraftIcebergUpdateCommand(dmlTarget(u.table).get, assigns,
+              cond)
+        }
       case _ => applyReads(plan)
     }
 

@@ -85,21 +85,26 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     (jl \ "load_adjusted_total") shouldBe JDouble(3.0) // 10.6/3.5 ≈ 3.0
   }
 
-  test("per-query load evidence (r16): a query whose own passes " +
-    "disagree >2x surfaces as a suspect with its ratio; interleaved " +
-    "sentinel maxima surface as burst_ratio; spread rides the detail " +
-    "line") {
+  test("per-query load evidence (r16): a query whose own NON-FIRST " +
+    "passes disagree >2x surfaces as a suspect with its ratio; " +
+    "interleaved judged sentinel maxima surface as burst_ratio; warm " +
+    "(pass-1) sentinels report separately without being judged; " +
+    "spread rides the detail line") {
     import org.json4s._
-    // q_slow: 9.0 vs 44.0 — a 4.9x disagreement, the r15 pr1 shape;
-    // q_fast: 3x ratio but only 0.2 s absolute — below the delta bar
+    // passes 2 vs 3: q_slow 9.0 vs 44.0 — a 4.9x disagreement, the
+    // r15 pr1 shape; q_fast 3x ratio but only 0.2 s absolute — below
+    // the delta bar. Pass 1 (builds/JIT) never participates.
     val (detail, summary) = BenchReport.lines(names, best,
-      Seq(pass1, pass2), "/x/sf0.1",
-      // boundary sentinels quiet, one INTERLEAVED sample caught the
-      // burst — load_ratio stays 1.0 (best) but burst_ratio flags
-      Seq(0.18, 2.4, 0.19))
+      Seq(pass2, pass1, pass2), "/x/sf0.1",
+      // boundary sentinels quiet, one INTERLEAVED judged sample
+      // caught the burst — load_ratio stays 1.0 (best) but
+      // burst_ratio flags; the inflated WARM sentinel (pass-1 build
+      // churn) is reported but judged by neither ratio
+      Seq(0.18, 2.4, 0.19), warmSentinels = Seq(7.7))
     val j = parsed(summary)
     (j \ "load_ratio") shouldBe JDouble(1.0)
     (j \ "burst_ratio") shouldBe JDouble(12.0)
+    (j \ "sentinel_warm_sec") shouldBe JArray(List(JDouble(7.7)))
     (j \ "suspect_queries") shouldBe JInt(1)
     (j \ "suspect" \ "q_slow") shouldBe JDouble(4.89)
     val jd = parsed(detail)
@@ -110,19 +115,27 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     detail.indexOf("\"queries\":") should be >
       detail.indexOf("\"spread_gt_1_5\":")
     // the methodology label derives from the passes actually run
-    detail should include("min-of-2")
-    val (d3, _) = BenchReport.lines(names, best,
-      Seq(pass1, pass2, pass2), "/x/sf0.1", Seq(0.18))
-    d3 should include("min-of-3")
+    detail should include("min-of-3")
+    val (d2, _) = BenchReport.lines(names, best,
+      Seq(pass1, pass2), "/x/sf0.1", Seq(0.18))
+    d2 should include("min-of-2")
   }
 
-  test("suspects: flags only >2x AND >0.2s disagreements") {
-    BenchReport.suspects(names, Seq(pass1, pass2)).map(_._1) shouldBe
-      Seq("q_slow")
+  test("suspects: flags only >2x AND >0.2s disagreements among " +
+    "NON-FIRST passes — pass-1 build cost can never flag, and a " +
+    "2-pass run is not evaluable (burst_ratio covers it)") {
+    // 2 passes: only ONE post-build sample per query → nothing to
+    // disagree with
+    BenchReport.suspects(names, Seq(pass1, pass2)) shouldBe empty
+    // 3 passes: q_slow's 9.0 vs 44.0 across passes 2-3 flags; q_fast
+    // (3x but 0.2 s) stays below the delta bar
+    BenchReport.suspects(names,
+      Seq(pass2, pass1, pass2)).map(_._1) shouldBe Seq("q_slow")
+    // a pass-1-only outlier (the build) never flags
+    BenchReport.suspects(names, Seq(pass2, pass1, pass1)) shouldBe empty
     // a broken query (missing in one pass) is a failure, not a suspect
-    BenchReport.suspects(Seq("q_broken"), Seq(pass1, pass2)) shouldBe empty
-    // identical passes: nothing suspect
-    BenchReport.suspects(names, Seq(pass1, pass1)) shouldBe empty
+    BenchReport.suspects(Seq("q_broken"),
+      Seq(pass1, pass2, pass1)) shouldBe empty
   }
 
   test("top is capped at TopN and orders ties by name") {

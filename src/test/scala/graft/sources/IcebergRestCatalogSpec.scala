@@ -526,6 +526,32 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("SQL DELETE and UPDATE through the catalog: kernel CoW DML " +
+    "on a fresh mirror, published through mutateWithRetry") {
+    import spark.implicits._
+    withCatalog { (stub, client) =>
+      val t = fresh()
+      IcebergInterop.write((1L to 10L).map(i => (i, i))
+        .toDF("id", "v"), t)
+      stub.seed("lake", "dml", t)
+      IcebergRestCatalog.register("dml_t", client, "lake", "dml")
+      try {
+        spark.sql("DELETE FROM graft_iceberg_rest.dml_t WHERE id <= 3")
+        spark.sql(
+          "SELECT count(*) AS n FROM graft_iceberg_rest.dml_t")
+          .head().getLong(0) shouldBe 7L
+        spark.sql("UPDATE graft_iceberg_rest.dml_t SET v = v * 10 " +
+          "WHERE id = 5")
+        spark.sql("SELECT v FROM graft_iceberg_rest.dml_t " +
+          "WHERE id = 5").head().getLong(0) shouldBe 50L
+        // the published state survives a completely fresh load
+        IcebergInterop.read(spark,
+          client.loadTable(spark, "lake", "dml").localDir)
+          .count() shouldBe 7L
+      } finally IcebergRestCatalog.unregister("dml_t")
+    }
+  }
+
   test("OAuth2 client-credentials: an unauthenticated client is " +
     "refused with 401; the oauth client fetches a bearer token, " +
     "reuses it while valid, and REFRESHES it when expires_in lapses") {

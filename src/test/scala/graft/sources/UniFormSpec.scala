@@ -182,6 +182,51 @@ class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally UniForm.disableAutoMirror(t)
   }
 
+  test("the append leg's LIGHT head read matches the full state on " +
+    "everything an append publication needs, and refuses (None) on " +
+    "v2 heads that could hide delete manifests") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      DeltaInterop.write(
+        (1L to 20L).map(i => (i, i)).toDF("id", "v"), t,
+        partitionBy = Seq("v"))
+      UniForm.enableAutoMirror(spark, t)
+      val full = IcebergInterop.state(spark, t, None)
+      val light = IcebergInterop.stateLight(spark, t).get
+      light.metadataVersion shouldBe full.metadataVersion
+      light.snapshotId shouldBe full.snapshotId
+      light.schema shouldBe full.schema
+      light.defaultSpecId shouldBe full.defaultSpecId
+      light.specs shouldBe full.specs
+      light.formatVersion shouldBe 1
+      light.files shouldBe empty // the point: no manifest parse
+    } finally UniForm.disableAutoMirror(t)
+    // a v2 head refuses the light path
+    val t2 = fresh()
+    IcebergInterop.write((1L to 3L).toDF("id"), t2)
+    IcebergInterop.upgradeFormat(spark, t2)
+    IcebergInterop.stateLight(spark, t2) shouldBe None
+  }
+
+  test("shallow clone of a UniForm-enabled table refuses by name: " +
+    "the clone's shared files live outside its root, so the " +
+    "property's every-writer-maintains-the-mirror promise is " +
+    "unfulfillable there") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      DeltaInterop.write((1L to 4L).map(i => (i, i)).toDF("id", "v"), t)
+      UniForm.enableAutoMirror(spark, t)
+      val dst = fresh()
+      intercept[DeltaInterop.UnsupportedDeltaFeatureException](
+        DeltaInterop.shallowClone(spark, t, dst))
+        .getMessage should include("universalFormat")
+      // nothing landed at the destination
+      fs(dst).exists(new Path(dst, "_delta_log")) shouldBe false
+    } finally UniForm.disableAutoMirror(t)
+  }
+
   test("ineligible tables refuse at enable through the legs' named " +
     "errors and nothing records") {
     import spark.implicits._
