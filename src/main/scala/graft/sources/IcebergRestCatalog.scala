@@ -91,8 +91,22 @@ object IcebergRestCatalog {
       source.toDF(st.schema.fieldNames.toIndexedSeq: _*))
   }
 
-  /** DELETE/UPDATE on a registered alias: the kernel DML runs on a
-    * fresh staged mirror and publishes through [[Client
+  /** The registered alias's CURRENT schema field names (lowercased)
+    * — the MERGE translation's column-resolution source, served from
+    * the reused staging (one pointer GET, no manifest parse needed
+    * beyond the head). */
+  private[sources] def sqlSchemaNames(spark: SparkSession,
+                                      alias: String): Set[String] = {
+    val (client, ns, name) = sqlEntry(alias).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_iceberg_rest.$alias is not a registered catalog table"))
+    IcebergInterop.state(spark,
+      client.loadTableReusing(spark, ns, name).localDir, None)
+      .schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+  }
+
+  /** DELETE/UPDATE/MERGE on a registered alias: the kernel DML runs
+    * on a fresh staged mirror and publishes through [[Client
     * .mutateWithRetry]] — a 409 re-loads and RE-RUNS the predicate
     * against the winner's state (a predicate is state-independent, so
     * the replay is the correct semantics, unlike a blind diff

@@ -171,6 +171,44 @@ object IcebergSql {
     }
   }
 
+  /** `MERGE INTO graft_iceberg_rest.<alias> … UPDATE SET * / INSERT *`
+    * — the kernel's copy-on-write upsert on a fresh staged mirror,
+    * published through the catalog with bounded 409 re-load +
+    * re-run. */
+  final case class GraftIcebergRestMergeCommand(alias: String,
+      keyCols: Seq[String],
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergRestCatalog.sqlMutate(spark, alias)(dir =>
+        IcebergInterop.merge(source, dir, keyCols): Unit)
+      Seq.empty
+    }
+  }
+
+  /** General-clause catalog `MERGE INTO` — [[IcebergInterop
+    * .mergeApply]] on the staged mirror, published through the
+    * catalog. */
+  final case class GraftIcebergRestMergeApplyCommand(alias: String,
+      keyCols: Seq[String],
+      matched: Seq[ManifestLake.MergeMatched],
+      notMatched: Seq[ManifestLake.MergeInsert],
+      notMatchedBySource: Seq[ManifestLake.MergeMatched],
+      @transient scope: Option[org.apache.spark.sql.Column],
+      @transient source: org.apache.spark.sql.DataFrame)
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      IcebergRestCatalog.sqlMutate(spark, alias)(dir =>
+        IcebergInterop.mergeApply(source, dir, keyCols, matched,
+          notMatched, notMatchedBySource = notMatchedBySource,
+          scope = scope,
+          fullTableMerge = spark.conf
+            .getOption(LakeSql.FullTableMergeConf)
+            .exists(_.toBoolean)): Unit)
+      Seq.empty
+    }
+  }
+
   /** `DELETE FROM graft_iceberg_rest.<alias> WHERE …` — the kernel's
     * copy-on-write delete on a fresh staged mirror, published through
     * the catalog with bounded 409 re-load + re-run. */
@@ -325,6 +363,22 @@ object IcebergSql {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       // DML matches at the ROOT (where SQL grammar puts it) so the
       // target relation is never rewritten into a bare read
+      case m: MergeIntoTable if restTarget(m.targetTable).isDefined =>
+        val src = applyReads(m.sourceTable)
+        if (!src.resolved) m.copy(sourceTable = src) // wait for analyzer
+        else {
+          val alias = restTarget(m.targetTable).get
+          val tr = MergeSqlSupport.translate(m, src, "graft_iceberg_rest",
+            targetQualifiers(m.targetTable),
+            () => IcebergRestCatalog.sqlSchemaNames(spark, alias))
+          if (tr.simple)
+            GraftIcebergRestMergeCommand(alias, tr.keys,
+              PlanBridge.ofRows(spark, src))
+          else
+            GraftIcebergRestMergeApplyCommand(alias, tr.keys, tr.matched,
+              tr.inserts, tr.nmbs, tr.scope,
+              PlanBridge.ofRows(spark, src))
+        }
       case m: MergeIntoTable if dmlTarget(m.targetTable).isDefined =>
         val src = applyReads(m.sourceTable)
         if (!src.resolved) m.copy(sourceTable = src) // wait for analyzer

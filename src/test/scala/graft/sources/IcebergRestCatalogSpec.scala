@@ -544,10 +544,21 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
           "WHERE id = 5")
         spark.sql("SELECT v FROM graft_iceberg_rest.dml_t " +
           "WHERE id = 5").head().getLong(0) shouldBe 50L
+        // MERGE: one matched update, one insert
+        Seq((5L, 555L), (50L, 500L)).toDF("id", "v")
+          .createOrReplaceTempView("rest_merge_src")
+        spark.sql("MERGE INTO graft_iceberg_rest.dml_t t " +
+          "USING rest_merge_src s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        spark.sql("SELECT v FROM graft_iceberg_rest.dml_t " +
+          "WHERE id = 5").head().getLong(0) shouldBe 555L
+        spark.sql("SELECT count(*) AS n FROM graft_iceberg_rest.dml_t")
+          .head().getLong(0) shouldBe 8L
         // the published state survives a completely fresh load
         IcebergInterop.read(spark,
           client.loadTable(spark, "lake", "dml").localDir)
-          .count() shouldBe 7L
+          .count() shouldBe 8L
       } finally IcebergRestCatalog.unregister("dml_t")
     }
   }

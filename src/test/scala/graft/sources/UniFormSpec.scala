@@ -182,6 +182,32 @@ class UniFormSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally UniForm.disableAutoMirror(t)
   }
 
+  test("SQL-door enablement: SET TBLPROPERTIES of the UniForm " +
+    "property IS enablement — the first data commit after it lands " +
+    "creates the mirror (no enableAutoMirror call anywhere)") {
+    import spark.implicits._
+    val t = fresh()
+    try {
+      DeltaInterop.write((1L to 8L).map(i => (i, i)).toDF("id", "v"), t)
+      DeltaSql.register("uniform_sql_t", t)
+      spark.sql("ALTER TABLE graft_delta.uniform_sql_t SET " +
+        "TBLPROPERTIES('delta.universalFormat.enabledFormats' = " +
+        "'iceberg')")
+      // the property commit ITSELF creates the mirror (the hook sees
+      // an enabled configuration with no sync marker and re-exports)
+      IcebergInterop.read(spark, t).count() shouldBe 8L
+      // data commits keep it current
+      DeltaInterop.write(Seq((100L, 100L)).toDF("id", "v"), t)
+      IcebergInterop.read(spark, t).count() shouldBe 9L
+      // and the next append rides the incremental leg
+      DeltaInterop.write(Seq((200L, 200L)).toDF("id", "v"), t)
+      IcebergInterop.read(spark, t).count() shouldBe 10L
+    } finally {
+      DeltaSql.unregister("uniform_sql_t")
+      UniForm.disableAutoMirror(t)
+    }
+  }
+
   test("the append leg's LIGHT head read matches the full state on " +
     "everything an append publication needs, and refuses (None) on " +
     "v2 heads that could hide delete manifests") {
