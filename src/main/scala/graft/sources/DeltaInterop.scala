@@ -813,6 +813,61 @@ object DeltaInterop {
     }
   }
 
+  /** `$files` — the live file surface at HEAD: path, partition
+    * values, size, the recorded row count (from stats, when present),
+    * deletion-vector debt and row-tracking assignment. O(files)
+    * metadata from the already-replayed state, no data IO. */
+  def filesTable(spark: SparkSession, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val st = state(spark, table, None)
+    st.files.map { a =>
+      val records: Option[Long] = a.stats.flatMap(s0 =>
+        scala.util.Try(JsonMethods.parse(s0) \ "numRecords").toOption
+          .collect {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+          })
+      (a.path,
+        a.partitionValues.map { case (k, v) => k -> v.orNull },
+        a.size, records, a.dv.map(_.cardinality), a.baseRowId,
+        a.defaultRowCommitVersion)
+    }.toDF("path", "partition", "size_bytes", "record_count",
+      "dv_rows", "base_row_id", "default_row_commit_version")
+  }
+
+  /** `$detail` — the DESCRIBE DETAIL one-row profile: format,
+    * location, partition/clustering columns, file/byte totals,
+    * protocol surface and the recorded configuration. Manifests only
+    * (stats-recorded sizes), no data IO. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val st = state(spark, table, None)
+    val clustering: Seq[String] = st.domains.get(ClusteringDomain)
+      .toSeq.flatMap { cfg =>
+        import org.json4s._
+        (org.json4s.jackson.JsonMethods.parse(cfg) \
+          "clusteringColumns") match {
+          case JArray(cols) => cols.collect {
+            case JArray(parts) => parts.collect {
+              case JString(p) => p }.mkString(".")
+          }
+          case _ => Nil
+        }
+      }
+    Seq((
+      "delta", table, st.version, st.metaId.orNull,
+      st.partitionColumns, clustering, st.files.size.toLong,
+      st.files.map(_.size).sum, st.minReaderVersion,
+      st.minWriterVersion, st.readerFeatures, st.writerFeatures,
+      st.configuration))
+      .toDF("format", "location", "version", "table_id",
+        "partition_columns", "clustering_columns", "num_files",
+        "size_in_bytes", "min_reader_version", "min_writer_version",
+        "reader_features", "writer_features", "properties")
+  }
+
   /** `DESCRIBE HISTORY` — one row per RETAINED commit (vacuumed JSON
     * versions are gone by design): version, wall-clock timestamp,
     * operation name, and the commit's add/remove counts. O(versions)

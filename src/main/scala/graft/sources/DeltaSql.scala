@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
@@ -38,6 +38,20 @@ object DeltaSql {
 
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)): Unit
+
+  // the $-suffix inspection tables
+  private val metaTables
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "$history" -> ((s, t) => DeltaInterop.history(s, t)),
+    "$files" -> ((s, t) => DeltaInterop.filesTable(s, t)),
+    "$detail" -> ((s, t) => DeltaInterop.detail(s, t)))
+
+  private def metaSuffixOf(ident: String)
+      : Option[(String, (SparkSession, String) => DataFrame)] =
+    metaTables.find { case (suffix, _) =>
+      ident.endsWith(suffix) &&
+        pathOf(ident.stripSuffix(suffix)).isDefined
+    }
 
   /** The registry listing (name → path) — `SHOW TABLES IN
     * graft_delta`'s source. */
@@ -341,17 +355,17 @@ object DeltaSql {
 
     private def applyReads(plan: LogicalPlan): LogicalPlan =
       filterPrune(plan).resolveOperatorsUp {
-        // `` graft_delta.`name$history` `` — the DESCRIBE HISTORY
-        // metadata table (the lake's $-suffix idiom)
+        // `` graft_delta.`name$<meta>` `` — the inspection tables
+        // (the lake's $-suffix idiom): $history, $files (live surface
+        // incl. DV debt and row-tracking assignment), $detail
+        // (DESCRIBE DETAIL) — all metadata-only reads
         case u: UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
-            u.multipartIdentifier(1).endsWith("$history") &&
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$history")).isDefined =>
-          PlanBridge.analyzedPlan(DeltaInterop.history(spark,
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$history")).get))
+            metaSuffixOf(u.multipartIdentifier(1)).isDefined =>
+          val (suffix, fn) = metaSuffixOf(u.multipartIdentifier(1)).get
+          PlanBridge.analyzedPlan(fn(spark,
+            pathOf(u.multipartIdentifier(1).stripSuffix(suffix)).get))
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if deltaTarget(u).isDefined =>
           readPlan(deltaTarget(u).get, Some(versionOf(v)))

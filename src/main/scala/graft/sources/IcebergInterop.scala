@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions}
 import org.apache.spark.sql.types._
 
 /** Apache Iceberg TABLE-FORMAT interop, pure Spark — no iceberg jar
@@ -114,7 +114,17 @@ object IcebergInterop {
                            fileSeq: Long = -1L,
                            format: String = "parquet",
                            firstRowId: Option[Long] = None,
-                           lineageUnresolved: Boolean = false)
+                           lineageUnresolved: Boolean = false,
+                           sortOrderId: Option[Int] = None)
+
+  /** One field of a table sort order (spec §Sorting): the source
+    * column (resolved to its top-level name), sort direction and
+    * null placement. Non-identity transforms are carried by name so
+    * the write path can tell "honorable" orders (all identity) from
+    * ones it must not pretend to satisfy. */
+  final case class IceSortField(source: String, asc: Boolean,
+                                nullsFirst: Boolean,
+                                transform: String = "identity")
 
   /** The table's schema-evolution evidence, resolved once per
     * [[state]] call: every schema the metadata retains as ordered
@@ -182,7 +192,9 @@ object IcebergInterop {
                             defaultSpecId: Int = 0,
                             evo: SchemaEvolution = SchemaEvolution(),
                             formatVersion: Int = 1,
-                            dvDeletes: Seq[IceDvDelete] = Nil)
+                            dvDeletes: Seq[IceDvDelete] = Nil,
+                            defaultSortOrderId: Int = 0,
+                            sortFields: Seq[IceSortField] = Nil)
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1209,7 +1221,9 @@ object IcebergInterop {
                 firstRowId = if (formatVersion < 3) None else frid,
                 lineageUnresolved = formatVersion >= 3 &&
                   mfLineageUnresolved && status == 1 &&
-                  fieldOpt(df, "first_row_id").isEmpty)
+                  fieldOpt(df, "first_row_id").isEmpty,
+                sortOrderId = fieldOpt(df, "sort_order_id")
+                  .map(_.asInstanceOf[Number].intValue))
             case 1 if fmt.equalsIgnoreCase("puffin") =>
               // v3 DELETION VECTOR: one Puffin blob per referenced
               // data file, addressed by byte range — all three v3
@@ -1260,6 +1274,45 @@ object IcebergInterop {
         }
       }
     }
+    // table sort orders (spec §Sorting): the DEFAULT order's fields
+    // resolved to top-level column names by source-id against the
+    // effective schema — what the write path sorts appends by and
+    // stamps `sort_order_id` under. An unresolvable source (nested,
+    // dropped) marks the field's transform "unresolved" so the writer
+    // carries the order verbatim but never pretends to satisfy it.
+    val defaultSortId: Int =
+      jLong(metaJson \ "default-sort-order-id") match {
+        case -1L => 0
+        case id => id.toInt
+      }
+    val sortFields: Seq[IceSortField] = (metaJson \ "sort-orders") match {
+      case JArray(orders) =>
+        orders.find(o => jLong(o \ "order-id") == defaultSortId)
+          .toSeq.flatMap(o => (o \ "fields") match {
+            case JArray(fs0) => fs0.map { f =>
+              val srcId = jLong(f \ "source-id")
+              val asc = (f \ "direction") match {
+                case JString(dir0) => !dir0.equalsIgnoreCase("desc")
+                case _ => true
+              }
+              val nf = (f \ "null-order") match {
+                case JString(n) => n.equalsIgnoreCase("nulls-first")
+                case _ => asc // spec defaults: asc→first, desc→last
+              }
+              val tr = (f \ "transform") match {
+                case JString(t) if fieldIdToName.contains(srcId) => t
+                case JString(_) => "unresolved"
+                case _ =>
+                  if (fieldIdToName.contains(srcId)) "identity"
+                  else "unresolved"
+              }
+              IceSortField(fieldIdToName.getOrElse(srcId, s"#$srcId"),
+                asc, nf, tr)
+            }
+            case _ => Nil
+          })
+      case _ => Nil
+    }
     IceState(version, snapId, schema, files.result(), posDeletes.result(),
       eqDeletes.result(), specs,
       jLong(metaJson \ "default-spec-id") match {
@@ -1276,7 +1329,8 @@ object IcebergInterop {
           }).map(t => t._2 -> t._1).toMap,
         schemaFieldTriples, snapshotSchemaIds,
         initialDefaults, writeDefaults),
-      formatVersion.toInt, dvDeletes.result())
+      formatVersion.toInt, dvDeletes.result(),
+      defaultSortId, sortFields)
   }
 
   /** An entry's `lower_bounds`/`upper_bounds` map decoded to the
@@ -1967,6 +2021,7 @@ object IcebergInterop {
          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partJson]},"field-id":102},
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
          |  ${boundsField("lower_bounds", 125, 126, 127)},
          |  ${boundsField("upper_bounds", 128, 129, 130)}
          |  $equalityIdsField
@@ -2157,9 +2212,38 @@ object IcebergInterop {
           .map { case (n, i) => n -> (first + i) }.toMap
       }
     val stamped = stampFieldIds(df, ids)
+    // DEFAULT SORT ORDER honored on write (spec §Sorting — Iceberg's
+    // range write-distribution): when every field of the table's
+    // default order is an identity transform over a written top-level
+    // column, the append range-distributes + sorts within files by it
+    // and the staged entries are stamped `sort_order_id`; any other
+    // order (bucketed transform, nested/dropped source) is CARRIED in
+    // metadata but never stamped — this writer does not pretend
+    // unsorted data is sorted. Partitioned tables keep the tuple
+    // distribution and sort within each partition's files.
+    val order = prior.map(_.sortFields).getOrElse(Nil)
+    val honoredSortId: Int = prior.map(_.defaultSortOrderId)
+      .filter(_ > 0)
+      .filter(_ => order.nonEmpty && order.forall(f =>
+        f.transform == "identity" &&
+          df.schema.fieldNames.contains(f.source)))
+      .getOrElse(0)
+    val sortExprs: Seq[Column] =
+      if (honoredSortId == 0) Nil
+      else order.map(f => (f.asc, f.nullsFirst) match {
+        case (true, true) => functions.col(f.source).asc_nulls_first
+        case (true, false) => functions.col(f.source).asc_nulls_last
+        case (false, true) => functions.col(f.source).desc_nulls_first
+        case (false, false) => functions.col(f.source).desc_nulls_last
+      })
     val moved =
-      if (partitionBy.isEmpty) stageUnpartitioned(spark, stamped, root, fs)
-      else stagePartitioned(spark, stamped, root, fs, partitionBy)
+      if (partitionBy.isEmpty) stageUnpartitioned(spark,
+        if (sortExprs.isEmpty) stamped
+        else stamped.repartitionByRange(sortExprs: _*)
+          .sortWithinPartitions(sortExprs: _*),
+        root, fs)
+      else stagePartitioned(spark, stamped, root, fs, partitionBy,
+        sortExprs)
     // COMMIT with blind-append auto-retry (the ManifestLake
     // `commitAppendWithRebase` discipline on the Iceberg side): an
     // APPEND that loses the metadata-version race re-resolves the
@@ -2174,7 +2258,8 @@ object IcebergInterop {
     while (true) {
       try return publishSnapshot(fs, root, df.schema, moved,
         attemptPrior, overwrite,
-        if (overwrite) "overwrite" else "append", partitionBy, streamMark)
+        if (overwrite) "overwrite" else "append", partitionBy, streamMark,
+        sortOrderId = honoredSortId)
       catch { case e: ConcurrentIcebergCommitException =>
         attempts += 1
         if (overwrite || streamMark.nonEmpty || attempts > MaxCommitRetries)
@@ -2198,6 +2283,13 @@ object IcebergInterop {
         if (!df.schema.fieldNames.forall(n =>
           ws.evo.fieldIds.get(n).contains(ids(n))))
           abortRetry("renumbered column field ids")
+        // the staged files' physical layout was produced under the
+        // sort order read at stage time — a winner that changed the
+        // default order would make the stamped (or omitted)
+        // sort_order_id a lie about these files
+        if (ws.defaultSortOrderId != prior.map(_.defaultSortOrderId)
+          .getOrElse(0))
+          abortRetry("changed the default sort order")
         attemptPrior = Some(ws)
       }
     }
@@ -2373,6 +2465,138 @@ object IcebergInterop {
     nextVersion
   }
 
+  /** Declare the table's DEFAULT SORT ORDER (spec §Sorting — the
+    * `ALTER TABLE … WRITE ORDERED BY` surface): a metadata-only
+    * republish that records the order under the next `order-id` (an
+    * identical existing order is reused) and points
+    * `default-sort-order-id` at it. Later [[write]]s range-distribute
+    * and sort by the order, stamping `sort_order_id` on the staged
+    * manifest entries; [[optimize]] re-sorts rewrites by it. An empty
+    * `fields` declares the table UNSORTED again
+    * (`default-sort-order-id` back to order 0). Only identity
+    * transforms over top-level columns are declarable — transform
+    * sort orders and nested/unknown columns refuse by name. Returns
+    * the order id now default. */
+  def replaceSortOrder(spark: SparkSession, table: String,
+                       fields: Seq[IceSortField]): Int = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    fields.foreach { f =>
+      if (f.transform != "identity")
+        throw new UnsupportedIcebergFeatureException(
+          s"sort order field ${f.source} declares transform " +
+            s"${f.transform} — only identity sort orders are " +
+            "declarable by this writer")
+    }
+    require(fields.map(_.source).distinct.size == fields.size,
+      s"sort order for $table repeats a column")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    // top-level field ids of the CURRENT schema — the order's
+    // source-id vocabulary
+    val curSchemaId = jLong(metaJson \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val schemaNode: JValue = (metaJson \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.find(s => jLong(s \ "schema-id") == curSchemaId)
+          .getOrElse(xs.head)
+      case _ => metaJson \ "schema"
+    }
+    val nameToId: Map[String, Long] = (schemaNode \ "fields") match {
+      case JArray(fs0) => fs0.flatMap { f =>
+        ((f \ "name"), jLong(f \ "id")) match {
+          case (JString(n), id) if id >= 0 => Some(n -> id)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    val wantJson: List[JValue] = fields.toList.map { f =>
+      val sid = nameToId.getOrElse(f.source,
+        throw new UnsupportedIcebergFeatureException(
+          s"sort order column ${f.source} is not a top-level column " +
+            s"of the current schema of $table"))
+      JObject(List(
+        "transform" -> JString("identity"),
+        "source-id" -> JInt(sid),
+        "direction" -> JString(if (f.asc) "asc" else "desc"),
+        "null-order" -> JString(
+          if (f.nullsFirst) "nulls-first" else "nulls-last")))
+    }
+    val priorOrders: List[JValue] = (metaJson \ "sort-orders") match {
+      case JArray(xs) => xs
+      case _ => List(JObject(List(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil))))
+    }
+    def orderFields(o: JValue): List[JValue] = (o \ "fields") match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    val (orderId, nextOrders) =
+      if (fields.isEmpty) {
+        // back to unsorted: order 0 must exist for the pointer
+        val withZero =
+          if (priorOrders.exists(o => jLong(o \ "order-id") == 0L))
+            priorOrders
+          else JObject(List("order-id" -> (JInt(0): JValue),
+            "fields" -> (JArray(Nil): JValue))) :: priorOrders
+        (0, withZero)
+      } else priorOrders.find(o => orderFields(o) == wantJson) match {
+        case Some(existing0) =>
+          (jLong(existing0 \ "order-id").toInt, priorOrders)
+        case None =>
+          val nid = (priorOrders.map(o => jLong(o \ "order-id"))
+            .filter(_ >= 0).foldLeft(0L)(_ max _) + 1).toInt
+          (nid, priorOrders :+ (JObject(List(
+            "order-id" -> (JInt(nid): JValue),
+            "fields" -> (JArray(wantJson): JValue))): JValue))
+      }
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case ("sort-orders", _) =>
+        "sort-orders" -> (JArray(nextOrders): JValue)
+      case ("default-sort-order-id", _) =>
+        "default-sort-order-id" -> (JInt(orderId): JValue)
+      case other => other
+    } match {
+      case fs0 =>
+        val have = fs0.map(_._1).toSet
+        fs0 ++
+          (if (have("sort-orders")) Nil
+           else List("sort-orders" -> (JArray(nextOrders): JValue))) ++
+          (if (have("default-sort-order-id")) Nil
+           else List("default-sort-order-id" ->
+             (JInt(orderId): JValue)))
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    orderId
+  }
+
   /** The table's recorded properties map — [[setProperties]]' read
     * side, one metadata read. */
   def properties(spark: SparkSession, table: String)
@@ -2423,6 +2647,339 @@ object IcebergInterop {
     }
     rows.toDF("snapshot_id", "sequence_number", "timestamp_ms",
       "operation", "is_current")
+  }
+
+  // ------------------------------------------------- inspection tables
+
+  /** `$snapshots` — Iceberg's snapshots inspection table: one row per
+    * RETAINED snapshot with commit time, operation, manifest list and
+    * the full summary map. One metadata read, no data IO. */
+  def snapshotsTable(spark: SparkSession, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val current = jLong(metaJson \ "current-snapshot-id")
+    val rows = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs.map { sn =>
+        val summary = (sn \ "summary") match {
+          case JObject(kvs) => kvs.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
+        val id = jLong(sn \ "snapshot-id")
+        (jLong(sn \ "timestamp-ms"), id,
+          jLong(sn \ "sequence-number") max 0L,
+          summary.getOrElse("operation", ""),
+          (sn \ "manifest-list") match {
+            case JString(ml) => ml
+            case _ => null
+          },
+          jLong(sn \ "schema-id") match {
+            case -1L => None
+            case sid => Some(sid)
+          },
+          id == current, summary)
+      }
+      case _ => Nil
+    }
+    rows.toDF("committed_at_ms", "snapshot_id", "sequence_number",
+      "operation", "manifest_list", "schema_id", "is_current", "summary")
+  }
+
+  /** `$manifests` — the current snapshot's manifest-list rows: path,
+    * length, spec id, content (0 data / 1 deletes), sequence numbers
+    * and the added/existing/deleted counts where the list records
+    * them (v1 lists lack counts → null). One metadata read plus the
+    * manifest-list avro, no manifest or data IO. */
+  def manifestsTable(spark: SparkSession, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val current = jLong(metaJson \ "current-snapshot-id")
+    val listPath: Option[String] = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs
+        .find(sn => jLong(sn \ "snapshot-id") == current)
+        .flatMap(sn => (sn \ "manifest-list") match {
+          case JString(ml) => Some(ml)
+          case _ => None
+        })
+      case _ => None
+    }
+    def num(r: GenericRecord, f: String): Option[Long] =
+      fieldOpt(r, f).map(_.asInstanceOf[Number].longValue)
+    val rows = listPath.toSeq.flatMap(ml =>
+      avroRows(fs, new Path(ml))).map { mf =>
+      (mf.get("manifest_path").toString,
+        num(mf, "manifest_length").getOrElse(0L),
+        num(mf, "partition_spec_id").getOrElse(0L).toInt,
+        num(mf, "content").getOrElse(0L).toInt,
+        num(mf, "sequence_number"),
+        num(mf, "min_sequence_number"),
+        num(mf, "added_snapshot_id"),
+        num(mf, "added_files_count")
+          .orElse(num(mf, "added_data_files_count")),
+        num(mf, "existing_files_count")
+          .orElse(num(mf, "existing_data_files_count")),
+        num(mf, "deleted_files_count")
+          .orElse(num(mf, "deleted_data_files_count")),
+        num(mf, "added_rows_count"),
+        num(mf, "existing_rows_count"),
+        num(mf, "deleted_rows_count"))
+    }
+    rows.toDF("path", "length", "partition_spec_id", "content",
+      "sequence_number", "min_sequence_number", "added_snapshot_id",
+      "added_files_count", "existing_files_count",
+      "deleted_files_count", "added_rows_count", "existing_rows_count",
+      "deleted_rows_count")
+  }
+
+  /** `$files` — the current snapshot's live file surface: data files
+    * (content 0) plus the delete surface — position-delete parquet
+    * and v3 DV puffin (content 1), equality deletes (content 2).
+    * Partition tuples stringify per value. O(files) metadata from the
+    * already-resolved state, no data IO. */
+  def filesTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val st = state(spark, table, None)
+    def strTuple(m: Map[String, AnyRef]): Map[String, String] =
+      m.map { case (k, v) => k -> (if (v == null) null else v.toString) }
+    val data = st.files.map(f =>
+      (0, f.path, f.format.toUpperCase(java.util.Locale.ROOT),
+        f.specId, strTuple(f.partition), Option(f.records),
+        Option(f.bytes), f.sortOrderId, f.seq,
+        if (f.snapId >= 0) Some(f.snapId) else None, f.firstRowId))
+    val pos = st.posDeletes.map(p =>
+      (1, p, "PARQUET", st.defaultSpecId, Map.empty[String, String],
+        Option.empty[Long], Option.empty[Long], Option.empty[Int], 0L,
+        Option.empty[Long], Option.empty[Long]))
+    val dv = st.dvDeletes.map(d =>
+      (1, d.path, "PUFFIN", st.defaultSpecId, Map.empty[String, String],
+        Option.empty[Long], Option.empty[Long], Option.empty[Int], 0L,
+        Option.empty[Long], Option.empty[Long]))
+    val eq = st.eqDeletes.map(e =>
+      (2, e.path, "PARQUET", st.defaultSpecId, Map.empty[String, String],
+        Option.empty[Long], Option.empty[Long], Option.empty[Int],
+        e.seq, Option.empty[Long], Option.empty[Long]))
+    (data ++ pos ++ dv ++ eq).toDF("content", "file_path",
+      "file_format", "spec_id", "partition", "record_count",
+      "file_size_in_bytes", "sort_order_id", "sequence_number",
+      "snapshot_id", "first_row_id")
+  }
+
+  /** `$partitions` — the data surface grouped by partition tuple:
+    * file/row/byte totals per tuple. O(files) metadata. */
+  def partitionsTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val st = state(spark, table, None)
+    st.files.groupBy(f => (f.specId, f.partition)).toSeq.map {
+      case ((specId, tuple), fs0) =>
+        (tuple.map { case (k, v) =>
+          k -> (if (v == null) null else v.toString) },
+          specId, fs0.size.toLong, fs0.map(_.records).sum,
+          fs0.map(_.bytes).sum)
+    }.toDF("partition", "spec_id", "data_file_count", "record_count",
+      "total_size_bytes")
+  }
+
+  // --------------------------------------------------- table statistics
+
+  /** COMPUTE TABLE STATISTICS (spec §Table statistics): one
+    * distributed aggregation pass over the LIVE rows computes
+    * per-column NDV (HLL++ — deterministic, no data collected), a
+    * spec-shaped Puffin statistics file lands under `metadata/`, and
+    * the table metadata republishes with the `statistics` entry for
+    * the CURRENT snapshot (replacing a prior entry for the same
+    * snapshot — stats are per-snapshot). Blob payloads carry the
+    * count as 8 LE bytes under the `graft-ndv-v1` type; the `ndv`
+    * value ALSO rides the blob-metadata `properties` map, which is
+    * how engines consume Iceberg NDV for planning (the footer is
+    * read, the sketch only parsed when merging) — a foreign reader
+    * skips the unknown blob type and still gets the number. Returns
+    * the snapshot id the stats describe. */
+  def computeStats(spark: SparkSession, table: String,
+                   cols: Seq[String] = Nil): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val st = state(spark, table, None)
+    require(st.snapshotId != -1L,
+      s"computeStats: $table has no current snapshot")
+    val targets =
+      if (cols.isEmpty) st.schema.fields.toSeq.map(_.name)
+      else {
+        cols.foreach(c => require(st.schema.exists(_.name == c),
+          s"computeStats column $c is not in the schema of $table"))
+        cols
+      }
+    val df = toDF(spark, st)
+    val aggs = targets.map(c =>
+      functions.approx_count_distinct(functions.col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndv: Seq[(String, Long)] =
+      targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).get
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val seq = jLong(metaJson \ "last-sequence-number") max 0L
+    // one Puffin stats file: framed 8-byte counts + the JSON footer
+    val statsPath = new Path(metaDir,
+      s"${java.util.UUID.randomUUID()}.stats")
+    val magic = "PFA1".getBytes(StandardCharsets.UTF_8)
+    var footerSize = 0L
+    val out = fs.create(statsPath, false)
+    try {
+      out.write(magic)
+      var offset = 4L
+      val placed = ndv.map { case (c, n) =>
+        val payload = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(n).array()
+        out.write(payload)
+        val here = offset
+        offset += payload.length
+        (c, n, here, payload.length.toLong)
+      }
+      val blobsJson = placed.map { case (c, n, off, size) =>
+        val fid = st.evo.fieldIds.getOrElse(c, 0L)
+        s"""{"type":"graft-ndv-v1","fields":[$fid],""" +
+          s""""snapshot-id":${st.snapshotId},""" +
+          s""""sequence-number":$seq,""" +
+          s""""offset":$off,"length":$size,""" +
+          s""""properties":{"ndv":${jstr(n.toString)},""" +
+          s""""column":${jstr(c)}}}"""
+      }.mkString(",")
+      val payload = (s"""{"blobs":[$blobsJson],""" +
+        s""""properties":{"created-by":${jstr("graft")}}}""")
+        .getBytes(StandardCharsets.UTF_8)
+      out.write(magic)
+      out.write(payload)
+      val tail = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0)
+      out.write(tail.array())
+      out.write(magic)
+      footerSize = 4L + payload.length + 8L + 4L
+    } finally out.close()
+    val fileSize = fs.getFileStatus(statsPath).getLen
+    val entry: JValue = JObject(List(
+      "snapshot-id" -> JLong(st.snapshotId),
+      "statistics-path" -> JString(statsPath.toString),
+      "file-size-in-bytes" -> JLong(fileSize),
+      "file-footer-size-in-bytes" -> JLong(footerSize),
+      "blob-metadata" -> JArray(ndv.map { case (c, n) =>
+        JObject(List(
+          "type" -> JString("graft-ndv-v1"),
+          "snapshot-id" -> (JLong(st.snapshotId): JValue),
+          "sequence-number" -> (JLong(seq): JValue),
+          "fields" -> (JArray(List(
+            JLong(st.evo.fieldIds.getOrElse(c, 0L)))): JValue),
+          "properties" -> (JObject(List(
+            "ndv" -> (JString(n.toString): JValue),
+            "column" -> (JString(c): JValue))): JValue))): JValue
+      }.toList)))
+    // replace any prior entry for the SAME snapshot, keep others
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case ("statistics", JArray(xs)) =>
+        "statistics" -> (JArray(xs.filterNot(e =>
+          jLong(e \ "snapshot-id") == st.snapshotId) :+ entry): JValue)
+      case other => other
+    } match {
+      case fs0 if fs0.exists(_._1 == "statistics") => fs0
+      case fs0 => fs0 :+ ("statistics" -> (JArray(List(entry)): JValue))
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val o2 = fs.create(metaTmp, false)
+    try o2.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally o2.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      fs.delete(statsPath, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    st.snapshotId
+  }
+
+  /** `$stats` — the recorded statistics surface: one row per
+    * (statistics file, column) with the NDV read from the footer's
+    * blob-metadata PROPERTIES (no blob parse — exactly how engines
+    * consume it). One metadata read. */
+  def statsTable(spark: SparkSession, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val rows = (metaJson \ "statistics") match {
+      case JArray(entries) => entries.flatMap { e =>
+        val snap = jLong(e \ "snapshot-id")
+        val path = (e \ "statistics-path") match {
+          case JString(p) => p
+          case _ => null
+        }
+        (e \ "blob-metadata") match {
+          case JArray(bs) => bs.map { b =>
+            val props = (b \ "properties") match {
+              case JObject(kvs) => kvs.collect {
+                case (k, JString(v)) => k -> v }.toMap
+              case _ => Map.empty[String, String]
+            }
+            val btype = (b \ "type") match {
+              case JString(s0) => s0
+              case _ => ""
+            }
+            (snap, path, btype, props.getOrElse("column", null),
+              props.get("ndv").map(_.toLong))
+          }
+          case _ => Nil
+        }
+      }
+      case _ => Nil
+    }
+    rows.toDF("snapshot_id", "statistics_path", "blob_type", "column",
+      "ndv")
+  }
+
+  /** The current snapshot's recorded NDV per column — the planning
+    * read of [[computeStats]]' output (empty when no stats entry
+    * describes the current snapshot). */
+  def tableNdv(spark: SparkSession, table: String): Map[String, Long] = {
+    val st = state(spark, table, None)
+    statsTable(spark, table).collect()
+      .filter(r => r.getLong(0) == st.snapshotId &&
+        !r.isNullAt(3) && !r.isNullAt(4))
+      .map(r => r.getString(3) -> r.getLong(4)).toMap
   }
 
   // ----------------------------------------------------- branches & tags
@@ -5113,7 +5670,8 @@ object IcebergInterop {
     * synthetic columns are what partitionBy strips). */
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem,
-      spec: Seq[SpecField]): Seq[IceFile] = {
+      spec: Seq[SpecField],
+      sortExprs: Seq[Column] = Nil): Seq[IceFile] = {
     import org.apache.spark.sql.functions.col
     val typed = spec.map { sf =>
       val dt = df.schema.find(_.name == sf.source).map(_.dataType)
@@ -5140,7 +5698,13 @@ object IcebergInterop {
     // the file count is O(tasks × tuples); with it, O(tuples). The
     // trade-off — a single-tuple batch serializes into one task — is
     // the spec'd write-mode trade-off, not an accident.
-    staged.repartition(gpNames.map(col): _*)
+    // a declared (honorable) sort order sorts WITHIN each partition's
+    // files — the tuple distribution stays, the local order is what
+    // the stamped sort_order_id promises
+    val distributed = staged.repartition(gpNames.map(col): _*)
+    (if (sortExprs.isEmpty) distributed
+     else distributed.sortWithinPartitions(
+       (gpNames.map(col) ++ sortExprs): _*))
       .write.mode("overwrite").partitionBy(gpNames: _*)
       .parquet(stage.toString)
     val dataDir = new Path(root, "data")
@@ -5210,7 +5774,8 @@ object IcebergInterop {
       prior: Option[IceState], overwrite: Boolean,
       operation: String, spec: Seq[SpecField] = Nil,
       streamMark: Option[(String, Long)] = None,
-      existing: Seq[IceFile] = Nil): Long = {
+      existing: Seq[IceFile] = Nil,
+      sortOrderId: Int = 0): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
@@ -5441,6 +6006,11 @@ object IcebergInterop {
         dfRec.put("partition", partRec)
         dfRec.put("record_count", f.records)
         dfRec.put("file_size_in_bytes", f.bytes)
+        // sort_order_id (spec field 140): added files take the
+        // commit's order (0 = unsorted, left null); EXISTING
+        // survivors keep their recorded layout evidence
+        (if (isAdded) Some(sortOrderId).filter(_ > 0) else f.sortOrderId)
+          .foreach(v => dfRec.put("sort_order_id", Integer.valueOf(v)))
         // v3 row lineage: every added data file records its explicit
         // row-id origin (preserved or freshly allocated above);
         // EXISTING survivors carry their recorded one (a null stays
@@ -5602,13 +6172,34 @@ object IcebergInterop {
         })
         case _ => Nil
       }).foldLeft(999L)(_ max _)
+    // SORT ORDERS carry VERBATIM: a foreign (or [[replaceSortOrder]]-
+    // declared) table's `sort-orders`/`default-sort-order-id` survive
+    // every commit — resetting them to order 0 would leave a foreign
+    // reader's default-sort-order-id dangling. v1 metadata carries
+    // them too when present (optional in v1, required in v2).
+    val (sortOrdersJson, defaultSortIdJson) = priorMeta
+      .map(m => (m \ "sort-orders", m \ "default-sort-order-id"))
+      .collect { case (so @ JArray(xs), dsi) if xs.nonEmpty =>
+        (compactJ(so), jLong(dsi) match {
+          case -1L => 0L
+          case id => id
+        })
+      }
+      .getOrElse(("""[{"order-id":0,"fields":[]}]""", 0L))
+    val sortFields0 =
+      s""""default-sort-order-id":$defaultSortIdJson,
+         |"sort-orders":$sortOrdersJson,
+         |""".stripMargin
     val v2Fields =
-      if (!v2) ""
+      (if (!v2) {
+        // optional in v1 — emitted only when the table declares one
+        if (defaultSortIdJson == 0L &&
+          sortOrdersJson == """[{"order-id":0,"fields":[]}]""") ""
+        else sortFields0
+      }
       else s""""last-sequence-number":$newSeq,
            |"last-partition-id":$lastPartitionId,
-           |"default-sort-order-id":0,
-           |"sort-orders":[{"order-id":0,"fields":[]}],
-           |""".stripMargin +
+           |""".stripMargin + sortFields0) +
         (if (!v3) ""
          else s""""next-row-id":${priorNextRowId + addedRows},""" + "\n")
     // properties and refs carry forward VERBATIM — dropping them
@@ -5644,6 +6235,18 @@ object IcebergInterop {
         s""""refs":${compactJ(JObject(advanced))},"""
       case _ => ""
     }
+    // statistics / partition-statistics entries carry VERBATIM: they
+    // describe the snapshots they NAME (which stay addressable), not
+    // the new head — dropping them would erase recorded NDV planning
+    // stats on every commit; expiry prunes entries with their
+    // snapshots
+    val carriedStats: String = priorMeta.map(m =>
+      List("statistics", "partition-statistics").flatMap(k =>
+        (m \ k) match {
+          case arr @ JArray(xs) if xs.nonEmpty =>
+            Some(s""""$k":${compactJ(arr)},""")
+          case _ => None
+        }).mkString).getOrElse("")
     val json =
       s"""{"format-version":$formatVersion,"table-uuid":${jstr(tableUuid)},
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
@@ -5654,7 +6257,7 @@ object IcebergInterop {
          |"partition-spec":$legacySpecJson,"default-spec-id":$specId,
          |"partition-specs":$allSpecsJson,
          |"properties":$propsJson,
-         |$refsField"current-snapshot-id":$snapshotId,
+         |$refsField$carriedStats"current-snapshot-id":$snapshotId,
          |"snapshots":$snapshotsJson,
          |"snapshot-log":$logJson
          |}""".stripMargin.replace("\n", "")
@@ -5814,12 +6417,36 @@ object IcebergInterop {
         s"live files of $table span multiple partition specs — one " +
           "rewrite manifest declares one spec; overwrite under the " +
           "current spec first")
+    // a declared (honorable) default sort order turns the implicit
+    // OPTIMIZE into a SORT rewrite: files not stamped with the
+    // current order id rewrite alongside the small strays; files the
+    // order already shaped (stamped, well-sized) carry verbatim —
+    // declare-then-OPTIMIZE re-sorts the table once, and routine
+    // maintenance thereafter costs only the unsorted/small tail
+    val sortable = zorderBy.isEmpty && st.defaultSortOrderId > 0 &&
+      st.sortFields.nonEmpty && st.sortFields.forall(f =>
+        f.transform == "identity" &&
+          st.schema.fieldNames.contains(f.source))
     val groups = st.files.groupBy(_.partition).toSeq.flatMap {
       case (tuple, fs0) =>
         val picked =
           if (zorderBy.nonEmpty) fs0
+          else if (sortable) {
+            // files not yet shaped by the current order rewrite
+            // (sorted + stamped); once everything is stamped, only
+            // the plain ≥2-small-files merge fires — incremental
+            // maintenance, never a standing whole-table rewrite
+            val unstamped = fs0.filterNot(
+              _.sortOrderId.contains(st.defaultSortOrderId))
+            if (unstamped.nonEmpty) unstamped
+            else {
+              val small = fs0.filter(_.bytes < targetFileBytes)
+              if (small.size < 2) Nil else small
+            }
+          }
           else fs0.filter(_.bytes < targetFileBytes)
-        if ((zorderBy.isEmpty && picked.size < 2) || picked.isEmpty) None
+        if ((zorderBy.isEmpty && !sortable && picked.size < 2) ||
+          picked.isEmpty) None
         else Some(tuple -> picked)
     }
     if (groups.isEmpty) return st.snapshotId
@@ -5850,6 +6477,16 @@ object IcebergInterop {
         picked.map(_.bytes).sum.toDouble / targetFileBytes).toLong).toInt
       val packed =
         if (zorderBy.nonEmpty) ZOrder.clusterByZ(grouped, zorderBy, nOut)
+        else if (sortable) {
+          val exprs = st.sortFields.map(f => (f.asc, f.nullsFirst) match {
+            case (true, true) => functions.col(f.source).asc_nulls_first
+            case (true, false) => functions.col(f.source).asc_nulls_last
+            case (false, true) => functions.col(f.source).desc_nulls_first
+            case (false, false) => functions.col(f.source).desc_nulls_last
+          })
+          grouped.repartitionByRange(nOut, exprs: _*)
+            .sortWithinPartitions(exprs: _*)
+        }
         else grouped.coalesce(nOut)
       val stage = new Path(root, s".optimize-${java.util.UUID.randomUUID()}")
       packed.write.mode("overwrite").parquet(stage.toString)
@@ -5870,7 +6507,8 @@ object IcebergInterop {
     // sequence numbers (see compactDeletes — same r15 lineage fix)
     publishSnapshot(fs, root, st.schema, rewritten, Some(st),
       overwrite = true, operation = "replace", spec = spec,
-      existing = keep)
+      existing = keep,
+      sortOrderId = if (sortable) st.defaultSortOrderId else 0)
   }
 
   /** Iceberg's retention maintenance (`expireSnapshots`): drop every
@@ -5980,6 +6618,9 @@ object IcebergInterop {
     // racing the deletes resolves either the old version (files still
     // present) or the new one (no dropped references)
     val keptIds = keep.map(snapId).toSet
+    // statistics entries describing dropped snapshots expire WITH
+    // them — their files (writer-owned, under metadata/) delete below
+    val dropStatsFiles = Seq.newBuilder[String]
     val newAst = metaJson.transformField {
       case JField("snapshots", _) =>
         JField("snapshots", JArray(keep.toList))
@@ -5990,6 +6631,21 @@ object IcebergInterop {
             case JLong(l) => keptIds(l)
             case _ => false
           })))
+      case JField(k @ ("statistics" | "partition-statistics"),
+          JArray(xs)) =>
+        val (kept0, dropped0) = xs.partition(e =>
+          keptIds(jLong(e \ "snapshot-id")))
+        dropped0.foreach { e =>
+          val p = (e \ "statistics-path") match {
+            case JString(s0) => Some(s0)
+            case _ => (e \ "path") match {
+              case JString(s0) => Some(s0)
+              case _ => None
+            }
+          }
+          p.foreach(dropStatsFiles += _)
+        }
+        JField(k, JArray(kept0))
     }
     val newJson = JsonMethods.compact(JsonMethods.render(newAst))
     val nextVersion = version + 1
@@ -6019,6 +6675,9 @@ object IcebergInterop {
     val deadData = (dropData -- keepData).filter(p =>
       new Path(p).toUri.getPath.startsWith(dataDirPath))
     deadData.foreach(p => fs.delete(new Path(p), false): Unit)
+    // expired statistics files live under writer-owned metadata/
+    dropStatsFiles.result().foreach(p =>
+      fs.delete(new Path(p), false): Unit)
     deadData.size
   }
 

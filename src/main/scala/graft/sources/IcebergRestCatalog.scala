@@ -494,14 +494,81 @@ object IcebergRestCatalog {
       // snapshots whose metadata the catalog cannot resolve.
       // (`location` is NOT compared: the local kernel re-stamps the
       // staged mirror's own root there; the catalog keeps its own.)
-      if ((head \ "sort-orders") != (base \ "sort-orders") ||
-        jnum(head \ "default-sort-order-id") !=
-          jnum(base \ "default-sort-order-id"))
+      // sort orders the local commit added (replaceSortOrder on the
+      // staged mirror), then the default pointer — the vocabulary's
+      // add-sort-order/set-default-sort-order pair. EDITS to an
+      // order the base already lists (or a removal) have no update
+      // action and refuse by name.
+      def ordersOf(m: JValue): Map[Long, JValue] = (m \ "sort-orders") match {
+        case JArray(xs) => xs.map(o => jnum(o \ "order-id") -> o).toMap
+        case _ => Map.empty
+      }
+      val baseOrders = ordersOf(base)
+      val headOrders = ordersOf(head)
+      baseOrders.keys.foreach { oid =>
+        if (!headOrders.contains(oid) ||
+          headOrders(oid) != baseOrders(oid))
+          throw new IcebergInterop.UnsupportedIcebergFeatureException(
+            s"REST catalog commit of $ns.$name would " +
+              (if (headOrders.contains(oid)) "EDIT" else "REMOVE") +
+              s" sort order $oid — the CommitTableRequest vocabulary " +
+              "only ADDS sort orders (add-sort-order); commit this " +
+              "change through a native catalog client")
+      }
+      val headDefaultOrder = jnum(head \ "default-sort-order-id")
+      if (headDefaultOrder > 0 && !headOrders.contains(headDefaultOrder))
         throw new IcebergInterop.UnsupportedIcebergFeatureException(
-          s"REST catalog commit of $ns.$name would change SORT " +
-            "ORDERS — this client emits no add-sort-order/" +
-            "set-default-sort-order actions; commit sort-order " +
-            "changes through a native catalog client")
+          s"REST catalog commit of $ns.$name points " +
+            s"default-sort-order-id at order $headDefaultOrder, which " +
+            "the head metadata does not list — refusing the DANGLING " +
+            "SORT ORDER pointer rather than publishing it")
+      val addedOrders = headOrders.view
+        .filterKeys(oid => !baseOrders.contains(oid))
+        .toSeq.sortBy(_._1)
+      addedOrders.foreach { case (_, o) =>
+        updates += JObject(List(
+          "action" -> JString("add-sort-order"), "sort-order" -> o))
+      }
+      if (jnum(head \ "default-sort-order-id") !=
+        jnum(base \ "default-sort-order-id")) {
+        // -1 = "last added" survives server renumbering, exactly the
+        // set-current-schema/set-default-spec convention
+        val headDefault = jnum(head \ "default-sort-order-id")
+        val lastAdded = addedOrders.lastOption.map(_._1)
+        updates += JObject(List(
+          "action" -> JString("set-default-sort-order"),
+          "sort-order-id" ->
+            (if (lastAdded.contains(headDefault)) JInt(-1)
+             else head \ "default-sort-order-id")))
+      }
+      // statistics / partition-statistics entries, keyed by the
+      // snapshot they describe: added or replaced → set-*, locally
+      // expired → remove-* (the vocabulary's per-snapshot pair)
+      Seq(("statistics", "set-statistics", "remove-statistics"),
+        ("partition-statistics", "set-partition-statistics",
+          "remove-partition-statistics")).foreach {
+        case (field, setAction, removeAction) =>
+          def entries(m: JValue): Map[Long, JValue] = (m \ field) match {
+            case JArray(xs) =>
+              xs.map(e => jnum(e \ "snapshot-id") -> e).toMap
+            case _ => Map.empty
+          }
+          val baseE = entries(base)
+          val headE = entries(head)
+          headE.toSeq.sortBy(_._1).foreach { case (sid, e) =>
+            if (!baseE.get(sid).contains(e))
+              updates += JObject(List(
+                "action" -> JString(setAction),
+                "snapshot-id" -> JLong(sid),
+                (if (field == "statistics") "statistics"
+                 else "partition-statistics") -> e))
+          }
+          (baseE.keySet -- headE.keySet).toSeq.sorted.foreach { sid =>
+            updates += JObject(List(
+              "action" -> JString(removeAction),
+              "snapshot-id" -> JLong(sid)))
+          }
+      }
       // schemas added by the local commit, then the current pointer
       val baseSchemaIds = (base \ "schemas") match {
         case JArray(xs) => xs.map(s => jnum(s \ "schema-id")).toSet

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
@@ -48,6 +48,25 @@ object IcebergSql {
     import scala.jdk.CollectionConverters._
     tables.asScala.toMap
   }
+
+  // the $-suffix inspection tables, longest suffix first so a table
+  // literally named `x$files$history` resolves deterministically
+  private val metaTables
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "$history" -> ((s, t) => IcebergInterop.history(s, t)),
+    "$refs" -> ((s, t) => IcebergInterop.refsTable(s, t)),
+    "$snapshots" -> ((s, t) => IcebergInterop.snapshotsTable(s, t)),
+    "$manifests" -> ((s, t) => IcebergInterop.manifestsTable(s, t)),
+    "$files" -> ((s, t) => IcebergInterop.filesTable(s, t)),
+    "$partitions" -> ((s, t) => IcebergInterop.partitionsTable(s, t)),
+    "$stats" -> ((s, t) => IcebergInterop.statsTable(s, t)))
+
+  private def metaSuffixOf(ident: String)
+      : Option[(String, (SparkSession, String) => DataFrame)] =
+    metaTables.find { case (suffix, _) =>
+      ident.endsWith(suffix) &&
+        pathOf(ident.stripSuffix(suffix)).isDefined
+    }
 
   private def iceTarget(u: UnresolvedRelation): Option[String] =
     if (u.multipartIdentifier.length == 2 &&
@@ -492,27 +511,16 @@ object IcebergSql {
 
     private def applyReads(plan: LogicalPlan): LogicalPlan =
       filterPrune(plan).resolveOperatorsUp {
-        // `` graft_iceberg.`name$history` `` — the DESCRIBE HISTORY
-        // metadata table (the lake's $-suffix idiom)
+        // `` graft_iceberg.`name$<meta>` `` — the inspection tables
+        // (the lake's $-suffix idiom): $history, $refs, $snapshots,
+        // $manifests, $files, $partitions — all metadata-only reads
         case u: UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
-            u.multipartIdentifier(1).endsWith("$history") &&
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$history")).isDefined =>
-          PlanBridge.analyzedPlan(IcebergInterop.history(spark,
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$history")).get))
-        // `` graft_iceberg.`name$refs` `` — branches and tags
-        case u: UnresolvedRelation
-          if u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
-            u.multipartIdentifier(1).endsWith("$refs") &&
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$refs")).isDefined =>
-          PlanBridge.analyzedPlan(IcebergInterop.refsTable(spark,
-            pathOf(u.multipartIdentifier(1)
-              .stripSuffix("$refs")).get))
+            metaSuffixOf(u.multipartIdentifier(1)).isDefined =>
+          val (suffix, fn) = metaSuffixOf(u.multipartIdentifier(1)).get
+          PlanBridge.analyzedPlan(fn(spark,
+            pathOf(u.multipartIdentifier(1).stripSuffix(suffix)).get))
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, Some(snapshotOf(iceTarget(u).get, v)))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 
 /** Maintenance SQL for the OPEN-FORMAT interop tables — the same
   * statements [[LakeMaintenanceSql]] serves on `graft_lake`, addressed
@@ -123,6 +123,16 @@ object InteropMaintenanceSql {
   private val DClusterRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
       "\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$").r
+  private val IWriteOrderRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+WRITE\\s+ORDERED\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$").r
+  private val IWriteUnorderedRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+WRITE\\s+UNORDERED\\s*;?\\s*$").r
+  private val IAnalyzeRe =
+    ("(?is)^\\s*ANALYZE\\s+TABLE\\s+" + IName +
+      "\\s+COMPUTE\\s+STATISTICS" +
+      "(?:\\s+FOR\\s+COLUMNS\\s+([^;]+?))?\\s*;?\\s*$").r
 
   /** `'k' = 'v', 'k2' = 'v2'` → pairs (commas INSIDE quotes stay in
     * their value); non-quoted or malformed items refuse by name. */
@@ -238,7 +248,32 @@ object InteropMaintenanceSql {
         Some(DeltaDropConstraintCommand(deltaPath(name), ck))
       case DClusterRe(name, cols) =>
         Some(DeltaClusterByCommand(deltaPath(name), splitCols(cols)))
+      case IWriteOrderRe(name, items) =>
+        Some(IcebergWriteOrderCommand(icePath(name),
+          splitCols(items).map(sortOrderItem)))
+      case IWriteUnorderedRe(name) =>
+        Some(IcebergWriteOrderCommand(icePath(name), Nil))
+      case IAnalyzeRe(name, cols) =>
+        Some(IcebergAnalyzeCommand(icePath(name), zcols(cols)))
       case _ => None
+    }
+
+  // one WRITE ORDERED BY item: col [ASC|DESC] [NULLS FIRST|NULLS LAST]
+  // (spec defaults: asc → nulls-first, desc → nulls-last)
+  private val SortItemRe =
+    ("(?i)^`?([A-Za-z0-9_$]+)`?(?:\\s+(ASC|DESC))?" +
+      "(?:\\s+NULLS\\s+(FIRST|LAST))?$").r
+
+  private def sortOrderItem(raw: String): IcebergInterop.IceSortField =
+    raw.trim match {
+      case SortItemRe(c, dir, nulls) =>
+        val asc = dir == null || dir.equalsIgnoreCase("asc")
+        val nullsFirst = Option(nulls)
+          .map(_.equalsIgnoreCase("first")).getOrElse(asc)
+        IcebergInterop.IceSortField(c, asc, nullsFirst)
+      case other => throw new IllegalArgumentException(
+        s"WRITE ORDERED BY item '$other' — expected " +
+          "`col [ASC|DESC] [NULLS FIRST|NULLS LAST]`")
     }
 
   private def splitCols(raw: String): Seq[String] = {
@@ -270,6 +305,34 @@ object InteropMaintenanceSql {
       AttributeReference("snapshot_id", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.optimize(spark, table, zorderBy = z)))
+  }
+
+  /** `ALTER TABLE graft_iceberg.t WRITE ORDERED BY (c1 [ASC|DESC]
+    * [NULLS FIRST|LAST][, …])` / `WRITE UNORDERED` —
+    * [[IcebergInterop.replaceSortOrder]]'s SQL door: declares the
+    * default sort order (empty = unsorted); later appends and
+    * `OPTIMIZE graft_iceberg.t` range-sort by it and stamp
+    * `sort_order_id`. */
+  final case class IcebergWriteOrderCommand(table: String,
+      fields: Seq[IcebergInterop.IceSortField])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("order_id", IntegerType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(IcebergInterop.replaceSortOrder(spark, table, fields)))
+  }
+
+  /** `ANALYZE TABLE graft_iceberg.t COMPUTE STATISTICS
+    * [FOR COLUMNS c1, …]` — [[IcebergInterop.computeStats]]'s SQL
+    * door: one distributed NDV pass, a Puffin statistics file, the
+    * metadata `statistics` entry for the current snapshot. */
+  final case class IcebergAnalyzeCommand(table: String,
+                                         cols: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("snapshot_id", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(IcebergInterop.computeStats(spark, table, cols)))
   }
 
   /** `ALTER TABLE graft_delta.t CLUSTER BY (c1[, c2…])` —

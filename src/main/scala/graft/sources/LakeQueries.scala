@@ -1467,6 +1467,81 @@ object LakeQueries {
       |  TRUE AS lineage_ok
       |FROM fin GROUP BY o_orderpriority""".stripMargin
 
+  /** ic21_sort_order — Iceberg table SORT ORDERS (spec §Sorting)
+    * through the gate: an unsorted seed, `replaceSortOrder`
+    * (`ALTER TABLE … WRITE ORDERED BY (o_orderkey)`), then a
+    * deliberately MIS-ORDERED append and an implicit OPTIMIZE. The
+    * append must land range-distributed + sorted + stamped
+    * `sort_order_id`; the OPTIMIZE must re-sort exactly the
+    * unstamped seed; and the declared order must survive both
+    * commits (the carry fix — a reset would dangle
+    * `default-sort-order-id` for foreign readers). The
+    * `sorted_layout` flag pins the evidence in-row: every live file
+    * stamped with the declared id, per-commit recorded key ranges
+    * pairwise disjoint, a probed rewritten file's rows monotone, and
+    * the default pointer still on the declared order. The data
+    * aggregate re-derives relationally, so a lost row or wrong sort
+    * fails the hash loudly. */
+  def ic21SortOrder(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic21:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic21").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      IcebergInterop.upgradeFormat(s, t)
+      val oid = IcebergInterop.replaceSortOrder(s, t, Seq(
+        IcebergInterop.IceSortField("o_orderkey", asc = true,
+          nullsFirst = true)))
+      // a MIS-ORDERED append: input sorted by price, not by key —
+      // the write path's range distribution must fix the layout
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 1)
+        .orderBy(col("o_totalprice")), t)
+      val total = IcebergInterop.state(s, t, None).files.map(_.bytes).sum
+      IcebergInterop.optimize(s, t, targetFileBytes = total / 3 + 1)
+      val st = IcebergInterop.state(s, t, None)
+      val allStamped = st.files.nonEmpty &&
+        st.files.forall(_.sortOrderId.contains(oid))
+      def keyRange(f: IcebergInterop.IceFile): Option[(Long, Long)] =
+        for (lo <- f.lower.get("o_orderkey").collect { case Left(v) => v };
+             hi <- f.upper.get("o_orderkey").collect { case Left(v) => v })
+          yield (lo, hi)
+      // ranges disjoint WITHIN each commit's files (each commit is
+      // its own range distribution; commits overlap by design)
+      val disjointPerCommit = st.files.groupBy(_.snapId).values.forall {
+        g =>
+          val rs = g.flatMap(keyRange).sortBy(_._1)
+          rs.size == g.size && rs.sliding(2).forall {
+            case Seq((_, hi), (lo, _)) => hi < lo
+            case _ => true
+          }
+      }
+      // one rewritten file's rows are monotone in the sort key
+      val probe = st.files.minBy(_.records)
+      val probed = s.read.parquet(probe.path)
+        .select(col("o_orderkey").cast("long")).collect()
+        .map(_.getLong(0))
+      val monotone = probed.sameElements(probed.sorted)
+      val ok = allStamped && disjointPerCommit && monotone &&
+        st.files.size > 1 && st.defaultSortOrderId == oid
+      s"$t|$ok"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("sorted_layout", lit(flag.toBoolean))
+  }
+
+  val ic21Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS sorted_layout
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl18_liquid_clustering — the Delta `clustering` writer feature
     * through the gate: four fully-interleaved appends, `ALTER TABLE
     * CLUSTER BY (o_orderkey)` (the delta.clustering domain under a
@@ -3455,6 +3530,7 @@ object LakeQueries {
     "ic18_v3_row_lineage" -> (ic18V3RowLineage _),
     "ic19_v3_defaults" -> (ic19V3Defaults _),
     "ic20_v3_keyed_cdc" -> (ic20V3KeyedCdc _),
+    "ic21_sort_order" -> (ic21SortOrder _),
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl16_identity" -> (dl16Identity _),
@@ -3533,6 +3609,7 @@ object LakeQueries {
     "ic18_v3_row_lineage" -> ic18Oracle,
     "ic19_v3_defaults" -> ic19Oracle,
     "ic20_v3_keyed_cdc" -> ic20Oracle,
+    "ic21_sort_order" -> ic21Oracle,
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl16_identity" -> dl16Oracle,

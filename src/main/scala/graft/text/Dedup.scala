@@ -451,6 +451,67 @@ object Dedup {
             col("n_spans")).as("dup_ratio"))
   }
 
+  /** EXACT-SUBSTRING REMOVAL at fixed granularity — the surgery half
+    * of [[duplicatedSpans]] (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" recipe, at k-token
+    * window granularity): every k-token window whose gram occurs in
+    * ≥ 2 distinct documents is CUT from every carrier except the
+    * gram's first (min id) document, overlapping cut windows merge by
+    * construction (a token is dropped when ANY removed window covers
+    * it), and each document's text reassembles from its surviving
+    * tokens. Document-level dedup (dd1) can't express this — no two
+    * documents are equal; the boilerplate lives INSIDE them.
+    *
+    * Scale shape: one explode for the grams, one map-side-combinable
+    * groupBy(gram) for (distinct-doc count, keeper), one hash join
+    * back, a k× bounded explode of the removed windows into covered
+    * token indexes, and a per-doc set collection bounded by document
+    * length (the same bounded per-doc state as [[paragraphDedup]]'s
+    * reassembly). Grams shuffle raw for oracle-exactness; a
+    * corpus-scale run would key them by a 128-bit hash — same plan.
+    * The rebuild probes `array_contains` per token (O(T·R) per doc)
+    * — fine at document sizes; a sorted-array binary search is the
+    * refinement if documents grow unbounded. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toksExpr = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    // persisted: the tokenized base feeds the gram explode AND the
+    // final rebuild — without it the split kernel runs twice
+    val base = graft.core.TransientCache.persist(
+      df.select(col(idCol), toksExpr.as("toks")))
+    val gramsP = base.select(col(idCol), posexplode(
+      when(size(col("toks")) >= k,
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + lit(1), lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+      .as(Seq("pos", "gram")))
+    // per gram: how many DISTINCT docs carry it, and the keeper (the
+    // smallest id — Lee et al.'s "keep one occurrence")
+    val stats = gramsP.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"),
+        min(col(idCol)).as("keeper"))
+      .filter(col("nd") >= 2)
+    // covered token indexes of every removed window (0-based)
+    val removedIdx = gramsP.join(stats, Seq("gram"))
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val removedPerDoc = removedIdx.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("idx"))).as("ridx"))
+    base.join(removedPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("ridx").isNull, 0L)
+          .otherwise(size(col("ridx")).cast("long"))
+          .as("removed_tokens"),
+        array_join(filter(col("toks"), (t, i) =>
+          !coalesce(array_contains(col("ridx"), i), lit(false))), " ")
+          .as("new_text"))
+  }
+
   /** Paragraph-level exact dedup across the corpus — the RefinedWeb /
     * Falcon recipe at paragraph granularity: split each document on
     * `sep`, keep only the GLOBALLY FIRST occurrence of every distinct

@@ -192,6 +192,58 @@ object DedupQueries {
       |      (len(t.toks) - 4) END AS dup_ratio
       |FROM toks t LEFT JOIN dup d USING (doc_id)""".stripMargin
 
+  /** dd14 — EXACT-SUBSTRING REMOVAL (the Lee et al. 2022 surgery, at
+    * 5-token window granularity): every window whose gram occurs in
+    * ≥ 2 distinct documents is CUT from every carrier but the gram's
+    * first (min doc_id) document, overlaps merge, and the text
+    * reassembles from the surviving tokens. Exact → full oracle:
+    * DuckDB re-derives the windows, the keeper rule, the covered
+    * index union AND the reassembled text — a wrong cut boundary or
+    * a lost token fails the hash on the reconstructed string
+    * itself. */
+  def dd14SpanRemoval(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicatedSpans(Tables.documents(s, d))
+
+  val dd14Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i
+      |  FROM toks WHERE len(toks) >= 5),
+      |grams AS (
+      |  SELECT p.doc_id, p.i,
+      |    array_to_string(t.toks[p.i:p.i+4], ' ') AS gram
+      |  FROM pos p JOIN toks t USING (doc_id)),
+      |stats AS (
+      |  SELECT gram, min(doc_id) AS keeper FROM grams
+      |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |ridx AS (
+      |  SELECT DISTINCT doc_id, idx FROM (
+      |    SELECT g.doc_id, unnest(range(g.i, g.i + 5)) AS idx
+      |    FROM grams g JOIN stats s USING (gram)
+      |    WHERE g.doc_id <> s.keeper)),
+      |tokpos AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i
+      |  FROM toks),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.i, t.toks[tp.i] AS tok
+      |  FROM tokpos tp
+      |  JOIN toks t USING (doc_id)
+      |  LEFT JOIN ridx r ON r.doc_id = tp.doc_id AND r.idx = tp.i
+      |  WHERE r.idx IS NULL)
+      |SELECT t.doc_id,
+      |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(rc.c, 0) AS BIGINT) AS removed_tokens,
+      |  coalesce(k.txt, '') AS new_text
+      |FROM toks t
+      |LEFT JOIN (SELECT doc_id, count(*) AS c FROM ridx
+      |           GROUP BY doc_id) rc USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
+      |           FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin
+
   /** dd8 — blocked n-gram CONTAINMENT (|A∩B|/|A|): the asymmetric dup
     * score that catches subset duplication Jaccard dilutes (a doc quoted
     * inside a larger one). Exact kernel → full oracle, with DuckDB
@@ -593,6 +645,7 @@ object DedupQueries {
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd8_ngram_containment" -> (dd8NgramContainment _),
     "dd13_duplicated_spans" -> (dd13DuplicatedSpans _),
+    "dd14_span_removal" -> (dd14SpanRemoval _),
     "dd5_embed_neardup" -> (dd5EmbedNearDup _),
     "dd11_semantic_dedup" -> (dd11SemanticDedup _),
     "dd6_winnow" -> (dd6Winnow _),
@@ -611,6 +664,7 @@ object DedupQueries {
     "dd4_ngram_jaccard" -> dd4Oracle,
     "dd8_ngram_containment" -> dd8Oracle,
     "dd13_duplicated_spans" -> dd13Oracle,
+    "dd14_span_removal" -> dd14Oracle,
     "dd7_dedup_clusters" -> dd7Oracle,
     "dd11_semantic_dedup" -> dd11Oracle)
 }

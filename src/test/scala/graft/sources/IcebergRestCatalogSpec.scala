@@ -100,6 +100,50 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
               case _ => u \ "spec-id"
             }
             set("default-spec-id", want)
+          case JString("add-sort-order") =>
+            val orders = (m \ "sort-orders") match {
+              case JArray(xs) => xs
+              case _ => Nil
+            }
+            // the server ASSIGNS the order id (renumbering allowed,
+            // like add-schema) — here: max existing + 1
+            val assigned = orders.map(o => jnum(o \ "order-id"))
+              .foldLeft(0L)(_ max _) + 1
+            val reshaped = (u \ "sort-order") match {
+              case JObject(kvs) => JObject(kvs.map {
+                case ("order-id", _) =>
+                  "order-id" -> (JLong(assigned): JValue)
+                case kv => kv
+              })
+              case other => other
+            }
+            set("sort-orders", JArray(orders :+ reshaped))
+          case JString("set-default-sort-order") =>
+            val want = jnum(u \ "sort-order-id") match {
+              case -1L => (m \ "sort-orders") match {
+                case JArray(xs) if xs.nonEmpty =>
+                  JLong(jnum(xs.last \ "order-id")): JValue
+                case _ => u \ "sort-order-id"
+              }
+              case _ => u \ "sort-order-id"
+            }
+            set("default-sort-order-id", want)
+          case JString("set-statistics") =>
+            val sid = jnum(u \ "snapshot-id")
+            val cur = (m \ "statistics") match {
+              case JArray(xs) => xs
+              case _ => Nil
+            }
+            set("statistics", JArray(cur.filterNot(e =>
+              jnum(e \ "snapshot-id") == sid) :+ (u \ "statistics")))
+          case JString("remove-statistics") =>
+            val sid = jnum(u \ "snapshot-id")
+            val cur = (m \ "statistics") match {
+              case JArray(xs) => xs
+              case _ => Nil
+            }
+            set("statistics", JArray(cur.filterNot(e =>
+              jnum(e \ "snapshot-id") == sid)))
           case JString("remove-snapshots") =>
             val gone = (u \ "snapshot-ids") match {
               case JArray(xs) => xs.map(jnum).toSet
@@ -676,35 +720,88 @@ class IcebergRestCatalogSpec extends AnyFunSuite with Matchers
     }
   }
 
-  test("a base-to-head change OUTSIDE the update vocabulary refuses " +
-    "by name instead of committing a partial diff") {
+  test("a declared SORT ORDER commits as add-sort-order + " +
+    "set-default-sort-order (-1 = last added, surviving server " +
+    "renumbering) and round-trips; dangling/removed orders refuse") {
     import spark.implicits._
     withCatalog { (stub, client) =>
       val t = fresh()
       IcebergInterop.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
       stub.seed("lake", "sorted", t)
       val rt = client.loadTable(spark, "lake", "sorted")
-      IcebergInterop.write(Seq((9L, 9L)).toDF("id", "v"), rt.localDir)
-      // hand-edit the local head to change the default sort order —
-      // the one metadata axis this client has no action for
-      val metaDir = new Path(rt.localDir, "metadata")
+      IcebergInterop.replaceSortOrder(spark, rt.localDir,
+        Seq(IcebergInterop.IceSortField("id", asc = true,
+          nullsFirst = true)))
+      client.commitTable(spark, "lake", "sorted", rt)
+      // the stub ASSIGNS its own order ids (renumbering allowed) —
+      // the -1 pointer still lands on the declared order
+      val back = client.loadTable(spark, "lake", "sorted")
+      val st = IcebergInterop.state(spark, back.localDir, None)
+      st.defaultSortOrderId should be > 0
+      st.sortFields shouldBe Seq(IcebergInterop.IceSortField(
+        "id", asc = true, nullsFirst = true))
+      // an append through the catalog now lands SORTED and stamped
+      client.appendWithRetry(spark, "lake", "sorted",
+        Seq((9L, 9L), (7L, 7L)).toDF("id", "v"))
+      val after = client.loadTable(spark, "lake", "sorted")
+      val stA = IcebergInterop.state(spark, after.localDir, None)
+      stA.files.filter(_.sortOrderId.isDefined) should not be empty
+      IcebergInterop.read(spark, after.localDir).count() shouldBe 7L
+      // DANGLING pointer refusal: hand-edit the head's default to an
+      // order the metadata does not list
+      val rt2 = client.loadTable(spark, "lake", "sorted")
+      IcebergInterop.write(Seq((11L, 11L)).toDF("id", "v"), rt2.localDir)
+      val metaDir = new Path(rt2.localDir, "metadata")
       val fs = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
-      val headP = new Path(metaDir, "v2.metadata.json")
+      val headV = fs.listStatus(metaDir).map(_.getPath.getName)
+        .filter(_.matches("v\\d+\\.metadata\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong).max
+      val headP = new Path(metaDir, s"v$headV.metadata.json")
       val in = fs.open(headP)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString finally in.close()
-      val edited =
-        if (text.contains("\"default-sort-order-id\""))
-          text.replace("\"default-sort-order-id\":0",
-            "\"default-sort-order-id\":7")
-        else text.replaceFirst("\\{",
-          """{"default-sort-order-id":7,""")
       val out = fs.create(headP, true)
-      try out.write(edited.getBytes(StandardCharsets.UTF_8))
+      try out.write(text.replaceAll(
+        "\"default-sort-order-id\":\\d+",
+        "\"default-sort-order-id\":99")
+        .getBytes(StandardCharsets.UTF_8))
       finally out.close()
       intercept[IcebergInterop.UnsupportedIcebergFeatureException](
-        client.commitTable(spark, "lake", "sorted", rt))
-        .getMessage should include("SORT ORDERS")
+        client.commitTable(spark, "lake", "sorted", rt2))
+        .getMessage should include("DANGLING")
+      // REMOVAL refusal: a head that drops a base-listed order
+      val rt3 = client.loadTable(spark, "lake", "sorted")
+      IcebergInterop.write(Seq((13L, 13L)).toDF("id", "v"), rt3.localDir)
+      val headV3 = fs.listStatus(new Path(rt3.localDir, "metadata"))
+        .map(_.getPath.getName)
+        .filter(_.matches("v\\d+\\.metadata\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong).max
+      val headP3 = new Path(new Path(rt3.localDir, "metadata"),
+        s"v$headV3.metadata.json")
+      val in3 = fs.open(headP3)
+      val text3 = try scala.io.Source.fromInputStream(in3, "UTF-8")
+        .mkString finally in3.close()
+      def oid0(v: JValue): Long = v match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => -1L
+      }
+      val mj = JsonMethods.parse(text3).asInstanceOf[JObject]
+      val pruned = JObject(mj.obj.map {
+        case ("sort-orders", JArray(xs)) =>
+          "sort-orders" -> (JArray(
+            xs.filter(o => oid0(o \ "order-id") == 0L)): JValue)
+        case ("default-sort-order-id", _) =>
+          "default-sort-order-id" -> (JInt(0): JValue)
+        case other => other
+      })
+      val out3 = fs.create(headP3, true)
+      try out3.write(JsonMethods.compact(JsonMethods.render(pruned))
+        .getBytes(StandardCharsets.UTF_8))
+      finally out3.close()
+      intercept[IcebergInterop.UnsupportedIcebergFeatureException](
+        client.commitTable(spark, "lake", "sorted", rt3))
+        .getMessage should include("REMOVE sort order")
     }
   }
 

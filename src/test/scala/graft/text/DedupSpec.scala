@@ -188,6 +188,40 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(2) shouldBe ((3L, 0L, 0L, None))
   }
 
+  test("span removal: duplicated windows cut from every carrier but " +
+    "the first, overlaps merge, keeper and unique text survive, " +
+    "shorties untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c" is in docs 1, 2 and 4 → doc 1 (min id) keeps it;
+      // docs 2 and 4 lose those 3 tokens. Doc 2's "b c z" window is
+      // NOT duplicated but its b/c tokens are covered by the cut.
+      (1L, "a b c d e"),
+      (2L, "z a b c z q"),
+      (4L, "a b c"),
+      // within-doc repeat only — nothing cross-doc, nothing removed
+      (5L, "x x x x"),
+      (7L, "hi")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, k = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 5L, 0L, "a b c d e")) // keeper: untouched
+    out(1) shouldBe ((2L, 6L, 3L, "z z q")) // "a b c" cut, rest joins
+    out(2) shouldBe ((4L, 3L, 3L, "")) // fully duplicated → empty
+    out(3) shouldBe ((5L, 4L, 0L, "x x x x")) // within-doc only
+    out(4) shouldBe ((7L, 1L, 0L, "hi")) // shorter than k
+    // overlap merge: two overlapping duplicated windows in one doc
+    // remove the UNION of their tokens, not double-count
+    val docs2 = Seq(
+      (1L, "p q r s t"), // keeper of both grams
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val got2 = Dedup.removeDuplicatedSpans(docs2, k = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 2's windows "p q r","q r s","r s t" are all duplicated →
+    // tokens 0..4 cut once; "s t u" is unique to doc 2 but s,t are
+    // covered — only "u" survives
+    got2(1) shouldBe ((2L, 6L, 5L, "u"))
+  }
+
   test("edit-distance join: planted pairs at distance 0/1/2 found, " +
     "distance-3 excluded, equals in-test brute force, no cartesian") {
     import spark.implicits._
