@@ -210,8 +210,17 @@ object IcebergInterop {
 
   // ---------------------------------------------------------------- read
 
-  def read(spark: SparkSession, table: String): DataFrame =
-    toDF(spark, state(spark, table, None))
+  def read(spark: SparkSession, table: String): DataFrame = {
+    // WAP sessions (`spark.wap.branch`) read their own branch when it
+    // exists — Iceberg's audit pattern — and fall back to the head
+    val wap = Option(spark.conf.get("spark.wap.branch", null))
+      .filter(_.nonEmpty)
+    wap.flatMap(b => refs(spark, table).get(b)) match {
+      case Some((snapId, "branch")) =>
+        toDF(spark, state(spark, table, Some(snapId)))
+      case _ => toDF(spark, state(spark, table, None))
+    }
+  }
 
   /** Time travel to a named snapshot id. */
   def readSnapshot(spark: SparkSession, table: String,
@@ -2166,15 +2175,42 @@ object IcebergInterop {
   def write(df0: DataFrame, table: String,
             overwrite: Boolean = false,
             partitionBy: Seq[SpecField] = Nil,
-            streamMark: Option[(String, Long)] = None): Long = {
+            streamMark: Option[(String, Long)] = None,
+            branch: Option[String] = None): Long = {
     val spark = df0.sparkSession
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val metaDir = new Path(root, "metadata")
+    // WRITE-AUDIT-PUBLISH: an explicit `branch` (or the session's
+    // `spark.wap.branch`, Iceberg's own WAP conf) lands the append on
+    // that ref — `main` and the current pointer stay pinned until
+    // [[fastForward]] publishes the branch. The parent state is the
+    // BRANCH head (created from the current head on first write).
+    val toBranch: Option[String] = branch.orElse(
+      Option(spark.conf.get("spark.wap.branch", null)).filter(_.nonEmpty))
+    if (toBranch.isDefined && overwrite)
+      throw new UnsupportedIcebergFeatureException(
+        s"overwrite of $table under wap branch ${toBranch.get} — " +
+          "branch writes are appends; publish with fastForward, then " +
+          "overwrite main")
     val prior =
       if (fs.exists(metaDir) &&
-        currentMetadataVersion(fs, table).isDefined)
-        Some(state(spark, table, None))
+        currentMetadataVersion(fs, table).isDefined) {
+        val cur = state(spark, table, None)
+        toBranch match {
+          case Some(b) =>
+            Some(refs(spark, table).get(b) match {
+              case Some((snapId, kind)) =>
+                if (kind != "branch")
+                  throw new UnsupportedIcebergFeatureException(
+                    s"wap ref $b of $table is a $kind — appends " +
+                      "target branches, not tags")
+                state(spark, table, Some(snapId))
+              case None => cur // first write forks from the head
+            })
+          case None => Some(cur)
+        }
+      }
       else None
     // v3 `write-default`: an append that OMITS a defaulted column
     // APPLIES the recorded default (the spec's writer duty — an
@@ -2259,7 +2295,7 @@ object IcebergInterop {
       try return publishSnapshot(fs, root, df.schema, moved,
         attemptPrior, overwrite,
         if (overwrite) "overwrite" else "append", partitionBy, streamMark,
-        sortOrderId = honoredSortId)
+        sortOrderId = honoredSortId, toBranch = toBranch)
       catch { case e: ConcurrentIcebergCommitException =>
         attempts += 1
         if (overwrite || streamMark.nonEmpty || attempts > MaxCommitRetries)
@@ -2290,7 +2326,18 @@ object IcebergInterop {
         if (ws.defaultSortOrderId != prior.map(_.defaultSortOrderId)
           .getOrElse(0))
           abortRetry("changed the default sort order")
-        attemptPrior = Some(ws)
+        // a branch write rebases onto the WINNER's branch head (the
+        // winner may itself have advanced the branch)
+        attemptPrior = toBranch match {
+          case Some(b) => Some(refs(spark, table).get(b) match {
+            case Some((snapId, "branch")) =>
+              state(spark, table, Some(snapId))
+            case Some((_, kind)) =>
+              abortRetry(s"turned wap ref $b into a $kind")
+            case None => ws
+          })
+          case None => Some(ws)
+        }
       }
     }
     -1L // unreachable — the loop returns or throws
@@ -3152,6 +3199,132 @@ object IcebergInterop {
     * retires them on its own schedule). The snapshot-log records the
     * rollback (the spec's rule: the log is the sequence of CURRENT
     * snapshots over time, not of commits). */
+  /** FAST-FORWARD publish — the finish line of write-audit-publish:
+    * point the CURRENT pointer (and a declared `main`) at `branch`'s
+    * head, provided the head provably DESCENDS from the current
+    * snapshot by the recorded `parent-snapshot-id` chain. A diverged
+    * branch, an expired intermediate snapshot, or foreign snapshots
+    * that never recorded parents make ancestry unprovable — refuse by
+    * name, never splice history. Metadata-only; the snapshot-log
+    * gains the published head (it tracks current-pointer changes).
+    * Returns the published snapshot id. */
+  def fastForward(spark: SparkSession, table: String,
+                  branch: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val target = (metaJson \ "refs" \ branch) match {
+      case JObject(kvs) =>
+        val kind = kvs.collectFirst { case ("type", JString(t)) => t }
+          .getOrElse("branch")
+        if (kind != "branch")
+          throw new UnsupportedIcebergFeatureException(
+            s"fastForward target $branch of $table is a $kind — " +
+              "only branches publish")
+        kvs.collectFirst { case ("snapshot-id", v) => jLong(v) }
+          .getOrElse(-1L)
+      case _ => throw new IllegalArgumentException(
+        s"fastForward: $table declares no branch named $branch")
+    }
+    val current = jLong(metaJson \ "current-snapshot-id")
+    if (target == current) return current
+    // ancestry: id → recorded parent (None = no parent recorded)
+    val parents: Map[Long, Option[Long]] =
+      (metaJson \ "snapshots") match {
+        case JArray(xs) => xs.map(s =>
+          jLong(s \ "snapshot-id") -> ((s \ "parent-snapshot-id") match {
+            case JInt(p) => Some(p.toLong)
+            case JLong(p) => Some(p)
+            case _ => None
+          })).toMap
+        case _ => Map.empty
+      }
+    var cursor: Option[Long] = Some(target)
+    var proved = current == -1L
+    var hops = 0
+    while (!proved && cursor.isDefined && hops <= parents.size) {
+      hops += 1
+      parents.get(cursor.get) match {
+        case Some(Some(p)) =>
+          if (p == current) proved = true else cursor = Some(p)
+        case Some(None) => cursor = None // provable ROOT, head not met
+        case None =>
+          throw new UnsupportedIcebergFeatureException(
+            s"fastForward of $table to $branch: ancestry walk " +
+              s"reached snapshot ${cursor.get}, which the metadata " +
+              "does not retain (expired, or a foreign snapshot " +
+              "without parent-snapshot-id) — descent from the " +
+              "current head is unprovable; refusing to splice " +
+              "history")
+      }
+    }
+    if (!proved)
+      throw new UnsupportedIcebergFeatureException(
+        s"fastForward of $table to $branch: the branch head $target " +
+          s"does not descend from the current snapshot $current — " +
+          "the table diverged under the branch; rebase the branch " +
+          "(re-append onto the new head) instead")
+    val now = System.currentTimeMillis()
+    val logEntry: JValue = JObject(List(
+      "timestamp-ms" -> (JLong(now): JValue),
+      "snapshot-id" -> (JLong(target): JValue)))
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(now): JValue)
+      case ("current-snapshot-id", _) =>
+        "current-snapshot-id" -> (JLong(target): JValue)
+      case ("snapshot-log", JArray(xs)) =>
+        "snapshot-log" -> (JArray(xs :+ logEntry): JValue)
+      case ("refs", JObject(kvs)) =>
+        "refs" -> (JObject(kvs.map {
+          case ("main", JObject(fields)) =>
+            "main" -> (JObject(fields.map {
+              case ("snapshot-id", _) =>
+                "snapshot-id" -> (JLong(target): JValue)
+              case kv => kv
+            }): JValue)
+          case kv => kv
+        }): JValue)
+      case other => other
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry the publish")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    target
+  }
+
+  /** DML and maintenance verbs do NOT honor `spark.wap.branch` —
+    * running them there would silently mutate MAIN from inside an
+    * audit session. Refuse by name while the conf is set. */
+  private def requireNoWapBranch(spark: SparkSession, table: String,
+                                 verb: String): Unit =
+    Option(spark.conf.get("spark.wap.branch", null)).filter(_.nonEmpty)
+      .foreach(b => throw new UnsupportedIcebergFeatureException(
+        s"$verb on $table inside wap session (spark.wap.branch=$b) — " +
+          "only appends and reads honor the wap branch; publish with " +
+          "fastForward (or unset the conf) first"))
+
   def rollbackTo(spark: SparkSession, table: String,
                  snapshotId: Long): Long = {
     import org.json4s._
@@ -3242,6 +3415,7 @@ object IcebergInterop {
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column): IceDml = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    requireNoWapBranch(spark, table, "DELETE")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -3289,6 +3463,7 @@ object IcebergInterop {
              predicate: org.apache.spark.sql.Column,
              set: Seq[(String, org.apache.spark.sql.Column)]): IceDml = {
     import org.apache.spark.sql.functions.{col, count, lit, when}
+    requireNoWapBranch(spark, table, "UPDATE")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -3361,6 +3536,7 @@ object IcebergInterop {
     * cost model. */
   def merge(source: DataFrame, table: String,
             keyCols: Seq[String]): IceDml = {
+    requireNoWapBranch(source.sparkSession, table, "MERGE")
     val st = state(source.sparkSession, table, None)
     InteropSchema.requireAppendCompatible(source.schema, st.schema, table)
     mergeApplyResolved(st, source, table, keyCols,
@@ -3402,10 +3578,12 @@ object IcebergInterop {
                  notMatched: Seq[ManifestLake.MergeInsert] = Nil,
                  notMatchedBySource: Seq[ManifestLake.MergeMatched] = Nil,
                  scope: Option[org.apache.spark.sql.Column] = None,
-                 fullTableMerge: Boolean = false): IceDml =
+                 fullTableMerge: Boolean = false): IceDml = {
+    requireNoWapBranch(source.sparkSession, table, "MERGE")
     mergeApplyResolved(state(source.sparkSession, table, None),
       source, table, keyCols, matched, notMatched,
       notMatchedBySource, scope, fullTableMerge)
+  }
 
   /** [[mergeApply]] against an already-resolved state — one
     * metadata/manifest replay per statement whatever the entry
@@ -3582,6 +3760,7 @@ object IcebergInterop {
   def deleteMor(spark: SparkSession, table: String,
                 predicate: org.apache.spark.sql.Column): IceDml = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    requireNoWapBranch(spark, table, "MOR DELETE")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -3623,6 +3802,7 @@ object IcebergInterop {
                 predicate: org.apache.spark.sql.Column,
                 set: Seq[(String, org.apache.spark.sql.Column)]): IceDml = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    requireNoWapBranch(spark, table, "MOR UPDATE")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -3694,6 +3874,7 @@ object IcebergInterop {
     * top-level table columns with matching types. */
   def deleteByKeys(spark: SparkSession, table: String,
                    keys: DataFrame): IceDml = {
+    requireNoWapBranch(spark, table, "DELETE BY KEYS")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -3753,6 +3934,7 @@ object IcebergInterop {
                    summary: Map[String, String] = Map.empty): IceDml = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val spark = source0.sparkSession
+    requireNoWapBranch(spark, table, "KEYED UPSERT")
     val root = new Path(table)
     val fs = hadoopFs(spark, root)
     val st = state(spark, table, None)
@@ -5775,7 +5957,8 @@ object IcebergInterop {
       operation: String, spec: Seq[SpecField] = Nil,
       streamMark: Option[(String, Long)] = None,
       existing: Seq[IceFile] = Nil,
-      sortOrderId: Int = 0): Long = {
+      sortOrderId: Int = 0,
+      toBranch: Option[String] = None): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
@@ -6143,6 +6326,11 @@ object IcebergInterop {
       }.getOrElse("")
     val newSnapshotJson =
       s"""{"snapshot-id":$snapshotId,""" +
+        // the spec's ancestry pointer — what fast-forward walks to
+        // prove a branch head descends from the current one
+        prior.filter(_.snapshotId != -1L)
+          .map(p => s""""parent-snapshot-id":${p.snapshotId},""")
+          .getOrElse("") +
         (if (v2) s""""sequence-number":$newSeq,""" else "") +
         (if (v3) s""""first-row-id":$priorNextRowId,""" +
           s""""added-rows":$addedRows,""" else "") +
@@ -6159,9 +6347,14 @@ object IcebergInterop {
         case Some(JArray(xs)) => xs.map(compactJ)
         case _ => Nil
       }
-    val logJson = (priorLogJson :+
-      s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}""")
-      .mkString("[", ",", "]")
+    // a BRANCH write moves only its ref: the current pointer and the
+    // snapshot-log (which tracks CURRENT-pointer changes per spec)
+    // stay untouched until a fast-forward publishes the branch
+    val logJson =
+      (if (toBranch.isDefined) priorLogJson
+       else priorLogJson :+
+         s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}""")
+        .mkString("[", ",", "]")
     // v2 REQUIRED top-level fields beyond v1's: last-sequence-number,
     // last-partition-id, sort-orders/default-sort-order-id
     val lastPartitionId: Long =
@@ -6221,19 +6414,34 @@ object IcebergInterop {
       compactJ(JObject(
         prior0.filterNot(kv => delta.exists(_._1 == kv._1)) ++ delta))
     }
-    val refsField: String = priorMeta.map(m => m \ "refs") match {
-      case Some(JObject(kvs)) if kvs.nonEmpty =>
-        val advanced = kvs.map {
-          case ("main", JObject(fields)) =>
-            "main" -> (JObject(fields.map {
-              case ("snapshot-id", _) =>
-                "snapshot-id" -> (JLong(snapshotId): JValue)
-              case kv => kv
-            }): JValue)
-          case kv => kv
-        }
+    val refsField: String = toBranch match {
+      case Some(b) =>
+        // the branch ref advances (created on first write); `main`
+        // and every other ref stay pinned
+        val prior0: List[(String, JValue)] =
+          priorMeta.map(m => m \ "refs") match {
+            case Some(JObject(kvs)) => kvs
+            case _ => Nil
+          }
+        val entry: JValue = JObject(List(
+          "snapshot-id" -> (JLong(snapshotId): JValue),
+          "type" -> (JString("branch"): JValue)))
+        val advanced = prior0.filterNot(_._1 == b) :+ (b -> entry)
         s""""refs":${compactJ(JObject(advanced))},"""
-      case _ => ""
+      case None => priorMeta.map(m => m \ "refs") match {
+        case Some(JObject(kvs)) if kvs.nonEmpty =>
+          val advanced = kvs.map {
+            case ("main", JObject(fields)) =>
+              "main" -> (JObject(fields.map {
+                case ("snapshot-id", _) =>
+                  "snapshot-id" -> (JLong(snapshotId): JValue)
+                case kv => kv
+              }): JValue)
+            case kv => kv
+          }
+          s""""refs":${compactJ(JObject(advanced))},"""
+        case _ => ""
+      }
     }
     // statistics / partition-statistics entries carry VERBATIM: they
     // describe the snapshots they NAME (which stay addressable), not
@@ -6247,6 +6455,24 @@ object IcebergInterop {
             Some(s""""$k":${compactJ(arr)},""")
           case _ => None
         }).mkString).getOrElse("")
+    // metadata-log: the spec's previous-metadata lineage (what
+    // foreign clients time-travel metadata by) — prior entries carry,
+    // this commit appends the file it supersedes, capped at the
+    // spec's previous-versions default (100)
+    val metadataLogField: String = prior.map { p =>
+      val priorEntries: Seq[String] =
+        priorMeta.map(m => m \ "metadata-log") match {
+          case Some(JArray(xs)) => xs.map(compactJ)
+          case _ => Nil
+        }
+      val priorTs = priorMeta.map(m => jLong(m \ "last-updated-ms"))
+        .filter(_ > 0).getOrElse(now)
+      val entry = s"""{"timestamp-ms":$priorTs,"metadata-file":${
+        jstr(new Path(metaDir,
+          s"v${p.metadataVersion}.metadata.json").toString)}}"""
+      s""""metadata-log":${(priorEntries :+ entry).takeRight(100)
+        .mkString("[", ",", "]")},"""
+    }.getOrElse("")
     val json =
       s"""{"format-version":$formatVersion,"table-uuid":${jstr(tableUuid)},
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
@@ -6257,7 +6483,10 @@ object IcebergInterop {
          |"partition-spec":$legacySpecJson,"default-spec-id":$specId,
          |"partition-specs":$allSpecsJson,
          |"properties":$propsJson,
-         |$refsField$carriedStats"current-snapshot-id":$snapshotId,
+         |$refsField$carriedStats$metadataLogField"current-snapshot-id":${
+           if (toBranch.isEmpty) snapshotId
+           else priorMeta.map(m => jLong(m \ "current-snapshot-id"))
+             .getOrElse(-1L)},
          |"snapshots":$snapshotsJson,
          |"snapshot-log":$logJson
          |}""".stripMargin.replace("\n", "")
@@ -6403,6 +6632,7 @@ object IcebergInterop {
   def optimize(spark: SparkSession, table: String,
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorderBy: Seq[String] = Nil): Long = {
+    requireNoWapBranch(spark, table, "OPTIMIZE")
     val st = state(spark, table, None)
     require(st.posDeletes.isEmpty && st.eqDeletes.isEmpty &&
       st.dvDeletes.isEmpty,

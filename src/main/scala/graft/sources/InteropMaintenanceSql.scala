@@ -133,6 +133,16 @@ object InteropMaintenanceSql {
     ("(?is)^\\s*ANALYZE\\s+TABLE\\s+" + IName +
       "\\s+COMPUTE\\s+STATISTICS" +
       "(?:\\s+FOR\\s+COLUMNS\\s+([^;]+?))?\\s*;?\\s*$").r
+  private val ICreateRefRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+CREATE\\s+(BRANCH|TAG)\\s+([A-Za-z0-9_-]+)" +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*$").r
+  private val IDropRefRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+DROP\\s+(?:BRANCH|TAG)\\s+([A-Za-z0-9_-]+)\\s*;?\\s*$").r
+  private val IFastForwardRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+FAST\\s+FORWARD\\s+TO\\s+([A-Za-z0-9_-]+)\\s*;?\\s*$").r
 
   /** `'k' = 'v', 'k2' = 'v2'` → pairs (commas INSIDE quotes stay in
     * their value); non-quoted or malformed items refuse by name. */
@@ -255,6 +265,14 @@ object InteropMaintenanceSql {
         Some(IcebergWriteOrderCommand(icePath(name), Nil))
       case IAnalyzeRe(name, cols) =>
         Some(IcebergAnalyzeCommand(icePath(name), zcols(cols)))
+      case ICreateRefRe(name, kind, ref, snap) =>
+        Some(IcebergCreateRefCommand(icePath(name), ref,
+          kind.toLowerCase(java.util.Locale.ROOT),
+          Option(snap).map(_.toLong)))
+      case IDropRefRe(name, ref) =>
+        Some(IcebergDropRefCommand(icePath(name), ref))
+      case IFastForwardRe(name, ref) =>
+        Some(IcebergFastForwardCommand(icePath(name), ref))
       case _ => None
     }
 
@@ -320,6 +338,38 @@ object InteropMaintenanceSql {
       AttributeReference("order_id", IntegerType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.replaceSortOrder(spark, table, fields)))
+  }
+
+  /** `ALTER TABLE graft_iceberg.t CREATE BRANCH|TAG name
+    * [AS OF VERSION snap]` / `DROP BRANCH|TAG name` / `FAST FORWARD
+    * TO branch` — the refs + write-audit-publish SQL doors
+    * ([[IcebergInterop.createRef]]/[[IcebergInterop.dropRef]]/
+    * [[IcebergInterop.fastForward]]); branch WRITES ride
+    * `spark.wap.branch` through the ordinary INSERT door. */
+  final case class IcebergCreateRefCommand(table: String, ref: String,
+      kind: String, snap: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      IcebergInterop.createRef(spark, table, ref, kind, snap)
+      Nil
+    }
+  }
+
+  final case class IcebergDropRefCommand(table: String, ref: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      IcebergInterop.dropRef(spark, table, ref)
+      Nil
+    }
+  }
+
+  final case class IcebergFastForwardCommand(table: String, ref: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("snapshot_id", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(IcebergInterop.fastForward(spark, table, ref)))
   }
 
   /** `ANALYZE TABLE graft_iceberg.t COMPUTE STATISTICS
