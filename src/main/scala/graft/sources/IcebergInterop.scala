@@ -6535,6 +6535,7 @@ object IcebergInterop {
     * compaction, appends and [[importToManifest]] apply again. Cost
     * tracks the deleted surface: only touched files rewrite. */
   def compactDeletes(spark: SparkSession, table: String): Long = {
+    requireNoWapBranch(spark, table, "compactDeletes")
     val st = state(spark, table, None)
     // all three delete encodings (v2 position/equality parquet, v3
     // deletion vectors) compose in the read and retire together here

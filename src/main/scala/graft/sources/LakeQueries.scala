@@ -1542,6 +1542,53 @@ object LakeQueries {
       |  TRUE AS sorted_layout
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** ic22_wap_publish — WRITE-AUDIT-PUBLISH through the gate: an
+    * evens-only table, the odds landed as a BRANCH write under
+    * `spark.wap.branch` (main and the snapshot-log must stay PINNED
+    * while the branch stacks), then `fastForward` publishes after
+    * proving descent by the recorded parent-snapshot-id chain. The
+    * `wap_ok` flag pins the lifecycle in-row: pre-publish main count
+    * unchanged, the branch ref declared, the snapshot-log gaining
+    * exactly ONE entry at publish, the published head = the branch
+    * head. The final aggregate is the FULL table, re-derived
+    * relationally — a leaked branch write or failed publish fails the
+    * hash loudly. */
+  def ic22WapPublish(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic22:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic22").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      val mainBefore = IcebergInterop.read(s, t).count()
+      val logBefore = IcebergInterop.snapshotLineage(s, t).length
+      s.conf.set("spark.wap.branch", "audit")
+      try IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 1), t)
+      finally s.conf.unset("spark.wap.branch")
+      val pinned = IcebergInterop.read(s, t).count() == mainBefore &&
+        IcebergInterop.snapshotLineage(s, t).length == logBefore
+      val (branchHead, kind) = IcebergInterop.refs(s, t)("audit")
+      val published = IcebergInterop.fastForward(s, t, "audit")
+      val ok = pinned && kind == "branch" && published == branchHead &&
+        IcebergInterop.snapshotLineage(s, t).length == logBefore + 1
+      s"$t|$ok"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("wap_ok", lit(flag.toBoolean))
+  }
+
+  val ic22Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS wap_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl18_liquid_clustering — the Delta `clustering` writer feature
     * through the gate: four fully-interleaved appends, `ALTER TABLE
     * CLUSTER BY (o_orderkey)` (the delta.clustering domain under a
@@ -3531,6 +3578,7 @@ object LakeQueries {
     "ic19_v3_defaults" -> (ic19V3Defaults _),
     "ic20_v3_keyed_cdc" -> (ic20V3KeyedCdc _),
     "ic21_sort_order" -> (ic21SortOrder _),
+    "ic22_wap_publish" -> (ic22WapPublish _),
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl16_identity" -> (dl16Identity _),
@@ -3610,6 +3658,7 @@ object LakeQueries {
     "ic19_v3_defaults" -> ic19Oracle,
     "ic20_v3_keyed_cdc" -> ic20Oracle,
     "ic21_sort_order" -> ic21Oracle,
+    "ic22_wap_publish" -> ic22Oracle,
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl16_identity" -> dl16Oracle,
