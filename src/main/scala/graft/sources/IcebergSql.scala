@@ -49,6 +49,30 @@ object IcebergSql {
     tables.asScala.toMap
   }
 
+  // ----------------------------------------------------------- views
+  // Iceberg VIEWS (view spec v1) have their own registry — a name is
+  // a view or a table, never both (create checks the other registry)
+  private val views =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerView(name: String, path: String): Unit = {
+    require(pathOf(name).isEmpty,
+      s"graft_iceberg.$name is already a TABLE — views and tables " +
+        "share the namespace")
+    views.put(name.toLowerCase(java.util.Locale.ROOT), path): Unit
+  }
+
+  def viewPathOf(name: String): Option[String] =
+    Option(views.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  def unregisterView(name: String): Unit =
+    views.remove(name.toLowerCase(java.util.Locale.ROOT)): Unit
+
+  def registeredViews: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    views.asScala.toMap
+  }
+
   // the $-suffix inspection tables, longest suffix first so a table
   // literally named `x$files$history` resolves deterministically
   private val metaTables
@@ -521,6 +545,14 @@ object IcebergSql {
           val (suffix, fn) = metaSuffixOf(u.multipartIdentifier(1)).get
           PlanBridge.analyzedPlan(fn(spark,
             pathOf(u.multipartIdentifier(1).stripSuffix(suffix)).get))
+        // `graft_iceberg.<view>` — an Iceberg VIEW (view spec v1):
+        // the current version's Spark-dialect SQL plans in-session
+        case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(Namespace) &&
+            viewPathOf(u.multipartIdentifier(1)).isDefined =>
+          PlanBridge.analyzedPlan(IcebergViews.read(spark,
+            viewPathOf(u.multipartIdentifier(1)).get))
         case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if iceTarget(u).isDefined =>
           readPlan(iceTarget(u).get, Some(snapshotOf(iceTarget(u).get, v)))

@@ -143,6 +143,12 @@ object InteropMaintenanceSql {
   private val IFastForwardRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
       "\\s+FAST\\s+FORWARD\\s+TO\\s+([A-Za-z0-9_-]+)\\s*;?\\s*$").r
+  private val ICreateViewRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+" + IName +
+      "\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val IDropViewRe =
+    ("(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" + IName +
+      "\\s*;?\\s*$").r
 
   /** `'k' = 'v', 'k2' = 'v2'` → pairs (commas INSIDE quotes stay in
     * their value); non-quoted or malformed items refuse by name. */
@@ -273,6 +279,10 @@ object InteropMaintenanceSql {
         Some(IcebergDropRefCommand(icePath(name), ref))
       case IFastForwardRe(name, ref) =>
         Some(IcebergFastForwardCommand(icePath(name), ref))
+      case ICreateViewRe(replace, name, query) =>
+        Some(IcebergCreateViewCommand(name, replace != null, query))
+      case IDropViewRe(ifExists, name) =>
+        Some(IcebergDropViewCommand(name, ifExists != null))
       case _ => None
     }
 
@@ -542,6 +552,50 @@ object InteropMaintenanceSql {
         overwrite = existing.nonEmpty, partitionBy = spec)
       IcebergSql.register(name, path)
       Seq(Row(name, path, snap))
+    }
+  }
+
+  /** `CREATE [OR REPLACE] VIEW graft_iceberg.v AS <query>` /
+    * `DROP VIEW [IF EXISTS] graft_iceberg.v` —
+    * [[IcebergViews]]' SQL doors: spec-v1 view metadata lands under
+    * the session warehouse and registers; REPLACE appends a new
+    * VERSION (prior versions stay readable through
+    * [[IcebergViews.readVersion]]). */
+  final case class IcebergCreateViewCommand(name: String,
+      replace: Boolean, query: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("view", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("version_id", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val existing = IcebergSql.viewPathOf(name)
+      if (existing.nonEmpty && !replace)
+        throw new IllegalArgumentException(
+          s"graft_iceberg.$name already exists — use CREATE OR " +
+            "REPLACE VIEW to version it")
+      require(IcebergSql.pathOf(name).isEmpty,
+        s"graft_iceberg.$name is already a TABLE — views and tables " +
+          "share the namespace")
+      val path = existing.getOrElse(
+        warehousePath(spark, IcebergWarehouseConf, name))
+      val vid = IcebergViews.create(spark, path, query,
+        replace = existing.nonEmpty)
+      IcebergSql.registerView(name, path)
+      Seq(Row(name, path, vid))
+    }
+  }
+
+  final case class IcebergDropViewCommand(name: String,
+      ifExists: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      IcebergSql.viewPathOf(name) match {
+        case Some(_) => IcebergSql.unregisterView(name)
+        case None if ifExists => ()
+        case None => throw new IllegalArgumentException(
+          s"graft_iceberg.$name is not a registered view")
+      }
+      Nil
     }
   }
 

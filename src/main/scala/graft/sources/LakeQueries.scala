@@ -1589,6 +1589,52 @@ object LakeQueries {
       |  TRUE AS wap_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** iv1_iceberg_view — Iceberg VIEWS (view spec v1) through the
+    * gate: a spec-shaped view over a registered Iceberg table,
+    * VERSIONED — version 1 aggregates only the even keys, CREATE OR
+    * REPLACE appends version 2 with the full body, and the gate read
+    * plans the CURRENT version's Spark-dialect SQL. The `view_ok`
+    * flag pins the versioning in-row: version-log = [1, 2] and
+    * version 1 still readable with the narrower result. A stale
+    * current pointer or broken representation fails the hash
+    * loudly. */
+  def iv1IcebergView(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"iv1:$d", _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ice-iv1")
+      val t = s"$base/t"
+      val v = s"$base/v"
+      val alias = s"iv1_base_${math.abs(d.hashCode)}"
+      IcebergInterop.write(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"), t)
+      IcebergSql.register(alias, t)
+      def body(filter: String): String =
+        "SELECT o_orderpriority, count(*) AS n_orders, " +
+          "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) " +
+          "AS DECIMAL(27,2)) AS DOUBLE) AS total " +
+          s"FROM graft_iceberg.$alias $filter GROUP BY o_orderpriority"
+      IcebergViews.create(s, v, body("WHERE o_orderkey % 2 = 0"))
+      IcebergViews.create(s, v, body(""), replace = true)
+      val log = IcebergViews.versionLog(s, v).map(_._1)
+      val v1Narrower =
+        IcebergViews.readVersion(s, v, 1L)
+          .agg(sum(col("n_orders"))).head().getLong(0) <
+          IcebergViews.read(s, v)
+            .agg(sum(col("n_orders"))).head().getLong(0)
+      s"$v|${log == Seq(1L, 2L) && v1Narrower}"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergViews.read(s, dir)
+      .withColumn("view_ok", lit(flag.toBoolean))
+  }
+
+  val iv1Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS view_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl18_liquid_clustering — the Delta `clustering` writer feature
     * through the gate: four fully-interleaved appends, `ALTER TABLE
     * CLUSTER BY (o_orderkey)` (the delta.clustering domain under a
@@ -3579,6 +3625,7 @@ object LakeQueries {
     "ic20_v3_keyed_cdc" -> (ic20V3KeyedCdc _),
     "ic21_sort_order" -> (ic21SortOrder _),
     "ic22_wap_publish" -> (ic22WapPublish _),
+    "iv1_iceberg_view" -> (iv1IcebergView _),
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl16_identity" -> (dl16Identity _),
@@ -3659,6 +3706,7 @@ object LakeQueries {
     "ic20_v3_keyed_cdc" -> ic20Oracle,
     "ic21_sort_order" -> ic21Oracle,
     "ic22_wap_publish" -> ic22Oracle,
+    "iv1_iceberg_view" -> iv1Oracle,
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl16_identity" -> dl16Oracle,
