@@ -2940,13 +2940,21 @@ object IcebergInterop {
             "ndv" -> (JString(n.toString): JValue),
             "column" -> (JString(c): JValue))): JValue))): JValue
       }.toList)))
-    // replace any prior entry for the SAME snapshot, keep others
+    // replace any prior entry for the SAME snapshot, keep others —
+    // the replaced entry's file (ours, now unreferenced) deletes
+    // after the publish lands
+    val superseded = Seq.newBuilder[String]
     val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
       case ("last-updated-ms", _) =>
         "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
       case ("statistics", JArray(xs)) =>
-        "statistics" -> (JArray(xs.filterNot(e =>
-          jLong(e \ "snapshot-id") == st.snapshotId) :+ entry): JValue)
+        val (old, kept) = xs.partition(e =>
+          jLong(e \ "snapshot-id") == st.snapshotId)
+        old.foreach(e => (e \ "statistics-path") match {
+          case JString(p) => superseded += p
+          case _ => ()
+        })
+        "statistics" -> (JArray(kept :+ entry): JValue)
       case other => other
     } match {
       case fs0 if fs0.exists(_._1 == "statistics") => fs0
@@ -2970,6 +2978,8 @@ object IcebergInterop {
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    superseded.result().foreach(p =>
+      scala.util.Try(fs.delete(new Path(p), false)): Unit)
     st.snapshotId
   }
 
@@ -3016,6 +3026,120 @@ object IcebergInterop {
     }
     rows.toDF("snapshot_id", "statistics_path", "blob_type", "column",
       "ndv")
+  }
+
+  /** PARTITION STATISTICS (spec §Partition statistics): one
+    * spec-shaped PARQUET file per compute — a row per partition tuple
+    * of the current snapshot with `spec_id`, record/file/byte totals
+    * — registered under the metadata `partition-statistics` list for
+    * the CURRENT snapshot (same-snapshot recompute replaces). All
+    * numbers come from the already-resolved manifests: O(files)
+    * metadata, no data IO; the parquet write is one driver-built
+    * DataFrame of O(partitions) rows. Carried by commits and pruned
+    * by expiry exactly like [[computeStats]]' entries. Returns the
+    * snapshot id described. */
+  def computePartitionStats(spark: SparkSession, table: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val st = state(spark, table, None)
+    require(st.snapshotId != -1L,
+      s"computePartitionStats: $table has no current snapshot")
+    val rows = st.files.groupBy(f => (f.specId, f.partition)).toSeq
+      .map { case ((specId, tuple), fs0) =>
+        (tuple.map { case (k, v) =>
+          k -> (if (v == null) null else v.toString) },
+          specId, fs0.map(_.records).sum, fs0.size.toLong,
+          fs0.map(_.bytes).sum)
+      }
+    val df = rows.toDF("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val stage = new Path(root,
+      s".pstats-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException(
+          s"partition-stats staging produced no parquet under $stage"))
+    val statsPath = new Path(metaDir,
+      s"${java.util.UUID.randomUUID()}-partition-stats.parquet")
+    if (!fs.rename(part, statsPath))
+      throw new IllegalStateException(
+        s"failed to move $part to $statsPath")
+    fs.delete(stage, true): Unit
+    val fileSize = fs.getFileStatus(statsPath).getLen
+    val version = currentMetadataVersion(fs, table).get
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val entry: JValue = JObject(List(
+      "snapshot-id" -> JLong(st.snapshotId),
+      "statistics-path" -> JString(statsPath.toString),
+      "file-size-in-bytes" -> JLong(fileSize)))
+    val superseded = Seq.newBuilder[String]
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case ("partition-statistics", JArray(xs)) =>
+        val (old, kept) = xs.partition(e =>
+          jLong(e \ "snapshot-id") == st.snapshotId)
+        old.foreach(e => (e \ "statistics-path") match {
+          case JString(p) => superseded += p
+          case _ => ()
+        })
+        "partition-statistics" -> (JArray(kept :+ entry): JValue)
+      case other => other
+    } match {
+      case fs0 if fs0.exists(_._1 == "partition-statistics") => fs0
+      case fs0 => fs0 :+
+        ("partition-statistics" -> (JArray(List(entry)): JValue))
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val o2 = fs.create(metaTmp, false)
+    try o2.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally o2.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      fs.delete(statsPath, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    superseded.result().foreach(p =>
+      scala.util.Try(fs.delete(new Path(p), false)): Unit)
+    st.snapshotId
+  }
+
+  /** The recorded partition-statistics file for the CURRENT snapshot,
+    * read back as a DataFrame (None when no entry describes it). */
+  def partitionStats(spark: SparkSession, table: String)
+      : Option[DataFrame] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val st = state(spark, table, None)
+    val metaDir = new Path(table, "metadata")
+    val fs = hadoopFs(spark, metaDir)
+    val version = currentMetadataVersion(fs, table).get
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    (metaJson \ "partition-statistics") match {
+      case JArray(xs) => xs
+        .find(e => jLong(e \ "snapshot-id") == st.snapshotId)
+        .flatMap(e => (e \ "statistics-path") match {
+          case JString(p) => Some(spark.read.parquet(p))
+          case _ => None
+        })
+      case _ => None
+    }
   }
 
   /** The current snapshot's recorded NDV per column — the planning

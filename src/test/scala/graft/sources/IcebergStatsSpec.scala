@@ -64,6 +64,50 @@ class IcebergStatsSpec extends AnyFunSuite with Matchers
       .head().getLong(0) shouldBe 3L // old entry + 2 fresh columns
   }
 
+  test("computePartitionStats writes the spec-shaped parquet and the " +
+    "per-snapshot entry; recompute replaces; carry + expiry prune " +
+    "like column stats") {
+    import spark.implicits._
+    val t = fresh()
+    IcebergInterop.write(
+      (1L to 40L).map(i => (i, s"g${i % 2}", i)).toDF("id", "g", "v"),
+      t, partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergInterop.computePartitionStats(spark, t) should be > 0L
+    val ps = IcebergInterop.partitionStats(spark, t).get.collect()
+    ps.length shouldBe 2
+    ps.map(_.getAs[Long]("data_record_count")).sum shouldBe 40L
+    ps.foreach(_.getAs[Long]("data_file_count") should be > 0L)
+    ps.map(_.getAs[Map[String, String]]("partition")("g")).toSet shouldBe
+      Set("g0", "g1")
+    // recompute for the SAME snapshot replaces the entry AND deletes
+    // the superseded (now unreferenced) file
+    IcebergInterop.computePartitionStats(spark, t)
+    new java.io.File(t, "metadata").listFiles()
+      .count(_.getName.endsWith("-partition-stats.parquet")) shouldBe 1
+    IcebergInterop.partitionStats(spark, t).get.count() shouldBe 2L
+    // an append CARRIES the entry, but the NEW snapshot has none
+    IcebergInterop.write(Seq((100L, "g0", 1L)).toDF("id", "g", "v"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergInterop.partitionStats(spark, t) shouldBe None
+    // expiry drops the old snapshot's entry with its file
+    IcebergInterop.write(Seq((101L, "g1", 1L)).toDF("id", "g", "v"), t,
+      partitionBy = Seq(IcebergInterop.SpecField("g", "identity", "g")))
+    IcebergInterop.expireSnapshots(spark, t, keepLast = 2)
+    import org.json4s._
+    val dir = new java.io.File(t, "metadata")
+    val vmax = dir.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong).max
+    val m = org.json4s.jackson.JsonMethods.parse(
+      scala.io.Source.fromFile(
+        new java.io.File(dir, s"v$vmax.metadata.json")).mkString)
+    (m \ "partition-statistics") match {
+      case JArray(xs) => xs shouldBe empty
+      case JNothing => ()
+      case other => fail(s"partition-statistics: $other")
+    }
+  }
+
   test("expiry prunes statistics entries WITH their snapshots and " +
     "deletes the orphaned stats files; unknown columns refuse") {
     import spark.implicits._
