@@ -229,14 +229,36 @@ object IcebergViews {
     }
   }
 
+  // planning a view's SQL can resolve OTHER views (legitimate
+  // nesting) — or itself, directly or mutually, which would recurse
+  // without bound. The per-thread resolution stack refuses cycles by
+  // name instead of overflowing.
+  private val resolving = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+
+  private def planGuarded(spark: SparkSession, path: String,
+                          sql: String): DataFrame = {
+    val key = new Path(path).toString
+    val stack = resolving.get()
+    if (stack.contains(key))
+      throw new UnsupportedIcebergViewException(
+        s"view $key references itself (resolution cycle: " +
+          s"${(key :: stack).reverse.mkString(" -> ")}) — cyclic view " +
+          "definitions cannot be planned")
+    resolving.set(key :: stack)
+    try spark.sql(sql)
+    finally resolving.set(stack)
+  }
+
   /** Plan the view's CURRENT version in this session. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.sql(sqlOf(spark, path))
+    planGuarded(spark, path, sqlOf(spark, path))
 
   /** Plan a RETAINED version — the view's own time travel. */
   def readVersion(spark: SparkSession, path: String,
                   versionId: Long): DataFrame =
-    spark.sql(sqlOf(spark, path, Some(versionId)))
+    planGuarded(spark, path, sqlOf(spark, path, Some(versionId)))
 
   /** `(version-id, timestamp-ms)` rows of the version-log. */
   def versionLog(spark: SparkSession, path: String): Seq[(Long, Long)] = {

@@ -107,6 +107,8 @@ object InteropMaintenanceSql {
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_delta\\s*;?\\s*$".r
   private val IShowRe =
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_iceberg\\s*;?\\s*$".r
+  private val IShowViewsRe =
+    "(?is)^\\s*SHOW\\s+VIEWS\\s+IN\\s+graft_iceberg\\s*;?\\s*$".r
   private val DPropsRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + DName +
       "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
@@ -252,6 +254,7 @@ object InteropMaintenanceSql {
           delta = false))
       case DShowRe() => Some(InteropShowTablesCommand(delta = true))
       case IShowRe() => Some(InteropShowTablesCommand(delta = false))
+      case IShowViewsRe() => Some(IcebergShowViewsCommand())
       case DPropsRe(name, props) =>
         Some(DeltaSetPropertiesCommand(deltaPath(name),
           parseProps(props)))
@@ -702,6 +705,16 @@ object InteropMaintenanceSql {
 
   /** `SHOW TABLES IN graft_delta | graft_iceberg` — the registry
     * listing (name + path), sorted by name. */
+  final case class IcebergShowViewsCommand()
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("view", StringType, nullable = false)(),
+      AttributeReference("path", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      IcebergSql.registeredViews.toSeq.sortBy(_._1)
+        .map { case (n, p) => Row(n, p) }
+  }
+
   final case class InteropShowTablesCommand(delta: Boolean)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(

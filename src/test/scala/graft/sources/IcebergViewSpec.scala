@@ -139,5 +139,21 @@ class IcebergViewSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark.sql("SELECT * FROM graft_iceberg.v_sums").collect()
     // DROP IF EXISTS of a gone view is silent
     spark.sql("DROP VIEW IF EXISTS graft_iceberg.v_sums").collect()
+    // NESTED views plan (a view over a view); a view REPLACED to
+    // reference ITSELF refuses with the named cycle, never recurses
+    spark.sql("CREATE VIEW graft_iceberg.v_inner AS SELECT " +
+      "count(*) AS n FROM graft_iceberg.viewsql_base").collect()
+    spark.sql("CREATE VIEW graft_iceberg.v_outer AS SELECT " +
+      "n + 1 AS n1 FROM graft_iceberg.v_inner").collect()
+    spark.sql("SELECT n1 FROM graft_iceberg.v_outer")
+      .head().getLong(0) shouldBe 7L
+    spark.sql("CREATE OR REPLACE VIEW graft_iceberg.v_outer AS " +
+      "SELECT n1 FROM graft_iceberg.v_outer").collect()
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_iceberg.v_outer").collect())
+      .getMessage should include("cycle")
+    // the registry listing
+    spark.sql("SHOW VIEWS IN graft_iceberg").collect()
+      .map(_.getString(0)) should contain allOf ("v_inner", "v_outer")
   }
 }
