@@ -2644,6 +2644,306 @@ object IcebergInterop {
     orderId
   }
 
+  /** PARTITION SPEC EVOLUTION (spec §Partition Evolution) — the
+    * metadata-only republish that makes `fields` the table's DEFAULT
+    * spec for FUTURE writes while every already-written file stays
+    * under the spec it was committed with: reads resolve tuples and
+    * pruning PER FILE by spec-id, so re-partitioning a 100 TB table
+    * costs one metadata version, never a data rewrite — the point of
+    * the feature at scale (the previous route here was a full-table
+    * overwrite). The new spec lands in `partition-specs` under the
+    * next spec-id (an IDENTICAL existing spec is reused); field-ids
+    * of equivalent fields (same source-id + transform) CARRY OVER
+    * from prior specs (the spec's id-reuse rule — a re-added field
+    * keeps its identity), fresh fields continue past
+    * `last-partition-id`. Transform × source-type combinations this
+    * writer cannot stage refuse NOW, at declaration, not at the
+    * first append. Dropping a field from a format-version 1 table
+    * refuses by name (v1 preserves dropped fields as `void`
+    * placeholders, which this writer does not stage — upgrade to v2
+    * first). Returns the spec id now default. */
+  def evolveSpec(spark: SparkSession, table: String,
+                 fields: Seq[SpecField]): Int = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    require(fields.map(_.name).distinct.size == fields.size,
+      s"partition spec for $table repeats a field name")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val formatVersion: Long = jLong(metaJson \ "format-version") max 1L
+    val curSchemaId = jLong(metaJson \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val schemaNode: JValue = (metaJson \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.find(s => jLong(s \ "schema-id") == curSchemaId)
+          .getOrElse(xs.head)
+      case _ => metaJson \ "schema"
+    }
+    val nameToId: Map[String, Long] = (schemaNode \ "fields") match {
+      case JArray(fs0) => fs0.flatMap { f =>
+        ((f \ "name"), jLong(f \ "id")) match {
+          case (JString(n), id) if id >= 0 => Some(n -> id)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    val sparkSchema = icebergSchemaToSpark(schemaNode, table)
+    // validate every declared field against the CURRENT schema — a
+    // spec this writer could not stage an append under refuses here
+    fields.foreach { sf =>
+      val dt = sparkSchema.find(_.name == sf.source).map(_.dataType)
+        .getOrElse(throw new UnsupportedIcebergFeatureException(
+          s"partition source column ${sf.source} is not a top-level " +
+            s"column of the current schema of $table"))
+      if (tupleAvroType(sf.transform, dt).isEmpty)
+        throw new UnsupportedIcebergFeatureException(
+          s"cannot partition $table by ${sf.transform}(${sf.source}) " +
+            s"over ${dt.sql} — not a transform/type combination this " +
+            "writer models")
+      if (sf.transform != "identity" && nameToId.contains(sf.name))
+        throw new UnsupportedIcebergFeatureException(
+          s"partition field name ${sf.name} of $table collides with a " +
+            "schema column — derived partition fields need their own " +
+            "name")
+    }
+    val priorSpecs: Seq[JValue] = (metaJson \ "partition-specs") match {
+      case JArray(xs) => xs
+      case _ => (metaJson \ "partition-spec") match {
+        case arr @ JArray(fs0) if fs0.nonEmpty =>
+          Seq(JObject(List("spec-id" -> JInt(0), "fields" -> arr)))
+        case _ =>
+          Seq(JObject(List("spec-id" -> (JInt(0): JValue),
+            "fields" -> (JArray(Nil): JValue))))
+      }
+    }
+    val defaultSpecId = jLong(metaJson \ "default-spec-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    def fieldsOf(node: JValue): Seq[JValue] = (node \ "fields") match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    // v1 cannot express a dropped field without a void placeholder
+    if (formatVersion < 2) {
+      val cur = priorSpecs.find(n => jLong(n \ "spec-id") == defaultSpecId)
+        .map(fieldsOf).getOrElse(Nil)
+      val keptKeys = fields.map(sf =>
+        (nameToId.getOrElse(sf.source, -1L), sf.transform)).toSet
+      val dropped = cur.filter { f =>
+        !keptKeys((jLong(f \ "source-id"), (f \ "transform") match {
+          case JString(t) => t
+          case _ => ""
+        }))
+      }
+      if (dropped.nonEmpty)
+        throw new UnsupportedIcebergFeatureException(
+          s"dropping partition fields from format-version 1 table " +
+            s"$table — v1 spec evolution preserves dropped fields as " +
+            "void placeholders, which this writer does not stage; " +
+            "upgradeFormat to 2 first")
+    }
+    // field-id assignment: reuse the id of any EQUIVALENT prior field
+    // (same source-id + transform); fresh fields continue past the
+    // highest id ever assigned
+    val priorFieldIds: Map[(Long, String), Long] =
+      priorSpecs.flatMap(fieldsOf).flatMap { f =>
+        ((f \ "transform"), jLong(f \ "source-id"),
+          jLong(f \ "field-id")) match {
+          case (JString(t), sid, fid) if sid >= 0 && fid >= 0 =>
+            Some((sid, t) -> fid)
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    var nextFieldId: Long =
+      (priorSpecs.flatMap(fieldsOf).map(f => jLong(f \ "field-id")) :+
+        jLong(metaJson \ "last-partition-id")).foldLeft(999L)(_ max _) + 1
+    val wantJson: List[JValue] = fields.toList.map { sf =>
+      val sid = nameToId(sf.source)
+      val fid = priorFieldIds.getOrElse((sid, sf.transform), {
+        val v = nextFieldId; nextFieldId += 1; v
+      })
+      JObject(List("name" -> JString(sf.name),
+        "transform" -> JString(sf.transform),
+        "source-id" -> JInt(sid), "field-id" -> JInt(fid)))
+    }
+    def sameFields(node: JValue): Boolean = {
+      val fs0 = fieldsOf(node)
+      fs0.length == wantJson.length && fs0.zip(wantJson).forall {
+        case (a, b) => (a \ "name") == (b \ "name") &&
+          (a \ "transform") == (b \ "transform") &&
+          jLong(a \ "source-id") == jLong(b \ "source-id")
+      }
+    }
+    val (specId, nextSpecs) = priorSpecs.find(sameFields) match {
+      case Some(existing0) =>
+        (jLong(existing0 \ "spec-id").toInt, priorSpecs)
+      case None =>
+        val nid = (priorSpecs.map(n => jLong(n \ "spec-id"))
+          .filter(_ >= 0).foldLeft(-1L)(_ max _) + 1).toInt
+        (nid, priorSpecs :+ (JObject(List(
+          "spec-id" -> (JInt(nid): JValue),
+          "fields" -> (JArray(wantJson): JValue))): JValue))
+    }
+    if (specId == defaultSpecId && priorSpecs.find(sameFields).isDefined)
+      return specId // already the default — nothing to publish
+    val highestFieldId: Long = nextSpecs.flatMap(fieldsOf)
+      .map(f => jLong(f \ "field-id")).foldLeft(999L)(_ max _)
+    val defaultFieldsJson: JValue =
+      nextSpecs.find(n => jLong(n \ "spec-id") == specId.toLong)
+        .map(n => JArray(fieldsOf(n).toList): JValue)
+        .getOrElse(JArray(wantJson))
+    val next = JObject(metaJson.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case ("partition-specs", _) =>
+        "partition-specs" -> (JArray(nextSpecs.toList): JValue)
+      case ("default-spec-id", _) =>
+        "default-spec-id" -> (JInt(specId): JValue)
+      case ("partition-spec", _) => // legacy mirror of the default
+        "partition-spec" -> defaultFieldsJson
+      case ("last-partition-id", _) =>
+        "last-partition-id" -> (JLong(highestFieldId): JValue)
+      case other => other
+    } match {
+      case fs0 =>
+        val have = fs0.map(_._1).toSet
+        fs0 ++
+          (if (have("partition-specs")) Nil
+           else List("partition-specs" ->
+             (JArray(nextSpecs.toList): JValue))) ++
+          (if (have("default-spec-id")) Nil
+           else List("default-spec-id" -> (JInt(specId): JValue))) ++
+          (if (have("last-partition-id") || formatVersion < 2) Nil
+           else List("last-partition-id" ->
+             (JLong(highestFieldId): JValue)))
+    })
+    val nextVersion = version + 1
+    val metaTarget = new Path(metaDir, s"v$nextVersion.metadata.json")
+    val metaTmp = new Path(metaDir,
+      s".v$nextVersion.metadata.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(metaTmp, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(next))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!ManifestLake.RenameCommit.publish(fs, metaTmp, metaTarget)) {
+      fs.delete(metaTmp, false)
+      throw new ConcurrentIcebergCommitException(
+        s"metadata version $nextVersion of $root was committed " +
+          "concurrently — re-read the table and retry")
+    }
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(nextVersion.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    specId
+  }
+
+  /** `ALTER TABLE … ADD PARTITION FIELD` — [[evolveSpec]] with the
+    * current default spec plus one field. A field the spec already
+    * carries refuses by name. */
+  def addPartitionField(spark: SparkSession, table: String,
+                        field: SpecField): Int = {
+    val cur = currentDefaultSpecFields(spark, table)
+    if (cur.exists(f => f.source == field.source &&
+        f.transform == field.transform))
+      throw new UnsupportedIcebergFeatureException(
+        s"$table is already partitioned by " +
+          s"${field.transform}(${field.source})")
+    evolveSpec(spark, table, cur :+ field)
+  }
+
+  /** `ALTER TABLE … DROP PARTITION FIELD` — [[evolveSpec]] with the
+    * current default spec minus the matching field (matched by
+    * transform × source). A field the spec does not carry refuses by
+    * name. */
+  def dropPartitionField(spark: SparkSession, table: String,
+                         field: SpecField): Int = {
+    val cur = currentDefaultSpecFields(spark, table)
+    val kept = cur.filterNot(f => f.source == field.source &&
+      f.transform == field.transform)
+    if (kept.size == cur.size)
+      throw new UnsupportedIcebergFeatureException(
+        s"${field.transform}(${field.source}) is not a field of the " +
+          s"current partition spec of $table — nothing to drop")
+    evolveSpec(spark, table, kept)
+  }
+
+  /** The current DEFAULT spec's fields, source ids resolved to
+    * top-level column names — one metadata read. A spec field whose
+    * source this writer cannot name (nested or dropped column)
+    * refuses: evolution must not silently discard what it cannot
+    * carry. */
+  private def currentDefaultSpecFields(spark: SparkSession,
+      table: String): Seq[SpecField] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val curSchemaId = jLong(metaJson \ "current-schema-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val schemaNode: JValue = (metaJson \ "schemas") match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.find(s => jLong(s \ "schema-id") == curSchemaId)
+          .getOrElse(xs.head)
+      case _ => metaJson \ "schema"
+    }
+    val idToName: Map[Long, String] = (schemaNode \ "fields") match {
+      case JArray(fs0) => fs0.flatMap { f =>
+        ((f \ "name"), jLong(f \ "id")) match {
+          case (JString(n), id) if id >= 0 => Some(id -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    val defaultSpecId = jLong(metaJson \ "default-spec-id") match {
+      case -1L => 0L
+      case id => id
+    }
+    val specNode: Option[JValue] = (metaJson \ "partition-specs") match {
+      case JArray(xs) =>
+        xs.find(n => jLong(n \ "spec-id") == defaultSpecId)
+      case _ => (metaJson \ "partition-spec") match {
+        case arr @ JArray(fs0) if fs0.nonEmpty =>
+          Some(JObject(List("spec-id" -> JInt(0), "fields" -> arr)))
+        case _ => None
+      }
+    }
+    specNode.map(n => (n \ "fields") match {
+      case JArray(fs0) => fs0.map { f =>
+        ((f \ "name"), (f \ "transform"), jLong(f \ "source-id")) match {
+          case (JString(nm), JString(t), sid) =>
+            idToName.get(sid).map(src => SpecField(nm, t, src))
+              .getOrElse(throw new UnsupportedIcebergFeatureException(
+                s"partition field $nm of $table sources field id " +
+                  s"$sid, which is not a top-level column of the " +
+                  "current schema — cannot evolve a spec this writer " +
+                  "cannot fully name"))
+          case _ => throw new UnsupportedIcebergFeatureException(
+            s"unreadable partition field in the default spec of $table")
+        }
+      }
+      case _ => Nil
+    }).getOrElse(Nil)
+  }
+
   /** The table's recorded properties map — [[setProperties]]' read
     * side, one metadata read. */
   def properties(spark: SparkSession, table: String)

@@ -131,6 +131,12 @@ object InteropMaintenanceSql {
   private val IWriteUnorderedRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
       "\\s+WRITE\\s+UNORDERED\\s*;?\\s*$").r
+  private val IAddPartFieldRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+ADD\\s+PARTITION\\s+FIELD\\s+(.+?)\\s*;?\\s*$").r
+  private val IDropPartFieldRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + IName +
+      "\\s+DROP\\s+PARTITION\\s+FIELD\\s+(.+?)\\s*;?\\s*$").r
   private val IAnalyzeRe =
     ("(?is)^\\s*ANALYZE\\s+TABLE\\s+" + IName +
       "\\s+COMPUTE\\s+STATISTICS" +
@@ -272,6 +278,12 @@ object InteropMaintenanceSql {
           splitCols(items).map(sortOrderItem)))
       case IWriteUnorderedRe(name) =>
         Some(IcebergWriteOrderCommand(icePath(name), Nil))
+      case IAddPartFieldRe(name, item) =>
+        Some(IcebergEvolveSpecCommand(icePath(name),
+          iceSpecField(item), add = true))
+      case IDropPartFieldRe(name, item) =>
+        Some(IcebergEvolveSpecCommand(icePath(name),
+          iceSpecField(item), add = false))
       case IAnalyzeRe(name, cols) =>
         Some(IcebergAnalyzeCommand(icePath(name), zcols(cols)))
       case ICreateRefRe(name, kind, ref, snap) =>
@@ -351,6 +363,25 @@ object InteropMaintenanceSql {
       AttributeReference("order_id", IntegerType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.replaceSortOrder(spark, table, fields)))
+  }
+
+  /** `ALTER TABLE graft_iceberg.t ADD|DROP PARTITION FIELD <item>` —
+    * partition SPEC EVOLUTION, metadata-only
+    * ([[IcebergInterop.addPartitionField]] /
+    * [[IcebergInterop.dropPartitionField]]): already-written files
+    * stay under their spec; future INSERTs land under the new
+    * default. Items speak the PARTITIONED BY vocabulary (bare
+    * column, `years/months/days/hours(col)`, `bucket(n, col)`,
+    * `truncate(w, col)`). */
+  final case class IcebergEvolveSpecCommand(table: String,
+      field: IcebergInterop.SpecField, add: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("spec_id", IntegerType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(
+        if (add) IcebergInterop.addPartitionField(spark, table, field)
+        else IcebergInterop.dropPartitionField(spark, table, field)))
   }
 
   /** `ALTER TABLE graft_iceberg.t CREATE BRANCH|TAG name

@@ -1589,6 +1589,70 @@ object LakeQueries {
       |  TRUE AS wap_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** ic23_spec_evolution — PARTITION SPEC EVOLUTION through the
+    * gate: an UNPARTITIONED even-keys seed, then
+    * `ALTER TABLE … ADD PARTITION FIELD o_orderpriority` — a
+    * METADATA-ONLY commit (the 100 TB point: re-partitioning must
+    * never rewrite data; the prior route here was a full-table
+    * overwrite) — then the odd keys appended under the NEW spec.
+    * The `spec_ok` flag pins the evidence in-row: the default spec
+    * moved, the seed files survived evolution byte-for-byte under
+    * spec 0, the appended files carry spec 1 with real partition
+    * tuples, and a pruned one-priority read keeps every seed file
+    * (fails open, no tuple) while dropping every other-priority
+    * spec-1 file. The aggregate re-derives relationally over the
+    * full table, so a lost or double-counted row fails the hash
+    * loudly. */
+  def ic23SpecEvolution(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"ic23:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ice-ic23").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      IcebergInterop.upgradeFormat(s, t)
+      val seed = IcebergInterop.state(s, t, None).files.map(_.path).toSet
+      val sid = IcebergInterop.addPartitionField(s, t,
+        IcebergInterop.SpecField("o_orderpriority", "identity",
+          "o_orderpriority"))
+      val afterEvo = IcebergInterop.state(s, t, None)
+      IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 1), t,
+        partitionBy = Seq(IcebergInterop.SpecField("o_orderpriority",
+          "identity", "o_orderpriority")))
+      val st = IcebergInterop.state(s, t, None)
+      val newFiles = st.files.filterNot(f => seed(f.path))
+      val keptNames = IcebergInterop.readPruned(s, t,
+        Seq(ScanEq("o_orderpriority", "1-URGENT"))).inputFiles
+        .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+      def name(p: String): String =
+        new org.apache.hadoop.fs.Path(p).getName
+      val ok = sid == 1 && st.defaultSpecId == 1 &&
+        afterEvo.files.map(_.path).toSet == seed && // metadata-only
+        st.files.filter(f => seed(f.path)).forall(_.specId == 0) &&
+        newFiles.nonEmpty && newFiles.forall(f => f.specId == 1 &&
+          f.partition.contains("o_orderpriority")) &&
+        seed.forall(p => keptNames(name(p))) &&
+        newFiles.forall(f =>
+          keptNames(name(f.path)) ==
+            f.partition.get("o_orderpriority").contains("1-URGENT"))
+      s"$t|$ok"
+    })
+    val Array(dir, flag) = built.split('|')
+    IcebergInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("spec_ok", lit(flag.toBoolean))
+  }
+
+  val ic23Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS spec_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** iv1_iceberg_view — Iceberg VIEWS (view spec v1) through the
     * gate: a spec-shaped view over a registered Iceberg table,
     * VERSIONED — version 1 aggregates only the even keys, CREATE OR
@@ -3625,6 +3689,7 @@ object LakeQueries {
     "ic20_v3_keyed_cdc" -> (ic20V3KeyedCdc _),
     "ic21_sort_order" -> (ic21SortOrder _),
     "ic22_wap_publish" -> (ic22WapPublish _),
+    "ic23_spec_evolution" -> (ic23SpecEvolution _),
     "iv1_iceberg_view" -> (iv1IcebergView _),
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
@@ -3706,6 +3771,7 @@ object LakeQueries {
     "ic20_v3_keyed_cdc" -> ic20Oracle,
     "ic21_sort_order" -> ic21Oracle,
     "ic22_wap_publish" -> ic22Oracle,
+    "ic23_spec_evolution" -> ic23Oracle,
     "iv1_iceberg_view" -> iv1Oracle,
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
