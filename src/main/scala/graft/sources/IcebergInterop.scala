@@ -5458,7 +5458,8 @@ object IcebergInterop {
   private def publishRewrite(spark: SparkSession, fs: FileSystem,
       root: Path, st: IceState, added: Seq[IceFile],
       removedPaths: Set[String], operation: String,
-      lineageSafe: Boolean = false): Long = {
+      lineageSafe: Boolean = false,
+      regroup: Boolean = false): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def compactJ(v: JValue): String =
@@ -5686,6 +5687,35 @@ object IcebergInterop {
       case _ => Nil
     }
     var mIdx = 1
+    if (regroup) {
+      // MANIFEST COMPACTION ([[rewriteManifests]]): every live data
+      // entry re-lists as EXISTING — original sequence numbers,
+      // snapshot ids and row-id origins — in ONE consolidated
+      // manifest per spec-id; delete manifests carry verbatim; the
+      // prior data manifests simply leave the list (they stay
+      // reachable from prior snapshots until expiry). Planning cost
+      // returns to O(live files), however many commits built the
+      // table up.
+      st.files.groupBy(_.specId).toSeq.sortBy(_._1).foreach {
+        case (specId, group) =>
+          val (p, len) = writeManifest(s"$uuid-m$mIdx.avro", specId,
+            group.map(f => (f, 0, f.snapId)))
+          mIdx += 1
+          listEntries +=
+            (if (v2) manifestListRowV2(p.toString, len, specId,
+              content = 0, seq = newSeq,
+              minSeq = group.map(_.seq).foldLeft(newSeq)(_ min _),
+              snapshotId,
+              (0, group.size, 0, 0L, group.map(_.records).sum, 0L))
+            else listRow(p.toString, len, specId, snapshotId))
+      }
+      priorList.foreach { pm =>
+        val content = fieldOpt(pm, "content")
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        if (content != 0)
+          listEntries += carryManifestRowV2(fs, pm, snapshotId)
+      }
+    } else
     priorList.foreach { pm =>
       val mPath = pm.get("manifest_path").toString
       val group = byManifest.getOrElse(mPath, Nil)
@@ -7054,6 +7084,44 @@ object IcebergInterop {
     * live files refuse by name (one manifest declares one spec).
     * Returns the new snapshot id, or the current one when nothing
     * qualifies. */
+  /** Iceberg `rewrite_manifests` — METADATA compaction (SQL:
+    * `OPTIMIZE graft_iceberg.t REWRITE MANIFESTS`): every live data
+    * entry re-lists as EXISTING — original sequence number, snapshot
+    * id and row-id origin preserved, so time-ordering semantics
+    * (equality-delete applicability, lineage) are untouched — in ONE
+    * consolidated manifest per partition spec, published as a
+    * `replace` snapshot that adds and removes NOTHING. Data files are
+    * never read or moved; prior manifests stay reachable from prior
+    * snapshots until [[expireSnapshots]] collects them. The 100 TB
+    * point: a table built by per-minute appends accumulates one
+    * manifest per commit, and scan planning reads every one of them —
+    * this returns planning to O(live files) metadata without touching
+    * a data byte. No-ops (returns the current snapshot) when the
+    * manifest count is already minimal. On v3, a live file whose
+    * row-id origin the inheritance walk cannot resolve refuses by
+    * name — re-listing it would materialize an explicit null
+    * ("predates lineage") where today's read refuses, a silent
+    * downgrade. */
+  def rewriteManifests(spark: SparkSession, table: String): Long = {
+    requireNoWapBranch(spark, table, "rewriteManifests")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val st = state(spark, table, None)
+    if (st.files.isEmpty) return st.snapshotId
+    val dataManifests = st.files.map(_.manifest).distinct.size
+    val specCount = st.files.map(_.specId).distinct.size
+    if (dataManifests <= specCount) return st.snapshotId
+    if (st.formatVersion >= 3 && st.files.exists(_.lineageUnresolved))
+      throw new UnsupportedIcebergFeatureException(
+        s"a live file of $table has an unresolvable row-id origin — " +
+          "rewriting its manifest entry would record an explicit " +
+          "null origin where lineage reads refuse today; resolve the " +
+          "origin (rewrite the file) before compacting manifests")
+    publishRewrite(spark, fs, root, st, added = Nil,
+      removedPaths = Set.empty, operation = "replace",
+      lineageSafe = true, regroup = true)
+  }
+
   def optimize(spark: SparkSession, table: String,
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorderBy: Seq[String] = Nil): Long = {

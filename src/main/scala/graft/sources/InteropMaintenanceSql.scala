@@ -62,6 +62,9 @@ object InteropMaintenanceSql {
   private val IOptimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + IName +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
+  private val IRewriteManifestsRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + IName +
+      "\\s+REWRITE\\s+MANIFESTS\\s*;?\\s*$").r
   private val DVacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + DName +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
@@ -227,6 +230,8 @@ object InteropMaintenanceSql {
     sqlText match {
       case DOptimizeRe(name, z) =>
         Some(DeltaOptimizeCommand(deltaPath(name), zcols(z)))
+      case IRewriteManifestsRe(name) =>
+        Some(IcebergRewriteManifestsCommand(icePath(name)))
       case IOptimizeRe(name, z) =>
         Some(IcebergOptimizeCommand(icePath(name), zcols(z)))
       case DVacuumRe(name, n) =>
@@ -348,6 +353,17 @@ object InteropMaintenanceSql {
       AttributeReference("snapshot_id", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.optimize(spark, table, zorderBy = z)))
+  }
+
+  /** `OPTIMIZE graft_iceberg.t REWRITE MANIFESTS` — metadata
+    * compaction ([[IcebergInterop.rewriteManifests]]): consolidates
+    * the manifest list without reading or moving a data byte. */
+  final case class IcebergRewriteManifestsCommand(table: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("snapshot_id", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(IcebergInterop.rewriteManifests(spark, table)))
   }
 
   /** `ALTER TABLE graft_iceberg.t WRITE ORDERED BY (c1 [ASC|DESC]

@@ -1600,9 +1600,12 @@ object LakeQueries {
     * spec 0, the appended files carry spec 1 with real partition
     * tuples, and a pruned one-priority read keeps every seed file
     * (fails open, no tuple) while dropping every other-priority
-    * spec-1 file. The aggregate re-derives relationally over the
-    * full table, so a lost or double-counted row fails the hash
-    * loudly. */
+    * spec-1 file. `rewriteManifests` then compacts the two-spec
+    * manifest list to ONE data manifest per spec with the file
+    * surface byte-identical — the companion metadata-maintenance op,
+    * pinned in the same flag. The aggregate re-derives relationally
+    * over the full table, so a lost or double-counted row fails the
+    * hash loudly. */
   def ic23SpecEvolution(s: SparkSession, d: String): DataFrame = {
     val built = builtTables.computeIfAbsent(s"ic23:$d", _ => {
       val t = java.nio.file.Files
@@ -1619,6 +1622,12 @@ object LakeQueries {
       IcebergInterop.write(o.filter(col("o_orderkey") % 2 === 1), t,
         partitionBy = Seq(IcebergInterop.SpecField("o_orderpriority",
           "identity", "o_orderpriority")))
+      val preRwm = IcebergInterop.state(s, t, None)
+      // rewrite_manifests on the two-spec table: the manifest list
+      // consolidates to ONE data manifest per spec, data files and
+      // their spec assignments byte-identical — metadata compaction
+      // composing with evolution, no data IO
+      IcebergInterop.rewriteManifests(s, t)
       val st = IcebergInterop.state(s, t, None)
       val newFiles = st.files.filterNot(f => seed(f.path))
       val keptNames = IcebergInterop.readPruned(s, t,
@@ -1626,8 +1635,13 @@ object LakeQueries {
         .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
       def name(p: String): String =
         new org.apache.hadoop.fs.Path(p).getName
+      def keys(x: IcebergInterop.IceState) =
+        x.files.map(f => (f.path, f.seq, f.specId,
+          f.partition.get("o_orderpriority"))).sortBy(_._1)
       val ok = sid == 1 && st.defaultSpecId == 1 &&
         afterEvo.files.map(_.path).toSet == seed && // metadata-only
+        keys(st) == keys(preRwm) && // rewrite moved no data
+        st.files.map(_.manifest).distinct.size == 2 && // 1/spec
         st.files.filter(f => seed(f.path)).forall(_.specId == 0) &&
         newFiles.nonEmpty && newFiles.forall(f => f.specId == 1 &&
           f.partition.contains("o_orderpriority")) &&
