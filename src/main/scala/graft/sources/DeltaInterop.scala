@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, regexp_replace, timestamp_millis, when}
-import org.apache.spark.sql.types.{DataType, LongType, Metadata, MetadataBuilder, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, Metadata, MetadataBuilder, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Delta Lake TRANSACTION-LOG interop, pure Spark — no delta-spark jar.
   *
@@ -3070,6 +3070,109 @@ object DeltaInterop {
     val root = new Path(table)
     publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
       st.version + 1, lines, st.configuration)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN <c> TYPE <wider>` — the WRITE side
+    * of the `typeWidening` table feature (PROTOCOL.md §Type
+    * Widening), metadata-only at ANY table size: the recorded schema
+    * re-types the column, the field's metadata appends the
+    * `delta.typeWidening.typeChanges` entry (`fromType`/`toType` —
+    * how foreign readers know narrow physical values are legitimate),
+    * and the protocol declares `typeWidening` on BOTH sides
+    * (minReader 3 / minWriter 7). Existing data files keep their
+    * narrow physical type — the read path serves them up-cast under
+    * the current schema (Spark 4's vectorized parquet reader
+    * promotes) — and later appends stage the wide type. Supported
+    * widenings are the integral chain byte → short → int → long,
+    * int-family → double, and float → double; anything else
+    * (decimal re-scaling, date → timestamp) refuses by name.
+    * Partition columns refuse — their values live in path strings
+    * whose parse type anchors layout and pruning. */
+  def widenColumnType(spark: SparkSession, table: String,
+                      name: String, to: DataType): Long = {
+    val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "CHANGE COLUMN",
+      removesData = false, addsData = false, rowTrackingHandled = true)
+    val field = st.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER on $table: no column '$name'"))
+    val from = field.dataType
+    if (from == to) return st.version
+    if (st.partitionColumns.contains(name))
+      throw new UnsupportedDeltaFeatureException(
+        s"CHANGE COLUMN on $table: '$name' is a partition column — " +
+          "its values are path strings parsed under the declared " +
+          "type; re-typing it would re-anchor layout and pruning")
+    val allowed: Set[(DataType, DataType)] = Set(
+      (ByteType, ShortType), (ByteType, IntegerType),
+      (ByteType, LongType), (ByteType, DoubleType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (ShortType, DoubleType),
+      (IntegerType, LongType), (IntegerType, DoubleType),
+      (FloatType, DoubleType))
+    if (!allowed((from, to)))
+      throw new UnsupportedDeltaFeatureException(
+        s"CHANGE COLUMN $name TYPE ${to.sql} on $table: " +
+          s"${from.sql} → ${to.sql} is not a widening this writer " +
+          "serves (byte/short/int up the integral chain or to " +
+          "double, float → double are)")
+    val deltaName = Map[DataType, String](ByteType -> "byte",
+      ShortType -> "short", IntegerType -> "integer",
+      LongType -> "long", FloatType -> "float", DoubleType -> "double")
+    val ChangesKey = "delta.typeWidening.typeChanges"
+    val prior: Seq[org.apache.spark.sql.types.Metadata] =
+      if (field.metadata.contains(ChangesKey))
+        field.metadata.getMetadataArray(ChangesKey).toSeq
+      else Nil
+    val entry = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("fromType", deltaName(from))
+      .putString("toType", deltaName(to)).build()
+    val fm = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(field.metadata)
+      .putMetadataArray(ChangesKey, (prior :+ entry).toArray).build()
+    val widened = StructType(st.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to, metadata = fm) else f))
+    // protocol: typeWidening is a READER + writer feature — narrow
+    // physical values under a wide declared type are only legal for
+    // readers that know the feature. Legacy-implied features carry
+    // over on both sides at the upgrade (the enableRowTracking
+    // discipline).
+    val needsProto = !(st.readerFeatures.contains("typeWidening") &&
+      st.writerFeatures.contains("typeWidening"))
+    val legacy = st.minWriterVersion < 7 && st.writerFeatures.isEmpty
+    val legacyImplied =
+      (if (legacy && st.minWriterVersion >= 2)
+        Seq("appendOnly", "invariants") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 3)
+          Seq("checkConstraints") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 4)
+          Seq("changeDataFeed", "generatedColumns") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 5)
+          Seq("columnMapping") else Nil) ++
+        (if (legacy && st.minWriterVersion >= 6)
+          Seq("identityColumns") else Nil)
+    val legacyReader =
+      if (st.minReaderVersion >= 3) Nil
+      else if (st.minReaderVersion == 2) Seq("columnMapping")
+      else Nil
+    val rf = (st.readerFeatures ++ legacyReader ++
+      Seq("typeWidening")).distinct
+    val wf = (st.writerFeatures ++ legacyImplied ++ rf).distinct
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("CHANGE COLUMN")},"operationParameters":{},""" +
+      s""""engineInfo":${jstr("graft")}}}"""
+    if (needsProto)
+      lines += s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,""" +
+        s""""readerFeatures":${rf.map(jstr).mkString("[", ",", "]")},""" +
+        s""""writerFeatures":${wf.map(jstr).mkString("[", ",", "]")}}}"""
+    lines += metaDataJson(widened, st.partitionColumns, now,
+      st.configuration, st.metaId)
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines.toSeq, st.configuration)
   }
 
   /** `ALTER TABLE … DROP COLUMN` — COLUMN-MAPPED tables only (the

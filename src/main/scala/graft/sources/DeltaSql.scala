@@ -212,6 +212,20 @@ object DeltaSql {
     }
   }
 
+  /** `ALTER TABLE graft_delta.t ALTER COLUMN c TYPE <wider>` —
+    * [[DeltaInterop.widenColumnType]]'s metadata-only type widening
+    * (the `typeWidening` table feature) when the command runs. */
+  final case class GraftDeltaWidenColumnCommand(table: String,
+      items: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      items.foreach { case (name, to) =>
+        DeltaInterop.widenColumnType(spark, table, name, to): Unit
+      }
+      Seq.empty
+    }
+  }
+
   /** `ALTER TABLE graft_delta.t RENAME COLUMN a TO b` —
     * [[DeltaInterop.renameColumn]]'s metadata-only rename. */
   final case class GraftDeltaRenameColumnCommand(table: String,
@@ -309,6 +323,21 @@ object DeltaSql {
             "graft_delta RENAME COLUMN supports top-level columns only")
         GraftDeltaRenameColumnCommand(alterTarget(r.table).get,
           r.column.name.head, r.newName)
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+        if alterTarget(ac.table).isDefined =>
+        val items = ac.specs.map { s =>
+          if (s.newDataType.isEmpty || s.newNullability.nonEmpty ||
+            s.newComment.nonEmpty || s.newPosition.nonEmpty ||
+            s.newDefaultExpression.nonEmpty || s.dropDefault)
+            throw new UnsupportedOperationException(
+              "graft_delta ALTER COLUMN supports TYPE widening only " +
+                "(no nullability, comment, position, or default changes)")
+          if (s.column.name.length != 1)
+            throw new UnsupportedOperationException(
+              "graft_delta ALTER COLUMN supports top-level columns only")
+          s.column.name.head -> s.newDataType.get
+        }
+        GraftDeltaWidenColumnCommand(alterTarget(ac.table).get, items)
       case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns
         if alterTarget(d.table).isDefined =>
         if (d.ifExists)

@@ -1807,6 +1807,60 @@ object LakeQueries {
       |    AS DECIMAL(27,2)) AS DOUBLE) AS total
       |FROM orders WHERE o_orderkey % 9 <> 0 GROUP BY 1""".stripMargin
 
+  /** dl20_type_widening — Delta `typeWidening` WRITE side through
+    * the gate: the even keys seed as a NARROW int column,
+    * `ALTER COLUMN … TYPE BIGINT` re-types the table in ONE
+    * metadata-only commit (the 100 TB point: a type change must
+    * never rewrite data), and the odd keys append as long. The
+    * `widen_ok` flag pins the evidence in-row: the widening moved no
+    * file, the field records the spec's
+    * `delta.typeWidening.typeChanges` entry, the protocol declares
+    * `typeWidening` on both sides, and narrow + wide generations
+    * coexist live. The aggregate sums the widened column over BOTH
+    * generations — a mis-decoded narrow value fails the hash
+    * loudly. */
+  def dl20TypeWidening(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl20:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl20").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderkey", col("o_orderkey").cast("int")), t)
+      val before = DeltaInterop.state(s, t, None)
+      DeltaInterop.widenColumnType(s, t, "o_orderkey",
+        org.apache.spark.sql.types.LongType)
+      val mid = DeltaInterop.state(s, t, None)
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 1), t)
+      val st = DeltaInterop.state(s, t, None)
+      val changes = st.schema("o_orderkey").metadata
+      val ok = mid.files.map(_.path).toSet ==
+        before.files.map(_.path).toSet && // metadata-only
+        mid.schema("o_orderkey").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        changes.contains("delta.typeWidening.typeChanges") &&
+        changes.getMetadataArray("delta.typeWidening.typeChanges")
+          .headOption.exists(c => c.getString("fromType") == "integer" &&
+            c.getString("toType") == "long") &&
+        st.readerFeatures.contains("typeWidening") &&
+        st.writerFeatures.contains("typeWidening") &&
+        st.files.map(_.path).toSet.size >
+          before.files.map(_.path).toSet.size
+      s"$t|$ok"
+    })
+    val Array(dir, flag) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("widen_ok", lit(flag.toBoolean))
+  }
+
+  val dl20Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, TRUE AS widen_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3707,6 +3761,7 @@ object LakeQueries {
     "iv1_iceberg_view" -> (iv1IcebergView _),
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
+    "dl20_type_widening" -> (dl20TypeWidening _),
     "dl16_identity" -> (dl16Identity _),
     "dl17_row_tracking" -> (dl17RowTracking _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -3789,6 +3844,7 @@ object LakeQueries {
     "iv1_iceberg_view" -> iv1Oracle,
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
+    "dl20_type_widening" -> dl20Oracle,
     "dl16_identity" -> dl16Oracle,
     "dl17_row_tracking" -> dl17Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
