@@ -7252,6 +7252,97 @@ object IcebergInterop {
     * [[importToManifest]] — is the shared-files caveat every
     * cross-format conversion carries: retention on one format must be
     * ≥ the other's reader horizon.) */
+  /** Iceberg `remove_orphan_files` — the storage-hygiene maintenance
+    * op: deletes files under the table location that NO retained
+    * snapshot (nor the table metadata itself) references and that
+    * are OLDER than the grace interval — the debris failed or
+    * abandoned writes leave behind, which [[expireSnapshots]] can
+    * never collect because no snapshot ever pointed at it. The
+    * referenced set is built from a FULL metadata walk: every
+    * `v*.metadata.json` and the version-hint, every snapshot's
+    * manifest list, every manifest, every entry's file path
+    * (any status — a DELETED entry's file may still serve an older
+    * snapshot), and the statistics / partition-statistics files.
+    * Both raw and URI-escaped path forms count as referenced (the
+    * manifest may record either). The grace interval (default 3
+    * days) protects in-flight writes whose commit has not published
+    * yet — matching Iceberg's own default. `dryRun` returns the
+    * candidates without deleting. Metadata-only: no data file is
+    * ever opened. Returns the deleted (or would-delete) paths,
+    * sorted. */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+                        olderThanMs: Long = 3L * 24 * 3600 * 1000,
+                        dryRun: Boolean = false): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    require(olderThanMs >= 0, "olderThanMs must be non-negative")
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no v*.metadata.json under $table/metadata"))
+    val metaJson = JsonMethods.parse(readText(fs,
+      new Path(metaDir, s"v$version.metadata.json")))
+    val referenced = Set.newBuilder[String]
+    def ref(p: String): Unit =
+      ForeignDv.forms(p).foreach(f => referenced += new Path(f)
+        .toUri.getPath)
+    // every snapshot's full reachability, any status — expiry owns
+    // narrowing the snapshot set; orphan removal must never touch
+    // anything the metadata can still name
+    val snaps = (metaJson \ "snapshots") match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    snaps.foreach { s =>
+      (s \ "manifest-list") match {
+        case JString(ml) =>
+          ref(ml)
+          avroRows(fs, new Path(ml)).foreach { mf =>
+            val mPath = mf.get("manifest_path").toString
+            ref(mPath)
+            avroRows(fs, new Path(mPath)).foreach { entry =>
+              ref(entry.get("data_file")
+                .asInstanceOf[GenericRecord].get("file_path").toString)
+            }
+          }
+        case _ => ()
+      }
+    }
+    Seq("statistics", "partition-statistics").foreach { k =>
+      (metaJson \ k) match {
+        case JArray(xs) => xs.foreach { e =>
+          Seq("statistics-path", "path").foreach(f => (e \ f) match {
+            case JString(p) => ref(p)
+            case _ => ()
+          })
+        }
+        case _ => ()
+      }
+    }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val refSet = referenced.result()
+    val candidates = Seq.newBuilder[String]
+    def keepByName(name: String): Boolean =
+      name == "version-hint.text" || name.endsWith(".metadata.json") ||
+        name.startsWith(".") // in-flight rename-commit temporaries
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) {
+        val p = f.getPath
+        if (!keepByName(p.getName) &&
+          !refSet.contains(p.toUri.getPath) &&
+          f.getModificationTime < cutoff)
+          candidates += p.toString
+      }
+    }
+    val out = candidates.result().sorted
+    if (!dryRun) out.foreach(p => fs.delete(new Path(p), false): Unit)
+    out
+  }
+
   def expireSnapshots(spark: SparkSession, table: String,
                       keepLast: Int = 2): Int = {
     require(keepLast >= 1, "must retain at least the current snapshot")

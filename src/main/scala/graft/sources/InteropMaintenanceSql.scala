@@ -71,6 +71,10 @@ object InteropMaintenanceSql {
   private val IVacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + IName +
       "\\s+RETAIN\\s+(\\d+)\\s+SNAPSHOTS\\s*;?\\s*$").r
+  private val IOrphanRe =
+    ("(?is)^\\s*VACUUM\\s+" + IName +
+      "\\s+REMOVE\\s+ORPHANS(?:\\s+OLDER\\s+THAN\\s+(\\d+)\\s+HOURS)?" +
+      "(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   private val DHistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + DName + "\\s*;?\\s*$").r
   private val IHistoryRe =
@@ -236,6 +240,10 @@ object InteropMaintenanceSql {
         Some(IcebergOptimizeCommand(icePath(name), zcols(z)))
       case DVacuumRe(name, n) =>
         Some(DeltaVacuumCommand(deltaPath(name), n.toInt))
+      case IOrphanRe(name, hours, dry) =>
+        Some(IcebergRemoveOrphansCommand(icePath(name),
+          Option(hours).map(_.toLong * 3600 * 1000)
+            .getOrElse(3L * 24 * 3600 * 1000), dry != null))
       case IVacuumRe(name, n) =>
         Some(IcebergExpireCommand(icePath(name), n.toInt))
       case DHistoryRe(name) =>
@@ -353,6 +361,19 @@ object InteropMaintenanceSql {
       AttributeReference("snapshot_id", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.optimize(spark, table, zorderBy = z)))
+  }
+
+  /** `VACUUM graft_iceberg.t REMOVE ORPHANS [OLDER THAN n HOURS]
+    * [DRY RUN]` — [[IcebergInterop.removeOrphanFiles]]: deletes (or,
+    * DRY RUN, lists) files no retained snapshot references, older
+    * than the grace interval. */
+  final case class IcebergRemoveOrphansCommand(table: String,
+      olderThanMs: Long, dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("path", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      IcebergInterop.removeOrphanFiles(spark, table, olderThanMs,
+        dryRun).map(Row(_))
   }
 
   /** `OPTIMIZE graft_iceberg.t REWRITE MANIFESTS` — metadata
