@@ -4566,6 +4566,94 @@ object DeltaInterop {
 
   // ---------------------------------------------------- format conversion
 
+  /** `CONVERT TO DELTA` for a RAW parquet directory (optionally
+    * Hive-partitioned), in place and METADATA-ONLY: publishes a
+    * version-0 `_delta_log` whose add actions reference the existing
+    * parquet files VERBATIM — adopting a 100 TB directory costs one
+    * log commit plus one footer read per file (row counts for the
+    * `numRecords` stats every downstream fast path expects), and the
+    * footer reads run DISTRIBUTED on the executors, never a driver
+    * loop. Partition columns derive from the Hive path segments —
+    * recorded in the schema (Spark's own partition discovery types
+    * them), absent from the data files, exactly Delta's convention;
+    * a mixed layout (files disagreeing on partition keys) refuses by
+    * name. The directory must not already be a Delta table. */
+  def convertParquet(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = hadoopFs(spark, root)
+    require(!fs.exists(new Path(root, "_delta_log")),
+      s"$dir already carries a _delta_log — it IS a Delta table")
+    // full schema, partition columns included, via Spark's own
+    // parquet partition discovery (the types a Spark reader of the
+    // raw directory would serve)
+    val schema = spark.read.parquet(dir).schema
+    val rootPath = fs.makeQualified(root).toUri.getPath
+      .stripSuffix("/") + "/"
+    val statuses = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !rel.split('/').exists(s => s.startsWith("_") ||
+            s.startsWith(".")))
+          out += f
+      }
+      out.toSeq.sortBy(_.getPath.toString)
+    }
+    require(statuses.nonEmpty, s"no parquet files under $dir")
+    val rels = statuses.map(_.getPath.toUri.getPath.stripPrefix(rootPath))
+    val partCols: Seq[String] = rels.head.split('/').init
+      .filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
+    rels.find(r => ManifestLake.partitionValues(r).keySet !=
+      partCols.toSet).foreach(r =>
+      throw new UnsupportedDeltaFeatureException(
+        s"file $r carries partition keys ${ManifestLake
+          .partitionValues(r).keySet.mkString(",")} but the layout " +
+          s"is ${partCols.mkString(",")} — a mixed layout cannot " +
+          "convert under one partitioning"))
+    partCols.foreach(c => require(schema.exists(_.name == c),
+      s"partition path column $c is not in the discovered schema " +
+        s"of $dir"))
+    // row counts: one footer read per file, on the executors
+    val paths = statuses.map(_.getPath.toString)
+    val counts: Map[String, Long] = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), conf))
+        try p -> scala.jdk.CollectionConverters
+          .ListHasAsScala(rd.getFooter.getBlocks).asScala
+          .map(_.getRowCount.toLong).sum
+        finally rd.close()
+      }.collect().toMap
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${
+      jstr("CONVERT")},"operationParameters":{},""" +
+      s""""engineInfo":${jstr("graft")}}}"""
+    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += metaDataJson(schema, partCols, now)
+    statuses.foreach { f =>
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
+      val pv = ManifestLake.partitionValues(rel)
+        .map { case (k, v) => k -> Option(v) }
+      lines += s"""{"add":{"path":${jstr(urlEncode(rel))},""" +
+        s""""partitionValues":${pvJsonOf(pv)},""" +
+        s""""size":${f.getLen},"modificationTime":${
+          f.getModificationTime},"dataChange":true,""" +
+        s""""stats":${jstr(s"""{"numRecords":${
+          counts(f.getPath.toString)}}""")}}}"""
+    }
+    publishCommit(fs, new Path(root, "_delta_log"), 0L, lines.toSeq,
+      Map.empty)
+  }
+
   /** Metadata-only manifest-lake → Delta conversion, in place: publish
     * (or re-sync) a `_delta_log` NEXT TO the existing manifest, whose
     * add actions reference the manifest snapshot's live parquet files

@@ -7512,6 +7512,95 @@ object IcebergInterop {
     * prune. Each export publishes an overwrite-style snapshot of the
     * full live set; earlier mirror snapshots stay addressable until
     * expiry. */
+  /** Iceberg `migrate` for a RAW parquet directory (optionally
+    * Hive-partitioned), in place and METADATA-ONLY: publishes v1
+    * metadata + one manifest whose entries reference the existing
+    * parquet files VERBATIM — adopting a 100 TB directory costs one
+    * metadata commit plus one footer read per file (the entry's
+    * required `record_count`), and the footer reads run DISTRIBUTED
+    * on the executors. Hive layouts become IDENTITY partition specs:
+    * each file's path values parse under the discovered column types
+    * into REAL partition tuples (the spec makes the tuple
+    * authoritative; readers — this one's identity-fill included —
+    * reconstruct the columns from it). Unparseable path values and
+    * mixed layouts refuse by name; an existing Iceberg or Delta
+    * table refuses (use the conversion paths). */
+  def migrateParquet(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = hadoopFs(spark, root)
+    val metaDir = new Path(root, "metadata")
+    require(!(fs.exists(metaDir) &&
+      currentMetadataVersion(fs, dir).isDefined),
+      s"$dir already carries Iceberg metadata — it IS an Iceberg table")
+    require(!fs.exists(new Path(root, "_delta_log")),
+      s"$dir is a Delta table — convert with CrossFormat" +
+        ".deltaToIceberg, which carries the log's state")
+    val schema = spark.read.parquet(dir).schema
+    val rootPath = fs.makeQualified(root).toUri.getPath
+      .stripSuffix("/") + "/"
+    val statuses = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !rel.split('/').exists(s => s.startsWith("_") ||
+            s.startsWith(".")))
+          out += f
+      }
+      out.toSeq.sortBy(_.getPath.toString)
+    }
+    require(statuses.nonEmpty, s"no parquet files under $dir")
+    val rels = statuses.map(_.getPath.toUri.getPath.stripPrefix(rootPath))
+    val partCols: Seq[String] = rels.head.split('/').init
+      .filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
+    rels.find(r => ManifestLake.partitionValues(r).keySet !=
+      partCols.toSet).foreach(r =>
+      throw new UnsupportedIcebergFeatureException(
+        s"file $r carries partition keys ${ManifestLake
+          .partitionValues(r).keySet.mkString(",")} but the layout " +
+          s"is ${partCols.mkString(",")} — a mixed layout cannot " +
+          "migrate under one partition spec"))
+    val spec = partCols.map { c =>
+      require(schema.exists(_.name == c),
+        s"partition path column $c is not in the discovered schema " +
+          s"of $dir")
+      SpecField(c, "identity", c)
+    }
+    def tupleValue(c: String, raw: String): AnyRef =
+      hivePathValue(schema(c).dataType, raw).getOrElse(
+        throw new UnsupportedIcebergFeatureException(
+          s"partition path value '$raw' of column $c does not parse " +
+            s"as ${schema(c).dataType.sql} — refusing to migrate a " +
+            "wrong tuple")).orNull
+    val paths = statuses.map(_.getPath.toString)
+    val counts: Map[String, Long] = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), conf))
+        try p -> rd.getFooter.getBlocks.asScala
+          .map(_.getRowCount.toLong).sum
+        finally rd.close()
+      }.collect().toMap
+    val files = statuses.map { f =>
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
+      val tuple: Map[String, AnyRef] =
+        ManifestLake.partitionValues(rel).map { case (k, v) =>
+          k -> tupleValue(k, v)
+        }
+      IceFile(f.getPath.toString, counts(f.getPath.toString),
+        f.getLen, partition = tuple)
+    }
+    publishSnapshot(fs, root, schema, files, None, overwrite = true,
+      operation = "convert", spec = spec)
+  }
+
   def exportFromManifest(spark: SparkSession, table: String): Long = {
     val snap = ManifestLake.snapshot(spark, table)
     snap.entries.find(_.dv.nonEmpty).foreach(e =>

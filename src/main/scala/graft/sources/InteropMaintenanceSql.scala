@@ -71,6 +71,9 @@ object InteropMaintenanceSql {
   private val IVacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + IName +
       "\\s+RETAIN\\s+(\\d+)\\s+SNAPSHOTS\\s*;?\\s*$").r
+  private val ConvertRe =
+    ("(?is)^\\s*CONVERT\\s+TO\\s+(DELTA|ICEBERG)\\s+'([^']+)'" +
+      "(?:\\s+AS\\s+`?([A-Za-z0-9_$]+)`?)?\\s*;?\\s*$").r
   private val IOrphanRe =
     ("(?is)^\\s*VACUUM\\s+" + IName +
       "\\s+REMOVE\\s+ORPHANS(?:\\s+OLDER\\s+THAN\\s+(\\d+)\\s+HOURS)?" +
@@ -240,6 +243,9 @@ object InteropMaintenanceSql {
         Some(IcebergOptimizeCommand(icePath(name), zcols(z)))
       case DVacuumRe(name, n) =>
         Some(DeltaVacuumCommand(deltaPath(name), n.toInt))
+      case ConvertRe(kind, path, alias) =>
+        Some(ConvertParquetCommand(path,
+          delta = kind.equalsIgnoreCase("delta"), Option(alias)))
       case IOrphanRe(name, hours, dry) =>
         Some(IcebergRemoveOrphansCommand(icePath(name),
           Option(hours).map(_.toLong * 3600 * 1000)
@@ -361,6 +367,26 @@ object InteropMaintenanceSql {
       AttributeReference("snapshot_id", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(IcebergInterop.optimize(spark, table, zorderBy = z)))
+  }
+
+  /** `CONVERT TO DELTA|ICEBERG '<path>' [AS name]` — adopt a RAW
+    * (optionally Hive-partitioned) parquet directory in place,
+    * metadata-only ([[DeltaInterop.convertParquet]] /
+    * [[IcebergInterop.migrateParquet]]); `AS name` registers the
+    * converted table in the dialect's namespace. */
+  final case class ConvertParquetCommand(path: String, delta: Boolean,
+      alias: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v =
+        if (delta) DeltaInterop.convertParquet(spark, path)
+        else IcebergInterop.migrateParquet(spark, path)
+      alias.foreach(a =>
+        if (delta) DeltaSql.register(a, path)
+        else IcebergSql.register(a, path))
+      Seq(Row(v))
+    }
   }
 
   /** `VACUUM graft_iceberg.t REMOVE ORPHANS [OLDER THAN n HOURS]

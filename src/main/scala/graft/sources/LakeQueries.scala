@@ -1861,6 +1861,71 @@ object LakeQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, TRUE AS widen_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** mg1_parquet_adoption — RAW-parquet adoption through the gate:
+    * the even keys land as a plain Hive-partitioned parquet
+    * directory adopted by `CONVERT TO DELTA`, the odd keys as a
+    * second directory adopted by Iceberg `migrate` — both IN PLACE,
+    * metadata-only (the 100 TB point: adoption must reference the
+    * existing files verbatim, never rewrite). The `adopt_ok` flag
+    * pins the evidence in-row: each adopted table serves EXACTLY the
+    * raw directory's file set, the Delta side carries footer-read
+    * `numRecords` stats on every add, and the Iceberg side records a
+    * real identity spec with a tuple on every file. The aggregate
+    * unions the two adopted tables back into the full orders
+    * relation — a lost file or wrong tuple fails the hash loudly. */
+  def mg1ParquetAdoption(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"mg1:$d", _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-adopt-mg1").toString
+      val de = s"$base/de"
+      val ic = s"$base/ic"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.partitionBy("o_orderpriority").parquet(de)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.partitionBy("o_orderpriority").parquet(ic)
+      val rawDe = s.read.parquet(de).inputFiles.toSet
+      val rawIc = s.read.parquet(ic).inputFiles.toSet
+      DeltaInterop.convertParquet(s, de)
+      IcebergInterop.migrateParquet(s, ic)
+      val dst = DeltaInterop.state(s, de, None)
+      val ist = IcebergInterop.state(s, ic, None)
+      // dual-form normalize (raw vs Hive-%-escaped segment names —
+      // "4-NOT SPECIFIED" dirs): a file matches when ANY of its
+      // forms meets any of the other side's
+      def norm(p: String): Set[String] =
+        ForeignDv.forms(p).map(f0 =>
+          new org.apache.hadoop.fs.Path(f0).toUri.getPath).toSet
+      val iceGot = ist.files.flatMap(f => norm(f.path)).toSet
+      val ok = DeltaInterop.read(s, de).inputFiles.toSet == rawDe &&
+        ist.files.size == rawIc.size &&
+        rawIc.forall(p => norm(p).exists(iceGot)) &&
+        dst.files.forall(_.stats.nonEmpty) &&
+        ist.specs(ist.defaultSpecId) == Seq(IcebergInterop.SpecField(
+          "o_orderpriority", "identity", "o_orderpriority")) &&
+        ist.files.forall(f => f.records > 0 &&
+          f.partition.contains("o_orderpriority"))
+      s"$de|$ic|$ok"
+    })
+    val Array(de, ic, flag) = built.split('|')
+    val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    DeltaInterop.read(s, de).selectExpr(cols: _*)
+      .unionAll(IcebergInterop.read(s, ic).selectExpr(cols: _*))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(27,2)").cast("double").as("total"))
+      .withColumn("adopt_ok", lit(flag.toBoolean))
+  }
+
+  val mg1Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+      |    AS DECIMAL(27,2)) AS DOUBLE) AS total,
+      |  TRUE AS adopt_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3762,6 +3827,7 @@ object LakeQueries {
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl20_type_widening" -> (dl20TypeWidening _),
+    "mg1_parquet_adoption" -> (mg1ParquetAdoption _),
     "dl16_identity" -> (dl16Identity _),
     "dl17_row_tracking" -> (dl17RowTracking _),
     "lk18_nmbs_small_sync" -> (lk18NmbsSmallSync _),
@@ -3845,6 +3911,7 @@ object LakeQueries {
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl20_type_widening" -> dl20Oracle,
+    "mg1_parquet_adoption" -> mg1Oracle,
     "dl16_identity" -> dl16Oracle,
     "dl17_row_tracking" -> dl17Oracle,
     "lk18_nmbs_small_sync" -> lk18Oracle,
