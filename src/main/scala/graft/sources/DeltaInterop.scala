@@ -1292,12 +1292,25 @@ object DeltaInterop {
     // caller's and validate against the expression at staging
     val df1 = prior match {
       case Some(p) if !overwrite =>
-        p.schema.fields.toSeq
+        val derived = p.schema.fields.toSeq
           .filter(f => !df.columns.contains(f.name) &&
             f.metadata.contains("delta.generationExpression"))
           .foldLeft(df)((acc, f) => acc.withColumn(f.name,
             org.apache.spark.sql.functions.expr(
               f.metadata.getString("delta.generationExpression"))
+              .cast(f.dataType)))
+        // COLUMN DEFAULTS (allowColumnDefaults): an append that OMITS
+        // a column carrying CURRENT_DEFAULT metadata APPLIES the
+        // recorded constant (PROTOCOL.md §Column Default Values);
+        // explicit values win. Metadata on a table whose protocol
+        // never declared the feature is inert, the spec's rule.
+        if (!p.writerFeatures.contains("allowColumnDefaults")) derived
+        else p.schema.fields.toSeq
+          .filter(f => !derived.columns.contains(f.name) &&
+            f.metadata.contains(CurrentDefaultKey))
+          .foldLeft(derived)((acc, f) => acc.withColumn(f.name,
+            org.apache.spark.sql.functions.expr(
+              f.metadata.getString(CurrentDefaultKey))
               .cast(f.dataType)))
       case _ => df
     }
@@ -3173,6 +3186,146 @@ object DeltaInterop {
     val root = new Path(table)
     publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
       st.version + 1, lines.toSeq, st.configuration)
+  }
+
+  /** The field-metadata key PROTOCOL.md §Column Default Values
+    * records a column's default expression under (delta-spark's own
+    * key): writers apply it when an insert OMITS the column. */
+  private[sources] val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr>` —
+    * PROTOCOL.md §Column Default Values as ONE metadata-only commit:
+    * the recorded schema gains the field's `CURRENT_DEFAULT`
+    * metadata (the expression's ORIGINAL SQL text — how foreign
+    * writers learn the obligation) and the protocol declares the
+    * `allowColumnDefaults` WRITER feature (writer-only: reads are
+    * untouched, the reader side stays as recorded). From then on any
+    * session's append that omits the column applies the default
+    * ([[write]]'s fill), and explicit values win (the spec's rule).
+    * The expression must fold to a constant NOW — column references,
+    * non-deterministic calls and runtime errors refuse at
+    * declaration, not at some later insert. Nested fields, generated
+    * columns (they derive), identity columns (they allocate) and
+    * partition columns (their values anchor layout as path strings)
+    * refuse by name. Note the protocol's asymmetry with Iceberg v3:
+    * Delta has NO initial-default — existing rows are unaffected,
+    * and ADD COLUMN with a default is forbidden outright. */
+  def setColumnDefault(spark: SparkSession, table: String,
+                       name: String, defaultSql: String): Long = {
+    val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "ALTER COLUMN SET DEFAULT",
+      removesData = false, addsData = false, rowTrackingHandled = true)
+    val field = st.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"SET DEFAULT on $table: no top-level column '$name' " +
+          "(nested-field defaults are not in the protocol's surface)"))
+    if (field.metadata.contains("delta.generationExpression"))
+      throw new UnsupportedDeltaFeatureException(
+        s"SET DEFAULT on $table: '$name' is a GENERATED column — " +
+          "omitted values derive from its generation expression; a " +
+          "default would shadow it")
+    if (field.metadata.contains("delta.identity.start"))
+      throw new UnsupportedDeltaFeatureException(
+        s"SET DEFAULT on $table: '$name' is an IDENTITY column — " +
+          "omitted values allocate past the high-water mark; a " +
+          "default would collide with allocation")
+    if (st.partitionColumns.contains(name))
+      throw new UnsupportedDeltaFeatureException(
+        s"SET DEFAULT on $table: '$name' is a partition column — " +
+          "its values anchor directory layout and pruning")
+    // the expression must be a constant: analyze it with NO input
+    // relation (column references fail analysis right here), require
+    // determinism, and EVALUATE it so a runtime error (1/0) refuses
+    // at declaration instead of poisoning every later insert
+    val folded =
+      try spark.sql(s"SELECT CAST(($defaultSql) AS ${field.dataType.sql})")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"SET DEFAULT on $table.$name: '$defaultSql' is not a " +
+              s"constant expression castable to ${field.dataType.sql} " +
+              s"(${e.getSimpleMessage})", e)
+      }
+    require(folded.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+      s"SET DEFAULT on $table.$name: '$defaultSql' is " +
+        "non-deterministic — a default must fold to one constant, " +
+        "not a fresh value per row")
+    folded.head(): Unit
+    val fm = new MetadataBuilder().withMetadata(field.metadata)
+      .putString(CurrentDefaultKey, defaultSql).build()
+    val updated = StructType(st.schema.fields.map(f =>
+      if (f.name == name) f.copy(metadata = fm) else f))
+    // protocol: allowColumnDefaults is WRITER-ONLY — the reader side
+    // stays as recorded (the changeDataFeed-enable discipline); a
+    // legacy table upgrades to writer 7 carrying its legacy-implied
+    // features
+    val protoLines: Seq[String] =
+      if (st.writerFeatures.contains("allowColumnDefaults")) Nil
+      else {
+        val legacy = st.minWriterVersion < 7 && st.writerFeatures.isEmpty
+        val legacyImplied =
+          (if (legacy && st.minWriterVersion >= 2)
+            Seq("appendOnly", "invariants") else Nil) ++
+            (if (legacy && st.minWriterVersion >= 3)
+              Seq("checkConstraints") else Nil) ++
+            (if (legacy && st.minWriterVersion >= 4)
+              Seq("changeDataFeed", "generatedColumns") else Nil) ++
+            (if (legacy && st.minWriterVersion >= 5)
+              Seq("columnMapping") else Nil) ++
+            (if (legacy && st.minWriterVersion >= 6)
+              Seq("identityColumns") else Nil)
+        val rfField =
+          if (st.minReaderVersion >= 3)
+            s""""readerFeatures":${
+              st.readerFeatures.map(jstr).mkString("[", ",", "]")},"""
+          else ""
+        val wf = (st.writerFeatures ++ legacyImplied :+
+          "allowColumnDefaults").distinct
+          .map(jstr).mkString("[", ",", "]")
+        Seq(s"""{"protocol":{"minReaderVersion":${st.minReaderVersion
+        },"minWriterVersion":7,$rfField"writerFeatures":$wf}}""")
+      }
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("ALTER COLUMN")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""") ++ protoLines ++ Seq(
+      metaDataJson(updated, st.partitionColumns, now,
+        st.configuration, st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, st.configuration)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c DROP DEFAULT` — removes the
+    * field's `CURRENT_DEFAULT` metadata in one metadata-only commit.
+    * The protocol feature stays declared (features are permanent);
+    * later appends omitting the column refuse with the ordinary
+    * missing-column error. A column with no default no-ops. */
+  def dropColumnDefault(spark: SparkSession, table: String,
+                        name: String): Long = {
+    val st = state(spark, table, None)
+    DeltaWriteGate.requireWritable(st, table, "ALTER COLUMN DROP DEFAULT",
+      removesData = false, addsData = false, rowTrackingHandled = true)
+    val field = st.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP DEFAULT on $table: no top-level column '$name'"))
+    if (!field.metadata.contains(CurrentDefaultKey)) return st.version
+    val fm = new MetadataBuilder().withMetadata(field.metadata)
+      .remove(CurrentDefaultKey).build()
+    val updated = StructType(st.schema.fields.map(f =>
+      if (f.name == name) f.copy(metadata = fm) else f))
+    val now = System.currentTimeMillis()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":${
+        jstr("ALTER COLUMN")},"operationParameters":{},""" +
+        s""""engineInfo":${jstr("graft")}}}""",
+      metaDataJson(updated, st.partitionColumns, now,
+        st.configuration, st.metaId))
+    val root = new Path(table)
+    publishCommit(hadoopFs(spark, root), new Path(root, "_delta_log"),
+      st.version + 1, lines, st.configuration)
   }
 
   /** `ALTER TABLE … DROP COLUMN` — COLUMN-MAPPED tables only (the

@@ -145,21 +145,92 @@ object DeltaSql {
 
   /** `INSERT INTO` / `INSERT OVERWRITE` graft_delta.t —
     * [[DeltaInterop.write]]'s append/overwrite commit when the command
-    * runs, under the table's recorded partitioning. Positional
-    * column semantics (SQL's INSERT contract). */
+    * runs, under the table's recorded partitioning. Without a column
+    * list: positional semantics over the full schema (SQL's INSERT
+    * contract). With a column list (`INSERT INTO t (a, c) ...`): the
+    * query's columns land on the NAMED columns positionally, and each
+    * omitted column fills with its recorded `CURRENT_DEFAULT` (the
+    * allowColumnDefaults duty — [[DeltaInterop.write]] applies it),
+    * derives (generated), allocates (identity), or null-fills when
+    * nullable; an omitted NOT NULL column with no default refuses by
+    * name. INSERT OVERWRITE with a partial column list refuses —
+    * overwrite is a schema-replacement verb, so the list may only
+    * reorder the full schema. */
   final case class GraftDeltaInsertCommand(table: String, overwrite: Boolean,
+      userCols: Seq[String],
       @transient source: org.apache.spark.sql.DataFrame)
     extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
       val st = DeltaInterop.state(spark, table, None)
-      require(source.columns.length == st.schema.length,
-        s"INSERT arity ${source.columns.length} does not match table " +
-          s"$table (${st.schema.length} columns)")
-      // positional semantics, SQL's INSERT contract: the query's
-      // columns land in schema order regardless of their names
-      val positioned = source.toDF(st.schema.fieldNames.toIndexedSeq: _*)
+      // SQL's store-assignment contract: provided values CAST to the
+      // recorded column types (an INT literal lands in a BIGINT column)
+      def storeCast(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        df.select(df.columns.toIndexedSeq.map { c =>
+          val rec = st.schema(c).dataType
+          val cur = df.schema(c).dataType
+          if (cur == rec) org.apache.spark.sql.functions.col(c)
+          else org.apache.spark.sql.functions.col(c).cast(rec).as(c)
+        }: _*)
+      val positioned = if (userCols.isEmpty) {
+        require(source.columns.length == st.schema.length,
+          s"INSERT arity ${source.columns.length} does not match table " +
+            s"$table (${st.schema.length} columns)")
+        // positional semantics, SQL's INSERT contract: the query's
+        // columns land in schema order regardless of their names
+        storeCast(source.toDF(st.schema.fieldNames.toIndexedSeq: _*))
+      } else {
+        val root = java.util.Locale.ROOT
+        val byLower = st.schema.fields
+          .map(f => f.name.toLowerCase(root) -> f.name).toMap
+        val named = userCols.map(c => byLower.getOrElse(
+          c.toLowerCase(root), throw new IllegalArgumentException(
+            s"INSERT column list names '$c' — not a column of $table")))
+        require(named.distinct.length == named.length,
+          s"INSERT column list repeats a column of $table")
+        require(source.columns.length == named.length,
+          s"INSERT arity ${source.columns.length} does not match its " +
+            s"column list (${named.length} columns)")
+        val omitted = st.schema.fields.filterNot(f => named.contains(f.name))
+        if (overwrite && omitted.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE $table omits [${
+              omitted.map(_.name).mkString(", ")}] — overwrite replaces " +
+              "the table, so the column list may only reorder the full " +
+              "schema; defaults apply to appends")
+        // write() itself fills defaulted / generated / identity
+        // columns; null-fill the plainly-omitted nullable rest here
+        val filled = omitted.filter(f =>
+          !f.metadata.contains(DeltaInterop.CurrentDefaultKey) &&
+            !f.metadata.contains("delta.generationExpression") &&
+            !f.metadata.contains("delta.identity.start"))
+        filled.find(!_.nullable).foreach(f =>
+          throw new IllegalArgumentException(
+            s"INSERT into $table omits NOT NULL column '${f.name}', " +
+              "which has no DEFAULT"))
+        filled.foldLeft(storeCast(source.toDF(named.toIndexedSeq: _*)))(
+          (acc, f) => acc.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      }
       DeltaInterop.write(positioned, table, st.partitionColumns,
         overwrite): Unit
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE graft_delta.t ALTER COLUMN c SET DEFAULT <expr> |
+    * DROP DEFAULT` — [[DeltaInterop.setColumnDefault]] /
+    * [[DeltaInterop.dropColumnDefault]]'s metadata-only commits. */
+  final case class GraftDeltaColumnDefaultCommand(table: String,
+      items: Seq[(String, Option[String])])
+    extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+      items.foreach {
+        case (name, Some(sql)) =>
+          DeltaInterop.setColumnDefault(spark, table, name, sql): Unit
+        case (name, None) =>
+          DeltaInterop.dropColumnDefault(spark, table, name): Unit
+      }
       Seq.empty
     }
   }
@@ -307,11 +378,17 @@ object DeltaSql {
       case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
         if alterTarget(a.table).isDefined =>
         val cols = a.columnsToAdd.map { c =>
-          if (c.path.nonEmpty || c.position.nonEmpty || c.default.nonEmpty)
+          if (c.default.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft_delta ADD COLUMNS with a DEFAULT: PROTOCOL.md " +
+                "§Column Default Values forbids adding a column with a " +
+                "default (Delta has no initial-default for existing " +
+                "rows, unlike Iceberg v3) — ADD the column, then ALTER " +
+                "COLUMN ... SET DEFAULT for future inserts")
+          if (c.path.nonEmpty || c.position.nonEmpty)
             throw new UnsupportedOperationException(
               "graft_delta ALTER TABLE ADD COLUMNS supports plain top-level " +
-                "columns only (no nested paths, FIRST/AFTER positions, " +
-                "or DEFAULT values)")
+                "columns only (no nested paths or FIRST/AFTER positions)")
           org.apache.spark.sql.types.StructField(c.colName, c.dataType,
             nullable = true)
         }
@@ -324,14 +401,34 @@ object DeltaSql {
         GraftDeltaRenameColumnCommand(alterTarget(r.table).get,
           r.column.name.head, r.newName)
       case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+        if alterTarget(ac.table).isDefined &&
+          ac.specs.forall(s => s.newDefaultExpression.nonEmpty ||
+            s.dropDefault) =>
+        // `ALTER COLUMN c SET DEFAULT <expr> | DROP DEFAULT` —
+        // [[DeltaInterop.setColumnDefault]]'s metadata-only commit
+        // under the allowColumnDefaults writer feature
+        val items = ac.specs.map { s =>
+          if (s.newDataType.nonEmpty || s.newNullability.nonEmpty ||
+            s.newComment.nonEmpty || s.newPosition.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft_delta ALTER COLUMN: SET/DROP DEFAULT cannot be " +
+                "combined with other column changes in one statement")
+          if (s.column.name.length != 1)
+            throw new UnsupportedOperationException(
+              "graft_delta ALTER COLUMN supports top-level columns only")
+          s.column.name.head -> s.newDefaultExpression.map(_.originalSQL)
+        }
+        GraftDeltaColumnDefaultCommand(alterTarget(ac.table).get, items)
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
         if alterTarget(ac.table).isDefined =>
         val items = ac.specs.map { s =>
           if (s.newDataType.isEmpty || s.newNullability.nonEmpty ||
             s.newComment.nonEmpty || s.newPosition.nonEmpty ||
             s.newDefaultExpression.nonEmpty || s.dropDefault)
             throw new UnsupportedOperationException(
-              "graft_delta ALTER COLUMN supports TYPE widening only " +
-                "(no nullability, comment, position, or default changes)")
+              "graft_delta ALTER COLUMN supports TYPE widening and " +
+                "SET/DROP DEFAULT only (no nullability, comment, or " +
+                "position changes)")
           if (s.column.name.length != 1)
             throw new UnsupportedOperationException(
               "graft_delta ALTER COLUMN supports top-level columns only")
@@ -351,13 +448,13 @@ object DeltaSql {
         }
         GraftDeltaDropColumnsCommand(alterTarget(d.table).get, names)
       case i: InsertIntoStatement if dmlTarget(i.table).isDefined =>
-        if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+        if (i.partitionSpec.nonEmpty)
           throw new UnsupportedOperationException(
-            "graft_delta INSERT supports no PARTITION spec or column list")
+            "graft_delta INSERT supports no PARTITION spec")
         val q = applyReads(i.query)
         if (!q.resolved) i.copy(query = q) // wait for the analyzer
         else GraftDeltaInsertCommand(dmlTarget(i.table).get, i.overwrite,
-          PlanBridge.ofRows(spark, q))
+          i.userSpecifiedCols, PlanBridge.ofRows(spark, q))
       case d: DeleteFromTable if dmlTarget(d.table).isDefined =>
         GraftDeltaDeleteCommand(dmlTarget(d.table).get,
           ColumnBridge.column(unqualify(d.condition)))

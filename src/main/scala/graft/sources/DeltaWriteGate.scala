@@ -71,10 +71,11 @@ object DeltaWriteGate {
     *    checkpoints are what [[DeltaInterop.checkpoint]] writes;
     *  - `timestampNtz` / `typeWidening` / `variantType` — type-level,
     *    no per-commit duty beyond writing the recorded types;
-    *  - `allowColumnDefaults` — vacuous here: appends must carry
-    *    every recorded column explicitly
-    *    ([[InteropSchema.requireAppendCompatible]]), and the spec
-    *    lets explicit values win over defaults;
+    *  - `allowColumnDefaults` — honored: an append that OMITS a
+    *    column carrying `CURRENT_DEFAULT` field metadata APPLIES the
+    *    recorded constant ([[DeltaInterop.write]]'s fill; declared
+    *    via [[DeltaInterop.setColumnDefault]] / `ALTER COLUMN ... SET
+    *    DEFAULT`), and the spec lets explicit values win;
     *  - `vacuumProtocolCheck` — its whole duty is running the
     *    protocol check before deleting files, which
     *    [[DeltaInterop.vacuum]] does (this very gate, first thing);

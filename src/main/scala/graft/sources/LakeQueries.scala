@@ -1926,6 +1926,69 @@ object LakeQueries {
       |  TRUE AS adopt_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** dl21_column_defaults — Delta COLUMN DEFAULT VALUES
+    * (`allowColumnDefaults`, PROTOCOL.md §Column Default Values)
+    * through the gate: the even keys seed WITH their real
+    * o_totalprice, `ALTER COLUMN … SET DEFAULT` records the constant
+    * in ONE metadata-only commit (the 100 TB point: declaring a
+    * default must never touch data), the odd keys append OMITTING
+    * the column — every writer's duty is to apply the default — and
+    * one sentinel row lands through the SQL door's named-column
+    * INSERT. The `default_ok` flag pins the evidence in-row: the
+    * declaring commit moved no file, the field records
+    * `CURRENT_DEFAULT`, the protocol declares the WRITER-ONLY
+    * feature with the reader side untouched, and the seed rows kept
+    * their explicit values (no initial-default — Delta's asymmetry
+    * with Iceberg v3). The aggregate sums exact cents across both
+    * generations — a row served with a null or wrong default fails
+    * the hash loudly. */
+  def dl21ColumnDefaults(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"dl21:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delta-dl21").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 0), t)
+      val before = DeltaInterop.state(s, t, None)
+      DeltaInterop.setColumnDefault(s, t, "o_totalprice", "1234.5")
+      val mid = DeltaInterop.state(s, t, None)
+      // every omitting append applies the default — the feature's
+      // whole point is that this holds for ANY writer session
+      DeltaInterop.write(o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority"), t)
+      DeltaSql.register("dl21_t", t)
+      s.sql("INSERT INTO graft_delta.dl21_t " +
+        "(o_orderkey, o_orderpriority) VALUES (-1, 'GATE')")
+      val st = DeltaInterop.state(s, t, None)
+      val ok = mid.files.map(_.path).toSet ==
+        before.files.map(_.path).toSet && // metadata-only declare
+        mid.schema("o_totalprice").metadata
+          .getString("CURRENT_DEFAULT") == "1234.5" &&
+        st.writerFeatures.contains("allowColumnDefaults") &&
+        st.minReaderVersion == before.minReaderVersion &&
+        st.readerFeatures == before.readerFeatures
+      s"$t|$ok"
+    })
+    val Array(dir, flag) = built.split('|')
+    DeltaInterop.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents_sum"))
+      .withColumn("default_ok", lit(flag.toBoolean))
+  }
+
+  val dl21Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  SUM(CAST(ROUND(
+      |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+      |         ELSE 1234.5 END * 100) AS BIGINT)) AS cents_sum,
+      |  TRUE AS default_ok
+      |FROM orders GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'GATE' AS o_orderpriority, 1 AS n_orders,
+      |  123450 AS cents_sum, TRUE AS default_ok""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3827,6 +3890,7 @@ object LakeQueries {
     "dl18_liquid_clustering" -> (dl18LiquidClustering _),
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl20_type_widening" -> (dl20TypeWidening _),
+    "dl21_column_defaults" -> (dl21ColumnDefaults _),
     "mg1_parquet_adoption" -> (mg1ParquetAdoption _),
     "dl16_identity" -> (dl16Identity _),
     "dl17_row_tracking" -> (dl17RowTracking _),
@@ -3911,6 +3975,7 @@ object LakeQueries {
     "dl18_liquid_clustering" -> dl18Oracle,
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl20_type_widening" -> dl20Oracle,
+    "dl21_column_defaults" -> dl21Oracle,
     "mg1_parquet_adoption" -> mg1Oracle,
     "dl16_identity" -> dl16Oracle,
     "dl17_row_tracking" -> dl17Oracle,
