@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft_iceberg.<name>)
     extensions.injectResolutionRule(spark =>
       new graft.sources.IcebergSql.IcebergSqlRule(spark))
+    // SQL reads over Delta Sharing tables
+    // (graft_delta_sharing.<alias>) — provider-current per query,
+    // read-only by the protocol
+    extensions.injectResolutionRule(spark =>
+      new graft.sources.DeltaSharing.DeltaSharingSqlRule(spark))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // DESCRIBE HISTORY on graft_lake tables) — a delegating parser, the
     // public Delta-connector idiom

@@ -3717,6 +3717,81 @@ object DeltaInterop {
     } else batches.reduce(_ unionByName _)
   }
 
+  /** One commit's change surface as FILE ACTIONS — what a Delta
+    * Sharing server's `/changes` endpoint publishes (the protocol
+    * serves files + metadata, never rows; the CLIENT reassembles).
+    * `kind` ∈ add / cdf / remove; removed files carry the partition
+    * values they were LIVE under (the pre-image the client needs to
+    * rebuild delete rows). Mirrors [[changeFeed]]'s walk — cdc
+    * actions supersede file-level derivation version by version, and
+    * file-level derivation refuses when CDF was not enabled — so
+    * server and local read agree on every refusal. */
+  final case class ShareChangeAction(kind: String, path: String,
+      partitionValues: Map[String, Option[String]], version: Long,
+      timestamp: Long)
+
+  private[sources] def shareChangeActions(spark: SparkSession,
+      table: String, fromVersion: Long, toVersion: Long)
+      : Seq[ShareChangeAction] = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    val pre =
+      if (fromVersion == 0) None
+      else Some(state(spark, table, Some(fromVersion - 1)))
+    var cdfOn = pre.exists(_.configuration
+      .get("delta.enableChangeDataFeed").contains("true"))
+    var live: Map[String, DeltaAdd] =
+      pre.map(_.files.map(a => a.path -> a).toMap).getOrElse(Map.empty)
+    val root = new Path(table)
+    val fs = hadoopFs(spark, root)
+    val out = Seq.newBuilder[ShareChangeAction]
+    (fromVersion to toVersion).foreach { v =>
+      val adds = scala.collection.mutable.ArrayBuffer.empty[DeltaAdd]
+      val removes =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val cdcs = scala.collection.mutable
+        .ArrayBuffer.empty[(String, Map[String, Option[String]])]
+      var ts = 0L
+      parseCommit(spark, table, v).foreach {
+        case CommitInfoAction(t) => ts = t
+        case MetaAction(_, _, _, cfg, _) =>
+          cdfOn = cfg.get("delta.enableChangeDataFeed").contains("true")
+        case AddAction(a) => adds += a
+        case RemoveAction(p, dc) => removes += (p -> dc)
+        case CdcAction(p, pv) => cdcs += (p -> pv)
+        case _ =>
+      }
+      if (ts == 0L)
+        ts = fs.getFileStatus(
+          new Path(new Path(root, "_delta_log"), f"$v%020d.json"))
+          .getModificationTime
+      val dAdds = adds.filter(_.dataChange).toSeq
+      val dRems = removes.collect { case (p, true) => p }.toSeq
+      if (cdcs.nonEmpty)
+        cdcs.foreach { case (p, pv) =>
+          out += ShareChangeAction("cdf", p, pv, v, ts)
+        }
+      else if (dAdds.nonEmpty || dRems.nonEmpty) {
+        if (!cdfOn)
+          throw new UnsupportedDeltaFeatureException(
+            s"the change data feed is not enabled at version $v of " +
+              s"$table (delta.enableChangeDataFeed) — without it, " +
+              "add/remove actions cannot be soundly served as changes")
+        dAdds.foreach(a =>
+          out += ShareChangeAction("add", a.path, a.partitionValues,
+            v, ts))
+        dRems.foreach { p =>
+          val a = live.getOrElse(p, throw new IllegalStateException(
+            s"version $v of $table removes $p, which is not live at " +
+              s"version ${v - 1} — inconsistent log"))
+          out += ShareChangeAction("remove", p, a.partitionValues, v, ts)
+        }
+      }
+      live = live -- removes.map(_._1) ++ adds.map(a => a.path -> a)
+    }
+    out.result()
+  }
+
   /** REORG-style deletion-vector PURGE — the compaction every DV
     * refusal in this module points at: each DV-bearing file rewrites
     * WITHOUT its deleted rows (grouped by partition values, so one
