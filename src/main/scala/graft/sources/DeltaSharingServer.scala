@@ -58,15 +58,26 @@ final class DeltaSharingServer(spark: SparkSession, bearerToken: String) {
     if (tables.putIfAbsent(key, deltaPath) == null) order.add(key): Unit
   }
 
-  /** Bind an ephemeral port; the profile-ready endpoint. */
+  /** Bind an ephemeral port; the profile-ready endpoint. All server
+    * threads are DAEMONS (the dispatcher inherits daemon status from
+    * the starter thread) — a process hosting a share must still be
+    * able to exit without an explicit stop(). */
   def start(): String = {
     val s = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/delta-sharing", (ex: HttpExchange) =>
       safely(ex)(handleApi))
     s.createContext("/data", (ex: HttpExchange) => safely(ex)(handleData))
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
-    s.start()
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-sharing-worker")
+        t.setDaemon(true)
+        t
+      }))
+    val starter = new Thread(() => s.start(), "graft-sharing-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     server = Some(s)
     port = s.getAddress.getPort
     endpoint

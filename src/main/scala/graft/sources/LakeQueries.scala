@@ -1989,6 +1989,77 @@ object LakeQueries {
       |SELECT 'GATE' AS o_orderpriority, 1 AS n_orders,
       |  123450 AS cents_sum, TRUE AS default_ok""".stripMargin
 
+  /** sh1_delta_sharing — the Delta Sharing protocol end-to-end
+    * through the gate: orders land in a partitioned Delta table, a
+    * [[DeltaSharingServer]] shares it over the REST + NDJSON wire,
+    * and the aggregate reads back through [[DeltaSharing.Client]] —
+    * bearer-authed listings, a POSTed /query file list, and the data
+    * itself over `graftshare://` ranged-HTTP parquet scans (the
+    * 100 TB point: the consumer's scan is a distributed vectorized
+    * read against presigned urls — O(1) driver HTTP per query, no
+    * byte routed through the provider's engine or the client's
+    * driver). The `share_ok` flag pins the wire evidence in-row: the
+    * listings serve the share/schema/table, the version endpoint
+    * matches the provider state, every scanned file came through the
+    * graftshare scheme (not a local path), and a wrong bearer token
+    * refuses. Partition values re-attach per tuple — a lost or
+    * mis-attached partition column fails the hash loudly. */
+  def sh1DeltaSharing(s: SparkSession, d: String): DataFrame = {
+    val built = builtTables.computeIfAbsent(s"sh1:$d", _ => {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-sharing-sh1").toString + "/t"
+      DeltaInterop.write(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        t, partitionBy = Seq("o_orderpriority"))
+      val server = new DeltaSharingServer(s, "sh1-token")
+      server.addTable("gate", "tpch", "orders", t)
+      server.start()
+      sh1Servers.add(server) // keep serving for the query's lifetime
+      val client = new DeltaSharing.Client(
+        DeltaSharing.Profile.fromJson(server.profileJson))
+      val st = DeltaInterop.state(s, t, None)
+      val scanned = client.queryTable(s, "gate", "tpch", "orders")
+      val badToken =
+        try {
+          new DeltaSharing.Client(DeltaSharing.Profile.fromJson(
+            s"""{"shareCredentialsVersion":1,"endpoint":"${
+              server.endpoint}","bearerToken":"wrong"}""")).listShares()
+          false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("rejected the bearer token")
+        }
+      val ok = client.listShares() == Seq("gate") &&
+        client.listSchemas("gate") == Seq("tpch") &&
+        client.listTables("gate", "tpch") == Seq("orders") &&
+        client.tableVersion("gate", "tpch", "orders") == st.version &&
+        scanned.inputFiles.nonEmpty &&
+        scanned.inputFiles.forall(_.startsWith("graftshare://")) &&
+        badToken
+      s"${server.endpoint}|$ok"
+    })
+    val Array(endpoint, flag) = built.split('|')
+    val client = new DeltaSharing.Client(DeltaSharing.Profile.fromJson(
+      s"""{"shareCredentialsVersion":1,"endpoint":"$endpoint",""" +
+        """"bearerToken":"sh1-token"}"""))
+    client.queryTable(s, "gate", "tpch", "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents_sum"))
+      .withColumn("share_ok", lit(flag.toBoolean))
+  }
+
+  private val sh1Servers =
+    new java.util.concurrent.CopyOnWriteArrayList[DeltaSharingServer]()
+
+  val sh1Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+      |  TRUE AS share_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** dl5_delta_prune — partition-pruned foreign Delta reads through
     * the gate: orders written Hive-partitioned by o_orderpriority (5
     * add-action groups), readWhere prunes 4 of the 5 on the recorded
@@ -3891,6 +3962,7 @@ object LakeQueries {
     "dl19_uniform_mirror" -> (dl19UniformMirror _),
     "dl20_type_widening" -> (dl20TypeWidening _),
     "dl21_column_defaults" -> (dl21ColumnDefaults _),
+    "sh1_delta_sharing" -> (sh1DeltaSharing _),
     "mg1_parquet_adoption" -> (mg1ParquetAdoption _),
     "dl16_identity" -> (dl16Identity _),
     "dl17_row_tracking" -> (dl17RowTracking _),
@@ -3976,6 +4048,7 @@ object LakeQueries {
     "dl19_uniform_mirror" -> dl19Oracle,
     "dl20_type_widening" -> dl20Oracle,
     "dl21_column_defaults" -> dl21Oracle,
+    "sh1_delta_sharing" -> sh1Oracle,
     "mg1_parquet_adoption" -> mg1Oracle,
     "dl16_identity" -> dl16Oracle,
     "dl17_row_tracking" -> dl17Oracle,
