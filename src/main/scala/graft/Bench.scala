@@ -160,7 +160,7 @@ object BenchReport {
   val BurstRatio = 3.0
 
   /** How often the sentinel interleaves through a pass (every N
-    * queries) — ~9 samples per 206-query pass, ≲2 s of overhead. */
+    * queries) — ~9 samples per 216-query pass, ≲2 s of overhead. */
   val SentinelEvery = 25
 
   /** A query whose own NON-FIRST passes disagree by more than this

@@ -1978,16 +1978,21 @@ object LakeQueries {
       .withColumn("default_ok", lit(flag.toBoolean))
   }
 
+  // cents_sum is CAST back to BIGINT *outside* the SUM: DuckDB widens
+  // SUM(BIGINT) to HUGEINT/INT128, which the driver's pandas compare
+  // renders as float64 — type/serialization diverges from Spark's
+  // BIGINT even when every value agrees (the dl20 `CAST(SUM(…) AS
+  // BIGINT)` idiom is the passing pattern).
   val dl21Oracle: String =
-    """SELECT o_orderpriority, count(*) AS n_orders,
-      |  SUM(CAST(ROUND(
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(
       |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
-      |         ELSE 1234.5 END * 100) AS BIGINT)) AS cents_sum,
+      |         ELSE 1234.5 END * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
       |  TRUE AS default_ok
       |FROM orders GROUP BY o_orderpriority
       |UNION ALL
-      |SELECT 'GATE' AS o_orderpriority, 1 AS n_orders,
-      |  123450 AS cents_sum, TRUE AS default_ok""".stripMargin
+      |SELECT 'GATE' AS o_orderpriority, CAST(1 AS BIGINT) AS n_orders,
+      |  CAST(123450 AS BIGINT) AS cents_sum, TRUE AS default_ok""".stripMargin
 
   /** sh1_delta_sharing — the Delta Sharing protocol end-to-end
     * through the gate: orders land in a partitioned Delta table, a
@@ -2054,9 +2059,12 @@ object LakeQueries {
   private val sh1Servers =
     new java.util.concurrent.CopyOnWriteArrayList[DeltaSharingServer]()
 
+  // Same BIGINT re-cast as dl21Oracle: bare SUM(BIGINT) widens to
+  // HUGEINT in DuckDB and fails the driver's hash on type alone.
   val sh1Oracle: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |    AS BIGINT) AS cents_sum,
       |  TRUE AS share_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
