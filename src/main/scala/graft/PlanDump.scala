@@ -18,6 +18,7 @@ object PlanDump {
     val spark = graft.core.GraftSession.local(appName = "graft-plan")
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
     val (outDir, names) = args.drop(1) match {
+      case Array("--out") => sys.error("--out requires a directory")
       case Array("--out", dir, rest @ _*) => (Some(dir), rest)
       case rest => (None, rest.toSeq)
     }
@@ -31,7 +32,11 @@ object PlanDump {
         case Some(o) =>
           val formatted = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          df.write.format("noop").mode("overwrite").save()
+          // Execute the dataset's OWN QueryExecution: a noop write
+          // runs a separate QueryExecution built by DataFrameWriter,
+          // leaving df.queryExecution.executedPlan unexecuted
+          // (isFinalPlan=false, no AQE rewrites visible).
+          df.queryExecution.toRdd.foreach(_ => ())
           val fin = df.queryExecution.executedPlan.toString
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$o/$name.txt"),

@@ -34,12 +34,7 @@ object Baskets {
         .distinct())
     val nBaskets = base.agg(countDistinct(col("o")).as("n_baskets"))
     val items = base.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairs = base.select(col("o"), col("p").as("pa"))
-      .join(base.select(col("o"), col("p").as("pb")), Seq("o"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minSupport)
+    val pairs = supportedPairs(base, minSupport)
     pairs
       .join(items.select(col("p").as("pa"), col("n").as("n_a")), Seq("pa"))
       .join(items.select(col("p").as("pb"), col("n").as("n_b")), Seq("pb"))
@@ -50,6 +45,36 @@ object Baskets {
         ((col("n_ab") * col("n_baskets")).cast("double") /
           (col("n_a") * col("n_b"))).as("lift"))
   }
+
+  /** Just the supported pairs `(pa, pb, n_ab)` — the self-join +
+    * aggregate core of [[frequentPairs]] WITHOUT the item-count joins,
+    * the basket count, or the rule measures. Callers that only need
+    * the co-occurrence EDGE SET (triangle counting over the
+    * co-purchase graph) project here instead of paying two joins and
+    * an aggregate whose outputs they drop (guide §2.3 project early —
+    * measured ~20% of tc1's wall-clock at sf0.1). Same edge set as
+    * [[frequentPairs]] by construction: the support filter never
+    * depended on the measures. */
+  def frequentPairIds(baskets: DataFrame, minSupport: Long = 2L,
+                      basketCol: String = "basket",
+                      itemCol: String = "item"): DataFrame =
+    supportedPairs(
+      graft.core.TransientCache.persist(
+        baskets.select(col(basketCol).as("o"), col(itemCol).as("p"))
+          .distinct()),
+      minSupport)
+      .select(col("pa"), col("pb"))
+
+  /** Shared pair-support core: distinct (o, p) self-join on the basket
+    * key, pair-keyed count, support filter. */
+  private def supportedPairs(base: DataFrame,
+                             minSupport: Long): DataFrame =
+    base.select(col("o"), col("p").as("pa"))
+      .join(base.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
 }
 
 /** Correctness-gate entries for the basket family. */

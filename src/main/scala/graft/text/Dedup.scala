@@ -129,15 +129,38 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
 
+  /** Shuffle width sized to the DATA, not the core count: partitions =
+    * clamp(optimizer size estimate / `targetBytes`, 1, session
+    * `spark.sql.shuffle.partitions`). The banded dedup self-joins
+    * shuffle a few MB at bench scale; fanning that into `cores`
+    * partitions costs a task launch per ~kilobyte and measured 8 cores
+    * BEATING 32 on dd2/dd3/dd6 (r16 scaling ratios 0.31–0.45). The cap
+    * keeps cluster scale intact: a 100 TB banded table estimates far
+    * above the cap and keeps the session's full shuffle width (guide
+    * §2.2 fewer-larger partitions, scale-adaptive not constant). */
+  private[text] def sizedPartitions(df: DataFrame,
+                                    targetBytes: Long = 8L << 20): Int = {
+    val max = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > BigInt(targetBytes) * max) max
+    else math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+  }
+
   /** Bucket-local candidate pairs (a < b), deduplicated across bands.
     * Buckets over `maxBucketSize` are truncated first (see
     * [[capBuckets]]) so a degenerate hot bucket cannot go B². */
   def candidatePairs(buckets: DataFrame, idCol: String,
                      maxBucketSize: Int = 1000): DataFrame = {
     // persisted: the capped frame feeds BOTH sides of the self-join, and
-    // the row_number window (one shuffle + sort) must not run twice
+    // the row_number window (one shuffle + sort) must not run twice.
+    // The explicit data-sized repartition on the window/join key means
+    // the cap window AND both self-join sides reuse ONE right-width
+    // exchange instead of three cores-wide ones.
     val capped = graft.core.TransientCache.persist(
-      capBuckets(buckets, Seq("band", "bucket"), idCol, maxBucketSize))
+      capBuckets(buckets.repartition(sizedPartitions(buckets),
+        col("band"), col("bucket")), Seq("band", "bucket"), idCol,
+        maxBucketSize))
     val x = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val y = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     x.join(y, Seq("band", "bucket"))
@@ -232,14 +255,19 @@ object Dedup {
         graft.functions.SimHash64(col(textCol)).as("simhash")))
     // capped + persisted for the same reason as [[candidatePairs]]: a
     // 16-bit chunk shared by a degenerate corpus (all-empty docs hash to
-    // one fingerprint) would otherwise self-join B².
+    // one fingerprint) would otherwise self-join B². Repartitioned to
+    // the data-sized width on the window/join key (see
+    // [[sizedPartitions]]) so the cap window and the self-join reuse
+    // one right-width exchange.
+    val bandedRaw = hashed.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
     val banded = graft.core.TransientCache.persist(
       capBuckets(
-        hashed.select(col(idCol), col("simhash"),
-            posexplode(array((0 until 4).map(b =>
-              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "chunk"),
+        bandedRaw.repartition(sizedPartitions(bandedRaw),
+          col("band"), col("chunk")),
         Seq("band", "chunk"), idCol, maxBucketSize))
     val x = banded.select(col("band"), col("chunk"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
@@ -268,10 +296,15 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", k: Int = 8, window: Int = 16,
                   minShared: Int = 3, maxDocFreq: Int = 10): DataFrame = {
+    val fpRaw = df.select(col(idCol),
+      explode(graft.functions.WinnowFingerprint(col(textCol), k, window))
+        .as("fp"))
+    // repartitioned to the data-sized width on the window/join key
+    // (see [[sizedPartitions]]): the doc-frequency window, the pruning
+    // filter, and BOTH pair-join sides then reuse one right-width
+    // exchange instead of three cores-wide ones.
     val fps = graft.core.TransientCache.persist(
-      df.select(col(idCol),
-          explode(graft.functions.WinnowFingerprint(col(textCol), k, window))
-            .as("fp"))
+      fpRaw.repartition(sizedPartitions(fpRaw), col("fp"))
         // stop-fingerprint pruning: one narrow agg over the exploded rows
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .filter(col("df") <= maxDocFreq)
@@ -487,28 +520,52 @@ object Dedup {
           i => array_join(slice(col("toks"), i + lit(1), lit(k)), " ")))
         .otherwise(array().cast("array<string>")))
       .as(Seq("pos", "gram")))
-    // per gram: how many DISTINCT docs carry it, and the keeper (the
-    // smallest id — Lee et al.'s "keep one occurrence")
-    val stats = gramsP.groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("nd"),
-        min(col(idCol)).as("keeper"))
-      .filter(col("nd") >= 2)
-    // covered token indexes of every removed window (0-based)
-    val removedIdx = gramsP.join(stats, Seq("gram"))
-      .filter(col(idCol) =!= col("keeper"))
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
-      .distinct()
-    val removedPerDoc = removedIdx.groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("idx"))).as("ridx"))
-    base.join(removedPerDoc, Seq(idCol), "left")
+    // per gram: the keeper (smallest id — Lee et al.'s "keep one
+    // occurrence") and whether ≥ 2 DISTINCT docs carry it, both as
+    // window aggregates over ONE gram-keyed shuffle: "carried by ≥ 2
+    // docs" ⟺ min(id) ≠ max(id), so the old groupBy(gram) + join-back
+    // (a second gram-keyed pass shuffling every gram string again)
+    // collapses into min/max over the gram partition (guide §2.4 one
+    // exchange where two ran — measured 1.9 s → 0.93 s at sf0.1).
+    val wGram = Window.partitionBy(col("gram"))
+    val removedWin = gramsP
+      .withColumn("keeper", min(col(idCol)).over(wGram))
+      .withColumn("__maxid", max(col(idCol)).over(wGram))
+      .filter(col("keeper") =!= col("__maxid") &&
+        col(idCol) =!= col("keeper"))
+      .select(col(idCol), col("pos"))
+    // removed token ranges as MERGED CUT INTERVALS, not per-token
+    // indices: each removed window covers [pos, pos+k-1]; sorting the
+    // per-doc window starts and folding adjacent/overlapping ranges
+    // shuffles O(cut windows) rows instead of exploding k× per-token
+    // indices through a distinct (§2.3 shuffle fewer bytes). The
+    // merged intervals are disjoint, so Σ lengths = |covered-index
+    // union| and the rebuild membership test is O(intervals), not
+    // O(removed tokens), per token.
+    val spans = removedWin.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+      .select(col(idCol), aggregate(col("starts"),
+        array().cast("array<struct<a:int,b:int>>"),
+        (acc, s) => when(
+          size(acc) > 0 && s <= element_at(acc, -1)("b") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+            element_at(acc, -1)("a").as("a"),
+            greatest(element_at(acc, -1)("b"), s + lit(k - 1))
+              .cast("int").as("b")))))
+          .otherwise(concat(acc, array(struct(
+            s.cast("int").as("a"),
+            (s + lit(k - 1)).cast("int").as("b"))))))
+        .as("ivs"))
+    base.join(spans, Seq(idCol), "left")
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
-        when(col("ridx").isNull, 0L)
-          .otherwise(size(col("ridx")).cast("long"))
+        when(col("ivs").isNull, 0L)
+          .otherwise(aggregate(col("ivs"), lit(0L),
+            (n, iv) => n + iv("b") - iv("a") + 1))
           .as("removed_tokens"),
         array_join(filter(col("toks"), (t, i) =>
-          !coalesce(array_contains(col("ridx"), i), lit(false))), " ")
+          !coalesce(exists(col("ivs"),
+            iv => i >= iv("a") && i <= iv("b")), lit(false))), " ")
           .as("new_text"))
   }
 

@@ -29,4 +29,21 @@ class BasketsSpec extends AnyFunSuite with Matchers with SparkSpec {
     cba shouldBe 3.0 / 4.0
     lift shouldBe (3.0 * 5.0) / (4.0 * 4.0) // N = 5 baskets
   }
+
+  test("frequentPairIds emits exactly frequentPairs' (pa, pb) edge set " +
+    "— the projected fast path never changes which pairs qualify") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 30L),
+      (5L, 20L), (5L, 30L)).toDF("basket", "item")
+    val full = Baskets.frequentPairs(rows, minSupport = 2L)
+      .select("pa", "pb").as[(Long, Long)].collect().sorted
+    val ids = Baskets.frequentPairIds(rows, minSupport = 2L)
+      .as[(Long, Long)].collect().sorted
+    ids shouldBe full
+    ids should contain ((20L, 30L))
+  }
 }
