@@ -830,24 +830,36 @@ object Relational {
     Tables.supplier(s, d).createOrReplaceTempView("q21_supplier")
     Tables.lineitem(s, d).createOrReplaceTempView("q21_lineitem")
     Tables.orders(s, d).createOrReplaceTempView("q21_orders")
+    // One lineitem pass instead of three: the EXISTS/NOT EXISTS
+    // subqueries only ask per-order questions — "does another supplier
+    // appear in this order" and "is another supplier late in this
+    // order" (the subquery's o3 is provably the same order as o, so
+    // its orders join re-derives o_orderdate it already had). Both
+    // collapse to window aggregates over ONE l_orderkey-keyed shuffle:
+    // EXISTS ⟺ countDistinct(supp) ≥ 2, NOT EXISTS ⟺ the late-supplier
+    // set is exactly {l1.supp} ⟺ countDistinct(late supp) = 1 given l1
+    // is late. At scale that is 1 lineitem scan + 1 exchange where the
+    // correlated form paid 3 scans + a semi- and an anti-join shuffle
+    // (guide §2.4). Verified row-identical to the correlated form at
+    // sf0.1 and against the unchanged oracle.
     s.sql(
-      """SELECT s_name, COUNT(*) AS numwait
-        |FROM q21_supplier s
-        |JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
-        |JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
-        |WHERE o.o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '75' DAY
-        |  AND EXISTS (
-        |    SELECT 1 FROM q21_lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (
-        |    SELECT 1
-        |    FROM q21_lineitem l3
-        |    JOIN q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL '75' DAY)
+      """WITH l AS (
+        |  SELECT l1.l_suppkey, l1.l_orderkey,
+        |    l1.l_shipdate > o.o_orderdate + INTERVAL '75' DAY AS late,
+        |    o.o_orderstatus
+        |  FROM q21_lineitem l1
+        |  JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey),
+        |m AS (
+        |  SELECT l_suppkey, late, o_orderstatus,
+        |    size(collect_set(l_suppkey)
+        |      OVER (PARTITION BY l_orderkey)) AS n_supp,
+        |    size(collect_set(CASE WHEN late THEN l_suppkey END)
+        |      OVER (PARTITION BY l_orderkey)) AS n_late_supp
+        |  FROM l)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM m JOIN q21_supplier s ON s.s_suppkey = m.l_suppkey
+        |WHERE m.late AND m.o_orderstatus = 'F'
+        |  AND m.n_supp >= 2 AND m.n_late_supp = 1
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
