@@ -461,18 +461,27 @@ object Dedup {
                       textCol: String = "text", k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
-    val base = df.select(col(idCol), toks.as("toks"))
+    // persisted: the tokenized base feeds the gram explode AND the final
+    // n_spans projection — without it the split kernel runs twice
+    val base = graft.core.TransientCache.persist(
+      df.select(col(idCol), toks.as("toks")))
     val grams = when(size(col("toks")) >= k,
       transform(sequence(lit(0), size(col("toks")) - k),
         i => array_join(slice(col("toks"), i + lit(1), lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    val perGramDoc = base.select(col(idCol), explode(grams).as("gram"))
-      .groupBy(col("gram"), col(idCol)).agg(count(lit(1)).as("c"))
+    // ONE gram-keyed shuffle (the dd14 move): "≥ 2 distinct docs carry
+    // this gram" ⟺ min(id) ≠ max(id) over the gram window, evaluated
+    // directly on the exploded occurrences — the old
+    // groupBy(gram, id) + count-over-window shape re-shuffled every
+    // gram string a second time to re-cluster by gram alone. The
+    // per-doc dup count is then a plain row count (Σ per-(gram,doc)
+    // occurrence counts ≡ occurrence rows).
     val w = Window.partitionBy(col("gram"))
-    val dupPerDoc = perGramDoc
-      .withColumn("nd", count(lit(1)).over(w))
-      .filter(col("nd") >= 2)
-      .groupBy(col(idCol)).agg(sum(col("c")).as("dup_spans"))
+    val dupPerDoc = base.select(col(idCol), explode(grams).as("gram"))
+      .withColumn("__min_id", min(col(idCol)).over(w))
+      .withColumn("__max_id", max(col(idCol)).over(w))
+      .filter(col("__min_id") =!= col("__max_id"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
     base.select(col(idCol),
         greatest(size(col("toks")) - (k - 1), lit(0))
           .cast("long").as("n_spans"))

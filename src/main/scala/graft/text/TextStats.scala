@@ -262,12 +262,23 @@ object TextStats {
     val toks = df.select(col(idCol), targetPred.as("__in_target"),
       explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
         .as("__token"))
+    // count per (doc, token) FIRST, hash after: the sha256+hex-conv
+    // bucket function is the expensive per-row work, and it only
+    // depends on the token — aggregating to per-doc distinct tokens
+    // before computing it evaluates the hash once per distinct
+    // (doc, token) instead of once per occurrence (guide §2.3 /
+    // aggregate-before-expensive-expression; Zipf makes the gap grow
+    // with corpus size). The extra exchange carries per-doc distinct
+    // rows, map-side combined — far fewer bytes than the hashes saved.
+    val perTok = toks
+      .groupBy(col(idCol), col("__in_target"), col("__token"))
+      .agg(count(lit(1)).as("__c"))
       .withColumn("__bucket",
         conv(substring(sha2(col("__token"), 256), 1, 4), 16, 10)
           .cast("long") % buckets)
     val perDoc = graft.core.TransientCache.persist(
-      toks.groupBy(col(idCol), col("__in_target"), col("__bucket"))
-        .agg(count(lit(1)).as("__m")))
+      perTok.groupBy(col(idCol), col("__in_target"), col("__bucket"))
+        .agg(sum(col("__c")).as("__m")))
     val stats = perDoc.groupBy("__bucket")
       .agg(sum(col("__m")).as("__cs"),
         sum(when(col("__in_target"), col("__m")).otherwise(0L)).as("__ct"))
