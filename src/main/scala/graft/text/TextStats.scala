@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -210,13 +211,18 @@ object TextStats {
     val perDoc = graft.core.TransientCache.persist(
       toks.groupBy(col(idCol), col("__token"))
         .agg(count(lit(1)).as("__m")))
-    val vocab = perDoc.groupBy("__token").agg(sum("__m").as("__c"))
     // corpus size: one 1-row aggregate (a scalar the per-token NLL
     // expression folds as a literal)
     val n = perDoc.agg(sum("__m")).collect().head.getLong(0)
     val nll = round(-log(col("__c").cast("double") / n.toDouble), 6)
       .cast("decimal(28,6)")
-    perDoc.join(vocab, Seq("__token"))
+    // corpus frequency as a window sum over ONE token-keyed exchange:
+    // the groupBy(token) + join-back shape shuffled perDoc by token
+    // twice (once to build the vocab, once to probe it) for a value
+    // every row of the token partition shares (the dd13/dd14 move).
+    perDoc
+      .withColumn("__c",
+        sum(col("__m")).over(Window.partitionBy(col("__token"))))
       .groupBy(col(idCol))
       .agg(sum(col("__m")).as("n_tokens"),
         sum(col("__m") * nll).cast("double").as("sum_nll"))
