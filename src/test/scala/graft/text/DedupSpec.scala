@@ -259,4 +259,21 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     (plan should not).include("CartesianProduct")
     (plan should not).include("BroadcastNestedLoopJoin")
   }
+
+  test("sizedPartitions clamps to [1, session shuffle partitions]: tiny " +
+    "frames collapse, huge estimates cap at the session width") {
+    import spark.implicits._
+    val sessionMax =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    Dedup.sizedPartitions(tiny) shouldBe 1
+    // force a huge estimate with a tiny target so the cap engages
+    val capped = Dedup.sizedPartitions(
+      Tables.documents(spark, sf), targetBytes = 1L)
+    capped shouldBe sessionMax
+    // never below 1, never above the session width, for any frame
+    val mid = Dedup.sizedPartitions(Tables.documents(spark, sf))
+    mid should be >= 1
+    mid should be <= sessionMax
+  }
 }
