@@ -842,15 +842,20 @@ object Relational {
     // correlated form paid 3 scans + a semi- and an anti-join shuffle
     // (guide §2.4). Verified row-identical to the correlated form at
     // sf0.1 and against the unchanged oracle.
+    // o_orderstatus is constant per l_orderkey (the window partition
+    // key), so filtering to 'F' BELOW the window removes whole
+    // partitions without changing any surviving row's n_supp /
+    // n_late_supp — ~half of TPC-H orders never reach the exchange,
+    // sort, or collect_set buffers.
     s.sql(
       """WITH l AS (
         |  SELECT l1.l_suppkey, l1.l_orderkey,
-        |    l1.l_shipdate > o.o_orderdate + INTERVAL '75' DAY AS late,
-        |    o.o_orderstatus
+        |    l1.l_shipdate > o.o_orderdate + INTERVAL '75' DAY AS late
         |  FROM q21_lineitem l1
-        |  JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey),
+        |  JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
         |m AS (
-        |  SELECT l_suppkey, late, o_orderstatus,
+        |  SELECT l_suppkey, late,
         |    size(collect_set(l_suppkey)
         |      OVER (PARTITION BY l_orderkey)) AS n_supp,
         |    size(collect_set(CASE WHEN late THEN l_suppkey END)
@@ -858,8 +863,7 @@ object Relational {
         |  FROM l)
         |SELECT s_name, COUNT(*) AS numwait
         |FROM m JOIN q21_supplier s ON s.s_suppkey = m.l_suppkey
-        |WHERE m.late AND m.o_orderstatus = 'F'
-        |  AND m.n_supp >= 2 AND m.n_late_supp = 1
+        |WHERE m.late AND m.n_supp >= 2 AND m.n_late_supp = 1
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }

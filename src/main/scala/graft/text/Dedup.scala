@@ -140,8 +140,16 @@ object Dedup {
     * §2.2 fewer-larger partitions, scale-adaptive not constant). */
   private[text] def sizedPartitions(df: DataFrame,
                                     targetBytes: Long = 8L << 20): Int = {
-    val max = math.max(1,
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // cap = max(session shuffle width, default parallelism): the conf
+    // alone would race with Streaming.runToMemory, which temporarily
+    // lowers spark.sql.shuffle.partitions on the SHARED session while
+    // a stream runs — a dedup plan built concurrently (Verify's 4-way
+    // pool) must not bake the streaming state-store knob in as its cap.
+    // Taking the max restores a sane ceiling (the race only ever
+    // lowers the conf).
+    val max = math.max(math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt),
+      df.sparkSession.sparkContext.defaultParallelism)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes > BigInt(targetBytes) * max) max
     else math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
@@ -444,19 +452,23 @@ object Dedup {
     * signal of the RefinedWeb/CCNet recipes, and the detection half of
     * exact-substring dedup at fixed granularity).
     *
-    * Exact, ONE chain over one explode (the gram strings are built
-    * exactly once): per-(gram, doc) position counts first — a
-    * map-side-combinable shuffle whose rows are the DISTINCT
-    * (gram, doc) pairs — then a gram-partitioned window counts the
-    * docs per gram (≥ 2 = cross-doc; a gram repeated only WITHIN a
-    * doc does not count — tx9 owns that signal), and the surviving
-    * pairs sum their positions per doc. The totals branch re-derives
-    * only the cheap token count, never the gram strings. Grams
-    * shuffle raw for oracle-exactness; a production run at corpus
-    * scale would key them by a 128-bit hash (collision-negligible,
-    * ~10× narrower shuffle rows) — same plan shape. Docs shorter than
-    * k tokens surface with zero spans and a null ratio, not silently
-    * dropped. */
+    * Exact, ONE gram-keyed exchange over one explode (the gram strings
+    * are built and shuffled exactly once): a gram-partitioned window
+    * marks multi-doc grams directly on the occurrence rows — "carried
+    * by ≥ 2 DISTINCT docs" ⟺ min(doc_id) ≠ max(doc_id) over the gram
+    * partition (a gram repeated only WITHIN a doc does not count — tx9
+    * owns that signal) — and the qualifying occurrence rows count per
+    * doc. The tokenized base persists once (it also feeds the n_spans
+    * projection). Grams shuffle raw for oracle-exactness; a production
+    * run at corpus scale would key them by a 128-bit hash
+    * (collision-negligible, ~10× narrower shuffle rows) — same plan
+    * shape. Skew note: a boilerplate gram clusters its OCCURRENCES
+    * into one window partition (the sorter spills, it does not OOM);
+    * a corpus where the same gram repeats heavily within documents
+    * would re-insert the per-(gram, doc) count pre-aggregation ahead
+    * of the window — one more exchange, doc-bounded partitions. Docs
+    * shorter than k tokens surface with zero spans and a null ratio,
+    * not silently dropped. */
   def duplicatedSpans(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -504,16 +516,19 @@ object Dedup {
     * tokens. Document-level dedup (dd1) can't express this — no two
     * documents are equal; the boilerplate lives INSIDE them.
     *
-    * Scale shape: one explode for the grams, one map-side-combinable
-    * groupBy(gram) for (distinct-doc count, keeper), one hash join
-    * back, a k× bounded explode of the removed windows into covered
-    * token indexes, and a per-doc set collection bounded by document
-    * length (the same bounded per-doc state as [[paragraphDedup]]'s
-    * reassembly). Grams shuffle raw for oracle-exactness; a
+    * Scale shape: one explode for the grams, ONE gram-keyed exchange
+    * whose window aggregates carry both the keeper (min id) and the
+    * multi-doc test (min ≠ max), then the removed window STARTS — not
+    * k× exploded token indexes — shuffle per doc and fold into merged
+    * disjoint cut intervals (O(cuts) rows; Σ interval lengths is the
+    * covered-index union by disjointness). The rebuild tests each
+    * token against the merged intervals — O(intervals) per token, not
+    * O(removed tokens). Grams shuffle raw for oracle-exactness; a
     * corpus-scale run would key them by a 128-bit hash — same plan.
-    * The rebuild probes `array_contains` per token (O(T·R) per doc)
-    * — fine at document sizes; a sorted-array binary search is the
-    * refinement if documents grow unbounded. */
+    * Skew note: as in [[duplicatedSpans]], a boilerplate gram clusters
+    * its occurrences into one (spilling) window partition; the
+    * agg+broadcast-join form is the fallback while per-gram stats fit
+    * a broadcast. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text",
                             k: Int = 5): DataFrame = {

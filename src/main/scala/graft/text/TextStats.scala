@@ -184,15 +184,18 @@ object TextStats {
     * documents; the canonical use is `filter(avg_nll < cutoff)` or
     * quantile bucketing ([[CorpusOps]]).
     *
-    * Scale shape — three shuffles, each over SHRINKING data:
+    * Scale shape — two shuffles, each over SHRINKING data:
     *  1. `(doc, token)` occurrence counts — map-side combine collapses
     *     repeated tokens before the exchange;
-    *  2. the vocabulary — O(V) rows aggregated from (1)'s output;
-    *  3. the per-document score — (1) joined to the vocabulary on
-    *     token (AQE broadcasts the vocab at gate scale; at 100 TB it
-    *     is a shuffle-hash join on token) and re-aggregated by doc.
+    *  2. the corpus frequency as `sum over (PARTITION BY token)` — a
+    *     value every row of a token partition shares, so ONE
+    *     token-keyed exchange replaces the classic
+    *     vocabulary-aggregate + join-back (which shuffled (1)'s
+    *     output by token twice) — then the per-doc re-aggregation.
     * The corpus total N is one 1-row aggregate. Nothing ever re-reads
-    * the documents table after pass (1).
+    * the documents table after pass (1). Window partitions are
+    * bounded by a token's distinct DOCS (pass (1) already combined
+    * within-doc repeats); a stopword-class token spills, not OOMs.
     *
     * Numeric contract (what makes the row HASH-exact against a DuckDB
     * oracle): each distinct corpus count's token NLL `-ln(c/N)` is
@@ -247,13 +250,18 @@ object TextStats {
     * for content-addressed assignment ([[CorpusOps.deterministicSplit]]).
     *
     * Scale shape — the [[unigramNll]] template, with the vocabulary
-    * compressed to ≤ `buckets` rows: (1) one `(doc, bucket)` count
-    * shuffle with map-side combine; (2) bucket statistics — an O(B)
+    * compressed to ≤ `buckets` rows: (1) one `(doc, token)` count
+    * shuffle with map-side combine, AFTER which the sha256 bucket is
+    * computed once per distinct (doc, token) row — the hash depends
+    * only on the token, so hashing post-aggregate does the expensive
+    * work per distinct row instead of per occurrence (Zipf widens
+    * that gap with corpus size); (2) the `(doc, bucket)` re-count —
+    * tiny, map-side combined; (3) bucket statistics — an O(B)
     * aggregate with the target side counted by a conditional sum, so
-    * ONE pass serves both models; (3) the per-doc score — (1) joined to
-    * the broadcast-sized bucket table and re-aggregated by doc. Token
-    * totals are two scalar aggregates. Nothing re-reads the corpus
-    * after pass (1).
+    * ONE pass serves both models; (4) the per-doc score — (2) joined
+    * to the broadcast-sized bucket table and re-aggregated by doc.
+    * Token totals are two scalar aggregates. Nothing re-reads the
+    * corpus after pass (1).
     *
     * Numeric contract (hash-exact oracle, the [[unigramNll]] trick):
     * each bucket's two log-probs are rounded to a 6-decimal grid and

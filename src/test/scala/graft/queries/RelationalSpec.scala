@@ -100,19 +100,21 @@ class RelationalSpec extends AnyFunSuite with Matchers with SparkSpec {
     dirty.groupBy($"k").count().filter($"count" > 1).count() shouldBe 1
   }
 
-  test("q21 decorrelates both EXISTS forms to hash joins — no nested loop") {
-    // The doubly-correlated EXISTS / NOT EXISTS (the NOT EXISTS side
-    // carrying its own join) must become LeftSemi/LeftAnti HASH joins on
-    // l_orderkey. A BroadcastNestedLoopJoin or CartesianProduct here
-    // would mean the decorrelation failed and the query is O(n²) — the
-    // difference between a keyed shuffle and a scale disaster at 100 TB.
+  test("q21 answers both EXISTS forms from ONE orderkey window — no " +
+    "nested loop, no semi/anti re-shuffles of lineitem") {
+    // r17 shape: the per-order EXISTS / NOT EXISTS questions are window
+    // aggregates over a single l_orderkey exchange — one lineitem scan,
+    // no LeftSemi/LeftAnti passes. A BroadcastNestedLoopJoin or
+    // CartesianProduct here would mean O(n²) — the difference between a
+    // keyed shuffle and a scale disaster at 100 TB.
     val df = Relational.q21WaitingSuppliers(spark, sf)
     df.count() should be > 0L
     val plan = df.queryExecution.executedPlan.toString
     (plan should not).include("BroadcastNestedLoopJoin")
     (plan should not).include("CartesianProduct")
-    plan should include("LeftSemi")
-    plan should include("LeftAnti")
+    (plan should not).include("LeftSemi")
+    (plan should not).include("LeftAnti")
+    plan should include regex "Window .*windowspecdefinition\\(l_orderkey".r
   }
 
   test("q12 pushes the shipdate window into the lineitem scan") {
